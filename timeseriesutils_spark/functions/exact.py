@@ -1,0 +1,45 @@
+"""Deterministic floating-point aggregation.
+
+Summing doubles is order-dependent; on a cluster the merge order of partial
+aggregates is nondeterministic, so ``SUM(double)`` can differ run-to-run in
+the last ulps (and will differ from any other engine computing the same
+query).  The engine therefore accumulates through fixed-point DECIMAL —
+decimal addition is exact and associative, so the result is identical for
+*any* partitioning / merge order, matches DuckDB bit-for-bit, and is
+reproducible at 100 TB.  The final value is cast back to DOUBLE; derived
+ratios (averages) divide the exact sum by the exact count in double, which
+is a single deterministic IEEE operation.
+
+Cost: decimal partial aggregation is modestly slower than double but stays
+inside whole-stage codegen (no UDFs, no extra shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 38 total digits, `scale` fractional: plenty of headroom for petabyte-scale
+# sums of business-magnitude values.
+PRECISION = 38
+
+
+def dsum(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent SUM over a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({PRECISION},{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent AVG: exact decimal sum / count, divided in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale) / F.count(c)
+
+
+def dsum_sql(expr: str, scale: int = 6) -> str:
+    """ANSI-SQL equivalent of :func:`dsum` (for DuckDB oracles)."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({PRECISION},{scale}))) AS DOUBLE)"
+
+
+def davg_sql(expr: str, scale: int = 6) -> str:
+    return f"({dsum_sql(expr, scale)} / COUNT({expr}))"
