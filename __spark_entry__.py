@@ -1,15 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship featurization query at sf0.001 (smoke).
-``queries()`` — one entry per implemented operator (SURVEY.md §2).
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query.
+``queries()`` — one entry per implemented operator (SURVEY.md §2),
+from the catalog in ``timeseriesutils_spark/queries/``.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (absent for
+non-SQL-expressible ops → driver rows-only check).
 
-Determinism notes (why these hash-match DuckDB bit-for-bit):
-  * window orders are total (time column + unique tie-breaker keys);
-  * floating-point aggregates accumulate through DECIMAL (exact,
-    order-independent) and divide in double (functions/exact.py);
-  * the taylor oracle SQL is generated by the same code that builds the
-    Spark expressions, with identical term order (operators/taylor.py).
+Determinism (why value hashes match DuckDB bit-for-bit): total window
+orders, exact DECIMAL accumulation for float aggregates, generated-twin
+SQL for taylor, and the Java-regex ∩ RE2 syntax subset for text ops.
 """
 
 from __future__ import annotations
@@ -20,206 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timeseriesutils_spark.operators.pipeline import featurize_data
-from timeseriesutils_spark.operators.taylor import taylor_sql_columns, windowed_taylor_coefs
-from timeseriesutils_spark.operators.window_features import horizon_targets, lag, rollmean
-from timeseriesutils_spark.operators.domfreq import domfreq
+from timeseriesutils_spark.queries import catalog
+from timeseriesutils_spark.queries.featurize_queries import LI_ORDER, _li
 from timeseriesutils_spark.session import configure_session
 from timeseriesutils_spark.sources.tables import load_table
 
-# total order within a supplier's series: time, then unique line key
-LI_ORDER = ["l_shipdate", "l_orderkey", "l_linenumber"]
-LI_ORDER_SQL = "l_shipdate, l_orderkey, l_linenumber"
-LI_COLS = ["l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"]
-# keep l_shipdate out of outputs (timestamp representation differences are
-# the one avoidable hash risk); the unique (orderkey, linenumber) key stays.
-
-
-def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.select(*LI_COLS, "l_shipdate")
-
-
-# ---------------------------------------------------------------------------
-# §2.1 core featurization operators
-
-
-def q_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df, _ = lag(
-        _li(spark, sf_dir),
-        "l_extendedprice",
-        ["l_suppkey"],
-        window_size=7,
-        order_by=LI_ORDER,
-    )
-    return df.drop("l_shipdate")
-
-
-def _sql_lag() -> str:
-    lags = ",\n  ".join(
-        f"LAG(l_extendedprice, {k}) OVER (PARTITION BY l_suppkey ORDER BY {LI_ORDER_SQL}) AS l_extendedprice_lag{k}"
-        for k in range(1, 8)
-    )
-    return f"SELECT {', '.join(LI_COLS)},\n  {lags}\nFROM lineitem"
-
-
-def q_rollmean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df, _ = rollmean(
-        _li(spark, sf_dir),
-        ["l_extendedprice", "l_quantity"],
-        ["l_suppkey"],
-        window_size=[7, 14],
-        order_by=LI_ORDER,
-    )
-    return df.drop("l_shipdate")
-
-
-def _sql_rollmean() -> str:
-    cols = []
-    for c in ["l_extendedprice", "l_quantity"]:
-        for w in [7, 14]:
-            frame = (
-                f"(PARTITION BY l_suppkey ORDER BY {LI_ORDER_SQL} "
-                f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)"
-            )
-            mean = (
-                f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) OVER {frame} AS DOUBLE)"
-                f" / COUNT({c}) OVER {frame}"
-            )
-            cols.append(
-                f"CASE WHEN COUNT({c}) OVER {frame} >= {w} THEN {mean} END AS {c}_rollmean_w{w}"
-            )
-    return f"SELECT {', '.join(LI_COLS)},\n  " + ",\n  ".join(cols) + "\nFROM lineitem"
-
-
-def q_horizon_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df, _ = horizon_targets(
-        _li(spark, sf_dir),
-        "l_quantity",
-        ["l_suppkey"],
-        horizons=[1, 2, 3],
-        layout="wide",
-        order_by=LI_ORDER,
-    )
-    return df.drop("l_shipdate")
-
-
-def _sql_horizon_wide() -> str:
-    leads = ",\n  ".join(
-        f"LEAD(l_quantity, {h}) OVER (PARTITION BY l_suppkey ORDER BY {LI_ORDER_SQL}) AS l_quantity_target{h}"
-        for h in [1, 2, 3]
-    )
-    return f"SELECT {', '.join(LI_COLS)},\n  {leads}\nFROM lineitem"
-
-
-def q_horizon_long(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df, _ = horizon_targets(
-        _li(spark, sf_dir),
-        "l_quantity",
-        ["l_suppkey"],
-        horizons=[7, 14],
-        layout="long",
-        order_by=LI_ORDER,
-    )
-    return df.drop("l_shipdate")
-
-
-def _sql_horizon_long() -> str:
-    parts = []
-    for h in [7, 14]:
-        parts.append(
-            f"SELECT {', '.join(LI_COLS)}, CAST({h} AS BIGINT) AS horizon,\n"
-            f"  LEAD(l_quantity, {h}) OVER (PARTITION BY l_suppkey ORDER BY {LI_ORDER_SQL}) AS l_quantity_target\n"
-            f"FROM lineitem"
-        )
-    return "\nUNION ALL\n".join(parts)
-
-
-TAYLOR_T = dict(taylor_degree=2, window_size=14, window_align="trailing", ew_span=None, fill_edges=True)
-TAYLOR_C = dict(taylor_degree=1, window_size=21, window_align="centered", ew_span=14, fill_edges=True)
-
-
-def q_taylor_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df, _ = windowed_taylor_coefs(
-        _li(spark, sf_dir), "l_extendedprice", ["l_suppkey"], order_by=LI_ORDER, **TAYLOR_T
-    )
-    return df.drop("l_shipdate")
-
-
-def q_taylor_centered_ew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df, _ = windowed_taylor_coefs(
-        _li(spark, sf_dir), "l_extendedprice", ["l_suppkey"], order_by=LI_ORDER, **TAYLOR_C
-    )
-    return df.drop("l_shipdate")
-
-
-def _sql_taylor(params: dict) -> str:
-    cols = taylor_sql_columns(
-        "l_extendedprice", ["l_suppkey"], LI_ORDER, **params
-    )
-    sel = ",\n  ".join(f"{expr} AS {name}" for name, expr in cols)
-    return f"SELECT {', '.join(LI_COLS)},\n  {sel}\nFROM lineitem"
-
-
-def q_featurize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The featurize_data dispatcher (reference featurize.py:7-49) composing
-    lag + rollmean + wide horizon targets in one plan."""
-    df, _ = featurize_data(
-        _li(spark, sf_dir),
-        group_columns=["l_suppkey"],
-        features=[
-            {"fun": "lag", "args": {"columns": "l_extendedprice", "window_size": 3}},
-            {"fun": "rollmean", "args": {"columns": "l_extendedprice", "window_size": 7}},
-            {
-                "fun": "horizon_targets",
-                "args": {"columns": "l_quantity", "horizons": 1, "layout": "wide"},
-            },
-        ],
-        order_by=LI_ORDER,
-    )
-    return df.drop("l_shipdate")
-
-
-def _sql_featurize_pipeline() -> str:
-    over = f"(PARTITION BY l_suppkey ORDER BY {LI_ORDER_SQL})"
-    frame = (
-        f"(PARTITION BY l_suppkey ORDER BY {LI_ORDER_SQL} "
-        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
-    )
-    mean = (
-        f"CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) OVER {frame} AS DOUBLE)"
-        f" / COUNT(l_extendedprice) OVER {frame}"
-    )
-    cols = [
-        f"LAG(l_extendedprice, {k}) OVER {over} AS l_extendedprice_lag{k}"
-        for k in [1, 2, 3]
-    ] + [
-        f"CASE WHEN COUNT(l_extendedprice) OVER {frame} >= 7 THEN {mean} END AS l_extendedprice_rollmean_w7",
-        f"LEAD(l_quantity, 1) OVER {over} AS l_quantity_target1",
-    ]
-    return f"SELECT {', '.join(LI_COLS)},\n  " + ",\n  ".join(cols) + "\nFROM lineitem"
-
-
-def q_domfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Periodogram features (no SQL oracle — FFT; driver rows-only check)."""
-    df, _ = domfreq(
-        _li(spark, sf_dir),
-        "l_extendedprice",
-        ["l_suppkey"],
-        window_size=16,
-        window_align="trailing",
-        n_domfreq=3,
-        order_by=LI_ORDER,
-    )
-    return df.drop("l_shipdate")
-
-
-# ---------------------------------------------------------------------------
-# driver contract
-
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: scan → shared-window featurization (lag+rollmean+taylor) →
-    broadcast dim joins (supplier→nation→region) → exact aggregation."""
+    """Flagship: scan → shared-window featurization (lag+rollmean+taylor)
+    → broadcast dim joins (supplier→nation→region) → exact aggregation."""
     configure_session(spark)
     sf_dir = "/root/testdata/sf0.001"
     feats, names = featurize_data(
@@ -230,8 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
             {"fun": "rollmean", "args": {"columns": "l_extendedprice", "window_size": [7, 14]}},
             {
                 "fun": "windowed_taylor_coefs",
-                "args": {"columns": "l_extendedprice", "taylor_degree": 2,
-                         "window_size": 14, "window_align": "trailing"},
+                "args": {
+                    "columns": "l_extendedprice",
+                    "taylor_degree": 2,
+                    "window_size": 14,
+                    "window_align": "trailing",
+                },
             },
         ],
         order_by=LI_ORDER,
@@ -265,26 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {
-        "lag": wrap(q_lag),
-        "rollmean": wrap(q_rollmean),
-        "horizon_targets_wide": wrap(q_horizon_wide),
-        "horizon_targets_long": wrap(q_horizon_long),
-        "taylor_trailing": wrap(q_taylor_trailing),
-        "taylor_centered_ew": wrap(q_taylor_centered_ew),
-        "featurize_pipeline": wrap(q_featurize_pipeline),
-        "domfreq": wrap(q_domfreq),
-    }
+    return {name: wrap(q.spark) for name, q in catalog().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        "lag": _sql_lag(),
-        "rollmean": _sql_rollmean(),
-        "horizon_targets_wide": _sql_horizon_wide(),
-        "horizon_targets_long": _sql_horizon_long(),
-        "taylor_trailing": _sql_taylor(TAYLOR_T),
-        "taylor_centered_ew": _sql_taylor(TAYLOR_C),
-        "featurize_pipeline": _sql_featurize_pipeline(),
-        # domfreq: intentionally no oracle (FFT not ANSI SQL) → rows-only
-    }
+    return {name: q.sql for name, q in catalog().items() if q.sql is not None}

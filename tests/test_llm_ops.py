@@ -1,0 +1,101 @@
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from timeseriesutils_spark.operators.multimodal import attach_binary, extract_media_features
+from timeseriesutils_spark.operators.similarity import knn_bruteforce, knn_lsh
+from timeseriesutils_spark.operators.text import lang_id, text_stats
+
+
+@pytest.fixture(scope="module")
+def doc_frame(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    far = "completely different content about spark window functions at scale"
+    return spark.createDataFrame(
+        [(0, base), (1, near), (2, far), (3, base)], "doc_id bigint, text string"
+    )
+
+
+def test_ngram_jaccard_finds_near_and_exact(doc_frame):
+    pairs = ngram_jaccard_pairs(doc_frame, n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 3)] == 1.0          # exact duplicate
+    assert 0.5 <= got[(0, 1)] < 1.0    # near duplicate
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_minhash_lsh_recovers_exact_dup(doc_frame):
+    pairs = minhash_lsh_pairs(doc_frame, n=3, num_hashes=16, bands=8, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 3) in got  # identical docs always collide in every band
+
+
+def test_simhash_close_for_near_dups(doc_frame):
+    rows = doc_frame.select("doc_id", simhash64(F.col("text")).alias("h")).collect()
+    h = {r["doc_id"]: r["h"] for r in rows}
+    assert h[0] == h[3]
+    ham_near = bin((h[0] ^ h[1]) & (2**64 - 1)).count("1")
+    ham_far = bin((h[0] ^ h[2]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+
+
+@pytest.fixture(scope="module")
+def emb_frame(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((40, 16)).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16).astype("float32")  # near-dup
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_knn_bruteforce_finds_planted_neighbor(emb_frame):
+    out = knn_bruteforce(emb_frame.filter("vec_id = 0"), emb_frame, k=3)
+    top = out.filter("rn = 1").collect()[0]
+    assert top["vec_id"] == 1 and top["cos"] > 0.99
+
+
+def test_knn_lsh_subset_of_bruteforce_candidates(emb_frame):
+    """LSH results must be genuine corpus vectors with correct cos values:
+    every (query, hit) pair must appear in brute-force scoring with the
+    same cosine."""
+    bf = knn_bruteforce(emb_frame.filter("vec_id < 3"), emb_frame, k=39)
+    ls = knn_lsh(emb_frame.filter("vec_id < 3"), emb_frame, k=5, bits=4, dim=16)
+    bf_map = {(r["query_id"], r["vec_id"]): r["cos"] for r in bf.collect()}
+    for r in ls.collect():
+        assert bf_map[(r["query_id"], r["vec_id"])] == r["cos"]
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([(1, "Hello world! hello")], "doc_id bigint, text string")
+    row = text_stats(df).collect()[0]
+    assert row["n_words"] == 3
+    assert row["n_tokens"] == 4  # Hello / world / ! / hello
+    assert row["n_punct"] == 1
+    assert abs(row["distinct_word_ratio"] - 2 / 3) < 1e-12
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"), (2, "el gato y la casa de los perros")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "es"}
+
+
+def test_multimodal_plumbing(doc_frame):
+    media = attach_binary(doc_frame)
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_bytes"] > 0 and len(r["checksum"]) == 32
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9  # normalized byte histogram

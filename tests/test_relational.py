@@ -1,0 +1,57 @@
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.relational import asof_join, dedup_exact, top_k_per_group
+
+
+@pytest.fixture()
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 101.0), ("A", 5, 99.0), ("B", 15, 50.0)],
+        "sym string, t int, px double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 4, 1), ("A", 10, 2), ("A", 10, 3), ("A", 18, 4), ("B", 99, 5)],
+        "sym string, qt int, qid int",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_with_ties(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt",
+        right_values=["qid"], tie_break="qid",
+    )
+    got = {(r["sym"], r["t"]): r["qid"] for r in out.collect()}
+    assert got[("A", 5)] == 1       # only qt=4 precedes
+    assert got[("A", 10)] == 3      # equal-ts match; tie → greatest qid
+    assert got[("A", 20)] == 4
+    assert got[("B", 15)] is None   # no quote at or before t=15
+
+
+def test_asof_preserves_left_rowcount(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt", right_values=["qid"]
+    )
+    assert out.count() == trades.count()
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(i % 5)) for i in range(20)], "g string, id int, v double"
+    )
+    out = top_k_per_group(df, "g", [F.col("v").desc(), F.col("id")], k=3)
+    rows = out.orderBy("rn").collect()
+    assert [r["id"] for r in rows] == [4, 9, 14]  # v=4.0 three times, id asc
+
+
+def test_dedup_exact_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k", 2, "b"), ("k", 1, "a"), ("k", 3, "c"), ("j", 9, "z")],
+        "k string, ts int, payload string",
+    )
+    out = dedup_exact(df, "k", tie_break=[F.col("ts")])
+    got = {r["k"]: r["payload"] for r in out.collect()}
+    assert got == {"k": "a", "j": "z"}

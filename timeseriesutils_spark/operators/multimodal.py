@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode/resize/frame-sample kernels require media libraries (Pillow /
+ffmpeg / torchaudio) that are NOT in this container, so the kernels are
+STUBBED — ``decode_image_stub`` produces deterministic fake metadata and
+features derived from the raw bytes.  Everything Spark-side is real and
+tested: schemas, Arrow batch iteration, partition-count preservation,
+output typing.  Swapping a stub for a real decoder is a one-function
+change; the distributed plumbing (the hard part at 100 TB) is identical.
+
+Scale notes: mapInPandas streams record batches — a partition never has
+to fit decoded media in memory at once; keep
+``spark.sql.execution.arrow.maxRecordsPerBatch`` small for large blobs,
+and partition by content size upstream so batches are byte-balanced.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media binary, media_type string, "
+    "n_bytes bigint, checksum string"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, checksum string, "
+    "width int, height int, feature array<double>"
+)
+
+
+def attach_binary(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pack a binary media column (here: utf-8 bytes of the text — the
+    testdata has no real media) plus typed metadata.  Real pipelines read
+    the bytes from object storage with the same schema."""
+    media = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        media.alias("media"),
+        F.lit("text/plain").alias("media_type"),
+        F.length(media).cast("bigint").alias("n_bytes"),
+        F.md5(media).alias("checksum"),
+    )
+
+
+def decode_image_stub(raw: bytes) -> tuple[int, int, list[float]]:
+    """STUB for a real image decoder (PIL.Image.open → size, pixels).
+
+    Media libraries are not installed in this container; this produces a
+    deterministic fake (dimensions and an 8-dim 'feature' derived from the
+    byte content) so the distributed plumbing is fully exercisable.
+    Replace the body with real decoding when the library is present:
+
+        raise NotImplementedError("install Pillow and decode here")
+    """
+    n = len(raw)
+    width = 16 + n % 64
+    height = 16 + (n // 64) % 64
+    # 8-dim byte-histogram-ish feature, deterministic
+    feat = [0.0] * 8
+    for i, b in enumerate(raw):
+        feat[b % 8] += 1.0
+    total = float(n) or 1.0
+    return width, height, [f / total for f in feat]
+
+
+def extract_media_features(media_df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Arrow-batched media feature extraction over mapInPandas.
+
+    One Python worker pass per partition, streaming record batches; no
+    collect, no per-row Python round trips.
+    """
+    import pandas as pd
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, feats = [], [], []
+            for raw in pdf["media"]:
+                w, h, f = decode_image_stub(bytes(raw))
+                widths.append(w)
+                heights.append(h)
+                feats.append(f)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "checksum": pdf["checksum"],
+                    "width": widths,
+                    "height": heights,
+                    "feature": feats,
+                }
+            )
+
+    return media_df.mapInPandas(process, schema=FEATURE_SCHEMA)

@@ -1,0 +1,117 @@
+"""Relational operators the reference delegates to pandas users
+(SURVEY §2.2): as-of join, per-group top-k, deterministic exact dedup.
+
+All are compositions of DataFrame built-ins — Catalyst picks the physical
+strategy — but each encodes a scale decision worth naming:
+
+  * as-of join: implemented as union + last-value window, NOT a range
+    join.  A conditional range join explodes to |L|·|R| candidate pairs
+    per key before picking the max; the union trick is one shuffle on the
+    key, one sort, linear work — the classic distributed as-of plan.
+  * top-k: row_number over (group, order) with a required *total* order —
+    ties would otherwise make results nondeterministic on any engine.
+  * exact dedup: groupBy-min (or row_number=1) with an explicit tie-break
+    instead of ``dropDuplicates``, whose surviving row is partitioning-
+    dependent — not reproducible run to run on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.window_features import _as_list
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    tie_break: str | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the right row with the
+    greatest ``right_time`` ≤ ``left_time`` (per key), ties broken by the
+    greatest ``tie_break`` value.
+
+    Plan shape: union the two sides with right payload packed in a struct,
+    window ``last(payload, ignorenulls=True)`` ordered by
+    (time, side, tie_break) with right-before-left at equal times so an
+    equal timestamp matches.  One hash exchange on the key; no candidate
+    explosion; whole-stage codegen throughout.
+    """
+    on = _as_list(on)
+    payload = F.struct(
+        *[F.col(c) for c in right_values],
+        *( [F.col(tie_break).alias("_tb")] if tie_break else [] ),
+    )
+    r = right.select(
+        *on,
+        F.col(right_time).alias("_t"),
+        # right rows sort before left rows at the same timestamp (equal ts
+        # matches), and among equal (ts) the greatest tie_break must win →
+        # sort right rows ascending by tie_break and take last()
+        F.lit(0).alias("_side"),
+        (F.col(tie_break) if tie_break else F.lit(0)).alias("_order2"),
+        payload.alias("_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+    )
+    l = left.select(
+        *on,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_order2"].dataType).alias("_order2"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        *[F.col(c) for c in left.columns if c not in on],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t"), F.col("_side"), F.col("_order2").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.unionByName(r).withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    out = matched.filter(F.col("_side") == 1).drop("_side", "_order2", "_r")
+    for c in right_values:
+        out = out.withColumn(f"{c}{suffix}", F.col("_m").getField(c))
+    return out.drop("_m", "_tb").withColumnRenamed("_t", left_time)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_columns,
+    order_by: list[Column | str],
+    k: int,
+    rank_name: str = "rn",
+) -> DataFrame:
+    """Per-group top-k via row_number.  ``order_by`` must be a total order
+    (include a unique key as final tie-break) for deterministic output."""
+    w = Window.partitionBy(*_as_list(group_columns)).orderBy(*order_by)
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
+def dedup_exact(
+    df: DataFrame,
+    keys,
+    tie_break: list[Column | str] | None = None,
+) -> DataFrame:
+    """Keep exactly one row per key group, deterministically.
+
+    With ``tie_break``: the first row under that total order (row_number=1).
+    Without: requires the non-key columns to be functionally dependent on
+    the key (first() under an arbitrary order would be nondeterministic).
+    """
+    keys = _as_list(keys)
+    if tie_break is None:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*tie_break)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines: token/word/char
+statistics, quality scoring, language identification, fingerprinting,
+TF-IDF.  All built-in expressions (split / regexp / aggregate / md5) —
+no Python in the hot path; every op is a narrow projection that keeps
+predicate pushdown and codegen intact.
+
+Regex patterns are restricted to the syntax subset where Java regex
+(Spark) and RE2 (DuckDB) agree, so the oracle can run the same logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# word-ish tokens: letter runs, digit runs, or single punctuation — a
+# BPE-style pre-tokenization approximation
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny marker-word inventories for the 5 testdata languages
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["de", "shi", "bu", "le", "wo"],
+}
+
+
+def words(text_col):
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc statistics: chars, words, tokens, distinct-word ratio,
+    mean word length, punctuation count."""
+    w = words(F.col(text_col))
+    tokens = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)
+    return docs.select(
+        id_col,
+        F.length(text_col).alias("n_chars_calc"),
+        F.size(w).alias("n_words"),
+        F.size(tokens).alias("n_tokens"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("distinct_word_ratio"),
+        (
+            F.aggregate(w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+            / F.size(w)
+        ).alias("mean_word_len"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0)).alias(
+            "n_punct"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + low punct ratio +
+    vocabulary diversity — the standard cheap pre-filter shape."""
+    w = words(F.col(text_col))
+    n_chars = F.length(text_col)
+    punct_ratio = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0))
+        / F.greatest(n_chars, F.lit(1))
+    )
+    diversity = F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1))
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.3)
+    score = (len_ok + (1.0 - punct_ratio) + diversity) / 3.0
+    # no rounding: every op is deterministic IEEE double, so the raw value
+    # is bit-identical across engines (Spark round() is toString-based and
+    # is NOT cross-engine stable — see queries/llm_queries.py)
+    return docs.select(id_col, score.alias("quality"))
+
+
+def marker_count(text_col, markers: list[str]):
+    """Occurrences of any marker as a whole word (shared Java/RE2 syntax)."""
+    pat = r"\b(" + "|".join(markers) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pat), 0))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """n-gram-heuristic language ID: argmax of marker-word hit counts,
+    'und' when nothing matches.  Deterministic tie-break: language order
+    as listed (greatest strictly-greater count wins)."""
+    t = F.col(text_col)
+    counts = [(lang, marker_count(t, mk)) for lang, mk in LANG_MARKERS.items()]
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang, cnt in counts:
+        is_better = cnt > best_n
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_n = F.when(is_better, cnt).otherwise(best_n)
+    return docs.select(id_col, best.alias("pred_lang"), best_n.alias("marker_hits"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Canonical-form document fingerprint: md5 of the lowercased,
+    whitespace-normalized text (the key for exact dedup across trivially
+    reformatted copies)."""
+    canon = F.concat_ws(" ", words(F.col(text_col)))
+    return docs.select(id_col, F.md5(canon).alias("fp"))
+
+
+def tf_idf(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_df: int = 2
+) -> DataFrame:
+    """Word-level TF-IDF (exact, not hashed): one row per (doc, word)
+    with tf, df, and tf·idf.  Two shuffles (doc-word agg, word df) —
+    both map-side-combinable.  idf = ln((N+1)/(df+1)) + 1."""
+    n_docs = docs.count()  # scalar; at scale pass it in precomputed
+    exploded = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
+    tf = exploded.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    # floor-based rounding (not F.round): ln() may differ by 1 ulp between
+    # libm implementations, and floor(x·1e6 + 0.5)/1e6 is the only rounding
+    # both Spark and DuckDB compute identically from identical inputs
+    tfidf = F.floor(F.col("tf") * idf * 1e6 + 0.5) / 1e6
+    return tf.join(df, "word").select(id_col, "word", "tf", "df", tfidf.alias("tfidf"))

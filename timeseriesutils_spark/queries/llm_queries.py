@@ -1,0 +1,248 @@
+"""LLM-data-pipeline queries: dedup (exact / n-gram Jaccard / MinHash-LSH
+/ SimHash), embedding similarity search (brute-force + LSH), text
+analysis (stats, quality, language-ID, fingerprint, TF-IDF), multimodal
+binary plumbing.
+
+Oracles exist wherever the computation is cross-engine deterministic
+(string ops restricted to the Java-regex ∩ RE2 syntax subset; decimal-
+exact float accumulation).  xxhash64-seeded ops (MinHash, SimHash,
+hyperplane LSH) have no DuckDB twin → rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from timeseriesutils_spark.operators.multimodal import attach_binary, extract_media_features
+from timeseriesutils_spark.operators.similarity import knn_bruteforce, knn_lsh
+from timeseriesutils_spark.operators.text import (
+    TOKEN_PATTERN,
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+    tf_idf,
+)
+from timeseriesutils_spark.queries import Q
+from timeseriesutils_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- dedup ----------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by full text: canonical (min) id + multiplicity."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("copies"))
+        .select("doc_id", "copies")
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents GROUP BY text
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (≥ 0.6)."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6)
+
+
+_SQL_NGRAM_JACCARD = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 3
+      THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+      ELSE [array_to_string(w, ' ')] END) AS shingles
+  FROM words
+),
+ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (sz_a + sz_b - i) AS jaccard
+FROM inter WHERE CAST(i AS DOUBLE) / (sz_a + sz_b - i) >= 0.6
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (xxhash64 signatures → rows-only)."""
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, num_hashes=32, bands=8, threshold=0.6
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints (xxhash64 → rows-only)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash64(F.col("text"), n=2).alias("simhash")
+    )
+
+
+# --- similarity search ----------------------------------------------------
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Exact top-5 cosine neighbors for 10 query vectors."""
+    emb = _emb(spark, sf_dir)
+    return knn_bruteforce(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+_SQL_KNN = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+    CAST(SUM(CAST(FLOOR(CAST(q.qe[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE) * 1e14 + 0.5) AS BIGINT)) AS DOUBLE) / 1e14 AS dot,
+    CAST(SUM(CAST(FLOOR(CAST(q.qe[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE) * 1e14 + 0.5) AS BIGINT)) AS DOUBLE) / 1e14 AS qq,
+    CAST(SUM(CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE) * 1e14 + 0.5) AS BIGINT)) AS DOUBLE) / 1e14 AS cc
+  FROM q, embeddings e, range(1, 65) t(i)
+  WHERE e.vec_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, dot / (SQRT(qq) * SQRT(cc)) AS cos,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC, vec_id) AS INT) AS rn
+FROM pairs QUALIFY rn <= 5
+"""
+
+
+def q_knn_lsh(spark, sf_dir):
+    """Bucketed approximate KNN (seeded hyperplanes → rows-only)."""
+    emb = _emb(spark, sf_dir)
+    return knn_lsh(emb.filter(F.col("vec_id") < 10), emb, k=5, bits=4, dim=64)
+
+
+# --- text analysis --------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    return text_stats(_docs(spark, sf_dir))
+
+
+_SQL_TEXT_STATS = f"""
+SELECT doc_id,
+  CAST(LENGTH(text) AS INT) AS n_chars_calc,
+  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT) AS n_words,
+  CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS INT) AS n_tokens,
+  CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
+    / len(string_split_regex(lower(trim(text)), '\\s+')) AS distinct_word_ratio,
+  CAST(LENGTH(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS DOUBLE)
+    / len(string_split_regex(lower(trim(text)), '\\s+')) AS mean_word_len,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS n_punct
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+_SQL_QUALITY = """
+SELECT doc_id, (
+    (CASE WHEN LENGTH(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.3 END)
+  + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+           / GREATEST(LENGTH(text), 1))
+  + (CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
+     / GREATEST(len(string_split_regex(lower(trim(text)), '\\s+')), 1))
+) / 3.0 AS quality
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _sql_lang_id() -> str:
+    # mirror the Spark fold: running (best, best_n), strictly-greater wins
+    best, best_n = "'und'", "0"
+    for lang, mk in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(mk) + r")\b"
+        cnt = f"len(regexp_extract_all(lower(text), '{pat}'))"
+        best = f"CASE WHEN {cnt} > {best_n} THEN '{lang}' ELSE {best} END"
+        best_n = f"CASE WHEN {cnt} > {best_n} THEN {cnt} ELSE {best_n} END"
+    return f"SELECT doc_id, {best} AS pred_lang, CAST({best_n} AS INT) AS marker_hits FROM documents"
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id, md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')) AS fp
+FROM documents
+"""
+
+
+def q_tf_idf(spark, sf_dir):
+    return tf_idf(_docs(spark, sf_dir), min_df=2)
+
+
+_SQL_TF_IDF = """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+ex AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) >= 2)
+SELECT tf.doc_id, tf.word, tf.tf, df.df,
+  FLOOR(tf.tf * (LN((SELECT CAST(n_docs + 1 AS DOUBLE) FROM n) / (df.df + 1)) + 1.0) * 1e6 + 0.5) / 1e6 AS tfidf
+FROM tf JOIN df USING (word)
+"""
+
+
+# --- multimodal -----------------------------------------------------------
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column pipeline: pack bytes+metadata, extract features via
+    Arrow mapInPandas (stub decoder).  Oracle checks the deterministic
+    metadata (byte length, md5 checksum); width/height/feature are
+    stub-derived (n_bytes arithmetic) so they're oracle-checkable too."""
+    media = attach_binary(_docs(spark, sf_dir))
+    feats = extract_media_features(media)
+    return feats.select("doc_id", "media_type", "n_bytes", "checksum", "width", "height")
+
+
+_SQL_MULTIMODAL = """
+SELECT doc_id, 'text/plain' AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS checksum,
+  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": Q(q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": Q(q_dedup_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    "dedup_minhash_lsh": Q(q_dedup_minhash_lsh, None),  # xxhash64 → rows-only
+    "simhash": Q(q_simhash, None),  # xxhash64 → rows-only
+    "knn_bruteforce": Q(q_knn_bruteforce, _SQL_KNN),
+    "knn_lsh": Q(q_knn_lsh, None),  # seeded LSH → rows-only
+    "text_stats": Q(q_text_stats, _SQL_TEXT_STATS),
+    "text_quality": Q(q_text_quality, _SQL_QUALITY),
+    "lang_id": Q(q_lang_id, _sql_lang_id()),
+    "doc_fingerprint": Q(q_fingerprint, _SQL_FINGERPRINT),
+    "tf_idf": Q(q_tf_idf, _SQL_TF_IDF),
+    "multimodal_meta": Q(q_multimodal_meta, _SQL_MULTIMODAL),
+}

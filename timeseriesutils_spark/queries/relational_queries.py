@@ -1,0 +1,425 @@
+"""Capability-parity relational queries (SURVEY §2.2): scans, joins
+(broadcast / semi / anti / as-of), aggregations (incl. rollup, cube,
+distinct), ranking + frame windows, top-k, set ops, scalar/date/JSON
+functions.
+
+Determinism rules used throughout (see functions/exact.py):
+  * double sums/averages go through exact DECIMAL accumulation;
+  * every window/sort order is total (unique key tie-breaks);
+  * timestamps never appear in outputs (converted to strings or dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
+from timeseriesutils_spark.operators.relational import asof_join, dedup_exact, top_k_per_group
+from timeseriesutils_spark.queries import Q
+from timeseriesutils_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- aggregation ----------------------------------------------------------
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filtered scan → grouped sums/avgs/count."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, scale=8).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", scale=8).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  {dsum_sql('l_extendedprice')} AS sum_base_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount)', scale=8)} AS sum_disc_price,
+  {davg_sql('l_quantity')} AS avg_qty,
+  {davg_sql('l_extendedprice')} AS avg_price,
+  {davg_sql('l_discount', scale=8)} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_agg_rollup(spark, sf_dir):
+    """Hierarchical totals region → nation → (all) via ROLLUP."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+_SQL_ROLLUP = f"""
+SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+  COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_agg_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+_SQL_CUBE = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
+  COUNT(*) AS n, {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_count_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+_SQL_COUNT_DISTINCT = """
+SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_agg_approx_distinct(spark, sf_dir):
+    """HLL++ sketch — algorithm-specific results, no cross-engine oracle
+    (driver rows-only).  The scalable distinct-count at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+# --- joins ----------------------------------------------------------------
+
+
+def q_join_star(spark, sf_dir):
+    """Fact-dims star join: broadcast every dim; revenue per region/nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    s, n, r = (_t(spark, sf_dir, t) for t in ("supplier", "nation", "region"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue, scale=8).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_SQL_JOIN_STAR = f"""
+SELECT r_name, n_name, {dsum_sql('l_extendedprice * (1 - l_discount)', scale=8)} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_join_semi(spark, sf_dir):
+    """Customers with at least one high-value order (left semi)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_SQL_JOIN_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+def q_join_anti(spark, sf_dir):
+    """Customers with no 1995 order (left anti with a pushed-down filter
+    on the right side — nontrivial result at every SF)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    o95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    return c.join(o95, c.c_custkey == o95.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_SQL_JOIN_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1996-01-01')
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """Time-series as-of join: for each purchase event, the most recent
+    click (ts ≤ purchase ts) by the same user.  Union + last-value plan —
+    no range-join explosion (operators/relational.py)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        right_values=["click_id"],
+        tie_break="click_id",
+    )
+    return out.select("user_id", "event_id", "value", "click_id")
+
+
+_SQL_ASOF = """
+SELECT e.user_id, e.event_id, e.value,
+  (SELECT c.event_id FROM events c
+     WHERE c.event_type = 'click' AND c.user_id = e.user_id AND c.ts <= e.ts
+     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+FROM events e WHERE e.event_type = 'purchase'
+"""
+
+
+# --- windows / ranking / top-k / sort ------------------------------------
+
+
+def q_window_rank(spark, sf_dir):
+    """Ranking trio + running exact sum, two window specs in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_time = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w_price).alias("rn"),
+        F.rank().over(w_price).alias("rk"),
+        F.dense_rank().over(w_price).alias("drk"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w_time).cast("double").alias("running_spend"),
+    )
+
+
+_SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+  ROW_NUMBER() OVER wp AS rn, RANK() OVER wp AS rk, DENSE_RANK() OVER wp AS drk,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER wt AS DOUBLE) AS running_spend
+FROM orders
+WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+       wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_custkey",
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+
+
+_SQL_TOPK = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_sort_limit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+_SQL_SORT_LIMIT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    """Deterministic relational dedup: one event per (user, type), keeping
+    the earliest (ts, event_id) — dropDuplicates would be partitioning-
+    dependent; this is reproducible (operators/relational.dedup_exact)."""
+    ev = _t(spark, sf_dir, "events")
+    out = dedup_exact(
+        ev.select("user_id", "event_type", "ts", "event_id", "value"),
+        ["user_id", "event_type"],
+        tie_break=[F.col("ts"), F.col("event_id")],
+    )
+    return out.select("user_id", "event_type", "event_id", "value")
+
+
+_SQL_DEDUP_FIRST = """
+SELECT user_id, event_type, event_id, value FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+"""
+
+
+# --- set ops --------------------------------------------------------------
+
+
+def q_set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT over customer vs supplier nation sets,
+    tagged into one result."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return (
+        c.union(s).distinct().select(F.lit("union").alias("op"), "nationkey")
+        .unionByName(c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey"))
+        .unionByName(c.exceptAll(s).select(F.lit("except").alias("op"), "nationkey"))
+    )
+
+
+_SQL_SET_OPS = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+UNION ALL
+SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+"""
+
+
+# --- scalar / date / JSON functions --------------------------------------
+
+
+def q_scalar_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_prefix"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        # NOT F.round: Spark rounds the shortest string repr, DuckDB the
+        # binary value — they disagree exactly when the product has a short
+        # decimal form.  Raw multiply is bit-identical.
+        (F.col("o_totalprice") * 0.1).alias("tithe"),
+        F.abs(F.col("o_totalprice") - 200000.0).alias("dist_200k"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_band"),
+    )
+
+
+_SQL_SCALAR = """
+SELECT o_orderkey,
+  UPPER(SUBSTRING(o_orderpriority, 1, 8)) AS prio_prefix,
+  CONCAT_WS('-', o_orderstatus, o_orderpriority) AS status_prio,
+  CAST(LENGTH(o_orderpriority) AS INT) AS prio_len,
+  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS o_month,
+  CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS o_day,
+  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS o_quarter,
+  o_totalprice * 0.1 AS tithe,
+  ABS(o_totalprice - 200000.0) AS dist_200k,
+  CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_band
+FROM orders
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON access on events.props + aggregation by extracted field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+_SQL_JSON = f"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+  COUNT(*) AS n, {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "agg_pricing_summary": Q(q_agg_pricing_summary, _SQL_PRICING),
+    "agg_rollup": Q(q_agg_rollup, _SQL_ROLLUP),
+    "agg_cube": Q(q_agg_cube, _SQL_CUBE),
+    "agg_count_distinct": Q(q_agg_count_distinct, _SQL_COUNT_DISTINCT),
+    "agg_approx_distinct": Q(q_agg_approx_distinct, None),  # sketch → rows-only
+    "join_star": Q(q_join_star, _SQL_JOIN_STAR),
+    "join_semi": Q(q_join_semi, _SQL_JOIN_SEMI),
+    "join_anti": Q(q_join_anti, _SQL_JOIN_ANTI),
+    "asof_join": Q(q_asof_join, _SQL_ASOF),
+    "window_rank": Q(q_window_rank, _SQL_WINDOW_RANK),
+    "topk_per_group": Q(q_topk_per_group, _SQL_TOPK),
+    "sort_limit": Q(q_sort_limit, _SQL_SORT_LIMIT),
+    "dedup_keep_first": Q(q_dedup_keep_first, _SQL_DEDUP_FIRST),
+    "set_ops": Q(q_set_ops, _SQL_SET_OPS),
+    "scalar_funcs": Q(q_scalar_funcs, _SQL_SCALAR),
+    "json_extract": Q(q_json_extract, _SQL_JSON),
+}

@@ -1,0 +1,91 @@
+"""Streaming operators, checked batch-mode (SURVEY §2.2 streaming row):
+the same transformation functions run on readStream frames in
+production (timeseriesutils_spark/streaming/windows.py); the driver
+verifies their batch-mode results against window SQL in DuckDB.
+"""
+
+from __future__ import annotations
+
+from timeseriesutils_spark.functions.exact import dsum_sql
+from timeseriesutils_spark.queries import Q
+from timeseriesutils_spark.sources.tables import load_table
+from timeseriesutils_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def q_stream_tumbling(spark, sf_dir):
+    return tumbling_counts(_events(spark, sf_dir), window="1 hour")
+
+
+_SQL_TUMBLING = f"""
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
+  COUNT(*) AS n, {dsum_sql('value')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_sliding(spark, sf_dir):
+    return sliding_counts(_events(spark, sf_dir), window="1 hour", slide="30 minutes")
+
+
+# each event belongs to 2 windows: floor30(ts) and floor30(ts) − 30 min
+_SQL_SLIDING = """
+WITH floored AS (
+  SELECT date_trunc('hour', ts)
+    + CASE WHEN EXTRACT(MINUTE FROM ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS f
+  FROM events
+),
+w AS (
+  SELECT f AS ws FROM floored
+  UNION ALL
+  SELECT f - INTERVAL 30 MINUTE AS ws FROM floored
+)
+SELECT CAST(ws AS VARCHAR) AS window_start, COUNT(*) AS n FROM w GROUP BY 1
+"""
+
+
+def q_stream_session(spark, sf_dir):
+    return session_counts(_events(spark, sf_dir), gap="30 minutes")
+
+
+# gaps-and-islands: new session when gap ≥ 30 min; session key = its start
+_SQL_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= INTERVAL 30 MINUTE
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, CAST(MIN(ts) AS VARCHAR) AS session_start, COUNT(*) AS n
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_stream_dedup(spark, sf_dir):
+    return stream_dedup(_events(spark, sf_dir))
+
+
+_SQL_STREAM_DEDUP = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+QUERIES = {
+    "stream_tumbling": Q(q_stream_tumbling, _SQL_TUMBLING),
+    "stream_sliding": Q(q_stream_sliding, _SQL_SLIDING),
+    "stream_session": Q(q_stream_session, _SQL_SESSION),
+    "stream_dedup": Q(q_stream_dedup, _SQL_STREAM_DEDUP),
+}

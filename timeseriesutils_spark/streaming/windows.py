@@ -1,0 +1,123 @@
+"""Structured Streaming operators over the events stream.
+
+Every transformation here is expressed on the unified DataFrame API, so
+the SAME function works on a batch frame (how the driver's oracle checks
+it — batch-mode results equal streaming results once all data arrives)
+and on a ``readStream`` frame (how production runs it, with watermarks
+bounding state).
+
+Scale notes: windowed aggregations keep per-(window, key) state in the
+state store; the watermark is what lets Spark evict state — always set
+it.  Session windows merge state per key; ``dropDuplicates`` within
+watermark is the streaming dedup idiom (state = seen keys inside the
+watermark horizon).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.functions.exact import dsum
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch by default).  ts arrives as long nanoseconds (legacy
+    conf) and is normalized exactly like the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}/")
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # TIMESTAMP (not NTZ): watermarks require an event-time zone-aware
+        # timestamp; session tz is UTC so wall-clock values match the
+        # batch reader's NTZ values
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    return df.withWatermark(ts_col, watermark) if watermark and df.isStreaming else df
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    group_cols: list[str] = ["event_type"],
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts + exact value sum per group."""
+    df = _maybe_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            *group_cols,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Sliding (hopping) window counts — each event lands in
+    window/slide overlapping windows."""
+    df = _maybe_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    group_cols: list[str] = ["user_id"],
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Session windows: maximal event chains with inter-event gap < gap.
+
+    Batch-mode equivalent of streaming ``session_window`` state merging;
+    sessions are identified by their start timestamp.
+    """
+    df = _maybe_watermark(events, ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *group_cols,
+            F.col("w.start").cast("string").alias("session_start"),
+            "n",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] = ["user_id", "event_type"],
+    ts_col: str = "ts",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup: first event per key within the watermark horizon.
+    In batch mode this is plain dropDuplicates on the keys (output keyed
+    columns only, so the surviving-row choice can't leak in)."""
+    df = _maybe_watermark(events, ts_col, watermark)
+    return df.select(*keys).dropDuplicates(keys)
