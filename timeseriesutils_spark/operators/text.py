@@ -34,11 +34,17 @@ def words(text_col):
 def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc statistics: chars, words, tokens, distinct-word ratio,
     mean word length, punctuation count."""
-    w = words(F.col(text_col))
-    tokens = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)
-    return docs.select(
+    # two-step projection: tokenize once per row, then derive stats from
+    # the bound array column (inlining the split re-runs the regex per
+    # reference — the same trap as operators/dedup.hashed_shingle_docs)
+    base = docs.select(
+        id_col, F.col(text_col).alias("_t"), words(F.col(text_col)).alias("_w")
+    )
+    w = F.col("_w")
+    tokens = F.regexp_extract_all(F.col("_t"), F.lit(TOKEN_PATTERN), 0)
+    return base.select(
         id_col,
-        F.length(text_col).alias("n_chars_calc"),
+        F.length("_t").alias("n_chars_calc"),
         F.size(w).alias("n_words"),
         F.size(tokens).alias("n_tokens"),
         (F.size(F.array_distinct(w)) / F.size(w)).alias("distinct_word_ratio"),
@@ -46,7 +52,7 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
             F.aggregate(w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
             / F.size(w)
         ).alias("mean_word_len"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0)).alias(
+        F.size(F.regexp_extract_all(F.col("_t"), F.lit(r"[^A-Za-z0-9\s]"), 0)).alias(
             "n_punct"
         ),
     )
@@ -55,40 +61,56 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic quality score in [0,1]: length band + low punct ratio +
     vocabulary diversity — the standard cheap pre-filter shape."""
-    w = words(F.col(text_col))
-    n_chars = F.length(text_col)
-    punct_ratio = (
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0))
-        / F.greatest(n_chars, F.lit(1))
+    base = docs.select(
+        id_col,
+        F.length(text_col).alias("_nc"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0)
+        ).alias("_np"),
+        words(F.col(text_col)).alias("_w"),
     )
+    w, n_chars = F.col("_w"), F.col("_nc")
+    punct_ratio = F.col("_np") / F.greatest(n_chars, F.lit(1))
     diversity = F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1))
     len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.3)
     score = (len_ok + (1.0 - punct_ratio) + diversity) / 3.0
     # no rounding: every op is deterministic IEEE double, so the raw value
     # is bit-identical across engines (Spark round() is toString-based and
     # is NOT cross-engine stable — see queries/llm_queries.py)
-    return docs.select(id_col, score.alias("quality"))
+    return base.select(id_col, score.alias("quality"))
 
 
-def marker_count(text_col, markers: list[str]):
+def marker_count(text_col, markers: list[str], pre_lowered: bool = False):
     """Occurrences of any marker as a whole word (shared Java/RE2 syntax)."""
     pat = r"\b(" + "|".join(markers) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pat), 0))
+    t = text_col if pre_lowered else F.lower(text_col)
+    return F.size(F.regexp_extract_all(t, F.lit(pat), 0))
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """n-gram-heuristic language ID: argmax of marker-word hit counts,
     'und' when nothing matches.  Deterministic tie-break: language order
     as listed (greatest strictly-greater count wins)."""
-    t = F.col(text_col)
-    counts = [(lang, marker_count(t, mk)) for lang, mk in LANG_MARKERS.items()]
+    # materialize the per-language counts FIRST: folding over the raw
+    # regexp expressions nests best_n (which contains every earlier
+    # count) twice per step → exponential expression blowup.  Over bound
+    # columns the fold is linear and the 5 regex scans run once each.
+    low = docs.select(id_col, F.lower(F.col(text_col)).alias("_lt"))
+    cnts = low.select(
+        id_col,
+        *[
+            marker_count(F.col("_lt"), mk, pre_lowered=True).alias(f"_c_{lang}")
+            for lang, mk in LANG_MARKERS.items()
+        ],
+    )
     best = F.lit("und")
     best_n = F.lit(0)
-    for lang, cnt in counts:
+    for lang in LANG_MARKERS:
+        cnt = F.col(f"_c_{lang}")
         is_better = cnt > best_n
         best = F.when(is_better, F.lit(lang)).otherwise(best)
         best_n = F.when(is_better, cnt).otherwise(best_n)
-    return docs.select(id_col, best.alias("pred_lang"), best_n.alias("marker_hits"))
+    return cnts.select(id_col, best.alias("pred_lang"), best_n.alias("marker_hits"))
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

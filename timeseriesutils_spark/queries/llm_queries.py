@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from timeseriesutils_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash64,
+    simhash_docs,
 )
 from timeseriesutils_spark.operators.multimodal import attach_binary, extract_media_features
 from timeseriesutils_spark.operators.similarity import knn_bruteforce, knn_lsh
@@ -95,9 +95,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints (xxhash64 → rows-only)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id", simhash64(F.col("text"), n=2).alias("simhash")
-    )
+    return simhash_docs(_docs(spark, sf_dir), n=2)
 
 
 # --- similarity search ----------------------------------------------------
