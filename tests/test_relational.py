@@ -55,3 +55,43 @@ def test_dedup_exact_deterministic(spark):
     out = dedup_exact(df, "k", tie_break=[F.col("ts")])
     got = {r["k"]: r["payload"] for r in out.collect()}
     assert got == {"k": "a", "j": "z"}
+
+
+def test_interval_join_matches_naive(spark):
+    from timeseriesutils_spark.operators.relational import interval_join
+
+    import random
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(i % 3, rng.randrange(0, 1000), i) for i in range(60)],
+        "k int, s long, lid int",
+    ).select("k", "s", (F.col("s") + 50).alias("e"), "lid")
+    right = spark.createDataFrame(
+        [(i % 3, rng.randrange(0, 1050), i) for i in range(80)],
+        "k int, t long, rid int",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(left, right, "s", "e", "t", on="k", bucket=64).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right,
+            (left.k == right.k) & (right.t >= left.s) & (right.t < left.e),
+        ).collect()
+    }
+    assert got == naive and len(naive) > 0
+
+
+def test_interval_join_bucket_smaller_than_span(spark):
+    from timeseriesutils_spark.operators.relational import interval_join
+
+    left = spark.createDataFrame([(1, 0, 100, 1)], "k int, s long, e long, lid int")
+    right = spark.createDataFrame(
+        [(1, t, t) for t in range(0, 120, 10)], "k int, t long, rid int"
+    )
+    out = interval_join(left, right, "s", "e", "t", on="k", bucket=7)
+    # [0,100) covers t=0..90 → 10 matches, each exactly once (no dup bins)
+    assert sorted(r["rid"] for r in out.collect()) == list(range(0, 100, 10))

@@ -78,6 +78,7 @@ def df_to_grouped_arrays(
     target_name: str,
     location_col: str = "location",
     date_col: str = "date",
+    tie_break: list[str] | None = None,
 ) -> DataFrame:
     """Scale-path variant: one row per location with time-sorted feature
     arrays, never collected to the driver.
@@ -86,11 +87,16 @@ def df_to_grouped_arrays(
     y array<double>``.  Feeds distributed trainers (e.g. per-group model
     fit via applyInPandas) where a single dense (L,T,P) tensor would not
     fit on any one node.
+
+    ``tie_break``: unique-key columns appended to the in-struct sort key
+    so the array order is total when ``date_col`` has duplicates within a
+    location (sort_array compares struct fields left to right).
     """
     packed = data.na.drop().select(
         F.col(location_col),
         F.struct(
             F.col(date_col).alias("d"),
+            *[F.col(t) for t in (tie_break or [])],
             F.array(*[F.col(f).cast("double") for f in feature_names]).alias("x"),
             F.col(target_name).cast("double").alias("y"),
         ).alias("s"),

@@ -79,6 +79,48 @@ def asof_join(
     return out.drop("_m", "_tb").withColumnRenamed("_t", left_time)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_time: str,
+    on=None,
+    bucket: int = 3_600_000_000,
+) -> DataFrame:
+    """Binned interval (range) join: pairs where ``on`` keys match and
+    ``right_time`` ∈ [``left_start``, ``left_end``).  Time columns must be
+    numeric (e.g. epoch micros); ``bucket`` is the bin width in the same
+    unit, ideally ≥ the typical interval span.
+
+    Plan: each right row lands in exactly ONE time bin; each left interval
+    explodes to the (few) bins it covers; equi-join on (keys…, bin) then
+    the exact range filter.  Shuffle volume is |L|·span/bucket + |R| rows
+    — versus the |L|·|R| blow-up of a naive theta join, which is the plan
+    Spark would otherwise pick (BroadcastNestedLoopJoin).  Because right
+    rows are in one bin, no post-join dedup is needed.
+    """
+    on = _as_list(on) if on is not None else []
+    l = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / F.lit(bucket)),
+                F.floor((F.col(left_end) - 1) / F.lit(bucket)),
+            )
+        ),
+    )
+    r = right.withColumn("_bin", F.floor(F.col(right_time) / F.lit(bucket)))
+    return (
+        l.join(r, on=on + ["_bin"], how="inner")
+        .filter(
+            (F.col(right_time) >= F.col(left_start))
+            & (F.col(right_time) < F.col(left_end))
+        )
+        .drop("_bin")
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_columns,

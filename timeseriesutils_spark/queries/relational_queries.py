@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timeseriesutils_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
-from timeseriesutils_spark.operators.relational import asof_join, dedup_exact, top_k_per_group
+from timeseriesutils_spark.operators.relational import (
+    asof_join,
+    dedup_exact,
+    interval_join,
+    top_k_per_group,
+)
 from timeseriesutils_spark.queries import Q
 from timeseriesutils_spark.sources.tables import load_table
 
@@ -405,6 +410,119 @@ GROUP BY 1
 """
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form of rollup/cube: totals
+    by (flag, status), by flag alone, and grand total, in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+_SQL_GROUPING_SETS = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
+  COUNT(*) AS n, {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_range_frame(spark, sf_dir):
+    """RANGE-framed window (value-based, not row-based): per supplier, the
+    trailing-7-calendar-day shipment revenue — rows on the same day share
+    one frame, gaps shrink it; a ROWS frame can't express this."""
+    li = _t(spark, sf_dir, "lineitem")
+    day = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.col("_day"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            day.alias("_day"),
+            F.col("l_extendedprice"),
+        )
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("_day").alias("ship_day"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .over(w)
+            .cast("double")
+            .alias("rev_7d"),
+            F.count(F.lit(1)).over(w).alias("n_7d"),
+        )
+    )
+
+
+_SQL_RANGE_FRAME = """
+WITH base AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+    datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
+    l_extendedprice
+  FROM lineitem
+)
+SELECT l_suppkey, l_orderkey, l_linenumber, CAST(ship_day AS INT) AS ship_day,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS rev_7d,
+  COUNT(*) OVER w AS n_7d
+FROM base
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY ship_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Keyed interval join via time binning (operators/relational.py
+    interval_join): clicks attributed to a same-user purchase within the
+    preceding hour.  No BroadcastNestedLoopJoin — candidate pairs come
+    from an equi-join on (user, hour-bin)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # UTC session tz
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (us - 3_600_000_000).alias("_start"),
+        us.alias("_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("value").alias("click_value"), us.alias("_t")
+    )
+    pairs = interval_join(
+        purchases, clicks, "_start", "_end", "_t", on="user_id", bucket=3_600_000_000
+    )
+    return pairs.groupBy("user_id", "purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        dsum("click_value", scale=8).alias("click_value"),
+    )
+
+
+_SQL_RANGE_JOIN = f"""
+SELECT p.user_id, p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+  {dsum_sql('c.value', scale=8)} AS click_value
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+ AND epoch_us(c.ts) < epoch_us(p.ts)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": Q(q_agg_pricing_summary, _SQL_PRICING),
     "agg_rollup": Q(q_agg_rollup, _SQL_ROLLUP),
@@ -422,4 +540,7 @@ QUERIES = {
     "set_ops": Q(q_set_ops, _SQL_SET_OPS),
     "scalar_funcs": Q(q_scalar_funcs, _SQL_SCALAR),
     "json_extract": Q(q_json_extract, _SQL_JSON),
+    "grouping_sets": Q(q_grouping_sets, _SQL_GROUPING_SETS),
+    "range_frame": Q(q_range_frame, _SQL_RANGE_FRAME),
+    "range_join": Q(q_range_join, _SQL_RANGE_JOIN),
 }
