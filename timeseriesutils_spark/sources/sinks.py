@@ -1,0 +1,53 @@
+"""Sinks: parquet writers shaped for the engine's read patterns.
+
+Two layout decisions carry the 100 TB story:
+
+  * ``partitionBy(group)`` when the group column is low-cardinality
+    (region/nation-like): readers touching one group prune whole
+    directories before any IO.
+  * For high-cardinality groups (supplier/user), directory-per-group
+    would melt the filesystem; instead ``write_series`` repartitions by a
+    stable hash of the group (``n_files`` output files) and sorts within
+    partitions by (group, time).  Every group lives in exactly one file,
+    rows pre-sorted — window operators over (group, time) then read data
+    already clustered, parquet min/max row-group stats prune time ranges,
+    and a downstream engine can treat the layout as bucketed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.window_features import _as_list
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols, mode: str = "overwrite"
+) -> None:
+    """Directory-partitioned parquet — for LOW-cardinality partition keys."""
+    df.write.partitionBy(*_as_list(partition_cols)).mode(mode).parquet(path)
+
+
+def write_series(
+    df: DataFrame,
+    path: str,
+    group_columns,
+    order_by,
+    n_files: int = 200,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-clustered, time-sorted parquet for HIGH-cardinality groups.
+
+    repartition(n_files, groups) keeps each group whole in one file;
+    sortWithinPartitions(groups, time) gives in-file clustering so later
+    ``Window.partitionBy(groups).orderBy(time)`` scans sorted runs.
+    """
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    (
+        df.repartition(n_files, *[F.col(g) for g in groups])
+        .sortWithinPartitions(*groups, *order)
+        .write.mode(mode)
+        .parquet(path)
+    )
