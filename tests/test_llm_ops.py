@@ -116,3 +116,14 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark):
     }
     assert exact, "threshold too high — test needs a nonempty exact set"
     assert lsh <= exact  # LSH may miss pairs, never invents them
+
+
+def test_resize_media_plumbing(spark, doc_frame):
+    from timeseriesutils_spark.operators.multimodal import attach_binary, resize_media
+
+    media = attach_binary(doc_frame)
+    out = resize_media(media, target_w=32, target_h=32)
+    rows = out.collect()
+    assert len(rows) == doc_frame.count()
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
+    assert all(1 <= len(bytes(r["media"])) <= 32 * 32 // 64 for r in rows)

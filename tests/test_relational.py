@@ -95,3 +95,29 @@ def test_interval_join_bucket_smaller_than_span(spark):
     out = interval_join(left, right, "s", "e", "t", on="k", bucket=7)
     # [0,100) covers t=0..90 → 10 matches, each exactly once (no dup bins)
     assert sorted(r["rid"] for r in out.collect()) == list(range(0, 100, 10))
+
+
+def test_salted_agg_equals_plain(spark):
+    from timeseriesutils_spark.functions.exact import dsum
+    from timeseriesutils_spark.functions.skew import salted_agg
+    from timeseriesutils_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    plain = {
+        (r["l_returnflag"],): (r["s"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(dsum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"],): (r["s"], r["n"])
+        for r in salted_agg(
+            li,
+            "l_returnflag",
+            {"s": dsum("l_quantity"), "n": F.count(F.lit(1))},
+            {"s": dsum("s"), "n": F.sum("n")},
+            n_salts=16,
+        ).collect()
+    }
+    # exact DECIMAL accumulation => bit-identical regardless of salting
+    assert salted == plain

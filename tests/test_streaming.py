@@ -44,3 +44,41 @@ def test_stream_equals_batch(spark, fn, kwargs, name):
 
 def load_events_batch(spark):
     return load_table(spark, SF_DIR, "events")
+
+
+def test_running_user_stats_stateful(spark):
+    """applyInPandasWithState: after the stream drains, the LAST update per
+    user must equal the batch groupBy (count, max) — state accumulated
+    correctly across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.streaming.windows import running_user_stats
+
+    stream = read_events_stream(spark, SF_DIR)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # multiple update rows per user (one per batch it appeared in); the
+    # final state is the row with the greatest n
+    got = {
+        r["user_id"]: (r["n"], r["max_value"])
+        for r in spark.sql(
+            "SELECT user_id, n, max_value FROM (SELECT *,"
+            " ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC) AS rn"
+            " FROM t_stateful) WHERE rn = 1"
+        ).collect()
+    }
+    batch = load_events_batch(spark)
+    want = {
+        r["user_id"]: (r["n"], r["mx"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want

@@ -1,0 +1,58 @@
+"""Skew mitigation for hot grouping keys.
+
+AQE handles skewed *joins* at runtime, but a skewed ``groupBy`` (one
+monster key) still funnels that key's rows into a single reduce task.
+The classic fix is two-stage salted aggregation: shard each key across
+``n_salts`` partial groups, aggregate, then merge the partials.  Works
+for any algebraic aggregate (sum/count/min/max and anything with an
+associative merge — including the engine's exact DECIMAL sums, which is
+why the salted result is bit-identical to the unsalted one).
+
+Window functions can't be salted this way (frame semantics need the
+whole group); for those the documented mitigation is time-chunking with
+overlap (SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.window_features import _as_list
+
+
+def salted_agg(
+    df: DataFrame,
+    group_columns,
+    partial_aggs: dict[str, Column],
+    merge_aggs: dict[str, Column],
+    n_salts: int = 32,
+) -> DataFrame:
+    """Two-stage aggregation: groupBy(keys + salt) → groupBy(keys).
+
+    ``partial_aggs``: name → aggregate over the raw rows (stage 1).
+    ``merge_aggs``: name → aggregate over the stage-1 partials (stage 2),
+    referring to stage-1 output columns by name.
+
+    Example (exact skew-proof sum + count):
+
+        salted_agg(df, "k",
+                   {"s": dsum("v"), "n": F.count(F.lit(1))},
+                   {"s": dsum("s"), "n": F.sum("n")})
+
+    The salt is a deterministic hash shard of the full row via
+    ``spark_partition_id``-independent ``xxhash64`` over a unique row key
+    when available, else ``rand``-free ``monotonically_increasing_id`` —
+    here: modulo over ``monotonically_increasing_id`` (stable within a
+    plan, never crosses an exchange before stage 1).
+    """
+    groups = _as_list(group_columns)
+    salted = df.withColumn(
+        "_salt", (F.monotonically_increasing_id() % n_salts).cast("int")
+    )
+    stage1 = salted.groupBy(*groups, "_salt").agg(
+        *[c.alias(name) for name, c in partial_aggs.items()]
+    )
+    return stage1.groupBy(*groups).agg(
+        *[c.alias(name) for name, c in merge_aggs.items()]
+    )

@@ -97,3 +97,76 @@ def extract_media_features(media_df: DataFrame, batch_size_hint: int = 256) -> D
             )
 
     return media_df.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id bigint, media binary, width int, height int"
+
+
+def resize_stub(raw: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB for a real resize kernel (PIL resize → re-encode).  Emits a
+    deterministic byte-subsample so output size tracks target dims."""
+    keep = max(1, target_w * target_h // 64)
+    step = max(1, len(raw) // keep)
+    return raw[::step][:keep]
+
+
+def resize_media(
+    media_df: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Distributed media resize over mapInPandas (stub kernel).  Schema,
+    batching and output typing are the real 100 TB plumbing; only the
+    pixel kernel is fake (media libs absent in this container)."""
+    import pandas as pd
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize_stub(bytes(r), target_w, target_h) for r in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": out,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media_df.mapInPandas(process, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "text",
+    frame_size: int = 256,
+    every: int = 4,
+) -> DataFrame:
+    """Frame sampling as pure relational algebra: split the payload into
+    fixed-size frames, keep every ``every``-th.  For a video column the
+    same plan applies over ``binary`` with codec-aware offsets supplied
+    by an index column; here the payload is text so the op is exactly
+    SQL-expressible (and DuckDB-oracle-checked).  explode(sequence) keeps
+    the fan-out JVM-side — no Python, no driver loop."""
+    n = F.length(payload_col)
+    frames = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(payload_col).alias("_p"),
+            F.explode(
+                F.sequence(F.lit(0), ((n - 1) / frame_size).cast("bigint"))
+            ).alias("frame_idx"),
+        )
+        .filter(F.col("frame_idx") % every == 0)
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.expr(
+                f"substring(_p, cast(frame_idx * {frame_size} + 1 as int), {frame_size})"
+            ).alias("frame"),
+        )
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").alias("frame_chars"),
+        F.md5("frame").alias("frame_md5"),
+    )

@@ -18,7 +18,11 @@ from timeseriesutils_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_docs,
 )
-from timeseriesutils_spark.operators.multimodal import attach_binary, extract_media_features
+from timeseriesutils_spark.operators.multimodal import (
+    attach_binary,
+    extract_media_features,
+    sample_frames,
+)
 from timeseriesutils_spark.operators.similarity import (
     embedding_near_dup_pairs,
     knn_bruteforce,
@@ -261,8 +265,29 @@ FROM documents
 """
 
 
+def q_frame_sample(spark, sf_dir):
+    """Fixed-size frame sampling over the document payload (the video
+    frame-sample plan shape, relationally expressed)."""
+    return sample_frames(_docs(spark, sf_dir), frame_size=256, every=4)
+
+
+_SQL_FRAME_SAMPLE = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+e AS (SELECT doc_id, text, unnest(range(0, (n - 1) // 256 + 1)) AS frame_idx FROM d),
+f AS (
+  SELECT doc_id, frame_idx,
+    substring(text, CAST(frame_idx * 256 + 1 AS INT), 256) AS frame
+  FROM e WHERE frame_idx % 4 = 0
+)
+SELECT doc_id, frame_idx, CAST(length(frame) AS INT) AS frame_chars,
+  md5(frame) AS frame_md5
+FROM f
+"""
+
+
 QUERIES = {
     "dedup_exact": Q(q_dedup_exact, _SQL_DEDUP_EXACT),
+    "frame_sample": Q(q_frame_sample, _SQL_FRAME_SAMPLE),
     "dedup_ngram_jaccard": Q(q_dedup_ngram_jaccard, _SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": Q(q_dedup_minhash_lsh, None),  # xxhash64 → rows-only
     "dedup_embedding": Q(q_dedup_embedding, _SQL_DEDUP_EMBEDDING),

@@ -34,7 +34,12 @@ def read_events_stream(
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(f"{sf_dir}/")
+        # restrict to the events file: the sf dir holds every table, and a
+        # bare directory source would ingest them all under this schema
+        # (null-padded rows for the 9 other tables); the file source wants
+        # a directory basePath, so pass it plus a glob for the one file
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.parque[t]")
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         # TIMESTAMP (not NTZ): watermarks require an event-time zone-aware
@@ -107,6 +112,46 @@ def session_counts(
             F.col("w.start").cast("string").alias("session_start"),
             "n",
         )
+    )
+
+
+def running_user_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, max value), emitted as an update row
+    every micro-batch the user appears in.
+
+    This is the escape hatch for stateful logic Spark's built-in windows
+    can't express (per-key counters, custom session logic, model state).
+    State is one tiny tuple per user; the watermark bounds how long idle
+    state lives (here NoTimeout — the caller's retention policy applies).
+    At 100 TB the state store shards by the group key across executors,
+    exactly like the shuffle of a groupBy.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n bigint, max_value double"
+    state_schema = "n bigint, mx double"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            n, mx = state.get
+        else:
+            n, mx = 0, float("-inf")
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "max_value": [mx]})
+
+    df = _maybe_watermark(events, ts_col, watermark)
+    return df.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 
 
