@@ -153,3 +153,41 @@ def test_matrices_empty_edge_is_zero():
 def test_even_centered_rejected():
     with pytest.raises(ValueError):
         taylor_matrices(1, 8, "centered", None, True)
+
+
+def test_matrices_parity_with_reference(spark, reference_featurize):
+    """df_to_train_test_matrices: shapes and values must match the
+    reference pivot/reshape (featurize.py:52-113) on a demo-shaped frame."""
+    import numpy as np
+    import pandas as pd
+
+    from timeseriesutils_spark.operators.matrices import df_to_train_test_matrices
+
+    rng = np.random.default_rng(5)
+    locs, dates = ["x", "y", "z"], pd.date_range("2021-01-01", periods=9)
+    pdf = pd.DataFrame(
+        [
+            {
+                "location": l,
+                "date": d,
+                "f1": rng.normal(),
+                "f2": rng.normal(),
+                "tgt": rng.normal(),
+            }
+            for l in locs
+            for d in dates
+        ]
+    )
+    # poke some NaNs so the dropna path is exercised (whole dates, keeping
+    # the post-drop frame rectangular as the reference implicitly requires)
+    pdf.loc[pdf["date"] == dates[0], "f1"] = np.nan
+    ref_x, ref_y, ref_xT = reference_featurize.df_to_train_test_matrices(
+        pdf.copy(), ["f1", "f2"], "tgt"
+    )
+    sdf = spark.createDataFrame(pdf)
+    got_x, got_y, got_xT = df_to_train_test_matrices(sdf, ["f1", "f2"], "tgt")
+    assert got_x.shape == ref_x.shape and got_y.shape == ref_y.shape
+    assert got_xT.shape == ref_xT.shape
+    np.testing.assert_allclose(got_x, ref_x, rtol=1e-12)
+    np.testing.assert_allclose(got_y, ref_y, rtol=1e-12)
+    np.testing.assert_allclose(got_xT, ref_xT, rtol=1e-12)

@@ -259,6 +259,11 @@ def q_window_rank(spark, sf_dir):
         F.row_number().over(w_price).alias("rn"),
         F.rank().over(w_price).alias("rk"),
         F.dense_rank().over(w_price).alias("drk"),
+        F.ntile(4).over(w_price).alias("quartile"),
+        F.percent_rank().over(w_price).alias("pct_rk"),
+        F.cume_dist().over(w_price).alias("cume"),
+        F.first("o_orderkey").over(w_time).alias("first_order"),
+        F.last("o_orderkey").over(w_time).alias("latest_order"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w_time).cast("double").alias("running_spend"),
     )
 
@@ -266,6 +271,10 @@ def q_window_rank(spark, sf_dir):
 _SQL_WINDOW_RANK = """
 SELECT o_custkey, o_orderkey, o_totalprice,
   ROW_NUMBER() OVER wp AS rn, RANK() OVER wp AS rk, DENSE_RANK() OVER wp AS drk,
+  CAST(NTILE(4) OVER wp AS INT) AS quartile,
+  PERCENT_RANK() OVER wp AS pct_rk, CUME_DIST() OVER wp AS cume,
+  FIRST_VALUE(o_orderkey) OVER wt AS first_order,
+  LAST_VALUE(o_orderkey) OVER wt AS latest_order,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER wt AS DOUBLE) AS running_spend
 FROM orders
 WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
@@ -388,6 +397,103 @@ SELECT o_orderkey,
   ABS(o_totalprice - 200000.0) AS dist_200k,
   CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_band
 FROM orders
+"""
+
+
+def q_pivot_wide(spark, sf_dir):
+    """groupBy().pivot(): revenue per nation, one column per return flag.
+    Explicit pivot values → no extra distinct-scan job, stable schema."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", "l_returnflag", "l_extendedprice")
+    )
+    return (
+        joined.groupBy("n_name")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum("l_extendedprice"))
+        .select(
+            "n_name",
+            F.col("A").alias("rev_A"),
+            F.col("N").alias("rev_N"),
+            F.col("R").alias("rev_R"),
+        )
+    )
+
+
+_SQL_PIVOT = f"""
+SELECT n_name,
+  {dsum_sql("CASE WHEN l_returnflag = 'A' THEN l_extendedprice END")} AS rev_A,
+  {dsum_sql("CASE WHEN l_returnflag = 'N' THEN l_extendedprice END")} AS rev_N,
+  {dsum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice END")} AS rev_R
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_agg_quantiles(spark, sf_dir):
+    """Grouped exact percentiles (interpolating, percentile_cont
+    semantics) + the approx_percentile sketch for the at-scale path.
+    Exact interpolation is the same IEEE formula in Spark and DuckDB
+    (quantile_cont) → oracle-checkable; the sketch column is excluded
+    from the output for that reason (declared separately rows-only via
+    agg_approx_distinct's pattern if needed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price"),
+    )
+
+
+_SQL_QUANTILES = """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.5) AS med_qty,
+  quantile_cont(l_quantity, 0.9) AS p90_qty,
+  quantile_cont(l_extendedprice, 0.5) AS med_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_array_funcs(spark, sf_dir):
+    """Array/lambda builtins over the embedding column: size, slice,
+    element access, transform, higher-order aggregate (quantized-int64
+    sum — the deterministic float-fold), array_max."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    l1q = (
+        F.aggregate(
+            F.transform(v, lambda x: F.floor(F.abs(x.cast("double")) * 1e14 + 0.5)),
+            F.lit(0).cast("bigint"),
+            lambda acc, p: acc + p,
+        ).cast("double")
+        / 1e14
+    )
+    return e.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.element_at(v, 1).cast("double").alias("first_val"),
+        F.element_at(v, -1).cast("double").alias("last_val"),
+        F.transform(F.slice(v, 1, 3), lambda x: x.cast("double")).alias("head3"),
+        l1q.alias("l1_norm"),
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))).alias("max_abs"),
+    )
+
+
+_SQL_ARRAY_FUNCS = """
+SELECT vec_id,
+  CAST(len(embedding) AS INT) AS dim,
+  CAST(embedding[1] AS DOUBLE) AS first_val,
+  CAST(embedding[-1] AS DOUBLE) AS last_val,
+  [CAST(x AS DOUBLE) FOR x IN embedding[1:3]] AS head3,
+  CAST(list_sum([CAST(FLOOR(ABS(CAST(x AS DOUBLE)) * 1e14 + 0.5) AS BIGINT) FOR x IN embedding]) AS DOUBLE) / 1e14 AS l1_norm,
+  list_max([ABS(CAST(x AS DOUBLE)) FOR x IN embedding]) AS max_abs
+FROM embeddings
 """
 
 
@@ -540,6 +646,9 @@ QUERIES = {
     "set_ops": Q(q_set_ops, _SQL_SET_OPS),
     "scalar_funcs": Q(q_scalar_funcs, _SQL_SCALAR),
     "json_extract": Q(q_json_extract, _SQL_JSON),
+    "array_funcs": Q(q_array_funcs, _SQL_ARRAY_FUNCS),
+    "pivot_wide": Q(q_pivot_wide, _SQL_PIVOT),
+    "agg_quantiles": Q(q_agg_quantiles, _SQL_QUANTILES),
     "grouping_sets": Q(q_grouping_sets, _SQL_GROUPING_SETS),
     "range_frame": Q(q_range_frame, _SQL_RANGE_FRAME),
     "range_join": Q(q_range_join, _SQL_RANGE_JOIN),
