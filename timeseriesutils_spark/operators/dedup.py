@@ -107,38 +107,44 @@ def ngram_jaccard_pairs(
     near-dup signal and only inflates the pair shuffle.
     """
     sh = hashed_shingle_docs(docs, id_col, text_col, n)
-    sized = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+    # one evaluation of the shingle pipeline feeds BOTH the posting lists
+    # and the per-doc set sizes (the plan forks below this node; without
+    # the persist Spark would re-tokenize the corpus per branch)
+    sized = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("s")).persist()
     posting = (
         sized.groupBy("s")
-        .agg(F.collect_list(F.struct("id", "sz")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
     )
     if max_posting is not None:
-        posting = posting.filter(F.size("ds") <= max_posting)
+        posting = posting.filter(F.size("ids") <= max_posting)
+    # pair rows carry ONLY (id_a, id_b) — 16 bytes into the pair shuffle;
+    # set sizes rejoin after aggregation (|docs| rows, broadcast)
     pairs = posting.select(
         F.explode(
             F.flatten(
                 F.transform(
-                    F.col("ds"),
+                    F.col("ids"),
                     lambda x: F.transform(
-                        F.filter(F.col("ds"), lambda y: y["id"] > x["id"]),
-                        lambda y: F.struct(
-                            x["id"].alias("id_a"),
-                            y["id"].alias("id_b"),
-                            x["sz"].alias("sz_a"),
-                            y["sz"].alias("sz_b"),
-                        ),
+                        F.filter(F.col("ids"), lambda y: y > x),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
                     ),
                 )
             )
         ).alias("p")
     ).select("p.*")
-    inter = pairs.groupBy("id_a", "id_b", "sz_a", "sz_b").agg(
-        F.count(F.lit(1)).alias("inter")
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    sizes = sized.select("id", "sz").dropDuplicates(["id"])
+    scored = inter.join(
+        F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))),
+        "id_a",
+    ).join(
+        F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))),
+        "id_b",
     )
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
-        inter.select("id_a", "id_b", jac.alias("jaccard"))
+        scored.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
