@@ -116,3 +116,51 @@ def test_parity_with_reference(spark, reference_featurize, toy_frame):
         pd.testing.assert_series_equal(
             got[c], ref_df[c].astype("float64"), check_names=False, check_index=False
         )
+
+
+def test_randomized_parity_with_reference(spark, reference_featurize):
+    """Seeded random frames (varying group sizes, NaN holes): lag/rollmean/
+    horizon must match the reference exactly, including null masks."""
+    import numpy as np
+    import pandas as pd
+
+    ref = reference_featurize
+    rng = np.random.default_rng(314)
+    for trial in range(5):
+        rows = []
+        for g in range(rng.integers(2, 5)):
+            n = int(rng.integers(1, 12))
+            for t in range(n):
+                v = float(rng.normal())
+                if rng.random() < 0.15:
+                    v = np.nan
+                rows.append((f"g{g}", t, v))
+        pdf = pd.DataFrame(rows, columns=["g", "t", "y"])
+        ref_df = pdf.copy()
+        ref_df, _ = ref.lag(ref_df, ["y"], ["g"], window_size=3)
+        ref_df, _ = ref.rollmean(ref_df, ["y"], ["g"], window_size=4)
+        ref_df, _ = ref.horizon_targets(ref_df, ["y"], ["g"], horizons=[2], layout="wide")
+
+        sdf = spark.createDataFrame(pdf)
+        out, _ = lag(sdf, ["y"], ["g"], window_size=3, order_by=["t"])
+        out, _ = rollmean(out, ["y"], ["g"], window_size=4, order_by=["t"])
+        out, _ = horizon_targets(out, ["y"], ["g"], horizons=[2], layout="wide", order_by=["t"])
+        got = out.orderBy("g", "t").toPandas()
+        for c in ["y_lag1", "y_lag2", "y_lag3", "y_target2"]:
+            # shift-based features move values untouched → bitwise equal
+            np.testing.assert_array_equal(
+                got[c].to_numpy(dtype="float64"),
+                ref_df[c].to_numpy(dtype="float64"),
+                err_msg=f"trial {trial} col {c}",
+            )
+        # rollmean accumulates through DECIMAL(38,6) for cross-engine /
+        # cross-partitioning determinism → agrees with the raw-double
+        # pandas mean to the 1e-6 quantum, not to the ulp
+        np.testing.assert_allclose(
+            got["y_rollmean_w4"].to_numpy(dtype="float64"),
+            ref_df["y_rollmean_w4"].to_numpy(dtype="float64"),
+            atol=2e-6,
+            rtol=0,
+            equal_nan=True,
+            err_msg=f"trial {trial} col y_rollmean_w4",
+        )
