@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the scale properties the engine is
+designed around, asserted on the optimized plans so a refactor can't
+silently reintroduce a bad shape.
+
+  * featurization shares ONE exchange + ONE sort across all features;
+  * dim joins broadcast (no shuffled fact-fact join in the star query);
+  * the interval join never degrades to BroadcastNestedLoopJoin;
+  * parquet scans get predicate pushdown + column pruning.
+"""
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_featurize_pipeline_single_exchange(spark, catalog):
+    plan = _plan(catalog["featurize_pipeline"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert len(re.findall(r"\bSort\b", plan)) == 1
+
+
+def test_taylor_single_exchange(spark, catalog):
+    plan = _plan(catalog["taylor_trailing"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert len(re.findall(r"\bSort\b", plan)) == 1
+
+
+def test_star_join_broadcasts_dims(spark, catalog):
+    plan = _plan(catalog["join_star"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # no shuffled join for dim lookups
+
+
+def test_interval_join_no_nested_loop(spark, catalog):
+    plan = _plan(catalog["range_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_exchange_no_join(spark, catalog):
+    # union + last-value: a window op, not a join — no join operator at all
+    plan = _plan(catalog["asof_join"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_scan_pushdown_and_pruning(spark):
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id")
+    )
+    plan = _plan(ev)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(event_type,click\)", plan)
+    scan_schema = re.search(r"ReadSchema: ([^\n]*)", plan).group(1)
+    assert "props" not in scan_schema  # unused wide column pruned
+    assert "user_id" in scan_schema
