@@ -127,3 +127,29 @@ def test_resize_media_plumbing(spark, doc_frame):
     assert len(rows) == doc_frame.count()
     assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
     assert all(1 <= len(bytes(r["media"])) <= 32 * 32 // 64 for r in rows)
+
+
+def test_knn_ivf_scores_exact_and_recall(spark):
+    from timeseriesutils_spark.operators.similarity import knn_bruteforce, knn_ivf
+    from timeseriesutils_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = knn_bruteforce(q, emb, k=5).collect()
+    ivf = knn_ivf(q, emb, k=5, n_centroids=8, nprobe=4).collect()
+    exact_cos = {(r["query_id"], r["vec_id"]): r["cos"] for r in exact}
+    # every IVF hit's score equals the exact cosine for that pair
+    hits = 0
+    for r in ivf:
+        pair = (r["query_id"], r["vec_id"])
+        if pair in exact_cos:
+            assert r["cos"] == exact_cos[pair]  # same deterministic kernel
+            hits += 1
+    # ≤ k rows per query, rn dense from 1
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], []).append(r["rn"])
+    for rns in by_q.values():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+    # probing half the lists should recover a healthy share of true top-5
+    assert hits >= len(exact) // 2

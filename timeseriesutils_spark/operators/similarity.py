@@ -18,6 +18,7 @@ associative; see _QUANT below).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -192,6 +193,105 @@ def _blocked_exact_pairs(base: DataFrame, threshold: float, n_blocks: int) -> Da
 
     return rep.groupBy("p", "q").applyInPandas(
         score, "id_a long, id_b long, cos double"
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 1024,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic driver-side k-means for IVF coarse quantization.
+
+    Trains on a bounded, deterministically-chosen sample (first
+    ``sample_size`` ids) — centroid quality needs a representative
+    sample, not the full corpus, so the collect is O(sample), never
+    O(N).  Fixed seed + fixed iteration count ⇒ reproducible lists.
+    """
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = X[m].mean(0)
+    return cents
+
+
+def _ivf_assign_udf(cents: np.ndarray, nearest: int = 1):
+    """pandas UDF: vector → its ``nearest`` centroid ids (array<int>)."""
+    c = cents.copy()
+
+    @F.pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        d2 = ((X[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :nearest]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return assign
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate KNN: k-means coarse quantizer → inverted lists →
+    queries probe their ``nprobe`` nearest lists → exact quantized-cosine
+    rerank inside the probed lists.
+
+    The at-scale shape: the corpus is assigned once (write partitioned
+    by list id and amortize), each query touches nprobe/n_centroids of
+    the corpus, and the rerank is the same deterministic kernel as the
+    brute-force path.  Recall tunes with nprobe.
+    """
+    cents = ivf_centroids(
+        corpus, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    cb = corpus.select(
+        id_col,
+        F.col(vec_col).alias("_cv"),
+        F.element_at(_ivf_assign_udf(cents, 1)(F.col(vec_col)), 1).alias("_list"),
+    ).withColumn("_cn", F.sqrt(_dot_dec(F.col("_cv"), F.col("_cv"))))
+    qb = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).alias("_qv"),
+        F.explode(_ivf_assign_udf(cents, nprobe)(F.col(vec_col))).alias("_list"),
+    ).withColumn("_qn", F.sqrt(_dot_dec(F.col("_qv"), F.col("_qv"))))
+    scored = (
+        cb.join(F.broadcast(qb), on="_list")
+        .filter(F.col(query_id) != F.col(id_col))
+        .select(
+            query_id,
+            id_col,
+            (_dot_dec(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id, id_col, "cos", "rn")
     )
 
 

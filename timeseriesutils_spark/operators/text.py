@@ -126,16 +126,20 @@ def tf_idf(
 ) -> DataFrame:
     """Word-level TF-IDF (exact, not hashed): one row per (doc, word)
     with tf, df, and tf·idf.  Two shuffles (doc-word agg, word df) —
-    both map-side-combinable.  idf = ln((N+1)/(df+1)) + 1."""
-    n_docs = docs.count()  # scalar; at scale pass it in precomputed
+    both map-side-combinable.  idf = ln((N+1)/(df+1)) + 1.
+
+    N (corpus size) joins in as a broadcast 1-row aggregate, keeping the
+    whole op lazy — no eager driver-side count job per invocation."""
+    n = docs.agg((F.count(F.lit(1)) + 1).cast("double").alias("_n1"))
     exploded = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
     tf = exploded.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
     df = (
         tf.groupBy("word")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n))
     )
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    idf = F.log(F.col("_n1") / (F.col("df") + 1)) + 1.0
     # floor-based rounding (not F.round): ln() may differ by 1 ulp between
     # libm implementations, and floor(x·1e6 + 0.5)/1e6 is the only rounding
     # both Spark and DuckDB compute identically from identical inputs

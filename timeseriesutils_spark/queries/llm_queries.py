@@ -26,6 +26,7 @@ from timeseriesutils_spark.operators.multimodal import (
 from timeseriesutils_spark.operators.similarity import (
     embedding_near_dup_pairs,
     knn_bruteforce,
+    knn_ivf,
     knn_lsh,
 )
 from timeseriesutils_spark.operators.text import (
@@ -165,6 +166,12 @@ def q_knn_lsh(spark, sf_dir):
     return knn_lsh(emb.filter(F.col("vec_id") < 10), emb, k=5, bits=4, dim=64)
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF approximate KNN (k-means inverted lists → rows-only)."""
+    emb = _emb(spark, sf_dir)
+    return knn_ivf(emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, nprobe=4)
+
+
 # --- text analysis --------------------------------------------------------
 
 
@@ -294,6 +301,7 @@ QUERIES = {
     "simhash": Q(q_simhash, None),  # xxhash64 → rows-only
     "knn_bruteforce": Q(q_knn_bruteforce, _SQL_KNN),
     "knn_lsh": Q(q_knn_lsh, None),  # seeded LSH → rows-only
+    "knn_ivf": Q(q_knn_ivf, None),  # k-means lists → rows-only
     "text_stats": Q(q_text_stats, _SQL_TEXT_STATS),
     "text_quality": Q(q_text_quality, _SQL_QUALITY),
     "lang_id": Q(q_lang_id, _sql_lang_id()),
