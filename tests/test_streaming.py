@@ -82,3 +82,61 @@ def test_running_user_stats_stateful(spark):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: rows arriving after the
+    watermark passed their window are dropped, not merged."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def write_batch(name, ts_list):
+        tbl = pa.table(
+            {
+                "ts": pa.array(pd.to_datetime(ts_list), type=pa.timestamp("us")),
+                "v": pa.array(range(len(ts_list)), type=pa.int64()),
+            }
+        )
+        pq.write_table(tbl, src / name)
+
+    def run_once():
+        stream = spark.readStream.schema("ts timestamp, v long").parquet(str(src))
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("string").alias("start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: hours 10 and 12 → watermark persisted at 12:00 − 1h = 11:00
+    write_batch("a.parquet", ["2024-01-01 10:15", "2024-01-01 10:45", "2024-01-01 12:00"])
+    run_once()
+    # run 2 (same checkpoint): one LATE row for hour 10 — older than the
+    # restored watermark → dropped — and one fresh row for hour 12
+    write_batch("b.parquet", ["2024-01-01 10:30", "2024-01-01 12:30"])
+    run_once()
+    got = {
+        r["start"]: r["n"] for r in spark.read.parquet(out_dir).collect()
+    }
+    # hour-10 window closed with 2 rows; the late 10:30 row never counted
+    assert got.get("2024-01-01 10:00:00") == 2
