@@ -121,3 +121,25 @@ def test_salted_agg_equals_plain(spark):
     }
     # exact DECIMAL accumulation => bit-identical regardless of salting
     assert salted == plain
+
+
+def test_gmean_pandas_udaf(spark):
+    import math
+
+    from timeseriesutils_spark.functions.exact import gmean_udaf
+    from timeseriesutils_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    got = {
+        r["l_returnflag"]: r["g"]
+        for r in li.groupBy("l_returnflag")
+        .agg(gmean_udaf()(F.col("l_quantity")).alias("g"))
+        .collect()
+    }
+    rows = li.select("l_returnflag", "l_quantity").collect()
+    by_flag = {}
+    for r in rows:
+        if r["l_quantity"] > 0:
+            by_flag.setdefault(r["l_returnflag"], []).append(math.log(r["l_quantity"]))
+    for flag, logs in by_flag.items():
+        assert abs(got[flag] - math.exp(sum(logs) / len(logs))) < 1e-9

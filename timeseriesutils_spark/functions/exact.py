@@ -16,6 +16,7 @@ inside whole-stage codegen (no UDFs, no extra shuffle).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -43,3 +44,25 @@ def dsum_sql(expr: str, scale: int = 6) -> str:
 
 def davg_sql(expr: str, scale: int = 6) -> str:
     return f"({dsum_sql(expr, scale)} / COUNT({expr}))"
+
+
+def gmean_udaf():
+    """Pandas UDAF (Series → scalar): geometric mean of a positive column.
+
+    The UDF-surface example for aggregates Spark lacks natively — Arrow
+    ships each group's column once; numpy reduces it vectorized.  Sum
+    order inside a group is data-order-dependent in the last ulps, so
+    queries using it are declared rows-only (no cross-engine hash).
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (type-hint resolution)
+
+    @F.pandas_udf("double")
+    def gmean(v: pd.Series) -> float:
+        a = v.to_numpy(dtype="float64")
+        a = a[a > 0]
+        if a.size == 0:
+            return float("nan")
+        return float(np.exp(np.log(a).mean()))
+
+    return gmean
