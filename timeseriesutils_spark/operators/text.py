@@ -132,7 +132,11 @@ def tf_idf(
     whole op lazy — no eager driver-side count job per invocation."""
     n = docs.agg((F.count(F.lit(1)) + 1).cast("double").alias("_n1"))
     exploded = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
-    tf = exploded.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    # the plan forks at tf (feeds both the df aggregate and the final
+    # join); persist so the corpus isn't re-tokenized per branch
+    tf = (
+        exploded.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
     df = (
         tf.groupBy("word")
         .agg(F.count(F.lit(1)).alias("df"))

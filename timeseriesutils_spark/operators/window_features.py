@@ -24,7 +24,6 @@ Scale notes:
 
 from __future__ import annotations
 
-from functools import reduce
 from itertools import product
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
@@ -154,9 +153,11 @@ def horizon_targets(
     long (reference featurize.py:283-292): one full copy of the frame per
     horizon, each with constant ``horizon`` column and ``{c}_target`` =
     lead-h; copies concatenated → ``len(horizons) × N`` rows; adds feature
-    ``'horizon'``.  Implemented as a union of per-horizon selects —
-    Catalyst pushes the shared window sort into each branch; at scale
-    prefer few horizons per pass or the wide layout + unpivot.
+    ``'horizon'``.  Implemented as ONE window pass computing every lead,
+    then an explode of the per-horizon structs (unpivot): one scan + one
+    exchange + one sort total, versus scan+shuffle per horizon for the
+    naive union plan — at the reference's 28-horizon demo workload that
+    is 28× less IO/shuffle.
     """
     if feature_names is None:
         feature_names = []
@@ -171,18 +172,26 @@ def horizon_targets(
         return data.select("*", *new_cols), feature_names
 
     if layout == "long":
-        parts = []
-        for h in horizons:
-            cols = [
-                "*",
-                F.lit(h).cast("bigint").alias("horizon"),
-                *[
-                    F.lead(c, h).over(w).alias(target_name(c))
-                    for c in columns
-                ],
+        per_h = F.array(
+            *[
+                F.struct(
+                    F.lit(h).cast("bigint").alias("horizon"),
+                    *[F.lead(c, h).over(w).alias(target_name(c)) for c in columns],
+                )
+                for h in horizons
             ]
-            parts.append(data.select(*cols))
-        out = reduce(DataFrame.unionByName, parts)
+        )
+        # window exprs must evaluate in a Project, not inside the Generate:
+        # build the struct array first, then explode the bound column
+        out = (
+            data.select("*", per_h.alias("_hs"))
+            .select(*data.columns, F.explode("_hs").alias("_h"))
+            .select(
+                *data.columns,
+                F.col("_h.horizon").alias("horizon"),
+                *[F.col(f"_h.{target_name(c)}").alias(target_name(c)) for c in columns],
+            )
+        )
         feature_names.append("horizon")
         return out, feature_names
 
