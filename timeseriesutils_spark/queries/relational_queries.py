@@ -460,6 +460,27 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_unpivot_long(spark, sf_dir):
+    """unpivot/melt — wide measure columns to long (metric, value) rows;
+    the inverse of pivot_wide and the standard tidy-data reshape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    )
+
+
+_SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, metric, value FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM lineitem
+) UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+"""
+
+
 def q_array_funcs(spark, sf_dir):
     """Array/lambda builtins over the embedding column: size, slice,
     element access, transform, higher-order aggregate (quantized-int64
@@ -648,6 +669,7 @@ QUERIES = {
     "json_extract": Q(q_json_extract, _SQL_JSON),
     "array_funcs": Q(q_array_funcs, _SQL_ARRAY_FUNCS),
     "pivot_wide": Q(q_pivot_wide, _SQL_PIVOT),
+    "unpivot_long": Q(q_unpivot_long, _SQL_UNPIVOT),
     "agg_quantiles": Q(q_agg_quantiles, _SQL_QUANTILES),
     "grouping_sets": Q(q_grouping_sets, _SQL_GROUPING_SETS),
     "range_frame": Q(q_range_frame, _SQL_RANGE_FRAME),
