@@ -176,9 +176,10 @@ def minhash_lsh_pairs(
     stage only needs high recall above it.
     """
     rows_per_band = num_hashes // bands
-    base = hashed_shingle_docs(docs, id_col, text_col, n).withColumn(
-        "sig", minhash_signature(F.col("sh"), num_hashes)
-    )
+    # the shingle frame feeds banding AND both sides of the verify join —
+    # persist the fork so the corpus is tokenized once, not three times
+    sh = hashed_shingle_docs(docs, id_col, text_col, n).persist()
+    base = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     # candidate generation over (id, band, bucket) ONLY — 24 bytes/row.
     # The shingle arrays never enter the banding shuffle; they're fetched
     # once per *surviving* candidate id in the verify join below.
@@ -220,7 +221,6 @@ def minhash_lsh_pairs(
         .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = hashed_shingle_docs(docs, id_col, text_col, n)
     verify = cand.join(
         sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
