@@ -153,3 +153,17 @@ def test_knn_ivf_scores_exact_and_recall(spark):
         assert sorted(rns) == list(range(1, len(rns) + 1))
     # probing half the lists should recover a healthy share of true top-5
     assert hits >= len(exact) // 2
+
+
+def test_hash_split_stability(spark, doc_frame):
+    from timeseriesutils_spark.operators.splits import hash_split
+
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in hash_split(doc_frame, "doc_id").collect()}
+    # repartitioned input → identical assignment (pure function of the key)
+    b = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in hash_split(doc_frame.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    assert all(0 <= v[0] < 100 for v in a.values())
+    assert {v[1] for v in a.values()} <= {"train", "val", "test"}

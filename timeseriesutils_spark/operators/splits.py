@@ -1,0 +1,48 @@
+"""Deterministic dataset splitting for training pipelines.
+
+Train/val/test membership must be a pure function of a stable key —
+never of partitioning, sampling order, or a seed that can drift between
+runs — or examples leak across splits when the corpus is re-processed.
+``hash_split`` buckets each row by an md5 prefix of its key: stable
+across engines (md5 is bit-identical everywhere, unlike xxhash64 whose
+seed/variant differs between Spark and other systems), across runs, and
+across re-partitioning; adding documents never moves existing ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key_col, buckets: int = 100):
+    """Stable bucket in [0, buckets): first 4 md5 hex digits of the
+    stringified key, mod buckets.  Pure built-ins, engine-portable."""
+    return (
+        F.conv(F.substring(F.md5(key_col.cast("string")), 1, 4), 16, 10).cast("int")
+        % buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Append ``bucket`` (0-99) and ``split`` columns.
+
+    ``weights``: ordered {split_name: percent} summing to ≤ 100 (default
+    80/10/10 train/val/test).  Rows past the cumulative sum fall in the
+    last split.
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    bucket = hash_bucket(F.col(key_col))
+    names = list(weights)
+    cum = 0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("bucket", bucket).withColumn("split", split)

@@ -292,8 +292,35 @@ FROM f
 """
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test assignment + per-split
+    stats (operators/splits.py) — membership is a pure function of
+    doc_id, stable across runs/engines/partitionings."""
+    from timeseriesutils_spark.operators.splits import hash_split
+
+    assigned = hash_split(_docs(spark, sf_dir), "doc_id")
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_SQL_HASH_SPLIT = """
+WITH a AS (
+  SELECT doc_id,
+    CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+  COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM a GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact": Q(q_dedup_exact, _SQL_DEDUP_EXACT),
+    "hash_split": Q(q_hash_split, _SQL_HASH_SPLIT),
     "frame_sample": Q(q_frame_sample, _SQL_FRAME_SAMPLE),
     "dedup_ngram_jaccard": Q(q_dedup_ngram_jaccard, _SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": Q(q_dedup_minhash_lsh, None),  # xxhash64 → rows-only
