@@ -95,6 +95,71 @@ FROM inter WHERE CAST(i AS DOUBLE) / (sz_a + sz_b - i) >= 0.6
 """
 
 
+def q_dedup_apply(spark, sf_dir):
+    """End-to-end near-dup removal: drop every doc whose n-gram Jaccard
+    (≥0.6) matched a lower doc_id (dedup.dedup_near_keep_min); emit the
+    surviving corpus stats."""
+    from timeseriesutils_spark.operators.dedup import dedup_near_keep_min
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.6)
+    kept = dedup_near_keep_min(pairs, docs)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_SQL_DEDUP_APPLY = f"""
+WITH pairs AS ({_SQL_NGRAM_JACCARD})
+SELECT COUNT(*) AS n_kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
+"""
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-level word-bigram frequencies, top 20 (total order tie-break
+    on the bigram text)."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("_w")
+    )
+    bigrams = w.select(
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - 2),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, 2)),
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+_SQL_TOP_NGRAMS = """
+WITH words AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+bg AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+    THEN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+    ELSE [] END) AS bigram
+  FROM words
+)
+SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs (xxhash64 signatures → rows-only)."""
     return minhash_lsh_pairs(
@@ -323,6 +388,8 @@ QUERIES = {
     "hash_split": Q(q_hash_split, _SQL_HASH_SPLIT),
     "frame_sample": Q(q_frame_sample, _SQL_FRAME_SAMPLE),
     "dedup_ngram_jaccard": Q(q_dedup_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    "dedup_apply": Q(q_dedup_apply, _SQL_DEDUP_APPLY),
+    "top_ngrams": Q(q_top_ngrams, _SQL_TOP_NGRAMS),
     "dedup_minhash_lsh": Q(q_dedup_minhash_lsh, None),  # xxhash64 → rows-only
     "dedup_embedding": Q(q_dedup_embedding, _SQL_DEDUP_EMBEDDING),
     "simhash": Q(q_simhash, None),  # xxhash64 → rows-only
