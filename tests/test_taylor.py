@@ -191,3 +191,67 @@ def test_matrices_parity_with_reference(spark, reference_featurize):
     np.testing.assert_allclose(got_x, ref_x, rtol=1e-12)
     np.testing.assert_allclose(got_y, ref_y, rtol=1e-12)
     np.testing.assert_allclose(got_xT, ref_xT, rtol=1e-12)
+
+
+def test_demo_shaped_full_pipeline_parity(spark, reference_featurize):
+    """FIXTURES §F3: demo-data-shaped frame (51 locations × 120 daily
+    dates), full reference pipeline (lags + rollmean + trailing taylor +
+    horizon target) + df_to_train_test_matrices — engine matches the
+    reference end-to-end (shapes exact, values to float noise)."""
+    import numpy as np
+    import pandas as pd
+
+    from timeseriesutils_spark.operators.matrices import df_to_train_test_matrices
+    from timeseriesutils_spark.operators.pipeline import featurize_data
+
+    ref = reference_featurize
+    rng = np.random.default_rng(99)
+    locs = [f"{a}{b}" for a in "ABCDE" for b in "ABCDEFGHIJ"][:51]
+    dates = pd.date_range("2020-10-01", periods=120)
+    t = np.arange(len(dates))
+    rows = []
+    for loc in locs:
+        base = rng.uniform(5, 50)
+        curve = base * (1 + np.sin(t / 20 + rng.uniform(0, 6))) + rng.normal(0, 1, len(t))
+        curve = np.round(np.clip(curve, 0, None), 6)
+        for d, v in zip(dates, curve):
+            rows.append({"location": loc, "date": d, "inc_hosp": float(v)})
+    pdf = pd.DataFrame(rows).sort_values(["location", "date"]).reset_index(drop=True)
+
+    features = [
+        {"fun": "lag", "args": {"columns": "inc_hosp", "window_size": 3}},
+        {"fun": "rollmean", "args": {"columns": "inc_hosp", "window_size": 7}},
+        {
+            "fun": "windowed_taylor_coefs",
+            "args": {
+                "columns": "inc_hosp",
+                "taylor_degree": 2,
+                "window_size": 14,
+                "window_align": "trailing",
+            },
+        },
+        {"fun": "horizon_targets", "args": {"columns": "inc_hosp", "horizons": 1, "layout": "wide"}},
+    ]
+    ref_df = pdf.copy()
+    ref_names = []
+    for f in features:
+        fn = getattr(ref, f["fun"] if f["fun"] != "lag" else "lag")
+        ref_df, ref_names = fn(
+            ref_df, ["inc_hosp"], ["location"], feature_names=ref_names, **{
+                k: v for k, v in f["args"].items() if k != "columns"
+            }
+        )
+    ref_x, ref_y, ref_xT = ref.df_to_train_test_matrices(
+        ref_df, ref_names, "inc_hosp_target1"
+    )
+
+    sdf = spark.createDataFrame(pdf)
+    out, names = featurize_data(
+        sdf, group_columns=["location"], features=features, order_by=["date"]
+    )
+    assert names == ref_names
+    got_x, got_y, got_xT = df_to_train_test_matrices(out, names, "inc_hosp_target1")
+    assert got_x.shape == ref_x.shape and got_y.shape == ref_y.shape and got_xT.shape == ref_xT.shape
+    np.testing.assert_allclose(got_x, ref_x, rtol=1e-6, atol=2e-6)
+    np.testing.assert_allclose(got_y, ref_y, rtol=1e-9)
+    np.testing.assert_allclose(got_xT, ref_xT, rtol=1e-6, atol=2e-6)
