@@ -164,3 +164,30 @@ def test_randomized_parity_with_reference(spark, reference_featurize):
             equal_nan=True,
             err_msg=f"trial {trial} col y_rollmean_w4",
         )
+
+
+def test_ungrouped_single_series(spark, reference_featurize):
+    """group_columns=None → one global series (reference featurize.py:150-153)."""
+    import pandas as pd
+
+    ref = reference_featurize
+    pdf = pd.DataFrame({"t": range(8), "y": [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6]]})
+    ref_df, _ = ref.lag(pdf.copy(), ["y"], None, window_size=2)
+    ref_df, _ = ref.rollmean(ref_df, ["y"], None, window_size=3)
+
+    sdf = spark.createDataFrame(pdf)
+    out, _ = lag(sdf, ["y"], None, window_size=2, order_by=["t"])
+    out, _ = rollmean(out, ["y"], None, window_size=3, order_by=["t"])
+    got = out.orderBy("t").toPandas()
+    for c in ["y_lag1", "y_lag2", "y_rollmean_w3"]:
+        pd.testing.assert_series_equal(
+            got[c], ref_df[c].astype("float64"), check_names=False, check_index=False
+        )
+
+
+def test_rollmean_invariant_to_input_order(toy_frame, toy_frame_shuffled):
+    a, _ = rollmean(toy_frame, "y", ["g"], window_size=3, order_by=["t"])
+    b, _ = rollmean(toy_frame_shuffled, "y", ["g"], window_size=3, order_by=["t"])
+    ka = {(r["g"], r["t"]): r["y_rollmean_w3"] for r in a.collect()}
+    kb = {(r["g"], r["t"]): r["y_rollmean_w3"] for r in b.collect()}
+    assert ka == kb  # the reference's silent-misalignment bug (SURVEY 2.4.1) fixed
