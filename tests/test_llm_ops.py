@@ -167,3 +167,16 @@ def test_hash_split_stability(spark, doc_frame):
     assert a == b
     assert all(0 <= v[0] < 100 for v in a.values())
     assert {v[1] for v in a.values()} <= {"train", "val", "test"}
+
+
+def test_connected_components_chain(spark):
+    from timeseriesutils_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    # and 20-21 + 21-22 triangle-free fork
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

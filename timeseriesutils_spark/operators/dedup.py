@@ -279,6 +279,57 @@ def simhash_docs(
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Transitive near-dup clustering: (id, comp) where comp = min doc id
+    reachable through the similarity-pair graph.
+
+    Pairwise drop-the-larger-id (dedup_near_keep_min) under-merges chains
+    (A~B, B~C but A≁C keeps A and C even though they are transitively
+    "the same" document family); component labels give the exact cluster.
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors — one shuffle per round,
+    converging in graph-diameter rounds (near-dup graphs are shallow;
+    ``max_iter`` is a safety bound).  The per-round convergence test is a
+    driver-side count of changed labels — one tiny job, the standard
+    distributed-CC control loop (large-star/small-star halves rounds if
+    diameter ever bites).  Deterministic: min over an unordered set.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    e = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        e.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).persist()
+    for _ in range(max_iter):
+        prop = e.join(labels, e.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new = (
+            labels.select("id", "comp")
+            .union(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels
+
+
 def dedup_near_keep_min(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Greedy near-dup removal: drop any doc that matched a lower id.
 

@@ -160,6 +160,32 @@ ORDER BY n DESC, bigram LIMIT 20
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Transitive near-dup clusters: min-label connected components over
+    the n-gram Jaccard pair graph; one row per cluster with its size."""
+    from timeseriesutils_spark.operators.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6)
+    comp = connected_components(pairs)
+    return comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+_SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({_SQL_NGRAM_JACCARD}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+SELECT comp, COUNT(*) AS n_members FROM comp GROUP BY comp
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs (xxhash64 signatures → rows-only)."""
     return minhash_lsh_pairs(
@@ -389,6 +415,7 @@ QUERIES = {
     "frame_sample": Q(q_frame_sample, _SQL_FRAME_SAMPLE),
     "dedup_ngram_jaccard": Q(q_dedup_ngram_jaccard, _SQL_NGRAM_JACCARD),
     "dedup_apply": Q(q_dedup_apply, _SQL_DEDUP_APPLY),
+    "dedup_components": Q(q_dedup_components, _SQL_DEDUP_COMPONENTS),
     "top_ngrams": Q(q_top_ngrams, _SQL_TOP_NGRAMS),
     "dedup_minhash_lsh": Q(q_dedup_minhash_lsh, None),  # xxhash64 → rows-only
     "dedup_embedding": Q(q_dedup_embedding, _SQL_DEDUP_EMBEDDING),
