@@ -279,7 +279,9 @@ def simhash_docs(
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, driver_threshold: int = 5_000_000
+) -> DataFrame:
     """Transitive near-dup clustering: (id, comp) where comp = min doc id
     reachable through the similarity-pair graph.
 
@@ -287,17 +289,47 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     (A~B, B~C but A≁C keeps A and C even though they are transitively
     "the same" document family); component labels give the exact cluster.
 
-    Iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbors — one shuffle per round,
-    converging in graph-diameter rounds (near-dup graphs are shallow;
-    ``max_iter`` is a safety bound).  The per-round convergence test is a
-    driver-side count of changed labels — one tiny job, the standard
-    distributed-CC control loop (large-star/small-star halves rounds if
-    diameter ever bites).  Deterministic: min over an unordered set.
+    Hybrid execution, same deterministic result either way:
+      * the candidate-pair graph is orders of magnitude smaller than the
+        corpus (only docs with a near-dup appear), so up to
+        ``driver_threshold`` edges it is collected and solved with
+        union-find on the driver — one job, no iteration;
+      * beyond that, iterative min-label propagation: each round every
+        node takes the min label among itself and its neighbors — one
+        shuffle per round, converging in graph-diameter rounds
+        (``max_iter`` is a safety bound), with a driver-side
+        changed-count check per round — the standard distributed-CC
+        control loop (large-star/small-star halves rounds if diameter
+        ever bites).
     """
+    # persist: the pair pipeline upstream (shingle/jaccard) must run once,
+    # not once for the size probe and again for collect/propagation
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    ).persist()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        rows = edges.collect()
+        for r in rows:
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min: smaller root wins → comp = min reachable id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(x, find(x)) for x in parent]
+        edges.unpersist()
+        return pairs.sparkSession.createDataFrame(out, "id long, comp long")
     e = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
@@ -327,6 +359,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             break
     e.unpersist()
+    edges.unpersist()
     return labels
 
 
