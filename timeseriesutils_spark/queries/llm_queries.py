@@ -102,7 +102,9 @@ def q_dedup_apply(spark, sf_dir):
     from timeseriesutils_spark.operators.dedup import dedup_near_keep_min
 
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.6)
+    # persist: identical pair plans across the dedup query family hit
+    # Spark's CacheManager, so the shingle/join pipeline runs once
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.6).persist()
     kept = dedup_near_keep_min(pairs, docs)
     return kept.agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -165,7 +167,7 @@ def q_dedup_components(spark, sf_dir):
     the n-gram Jaccard pair graph; one row per cluster with its size."""
     from timeseriesutils_spark.operators.dedup import connected_components
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6)
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6).persist()
     comp = connected_components(pairs)
     return comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
 
