@@ -481,6 +481,15 @@ SELECT l_orderkey, l_linenumber, metric, value FROM (
 """
 
 
+def q_agg_quantiles_approx(spark, sf_dir):
+    """approx_percentile (Greenwald-Khanna sketch) — the mergeable
+    at-scale quantile path; algorithm-specific values → rows-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+    )
+
+
 def q_array_funcs(spark, sf_dir):
     """Array/lambda builtins over the embedding column: size, slice,
     element access, transform, higher-order aggregate (quantized-int64
@@ -671,6 +680,7 @@ QUERIES = {
     "pivot_wide": Q(q_pivot_wide, _SQL_PIVOT),
     "unpivot_long": Q(q_unpivot_long, _SQL_UNPIVOT),
     "agg_quantiles": Q(q_agg_quantiles, _SQL_QUANTILES),
+    "agg_quantiles_approx": Q(q_agg_quantiles_approx, None),  # sketch → rows-only
     "grouping_sets": Q(q_grouping_sets, _SQL_GROUPING_SETS),
     "range_frame": Q(q_range_frame, _SQL_RANGE_FRAME),
     "range_join": Q(q_range_join, _SQL_RANGE_JOIN),
