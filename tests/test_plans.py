@@ -72,3 +72,39 @@ def test_scan_pushdown_and_pruning(spark):
     scan_schema = re.search(r"ReadSchema: ([^\n]*)", plan).group(1)
     assert "props" not in scan_schema  # unused wide column pruned
     assert "user_id" in scan_schema
+
+
+def test_bucketed_table_eliminates_window_exchange(spark, tmp_path):
+    """bucketBy(group) metadata lets Window.partitionBy(group) skip the
+    shuffle entirely — featurization over a bucketed table is a pure map
+    stage (the 100 TB zero-shuffle path)."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.window_features import lag
+    from timeseriesutils_spark.sources.sinks import write_bucketed_table
+    from timeseriesutils_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    write_bucketed_table(
+        li, "li_bucketed", "l_suppkey", ["l_shipdate", "l_orderkey", "l_linenumber"],
+        n_buckets=4,
+    )
+    try:
+        bucketed = spark.table("li_bucketed")
+        out, _ = lag(
+            bucketed, "l_extendedprice", ["l_suppkey"], window_size=3,
+            order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+        )
+        plan = _plan(out)
+        assert "Exchange" not in plan  # bucketing satisfies the distribution
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+        # results identical to the unbucketed path
+        ref, _ = lag(
+            li, "l_extendedprice", ["l_suppkey"], window_size=3,
+            order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")

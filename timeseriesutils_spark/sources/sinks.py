@@ -29,6 +29,35 @@ def write_partitioned(
     df.write.partitionBy(*_as_list(partition_cols)).mode(mode).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    group_columns,
+    order_by,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-backed bucketed+sorted layout — the zero-shuffle path for
+    window featurization.
+
+    ``bucketBy(group)`` records hash-partitioning in the table metadata,
+    so a later ``Window.partitionBy(group)`` (or groupBy/join on it)
+    needs NO exchange — the scan already satisfies the distribution
+    (asserted in tests/test_plans.py).  ``sortBy(group, time)`` sorts
+    within each bucket file.  At 100 TB this converts every featurization
+    run over the same keys from shuffle-the-world to a pure map stage.
+    """
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    (
+        df.write.bucketBy(n_buckets, groups[0], *groups[1:])
+        .sortBy(*(groups + order))
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_series(
     df: DataFrame,
     path: str,
