@@ -180,3 +180,33 @@ def test_connected_components_chain(spark):
     )
     got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_blocked_cosine_bitwise_equals_expression_path(spark):
+    """The numpy block kernel must produce the IDENTICAL doubles the JVM
+    expression path computes (same quantized-int64 op sequence)."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.similarity import (
+        _dot_dec,
+        embedding_near_dup_pairs,
+    )
+    from timeseriesutils_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    base = base.withColumn("_n", F.sqrt(_dot_dec(F.col("v"), F.col("v"))))
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot_dec(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n"))
+    expr = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+        .collect()
+    }
+    assert blocked == expr and len(blocked) > 0  # keys AND doubles bitwise
