@@ -121,6 +121,68 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(id_col, F.md5(canon).alias("fp"))
 
 
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def clean_text(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Normalization pass for training corpora: strip URLs and e-mail
+    addresses (PII / non-linguistic tokens), collapse whitespace, trim.
+    Pure regexp_replace chain (shared Java/RE2 syntax) — emits the
+    cleaned text plus before/after lengths so the filter rate is
+    observable downstream."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), URL_PATTERN, " "),
+                EMAIL_PATTERN,
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    base = docs.select(
+        id_col, F.length(text_col).alias("n_chars_raw"), cleaned.alias("text_clean")
+    )
+    return base.select(
+        id_col,
+        "n_chars_raw",
+        F.length("text_clean").alias("n_chars_clean"),
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition signals: fraction of duplicate word
+    n-grams within each document (high → boilerplate/spam).  One
+    projection per step (the two-step rule); no shuffle at all — the
+    signals are per-row."""
+    w = docs.select(
+        id_col, F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w")
+    )
+    wc = F.col("_w")
+    grams = F.when(
+        F.size(wc) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(wc) - n),
+            lambda i: F.concat_ws(" ", F.slice(wc, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", wc)))
+    g = w.select(id_col, F.size(wc).alias("n_words"), grams.alias("_g"))
+    return g.select(
+        id_col,
+        "n_words",
+        F.size("_g").alias("n_grams"),
+        F.size(F.array_distinct("_g")).alias("n_distinct_grams"),
+        (
+            1.0 - F.size(F.array_distinct("_g")) / F.greatest(F.size("_g"), F.lit(1))
+        ).alias("dup_gram_frac"),
+    )
+
+
 def tf_idf(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_df: int = 2
 ) -> DataFrame:

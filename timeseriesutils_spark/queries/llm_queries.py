@@ -30,11 +30,15 @@ from timeseriesutils_spark.operators.similarity import (
     knn_lsh,
 )
 from timeseriesutils_spark.operators.text import (
+    EMAIL_PATTERN,
     TOKEN_PATTERN,
+    URL_PATTERN,
     LANG_MARKERS,
+    clean_text,
     fingerprint,
     lang_id,
     quality_score,
+    repetition_stats,
     text_stats,
     tf_idf,
 )
@@ -327,6 +331,46 @@ FROM documents
 """
 
 
+def q_clean_text(spark, sf_dir):
+    """Corpus normalization: URL/e-mail scrub + whitespace collapse."""
+    return clean_text(_docs(spark, sf_dir))
+
+
+_SQL_CLEAN_TEXT = f"""
+WITH c AS (
+  SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_chars_raw,
+    trim(regexp_replace(regexp_replace(regexp_replace(text,
+      '{URL_PATTERN}', ' ', 'g'), '{EMAIL_PATTERN}', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT doc_id, n_chars_raw, CAST(LENGTH(t) AS INT) AS n_chars_clean, md5(t) AS clean_md5
+FROM c
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style duplicate-n-gram fraction per document."""
+    return repetition_stats(_docs(spark, sf_dir), n=3)
+
+
+_SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+    CASE WHEN len(ws) >= 3
+      THEN [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]
+      ELSE [array_to_string(ws, ' ')] END AS grams
+  FROM w
+)
+SELECT doc_id, n_words, CAST(len(grams) AS INT) AS n_grams,
+  CAST(len(list_distinct(grams)) AS INT) AS n_distinct_grams,
+  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / GREATEST(len(grams), 1) AS dup_gram_frac
+FROM g
+"""
+
+
 def q_tf_idf(spark, sf_dir):
     return tf_idf(_docs(spark, sf_dir), min_df=2)
 
@@ -430,5 +474,7 @@ QUERIES = {
     "lang_id": Q(q_lang_id, _sql_lang_id()),
     "doc_fingerprint": Q(q_fingerprint, _SQL_FINGERPRINT),
     "tf_idf": Q(q_tf_idf, _SQL_TF_IDF),
+    "clean_text": Q(q_clean_text, _SQL_CLEAN_TEXT),
+    "repetition_stats": Q(q_repetition_stats, _SQL_REPETITION),
     "multimodal_meta": Q(q_multimodal_meta, _SQL_MULTIMODAL),
 }
