@@ -56,6 +56,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # queries that persist() intermediates (dedup family) own their
+        # fork-reuse WITHIN a run; evict between queries so a 58-query
+        # session doesn't accumulate cached blocks for its lifetime
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

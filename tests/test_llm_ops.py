@@ -108,7 +108,7 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     exact = {
         (r["id_a"], r["id_b"])
-        for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
+        for r in embedding_near_dup_pairs(emb, threshold=0.3, method="exact").collect()
     }
     lsh = {
         (r["id_a"], r["id_b"])
@@ -196,7 +196,7 @@ def test_blocked_cosine_bitwise_equals_expression_path(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     blocked = {
         (r["id_a"], r["id_b"]): r["cos"]
-        for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
+        for r in embedding_near_dup_pairs(emb, threshold=0.3, method="exact").collect()
     }
     base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
     base = base.withColumn("_n", F.sqrt(_dot_dec(F.col("v"), F.col("v"))))
@@ -210,3 +210,84 @@ def test_blocked_cosine_bitwise_equals_expression_path(spark):
         .collect()
     }
     assert blocked == expr and len(blocked) > 0  # keys AND doubles bitwise
+
+
+def test_ngram_jaccard_max_posting_drops_hot_shingle(spark):
+    """A shingle shared by more than max_posting docs must emit no pairs.
+
+    Docs 0..5 share ONE hot boilerplate shingle (and nothing else), docs
+    10/11 are true near-dups through ordinary shingles.  With
+    max_posting=4 the hot shingle's C(6,2)=15 pair expansion is dropped;
+    the real near-dup pair survives.
+    """
+    from timeseriesutils_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved"  # one 3-gram, shared by 6 docs
+    rows = [(i, f"{boiler}") for i in range(6)]
+    rows += [
+        (10, "spark window functions compute lag features fast"),
+        (11, "spark window functions compute lag features quickly"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    unbounded = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    bounded = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_posting=4).collect()
+    ub = {(r["id_a"], r["id_b"]) for r in unbounded}
+    bd = {(r["id_a"], r["id_b"]) for r in bounded}
+    assert (0, 1) in ub and len([p for p in ub if p[0] < 6 and p[1] < 6]) == 15
+    assert all(not (p[0] < 6 and p[1] < 6) for p in bd)  # hot shingle gone
+    assert (10, 11) in bd  # ordinary near-dup survives the bound
+
+
+def test_embedding_lsh_multitable_recall(spark):
+    """The declared multi-table config (4 bits × 8 tables) must recover
+    a large share of the exact near-dup pairs, with exact cosine scores
+    (same quantized kernel) on every pair it reports."""
+    from timeseriesutils_spark.operators.similarity import embedding_near_dup_pairs
+    from timeseriesutils_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.3, method="exact").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.3, method="lsh", bits=4, tables=8
+        ).collect()
+    }
+    assert exact, "threshold too high — test needs a nonempty exact set"
+    assert set(lsh) <= set(exact)  # never invents pairs
+    for p, c in lsh.items():
+        assert c == exact[p]  # bitwise-identical scores (same kernel)
+    assert len(lsh) >= 0.7 * len(exact)  # multi-table recall bound
+
+
+def test_connected_components_distributed_chain_low_rounds(spark):
+    """Large-star/small-star must resolve a 64-node chain (diameter 63)
+    within ~log rounds — plain min-label propagation would need 63."""
+    from timeseriesutils_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 64)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            pairs, max_iter=10, driver_threshold=0
+        ).collect()
+    }
+    assert got == {i: 1 for i in range(1, 65)}
+
+
+def test_connected_components_string_ids_driver_path(spark):
+    """The driver union-find path must preserve non-bigint id types
+    (regression: output schema was hardcoded to long)."""
+    from timeseriesutils_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    out = connected_components(pairs)
+    assert out.schema["id"].dataType.simpleString() == "string"
+    got = {r["id"]: r["comp"] for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

@@ -143,3 +143,16 @@ def test_gmean_pandas_udaf(spark):
             by_flag.setdefault(r["l_returnflag"], []).append(math.log(r["l_quantity"]))
     for flag, logs in by_flag.items():
         assert abs(got[flag] - math.exp(sum(logs) / len(logs))) < 1e-9
+
+
+def test_asof_emits_time_column_once(spark, trades_quotes):
+    """Regression: the left time column must appear exactly once and be
+    selectable (it used to be emitted twice → AMBIGUOUS_REFERENCE)."""
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt",
+        right_values=["qid"], tie_break="qid",
+    )
+    assert out.columns.count("t") == 1
+    vals = {(r["sym"], r["t"]) for r in out.select("sym", "t").collect()}
+    assert ("A", 5) in vals and ("B", 15) in vals

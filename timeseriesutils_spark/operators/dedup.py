@@ -17,6 +17,14 @@ Four tiers, trading recall for cost (all distributed, no driver loops):
   * simhash      — 64-bit SimHash fingerprint per doc (majority vote of
                    shingle-hash bits); near-dups = small Hamming distance.
 
+Cache policy: operators ``persist()`` at plan forks (posting lists, the
+LSH verify join, CC iteration state) so a fork never re-tokenizes the
+corpus; intermediates consumed within one call are unpersisted there,
+but the fork a RETURNED plan still reads stays cached — the caller owns
+eviction (``spark.catalog.clearCache()`` between queries, as bench.py
+and tools/check_oracle.py do) because unpersisting before the caller
+materializes would silently recompute the whole upstream pipeline.
+
 Shuffle-size design: shingle *strings* are hashed to int64
 (``xxhash64``) immediately after extraction, and every downstream
 exchange (the Jaccard self-join, the LSH candidate join, the verify
@@ -294,20 +302,23 @@ def connected_components(
         corpus (only docs with a near-dup appear), so up to
         ``driver_threshold`` edges it is collected and solved with
         union-find on the driver — one job, no iteration;
-      * beyond that, iterative min-label propagation: each round every
-        node takes the min label among itself and its neighbors — one
-        shuffle per round, converging in graph-diameter rounds
-        (``max_iter`` is a safety bound), with a driver-side
-        changed-count check per round — the standard distributed-CC
-        control loop (large-star/small-star halves rounds if diameter
-        ever bites).
+      * beyond that, alternating large-star / small-star rounds (the
+        MapReduce-CC formulation of Kiveris et al., "Connected Components
+        in MapReduce and Beyond", SoCC'14): each round contracts the
+        graph toward per-component stars and converges in O(log n)
+        rounds REGARDLESS of graph diameter — a 10⁶-long chain resolves
+        in ~20 rounds where plain min-label propagation needs 10⁶
+        (pinned by tests/test_llm_ops.py chain-graph test).  Each round
+        is two narrow (node-keyed) shuffles; the driver only sees a
+        1-row convergence probe per round.
     """
     # persist: the pair pipeline upstream (shingle/jaccard) must run once,
     # not once for the size probe and again for collect/propagation
     edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).persist()
     n_edges = edges.count()
+    id_type = pairs.schema["id_a"].dataType.simpleString()
     if n_edges <= driver_threshold:
         parent: dict = {}
 
@@ -319,7 +330,7 @@ def connected_components(
 
         rows = edges.collect()
         for r in rows:
-            a, b = r["src"], r["dst"]
+            a, b = r["u"], r["v"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -329,36 +340,77 @@ def connected_components(
                 parent[hi] = lo
         out = [(x, find(x)) for x in parent]
         edges.unpersist()
-        return pairs.sparkSession.createDataFrame(out, "id long, comp long")
-    e = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
-    labels = (
-        e.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).persist()
+        return pairs.sparkSession.createDataFrame(
+            out, f"id {id_type}, comp {id_type}"
+        )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    # Invariant between rounds: `e` is the undirected edge set stored once
+    # per direction, no self-loops, distinct.  Each round ends in an EAGER
+    # localCheckpoint: iterative DataFrame algorithms grow their logical
+    # plan per round (union+distinct+exceptAll stack on the previous
+    # round's plan) until Catalyst itself OOMs — checkpointing truncates
+    # the lineage to the materialized edge set, so every round starts
+    # from a flat scan.  (localCheckpoint = executor-local blocks: no
+    # lineage-based fault recovery mid-algorithm; a lost executor costs a
+    # rerun of the op, the standard trade for iterative graph loops.)
+    e = (
+        _sym(edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
-        prop = e.join(labels, e.src == labels.id).select(
-            F.col("dst").alias("id"), F.col("comp")
+        # LARGE-STAR: per node u, m = min(u, neighbors); every neighbor
+        # v > u re-attaches to m.  Keeps (u,m) too so u stays connected.
+        mins = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
+        )
+        ls = (
+            e.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        )
+        ls = (
+            _sym(ls)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # SMALL-STAR: orient edges large→small (v < u); per node u,
+        # m = min neighbor; all small neighbors AND u itself attach to m.
+        d = ls.filter(F.col("v") < F.col("u"))
+        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            d.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
         )
         new = (
-            labels.select("id", "comp")
-            .union(prop)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .persist()
+            _sym(ss)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
+        # symmetric-difference probe: a one-sided subset check could stop
+        # a round early while the edge set is still shrinking
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            new.exceptAll(e).limit(1).count() or e.exceptAll(new).limit(1).count()
         )
-        labels.unpersist()
-        labels = new
+        e = new
         if changed == 0:
             break
-    e.unpersist()
+    # converged: every node's neighborhood contains its component min
+    labels = (
+        e.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select(F.col("u").alias("id"), F.least("u", "_mn").alias("comp"))
+    )
     edges.unpersist()
     return labels
 

@@ -151,8 +151,20 @@ def sample_frames(
         docs.select(
             F.col(id_col).alias("doc_id"),
             F.col(payload_col).alias("_p"),
+            # floor, not double-divide-then-cast: for an empty payload
+            # (n=0) the cast truncates -0.004 to 0 and emits a spurious
+            # frame, while floor gives -1 → empty sequence... except
+            # sequence(0, -1) DESCENDS in Spark; guard with greatest so
+            # empty payloads emit no frame (matches (n-1)//256 floor
+            # semantics of the oracle for n>0, zero frames for n=0)
             F.explode(
-                F.sequence(F.lit(0), ((n - 1) / frame_size).cast("bigint"))
+                F.when(
+                    n > 0,
+                    F.sequence(
+                        F.lit(0).cast("bigint"),
+                        F.floor((n - 1) / frame_size).cast("bigint"),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
             ).alias("frame_idx"),
         )
         .filter(F.col("frame_idx") % every == 0)

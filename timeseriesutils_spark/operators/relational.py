@@ -48,6 +48,10 @@ def asof_join(
         *[F.col(c) for c in right_values],
         *( [F.col(tie_break).alias("_tb")] if tie_break else [] ),
     )
+    # left_time rides along as _t only (passing it through AND renaming _t
+    # back would emit the time column twice → AMBIGUOUS_REFERENCE for
+    # callers selecting it)
+    passthrough = [c for c in left.columns if c not in on and c != left_time]
     r = right.select(
         *on,
         F.col(right_time).alias("_t"),
@@ -57,7 +61,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         (F.col(tie_break) if tie_break else F.lit(0)).alias("_order2"),
         payload.alias("_r"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in passthrough],
     )
     l = left.select(
         *on,
@@ -65,7 +69,7 @@ def asof_join(
         F.lit(1).alias("_side"),
         F.lit(None).cast(r.schema["_order2"].dataType).alias("_order2"),
         F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
-        *[F.col(c) for c in left.columns if c not in on],
+        *[F.col(c) for c in passthrough],
     )
     w = (
         Window.partitionBy(*on)

@@ -56,12 +56,19 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (query_id, vec_id, cos) — k rows per query, ties broken by
     vec_id for determinism.  The query side is broadcast: one pass over
     the (arbitrarily large) corpus, no corpus shuffle.
+
+    ``exclude_self`` (default True) drops the corpus row whose id equals
+    the query id — correct when queries are drawn from the corpus (a
+    vector's nearest neighbor is trivially itself).  Set False when query
+    ids live in an independent namespace: an id collision there is a
+    coincidence, not an identity, and the neighbor must be kept.
     """
     # norms are per-ROW quantities: compute them in each side's projection
     # (once per vector), not inside the pair expression (once per pair —
@@ -72,7 +79,8 @@ def knn_bruteforce(
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")).withColumn(
         "_cn", F.sqrt(_dot_dec(F.col("_cv"), F.col("_cv")))
     )
-    scored = c.join(F.broadcast(q), F.col(query_id) != F.col(id_col)).select(
+    cond = F.col(query_id) != F.col(id_col) if exclude_self else F.lit(True)
+    scored = c.join(F.broadcast(q), cond).select(
         query_id,
         id_col,
         (_dot_dec(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
@@ -90,14 +98,23 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "exact",
+    method: str = "lsh",
     bits: int = 8,
     dim: int = 64,
+    tables: int = 4,
+    max_bucket: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) by embedding cosine ≥ threshold — the
     semantic-dedup tier above MinHash/SimHash.
 
+    ``method='lsh'`` (default — the 100 TB path): multi-table sign-LSH.
+    Each of ``tables`` tables hashes vectors with its own ``bits`` seeded
+    hyperplanes; pairs sharing a bucket in ≥1 table are scored with the
+    exact quantized cosine, inside the bucket (vectors shuffle T× total;
+    pair rows never carry vectors).  Scored volume ~ T·N²/2^bits vs N²
+    all-pairs; recall for a pair at angle θ is 1−(1−p^bits)^tables with
+    p = 1−θ/π (pinned against the exact tier in tests/test_llm_ops.py).
     ``method='exact'``: block outer product — vectors are assigned to
     ``n_blocks`` blocks (id mod B), every unordered block pair (p ≤ q)
     becomes one task, and each task scores its m×n pair tile in ONE
@@ -107,28 +124,65 @@ def embedding_near_dup_pairs(
     B tiles): total work O(N²·d / cluster), no BroadcastNestedLoopJoin,
     no per-pair interpreted expressions.  Measured 17× faster than the
     theta-join form at sf0.1.  At 100 TB pick B ≈ √(N·d / tile_budget).
-    ``method='lsh'``: sign-LSH bucketing first; only same-bucket pairs
-    are scored.  Candidate volume ~ N²/2^bits, recall tunable via bits.
+    O(N²·d) total work: the verify tier / small-corpus tier, not the
+    default.
     """
     base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if method == "lsh":
-        planes = random_hyperplanes(dim, bits, seed)
-        base = base.withColumn("_b", lsh_bucket(F.col("v"), planes)).withColumn(
-            "_n", F.sqrt(_dot_dec(F.col("v"), F.col("v")))
+        # One Arrow UDF call hashes all tables at once (planes differ per
+        # table via seed+t); posexplode replicates each vector into its T
+        # (table, bucket) rows — T× the corpus through ONE shuffle, then
+        # each bucket is scored IN PLACE by the vectorized tile kernel
+        # (same quantized-int64 sequence as the exact tier → bitwise-equal
+        # scores).  Pairs never carry vectors: only (id_a, id_b, cos)
+        # survivors leave a bucket, and cross-table duplicates drop AFTER
+        # scoring (every table computes the identical cos, so the dedup
+        # keeps a well-defined value).  ``max_bucket`` is the skew guard:
+        # a bucket of k vectors costs a k×k tile, so at corpus scale cap
+        # it (dropping only low-signal mega-buckets, the stop-shingle
+        # rule applied to vector space).
+        planes = np.array(
+            [random_hyperplanes(dim, bits, seed + t) for t in range(tables)]
         )
-        a, b = base.alias("a"), base.alias("b")
-        cond = (F.col("a.id") < F.col("b.id")) & (F.col("a._b") == F.col("b._b"))
-        cos = _dot_dec(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n"))
-        return (
-            a.join(b, cond)
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                cos.alias("cos"),
+        rep = base.select(
+            "id", "v", F.posexplode(_multi_table_bucket_udf(planes)(F.col("v")))
+        ).select("id", "v", F.col("pos").alias("_t"), F.col("col").alias("_b"))
+        if max_bucket is not None:
+            counts = rep.groupBy("_t", "_b").agg(F.count(F.lit(1)).alias("_c"))
+            rep = rep.join(
+                F.broadcast(counts.filter(F.col("_c") <= max_bucket).drop("_c")),
+                ["_t", "_b"],
             )
-            .filter(F.col("cos") >= threshold)
+        scored = rep.groupBy("_t", "_b").applyInPandas(
+            _bucket_tile_score(threshold), "id_a long, id_b long, cos double"
         )
+        # a pair colliding in k tables must surface once, not k times
+        return scored.dropDuplicates(["id_a", "id_b"])
     return _blocked_exact_pairs(base, threshold, n_blocks=8)
+
+
+def _bucket_tile_score(threshold: float):
+    """applyInPandas kernel: score every (a < b) pair inside one LSH
+    bucket with the quantized-int64 cosine — identical op sequence to
+    :func:`_dot_dec` / the blocked exact kernel, so scores are bitwise
+    reproducible across methods, partitionings, and engines."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        ids = pdf["id"].to_numpy(np.int64)
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        qn = np.sqrt(np.floor(V * V * _QUANT + 0.5).astype(np.int64).sum(-1) / _QUANT)
+        tile = np.floor((V[:, None, :] * V[None, :, :]) * _QUANT + 0.5)
+        dot = tile.astype(np.int64).sum(-1).astype(np.float64) / _QUANT
+        cos = dot / (qn[:, None] * qn[None, :])
+        mask = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi], "cos": cos[ai, bi]})
+
+    return score
 
 
 def _blocked_exact_pairs(base: DataFrame, threshold: float, n_blocks: int) -> DataFrame:
@@ -255,6 +309,7 @@ def knn_ivf(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF approximate KNN: k-means coarse quantizer → inverted lists →
     queries probe their ``nprobe`` nearest lists → exact quantized-cosine
@@ -264,6 +319,9 @@ def knn_ivf(
     by list id and amortize), each query touches nprobe/n_centroids of
     the corpus, and the rerank is the same deterministic kernel as the
     brute-force path.  Recall tunes with nprobe.
+
+    ``exclude_self``: see :func:`knn_bruteforce` — assumes query ids share
+    the corpus id namespace; set False for an independent namespace.
     """
     cents = ivf_centroids(
         corpus, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
@@ -280,7 +338,7 @@ def knn_ivf(
     ).withColumn("_qn", F.sqrt(_dot_dec(F.col("_qv"), F.col("_qv"))))
     scored = (
         cb.join(F.broadcast(qb), on="_list")
-        .filter(F.col(query_id) != F.col(id_col))
+        .filter(F.col(query_id) != F.col(id_col) if exclude_self else F.lit(True))
         .select(
             query_id,
             id_col,
@@ -293,6 +351,31 @@ def knn_ivf(
         .filter(F.col("rn") <= k)
         .select(query_id, id_col, "cos", "rn")
     )
+
+
+def _multi_table_bucket_udf(planes: np.ndarray):
+    """pandas UDF: vector → array of ``tables`` sign-LSH bucket ids.
+
+    One Arrow batch computes ALL table×bit hyperplane dots as a single
+    numpy product — the expression form (tables·bits separate
+    ``aggregate(zip_with(...))`` folds) is interpreted per lambda and
+    measured ~40× slower at 32 planes.  The plane dot reduces axis −1
+    with numpy pairwise summation, whose order depends only on dim — so
+    bucket assignment is deterministic per row regardless of batch or
+    partition boundaries.
+    """
+    P = planes.copy()  # (tables, bits, dim)
+    T, B, _ = P.shape
+    weights = (1 << np.arange(B, dtype=np.int64))
+
+    @F.pandas_udf("array<bigint>")
+    def buckets(v: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        d = (X[:, None, None, :] * P[None, :, :, :]).sum(-1)  # N×T×B
+        bk = ((d > 0).astype(np.int64) * weights).sum(-1)  # N×T
+        return pd.Series(list(bk))
+
+    return buckets
 
 
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
@@ -327,11 +410,15 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's LSH bucket, exact rerank
     inside.  Corpus shuffles once on bucket id; at scale, bucket the
     corpus once (write partitioned by bucket) and amortize across query
-    batches."""
+    batches.
+
+    ``exclude_self``: see :func:`knn_bruteforce` — assumes query ids share
+    the corpus id namespace; set False for an independent namespace."""
     planes = random_hyperplanes(dim, bits, seed)
     cb = corpus.select(
         id_col, F.col(vec_col).alias("_cv"), lsh_bucket(F.col(vec_col), planes).alias("_b")
@@ -341,7 +428,9 @@ def knn_lsh(
         F.col(vec_col).alias("_qv"),
         lsh_bucket(F.col(vec_col), planes).alias("_b"),
     ).withColumn("_qn", F.sqrt(_dot_dec(F.col("_qv"), F.col("_qv"))))
-    scored = cb.join(F.broadcast(qb), on="_b").filter(F.col(query_id) != F.col(id_col)).select(
+    scored = cb.join(F.broadcast(qb), on="_b").filter(
+        F.col(query_id) != F.col(id_col) if exclude_self else F.lit(True)
+    ).select(
         query_id,
         id_col,
         (_dot_dec(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),

@@ -72,12 +72,23 @@ SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents GROUP BY text
 """
 
 
+# Stop-shingle bound for the declared Jaccard family: a shingle shared by
+# more than MAX_POSTING docs emits no pairs (it carries no near-dup signal
+# and its C(k,2) pair expansion is the one unbounded term at corpus scale).
+# Mirrored in the oracle SQL's `ok` CTE so both engines drop the same
+# shingles; union sizes stay full-set, so Jaccard is a lower bound when a
+# hot shingle is actually dropped (none is, at testdata scale).
+MAX_POSTING = 128
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs (≥ 0.6)."""
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6)
+    """Exact 3-gram Jaccard near-dup pairs (≥ 0.6), hot shingles bounded."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.6, max_posting=MAX_POSTING
+    )
 
 
-_SQL_NGRAM_JACCARD = """
+_SQL_NGRAM_JACCARD = f"""
 WITH words AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
 ),
@@ -89,9 +100,11 @@ sh AS (
   FROM words
 ),
 ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+ok AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {MAX_POSTING}),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS i
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN ok ON ok.s = a.s
   GROUP BY 1, 2, 3, 4
 )
 SELECT id_a, id_b, CAST(i AS DOUBLE) / (sz_a + sz_b - i) AS jaccard
@@ -108,7 +121,9 @@ def q_dedup_apply(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     # persist: identical pair plans across the dedup query family hit
     # Spark's CacheManager, so the shingle/join pipeline runs once
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.6).persist()
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.6, max_posting=MAX_POSTING
+    ).persist()
     kept = dedup_near_keep_min(pairs, docs)
     return kept.agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -171,7 +186,9 @@ def q_dedup_components(spark, sf_dir):
     the n-gram Jaccard pair graph; one row per cluster with its size."""
     from timeseriesutils_spark.operators.dedup import connected_components
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6).persist()
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.6, max_posting=MAX_POSTING
+    ).persist()
     comp = connected_components(pairs)
     return comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
 
@@ -205,10 +222,25 @@ def q_simhash(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Semantic near-dup pairs: embedding cosine ≥ 0.45 (exact all-pairs;
-    the LSH-bucketed variant is the 100 TB path — operators/similarity.py
-    embedding_near_dup_pairs)."""
-    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+    """Semantic near-dup pairs: embedding cosine ≥ 0.45, exact all-pairs
+    (blocked outer product) — the verify/small-corpus tier, oracle-checked
+    bit-exact.  The declared 100 TB path is dedup_embedding_lsh below."""
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45, method="exact")
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Semantic near-dup pairs via multi-table sign-LSH — the scale path:
+    candidates from bucket collisions (T tables × bits hyperplanes), exact
+    quantized-cosine filter on candidates only.  Seeded hyperplanes →
+    rows-only check; recall vs the exact tier is pinned in
+    tests/test_llm_ops.py.  bits/tables tune to the threshold: at this
+    moderate cosine (0.45, θ≈63°) the per-bit collision prob is ~0.65,
+    so short codes + more tables (4 bits × 8 tables → recall ≈ 0.79
+    expected, 14/14 measured at sf0.01) — a 0.9-threshold dedup would
+    invert that (more bits, fewer tables) for a smaller candidate set."""
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.45, method="lsh", bits=4, tables=8
+    )
 
 
 # quantized int64 dot products (see operators/similarity._QUANT): every
@@ -465,6 +497,7 @@ QUERIES = {
     "top_ngrams": Q(q_top_ngrams, _SQL_TOP_NGRAMS),
     "dedup_minhash_lsh": Q(q_dedup_minhash_lsh, None),  # xxhash64 → rows-only
     "dedup_embedding": Q(q_dedup_embedding, _SQL_DEDUP_EMBEDDING),
+    "dedup_embedding_lsh": Q(q_dedup_embedding_lsh, None),  # seeded LSH → rows-only
     "simhash": Q(q_simhash, None),  # xxhash64 → rows-only
     "knn_bruteforce": Q(q_knn_bruteforce, _SQL_KNN),
     "knn_lsh": Q(q_knn_lsh, None),  # seeded LSH → rows-only

@@ -483,17 +483,31 @@ SELECT l_orderkey, l_linenumber, metric, value FROM (
 
 def q_agg_quantiles_approx(spark, sf_dir):
     """approx_percentile (Greenwald-Khanna sketch) — the mergeable
-    at-scale quantile path; algorithm-specific values → rows-only."""
+    at-scale quantile path; algorithm-specific values → rows-only.
+    Sketch outputs unpacked to scalar columns (array cells break the
+    driver's canonicalizer even on rows-only checks)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("pcts", 1).alias("p50"),
+            F.element_at("pcts", 2).alias("p90"),
+            F.element_at("pcts", 3).alias("p99"),
+        )
     )
 
 
 def q_array_funcs(spark, sf_dir):
     """Array/lambda builtins over the embedding column: size, slice,
     element access, transform, higher-order aggregate (quantized-int64
-    sum — the deterministic float-fold), array_max."""
+    sum — the deterministic float-fold), array_max.  The slice/transform
+    output is serialized to a string of quantized int64s — the driver's
+    canonicalizer cannot sort array cells, and quantized ints (unlike
+    double→string formatting) are cross-engine stable."""
     e = _t(spark, sf_dir, "embeddings")
     v = F.col("embedding")
     l1q = (
@@ -504,12 +518,19 @@ def q_array_funcs(spark, sf_dir):
         ).cast("double")
         / 1e14
     )
+    head3 = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(v, 1, 3),
+            lambda x: F.floor(x.cast("double") * 1e14 + F.lit(0.5)).cast("bigint").cast("string"),
+        ),
+    )
     return e.select(
         "vec_id",
         F.size(v).alias("dim"),
         F.element_at(v, 1).cast("double").alias("first_val"),
         F.element_at(v, -1).cast("double").alias("last_val"),
-        F.transform(F.slice(v, 1, 3), lambda x: x.cast("double")).alias("head3"),
+        head3.alias("head3"),
         l1q.alias("l1_norm"),
         F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))).alias("max_abs"),
     )
@@ -520,7 +541,7 @@ SELECT vec_id,
   CAST(len(embedding) AS INT) AS dim,
   CAST(embedding[1] AS DOUBLE) AS first_val,
   CAST(embedding[-1] AS DOUBLE) AS last_val,
-  [CAST(x AS DOUBLE) FOR x IN embedding[1:3]] AS head3,
+  array_to_string([CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1e14 + 0.5) AS BIGINT) AS VARCHAR) FOR x IN embedding[1:3]], ',') AS head3,
   CAST(list_sum([CAST(FLOOR(ABS(CAST(x AS DOUBLE)) * 1e14 + 0.5) AS BIGINT) FOR x IN embedding]) AS DOUBLE) / 1e14 AS l1_norm,
   list_max([ABS(CAST(x AS DOUBLE)) FOR x IN embedding]) AS max_abs
 FROM embeddings

@@ -49,9 +49,9 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             a = a.astype("float64")
             b = b.astype("float64")
-            nan_ok = np.isnan(a) == np.isnan(b)
-            eq = (a == b) | ~nan_ok.astype(bool) & False
-            bad = ~(eq | (np.isnan(a) & np.isnan(b)))
+            # equal iff bitwise-equal values or NaN on BOTH sides;
+            # NaN-vs-value falls through to a mismatch
+            bad = ~((a == b) | (np.isnan(a) & np.isnan(b)))
         else:
             bad = a != b
         nbad = int(np.asarray(bad).sum())
@@ -82,6 +82,7 @@ def main() -> int:
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir).toPandas()
+        spark.catalog.clearCache()  # evict per-query persist() forks
         if name not in oracles:
             print(f"{name}: rows-only ({len(sdf)} rows) — no oracle")
             continue
