@@ -40,3 +40,64 @@ def test_chunked_equals_plain(spark, chunk_rows):
     plain = {key(r): tuple(r[n] for n in names) for r in plain_df.collect()}
     chunked = {key(r): tuple(r[n] for n in names) for r in chunked_df.collect()}
     assert chunked == plain
+
+
+def _canon_val(v):
+    import math
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    return v
+
+
+@pytest.mark.parametrize("chunk_rows", [20, 64])
+def test_chunked_domfreq_equals_plain(spark, chunk_rows):
+    """Chunk-parallel trailing domfreq ≡ unchunked, bitwise (same windows
+    → same FFT inputs; numpy rfft is row-independent)."""
+    from timeseriesutils_spark.operators.chunked import chunked_domfreq
+    from timeseriesutils_spark.operators.domfreq import domfreq
+
+    li = _series(spark)
+    plain_df, names = domfreq(
+        li, "l_extendedprice", ["l_suppkey"],
+        window_size=8, window_align="trailing", n_domfreq=2, order_by=ORDER,
+    )
+    chunked_df, names2 = chunked_domfreq(
+        li, "l_extendedprice", ["l_suppkey"], ORDER,
+        window_size=8, n_domfreq=2, chunk_rows=chunk_rows,
+    )
+    assert names2 == names
+    key = lambda r: tuple(r[k] for k in KEY)
+    plain = {key(r): tuple(_canon_val(r[n]) for n in names) for r in plain_df.collect()}
+    chunked = {key(r): tuple(_canon_val(r[n]) for n in names) for r in chunked_df.collect()}
+    assert chunked == plain
+
+
+def test_chunked_taylor_trailing_equals_plain(spark):
+    """Chunk-parallel trailing taylor (strict reference edges) ≡ unchunked:
+    edge rows exist only in the group's first chunk; later chunks' rows all
+    land on the interior fit with identical window contents."""
+    from timeseriesutils_spark.operators.chunked import chunked_taylor_trailing
+    from timeseriesutils_spark.operators.taylor import windowed_taylor_coefs
+
+    li = _series(spark)
+    plain_df, names = windowed_taylor_coefs(
+        li, "l_extendedprice", ["l_suppkey"],
+        taylor_degree=1, window_size=6, window_align="trailing", order_by=ORDER,
+    )
+    chunked_df, names2 = chunked_taylor_trailing(
+        li, "l_extendedprice", ["l_suppkey"], ORDER,
+        taylor_degree=1, window_size=6, chunk_rows=25,
+    )
+    assert names2 == names
+    key = lambda r: tuple(r[k] for k in KEY)
+    plain = {key(r): tuple(_canon_val(r[n]) for n in names) for r in plain_df.collect()}
+    chunked = {key(r): tuple(_canon_val(r[n]) for n in names) for r in chunked_df.collect()}
+    assert chunked == plain
+
+
+def test_chunked_context_guard():
+    from timeseriesutils_spark.operators.chunked import chunked_trailing_features
+
+    with pytest.raises(ValueError, match="context_rows"):
+        chunked_trailing_features(None, ["g"], ["t"], None, chunk_rows=4, context_rows=5)

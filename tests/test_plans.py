@@ -108,3 +108,13 @@ def test_bucketed_table_eliminates_window_exchange(spark, tmp_path):
         assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
+
+
+def test_bucketed_query_plan_no_exchange(spark, catalog):
+    """The DECLARED bucketed featurization query must keep the
+    zero-exchange property end to end (write → catalog read → window)."""
+    df = catalog["bucketed_featurize"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+    spark.sql("DROP TABLE IF EXISTS li_bucketed_q")

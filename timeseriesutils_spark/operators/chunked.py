@@ -69,6 +69,11 @@ def chunked_trailing_features(
     Returns the same (DataFrame, names) the unchunked call would, with
     partition key (groups…, _chunk) during the feature pass.
     """
+    if context_rows > chunk_rows:
+        raise ValueError(
+            f"context_rows ({context_rows}) must be ≤ chunk_rows ({chunk_rows}): "
+            "a chunk must fully contain its successor's context"
+        )
     g = _as_list(group_columns)
     order = _as_list(order_by)
     d = with_row_chunks(data, g, order, chunk_rows)
@@ -88,3 +93,91 @@ def chunked_trailing_features(
     full = d.withColumn("_ctx", F.lit(0)).unionByName(ctx)
     out, names = apply_fn(full, g + ["_chunk"])
     return out.filter(F.col("_ctx") == 0).drop("_ctx", "_chunk"), names
+
+
+def chunked_domfreq(
+    data: DataFrame,
+    columns,
+    group_columns,
+    order_by,
+    window_size: int = 21,
+    n_domfreq: int = 5,
+    fs: float = 1.0,
+    detrend="linear",
+    chunk_rows: int = 1_000_000,
+):
+    """Chunk-parallel trailing :func:`~.domfreq.domfreq` for monster groups.
+
+    Trailing windows reach back w−1 rows, so ``context_rows = w−1``
+    reproduces every complete window exactly; the duplicate-head padding
+    only ever applies to the group's FIRST chunk (later chunks' original
+    rows sit at synthetic positions ≥ context ≥ w−1, past the padded
+    region), so results are bit-identical to the unchunked op
+    (property-tested in tests/test_chunked.py).
+    """
+    w = max(_as_list(window_size))
+
+    def apply_fn(df, g):
+        from timeseriesutils_spark.operators.domfreq import domfreq
+
+        return domfreq(
+            df,
+            columns,
+            g,
+            window_size=window_size,
+            window_align="trailing",
+            n_domfreq=n_domfreq,
+            fs=fs,
+            detrend=detrend,
+            order_by=order_by,
+        )
+
+    return chunked_trailing_features(
+        data, group_columns, order_by, apply_fn,
+        chunk_rows=chunk_rows, context_rows=w - 1,
+    )
+
+
+def chunked_taylor_trailing(
+    data: DataFrame,
+    columns,
+    group_columns,
+    order_by,
+    taylor_degree: int = 1,
+    window_size: int = 21,
+    ew_span=None,
+    fill_edges: bool = True,
+    strict_reference_edges: bool = True,
+    chunk_rows: int = 1_000_000,
+):
+    """Chunk-parallel trailing :func:`~.taylor.windowed_taylor_coefs`.
+
+    ``context_rows = w`` (not w−1): the trailing edge dispatch keys on the
+    row index — under strict reference edges interior fills start at
+    rn0 = w, so an original row must land at synthetic position ≥ w for
+    the edge CASE to fall through to the interior fit, exactly as it does
+    at its true group position.  Edge fits computed for context rows are
+    dropped with them.  Bit-identical to unchunked (property-tested).
+    """
+    w = max(_as_list(window_size))
+
+    def apply_fn(df, g):
+        from timeseriesutils_spark.operators.taylor import windowed_taylor_coefs
+
+        return windowed_taylor_coefs(
+            df,
+            columns,
+            g,
+            taylor_degree=taylor_degree,
+            window_size=window_size,
+            window_align="trailing",
+            ew_span=ew_span,
+            fill_edges=fill_edges,
+            order_by=order_by,
+            strict_reference_edges=strict_reference_edges,
+        )
+
+    return chunked_trailing_features(
+        data, group_columns, order_by, apply_fn,
+        chunk_rows=chunk_rows, context_rows=w,
+    )

@@ -49,6 +49,22 @@ def write_bucketed_table(
     """
     groups = _as_list(group_columns)
     order = _as_list(order_by)
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # an in-memory catalog forgets tables between sessions while their
+        # warehouse files remain; saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS.  Drop both halves so overwrite is
+        # idempotent across sessions.  (Single-part table names in the
+        # default database; a persistent metastore deployment wouldn't
+        # hit this.)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(os.path.join(wh.path, table.lower()), ignore_errors=True)
     (
         df.write.bucketBy(n_buckets, groups[0], *groups[1:])
         .sortBy(*(groups + order))
