@@ -291,3 +291,60 @@ def test_connected_components_string_ids_driver_path(spark):
     assert out.schema["id"].dataType.simpleString() == "string"
     got = {r["id"]: r["comp"] for r in out.collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_pack_sequences_offsets(spark):
+    """Shard-local concat-then-chunk layout: offsets advance by token
+    counts, sequences cut every `budget` tokens."""
+    from timeseriesutils_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (2, "d e f g"), (4, "h i"), (6, "j k l")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["tok_offset"])
+        for r in pack_sequences(docs, budget=5, n_shards=1).collect()
+    }
+    # stream: doc0 tokens[0,3) seq0 — doc2 [3,7) starts seq0@3 —
+    # doc4 [7,9) starts seq1@2 — doc6 [9,12) starts seq1@4
+    assert out == {0: (3, 0, 0), 2: (4, 0, 3), 4: (2, 1, 2), 6: (3, 1, 4)}
+
+
+def test_pack_sequences_sharding_deterministic(spark):
+    from timeseriesutils_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(40)], "doc_id bigint, text string"
+    )
+    a = {tuple(r) for r in pack_sequences(docs, budget=8, n_shards=4).collect()}
+    b = {
+        tuple(r)
+        for r in pack_sequences(docs.repartition(13), budget=8, n_shards=4).collect()
+    }
+    assert a == b  # layout is a pure function of (id, text)
+    assert {r[1] for r in a} == {0, 1, 2, 3}  # all shards used
+
+
+def test_decontaminate_drops_eval_overlap(spark):
+    from timeseriesutils_spark.operators.dedup import (
+        decontaminate,
+        ngram_jaccard_against,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated training document about spark plans"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    pairs = ngram_jaccard_against(train, ev, n=3, threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["jaccard"] == 1.0
+    kept = sorted(r["doc_id"] for r in decontaminate(train, ev, threshold=0.8).collect())
+    assert kept == [2]  # contaminated doc dropped, unrelated doc kept

@@ -415,6 +415,67 @@ def connected_components(
     return labels
 
 
+def ngram_jaccard_against(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """Cross-corpus contamination pairs: (corpus id_a, reference id_b,
+    jaccard ≥ threshold) — the train-vs-eval overlap check (benchmark
+    decontamination).  Unlike :func:`ngram_jaccard_pairs` this never
+    pairs documents within one corpus: candidates come from an equi-join
+    of the two shingle postings, so cost is Σ_s |A_s|·|B_s| — bounded by
+    the (usually tiny) reference side, plus ``max_posting`` dropping
+    corpus-side stop-shingles.  All joins move 8-byte shingle hashes.
+    """
+    sa = hashed_shingle_docs(corpus, id_col, text_col, n)
+    sb = hashed_shingle_docs(reference, id_col, text_col, n)
+    ea = sa.select(
+        F.col("id").alias("id_a"), F.size("sh").alias("sz_a"), F.explode("sh").alias("s")
+    )
+    if max_posting is not None:
+        hot = (
+            ea.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > max_posting)
+            .select("s")
+        )
+        ea = ea.join(hot, "s", "left_anti")
+    eb = sb.select(
+        F.col("id").alias("id_b"), F.size("sh").alias("sz_b"), F.explode("sh").alias("s")
+    )
+    inter = (
+        ea.join(eb, "s")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """Drop every corpus document that near-matches ANY reference
+    document (train-set minus eval-set, the decontamination pass)."""
+    flagged = ngram_jaccard_against(
+        corpus, reference, id_col, text_col, n, threshold, max_posting
+    ).select(F.col("id_a").alias(id_col)).distinct()
+    return corpus.join(flagged, on=id_col, how="left_anti")
+
+
 def dedup_near_keep_min(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Greedy near-dup removal: drop any doc that matched a lower id.
 

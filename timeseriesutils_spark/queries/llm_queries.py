@@ -418,6 +418,76 @@ FROM tf JOIN df USING (word)
 """
 
 
+def q_seq_pack(spark, sf_dir):
+    """Sequence packing (concat-then-chunk pretraining prep): shard-local
+    running token sums assign each doc a (shard, seq, offset); this query
+    emits the per-sequence QA summary (operators/packing.py)."""
+    from timeseriesutils_spark.operators.packing import pack_stats
+
+    return pack_stats(_docs(spark, sf_dir), budget=512, n_shards=16)
+
+
+_SQL_SEQ_PACK = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 16 AS shard,
+    CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS INT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS strt
+  FROM t
+)
+SELECT shard, CAST(FLOOR(CAST(strt AS DOUBLE) / 512) AS BIGINT) AS seq_id,
+  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  MIN(doc_id) AS first_doc
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_decontaminate_pairs(spark, sf_dir):
+    """Benchmark decontamination: treat even doc_ids as the training
+    corpus and odd doc_ids as the held-out eval set; emit every train/eval
+    pair with 3-gram Jaccard ≥ 0.5 (operators/dedup.ngram_jaccard_against
+    — candidates only from the cross-corpus shingle join, never within
+    one corpus)."""
+    from timeseriesutils_spark.operators.dedup import ngram_jaccard_against
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    ev = docs.filter(F.col("doc_id") % 2 == 1)
+    return ngram_jaccard_against(
+        train, ev, n=3, threshold=0.5, max_posting=MAX_POSTING
+    )
+
+
+_SQL_DECONTAMINATE = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 3
+      THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+      ELSE [array_to_string(w, ' ')] END) AS shingles
+  FROM words
+),
+ea0 AS (SELECT doc_id AS id_a, len(shingles) AS sz_a, unnest(shingles) AS s
+        FROM sh WHERE doc_id % 2 = 0),
+ea AS (SELECT * FROM ea0 WHERE s NOT IN
+       (SELECT s FROM ea0 GROUP BY s HAVING COUNT(*) > {MAX_POSTING})),
+eb AS (SELECT doc_id AS id_b, len(shingles) AS sz_b, unnest(shingles) AS s
+       FROM sh WHERE doc_id % 2 = 1),
+inter AS (
+  SELECT id_a, id_b, sz_a, sz_b, COUNT(*) AS i
+  FROM ea JOIN eb USING (s) GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (sz_a + sz_b - i) AS jaccard
+FROM inter WHERE CAST(i AS DOUBLE) / (sz_a + sz_b - i) >= 0.5
+"""
+
+
 # --- multimodal -----------------------------------------------------------
 
 
@@ -510,4 +580,6 @@ QUERIES = {
     "clean_text": Q(q_clean_text, _SQL_CLEAN_TEXT),
     "repetition_stats": Q(q_repetition_stats, _SQL_REPETITION),
     "multimodal_meta": Q(q_multimodal_meta, _SQL_MULTIMODAL),
+    "seq_pack": Q(q_seq_pack, _SQL_SEQ_PACK),
+    "decontaminate_pairs": Q(q_decontaminate_pairs, _SQL_DECONTAMINATE),
 }
