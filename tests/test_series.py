@@ -1,0 +1,152 @@
+"""Unit tests for the time-grid and derived-signal operators
+(operators/timegrid.py, series_math.py, sessions.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.sessions import session_stats, sessionize
+from timeseriesutils_spark.operators.series_math import (
+    diff,
+    ewma,
+    ewma_weights,
+    pct_change,
+    rolling_zscore,
+)
+from timeseriesutils_spark.operators.timegrid import (
+    bfill,
+    ffill,
+    fill_gaps,
+    interpolate_linear,
+)
+
+
+@pytest.fixture(scope="module")
+def gappy(spark):
+    # group a: days 0,1,4,5 (gap 2-3); group b: days 10,13 (gap 11-12)
+    rows = [
+        ("a", 0, 10.0),
+        ("a", 1, 20.0),
+        ("a", 4, 50.0),
+        ("a", 5, None),
+        ("b", 10, 1.0),
+        ("b", 13, 7.0),
+    ]
+    return spark.createDataFrame(rows, "g string, t long, v double")
+
+
+def test_fill_gaps_densifies(gappy):
+    out = fill_gaps(gappy, "t", ["g"]).orderBy("g", "t").collect()
+    assert [(r.g, r.t) for r in out] == [
+        ("a", 0), ("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5),
+        ("b", 10), ("b", 11), ("b", 12), ("b", 13),
+    ]
+    by_key = {(r.g, r.t): r.v for r in out}
+    assert by_key[("a", 2)] is None and by_key[("b", 12)] is None
+    assert by_key[("a", 4)] == 50.0
+
+
+def test_fill_gaps_chunked_matches_unchunked(gappy):
+    a = fill_gaps(gappy, "t", ["g"], chunk=2).orderBy("g", "t").collect()
+    b = fill_gaps(gappy, "t", ["g"], chunk=65536).orderBy("g", "t").collect()
+    assert a == b
+
+
+def test_ffill_bfill(gappy):
+    filled = fill_gaps(gappy, "t", ["g"])
+    out = bfill(
+        ffill(filled, "v", ["g"], order_by=["t"]), "v", ["g"], order_by=["t"]
+    )
+    r = {(x.g, x.t): x for x in out.collect()}
+    # interior gap carries last obs forward; bfill carries next obs back
+    assert r[("a", 2)].v_ffill == 20.0 and r[("a", 3)].v_ffill == 20.0
+    assert r[("a", 2)].v_bfill == 50.0
+    # trailing null (a,5 observed as NULL) ffills from day 4
+    assert r[("a", 5)].v_ffill == 50.0 and r[("a", 5)].v_bfill is None
+    assert r[("b", 11)].v_ffill == 1.0 and r[("b", 11)].v_bfill == 7.0
+
+
+def test_interpolate_linear(gappy):
+    filled = fill_gaps(gappy, "t", ["g"])
+    out = interpolate_linear(filled, "v", "t", ["g"], order_by=["t"])
+    r = {(x.g, x.t): x.v_interp for x in out.collect()}
+    assert r[("a", 2)] == pytest.approx(30.0)  # 20 + (50-20) * (1/3)
+    assert r[("a", 3)] == pytest.approx(40.0)
+    assert r[("b", 11)] == pytest.approx(3.0)  # 1 + (7-1) * (1/3)
+    assert r[("b", 12)] == pytest.approx(5.0)
+    assert r[("a", 0)] == 10.0  # observed rows pass through
+    assert r[("a", 5)] is None  # trailing NULL: no next observation
+
+
+def test_ewma_matches_manual(spark):
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g string, t long, v double"
+    )
+    out, names = ewma(df, "v", ["g"], window_size=3, ew_span=5.0, order_by=["t"])
+    assert names == ["v_ewma_w3_s5"]
+    got = {r.t: r.v_ewma_w3_s5 for r in out.collect()}
+    w = ewma_weights(3, 5.0)
+    assert math.isclose(sum(w), 1.0, rel_tol=1e-12)
+    assert got[0] is None and got[1] is None  # no full window yet
+    for t in (2, 3, 4):
+        expect = w[0] * vals[t] + w[1] * vals[t - 1] + w[2] * vals[t - 2]
+        assert got[t] == pytest.approx(expect, rel=1e-12)
+
+
+def test_diff_pct_change(spark):
+    df = spark.createDataFrame(
+        [("g", 0, 10.0), ("g", 1, 15.0), ("g", 2, 0.0), ("g", 3, 8.0)],
+        "g string, t long, v double",
+    )
+    out, _ = diff(df, "v", ["g"], periods=1, order_by=["t"])
+    out, _ = pct_change(out, "v", ["g"], periods=1, order_by=["t"])
+    r = {x.t: x for x in out.collect()}
+    assert r[0].v_diff1 is None
+    assert r[1].v_diff1 == 5.0 and r[1].v_pctchg1 == pytest.approx(0.5)
+    assert r[3].v_diff1 == 8.0
+    assert r[3].v_pctchg1 is None  # base 0 → NULL, not inf/error
+
+
+def test_rolling_zscore_flags_outlier(spark):
+    vals = [10.0] * 9 + [11.0, 10.0, 10.0, 25.0]  # spike at the end
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g string, t long, v double"
+    )
+    out = rolling_zscore(df, "v", ["g"], window_size=10, order_by=["t"], threshold=2.0)
+    r = {x.t: x for x in out.collect()}
+    assert r[8].v_rollmean is None  # only 9 rows: not a full window
+    assert r[9].v_rollmean == pytest.approx(10.1)
+    assert r[12].v_anomaly == 1 and r[11].v_anomaly == 0
+    # all-constant window: std 0 → z undefined, flag NULL not divide-by-zero
+    flat = rolling_zscore(
+        df.withColumn("v", F.lit(5.0)), "v", ["g"], window_size=10, order_by=["t"]
+    )
+    assert all(x.v_zscore is None for x in flat.collect())
+
+
+def test_sessionize_gap_split(spark):
+    m = 60_000
+    rows = [
+        # user 1: events at 0,10,20 min (one session), then 60,65 (second)
+        Row(user_id=1, event_id=1, ts=0, value=1.0),
+        Row(user_id=1, event_id=2, ts=10 * m, value=2.0),
+        Row(user_id=1, event_id=3, ts=20 * m, value=3.0),
+        Row(user_id=1, event_id=4, ts=60 * m, value=4.0),
+        Row(user_id=1, event_id=5, ts=65 * m, value=5.0),
+        # user 2: single event
+        Row(user_id=2, event_id=6, ts=0, value=9.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.timestamp_millis(F.col("ts"))
+    )
+    s = sessionize(df, gap_minutes=30)
+    got = {r.event_id: r.sess_n for r in s.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 1}
+    agg = session_stats(df, gap_minutes=30)
+    r = {(x.user_id, x.sess_n): x for x in agg.collect()}
+    assert r[(1, 1)].n_events == 3 and r[(1, 1)].duration_ms == 20 * m
+    assert r[(1, 2)].value_sum == 9.0
+    assert r[(2, 1)].n_events == 1 and r[(2, 1)].duration_ms == 0

@@ -1,0 +1,238 @@
+"""Derived series signals: EWMA, differencing, percent change, rolling
+z-score / anomaly flags.
+
+All pure built-in window expressions (one exchange on the group keys,
+whole-stage codegen, no Python).  Where float arithmetic is involved the
+Spark expression tree and the generated DuckDB oracle SQL are rendered
+from the same constants in the same association order, so results are
+bit-identical across engines — the same twin-renderer discipline as
+operators/taylor.py.
+
+``ewma`` uses the reference's exponential-weight convention
+(featurize.py:372-381): alpha = 2/(ew_span + 0.1) — NOT pandas'
+2/(span+1) — with weights alpha*(1-alpha)^j over a *bounded* trailing
+window of ``window_size`` rows, normalized to sum 1.  A bounded window
+makes the op a fixed linear combination of lags (exactly computable,
+shuffle-free, oracle-expressible) instead of an unbounded recursion;
+rows before the first full window are NULL, matching the reference's
+trailing-window edge policy.
+
+``rolling_zscore`` quantizes values to integer units of 10^-scale first
+(floor(v*10^s + 0.5): the one rounding Spark and DuckDB compute
+identically), so window sums are exact integers and mean/variance are
+deterministic functions of them — no float-accumulation-order hazard in
+either engine.  |quantized value| must stay below ~3e9·sqrt(1/w) … in
+practice: values up to ~1e9/10^scale are safe for window sizes ≤ 1000
+(sum of squares bounded by 9.2e18 / bigint).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.window_features import _as_list, make_window
+
+
+def ewma_weights(window_size: int, ew_span: float) -> list[float]:
+    """Normalized trailing EW weights, j=0 (current row) … w-1."""
+    alpha = 2.0 / (ew_span + 0.1)  # reference featurize.py:374
+    u = [alpha * (1.0 - alpha) ** j for j in range(window_size)]
+    tot = sum(u)
+    return [x / tot for x in u]
+
+
+def ewma_name(column: str, window_size: int, ew_span) -> str:
+    # integral spans render without the '.0' (a dot in a column name breaks
+    # ANSI identifiers); fractional spans use 'p' for the point
+    s = int(ew_span) if float(ew_span).is_integer() else str(ew_span).replace(".", "p")
+    return f"{column}_ewma_w{window_size}_s{s}"
+
+
+def ewma(
+    data: DataFrame,
+    columns,
+    group_columns=None,
+    feature_names: list | None = None,
+    window_size: int = 10,
+    ew_span: float = 5.0,
+    order_by=None,
+) -> tuple[DataFrame, list]:
+    """Trailing exponentially-weighted mean as Σ_j w_j · lag_j(c); NULL
+    until a full window exists (any NULL lag nulls the sum — Spark's
+    null arithmetic is the edge guard)."""
+    if feature_names is None:
+        feature_names = []
+    w = make_window(group_columns, order_by)
+    wts = ewma_weights(window_size, ew_span)
+    new_cols: list[Column] = []
+    for c in _as_list(columns):
+        terms = [
+            F.lit(wt) * (F.lag(c, j).over(w) if j else F.col(c))
+            for j, wt in enumerate(wts)
+        ]
+        name = ewma_name(c, window_size, ew_span)
+        new_cols.append(reduce(lambda a, b: a + b, terms).alias(name))
+        feature_names.append(name)
+    return data.select("*", *new_cols), feature_names
+
+
+def ewma_sql_columns(
+    columns, group_columns, order_by, window_size: int = 10, ew_span: float = 5.0
+) -> list[tuple[str, str]]:
+    """DuckDB twin of ``ewma`` — same constants, same term order."""
+    over = (
+        f"(PARTITION BY {', '.join(_as_list(group_columns))} "
+        f"ORDER BY {', '.join(_as_list(order_by))})"
+    )
+    wts = ewma_weights(window_size, ew_span)
+    out = []
+    for c in _as_list(columns):
+        terms = [
+            f"CAST('{wt!r}' AS DOUBLE) * "
+            + (f"LAG({c}, {j}) OVER {over}" if j else c)
+            for j, wt in enumerate(wts)
+        ]
+        out.append((ewma_name(c, window_size, ew_span), "(" + " + ".join(terms) + ")"))
+    return out
+
+
+def diff(
+    data: DataFrame,
+    columns,
+    group_columns=None,
+    feature_names: list | None = None,
+    periods=1,
+    order_by=None,
+) -> tuple[DataFrame, list]:
+    """k-period difference ``{c}_diff{k}`` = c − lag(c, k)."""
+    if feature_names is None:
+        feature_names = []
+    w = make_window(group_columns, order_by)
+    new_cols = []
+    for c in _as_list(columns):
+        for k in _as_list(periods):
+            name = f"{c}_diff{k}"
+            new_cols.append((F.col(c) - F.lag(c, k).over(w)).alias(name))
+            feature_names.append(name)
+    return data.select("*", *new_cols), feature_names
+
+
+def pct_change(
+    data: DataFrame,
+    columns,
+    group_columns=None,
+    feature_names: list | None = None,
+    periods=1,
+    order_by=None,
+) -> tuple[DataFrame, list]:
+    """k-period relative change ``{c}_pctchg{k}`` = c / lag(c,k) − 1;
+    NULL when the base is 0 or missing (explicit guard — double
+    division-by-zero semantics differ between engines)."""
+    if feature_names is None:
+        feature_names = []
+    w = make_window(group_columns, order_by)
+    new_cols = []
+    for c in _as_list(columns):
+        for k in _as_list(periods):
+            base = F.lag(c, k).over(w)
+            name = f"{c}_pctchg{k}"
+            new_cols.append(
+                F.when(base != 0, F.col(c) / base - F.lit(1.0)).alias(name)
+            )
+            feature_names.append(name)
+    return data.select("*", *new_cols), feature_names
+
+
+def _zscore_exprs(qc: Column, frame, window_size: int):
+    """(n, mean_q, var_q) over the frame, from exact integer sums."""
+    n = F.count(qc).over(frame)
+    s = F.sum(qc).over(frame)
+    s2 = F.sum(qc * qc).over(frame)
+    nd = n.cast("double")
+    mean_q = s.cast("double") / nd
+    var_q = (s2.cast("double") - s.cast("double") * s.cast("double") / nd) / (
+        nd - F.lit(1.0)
+    )
+    return n, mean_q, var_q
+
+
+def rolling_zscore(
+    data: DataFrame,
+    column: str,
+    group_columns=None,
+    window_size: int = 30,
+    order_by=None,
+    threshold: float = 3.0,
+    scale: int = 6,
+) -> DataFrame:
+    """Rolling mean / std / z-score / anomaly flag over a trailing window
+    of ``window_size`` rows (full windows only — the standard
+    control-chart shape).  Appends::
+
+        {c}_rollmean   rolling mean (original units)
+        {c}_rollstd    rolling sample std (original units)
+        {c}_zscore     (x − mean) / std
+        {c}_anomaly    |z| > threshold  (NULL where z undefined)
+    """
+    w = make_window(group_columns, order_by)
+    frame = w.rowsBetween(-(window_size - 1), Window.currentRow)
+    mult = float(10**scale)
+    qc = F.floor(F.col(column) * F.lit(mult) + F.lit(0.5)).cast("bigint")
+    n, mean_q, var_q = _zscore_exprs(qc, frame, window_size)
+    full = n >= window_size
+    # exact integer sums can still cancel to a tiny negative var in double;
+    # clamp identically in both engines (sqrt(negative) semantics differ)
+    std_q = F.sqrt(F.greatest(var_q, F.lit(0.0)))
+    z = (qc.cast("double") - mean_q) / std_q
+    c = column
+    return data.select(
+        "*",
+        F.when(full, mean_q / F.lit(mult)).alias(f"{c}_rollmean"),
+        F.when(full, std_q / F.lit(mult)).alias(f"{c}_rollstd"),
+        F.when(full & (std_q > 0), z).alias(f"{c}_zscore"),
+        # int, not boolean: nullable booleans round-trip as None/NaN
+        # inconsistently through Arrow/pandas across engines
+        F.when(full & (std_q > 0), (F.abs(z) > F.lit(threshold)).cast("int")).alias(
+            f"{c}_anomaly"
+        ),
+    )
+
+
+def rolling_zscore_sql_columns(
+    column: str,
+    group_columns,
+    order_by,
+    window_size: int = 30,
+    threshold: float = 3.0,
+    scale: int = 6,
+) -> list[tuple[str, str]]:
+    """DuckDB twin of ``rolling_zscore`` (same tree, bit-identical)."""
+    c = column
+    mult = float(10**scale)
+    over = (
+        f"(PARTITION BY {', '.join(_as_list(group_columns))} "
+        f"ORDER BY {', '.join(_as_list(order_by))} "
+        f"ROWS BETWEEN {window_size - 1} PRECEDING AND CURRENT ROW)"
+    )
+    q = f"CAST(FLOOR({c} * {mult!r} + 0.5) AS BIGINT)"
+    n = f"COUNT({q}) OVER {over}"
+    s = f"SUM({q}) OVER {over}"
+    s2 = f"SUM({q} * {q}) OVER {over}"
+    nd = f"CAST({n} AS DOUBLE)"
+    mean_q = f"(CAST({s} AS DOUBLE) / {nd})"
+    var_q = f"((CAST({s2} AS DOUBLE) - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE) / {nd}) / ({nd} - 1.0))"
+    std_q = f"SQRT(GREATEST({var_q}, 0.0))"
+    z = f"((CAST({q} AS DOUBLE) - {mean_q}) / {std_q})"
+    full = f"{n} >= {window_size}"
+    return [
+        (f"{c}_rollmean", f"CASE WHEN {full} THEN {mean_q} / {mult!r} END"),
+        (f"{c}_rollstd", f"CASE WHEN {full} THEN {std_q} / {mult!r} END"),
+        (f"{c}_zscore", f"CASE WHEN {full} AND {std_q} > 0 THEN {z} END"),
+        (
+            f"{c}_anomaly",
+            f"CASE WHEN {full} AND {std_q} > 0 THEN CAST(ABS({z}) > {threshold!r} AS INTEGER) END",
+        ),
+    ]

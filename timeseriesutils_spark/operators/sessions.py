@@ -1,0 +1,106 @@
+"""Batch sessionization of event streams.
+
+Assigns gap-based session ids per user — the batch twin of
+``streaming/windows.session_window_agg`` (Spark's ``session_window`` is
+streaming/grouping-only; the batch formulation is the classic
+break-flag + running-sum window pair, fully oracle-expressible):
+
+    brk_t  = 1 if ts_t − ts_{t−1} > gap (or first event)   [one LAG]
+    sess_n = Σ brk over rows ≤ t                           [running SUM]
+
+Both passes share one (user) exchange + one sort; the per-session
+aggregate then re-uses the same partitioning (groupBy on a superset key
+(user, sess_n) — no second wide shuffle at scale with AQE coalescing).
+
+Timestamps are compared in integer epoch milliseconds (``unix_millis`` /
+DuckDB ``epoch_ms``) — exact, no float time arithmetic.  Value sums go
+through DECIMAL(38,6) like every exact aggregate in this engine
+(functions/exact.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.functions.exact import dsum, dsum_sql
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    tie_break: str = "event_id",
+) -> DataFrame:
+    """Per-event session assignment: appends ``ts_ms`` (bigint) and
+    ``sess_n`` (1-based session index within user).  ``tie_break`` makes
+    the event order total when timestamps collide."""
+    gap_ms = gap_minutes * 60_000
+    # UTC session tz makes the NTZ→TZ cast an identity (same convention as
+    # queries/relational_queries.q_range_join)
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy("ts_ms", tie_break)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = events.withColumn("ts_ms", ms)
+    prev = F.lag("ts_ms").over(w)
+    brk = F.when(prev.isNull() | (F.col("ts_ms") - prev > gap_ms), 1).otherwise(0)
+    return base.withColumn("sess_n", F.sum(brk).over(run))
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    value_col: str = "value",
+    tie_break: str = "event_id",
+) -> DataFrame:
+    """One row per (user, session): event count, start/end (epoch ms),
+    duration, exact value sum."""
+    s = sessionize(events, user_col, ts_col, gap_minutes, tie_break)
+    return s.groupBy(user_col, "sess_n").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_ms").alias("start_ms"),
+        F.max("ts_ms").alias("end_ms"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+        dsum(value_col, scale=8).alias("value_sum"),
+    )
+
+
+def session_stats_sql(
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    value_col: str = "value",
+    tie_break: str = "event_id",
+    table: str = "events",
+) -> str:
+    """DuckDB twin of ``session_stats`` (same integer-ms arithmetic)."""
+    gap_ms = gap_minutes * 60_000
+    over = f"(PARTITION BY {user_col} ORDER BY ts_ms, {tie_break})"
+    run = (
+        f"(PARTITION BY {user_col} ORDER BY ts_ms, {tie_break} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+WITH e AS (
+  SELECT {user_col}, {tie_break}, {value_col},
+         epoch_ms({ts_col}) AS ts_ms
+  FROM {table}
+), b AS (
+  SELECT *, CASE WHEN LAG(ts_ms) OVER {over} IS NULL
+                   OR ts_ms - LAG(ts_ms) OVER {over} > {gap_ms}
+            THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT *, SUM(brk) OVER {run} AS sess_n FROM b
+)
+SELECT {user_col}, sess_n,
+  COUNT(*) AS n_events,
+  MIN(ts_ms) AS start_ms,
+  MAX(ts_ms) AS end_ms,
+  MAX(ts_ms) - MIN(ts_ms) AS duration_ms,
+  {dsum_sql(value_col, scale=8)} AS value_sum
+FROM s GROUP BY {user_col}, sess_n
+"""

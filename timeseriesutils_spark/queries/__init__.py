@@ -24,11 +24,18 @@ def catalog() -> dict[str, Q]:
         featurize_queries,
         llm_queries,
         relational_queries,
+        series_queries,
         streaming_queries,
     )
 
     out: dict[str, Q] = {}
-    for mod in (featurize_queries, relational_queries, llm_queries, streaming_queries):
+    for mod in (
+        featurize_queries,
+        relational_queries,
+        series_queries,
+        llm_queries,
+        streaming_queries,
+    ):
         dup = set(out) & set(mod.QUERIES)
         if dup:
             raise ValueError(f"duplicate query names: {dup}")

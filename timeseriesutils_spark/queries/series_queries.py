@@ -1,0 +1,213 @@
+"""Declared queries for the time-grid / derived-signal operators
+(operators/timegrid.py, series_math.py, sessions.py) on the per-supplier
+daily price series and the events stream.
+
+The daily series (one row per (supplier, ship day), exact decimal price
+sum) is the natural demo of grid ops: real gaps exist — suppliers don't
+ship every day — so fill/ffill/interpolate all do real work at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.functions.exact import dsum, dsum_sql
+from timeseriesutils_spark.operators.series_math import (
+    diff,
+    ewma,
+    ewma_sql_columns,
+    pct_change,
+    rolling_zscore,
+    rolling_zscore_sql_columns,
+)
+from timeseriesutils_spark.operators.sessions import session_stats, session_stats_sql
+from timeseriesutils_spark.operators.timegrid import ffill, fill_gaps, interpolate_linear
+from timeseriesutils_spark.queries import Q
+from timeseriesutils_spark.queries.featurize_queries import LI_ORDER, LI_ORDER_SQL
+from timeseriesutils_spark.sources.tables import load_table
+
+
+def _daily(spark, sf_dir):
+    """Per-(supplier, ship day) exact daily price sum — gappy by nature."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_suppkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("ship_day"),
+            "l_extendedprice",
+        )
+        .groupBy("l_suppkey", "ship_day")
+        .agg(dsum("l_extendedprice").alias("day_price"))
+    )
+
+
+_SQL_DAILY = f"""
+  SELECT l_suppkey,
+    CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day,
+    {dsum_sql('l_extendedprice')} AS day_price
+  FROM lineitem GROUP BY 1, 2
+"""
+
+_SQL_GRID = f"""
+day AS ({_SQL_DAILY}),
+b AS (SELECT l_suppkey, MIN(ship_day) AS lo, MAX(ship_day) AS hi FROM day GROUP BY 1),
+grid AS (SELECT l_suppkey, UNNEST(generate_series(lo, hi)) AS ship_day FROM b),
+filled AS (
+  SELECT g.l_suppkey, g.ship_day, d.day_price
+  FROM grid g LEFT JOIN day d ON g.l_suppkey = d.l_suppkey AND g.ship_day = d.ship_day
+)
+"""
+
+
+def q_gap_fill_ffill(spark, sf_dir):
+    """Dense daily spine per supplier + last-observation-carried-forward:
+    the canonical series-regularization pipeline (timegrid.fill_gaps →
+    timegrid.ffill).  Missing days appear with NULL day_price and the
+    ffilled column carries the last shipment's value across the gap."""
+    filled = fill_gaps(_daily(spark, sf_dir), "ship_day", ["l_suppkey"])
+    return ffill(filled, "day_price", ["l_suppkey"], order_by=["ship_day"])
+
+
+_SQL_GAP_FILL_FFILL = f"""
+WITH {_SQL_GRID}
+SELECT l_suppkey, ship_day, day_price,
+  LAST_VALUE(day_price IGNORE NULLS) OVER (
+    PARTITION BY l_suppkey ORDER BY ship_day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_price_ffill
+FROM filled
+"""
+
+
+def q_interpolate(spark, sf_dir):
+    """Linear interpolation across the gaps of the daily spine
+    (timegrid.interpolate_linear): gap days get the line between the
+    surrounding shipment days; leading/trailing gaps stay NULL."""
+    filled = fill_gaps(_daily(spark, sf_dir), "ship_day", ["l_suppkey"])
+    return interpolate_linear(
+        filled, "day_price", "ship_day", ["l_suppkey"], order_by=["ship_day"]
+    )
+
+
+# same association order as the Spark tree: pv + (nv - pv) * (dt / dT)
+_W_BEFORE = (
+    "(PARTITION BY l_suppkey ORDER BY ship_day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+_W_AFTER = (
+    "(PARTITION BY l_suppkey ORDER BY ship_day "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+)
+_PV = f"LAST_VALUE(day_price IGNORE NULLS) OVER {_W_BEFORE}"
+_PT = f"LAST_VALUE(CASE WHEN day_price IS NOT NULL THEN ship_day END IGNORE NULLS) OVER {_W_BEFORE}"
+_NV = f"FIRST_VALUE(day_price IGNORE NULLS) OVER {_W_AFTER}"
+_NT = f"FIRST_VALUE(CASE WHEN day_price IS NOT NULL THEN ship_day END IGNORE NULLS) OVER {_W_AFTER}"
+
+_SQL_INTERPOLATE = f"""
+WITH {_SQL_GRID}
+SELECT l_suppkey, ship_day, day_price,
+  CASE WHEN day_price IS NOT NULL THEN CAST(day_price AS DOUBLE)
+       ELSE {_PV} + ({_NV} - {_PV}) *
+            (CAST(ship_day - {_PT} AS DOUBLE) / CAST({_NT} - {_PT} AS DOUBLE))
+  END AS day_price_interp
+FROM filled
+"""
+
+
+EWMA_PARAMS = dict(window_size=10, ew_span=5.0)
+
+
+def q_ewma(spark, sf_dir):
+    """Exponentially-weighted trailing mean (series_math.ewma) on the
+    lineitem price series — reference ew-weight convention
+    (alpha = 2/(span+0.1), featurize.py:374), bounded window, pure
+    Σ w_j·LAG_j expression."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+    df, _ = ewma(
+        li, "l_extendedprice", ["l_suppkey"], order_by=LI_ORDER, **EWMA_PARAMS
+    )
+    return df.drop("l_shipdate")
+
+
+def _sql_ewma():
+    cols = ewma_sql_columns(
+        "l_extendedprice", ["l_suppkey"], LI_ORDER_SQL.split(", "), **EWMA_PARAMS
+    )
+    sel = ",\n  ".join(f"{expr} AS {name}" for name, expr in cols)
+    return (
+        "SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, l_quantity,\n  "
+        f"{sel}\nFROM lineitem"
+    )
+
+
+def q_diff_pct(spark, sf_dir):
+    """Differencing + percent change (series_math.diff / pct_change):
+    1- and 7-row price deltas and 1-row relative change per supplier."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+    df, _ = diff(li, "l_extendedprice", ["l_suppkey"], periods=[1, 7], order_by=LI_ORDER)
+    df, _ = pct_change(df, "l_extendedprice", ["l_suppkey"], periods=1, order_by=LI_ORDER)
+    return df.drop("l_shipdate")
+
+
+def _sql_diff_pct():
+    over = f"(PARTITION BY l_suppkey ORDER BY {LI_ORDER_SQL})"
+    c = "l_extendedprice"
+    return f"""
+SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+  {c} - LAG({c}, 1) OVER {over} AS {c}_diff1,
+  {c} - LAG({c}, 7) OVER {over} AS {c}_diff7,
+  CASE WHEN LAG({c}, 1) OVER {over} <> 0
+       THEN {c} / LAG({c}, 1) OVER {over} - 1.0 END AS {c}_pctchg1
+FROM lineitem
+"""
+
+
+ZSCORE_PARAMS = dict(window_size=30, threshold=1.5, scale=6)
+
+
+def q_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection (series_math.rolling_zscore) on
+    l_quantity: trailing-30 mean/std from exact integer sums, |z| > 1.5
+    flag.  Quantity magnitudes (≤ 50) keep the quantized sums of squares
+    far below bigint range."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+    out = rolling_zscore(li, "l_quantity", ["l_suppkey"], order_by=LI_ORDER, **ZSCORE_PARAMS)
+    return out.drop("l_shipdate")
+
+
+def _sql_rolling_zscore():
+    cols = rolling_zscore_sql_columns(
+        "l_quantity", ["l_suppkey"], LI_ORDER_SQL.split(", "), **ZSCORE_PARAMS
+    )
+    sel = ",\n  ".join(f"{expr} AS {name}" for name, expr in cols)
+    return (
+        "SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, l_quantity,\n  "
+        f"{sel}\nFROM lineitem"
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream
+    (operators/sessions.session_stats): 30-minute inactivity splits, one
+    row per (user, session) with exact value sums and integer-ms times."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30)
+
+
+QUERIES = {
+    "gap_fill_ffill": Q(q_gap_fill_ffill, _SQL_GAP_FILL_FFILL),
+    "interpolate": Q(q_interpolate, _SQL_INTERPOLATE),
+    "ewma": Q(q_ewma, _sql_ewma()),
+    "diff_pct": Q(q_diff_pct, _sql_diff_pct()),
+    "rolling_zscore": Q(q_rolling_zscore, _sql_rolling_zscore()),
+    "sessionize": Q(q_sessionize, session_stats_sql(gap_minutes=30)),
+}
