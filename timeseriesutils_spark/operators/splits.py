@@ -46,3 +46,51 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-mixture
+    primitive (e.g. keep 100% of one language, 10% of another when
+    assembling a training blend).  A row survives iff its md5 bucket
+    falls below ``round(rate · buckets)`` for its stratum; membership is
+    a pure function of (key, stratum) — stable across runs, engines and
+    partitionings, and adding rows never flips existing decisions.
+
+    Per-row filter, no shuffle; at 100 TB this is a predicate on the
+    scan, combinable with pushdown."""
+    bucket = hash_bucket(F.col(key_col), buckets)
+    expr = None
+    for name, rate in rates.items():
+        thr = int(round(rate * buckets))
+        cond = F.col(strata_col) == name
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_col = (
+        F.lit(int(round(default_rate * buckets)))
+        if expr is None
+        else expr.otherwise(int(round(default_rate * buckets)))
+    )
+    return df.filter(bucket < thr_col)
+
+
+def stratified_sample_sql_pred(
+    key_col: str, strata_col: str, rates: dict[str, float],
+    default_rate: float = 0.0, buckets: int = 100,
+) -> str:
+    """DuckDB WHERE-clause twin of :func:`stratified_sample`."""
+    b = (
+        f"(CAST(CONCAT('0x', substring(md5(CAST({key_col} AS VARCHAR)), 1, 4)) AS INT)"
+        f" % {buckets})"
+    )
+    branches = " ".join(
+        f"WHEN '{name}' THEN {int(round(rate * buckets))}"
+        for name, rate in rates.items()
+    )
+    thr = f"CASE {strata_col} {branches} ELSE {int(round(default_rate * buckets))} END"
+    return f"{b} < ({thr})"

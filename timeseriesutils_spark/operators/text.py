@@ -183,6 +183,104 @@ def repetition_stats(
     )
 
 
+# PII patterns in the Java-regex ∩ RE2 subset ([0-9] classes, bounded
+# quantifiers, \b word boundaries — no lookaround/backrefs).  Scrub order
+# is part of the contract: SSN before phone before IPv4, so the narrower
+# pattern wins where surface forms overlap; both engines apply the same
+# sequence, so results are identical.
+PII_PATTERNS = [
+    ("email", EMAIL_PATTERN, "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact common PII surface forms (emails, SSNs, phone numbers,
+    IPv4 addresses) with typed placeholder tokens; emit per-type match
+    counts (measured on the ORIGINAL text, so overlapping patterns each
+    count) plus the scrubbed text's length and md5.  Pure regexp
+    projection — per-row, shuffle-free, pushdown-safe."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    base = docs.select(id_col, *counts, scrubbed.alias("_s"))
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return base.select(
+        id_col,
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+        total.alias("n_pii"),
+        F.length("_s").alias("n_chars_scrubbed"),
+        F.md5("_s").alias("scrubbed_md5"),
+    )
+
+
+def pii_scrub_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of ``pii_scrub`` (same patterns, same replace order)."""
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all({text_col}, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrubbed = text_col
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+WITH c AS (
+  SELECT {id_col},
+  {counts},
+  {scrubbed} AS s
+  FROM {table}
+)
+SELECT {id_col}, {', '.join(f'n_{n}' for n, _, _ in PII_PATTERNS)},
+  CAST({total} AS INT) AS n_pii,
+  CAST(LENGTH(s) AS INT) AS n_chars_scrubbed, md5(s) AS scrubbed_md5
+FROM c
+"""
+
+
+def corpus_stats(docs: DataFrame, by=("lang", "source"), text_col: str = "text") -> DataFrame:
+    """Per-stratum corpus accounting: document count, exact char/word
+    totals, mean doc length.  Integer sums → deterministic; one
+    map-combinable shuffle on the (small) stratum key."""
+    base = docs.select(
+        *by,
+        F.length(text_col).cast("bigint").alias("_nc"),
+        F.size(words(F.col(text_col))).cast("bigint").alias("_nw"),
+    )
+    return base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nc").alias("total_chars"),
+        F.sum("_nw").alias("total_words"),
+        (F.sum("_nc").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+        (F.sum("_nw").cast("double") / F.count(F.lit(1))).alias("mean_words"),
+    )
+
+
+def length_histogram(
+    docs: DataFrame, by: str = "lang", text_col: str = "text", bucket_width: int = 200
+) -> DataFrame:
+    """Document-length histogram per stratum: one row per (stratum,
+    bucket) with the bucket's inclusive char-range start.  The standard
+    corpus-QA visualization input; integer arithmetic only."""
+    # explicit FLOOR: Spark's double→bigint cast truncates but DuckDB's
+    # rounds — floor-then-cast is the portable spelling
+    b = F.floor(F.length(text_col) / F.lit(bucket_width)).cast("bigint")
+    return (
+        docs.select(F.col(by).alias("stratum"), (b * bucket_width).alias("bucket_lo"))
+        .groupBy("stratum", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def tf_idf(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_df: int = 2
 ) -> DataFrame:

@@ -35,8 +35,12 @@ from timeseriesutils_spark.operators.text import (
     URL_PATTERN,
     LANG_MARKERS,
     clean_text,
+    corpus_stats,
     fingerprint,
     lang_id,
+    length_histogram,
+    pii_scrub,
+    pii_scrub_sql,
     quality_score,
     repetition_stats,
     text_stats,
@@ -557,6 +561,73 @@ FROM a GROUP BY 1
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass (operators/text.pii_scrub): typed placeholder
+    substitution + per-type counts, shared-regex-subset patterns."""
+    return pii_scrub(_docs(spark, sf_dir))
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Per-(lang, source) corpus accounting — exact integer totals."""
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+_SQL_CORPUS_STATS = """
+WITH b AS (
+  SELECT lang, source, CAST(LENGTH(text) AS BIGINT) AS nc,
+    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS nw
+  FROM documents
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+  SUM(nc) AS total_chars, SUM(nw) AS total_words,
+  CAST(SUM(nc) AS DOUBLE) / COUNT(*) AS mean_chars,
+  CAST(SUM(nw) AS DOUBLE) / COUNT(*) AS mean_words
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_length_histogram(spark, sf_dir):
+    """Doc-length histogram per language (operators/text.length_histogram)."""
+    return length_histogram(_docs(spark, sf_dir), by="lang", bucket_width=200)
+
+
+_SQL_LENGTH_HISTOGRAM = """
+SELECT lang AS stratum,
+  CAST(FLOOR(LENGTH(text) / 200.0) AS BIGINT) * 200 AS bucket_lo,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic data-mixture sampling (operators/splits.
+    stratified_sample): per-language keep rates over md5 buckets;
+    summarized per stratum so the output is small and stable."""
+    from timeseriesutils_spark.operators.splits import stratified_sample
+
+    kept = stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", _MIX_RATES, default_rate=0.05
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _sql_stratified_sample():
+    from timeseriesutils_spark.operators.splits import stratified_sample_sql_pred
+
+    pred = stratified_sample_sql_pred("doc_id", "lang", _MIX_RATES, default_rate=0.05)
+    return (
+        "SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id\n"
+        f"FROM documents WHERE {pred} GROUP BY 1"
+    )
+
+
 QUERIES = {
     "dedup_exact": Q(q_dedup_exact, _SQL_DEDUP_EXACT),
     "hash_split": Q(q_hash_split, _SQL_HASH_SPLIT),
@@ -582,4 +653,8 @@ QUERIES = {
     "multimodal_meta": Q(q_multimodal_meta, _SQL_MULTIMODAL),
     "seq_pack": Q(q_seq_pack, _SQL_SEQ_PACK),
     "decontaminate_pairs": Q(q_decontaminate_pairs, _SQL_DECONTAMINATE),
+    "pii_scrub": Q(q_pii_scrub, pii_scrub_sql()),
+    "corpus_stats": Q(q_corpus_stats, _SQL_CORPUS_STATS),
+    "length_histogram": Q(q_length_histogram, _SQL_LENGTH_HISTOGRAM),
+    "stratified_sample": Q(q_stratified_sample, _sql_stratified_sample()),
 }
