@@ -84,6 +84,14 @@ def main() -> int:
         sdf = fn(spark, sf_dir).toPandas()
         spark.catalog.clearCache()  # evict per-query persist() forks
         if name not in oracles:
+            # the driver canonicalizes rows-only results too: an array-typed
+            # output column would crash its sort_values — reproduce that here
+            try:
+                sdf.sort_values(sorted(sdf.columns), kind="mergesort")
+            except TypeError as exc:
+                failed.append(name)
+                print(f"{name}: FAIL (rows-only result not canonicalizer-safe: {exc})")
+                continue
             print(f"{name}: rows-only ({len(sdf)} rows) — no oracle")
             continue
         odf = con.execute(oracles[name]).df()
