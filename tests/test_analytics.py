@@ -1,0 +1,147 @@
+"""Event-analytics operators: rollup levels, funnel ordering, cohort
+math, cross-doc boilerplate, BM25 ranking."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.analytics import (
+    cohort_retention,
+    funnel_counts,
+    time_rollup,
+)
+from timeseriesutils_spark.operators.text import bm25_search, cross_doc_dup_fraction
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, u, t, v) for i, (ts, u, t, v) in enumerate(rows)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_time_rollup_levels_are_consistent(spark):
+    ev = _events(
+        spark,
+        [
+            ("2024-01-01 00:00:10", 1, "view", 1.0),
+            ("2024-01-01 00:00:50", 1, "view", 2.0),
+            ("2024-01-01 00:05:00", 2, "click", 3.0),
+            ("2024-01-01 01:00:00", 2, "view", 4.0),
+            ("2024-01-02 00:00:00", 3, "view", 5.0),
+        ],
+    )
+    out = time_rollup(ev).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r.level, []).append(r)
+    # every level partitions all 5 events; finer levels have >= rows
+    assert sum(r.n for r in by_level["day"]) == 5
+    assert sum(r.n for r in by_level["hour"]) == 5
+    assert sum(r.n for r in by_level["minute"]) == 5
+    assert [r.n for r in by_level["total"]] == [5]
+    assert by_level["total"][0].bucket_ms is None
+    assert len(by_level["day"]) == 2
+    assert len(by_level["hour"]) == 3
+    assert len(by_level["minute"]) == 4
+    assert math.isclose(by_level["total"][0].value_sum, 15.0)
+
+
+def test_funnel_requires_step_order(spark):
+    ev = _events(
+        spark,
+        [
+            # u1: full ordered funnel
+            ("2024-01-01 00:00:00", 1, "view", 0.0),
+            ("2024-01-01 00:01:00", 1, "click", 0.0),
+            ("2024-01-01 00:02:00", 1, "purchase", 0.0),
+            # u2: purchase BEFORE view/click → reaches only step 1+2
+            ("2024-01-01 00:00:00", 2, "purchase", 0.0),
+            ("2024-01-01 00:01:00", 2, "view", 0.0),
+            ("2024-01-01 00:02:00", 2, "click", 0.0),
+            # u3: never clicks
+            ("2024-01-01 00:00:00", 3, "view", 0.0),
+            # u4: no view at all → not even step 1
+            ("2024-01-01 00:00:00", 4, "click", 0.0),
+        ],
+    )
+    rows = {r.step_name: r for r in funnel_counts(ev).collect()}
+    assert rows["view"].n_users == 3
+    assert rows["click"].n_users == 2
+    assert rows["purchase"].n_users == 1
+    assert rows["view"].conversion is None
+    assert math.isclose(rows["click"].conversion, 2 / 3)
+    assert math.isclose(rows["purchase"].conversion, 1 / 2)
+
+
+def test_cohort_retention_offsets(spark):
+    ev = _events(
+        spark,
+        [
+            ("2024-01-01 10:00:00", 1, "view", 0.0),
+            ("2024-01-03 10:00:00", 1, "view", 0.0),  # day-0 cohort, offset 2
+            ("2024-01-03 10:00:00", 2, "view", 0.0),  # day-2 cohort, offset 0
+            ("2024-01-01 11:00:00", 3, "view", 0.0),  # day-0 cohort, offset 0
+        ],
+    )
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users for r in cohort_retention(ev).collect()
+    }
+    assert got == {(0, 0): 2, (0, 2): 1, (2, 0): 1}
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_cross_doc_dup_fraction(spark):
+    shared = "a b c d e"
+    docs = _docs(
+        spark,
+        [
+            f"{shared} x y z",  # grams: 4 total, 1 shared
+            f"{shared} p q r",
+            "completely different words here now",  # nothing shared
+        ],
+    )
+    got = {
+        r.doc_id: r
+        for r in cross_doc_dup_fraction(docs, n=5, min_docs=2).collect()
+    }
+    # 8 words → 4 5-grams; only "a b c d e" appears in 2 docs
+    assert got[0].n_grams == 4 and got[0].n_shared == 1
+    assert math.isclose(got[0].shared_frac, 0.25)
+    assert got[2].n_shared == 0 and got[2].shared_frac == 0.0
+
+
+def test_bm25_ranks_rarer_terms_higher(spark):
+    docs = _docs(
+        spark,
+        [
+            "rare common filler filler",
+            "common filler filler filler",
+            "common common filler filler",
+            "filler filler filler filler",
+        ],
+    )
+    out = bm25_search(docs, terms=("rare", "common"), top_k=10).collect()
+    assert out[0].doc_id == 0  # holds the rare term → highest score
+    ids = {r.doc_id for r in out}
+    assert 3 not in ids  # no query term → not scored
+    assert all(out[i].score >= out[i + 1].score for i in range(len(out) - 1))
+
+
+def test_bm25_tf_saturation(spark):
+    # doubling tf must increase the score sublinearly (k1 saturation)
+    docs = _docs(
+        spark,
+        ["t x x x", "t t x x", "t t t t t t x x"],
+    )
+    s = {r.doc_id: r.score for r in bm25_search(docs, terms=("t",), top_k=10).collect()}
+    assert s[1] > s[0]
+    assert (s[1] - s[0]) < s[0]  # gain from the 2nd occurrence < base score

@@ -1,0 +1,238 @@
+"""Event-analytics operators: multi-resolution time rollups, ordered
+funnels, cohort retention.
+
+These are the hypertable/product-analytics queries a time-series engine
+is used for day-to-day; the reference delegates all aggregation to its
+caller (SURVEY.md §2.3), so these are capability-parity ops built on
+Spark primitives.
+
+Scale design:
+
+* ``time_rollup`` — ONE pass over the fact table produces every
+  resolution level at once via ``ROLLUP`` over hierarchically-nested
+  truncations (minute ⊂ hour ⊂ day).  Partial (map-side) aggregation
+  applies per level, so the shuffle carries pre-combined rows — at
+  100 TB this is a single fact scan + one exchange keyed by the finest
+  bucket, never N scans for N resolutions.  This is the batch form of a
+  TimescaleDB continuous aggregate / materialized rollup.
+* ``funnel_counts`` — the step timestamps are conditional MINs over one
+  ``Window.partitionBy(user)``: every step reuses the SAME partitioning,
+  so the whole funnel costs exactly one exchange + one in-partition pass
+  regardless of step count (no per-step join/shuffle chain).
+* ``cohort_retention`` — first-touch assignment is a window MIN over the
+  same user partitioning; the (cohort, offset) aggregation that follows
+  is map-combinable.  ``countDistinct`` over (user) is exact and
+  partial-aggregated; at extreme cardinality swap for
+  ``approx_count_distinct`` (sketches merge associatively).
+
+All timestamps are compared/emitted as integer epoch milliseconds or
+day indexes (no float time arithmetic), value sums through exact
+DECIMAL (functions/exact.py) — results are bit-identical across
+partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.functions.exact import dsum, dsum_sql
+
+EPOCH = "2024-01-01"  # day-index origin for cohort math (events table era)
+
+
+def _ms(ts_col: str) -> Column:
+    return F.unix_millis(F.col(ts_col).cast("timestamp"))
+
+
+def time_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    levels: tuple[str, ...] = ("day", "hour", "minute"),
+) -> DataFrame:
+    """Multi-resolution time-bucketed aggregate: one output row per
+    (level, bucket) with event count and exact value sum, computed in a
+    single pass via ROLLUP over nested truncations.
+
+    ``levels`` must be ordered coarse → fine (each bucket nested in the
+    previous).  Output: ``level`` (the resolution name, 'total' for the
+    grand-total row), ``bucket_ms`` (bucket start, epoch ms; NULL for
+    'total'), ``n`` , ``value_sum``.
+    """
+    bucket_cols = [
+        F.unix_millis(F.date_trunc(lv, F.col(ts_col).cast("timestamp"))).alias(f"b_{lv}")
+        for lv in levels
+    ]
+    names = [f"b_{lv}" for lv in levels]
+    rolled = (
+        events.select(*bucket_cols, value_col)
+        .rollup(*names)
+        .agg(
+            F.grouping_id(*names).alias("_gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(value_col, scale=8).alias("value_sum"),
+        )
+    )
+    # grouping_id bit i set ⇔ names[i] rolled away; rollup yields exactly
+    # len(levels)+1 masks: 0 (finest) … all-set (grand total)
+    gid = F.col("_gid")
+    n_lv = len(levels)
+    level = F.lit("total")
+    bucket = F.lit(None).cast("bigint")
+    for i, lv in enumerate(levels):
+        mask = (1 << (n_lv - 1 - i)) - 1  # levels[i] kept, finer ones rolled
+        level = F.when(gid == mask, F.lit(lv)).otherwise(level)
+        bucket = F.when(gid == mask, F.col(names[i])).otherwise(bucket)
+    return rolled.select(
+        level.alias("level"), bucket.alias("bucket_ms"), "n", "value_sum"
+    )
+
+
+def time_rollup_sql(
+    ts_col: str = "ts",
+    value_col: str = "value",
+    levels: tuple[str, ...] = ("day", "hour", "minute"),
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`time_rollup` (same bucket-ms integers)."""
+    names = [f"b_{lv}" for lv in levels]
+    trunc = ",\n    ".join(
+        f"epoch_ms(date_trunc('{lv}', {ts_col})) AS b_{lv}" for lv in levels
+    )
+    n_lv = len(levels)
+    lvl_case = "CASE "
+    bkt_case = "CASE "
+    for i, lv in enumerate(levels):
+        mask = (1 << (n_lv - 1 - i)) - 1
+        lvl_case += f"WHEN GROUPING({', '.join(names)}) = {mask} THEN '{lv}' "
+        bkt_case += f"WHEN GROUPING({', '.join(names)}) = {mask} THEN {names[i]} "
+    lvl_case += "ELSE 'total' END"
+    bkt_case += "ELSE NULL END"
+    return f"""
+WITH e AS (
+  SELECT {trunc},
+    {value_col}
+  FROM {table}
+)
+SELECT {lvl_case} AS level, {bkt_case} AS bucket_ms,
+  COUNT(*) AS n, {dsum_sql(value_col, scale=8)} AS value_sum
+FROM e GROUP BY ROLLUP ({', '.join(names)})
+"""
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: users reaching step i must have an event of type
+    ``steps[i]`` at/after their step-i−1 timestamp (first-touch per step,
+    ``>=`` so same-millisecond progressions count).
+
+    Output: one row per step — ``step`` (1-based), ``step_name``,
+    ``n_users`` reaching it, ``conversion`` (n / step-1 users, double).
+    """
+    w = Window.partitionBy(user_col)
+    e = events.select(user_col, type_col, _ms(ts_col).alias("ts_ms"))
+    prev: Column | None = None
+    t_cols = []
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col("ts_ms") >= prev)
+        e = e.withColumn(f"t{i}", F.min(F.when(cond, F.col("ts_ms"))).over(w))
+        prev = F.col(f"t{i}")
+        t_cols.append(f"t{i}")
+    per_user = e.groupBy(user_col).agg(*[F.max(t).alias(t) for t in t_cols])
+    counts = per_user.agg(
+        *[F.count(t).alias(f"n{i}") for i, t in enumerate(t_cols)]
+    )
+    stack = ", ".join(
+        f"{i + 1}, '{s}', n{i}, {'cast(NULL as double)' if i == 0 else f'n{i} / cast(n{i - 1} as double)'}"
+        for i, s in enumerate(steps)
+    )
+    return counts.selectExpr(
+        f"stack({len(steps)}, {stack}) AS (step, step_name, n_users, conversion)"
+    )
+
+
+def funnel_counts_sql(
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`funnel_counts` (chained window CTEs)."""
+    ctes = [f"s0 AS (\n  SELECT {user_col}, {type_col}, epoch_ms({ts_col}) AS ts_ms FROM {table}\n)"]
+    prev_src = "s0"
+    for i, s in enumerate(steps):
+        cond = f"{type_col} = '{s}'"
+        if i > 0:
+            cond += f" AND ts_ms >= t{i - 1}"
+        ctes.append(
+            f"s{i + 1} AS (\n  SELECT *, MIN(CASE WHEN {cond} THEN ts_ms END) "
+            f"OVER (PARTITION BY {user_col}) AS t{i} FROM {prev_src}\n)"
+        )
+        prev_src = f"s{i + 1}"
+    t_cols = [f"t{i}" for i in range(len(steps))]
+    maxes = ", ".join(f"MAX({t}) AS {t}" for t in t_cols)
+    cnts = ", ".join(f"COUNT({t}) AS n{i}" for i, t in enumerate(t_cols))
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS step, '{s}' AS step_name, n{i} AS n_users, "
+        + ("CAST(NULL AS DOUBLE) AS conversion" if i == 0 else f"n{i} / CAST(n{i - 1} AS DOUBLE) AS conversion")
+        + " FROM c"
+        for i, s in enumerate(steps)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f",\nu AS (\n  SELECT {user_col}, {maxes} FROM {prev_src} GROUP BY {user_col}\n)"
+        + f",\nc AS (\n  SELECT {cnts} FROM u\n)\n"
+        + rows
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    epoch: str = EPOCH,
+) -> DataFrame:
+    """Day-granularity cohort retention: cohort = day index of the user's
+    first event; one output row per (cohort_day, day_offset) with the
+    exact distinct-user count active at that offset.
+    """
+    day = F.datediff(F.col(ts_col).cast("date"), F.lit(epoch).cast("date")).cast(
+        "bigint"
+    )
+    w = Window.partitionBy(user_col)
+    e = events.select(F.col(user_col), day.alias("day"))
+    e = e.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        e.groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def cohort_retention_sql(
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    epoch: str = EPOCH,
+    table: str = "events",
+) -> str:
+    return f"""
+WITH e AS (
+  SELECT {user_col},
+    CAST(datediff('day', DATE '{epoch}', CAST({ts_col} AS DATE)) AS BIGINT) AS day
+  FROM {table}
+), c AS (
+  SELECT *, MIN(day) OVER (PARTITION BY {user_col}) AS cohort_day FROM e
+)
+SELECT cohort_day, day - cohort_day AS day_offset,
+  COUNT(DISTINCT {user_col}) AS n_users
+FROM c GROUP BY 1, 2
+"""

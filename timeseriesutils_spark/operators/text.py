@@ -281,6 +281,207 @@ def length_histogram(
     )
 
 
+def doc_ngrams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """One row per word-n-gram OCCURRENCE: (id, gram).  Shorter-than-n
+    docs contribute their whole text as one gram (same convention as
+    ``repetition_stats`` / the shingle builder in operators/dedup.py)."""
+    w = docs.select(id_col, words(F.col(text_col)).alias("_w"))
+    wc = F.col("_w")
+    grams = F.when(
+        F.size(wc) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(wc) - n),
+            lambda i: F.concat_ws(" ", F.slice(wc, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", wc)))
+    return w.select(id_col, F.explode(grams).alias("gram"))
+
+
+def cross_doc_dup_fraction(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate signal: per document, the fraction of its
+    word n-grams that also occur in ≥ ``min_docs`` distinct documents
+    (Dolma/Gopher-style "duplicate paragraph fraction", at n-gram
+    granularity since this corpus has no paragraph breaks).
+
+    Output: (id, n_grams, n_shared, shared_frac).
+
+    Scale shape: gram occurrences shuffle once on an int64 xxhash64 of
+    the gram (16-byte rows, not strings); document frequency is a
+    map-combinable count over distinct (gram, doc) pairs; the shared-set
+    membership check is a semi join on the same int64 key.  No posting
+    list is ever materialized per gram — only its document COUNT — so a
+    stop-gram shared by 10⁶ docs costs one counter, never C(k,2) pairs.
+    """
+    occ = doc_ngrams(docs, id_col, text_col, n).select(
+        id_col, F.xxhash64("gram").alias("_g")
+    )
+    # fork: per-doc totals + docfreq + membership probe all reuse occ
+    occ = occ.persist()
+    shared = (
+        occ.distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_g")
+    )
+    totals = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    shared_cnt = (
+        occ.join(shared, "_g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        totals.join(shared_cnt, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (
+                F.coalesce("n_shared", F.lit(0)) / F.col("n_grams").cast("double")
+            ).alias("shared_frac"),
+        )
+    )
+
+
+def cross_doc_dup_fraction_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`cross_doc_dup_fraction` (gram strings in
+    place of the internal xxhash64 key — same result, collision-free)."""
+    return f"""
+WITH w AS (
+  SELECT {id_col}, string_split_regex(lower(trim({text_col})), '\\s+') AS ws FROM {table}
+),
+g AS (
+  SELECT {id_col}, unnest(CASE WHEN len(ws) >= {n}
+    THEN [array_to_string(ws[i:i+{n - 1}], ' ') FOR i IN range(1, len(ws) - {n - 2})]
+    ELSE [array_to_string(ws, ' ')] END) AS gram
+  FROM w
+),
+shared AS (
+  SELECT gram FROM (SELECT DISTINCT {id_col}, gram FROM g)
+  GROUP BY gram HAVING COUNT(*) >= {min_docs}
+),
+totals AS (SELECT {id_col}, COUNT(*) AS n_grams FROM g GROUP BY 1),
+sc AS (
+  SELECT {id_col}, COUNT(*) AS n_shared FROM g
+  WHERE gram IN (SELECT gram FROM shared) GROUP BY 1
+)
+SELECT t.{id_col}, t.n_grams, COALESCE(sc.n_shared, 0) AS n_shared,
+  COALESCE(sc.n_shared, 0) / CAST(t.n_grams AS DOUBLE) AS shared_frac
+FROM totals t LEFT JOIN sc ON t.{id_col} = sc.{id_col}
+"""
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Exact BM25 keyword retrieval over the corpus: score every document
+    containing ≥1 query term, return the top ``top_k`` by score (ties
+    broken on id for a total order).
+
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)); per-term contributions are
+    summed in the FIXED order of ``terms`` via conditional pivots (never
+    a float SUM aggregate), and the score is rounded through the
+    floor(x·1e6 + 0.5) convention (see tf_idf) — so the result is
+    bit-identical across partitionings and engines.
+
+    Scale shape: one corpus scan; term postings are filtered BEFORE the
+    per-doc aggregation (the term list is a literal IN-filter, pushdown-
+    eligible); df and N are tiny aggregates broadcast into the scoring
+    projection.  Nothing shuffles except the ≤|terms|-row-per-doc
+    aggregation and the final top-k (TakeOrdered — no global sort).
+    """
+    w = docs.select(id_col, words(F.col(text_col)).alias("_w"))
+    base = w.select(id_col, F.size("_w").alias("dl"), F.explode("_w").alias("word"))
+    stats = w.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (F.sum(F.size("_w")) / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    hits = base.filter(F.col("word").isin(*terms))
+    tf = hits.groupBy(id_col, "dl", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "word").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        1.0 + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    per_term = scored.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("word") == t, contrib)).alias(f"_s{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = None
+    for i in range(len(terms)):
+        c = F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        total = c if total is None else total + c
+    score = F.floor(total * 1e6 + 0.5) / 1e6
+    return (
+        per_term.select(id_col, score.alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(top_k)
+    )
+
+
+def bm25_search_sql(
+    terms: tuple[str, ...],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`bm25_search` (same fixed-order summation and
+    rounding)."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    contribs = " + ".join(
+        f"COALESCE(MAX(CASE WHEN word = '{t}' THEN contrib END), 0.0)" for t in terms
+    )
+    return f"""
+WITH w AS (
+  SELECT {id_col}, string_split_regex(lower(trim({text_col})), '\\s+') AS ws FROM {table}
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(len(ws)) / COUNT(*) AS avgdl FROM w
+),
+base AS (SELECT {id_col}, len(ws) AS dl, unnest(ws) AS word FROM w),
+tf AS (
+  SELECT {id_col}, dl, word, COUNT(*) AS tf FROM base
+  WHERE word IN ({term_list}) GROUP BY 1, 2, 3
+),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.{id_col}, tf.word,
+    ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * ({k1} + 1.0))
+      / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl)) AS contrib
+  FROM tf JOIN df ON tf.word = df.word CROSS JOIN stats s
+)
+SELECT {id_col}, FLOOR(({contribs}) * 1e6 + 0.5) / 1e6 AS score
+FROM scored GROUP BY {id_col}
+ORDER BY score DESC, {id_col} LIMIT {top_k}
+"""
+
+
 def tf_idf(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_df: int = 2
 ) -> DataFrame:

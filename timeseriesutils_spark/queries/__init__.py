@@ -21,6 +21,7 @@ class Q:
 
 def catalog() -> dict[str, Q]:
     from timeseriesutils_spark.queries import (
+        analytics_queries,
         featurize_queries,
         llm_queries,
         relational_queries,
@@ -33,6 +34,7 @@ def catalog() -> dict[str, Q]:
         featurize_queries,
         relational_queries,
         series_queries,
+        analytics_queries,
         llm_queries,
         streaming_queries,
     ):
