@@ -438,6 +438,10 @@ def ngram_jaccard_against(
         F.col("id").alias("id_a"), F.size("sh").alias("sz_a"), F.explode("sh").alias("s")
     )
     if max_posting is not None:
+        # the hot-shingle scan forks the plan (posting count + anti-join
+        # probe both consume ea) — persist so the shingle pipeline runs
+        # once, not per branch (cache policy: module docstring)
+        ea = ea.persist()
         hot = (
             ea.groupBy("s")
             .agg(F.count(F.lit(1)).alias("_c"))

@@ -12,6 +12,19 @@ import os
 
 from pyspark.sql import SparkSession
 
+# InferFiltersFromGenerate synthesizes `size(e) > 0 AND isnotnull(e)` from
+# every explode() and pushes it into the scan — for the higher-order shingle
+# expressions (transform/array_distinct over a regex split) that filter
+# re-evaluates the WHOLE interpreted expression tree per row, with the split
+# inlined once per occurrence (measured 6× slowdown on the n-gram dedup
+# family at sf0.1: the generator input is never null/empty here, so the
+# inferred filter only burns CPU).  Excluding the rule is safe for this
+# engine: no declared query explodes a nullable/often-empty computed array
+# where the pre-filter would prune meaningful work.
+EXCLUDED_OPTIMIZER_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
 
 def get_spark(
     app_name: str = "timeseriesutils_spark",
@@ -32,6 +45,7 @@ def get_spark(
         # long when this legacy flag is set (sources/tables.py converts).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else int(cpus)),
@@ -52,4 +66,5 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
     return spark
