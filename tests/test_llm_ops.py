@@ -348,3 +348,30 @@ def test_decontaminate_drops_eval_overlap(spark):
     assert pairs[0]["jaccard"] == 1.0
     kept = sorted(r["doc_id"] for r in decontaminate(train, ev, threshold=0.8).collect())
     assert kept == [2]  # contaminated doc dropped, unrelated doc kept
+
+
+def test_quantize_embeddings_bounds(spark):
+    """Quantized values must lie in [-127, 127] with the max-|x| element
+    hitting exactly ±127, and checksums must be reconstructible from a
+    local numpy quantization of the same vectors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+    vecs.append((99, [0.0] * 8))  # zero vector → dropped
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert 99 not in out
+    assert len(out) == 20
+    for i, v in vecs[:20]:
+        a = np.array(v, dtype="float64")  # float32 storage round-trips below
+        a32 = a.astype("float32").astype("float64")
+        mx = np.abs(a32).max()
+        q = np.sign(a32) * np.floor(np.abs(a32) * (127.0 / mx) + 0.5)
+        r = out[i]
+        assert r.q_sum == int(q.sum())
+        assert r.q_l2 == int((q * q).sum())
+        assert np.abs(q).max() == 127 and r.n_sat >= 1

@@ -140,3 +140,34 @@ def test_watermark_drops_late_data(spark, tmp_path):
     }
     # hour-10 window closed with 2 rows; the late 10:30 row never counted
     assert got.get("2024-01-01 10:00:00") == 2
+
+
+def test_stream_interval_join_equals_batch(spark):
+    """Stream-stream inner join (both sides watermarked, time-bounded
+    condition): append-mode results over the drained stream equal the
+    batch interval join."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.streaming.windows import stream_interval_join
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    bl, br = split(load_events_batch(spark))
+    batch = stream_interval_join(bl, br, within="10 minutes")
+    sl, sr = split(read_events_stream(spark, SF_DIR))
+    stream = stream_interval_join(sl, sr, within="10 minutes", watermark="1 day")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_sj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM t_sj")
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, got.collect()))
+    assert batch.count() > 0

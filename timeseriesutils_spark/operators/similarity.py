@@ -441,3 +441,78 @@ def knn_lsh(
         .filter(F.col("rn") <= k)
         .select(query_id, id_col, "cos", "rn")
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 per-vector quantization summary — the storage prep
+    step for a serving-scale ANN index (int8 vectors are 4× smaller than
+    float32 and dot-product-compatible after rescale).
+
+    Per vector: scale = 127 / max|x|, q_i = round_half_away(x_i·scale).
+    Emits scalar audit columns (not the array — canonicalizer-safe and
+    what a corpus QA report needs): dim, max_abs, q_sum (exact int64),
+    q_l2 (exact int64 Σq²), n_sat (|q| = 127 count — symmetric-clip
+    check).  Zero vectors are dropped (no defined scale).
+
+    All arithmetic is deterministic: doubles for the scale/product,
+    floor-based half-away rounding (same op both engines), int64
+    accumulation (associative — partition-order independent).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    base = embeddings.select(
+        id_col, v.alias("_v"), F.size(vec_col).alias("dim"), mx.alias("max_abs")
+    ).filter(F.col("max_abs") > 0)
+    scale = F.lit(127.0) / F.col("max_abs")
+    # round-half-away-from-zero via sign·floor(|x|+0.5): identical in
+    # Spark and DuckDB (unlike round(), whose tie mode differs by type)
+    q = F.transform(
+        F.col("_v"),
+        lambda x: (
+            F.signum(x) * F.floor(F.abs(x) * scale + 0.5)
+        ).cast("bigint"),
+    )
+    withq = base.select(id_col, "dim", "max_abs", q.alias("_q"))
+    i0 = F.lit(0).cast("bigint")
+    return withq.select(
+        id_col,
+        "dim",
+        "max_abs",
+        F.aggregate("_q", i0, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate("_q", i0, lambda a, x: a + x * x).alias("q_l2"),
+        F.size(F.filter("_q", lambda x: F.abs(x) == 127)).alias("n_sat"),
+    )
+
+
+def quantize_embeddings_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`quantize_embeddings` (list lambdas)."""
+    return f"""
+WITH v AS (
+  SELECT {id_col},
+    [CAST(x AS DOUBLE) FOR x IN {vec_col}] AS v,
+    len({vec_col}) AS dim
+  FROM {table}
+), m AS (
+  SELECT *, list_aggregate([abs(x) FOR x IN v], 'max') AS max_abs FROM v
+  WHERE list_aggregate([abs(x) FOR x IN v], 'max') > 0
+), q AS (
+  SELECT {id_col}, dim, max_abs,
+    [CAST(sign(x) * floor(abs(x) * (127.0 / max_abs) + 0.5) AS BIGINT) FOR x IN v] AS q
+  FROM m
+)
+SELECT {id_col}, CAST(dim AS INT) AS dim, max_abs,
+  CAST(list_sum(q) AS BIGINT) AS q_sum,
+  CAST(list_sum([x * x FOR x IN q]) AS BIGINT) AS q_l2,
+  CAST(len(list_filter(q, x -> abs(x) = 127)) AS INT) AS n_sat
+FROM q
+"""

@@ -225,6 +225,15 @@ def q_simhash(spark, sf_dir):
     return simhash_docs(_docs(spark, sf_dir), n=2)
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 quantization audit (similarity.quantize_embeddings):
+    per-vector scale + exact integer checksums of the quantized vector —
+    the storage-prep step for a serving ANN index."""
+    from timeseriesutils_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_emb(spark, sf_dir))
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Semantic near-dup pairs: embedding cosine ≥ 0.45, exact all-pairs
     (blocked outer product) — the verify/small-corpus tier, oracle-checked
@@ -450,6 +459,12 @@ FROM c GROUP BY 1, 2
 """
 
 
+def _sql_quantize():
+    from timeseriesutils_spark.operators.similarity import quantize_embeddings_sql
+
+    return quantize_embeddings_sql()
+
+
 def q_decontaminate_pairs(spark, sf_dir):
     """Benchmark decontamination: treat even doc_ids as the training
     corpus and odd doc_ids as the held-out eval set; emit every train/eval
@@ -653,6 +668,7 @@ QUERIES = {
     "multimodal_meta": Q(q_multimodal_meta, _SQL_MULTIMODAL),
     "seq_pack": Q(q_seq_pack, _SQL_SEQ_PACK),
     "decontaminate_pairs": Q(q_decontaminate_pairs, _SQL_DECONTAMINATE),
+    "quantize_embeddings": Q(q_quantize_embeddings, _sql_quantize()),
     "pii_scrub": Q(q_pii_scrub, pii_scrub_sql()),
     "corpus_stats": Q(q_corpus_stats, _SQL_CORPUS_STATS),
     "length_histogram": Q(q_length_histogram, _SQL_LENGTH_HISTOGRAM),

@@ -7,9 +7,12 @@ verifies their batch-mode results against window SQL in DuckDB.
 from __future__ import annotations
 
 from timeseriesutils_spark.functions.exact import dsum_sql
+from pyspark.sql import functions as F
+
 from timeseriesutils_spark.queries import Q
 from timeseriesutils_spark.sources.tables import load_table
 from timeseriesutils_spark.streaming.windows import (
+    stream_interval_join_sql,
     session_counts,
     sliding_counts,
     stream_dedup,
@@ -80,6 +83,22 @@ def q_stream_dedup(spark, sf_dir):
     return stream_dedup(_events(spark, sf_dir))
 
 
+def q_stream_join(spark, sf_dir):
+    """Stream-stream attribution join (streaming/windows.
+    stream_interval_join): every purchase paired with the same user's
+    clicks in the preceding 10 minutes.  Batch-equivalent check; the
+    streaming path (watermarks both sides, bounded state) is exercised in
+    tests/test_streaming.py."""
+    from timeseriesutils_spark.streaming.windows import stream_interval_join
+
+    ev = _events(spark, sf_dir)
+    return stream_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        within="10 minutes",
+    )
+
+
 _SQL_STREAM_DEDUP = "SELECT DISTINCT user_id, event_type FROM events"
 
 
@@ -88,4 +107,5 @@ QUERIES = {
     "stream_sliding": Q(q_stream_sliding, _SQL_SLIDING),
     "stream_session": Q(q_stream_session, _SQL_SESSION),
     "stream_dedup": Q(q_stream_dedup, _SQL_STREAM_DEDUP),
+    "stream_join": Q(q_stream_join, stream_interval_join_sql()),
 }

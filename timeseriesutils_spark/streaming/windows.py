@@ -155,6 +155,77 @@ def running_user_stats(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "10 minutes",
+    watermark: str | None = "10 minutes",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+) -> DataFrame:
+    """Stream-stream inner join: pair each right-side event with every
+    left-side event of the same key in the trailing ``within`` interval
+    (right.ts ∈ [left.ts, left.ts + within]).
+
+    The canonical attribution join (click → purchase).  In streaming
+    mode BOTH sides carry watermarks and the join condition bounds event
+    time on both sides — that is what lets Spark evict join state (a
+    side's buffered rows older than watermark + interval are dropped);
+    an unbounded-condition stream-stream join would grow state forever.
+    In batch mode the same expression is an equi-join on the key plus a
+    range predicate — per-key sort-merge, no BNLJ (the equi half is the
+    join key; the range is a post-join filter on co-located rows).
+
+    Output: (key, left id, right id, gap_ms ≥ 0).
+    """
+    l = _maybe_watermark(left, ts_col, watermark).select(
+        F.col(key).alias("_k"),
+        F.col(left_id).alias("left_id"),
+        F.col(ts_col).alias("_lts"),
+    )
+    r = _maybe_watermark(right, ts_col, watermark).select(
+        F.col(key).alias("_rk"),
+        F.col(right_id).alias("right_id"),
+        F.col(ts_col).alias("_rts"),
+    )
+    cond = (
+        (l["_k"] == r["_rk"])
+        & (r["_rts"] >= l["_lts"])
+        & (r["_rts"] <= l["_lts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("_k").alias(key),
+        "left_id",
+        "right_id",
+        (F.unix_millis(F.col("_rts").cast("timestamp"))
+         - F.unix_millis(F.col("_lts").cast("timestamp"))).alias("gap_ms"),
+    )
+
+
+def stream_interval_join_sql(
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within_ms: int = 600_000,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    table: str = "events",
+) -> str:
+    """DuckDB twin of the batch-equivalent click→purchase attribution."""
+    return f"""
+WITH l AS (
+  SELECT {key} AS k, event_id AS left_id, epoch_ms({ts_col}) AS lts
+  FROM {table} WHERE event_type = '{left_type}'
+), r AS (
+  SELECT {key} AS k, event_id AS right_id, epoch_ms({ts_col}) AS rts
+  FROM {table} WHERE event_type = '{right_type}'
+)
+SELECT l.k AS {key}, left_id, right_id, rts - lts AS gap_ms
+FROM l JOIN r ON l.k = r.k AND rts >= lts AND rts <= lts + {within_ms}
+"""
+
+
 def stream_dedup(
     events: DataFrame,
     keys: list[str] = ["user_id", "event_type"],
