@@ -150,3 +150,54 @@ def test_sessionize_gap_split(spark):
     assert r[(1, 1)].n_events == 3 and r[(1, 1)].duration_ms == 20 * m
     assert r[(1, 2)].value_sum == 9.0
     assert r[(2, 1)].n_events == 1 and r[(2, 1)].duration_ms == 0
+
+
+def test_regularize_equals_composed_pipeline(spark):
+    """Fused regularize must be row-identical to fill_gaps + ffill /
+    interpolate_linear, including with a tiny chunk bound forcing the
+    two-level gap explode."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.timegrid import (
+        ffill,
+        fill_gaps,
+        interpolate_linear,
+        regularize,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for g in range(5):
+        t = 0
+        for _ in range(rng.randint(2, 30)):
+            rows.append((g, t, round(rng.uniform(-5, 5), 3)))
+            t += rng.randint(1, 40)  # gaps up to 40 ticks
+    df = spark.createDataFrame(rows, "g long, t long, v double")
+
+    def canon(d):
+        return sorted(map(tuple, d.collect()))
+
+    for chunk in (65536, 7):
+        fused_f = regularize(df, "v", "t", ["g"], how="ffill", chunk=chunk)
+        composed_f = ffill(
+            fill_gaps(df, "t", ["g"], chunk=chunk), "v", ["g"], order_by=["t"]
+        ).select("g", "t", "v", "v_ffill")
+        assert canon(fused_f) == canon(composed_f)
+
+        fused_i = regularize(df, "v", "t", ["g"], how="interp", chunk=chunk)
+        composed_i = interpolate_linear(
+            fill_gaps(df, "t", ["g"], chunk=chunk), "v", "t", ["g"], order_by=["t"]
+        ).select("g", "t", "v", "v_interp")
+        assert canon(fused_i) == canon(composed_i)
+
+    spine = regularize(df, "v", "t", ["g"], how="spine")
+    assert canon(spine) == canon(
+        fill_gaps(df, "t", ["g"]).select("g", "t", "v")
+    )
+    # spine is dense: per group, rowcount = max - min + 1
+    got = spine.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), (F.max("t") - F.min("t") + 1).alias("want")
+    )
+    assert all(r.n == r.want for r in got.collect())

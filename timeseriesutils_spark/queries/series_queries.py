@@ -21,7 +21,7 @@ from timeseriesutils_spark.operators.series_math import (
     rolling_zscore_sql_columns,
 )
 from timeseriesutils_spark.operators.sessions import session_stats, session_stats_sql
-from timeseriesutils_spark.operators.timegrid import ffill, fill_gaps, interpolate_linear
+from timeseriesutils_spark.operators.timegrid import regularize
 from timeseriesutils_spark.queries import Q
 from timeseriesutils_spark.queries.featurize_queries import LI_ORDER, LI_ORDER_SQL
 from timeseriesutils_spark.sources.tables import load_table
@@ -68,8 +68,9 @@ def q_gap_fill_ffill(spark, sf_dir):
     the canonical series-regularization pipeline (timegrid.fill_gaps →
     timegrid.ffill).  Missing days appear with NULL day_price and the
     ffilled column carries the last shipment's value across the gap."""
-    filled = fill_gaps(_daily(spark, sf_dir), "ship_day", ["l_suppkey"])
-    return ffill(filled, "day_price", ["l_suppkey"], order_by=["ship_day"])
+    return regularize(
+        _daily(spark, sf_dir), "day_price", "ship_day", ["l_suppkey"], how="ffill"
+    )
 
 
 _SQL_GAP_FILL_FFILL = f"""
@@ -84,11 +85,10 @@ FROM filled
 
 def q_interpolate(spark, sf_dir):
     """Linear interpolation across the gaps of the daily spine
-    (timegrid.interpolate_linear): gap days get the line between the
-    surrounding shipment days; leading/trailing gaps stay NULL."""
-    filled = fill_gaps(_daily(spark, sf_dir), "ship_day", ["l_suppkey"])
-    return interpolate_linear(
-        filled, "day_price", "ship_day", ["l_suppkey"], order_by=["ship_day"]
+    (fused timegrid.regularize; equals fill_gaps → interpolate_linear):
+    gap days get the line between the surrounding shipment days."""
+    return regularize(
+        _daily(spark, sf_dir), "day_price", "ship_day", ["l_suppkey"], how="interp"
     )
 
 
