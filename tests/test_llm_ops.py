@@ -375,3 +375,64 @@ def test_quantize_embeddings_bounds(spark):
         assert r.q_sum == int(q.sum())
         assert r.q_l2 == int((q * q).sum())
         assert np.abs(q).max() == 127 and r.n_sat >= 1
+
+
+def test_pca_project_matches_numpy_and_is_partition_invariant(spark):
+    """Distributed PCA must match a driver-side numpy PCA on the same
+    vectors (tolerance: quantization units) and be bit-identical across
+    repartitionings."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.pca import pca_project
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(200, 6)) @ np.diag([5.0, 3.0, 1.0, 0.3, 0.2, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = pca_project(df, k=2).toPandas().set_index("vec_id").sort_index()
+    got2 = (
+        pca_project(df.repartition(7), k=2).toPandas().set_index("vec_id").sort_index()
+    )
+    assert (got["pc1"] == got2["pc1"]).all() and (got["pc2"] == got2["pc2"]).all()
+
+    x = np.stack([np.array(v, dtype="float32").astype("float64") for _, v in rows])
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / (len(x) - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :2]
+    for j in range(2):
+        i = int(np.abs(comps[:, j]).argmax())
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    want = (x - mu) @ comps
+    np.testing.assert_allclose(got[["pc1", "pc2"]].to_numpy(), want, atol=1e-5)
+
+    # projections onto orthonormal axes preserve total variance of top-2
+    assert got["pc1"].var() > got["pc2"].var()
+
+
+def test_mixture_resample_epochs(spark):
+    """Weight 3.0 -> exactly 3 epochs each; weight 0 -> dropped; weight
+    0.5 -> a stable subset gets 1 epoch; epoch numbering 1..n."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.splits import mixture_resample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 40 else ("b" if i < 80 else "c")) for i in range(120)],
+        "id long, src string",
+    )
+    out = mixture_resample(df, "id", "src", {"a": 3.0, "b": 0.5, "c": 0.0})
+    agg = {
+        r.src: (r.n, r.mx)
+        for r in out.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("epoch").alias("mx"))
+        .collect()
+    }
+    assert agg["a"] == (120, 3)
+    assert "c" not in agg
+    nb, mxb = agg["b"]
+    assert 0 < nb < 40 and mxb == 1
+    again = mixture_resample(df.repartition(5), "id", "src", {"a": 3.0, "b": 0.5, "c": 0.0})
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

@@ -236,3 +236,63 @@ def rolling_zscore_sql_columns(
             f"CASE WHEN {full} AND {std_q} > 0 THEN CAST(ABS({z}) > {threshold!r} AS INTEGER) END",
         ),
     ]
+
+
+def rolling_quantile(
+    df,
+    column: str,
+    q: float,
+    group_columns=None,
+    window_size: int = 15,
+    order_by=None,
+    suffix: str | None = None,
+):
+    """Exact continuous quantile over a trailing rows window (rolling
+    median for q=0.5 — the outlier-robust center line that
+    rolling_zscore's mean/std is not).
+
+    Semantics = SQL ``quantile_cont`` over the same frame: with the
+    window's non-null values sorted ascending, h = (n−1)·q, result =
+    a[⌊h⌋] + (h−⌊h⌋)·(a[⌊h⌋+1] − a[⌊h⌋]).  Selection plus one
+    multiply-add on doubles — deterministic across engines and
+    partitionings (no accumulation order involved).
+
+    Implementation: ``sort_array(collect_list)`` over the rows frame.
+    Cost per row is O(w log w) — fine for the bounded windows this is
+    for; at very large w switch to a t-digest sketch (approximate).
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list, make_window
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    w = make_window(group_columns, _as_list(order_by)).rowsBetween(
+        -(window_size - 1), Window.currentRow
+    )
+    c = F.col(column)
+    arr = F.sort_array(F.collect_list(c).over(w))
+    n = F.size(arr)
+    h = (n - 1).cast("double") * F.lit(float(q))
+    lo = F.floor(h).cast("int")
+    frac = h - lo.cast("double")
+    base = F.element_at(arr, lo + 1).cast("double")
+    nxt = F.element_at(arr, F.least(lo + 2, n)).cast("double")
+    out = F.when(n > 0, base + frac * (nxt - base))
+    name = suffix or f"{column}_q{int(q * 100)}_w{window_size}"
+    return df.select("*", out.alias(name))
+
+
+def rolling_quantile_sql_column(
+    column: str,
+    q: float,
+    group_columns,
+    order_by,
+    window_size: int = 15,
+    suffix: str | None = None,
+) -> tuple[str, str]:
+    """(name, expr) DuckDB twin: quantile_cont over the same frame."""
+    over = (
+        f"(PARTITION BY {', '.join(group_columns)} ORDER BY {', '.join(order_by)} "
+        f"ROWS BETWEEN {window_size - 1} PRECEDING AND CURRENT ROW)"
+    )
+    name = suffix or f"{column}_q{int(q * 100)}_w{window_size}"
+    return name, f"quantile_cont({column}, {q}) OVER {over}"

@@ -94,3 +94,79 @@ def stratified_sample_sql_pred(
     )
     thr = f"CASE {strata_col} {branches} ELSE {int(round(default_rate * buckets))} END"
     return f"{b} < ({thr})"
+
+
+def mixture_resample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Weighted epoch expansion — the UPSAMPLING half of data-mixture
+    assembly (``stratified_sample`` is the downsampling half): repeat
+    each row ``weight(stratum)`` times, fractional weights resolved
+    deterministically per row.
+
+    A row of weight w emits ``floor(w)`` copies plus one more iff its
+    md5 bucket < ``round(frac(w)·buckets)`` — so a 2.5-epoch source
+    yields 2 copies for every row and 3 for a stable half of them, and
+    the realized mix converges to the requested ratios at corpus scale.
+    ``epoch`` (1-based) distinguishes the copies for downstream packing.
+
+    Per-row explode, no shuffle; membership is a pure function of
+    (key, stratum) — reprocessing or repartitioning never changes which
+    rows get the extra epoch.
+    """
+    bucket = hash_bucket(F.col(key_col), buckets)
+    whole = None
+    extra = None
+    for name, wt in weights.items():
+        if wt < 0:
+            raise ValueError(f"negative weight for {name!r}")
+        cond = F.col(strata_col) == name
+        w_i, t_i = int(wt), int(round((wt - int(wt)) * buckets))
+        whole = (F.when(cond, w_i) if whole is None else whole.when(cond, w_i))
+        extra = (F.when(cond, t_i) if extra is None else extra.when(cond, t_i))
+    dw, dt = int(default_weight), int(round((default_weight - int(default_weight)) * buckets))
+    whole = F.lit(dw) if whole is None else whole.otherwise(dw)
+    extra = F.lit(dt) if extra is None else extra.otherwise(dt)
+    n = whole + F.when(bucket < extra, 1).otherwise(0)
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select("*", F.explode(seq).alias("epoch"))
+
+
+def mixture_resample_sql(
+    table: str,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    buckets: int = 100,
+) -> str:
+    """DuckDB twin of :func:`mixture_resample` (same md5-bucket
+    arithmetic as the hash_split oracle)."""
+    bucket = (
+        f"CAST(CONCAT('0x', substring(md5(CAST({key_col} AS VARCHAR)), 1, 4)) AS INT)"
+        f" % {buckets}"
+    )
+    whole = "CASE "
+    extra = "CASE "
+    for name, wt in weights.items():
+        w_i, t_i = int(wt), int(round((wt - int(wt)) * buckets))
+        whole += f"WHEN {strata_col} = '{name}' THEN {w_i} "
+        extra += f"WHEN {strata_col} = '{name}' THEN {t_i} "
+    dw, dt = int(default_weight), int(round((default_weight - int(default_weight)) * buckets))
+    whole += f"ELSE {dw} END"
+    extra += f"ELSE {dt} END"
+    return f"""
+WITH b AS (
+  SELECT *, ({whole}) + CASE WHEN ({bucket}) < ({extra}) THEN 1 ELSE 0 END AS n
+  FROM {table}
+)
+SELECT * EXCLUDE (n), CAST(unnest(generate_series(1, n)) AS INT) AS epoch
+FROM b WHERE n >= 1
+"""

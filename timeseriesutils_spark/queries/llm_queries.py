@@ -225,6 +225,15 @@ def q_simhash(spark, sf_dir):
     return simhash_docs(_docs(spark, sf_dir), n=2)
 
 
+def q_pca_project(spark, sf_dir):
+    """Top-2 principal-component projection (operators/pca.pca_project):
+    one exact distributed Gram pass + driver eigh + JVM-side projection.
+    Not SQL-expressible (eigendecomposition) -> rows-only."""
+    from timeseriesutils_spark.operators.pca import pca_project
+
+    return pca_project(_emb(spark, sf_dir), k=2)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Symmetric int8 quantization audit (similarity.quantize_embeddings):
     per-vector scale + exact integer checksums of the quantized vector —
@@ -617,6 +626,27 @@ FROM documents GROUP BY 1, 2
 _MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1}
 
 
+MIX_WEIGHTS = {"src0": 2.5, "src1": 0.3, "src2": 0.0}
+
+
+def q_mixture_resample(spark, sf_dir):
+    """Weighted epoch expansion (operators/splits.mixture_resample):
+    2.5 epochs of src0, 0.3 of src1, src2 dropped, everything else 1 —
+    the upsampling half of data-mixture assembly."""
+    from timeseriesutils_spark.operators.splits import mixture_resample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return mixture_resample(docs, "doc_id", "source", MIX_WEIGHTS)
+
+
+def _sql_mixture_resample():
+    from timeseriesutils_spark.operators.splits import mixture_resample_sql
+
+    return mixture_resample_sql(
+        "(SELECT doc_id, source FROM documents)", "doc_id", "source", MIX_WEIGHTS
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic data-mixture sampling (operators/splits.
     stratified_sample): per-language keep rates over md5 buckets;
@@ -669,8 +699,10 @@ QUERIES = {
     "seq_pack": Q(q_seq_pack, _SQL_SEQ_PACK),
     "decontaminate_pairs": Q(q_decontaminate_pairs, _SQL_DECONTAMINATE),
     "quantize_embeddings": Q(q_quantize_embeddings, _sql_quantize()),
+    "pca_project": Q(q_pca_project, None),  # eigendecomposition -> rows-only
     "pii_scrub": Q(q_pii_scrub, pii_scrub_sql()),
     "corpus_stats": Q(q_corpus_stats, _SQL_CORPUS_STATS),
     "length_histogram": Q(q_length_histogram, _SQL_LENGTH_HISTOGRAM),
     "stratified_sample": Q(q_stratified_sample, _sql_stratified_sample()),
+    "mixture_resample": Q(q_mixture_resample, _sql_mixture_resample()),
 }

@@ -17,6 +17,8 @@ from timeseriesutils_spark.operators.series_math import (
     ewma,
     ewma_sql_columns,
     pct_change,
+    rolling_quantile,
+    rolling_quantile_sql_column,
     rolling_zscore,
     rolling_zscore_sql_columns,
 )
@@ -195,6 +197,29 @@ def _sql_rolling_zscore():
     )
 
 
+def q_rolling_median(spark, sf_dir):
+    """Trailing exact rolling median (series_math.rolling_quantile,
+    q=0.5, w=15) of l_quantity per supplier — the outlier-robust center
+    line; quantile_cont semantics shared with the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+    out = rolling_quantile(
+        li, "l_quantity", 0.5, ["l_suppkey"], window_size=15, order_by=LI_ORDER
+    )
+    return out.drop("l_shipdate")
+
+
+def _sql_rolling_median():
+    name, expr = rolling_quantile_sql_column(
+        "l_quantity", 0.5, ["l_suppkey"], LI_ORDER_SQL.split(", "), window_size=15
+    )
+    return (
+        "SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, l_quantity,\n  "
+        f"{expr} AS {name}\nFROM lineitem"
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream
     (operators/sessions.session_stats): 30-minute inactivity splits, one
@@ -209,5 +234,6 @@ QUERIES = {
     "ewma": Q(q_ewma, _sql_ewma()),
     "diff_pct": Q(q_diff_pct, _sql_diff_pct()),
     "rolling_zscore": Q(q_rolling_zscore, _sql_rolling_zscore()),
+    "rolling_median": Q(q_rolling_median, _sql_rolling_median()),
     "sessionize": Q(q_sessionize, session_stats_sql(gap_minutes=30)),
 }
