@@ -156,3 +156,33 @@ def test_asof_emits_time_column_once(spark, trades_quotes):
     assert out.columns.count("t") == 1
     vals = {(r["sym"], r["t"]) for r in out.select("sym", "t").collect()}
     assert ("A", 5) in vals and ("B", 15) in vals
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    """merge_asof parity: forward takes the nearest LATER right row;
+    tolerance nulls matches beyond the bound; backward unchanged."""
+    from timeseriesutils_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 50, "c")], "k long, t long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 10.0), (1, 150, 20.0), (1, 400, 30.0)], "k long, rt long, px double"
+    )
+
+    def run(**kw):
+        out = asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            right_values=["px"], **kw
+        )
+        return {(r.k, r.t): r.px for r in out.collect()}
+
+    assert run() == {(1, 100): 10.0, (1, 200): 20.0, (2, 50): None}
+    assert run(direction="forward") == {
+        (1, 100): 20.0, (1, 200): 30.0, (2, 50): None
+    }
+    # numeric time axis → tolerance in the same units
+    assert run(direction="forward", tolerance_ms=60) == {
+        (1, 100): 20.0, (1, 200): None, (2, 50): None
+    }
+    assert run(tolerance_ms=10) == {(1, 100): 10.0, (1, 200): None, (2, 50): None}

@@ -32,21 +32,32 @@ def asof_join(
     right_values: list[str],
     tie_break: str | None = None,
     suffix: str = "",
+    direction: str = "backward",
+    tolerance_ms: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the right row with the
-    greatest ``right_time`` ≤ ``left_time`` (per key), ties broken by the
-    greatest ``tie_break`` value.
+    """As-of join (pandas ``merge_asof`` parity): for each left row, the
+    nearest right row per key — ``direction='backward'`` (default) takes
+    the greatest ``right_time`` ≤ ``left_time``, ``'forward'`` the
+    smallest ``right_time`` ≥ ``left_time``; ties broken by the greatest
+    ``tie_break`` value.  ``tolerance_ms`` (epoch-millisecond delta for
+    timestamp columns, plain delta for numeric time columns) nulls out
+    matches farther than the bound — the standard staleness guard.
 
     Plan shape: union the two sides with right payload packed in a struct,
     window ``last(payload, ignorenulls=True)`` ordered by
     (time, side, tie_break) with right-before-left at equal times so an
-    equal timestamp matches.  One hash exchange on the key; no candidate
-    explosion; whole-stage codegen throughout.
+    equal timestamp matches (forward = same running frame over the
+    REVERSED time order — still one incremental pass, never a shrinking
+    frame).  One hash exchange on the key; no candidate explosion;
+    whole-stage codegen throughout.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction={direction!r}")
     on = _as_list(on)
     payload = F.struct(
         *[F.col(c) for c in right_values],
         *( [F.col(tie_break).alias("_tb")] if tie_break else [] ),
+        *( [F.col(right_time).alias("_mt")] if tolerance_ms is not None else [] ),
     )
     # left_time rides along as _t only (passing it through AND renaming _t
     # back would emit the time column twice → AMBIGUOUS_REFERENCE for
@@ -71,13 +82,29 @@ def asof_join(
         F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
         *[F.col(c) for c in passthrough],
     )
+    t_ord = F.col("_t") if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_t"), F.col("_side"), F.col("_order2").asc_nulls_last())
+        .orderBy(t_ord, F.col("_side"), F.col("_order2").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = l.unionByName(r).withColumn("_m", F.last("_r", ignorenulls=True).over(w))
     out = matched.filter(F.col("_side") == 1).drop("_side", "_order2", "_r")
+    if tolerance_ms is not None:
+        def _num(c):
+            return (
+                F.unix_millis(c.cast("timestamp"))
+                if dict(left.dtypes).get(left_time, "").startswith("timestamp")
+                else c.cast("double")
+            )
+        gap = (
+            _num(F.col("_t")) - _num(F.col("_m").getField("_mt"))
+            if direction == "backward"
+            else _num(F.col("_m").getField("_mt")) - _num(F.col("_t"))
+        )
+        out = out.withColumn(
+            "_m", F.when(gap <= F.lit(tolerance_ms), F.col("_m"))
+        )
     for c in right_values:
         out = out.withColumn(f"{c}{suffix}", F.col("_m").getField(c))
     return out.drop("_m", "_tb").withColumnRenamed("_t", left_time)

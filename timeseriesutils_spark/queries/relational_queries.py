@@ -238,6 +238,41 @@ FROM events e WHERE e.event_type = 'purchase'
 """
 
 
+def q_asof_forward_tol(spark, sf_dir):
+    """Forward as-of with staleness bound: for each click, the NEXT
+    purchase by the same user within 10 minutes (direction='forward',
+    tolerance_ms) -- merge_asof parity on the same union+last-value plan."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="p_ts",
+        right_values=["purchase_id"],
+        tie_break="purchase_id",
+        direction="forward",
+        tolerance_ms=600_000,
+    )
+    return out.select("user_id", "event_id", "purchase_id")
+
+
+_SQL_ASOF_FWD = """
+SELECT c.user_id, c.event_id,
+  (SELECT p.event_id FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+       AND p.ts >= c.ts AND epoch_ms(p.ts) - epoch_ms(c.ts) <= 600000
+     ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS purchase_id
+FROM events c WHERE c.event_type = 'click'
+"""
+
+
 # --- windows / ranking / top-k / sort ------------------------------------
 
 
@@ -690,6 +725,7 @@ QUERIES = {
     "join_semi": Q(q_join_semi, _SQL_JOIN_SEMI),
     "join_anti": Q(q_join_anti, _SQL_JOIN_ANTI),
     "asof_join": Q(q_asof_join, _SQL_ASOF),
+    "asof_forward_tol": Q(q_asof_forward_tol, _SQL_ASOF_FWD),
     "window_rank": Q(q_window_rank, _SQL_WINDOW_RANK),
     "topk_per_group": Q(q_topk_per_group, _SQL_TOPK),
     "sort_limit": Q(q_sort_limit, _SQL_SORT_LIMIT),
