@@ -145,3 +145,29 @@ def test_bm25_tf_saturation(spark):
     s = {r.doc_id: r.score for r in bm25_search(docs, terms=("t",), top_k=10).collect()}
     assert s[1] > s[0]
     assert (s[1] - s[0]) < s[0]  # gain from the 2nd occurrence < base score
+
+
+def test_scd2_history_collapses_unchanged_runs(spark):
+    from timeseriesutils_spark.operators.sessions import scd2_history
+
+    ev = _events(
+        spark,
+        [
+            ("2024-01-01 00:00:00", 1, "view", 0.0),
+            ("2024-01-01 00:01:00", 1, "view", 0.0),   # same attr → same interval
+            ("2024-01-01 00:02:00", 1, "click", 0.0),  # change
+            ("2024-01-01 00:03:00", 1, "view", 0.0),   # change back → NEW interval
+            ("2024-01-01 00:00:00", 2, "error", 0.0),
+        ],
+    )
+    rows = sorted(
+        scd2_history(ev).collect(), key=lambda r: (r.user_id, r.valid_from_ms)
+    )
+    u1 = [r for r in rows if r.user_id == 1]
+    assert [r.event_type for r in u1] == ["view", "click", "view"]
+    assert [r.n_events for r in u1] == [2, 1, 1]
+    # intervals tile: each valid_to equals the next valid_from; last open
+    assert u1[0].valid_to_ms == u1[1].valid_from_ms
+    assert u1[1].valid_to_ms == u1[2].valid_from_ms
+    assert u1[2].valid_to_ms is None
+    assert [r.event_type for r in rows if r.user_id == 2] == ["error"]

@@ -68,6 +68,94 @@ def session_stats(
     )
 
 
+def scd2_history(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_cols: tuple[str, ...] = ("event_type",),
+    tie_break: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an event log: one
+    row per (key, change interval) with ``valid_from_ms`` /
+    ``valid_to_ms`` (epoch ms; open interval end = NULL for the current
+    row) and the attribute values in force during the interval.
+
+    Consecutive events with identical attributes collapse into one
+    interval (the classic change-detection LAG compare + running-sum
+    block id), so the history records CHANGES, not events.  One key
+    exchange + one ordered pass + a block-id aggregation that reuses the
+    same partitioning — the standard warehouse dimension-history build,
+    expressed as two window functions.
+    """
+    w = Window.partitionBy(key_col).orderBy("ts_ms", tie_break)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = events.select(
+        key_col,
+        tie_break,
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("ts_ms"),
+        *attr_cols,
+    )
+    changed = F.lit(False)
+    for c in attr_cols:
+        prev = F.lag(c).over(w)
+        changed = changed | ~(F.col(c).eqNullSafe(prev))
+    first = F.lag("ts_ms").over(w).isNull()
+    blk = F.sum(F.when(first | changed, 1).otherwise(0)).over(run)
+    blocks = base.withColumn("_blk", blk)
+    agg = blocks.groupBy(key_col, "_blk", *attr_cols).agg(
+        F.min("ts_ms").alias("valid_from_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from_ms")
+    return agg.select(
+        key_col,
+        *attr_cols,
+        "valid_from_ms",
+        F.lead("valid_from_ms").over(w2).alias("valid_to_ms"),
+        "n_events",
+    )
+
+
+def scd2_history_sql(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_cols: tuple[str, ...] = ("event_type",),
+    tie_break: str = "event_id",
+    table: str = "events",
+) -> str:
+    """DuckDB twin of :func:`scd2_history`."""
+    over = f"(PARTITION BY {key_col} ORDER BY ts_ms, {tie_break})"
+    run = (
+        f"(PARTITION BY {key_col} ORDER BY ts_ms, {tie_break} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    attrs = ", ".join(attr_cols)
+    changed = " OR ".join(
+        f"NOT ({c} IS NOT DISTINCT FROM LAG({c}) OVER {over})" for c in attr_cols
+    )
+    return f"""
+WITH e AS (
+  SELECT {key_col}, {tie_break}, epoch_ms({ts_col}) AS ts_ms, {attrs}
+  FROM {table}
+), b AS (
+  SELECT *, CASE WHEN LAG(ts_ms) OVER {over} IS NULL OR ({changed})
+            THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT *, SUM(brk) OVER {run} AS blk FROM b
+), g AS (
+  SELECT {key_col}, blk, {attrs},
+    MIN(ts_ms) AS valid_from_ms, COUNT(*) AS n_events
+  FROM s GROUP BY {key_col}, blk, {attrs}
+)
+SELECT {key_col}, {attrs}, valid_from_ms,
+  LEAD(valid_from_ms) OVER (PARTITION BY {key_col} ORDER BY valid_from_ms)
+    AS valid_to_ms,
+  n_events
+FROM g
+"""
+
+
 def session_stats_sql(
     user_col: str = "user_id",
     ts_col: str = "ts",

@@ -22,7 +22,12 @@ from timeseriesutils_spark.operators.series_math import (
     rolling_zscore,
     rolling_zscore_sql_columns,
 )
-from timeseriesutils_spark.operators.sessions import session_stats, session_stats_sql
+from timeseriesutils_spark.operators.sessions import (
+    scd2_history,
+    scd2_history_sql,
+    session_stats,
+    session_stats_sql,
+)
 from timeseriesutils_spark.operators.timegrid import regularize
 from timeseriesutils_spark.queries import Q
 from timeseriesutils_spark.queries.featurize_queries import LI_ORDER, LI_ORDER_SQL
@@ -228,6 +233,14 @@ def q_sessionize(spark, sf_dir):
     return session_stats(ev, gap_minutes=30)
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD-2 dimension history (operators/sessions.scd2_history): per
+    user, the intervals during which consecutive events kept the same
+    event_type -- change-detection LAG + running block id, one key
+    exchange."""
+    return scd2_history(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "gap_fill_ffill": Q(q_gap_fill_ffill, _SQL_GAP_FILL_FFILL),
     "interpolate": Q(q_interpolate, _SQL_INTERPOLATE),
@@ -236,4 +249,5 @@ QUERIES = {
     "rolling_zscore": Q(q_rolling_zscore, _sql_rolling_zscore()),
     "rolling_median": Q(q_rolling_median, _sql_rolling_median()),
     "sessionize": Q(q_sessionize, session_stats_sql(gap_minutes=30)),
+    "scd2_history": Q(q_scd2_history, scd2_history_sql()),
 }
