@@ -436,3 +436,35 @@ def test_mixture_resample_epochs(spark):
     assert 0 < nb < 40 and mxb == 1
     again = mixture_resample(df.repartition(5), "id", "src", {"a": 3.0, "b": 0.5, "c": 0.0})
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_heavy_hitters_exact_under_any_partitioning(spark):
+    """Two-pass MG+recount must equal the full GROUP BY answer for every
+    partitioning (candidate superset guarantee), incl. skewed layouts."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.sketches import heavy_hitters
+
+    rng = random.Random(5)
+    # zipf-ish: item i has ~C/i occurrences over a 500-item universe
+    vals = [f"w{i}" for i in range(1, 500) for _ in range(600 // i)]
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "word string")
+    n = len(vals)
+    frac = 0.01
+    exact = {
+        (r.word, r.n)
+        for r in df.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= -(-n * frac // 1))
+        .collect()
+    }
+    assert exact  # fixture produces heavy hitters
+    for parts in (1, 3, 16):
+        got = {
+            (r.word, r.n)
+            for r in heavy_hitters(df.repartition(parts), "word", frac).collect()
+        }
+        assert got == exact

@@ -144,6 +144,29 @@ WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
 """
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters (operators/sketches.heavy_hitters):
+    words covering >= 1% of all word occurrences, via per-partition
+    Misra-Gries candidates + broadcast exact recount -- bounded-memory
+    two-pass, same rows as the full GROUP BY."""
+    from timeseriesutils_spark.operators.sketches import heavy_hitters
+    from timeseriesutils_spark.operators.text import words
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(words(F.col("text"))).alias("word"))
+    return heavy_hitters(toks, "word", min_frac=0.01)
+
+
+def _sql_heavy_hitters():
+    from timeseriesutils_spark.operators.sketches import heavy_hitters_sql
+
+    src = (
+        "SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word "
+        "FROM documents"
+    )
+    return heavy_hitters_sql(src, "word", min_frac=0.01)
+
+
 def q_top_ngrams(spark, sf_dir):
     """Corpus-level word-bigram frequencies, top 20 (total order tie-break
     on the bigram text)."""
@@ -681,6 +704,7 @@ QUERIES = {
     "dedup_apply": Q(q_dedup_apply, _SQL_DEDUP_APPLY),
     "dedup_components": Q(q_dedup_components, _SQL_DEDUP_COMPONENTS),
     "top_ngrams": Q(q_top_ngrams, _SQL_TOP_NGRAMS),
+    "heavy_hitters": Q(q_heavy_hitters, _sql_heavy_hitters()),
     "dedup_minhash_lsh": Q(q_dedup_minhash_lsh, None),  # xxhash64 → rows-only
     "dedup_embedding": Q(q_dedup_embedding, _SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": Q(q_dedup_embedding_lsh, None),  # seeded LSH → rows-only
