@@ -170,3 +170,51 @@ WITH b AS (
 SELECT * EXCLUDE (n), CAST(unnest(generate_series(1, n)) AS INT) AS epoch
 FROM b WHERE n >= 1
 """
+
+
+def reservoir_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen uniformly-ish
+    and DETERMINISTICALLY: rank rows within each stratum by
+    (md5(key), key) and keep the first k — the distributed, re-runnable
+    replacement for reservoir sampling (same sample every run, every
+    partitioning, every engine; adding rows only perturbs the sample the
+    way a true reservoir would).
+
+    One exchange on the stratum key; the rank is a window row_number.
+    For heavily skewed strata at extreme scale, pre-filter with
+    ``hash_bucket < ~(k/|stratum| · buckets)`` to cut the sorted volume
+    before ranking.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def reservoir_sample_sql(
+    table: str,
+    key_col: str,
+    strata_col: str,
+    k: int,
+    select: str = "*",
+) -> str:
+    """DuckDB twin of :func:`reservoir_sample`."""
+    return f"""
+SELECT {select} FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY {strata_col}
+    ORDER BY md5(CAST({key_col} AS VARCHAR)), {key_col}) AS rn
+  FROM {table}
+) WHERE rn <= {k}
+"""

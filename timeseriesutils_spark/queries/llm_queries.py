@@ -649,6 +649,25 @@ FROM documents GROUP BY 1, 2
 _MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1}
 
 
+def q_reservoir_sample(spark, sf_dir):
+    """Deterministic per-stratum k-sample (operators/splits.
+    reservoir_sample): 5 docs per language by md5 rank -- the re-runnable
+    reservoir."""
+    from timeseriesutils_spark.operators.splits import reservoir_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return reservoir_sample(docs, "doc_id", "lang", k=5)
+
+
+def _sql_reservoir_sample():
+    from timeseriesutils_spark.operators.splits import reservoir_sample_sql
+
+    return reservoir_sample_sql(
+        "(SELECT doc_id, lang FROM documents)", "doc_id", "lang", 5,
+        select="doc_id, lang",
+    )
+
+
 MIX_WEIGHTS = {"src0": 2.5, "src1": 0.3, "src2": 0.0}
 
 
@@ -729,4 +748,5 @@ QUERIES = {
     "length_histogram": Q(q_length_histogram, _SQL_LENGTH_HISTOGRAM),
     "stratified_sample": Q(q_stratified_sample, _sql_stratified_sample()),
     "mixture_resample": Q(q_mixture_resample, _sql_mixture_resample()),
+    "reservoir_sample": Q(q_reservoir_sample, _sql_reservoir_sample()),
 }
