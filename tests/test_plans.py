@@ -118,3 +118,35 @@ def test_bucketed_query_plan_no_exchange(spark, catalog):
     assert "Exchange" not in plan
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
     spark.sql("DROP TABLE IF EXISTS li_bucketed_q")
+
+
+def test_explode_shingles_no_inferred_generate_filter(spark, catalog):
+    """Round-2 regression: InferFiltersFromGenerate re-evaluated the whole
+    interpreted shingle tree per row inside a scan-pushed Filter (6x
+    measured).  The rule is excluded in configure_session; no plan may
+    contain a Filter over the higher-order shingle expression."""
+    plan = _plan(catalog["dedup_ngram_jaccard"](spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Filter" in line and "lambdafunction" in line:
+            raise AssertionError(f"inferred generate filter is back: {line[:200]}")
+
+
+def test_regularize_single_exchange_no_join(spark, catalog):
+    """Fused spine+fill: one exchange, one sort, no spine join."""
+    plan = _plan(catalog["interpolate"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_funnel_single_exchange(spark, catalog):
+    """Every funnel step reuses the same user partitioning: exactly one
+    hash exchange regardless of step count."""
+    plan = _plan(catalog["funnel"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_bm25_broadcasts_stats(spark, catalog):
+    """df/N/avgdl are broadcast into the scoring projection; the corpus
+    is never on the build side of a shuffled join."""
+    plan = _plan(catalog["bm25_search"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

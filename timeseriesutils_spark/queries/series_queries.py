@@ -35,7 +35,12 @@ from timeseriesutils_spark.sources.tables import load_table
 
 
 def _daily(spark, sf_dir):
-    """Per-(supplier, ship day) exact daily price sum — gappy by nature."""
+    """Per-(supplier, ship day) exact daily price sum — gappy by nature.
+
+    Pre-partitioned by supplier alone: HashPartitioning(l_suppkey)
+    satisfies the aggregation's clustering on (l_suppkey, ship_day) AND
+    the window partitioning every grid op needs afterwards — the whole
+    daily-series pipeline runs on ONE exchange (plan-tested)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.select(
@@ -47,6 +52,7 @@ def _daily(spark, sf_dir):
             .alias("ship_day"),
             "l_extendedprice",
         )
+        .repartition("l_suppkey")
         .groupBy("l_suppkey", "ship_day")
         .agg(dsum("l_extendedprice").alias("day_price"))
     )
