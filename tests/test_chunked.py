@@ -101,3 +101,21 @@ def test_chunked_context_guard():
 
     with pytest.raises(ValueError, match="context_rows"):
         chunked_trailing_features(None, ["g"], ["t"], None, chunk_rows=4, context_rows=5)
+
+
+def test_salted_broadcast_join_equals_plain(spark):
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.functions.skew import salted_broadcast_join
+
+    # one monster key (90% of rows) + a long tail
+    fact = spark.createDataFrame(
+        [(0 if i % 10 else i % 7, i) for i in range(5000)], "k long, v long"
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(7)], "k long, name string")
+    plain = fact.join(dim, "k").select("k", "v", "name")
+    salted = salted_broadcast_join(fact, dim, "k").select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    lj = salted_broadcast_join(fact, dim, "k", how="left").select("k", "v", "name")
+    plain_lj = fact.join(dim, "k", "left").select("k", "v", "name")
+    assert sorted(map(tuple, plain_lj.collect())) == sorted(map(tuple, lj.collect()))

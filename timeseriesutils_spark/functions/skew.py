@@ -56,3 +56,31 @@ def salted_agg(
     return stage1.groupBy(*groups).agg(
         *[c.alias(name) for name, c in merge_aggs.items()]
     )
+
+
+def salted_broadcast_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof fact⋈dim equi-join: replicate the (small) dim side
+    ``n_salts`` times, shard the fact side's hot keys across the salt —
+    every (key, salt) cell is then bounded by |key|/n_salts rows.
+
+    When AQE's runtime skew-join split cannot apply (e.g. the join feeds
+    a co-partitioned downstream op that must not be re-split), this is
+    the explicit pre-salt.  The dim replication is a broadcast of
+    n_salts·|dim| rows — use only for genuinely small dims.  Results are
+    exactly the rows of the plain join (salt columns never leak).
+    """
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    dim_rep = dim.select("*", salts)
+    fact_s = fact.withColumn(
+        "_salt", (F.monotonically_increasing_id() % n_salts).cast(
+            dim_rep.schema["_salt"].dataType.simpleString()
+        )
+    )
+    out = fact_s.join(F.broadcast(dim_rep), [on, "_salt"], how)
+    return out.drop("_salt")
