@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 
 def _registry() -> dict[str, Callable]:
     from timeseriesutils_spark.operators.domfreq import domfreq
+    from timeseriesutils_spark.operators.series_math import diff, ewma, pct_change
     from timeseriesutils_spark.operators.taylor import windowed_taylor_coefs
     from timeseriesutils_spark.operators.window_features import (
         horizon_targets,
@@ -36,6 +37,10 @@ def _registry() -> dict[str, Callable]:
         "horizon_targets": horizon_targets,
         "windowed_taylor_coefs": windowed_taylor_coefs,
         "domfreq": domfreq,
+        # engine-native derived signals (same (df, names) step contract)
+        "ewma": ewma,
+        "diff": diff,
+        "pct_change": pct_change,
     }
 
 
