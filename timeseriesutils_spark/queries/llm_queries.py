@@ -144,6 +144,47 @@ WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
 """
 
 
+def q_media_features(spark, sf_dir):
+    """Arrow-batched media feature extraction over mapInPandas
+    (operators/multimodal.extract_media_features): binary payload ->
+    (dims, 8-bin byte histogram) via the deterministic stub decoder.
+    The fake kernel is arithmetic on bytes, so the DuckDB oracle can
+    verify the WHOLE distributed plumbing end-to-end."""
+    from timeseriesutils_spark.operators.multimodal import (
+        attach_binary,
+        extract_media_features,
+    )
+
+    feats = extract_media_features(attach_binary(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id", "media_type", "n_bytes", "checksum", "width", "height",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(8)],
+    )
+
+
+_SQL_MEDIA_FEATURES = """
+WITH b AS (
+  SELECT doc_id, 'text/plain' AS media_type,
+    CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum,
+    CAST(16 + strlen(text) % 64 AS INT) AS width,
+    CAST(16 + (strlen(text) // 64) % 64 AS INT) AS height,
+    [ascii(text[i]) % 8 FOR i IN range(1, len(text) + 1)] AS codes,
+    CAST(CASE WHEN strlen(text) = 0 THEN 1 ELSE strlen(text) END AS DOUBLE) AS tot
+  FROM documents
+)
+SELECT doc_id, media_type, n_bytes, checksum, width, height,
+  len(list_filter(codes, c -> c = 0)) / tot AS f0,
+  len(list_filter(codes, c -> c = 1)) / tot AS f1,
+  len(list_filter(codes, c -> c = 2)) / tot AS f2,
+  len(list_filter(codes, c -> c = 3)) / tot AS f3,
+  len(list_filter(codes, c -> c = 4)) / tot AS f4,
+  len(list_filter(codes, c -> c = 5)) / tot AS f5,
+  len(list_filter(codes, c -> c = 6)) / tot AS f6,
+  len(list_filter(codes, c -> c = 7)) / tot AS f7
+FROM b
+"""
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Exact corpus heavy hitters (operators/sketches.heavy_hitters):
     words covering >= 1% of all word occurrences, via per-partition
@@ -724,6 +765,7 @@ QUERIES = {
     "dedup_components": Q(q_dedup_components, _SQL_DEDUP_COMPONENTS),
     "top_ngrams": Q(q_top_ngrams, _SQL_TOP_NGRAMS),
     "heavy_hitters": Q(q_heavy_hitters, _sql_heavy_hitters()),
+    "media_features": Q(q_media_features, _SQL_MEDIA_FEATURES),
     "dedup_minhash_lsh": Q(q_dedup_minhash_lsh, None),  # xxhash64 → rows-only
     "dedup_embedding": Q(q_dedup_embedding, _SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": Q(q_dedup_embedding_lsh, None),  # seeded LSH → rows-only
