@@ -510,3 +510,64 @@ def tf_idf(
     # both Spark and DuckDB compute identically from identical inputs
     tfidf = F.floor(F.col("tf") * idf * 1e6 + 0.5) / 1e6
     return tf.join(df, "word").select(id_col, "word", "tf", "df", tfidf.alias("tfidf"))
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram negative log-probability — the cheapest
+    LM-perplexity proxy used as a corpus quality signal (low = natural
+    wording, high = rare-token soup).
+
+    nll(doc) = Σ_w −ln(count(w)/N) / n_words, with the corpus unigram
+    model estimated from the same corpus (one map-combinable word count).
+    Per-word terms are quantized to int64 units of 1e-9 BEFORE the
+    per-doc sum (floor(x·1e9 + 0.5)), so the aggregation is exact integer
+    addition — bit-identical across partitionings and engines — and the
+    final division by n_words is one deterministic double op.
+
+    Scale shape: two shuffles (word model, per-doc sum), both partial-
+    aggregated; the model joins back by word hash.  Same plan family as
+    tf_idf.
+    """
+    n_tot = docs.select(F.explode(words(F.col(text_col))).alias("w")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    exploded = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
+    model = (
+        exploded.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    term_q = F.floor(-F.log(F.col("_c") / F.col("_n")) * 1e9 + 0.5).cast("bigint")
+    scored = exploded.join(model.select("w", term_q.alias("_q")), "w")
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("_q").alias("_sq"))
+        .select(
+            id_col,
+            "n_words",
+            (F.col("_sq").cast("double") / 1e9 / F.col("n_words")).alias("mean_nll"),
+        )
+    )
+
+
+def unigram_logprob_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`unigram_logprob`."""
+    w = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    return f"""
+WITH ex AS (
+  SELECT {id_col}, unnest({w}) AS w FROM {table}
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ex),
+model AS (
+  SELECT w, CAST(FLOOR(-ln(COUNT(*) / (SELECT n FROM tot)) * 1e9 + 0.5) AS BIGINT) AS q
+  FROM ex GROUP BY w
+)
+SELECT ex.{id_col}, COUNT(*) AS n_words,
+  CAST(SUM(model.q) AS DOUBLE) / 1e9 / COUNT(*) AS mean_nll
+FROM ex JOIN model ON ex.w = model.w
+GROUP BY ex.{id_col}
+"""

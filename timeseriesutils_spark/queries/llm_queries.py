@@ -144,6 +144,15 @@ WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
 """
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """LM-perplexity proxy (operators/text.unigram_logprob): per-doc mean
+    unigram NLL under the corpus's own unigram model, int64-quantized
+    summation for cross-engine exactness."""
+    from timeseriesutils_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def q_media_features(spark, sf_dir):
     """Arrow-batched media feature extraction over mapInPandas
     (operators/multimodal.extract_media_features): binary payload ->
@@ -196,6 +205,12 @@ def q_heavy_hitters(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(words(F.col("text"))).alias("word"))
     return heavy_hitters(toks, "word", min_frac=0.01)
+
+
+def _sql_unigram_logprob():
+    from timeseriesutils_spark.operators.text import unigram_logprob_sql
+
+    return unigram_logprob_sql()
 
 
 def _sql_heavy_hitters():
@@ -766,6 +781,7 @@ QUERIES = {
     "top_ngrams": Q(q_top_ngrams, _SQL_TOP_NGRAMS),
     "heavy_hitters": Q(q_heavy_hitters, _sql_heavy_hitters()),
     "media_features": Q(q_media_features, _SQL_MEDIA_FEATURES),
+    "unigram_logprob": Q(q_unigram_logprob, _sql_unigram_logprob()),
     "dedup_minhash_lsh": Q(q_dedup_minhash_lsh, None),  # xxhash64 → rows-only
     "dedup_embedding": Q(q_dedup_embedding, _SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": Q(q_dedup_embedding_lsh, None),  # seeded LSH → rows-only
