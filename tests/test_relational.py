@@ -186,3 +186,25 @@ def test_asof_join_forward_and_tolerance(spark):
         (1, 100): 20.0, (1, 200): None, (2, 50): None
     }
     assert run(tolerance_ms=10) == {(1, 100): 10.0, (1, 200): None, (2, 50): None}
+
+
+def test_merge_upsert(spark):
+    from timeseriesutils_spark.operators.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0, False), (4, "d", 40.0, False), (3, None, 0.0, True)],
+        "k long, s string, v double, is_delete boolean",
+    )
+    got = {
+        r.k: (r.s, r.v)
+        for r in merge_upsert(base, updates, "k", delete_col="is_delete").collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 4: ("d", 40.0)}  # 3 deleted
+
+    # update with NULL value overwrites (update wins on matched rows)
+    upd2 = spark.createDataFrame([(1, None, 11.0, False)], "k long, s string, v double, is_delete boolean")
+    got2 = {r.k: (r.s, r.v) for r in merge_upsert(base, upd2, "k", "is_delete").collect()}
+    assert got2[1] == (None, 11.0) and got2[2] == ("b", 20.0)

@@ -188,3 +188,49 @@ def dedup_exact(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Batch MERGE (SCD-1 upsert): apply ``updates`` to ``base`` by key —
+    matching rows take the update's values, unmatched updates insert,
+    unmatched base rows persist; rows whose update has ``delete_col`` =
+    true are removed.  The batch-engine equivalent of ``MERGE INTO``
+    (Spark without a transactional table format has no MERGE statement;
+    this produces the post-merge snapshot for a write-back).
+
+    Plan: one full-outer equi-join on the key + per-column COALESCE
+    (update wins) — a single co-partitioned shuffle pair, broadcastable
+    when the update batch is small.  Requires ``updates`` to carry the
+    same value columns as ``base`` (checked).
+    """
+    keys = _as_list(key_cols)
+    vals = [c for c in base.columns if c not in keys]
+    missing = [c for c in vals if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates missing value columns: {missing}")
+    u = updates.select(
+        *[F.col(k).alias(f"_uk_{k}") for k in keys],
+        *[F.col(c).alias(f"_uv_{c}") for c in vals],
+        (F.col(delete_col) if delete_col else F.lit(False)).alias("_del"),
+    )
+    cond = None
+    for k in keys:
+        eq = base[k].eqNullSafe(F.col(f"_uk_{k}"))
+        cond = eq if cond is None else cond & eq
+    joined = base.join(u, cond, "full_outer")
+    matched_update = F.col("_del").isNotNull()  # an update row exists
+    out = joined.filter(
+        ~F.coalesce(F.col("_del"), F.lit(False))  # drop deletes
+    ).select(
+        *[F.coalesce(base[k], F.col(f"_uk_{k}")).alias(k) for k in keys],
+        *[
+            F.when(matched_update, F.col(f"_uv_{c}")).otherwise(base[c]).alias(c)
+            for c in vals
+        ],
+    )
+    return out

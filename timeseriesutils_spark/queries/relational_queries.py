@@ -238,6 +238,39 @@ FROM events e WHERE e.event_type = 'purchase'
 """
 
 
+def q_merge_upsert(spark, sf_dir):
+    """Batch MERGE semantics (operators/relational.merge_upsert): apply a
+    change batch (updates + inserts + deletes) to a customer snapshot --
+    one full-outer join + COALESCE, the engine's MERGE INTO."""
+    from timeseriesutils_spark.operators.relational import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.filter(F.col("c_custkey") < 1000).select("c_custkey", "c_name", "c_acctbal")
+    upd = c.filter(F.col("c_custkey").between(500, 1499)).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("*")).alias("c_name"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        (F.col("c_custkey") % 10 == 0).alias("is_delete"),
+    )
+    return merge_upsert(base, upd, "c_custkey", delete_col="is_delete")
+
+
+_SQL_MERGE_UPSERT = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey < 1000
+), upd AS (
+  SELECT c_custkey, c_name || '*' AS c_name, c_acctbal + 100.0 AS c_acctbal,
+         c_custkey % 10 = 0 AS is_delete
+  FROM customer WHERE c_custkey BETWEEN 500 AND 1499
+)
+SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE b.c_name END AS c_name,
+  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE b.c_acctbal END AS c_acctbal
+FROM base b FULL JOIN upd u ON b.c_custkey = u.c_custkey
+WHERE NOT COALESCE(u.is_delete, FALSE)
+"""
+
+
 def q_asof_forward_tol(spark, sf_dir):
     """Forward as-of with staleness bound: for each click, the NEXT
     purchase by the same user within 10 minutes (direction='forward',
@@ -726,6 +759,7 @@ QUERIES = {
     "join_anti": Q(q_join_anti, _SQL_JOIN_ANTI),
     "asof_join": Q(q_asof_join, _SQL_ASOF),
     "asof_forward_tol": Q(q_asof_forward_tol, _SQL_ASOF_FWD),
+    "merge_upsert": Q(q_merge_upsert, _SQL_MERGE_UPSERT),
     "window_rank": Q(q_window_rank, _SQL_WINDOW_RANK),
     "topk_per_group": Q(q_topk_per_group, _SQL_TOPK),
     "sort_limit": Q(q_sort_limit, _SQL_SORT_LIMIT),
