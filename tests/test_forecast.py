@@ -1,0 +1,123 @@
+"""Tests for operators/forecast.py, series_math.rolling_corr,
+text.chunk_text, and profile.column_profile — ground-truth values
+computed with numpy/pure Python, not golden files."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.forecast import (
+    calendar_features,
+    naive_forecast_eval,
+    target_encode_loo,
+)
+from timeseriesutils_spark.operators.profile import column_profile
+from timeseriesutils_spark.operators.series_math import rolling_corr
+from timeseriesutils_spark.operators.text import chunk_text
+
+
+def test_naive_forecast_eval_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    y = rng.normal(100.0, 10.0, 40).round(3)
+    rows = [("a", i, float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    out = naive_forecast_eval(df, "y", ["g"], ["t"], season=7).collect()[0]
+    err = y[7:] - y[:-7]
+    assert out["n_eval"] == len(err)
+    assert out["mae"] == pytest.approx(np.abs(err).mean(), rel=1e-9)
+    # rmse quantizes err to 10^-2 units by design
+    q = np.floor(err * 100 + 0.5)
+    assert out["rmse"] == pytest.approx(math.sqrt((q * q).sum() / len(q)) / 100, rel=1e-12)
+    assert out["bias"] == pytest.approx(err.mean(), rel=1e-6)
+    assert out["mape"] == pytest.approx((np.abs(err) / np.abs(y[7:])).mean(), rel=1e-6)
+
+
+def test_naive_forecast_eval_short_group_all_null(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 2.0)], "g string, t int, y double"
+    )
+    out = naive_forecast_eval(df, "y", ["g"], ["t"], season=7).collect()[0]
+    assert out["n_eval"] == 0 and out["mae"] is None and out["rmse"] is None
+
+
+def test_calendar_features_known_dates(spark):
+    df = spark.createDataFrame(
+        [(1, "2020-02-29"), (2, "2021-01-04"), (3, "2021-07-04")], "id int, d string"
+    ).select("id", F.col("d").cast("date").alias("d"))
+    out, names = calendar_features(df, "d")
+    assert names[:3] == ["cal_year", "cal_quarter", "cal_month"]
+    r = {row["id"]: row for row in out.collect()}
+    # 2020-02-29: Saturday, leap-day, month end
+    assert (r[1]["cal_isodow"], r[1]["cal_is_weekend"], r[1]["cal_is_month_end"]) == (6, 1, 1)
+    assert (r[1]["cal_doy"], r[1]["cal_quarter"]) == (60, 1)
+    # 2021-01-04: Monday, ISO week 1
+    assert (r[2]["cal_isodow"], r[2]["cal_week"], r[2]["cal_is_weekend"]) == (1, 1, 0)
+    # 2021-07-04: Sunday, Q3
+    assert (r[3]["cal_isodow"], r[3]["cal_quarter"], r[3]["cal_is_month_end"]) == (7, 3, 0)
+
+
+def test_target_encode_loo(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 5.0), ("b", 10.0), ("c", 7.0)],
+        "cat string, y double",
+    )
+    out = {
+        (row["cat"], row["y"]): row["y_loo_cat"]
+        for row in target_encode_loo(df, "cat", "y").collect()
+    }
+    assert out[("a", 1.0)] == pytest.approx(4.0)  # (3+5)/2
+    assert out[("a", 3.0)] == pytest.approx(3.0)  # (1+5)/2
+    assert out[("a", 5.0)] == pytest.approx(2.0)  # (1+3)/2
+    assert out[("b", 10.0)] is None  # singleton: no other rows
+    assert out[("c", 7.0)] is None
+
+
+def test_rolling_corr_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    x = rng.normal(10, 2, 25).round(2)
+    y = (0.5 * x + rng.normal(0, 0.5, 25)).round(2)
+    rows = [("g", i, float(a), float(b)) for i, (a, b) in enumerate(zip(x, y))]
+    df = spark.createDataFrame(rows, "g string, t int, x double, y double")
+    out = rolling_corr(df, "x", "y", ["g"], window_size=10, order_by=["t"]).orderBy("t")
+    vals = [r["corr_x_y_w10"] for r in out.collect()]
+    assert all(v is None for v in vals[:9])  # no full window yet
+    for t in (9, 15, 24):
+        qx = np.floor(x[t - 9 : t + 1] * 100 + 0.5)
+        qy = np.floor(y[t - 9 : t + 1] * 100 + 0.5)
+        expect = np.corrcoef(qx, qy)[0, 1]
+        assert vals[t] == pytest.approx(expect, rel=1e-9)
+
+
+def test_chunk_text_coverage_and_overlap(spark):
+    text = "abcdefghij" * 10  # 100 chars
+    df = spark.createDataFrame([(1, text), (2, "xy"), (3, "")], "doc_id int, text string")
+    rows = chunk_text(df, size=40, stride=30).orderBy("doc_id", "chunk_id").collect()
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # starts 1,31,61,91 → ⌊99/30⌋+1 = 4 chunks; last is 10 chars
+    assert [r["chunk_start"] for r in d1] == [1, 31, 61, 91]
+    assert [r["chunk_len"] for r in d1] == [40, 40, 40, 10]
+    assert {r["doc_len"] for r in d1} == {100}
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_len"] == 2
+    assert not [r for r in rows if r["doc_id"] == 3]  # empty doc → no chunks
+    # consecutive chunks overlap by size-stride: verify via md5 of substrings
+    import hashlib
+
+    assert d1[1]["chunk_md5"] == hashlib.md5(text[30:70].encode()).hexdigest()
+
+
+def test_column_profile(spark):
+    df = spark.createDataFrame(
+        [(1.0, "x"), (2.0, "y"), (None, "x"), (4.0, None)], "v double, s string"
+    )
+    prof = {r["col_name"]: r for r in column_profile(df, ["v", "s"]).collect()}
+    v, s = prof["v"], prof["s"]
+    assert (v["n_rows"], v["n_null"], v["n_distinct"]) == (4, 1, 3)
+    assert (v["min_num"], v["max_num"]) == (1.0, 4.0)
+    assert v["mean_num"] == pytest.approx(7.0 / 3)
+    assert v["min_str"] is None
+    assert (s["n_rows"], s["n_null"], s["n_distinct"]) == (4, 1, 2)
+    assert (s["min_str"], s["max_str"]) == ("x", "y")
+    assert s["mean_num"] is None

@@ -1,0 +1,242 @@
+"""Forecast-support operators: seasonal-naive evaluation, calendar
+features, leave-one-out target encoding.
+
+The reference (reichlab/timeseriesutils, featurize.py) builds features
+*for* forecasting models; these operators close the loop around that
+workflow — the baseline forecast a featurized model must beat, the
+calendar covariates every forecasting model wants next to the lag /
+rollmean / taylor features, and the category-encoding step for the
+boosted-tree models the reference targets (README.md:3 "gradient
+boosting").
+
+All pure built-in expressions.  Float determinism follows the repo
+discipline (functions/exact.py): accumulate per-group error sums through
+DECIMAL (exact, associative, partitioning-independent), derive ratios in
+double from the exact sums.  Each op ships a DuckDB twin renderer so the
+oracle runs the same tree in the same association order.
+
+Scale notes (100 TB): every op here is one hash exchange on its group
+key (or none — calendar features are per-row projections).  Error
+metrics are map-side-combinable aggregates; the encoding is a window
+over the category key, which AQE splits on skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.functions.exact import PRECISION
+from timeseriesutils_spark.operators.window_features import _as_list, make_window
+
+__all__ = [
+    "naive_forecast_eval",
+    "naive_forecast_eval_sql",
+    "calendar_features",
+    "calendar_features_sql_columns",
+    "target_encode_loo",
+    "target_encode_loo_sql_columns",
+]
+
+
+def naive_forecast_eval(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+    season: int = 7,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group error metrics of the seasonal-naive baseline
+    ŷ_t = y_{t-season} — the standard yardstick a featurized model must
+    beat (and the first sanity check on any forecasting pipeline).
+
+    Emits one row per group: ``n_eval`` (rows with a defined forecast),
+    ``mae``, ``rmse``, ``bias`` (mean error), ``mape`` (mean |err|/|y|
+    over y ≠ 0, with ``n_mape`` its support count).
+
+    Determinism: per-row error terms are single IEEE double ops.  MAE /
+    bias / MAPE sums go through DECIMAL(38,scale) (exact + associative →
+    identical for any partitioning / merge order and for the DuckDB
+    twin).  The squared-error sum instead quantizes the error to an
+    integer (floor(err·10^sq_scale + 0.5)) and sums q² as BIGINT: a
+    squared-error decimal sum can exceed 2^53 in unscaled units, where
+    DuckDB's decimal→double cast (int→double then scale division, two
+    roundings) can differ from Java's correctly-rounded BigDecimal
+    conversion by one ulp — a BIGINT→DOUBLE cast is a single rounding
+    in both engines.  RMSE = sqrt(Σq²/n)/10^sq_scale, every step one
+    IEEE op.  Range: |err|·10^sq_scale ≲ 3e9/√rows-per-group.
+    """
+    sq_scale = 2
+    w = make_window(group_columns, order_by)
+    g = _as_list(group_columns)
+    err = F.col(column) - F.lag(column, season).over(w)
+    dec = f"decimal({PRECISION},{scale})"
+    y = F.col(column)
+    ape = F.when(y != 0, F.abs(err) / F.abs(y))
+    qerr = F.floor(err * F.lit(float(10**sq_scale)) + F.lit(0.5)).cast("bigint")
+    staged = data.select(
+        *g,
+        err.alias("_err"),
+        F.abs(err).cast(dec).alias("_aerr"),
+        (qerr * qerr).alias("_sq"),
+        err.cast(dec).alias("_derr"),
+        ape.cast(dec).alias("_ape"),
+    )
+    n = F.count("_err")
+    n_mape = F.count("_ape")
+    return staged.groupBy(*g).agg(
+        n.alias("n_eval"),
+        (F.sum("_aerr").cast("double") / n).alias("mae"),
+        (
+            F.sqrt(F.sum("_sq").cast("double") / n) / F.lit(float(10**sq_scale))
+        ).alias("rmse"),
+        (F.sum("_derr").cast("double") / n).alias("bias"),
+        (F.sum("_ape").cast("double") / n_mape).alias("mape"),
+        n_mape.alias("n_mape"),
+    )
+
+
+def naive_forecast_eval_sql(
+    table_sql: str,
+    column: str,
+    group_columns,
+    order_by,
+    season: int = 7,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`naive_forecast_eval` (same tree/order)."""
+    sq_scale = 2
+    g = ", ".join(_as_list(group_columns))
+    over = f"(PARTITION BY {g} ORDER BY {', '.join(_as_list(order_by))})"
+    dec = f"DECIMAL({PRECISION},{scale})"
+    err = f"({column} - LAG({column}, {season}) OVER {over})"
+    ape = f"CASE WHEN {column} <> 0 THEN ABS({err}) / ABS({column}) END"
+    qerr = f"CAST(FLOOR({err} * {float(10 ** sq_scale)!r} + 0.5) AS BIGINT)"
+    return f"""
+WITH staged AS (
+  SELECT {g},
+    {err} AS _err,
+    CAST(ABS({err}) AS {dec}) AS _aerr,
+    ({qerr} * {qerr}) AS _sq,
+    CAST({err} AS {dec}) AS _derr,
+    CAST(({ape}) AS {dec}) AS _ape
+  FROM ({table_sql})
+)
+SELECT {g},
+  COUNT(_err) AS n_eval,
+  CAST(SUM(_aerr) AS DOUBLE) / COUNT(_err) AS mae,
+  SQRT(CAST(SUM(_sq) AS DOUBLE) / COUNT(_err)) / {float(10 ** sq_scale)!r} AS rmse,
+  CAST(SUM(_derr) AS DOUBLE) / COUNT(_err) AS bias,
+  CAST(SUM(_ape) AS DOUBLE) / COUNT(_ape) AS mape,
+  COUNT(_ape) AS n_mape
+FROM staged GROUP BY {g}
+"""
+
+
+# one name list shared by both renderers so the engines cannot drift;
+# all INT-typed for cross-engine hashing
+_CAL_NAMES = [
+    "cal_year",
+    "cal_quarter",
+    "cal_month",
+    "cal_day",
+    "cal_doy",
+    "cal_isodow",
+    "cal_week",
+    "cal_is_weekend",
+    "cal_is_month_end",
+]
+
+
+def calendar_features(
+    data: DataFrame, date_col: str, feature_names: list | None = None
+) -> tuple[DataFrame, list]:
+    """Calendar covariates from a date column: year / quarter / month /
+    day / day-of-year / ISO weekday / ISO week / weekend + month-end
+    flags.  Pure per-row projection — no shuffle, survives any scale.
+    Flags are INT (nullable-boolean Arrow round-trips are engine-lumpy).
+    ISO day-of-week is 1=Monday … 7=Sunday (Spark ``weekday()`` is
+    0=Monday, DuckDB ``isodow`` is 1=Monday).
+    """
+    if feature_names is None:
+        feature_names = []
+    d = F.col(date_col)
+    exprs = [
+        F.year(d),
+        F.quarter(d),
+        F.month(d),
+        F.dayofmonth(d),
+        F.dayofyear(d),
+        F.weekday(d) + F.lit(1),
+        F.weekofyear(d),
+        (F.weekday(d) >= 5).cast("int"),
+        (d == F.last_day(d)).cast("int"),
+    ]
+    cols = [e.cast("int").alias(n) for n, e in zip(_CAL_NAMES, exprs)]
+    feature_names.extend(_CAL_NAMES)
+    return data.select("*", *cols), feature_names
+
+
+def calendar_features_sql_columns(date_col: str) -> list[tuple[str, str]]:
+    """DuckDB twin column list for :func:`calendar_features`."""
+    c = date_col
+    exprs = [
+        f"CAST(year({c}) AS INT)",
+        f"CAST(quarter({c}) AS INT)",
+        f"CAST(month({c}) AS INT)",
+        f"CAST(day({c}) AS INT)",
+        f"CAST(dayofyear({c}) AS INT)",
+        f"CAST(isodow({c}) AS INT)",
+        f"CAST(weekofyear({c}) AS INT)",
+        f"CAST(isodow({c}) >= 6 AS INT)",
+        f"CAST({c} = last_day({c}) AS INT)",
+    ]
+    return list(zip(_CAL_NAMES, exprs))
+
+
+def target_encode_loo(
+    data: DataFrame,
+    category_col: str,
+    target_col: str,
+    out_col: str | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Leave-one-out target encoding: each row gets the mean of
+    ``target_col`` over all OTHER rows of its category — the standard
+    high-cardinality categorical encoding for boosted trees that avoids
+    leaking the row's own target.  NULL when the category has one row.
+
+    Exact: the category sum accumulates in DECIMAL over an unbounded
+    window partition (no order ⇒ no sort; one hash exchange on the
+    category).  LOO value = (exact_sum − y) computed in DECIMAL, then
+    one double division by (n−1).  Skewed categories: a hot category is
+    one window partition — AQE cannot split an unbounded window, so at
+    extreme skew pre-aggregate sums per category and broadcast-join back
+    (same result; this window form is the single-pass default).
+    """
+    out_col = out_col or f"{target_col}_loo_{category_col}"
+    dec = f"decimal({PRECISION},{scale})"
+    w = Window.partitionBy(category_col)
+    qy = F.col(target_col).cast(dec)
+    s = F.sum(qy).over(w)
+    n = F.count(target_col).over(w)
+    loo = (s - qy).cast("double") / (n - F.lit(1)).cast("double")
+    return data.select("*", F.when(n > 1, loo).alias(out_col))
+
+
+def target_encode_loo_sql_columns(
+    category_col: str, target_col: str, out_col: str | None = None, scale: int = 6
+) -> tuple[str, str]:
+    """(name, expr) DuckDB twin of :func:`target_encode_loo`."""
+    out_col = out_col or f"{target_col}_loo_{category_col}"
+    dec = f"DECIMAL({PRECISION},{scale})"
+    over = f"(PARTITION BY {category_col})"
+    qy = f"CAST({target_col} AS {dec})"
+    s = f"SUM({qy}) OVER {over}"
+    n = f"COUNT({target_col}) OVER {over}"
+    expr = (
+        f"CASE WHEN {n} > 1 THEN CAST(({s} - {qy}) AS DOUBLE)"
+        f" / CAST(({n} - 1) AS DOUBLE) END"
+    )
+    return out_col, expr

@@ -296,3 +296,89 @@ def rolling_quantile_sql_column(
     )
     name = suffix or f"{column}_q{int(q * 100)}_w{window_size}"
     return name, f"quantile_cont({column}, {q}) OVER {over}"
+
+
+def rolling_corr(
+    data: DataFrame,
+    col_x: str,
+    col_y: str,
+    group_columns=None,
+    window_size: int = 30,
+    order_by=None,
+    scale_x: int = 2,
+    scale_y: int = 2,
+    suffix: str | None = None,
+) -> DataFrame:
+    """Rolling Pearson correlation between two columns over a trailing
+    rows window (full windows only) — the lead/lag co-movement signal
+    between two series (e.g. does quantity track price this month).
+
+    Same exactness trick as ``rolling_zscore``: both inputs are
+    quantized to integers (floor(v·10^s + 0.5)), so the five window
+    sums (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs and the correlation
+    is a deterministic double function of them — independent of
+    partitioning and identical in the DuckDB twin.  Correlation is
+    scale-invariant, so quantization only perturbs via rounding of the
+    inputs themselves (defined semantics, mirrored in the oracle).
+
+    Range guard: |x|·10^scale_x must stay ≲ 3e9/√w so Σx² fits BIGINT
+    (same bound as rolling_zscore); products Σxy likewise.
+    """
+    w = make_window(group_columns, order_by)
+    frame = w.rowsBetween(-(window_size - 1), Window.currentRow)
+    qx = F.floor(F.col(col_x) * F.lit(float(10**scale_x)) + F.lit(0.5)).cast("bigint")
+    qy = F.floor(F.col(col_y) * F.lit(float(10**scale_y)) + F.lit(0.5)).cast("bigint")
+    # pair-complete windows only: count rows where BOTH sides are non-null
+    pair = F.when(qx.isNotNull() & qy.isNotNull(), F.lit(1))
+    px = F.when(pair.isNotNull(), qx)
+    py = F.when(pair.isNotNull(), qy)
+    n = F.count(pair).over(frame)
+    sx = F.sum(px).over(frame)
+    sy = F.sum(py).over(frame)
+    sxy = F.sum(px * py).over(frame)
+    sxx = F.sum(px * px).over(frame)
+    syy = F.sum(py * py).over(frame)
+    num = (n * sxy - sx * sy).cast("double")
+    vx = (n * sxx - sx * sx).cast("double")
+    vy = (n * syy - sy * sy).cast("double")
+    den = F.sqrt(F.greatest(vx, F.lit(0.0))) * F.sqrt(F.greatest(vy, F.lit(0.0)))
+    full = n >= window_size
+    name = suffix or f"corr_{col_x}_{col_y}_w{window_size}"
+    return data.select(
+        "*", F.when(full & (den > 0), num / den).alias(name)
+    )
+
+
+def rolling_corr_sql_column(
+    col_x: str,
+    col_y: str,
+    group_columns,
+    order_by,
+    window_size: int = 30,
+    scale_x: int = 2,
+    scale_y: int = 2,
+    suffix: str | None = None,
+) -> tuple[str, str]:
+    """(name, expr) DuckDB twin of :func:`rolling_corr`."""
+    over = (
+        f"(PARTITION BY {', '.join(_as_list(group_columns))} "
+        f"ORDER BY {', '.join(_as_list(order_by))} "
+        f"ROWS BETWEEN {window_size - 1} PRECEDING AND CURRENT ROW)"
+    )
+    qx = f"CAST(FLOOR({col_x} * {float(10 ** scale_x)!r} + 0.5) AS BIGINT)"
+    qy = f"CAST(FLOOR({col_y} * {float(10 ** scale_y)!r} + 0.5) AS BIGINT)"
+    pair = f"CASE WHEN {qx} IS NOT NULL AND {qy} IS NOT NULL THEN 1 END"
+    px = f"CASE WHEN ({pair}) IS NOT NULL THEN {qx} END"
+    py = f"CASE WHEN ({pair}) IS NOT NULL THEN {qy} END"
+    n = f"COUNT({pair}) OVER {over}"
+    sx = f"SUM({px}) OVER {over}"
+    sy = f"SUM({py}) OVER {over}"
+    sxy = f"SUM(({px}) * ({py})) OVER {over}"
+    sxx = f"SUM(({px}) * ({px})) OVER {over}"
+    syy = f"SUM(({py}) * ({py})) OVER {over}"
+    num = f"CAST(({n} * {sxy} - {sx} * {sy}) AS DOUBLE)"
+    vx = f"CAST(({n} * {sxx} - {sx} * {sx}) AS DOUBLE)"
+    vy = f"CAST(({n} * {syy} - {sy} * {sy}) AS DOUBLE)"
+    den = f"(SQRT(GREATEST({vx}, 0.0)) * SQRT(GREATEST({vy}, 0.0)))"
+    name = suffix or f"corr_{col_x}_{col_y}_w{window_size}"
+    return name, f"CASE WHEN {n} >= {window_size} AND {den} > 0 THEN {num} / {den} END"

@@ -571,3 +571,72 @@ SELECT ex.{id_col}, COUNT(*) AS n_words,
 FROM ex JOIN model ON ex.w = model.w
 GROUP BY ex.{id_col}
 """
+
+
+def chunk_text(
+    docs: DataFrame,
+    size: int = 600,
+    stride: int = 450,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap
+    (size − stride) — the standard context-window packing / RAG-indexing
+    step of an LLM data pipeline.
+
+    Chunk i starts at 1 + i·stride (1-based), i = 0 … ⌊(len−1)/stride⌋,
+    so every character is covered and consecutive chunks overlap by
+    ``size − stride`` chars; the last chunk may be short.  Emits one row
+    per chunk with its md5 (chunk-level exact-dedup key) instead of the
+    text itself — the driver-facing projection stays narrow; callers
+    wanting the text select ``substring`` themselves.
+
+    Scale: explode of an int sequence then substring — per-row
+    generation, no shuffle, ~len/stride output rows per doc.  The
+    substring runs JVM-side on the already-loaded text column (each doc
+    is read once; no per-chunk re-scan).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    n_chunks_last_idx = F.floor((F.length(text_col) - 1) / F.lit(stride)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks_last_idx)).alias("chunk_id")
+    start = (F.col("chunk_id") * stride + 1).cast("int")
+    chunk = F.substring(F.col(text_col), start, size)
+    return (
+        docs.where(F.length(text_col) >= 1)
+        # one pass: carry the text through the generate, no self-join
+        .select(
+            id_col, F.length(text_col).cast("int").alias("doc_len"), idx, text_col
+        )
+        .select(
+            id_col,
+            "doc_len",
+            "chunk_id",
+            start.alias("chunk_start"),
+            F.length(chunk).cast("int").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+def chunk_text_sql(
+    table: str = "documents",
+    size: int = 600,
+    stride: int = 450,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`chunk_text`."""
+    return f"""
+WITH c AS (
+  SELECT {id_col}, CAST(LENGTH({text_col}) AS INT) AS doc_len,
+    UNNEST(generate_series(0, CAST(FLOOR((LENGTH({text_col}) - 1) / {stride}) AS INT))) AS chunk_id,
+    {text_col} AS t
+  FROM {table} WHERE LENGTH({text_col}) >= 1
+)
+SELECT {id_col}, doc_len, CAST(chunk_id AS INT) AS chunk_id,
+  CAST(chunk_id * {stride} + 1 AS INT) AS chunk_start,
+  CAST(LENGTH(substr(t, chunk_id * {stride} + 1, {size})) AS INT) AS chunk_len,
+  md5(substr(t, chunk_id * {stride} + 1, {size})) AS chunk_md5
+FROM c
+"""

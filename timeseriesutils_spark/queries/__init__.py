@@ -23,6 +23,7 @@ def catalog() -> dict[str, Q]:
     from timeseriesutils_spark.queries import (
         analytics_queries,
         featurize_queries,
+        forecast_queries,
         llm_queries,
         relational_queries,
         series_queries,
@@ -34,6 +35,7 @@ def catalog() -> dict[str, Q]:
         featurize_queries,
         relational_queries,
         series_queries,
+        forecast_queries,
         analytics_queries,
         llm_queries,
         streaming_queries,

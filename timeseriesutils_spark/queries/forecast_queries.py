@@ -1,0 +1,159 @@
+"""Declared queries for the forecast-support operators
+(operators/forecast.py) plus the rolling-correlation signal and the
+column profiler — the model-evaluation / covariate / data-quality loop
+around the reference's featurization core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.forecast import (
+    calendar_features,
+    calendar_features_sql_columns,
+    naive_forecast_eval,
+    naive_forecast_eval_sql,
+    target_encode_loo,
+    target_encode_loo_sql_columns,
+)
+from timeseriesutils_spark.operators.profile import column_profile, column_profile_sql
+from timeseriesutils_spark.operators.series_math import (
+    rolling_corr,
+    rolling_corr_sql_column,
+)
+from timeseriesutils_spark.queries import Q
+from timeseriesutils_spark.queries.featurize_queries import LI_ORDER, LI_ORDER_SQL
+from timeseriesutils_spark.sources.tables import load_table
+
+
+def _li(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem")
+
+
+FC_PARAMS = dict(season=7)
+
+
+def q_forecast_eval(spark, sf_dir):
+    """Seasonal-naive baseline scorecard: per-supplier MAE / RMSE /
+    bias / MAPE of the forecast ŷ_t = y_{t-7} on the price series —
+    the yardstick every featurized model must beat
+    (operators/forecast.naive_forecast_eval)."""
+    return naive_forecast_eval(
+        _li(spark, sf_dir), "l_extendedprice", ["l_suppkey"], LI_ORDER, **FC_PARAMS
+    )
+
+
+def q_calendar(spark, sf_dir):
+    """Calendar covariates (year/quarter/month/ISO week & weekday,
+    weekend + month-end flags) from the ship date — the standard
+    forecasting covariates next to the lag/rollmean features."""
+    li = _li(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    df, _ = calendar_features(li, "ship_date")
+    # keys identify rows; raw DATE columns round-trip differently through
+    # Arrow/pandas across engines (python date objects vs datetime64)
+    return df.drop("ship_date")
+
+
+def _sql_calendar():
+    cols = ",\n  ".join(
+        f"{expr} AS {name}" for name, expr in calendar_features_sql_columns("ship_date")
+    )
+    return (
+        "SELECT l_orderkey, l_linenumber,\n  "
+        + cols
+        + "\nFROM (SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date FROM lineitem)"
+    )
+
+
+def q_target_encode(spark, sf_dir):
+    """Leave-one-out supplier→price target encoding
+    (operators/forecast.target_encode_loo): each line item gets the mean
+    price of its supplier's OTHER line items — the leakage-free
+    categorical encoding for the boosted-tree models the reference
+    featurizes for."""
+    li = _li(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    return target_encode_loo(li, "l_suppkey", "l_extendedprice")
+
+
+def _sql_target_encode():
+    name, expr = target_encode_loo_sql_columns("l_suppkey", "l_extendedprice")
+    return (
+        "SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,\n  "
+        f"{expr} AS {name}\nFROM lineitem"
+    )
+
+
+CORR_PARAMS = dict(window_size=30, scale_x=2, scale_y=2)
+
+
+def q_rolling_corr(spark, sf_dir):
+    """Trailing-30 Pearson correlation between quantity and price per
+    supplier (series_math.rolling_corr) — co-movement of two series
+    from exact quantized integer sums."""
+    li = _li(spark, sf_dir).select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+    out = rolling_corr(
+        li, "l_quantity", "l_extendedprice", ["l_suppkey"], order_by=LI_ORDER, **CORR_PARAMS
+    )
+    return out.drop("l_shipdate")
+
+
+def _sql_rolling_corr():
+    name, expr = rolling_corr_sql_column(
+        "l_quantity",
+        "l_extendedprice",
+        ["l_suppkey"],
+        LI_ORDER_SQL.split(", "),
+        **CORR_PARAMS,
+    )
+    return (
+        "SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, l_quantity,\n  "
+        f"{expr} AS {name}\nFROM lineitem"
+    )
+
+
+PROFILE_COLS = [
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+]
+
+
+def q_column_profile(spark, sf_dir):
+    """Data-quality profile of six lineitem columns
+    (operators/profile.column_profile): nulls, exact cardinality,
+    range, exact-decimal mean — long format, one row per column."""
+    return column_profile(_li(spark, sf_dir), PROFILE_COLS)
+
+
+def _sql_column_profile():
+    numeric = {c: not c.startswith("l_return") and not c.startswith("l_line") for c in PROFILE_COLS}
+    return column_profile_sql("lineitem", PROFILE_COLS, numeric)
+
+
+QUERIES = {
+    "forecast_eval": Q(
+        q_forecast_eval,
+        naive_forecast_eval_sql(
+            "SELECT * FROM lineitem",
+            "l_extendedprice",
+            ["l_suppkey"],
+            LI_ORDER_SQL.split(", "),
+            **FC_PARAMS,
+        ),
+    ),
+    "calendar_features": Q(q_calendar, _sql_calendar()),
+    "target_encode": Q(q_target_encode, _sql_target_encode()),
+    "rolling_corr": Q(q_rolling_corr, _sql_rolling_corr()),
+    "column_profile": Q(q_column_profile, _sql_column_profile()),
+}

@@ -34,6 +34,8 @@ from timeseriesutils_spark.operators.text import (
     TOKEN_PATTERN,
     URL_PATTERN,
     LANG_MARKERS,
+    chunk_text,
+    chunk_text_sql,
     clean_text,
     corpus_stats,
     fingerprint,
@@ -771,7 +773,18 @@ def _sql_stratified_sample():
     )
 
 
+CHUNK_PARAMS = dict(size=600, stride=450)
+
+
+def q_chunk_text(spark, sf_dir):
+    """Overlapping fixed-size character chunking of the corpus
+    (operators/text.chunk_text): the RAG-indexing / context-packing
+    step; emits per-chunk md5 keys, one explode pass, no shuffle."""
+    return chunk_text(_docs(spark, sf_dir), **CHUNK_PARAMS)
+
+
 QUERIES = {
+    "chunk_text": Q(q_chunk_text, chunk_text_sql(**CHUNK_PARAMS)),
     "dedup_exact": Q(q_dedup_exact, _SQL_DEDUP_EXACT),
     "hash_split": Q(q_hash_split, _SQL_HASH_SPLIT),
     "frame_sample": Q(q_frame_sample, _SQL_FRAME_SAMPLE),
