@@ -171,3 +171,71 @@ def test_scd2_history_collapses_unchanged_runs(spark):
     assert u1[1].valid_to_ms == u1[2].valid_from_ms
     assert u1[2].valid_to_ms is None
     assert [r.event_type for r in rows if r.user_id == 2] == ["error"]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_ohlc_deterministic_open_close(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # same-hour bucket, includes a timestamp TIE at t0+60s: the id
+        # tie-break must pick id=2 for open ordering, not id=3
+        (2, t0 + dt.timedelta(seconds=60), 1, "a", 5.0),
+        (3, t0 + dt.timedelta(seconds=60), 1, "a", 9.0),
+        (4, t0 + dt.timedelta(seconds=120), 1, "a", 1.0),
+        (5, t0 + dt.timedelta(seconds=180), 1, "a", 7.0),
+        (6, t0 + dt.timedelta(hours=2), 1, "a", 3.0),  # different bucket
+    ]
+    from timeseriesutils_spark.operators.analytics import ohlc
+
+    out = {r["bucket_ms"]: r for r in ohlc(_ev(spark, rows)).collect()}
+    assert len(out) == 2
+    bar = out[min(out)]
+    assert (bar["open"], bar["high"], bar["low"], bar["close"]) == (5.0, 9.0, 1.0, 7.0)
+    assert bar["n"] == 4
+    solo = out[max(out)]
+    assert (solo["open"], solo["close"], solo["n"]) == (3.0, 3.0, 1)
+
+
+def test_time_weighted_avg_trapezoid(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # value 0 for 10s then 10 for 30s: plain mean of samples = (0+10+10)/3,
+    # but the trapezoidal TWA = (10s*5 + 30s*10)/40s = 8.75
+    rows = [
+        (1, t0, 1, "a", 0.0),
+        (2, t0 + dt.timedelta(seconds=10), 1, "a", 10.0),
+        (3, t0 + dt.timedelta(seconds=40), 1, "a", 10.0),
+    ]
+    from timeseriesutils_spark.operators.analytics import time_weighted_avg
+
+    r = time_weighted_avg(_ev(spark, rows)).collect()[0]
+    assert r["twa"] == pytest.approx(8.75, abs=1e-6)
+    assert r["span_ms"] == 40_000
+    # single-point group → NULL twa
+    solo = time_weighted_avg(_ev(spark, [(9, t0, 2, "b", 4.0)])).collect()[0]
+    assert solo["twa"] is None and solo["span_ms"] == 0
+
+
+def test_detect_gaps(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "a", 1.0),
+        (2, t0 + dt.timedelta(minutes=5), 7, "a", 1.0),
+        (3, t0 + dt.timedelta(minutes=200), 7, "a", 1.0),  # 195-min gap
+        (4, t0 + dt.timedelta(minutes=210), 7, "a", 1.0),
+    ]
+    from timeseriesutils_spark.operators.analytics import detect_gaps
+
+    gaps = detect_gaps(_ev(spark, rows), gap_minutes=120, group_columns=("user_id",)).collect()
+    assert len(gaps) == 1
+    assert gaps[0]["gap_ms"] == 195 * 60_000

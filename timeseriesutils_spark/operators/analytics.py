@@ -236,3 +236,191 @@ SELECT cohort_day, day - cohort_day AS day_offset,
   COUNT(DISTINCT {user_col}) AS n_users
 FROM c GROUP BY 1, 2
 """
+
+
+def ohlc(
+    events: DataFrame,
+    group_columns=("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Candlestick downsampling: per (group, time bucket) the open /
+    high / low / close of ``value_col`` plus count and exact sum — the
+    canonical irregular-series → bar-chart rollup (continuous-aggregate
+    material at scale).
+
+    Open/close are the values at the first/last row of the bucket under
+    the total order (ts, id) — the id tie-break makes the pick
+    deterministic when timestamps collide (min_by/arg_min pick an
+    arbitrary tied row; a rank over an explicit total order does not).
+    One window pass + one aggregate, both partitioned by (group, bucket)
+    — a single hash exchange end-to-end.
+    """
+    g = list(group_columns)
+    b = F.unix_millis(F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))).alias(
+        "bucket_ms"
+    )
+    w = Window.partitionBy(*g, "bucket_ms").orderBy("_tms", id_col)
+    cnt = Window.partitionBy(*g, "bucket_ms")
+    staged = events.select(*g, b, _ms(ts_col).alias("_tms"), id_col, value_col).select(
+        *g,
+        "bucket_ms",
+        value_col,
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(cnt).alias("_n"),
+    )
+    v = F.col(value_col)
+    return staged.groupBy(*g, "bucket_ms").agg(
+        F.max(F.when(F.col("_rn") == 1, v)).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max(F.when(F.col("_rn") == F.col("_n"), v)).alias("close"),
+        F.count(v).alias("n"),
+        dsum(value_col, scale=8).alias("value_sum"),
+    )
+
+
+def ohlc_sql(
+    table: str = "events",
+    group_columns=("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`ohlc` (same rank-based open/close)."""
+    g = ", ".join(group_columns)
+    ms = f"epoch_ms(CAST({ts_col} AS TIMESTAMP))"
+    over = f"(PARTITION BY {g}, bucket_ms ORDER BY _tms, {id_col})"
+    cnt = f"(PARTITION BY {g}, bucket_ms)"
+    return f"""
+WITH staged AS (
+  SELECT {g},
+    epoch_ms(date_trunc('{bucket}', CAST({ts_col} AS TIMESTAMP))) AS bucket_ms,
+    {ms} AS _tms, {id_col}, {value_col}
+  FROM {table}
+), ranked AS (
+  SELECT {g}, bucket_ms, {value_col},
+    ROW_NUMBER() OVER {over} AS _rn,
+    COUNT(*) OVER {cnt} AS _n
+  FROM staged
+)
+SELECT {g}, bucket_ms,
+  MAX(CASE WHEN _rn = 1 THEN {value_col} END) AS open,
+  MAX({value_col}) AS high,
+  MIN({value_col}) AS low,
+  MAX(CASE WHEN _rn = _n THEN {value_col} END) AS close,
+  COUNT({value_col}) AS n,
+  {dsum_sql(value_col, scale=8)} AS value_sum
+FROM ranked GROUP BY {g}, bucket_ms
+"""
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    group_columns=("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 6,
+) -> DataFrame:
+    """Trapezoidal time-weighted average per group over an irregular
+    series: Σ Δt·(v_i+v_{i-1})/2 / (t_n − t_0) — the correct mean when
+    observation spacing varies (an unweighted AVG over-counts bursts).
+
+    Δt in exact integer ms; each trapezoid area is a fixed double
+    expression, quantized to an integer (floor(area·10^scale + 0.5))
+    and summed as BIGINT — exact, associative, and its BIGINT→DOUBLE
+    cast is a single rounding in both engines (a DECIMAL sum past 2^53
+    unscaled units double-rounds in DuckDB's decimal→double cast).
+    NULL for groups with a single point (zero span).  One window + one
+    aggregate on the group key — a single exchange.  Range guard:
+    Σ|area|·10^scale must stay below ~9.2e18 (bigint).
+    """
+    g = list(group_columns)
+    w = Window.partitionBy(*g).orderBy(_ms(ts_col), "event_id")
+    tms = _ms(ts_col)
+    dt = (tms - F.lag(tms).over(w)).cast("double")
+    area = dt * (F.col(value_col) + F.lag(value_col).over(w)) / F.lit(2.0)
+    mult = float(10**scale)
+    qarea = F.floor(area * F.lit(mult) + F.lit(0.5)).cast("bigint")
+    staged = events.select(*g, tms.alias("_tms"), qarea.alias("_qarea"))
+    span = (F.max("_tms") - F.min("_tms")).cast("double")
+    return staged.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("_tms") - F.min("_tms")).alias("span_ms"),
+        F.when(
+            span > 0, F.sum("_qarea").cast("double") / F.lit(mult) / span
+        ).alias("twa"),
+    )
+
+
+def time_weighted_avg_sql(
+    table: str = "events",
+    group_columns=("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`time_weighted_avg` (same tree/order)."""
+    g = ", ".join(group_columns)
+    ms = f"epoch_ms(CAST({ts_col} AS TIMESTAMP))"
+    over = f"(PARTITION BY {g} ORDER BY {ms}, event_id)"
+    dt = f"CAST(({ms} - LAG({ms}) OVER {over}) AS DOUBLE)"
+    area = f"({dt} * ({value_col} + LAG({value_col}) OVER {over}) / 2.0)"
+    mult = float(10**scale)
+    qarea = f"CAST(FLOOR({area} * {mult!r} + 0.5) AS BIGINT)"
+    return f"""
+WITH staged AS (
+  SELECT {g}, {ms} AS _tms, {qarea} AS _qarea
+  FROM {table}
+)
+SELECT {g}, COUNT(*) AS n,
+  MAX(_tms) - MIN(_tms) AS span_ms,
+  CASE WHEN CAST(MAX(_tms) - MIN(_tms) AS DOUBLE) > 0
+       THEN CAST(SUM(_qarea) AS DOUBLE) / {mult!r} / CAST(MAX(_tms) - MIN(_tms) AS DOUBLE)
+  END AS twa
+FROM staged GROUP BY {g}
+"""
+
+
+def detect_gaps(
+    events: DataFrame,
+    gap_minutes: float = 60.0,
+    group_columns=("user_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Series-quality check: every inter-observation gap longer than
+    ``gap_minutes`` per group, as (group, gap_start_ms, gap_end_ms,
+    gap_ms) — the missing-data report behind any fill/interpolate
+    decision.  Exact integer-ms arithmetic; one window on the group key.
+    """
+    g = list(group_columns)
+    w = Window.partitionBy(*g).orderBy(_ms(ts_col), "event_id")
+    tms = _ms(ts_col)
+    prev = F.lag(tms).over(w)
+    out = events.select(
+        *g, prev.alias("gap_start_ms"), tms.alias("gap_end_ms")
+    ).withColumn("gap_ms", F.col("gap_end_ms") - F.col("gap_start_ms"))
+    return out.filter(F.col("gap_ms") > int(gap_minutes * 60_000))
+
+
+def detect_gaps_sql(
+    table: str = "events",
+    gap_minutes: float = 60.0,
+    group_columns=("user_id",),
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`detect_gaps`."""
+    g = ", ".join(group_columns)
+    ms = f"epoch_ms(CAST({ts_col} AS TIMESTAMP))"
+    over = f"(PARTITION BY {g} ORDER BY {ms}, event_id)"
+    return f"""
+WITH staged AS (
+  SELECT {g}, LAG({ms}) OVER {over} AS gap_start_ms, {ms} AS gap_end_ms
+  FROM {table}
+)
+SELECT {g}, gap_start_ms, gap_end_ms, gap_end_ms - gap_start_ms AS gap_ms
+FROM staged WHERE gap_end_ms - gap_start_ms > {int(gap_minutes * 60_000)}
+"""

@@ -10,10 +10,16 @@ from __future__ import annotations
 from timeseriesutils_spark.operators.analytics import (
     cohort_retention,
     cohort_retention_sql,
+    detect_gaps,
+    detect_gaps_sql,
     funnel_counts,
     funnel_counts_sql,
+    ohlc,
+    ohlc_sql,
     time_rollup,
     time_rollup_sql,
+    time_weighted_avg,
+    time_weighted_avg_sql,
 )
 from timeseriesutils_spark.operators.text import (
     bm25_search,
@@ -63,8 +69,34 @@ def q_bm25(spark, sf_dir):
     return bm25_search(load_table(spark, sf_dir, "documents"), terms=BM25_TERMS)
 
 
+def q_ohlc(spark, sf_dir):
+    """Hourly candlestick bars per event type (analytics.ohlc):
+    open/high/low/close + count + exact sum, rank-deterministic
+    open/close under timestamp ties."""
+    return ohlc(load_table(spark, sf_dir, "events"))
+
+
+def q_twa(spark, sf_dir):
+    """Trapezoidal time-weighted average of value per event type
+    (analytics.time_weighted_avg) — the spacing-correct mean over the
+    irregular events series."""
+    return time_weighted_avg(load_table(spark, sf_dir, "events"))
+
+
+GAP_MINUTES = 120.0
+
+
+def q_gap_detect(spark, sf_dir):
+    """Missing-data report (analytics.detect_gaps): every >2 h silence
+    per user in the events stream, exact integer-ms bounds."""
+    return detect_gaps(load_table(spark, sf_dir, "events"), gap_minutes=GAP_MINUTES)
+
+
 QUERIES = {
     "time_rollup": Q(q_time_rollup, time_rollup_sql()),
+    "ohlc_bars": Q(q_ohlc, ohlc_sql()),
+    "time_weighted_avg": Q(q_twa, time_weighted_avg_sql()),
+    "gap_detect": Q(q_gap_detect, detect_gaps_sql(gap_minutes=GAP_MINUTES)),
     "funnel": Q(q_funnel, funnel_counts_sql(steps=FUNNEL_STEPS)),
     "cohort_retention": Q(q_cohort_retention, cohort_retention_sql()),
     "boilerplate_frac": Q(
