@@ -121,3 +121,29 @@ def test_column_profile(spark):
     assert (s["n_rows"], s["n_null"], s["n_distinct"]) == (4, 1, 2)
     assert (s["min_str"], s["max_str"]) == ("x", "y")
     assert s["mean_num"] is None
+
+
+def test_mode_per_group_tiebreak(spark):
+    from timeseriesutils_spark.operators.stats import mode_per_group
+
+    df = spark.createDataFrame(
+        [("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "c"), ("g1", "c"), ("g2", "z")],
+        "g string, v string",
+    )
+    out = {r["g"]: r for r in mode_per_group(df, ["g"], "v").collect()}
+    # b and c tie at 2 → smallest value wins
+    assert (out["g1"]["mode_value"], out["g1"]["mode_count"]) == ("b", 2)
+    assert (out["g2"]["mode_value"], out["g2"]["mode_count"]) == ("z", 1)
+
+
+def test_winsorize_clips_to_quantiles(spark):
+    from timeseriesutils_spark.operators.stats import winsorize
+
+    vals = list(range(1, 21))  # 1..20
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, x double")
+    out = winsorize(df, "x", ["g"], q_lo=0.1, q_hi=0.9).collect()
+    # quantile_cont(0.1) over 1..20 = 1 + 0.1*19 = 2.9; q90 = 18.1
+    lo, hi = 2.9, 18.1
+    expect = {float(v): min(max(float(v), lo), hi) for v in vals}
+    for r in out:
+        assert r["x_wins"] == pytest.approx(expect[r["x"]], abs=1e-12)

@@ -157,3 +157,55 @@ QUERIES = {
     "rolling_corr": Q(q_rolling_corr, _sql_rolling_corr()),
     "column_profile": Q(q_column_profile, _sql_column_profile()),
 }
+
+
+def q_group_mode(spark, sf_dir):
+    """Deterministic per-customer modal order priority
+    (operators/stats.mode_per_group): ties broken by smallest value —
+    unlike mode(), stable across engines and partitionings."""
+    from timeseriesutils_spark.operators.stats import mode_per_group
+
+    return mode_per_group(
+        load_table(spark, sf_dir, "orders"), ["o_custkey"], "o_orderpriority"
+    )
+
+
+WINS_PARAMS = dict(q_lo=0.05, q_hi=0.95)
+
+
+def q_winsorize(spark, sf_dir):
+    """Per-returnflag 5/95-percentile winsorization of the price column
+    (operators/stats.winsorize): exact quantile_cont clip bounds
+    broadcast back over one fact scan."""
+    from timeseriesutils_spark.operators.stats import winsorize
+
+    li = _li(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return winsorize(li, "l_extendedprice", ["l_returnflag"], **WINS_PARAMS)
+
+
+def _sql_group_mode():
+    from timeseriesutils_spark.operators.stats import mode_per_group_sql
+
+    return mode_per_group_sql("orders", ["o_custkey"], "o_orderpriority")
+
+
+def _sql_winsorize():
+    from timeseriesutils_spark.operators.stats import winsorize_sql
+
+    return winsorize_sql(
+        "lineitem",
+        "l_extendedprice",
+        ["l_returnflag"],
+        "t.l_orderkey, t.l_linenumber, t.l_returnflag, t.l_extendedprice",
+        **WINS_PARAMS,
+    )
+
+
+QUERIES.update(
+    {
+        "group_mode": Q(q_group_mode, _sql_group_mode()),
+        "winsorize": Q(q_winsorize, _sql_winsorize()),
+    }
+)
