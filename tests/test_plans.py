@@ -150,3 +150,35 @@ def test_bm25_broadcasts_stats(spark, catalog):
     is never on the build side of a shuffled join."""
     plan = _plan(catalog["bm25_search"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_forecast_eval_single_exchange(spark, catalog):
+    # lag window and per-group aggregate share the l_suppkey partitioning
+    plan = _plan(catalog["forecast_eval"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_rolling_corr_single_exchange(spark, catalog):
+    # all five quantized window sums evaluate in one WindowExec pass
+    plan = _plan(catalog["rolling_corr"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert len(re.findall(r"\bWindow\b", plan)) == 1
+
+
+def test_perrow_projections_no_exchange(spark, catalog):
+    # calendar features and text chunking are pure per-row plans
+    for name in ("calendar_features", "chunk_text"):
+        assert "Exchange" not in _plan(catalog[name](spark, SF_DIR)), name
+
+
+def test_winsorize_broadcast_clip(spark, catalog):
+    # clip bounds broadcast back: the fact side is never re-shuffled
+    plan = _plan(catalog["winsorize"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ohlc_single_exchange(spark, catalog):
+    # rank window and bar aggregate share the (type, bucket) partitioning
+    plan = _plan(catalog["ohlc_bars"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) == 1
