@@ -468,3 +468,46 @@ def test_heavy_hitters_exact_under_any_partitioning(spark):
             for r in heavy_hitters(df.repartition(parts), "word", frac).collect()
         }
         assert got == exact
+
+
+def test_grouped_centroids_matches_numpy(spark):
+    import numpy as np
+
+    from timeseriesutils_spark.operators.similarity import grouped_centroids
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 1, (20, 4)).astype("float32")
+    labels = [i % 3 for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, labels[i], vecs[i].tolist()) for i in range(20)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = grouped_centroids(df)
+    got = {(r["label"], r["dim_idx"]): r["centroid"] for r in out.collect()}
+    for lb in range(3):
+        want = vecs[np.array(labels) == lb].astype("float64").mean(axis=0)
+        for d in range(4):
+            assert got[(lb, d + 1)] == pytest.approx(want[d], abs=1e-6)
+
+
+def test_fuzzy_pairs_blocked_linkage(spark):
+    from timeseriesutils_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "Customer#01"),
+            (2, "Customer#02"),   # dist 1 from #01 (same stem)
+            (3, "Customer#11"),   # dist 1 from #01/#02 but same stem too
+            (4, "Customer#999"),  # different length → different block
+            (5, "Xustomer#01"),   # dist 1 from #01 but DIFFERENT stem → not a candidate
+        ],
+        "rid long, name string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(df, "rid", "name", max_dist=1).collect()
+    }
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 3)] == 1  # '0'→'1' one substitution, same stem block
+    assert (2, 3) not in pairs  # "02"→"11" is two edits
+    assert not any(4 in p or 5 in p for p in pairs)  # blocked out by design

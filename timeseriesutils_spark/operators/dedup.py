@@ -488,3 +488,67 @@ def dedup_near_keep_min(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id
     """
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def fuzzy_pairs(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 1,
+    block_suffix_len: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy record linkage: pairs of records whose names are
+    within ``max_dist`` Levenshtein edits, candidates generated by exact
+    equality on (length, all-but-last-``block_suffix_len`` chars) — the
+    entity-resolution primitive for short identifier-like strings.
+
+    The blocking key bounds candidate generation: cost is Σ_b C(|b|,2)
+    over blocks, never an all-pairs cross join; a hot block is a skewed
+    join key, which AQE splits.  The candidate contract (names may
+    differ only in their last ``block_suffix_len`` characters) is part
+    of the operator's semantics — recall beyond that needs a second
+    blocking pass on a different key (standard multi-pass blocking),
+    not a bigger block.  Levenshtein is exact integer — deterministic
+    in any engine.  Output: (id_a, id_b, name_a, name_b, dist),
+    id_a < id_b.
+    """
+    n = F.length(name_col)
+    key = F.struct(
+        n.alias("len"),
+        F.col(name_col).substr(F.lit(1), (n - block_suffix_len).cast("int")).alias("stem"),
+    )
+    a = records.select(
+        F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a"), key.alias("_k")
+    )
+    b = records.select(
+        F.col(id_col).alias("id_b"), F.col(name_col).alias("name_b"), key.alias("_k")
+    )
+    pairs = (
+        a.join(b, "_k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    return pairs.select("id_a", "id_b", "name_a", "name_b", "dist")
+
+
+def fuzzy_pairs_sql(
+    table: str,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 1,
+    block_suffix_len: int = 2,
+) -> str:
+    """DuckDB twin of :func:`fuzzy_pairs`."""
+    stem = f"substr({name_col}, 1, CAST(LENGTH({name_col}) - {block_suffix_len} AS INT))"
+    return f"""
+WITH k AS (
+  SELECT {id_col} AS rid, {name_col} AS nm,
+    LENGTH({name_col}) AS _len, {stem} AS _stem
+  FROM {table}
+)
+SELECT a.rid AS id_a, b.rid AS id_b, a.nm AS name_a, b.nm AS name_b,
+  CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+FROM k a JOIN k b ON a._len = b._len AND a._stem = b._stem AND a.rid < b.rid
+WHERE levenshtein(a.nm, b.nm) <= {max_dist}
+"""

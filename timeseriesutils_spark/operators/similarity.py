@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.exact import dsum, dsum_sql
+
 # Quantization unit for exact integer accumulation: each double product is
 # mapped to int64 units of 1e-14 via floor(x·1e14 + 0.5).  Every step is a
 # deterministic IEEE double op (multiply, add, floor) that Spark and DuckDB
@@ -515,4 +517,63 @@ SELECT {id_col}, CAST(dim AS INT) AS dim, max_abs,
   CAST(list_sum([x * x FOR x IN q]) AS BIGINT) AS q_l2,
   CAST(len(list_filter(q, x -> abs(x) = 127)) AS INT) AS n_sat
 FROM q
+"""
+
+
+def grouped_centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 7,
+) -> DataFrame:
+    """Per-group vector mean in long format — the class-centroid /
+    k-means-update primitive (one row per (group, dimension), scalar
+    columns only).
+
+    posexplode → partial-aggregated groupBy(group, dim): the shuffle
+    carries one pre-combined row per (group, dim) per map task, NOT the
+    exploded vectors — at 100 TB the exchange is |groups|·dim rows.
+    Component sums accumulate in DECIMAL(38,scale) (exact/associative;
+    unit-norm floats with scale 7 keep ~1e9 rows per (group,dim) inside
+    2^53 unscaled — see functions/exact.py); the mean divides the exact
+    sum by the exact count in double.  ``dim_idx`` is 1-based to match
+    SQL list indexing.
+    """
+    e = embeddings.select(
+        group_col, F.posexplode(vec_col).alias("_pos", "_x")
+    )
+    return (
+        e.groupBy(group_col, (F.col("_pos") + 1).alias("dim_idx"))
+        .agg(
+            F.count("_x").alias("n"),
+            dsum(F.col("_x").cast("double"), scale=scale).alias("comp_sum"),
+        )
+        .select(
+            group_col,
+            "dim_idx",
+            "n",
+            "comp_sum",
+            (F.col("comp_sum") / F.col("n")).alias("centroid"),
+        )
+    )
+
+
+def grouped_centroids_sql(
+    table: str = "embeddings",
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 7,
+) -> str:
+    """DuckDB twin of :func:`grouped_centroids`."""
+    return f"""
+WITH e AS (
+  SELECT {group_col},
+    unnest([{{'pos': i, 'x': CAST({vec_col}[i] AS DOUBLE)}}
+            FOR i IN range(1, len({vec_col}) + 1)]) AS u
+  FROM {table}
+)
+SELECT {group_col}, CAST(u.pos AS INT) AS dim_idx, COUNT(u.x) AS n,
+  {dsum_sql('u.x', scale=scale)} AS comp_sum,
+  {dsum_sql('u.x', scale=scale)} / COUNT(u.x) AS centroid
+FROM e GROUP BY {group_col}, u.pos
 """

@@ -821,3 +821,42 @@ QUERIES = {
     "mixture_resample": Q(q_mixture_resample, _sql_mixture_resample()),
     "reservoir_sample": Q(q_reservoir_sample, _sql_reservoir_sample()),
 }
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label vector mean in long format
+    (operators/similarity.grouped_centroids) — the class-centroid /
+    k-means-update primitive with exact decimal component sums."""
+    from timeseriesutils_spark.operators.similarity import grouped_centroids
+
+    return grouped_centroids(_emb(spark, sf_dir))
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """Blocked fuzzy record linkage over customer names
+    (operators/dedup.fuzzy_pairs): Levenshtein ≤ 1 within
+    (length, stem) blocks — entity resolution without a cross join."""
+    from timeseriesutils_spark.operators.dedup import fuzzy_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1, block_suffix_len=2)
+
+
+def _sql_embedding_centroids():
+    from timeseriesutils_spark.operators.similarity import grouped_centroids_sql
+
+    return grouped_centroids_sql()
+
+
+def _sql_fuzzy_match():
+    from timeseriesutils_spark.operators.dedup import fuzzy_pairs_sql
+
+    return fuzzy_pairs_sql("customer", "c_custkey", "c_name", max_dist=1, block_suffix_len=2)
+
+
+QUERIES.update(
+    {
+        "embedding_centroids": Q(q_embedding_centroids, _sql_embedding_centroids()),
+        "fuzzy_match": Q(q_fuzzy_match, _sql_fuzzy_match()),
+    }
+)
