@@ -55,3 +55,35 @@ def test_read_csv_timeseries_schema(spark, tmp_path):
         "double",
     ]
     assert back.count() == pdf.count()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from timeseriesutils_spark.sources.sinks import write_orc
+    from timeseriesutils_spark.sources.tables import load_table, read_orc
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    p = str(tmp_path / "li.orc")
+    write_orc(li, p)
+    back = read_orc(spark, p)
+    assert back.schema == li.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, li.collect()))
+    # pushdown reaches the ORC scan
+    ex = read_orc(spark, p).filter("l_quantity > 40")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in ex and "l_quantity" in ex.split("PushedFilters")[1][:200]
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from timeseriesutils_spark.sources.sinks import write_jsonl
+    from timeseriesutils_spark.sources.tables import load_table, read_jsonl
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    p = str(tmp_path / "docs.jsonl")
+    write_jsonl(docs, p)
+    back = read_jsonl(spark, p, "doc_id long, text string, lang string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    # missing fields arrive NULL under the explicit schema
+    extra = read_jsonl(spark, p, "doc_id long, nope string")
+    row = extra.limit(1).collect()[0]
+    assert row["nope"] is None and row["doc_id"] is not None

@@ -96,3 +96,15 @@ def write_series(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (columnar, compressed) — parquet-equivalent layout rules
+    apply: pair with ``repartition``/``sortWithinPartitions`` upstream."""
+    df.write.mode(mode).orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format for downstream tokenizer
+    / training-loader pipelines that stream text records."""
+    df.write.mode(mode).json(path)

@@ -61,3 +61,19 @@ def read_csv_timeseries(
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — same columnar pushdown/pruning story as parquet
+    (predicate pushdown + column pruning via the vectorized ORC reader);
+    interchange format for Hive-era warehouses."""
+    return spark.read.orc(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines source with a REQUIRED explicit schema: schema-less
+    JSON reads cost a full inference pass and type-drift silently at
+    scale — the engine refuses to guess.  Fields absent in a line arrive
+    NULL; extra fields are ignored (standard semi-structured contract).
+    """
+    return spark.read.schema(schema).json(path)
