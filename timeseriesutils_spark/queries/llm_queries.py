@@ -860,3 +860,31 @@ QUERIES.update(
         "fuzzy_match": Q(q_fuzzy_match, _sql_fuzzy_match()),
     }
 )
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Cross-document paragraph dedup: non-overlapping 200-char chunks
+    (operators/text.chunk_text, stride=size) fingerprinted by md5,
+    grouped to the chunks appearing in ≥2 documents — the
+    shared-boilerplate report at paragraph granularity."""
+    ch = chunk_text(_docs(spark, sf_dir), size=200, stride=200)
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _sql_chunk_dedup():
+    inner = chunk_text_sql(size=200, stride=200)
+    return f"""
+WITH chunks AS ({inner})
+SELECT chunk_md5, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM chunks GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+QUERIES.update({"chunk_dedup": Q(q_chunk_dedup, _sql_chunk_dedup())})

@@ -109,3 +109,44 @@ QUERIES = {
     "stream_dedup": Q(q_stream_dedup, _SQL_STREAM_DEDUP),
     "stream_join": Q(q_stream_join, stream_interval_join_sql()),
 }
+
+
+def q_stream_stateful(spark, sf_dir):
+    """Custom stateful operator on the REAL streaming path
+    (streaming/windows.running_user_stats, applyInPandasWithState over a
+    file-source readStream, availableNow): drains the stream into a
+    memory sink, then reduces the per-batch update rows to each user's
+    final state (n and max_value are monotone, so MAX over updates = the
+    last update).  The final state equals batch COUNT/MAX per user —
+    which the SQL oracle checks exactly; the declared query therefore
+    gate-checks custom stateful streaming end-to-end, not a batch
+    stand-in."""
+    import uuid
+
+    from timeseriesutils_spark.streaming.windows import (
+        read_events_stream,
+        running_user_stats,
+    )
+
+    name = f"q_stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    upd = spark.table(name)
+    return upd.groupBy("user_id").agg(
+        F.max("n").alias("n"), F.max("max_value").alias("max_value")
+    )
+
+
+_SQL_STATEFUL = """
+SELECT user_id, COUNT(*) AS n, MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+QUERIES.update({"stream_stateful": Q(q_stream_stateful, _SQL_STATEFUL)})
