@@ -147,3 +147,25 @@ def test_winsorize_clips_to_quantiles(spark):
     expect = {float(v): min(max(float(v), lo), hi) for v in vals}
     for r in out:
         assert r["x_wins"] == pytest.approx(expect[r["x"]], abs=1e-12)
+
+
+def test_group_trend_matches_numpy(spark):
+    from timeseriesutils_spark.operators.forecast import group_trend
+
+    rng = np.random.default_rng(5)
+    y = (3.0 + 0.7 * np.arange(30) + rng.normal(0, 0.01, 30)).round(2)
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(y)], "g string, t int, y double"
+    )
+    r = group_trend(df, "y", ["g"], ["t"], scale=2).collect()[0]
+    q = np.floor(y * 100 + 0.5)
+    slope, intercept = np.polyfit(np.arange(30), q, 1)
+    assert r["slope"] == pytest.approx(slope / 100, rel=1e-9)
+    assert r["intercept"] == pytest.approx(intercept / 100, rel=1e-6)
+    assert r["n"] == 30
+    # constant series → den>0 but slope 0; single row → NULL (den=0)
+    solo = group_trend(
+        spark.createDataFrame([("s", 1, 5.0)], "g string, t int, y double"),
+        "y", ["g"], ["t"],
+    ).collect()[0]
+    assert solo["slope"] is None and solo["intercept"] is None

@@ -240,3 +240,82 @@ def target_encode_loo_sql_columns(
         f" / CAST(({n} - 1) AS DOUBLE) END"
     )
     return out_col, expr
+
+
+def group_trend(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group OLS trend of ``column`` against its row index: one row
+    per group with ``slope`` (units per step), ``intercept`` (fitted
+    value at the first row), ``n`` — the per-series linear trend summary
+    (the whole-series counterpart of windowed_taylor_coefs' local β₁).
+
+    Closed form from five sums: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    with x = 0-based row index.  y is quantized to integers
+    (floor(y·10^scale + 0.5)) so every sum is an exact BIGINT and the
+    slope is a deterministic double function of them — same discipline
+    as rolling_corr; x is already integral.  Range guard:
+    |y|·10^scale·n and n³ must stay under ~9.2e18 (bigint): n ≤ ~2M rows
+    per group at scale 2.  One exchange (the window and the aggregate
+    share the group partitioning).
+    """
+    w = make_window(group_columns, order_by)
+    g = _as_list(group_columns)
+    mult = float(10**scale)
+    x = (F.row_number().over(w) - F.lit(1)).cast("bigint")
+    qy = F.floor(F.col(column) * F.lit(mult) + F.lit(0.5)).cast("bigint")
+    staged = data.select(*g, x.alias("_x"), qy.alias("_qy")).filter(
+        F.col("_qy").isNotNull()
+    )
+    n = F.count("_qy")
+    sx = F.sum("_x")
+    sy = F.sum("_qy")
+    sxy = F.sum(F.col("_x") * F.col("_qy"))
+    sxx = F.sum(F.col("_x") * F.col("_x"))
+    num = (n * sxy - sx * sy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    slope_q = num / den
+    mean_y = sy.cast("double") / n.cast("double")
+    mean_x = sx.cast("double") / n.cast("double")
+    return staged.groupBy(*g).agg(
+        n.alias("n"),
+        F.when(den > 0, slope_q / F.lit(mult)).alias("slope"),
+        F.when(den > 0, (mean_y - slope_q * mean_x) / F.lit(mult)).alias("intercept"),
+    )
+
+
+def group_trend_sql(
+    table_sql: str,
+    column: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`group_trend` (same tree/order)."""
+    g = ", ".join(_as_list(group_columns))
+    over = f"(PARTITION BY {g} ORDER BY {', '.join(_as_list(order_by))})"
+    mult = float(10**scale)
+    qy = f"CAST(FLOOR({column} * {mult!r} + 0.5) AS BIGINT)"
+    x = f"CAST(ROW_NUMBER() OVER {over} - 1 AS BIGINT)"
+    n = "COUNT(_qy)"
+    sx, sy = "SUM(_x)", "SUM(_qy)"
+    sxy, sxx = "SUM(_x * _qy)", "SUM(_x * _x)"
+    num = f"CAST(({n} * {sxy} - {sx} * {sy}) AS DOUBLE)"
+    den = f"CAST(({n} * {sxx} - {sx} * {sx}) AS DOUBLE)"
+    slope_q = f"({num} / {den})"
+    mean_y = f"(CAST({sy} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    mean_x = f"(CAST({sx} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    return f"""
+WITH staged AS (
+  SELECT {g}, {x} AS _x, {qy} AS _qy
+  FROM ({table_sql})
+)
+SELECT {g}, {n} AS n,
+  CASE WHEN {den} > 0 THEN {slope_q} / {mult!r} END AS slope,
+  CASE WHEN {den} > 0 THEN ({mean_y} - {slope_q} * {mean_x}) / {mult!r} END AS intercept
+FROM staged WHERE _qy IS NOT NULL GROUP BY {g}
+"""

@@ -209,3 +209,29 @@ QUERIES.update(
         "winsorize": Q(q_winsorize, _sql_winsorize()),
     }
 )
+
+
+def q_group_trend(spark, sf_dir):
+    """Per-supplier OLS price trend (operators/forecast.group_trend):
+    slope/intercept against the row index from five exact quantized
+    sums — the whole-series counterpart of taylor's local derivative."""
+    from timeseriesutils_spark.operators.forecast import group_trend
+
+    return group_trend(
+        _li(spark, sf_dir), "l_extendedprice", ["l_suppkey"], LI_ORDER, scale=2
+    )
+
+
+def _sql_group_trend():
+    from timeseriesutils_spark.operators.forecast import group_trend_sql
+
+    return group_trend_sql(
+        "SELECT * FROM lineitem",
+        "l_extendedprice",
+        ["l_suppkey"],
+        LI_ORDER_SQL.split(", "),
+        scale=2,
+    )
+
+
+QUERIES.update({"group_trend": Q(q_group_trend, _sql_group_trend())})
