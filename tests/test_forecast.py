@@ -169,3 +169,25 @@ def test_group_trend_matches_numpy(spark):
         "y", ["g"], ["t"],
     ).collect()[0]
     assert solo["slope"] is None and solo["intercept"] is None
+
+
+def test_seasonal_profile_ratios(spark):
+    from timeseriesutils_spark.operators.forecast import seasonal_profile
+
+    # Mondays (2024-01-01, -08) value 10; Tuesdays value 30 → overall 20
+    rows = [
+        ("g", "2024-01-01", 10.0),
+        ("g", "2024-01-08", 10.0),
+        ("g", "2024-01-02", 30.0),
+        ("g", "2024-01-09", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, d string, y double")
+    out = {
+        r["isodow"]: r
+        for r in seasonal_profile(df, "y", "d", ["g"]).collect()
+    }
+    assert out[1]["dow_mean"] == pytest.approx(10.0)
+    assert out[2]["dow_mean"] == pytest.approx(30.0)
+    assert out[1]["dow_ratio"] == pytest.approx(0.5)
+    assert out[2]["dow_ratio"] == pytest.approx(1.5)
+    assert out[1]["n"] == 2 and set(out) == {1, 2}

@@ -319,3 +319,68 @@ SELECT {g}, {n} AS n,
   CASE WHEN {den} > 0 THEN ({mean_y} - {slope_q} * {mean_x}) / {mult!r} END AS intercept
 FROM staged WHERE _qy IS NOT NULL GROUP BY {g}
 """
+
+
+def seasonal_profile(
+    data: DataFrame,
+    column: str,
+    date_col: str,
+    group_columns,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-(group, ISO weekday) seasonal profile: observation count,
+    exact mean, and the ratio to the group's overall mean — the
+    day-of-week effect that dominates reporting-driven series (the
+    reference's epi-surveillance domain: weekday reporting artifacts
+    are the first seasonal signal a forecaster must model).
+
+    One aggregation to (group, isodow) — map-combinable — then the
+    group totals derive from summing the 7 weekday rows (a second tiny
+    exchange over |groups|·7 rows, not a second fact scan).  All sums
+    DECIMAL-exact; ratios divide exact sums in double.
+    """
+    g = _as_list(group_columns)
+    dec = f"decimal({PRECISION},{scale})"
+    dow = (F.weekday(F.col(date_col).cast("date")) + F.lit(1)).cast("int")
+    per_dow = (
+        data.select(*g, dow.alias("isodow"), F.col(column).cast(dec).alias("_q"))
+        .groupBy(*g, "isodow")
+        .agg(F.count("_q").alias("n"), F.sum("_q").alias("_s"))
+    )
+    w = Window.partitionBy(*g)
+    tot_n = F.sum("n").over(w)
+    tot_s = F.sum("_s").over(w)
+    mean_dow = F.col("_s").cast("double") / F.col("n")
+    mean_all = tot_s.cast("double") / tot_n
+    return per_dow.select(
+        *g,
+        "isodow",
+        "n",
+        mean_dow.alias("dow_mean"),
+        (mean_dow / mean_all).alias("dow_ratio"),
+    )
+
+
+def seasonal_profile_sql(
+    table: str,
+    column: str,
+    date_col: str,
+    group_columns,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`seasonal_profile` (same tree/order)."""
+    g = ", ".join(_as_list(group_columns))
+    dec = f"DECIMAL({PRECISION},{scale})"
+    return f"""
+WITH per_dow AS (
+  SELECT {g}, CAST(isodow(CAST({date_col} AS DATE)) AS INT) AS isodow,
+    COUNT(q) AS n, SUM(q) AS _s
+  FROM (SELECT {g}, {date_col}, CAST({column} AS {dec}) AS q FROM {table})
+  GROUP BY {g}, isodow(CAST({date_col} AS DATE))
+)
+SELECT {g}, isodow, n,
+  CAST(_s AS DOUBLE) / n AS dow_mean,
+  (CAST(_s AS DOUBLE) / n) /
+    (CAST(SUM(_s) OVER (PARTITION BY {g}) AS DOUBLE) / SUM(n) OVER (PARTITION BY {g})) AS dow_ratio
+FROM per_dow
+"""

@@ -235,3 +235,26 @@ def _sql_group_trend():
 
 
 QUERIES.update({"group_trend": Q(q_group_trend, _sql_group_trend())})
+
+
+def q_seasonal_profile(spark, sf_dir):
+    """Ship-day weekday profile per returnflag
+    (operators/forecast.seasonal_profile): day-of-week means and ratios
+    to the overall mean — the reporting-artifact signal of the
+    reference's surveillance domain."""
+    from timeseriesutils_spark.operators.forecast import seasonal_profile
+
+    return seasonal_profile(
+        _li(spark, sf_dir), "l_extendedprice", "l_shipdate", ["l_returnflag"]
+    )
+
+
+def _sql_seasonal_profile():
+    from timeseriesutils_spark.operators.forecast import seasonal_profile_sql
+
+    return seasonal_profile_sql(
+        "lineitem", "l_extendedprice", "l_shipdate", ["l_returnflag"]
+    )
+
+
+QUERIES.update({"seasonal_profile": Q(q_seasonal_profile, _sql_seasonal_profile())})
