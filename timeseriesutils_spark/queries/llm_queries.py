@@ -888,3 +888,37 @@ FROM chunks GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
 
 
 QUERIES.update({"chunk_dedup": Q(q_chunk_dedup, _sql_chunk_dedup())})
+
+
+QF_MIN_QUALITY, QF_MAX_DUP = 0.75, 0.2
+
+
+def q_quality_filter(spark, sf_dir):
+    """C4-style filtering funnel: compose the quality score and the
+    Gopher repetition signal into a per-document keep/drop decision
+    (keep = quality ≥ 0.75 AND dup 3-gram fraction ≤ 0.2).  Thresholds
+    compare bit-identical deterministic doubles, so the decision itself
+    is cross-engine exact.  Both signals are per-row projections; the
+    doc_id join is co-partitioned at scale (no wide shuffle)."""
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs)
+    r = repetition_stats(docs).select("doc_id", "dup_gram_frac")
+    keep = (
+        (F.col("quality") >= QF_MIN_QUALITY) & (F.col("dup_gram_frac") <= QF_MAX_DUP)
+    ).cast("int")
+    return (
+        q.join(r, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "quality", "dup_gram_frac", keep.alias("keep"))
+    )
+
+
+_SQL_QUALITY_FILTER = f"""
+WITH q AS ({_SQL_QUALITY}),
+r AS ({_SQL_REPETITION})
+SELECT q.doc_id, d.lang, q.quality, r.dup_gram_frac,
+  CAST(q.quality >= {QF_MIN_QUALITY} AND r.dup_gram_frac <= {QF_MAX_DUP} AS INT) AS keep
+FROM q JOIN r ON q.doc_id = r.doc_id JOIN documents d ON q.doc_id = d.doc_id
+"""
+
+QUERIES.update({"quality_filter": Q(q_quality_filter, _SQL_QUALITY_FILTER)})
