@@ -253,9 +253,11 @@ def rolling_quantile(
 
     Semantics = SQL ``quantile_cont`` over the same frame: with the
     window's non-null values sorted ascending, h = (n−1)·q, result =
-    a[⌊h⌋] + (h−⌊h⌋)·(a[⌊h⌋+1] − a[⌊h⌋]).  Selection plus one
-    multiply-add on doubles — deterministic across engines and
-    partitionings (no accumulation order involved).
+    a[⌊h⌋]·(1−frac) + a[⌊h⌋+1]·frac (frac = h−⌊h⌋) — the exact lerp
+    form DuckDB computes; the algebraically-equal a+frac·(b−a) differs
+    in the last ulp for some inputs.  Selection plus two multiplies and
+    an add on doubles — deterministic across engines and partitionings
+    (no accumulation order involved).
 
     Implementation: ``sort_array(collect_list)`` over the rows frame.
     Cost per row is O(w log w) — fine for the bounded windows this is
@@ -276,7 +278,7 @@ def rolling_quantile(
     frac = h - lo.cast("double")
     base = F.element_at(arr, lo + 1).cast("double")
     nxt = F.element_at(arr, F.least(lo + 2, n)).cast("double")
-    out = F.when(n > 0, base + frac * (nxt - base))
+    out = F.when(n > 0, base * (F.lit(1.0) - frac) + nxt * frac)
     name = suffix or f"{column}_q{int(q * 100)}_w{window_size}"
     return df.select("*", out.alias(name))
 

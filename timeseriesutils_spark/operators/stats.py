@@ -57,15 +57,17 @@ SELECT {g}, {value_col} AS mode_value, mode_count FROM r WHERE _rn = 1
 
 
 def _qcont(arr, n, q: float):
-    """quantile_cont over a sorted array column (same formula as
-    operators/series_math.rolling_quantile — selection + one
-    multiply-add, deterministic)."""
+    """quantile_cont over a sorted array column — selection plus the
+    SAME lerp DuckDB computes: base·(1−frac) + nxt·frac.  The
+    algebraically-equal base + frac·(nxt−base) rounds differently in
+    the last ulp for some inputs (seen live at sf0.1), so the exact
+    form of the interpolation is part of the cross-engine contract."""
     h = (n - 1).cast("double") * F.lit(float(q))
     lo = F.floor(h).cast("int")
     frac = h - lo.cast("double")
     base = F.element_at(arr, lo + 1).cast("double")
     nxt = F.element_at(arr, F.least(lo + 2, n)).cast("double")
-    return base + frac * (nxt - base)
+    return base * (F.lit(1.0) - frac) + nxt * frac
 
 
 def winsorize(
