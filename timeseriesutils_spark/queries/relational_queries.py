@@ -519,11 +519,25 @@ def q_agg_quantiles(spark, sf_dir):
     )
 
 
-_SQL_QUANTILES = """
+# Spark's percentile() interpolates base + frac*(nxt-base)
+# (Percentile.scala), which differs from DuckDB quantile_cont's
+# base*(1-frac) + nxt*frac in the last ulp for some inputs — render
+# Spark's exact form from sorted lists instead of calling quantile_cont.
+def _duck_pct(col: str, q: float) -> str:
+    arr = f"list_sort(list({col}))"
+    n = f"len({arr})"
+    h = f"(({n} - 1) * {q!r})"
+    lo = f"CAST(FLOOR({h}) AS INT)"
+    base = f"{arr}[{lo} + 1]"
+    nxt = f"{arr}[LEAST({lo} + 2, {n})]"
+    return f"({base} + ({h} - {lo}) * ({nxt} - {base}))"
+
+
+_SQL_QUANTILES = f"""
 SELECT l_returnflag,
-  quantile_cont(l_quantity, 0.5) AS med_qty,
-  quantile_cont(l_quantity, 0.9) AS p90_qty,
-  quantile_cont(l_extendedprice, 0.5) AS med_price
+  {_duck_pct('l_quantity', 0.5)} AS med_qty,
+  {_duck_pct('l_quantity', 0.9)} AS p90_qty,
+  {_duck_pct('l_extendedprice', 0.5)} AS med_price
 FROM lineitem GROUP BY l_returnflag
 """
 
