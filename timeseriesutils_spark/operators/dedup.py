@@ -526,8 +526,13 @@ def fuzzy_pairs(
     pairs = (
         a.join(b, "_k")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= max_dist)
+        # bounded levenshtein: early-exits once the running distance
+        # exceeds max_dist (returns -1) — most candidate pairs are
+        # non-matches, so the bound does the bulk of the work-saving;
+        # distances actually emitted (0..max_dist) are exact, so the
+        # unbounded oracle still hash-matches
+        .withColumn("dist", F.levenshtein("name_a", "name_b", max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
     return pairs.select("id_a", "id_b", "name_a", "name_b", "dist")
 

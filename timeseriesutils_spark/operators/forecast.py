@@ -36,6 +36,10 @@ __all__ = [
     "calendar_features_sql_columns",
     "target_encode_loo",
     "target_encode_loo_sql_columns",
+    "group_trend",
+    "group_trend_sql",
+    "seasonal_profile",
+    "seasonal_profile_sql",
 ]
 
 
