@@ -119,3 +119,150 @@ SELECT {select_cols},
   LEAST(GREATEST(CAST(t.{column} AS DOUBLE), b._lo), b._hi) AS {column}_wins
 FROM {table} t LEFT JOIN b USING ({g})
 """
+
+
+def _qcont_sql(arr: str, n: str, q: float) -> str:
+    """DuckDB rendering of :func:`_qcont` (same lerp form)."""
+    h = f"(({n} - 1) * {float(q)!r})"
+    lo = f"CAST(FLOOR({h}) AS INT)"
+    frac = f"({h} - {lo})"
+    base = f"CAST({arr}[{lo} + 1] AS DOUBLE)"
+    nxt = f"CAST({arr}[LEAST({lo} + 2, {n})] AS DOUBLE)"
+    return f"({base} * (1.0 - {frac}) + {nxt} * {frac})"
+
+
+def bucket_percentiles(
+    df: DataFrame,
+    value_col: str,
+    bucket_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_columns=(),
+) -> DataFrame:
+    """Percentile bands per bucket — the P50/P90/P99-latency-per-hour
+    shape of observability rollups.  One row per (group, bucket) with a
+    ``p{q}`` column per requested quantile, all from ONE sorted array
+    per bucket (not one aggregation per percentile).
+
+    Exact-tier: per-bucket ``sort_array(collect_list)`` bounded by
+    rows-per-bucket; at monster buckets swap for ``approx_percentile``
+    (t-digest, mergeable) — the output contract is unchanged.  The
+    interpolation is the engine-pinned lerp of :func:`_qcont`.
+    """
+    g = list(group_columns)
+    agg = df.groupBy(*g, bucket_col).agg(
+        F.sort_array(F.collect_list(value_col)).alias("_arr")
+    )
+    arr, n = F.col("_arr"), F.size("_arr")
+    cols = [
+        F.when(n > 0, _qcont(arr, n, q)).alias(f"p{int(q * 100)}") for q in qs
+    ]
+    return agg.select(*g, bucket_col, n.alias("n"), *cols)
+
+
+def bucket_percentiles_sql(
+    table: str,
+    value_col: str,
+    bucket_expr: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_columns=(),
+) -> str:
+    """DuckDB twin of :func:`bucket_percentiles`; ``bucket_expr`` is
+    ``expr AS name`` for the bucket column."""
+    g = ", ".join(group_columns)
+    gsel = f"{g}, " if g else ""
+    bucket_name = bucket_expr.split(" AS ")[-1].strip()
+    arr, n = "_arr", "len(_arr)"
+    cols = ",\n  ".join(
+        f"CASE WHEN {n} > 0 THEN {_qcont_sql(arr, n, q)} END AS p{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+WITH b AS (
+  SELECT {gsel}{bucket_expr}, list_sort(list({value_col})) AS _arr
+  FROM {table} GROUP BY {gsel.rstrip(', ') + ', ' if g else ''}{bucket_name}
+)
+SELECT {gsel}{bucket_name}, CAST({n} AS BIGINT) AS n,
+  {cols}
+FROM b
+"""
+
+
+def mad_outliers(
+    df: DataFrame,
+    column: str,
+    group_columns,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier score per row: |x − median| / (1.4826·MAD) — the
+    median-absolute-deviation z-score, immune to the outliers it hunts
+    (unlike mean/std control charts, whose own statistics the outliers
+    inflate).  Appends ``{c}_robust_z`` and ``{c}_robust_outlier``
+    (int; NULL where MAD = 0 or x is NULL).
+
+    Two bounded per-group passes (median, then MAD over |x − median|)
+    broadcast back to one fact scan; each uses the engine-pinned
+    quantile lerp.  1.4826 ≈ 1/Φ⁻¹(3/4) rescales MAD to σ-units for a
+    normal core, making ``threshold`` comparable to a classic z cutoff.
+    """
+    g = list(group_columns) if not isinstance(group_columns, str) else [group_columns]
+    med_f = df.groupBy(*g).agg(
+        F.sort_array(F.collect_list(column)).alias("_arr")
+    )
+    med_f = med_f.select(
+        *g, F.when(F.size("_arr") > 0, _qcont(F.col("_arr"), F.size("_arr"), 0.5)).alias("_med")
+    )
+    with_med = df.join(F.broadcast(med_f), on=g, how="left")
+    dev = F.abs(F.col(column).cast("double") - F.col("_med"))
+    mad_f = with_med.groupBy(*g).agg(
+        F.sort_array(F.collect_list(dev)).alias("_darr")
+    )
+    mad_f = mad_f.select(
+        *g,
+        F.when(F.size("_darr") > 0, _qcont(F.col("_darr"), F.size("_darr"), 0.5)).alias("_mad"),
+    )
+    out = with_med.join(F.broadcast(mad_f), on=g, how="left")
+    z = F.abs(F.col(column).cast("double") - F.col("_med")) / (
+        F.lit(1.4826) * F.col("_mad")
+    )
+    ok = F.col("_mad") > 0
+    return out.select(
+        *df.columns,
+        F.when(ok, z).alias(f"{column}_robust_z"),
+        F.when(ok, (z > F.lit(float(threshold))).cast("int")).alias(
+            f"{column}_robust_outlier"
+        ),
+    )
+
+
+def mad_outliers_sql(
+    table: str,
+    column: str,
+    group_columns,
+    select_cols: str,
+    threshold: float = 3.5,
+) -> str:
+    """DuckDB twin of :func:`mad_outliers` (same lerp, same tree)."""
+    g = ", ".join(group_columns)
+    arr, n = "_arr", "len(_arr)"
+    darr, dn = "_darr", "len(_darr)"
+    med = f"CASE WHEN {n} > 0 THEN {_qcont_sql(arr, n, 0.5)} END"
+    mad = f"CASE WHEN {dn} > 0 THEN {_qcont_sql(darr, dn, 0.5)} END"
+    z = f"(ABS(CAST(t.{column} AS DOUBLE) - m._med) / (1.4826 * d._mad))"
+    return f"""
+WITH m AS (
+  SELECT {g}, {med.replace('_arr', '_arr')} AS _med
+  FROM (SELECT {g}, list_sort(list({column})) AS _arr FROM {table} GROUP BY {g})
+),
+d AS (
+  SELECT {g}, {mad} AS _mad
+  FROM (
+    SELECT {g}, list_sort(list(ABS(CAST({column} AS DOUBLE) - _med) ORDER BY NULL)) AS _darr
+    FROM (SELECT t.*, m._med FROM {table} t JOIN m USING ({g}))
+    GROUP BY {g}
+  )
+)
+SELECT {select_cols},
+  CASE WHEN d._mad > 0 THEN {z} END AS {column}_robust_z,
+  CASE WHEN d._mad > 0 THEN CAST({z} > {float(threshold)!r} AS INT) END AS {column}_robust_outlier
+FROM {table} t JOIN m USING ({g}) JOIN d USING ({g})
+"""
