@@ -208,3 +208,15 @@ def test_merge_upsert(spark):
     upd2 = spark.createDataFrame([(1, None, 11.0, False)], "k long, s string, v double, is_delete boolean")
     got2 = {r.k: (r.s, r.v) for r in merge_upsert(base, upd2, "k", "is_delete").collect()}
     assert got2[1] == (None, 11.0) and got2[2] == ("b", 20.0)
+
+    # a NULL delete flag must mean "not a delete", and the update must
+    # still APPLY (matched) / INSERT (unmatched) — the matched test uses
+    # an independent presence marker, not the user's delete column
+    upd3 = spark.createDataFrame(
+        [(1, "A", 11.0, None), (5, "e", 50.0, None)],
+        "k long, s string, v double, is_delete boolean",
+    )
+    got3 = {r.k: (r.s, r.v) for r in merge_upsert(base, upd3, "k", "is_delete").collect()}
+    assert got3 == {
+        1: ("A", 11.0), 2: ("b", 20.0), 3: ("c", 30.0), 5: ("e", 50.0)
+    }

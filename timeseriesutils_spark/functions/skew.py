@@ -74,7 +74,16 @@ def salted_broadcast_join(
     the explicit pre-salt.  The dim replication is a broadcast of
     n_salts·|dim| rows — use only for genuinely small dims.  Results are
     exactly the rows of the plain join (salt columns never leak).
+
+    Only ``inner``/``left``-family joins are supported: under
+    ``right``/``full`` outer the replicated dim side would emit each
+    UNMATCHED dim row once per salt, breaking the plain-join equivalence.
     """
+    if how.lower().replace("_outer", "") in ("right", "full", "outer", "fullouter"):
+        raise ValueError(
+            f"salted_broadcast_join does not support how={how!r}: unmatched "
+            "dim rows are replicated n_salts times under right/full outer"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     dim_rep = dim.select("*", salts)
     fact_s = fact.withColumn(

@@ -213,17 +213,26 @@ def merge_upsert(
     missing = [c for c in vals if c not in updates.columns]
     if missing:
         raise ValueError(f"updates missing value columns: {missing}")
+    # `_upd` is an always-non-null presence marker for "an update row
+    # exists" — the delete flag itself can legitimately be NULL on an
+    # update row, so it must not double as the matched test; `_del` is
+    # coalesced to false on the update side for the same reason.
     u = updates.select(
         *[F.col(k).alias(f"_uk_{k}") for k in keys],
         *[F.col(c).alias(f"_uv_{c}") for c in vals],
-        (F.col(delete_col) if delete_col else F.lit(False)).alias("_del"),
+        (
+            F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            if delete_col
+            else F.lit(False)
+        ).alias("_del"),
+        F.lit(True).alias("_upd"),
     )
     cond = None
     for k in keys:
         eq = base[k].eqNullSafe(F.col(f"_uk_{k}"))
         cond = eq if cond is None else cond & eq
     joined = base.join(u, cond, "full_outer")
-    matched_update = F.col("_del").isNotNull()  # an update row exists
+    matched_update = F.col("_upd").isNotNull()  # an update row exists
     out = joined.filter(
         ~F.coalesce(F.col("_del"), F.lit(False))  # drop deletes
     ).select(

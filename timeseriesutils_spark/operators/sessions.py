@@ -182,7 +182,9 @@ WITH e AS (
             THEN 1 ELSE 0 END AS brk
   FROM e
 ), s AS (
-  SELECT *, SUM(brk) OVER {run} AS sess_n FROM b
+  -- CAST: DuckDB SUM(int) yields HUGEINT, which lands in pandas as
+  -- float64 and diverges from Spark's BIGINT in the driver's value hash
+  SELECT *, CAST(SUM(brk) OVER {run} AS BIGINT) AS sess_n FROM b
 )
 SELECT {user_col}, sess_n,
   COUNT(*) AS n_events,

@@ -317,6 +317,15 @@ def cross_doc_dup_fraction(
     membership check is a semi join on the same int64 key.  No posting
     list is ever materialized per gram — only its document COUNT — so a
     stop-gram shared by 10⁶ docs costs one counter, never C(k,2) pairs.
+
+    Spark-side contract: grams are keyed by their 64-bit ``xxhash64``,
+    accepting the ~n²/2⁶⁵ birthday risk that two distinct grams collide
+    and slightly inflate df/n_shared — the deliberate trade for 16-byte
+    shuffle rows instead of strings (the DuckDB oracle keys exact gram
+    strings; at test scale the hash is collision-free so they agree).
+    The ``occ`` fork is persisted for the duration of the returned plan;
+    the caller owns the cache and should ``spark.catalog.clearCache()``
+    (or unpersist) after materializing the result.
     """
     occ = doc_ngrams(docs, id_col, text_col, n).select(
         id_col, F.xxhash64("gram").alias("_g")
@@ -598,6 +607,11 @@ def chunk_text(
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        raise ValueError(
+            f"stride ({stride}) > size ({size}) would leave uncovered "
+            "character gaps between chunks"
+        )
     n_chunks_last_idx = F.floor((F.length(text_col) - 1) / F.lit(stride)).cast("int")
     idx = F.explode(F.sequence(F.lit(0), n_chunks_last_idx)).alias("chunk_id")
     start = (F.col("chunk_id") * stride + 1).cast("int")

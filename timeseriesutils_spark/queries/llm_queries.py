@@ -219,7 +219,7 @@ def _sql_heavy_hitters():
     from timeseriesutils_spark.operators.sketches import heavy_hitters_sql
 
     src = (
-        "SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word "
+        "SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word "
         "FROM documents"
     )
     return heavy_hitters_sql(src, "word", min_frac=0.01)
@@ -684,7 +684,10 @@ WITH b AS (
   FROM documents
 )
 SELECT lang, source, COUNT(*) AS n_docs,
-  SUM(nc) AS total_chars, SUM(nw) AS total_words,
+  -- CAST: DuckDB SUM(BIGINT) is HUGEINT → float64 in pandas, which
+  -- breaks the driver's int-vs-float value hash against Spark's BIGINT
+  CAST(SUM(nc) AS BIGINT) AS total_chars,
+  CAST(SUM(nw) AS BIGINT) AS total_words,
   CAST(SUM(nc) AS DOUBLE) / COUNT(*) AS mean_chars,
   CAST(SUM(nw) AS DOUBLE) / COUNT(*) AS mean_words
 FROM b GROUP BY 1, 2

@@ -47,6 +47,14 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     for c in s_cols:
         a, b = s[c].to_numpy(), o[c].to_numpy()
         if a.dtype.kind == "f" or b.dtype.kind == "f":
+            # the driver's value hash stringifies raw cells, so int64 5 vs
+            # float64 5.0 is a hash MISMATCH even though values are equal —
+            # flag dtype-class divergence (e.g. DuckDB SUM(int)→HUGEINT→f64)
+            if (a.dtype.kind == "f") != (b.dtype.kind == "f"):
+                problems.append(
+                    f"col {c}: dtype class differs spark={a.dtype} oracle={b.dtype}"
+                    " (int-vs-float breaks the driver hash)"
+                )
             a = a.astype("float64")
             b = b.astype("float64")
             # equal iff bitwise-equal values or NaN on BOTH sides;
