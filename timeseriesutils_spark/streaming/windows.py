@@ -41,11 +41,16 @@ def read_events_stream(
         .option("basePath", sf_dir)
         .parquet(f"{sf_dir}/events.parque[t]")
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # TIMESTAMP (not NTZ): watermarks require an event-time zone-aware
-        # timestamp; session tz is UTC so wall-clock values match the
-        # batch reader's NTZ values
+    # watermarks require a zone-aware TIMESTAMP event-time column; the
+    # parquet may surface ts as long nanos (legacy nanosAsLong) or as
+    # TIMESTAMP_NTZ (micros file + NTZ inference) depending on how the
+    # testdata was written — normalize both (session tz is UTC, so the
+    # NTZ→LTZ cast is wall-clock-identity and matches the batch reader)
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -6,10 +6,16 @@ row-count + schema (column names) + exact multiset of values (floats
 compared bitwise — stricter than any reasonable driver hash).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+With ``--json PATH``, also writes a driver-style correctness artifact
+(one row per query: rows/schema/hash match booleans) covering the FULL
+catalog — the driver itself caps at 50 rows per round, this file is the
+repo's complete record (committed as CORRECTNESS_LOCAL.json).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 
 import duckdb
@@ -73,8 +79,14 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from timeseriesutils_spark.session import get_spark
@@ -86,10 +98,19 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir).toPandas()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # record, keep checking the rest
+            failed.append(name)
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": None,
+                            "oracle_rows": None, "err": f"spark: {exc}"[:300]}
+            print(f"{name}: FAIL (spark error: {exc})")
+            continue
         spark.catalog.clearCache()  # evict per-query persist() forks
         if name not in oracles:
             # the driver canonicalizes rows-only results too: an array-typed
@@ -98,12 +119,23 @@ def main() -> int:
                 sdf.sort_values(sorted(sdf.columns), kind="mergesort")
             except TypeError as exc:
                 failed.append(name)
+                report[name] = {"rows_match": None, "schema_match": None,
+                                "hash_match": None, "spark_rows": len(sdf),
+                                "oracle_rows": None, "err": f"canon: {exc}"[:300]}
                 print(f"{name}: FAIL (rows-only result not canonicalizer-safe: {exc})")
                 continue
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(sdf),
+                            "oracle_rows": None, "err": "no_oracle"}
             print(f"{name}: rows-only ({len(sdf)} rows) — no oracle")
             continue
         odf = con.execute(oracles[name]).df()
         problems = compare(name, sdf, odf)
+        schema_ok = not any(p.startswith("columns") for p in problems)
+        rows_ok = len(sdf) == len(odf)
+        report[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
+                        "hash_match": not problems, "spark_rows": len(sdf),
+                        "oracle_rows": len(odf), "err": None}
         if problems:
             failed.append(name)
             print(f"{name}: FAIL")
@@ -112,6 +144,10 @@ def main() -> int:
         else:
             print(f"{name}: OK ({len(sdf)} rows, {len(sdf.columns)} cols)")
     spark.stop()
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_path} ({len(report)} rows)")
     print("FAILED:", failed if failed else "none")
     return 1 if failed else 0
 
