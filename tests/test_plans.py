@@ -182,3 +182,30 @@ def test_ohlc_single_exchange(spark, catalog):
     # rank window and bar aggregate share the (type, bucket) partitioning
     plan = _plan(catalog["ohlc_bars"](spark, SF_DIR))
     assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_window_aggregates_not_duplicated(spark, catalog):
+    # Catalyst keeps every inlined reference to a window aggregate as its
+    # own WindowExec slot; the z-score/corr operators must materialize the
+    # base sums once (rolling_zscore: exactly count+sum+sum2+q; a regression
+    # to inlined form compiles to 35 slots)
+    plan = catalog["rolling_zscore"](spark, SF_DIR)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert len(re.findall(r"windowspecdefinition", plan)) <= 4
+    plan = catalog["rolling_corr"](spark, SF_DIR)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert len(re.findall(r"windowspecdefinition", plan)) <= 6
+
+
+def test_kmeans_assignment_no_python(spark, catalog):
+    # the per-iteration assignment is pure JVM expressions: no Arrow/python
+    # eval node anywhere in the final assignment plan
+    plan = _plan(catalog["kmeans"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_shard_assign_single_exchange(spark, catalog):
+    # hash projection + one shard exchange for the per-shard positions —
+    # exactly the shuffle the partitioned write needs anyway
+    plan = _plan(catalog["shard_assign"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) == 1

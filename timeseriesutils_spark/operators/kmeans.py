@@ -1,0 +1,215 @@
+"""Distributed Lloyd k-means over an embedding column.
+
+The reference has no clustering (its only iterative math is the
+windowed lstsq, ``/root/reference/src/timeseriesutils/featurize.py:390``);
+this is a capability-parity op for the LLM-pipeline surface: k-means is
+the backbone of IVF index building (operators/similarity.knn_ivf trains
+its coarse quantizer on a driver sample), semantic-dedup clustering, and
+corpus topic bucketing.  Unlike ``similarity.ivf_centroids`` (bounded
+driver sample, numpy), this one runs Lloyd iterations over the FULL
+corpus distributed, with only O(k·d) state ever crossing the driver
+boundary.
+
+Determinism (why a SQL oracle can hash-match an "iterative ML" op):
+
+* vectors are quantized once to int64 (``floor(x·10^scale + 0.5)``), so
+  every squared-L2 distance is an EXACT int64 — no float summation
+  order to drift;
+* init is the k lowest-id vectors (k-means|| trades determinism for
+  quality; a gate-checked op needs the opposite — callers wanting
+  quality init pass ``init_ids``);
+* argmin ties break toward the lower centroid index (struct-ordered
+  ``least``);
+* centroid updates are exact integer sums divided in double and
+  re-rounded half-up to int64, so the next iteration's input is again
+  exact (sums stay double-exact while cluster mass < 2^53/10^scale
+  ≈ 9·10⁹ unit-scale vectors at scale 6 — beyond that, raise the
+  DECIMAL path in functions/exact.py to the component sums);
+* iteration count is FIXED (``n_iter``), not convergence-tested — the
+  oracle must run the identical schedule.
+
+Scale shape: each iteration is one map (k·d literal-array distance
+expressions, whole-stage codegen, no Python) + one posexplode shuffle of
+pre-combined (cluster, dim) partial sums — the exchange carries k·d rows
+per map task, never the vectors.  The driver sees k·d ints per
+iteration.  Empty clusters keep their previous centroid (documented,
+mirrored in SQL via COALESCE).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _quantize(vec_col, scale: int):
+    mult = float(10**scale)
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * mult + F.lit(0.5)).cast("bigint")
+    )
+
+
+def _dist_expr(qcol, centroid: list[int]):
+    """Exact int64 squared L2 distance between the quantized vector
+    column and one centroid (literal array, JVM-side fold)."""
+    c = F.array(*[F.lit(int(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(qcol, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+
+
+def kmeans_assign(qdf: DataFrame, centroids: list[list[int]], qcol: str = "_q"):
+    """Append ``cluster`` (argmin centroid index, ties → lower index) and
+    ``dist_q`` (exact int64 squared quantized distance)."""
+    pairs = [
+        F.struct(_dist_expr(F.col(qcol), c).alias("d"), F.lit(j).alias("j"))
+        for j, c in enumerate(centroids)
+    ]
+    best = pairs[0] if len(pairs) == 1 else F.least(*pairs)
+    return qdf.select(
+        "*", best["j"].alias("cluster"), best["d"].alias("dist_q")
+    )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = 6,
+    init_ids: list | None = None,
+) -> DataFrame:
+    """Fixed-schedule Lloyd k-means; returns one row per vector:
+    (id, cluster, dist_q) after ``n_iter`` update rounds.
+
+    Driver crossings are all bounded: the k init vectors (TakeOrdered of
+    k rows) and k·d ints per iteration — never the corpus.
+    """
+    if k < 1 or n_iter < 0:
+        raise ValueError("k must be ≥ 1 and n_iter ≥ 0")
+    q = embeddings.select(id_col, _quantize(F.col(vec_col), scale).alias("_q"))
+    # one narrow materialization: every iteration re-reads the quantized
+    # corpus; at cluster scale this is the cached working set
+    q = q.persist()
+
+    if init_ids is None:
+        init_rows = q.orderBy(id_col).limit(k).collect()
+    else:
+        wanted = q.filter(F.col(id_col).isin(list(init_ids)))
+        init_rows = wanted.orderBy(id_col).collect()
+    if len(init_rows) < k:
+        q.unpersist()
+        raise ValueError(f"need ≥ {k} vectors to seed {k} clusters")
+    centroids = [list(r["_q"]) for r in init_rows[:k]]
+
+    for _ in range(n_iter):
+        assigned = kmeans_assign(q, centroids)
+        comp = (
+            assigned.select("cluster", F.posexplode("_q").alias("_pos", "_x"))
+            .groupBy("cluster", "_pos")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select(
+                "cluster",
+                "_pos",
+                F.floor(F.col("_s").cast("double") / F.col("_n") + F.lit(0.5))
+                .cast("bigint")
+                .alias("_c"),
+            )
+        )
+        rows = comp.collect()  # k·d ints — bounded driver state
+        new = {j: list(c) for j, c in enumerate(centroids)}  # empty keeps old
+        for j in range(k):
+            upd = [r for r in rows if r["cluster"] == j]
+            if upd:
+                vec = list(new[j])
+                for r in upd:
+                    vec[r["_pos"]] = r["_c"]
+                new[j] = vec
+        centroids = [new[j] for j in range(k)]
+
+    out = kmeans_assign(q, centroids).select(id_col, "cluster", "dist_q")
+    # the plan still references q; let the caller materialize before the
+    # cache is dropped (same caller-owns-cache contract as text.py ops)
+    return out
+
+
+def kmeans_lloyd_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`kmeans_lloyd` (default init): the identical
+    fixed iteration schedule unrolled as CTE stages.  Long-form
+    (id, dim, component) joins replace the array expressions — same
+    exact integer arithmetic, same tie-breaks.
+    """
+    mult = float(10**scale)
+    parts = [
+        f"""
+q AS (
+  SELECT {id_col} AS id,
+    [CAST(floor(CAST(x AS DOUBLE) * {mult!r} + 0.5) AS BIGINT) FOR x IN {vec_col}] AS q
+  FROM {table}
+),
+ql AS (
+  SELECT id, u.pos AS pos, u.x AS x FROM (
+    SELECT id, unnest([{{'pos': i, 'x': q[i]}} FOR i IN range(1, len(q) + 1)]) AS u
+    FROM q
+  )
+),
+c0 AS (  -- init: k lowest-id vectors, cluster index by id rank
+  SELECT ids.j, ql.pos, ql.x AS c
+  FROM (
+    SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS j
+    FROM (SELECT id FROM q ORDER BY id LIMIT {k})
+  ) ids JOIN ql USING (id)
+)"""
+    ]
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        parts.append(
+            f"""
+d{it} AS (  -- exact int64 squared distances to {prev}
+  SELECT ql.id, {prev}.j,
+    CAST(SUM((ql.x - {prev}.c) * (ql.x - {prev}.c)) AS BIGINT) AS dist
+  FROM ql JOIN {prev} USING (pos) GROUP BY ql.id, {prev}.j
+),
+a{it} AS (  -- argmin, ties to lower centroid index
+  SELECT id, j AS cluster FROM (
+    SELECT id, j, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, j) AS rn
+    FROM d{it}
+  ) WHERE rn = 1
+),
+c{it} AS (  -- centroid update: exact sums, half-up re-round; empty keeps old
+  SELECT {prev}.j, {prev}.pos,
+    COALESCE(
+      CAST(floor(CAST(u.s AS DOUBLE) / u.n + 0.5) AS BIGINT),
+      {prev}.c) AS c
+  FROM {prev} LEFT JOIN (
+    SELECT a{it}.cluster AS j, ql.pos,
+      CAST(SUM(ql.x) AS BIGINT) AS s, COUNT(*) AS n
+    FROM a{it} JOIN ql USING (id) GROUP BY 1, 2
+  ) u ON u.j = {prev}.j AND u.pos = {prev}.pos
+)"""
+        )
+        prev = f"c{it}"
+    final = f"""
+df AS (
+  SELECT ql.id, {prev}.j,
+    CAST(SUM((ql.x - {prev}.c) * (ql.x - {prev}.c)) AS BIGINT) AS dist
+  FROM ql JOIN {prev} USING (pos) GROUP BY ql.id, {prev}.j
+)
+SELECT id AS {id_col}, CAST(j AS INT) AS cluster, dist AS dist_q FROM (
+  SELECT id, j, dist, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, j) AS rn
+  FROM df
+) WHERE rn = 1
+"""
+    return "WITH " + ",".join(parts) + "," + final

@@ -181,15 +181,30 @@ def rolling_zscore(
     frame = w.rowsBetween(-(window_size - 1), Window.currentRow)
     mult = float(10**scale)
     qc = F.floor(F.col(column) * F.lit(mult) + F.lit(0.5)).cast("bigint")
-    n, mean_q, var_q = _zscore_exprs(qc, frame, window_size)
-    full = n >= window_size
+    # Catalyst does NOT deduplicate textually-identical window expressions
+    # (each reference becomes its own _we slot in WindowExec), so the three
+    # base aggregates are materialized ONCE as named columns and every
+    # derived formula references the attributes — 3 window aggs instead of
+    # the 35 the inlined form compiled to (measured 2.1 → 0.9 s at sf0.1)
+    tmp = data.select(
+        "*",
+        qc.alias("_zs_q"),
+        F.count(qc).over(frame).alias("_zs_n"),
+        F.sum(qc).over(frame).alias("_zs_s"),
+        F.sum(qc * qc).over(frame).alias("_zs_s2"),
+    )
+    nd = F.col("_zs_n").cast("double")
+    sd = F.col("_zs_s").cast("double")
+    mean_q = sd / nd
+    var_q = (F.col("_zs_s2").cast("double") - sd * sd / nd) / (nd - F.lit(1.0))
+    full = F.col("_zs_n") >= window_size
     # exact integer sums can still cancel to a tiny negative var in double;
     # clamp identically in both engines (sqrt(negative) semantics differ)
     std_q = F.sqrt(F.greatest(var_q, F.lit(0.0)))
-    z = (qc.cast("double") - mean_q) / std_q
+    z = (F.col("_zs_q").cast("double") - mean_q) / std_q
     c = column
-    return data.select(
-        "*",
+    return tmp.select(
+        *data.columns,
         F.when(full, mean_q / F.lit(mult)).alias(f"{c}_rollmean"),
         F.when(full, std_q / F.lit(mult)).alias(f"{c}_rollstd"),
         F.when(full & (std_q > 0), z).alias(f"{c}_zscore"),
@@ -334,20 +349,29 @@ def rolling_corr(
     pair = F.when(qx.isNotNull() & qy.isNotNull(), F.lit(1))
     px = F.when(pair.isNotNull(), qx)
     py = F.when(pair.isNotNull(), qy)
-    n = F.count(pair).over(frame)
-    sx = F.sum(px).over(frame)
-    sy = F.sum(py).over(frame)
-    sxy = F.sum(px * py).over(frame)
-    sxx = F.sum(px * px).over(frame)
-    syy = F.sum(py * py).over(frame)
+    # materialize the six window aggregates once as named columns —
+    # Catalyst keeps every inlined reference as a separate WindowExec slot
+    # (same fix as rolling_zscore; the output formula references each sum
+    # 2-4 times, which would compile to ~17 window aggs instead of 6)
+    tmp = data.select(
+        "*",
+        F.count(pair).over(frame).alias("_rc_n"),
+        F.sum(px).over(frame).alias("_rc_sx"),
+        F.sum(py).over(frame).alias("_rc_sy"),
+        F.sum(px * py).over(frame).alias("_rc_sxy"),
+        F.sum(px * px).over(frame).alias("_rc_sxx"),
+        F.sum(py * py).over(frame).alias("_rc_syy"),
+    )
+    n, sx, sy = F.col("_rc_n"), F.col("_rc_sx"), F.col("_rc_sy")
+    sxy, sxx, syy = F.col("_rc_sxy"), F.col("_rc_sxx"), F.col("_rc_syy")
     num = (n * sxy - sx * sy).cast("double")
     vx = (n * sxx - sx * sx).cast("double")
     vy = (n * syy - sy * sy).cast("double")
     den = F.sqrt(F.greatest(vx, F.lit(0.0))) * F.sqrt(F.greatest(vy, F.lit(0.0)))
     full = n >= window_size
     name = suffix or f"corr_{col_x}_{col_y}_w{window_size}"
-    return data.select(
-        "*", F.when(full & (den > 0), num / den).alias(name)
+    return tmp.select(
+        *data.columns, F.when(full & (den > 0), num / den).alias(name)
     )
 
 

@@ -11,7 +11,7 @@ across re-partitioning; adding documents never moves existing ones.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,6 +46,68 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def shard_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 16,
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the
+    training-data writer primitive: every example gets a ``shard`` in
+    [0, n_shards) and a ``shard_pos`` (0-based position within its shard
+    under the seeded permutation).  Reading shards in order yields a
+    reproducible global shuffle of the corpus; changing ``seed`` yields
+    an independent permutation (epoch reshuffle) without touching data.
+
+    Both outputs are pure functions of (seed, key): shard = first 8 md5
+    hex digits mod n_shards, order within shard = the md5 itself (key as
+    final tie-break for the astronomically-unlikely collision) — stable
+    across engines, runs, and repartitioning (same md5 rationale as
+    ``hash_bucket``; Spark's xxhash64/rand are not portable).
+
+    Scale shape: one hash projection (no shuffle) + one exchange on
+    ``shard`` for the per-shard ``row_number`` — exactly the shuffle the
+    downstream partitioned write needs anyway, so the sort feeds
+    ``write.partitionBy(shard)`` with no extra exchange.  Shards are
+    md5-balanced (±√n), so the sort never sees a skewed partition.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be ≥ 1")
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("shard_pos", F.row_number().over(w) - 1)
+        .drop("_h")
+    )
+
+
+def shard_assign_sql(
+    table: str = "documents",
+    key_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: str = "s0",
+) -> str:
+    """DuckDB twin of :func:`shard_assign` (md5 is bit-identical)."""
+    h = f"md5(CONCAT('{seed}', ':', CAST({key_col} AS VARCHAR)))"
+    return f"""
+WITH a AS (
+  SELECT *, {h} AS _h,
+    CAST(CAST(CONCAT('0x', substring({h}, 1, 8)) AS BIGINT) % {n_shards} AS INT)
+      AS shard
+  FROM {table}
+)
+SELECT * EXCLUDE (_h),
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY _h, {key_col}) - 1 AS INT)
+    AS shard_pos
+FROM a
+"""
 
 
 def stratified_sample(

@@ -925,3 +925,53 @@ FROM q JOIN r ON q.doc_id = r.doc_id JOIN documents d ON q.doc_id = d.doc_id
 """
 
 QUERIES.update({"quality_filter": Q(q_quality_filter, _SQL_QUALITY_FILTER)})
+
+
+KMEANS_PARAMS = dict(k=8, n_iter=3, scale=6)
+
+
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means over the embeddings corpus
+    (operators/kmeans.kmeans_lloyd): fixed 3-iteration schedule,
+    int64-quantized exact distances, lowest-id init — the iterative-ML
+    op gate-checked against an unrolled-CTE SQL twin (most engines call
+    this category "not oracle-able"; exact arithmetic makes it so)."""
+    from timeseriesutils_spark.operators.kmeans import kmeans_lloyd
+
+    return kmeans_lloyd(_emb(spark, sf_dir), **KMEANS_PARAMS)
+
+
+def _sql_kmeans():
+    from timeseriesutils_spark.operators.kmeans import kmeans_lloyd_sql
+
+    return kmeans_lloyd_sql(**KMEANS_PARAMS)
+
+
+SHARD_PARAMS = dict(n_shards=16, seed="s0")
+
+
+def q_shard_assign(spark, sf_dir):
+    """Deterministic global shuffle + shard assignment
+    (operators/splits.shard_assign): the training-data writer layout —
+    md5-seeded permutation, per-shard positions, reproducible across
+    engines and repartitionings.  Narrow projection (no text)."""
+    from timeseriesutils_spark.operators.splits import shard_assign
+
+    return shard_assign(_docs(spark, sf_dir), "doc_id", **SHARD_PARAMS).select(
+        "doc_id", "lang", "shard", "shard_pos"
+    )
+
+
+def _sql_shard_assign():
+    from timeseriesutils_spark.operators.splits import shard_assign_sql
+
+    inner = shard_assign_sql("documents", "doc_id", **SHARD_PARAMS)
+    return f"SELECT doc_id, lang, shard, shard_pos FROM ({inner})"
+
+
+QUERIES.update(
+    {
+        "kmeans": Q(q_kmeans, _sql_kmeans()),
+        "shard_assign": Q(q_shard_assign, _sql_shard_assign()),
+    }
+)
