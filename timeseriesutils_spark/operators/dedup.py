@@ -423,6 +423,7 @@ def ngram_jaccard_against(
     n: int = 3,
     threshold: float = 0.8,
     max_posting: int | None = None,
+    pre_shingled: bool = False,
 ) -> DataFrame:
     """Cross-corpus contamination pairs: (corpus id_a, reference id_b,
     jaccard ≥ threshold) — the train-vs-eval overlap check (benchmark
@@ -431,9 +432,17 @@ def ngram_jaccard_against(
     of the two shingle postings, so cost is Σ_s |A_s|·|B_s| — bounded by
     the (usually tiny) reference side, plus ``max_posting`` dropping
     corpus-side stop-shingles.  All joins move 8-byte shingle hashes.
+
+    ``pre_shingled``: both inputs are already ``(id, sh)`` frames from
+    :func:`hashed_shingle_docs` — the split-once path when corpus and
+    reference are filters of ONE table (shingling is the dominant
+    per-row cost; computing it per side doubles the scan work).
     """
-    sa = hashed_shingle_docs(corpus, id_col, text_col, n)
-    sb = hashed_shingle_docs(reference, id_col, text_col, n)
+    if pre_shingled:
+        sa, sb = corpus, reference
+    else:
+        sa = hashed_shingle_docs(corpus, id_col, text_col, n)
+        sb = hashed_shingle_docs(reference, id_col, text_col, n)
     ea = sa.select(
         F.col("id").alias("id_a"), F.size("sh").alias("sz_a"), F.explode("sh").alias("s")
     )

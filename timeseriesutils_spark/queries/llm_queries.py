@@ -561,13 +561,19 @@ def q_decontaminate_pairs(spark, sf_dir):
     pair with 3-gram Jaccard ≥ 0.5 (operators/dedup.ngram_jaccard_against
     — candidates only from the cross-corpus shingle join, never within
     one corpus)."""
-    from timeseriesutils_spark.operators.dedup import ngram_jaccard_against
+    from timeseriesutils_spark.operators.dedup import (
+        hashed_shingle_docs,
+        ngram_jaccard_against,
+    )
 
-    docs = _docs(spark, sf_dir)
-    train = docs.filter(F.col("doc_id") % 2 == 0)
-    ev = docs.filter(F.col("doc_id") % 2 == 1)
+    # shingle the shared table ONCE (persisted fork), then split even/odd:
+    # the regex shingle pipeline is the dominant per-row cost and must not
+    # run per side when both corpora come from one scan
+    sh = hashed_shingle_docs(_docs(spark, sf_dir), "doc_id", "text", 3).persist()
+    train = sh.filter(F.col("id") % 2 == 0)
+    ev = sh.filter(F.col("id") % 2 == 1)
     return ngram_jaccard_against(
-        train, ev, n=3, threshold=0.5, max_posting=MAX_POSTING
+        train, ev, n=3, threshold=0.5, max_posting=MAX_POSTING, pre_shingled=True
     )
 
 

@@ -129,15 +129,24 @@ def q_stream_stateful(spark, sf_dir):
     )
 
     name = f"q_stateful_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_user_stats(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # state partitions = the stream's shuffle partitions at first start;
+    # size them for state volume (150 users), not CPU count — 32 state
+    # stores for 150 keys is pure per-instance overhead (measured 3.3 →
+    # 2.5 s at sf0.1).  Restore the session conf for the batch queries.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            running_user_stats(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     upd = spark.table(name)
     return upd.groupBy("user_id").agg(
         F.max("n").alias("n"), F.max("max_value").alias("max_value")
