@@ -286,7 +286,13 @@ def rolling_quantile(
         -(window_size - 1), Window.currentRow
     )
     c = F.col(column)
-    arr = F.sort_array(F.collect_list(c).over(w))
+    # materialize the sorted window ONCE: Catalyst keeps each inlined
+    # reference to the collect_list window expression as its own
+    # WindowExec slot, so the naive form sorts the window ~5× per row
+    tmp = df.select(
+        "*", F.sort_array(F.collect_list(c).over(w)).alias("_rq_arr")
+    )
+    arr = F.col("_rq_arr")
     n = F.size(arr)
     h = (n - 1).cast("double") * F.lit(float(q))
     lo = F.floor(h).cast("int")
@@ -295,7 +301,7 @@ def rolling_quantile(
     nxt = F.element_at(arr, F.least(lo + 2, n)).cast("double")
     out = F.when(n > 0, base * (F.lit(1.0) - frac) + nxt * frac)
     name = suffix or f"{column}_q{int(q * 100)}_w{window_size}"
-    return df.select("*", out.alias(name))
+    return tmp.select(*df.columns, out.alias(name))
 
 
 def rolling_quantile_sql_column(

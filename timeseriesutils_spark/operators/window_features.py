@@ -114,11 +114,17 @@ def rollmean(
     window_sizes = _as_list(window_size)
     w = make_window(group_columns, order_by)
 
-    new_cols: list[Column] = []
-    for c, ws in product(columns, window_sizes):
+    # two-stage select: the window aggregates land ONCE as named columns
+    # (Catalyst keeps each inlined reference as a separate WindowExec slot
+    # — the count is needed by both the min_periods guard and the exact
+    # mean's denominator, so inlining would run it twice per feature)
+    tmp_cols: list[Column] = []
+    out_cols: list[Column] = []
+    for i, (c, ws) in enumerate(product(columns, window_sizes)):
         frame = w.rowsBetween(-(ws - 1), Window.currentRow)
         mp = ws if min_periods is None else min_periods
-        cnt = F.count(c).over(frame)
+        cn, sn = f"_rm_n{i}", f"_rm_s{i}"
+        tmp_cols.append(F.count(c).over(frame).alias(cn))
         if exact:
             # precision 18, not 38: a ≤18-digit Decimal is Long-backed in
             # Spark (integer adds, ~1.5× faster measured) and a BOUNDED
@@ -127,18 +133,20 @@ def rollmean(
             # identical at any sufficient precision, so results (and the
             # DECIMAL(38,6) oracle SQL) are unchanged bit-for-bit.
             # Unbounded running sums elsewhere keep PRECISION=38.
-            mean = (
+            tmp_cols.append(
                 F.sum(F.col(c).cast(f"decimal(18,{decimal_scale})"))
                 .over(frame)
-                .cast("double")
-                / cnt
+                .alias(sn)
             )
+            mean = F.col(sn).cast("double") / F.col(cn)
         else:
-            mean = F.avg(c).over(frame)
+            tmp_cols.append(F.avg(c).over(frame).alias(sn))
+            mean = F.col(sn)
         name = rollmean_name(c, ws)
-        new_cols.append(F.when(cnt >= mp, mean).alias(name))
+        out_cols.append(F.when(F.col(cn) >= mp, mean).alias(name))
         feature_names.append(name)
-    return data.select("*", *new_cols), feature_names
+    tmp = data.select("*", *tmp_cols)
+    return tmp.select(*data.columns, *out_cols), feature_names
 
 
 def horizon_targets(
