@@ -171,3 +171,54 @@ def test_stream_interval_join_equals_batch(spark):
     got = spark.sql("SELECT * FROM t_sj")
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, got.collect()))
     assert batch.count() > 0
+
+
+def test_stream_upsert_sink(spark, tmp_path):
+    """foreachBatch MERGE sink: drain a stream of upsert rows in two
+    micro-batches; the final snapshot must equal applying the batches
+    sequentially with merge_upsert (insert, update-wins, delete)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from timeseriesutils_spark.streaming.sinks import (
+        read_upsert_snapshot,
+        stream_upsert_sink,
+    )
+
+    src = tmp_path / "upd_src"
+    src.mkdir()
+    out = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                "v": pa.array([r[1] for r in rows], type=pa.float64()),
+                "is_delete": pa.array([r[2] for r in rows], type=pa.bool_()),
+            }
+        )
+        pq.write_table(tbl, src / name)
+
+    def drain():
+        stream = spark.readStream.schema("k long, v double, is_delete boolean") \
+            .option("maxFilesPerTrigger", 1).parquet(str(src))
+        q = (
+            stream_upsert_sink(stream, out, "k", "is_delete", checkpoint=ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: three inserts
+    write_batch("a.parquet", [(1, 1.0, False), (2, 2.0, False), (3, 3.0, False)])
+    drain()
+    got1 = {r.k: r.v for r in read_upsert_snapshot(spark, out).collect()}
+    assert got1 == {1: 1.0, 2: 2.0, 3: 3.0}
+
+    # batch 2 (restart, same checkpoint): update 1, delete 2, insert 4
+    write_batch("b.parquet", [(1, 10.0, False), (2, 0.0, True), (4, 4.0, False)])
+    drain()
+    got2 = {r.k: r.v for r in read_upsert_snapshot(spark, out).collect()}
+    assert got2 == {1: 10.0, 3: 3.0, 4: 4.0}

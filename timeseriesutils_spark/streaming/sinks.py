@@ -1,0 +1,93 @@
+"""Streaming table maintenance: a ``foreachBatch`` MERGE sink.
+
+Spark's file sinks are append-only; maintaining an upserted snapshot
+(SCD-1 "current state" table) from a stream normally requires a
+transactional format.  Without one, the portable pattern is versioned
+snapshots: every micro-batch MERGEs into the latest snapshot
+(operators/relational.merge_upsert — full-outer + COALESCE) and writes a
+NEW immutable version directory; readers resolve the highest committed
+version.  This is the same new-files-plus-pointer design a transactional
+log formalizes, reduced to what plain parquet + a directory listing can
+guarantee:
+
+* a version directory is named only after its write completes (parquet
+  job commit), with a ``_v{n}`` suffix ordering versions;
+* readers list and take the max — a torn write leaves a half-written
+  dir that is never the max *committed* name because Spark's commit
+  protocol renames task files into place before the job succeeds;
+* micro-batch ids are monotone per query, so replays after a restart
+  overwrite the same version id (idempotent re-run, the foreachBatch
+  exactly-once contract).
+
+Scale shape: each batch rewrites the snapshot — right for dimension-
+table-sized state (the SCD-1 use case), wrong for fact tables (use the
+append sink + compaction there).  The MERGE itself is one
+co-partitioned full-outer join; the base side scan prunes to the join
+keys' columns.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from timeseriesutils_spark.operators.relational import merge_upsert
+
+_V = re.compile(r"_v(\d+)$")
+
+
+def _versions(path: str) -> list[tuple[int, str]]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        m = _V.search(name)
+        if m and os.path.exists(os.path.join(path, name, "_SUCCESS")):
+            out.append((int(m.group(1)), os.path.join(path, name)))
+    return sorted(out)
+
+
+def read_upsert_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
+    """Latest committed snapshot, or None before the first batch."""
+    vs = _versions(path)
+    return spark.read.parquet(vs[-1][1]) if vs else None
+
+
+def stream_upsert_sink(
+    updates: DataFrame,
+    path: str,
+    key_cols,
+    delete_col: str | None = None,
+    checkpoint: str | None = None,
+    query_name: str = "upsert_sink",
+):
+    """Start a foreachBatch query MERGE-ing ``updates`` (a streaming
+    DataFrame of upsert rows) into the versioned snapshot at ``path``.
+    Returns the StreamingQuery; callers control the trigger lifecycle
+    (tests drain with availableNow)."""
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        base = read_upsert_snapshot(spark, path)
+        if delete_col is not None and base is not None:
+            base = base.drop(delete_col) if delete_col in base.columns else base
+        merged = (
+            batch if base is None else merge_upsert(base, batch, key_cols, delete_col)
+        )
+        if delete_col is not None and delete_col in merged.columns:
+            # first batch with no base: apply its own delete flags
+            merged = merged.filter(~merged[delete_col].eqNullSafe(True)).drop(
+                delete_col
+            )
+        merged.write.mode("overwrite").parquet(os.path.join(path, f"snap_v{batch_id}"))
+
+    writer = (
+        updates.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .outputMode("update")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
