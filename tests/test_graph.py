@@ -1,0 +1,63 @@
+"""Integer-exact PageRank (operators/graph): exact equality with a
+pure-Python reference of the same recurrence, structure sanity, and
+determinism under repartitioning."""
+
+from __future__ import annotations
+
+import pytest
+
+from timeseriesutils_spark.operators.graph import pagerank
+
+
+def _py_pagerank(edges, n_iter=5, d_num=17, d_den=20, scale=10**9):
+    """The operator's documented recurrence, straight-line Python."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    outdeg = {}
+    for u, _ in e:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    n = len(nodes)
+    init = scale // n
+    base = (init * (d_den - d_num)) // d_den
+    r = {v: init for v in nodes}
+    for _ in range(n_iter):
+        inc = {v: 0 for v in nodes}
+        for u, v in e:
+            inc[v] += r[u] // outdeg[u]
+        r = {v: base + (d_num * inc[v]) // d_den for v in nodes}
+    return r
+
+
+GRAPH = [
+    (1, 2), (2, 1), (2, 3), (3, 1), (4, 1), (1, 4), (5, 1),  # 5 dangles into 1
+    (3, 4), (4, 3),
+]
+
+
+def test_pagerank_matches_integer_reference(spark):
+    df = spark.createDataFrame(GRAPH, "src long, dst long")
+    got = {r.node: r.rank_q for r in pagerank(df, n_iter=5).collect()}
+    assert got == _py_pagerank(GRAPH, n_iter=5)
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    df = spark.createDataFrame(GRAPH, "src long, dst long")
+    a = sorted(map(tuple, pagerank(df, n_iter=4).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(5), n_iter=4).collect()))
+    assert a == b
+
+
+def test_pagerank_star_center_wins(spark):
+    # undirected star: the hub must out-rank every leaf
+    edges = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_q for r in pagerank(df, n_iter=6).collect()}
+    assert got[0] > max(v for k, v in got.items() if k != 0)
+
+
+def test_pagerank_validates(spark):
+    df = spark.createDataFrame(GRAPH, "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, n_iter=-1)
+    with pytest.raises(ValueError):
+        pagerank(df, d_num=21, d_den=20)

@@ -1,0 +1,140 @@
+"""Distributed PageRank with integer-exact power iterations.
+
+The reference has no graph ops (its only iterative math is the windowed
+lstsq, ``/root/reference/src/timeseriesutils/featurize.py:390``); this
+is a capability-parity op for corpus curation: link-graph centrality is
+a standard quality weight for web-scale training data (which pages'
+text to trust), and the same join+aggregate iteration shape underlies
+label propagation and the large-star rounds in
+``operators/dedup.connected_components``.
+
+Exactness design (why an iterative graph algorithm can hash-match a SQL
+oracle): ranks live as int64 at ``scale`` (default 10⁹ units of
+probability mass), and every update uses only integer ops defined
+identically in Spark and DuckDB —
+
+    contrib(u)   = r_u div outdeg(u)                (integer division)
+    r'_v         = base + (d_num · Σ contrib) div d_den
+    base         = ((scale div N) · (d_den − d_num)) div d_den
+
+with d = d_num/d_den (default 17/20 = 0.85).  No float touches the
+recurrence, so partitioning, join order and engine cannot perturb a
+single unit.  The floor-division mass leakage (≤ outdeg(u)−1 units per
+node per round, i.e. ~10⁻⁹·deg relative) is a DEFINED part of the
+semantics, mirrored bit-for-bit in the oracle — the standard float
+formulation leaks accuracy nondeterministically instead.
+
+Scale shape per iteration: one equi-join of ranks onto edges + one
+map-combinable groupBy(dst) sum + one left join back to the node set —
+all keyed by node id, so successive iterations reuse the same hash
+partitioning (AQE keeps the exchanges).  The iteration count is fixed
+(``n_iter``), the whole computation is ONE lazy plan, and the only
+driver crossing is the node count (one scalar).
+
+Dangling nodes (out-degree 0) contribute nothing (mass absorbed — the
+"dangling mass dropped" simplification; callers needing the strict
+random surfer add reverse edges or a sink node).  Nodes with no
+in-edges settle at ``base``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+    d_num: int = 17,
+    d_den: int = 20,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-schedule integer PageRank; returns (node, rank_q, rank)
+    where ``rank_q`` is the exact int64 mass and ``rank = rank_q/scale``
+    (a deterministic double derived from the exact int)."""
+    if n_iter < 0 or not (0 < d_num < d_den):
+        raise ValueError("need n_iter ≥ 0 and 0 < d_num < d_den")
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("src"),
+        F.col(dst_col).cast("bigint").alias("dst"),
+    ).distinct()
+    # one narrow materialization: nodes/degrees/every iteration re-read
+    # the edge set (cache policy: caller owns, same as text.py ops)
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = nodes.count()  # one scalar — the only driver crossing
+    init_q = scale // n_nodes
+    base_q = (init_q * (d_den - d_num)) // d_den
+
+    ranks = nodes.select("node", F.lit(init_q).cast("bigint").alias("rank_q"))
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(deg, ranks.node == deg.src)
+            .join(e, "src")
+            .select("dst", F.expr("rank_q div outdeg").alias("c"))
+        )
+        inc = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        ranks = nodes.join(inc, nodes.node == inc.dst, "left").select(
+            "node",
+            (
+                F.lit(base_q).cast("bigint")
+                + F.expr(f"({d_num} * coalesce(inc, CAST(0 AS BIGINT))) div {d_den}")
+            ).alias("rank_q"),
+        )
+    return ranks.select(
+        "node",
+        "rank_q",
+        (F.col("rank_q").cast("double") / F.lit(float(scale))).alias("rank"),
+    )
+
+
+def pagerank_sql(
+    edges_sql: str,
+    n_iter: int = 5,
+    d_num: int = 17,
+    d_den: int = 20,
+    scale: int = 10**9,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the identical fixed iteration
+    schedule unrolled as CTE stages over ``edges_sql`` (a SELECT
+    producing ``src, dst``).  Integer ``//`` matches Spark's ``div`` on
+    the non-negative operands this recurrence produces."""
+    base = f"(({scale} // n) * {d_den - d_num}) // {d_den}"
+    parts = [
+        f"""
+e AS (SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+      FROM ({edges_sql})),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+p AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS rank_q
+       FROM nodes CROSS JOIN p)"""
+    ]
+    prev = "r0"
+    for it in range(1, n_iter + 1):
+        parts.append(
+            f"""
+c{it} AS (SELECT e.dst, {prev}.rank_q // d.outdeg AS c
+       FROM {prev} JOIN deg d ON {prev}.node = d.src JOIN e ON e.src = d.src),
+i{it} AS (SELECT dst, SUM(c) AS inc FROM c{it} GROUP BY dst),
+r{it} AS (SELECT node,
+         CAST({base} + ({d_num} * COALESCE(inc, 0)) // {d_den} AS BIGINT) AS rank_q
+       FROM nodes CROSS JOIN p LEFT JOIN i{it} ON node = i{it}.dst)"""
+        )
+        prev = f"r{it}"
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT node, rank_q, CAST(rank_q AS DOUBLE) / {float(scale)!r} AS rank
+FROM {prev}
+"""
+    )

@@ -104,3 +104,40 @@ QUERIES = {
     ),
     "bm25_search": Q(q_bm25, bm25_search_sql(terms=BM25_TERMS)),
 }
+
+
+PART_NS = 10_000_000  # part node ids = PART_NS + l_partkey (disjoint from suppkeys)
+PR_PARAMS = dict(n_iter=5, d_num=17, d_den=20, scale=10**9)
+
+_PR_EDGES_SQL = f"""
+SELECT l_suppkey AS src, {PART_NS} + l_partkey AS dst FROM lineitem
+UNION ALL
+SELECT {PART_NS} + l_partkey AS src, l_suppkey AS dst FROM lineitem
+"""
+
+
+def q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (operators/graph.pagerank) over the
+    supplier↔part supply graph (distinct lineitem pairs, both
+    directions, part ids namespaced) — centrality with fixed 5-round
+    integer power iteration, hash-checked against the unrolled-CTE
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"), (F.lit(PART_NS) + F.col("l_partkey")).alias("dst")
+    )
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return pagerank(fwd.unionByName(rev), **PR_PARAMS)
+
+
+def _sql_pagerank():
+    from timeseriesutils_spark.operators.graph import pagerank_sql
+
+    return pagerank_sql(_PR_EDGES_SQL, **PR_PARAMS)
+
+
+QUERIES.update({"pagerank": Q(q_pagerank, _sql_pagerank())})
