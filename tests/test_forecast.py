@@ -191,3 +191,25 @@ def test_seasonal_profile_ratios(spark):
     assert out[1]["dow_ratio"] == pytest.approx(0.5)
     assert out[2]["dow_ratio"] == pytest.approx(1.5)
     assert out[1]["n"] == 2 and set(out) == {1, 2}
+
+
+def test_table_checksum_audit_properties(spark):
+    from timeseriesutils_spark.operators.stats import table_checksum
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 2.25)], "k long, s string, v double"
+    )
+    base = table_checksum(df).collect()[0]
+    # partition-order invariant
+    re = table_checksum(df.repartition(5)).collect()[0]
+    assert (base.n_rows, base.xor_h, base.sum_h_mod) == (re.n_rows, re.xor_h, re.sum_h_mod)
+    # a single changed value changes both hashes
+    df2 = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 2.26)], "k long, s string, v double"
+    )
+    got2 = table_checksum(df2).collect()[0]
+    assert got2.xor_h != base.xor_h and got2.sum_h_mod != base.sum_h_mod
+    # a duplicated row cancels in XOR but is caught by count + sum
+    df3 = df.union(spark.createDataFrame([(1, "a", 1.5)], "k long, s string, v double"))
+    got3 = table_checksum(df3).collect()[0]
+    assert got3.n_rows == 4 and got3.sum_h_mod != base.sum_h_mod

@@ -266,3 +266,88 @@ SELECT {select_cols},
   CASE WHEN d._mad > 0 THEN CAST({z} > {float(threshold)!r} AS INT) END AS {column}_robust_outlier
 FROM {table} t JOIN m USING ({g}) JOIN d USING ({g})
 """
+
+
+def table_checksum(
+    df,
+    columns: list[str] | None = None,
+    decimal_scale: int = 6,
+):
+    """Order-insensitive content checksum — the data-movement audit
+    primitive: after a 100 TB copy/repartition/engine-migration, both
+    sides compute ``(n_rows, xor_h, sum_h_mod)`` and compare three
+    scalars instead of re-reading each other's data.
+
+    Canonical per-row encoding (cross-engine stable — no raw
+    float→string formatting is ever used):
+
+    * float/double → ``CAST(x AS DECIMAL(18,s))`` rendered at full
+      scale (both engines print fixed-scale decimals identically);
+    * timestamps → epoch microseconds (fractional-second STRING forms
+      are engine-specific; the integer is not);
+    * everything else → its SQL string cast; NULL → sentinel ``\\x01``;
+    * fields joined with ``\\x1f`` (unit separator), md5-hashed, first
+      15 hex digits → a 60-bit int ``h``.
+
+    Aggregates: ``xor_h`` = BIT_XOR(h) (order-insensitive, O(1) state,
+    duplicate rows cancel) and ``sum_h_mod`` = exact decimal SUM(h) mod
+    10^18 (duplicate-sensitive — catches the double-copied-partition
+    case XOR is blind to).  Map-side combinable, one reduce row total.
+
+    Rounding note: double→DECIMAL ties round HALF_UP in Spark and
+    HALF_EVEN in DuckDB; values whose 10^-(s+1) digit is exactly 5 can
+    differ.  Business data at scale s is unaffected; pick ``decimal_scale``
+    above the data's native precision (same rationale as functions/exact).
+    """
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    enc = []
+    for c in cols:
+        t = dict(df.dtypes)[c]
+        if t in ("double", "float"):
+            v = F.col(c).cast(f"decimal(18,{decimal_scale})").cast("string")
+        elif t.startswith("timestamp"):
+            # UTC session tz: NTZ→LTZ cast is wall-clock-identity
+            v = F.unix_micros(F.col(c).cast("timestamp")).cast("string")
+        else:
+            v = F.col(c).cast("string")
+        enc.append(F.coalesce(v, F.lit("\x01")))
+    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *enc)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return df.select(h.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(_h)").alias("xor_h"),
+        (F.sum(F.col("_h").cast("decimal(38,0)")) % F.lit(10**18))
+        .cast("bigint")
+        .alias("sum_h_mod"),
+    )
+
+
+def table_checksum_sql(
+    table: str,
+    columns: list[str],
+    types: dict[str, str],
+    decimal_scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`table_checksum` (``types``: column → Spark
+    dtype string, to mirror the float→decimal canonicalization)."""
+    enc = []
+    for c in columns:
+        if types[c] in ("double", "float"):
+            v = f"CAST(CAST({c} AS DECIMAL(18,{decimal_scale})) AS VARCHAR)"
+        elif types[c].startswith("timestamp"):
+            v = f"CAST(epoch_us({c}) AS VARCHAR)"
+        else:
+            v = f"CAST({c} AS VARCHAR)"
+        enc.append(f"COALESCE({v}, chr(1))")
+    joined = ", ".join(["chr(31)"] + enc)
+    h = f"CAST(CONCAT('0x', substring(md5(concat_ws({joined})), 1, 15)) AS BIGINT)"
+    return f"""
+WITH h AS (SELECT {h} AS _h FROM {table})
+SELECT COUNT(*) AS n_rows, BIT_XOR(_h) AS xor_h,
+  CAST(CAST(SUM(CAST(_h AS DECIMAL(38,0))) AS DECIMAL(38,0)) % 1000000000000000000
+       AS BIGINT) AS sum_h_mod
+FROM h
+"""

@@ -40,7 +40,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "chunk_dedup", "quality_filter", "stream_tumbling", "stream_sliding",
     "stream_session", "stream_dedup", "stream_join", "stream_stateful",
     # round-3 additions
-    "kmeans", "shard_assign", "pagerank",
+    "kmeans", "shard_assign", "pagerank", "table_checksum",
     # re-verify after round-3 fixes (r2 hash mismatch / changed oracle)
     "sessionize", "merge_upsert",
 )

@@ -258,3 +258,32 @@ def _sql_seasonal_profile():
 
 
 QUERIES.update({"seasonal_profile": Q(q_seasonal_profile, _sql_seasonal_profile())})
+
+
+CHECKSUM_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+_CHECKSUM_TYPES = {
+    "event_id": "bigint", "ts": "timestamp_ntz", "user_id": "bigint",
+    "event_type": "string", "value": "double", "props": "string",
+}
+
+
+def q_table_checksum(spark, sf_dir):
+    """Order-insensitive table checksum (operators/stats.table_checksum):
+    the 100 TB data-movement audit — three scalars (count, BIT_XOR of
+    60-bit row md5s, exact decimal sum mod 1e18) that any engine can
+    recompute to verify a copy, covering every column class (int /
+    timestamp / string / double)."""
+    from timeseriesutils_spark.operators.stats import table_checksum
+
+    return table_checksum(
+        load_table(spark, sf_dir, "events"), CHECKSUM_COLS
+    )
+
+
+def _sql_table_checksum():
+    from timeseriesutils_spark.operators.stats import table_checksum_sql
+
+    return table_checksum_sql("events", CHECKSUM_COLS, _CHECKSUM_TYPES)
+
+
+QUERIES.update({"table_checksum": Q(q_table_checksum, _sql_table_checksum())})
