@@ -47,6 +47,20 @@ def test_kmeans_zero_iter_assigns_to_init(spark):
     assert out[1].cluster == 1 and out[1].dist_q == 0
 
 
+def test_kmeans_identical_vectors_tie_break_and_empty_clusters(spark):
+    # every vector identical: all distances tie → everything lands on
+    # cluster 0 (lowest index wins); cluster 1 goes empty and must KEEP
+    # its previous centroid (the documented empty-cluster policy) rather
+    # than crash or drift
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_lloyd(df, k=2, n_iter=2).collect()
+    assert {r.cluster for r in out} == {0}
+    assert all(r.dist_q == 0 for r in out)
+
+
 def test_kmeans_validates(spark):
     df = _blobs(spark)
     with pytest.raises(ValueError):
