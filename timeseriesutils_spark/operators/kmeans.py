@@ -51,14 +51,16 @@ def _quantize(vec_col, scale: int):
     )
 
 
-def _dist_expr(qcol, centroid: list[int]):
+def _dist_expr(qcol: str, centroid: list[int]):
     """Exact int64 squared L2 distance between the quantized vector
-    column and one centroid (literal array, JVM-side fold)."""
-    c = F.array(*[F.lit(int(v)) for v in centroid])
-    return F.aggregate(
-        F.zip_with(qcol, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, d: acc + d,
+    column and one centroid (literal array, JVM-side fold).  Rendered as
+    SQL text: a k×d literal tree built from Column objects costs one
+    py4j round trip per literal (the taylor lesson, BASELINE.md round-2
+    note); one ``expr()`` parse is ~100× cheaper to construct."""
+    arr = ",".join(f"{int(v)}L" for v in centroid)
+    return F.expr(
+        f"aggregate(zip_with({qcol}, array({arr}), (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, d) -> acc + d)"
     )
 
 
@@ -66,7 +68,7 @@ def kmeans_assign(qdf: DataFrame, centroids: list[list[int]], qcol: str = "_q"):
     """Append ``cluster`` (argmin centroid index, ties → lower index) and
     ``dist_q`` (exact int64 squared quantized distance)."""
     pairs = [
-        F.struct(_dist_expr(F.col(qcol), c).alias("d"), F.lit(j).alias("j"))
+        F.struct(_dist_expr(qcol, c).alias("d"), F.lit(j).alias("j"))
         for j, c in enumerate(centroids)
     ]
     best = pairs[0] if len(pairs) == 1 else F.least(*pairs)
