@@ -790,3 +790,70 @@ QUERIES = {
     "range_frame": Q(q_range_frame, _SQL_RANGE_FRAME),
     "range_join": Q(q_range_join, _SQL_RANGE_JOIN),
 }
+
+
+def q_skew_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation (functions/skew.salted_agg) over the
+    order-status hot keys: exact decimal sums sharded across 16 salts
+    then merged — bit-identical to the plain GROUP BY, which is exactly
+    what the oracle asserts (the skew-mitigation contract IS result
+    equality)."""
+    from timeseriesutils_spark.functions.exact import dsum
+    from timeseriesutils_spark.functions.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"s": dsum("l_extendedprice"), "n": F.count(F.lit(1))},
+        {"s": dsum("s", scale=6), "n": F.sum("n")},
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("s").cast("double").alias("sum_price"),
+        F.col("n").cast("bigint").alias("n_rows"),
+    )
+
+
+_SQL_SKEW_SALTED_AGG = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Salted broadcast join (functions/skew.salted_broadcast_join):
+    supplier dim replicated across 16 salts so a hot suppkey shards into
+    bounded (key, salt) cells; results must equal the plain join — the
+    oracle runs the plain join."""
+    from timeseriesutils_spark.functions.skew import salted_broadcast_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_suppkey", "s_suppkey"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = salted_broadcast_join(li, sup, "s_suppkey", n_salts=16)
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"),
+    )
+
+
+_SQL_SKEW_SALTED_JOIN = """
+SELECT s_nationkey, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "skew_salted_agg": Q(q_skew_salted_agg, _SQL_SKEW_SALTED_AGG),
+        "skew_salted_join": Q(q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
+    }
+)
