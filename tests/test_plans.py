@@ -209,3 +209,17 @@ def test_shard_assign_single_exchange(spark, catalog):
     # exactly the shuffle the partitioned write needs anyway
     plan = _plan(catalog["shard_assign"](spark, SF_DIR))
     assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_pagerank_rounds_broadcast_not_smj(spark, catalog):
+    # node-sized sides broadcast into the edge join; a regression to
+    # sort-merge would re-shuffle the edge set every power iteration
+    plan = _plan(catalog["pagerank"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_salted_join_broadcasts_dim(spark, catalog):
+    plan = _plan(catalog["skew_salted_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
