@@ -577,3 +577,86 @@ SELECT {group_col}, CAST(u.pos AS INT) AS dim_idx, COUNT(u.x) AS n,
   {dsum_sql('u.x', scale=scale)} / COUNT(u.x) AS centroid
 FROM e GROUP BY {group_col}, u.pos
 """
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.45,
+    kmeans_scale: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the corpus with k-means, then score cosine pairs only WITHIN
+    each cluster — the cluster assignment is the blocking key that turns
+    O(N²) all-pairs into Σ_c O(|c|²), the published method's scaling
+    argument.  Near-duplicates that land in different clusters are missed
+    by design (the method's documented recall trade-off; raise k more
+    slowly than corpus size to trade recall for cost).
+
+    Determinism: clustering via operators/kmeans.kmeans_lloyd (exact
+    int64 distances, fixed schedule); pair scores use the engine's
+    quantized-int64 dot products (same op sequence as dedup_embedding's
+    oracle), so the WHOLE pipeline — iterative clustering included —
+    hash-matches a single SQL twin.
+
+    Scale shape: one self-join keyed on (cluster) — candidates bounded
+    per cluster, skewed clusters split by AQE — and per-pair JVM
+    expression scoring; no Python, no broadcast of the corpus.
+    """
+    from timeseriesutils_spark.operators.kmeans import kmeans_lloyd
+
+    assign = kmeans_lloyd(
+        embeddings, id_col, vec_col, k=k, n_iter=n_iter, scale=kmeans_scale
+    ).select(id_col, "cluster")
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * x.cast("double") * F.lit(1e14) + F.lit(0.5)
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, d: a + d,
+        ).cast("double")
+        / F.lit(1e14)
+    )
+    base = embeddings.join(assign, id_col).select(
+        F.col(id_col).alias("id"),
+        "cluster",
+        F.col(vec_col).alias("v"),
+        qnorm.alias("nm"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = (
+        F.aggregate(
+            F.zip_with(
+                F.col("a.v"),
+                F.col("b.v"),
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * F.lit(1e14) + F.lit(0.5)
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, d: acc + d,
+        ).cast("double")
+        / F.lit(1e14)
+    )
+    cos = dot / (F.col("a.nm") * F.col("b.nm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.cluster").alias("cluster"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )

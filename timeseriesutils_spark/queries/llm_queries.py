@@ -981,3 +981,50 @@ QUERIES.update(
         "shard_assign": Q(q_shard_assign, _sql_shard_assign()),
     }
 )
+
+
+SEMDEDUP_PARAMS = dict(k=8, n_iter=3, threshold=0.45, kmeans_scale=6)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/similarity.semantic_dedup_pairs): k-means
+    blocks bound the candidate pairs, quantized-exact cosine scores —
+    the full iterative pipeline hash-checked against one SQL twin."""
+    from timeseriesutils_spark.operators.similarity import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(_emb(spark, sf_dir), **SEMDEDUP_PARAMS)
+
+
+def _sql_semantic_dedup():
+    from timeseriesutils_spark.operators.kmeans import kmeans_lloyd_sql
+
+    km = kmeans_lloyd_sql(
+        k=SEMDEDUP_PARAMS["k"],
+        n_iter=SEMDEDUP_PARAMS["n_iter"],
+        scale=SEMDEDUP_PARAMS["kmeans_scale"],
+    )
+    thr = SEMDEDUP_PARAMS["threshold"]
+    return f"""
+WITH assign AS (SELECT vec_id, cluster FROM ({km}) t),
+n AS (
+  SELECT e.vec_id, e.embedding, a.cluster,
+    SQRT(CAST(SUM(CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE)
+      * CAST(e.embedding[t.i] AS DOUBLE) * 1e14 + 0.5) AS BIGINT)) AS DOUBLE) / 1e14) AS nm
+  FROM embeddings e JOIN assign a USING (vec_id), range(1, 65) t(i)
+  GROUP BY e.vec_id, e.embedding, a.cluster
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+    CAST(SUM(CAST(FLOOR(CAST(a.embedding[t.i] AS DOUBLE)
+      * CAST(b.embedding[t.i] AS DOUBLE) * 1e14 + 0.5) AS BIGINT)) AS DOUBLE)
+      / 1e14 / (a.nm * b.nm) AS cos
+  FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id,
+       range(1, 65) t(i)
+  GROUP BY 1, 2, 3, a.nm, b.nm
+)
+SELECT id_a, id_b, CAST(cluster AS INT) AS cluster, cos
+FROM pairs WHERE cos >= {thr}
+"""
+
+
+QUERIES.update({"semantic_dedup": Q(q_semantic_dedup, _sql_semantic_dedup())})
