@@ -41,7 +41,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "stream_session", "stream_dedup", "stream_join", "stream_stateful",
     # round-3 additions
     "kmeans", "shard_assign", "pagerank", "table_checksum",
-    "skew_salted_agg", "skew_salted_join", "semantic_dedup",
+    "skew_salted_agg", "skew_salted_join", "semantic_dedup", "chunked_taylor",
     # re-verify after round-3 fixes (r2 hash mismatch / changed oracle)
     "sessionize", "merge_upsert",
 )
