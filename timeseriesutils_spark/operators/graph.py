@@ -84,6 +84,8 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     n_nodes = nodes.count()  # one scalar — the only driver crossing
+    if n_nodes == 0:
+        raise ValueError("pagerank needs a non-empty edge set")
     init_q = scale // n_nodes
     base_q = (init_q * (d_den - d_num)) // d_den
 

@@ -597,66 +597,31 @@ def semantic_dedup_pairs(
     slowly than corpus size to trade recall for cost).
 
     Determinism: clustering via operators/kmeans.kmeans_lloyd (exact
-    int64 distances, fixed schedule); pair scores use the engine's
-    quantized-int64 dot products (same op sequence as dedup_embedding's
-    oracle), so the WHOLE pipeline — iterative clustering included —
-    hash-matches a single SQL twin.
+    int64 distances, fixed schedule); pair scores reuse the LSH tier's
+    vectorized tile kernel (``_bucket_tile_score`` — quantized-int64
+    dots, the identical IEEE sequence dedup_embedding's oracle computes),
+    so the WHOLE pipeline — iterative clustering included — hash-matches
+    a single SQL twin.
 
-    Scale shape: one self-join keyed on (cluster) — candidates bounded
-    per cluster, skewed clusters split by AQE — and per-pair JVM
-    expression scoring; no Python, no broadcast of the corpus.
+    Scale shape: one (cluster)-keyed shuffle of the vectors, then each
+    cluster scores its own pair tile in ONE numpy kernel call — Arrow
+    batch in, (id_a, id_b, cos) survivors out; pair rows never carry
+    vectors, and no per-pair interpreted expression exists (the
+    expression-join form measured 5× slower at sf0.1).  A skewed mega-
+    cluster = a big tile; k should grow with the corpus (the method's
+    own scaling rule), which also bounds tile size.
     """
     from timeseriesutils_spark.operators.kmeans import kmeans_lloyd
 
     assign = kmeans_lloyd(
         embeddings, id_col, vec_col, k=k, n_iter=n_iter, scale=kmeans_scale
     ).select(id_col, "cluster")
-    qnorm = F.sqrt(
-        F.aggregate(
-            F.transform(
-                F.col(vec_col),
-                lambda x: F.floor(
-                    x.cast("double") * x.cast("double") * F.lit(1e14) + F.lit(0.5)
-                ).cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda a, d: a + d,
-        ).cast("double")
-        / F.lit(1e14)
-    )
     base = embeddings.join(assign, id_col).select(
-        F.col(id_col).alias("id"),
-        "cluster",
-        F.col(vec_col).alias("v"),
-        qnorm.alias("nm"),
+        F.col(id_col).alias("id"), "cluster", F.col(vec_col).alias("v")
     )
-    a, b = base.alias("a"), base.alias("b")
-    dot = (
-        F.aggregate(
-            F.zip_with(
-                F.col("a.v"),
-                F.col("b.v"),
-                lambda x, y: F.floor(
-                    x.cast("double") * y.cast("double") * F.lit(1e14) + F.lit(0.5)
-                ).cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, d: acc + d,
-        ).cast("double")
-        / F.lit(1e14)
+    scored = base.groupBy("cluster").applyInPandas(
+        _bucket_tile_score(threshold), "id_a long, id_b long, cos double"
     )
-    cos = dot / (F.col("a.nm") * F.col("b.nm"))
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.cluster").alias("cluster"),
-            cos.alias("cos"),
-        )
-        .filter(F.col("cos") >= F.lit(threshold))
-    )
+    return scored.join(
+        assign.select(F.col(id_col).alias("id_a"), "cluster"), "id_a"
+    ).select("id_a", "id_b", "cluster", "cos")

@@ -39,6 +39,8 @@ _V = re.compile(r"_v(\d+)$")
 
 
 def _versions(path: str) -> list[tuple[int, str]]:
+    # local-FS listing; on an object store / HDFS swap this for the
+    # Hadoop FileSystem API (same contract: committed dirs have _SUCCESS)
     if not os.path.isdir(path):
         return []
     out = []
