@@ -222,3 +222,54 @@ def test_stream_upsert_sink(spark, tmp_path):
     drain()
     got2 = {r.k: r.v for r in read_upsert_snapshot(spark, out).collect()}
     assert got2 == {1: 10.0, 3: 3.0, 4: 4.0}
+
+
+def test_stream_rollup_sink(spark, tmp_path):
+    """Continuous-aggregate sink: draining a two-batch stream through the
+    additive-merge foreachBatch sink must equal one batch groupBy over
+    all the data (exact decimal sums merge associatively)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.functions.exact import dsum
+    from timeseriesutils_spark.streaming.sinks import (
+        read_upsert_snapshot,
+        stream_rollup_sink,
+    )
+
+    src = tmp_path / "roll_src"
+    src.mkdir()
+    out = str(tmp_path / "roll_snap")
+    ckpt = str(tmp_path / "roll_ckpt")
+
+    def write_batch(name, rows):
+        tbl = pa.table(
+            {
+                "g": pa.array([r[0] for r in rows], type=pa.string()),
+                "v": pa.array([r[1] for r in rows], type=pa.float64()),
+            }
+        )
+        pq.write_table(tbl, src / name)
+
+    batch1 = [("a", 1.25), ("a", 2.5), ("b", 10.0)]
+    batch2 = [("a", 0.25), ("c", 7.0), ("b", -3.5)]
+    write_batch("a.parquet", batch1)
+    write_batch("b.parquet", batch2)
+
+    stream = spark.readStream.schema("g string, v double") \
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    q = stream_rollup_sink(
+        stream, out, ["g"],
+        {"n": F.count(F.lit(1)), "s": dsum("v")},
+        {"n": F.sum("n"), "s": dsum("s", scale=6)},
+        checkpoint=ckpt,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {
+        r.g: (r.n, float(r.s))
+        for r in read_upsert_snapshot(spark, out).collect()
+    }
+    assert got == {"a": (3, 4.0), "b": (2, 6.5), "c": (1, 7.0)}

@@ -93,3 +93,55 @@ def stream_upsert_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_rollup_sink(
+    updates: DataFrame,
+    path: str,
+    key_cols,
+    partial_aggs: dict,
+    merge_aggs: dict,
+    checkpoint: str | None = None,
+    query_name: str = "rollup_sink",
+):
+    """Continuous-aggregate maintenance (the streaming twin of
+    ``operators/analytics.time_rollup``): each micro-batch is reduced to
+    per-key PARTIAL aggregates, then merged ADDITIVELY into the snapshot
+    — old partials union new, re-aggregated with ``merge_aggs``.  Works
+    for any algebraic aggregate (count/sum/min/max and the engine's
+    exact DECIMAL sums — associative, so merge order cannot perturb the
+    result; same contract as functions/skew.salted_agg).
+
+    Unlike a stateful windowed agg, NO stream state is held: the
+    snapshot IS the state, batches only ship their partials — the shape
+    that survives an unbounded key space (hourly buckets forever).
+
+    ``partial_aggs``: name → aggregate over the raw batch rows.
+    ``merge_aggs``: name → aggregate over (snapshot ∪ batch) partials,
+    referencing partial columns by name.
+    """
+    keys = list(key_cols)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        part = batch.groupBy(*keys).agg(
+            *[c.alias(n) for n, c in partial_aggs.items()]
+        )
+        base = read_upsert_snapshot(spark, path)
+        merged = (
+            part
+            if base is None
+            else base.unionByName(part)
+            .groupBy(*keys)
+            .agg(*[c.alias(n) for n, c in merge_aggs.items()])
+        )
+        merged.write.mode("overwrite").parquet(os.path.join(path, f"snap_v{batch_id}"))
+
+    writer = (
+        updates.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .outputMode("update")
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
