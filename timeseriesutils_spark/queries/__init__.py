@@ -44,6 +44,8 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "skew_salted_agg", "skew_salted_join", "semantic_dedup", "chunked_taylor",
     # re-verify after round-3 fixes (r2 hash mismatch / changed oracle)
     "sessionize", "merge_upsert",
+    # slot 51+: locally verified (CORRECTNESS_LOCAL.json); driver row next round
+    "incremental_rollmean",
 )
 
 
