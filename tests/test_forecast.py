@@ -213,3 +213,23 @@ def test_table_checksum_audit_properties(spark):
     df3 = df.union(spark.createDataFrame([(1, "a", 1.5)], "k long, s string, v double"))
     got3 = table_checksum(df3).collect()[0]
     assert got3.n_rows == 4 and got3.sum_h_mod != base.sum_h_mod
+
+
+def test_rolling_origin_folds_embargo(spark):
+    import datetime
+
+    from timeseriesutils_spark.operators.forecast import rolling_origin_folds
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(days=i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    out = rolling_origin_folds(
+        df, "ts", [base + datetime.timedelta(days=9)], horizon_days=10, embargo_days=3
+    ).collect()
+    got = {(r.k, r.split) for r in out}
+    # train: days 0..9 (ts <= origin); embargo days 10..12 ABSENT;
+    # test: days 13..22; beyond horizon absent
+    assert {(k, "train") for k in range(10)} <= got
+    assert all((k, s) not in got for k in (10, 11, 12) for s in ("train", "test"))
+    assert {(k, "test") for k in range(13, 23)} <= got
+    assert (23, "test") not in got and len(out) == 20

@@ -388,3 +388,85 @@ SELECT {g}, isodow, n,
     (CAST(SUM(_s) OVER (PARTITION BY {g}) AS DOUBLE) / SUM(n) OVER (PARTITION BY {g})) AS dow_ratio
 FROM per_dow
 """
+
+
+def rolling_origin_folds(
+    data: DataFrame,
+    time_col: str,
+    fold_ends: list,
+    horizon_days: int,
+    embargo_days: int = 0,
+) -> DataFrame:
+    """Rolling-origin (walk-forward) backtest folds — the standard
+    time-series cross-validation the reference's forecasting users run
+    (train on everything ≤ origin, test on the next ``horizon_days``;
+    an optional ``embargo_days`` purge gap between them prevents
+    look-ahead leakage through lagged/rolling features).
+
+    For each fold k with origin t_k: every input row is labeled
+    ``train`` (time ≤ t_k), ``test`` (t_k + embargo < time ≤ t_k +
+    embargo + horizon), or dropped for that fold.  Output = input rows
+    × matching folds with (``fold``, ``origin``, ``split``) appended —
+    the explode feeds per-fold featurize/fit/eval downstream.
+
+    Scale shape: one cross join against a ≤|folds|-row broadcast dim +
+    a per-row predicate — no shuffle at all; the fold dimension is the
+    classic tiny broadcast side.  Row multiplication is |folds| in the
+    worst case (every row trains in every fold) — the price of
+    walk-forward evaluation itself, not of this formulation; filter
+    folds upstream when only recent windows matter.
+    """
+    import datetime as _dt
+
+    if horizon_days <= 0 or embargo_days < 0:
+        raise ValueError("horizon_days must be > 0 and embargo_days ≥ 0")
+    ends = [
+        _dt.datetime.fromisoformat(e) if isinstance(e, str) else e
+        for e in fold_ends
+    ]
+    folds = [(i, e) for i, e in enumerate(sorted(ends))]
+    spark = data.sparkSession
+    dim = spark.createDataFrame(folds, "fold int, origin_ts timestamp")
+    t = F.col(time_col).cast("timestamp")
+    test_lo = F.expr(f"origin_ts + INTERVAL {embargo_days} DAYS")
+    test_hi = F.expr(f"origin_ts + INTERVAL {embargo_days + horizon_days} DAYS")
+    lab = (
+        F.when(t <= F.col("origin_ts"), "train")
+        .when((t > test_lo) & (t <= test_hi), "test")
+        .otherwise(None)
+    )
+    return (
+        data.crossJoin(F.broadcast(dim))
+        .withColumn("split", lab)
+        .filter(F.col("split").isNotNull())
+        .withColumn("origin", F.col("origin_ts").cast("string"))
+        .drop("origin_ts")
+    )
+
+
+def rolling_origin_folds_sql(
+    table: str,
+    time_col: str,
+    fold_ends: list,
+    horizon_days: int,
+    embargo_days: int = 0,
+) -> str:
+    """DuckDB twin of :func:`rolling_origin_folds`."""
+    rows = ", ".join(
+        f"({i}, TIMESTAMP '{e}')" for i, e in enumerate(sorted(fold_ends))
+    )
+    return f"""
+WITH dim(fold, origin_ts) AS (VALUES {rows}),
+j AS (
+  SELECT t.*, d.fold, d.origin_ts,
+    CASE
+      WHEN CAST(t.{time_col} AS TIMESTAMP) <= d.origin_ts THEN 'train'
+      WHEN CAST(t.{time_col} AS TIMESTAMP) > d.origin_ts + INTERVAL {embargo_days} DAY
+       AND CAST(t.{time_col} AS TIMESTAMP)
+           <= d.origin_ts + INTERVAL {embargo_days + horizon_days} DAY THEN 'test'
+    END AS split
+  FROM {table} t CROSS JOIN dim d
+)
+SELECT * EXCLUDE (origin_ts), CAST(origin_ts AS VARCHAR) AS origin
+FROM j WHERE split IS NOT NULL
+"""

@@ -287,3 +287,33 @@ def _sql_table_checksum():
 
 
 QUERIES.update({"table_checksum": Q(q_table_checksum, _sql_table_checksum())})
+
+
+FOLD_ENDS = ["1997-06-30 00:00:00", "1997-12-31 00:00:00", "1998-06-30 00:00:00"]
+FOLD_PARAMS = dict(horizon_days=60, embargo_days=7)
+
+
+def q_backtest_folds(spark, sf_dir):
+    """Rolling-origin backtest folds (operators/forecast.
+    rolling_origin_folds): three walk-forward origins with a 7-day
+    leakage embargo and 60-day test horizon — every (row, fold)
+    membership labeled; the time-series cross-validation layout the
+    reference's forecasting users evaluate with."""
+    from timeseriesutils_spark.operators.forecast import rolling_origin_folds
+
+    li = _li(spark, sf_dir)
+    out = rolling_origin_folds(li, "l_shipdate", FOLD_ENDS, **FOLD_PARAMS)
+    return out.select("l_orderkey", "l_linenumber", "fold", "origin", "split")
+
+
+def _sql_backtest_folds():
+    from timeseriesutils_spark.operators.forecast import rolling_origin_folds_sql
+
+    inner = rolling_origin_folds_sql("lineitem", "l_shipdate", FOLD_ENDS, **FOLD_PARAMS)
+    return (
+        "SELECT l_orderkey, l_linenumber, fold, origin, split "
+        f"FROM ({inner})"
+    )
+
+
+QUERIES.update({"backtest_folds": Q(q_backtest_folds, _sql_backtest_folds())})
