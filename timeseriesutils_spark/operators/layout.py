@@ -1,0 +1,85 @@
+"""Z-order (Morton) layout keys for multi-dimensional data skipping.
+
+The reference has no storage layer at all (eager in-memory pandas); at
+100 TB the dominant cost is what you DON'T read, and min/max row-group
+pruning only skips on the leading sort column.  Sorting by an
+interleaved-bit Morton key makes files/row-groups tight in EVERY
+interleaved dimension at once, so predicates on either column prune —
+the standard lakehouse `ZORDER BY` technique, here as a plain column
+expression + sorted parquet write (no table format required).
+
+The key is pure integer bit arithmetic (shifts, masks, adds) — identical
+in Spark and DuckDB, so the computation itself is oracle-checkable
+exactly; the engineering claim (pruning) is asserted with row-group
+statistics in tests.
+
+Negative/NULL handling: inputs are rank-normalized by the caller or
+assumed non-negative (< 2^bits); NULL propagates to a NULL key, which
+sorts last — the "stats-less tail file" convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _interleave_sql(a: str, b: str, bits: int) -> str:
+    """Bit-interleave expression text: a's bit i → position 2i, b's bit
+    i → position 2i+1.  Plain shifts/ands/OR-as-sum — identical integer
+    semantics in Spark SQL and DuckDB (operands are non-negative)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_key(col_a: str, col_b: str, bits: int = 21):
+    """Morton key column for two non-negative integer columns
+    (< 2^bits each; 21+21 bits fits a bigint with room to spare)."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    a = f"CAST({col_a} AS BIGINT)"
+    b = f"CAST({col_b} AS BIGINT)"
+    return F.expr(
+        f"CASE WHEN {col_a} IS NOT NULL AND {col_b} IS NOT NULL "
+        f"THEN {_interleave_sql(a, b, bits)} END"
+    )
+
+
+def zorder_key_sql(col_a: str, col_b: str, bits: int = 21) -> str:
+    """DuckDB twin expression text of :func:`zorder_key`."""
+    a = f"CAST({col_a} AS BIGINT)"
+    b = f"CAST({col_b} AS BIGINT)"
+    return (
+        f"CASE WHEN {col_a} IS NOT NULL AND {col_b} IS NOT NULL "
+        f"THEN {_interleave_sql(a, b, bits)} END"
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 21,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered by the (col_a, col_b) Morton
+    key: range-repartition on the key (contiguous z-ranges per file —
+    range, not hash, or file stats would overlap) then sort within
+    partitions, so BOTH columns' parquet min/max stats are tight per
+    file/row-group and predicate pushdown on either column skips.
+
+    One range exchange (sampled bounds) + local sort — exactly the cost
+    of any clustered write; the key column itself is dropped from the
+    files (derivable, and keeping stats on it would add nothing)."""
+    keyed = df.withColumn("_z", zorder_key(col_a, col_b, bits))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -857,3 +857,33 @@ QUERIES.update(
         "skew_salted_join": Q(q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
     }
 )
+
+
+def q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key over (l_partkey, l_suppkey)
+    (operators/layout.zorder_key): the multi-dimensional data-skipping
+    layout primitive — pure integer bit interleaving, identical in both
+    engines; the write path + parquet-stats pruning claim are pinned in
+    tests/test_layout.py."""
+    from timeseriesutils_spark.operators.layout import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        zorder_key("l_partkey", "l_suppkey").alias("zkey"),
+    )
+
+
+def _sql_zorder_key():
+    from timeseriesutils_spark.operators.layout import zorder_key_sql
+
+    return (
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,\n  "
+        f"{zorder_key_sql('l_partkey', 'l_suppkey')} AS zkey\nFROM lineitem"
+    )
+
+
+QUERIES.update({"zorder_key": Q(q_zorder_key, _sql_zorder_key())})
