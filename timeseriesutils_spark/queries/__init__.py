@@ -45,7 +45,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # re-verify after round-3 fixes (r2 hash mismatch / changed oracle)
     "sessionize", "merge_upsert",
     # slot 51+: locally verified (CORRECTNESS_LOCAL.json); driver row next round
-    "incremental_rollmean", "backtest_folds", "zorder_key",
+    "incremental_rollmean", "backtest_folds", "zorder_key", "variant_json",
 )
 
 

@@ -887,3 +887,41 @@ def _sql_zorder_key():
 
 
 QUERIES.update({"zorder_key": Q(q_zorder_key, _sql_zorder_key())})
+
+
+def q_variant_json(spark, sf_dir):
+    """Semi-structured access through Spark 4's VARIANT type: props is
+    parsed ONCE into the binary variant encoding (parse_json) and every
+    field access is a typed try_variant_get — at scale this replaces
+    re-tokenizing the JSON string per extraction (the get_json_object
+    path exercised by `json_extract`); same rows, so the DuckDB JSON
+    oracle checks the whole codepath."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props").alias("v")
+    k = F.try_variant_get(F.col("v"), "$.k", "bigint")
+    return (
+        ev.select(v, "value", "event_type")
+        .select(k.alias("k"), "value", "event_type")
+        .groupBy("event_type", (F.col("k") % 7).alias("k_mod7"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+_SQL_VARIANT_JSON = f"""
+SELECT event_type,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod7,
+  COUNT(*) AS n,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"variant_json": Q(q_variant_json, _SQL_VARIANT_JSON)})
