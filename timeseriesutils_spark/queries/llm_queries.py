@@ -408,6 +408,7 @@ def q_knn_ivf(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
+    """Per-doc chars/words/tokens/distinct-ratio stats (operators/text.text_stats; BPE-style pre-token regex)."""
     return text_stats(_docs(spark, sf_dir))
 
 
@@ -426,6 +427,7 @@ FROM documents
 
 
 def q_text_quality(spark, sf_dir):
+    """Heuristic quality score in [0,1] from length/punctuation/stopword signals (operators/text.quality_score)."""
     return quality_score(_docs(spark, sf_dir))
 
 
@@ -442,6 +444,7 @@ FROM documents
 
 
 def q_lang_id(spark, sf_dir):
+    """N-gram-marker language identification (operators/text.lang_id) over the documents table."""
     return lang_id(_docs(spark, sf_dir))
 
 
@@ -457,6 +460,7 @@ def _sql_lang_id() -> str:
 
 
 def q_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash document fingerprint (operators/text.fingerprint)."""
     return fingerprint(_docs(spark, sf_dir))
 
 
@@ -507,6 +511,7 @@ FROM g
 
 
 def q_tf_idf(spark, sf_dir):
+    """Exact TF-IDF over the corpus vocabulary (operators/text.tf_idf): two map-combinable shuffles, lazy corpus count."""
     return tf_idf(_docs(spark, sf_dir), min_df=2)
 
 

@@ -99,6 +99,7 @@ GROUP BY ROLLUP (r_name, n_name)
 
 
 def q_agg_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations in one pass, exact decimal sums."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -120,6 +121,7 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 
 
 def q_agg_count_distinct(spark, sf_dir):
+    """Exact per-group COUNT(DISTINCT) on two columns (one Expand pass)."""
     c = _t(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.countDistinct("c_nationkey").alias("n_nations"),
@@ -352,6 +354,7 @@ WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
 
 
 def q_topk_per_group(spark, sf_dir):
+    """Top-3 rows per group by value with a total-order tie-break (operators/relational.topk_per_group)."""
     o = _t(spark, sf_dir, "orders")
     return top_k_per_group(
         o.select("o_custkey", "o_orderkey", "o_totalprice"),
@@ -370,6 +373,7 @@ SELECT * FROM (
 
 
 def q_sort_limit(spark, sf_dir):
+    """Global ORDER BY + LIMIT 100 (TakeOrderedAndProject, no full sort at scale)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.select("l_orderkey", "l_linenumber", "l_extendedprice")
@@ -433,6 +437,7 @@ SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nat
 
 
 def q_scalar_funcs(spark, sf_dir):
+    """Scalar string/date/math function battery over lineitem (engine-portable function subset)."""
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",

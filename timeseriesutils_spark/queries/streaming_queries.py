@@ -25,6 +25,7 @@ def _events(spark, sf_dir):
 
 
 def q_stream_tumbling(spark, sf_dir):
+    """Tumbling 1-hour window counts + exact value sums (streaming/windows.tumbling_counts; batch-equivalent oracle, readStream path tested)."""
     return tumbling_counts(_events(spark, sf_dir), window="1 hour")
 
 
@@ -36,6 +37,7 @@ FROM events GROUP BY 1, 2
 
 
 def q_stream_sliding(spark, sf_dir):
+    """Sliding 1-hour/30-min hopping window counts (streaming/windows.sliding_counts)."""
     return sliding_counts(_events(spark, sf_dir), window="1 hour", slide="30 minutes")
 
 
@@ -56,6 +58,7 @@ SELECT CAST(ws AS VARCHAR) AS window_start, COUNT(*) AS n FROM w GROUP BY 1
 
 
 def q_stream_session(spark, sf_dir):
+    """Session windows with 30-min gap per user (streaming/windows.session_counts; F.session_window)."""
     return session_counts(_events(spark, sf_dir), gap="30 minutes")
 
 
@@ -80,6 +83,7 @@ FROM sess GROUP BY user_id, sid
 
 
 def q_stream_dedup(spark, sf_dir):
+    """Streaming dropDuplicates on (user, event_type) within the watermark horizon (batch twin: DISTINCT)."""
     return stream_dedup(_events(spark, sf_dir))
 
 
