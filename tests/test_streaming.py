@@ -273,3 +273,43 @@ def test_stream_rollup_sink(spark, tmp_path):
         for r in read_upsert_snapshot(spark, out).collect()
     }
     assert got == {"a": (3, 4.0), "b": (2, 6.5), "c": (1, 7.0)}
+
+
+def test_sink_replay_idempotent(spark, tmp_path):
+    """Crash-replay contract: if the engine dies between a batch's
+    snapshot parquet commit and the stream's checkpoint commit, the batch
+    is re-applied with the same batch_id.  The replay must merge against
+    the latest base with version < batch_id — reading its own committed
+    output would double-count rollup partials and make the upsert sink
+    overwrite a path it is reading from."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.streaming.sinks import (
+        apply_rollup_batch,
+        apply_upsert_batch,
+        read_upsert_snapshot,
+    )
+
+    out_u = str(tmp_path / "u")
+    b0 = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    b1 = spark.createDataFrame([(1, 10.0), (2, 2.0)], "k long, v double")
+    apply_upsert_batch(b0, 0, out_u, "k")
+    apply_upsert_batch(b1, 1, out_u, "k")
+    # replay of batch 1: pre-fix this read snap_v1 as its own base and
+    # raised "Cannot overwrite a path that is also being read from"
+    apply_upsert_batch(b1, 1, out_u, "k")
+    got = {r.k: r.v for r in read_upsert_snapshot(spark, out_u).collect()}
+    assert got == {1: 10.0, 2: 2.0}
+
+    out_r = str(tmp_path / "r")
+    r0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, v double")
+    r1 = spark.createDataFrame([("a", 3.0)], "g string, v double")
+    partial = {"n": F.count(F.lit(1)), "s": F.sum("v")}
+    merge = {"n": F.sum("n"), "s": F.sum("s")}
+    apply_rollup_batch(r0, 0, out_r, ["g"], partial, merge)
+    apply_rollup_batch(r1, 1, out_r, ["g"], partial, merge)
+    # replay of batch 1: pre-fix this re-added the batch's partials on
+    # top of snap_v1 (double count: a -> (3, 7.0))
+    apply_rollup_batch(r1, 1, out_r, ["g"], partial, merge)
+    got = {r.g: (r.n, r.s) for r in read_upsert_snapshot(spark, out_r).collect()}
+    assert got == {"a": (2, 4.0), "b": (1, 2.0)}

@@ -20,11 +20,12 @@ Determinism (why a SQL oracle can hash-match an "iterative ML" op):
   quality init pass ``init_ids``);
 * argmin ties break toward the lower centroid index (struct-ordered
   ``least``);
-* centroid updates are exact integer sums divided in double and
-  re-rounded half-up to int64, so the next iteration's input is again
-  exact (sums stay double-exact while cluster mass < 2^53/10^scale
-  ≈ 9·10⁹ unit-scale vectors at scale 6 — beyond that, raise the
-  DECIMAL path in functions/exact.py to the component sums);
+* centroid updates accumulate component sums in DECIMAL(38,0) (exact
+  to 38 digits in both engines — int64 SUM would wrap silently in
+  Spark while DuckDB's HUGEINT doesn't, diverging on giant clusters),
+  divided in double and re-rounded half-up to int64, so the next
+  iteration's input is again exact while the MEAN (not the sum) stays
+  below 2^53/10^scale — true for any unit-scale data;
 * iteration count is FIXED (``n_iter``), not convergence-tested — the
   oracle must run the identical schedule.
 
@@ -114,7 +115,15 @@ def kmeans_lloyd(
         comp = (
             assigned.select("cluster", F.posexplode("_q").alias("_pos", "_x"))
             .groupBy("cluster", "_pos")
-            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            # decimal(38,0) accumulation: Spark's SUM(bigint) wraps
+            # silently on int64 overflow while the DuckDB twin sums in
+            # HUGEINT — a giant cluster at high quantization scale would
+            # diverge exactly when it matters.  DECIMAL sums are exact to
+            # 38 digits in both engines (functions/exact.py rationale).
+            .agg(
+                F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
             .select(
                 "cluster",
                 "_pos",
@@ -197,7 +206,7 @@ c{it} AS (  -- centroid update: exact sums, half-up re-round; empty keeps old
       {prev}.c) AS c
   FROM {prev} LEFT JOIN (
     SELECT a{it}.cluster AS j, ql.pos,
-      CAST(SUM(ql.x) AS BIGINT) AS s, COUNT(*) AS n
+      CAST(SUM(ql.x) AS DECIMAL(38,0)) AS s, COUNT(*) AS n
     FROM a{it} JOIN ql USING (id) GROUP BY 1, 2
   ) u ON u.j = {prev}.j AND u.pos = {prev}.pos
 )"""

@@ -76,9 +76,14 @@ def zorder_write(
     of any clustered write; the key column itself is dropped from the
     files (derivable, and keeping stats on it would add nothing)."""
     keyed = df.withColumn("_z", zorder_key(col_a, col_b, bits))
+    # asc_nulls_last on BOTH the range partitioning and the local sort:
+    # Spark's default ascending order places NULLs FIRST, which would put
+    # the stats-less NULL-key rows in the leading file, violating the
+    # documented tail-file convention.
+    z_last = F.col("_z").asc_nulls_last()
     (
-        keyed.repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
+        keyed.repartitionByRange(n_files, z_last)
+        .sortWithinPartitions(z_last)
         .drop("_z")
         .write.mode("overwrite")
         .parquet(path)

@@ -75,7 +75,13 @@ def shard_assign(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be ≥ 1")
-    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
+    # NULL keys hash via an explicit sentinel: Spark's concat_ws *skips*
+    # NULL ("s0") while DuckDB's CONCAT renders it empty ("s0:"), so
+    # without the coalesce a NULL-key row lands on different shards in
+    # engine vs oracle.  The sentinel keeps the assignment total and
+    # engine-portable (shard_assign_sql applies the same COALESCE).
+    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>"))
+    h = F.md5(F.concat_ws(":", F.lit(seed), key_s))
     shard = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
     ).cast("int")
@@ -95,7 +101,10 @@ def shard_assign_sql(
     seed: str = "s0",
 ) -> str:
     """DuckDB twin of :func:`shard_assign` (md5 is bit-identical)."""
-    h = f"md5(CONCAT('{seed}', ':', CAST({key_col} AS VARCHAR)))"
+    h = (
+        f"md5(CONCAT('{seed}', ':', "
+        f"COALESCE(CAST({key_col} AS VARCHAR), '<NULL>')))"
+    )
     return f"""
 WITH a AS (
   SELECT *, {h} AS _h,

@@ -281,8 +281,12 @@ def table_checksum(
     Canonical per-row encoding (cross-engine stable — no raw
     float→string formatting is ever used):
 
-    * float/double → ``CAST(x AS DECIMAL(18,s))`` rendered at full
-      scale (both engines print fixed-scale decimals identically);
+    * float/double → ``CAST(x AS DECIMAL(38,s))`` rendered at full
+      scale (both engines print fixed-scale decimals identically;
+      precision 38 so any double magnitude ≤ ~1e31 at s=6 is
+      representable — DECIMAL(18,s) would overflow at |x| ≥ 1e12,
+      where Spark silently NULLs and DuckDB errors, breaking the
+      cross-engine audit precisely when comparing);
     * timestamps → epoch microseconds (fractional-second STRING forms
       are engine-specific; the integer is not);
     * everything else → its SQL string cast; NULL → sentinel ``\\x01``;
@@ -306,7 +310,7 @@ def table_checksum(
     for c in cols:
         t = dict(df.dtypes)[c]
         if t in ("double", "float"):
-            v = F.col(c).cast(f"decimal(18,{decimal_scale})").cast("string")
+            v = F.col(c).cast(f"decimal(38,{decimal_scale})").cast("string")
         elif t.startswith("timestamp"):
             # UTC session tz: NTZ→LTZ cast is wall-clock-identity
             v = F.unix_micros(F.col(c).cast("timestamp")).cast("string")
@@ -336,7 +340,7 @@ def table_checksum_sql(
     enc = []
     for c in columns:
         if types[c] in ("double", "float"):
-            v = f"CAST(CAST({c} AS DECIMAL(18,{decimal_scale})) AS VARCHAR)"
+            v = f"CAST(CAST({c} AS DECIMAL(38,{decimal_scale})) AS VARCHAR)"
         elif types[c].startswith("timestamp"):
             v = f"CAST(epoch_us({c}) AS VARCHAR)"
         else:

@@ -27,7 +27,17 @@ class Q:
 # the full set is locally gate-checked every round via
 # tools/check_oracle.py — see CORRECTNESS_LOCAL.json).
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
-    # never driver-verified as of round 3 (added after the r2 cutoff)
+    # slots 1-4: the only oracle-expressible queries with no driver verdict
+    # yet (were at slots 51-54 in round 3, past the driver's 50-row cap)
+    "incremental_rollmean", "backtest_folds", "zorder_key", "variant_json",
+    # round-4 additions / re-verify after round-4 code changes
+    "domfreq",            # RO -> hash-green: generated DFT-twin oracle
+    "shard_assign",       # NULL-key sentinel fix (ADVICE)
+    "table_checksum",     # DECIMAL(38,6) canonicalization fix (ADVICE)
+    "kmeans",             # decimal(38,0) component-sum accumulation (ADVICE)
+    "semantic_dedup",     # shares the k-means assignment/update kernel
+    "pagerank",           # co-partitioned path exercised this round
+    # remaining slots: regression re-check of the round-3 driver-green set
     "winsorize", "group_trend", "seasonal_profile", "time_rollup",
     "ohlc_bars", "time_weighted_avg", "gap_detect", "funnel",
     "cohort_retention", "boilerplate_frac", "bm25_search", "chunk_text",
@@ -39,13 +49,8 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "reservoir_sample", "embedding_centroids", "fuzzy_match",
     "chunk_dedup", "quality_filter", "stream_tumbling", "stream_sliding",
     "stream_session", "stream_dedup", "stream_join", "stream_stateful",
-    # round-3 additions
-    "kmeans", "shard_assign", "pagerank", "table_checksum",
-    "skew_salted_agg", "skew_salted_join", "semantic_dedup", "chunked_taylor",
-    # re-verify after round-3 fixes (r2 hash mismatch / changed oracle)
+    "skew_salted_agg", "skew_salted_join", "chunked_taylor",
     "sessionize", "merge_upsert",
-    # slot 51+: locally verified (CORRECTNESS_LOCAL.json); driver row next round
-    "incremental_rollmean", "backtest_folds", "zorder_key", "variant_json",
 )
 
 

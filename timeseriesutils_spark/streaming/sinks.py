@@ -51,10 +51,49 @@ def _versions(path: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def read_upsert_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
-    """Latest committed snapshot, or None before the first batch."""
+def read_upsert_snapshot(
+    spark: SparkSession, path: str, before: int | None = None
+) -> DataFrame | None:
+    """Latest committed snapshot, or None before the first batch.
+
+    ``before``: consider only versions with id strictly less than it.
+    The foreachBatch closures pass their own ``batch_id`` here so a
+    replayed batch (crash between the snapshot's parquet commit and the
+    stream's checkpoint commit) re-derives snap_v{batch_id} from the SAME
+    base it used the first time, instead of reading its own half-applied
+    output — which would double-count rollup partials and make the upsert
+    sink overwrite a path it is reading from."""
     vs = _versions(path)
+    if before is not None:
+        vs = [v for v in vs if v[0] < before]
     return spark.read.parquet(vs[-1][1]) if vs else None
+
+
+def apply_upsert_batch(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    key_cols,
+    delete_col: str | None = None,
+) -> None:
+    """One micro-batch of the upsert sink (module-level so replay
+    semantics are directly testable): MERGE ``batch`` into the latest
+    snapshot with version < ``batch_id``, write ``snap_v{batch_id}``.
+    Re-invoking with the same batch_id (crash-replay) is a no-op
+    rewrite of the identical snapshot."""
+    spark = batch.sparkSession
+    base = read_upsert_snapshot(spark, path, before=batch_id)
+    if delete_col is not None and base is not None:
+        base = base.drop(delete_col) if delete_col in base.columns else base
+    merged = (
+        batch if base is None else merge_upsert(base, batch, key_cols, delete_col)
+    )
+    if delete_col is not None and delete_col in merged.columns:
+        # first batch with no base: apply its own delete flags
+        merged = merged.filter(~merged[delete_col].eqNullSafe(True)).drop(
+            delete_col
+        )
+    merged.write.mode("overwrite").parquet(os.path.join(path, f"snap_v{batch_id}"))
 
 
 def stream_upsert_sink(
@@ -71,19 +110,7 @@ def stream_upsert_sink(
     (tests drain with availableNow)."""
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        base = read_upsert_snapshot(spark, path)
-        if delete_col is not None and base is not None:
-            base = base.drop(delete_col) if delete_col in base.columns else base
-        merged = (
-            batch if base is None else merge_upsert(base, batch, key_cols, delete_col)
-        )
-        if delete_col is not None and delete_col in merged.columns:
-            # first batch with no base: apply its own delete flags
-            merged = merged.filter(~merged[delete_col].eqNullSafe(True)).drop(
-                delete_col
-            )
-        merged.write.mode("overwrite").parquet(os.path.join(path, f"snap_v{batch_id}"))
+        apply_upsert_batch(batch, batch_id, path, key_cols, delete_col)
 
     writer = (
         updates.writeStream.foreachBatch(apply_batch)
@@ -93,6 +120,33 @@ def stream_upsert_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def apply_rollup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    key_cols,
+    partial_aggs: dict,
+    merge_aggs: dict,
+) -> None:
+    """One micro-batch of the rollup sink (module-level for replay
+    tests): reduce the batch to per-key partials, merge additively into
+    the latest snapshot with version < ``batch_id``.  A crash-replay of
+    the same batch re-reads the same pre-batch base, so partials are
+    never double-counted."""
+    keys = list(key_cols)
+    spark = batch.sparkSession
+    part = batch.groupBy(*keys).agg(*[c.alias(n) for n, c in partial_aggs.items()])
+    base = read_upsert_snapshot(spark, path, before=batch_id)
+    merged = (
+        part
+        if base is None
+        else base.unionByName(part)
+        .groupBy(*keys)
+        .agg(*[c.alias(n) for n, c in merge_aggs.items()])
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(path, f"snap_v{batch_id}"))
 
 
 def stream_rollup_sink(
@@ -120,22 +174,8 @@ def stream_rollup_sink(
     ``merge_aggs``: name → aggregate over (snapshot ∪ batch) partials,
     referencing partial columns by name.
     """
-    keys = list(key_cols)
-
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        part = batch.groupBy(*keys).agg(
-            *[c.alias(n) for n, c in partial_aggs.items()]
-        )
-        base = read_upsert_snapshot(spark, path)
-        merged = (
-            part
-            if base is None
-            else base.unionByName(part)
-            .groupBy(*keys)
-            .agg(*[c.alias(n) for n, c in merge_aggs.items()])
-        )
-        merged.write.mode("overwrite").parquet(os.path.join(path, f"snap_v{batch_id}"))
+        apply_rollup_batch(batch, batch_id, path, key_cols, partial_aggs, merge_aggs)
 
     writer = (
         updates.writeStream.foreachBatch(apply_batch)
