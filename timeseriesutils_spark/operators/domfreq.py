@@ -76,6 +76,135 @@ def _periodogram(windows: np.ndarray, fs: float, detrend) -> tuple[np.ndarray, n
     return freqs, psd
 
 
+def domfreq_matrix(
+    window_size: int, fs: float = 1.0, detrend="linear"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Constant matrices that make the fixed-w periodogram a LINEAR map
+    (the taylor trick, taylor.py:82): detrending is a projection
+    ``(I - P)`` and the DFT a fixed complex matrix ``F``, so
+
+        spec_m = Σ_j C[m, j] · x_j,   C = F · (I - P)
+
+    and ``psd_m = |spec_m|² · mult_m`` — two squared linear combinations
+    of the window elements.  Returns (C complex (B, w), mult (B,),
+    freqs (B,)) for the B = w//2 + 1 one-sided bins, matching
+    scipy.signal.periodogram defaults (boxcar, nfft = w)."""
+    w = window_size
+    t = np.arange(w, dtype="float64")
+    if detrend in (False, None, "none"):
+        D = np.eye(w)
+    elif detrend == "constant":
+        D = np.eye(w) - np.ones((w, w)) / w
+    elif detrend == "linear":
+        X = np.stack([np.ones(w), t], axis=1)
+        D = np.eye(w) - X @ np.linalg.pinv(X)
+    else:
+        raise ValueError(f"unsupported detrend {detrend!r}")
+    m = np.arange(w // 2 + 1)
+    C = np.exp(-2j * np.pi * np.outer(m, t) / w) @ D
+    mult = np.full(w // 2 + 1, 2.0 / (fs * w))
+    mult[0] = 1.0 / (fs * w)
+    if w % 2 == 0:
+        mult[-1] = 1.0 / (fs * w)
+    freqs = np.fft.rfftfreq(w, d=1.0 / fs)
+    return C, mult, freqs
+
+
+def _elem_sql(y: str, off: int, over: str) -> str:
+    if off < 0:
+        return f"LAG({y}, {-off}) OVER {over}"
+    if off > 0:
+        return f"LEAD({y}, {off}) OVER {over}"
+    return y
+
+
+def domfreq_sql_parts(
+    y: str,
+    partition_sql: str,
+    seq: str = "seq",
+    window_size: int = 8,
+    window_align: str = "trailing",
+    fs: float = 1.0,
+    detrend="linear",
+    include_dc: bool = False,
+) -> tuple[list[int], np.ndarray, list[tuple[str, str]], list[tuple[str, str]]]:
+    """Dialect-neutral SQL twin of the periodogram: identical text runs
+    on Spark (selectExpr) and DuckDB, so double arithmetic is
+    bit-identical — the same renderer-IS-the-oracle design as
+    taylor_sql_columns.
+
+    Window elements reproduce the edge-duplication policy
+    (featurize.py:574-587) with pure RELATIVE offsets: duplicating the
+    head/tail block means an edge row's window re-reads values at small
+    offsets from itself, so every element is a per-row CASE between two
+    LAG/LEAD offsets on the row's position ``seq`` (0-based row number
+    within the group, computed by the caller; ordering by ``seq`` itself
+    keeps the OVER clause tiny).
+
+    Returns (bins, freqs, re_im_exprs, psd_exprs); ``psd_exprs`` reference
+    the re/im columns by name, so render them in a second SELECT stage.
+    ``include_dc=False`` drops bin 0: after detrending, DC power is
+    numerical noise (~1e-30) whose top-k rank would be a float-noise
+    lottery — the dominant-frequency intent is the positive bins.
+    """
+    w = window_size
+    over = f"(PARTITION BY {partition_sql} ORDER BY {seq})"
+    if window_align == "trailing":
+        # ext = concat(y[:w], y); row r reads ext[r+1 : r+1+w]
+        elems = []
+        for j in range(w):
+            dup = _elem_sql(y, j + 1, over)       # head block: y[r+1+j]
+            interior = _elem_sql(y, j + 1 - w, over)
+            if j == w - 1:
+                elems.append(interior)            # head cond r+w < w impossible
+            else:
+                elems.append(
+                    f"CASE WHEN {seq} + {j + 1} < {w} THEN {dup} ELSE {interior} END"
+                )
+    elif window_align == "centered":
+        # ext = concat(y[:hw], y, y[n-hw:]); row r reads ext[r : r+w]
+        hw = w // 2
+        nexpr = f"COUNT(*) OVER (PARTITION BY {partition_sql})"
+        elems = []
+        for j in range(w):
+            if j < hw:
+                dup = _elem_sql(y, j, over)       # head block: y[r+j]
+                interior = _elem_sql(y, j - hw, over)
+                elems.append(
+                    f"CASE WHEN {seq} + {j} < {hw} THEN {dup} ELSE {interior} END"
+                )
+            elif j == hw:
+                elems.append(y)
+            else:
+                dup = _elem_sql(y, j - 2 * hw, over)  # tail block: y[r+j-2hw]
+                interior = _elem_sql(y, j - hw, over)
+                elems.append(
+                    f"CASE WHEN {seq} + {j} >= {hw} + {nexpr} THEN {dup} "
+                    f"ELSE {interior} END"
+                )
+    else:
+        raise ValueError("window_align must be 'centered' or 'trailing'")
+
+    C, mult, freqs = domfreq_matrix(w, fs, detrend)
+    bins = list(range(0 if include_dc else 1, w // 2 + 1))
+    re_im: list[tuple[str, str]] = []
+    psd: list[tuple[str, str]] = []
+    for m in bins:
+        for part, coefs in (("re", C.real[m]), ("im", C.imag[m])):
+            terms = " + ".join(
+                f"CAST('{float(c)!r}' AS DOUBLE) * {e}" for c, e in zip(coefs, elems)
+            )
+            re_im.append((f"_{part}{m}", f"({terms})"))
+        psd.append(
+            (
+                f"_psd{m}",
+                f"(_re{m} * _re{m} + _im{m} * _im{m})"
+                f" * CAST('{float(mult[m])!r}' AS DOUBLE)",
+            )
+        )
+    return bins, freqs, re_im, psd
+
+
 def domfreq(
     data: DataFrame,
     columns,
