@@ -61,3 +61,49 @@ def test_pagerank_validates(spark):
         pagerank(df, n_iter=-1)
     with pytest.raises(ValueError):
         pagerank(df, d_num=21, d_den=20)
+
+
+def test_pagerank_copartitioned_equals_broadcast(spark):
+    """broadcast_nodes=False (the multi-billion-node path) must produce
+    bit-identical ranks to the broadcast default — the recurrence is
+    integer-exact, so the join strategy cannot perturb a single unit."""
+    df = spark.createDataFrame(GRAPH, "src long, dst long")
+    a = sorted(map(tuple, pagerank(df, n_iter=5, broadcast_nodes=True).collect()))
+    b = sorted(map(tuple, pagerank(df, n_iter=5, broadcast_nodes=False).collect()))
+    assert a == b
+    assert {r[0]: r[1] for r in b} == _py_pagerank(GRAPH, n_iter=5)
+
+
+def test_pagerank_copartitioned_edges_shuffle_once(spark):
+    """Plan pin for the co-partitioned path: the cached edge set is
+    hashpartitioned on src at build time, so a round's ranks⋈edges join
+    must NOT re-exchange the edge scan — at scale the edge set is the
+    multi-TB side and re-shuffling it per round is the one shape that
+    cannot survive.  Asserted on the final-round plan: no Exchange above
+    the edge InMemoryTableScan referencing its src attribute."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.createDataFrame(GRAPH, "src long, dst long")
+        out = pagerank(df, n_iter=1, broadcast_nodes=False)
+        lines = out._jdf.queryExecution().executedPlan().toString().splitlines()
+        scan_idx = [
+            i
+            for i, l in enumerate(lines)
+            if "InMemoryTableScan" in l and re.search(r"\[src#\d+L?, dst#\d+", l)
+        ]
+        assert scan_idx, "edge InMemoryTableScan not found in plan"
+        i = scan_idx[0]
+        m = re.search(r"src#(\d+)", lines[i])
+        key = f"src#{m.group(1)}"
+        # tree printing is top-down: a fresh shuffle of the cached edge
+        # scan would appear as an Exchange line above it, keyed on the
+        # scan's own src attribute
+        offending = [
+            l for l in lines[:i] if "Exchange" in l and key in l and "Reused" not in l
+        ]
+        assert not offending, offending
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -511,3 +511,23 @@ def test_fuzzy_pairs_blocked_linkage(spark):
     assert pairs[(1, 3)] == 1  # '0'→'1' one substitution, same stem block
     assert (2, 3) not in pairs  # "02"→"11" is two edits
     assert not any(4 in p or 5 in p for p in pairs)  # blocked out by design
+
+
+def test_knn_ivf_recall_sf01_hash_ordered_sample(spark):
+    """Recall pin at sf0.1 with the hash-ordered centroid sample
+    (ivf_centroids orders by xxhash64(id), not an id prefix — a prefix
+    correlates with content and would train the coarse quantizer on one
+    corner of the corpus).  Queries are spread across the id space so a
+    biased quantizer would show up as recall collapse."""
+    from timeseriesutils_spark.operators.similarity import knn_bruteforce, knn_ivf
+    from timeseriesutils_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)  # 20 queries across the range
+    exact = knn_bruteforce(q, emb, k=5).collect()
+    ivf = knn_ivf(q, emb, k=5, n_centroids=16, nprobe=4).collect()
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact}
+    assert exact_pairs
+    hits = sum(1 for r in ivf if (r["query_id"], r["vec_id"]) in exact_pairs)
+    recall = hits / len(exact_pairs)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below pin"

@@ -70,6 +70,17 @@ def pagerank(
         F.col(src_col).cast("bigint").alias("src"),
         F.col(dst_col).cast("bigint").alias("dst"),
     ).distinct()
+    if not broadcast_nodes:
+        # co-partitioned path: pin the cached edge set to
+        # hashpartitioning(src) (+ per-partition sort) so every round's
+        # ranks⋈edges SortMergeJoin finds its distribution AND ordering
+        # already satisfied from cache and shuffles only the node-sized
+        # rank side.  Without this, distinct() leaves the cache
+        # partitioned on (src, dst) and the multi-TB edge set would
+        # re-exchange EVERY round — the one shape that cannot survive a
+        # multi-billion-node graph.  One extra exchange at build time,
+        # amortized over all rounds (plan-pinned in tests/test_graph.py).
+        e = e.repartition("src").sortWithinPartitions("src")
     # persist the loop-invariant frames: the edge set is read every
     # iteration, and nodes/deg (node-sized, tiny next to edges) would
     # otherwise re-run their distinct/groupBy shuffles once per

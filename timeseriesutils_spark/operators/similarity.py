@@ -263,14 +263,20 @@ def ivf_centroids(
 ) -> np.ndarray:
     """Deterministic driver-side k-means for IVF coarse quantization.
 
-    Trains on a bounded, deterministically-chosen sample (first
-    ``sample_size`` ids) — centroid quality needs a representative
-    sample, not the full corpus, so the collect is O(sample), never
-    O(N).  Fixed seed + fixed iteration count ⇒ reproducible lists.
+    Trains on a bounded, deterministically-chosen sample — centroid
+    quality needs a representative sample, not the full corpus, so the
+    collect is O(sample), never O(N).  The sample is hash-ordered
+    (``ORDER BY xxhash64(id)``), not an id prefix: ids usually correlate
+    with content (ingest time, source, shard), so a prefix sample at
+    100 TB would train the quantizer on one corner of the corpus and
+    recall would degrade silently.  Hash order is just as reproducible
+    (same ids → same sample, regardless of partitioning) but spreads the
+    sample uniformly over the corpus.  Fixed seed + fixed iteration
+    count ⇒ reproducible lists.
     """
     rows = (
         corpus.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(sample_size)
         .collect()
     )
