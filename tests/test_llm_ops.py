@@ -531,3 +531,38 @@ def test_knn_ivf_recall_sf01_hash_ordered_sample(spark):
     hits = sum(1 for r in ivf if (r["query_id"], r["vec_id"]) in exact_pairs)
     recall = hits / len(exact_pairs)
     assert recall >= 0.6, f"IVF recall {recall:.2f} below pin"
+
+
+def test_decode_image_real_kernel(spark):
+    """Pillow-backed decode path (skipped where the lib is absent — this
+    container): a real PNG through the same mapInPandas plumbing must
+    yield true dimensions and an 8-dim thumbnail feature."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from timeseriesutils_spark.operators.multimodal import (
+        decode_image,
+        extract_media_features,
+    )
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (20, 10), (255, 0, 0)).save(buf, format="PNG")
+    raw = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(raw), "image/png", len(raw), "x")],
+        "doc_id long, media binary, media_type string, n_bytes long, checksum string",
+    )
+    out = extract_media_features(df, kernel=decode_image).collect()
+    assert out[0]["width"] == 20 and out[0]["height"] == 10
+    assert len(out[0]["feature"]) == 8
+    assert all(f == pytest.approx(1.0 / 3.0, abs=0.02) for f in out[0]["feature"])
+
+
+def test_decode_image_falls_back_to_stub_without_pil():
+    """Without Pillow, decode_image must be the deterministic stub."""
+    from timeseriesutils_spark.operators import multimodal
+
+    if multimodal.HAS_PIL:
+        pytest.skip("Pillow present; fallback path not reachable")
+    raw = b"hello media bytes"
+    assert multimodal.decode_image(raw) == multimodal.decode_image_stub(raw)

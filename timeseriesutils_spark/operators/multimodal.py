@@ -68,19 +68,52 @@ def decode_image_stub(raw: bytes) -> tuple[int, int, list[float]]:
     return width, height, [f / total for f in feat]
 
 
-def extract_media_features(media_df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+try:  # optional real decoder — media libs are absent in this container
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+
+def decode_image(raw: bytes) -> tuple[int, int, list[float]]:
+    """Real image decode when Pillow is importable (size + an 8-dim
+    mean-brightness feature over a 4×2 thumbnail), falling back to the
+    deterministic stub otherwise.  The declared oracle queries pin the
+    STUB path (reproducible in any environment); production deployments
+    pass this kernel to :func:`extract_media_features` explicitly."""
+    if not HAS_PIL:
+        return decode_image_stub(raw)
+    import io
+
+    img = _PILImage.open(io.BytesIO(raw)).convert("RGB")
+    width, height = img.size
+    thumb = img.resize((4, 2))
+    feat = [sum(px) / (3.0 * 255.0) for px in thumb.getdata()]
+    return width, height, feat
+
+
+def extract_media_features(
+    media_df: DataFrame, batch_size_hint: int = 256, kernel=None
+) -> DataFrame:
     """Arrow-batched media feature extraction over mapInPandas.
 
     One Python worker pass per partition, streaming record batches; no
-    collect, no per-row Python round trips.
+    collect, no per-row Python round trips.  ``kernel``: a
+    ``bytes -> (width, height, feature)`` decoder; defaults to the
+    deterministic stub (the oracle-pinned path — see
+    :func:`decode_image` for the Pillow-backed real one).
     """
     import pandas as pd
+
+    decode = kernel or decode_image_stub
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             widths, heights, feats = [], [], []
             for raw in pdf["media"]:
-                w, h, f = decode_image_stub(bytes(raw))
+                w, h, f = decode(bytes(raw))
                 widths.append(w)
                 heights.append(h)
                 feats.append(f)

@@ -289,6 +289,32 @@ def _sql_table_checksum():
 QUERIES.update({"table_checksum": Q(q_table_checksum, _sql_table_checksum())})
 
 
+def q_sink_roundtrip(spark, sf_dir):
+    """Write paths inside the correctness gate (VERDICT r3 gap #3): write
+    the events table as directory-partitioned parquet
+    (sources/sinks.write_partitioned), read it back, and checksum the
+    round-tripped rows (operators/stats.table_checksum).  The oracle is
+    the SAME checksum over the SOURCE relation — hash-green means the
+    write+read cycle preserved every row bit-for-bit across all column
+    classes (int / timestamp_ntz / string / double), including values
+    that traveled through partition-directory names."""
+    import os
+
+    from timeseriesutils_spark.operators.stats import table_checksum
+    from timeseriesutils_spark.sources.sinks import write_partitioned
+
+    path = "/tmp/tsu_spark_sink_roundtrip_" + os.path.basename(
+        sf_dir.rstrip("/")
+    )
+    src = load_table(spark, sf_dir, "events").select(*CHECKSUM_COLS)
+    write_partitioned(src, path, "event_type")
+    back = spark.read.parquet(path)
+    return table_checksum(back, CHECKSUM_COLS)
+
+
+QUERIES.update({"sink_roundtrip": Q(q_sink_roundtrip, _sql_table_checksum())})
+
+
 FOLD_ENDS = ["1997-06-30 00:00:00", "1997-12-31 00:00:00", "1998-06-30 00:00:00"]
 FOLD_PARAMS = dict(horizon_days=60, embargo_days=7)
 
