@@ -17,13 +17,16 @@ Four tiers, trading recall for cost (all distributed, no driver loops):
   * simhash      — 64-bit SimHash fingerprint per doc (majority vote of
                    shingle-hash bits); near-dups = small Hamming distance.
 
-Cache policy: operators ``persist()`` at plan forks (posting lists, the
+Cache policy: operators persist at plan forks (posting lists, the
 LSH verify join, CC iteration state) so a fork never re-tokenizes the
 corpus; intermediates consumed within one call are unpersisted there,
 but the fork a RETURNED plan still reads stays cached — the caller owns
-eviction (``spark.catalog.clearCache()`` between queries, as bench.py
-and tools/check_oracle.py do) because unpersisting before the caller
-materializes would silently recompute the whole upstream pipeline.
+eviction, because unpersisting before the caller materializes would
+silently recompute the whole upstream pipeline.  Caller-owned persists
+route through ``functions/cache.pin``, so the ownership is an explicit
+API: wrap a query in ``functions.cache.cache_scope()`` (or call
+``release_all()``) and no net cached blocks survive — gentler than
+``spark.catalog.clearCache()``, which also evicts the user's frames.
 
 Shuffle-size design: shingle *strings* are hashed to int64
 (``xxhash64``) immediately after extraction, and every downstream
@@ -42,6 +45,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from timeseriesutils_spark.functions.cache import pin
 
 
 def shingles(text_col, n: int = 3):
@@ -118,7 +123,7 @@ def ngram_jaccard_pairs(
     # one evaluation of the shingle pipeline feeds BOTH the posting lists
     # and the per-doc set sizes (the plan forks below this node; without
     # the persist Spark would re-tokenize the corpus per branch)
-    sized = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("s")).persist()
+    sized = pin(sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("s")))
     posting = (
         sized.groupBy("s")
         .agg(F.collect_list("id").alias("ids"))
@@ -186,7 +191,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # the shingle frame feeds banding AND both sides of the verify join —
     # persist the fork so the corpus is tokenized once, not three times
-    sh = hashed_shingle_docs(docs, id_col, text_col, n).persist()
+    sh = pin(hashed_shingle_docs(docs, id_col, text_col, n))
     base = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     # candidate generation over (id, band, bucket) ONLY — 24 bytes/row.
     # The shingle arrays never enter the banding shuffle; they're fetched
@@ -314,9 +319,9 @@ def connected_components(
     """
     # persist: the pair pipeline upstream (shingle/jaccard) must run once,
     # not once for the size probe and again for collect/propagation
-    edges = pairs.select(
+    edges = pin(pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ).persist()
+    ))
     n_edges = edges.count()
     id_type = pairs.schema["id_a"].dataType.simpleString()
     if n_edges <= driver_threshold:
@@ -450,7 +455,7 @@ def ngram_jaccard_against(
         # the hot-shingle scan forks the plan (posting count + anti-join
         # probe both consume ea) — persist so the shingle pipeline runs
         # once, not per branch (cache policy: module docstring)
-        ea = ea.persist()
+        ea = pin(ea)
         hot = (
             ea.groupBy("s")
             .agg(F.count(F.lit(1)).alias("_c"))

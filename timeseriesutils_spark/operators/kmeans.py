@@ -44,6 +44,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.cache import pin
+
 
 def _quantize(vec_col, scale: int):
     mult = float(10**scale)
@@ -98,7 +100,7 @@ def kmeans_lloyd(
     q = embeddings.select(id_col, _quantize(F.col(vec_col), scale).alias("_q"))
     # one narrow materialization: every iteration re-reads the quantized
     # corpus; at cluster scale this is the cached working set
-    q = q.persist()
+    q = pin(q)
 
     if init_ids is None:
         init_rows = q.orderBy(id_col).limit(k).collect()

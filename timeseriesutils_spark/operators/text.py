@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.cache import pin
+
 # word-ish tokens: letter runs, digit runs, or single punctuation — a
 # BPE-style pre-tokenization approximation
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -331,7 +333,7 @@ def cross_doc_dup_fraction(
         id_col, F.xxhash64("gram").alias("_g")
     )
     # fork: per-doc totals + docfreq + membership probe all reuse occ
-    occ = occ.persist()
+    occ = pin(occ)
     shared = (
         occ.distinct()
         .groupBy("_g")
@@ -504,8 +506,8 @@ def tf_idf(
     exploded = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("word"))
     # the plan forks at tf (feeds both the df aggregate and the final
     # join); persist so the corpus isn't re-tokenized per branch
-    tf = (
-        exploded.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = pin(
+        exploded.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
     )
     df = (
         tf.groupBy("word")

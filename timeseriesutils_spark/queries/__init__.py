@@ -33,6 +33,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # round-4 additions / re-verify after round-4 code changes
     "domfreq",            # RO -> hash-green: generated DFT-twin oracle
     "sink_roundtrip",     # new: write paths enter the correctness gate
+    "incremental_taylor", # new: incremental featurization, taylor family
     "shard_assign",       # NULL-key sentinel fix (ADVICE)
     "table_checksum",     # DECIMAL(38,6) canonicalization fix (ADVICE)
     "kmeans",             # decimal(38,0) component-sum accumulation (ADVICE)

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.cache import pin
+
 from timeseriesutils_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -127,9 +129,9 @@ def q_dedup_apply(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     # persist: identical pair plans across the dedup query family hit
     # Spark's CacheManager, so the shingle/join pipeline runs once
-    pairs = ngram_jaccard_pairs(
+    pairs = pin(ngram_jaccard_pairs(
         docs, n=3, threshold=0.6, max_posting=MAX_POSTING
-    ).persist()
+    ))
     kept = dedup_near_keep_min(pairs, docs)
     return kept.agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -271,9 +273,9 @@ def q_dedup_components(spark, sf_dir):
     the n-gram Jaccard pair graph; one row per cluster with its size."""
     from timeseriesutils_spark.operators.dedup import connected_components
 
-    pairs = ngram_jaccard_pairs(
+    pairs = pin(ngram_jaccard_pairs(
         _docs(spark, sf_dir), n=3, threshold=0.6, max_posting=MAX_POSTING
-    ).persist()
+    ))
     comp = connected_components(pairs)
     return comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
 
@@ -574,7 +576,7 @@ def q_decontaminate_pairs(spark, sf_dir):
     # shingle the shared table ONCE (persisted fork), then split even/odd:
     # the regex shingle pipeline is the dominant per-row cost and must not
     # run per side when both corpora come from one scan
-    sh = hashed_shingle_docs(_docs(spark, sf_dir), "doc_id", "text", 3).persist()
+    sh = pin(hashed_shingle_docs(_docs(spark, sf_dir), "doc_id", "text", 3))
     train = sh.filter(F.col("id") % 2 == 0)
     ev = sh.filter(F.col("id") % 2 == 1)
     return ngram_jaccard_against(
