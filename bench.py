@@ -62,17 +62,40 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # the driver captures only a bounded TAIL of stdout: a 120-query map
+    # overflows it and the artifact records "parsed": null (BENCH_r03).
+    # Always write the full machine-readable map to a file, and keep the
+    # stdout line under the capture bound — full map when it fits, else
+    # the reference-core headline subset plus the total.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        json.dump(payload, f)
+    line = json.dumps(payload)
+    if len(line) > 1800:
+        headline = [
+            "lag", "rollmean", "horizon_targets_wide", "horizon_targets_long",
+            "taylor_trailing", "taylor_centered_ew", "featurize_pipeline",
+            "domfreq", "domfreq_fft", "train_test_arrays", "bucketed_featurize",
+        ]
+        line = json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+                **payload,
+                "queries": {k: timings[k] for k in headline if k in timings},
+                "queries_omitted": len(timings)
+                - sum(1 for k in headline if k in timings),
+                "full_map": "BENCH_LOCAL.json",
             }
         )
-    )
+    print(line)
     spark.stop()
 
 
