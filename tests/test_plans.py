@@ -223,3 +223,11 @@ def test_skew_salted_join_broadcasts_dim(spark, catalog):
     plan = _plan(catalog["skew_salted_join"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_domfreq_single_exchange(spark, catalog):
+    # row-local top-k (array_sort + slice + posexplode): only the seq
+    # window's exchange — an explode + window-rank form would re-shuffle
+    # every output row on (group, seq) just to rank 4 bins
+    plan = _plan(catalog["domfreq"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) == 1
