@@ -367,10 +367,13 @@ def _multi_table_bucket_udf(planes: np.ndarray):
     One Arrow batch computes ALL table×bit hyperplane dots as a single
     numpy product — the expression form (tables·bits separate
     ``aggregate(zip_with(...))`` folds) is interpreted per lambda and
-    measured ~40× slower at 32 planes.  The plane dot reduces axis −1
-    with numpy pairwise summation, whose order depends only on dim — so
-    bucket assignment is deterministic per row regardless of batch or
-    partition boundaries.
+    measured ~40× slower at 32 planes.  Each plane dot accumulates
+    through the quantized-int64 path (per-element ``floor(x·w·Q+0.5)``
+    then integer sum — same IEEE sequence as :func:`_dot_dec`), so the
+    sign decision is bit-identical regardless of batch/partition
+    boundaries AND across engines: the generated DuckDB twin
+    (:func:`embedding_lsh_pairs_sql`) computes the same integers, which
+    is what upgrades the LSH dedup query from rows-only to hash-green.
     """
     P = planes.copy()  # (tables, bits, dim)
     T, B, _ = P.shape
@@ -379,7 +382,8 @@ def _multi_table_bucket_udf(planes: np.ndarray):
     @F.pandas_udf("array<bigint>")
     def buckets(v: pd.Series) -> pd.Series:
         X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        d = (X[:, None, None, :] * P[None, :, :, :]).sum(-1)  # N×T×B
+        dq = np.floor(X[:, None, None, :] * P[None, :, :, :] * _QUANT + 0.5)
+        d = dq.astype(np.int64).sum(-1)  # N×T×B, exact int64
         bk = ((d > 0).astype(np.int64) * weights).sum(-1)  # N×T
         return pd.Series(list(bk))
 
@@ -395,17 +399,155 @@ def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-LSH bucket id (bigint) for a vector column: bit i = sign of
-    ⟨v, plane_i⟩.  Pure expressions; planes are literal arrays."""
+    ⟨v, plane_i⟩.  Pure expressions; planes are literal arrays.
+
+    The sign is decided on the quantized-int64 dot (floor(x·w·Q+0.5)
+    summed as bigint), not a double left-fold: integer addition is
+    associative, so the bucket is identical for any evaluation order and
+    any engine computing the same per-element floors — a double fold can
+    flip sign near zero in the last ulp and silently desynchronize the
+    corpus and oracle bucketings."""
     bucket = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
+        dq = F.aggregate(
+            F.zip_with(
+                vec_col,
+                arr,
+                lambda x, y: F.floor(x.cast("double") * y * _QUANT + 0.5),
+            ),
+            F.lit(0).cast("bigint"),
             lambda acc, p: acc + p,
         )
-        bucket = bucket + F.when(dot > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(0)
+        bucket = bucket + F.when(dq > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(0)
     return bucket
+
+
+def _quant_floor_sql(x_expr: str, y_expr: str) -> str:
+    """SQL for one quantized product term — the exact IEEE sequence of
+    :func:`_dot_dec` / the numpy tile kernels: (x·y)·1e14 + 0.5, floor,
+    int64."""
+    return f"CAST(FLOOR({x_expr} * {y_expr} * 1e14 + 0.5) AS BIGINT)"
+
+
+def _planes_values_sql(planes) -> str:
+    """VALUES rows ``(b, i, w)`` (or ``(t, b, i, w)`` for a 3-d array) for
+    a literal hyperplane table; ``i`` is 1-based for DuckDB list
+    indexing.  ``repr(float)`` round-trips the exact double, so both
+    engines see bit-identical plane weights."""
+    arr = np.asarray(planes, dtype=np.float64)
+    rows = []
+    if arr.ndim == 2:
+        for b in range(arr.shape[0]):
+            for i in range(arr.shape[1]):
+                rows.append(f"({b},{i + 1},{float(arr[b, i])!r})")
+    else:
+        for t in range(arr.shape[0]):
+            for b in range(arr.shape[1]):
+                for i in range(arr.shape[2]):
+                    rows.append(f"({t},{b},{i + 1},{float(arr[t, b, i])!r})")
+    return ",\n".join(rows)
+
+
+def knn_lsh_sql(
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB twin of :func:`knn_lsh` — hash-green because every
+    engine-divergent step is pinned: the hyperplanes are the same seeded
+    literals, the bucket bit is the sign of the same quantized-int64 dot,
+    and the rerank cosine is the same quantized accumulation the
+    brute-force oracle already uses."""
+    pl = _planes_values_sql(random_hyperplanes(dim, bits, seed))
+    qdot = _quant_floor_sql(
+        "CAST(e.embedding[pl.i] AS DOUBLE)", "pl.w"
+    )
+    return f"""
+WITH pl(b, i, w) AS (VALUES {pl}),
+d AS (
+  SELECT e.vec_id, e.embedding, pl.b, SUM({qdot}) AS dq
+  FROM embeddings e, pl
+  GROUP BY e.vec_id, e.embedding, pl.b
+),
+bk AS (
+  SELECT vec_id, embedding,
+    SUM(CASE WHEN dq > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM d GROUP BY vec_id, embedding
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM bk WHERE {query_pred}),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+    CAST(SUM({_quant_floor_sql("CAST(q.qe[t.i] AS DOUBLE)", "CAST(e.embedding[t.i] AS DOUBLE)")}) AS DOUBLE) / 1e14 AS dot,
+    CAST(SUM({_quant_floor_sql("CAST(q.qe[t.i] AS DOUBLE)", "CAST(q.qe[t.i] AS DOUBLE)")}) AS DOUBLE) / 1e14 AS qq,
+    CAST(SUM({_quant_floor_sql("CAST(e.embedding[t.i] AS DOUBLE)", "CAST(e.embedding[t.i] AS DOUBLE)")}) AS DOUBLE) / 1e14 AS cc
+  FROM q JOIN bk e ON e.bucket = q.bucket AND e.vec_id <> q.query_id, range(1, {dim + 1}) t(i)
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, dot / (SQRT(qq) * SQRT(cc)) AS cos,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id
+    ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC, vec_id) AS INT) AS rn
+FROM pairs QUALIFY rn <= {k}
+"""
+
+
+def embedding_lsh_pairs_sql(
+    threshold: float = 0.45,
+    bits: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ``embedding_near_dup_pairs(method='lsh')`` (no
+    ``max_bucket``): per-table quantized sign-LSH buckets from the same
+    seeded literal planes, distinct colliding pairs, exact quantized
+    cosine ≥ threshold.  Bit-identical to the Arrow tile kernel because
+    both reduce the same per-element int64 floors."""
+    planes = np.array(
+        [random_hyperplanes(dim, bits, seed + t) for t in range(tables)]
+    )
+    pl = _planes_values_sql(planes)
+    qdot = _quant_floor_sql("CAST(e.embedding[pl.i] AS DOUBLE)", "pl.w")
+    self_q = _quant_floor_sql(
+        "CAST(embedding[t.i] AS DOUBLE)", "CAST(embedding[t.i] AS DOUBLE)"
+    )
+    pair_q = _quant_floor_sql(
+        "CAST(a.embedding[t.i] AS DOUBLE)", "CAST(b.embedding[t.i] AS DOUBLE)"
+    )
+    return f"""
+WITH pl(t, b, i, w) AS (VALUES {pl}),
+d AS (
+  SELECT e.vec_id, e.embedding, pl.t, pl.b, SUM({qdot}) AS dq
+  FROM embeddings e, pl
+  GROUP BY e.vec_id, e.embedding, pl.t, pl.b
+),
+bk AS (
+  SELECT vec_id, t,
+    SUM(CASE WHEN dq > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM d GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+n AS (
+  SELECT vec_id, embedding,
+    SQRT(CAST(SUM({self_q}) AS DOUBLE) / 1e14) AS nm
+  FROM embeddings, range(1, {dim + 1}) t(i)
+  GROUP BY vec_id, embedding
+),
+sc AS (
+  SELECT c.id_a, c.id_b,
+    CAST(SUM({pair_q}) AS DOUBLE) / 1e14 / (a.nm * b.nm) AS cos
+  FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b,
+    range(1, {dim + 1}) t(i)
+  GROUP BY c.id_a, c.id_b, a.nm, b.nm
+)
+SELECT id_a, id_b, cos FROM sc WHERE cos >= {threshold}
+"""
 
 
 def knn_lsh(

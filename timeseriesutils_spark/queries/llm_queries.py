@@ -26,10 +26,12 @@ from timeseriesutils_spark.operators.multimodal import (
     sample_frames,
 )
 from timeseriesutils_spark.operators.similarity import (
+    embedding_lsh_pairs_sql,
     embedding_near_dup_pairs,
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
+    knn_lsh_sql,
 )
 from timeseriesutils_spark.operators.text import (
     EMAIL_PATTERN,
@@ -336,9 +338,11 @@ def q_dedup_embedding(spark, sf_dir):
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Semantic near-dup pairs via multi-table sign-LSH — the scale path:
     candidates from bucket collisions (T tables × bits hyperplanes), exact
-    quantized-cosine filter on candidates only.  Seeded hyperplanes →
-    rows-only check; recall vs the exact tier is pinned in
-    tests/test_llm_ops.py.  bits/tables tune to the threshold: at this
+    quantized-cosine filter on candidates only.  Hash-green: the seeded
+    planes are literals and bucket bits come from quantized-int64 dot
+    signs, so the DuckDB twin (similarity.embedding_lsh_pairs_sql)
+    reproduces the exact candidate set and scores; recall vs the exact
+    tier is additionally pinned in tests/test_llm_ops.py.  bits/tables tune to the threshold: at this
     moderate cosine (0.45, θ≈63°) the per-bit collision prob is ~0.65,
     so short codes + more tables (4 bits × 8 tables → recall ≈ 0.79
     expected, 14/14 measured at sf0.01) — a 0.9-threshold dedup would
@@ -395,7 +399,11 @@ FROM pairs QUALIFY rn <= 5
 
 
 def q_knn_lsh(spark, sf_dir):
-    """Bucketed approximate KNN (seeded hyperplanes → rows-only)."""
+    """Bucketed approximate KNN.  Hash-green despite the hashing: the
+    hyperplanes are seeded literals and the bucket bit is the sign of a
+    quantized-int64 dot (similarity.lsh_bucket), so Spark and the DuckDB
+    twin (similarity.knn_lsh_sql) derive identical buckets, candidates,
+    and rerank cosines."""
     emb = _emb(spark, sf_dir)
     return knn_lsh(emb.filter(F.col("vec_id") < 10), emb, k=5, bits=4, dim=64)
 
@@ -813,10 +821,13 @@ QUERIES = {
     "unigram_logprob": Q(q_unigram_logprob, _sql_unigram_logprob()),
     "dedup_minhash_lsh": Q(q_dedup_minhash_lsh, None),  # xxhash64 → rows-only
     "dedup_embedding": Q(q_dedup_embedding, _SQL_DEDUP_EMBEDDING),
-    "dedup_embedding_lsh": Q(q_dedup_embedding_lsh, None),  # seeded LSH → rows-only
+    "dedup_embedding_lsh": Q(
+        q_dedup_embedding_lsh,
+        embedding_lsh_pairs_sql(threshold=0.45, bits=4, tables=8),
+    ),
     "simhash": Q(q_simhash, None),  # xxhash64 → rows-only
     "knn_bruteforce": Q(q_knn_bruteforce, _SQL_KNN),
-    "knn_lsh": Q(q_knn_lsh, None),  # seeded LSH → rows-only
+    "knn_lsh": Q(q_knn_lsh, knn_lsh_sql(k=5, bits=4, dim=64)),
     "knn_ivf": Q(q_knn_ivf, None),  # k-means lists → rows-only
     "text_stats": Q(q_text_stats, _SQL_TEXT_STATS),
     "text_quality": Q(q_text_quality, _SQL_QUALITY),
