@@ -35,6 +35,39 @@ def test_minhash_lsh_recovers_exact_dup(doc_frame):
     assert (0, 3) in got  # identical docs always collide in every band
 
 
+def test_minhash_portable_matches_xxhash_mode(doc_frame):
+    """Both hash modes verify candidates with the exact Jaccard, so on a
+    corpus where every true near-dup collides in some band the verified
+    pair sets coincide — and the portable mode is what the DuckDB twin
+    reproduces bit-for-bit (gate-checked)."""
+    fast = minhash_lsh_pairs(doc_frame, n=3, num_hashes=16, bands=8, threshold=0.9)
+    port = minhash_lsh_pairs(
+        doc_frame, n=3, num_hashes=16, bands=8, threshold=0.9, hash_mode="md5"
+    )
+    f = {(r["id_a"], r["id_b"], r["jaccard"]) for r in fast.collect()}
+    p = {(r["id_a"], r["id_b"], r["jaccard"]) for r in port.collect()}
+    assert (0, 3, 1.0) in p
+    assert f == p
+
+
+def test_simhash_portable_properties(doc_frame):
+    """Portable SimHash: identical docs → identical signatures, near-dups
+    closer in Hamming distance than unrelated docs, and the signature is
+    partition-invariant (integer vote sums are associative)."""
+    from timeseriesutils_spark.operators.dedup import simhash_docs_portable
+
+    rows = simhash_docs_portable(doc_frame, n=2).collect()
+    sig = {r["doc_id"]: (r["sig_hi"] << 32) | r["sig_lo"] for r in rows}
+    assert sig[0] == sig[3]
+    ham_near = bin(sig[0] ^ sig[1]).count("1")
+    ham_far = bin(sig[0] ^ sig[2]).count("1")
+    assert ham_near < ham_far
+    rep = simhash_docs_portable(doc_frame.repartition(7), n=2).collect()
+    assert {r["doc_id"]: (r["sig_hi"], r["sig_lo"]) for r in rep} == {
+        r["doc_id"]: (r["sig_hi"], r["sig_lo"]) for r in rows
+    }
+
+
 def test_simhash_close_for_near_dups(doc_frame):
     rows = doc_frame.select("doc_id", simhash64(F.col("text")).alias("h")).collect()
     h = {r["doc_id"]: r["h"] for r in rows}

@@ -70,8 +70,40 @@ def hashed_shingles(text_col, n: int = 3):
     )
 
 
+# Mersenne prime 2^31−1: the modulus for portable MinHash permutations.
+# Affine maps h ↦ (a·h + b) mod P31 stay < 2^62 before reduction, so the
+# arithmetic is exact int64 in Spark, DuckDB, and numpy alike.
+P31 = 2_147_483_647
+
+
+def portable_hash64(col):
+    """Engine-portable 60-bit hash: integer value of the first 15 hex
+    chars of md5(col).  md5 is bit-identical everywhere (Spark, DuckDB,
+    Python hashlib), unlike xxhash64 whose seeding is Spark-specific;
+    15 hex chars keep the value positive in a signed int64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash64_sql(expr: str) -> str:
+    """DuckDB twin of :func:`portable_hash64`."""
+    return f"CAST(CONCAT('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_perms(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Seeded affine permutation constants (a_i, b_i) over GF(P31) —
+    driver-side literals shared by the Spark plan and the SQL twin."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, P31, num_hashes)
+    b = rng.integers(0, P31, num_hashes)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
 def hashed_shingle_docs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id, sh) frame of hashed distinct shingles — the entry point every
     dedup op shares.
@@ -80,7 +112,12 @@ def hashed_shingle_docs(
     its own select so the regex runs ONCE per row; inlining it into the
     shingle ``transform`` re-evaluates the split per shingle position
     (measured 6× slower at sf0.1).
+
+    ``hash_mode``: ``'xxhash64'`` (default — fastest, Spark-specific) or
+    ``'md5'`` (:func:`portable_hash64` — engine-portable, what the
+    hash-green MinHash oracle requires).
     """
+    hash_fn = F.xxhash64 if hash_mode == "xxhash64" else portable_hash64
     w = docs.select(
         F.col(id_col).alias("id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
@@ -94,7 +131,7 @@ def hashed_shingle_docs(
         ),
     ).otherwise(F.array(F.concat_ws(" ", wc)))
     return w.select(
-        "id", F.transform(F.array_distinct(sh), lambda s: F.xxhash64(s)).alias("sh")
+        "id", F.transform(F.array_distinct(sh), lambda s: hash_fn(s)).alias("sh")
     )
 
 
@@ -162,15 +199,28 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(hsh_col, num_hashes: int = 32):
-    """MinHash signature from hashed shingles: per seed i, min over
-    shingles of xxhash64(h, i).  Pure expressions; array<bigint>."""
-    return F.array(
-        *[
-            F.array_min(F.transform(hsh_col, lambda h: F.xxhash64(h, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
+def minhash_signature(hsh_col, num_hashes: int = 32, perms=None):
+    """MinHash signature from hashed shingles.  Pure expressions;
+    array<bigint>.
+
+    Default: per seed i, min over shingles of xxhash64(h, i) — fast,
+    Spark-only.  With ``perms`` (from :func:`minhash_perms`): min of the
+    affine map (a_i·(h mod P31) + b_i) mod P31 — exact int64 arithmetic
+    any engine reproduces, the portable mode behind the hash-green
+    MinHash oracle."""
+    if perms is None:
+        return F.array(
+            *[
+                F.array_min(F.transform(hsh_col, lambda h: F.xxhash64(h, F.lit(i))))
+                for i in range(num_hashes)
+            ]
+        )
+    def affine_min(a: int, b: int):
+        return F.array_min(
+            F.transform(hsh_col, lambda h: (F.lit(a) * (h % P31) + F.lit(b)) % P31)
+        )
+
+    return F.array(*[affine_min(a, b) for a, b in perms])
 
 
 def minhash_lsh_pairs(
@@ -181,18 +231,36 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    hash_mode: str = "xxhash64",
+    seed: int = 42,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
     bands=8 × rows=4 over 32 hashes → candidate threshold s ≈ (1/8)^(1/4)
     ≈ 0.6; verification filters to true Jaccard ≥ threshold, so the band
     stage only needs high recall above it.
+
+    ``hash_mode='md5'`` swaps every hash for an engine-portable one
+    (md5-based shingle hash, seeded affine permutations over GF(P31),
+    md5 band buckets) so the DuckDB twin
+    (:func:`minhash_lsh_pairs_sql`) reproduces the exact candidate set —
+    the hash-green declared mode.  Default xxhash64 is the faster
+    production path (one JVM hash vs an md5 per shingle).
     """
     rows_per_band = num_hashes // bands
+    portable = hash_mode == "md5"
+    perms = minhash_perms(num_hashes, seed) if portable else None
     # the shingle frame feeds banding AND both sides of the verify join —
     # persist the fork so the corpus is tokenized once, not three times
-    sh = pin(hashed_shingle_docs(docs, id_col, text_col, n))
-    base = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    sh = pin(hashed_shingle_docs(docs, id_col, text_col, n, hash_mode))
+    base = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes, perms))
+
+    def band_bucket(b: int):
+        cols = [F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        if portable:
+            return portable_hash64(F.concat_ws(":", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols)
+
     # candidate generation over (id, band, bucket) ONLY — 24 bytes/row.
     # The shingle arrays never enter the banding shuffle; they're fetched
     # once per *surviving* candidate id in the verify join below.
@@ -202,10 +270,7 @@ def minhash_lsh_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), band_bucket(b).alias("bucket")
                     )
                     for b in range(bands)
                 ]
@@ -243,6 +308,75 @@ def minhash_lsh_pairs(
         verify.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ``minhash_lsh_pairs(hash_mode='md5')`` — the full
+    LSH pipeline in one generated SQL: the same md5-based shingle
+    hashes, the same seeded affine permutation minima, the same md5 band
+    buckets, so candidate pairs (not just the verified Jaccard) match
+    the Spark plan exactly."""
+    rows_per_band = num_hashes // bands
+    perms = minhash_perms(num_hashes, seed)
+    h60 = portable_hash64_sql("s")
+    mins = ",\n    ".join(
+        f"MIN(({a} * (h % {P31}) + {b}) % {P31}) AS m{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_selects = []
+    for b in range(bands):
+        ms = ", ".join(f"m{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
+        bucket = portable_hash64_sql(f"CONCAT_WS(':', {ms})")
+        band_selects.append(
+            f"SELECT {id_col}, {b} AS band, {bucket} AS bucket FROM sig"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH words AS (
+  SELECT {id_col}, string_split_regex(lower(trim(text)), '\\s+') AS w FROM {table}
+),
+sg AS (
+  SELECT {id_col},
+    list_distinct(CASE WHEN len(w) >= {n}
+      THEN [array_to_string(w[i:i+{n - 1}], ' ') FOR i IN range(1, len(w) - {n - 2})]
+      ELSE [array_to_string(w, ' ')] END) AS sgl
+  FROM words
+),
+ex AS (
+  SELECT {id_col}, len(sgl) AS sz, {h60} AS h
+  FROM (SELECT {id_col}, sgl, unnest(sgl) AS s FROM sg)
+),
+sig AS (
+  SELECT {id_col},
+    {mins}
+  FROM ex GROUP BY {id_col}
+),
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+),
+inter AS (
+  SELECT c.id_a, c.id_b, ea.sz AS sz_a, eb.sz AS sz_b, COUNT(*) AS i
+  FROM cand c
+  JOIN ex ea ON ea.{id_col} = c.id_a
+  JOIN ex eb ON eb.{id_col} = c.id_b AND ea.h = eb.h
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (sz_a + sz_b - i) AS jaccard
+FROM inter WHERE CAST(i AS DOUBLE) / (sz_a + sz_b - i) >= {threshold}
+"""
 
 
 def _simhash_from_hashes_impl(hashes: pd.Series) -> pd.Series:
@@ -290,6 +424,105 @@ def simhash_docs(
     return sh.select(
         F.col("id").alias(id_col), _simhash_udf()(F.col("sh")).alias("simhash")
     )
+
+
+def simhash_docs_portable(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """(id, sig_hi, sig_lo) 64-bit SimHash in the engine-portable mode.
+
+    Per distinct shingle, 64 bits come from the md5 hex digest (chars
+    1–8 → ``lo`` bits 0–31, chars 9–16 → ``hi`` bits 32–63); per bit, a
+    ±1 vote sum over the doc's shingles; signature bit = vote > 0.  The
+    signature is emitted as two 32-bit halves — a single int64 would
+    need a ``1<<63`` sign-bit pack that DuckDB rejects as overflow — and
+    Hamming distance is ``bit_count(hi XOR hi') + bit_count(lo XOR
+    lo')`` either way.  Everything is built-in expressions (explode →
+    two conv(md5) ints → 64 SUM aggregates → pack), one exchange on id;
+    the DuckDB twin (:func:`simhash_docs_portable_sql`) computes the
+    identical integers, making the fingerprint hash-checkable.  The
+    xxhash64 Arrow-UDF path (:func:`simhash_docs`) stays the fast
+    production default (one hash per shingle vs an md5).
+    """
+    w = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_s"),
+    )
+    h = F.md5(F.col("_s"))
+    e = w.select(
+        "id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("_lo"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("_hi"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_lo" if b < 32 else "_hi"), b % 32).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    agg = e.groupBy("id").agg(*votes)
+
+    def pack(lo_bit: int) -> F.Column:
+        acc = F.lit(0).cast("bigint")
+        for b in range(32):
+            acc = acc + F.when(
+                F.col(f"_v{lo_bit + b}") > 0,
+                F.shiftleft(F.lit(1).cast("bigint"), b),
+            ).otherwise(0)
+        return acc
+
+    return agg.select(
+        F.col("id").alias(id_col), pack(32).alias("sig_hi"), pack(0).alias("sig_lo")
+    )
+
+
+def simhash_docs_portable_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> str:
+    """DuckDB twin of :func:`simhash_docs_portable`."""
+    votes = ",\n    ".join(
+        "SUM(CASE WHEN ({col} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}".format(
+            col="lo" if b < 32 else "hi", sh=b % 32, b=b
+        )
+        for b in range(64)
+    )
+
+    def pack(lo_bit: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN v{lo_bit + b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+            for b in range(32)
+        )
+
+    return f"""
+WITH words AS (
+  SELECT {id_col}, string_split_regex(lower(trim({text_col})), '\\s+') AS w FROM {table}
+),
+sg AS (
+  SELECT {id_col},
+    list_distinct(CASE WHEN len(w) >= {n}
+      THEN [array_to_string(w[i:i+{n - 1}], ' ') FOR i IN range(1, len(w) - {n - 2})]
+      ELSE [array_to_string(w, ' ')] END) AS sgl
+  FROM words
+),
+e AS (
+  SELECT {id_col},
+    CAST(CONCAT('0x', substring(md5(s), 1, 8)) AS BIGINT) AS lo,
+    CAST(CONCAT('0x', substring(md5(s), 9, 8)) AS BIGINT) AS hi
+  FROM (SELECT {id_col}, unnest(sgl) AS s FROM sg)
+),
+v AS (
+  SELECT {id_col},
+    {votes}
+  FROM e GROUP BY {id_col}
+)
+SELECT {id_col},
+  CAST({pack(32)} AS BIGINT) AS sig_hi,
+  CAST({pack(0)} AS BIGINT) AS sig_lo
+FROM v
+"""
 
 
 def connected_components(

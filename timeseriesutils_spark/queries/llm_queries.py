@@ -17,6 +17,7 @@ from timeseriesutils_spark.functions.cache import pin
 
 from timeseriesutils_spark.operators.dedup import (
     minhash_lsh_pairs,
+    minhash_lsh_pairs_sql,
     ngram_jaccard_pairs,
     simhash_docs,
 )
@@ -299,15 +300,32 @@ SELECT comp, COUNT(*) AS n_members FROM comp GROUP BY comp
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup pairs (xxhash64 signatures → rows-only)."""
+    """MinHash-LSH near-dup pairs in the portable hash mode (md5 shingle
+    hash + seeded affine permutations over GF(2^31−1) + md5 band
+    buckets): every hash is engine-reproducible, so the DuckDB twin
+    (dedup.minhash_lsh_pairs_sql) regenerates the exact candidate set
+    and the query is hash-verified end-to-end — banding included, not
+    just the Jaccard arithmetic."""
     return minhash_lsh_pairs(
-        _docs(spark, sf_dir), n=3, num_hashes=32, bands=8, threshold=0.6
+        _docs(spark, sf_dir), n=3, num_hashes=32, bands=8, threshold=0.6,
+        hash_mode="md5",
     )
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints (xxhash64 → rows-only)."""
-    return simhash_docs(_docs(spark, sf_dir), n=2)
+    """64-bit SimHash fingerprints, portable mode: md5-derived bit votes
+    emitted as two 32-bit halves, reproduced exactly by the DuckDB twin
+    (dedup.simhash_docs_portable_sql) → hash-green.  The xxhash64
+    Arrow-UDF form (dedup.simhash_docs) remains the fast default."""
+    from timeseriesutils_spark.operators.dedup import simhash_docs_portable
+
+    return simhash_docs_portable(_docs(spark, sf_dir), n=2)
+
+
+def _simhash_portable_sql() -> str:
+    from timeseriesutils_spark.operators.dedup import simhash_docs_portable_sql
+
+    return simhash_docs_portable_sql(n=2)
 
 
 def q_pca_project(spark, sf_dir):
@@ -819,13 +837,16 @@ QUERIES = {
     "heavy_hitters": Q(q_heavy_hitters, _sql_heavy_hitters()),
     "media_features": Q(q_media_features, _SQL_MEDIA_FEATURES),
     "unigram_logprob": Q(q_unigram_logprob, _sql_unigram_logprob()),
-    "dedup_minhash_lsh": Q(q_dedup_minhash_lsh, None),  # xxhash64 → rows-only
+    "dedup_minhash_lsh": Q(
+        q_dedup_minhash_lsh,
+        minhash_lsh_pairs_sql(n=3, num_hashes=32, bands=8, threshold=0.6),
+    ),
     "dedup_embedding": Q(q_dedup_embedding, _SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": Q(
         q_dedup_embedding_lsh,
         embedding_lsh_pairs_sql(threshold=0.45, bits=4, tables=8),
     ),
-    "simhash": Q(q_simhash, None),  # xxhash64 → rows-only
+    "simhash": Q(q_simhash, _simhash_portable_sql()),
     "knn_bruteforce": Q(q_knn_bruteforce, _SQL_KNN),
     "knn_lsh": Q(q_knn_lsh, knn_lsh_sql(k=5, bits=4, dim=64)),
     "knn_ivf": Q(q_knn_ivf, None),  # k-means lists → rows-only
