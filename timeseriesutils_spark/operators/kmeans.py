@@ -111,7 +111,42 @@ def kmeans_lloyd(
         q.unpersist()
         raise ValueError(f"need ≥ {k} vectors to seed {k} clusters")
     centroids = [list(r["_q"]) for r in init_rows[:k]]
+    centroids = _lloyd_iterate(q, centroids, n_iter, k)
 
+    out = kmeans_assign(q, centroids).select(id_col, "cluster", "dist_q")
+    # the plan still references q; let the caller materialize before the
+    # cache is dropped (same caller-owns-cache contract as text.py ops)
+    return out
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = 6,
+) -> list[list[int]]:
+    """Final quantized centroids only (k·d ints on the driver) — the
+    coarse-quantizer trainer for :func:`~timeseriesutils_spark.operators.
+    similarity.knn_ivf_portable`.  Identical schedule and arithmetic to
+    :func:`kmeans_lloyd`, so the unrolled SQL twin reproduces the exact
+    centroid integers."""
+    if k < 1 or n_iter < 0:
+        raise ValueError("k must be ≥ 1 and n_iter ≥ 0")
+    q = pin(embeddings.select(id_col, _quantize(F.col(vec_col), scale).alias("_q")))
+    init_rows = q.orderBy(id_col).limit(k).collect()
+    if len(init_rows) < k:
+        q.unpersist()
+        raise ValueError(f"need ≥ {k} vectors to seed {k} clusters")
+    centroids = _lloyd_iterate(q, [list(r["_q"]) for r in init_rows], n_iter, k)
+    q.unpersist()
+    return centroids
+
+
+def _lloyd_iterate(
+    q: DataFrame, centroids: list[list[int]], n_iter: int, k: int
+) -> list[list[int]]:
     for _ in range(n_iter):
         assigned = kmeans_assign(q, centroids)
         comp = (
@@ -144,11 +179,7 @@ def kmeans_lloyd(
                     vec[r["_pos"]] = r["_c"]
                 new[j] = vec
         centroids = [new[j] for j in range(k)]
-
-    out = kmeans_assign(q, centroids).select(id_col, "cluster", "dist_q")
-    # the plan still references q; let the caller materialize before the
-    # cache is dropped (same caller-owns-cache contract as text.py ops)
-    return out
+    return centroids
 
 
 def kmeans_lloyd_sql(
@@ -164,13 +195,40 @@ def kmeans_lloyd_sql(
     (id, dim, component) joins replace the array expressions — same
     exact integer arithmetic, same tie-breaks.
     """
+    parts, prev = kmeans_cte_parts(table, id_col, vec_col, k, n_iter, scale)
+    final = f"""
+df AS (
+  SELECT ql.id, {prev}.j,
+    CAST(SUM((ql.x - {prev}.c) * (ql.x - {prev}.c)) AS BIGINT) AS dist
+  FROM ql JOIN {prev} USING (pos) GROUP BY ql.id, {prev}.j
+)
+SELECT id AS {id_col}, CAST(j AS INT) AS cluster, dist AS dist_q FROM (
+  SELECT id, j, dist, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, j) AS rn
+  FROM df
+) WHERE rn = 1
+"""
+    return "WITH " + ",".join(parts) + "," + final
+
+
+def kmeans_cte_parts(
+    source: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int,
+    scale: int,
+) -> tuple[list[str], str]:
+    """The unrolled-Lloyd CTE chain over relation ``source``, reusable by
+    composite twins (:func:`kmeans_lloyd_sql`, the IVF oracle).  Returns
+    (cte_parts, final_centroid_cte_name); the final CTE has columns
+    (j, pos, c) — centroid index, 1-based dimension, quantized int."""
     mult = float(10**scale)
     parts = [
         f"""
 q AS (
   SELECT {id_col} AS id,
     [CAST(floor(CAST(x AS DOUBLE) * {mult!r} + 0.5) AS BIGINT) FOR x IN {vec_col}] AS q
-  FROM {table}
+  FROM {source}
 ),
 ql AS (
   SELECT id, u.pos AS pos, u.x AS x FROM (
@@ -214,15 +272,4 @@ c{it} AS (  -- centroid update: exact sums, half-up re-round; empty keeps old
 )"""
         )
         prev = f"c{it}"
-    final = f"""
-df AS (
-  SELECT ql.id, {prev}.j,
-    CAST(SUM((ql.x - {prev}.c) * (ql.x - {prev}.c)) AS BIGINT) AS dist
-  FROM ql JOIN {prev} USING (pos) GROUP BY ql.id, {prev}.j
-)
-SELECT id AS {id_col}, CAST(j AS INT) AS cluster, dist AS dist_q FROM (
-  SELECT id, j, dist, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, j) AS rn
-  FROM df
-) WHERE rn = 1
-"""
-    return "WITH " + ",".join(parts) + "," + final
+    return parts, prev

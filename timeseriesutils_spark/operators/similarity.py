@@ -361,6 +361,189 @@ def knn_ivf(
     )
 
 
+def knn_ivf_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sample: int = 256,
+    n_iter: int = 3,
+    scale: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF KNN whose ENTIRE pipeline — quantizer training included — is
+    engine-reproducible, making the approximate index hash-checkable:
+
+      1. coarse-quantizer sample: the ``n_sample`` corpus vectors lowest
+         in md5-hash order (representative like the hash sample in
+         :func:`ivf_centroids`, but portable — DuckDB computes the same
+         order);
+      2. centroids: distributed quantized Lloyd
+         (``kmeans.kmeans_centroids``) — exact int64 distances,
+         DECIMAL(38,0) component sums, fixed schedule, so the unrolled
+         SQL twin derives the identical centroid integers;
+      3. assignment/probe: exact int64 quantized distances to centroid
+         literals; corpus → argmin list, query → ``nprobe`` nearest
+         lists (ties toward lower centroid index, both engines);
+      4. rerank: the quantized-int64 cosine inside probed lists only.
+
+    Same at-scale shape as :func:`knn_ivf` (assign once, probe
+    nprobe/n_centroids of the corpus); the numpy-trained default remains
+    for callers who want a cheaper driver-side quantizer.
+    """
+    from timeseriesutils_spark.operators.dedup import portable_hash64
+    from timeseriesutils_spark.operators.kmeans import (
+        _dist_expr,
+        _quantize,
+        kmeans_centroids,
+    )
+
+    sample = corpus.orderBy(
+        portable_hash64(F.col(id_col).cast("string")), F.col(id_col)
+    ).limit(n_sample)
+    cents = kmeans_centroids(
+        sample, id_col, vec_col, k=n_centroids, n_iter=n_iter, scale=scale
+    )
+    dist_structs = F.array(
+        *[
+            F.struct(_dist_expr("_q", c).alias("d"), F.lit(j).alias("j"))
+            for j, c in enumerate(cents)
+        ]
+    )
+    cb = (
+        corpus.select(
+            id_col,
+            F.col(vec_col).alias("_cv"),
+            _quantize(F.col(vec_col), scale).alias("_q"),
+        )
+        .select(
+            id_col,
+            "_cv",
+            F.element_at(F.array_sort(dist_structs), 1)["j"].alias("_list"),
+        )
+        .withColumn("_cn", F.sqrt(_dot_dec(F.col("_cv"), F.col("_cv"))))
+    )
+    qb = (
+        queries.select(
+            F.col(id_col).alias(query_id),
+            F.col(vec_col).alias("_qv"),
+            _quantize(F.col(vec_col), scale).alias("_q"),
+        )
+        .select(
+            query_id,
+            "_qv",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dist_structs), 1, nprobe), lambda s: s["j"]
+                )
+            ).alias("_list"),
+        )
+        .withColumn("_qn", F.sqrt(_dot_dec(F.col("_qv"), F.col("_qv"))))
+    )
+    scored = (
+        cb.join(F.broadcast(qb), on="_list")
+        .filter(F.col(query_id) != F.col(id_col) if exclude_self else F.lit(True))
+        .select(
+            query_id,
+            id_col,
+            (_dot_dec(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id, id_col, "cos", "rn")
+    )
+
+
+def knn_ivf_portable_sql(
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sample: int = 256,
+    n_iter: int = 3,
+    scale: int = 6,
+    dim: int = 64,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB twin of :func:`knn_ivf_portable`: md5-ordered sample →
+    unrolled-Lloyd centroid CTEs (``kmeans.kmeans_cte_parts``) →
+    long-form exact assignment/probe → quantized-cosine rerank."""
+    from timeseriesutils_spark.operators.dedup import portable_hash64_sql
+    from timeseriesutils_spark.operators.kmeans import kmeans_cte_parts
+
+    parts, cfin = kmeans_cte_parts("smp", "id", "embedding", n_centroids, n_iter, scale)
+    mult = float(10**scale)
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)")
+    smp = f"""
+smp AS (
+  SELECT vec_id AS id, embedding FROM embeddings
+  ORDER BY {h}, vec_id
+  LIMIT {n_sample}
+)"""
+    dot_qc = _quant_floor_sql(
+        "CAST(eq.embedding[t.i] AS DOUBLE)", "CAST(ec.embedding[t.i] AS DOUBLE)"
+    )
+    dot_qq = _quant_floor_sql(
+        "CAST(eq.embedding[t.i] AS DOUBLE)", "CAST(eq.embedding[t.i] AS DOUBLE)"
+    )
+    dot_cc = _quant_floor_sql(
+        "CAST(ec.embedding[t.i] AS DOUBLE)", "CAST(ec.embedding[t.i] AS DOUBLE)"
+    )
+    ivf = f"""
+cq AS (
+  SELECT vec_id,
+    [CAST(floor(CAST(x AS DOUBLE) * {mult!r} + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+  FROM embeddings
+),
+cql AS (
+  SELECT vec_id, u.pos AS pos, u.x AS x FROM (
+    SELECT vec_id, unnest([{{'pos': i, 'x': qv[i]}} FOR i IN range(1, len(qv) + 1)]) AS u
+    FROM cq
+  )
+),
+cd AS (
+  SELECT cql.vec_id, {cfin}.j,
+    CAST(SUM((cql.x - {cfin}.c) * (cql.x - {cfin}.c)) AS BIGINT) AS dist
+  FROM cql JOIN {cfin} USING (pos) GROUP BY cql.vec_id, {cfin}.j
+),
+ca AS (
+  SELECT vec_id, j AS list FROM (
+    SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+    FROM cd
+  ) WHERE rn = 1
+),
+qa AS (
+  SELECT vec_id, j AS list FROM (
+    SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+    FROM cd WHERE {query_pred}
+  ) WHERE rn <= {nprobe}
+),
+pairs AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS vec_id,
+    CAST(SUM({dot_qc}) AS DOUBLE) / 1e14 AS dot,
+    CAST(SUM({dot_qq}) AS DOUBLE) / 1e14 AS qq,
+    CAST(SUM({dot_cc}) AS DOUBLE) / 1e14 AS cc
+  FROM qa JOIN ca ON ca.list = qa.list AND ca.vec_id <> qa.vec_id
+  JOIN embeddings eq ON eq.vec_id = qa.vec_id
+  JOIN embeddings ec ON ec.vec_id = ca.vec_id,
+  range(1, {dim + 1}) t(i)
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, dot / (SQRT(qq) * SQRT(cc)) AS cos,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id
+    ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC, vec_id) AS INT) AS rn
+FROM pairs QUALIFY rn <= {k}
+"""
+    return "WITH " + smp + "," + ",".join(parts) + "," + ivf
+
+
 def _multi_table_bucket_udf(planes: np.ndarray):
     """pandas UDF: vector → array of ``tables`` sign-LSH bucket ids.
 

@@ -322,6 +322,12 @@ def q_simhash(spark, sf_dir):
     return simhash_docs_portable(_docs(spark, sf_dir), n=2)
 
 
+def _knn_ivf_portable_sql() -> str:
+    from timeseriesutils_spark.operators.similarity import knn_ivf_portable_sql
+
+    return knn_ivf_portable_sql(k=5, n_centroids=16, nprobe=4)
+
+
 def _simhash_portable_sql() -> str:
     from timeseriesutils_spark.operators.dedup import simhash_docs_portable_sql
 
@@ -427,9 +433,17 @@ def q_knn_lsh(spark, sf_dir):
 
 
 def q_knn_ivf(spark, sf_dir):
-    """IVF approximate KNN (k-means inverted lists → rows-only)."""
+    """IVF approximate KNN, fully hash-checkable: the coarse quantizer is
+    trained by quantized distributed Lloyd on an md5-ordered sample, so
+    the DuckDB twin (similarity.knn_ivf_portable_sql) re-derives the
+    identical centroids, inverted lists, probes, and rerank cosines —
+    an exactly-verified approximate index, training included."""
+    from timeseriesutils_spark.operators.similarity import knn_ivf_portable
+
     emb = _emb(spark, sf_dir)
-    return knn_ivf(emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, nprobe=4)
+    return knn_ivf_portable(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=16, nprobe=4
+    )
 
 
 # --- text analysis --------------------------------------------------------
@@ -849,7 +863,7 @@ QUERIES = {
     "simhash": Q(q_simhash, _simhash_portable_sql()),
     "knn_bruteforce": Q(q_knn_bruteforce, _SQL_KNN),
     "knn_lsh": Q(q_knn_lsh, knn_lsh_sql(k=5, bits=4, dim=64)),
-    "knn_ivf": Q(q_knn_ivf, None),  # k-means lists → rows-only
+    "knn_ivf": Q(q_knn_ivf, _knn_ivf_portable_sql()),
     "text_stats": Q(q_text_stats, _SQL_TEXT_STATS),
     "text_quality": Q(q_text_quality, _SQL_QUALITY),
     "lang_id": Q(q_lang_id, _sql_lang_id()),
