@@ -249,21 +249,52 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     portable = hash_mode == "md5"
-    perms = minhash_perms(num_hashes, seed) if portable else None
     # the shingle frame feeds banding AND both sides of the verify join —
     # persist the fork so the corpus is tokenized once, not three times
     sh = pin(hashed_shingle_docs(docs, id_col, text_col, n, hash_mode))
-    base = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes, perms))
-
-    def band_bucket(b: int):
-        cols = [F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        if portable:
-            return portable_hash64(F.concat_ws(":", *[c.cast("string") for c in cols]))
-        return F.xxhash64(*cols)
 
     # candidate generation over (id, band, bucket) ONLY — 24 bytes/row.
     # The shingle arrays never enter the banding shuffle; they're fetched
     # once per *surviving* candidate id in the verify join below.
+    if portable:
+        # signature minima as EXPLODED codegen aggregates, not array
+        # transforms: higher-order-function lambdas are interpreted per
+        # element, and k·|shingles| affine maps through the interpreter
+        # measured ~8× slower than the same arithmetic in whole-stage
+        # codegen over an exploded frame.  The extra exchange (groupBy
+        # id) carries k·8-byte minima per doc — the banding rows the
+        # plan needs anyway.
+        perms = minhash_perms(num_hashes, seed)
+        hm = F.col("_h") % P31
+        sig = (
+            sh.select("id", F.explode("sh").alias("_h"))
+            .groupBy("id")
+            .agg(
+                *[
+                    F.min((F.lit(a) * hm + F.lit(b)) % P31).alias(f"_m{i}")
+                    for i, (a, b) in enumerate(perms)
+                ]
+            )
+        )
+
+        def band_bucket(b: int):
+            cols = [
+                F.col(f"_m{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+            return portable_hash64(F.concat_ws(":", *cols))
+
+        base = sig
+    else:
+        base = sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+        def band_bucket(b: int):
+            cols = [
+                F.col("sig")[i]
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+            return F.xxhash64(*cols)
+
     banded = base.select(
         "id",
         F.explode(
@@ -443,11 +474,24 @@ def simhash_docs_portable(
     identical integers, making the fingerprint hash-checkable.  The
     xxhash64 Arrow-UDF path (:func:`simhash_docs`) stays the fast
     production default (one hash per shingle vs an md5).
+
+    Tokenization is split from shingling (same two-step rationale as
+    :func:`hashed_shingle_docs`: inlining the regex split into the
+    shingle transform re-runs it per shingle position — measured 6×).
     """
-    w = docs.select(
+    wd = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_s"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
     )
+    wc = F.col("_w")
+    sh = F.when(
+        F.size(wc) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(wc) - n),
+            lambda i: F.concat_ws(" ", F.slice(wc, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", wc)))
+    w = wd.select("id", F.explode(F.array_distinct(sh)).alias("_s"))
     h = F.md5(F.col("_s"))
     e = w.select(
         "id",

@@ -39,12 +39,17 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "kmeans",             # decimal(38,0) component-sum accumulation (ADVICE)
     "semantic_dedup",     # shares the k-means assignment/update kernel
     "pagerank",           # co-partitioned path exercised this round
+    # round-4 RO -> hash-green conversions (portable hashing: quantized
+    # sign-LSH, md5 MinHash/SimHash, Lloyd-trained IVF — each now has a
+    # full DuckDB twin and needs a first driver hash verdict)
+    "knn_lsh", "knn_ivf", "simhash", "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     # remaining slots: regression re-check of the round-3 driver-green set
     "winsorize", "group_trend", "seasonal_profile", "time_rollup",
     "ohlc_bars", "time_weighted_avg", "gap_detect", "funnel",
     "cohort_retention", "boilerplate_frac", "bm25_search", "chunk_text",
     "heavy_hitters", "media_features", "unigram_logprob",
-    "dedup_embedding_lsh", "tf_idf", "clean_text", "repetition_stats",
+    "tf_idf", "clean_text", "repetition_stats",
     "multimodal_meta", "seq_pack", "decontaminate_pairs",
     "quantize_embeddings", "pca_project", "pii_scrub", "corpus_stats",
     "length_histogram", "stratified_sample", "mixture_resample",
@@ -52,7 +57,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "chunk_dedup", "quality_filter", "stream_tumbling", "stream_sliding",
     "stream_session", "stream_dedup", "stream_join", "stream_stateful",
     "skew_salted_agg", "skew_salted_join", "chunked_taylor",
-    "sessionize", "merge_upsert",
+    "sessionize",
 )
 
 
