@@ -231,3 +231,38 @@ def test_domfreq_single_exchange(spark, catalog):
     # every output row on (group, seq) just to rank 4 bins
     plan = _plan(catalog["domfreq"](spark, SF_DIR))
     assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_knn_ivf_portable_assignment_no_python(spark, catalog):
+    # portable IVF: corpus/query centroid assignment and the rerank are
+    # pure JVM expressions (literal-centroid folds + quantized cosine) —
+    # no Arrow/Python eval node may appear in the final plan, and the
+    # query side broadcasts into the probed-list join
+    plan = _plan(catalog["knn_ivf"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_lsh_broadcast_bucket_join(spark, catalog):
+    # bucketed probe: corpus scans once, query side broadcasts on the
+    # bucket id; the quantized sign decision stays JVM-side
+    plan = _plan(catalog["knn_lsh"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_portable_signature_no_python(spark, catalog):
+    # md5 mode keeps every hash (shingle md5, affine minima, band
+    # buckets) in built-in expressions — codegen, no Python eval
+    plan = _plan(catalog["dedup_minhash_lsh"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_simhash_portable_single_exchange_no_python(spark, catalog):
+    # explode → conv(md5) ints → 64 codegen vote aggregates → pack:
+    # one exchange (the per-doc aggregation), zero Python nodes
+    plan = _plan(catalog["simhash"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert len(re.findall(r"Exchange", plan)) == 1
