@@ -599,3 +599,32 @@ def test_decode_image_falls_back_to_stub_without_pil():
         pytest.skip("Pillow present; fallback path not reachable")
     raw = b"hello media bytes"
     assert multimodal.decode_image(raw) == multimodal.decode_image_stub(raw)
+
+
+def test_build_vocab_counts_and_rank(spark):
+    from timeseriesutils_spark.operators.text import build_vocab
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb aa"), (1, "bb aa, cc")], "doc_id bigint, text string"
+    )
+    rows = {r["token"]: (r["freq"], r["rank"]) for r in build_vocab(docs).collect()}
+    # "aa"×3, "bb"×2, ","×1, "cc"×1 — punctuation is its own pre-token
+    assert rows["aa"] == (3, 1)
+    assert rows["bb"] == (2, 2)
+    assert rows[","] == (1, 3)  # freq ties break by token asc ("," < "cc")
+    assert rows["cc"] == (1, 4)
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from timeseriesutils_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab cd"), (1, "abab x")], "doc_id bigint, text string"
+    )
+    rows = {r["pair"]: r["score"] for r in bpe_pair_counts(docs).collect()}
+    # "abab" appears 3× as a word: pairs ab, ba, ab → ab: 2·3=6, ba: 1·3=3
+    # "cd" once; "x" has no pair (len<2, pruned)
+    assert rows["ab"] == 6
+    assert rows["ba"] == 3
+    assert rows["cd"] == 1
+    assert "x" not in rows

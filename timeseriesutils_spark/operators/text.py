@@ -656,3 +656,102 @@ SELECT {id_col}, doc_len, CAST(chunk_id AS INT) AS chunk_id,
   md5(substr(t, chunk_id * {stride} + 1, {size})) AS chunk_md5
 FROM c
 """
+
+
+def build_vocab(
+    docs: DataFrame, text_col: str = "text", top_k: int = 500
+) -> DataFrame:
+    """Tokenizer vocabulary: corpus-wide frequencies of the BPE-style
+    pre-tokens (``TOKEN_PATTERN`` over lowercased text), top ``top_k``
+    as (token, freq, rank) — the table a tokenizer trainer consumes.
+
+    Scale shape: the explode→groupBy collapses the corpus to its
+    distinct-token frame (vocabulary-sized, ~10⁷ rows even at 100 TB)
+    BEFORE the global rank, so the single-partition window sorts a
+    bounded post-aggregation frame, never corpus rows.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return counts.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= top_k)
+
+
+def build_vocab_sql(table: str = "documents", top_k: int = 500) -> str:
+    """DuckDB twin of :func:`build_vocab`."""
+    return f"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+  FROM {table}
+),
+c AS (SELECT token, COUNT(*) AS freq FROM t GROUP BY token)
+SELECT token, freq,
+  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INT) AS rank
+FROM c QUALIFY rank <= {top_k}
+"""
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", top_k: int = 200
+) -> DataFrame:
+    """The BPE-training inner loop, distributed: score every adjacent
+    character pair by Σ over words of word_frequency × occurrences-in-
+    word; top ``top_k`` pairs as (pair, score, rank) — rank 1 is the
+    next merge a byte-pair-encoding trainer would take.
+
+    Scale shape: the corpus first collapses to its distinct-word
+    frequency table (the classic BPE preprocessing — pair extraction
+    then runs over vocabulary-sized data, not corpus tokens), so the
+    char-pair explode costs O(distinct words × word length).  Words
+    shorter than 2 chars carry no pair and are pruned before the
+    explode.
+    """
+    from pyspark.sql import Window
+
+    wf = (
+        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wfreq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wf.select(
+        "wfreq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    sc = pairs.groupBy("pair").agg(F.sum("wfreq").alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("pair"))
+    return sc.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= top_k)
+
+
+def bpe_pair_counts_sql(table: str = "documents", top_k: int = 200) -> str:
+    """DuckDB twin of :func:`bpe_pair_counts`."""
+    return f"""
+WITH wrd AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM {table}
+),
+wf AS (
+  SELECT word, COUNT(*) AS wfreq FROM wrd WHERE len(word) >= 2 GROUP BY word
+),
+pr AS (
+  SELECT wfreq, substring(word, CAST(i AS INT), 2) AS pair
+  FROM (SELECT word, wfreq, unnest(range(1, len(word))) AS i FROM wf)
+),
+sc AS (SELECT pair, CAST(SUM(wfreq) AS BIGINT) AS score FROM pr GROUP BY pair)
+SELECT pair, score,
+  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, pair) AS INT) AS rank
+FROM sc QUALIFY rank <= {top_k}
+"""

@@ -322,6 +322,18 @@ def q_simhash(spark, sf_dir):
     return simhash_docs_portable(_docs(spark, sf_dir), n=2)
 
 
+def _vocab_sql() -> str:
+    from timeseriesutils_spark.operators.text import build_vocab_sql
+
+    return build_vocab_sql(top_k=500)
+
+
+def _bpe_sql() -> str:
+    from timeseriesutils_spark.operators.text import bpe_pair_counts_sql
+
+    return bpe_pair_counts_sql(top_k=200)
+
+
 def _knn_ivf_portable_sql() -> str:
     from timeseriesutils_spark.operators.similarity import knn_ivf_portable_sql
 
@@ -550,6 +562,25 @@ SELECT doc_id, n_words, CAST(len(grams) AS INT) AS n_grams,
   1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / GREATEST(len(grams), 1) AS dup_gram_frac
 FROM g
 """
+
+
+def q_build_vocab(spark, sf_dir):
+    """Tokenizer vocabulary (text.build_vocab): corpus-wide BPE-style
+    pre-token frequencies, top-500 with rank — the tokenizer-trainer
+    input table.  Pre-aggregates to the vocabulary before ranking."""
+    from timeseriesutils_spark.operators.text import build_vocab
+
+    return build_vocab(_docs(spark, sf_dir), top_k=500)
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE merge-candidate scoring (text.bpe_pair_counts): adjacent
+    character pairs weighted by distinct-word frequency — the BPE
+    training inner loop over the vocabulary-sized word table, not raw
+    corpus tokens."""
+    from timeseriesutils_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_k=200)
 
 
 def q_tf_idf(spark, sf_dir):
@@ -869,6 +900,8 @@ QUERIES = {
     "lang_id": Q(q_lang_id, _sql_lang_id()),
     "doc_fingerprint": Q(q_fingerprint, _SQL_FINGERPRINT),
     "tf_idf": Q(q_tf_idf, _SQL_TF_IDF),
+    "build_vocab": Q(q_build_vocab, _vocab_sql()),
+    "bpe_pair_counts": Q(q_bpe_pair_counts, _bpe_sql()),
     "clean_text": Q(q_clean_text, _SQL_CLEAN_TEXT),
     "repetition_stats": Q(q_repetition_stats, _SQL_REPETITION),
     "multimodal_meta": Q(q_multimodal_meta, _SQL_MULTIMODAL),
