@@ -628,3 +628,31 @@ def test_bpe_pair_counts_weighted_by_word_freq(spark):
     assert rows["ba"] == 3
     assert rows["cd"] == 1
     assert "x" not in rows
+
+
+def test_pca_power_matches_eigh_top_component(spark):
+    """The exact-integer power iteration must agree with the eigh tier on
+    the top component (tolerance: iteration-quantization units) and be
+    bit-identical across repartitionings."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.pca import pca_power_project, pca_project
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(150, 6)) @ np.diag([5.0, 2.0, 1.0, 0.5, 0.3, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pw = pca_power_project(df).toPandas().set_index("vec_id").sort_index()
+    pw2 = (
+        pca_power_project(df.repartition(7))
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert (pw["pc1"] == pw2["pc1"]).all()
+
+    eig = pca_project(df, k=1).toPandas().set_index("vec_id").sort_index()
+    np.testing.assert_allclose(
+        pw["pc1"].to_numpy(), eig["pc1"].to_numpy(), atol=1e-3
+    )

@@ -117,3 +117,155 @@ def pca_project(
         centered_dot = _dot_dec(v, axis) - F.lit(float(mu @ comps[:, j]))
         cols.append(centered_dot.alias(f"pc{j + 1}"))
     return embeddings.select(*cols)
+
+
+# --- hash-checkable PCA: exact-integer power iteration --------------------
+#
+# eigh is driver-side LAPACK — no SQL twin can reproduce it bit-for-bit.
+# The top component, however, is reachable through arithmetic BOTH engines
+# (and the driver) compute identically:
+#
+#   * sufficient statistics (n, Σ floor(x·Qg+½), Σ floor(x_i·x_j·Qg+½))
+#     are exact int64 sums — order-independent, already what gram_stats
+#     produces and what SQL SUM(floor(...)) re-derives;
+#   * the iteration matrix M = floor(cov·Qm+½) is built from those ints
+#     through a FIXED double expression (int64→double conversion is
+#     correctly rounded on every engine — hardware cvtsi2sd — so even
+#     values beyond 2^53 convert identically);
+#   * each power step w = M·v is exact integer arithmetic (|w| ≤
+#     d·max|M|·Vs ≈ 2e18 < 2^63 for |cov| ≤ 0.6, the testdata bound;
+#     the driver uses unbounded Python ints, DuckDB sums in HUGEINT);
+#   * normalization divides by max|w| (an exact integer max — unlike an
+#     L2 norm it needs no overflowing squares and no ordered float sum)
+#     and re-quantizes through floor(w/mx·Vs+½) — identical IEEE ops;
+#   * sign is fixed by the largest-|v| coordinate (ties → lower index),
+#     the unit vector and projection reuse the quantized-dot pattern.
+#
+# The driver loop below and pca_power_project_sql express the SAME
+# operation sequence, so the declared query hash-matches: PCA training,
+# not just projection, is cross-engine verified.
+
+_QM = 1e12   # cov quantization for the iteration matrix
+_VSCALE = 100_000  # iteration vector fixed-point scale
+
+
+def _power_component(
+    n: int, s_q: list[int], g_q: list[int], dim: int, n_iter: int
+) -> tuple[list[float], list[float]]:
+    """Driver-side mirror of the SQL iteration CTEs: exact ints + fixed
+    double expressions only.  Returns (mu, unit_component)."""
+    import math
+
+    mu = [float(s) / _QUANT_G / n for s in s_q]
+    m_int: list[list[int]] = []
+    for i in range(dim):
+        row = []
+        for j in range(dim):
+            covd = (float(g_q[i * dim + j]) / _QUANT_G - n * mu[i] * mu[j]) / (n - 1)
+            row.append(math.floor(covd * _QM + 0.5))
+        m_int.append(row)
+    v = [_VSCALE] * dim
+    for _ in range(n_iter):
+        w = [sum(m_int[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:  # degenerate (zero covariance) — direction undefined
+            break
+        v = [math.floor(float(x) / float(mx) * _VSCALE + 0.5) for x in w]
+    i_star = min(range(dim), key=lambda i: (-abs(v[i]), i))
+    if v[i_star] < 0:
+        v = [-x for x in v]
+    nm = math.sqrt(float(sum(x * x for x in v)))
+    return mu, [float(x) / nm for x in v]
+
+
+def pca_power_project(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 15,
+) -> DataFrame:
+    """(id, pc1): projection onto the top principal component derived by
+    the exact-integer power iteration above — the hash-checkable PCA
+    tier.  ``pca_project`` (eigh, any k) remains the general path."""
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty embeddings frame")
+    dim = first.d
+    n, s_q, g_q = gram_stats(embeddings, vec_col, dim)
+    if n < 2:
+        raise ValueError("need at least 2 vectors for PCA")
+    mu, u = _power_component(n, s_q, g_q, dim, n_iter)
+    mus = ",".join(repr(x) for x in mu)
+    us = ",".join(repr(x) for x in u)
+    proj = (
+        f"cast(aggregate(transform(sequence(0, {dim - 1}), i -> "
+        f"floor((cast(element_at({vec_col}, i + 1) as double)"
+        f" - element_at(array({mus}), i + 1))"
+        f" * element_at(array({us}), i + 1) * 1e14 + 0.5)), "
+        f"cast(0 as bigint), (a, x) -> a + x) as double) / 1e14"
+    )
+    return embeddings.select(F.col(id_col), F.expr(proj).alias("pc1"))
+
+
+def pca_power_project_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iter: int = 15,
+) -> str:
+    """DuckDB twin of :func:`pca_power_project` — statistics, iteration,
+    sign/unit normalization, and projection as one unrolled CTE chain."""
+    parts = [
+        f"""
+el AS MATERIALIZED (
+  SELECT {id_col}, u.i AS i, CAST(u.x AS DOUBLE) AS x FROM (
+    SELECT {id_col},
+      unnest([{{'i': i, 'x': {vec_col}[i]}} FOR i IN range(1, len({vec_col}) + 1)]) AS u
+    FROM {table}
+  )
+),
+cnt AS (SELECT COUNT(*) AS n FROM {table}),
+sq AS (SELECT i, CAST(SUM(CAST(floor(x * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
+       FROM el GROUP BY i),
+gq AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+         CAST(SUM(CAST(floor(a.x * b.x * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g
+       FROM el a JOIN el b ON a.{id_col} = b.{id_col} GROUP BY a.i, b.i),
+mu AS (SELECT i, CAST(s AS DOUBLE) / 1e12 / n AS mu FROM sq, cnt),
+m AS MATERIALIZED (
+  SELECT g.i, g.j,
+    CAST(floor((CAST(g.g AS DOUBLE) / 1e12 - n * ma.mu * mb.mu) / (n - 1)
+               * 1e12 + 0.5) AS BIGINT) AS mv
+  FROM gq g JOIN mu ma ON ma.i = g.i JOIN mu mb ON mb.i = g.j, cnt
+),
+v0 AS (SELECT i, CAST({_VSCALE} AS BIGINT) AS v FROM sq)"""
+    ]
+    prev = "v0"
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""
+w{t} AS (SELECT m.i, CAST(SUM(m.mv * p.v) AS BIGINT) AS w
+         FROM m JOIN {prev} p ON p.i = m.j GROUP BY m.i),
+x{t} AS (SELECT MAX(ABS(w)) AS mx FROM w{t}),
+v{t} AS MATERIALIZED (SELECT i,
+           CAST(floor(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE) * {_VSCALE} + 0.5)
+                AS BIGINT) AS v
+         FROM w{t}, x{t})"""
+        )
+        prev = f"v{t}"
+    parts.append(
+        f"""
+st AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
+       FROM {prev} ORDER BY ABS(v) DESC, i LIMIT 1),
+vf AS (SELECT i, v * sg AS v FROM {prev}, st),
+nr AS (SELECT SQRT(CAST(SUM(v * v) AS DOUBLE)) AS nm FROM vf),
+un AS (SELECT i, CAST(v AS DOUBLE) / nm AS u FROM vf, nr)"""
+    )
+    body = f"""
+SELECT el.{id_col},
+  CAST(SUM(CAST(floor((el.x - mu.mu) * un.u * 1e14 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 1e14 AS pc1
+FROM el JOIN mu ON mu.i = el.i JOIN un ON un.i = el.i
+GROUP BY el.{id_col}
+"""
+    return "WITH " + ",".join(parts) + body

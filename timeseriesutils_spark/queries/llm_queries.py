@@ -340,6 +340,23 @@ def _knn_ivf_portable_sql() -> str:
     return knn_ivf_portable_sql(k=5, n_centroids=16, nprobe=4)
 
 
+def q_pca_power(spark, sf_dir):
+    """Top-principal-component projection via exact-integer power
+    iteration (pca.pca_power_project): sufficient statistics, iteration,
+    normalization, and projection all cross-engine deterministic, so PCA
+    *training* is hash-verified — the eigh tier (pca_project) stays the
+    general-k path with rows-only checks."""
+    from timeseriesutils_spark.operators.pca import pca_power_project
+
+    return pca_power_project(_emb(spark, sf_dir))
+
+
+def _pca_power_sql() -> str:
+    from timeseriesutils_spark.operators.pca import pca_power_project_sql
+
+    return pca_power_project_sql()
+
+
 def _simhash_portable_sql() -> str:
     from timeseriesutils_spark.operators.dedup import simhash_docs_portable_sql
 
@@ -909,6 +926,7 @@ QUERIES = {
     "decontaminate_pairs": Q(q_decontaminate_pairs, _SQL_DECONTAMINATE),
     "quantize_embeddings": Q(q_quantize_embeddings, _sql_quantize()),
     "pca_project": Q(q_pca_project, None),  # eigendecomposition -> rows-only
+    "pca_power": Q(q_pca_power, _pca_power_sql()),
     "pii_scrub": Q(q_pii_scrub, pii_scrub_sql()),
     "corpus_stats": Q(q_corpus_stats, _SQL_CORPUS_STATS),
     "length_histogram": Q(q_length_histogram, _SQL_LENGTH_HISTOGRAM),
