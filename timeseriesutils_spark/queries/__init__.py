@@ -44,6 +44,9 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # full DuckDB twin and needs a first driver hash verdict)
     "knn_lsh", "knn_ivf", "simhash", "dedup_minhash_lsh",
     "dedup_embedding_lsh",
+    # round-4 new operators (hash-green from birth): exact-integer
+    # power-iteration PCA, tokenizer vocab, BPE pair scoring
+    "pca_power", "build_vocab", "bpe_pair_counts",
     # remaining slots: regression re-check of the round-3 driver-green set
     "winsorize", "group_trend", "seasonal_profile", "time_rollup",
     "ohlc_bars", "time_weighted_avg", "gap_detect", "funnel",
@@ -57,7 +60,6 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "chunk_dedup", "quality_filter", "stream_tumbling", "stream_sliding",
     "stream_session", "stream_dedup", "stream_join", "stream_stateful",
     "skew_salted_agg", "skew_salted_join", "chunked_taylor",
-    "sessionize",
 )
 
 
