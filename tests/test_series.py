@@ -201,3 +201,50 @@ def test_regularize_equals_composed_pipeline(spark):
         F.count(F.lit(1)).alias("n"), (F.max("t") - F.min("t") + 1).alias("want")
     )
     assert all(r.n == r.want for r in got.collect())
+
+
+def test_cusum_matches_recursion(spark):
+    """Closed-form prefix-extrema CUSUM == the textbook max(0, ...)
+    recursion, on random gappy series (including negative drift)."""
+    import random
+
+    from timeseriesutils_spark.operators.changepoint import cusum
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(6):
+        t = 0
+        base = rng.uniform(-10, 10)
+        for _ in range(rng.randint(3, 60)):
+            rows.append((g, t, round(base + rng.uniform(-3, 3), 2)))
+            t += rng.randint(1, 5)
+    df = spark.createDataFrame(rows, "g long, t long, v double")
+
+    k, h, scale = 1.5, 4.0, 2
+    got = {
+        (r.g, r.t): (r.v_cusum_pos, r.v_cusum_neg, r.v_cusum_alarm)
+        for r in cusum(df, "v", "t", ["g"], target=k, threshold=h, scale=scale).collect()
+    }
+
+    mult = 10**scale
+    kq, hq = round(k * mult), round(h * mult)
+    by_g = {}
+    for g, t, v in rows:
+        by_g.setdefault(g, []).append((t, v))
+    checked = 0
+    for g, series in by_g.items():
+        sp = sn = 0
+        for t, v in sorted(series):
+            d = int(math_floor(v * mult + 0.5)) - kq
+            sp = max(0, sp + d)
+            sn = max(0, sn - d)
+            want = (sp / mult, sn / mult, sp > hq or sn > hq)
+            assert got[(g, t)] == want, (g, t, got[(g, t)], want)
+            checked += 1
+    assert checked == len(rows)
+
+
+def math_floor(x):
+    import math
+
+    return math.floor(x)

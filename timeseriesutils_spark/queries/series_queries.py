@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from timeseriesutils_spark.functions.exact import dsum, dsum_sql
+from timeseriesutils_spark.operators.changepoint import cusum, cusum_sql
 from timeseriesutils_spark.operators.series_math import (
     diff,
     ewma,
@@ -247,8 +248,28 @@ def q_scd2_history(spark, sf_dir):
     return scd2_history(load_table(spark, sf_dir, "events"))
 
 
+CUSUM_PARAMS = dict(target=50_000.0, threshold=500_000.0, scale=2)
+
+
+def q_cusum(spark, sf_dir):
+    """Two-sided CUSUM drift detector (operators/changepoint.cusum) on
+    the per-supplier daily price series: the max(0, ...) recursion
+    computed as closed-form prefix-extrema window expressions — one
+    exchange, exact int64 arithmetic, no per-series loop.  Alarms where
+    cumulative deviation from the 50k in-control level exceeds 500k."""
+    return cusum(
+        _daily(spark, sf_dir), "day_price", "ship_day", ["l_suppkey"], **CUSUM_PARAMS
+    )
+
+
 QUERIES = {
     "gap_fill_ffill": Q(q_gap_fill_ffill, _SQL_GAP_FILL_FFILL),
+    "cusum_drift": Q(
+        q_cusum,
+        cusum_sql(
+            _SQL_DAILY, "day_price", "ship_day", ["l_suppkey"], **CUSUM_PARAMS
+        ),
+    ),
     "interpolate": Q(q_interpolate, _SQL_INTERPOLATE),
     "ewma": Q(q_ewma, _sql_ewma()),
     "diff_pct": Q(q_diff_pct, _sql_diff_pct()),
