@@ -656,3 +656,47 @@ def test_pca_power_matches_eigh_top_component(spark):
     np.testing.assert_allclose(
         pw["pc1"].to_numpy(), eig["pc1"].to_numpy(), atol=1e-3
     )
+
+
+def test_dup_spans_known_block(spark):
+    """A shared 12-word block across two docs is found as one maximal
+    span in each; unique docs report nothing; self-repetition within a
+    single doc does NOT trigger (min_docs=2 distinct documents)."""
+    from timeseriesutils_spark.operators.dupspan import dup_spans
+
+    block = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, f"alpha beta {block} gamma delta"),
+        (2, f"{block} epsilon zeta eta theta iota kappa"),
+        (3, "totally unique words here that appear nowhere else at all ok"),
+        (4, "rep rep rep rep rep rep rep rep rep rep rep rep rep rep"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in dup_spans(df, ngram_words=8, min_docs=2).collect()
+    }
+    # doc 1: block occupies words [2, 14) -> 5 windows of 8 words
+    assert got[1] == (2, 14, 5)
+    # doc 2: block at [0, 12)
+    assert got[2] == (0, 12, 5)
+    assert 3 not in got and 4 not in got
+
+
+def test_dup_spans_merges_overlaps(spark):
+    """Two duplicated regions separated by a gap stay separate spans;
+    adjacent/overlapping windows merge into one."""
+    from timeseriesutils_spark.operators.dupspan import dup_spans
+
+    a = "one two three four five six seven eight"          # 8 words
+    b = "n1 n2 n3 n4 n5 n6 n7 n8"                          # 8 words
+    rows = [
+        (1, f"{a} u1 u2 u3 u4 u5 u6 u7 u8 u9 {b}"),
+        (2, f"{a} x1 x2 x3 x4 x5 x6 x7 x8 x9 {b}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dup_spans(df, ngram_words=8, min_docs=2).collect()
+    )
+    assert got == [(1, 0, 8), (1, 17, 25), (2, 0, 8), (2, 17, 25)]

@@ -1132,3 +1132,24 @@ FROM pairs WHERE cos >= {thr}
 
 
 QUERIES.update({"semantic_dedup": Q(q_semantic_dedup, _sql_semantic_dedup())})
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicated-span detection (operators/dupspan.dup_spans):
+    maximal word-offset spans whose every 8-word window also appears in
+    >= 1 other document -- the substring-level complement of document
+    dedup (cut the boilerplate, keep the unique remainder).  Posting
+    counts on int64 window hashes + gaps-and-islands merge; no pairwise
+    stage, so hot boilerplate costs one counter, not a pair explosion."""
+    from timeseriesutils_spark.operators.dupspan import dup_spans
+
+    return dup_spans(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_dup_spans():
+    from timeseriesutils_spark.operators.dupspan import dup_spans_sql
+
+    return dup_spans_sql()
+
+
+QUERIES.update({"dup_spans": Q(q_dup_spans, _sql_dup_spans())})
