@@ -107,3 +107,39 @@ def test_pagerank_copartitioned_edges_shuffle_once(spark):
         assert not offending, offending
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles (each node in 3); a pendant edge adds none;
+    a hub star with no closing edges has zero triangles."""
+    from timeseriesutils_spark.operators.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendant = [(4, 5)]
+    star = [(10, n) for n in range(11, 31)]
+    edges = spark.createDataFrame(k4 + pendant + star, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Random G(n, p): oriented-wedge count == brute-force enumeration."""
+    import itertools
+    import random
+
+    from timeseriesutils_spark.operators.graph import triangle_count
+
+    rng = random.Random(11)
+    n = 40
+    edges = [
+        (u, v) for u, v in itertools.combinations(range(n), 2) if rng.random() < 0.15
+    ]
+    eset = set(edges)
+    want = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == want

@@ -180,3 +180,88 @@ SELECT node, rank_q, CAST(rank_q AS DOUBLE) / {float(scale)!r} AS rank
 FROM {prev}
 """
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation.
+
+    ``edges`` is an undirected simple graph: one row per edge, src <
+    dst, no duplicates (callers dedup upstream).  Returns (node,
+    n_triangles) for every node in at least one triangle.
+
+    The MPC-standard orientation trick: direct every edge from its
+    lower-(degree, id) endpoint to the higher one, then count directed
+    wedges a->b->c closed by a->c.  Each triangle is generated exactly
+    once (from its unique minimum-(degree, id) corner), and the wedge
+    join's fan-out per node is bounded by its *oriented* out-degree —
+    O(sqrt(m)) on any graph (arboricity bound), so no hub explosion at
+    scale: a celebrity node of degree 10^6 emits wedges only toward
+    even-higher-degree nodes, not 10^12 pairs.
+
+    All joins are int64 equi-joins (node ids / id pairs); the degree
+    frame is node-sized.  Exact integer arithmetic end-to-end — the
+    DuckDB twin (:func:`triangle_count_sql`) hash-matches bit-for-bit.
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    o = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                F.struct("du", "u") < F.struct("dv", "v"), F.col("u")
+            ).otherwise(F.col("v")).alias("a"),
+            F.when(
+                F.struct("du", "u") < F.struct("dv", "v"), F.col("v")
+            ).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedge = e1.join(e2, "y")
+    closed = wedge.join(
+        o.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    )
+    corners = (
+        closed.select(F.col("x").alias("node"))
+        .unionAll(closed.select(F.col("y").alias("node")))
+        .unionAll(closed.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def triangle_count_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_count` over ``edges_sql`` (a
+    SELECT producing columns src, dst with src < dst, distinct)."""
+    return f"""
+WITH e AS (SELECT src AS u, dst AS v FROM ({edges_sql})),
+deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n
+),
+o AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+),
+closed AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM o e1 JOIN o e2 ON e1.b = e2.a
+  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM closed
+  UNION ALL SELECT y FROM closed
+  UNION ALL SELECT z FROM closed
+)
+SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
+"""

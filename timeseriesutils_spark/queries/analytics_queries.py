@@ -141,3 +141,47 @@ def _sql_pagerank():
 
 
 QUERIES.update({"pagerank": Q(q_pagerank, _sql_pagerank())})
+
+
+TRI_QTY = 49  # rare-lineitem filter: keeps the co-supply graph sparse
+
+
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.triangle_count) on the
+    supplier co-supply graph: suppliers are linked when both shipped the
+    same part in a high-quantity (>= 49) lineitem.  Degree-ordered
+    orientation bounds the wedge join by sqrt(m) fan-out -- the
+    hub-safe distributed triangle algorithm."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= TRI_QTY)
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    edges = (
+        ps.alias("a")
+        .join(ps.alias("b"), "p")
+        .where(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+def _sql_triangle_count():
+    from timeseriesutils_spark.operators.graph import triangle_count_sql
+
+    edges = f"""
+  WITH ps AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+    FROM lineitem WHERE l_quantity >= {TRI_QTY}
+  )
+  SELECT DISTINCT a.s AS src, b.s AS dst
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+"""
+    return triangle_count_sql(edges)
+
+
+QUERIES.update({"triangle_count": Q(q_triangle_count, _sql_triangle_count())})
