@@ -82,3 +82,34 @@ def test_zorder_validates(spark):
     df = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError):
         df.withColumn("z", zorder_key("a", "b", bits=40))
+
+
+def test_compaction_plan_bins(spark):
+    """Start-offset binning: order preserved, every bin except possibly
+    the last reaches the target within one file, totals reconcile."""
+    from timeseriesutils_spark.operators.layout import compaction_plan
+
+    rows = [(i, 300 + (i * 137) % 900) for i in range(40)]  # 300..1199 rows/file
+    df = spark.createDataFrame(rows, "part_key long, n_rows long")
+    got = (
+        compaction_plan(df, order_cols=("part_key",), target_rows=2000)
+        .orderBy("part_key")
+        .collect()
+    )
+    # bin ids are nondecreasing in key order and start at 0
+    bins = [r.bin_id for r in got]
+    assert bins[0] == 0 and all(a <= b for a, b in zip(bins, bins[1:]))
+    # recompute expected assignment by the start-offset rule
+    cum = 0
+    for r in got:
+        assert r.bin_id == cum // 2000, (r.part_key, r.bin_id, cum)
+        cum += r.n_rows
+    # per-bin totals reconcile with the input sum
+    per_bin = {}
+    for r in got:
+        per_bin.setdefault(r.bin_id, [0, 0])
+        per_bin[r.bin_id][0] += r.n_rows
+        per_bin[r.bin_id][1] += 1
+    for r in got:
+        assert (r.bin_rows, r.bin_files) == tuple(per_bin[r.bin_id])
+    assert sum(v[0] for v in per_bin.values()) == sum(n for _, n in rows)

@@ -20,7 +20,7 @@ sorts last — the "stats-less tail file" convention.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -88,3 +88,70 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compaction_plan(
+    file_stats: DataFrame,
+    rows_col: str = "n_rows",
+    order_cols=("part_key",),
+    target_rows: int = 25_000,
+) -> DataFrame:
+    """Small-files compaction plan: assign each input file to an output
+    bin of ~``target_rows`` rows, preserving the sort-key order.
+
+    The 100 TB failure mode this serves: streaming / per-partition
+    ingestion leaves millions of KB-sized files; listing and opening
+    them dominates query time long before row decoding does.  Compaction
+    = group adjacent files (adjacency preserves clustering/pruning) into
+    bins near the target size, then rewrite one file per bin.
+
+    The assignment is the metadata-sized part done here: bin id =
+    start-offset binning, floor(cum_rows_before / target) over the
+    key-ordered file list — a running sum + integer division, one window
+    pass over a FILE-level relation (billions of data rows, ~thousands
+    of file rows).  Deterministic, order-preserving, and every bin ends
+    within one file of the target.  The rewrite itself is the engine's
+    normal partitioned write (sources/sinks.py) driven by this plan.
+
+    ``file_stats``: one row per file with ``rows_col`` and the ordering
+    key columns.  Returns the input + ``bin_id`` + per-bin totals.
+    """
+    oc = list(order_cols)
+    w = Window.orderBy(*oc).rowsBetween(Window.unboundedPreceding, -1)
+    planned = file_stats.withColumn(
+        "bin_id",
+        # floor, not cast-truncation: DuckDB's double->bigint CAST rounds
+        # while Spark's truncates; FLOOR is identical in both (operands
+        # are non-negative file counts, < 2^53 by many orders)
+        F.floor(
+            F.coalesce(F.sum(rows_col).over(w), F.lit(0)) / F.lit(int(target_rows))
+        ).cast("bigint"),
+    )
+    wb = Window.partitionBy("bin_id")
+    return planned.withColumn("bin_rows", F.sum(rows_col).over(wb)).withColumn(
+        "bin_files", F.count(F.lit(1)).over(wb)
+    )
+
+
+def compaction_plan_sql(
+    inner_sql: str,
+    rows_col: str = "n_rows",
+    order_cols=("part_key",),
+    target_rows: int = 25_000,
+) -> str:
+    """DuckDB twin of :func:`compaction_plan` over ``inner_sql``."""
+    oc = ", ".join(order_cols)
+    return f"""
+WITH f AS ({inner_sql}),
+p AS (
+  SELECT *,
+    CAST(FLOOR(COALESCE(SUM({rows_col}) OVER (ORDER BY {oc}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      / {int(target_rows)}) AS BIGINT) AS bin_id
+  FROM f
+)
+SELECT *,
+  CAST(SUM({rows_col}) OVER (PARTITION BY bin_id) AS BIGINT) AS bin_rows,
+  COUNT(*) OVER (PARTITION BY bin_id) AS bin_files
+FROM p
+"""

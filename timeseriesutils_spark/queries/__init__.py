@@ -48,7 +48,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # power-iteration PCA, tokenizer vocab, BPE pair scoring
     "pca_power", "build_vocab", "bpe_pair_counts",
     # round-4 late additions (hash-green from birth)
-    "cusum_drift", "dup_spans", "triangle_count",
+    "cusum_drift", "dup_spans", "triangle_count", "compaction_plan",
     # remaining slots: regression re-check of the round-3 driver-green set
     "winsorize", "group_trend", "seasonal_profile", "time_rollup",
     "ohlc_bars", "time_weighted_avg", "gap_detect", "funnel",

@@ -930,3 +930,47 @@ GROUP BY 1, 2
 
 
 QUERIES.update({"variant_json": Q(q_variant_json, _SQL_VARIANT_JSON)})
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-files compaction planner (operators/layout.compaction_plan):
+    simulate a file inventory (one 'file' per ship-month x returnflag x
+    linestatus ingestion partition with its row count), then assign
+    adjacent files to ~25k-row output bins by start-offset binning --
+    the metadata-sized window pass that drives a rewrite; adjacency
+    preserves the sort-key clustering that pruning depends on."""
+    from timeseriesutils_spark.operators.layout import compaction_plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        # string month key: date dtypes canonicalize differently across
+        # engines (driver hashes date-as-int vs date-as-str); VARCHAR is stable
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").cast("string").alias("ship_month"),
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    return compaction_plan(
+        files,
+        rows_col="n_rows",
+        order_cols=("ship_month", "l_returnflag", "l_linestatus"),
+        target_rows=25_000,
+    )
+
+
+def _sql_compaction_plan():
+    from timeseriesutils_spark.operators.layout import compaction_plan_sql
+
+    inner = """
+  SELECT CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR) AS ship_month,
+    l_returnflag, l_linestatus, COUNT(*) AS n_rows
+  FROM lineitem GROUP BY 1, 2, 3
+"""
+    return compaction_plan_sql(
+        inner,
+        rows_col="n_rows",
+        order_cols=("ship_month", "l_returnflag", "l_linestatus"),
+        target_rows=25_000,
+    )
+
+
+QUERIES.update({"compaction_plan": Q(q_compaction_plan, _sql_compaction_plan())})
