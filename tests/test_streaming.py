@@ -313,3 +313,21 @@ def test_sink_replay_idempotent(spark, tmp_path):
     apply_rollup_batch(r1, 1, out_r, ["g"], partial, merge)
     got = {r.g: (r.n, r.s) for r in read_upsert_snapshot(spark, out_r).collect()}
     assert got == {"a": (2, 4.0), "b": (1, 2.0)}
+
+
+def test_stream_static_join_equals_batch(spark):
+    """stream_enrich on a readStream frame joined to the static batch
+    dim == the pure-batch form (stream-static joins need no state)."""
+    from timeseriesutils_spark.streaming.windows import (
+        stream_enrich,
+        user_profile,
+    )
+
+    batch_ev = load_events_batch(spark)
+    dim = user_profile(batch_ev)
+    batch = stream_enrich(batch_ev, dim)
+    stream = stream_enrich(read_events_stream(spark, SF_DIR), dim, watermark="1 day")
+    got_stream = _run_stream(spark, stream, "t_static_join")
+    assert sorted(map(tuple, batch.collect())) == sorted(
+        map(tuple, got_stream.collect())
+    )

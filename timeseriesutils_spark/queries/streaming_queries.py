@@ -163,3 +163,26 @@ FROM events GROUP BY user_id
 """
 
 QUERIES.update({"stream_stateful": Q(q_stream_stateful, _SQL_STATEFUL)})
+
+
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment (streaming/windows.stream_enrich): each
+    event joins the broadcast per-user first-seen dimension
+    (windows.user_profile), rolled up to counts + exact value sums per
+    (event_type, tenure week).  No state store -- the static side is
+    re-resolved per micro-batch; readStream parity in test_streaming."""
+    from timeseriesutils_spark.streaming.windows import stream_enrich, user_profile
+
+    ev = _events(spark, sf_dir)
+    return stream_enrich(ev, user_profile(ev))
+
+
+def _sql_stream_static_join():
+    from timeseriesutils_spark.streaming.windows import stream_enrich_sql
+
+    return stream_enrich_sql()
+
+
+QUERIES.update(
+    {"stream_static_join": Q(q_stream_static_join, _sql_stream_static_join())}
+)

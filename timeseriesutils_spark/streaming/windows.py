@@ -242,3 +242,60 @@ def stream_dedup(
     columns only, so the surviving-row choice can't leak in)."""
     df = _maybe_watermark(events, ts_col, watermark)
     return df.select(*keys).dropDuplicates(keys)
+
+
+def user_profile(events_batch: DataFrame) -> DataFrame:
+    """Static per-user dimension for stream enrichment: first-seen day.
+
+    In production this is the slowly-refreshed dim table (rebuilt from
+    history on a schedule); here it is derived from the batch events
+    relation.  User-count-sized — broadcastable for any realistic user
+    population per executor memory."""
+    return events_batch.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("first_day")
+    )
+
+
+def stream_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-static join enrichment + windowless rollup: join each
+    event to the broadcast user dimension, bucket users by tenure
+    (whole weeks since first seen at event time), aggregate counts and
+    exact value sums per (event_type, tenure_week).
+
+    Stream-static joins need NO state store (the static side is
+    re-resolved per micro-batch; Spark broadcasts it), so this is the
+    cheapest streaming enrichment there is — the dim never shuffles the
+    stream.  The same code path runs batch frames; the driver's oracle
+    checks that form, test_streaming checks stream==batch."""
+    df = _maybe_watermark(events, ts_col, watermark)
+    joined = df.join(F.broadcast(dim), "user_id")
+    tenure_week = F.floor(
+        F.datediff(F.date_trunc("day", F.col(ts_col)).cast("date"), F.col("first_day"))
+        / F.lit(7)
+    ).alias("tenure_week")
+    return joined.groupBy("event_type", tenure_week).agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )
+
+
+def stream_enrich_sql(table: str = "events") -> str:
+    """DuckDB twin of ``stream_enrich(events, user_profile(events))``."""
+    from timeseriesutils_spark.functions.exact import dsum_sql
+
+    return f"""
+WITH dim AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  FROM {table} GROUP BY 1
+)
+SELECT e.event_type,
+  CAST(FLOOR(datediff('day', d.first_day, CAST(date_trunc('day', e.ts) AS DATE))
+    / 7) AS BIGINT) AS tenure_week,
+  COUNT(*) AS n, {dsum_sql('value')} AS sum_value
+FROM {table} e JOIN dim d USING (user_id)
+GROUP BY 1, 2
+"""
