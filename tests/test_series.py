@@ -248,3 +248,28 @@ def math_floor(x):
     import math
 
     return math.floor(x)
+
+
+def test_rolling_mad_textbook(spark):
+    """MAD is the median of deviations from the WINDOW's median (one
+    spike can't mask itself), cross-checked against numpy per row."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.series_math import MAD_K, rolling_mad
+
+    vals = [10.0, 11.0, 9.0, 10.5, 10.0, 200.0, 10.2, 9.8, 10.1, 10.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g long, t long, v double")
+    got = {
+        r.t: (r.v_med_w5, r.v_mad_w5, r.v_mad_anomaly)
+        for r in rolling_mad(df, "v", ["g"], window_size=5, order_by=["t"]).collect()
+    }
+    for t in range(len(vals)):
+        w = np.array(vals[max(0, t - 4) : t + 1])
+        med = float(np.quantile(w, 0.5, method="linear"))
+        mad = float(np.quantile(np.abs(w - med), 0.5, method="linear"))
+        gm, gmad, gflag = got[t]
+        assert abs(gm - med) < 1e-9 and abs(gmad - mad) < 1e-9, (t, got[t], med, mad)
+        assert gflag == (abs(vals[t] - med) > 3.0 * MAD_K * mad)
+    # the spike itself is flagged; its neighbors are not masked
+    assert got[5][2] is True and got[6][2] is False

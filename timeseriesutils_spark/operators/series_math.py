@@ -414,3 +414,110 @@ def rolling_corr_sql_column(
     den = f"(SQRT(GREATEST({vx}, 0.0)) * SQRT(GREATEST({vy}, 0.0)))"
     name = suffix or f"corr_{col_x}_{col_y}_w{window_size}"
     return name, f"CASE WHEN {n} >= {window_size} AND {den} > 0 THEN {num} / {den} END"
+
+
+def _lerp_sorted(arr, q: float):
+    """quantile_cont over an already-sorted array column: h=(n-1)q,
+    a[⌊h⌋+1]·(1−frac) + a[min(⌊h⌋+2,n)]·frac — the exact expression
+    shape rolling_quantile documents; kept identical in the SQL twin."""
+    n = F.size(arr)
+    h = (n - 1).cast("double") * F.lit(float(q))
+    lo = F.floor(h).cast("int")
+    frac = h - lo.cast("double")
+    base = F.element_at(arr, lo + 1).cast("double")
+    nxt = F.element_at(arr, F.least(lo + 2, n)).cast("double")
+    return F.when(n > 0, base * (F.lit(1.0) - frac) + nxt * frac)
+
+
+def _lerp_sorted_sql(arr: str, q: float) -> str:
+    return (
+        f"CASE WHEN len({arr}) > 0 THEN "
+        f"CAST({arr}[CAST(FLOOR(CAST(len({arr}) - 1 AS DOUBLE) * {q!r}) AS INT) + 1] AS DOUBLE)"
+        f" * (1.0 - (CAST(len({arr}) - 1 AS DOUBLE) * {q!r}"
+        f" - CAST(CAST(FLOOR(CAST(len({arr}) - 1 AS DOUBLE) * {q!r}) AS INT) AS DOUBLE)))"
+        f" + CAST({arr}[LEAST(CAST(FLOOR(CAST(len({arr}) - 1 AS DOUBLE) * {q!r}) AS INT) + 2, len({arr}))] AS DOUBLE)"
+        f" * (CAST(len({arr}) - 1 AS DOUBLE) * {q!r}"
+        f" - CAST(CAST(FLOOR(CAST(len({arr}) - 1 AS DOUBLE) * {q!r}) AS INT) AS DOUBLE)) END"
+    )
+
+
+# MAD → σ consistency constant for normal data (1/Φ⁻¹(3/4))
+MAD_K = 1.4826
+
+
+def rolling_mad(
+    df,
+    column: str,
+    group_columns=None,
+    window_size: int = 15,
+    order_by=None,
+    thresh: float = 3.0,
+):
+    """Robust rolling anomaly detector: per trailing window, the median
+    and the Median Absolute Deviation *from that window's own median*
+    (the textbook MAD — not a two-pass approximation that measures each
+    neighbor against its own window), plus a flag where
+    |x − med| > thresh · 1.4826 · MAD.
+
+    Unlike rolling_zscore's mean/std, one wild spike inside the window
+    cannot inflate the scale estimate and mask itself — the breakdown
+    point is 50%.  Cost: the window values are collected and sorted
+    ONCE; the deviation array is derived from it with JVM higher-order
+    functions (transform → abs → array_sort), so the whole op is one
+    exchange + one sort per group and no Python.
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list, make_window
+
+    w = make_window(group_columns, _as_list(order_by)).rowsBetween(
+        -(window_size - 1), Window.currentRow
+    )
+    c = F.col(column)
+    tmp = df.select(
+        "*", F.sort_array(F.collect_list(c).over(w)).alias("_mad_arr")
+    )
+    tmp = tmp.withColumn("_med", _lerp_sorted(F.col("_mad_arr"), 0.5))
+    devs = F.array_sort(
+        F.transform(F.col("_mad_arr"), lambda v: F.abs(v - F.col("_med")))
+    )
+    tmp = tmp.withColumn("_mad", _lerp_sorted(devs, 0.5))
+    flag = F.abs(c - F.col("_med")) > F.lit(float(thresh) * MAD_K) * F.col("_mad")
+    med_name = f"{column}_med_w{window_size}"
+    mad_name = f"{column}_mad_w{window_size}"
+    return tmp.select(
+        *df.columns,
+        F.col("_med").alias(med_name),
+        F.col("_mad").alias(mad_name),
+        flag.alias(f"{column}_mad_anomaly"),
+    )
+
+
+def rolling_mad_sql(
+    table: str,
+    select_cols: str,
+    column: str,
+    group_columns,
+    order_by,
+    window_size: int = 15,
+    thresh: float = 3.0,
+) -> str:
+    """DuckDB twin of :func:`rolling_mad` (full query text)."""
+    over = (
+        f"(PARTITION BY {', '.join(group_columns)} ORDER BY {', '.join(order_by)} "
+        f"ROWS BETWEEN {window_size - 1} PRECEDING AND CURRENT ROW)"
+    )
+    med = _lerp_sorted_sql("arr", 0.5)
+    mad = _lerp_sorted_sql("darr", 0.5)
+    return f"""
+WITH a AS (
+  SELECT {select_cols}, list_sort(list({column}) OVER {over}) AS arr
+  FROM {table}
+),
+m AS (SELECT *, {med} AS _med FROM a),
+d AS (
+  SELECT *, list_sort(list_transform(arr, v -> abs(v - _med))) AS darr FROM m
+)
+SELECT {select_cols}, _med AS {column}_med_w{window_size},
+  {mad} AS {column}_mad_w{window_size},
+  abs({column} - _med) > {float(thresh) * MAD_K!r} * {mad} AS {column}_mad_anomaly
+FROM d
+"""

@@ -18,6 +18,8 @@ from timeseriesutils_spark.operators.series_math import (
     ewma,
     ewma_sql_columns,
     pct_change,
+    rolling_mad,
+    rolling_mad_sql,
     rolling_quantile,
     rolling_quantile_sql_column,
     rolling_zscore,
@@ -232,6 +234,31 @@ def _sql_rolling_median():
     )
 
 
+def q_rolling_mad(spark, sf_dir):
+    """Robust rolling anomaly detection (series_math.rolling_mad):
+    per-window median + median-absolute-deviation of l_quantity per
+    supplier (w=15), flag where |x - med| > 3 * 1.4826 * MAD -- the
+    50%-breakdown-point alternative to rolling_zscore."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+    out = rolling_mad(
+        li, "l_quantity", ["l_suppkey"], window_size=15, order_by=LI_ORDER
+    )
+    return out.drop("l_shipdate")
+
+
+def _sql_rolling_mad():
+    return rolling_mad_sql(
+        "lineitem",
+        "l_suppkey, l_orderkey, l_linenumber, l_extendedprice, l_quantity",
+        "l_quantity",
+        ["l_suppkey"],
+        LI_ORDER_SQL.split(", "),
+        window_size=15,
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream
     (operators/sessions.session_stats): 30-minute inactivity splits, one
@@ -275,6 +302,7 @@ QUERIES = {
     "diff_pct": Q(q_diff_pct, _sql_diff_pct()),
     "rolling_zscore": Q(q_rolling_zscore, _sql_rolling_zscore()),
     "rolling_median": Q(q_rolling_median, _sql_rolling_median()),
+    "rolling_mad": Q(q_rolling_mad, _sql_rolling_mad()),
     "sessionize": Q(q_sessionize, session_stats_sql(gap_minutes=30)),
     "scd2_history": Q(q_scd2_history, scd2_history_sql()),
 }
