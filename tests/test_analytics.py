@@ -239,3 +239,32 @@ def test_detect_gaps(spark):
     gaps = detect_gaps(_ev(spark, rows), gap_minutes=120, group_columns=("user_id",)).collect()
     assert len(gaps) == 1
     assert gaps[0]["gap_ms"] == 195 * 60_000
+
+
+def test_rolling_active_users_bruteforce(spark):
+    """Interval-stabbing WAU == brute-force distinct count per day,
+    including users with gappy multi-interval activity."""
+    import datetime
+
+    from timeseriesutils_spark.operators.analytics import rolling_active_users
+
+    base = datetime.datetime(2024, 3, 1)
+    # (user, day offset) activity; user 1 has a gap straddling windows
+    acts = [(1, 0), (1, 1), (1, 9), (2, 0), (2, 12), (3, 5), (3, 6), (3, 7)]
+    rows = [
+        (u, base + datetime.timedelta(days=d, hours=h))
+        for (u, d) in acts
+        for h in (3, 15)  # two events per active day: dedup must collapse
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r.day: r.active_users
+        for r in rolling_active_users(df, window_days=7).collect()
+    }
+    days = {d for _, d in acts}
+    lo, hi = min(days), max(days)
+    for e in range(lo, hi + 1):
+        want = len({u for (u, d) in acts if e - 6 <= d <= e})
+        key = (base + datetime.timedelta(days=e)).strftime("%Y-%m-%d")
+        assert got[key] == want, (e, got[key], want)
+    assert len(got) == hi - lo + 1

@@ -424,3 +424,105 @@ WITH staged AS (
 SELECT {g}, gap_start_ms, gap_end_ms, gap_end_ms - gap_start_ms AS gap_ms
 FROM staged WHERE gap_end_ms - gap_start_ms > {int(gap_minutes * 60_000)}
 """
+
+
+def rolling_active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day distinct active users (WAU/MAU) per calendar day.
+
+    A windowed COUNT(DISTINCT ...) does not exist in Spark (or ANSI)
+    window functions, and the join-per-day brute force touches each
+    user-day window_days times.  Instead: per user, consecutive active
+    days collapse into DISJOINT coverage intervals —
+
+        user covers day e  iff  some active day d in (e-N, e]
+        ⇔  e in [d, min(d+N-1, next_active_day-1)]   (disjoint per user)
+
+    — so the rolling distinct count is an interval-stabbing count:
+    +1/-1 deltas at interval ends, summed per day, prefix-summed over
+    the dense day spine.  Cost: one dedup exchange on (user, day), one
+    lead window per user, one day-level aggregation.  The only
+    single-partition step is the final cumulative sum over the DAY
+    spine (calendar-sized metadata, ~365 rows/year — never the data).
+
+    Returns (day [string], active_users) for every day in the observed
+    range, exact bigint arithmetic end-to-end.
+    """
+    n = int(window_days)
+    ud = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
+    ).distinct()
+    wl = Window.partitionBy("u").orderBy("day")
+    iv = ud.select(
+        F.col("day").alias("s"),
+        F.least(
+            F.date_add("day", n - 1),
+            F.coalesce(
+                F.date_sub(F.lead("day").over(wl), 1), F.date_add("day", n - 1)
+            ),
+        ).alias("e"),
+    )
+    deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    agg = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
+    spine = (
+        ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(agg, "day", "left")
+        .select("day", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.sum("delta").over(wc).cast("bigint").alias("active_users"),
+        )
+    )
+
+
+def rolling_active_users_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> str:
+    """DuckDB twin of :func:`rolling_active_users`."""
+    n = int(window_days)
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT {user_col} AS u, CAST(date_trunc('day', {ts_col}) AS DATE) AS day
+  FROM {table}
+),
+iv AS (
+  SELECT day AS s,
+    LEAST(day + {n - 1},
+          COALESCE(LEAD(day) OVER (PARTITION BY u ORDER BY day) - 1, day + {n - 1})
+    ) AS e
+  FROM ud
+),
+d AS (
+  SELECT s AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e + 1 AS day, -1 AS delta FROM iv
+),
+agg AS (SELECT day, SUM(delta) AS delta FROM d GROUP BY 1),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(
+    (SELECT MIN(day) FROM ud), (SELECT MAX(day) FROM ud), INTERVAL 1 DAY
+  )) AS DATE) AS day
+)
+SELECT CAST(s.day AS VARCHAR) AS day,
+  CAST(SUM(COALESCE(a.delta, 0)) OVER (ORDER BY s.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active_users
+FROM spine s LEFT JOIN agg a ON s.day = a.day
+"""

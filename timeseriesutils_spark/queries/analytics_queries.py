@@ -185,3 +185,26 @@ def _sql_triangle_count():
 
 
 QUERIES.update({"triangle_count": Q(q_triangle_count, _sql_triangle_count())})
+
+
+def q_rolling_active_users(spark, sf_dir):
+    """Rolling 7-day distinct active users per day
+    (analytics.rolling_active_users): windowed COUNT DISTINCT -- not
+    expressible as a window function -- computed exactly via per-user
+    disjoint coverage intervals + an interval-stabbing diff array; the
+    only single-partition step is the prefix sum over the calendar-day
+    spine."""
+    from timeseriesutils_spark.operators.analytics import rolling_active_users
+
+    return rolling_active_users(load_table(spark, sf_dir, "events"))
+
+
+def _sql_rolling_active_users():
+    from timeseriesutils_spark.operators.analytics import rolling_active_users_sql
+
+    return rolling_active_users_sql()
+
+
+QUERIES.update(
+    {"rolling_active_users": Q(q_rolling_active_users, _sql_rolling_active_users())}
+)
