@@ -220,3 +220,39 @@ def test_merge_upsert(spark):
     assert got3 == {
         1: ("A", 11.0), 2: ("b", 20.0), 3: ("c", 30.0), 5: ("e", 50.0)
     }
+
+
+def test_key_skew_report_buckets(spark):
+    """Power-of-two bucketing is exact at boundaries (2^k lands in
+    bucket k) and totals reconcile."""
+    from timeseriesutils_spark.operators.profile import key_skew_report
+
+    rows = []
+    for k, n in [(1, 1), (2, 2), (3, 4), (4, 8), (5, 1000)]:
+        rows += [(k,)] * n
+    df = spark.createDataFrame(rows, "k long")
+    got = {r.freq_bucket: (r.n_keys, r.n_rows, r.max_key_rows)
+           for r in key_skew_report(df, ["k"]).collect()}
+    assert got[0] == (1, 1, 1)
+    assert got[1] == (1, 2, 2)
+    assert got[2] == (1, 4, 4)
+    assert got[3] == (1, 8, 8)
+    assert got[9] == (1, 1000, 1000)  # floor(log2(1000)) = 9
+    assert sum(v[1] for v in got.values()) == len(rows)
+
+
+def test_quantile_bins_equal_frequency(spark):
+    """NTILE deciles: bin sizes differ by at most 1, ranges are
+    non-overlapping and ordered."""
+    from timeseriesutils_spark.operators.stats import quantile_bins
+
+    rows = [(1, i, float((i * 37) % 101)) for i in range(95)]
+    df = spark.createDataFrame(rows, "g long, id long, v double")
+    got = sorted(
+        (r.bin, r.n, r.lo, r.hi)
+        for r in quantile_bins(df, "v", ["g"], n_bins=10, order_tiebreak=["id"]).collect()
+    )
+    sizes = [n for _, n, _, _ in got]
+    assert len(got) == 10 and max(sizes) - min(sizes) <= 1 and sum(sizes) == 95
+    for (b1, _, _, hi1), (b2, _, lo2, _) in zip(got, got[1:]):
+        assert b2 == b1 + 1 and lo2 >= hi1

@@ -273,3 +273,40 @@ def test_rolling_mad_textbook(spark):
         assert gflag == (abs(vals[t] - med) > 3.0 * MAD_K * mad)
     # the spike itself is flagged; its neighbors are not masked
     assert got[5][2] is True and got[6][2] is False
+
+
+def test_ew_volatility_numpy_parity(spark):
+    """EW var/vol == numpy weighted moments with the same reference
+    weights; constant windows clamp to exactly vol=0."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.series_math import (
+        ew_volatility,
+        ewma_weights,
+    )
+
+    vals = [3.0, 4.0, 5.5, 2.0, 2.0, 2.0, 2.0, 2.0, 7.5, 1.0, 6.0, 6.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    # constant group: vol must be a float-residue epsilon, never NaN
+    # (negative residue is clamped; positive residue is inherent to
+    # the m2 - mu^2 form and bounded by ~ulp(x^2))
+    rows += [(2, i, 5.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "g long, t long, v double")
+    w, span = 4, 3.0
+    out = ew_volatility(df, "v", ["g"], window_size=w, ew_span=span, order_by=["t"])
+    got = {(r.g, r.t): (r.v_ewma_w4_s3, r.v_ewvar_w4_s3, r.v_ewvol_w4_s3)
+           for r in out.collect()}
+    wts = np.array(ewma_weights(w, span))
+    for t in range(len(vals)):
+        if t < w - 1:
+            assert got[(1, t)] == (None, None, None)
+            continue
+        win = np.array(vals[t - w + 1 : t + 1])[::-1]
+        mu = float(wts @ win)
+        var = float(wts @ (win * win)) - mu * mu
+        gm, gv, gs = got[(1, t)]
+        assert abs(gm - mu) < 1e-9 and abs(gv - var) < 1e-9
+        assert abs(gs - np.sqrt(max(var, 0.0))) < 1e-9
+    for t in range(w - 1, 8):
+        v = got[(2, t)][2]
+        assert v == v and 0.0 <= v < 1e-6  # not NaN, residue-sized

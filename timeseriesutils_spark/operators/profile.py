@@ -87,3 +87,47 @@ def column_profile_sql(table: str, columns: list[str], numeric: dict[str, bool])
 FROM {table}"""
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def key_skew_report(
+    df: DataFrame, key_cols, count_col_alias: str = "n_rows"
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the frequency histogram
+    that decides whether a key needs salting (functions/skew.py) or AQE
+    skew-join splitting BEFORE the expensive shuffle runs.
+
+    Per key-frequency power-of-two bucket (floor(log2(count)) computed
+    exactly via binary-string length — no float log edge at 2^k):
+    number of distinct keys and total rows.  A healthy key space puts
+    most rows in low buckets; a monster key shows up as a lonely
+    high bucket carrying a visible row share.
+
+    Two map-combinable aggregations (key counts → bucket rollup);
+    output is bucket-count-sized (≤ 64 rows)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
+    bucket = (F.length(F.bin(F.col("_c"))) - 1).cast("int").alias("freq_bucket")
+    return (
+        per_key.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("_c").alias(count_col_alias),
+            F.max("_c").alias("max_key_rows"),
+        )
+    )
+
+
+def key_skew_report_sql(
+    table: str, key_cols, count_col_alias: str = "n_rows"
+) -> str:
+    """DuckDB twin of :func:`key_skew_report`."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    kc = ", ".join(keys)
+    return f"""
+WITH per_key AS (SELECT {kc}, COUNT(*) AS _c FROM {table} GROUP BY {kc})
+SELECT CAST(length(bin(_c)) - 1 AS INT) AS freq_bucket,
+  COUNT(*) AS n_keys,
+  CAST(SUM(_c) AS BIGINT) AS {count_col_alias},
+  MAX(_c) AS max_key_rows
+FROM per_key GROUP BY 1
+"""

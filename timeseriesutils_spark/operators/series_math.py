@@ -521,3 +521,91 @@ SELECT {select_cols}, _med AS {column}_med_w{window_size},
   abs({column} - _med) > {float(thresh) * MAD_K!r} * {mad} AS {column}_mad_anomaly
 FROM d
 """
+
+
+def ew_volatility(
+    data: DataFrame,
+    column: str,
+    group_columns=None,
+    window_size: int = 10,
+    ew_span: float = 5.0,
+    order_by=None,
+) -> DataFrame:
+    """Exponentially-weighted variance / volatility over the same
+    bounded trailing window and reference weight convention as ``ewma``:
+
+        μ_t   = Σ_j w_j·x_{t-j}          (the ewma)
+        var_t = Σ_j w_j·x_{t-j}² − μ_t²  (EW second moment − mean²)
+        vol_t = sqrt(max(var_t, 0))
+
+    Both weighted sums are fixed linear combinations of lags — same
+    shuffle-free, codegen-resident, oracle-expressible shape as ewma;
+    sqrt is correctly rounded (IEEE), so determinism carries through.
+    The max(·, 0) guards the tiny negative residue the subtraction can
+    produce when the window is constant."""
+    w = make_window(group_columns, order_by)
+    wts = ewma_weights(window_size, ew_span)
+    mean_terms = [
+        F.lit(wt) * (F.lag(column, j).over(w) if j else F.col(column))
+        for j, wt in enumerate(wts)
+    ]
+    sq_terms = [
+        F.lit(wt)
+        * (
+            (F.lag(column, j).over(w) * F.lag(column, j).over(w))
+            if j
+            else (F.col(column) * F.col(column))
+        )
+        for j, wt in enumerate(wts)
+    ]
+    mu = reduce(lambda a, b: a + b, mean_terms)
+    m2 = reduce(lambda a, b: a + b, sq_terms)
+    base = ewma_name(column, window_size, ew_span)
+    var = m2 - mu * mu
+    return data.select(
+        "*",
+        mu.alias(base),
+        var.alias(base.replace("_ewma_", "_ewvar_")),
+        # explicit null guard: greatest() IGNORES nulls in both engines,
+        # which would turn the incomplete-window NULL into vol=0.0
+        F.when(var.isNotNull(), F.sqrt(F.greatest(var, F.lit(0.0))))
+        .alias(base.replace("_ewma_", "_ewvol_")),
+    )
+
+
+def ew_volatility_sql_columns(
+    column: str, group_columns, order_by, window_size: int = 10, ew_span: float = 5.0
+) -> list[tuple[str, str]]:
+    """DuckDB twin of :func:`ew_volatility` — same constants, same term
+    order, μ duplicated textually (identical double either way)."""
+    over = (
+        f"(PARTITION BY {', '.join(_as_list(group_columns))} "
+        f"ORDER BY {', '.join(_as_list(order_by))})"
+    )
+    wts = ewma_weights(window_size, ew_span)
+    c = column
+    mean_terms = [
+        f"CAST('{wt!r}' AS DOUBLE) * " + (f"LAG({c}, {j}) OVER {over}" if j else c)
+        for j, wt in enumerate(wts)
+    ]
+    sq_terms = [
+        f"CAST('{wt!r}' AS DOUBLE) * "
+        + (
+            f"(LAG({c}, {j}) OVER {over} * LAG({c}, {j}) OVER {over})"
+            if j
+            else f"({c} * {c})"
+        )
+        for j, wt in enumerate(wts)
+    ]
+    mu = "(" + " + ".join(mean_terms) + ")"
+    m2 = "(" + " + ".join(sq_terms) + ")"
+    var = f"({m2} - {mu} * {mu})"
+    base = ewma_name(c, window_size, ew_span)
+    return [
+        (base, mu),
+        (base.replace("_ewma_", "_ewvar_"), var),
+        (
+            base.replace("_ewma_", "_ewvol_"),
+            f"CASE WHEN {var} IS NOT NULL THEN sqrt(GREATEST({var}, 0.0)) END",
+        ),
+    ]

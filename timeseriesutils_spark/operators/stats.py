@@ -355,3 +355,55 @@ SELECT COUNT(*) AS n_rows, BIT_XOR(_h) AS xor_h,
        AS BIGINT) AS sum_h_mod
 FROM h
 """
+
+
+def quantile_bins(
+    df: DataFrame,
+    column: str,
+    group_columns,
+    n_bins: int = 10,
+    order_tiebreak=None,
+) -> DataFrame:
+    """Equal-frequency discretization (quantile binning) summary: NTILE
+    over a TOTAL order (value + caller-supplied unique tie-break — ntile
+    on a non-total order is nondeterministic under partitioning), then
+    per-(group, bin) count and value range.
+
+    The feature-engineering primitive behind rank-based encodings and
+    monotone binning for gradient boosting; the summary output is what a
+    feature store persists (bin edges per group).  One exchange on the
+    group keys; ntile is a single window pass."""
+    groups = [group_columns] if isinstance(group_columns, str) else list(group_columns)
+    tb = list(order_tiebreak or [])
+    w = Window.partitionBy(*groups).orderBy(column, *tb)
+    return (
+        df.withColumn("bin", F.ntile(int(n_bins)).over(w))
+        .groupBy(*groups, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(column).alias("lo"),
+            F.max(column).alias("hi"),
+        )
+    )
+
+
+def quantile_bins_sql(
+    table: str,
+    column: str,
+    group_columns,
+    n_bins: int = 10,
+    order_tiebreak=None,
+) -> str:
+    """DuckDB twin of :func:`quantile_bins`."""
+    groups = [group_columns] if isinstance(group_columns, str) else list(group_columns)
+    gc = ", ".join(groups)
+    ob = ", ".join([column] + list(order_tiebreak or []))
+    return f"""
+WITH b AS (
+  SELECT {gc}, {column},
+    NTILE({int(n_bins)}) OVER (PARTITION BY {gc} ORDER BY {ob}) AS bin
+  FROM {table}
+)
+SELECT {gc}, bin, COUNT(*) AS n, MIN({column}) AS lo, MAX({column}) AS hi
+FROM b GROUP BY {gc}, bin
+"""

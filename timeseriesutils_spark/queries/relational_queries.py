@@ -974,3 +974,55 @@ def _sql_compaction_plan():
 
 
 QUERIES.update({"compaction_plan": Q(q_compaction_plan, _sql_compaction_plan())})
+
+
+def q_skew_report(spark, sf_dir):
+    """Aggregation-key skew diagnostic (profile.key_skew_report) on the
+    orders customer key: per power-of-two key-frequency bucket, distinct
+    keys / total rows / worst key -- the pre-shuffle health check that
+    decides salting (functions/skew.py) or AQE skew splitting."""
+    from timeseriesutils_spark.operators.profile import key_skew_report
+
+    return key_skew_report(load_table(spark, sf_dir, "orders"), ["o_custkey"])
+
+
+def _sql_skew_report():
+    from timeseriesutils_spark.operators.profile import key_skew_report_sql
+
+    return key_skew_report_sql("orders", ["o_custkey"])
+
+
+def q_quantile_bin(spark, sf_dir):
+    """Equal-frequency feature binning (stats.quantile_bins): decile
+    NTILE of the price column per returnflag over a total order, with
+    per-bin counts and value ranges -- the persisted bin-edge summary a
+    feature store keeps."""
+    from timeseriesutils_spark.operators.stats import quantile_bins
+
+    return quantile_bins(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_returnflag"],
+        n_bins=10,
+        order_tiebreak=["l_orderkey", "l_linenumber"],
+    )
+
+
+def _sql_quantile_bin():
+    from timeseriesutils_spark.operators.stats import quantile_bins_sql
+
+    return quantile_bins_sql(
+        "lineitem",
+        "l_extendedprice",
+        ["l_returnflag"],
+        n_bins=10,
+        order_tiebreak=["l_orderkey", "l_linenumber"],
+    )
+
+
+QUERIES.update(
+    {
+        "skew_report": Q(q_skew_report, _sql_skew_report()),
+        "quantile_bin": Q(q_quantile_bin, _sql_quantile_bin()),
+    }
+)

@@ -15,6 +15,8 @@ from timeseriesutils_spark.functions.exact import dsum, dsum_sql
 from timeseriesutils_spark.operators.changepoint import cusum, cusum_sql
 from timeseriesutils_spark.operators.series_math import (
     diff,
+    ew_volatility,
+    ew_volatility_sql_columns,
     ewma,
     ewma_sql_columns,
     pct_change,
@@ -152,6 +154,31 @@ def q_ewma(spark, sf_dir):
 
 def _sql_ewma():
     cols = ewma_sql_columns(
+        "l_extendedprice", ["l_suppkey"], LI_ORDER_SQL.split(", "), **EWMA_PARAMS
+    )
+    sel = ",\n  ".join(f"{expr} AS {name}" for name, expr in cols)
+    return (
+        "SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, l_quantity,\n  "
+        f"{sel}\nFROM lineitem"
+    )
+
+
+def q_ew_volatility(spark, sf_dir):
+    """EW variance + volatility (series_math.ew_volatility): weighted
+    second moment minus squared ewma over the same bounded trailing
+    window and reference weight convention -- the risk/dispersion
+    companion to the ewma level signal, still a pure lag expression."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+    out = ew_volatility(
+        li, "l_extendedprice", ["l_suppkey"], order_by=LI_ORDER, **EWMA_PARAMS
+    )
+    return out.drop("l_shipdate")
+
+
+def _sql_ew_volatility():
+    cols = ew_volatility_sql_columns(
         "l_extendedprice", ["l_suppkey"], LI_ORDER_SQL.split(", "), **EWMA_PARAMS
     )
     sel = ",\n  ".join(f"{expr} AS {name}" for name, expr in cols)
@@ -299,6 +326,7 @@ QUERIES = {
     ),
     "interpolate": Q(q_interpolate, _SQL_INTERPOLATE),
     "ewma": Q(q_ewma, _sql_ewma()),
+    "ew_volatility": Q(q_ew_volatility, _sql_ew_volatility()),
     "diff_pct": Q(q_diff_pct, _sql_diff_pct()),
     "rolling_zscore": Q(q_rolling_zscore, _sql_rolling_zscore()),
     "rolling_median": Q(q_rolling_median, _sql_rolling_median()),
