@@ -186,6 +186,7 @@ def triangle_count(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    persist_edges: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts via degree-ordered edge orientation.
 
@@ -205,15 +206,26 @@ def triangle_count(
     All joins are int64 equi-joins (node ids / id pairs); the degree
     frame is node-sized.  Exact integer arithmetic end-to-end — the
     DuckDB twin (:func:`triangle_count_sql`) hash-matches bit-for-bit.
+
+    ``e`` feeds degree-counting twice plus the orientation, and ``o``
+    feeds both wedge sides plus the closing join.  By default the forks
+    recompute: measured at sf0.1, the recomputed pipeline (1.97 s warm)
+    beats the persisted one (4.0 s) — persists serialize the DAG into
+    materialization barriers, while the replayed upstream is a cheap
+    scan+distinct.  ``persist_edges=True`` flips to pinning both frames
+    (functions/cache.pin) for graphs whose edge construction is itself
+    expensive (billion-edge joins at 100 TB) — the standard
+    recompute-vs-materialize tradeoff, exposed not hard-coded.
     """
-    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    P = pin if persist_edges else (lambda df: df)
+    e = P(edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")))
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    o = (
+    o = P(
         e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
         .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
         .select(
