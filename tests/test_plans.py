@@ -266,3 +266,42 @@ def test_simhash_portable_single_exchange_no_python(spark, catalog):
     plan = _plan(catalog["simhash"](spark, SF_DIR))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_cusum_single_exchange(spark, catalog):
+    """Closed-form CUSUM: the two chained window passes share one
+    partitioning/sort — one exchange, one sort, no Python."""
+    plan = _plan(catalog["cusum_drift"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert len(re.findall(r"\bSort\b", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_mad_one_window_slot(spark, catalog):
+    """The sorted window array is collected ONCE; median and MAD derive
+    from it as projections (the r3 WindowExec-slot-multiplication lesson,
+    pinned for the MAD op)."""
+    plan = _plan(catalog["rolling_mad"](spark, SF_DIR))
+    assert len(re.findall(r"\bWindow\b", plan)) == 1
+    assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_dup_spans_no_cartesian_no_python(spark, catalog):
+    """Span detection is posting-count shaped: equi-joins only, no
+    pair explosion path, everything JVM-side."""
+    plan = _plan(catalog["dup_spans"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_count_equijoins_only(spark, catalog):
+    plan = _plan(catalog["triangle_count"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_active_users_no_python(spark, catalog):
+    plan = _plan(catalog["rolling_active_users"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
