@@ -331,3 +331,52 @@ def test_stream_static_join_equals_batch(spark):
     assert sorted(map(tuple, batch.collect())) == sorted(
         map(tuple, got_stream.collect())
     )
+
+
+def test_streaming_cusum_equals_batch_closed_form(spark):
+    """The O(1)-state streaming CUSUM's drained final state equals the
+    batch closed-form operator's last row per key — the two independent
+    implementations (numpy fold vs prefix-extrema windows) agree."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.changepoint import cusum
+    from timeseriesutils_spark.streaming.windows import (
+        read_events_stream,
+        streaming_cusum,
+    )
+
+    params = dict(target=50.0, threshold=500.0, scale=2)
+    stream = streaming_cusum(read_events_stream(spark, SF_DIR), **params)
+    got = _run_stream_update(spark, stream, "t_scusum")
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc())
+    final = {
+        r.user_id: (r.n, r.cusum_pos, r.cusum_neg, r.alarm)
+        for r in got.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .collect()
+    }
+
+    ev = load_events_batch(spark).select("user_id", "ts", "event_id", "value")
+    b = cusum(ev, "value", "ts", ["user_id"], **params)
+    wl = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    want = {
+        r.user_id: (r.n, r.value_cusum_pos, r.value_cusum_neg, r.value_cusum_alarm)
+        for r in b.withColumn("_rn", F.row_number().over(wl))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("user_id")))
+        .where("_rn = 1")
+        .collect()
+    }
+    assert final == want and len(final) > 0
+
+
+def _run_stream_update(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")

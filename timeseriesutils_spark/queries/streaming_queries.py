@@ -186,3 +186,80 @@ def _sql_stream_static_join():
 QUERIES.update(
     {"stream_static_join": Q(q_stream_static_join, _sql_stream_static_join())}
 )
+
+
+STREAM_CUSUM_PARAMS = dict(target=50.0, threshold=500.0, scale=2)
+
+
+def q_stream_cusum(spark, sf_dir):
+    """Streaming CUSUM changepoint detection on the REAL streaming path
+    (streaming/windows.streaming_cusum, applyInPandasWithState over a
+    file-source readStream, availableNow): per-user O(1) state — the
+    running sum and its prefix extrema, four int64s — folds each
+    micro-batch vectorized; the drained final state is reduced per key
+    (n is monotone across updates) and equals the batch closed-form
+    CUSUM's last row per user, which the SQL oracle checks exactly."""
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from timeseriesutils_spark.streaming.windows import (
+        read_events_stream,
+        streaming_cusum,
+    )
+
+    name = f"q_scusum_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_cusum(
+                read_events_stream(spark, sf_dir), **STREAM_CUSUM_PARAMS
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    upd = spark.sql(f"SELECT * FROM {name}")
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        upd.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n", "cusum_pos", "cusum_neg", "alarm")
+    )
+
+
+def _sql_stream_cusum():
+    mult = 10 ** STREAM_CUSUM_PARAMS["scale"]
+    kq = int(round(STREAM_CUSUM_PARAMS["target"] * mult))
+    hq = int(round(STREAM_CUSUM_PARAMS["threshold"] * mult))
+    return f"""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+    SUM(CAST(FLOOR(value * {mult} + 0.5) AS BIGINT) - {kq}) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM events
+),
+fin AS (
+  SELECT user_id, p,
+    LEAST(CAST(0 AS BIGINT), MIN(p) OVER (PARTITION BY user_id)) AS lo,
+    GREATEST(CAST(0 AS BIGINT), MAX(p) OVER (PARTITION BY user_id)) AS hi,
+    COUNT(*) OVER (PARTITION BY user_id) AS n,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM p
+)
+SELECT user_id, n,
+  CAST(p - lo AS DOUBLE) / {mult} AS cusum_pos,
+  CAST(hi - p AS DOUBLE) / {mult} AS cusum_neg,
+  ((p - lo) > {hq} OR (hi - p) > {hq}) AS alarm
+FROM fin WHERE rn = 1
+"""
+
+
+QUERIES.update({"stream_cusum": Q(q_stream_cusum, _sql_stream_cusum())})

@@ -299,3 +299,78 @@ SELECT e.event_type,
 FROM {table} e JOIN dim d USING (user_id)
 GROUP BY 1, 2
 """
+
+
+def streaming_cusum(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    order_cols: tuple = ("ts", "event_id"),
+    target: float = 0.0,
+    threshold: float = 1.0,
+    scale: int = 2,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming CUSUM changepoint detection via applyInPandasWithState.
+
+    The batch op (operators/changepoint.cusum) computes the recursion
+    closed-form over prefix extrema; the SAME sufficient statistic makes
+    the op streamable with O(1) state per key — (P, min-prefix,
+    max-prefix, n) as four int64s — because
+
+        S+ = P - min(0, min_prefix P),   S- = max(0, max_prefix P) - P
+
+    only ever needs the current running sum and its extrema, never the
+    history.  Each micro-batch folds its (ts-ordered) rows into the
+    state vectorized (numpy cumsum over the batch, one update per key
+    per batch) and emits the key's current statistics.
+
+    Ordering contract: rows are sorted by ``order_cols`` WITHIN a batch;
+    batches are assumed source-ordered (true for file sources /
+    replayable logs).  Out-of-order arrival across batches needs an
+    event-time buffer upstream — the standard caveat for any
+    order-sensitive stateful op.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    mult = 10**scale
+    kq = int(round(target * mult))
+    hq = int(round(threshold * mult))
+    out_schema = (
+        f"{key_col} bigint, n bigint, cusum_pos double, cusum_neg double, "
+        "alarm boolean"
+    )
+    state_schema = "p bigint, lo bigint, hi bigint, n bigint"
+    oc = list(order_cols)
+
+    def fn(key, pdfs, state: GroupState):
+        p, lo, hi, n = state.get if state.exists else (0, 0, 0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(oc)
+            v = pdf[value_col].to_numpy(dtype="float64")
+            q = np.floor(v * mult + 0.5).astype("int64")
+            pref = p + np.cumsum(q - kq)
+            p = int(pref[-1])
+            lo = min(lo, int(pref.min()))
+            hi = max(hi, int(pref.max()))
+            n += len(pdf)
+        state.update((p, lo, hi, n))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "cusum_pos": [(p - lo) / mult],
+                "cusum_neg": [(hi - p) / mult],
+                "alarm": [(p - lo) > hq or (hi - p) > hq],
+            }
+        )
+
+    df = _maybe_watermark(events, ts_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
