@@ -268,3 +268,33 @@ def test_rolling_active_users_bruteforce(spark):
         key = (base + datetime.timedelta(days=e)).strftime("%Y-%m-%d")
         assert got[key] == want, (e, got[key], want)
     assert len(got) == hi - lo + 1
+
+
+def test_funnel_latency_semantics(spark):
+    """First view -> first at-or-after purchase; pre-view purchases are
+    ignored; non-converting users drop out; quantiles are exact."""
+    import datetime
+
+    from timeseriesutils_spark.operators.analytics import funnel_latency
+
+    t0 = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    s = lambda sec: t0 + datetime.timedelta(seconds=sec)
+    rows = [
+        # user 1: view at 0, purchases at -50 (ignored) and 10 -> 10s
+        (1, s(-50), "purchase"), (1, s(0), "view"), (1, s(10), "purchase"),
+        # user 2: view at 0, purchase at 30 -> 30s
+        (2, s(0), "view"), (2, s(5), "view"), (2, s(30), "purchase"),
+        # user 3: view only -> excluded
+        (3, s(0), "view"),
+        # user 4: purchase only -> excluded
+        (4, s(1), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, e, 0.0, "{}") for u, t, e in rows],
+        "user_id long, ts timestamp, event_type string, value double, props string",
+    )
+    got = funnel_latency(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.day == "2024-05-01" and r.n_converted == 2
+    assert r.p50_ms == 20000.0 and r.p75_ms == 25000.0

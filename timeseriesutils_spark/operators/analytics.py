@@ -526,3 +526,81 @@ SELECT CAST(s.day AS VARCHAR) AS day,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active_users
 FROM spine s LEFT JOIN agg a ON s.day = a.day
 """
+
+
+def funnel_latency(
+    events: DataFrame,
+    first_step: str = "view",
+    last_step: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Conversion-latency distribution: per user, the time from first
+    ``first_step`` to the first ``last_step`` at-or-after it, summarized
+    per first-step day as (n_converted, p50, p75) in integer ms.
+
+    Complements funnel_counts (how many convert) with HOW FAST — the
+    product-analytics latency report.  Quantiles are exact
+    ``percentile``/``quantile_cont`` over int64 ms; the probe points are
+    dyadic (0.5, 0.75), so h = q·(n−1) and the lerp are exact dyadic
+    arithmetic on integers — both engines' algebraically-different lerp
+    forms (a+(b−a)f vs a(1−f)+bf) compute the identical double.
+
+    Two per-user min-aggregations + one user-keyed join + one day-level
+    aggregation; everything partial-aggregated, no window over the raw
+    event stream."""
+    v = (
+        events.where(F.col("event_type") == first_step)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_vt"))
+    )
+    p = (
+        events.where(F.col("event_type") == last_step)
+        .join(v, user_col)
+        .where(F.col(ts_col) >= F.col("_vt"))
+        .groupBy(user_col, "_vt")
+        .agg(F.min(ts_col).alias("_pt"))
+    )
+    lat = p.select(
+        F.date_trunc("day", F.col("_vt")).cast("date").cast("string").alias("day"),
+        (
+            F.unix_millis(F.col("_pt").cast("timestamp"))
+            - F.unix_millis(F.col("_vt").cast("timestamp"))
+        ).alias("_ms"),
+    )
+    return lat.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("_ms", 0.5).alias("p50_ms"),
+        F.percentile("_ms", 0.75).alias("p75_ms"),
+    )
+
+
+def funnel_latency_sql(
+    table: str = "events",
+    first_step: str = "view",
+    last_step: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`funnel_latency`."""
+    return f"""
+WITH v AS (
+  SELECT {user_col}, MIN({ts_col}) AS vt FROM {table}
+  WHERE event_type = '{first_step}' GROUP BY 1
+),
+p AS (
+  SELECT e.{user_col}, v.vt, MIN(e.{ts_col}) AS pt
+  FROM {table} e JOIN v ON e.{user_col} = v.{user_col}
+  WHERE e.event_type = '{last_step}' AND e.{ts_col} >= v.vt
+  GROUP BY 1, 2
+),
+lat AS (
+  SELECT CAST(CAST(date_trunc('day', vt) AS DATE) AS VARCHAR) AS day,
+    epoch_ms(pt) - epoch_ms(vt) AS ms
+  FROM p
+)
+SELECT day, COUNT(*) AS n_converted,
+  quantile_cont(ms, 0.5) AS p50_ms,
+  quantile_cont(ms, 0.75) AS p75_ms
+FROM lat GROUP BY day
+"""

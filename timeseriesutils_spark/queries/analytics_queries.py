@@ -208,3 +208,22 @@ def _sql_rolling_active_users():
 QUERIES.update(
     {"rolling_active_users": Q(q_rolling_active_users, _sql_rolling_active_users())}
 )
+
+
+def q_funnel_latency(spark, sf_dir):
+    """Conversion-latency report (analytics.funnel_latency): per
+    first-view day, count + exact p50/p75 ms from first view to first
+    at-or-after purchase -- dyadic probe points keep both engines'
+    quantile lerp exactly equal on int64 ms."""
+    from timeseriesutils_spark.operators.analytics import funnel_latency
+
+    return funnel_latency(load_table(spark, sf_dir, "events"))
+
+
+def _sql_funnel_latency():
+    from timeseriesutils_spark.operators.analytics import funnel_latency_sql
+
+    return funnel_latency_sql()
+
+
+QUERIES.update({"funnel_latency": Q(q_funnel_latency, _sql_funnel_latency())})
