@@ -609,3 +609,109 @@ def ew_volatility_sql_columns(
             f"CASE WHEN {var} IS NOT NULL THEN sqrt(GREATEST({var}, 0.0)) END",
         ),
     ]
+
+
+def rolling_moments(
+    data: DataFrame,
+    column: str,
+    group_columns=None,
+    window_size: int = 30,
+    order_by=None,
+    scale: int = 2,
+) -> DataFrame:
+    """Rolling skewness and excess kurtosis over a trailing rows window
+    (full windows only) — the shape diagnostics beyond rolling_zscore's
+    mean/std: heavy tails and asymmetry of the local distribution.
+
+    Exactness: values quantized to integers (floor(v*10^s + 0.5)), the
+    four power sums (Sx, Sx2, Sx3, Sx4) are exact BIGINTs over the
+    frame, and the standardized moments are one fixed double formula of
+    them (biased/population estimators, the plain moment definitions):
+
+        mean = s1/n;  m2 = s2/n - mean^2
+        m3 = s3/n - 3*mean*(s2/n) + 2*mean^3
+        m4 = s4/n - 4*mean*(s3/n) + 6*mean^2*(s2/n) - 3*mean^4
+        skew = m3 / m2^1.5;   ex_kurt = m4 / m2^2 - 3
+
+    Range guard: |q|^4 * w must stay below 9.2e18 (e.g. |v| <= 50 at
+    scale=2 -> q <= 5000, q^4 = 6.25e14, fine for w <= 1.4e4).
+
+    Emits ``{column}_skew_w{w}`` and ``{column}_kurt_w{w}``; NULL until
+    the window is full or when the window is constant (m2 == 0).
+    """
+    w = make_window(group_columns, order_by)
+    frame = w.rowsBetween(-(window_size - 1), Window.currentRow)
+    q = F.floor(F.col(column) * F.lit(float(10**scale)) + F.lit(0.5)).cast("bigint")
+    tmp = data.select(
+        "*",
+        F.count(q).over(frame).alias("_m_n"),
+        F.sum(q).over(frame).alias("_m_s1"),
+        F.sum(q * q).over(frame).alias("_m_s2"),
+        F.sum(q * q * q).over(frame).alias("_m_s3"),
+        F.sum(q * q * q * q).over(frame).alias("_m_s4"),
+    )
+    n = F.col("_m_n").cast("double")
+    s1 = F.col("_m_s1").cast("double")
+    s2 = F.col("_m_s2").cast("double")
+    s3 = F.col("_m_s3").cast("double")
+    s4 = F.col("_m_s4").cast("double")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    full = F.col("_m_n") >= window_size
+    ok = full & (m2 > 0)
+    skew = F.when(ok, m3 / (m2 * F.sqrt(m2)))
+    kurt = F.when(ok, m4 / (m2 * m2) - F.lit(3.0))
+    return tmp.select(
+        *data.columns,
+        skew.alias(f"{column}_skew_w{window_size}"),
+        kurt.alias(f"{column}_kurt_w{window_size}"),
+    )
+
+
+def rolling_moments_sql_columns(
+    column: str,
+    group_columns,
+    order_by,
+    window_size: int = 30,
+    scale: int = 2,
+) -> list[tuple[str, str]]:
+    """[(name, expr)] DuckDB twin of :func:`rolling_moments` — identical
+    quantization, BIGINT power sums, and double formula shapes."""
+    over = (
+        f"(PARTITION BY {', '.join(_as_list(group_columns))} "
+        f"ORDER BY {', '.join(_as_list(order_by))} "
+        f"ROWS BETWEEN {window_size - 1} PRECEDING AND CURRENT ROW)"
+    )
+    q = f"CAST(FLOOR({column} * {float(10 ** scale)!r} + 0.5) AS BIGINT)"
+    cnt = f"COUNT({q}) OVER {over}"
+    n = f"CAST({cnt} AS DOUBLE)"
+    s1 = f"CAST(SUM({q}) OVER {over} AS DOUBLE)"
+    s2 = f"CAST(SUM(({q}) * ({q})) OVER {over} AS DOUBLE)"
+    s3 = f"CAST(SUM(({q}) * ({q}) * ({q})) OVER {over} AS DOUBLE)"
+    s4 = f"CAST(SUM(({q}) * ({q}) * ({q}) * ({q})) OVER {over} AS DOUBLE)"
+    mean = f"({s1} / {n})"
+    m2 = f"({s2} / {n} - {mean} * {mean})"
+    m3 = f"({s3} / {n} - 3.0 * {mean} * ({s2} / {n}) + 2.0 * {mean} * {mean} * {mean})"
+    m4 = (
+        f"({s4} / {n} - 4.0 * {mean} * ({s3} / {n}) "
+        f"+ 6.0 * {mean} * {mean} * ({s2} / {n}) "
+        f"- 3.0 * {mean} * {mean} * {mean} * {mean})"
+    )
+    ok = f"{cnt} >= {window_size} AND {m2} > 0"
+    return [
+        (
+            f"{column}_skew_w{window_size}",
+            f"CASE WHEN {ok} THEN {m3} / ({m2} * SQRT({m2})) END",
+        ),
+        (
+            f"{column}_kurt_w{window_size}",
+            f"CASE WHEN {ok} THEN {m4} / ({m2} * {m2}) - 3.0 END",
+        ),
+    ]

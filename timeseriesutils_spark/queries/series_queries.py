@@ -12,6 +12,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from timeseriesutils_spark.functions.exact import dsum, dsum_sql
+from timeseriesutils_spark.operators.acf import (
+    acf_features,
+    acf_features_sql,
+    lead_lag_corr,
+    lead_lag_corr_sql,
+)
 from timeseriesutils_spark.operators.changepoint import cusum, cusum_sql
 from timeseriesutils_spark.operators.series_math import (
     diff,
@@ -22,6 +28,8 @@ from timeseriesutils_spark.operators.series_math import (
     pct_change,
     rolling_mad,
     rolling_mad_sql,
+    rolling_moments,
+    rolling_moments_sql_columns,
     rolling_quantile,
     rolling_quantile_sql_column,
     rolling_zscore,
@@ -302,6 +310,115 @@ def q_scd2_history(spark, sf_dir):
     return scd2_history(load_table(spark, sf_dir, "events"))
 
 
+MOMENTS_PARAMS = dict(window_size=15, scale=2)
+
+
+def q_rolling_moments(spark, sf_dir):
+    """Rolling skewness + excess kurtosis (series_math.rolling_moments)
+    of l_quantity per supplier, trailing w=15 — local distribution shape
+    beyond mean/std: exact BIGINT power sums Sx..Sx^4, one double
+    formula, full windows only."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+    out = rolling_moments(
+        li, "l_quantity", ["l_suppkey"], order_by=LI_ORDER, **MOMENTS_PARAMS
+    )
+    return out.drop("l_shipdate")
+
+
+def _sql_rolling_moments():
+    cols = rolling_moments_sql_columns(
+        "l_quantity", ["l_suppkey"], LI_ORDER_SQL.split(", "), **MOMENTS_PARAMS
+    )
+    sel = ",\n  ".join(f"{expr} AS {name}" for name, expr in cols)
+    return (
+        "SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, l_quantity,\n  "
+        f"{sel}\nFROM lineitem"
+    )
+
+
+ACF_PARAMS = dict(max_lag=7, scale=0, min_pairs=2)
+
+
+def q_acf(spark, sf_dir):
+    """Whole-series autocorrelation features (operators/acf.acf_features)
+    on the per-supplier daily price series: ACF at lags 1..7 with the
+    running Ljung-Box Q — is each supplier's shipping-value series
+    self-correlated or white noise?  One exchange (window + groupBy share
+    the supplier partitioning), 7 rows out per supplier."""
+    return acf_features(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"], **ACF_PARAMS
+    )
+
+
+def _sql_acf():
+    return acf_features_sql(
+        f"({_SQL_DAILY})", "day_price", ["l_suppkey"], ["ship_day"], **ACF_PARAMS
+    )
+
+
+def _daily_pq(spark, sf_dir):
+    """Per-(supplier, ship day) exact daily price and quantity sums —
+    the two-signal variant of _daily for cross-correlation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_suppkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("ship_day"),
+            "l_extendedprice",
+            "l_quantity",
+        )
+        .repartition("l_suppkey")
+        .groupBy("l_suppkey", "ship_day")
+        .agg(
+            dsum("l_extendedprice").alias("day_price"),
+            dsum("l_quantity").alias("day_qty"),
+        )
+    )
+
+
+_SQL_DAILY_PQ = f"""
+  SELECT l_suppkey,
+    CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day,
+    {dsum_sql('l_extendedprice')} AS day_price,
+    {dsum_sql('l_quantity')} AS day_qty
+  FROM lineitem GROUP BY 1, 2
+"""
+
+LEADLAG_PARAMS = dict(max_shift=5, scale_x=0, scale_y=2, min_pairs=8)
+
+
+def q_lead_lag(spark, sf_dir):
+    """Lead-lag cross-correlation scan (operators/acf.lead_lag_corr)
+    between daily price and daily quantity per supplier: Pearson at
+    shifts -5..+5 with the best shift flagged — does value lead volume
+    or vice versa?  Exact BIGINT pair sums, deterministic tie-breaks."""
+    return lead_lag_corr(
+        _daily_pq(spark, sf_dir),
+        "day_price",
+        "day_qty",
+        ["l_suppkey"],
+        ["ship_day"],
+        **LEADLAG_PARAMS,
+    )
+
+
+def _sql_lead_lag():
+    return lead_lag_corr_sql(
+        f"({_SQL_DAILY_PQ})",
+        "day_price",
+        "day_qty",
+        ["l_suppkey"],
+        ["ship_day"],
+        **LEADLAG_PARAMS,
+    )
+
+
 CUSUM_PARAMS = dict(target=50_000.0, threshold=500_000.0, scale=2)
 
 
@@ -331,6 +448,9 @@ QUERIES = {
     "rolling_zscore": Q(q_rolling_zscore, _sql_rolling_zscore()),
     "rolling_median": Q(q_rolling_median, _sql_rolling_median()),
     "rolling_mad": Q(q_rolling_mad, _sql_rolling_mad()),
+    "rolling_moments": Q(q_rolling_moments, _sql_rolling_moments()),
+    "acf_features": Q(q_acf, _sql_acf()),
+    "lead_lag_corr": Q(q_lead_lag, _sql_lead_lag()),
     "sessionize": Q(q_sessionize, session_stats_sql(gap_minutes=30)),
     "scd2_history": Q(q_scd2_history, scd2_history_sql()),
 }
