@@ -1,0 +1,92 @@
+"""Unit tests for the round-4 audit/flow operators: seasonal_zscore,
+event_transitions, fk_audit, benford_audit."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.analytics import event_transitions
+from timeseriesutils_spark.operators.forecast import seasonal_zscore
+from timeseriesutils_spark.operators.profile import benford_audit, fk_audit
+
+
+def test_seasonal_zscore_strata(spark):
+    # Mondays (2024-01-01/08/15/22/29) valued ~100, one outlier 200;
+    # stratum mean/std computed within Mondays only
+    rows = [
+        ("g", "2024-01-01", 100.0),
+        ("g", "2024-01-08", 102.0),
+        ("g", "2024-01-15", 98.0),
+        ("g", "2024-01-22", 100.0),
+        ("g", "2024-01-29", 200.0),
+        # Tuesdays: constant -> zero variance -> NULL z
+        ("g", "2024-01-02", 7.0),
+        ("g", "2024-01-09", 7.0),
+        ("g", "2024-01-16", 7.0),
+        ("g", "2024-01-23", 7.0),
+        ("g", "2024-01-30", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, d string, v double")
+    out = seasonal_zscore(df, "v", "d", ["g"], threshold=1.5, scale=0, min_n=5)
+    got = {(r.d): r for r in out.collect()}
+    assert all(got[d].isodow == 1 for d in ("2024-01-01", "2024-01-29"))
+    # Monday stratum: q = [100,102,98,100,200], mean=120, var=1600.8
+    q = [100, 102, 98, 100, 200]
+    mean = sum(q) / 5
+    var = sum(x * x for x in q) / 5 - mean * mean
+    expect = (200 - mean) / math.sqrt(var)
+    assert got["2024-01-29"].seasonal_z == pytest.approx(expect, rel=1e-12)
+    assert got["2024-01-29"].is_seasonal_anomaly is True
+    assert got["2024-01-01"].is_seasonal_anomaly is False
+    # zero-variance stratum -> NULLs
+    assert got["2024-01-02"].seasonal_z is None
+    assert got["2024-01-02"].is_seasonal_anomaly is None
+
+
+def test_event_transitions_counts_probs(spark):
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),   # a->b, b->a
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "b"),   # a->b, b->b
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
+    df = df.withColumn("ts", F.col("event_id").cast("timestamp"))
+    out = {(r.from_type, r.to_type): r for r in event_transitions(df).collect()}
+    assert out[("a", "b")].n_transitions == 2
+    assert out[("a", "b")].prob == 1.0
+    assert out[("b", "a")].n_transitions == 1
+    assert out[("b", "a")].prob == 0.5
+    assert out[("b", "b")].prob == 0.5
+    assert ("a", "a") not in out
+
+
+def test_fk_audit_orphans_and_nulls(spark):
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    out = fk_audit([("c->p", child, "fk", parent, "pk")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.edge == "c->p"
+    assert r.child_rows == 5
+    assert r.distinct_keys == 3          # 1, 2, 99 (NULL excluded)
+    assert r.null_keys == 1
+    assert r.orphan_rows == 1            # 99
+
+
+def test_benford_digit_extraction(spark):
+    # values whose first significant digits are known after scale=0
+    # quantization; includes a log10-boundary value (1000.0)
+    vals = [1000.0, 999.4, 123.0, 0.0, -5.0, 2.0, 25.0, 2500.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r.digit: r for r in benford_audit(df, "v", scale=0).collect()}
+    # positive values only: 1000->1, 999->9, 123->1, 2->2, 25->2, 2500->2
+    assert out[1].n_obs == 2
+    assert out[9].n_obs == 1
+    assert out[2].n_obs == 3
+    total = 6.0
+    assert out[2].obs_frac == pytest.approx(3 / total)
+    assert out[1].benford_frac == pytest.approx(math.log10(2.0), rel=1e-15)
+    chi = total * (3 / total - math.log10(1.5)) ** 2 / math.log10(1.5)
+    assert out[2].chi2_term == pytest.approx(chi, rel=1e-12)

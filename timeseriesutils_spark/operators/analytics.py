@@ -604,3 +604,67 @@ SELECT day, COUNT(*) AS n_converted,
   quantile_cont(ms, 0.75) AS p75_ms
 FROM lat GROUP BY day
 """
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_break: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered (from_type → to_type) pair of
+    *consecutive* events of the same user, the transition count and the
+    row-normalized probability P(to | from) — the behavioral-flow
+    summary behind funnel design and next-event prediction.
+
+    Pipeline: one LEAD over (user ORDER BY ts, tie_break) pairs each
+    event with its successor (sequence ends drop out), then a
+    map-combinable groupBy (from, to).  The row normalization divides
+    by a whole-partition window sum over the tiny |types|² matrix — no
+    second scan.  Counts are exact BIGINTs; the probability is one
+    deterministic double division.
+
+    Scale shape: one hash exchange on user for the window, one on
+    (from, to) for the count — both shuffle only (user, type, ts)-width
+    rows; the matrix itself is |types|² rows, trivially small.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_break)
+    nxt = F.lead(type_col).over(w)
+    pairs = events.select(
+        F.col(type_col).alias("from_type"), nxt.alias("to_type")
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_tot = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    prob = F.col("n_transitions").cast("double") / row_tot.cast("double")
+    return counts.select(
+        "from_type", "to_type", "n_transitions", prob.alias("prob")
+    )
+
+
+def event_transitions_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_break: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`event_transitions`."""
+    return f"""
+WITH pairs AS (
+  SELECT {type_col} AS from_type,
+    LEAD({type_col}) OVER (PARTITION BY {user_col} ORDER BY {ts_col}, {tie_break}) AS to_type
+  FROM {table}
+), counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+  CAST(n_transitions AS DOUBLE) /
+    CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+FROM counts
+"""

@@ -390,6 +390,107 @@ FROM per_dow
 """
 
 
+def seasonal_zscore(
+    data: DataFrame,
+    column: str,
+    date_col: str,
+    group_columns,
+    threshold: float = 3.0,
+    scale: int = 2,
+    min_n: int = 5,
+) -> DataFrame:
+    """Seasonal-adjusted anomaly score: each observation standardized
+    against its own (group, ISO weekday) stratum — "is this Monday
+    unusual *for Mondays*" — the anomaly detector that survives strong
+    weekly seasonality where a plain rolling z-score alarms every
+    weekend (the reference's epi-reporting domain: seasonal_profile's
+    scoring counterpart).
+
+    Exactness: values quantized to BIGINT (floor(v·10^s + 0.5)); the
+    stratum count / sum / sum-of-squares come from ONE whole-partition
+    window over (group, isodow) — no join back, no second scan — and
+    the population z is a fixed double formula of those exact integers:
+
+        mean = s1/n;  var = s2/n − mean²;  z = (q − mean)/√var
+
+    NULL where the stratum has < min_n points or zero variance.
+    Range guard: n·(|v|·10^s)² < 9.2e18.
+
+    Scale shape: a single hash exchange on (group, isodow) — the window
+    needs no ordering (whole-partition frame), so there is no sort at
+    all; everything stays in whole-stage codegen.
+    """
+    g = _as_list(group_columns)
+    dow = (F.weekday(F.col(date_col).cast("date")) + F.lit(1)).cast("int")
+    q = F.floor(F.col(column) * F.lit(float(10**scale)) + F.lit(0.5)).cast("bigint")
+    base = data.select("*", dow.alias("isodow"), q.alias("_sz_q"))
+    w = Window.partitionBy(*g, "isodow")
+    tmp = base.select(
+        "*",
+        F.count("_sz_q").over(w).alias("_sz_n"),
+        F.sum("_sz_q").over(w).alias("_sz_s1"),
+        F.sum(F.col("_sz_q") * F.col("_sz_q")).over(w).alias("_sz_s2"),
+    )
+    n = F.col("_sz_n").cast("double")
+    s1 = F.col("_sz_s1").cast("double")
+    s2 = F.col("_sz_s2").cast("double")
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    z = F.when(
+        (F.col("_sz_n") >= min_n) & (var > 0),
+        (F.col("_sz_q").cast("double") - mean) / F.sqrt(var),
+    )
+    out_cols = [c for c in data.columns]
+    return tmp.select(
+        *out_cols,
+        "isodow",
+        z.alias("seasonal_z"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(float(threshold))).alias(
+            "is_seasonal_anomaly"
+        ),
+    )
+
+
+def seasonal_zscore_sql(
+    table: str,
+    select_cols: str,
+    column: str,
+    date_col: str,
+    group_columns,
+    threshold: float = 3.0,
+    scale: int = 2,
+    min_n: int = 5,
+) -> str:
+    """DuckDB twin of :func:`seasonal_zscore` — same quantization,
+    whole-partition window sums, and double formula shapes."""
+    g = ", ".join(_as_list(group_columns))
+    over = f"(PARTITION BY {g}, isodow)"
+    q = "_sz_q"
+    cnt = f"COUNT({q}) OVER {over}"
+    n = f"CAST({cnt} AS DOUBLE)"
+    s1 = f"CAST(SUM({q}) OVER {over} AS DOUBLE)"
+    s2 = f"CAST(SUM({q} * {q}) OVER {over} AS DOUBLE)"
+    mean = f"({s1} / {n})"
+    var = f"({s2} / {n} - {mean} * {mean})"
+    z = (
+        f"CASE WHEN {cnt} >= {min_n} AND {var} > 0 "
+        f"THEN (CAST({q} AS DOUBLE) - {mean}) / SQRT({var}) END"
+    )
+    return f"""
+WITH base AS (
+  SELECT {select_cols},
+    CAST(isodow(CAST({date_col} AS DATE)) AS INT) AS isodow,
+    CAST(FLOOR({column} * {float(10 ** scale)!r} + 0.5) AS BIGINT) AS _sz_q
+  FROM {table}
+)
+SELECT {select_cols}, isodow,
+  {z} AS seasonal_z,
+  CASE WHEN ({z}) IS NOT NULL THEN ABS({z}) > {float(threshold)!r} END
+    AS is_seasonal_anomaly
+FROM base
+"""
+
+
 def rolling_origin_folds(
     data: DataFrame,
     time_col: str,

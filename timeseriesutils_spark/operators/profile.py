@@ -18,10 +18,11 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseriesutils_spark.functions.exact import davg, davg_sql
+from timeseriesutils_spark.operators.window_features import _as_list
 
 _NUMERIC_KINDS = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
 
@@ -130,4 +131,146 @@ SELECT CAST(length(bin(_c)) - 1 AS INT) AS freq_bucket,
   CAST(SUM(_c) AS BIGINT) AS {count_col_alias},
   MAX(_c) AS max_key_rows
 FROM per_key GROUP BY 1
+"""
+
+
+def fk_audit(edges) -> DataFrame:
+    """Cross-table referential-integrity audit: for each declared
+    foreign-key edge (child.fk → parent.pk), the child row count,
+    distinct/NULL key counts, and the number of *orphan* rows whose fk
+    has no parent — the first data-quality gate any warehouse load runs
+    before downstream joins silently drop rows.
+
+    ``edges`` = list of (name, child_df, fk_col, parent_df, pk_col).
+
+    Shape per edge: left join child → distinct parent keys, then ONE
+    map-combinable global aggregate (conditional counts) — no
+    count-distinct shuffle on the fact side beyond the join itself.
+    Parent key sets are deduplicated first (primary keys are unique
+    anyway; dedup keeps the audit honest if they are not) and joined
+    without a broadcast hint — Catalyst/AQE picks broadcast when the
+    parent fits, shuffle join when it doesn't (100 TB: a big dim still
+    audits).  Edges union into one |edges|-row report.
+    """
+    from functools import reduce
+
+    outs = []
+    for name, child, fk_col, parent, pk_col in edges:
+        pk = parent.select(F.col(pk_col).alias("_pk")).distinct()
+        j = child.select(F.col(fk_col).alias("_fk")).join(
+            pk, F.col("_fk") == F.col("_pk"), "left"
+        )
+        outs.append(
+            j.agg(
+                F.lit(name).alias("edge"),
+                F.count(F.lit(1)).alias("child_rows"),
+                F.countDistinct("_fk").alias("distinct_keys"),
+                F.count(F.when(F.col("_fk").isNull(), F.lit(1))).alias("null_keys"),
+                F.count(
+                    F.when(F.col("_fk").isNotNull() & F.col("_pk").isNull(), F.lit(1))
+                ).alias("orphan_rows"),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)
+
+
+def fk_audit_sql(edges) -> str:
+    """DuckDB twin of :func:`fk_audit`; ``edges`` = list of
+    (name, child_table, fk_col, parent_table, pk_col)."""
+    parts = []
+    for name, child, fk_col, parent, pk_col in edges:
+        parts.append(
+            f"""
+SELECT '{name}' AS edge,
+  COUNT(*) AS child_rows,
+  COUNT(DISTINCT c._fk) AS distinct_keys,
+  COUNT(CASE WHEN c._fk IS NULL THEN 1 END) AS null_keys,
+  COUNT(CASE WHEN c._fk IS NOT NULL AND p._pk IS NULL THEN 1 END) AS orphan_rows
+FROM (SELECT {fk_col} AS _fk FROM {child}) c
+LEFT JOIN (SELECT DISTINCT {pk_col} AS _pk FROM {parent}) p ON c._fk = p._pk"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def benford_audit(
+    data: DataFrame,
+    column: str,
+    group_columns=None,
+    scale: int = 2,
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive measure: per
+    (group, leading digit 1..9) the observed count, observed fraction,
+    Benford's expected fraction log10(1 + 1/d), and the χ² contribution
+    (n·(obs_frac − exp_frac)²/exp_frac) — the classic fabricated-data /
+    unit-mixing screen for financial measures.
+
+    Digit extraction is integer-exact and engine-portable: quantize to
+    BIGINT (floor(v·10^s + 0.5)), render as a digit string, take the
+    first character — no log10 boundary hazard (log10(1000) rounding
+    differs across libm builds; string length of an integer does not).
+    Non-positive and NULL values are excluded.  Expected fractions are
+    Python-literal doubles, identical in both expression trees.
+
+    One map-combinable aggregate to (group, digit) ≤ 9·|groups| rows.
+    """
+    import math
+
+    g = _as_list(group_columns)
+    q = F.floor(F.col(column) * F.lit(float(10**scale)) + F.lit(0.5)).cast("bigint")
+    digit = F.substring(q.cast("string"), 1, 1).cast("int")
+    base = data.select(*g, q.alias("_q"), digit.alias("digit")).filter(
+        F.col("_q") > 0
+    )
+    counts = base.groupBy(*g, "digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = F.sum("n_obs").over(Window.partitionBy(*g))
+    obs = F.col("n_obs").cast("double") / tot.cast("double")
+    exp_expr = None
+    for d in range(1, 10):
+        p = math.log10(1.0 + 1.0 / d)
+        e = F.when(F.col("digit") == d, F.lit(p))
+        exp_expr = e if exp_expr is None else F.coalesce(exp_expr, F.when(F.col("digit") == d, F.lit(p)))
+    chi2 = tot.cast("double") * (obs - exp_expr) * (obs - exp_expr) / exp_expr
+    return counts.select(
+        *g,
+        "digit",
+        "n_obs",
+        obs.alias("obs_frac"),
+        exp_expr.alias("benford_frac"),
+        chi2.alias("chi2_term"),
+    )
+
+
+def benford_audit_sql(
+    table: str,
+    column: str,
+    group_columns=None,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`benford_audit`."""
+    import math
+
+    g = _as_list(group_columns)
+    gsel = (", ".join(g) + ", ") if g else ""
+    part = f"PARTITION BY {', '.join(g)}" if g else ""
+    q = f"CAST(FLOOR({column} * {float(10 ** scale)!r} + 0.5) AS BIGINT)"
+    cases = " ".join(
+        f"WHEN digit = {d} THEN CAST('{math.log10(1.0 + 1.0 / d)!r}' AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    exp = f"(CASE {cases} END)"
+    tot = f"CAST(SUM(n_obs) OVER ({part}) AS DOUBLE)"
+    obs = f"(CAST(n_obs AS DOUBLE) / {tot})"
+    chi2 = f"{tot} * ({obs} - {exp}) * ({obs} - {exp}) / {exp}"
+    return f"""
+WITH base AS (
+  SELECT {gsel}CAST(substr(CAST(_q AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM (SELECT {gsel}{q} AS _q FROM {table}) WHERE _q > 0
+), counts AS (
+  SELECT {gsel}digit, COUNT(*) AS n_obs FROM base GROUP BY {gsel}digit
+)
+SELECT {gsel}digit, n_obs,
+  {obs} AS obs_frac,
+  {exp} AS benford_frac,
+  {chi2} AS chi2_term
+FROM counts
 """

@@ -227,3 +227,21 @@ def _sql_funnel_latency():
 
 
 QUERIES.update({"funnel_latency": Q(q_funnel_latency, _sql_funnel_latency())})
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (analytics.event_transitions)
+    over per-user event sequences: count + P(to|from) for every
+    consecutive event-type pair — the behavioral-flow summary."""
+    from timeseriesutils_spark.operators.analytics import event_transitions
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def _sql_event_transitions():
+    from timeseriesutils_spark.operators.analytics import event_transitions_sql
+
+    return event_transitions_sql("events")
+
+
+QUERIES.update({"event_transitions": Q(q_event_transitions, _sql_event_transitions())})

@@ -343,3 +343,94 @@ def _sql_backtest_folds():
 
 
 QUERIES.update({"backtest_folds": Q(q_backtest_folds, _sql_backtest_folds())})
+
+
+SEASONAL_Z_PARAMS = dict(threshold=2.5, scale=2, min_n=5)
+_SZ_COLS = "l_orderkey, l_linenumber, l_returnflag, l_shipdate, l_extendedprice"
+
+
+def q_seasonal_zscore(spark, sf_dir):
+    """Seasonal-adjusted anomaly scoring (forecast.seasonal_zscore):
+    each lineitem price standardized against its (returnflag, weekday)
+    stratum — the seasonality-robust counterpart of rolling_zscore;
+    exact BIGINT stratum sums via one whole-partition window, no join."""
+    from timeseriesutils_spark.operators.forecast import seasonal_zscore
+
+    li = _li(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_extendedprice"
+    )
+    out = seasonal_zscore(
+        li, "l_extendedprice", "l_shipdate", ["l_returnflag"], **SEASONAL_Z_PARAMS
+    )
+    return out.drop("l_shipdate")
+
+
+def _sql_seasonal_zscore():
+    from timeseriesutils_spark.operators.forecast import seasonal_zscore_sql
+
+    sql = seasonal_zscore_sql(
+        "lineitem", _SZ_COLS, "l_extendedprice", "l_shipdate",
+        ["l_returnflag"], **SEASONAL_Z_PARAMS
+    )
+    # outer projection drops the date column, mirroring the Spark side
+    return (
+        "SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, "
+        f"isodow, seasonal_z, is_seasonal_anomaly FROM ({sql})"
+    )
+
+
+QUERIES.update({"seasonal_zscore": Q(q_seasonal_zscore, _sql_seasonal_zscore())})
+
+
+_FK_EDGES_SQL = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_fk_audit(spark, sf_dir):
+    """Referential-integrity audit (profile.fk_audit) across every
+    foreign-key edge of the warehouse schema: child/distinct/NULL/orphan
+    counts per edge — the pre-join data-quality gate."""
+    from timeseriesutils_spark.operators.profile import fk_audit
+
+    edges = [
+        (name, load_table(spark, sf_dir, child), fk, load_table(spark, sf_dir, parent), pk)
+        for name, child, fk, parent, pk in _FK_EDGES_SQL
+    ]
+    return fk_audit(edges)
+
+
+def _sql_fk_audit():
+    from timeseriesutils_spark.operators.profile import fk_audit_sql
+
+    return fk_audit_sql(_FK_EDGES_SQL)
+
+
+QUERIES.update({"fk_audit": Q(q_fk_audit, _sql_fk_audit())})
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit (profile.benford_audit) of
+    l_extendedprice per returnflag: observed vs expected leading-digit
+    fractions with chi-square contributions — integer-exact digit
+    extraction, no log10 boundary hazard."""
+    from timeseriesutils_spark.operators.profile import benford_audit
+
+    return benford_audit(
+        _li(spark, sf_dir), "l_extendedprice", ["l_returnflag"], scale=2
+    )
+
+
+def _sql_benford_audit():
+    from timeseriesutils_spark.operators.profile import benford_audit_sql
+
+    return benford_audit_sql("lineitem", "l_extendedprice", ["l_returnflag"], scale=2)
+
+
+QUERIES.update({"benford_audit": Q(q_benford_audit, _sql_benford_audit())})
