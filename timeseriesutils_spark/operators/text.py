@@ -755,3 +755,213 @@ SELECT pair, score,
   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, pair) AS INT) AS rank
 FROM sc QUALIFY rank <= {top_k}
 """
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    max_postings: int = 10,
+) -> DataFrame:
+    """Capped inverted index: one row per retained word with its
+    document frequency, total term frequency, and a bounded posting
+    list "doc:tf,doc:tf,..." of the top ``max_postings`` documents by
+    (tf DESC, doc_id ASC) — the search-infrastructure primitive behind
+    BM25/keyword retrieval, materialized as a table.
+
+    Scale shape (the part that matters at 100 TB): per-word posting
+    lists are rank-FILTERED before any list is materialized — a
+    row_number window over (word ORDER BY tf DESC, doc) keeps ≤
+    ``max_postings`` rows per word, so no collect_list ever holds a
+    stopword's full million-document posting set.  df / total_tf are
+    whole-partition window aggregates over the same single (word)
+    exchange; the final groupBy reuses that partitioning (no second
+    shuffle).  Posting lists serialize to strings because the driver
+    canonicalizer compares scalar cells.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.col(id_col).alias("_d"), F.explode(words(F.col(text_col))).alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy("_w", "_d")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    part = Window.partitionBy("_w")
+    ranked = tf.select(
+        "_w",
+        "_d",
+        "_tf",
+        F.count(F.lit(1)).over(part).alias("_df"),
+        F.sum("_tf").over(part).alias("_ttf"),
+        F.row_number()
+        .over(part.orderBy(F.col("_tf").desc(), F.col("_d").asc()))
+        .alias("_rn"),
+    ).filter((F.col("_rn") <= max_postings) & (F.col("_df") >= min_df))
+    entries = F.array_sort(
+        F.collect_list(F.struct(F.col("_rn"), F.col("_d"), F.col("_tf")))
+    )
+    postings = F.array_join(
+        F.transform(
+            entries,
+            lambda e: F.concat(
+                e["_d"].cast("string"), F.lit(":"), e["_tf"].cast("string")
+            ),
+        ),
+        ",",
+    )
+    return (
+        ranked.groupBy("_w")
+        .agg(
+            F.first("_df").alias("df"),
+            F.first("_ttf").alias("total_tf"),
+            postings.alias("postings"),
+        )
+        .select(F.col("_w").alias("word"), "df", "total_tf", "postings")
+    )
+
+
+def inverted_index_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    max_postings: int = 10,
+) -> str:
+    """DuckDB twin of :func:`inverted_index`."""
+    w = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    return f"""
+WITH ex AS (
+  SELECT {id_col} AS d, unnest({w}) AS w FROM {table}
+), tf AS (
+  SELECT w, d, COUNT(*) AS tf FROM ex WHERE w <> '' GROUP BY w, d
+), ranked AS (
+  SELECT w, d, tf,
+    COUNT(*) OVER (PARTITION BY w) AS df,
+    SUM(tf) OVER (PARTITION BY w) AS ttf,
+    ROW_NUMBER() OVER (PARTITION BY w ORDER BY tf DESC, d ASC) AS rn
+  FROM tf
+)
+SELECT w AS word, ANY_VALUE(df) AS df, CAST(ANY_VALUE(ttf) AS BIGINT) AS total_tf,
+  array_to_string(
+    list(CONCAT(CAST(d AS VARCHAR), ':', CAST(tf AS VARCHAR)) ORDER BY rn), ','
+  ) AS postings
+FROM ranked
+WHERE rn <= {max_postings} AND df >= {min_df}
+GROUP BY w
+"""
+
+
+def pmi_cooccur(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation extraction: pointwise mutual information of adjacent
+    word pairs (bigrams) across the corpus,
+
+        pmi(x,y) = ln( (c_xy/N_pair) / ((c_x/N_uni)·(c_y/N_uni)) )
+
+    keeping pairs seen ≥ ``min_count`` times, top ``top_k`` by
+    (pmi DESC, pair) with a deterministic rank — the "new york" /
+    "machine learning" detector used to build phrase vocabularies.
+
+    The bigram enumeration is ROW-LOCAL on the Spark side (zip of the
+    token array with its tail — no window, no per-doc shuffle); the
+    corpus-level pair/unigram counts are two map-combinable aggregates.
+    ln() may differ by 1 ulp across libm builds, so the final PMI is
+    floor-quantized to 1e-6 (the tf_idf discipline) — identical in the
+    twin.  Count frames fork the token scan, so the exploded unigram
+    relation is pinned.
+    """
+    toks = words(F.col(text_col))
+    base = pin(
+        docs.select(F.col(id_col).alias("_d"), toks.alias("_t")).select(
+            "_d", F.filter(F.col("_t"), lambda x: x != "").alias("_t")
+        )
+    )
+    uni = base.select(F.explode("_t").alias("w"))
+    n_uni = uni.agg(F.count(F.lit(1)).cast("double").alias("_nu"))
+    cx = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = F.size("_t")
+    pairs = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(F.col("_t"), 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cxy = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    n_pair = pairs.agg(F.count(F.lit(1)).cast("double").alias("_np"))
+    scored = (
+        cxy.filter(F.col("c_xy") >= min_count)
+        .crossJoin(F.broadcast(n_pair))
+        .crossJoin(F.broadcast(n_uni))
+        .join(cx.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(cx.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+    )
+    pmi_raw = F.log(
+        (F.col("c_xy").cast("double") / F.col("_np"))
+        / (
+            (F.col("c_x").cast("double") / F.col("_nu"))
+            * (F.col("c_y").cast("double") / F.col("_nu"))
+        )
+    )
+    pmi = F.floor(pmi_raw * 1e6 + 0.5) / 1e6
+    from pyspark.sql import Window
+
+    ranked = scored.select(
+        "w1", "w2", "c_xy", pmi.alias("pmi")
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2")))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= top_k)
+
+
+def pmi_cooccur_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`pmi_cooccur` (window-LEAD bigram
+    enumeration — structurally different, same multiset of pairs)."""
+    w = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    return f"""
+WITH ex AS (
+  SELECT d, w, pos FROM (
+    SELECT {id_col} AS d, unnest({w}) AS w,
+      generate_subscripts({w}, 1) AS pos
+    FROM {table}
+  ) WHERE w <> ''
+), uni AS (
+  SELECT w, COUNT(*) AS c FROM ex GROUP BY w
+), nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ex),
+pairs AS (
+  SELECT w AS w1, LEAD(w) OVER (PARTITION BY d ORDER BY pos) AS w2 FROM ex
+), cxy AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM pairs WHERE w2 IS NOT NULL GROUP BY w1, w2
+), np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pairs WHERE w2 IS NOT NULL),
+scored AS (
+  SELECT c.w1, c.w2, c.c_xy,
+    FLOOR(ln((CAST(c.c_xy AS DOUBLE) / (SELECT n FROM np)) /
+      ((CAST(x.c AS DOUBLE) / (SELECT n FROM nu)) *
+       (CAST(y.c AS DOUBLE) / (SELECT n FROM nu)))) * 1e6 + 0.5) / 1e6 AS pmi
+  FROM cxy c
+  JOIN uni x ON c.w1 = x.w
+  JOIN uni y ON c.w2 = y.w
+  WHERE c.c_xy >= {min_count}
+)
+SELECT w1, w2, c_xy, pmi,
+  CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank
+FROM scored QUALIFY rank <= {top_k}
+"""

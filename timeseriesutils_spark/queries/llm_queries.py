@@ -1153,3 +1153,39 @@ def _sql_dup_spans():
 
 
 QUERIES.update({"dup_spans": Q(q_dup_spans, _sql_dup_spans())})
+
+
+def q_inverted_index(spark, sf_dir):
+    """Capped inverted index (text.inverted_index): per word df /
+    total_tf / top-10 "doc:tf" posting string, rank-filtered BEFORE
+    list materialization so stopword postings stay bounded."""
+    from timeseriesutils_spark.operators.text import inverted_index
+
+    return inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_inverted_index():
+    from timeseriesutils_spark.operators.text import inverted_index_sql
+
+    return inverted_index_sql("documents")
+
+
+QUERIES.update({"inverted_index": Q(q_inverted_index, _sql_inverted_index())})
+
+
+def q_pmi_cooccur(spark, sf_dir):
+    """Collocation extraction (text.pmi_cooccur): top adjacent word
+    pairs by quantized PMI — row-local bigram zip, two map-combinable
+    count aggregates, broadcast totals."""
+    from timeseriesutils_spark.operators.text import pmi_cooccur
+
+    return pmi_cooccur(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_pmi_cooccur():
+    from timeseriesutils_spark.operators.text import pmi_cooccur_sql
+
+    return pmi_cooccur_sql("documents")
+
+
+QUERIES.update({"pmi_cooccur": Q(q_pmi_cooccur, _sql_pmi_cooccur())})
