@@ -668,3 +668,116 @@ SELECT from_type, to_type, n_transitions,
     CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
 FROM counts
 """
+
+
+def ab_test_report(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    exposure_type: str = "view",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Two-variant A/B conversion report: users are deterministically
+    assigned to arms by md5-bucket parity of their user id (the
+    splits.hash_bucket convention — stable across engines and runs),
+    exposure = any ``exposure_type`` event, conversion = any
+    ``conversion_type`` event among exposed users.  One summary row:
+    per-arm exposed/converted counts and rates, absolute lift
+    (B − A), and the two-proportion pooled z statistic
+
+        z = (p_b − p_a) / sqrt( p·(1−p) · (1/n_a + 1/n_b) )
+
+    with p the pooled conversion rate.  Counts are exact; rates/z are
+    fixed double expressions over them, identical in the twin.
+
+    Scale shape: one per-user aggregate (map-combinable bool_or-style
+    MAX flags), then a single global conditional-count row — two light
+    reduce stages regardless of event volume.
+    """
+    from timeseriesutils_spark.operators.splits import hash_bucket
+
+    arm = F.when(hash_bucket(F.col("_u")) % 2 == 0, "A").otherwise("B")
+    per_user = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.col(type_col).alias("_ty"),
+        )
+        .groupBy("_u")
+        .agg(
+            F.max(F.when(F.col("_ty") == exposure_type, F.lit(1)).otherwise(F.lit(0))).alias("_exp"),
+            F.max(F.when(F.col("_ty") == conversion_type, F.lit(1)).otherwise(F.lit(0))).alias("_cv"),
+        )
+        .select("_u", "_exp", "_cv", arm.alias("_arm"))
+        .filter(F.col("_exp") == 1)
+    )
+    agg = per_user.agg(
+        F.count(F.when(F.col("_arm") == "A", F.lit(1))).alias("n_a"),
+        F.count(F.when((F.col("_arm") == "A") & (F.col("_cv") == 1), F.lit(1))).alias("conv_a"),
+        F.count(F.when(F.col("_arm") == "B", F.lit(1))).alias("n_b"),
+        F.count(F.when((F.col("_arm") == "B") & (F.col("_cv") == 1), F.lit(1))).alias("conv_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    z = F.when(se > 0, (pb - pa) / se)
+    return agg.select(
+        "n_a",
+        "conv_a",
+        pa.alias("rate_a"),
+        "n_b",
+        "conv_b",
+        pb.alias("rate_b"),
+        (pb - pa).alias("lift"),
+        z.alias("z_stat"),
+    )
+
+
+def ab_test_report_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    exposure_type: str = "view",
+    conversion_type: str = "purchase",
+) -> str:
+    """DuckDB twin of :func:`ab_test_report`."""
+    # hash_bucket twin: first 4 md5 hex digits → int, mod 100 (the
+    # splits.hash_bucket convention as rendered by the hash_split oracle)
+    bucket = "CAST(CONCAT('0x', substring(md5(CAST(_u AS VARCHAR)), 1, 4)) AS INT) % 100"
+    arm = f"CASE WHEN ({bucket}) % 2 = 0 THEN 'A' ELSE 'B' END"
+    na = "CAST(n_a AS DOUBLE)"
+    nb = "CAST(n_b AS DOUBLE)"
+    pa = f"(CAST(conv_a AS DOUBLE) / {na})"
+    pb = f"(CAST(conv_b AS DOUBLE) / {nb})"
+    pooled = "(CAST((conv_a + conv_b) AS DOUBLE) / CAST((n_a + n_b) AS DOUBLE))"
+    se = f"SQRT({pooled} * (1.0 - {pooled}) * (1.0 / {na} + 1.0 / {nb}))"
+    z = f"CASE WHEN {se} > 0 THEN ({pb} - {pa}) / {se} END"
+    return f"""
+WITH per_user AS (
+  SELECT _u,
+    MAX(CASE WHEN _ty = '{exposure_type}' THEN 1 ELSE 0 END) AS _exp,
+    MAX(CASE WHEN _ty = '{conversion_type}' THEN 1 ELSE 0 END) AS _cv
+  FROM (SELECT {user_col} AS _u, {type_col} AS _ty FROM {table})
+  GROUP BY _u
+), armed AS (
+  SELECT _u, _exp, _cv, {arm} AS _arm FROM per_user WHERE _exp = 1
+), agg AS (
+  SELECT
+    COUNT(CASE WHEN _arm = 'A' THEN 1 END) AS n_a,
+    COUNT(CASE WHEN _arm = 'A' AND _cv = 1 THEN 1 END) AS conv_a,
+    COUNT(CASE WHEN _arm = 'B' THEN 1 END) AS n_b,
+    COUNT(CASE WHEN _arm = 'B' AND _cv = 1 THEN 1 END) AS conv_b
+  FROM armed
+)
+SELECT n_a, conv_a, {pa} AS rate_a,
+  n_b, conv_b, {pb} AS rate_b,
+  ({pb} - {pa}) AS lift,
+  {z} AS z_stat
+FROM agg
+"""

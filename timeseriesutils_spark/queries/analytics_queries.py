@@ -245,3 +245,21 @@ def _sql_event_transitions():
 
 
 QUERIES.update({"event_transitions": Q(q_event_transitions, _sql_event_transitions())})
+
+
+def q_ab_test(spark, sf_dir):
+    """A/B conversion report (analytics.ab_test_report): md5-parity arm
+    assignment, view-exposed users, purchase conversion, pooled
+    two-proportion z — one summary row from two reduce stages."""
+    from timeseriesutils_spark.operators.analytics import ab_test_report
+
+    return ab_test_report(load_table(spark, sf_dir, "events"))
+
+
+def _sql_ab_test():
+    from timeseriesutils_spark.operators.analytics import ab_test_report_sql
+
+    return ab_test_report_sql("events")
+
+
+QUERIES.update({"ab_test_report": Q(q_ab_test, _sql_ab_test())})

@@ -454,3 +454,60 @@ QUERIES = {
     "sessionize": Q(q_sessionize, session_stats_sql(gap_minutes=30)),
     "scd2_history": Q(q_scd2_history, scd2_history_sql()),
 }
+
+
+def q_decompose(spark, sf_dir):
+    """Classical seasonal decomposition (operators/decompose): daily
+    lineitem counts per returnflag, zero-filled to a dense day grid,
+    split into centered-MA trend + period-7 phase seasonal + remainder
+    — all doubles derived from exact BIGINT sums."""
+    from timeseriesutils_spark.operators.decompose import decompose_series
+    from timeseriesutils_spark.operators.timegrid import fill_gaps
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = (
+        li.select(
+            "l_returnflag",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("ship_day"),
+        )
+        .groupBy("l_returnflag", "ship_day")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    dense = fill_gaps(cnt, "ship_day", ["l_returnflag"]).select(
+        "l_returnflag",
+        "ship_day",
+        F.coalesce(F.col("n_items"), F.lit(0)).alias("n_items"),
+    )
+    return decompose_series(
+        dense, "n_items", "ship_day", ["l_returnflag"], period=7
+    )
+
+
+def _sql_decompose():
+    from timeseriesutils_spark.operators.decompose import decompose_series_sql
+
+    dense = """(
+  WITH day AS (
+    SELECT l_returnflag,
+      CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day,
+      COUNT(*) AS n_items
+    FROM lineitem GROUP BY 1, 2
+  ), b AS (
+    SELECT l_returnflag, MIN(ship_day) AS lo, MAX(ship_day) AS hi FROM day GROUP BY 1
+  ), grid AS (
+    SELECT l_returnflag, UNNEST(generate_series(lo, hi)) AS ship_day FROM b
+  )
+  SELECT g.l_returnflag, g.ship_day, COALESCE(d.n_items, 0) AS n_items
+  FROM grid g LEFT JOIN day d
+    ON g.l_returnflag = d.l_returnflag AND g.ship_day = d.ship_day
+)"""
+    return decompose_series_sql(
+        dense, "n_items", "ship_day", ["l_returnflag"], period=7
+    )
+
+
+QUERIES.update({"decompose_series": Q(q_decompose, _sql_decompose())})
