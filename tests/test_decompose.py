@@ -92,3 +92,36 @@ def test_ab_test_report_counts(spark):
     p = (conv_a + conv_b) / 40
     se = math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
     assert r.z_stat == pytest.approx((conv_b / n_b - conv_a / n_a) / se, rel=1e-12)
+
+
+def test_holt_smooth_matches_recursion(spark):
+    """Truncated-filter output equals the textbook recursion run over
+    exactly the trailing w observations with zero initial state."""
+    import random
+
+    from timeseriesutils_spark.operators.forecast import holt_smooth
+
+    rng = random.Random(13)
+    vals = [round(rng.uniform(10, 100), 2) for _ in range(40)]
+    df = spark.createDataFrame(
+        [("g", t, v) for t, v in enumerate(vals)], "g string, t long, v double"
+    )
+    a, b, w = 0.4, 0.2, 12
+    out = (
+        holt_smooth(df, "v", ["g"], ["t"], alpha=a, beta=b, window_size=w)
+        .orderBy("t")
+        .collect()
+    )
+    lvl_col = f"v_holt_level_a0p4_b0p2_w{w}"
+    fc_col = f"v_holt_fc_a0p4_b0p2_w{w}"
+    for i, r in enumerate(out):
+        if i < w - 1:
+            assert r[lvl_col] is None
+            continue
+        l = t_ = 0.0
+        for y in vals[i - w + 1 : i + 1]:
+            l_new = a * y + (1 - a) * (l + t_)
+            t_ = b * (l_new - l) + (1 - b) * t_
+            l = l_new
+        assert r[lvl_col] == pytest.approx(l, rel=1e-9)
+        assert r[fc_col] == pytest.approx(l + t_, rel=1e-9)

@@ -571,3 +571,108 @@ j AS (
 SELECT * EXCLUDE (origin_ts), CAST(origin_ts AS VARCHAR) AS origin
 FROM j WHERE split IS NOT NULL
 """
+
+
+def holt_weights(alpha: float, beta: float, window_size: int):
+    """Impulse-response weights of the zero-initialized truncated Holt
+    (double exponential smoothing) filter: weight of y_{t-j} on the
+    final (level, trend) state, j = 0..w-1.
+
+    State recursion s_t = A·s_{t-1} + B·y_t with
+      A = [[1-a, 1-a], [-ab, 1-ab]],  B = [a, ab]^T
+    so weight_j = A^j·B — computed once on the driver in float64 and
+    emitted as literals into BOTH expression trees (the taylor P-matrix
+    discipline).
+    """
+    import numpy as np
+
+    a, b = float(alpha), float(beta)
+    A = np.array([[1 - a, 1 - a], [-a * b, 1 - a * b]], dtype=float)
+    B = np.array([a, a * b], dtype=float)
+    wl, wb = [], []
+    v = B.copy()
+    for _ in range(window_size):
+        wl.append(float(v[0]))
+        wb.append(float(v[1]))
+        v = A @ v
+    return wl, wb
+
+
+def holt_smooth(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    window_size: int = 30,
+) -> DataFrame:
+    """Holt linear (double exponential) smoothing as a bounded linear
+    filter: per row, ``level`` and ``trend`` are the zero-initialized
+    truncated-filter response over the trailing ``window_size``
+    observations, and ``forecast`` = level + trend is the one-step-ahead
+    Holt forecast.
+
+    Why truncated: the textbook recursion needs unbounded history per
+    row (a sequential scan per group — the reference's pandas shape);
+    expanding it as Σ_j w_j·lag_j with driver-precomputed impulse
+    weights makes the op ONE window expression — single exchange, pure
+    whole-stage codegen, 100 TB-safe — at the cost of the (documented,
+    deterministic) zero-init truncation: residual weight (1-α)^w decays
+    geometrically, ~2e-5 at α=0.3, w=30.  NULL until a full window
+    exists (null lag arithmetic is the edge guard, the ewma pattern).
+    """
+    from functools import reduce as _reduce
+
+    w = make_window(group_columns, order_by)
+    wl, wb = holt_weights(alpha, beta, window_size)
+
+    def combo(wts):
+        terms = [
+            F.lit(wt) * (F.lag(column, j).over(w) if j else F.col(column))
+            for j, wt in enumerate(wts)
+        ]
+        return _reduce(lambda x, y: x + y, terms)
+
+    level = combo(wl)
+    trend = combo(wb)
+    sfx = f"a{str(alpha).replace('.', 'p')}_b{str(beta).replace('.', 'p')}_w{window_size}"
+    return data.select(
+        "*",
+        level.alias(f"{column}_holt_level_{sfx}"),
+        trend.alias(f"{column}_holt_trend_{sfx}"),
+        (level + trend).alias(f"{column}_holt_fc_{sfx}"),
+    )
+
+
+def holt_smooth_sql_columns(
+    column: str,
+    group_columns,
+    order_by,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    window_size: int = 30,
+) -> list[tuple[str, str]]:
+    """[(name, expr)] DuckDB twin of :func:`holt_smooth` — same
+    literals, same term order, same association."""
+    over = (
+        f"(PARTITION BY {', '.join(_as_list(group_columns))} "
+        f"ORDER BY {', '.join(_as_list(order_by))})"
+    )
+    wl, wb = holt_weights(alpha, beta, window_size)
+
+    def combo(wts):
+        terms = [
+            f"CAST('{wt!r}' AS DOUBLE) * "
+            + (f"LAG({column}, {j}) OVER {over}" if j else column)
+            for j, wt in enumerate(wts)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    sfx = f"a{str(alpha).replace('.', 'p')}_b{str(beta).replace('.', 'p')}_w{window_size}"
+    lvl, trd = combo(wl), combo(wb)
+    return [
+        (f"{column}_holt_level_{sfx}", lvl),
+        (f"{column}_holt_trend_{sfx}", trd),
+        (f"{column}_holt_fc_{sfx}", f"({lvl} + {trd})"),
+    ]

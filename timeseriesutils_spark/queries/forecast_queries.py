@@ -434,3 +434,38 @@ def _sql_benford_audit():
 
 
 QUERIES.update({"benford_audit": Q(q_benford_audit, _sql_benford_audit())})
+
+
+HOLT_PARAMS = dict(alpha=0.3, beta=0.1, window_size=20)
+
+
+def q_holt_smooth(spark, sf_dir):
+    """Holt linear smoothing + one-step forecast (forecast.holt_smooth):
+    double exponential smoothing as a bounded linear filter with
+    driver-precomputed impulse weights — one window expression, single
+    exchange, no per-group recursion."""
+    from timeseriesutils_spark.operators.forecast import holt_smooth
+
+    li = _li(spark, sf_dir).select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+    out = holt_smooth(
+        li, "l_extendedprice", ["l_suppkey"], LI_ORDER, **HOLT_PARAMS
+    )
+    return out.drop("l_shipdate")
+
+
+def _sql_holt_smooth():
+    from timeseriesutils_spark.operators.forecast import holt_smooth_sql_columns
+
+    cols = holt_smooth_sql_columns(
+        "l_extendedprice", ["l_suppkey"], LI_ORDER_SQL.split(", "), **HOLT_PARAMS
+    )
+    sel = ",\n  ".join(f"{expr} AS {name}" for name, expr in cols)
+    return (
+        "SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, l_quantity,\n  "
+        f"{sel}\nFROM lineitem"
+    )
+
+
+QUERIES.update({"holt_smooth": Q(q_holt_smooth, _sql_holt_smooth())})
