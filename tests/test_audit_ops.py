@@ -90,3 +90,40 @@ def test_benford_digit_extraction(spark):
     assert out[1].benford_frac == pytest.approx(math.log10(2.0), rel=1e-15)
     chi = total * (3 / total - math.log10(1.5)) ** 2 / math.log10(1.5)
     assert out[2].chi2_term == pytest.approx(chi, rel=1e-12)
+
+
+def test_categorical_assoc_independent_and_dependent(spark):
+    import math as m
+
+    from timeseriesutils_spark.operators.stats import categorical_assoc
+
+    # perfectly dependent: y == x -> V = 1, MI = ln(2) for a 50/50 split
+    rows = [("a", "a")] * 10 + [("b", "b")] * 10
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = categorical_assoc(df, "x", "y").collect()[0]
+    assert (r.n, r.nx_cats, r.ny_cats, r.dof) == (20, 2, 2, 1)
+    assert r.cramers_v == pytest.approx(1.0, abs=1e-6)
+    assert r.mi == pytest.approx(m.log(2), abs=1e-6)
+    # independent uniform: chi2 = 0, MI = 0
+    rows = [(x, y) for x in "ab" for y in "cd" for _ in range(5)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = categorical_assoc(df, "x", "y").collect()[0]
+    assert r.chi2 == pytest.approx(0.0, abs=1e-6)
+    assert r.mi == pytest.approx(0.0, abs=1e-6)
+
+
+def test_value_entropy_uniform_vs_spike(spark):
+    import math as m
+
+    from timeseriesutils_spark.operators.stats import value_entropy
+
+    rows = [("u", float(i % 8)) for i in range(80)]          # uniform 8 bins
+    rows += [("s", 1.0)] * 80                                 # one spike
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in value_entropy(df, "v", ["g"], bin_width=1.0, scale=2).collect()}
+    assert out["u"].n_bins == 8
+    assert out["u"].entropy == pytest.approx(m.log(8), abs=1e-6)
+    assert out["u"].entropy_norm == pytest.approx(1.0, abs=1e-6)
+    assert out["s"].n_bins == 1
+    assert out["s"].entropy == pytest.approx(0.0, abs=1e-9)
+    assert out["s"].entropy_norm is None

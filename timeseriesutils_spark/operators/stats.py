@@ -407,3 +407,205 @@ WITH b AS (
 SELECT {gc}, bin, COUNT(*) AS n, MIN({column}) AS lo, MAX({column}) AS hi
 FROM b GROUP BY {gc}, bin
 """
+
+
+def categorical_assoc(data: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Association statistics between two categorical columns in one
+    pass: Pearson χ², degrees of freedom, Cramér's V, and mutual
+    information (nats) — the feature-selection / dependence screen run
+    before one-hot encoding or stratifying on a pair of columns.
+
+    Exactness: cell/margin/total counts are exact BIGINTs (one
+    map-combinable groupBy to the |X|·|Y| contingency table, margins as
+    whole-partition window sums over that tiny table).  Each cell's χ²
+    and MI contribution is a double computed by ONE fixed expression,
+    then quantized to int64 units (1e-6 for χ², 1e-9 for MI —
+    floor(x·s + 0.5), the one rounding both engines share) so the
+    cross-cell summation is exact integer addition — immune to
+    accumulation order, the unigram_logprob discipline.  ln() is applied
+    once per cell to identical inputs (1-ulp libm variance absorbed by
+    the quantization).
+
+    NULL categories count as their own level (SQL GROUP BY semantics).
+    Output: one row — n, nx_cats, ny_cats, chi2, dof, cramers_v, mi.
+    """
+    cells = data.groupBy(
+        F.col(col_x).alias("_x"), F.col(col_y).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    wx = Window.partitionBy("_x")
+    wy = Window.partitionBy("_y")
+    wall = Window.partitionBy()
+    m = cells.select(
+        "_x",
+        "_y",
+        "_o",
+        F.sum("_o").over(wx).alias("_nx"),
+        F.sum("_o").over(wy).alias("_ny"),
+        F.sum("_o").over(wall).alias("_n"),
+    )
+    o = F.col("_o").cast("double")
+    e = (
+        F.col("_nx").cast("double")
+        * F.col("_ny").cast("double")
+        / F.col("_n").cast("double")
+    )
+    # absent cells (o = 0) contribute e to χ² but never appear in the
+    # contingency table; since Σ_all_cells e = N, fold them in exactly:
+    # χ² = Σ_observed[(o−e)²/e − e] + N
+    chi_term = (o - e) * (o - e) / e - e
+    mi_term = (o / F.col("_n").cast("double")) * F.log(
+        F.col("_n").cast("double")
+        * o
+        / (F.col("_nx").cast("double") * F.col("_ny").cast("double"))
+    )
+    q_chi = F.floor(chi_term * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    q_mi = F.floor(mi_term * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    agg = m.agg(
+        F.max("_n").alias("n"),
+        F.countDistinct("_x").alias("nx_cats"),
+        F.countDistinct("_y").alias("ny_cats"),
+        F.sum(q_chi).alias("_qc"),
+        F.sum(q_mi).alias("_qm"),
+    )
+    chi2 = F.col("_qc").cast("double") / F.lit(1e6) + F.col("n").cast("double")
+    dof = ((F.col("nx_cats") - 1) * (F.col("ny_cats") - 1)).cast("bigint")
+    mink = F.least(F.col("nx_cats") - 1, F.col("ny_cats") - 1).cast("double")
+    v = F.when(
+        mink > 0, F.sqrt(chi2 / (F.col("n").cast("double") * mink))
+    )
+    return agg.select(
+        "n",
+        "nx_cats",
+        "ny_cats",
+        chi2.alias("chi2"),
+        dof.alias("dof"),
+        v.alias("cramers_v"),
+        (F.col("_qm").cast("double") / F.lit(1e9)).alias("mi"),
+    )
+
+
+def categorical_assoc_sql(table: str, col_x: str, col_y: str) -> str:
+    """DuckDB twin of :func:`categorical_assoc`."""
+    o = "CAST(_o AS DOUBLE)"
+    e = "(CAST(_nx AS DOUBLE) * CAST(_ny AS DOUBLE) / CAST(_n AS DOUBLE))"
+    chi = f"(({o} - {e}) * ({o} - {e}) / {e} - {e})"
+    mi = (
+        f"(({o} / CAST(_n AS DOUBLE)) * ln(CAST(_n AS DOUBLE) * {o} "
+        f"/ (CAST(_nx AS DOUBLE) * CAST(_ny AS DOUBLE))))"
+    )
+    return f"""
+WITH cells AS (
+  SELECT {col_x} AS _x, {col_y} AS _y, COUNT(*) AS _o
+  FROM {table} GROUP BY {col_x}, {col_y}
+), m AS (
+  SELECT _x, _y, _o,
+    SUM(_o) OVER (PARTITION BY _x) AS _nx,
+    SUM(_o) OVER (PARTITION BY _y) AS _ny,
+    SUM(_o) OVER () AS _n
+  FROM cells
+), agg AS (
+  SELECT MAX(_n) AS n,
+    COUNT(DISTINCT _x) AS nx_cats,
+    COUNT(DISTINCT _y) AS ny_cats,
+    SUM(CAST(FLOOR({chi} * 1e6 + 0.5) AS BIGINT)) AS _qc,
+    SUM(CAST(FLOOR({mi} * 1e9 + 0.5) AS BIGINT)) AS _qm
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n, nx_cats, ny_cats,
+  CAST(_qc AS DOUBLE) / 1e6 + CAST(n AS DOUBLE) AS chi2,
+  CAST((nx_cats - 1) * (ny_cats - 1) AS BIGINT) AS dof,
+  CASE WHEN CAST(LEAST(nx_cats - 1, ny_cats - 1) AS DOUBLE) > 0 THEN
+    SQRT((CAST(_qc AS DOUBLE) / 1e6 + CAST(n AS DOUBLE)) /
+         (CAST(n AS DOUBLE) * CAST(LEAST(nx_cats - 1, ny_cats - 1) AS DOUBLE)))
+  END AS cramers_v,
+  CAST(_qm AS DOUBLE) / 1e9 AS mi
+FROM agg
+"""
+
+
+def value_entropy(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    bin_width: float = 1.0,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Shannon entropy of the binned value distribution (nats)
+    plus the log-|bins|-normalized form in [0,1] — the dispersion /
+    concentration diagnostic for feature screening ("is this column one
+    spike or spread out?").
+
+    Bins are integer-exact: floor(quantized / (bin_width·10^scale)).
+    Per-bin −p·ln(p) terms are quantized to 1e-9 int64 units before the
+    cross-bin sum (exact integer addition, order-immune); the normalized
+    entropy divides by ln(n_bins) in one double op.  NULLs excluded.
+
+    Shape: one map-combinable aggregate to (group, bin), one to group.
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    q = F.floor(F.col(column) * F.lit(float(10**scale)) + F.lit(0.5)).cast("bigint")
+    width = int(round(bin_width * 10**scale))
+    if width <= 0:
+        raise ValueError("bin_width too small for scale")
+    b = F.floor(q / F.lit(width)).cast("bigint")
+    binned = (
+        data.select(*g, b.alias("_b"))
+        .filter(F.col("_b").isNotNull())
+        .groupBy(*g, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    n = F.sum("_c").over(Window.partitionBy(*g))
+    p = F.col("_c").cast("double") / n.cast("double")
+    term = -(p * F.log(p))
+    qterm = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    staged = binned.select(*g, qterm.alias("_q"))
+    agg = staged.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_bins"), F.sum("_q").alias("_sq")
+    )
+    ent = F.col("_sq").cast("double") / F.lit(1e9)
+    norm = F.when(
+        F.col("n_bins") > 1, ent / F.log(F.col("n_bins").cast("double"))
+    )
+    return agg.select(
+        *g, "n_bins", ent.alias("entropy"), norm.alias("entropy_norm")
+    )
+
+
+def value_entropy_sql(
+    table: str,
+    column: str,
+    group_columns,
+    bin_width: float = 1.0,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`value_entropy`."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    width = int(round(bin_width * 10**scale))
+    q = f"CAST(FLOOR({column} * {float(10 ** scale)!r} + 0.5) AS BIGINT)"
+    b = f"CAST(FLOOR({q} / {width}) AS BIGINT)"
+    p = "(CAST(_c AS DOUBLE) / CAST(_n AS DOUBLE))"
+    term = f"(-({p} * ln({p})))"
+    return f"""
+WITH binned AS (
+  SELECT {gsel}, _b, COUNT(*) AS _c FROM (
+    SELECT {gsel}, {b} AS _b FROM {table}
+  ) WHERE _b IS NOT NULL GROUP BY {gsel}, _b
+), m AS (
+  SELECT {gsel}, _c, SUM(_c) OVER (PARTITION BY {gsel}) AS _n FROM binned
+), agg AS (
+  SELECT {gsel}, COUNT(*) AS n_bins,
+    SUM(CAST(FLOOR({term} * 1e9 + 0.5) AS BIGINT)) AS _sq
+  FROM m GROUP BY {gsel}
+)
+SELECT {gsel}, n_bins,
+  CAST(_sq AS DOUBLE) / 1e9 AS entropy,
+  CASE WHEN n_bins > 1 THEN
+    (CAST(_sq AS DOUBLE) / 1e9) / ln(CAST(n_bins AS DOUBLE))
+  END AS entropy_norm
+FROM agg
+"""

@@ -469,3 +469,46 @@ def _sql_holt_smooth():
 
 
 QUERIES.update({"holt_smooth": Q(q_holt_smooth, _sql_holt_smooth())})
+
+
+def q_categorical_assoc(spark, sf_dir):
+    """Categorical association screen (stats.categorical_assoc):
+    chi-square, Cramér's V and mutual information between returnflag and
+    linestatus — exact contingency counts, per-cell terms quantized to
+    int64 before the cross-cell sum."""
+    from timeseriesutils_spark.operators.stats import categorical_assoc
+
+    return categorical_assoc(_li(spark, sf_dir), "l_returnflag", "l_linestatus")
+
+
+def _sql_categorical_assoc():
+    from timeseriesutils_spark.operators.stats import categorical_assoc_sql
+
+    return categorical_assoc_sql("lineitem", "l_returnflag", "l_linestatus")
+
+
+QUERIES.update(
+    {"categorical_assoc": Q(q_categorical_assoc, _sql_categorical_assoc())}
+)
+
+
+def q_value_entropy(spark, sf_dir):
+    """Binned Shannon entropy (stats.value_entropy) of l_quantity per
+    returnflag — concentration/dispersion screen; integer-exact bins,
+    quantized -p·ln(p) terms summed as int64."""
+    from timeseriesutils_spark.operators.stats import value_entropy
+
+    return value_entropy(
+        _li(spark, sf_dir), "l_quantity", ["l_returnflag"], bin_width=1.0, scale=2
+    )
+
+
+def _sql_value_entropy():
+    from timeseriesutils_spark.operators.stats import value_entropy_sql
+
+    return value_entropy_sql(
+        "lineitem", "l_quantity", ["l_returnflag"], bin_width=1.0, scale=2
+    )
+
+
+QUERIES.update({"value_entropy": Q(q_value_entropy, _sql_value_entropy())})
