@@ -138,3 +138,29 @@ def test_acf_single_exchange_plan(spark):
         .toString()
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_new_rowscale_ops_single_exchange(spark):
+    """The row-scale round-4 ops must stay single-exchange: one hash
+    partitioning on the group key, no Python eval, no extra sort-merge."""
+    import re
+
+    from timeseriesutils_spark.operators.forecast import holt_smooth, seasonal_zscore
+
+    df = spark.createDataFrame(
+        [("g", f"2024-01-{d:02d}", float(d)) for d in range(1, 29)],
+        "g string, d string, v double",
+    )
+    plans = {
+        "seasonal_zscore": seasonal_zscore(df, "v", "d", ["g"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString(),
+        "holt_smooth": holt_smooth(df, "v", ["g"], ["d"], window_size=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString(),
+    }
+    for name, plan in plans.items():
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, name
+        assert "EvalPython" not in plan, name
