@@ -511,3 +511,29 @@ def _sql_decompose():
 
 
 QUERIES.update({"decompose_series": Q(q_decompose, _sql_decompose())})
+
+
+SAX_PARAMS = dict(n_segments=8, alphabet=4, scale=0)
+
+
+def q_sax(spark, sf_dir):
+    """SAX symbolization (operators/sax.sax_symbolize): each supplier's
+    daily price series → an 8-char symbolic word over a 4-letter
+    alphabet (PAA + Gaussian breakpoints) — the indexing/motif
+    representation; exact integer substrate, one group exchange."""
+    from timeseriesutils_spark.operators.sax import sax_symbolize
+
+    return sax_symbolize(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"], **SAX_PARAMS
+    )
+
+
+def _sql_sax():
+    from timeseriesutils_spark.operators.sax import sax_symbolize_sql
+
+    return sax_symbolize_sql(
+        f"({_SQL_DAILY})", "day_price", ["l_suppkey"], ["ship_day"], **SAX_PARAMS
+    )
+
+
+QUERIES.update({"sax_words": Q(q_sax, _sql_sax())})
