@@ -127,3 +127,37 @@ def test_value_entropy_uniform_vs_spike(spark):
     assert out["s"].n_bins == 1
     assert out["s"].entropy == pytest.approx(0.0, abs=1e-9)
     assert out["s"].entropy_norm is None
+
+
+def test_psi_drift_identical_vs_shifted(spark):
+    import math as m
+
+    from timeseriesutils_spark.operators.profile import psi_drift
+
+    # identical distributions -> psi ~ 0; shifted -> clearly positive
+    rows = []
+    for i in range(100):
+        for isb in (False, True):
+            rows.append(("same", float(i % 10), isb))
+            rows.append(("shift", float(i % 10) + (5.0 if isb else 0.0), isb))
+    df = spark.createDataFrame(rows, "g string, v double, isb boolean")
+    out = {
+        r.g: r
+        for r in psi_drift(
+            df, "v", F.col("isb"), ["g"], bin_width=1.0, scale=0
+        ).collect()
+    }
+    assert out["same"].n_a == 100 and out["same"].n_b == 100
+    assert out["same"].psi == pytest.approx(0.0, abs=1e-9)
+    assert out["shift"].psi > 1.0
+    # manual check on the shifted group: A occupies bins 0-9, B bins 5-14
+    k = out["shift"].n_bins
+    assert k == 15
+    pa = {b: (10 if b < 10 else 0) for b in range(15)}
+    pb = {b: (10 if b >= 5 else 0) for b in range(15)}
+    psi = 0.0
+    for b in range(15):
+        qa = (pa[b] + 0.5) / (100 + 0.5 * k)
+        qb = (pb[b] + 0.5) / (100 + 0.5 * k)
+        psi += m.floor((qa - qb) * m.log(qa / qb) * 1e9 + 0.5) / 1e9
+    assert out["shift"].psi == pytest.approx(psi, abs=1e-9)

@@ -274,3 +274,125 @@ SELECT {gsel}digit, n_obs,
   {chi2} AS chi2_term
 FROM counts
 """
+
+
+def psi_drift(
+    data: DataFrame,
+    column: str,
+    period_b,
+    group_columns=None,
+    bin_width: float = 1.0,
+    scale: int = 2,
+) -> DataFrame:
+    """Population Stability Index between two periods of the same
+    column — the standard ML feature-drift monitor ("did this feature's
+    distribution move between training and serving?").
+
+    ``period_b``: a boolean Column marking the comparison period (False
+    = baseline A, True = current B).  Values are binned integer-exactly
+    (floor(quantized / width), the value_entropy convention); per-bin
+    counts for A and B come from ONE conditional aggregation; each bin's
+    PSI term
+
+        (p_a − p_b) · ln(p_a / p_b)
+
+    uses +0.5 Laplace smoothing (p = (c + 0.5)/(n + 0.5·n_bins)) so a
+    bin empty on one side stays finite — the standard remedy, mirrored
+    in the twin — and is quantized to 1e-9 int64 units before the
+    cross-bin sum (exact integer addition, order-immune).
+
+    Output per group: ``n_a``, ``n_b``, ``n_bins``, ``psi``.  Rule of
+    thumb: psi < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major.
+
+    Shape: one map-combinable aggregate to (group, bin), window margins
+    over that tiny relation, one group aggregate.
+    """
+    g = _as_list(group_columns)
+    q = F.floor(F.col(column) * F.lit(float(10**scale)) + F.lit(0.5)).cast("bigint")
+    width = int(round(bin_width * 10**scale))
+    if width <= 0:
+        raise ValueError("bin_width too small for scale")
+    b = F.floor(q / F.lit(width)).cast("bigint")
+    binned = (
+        data.select(*g, b.alias("_b"), period_b.cast("int").alias("_isb"))
+        .filter(F.col("_b").isNotNull() & F.col("_isb").isNotNull())
+        .groupBy(*g, "_b")
+        .agg(
+            F.count(F.when(F.col("_isb") == 0, F.lit(1))).alias("_ca"),
+            F.count(F.when(F.col("_isb") == 1, F.lit(1))).alias("_cb"),
+        )
+    )
+    wg = Window.partitionBy(*g)
+    m = binned.select(
+        *g,
+        "_ca",
+        "_cb",
+        F.sum("_ca").over(wg).alias("_na"),
+        F.sum("_cb").over(wg).alias("_nb"),
+        F.count(F.lit(1)).over(wg).alias("_k"),
+    )
+    ka = F.col("_na").cast("double") + F.lit(0.5) * F.col("_k").cast("double")
+    kb = F.col("_nb").cast("double") + F.lit(0.5) * F.col("_k").cast("double")
+    pa = (F.col("_ca").cast("double") + F.lit(0.5)) / ka
+    pb = (F.col("_cb").cast("double") + F.lit(0.5)) / kb
+    term = (pa - pb) * F.log(pa / pb)
+    qterm = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    agg = m.select(*g, "_na", "_nb", "_k", qterm.alias("_q")).groupBy(*g).agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.max("_k").alias("n_bins"),
+        F.sum("_q").alias("_sq"),
+    )
+    return agg.select(
+        *g,
+        "n_a",
+        "n_b",
+        "n_bins",
+        (F.col("_sq").cast("double") / F.lit(1e9)).alias("psi"),
+    )
+
+
+def psi_drift_sql(
+    table: str,
+    column: str,
+    period_b_sql: str,
+    group_columns=None,
+    bin_width: float = 1.0,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`psi_drift`; ``period_b_sql`` is the boolean
+    SQL expression marking period B."""
+    g = _as_list(group_columns)
+    gsel = (", ".join(g) + ", ") if g else ""
+    part = f"PARTITION BY {', '.join(g)}" if g else ""
+    width = int(round(bin_width * 10**scale))
+    q = f"CAST(FLOOR({column} * {float(10 ** scale)!r} + 0.5) AS BIGINT)"
+    b = f"CAST(FLOOR({q} / {width}) AS BIGINT)"
+    ka = "(CAST(_na AS DOUBLE) + 0.5 * CAST(_k AS DOUBLE))"
+    kb = "(CAST(_nb AS DOUBLE) + 0.5 * CAST(_k AS DOUBLE))"
+    pa = f"((CAST(_ca AS DOUBLE) + 0.5) / {ka})"
+    pb = f"((CAST(_cb AS DOUBLE) + 0.5) / {kb})"
+    term = f"(({pa} - {pb}) * ln({pa} / {pb}))"
+    return f"""
+WITH binned AS (
+  SELECT {gsel}_b,
+    COUNT(CASE WHEN _isb = 0 THEN 1 END) AS _ca,
+    COUNT(CASE WHEN _isb = 1 THEN 1 END) AS _cb
+  FROM (
+    SELECT {gsel}{b} AS _b, CAST(({period_b_sql}) AS INT) AS _isb FROM {table}
+  ) WHERE _b IS NOT NULL AND _isb IS NOT NULL
+  GROUP BY {gsel}_b
+), m AS (
+  SELECT {gsel}_ca, _cb,
+    SUM(_ca) OVER ({part}) AS _na,
+    SUM(_cb) OVER ({part}) AS _nb,
+    COUNT(*) OVER ({part}) AS _k
+  FROM binned
+), agg AS (
+  SELECT {gsel}CAST(MAX(_na) AS BIGINT) AS n_a, CAST(MAX(_nb) AS BIGINT) AS n_b,
+    CAST(MAX(_k) AS BIGINT) AS n_bins,
+    SUM(CAST(FLOOR({term} * 1e9 + 0.5) AS BIGINT)) AS _sq
+  FROM m GROUP BY {gsel.rstrip(', ') if g else '()'}
+)
+SELECT {gsel}n_a, n_b, n_bins, CAST(_sq AS DOUBLE) / 1e9 AS psi FROM agg
+"""

@@ -512,3 +512,37 @@ def _sql_value_entropy():
 
 
 QUERIES.update({"value_entropy": Q(q_value_entropy, _sql_value_entropy())})
+
+
+def q_psi_drift(spark, sf_dir):
+    """PSI feature-drift report (profile.psi_drift): l_extendedprice
+    distribution before vs after 1995-01-01 per returnflag — smoothed
+    per-bin (p_a−p_b)·ln(p_a/p_b) terms quantized to int64 before the
+    sum."""
+    from timeseriesutils_spark.operators.profile import psi_drift
+
+    li = _li(spark, sf_dir)
+    return psi_drift(
+        li,
+        "l_extendedprice",
+        F.col("l_shipdate").cast("date") >= F.lit("1995-01-01").cast("date"),
+        ["l_returnflag"],
+        bin_width=5000.0,
+        scale=2,
+    )
+
+
+def _sql_psi_drift():
+    from timeseriesutils_spark.operators.profile import psi_drift_sql
+
+    return psi_drift_sql(
+        "lineitem",
+        "l_extendedprice",
+        "CAST(l_shipdate AS DATE) >= DATE '1995-01-01'",
+        ["l_returnflag"],
+        bin_width=5000.0,
+        scale=2,
+    )
+
+
+QUERIES.update({"psi_drift": Q(q_psi_drift, _sql_psi_drift())})
