@@ -1,0 +1,66 @@
+"""Property tests for the banded DTW operator (rows-only op — these
+tests are its correctness story)."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from timeseriesutils_spark.operators.dtw import dtw_kernel, dtw_to_reference
+
+
+def test_kernel_identity_is_zero():
+    x = np.array([1.0, 5.0, 2.0, 8.0, 3.0])
+    assert dtw_kernel(x, x, band=None) == 0.0
+    assert dtw_kernel(x, x, band=2) == 0.0
+
+
+def test_kernel_known_small_example():
+    # x=[0,0,1], y=[0,1]: optimal alignment cost 0 (0->0, 0->0, 1->1)
+    assert dtw_kernel(np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0]), None) == 0.0
+    # pure offset: each of 3 points pays 1 against a flat reference
+    assert dtw_kernel(np.array([1.0, 1.0, 1.0]), np.array([0.0]), None) == 3.0
+
+
+def test_kernel_band_matches_full_when_wide():
+    rng = random.Random(3)
+    x = np.array([rng.uniform(0, 10) for _ in range(30)])
+    y = np.array([rng.uniform(0, 10) for _ in range(25)])
+    full = dtw_kernel(x, y, band=None)
+    wide = dtw_kernel(x, y, band=100)
+    assert full == pytest.approx(wide, rel=1e-12)
+    # tightening the band can only increase (or keep) the cost
+    assert dtw_kernel(x, y, band=3) >= full - 1e-12
+
+
+def test_kernel_warping_beats_lockstep():
+    # same shape, time-shifted: DTW cost stays near 0, lockstep L1 does not
+    x = np.array([0.0] * 5 + [10.0] * 5)
+    y = np.array([0.0] * 7 + [10.0] * 3)
+    assert dtw_kernel(x, y, band=None) == 0.0
+
+
+def test_operator_groups_and_determinism(spark):
+    rng = random.Random(7)
+    rows = []
+    for gname, shift in (("a", 0), ("b", 3)):
+        for t in range(40):
+            rows.append((gname, t, float((t + shift) % 7) + rng.uniform(0, 0.2)))
+    # a shuffled-noise control group with the same marginal distribution
+    noise = [float(t % 7) for t in range(40)]
+    rng.shuffle(noise)
+    rows += [("noise", t, v) for t, v in enumerate(noise)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    ref = [float(t % 7) for t in range(14)]
+    out = dtw_to_reference(df, "v", ["g"], ["t"], ref, band=None)
+    got = {r.g: r for r in out.collect()}
+    assert got["a"].n_obs == 40
+    # pattern-following groups align far better than order-destroyed noise
+    assert got["a"].dtw_per_step < got["noise"].dtw_per_step
+    assert got["b"].dtw_per_step < got["noise"].dtw_per_step
+    # partition-count invariance
+    got2 = {r.g: r for r in dtw_to_reference(
+        df.repartition(7), "v", ["g"], ["t"], ref, band=None
+    ).collect()}
+    assert got == got2

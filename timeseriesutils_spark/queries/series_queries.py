@@ -537,3 +537,29 @@ def _sql_sax():
 
 
 QUERIES.update({"sax_words": Q(q_sax, _sql_sax())})
+
+
+# weekly sawtooth template, 4 periods of 7 (a shape with real warping
+# structure); the op z-normalizes it before alignment
+_DTW_REF = [float(d % 7) for d in range(28)]
+
+
+def q_dtw(spark, sf_dir):
+    """Banded DTW pattern scan (operators/dtw.dtw_to_reference): each
+    supplier's z-normalized daily price series aligned to a weekly
+    sawtooth template — elastic template matching; grouped-map Arrow
+    UDF, O(n·band) per group.  Rows-only by nature (sequential DP is
+    not SQL-expressible); properties pinned in tests/test_dtw.py."""
+    from timeseriesutils_spark.operators.dtw import dtw_to_reference
+
+    return dtw_to_reference(
+        _daily(spark, sf_dir),
+        "day_price",
+        ["l_suppkey"],
+        ["ship_day"],
+        reference=_DTW_REF,
+        band=10,
+    )
+
+
+QUERIES.update({"dtw_pattern": Q(q_dtw, None)})
