@@ -700,3 +700,29 @@ def test_dup_spans_merges_overlaps(spark):
         for r in dup_spans(df, ngram_words=8, min_docs=2).collect()
     )
     assert got == [(1, 0, 8), (1, 17, 25), (2, 0, 8), (2, 17, 25)]
+
+
+def test_incremental_dedup_equals_filtered_full(spark, doc_frame):
+    """incremental_jaccard_pairs == full-corpus pairs filtered to
+    new-touching — the verification contract of the incremental path."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    wm = 2
+    flagged = doc_frame.withColumn("_new", (F.col("doc_id") >= wm).cast("int"))
+    inc = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in incremental_jaccard_pairs(
+            flagged, "_new", n=2, threshold=0.3
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(doc_frame, n=2, threshold=0.3).collect()
+        if r.id_a >= wm or r.id_b >= wm
+    }
+    assert inc == full and len(inc) > 0

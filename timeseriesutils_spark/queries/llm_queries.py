@@ -1189,3 +1189,57 @@ def _sql_pmi_cooccur():
 
 
 QUERIES.update({"pmi_cooccur": Q(q_pmi_cooccur, _sql_pmi_cooccur())})
+
+
+INC_DEDUP_WM = 400  # doc_id >= WM is "the new ingest batch"
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Watermark-bounded near-dup detection
+    (dedup.incremental_jaccard_pairs): pairs touching the new ingest
+    batch (doc_id >= 400) only — untouched shingles never reach the pair
+    explosion; bit-identical to the full recompute filtered to
+    new-touching pairs."""
+    from timeseriesutils_spark.operators.dedup import incremental_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "_new", (F.col("doc_id") >= INC_DEDUP_WM).cast("int")
+    )
+    return incremental_jaccard_pairs(
+        docs, "_new", n=3, threshold=0.6, max_posting=MAX_POSTING
+    )
+
+
+_SQL_INCREMENTAL_DEDUP = f"""
+WITH words AS (
+  SELECT doc_id, (doc_id >= {INC_DEDUP_WM}) AS nw,
+    string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, nw,
+    list_distinct(CASE WHEN len(w) >= 3
+      THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+      ELSE [array_to_string(w, ' ')] END) AS shingles
+  FROM words
+),
+ex AS (SELECT doc_id, nw, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+ok AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {{mp}}),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id AND (a.nw OR b.nw)
+  JOIN ok ON ok.s = a.s
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (sz_a + sz_b - i) AS jaccard
+FROM inter WHERE CAST(i AS DOUBLE) / (sz_a + sz_b - i) >= 0.6
+"""
+
+
+QUERIES.update(
+    {
+        "incremental_dedup": Q(
+            q_incremental_dedup, _SQL_INCREMENTAL_DEDUP.replace("{mp}", "128")
+        )
+    }
+)
