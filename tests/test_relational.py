@@ -256,3 +256,30 @@ def test_quantile_bins_equal_frequency(spark):
     assert len(got) == 10 and max(sizes) - min(sizes) <= 1 and sum(sizes) == 95
     for (b1, _, _, hi1), (b2, _, lo2, _) in zip(got, got[1:]):
         assert b2 == b1 + 1 and lo2 >= hi1
+
+
+def test_temporal_join_picks_valid_version(spark):
+    from timeseriesutils_spark.operators.relational import temporal_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, 0, 100, "v1"),
+            (1, 100, None, "v2"),   # open-ended current version
+            (2, 50, 60, "w1"),
+        ],
+        "k long, valid_from_ms long, valid_to_ms long, attr string",
+    )
+    fact = spark.createDataFrame(
+        [(1, 0), (1, 99), (1, 100), (1, 5000), (2, 55), (2, 70), (3, 10)],
+        "k long, ts long",
+    )
+    out = temporal_join(fact, dim, "k", "ts")
+    got = {(r.k, r.ts): (r.attr, r.version_from_ms) for r in out.collect()}
+    assert len(got) == 7                      # left join preserves rows
+    assert got[(1, 0)] == ("v1", 0)           # inclusive from
+    assert got[(1, 99)] == ("v1", 0)
+    assert got[(1, 100)] == ("v2", 100)       # exclusive to
+    assert got[(1, 5000)] == ("v2", 100)      # open interval
+    assert got[(2, 55)] == ("w1", 50)
+    assert got[(2, 70)] == (None, None)       # after the last closed version
+    assert got[(3, 10)] == (None, None)       # unknown key

@@ -243,3 +243,48 @@ def merge_upsert(
         ],
     )
     return out
+
+
+def temporal_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts_ms: str,
+    valid_from_ms: str = "valid_from_ms",
+    valid_to_ms: str = "valid_to_ms",
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (temporal) dimension lookup: each fact row joins
+    the dimension VERSION valid at its timestamp — key equality plus
+    ``valid_from <= ts < valid_to`` (NULL ``valid_to`` = current/open
+    version).  The SCD-2 consumption pattern: as-of semantics with an
+    explicit validity interval instead of nearest-earlier-event.
+
+    Implementation: equi-join on the key with the interval predicate as
+    a join condition — Catalyst plans a hash join on the key; the
+    interval filter prunes version candidates per key.  Versions per
+    key are bounded (dimension CHANGES, not events), so the pre-filter
+    fan-out is |versions-per-key|, not a range-join blowup; a dimension
+    with monster version counts should go through the binned range join
+    (:func:`range_join_binned`) instead.  Intervals are half-open and
+    non-overlapping per key (the scd2_history contract), so each fact
+    row matches at most one version — row counts are preserved under
+    ``how='left'``.
+    """
+    dcols = dim_cols if dim_cols is not None else [
+        c for c in dim.columns if c not in (key, valid_from_ms, valid_to_ms)
+    ]
+    d = dim.select(
+        F.col(key).alias("_tk"),
+        F.col(valid_from_ms).alias("_vf"),
+        F.col(valid_to_ms).alias("_vt"),
+        *[F.col(c) for c in dcols],
+    )
+    cond = (
+        (fact[key] == d["_tk"])
+        & (fact[fact_ts_ms] >= d["_vf"])
+        & (d["_vt"].isNull() | (fact[fact_ts_ms] < d["_vt"]))
+    )
+    out = fact.join(d, cond, how)
+    return out.select(*fact.columns, F.col("_vf").alias("version_from_ms"), *dcols)

@@ -54,7 +54,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "funnel_latency", "acf_features", "lead_lag_corr", "rolling_moments",
     "seasonal_zscore", "fk_audit", "benford_audit", "event_transitions",
     "inverted_index", "pmi_cooccur", "decompose_series", "ab_test_report", "holt_smooth",
-    "categorical_assoc", "value_entropy", "sax_words", "psi_drift", "dtw_pattern", "incremental_dedup",
+    "categorical_assoc", "value_entropy", "sax_words", "psi_drift", "dtw_pattern", "incremental_dedup", "stream_topk", "temporal_join",
     # remaining slots: regression re-check of the round-3 driver-green set
     "winsorize", "group_trend", "seasonal_profile", "time_rollup",
     "ohlc_bars", "time_weighted_avg", "gap_detect", "funnel",

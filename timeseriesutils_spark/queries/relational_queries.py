@@ -1026,3 +1026,57 @@ QUERIES.update(
         "quantile_bin": Q(q_quantile_bin, _sql_quantile_bin()),
     }
 )
+
+
+def q_temporal_join(spark, sf_dir):
+    """Point-in-time dimension lookup (relational.temporal_join):
+    click/view/purchase events enriched with the signup/error "regime"
+    interval active at event time (SCD-2 intervals built from the
+    signup+error stream per user) — the as-of-with-validity-interval
+    consumption pattern of scd2_history."""
+    from timeseriesutils_spark.operators.relational import temporal_join
+    from timeseriesutils_spark.operators.sessions import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    dim_src = ev.filter(F.col("event_type").isin("signup", "error"))
+    dim = scd2_history(dim_src).select(
+        "user_id",
+        "valid_from_ms",
+        "valid_to_ms",
+        F.col("event_type").alias("regime_type"),
+        F.col("n_events").alias("regime_events"),
+    )
+    fact = ev.filter(~F.col("event_type").isin("signup", "error")).select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "event_type",
+    )
+    return temporal_join(dim=dim, fact=fact, key="user_id", fact_ts_ms="ts_ms")
+
+
+def _sql_temporal_join():
+    from timeseriesutils_spark.operators.sessions import scd2_history_sql
+
+    dim_sql = scd2_history_sql(
+        table="(SELECT * FROM events WHERE event_type IN ('signup', 'error'))"
+    )
+    return f"""
+WITH dim AS ({dim_sql}),
+fact AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+  FROM events WHERE event_type NOT IN ('signup', 'error')
+)
+SELECT f.event_id, f.user_id, f.ts_ms, f.event_type,
+  d.valid_from_ms AS version_from_ms,
+  d.event_type AS regime_type,
+  d.n_events AS regime_events
+FROM fact f
+LEFT JOIN dim d
+  ON f.user_id = d.user_id
+  AND f.ts_ms >= d.valid_from_ms
+  AND (d.valid_to_ms IS NULL OR f.ts_ms < d.valid_to_ms)
+"""
+
+
+QUERIES.update({"temporal_join": Q(q_temporal_join, _sql_temporal_join())})

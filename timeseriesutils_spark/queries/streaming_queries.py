@@ -263,3 +263,29 @@ FROM fin WHERE rn = 1
 
 
 QUERIES.update({"stream_cusum": Q(q_stream_cusum, _sql_stream_cusum())})
+
+
+def q_stream_topk(spark, sf_dir):
+    """Top-3 trending event types per tumbling hour
+    (streaming/windows.windowed_topk): streaming-legal count aggregation
+    + deterministic rank (the rank half runs foreachBatch in a live
+    deployment)."""
+    from timeseriesutils_spark.streaming.windows import windowed_topk
+
+    return windowed_topk(_events(spark, sf_dir), window="1 hour", k=3)
+
+
+_SQL_STREAM_TOPK = """
+WITH counts AS (
+  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
+    COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY window_start ORDER BY n DESC, event_type ASC
+  ) AS INT) AS rank
+FROM counts QUALIFY rank <= 3
+"""
+
+QUERIES.update({"stream_topk": Q(q_stream_topk, _SQL_STREAM_TOPK)})

@@ -15,7 +15,7 @@ watermark horizon).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timeseriesutils_spark.functions.exact import dsum
@@ -374,3 +374,41 @@ def streaming_cusum(
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def windowed_topk(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    group_col: str = "event_type",
+    k: int = 3,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Top-k trending keys per tumbling window (count-ranked, ties by
+    key ascending — deterministic) — the "what's hot right now" feed.
+
+    The aggregation half is the streaming-legal part (same shape as
+    :func:`tumbling_counts`; runs under readStream with a watermark).
+    The RANKING half is a window function, which Structured Streaming
+    forbids on unbounded frames — in a live deployment it runs
+    per-micro-batch in ``foreachBatch`` (rank the completed windows the
+    batch emitted) or over the complete-mode sink table; this builder
+    composes both halves for the batch/verification path, where they
+    are one plan.
+    """
+    counts = (
+        _maybe_watermark(events, ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"), group_col, "n"
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.col("n").desc(), F.col(group_col).asc()
+        )
+    )
+    return counts.select(
+        "window_start", group_col, "n", rank.cast("int").alias("rank")
+    ).filter(F.col("rank") <= k)
