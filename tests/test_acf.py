@@ -164,3 +164,15 @@ def test_new_rowscale_ops_single_exchange(spark):
     for name, plan in plans.items():
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, name
         assert "EvalPython" not in plan, name
+
+
+def test_lead_lag_no_winner_when_all_null(spark):
+    """A group below min_pairs has NO best shift (code-review
+    regression: rank 1 was flagged even with NULL xcorr)."""
+    df = spark.createDataFrame(
+        [("g", t, float(t), float(t * 2)) for t in range(3)],
+        "g string, t long, x double, y double",
+    )
+    out = lead_lag_corr(df, "x", "y", ["g"], ["t"], max_shift=2, min_pairs=8).collect()
+    assert all(r.xcorr is None for r in out)
+    assert not any(r.is_best for r in out)

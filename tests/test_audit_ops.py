@@ -161,3 +161,13 @@ def test_psi_drift_identical_vs_shifted(spark):
         qb = (pb[b] + 0.5) / (100 + 0.5 * k)
         psi += m.floor((qa - qb) * m.log(qa / qb) * 1e9 + 0.5) / 1e9
     assert out["shift"].psi == pytest.approx(psi, abs=1e-9)
+
+
+def test_categorical_assoc_excludes_nulls(spark):
+    from timeseriesutils_spark.operators.stats import categorical_assoc
+
+    rows = [("a", "a")] * 5 + [("b", "b")] * 5 + [(None, "a"), ("a", None)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = categorical_assoc(df, "x", "y").collect()[0]
+    assert (r.n, r.nx_cats, r.ny_cats, r.dof) == (10, 2, 2, 1)
+    assert r.cramers_v == pytest.approx(1.0, abs=1e-6)

@@ -64,3 +64,12 @@ def test_operator_groups_and_determinism(spark):
         df.repartition(7), "v", ["g"], ["t"], ref, band=None
     ).collect()}
     assert got == got2
+
+
+def test_kernel_length_skew_stays_finite():
+    """Short series vs long reference must stay finite (code-review
+    regression: band narrower than the length difference gave inf)."""
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    y = np.linspace(0, 10, 100)
+    d = dtw_kernel(x, y, band=10)
+    assert math.isfinite(d)

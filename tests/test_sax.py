@@ -43,3 +43,15 @@ def test_sax_validates_alphabet(spark):
     df = spark.createDataFrame([("g", 0, 1.0)], "g string, t long, v double")
     with pytest.raises(ValueError):
         sax_symbolize(df, "v", ["g"], ["t"], alphabet=26)
+
+
+def test_sax_null_values_dropped_not_fatal(spark):
+    """A NULL observation must not shift ranks into a phantom segment
+    (code-review regression: rank ran over all rows, count over
+    non-null)."""
+    rows = [("g", t, 0.0 if t < 8 else 10.0) for t in range(16)]
+    rows.insert(5, ("g", 99, None))  # one NULL row
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = sax_symbolize(df, "v", ["g"], ["t"], n_segments=4, alphabet=4).collect()
+    assert out[0].n_obs == 16
+    assert out[0].sax == "aadd"

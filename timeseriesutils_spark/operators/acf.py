@@ -334,7 +334,10 @@ def lead_lag_corr(
         "shift",
         "n_pairs",
         "xcorr",
-        (F.row_number().over(best_w) == 1).alias("is_best"),
+        # no winner when every shift failed the min_pairs/variance guard
+        ((F.row_number().over(best_w) == 1) & F.col("xcorr").isNotNull()).alias(
+            "is_best"
+        ),
     )
 
 
@@ -408,6 +411,6 @@ WITH lagged AS (
   SELECT {gsel}, shift, n_pairs, {xcorr} AS xcorr FROM per_shift
 )
 SELECT {gsel}, shift, n_pairs, xcorr,
-  (ROW_NUMBER() OVER {best_over}) = 1 AS is_best
+  ((ROW_NUMBER() OVER {best_over}) = 1 AND xcorr IS NOT NULL) AS is_best
 FROM scored
 """

@@ -718,15 +718,18 @@ def ab_test_report(
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
-    pa = F.col("conv_a").cast("double") / na
-    pb = F.col("conv_b").cast("double") / nb
+    # empty-arm guards: x/0 on doubles is engine-lumpy (Spark NULL,
+    # DuckDB IEEE inf/nan) — every ratio is gated on its denominator
+    pa = F.when(F.col("n_a") > 0, F.col("conv_a").cast("double") / na)
+    pb = F.when(F.col("n_b") > 0, F.col("conv_b").cast("double") / nb)
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     ).cast("double")
     se = F.sqrt(
         pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
     )
-    z = F.when(se > 0, (pb - pa) / se)
+    z = F.when(both & (se > 0), (pb - pa) / se)
     return agg.select(
         "n_a",
         "conv_a",
@@ -753,11 +756,11 @@ def ab_test_report_sql(
     arm = f"CASE WHEN ({bucket}) % 2 = 0 THEN 'A' ELSE 'B' END"
     na = "CAST(n_a AS DOUBLE)"
     nb = "CAST(n_b AS DOUBLE)"
-    pa = f"(CAST(conv_a AS DOUBLE) / {na})"
-    pb = f"(CAST(conv_b AS DOUBLE) / {nb})"
+    pa = f"(CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / {na} END)"
+    pb = f"(CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / {nb} END)"
     pooled = "(CAST((conv_a + conv_b) AS DOUBLE) / CAST((n_a + n_b) AS DOUBLE))"
     se = f"SQRT({pooled} * (1.0 - {pooled}) * (1.0 / {na} + 1.0 / {nb}))"
-    z = f"CASE WHEN {se} > 0 THEN ({pb} - {pa}) / {se} END"
+    z = f"CASE WHEN n_a > 0 AND n_b > 0 AND {se} > 0 THEN ({pb} - {pa}) / {se} END"
     return f"""
 WITH per_user AS (
   SELECT _u,

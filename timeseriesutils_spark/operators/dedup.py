@@ -878,6 +878,12 @@ def incremental_jaccard_pairs(
     Output = exactly ``ngram_jaccard_pairs(all docs)`` filtered to
     new-touching pairs (bit-identical — property-tested); the scheduled
     recompute can therefore verify any incremental run.
+
+    MAINTENANCE: this mirrors the posting/pair/score pipeline of
+    :func:`ngram_jaccard_pairs` (kept separate so the hot full-corpus
+    path carries no flag column); any change THERE must land HERE too —
+    tests/test_llm_ops.py::test_incremental_dedup_equals_filtered_full
+    pins the equivalence and fails on drift.
     """
     sh = hashed_shingle_docs(docs, id_col, text_col, n)
     flags = docs.select(F.col(id_col).alias("id"), F.col(new_col).cast("int").alias("nw"))

@@ -8,8 +8,9 @@ depend on the cell just computed, so this is a genuine grouped-map
 Per group: the series (ordered by ``order_by``, optionally z-normalized
 per group) is aligned to the broadcast ``reference`` sequence with the
 Sakoe–Chiba banded DP (moves: diagonal, vertical, horizontal; cost =
-|x_i − y_j|).  The band is centered on the warped diagonal j ≈ i·m/n so
-unequal lengths stay feasible; ``band=None`` means unconstrained.
+|x_i − y_j|).  The band is centered on the warped diagonal j ≈ i·m/n and widened
+to at least |n−m| (the Sakoe–Chiba feasibility bound) so unequal
+lengths stay finite; ``band=None`` means unconstrained.
 
 Output: one row per group — ``n_obs``, ``dtw_dist`` (total alignment
 cost), ``dtw_per_step`` (cost / (n + m), the length-normalized form
@@ -51,9 +52,13 @@ def dtw_kernel(x: np.ndarray, y: np.ndarray, band: int | None) -> float:
         if band is None:
             lo, hi = 1, m
         else:
+            # Sakoe–Chiba feasibility: the band must cover at least the
+            # length difference or a length-skewed pair has rows with no
+            # finite predecessor (cost = inf)
+            r = max(band, abs(n - m))
             center = int(round(i * m / n))
-            lo = max(1, center - band)
-            hi = min(m, center + band)
+            lo = max(1, center - r)
+            hi = min(m, center + r)
         xi = x[i - 1]
         for j in range(lo, hi + 1):
             c = abs(xi - y[j - 1])

@@ -63,10 +63,12 @@ def sax_symbolize(
     g = _as_list(group_columns)
     w = make_window(g, order_by)
     q = F.floor(F.col(column) * F.lit(float(10**scale)) + F.lit(0.5)).cast("bigint")
-    ranked = data.select(
-        *g,
-        q.alias("_q"),
-        F.row_number().over(w).alias("_rn"),
+    # NULL values are dropped BEFORE ranking: rank and count must run on
+    # the same row set or the last ranks overflow into a phantom segment
+    ranked = (
+        data.select(*g, q.alias("_q"), *[F.col(c) for c in _as_list(order_by) if c not in g])
+        .filter(F.col("_q").isNotNull())
+        .select(*g, "_q", F.row_number().over(w).alias("_rn"))
     )
     seg = F.floor(
         (F.col("_rn") - 1).cast("double")
@@ -150,6 +152,7 @@ WITH ranked AS (
     ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY {order}) AS _rn,
     COUNT(_q) OVER (PARTITION BY {gsel}) AS _gn
   FROM (SELECT {gsel}, {order}, {q} AS _q FROM {relation})
+  WHERE _q IS NOT NULL
 ), segged AS (
   SELECT {gsel}, _q,
     CAST(FLOOR(CAST(_rn - 1 AS DOUBLE) * {float(n_segments)!r} / CAST(_gn AS DOUBLE)) AS INT) AS _seg

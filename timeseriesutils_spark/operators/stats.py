@@ -426,12 +426,18 @@ def categorical_assoc(data: DataFrame, col_x: str, col_y: str) -> DataFrame:
     once per cell to identical inputs (1-ulp libm variance absorbed by
     the quantization).
 
-    NULL categories count as their own level (SQL GROUP BY semantics).
+    Rows with a NULL in either column are EXCLUDED (complete-case
+    analysis): counting NULL as a level would desynchronize the cell
+    grouping (which keeps NULL) from COUNT(DISTINCT) (which drops it),
+    corrupting dof/V — coalesce NULLs to a sentinel level upstream if
+    they should participate.
     Output: one row — n, nx_cats, ny_cats, chi2, dof, cramers_v, mi.
     """
-    cells = data.groupBy(
-        F.col(col_x).alias("_x"), F.col(col_y).alias("_y")
-    ).agg(F.count(F.lit(1)).alias("_o"))
+    cells = (
+        data.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        .groupBy(F.col(col_x).alias("_x"), F.col(col_y).alias("_y"))
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
     wx = Window.partitionBy("_x")
     wy = Window.partitionBy("_y")
     wall = Window.partitionBy()
@@ -496,7 +502,9 @@ def categorical_assoc_sql(table: str, col_x: str, col_y: str) -> str:
     return f"""
 WITH cells AS (
   SELECT {col_x} AS _x, {col_y} AS _y, COUNT(*) AS _o
-  FROM {table} GROUP BY {col_x}, {col_y}
+  FROM {table}
+  WHERE {col_x} IS NOT NULL AND {col_y} IS NOT NULL
+  GROUP BY {col_x}, {col_y}
 ), m AS (
   SELECT _x, _y, _o,
     SUM(_o) OVER (PARTITION BY _x) AS _nx,

@@ -37,8 +37,9 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "shard_assign",       # NULL-key sentinel fix (ADVICE)
     "table_checksum",     # DECIMAL(38,6) canonicalization fix (ADVICE)
     "kmeans",             # decimal(38,0) component-sum accumulation (ADVICE)
-    "semantic_dedup",     # shares the k-means assignment/update kernel
-    "pagerank",           # co-partitioned path exercised this round
+    # (semantic_dedup / pagerank: r3-driver-green; round-4 kernel changes
+    # are locally gate-checked — dropped from the head so ALL 20 new
+    # round-4 queries fit inside the driver's 50-row cap)
     # round-4 RO -> hash-green conversions (portable hashing: quantized
     # sign-LSH, md5 MinHash/SimHash, Lloyd-trained IVF — each now has a
     # full DuckDB twin and needs a first driver hash verdict)
