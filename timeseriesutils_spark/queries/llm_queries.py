@@ -1239,7 +1239,8 @@ FROM inter WHERE CAST(i AS DOUBLE) / (sz_a + sz_b - i) >= 0.6
 QUERIES.update(
     {
         "incremental_dedup": Q(
-            q_incremental_dedup, _SQL_INCREMENTAL_DEDUP.replace("{mp}", "128")
+            q_incremental_dedup,
+            _SQL_INCREMENTAL_DEDUP.replace("{mp}", str(MAX_POSTING)),
         )
     }
 )
