@@ -263,3 +263,37 @@ def _sql_ab_test():
 
 
 QUERIES.update({"ab_test_report": Q(q_ab_test, _sql_ab_test())})
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier time-to-conversion survival curves per market
+    segment (operators/survival.kaplan_meier): per-user hours from first
+    event to first purchase (72-hour follow-up window, non-converters
+    right-censored at the edge), stratum from a broadcast customer join,
+    then the product-limit estimator in quantized log space -- two
+    map-combinable shuffles plus a window over the tiny (stratum, t)
+    table."""
+    from timeseriesutils_spark.operators.survival import (
+        conversion_lifetimes,
+        kaplan_meier,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return kaplan_meier(
+        conversion_lifetimes(events, customer), duration_col="t_hour"
+    )
+
+
+def _sql_kaplan_meier():
+    from timeseriesutils_spark.operators.survival import (
+        conversion_lifetimes_sql,
+        kaplan_meier_sql,
+    )
+
+    return kaplan_meier_sql(
+        conversion_lifetimes_sql("events", "customer"), duration_col="t_hour"
+    )
+
+
+QUERIES.update({"kaplan_meier": Q(q_kaplan_meier, _sql_kaplan_meier())})
