@@ -171,3 +171,39 @@ def test_categorical_assoc_excludes_nulls(spark):
     r = categorical_assoc(df, "x", "y").collect()[0]
     assert (r.n, r.nx_cats, r.ny_cats, r.dof) == (10, 2, 2, 1)
     assert r.cramers_v == pytest.approx(1.0, abs=1e-6)
+
+
+def test_snapshot_diff_classifies(spark):
+    from timeseriesutils_spark.operators.stats import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "D", 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+
+
+def test_snapshot_diff_identical_is_empty(spark):
+    from timeseriesutils_spark.operators.stats import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a", 1.5), (2, None, None)], "k long, s string, v double")
+    assert snapshot_diff(df, df, ["k"]).count() == 0
+
+
+def test_snapshot_diff_narrow_shuffle(spark):
+    # the exchanges must carry only (key, hash) — never payload columns
+    from timeseriesutils_spark.operators.stats import snapshot_diff
+
+    old = spark.range(100).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS payload_a", "id * 1.5 AS payload_b"
+    )
+    new = old.withColumn("payload_b", F.col("payload_b") + 1)
+    plan = snapshot_diff(old, new, ["k"])._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload_a" not in line and "payload_b" not in line

@@ -268,6 +268,47 @@ FROM {table} t JOIN m USING ({g}) JOIN d USING ({g})
 """
 
 
+def row_hash(df, columns: list[str], decimal_scale: int = 6):
+    """Canonical 60-bit per-row content hash — the shared encoding of
+    :func:`table_checksum` and :func:`snapshot_diff` (see
+    ``table_checksum``'s docstring for the cross-engine canonicalization
+    rules: float→DECIMAL(38,s), timestamp→epoch-µs, NULL→``\\x01``,
+    ``\\x1f``-joined, md5, first 15 hex digits)."""
+    from pyspark.sql import functions as F
+
+    enc = []
+    dt = dict(df.dtypes)
+    for c in columns:
+        t = dt[c]
+        if t in ("double", "float"):
+            v = F.col(c).cast(f"decimal(38,{decimal_scale})").cast("string")
+        elif t.startswith("timestamp"):
+            # UTC session tz: NTZ→LTZ cast is wall-clock-identity
+            v = F.unix_micros(F.col(c).cast("timestamp")).cast("string")
+        else:
+            v = F.col(c).cast("string")
+        enc.append(F.coalesce(v, F.lit("\x01")))
+    return F.conv(F.substring(F.md5(F.concat_ws("\x1f", *enc)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def row_hash_sql(columns: list[str], types: dict[str, str], decimal_scale: int = 6) -> str:
+    """DuckDB twin expression of :func:`row_hash` (``types``: column →
+    Spark dtype string)."""
+    enc = []
+    for c in columns:
+        if types[c] in ("double", "float"):
+            v = f"CAST(CAST({c} AS DECIMAL(38,{decimal_scale})) AS VARCHAR)"
+        elif types[c].startswith("timestamp"):
+            v = f"CAST(epoch_us({c}) AS VARCHAR)"
+        else:
+            v = f"CAST({c} AS VARCHAR)"
+        enc.append(f"COALESCE({v}, chr(1))")
+    joined = ", ".join(["chr(31)"] + enc)
+    return f"CAST(CONCAT('0x', substring(md5(concat_ws({joined})), 1, 15)) AS BIGINT)"
+
+
 def table_checksum(
     df,
     columns: list[str] | None = None,
@@ -306,20 +347,7 @@ def table_checksum(
     from pyspark.sql import functions as F
 
     cols = columns or df.columns
-    enc = []
-    for c in cols:
-        t = dict(df.dtypes)[c]
-        if t in ("double", "float"):
-            v = F.col(c).cast(f"decimal(38,{decimal_scale})").cast("string")
-        elif t.startswith("timestamp"):
-            # UTC session tz: NTZ→LTZ cast is wall-clock-identity
-            v = F.unix_micros(F.col(c).cast("timestamp")).cast("string")
-        else:
-            v = F.col(c).cast("string")
-        enc.append(F.coalesce(v, F.lit("\x01")))
-    h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *enc)), 1, 15), 16, 10).cast(
-        "bigint"
-    )
+    h = row_hash(df, cols, decimal_scale)
     return df.select(h.alias("_h")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("bit_xor(_h)").alias("xor_h"),
@@ -337,23 +365,84 @@ def table_checksum_sql(
 ) -> str:
     """DuckDB twin of :func:`table_checksum` (``types``: column → Spark
     dtype string, to mirror the float→decimal canonicalization)."""
-    enc = []
-    for c in columns:
-        if types[c] in ("double", "float"):
-            v = f"CAST(CAST({c} AS DECIMAL(38,{decimal_scale})) AS VARCHAR)"
-        elif types[c].startswith("timestamp"):
-            v = f"CAST(epoch_us({c}) AS VARCHAR)"
-        else:
-            v = f"CAST({c} AS VARCHAR)"
-        enc.append(f"COALESCE({v}, chr(1))")
-    joined = ", ".join(["chr(31)"] + enc)
-    h = f"CAST(CONCAT('0x', substring(md5(concat_ws({joined})), 1, 15)) AS BIGINT)"
+    h = row_hash_sql(columns, types, decimal_scale)
     return f"""
 WITH h AS (SELECT {h} AS _h FROM {table})
 SELECT COUNT(*) AS n_rows, BIT_XOR(_h) AS xor_h,
   CAST(CAST(SUM(CAST(_h AS DECIMAL(38,0))) AS DECIMAL(38,0)) % 1000000000000000000
        AS BIGINT) AS sum_h_mod
 FROM h
+"""
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    decimal_scale: int = 6,
+) -> DataFrame:
+    """Row-level diff between two versions of a table — the change-data
+    audit behind snapshot reconciliation, replication checks, and
+    incremental-load validation: which keys were ``added``, ``removed``,
+    or ``changed`` between version A and version B.
+
+    Each side is first projected to (keys, canonical row hash over
+    ``compare_cols`` — :func:`row_hash`, the :func:`table_checksum`
+    encoding), then a single full-outer join on the keys classifies
+    every key.  Unchanged keys are dropped.
+
+    Scale shape: the exchanges carry only keys + one int64 hash — never
+    the payload columns — so diffing two 100 TB snapshots shuffles two
+    narrow key/hash projections (a few % of table bytes).  With both
+    snapshots bucketed on the key the join needs no shuffle at all.
+    Output is bounded by the churn, not the table size.
+    """
+    compare_cols = compare_cols or [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *key_cols, row_hash(old, compare_cols, decimal_scale).alias("old_hash")
+    )
+    n = new.select(
+        *key_cols, row_hash(new, compare_cols, decimal_scale).alias("new_hash")
+    )
+    j = o.join(n, on=list(key_cols), how="full_outer")
+    change = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type", "old_hash", "new_hash")
+    )
+
+
+def snapshot_diff_sql(
+    old_sql: str,
+    new_sql: str,
+    key_cols: list[str],
+    compare_cols: list[str],
+    types: dict[str, str],
+    decimal_scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`snapshot_diff` over two inner SELECTs."""
+    h = row_hash_sql(compare_cols, types, decimal_scale)
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"o.{k} = n.{k}" for k in key_cols)
+    key_out = ", ".join(f"COALESCE(o.{k}, n.{k}) AS {k}" for k in key_cols)
+    return f"""
+WITH o AS (SELECT {keys}, {h} AS old_hash FROM ({old_sql})),
+n AS (SELECT {keys}, {h} AS new_hash FROM ({new_sql})),
+j AS (
+  SELECT {key_out}, o.old_hash, n.new_hash,
+    CASE WHEN o.old_hash IS NULL THEN 'added'
+         WHEN n.new_hash IS NULL THEN 'removed'
+         WHEN o.old_hash <> n.new_hash THEN 'changed' END AS change_type
+  FROM o FULL JOIN n ON {on}
+)
+SELECT {keys}, change_type, old_hash, new_hash
+FROM j WHERE change_type IS NOT NULL
 """
 
 

@@ -546,3 +546,70 @@ def _sql_psi_drift():
 
 
 QUERIES.update({"psi_drift": Q(q_psi_drift, _sql_psi_drift())})
+
+
+_ORDER_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+_ORDER_TYPES = {
+    "o_orderkey": "bigint", "o_custkey": "bigint", "o_orderstatus": "string",
+    "o_totalprice": "double", "o_orderdate": "timestamp", "o_orderpriority": "string",
+}
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Row-level table-version diff (operators/stats.snapshot_diff):
+    classify every order key as added / removed / changed between two
+    snapshot versions, joining only narrow (key, canonical-row-hash)
+    projections -- the change-data audit behind replication checks and
+    incremental-load validation.  The 'new' version is derived
+    deterministically from the same relation (md5 buckets: one removed,
+    two repriced, one re-keyed as inserts) so both engines construct
+    identical inputs."""
+    from timeseriesutils_spark.operators.splits import hash_bucket
+    from timeseriesutils_spark.operators.stats import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    base = orders.withColumn("_b", hash_bucket(F.col("o_orderkey"), 20))
+    survived = base.filter(F.col("_b") != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("_b").isin(1, 2),
+            F.floor(F.col("o_totalprice") * 1.05 * 100 + 0.5) / 100,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = base.filter(F.col("_b") == 3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1000000000)
+    )
+    new = survived.unionByName(added).drop("_b")
+    return snapshot_diff(orders, new, ["o_orderkey"])
+
+
+def _sql_snapshot_diff():
+    from timeseriesutils_spark.operators.stats import snapshot_diff_sql
+
+    cols = ", ".join(_ORDER_COLS)
+    bucket = "CAST(CONCAT('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INT) % 20"
+    new_sql = f"""
+WITH b AS (SELECT {cols}, {bucket} AS _b FROM orders)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+  CASE WHEN _b IN (1, 2) THEN FLOOR(o_totalprice * 1.05 * 100 + 0.5) / 100
+       ELSE o_totalprice END AS o_totalprice,
+  o_orderdate, o_orderpriority
+FROM b WHERE _b <> 0
+UNION ALL
+SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice,
+  o_orderdate, o_orderpriority
+FROM b WHERE _b = 3
+"""
+    return snapshot_diff_sql(
+        f"SELECT {cols} FROM orders",
+        new_sql,
+        ["o_orderkey"],
+        [c for c in _ORDER_COLS if c != "o_orderkey"],
+        _ORDER_TYPES,
+    )
+
+
+QUERIES.update({"snapshot_diff": Q(q_snapshot_diff, _sql_snapshot_diff())})
