@@ -297,3 +297,24 @@ def _sql_kaplan_meier():
 
 
 QUERIES.update({"kaplan_meier": Q(q_kaplan_meier, _sql_kaplan_meier())})
+
+
+def q_item_cooccur(spark, sf_dir):
+    """Item-item basket co-occurrence similarity
+    (operators/cooccur.item_cooccur): top-5 'also bought' neighbors per
+    part by cosine on the order-incidence matrix -- pairs generated
+    row-locally per basket (no self-join), mega-baskets bounded by
+    max_basket, singleton pairs pruned by min_support before the count
+    join."""
+    from timeseriesutils_spark.operators.cooccur import item_cooccur
+
+    return item_cooccur(load_table(spark, sf_dir, "lineitem"))
+
+
+def _sql_item_cooccur():
+    from timeseriesutils_spark.operators.cooccur import item_cooccur_sql
+
+    return item_cooccur_sql("lineitem")
+
+
+QUERIES.update({"item_cooccur": Q(q_item_cooccur, _sql_item_cooccur())})
