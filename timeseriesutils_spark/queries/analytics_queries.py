@@ -318,3 +318,27 @@ def _sql_item_cooccur():
 
 
 QUERIES.update({"item_cooccur": Q(q_item_cooccur, _sql_item_cooccur())})
+
+
+def q_attribution(spark, sf_dir):
+    """Multi-touch conversion attribution
+    (operators/attribution.multi_touch_attribution): first-touch /
+    last-touch / linear credit per channel for every user's touches
+    before their first purchase -- one user-keyed join plus one window
+    pass, linear credit quantized to int64 before the channel sum."""
+    from timeseriesutils_spark.operators.attribution import (
+        multi_touch_attribution,
+    )
+
+    return multi_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+def _sql_attribution():
+    from timeseriesutils_spark.operators.attribution import (
+        multi_touch_attribution_sql,
+    )
+
+    return multi_touch_attribution_sql("events")
+
+
+QUERIES.update({"attribution": Q(q_attribution, _sql_attribution())})
