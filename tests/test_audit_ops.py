@@ -207,3 +207,46 @@ def test_snapshot_diff_narrow_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "payload_a" not in line and "payload_b" not in line
+
+
+def test_constraint_audit_kinds(spark):
+    from timeseriesutils_spark.operators.profile import constraint_audit
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0, 100),
+            (2, "A", -5.0, 100),   # range violation
+            (2, "B", 20.0, None),  # duplicate key + null fk
+            (3, "X", 30.0, 999),   # domain violation + orphan fk
+            (4, None, None, 100),  # in_set/range ignore NULL (not_null col is 's')
+        ],
+        "k long, s string, v double, fk int",
+    )
+    dim = spark.createDataFrame([(100,), (200,)], "d int")
+    spec = [
+        {"name": "k_unique", "kind": "unique", "cols": ["k"]},
+        {"name": "s_not_null", "kind": "not_null", "col": "s"},
+        {"name": "s_domain", "kind": "in_set", "col": "s", "values": ["A", "B"]},
+        {"name": "v_range", "kind": "range", "col": "v", "lo": 0.0, "hi": 25.0},
+        {"name": "fk_dim", "kind": "fk", "col": "fk", "dim": "d", "dim_col": "d"},
+    ]
+    out = {r.constraint_name: r for r in
+           constraint_audit(df, spec, dims={"d": dim}).collect()}
+    assert out["k_unique"].violations == 1 and not out["k_unique"]["pass"]
+    assert out["s_not_null"].violations == 1
+    assert out["s_domain"].violations == 1          # NULL s not counted here
+    assert out["v_range"].violations == 2           # -5 and 30
+    assert out["fk_dim"].violations == 1            # 999; NULL fk not an orphan
+    assert all(r.total == 5 for r in out.values())
+
+
+def test_constraint_audit_clean_passes(spark):
+    from timeseriesutils_spark.operators.profile import constraint_audit
+
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "k long, s string")
+    spec = [
+        {"name": "k_unique", "kind": "unique", "cols": ["k"]},
+        {"name": "s_not_null", "kind": "not_null", "col": "s"},
+    ]
+    out = constraint_audit(df, spec).collect()
+    assert all(r["pass"] and r.violations == 0 for r in out)

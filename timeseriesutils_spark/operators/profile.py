@@ -396,3 +396,147 @@ WITH binned AS (
 )
 SELECT {gsel}n_a, n_b, n_bins, CAST(_sq AS DOUBLE) / 1e9 AS psi FROM agg
 """
+
+
+def constraint_audit(
+    df: DataFrame,
+    spec: list[dict],
+    dims: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Declarative data-contract validation — the write-gate every
+    production ingestion runs: evaluate a list of constraints against a
+    relation and emit one row per constraint with its violation count.
+
+    ``spec`` entries (``name`` + ``kind`` + kind-specific fields):
+
+    * ``{"kind": "not_null", "col"}`` — NULLs in a required column;
+    * ``{"kind": "unique", "cols": [...]}`` — duplicate key tuples
+      (violations = rows − distinct tuples);
+    * ``{"kind": "in_set", "col", "values": [...]}`` — non-NULL values
+      outside an accepted domain;
+    * ``{"kind": "range", "col", "lo", "hi"}`` — non-NULL numerics
+      outside [lo, hi];
+    * ``{"kind": "fk", "col", "dim", "dim_col"}`` — non-NULL keys with
+      no match in ``dims[dim]`` (orphans).
+
+    Scale shape: every row-local check (not_null / in_set / range) plus
+    every ``unique`` check folds into ONE aggregation pass over the
+    table — a single scan however many constraints are declared — then
+    unpivots to the long report.  Each ``fk`` adds one left-anti join
+    against its (distinct-projected) dimension.  All counts are exact.
+    """
+    dims = dims or {}
+    agg_exprs = [F.count(F.lit(1)).alias("_total")]
+    row_checks = []  # (name, kind)
+    for c in spec:
+        if c["kind"] == "fk":
+            continue
+        name, kind = c["name"], c["kind"]
+        if kind == "not_null":
+            v = F.sum(F.col(c["col"]).isNull().cast("bigint"))
+        elif kind == "unique":
+            cols = list(c["cols"])
+            v = F.count(F.lit(1)) - F.count_distinct(F.struct(*cols))
+        elif kind == "in_set":
+            bad = F.col(c["col"]).isNotNull() & ~F.col(c["col"]).isin(
+                list(c["values"])
+            )
+            v = F.sum(bad.cast("bigint"))
+        elif kind == "range":
+            col = F.col(c["col"])
+            bad = col.isNotNull() & ((col < F.lit(c["lo"])) | (col > F.lit(c["hi"])))
+            v = F.sum(bad.cast("bigint"))
+        else:
+            raise ValueError(f"unknown constraint kind: {kind}")
+        agg_exprs.append(F.coalesce(v, F.lit(0)).cast("bigint").alias(f"_v_{name}"))
+        row_checks.append((name, kind))
+    one = df.agg(*agg_exprs)
+    stack_args = ", ".join(
+        f"'{n}', '{k}', _v_{n}" for n, k in row_checks
+    )
+    report = one.selectExpr(
+        f"stack({len(row_checks)}, {stack_args}) AS "
+        "(constraint_name, kind, violations)",
+        "_total AS total",
+    )
+    parts = [report]
+    for c in spec:
+        if c["kind"] != "fk":
+            continue
+        dim = dims[c["dim"]].select(F.col(c["dim_col"]).alias("_dk")).distinct()
+        orphans = (
+            df.filter(F.col(c["col"]).isNotNull())
+            .join(dim, F.col(c["col"]) == F.col("_dk"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        )
+        parts.append(
+            orphans.crossJoin(df.agg(F.count(F.lit(1)).alias("total"))).select(
+                F.lit(c["name"]).alias("constraint_name"),
+                F.lit("fk").alias("kind"),
+                "violations",
+                "total",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("pass", F.col("violations") == F.lit(0))
+
+
+def constraint_audit_sql(
+    table: str,
+    spec: list[dict],
+    dim_tables: dict[str, str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`constraint_audit` (``dim_tables``: dim name
+    → table name for fk constraints)."""
+    dim_tables = dim_tables or {}
+    sel, names = [], []
+    for c in spec:
+        if c["kind"] == "fk":
+            continue
+        name, kind = c["name"], c["kind"]
+        if kind == "not_null":
+            v = f"SUM(CASE WHEN {c['col']} IS NULL THEN 1 ELSE 0 END)"
+        elif kind == "unique":
+            cols = ", ".join(c["cols"])
+            v = f"COUNT(*) - COUNT(DISTINCT ({cols}))"
+        elif kind == "in_set":
+            vals = ", ".join(f"'{x}'" for x in c["values"])
+            v = (
+                f"SUM(CASE WHEN {c['col']} IS NOT NULL AND {c['col']} NOT IN ({vals}) "
+                "THEN 1 ELSE 0 END)"
+            )
+        elif kind == "range":
+            v = (
+                f"SUM(CASE WHEN {c['col']} IS NOT NULL AND "
+                f"({c['col']} < {c['lo']} OR {c['col']} > {c['hi']}) THEN 1 ELSE 0 END)"
+            )
+        sel.append(f"CAST(COALESCE({v}, 0) AS BIGINT) AS _v_{name}")
+        names.append((name, kind))
+    unions = [
+        f"""SELECT '{n}' AS constraint_name, '{k}' AS kind,
+  _v_{n} AS violations, _total AS total FROM agg"""
+        for n, k in names
+    ]
+    for c in spec:
+        if c["kind"] != "fk":
+            continue
+        dim = dim_tables[c["dim"]]
+        unions.append(
+            f"""SELECT '{c['name']}', 'fk',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {table} t
+   WHERE t.{c['col']} IS NOT NULL AND NOT EXISTS
+     (SELECT 1 FROM {dim} d WHERE d.{c['dim_col']} = t.{c['col']})),
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM {table})"""
+        )
+    body = "\nUNION ALL\n".join(unions)
+    return f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS _total, {', '.join(sel)} FROM {table}
+),
+rep AS (
+{body}
+)
+SELECT constraint_name, kind, violations, total, violations = 0 AS pass FROM rep
+"""

@@ -613,3 +613,42 @@ FROM b WHERE _b = 3
 
 
 QUERIES.update({"snapshot_diff": Q(q_snapshot_diff, _sql_snapshot_diff())})
+
+
+_CONTRACT = [
+    {"name": "orderkey_unique", "kind": "unique", "cols": ["o_orderkey"]},
+    {"name": "custkey_not_null", "kind": "not_null", "col": "o_custkey"},
+    {"name": "status_domain", "kind": "in_set", "col": "o_orderstatus",
+     "values": ["O", "F", "P"]},
+    {"name": "price_range", "kind": "range", "col": "o_totalprice",
+     "lo": 0.0, "hi": 600000.0},
+    {"name": "custkey_fk", "kind": "fk", "col": "o_custkey",
+     "dim": "customer", "dim_col": "c_custkey"},
+]
+
+
+def q_constraint_audit(spark, sf_dir):
+    """Declarative data-contract validation
+    (operators/profile.constraint_audit): five constraints over orders
+    (key uniqueness, required column, status domain, price range,
+    customer FK) -- all row-local checks and the uniqueness check fold
+    into ONE aggregation scan; the FK adds one left-anti join against
+    the distinct-projected dimension."""
+    from timeseriesutils_spark.operators.profile import constraint_audit
+
+    return constraint_audit(
+        load_table(spark, sf_dir, "orders"),
+        _CONTRACT,
+        dims={"customer": load_table(spark, sf_dir, "customer")},
+    )
+
+
+def _sql_constraint_audit():
+    from timeseriesutils_spark.operators.profile import constraint_audit_sql
+
+    return constraint_audit_sql(
+        "orders", _CONTRACT, dim_tables={"customer": "customer"}
+    )
+
+
+QUERIES.update({"constraint_audit": Q(q_constraint_audit, _sql_constraint_audit())})
