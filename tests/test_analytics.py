@@ -298,3 +298,31 @@ def test_funnel_latency_semantics(spark):
     r = got[0]
     assert r.day == "2024-05-01" and r.n_converted == 2
     assert r.p50_ms == 20000.0 and r.p75_ms == 25000.0
+
+
+def test_top_paths_order_and_truncation(spark):
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.sessions import top_paths
+
+    rows = [
+        # u1 day1: a>b ; u2 day1: a>b ; u3 day1: b>a  -> "a>b" wins
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (2, "2024-01-01 01:00:00", 1, "b"),
+        (3, "2024-01-01 00:00:00", 2, "a"),
+        (4, "2024-01-01 01:00:00", 2, "b"),
+        (5, "2024-01-01 00:00:00", 3, "b"),
+        (6, "2024-01-01 01:00:00", 3, "a"),
+        # u1 day2: single-step path
+        (7, "2024-01-02 00:00:00", 1, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = top_paths(df, max_steps=8, top_n=10).collect()
+    assert [(r.path, r.n_sessions, r.rnk) for r in sorted(out, key=lambda r: r.rnk)] == [
+        ("a>b", 2, 1), ("b>a", 1, 2), ("c", 1, 3),
+    ]
+    # max_steps truncates: same data, paths capped at 1 step
+    out1 = {r.path: r.n_sessions for r in top_paths(df, max_steps=1, top_n=10).collect()}
+    assert out1 == {"a": 2, "b": 1, "c": 1}

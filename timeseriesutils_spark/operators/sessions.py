@@ -194,3 +194,80 @@ SELECT {user_col}, sess_n,
   {dsum_sql(value_col, scale=8)} AS value_sum
 FROM s GROUP BY {user_col}, sess_n
 """
+
+
+def top_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    max_steps: int = 8,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-N behavioral paths: the most common ordered event-type
+    sequences per (user, day) session — the path-analysis report behind
+    "how do users actually move through the product".
+
+    Each session's path is its first ``max_steps`` events joined as
+    ``a>b>c`` (deterministic order: ts, then event id on ties).  Paths
+    are counted across all sessions and ranked (count DESC, path ASC).
+
+    Scale shape: one (user, day) exchange builds the per-session rows
+    — the path string is assembled row-locally from a sorted in-row
+    array (collect_list + array_sort on the unique step index, no
+    second sort pass) and is bounded by ``max_steps`` — then the
+    path-frequency table (≤ |event types|^max_steps in theory, tiny in
+    practice) is ranked; only that pre-aggregated table crosses the
+    final single-partition ranking window, the classic top-k shape
+    (same discipline as streaming/windows.stream_topk).
+    """
+    day = F.to_date(F.col(ts_col))
+    w = Window.partitionBy(user_col, "_day").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    steps = (
+        events.withColumn("_day", day)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_steps)
+    )
+    paths = steps.groupBy(user_col, "_day").agg(
+        F.concat_ws(
+            ">",
+            F.expr(f"transform(array_sort(collect_list(struct(_rn, {type_col}))), x -> x.{type_col})"),
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= top_n)
+    )
+
+
+def top_paths_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    max_steps: int = 8,
+    top_n: int = 20,
+) -> str:
+    """DuckDB twin of :func:`top_paths`."""
+    return f"""
+WITH s AS (
+  SELECT {user_col}, CAST({ts_col} AS DATE) AS _day, {type_col},
+    row_number() OVER (PARTITION BY {user_col}, CAST({ts_col} AS DATE)
+                       ORDER BY {ts_col} ASC, {id_col} ASC) AS rn
+  FROM {table}
+),
+p AS (
+  SELECT {user_col}, _day, string_agg({type_col}, '>' ORDER BY rn) AS path
+  FROM s WHERE rn <= {max_steps} GROUP BY {user_col}, _day
+),
+c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path)
+SELECT path, n_sessions,
+  CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS INT) AS rnk
+FROM c QUALIFY rnk <= {top_n}
+"""

@@ -342,3 +342,23 @@ def _sql_attribution():
 
 
 QUERIES.update({"attribution": Q(q_attribution, _sql_attribution())})
+
+
+def q_top_paths(spark, sf_dir):
+    """Top-20 behavioral paths (operators/sessions.top_paths): most
+    common ordered event-type sequences per (user, day) session, paths
+    assembled row-locally from sorted in-row arrays, only the
+    pre-aggregated path-frequency table crossing the final ranking
+    window."""
+    from timeseriesutils_spark.operators.sessions import top_paths
+
+    return top_paths(load_table(spark, sf_dir, "events"))
+
+
+def _sql_top_paths():
+    from timeseriesutils_spark.operators.sessions import top_paths_sql
+
+    return top_paths_sql("events")
+
+
+QUERIES.update({"top_paths": Q(q_top_paths, _sql_top_paths())})
