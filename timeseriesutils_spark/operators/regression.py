@@ -1,0 +1,166 @@
+"""Grouped multivariate (two-feature) OLS via closed-form normal
+equations — the distributed regression primitive: per-group
+β = (XᵀX)⁻¹Xᵀy with intercept, solved by 2×2 determinant formulas from
+ONE aggregation pass of sufficient statistics.
+
+This extends ``group_trend`` (operators/forecast.py, single feature) to
+the multi-feature case the reference domain needs for covariate
+adjustment (price ~ quantity + discount per flag, demand ~ trend +
+promo, …).  No iteration, no driver linear algebra: the nine
+sufficient statistics (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y,
+Σy²) are map-combinable aggregates, and the solve is a row-local
+expression on the one-row-per-group result.
+
+Exactness: inputs are quantized to integer units (floor(v·10^s + 0.5),
+the shared rounding), per-row products are exact int64, and sums
+accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so they cannot
+wrap at any scale (ADVICE r3: int64 Σx² wraps first at ~1e18 — a
+billion rows of 5-digit quantized values).  The determinant arithmetic
+then runs in double on identical integers with an identical expression
+tree — bit-equal across engines.  Collinear groups (det = 0) and
+zero-variance targets yield NULL coefficients instead of ±inf.
+
+Scale shape: one partial-aggregated exchange on the group key; the
+solve stage touches |groups| rows.  The same shape at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.window_features import _as_list
+
+
+def grouped_ols2(
+    data: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group OLS of ``y ~ b0 + b1·x1 + b2·x2``.
+
+    Returns (groups…, n, b0, b1, b2, r2).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = lambda c: F.floor(F.col(c) * F.lit(m) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    d = data.select(
+        *groups,
+        q(x1_col).alias("_x1"),
+        q(x2_col).alias("_x2"),
+        q(y_col).alias("_y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = d.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_x1"))).alias("_s1"),
+        F.sum(dec(F.col("_x2"))).alias("_s2"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_x1") * F.col("_x1"))).alias("_s11"),
+        F.sum(dec(F.col("_x2") * F.col("_x2"))).alias("_s22"),
+        F.sum(dec(F.col("_x1") * F.col("_x2"))).alias("_s12"),
+        F.sum(dec(F.col("_x1") * F.col("_y"))).alias("_s1y"),
+        F.sum(dec(F.col("_x2") * F.col("_y"))).alias("_s2y"),
+        F.sum(dec(F.col("_y") * F.col("_y"))).alias("_syy"),
+    )
+    # back to original units, double, identical expression tree as the twin
+    m1 = float(m)
+    m2 = float(m * m)
+    nn = F.col("n").cast("double")
+    s1 = F.col("_s1").cast("double") / m1
+    s2 = F.col("_s2").cast("double") / m1
+    sy = F.col("_sy").cast("double") / m1
+    s11 = F.col("_s11").cast("double") / m2
+    s22 = F.col("_s22").cast("double") / m2
+    s12 = F.col("_s12").cast("double") / m2
+    s1y = F.col("_s1y").cast("double") / m2
+    s2y = F.col("_s2y").cast("double") / m2
+    syy = F.col("_syy").cast("double") / m2
+    a11 = nn * s11 - s1 * s1
+    a12 = nn * s12 - s1 * s2
+    a22 = nn * s22 - s2 * s2
+    b1v = nn * s1y - s1 * sy
+    b2v = nn * s2y - s2 * sy
+    det = a11 * a22 - a12 * a12
+    b1 = F.when(det != 0, (a22 * b1v - a12 * b2v) / det)
+    b2 = F.when(det != 0, (a11 * b2v - a12 * b1v) / det)
+    ssy = nn * syy - sy * sy
+    r2 = F.when((det != 0) & (ssy != 0), (b1 * b1v + b2 * b2v) / ssy)
+    return agg.select(
+        *groups,
+        "n",
+        F.when(det != 0, (sy - b1 * s1 - b2 * s2) / nn).alias("b0"),
+        b1.alias("b1"),
+        b2.alias("b2"),
+        r2.alias("r2"),
+    )
+
+
+def grouped_ols2_sql(
+    table: str,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`grouped_ols2`."""
+    groups = _as_list(group_columns)
+    g = ", ".join(groups)
+    m = 10**scale
+    m2 = m * m
+    qq = lambda c: f"CAST(FLOOR({c} * {m} + 0.5) AS BIGINT)"  # noqa: E731
+    return f"""
+WITH q AS (
+  SELECT {g}, {qq(x1_col)} AS _x1, {qq(x2_col)} AS _x2, {qq(y_col)} AS _y
+  FROM {table}
+),
+agg AS (
+  SELECT {g}, COUNT(*) AS n,
+    SUM(_x1) AS _s1, SUM(_x2) AS _s2, SUM(_y) AS _sy,
+    SUM(_x1 * _x1) AS _s11, SUM(_x2 * _x2) AS _s22, SUM(_x1 * _x2) AS _s12,
+    SUM(_x1 * _y) AS _s1y, SUM(_x2 * _y) AS _s2y, SUM(_y * _y) AS _syy
+  FROM q GROUP BY {g}
+),
+u AS (
+  SELECT {g}, n,
+    CAST(n AS DOUBLE) AS nn,
+    CAST(_s1 AS DOUBLE) / {float(m)!r} AS s1,
+    CAST(_s2 AS DOUBLE) / {float(m)!r} AS s2,
+    CAST(_sy AS DOUBLE) / {float(m)!r} AS sy,
+    CAST(_s11 AS DOUBLE) / {float(m2)!r} AS s11,
+    CAST(_s22 AS DOUBLE) / {float(m2)!r} AS s22,
+    CAST(_s12 AS DOUBLE) / {float(m2)!r} AS s12,
+    CAST(_s1y AS DOUBLE) / {float(m2)!r} AS s1y,
+    CAST(_s2y AS DOUBLE) / {float(m2)!r} AS s2y,
+    CAST(_syy AS DOUBLE) / {float(m2)!r} AS syy
+  FROM agg
+),
+k AS (
+  SELECT {g}, n, nn, s1, s2, sy,
+    nn * s11 - s1 * s1 AS a11,
+    nn * s12 - s1 * s2 AS a12,
+    nn * s22 - s2 * s2 AS a22,
+    nn * s1y - s1 * sy AS b1v,
+    nn * s2y - s2 * sy AS b2v,
+    nn * syy - sy * sy AS ssy
+  FROM u
+),
+sol AS (
+  SELECT {g}, n, nn, s1, s2, sy, b1v, b2v, ssy,
+    a11 * a22 - a12 * a12 AS det,
+    CASE WHEN a11 * a22 - a12 * a12 <> 0
+         THEN (a22 * b1v - a12 * b2v) / (a11 * a22 - a12 * a12) END AS b1,
+    CASE WHEN a11 * a22 - a12 * a12 <> 0
+         THEN (a11 * b2v - a12 * b1v) / (a11 * a22 - a12 * a12) END AS b2
+  FROM k
+)
+SELECT {g}, n,
+  CASE WHEN det <> 0 THEN (sy - b1 * s1 - b2 * s2) / nn END AS b0,
+  b1, b2,
+  CASE WHEN det <> 0 AND ssy <> 0 THEN (b1 * b1v + b2 * b2v) / ssy END AS r2
+FROM sol
+"""

@@ -652,3 +652,35 @@ def _sql_constraint_audit():
 
 
 QUERIES.update({"constraint_audit": Q(q_constraint_audit, _sql_constraint_audit())})
+
+
+def q_grouped_ols2(spark, sf_dir):
+    """Grouped two-feature OLS (operators/regression.grouped_ols2):
+    l_extendedprice ~ l_quantity + l_discount per (returnflag,
+    linestatus) via closed-form 2x2 normal equations from one pass of
+    DECIMAL-exact quantized sufficient statistics -- the multivariate
+    extension of group_trend, no driver linear algebra."""
+    from timeseriesutils_spark.operators.regression import grouped_ols2
+
+    return grouped_ols2(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        "l_discount",
+        ["l_returnflag", "l_linestatus"],
+    )
+
+
+def _sql_grouped_ols2():
+    from timeseriesutils_spark.operators.regression import grouped_ols2_sql
+
+    return grouped_ols2_sql(
+        "lineitem",
+        "l_extendedprice",
+        "l_quantity",
+        "l_discount",
+        ["l_returnflag", "l_linestatus"],
+    )
+
+
+QUERIES.update({"grouped_ols2": Q(q_grouped_ols2, _sql_grouped_ols2())})
