@@ -563,3 +563,55 @@ def q_dtw(spark, sf_dir):
 
 
 QUERIES.update({"dtw_pattern": Q(q_dtw, None)})
+
+
+_COUNTER_MOD = 1_000_000
+
+
+def q_counter_rate(spark, sf_dir):
+    """Monotonic-counter rate with reset handling
+    (operators/counters.counter_rate): Prometheus rate() / TimescaleDB
+    counter_agg semantics -- per-type hourly increase where the counter
+    is a deterministic sawtooth built from the events stream (running
+    quantized sum mod 1e6, so genuine resets occur), deltas exact int64,
+    resets counted as fresh increase from zero."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.counters import counter_rate
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5)).cast("bigint")
+    ctr = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.sum(q).over(w) % F.lit(_COUNTER_MOD)).alias("ctr"),
+    )
+    return counter_rate(
+        ctr, "ctr", "ts", ["event_type"], bucket="hour", id_col="event_id"
+    )
+
+
+def _sql_counter_rate():
+    from timeseriesutils_spark.operators.counters import counter_rate_sql
+
+    inner = f"""
+SELECT event_type, ts, event_id,
+  CAST(SUM(CAST(FLOOR(ABS(value) * 100 + 0.5) AS BIGINT))
+    OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    % {_COUNTER_MOD} AS ctr
+FROM events
+"""
+    return counter_rate_sql(
+        inner, "ctr", "ts", ["event_type"], bucket="hour", id_col="event_id"
+    )
+
+
+QUERIES.update({"counter_rate": Q(q_counter_rate, _sql_counter_rate())})
