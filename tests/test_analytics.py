@@ -326,3 +326,31 @@ def test_top_paths_order_and_truncation(spark):
     # max_steps truncates: same data, paths capped at 1 step
     out1 = {r.path: r.n_sessions for r in top_paths(df, max_steps=1, top_n=10).collect()}
     assert out1 == {"a": 2, "b": 1, "c": 1}
+
+
+def test_collapse_bursts_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.sessions import collapse_bursts
+
+    rows = [
+        # burst 1: chain 0s -> 5s -> 9s (each gap <= 8s); 20s starts burst 2
+        ("a", 1, "2024-01-01 00:00:00"),
+        ("a", 2, "2024-01-01 00:00:05"),
+        ("a", 3, "2024-01-01 00:00:09"),
+        ("a", 4, "2024-01-01 00:00:20"),
+        # other key: independent bursts
+        ("b", 5, "2024-01-01 00:00:06"),
+    ]
+    df = spark.createDataFrame(rows, "k string, event_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = sorted(
+        collapse_bursts(df, ["k"], gap_seconds=8).collect(),
+        key=lambda r: (r.k, r.burst_n),
+    )
+    assert [(r.k, r.event_id, r.burst_n, r.burst_size, r.burst_span_ms) for r in out] == [
+        ("a", 1, 1, 3, 9000),
+        ("a", 4, 2, 1, 0),
+        ("b", 5, 1, 1, 0),
+    ]

@@ -271,3 +271,93 @@ SELECT path, n_sessions,
   CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS INT) AS rnk
 FROM c QUALIFY rnk <= {top_n}
 """
+
+
+def collapse_bursts(
+    events: DataFrame,
+    group_columns,
+    ts_col: str = "ts",
+    gap_seconds: int = 600,
+    tie_break: str = "event_id",
+) -> DataFrame:
+    """Leading-edge debounce / burst collapse: keep only the FIRST event
+    of each burst, where a burst is a maximal chain of events each
+    within ``gap_seconds`` of the previous one — the telemetry-cleaning
+    step that collapses alert storms, retry floods, and double-clicks
+    into single logical events (with the burst's size and span kept as
+    evidence).
+
+    Same closed form as :func:`sessionize` (break flag + running sum,
+    one LAG), generalized to a multi-column series key and a seconds
+    gap; the burst summary is a second window over the (key, burst)
+    superset partition.  Exact integer-ms arithmetic throughout.
+
+    Returns the first event per (groups…, burst_n) with ``ts_ms``,
+    ``burst_n``, ``burst_size``, ``burst_span_ms`` appended.
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    gap_ms = gap_seconds * 1000
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*groups).orderBy("ts_ms", tie_break)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = events.withColumn("ts_ms", ms)
+    prev = F.lag("ts_ms").over(w)
+    brk = F.when(prev.isNull() | (F.col("ts_ms") - prev > gap_ms), 1).otherwise(0)
+    bursts = base.withColumn("burst_n", F.sum(brk).over(run))
+    wb = Window.partitionBy(*groups, "burst_n").orderBy("ts_ms", tie_break)
+    wb_all = Window.partitionBy(*groups, "burst_n")
+    return (
+        bursts.withColumn("_rn", F.row_number().over(wb))
+        .withColumn("burst_size", F.count(F.lit(1)).over(wb_all))
+        .withColumn(
+            "burst_span_ms",
+            F.max("ts_ms").over(wb_all) - F.min("ts_ms").over(wb_all),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def collapse_bursts_sql(
+    inner_sql: str,
+    group_columns,
+    select_cols: str,
+    ts_col: str = "ts",
+    gap_seconds: int = 600,
+    tie_break: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`collapse_bursts`; ``select_cols`` lists the
+    passthrough output columns (comma-joined, pre-aliased)."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    g = ", ".join(groups)
+    gap_ms = gap_seconds * 1000
+    return f"""
+WITH src AS ({inner_sql}),
+m AS (SELECT *, epoch_ms({ts_col}) AS ts_ms FROM src),
+b AS (
+  SELECT *, CASE WHEN LAG(ts_ms) OVER (PARTITION BY {g} ORDER BY ts_ms, {tie_break})
+                      IS NULL
+                 OR ts_ms - LAG(ts_ms) OVER (PARTITION BY {g} ORDER BY ts_ms, {tie_break})
+                      > {gap_ms}
+            THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+s AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY {g} ORDER BY ts_ms, {tie_break}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS burst_n
+  FROM b
+),
+f AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY {g}, burst_n ORDER BY ts_ms, {tie_break}) AS _rn,
+    COUNT(*) OVER (PARTITION BY {g}, burst_n) AS burst_size,
+    MAX(ts_ms) OVER (PARTITION BY {g}, burst_n)
+      - MIN(ts_ms) OVER (PARTITION BY {g}, burst_n) AS burst_span_ms
+  FROM s
+)
+SELECT {select_cols} FROM f WHERE _rn = 1
+"""

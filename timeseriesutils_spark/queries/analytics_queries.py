@@ -362,3 +362,32 @@ def _sql_top_paths():
 
 
 QUERIES.update({"top_paths": Q(q_top_paths, _sql_top_paths())})
+
+
+def q_dedup_debounce(spark, sf_dir):
+    """Leading-edge debounce of event storms
+    (operators/sessions.collapse_bursts): per event type, collapse each
+    chain of events with <10-minute inter-event gaps into its first
+    event, keeping burst size and span as evidence -- the alert-storm /
+    retry-flood collapse every telemetry pipeline needs, exact
+    integer-ms closed form."""
+    from timeseriesutils_spark.operators.sessions import collapse_bursts
+
+    ev = load_table(spark, sf_dir, "events")
+    return collapse_bursts(ev, ["event_type"], gap_seconds=600).select(
+        "event_type", "event_id", "ts_ms", "burst_n", "burst_size", "burst_span_ms"
+    )
+
+
+def _sql_dedup_debounce():
+    from timeseriesutils_spark.operators.sessions import collapse_bursts_sql
+
+    return collapse_bursts_sql(
+        "SELECT event_type, event_id, ts FROM events",
+        ["event_type"],
+        "event_type, event_id, ts_ms, burst_n, burst_size, burst_span_ms",
+        gap_seconds=600,
+    )
+
+
+QUERIES.update({"dedup_debounce": Q(q_dedup_debounce, _sql_dedup_debounce())})
