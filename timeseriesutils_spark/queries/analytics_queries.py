@@ -391,3 +391,42 @@ def _sql_dedup_debounce():
 
 
 QUERIES.update({"dedup_debounce": Q(q_dedup_debounce, _sql_dedup_debounce())})
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (operators/segments.rfm_segments):
+    recency/frequency/monetary quintiles with deterministic tie-breaks
+    and the standard named-segment map -- facts reduce to one row per
+    customer before the total-order NTILE stage."""
+    from timeseriesutils_spark.operators.segments import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+def _sql_rfm_segments():
+    from timeseriesutils_spark.operators.segments import rfm_segments_sql
+
+    return rfm_segments_sql("orders")
+
+
+QUERIES.update({"rfm_segments": Q(q_rfm_segments, _sql_rfm_segments())})
+
+
+def q_abc_analysis(spark, sf_dir):
+    """ABC / Pareto revenue classification
+    (operators/segments.abc_analysis): parts ranked by exact-cents
+    revenue, classed A/B/C at 80/95% cumulative share -- the heavy scan
+    is one map-combinable aggregation; only the part-sized table crosses
+    the cumulative window."""
+    from timeseriesutils_spark.operators.segments import abc_analysis
+
+    return abc_analysis(load_table(spark, sf_dir, "lineitem"))
+
+
+def _sql_abc_analysis():
+    from timeseriesutils_spark.operators.segments import abc_analysis_sql
+
+    return abc_analysis_sql("lineitem")
+
+
+QUERIES.update({"abc_analysis": Q(q_abc_analysis, _sql_abc_analysis())})
