@@ -726,3 +726,32 @@ def test_incremental_dedup_equals_filtered_full(spark, doc_frame):
         if r.id_a >= wm or r.id_b >= wm
     }
     assert inc == full and len(inc) > 0
+
+
+def test_embedding_drift_identical_halves(spark):
+    # identical distributions in both splits -> zero drift, zero shift
+    from timeseriesutils_spark.operators.similarity import embedding_drift
+
+    rows = []
+    for i in range(8):
+        vec = [float((i * 3 + d) % 5) / 5.0 + 0.1 for d in range(4)]
+        rows.append((2 * i, "g", "a", vec))
+        rows.append((2 * i + 1, "g", "b", vec))  # mirror in split b
+    df = spark.createDataFrame(rows, "vec_id long, label string, split string, embedding array<float>")
+    r = embedding_drift(df, "split", group_col="label").collect()[0]
+    assert r.n_a == 8 and r.n_b == 8
+    assert abs(r.drift) < 1e-9 and abs(r.l2_shift) < 1e-9
+    assert r.cos_sim == 1.0
+
+
+def test_embedding_drift_orthogonal(spark):
+    from timeseriesutils_spark.operators.similarity import embedding_drift
+
+    rows = [
+        (0, "g", "a", [1.0, 0.0]),
+        (1, "g", "b", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, split string, embedding array<float>")
+    r = embedding_drift(df, "split", group_col="label").collect()[0]
+    assert abs(r.cos_sim) < 1e-9 and abs(r.drift - 1.0) < 1e-9
+    assert abs(r.l2_shift - 2 ** 0.5) < 1e-6

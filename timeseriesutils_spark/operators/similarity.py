@@ -956,3 +956,132 @@ def semantic_dedup_pairs(
     return scored.join(
         assign.select(F.col(id_col).alias("id_a"), "cluster"), "id_a"
     ).select("id_a", "id_b", "cluster", "cos")
+
+
+def embedding_drift(
+    embeddings: DataFrame,
+    split_col: str,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    comp_scale: int = 7,
+    q_scale: int = 9,
+) -> DataFrame:
+    """Embedding-distribution drift monitor: per group, compare the
+    centroid of split ``a`` against split ``b`` (old vs new snapshot,
+    train vs serve traffic) and report cosine drift and L2 shift — the
+    embedding-space analogue of ``psi_drift`` (operators/profile.py),
+    the check that catches silent encoder or upstream-distribution
+    changes before they poison retrieval or dedup.
+
+    ``split_col`` must hold exactly the two values ``'a'`` and ``'b'``.
+
+    Pipeline: per-(group, split, dim) exact-decimal component means
+    (the :func:`grouped_centroids` shuffle shape — exchanges carry
+    pre-combined (group, split, dim) partials, never vectors), pivot
+    the two splits side by side, quantize each centroid component to
+    int64 (floor(c·10^q_scale + 0.5)), then ONE decimal-exact reduce per
+    group for the dot / norms / squared-diff sums.  The only doubles are
+    the final sqrt/divide chain on identical integers — bit-equal across
+    engines, partitionings, and merge orders.
+
+    Returns (group, n_a, n_b, cos_sim, drift = 1 − cos, l2_shift).
+    """
+    e = embeddings.select(
+        group_col, F.col(split_col).alias("_split"), F.posexplode(vec_col).alias("_pos", "_x")
+    )
+    cent = (
+        e.groupBy(group_col, "_split", F.col("_pos").alias("_dim"))
+        .agg(
+            F.count("_x").alias("_n"),
+            dsum(F.col("_x").cast("double"), scale=comp_scale).alias("_s"),
+        )
+        .select(
+            group_col,
+            "_split",
+            "_dim",
+            "_n",
+            F.floor((F.col("_s") / F.col("_n")) * F.lit(float(10**q_scale)) + F.lit(0.5))
+            .cast("bigint")
+            .alias("_cq"),
+        )
+    )
+    side = lambda s, c: F.max(F.when(F.col("_split") == s, F.col(c)))  # noqa: E731
+    piv = cent.groupBy(group_col, "_dim").agg(
+        side("a", "_cq").alias("_ca"),
+        side("b", "_cq").alias("_cb"),
+        side("a", "_n").alias("_na"),
+        side("b", "_n").alias("_nb"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = piv.groupBy(group_col).agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.sum(dec(F.col("_ca") * F.col("_cb"))).alias("_dot"),
+        F.sum(dec(F.col("_ca") * F.col("_ca"))).alias("_aa"),
+        F.sum(dec(F.col("_cb") * F.col("_cb"))).alias("_bb"),
+        F.sum(dec((F.col("_ca") - F.col("_cb")) * (F.col("_ca") - F.col("_cb")))).alias(
+            "_d2"
+        ),
+    )
+    cos = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_aa").cast("double")) * F.sqrt(F.col("_bb").cast("double"))
+    )
+    return g.select(
+        group_col,
+        "n_a",
+        "n_b",
+        cos.alias("cos_sim"),
+        (F.lit(1.0) - cos).alias("drift"),
+        (F.sqrt(F.col("_d2").cast("double")) / F.lit(float(10**q_scale))).alias(
+            "l2_shift"
+        ),
+    )
+
+
+def embedding_drift_sql(
+    split_expr: str,
+    table: str = "embeddings",
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    comp_scale: int = 7,
+    q_scale: int = 9,
+) -> str:
+    """DuckDB twin of :func:`embedding_drift`; ``split_expr`` is the SQL
+    expression producing the 'a'/'b' split value."""
+    m = float(10**q_scale)
+    return f"""
+WITH e AS (
+  SELECT {group_col}, {split_expr} AS _split,
+    unnest([{{'pos': i, 'x': CAST({vec_col}[i] AS DOUBLE)}}
+            FOR i IN range(1, len({vec_col}) + 1)]) AS u
+  FROM {table}
+),
+cent AS (
+  SELECT {group_col}, _split, u.pos AS _dim, COUNT(u.x) AS _n,
+    CAST(FLOOR(({dsum_sql('u.x', scale=comp_scale)} / COUNT(u.x)) * {m!r} + 0.5)
+         AS BIGINT) AS _cq
+  FROM e GROUP BY {group_col}, _split, u.pos
+),
+piv AS (
+  SELECT {group_col}, _dim,
+    MAX(CASE WHEN _split = 'a' THEN _cq END) AS _ca,
+    MAX(CASE WHEN _split = 'b' THEN _cq END) AS _cb,
+    MAX(CASE WHEN _split = 'a' THEN _n END) AS _na,
+    MAX(CASE WHEN _split = 'b' THEN _n END) AS _nb
+  FROM cent GROUP BY {group_col}, _dim
+),
+g AS (
+  SELECT {group_col},
+    CAST(MAX(_na) AS BIGINT) AS n_a, CAST(MAX(_nb) AS BIGINT) AS n_b,
+    SUM(_ca * _cb) AS _dot, SUM(_ca * _ca) AS _aa, SUM(_cb * _cb) AS _bb,
+    SUM((_ca - _cb) * (_ca - _cb)) AS _d2
+  FROM piv GROUP BY {group_col}
+)
+SELECT {group_col}, n_a, n_b,
+  CAST(_dot AS DOUBLE) / (sqrt(CAST(_aa AS DOUBLE)) * sqrt(CAST(_bb AS DOUBLE)))
+    AS cos_sim,
+  1.0 - CAST(_dot AS DOUBLE) / (sqrt(CAST(_aa AS DOUBLE)) * sqrt(CAST(_bb AS DOUBLE)))
+    AS drift,
+  sqrt(CAST(_d2 AS DOUBLE)) / {m!r} AS l2_shift
+FROM g
+"""

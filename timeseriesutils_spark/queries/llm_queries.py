@@ -1244,3 +1244,29 @@ QUERIES.update(
         )
     }
 )
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift monitor
+    (operators/similarity.embedding_drift): per label, cosine drift and
+    L2 shift between the centroids of the even- and odd-id halves of the
+    corpus (the deterministic stand-in for old-vs-new snapshots) -- the
+    embedding-space analogue of psi_drift, exact-decimal centroid sums
+    and int64-quantized dot/norm reduction."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.similarity import embedding_drift
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "split", F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b")
+    )
+    return embedding_drift(emb, "split")
+
+
+def _sql_embedding_drift():
+    from timeseriesutils_spark.operators.similarity import embedding_drift_sql
+
+    return embedding_drift_sql("CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END")
+
+
+QUERIES.update({"embedding_drift": Q(q_embedding_drift, _sql_embedding_drift())})
