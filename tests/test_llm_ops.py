@@ -741,7 +741,7 @@ def test_embedding_drift_identical_halves(spark):
     r = embedding_drift(df, "split", group_col="label").collect()[0]
     assert r.n_a == 8 and r.n_b == 8
     assert abs(r.drift) < 1e-9 and abs(r.l2_shift) < 1e-9
-    assert r.cos_sim == 1.0
+    assert abs(r.cos_sim - 1.0) < 1e-9
 
 
 def test_embedding_drift_orthogonal(spark):
