@@ -615,3 +615,46 @@ FROM events
 
 
 QUERIES.update({"counter_rate": Q(q_counter_rate, _sql_counter_rate())})
+
+
+def q_fifo_allocation(spark, sf_dir):
+    """FIFO lot allocation (operators/fifo.fifo_allocation): match
+    'O'-status lineitem quantities (outgoing) against 'F'-status lots
+    (incoming) per part in ship-date order via the cumulative-quantity
+    interval-overlap closed form -- inventory costing / tax-lot matching
+    without iteration."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.fifo import fifo_allocation
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("qty"),
+        (F.col("l_linestatus") == "F").alias("is_buy"),
+        "l_shipdate",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+    )
+    return fifo_allocation(
+        li, "l_partkey", "qty", "is_buy",
+        ["l_shipdate", "line_id"], "line_id",
+    )
+
+
+def _sql_fifo_allocation():
+    from timeseriesutils_spark.operators.fifo import fifo_allocation_sql
+
+    inner = """
+SELECT l_partkey,
+  CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+  l_linestatus = 'F' AS is_buy,
+  l_shipdate,
+  l_orderkey * 10 + l_linenumber AS line_id
+FROM lineitem
+"""
+    return fifo_allocation_sql(
+        inner, "l_partkey", "qty", "is_buy",
+        ["l_shipdate", "line_id"], "line_id",
+    )
+
+
+QUERIES.update({"fifo_allocation": Q(q_fifo_allocation, _sql_fifo_allocation())})
