@@ -305,3 +305,47 @@ def test_rolling_active_users_no_python(spark, catalog):
     plan = _plan(catalog["rolling_active_users"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_item_cooccur_no_pairwise_join(spark, catalog):
+    # pairs come from row-local array expansion (Generate), never a
+    # self-join of the incidence table against itself without keys
+    plan = _plan(catalog["item_cooccur"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the flatten/transform pair expansion
+
+
+def test_grouped_ols2_single_exchange_no_python(spark, catalog):
+    # one map-combinable groupBy carries all ten sufficient statistics
+    plan = _plan(catalog["grouped_ols2"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_counter_rate_single_exchange(spark, catalog):
+    # the (type)-keyed window partitioning satisfies the (type, bucket)
+    # groupBy clustering, so the whole op is ONE exchange
+    plan = _plan(catalog["counter_rate"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_fifo_allocation_no_nested_loop(spark, catalog):
+    # the interval-overlap join keeps its item equi-key: SMJ/SHJ, never
+    # a nested-loop or cartesian fallback
+    plan = _plan(catalog["fifo_allocation"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kaplan_meier_broadcasts_dim(spark, catalog):
+    # the customer stratum join must broadcast, not shuffle
+    plan = _plan(catalog["kaplan_meier"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_attribution_no_python_no_cartesian(spark, catalog):
+    plan = _plan(catalog["attribution"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
