@@ -250,3 +250,33 @@ def test_constraint_audit_clean_passes(spark):
     ]
     out = constraint_audit(df, spec).collect()
     assert all(r["pass"] and r.violations == 0 for r in out)
+
+
+def test_gini_extremes(spark):
+    from timeseriesutils_spark.operators.stats import gini_index
+
+    rows = [("even", 10.0, i) for i in range(4)] + [
+        ("skew", 0.0, 1), ("skew", 0.0, 2), ("skew", 0.0, 3), ("skew", 100.0, 4),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, k long")
+    out = {r.g: r for r in gini_index(df, ["g"], "v", "k").collect()}
+    assert out["even"].gini == pytest.approx(0.0, abs=1e-12)
+    # one holder of everything among n=4 -> G = (n-1)/n = 0.75
+    assert out["skew"].gini == pytest.approx(0.75, rel=1e-12)
+    assert out["skew"].total == pytest.approx(100.0)
+
+
+def test_weighted_median_pulls_toward_weight(spark):
+    from timeseriesutils_spark.operators.stats import weighted_median
+
+    rows = [
+        ("g", 1.0, 1.0, 1),
+        ("g", 2.0, 1.0, 2),
+        ("g", 10.0, 8.0, 3),  # heavy weight at 10 -> weighted median = 10
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double, k long")
+    r = weighted_median(df, ["g"], "v", "w", "k").collect()[0]
+    assert r.wmedian == 10.0 and r.weight_total == 10.0 and r.n == 3
+    # unweighted sanity: equal weights -> lower median of {1,2,10} = 2
+    df2 = df.withColumn("w", F.lit(1.0))
+    assert weighted_median(df2, ["g"], "v", "w", "k").collect()[0].wmedian == 2.0

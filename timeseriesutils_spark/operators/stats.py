@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.operators.window_features import _as_list
+
 __all__ = ["mode_per_group", "mode_per_group_sql", "winsorize", "winsorize_sql"]
 
 
@@ -705,4 +707,168 @@ SELECT {gsel}, n_bins,
     (CAST(_sq AS DOUBLE) / 1e9) / ln(CAST(n_bins AS DOUBLE))
   END AS entropy_norm
 FROM agg
+"""
+
+
+def gini_index(
+    df: DataFrame,
+    group_columns,
+    value_col: str,
+    tie_break: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Gini concentration index — the inequality summary
+    behind revenue-concentration and workload-skew dashboards (0 =
+    perfectly even, →1 = winner-takes-all), the scalar companion of
+    :func:`~timeseriesutils_spark.operators.segments.abc_analysis`.
+
+    Sample Gini over sorted values x₁ ≤ … ≤ xₙ:
+
+        G = 2·Σ i·xᵢ / (n·Σ xᵢ) − (n + 1)/n
+
+    One (group)-keyed exchange: a rank window pass, then a
+    map-combinable reduce of Σ xᵢ and Σ i·xᵢ.  Values quantize to
+    integer units of 10^-scale; Σ i·x accumulates in DECIMAL(38,0)
+    (rank × value products overflow int64 first at large n); the final
+    formula is a short double chain on exact integers — bit-identical
+    across engines.  Ranks order by (value, ``tie_break``) so ties are
+    total; negative values are the caller's concern (Gini assumes ≥ 0).
+
+    Returns (groups…, n, total, gini).
+    """
+    groups = _as_list(group_columns)
+    mult = 10**scale
+    q = F.floor(F.col(value_col) * F.lit(mult) + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy(*groups).orderBy(F.asc("_q"), F.asc(tie_break))
+    d = df.select(*groups, q.alias("_q"), F.col(tie_break)).withColumn(
+        "_i", F.row_number().over(w).cast("bigint")
+    )
+    agg = d.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_q").cast("decimal(38,0)")).alias("_sx"),
+        F.sum((F.col("_i") * F.col("_q")).cast("decimal(38,0)")).alias("_six"),
+    )
+    nn = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    six = F.col("_six").cast("double")
+    gini = F.when(
+        F.col("_sx") != 0,
+        F.lit(2.0) * six / (nn * sx) - (nn + F.lit(1.0)) / nn,
+    )
+    return agg.select(
+        *groups,
+        "n",
+        (sx / F.lit(float(mult))).alias("total"),
+        gini.alias("gini"),
+    )
+
+
+def gini_index_sql(
+    table: str,
+    group_columns,
+    value_col: str,
+    tie_break: str,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`gini_index`."""
+    groups = _as_list(group_columns)
+    g = ", ".join(groups)
+    mult = 10**scale
+    return f"""
+WITH q AS (
+  SELECT {g}, CAST(FLOOR({value_col} * {mult} + 0.5) AS BIGINT) AS _q, {tie_break}
+  FROM {table}
+),
+r AS (
+  SELECT {g}, _q,
+    CAST(row_number() OVER (PARTITION BY {g} ORDER BY _q ASC, {tie_break} ASC)
+         AS BIGINT) AS _i
+  FROM q
+),
+agg AS (
+  SELECT {g}, COUNT(*) AS n, SUM(_q) AS _sx, SUM(_i * _q) AS _six
+  FROM r GROUP BY {g}
+)
+SELECT {g}, n,
+  CAST(_sx AS DOUBLE) / {float(mult)!r} AS total,
+  CASE WHEN _sx <> 0 THEN
+    2.0 * CAST(_six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(_sx AS DOUBLE))
+      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) END AS gini
+FROM agg
+"""
+
+
+def weighted_median(
+    df: DataFrame,
+    group_columns,
+    value_col: str,
+    weight_col: str,
+    tie_break: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group exact weighted (lower) median: the smallest value whose
+    cumulative weight reaches half the total — e.g. the quantity-
+    weighted median price, where each row counts ``weight`` times.
+    Plain ``median`` ignores weights; ``approx_percentile`` has no
+    weighted form at all.
+
+    One exchange: a running-weight window over (value, tie_break)
+    order, then a filtered min.  Weights and values quantize to exact
+    integers; the halving test uses 2·cumw ≥ total in integers — no
+    division, no float compare.  Returns (groups…, n, weight_total,
+    wmedian).
+    """
+    groups = _as_list(group_columns)
+    mult = 10**scale
+    q = F.floor(F.col(value_col) * F.lit(mult) + F.lit(0.5)).cast("bigint")
+    wq = F.floor(F.col(weight_col) * F.lit(mult) + F.lit(0.5)).cast("bigint")
+    w_ord = Window.partitionBy(*groups).orderBy(F.asc("_q"), F.asc(tie_break))
+    w_all = Window.partitionBy(*groups)
+    d = (
+        df.select(*groups, q.alias("_q"), wq.alias("_w"), F.col(tie_break))
+        .withColumn("_cum", F.sum("_w").over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_tot", F.sum("_w").over(w_all))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+    )
+    hit = d.filter(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+    return hit.groupBy(*groups).agg(
+        F.max("_n").alias("n"),
+        (F.max("_tot").cast("double") / F.lit(float(mult))).alias("weight_total"),
+        (F.min("_q").cast("double") / F.lit(float(mult))).alias("wmedian"),
+    )
+
+
+def weighted_median_sql(
+    table: str,
+    group_columns,
+    value_col: str,
+    weight_col: str,
+    tie_break: str,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`weighted_median`."""
+    groups = _as_list(group_columns)
+    g = ", ".join(groups)
+    mult = 10**scale
+    return f"""
+WITH q AS (
+  SELECT {g},
+    CAST(FLOOR({value_col} * {mult} + 0.5) AS BIGINT) AS _q,
+    CAST(FLOOR({weight_col} * {mult} + 0.5) AS BIGINT) AS _w,
+    {tie_break}
+  FROM {table}
+),
+c AS (
+  SELECT {g}, _q, _w,
+    CAST(SUM(_w) OVER (PARTITION BY {g} ORDER BY _q ASC, {tie_break} ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS _cum,
+    CAST(SUM(_w) OVER (PARTITION BY {g}) AS BIGINT) AS _tot,
+    COUNT(*) OVER (PARTITION BY {g}) AS _n
+  FROM q
+)
+SELECT {g}, MAX(_n) AS n,
+  CAST(MAX(_tot) AS DOUBLE) / {float(mult)!r} AS weight_total,
+  CAST(MIN(_q) AS DOUBLE) / {float(mult)!r} AS wmedian
+FROM c WHERE 2 * _cum >= _tot
+GROUP BY {g}
 """

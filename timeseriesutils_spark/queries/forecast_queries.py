@@ -684,3 +684,58 @@ def _sql_grouped_ols2():
 
 
 QUERIES.update({"grouped_ols2": Q(q_grouped_ols2, _sql_grouped_ols2())})
+
+
+def q_gini_index(spark, sf_dir):
+    """Per-priority Gini concentration of order values
+    (operators/stats.gini_index): the inequality scalar companion of
+    abc_analysis -- rank window + DECIMAL-exact Sum(i*x) reduce, short
+    double chain on exact integers."""
+    from timeseriesutils_spark.operators.stats import gini_index
+
+    return gini_index(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        "o_orderkey",
+    )
+
+
+def _sql_gini_index():
+    from timeseriesutils_spark.operators.stats import gini_index_sql
+
+    return gini_index_sql("orders", ["o_orderpriority"], "o_totalprice", "o_orderkey")
+
+
+QUERIES.update({"gini_index": Q(q_gini_index, _sql_gini_index())})
+
+
+def q_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per (returnflag, linestatus)
+    (operators/stats.weighted_median): exact integer cumulative-weight
+    halving test, no float compare -- the weighted quantile neither
+    median() nor approx_percentile offers."""
+    from timeseriesutils_spark.operators.stats import weighted_median
+
+    return weighted_median(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        "l_extendedprice",
+        "l_quantity",
+        "l_orderkey",
+    )
+
+
+def _sql_weighted_median():
+    from timeseriesutils_spark.operators.stats import weighted_median_sql
+
+    return weighted_median_sql(
+        "lineitem",
+        ["l_returnflag", "l_linestatus"],
+        "l_extendedprice",
+        "l_quantity",
+        "l_orderkey",
+    )
+
+
+QUERIES.update({"weighted_median": Q(q_weighted_median, _sql_weighted_median())})
