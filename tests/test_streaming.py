@@ -380,3 +380,47 @@ def _run_stream_update(spark, stream_df, name):
     )
     q.awaitTermination(120)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_counter_rate_equals_batch(spark):
+    """The stateful streaming counter-rate's drained totals equal the
+    batch LAG closed form (operators/counters.counter_rate summed over
+    all buckets) — state carries the last reading across micro-batches."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.counters import counter_rate
+    from timeseriesutils_spark.streaming.windows import (
+        read_events_stream,
+        streaming_counter_rate,
+    )
+
+    stream = streaming_counter_rate(read_events_stream(spark, SF_DIR), scale=2)
+    got = _run_stream_update(spark, stream, "t_sctr")
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc())
+    final = {
+        r.user_id: (r.n, r.increase, r.n_resets)
+        for r in got.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .collect()
+    }
+
+    ev = load_events_batch(spark).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("ctr"),
+    )
+    b = (
+        counter_rate(ev, "ctr", "ts", ["user_id"], bucket="year", id_col="event_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_samples").alias("n"),
+            F.sum("increase").alias("increase"),
+            F.sum("n_resets").alias("n_resets"),
+        )
+    )
+    want = {r.user_id: (r.n, r.increase, r.n_resets) for r in b.collect()}
+    assert final == want and len(final) > 0

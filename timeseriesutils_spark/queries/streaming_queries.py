@@ -289,3 +289,70 @@ FROM counts QUALIFY rank <= 3
 """
 
 QUERIES.update({"stream_topk": Q(q_stream_topk, _SQL_STREAM_TOPK)})
+
+
+def q_stream_counter_rate(spark, sf_dir):
+    """Streaming counter-rate with reset handling on the REAL streaming
+    path (streaming/windows.streaming_counter_rate,
+    applyInPandasWithState over a file-source readStream, availableNow):
+    per-user O(1) state -- last reading, cumulative increase, reset
+    count, n -- folded vectorized per micro-batch; the drained final
+    state equals the batch LAG closed form, which the oracle checks."""
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from timeseriesutils_spark.streaming.windows import (
+        read_events_stream,
+        streaming_counter_rate,
+    )
+
+    name = f"q_sctr_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_counter_rate(read_events_stream(spark, sf_dir), scale=2)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    upd = spark.sql(f"SELECT * FROM {name}")
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        upd.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n", "increase", "n_resets")
+    )
+
+
+def _sql_stream_counter_rate():
+    return """
+WITH q AS (
+  SELECT user_id, ts, event_id,
+    CAST(FLOOR(ABS(value) * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+d AS (
+  SELECT user_id, v,
+    LAG(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM q
+)
+SELECT user_id, COUNT(*) AS n,
+  CAST(COALESCE(SUM(CASE WHEN prev IS NULL THEN NULL
+                         WHEN v - prev >= 0 THEN v - prev
+                         ELSE v END), 0) AS BIGINT) AS increase,
+  CAST(SUM(CASE WHEN prev IS NOT NULL AND v - prev < 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_resets
+FROM d GROUP BY user_id
+"""
+
+
+QUERIES.update(
+    {"stream_counter_rate": Q(q_stream_counter_rate, _sql_stream_counter_rate())}
+)

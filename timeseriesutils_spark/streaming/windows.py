@@ -412,3 +412,70 @@ def windowed_topk(
     return counts.select(
         "window_start", group_col, "n", rank.cast("int").alias("rank")
     ).filter(F.col("rank") <= k)
+
+
+def streaming_counter_rate(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    order_cols: tuple = ("ts", "event_id"),
+    scale: int = 2,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming monotonic-counter rate with reset handling — the
+    stateful twin of operators/counters.counter_rate, same delta rule
+    (non-negative delta accumulates; a drop means the producer restarted
+    and the post-reset reading counts from zero).
+
+    O(1) state per key: (last reading, total increase, reset count, n) —
+    four int64s — because the delta rule only ever needs the previous
+    sample.  Each micro-batch sorts its rows, folds them vectorized
+    (numpy diff against the carried last value), and emits the key's
+    cumulative totals; the final update equals the batch closed form
+    over the whole series, which the SQL oracle checks exactly.
+
+    Ordering contract: identical to streaming_cusum (sorted within
+    batch, source-ordered across batches — file sources / replayable
+    logs).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    mult = 10**scale
+    out_schema = f"{key_col} bigint, n bigint, increase bigint, n_resets bigint"
+    state_schema = "last bigint, inc bigint, resets bigint, n bigint"
+    oc = list(order_cols)
+
+    def fn(key, pdfs, state: GroupState):
+        last, inc, resets, n = state.get if state.exists else (0, 0, 0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(oc)
+            v = pdf[value_col].to_numpy(dtype="float64")
+            q = np.floor(np.abs(v) * mult + 0.5).astype("int64")
+            if n == 0:
+                cur, prev = q[1:], q[:-1]
+            else:
+                cur, prev = q, np.concatenate(([last], q[:-1]))
+            d = cur - prev
+            inc += int(np.where(d >= 0, d, cur).sum())
+            resets += int((d < 0).sum())
+            last = int(q[-1])
+            n += len(pdf)
+        state.update((last, inc, resets, n))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "increase": [inc],
+                "n_resets": [resets],
+            }
+        )
+
+    df = _maybe_watermark(events, ts_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
