@@ -84,3 +84,32 @@ def test_length_histogram_buckets(spark, docs):
     out = {(r.stratum, r.bucket_lo): r.n_docs for r in length_histogram(docs, bucket_width=200).collect()}
     assert out[("de", 400)] == 1  # the 450-char doc
     assert ("en", 0) in out
+
+
+def test_zipf_fit_power_law(spark):
+    # exact power law c(r) = 1000 * r^-1: slope must be -1, r2 = 1
+    from timeseriesutils_spark.operators.text import zipf_fit
+
+    # construct a corpus whose word counts follow the law exactly:
+    # word w_r appears floor(60/r) times
+    body = []
+    for r in range(1, 13):
+        body += [f"w{r:02d}"] * (60 // r)
+    docs = spark.createDataFrame(
+        [(1, "x", " ".join(body))], "doc_id long, lang string, text string"
+    )
+    r = zipf_fit(docs, max_rank=6).collect()[0]  # top ranks: exact 60/r
+    assert r.n_ranks == 6
+    assert abs(r.slope - (-1.0)) < 0.02  # floor(60/r) ~ 60/r
+    assert r.r2 > 0.999
+
+
+def test_zipf_fit_uniform_slope_zero(spark):
+    from timeseriesutils_spark.operators.text import zipf_fit
+
+    body = " ".join(f"u{i}" for _ in range(4) for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, "x", body)], "doc_id long, lang string, text string"
+    )
+    r = zipf_fit(docs, max_rank=50).collect()[0]
+    assert abs(r.slope) < 1e-9  # all counts equal -> flat line

@@ -10,7 +10,7 @@ Regex patterns are restricted to the syntax subset where Java regex
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseriesutils_spark.functions.cache import pin
@@ -964,4 +964,129 @@ scored AS (
 SELECT w1, w2, c_xy, pmi,
   CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank
 FROM scored QUALIFY rank <= {top_k}
+"""
+
+
+def zipf_fit(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    max_rank: int = 2000,
+    ln_scale: int = 6,
+) -> DataFrame:
+    """Zipf-law fit per corpus slice: OLS of ln(frequency) on ln(rank)
+    over the top-``max_rank`` vocabulary — natural language sits near
+    slope −1, so the slope (and fit r²) is a cheap corpus-quality
+    diagnostic that catches boilerplate floods, template spam, and
+    synthetic/shuffled text whose rank-frequency curve bends away from
+    the power law.
+
+    One word-count shuffle (map-combinable, the build_vocab plan
+    family), a per-group rank window over the vocabulary table, then a
+    one-row-per-group closed-form OLS.  Exactness: ln is applied once
+    per value and floor-quantized to int64 units of 10^-``ln_scale``
+    (the shared 1-ulp-libm discipline); sufficient statistics accumulate
+    int64 products in DECIMAL(38,0); the slope/intercept/r² formulas are
+    a short double chain on exact integers.
+
+    Returns (group, n_ranks, slope, intercept, r2) — intercept in ln
+    units.
+    """
+    ex = docs.select(F.col(group_col), F.explode(words(F.col(text_col))).alias("_w"))
+    counts = ex.groupBy(group_col, "_w").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("_c"), F.asc("_w"))
+    mult = 10**ln_scale
+    top = (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_rank)
+        .select(
+            group_col,
+            F.floor(F.log(F.col("_r").cast("double")) * F.lit(float(mult)) + F.lit(0.5))
+            .cast("bigint")
+            .alias("_x"),
+            F.floor(F.log(F.col("_c").cast("double")) * F.lit(float(mult)) + F.lit(0.5))
+            .cast("bigint")
+            .alias("_y"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = top.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum(dec(F.col("_x"))).alias("_sx"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_x") * F.col("_x"))).alias("_sxx"),
+        F.sum(dec(F.col("_x") * F.col("_y"))).alias("_sxy"),
+        F.sum(dec(F.col("_y") * F.col("_y"))).alias("_syy"),
+    )
+    nn = F.col("n_ranks").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov = nn * sxy - sx * sy
+    varx = nn * sxx - sx * sx
+    vary = nn * syy - sy * sy
+    slope = F.when(varx != 0, cov / varx)
+    return agg.select(
+        group_col,
+        "n_ranks",
+        slope.alias("slope"),
+        F.when(varx != 0, (sy - slope * sx) / nn / F.lit(float(mult))).alias(
+            "intercept"
+        ),
+        F.when((varx != 0) & (vary != 0), cov * cov / (varx * vary)).alias("r2"),
+    )
+
+
+def zipf_fit_sql(
+    table: str = "documents",
+    group_col: str = "lang",
+    text_col: str = "text",
+    max_rank: int = 2000,
+    ln_scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`zipf_fit`."""
+    mult = float(10**ln_scale)
+    w = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    return f"""
+WITH ex AS (
+  SELECT {group_col}, unnest({w}) AS _w FROM {table}
+),
+c AS (SELECT {group_col}, _w, COUNT(*) AS _c FROM ex GROUP BY {group_col}, _w),
+r AS (
+  SELECT {group_col}, _c,
+    row_number() OVER (PARTITION BY {group_col} ORDER BY _c DESC, _w ASC) AS _r
+  FROM c
+),
+q AS (
+  SELECT {group_col},
+    CAST(FLOOR(ln(CAST(_r AS DOUBLE)) * {mult!r} + 0.5) AS BIGINT) AS _x,
+    CAST(FLOOR(ln(CAST(_c AS DOUBLE)) * {mult!r} + 0.5) AS BIGINT) AS _y
+  FROM r WHERE _r <= {max_rank}
+),
+agg AS (
+  SELECT {group_col}, COUNT(*) AS n_ranks,
+    SUM(_x) AS _sx, SUM(_y) AS _sy,
+    SUM(_x * _x) AS _sxx, SUM(_x * _y) AS _sxy, SUM(_y * _y) AS _syy
+  FROM q GROUP BY {group_col}
+),
+u AS (
+  SELECT {group_col}, n_ranks,
+    CAST(n_ranks AS DOUBLE) AS nn,
+    CAST(_sx AS DOUBLE) AS sx, CAST(_sy AS DOUBLE) AS sy,
+    CAST(_sxx AS DOUBLE) AS sxx, CAST(_sxy AS DOUBLE) AS sxy,
+    CAST(_syy AS DOUBLE) AS syy
+  FROM agg
+)
+SELECT {group_col}, n_ranks,
+  CASE WHEN nn * sxx - sx * sx <> 0
+       THEN (nn * sxy - sx * sy) / (nn * sxx - sx * sx) END AS slope,
+  CASE WHEN nn * sxx - sx * sx <> 0
+       THEN (sy - (nn * sxy - sx * sy) / (nn * sxx - sx * sx) * sx) / nn / {mult!r}
+       END AS intercept,
+  CASE WHEN nn * sxx - sx * sx <> 0 AND nn * syy - sy * sy <> 0
+       THEN (nn * sxy - sx * sy) * (nn * sxy - sx * sy)
+            / ((nn * sxx - sx * sx) * (nn * syy - sy * sy)) END AS r2
+FROM u
 """

@@ -1270,3 +1270,22 @@ def _sql_embedding_drift():
 
 
 QUERIES.update({"embedding_drift": Q(q_embedding_drift, _sql_embedding_drift())})
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit per language (operators/text.zipf_fit):
+    OLS slope/r2 of ln(freq) on ln(rank) over the top-2000 vocabulary --
+    the power-law corpus-quality diagnostic (natural text ~ slope -1);
+    ln once then int64-quantized, DECIMAL-exact sufficient statistics."""
+    from timeseriesutils_spark.operators.text import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir))
+
+
+def _sql_zipf_fit():
+    from timeseriesutils_spark.operators.text import zipf_fit_sql
+
+    return zipf_fit_sql("documents")
+
+
+QUERIES.update({"zipf_fit": Q(q_zipf_fit, _sql_zipf_fit())})
