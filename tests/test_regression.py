@@ -55,3 +55,25 @@ def test_ols2_partition_invariant(spark):
     a = grouped_ols2(df.coalesce(1), "y", "x1", "x2", ["g"]).collect()[0]
     b = grouped_ols2(df.repartition(32), "y", "x1", "x2", ["g"]).collect()[0]
     assert (a.b0, a.b1, a.b2, a.r2) == (b.b0, b.b1, b.b2, b.r2)  # bit-equal
+
+
+def test_mahalanobis_catches_correlation_breaker(spark):
+    # x2 ~ 10*x1 tightly; one point is per-axis plausible but off-ridge
+    from timeseriesutils_spark.operators.regression import mahalanobis_outliers
+
+    rows = [("g", i, float(i % 50 + 1), float((i % 50 + 1) * 10 + (i % 3))) for i in range(300)]
+    rows.append(("g", 999, 50.0, 10.0))  # high x1, low x2: off the ridge
+    df = spark.createDataFrame(rows, "g string, id long, x1 double, x2 double")
+    out = mahalanobis_outliers(df, "x1", "x2", ["g"], ["id"], threshold=13.8)
+    ids = [r.id for r in out.collect()]
+    assert 999 in ids
+    assert len(ids) <= 3  # the ridge points themselves stay in
+
+
+def test_mahalanobis_singular_group_empty(spark):
+    from timeseriesutils_spark.operators.regression import mahalanobis_outliers
+
+    # x2 = 2*x1 exactly -> singular covariance -> no rows, no crash
+    rows = [("g", i, float(i), float(2 * i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, id long, x1 double, x2 double")
+    assert mahalanobis_outliers(df, "x1", "x2", ["g"], ["id"]).count() == 0

@@ -164,3 +164,142 @@ SELECT {g}, n,
   CASE WHEN det <> 0 AND ssy <> 0 THEN (b1 * b1v + b2 * b2v) / ssy END AS r2
 FROM sol
 """
+
+
+def mahalanobis_outliers(
+    data: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    group_columns,
+    id_cols: list[str],
+    threshold: float = 13.815510557964274,  # chi2(2).isf(1e-3)
+    scale: int = 2,
+) -> DataFrame:
+    """Bivariate Mahalanobis outlier detection per group: score each row
+    by D² = (x − μ)ᵀ Σ⁻¹ (x − μ) against the group's own covariance and
+    keep rows with D² > ``threshold`` (default: χ²₂ at the 1e-3 tail).
+    Univariate z-scores miss exactly the points this catches — values
+    plausible per-axis but far off the correlation ridge (a 50-unit
+    order at a 1-unit price when quantity and price move together).
+
+    Two passes over the facts: one map-combinable sufficient-statistics
+    aggregation per group (the :func:`grouped_ols2` pattern — quantized
+    int64 products in DECIMAL(38,0)), broadcast-joined back for a
+    row-local score — the fact table is never shuffled.  The 2×2
+    inverse is closed-form; all doubles derive from exact integers with
+    one shared expression tree, so scores are bit-identical across
+    engines and the survivor set is stable.  Degenerate groups
+    (singular Σ) emit no rows.
+
+    Returns (groups…, id_cols…, x1, x2, d2).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = lambda c: F.floor(F.col(c) * F.lit(m) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    d = data.select(
+        *groups, *id_cols,
+        F.col(x1_col).alias("_x1r"), F.col(x2_col).alias("_x2r"),
+        q(x1_col).alias("_x1"), q(x2_col).alias("_x2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = d.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec(F.col("_x1"))).alias("_s1"),
+        F.sum(dec(F.col("_x2"))).alias("_s2"),
+        F.sum(dec(F.col("_x1") * F.col("_x1"))).alias("_s11"),
+        F.sum(dec(F.col("_x2") * F.col("_x2"))).alias("_s22"),
+        F.sum(dec(F.col("_x1") * F.col("_x2"))).alias("_s12"),
+    )
+    nn = F.col("_n").cast("double")
+    m1, m2 = float(m), float(m * m)
+    mu1 = F.col("_s1").cast("double") / m1 / nn
+    mu2 = F.col("_s2").cast("double") / m1 / nn
+    # population covariance entries from raw sums (original units)
+    c11 = F.col("_s11").cast("double") / m2 / nn - mu1 * mu1
+    c22 = F.col("_s22").cast("double") / m2 / nn - mu2 * mu2
+    c12 = F.col("_s12").cast("double") / m2 / nn - mu1 * mu2
+    det = c11 * c22 - c12 * c12
+    st = stats.select(
+        *groups,
+        mu1.alias("_mu1"), mu2.alias("_mu2"),
+        c11.alias("_c11"), c22.alias("_c22"), c12.alias("_c12"),
+        det.alias("_det"),
+    ).filter(F.col("_det") != 0)
+    j = d.join(F.broadcast(st), on=groups)
+    dx1 = (F.col("_x1").cast("double") / m1) - F.col("_mu1")
+    dx2 = (F.col("_x2").cast("double") / m1) - F.col("_mu2")
+    d2 = (
+        F.col("_c22") * dx1 * dx1
+        - 2 * F.col("_c12") * dx1 * dx2
+        + F.col("_c11") * dx2 * dx2
+    ) / F.col("_det")
+    return (
+        j.withColumn("d2", d2)
+        .filter(F.col("d2") > F.lit(threshold))
+        .select(
+            *groups, *id_cols,
+            F.col("_x1r").alias(x1_col), F.col("_x2r").alias(x2_col), "d2",
+        )
+    )
+
+
+def mahalanobis_outliers_sql(
+    table: str,
+    x1_col: str,
+    x2_col: str,
+    group_columns,
+    id_cols: list[str],
+    threshold: float = 13.815510557964274,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`mahalanobis_outliers`."""
+    groups = _as_list(group_columns)
+    g = ", ".join(groups)
+    ids = ", ".join(id_cols)
+    m = 10**scale
+    m1, m2 = float(m), float(m * m)
+    qq = lambda c: f"CAST(FLOOR({c} * {m} + 0.5) AS BIGINT)"  # noqa: E731
+    return f"""
+WITH d AS (
+  SELECT {g}, {ids}, {x1_col} AS _x1r, {x2_col} AS _x2r,
+    {qq(x1_col)} AS _x1, {qq(x2_col)} AS _x2
+  FROM {table}
+),
+agg AS (
+  SELECT {g}, COUNT(*) AS _n,
+    SUM(_x1) AS _s1, SUM(_x2) AS _s2,
+    SUM(_x1 * _x1) AS _s11, SUM(_x2 * _x2) AS _s22, SUM(_x1 * _x2) AS _s12
+  FROM d GROUP BY {g}
+),
+st AS (
+  SELECT {g},
+    CAST(_s1 AS DOUBLE) / {m1!r} / CAST(_n AS DOUBLE) AS _mu1,
+    CAST(_s2 AS DOUBLE) / {m1!r} / CAST(_n AS DOUBLE) AS _mu2,
+    CAST(_s11 AS DOUBLE) / {m2!r} / CAST(_n AS DOUBLE)
+      - CAST(_s1 AS DOUBLE) / {m1!r} / CAST(_n AS DOUBLE)
+        * (CAST(_s1 AS DOUBLE) / {m1!r} / CAST(_n AS DOUBLE)) AS _c11,
+    CAST(_s22 AS DOUBLE) / {m2!r} / CAST(_n AS DOUBLE)
+      - CAST(_s2 AS DOUBLE) / {m1!r} / CAST(_n AS DOUBLE)
+        * (CAST(_s2 AS DOUBLE) / {m1!r} / CAST(_n AS DOUBLE)) AS _c22,
+    CAST(_s12 AS DOUBLE) / {m2!r} / CAST(_n AS DOUBLE)
+      - CAST(_s1 AS DOUBLE) / {m1!r} / CAST(_n AS DOUBLE)
+        * (CAST(_s2 AS DOUBLE) / {m1!r} / CAST(_n AS DOUBLE)) AS _c12
+  FROM agg
+),
+ok AS (
+  SELECT *, _c11 * _c22 - _c12 * _c12 AS _det FROM st
+  WHERE _c11 * _c22 - _c12 * _c12 <> 0
+),
+sc AS (
+  SELECT d.*, ok._mu1, ok._mu2, ok._c11, ok._c22, ok._c12, ok._det,
+    (ok._c22 * (CAST(d._x1 AS DOUBLE) / {m1!r} - ok._mu1)
+       * (CAST(d._x1 AS DOUBLE) / {m1!r} - ok._mu1)
+     - 2 * ok._c12 * (CAST(d._x1 AS DOUBLE) / {m1!r} - ok._mu1)
+       * (CAST(d._x2 AS DOUBLE) / {m1!r} - ok._mu2)
+     + ok._c11 * (CAST(d._x2 AS DOUBLE) / {m1!r} - ok._mu2)
+       * (CAST(d._x2 AS DOUBLE) / {m1!r} - ok._mu2)) / ok._det AS d2
+  FROM d JOIN ok USING ({g})
+)
+SELECT {g}, {ids}, _x1r AS {x1_col}, _x2r AS {x2_col}, d2
+FROM sc WHERE d2 > {threshold!r}
+"""

@@ -739,3 +739,40 @@ def _sql_weighted_median():
 
 
 QUERIES.update({"weighted_median": Q(q_weighted_median, _sql_weighted_median())})
+
+
+def q_mahalanobis_outliers(spark, sf_dir):
+    """Bivariate Mahalanobis outlier detection
+    (operators/regression.mahalanobis_outliers): lineitems whose
+    (quantity, extendedprice) pair sits off the group's correlation
+    ridge (empirical-tail threshold; bounded synthetic data has no chi2 tail) -- per-returnflag covariance from one
+    DECIMAL-exact pass, closed-form 2x2 inverse, broadcast scoring with
+    the fact table never shuffled."""
+    from timeseriesutils_spark.operators.regression import mahalanobis_outliers
+
+    return mahalanobis_outliers(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        ["l_returnflag"],
+        ["l_orderkey", "l_linenumber"],
+        threshold=5.2,
+    )
+
+
+def _sql_mahalanobis():
+    from timeseriesutils_spark.operators.regression import mahalanobis_outliers_sql
+
+    return mahalanobis_outliers_sql(
+        "lineitem",
+        "l_quantity",
+        "l_extendedprice",
+        ["l_returnflag"],
+        ["l_orderkey", "l_linenumber"],
+        threshold=5.2,
+    )
+
+
+QUERIES.update(
+    {"mahalanobis_outliers": Q(q_mahalanobis_outliers, _sql_mahalanobis())}
+)
