@@ -755,3 +755,33 @@ def test_embedding_drift_orthogonal(spark):
     r = embedding_drift(df, "split", group_col="label").collect()[0]
     assert abs(r.cos_sim) < 1e-9 and abs(r.drift - 1.0) < 1e-9
     assert abs(r.l2_shift - 2 ** 0.5) < 1e-6
+
+
+def test_canonical_pick_prefers_quality(spark):
+    # two near-identical docs; the longer (higher-quality) copy wins even
+    # though it has the HIGHER id — keep-min-id would pick the other one
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from timeseriesutils_spark.operators.text import quality_score
+
+    base = "the quick brown fox jumps over the lazy dog " * 12
+    docs = spark.createDataFrame(
+        [(1, base[:200]), (2, base + "extra tail of clean varied prose here")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_posting=128)
+    comp = connected_components(pairs)
+    q = quality_score(docs)
+    j = comp.join(q, comp["id"] == q["doc_id"]).select("doc_id", "comp", "quality")
+    w = W.partitionBy("comp").orderBy(F.desc("quality"), F.asc("doc_id"))
+    out = {r.doc_id: r for r in
+           j.withColumn("canonical_id", F.first("doc_id").over(w)).collect()}
+    assert set(out) == {1, 2}
+    quals = {d: out[d].quality for d in out}
+    want = max(quals, key=lambda d: (quals[d], -d))
+    assert all(r.canonical_id == want for r in out.values())

@@ -1289,3 +1289,63 @@ def _sql_zipf_fit():
 
 
 QUERIES.update({"zipf_fit": Q(q_zipf_fit, _sql_zipf_fit())})
+
+
+def q_canonical_pick(spark, sf_dir):
+    """Quality-aware canonical selection for near-dup clusters: within
+    each transitive n-gram-Jaccard component, keep the HIGHEST-quality
+    copy (ties to lower id) instead of dedup_apply's keep-min-id -- the
+    realistic LLM-corpus policy (keep the cleanest copy, not the first
+    crawled).  Composition of three declared primitives: posting-list
+    Jaccard pairs -> connected components -> quality_score argmax, one
+    row per clustered doc with its cluster label, quality, and the
+    cluster's canonical id."""
+    from pyspark.sql import Window as W
+
+    from timeseriesutils_spark.operators.dedup import connected_components
+    from timeseriesutils_spark.operators.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    pairs = pin(ngram_jaccard_pairs(
+        docs, n=3, threshold=0.6, max_posting=MAX_POSTING
+    ))
+    comp = connected_components(pairs)
+    q = quality_score(docs)
+    j = comp.join(q, comp["id"] == q["doc_id"]).select(
+        "doc_id", "comp", "quality"
+    )
+    w = W.partitionBy("comp").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        j.withColumn("canonical_id", F.first("doc_id").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+    )
+
+
+_SQL_CANONICAL_PICK = f"""
+WITH RECURSIVE pairs AS ({_SQL_NGRAM_JACCARD}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+q AS ({_SQL_QUALITY}),
+j AS (
+  SELECT q.doc_id, comp.comp, q.quality
+  FROM comp JOIN q ON comp.id = q.doc_id
+)
+SELECT doc_id, comp, quality,
+  first_value(doc_id) OVER (PARTITION BY comp ORDER BY quality DESC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS canonical_id,
+  doc_id = first_value(doc_id) OVER (PARTITION BY comp
+    ORDER BY quality DESC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS is_canonical
+FROM j
+"""
+
+
+QUERIES.update({"canonical_pick": Q(q_canonical_pick, _SQL_CANONICAL_PICK)})
