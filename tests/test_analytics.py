@@ -354,3 +354,31 @@ def test_collapse_bursts_semantics(spark):
         ("a", 4, 2, 1, 0),
         ("b", 5, 1, 1, 0),
     ]
+
+
+def test_funnel_window_depth_and_bound(spark):
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.analytics import funnel_window
+
+    rows = [
+        # u1 converts fully within 24h
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 01:00:00", 1, "click"),
+        (3, "2024-01-01 02:00:00", 1, "purchase"),
+        # u2: purchase BEFORE click -> order violated -> depth 1
+        (4, "2024-01-01 00:00:00", 2, "view"),
+        (5, "2024-01-01 01:00:00", 2, "purchase"),
+        (6, "2024-01-01 02:00:00", 2, "click"),
+        # u3: click past the 24h window -> depth 0
+        (7, "2024-01-01 00:00:00", 3, "view"),
+        (8, "2024-01-03 00:00:00", 3, "click"),
+        # u4: no view at all -> excluded
+        (9, "2024-01-01 00:00:00", 4, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.depth: r.n_users for r in
+           funnel_window(df, ("view", "click", "purchase"), 24).collect()}
+    assert out == {2: 1, 1: 1, 0: 1}

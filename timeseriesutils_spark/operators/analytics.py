@@ -784,3 +784,110 @@ SELECT n_a, conv_a, {pa} AS rate_a,
   {z} AS z_stat
 FROM agg
 """
+
+
+def funnel_window(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    window_hours: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-bounded ordered funnel (the ClickHouse ``windowFunnel``
+    semantics): per user, the deepest step prefix completed IN ORDER
+    within ``window_hours`` of that user's first step-1 event; report
+    user counts per reached depth.  The plain :func:`funnel_counts`
+    ignores time — marketing funnels almost always bound conversion to
+    a window ("purchased within 24 h of first view").
+
+    Chained semantics — step k's timestamp is the user's earliest
+    step-k event at-or-after step k−1 and inside the window — resolve
+    as k stacked conditional-min window passes over ONE user partition
+    (each pass reads the previous pass's column; same partition key, so
+    Spark reuses a single exchange + sort).  All comparisons are exact
+    integer-µs timestamp logic.
+
+    Returns (depth, n_users): depth 0 = had step-1 but nothing further…
+    depth = len(steps) − 1 fully converted; users with no step-1 event
+    don't appear.
+    """
+    w = Window.partitionBy(user_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = events.select(user_col, F.col(type_col).alias("_et"), us.alias("_us"))
+    d = d.withColumn(
+        "_s0", F.min(F.when(F.col("_et") == steps[0], F.col("_us"))).over(w)
+    )
+    deadline = F.col("_s0") + F.lit(window_hours * 3_600_000_000)
+    for i, step in enumerate(steps[1:], start=1):
+        prev = F.col(f"_s{i - 1}")
+        d = d.withColumn(
+            f"_s{i}",
+            F.min(
+                F.when(
+                    (F.col("_et") == step)
+                    & (F.col("_us") >= prev)
+                    & (F.col("_us") <= deadline),
+                    F.col("_us"),
+                )
+            ).over(w),
+        )
+    per_user = d.groupBy(user_col).agg(
+        *[F.max(f"_s{i}").alias(f"_s{i}") for i in range(len(steps))]
+    )
+    # deepest reached step: first non-null scanning from the deep end
+    depth = F.lit(None).cast("int")
+    for i in range(len(steps)):
+        depth = F.when(F.col(f"_s{i}").isNotNull(), F.lit(i)).otherwise(depth)
+    return (
+        per_user.select(depth.alias("depth"))
+        .filter(F.col("depth").isNotNull())
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def funnel_window_sql(
+    steps: tuple[str, ...],
+    window_hours: int = 24,
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`funnel_window`."""
+    us = f"epoch_us({ts_col})"
+    ctes = [
+        f"""d0 AS (
+  SELECT {user_col}, {type_col} AS _et, {us} AS _us,
+    MIN(CASE WHEN {type_col} = '{steps[0]}' THEN {us} END)
+      OVER (PARTITION BY {user_col}) AS _s0
+  FROM {table}
+)"""
+    ]
+    deadline = f"_s0 + {window_hours * 3_600_000_000}"
+    for i, step in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT *, MIN(CASE WHEN _et = '{step}' AND _us >= _s{i - 1}
+                      AND _us <= {deadline} THEN _us END)
+      OVER (PARTITION BY {user_col}) AS _s{i}
+  FROM d{i - 1}
+)"""
+        )
+    n = len(steps)
+    depth_case = "CASE " + " ".join(
+        f"WHEN _s{i} IS NOT NULL THEN {i}" for i in range(n - 1, -1, -1)
+    ) + " END"
+    cte_block = ",\n".join(ctes)
+    max_cols = ", ".join(f"MAX(_s{i}) AS _s{i}" for i in range(n))
+    return f"""
+WITH {cte_block},
+pu AS (
+  SELECT {user_col}, {max_cols}
+  FROM d{n - 1} GROUP BY {user_col}
+)
+SELECT CAST({depth_case} AS INT) AS depth, COUNT(*) AS n_users
+FROM pu WHERE _s0 IS NOT NULL
+GROUP BY 1
+"""

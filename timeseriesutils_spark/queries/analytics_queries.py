@@ -430,3 +430,25 @@ def _sql_abc_analysis():
 
 
 QUERIES.update({"abc_analysis": Q(q_abc_analysis, _sql_abc_analysis())})
+
+
+def q_funnel_window(spark, sf_dir):
+    """Time-bounded ordered funnel (analytics.funnel_window, the
+    windowFunnel semantics): deepest view->click->purchase prefix
+    completed in order within 24h of first view, user counts per depth
+    -- chained conditional-min window passes over one user partition,
+    exact integer-microsecond timestamp logic."""
+    from timeseriesutils_spark.operators.analytics import funnel_window
+
+    return funnel_window(
+        load_table(spark, sf_dir, "events"), FUNNEL_STEPS, window_hours=24
+    )
+
+
+def _sql_funnel_window():
+    from timeseriesutils_spark.operators.analytics import funnel_window_sql
+
+    return funnel_window_sql(FUNNEL_STEPS, window_hours=24)
+
+
+QUERIES.update({"funnel_window": Q(q_funnel_window, _sql_funnel_window())})
