@@ -785,3 +785,21 @@ def test_canonical_pick_prefers_quality(spark):
     quals = {d: out[d].quality for d in out}
     want = max(quals, key=lambda d: (quals[d], -d))
     assert all(r.canonical_id == want for r in out.values())
+
+
+def test_novelty_scores_ordering(spark):
+    from timeseriesutils_spark.operators.dedup import novelty_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),     # all novel (first doc)
+            (2, "alpha beta gamma delta epsilon"),     # exact copy -> 0 novelty
+            (3, "alpha beta gamma zeta eta theta"),    # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in novelty_scores(docs, n=3).collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0
+    # doc3: 4 shingles, only 'alpha beta gamma' seen before -> 3/4 novel
+    assert out[3].n_grams == 4 and out[3].n_novel == 3

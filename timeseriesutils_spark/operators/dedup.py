@@ -931,3 +931,77 @@ def incremental_jaccard_pairs(
     return scored.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty — the incremental-curation signal:
+    what fraction of a doc's distinct n-grams has no earlier document
+    (lower id = earlier in crawl order) already containing them?  Docs
+    near 0 are recombinations of already-seen text (template spam,
+    quote farms); high-novelty docs carry new content worth keeping —
+    the ordered complement of ``cross_doc_dup_fraction``.
+
+    One shingle explode + one (shingle)-keyed min-reduce + one join
+    back: the exchanges carry (int64 hash, id) pairs only — the
+    posting-list shape of the dedup family, never text.  first-seen =
+    MIN(doc id) per shingle, exact and deterministic; novelty =
+    n_novel / n_grams, one double division.
+
+    Returns (doc_id, n_grams, n_novel, novelty).
+    """
+    ex = hashed_shingle_docs(docs, id_col, text_col, n, hash_mode="md5").select(
+        "id", F.explode("sh").alias("_sh")
+    )
+    first = ex.groupBy("_sh").agg(F.min("id").alias("_first"))
+    return (
+        ex.join(first, "_sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_first") == F.col("id")).cast("bigint")).alias("n_novel"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
+        )
+    )
+
+
+def novelty_scores_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> str:
+    """DuckDB twin of :func:`novelty_scores` (same md5-derived shingle
+    hashes, so hash collisions — if any — are identical)."""
+    h = portable_hash64_sql("s")
+    return f"""
+WITH words AS (
+  SELECT {id_col}, string_split_regex(lower(trim({text_col})), '\\s+') AS w
+  FROM {table}
+),
+sh AS (
+  SELECT {id_col},
+    list_distinct(CASE WHEN len(w) >= {n}
+      THEN [array_to_string(w[i:i+{n - 1}], ' ') FOR i IN range(1, len(w) - {n - 2})]
+      ELSE [array_to_string(w, ' ')] END) AS shingles
+  FROM words
+),
+ex AS (SELECT {id_col}, {h} AS sh FROM (SELECT {id_col}, unnest(shingles) AS s FROM sh)),
+first AS (SELECT sh, MIN({id_col}) AS _first FROM ex GROUP BY sh)
+SELECT ex.{id_col}, COUNT(*) AS n_grams,
+  CAST(SUM(CASE WHEN first._first = ex.{id_col} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  CAST(SUM(CASE WHEN first._first = ex.{id_col} THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS novelty
+FROM ex JOIN first USING (sh)
+GROUP BY ex.{id_col}
+"""

@@ -1349,3 +1349,22 @@ FROM j
 
 
 QUERIES.update({"canonical_pick": Q(q_canonical_pick, _SQL_CANONICAL_PICK)})
+
+
+def q_novelty_scores(spark, sf_dir):
+    """Per-doc n-gram novelty vs earlier crawl order
+    (operators/dedup.novelty_scores): fraction of a doc's distinct
+    3-grams first seen in that doc -- the incremental-curation signal;
+    posting-list shuffle shape, int64 md5 shingle hashes only."""
+    from timeseriesutils_spark.operators.dedup import novelty_scores
+
+    return novelty_scores(_docs(spark, sf_dir))
+
+
+def _sql_novelty_scores():
+    from timeseriesutils_spark.operators.dedup import novelty_scores_sql
+
+    return novelty_scores_sql("documents")
+
+
+QUERIES.update({"novelty_scores": Q(q_novelty_scores, _sql_novelty_scores())})
