@@ -803,3 +803,34 @@ def test_novelty_scores_ordering(spark):
     assert out[2].novelty == 0.0
     # doc3: 4 shingles, only 'alpha beta gamma' seen before -> 3/4 novel
     assert out[3].n_grams == 4 and out[3].n_novel == 3
+
+
+def test_feature_hash_deterministic_and_signed(spark):
+    from timeseriesutils_spark.operators.text import feature_hash
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple banana apple")],
+        "doc_id long, text string",
+    )
+    out = feature_hash(docs, buckets=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.value
+    # identical docs -> identical feature maps
+    assert by_doc[1] == by_doc[2]
+    # apple counted twice with one sign: |value| for its slot is 2 or, if
+    # banana collides into the same slot, the signed sum of both
+    assert all(0 <= b < 8 for b in by_doc[1])
+    assert sum(abs(v) for v in by_doc[1].values()) >= 1
+
+
+def test_feature_hash_partition_invariant(spark):
+    from timeseriesutils_spark.operators.text import feature_hash
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 5} w{i % 3} common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, feature_hash(docs.coalesce(1), buckets=16).collect()))
+    b = sorted(map(tuple, feature_hash(docs.repartition(8), buckets=16).collect()))
+    assert a == b

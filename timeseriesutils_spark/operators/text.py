@@ -1090,3 +1090,69 @@ SELECT {group_col}, n_ranks,
             / ((nn * sxx - sx * sx) * (nn * syy - sy * sy)) END AS r2
 FROM u
 """
+
+
+def feature_hash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+) -> DataFrame:
+    """Hashing-trick bag-of-words encoding (the HashingVectorizer /
+    feature-hashing semantics): each word hashes to one of ``buckets``
+    signed slots — h mod b picks the slot, the next hash bit picks ±1 —
+    and a doc's feature value is the signed count sum.  Fixed-width
+    features with NO vocabulary pass, no dictionary state, no OOV
+    problem: the standard trick when the vocabulary is unbounded or the
+    encoder must be stateless across 100 TB shards.
+
+    One explode + one (doc, slot) partial-aggregated shuffle; hashes are
+    the engine-portable md5-int64 (operators/dedup.portable_hash64), so
+    the DuckDB twin reproduces every slot and sign exactly.
+
+    Returns (doc_id, bucket, value) — sparse long format; absent
+    (doc, bucket) pairs are implicit zeros.
+    """
+    from timeseriesutils_spark.operators.dedup import portable_hash64
+
+    ex = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("_w")
+    )
+    h = portable_hash64(F.col("_w"))
+    sign = (h % F.lit(buckets * 2) >= F.lit(buckets)).cast("bigint") * 2 - 1
+    return (
+        ex.select(
+            id_col,
+            (h % F.lit(buckets)).cast("int").alias("bucket"),
+            sign.alias("_s"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_s").alias("value"))
+    )
+
+
+def feature_hash_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+) -> str:
+    """DuckDB twin of :func:`feature_hash`."""
+    from timeseriesutils_spark.operators.dedup import portable_hash64_sql
+
+    h = portable_hash64_sql("_w")
+    return f"""
+WITH ex AS (
+  SELECT {id_col}, unnest(string_split_regex(lower(trim({text_col})), '\\s+')) AS _w
+  FROM {table}
+),
+s AS (
+  SELECT {id_col},
+    CAST({h} % {buckets} AS INT) AS bucket,
+    CAST(CASE WHEN {h} % {buckets * 2} >= {buckets} THEN 1 ELSE 0 END AS BIGINT)
+      * 2 - 1 AS _s
+  FROM ex
+)
+SELECT {id_col}, bucket, CAST(SUM(_s) AS BIGINT) AS value
+FROM s GROUP BY {id_col}, bucket
+"""

@@ -1368,3 +1368,22 @@ def _sql_novelty_scores():
 
 
 QUERIES.update({"novelty_scores": Q(q_novelty_scores, _sql_novelty_scores())})
+
+
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick bag-of-words features (operators/text.feature_hash):
+    64 signed slots per doc from portable md5 hashes -- stateless
+    fixed-width encoding with no vocabulary pass, the sparse long-format
+    feed for linear probes / dedup sketches."""
+    from timeseriesutils_spark.operators.text import feature_hash
+
+    return feature_hash(_docs(spark, sf_dir))
+
+
+def _sql_feature_hash():
+    from timeseriesutils_spark.operators.text import feature_hash_sql
+
+    return feature_hash_sql("documents")
+
+
+QUERIES.update({"feature_hash": Q(q_feature_hash, _sql_feature_hash())})
