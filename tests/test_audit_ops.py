@@ -280,3 +280,28 @@ def test_weighted_median_pulls_toward_weight(spark):
     # unweighted sanity: equal weights -> lower median of {1,2,10} = 2
     df2 = df.withColumn("w", F.lit(1.0))
     assert weighted_median(df2, ["g"], "v", "w", "k").collect()[0].wmedian == 2.0
+
+
+def test_bootstrap_ci_matches_analytic_se(spark):
+    from timeseriesutils_spark.operators.bootstrap import bootstrap_mean_ci
+
+    # values 0..999 repeated: sd ~= 288.67, n = 4000 -> se ~= 4.56
+    rows = [(i, float(i % 1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    r = bootstrap_mean_ci(df, "v", "id", replicates=32).collect()[0]
+    import math
+    sd = math.sqrt(sum((x - 499.5) ** 2 for x in range(1000)) / 1000)
+    se_analytic = sd / math.sqrt(4000)
+    assert r.n == 4000 and abs(r.mean - 499.5) < 1e-9
+    assert 0.5 * se_analytic < r.boot_se < 2.0 * se_analytic
+    assert r.ci_lo < r.mean < r.ci_hi
+
+
+def test_bootstrap_ci_partition_invariant(spark):
+    from timeseriesutils_spark.operators.bootstrap import bootstrap_mean_ci
+
+    rows = [(i, float((i * 7) % 97)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    a = bootstrap_mean_ci(df.coalesce(1), "v", "id").collect()[0]
+    b = bootstrap_mean_ci(df.repartition(16), "v", "id").collect()[0]
+    assert (a.mean, a.boot_se, a.ci_lo, a.ci_hi) == (b.mean, b.boot_se, b.ci_lo, b.ci_hi)

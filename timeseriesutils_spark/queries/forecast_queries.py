@@ -776,3 +776,32 @@ def _sql_mahalanobis():
 QUERIES.update(
     {"mahalanobis_outliers": Q(q_mahalanobis_outliers, _sql_mahalanobis())}
 )
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson-bootstrap CI for the mean extended price
+    (operators/bootstrap.bootstrap_mean_ci): 32 replicates as extra
+    aggregate expressions in ONE map-combinable pass -- no explode, no
+    resampling jobs; md5-derived Poisson(1) weights, fixed-order
+    replicate fold, bit-identical interval."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.bootstrap import bootstrap_mean_ci
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "line_id", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    return bootstrap_mean_ci(li, "l_extendedprice", "line_id")
+
+
+def _sql_bootstrap_ci():
+    from timeseriesutils_spark.operators.bootstrap import bootstrap_mean_ci_sql
+
+    return bootstrap_mean_ci_sql(
+        "(SELECT *, l_orderkey * 10 + l_linenumber AS line_id FROM lineitem)",
+        "l_extendedprice",
+        "line_id",
+    )
+
+
+QUERIES.update({"bootstrap_ci": Q(q_bootstrap_ci, _sql_bootstrap_ci())})
