@@ -305,3 +305,32 @@ def test_bootstrap_ci_partition_invariant(spark):
     a = bootstrap_mean_ci(df.coalesce(1), "v", "id").collect()[0]
     b = bootstrap_mean_ci(df.repartition(16), "v", "id").collect()[0]
     assert (a.mean, a.boot_se, a.ci_lo, a.ci_hi) == (b.mean, b.boot_se, b.ci_lo, b.ci_hi)
+
+
+def test_anova_oneway_matches_manual(spark):
+    from timeseriesutils_spark.operators.stats import anova_oneway
+
+    groups = {"a": [10.0, 12.0, 11.0, 13.0], "b": [20.0, 22.0, 21.0, 23.0],
+              "c": [10.5, 11.5, 12.5, 13.5]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "v", "g").collect()[0]
+    allv = [v for vs in groups.values() for v in vs]
+    mu = sum(allv) / len(allv)
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - mu) ** 2 for vs in groups.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2 for vs in groups.values() for v in vs)
+    k, n = 3, 12
+    assert r.k_levels == k and r.n == n
+    assert r.ss_between == pytest.approx(ssb, rel=1e-6)
+    assert r.ss_within == pytest.approx(ssw, rel=1e-6)
+    assert r.f_stat == pytest.approx((ssb / (k - 1)) / (ssw / (n - k)), rel=1e-6)
+    assert r.eta_sq == pytest.approx(ssb / (ssb + ssw), rel=1e-6)
+
+
+def test_anova_no_effect_small_f(spark):
+    from timeseriesutils_spark.operators.stats import anova_oneway
+
+    rows = [("g%d" % (i % 3), float(i % 10)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "v", "g").collect()[0]
+    assert r.f_stat < 1.0 and r.eta_sq < 0.01  # identical distributions

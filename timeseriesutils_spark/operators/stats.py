@@ -872,3 +872,124 @@ SELECT {g}, MAX(_n) AS n,
 FROM c WHERE 2 * _cum >= _tot
 GROUP BY {g}
 """
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """One-way ANOVA: does ``factor_col`` explain ``value_col``?
+    Between/within sum-of-squares decomposition, F statistic, and η²
+    (variance explained) — the go/no-go test behind "does segment
+    actually matter", the numeric-target counterpart of
+    :func:`categorical_assoc`.
+
+    Two tiny chained aggregations: per-level (n, Σx, Σx²) with quantized
+    DECIMAL-exact sums, then the k-row reduce to the decomposition —
+    identities SSW = Σ(Σx²_g − (Σx_g)²/n_g) and
+    SSB = Σ(Σx_g)²/n_g − (Σx)²/n avoid any second data pass.  The only
+    doubles are the final chain on exact integers, one shared tree.
+
+    Returns one row: (k_levels, n, ss_between, ss_within, f_stat, eta_sq).
+    """
+    m = 10**scale
+    x = F.floor(F.col(value_col) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = df.select(F.col(factor_col).alias("_g"), x.alias("_x")).groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec(F.col("_x"))).alias("_s"),
+        F.sum(dec(F.col("_x") * F.col("_x"))).alias("_ss"),
+    )
+    # per-level contributions in double (exact ints in, one shared tree).
+    # DECIMAL->DOUBLE goes VIA STRING: DuckDB's direct HUGEINT/DECIMAL ->
+    # DOUBLE cast TRUNCATES above 2^53 while Spark rounds to nearest; both
+    # engines' string->double parsers are correctly rounded, so the
+    # string route is the portable conversion for big exact integers.
+    sg = F.col("_s").cast("string").cast("double")
+    ng = F.col("_n").cast("double")
+    ssg = F.col("_ss").cast("string").cast("double")
+    top = per.agg(
+        F.count(F.lit(1)).alias("k_levels"),
+        F.sum("_n").alias("n"),
+        F.sum(dec(F.col("_s"))).alias("_st"),
+        F.sum(dec(F.col("_ss"))).alias("_sst"),
+        # per-level double contributions accumulate through DECIMAL(38,6)
+        # (exact, associative) BEFORE the k-row sum: double addition is
+        # merge-order-dependent, decimal is not.  (floor->int64 would
+        # overflow: s^2/n reaches ~1.9e19 at sf0.1 already.)
+        F.sum((sg * sg / ng).cast("decimal(38,6)")).alias("_sb_raw"),
+        F.sum((ssg - sg * sg / ng).cast("decimal(38,6)")).alias("_ssw_q"),
+    )
+    mf = float(m * m)
+    nn = F.col("n").cast("double")
+    st = F.col("_st").cast("string").cast("double")
+    ssb = (F.col("_sb_raw").cast("string").cast("double") - st * st / nn) / F.lit(mf)
+    ssw = F.col("_ssw_q").cast("string").cast("double") / F.lit(mf)
+    kk = F.col("k_levels").cast("double")
+    f_stat = F.when(
+        (F.col("k_levels") > 1) & (F.col("n") > F.col("k_levels")) & (ssw != 0),
+        (ssb / (kk - 1)) / (ssw / (nn - kk)),
+    )
+    sst = ssb + ssw
+    return top.select(
+        "k_levels",
+        "n",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        f_stat.alias("f_stat"),
+        F.when(sst != 0, ssb / sst).alias("eta_sq"),
+    )
+
+
+def anova_oneway_sql(
+    table: str,
+    value_col: str,
+    factor_col: str,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`anova_oneway`.
+
+    Per-level s²/n contributions are floor-quantized to integers before
+    the k-row reduce (double addition is order-dependent; the decimal
+    sum is not), costing ≤ k quantized units of absolute SS precision.
+    """
+    m = 10**scale
+    mf = float(m * m)
+    x = f"CAST(FLOOR({value_col} * {m} + 0.5) AS BIGINT)"
+    return f"""
+WITH q AS (SELECT {factor_col} AS _g, {x} AS _x FROM {table}),
+per AS (
+  SELECT _g, COUNT(*) AS _n, SUM(_x) AS _s, SUM(_x * _x) AS _ss
+  FROM q GROUP BY _g
+),
+top AS (
+  SELECT COUNT(*) AS k_levels, CAST(SUM(_n) AS BIGINT) AS n,
+    SUM(_s) AS _st, SUM(_ss) AS _sst,
+    SUM(CAST(CAST(CAST(_s AS VARCHAR) AS DOUBLE) * CAST(CAST(_s AS VARCHAR) AS DOUBLE)
+        / CAST(_n AS DOUBLE) AS DECIMAL(38,6))) AS _sb_raw,
+    SUM(CAST(CAST(CAST(_ss AS VARCHAR) AS DOUBLE)
+        - CAST(CAST(_s AS VARCHAR) AS DOUBLE) * CAST(CAST(_s AS VARCHAR) AS DOUBLE)
+          / CAST(_n AS DOUBLE) AS DECIMAL(38,6))) AS _ssw_q
+  FROM per
+)
+SELECT k_levels, n,
+  (CAST(CAST(_sb_raw AS VARCHAR) AS DOUBLE) - CAST(CAST(_st AS VARCHAR) AS DOUBLE) * CAST(CAST(_st AS VARCHAR) AS DOUBLE)
+     / CAST(n AS DOUBLE)) / {mf!r} AS ss_between,
+  CAST(CAST(_ssw_q AS VARCHAR) AS DOUBLE) / {mf!r} AS ss_within,
+  CASE WHEN k_levels > 1 AND n > k_levels AND CAST(CAST(_ssw_q AS VARCHAR) AS DOUBLE) / {mf!r} <> 0 THEN
+    (((CAST(CAST(_sb_raw AS VARCHAR) AS DOUBLE) - CAST(CAST(_st AS VARCHAR) AS DOUBLE) * CAST(CAST(_st AS VARCHAR) AS DOUBLE)
+        / CAST(n AS DOUBLE)) / {mf!r}) / (CAST(k_levels AS DOUBLE) - 1))
+    / ((CAST(CAST(_ssw_q AS VARCHAR) AS DOUBLE) / {mf!r})
+       / (CAST(n AS DOUBLE) - CAST(k_levels AS DOUBLE)))
+  END AS f_stat,
+  CASE WHEN (CAST(CAST(_sb_raw AS VARCHAR) AS DOUBLE) - CAST(CAST(_st AS VARCHAR) AS DOUBLE) * CAST(CAST(_st AS VARCHAR) AS DOUBLE)
+             / CAST(n AS DOUBLE)) / {mf!r} + CAST(CAST(_ssw_q AS VARCHAR) AS DOUBLE) / {mf!r} <> 0 THEN
+    ((CAST(CAST(_sb_raw AS VARCHAR) AS DOUBLE) - CAST(CAST(_st AS VARCHAR) AS DOUBLE) * CAST(CAST(_st AS VARCHAR) AS DOUBLE)
+       / CAST(n AS DOUBLE)) / {mf!r})
+    / ((CAST(CAST(_sb_raw AS VARCHAR) AS DOUBLE) - CAST(CAST(_st AS VARCHAR) AS DOUBLE) * CAST(CAST(_st AS VARCHAR) AS DOUBLE)
+        / CAST(n AS DOUBLE)) / {mf!r} + CAST(CAST(_ssw_q AS VARCHAR) AS DOUBLE) / {mf!r})
+  END AS eta_sq
+FROM top
+"""

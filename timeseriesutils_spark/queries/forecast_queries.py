@@ -805,3 +805,24 @@ def _sql_bootstrap_ci():
 
 
 QUERIES.update({"bootstrap_ci": Q(q_bootstrap_ci, _sql_bootstrap_ci())})
+
+
+def q_anova(spark, sf_dir):
+    """One-way ANOVA of order value on priority
+    (operators/stats.anova_oneway): between/within decomposition, F and
+    eta-squared from one per-level pass of DECIMAL-exact quantized
+    sums."""
+    from timeseriesutils_spark.operators.stats import anova_oneway
+
+    return anova_oneway(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority"
+    )
+
+
+def _sql_anova():
+    from timeseriesutils_spark.operators.stats import anova_oneway_sql
+
+    return anova_oneway_sql("orders", "o_totalprice", "o_orderpriority")
+
+
+QUERIES.update({"anova_oneway": Q(q_anova, _sql_anova())})
