@@ -382,3 +382,43 @@ def test_funnel_window_depth_and_bound(spark):
     out = {r.depth: r.n_users for r in
            funnel_window(df, ("view", "click", "purchase"), 24).collect()}
     assert out == {2: 1, 1: 1, 0: 1}
+
+
+def test_merge_intervals_islands(spark):
+    from timeseriesutils_spark.operators.sessions import merge_intervals
+
+    rows = [
+        ("u", 0, 10), ("u", 5, 20), ("u", 20, 30),   # chain: merge to [0,30]
+        ("u", 40, 50),                                  # separate island
+        ("v", 0, 5),                                    # other key isolated
+        ("u", 7, 8),                                    # nested inside first
+    ]
+    df = spark.createDataFrame(rows, "k string, start_ms long, end_ms long")
+    out = sorted(
+        merge_intervals(df, ["k"]).collect(), key=lambda r: (r.k, r.episode_n)
+    )
+    assert [(r.k, r.start, r["end"], r.n_merged) for r in out] == [
+        ("u", 0, 30, 4), ("u", 40, 50, 1), ("v", 0, 5, 1),
+    ]
+
+
+def test_state_dwell_intervals(spark):
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.analytics import state_dwell
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),     # 1h in view
+        (2, "2024-01-01 01:00:00", 1, "cart"),     # 30m in cart
+        (3, "2024-01-01 01:30:00", 1, "purchase"), # open episode: excluded
+        (4, "2024-01-01 00:00:00", 2, "view"),     # 2h in view
+        (5, "2024-01-01 02:00:00", 2, "view"),     # open: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.state: r for r in state_dwell(df).collect()}
+    assert out["view"].n_intervals == 2
+    assert out["view"].total_dwell_ms == 3 * 3_600_000
+    assert out["cart"].total_dwell_ms == 1_800_000
+    assert "purchase" not in out

@@ -891,3 +891,64 @@ SELECT CAST({depth_case} AS INT) AS depth, COUNT(*) AS n_users
 FROM pu WHERE _s0 IS NOT NULL
 GROUP BY 1
 """
+
+
+def state_dwell(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-in-state report: treating each user's event stream as state
+    transitions (the state between event i and i+1 is event i's type),
+    total and mean dwell time per state — "how long do users sit on the
+    cart page" — the duration companion of :func:`event_transitions`.
+
+    One LEAD per user partition, then a map-combinable per-state
+    reduce; dwell is exact integer milliseconds, the mean one double
+    division.  Each user's last event has no successor and contributes
+    no interval (standard open-episode exclusion).
+
+    Returns (state, n_intervals, total_dwell_ms, mean_dwell_ms).
+    """
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    d = events.select(
+        F.col(type_col).alias("state"),
+        ms.alias("_ms"),
+        F.lead(ms).over(w).alias("_nxt"),
+    ).filter(F.col("_nxt").isNotNull())
+    return d.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("_nxt") - F.col("_ms")).alias("total_dwell_ms"),
+        (
+            F.sum(F.col("_nxt") - F.col("_ms")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_dwell_ms"),
+    )
+
+
+def state_dwell_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`state_dwell`."""
+    return f"""
+WITH d AS (
+  SELECT {type_col} AS state, epoch_ms({ts_col}) AS _ms,
+    LEAD(epoch_ms({ts_col})) OVER (PARTITION BY {user_col}
+      ORDER BY {ts_col} ASC, {id_col} ASC) AS _nxt
+  FROM {table}
+)
+SELECT state, COUNT(*) AS n_intervals,
+  CAST(SUM(_nxt - _ms) AS BIGINT) AS total_dwell_ms,
+  CAST(SUM(_nxt - _ms) AS DOUBLE) / COUNT(*) AS mean_dwell_ms
+FROM d WHERE _nxt IS NOT NULL
+GROUP BY state
+"""

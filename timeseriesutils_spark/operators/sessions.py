@@ -361,3 +361,76 @@ f AS (
 )
 SELECT {select_cols} FROM f WHERE _rn = 1
 """
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    group_columns,
+    start_col: str = "start_ms",
+    end_col: str = "end_ms",
+) -> DataFrame:
+    """Union of overlapping/touching intervals per key — the classic
+    gaps-and-islands coverage problem (uptime episodes from heartbeat
+    leases, user activity coverage, maintenance-window flattening;
+    the same primitive rolling_active_users uses internally, exposed
+    first-class).
+
+    Closed form: order by start; an interval starts a new island iff its
+    start exceeds the running max of all previous ends (one window max
+    + one running sum — a single (key)-exchange, no self-join, no
+    iteration).  Interval bounds are exact integers (epoch ms).
+
+    Returns one row per island: (groups…, episode_n, start, end,
+    n_merged).  Touching intervals (start = previous end) merge.
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    w = Window.partitionBy(*groups).orderBy(F.col(start_col).asc(), F.col(end_col).asc())
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = intervals.withColumn("episode_n", F.sum(brk).over(run))
+    return marked.groupBy(*groups, "episode_n").agg(
+        F.min(start_col).alias("start"),
+        F.max(end_col).alias("end"),
+        F.count(F.lit(1)).alias("n_merged"),
+    )
+
+
+def merge_intervals_sql(
+    inner_sql: str,
+    group_columns,
+    start_col: str = "start_ms",
+    end_col: str = "end_ms",
+) -> str:
+    """DuckDB twin of :func:`merge_intervals` over ``inner_sql``."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    g = ", ".join(groups)
+    ordr = f"{start_col} ASC, {end_col} ASC"
+    return f"""
+WITH src AS ({inner_sql}),
+m AS (
+  SELECT *, MAX({end_col}) OVER (PARTITION BY {g} ORDER BY {ordr}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _pme
+  FROM src
+),
+b AS (
+  SELECT *, CASE WHEN _pme IS NULL OR {start_col} > _pme THEN 1 ELSE 0 END AS _brk
+  FROM m
+),
+i AS (
+  SELECT *, CAST(SUM(_brk) OVER (PARTITION BY {g} ORDER BY {ordr}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS episode_n
+  FROM b
+)
+SELECT {g}, episode_n, MIN({start_col}) AS start, MAX({end_col}) AS "end",
+  COUNT(*) AS n_merged
+FROM i GROUP BY {g}, episode_n
+"""

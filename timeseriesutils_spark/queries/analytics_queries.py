@@ -452,3 +452,54 @@ def _sql_funnel_window():
 
 
 QUERIES.update({"funnel_window": Q(q_funnel_window, _sql_funnel_window())})
+
+
+def q_merge_intervals(spark, sf_dir):
+    """Activity-coverage episodes (operators/sessions.merge_intervals):
+    every event opens a 30-minute lease per user; overlapping leases
+    merge into coverage episodes via the gaps-and-islands running-max
+    closed form -- one user exchange, no self-join."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.sessions import merge_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    leases = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("start_ms"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) + F.lit(1_800_000)).alias(
+            "end_ms"
+        ),
+    )
+    return merge_intervals(leases, ["user_id"])
+
+
+def _sql_merge_intervals():
+    from timeseriesutils_spark.operators.sessions import merge_intervals_sql
+
+    inner = """
+SELECT user_id, epoch_ms(ts) AS start_ms, epoch_ms(ts) + 1800000 AS end_ms
+FROM events
+"""
+    return merge_intervals_sql(inner, ["user_id"])
+
+
+QUERIES.update({"merge_intervals": Q(q_merge_intervals, _sql_merge_intervals())})
+
+
+def q_state_dwell(spark, sf_dir):
+    """Time-in-state report (analytics.state_dwell): total and mean
+    dwell per event type from one LEAD pass -- exact integer-ms
+    intervals, open episodes excluded."""
+    from timeseriesutils_spark.operators.analytics import state_dwell
+
+    return state_dwell(load_table(spark, sf_dir, "events"))
+
+
+def _sql_state_dwell():
+    from timeseriesutils_spark.operators.analytics import state_dwell_sql
+
+    return state_dwell_sql("events")
+
+
+QUERIES.update({"state_dwell": Q(q_state_dwell, _sql_state_dwell())})
