@@ -422,3 +422,38 @@ def test_state_dwell_intervals(spark):
     assert out["view"].total_dwell_ms == 3 * 3_600_000
     assert out["cart"].total_dwell_ms == 1_800_000
     assert "purchase" not in out
+
+
+def test_period_over_period_dense_zero_fill(spark):
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.analytics import period_over_period
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "a", 5.0),
+        (2, "2024-01-03 10:00:00", "a", 7.0),  # Jan 2 missing -> dense 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.day: r for r in period_over_period(df, lag_days=2).collect()}
+    # spine Jan1..Jan3; lag 2 -> only Jan 3 comparable: cur 7 vs prev 5
+    assert list(out) == ["2024-01-03"]
+    r = out["2024-01-03"]
+    assert r.cur == 7.0 and r.prev == 5.0 and r.delta == 2.0
+    assert abs(r.pct_change - 0.4) < 1e-12
+
+
+def test_welch_ttest_detects_shift(spark):
+    import math
+
+    from timeseriesutils_spark.operators.stats import welch_ttest
+
+    rows = [("a", 10.0 + (i % 5) * 0.1) for i in range(100)]
+    rows += [("b", 12.0 + (i % 5) * 0.1) for i in range(80)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+    assert r.n_a == 100 and r.n_b == 80
+    assert abs(r.mean_a - 10.2) < 1e-9 and abs(r.mean_b - 12.2) < 1e-9
+    assert r.t_stat < -50  # huge shift vs tiny variance
+    assert 100 < r.dof < 180 and math.isfinite(r.dof)

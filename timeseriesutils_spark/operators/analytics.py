@@ -952,3 +952,103 @@ SELECT state, COUNT(*) AS n_intervals,
 FROM d WHERE _nxt IS NOT NULL
 GROUP BY state
 """
+
+
+def period_over_period(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    lag_days: int = 7,
+    scale: int = 6,
+) -> DataFrame:
+    """Week-over-week (or any ``lag_days``) comparison per series: daily
+    exact sums joined against the same series ``lag_days`` earlier via
+    one LAG over the dense day grid — the standard BI "vs same day last
+    week" column, with the day spine densified first so a missing day
+    compares as 0 instead of silently lagging to the wrong date.
+
+    Exactness: daily sums are quantized int64; pct change is one double
+    division; the spine densification reuses the fill_gaps discipline
+    (operators/timegrid.py) in miniature — per-series min..max day
+    sequence, row-local explode, no join.
+
+    Returns (group, day, cur, prev, delta, pct_change) for days with a
+    comparable prior period.
+    """
+    q = F.floor(F.col(value_col) * F.lit(10**scale) + F.lit(0.5)).cast("bigint")
+    daily = (
+        events.select(
+            F.col(group_col).alias("_g"), F.to_date(ts_col).alias("_d"), q.alias("_q")
+        )
+        .groupBy("_g", "_d")
+        .agg(F.sum("_q").alias("_s"))
+    )
+    spine = (
+        daily.groupBy("_g")
+        .agg(F.min("_d").alias("_lo"), F.max("_d").alias("_hi"))
+        .select(
+            "_g",
+            F.explode(F.expr("sequence(_lo, _hi, interval 1 day)")).alias("_d"),
+        )
+    )
+    dense = spine.join(daily, ["_g", "_d"], "left").select(
+        "_g", "_d", F.coalesce("_s", F.lit(0)).alias("_s")
+    )
+    w = Window.partitionBy("_g").orderBy("_d")
+    prev = F.lag("_s", lag_days).over(w)
+    mult = float(10**scale)
+    return (
+        dense.withColumn("_p", prev)
+        .filter(F.col("_p").isNotNull())
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_d").cast("string").alias("day"),
+            (F.col("_s").cast("double") / F.lit(mult)).alias("cur"),
+            (F.col("_p").cast("double") / F.lit(mult)).alias("prev"),
+            ((F.col("_s") - F.col("_p")).cast("double") / F.lit(mult)).alias("delta"),
+            F.when(
+                F.col("_p") != 0,
+                (F.col("_s") - F.col("_p")).cast("double") / F.col("_p").cast("double"),
+            ).alias("pct_change"),
+        )
+    )
+
+
+def period_over_period_sql(
+    table: str = "events",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    lag_days: int = 7,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`period_over_period`."""
+    m = 10**scale
+    mult = float(m)
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS _g, CAST({ts_col} AS DATE) AS _d,
+    CAST(SUM(CAST(FLOOR({value_col} * {m} + 0.5) AS BIGINT)) AS BIGINT) AS _s
+  FROM {table} GROUP BY 1, 2
+),
+spine_raw AS (
+  SELECT _g, unnest(generate_series(MIN(_d), MAX(_d), INTERVAL 1 DAY)) AS _t
+  FROM daily GROUP BY _g
+),
+spine AS (SELECT _g, CAST(_t AS DATE) AS _d FROM spine_raw),
+dense AS (
+  SELECT s._g, s._d, COALESCE(d._s, 0) AS _s
+  FROM spine s LEFT JOIN daily d ON s._g = d._g AND s._d = d._d
+),
+lagged AS (
+  SELECT *, LAG(_s, {lag_days}) OVER (PARTITION BY _g ORDER BY _d) AS _p
+  FROM dense
+)
+SELECT _g AS {group_col}, CAST(_d AS VARCHAR) AS day,
+  CAST(_s AS DOUBLE) / {mult!r} AS cur,
+  CAST(_p AS DOUBLE) / {mult!r} AS prev,
+  CAST(_s - _p AS DOUBLE) / {mult!r} AS delta,
+  CASE WHEN _p <> 0 THEN CAST(_s - _p AS DOUBLE) / CAST(_p AS DOUBLE) END AS pct_change
+FROM lagged WHERE _p IS NOT NULL
+"""

@@ -993,3 +993,105 @@ SELECT k_levels, n,
   END AS eta_sq
 FROM top
 """
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Two-sample Welch t-test (unequal variances) between two levels of
+    ``group_col`` — the numeric-metric A/B significance test
+    (``ab_test_report`` covers proportions; this covers means: revenue
+    per order, latency, tokens per doc).  One map-combinable pass of
+    quantized DECIMAL-exact (n, Σx, Σx²) per arm, then the closed-form
+    t statistic and Welch–Satterthwaite degrees of freedom on the
+    two-row result.  Sample variance uses the n−1 denominator.
+
+    Returns one row: (n_a, n_b, mean_a, mean_b, t_stat, dof).
+    """
+    m = 10**scale
+    x = F.floor(F.col(value_col) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        (F.col(group_col) == F.lit(group_a)).alias("_a"), x.alias("_x")
+    )
+    agg = d.groupBy().agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("_a"), dec(F.col("_x"))).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_sa"),
+        F.sum(F.when(~F.col("_a"), dec(F.col("_x"))).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_sb"),
+        F.sum(F.when(F.col("_a"), dec(F.col("_x") * F.col("_x"))).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_qa"),
+        F.sum(F.when(~F.col("_a"), dec(F.col("_x") * F.col("_x"))).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_qb"),
+    )
+    mf = float(m)
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731  (>2^53-safe)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = s2d("_sa") / F.lit(mf) / na
+    mb = s2d("_sb") / F.lit(mf) / nb
+    va = (s2d("_qa") / F.lit(mf * mf) - na * ma * ma) / (na - 1)
+    vb = (s2d("_qb") / F.lit(mf * mf) - nb * mb * mb) / (nb - 1)
+    sea, seb = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dof = (sea + seb) * (sea + seb) / (
+        sea * sea / (na - 1) + seb * seb / (nb - 1)
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    return agg.select(
+        "n_a",
+        "n_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, dof).alias("dof"),
+    )
+
+
+def welch_ttest_sql(
+    table: str,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`welch_ttest`."""
+    m = 10**scale
+    mf = float(m)
+    mf2 = float(m * m)
+    x = f"CAST(FLOOR({value_col} * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    na, nb = "CAST(n_a AS DOUBLE)", "CAST(n_b AS DOUBLE)"
+    ma = f"({s2d('_sa')} / {mf!r} / {na})"
+    mb = f"({s2d('_sb')} / {mf!r} / {nb})"
+    va = f"(({s2d('_qa')} / {mf2!r} - {na} * {ma} * {ma}) / ({na} - 1))"
+    vb = f"(({s2d('_qb')} / {mf2!r} - {nb} * {mb} * {mb}) / ({nb} - 1))"
+    sea, seb = f"({va} / {na})", f"({vb} / {nb})"
+    t = f"(({ma} - {mb}) / sqrt({sea} + {seb}))"
+    dof = (
+        f"(({sea} + {seb}) * ({sea} + {seb}) / "
+        f"({sea} * {sea} / ({na} - 1) + {seb} * {seb} / ({nb} - 1)))"
+    )
+    return f"""
+WITH d AS (
+  SELECT {group_col} = '{group_a}' AS _a, {x} AS _x
+  FROM {table} WHERE {group_col} IN ('{group_a}', '{group_b}')
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN _a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN NOT _a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    SUM(CASE WHEN _a THEN _x ELSE 0 END) AS _sa,
+    SUM(CASE WHEN NOT _a THEN _x ELSE 0 END) AS _sb,
+    SUM(CASE WHEN _a THEN _x * _x ELSE 0 END) AS _qa,
+    SUM(CASE WHEN NOT _a THEN _x * _x ELSE 0 END) AS _qb
+  FROM d
+)
+SELECT n_a, n_b, {ma} AS mean_a, {mb} AS mean_b,
+  CASE WHEN n_a > 1 AND n_b > 1 THEN {t} END AS t_stat,
+  CASE WHEN n_a > 1 AND n_b > 1 THEN {dof} END AS dof
+FROM agg
+"""

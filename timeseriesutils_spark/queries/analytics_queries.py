@@ -503,3 +503,52 @@ def _sql_state_dwell():
 
 
 QUERIES.update({"state_dwell": Q(q_state_dwell, _sql_state_dwell())})
+
+
+def q_period_over_period(spark, sf_dir):
+    """Week-over-week comparison per event type
+    (analytics.period_over_period): dense day spine (missing days
+    compare as 0), quantized-exact daily sums, one LAG(7) -- the BI
+    'vs same day last week' column."""
+    from timeseriesutils_spark.operators.analytics import period_over_period
+
+    return period_over_period(load_table(spark, sf_dir, "events"))
+
+
+def _sql_period_over_period():
+    from timeseriesutils_spark.operators.analytics import period_over_period_sql
+
+    return period_over_period_sql("events")
+
+
+QUERIES.update(
+    {"period_over_period": Q(q_period_over_period, _sql_period_over_period())}
+)
+
+
+def q_welch_ttest(spark, sf_dir):
+    """Welch two-sample t-test (operators/stats.welch_ttest): does mean
+    order value differ between urgent and low priority?  One
+    DECIMAL-exact pass per arm, closed-form t and Welch-Satterthwaite
+    dof -- the numeric-metric A/B significance companion of
+    ab_test_report."""
+    from timeseriesutils_spark.operators.stats import welch_ttest
+
+    return welch_ttest(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderpriority",
+        "1-URGENT",
+        "5-LOW",
+    )
+
+
+def _sql_welch_ttest():
+    from timeseriesutils_spark.operators.stats import welch_ttest_sql
+
+    return welch_ttest_sql(
+        "orders", "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
+QUERIES.update({"welch_ttest": Q(q_welch_ttest, _sql_welch_ttest())})
