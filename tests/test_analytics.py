@@ -457,3 +457,28 @@ def test_welch_ttest_detects_shift(spark):
     assert abs(r.mean_a - 10.2) < 1e-9 and abs(r.mean_b - 12.2) < 1e-9
     assert r.t_stat < -50  # huge shift vs tiny variance
     assert 100 < r.dof < 180 and math.isfinite(r.dof)
+
+
+def test_wilson_daily_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.analytics import wilson_daily
+
+    rows = []
+    eid = 0
+    for u in range(20):
+        eid += 1
+        rows.append((eid, "2024-01-01 10:00:00", u, "view"))
+        if u < 5:
+            eid += 1
+            rows.append((eid, "2024-01-01 11:00:00", u, "purchase"))
+    # a converter who was never exposed that day must not count
+    rows.append((999, "2024-01-01 12:00:00", 777, "purchase"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = wilson_daily(df).collect()[0]
+    assert r.n_exposed == 20 and r.n_converted == 5 and r.rate == 0.25
+    assert 0.0 < r.wilson_lo < 0.25 < r.wilson_hi < 1.0
+    # Wilson never escapes [0, 1] even at extreme p
+    assert r.wilson_lo > 0.08 and r.wilson_hi < 0.5

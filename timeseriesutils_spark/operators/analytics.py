@@ -1052,3 +1052,99 @@ SELECT _g AS {group_col}, CAST(_d AS VARCHAR) AS day,
   CASE WHEN _p <> 0 THEN CAST(_s - _p AS DOUBLE) / CAST(_p AS DOUBLE) END AS pct_change
 FROM lagged WHERE _p IS NOT NULL
 """
+
+
+def wilson_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    expose_type: str = "view",
+    convert_type: str = "purchase",
+    z: float = 1.96,
+) -> DataFrame:
+    """Daily conversion rate with Wilson-score 95% interval: per day,
+    distinct exposed users, distinct converters among them, and the
+    Wilson bounds — the interval that behaves at small n and p near
+    0/1 where the normal approximation fails; the time-series companion
+    of :func:`ab_test_report`.
+
+    Two distinct-aggregations per day (map-combinable); the Wilson
+    closed form is a fixed double chain on exact integer counts.
+
+    Returns (day, n_exposed, n_converted, rate, wilson_lo, wilson_hi).
+    """
+    day = F.to_date(F.col(ts_col))
+    base = events.select(
+        day.alias("_d"), F.col(user_col).alias("_u"), F.col(type_col).alias("_t")
+    )
+    exposed = base.filter(F.col("_t") == expose_type).select("_d", "_u").distinct()
+    converted = (
+        base.filter(F.col("_t") == convert_type)
+        .select("_d", "_u")
+        .distinct()
+        .join(exposed, ["_d", "_u"])  # converted among the exposed
+    )
+    n_e = exposed.groupBy("_d").agg(F.count(F.lit(1)).alias("n_exposed"))
+    n_c = converted.groupBy("_d").agg(F.count(F.lit(1)).alias("n_converted"))
+    j = n_e.join(n_c, "_d", "left").select(
+        "_d", "n_exposed", F.coalesce("n_converted", F.lit(0)).alias("n_converted")
+    )
+    n = F.col("n_exposed").cast("double")
+    p = F.col("n_converted").cast("double") / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = p + z2 / (2.0 * n)
+    spread = F.lit(z) * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    return j.select(
+        F.col("_d").cast("string").alias("day"),
+        "n_exposed",
+        "n_converted",
+        p.alias("rate"),
+        ((center - spread) / denom).alias("wilson_lo"),
+        ((center + spread) / denom).alias("wilson_hi"),
+    )
+
+
+def wilson_daily_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    expose_type: str = "view",
+    convert_type: str = "purchase",
+    z: float = 1.96,
+) -> str:
+    """DuckDB twin of :func:`wilson_daily`."""
+    z2 = z * z
+    return f"""
+WITH base AS (
+  SELECT CAST({ts_col} AS DATE) AS _d, {user_col} AS _u, {type_col} AS _t
+  FROM {table}
+),
+exposed AS (SELECT DISTINCT _d, _u FROM base WHERE _t = '{expose_type}'),
+conv AS (
+  SELECT DISTINCT b._d, b._u FROM base b
+  JOIN exposed e ON b._d = e._d AND b._u = e._u
+  WHERE b._t = '{convert_type}'
+),
+ne AS (SELECT _d, COUNT(*) AS n_exposed FROM exposed GROUP BY _d),
+nc AS (SELECT _d, COUNT(*) AS n_converted FROM conv GROUP BY _d),
+j AS (
+  SELECT ne._d, ne.n_exposed, COALESCE(nc.n_converted, 0) AS n_converted
+  FROM ne LEFT JOIN nc ON ne._d = nc._d
+),
+k AS (
+  SELECT *, CAST(n_exposed AS DOUBLE) AS n,
+    CAST(n_converted AS DOUBLE) / CAST(n_exposed AS DOUBLE) AS p
+  FROM j
+)
+SELECT CAST(_d AS VARCHAR) AS day, n_exposed, n_converted, p AS rate,
+  ((p + {z2!r}e0 / (2.0 * n))
+    - {z!r}e0 * sqrt(p * (1.0 - p) / n + {z2!r}e0 / (4.0 * n * n)))
+    / (1.0 + {z2!r}e0 / n) AS wilson_lo,
+  ((p + {z2!r}e0 / (2.0 * n))
+    + {z!r}e0 * sqrt(p * (1.0 - p) / n + {z2!r}e0 / (4.0 * n * n)))
+    / (1.0 + {z2!r}e0 / n) AS wilson_hi
+FROM k
+"""

@@ -1095,3 +1095,75 @@ SELECT n_a, n_b, {ma} AS mean_a, {mb} AS mean_b,
   CASE WHEN n_a > 1 AND n_b > 1 THEN {dof} END AS dof
 FROM agg
 """
+
+
+def histogram2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_range: tuple[float, float],
+    y_range: tuple[float, float],
+    bins: tuple[int, int] = (20, 20),
+) -> DataFrame:
+    """Equi-width 2D density grid — the scatter-heatmap aggregation for
+    dataviz/EDA at scales where plotting raw points is impossible.
+    Caller-fixed ranges (no data-dependent bounds pass); out-of-range
+    rows clamp into the edge bins, NULLs drop.  One map-combinable
+    groupBy; bin ids are exact integer arithmetic on one double
+    subtraction/division chain shared with the twin.
+
+    Returns (bin_x, bin_y, x_lo, y_lo, n) — x_lo/y_lo are the bin's
+    left edges for direct plotting.
+    """
+    (xl, xh), (yl, yh) = x_range, y_range
+    nx, ny = bins
+    wx = (xh - xl) / nx
+    wy = (yh - yl) / ny
+    bx = F.least(
+        F.greatest(F.floor((F.col(x_col) - F.lit(xl)) / F.lit(wx)), F.lit(0)),
+        F.lit(nx - 1),
+    ).cast("int")
+    by = F.least(
+        F.greatest(F.floor((F.col(y_col) - F.lit(yl)) / F.lit(wy)), F.lit(0)),
+        F.lit(ny - 1),
+    ).cast("int")
+    return (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(bx.alias("bin_x"), by.alias("bin_y"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin_x",
+            "bin_y",
+            (F.lit(xl) + F.col("bin_x") * F.lit(wx)).alias("x_lo"),
+            (F.lit(yl) + F.col("bin_y") * F.lit(wy)).alias("y_lo"),
+            "n",
+        )
+    )
+
+
+def histogram2d_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    x_range: tuple[float, float],
+    y_range: tuple[float, float],
+    bins: tuple[int, int] = (20, 20),
+) -> str:
+    """DuckDB twin of :func:`histogram2d`."""
+    (xl, xh), (yl, yh) = x_range, y_range
+    nx, ny = bins
+    wx = (xh - xl) / nx
+    wy = (yh - yl) / ny
+    bx = f"CAST(LEAST(GREATEST(FLOOR(({x_col} - {xl!r}) / {wx!r}), 0), {nx - 1}) AS INT)"
+    by = f"CAST(LEAST(GREATEST(FLOOR(({y_col} - {yl!r}) / {wy!r}), 0), {ny - 1}) AS INT)"
+    return f"""
+WITH b AS (
+  SELECT {bx} AS bin_x, {by} AS bin_y
+  FROM {table} WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+)
+SELECT bin_x, bin_y,
+  {xl!r} + bin_x * {wx!r} AS x_lo,
+  {yl!r} + bin_y * {wy!r} AS y_lo,
+  COUNT(*) AS n
+FROM b GROUP BY bin_x, bin_y
+"""

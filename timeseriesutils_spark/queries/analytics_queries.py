@@ -552,3 +552,22 @@ def _sql_welch_ttest():
 
 
 QUERIES.update({"welch_ttest": Q(q_welch_ttest, _sql_welch_ttest())})
+
+
+def q_wilson_daily(spark, sf_dir):
+    """Daily view->purchase conversion with Wilson-score intervals
+    (analytics.wilson_daily): distinct exposed/converted users per day,
+    closed-form bounds on exact integer counts -- the small-n-safe
+    conversion time series."""
+    from timeseriesutils_spark.operators.analytics import wilson_daily
+
+    return wilson_daily(load_table(spark, sf_dir, "events"))
+
+
+def _sql_wilson_daily():
+    from timeseriesutils_spark.operators.analytics import wilson_daily_sql
+
+    return wilson_daily_sql("events")
+
+
+QUERIES.update({"wilson_daily": Q(q_wilson_daily, _sql_wilson_daily())})

@@ -826,3 +826,35 @@ def _sql_anova():
 
 
 QUERIES.update({"anova_oneway": Q(q_anova, _sql_anova())})
+
+
+def q_histogram2d(spark, sf_dir):
+    """2D density grid of (quantity, extendedprice)
+    (operators/stats.histogram2d): the scatter-heatmap aggregation with
+    caller-fixed ranges, clamped edge bins, one map-combinable pass."""
+    from timeseriesutils_spark.operators.stats import histogram2d
+
+    return histogram2d(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        (0.0, 55.0),
+        (0.0, 120000.0),
+        bins=(11, 24),
+    )
+
+
+def _sql_histogram2d():
+    from timeseriesutils_spark.operators.stats import histogram2d_sql
+
+    return histogram2d_sql(
+        "lineitem",
+        "l_quantity",
+        "l_extendedprice",
+        (0.0, 55.0),
+        (0.0, 120000.0),
+        bins=(11, 24),
+    )
+
+
+QUERIES.update({"histogram2d": Q(q_histogram2d, _sql_histogram2d())})
