@@ -349,3 +349,38 @@ def test_attribution_no_python_no_cartesian(spark, catalog):
     plan = _plan(catalog["attribution"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_anova_two_light_exchanges_no_python(spark, catalog):
+    # per-level agg + k-row reduce: two exchanges max, all JVM
+    plan = _plan(catalog["anova_oneway"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bootstrap_single_scan_no_explode(spark, catalog):
+    # 32 replicates live as aggregate expressions, not exploded rows
+    plan = _plan(catalog["bootstrap_ci"](spark, SF_DIR))
+    assert "Generate" not in plan  # no explode
+    assert plan.count("FileScan") == 1  # one pass over the facts
+
+
+def test_merge_intervals_single_exchange(spark, catalog):
+    # window + groupBy share the user partitioning: ONE exchange
+    plan = _plan(catalog["merge_intervals"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_state_dwell_partial_agg_before_state_exchange(spark, catalog):
+    # user-keyed LEAD then state-keyed reduce: exactly two exchanges, and
+    # the second moves map-side-combined partials, not raw intervals
+    plan = _plan(catalog["state_dwell"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "partial_sum" in plan
+
+
+def test_snapshot_diff_no_payload_in_exchange(spark, catalog):
+    plan = _plan(catalog["snapshot_diff"](spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "o_orderpriority" not in line and "o_totalprice" not in line

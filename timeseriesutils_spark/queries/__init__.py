@@ -26,6 +26,18 @@ class Q:
 # queries with no green driver row yet (rounds 1-2 verified the other 67;
 # the full set is locally gate-checked every round via
 # tools/check_oracle.py — see CORRECTNESS_LOCAL.json).
+#
+# ROUND-5 ROTATION PLAN: the 30 late-round-4 queries below were added
+# after this round's 50 head slots were already claimed by the earlier
+# round-4 batch; they are locally hash-green (CORRECTNESS_LOCAL.json)
+# but have no driver row yet.  Next round, move them into slots 1-30:
+#   kaplan_meier snapshot_diff item_cooccur attribution constraint_audit
+#   top_paths grouped_ols2 counter_rate dedup_debounce rfm_segments
+#   abc_analysis embedding_drift fifo_allocation gini_index
+#   weighted_median stream_counter_rate zipf_fit mahalanobis_outliers
+#   canonical_pick funnel_window novelty_scores feature_hash bootstrap_ci
+#   anova_oneway merge_intervals state_dwell period_over_period
+#   welch_ttest histogram2d wilson_daily
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # slots 1-4: the only oracle-expressible queries with no driver verdict
     # yet (were at slots 51-54 in round 3, past the driver's 50-row cap)
