@@ -482,3 +482,26 @@ def test_wilson_daily_bounds(spark):
     assert 0.0 < r.wilson_lo < 0.25 < r.wilson_hi < 1.0
     # Wilson never escapes [0, 1] even at extreme p
     assert r.wilson_lo > 0.08 and r.wilson_hi < 0.5
+
+
+def test_stickiness_ratio_bounds(spark):
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    # users 1..5 active every day; user 6 only on day 3
+    for d in range(1, 8):
+        for u in range(1, 6):
+            eid += 1
+            rows.append((eid, f"2024-01-{d:02d} 09:00:00", u, "view"))
+    rows.append((999, "2024-01-03 09:00:00", 6, "view"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from timeseriesutils_spark.operators.analytics import rolling_active_users
+
+    dau = {r.day: r.active_users for r in rolling_active_users(df, window_days=1).collect()}
+    wau = {r.day: r.active_users for r in rolling_active_users(df, window_days=7).collect()}
+    assert dau["2024-01-03"] == 6 and dau["2024-01-04"] == 5
+    assert wau["2024-01-07"] == 6  # user 6 still inside the 7-day window
+    assert all(dau[d] <= wau[d] for d in dau)

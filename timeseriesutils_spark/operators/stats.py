@@ -124,8 +124,11 @@ FROM {table} t LEFT JOIN b USING ({g})
 
 
 def _qcont_sql(arr: str, n: str, q: float) -> str:
-    """DuckDB rendering of :func:`_qcont` (same lerp form)."""
-    h = f"(({n} - 1) * {float(q)!r})"
+    """DuckDB rendering of :func:`_qcont` (same lerp form).  The q
+    literal carries an exponent suffix so DuckDB parses it as DOUBLE —
+    a bare decimal literal would do DECIMAL arithmetic (exact) where
+    Spark multiplies doubles, diverging at non-dyadic q like 0.9."""
+    h = f"(({n} - 1) * {float(q)!r}e0)"
     lo = f"CAST(FLOOR({h}) AS INT)"
     frac = f"({h} - {lo})"
     base = f"CAST({arr}[{lo} + 1] AS DOUBLE)"

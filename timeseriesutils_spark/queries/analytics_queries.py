@@ -571,3 +571,77 @@ def _sql_wilson_daily():
 
 
 QUERIES.update({"wilson_daily": Q(q_wilson_daily, _sql_wilson_daily())})
+
+
+def q_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness ratio per day: two invocations of the
+    coverage-interval distinct-counter (analytics.rolling_active_users,
+    windows 1 and 7) joined on the day spine -- the engagement-quality
+    time series; ratio is one double division of exact counts."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.analytics import rolling_active_users
+
+    ev = load_table(spark, sf_dir, "events")
+    dau = rolling_active_users(ev, window_days=1).withColumnRenamed(
+        "active_users", "dau"
+    )
+    wau = rolling_active_users(ev, window_days=7).withColumnRenamed(
+        "active_users", "wau"
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+def _sql_stickiness():
+    from timeseriesutils_spark.operators.analytics import rolling_active_users_sql
+
+    d1 = rolling_active_users_sql("events", window_days=1)
+    d7 = rolling_active_users_sql("events", window_days=7)
+    return f"""
+SELECT dau.day, dau.active_users AS dau, wau.active_users AS wau,
+  CAST(dau.active_users AS DOUBLE) / CAST(wau.active_users AS DOUBLE)
+    AS stickiness
+FROM ({d1}) dau JOIN ({d7}) wau ON dau.day = wau.day
+"""
+
+
+QUERIES.update({"stickiness": Q(q_stickiness, _sql_stickiness())})
+
+
+def q_latency_bands(spark, sf_dir):
+    """P50/P90/P99 bands of event value per (event type, hour-of-day)
+    (operators/stats.bucket_percentiles): the observability rollup shape
+    -- all percentiles from ONE sorted array per bucket, engine-pinned
+    quantile lerp."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.stats import bucket_percentiles
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hr", F.hour(F.col("ts").cast("timestamp"))
+    )
+    return bucket_percentiles(
+        ev, "value", "hr", qs=(0.5, 0.9, 0.99), group_columns=["event_type"]
+    )
+
+
+def _sql_latency_bands():
+    from timeseriesutils_spark.operators.stats import bucket_percentiles_sql
+
+    return bucket_percentiles_sql(
+        "events",
+        "value",
+        "CAST(EXTRACT(hour FROM ts) AS INT) AS hr",
+        qs=(0.5, 0.9, 0.99),
+        group_columns=["event_type"],
+    )
+
+
+QUERIES.update({"latency_bands": Q(q_latency_bands, _sql_latency_bands())})
