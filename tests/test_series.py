@@ -310,3 +310,29 @@ def test_ew_volatility_numpy_parity(spark):
     for t in range(w - 1, 8):
         v = got[(2, t)][2]
         assert v == v and 0.0 <= v < 1e-6  # not NaN, residue-sized
+
+
+def test_local_peaks_plateau_and_bounds(spark):
+    from timeseriesutils_spark.operators.series_math import local_peaks
+
+    vals = [1.0, 5.0, 5.0, 2.0, 1.0, 9.0, 1.0, 3.0]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = sorted(
+        local_peaks(df, "v", "t", ["g"], neighborhood=2).collect(),
+        key=lambda r: r.t,
+    )
+    # plateau 5,5: only the FIRST (t=1) is a peak; 9 at t=5 is a peak;
+    # 3 at t=7 beats its left neighborhood {9? no: prev 2 = [9,1]} -> not
+    assert [(r.t, r.v) for r in out] == [(1, 5.0), (5, 9.0)]
+    got = {r.t: r.prominence for r in out}
+    assert got[5] == 6.0  # 9 - max(prev {2,1}, next {1,3}) = 9 - 3
+
+
+def test_local_peaks_min_value(spark):
+    from timeseriesutils_spark.operators.series_math import local_peaks
+
+    rows = [("g", 1, 1.0), ("g", 2, 3.0), ("g", 3, 1.0)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    assert local_peaks(df, "v", "t", ["g"], min_value=5.0).count() == 0
+    assert local_peaks(df, "v", "t", ["g"], min_value=2.0).count() == 1

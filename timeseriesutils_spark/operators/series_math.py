@@ -715,3 +715,95 @@ def rolling_moments_sql_columns(
             f"CASE WHEN {ok} THEN {m4} / ({m2} * {m2}) - 3.0 END",
         ),
     ]
+
+
+def local_peaks(
+    data: DataFrame,
+    column: str,
+    order_column: str,
+    group_columns,
+    neighborhood: int = 3,
+    min_value: float | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Local-maximum peak detection per series: a row is a peak iff its
+    value strictly exceeds every value in the ``neighborhood`` rows
+    before it and is ≥ every value in the ``neighborhood`` rows after
+    (the asymmetric tie rule keeps exactly the FIRST sample of a
+    plateau — deterministic, no double-counted flat tops).  The
+    spike/event-extraction primitive behind alert marking and cycle
+    counting.
+
+    Two frame-bounded window maxes over one series exchange — the
+    rolling-feature plan family (window_features.rollmean).  Values
+    compare as quantized int64, so peak decisions are bit-identical;
+    ``prominence`` (value − highest neighbor) is exact integer units.
+
+    Returns peak rows only: (groups…, order, value, prominence).
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(column) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy(*groups).orderBy(order_column)
+    prev_max = F.max("_q").over(w.rowsBetween(-neighborhood, -1))
+    next_max = F.max("_q").over(w.rowsBetween(1, neighborhood))
+    d = data.select(*groups, order_column, F.col(column), q.alias("_q")).withColumn(
+        "_pm", prev_max
+    ).withColumn("_nm", next_max)
+    is_peak = (
+        (F.col("_pm").isNull() | (F.col("_q") > F.col("_pm")))
+        & (F.col("_nm").isNull() | (F.col("_q") >= F.col("_nm")))
+    )
+    if min_value is not None:
+        is_peak = is_peak & (F.col("_q") >= F.lit(int(round(min_value * m))))
+    neigh = F.greatest(
+        F.coalesce(F.col("_pm"), F.lit(-(2**62))),
+        F.coalesce(F.col("_nm"), F.lit(-(2**62))),
+    )
+    return d.filter(is_peak).select(
+        *groups,
+        order_column,
+        column,
+        ((F.col("_q") - neigh).cast("double") / F.lit(float(m))).alias("prominence"),
+    )
+
+
+def local_peaks_sql(
+    table: str,
+    column: str,
+    order_column: str,
+    group_columns,
+    neighborhood: int = 3,
+    min_value: float | None = None,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`local_peaks`."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    g = ", ".join(groups)
+    m = 10**scale
+    win = f"PARTITION BY {g} ORDER BY {order_column}"
+    thr = (
+        f"AND _q >= {int(round(min_value * m))}" if min_value is not None else ""
+    )
+    return f"""
+WITH q AS (
+  SELECT {g}, {order_column}, {column},
+    CAST(FLOOR({column} * {m} + 0.5) AS BIGINT) AS _q
+  FROM {table}
+),
+w AS (
+  SELECT *,
+    MAX(_q) OVER ({win} ROWS BETWEEN {neighborhood} PRECEDING AND 1 PRECEDING) AS _pm,
+    MAX(_q) OVER ({win} ROWS BETWEEN 1 FOLLOWING AND {neighborhood} FOLLOWING) AS _nm
+  FROM q
+)
+SELECT {g}, {order_column}, {column},
+  CAST(_q - GREATEST(COALESCE(_pm, {-(2**62)}), COALESCE(_nm, {-(2**62)}))
+       AS DOUBLE) / {float(m)!r} AS prominence
+FROM w
+WHERE (_pm IS NULL OR _q > _pm) AND (_nm IS NULL OR _q >= _nm) {thr}
+"""

@@ -658,3 +658,39 @@ FROM lineitem
 
 
 QUERIES.update({"fifo_allocation": Q(q_fifo_allocation, _sql_fifo_allocation())})
+
+
+def q_local_peaks(spark, sf_dir):
+    """Per-type event-value peak detection
+    (operators/series_math.local_peaks): strict-left/tie-right local
+    maxima over a 5-row neighborhood with a value floor -- quantized
+    int64 comparisons, two frame-bounded window maxes on one series
+    exchange."""
+    from timeseriesutils_spark.operators.series_math import local_peaks
+
+    return local_peaks(
+        load_table(spark, sf_dir, "events"),
+        "value",
+        "event_id",
+        ["event_type"],
+        neighborhood=5,
+        min_value=150.0,
+        scale=2,
+    )
+
+
+def _sql_local_peaks():
+    from timeseriesutils_spark.operators.series_math import local_peaks_sql
+
+    return local_peaks_sql(
+        "events",
+        "value",
+        "event_id",
+        ["event_type"],
+        neighborhood=5,
+        min_value=150.0,
+        scale=2,
+    )
+
+
+QUERIES.update({"local_peaks": Q(q_local_peaks, _sql_local_peaks())})
