@@ -50,3 +50,18 @@ def test_attribution_tie_break_on_event_id(spark):
     out = {r.channel: r for r in multi_touch_attribution(_events(spark, rows)).collect()}
     assert out["click"].first_touch == 1  # id 10 < 11
     assert out["view"].last_touch == 1
+
+
+def test_attribution_decay_favors_recent(spark):
+    rows = [
+        # u1: view 48h before purchase, click 0h before -> decay credit
+        # heavily favors click (w=2^-2=0.25 vs w=2^0=1.0 at 24h halflife)
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-03 00:00:00", 1, "click"),
+        (3, "2024-01-03 00:00:00", 1, "purchase"),
+    ]
+    out = {r.channel: r for r in multi_touch_attribution(_events(spark, rows)).collect()}
+    assert out["click"].decay_credit == pytest.approx(1.0 / 1.25, abs=1e-6)
+    assert out["view"].decay_credit == pytest.approx(0.25 / 1.25, abs=1e-6)
+    # decay credits of a user sum to ~1
+    assert out["click"].decay_credit + out["view"].decay_credit == pytest.approx(1.0, abs=1e-6)
