@@ -54,10 +54,10 @@ def test_attribution_tie_break_on_event_id(spark):
 
 def test_attribution_decay_favors_recent(spark):
     rows = [
-        # u1: view 48h before purchase, click 0h before -> decay credit
+        # u1: view 48h before purchase, click just before -> decay credit
         # heavily favors click (w=2^-2=0.25 vs w=2^0=1.0 at 24h halflife)
         (1, "2024-01-01 00:00:00", 1, "view"),
-        (2, "2024-01-03 00:00:00", 1, "click"),
+        (2, "2024-01-02 23:59:59.999999", 1, "click"),  # ~0h before
         (3, "2024-01-03 00:00:00", 1, "purchase"),
     ]
     out = {r.channel: r for r in multi_touch_attribution(_events(spark, rows)).collect()}
