@@ -65,3 +65,13 @@ def test_fifo_conservation(spark):
     sells = {i: sum(q for it, q, b, *_ in rows if it == i and not b) for i in (1, 2, 3)}
     for i in (1, 2, 3):
         assert per_item.get(i, 0) == min(buys[i], sells[i])
+
+
+def test_fifo_zero_qty_lot_emits_nothing(spark):
+    rows = [
+        (1, 0, True, 1, 101),   # zero-width lot
+        (1, 5, True, 2, 102),
+        (1, 5, False, 3, 201),
+    ]
+    got = {(r.buy_id, r.sell_id): r.qty_alloc for r in _alloc(spark, rows)}
+    assert got == {(102, 201): 5}

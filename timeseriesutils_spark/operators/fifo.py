@@ -83,7 +83,7 @@ def fifo_allocation(
         "buy_id",
         "sell_id",
         qty.alias("qty_alloc"),
-    )
+    ).filter(F.col("qty_alloc") > 0)  # zero-qty rows (zero-width lots) are noise
 
 
 def fifo_allocation_sql(
@@ -113,4 +113,5 @@ SELECT b._item AS {item_col}, b._id AS buy_id, s._id AS sell_id,
 FROM (SELECT * FROM cum WHERE _buy) b
 JOIN (SELECT * FROM cum WHERE NOT _buy) s
   ON b._item = s._item AND b._start < s._end AND s._start < b._end
+WHERE LEAST(b._end, s._end) - GREATEST(b._start, s._start) > 0
 """
