@@ -334,3 +334,15 @@ def test_anova_no_effect_small_f(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = anova_oneway(df, "v", "g").collect()[0]
     assert r.f_stat < 1.0 and r.eta_sq < 0.01  # identical distributions
+
+
+def test_bootstrap_arrow_equals_expr(spark):
+    # the vectorized partial-sum kernel and the pure-expression form
+    # compute the same exact integers -> bit-identical intervals
+    from timeseriesutils_spark.operators.bootstrap import bootstrap_mean_ci
+
+    rows = [(i, float((i * 13) % 101) + 0.25) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    a = bootstrap_mean_ci(df, "v", "id", engine="arrow").collect()[0]
+    b = bootstrap_mean_ci(df, "v", "id", engine="expr").collect()[0]
+    assert tuple(a) == tuple(b)

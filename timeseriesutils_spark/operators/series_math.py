@@ -807,3 +807,98 @@ SELECT {g}, {order_column}, {column},
 FROM w
 WHERE (_pm IS NULL OR _q > _pm) AND (_nm IS NULL OR _q >= _nm) {thr}
 """
+
+
+def rolling_slope(
+    data: DataFrame,
+    column: str,
+    order_column: str,
+    group_columns,
+    window: int = 14,
+    min_periods: int = 3,
+    scale: int = 6,
+) -> DataFrame:
+    """Trailing OLS slope per row — the local-trend indicator
+    ("momentum"): the least-squares slope of the last ``window`` values
+    against their row positions, the windowed counterpart of the
+    whole-series ``group_trend`` (operators/forecast.py).
+
+    The regressor is the within-group row index, so all five windowed
+    sufficient statistics (n, Σi, Σi², Σiy, Σy) are exact int64 window
+    sums over one series exchange (values quantized; i·i and i·y
+    products stay < 2^63 for series up to ~3e9 rows at scale 6).  The
+    closed form divides exact integers in double, identical trees both
+    engines.  Rows with fewer than ``min_periods`` points get NULL.
+
+    Appends ``{column}_slope`` (units of value per step).
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(column) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    w_ord = Window.partitionBy(*groups).orderBy(order_column)
+    wf = w_ord.rowsBetween(-(window - 1), 0)
+    d = data.withColumn("_i", F.row_number().over(w_ord).cast("bigint")).withColumn(
+        "_y", q
+    )
+    n = F.count(F.lit(1)).over(wf)
+    si = F.sum("_i").over(wf)
+    sii = F.sum(F.col("_i") * F.col("_i")).over(wf)
+    sy = F.sum("_y").over(wf)
+    siy = F.sum(F.col("_i") * F.col("_y")).over(wf)
+    nn = n.cast("double")
+    num = nn * siy.cast("double") - si.cast("double") * sy.cast("double")
+    den = nn * sii.cast("double") - si.cast("double") * si.cast("double")
+    slope = F.when(
+        (n >= min_periods) & (den != 0), num / den / F.lit(float(m))
+    )
+    return d.withColumn(f"{column}_slope", slope).drop("_i", "_y")
+
+
+def rolling_slope_sql(
+    table: str,
+    column: str,
+    order_column: str,
+    group_columns,
+    select_cols: str,
+    window: int = 14,
+    min_periods: int = 3,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`rolling_slope`; ``select_cols`` = the
+    passthrough projection."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    g = ", ".join(groups)
+    m = 10**scale
+    win = f"PARTITION BY {g} ORDER BY {order_column}"
+    fr = f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
+    return f"""
+WITH ix AS (
+  SELECT *, CAST(row_number() OVER ({win}) AS BIGINT) AS _i,
+    CAST(FLOOR({column} * {m} + 0.5) AS BIGINT) AS _y
+  FROM {table}
+),
+s AS (
+  SELECT *,
+    COUNT(*) OVER ({win} {fr}) AS _n,
+    CAST(SUM(_i) OVER ({win} {fr}) AS BIGINT) AS _si,
+    CAST(SUM(_i * _i) OVER ({win} {fr}) AS BIGINT) AS _sii,
+    CAST(SUM(_y) OVER ({win} {fr}) AS BIGINT) AS _sy,
+    CAST(SUM(_i * _y) OVER ({win} {fr}) AS BIGINT) AS _siy
+  FROM ix
+)
+SELECT {select_cols},
+  CASE WHEN _n >= {min_periods}
+        AND CAST(_n AS DOUBLE) * CAST(_sii AS DOUBLE)
+            - CAST(_si AS DOUBLE) * CAST(_si AS DOUBLE) <> 0
+       THEN (CAST(_n AS DOUBLE) * CAST(_siy AS DOUBLE)
+             - CAST(_si AS DOUBLE) * CAST(_sy AS DOUBLE))
+            / (CAST(_n AS DOUBLE) * CAST(_sii AS DOUBLE)
+               - CAST(_si AS DOUBLE) * CAST(_si AS DOUBLE))
+            / {float(m)!r}e0
+  END AS {column}_slope
+FROM s
+"""

@@ -1156,3 +1156,86 @@ s AS (
 SELECT {id_col}, bucket, CAST(SUM(_s) AS BIGINT) AS value
 FROM s GROUP BY {id_col}, bucket
 """
+
+
+def jsonl_pack(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    meta_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Training-data export formatting: render each document as one
+    JSONL line ``{"id": …, "text": …, "meta": {…}}`` with a content
+    hash — the final packaging step before a tokenizer/dataloader
+    consumes the corpus.
+
+    The line is built with explicit concat + a minimal JSON string
+    escaper (backslash, quote, newline, tab, CR) instead of the
+    engine's ``to_json`` — engines disagree on key order and spacing,
+    a hand-built line is byte-identical everywhere and therefore
+    hashable.  Pure row-local projection: no shuffle, scales linearly.
+
+    Returns (id, line, line_md5, n_bytes).
+    """
+
+    def esc(c):
+        out = F.regexp_replace(c, r"\\", r"\\\\")
+        out = F.regexp_replace(out, '"', '\\\\"')
+        out = F.regexp_replace(out, "\n", "\\\\n")
+        out = F.regexp_replace(out, "\t", "\\\\t")
+        out = F.regexp_replace(out, "\r", "\\\\r")
+        return out
+
+    meta = F.concat_ws(
+        ", ",
+        *[
+            F.concat(F.lit(f'"{m}": "'), esc(F.col(m).cast("string")), F.lit('"'))
+            for m in meta_cols
+        ],
+    )
+    line = F.concat(
+        F.lit('{"id": '),
+        F.col(id_col).cast("string"),
+        F.lit(', "text": "'),
+        esc(F.col(text_col)),
+        F.lit('", "meta": {'),
+        meta,
+        F.lit("}}"),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        line.alias("line"),
+        F.md5(line).alias("line_md5"),
+        F.length(line).cast("bigint").alias("n_bytes"),
+    )
+
+
+def jsonl_pack_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    meta_cols: tuple[str, ...] = ("lang", "source"),
+) -> str:
+    """DuckDB twin of :func:`jsonl_pack` (same escaper chain)."""
+
+    def esc(c: str) -> str:
+        out = f"regexp_replace({c}, '\\\\', '\\\\\\\\', 'g')"
+        out = f"regexp_replace({out}, '\"', '\\\\\"', 'g')"
+        out = f"regexp_replace({out}, chr(10), '\\\\n', 'g')"
+        out = f"regexp_replace({out}, chr(9), '\\\\t', 'g')"
+        out = f"regexp_replace({out}, chr(13), '\\\\r', 'g')"
+        return out
+
+    meta = " || ', ' || ".join(
+        f"""'"{m}": "' || {esc(f"CAST({m} AS VARCHAR)")} || '"'"""
+        for m in meta_cols
+    )
+    line = (
+        f"""'{{"id": ' || CAST({id_col} AS VARCHAR) || ', "text": "' || """
+        f"""{esc(text_col)} || '", "meta": {{' || {meta} || '}}}}'"""
+    )
+    return f"""
+WITH l AS (SELECT {id_col} AS id, {line} AS line FROM {table})
+SELECT id, line, md5(line) AS line_md5, CAST(LENGTH(line) AS BIGINT) AS n_bytes
+FROM l
+"""

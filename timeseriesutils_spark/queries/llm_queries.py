@@ -1387,3 +1387,22 @@ def _sql_feature_hash():
 
 
 QUERIES.update({"feature_hash": Q(q_feature_hash, _sql_feature_hash())})
+
+
+def q_jsonl_pack(spark, sf_dir):
+    """Training-data JSONL export lines (operators/text.jsonl_pack):
+    byte-identical hand-built JSON (engines disagree on to_json
+    spacing/key order), minimal escaper, per-line md5 -- the final
+    packaging step before the dataloader."""
+    from timeseriesutils_spark.operators.text import jsonl_pack
+
+    return jsonl_pack(_docs(spark, sf_dir))
+
+
+def _sql_jsonl_pack():
+    from timeseriesutils_spark.operators.text import jsonl_pack_sql
+
+    return jsonl_pack_sql("documents")
+
+
+QUERIES.update({"jsonl_pack": Q(q_jsonl_pack, _sql_jsonl_pack())})

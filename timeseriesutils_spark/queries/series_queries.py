@@ -694,3 +694,38 @@ def _sql_local_peaks():
 
 
 QUERIES.update({"local_peaks": Q(q_local_peaks, _sql_local_peaks())})
+
+
+def q_rolling_slope(spark, sf_dir):
+    """Trailing 14-point OLS slope of event value per type
+    (operators/series_math.rolling_slope): the windowed local-trend /
+    momentum indicator -- five exact int64 window sums on one series
+    exchange, closed-form division."""
+    from timeseriesutils_spark.operators.series_math import rolling_slope
+
+    out = rolling_slope(
+        load_table(spark, sf_dir, "events"),
+        "value",
+        "event_id",
+        ["event_type"],
+        window=14,
+        scale=2,
+    )
+    return out.select("event_type", "event_id", "value", "value_slope")
+
+
+def _sql_rolling_slope():
+    from timeseriesutils_spark.operators.series_math import rolling_slope_sql
+
+    return rolling_slope_sql(
+        "events",
+        "value",
+        "event_id",
+        ["event_type"],
+        "event_type, event_id, value",
+        window=14,
+        scale=2,
+    )
+
+
+QUERIES.update({"rolling_slope": Q(q_rolling_slope, _sql_rolling_slope())})
