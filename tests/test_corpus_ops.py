@@ -113,3 +113,20 @@ def test_zipf_fit_uniform_slope_zero(spark):
     )
     r = zipf_fit(docs, max_rank=50).collect()[0]
     assert abs(r.slope) < 1e-9  # all counts equal -> flat line
+
+
+def test_jsonl_pack_escaping_and_validity(spark):
+    import json as _json
+
+    from timeseriesutils_spark.operators.text import jsonl_pack
+
+    docs = spark.createDataFrame(
+        [(1, 'He said "hi"\nback\\slash\ttab', "en", "src1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = jsonl_pack(docs).collect()[0]
+    obj = _json.loads(r.line)  # escaper must produce VALID json
+    assert obj["id"] == 1
+    assert obj["text"] == 'He said "hi"\nback\\slash\ttab'
+    assert obj["meta"] == {"lang": "en", "source": "src1"}
+    assert r.n_bytes == len(r.line)

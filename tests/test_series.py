@@ -336,3 +336,22 @@ def test_local_peaks_min_value(spark):
     df = spark.createDataFrame(rows, "g string, t long, v double")
     assert local_peaks(df, "v", "t", ["g"], min_value=5.0).count() == 0
     assert local_peaks(df, "v", "t", ["g"], min_value=2.0).count() == 1
+
+
+def test_rolling_slope_linear_series(spark):
+    from timeseriesutils_spark.operators.series_math import rolling_slope
+
+    # exact line y = 3t + 1: every full window has slope exactly 3
+    rows = [("g", i, 3.0 * i + 1.0) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = {r.t: r.v_slope for r in
+           rolling_slope(df, "v", "t", ["g"], window=5, min_periods=3).collect()}
+    assert out[1] is None and out[2] is None  # below min_periods
+    assert all(abs(out[t] - 3.0) < 1e-9 for t in range(3, 21))
+
+    # flat series -> slope 0
+    df2 = spark.createDataFrame([("g", i, 7.0) for i in range(1, 11)],
+                                "g string, t long, v double")
+    out2 = [r.v_slope for r in
+            rolling_slope(df2, "v", "t", ["g"], window=5).collect()]
+    assert all(s is None or abs(s) < 1e-12 for s in out2)
