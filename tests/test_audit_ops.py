@@ -346,3 +346,40 @@ def test_bootstrap_arrow_equals_expr(spark):
     a = bootstrap_mean_ci(df, "v", "id", engine="arrow").collect()[0]
     b = bootstrap_mean_ci(df, "v", "id", engine="expr").collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_business_days_against_numpy(spark):
+    import numpy as np
+
+    from timeseriesutils_spark.operators.busdays import business_days_between
+
+    pairs = [
+        ("2024-01-01", "2024-01-08"),  # Mon -> next Mon
+        ("2024-01-05", "2024-01-06"),  # Fri -> Sat
+        ("2024-01-06", "2024-01-07"),  # Sat -> Sun
+        ("2024-01-01", "2024-01-31"),
+        ("2024-02-29", "2024-03-04"),
+        ("2024-01-10", "2024-01-10"),  # empty interval
+    ]
+    df = spark.createDataFrame(pairs, "d1 string, d2 string")
+    out = df.select(
+        "d1", "d2", business_days_between(F.col("d1"), F.col("d2")).alias("bd")
+    ).collect()
+    for r in out:
+        # numpy counts [d1, d2); ours counts (d1, d2] — shift both by 1 day
+        want = int(np.busday_count(
+            (np.datetime64(r.d1) + 1), (np.datetime64(r.d2) + 1)
+        ))
+        assert r.bd == want, (r.d1, r.d2, r.bd, want)
+
+
+def test_business_days_holidays(spark):
+    from timeseriesutils_spark.operators.busdays import business_days_between
+
+    df = spark.createDataFrame([("2023-12-22", "2023-12-27")], "d1 string, d2 string")
+    # (Fri, Wed]: Mon 25, Tue 26, Wed 27 = 3 business days; Christmas Mon off -> 2
+    plain = df.select(business_days_between(F.col("d1"), F.col("d2")).alias("b")).collect()[0].b
+    hol = df.select(
+        business_days_between(F.col("d1"), F.col("d2"), holidays=("2023-12-25", "2023-12-23")).alias("b")
+    ).collect()[0].b
+    assert plain == 3 and hol == 2  # the Saturday "holiday" is a no-op

@@ -1170,3 +1170,84 @@ SELECT bin_x, bin_y,
   COUNT(*) AS n
 FROM b GROUP BY bin_x, bin_y
 """
+
+
+def gmean_exact(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    ln_scale: int = 9,
+    out_scale: int = 9,
+) -> DataFrame:
+    """Per-group geometric mean of a positive column, hash-verifiable:
+    exp(Σ ln x / n) with each ln floor-quantized to int64 units of
+    10^-``ln_scale`` BEFORE the sum (the ln-once-then-quantize
+    discipline of unigram_logprob / kaplan_meier), so the aggregation is
+    exact integer addition and the result is identical in any
+    partitioning — the deterministic counterpart of
+    ``functions/exact.gmean_udaf`` (which is rows-only by design: numpy
+    sums doubles in data order).
+
+    Non-positive values yield NULL for the whole group (the honest
+    answer; filter upstream to opt out).  Output quantized to
+    ``out_scale`` decimals after the single exp.
+
+    Returns (groups…, n, gmean).
+    """
+    groups = _as_list(group_columns)
+    lm = float(10**ln_scale)
+    om = float(10**out_scale)
+    bad = F.sum((F.col(value_col) <= 0).cast("bigint"))
+    lq = F.floor(
+        F.log(F.col(value_col).cast("double")) * F.lit(lm) + F.lit(0.5)
+    ).cast("bigint")
+    agg = df.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(bad, F.lit(0)).alias("_bad"),
+        F.sum(F.when(F.col(value_col) > 0, lq).cast("decimal(38,0)")).alias("_sl"),
+    )
+    # decimal -> double via string (the >2^53 portable-cast rule)
+    g = F.floor(
+        F.exp(
+            F.col("_sl").cast("string").cast("double")
+            / F.lit(lm)
+            / F.col("n").cast("double")
+        )
+        * F.lit(om)
+        + F.lit(0.5)
+    ) / F.lit(om)
+    return agg.select(
+        *groups,
+        "n",
+        F.when(F.col("_bad") == 0, g).alias("gmean"),
+    )
+
+
+def gmean_exact_sql(
+    table: str,
+    value_col: str,
+    group_columns,
+    ln_scale: int = 9,
+    out_scale: int = 9,
+) -> str:
+    """DuckDB twin of :func:`gmean_exact`."""
+    groups = _as_list(group_columns)
+    g = ", ".join(groups)
+    lm = float(10**ln_scale)
+    om = float(10**out_scale)
+    return f"""
+WITH agg AS (
+  SELECT {g}, COUNT(*) AS n,
+    SUM(CASE WHEN {value_col} <= 0 THEN 1 ELSE 0 END) AS _bad,
+    SUM(CASE WHEN {value_col} > 0 THEN
+      CAST(FLOOR(ln(CAST({value_col} AS DOUBLE)) * {lm!r}e0 + 0.5) AS BIGINT)
+    END) AS _sl
+  FROM {table} GROUP BY {g}
+)
+SELECT {g}, n,
+  CASE WHEN _bad = 0 THEN
+    FLOOR(exp(CAST(CAST(_sl AS VARCHAR) AS DOUBLE) / {lm!r}e0 / CAST(n AS DOUBLE))
+          * {om!r}e0 + 0.5) / {om!r}e0
+  END AS gmean
+FROM agg
+"""

@@ -858,3 +858,50 @@ def _sql_histogram2d():
 
 
 QUERIES.update({"histogram2d": Q(q_histogram2d, _sql_histogram2d())})
+
+
+def q_gmean_exact(spark, sf_dir):
+    """Hash-verifiable geometric mean of extended price per returnflag
+    (operators/stats.gmean_exact): ln floor-quantized to int64 before
+    the exact decimal sum, one exp at the end -- the deterministic
+    counterpart of the rows-only gmean UDAF."""
+    from timeseriesutils_spark.operators.stats import gmean_exact
+
+    return gmean_exact(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", ["l_returnflag"]
+    )
+
+
+def _sql_gmean_exact():
+    from timeseriesutils_spark.operators.stats import gmean_exact_sql
+
+    return gmean_exact_sql("lineitem", "l_extendedprice", ["l_returnflag"])
+
+
+QUERIES.update({"gmean_exact": Q(q_gmean_exact, _sql_gmean_exact())})
+
+
+_SLA_HOLIDAYS = ("1995-12-25", "1996-01-01", "1996-07-04", "2000-12-25")
+
+
+def q_shipping_sla(spark, sf_dir):
+    """Business-day lead-time SLA rollup (operators/busdays.
+    shipping_sla_report): working days (Mon-Fri minus a holiday list)
+    from order to ship per priority, via the closed-form weekend
+    counter -- no calendar-table join, exact int64 throughout."""
+    from timeseriesutils_spark.operators.busdays import shipping_sla_report
+
+    return shipping_sla_report(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        holidays=_SLA_HOLIDAYS,
+    )
+
+
+def _sql_shipping_sla():
+    from timeseriesutils_spark.operators.busdays import shipping_sla_report_sql
+
+    return shipping_sla_report_sql(holidays=_SLA_HOLIDAYS)
+
+
+QUERIES.update({"shipping_sla": Q(q_shipping_sla, _sql_shipping_sla())})
