@@ -355,3 +355,23 @@ def test_rolling_slope_linear_series(spark):
     out2 = [r.v_slope for r in
             rolling_slope(df2, "v", "t", ["g"], window=5).collect()]
     assert all(s is None or abs(s) < 1e-12 for s in out2)
+
+
+def test_threshold_crossings_edges_only(spark):
+    from timeseriesutils_spark.operators.series_math import threshold_crossings
+
+    vals = [5.0, 3.0, 2.0, 1.0, 4.0, 6.0, 2.0]  # crossings of 3.5: down@3, up@4(v=4)... see asserts
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = sorted(
+        threshold_crossings(df, "v", ["t"], ["g"], threshold=3.5).collect(),
+        key=lambda r: r.t,
+    )
+    # 5->3 crosses down once (stays below through 2,1 without re-firing),
+    # 1->4 crosses up once, 6->2 crosses down again
+    assert [(r.t, r.direction) for r in out] == [
+        (1, "down"), (4, "up"), (6, "down"),
+    ]
+    # first sample never fires even when below threshold
+    df2 = spark.createDataFrame([("g", 1, 0.0), ("g", 2, 0.5)], "g string, t long, v double")
+    assert threshold_crossings(df2, "v", ["t"], ["g"], threshold=3.5).count() == 0

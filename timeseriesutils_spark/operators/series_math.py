@@ -902,3 +902,83 @@ SELECT {select_cols},
   END AS {column}_slope
 FROM s
 """
+
+
+def threshold_crossings(
+    data: DataFrame,
+    column: str,
+    order_columns,
+    group_columns,
+    threshold: float,
+    scale: int = 6,
+) -> DataFrame:
+    """Edge-triggered threshold crossing detection per series: emit an
+    event only when the series MOVES across ``threshold`` (down-crossing
+    = was ≥, now <; up-crossing = was <, now ≥) — the alerting primitive
+    that fires once per excursion instead of once per sample (stockouts,
+    SLO breaches, recovery events).
+
+    One LAG over the series exchange; values compare as quantized int64
+    so the crossing set is bit-stable.  The first sample of a series has
+    no predecessor and never fires (no edge without a before-state).
+
+    Returns crossing rows: (groups…, order, value, direction).
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    order = _as_list(order_columns)
+    m = 10**scale
+    thr_q = int(round(threshold * m))
+    q = F.floor(F.col(column) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy(*groups).orderBy(*[F.col(c).asc() for c in order])
+    d = data.select(*groups, *order, F.col(column), q.alias("_q")).withColumn(
+        "_prev", F.lag("_q").over(w)
+    )
+    direction = (
+        F.when(
+            (F.col("_prev") >= thr_q) & (F.col("_q") < thr_q), F.lit("down")
+        ).when((F.col("_prev") < thr_q) & (F.col("_q") >= thr_q), F.lit("up"))
+    )
+    return (
+        d.withColumn("direction", direction)
+        .filter(F.col("direction").isNotNull())
+        .select(*groups, *order, column, "direction")
+    )
+
+
+def threshold_crossings_sql(
+    inner_sql: str,
+    column: str,
+    order_columns,
+    group_columns,
+    threshold: float,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`threshold_crossings` over ``inner_sql``."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    order = _as_list(order_columns)
+    g = ", ".join(groups)
+    o = ", ".join(order)
+    oasc = ", ".join(f"{c} ASC" for c in order)
+    m = 10**scale
+    thr_q = int(round(threshold * m))
+    return f"""
+WITH src AS ({inner_sql}),
+q AS (
+  SELECT {g}, {o}, {column},
+    CAST(FLOOR({column} * {m} + 0.5) AS BIGINT) AS _q
+  FROM src
+),
+l AS (
+  SELECT *, LAG(_q) OVER (PARTITION BY {g} ORDER BY {oasc}) AS _prev
+  FROM q
+)
+SELECT {g}, {o}, {column},
+  CASE WHEN _prev >= {thr_q} AND _q < {thr_q} THEN 'down'
+       WHEN _prev < {thr_q} AND _q >= {thr_q} THEN 'up' END AS direction
+FROM l
+WHERE (_prev >= {thr_q} AND _q < {thr_q}) OR (_prev < {thr_q} AND _q >= {thr_q})
+"""

@@ -729,3 +729,58 @@ def _sql_rolling_slope():
 
 
 QUERIES.update({"rolling_slope": Q(q_rolling_slope, _sql_rolling_slope())})
+
+
+def q_stockout_events(spark, sf_dir):
+    """Stockout / recovery edge events per part
+    (operators/series_math.threshold_crossings): running inventory =
+    cumulative (+F-receipt / -O-issue) quantity in ship order; emit one
+    event per zero-crossing, not per negative sample -- the edge-
+    triggered alerting primitive."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.series_math import threshold_crossings
+
+    li = load_table(spark, sf_dir, "lineitem")
+    delta = F.when(
+        F.col("l_linestatus") == "F", F.floor(F.col("l_quantity") + F.lit(0.5))
+    ).otherwise(-F.floor(F.col("l_quantity") + F.lit(0.5))).cast("bigint")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lvl = li.select(
+        "l_partkey",
+        "l_shipdate",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+        F.sum(delta).over(w).cast("double").alias("level"),
+    )
+    return threshold_crossings(
+        lvl, "level", ["l_shipdate", "line_id"], ["l_partkey"],
+        threshold=0.0, scale=0,
+    )
+
+
+def _sql_stockout_events():
+    from timeseriesutils_spark.operators.series_math import threshold_crossings_sql
+
+    inner = """
+SELECT l_partkey, l_shipdate,
+  l_orderkey * 10 + l_linenumber AS line_id,
+  CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                ELSE -CAST(FLOOR(l_quantity + 0.5) AS BIGINT) END)
+    OVER (PARTITION BY l_partkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS level
+FROM lineitem
+"""
+    return threshold_crossings_sql(
+        inner, "level", ["l_shipdate", "line_id"], ["l_partkey"],
+        threshold=0.0, scale=0,
+    )
+
+
+QUERIES.update({"stockout_events": Q(q_stockout_events, _sql_stockout_events())})
