@@ -1406,3 +1406,53 @@ def _sql_jsonl_pack():
 
 
 QUERIES.update({"jsonl_pack": Q(q_jsonl_pack, _sql_jsonl_pack())})
+
+
+def q_dup_rate_by_source(spark, sf_dir):
+    """Exact-duplicate rate per source (text.fingerprint composition):
+    canonical-form md5 per doc, then per source: docs, distinct
+    fingerprints, dup_rate = 1 - distinct/docs, plus how many docs are
+    non-first copies corpus-wide -- the per-feed duplication dashboard
+    that decides which sources to throttle."""
+    from pyspark.sql import Window as W
+
+    from timeseriesutils_spark.operators.text import fingerprint
+
+    docs = _docs(spark, sf_dir)
+    fp = fingerprint(docs).join(docs.select("doc_id", "source"), "doc_id")
+    w = W.partitionBy("fp").orderBy("doc_id")
+    marked = fp.withColumn(
+        "_is_copy", (F.row_number().over(w) > 1).cast("bigint")
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_distinct"),
+        (1.0 - F.count_distinct("fp").cast("double") / F.count(F.lit(1))).alias(
+            "dup_rate"
+        ),
+        F.sum("_is_copy").alias("n_copies_global"),
+    )
+
+
+_SQL_DUP_RATE_BY_SOURCE = """
+WITH fp AS (
+  SELECT doc_id, source,
+    md5(array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')) AS fp
+  FROM documents
+),
+m AS (
+  SELECT *, CASE WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+                 THEN 1 ELSE 0 END AS _is_copy
+  FROM fp
+)
+SELECT source, COUNT(*) AS n_docs,
+  COUNT(DISTINCT fp) AS n_distinct,
+  1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_rate,
+  CAST(SUM(_is_copy) AS BIGINT) AS n_copies_global
+FROM m GROUP BY source
+"""
+
+
+QUERIES.update(
+    {"dup_rate_by_source": Q(q_dup_rate_by_source, _SQL_DUP_RATE_BY_SOURCE)}
+)
