@@ -383,3 +383,27 @@ def test_business_days_holidays(spark):
         business_days_between(F.col("d1"), F.col("d2"), holidays=("2023-12-25", "2023-12-23")).alias("b")
     ).collect()[0].b
     assert plain == 3 and hol == 2  # the Saturday "holiday" is a no-op
+
+
+def test_corr_matrix_known_values(spark):
+    from timeseriesutils_spark.operators.profile import corr_matrix
+
+    rows = [(float(i), 2.0 * i + 1.0, float((i * 7) % 5), 3.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    out = {(r.col_a, r.col_b): r.corr for r in
+           corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert out[("a", "b")] == pytest.approx(1.0, abs=1e-9)   # exact line
+    assert abs(out[("a", "c")]) < 0.3                         # ~uncorrelated
+    assert out[("a", "d")] is None                            # constant col
+    assert len(out) == 6
+
+
+def test_fd_audit_holds_and_violates(spark):
+    from timeseriesutils_spark.operators.profile import fd_audit
+
+    rows = [(1, "x", 10), (1, "x", 11), (2, "y", 20), (2, "z", 21)]
+    df = spark.createDataFrame(rows, "k long, s string, v long")
+    out = {(r.determinant, r.dependent): r for r in
+           fd_audit(df, [("k", "s"), ("k", "v")]).collect()}
+    assert out[("k", "s")].violating_keys == 1 and not out[("k", "s")].holds
+    assert out[("k", "v")].violating_keys == 2

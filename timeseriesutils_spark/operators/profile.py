@@ -540,3 +540,140 @@ rep AS (
 )
 SELECT constraint_name, kind, violations, total, violations = 0 AS pass FROM rep
 """
+
+
+def corr_matrix(
+    df: DataFrame,
+    columns: list[str],
+    scale: int = 2,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric columns in ONE
+    aggregation pass — the EDA staple (k columns → k(k−1)/2 pairs from
+    k + k + k(k−1)/2 sufficient statistics, never k² scans; Spark's own
+    ``df.stat.corr`` does one pair per job).
+
+    Exactness discipline: quantized int64 products accumulate in
+    DECIMAL(38,0); decimal→double conversions route via VARCHAR (the
+    >2^53 portable-cast rule, see operators/stats.anova_oneway); the
+    correlation formula is one shared double tree.  Constant columns
+    yield NULL correlations.
+
+    Returns long format: (col_a, col_b, n, corr) for a < b.
+    """
+    m = 10**scale
+    q = lambda c: F.floor(F.col(c) * F.lit(m) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d = df.select(*[q(c).alias(f"_q_{c}") for c in columns])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in columns:
+        aggs.append(F.sum(dec(F.col(f"_q_{c}"))).alias(f"_s_{c}"))
+        aggs.append(
+            F.sum(dec(F.col(f"_q_{c}") * F.col(f"_q_{c}"))).alias(f"_ss_{c}")
+        )
+    pairs = [
+        (a, b) for i, a in enumerate(columns) for b in columns[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(dec(F.col(f"_q_{a}") * F.col(f"_q_{b}"))).alias(f"_sp_{a}_{b}")
+        )
+    one = d.agg(*aggs)
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+    rows = []
+    for a, b in pairs:
+        cov = nn * s2d(f"_sp_{a}_{b}") - s2d(f"_s_{a}") * s2d(f"_s_{b}")
+        va = nn * s2d(f"_ss_{a}") - s2d(f"_s_{a}") * s2d(f"_s_{a}")
+        vb = nn * s2d(f"_ss_{b}") - s2d(f"_s_{b}") * s2d(f"_s_{b}")
+        corr = F.when((va != 0) & (vb != 0), cov / F.sqrt(va * vb))
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col_a", "r.col_b", "r.n", "r.corr"
+    )
+
+
+def corr_matrix_sql(
+    table: str,
+    columns: list[str],
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`corr_matrix`."""
+    m = 10**scale
+    qq = lambda c: f"CAST(FLOOR({c} * {m} + 0.5) AS BIGINT)"  # noqa: E731
+    sel = ["COUNT(*) AS n"]
+    for c in columns:
+        sel.append(f"SUM({qq(c)}) AS _s_{c}")
+        sel.append(f"SUM({qq(c)} * {qq(c)}) AS _ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(columns) for b in columns[i + 1:]]
+    for a, b in pairs:
+        sel.append(f"SUM({qq(a)} * {qq(b)}) AS _sp_{a}_{b}")
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    unions = []
+    for a, b in pairs:
+        cov = f"(CAST(n AS DOUBLE) * {s2d(f'_sp_{a}_{b}')} - {s2d(f'_s_{a}')} * {s2d(f'_s_{b}')})"
+        va = f"(CAST(n AS DOUBLE) * {s2d(f'_ss_{a}')} - {s2d(f'_s_{a}')} * {s2d(f'_s_{a}')})"
+        vb = f"(CAST(n AS DOUBLE) * {s2d(f'_ss_{b}')} - {s2d(f'_s_{b}')} * {s2d(f'_s_{b}')})"
+        unions.append(
+            f"""SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+  CASE WHEN {va} <> 0 AND {vb} <> 0 THEN {cov} / sqrt({va} * {vb}) END AS corr
+FROM agg"""
+        )
+    body = "\nUNION ALL\n".join(unions)
+    return f"""
+WITH agg AS (SELECT {', '.join(sel)} FROM {table})
+{body}
+"""
+
+
+def fd_audit(
+    df: DataFrame,
+    dependencies: list[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency audit: for each claimed ``A → B``, count
+    the A-values that map to MORE than one distinct B — the schema-
+    discovery / normalization check ("is p_brand really determined by
+    p_partkey?", "does user imply country?").  Zero violations = the
+    dependency holds exactly.
+
+    One determinant-keyed aggregation per dependency (map-combinable
+    count-distinct), then a one-row summary each, unioned.  Exact
+    integer counts only.
+
+    Returns (determinant, dependent, n_keys, violating_keys, holds).
+    """
+    parts = []
+    for det, dep in dependencies:
+        per = df.groupBy(det).agg(F.count_distinct(F.col(dep)).alias("_nd"))
+        parts.append(
+            per.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum((F.col("_nd") > 1).cast("bigint")).alias("violating_keys"),
+            ).withColumn("holds", F.col("violating_keys") == 0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def fd_audit_sql(table: str, dependencies: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`fd_audit`."""
+    unions = []
+    for det, dep in dependencies:
+        unions.append(
+            f"""SELECT '{det}' AS determinant, '{dep}' AS dependent,
+  COUNT(*) AS n_keys,
+  CAST(SUM(CASE WHEN _nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_keys,
+  SUM(CASE WHEN _nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS _nd FROM {table} GROUP BY {det})"""
+        )
+    return "\nUNION ALL\n".join(unions)

@@ -905,3 +905,51 @@ def _sql_shipping_sla():
 
 
 QUERIES.update({"shipping_sla": Q(q_shipping_sla, _sql_shipping_sla())})
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson matrix over the lineitem numerics in one pass
+    (operators/profile.corr_matrix): k+k+k(k-1)/2 DECIMAL-exact
+    sufficient statistics, VARCHAR-routed big-int casts, long-format
+    output."""
+    from timeseriesutils_spark.operators.profile import corr_matrix
+
+    return corr_matrix(load_table(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+def _sql_corr_matrix():
+    from timeseriesutils_spark.operators.profile import corr_matrix_sql
+
+    return corr_matrix_sql("lineitem", _CORR_COLS)
+
+
+QUERIES.update({"corr_matrix": Q(q_corr_matrix, _sql_corr_matrix())})
+
+
+_FD_DEPS = [
+    ("l_orderkey", "l_returnflag"),
+    ("l_partkey", "l_suppkey"),
+    ("l_orderkey", "l_shipdate"),
+]
+
+
+def q_fd_audit(spark, sf_dir):
+    """Functional-dependency audit (operators/profile.fd_audit): does
+    orderkey determine returnflag / shipdate, does part determine
+    supplier -- per-determinant distinct counts, one summary row per
+    claimed dependency."""
+    from timeseriesutils_spark.operators.profile import fd_audit
+
+    return fd_audit(load_table(spark, sf_dir, "lineitem"), _FD_DEPS)
+
+
+def _sql_fd_audit():
+    from timeseriesutils_spark.operators.profile import fd_audit_sql
+
+    return fd_audit_sql("lineitem", _FD_DEPS)
+
+
+QUERIES.update({"fd_audit": Q(q_fd_audit, _sql_fd_audit())})
