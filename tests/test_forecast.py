@@ -233,3 +233,27 @@ def test_rolling_origin_folds_embargo(spark):
     assert all((k, s) not in got for k in (10, 11, 12) for s in ("train", "test"))
     assert {(k, "test") for k in range(13, 23)} <= got
     assert (23, "test") not in got and len(out) == 20
+
+
+def test_growth_rates_exponential_series(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.forecast import growth_rates
+
+    # daily totals growing exactly 5%/day -> slope ln(1.05), r2 ~ 1
+    rows = []
+    eid = 0
+    for d in range(1, 31):
+        eid += 1
+        rows.append((eid, f"2024-01-{d:02d} 12:00:00", 1, "g",
+                     100.0 * (1.05 ** (d - 1))))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = growth_rates(df).collect()[0]
+    assert r.n_days == 30
+    assert r.slope_ln == pytest.approx(math.log(1.05), rel=1e-4)
+    assert r.pct_per_day == pytest.approx(0.05, abs=1e-4)
+    assert r.r2 > 0.9999

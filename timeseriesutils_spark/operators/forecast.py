@@ -676,3 +676,124 @@ def holt_smooth_sql_columns(
         (f"{column}_holt_trend_{sfx}", trd),
         (f"{column}_holt_fc_{sfx}", f"({lvl} + {trd})"),
     ]
+
+
+def growth_rates(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    ln_scale: int = 6,
+    out_scale: int = 9,
+) -> DataFrame:
+    """Per-series compound growth rate: OLS of ln(daily total) on the
+    day index — the log-linear fit behind "X is growing n% per day";
+    a straight-line fit on raw values (group_trend) misclassifies
+    exponential growth, the log fit measures it.
+
+    Daily totals are quantized-exact sums; ln is applied once per day
+    and floor-quantized (the shared 1-ulp discipline); the OLS
+    sufficient statistics are exact int64 products in DECIMAL; the
+    growth rate exp(slope) − 1 is floor-quantized after the single exp.
+    Days with non-positive totals are excluded (logged domain).
+    ln_scale 6 keeps y² products inside int64 (ln values ≲ 40 → y ≲
+    4e7, y² ≲ 1.6e15; scale 9 would overflow at y² ~ 1e21).
+
+    Returns (group, n_days, slope_ln, pct_per_day, r2).
+    """
+    day0 = F.to_date(F.lit("1970-01-01"))
+    daily = (
+        events.select(
+            F.col(group_col).alias("_g"),
+            F.datediff(F.to_date(ts_col), day0).cast("bigint").alias("_d"),
+            F.floor(F.col(value_col) * F.lit(100) + F.lit(0.5))
+            .cast("bigint")
+            .alias("_vq"),
+        )
+        .groupBy("_g", "_d")
+        .agg(F.sum("_vq").alias("_tot"))
+        .filter(F.col("_tot") > 0)
+    )
+    lm = float(10**ln_scale)
+    om = float(10**out_scale)
+    d = daily.select(
+        "_g",
+        F.col("_d").alias("_x"),
+        F.floor(
+            F.log(F.col("_tot").cast("double") / F.lit(100.0)) * F.lit(lm)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("_y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = d.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(dec(F.col("_x"))).alias("_sx"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_x") * F.col("_x"))).alias("_sxx"),
+        F.sum(dec(F.col("_x") * F.col("_y"))).alias("_sxy"),
+        F.sum(dec(F.col("_y") * F.col("_y"))).alias("_syy"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n_days").cast("double")
+    cov = nn * s2d("_sxy") - s2d("_sx") * s2d("_sy")
+    varx = nn * s2d("_sxx") - s2d("_sx") * s2d("_sx")
+    vary = nn * s2d("_syy") - s2d("_sy") * s2d("_sy")
+    slope = F.when(varx != 0, cov / varx / F.lit(lm))  # back to ln units
+    pct = F.floor(
+        (F.exp(slope) - F.lit(1.0)) * F.lit(om) + F.lit(0.5)
+    ) / F.lit(om)
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_days",
+        slope.alias("slope_ln"),
+        F.when(varx != 0, pct).alias("pct_per_day"),
+        F.when((varx != 0) & (vary != 0), cov * cov / (varx * vary)).alias("r2"),
+    )
+
+
+def growth_rates_sql(
+    table: str = "events",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    ln_scale: int = 6,
+    out_scale: int = 9,
+) -> str:
+    """DuckDB twin of :func:`growth_rates`."""
+    lm = float(10**ln_scale)
+    om = float(10**out_scale)
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n_days AS DOUBLE)"
+    cov = f"({nn} * {s2d('_sxy')} - {s2d('_sx')} * {s2d('_sy')})"
+    varx = f"({nn} * {s2d('_sxx')} - {s2d('_sx')} * {s2d('_sx')})"
+    vary = f"({nn} * {s2d('_syy')} - {s2d('_sy')} * {s2d('_sy')})"
+    slope = f"({cov} / {varx} / {lm!r}e0)"
+    return f"""
+WITH daily AS (
+  SELECT {group_col} AS _g,
+    date_diff('day', DATE '1970-01-01', CAST({ts_col} AS DATE)) AS _d,
+    CAST(SUM(CAST(FLOOR({value_col} * 100 + 0.5) AS BIGINT)) AS BIGINT) AS _tot
+  FROM {table} GROUP BY 1, 2
+  HAVING SUM(CAST(FLOOR({value_col} * 100 + 0.5) AS BIGINT)) > 0
+),
+q AS (
+  SELECT _g, _d AS _x,
+    CAST(FLOOR(ln(CAST(_tot AS DOUBLE) / 100.0) * {lm!r}e0 + 0.5) AS BIGINT) AS _y
+  FROM daily
+),
+agg AS (
+  SELECT _g, COUNT(*) AS n_days,
+    SUM(_x) AS _sx, SUM(_y) AS _sy,
+    SUM(_x * _x) AS _sxx, SUM(_x * _y) AS _sxy, SUM(_y * _y) AS _syy
+  FROM q GROUP BY _g
+)
+SELECT _g AS {group_col}, n_days,
+  CASE WHEN {varx} <> 0 THEN {slope} END AS slope_ln,
+  CASE WHEN {varx} <> 0 THEN
+    FLOOR((exp({slope}) - 1.0) * {om!r}e0 + 0.5) / {om!r}e0 END AS pct_per_day,
+  CASE WHEN {varx} <> 0 AND {vary} <> 0
+       THEN {cov} * {cov} / ({varx} * {vary}) END AS r2
+FROM agg
+"""

@@ -953,3 +953,21 @@ def _sql_fd_audit():
 
 
 QUERIES.update({"fd_audit": Q(q_fd_audit, _sql_fd_audit())})
+
+
+def q_growth_rates(spark, sf_dir):
+    """Per-type compound growth rate (operators/forecast.growth_rates):
+    log-linear OLS of ln(daily total value) on the day index --
+    '%-per-day' with r2, ln-quantized exact sufficient statistics."""
+    from timeseriesutils_spark.operators.forecast import growth_rates
+
+    return growth_rates(load_table(spark, sf_dir, "events"))
+
+
+def _sql_growth_rates():
+    from timeseriesutils_spark.operators.forecast import growth_rates_sql
+
+    return growth_rates_sql("events")
+
+
+QUERIES.update({"growth_rates": Q(q_growth_rates, _sql_growth_rates())})
