@@ -125,3 +125,25 @@ def test_holt_smooth_matches_recursion(spark):
             l = l_new
         assert r[lvl_col] == pytest.approx(l, rel=1e-9)
         assert r[fc_col] == pytest.approx(l + t_, rel=1e-9)
+
+
+def test_seasonal_strength_extremes(spark):
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.decompose import (
+        decompose_series,
+        seasonal_strength,
+    )
+
+    # pure period-3 cycle: strength ~ 1; pure noise-free constant+trendless
+    rows = []
+    cyc = [10, 30, 20]
+    for t in range(30):
+        rows.append(("cyc", t, float(cyc[t % 3])))
+        rows.append(("flat", t, 5.0))
+    df = spark.createDataFrame(rows, "g string, t long, y double")
+    dec = decompose_series(df, "y", "t", ["g"], period=3)
+    out = {r.g: r for r in seasonal_strength(dec, ["g"]).collect()}
+    assert out["cyc"].strength > 0.99
+    # flat series: Var(seasonal+remainder)=0 -> NULL (no seasonal signal)
+    assert out["flat"].strength is None or out["flat"].strength == 0.0

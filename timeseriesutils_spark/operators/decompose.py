@@ -186,3 +186,101 @@ SELECT dm.{gsel.replace(', ', ', dm.')}, dm._t AS {time_col}, dm._y AS {y_col},
   CAST(_y AS DOUBLE) - ({trend}) - ({seasonal}) AS remainder
 FROM dm JOIN seas USING ({gsel})
 """
+
+
+def seasonal_strength(
+    decomposed: DataFrame,
+    group_columns,
+    scale: int = 6,
+) -> DataFrame:
+    """Seasonal-strength diagnostic (Hyndman & Athanasopoulos, FPP §3.4
+    convention, public reference): from a decomposition's components,
+
+        F_s = max(0, 1 − Var(remainder) / Var(seasonal + remainder))
+
+    per group — ~0 means the seasonal component explains nothing, →1
+    means the series is dominated by its seasonal cycle.  The scalar
+    that decides whether seasonal models are worth fitting.
+
+    Component values (already doubles derived from exact BIGINTs —
+    see decompose_series) are floor-quantized to int64 before the
+    variance sums, so the reduce is exact in any partitioning; the
+    final ratio is one double chain with VARCHAR-routed casts.
+
+    Returns (groups…, n, var_remainder, var_deseasonal, strength).
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = lambda c: F.floor(c * F.lit(m) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d = decomposed.filter(F.col("remainder").isNotNull()).select(
+        *groups,
+        q(F.col("remainder")).alias("_r"),
+        q(F.col("seasonal") + F.col("remainder")).alias("_sr"),
+    )
+    agg = d.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_r"))).alias("_s_r"),
+        F.sum(dec(F.col("_r") * F.col("_r"))).alias("_ss_r"),
+        F.sum(dec(F.col("_sr"))).alias("_s_sr"),
+        F.sum(dec(F.col("_sr") * F.col("_sr"))).alias("_ss_sr"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+    mf = float(m * m)
+    var_r = (nn * s2d("_ss_r") - s2d("_s_r") * s2d("_s_r")) / (nn * nn) / F.lit(mf)
+    var_sr = (nn * s2d("_ss_sr") - s2d("_s_sr") * s2d("_s_sr")) / (nn * nn) / F.lit(
+        mf
+    )
+    strength = F.when(
+        var_sr != 0, F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_sr)
+    )
+    return agg.select(
+        *groups,
+        "n",
+        var_r.alias("var_remainder"),
+        var_sr.alias("var_deseasonal"),
+        strength.alias("strength"),
+    )
+
+
+def seasonal_strength_sql(
+    decomposed_sql: str,
+    group_columns,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`seasonal_strength` over a decomposition
+    SELECT."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    g = ", ".join(groups)
+    m = 10**scale
+    mf = float(m * m)
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+    var_r = f"(({nn} * {s2d('_ss_r')} - {s2d('_s_r')} * {s2d('_s_r')}) / ({nn} * {nn}) / {mf!r}e0)"
+    var_sr = f"(({nn} * {s2d('_ss_sr')} - {s2d('_s_sr')} * {s2d('_s_sr')}) / ({nn} * {nn}) / {mf!r}e0)"
+    return f"""
+WITH comp AS ({decomposed_sql}),
+q AS (
+  SELECT {g},
+    CAST(FLOOR(remainder * {m} + 0.5) AS BIGINT) AS _r,
+    CAST(FLOOR((seasonal + remainder) * {m} + 0.5) AS BIGINT) AS _sr
+  FROM comp WHERE remainder IS NOT NULL
+),
+agg AS (
+  SELECT {g}, COUNT(*) AS n,
+    SUM(_r) AS _s_r, SUM(_r * _r) AS _ss_r,
+    SUM(_sr) AS _s_sr, SUM(_sr * _sr) AS _ss_sr
+  FROM q GROUP BY {g}
+)
+SELECT {g}, n,
+  {var_r} AS var_remainder,
+  {var_sr} AS var_deseasonal,
+  CASE WHEN {var_sr} <> 0
+       THEN GREATEST(0.0, 1.0 - {var_r} / {var_sr}) END AS strength
+FROM agg
+"""

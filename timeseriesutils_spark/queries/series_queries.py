@@ -784,3 +784,25 @@ FROM lineitem
 
 
 QUERIES.update({"stockout_events": Q(q_stockout_events, _sql_stockout_events())})
+
+
+def q_seasonal_strength(spark, sf_dir):
+    """Seasonal-strength diagnostic (operators/decompose.
+    seasonal_strength): Hyndman's 1 - Var(remainder)/Var(seasonal +
+    remainder) per returnflag over the period-7 decomposition of daily
+    lineitem counts -- the go/no-go scalar for seasonal modeling,
+    quantized-exact variance sums on top of the decomposition query."""
+    from timeseriesutils_spark.operators.decompose import seasonal_strength
+
+    return seasonal_strength(q_decompose(spark, sf_dir), ["l_returnflag"])
+
+
+def _sql_seasonal_strength():
+    from timeseriesutils_spark.operators.decompose import seasonal_strength_sql
+
+    return seasonal_strength_sql(_sql_decompose(), ["l_returnflag"])
+
+
+QUERIES.update(
+    {"seasonal_strength": Q(q_seasonal_strength, _sql_seasonal_strength())}
+)
