@@ -39,7 +39,8 @@ class Q:
 #   anova_oneway merge_intervals state_dwell period_over_period
 #   welch_ttest histogram2d wilson_daily stickiness latency_bands
 #   local_peaks jsonl_pack rolling_slope gmean_exact shipping_sla
-#   stockout_events dup_rate_by_source  (39 total; attribution gained a decay_credit column)
+#   stockout_events dup_rate_by_source corr_matrix fd_audit
+#   growth_rates seasonal_strength  (43 total; attribution gained a decay_credit column)
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # slots 1-4: the only oracle-expressible queries with no driver verdict
     # yet (were at slots 51-54 in round 3, past the driver's 50-row cap)
