@@ -918,12 +918,20 @@ def anova_oneway(
         F.sum("_n").alias("n"),
         F.sum(dec(F.col("_s"))).alias("_st"),
         F.sum(dec(F.col("_ss"))).alias("_sst"),
-        # per-level double contributions accumulate through DECIMAL(38,6)
-        # (exact, associative) BEFORE the k-row sum: double addition is
-        # merge-order-dependent, decimal is not.  (floor->int64 would
-        # overflow: s^2/n reaches ~1.9e19 at sf0.1 already.)
-        F.sum((sg * sg / ng).cast("decimal(38,6)")).alias("_sb_raw"),
-        F.sum((ssg - sg * sg / ng).cast("decimal(38,6)")).alias("_ssw_q"),
+        # per-level double contributions are floored IN THE DOUBLE DOMAIN
+        # (c - c mod 1: exact for c >= 0 at any magnitude, no long
+        # conversion to overflow, no decimal tie-rounding divergence —
+        # Spark rounds HALF_UP, DuckDB HALF_EVEN at double->DECIMAL(38,6))
+        # then accumulate through DECIMAL(38,0): exact, associative,
+        # merge-order-free.
+        F.sum(
+            ((sg * sg / ng) - (sg * sg / ng) % F.lit(1.0)).cast("decimal(38,0)")
+        ).alias("_sb_raw"),
+        F.sum(
+            (
+                (ssg - sg * sg / ng) - (ssg - sg * sg / ng) % F.lit(1.0)
+            ).cast("decimal(38,0)")
+        ).alias("_ssw_q"),
     )
     mf = float(m * m)
     nn = F.col("n").cast("double")
@@ -970,11 +978,16 @@ per AS (
 top AS (
   SELECT COUNT(*) AS k_levels, CAST(SUM(_n) AS BIGINT) AS n,
     SUM(_s) AS _st, SUM(_ss) AS _sst,
-    SUM(CAST(CAST(CAST(_s AS VARCHAR) AS DOUBLE) * CAST(CAST(_s AS VARCHAR) AS DOUBLE)
-        / CAST(_n AS DOUBLE) AS DECIMAL(38,6))) AS _sb_raw,
-    SUM(CAST(CAST(CAST(_ss AS VARCHAR) AS DOUBLE)
+    SUM(CAST((CAST(CAST(_s AS VARCHAR) AS DOUBLE) * CAST(CAST(_s AS VARCHAR) AS DOUBLE)
+        / CAST(_n AS DOUBLE))
+        - (CAST(CAST(_s AS VARCHAR) AS DOUBLE) * CAST(CAST(_s AS VARCHAR) AS DOUBLE)
+        / CAST(_n AS DOUBLE)) % 1.0 AS DECIMAL(38,0))) AS _sb_raw,
+    SUM(CAST((CAST(CAST(_ss AS VARCHAR) AS DOUBLE)
         - CAST(CAST(_s AS VARCHAR) AS DOUBLE) * CAST(CAST(_s AS VARCHAR) AS DOUBLE)
-          / CAST(_n AS DOUBLE) AS DECIMAL(38,6))) AS _ssw_q
+          / CAST(_n AS DOUBLE))
+        - (CAST(CAST(_ss AS VARCHAR) AS DOUBLE)
+        - CAST(CAST(_s AS VARCHAR) AS DOUBLE) * CAST(CAST(_s AS VARCHAR) AS DOUBLE)
+          / CAST(_n AS DOUBLE)) % 1.0 AS DECIMAL(38,0))) AS _ssw_q
   FROM per
 )
 SELECT k_levels, n,
