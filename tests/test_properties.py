@@ -1,0 +1,131 @@
+"""Hypothesis property tests for the invariants the session operators
+are built on — randomized inputs, algebraic laws, one shared Spark
+session.  Hypothesis drives the INPUT generation; each property is an
+exact assertion (the engine's determinism discipline means no
+tolerances are needed on integer-domain laws)."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    txns=st.lists(
+        st.tuples(
+            st.integers(1, 3),          # item
+            st.integers(1, 20),         # qty
+            st.booleans(),              # is_buy
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_fifo_conservation_law(spark, txns):
+    """Σ allocations per item == min(total buys, total sells) — FIFO's
+    conservation law, for ANY interleaving of lots and sells."""
+    from timeseriesutils_spark.operators.fifo import fifo_allocation
+
+    rows = [
+        (item, qty, buy, seq, seq) for seq, (item, qty, buy) in enumerate(txns)
+    ]
+    df = spark.createDataFrame(
+        rows, "item long, qty long, is_buy boolean, seq long, id long"
+    )
+    out = fifo_allocation(df, "item", "qty", "is_buy", ["seq"], "id").collect()
+    alloc = {}
+    for r in out:
+        assert r.qty_alloc > 0
+        alloc[r.item] = alloc.get(r.item, 0) + r.qty_alloc
+    for item in {t[0] for t in txns}:
+        buys = sum(q for i, q, b in txns if i == item and b)
+        sells = sum(q for i, q, b in txns if i == item and not b)
+        assert alloc.get(item, 0) == min(buys, sells)
+
+
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 10)),  # (start, len)
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_merge_intervals_coverage_law(spark, iv):
+    """Merged episodes cover exactly the union of the inputs: total
+    merged length == |union of integer points|, episodes are disjoint
+    and sorted."""
+    from timeseriesutils_spark.operators.sessions import merge_intervals
+
+    rows = [("k", s, s + ln) for s, ln in iv]
+    df = spark.createDataFrame(rows, "k string, start_ms long, end_ms long")
+    out = sorted(merge_intervals(df, ["k"]).collect(), key=lambda r: r.start)
+    covered = set()
+    for s, ln in iv:
+        covered.update(range(s, s + ln))
+    assert sum(r["end"] - r.start for r in out) == len(covered)
+    for a, b in zip(out, out[1:]):
+        assert a["end"] < b.start  # strictly disjoint after merging
+    assert sum(r.n_merged for r in out) == len(iv)
+
+
+@given(
+    vals=st.lists(
+        st.integers(-50, 50).map(lambda v: v / 2.0), min_size=2, max_size=40
+    )
+)
+@settings(**_SETTINGS)
+def test_counter_rate_telescoping_law(spark, vals):
+    """For a RESET-FREE (monotone) counter, total increase telescopes to
+    last − first, regardless of the sample pattern."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.counters import counter_rate
+
+    mono = []
+    acc = 0.0
+    for v in vals:
+        acc += abs(v)
+        mono.append(acc)
+    rows = [("g", f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", i, float(m))
+            for i, m in enumerate(mono)]
+    df = spark.createDataFrame(rows, "g string, ts string, id long, v double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), "id",
+        F.floor(F.col("v") * 2 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    out = counter_rate(df, "v", "ts", ["g"], bucket="year", id_col="id").collect()
+    total = sum(r.increase for r in out)
+    assert total == round(mono[-1] * 2) - round(mono[0] * 2)
+    assert all(r.n_resets == 0 for r in out)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 300)),  # (stratum, t)
+        min_size=3,
+        max_size=40,
+    ),
+    horizon=st.integers(1, 100),
+)
+@settings(**_SETTINGS)
+def test_kaplan_meier_monotone_law(spark, rows, horizon):
+    """KM survival is non-increasing in t within every stratum and lies
+    in [0, 1], for any censoring pattern (died iff t < horizon)."""
+    from timeseriesutils_spark.operators.survival import kaplan_meier
+
+    subj = [
+        (f"s{s}", min(t, horizon), 1 if t < horizon else 0) for s, t in rows
+    ]
+    df = spark.createDataFrame(subj, "stratum string, t_day long, died int")
+    out = sorted(kaplan_meier(df).collect(), key=lambda r: (r.stratum, r.t_day))
+    prev = {}
+    for r in out:
+        assert -1e-9 <= r.survival <= 1.0 + 1e-9
+        if r.stratum in prev:
+            assert r.survival <= prev[r.stratum] + 1e-9
+        prev[r.stratum] = r.survival
