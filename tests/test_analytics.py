@@ -505,3 +505,27 @@ def test_stickiness_ratio_bounds(spark):
     assert dau["2024-01-03"] == 6 and dau["2024-01-04"] == 5
     assert wau["2024-01-07"] == 6  # user 6 still inside the 7-day window
     assert all(dau[d] <= wau[d] for d in dau)
+
+
+def test_peak_concurrency_overlaps(spark):
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.analytics import peak_concurrency
+
+    rows = [
+        # three users online together 10:00-10:10 (30-min TTL extends all)
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:05:00", 2, "view"),
+        (3, "2024-01-01 10:10:00", 3, "view"),
+        # a lone user late that evening (others' TTLs long expired)
+        (4, "2024-01-01 22:00:00", 1, "view"),
+        # next day: single user
+        (5, "2024-01-02 09:00:00", 2, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.day: r for r in peak_concurrency(df).collect()}
+    assert out["2024-01-01"].peak_concurrent == 3
+    assert out["2024-01-02"].peak_concurrent == 1
+    assert out["2024-01-01"].n_sessions_touching == 4

@@ -407,3 +407,16 @@ def test_fd_audit_holds_and_violates(spark):
            fd_audit(df, [("k", "s"), ("k", "v")]).collect()}
     assert out[("k", "s")].violating_keys == 1 and not out[("k", "s")].holds
     assert out[("k", "v")].violating_keys == 2
+
+
+def test_id_gap_audit_ranges(spark):
+    from timeseriesutils_spark.operators.profile import id_gap_audit
+
+    df = spark.createDataFrame([(i,) for i in [1, 2, 5, 6, 10]], "k long")
+    out = sorted(id_gap_audit(df, "k").collect(), key=lambda r: r.gap_start)
+    assert [(r.gap_start, r.gap_end, r.missing) for r in out] == [
+        (3, 4, 2), (7, 9, 3),
+    ]
+    # dense sequence: no gaps
+    dense = spark.createDataFrame([(i,) for i in range(1, 20)], "k long")
+    assert id_gap_audit(dense, "k").count() == 0

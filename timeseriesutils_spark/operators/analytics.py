@@ -1148,3 +1148,138 @@ SELECT CAST(_d AS VARCHAR) AS day, n_exposed, n_converted, p AS rate,
     / (1.0 + {z2!r}e0 / n) AS wilson_hi
 FROM k
 """
+
+
+def peak_concurrency(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    session_ttl_minutes: int = 30,
+) -> DataFrame:
+    """Peak concurrent sessions per calendar day — the capacity-planning
+    number ("how many users were on AT ONCE at the worst moment").
+    Each event opens/extends a TTL lease; concurrency is the classic
+    interval-stabbing sweep: +1 at session start, −1 after session end,
+    running max of the prefix sum.
+
+    Scale shape: per-user session intervals come from the sessionize
+    closed form (one user exchange); the sweep then partitions BY DAY
+    (boundaries clipped at midnight, carry-in counted as a day-start
+    offset), so no global single-partition pass exists — each day's
+    sweep is independent and the whole op is two bounded exchanges.
+    Exact integer-ms arithmetic.
+
+    Returns (day, peak_concurrent, n_sessions_touching).
+    """
+    from timeseriesutils_spark.operators.sessions import sessionize
+
+    ttl_ms = session_ttl_minutes * 60_000
+    s = sessionize(events, user_col, ts_col, gap_minutes=session_ttl_minutes)
+    iv = s.groupBy(user_col, "sess_n").agg(
+        F.min("ts_ms").alias("_s"),
+        (F.max("ts_ms") + F.lit(ttl_ms)).alias("_e"),
+    )
+    day_ms = 86_400_000
+    # explode each interval into the days it touches; clip to day bounds
+    days = iv.select(
+        "_s",
+        "_e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_s") / day_ms).cast("bigint"),
+                F.floor((F.col("_e") - 1) / day_ms).cast("bigint"),
+            )
+        ).alias("_day"),
+    )
+    clipped = days.select(
+        "_day",
+        F.greatest(F.col("_s"), F.col("_day") * day_ms).alias("_cs"),
+        F.least(F.col("_e"), (F.col("_day") + 1) * day_ms).alias("_ce"),
+    )
+    deltas = clipped.select(
+        "_day", F.col("_cs").alias("_t"), F.lit(1).alias("_d")
+    ).unionAll(
+        clipped.select("_day", F.col("_ce").alias("_t"), F.lit(-1).alias("_d"))
+    )
+    agg = deltas.groupBy("_day", "_t").agg(F.sum("_d").alias("_d"))
+    w = (
+        Window.partitionBy("_day")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = agg.withColumn("_run", F.sum("_d").over(w))
+    # carry-in: sessions open at midnight start the day already counted
+    # (their clipped start == day start, so they're in the sweep) — the
+    # running max IS the day's peak
+    per_day = run.groupBy("_day").agg(F.max("_run").alias("peak_concurrent"))
+    touch = clipped.groupBy("_day").agg(
+        F.count(F.lit(1)).alias("n_sessions_touching")
+    )
+    return per_day.join(touch, "_day").select(
+        F.date_format(
+            F.to_date(F.timestamp_millis(F.col("_day") * day_ms)), "yyyy-MM-dd"
+        ).alias("day"),
+        F.col("peak_concurrent").cast("bigint"),
+        "n_sessions_touching",
+    )
+
+
+def peak_concurrency_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    session_ttl_minutes: int = 30,
+) -> str:
+    """DuckDB twin of :func:`peak_concurrency`."""
+    ttl_ms = session_ttl_minutes * 60_000
+    gap_ms = ttl_ms
+    day_ms = 86_400_000
+    return f"""
+WITH m AS (
+  SELECT {user_col} AS u, epoch_ms({ts_col}) AS ts_ms FROM {table}
+),
+b AS (
+  SELECT *, CASE WHEN LAG(ts_ms) OVER (PARTITION BY u ORDER BY ts_ms) IS NULL
+                  OR ts_ms - LAG(ts_ms) OVER (PARTITION BY u ORDER BY ts_ms)
+                     > {gap_ms}
+             THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+sx AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY u ORDER BY ts_ms
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_n
+  FROM b
+),
+iv AS (
+  SELECT u, sess_n, MIN(ts_ms) AS _s, MAX(ts_ms) + {ttl_ms} AS _e
+  FROM sx GROUP BY u, sess_n
+),
+days AS (
+  SELECT _s, _e, unnest(generate_series(
+    CAST(FLOOR(_s / {day_ms}) AS BIGINT),
+    CAST(FLOOR((_e - 1) / {day_ms}) AS BIGINT))) AS _day
+  FROM iv
+),
+clipped AS (
+  SELECT _day,
+    GREATEST(_s, _day * {day_ms}) AS _cs,
+    LEAST(_e, (_day + 1) * {day_ms}) AS _ce
+  FROM days
+),
+deltas AS (
+  SELECT _day, _cs AS _t, 1 AS _d FROM clipped
+  UNION ALL
+  SELECT _day, _ce AS _t, -1 AS _d FROM clipped
+),
+agg AS (SELECT _day, _t, SUM(_d) AS _d FROM deltas GROUP BY _day, _t),
+run AS (
+  SELECT _day, CAST(SUM(_d) OVER (PARTITION BY _day ORDER BY _t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS _run
+  FROM agg
+),
+pk AS (SELECT _day, MAX(_run) AS peak_concurrent FROM run GROUP BY _day),
+tc AS (SELECT _day, COUNT(*) AS n_sessions_touching FROM clipped GROUP BY _day)
+SELECT strftime(CAST(epoch_ms(pk._day * {day_ms}) AS DATE), '%Y-%m-%d') AS day,
+  pk.peak_concurrent, tc.n_sessions_touching
+FROM pk JOIN tc ON pk._day = tc._day
+"""

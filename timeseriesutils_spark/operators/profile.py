@@ -677,3 +677,56 @@ def fd_audit_sql(table: str, dependencies: list[tuple[str, str]]) -> str:
 FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS _nd FROM {table} GROUP BY {det})"""
         )
     return "\nUNION ALL\n".join(unions)
+
+
+def id_gap_audit(
+    df: DataFrame,
+    id_col: str,
+    group_columns=None,
+) -> DataFrame:
+    """Sequence-gap audit over a should-be-dense id column: find every
+    missing id range — the ingestion data-loss detector (dropped
+    events, lost files, producer restarts) for monotonically-assigned
+    ids.  Gaps-and-islands on the DISTINCT sorted ids: a LAG per
+    series, emit one row per hole.
+
+    One (group)-keyed exchange over the distinct ids; output is bounded
+    by the number of holes, not the id range.
+
+    Returns (groups…, gap_start, gap_end, missing) — the inclusive
+    missing range and its size.
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    d = df.select(*groups, F.col(id_col).alias("_id")).distinct()
+    w = Window.partitionBy(*groups).orderBy("_id") if groups else Window.orderBy("_id")
+    d = d.withColumn("_prev", F.lag("_id").over(w))
+    return (
+        d.filter(F.col("_prev").isNotNull() & (F.col("_id") - F.col("_prev") > 1))
+        .select(
+            *groups,
+            (F.col("_prev") + 1).alias("gap_start"),
+            (F.col("_id") - 1).alias("gap_end"),
+            (F.col("_id") - F.col("_prev") - 1).alias("missing"),
+        )
+    )
+
+
+def id_gap_audit_sql(table: str, id_col: str, group_columns=None) -> str:
+    """DuckDB twin of :func:`id_gap_audit`."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    g = ", ".join(groups)
+    gsel = f"{g}, " if groups else ""
+    part = f"PARTITION BY {g} " if groups else ""
+    return f"""
+WITH d AS (SELECT DISTINCT {gsel}{id_col} AS _id FROM {table}),
+l AS (
+  SELECT *, LAG(_id) OVER ({part}ORDER BY _id) AS _prev FROM d
+)
+SELECT {gsel}_prev + 1 AS gap_start, _id - 1 AS gap_end,
+  _id - _prev - 1 AS missing
+FROM l WHERE _prev IS NOT NULL AND _id - _prev > 1
+"""

@@ -645,3 +645,22 @@ def _sql_latency_bands():
 
 
 QUERIES.update({"latency_bands": Q(q_latency_bands, _sql_latency_bands())})
+
+
+def q_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day (analytics.peak_concurrency):
+    30-minute-TTL session leases swept with the +1/-1 interval-stabbing
+    prefix max, partitioned BY DAY so no global single-partition pass
+    exists -- the capacity-planning number."""
+    from timeseriesutils_spark.operators.analytics import peak_concurrency
+
+    return peak_concurrency(load_table(spark, sf_dir, "events"))
+
+
+def _sql_peak_concurrency():
+    from timeseriesutils_spark.operators.analytics import peak_concurrency_sql
+
+    return peak_concurrency_sql("events")
+
+
+QUERIES.update({"peak_concurrency": Q(q_peak_concurrency, _sql_peak_concurrency())})

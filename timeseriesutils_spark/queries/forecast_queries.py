@@ -971,3 +971,32 @@ def _sql_growth_rates():
 
 
 QUERIES.update({"growth_rates": Q(q_growth_rates, _sql_growth_rates())})
+
+
+def q_id_gap_audit(spark, sf_dir):
+    """Sequence-gap audit (operators/profile.id_gap_audit): the
+    ingestion data-loss detector over a should-be-dense id sequence --
+    the input simulates an incident by dropping one md5 bucket of
+    orders (both engines construct the identical lossy feed), and the
+    audit reports every missing id range."""
+    from timeseriesutils_spark.operators.profile import id_gap_audit
+    from timeseriesutils_spark.operators.splits import hash_bucket
+
+    lossy = load_table(spark, sf_dir, "orders").filter(
+        hash_bucket(F.col("o_orderkey"), 20) != 7
+    )
+    return id_gap_audit(lossy, "o_orderkey")
+
+
+def _sql_id_gap_audit():
+    from timeseriesutils_spark.operators.profile import id_gap_audit_sql
+
+    lossy = """(
+  SELECT * FROM orders
+  WHERE CAST(CONCAT('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INT)
+        % 20 <> 7
+)"""
+    return id_gap_audit_sql(lossy, "o_orderkey")
+
+
+QUERIES.update({"id_gap_audit": Q(q_id_gap_audit, _sql_id_gap_audit())})
