@@ -27,63 +27,37 @@ class Q:
 # the full set is locally gate-checked every round via
 # tools/check_oracle.py — see CORRECTNESS_LOCAL.json).
 #
-# ROUND-5 ROTATION PLAN: the 30 late-round-4 queries below were added
-# after this round's 50 head slots were already claimed by the earlier
-# round-4 batch; they are locally hash-green (CORRECTNESS_LOCAL.json)
-# but have no driver row yet.  Next round, move them into slots 1-30:
-#   kaplan_meier snapshot_diff item_cooccur attribution constraint_audit
-#   top_paths grouped_ols2 counter_rate dedup_debounce rfm_segments
-#   abc_analysis embedding_drift fifo_allocation gini_index
-#   weighted_median stream_counter_rate zipf_fit mahalanobis_outliers
-#   canonical_pick funnel_window novelty_scores feature_hash bootstrap_ci
-#   anova_oneway merge_intervals state_dwell period_over_period
-#   welch_ttest histogram2d wilson_daily stickiness latency_bands
-#   local_peaks jsonl_pack rolling_slope gmean_exact shipping_sla
-#   stockout_events dup_rate_by_source corr_matrix fd_audit
-#   growth_rates seasonal_strength  (43 total; attribution gained a decay_credit column)
+# ROUND-5 ROTATION (executed): slots 1-43 are the late-round-4 session
+# batch — locally hash-green since round 4 (CORRECTNESS_LOCAL.json, 8 of
+# them judge-re-verified) but never driver-checked because the round-4
+# head was already full.  Slot 44 is domfreq_fft (first driver RO row for
+# the FFT scale path).  Slots 45-46 are the two round-4-driver-green
+# queries whose kernels the round-5 ADVICE fixes change (lead_lag_corr:
+# double-domain sufficient-stat combine; decompose_series: floored
+# modulus).  Slots 47-50 re-check the round-4 portable-hash conversions.
+# Everything after slot 50 keeps full local gate coverage via
+# tools/check_oracle.py --json.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
-    # slots 1-4: the only oracle-expressible queries with no driver verdict
-    # yet (were at slots 51-54 in round 3, past the driver's 50-row cap)
-    "incremental_rollmean", "backtest_folds", "zorder_key", "variant_json",
-    # round-4 additions / re-verify after round-4 code changes
-    "domfreq",            # RO -> hash-green: generated DFT-twin oracle
-    "sink_roundtrip",     # new: write paths enter the correctness gate
-    "incremental_taylor", # new: incremental featurization, taylor family
-    "shard_assign",       # NULL-key sentinel fix (ADVICE)
-    "table_checksum",     # DECIMAL(38,6) canonicalization fix (ADVICE)
-    "kmeans",             # decimal(38,0) component-sum accumulation (ADVICE)
-    # (semantic_dedup / pagerank: r3-driver-green; round-4 kernel changes
-    # are locally gate-checked — dropped from the head so ALL 20 new
-    # round-4 queries fit inside the driver's 50-row cap)
-    # round-4 RO -> hash-green conversions (portable hashing: quantized
-    # sign-LSH, md5 MinHash/SimHash, Lloyd-trained IVF — each now has a
-    # full DuckDB twin and needs a first driver hash verdict)
-    "knn_lsh", "knn_ivf", "simhash", "dedup_minhash_lsh",
-    "dedup_embedding_lsh",
-    # round-4 new operators (hash-green from birth): exact-integer
-    # power-iteration PCA, tokenizer vocab, BPE pair scoring
-    "pca_power", "build_vocab", "bpe_pair_counts",
-    # round-4 late additions (hash-green from birth)
-    "cusum_drift", "dup_spans", "triangle_count", "compaction_plan",
-    "stream_static_join", "rolling_mad", "rolling_active_users",
-    "ew_volatility", "skew_report", "quantile_bin", "stream_cusum",
-    "funnel_latency", "acf_features", "lead_lag_corr", "rolling_moments",
-    "seasonal_zscore", "fk_audit", "benford_audit", "event_transitions",
-    "inverted_index", "pmi_cooccur", "decompose_series", "ab_test_report", "holt_smooth",
-    "categorical_assoc", "value_entropy", "sax_words", "psi_drift", "dtw_pattern", "incremental_dedup", "stream_topk", "temporal_join",
-    # remaining slots: regression re-check of the round-3 driver-green set
-    "winsorize", "group_trend", "seasonal_profile", "time_rollup",
-    "ohlc_bars", "time_weighted_avg", "gap_detect", "funnel",
-    "cohort_retention", "boilerplate_frac", "bm25_search", "chunk_text",
-    "heavy_hitters", "media_features", "unigram_logprob",
-    "tf_idf", "clean_text", "repetition_stats",
-    "multimodal_meta", "seq_pack", "decontaminate_pairs",
-    "quantize_embeddings", "pca_project", "pii_scrub", "corpus_stats",
-    "length_histogram", "stratified_sample", "mixture_resample",
-    "reservoir_sample", "embedding_centroids", "fuzzy_match",
-    "chunk_dedup", "quality_filter", "stream_tumbling", "stream_sliding",
-    "stream_session", "stream_dedup", "stream_join", "stream_stateful",
-    "skew_salted_agg", "skew_salted_join", "chunked_taylor",
+    # slots 1-43: never-driver-verified late-round-4 batch
+    "kaplan_meier", "snapshot_diff", "item_cooccur", "attribution",
+    "constraint_audit", "top_paths", "grouped_ols2", "counter_rate",
+    "dedup_debounce", "rfm_segments", "abc_analysis", "embedding_drift",
+    "fifo_allocation", "gini_index", "weighted_median",
+    "stream_counter_rate", "zipf_fit", "mahalanobis_outliers",
+    "canonical_pick", "funnel_window", "novelty_scores", "feature_hash",
+    "bootstrap_ci", "anova_oneway", "merge_intervals", "state_dwell",
+    "period_over_period", "welch_ttest", "histogram2d", "wilson_daily",
+    "stickiness", "latency_bands", "local_peaks", "jsonl_pack",
+    "rolling_slope", "gmean_exact", "shipping_sla", "stockout_events",
+    "dup_rate_by_source", "corr_matrix", "fd_audit", "growth_rates",
+    "seasonal_strength",
+    # slot 44: first driver row for the FFT scale path (RO unless the
+    # many-bin DFT twin lands this round)
+    "domfreq_fft",
+    # slots 45-46: round-5 ADVICE fixes change these kernels
+    "lead_lag_corr", "decompose_series",
+    # slots 47-50: regression re-check of round-4 portable-hash modes
+    "simhash", "knn_ivf", "dedup_minhash_lsh", "domfreq",
 )
 
 
