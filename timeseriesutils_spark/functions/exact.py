@@ -25,6 +25,27 @@ from pyspark.sql import functions as F
 PRECISION = 38
 
 
+def dlit(x: float) -> str:
+    """Render a Python float as a SQL literal that DuckDB parses as
+    DOUBLE (correctly rounded), never as DECIMAL.
+
+    A bare decimal literal like ``3.8415999999999997`` is parsed by
+    DuckDB as DECIMAL and then *truncated* to double, diverging from
+    Spark's correctly-rounded parse — an exponent marker forces the
+    DOUBLE parser.  Appending ``e0`` unconditionally is wrong when
+    ``repr`` already uses exponent form (``1e-05`` → ``1e-05e0`` is a
+    syntax error; ``1e+16`` likewise), so the suffix is added only when
+    no exponent is present.  ``repr`` round-trips doubles exactly in
+    both engines' parsers.
+    """
+    r = repr(float(x))
+    if "e" in r or "E" in r:
+        return r
+    if "inf" in r or "nan" in r:
+        raise ValueError(f"non-finite SQL literal: {r}")
+    return r + "e0"
+
+
 def dsum(col: Column | str, scale: int = 6) -> Column:
     """Order-independent SUM over a double column, returned as double."""
     c = F.col(col) if isinstance(col, str) else col

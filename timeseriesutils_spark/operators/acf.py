@@ -264,8 +264,10 @@ def lead_lag_corr(
     steps later).  Pairwise normalization (the rolling_corr estimator at
     group scope): all five sums restricted to rows where both sides of
     the shifted pair exist, exact BIGINTs, then one double formula
-    n·Sxy − Sx·Sy over √(n·Sxx − Sx²)·√(n·Syy − Sy²) built in BIGINT
-    up to the casts (range: n·Q_x·Q_y < 9.2e18).
+    n·Sxy − Sx·Sy over √(n·Sxx − Sx²)·√(n·Syy − Sy²) with every sum
+    cast to DOUBLE *before* the products (the BIGINT products would
+    scale as n²·Q_x·Q_y and wrap; the sums themselves need only
+    n·Q_x·Q_y < 9.2e18).
 
     ``is_best`` marks the shift with the highest correlation per group
     (ties → smallest |shift|, then smallest shift — deterministic).
@@ -320,9 +322,16 @@ def lead_lag_corr(
     e = g.select(*groups, per_shift).select(*groups, "_s.*")
     n, sx, sy = F.col("n_pairs"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    num = (n * sxy - sx * sy).cast("double")
-    vx = (n * sxx - sx * sx).cast("double")
-    vy = (n * syy - sy * sy).cast("double")
+    # combine in the DOUBLE domain: the BIGINT products n·Sxy / Sx·Sy
+    # scale as n²·Qx·Qy and would wrap int64 for ~1e5-row groups at
+    # scale_y=2 (the documented n·Qx·Qy guard covers only the sums);
+    # per-sum casts are exact under that guard and IEEE-identical in
+    # both engines (same shape as acf_features)
+    n_d = n.cast("double")
+    sx_d, sy_d = sx.cast("double"), sy.cast("double")
+    num = n_d * sxy.cast("double") - sx_d * sy_d
+    vx = n_d * sxx.cast("double") - sx_d * sx_d
+    vy = n_d * syy.cast("double") - sy_d * sy_d
     den = F.sqrt(F.greatest(vx, F.lit(0.0))) * F.sqrt(F.greatest(vy, F.lit(0.0)))
     xcorr = F.when((n >= min_pairs) & (den > 0), num / den)
     scored = e.select(*groups, "shift", "n_pairs", xcorr.alias("xcorr"))
@@ -385,9 +394,18 @@ def lead_lag_corr_sql(
         f"_sy{i} AS sy, _sxy{i} AS sxy, _sxx{i} AS sxx, _syy{i} AS syy FROM agg"
         for i, s in enumerate(shifts)
     )
-    num = "CAST((n_pairs * sxy - sx * sy) AS DOUBLE)"
-    vx = "CAST((n_pairs * sxx - sx * sx) AS DOUBLE)"
-    vy = "CAST((n_pairs * syy - sy * sy) AS DOUBLE)"
+    num = (
+        "(CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    vx = (
+        "(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    vy = (
+        "(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
     den = f"(SQRT(GREATEST({vx}, 0.0)) * SQRT(GREATEST({vy}, 0.0)))"
     xcorr = (
         f"CASE WHEN n_pairs >= {min_pairs} AND {den} > 0 "

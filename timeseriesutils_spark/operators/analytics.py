@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from timeseriesutils_spark.functions.exact import dsum, dsum_sql
+from timeseriesutils_spark.functions.exact import dlit, dsum, dsum_sql
 
 EPOCH = "2024-01-01"  # day-index origin for cohort math (events table era)
 
@@ -1140,12 +1140,12 @@ k AS (
   FROM j
 )
 SELECT CAST(_d AS VARCHAR) AS day, n_exposed, n_converted, p AS rate,
-  ((p + {z2!r}e0 / (2.0 * n))
-    - {z!r}e0 * sqrt(p * (1.0 - p) / n + {z2!r}e0 / (4.0 * n * n)))
-    / (1.0 + {z2!r}e0 / n) AS wilson_lo,
-  ((p + {z2!r}e0 / (2.0 * n))
-    + {z!r}e0 * sqrt(p * (1.0 - p) / n + {z2!r}e0 / (4.0 * n * n)))
-    / (1.0 + {z2!r}e0 / n) AS wilson_hi
+  ((p + {dlit(z2)} / (2.0 * n))
+    - {dlit(z)} * sqrt(p * (1.0 - p) / n + {dlit(z2)} / (4.0 * n * n)))
+    / (1.0 + {dlit(z2)} / n) AS wilson_lo,
+  ((p + {dlit(z2)} / (2.0 * n))
+    + {dlit(z)} * sqrt(p * (1.0 - p) / n + {dlit(z2)} / (4.0 * n * n)))
+    / (1.0 + {dlit(z2)} / n) AS wilson_hi
 FROM k
 """
 

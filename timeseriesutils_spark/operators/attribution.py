@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.exact import dlit
+
 
 def multi_touch_attribution(
     events: DataFrame,
@@ -111,7 +113,7 @@ WITH conv AS (
 t AS (
   SELECT e.{user_col}, e.{ts_col}, e.{id_col}, e.{type_col} AS channel,
     CAST(FLOOR(pow(2.0e0, -(CAST(epoch_us(conv._conv_ts) - epoch_us(e.{ts_col})
-      AS DOUBLE) / {float(hl_us)!r}e0)) * 1e9 + 0.5) AS BIGINT) AS _wq
+      AS DOUBLE) / {dlit(hl_us)})) * 1e9 + 0.5) AS BIGINT) AS _wq
   FROM {table} e JOIN conv USING ({user_col})
   WHERE e.{type_col} <> '{convert_type}' AND e.{ts_col} < conv._conv_ts
 ),

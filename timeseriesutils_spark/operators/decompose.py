@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.exact import dlit
 from timeseriesutils_spark.operators.window_features import _as_list
 
 
@@ -55,7 +56,12 @@ def decompose_series(
     w = Window.partitionBy(*g).orderBy("_t")
     frame = w.rowsBetween(-half, half)
     y = F.col(y_col).cast("bigint")
-    phase = (F.col(time_col).cast("bigint") % period).cast("int")
+    # floored modulus: both engines' % keeps the dividend's sign, so a
+    # negative (pre-epoch) grid tick would yield phases -(m-1)..-1 that
+    # match no seasonal arm — normalize into 0..m-1 (ADVICE r4)
+    phase = (
+        ((F.col(time_col).cast("bigint") % period) + period) % period
+    ).cast("int")
     base = data.select(
         *g,
         F.col(time_col).alias("_t"),
@@ -161,7 +167,8 @@ def decompose_series_sql(
     )
     return f"""
 WITH base AS (
-  SELECT {gsel}, _t, _y, CAST(_t % {period} AS INT) AS _ph
+  SELECT {gsel}, _t, _y,
+    CAST(((_t % {period}) + {period}) % {period} AS INT) AS _ph
   FROM (SELECT {gsel}, CAST({time_col} AS BIGINT) AS _t,
         CAST({y_col} AS BIGINT) AS _y FROM {relation})
 ), win AS (
@@ -261,8 +268,8 @@ def seasonal_strength_sql(
     mf = float(m * m)
     s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
     nn = "CAST(n AS DOUBLE)"
-    var_r = f"(({nn} * {s2d('_ss_r')} - {s2d('_s_r')} * {s2d('_s_r')}) / ({nn} * {nn}) / {mf!r}e0)"
-    var_sr = f"(({nn} * {s2d('_ss_sr')} - {s2d('_s_sr')} * {s2d('_s_sr')}) / ({nn} * {nn}) / {mf!r}e0)"
+    var_r = f"(({nn} * {s2d('_ss_r')} - {s2d('_s_r')} * {s2d('_s_r')}) / ({nn} * {nn}) / {dlit(mf)})"
+    var_sr = f"(({nn} * {s2d('_ss_sr')} - {s2d('_s_sr')} * {s2d('_s_sr')}) / ({nn} * {nn}) / {dlit(mf)})"
     return f"""
 WITH comp AS ({decomposed_sql}),
 q AS (

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from timeseriesutils_spark.functions.exact import PRECISION
+from timeseriesutils_spark.functions.exact import PRECISION, dlit
 from timeseriesutils_spark.operators.window_features import _as_list, make_window
 
 __all__ = [
@@ -769,7 +769,7 @@ def growth_rates_sql(
     cov = f"({nn} * {s2d('_sxy')} - {s2d('_sx')} * {s2d('_sy')})"
     varx = f"({nn} * {s2d('_sxx')} - {s2d('_sx')} * {s2d('_sx')})"
     vary = f"({nn} * {s2d('_syy')} - {s2d('_sy')} * {s2d('_sy')})"
-    slope = f"({cov} / {varx} / {lm!r}e0)"
+    slope = f"({cov} / {varx} / {dlit(lm)})"
     return f"""
 WITH daily AS (
   SELECT {group_col} AS _g,
@@ -780,7 +780,7 @@ WITH daily AS (
 ),
 q AS (
   SELECT _g, _d AS _x,
-    CAST(FLOOR(ln(CAST(_tot AS DOUBLE) / 100.0) * {lm!r}e0 + 0.5) AS BIGINT) AS _y
+    CAST(FLOOR(ln(CAST(_tot AS DOUBLE) / 100.0) * {dlit(lm)} + 0.5) AS BIGINT) AS _y
   FROM daily
 ),
 agg AS (
@@ -792,7 +792,7 @@ agg AS (
 SELECT _g AS {group_col}, n_days,
   CASE WHEN {varx} <> 0 THEN {slope} END AS slope_ln,
   CASE WHEN {varx} <> 0 THEN
-    FLOOR((exp({slope}) - 1.0) * {om!r}e0 + 0.5) / {om!r}e0 END AS pct_per_day,
+    FLOOR((exp({slope}) - 1.0) * {dlit(om)} + 0.5) / {dlit(om)} END AS pct_per_day,
   CASE WHEN {varx} <> 0 AND {vary} <> 0
        THEN {cov} * {cov} / ({varx} * {vary}) END AS r2
 FROM agg

@@ -563,7 +563,12 @@ def corr_matrix(
     m = 10**scale
     q = lambda c: F.floor(F.col(c) * F.lit(m) + F.lit(0.5)).cast("bigint")  # noqa: E731
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    d = df.select(*[q(c).alias(f"_q_{c}") for c in columns])
+    # listwise deletion: one shared n must count exactly the rows every
+    # sum sees, else NULLs deflate the moments (ADVICE r4)
+    notnull = reduce(
+        lambda a, b: a & b, [F.col(c).isNotNull() for c in columns]
+    )
+    d = df.filter(notnull).select(*[q(c).alias(f"_q_{c}") for c in columns])
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in columns:
         aggs.append(F.sum(dec(F.col(f"_q_{c}"))).alias(f"_s_{c}"))
@@ -626,8 +631,9 @@ def corr_matrix_sql(
 FROM agg"""
         )
     body = "\nUNION ALL\n".join(unions)
+    where = " AND ".join(f"{c} IS NOT NULL" for c in columns)
     return f"""
-WITH agg AS (SELECT {', '.join(sel)} FROM {table})
+WITH agg AS (SELECT {', '.join(sel)} FROM {table} WHERE {where})
 {body}
 """
 

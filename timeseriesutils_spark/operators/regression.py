@@ -47,7 +47,13 @@ def grouped_ols2(
     groups = _as_list(group_columns)
     m = 10**scale
     q = lambda c: F.floor(F.col(c) * F.lit(m) + F.lit(0.5)).cast("bigint")  # noqa: E731
-    d = data.select(
+    # complete-case: n must count exactly the rows the sums see, else a
+    # NULL in any regressor deflates the normal equations (ADVICE r4)
+    d = data.filter(
+        F.col(y_col).isNotNull()
+        & F.col(x1_col).isNotNull()
+        & F.col(x2_col).isNotNull()
+    ).select(
         *groups,
         q(x1_col).alias("_x1"),
         q(x2_col).alias("_x2"),
@@ -117,6 +123,8 @@ def grouped_ols2_sql(
 WITH q AS (
   SELECT {g}, {qq(x1_col)} AS _x1, {qq(x2_col)} AS _x2, {qq(y_col)} AS _y
   FROM {table}
+  WHERE {y_col} IS NOT NULL AND {x1_col} IS NOT NULL
+    AND {x2_col} IS NOT NULL
 ),
 agg AS (
   SELECT {g}, COUNT(*) AS n,
@@ -196,7 +204,11 @@ def mahalanobis_outliers(
     groups = _as_list(group_columns)
     m = 10**scale
     q = lambda c: F.floor(F.col(c) * F.lit(m) + F.lit(0.5)).cast("bigint")  # noqa: E731
-    d = data.select(
+    # complete-case: rows with a NULL coordinate can be neither scored
+    # nor counted into the covariance (ADVICE r4)
+    d = data.filter(
+        F.col(x1_col).isNotNull() & F.col(x2_col).isNotNull()
+    ).select(
         *groups, *id_cols,
         F.col(x1_col).alias("_x1r"), F.col(x2_col).alias("_x2r"),
         q(x1_col).alias("_x1"), q(x2_col).alias("_x2"),
@@ -264,6 +276,7 @@ WITH d AS (
   SELECT {g}, {ids}, {x1_col} AS _x1r, {x2_col} AS _x2r,
     {qq(x1_col)} AS _x1, {qq(x2_col)} AS _x2
   FROM {table}
+  WHERE {x1_col} IS NOT NULL AND {x2_col} IS NOT NULL
 ),
 agg AS (
   SELECT {g}, COUNT(*) AS _n,

@@ -33,6 +33,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.exact import dlit
 from timeseriesutils_spark.operators.window_features import _as_list, make_window
 
 
@@ -898,7 +899,7 @@ SELECT {select_cols},
              - CAST(_si AS DOUBLE) * CAST(_sy AS DOUBLE))
             / (CAST(_n AS DOUBLE) * CAST(_sii AS DOUBLE)
                - CAST(_si AS DOUBLE) * CAST(_si AS DOUBLE))
-            / {float(m)!r}e0
+            / {dlit(m)}
   END AS {column}_slope
 FROM s
 """

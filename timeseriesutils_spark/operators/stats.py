@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.exact import dlit
 from timeseriesutils_spark.operators.window_features import _as_list
 
 __all__ = ["mode_per_group", "mode_per_group_sql", "winsorize", "winsorize_sql"]
@@ -128,7 +129,7 @@ def _qcont_sql(arr: str, n: str, q: float) -> str:
     literal carries an exponent suffix so DuckDB parses it as DOUBLE —
     a bare decimal literal would do DECIMAL arithmetic (exact) where
     Spark multiplies doubles, diverging at non-dyadic q like 0.9."""
-    h = f"(({n} - 1) * {float(q)!r}e0)"
+    h = f"(({n} - 1) * {dlit(q)})"
     lo = f"CAST(FLOOR({h}) AS INT)"
     frac = f"({h} - {lo})"
     base = f"CAST({arr}[{lo} + 1] AS DOUBLE)"
@@ -900,7 +901,11 @@ def anova_oneway(
     m = 10**scale
     x = F.floor(F.col(value_col) * F.lit(m) + F.lit(0.5)).cast("bigint")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    per = df.select(F.col(factor_col).alias("_g"), x.alias("_x")).groupBy("_g").agg(
+    # complete-case: COUNT(*) must count exactly the rows the SUMs see,
+    # else NULL values deflate the means and bias SS/F (ADVICE r4)
+    per = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(factor_col).alias("_g"), x.alias("_x")
+    ).groupBy("_g").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(dec(F.col("_x"))).alias("_s"),
         F.sum(dec(F.col("_x") * F.col("_x"))).alias("_ss"),
@@ -970,7 +975,8 @@ def anova_oneway_sql(
     mf = float(m * m)
     x = f"CAST(FLOOR({value_col} * {m} + 0.5) AS BIGINT)"
     return f"""
-WITH q AS (SELECT {factor_col} AS _g, {x} AS _x FROM {table}),
+WITH q AS (SELECT {factor_col} AS _g, {x} AS _x FROM {table}
+           WHERE {value_col} IS NOT NULL),
 per AS (
   SELECT _g, COUNT(*) AS _n, SUM(_x) AS _s, SUM(_x * _x) AS _ss
   FROM q GROUP BY _g
@@ -1032,9 +1038,12 @@ def welch_ttest(
     m = 10**scale
     x = F.floor(F.col(value_col) * F.lit(m) + F.lit(0.5)).cast("bigint")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    d = df.filter(F.col(group_col).isin([group_a, group_b])).select(
-        (F.col(group_col) == F.lit(group_a)).alias("_a"), x.alias("_x")
-    )
+    # complete-case: drop NULL values so n_a/n_b count exactly the rows
+    # the sums see (ADVICE r4)
+    d = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select((F.col(group_col) == F.lit(group_a)).alias("_a"), x.alias("_x"))
     agg = d.groupBy().agg(
         F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(~F.col("_a"), 1).otherwise(0)).alias("n_b"),
@@ -1095,6 +1104,7 @@ def welch_ttest_sql(
 WITH d AS (
   SELECT {group_col} = '{group_a}' AS _a, {x} AS _x
   FROM {table} WHERE {group_col} IN ('{group_a}', '{group_b}')
+    AND {value_col} IS NOT NULL
 ),
 agg AS (
   SELECT
@@ -1253,14 +1263,14 @@ WITH agg AS (
   SELECT {g}, COUNT(*) AS n,
     SUM(CASE WHEN {value_col} <= 0 THEN 1 ELSE 0 END) AS _bad,
     SUM(CASE WHEN {value_col} > 0 THEN
-      CAST(FLOOR(ln(CAST({value_col} AS DOUBLE)) * {lm!r}e0 + 0.5) AS BIGINT)
+      CAST(FLOOR(ln(CAST({value_col} AS DOUBLE)) * {dlit(lm)} + 0.5) AS BIGINT)
     END) AS _sl
   FROM {table} GROUP BY {g}
 )
 SELECT {g}, n,
   CASE WHEN _bad = 0 THEN
-    FLOOR(exp(CAST(CAST(_sl AS VARCHAR) AS DOUBLE) / {lm!r}e0 / CAST(n AS DOUBLE))
-          * {om!r}e0 + 0.5) / {om!r}e0
+    FLOOR(exp(CAST(CAST(_sl AS VARCHAR) AS DOUBLE) / {dlit(lm)} / CAST(n AS DOUBLE))
+          * {dlit(om)} + 0.5) / {dlit(om)}
   END AS gmean
 FROM agg
 """

@@ -455,7 +455,10 @@ def streaming_counter_rate(
                 continue
             pdf = pdf.sort_values(oc)
             v = pdf[value_col].to_numpy(dtype="float64")
-            q = np.floor(np.abs(v) * mult + 0.5).astype("int64")
+            # same quantizer as the batch closed form / SQL twin:
+            # FLOOR(v*mult + 0.5) — no abs(), else negative readings
+            # diverge from the oracle (ADVICE r4)
+            q = np.floor(v * mult + 0.5).astype("int64")
             if n == 0:
                 cur, prev = q[1:], q[:-1]
             else:
