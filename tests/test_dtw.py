@@ -73,3 +73,47 @@ def test_kernel_length_skew_stays_finite():
     y = np.linspace(0, 10, 100)
     d = dtw_kernel(x, y, band=10)
     assert math.isfinite(d)
+
+
+def test_kernel_engines_agree():
+    """The vectorized min-plus-scan kernel is the loop spec: equal to
+    1e-9 rel on float inputs, bit-identical on integer-valued inputs
+    (exact cumsum below 2^53), across band settings and length skews."""
+    from timeseriesutils_spark.operators.dtw import dtw_kernel_loop, dtw_kernel_vec
+
+    rng = np.random.default_rng(42)
+    for trial in range(120):
+        n = int(rng.integers(1, 70))
+        m = int(rng.integers(1, 70))
+        band = (None, 1, 3, 10)[trial % 4]
+        x, y = rng.normal(size=n), rng.normal(size=m)
+        a, b = dtw_kernel_loop(x, y, band), dtw_kernel_vec(x, y, band)
+        assert a == pytest.approx(b, rel=1e-9, abs=1e-12)
+        xi = rng.integers(0, 50, size=n).astype(float)
+        yi = rng.integers(0, 50, size=m).astype(float)
+        assert dtw_kernel_loop(xi, yi, band) == dtw_kernel_vec(xi, yi, band)
+
+
+def test_kernel_dispatcher_is_orientation_invariant():
+    """dtw_kernel canonicalizes to shorter-outer, so (x, y) and (y, x)
+    give the same double regardless of engine."""
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        x = rng.normal(size=int(rng.integers(1, 60)))
+        y = rng.normal(size=int(rng.integers(1, 60)))
+        band = (None, 2, 10)[trial % 3]
+        for eng in ("vec", "loop"):
+            assert dtw_kernel(x, y, band, eng) == dtw_kernel(y, x, band, eng)
+
+
+def test_kernel_full_band_symmetry():
+    """Unbanded DTW cost is symmetric in its arguments (the DP cell set
+    transposes exactly)."""
+    from timeseriesutils_spark.operators.dtw import dtw_kernel_loop
+
+    rng = np.random.default_rng(11)
+    for _ in range(30):
+        x = rng.normal(size=int(rng.integers(1, 40)))
+        y = rng.normal(size=int(rng.integers(1, 40)))
+        d1, d2 = dtw_kernel_loop(x, y, None), dtw_kernel_loop(y, x, None)
+        assert d1 == pytest.approx(d2, rel=1e-9, abs=1e-12)
