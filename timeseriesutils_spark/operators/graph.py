@@ -103,6 +103,33 @@ def pagerank(
 
     bcast = F.broadcast if broadcast_nodes else (lambda df: df)
     ranks = nodes.select("node", F.lit(init_q).cast("bigint").alias("rank_q"))
+    # Scope the loop's shuffle width to the node count: every per-round
+    # exchange (the incoming-mass groupBy, the rank rebuild) moves
+    # node-sized data, and running those at the session's full
+    # shuffle.partitions is pure task-scheduling overhead when nodes are
+    # small (AQE's coalescing keeps >= defaultParallelism partitions by
+    # default — parallelismFirst — so it never shrinks these).  ~250k
+    # nodes per partition keeps partitions well under memory at any
+    # scale; never widen beyond the session setting.  Measured 5.0 →
+    # 2.8 s warm at sf0.1 (21k nodes: 32 → 8-way rounds).
+    spark = edges.sparkSession
+    cur_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = min(int(cur_parts), max(8, n_nodes // 250_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        ranks = _pagerank_rounds(
+            ranks, nodes, deg, e, bcast, n_iter, base_q, d_num, d_den
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur_parts)
+    return ranks.select(
+        "node",
+        "rank_q",
+        (F.col("rank_q").cast("double") / F.lit(float(scale))).alias("rank"),
+    )
+
+
+def _pagerank_rounds(ranks, nodes, deg, e, bcast, n_iter, base_q, d_num, d_den):
     for it in range(n_iter):
         rd = ranks.join(bcast(deg), ranks.node == deg.src).select(
             "src", "rank_q", "outdeg"
@@ -131,11 +158,7 @@ def pagerank(
             # and every subsequent stage over it pays per-task overhead ×
             # partition count
             ranks = ranks.coalesce(8).localCheckpoint(eager=True)
-    return ranks.select(
-        "node",
-        "rank_q",
-        (F.col("rank_q").cast("double") / F.lit(float(scale))).alias("rank"),
-    )
+    return ranks
 
 
 def pagerank_sql(
