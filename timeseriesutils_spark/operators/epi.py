@@ -1,0 +1,442 @@
+"""Epidemiological-forecasting operators — the domain family the
+reference serves (reichlab: case-count series, forecast targets,
+evaluation; SURVEY §1).  The reference's featurize surface produces
+model *inputs*; these operators cover the surrounding workflow a
+forecast-hub user runs on the same tables: a renewal-equation
+reproduction-number estimate, a reporting-delay (chain-ladder) nowcast,
+and proper-scoring-rule evaluation of quantile forecasts.
+
+Scale/exactness discipline (the repo standard): counts stay exact
+int64/DECIMAL through every aggregation; doubles appear only in final
+fixed-shape expression trees mirrored verbatim by the DuckDB twins; all
+aggregations are map-combinable single exchanges; the only window
+functions are per-group LAG/arrays bounded by the series length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.functions.exact import dlit
+from timeseriesutils_spark.operators.window_features import _as_list
+
+__all__ = [
+    "renewal_rt",
+    "renewal_rt_sql",
+    "nowcast_triangle",
+    "nowcast_triangle_sql",
+    "pinball_scores",
+    "pinball_scores_sql",
+]
+
+
+# --------------------------------------------------------------------------
+# renewal-equation Rt
+# --------------------------------------------------------------------------
+
+
+def renewal_rt(
+    counts: DataFrame,
+    count_col: str,
+    day_col: str,
+    group_columns,
+    weights: tuple[int, ...] = (1, 2, 3, 2, 1),
+    min_count: int = 1,
+) -> DataFrame:
+    """Instantaneous reproduction number via the renewal equation:
+
+        R_t = n_t / Σ_s w_s · n_{t−s},   w = weights / Σ weights
+
+    with an integer-quantized serial-interval kernel ``weights`` (the
+    discretized generation-interval pmf; integers keep the force of
+    infection Λ_t exact).  The day grid is densified per group from its
+    first to last observed day with zero counts in the gaps — the epi
+    convention (no report = no cases), and required for the lag kernel
+    to mean "s days ago" rather than "s records ago".
+
+    R_t is NULL until a full kernel of history exists, and when the
+    force of infection is zero (0/0 days at a series tail).
+    ``min_count`` additionally suppresses estimates on days with fewer
+    observed cases than the floor (low-count Rt is noise).
+
+    Scale shape: one groupBy for the spine bounds, one (group)-keyed
+    left join onto the generated grid (co-partitioned — both sides hash
+    on the group), one window pass for the lags.  Σw·lag is a fixed
+    linear combination — codegen-resident, no shuffle beyond the one
+    exchange the window needs.
+
+    Returns (groups…, day, n, force_q, rt): ``force_q`` = Σ w_s·n_{t−s}
+    exact int64; ``rt`` = (n·Σw)/force_q as double.
+    """
+    g = _as_list(group_columns)
+    W = [int(x) for x in weights]
+    if not W or any(x <= 0 for x in W):
+        raise ValueError("weights must be positive integers")
+    D = sum(W)
+    n = F.col(count_col).cast("bigint")
+    d = counts.select(*g, F.col(day_col).alias("_day"), n.alias("_n"))
+    spine = (
+        d.groupBy(*g)
+        .agg(F.min("_day").alias("_lo"), F.max("_day").alias("_hi"))
+        .select(*g, F.explode(F.sequence("_lo", "_hi")).alias("_day"))
+    )
+    filled = spine.join(d, on=[*g, "_day"], how="left").select(
+        *g, "_day", F.coalesce("_n", F.lit(0).cast("bigint")).alias("_n")
+    )
+    w = Window.partitionBy(*g).orderBy("_day")
+    force = None
+    for s, wt in enumerate(W, start=1):
+        term = F.lit(wt).cast("bigint") * F.lag("_n", s).over(w)
+        force = term if force is None else force + term
+    rt = F.when(
+        force.isNotNull() & (force > 0) & (F.col("_n") >= min_count),
+        (F.col("_n") * F.lit(D)).cast("double") / force.cast("double"),
+    )
+    return filled.select(
+        *g,
+        F.col("_day").alias(day_col),
+        F.col("_n").alias(count_col),
+        force.alias("force_q"),
+        rt.alias("rt"),
+    )
+
+
+def renewal_rt_sql(
+    counts_sql: str,
+    count_col: str,
+    day_col: str,
+    group_columns,
+    weights: tuple[int, ...] = (1, 2, 3, 2, 1),
+    min_count: int = 1,
+) -> str:
+    """DuckDB twin of :func:`renewal_rt`; ``counts_sql`` is a SELECT
+    producing (groups…, day_col, count_col)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    W = [int(x) for x in weights]
+    D = sum(W)
+    over = f"(PARTITION BY {gsel} ORDER BY _day)"
+    force = " + ".join(
+        f"CAST({wt} AS BIGINT) * LAG(_n, {s}) OVER {over}"
+        for s, wt in enumerate(W, start=1)
+    )
+    return f"""
+WITH src AS (
+  SELECT {gsel}, {day_col} AS _day, CAST({count_col} AS BIGINT) AS _n
+  FROM ({counts_sql})
+),
+b AS (SELECT {gsel}, MIN(_day) AS _lo, MAX(_day) AS _hi FROM src GROUP BY {gsel}),
+spine AS (SELECT {gsel}, UNNEST(generate_series(_lo, _hi)) AS _day FROM b),
+filled AS (
+  SELECT s.*, COALESCE(d._n, CAST(0 AS BIGINT)) AS _n
+  FROM spine s LEFT JOIN src d USING ({gsel}, _day)
+),
+k AS (SELECT {gsel}, _day, _n, ({force}) AS force_q FROM filled)
+SELECT {gsel}, _day AS {day_col}, _n AS {count_col}, force_q,
+  CASE WHEN force_q IS NOT NULL AND force_q > 0 AND _n >= {min_count}
+       THEN CAST(_n * {D} AS DOUBLE) / CAST(force_q AS DOUBLE) END AS rt
+FROM k
+"""
+
+
+# --------------------------------------------------------------------------
+# chain-ladder reporting-delay nowcast
+# --------------------------------------------------------------------------
+
+
+def nowcast_triangle(
+    events: DataFrame,
+    occ_col: str,
+    delay_col: str,
+    max_delay: int,
+) -> DataFrame:
+    """Chain-ladder nowcast over a reporting-delay triangle: events
+    occur in period ``occ_col`` (integer, e.g. week index) and are
+    reported ``delay_col`` periods later (clamped into 0..``max_delay``).
+    Recent occurrence periods are right-censored — their late reports
+    have not arrived — and the nowcast estimates the eventual total from
+    the development pattern of fully-observed history.
+
+    Classic chain-ladder: with the as-of period T = max(occ + delay)
+    observed, the triangle's known region is delay ≤ T − occ.  Each
+    development factor
+
+        f_d = Σ_occ K[occ, d+1] / Σ_occ K[occ, d]   over occ ≤ T − (d+1)
+
+    is a ratio of two exact int64 sums of cumulative counts (summed
+    over exactly the periods that have observed BOTH levels — the
+    standard volume-weighted estimator).  The ultimate for a period
+    with observed depth d* is K[occ, d*] · Π_{d=d*}^{max_delay−1} f_d;
+    ``max_delay`` is small (reporting tails are short), so the products
+    unroll as fixed per-depth expression chains, multiplied high-d →
+    low-d — one shared tree with the twin, no exp/ln.
+
+    Scale shape: one groupBy over (occ, delay) — map-combinable, output
+    bounded by periods × delays — then all remaining algebra happens on
+    that tiny frame (one-row factor aggregate broadcast back).  The
+    event table is scanned once.
+
+    Returns (occ, observed_depth, reported_q, ultimate, outstanding):
+    ``reported_q`` exact int64 cumulative-to-date, ``ultimate`` the
+    chain-ladder estimate (double), ``outstanding`` = ultimate −
+    reported.
+    """
+    if max_delay < 1:
+        raise ValueError("max_delay must be >= 1")
+    occ = F.col(occ_col).cast("bigint")
+    delay = F.least(
+        F.greatest(F.col(delay_col).cast("bigint"), F.lit(0)), F.lit(max_delay)
+    )
+    tri = (
+        events.select(occ.alias("_occ"), delay.alias("_d"))
+        .groupBy("_occ", "_d")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # as-of period: latest (occ + delay) actually observed
+    asof = tri.agg(F.max(F.col("_occ") + F.col("_d")).alias("_T"))
+    w = Window.partitionBy("_occ").orderBy("_d")
+    cum = tri.withColumn("_k", F.sum("_c").over(w)).crossJoin(F.broadcast(asof))
+    # cumulative at each observed depth, only inside the known region
+    cum = cum.filter(F.col("_d") <= F.col("_T") - F.col("_occ"))
+    # development factors: pair K[occ,d] with K[occ,d+1] per occ (the
+    # known-region filter on the d+1 row already restricts to periods
+    # that have observed both levels)
+    nxt = cum.select(
+        F.col("_occ").alias("_occ2"),
+        F.col("_d").alias("_dnext"),
+        F.col("_k").alias("_knext"),
+    )
+    paired = cum.join(
+        nxt,
+        (F.col("_occ") == F.col("_occ2"))
+        & (F.col("_dnext") == F.col("_d") + 1),
+    )
+    factors = paired.groupBy("_d").agg(
+        F.sum("_knext").alias("_num"), F.sum("_k").alias("_den")
+    )
+    # one guaranteed row even when a level has no pairs (NULL there):
+    # pivot the <= max_delay factor levels into columns
+    fwide = factors.agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("_d") == d,
+                    F.col("_num").cast("double") / F.col("_den").cast("double"),
+                )
+            ).alias(f"_f{d}")
+            for d in range(max_delay)
+        ]
+    )
+    latest = cum.groupBy("_occ").agg(
+        F.max("_d").alias("_dstar"), F.max("_k").alias("_kstar")
+    )
+    out = latest.crossJoin(F.broadcast(fwide))
+    # ultimate = kstar * f_{dstar} * ... * f_{max_delay-1}, multiplied
+    # low-d -> high-d in a left-to-right chain per CASE arm; a level with
+    # no observed development pairs contributes factor 1 (no information)
+    arms = F.when(F.col("_dstar") >= max_delay, F.col("_kstar").cast("double"))
+    for dstar in range(max_delay - 1, -1, -1):
+        expr = F.col("_kstar").cast("double")
+        for d in range(dstar, max_delay):
+            expr = expr * F.coalesce(F.col(f"_f{d}"), F.lit(1.0))
+        arms = arms.when(F.col("_dstar") == dstar, expr)
+    return out.select(
+        F.col("_occ").alias("occ"),
+        F.col("_dstar").cast("bigint").alias("observed_depth"),
+        F.col("_kstar").alias("reported_q"),
+        arms.alias("ultimate"),
+        (arms - F.col("_kstar").cast("double")).alias("outstanding"),
+    )
+
+
+def nowcast_triangle_sql(
+    events_sql: str,
+    occ_col: str,
+    delay_col: str,
+    max_delay: int,
+) -> str:
+    """DuckDB twin of :func:`nowcast_triangle`; ``events_sql`` is a
+    SELECT producing (occ_col, delay_col)."""
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    fcols = ", ".join(
+        f"MAX(CASE WHEN _d = {d} THEN {s2d('_num')} / {s2d('_den')} END) AS _f{d}"
+        for d in range(max_delay)
+    )
+    arms = []
+    for dstar in range(max_delay - 1, -1, -1):
+        chain = "CAST(_kstar AS DOUBLE)"
+        for d in range(dstar, max_delay):
+            chain = f"({chain} * COALESCE(_f{d}, 1.0))"
+        arms.append(f"WHEN _dstar = {dstar} THEN {chain}")
+    case = (
+        f"CASE WHEN _dstar >= {max_delay} THEN CAST(_kstar AS DOUBLE) "
+        + " ".join(arms)
+        + " END"
+    )
+    return f"""
+WITH tri AS (
+  SELECT CAST({occ_col} AS BIGINT) AS _occ,
+    LEAST(GREATEST(CAST({delay_col} AS BIGINT), 0), {max_delay}) AS _d,
+    COUNT(*) AS _c
+  FROM ({events_sql})
+  GROUP BY 1, 2
+),
+cutoff AS (SELECT MAX(_occ + _d) AS _T FROM tri),
+cum AS (
+  SELECT _occ, _d,
+    CAST(SUM(_c) OVER (PARTITION BY _occ ORDER BY _d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS _k
+  FROM tri CROSS JOIN cutoff
+  WHERE _d <= _T - _occ
+),
+paired AS (
+  SELECT c._d, n._k AS _knext, c._k
+  FROM cum c JOIN cum n ON c._occ = n._occ AND n._d = c._d + 1
+),
+factors AS (
+  SELECT _d, CAST(SUM(_knext) AS BIGINT) AS _num, CAST(SUM(_k) AS BIGINT) AS _den
+  FROM paired GROUP BY _d
+),
+fwide AS (SELECT {fcols} FROM factors),
+latest AS (
+  SELECT _occ, MAX(_d) AS _dstar, MAX(_k) AS _kstar FROM cum GROUP BY _occ
+),
+wide AS (SELECT latest.*, fwide.* FROM latest CROSS JOIN fwide)
+SELECT _occ AS occ, CAST(_dstar AS BIGINT) AS observed_depth,
+  _kstar AS reported_q,
+  {case} AS ultimate,
+  ({case}) - CAST(_kstar AS DOUBLE) AS outstanding
+FROM wide
+"""
+
+
+# --------------------------------------------------------------------------
+# quantile-forecast evaluation (pinball / interval scores)
+# --------------------------------------------------------------------------
+
+
+def pinball_scores(
+    forecasts: DataFrame,
+    actual_col: str,
+    quantile_cols: dict[float, str],
+    group_columns,
+    interval: tuple[float, float] | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Proper-scoring-rule evaluation of quantile forecasts — the
+    forecast-hub scoring step (pinball loss per quantile level; mean
+    pinball across levels approximates the weighted interval score up
+    to a constant, and empirical central-interval coverage).
+
+    ``quantile_cols`` maps level q → forecast column.  Per row:
+
+        pinball_q = (y − f_q)·q        if y ≥ f_q
+                    (f_q − y)·(1 − q)  otherwise
+
+    Per-row doubles are floor-quantized to 10^-scale units and
+    accumulated in DECIMAL (order-independent — the repo's exact-mean
+    discipline), so group means are bit-identical across engines.
+    ``interval=(lo_q, hi_q)`` adds the empirical coverage of that
+    central interval (exact integer count / n).
+
+    One map-combinable aggregation; output = one row per group.
+    Returns (groups…, n, pinball_q{…} means, mean_pinball, coverage).
+    """
+    g = _as_list(group_columns)
+    m = 10**scale
+    y = F.col(actual_col).cast("double")
+    rows = forecasts.filter(y.isNotNull())
+    aggs = [F.count(F.lit(1)).alias("n")]
+    qnames = []
+    for q, col in sorted(quantile_cols.items()):
+        fq = F.col(col).cast("double")
+        loss = F.when(y >= fq, (y - fq) * F.lit(float(q))).otherwise(
+            (fq - y) * F.lit(1.0 - float(q))
+        )
+        lq = F.floor(loss * F.lit(m) + F.lit(0.5)).cast("decimal(38,0)")
+        nm = f"pinball_{int(round(q * 100)):02d}"
+        qnames.append(nm)
+        aggs.append(F.sum(lq).alias(f"_s_{nm}"))
+    if interval is not None:
+        lo, hi = interval
+        flo = F.col(quantile_cols[lo]).cast("double")
+        fhi = F.col(quantile_cols[hi]).cast("double")
+        aggs.append(
+            F.sum(((y >= flo) & (y <= fhi)).cast("bigint")).alias("_cov")
+        )
+    agg = rows.groupBy(*g).agg(*aggs)
+    nn = F.col("n").cast("double")
+    means = [
+        (
+            F.col(f"_s_{nm}").cast("string").cast("double")
+            / F.lit(float(m))
+            / nn
+        ).alias(nm)
+        for nm in qnames
+    ]
+    total = None
+    for nm in qnames:
+        t = F.col(f"_s_{nm}").cast("string").cast("double")
+        total = t if total is None else total + t
+    mean_pinball = (
+        total / F.lit(float(m)) / nn / F.lit(float(len(qnames)))
+    ).alias("mean_pinball")
+    out = [*g, F.col("n"), *means, mean_pinball]
+    if interval is not None:
+        out.append((F.col("_cov").cast("double") / nn).alias("coverage"))
+    return agg.select(*out)
+
+
+def pinball_scores_sql(
+    forecasts_sql: str,
+    actual_col: str,
+    quantile_cols: dict[float, str],
+    group_columns,
+    interval: tuple[float, float] | None = None,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pinball_scores`; ``forecasts_sql`` is a
+    SELECT producing groups, actual, and the quantile columns."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    aggs = ["COUNT(*) AS n"]
+    qnames = []
+    for q, col in sorted(quantile_cols.items()):
+        nm = f"pinball_{int(round(q * 100)):02d}"
+        qnames.append(nm)
+        loss = (
+            f"CASE WHEN CAST({actual_col} AS DOUBLE) >= CAST({col} AS DOUBLE) "
+            f"THEN (CAST({actual_col} AS DOUBLE) - CAST({col} AS DOUBLE)) * {dlit(float(q))} "
+            f"ELSE (CAST({col} AS DOUBLE) - CAST({actual_col} AS DOUBLE)) * {dlit(1.0 - float(q))} END"
+        )
+        aggs.append(
+            f"SUM(CAST(FLOOR(({loss}) * {m} + 0.5) AS DECIMAL(38,0))) AS _s_{nm}"
+        )
+    if interval is not None:
+        lo, hi = interval
+        aggs.append(
+            f"CAST(SUM(CASE WHEN CAST({actual_col} AS DOUBLE) >= CAST({quantile_cols[lo]} AS DOUBLE) "
+            f"AND CAST({actual_col} AS DOUBLE) <= CAST({quantile_cols[hi]} AS DOUBLE) "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS _cov"
+        )
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    means = [
+        f"{s2d(f'_s_{nm}')} / {dlit(float(m))} / CAST(n AS DOUBLE) AS {nm}"
+        for nm in qnames
+    ]
+    total = " + ".join(s2d(f"_s_{nm}") for nm in qnames)
+    sel = [gsel, "n", *means,
+           f"({total}) / {dlit(float(m))} / CAST(n AS DOUBLE) / {dlit(float(len(qnames)))} AS mean_pinball"]
+    if interval is not None:
+        sel.append("CAST(_cov AS DOUBLE) / CAST(n AS DOUBLE) AS coverage")
+    return f"""
+WITH agg AS (
+  SELECT {gsel}, {', '.join(aggs)}
+  FROM ({forecasts_sql})
+  WHERE {actual_col} IS NOT NULL
+  GROUP BY {gsel}
+)
+SELECT {', '.join(sel)} FROM agg
+"""

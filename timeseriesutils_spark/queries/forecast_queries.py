@@ -1000,3 +1000,184 @@ def _sql_id_gap_audit():
 
 
 QUERIES.update({"id_gap_audit": Q(q_id_gap_audit, _sql_id_gap_audit())})
+
+
+# --- epi-forecast family (operators/epi.py) -------------------------------
+
+_ORD_DAY_SQL = (
+    "CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) "
+    "AS BIGINT)"
+)
+_RT_WEIGHTS = (1, 2, 3, 2, 1)
+
+
+def q_renewal_rt(spark, sf_dir):
+    """Renewal-equation reproduction number (operators/epi.renewal_rt):
+    daily order counts per priority class as the incidence series,
+    integer serial-interval kernel (1,2,3,2,1)/9, zero-filled day grid.
+    Exact int64 force of infection; Rt is one double division."""
+    from timeseriesutils_spark.operators.epi import renewal_rt
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("day"),
+        )
+        .groupBy("o_orderpriority", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return renewal_rt(
+        counts, "n", "day", ["o_orderpriority"], weights=_RT_WEIGHTS
+    )
+
+
+def _sql_renewal_rt():
+    from timeseriesutils_spark.operators.epi import renewal_rt_sql
+
+    counts = (
+        f"SELECT o_orderpriority, {_ORD_DAY_SQL} AS day, COUNT(*) AS n "
+        "FROM orders GROUP BY 1, 2"
+    )
+    return renewal_rt_sql(
+        counts, "n", "day", ["o_orderpriority"], weights=_RT_WEIGHTS
+    )
+
+
+QUERIES.update({"renewal_rt": Q(q_renewal_rt, _sql_renewal_rt())})
+
+_NOWCAST_MAX_DELAY = 4
+
+
+def q_nowcast_triangle(spark, sf_dir):
+    """Chain-ladder reporting-delay nowcast (operators/epi.
+    nowcast_triangle): order week = occurrence period, weeks from order
+    to line shipment = reporting delay (orders⋈lineitem — the broadcast
+    star join); recent weeks are right-censored and the development
+    factors (exact-int ratios) project their ultimates."""
+    from timeseriesutils_spark.operators.epi import nowcast_triangle
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    oday = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("bigint")
+    sday = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+    ).cast("bigint")
+    ev = j.select(
+        (oday / F.lit(7)).cast("bigint").alias("occ_week"),
+        ((sday - oday) / F.lit(7)).cast("bigint").alias("delay_weeks"),
+    )
+    return nowcast_triangle(
+        ev, "occ_week", "delay_weeks", max_delay=_NOWCAST_MAX_DELAY
+    )
+
+
+def _sql_nowcast_triangle():
+    from timeseriesutils_spark.operators.epi import nowcast_triangle_sql
+
+    ev = (
+        "SELECT CAST(CAST(datediff('day', DATE '1992-01-01', "
+        "CAST(o_orderdate AS DATE)) AS BIGINT) // 7 AS BIGINT) AS occ_week, "
+        "CAST((CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) "
+        "AS BIGINT) - CAST(datediff('day', DATE '1992-01-01', "
+        "CAST(o_orderdate AS DATE)) AS BIGINT)) // 7 AS BIGINT) AS delay_weeks "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    )
+    return nowcast_triangle_sql(
+        ev, "occ_week", "delay_weeks", max_delay=_NOWCAST_MAX_DELAY
+    )
+
+
+QUERIES.update({"nowcast_triangle": Q(q_nowcast_triangle, _sql_nowcast_triangle())})
+
+
+_PB_W = 28
+_PB_QS = (0.1, 0.5, 0.9)
+
+
+def q_pinball_eval(spark, sf_dir):
+    """Quantile-forecast scoring (operators/epi.pinball_scores): the
+    trailing-28-observation empirical-quantile forecaster (q ∈ {.1,.5,.9},
+    the engine-pinned sorted-array lerp) is scored on each next
+    observation of the per-supplier daily price series — pinball loss
+    per level + mean + 80%-interval empirical coverage, aggregated per
+    supplier cohort with the DECIMAL exact-mean discipline.  The whole
+    pipeline (forecast construction + scoring) is two window passes and
+    one map-combinable aggregation."""
+    from timeseriesutils_spark.operators.epi import pinball_scores
+    from timeseriesutils_spark.operators.series_math import _lerp_sorted
+    from timeseriesutils_spark.queries.series_queries import _daily
+    from pyspark.sql import Window
+
+    d = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("ship_day")
+        .rowsBetween(-_PB_W, -1)
+    )
+    arr = F.sort_array(F.collect_list("day_price").over(w))
+    fc = (
+        d.select(
+            (F.col("l_suppkey") % 10).alias("cohort"),
+            F.col("day_price"),
+            arr.alias("_arr"),
+        )
+        .filter(F.size("_arr") == _PB_W)
+        .select(
+            "cohort",
+            "day_price",
+            *[
+                _lerp_sorted(F.col("_arr"), q).alias(f"f{int(q * 100):02d}")
+                for q in _PB_QS
+            ],
+        )
+    )
+    return pinball_scores(
+        fc,
+        "day_price",
+        {q: f"f{int(q * 100):02d}" for q in _PB_QS},
+        ["cohort"],
+        interval=(0.1, 0.9),
+    )
+
+
+def _sql_pinball_eval():
+    from timeseriesutils_spark.operators.epi import pinball_scores_sql
+    from timeseriesutils_spark.operators.series_math import _lerp_sorted_sql
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    over = (
+        "(PARTITION BY l_suppkey ORDER BY ship_day "
+        f"ROWS BETWEEN {_PB_W} PRECEDING AND 1 PRECEDING)"
+    )
+    qcols = ", ".join(
+        f"{_lerp_sorted_sql('_arr', q)} AS f{int(q * 100):02d}" for q in _PB_QS
+    )
+    fc = f"""
+SELECT cohort, day_price, {qcols}
+FROM (
+  SELECT l_suppkey % 10 AS cohort, day_price,
+    list_sort(list(day_price) OVER {over}) AS _arr
+  FROM ({_SQL_DAILY})
+) WHERE len(_arr) = {_PB_W}
+"""
+    return pinball_scores_sql(
+        fc,
+        "day_price",
+        {q: f"f{int(q * 100):02d}" for q in _PB_QS},
+        ["cohort"],
+        interval=(0.1, 0.9),
+    )
+
+
+QUERIES.update({"pinball_eval": Q(q_pinball_eval, _sql_pinball_eval())})
