@@ -529,3 +529,40 @@ def test_peak_concurrency_overlaps(spark):
     assert out["2024-01-01"].peak_concurrent == 3
     assert out["2024-01-02"].peak_concurrent == 1
     assert out["2024-01-01"].n_sessions_touching == 4
+
+
+def test_dirichlet_lm_prefers_matching_docs(spark):
+    from timeseriesutils_spark.operators.text import dirichlet_lm_search
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins windows spark"),
+            (2, "spark only once here today"),
+            (3, "nothing relevant at all friend"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dirichlet_lm_search(docs, terms=("spark",), mu=10.0, top_k=10).collect()
+    got = {r.doc_id: r.score for r in out}
+    # doc 3 never matches a term -> not a candidate
+    assert set(got) == {1, 2}
+    assert got[1] > got[2]
+    # closed form for doc 1: tf=2, dl=4, cf=3, T=14 (13 words? count):
+    # corpus tokens = 4 + 5 + 5 = 14
+    expect = math.log((2 + 10.0 * (3 / 14)) / (4 + 10.0))
+    assert got[1] == math.floor(expect * 1e6 + 0.5) / 1e6
+
+
+def test_dirichlet_lm_absent_corpus_term_contributes_zero(spark):
+    from timeseriesutils_spark.operators.text import dirichlet_lm_search
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha beta")],
+        "doc_id long, text string",
+    )
+    both = dirichlet_lm_search(docs, terms=("alpha",), mu=5.0).collect()
+    with_ghost = dirichlet_lm_search(docs, terms=("alpha", "zzz"), mu=5.0).collect()
+    assert {(r.doc_id, r.score) for r in both} == {
+        (r.doc_id, r.score) for r in with_ghost
+    }

@@ -77,3 +77,31 @@ def test_mahalanobis_singular_group_empty(spark):
     rows = [("g", i, float(i), float(2 * i)) for i in range(50)]
     df = spark.createDataFrame(rows, "g string, id long, x1 double, x2 double")
     assert mahalanobis_outliers(df, "x1", "x2", ["g"], ["id"]).count() == 0
+
+
+def test_theilsen_recovers_line_through_outliers(spark):
+    from timeseriesutils_spark.operators.regression import theilsen_slope
+
+    # y = 3 + 2t with two wild outliers; OLS would bend, Theil-Sen not
+    rows = []
+    for t in range(21):
+        y = 3.0 + 2.0 * t
+        if t in (5, 12):
+            y += 500.0
+        rows.append(("a", t, y))
+    df = spark.createDataFrame(rows, "g string, t long, y double")
+    out = theilsen_slope(df, "y", "t", ["g"], scale=2).collect()[0]
+    assert out.n_obs == 21
+    assert out.n_pairs == 21 * 20 // 2
+    assert out.slope == 2.0
+    assert out.intercept == 3.0
+
+
+def test_theilsen_null_rows_dropped(spark):
+    from timeseriesutils_spark.operators.regression import theilsen_slope
+
+    rows = [("a", 0, 1.0), ("a", 1, None), ("a", 2, 5.0), ("a", 3, 7.0)]
+    df = spark.createDataFrame(rows, "g string, t long, y double")
+    out = theilsen_slope(df, "y", "t", ["g"], scale=2).collect()[0]
+    assert out.n_obs == 3
+    assert out.n_pairs == 3

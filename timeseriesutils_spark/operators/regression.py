@@ -316,3 +316,133 @@ sc AS (
 SELECT {g}, {ids}, _x1r AS {x1_col}, _x2r AS {x2_col}, d2
 FROM sc WHERE d2 > {threshold!r}
 """
+
+
+def theilsen_slope(
+    data: DataFrame,
+    y_col: str,
+    t_col: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend: slope = median of all pairwise
+    slopes (y_j − y_i)/(t_j − t_i) over t_i < t_j, intercept = median of
+    the residuals y_i − slope·t_i.  Breakdown point ~29% — the trend
+    estimate OLS can't give when a chunk of the series is corrupted
+    (reporting artifacts, backfills — the reference domain's reality).
+
+    Exactness: y is quantized to integer units; each pairwise slope is
+    one double division of exact int64 differences; medians use the
+    engine-pinned sorted-array lerp (series_math._lerp_sorted), so both
+    stages are bit-identical across engines.
+
+    Scale shape: the pair stage is an explicit self-join — O(n²/2) rows
+    per group, the textbook estimator.  It is the right tool for the
+    aggregated series it targets (weekly/daily rollups: n ≈ 10²–10³ →
+    ≤ ~10⁶ pairs per group, one co-partitioned join + one groupBy).  For
+    monster raw series, aggregate first (the declared query does) or
+    sample pairs; the repeated-median variant is a different estimator,
+    not a drop-in.
+
+    Returns (groups…, n_obs, n_pairs, slope, intercept).
+    """
+    from timeseriesutils_spark.operators.series_math import _lerp_sorted
+
+    g = _as_list(group_columns)
+    m = 10**scale
+    qy = F.floor(F.col(y_col) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    d = data.filter(
+        F.col(y_col).isNotNull() & F.col(t_col).isNotNull()
+    ).select(*g, F.col(t_col).cast("bigint").alias("_t"), qy.alias("_qy"))
+    a = d.select(*g, F.col("_t").alias("_t1"), F.col("_qy").alias("_q1"))
+    b = d.select(*g, F.col("_t").alias("_t2"), F.col("_qy").alias("_q2"))
+    pairs = a.join(b, on=g).filter(F.col("_t1") < F.col("_t2"))
+    slope_pair = (
+        (F.col("_q2") - F.col("_q1")).cast("double")
+        / (F.col("_t2") - F.col("_t1")).cast("double")
+        / F.lit(float(m))
+    )
+    sl = (
+        pairs.select(*g, slope_pair.alias("_s"))
+        .groupBy(*g)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sort_array(F.collect_list("_s")).alias("_arr"),
+        )
+        .select(*g, "n_pairs", _lerp_sorted(F.col("_arr"), 0.5).alias("slope"))
+    )
+    resid = (
+        d.join(sl, on=g)
+        .select(
+            *g,
+            "n_pairs",
+            "slope",
+            (
+                F.col("_qy").cast("double") / F.lit(float(m))
+                - F.col("slope") * F.col("_t").cast("double")
+            ).alias("_r"),
+        )
+        .groupBy(*g, "n_pairs", "slope")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sort_array(F.collect_list("_r")).alias("_rarr"),
+        )
+    )
+    return resid.select(
+        *g,
+        "n_obs",
+        "n_pairs",
+        "slope",
+        _lerp_sorted(F.col("_rarr"), 0.5).alias("intercept"),
+    )
+
+
+def theilsen_slope_sql(
+    data_sql: str,
+    y_col: str,
+    t_col: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`theilsen_slope`; ``data_sql`` is a SELECT
+    producing (groups…, t_col, y_col)."""
+    from timeseriesutils_spark.functions.exact import dlit
+    from timeseriesutils_spark.operators.series_math import _lerp_sorted_sql
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    med_s = _lerp_sorted_sql("_arr", 0.5)
+    med_r = _lerp_sorted_sql("_rarr", 0.5)
+    return f"""
+WITH d AS (
+  SELECT {gsel}, CAST({t_col} AS BIGINT) AS _t,
+    CAST(FLOOR({y_col} * {m} + 0.5) AS BIGINT) AS _qy
+  FROM ({data_sql})
+  WHERE {y_col} IS NOT NULL AND {t_col} IS NOT NULL
+),
+pairs AS (
+  SELECT {', '.join('a.' + c for c in g)},
+    CAST(b._qy - a._qy AS DOUBLE) / CAST(b._t - a._t AS DOUBLE)
+      / {dlit(float(m))} AS _s
+  FROM d a JOIN d b USING ({gsel})
+  WHERE a._t < b._t
+),
+sl AS (
+  SELECT {gsel}, COUNT(*) AS n_pairs, list_sort(list(_s)) AS _arr
+  FROM pairs GROUP BY {gsel}
+),
+sl2 AS (SELECT {gsel}, n_pairs, {med_s} AS slope FROM sl),
+resid AS (
+  SELECT {', '.join('d.' + c for c in g)}, n_pairs, slope,
+    CAST(d._qy AS DOUBLE) / {dlit(float(m))} - slope * CAST(d._t AS DOUBLE) AS _r
+  FROM d JOIN sl2 USING ({gsel})
+),
+ragg AS (
+  SELECT {gsel}, n_pairs, slope, COUNT(*) AS n_obs,
+    list_sort(list(_r)) AS _rarr
+  FROM resid GROUP BY {gsel}, n_pairs, slope
+)
+SELECT {gsel}, n_obs, n_pairs, slope, {med_r} AS intercept
+FROM ragg
+"""

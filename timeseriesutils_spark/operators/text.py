@@ -1239,3 +1239,136 @@ WITH l AS (SELECT {id_col} AS id, {line} AS line FROM {table})
 SELECT id, line, md5(line) AS line_md5, CAST(LENGTH(line) AS BIGINT) AS n_bytes
 FROM l
 """
+
+
+def dirichlet_lm_search(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = 100.0,
+    top_k: int = 20,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing — the
+    language-modeling complement to :func:`bm25_search` (Zhai & Lafferty
+    smoothing):
+
+        score(d|Q) = Σ_t ln( (tf_{t,d} + μ·cf_t/|C|) / (dl_d + μ) )
+
+    with cf_t the collection frequency and |C| total corpus tokens.
+    Candidates = docs containing ≥1 query term (the standard posting
+    shortcut; absent terms still contribute their smoothed background
+    probability for candidate docs).  Terms absent from the whole
+    corpus (cf = 0) are dropped — the background model assigns them no
+    mass.
+
+    Exactness contract (same as bm25): per-term contributions pivot into
+    FIXED-order columns (never a float SUM aggregate), summed
+    left-to-right, rounded through floor(x·1e6 + 0.5)/1e6; cf/|C| stay
+    exact int64 until one shared double tree.
+
+    Scale shape: one corpus scan; the term filter prunes postings before
+    any shuffle; cf/|C| are ≤|terms|+1-row broadcast aggregates; the
+    candidate aggregation and final top-k (TakeOrdered) are the only
+    exchanges.
+    """
+    w = docs.select(id_col, words(F.col(text_col)).alias("_w"))
+    base = w.select(
+        id_col, F.size("_w").alias("dl"), F.explode("_w").alias("word")
+    )
+    total = w.agg(F.sum(F.size("_w")).cast("bigint").alias("_T"))
+    hits = base.filter(F.col("word").isin(*terms))
+    tf = hits.groupBy(id_col, "dl", "word").agg(F.count(F.lit(1)).alias("tf"))
+    cf = base.filter(F.col("word").isin(*terms)).groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cf")
+    )
+    cfw = cf.agg(
+        *[
+            F.max(F.when(F.col("word") == t, F.col("cf"))).alias(f"_cf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    per_doc = tf.groupBy(id_col, "dl").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("word") == t, F.col("tf"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    scored = per_doc.crossJoin(F.broadcast(cfw)).crossJoin(F.broadcast(total))
+    mu_l = F.lit(float(mu))
+    score = None
+    for i in range(len(terms)):
+        cfi = F.col(f"_cf{i}")
+        contrib = F.when(
+            cfi.isNotNull() & (cfi > 0),
+            F.log(
+                (
+                    F.col(f"_tf{i}").cast("double")
+                    + mu_l * (cfi.cast("double") / F.col("_T").cast("double"))
+                )
+                / (F.col("dl").cast("double") + mu_l)
+            ),
+        ).otherwise(F.lit(0.0))
+        score = contrib if score is None else score + contrib
+    rounded = F.floor(score * 1e6 + 0.5) / 1e6
+    return (
+        scored.select(id_col, rounded.alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(top_k)
+    )
+
+
+def dirichlet_lm_search_sql(
+    terms: tuple[str, ...],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = 100.0,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`dirichlet_lm_search`."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    cf_cols = ", ".join(
+        f"MAX(CASE WHEN word = '{t}' THEN cf END) AS _cf{i}"
+        for i, t in enumerate(terms)
+    )
+    tf_cols = ", ".join(
+        f"CAST(COALESCE(MAX(CASE WHEN word = '{t}' THEN tf END), 0) AS BIGINT) AS _tf{i}"
+        for i, t in enumerate(terms)
+    )
+    contribs = " + ".join(
+        f"CASE WHEN _cf{i} IS NOT NULL AND _cf{i} > 0 THEN "
+        f"ln((CAST(_tf{i} AS DOUBLE) + {dlit(float(mu))} * (CAST(_cf{i} AS DOUBLE) / CAST(_T AS DOUBLE)))"
+        f" / (CAST(dl AS DOUBLE) + {dlit(float(mu))})) ELSE 0.0 END"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH w AS (
+  SELECT {id_col}, string_split_regex(lower(trim({text_col})), '\\s+') AS ws
+  FROM {table}
+),
+tot AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS _T FROM w),
+base AS (SELECT {id_col}, len(ws) AS dl, unnest(ws) AS word FROM w),
+tf AS (
+  SELECT {id_col}, dl, word, COUNT(*) AS tf FROM base
+  WHERE word IN ({term_list}) GROUP BY 1, 2, 3
+),
+cf AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cf FROM base
+  WHERE word IN ({term_list}) GROUP BY 1
+),
+cfw AS (SELECT {cf_cols} FROM cf),
+per_doc AS (SELECT {id_col}, dl, {tf_cols} FROM tf GROUP BY 1, 2),
+scored AS (
+  SELECT {id_col}, ({contribs}) AS s
+  FROM per_doc CROSS JOIN cfw CROSS JOIN tot
+)
+SELECT {id_col}, FLOOR(s * 1e6 + 0.5) / 1e6 AS score
+FROM scored ORDER BY score DESC, {id_col} LIMIT {top_k}
+"""

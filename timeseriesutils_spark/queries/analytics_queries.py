@@ -664,3 +664,24 @@ def _sql_peak_concurrency():
 
 
 QUERIES.update({"peak_concurrency": Q(q_peak_concurrency, _sql_peak_concurrency())})
+
+
+def q_dirichlet_lm(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval
+    (text.dirichlet_lm_search): top-20 documents for the same 3-term
+    query bm25_search runs — the language-modeling scorer next to the
+    tf-idf one, same fixed-order / rounded-score determinism contract."""
+    from timeseriesutils_spark.operators.text import dirichlet_lm_search
+
+    return dirichlet_lm_search(
+        load_table(spark, sf_dir, "documents"), terms=BM25_TERMS
+    )
+
+
+def _sql_dirichlet_lm():
+    from timeseriesutils_spark.operators.text import dirichlet_lm_search_sql
+
+    return dirichlet_lm_search_sql(terms=BM25_TERMS)
+
+
+QUERIES.update({"dirichlet_lm_search": Q(q_dirichlet_lm, _sql_dirichlet_lm())})

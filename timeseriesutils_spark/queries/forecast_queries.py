@@ -1181,3 +1181,49 @@ FROM (
 
 
 QUERIES.update({"pinball_eval": Q(q_pinball_eval, _sql_pinball_eval())})
+
+
+def q_theilsen(spark, sf_dir):
+    """Theil–Sen robust trend of weekly order volume per priority class
+    (operators/regression.theilsen_slope): median of all pairwise slopes
+    + median-residual intercept — the trend estimate that survives
+    corrupted subranges where group_trend's OLS does not.  The series is
+    aggregated to weeks first (the documented O(n²)-pairs bound)."""
+    from timeseriesutils_spark.operators.regression import theilsen_slope
+
+    o = load_table(spark, sf_dir, "orders")
+    weekly = (
+        o.select(
+            "o_orderpriority",
+            (
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1992-01-01").cast("date"),
+                ).cast("bigint")
+                / F.lit(7)
+            )
+            .cast("bigint")
+            .alias("week"),
+        )
+        .groupBy("o_orderpriority", "week")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return theilsen_slope(
+        weekly, "n_orders", "week", ["o_orderpriority"], scale=0
+    )
+
+
+def _sql_theilsen():
+    from timeseriesutils_spark.operators.regression import theilsen_slope_sql
+
+    weekly = (
+        "SELECT o_orderpriority, "
+        f"CAST({_ORD_DAY_SQL} // 7 AS BIGINT) AS week, "
+        "COUNT(*) AS n_orders FROM orders GROUP BY 1, 2"
+    )
+    return theilsen_slope_sql(
+        weekly, "n_orders", "week", ["o_orderpriority"], scale=0
+    )
+
+
+QUERIES.update({"theilsen_trend": Q(q_theilsen, _sql_theilsen())})
