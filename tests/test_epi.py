@@ -119,3 +119,70 @@ def test_pinball_coverage_counts_interval_misses(spark):
     ).collect()[0]
     assert out.n == 3
     assert out.coverage == pytest.approx(1 / 3)
+
+
+def test_excess_incidence_flat_history_zero_excess(spark):
+    from timeseriesutils_spark.operators.epi import excess_incidence
+
+    # constant 5/day in baseline and eval: expected=5, excess=0 everywhere
+    rows = [("a", d, 5) for d in range(28)]
+    df = spark.createDataFrame(rows, "g string, day long, n long")
+    out = excess_incidence(df, "n", "day", ["g"], split_day=14).collect()
+    assert len(out) == 14
+    for r in out:
+        assert r.expected == 5.0
+        assert r.excess == 0.0
+        assert r.cum_excess == 0.0
+
+
+def test_excess_incidence_surge_accumulates(spark):
+    from timeseriesutils_spark.operators.epi import excess_incidence
+
+    rows = [("a", d, 10) for d in range(14)]
+    rows += [("a", d, 13) for d in range(14, 21)]  # +3/day surge
+    df = spark.createDataFrame(rows, "g string, day long, n long")
+    out = sorted(
+        excess_incidence(df, "n", "day", ["g"], split_day=14).collect(),
+        key=lambda r: r.day,
+    )
+    assert [r.excess for r in out] == [3.0] * 7
+    assert [r.cum_excess for r in out] == [3.0 * (i + 1) for i in range(7)]
+
+
+def test_excess_incidence_phase_matching(spark):
+    from timeseriesutils_spark.operators.epi import excess_incidence
+
+    # weekday-dependent baseline: n = phase; eval repeats it -> excess 0
+    rows = [("a", d, d % 7 + 1) for d in range(35)]
+    df = spark.createDataFrame(rows, "g string, day long, n long")
+    out = excess_incidence(df, "n", "day", ["g"], split_day=21).collect()
+    assert len(out) == 14
+    assert all(r.excess == 0.0 for r in out)
+
+
+def test_corpus_jsd_identical_halves_zero(spark):
+    from timeseriesutils_spark.operators.text import corpus_jsd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, True, "a b c"), (2, False, "a b c")],
+        "doc_id long, fl boolean, text string",
+    )
+    out = corpus_jsd(docs, F.col("fl")).collect()[0]
+    assert out.n_tokens_a == 3 and out.n_tokens_b == 3
+    assert out.n_vocab == 3
+    assert out.jsd == 0.0
+
+
+def test_corpus_jsd_disjoint_is_ln2(spark):
+    import math
+
+    from timeseriesutils_spark.operators.text import corpus_jsd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, True, "x y z"), (2, False, "p q r")],
+        "doc_id long, fl boolean, text string",
+    )
+    out = corpus_jsd(docs, F.col("fl")).collect()[0]
+    assert out.jsd == pytest.approx(math.log(2), abs=1e-9)

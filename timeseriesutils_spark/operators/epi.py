@@ -440,3 +440,122 @@ WITH agg AS (
 )
 SELECT {', '.join(sel)} FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# excess incidence vs day-of-week baseline
+# --------------------------------------------------------------------------
+
+
+def excess_incidence(
+    counts: DataFrame,
+    count_col: str,
+    day_col: str,
+    group_columns,
+    split_day: int,
+    period: int = 7,
+    scale: int = 6,
+) -> DataFrame:
+    """Excess incidence against a seasonal baseline — the
+    excess-mortality / outbreak-burden computation: days before
+    ``split_day`` form the baseline, each evaluation day's expected
+    count is the baseline mean for its phase (day-of-week by default),
+    and excess = observed − expected, accumulated per group.
+
+    Exactness: the baseline mean is one double division of exact int64
+    sums; it is then floor-quantized to 10^-scale units so the running
+    cumulative sum is an integer window SUM — exact and
+    accumulation-order-free (a windowed double SUM would diverge across
+    engines; see the repo's exactness notes).  Evaluation days whose
+    phase has no baseline observations are dropped (no expectation to
+    compare against).
+
+    Scale shape: one baseline groupBy (group × period rows out), one
+    broadcast-sized join back, one window pass per group.
+
+    Returns (groups…, day, n, expected, excess, cum_excess).
+    """
+    g = _as_list(group_columns)
+    m = 10**scale
+    n = F.col(count_col).cast("bigint")
+    d = counts.select(*g, F.col(day_col).alias("_day"), n.alias("_n"))
+    phase = ((F.col("_day") % period) + period) % period
+    base = (
+        d.filter(F.col("_day") < split_day)
+        .select(*g, phase.alias("_ph"), "_n")
+        .groupBy(*g, "_ph")
+        .agg(F.sum("_n").alias("_sb"), F.count(F.lit(1)).alias("_cb"))
+    )
+    ev = d.filter(F.col("_day") >= split_day).select(
+        *g, "_day", "_n", phase.alias("_ph")
+    )
+    j = ev.join(base, on=[*g, "_ph"])
+    expected = F.col("_sb").cast("double") / F.col("_cb").cast("double")
+    eq = F.floor(expected * F.lit(m) + F.lit(0.5)).cast("bigint")
+    excess_q = F.col("_n") * F.lit(m) - eq
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = j.select(
+        *g,
+        "_day",
+        F.col("_n").alias(count_col),
+        expected.alias("expected"),
+        excess_q.alias("_xq"),
+    ).withColumn("_cxq", F.sum("_xq").over(w))
+    mf = float(m)
+    return out.select(
+        *g,
+        F.col("_day").alias(day_col),
+        count_col,
+        "expected",
+        (F.col("_xq").cast("double") / F.lit(mf)).alias("excess"),
+        (F.col("_cxq").cast("double") / F.lit(mf)).alias("cum_excess"),
+    )
+
+
+def excess_incidence_sql(
+    counts_sql: str,
+    count_col: str,
+    day_col: str,
+    group_columns,
+    split_day: int,
+    period: int = 7,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`excess_incidence`."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    over = (
+        f"(PARTITION BY {gsel} ORDER BY _day "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+WITH src AS (
+  SELECT {gsel}, {day_col} AS _day, CAST({count_col} AS BIGINT) AS _n,
+    ((({day_col}) % {period}) + {period}) % {period} AS _ph
+  FROM ({counts_sql})
+),
+base AS (
+  SELECT {gsel}, _ph, CAST(SUM(_n) AS BIGINT) AS _sb, COUNT(*) AS _cb
+  FROM src WHERE _day < {split_day} GROUP BY {gsel}, _ph
+),
+ev AS (SELECT * FROM src WHERE _day >= {split_day}),
+j AS (
+  SELECT ev.*, base._sb, base._cb,
+    CAST(base._sb AS DOUBLE) / CAST(base._cb AS DOUBLE) AS expected
+  FROM ev JOIN base USING ({gsel}, _ph)
+),
+q AS (
+  SELECT *, _n * {m} - CAST(FLOOR(expected * {m} + 0.5) AS BIGINT) AS _xq
+  FROM j
+),
+c AS (SELECT *, CAST(SUM(_xq) OVER {over} AS BIGINT) AS _cxq FROM q)
+SELECT {gsel}, _day AS {day_col}, _n AS {count_col}, expected,
+  CAST(_xq AS DOUBLE) / {m}.0e0 AS excess,
+  CAST(_cxq AS DOUBLE) / {m}.0e0 AS cum_excess
+FROM c
+"""

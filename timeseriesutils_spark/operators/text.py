@@ -1372,3 +1372,117 @@ scored AS (
 SELECT {id_col}, FLOOR(s * 1e6 + 0.5) / 1e6 AS score
 FROM scored ORDER BY score DESC, {id_col} LIMIT {top_k}
 """
+
+
+def corpus_jsd(
+    docs: DataFrame,
+    flag_col,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 12,
+) -> DataFrame:
+    """Jensen–Shannon divergence between the unigram distributions of
+    two corpus halves (``flag_col`` boolean column/expression: True side
+    A, False side B) — the distribution-drift number behind training-
+    data mixing decisions ("did this source shift the token
+    distribution?", "are train and eval drawn from the same language
+    mix?").  0 = identical, ln 2 ≈ 0.693 = disjoint.
+
+        JSD = ½ Σ_t p_t·ln(2p_t/(p_t+q_t)) + ½ Σ_t q_t·ln(2q_t/(p_t+q_t))
+
+    Exactness: term frequencies and totals are exact int64; each term's
+    contribution is one fixed double tree, floor-quantized to
+    10^-``scale`` units and summed as integers — the cross-engine-exact
+    form of a float sum over an unordered vocabulary (contributions are
+    ≤ ln2, so int64 holds ~10^6 terms at scale 12 with 10^6 headroom).
+    Zero-frequency sides contribute 0 by continuity.
+
+    Scale shape: one tokenize-explode scan, one word-keyed groupBy with
+    conditional partial aggregation, one 1-row reduce.  Same shape at
+    any corpus size; vocabulary is the only cardinality that matters.
+
+    Returns one row: (n_tokens_a, n_tokens_b, n_vocab, jsd).
+    """
+    flag = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    w = docs.select(flag.alias("_a"), F.explode(words(F.col(text_col))).alias("word"))
+    per = w.groupBy("word").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).cast("bigint").alias("_ca"),
+        F.sum(F.when(~F.col("_a"), 1).otherwise(0)).cast("bigint").alias("_cb"),
+    )
+    tot = per.agg(
+        F.sum("_ca").cast("bigint").alias("_na"),
+        F.sum("_cb").cast("bigint").alias("_nb"),
+    )
+    m = 10**scale
+    j = per.crossJoin(F.broadcast(tot))
+    p = F.col("_ca").cast("double") / F.col("_na").cast("double")
+    q = F.col("_cb").cast("double") / F.col("_nb").cast("double")
+    term = (
+        F.when(
+            F.col("_ca") > 0,
+            p * F.log(F.lit(2.0) * p / (p + q)),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("_cb") > 0,
+            q * F.log(F.lit(2.0) * q / (p + q)),
+        ).otherwise(F.lit(0.0))
+    ) * F.lit(0.5)
+    contrib_q = F.floor(term * F.lit(m) + F.lit(0.5)).cast("bigint")
+    agg = j.agg(
+        F.max("_na").alias("n_tokens_a"),
+        F.max("_nb").alias("n_tokens_b"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum(contrib_q).alias("_jq"),
+    )
+    return agg.select(
+        "n_tokens_a",
+        "n_tokens_b",
+        "n_vocab",
+        (F.col("_jq").cast("double") / F.lit(float(m))).alias("jsd"),
+    )
+
+
+def corpus_jsd_sql(
+    flag_sql: str,
+    table: str = "documents",
+    text_col: str = "text",
+    scale: int = 12,
+) -> str:
+    """DuckDB twin of :func:`corpus_jsd`; ``flag_sql`` is the boolean
+    side-A expression."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    m = 10**scale
+    p = "CAST(_ca AS DOUBLE) / CAST(_na AS DOUBLE)"
+    q = "CAST(_cb AS DOUBLE) / CAST(_nb AS DOUBLE)"
+    term = (
+        f"(CASE WHEN _ca > 0 THEN ({p}) * ln(2.0 * ({p}) / (({p}) + ({q}))) ELSE 0.0 END"
+        f" + CASE WHEN _cb > 0 THEN ({q}) * ln(2.0 * ({q}) / (({p}) + ({q}))) ELSE 0.0 END"
+        ") * 0.5"
+    )
+    return f"""
+WITH w AS (
+  SELECT ({flag_sql}) AS _a,
+    unnest(string_split_regex(lower(trim({text_col})), '\\s+')) AS word
+  FROM {table}
+),
+per AS (
+  SELECT word,
+    CAST(SUM(CASE WHEN _a THEN 1 ELSE 0 END) AS BIGINT) AS _ca,
+    CAST(SUM(CASE WHEN NOT _a THEN 1 ELSE 0 END) AS BIGINT) AS _cb
+  FROM w GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(_ca) AS BIGINT) AS _na, CAST(SUM(_cb) AS BIGINT) AS _nb
+  FROM per
+),
+j AS (
+  SELECT per.*, tot._na, tot._nb,
+    CAST(FLOOR(({term}) * {m} + 0.5) AS BIGINT) AS _cq
+  FROM per CROSS JOIN tot
+)
+SELECT MAX(_na) AS n_tokens_a, MAX(_nb) AS n_tokens_b,
+  COUNT(*) AS n_vocab,
+  CAST(CAST(SUM(_cq) AS BIGINT) AS DOUBLE) / {dlit(float(m))} AS jsd
+FROM j
+"""

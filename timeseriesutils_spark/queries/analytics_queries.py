@@ -7,6 +7,8 @@ aggregation to its caller, SURVEY.md §2.3).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from timeseriesutils_spark.operators.analytics import (
     cohort_retention,
     cohort_retention_sql,
@@ -685,3 +687,24 @@ def _sql_dirichlet_lm():
 
 
 QUERIES.update({"dirichlet_lm_search": Q(q_dirichlet_lm, _sql_dirichlet_lm())})
+
+
+def q_corpus_jsd(spark, sf_dir):
+    """Unigram Jensen-Shannon divergence between the English and
+    non-English halves of the corpus (text.corpus_jsd) — the
+    training-mix drift number; per-term contributions are quantized to
+    integers so the vocabulary-order float sum is exact."""
+    from timeseriesutils_spark.operators.text import corpus_jsd
+
+    return corpus_jsd(
+        load_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+def _sql_corpus_jsd():
+    from timeseriesutils_spark.operators.text import corpus_jsd_sql
+
+    return corpus_jsd_sql("lang = 'en'")
+
+
+QUERIES.update({"corpus_jsd": Q(q_corpus_jsd, _sql_corpus_jsd())})

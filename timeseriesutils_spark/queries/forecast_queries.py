@@ -1227,3 +1227,46 @@ def _sql_theilsen():
 
 
 QUERIES.update({"theilsen_trend": Q(q_theilsen, _sql_theilsen())})
+
+
+_EXCESS_SPLIT_DAY = 2000
+
+
+def q_excess_incidence(spark, sf_dir):
+    """Excess incidence vs a day-of-week baseline (operators/epi.
+    excess_incidence): order volume per priority class after day 2000
+    compared to its pre-2000 weekday means; the cumulative excess runs
+    as an exact integer window sum (no cross-engine float accumulation)."""
+    from timeseriesutils_spark.operators.epi import excess_incidence
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("day"),
+        )
+        .groupBy("o_orderpriority", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return excess_incidence(
+        counts, "n", "day", ["o_orderpriority"], split_day=_EXCESS_SPLIT_DAY
+    )
+
+
+def _sql_excess_incidence():
+    from timeseriesutils_spark.operators.epi import excess_incidence_sql
+
+    counts = (
+        f"SELECT o_orderpriority, {_ORD_DAY_SQL} AS day, COUNT(*) AS n "
+        "FROM orders GROUP BY 1, 2"
+    )
+    return excess_incidence_sql(
+        counts, "n", "day", ["o_orderpriority"], split_day=_EXCESS_SPLIT_DAY
+    )
+
+
+QUERIES.update({"excess_incidence": Q(q_excess_incidence, _sql_excess_incidence())})
