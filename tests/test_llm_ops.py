@@ -834,3 +834,28 @@ def test_feature_hash_partition_invariant(spark):
     a = sorted(map(tuple, feature_hash(docs.coalesce(1), buckets=16).collect()))
     b = sorted(map(tuple, feature_hash(docs.repartition(8), buckets=16).collect()))
     assert a == b
+
+
+def test_minhash_estimate_audit_bounds_and_selfdup(spark):
+    """Estimate and exact agree at 1.0 for identical docs; both lie in
+    [0, 1]; err = est - exact by definition."""
+    from timeseriesutils_spark.operators.dedup import minhash_estimate_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "the quick brown fox jumps over the lazy dog again today"),
+            (3, "entirely different words that never overlap with anything"),
+            (4, "the quick brown fox jumps over a sleepy dog again today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = minhash_estimate_audit(docs).collect()
+    pairs = {(r.id_a, r.id_b): r for r in out}
+    assert (1, 2) in pairs
+    r12 = pairs[(1, 2)]
+    assert r12.est_jaccard == 1.0 and r12.jaccard == 1.0 and r12.err == 0.0
+    for r in out:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.err == r.est_jaccard - r.jaccard

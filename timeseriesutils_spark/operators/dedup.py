@@ -1005,3 +1005,200 @@ SELECT ex.{id_col}, COUNT(*) AS n_grams,
 FROM ex JOIN first USING (sh)
 GROUP BY ex.{id_col}
 """
+
+
+def minhash_estimate_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Estimator-quality audit of the MinHash index: for every LSH
+    candidate pair, the signature-based Jaccard ESTIMATE (matching
+    minima / num_hashes — what a signature-only pipeline would act on)
+    next to the exact shingle Jaccard, with the signed error.  This is
+    the dedup-QA query that answers "can we drop the verify join and
+    trust signatures alone, and at what error?" — run it on a sample
+    before loosening the pipeline at scale.
+
+    Runs the engine-portable (md5/affine-GF(P31)) mode of
+    :func:`minhash_lsh_pairs` so the DuckDB twin reproduces the exact
+    candidate set, signatures included.  Same scale shape as the LSH
+    pipeline: banding moves (id, band, bucket) rows only; signatures
+    (k·8 bytes/doc) and shingle sets are joined per surviving candidate.
+
+    Returns (id_a, id_b, est_jaccard, jaccard, err).
+    """
+    rows_per_band = num_hashes // bands
+    sh = pin(hashed_shingle_docs(docs, id_col, text_col, n, "md5"))
+    perms = minhash_perms(num_hashes, seed)
+    hm = F.col("_h") % P31
+    sig = pin(
+        sh.select("id", F.explode("sh").alias("_h"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.min((F.lit(a) * hm + F.lit(b)) % P31).alias(f"_m{i}")
+                for i, (a, b) in enumerate(perms)
+            ]
+        )
+    )
+
+    def band_bucket(b: int):
+        cols = [
+            F.col(f"_m{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        return portable_hash64(F.concat_ws(":", *cols))
+
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    bucketed = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        bucketed.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x: F.transform(
+                            F.filter(F.col("ids"), lambda y: y > x),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sig.select(
+        F.col("id").alias("id_a"), *[F.col(f"_m{i}").alias(f"_a{i}") for i in range(num_hashes)]
+    )
+    sb = sig.select(
+        F.col("id").alias("id_b"), *[F.col(f"_m{i}").alias(f"_b{i}") for i in range(num_hashes)]
+    )
+    withsig = cand.join(sa, "id_a").join(sb, "id_b")
+    matches = None
+    for i in range(num_hashes):
+        ind = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        matches = ind if matches is None else matches + ind
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    verify = withsig.select("id_a", "id_b", est.alias("est_jaccard")).join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    exact = inter / union
+    return verify.select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        exact.alias("jaccard"),
+        (F.col("est_jaccard") - exact).alias("err"),
+    )
+
+
+def minhash_estimate_audit_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`minhash_estimate_audit` (same generated
+    hashes/permutations/buckets as :func:`minhash_lsh_pairs_sql`)."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    rows_per_band = num_hashes // bands
+    perms = minhash_perms(num_hashes, seed)
+    h60 = portable_hash64_sql("s")
+    mins = ",\n    ".join(
+        f"MIN(({a} * (h % {P31}) + {b}) % {P31}) AS m{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_selects = []
+    for b in range(bands):
+        ms = ", ".join(f"m{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
+        bucket = portable_hash64_sql(f"CONCAT_WS(':', {ms})")
+        band_selects.append(
+            f"SELECT {id_col}, {b} AS band, {bucket} AS bucket FROM sig"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    match_sum = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH words AS (
+  SELECT {id_col}, string_split_regex(lower(trim(text)), '\\s+') AS w FROM {table}
+),
+sg AS (
+  SELECT {id_col},
+    list_distinct(CASE WHEN len(w) >= {n}
+      THEN [array_to_string(w[i:i+{n - 1}], ' ') FOR i IN range(1, len(w) - {n - 2})]
+      ELSE [array_to_string(w, ' ')] END) AS sgl
+  FROM words
+),
+ex AS (
+  SELECT {id_col}, len(sgl) AS sz, {h60} AS h
+  FROM (SELECT {id_col}, sgl, unnest(sgl) AS s FROM sg)
+),
+sig AS (
+  SELECT {id_col},
+    {mins}
+  FROM ex GROUP BY {id_col}
+),
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+),
+withsig AS (
+  SELECT c.id_a, c.id_b,
+    CAST(({match_sum}) AS DOUBLE) / {dlit(float(num_hashes))} AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.{id_col} = c.id_a
+  JOIN sig sb ON sb.{id_col} = c.id_b
+),
+isect AS (
+  SELECT w.id_a, w.id_b, COUNT(*) AS i
+  FROM withsig w
+  JOIN ex ea ON ea.{id_col} = w.id_a
+  JOIN ex eb ON eb.{id_col} = w.id_b AND ea.h = eb.h
+  GROUP BY 1, 2
+),
+szs AS (SELECT {id_col}, MAX(sz) AS sz FROM ex GROUP BY 1),
+final AS (
+  -- LEFT join: a bucket-collision pair with zero shingle overlap keeps
+  -- its row (jaccard 0), matching the Spark array_intersect path
+  SELECT w.id_a, w.id_b, w.est_jaccard, za.sz AS sz_a, zb.sz AS sz_b,
+    COALESCE(isect.i, 0) AS i
+  FROM withsig w
+  JOIN szs za ON za.{id_col} = w.id_a
+  JOIN szs zb ON zb.{id_col} = w.id_b
+  LEFT JOIN isect ON isect.id_a = w.id_a AND isect.id_b = w.id_b
+)
+SELECT id_a, id_b, est_jaccard,
+  CAST(i AS DOUBLE) / (sz_a + sz_b - i) AS jaccard,
+  est_jaccard - CAST(i AS DOUBLE) / (sz_a + sz_b - i) AS err
+FROM final
+"""

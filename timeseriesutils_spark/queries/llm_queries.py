@@ -1456,3 +1456,23 @@ FROM m GROUP BY source
 QUERIES.update(
     {"dup_rate_by_source": Q(q_dup_rate_by_source, _SQL_DUP_RATE_BY_SOURCE)}
 )
+
+
+def q_minhash_audit(spark, sf_dir):
+    """MinHash estimator-quality audit (dedup.minhash_estimate_audit):
+    signature-estimated vs exact Jaccard with signed error for every LSH
+    candidate pair — the "can we trust signatures without the verify
+    join?" QA query, portable-hash mode so the twin reproduces the exact
+    candidate set and signatures."""
+    from timeseriesutils_spark.operators.dedup import minhash_estimate_audit
+
+    return minhash_estimate_audit(_docs(spark, sf_dir))
+
+
+def _sql_minhash_audit():
+    from timeseriesutils_spark.operators.dedup import minhash_estimate_audit_sql
+
+    return minhash_estimate_audit_sql()
+
+
+QUERIES.update({"minhash_estimate_audit": Q(q_minhash_audit, _sql_minhash_audit())})
