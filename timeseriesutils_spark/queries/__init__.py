@@ -51,14 +51,22 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "rolling_slope", "gmean_exact", "shipping_sla", "stockout_events",
     "dup_rate_by_source", "corr_matrix", "fd_audit", "growth_rates",
     "seasonal_strength",
-    # slot 44: first driver row for the FFT scale path (RO unless the
-    # many-bin DFT twin lands this round)
+    # slot 44: first driver row for the FFT scale path (RO by nature —
+    # SURVEY documents why no exact twin can exist for an FFT)
     "domfreq_fft",
     # slots 45-46: round-5 ADVICE fixes change these kernels
     "lead_lag_corr", "decompose_series",
-    # slots 47-50: regression re-check of round-4 portable-hash modes
-    "simhash", "knn_ivf", "dedup_minhash_lsh", "domfreq",
+    # slots 47-50: four of the nine new round-5 queries (epi family +
+    # dedup QA; locally hash-green at sf0.01 AND sf0.1)
+    "renewal_rt", "nowcast_triangle", "pinball_eval",
+    "minhash_estimate_audit",
 )
+# ROUND-6 ROTATION PLAN: the remaining four round-5 additions have no
+# driver row yet (locally hash-green, tri-scale): theilsen_trend
+# dirichlet_lm_search excess_incidence corpus_jsd  plus any round-6
+# additions; next round give them slots 1-5 and spend the rest on
+# regression re-checks of the round-5-touched queries (simhash knn_ivf
+# dedup_minhash_lsh domfreq pagerank dtw_pattern).
 
 
 def catalog() -> dict[str, Q]:
