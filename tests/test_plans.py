@@ -384,3 +384,42 @@ def test_snapshot_diff_no_payload_in_exchange(spark, catalog):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "o_orderpriority" not in line and "o_totalprice" not in line
+
+
+def test_nowcast_reuses_pinned_triangle(spark, catalog):
+    """nowcast_triangle's four consumers of the tiny (occ, delay, count)
+    triangle read the pinned frame (InMemoryTableScan), never re-running
+    the fact join+aggregation per branch, and no branch degrades to a
+    shuffled SortMergeJoin."""
+    df = catalog["nowcast_triangle"](spark, SF_DIR)
+    df.count()  # materialize the pin so the plan shows cache reads
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_theilsen_pair_join_not_nested_loop(spark, catalog):
+    """The Theil-Sen pair stage must stay an equi-join on the group key
+    (hash or sort-merge) - a BNLJ/cartesian over the weekly series would
+    be quadratic in ROWS ACROSS groups, not within."""
+    plan = _plan(catalog["theilsen_trend"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dirichlet_filters_postings_before_shuffle(spark, catalog):
+    """dirichlet_lm_search prunes non-query-term postings with a literal
+    IN filter before any exchange, and collection stats arrive as
+    broadcast one-row frames."""
+    plan = _plan(catalog["dirichlet_lm_search"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the word IN (...) filter must appear below the first aggregate
+    assert re.search(r"Filter .*word.*IN|Filter .*word#\d+ IN", plan) or "isin" in plan.lower() or " IN (" in plan
+
+
+def test_renewal_rt_single_window_pass(spark, catalog):
+    """renewal_rt's lag kernel is ONE window pass (one Sort over the
+    grid), not one per serial-interval tap."""
+    plan = _plan(catalog["renewal_rt"](spark, SF_DIR))
+    import re as _re
+    assert len(_re.findall(r"Window ", plan)) == 1

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.cache import pin
 from timeseriesutils_spark.functions.exact import dlit
 from timeseriesutils_spark.operators.window_features import _as_list
 
@@ -188,7 +189,11 @@ def nowcast_triangle(
     delay = F.least(
         F.greatest(F.col(delay_col).cast("bigint"), F.lit(0)), F.lit(max_delay)
     )
-    tri = (
+    # the triangle (periods × delays rows — tiny) feeds FOUR branches
+    # (cutoff, factor pairing twice, latest); without a pin each branch
+    # re-runs the fact scan + aggregation (measured 12 parquet scans in
+    # the un-pinned plan)
+    tri = pin(
         events.select(occ.alias("_occ"), delay.alias("_d"))
         .groupBy("_occ", "_d")
         .agg(F.count(F.lit(1)).alias("_c"))
