@@ -335,7 +335,7 @@ def _sql_stream_counter_rate():
     return """
 WITH q AS (
   SELECT user_id, ts, event_id,
-    CAST(FLOOR(ABS(value) * 100 + 0.5) AS BIGINT) AS v
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
   FROM events
 ),
 d AS (
