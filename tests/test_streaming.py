@@ -424,3 +424,57 @@ def test_streaming_counter_rate_equals_batch(spark):
     )
     want = {r.user_id: (r.n, r.increase, r.n_resets) for r in b.collect()}
     assert final == want and len(final) > 0
+
+
+def test_streaming_renewal_rt_equals_batch_across_batches(spark, tmp_path):
+    """streaming_renewal_rt's final emission per (key, day) equals the
+    batch renewal_rt closed form at observed days, with state carried
+    across micro-batches (each file = one batch) and a skipped day
+    zero-filled inside the serial-interval buffer."""
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.epi import renewal_rt
+    from timeseriesutils_spark.streaming.windows import streaming_renewal_rt
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # key 'a': days 0-3 then (gap: day 4 missing) 5-8, counts vary; the
+    # second file starts mid-stream so day 3 closes across the boundary
+    rows1 = [("a", d) for d, c in [(0, 3), (1, 2), (2, 5), (3, 1)] for _ in range(c)]
+    rows2 = [("a", d) for d, c in [(3, 2), (5, 4), (6, 2), (7, 3), (8, 1)] for _ in range(c)]
+    pd.DataFrame(rows1, columns=["k", "day"]).to_parquet(src / "a.parquet")
+    pd.DataFrame(rows2, columns=["k", "day"]).to_parquet(src / "b.parquet")
+
+    batch_schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_renewal_rt(
+        stream, key_col="k", day_col="day", weights=(1, 2)
+    )
+    got_df = _run_stream_update(spark, out, "t_srrt")
+    w = W.partitionBy("k", "day").orderBy(F.col("n").desc())
+    got = {
+        (r.k, r.day): (r.n, r.force_q, r.rt)
+        for r in got_df.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .collect()
+    }
+
+    counts = (
+        spark.read.parquet(str(src))
+        .groupBy("k", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    batch = renewal_rt(counts, "n", "day", ["k"], weights=(1, 2))
+    want = {
+        (r.k, r.day): (r.n, r.force_q, r.rt)
+        for r in batch.join(
+            counts.select("k", "day"), on=["k", "day"]
+        ).collect()
+    }
+    assert got == want and len(got) == 8  # 9 days minus the gap day

@@ -356,3 +356,72 @@ FROM d GROUP BY user_id
 QUERIES.update(
     {"stream_counter_rate": Q(q_stream_counter_rate, _sql_stream_counter_rate())}
 )
+
+
+def q_stream_renewal_rt(spark, sf_dir):
+    """Streaming renewal-equation Rt on the real streaming path
+    (streaming/windows.streaming_renewal_rt, applyInPandasWithState over
+    a file-source readStream, availableNow): per event-type O(S) state
+    — open-day count + the S most recent closed-day counts — with
+    zero-fill for skipped days.  The final emission per (key, day)
+    equals the batch closed form (operators/epi.renewal_rt) restricted
+    to observed days, which the oracle checks exactly."""
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from timeseriesutils_spark.streaming.windows import (
+        read_events_stream,
+        streaming_renewal_rt,
+    )
+
+    name = f"q_srrt_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = read_events_stream(spark, sf_dir).select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1992-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day"),
+        )
+        q = (
+            streaming_renewal_rt(src, key_col="event_type", day_col="day")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    upd = spark.sql(f"SELECT * FROM {name}")
+    w = W.partitionBy("event_type", "day").orderBy(F.col("n").desc())
+    return (
+        upd.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("event_type", "day", "n", "force_q", "rt")
+    )
+
+
+def _sql_stream_renewal_rt():
+    from timeseriesutils_spark.operators.epi import renewal_rt_sql
+
+    counts = (
+        "SELECT event_type, "
+        "CAST(datediff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS BIGINT) "
+        "AS day, COUNT(*) AS n FROM events GROUP BY 1, 2"
+    )
+    base = renewal_rt_sql(counts, "n", "day", ["event_type"])
+    return f"""
+WITH counts AS ({counts}),
+base AS ({base})
+SELECT b.event_type, b.day, b.n, b.force_q, b.rt
+FROM base b JOIN counts c ON b.event_type = c.event_type AND b.day = c.day
+"""
+
+
+QUERIES.update(
+    {"stream_renewal_rt": Q(q_stream_renewal_rt, _sql_stream_renewal_rt())}
+)

@@ -482,3 +482,114 @@ def streaming_counter_rate(
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_renewal_rt(
+    events: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    weights: tuple = (1, 2, 3, 2, 1),
+    min_count: int = 1,
+    watermark_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming renewal-equation Rt (the stateful twin of
+    operators/epi.renewal_rt): per key, O(S) state — first/last day, the
+    open day's running count, and the final counts of the S most recent
+    closed days (S = len(weights)) — folded per micro-batch.
+
+    Input rows are (key, day) event occurrences; the kernel counts per
+    day itself, so no upstream stateful aggregation is needed.  A day
+    CLOSES when a later day arrives (the streaming_cusum ordering
+    contract: rows sorted within batch, source-ordered across batches),
+    at which point its count shifts into the serial-interval buffer with
+    zero-fill for skipped days — exactly the batch op's dense spine.
+    Every batch emits the current row for each day it touched; a day's
+    LAST emission carries its final count, so the batch-equivalence
+    reconciliation is "max n per (key, day)" — the same pattern
+    streaming_counter_rate uses.  force_q for a day depends only on
+    CLOSED days, so it is stable across re-emissions.
+
+    Emitted rows equal the batch closed form (renewal_rt) restricted to
+    observed days — the oracle the declared query checks exactly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    W = [int(x) for x in weights]
+    S = len(W)
+    D = sum(W)
+    key_type = dict(events.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, {day_col} bigint, n bigint, "
+        "force_q bigint, rt double"
+    )
+    state_schema = "first_day bigint, last_day bigint, cur bigint, " + ", ".join(
+        f"buf{i} bigint" for i in range(S)
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            st = state.get
+            first, last, cur = st[0], st[1], st[2]
+            buf = list(st[3:])
+        else:
+            first = last = cur = None
+            buf = [0] * S
+        out_day, out_n, out_f, out_rt = [], [], [], []
+
+        def force_of():
+            return sum(w * buf[s] for s, w in enumerate(W))
+
+        def emit(day, n):
+            valid = (day - first) >= S
+            f = force_of() if valid else None
+            r = (
+                (n * D) / f
+                if valid and f is not None and f > 0 and n >= min_count
+                else None
+            )
+            out_day.append(day)
+            out_n.append(n)
+            out_f.append(f)
+            out_rt.append(float(r) if r is not None else None)
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            days, counts = np.unique(
+                pdf[day_col].to_numpy(dtype="int64"), return_counts=True
+            )
+            for day, c in zip(days.tolist(), counts.tolist()):
+                if first is None:
+                    first, last, cur = day, day, int(c)
+                elif day == last:
+                    cur += int(c)
+                else:
+                    # close `last`: final emission FIRST (force must see
+                    # the buffer still relative to `last` as the open
+                    # day), THEN shift its count + gap zeros in
+                    emit(last, cur)
+                    gap = day - last
+                    buf = ([0] * (gap - 1) + [cur] + buf)[:S]
+                    last, cur = day, int(c)
+            # partial emission for the still-open day
+            emit(last, cur)
+        state.update((first, last, cur, *buf))
+        yield pd.DataFrame(
+            {
+                key_col: pd.Series([key[0]] * len(out_day)),
+                day_col: pd.Series(out_day, dtype="int64"),
+                "n": pd.Series(out_n, dtype="int64"),
+                "force_q": pd.Series(out_f, dtype="object"),
+                "rt": pd.Series(out_rt, dtype="float64"),
+            }
+        )
+
+    df = events
+    if watermark and watermark_col:
+        df = df.withWatermark(watermark_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
