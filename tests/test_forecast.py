@@ -257,3 +257,41 @@ def test_growth_rates_exponential_series(spark):
     assert r.slope_ln == pytest.approx(math.log(1.05), rel=1e-4)
     assert r.pct_per_day == pytest.approx(0.05, abs=1e-4)
     assert r.r2 > 0.9999
+
+
+def test_croston_constant_pattern(spark):
+    """Demand of size 6 every 3rd day: z_hat=6, p_hat=3, croston=2 -
+    the EW means of constants are the constants (weights normalized)."""
+    from timeseriesutils_spark.operators.forecast import croston_forecast
+
+    rows = [("a", d, 6.0) for d in range(0, 60, 3)]
+    df = spark.createDataFrame(rows, "g string, day long, qty double")
+    out = croston_forecast(df, "qty", "day", ["g"], window_size=4).collect()[0]
+    assert out.n_points == 20
+    assert out.last_day == 57
+    assert out.z_hat == pytest.approx(6.0)
+    assert out.p_hat == pytest.approx(3.0)
+    assert out.croston == pytest.approx(2.0)
+
+
+def test_croston_short_series_null(spark):
+    """Fewer demand points than the interval window -> NULL forecast
+    (a full size window plus a full interval window need n >= w+1)."""
+    from timeseriesutils_spark.operators.forecast import croston_forecast
+
+    rows = [("a", d, 5.0) for d in (0, 4, 8)]
+    df = spark.createDataFrame(rows, "g string, day long, qty double")
+    out = croston_forecast(df, "qty", "day", ["g"], window_size=4).collect()[0]
+    assert out.n_points == 3
+    assert out.croston is None
+
+
+def test_croston_ignores_zero_demand_rows(spark):
+    from timeseriesutils_spark.operators.forecast import croston_forecast
+
+    dense = [("a", d, 6.0 if d % 3 == 0 else 0.0) for d in range(60)]
+    sparse = [("a", d, 6.0) for d in range(0, 60, 3)]
+    for rows in (dense, sparse):
+        df = spark.createDataFrame(rows, "g string, day long, qty double")
+        out = croston_forecast(df, "qty", "day", ["g"], window_size=4).collect()[0]
+        assert out.croston == pytest.approx(2.0)

@@ -797,3 +797,126 @@ SELECT _g AS {group_col}, n_days,
        THEN {cov} * {cov} / ({varx} * {vary}) END AS r2
 FROM agg
 """
+
+
+def croston_forecast(
+    demand: DataFrame,
+    qty_col: str,
+    day_col: str,
+    group_columns,
+    window_size: int = 8,
+    ew_span: float = 5.0,
+    scale: int = 2,
+) -> DataFrame:
+    """Croston's method for intermittent demand: per group, the
+    exponentially-weighted mean demand SIZE (over nonzero-demand points)
+    divided by the EW mean inter-demand INTERVAL — the standard forecast
+    for sparse series where ordinary smoothing collapses toward zero
+    (spare parts, rare SKUs, low-incidence surveillance counts).
+
+    The recursive EWMAs use the repo's bounded-window convention
+    (series_math.ewma_weights: normalized truncated trailing weights,
+    the reference's ew_alpha = 2/(span+0.1)), evaluated at the LAST
+    demand point of each group: fixed linear combinations of the last
+    ``window_size`` demand sizes and of the last ``window_size``
+    intervals — shuffle-free beyond the one exchange the sequence
+    window needs, and oracle-expressible.  Sizes quantize to integer
+    units; intervals are exact day differences; the only doubles are
+    the two weighted sums and the final ratio, one shared tree.
+
+    NULL forecast for groups with fewer than ``window_size`` + 1 demand
+    points (a full size window plus a full interval window need n ≥ w+1).
+
+    Returns (groups…, n_points, last_day, z_hat, p_hat, croston).
+    """
+    from timeseriesutils_spark.operators.series_math import ewma_weights
+
+    g = _as_list(group_columns)
+    m = 10**scale
+    wts = ewma_weights(window_size, ew_span)
+    qz = F.floor(F.col(qty_col) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    pts = demand.filter(F.col(qty_col).isNotNull() & (F.col(qty_col) != 0)).select(
+        *g, F.col(day_col).cast("bigint").alias("_day"), qz.alias("_z")
+    )
+    w = Window.partitionBy(*g).orderBy("_day")
+    pts = pts.withColumn("_q", F.col("_day") - F.lag("_day", 1).over(w))
+    z_hat = None
+    p_hat = None
+    for j, wt in enumerate(wts):
+        zj = F.lag("_z", j).over(w) if j else F.col("_z")
+        qj = F.lag("_q", j).over(w) if j else F.col("_q")
+        zt = F.lit(wt) * zj.cast("double")
+        pt = F.lit(wt) * qj.cast("double")
+        z_hat = zt if z_hat is None else z_hat + zt
+        p_hat = pt if p_hat is None else p_hat + pt
+    scored = pts.select(
+        *g,
+        "_day",
+        (z_hat / F.lit(float(m))).alias("_zh"),
+        p_hat.alias("_ph"),
+        F.count(F.lit(1)).over(Window.partitionBy(*g)).alias("n_points"),
+        F.row_number().over(Window.partitionBy(*g).orderBy(F.col("_day").desc())).alias("_rn"),
+    )
+    return scored.filter(F.col("_rn") == 1).select(
+        *g,
+        "n_points",
+        F.col("_day").alias("last_day"),
+        F.col("_zh").alias("z_hat"),
+        F.col("_ph").alias("p_hat"),
+        F.when(
+            F.col("_ph").isNotNull() & (F.col("_ph") > 0),
+            F.col("_zh") / F.col("_ph"),
+        ).alias("croston"),
+    )
+
+
+def croston_forecast_sql(
+    demand_sql: str,
+    qty_col: str,
+    day_col: str,
+    group_columns,
+    window_size: int = 8,
+    ew_span: float = 5.0,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`croston_forecast`; ``demand_sql`` produces
+    (groups…, day_col, qty_col)."""
+    from timeseriesutils_spark.functions.exact import dlit
+    from timeseriesutils_spark.operators.series_math import ewma_weights
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    wts = ewma_weights(window_size, ew_span)
+    over = f"(PARTITION BY {gsel} ORDER BY _day)"
+    z_terms = []
+    p_terms = []
+    for j, wt in enumerate(wts):
+        zj = f"LAG(_z, {j}) OVER {over}" if j else "_z"
+        qj = f"LAG(_q, {j}) OVER {over}" if j else "_q"
+        z_terms.append(f"{dlit(wt)} * CAST({zj} AS DOUBLE)")
+        p_terms.append(f"{dlit(wt)} * CAST({qj} AS DOUBLE)")
+    z_hat = " + ".join(z_terms)
+    p_hat = " + ".join(p_terms)
+    return f"""
+WITH pts AS (
+  SELECT {gsel}, CAST({day_col} AS BIGINT) AS _day,
+    CAST(FLOOR({qty_col} * {m} + 0.5) AS BIGINT) AS _z
+  FROM ({demand_sql})
+  WHERE {qty_col} IS NOT NULL AND {qty_col} <> 0
+),
+iv AS (
+  SELECT *, _day - LAG(_day, 1) OVER {over} AS _q FROM pts
+),
+sc AS (
+  SELECT {gsel}, _day,
+    ({z_hat}) / {dlit(float(m))} AS _zh,
+    ({p_hat}) AS _ph,
+    COUNT(*) OVER (PARTITION BY {gsel}) AS n_points,
+    ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY _day DESC) AS _rn
+  FROM iv
+)
+SELECT {gsel}, n_points, _day AS last_day, _zh AS z_hat, _ph AS p_hat,
+  CASE WHEN _ph IS NOT NULL AND _ph > 0 THEN _zh / _ph END AS croston
+FROM sc WHERE _rn = 1
+"""

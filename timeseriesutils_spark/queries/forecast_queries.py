@@ -1270,3 +1270,45 @@ def _sql_excess_incidence():
 
 
 QUERIES.update({"excess_incidence": Q(q_excess_incidence, _sql_excess_incidence())})
+
+
+def q_croston(spark, sf_dir):
+    """Croston intermittent-demand forecast (operators/forecast.
+    croston_forecast): per-part daily shipment totals are sparse by
+    nature; the EW mean demand size over the EW mean inter-demand
+    interval gives the demand-rate forecast at each part's last
+    shipment."""
+    from timeseriesutils_spark.functions.exact import dsum
+    from timeseriesutils_spark.operators.forecast import croston_forecast
+
+    li = _li(spark, sf_dir)
+    demand = (
+        li.select(
+            "l_partkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("ship_day"),
+            "l_quantity",
+        )
+        .groupBy("l_partkey", "ship_day")
+        .agg(dsum("l_quantity").alias("qty"))
+    )
+    return croston_forecast(demand, "qty", "ship_day", ["l_partkey"])
+
+
+def _sql_croston():
+    from timeseriesutils_spark.functions.exact import dsum_sql
+    from timeseriesutils_spark.operators.forecast import croston_forecast_sql
+
+    demand = (
+        "SELECT l_partkey, "
+        "CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)"
+        " AS ship_day, "
+        f"{dsum_sql('l_quantity')} AS qty FROM lineitem GROUP BY 1, 2"
+    )
+    return croston_forecast_sql(demand, "qty", "ship_day", ["l_partkey"])
+
+
+QUERIES.update({"croston_demand": Q(q_croston, _sql_croston())})
