@@ -1476,3 +1476,59 @@ def _sql_minhash_audit():
 
 
 QUERIES.update({"minhash_estimate_audit": Q(q_minhash_audit, _sql_minhash_audit())})
+
+
+_CURVE_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Dedup threshold-sensitivity curve: pair count and affected-doc
+    count at each candidate Jaccard threshold, from ONE pass of the
+    exact n-gram pair machinery (dedup.ngram_jaccard_pairs at the
+    loosest threshold, then a literal-threshold explode) — the tuning
+    table that decides where to set the near-dup cut before a corpus-
+    scale run."""
+    pairs = pin(ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=min(_CURVE_THRESHOLDS),
+        max_posting=MAX_POSTING,
+    ))
+    t = F.explode(
+        F.array(*[F.lit(float(x)) for x in _CURVE_THRESHOLDS])
+    ).alias("threshold")
+    at_t = pairs.select("id_a", "id_b", "jaccard", t).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    docs_t = at_t.select(
+        "threshold", F.col("id_a").alias("doc_id")
+    ).unionByName(at_t.select("threshold", F.col("id_b").alias("doc_id")))
+    n_pairs = at_t.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = docs_t.groupBy("threshold").agg(
+        F.count_distinct("doc_id").alias("n_docs_affected")
+    )
+    return n_pairs.join(n_docs, on="threshold")
+
+
+def _sql_dedup_threshold_curve():
+    ts = ", ".join(str(float(x)) for x in _CURVE_THRESHOLDS)
+    base = _SQL_NGRAM_JACCARD.replace(">= 0.6", f">= {min(_CURVE_THRESHOLDS)}")
+    return f"""
+WITH pairs AS ({base}),
+th AS (SELECT UNNEST([{ts}]) AS threshold),
+at_t AS (
+  SELECT th.threshold, p.id_a, p.id_b FROM pairs p
+  JOIN th ON p.jaccard >= th.threshold
+),
+docs_t AS (
+  SELECT threshold, id_a AS doc_id FROM at_t
+  UNION ALL SELECT threshold, id_b FROM at_t
+)
+SELECT a.threshold, a.n_pairs, d.n_docs_affected
+FROM (SELECT threshold, COUNT(*) AS n_pairs FROM at_t GROUP BY 1) a
+JOIN (SELECT threshold, COUNT(DISTINCT doc_id) AS n_docs_affected
+      FROM docs_t GROUP BY 1) d USING (threshold)
+"""
+
+
+QUERIES.update(
+    {"dedup_threshold_curve": Q(q_dedup_threshold_curve, _sql_dedup_threshold_curve())}
+)
