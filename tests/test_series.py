@@ -375,3 +375,23 @@ def test_threshold_crossings_edges_only(spark):
     # first sample never fires even when below threshold
     df2 = spark.createDataFrame([("g", 1, 0.0), ("g", 2, 0.5)], "g string, t long, v double")
     assert threshold_crossings(df2, "v", ["t"], ["g"], threshold=3.5).count() == 0
+
+
+def test_rolling_quantile_window_bound_and_values(spark):
+    from timeseriesutils_spark.operators.stats import rolling_quantile
+
+    rows = [("a", t, float(t)) for t in range(10)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = {
+        r.t: r
+        for r in rolling_quantile(
+            df, "v", ["g"], ["t"], qs=(0.5,), window_size=4
+        ).collect()
+    }
+    # full window at t>=3: median of {t-3..t} = t - 1.5
+    for t in range(3, 10):
+        assert out[t].v_p50_w4 == t - 1.5
+    # partial windows: median of {0..t}
+    assert out[0].v_p50_w4 == 0.0
+    assert out[1].v_p50_w4 == 0.5
+    assert out[2].v_p50_w4 == 1.0

@@ -1274,3 +1274,71 @@ SELECT {g}, n,
   END AS gmean
 FROM agg
 """
+
+
+def rolling_quantile(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    order_by,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    window_size: int = 100,
+) -> DataFrame:
+    """Per-row trailing exact quantiles: each row gets the q-quantiles of
+    the last ``window_size`` observations of its group — the
+    p50/p95-over-trailing-window shape of SLO monitoring, where
+    :func:`bucket_percentiles` gives one row per bucket this gives one
+    row per event (alert the moment p95 degrades, not at the next
+    bucket boundary).
+
+    Exact tier: one sorted window array per row
+    (``sort_array(collect_list)`` over the frame — the rolling_mad
+    machinery), quantiles via the engine-pinned lerp.  Cost is
+    O(w log w) per row and bounded by ``window_size``; at monster
+    windows swap the bounds for ``approx_percentile`` (t-digest) — the
+    output contract is unchanged.  Appends ``{c}_p{q}_w{w}`` columns.
+    """
+    from timeseriesutils_spark.operators.window_features import make_window
+
+    w = make_window(group_columns, _as_list(order_by)).rowsBetween(
+        -(window_size - 1), Window.currentRow
+    )
+    arr = F.sort_array(F.collect_list(F.col(value_col)).over(w))
+    tmp = df.select("*", arr.alias("_rq_arr"))
+    cols = [
+        _qcont(F.col("_rq_arr"), F.size("_rq_arr"), q).alias(
+            f"{value_col}_p{int(q * 100)}_w{window_size}"
+        )
+        for q in qs
+    ]
+    return tmp.select(*df.columns, *cols)
+
+
+def rolling_quantile_sql(
+    table: str,
+    select_cols: str,
+    value_col: str,
+    group_columns,
+    order_by,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    window_size: int = 100,
+) -> str:
+    """DuckDB twin of :func:`rolling_quantile` (full query text)."""
+    over = (
+        f"(PARTITION BY {', '.join(_as_list(group_columns))} "
+        f"ORDER BY {', '.join(_as_list(order_by))} "
+        f"ROWS BETWEEN {window_size - 1} PRECEDING AND CURRENT ROW)"
+    )
+    cols = ",\n  ".join(
+        f"{_qcont_sql('_rq_arr', 'len(_rq_arr)', q)} AS {value_col}_p{int(q * 100)}_w{window_size}"
+        for q in qs
+    )
+    return f"""
+WITH a AS (
+  SELECT {select_cols}, list_sort(list({value_col}) OVER {over}) AS _rq_arr
+  FROM {table}
+)
+SELECT {select_cols},
+  {cols}
+FROM a
+"""

@@ -806,3 +806,41 @@ def _sql_seasonal_strength():
 QUERIES.update(
     {"seasonal_strength": Q(q_seasonal_strength, _sql_seasonal_strength())}
 )
+
+
+_RQ_QS = (0.5, 0.95)
+_RQ_W = 100
+
+
+def q_rolling_quantile(spark, sf_dir):
+    """Per-event trailing exact p50/p95 of value over the last 100 events
+    per type (operators/stats.rolling_quantile) — the SLO-monitoring
+    shape: one sorted window array per row, engine-pinned lerp
+    quantiles."""
+    from timeseriesutils_spark.operators.stats import rolling_quantile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    out = rolling_quantile(
+        ev, "value", ["event_type"], ["ts", "event_id"], qs=_RQ_QS,
+        window_size=_RQ_W,
+    )
+    return out.drop("ts")
+
+
+def _sql_rolling_quantile():
+    from timeseriesutils_spark.operators.stats import rolling_quantile_sql
+
+    return rolling_quantile_sql(
+        "events",
+        "event_id, event_type, value",
+        "value",
+        ["event_type"],
+        ["ts", "event_id"],
+        qs=_RQ_QS,
+        window_size=_RQ_W,
+    )
+
+
+QUERIES.update({"rolling_quantile": Q(q_rolling_quantile, _sql_rolling_quantile())})
