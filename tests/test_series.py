@@ -395,3 +395,29 @@ def test_rolling_quantile_window_bound_and_values(spark):
     assert out[0].v_p50_w4 == 0.0
     assert out[1].v_p50_w4 == 0.5
     assert out[2].v_p50_w4 == 1.0
+
+
+def test_best_breakpoint_finds_planted_shift(spark):
+    from timeseriesutils_spark.operators.changepoint import best_breakpoint
+
+    rows = [("a", t, 10.0) for t in range(20)]
+    rows += [("a", t, 30.0) for t in range(20, 40)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = best_breakpoint(df, "v", "t", ["g"]).collect()[0]
+    assert out.n == 40
+    assert out.break_t == 19  # last index of the left segment
+    assert out.cost_best == 0.0
+    # cost_nosplit = n * var = 40 * 100 (two equal halves +-10 from mean 20)
+    assert out.cost_nosplit == pytest.approx(4000.0)
+    assert out.gain == pytest.approx(4000.0)
+
+
+def test_best_breakpoint_tie_breaks_earliest_and_min_seg(spark):
+    from timeseriesutils_spark.operators.changepoint import best_breakpoint
+
+    # constant series: every split costs the same (0) -> earliest valid k
+    rows = [("a", t, 5.0) for t in range(10)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = best_breakpoint(df, "v", "t", ["g"], min_seg=3).collect()[0]
+    assert out.break_t == 2  # k = min_seg -> 0-based t index 2
+    assert out.gain == 0.0

@@ -129,3 +129,155 @@ SELECT {lead},
   ((_cusum_p - _lo) > {h_q} OR (_hi - _cusum_p) > {h_q}) AS {column}_cusum_alarm
 FROM e
 """
+
+
+def best_breakpoint(
+    data: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_columns,
+    scale: int = 2,
+    min_seg: int = 2,
+) -> DataFrame:
+    """Single best mean-shift changepoint per group: the split k that
+    minimizes SSE_left + SSE_right — the binary-segmentation primitive
+    (one step of PELT/BinSeg), the answer to "WHERE did the level
+    change" where :func:`cusum` answers "HAS it drifted".
+
+    Same closed-form discipline as cusum: with prefix sums
+    S1_k = Σ_{j≤k} x_j and S2_k = Σ_{j≤k} x_j² (exact quantized
+    integers, DECIMAL-accumulated so squares can't wrap), each
+    candidate split's cost is
+
+        cost_k = (S2_k − S1_k²/k) + ((S2_n−S2_k) − (S1_n−S1_k)²/(n−k))
+
+    — a fixed double tree over exact ints, evaluated for every k by one
+    window pass; the argmin (ties → earliest k) is a row_number.  Whole
+    thing = two window passes on one exchange, no Python, linear scan.
+
+    ``min_seg`` bounds both segment lengths (a 1-point segment has zero
+    SSE and always "wins" degenerately).
+
+    Returns one row per group: (groups…, n, break_t, cost_best,
+    cost_nosplit, gain) — ``break_t`` is the LAST time index of the
+    left segment; gain = cost_nosplit − cost_best ≥ 0 is the variance
+    explained by the split (rank groups by it to find real shifts).
+    """
+    g = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    d = data.filter(F.col(value_col).isNotNull()).select(
+        *g, F.col(time_col).alias("_t"), q.alias("_q")
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*g)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    p = d.select(
+        *g,
+        "_t",
+        F.sum(dec(F.col("_q"))).over(w).alias("_s1"),
+        F.sum(dec(F.col("_q") * F.col("_q"))).over(w).alias("_s2"),
+        F.row_number().over(Window.partitionBy(*g).orderBy("_t")).alias("_k"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+        F.sum(dec(F.col("_q"))).over(wg).alias("_t1"),
+        F.sum(dec(F.col("_q") * F.col("_q"))).over(wg).alias("_t2"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    kk = F.col("_k").cast("double")
+    nn = F.col("_n").cast("double")
+    s1, s2 = s2d("_s1"), s2d("_s2")
+    t1, t2 = s2d("_t1"), s2d("_t2")
+    sse_l = s2 - s1 * s1 / kk
+    sse_r = (t2 - s2) - (t1 - s1) * (t1 - s1) / (nn - kk)
+    cost = sse_l + sse_r
+    cost_nosplit = t2 - t1 * t1 / nn
+    cand = p.filter(
+        (F.col("_k") >= min_seg) & (F.col("_k") <= F.col("_n") - min_seg)
+    ).select(
+        *g,
+        "_t",
+        "_n",
+        cost.alias("_cost"),
+        cost_nosplit.alias("_cns"),
+    )
+    rw = Window.partitionBy(*g).orderBy(F.col("_cost").asc(), F.col("_t").asc())
+    mf2 = float(m * m)
+    return (
+        cand.withColumn("_rn", F.row_number().over(rw))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *g,
+            F.col("_n").alias("n"),
+            F.col("_t").alias("break_t"),
+            (F.col("_cost") / F.lit(mf2)).alias("cost_best"),
+            (F.col("_cns") / F.lit(mf2)).alias("cost_nosplit"),
+            ((F.col("_cns") - F.col("_cost")) / F.lit(mf2)).alias("gain"),
+        )
+    )
+
+
+def best_breakpoint_sql(
+    data_sql: str,
+    value_col: str,
+    time_col: str,
+    group_columns,
+    scale: int = 2,
+    min_seg: int = 2,
+) -> str:
+    """DuckDB twin of :func:`best_breakpoint`; ``data_sql`` produces
+    (groups…, time_col, value_col)."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    over = (
+        f"(PARTITION BY {gsel} ORDER BY _t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    og = f"(PARTITION BY {gsel})"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    kk = "CAST(_k AS DOUBLE)"
+    nn = "CAST(_n AS DOUBLE)"
+    s1, s2 = s2d("_s1"), s2d("_s2")
+    t1, t2 = s2d("_t1"), s2d("_t2")
+    sse_l = f"({s2} - {s1} * {s1} / {kk})"
+    sse_r = f"(({t2} - {s2}) - ({t1} - {s1}) * ({t1} - {s1}) / ({nn} - {kk}))"
+    cost = f"({sse_l} + {sse_r})"
+    cns = f"({t2} - {t1} * {t1} / {nn})"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {time_col} AS _t,
+    CAST(FLOOR({value_col} * {m} + 0.5) AS BIGINT) AS _q
+  FROM ({data_sql})
+  WHERE {value_col} IS NOT NULL
+),
+p AS (
+  SELECT {gsel}, _t,
+    SUM(CAST(_q AS DECIMAL(38,0))) OVER {over} AS _s1,
+    SUM(CAST(_q * _q AS DECIMAL(38,0))) OVER {over} AS _s2,
+    ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY _t) AS _k,
+    COUNT(*) OVER {og} AS _n,
+    SUM(CAST(_q AS DECIMAL(38,0))) OVER {og} AS _t1,
+    SUM(CAST(_q * _q AS DECIMAL(38,0))) OVER {og} AS _t2
+  FROM d
+),
+cand AS (
+  SELECT {gsel}, _t, _n, {cost} AS _cost, {cns} AS _cns
+  FROM p WHERE _k >= {min_seg} AND _k <= _n - {min_seg}
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {gsel}
+        ORDER BY _cost ASC, _t ASC) AS _rn
+  FROM cand
+)
+SELECT {gsel}, CAST(_n AS BIGINT) AS n, _t AS break_t,
+  _cost / {dlit(float(m * m))} AS cost_best,
+  _cns / {dlit(float(m * m))} AS cost_nosplit,
+  (_cns - _cost) / {dlit(float(m * m))} AS gain
+FROM r WHERE _rn = 1
+"""

@@ -844,3 +844,26 @@ def _sql_rolling_quantile():
 
 
 QUERIES.update({"rolling_quantile": Q(q_rolling_quantile, _sql_rolling_quantile())})
+
+
+def q_best_breakpoint(spark, sf_dir):
+    """Single best mean-shift changepoint per supplier price series
+    (operators/changepoint.best_breakpoint): closed-form SSE split costs
+    from DECIMAL-exact prefix sums, argmin by window rank — WHERE the
+    level changed, next to cusum_drift's HAS it drifted."""
+    from timeseriesutils_spark.operators.changepoint import best_breakpoint
+
+    return best_breakpoint(
+        _daily(spark, sf_dir), "day_price", "ship_day", ["l_suppkey"]
+    )
+
+
+def _sql_best_breakpoint():
+    from timeseriesutils_spark.operators.changepoint import best_breakpoint_sql
+
+    return best_breakpoint_sql(
+        _SQL_DAILY, "day_price", "ship_day", ["l_suppkey"]
+    )
+
+
+QUERIES.update({"best_breakpoint": Q(q_best_breakpoint, _sql_best_breakpoint())})
