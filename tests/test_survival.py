@@ -84,3 +84,37 @@ def test_conversion_lifetimes_window(spark):
     assert out[("SEG_A", 72)].died == 0  # never purchased
     assert out[("SEG_B", 72)].died == 0  # purchased past the window
     assert len(out) == 3
+
+
+def test_nelson_aalen_hand_computed(spark):
+    """Textbook 5-subject example: deaths at t=1 (n=5), t=3 (n=3, after a
+    censor at 2), censor at 4, death at 5 (n=1).
+    H = 1/5, then 1/5+1/3, then +1/1."""
+    from timeseriesutils_spark.operators.survival import nelson_aalen
+
+    rows = [
+        ("a", 1, 1), ("a", 2, 0), ("a", 3, 1), ("a", 4, 0), ("a", 5, 1),
+    ]
+    df = spark.createDataFrame(rows, "stratum string, t_day int, died int")
+    out = {r.t_day: r for r in nelson_aalen(df).collect()}
+    assert set(out) == {1, 3, 5}
+    assert out[1].n_risk == 5 and out[1].cum_hazard == 0.2
+    assert out[3].n_risk == 3
+    assert out[3].cum_hazard == pytest.approx(0.2 + 1 / 3, abs=2e-6)
+    assert out[5].n_risk == 1
+    assert out[5].cum_hazard == pytest.approx(0.2 + 1 / 3 + 1.0, abs=2e-6)
+
+
+def test_nelson_aalen_monotone_nondecreasing(spark):
+    import random
+
+    from timeseriesutils_spark.operators.survival import nelson_aalen
+
+    rng = random.Random(5)
+    rows = [
+        ("s", rng.randint(1, 30), rng.randint(0, 1)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "stratum string, t_day int, died int")
+    curve = sorted(nelson_aalen(df).collect(), key=lambda r: r.t_day)
+    hz = [r.cum_hazard for r in curve]
+    assert all(b >= a for a, b in zip(hz, hz[1:]))

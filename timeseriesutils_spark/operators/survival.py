@@ -211,3 +211,109 @@ FROM (SELECT user_id, MIN(epoch_us(ts)) AS _first_us,
       FROM {events_table} GROUP BY user_id) u
 JOIN {dim_table} c ON u.user_id = c.c_custkey
 """
+
+
+def nelson_aalen(
+    subjects: DataFrame,
+    stratum_col: str = "stratum",
+    duration_col: str = "t_day",
+    event_col: str = "died",
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-stratum Nelson–Aalen cumulative hazard — the additive sibling
+    of :func:`kaplan_meier`: H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ.  Where KM gives
+    survival probability, the cumulative hazard is what epidemiologists
+    difference to read instantaneous risk and what feeds the common
+    S(t) ≈ exp(−H(t)) approximation for heavy-censoring regimes.
+
+    Same frame as KM (one (stratum, t) aggregation, the at-risk
+    countdown window); the increments dᵢ/nᵢ are single double divisions
+    of exact int64s, floor-quantized to 10⁻⁹ before the cumulative
+    window SUM so the accumulation is exact-integer and
+    accumulation-order-free (the repo's windowed-double rule).
+
+    Returns one row per (stratum, event time): ``n_risk``, ``n_events``,
+    ``n_censored``, ``cum_hazard`` (quantized to ``out_scale``).
+    """
+    died = F.col(event_col).cast("bigint")
+    agg = subjects.groupBy(stratum_col, duration_col).agg(
+        F.sum(died).alias("_d"),
+        F.sum(F.lit(1) - died).alias("_c"),
+    )
+    w_cum = (
+        Window.partitionBy(stratum_col)
+        .orderBy(duration_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(stratum_col)
+    agg = agg.withColumn(
+        "n_risk",
+        F.sum(F.col("_d") + F.col("_c")).over(w_all)
+        - F.sum(F.col("_d") + F.col("_c")).over(w_cum)
+        + F.col("_d")
+        + F.col("_c"),
+    )
+    inc_q = F.floor(
+        F.col("_d").cast("double") / F.col("n_risk").cast("double") * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    steps = agg.filter(F.col("_d") > 0).withColumn("_q", inc_q)
+    cum_q = F.sum("_q").over(w_cum)
+    mult = float(10**out_scale)
+    return steps.select(
+        F.col(stratum_col),
+        F.col(duration_col),
+        F.col("n_risk"),
+        F.col("_d").alias("n_events"),
+        F.col("_c").alias("n_censored"),
+        (
+            F.floor(cum_q.cast("double") / F.lit(1e9) * F.lit(mult) + F.lit(0.5))
+            / F.lit(mult)
+        ).alias("cum_hazard"),
+    )
+
+
+def nelson_aalen_sql(
+    subjects_sql: str,
+    stratum_col: str = "stratum",
+    duration_col: str = "t_day",
+    event_col: str = "died",
+    out_scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`nelson_aalen`."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    mult = 10**out_scale
+    win_cum = (
+        f"PARTITION BY {stratum_col} ORDER BY {duration_col} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    return f"""
+WITH subj AS ({subjects_sql}),
+agg AS (
+  SELECT {stratum_col}, {duration_col},
+    CAST(SUM(CAST({event_col} AS BIGINT)) AS BIGINT) AS _d,
+    CAST(SUM(1 - CAST({event_col} AS BIGINT)) AS BIGINT) AS _c
+  FROM subj GROUP BY {stratum_col}, {duration_col}
+),
+r AS (
+  SELECT *,
+    CAST(SUM(_d + _c) OVER (PARTITION BY {stratum_col}) AS BIGINT)
+      - CAST(SUM(_d + _c) OVER ({win_cum}) AS BIGINT) + _d + _c AS n_risk
+  FROM agg
+),
+t AS (
+  SELECT {stratum_col}, {duration_col}, n_risk, _d, _c,
+    CAST(FLOOR(CAST(_d AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e9 + 0.5)
+         AS BIGINT) AS _q
+  FROM r WHERE _d > 0
+),
+c AS (
+  SELECT *, CAST(SUM(_q) OVER ({win_cum}) AS BIGINT) AS _cq FROM t
+)
+SELECT {stratum_col}, {duration_col}, n_risk, _d AS n_events,
+  _c AS n_censored,
+  FLOOR(CAST(_cq AS DOUBLE) / 1e9 * {dlit(float(mult))} + 0.5) / {dlit(float(mult))}
+    AS cum_hazard
+FROM c
+"""

@@ -708,3 +708,34 @@ def _sql_corpus_jsd():
 
 
 QUERIES.update({"corpus_jsd": Q(q_corpus_jsd, _sql_corpus_jsd())})
+
+
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative conversion hazard per market segment
+    (operators/survival.nelson_aalen): the additive sibling of the
+    kaplan_meier query on the same per-user lifetimes — quantized d/n
+    increments, exact-integer cumulative sum."""
+    from timeseriesutils_spark.operators.survival import (
+        conversion_lifetimes,
+        nelson_aalen,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return nelson_aalen(
+        conversion_lifetimes(events, customer), duration_col="t_hour"
+    )
+
+
+def _sql_nelson_aalen():
+    from timeseriesutils_spark.operators.survival import (
+        conversion_lifetimes_sql,
+        nelson_aalen_sql,
+    )
+
+    return nelson_aalen_sql(
+        conversion_lifetimes_sql("events", "customer"), duration_col="t_hour"
+    )
+
+
+QUERIES.update({"nelson_aalen": Q(q_nelson_aalen, _sql_nelson_aalen())})
