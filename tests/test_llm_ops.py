@@ -859,3 +859,30 @@ def test_minhash_estimate_audit_bounds_and_selfdup(spark):
         assert 0.0 <= r.est_jaccard <= 1.0
         assert 0.0 <= r.jaccard <= 1.0
         assert r.err == r.est_jaccard - r.jaccard
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    """A doc with corpus-frequent bigrams scores lower NLL than one with
+    the same words in never-seen order; closed form checked on a tiny
+    corpus."""
+    import math
+
+    from timeseriesutils_spark.operators.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat sat"),
+            (3, "sat cat the"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert out[1].n_bigrams == 2
+    assert out[1].mean_nll == out[2].mean_nll
+    assert out[3].mean_nll > out[1].mean_nll
+    # closed form for doc 1: V=3; 'the cat' (c=2, ctx(the)=2 -> P=3/5),
+    # 'cat sat' (c=2, ctx(cat)=3 including doc 3's 'cat the' -> P=3/6)
+    q1 = math.floor(-math.log((2 + 1) / (2 + 3)) * 1e9 + 0.5)
+    q2 = math.floor(-math.log((2 + 1) / (3 + 3)) * 1e9 + 0.5)
+    assert out[1].mean_nll == (q1 + q2) / 1e9 / 2

@@ -1486,3 +1486,102 @@ SELECT MAX(_na) AS n_tokens_a, MAX(_nb) AS n_tokens_b,
   CAST(CAST(SUM(_cq) AS BIGINT) AS DOUBLE) / {dlit(float(m))} AS jsd
 FROM j
 """
+
+
+def bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bigram negative log-probability with add-one
+    smoothing — the next LM-perplexity proxy up from
+    :func:`unigram_logprob`: word-ORDER quality, not just word choice
+    (shuffled natural words score near the unigram model; here they
+    score like noise).
+
+        nll(doc) = Σ_(w1,w2) −ln( (c(w1,w2)+1) / (ctx(w1)+V) ) / n_bigrams
+
+    with c the corpus bigram count, ctx(w1) = Σ_w2 c(w1,w2) the context
+    total, and V the corpus vocabulary size (the add-one denominator).
+    Every probability is a ratio of exact int64s; per-bigram terms are
+    ln-quantized to 1e-9 units before the per-doc sum (the single-ln
+    rule), so the aggregation is exact integer addition.
+
+    Scale shape: one bigram explode feeding three map-combinable
+    aggregations (bigram model, context totals, vocab count) joined
+    back by key — the tf_idf plan family; nothing touches Python.
+
+    Returns (doc_id, n_bigrams, mean_nll).
+    """
+    toks = docs.select(
+        F.col(id_col), words(F.col(text_col)).alias("_arr")
+    ).filter(F.size("_arr") >= 2)
+    bg = pin(
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(_arr, 1, size(_arr) - 1), "
+                    "(x, i) -> struct(x AS w1, element_at(_arr, i + 2) AS w2))"
+                )
+            ).alias("_p"),
+        ).select(F.col(id_col), F.col("_p.w1"), F.col("_p.w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = docs.select(
+        F.explode(words(F.col(text_col))).alias("w")
+    ).agg(F.count_distinct("w").alias("_v"))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (F.col("_c12") + 1).cast("double") / (F.col("_c1") + F.col("_v")).cast(
+        "double"
+    )
+    term_q = F.floor(-F.log(p) * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    return (
+        scored.select(F.col(id_col), term_q.alias("_q"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("_q").alias("_sq"))
+        .select(
+            id_col,
+            "n_bigrams",
+            (
+                F.col("_sq").cast("double") / F.lit(1e9) / F.col("n_bigrams")
+            ).alias("mean_nll"),
+        )
+    )
+
+
+def bigram_logprob_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob`."""
+    w = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {w} AS arr FROM {table} WHERE len({w}) >= 2
+),
+bg AS (
+  SELECT {id_col}, p[1] AS w1, p[2] AS w2
+  FROM (
+    SELECT {id_col}, unnest([arr[i:i+1] FOR i IN range(1, len(arr))]) AS p
+    FROM toks
+  )
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS _c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS _c1 FROM bg GROUP BY 1),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS _v
+  FROM (SELECT unnest({w}) AS w FROM {table})
+),
+scored AS (
+  SELECT bg.{id_col},
+    CAST(FLOOR(-ln(CAST(_c12 + 1 AS DOUBLE) / CAST(_c1 + _v AS DOUBLE))
+         * 1e9 + 0.5) AS BIGINT) AS _q
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+)
+SELECT {id_col}, COUNT(*) AS n_bigrams,
+  CAST(CAST(SUM(_q) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*) AS mean_nll
+FROM scored GROUP BY {id_col}
+"""

@@ -1532,3 +1532,22 @@ JOIN (SELECT threshold, COUNT(DISTINCT doc_id) AS n_docs_affected
 QUERIES.update(
     {"dedup_threshold_curve": Q(q_dedup_threshold_curve, _sql_dedup_threshold_curve())}
 )
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Per-doc mean bigram NLL with add-one smoothing
+    (text.bigram_logprob) — the word-ORDER quality proxy one rung up
+    from unigram_logprob; exact-int probabilities, ln-quantized per-term
+    sums."""
+    from timeseriesutils_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+def _sql_bigram_logprob():
+    from timeseriesutils_spark.operators.text import bigram_logprob_sql
+
+    return bigram_logprob_sql()
+
+
+QUERIES.update({"bigram_logprob": Q(q_bigram_logprob, _sql_bigram_logprob())})
