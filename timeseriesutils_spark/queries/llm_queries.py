@@ -1551,3 +1551,46 @@ def _sql_bigram_logprob():
 
 
 QUERIES.update({"bigram_logprob": Q(q_bigram_logprob, _sql_bigram_logprob())})
+
+
+def q_dup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-SIZE distribution: how many clusters of 2, 3,
+    4… near-identical docs the corpus holds (components over the Jaccard
+    pair graph → size histogram + docs involved) — the one-glance corpus
+    duplication shape that decides between pairwise dedup and cluster
+    canonicalization."""
+    from timeseriesutils_spark.operators.dedup import connected_components
+
+    pairs = pin(ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.6, max_posting=MAX_POSTING
+    ))
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("size")).cast("bigint").alias("n_docs"),
+    )
+
+
+_SQL_DUP_CLUSTER_SIZES = f"""
+WITH RECURSIVE pairs AS ({_SQL_NGRAM_JACCARD}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+sizes AS (SELECT comp, COUNT(*) AS size FROM comp GROUP BY comp)
+SELECT size, COUNT(*) AS n_clusters,
+  CAST(COUNT(*) * size AS BIGINT) AS n_docs
+FROM sizes GROUP BY size
+"""
+
+
+QUERIES.update(
+    {"dup_cluster_sizes": Q(q_dup_cluster_sizes, _SQL_DUP_CLUSTER_SIZES)}
+)
