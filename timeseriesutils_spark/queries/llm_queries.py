@@ -1594,3 +1594,84 @@ FROM sizes GROUP BY size
 QUERIES.update(
     {"dup_cluster_sizes": Q(q_dup_cluster_sizes, _SQL_DUP_CLUSTER_SIZES)}
 )
+
+
+_RECALL_KS = (1, 3, 5)
+
+
+def q_knn_recall_curve(spark, sf_dir):
+    """ANN quality audit: recall@k of the IVF index against the exact
+    brute-force neighbors for k ∈ {1,3,5} — the embedding-side sibling
+    of minhash_estimate_audit (is nprobe=4 enough, and at which k does
+    the index degrade?).  Both sides are the already-hash-green
+    operators, so the curve itself is exactly verified."""
+    from timeseriesutils_spark.operators.similarity import knn_ivf_portable
+
+    emb = _emb(spark, sf_dir)
+    q10 = emb.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(q10, emb, k=max(_RECALL_KS))
+    approx = knn_ivf_portable(
+        q10, emb, k=max(_RECALL_KS), n_centroids=16, nprobe=4
+    )
+    m = exact.select(
+        "query_id", "vec_id", F.col("rn").alias("_re")
+    ).join(
+        approx.select("query_id", "vec_id", F.col("rn").alias("_ra")),
+        on=["query_id", "vec_id"],
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in _RECALL_KS])).alias("k")
+    hits = (
+        m.select("_re", "_ra", ks)
+        .filter((F.col("_re") <= F.col("k")) & (F.col("_ra") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    scaffold = exact.agg(
+        F.count_distinct("query_id").alias("n_queries")
+    ).select("n_queries", ks)
+    return scaffold.join(hits, on="k", how="left").select(
+        "k",
+        "n_queries",
+        F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+        (
+            F.coalesce("n_matches", F.lit(0)).cast("double")
+            / (F.col("k") * F.col("n_queries")).cast("double")
+        ).alias("recall"),
+    )
+
+
+def _sql_knn_recall_curve():
+    from timeseriesutils_spark.operators.similarity import knn_ivf_portable_sql
+
+    ks = ", ".join(str(k) for k in _RECALL_KS)
+    approx = knn_ivf_portable_sql(
+        k=max(_RECALL_KS), n_centroids=16, nprobe=4
+    )
+    return f"""
+WITH exact AS ({_SQL_KNN}),
+approx AS ({approx}),
+m AS (
+  SELECT e.query_id, e.vec_id, e.rn AS _re, a.rn AS _ra
+  FROM exact e JOIN approx a USING (query_id, vec_id)
+),
+kk AS (SELECT UNNEST([{ks}]) AS k),
+hits AS (
+  SELECT kk.k, COUNT(*) AS n_matches
+  FROM m JOIN kk ON m._re <= kk.k AND m._ra <= kk.k
+  GROUP BY kk.k
+),
+scaffold AS (
+  SELECT kk.k, nq.n_queries
+  FROM kk CROSS JOIN (SELECT COUNT(DISTINCT query_id) AS n_queries FROM exact) nq
+)
+SELECT s.k, s.n_queries,
+  CAST(COALESCE(h.n_matches, 0) AS BIGINT) AS n_matches,
+  CAST(COALESCE(h.n_matches, 0) AS DOUBLE)
+    / CAST(s.k * s.n_queries AS DOUBLE) AS recall
+FROM scaffold s LEFT JOIN hits h ON s.k = h.k
+"""
+
+
+QUERIES.update(
+    {"knn_recall_curve": Q(q_knn_recall_curve, _sql_knn_recall_curve())}
+)
