@@ -1675,3 +1675,44 @@ FROM scaffold s LEFT JOIN hits h ON s.k = h.k
 QUERIES.update(
     {"knn_recall_curve": Q(q_knn_recall_curve, _sql_knn_recall_curve())}
 )
+
+
+def q_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the n-gram-marker predictor
+    (text.lang_id) against the corpus's labeled ``lang`` column —
+    (labeled, predicted, n, frac_of_labeled), the classifier-quality
+    audit run before trusting the heuristic for mixture decisions."""
+    preds = lang_id(_docs(spark, sf_dir))
+    labeled = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("label"))
+    j = labeled.join(preds.select("doc_id", "pred_lang"), "doc_id")
+    cm = j.groupBy("label", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = j.groupBy("label").agg(F.count(F.lit(1)).alias("_t"))
+    return cm.join(tot, "label").select(
+        "label",
+        "pred_lang",
+        "n",
+        (F.col("n").cast("double") / F.col("_t").cast("double")).alias(
+            "frac_of_labeled"
+        ),
+    )
+
+
+def _sql_langid_confusion() -> str:
+    pred = _sql_lang_id()
+    return f"""
+WITH preds AS ({pred}),
+j AS (
+  SELECT d.doc_id, d.lang AS label, p.pred_lang
+  FROM documents d JOIN preds p USING (doc_id)
+),
+cm AS (SELECT label, pred_lang, COUNT(*) AS n FROM j GROUP BY 1, 2),
+tot AS (SELECT label, COUNT(*) AS _t FROM j GROUP BY 1)
+SELECT cm.label, cm.pred_lang, cm.n,
+  CAST(cm.n AS DOUBLE) / CAST(tot._t AS DOUBLE) AS frac_of_labeled
+FROM cm JOIN tot ON cm.label = tot.label
+"""
+
+
+QUERIES.update(
+    {"langid_confusion": Q(q_langid_confusion, _sql_langid_confusion())}
+)
