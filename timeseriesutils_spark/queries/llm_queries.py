@@ -1613,10 +1613,15 @@ def q_knn_recall_curve(spark, sf_dir):
     approx = knn_ivf_portable(
         q10, emb, k=max(_RECALL_KS), n_centroids=16, nprobe=4
     )
+    # both sides are top-k result frames (n_queries*k rows) but arrive
+    # behind window filters that hide their size from the planner —
+    # broadcast explicitly, else these 50-row joins run as SMJs
     m = exact.select(
         "query_id", "vec_id", F.col("rn").alias("_re")
     ).join(
-        approx.select("query_id", "vec_id", F.col("rn").alias("_ra")),
+        F.broadcast(
+            approx.select("query_id", "vec_id", F.col("rn").alias("_ra"))
+        ),
         on=["query_id", "vec_id"],
     )
     ks = F.explode(F.array(*[F.lit(k) for k in _RECALL_KS])).alias("k")
@@ -1629,7 +1634,7 @@ def q_knn_recall_curve(spark, sf_dir):
     scaffold = exact.agg(
         F.count_distinct("query_id").alias("n_queries")
     ).select("n_queries", ks)
-    return scaffold.join(hits, on="k", how="left").select(
+    return scaffold.join(F.broadcast(hits), on="k", how="left").select(
         "k",
         "n_queries",
         F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
