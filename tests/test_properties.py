@@ -4,6 +4,7 @@ session.  Hypothesis drives the INPUT generation; each property is an
 exact assertion (the engine's determinism discipline means no
 tolerances are needed on integer-domain laws)."""
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -170,3 +171,122 @@ def test_cc_tiers_agree(spark, edges):
     for node, comp in uf:
         if node not in real:
             assert comp == node
+
+
+@given(
+    counts=st.lists(st.integers(0, 50), min_size=6, max_size=25),
+    c=st.integers(2, 9),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_renewal_rt_scale_invariance(spark, counts, c):
+    """Rt is a ratio of linear functionals of the incidence series, so
+    scaling every count by a constant leaves every Rt unchanged (and
+    scales every force of infection by exactly c)."""
+    from timeseriesutils_spark.operators.epi import renewal_rt
+
+    rows = [("g", d, n) for d, n in enumerate(counts)]
+    base = spark.createDataFrame(rows, "g string, day long, n long")
+    scaled = spark.createDataFrame(
+        [("g", d, n * c) for d, n in enumerate(counts)],
+        "g string, day long, n long",
+    )
+    # min_count=0 so the low-count guard can't differ between the two
+    a = {r.day: r for r in renewal_rt(base, "n", "day", ["g"], min_count=0).collect()}
+    b = {r.day: r for r in renewal_rt(scaled, "n", "day", ["g"], min_count=0).collect()}
+    assert set(a) == set(b)
+    for d in a:
+        fa, fb = a[d].force_q, b[d].force_q
+        assert (fa is None) == (fb is None)
+        if fa is not None:
+            assert fb == fa * c
+        ra, rb = a[d].rt, b[d].rt
+        assert (ra is None) == (rb is None)
+        if ra is not None:
+            # n*D/force is invariant under n -> c*n exactly in rationals;
+            # the double division computes (c*n*D)/(c*force) vs (n*D)/force
+            assert rb == pytest.approx(ra, rel=1e-12)
+
+
+@given(
+    tri=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(1, 30)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_nowcast_conservation_and_identity(spark, tri):
+    """Chain-ladder laws: (a) ultimate >= reported for every period
+    (factors >= 1 since cumulative counts are nondecreasing); (b) on a
+    triangle where every period is fully mature (a late sentinel makes
+    the whole region observed), ultimate == reported exactly."""
+    from timeseriesutils_spark.operators.epi import nowcast_triangle
+
+    rows = []
+    for occ, d, c in tri:
+        rows += [(occ, d)] * c
+    rows += [(50, 0)]  # sentinel: T = 50, every real period mature
+    df = spark.createDataFrame(rows, "occ long, delay long")
+    out = nowcast_triangle(df, "occ", "delay", max_delay=3).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.ultimate >= r.reported_q - 1e-9
+        if r.occ != 50:
+            assert r.observed_depth == 3
+            assert r.ultimate == float(r.reported_q)
+            assert r.outstanding == 0.0
+
+
+@given(
+    vals=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pinball_perfect_forecast_is_zero(spark, vals):
+    """A forecast equal to the actual at every quantile scores exactly
+    zero pinball loss and 100% coverage."""
+    from timeseriesutils_spark.operators.epi import pinball_scores
+
+    rows = [("g", float(v), float(v), float(v), float(v)) for v in vals]
+    df = spark.createDataFrame(
+        rows, "g string, y double, f10 double, f50 double, f90 double"
+    )
+    out = pinball_scores(
+        df, "y", {0.1: "f10", 0.5: "f50", 0.9: "f90"}, ["g"],
+        interval=(0.1, 0.9),
+    ).collect()[0]
+    assert out.mean_pinball == 0.0
+    assert out.coverage == 1.0
+
+
+@given(
+    ys=st.lists(st.integers(-50, 50), min_size=4, max_size=25),
+    a=st.integers(1, 5),
+    b=st.integers(-20, 20),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_theilsen_affine_equivariance(spark, ys, a, b):
+    """Theil-Sen is affine-equivariant: y -> a*y + b maps slope ->
+    a*slope and intercept -> a*intercept + b (medians of affinely
+    transformed slope/residual sets)."""
+    from timeseriesutils_spark.operators.regression import theilsen_slope
+
+    base = spark.createDataFrame(
+        [("g", t, float(y)) for t, y in enumerate(ys)],
+        "g string, t long, y double",
+    )
+    mapped = spark.createDataFrame(
+        [("g", t, float(a * y + b)) for t, y in enumerate(ys)],
+        "g string, t long, y double",
+    )
+    r0 = theilsen_slope(base, "y", "t", ["g"], scale=2).collect()[0]
+    r1 = theilsen_slope(mapped, "y", "t", ["g"], scale=2).collect()[0]
+    assert r1.slope == pytest.approx(a * r0.slope, rel=1e-9, abs=1e-9)
+    assert r1.intercept == pytest.approx(a * r0.intercept + b, rel=1e-9, abs=1e-9)

@@ -193,13 +193,25 @@ def nowcast_triangle(
     # (cutoff, factor pairing twice, latest); without a pin each branch
     # re-runs the fact scan + aggregation (measured 12 parquet scans in
     # the un-pinned plan)
-    tri = pin(
+    sparse = pin(
         events.select(occ.alias("_occ"), delay.alias("_d"))
         .groupBy("_occ", "_d")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     # as-of period: latest (occ + delay) actually observed
-    asof = tri.agg(F.max(F.col("_occ") + F.col("_d")).alias("_T"))
+    asof = sparse.agg(F.max(F.col("_occ") + F.col("_d")).alias("_T"))
+    # DENSIFY: a delay level with zero events is still an observed cell
+    # of the triangle (K[d] = K[d-1]); leaving it out would drop ratio-1
+    # contributions from the development factors and understate mature
+    # periods' observed depth (caught by the chain-ladder identity
+    # property test) — zero-fill d = 0..max_delay per period
+    spine = sparse.select("_occ").distinct().select(
+        "_occ",
+        F.explode(F.sequence(F.lit(0), F.lit(max_delay))).alias("_d"),
+    )
+    tri = spine.join(sparse, on=["_occ", "_d"], how="left").select(
+        "_occ", "_d", F.coalesce("_c", F.lit(0).cast("bigint")).alias("_c")
+    )
     w = Window.partitionBy("_occ").orderBy("_d")
     cum = tri.withColumn("_k", F.sum("_c").over(w)).crossJoin(F.broadcast(asof))
     # cumulative at each observed depth, only inside the known region
@@ -222,11 +234,15 @@ def nowcast_triangle(
     )
     # one guaranteed row even when a level has no pairs (NULL there):
     # pivot the <= max_delay factor levels into columns
+    # _den = 0 happens when every contributing period still has zero
+    # cumulative count at level d (first events arrive at later delays);
+    # a multiplicative estimator has no information there — NULL factor,
+    # treated as 1 in the product like any other missing level
     fwide = factors.agg(
         *[
             F.max(
                 F.when(
-                    F.col("_d") == d,
+                    (F.col("_d") == d) & (F.col("_den") > 0),
                     F.col("_num").cast("double") / F.col("_den").cast("double"),
                 )
             ).alias(f"_f{d}")
@@ -265,7 +281,8 @@ def nowcast_triangle_sql(
     SELECT producing (occ_col, delay_col)."""
     s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
     fcols = ", ".join(
-        f"MAX(CASE WHEN _d = {d} THEN {s2d('_num')} / {s2d('_den')} END) AS _f{d}"
+        f"MAX(CASE WHEN _d = {d} AND _den > 0 "
+        f"THEN {s2d('_num')} / {s2d('_den')} END) AS _f{d}"
         for d in range(max_delay)
     )
     arms = []
@@ -280,14 +297,22 @@ def nowcast_triangle_sql(
         + " END"
     )
     return f"""
-WITH tri AS (
+WITH sparse AS (
   SELECT CAST({occ_col} AS BIGINT) AS _occ,
     LEAST(GREATEST(CAST({delay_col} AS BIGINT), 0), {max_delay}) AS _d,
     COUNT(*) AS _c
   FROM ({events_sql})
   GROUP BY 1, 2
 ),
-cutoff AS (SELECT MAX(_occ + _d) AS _T FROM tri),
+cutoff AS (SELECT MAX(_occ + _d) AS _T FROM sparse),
+spine AS (
+  SELECT _occ, UNNEST(generate_series(0, {max_delay})) AS _d
+  FROM (SELECT DISTINCT _occ FROM sparse)
+),
+tri AS (
+  SELECT s._occ, s._d, COALESCE(x._c, 0) AS _c
+  FROM spine s LEFT JOIN sparse x USING (_occ, _d)
+),
 cum AS (
   SELECT _occ, _d,
     CAST(SUM(_c) OVER (PARTITION BY _occ ORDER BY _d
