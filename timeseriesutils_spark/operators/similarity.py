@@ -128,6 +128,15 @@ def embedding_near_dup_pairs(
     theta-join form at sf0.1.  At 100 TB pick B ≈ √(N·d / tile_budget).
     O(N²·d) total work: the verify tier / small-corpus tier, not the
     default.
+
+    Tuning rule (measured, BASELINE.md round-5 scaling study): ``bits``
+    must grow with the corpus — with FIXED bits the per-table bucket
+    count is constant, buckets fill as N/2^bits, and the in-bucket tile
+    kernels turn quadratic (observed 12× cost for 4× data once buckets
+    reached ~500 vectors).  Pick bits ≈ log2(N / target_bucket) with
+    target_bucket ~ 32-64; scaling bits 8→10→12 across a 4×→16×→64×
+    corpus kept cost near-linear (2.2 → 2.8 → 13.6 s).  ``max_bucket``
+    is the guard against skewed buckets, not a substitute for sizing.
     """
     base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if method == "lsh":

@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
+        # single-JVM local mode: the 1g driver default is the de-facto
+        # executor heap; on the 128 GiB target box it GC-thrashes around
+        # ~300k-doc shingle pipelines (observed at a 64x corpus scale
+        # test).  Only effective at JVM creation — a pre-existing session
+        # keeps its own setting (the driver's vanilla session does).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else int(cpus)),
