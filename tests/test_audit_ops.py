@@ -420,3 +420,26 @@ def test_id_gap_audit_ranges(spark):
     # dense sequence: no gaps
     dense = spark.createDataFrame([(i,) for i in range(1, 20)], "k long")
     assert id_gap_audit(dense, "k").count() == 0
+
+
+def test_gini_weighted_median_gmean_ignore_nulls(spark):
+    """NULL values are complete-case-filtered everywhere a COUNT pairs
+    with NULL-skipping sums (ADVICE-r4 class, extended in round 5)."""
+    from timeseriesutils_spark.operators.stats import (
+        gini_index,
+        gmean_exact,
+        weighted_median,
+    )
+
+    clean = [("a", i, float(v)) for i, v in enumerate([1, 2, 3, 4])]
+    dirty = clean + [("a", 99, None)]
+    dc = spark.createDataFrame(clean, "g string, id long, v double")
+    dd = spark.createDataFrame(dirty, "g string, id long, v double")
+    assert gini_index(dc, ["g"], "v", "id").collect() == \
+           gini_index(dd, ["g"], "v", "id").collect()
+    assert gmean_exact(dc, "v", ["g"]).collect() == \
+           gmean_exact(dd, "v", ["g"]).collect()
+    wc = dc.withColumn("w", dc.v)
+    wd = dd.withColumn("w", dd.v)
+    assert weighted_median(wc, ["g"], "v", "w", "id").collect() == \
+           weighted_median(wd, ["g"], "v", "w", "id").collect()

@@ -421,3 +421,22 @@ def test_best_breakpoint_tie_breaks_earliest_and_min_seg(spark):
     out = best_breakpoint(df, "v", "t", ["g"], min_seg=3).collect()[0]
     assert out.break_t == 2  # k = min_seg -> 0-based t index 2
     assert out.gain == 0.0
+
+
+def test_rolling_slope_nulls_excluded_from_all_stats(spark):
+    """A NULL inside the window contributes to NONE of the sufficient
+    statistics: the slope over [0,2,NULL,6] at t=0..3 equals the OLS of
+    the three observed points against their positions."""
+    from timeseriesutils_spark.operators.series_math import rolling_slope
+
+    rows = [("a", 0, 0.0), ("a", 1, 2.0), ("a", 2, None), ("a", 3, 6.0)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = {r.t: r for r in rolling_slope(
+        df, "v", "t", ["g"], window=4, min_periods=3
+    ).collect()}
+    # positions i = 1,2,4 (row_number), y = 0,2,6: exact OLS slope
+    import numpy as np
+    i = np.array([1.0, 2.0, 4.0]); y = np.array([0.0, 2.0, 6.0])
+    n = 3; num = n * (i * y).sum() - i.sum() * y.sum()
+    den = n * (i * i).sum() - i.sum() ** 2
+    assert out[3].v_slope == pytest.approx(num / den)

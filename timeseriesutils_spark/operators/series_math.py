@@ -843,9 +843,13 @@ def rolling_slope(
     d = data.withColumn("_i", F.row_number().over(w_ord).cast("bigint")).withColumn(
         "_y", q
     )
-    n = F.count(F.lit(1)).over(wf)
-    si = F.sum("_i").over(wf)
-    sii = F.sum(F.col("_i") * F.col("_i")).over(wf)
+    # complete-case within the window: rows with NULL y contribute to
+    # NONE of the five statistics (counting them in n/Σi/Σi² while the
+    # y-sums skip them would bias the slope; ADVICE-r4 class)
+    ok = F.col("_y").isNotNull()
+    n = F.sum(ok.cast("bigint")).over(wf)
+    si = F.sum(F.when(ok, F.col("_i"))).over(wf)
+    sii = F.sum(F.when(ok, F.col("_i") * F.col("_i"))).over(wf)
     sy = F.sum("_y").over(wf)
     siy = F.sum(F.col("_i") * F.col("_y")).over(wf)
     nn = n.cast("double")
@@ -884,9 +888,12 @@ WITH ix AS (
 ),
 s AS (
   SELECT *,
-    COUNT(*) OVER ({win} {fr}) AS _n,
-    CAST(SUM(_i) OVER ({win} {fr}) AS BIGINT) AS _si,
-    CAST(SUM(_i * _i) OVER ({win} {fr}) AS BIGINT) AS _sii,
+    CAST(SUM(CASE WHEN _y IS NOT NULL THEN 1 ELSE 0 END)
+         OVER ({win} {fr}) AS BIGINT) AS _n,
+    CAST(SUM(CASE WHEN _y IS NOT NULL THEN _i END)
+         OVER ({win} {fr}) AS BIGINT) AS _si,
+    CAST(SUM(CASE WHEN _y IS NOT NULL THEN _i * _i END)
+         OVER ({win} {fr}) AS BIGINT) AS _sii,
     CAST(SUM(_y) OVER ({win} {fr}) AS BIGINT) AS _sy,
     CAST(SUM(_i * _y) OVER ({win} {fr}) AS BIGINT) AS _siy
   FROM ix

@@ -744,9 +744,11 @@ def gini_index(
     mult = 10**scale
     q = F.floor(F.col(value_col) * F.lit(mult) + F.lit(0.5)).cast("bigint")
     w = Window.partitionBy(*groups).orderBy(F.asc("_q"), F.asc(tie_break))
-    d = df.select(*groups, q.alias("_q"), F.col(tie_break)).withColumn(
-        "_i", F.row_number().over(w).cast("bigint")
-    )
+    # complete-case: NULL values would rank NULLS FIRST in Spark but
+    # NULLS LAST in DuckDB, and n would count rows the sums skip
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, q.alias("_q"), F.col(tie_break)
+    ).withColumn("_i", F.row_number().over(w).cast("bigint"))
     agg = d.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("_q").cast("decimal(38,0)")).alias("_sx"),
@@ -782,6 +784,7 @@ def gini_index_sql(
 WITH q AS (
   SELECT {g}, CAST(FLOOR({value_col} * {mult} + 0.5) AS BIGINT) AS _q, {tie_break}
   FROM {table}
+  WHERE {value_col} IS NOT NULL
 ),
 r AS (
   SELECT {g}, _q,
@@ -828,8 +831,11 @@ def weighted_median(
     wq = F.floor(F.col(weight_col) * F.lit(mult) + F.lit(0.5)).cast("bigint")
     w_ord = Window.partitionBy(*groups).orderBy(F.asc("_q"), F.asc(tie_break))
     w_all = Window.partitionBy(*groups)
+    # complete-case: a NULL value would order NULLS FIRST/LAST
+    # differently across engines; a NULL weight poisons the cumulative
     d = (
-        df.select(*groups, q.alias("_q"), wq.alias("_w"), F.col(tie_break))
+        df.filter(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
+        .select(*groups, q.alias("_q"), wq.alias("_w"), F.col(tie_break))
         .withColumn("_cum", F.sum("_w").over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("_tot", F.sum("_w").over(w_all))
         .withColumn("_n", F.count(F.lit(1)).over(w_all))
@@ -861,6 +867,7 @@ WITH q AS (
     CAST(FLOOR({weight_col} * {mult} + 0.5) AS BIGINT) AS _w,
     {tie_break}
   FROM {table}
+  WHERE {value_col} IS NOT NULL AND {weight_col} IS NOT NULL
 ),
 c AS (
   SELECT {g}, _q, _w,
@@ -1224,7 +1231,9 @@ def gmean_exact(
     lq = F.floor(
         F.log(F.col(value_col).cast("double")) * F.lit(lm) + F.lit(0.5)
     ).cast("bigint")
-    agg = df.groupBy(*groups).agg(
+    # complete-case: NULL values would inflate n while the ln sum and
+    # the bad counter both skip them
+    agg = df.filter(F.col(value_col).isNotNull()).groupBy(*groups).agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(bad, F.lit(0)).alias("_bad"),
         F.sum(F.when(F.col(value_col) > 0, lq).cast("decimal(38,0)")).alias("_sl"),
@@ -1265,7 +1274,7 @@ WITH agg AS (
     SUM(CASE WHEN {value_col} > 0 THEN
       CAST(FLOOR(ln(CAST({value_col} AS DOUBLE)) * {dlit(lm)} + 0.5) AS BIGINT)
     END) AS _sl
-  FROM {table} GROUP BY {g}
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY {g}
 )
 SELECT {g}, n,
   CASE WHEN _bad = 0 THEN
