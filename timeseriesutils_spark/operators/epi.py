@@ -209,7 +209,9 @@ def nowcast_triangle(
         "_occ",
         F.explode(F.sequence(F.lit(0), F.lit(max_delay))).alias("_d"),
     )
-    tri = spine.join(sparse, on=["_occ", "_d"], how="left").select(
+    # the pinned triangle is periods × delays rows — broadcast it into
+    # the spine join (the cached frame's stats don't reach the planner)
+    tri = spine.join(F.broadcast(sparse), on=["_occ", "_d"], how="left").select(
         "_occ", "_d", F.coalesce("_c", F.lit(0).cast("bigint")).alias("_c")
     )
     w = Window.partitionBy("_occ").orderBy("_d")
@@ -224,8 +226,10 @@ def nowcast_triangle(
         F.col("_d").alias("_dnext"),
         F.col("_k").alias("_knext"),
     )
+    # cum is the windowed tiny triangle — broadcast the shifted copy so
+    # the pairing never becomes a shuffled self-join
     paired = cum.join(
-        nxt,
+        F.broadcast(nxt),
         (F.col("_occ") == F.col("_occ2"))
         & (F.col("_dnext") == F.col("_d") + 1),
     )
