@@ -443,3 +443,25 @@ def test_gini_weighted_median_gmean_ignore_nulls(spark):
     wd = dd.withColumn("w", dd.v)
     assert weighted_median(wc, ["g"], "v", "w", "id").collect() == \
            weighted_median(wd, ["g"], "v", "w", "id").collect()
+
+
+def test_psi_drift_curve_stable_vs_shifted(spark):
+    """Baseline-identical periods score ~0 PSI; a shifted period scores
+    high; the curve has one row per evaluation period."""
+    from timeseriesutils_spark.operators.profile import psi_drift_curve
+
+    rows = []
+    for m in range(4):   # baseline months 0-3: values 0..99
+        rows += [(m, float(v % 100)) for v in range(500)]
+    rows += [(4, float(v % 100)) for v in range(500)]     # same dist
+    rows += [(5, float(v % 100) + 500.0) for v in range(500)]  # shifted
+    df = spark.createDataFrame(rows, "m long, v double")
+    out = {r.period: r for r in psi_drift_curve(
+        df, "v", "m", baseline_end=4, bin_width=10.0
+    ).collect()}
+    assert set(out) == {4, 5}
+    assert out[4].n_b == 500 and out[4].n_a == 2000
+    assert abs(out[4].psi) < 0.01
+    assert out[5].psi > 1.0
+    # disjoint supports: bin universe covers both sides
+    assert out[5].n_bins == 20

@@ -21,6 +21,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.cache import pin
 from timeseriesutils_spark.functions.exact import davg, davg_sql
 from timeseriesutils_spark.operators.window_features import _as_list
 
@@ -735,4 +736,153 @@ l AS (
 SELECT {gsel}_prev + 1 AS gap_start, _id - 1 AS gap_end,
   _id - _prev - 1 AS missing
 FROM l WHERE _prev IS NOT NULL AND _id - _prev > 1
+"""
+
+
+def psi_drift_curve(
+    data: DataFrame,
+    column: str,
+    period_col: str,
+    baseline_end,
+    bin_width: float = 1.0,
+    scale: int = 2,
+) -> DataFrame:
+    """Temporal drift monitor: PSI of ``column`` for EVERY evaluation
+    period against one fixed baseline — the "when did the feature start
+    drifting" curve, where :func:`psi_drift` answers for a single split.
+
+    ``period_col`` is an integer period index; periods < ``baseline_end``
+    pool into the baseline, each later period gets its own PSI row.
+    Same binning, +0.5 Laplace smoothing, and 1e-9 term quantization as
+    psi_drift; per period, the bin universe is bins(baseline) ∪
+    bins(period) — built by a (periods × baseline-bins) scaffold plus
+    the period's own bins, so the fact table is scanned ONCE into
+    (period, bin) counts and all PSI algebra runs on that tiny relation
+    with the baseline margins broadcast.
+
+    Returns one row per evaluation period: (period, n_a, n_b, n_bins,
+    psi).
+    """
+    q = F.floor(F.col(column) * F.lit(float(10**scale)) + F.lit(0.5)).cast("bigint")
+    width = int(round(bin_width * 10**scale))
+    if width <= 0:
+        raise ValueError("bin_width too small for scale")
+    b = F.floor(q / F.lit(width)).cast("bigint")
+    binned = pin(
+        data.select(
+            F.col(period_col).cast("bigint").alias("_m"), b.alias("_b")
+        )
+        .filter(F.col("_b").isNotNull() & F.col("_m").isNotNull())
+        .groupBy("_m", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    bl = binned.filter(F.col("_m") < baseline_end).groupBy("_b").agg(
+        F.sum("_c").alias("_ca")
+    )
+    ev = binned.filter(F.col("_m") >= baseline_end).select(
+        "_m", "_b", F.col("_c").alias("_cb")
+    )
+    months = ev.select("_m").distinct()
+    scaffold = (
+        months.crossJoin(F.broadcast(bl.select("_b")))
+        .unionByName(ev.select("_m", "_b"))
+        .distinct()
+    )
+    j = (
+        scaffold.join(F.broadcast(ev), on=["_m", "_b"], how="left")
+        .join(F.broadcast(bl), on="_b", how="left")
+        .select(
+            "_m",
+            "_b",
+            F.coalesce("_ca", F.lit(0).cast("bigint")).alias("_ca"),
+            F.coalesce("_cb", F.lit(0).cast("bigint")).alias("_cb"),
+        )
+    )
+    wg = Window.partitionBy("_m")
+    m = j.select(
+        "_m",
+        "_ca",
+        "_cb",
+        F.sum("_ca").over(wg).alias("_na"),
+        F.sum("_cb").over(wg).alias("_nb"),
+        F.count(F.lit(1)).over(wg).alias("_k"),
+    )
+    ka = F.col("_na").cast("double") + F.lit(0.5) * F.col("_k").cast("double")
+    kb = F.col("_nb").cast("double") + F.lit(0.5) * F.col("_k").cast("double")
+    pa = (F.col("_ca").cast("double") + F.lit(0.5)) / ka
+    pb = (F.col("_cb").cast("double") + F.lit(0.5)) / kb
+    term = (pa - pb) * F.log(pa / pb)
+    qterm = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    agg = m.select("_m", "_na", "_nb", "_k", qterm.alias("_q")).groupBy("_m").agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.max("_k").alias("n_bins"),
+        F.sum("_q").alias("_sq"),
+    )
+    return agg.select(
+        F.col("_m").alias("period"),
+        "n_a",
+        "n_b",
+        "n_bins",
+        (F.col("_sq").cast("double") / F.lit(1e9)).alias("psi"),
+    )
+
+
+def psi_drift_curve_sql(
+    table_sql: str,
+    column: str,
+    period_col: str,
+    baseline_end,
+    bin_width: float = 1.0,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`psi_drift_curve`; ``table_sql`` produces
+    (period_col, column)."""
+    q = f"CAST(FLOOR({column} * {float(10 ** scale)!r} + 0.5) AS BIGINT)"
+    width = int(round(bin_width * 10**scale))
+    b = f"CAST(FLOOR({q} / {width}) AS BIGINT)"
+    ka = "(CAST(_na AS DOUBLE) + 0.5 * CAST(_k AS DOUBLE))"
+    kb = "(CAST(_nb AS DOUBLE) + 0.5 * CAST(_k AS DOUBLE))"
+    pa = f"((CAST(_ca AS DOUBLE) + 0.5) / {ka})"
+    pb = f"((CAST(_cb AS DOUBLE) + 0.5) / {kb})"
+    term = f"(({pa} - {pb}) * ln({pa} / {pb}))"
+    return f"""
+WITH binned AS (
+  SELECT _m, _b, COUNT(*) AS _c
+  FROM (
+    SELECT CAST({period_col} AS BIGINT) AS _m, {b} AS _b FROM ({table_sql})
+  ) WHERE _b IS NOT NULL AND _m IS NOT NULL
+  GROUP BY 1, 2
+),
+bl AS (
+  SELECT _b, CAST(SUM(_c) AS BIGINT) AS _ca FROM binned
+  WHERE _m < {baseline_end} GROUP BY 1
+),
+ev AS (SELECT _m, _b, _c AS _cb FROM binned WHERE _m >= {baseline_end}),
+scaffold AS (
+  SELECT m._m, b._b FROM (SELECT DISTINCT _m FROM ev) m CROSS JOIN bl b
+  UNION SELECT _m, _b FROM ev
+),
+j AS (
+  SELECT s._m, s._b,
+    COALESCE(bl._ca, 0) AS _ca, COALESCE(ev._cb, 0) AS _cb
+  FROM scaffold s
+  LEFT JOIN ev ON ev._m = s._m AND ev._b = s._b
+  LEFT JOIN bl ON bl._b = s._b
+),
+m AS (
+  SELECT _m, _ca, _cb,
+    CAST(SUM(_ca) OVER (PARTITION BY _m) AS BIGINT) AS _na,
+    CAST(SUM(_cb) OVER (PARTITION BY _m) AS BIGINT) AS _nb,
+    COUNT(*) OVER (PARTITION BY _m) AS _k
+  FROM j
+),
+agg AS (
+  SELECT _m, CAST(MAX(_na) AS BIGINT) AS n_a, CAST(MAX(_nb) AS BIGINT) AS n_b,
+    CAST(MAX(_k) AS BIGINT) AS n_bins,
+    CAST(SUM(CAST(FLOOR({term} * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS _sq
+  FROM m GROUP BY _m
+)
+SELECT _m AS period, n_a, n_b, n_bins, CAST(_sq AS DOUBLE) / 1e9 AS psi
+FROM agg
 """

@@ -1312,3 +1312,47 @@ def _sql_croston():
 
 
 QUERIES.update({"croston_demand": Q(q_croston, _sql_croston())})
+
+
+_PSI_CURVE_SPLIT = 24  # months: first 24 = baseline
+
+
+def q_psi_drift_curve(spark, sf_dir):
+    """Temporal feature-drift curve (operators/profile.psi_drift_curve):
+    monthly PSI of order totalprice against the first-24-months
+    baseline — WHEN the distribution started moving, not just whether
+    it did between two splits."""
+    from timeseriesutils_spark.operators.profile import psi_drift_curve
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            ).cast("bigint")
+            / F.lit(30)
+        )
+        .cast("bigint")
+        .alias("month"),
+        "o_totalprice",
+    )
+    return psi_drift_curve(
+        d, "o_totalprice", "month", _PSI_CURVE_SPLIT,
+        bin_width=20000.0, scale=2,
+    )
+
+
+def _sql_psi_drift_curve():
+    from timeseriesutils_spark.operators.profile import psi_drift_curve_sql
+
+    inner = (
+        f"SELECT CAST({_ORD_DAY_SQL} // 30 AS BIGINT) AS month, o_totalprice "
+        "FROM orders"
+    )
+    return psi_drift_curve_sql(
+        inner, "o_totalprice", "month", _PSI_CURVE_SPLIT,
+        bin_width=20000.0, scale=2,
+    )
+
+
+QUERIES.update({"psi_drift_curve": Q(q_psi_drift_curve, _sql_psi_drift_curve())})
