@@ -465,3 +465,19 @@ def test_psi_drift_curve_stable_vs_shifted(spark):
     assert out[5].psi > 1.0
     # disjoint supports: bin universe covers both sides
     assert out[5].n_bins == 20
+
+
+def test_quantile_transform_midrank_and_nulls(spark):
+    from timeseriesutils_spark.operators.stats import quantile_transform
+    from pyspark.sql import functions as F
+
+    rows = [("a", 1, 30.0), ("a", 2, 10.0), ("a", 3, 20.0), ("a", 4, None)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = {r.id: r.v_qt for r in quantile_transform(
+        df, "v", ["g"], F.col("id")
+    ).collect()}
+    # observed ranks: 10->1, 20->2, 30->3 of n=3 -> (r-0.5)/3
+    assert out[2] == pytest.approx(0.5 / 3)
+    assert out[3] == pytest.approx(1.5 / 3)
+    assert out[1] == pytest.approx(2.5 / 3)
+    assert out[4] is None

@@ -1351,3 +1351,74 @@ SELECT {select_cols},
   {cols}
 FROM a
 """
+
+
+def quantile_transform(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    tie_break,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group empirical-CDF normalization: each row's value maps to
+    its midrank position (rank − 0.5)/n in the group — the
+    quantile-uniform feature transform (rank-gauss minus the gauss)
+    that makes skewed features comparable across groups before
+    modeling.  Deterministic total order via ``tie_break``; the output
+    is one exact-integer-derived double division per row.  NULL values
+    pass through as NULL positions and do not consume ranks.
+
+    One window pass on the group key — single exchange.  Appends
+    ``out_col`` (default ``{value_col}_qt``).
+    """
+    g = _as_list(group_columns)
+    out_col = out_col or f"{value_col}_qt"
+    ok = F.col(value_col).isNotNull()
+    w = Window.partitionBy(*g).orderBy(
+        F.asc(value_col), F.asc(tie_break)
+    )
+    wg = Window.partitionBy(*g)
+    rn = F.row_number().over(w)
+    n = F.sum(ok.cast("bigint")).over(wg)
+    # rows sort NULLS FIRST in Spark: rank among non-null = rn - n_null;
+    # subtracting the group's null count keeps ranks 1..n over observed
+    n_null = F.sum((~ok).cast("bigint")).over(wg)
+    pos = F.when(
+        ok,
+        (rn.cast("double") - n_null.cast("double") - F.lit(0.5))
+        / n.cast("double"),
+    )
+    return df.withColumn(out_col, pos)
+
+
+def quantile_transform_sql(
+    table: str,
+    select_cols: str,
+    value_col: str,
+    group_columns,
+    tie_break,
+    out_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`quantile_transform`.  DuckDB orders NULLS
+    LAST by default where Spark orders NULLS FIRST — the twin pins
+    NULLS FIRST explicitly so ranks agree."""
+    g = ", ".join(_as_list(group_columns))
+    out_col = out_col or f"{value_col}_qt"
+    return f"""
+WITH r AS (
+  SELECT {select_cols},
+    {value_col} AS _v,
+    ROW_NUMBER() OVER (PARTITION BY {g}
+      ORDER BY {value_col} ASC NULLS FIRST, {tie_break} ASC) AS _rn,
+    CAST(SUM(CASE WHEN {value_col} IS NOT NULL THEN 1 ELSE 0 END)
+         OVER (PARTITION BY {g}) AS BIGINT) AS _n,
+    CAST(SUM(CASE WHEN {value_col} IS NULL THEN 1 ELSE 0 END)
+         OVER (PARTITION BY {g}) AS BIGINT) AS _nn
+  FROM {table}
+)
+SELECT {select_cols},
+  CASE WHEN _v IS NOT NULL THEN
+    (CAST(_rn AS DOUBLE) - CAST(_nn AS DOUBLE) - 0.5) / CAST(_n AS DOUBLE)
+  END AS {out_col}
+FROM r
+"""

@@ -1356,3 +1356,36 @@ def _sql_psi_drift_curve():
 
 
 QUERIES.update({"psi_drift_curve": Q(q_psi_drift_curve, _sql_psi_drift_curve())})
+
+
+def q_quantile_transform(spark, sf_dir):
+    """Per-flag empirical-CDF normalization of price
+    (operators/stats.quantile_transform): midrank position in the
+    group, deterministic tie order — the rank-uniform feature transform
+    before modeling."""
+    from timeseriesutils_spark.operators.stats import quantile_transform
+
+    li = _li(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return quantile_transform(
+        li, "l_extendedprice", ["l_returnflag"],
+        F.struct("l_orderkey", "l_linenumber"),
+    )
+
+
+def _sql_quantile_transform():
+    from timeseriesutils_spark.operators.stats import quantile_transform_sql
+
+    return quantile_transform_sql(
+        "lineitem",
+        "l_orderkey, l_linenumber, l_returnflag, l_extendedprice",
+        "l_extendedprice",
+        ["l_returnflag"],
+        "(l_orderkey, l_linenumber)",
+    )
+
+
+QUERIES.update(
+    {"quantile_transform": Q(q_quantile_transform, _sql_quantile_transform())}
+)
