@@ -147,3 +147,42 @@ def test_seasonal_strength_extremes(spark):
     assert out["cyc"].strength > 0.99
     # flat series: Var(seasonal+remainder)=0 -> NULL (no seasonal signal)
     assert out["flat"].strength is None or out["flat"].strength == 0.0
+
+
+def test_decompose_robust_outlier_immunity(spark):
+    """A single wild spike perturbs the mean-based decomposition's
+    seasonal profile but leaves the robust version's seasonal component
+    untouched away from the spike's own window, and the spike lands in
+    the remainder."""
+    from timeseriesutils_spark.operators.decompose import decompose_robust
+
+    rows = []
+    for t in range(35):
+        y = 100 + (t % 7) * 10 + (5000 if t == 17 else 0)
+        rows.append(("a", t, y))
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    out = {r.t: r for r in decompose_robust(df, "y", "t", ["g"], period=7).collect()}
+    # rows with full centered windows: t in 3..31
+    assert out[2].trend is None and out[3].trend is not None
+    # the spike's remainder carries (almost all of) the spike
+    assert out[17].remainder > 4000
+    # clean rows far from the spike: remainder ~ 0 (median trend and
+    # median phase effects reproduce the sawtooth exactly)
+    for t in (5, 10, 25, 30):
+        assert abs(out[t].remainder) < 1e-9, (t, out[t].remainder)
+
+
+def test_decompose_robust_additivity(spark):
+    """y == trend + seasonal + remainder wherever defined (exact double
+    identity by construction: remainder = (y - trend) - seasonal)."""
+    import random
+
+    from timeseriesutils_spark.operators.decompose import decompose_robust
+
+    rng = random.Random(3)
+    rows = [("a", t, rng.randint(0, 100)) for t in range(40)]
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    for r in decompose_robust(df, "y", "t", ["g"], period=7).collect():
+        if r.trend is not None:
+            assert r.y == (r.trend + r.seasonal + r.remainder) or \
+                   abs(r.y - (r.trend + r.seasonal + r.remainder)) < 1e-9

@@ -291,3 +291,150 @@ SELECT {g}, n,
        THEN GREATEST(0.0, 1.0 - {var_r} / {var_sr}) END AS strength
 FROM agg
 """
+
+
+def decompose_robust(
+    data: DataFrame,
+    y_col: str,
+    time_col: str,
+    group_columns,
+    period: int = 7,
+) -> DataFrame:
+    """Robust (median-based) classical decomposition — the outlier-
+    immune sibling of :func:`decompose_series`: trend = centered rolling
+    MEDIAN over one period, seasonal = per-phase MEDIAN of the
+    detrended series re-centered by the median of the phase effects,
+    remainder = the rest.  One reporting spike cannot drag the trend or
+    leak into the seasonal profile the way the mean version allows —
+    the right baseline to feed excess/outbreak comparisons.
+
+    Exactness: there are NO cross-row float sums anywhere — every
+    statistic is a selection (sorted-array lerp median) or a
+    subtraction of identical doubles, so the op is hash-exact without
+    quantization.  Medians use the engine-pinned lerp
+    (series_math._lerp_sorted); phase effects re-center through an
+    ORDER-BY-phase collected array so the tiny inner median is
+    deterministic too.
+
+    Same contract as decompose_series: integral gapless ``time_col``
+    grid per group; rows without a full centered window emit NULL
+    trend/seasonal/remainder.  Shape: one window pass for the trend,
+    one (group, phase) aggregation, one period-sized reduce per group,
+    broadcast back — the fact table is scanned once.
+
+    Returns (groups…, t, y, trend, seasonal, remainder).
+    """
+    from timeseriesutils_spark.operators.series_math import _lerp_sorted
+
+    if period % 2 != 1 or period < 3:
+        raise ValueError("period must be odd and >= 3 (centered window)")
+    g = _as_list(group_columns)
+    half = period // 2
+    w = Window.partitionBy(*g).orderBy("_t")
+    frame = w.rowsBetween(-half, half)
+    phase = ((F.col("_t") % period) + period) % period
+    base = data.select(
+        *g,
+        F.col(time_col).cast("bigint").alias("_t"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    tr = base.select(
+        *g,
+        "_t",
+        "_y",
+        phase.alias("_ph"),
+        F.sort_array(F.collect_list("_y").over(frame)).alias("_arr"),
+    ).withColumn(
+        "trend",
+        F.when(F.size("_arr") == period, _lerp_sorted(F.col("_arr"), 0.5)),
+    ).drop("_arr")
+    det = tr.withColumn("_d", F.col("_y") - F.col("trend"))
+    ph_med = (
+        det.filter(F.col("_d").isNotNull())
+        .groupBy(*g, "_ph")
+        .agg(F.sort_array(F.collect_list("_d")).alias("_pa"))
+        .select(*g, "_ph", _lerp_sorted(F.col("_pa"), 0.5).alias("_pm"))
+    )
+    # re-center: subtract the median of the per-phase effects so the
+    # seasonal component sums to ~0 in the median sense
+    center = (
+        ph_med.groupBy(*g)
+        .agg(
+            F.sort_array(F.collect_list("_pm")).alias("_ca")
+        )
+        .select(*g, _lerp_sorted(F.col("_ca"), 0.5).alias("_c0"))
+    )
+    seas = ph_med.join(center, on=g).select(
+        *g, "_ph", (F.col("_pm") - F.col("_c0")).alias("_seas")
+    )
+    out = det.join(F.broadcast(seas), on=[*g, "_ph"], how="left")
+    seasonal = F.when(F.col("trend").isNotNull(), F.col("_seas"))
+    return out.select(
+        *g,
+        F.col("_t").alias(time_col),
+        F.col("_y").alias(y_col),
+        "trend",
+        seasonal.alias("seasonal"),
+        F.when(
+            F.col("trend").isNotNull(),
+            F.col("_d") - F.col("_seas"),
+        ).alias("remainder"),
+    )
+
+
+def decompose_robust_sql(
+    relation: str,
+    y_col: str,
+    time_col: str,
+    group_columns,
+    period: int = 7,
+) -> str:
+    """DuckDB twin of :func:`decompose_robust`."""
+    from timeseriesutils_spark.operators.series_math import _lerp_sorted_sql
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    half = period // 2
+    med_arr = _lerp_sorted_sql("_arr", 0.5)
+    med_pa = _lerp_sorted_sql("_pa", 0.5)
+    med_ca = _lerp_sorted_sql("_ca", 0.5)
+    return f"""
+WITH base AS (
+  SELECT {gsel}, CAST({time_col} AS BIGINT) AS _t,
+    CAST({y_col} AS DOUBLE) AS _y,
+    CAST(((CAST({time_col} AS BIGINT) % {period}) + {period}) % {period}
+         AS BIGINT) AS _ph
+  FROM ({relation})
+),
+tr AS (
+  SELECT *, list_sort(list(_y) OVER (PARTITION BY {gsel} ORDER BY _t
+    ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)) AS _arr
+  FROM base
+),
+tr2 AS (
+  SELECT {gsel}, _t, _y, _ph,
+    CASE WHEN len(_arr) = {period} THEN {med_arr} END AS trend
+  FROM tr
+),
+det AS (SELECT *, _y - trend AS _d FROM tr2),
+pm AS (
+  SELECT {gsel}, _ph, list_sort(list(_d)) AS _pa
+  FROM det WHERE _d IS NOT NULL GROUP BY {gsel}, _ph
+),
+pm2 AS (SELECT {gsel}, _ph, {med_pa} AS _pm FROM pm),
+ctr AS (
+  SELECT {gsel}, list_sort(list(_pm)) AS _ca FROM pm2 GROUP BY {gsel}
+),
+ctr2 AS (SELECT {gsel}, {med_ca} AS _c0 FROM ctr),
+seas AS (
+  SELECT {', '.join('pm2.' + c for c in g)}, pm2._ph,
+    pm2._pm - ctr2._c0 AS _seas
+  FROM pm2 JOIN ctr2 USING ({gsel})
+)
+SELECT {', '.join('d.' + c for c in g)}, d._t AS {time_col}, d._y AS {y_col},
+  d.trend,
+  CASE WHEN d.trend IS NOT NULL THEN s._seas END AS seasonal,
+  CASE WHEN d.trend IS NOT NULL THEN d._d - s._seas END AS remainder
+FROM det d LEFT JOIN seas s
+  ON {' AND '.join(f'd.{c} = s.{c}' for c in g)} AND d._ph = s._ph
+"""

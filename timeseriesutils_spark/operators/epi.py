@@ -29,6 +29,8 @@ __all__ = [
     "nowcast_triangle_sql",
     "pinball_scores",
     "pinball_scores_sql",
+    "excess_incidence",
+    "excess_incidence_sql",
 ]
 
 

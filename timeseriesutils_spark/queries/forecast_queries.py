@@ -1389,3 +1389,58 @@ def _sql_quantile_transform():
 QUERIES.update(
     {"quantile_transform": Q(q_quantile_transform, _sql_quantile_transform())}
 )
+
+
+def q_decompose_robust(spark, sf_dir):
+    """Robust median-based decomposition of daily order counts per
+    priority (operators/decompose.decompose_robust): rolling-median
+    trend + per-phase median seasonal, no cross-row float sums anywhere
+    — the outlier-immune sibling of decompose_series."""
+    from timeseriesutils_spark.operators.decompose import decompose_robust
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("day"),
+        )
+        .groupBy("o_orderpriority", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # dense grid contract: zero-fill missing days like the renewal query
+    spine = (
+        counts.groupBy("o_orderpriority")
+        .agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+        .select(
+            "o_orderpriority", F.explode(F.sequence("_lo", "_hi")).alias("day")
+        )
+    )
+    dense = spine.join(counts, on=["o_orderpriority", "day"], how="left").select(
+        "o_orderpriority",
+        "day",
+        F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
+    )
+    return decompose_robust(dense, "n", "day", ["o_orderpriority"], period=7)
+
+
+def _sql_decompose_robust():
+    from timeseriesutils_spark.operators.decompose import decompose_robust_sql
+
+    dense = f"""
+WITH c AS (SELECT o_orderpriority, {_ORD_DAY_SQL} AS day, COUNT(*) AS n
+           FROM orders GROUP BY 1, 2),
+b AS (SELECT o_orderpriority, MIN(day) AS _lo, MAX(day) AS _hi FROM c GROUP BY 1),
+s AS (SELECT o_orderpriority, UNNEST(generate_series(_lo, _hi)) AS day FROM b)
+SELECT s.o_orderpriority, s.day, COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+FROM s LEFT JOIN c USING (o_orderpriority, day)
+"""
+    return decompose_robust_sql(
+        dense, "n", "day", ["o_orderpriority"], period=7
+    )
+
+
+QUERIES.update({"decompose_robust": Q(q_decompose_robust, _sql_decompose_robust())})
