@@ -61,16 +61,16 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "renewal_rt", "nowcast_triangle", "pinball_eval",
     "minhash_estimate_audit",
 )
-# ROUND-6 ROTATION PLAN: sixteen round-5 additions have no driver row
-# yet (all locally hash-green at sf0.01 AND sf0.1): theilsen_trend
+# ROUND-6 ROTATION PLAN: seventeen round-5 additions have no driver
+# row yet (all locally hash-green at sf0.01 AND sf0.1): theilsen_trend
 # dirichlet_lm_search excess_incidence corpus_jsd stream_renewal_rt
 # croston_demand dedup_threshold_curve rolling_quantile best_breakpoint
 # nelson_aalen bigram_logprob dup_cluster_sizes knn_recall_curve
-# langid_confusion psi_drift_curve quantile_transform — next round give
-# them slots 1-16 and spend the rest on regression re-checks of
-# round-5-touched queries (simhash knn_ivf dedup_minhash_lsh domfreq
-# pagerank dtw_pattern stream_counter_rate gini_index weighted_median
-# gmean_exact rolling_slope).
+# langid_confusion psi_drift_curve quantile_transform decompose_robust
+# — next round give them slots 1-17 and spend the rest on regression
+# re-checks of round-5-touched queries (simhash knn_ivf
+# dedup_minhash_lsh domfreq pagerank dtw_pattern stream_counter_rate
+# gini_index weighted_median gmean_exact rolling_slope).
 
 
 def catalog() -> dict[str, Q]:
