@@ -95,15 +95,30 @@ def test_kernel_engines_agree():
 
 
 def test_kernel_dispatcher_is_orientation_invariant():
-    """dtw_kernel canonicalizes to shorter-outer, so (x, y) and (y, x)
-    give the same double regardless of engine."""
+    """Where DTW is mathematically symmetric — unbanded (any lengths)
+    or banded with equal lengths (the Sakoe-Chiba window transposes
+    onto itself) — the dispatcher gives the same double for (x, y) and
+    (y, x) on every engine.  For banded length-skewed pairs the band is
+    defined in the caller's orientation and symmetry does NOT hold;
+    that contract is pinned by
+    test_banded_dispatcher_matches_original_orientation_spec."""
     rng = np.random.default_rng(7)
     for trial in range(40):
-        x = rng.normal(size=int(rng.integers(1, 60)))
-        y = rng.normal(size=int(rng.integers(1, 60)))
-        band = (None, 2, 10)[trial % 3]
+        if trial % 3 == 0:
+            n = m = int(rng.integers(1, 60))
+            band = 2
+        else:
+            n = int(rng.integers(1, 60))
+            m = int(rng.integers(1, 60))
+            band = None
+        x = rng.normal(size=n)
+        y = rng.normal(size=m)
         for eng in ("vec", "loop"):
-            assert dtw_kernel(x, y, band, eng) == dtw_kernel(y, x, band, eng)
+            # same cell set either way; the path sum reassociates under
+            # transposition, so equality is to the last ulp, not bitwise
+            assert dtw_kernel(x, y, band, eng) == pytest.approx(
+                dtw_kernel(y, x, band, eng), rel=1e-12, abs=1e-12
+            )
 
 
 def test_kernel_full_band_symmetry():
@@ -117,3 +132,39 @@ def test_kernel_full_band_symmetry():
         y = rng.normal(size=int(rng.integers(1, 40)))
         d1, d2 = dtw_kernel_loop(x, y, None), dtw_kernel_loop(y, x, None)
         assert d1 == pytest.approx(d2, rel=1e-9, abs=1e-12)
+
+
+def test_banded_dispatcher_matches_original_orientation_spec():
+    """Round-6 ADVICE regression: the Sakoe-Chiba window is NOT
+    symmetric under transposition, so the shorter-outer swap must
+    transpose the band back into the original (x, y) orientation.
+    The dispatcher (any engine) must equal the unswapped loop spec
+    bit-for-bit on the loop path for every length-skewed banded pair."""
+    from timeseriesutils_spark.operators.dtw import (
+        _band_arrays,
+        _band_arrays_transposed,
+        dtw_kernel_loop,
+    )
+
+    rng = np.random.default_rng(13)
+    for trial in range(120):
+        n = int(rng.integers(1, 70))
+        m = int(rng.integers(1, 70))
+        x = rng.normal(size=n)
+        y = rng.normal(size=m)
+        band = (1, 2, 3, 5, 10)[trial % 5]
+        spec = dtw_kernel_loop(x, y, band)  # original orientation
+        assert dtw_kernel(x, y, band, "loop") == spec
+        assert dtw_kernel(x, y, band, "vec") == pytest.approx(
+            spec, rel=1e-12, abs=1e-12
+        )
+        # the transposed window visits exactly the original cell set
+        lo, hi = _band_arrays(n, m, band)
+        cells = {
+            (i + 1, j) for i in range(n) for j in range(lo[i], hi[i] + 1)
+        }
+        lot, hit = _band_arrays_transposed(n, m, band)
+        cells_t = {
+            (i, j + 1) for j in range(m) for i in range(lot[j], hit[j] + 1)
+        }
+        assert cells == cells_t

@@ -105,6 +105,42 @@ def test_pinball_known_values(spark):
     assert out.coverage == 1.0
 
 
+def test_pinball_subpercent_levels_get_distinct_names(spark):
+    """Round-6 ADVICE regression: forecast-hub tail levels 0.025/0.975
+    must not collapse onto 0.02/0.98 (int(round(q*100)) did), and using
+    0.02 AND 0.025 together must not alias-collide."""
+    from timeseriesutils_spark.operators.epi import (
+        _pinball_col_name,
+        pinball_scores_sql,
+    )
+
+    assert _pinball_col_name(0.5) == "pinball_50"  # legacy form kept
+    assert _pinball_col_name(0.02) == "pinball_02"
+    assert _pinball_col_name(0.025) == "pinball_0p025"
+    assert _pinball_col_name(0.975) == "pinball_0p975"
+
+    rows = [("a", 10.0, 8.0, 8.5, 14.0)]
+    df = spark.createDataFrame(
+        rows, "g string, y double, f02 double, f025 double, f975 double"
+    )
+    out = pinball_scores(
+        df, "y", {0.02: "f02", 0.025: "f025", 0.975: "f975"}, ["g"]
+    )
+    cols = out.columns
+    assert "pinball_02" in cols and "pinball_0p025" in cols
+    assert "pinball_0p975" in cols and "pinball_98" not in cols
+    r = out.collect()[0]
+    assert r.pinball_02 == pytest.approx((10.0 - 8.0) * 0.02)
+    assert r.pinball_0p025 == pytest.approx((10.0 - 8.5) * 0.025)
+    assert r.pinball_0p975 == pytest.approx((14.0 - 10.0) * (1 - 0.975))
+    # SQL twin renders the identical names
+    sql = pinball_scores_sql(
+        "SELECT 1", "y", {0.02: "f02", 0.025: "f025", 0.975: "f975"}, ["g"]
+    )
+    for nm in ("pinball_02", "pinball_0p025", "pinball_0p975"):
+        assert f"AS {nm}" in sql
+
+
 def test_pinball_coverage_counts_interval_misses(spark):
     rows = [
         ("a", 5.0, 8.0, 10.0, 14.0),   # below the 80% interval

@@ -478,3 +478,56 @@ def test_streaming_renewal_rt_equals_batch_across_batches(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 8  # 9 days minus the gap day
+
+
+def test_streaming_renewal_rt_drops_late_days_without_corrupting_state(
+    spark, tmp_path
+):
+    """Round-6 ADVICE regression: a day EARLIER than the open day
+    arriving in a later micro-batch (out-of-order beyond the ordering
+    contract) must be DROPPED, not folded in as if consecutive — the
+    old behavior shifted the serial-interval buffer as if the stale
+    day were new, corrupting force_q/rt for every later emission."""
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.epi import renewal_rt
+    from timeseriesutils_spark.streaming.windows import streaming_renewal_rt
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [("a", d) for d, c in [(0, 3), (1, 2), (2, 5), (3, 1)] for _ in range(c)]
+    # batch 2 leads with a STALE day 1 (should be dropped), then advances
+    rows2 = [("a", d) for d, c in [(1, 7), (4, 4), (5, 2)] for _ in range(c)]
+    pd.DataFrame(rows1, columns=["k", "day"]).to_parquet(src / "a.parquet")
+    pd.DataFrame(rows2, columns=["k", "day"]).to_parquet(src / "b.parquet")
+
+    batch_schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_renewal_rt(stream, key_col="k", day_col="day", weights=(1, 2))
+    got_df = _run_stream_update(spark, out, "t_srrt_late")
+    w = W.partitionBy("k", "day").orderBy(F.col("n").desc())
+    got = {
+        (r.k, r.day): (r.n, r.force_q, r.rt)
+        for r in got_df.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .collect()
+    }
+
+    # oracle: batch closed form over the stream WITHOUT the stale rows
+    # (day 1 keeps only batch-1's count of 2; batch-2's 7 late rows drop)
+    clean = spark.createDataFrame(
+        [("a", d, c) for d, c in [(0, 3), (1, 2), (2, 5), (3, 1), (4, 4), (5, 2)]],
+        "k string, day long, n long",
+    )
+    batch = renewal_rt(clean, "n", "day", ["k"], weights=(1, 2))
+    want = {
+        (r.k, r.day): (r.n, r.force_q, r.rt)
+        for r in batch.join(clean.select("k", "day"), on=["k", "day"]).collect()
+    }
+    assert got == want and len(got) == 6

@@ -63,10 +63,55 @@ def _band_window(i: int, n: int, m: int, band: int | None) -> tuple[int, int]:
     return max(1, center - r), min(m, center + r)
 
 
-def dtw_kernel_loop(x: np.ndarray, y: np.ndarray, band: int | None) -> float:
+def _band_arrays(n: int, m: int, band: int | None):
+    """Per-row [lo, hi] windows (1-based, length-n int64 arrays) for the
+    ORIGINAL (x, y) orientation — identical to calling
+    :func:`_band_window` for each row."""
+    if band is None:
+        lo = np.ones(n, dtype=np.int64)
+        hi = np.full(n, m, dtype=np.int64)
+        return lo, hi
+    r = max(band, abs(n - m))
+    c = np.rint(np.arange(1, n + 1, dtype=np.float64) * m / n).astype(np.int64)
+    return np.maximum(1, c - r), np.minimum(m, c + r)
+
+
+def _band_arrays_transposed(n0: int, m0: int, band: int | None):
+    """Per-row windows for running the DP TRANSPOSED (outer over the
+    original y of length m0, inner over the original x of length n0)
+    while visiting EXACTLY the original orientation's cell set.
+
+    Cell (i, j) is in the original band iff |j − round(i·m0/n0)| ≤ r
+    (the max/min clamps only trim to [1, m0], which every j satisfies),
+    so for fixed j the admissible i's are a contiguous run of the
+    nondecreasing centers array — two searchsorteds per row.  Without
+    this transposition the Sakoe–Chiba window is NOT symmetric in its
+    arguments (the half-width r is measured along different axes), and
+    a shorter-outer swap would silently change banded costs for
+    length-skewed pairs."""
+    if band is None:
+        lo = np.ones(m0, dtype=np.int64)
+        hi = np.full(m0, n0, dtype=np.int64)
+        return lo, hi
+    r = max(band, abs(n0 - m0))
+    c = np.rint(
+        np.arange(1, n0 + 1, dtype=np.float64) * m0 / n0
+    ).astype(np.int64)
+    j = np.arange(1, m0 + 1, dtype=np.int64)
+    lo = np.searchsorted(c, j - r, side="left").astype(np.int64) + 1
+    hi = np.searchsorted(c, j + r, side="right").astype(np.int64)
+    return lo, np.minimum(hi, n0)
+
+
+def dtw_kernel_loop(
+    x: np.ndarray, y: np.ndarray, band: int | None, windows=None
+) -> float:
     """Banded DTW alignment cost between 1-D float arrays (L1 step
     cost).  Per-cell Python loop — the executable spec the vectorized
-    kernel is tested against."""
+    kernel is tested against.  ``windows`` (optional (lo, hi) int64
+    arrays, one entry per outer row) overrides the band computation —
+    the dispatcher uses it to visit the original orientation's cell set
+    after transposing."""
     n, m = len(x), len(y)
     if n == 0 or m == 0:
         return float("nan")
@@ -75,7 +120,13 @@ def dtw_kernel_loop(x: np.ndarray, y: np.ndarray, band: int | None) -> float:
     prev[0] = 0.0
     for i in range(1, n + 1):
         cur = np.full(m + 1, INF)
-        lo, hi = _band_window(i, n, m, band)
+        if windows is not None:
+            lo, hi = int(windows[0][i - 1]), int(windows[1][i - 1])
+        else:
+            lo, hi = _band_window(i, n, m, band)
+        if lo > hi:
+            prev = cur
+            continue
         xi = x[i - 1]
         for j in range(lo, hi + 1):
             c = abs(xi - y[j - 1])
@@ -89,7 +140,9 @@ def dtw_kernel_loop(x: np.ndarray, y: np.ndarray, band: int | None) -> float:
     return float(prev[m])
 
 
-def dtw_kernel_vec(x: np.ndarray, y: np.ndarray, band: int | None) -> float:
+def dtw_kernel_vec(
+    x: np.ndarray, y: np.ndarray, band: int | None, windows=None
+) -> float:
     """Min-plus prefix-scan DTW kernel (see module docstring): the
     horizontal recurrence ``cur[j] = c_j + min(a_j, cur[j-1])`` is a
     running minimum over ``a_k − S_{k-1}`` shifted by the cost prefix
@@ -103,7 +156,13 @@ def dtw_kernel_vec(x: np.ndarray, y: np.ndarray, band: int | None) -> float:
     prev = np.full(m + 1, INF)
     prev[0] = 0.0
     for i in range(1, n + 1):
-        lo, hi = _band_window(i, n, m, band)
+        if windows is not None:
+            lo, hi = int(windows[0][i - 1]), int(windows[1][i - 1])
+        else:
+            lo, hi = _band_window(i, n, m, band)
+        if lo > hi:
+            prev = np.full(m + 1, INF)
+            continue
         c = np.abs(x[i - 1] - y[lo - 1 : hi])  # c_j for j = lo..hi
         a = np.minimum(prev[lo : hi + 1], prev[lo - 1 : hi])  # min(vert, diag)
         s = np.cumsum(c)  # S_j − S_{lo-1}
@@ -115,9 +174,10 @@ def dtw_kernel_vec(x: np.ndarray, y: np.ndarray, band: int | None) -> float:
     return float(prev[m])
 
 
-def _dtw_loop_flat(x, y, band):  # numba-compilable transcription of
+def _dtw_loop_flat(x, y, los, his):  # numba-compilable transcription of
     # dtw_kernel_loop: same ops in the same order (bit-identical), with
-    # the band window inlined and band=None encoded as band=-1
+    # the per-row band window precomputed by the dispatcher (int64
+    # arrays; full-range arrays encode band=None)
     n, m = len(x), len(y)
     if n == 0 or m == 0:
         return np.nan
@@ -126,13 +186,11 @@ def _dtw_loop_flat(x, y, band):  # numba-compilable transcription of
     prev[0] = 0.0
     for i in range(1, n + 1):
         cur = np.full(m + 1, INF)
-        if band < 0:
-            lo, hi = 1, m
-        else:
-            r = max(band, abs(n - m))
-            center = int(round(i * m / n))
-            lo = max(1, center - r)
-            hi = min(m, center + r)
+        lo = int(los[i - 1])
+        hi = int(his[i - 1])
+        if lo > hi:
+            prev = cur
+            continue
         xi = x[i - 1]
         for j in range(lo, hi + 1):
             c = abs(xi - y[j - 1])
@@ -151,8 +209,10 @@ try:  # pragma: no cover - numba absent in this container
 
     _dtw_numba_jit = _njit(cache=True)(_dtw_loop_flat)
 
-    def _dtw_numba(x, y, band):
-        return float(_dtw_numba_jit(x, y, -1 if band is None else int(band)))
+    def _dtw_numba(x, y, band, windows=None):
+        if windows is None:
+            windows = _band_arrays(len(x), len(y), band)
+        return float(_dtw_numba_jit(x, y, windows[0], windows[1]))
 
 except Exception:  # ImportError or jit failure
     _dtw_numba = None
@@ -169,19 +229,25 @@ def dtw_kernel(
     for a long series against a short template this cuts the
     interpreted step count by n/m (e.g. 19× for a 530-point series vs a
     28-point template) while each vectorized row grows to the longer
-    length (where numpy is at its best).  DTW cost is symmetric in its
-    arguments (L1 cell cost, symmetric move set); the Sakoe–Chiba
-    window is computed in the canonical orientation, so every kernel
-    sees the identical cell set and all engines agree bit-for-bit."""
-    if len(x) > len(y):
+    length (where numpy is at its best).  The cell cost |x_i − y_j| and
+    the move set are symmetric, but the Sakoe–Chiba window is NOT —
+    its half-width is measured along the outer axis — so after a swap
+    the band is TRANSPOSED back into the original (x, y) orientation
+    (:func:`_band_arrays_transposed`): every kernel visits exactly the
+    original orientation's cell set regardless of which argument ends
+    up outer, and the banded cost is invariant under the swap."""
+    n0, m0 = len(x), len(y)
+    windows = None
+    if n0 > m0 and n0 and m0:
+        windows = _band_arrays_transposed(n0, m0, band)
         x, y = y, x
     if engine == "auto":
         engine = "numba" if _dtw_numba is not None else "vec"
     if engine == "numba" and _dtw_numba is not None:
-        return _dtw_numba(x, y, band)
+        return _dtw_numba(x, y, band, windows)
     if engine == "loop":
-        return dtw_kernel_loop(x, y, band)
-    return dtw_kernel_vec(x, y, band)
+        return dtw_kernel_loop(x, y, band, windows)
+    return dtw_kernel_vec(x, y, band, windows)
 
 
 def dtw_to_reference(

@@ -352,6 +352,18 @@ FROM wide
 # --------------------------------------------------------------------------
 
 
+def _pinball_col_name(q: float) -> str:
+    """Column name for quantile level q.  Whole-percent levels keep the
+    legacy two-digit form (0.5 -> pinball_50); sub-percent levels (the
+    forecast-hub 0.025/0.975 tails) use the full level string so they
+    neither collapse onto a neighboring percent nor collide with each
+    other (0.02 -> pinball_02, 0.025 -> pinball_0p025)."""
+    pct = q * 100.0
+    if abs(pct - round(pct)) < 1e-9:
+        return f"pinball_{int(round(pct)):02d}"
+    return "pinball_" + f"{float(q):g}".replace(".", "p").replace("-", "m")
+
+
 def pinball_scores(
     forecasts: DataFrame,
     actual_col: str,
@@ -391,7 +403,9 @@ def pinball_scores(
             (fq - y) * F.lit(1.0 - float(q))
         )
         lq = F.floor(loss * F.lit(m) + F.lit(0.5)).cast("decimal(38,0)")
-        nm = f"pinball_{int(round(q * 100)):02d}"
+        nm = _pinball_col_name(q)
+        if nm in qnames:
+            raise ValueError(f"duplicate pinball column for level {q}: {nm}")
         qnames.append(nm)
         aggs.append(F.sum(lq).alias(f"_s_{nm}"))
     if interval is not None:
@@ -440,7 +454,7 @@ def pinball_scores_sql(
     aggs = ["COUNT(*) AS n"]
     qnames = []
     for q, col in sorted(quantile_cols.items()):
-        nm = f"pinball_{int(round(q * 100)):02d}"
+        nm = _pinball_col_name(q)
         qnames.append(nm)
         loss = (
             f"CASE WHEN CAST({actual_col} AS DOUBLE) >= CAST({col} AS DOUBLE) "

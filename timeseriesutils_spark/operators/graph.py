@@ -112,6 +112,12 @@ def pagerank(
     # nodes per partition keeps partitions well under memory at any
     # scale; never widen beyond the session setting.  Measured 5.0 →
     # 2.8 s warm at sf0.1 (21k nodes: 32 → 8-way rounds).
+    # NOTE: this mutates session-global conf for the duration of the
+    # loop (restored in finally).  Safe because every round inside the
+    # loop materializes eagerly (localCheckpoint) before the restore;
+    # on a session shared with CONCURRENT queries the narrowed width
+    # would leak to them for the loop's duration — run pagerank on its
+    # own session (or accept narrower shuffles) in that deployment.
     spark = edges.sparkSession
     cur_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = min(int(cur_parts), max(8, n_nodes // 250_000))
@@ -145,19 +151,23 @@ def _pagerank_rounds(ranks, nodes, deg, e, bcast, n_iter, base_q, d_num, d_den):
                 + F.expr(f"({d_num} * coalesce(inc, CAST(0 AS BIGINT))) div {d_den}")
             ).alias("rank_q"),
         )
-        if it < n_iter - 1:
-            # truncate lineage between rounds: without this the final plan
-            # nests n_iter levels of joins and Catalyst re-optimizes the
-            # whole tree at every reference.  The checkpointed frame is
-            # node-sized — executor-local storage, nothing to the driver;
-            # values are exact ints, so materialization cannot perturb
-            # them.  (10.6 → 4.6 s warm at sf0.1 together with the
-            # explicit broadcast hints above; ~0.6 s/round after the
-            # 1.7 s edge-dedup setup.)
-            # coalesce first: the rank frame is tiny next to the edge set,
-            # and every subsequent stage over it pays per-task overhead ×
-            # partition count
-            ranks = ranks.coalesce(8).localCheckpoint(eager=True)
+        # truncate lineage between rounds: without this the final plan
+        # nests n_iter levels of joins and Catalyst re-optimizes the
+        # whole tree at every reference.  The checkpointed frame is
+        # node-sized — executor-local storage, nothing to the driver;
+        # values are exact ints, so materialization cannot perturb
+        # them.  (10.6 → 4.6 s warm at sf0.1 together with the
+        # explicit broadcast hints above; ~0.6 s/round after the
+        # 1.7 s edge-dedup setup.)
+        # coalesce first: the rank frame is tiny next to the edge set,
+        # and every subsequent stage over it pays per-task overhead ×
+        # partition count.
+        # The LAST round is checkpointed too (eager): the caller narrows
+        # spark.sql.shuffle.partitions around this loop and restores it
+        # on return, so every round's exchange must MATERIALIZE before
+        # the restore — a lazily-returned final round would execute
+        # under the restored (wide) setting and miss the narrowing.
+        ranks = ranks.coalesce(8).localCheckpoint(eager=True)
     return ranks
 
 

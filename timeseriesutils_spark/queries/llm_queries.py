@@ -99,7 +99,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-_SQL_NGRAM_JACCARD = f"""
+def _sql_ngram_jaccard(threshold: float = 0.6) -> str:
+    """Render the 3-gram Jaccard pair SQL at a given threshold — the
+    threshold is a real parameter (not a post-hoc string replace, which
+    would silently no-op if the literal drifted)."""
+    return f"""
 WITH words AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
 ),
@@ -119,8 +123,11 @@ inter AS (
   GROUP BY 1, 2, 3, 4
 )
 SELECT id_a, id_b, CAST(i AS DOUBLE) / (sz_a + sz_b - i) AS jaccard
-FROM inter WHERE CAST(i AS DOUBLE) / (sz_a + sz_b - i) >= 0.6
+FROM inter WHERE CAST(i AS DOUBLE) / (sz_a + sz_b - i) >= {threshold}
 """
+
+
+_SQL_NGRAM_JACCARD = _sql_ngram_jaccard(0.6)
 
 
 def q_dedup_apply(spark, sf_dir):
@@ -1510,7 +1517,7 @@ def q_dedup_threshold_curve(spark, sf_dir):
 
 def _sql_dedup_threshold_curve():
     ts = ", ".join(str(float(x)) for x in _CURVE_THRESHOLDS)
-    base = _SQL_NGRAM_JACCARD.replace(">= 0.6", f">= {min(_CURVE_THRESHOLDS)}")
+    base = _sql_ngram_jaccard(min(_CURVE_THRESHOLDS))
     return f"""
 WITH pairs AS ({base}),
 th AS (SELECT UNNEST([{ts}]) AS threshold),

@@ -512,6 +512,12 @@ def streaming_renewal_rt(
 
     Emitted rows equal the batch closed form (renewal_rt) restricted to
     observed days — the oracle the declared query checks exactly.
+
+    Ordering contract: days must arrive non-decreasing per key across
+    batches (within a batch the kernel sorts).  A row for a day EARLIER
+    than the open day is dropped explicitly (it cannot be folded into
+    already-shifted buffer slots) rather than silently corrupting
+    state; bound lateness with ``watermark`` to make drops principled.
     """
     import numpy as np
     import pandas as pd
@@ -566,6 +572,16 @@ def streaming_renewal_rt(
                     first, last, cur = day, day, int(c)
                 elif day == last:
                     cur += int(c)
+                elif day < last:
+                    # ordering-contract guard: a day EARLIER than the
+                    # open one arrived (late beyond the source-ordering
+                    # contract / watermark).  Its slot already shifted
+                    # into the buffer; silently treating it as
+                    # consecutive would corrupt force_q/rt for every
+                    # later emission (round-6 ADVICE).  Drop it — the
+                    # watermark semantics for data later than the
+                    # engine's state bound.
+                    continue
                 else:
                     # close `last`: final emission FIRST (force must see
                     # the buffer still relative to `last` as the open
