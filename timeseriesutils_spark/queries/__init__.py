@@ -27,50 +27,48 @@ class Q:
 # the full set is locally gate-checked every round via
 # tools/check_oracle.py — see CORRECTNESS_LOCAL.json).
 #
-# ROUND-5 ROTATION (executed): slots 1-43 are the late-round-4 session
-# batch — locally hash-green since round 4 (CORRECTNESS_LOCAL.json, 8 of
-# them judge-re-verified) but never driver-checked because the round-4
-# head was already full.  Slot 44 is domfreq_fft (first driver RO row for
-# the FFT scale path).  Slots 45-46 are the two round-4-driver-green
-# queries whose kernels the round-5 ADVICE fixes change (lead_lag_corr:
-# double-domain sufficient-stat combine; decompose_series: floored
-# modulus).  Slots 47-50 re-check the round-4 portable-hash conversions.
-# Everything after slot 50 keeps full local gate coverage via
-# tools/check_oracle.py --json.
+# ROUND-6 ROTATION (this round): slots 1-19 are the complete round-5
+# backlog — every query with no driver row yet (the round-5 plan
+# comment said "seventeen" but omitted id_gap_audit and
+# peak_concurrency; the r5 VERDICT corrected the list to 19, and all
+# 19 were judge-re-verified bit-exact vs DuckDB that round).  A green
+# round-6 gate takes driver-confirmed coverage to 218/223 hash-green
+# (+5 adjudicated rows-only) — every oracle-expressible query then has
+# a driver verdict.  Slots 20-23 re-check the queries whose kernels
+# the round-6 ADVICE fixes touch (pinball naming, pagerank last-round
+# checkpoint, ngram-Jaccard SQL threshold param; dtw_pattern's banded
+# orientation fix — RO by nature).  Slots 24-34 are regression
+# re-checks of round-5-touched kernels (vectorized DTW-adjacent stats,
+# portable-hash conversions, shuffle-width change).  Slots 35-50
+# re-confirm the oldest round-1 rows (unchecked by the driver since
+# round 1).  Everything after slot 50 keeps full local gate coverage
+# via tools/check_oracle.py --json.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
-    # slots 1-43: never-driver-verified late-round-4 batch
-    "kaplan_meier", "snapshot_diff", "item_cooccur", "attribution",
-    "constraint_audit", "top_paths", "grouped_ols2", "counter_rate",
-    "dedup_debounce", "rfm_segments", "abc_analysis", "embedding_drift",
-    "fifo_allocation", "gini_index", "weighted_median",
-    "stream_counter_rate", "zipf_fit", "mahalanobis_outliers",
-    "canonical_pick", "funnel_window", "novelty_scores", "feature_hash",
-    "bootstrap_ci", "anova_oneway", "merge_intervals", "state_dwell",
-    "period_over_period", "welch_ttest", "histogram2d", "wilson_daily",
-    "stickiness", "latency_bands", "local_peaks", "jsonl_pack",
-    "rolling_slope", "gmean_exact", "shipping_sla", "stockout_events",
-    "dup_rate_by_source", "corr_matrix", "fd_audit", "growth_rates",
-    "seasonal_strength",
-    # slot 44: first driver row for the FFT scale path (RO by nature —
-    # SURVEY documents why no exact twin can exist for an FFT)
-    "domfreq_fft",
-    # slots 45-46: round-5 ADVICE fixes change these kernels
-    "lead_lag_corr", "decompose_series",
-    # slots 47-50: four of the nine new round-5 queries (epi family +
-    # dedup QA; locally hash-green at sf0.01 AND sf0.1)
-    "renewal_rt", "nowcast_triangle", "pinball_eval",
-    "minhash_estimate_audit",
+    # slots 1-19: the round-5 backlog (never driver-verified)
+    "rolling_quantile", "best_breakpoint", "id_gap_audit",
+    "theilsen_trend", "excess_incidence", "croston_demand",
+    "psi_drift_curve", "quantile_transform", "decompose_robust",
+    "peak_concurrency", "dirichlet_lm_search", "corpus_jsd",
+    "nelson_aalen", "dedup_threshold_curve", "bigram_logprob",
+    "dup_cluster_sizes", "knn_recall_curve", "langid_confusion",
+    "stream_renewal_rt",
+    # slots 20-23: round-6 ADVICE fixes touch these
+    "pinball_eval", "pagerank", "dedup_ngram_jaccard", "dtw_pattern",
+    # slots 24-34: round-5-touched kernel regressions
+    "simhash", "knn_ivf", "dedup_minhash_lsh", "domfreq",
+    "stream_counter_rate", "gini_index", "weighted_median",
+    "gmean_exact", "rolling_slope", "decompose_series", "lead_lag_corr",
+    # slots 35-50: oldest driver rows (round 1) re-confirmed
+    "lag", "rollmean", "horizon_targets_wide", "horizon_targets_long",
+    "taylor_trailing", "taylor_centered_ew", "featurize_pipeline",
+    "train_test_arrays", "agg_pricing_summary", "agg_rollup",
+    "join_star", "asof_join", "window_rank", "topk_per_group",
+    "pivot_wide", "range_join",
 )
-# ROUND-6 ROTATION PLAN: seventeen round-5 additions have no driver
-# row yet (all locally hash-green at sf0.01 AND sf0.1): theilsen_trend
-# dirichlet_lm_search excess_incidence corpus_jsd stream_renewal_rt
-# croston_demand dedup_threshold_curve rolling_quantile best_breakpoint
-# nelson_aalen bigram_logprob dup_cluster_sizes knn_recall_curve
-# langid_confusion psi_drift_curve quantile_transform decompose_robust
-# — next round give them slots 1-17 and spend the rest on regression
-# re-checks of round-5-touched queries (simhash knn_ivf
-# dedup_minhash_lsh domfreq pagerank dtw_pattern stream_counter_rate
-# gini_index weighted_median gmean_exact rolling_slope).
+# ROUND-7 ROTATION PLAN: after a green round-6 gate the backlog is
+# empty — rotate the remaining never-re-checked r1/r2 rows through
+# slots in catalog-age order, oldest first, plus any query whose
+# kernel round 6 touches after this comment was written.
 
 
 def catalog() -> dict[str, Q]:
