@@ -71,6 +71,45 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
 # kernel round 6 touches after this comment was written.
 
 
+# --- catalog governance (round-6): gate tiers -----------------------------
+# 223 queries x ~0.8 s costs ~3 min per full local gate run.  Each query
+# carries a tier:
+#   core  — operator correctness surface; gated on EVERY local run.
+#   audit — QA dashboards / data-quality audits whose building blocks
+#           are core-gated separately (profilers, drift curves, index-
+#           quality audits).
+#   demo  — end-to-end composite showcases whose constituent operators
+#           are all core-gated individually.
+# tools/check_oracle.py gates core-only by default; --tier all (and any
+# --json artifact run, i.e. CORRECTNESS_LOCAL.json refreshes) always
+# sweeps the full catalog, so coverage is unchanged where it counts and
+# the per-iteration loop is faster.  The driver's own 50-slot gate is
+# catalog-order based and ignores tiers.
+TIERS: dict[str, str] = {
+    # data-quality / index-quality audit dashboards
+    "column_profile": "audit", "fd_audit": "audit", "fk_audit": "audit",
+    "benford_audit": "audit", "constraint_audit": "audit",
+    "id_gap_audit": "audit", "skew_report": "audit",
+    "table_checksum": "audit", "snapshot_diff": "audit",
+    "compaction_plan": "audit", "psi_drift": "audit",
+    "psi_drift_curve": "audit", "embedding_drift": "audit",
+    "minhash_estimate_audit": "audit", "dedup_threshold_curve": "audit",
+    "dup_cluster_sizes": "audit", "knn_recall_curve": "audit",
+    "langid_confusion": "audit", "dup_rate_by_source": "audit",
+    "corpus_jsd": "audit", "novelty_scores": "audit", "zipf_fit": "audit",
+    "ab_test_report": "audit", "wilson_daily": "audit",
+    "length_histogram": "audit", "corpus_stats": "audit",
+    # composite end-to-end showcases (pieces are core-gated)
+    "semantic_dedup": "demo", "dedup_apply": "demo",
+    "quality_filter": "demo", "fuzzy_match": "demo",
+    "item_cooccur": "demo",
+}
+
+
+def tier(name: str) -> str:
+    return TIERS.get(name, "core")
+
+
 def catalog() -> dict[str, Q]:
     from timeseriesutils_spark.queries import (
         analytics_queries,

@@ -5,7 +5,12 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 row-count + schema (column names) + exact multiset of values (floats
 compared bitwise — stricter than any reasonable driver hash).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--tier core|audit|demo|all]
+       [sf_dir] [query ...]
+
+Default runs the core tier only (catalog governance — see
+queries/__init__.TIERS); explicit query names, ``--tier all``, and
+``--json`` runs always sweep the full catalog.
 
 With ``--json PATH``, also writes a driver-style correctness artifact
 (one row per query: rows/schema/hash match booleans) covering the FULL
@@ -85,6 +90,11 @@ def main() -> int:
         i = argv.index("--json")
         json_path = argv[i + 1]
         del argv[i : i + 2]
+    tier_sel = "core"
+    if "--tier" in argv:
+        i = argv.index("--tier")
+        tier_sel = argv[i + 1]
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -97,10 +107,25 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    # Tier gating (catalog governance): core-only by default for the
+    # iteration loop; explicit names, --tier all, and --json artifact
+    # runs (CORRECTNESS_LOCAL.json is the repo's complete record) always
+    # sweep everything.
+    from timeseriesutils_spark.queries import tier
+
+    skipped_tiers = 0
     failed = []
     report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if (
+            not only
+            and json_path is None
+            and tier_sel != "all"
+            and tier(name) != tier_sel
+        ):
+            skipped_tiers += 1
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -148,6 +173,11 @@ def main() -> int:
         with open(json_path, "w") as f:
             json.dump(report, f, indent=2)
         print(f"wrote {json_path} ({len(report)} rows)")
+    if skipped_tiers:
+        print(
+            f"(skipped {skipped_tiers} non-{tier_sel}-tier queries — "
+            "use --tier all or --json for the full sweep)"
+        )
     print("FAILED:", failed if failed else "none")
     return 1 if failed else 0
 
