@@ -290,3 +290,97 @@ def test_theilsen_affine_equivariance(spark, ys, a, b):
     r1 = theilsen_slope(mapped, "y", "t", ["g"], scale=2).collect()[0]
     assert r1.slope == pytest.approx(a * r0.slope, rel=1e-9, abs=1e-9)
     assert r1.intercept == pytest.approx(a * r0.intercept + b, rel=1e-9, abs=1e-9)
+
+
+def _rows_equal(a, b):
+    """Exact row-multiset equality with NULL==NULL and NaN==NaN (both
+    sides run identical code on equal frames, so floats must be
+    bitwise-equal)."""
+    import math
+
+    def norm(rows):
+        out = []
+        for r in rows:
+            t = []
+            for v in r:
+                if v is None:
+                    t.append(("null",))
+                elif isinstance(v, float) and math.isnan(v):
+                    t.append(("nan",))
+                else:
+                    t.append(v)
+            out.append(tuple(t))
+        return sorted(out, key=repr)
+
+    return norm(a) == norm(b)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),                              # group
+            st.one_of(st.none(), st.integers(0, 5000)),     # y  (cents)
+            st.one_of(st.none(), st.integers(0, 5000)),     # x1
+            st.one_of(st.none(), st.integers(0, 5000)),     # x2
+            st.one_of(st.none(), st.integers(1, 500)),      # w  (cents)
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_complete_case_null_discipline_family_law(spark, rows):
+    """Round-6 brief item: the a03fd6d bug class (NULL-deflated counts)
+    pinned as a family-wide law — every stats-family op on a frame WITH
+    NULLs equals the same op on the pre-filtered complete-case frame
+    (listwise over exactly the columns that op consumes)."""
+    from timeseriesutils_spark.operators.profile import corr_matrix
+    from timeseriesutils_spark.operators.regression import (
+        grouped_ols2,
+        mahalanobis_outliers,
+    )
+    from timeseriesutils_spark.operators.stats import (
+        anova_oneway,
+        gini_index,
+        weighted_median,
+        welch_ttest,
+    )
+
+    data = [
+        (
+            i,
+            "a" if g == 0 else "b",
+            None if y is None else y / 100.0,
+            None if x1 is None else x1 / 100.0,
+            None if x2 is None else x2 / 100.0,
+            None if w is None else w / 100.0,
+        )
+        for i, (g, y, x1, x2, w) in enumerate(rows)
+    ]
+    schema = "id long, g string, y double, x1 double, x2 double, w double"
+    df = spark.createDataFrame(data, schema)
+
+    def clean(*cols):
+        out = df
+        for c in cols:
+            out = out.filter(out[c].isNotNull())
+        return out
+
+    cases = [
+        (lambda d: gini_index(d, ["g"], "y", "id"), ("y",)),
+        (lambda d: weighted_median(d, ["g"], "y", "w", "id"), ("y", "w")),
+        (lambda d: anova_oneway(d, "y", "g"), ("y",)),
+        (lambda d: welch_ttest(d, "y", "g", "a", "b"), ("y",)),
+        (lambda d: grouped_ols2(d, "y", "x1", "x2", ["g"]), ("y", "x1", "x2")),
+        (lambda d: corr_matrix(d, ["y", "x1", "x2"]), ("y", "x1", "x2")),
+        (
+            lambda d: mahalanobis_outliers(
+                d, "x1", "x2", ["g"], ["id"], threshold=1.0
+            ),
+            ("x1", "x2"),
+        ),
+    ]
+    for op, cols in cases:
+        with_nulls = op(df).collect()
+        pre_filtered = op(clean(*cols)).collect()
+        assert _rows_equal(with_nulls, pre_filtered), (cols, with_nulls, pre_filtered)
