@@ -1071,14 +1071,21 @@ def welch_ttest(
     dof = (sea + seb) * (sea + seb) / (
         sea * sea / (na - 1) + seb * seb / (nb - 1)
     )
+    # degenerate-arm guards (property-law find, round 6): an arm emptied
+    # or reduced to one row by the complete-case filter must yield NULL,
+    # not an ANSI DIVIDE_BY_ZERO; two constant arms (zero pooled
+    # variance) likewise have no finite t.  The variance-positivity
+    # check is NESTED inside the count guard — a conjoined predicate
+    # would itself evaluate the guarded division.
     ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    se_pos = sea + seb > 0
     return agg.select(
         "n_a",
         "n_b",
-        ma.alias("mean_a"),
-        mb.alias("mean_b"),
-        F.when(ok, t).alias("t_stat"),
-        F.when(ok, dof).alias("dof"),
+        F.when(F.col("n_a") > 0, ma).alias("mean_a"),
+        F.when(F.col("n_b") > 0, mb).alias("mean_b"),
+        F.when(ok, F.when(se_pos, t)).alias("t_stat"),
+        F.when(ok, F.when(se_pos, dof)).alias("dof"),
     )
 
 
@@ -1123,9 +1130,13 @@ agg AS (
     SUM(CASE WHEN NOT _a THEN _x * _x ELSE 0 END) AS _qb
   FROM d
 )
-SELECT n_a, n_b, {ma} AS mean_a, {mb} AS mean_b,
-  CASE WHEN n_a > 1 AND n_b > 1 THEN {t} END AS t_stat,
-  CASE WHEN n_a > 1 AND n_b > 1 THEN {dof} END AS dof
+SELECT n_a, n_b,
+  CASE WHEN n_a > 0 THEN {ma} END AS mean_a,
+  CASE WHEN n_b > 0 THEN {mb} END AS mean_b,
+  CASE WHEN n_a > 1 AND n_b > 1 THEN
+    CASE WHEN ({sea} + {seb}) > 0 THEN {t} END END AS t_stat,
+  CASE WHEN n_a > 1 AND n_b > 1 THEN
+    CASE WHEN ({sea} + {seb}) > 0 THEN {dof} END END AS dof
 FROM agg
 """
 

@@ -54,16 +54,18 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "stream_renewal_rt",
     # slots 20-23: round-6 ADVICE fixes touch these
     "pinball_eval", "pagerank", "dedup_ngram_jaccard", "dtw_pattern",
-    # slots 24-34: round-5-touched kernel regressions
+    # slots 24-35: round-5/6-touched kernel regressions (welch_ttest:
+    # round-6 degenerate-arm guards from the NULL-discipline law)
     "simhash", "knn_ivf", "dedup_minhash_lsh", "domfreq",
     "stream_counter_rate", "gini_index", "weighted_median",
     "gmean_exact", "rolling_slope", "decompose_series", "lead_lag_corr",
-    # slots 35-50: oldest driver rows (round 1) re-confirmed
+    "welch_ttest",
+    # slots 36-50: oldest driver rows (round 1) re-confirmed
     "lag", "rollmean", "horizon_targets_wide", "horizon_targets_long",
     "taylor_trailing", "taylor_centered_ew", "featurize_pipeline",
     "train_test_arrays", "agg_pricing_summary", "agg_rollup",
     "join_star", "asof_join", "window_rank", "topk_per_group",
-    "pivot_wide", "range_join",
+    "pivot_wide",
 )
 # ROUND-7 ROTATION PLAN: after a green round-6 gate the backlog is
 # empty — rotate the remaining never-re-checked r1/r2 rows through
