@@ -119,3 +119,60 @@ def test_salted_broadcast_join_equals_plain(spark):
     lj = salted_broadcast_join(fact, dim, "k", how="left").select("k", "v", "name")
     plain_lj = fact.join(dim, "k", "left").select("k", "v", "name")
     assert sorted(map(tuple, plain_lj.collect())) == sorted(map(tuple, lj.collect()))
+
+
+def test_distributed_chunk_assignment_equals_serial(spark):
+    """with_row_chunks_distributed must assign the IDENTICAL _chunk id
+    per row as the group-serial with_row_chunks, for any monotone
+    bucketing of the (unique) order key — including buckets that split
+    groups unevenly and groups missing from early buckets."""
+    import random
+
+    from timeseriesutils_spark.operators.chunked import (
+        with_row_chunks,
+        with_row_chunks_distributed,
+    )
+
+    random.seed(6)
+    rows = []
+    for g in range(5):
+        ts = random.sample(range(1000), random.randint(1, 400))
+        rows += [(f"g{g}", t, float(t % 7)) for t in ts]
+    df = spark.createDataFrame(rows, "g string, t long, y double")
+    for chunk_rows, width in ((16, 100), (50, 13), (7, 1000)):
+        a = with_row_chunks(df, ["g"], ["t"], chunk_rows)
+        b = with_row_chunks_distributed(
+            df, ["g"], ["t"], chunk_rows, F.floor(F.col("t") / width)
+        )
+        got_a = {(r.g, r.t): r._chunk for r in a.collect()}
+        got_b = {(r.g, r.t): r._chunk for r in b.collect()}
+        assert got_a == got_b
+
+
+def test_chunked_taylor_bucket_path_equals_plain(spark):
+    """chunked_taylor_trailing with a distributed bucket chunker is
+    bit-identical to the unchunked op (the same law the serial chunker
+    obeys).  Uses the fixture's TOTAL order — raw (orderkey, linenumber)
+    alone has in-group duplicates, and a non-total order makes chunk-
+    boundary tie-breaks legitimately nondeterministic for ANY chunker."""
+    from timeseriesutils_spark.operators.chunked import chunked_taylor_trailing
+    from timeseriesutils_spark.operators.taylor import windowed_taylor_coefs
+
+    li = _series(spark)
+    kw = dict(taylor_degree=1, window_size=7, ew_span=None, fill_edges=True)
+    plain, names = windowed_taylor_coefs(
+        li, "l_extendedprice", ["l_suppkey"], window_align="trailing",
+        order_by=ORDER, **kw
+    )
+    # bucket = month of the leading order column: monotone in ORDER,
+    # equal order values share a bucket
+    bucket = F.date_trunc("month", F.col("l_shipdate")).cast("long")
+    chunked, _ = chunked_taylor_trailing(
+        li, "l_extendedprice", ["l_suppkey"], ORDER,
+        chunk_rows=64, bucket=bucket, **kw
+    )
+    pa = {tuple(r[k] for k in KEY): tuple(r[n] for n in names)
+          for r in plain.collect()}
+    pb = {tuple(r[k] for k in KEY): tuple(r[n] for n in names)
+          for r in chunked.collect()}
+    assert pa == pb

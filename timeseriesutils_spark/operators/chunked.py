@@ -20,6 +20,19 @@ Requirements (checked where cheap, documented otherwise):
   * every non-first chunk of a group must have ≥ ``context_rows`` rows
     in its predecessor — guaranteed by construction here because chunks
     are built by row count, not by time bucket.
+
+Measured rule (round-6 monster-group study, BASELINE.md): chunk when
+the largest group exceeds ~total_rows/cores rows — below that, the
+plain window is already core-saturated and chunking only adds
+overhead.  Use the DISTRIBUTED chunk-id assignment
+(:func:`with_row_chunks_distributed`, via ``bucket=``) — the serial
+row_number pass of :func:`with_row_chunks` is itself bounded by the
+monster group and erased the entire win in measurement (4-group 64×:
+32–34 s serial-chunked vs 28 s plain vs **8.3 s distributed-chunked**,
+a 3.4× speedup over plain).  Pick ``chunk_rows`` so
+monster_rows/chunk_rows ≈ a few × cores (32k for 2.4M rows on 32
+cores; smaller chunks add per-chunk context overhead without extra
+parallelism), and a bucket width ≈ 2× chunk_rows in order-key units.
 """
 
 from __future__ import annotations
@@ -51,6 +64,61 @@ def with_row_chunks(
     )
 
 
+def with_row_chunks_distributed(
+    data: DataFrame,
+    group_columns,
+    order_by,
+    chunk_rows: int,
+    bucket,
+) -> DataFrame:
+    """Distributed twin of :func:`with_row_chunks` — the same ``_chunk``
+    ids without the group-serial row_number pass (which itself bounds
+    the stage by the monster group; measured: at 4 groups / 25% skew
+    the serial chunk pass erased the whole chunking win, see
+    BASELINE.md round-6 scaling table).
+
+    ``bucket`` is a Column expression, monotone non-decreasing in the
+    ``order_by`` key, with equal order values sharing a bucket (e.g.
+    ``F.floor(F.col("t") / 86400)`` or ``F.date_trunc("month", ts)``) —
+    on a real deployment this is the ingestion partition (file/day)
+    and comes for free.  The global row number decomposes as
+
+        rn = (rows of this group in EARLIER buckets) + rank within bucket
+
+    so one map-combinable count per (group, bucket), a prefix-sum
+    window over that DIMENSION-SIZED counts frame (group-serial but
+    over bucket rows, not data rows — SURVEY §4.3 shape 4), a broadcast
+    join back, and a per-(group, bucket) rank — every data-sized pass
+    is parallel in the bucket dimension.  Choose the bucket width so
+    buckets-per-group ≈ a few × cores; the counts frame stays
+    dimension-sized.
+
+    Bit-identical to :func:`with_row_chunks` whenever ``order_by`` is
+    unique per group (property-tested in tests/test_chunked.py).
+    """
+    g = _as_list(group_columns)
+    order = _as_list(order_by)
+    d = data.withColumn("_bkt", bucket.cast("bigint"))
+    counts = d.groupBy(*g, "_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    wb = (
+        Window.partitionBy(*g)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        *g,
+        "_bkt",
+        F.coalesce(F.sum("_c").over(wb), F.lit(0)).alias("_off"),
+    )
+    wr = Window.partitionBy(*g, "_bkt").orderBy(*order)
+    rn = F.row_number().over(wr) + F.col("_off")
+    return (
+        d.join(F.broadcast(offs), on=g + ["_bkt"])
+        .withColumn("_chunk", ((rn - 1) / F.lit(chunk_rows)).cast("bigint"))
+        .drop("_bkt", "_off")
+    )
+
+
 def chunked_trailing_features(
     data: DataFrame,
     group_columns,
@@ -58,6 +126,7 @@ def chunked_trailing_features(
     apply_fn,
     chunk_rows: int = 1_000_000,
     context_rows: int = 64,
+    bucket=None,
 ):
     """Compute trailing window features chunk-parallel.
 
@@ -65,6 +134,11 @@ def chunked_trailing_features(
     windows as ``Window.partitionBy(*group_columns).orderBy(order_by)`` —
     i.e. any of the engine's trailing feature builders partially applied
     over everything except ``data`` and ``group_columns``.
+
+    ``bucket`` (optional): a monotone order-value bucketing Column —
+    when given, chunk ids are assigned by the fully-distributed
+    :func:`with_row_chunks_distributed` instead of the group-serial
+    row_number pass, removing the last serial data-sized stage.
 
     Returns the same (DataFrame, names) the unchunked call would, with
     partition key (groups…, _chunk) during the feature pass.
@@ -76,7 +150,10 @@ def chunked_trailing_features(
         )
     g = _as_list(group_columns)
     order = _as_list(order_by)
-    d = with_row_chunks(data, g, order, chunk_rows)
+    if bucket is not None:
+        d = with_row_chunks_distributed(data, g, order, chunk_rows, bucket)
+    else:
+        d = with_row_chunks(data, g, order, chunk_rows)
     # context = last context_rows rows of each (group, chunk), re-tagged
     # to the NEXT chunk; row-count chunking guarantees every non-final
     # chunk has exactly chunk_rows ≥ context_rows rows
@@ -105,6 +182,7 @@ def chunked_domfreq(
     fs: float = 1.0,
     detrend="linear",
     chunk_rows: int = 1_000_000,
+    bucket=None,
 ):
     """Chunk-parallel trailing :func:`~.domfreq.domfreq` for monster groups.
 
@@ -134,7 +212,7 @@ def chunked_domfreq(
 
     return chunked_trailing_features(
         data, group_columns, order_by, apply_fn,
-        chunk_rows=chunk_rows, context_rows=w - 1,
+        chunk_rows=chunk_rows, context_rows=w - 1, bucket=bucket,
     )
 
 
@@ -149,6 +227,7 @@ def chunked_taylor_trailing(
     fill_edges: bool = True,
     strict_reference_edges: bool = True,
     chunk_rows: int = 1_000_000,
+    bucket=None,
 ):
     """Chunk-parallel trailing :func:`~.taylor.windowed_taylor_coefs`.
 
@@ -179,5 +258,5 @@ def chunked_taylor_trailing(
 
     return chunked_trailing_features(
         data, group_columns, order_by, apply_fn,
-        chunk_rows=chunk_rows, context_rows=w,
+        chunk_rows=chunk_rows, context_rows=w, bucket=bucket,
     )

@@ -30,7 +30,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_ROWS = 150_000
-N_GROUPS = 256
+# Two regimes, selected via MG_GROUPS:
+#   256 (default) — groups >> cores at local[32]: plain is already
+#                   core-saturated, chunking can only add overhead.
+#   4             — groups << cores: the regime a monster group creates
+#                   on a real cluster (executors idle behind one serial
+#                   window task); chunking restores the parallelism.
+N_GROUPS = int(os.environ.get("MG_GROUPS", "256"))
 MONSTER_SHARE = 0.25
 TAYLOR = dict(taylor_degree=2, window_size=14, ew_span=None, fill_edges=True)
 
@@ -58,17 +64,24 @@ def build(spark, scale: int):
 def run_plain(spark, df):
     from timeseriesutils_spark.operators.taylor import windowed_taylor_coefs
 
-    out = windowed_taylor_coefs(
+    out, _ = windowed_taylor_coefs(
         df, "y", ["g"], window_align="trailing", order_by=["t"], **TAYLOR
     )
     out.write.format("noop").mode("overwrite").save()
 
 
-def run_chunked(spark, df, chunk_rows: int):
+def run_chunked(spark, df, chunk_rows: int, distributed: bool = False):
+    from pyspark.sql import functions as F
+
     from timeseriesutils_spark.operators.chunked import chunked_taylor_trailing
 
+    # bucket width ~2x chunk_rows over the monster group's t-density:
+    # t is dense over the monster prefix, so /8192 gives rows/bucket
+    # ≈ 8192 there and fewer elsewhere — buckets-per-group stays
+    # dimension-sized at every scale
+    bucket = F.floor(F.col("t") / 8192) if distributed else None
     out, _ = chunked_taylor_trailing(
-        df, "y", ["g"], ["t"], chunk_rows=chunk_rows, **TAYLOR
+        df, "y", ["g"], ["t"], chunk_rows=chunk_rows, bucket=bucket, **TAYLOR
     )
     out.write.format("noop").mode("overwrite").save()
 
@@ -93,7 +106,7 @@ def main():
     from timeseriesutils_spark.operators.chunked import chunked_taylor_trailing
     from timeseriesutils_spark.operators.taylor import windowed_taylor_coefs
 
-    a = windowed_taylor_coefs(
+    a, _ = windowed_taylor_coefs(
         df0, "y", ["g"], window_align="trailing", order_by=["t"], **TAYLOR
     )
     b, _ = chunked_taylor_trailing(df0, "y", ["g"], ["t"], chunk_rows=4096, **TAYLOR)
@@ -120,10 +133,11 @@ def main():
         t_plain = best_of(lambda: run_plain(spark, df))
         t_c4k = best_of(lambda: run_chunked(spark, df, 4096))
         t_c32k = best_of(lambda: run_chunked(spark, df, 32768))
+        t_d32k = best_of(lambda: run_chunked(spark, df, 32768, distributed=True))
         print(
             f"scale {scale}x: rows={BASE_ROWS*scale:,} monster={n_monster:,} "
             f"plain={t_plain:.2f}s chunked4k={t_c4k:.2f}s "
-            f"chunked32k={t_c32k:.2f}s",
+            f"chunked32k={t_c32k:.2f}s distchunk32k={t_d32k:.2f}s",
             flush=True,
         )
         df.unpersist()
