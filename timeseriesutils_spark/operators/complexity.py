@@ -1,0 +1,329 @@
+"""Series-complexity features: permutation entropy and the Hurst
+exponent — the catch22/tsfresh-style signal-complexity summaries that
+sit next to ACF/seasonal-strength in a feature screen ("is this series
+structured or noise, mean-reverting or trending?").
+
+Both are expressed entirely with built-in expressions on one series
+exchange (window pass) plus map-combinable aggregations — no Python in
+the hot path, and every cross-row float reduction follows the repo's
+exactness discipline (integer counts, or quantize-to-int64 before the
+sum), so results are bit-identical to the DuckDB twins.
+
+Reference parity: the reference engine (featurize.py) has no
+complexity features; these extend the §2.2 capability surface the way
+domfreq extends its spectral intent — standard definitions from the
+public literature (Bandt & Pompe 2002 for permutation entropy; the
+aggregated-variance method of Beran 1994 for Hurst).
+
+Scale shape: permutation entropy is one window pass + two
+map-combinable aggregations (rows → (group, pattern) → group).  Hurst
+is one window pass (per-group row index) + a log-depth chain of
+pairwise block merges, each a shuffle HALF the size of the previous —
+geometric total traffic, the same telescoping shape as large-star
+connected components.  Nothing is driver-side; both hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.functions.exact import dlit
+from timeseriesutils_spark.operators.window_features import _as_list, make_window
+
+# permutation codes of the 6 orderings of a (lag2, lag1, current)
+# triple under rank-with-position-tie-break; code = r0*9 + r1*3 + r2
+# where r_i = #{j: x_j < x_i} + #{j < i: x_j = x_i}
+_PERM3_CODES = (5, 7, 11, 15, 19, 21)
+_LN6 = math.log(6.0)
+
+
+def permutation_entropy(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+) -> DataFrame:
+    """Per-group normalized permutation entropy of order m=3
+    (Bandt & Pompe 2002): embed the series as overlapping
+    (x_{t-2}, x_{t-1}, x_t) triples, map each to one of 3! = 6 ordinal
+    patterns, and return the Shannon entropy of the pattern histogram
+    normalized by ln 6 — 0 for a monotone series, →1 for white noise.
+
+    Ties break by position (the earlier element ranks lower), so the
+    pattern id is a total function of the raw doubles — comparisons
+    are deterministic across engines, no quantization needed.  The
+    6-term entropy sum is a FIXED expression tree over the pivoted
+    pattern counts (never a float SUM across rows), so the result is
+    bit-identical to the SQL twin.
+
+    Returns (groups…, n_triples, pe_norm); groups with fewer than 3
+    observations yield no row (no triples exist).
+    """
+    g = _as_list(group_columns)
+    w = make_window(g, _as_list(order_by))
+    x0 = F.lag(column, 2).over(w)
+    x1 = F.lag(column, 1).over(w)
+    x2 = F.col(column)
+    b = lambda c: c.cast("int")  # noqa: E731
+    r0 = b(x1 < x0) + b(x2 < x0)
+    r1 = b(x0 < x1) + b(x2 < x1) + b(x0 == x1)
+    r2 = b(x0 < x2) + b(x1 < x2) + b(x0 == x2) + b(x1 == x2)
+    code = (r0 * 9 + r1 * 3 + r2).cast("int")
+    codes = data.select(*g, code.alias("_pat")).filter(F.col("_pat").isNotNull())
+    agg = codes.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        *[
+            F.sum(F.when(F.col("_pat") == k, 1).otherwise(0)).alias(f"_c{k}")
+            for k in _PERM3_CODES
+        ],
+    )
+    # each −p·ln p term quantizes to 1e-9 int units before the 6-term
+    # combine (the value_entropy discipline): engine ln() can differ by
+    # one ulp between the JVM and DuckDB, and quantization absorbs it
+    n = F.col("n_triples").cast("double")
+    ent = None
+    for k in _PERM3_CODES:
+        p = F.col(f"_c{k}").cast("double") / n
+        t = F.when(
+            F.col(f"_c{k}") > 0,
+            F.floor(-(p * F.log(p)) * F.lit(1e9) + F.lit(0.5)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        ent = t if ent is None else ent + t
+    pe = ent.cast("double") / F.lit(1e9) / F.lit(_LN6)
+    return agg.select(*g, "n_triples", pe.alias("pe_norm"))
+
+
+def permutation_entropy_sql(
+    table: str,
+    column: str,
+    group_columns,
+    order_by,
+) -> str:
+    """DuckDB twin of :func:`permutation_entropy` — identical rank
+    expressions, identical fixed-order 6-term entropy tree."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    o = ", ".join(_as_list(order_by))
+    over = f"(PARTITION BY {gsel} ORDER BY {o})"
+    x0 = f"LAG({column}, 2) OVER {over}"
+    x1 = f"LAG({column}, 1) OVER {over}"
+    x2 = column
+    b = lambda c: f"CAST(({c}) AS INT)"  # noqa: E731
+    r0 = f"({b(f'{x1} < {x0}')} + {b(f'{x2} < {x0}')})"
+    r1 = f"({b(f'{x0} < {x1}')} + {b(f'{x2} < {x1}')} + {b(f'{x0} = {x1}')})"
+    r2 = (
+        f"({b(f'{x0} < {x2}')} + {b(f'{x1} < {x2}')}"
+        f" + {b(f'{x0} = {x2}')} + {b(f'{x1} = {x2}')})"
+    )
+    counts = ",\n    ".join(
+        f"SUM(CASE WHEN _pat = {k} THEN 1 ELSE 0 END) AS _c{k}"
+        for k in _PERM3_CODES
+    )
+    p = lambda k: f"(CAST(_c{k} AS DOUBLE) / CAST(n_triples AS DOUBLE))"  # noqa: E731
+    term = lambda k: (  # noqa: E731
+        f"CASE WHEN _c{k} > 0 THEN "
+        f"CAST(FLOOR(-({p(k)} * ln({p(k)})) * 1e9 + 0.5) AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+    )
+    # identical left-fold order as the Spark expression tree
+    ent = term(_PERM3_CODES[0])
+    for k in _PERM3_CODES[1:]:
+        ent = f"({ent} + {term(k)})"
+    return f"""
+WITH pats AS (
+  SELECT {gsel}, ({r0} * 9 + {r1} * 3 + {r2}) AS _pat
+  FROM {table}
+  QUALIFY _pat IS NOT NULL
+), agg AS (
+  SELECT {gsel}, COUNT(*) AS n_triples,
+    {counts}
+  FROM pats GROUP BY {gsel}
+)
+SELECT {gsel}, n_triples,
+  CAST(({ent}) AS DOUBLE) / 1e9 / {dlit(_LN6)} AS pe_norm
+FROM agg
+"""
+
+
+_LN2 = math.log(2.0)
+
+
+def hurst_exponent(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+    n_levels: int = 5,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Hurst exponent by the aggregated-variance method
+    (Beran 1994): aggregate the series into non-overlapping blocks of
+    size s = 1, 2, 4, …, 2^(n_levels−1), compute the variance of the
+    complete-block means at each size, and fit
+    ln Var(s) ≈ c + (2H − 2)·ln s by least squares over the level
+    ladder — H ≈ 0.5 for iid noise, > 0.5 for trending/persistent
+    series, < 0.5 for mean-reverting ones.
+
+    Because the block-size grid is fixed, the OLS slope collapses to a
+    centered weighted sum Σ_k (k − k̄)·ln Var_k / (Σ_k (k − k̄)²·ln 2)
+    — a fixed expression tree over one ln per level, bit-identical to
+    the SQL twin (values are quantized to 10^-scale units, block sums
+    and squared block sums accumulate exactly in DECIMAL(38,0) /
+    HUGEINT, and each Var_k is one double expression over those exact
+    integers).
+
+    Distribution: a per-group row_number pass assigns block ids, then
+    levels chain PAIRWISE — level k merges two level-(k−1) blocks, so
+    each of the log-many shuffles moves half the previous bytes
+    (geometric total, the telescoping large-star shape).  Incomplete
+    tail blocks are carried but excluded from every variance.
+
+    Returns (groups…, n, hurst); groups lacking ≥ 2 complete blocks at
+    the top level or with any zero variance level yield NULL hurst.
+    """
+    if n_levels < 2:
+        raise ValueError("need at least 2 levels for a slope")
+    g = _as_list(group_columns)
+    w = make_window(g, _as_list(order_by))
+    m = float(10**scale)
+    q = F.floor(F.col(column) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # _s is DECIMAL from level 0 so the _s·_s product can never wrap a
+    # BIGINT at any value scale (the lead_lag_corr lesson)
+    lvl = (
+        data.filter(F.col(column).isNotNull())
+        .select(
+            *g,
+            (F.row_number().over(w) - 1).alias("_b"),
+            dec(q).alias("_s"),
+        )
+        .withColumn("_cnt", F.lit(1).cast("bigint"))
+    )
+    out = None
+    for k in range(n_levels):
+        if k > 0:
+            lvl = lvl.groupBy(*g, F.floor(F.col("_b") / 2).alias("_b")).agg(
+                F.sum(dec(F.col("_s"))).cast("decimal(38,0)").alias("_s"),
+                F.sum("_cnt").alias("_cnt"),
+            )
+        size = 2**k
+        complete = lvl.filter(F.col("_cnt") == size)
+        va = complete.groupBy(*g).agg(
+            F.count(F.lit(1)).alias(f"_B{k}"),
+            F.sum(dec(F.col("_s"))).alias(f"_S{k}"),
+            F.sum(dec(F.col("_s") * F.col("_s"))).alias(f"_Q{k}"),
+        )
+        out = va if out is None else out.join(F.broadcast(va), on=g, how="inner")
+    # Var_k of block MEANS in original units:
+    #   (B·ΣS² − (ΣS)²) / (B² · (size·10^scale)²)
+    def var_k(k: int):
+        B = F.col(f"_B{k}").cast("double")
+        S = F.col(f"_S{k}").cast("double")
+        Q = F.col(f"_Q{k}").cast("double")
+        unit = float(2**k) * m
+        return (B * Q - S * S) / (B * B * unit * unit)
+
+    kbar = (n_levels - 1) / 2.0
+    denom = sum((k - kbar) ** 2 for k in range(n_levels)) * _LN2
+    slope_terms = None
+    guard = None
+    for k in range(n_levels):
+        v = var_k(k)
+        # ln(var) quantized to 1e-9 units (engine ln can differ by an
+        # ulp between JVM and DuckDB; the value_entropy discipline)
+        lq = (
+            F.floor(F.log(v) * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+            .cast("double")
+            / F.lit(1e9)
+        )
+        t = F.lit((k - kbar) / denom) * lq
+        slope_terms = t if slope_terms is None else slope_terms + t
+        ok = (F.col(f"_B{k}") >= 2) & (v > 0)
+        guard = ok if guard is None else guard & ok
+    hurst = F.when(guard, F.lit(1.0) + slope_terms / F.lit(2.0))
+    return out.select(
+        *g, F.col("_B0").alias("n"), hurst.alias("hurst")
+    )
+
+
+def hurst_exponent_sql(
+    table: str,
+    column: str,
+    group_columns,
+    order_by,
+    n_levels: int = 5,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`hurst_exponent` — same pairwise level
+    chain, same exact-integer variance inputs, same fixed slope tree."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    o = ", ".join(_as_list(order_by))
+    m = float(10**scale)
+    q = f"CAST(FLOOR({column} * {dlit(m)} + 0.5) AS BIGINT)"
+    ctes = [
+        f"""lvl0 AS (
+  SELECT {gsel},
+    ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY {o}) - 1 AS _b,
+    CAST({q} AS HUGEINT) AS _s, CAST(1 AS BIGINT) AS _cnt
+  FROM {table} WHERE {column} IS NOT NULL
+)"""
+    ]
+    for k in range(1, n_levels):
+        ctes.append(
+            f"""lvl{k} AS (
+  SELECT {gsel}, CAST(FLOOR(_b / 2) AS BIGINT) AS _b,
+    SUM(_s) AS _s, SUM(_cnt) AS _cnt
+  FROM lvl{k - 1} GROUP BY {gsel}, CAST(FLOOR(_b / 2) AS BIGINT)
+)"""
+        )
+    for k in range(n_levels):
+        ctes.append(
+            f"""va{k} AS (
+  SELECT {gsel}, COUNT(*) AS _B{k}, SUM(_s) AS _S{k}, SUM(_s * _s) AS _Q{k}
+  FROM lvl{k} WHERE _cnt = {2 ** k} GROUP BY {gsel}
+)"""
+        )
+    joined = "va0"
+    for k in range(1, n_levels):
+        joined += f" JOIN va{k} USING ({gsel})"
+
+    # HUGEINT→DOUBLE casts of exact integers above 2^53 truncate in
+    # DuckDB but round-to-nearest in Spark — route via VARCHAR so both
+    # engines round identically (ΣS² exceeds 2^53 at realistic scales)
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+
+    def var_k(k: int) -> str:
+        unit = float(2**k) * m
+        B = f"CAST(_B{k} AS DOUBLE)"
+        S = s2d(f"_S{k}")
+        Q = s2d(f"_Q{k}")
+        return (
+            f"(({B} * {Q} - {S} * {S})"
+            f" / ({B} * {B} * {dlit(unit)} * {dlit(unit)}))"
+        )
+
+    kbar = (n_levels - 1) / 2.0
+    denom = sum((k - kbar) ** 2 for k in range(n_levels)) * _LN2
+    slope = None
+    guard = None
+    for k in range(n_levels):
+        v = var_k(k)
+        lq = (
+            f"(CAST(CAST(FLOOR(ln({v}) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9)"
+        )
+        t = f"{dlit((k - kbar) / denom)} * {lq}"
+        slope = t if slope is None else f"({slope} + {t})"
+        ok = f"(_B{k} >= 2 AND {v} > 0)"
+        guard = ok if guard is None else f"({guard} AND {ok})"
+    all_ctes = ",\n".join(ctes)
+    return f"""
+WITH {all_ctes}
+SELECT {gsel}, _B0 AS n,
+  CASE WHEN {guard} THEN 1.0 + ({slope}) / 2.0 END AS hurst
+FROM {joined}
+"""

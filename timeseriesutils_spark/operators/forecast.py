@@ -920,3 +920,121 @@ SELECT {gsel}, n_points, _day AS last_day, _zh AS z_hat, _ph AS p_hat,
   CASE WHEN _ph IS NOT NULL AND _ph > 0 THEN _zh / _ph END AS croston
 FROM sc WHERE _rn = 1
 """
+
+
+def mase_eval(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+    window: int = 7,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group MASE scorecard (Hyndman & Koehler 2006) of the
+    trailing-mean forecast: score ŷ_t = mean(y_{t-window} … y_{t-1})
+    and scale its MAE by the in-sample one-step-naive MAE —
+
+        MASE = MAE(model) / MAE(ŷ_t = y_{t-1})
+
+    < 1 beats the naive walk, > 1 loses to it; the scale-free metric
+    that lets error compare across groups of different magnitude
+    (naive_forecast_eval's MAE/RMSE cannot).
+
+    Exactness: values quantize to 10^-scale ints; the model error is
+    kept in window-scaled integer units (window·y − Σ_window y, exact
+    — no division before the sum), the naive error is a plain int
+    difference, both accumulate in DECIMAL(38,0)/HUGEINT, and the
+    final MASE is one shared expression tree over the two exact sums.
+    Complete-window discipline: model errors only where all ``window``
+    previous values exist, naive errors wherever y_{t-1} exists.
+
+    One window pass + one map-combinable aggregation per group key —
+    the naive_forecast_eval shape.
+
+    Returns (groups…, n_model, n_naive, mae_model, mae_naive, mase);
+    mase is NULL when the naive MAE is 0 or either support is empty.
+    """
+    g = _as_list(group_columns)
+    w = make_window(g, _as_list(order_by))
+    m = float(10**scale)
+    q = F.floor(F.col(column) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    d = data.withColumn("_q", q)
+    fr = w.rowsBetween(-window, -1)
+    s = F.sum("_q").over(fr)
+    c = F.count("_q").over(fr)
+    model_err = F.when(
+        c == window, F.abs(F.lit(window).cast("bigint") * F.col("_q") - s)
+    )
+    naive_err = F.abs(F.col("_q") - F.lag("_q", 1).over(w))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    staged = d.select(*g, model_err.alias("_me"), naive_err.alias("_ne"))
+    agg = staged.groupBy(*g).agg(
+        F.count("_me").alias("n_model"),
+        F.count("_ne").alias("n_naive"),
+        F.sum(dec(F.col("_me"))).alias("_sm"),
+        F.sum(dec(F.col("_ne"))).alias("_sn"),
+    )
+    nm = F.col("n_model").cast("double")
+    nv = F.col("n_naive").cast("double")
+    sm = F.col("_sm").cast("double")
+    sn = F.col("_sn").cast("double")
+    wd = float(window)
+    mae_model = F.when(F.col("n_model") > 0, sm / (F.lit(wd) * nm) / F.lit(m))
+    mae_naive = F.when(F.col("n_naive") > 0, sn / nv / F.lit(m))
+    mase = F.when(
+        (F.col("n_model") > 0) & (F.col("n_naive") > 0) & (sn > 0),
+        (sm * nv) / (F.lit(wd) * nm * sn),
+    )
+    return agg.select(
+        *g,
+        "n_model",
+        "n_naive",
+        mae_model.alias("mae_model"),
+        mae_naive.alias("mae_naive"),
+        mase.alias("mase"),
+    )
+
+
+def mase_eval_sql(
+    table_sql: str,
+    column: str,
+    group_columns,
+    order_by,
+    window: int = 7,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`mase_eval` (same tree/order)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    over = f"(PARTITION BY {gsel} ORDER BY {', '.join(_as_list(order_by))})"
+    fr = (
+        f"(PARTITION BY {gsel} ORDER BY {', '.join(_as_list(order_by))} "
+        f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)"
+    )
+    m = float(10**scale)
+    q = f"CAST(FLOOR({column} * {dlit(m)} + 0.5) AS BIGINT)"
+    # HUGEINT→DOUBLE via VARCHAR: error sums can pass 2^53 at scale
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    osel = ", ".join(_as_list(order_by))
+    return f"""
+WITH base AS (
+  SELECT {gsel}, {osel}, {q} AS _q FROM ({table_sql})
+), staged AS (
+  SELECT {gsel},
+    CASE WHEN COUNT(_q) OVER {fr} = {window}
+         THEN ABS(CAST({window} AS BIGINT) * _q - SUM(_q) OVER {fr}) END AS _me,
+    ABS(_q - LAG(_q, 1) OVER {over}) AS _ne
+  FROM base
+), agg AS (
+  SELECT {gsel},
+    COUNT(_me) AS n_model, COUNT(_ne) AS n_naive,
+    SUM(CAST(_me AS HUGEINT)) AS _sm, SUM(CAST(_ne AS HUGEINT)) AS _sn
+  FROM staged GROUP BY {gsel}
+)
+SELECT {gsel}, n_model, n_naive,
+  CASE WHEN n_model > 0 THEN {s2d('_sm')} / ({dlit(float(window))} * CAST(n_model AS DOUBLE)) / {dlit(m)} END AS mae_model,
+  CASE WHEN n_naive > 0 THEN {s2d('_sn')} / CAST(n_naive AS DOUBLE) / {dlit(m)} END AS mae_naive,
+  CASE WHEN n_model > 0 AND n_naive > 0 AND {s2d('_sn')} > 0
+       THEN ({s2d('_sm')} * CAST(n_naive AS DOUBLE)) / ({dlit(float(window))} * CAST(n_model AS DOUBLE) * {s2d('_sn')}) END AS mase
+FROM agg
+"""

@@ -446,3 +446,173 @@ ragg AS (
 SELECT {gsel}, n_obs, n_pairs, slope, {med_r} AS intercept
 FROM ragg
 """
+
+
+def granger_lag_test(
+    data: DataFrame,
+    y_col: str,
+    x_col: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group one-lag Granger-style predictability test: does
+    yesterday's x help predict today's y beyond yesterday's y?
+
+    Nested OLS F-test from ONE sufficient-statistics pass:
+
+        restricted    y_t ~ b0 + a·y_{t-1}
+        unrestricted  y_t ~ b0 + b1·y_{t-1} + b2·x_{t-1}
+
+        F = (R²_u − R²_r) · (n − 3) / (1 − R²_u),  df = (1, n − 3)
+
+    Both models share the same normal-equation statistics (x1 = lag y,
+    x2 = lag x — the :func:`grouped_ols2` aggregate), so the whole
+    test is one window pass (the lags), one map-combinable aggregation
+    on the group key, and a row-local closed-form solve — no second
+    regression pass, no driver linear algebra.  This is the classic
+    lag-1 bivariate Granger setup (Granger 1969); p-values need an
+    F-CDF and are left to the caller (the F statistic and dfs are
+    returned).
+
+    Exactness: the grouped_ols2 discipline — complete-case lag triples,
+    quantized int64 units, DECIMAL(38,0) sums, one shared double
+    expression tree.  Degenerate groups (singular unrestricted system,
+    zero residual variance, n ≤ 3) yield NULL f_stat.
+
+    Returns (groups…, n, b_lagy, b_lagx, r2_u, r2_r, f_stat).
+    """
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*groups).orderBy(*order)
+    m = 10**scale
+    q = lambda c: F.floor(F.col(c) * F.lit(m) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    lagged = data.select(
+        *groups,
+        q(y_col).alias("_yq"),
+        F.lag(q(y_col), 1).over(w).alias("_x1"),
+        F.lag(q(x_col), 1).over(w).alias("_x2"),
+    ).filter(
+        F.col("_yq").isNotNull()
+        & F.col("_x1").isNotNull()
+        & F.col("_x2").isNotNull()
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = lagged.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_x1"))).alias("_s1"),
+        F.sum(dec(F.col("_x2"))).alias("_s2"),
+        F.sum(dec(F.col("_yq"))).alias("_sy"),
+        F.sum(dec(F.col("_x1")) * dec(F.col("_x1"))).alias("_s11"),
+        F.sum(dec(F.col("_x2")) * dec(F.col("_x2"))).alias("_s22"),
+        F.sum(dec(F.col("_x1")) * dec(F.col("_x2"))).alias("_s12"),
+        F.sum(dec(F.col("_x1")) * dec(F.col("_yq"))).alias("_s1y"),
+        F.sum(dec(F.col("_x2")) * dec(F.col("_yq"))).alias("_s2y"),
+        F.sum(dec(F.col("_yq")) * dec(F.col("_yq"))).alias("_syy"),
+    )
+    nn = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a11 = nn * d("_s11") - d("_s1") * d("_s1")
+    a12 = nn * d("_s12") - d("_s1") * d("_s2")
+    a22 = nn * d("_s22") - d("_s2") * d("_s2")
+    b1v = nn * d("_s1y") - d("_s1") * d("_sy")
+    b2v = nn * d("_s2y") - d("_s2") * d("_sy")
+    ssy = nn * d("_syy") - d("_sy") * d("_sy")
+    det = a11 * a22 - a12 * a12
+    b1 = (a22 * b1v - a12 * b2v) / det
+    b2 = (a11 * b2v - a12 * b1v) / det
+    expl_u = b1 * b1v + b2 * b2v
+    expl_r = b1v * b1v / a11
+    r2_u = expl_u / ssy
+    r2_r = expl_r / ssy
+    ok = (det != 0) & (a11 != 0) & (ssy > 0) & (F.col("n") > 3)
+    f_stat = F.when(
+        ok & ((ssy - expl_u) > 0),
+        (expl_u - expl_r) * (nn - F.lit(3.0)) / (ssy - expl_u),
+    )
+    return agg.select(
+        *groups,
+        "n",
+        F.when(ok, b1).alias("b_lagy"),
+        F.when(ok, b2).alias("b_lagx"),
+        F.when(ok, r2_u).alias("r2_u"),
+        F.when(ok, r2_r).alias("r2_r"),
+        f_stat.alias("f_stat"),
+    )
+
+
+def granger_lag_test_sql(
+    data_sql: str,
+    y_col: str,
+    x_col: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`granger_lag_test`; ``data_sql`` is a
+    SELECT producing (groups…, order…, y, x)."""
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    gsel = ", ".join(groups)
+    over = f"(PARTITION BY {gsel} ORDER BY {', '.join(order)})"
+    m = 10**scale
+    qq = lambda c: f"CAST(FLOOR({c} * {m} + 0.5) AS BIGINT)"  # noqa: E731
+    # HUGEINT sums of squared quantized values exceed 2^53 → VARCHAR-
+    # route every sum cast so both engines round-to-nearest
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH lagged AS (
+  SELECT {gsel}, _yq, _x1, _x2 FROM (
+    SELECT {gsel}, {qq(y_col)} AS _yq,
+      LAG({qq(y_col)}, 1) OVER {over} AS _x1,
+      LAG({qq(x_col)}, 1) OVER {over} AS _x2
+    FROM ({data_sql})
+  ) WHERE _yq IS NOT NULL AND _x1 IS NOT NULL AND _x2 IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    SUM(CAST(_x1 AS HUGEINT)) AS _s1, SUM(CAST(_x2 AS HUGEINT)) AS _s2,
+    SUM(CAST(_yq AS HUGEINT)) AS _sy,
+    SUM(CAST(_x1 AS HUGEINT) * CAST(_x1 AS HUGEINT)) AS _s11,
+    SUM(CAST(_x2 AS HUGEINT) * CAST(_x2 AS HUGEINT)) AS _s22,
+    SUM(CAST(_x1 AS HUGEINT) * CAST(_x2 AS HUGEINT)) AS _s12,
+    SUM(CAST(_x1 AS HUGEINT) * CAST(_yq AS HUGEINT)) AS _s1y,
+    SUM(CAST(_x2 AS HUGEINT) * CAST(_yq AS HUGEINT)) AS _s2y,
+    SUM(CAST(_yq AS HUGEINT) * CAST(_yq AS HUGEINT)) AS _syy
+  FROM lagged GROUP BY {gsel}
+),
+k AS (
+  SELECT {gsel}, n, CAST(n AS DOUBLE) AS nn,
+    CAST(n AS DOUBLE) * {s2d('_s11')} - {s2d('_s1')} * {s2d('_s1')} AS a11,
+    CAST(n AS DOUBLE) * {s2d('_s12')} - {s2d('_s1')} * {s2d('_s2')} AS a12,
+    CAST(n AS DOUBLE) * {s2d('_s22')} - {s2d('_s2')} * {s2d('_s2')} AS a22,
+    CAST(n AS DOUBLE) * {s2d('_s1y')} - {s2d('_s1')} * {s2d('_sy')} AS b1v,
+    CAST(n AS DOUBLE) * {s2d('_s2y')} - {s2d('_s2')} * {s2d('_sy')} AS b2v,
+    CAST(n AS DOUBLE) * {s2d('_syy')} - {s2d('_sy')} * {s2d('_sy')} AS ssy
+  FROM agg
+),
+sol AS (
+  SELECT {gsel}, n, nn, a11, ssy, b1v, b2v,
+    a11 * a22 - a12 * a12 AS det,
+    (a22 * b1v - a12 * b2v) / (a11 * a22 - a12 * a12) AS b1,
+    (a11 * b2v - a12 * b1v) / (a11 * a22 - a12 * a12) AS b2
+  FROM k
+),
+fin AS (
+  SELECT {gsel}, n, nn, a11, ssy, b1v, b2v, det, b1, b2,
+    b1 * b1v + b2 * b2v AS expl_u,
+    b1v * b1v / a11 AS expl_r,
+    (det <> 0 AND a11 <> 0 AND ssy > 0 AND n > 3) AS ok
+  FROM sol
+)
+SELECT {gsel}, n,
+  CASE WHEN ok THEN b1 END AS b_lagy,
+  CASE WHEN ok THEN b2 END AS b_lagx,
+  CASE WHEN ok THEN expl_u / ssy END AS r2_u,
+  CASE WHEN ok THEN expl_r / ssy END AS r2_r,
+  CASE WHEN ok AND (ssy - expl_u) > 0
+       THEN (expl_u - expl_r) * (nn - 3.0) / (ssy - expl_u) END AS f_stat
+FROM fin
+"""

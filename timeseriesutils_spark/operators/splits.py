@@ -289,3 +289,53 @@ SELECT {select} FROM (
   FROM {table}
 ) WHERE rn <= {k}
 """
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Frequency cap per key: keep at most ``cap`` rows for each value
+    of ``key_col`` — the Common-Crawl-style per-domain/per-source cap
+    that stops one prolific site from dominating a training mix.
+
+    Selection is deterministic and stable: rows rank within their key
+    by ``md5(id)`` (the :func:`hash_split` rationale — bit-identical
+    across engines, runs, and partitionings; adding new documents never
+    evicts previously-kept ones ranked below the cap... new docs only
+    enter if they hash under a kept one, the standard tradeoff of
+    hash-ranked caps vs true arrival order, which distributed corpora
+    don't have).
+
+    Appends ``kept`` (boolean).  Scale shape: one hash-partitioned
+    window by key; heavy keys are exactly the ones being capped, and
+    the rank is a single streaming pass per key — no buffering beyond
+    the sort.  For billion-row hot keys, pre-filter with an
+    approx-frequency sketch so only keys above the cap enter the
+    window (documented swap, not needed at tested scales).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col).cast("string")
+    )
+    rn = F.row_number().over(w)
+    return df.withColumn("kept", rn <= cap)
+
+
+def cap_per_key_sql(
+    table: str,
+    key_col: str,
+    id_col: str,
+    cap: int,
+    select_cols: str,
+) -> str:
+    """DuckDB twin of :func:`cap_per_key`."""
+    return f"""
+SELECT {select_cols},
+  ROW_NUMBER() OVER (
+    PARTITION BY {key_col}
+    ORDER BY md5(CAST({id_col} AS VARCHAR)), CAST({id_col} AS VARCHAR)
+  ) <= {cap} AS kept
+FROM {table}
+"""

@@ -1585,3 +1585,133 @@ SELECT {id_col}, COUNT(*) AS n_bigrams,
   CAST(CAST(SUM(_q) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*) AS mean_nll
 FROM scored GROUP BY {id_col}
 """
+
+
+# Gopher quality-rule battery (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1; the same rule family FineWeb/Dolma
+# reuse).  Thresholds follow the paper where the signal is computable
+# with shared Java∩RE2 regex semantics.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc Gopher quality-rule flags — the standard LLM-corpus
+    pre-filter battery, one boolean per rule plus the conjunction:
+
+      * r_words     — 50 ≤ word count ≤ 100 000
+      * r_mwl       — 3 ≤ mean word length ≤ 10
+      * r_alpha     — ≥ 80% of words contain an alphabetic character
+      * r_symbol    — (# + ellipsis occurrences) / words ≤ 0.1
+      * r_bullet    — ≤ 90% of lines start with a bullet
+      * r_ellipsis  — ≤ 30% of lines end with an ellipsis
+      * r_stop      — contains ≥ 2 of the 8 Gopher stopwords
+      * gopher_pass — all of the above
+
+    All signals are built-in expressions (split / higher-order filter /
+    regexp counts — zero Python, the text.py discipline); every ratio
+    is an exact-int division and every comparison is against a literal,
+    so the flags are bit-stable across engines.  Empty docs fail the
+    word-count rule and divide against a floor of 1 word/line.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    base = docs.select(
+        id_col,
+        F.col(text_col).alias("_t"),
+        words(F.col(text_col)).alias("_w"),
+        lines.alias("_l"),
+    )
+    w, lns = F.col("_w"), F.col("_l")
+    nw = F.size(w)
+    nl = F.size(lns)
+    nw1 = F.greatest(nw, F.lit(1))
+    nl1 = F.greatest(nl, F.lit(1))
+    mwl = (
+        F.aggregate(w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+        / nw1
+    )
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    n_sym = F.size(F.regexp_extract_all(F.col("_t"), F.lit("#"), 0)) + F.size(
+        F.regexp_extract_all(F.col("_t"), F.lit(r"\.\.\.|…"), 0)
+    )
+    n_bullet = F.size(F.filter(lns, lambda x: x.rlike(r"^\s*[-*•]")))
+    n_ell = F.size(F.filter(lns, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+    stop_hits = None
+    for s in GOPHER_STOPWORDS:
+        h = F.lower(F.col("_t")).rlike(rf"\b{s}\b").cast("int")
+        stop_hits = h if stop_hits is None else stop_hits + h
+    r_words = (nw >= 50) & (nw <= 100_000)
+    r_mwl = (mwl >= 3.0) & (mwl <= 10.0)
+    r_alpha = (n_alpha.cast("double") / nw1) >= 0.8
+    r_symbol = (n_sym.cast("double") / nw1) <= 0.1
+    r_bullet = (n_bullet.cast("double") / nl1) <= 0.9
+    r_ellipsis = (n_ell.cast("double") / nl1) <= 0.3
+    r_stop = stop_hits >= 2
+    gopher_pass = (
+        r_words & r_mwl & r_alpha & r_symbol & r_bullet & r_ellipsis & r_stop
+    )
+    return base.select(
+        id_col,
+        r_words.alias("r_words"),
+        r_mwl.alias("r_mwl"),
+        r_alpha.alias("r_alpha"),
+        r_symbol.alias("r_symbol"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_stop.alias("r_stop"),
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
+def gopher_rules_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`gopher_rules` (per-doc flags)."""
+    wsplit = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    lsplit = f"string_split_regex({text_col}, '\\n')"
+    nw = "len(_w)"
+    nl = "len(_l)"
+    nw1 = f"GREATEST({nw}, 1)"
+    nl1 = f"GREATEST({nl}, 1)"
+    mwl = (
+        f"(CAST(LENGTH(regexp_replace(lower(trim(_t)), '\\s+', '', 'g')) AS BIGINT)"
+        f" / {nw1})"
+    )
+    n_alpha = "len(list_filter(_w, x -> regexp_matches(x, '[a-z]')))"
+    n_sym = (
+        f"(len(regexp_extract_all(_t, '#'))"
+        f" + len(regexp_extract_all(_t, '\\.\\.\\.|…')))"
+    )
+    n_bullet = "len(list_filter(_l, x -> regexp_matches(x, '^\\s*[-*•]')))"
+    n_ell = "len(list_filter(_l, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))"
+    stop_hits = " + ".join(
+        f"CAST(regexp_matches(lower(_t), '\\b{s}\\b') AS INT)"
+        for s in GOPHER_STOPWORDS
+    )
+    r_words = f"({nw} >= 50 AND {nw} <= 100000)"
+    r_mwl = f"({mwl} >= 3.0 AND {mwl} <= 10.0)"
+    r_alpha = f"((CAST({n_alpha} AS DOUBLE) / {nw1}) >= 0.8)"
+    r_symbol = f"((CAST({n_sym} AS DOUBLE) / {nw1}) <= 0.1)"
+    r_bullet = f"((CAST({n_bullet} AS DOUBLE) / {nl1}) <= 0.9)"
+    r_ellipsis = f"((CAST({n_ell} AS DOUBLE) / {nl1}) <= 0.3)"
+    r_stop = f"(({stop_hits}) >= 2)"
+    allr = (
+        f"({r_words} AND {r_mwl} AND {r_alpha} AND {r_symbol}"
+        f" AND {r_bullet} AND {r_ellipsis} AND {r_stop})"
+    )
+    return f"""
+SELECT {id_col},
+  {r_words} AS r_words,
+  {r_mwl} AS r_mwl,
+  {r_alpha} AS r_alpha,
+  {r_symbol} AS r_symbol,
+  {r_bullet} AS r_bullet,
+  {r_ellipsis} AS r_ellipsis,
+  {r_stop} AS r_stop,
+  {allr} AS gopher_pass
+FROM (
+  SELECT {id_col}, {text_col} AS _t, {wsplit} AS _w, {lsplit} AS _l
+  FROM {table}
+)
+"""

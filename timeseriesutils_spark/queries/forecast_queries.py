@@ -1444,3 +1444,93 @@ FROM s LEFT JOIN c USING (o_orderpriority, day)
 
 
 QUERIES.update({"decompose_robust": Q(q_decompose_robust, _sql_decompose_robust())})
+
+
+def q_mase_eval(spark, sf_dir):
+    """MASE scorecard of the trailing-7-mean forecast per supplier
+    (operators/forecast.mase_eval): model MAE scaled by one-step-naive
+    MAE -- the scale-free companion to forecast_eval's MAE/RMSE.
+    Window-scaled integer errors, DECIMAL sums, one shared tree."""
+    from timeseriesutils_spark.operators.forecast import mase_eval
+
+    return mase_eval(
+        _li(spark, sf_dir), "l_extendedprice", ["l_suppkey"], LI_ORDER,
+        window=7, scale=2,
+    )
+
+
+def _sql_mase_eval():
+    from timeseriesutils_spark.operators.forecast import mase_eval_sql
+
+    return mase_eval_sql(
+        "SELECT * FROM lineitem", "l_extendedprice", ["l_suppkey"],
+        LI_ORDER_SQL.split(", "), window=7, scale=2,
+    )
+
+
+QUERIES.update({"mase_eval": Q(q_mase_eval, _sql_mase_eval())})
+
+
+from timeseriesutils_spark.functions.exact import dsum_sql as _dsum_sql
+
+_SQL_DAILY_PQ = f"""
+  SELECT l_suppkey,
+    CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day,
+    {_dsum_sql('l_extendedprice')} AS day_price,
+    {_dsum_sql('l_quantity')} AS day_qty
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _daily_pq(spark, sf_dir):
+    """Per-(supplier, ship day) exact daily price AND quantity sums --
+    the paired-series input the Granger test needs (same one-exchange
+    shape as series_queries._daily)."""
+    from timeseriesutils_spark.functions.exact import dsum
+    from timeseriesutils_spark.sources.tables import load_table as _lt
+
+    li = _lt(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_suppkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("ship_day"),
+            "l_extendedprice",
+            "l_quantity",
+        )
+        .repartition("l_suppkey")
+        .groupBy("l_suppkey", "ship_day")
+        .agg(
+            dsum("l_extendedprice").alias("day_price"),
+            dsum("l_quantity").alias("day_qty"),
+        )
+    )
+
+
+def q_granger_lag(spark, sf_dir):
+    """One-lag Granger-style nested OLS F-test per supplier: does
+    yesterday's shipped QUANTITY help predict today's daily REVENUE
+    beyond yesterday's revenue (operators/regression.granger_lag_test)?
+    One window pass + one sufficient-statistics aggregation; F from
+    R2_u vs R2_r in closed form."""
+    from timeseriesutils_spark.operators.regression import granger_lag_test
+
+    return granger_lag_test(
+        _daily_pq(spark, sf_dir), "day_price", "day_qty",
+        ["l_suppkey"], ["ship_day"], scale=2,
+    )
+
+
+def _sql_granger_lag():
+    from timeseriesutils_spark.operators.regression import granger_lag_test_sql
+
+    return granger_lag_test_sql(
+        _SQL_DAILY_PQ, "day_price", "day_qty", ["l_suppkey"], ["ship_day"],
+        scale=2,
+    )
+
+
+QUERIES.update({"granger_lag": Q(q_granger_lag, _sql_granger_lag())})

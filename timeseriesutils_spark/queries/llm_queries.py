@@ -1728,3 +1728,100 @@ FROM cm JOIN tot ON cm.label = tot.label
 QUERIES.update(
     {"langid_confusion": Q(q_langid_confusion, _sql_langid_confusion())}
 )
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule scorecard by language
+    (operators/text.gopher_rules): per-rule violation counts and the
+    overall pass rate of the standard LLM-corpus pre-filter battery --
+    the dashboard that says WHICH rule is rejecting a corpus slice,
+    not just how much survives.  Doc flags are pure built-in
+    expressions; the rollup is integer counts + one division."""
+    from timeseriesutils_spark.operators.text import gopher_rules
+
+    docs = _docs(spark, sf_dir)
+    flags = gopher_rules(docs)
+    rules = [
+        "r_words", "r_mwl", "r_alpha", "r_symbol",
+        "r_bullet", "r_ellipsis", "r_stop",
+    ]
+    joined = docs.select("doc_id", "lang").join(flags, "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.sum((~F.col(r)).cast("int")).cast("bigint").alias(f"viol_{r[2:]}")
+                for r in rules
+            ],
+            F.sum(F.col("gopher_pass").cast("int")).cast("bigint").alias("n_pass"),
+        )
+        .withColumn(
+            "pass_rate",
+            F.col("n_pass").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )
+
+
+def _sql_gopher_rules():
+    from timeseriesutils_spark.operators.text import gopher_rules_sql
+
+    rules = [
+        "r_words", "r_mwl", "r_alpha", "r_symbol",
+        "r_bullet", "r_ellipsis", "r_stop",
+    ]
+    viols = ",\n  ".join(
+        f"CAST(SUM(CAST(NOT {r} AS INT)) AS BIGINT) AS viol_{r[2:]}" for r in rules
+    )
+    return f"""
+WITH flags AS ({gopher_rules_sql("documents")}),
+j AS (
+  SELECT d.lang, f.* FROM documents d JOIN flags f USING (doc_id)
+)
+SELECT lang, COUNT(*) AS n_docs,
+  {viols},
+  CAST(SUM(CAST(gopher_pass AS INT)) AS BIGINT) AS n_pass,
+  CAST(CAST(SUM(CAST(gopher_pass AS INT)) AS BIGINT) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+FROM j GROUP BY lang
+"""
+
+
+QUERIES.update({"gopher_rules": Q(q_gopher_rules, _sql_gopher_rules())})
+
+
+def q_domain_caps(spark, sf_dir):
+    """Per-source frequency cap audit (operators/splits.cap_per_key):
+    cap every source at 200 docs with deterministic md5-ranked
+    retention and report kept/total/cap_hit per source -- the
+    Common-Crawl-style dominance control on the training mix."""
+    from timeseriesutils_spark.operators.splits import cap_per_key
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    capped = cap_per_key(docs, "source", "doc_id", cap=200)
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        )
+        .withColumn("cap_hit", F.col("n_docs") > F.col("n_kept"))
+    )
+
+
+def _sql_domain_caps():
+    from timeseriesutils_spark.operators.splits import cap_per_key_sql
+
+    inner = cap_per_key_sql(
+        "documents", "source", "doc_id", 200, "doc_id, source"
+    )
+    return f"""
+WITH capped AS ({inner})
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CAST(kept AS INT)) AS BIGINT) AS n_kept,
+  COUNT(*) > CAST(SUM(CAST(kept AS INT)) AS BIGINT) AS cap_hit
+FROM capped GROUP BY source
+"""
+
+
+QUERIES.update({"domain_caps": Q(q_domain_caps, _sql_domain_caps())})

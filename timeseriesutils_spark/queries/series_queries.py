@@ -867,3 +867,80 @@ def _sql_best_breakpoint():
 
 
 QUERIES.update({"best_breakpoint": Q(q_best_breakpoint, _sql_best_breakpoint())})
+
+
+def q_permutation_entropy(spark, sf_dir):
+    """Normalized order-3 permutation entropy of each supplier's daily
+    price series (operators/complexity.permutation_entropy): ordinal-
+    pattern histogram entropy — 0 monotone, ->1 white noise.  One
+    window pass + two map-combinable aggregations; the 6-term entropy
+    sum is a fixed expression tree (never a float SUM across rows)."""
+    from timeseriesutils_spark.operators.complexity import permutation_entropy
+
+    return permutation_entropy(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"]
+    )
+
+
+def _sql_permutation_entropy():
+    from timeseriesutils_spark.operators.complexity import permutation_entropy_sql
+
+    return permutation_entropy_sql(
+        f"({_SQL_DAILY})", "day_price", ["l_suppkey"], ["ship_day"]
+    )
+
+
+QUERIES.update(
+    {"permutation_entropy": Q(q_permutation_entropy, _sql_permutation_entropy())}
+)
+
+
+def q_hurst_exponent(spark, sf_dir):
+    """Aggregated-variance Hurst exponent per supplier price series
+    (operators/complexity.hurst_exponent): block-mean variances at
+    sizes 1/2/4/8/16 chained PAIRWISE (each shuffle half the previous
+    — geometric traffic), closed-form log-log slope -> H."""
+    from timeseriesutils_spark.operators.complexity import hurst_exponent
+
+    return hurst_exponent(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"]
+    )
+
+
+def _sql_hurst_exponent():
+    from timeseriesutils_spark.operators.complexity import hurst_exponent_sql
+
+    return hurst_exponent_sql(
+        f"({_SQL_DAILY})", "day_price", ["l_suppkey"], ["ship_day"]
+    )
+
+
+QUERIES.update({"hurst_exponent": Q(q_hurst_exponent, _sql_hurst_exponent())})
+
+
+def q_tech_indicators(spark, sf_dir):
+    """Momentum / trend / volatility triple on the daily price series
+    (operators/technical.tech_indicators): Cutler RSI-14, truncated-EW
+    MACD(12,26,9), Bollinger(20,2) — bounded lag/sum expressions on
+    two window passes over one series exchange, complete-window NULL
+    discipline throughout."""
+    from timeseriesutils_spark.operators.technical import tech_indicators
+
+    return tech_indicators(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"]
+    )
+
+
+def _sql_tech_indicators():
+    from timeseriesutils_spark.operators.technical import tech_indicators_sql
+
+    return tech_indicators_sql(
+        f"({_SQL_DAILY})",
+        "l_suppkey, ship_day, day_price",
+        "day_price",
+        ["l_suppkey"],
+        ["ship_day"],
+    )
+
+
+QUERIES.update({"tech_indicators": Q(q_tech_indicators, _sql_tech_indicators())})
