@@ -118,10 +118,13 @@ class TestHurst:
         assert out["walk"] > 0.75  # persistent
         assert out["noise"] < 0.75
 
-    def test_short_series_dropped(self, spark):
-        # 10 rows -> zero complete 16-blocks -> inner join drops group
-        out = hurst_exponent(_series_df(spark, range(10)), "y", ["g"], ["t"])
-        assert out.count() == 0
+    def test_short_series_null_not_dropped(self, spark):
+        # 10 rows -> zero complete 16-blocks -> row kept, hurst NULL
+        out = hurst_exponent(
+            _series_df(spark, range(10)), "y", ["g"], ["t"]
+        ).collect()
+        assert len(out) == 1
+        assert out[0].n == 10 and out[0].hurst is None
 
 
 class TestTechIndicators:

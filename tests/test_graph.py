@@ -79,15 +79,38 @@ def test_pagerank_copartitioned_edges_shuffle_once(spark):
     hashpartitioned on src at build time, so a round's ranks⋈edges join
     must NOT re-exchange the edge scan — at scale the edge set is the
     multi-TB side and re-shuffling it per round is the one shape that
-    cannot survive.  Asserted on the final-round plan: no Exchange above
-    the edge InMemoryTableScan referencing its src attribute."""
+    cannot survive.  pagerank() now checkpoints every round eagerly
+    (r5 ADVICE laziness fix), so assert on a LAZY round built exactly
+    the way the operator builds it: no Exchange above the edge
+    InMemoryTableScan referencing its src attribute."""
     import re
+
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.graph import _pagerank_one_round
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         df = spark.createDataFrame(GRAPH, "src long, dst long")
-        out = pagerank(df, n_iter=1, broadcast_nodes=False)
+        e = (
+            df.select("src", "dst")
+            .distinct()
+            .repartition("src")
+            .sortWithinPartitions("src")
+            .cache()
+        )
+        e.count()
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        ranks = nodes.select("node", F.lit(10**6).cast("bigint").alias("rank_q"))
+        out = _pagerank_one_round(
+            ranks, nodes, deg, e, lambda x: x, 50, 17, 20
+        )
         lines = out._jdf.queryExecution().executedPlan().toString().splitlines()
         scan_idx = [
             i
@@ -105,6 +128,7 @@ def test_pagerank_copartitioned_edges_shuffle_once(spark):
             l for l in lines[:i] if "Exchange" in l and key in l and "Reused" not in l
         ]
         assert not offending, offending
+        e.unpersist()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 

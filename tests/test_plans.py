@@ -211,10 +211,27 @@ def test_shard_assign_single_exchange(spark, catalog):
     assert len(re.findall(r"Exchange", plan)) == 1
 
 
-def test_pagerank_rounds_broadcast_not_smj(spark, catalog):
+def test_pagerank_rounds_broadcast_not_smj(spark):
     # node-sized sides broadcast into the edge join; a regression to
-    # sort-merge would re-shuffle the edge set every power iteration
-    plan = _plan(catalog["pagerank"](spark, SF_DIR))
+    # sort-merge would re-shuffle the edge set every power iteration.
+    # The public pagerank() eagerly checkpoints every round (the r5
+    # ADVICE laziness fix), so the returned frame's plan is an
+    # ExistingRDD scan — assert the shape on one LAZY round instead.
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.graph import _pagerank_one_round
+
+    e = spark.createDataFrame(
+        [(a, b) for a in range(20) for b in range(20) if a != b],
+        "src long, dst long",
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("node", F.lit(1000).cast("bigint").alias("rank_q"))
+    rnd = _pagerank_one_round(
+        ranks, nodes, deg, e, F.broadcast, 50, 17, 20
+    )
+    plan = _plan(rnd)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -423,3 +440,36 @@ def test_renewal_rt_single_window_pass(spark, catalog):
     plan = _plan(catalog["renewal_rt"](spark, SF_DIR))
     import re as _re
     assert len(_re.findall(r"Window ", plan)) == 1
+
+
+def test_hurst_single_exchange_single_scan(spark, catalog):
+    """hurst_exponent computes all 5 level statistics from ONE fact
+    scan and ONE group-key exchange (the single-pass block-array
+    design) — the branched per-level form re-scanned the facts once
+    per level."""
+    plan = _plan(catalog["hurst_exponent"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+
+
+def test_tech_indicators_single_exchange(spark, catalog):
+    """Both window passes (indicators + MACD signal) and the daily
+    aggregation share one HashPartitioning(supplier) exchange."""
+    plan = _plan(catalog["tech_indicators"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_granger_single_exchange_no_python(spark, catalog):
+    """granger_lag: lag window + sufficient-stats aggregation on one
+    exchange; closed-form F — no Python evaluation anywhere."""
+    plan = _plan(catalog["granger_lag"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_rules_no_python_single_scan(spark, catalog):
+    """The Gopher rule battery is pure built-in expressions over one
+    documents scan (no row UDFs, no plan forks)."""
+    plan = _plan(catalog["gopher_rules"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"Scan parquet", plan)) == 1

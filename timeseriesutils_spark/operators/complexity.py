@@ -17,10 +17,11 @@ aggregated-variance method of Beran 1994 for Hurst).
 
 Scale shape: permutation entropy is one window pass + two
 map-combinable aggregations (rows → (group, pattern) → group).  Hurst
-is one window pass (per-group row index) + a log-depth chain of
-pairwise block merges, each a shuffle HALF the size of the previous —
-geometric total traffic, the same telescoping shape as large-star
-connected components.  Nothing is driver-side; both hold at 100 TB.
+is one window pass (per-group row index) + two pipelined aggregations
+on the SAME group-key partitioning (rows → top-size blocks carrying a
+position-ordered array → group), with every level's block statistics
+fixed array expressions — one exchange, one fact scan, zero joins.
+Nothing is driver-side; both hold at 100 TB.
 """
 
 from __future__ import annotations
@@ -175,48 +176,77 @@ def hurst_exponent(
     HUGEINT, and each Var_k is one double expression over those exact
     integers).
 
-    Distribution: a per-group row_number pass assigns block ids, then
-    levels chain PAIRWISE — level k merges two level-(k−1) blocks, so
-    each of the log-many shuffles moves half the previous bytes
-    (geometric total, the telescoping large-star shape).  Incomplete
-    tail blocks are carried but excluded from every variance.
+    Distribution: ONE pass — a per-group row_number assigns positions,
+    rows group into top-size blocks (2^(n_levels−1) rows) carrying a
+    position-ordered value array, and every level's block-sum
+    statistics are FIXED array expressions over that array (a size-s
+    block at any level is an aligned slice of its top block; a group's
+    row positions are contiguous, so the only incomplete block is the
+    tail and its present positions are a prefix).  Net plan: one
+    exchange on the group key, two pipelined aggregations, zero joins,
+    zero plan forks — the branched per-level formulation re-scans the
+    fact table once per level (measured; the nowcast-triangle lesson).
+    Incomplete sub-blocks are excluded from every variance.
 
-    Returns (groups…, n, hurst); groups lacking ≥ 2 complete blocks at
-    the top level or with any zero variance level yield NULL hurst.
+    Returns (groups…, n, hurst) — one row per group; groups lacking
+    ≥ 2 complete blocks at the top level or with any zero variance
+    level carry a NULL hurst (underpowered, not dropped).
     """
     if n_levels < 2:
         raise ValueError("need at least 2 levels for a slope")
     g = _as_list(group_columns)
     w = make_window(g, _as_list(order_by))
     m = float(10**scale)
+    top = 2 ** (n_levels - 1)
     q = F.floor(F.col(column) * F.lit(m) + F.lit(0.5)).cast("bigint")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    # _s is DECIMAL from level 0 so the _s·_s product can never wrap a
-    # BIGINT at any value scale (the lead_lag_corr lesson)
-    lvl = (
-        data.filter(F.col(column).isNotNull())
-        .select(
-            *g,
-            (F.row_number().over(w) - 1).alias("_b"),
-            dec(q).alias("_s"),
-        )
-        .withColumn("_cnt", F.lit(1).cast("bigint"))
+    rows = data.filter(F.col(column).isNotNull()).select(
+        *g,
+        (F.row_number().over(w) - 1).alias("_b"),
+        q.alias("_s"),
     )
-    out = None
+    blocks = rows.groupBy(*g, F.floor(F.col("_b") / top).alias("_blk")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct((F.col("_b") % top).alias("p"), F.col("_s").alias("s")))),
+            lambda x: x["s"],
+        ).alias("_arr"),
+    )
+    arr = F.col("_arr")
+    sz = F.size(arr)
+
+    def subsum(k: int, j: int):
+        """Exact sum of the j-th size-2^k slice, DECIMAL to keep the
+        square exact; None-guarded by completeness at the call site."""
+        s = 2**k
+        e = F.element_at(arr, j * s + 1).cast("decimal(38,0)")
+        for i in range(2, s + 1):
+            e = e + F.element_at(arr, j * s + i).cast("decimal(38,0)")
+        return e
+
+    aggs = []
     for k in range(n_levels):
-        if k > 0:
-            lvl = lvl.groupBy(*g, F.floor(F.col("_b") / 2).alias("_b")).agg(
-                F.sum(dec(F.col("_s"))).cast("decimal(38,0)").alias("_s"),
-                F.sum("_cnt").alias("_cnt"),
-            )
-        size = 2**k
-        complete = lvl.filter(F.col("_cnt") == size)
-        va = complete.groupBy(*g).agg(
-            F.count(F.lit(1)).alias(f"_B{k}"),
-            F.sum(dec(F.col("_s"))).alias(f"_S{k}"),
-            F.sum(dec(F.col("_s") * F.col("_s"))).alias(f"_Q{k}"),
-        )
-        out = va if out is None else out.join(F.broadcast(va), on=g, how="inner")
+        s = 2**k
+        nsub = top // s
+        # complete sub-blocks of this top block: the present positions
+        # are a prefix, so sub-block j is complete iff size ≥ (j+1)·s
+        cnt = None
+        ssum = None
+        qsum = None
+        for j in range(nsub):
+            full = sz >= (j + 1) * s
+            v = subsum(k, j)
+            c1 = F.when(full, F.lit(1)).otherwise(F.lit(0))
+            sv = F.when(full, v).otherwise(F.lit(0).cast("decimal(38,0)"))
+            qv = F.when(full, v * v).otherwise(F.lit(0).cast("decimal(38,0)"))
+            cnt = c1 if cnt is None else cnt + c1
+            ssum = sv if ssum is None else ssum + sv
+            qsum = qv if qsum is None else qsum + qv
+        aggs += [
+            F.sum(cnt.cast("bigint")).alias(f"_B{k}"),
+            F.sum(dec(ssum)).alias(f"_S{k}"),
+            F.sum(dec(qsum)).alias(f"_Q{k}"),
+        ]
+    out = blocks.groupBy(*g).agg(*aggs)
     # Var_k of block MEANS in original units:
     #   (B·ΣS² − (ΣS)²) / (B² · (size·10^scale)²)
     def var_k(k: int):
@@ -258,39 +288,66 @@ def hurst_exponent_sql(
     n_levels: int = 5,
     scale: int = 2,
 ) -> str:
-    """DuckDB twin of :func:`hurst_exponent` — same pairwise level
-    chain, same exact-integer variance inputs, same fixed slope tree."""
+    """DuckDB twin of :func:`hurst_exponent` — same single-pass block
+    array, same exact-integer variance inputs, same fixed slope tree.
+    (Integer slice sums are exact, so their association order is free;
+    only the double expressions must — and do — mirror Spark's.)"""
     g = _as_list(group_columns)
     gsel = ", ".join(g)
     o = ", ".join(_as_list(order_by))
     m = float(10**scale)
+    top = 2 ** (n_levels - 1)
     q = f"CAST(FLOOR({column} * {dlit(m)} + 0.5) AS BIGINT)"
+
+    def subsum(k: int, j: int) -> str:
+        s = 2**k
+        return "(" + " + ".join(
+            f"CAST(_arr[{j * s + i}] AS HUGEINT)" for i in range(1, s + 1)
+        ) + ")"
+
+    agg_cols = []
+    for k in range(n_levels):
+        s = 2**k
+        nsub = top // s
+        cnt = " + ".join(
+            f"CASE WHEN len(_arr) >= {(j + 1) * s} THEN 1 ELSE 0 END"
+            for j in range(nsub)
+        )
+        ssum = " + ".join(
+            f"CASE WHEN len(_arr) >= {(j + 1) * s} THEN {subsum(k, j)}"
+            f" ELSE CAST(0 AS HUGEINT) END"
+            for j in range(nsub)
+        )
+        qsum = " + ".join(
+            f"CASE WHEN len(_arr) >= {(j + 1) * s} THEN {subsum(k, j)} * {subsum(k, j)}"
+            f" ELSE CAST(0 AS HUGEINT) END"
+            for j in range(nsub)
+        )
+        agg_cols += [
+            f"SUM(CAST(({cnt}) AS BIGINT)) AS _B{k}",
+            f"SUM({ssum}) AS _S{k}",
+            f"SUM({qsum}) AS _Q{k}",
+        ]
+    agg_sql = ",\n    ".join(agg_cols)
     ctes = [
-        f"""lvl0 AS (
+        f"""rws AS (
   SELECT {gsel},
     ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY {o}) - 1 AS _b,
-    CAST({q} AS HUGEINT) AS _s, CAST(1 AS BIGINT) AS _cnt
+    {q} AS _s
   FROM {table} WHERE {column} IS NOT NULL
-)"""
+)""",
+        f"""blocks AS (
+  SELECT {gsel}, CAST(FLOOR(_b / {top}) AS BIGINT) AS _blk,
+    list(_s ORDER BY _b) AS _arr
+  FROM rws GROUP BY {gsel}, CAST(FLOOR(_b / {top}) AS BIGINT)
+)""",
+        f"""va AS (
+  SELECT {gsel},
+    {agg_sql}
+  FROM blocks GROUP BY {gsel}
+)""",
     ]
-    for k in range(1, n_levels):
-        ctes.append(
-            f"""lvl{k} AS (
-  SELECT {gsel}, CAST(FLOOR(_b / 2) AS BIGINT) AS _b,
-    SUM(_s) AS _s, SUM(_cnt) AS _cnt
-  FROM lvl{k - 1} GROUP BY {gsel}, CAST(FLOOR(_b / 2) AS BIGINT)
-)"""
-        )
-    for k in range(n_levels):
-        ctes.append(
-            f"""va{k} AS (
-  SELECT {gsel}, COUNT(*) AS _B{k}, SUM(_s) AS _S{k}, SUM(_s * _s) AS _Q{k}
-  FROM lvl{k} WHERE _cnt = {2 ** k} GROUP BY {gsel}
-)"""
-        )
-    joined = "va0"
-    for k in range(1, n_levels):
-        joined += f" JOIN va{k} USING ({gsel})"
+    joined = "va"
 
     # HUGEINT→DOUBLE casts of exact integers above 2^53 truncate in
     # DuckDB but round-to-nearest in Spark — route via VARCHAR so both
@@ -323,7 +380,7 @@ def hurst_exponent_sql(
     all_ctes = ",\n".join(ctes)
     return f"""
 WITH {all_ctes}
-SELECT {gsel}, _B0 AS n,
+SELECT {gsel}, CAST(_B0 AS BIGINT) AS n,
   CASE WHEN {guard} THEN 1.0 + ({slope}) / 2.0 END AS hurst
 FROM {joined}
 """

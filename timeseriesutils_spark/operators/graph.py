@@ -135,21 +135,31 @@ def pagerank(
     )
 
 
+def _pagerank_one_round(ranks, nodes, deg, e, bcast, base_q, d_num, d_den):
+    """One lazy power-iteration round — split out so the per-round plan
+    shape (node-sized sides broadcast into the edge join) stays
+    assertable after the loop checkpoints every round eagerly
+    (tests/test_plans.py::test_pagerank_rounds_broadcast_not_smj)."""
+    rd = ranks.join(bcast(deg), ranks.node == deg.src).select(
+        "src", "rank_q", "outdeg"
+    )
+    contrib = e.join(bcast(rd), "src").select(
+        "dst", F.expr("rank_q div outdeg").alias("c")
+    )
+    inc = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+    return nodes.join(bcast(inc), nodes.node == inc.dst, "left").select(
+        "node",
+        (
+            F.lit(base_q).cast("bigint")
+            + F.expr(f"({d_num} * coalesce(inc, CAST(0 AS BIGINT))) div {d_den}")
+        ).alias("rank_q"),
+    )
+
+
 def _pagerank_rounds(ranks, nodes, deg, e, bcast, n_iter, base_q, d_num, d_den):
     for it in range(n_iter):
-        rd = ranks.join(bcast(deg), ranks.node == deg.src).select(
-            "src", "rank_q", "outdeg"
-        )
-        contrib = e.join(bcast(rd), "src").select(
-            "dst", F.expr("rank_q div outdeg").alias("c")
-        )
-        inc = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
-        ranks = nodes.join(bcast(inc), nodes.node == inc.dst, "left").select(
-            "node",
-            (
-                F.lit(base_q).cast("bigint")
-                + F.expr(f"({d_num} * coalesce(inc, CAST(0 AS BIGINT))) div {d_den}")
-            ).alias("rank_q"),
+        ranks = _pagerank_one_round(
+            ranks, nodes, deg, e, bcast, base_q, d_num, d_den
         )
         # truncate lineage between rounds: without this the final plan
         # nests n_iter levels of joins and Catalyst re-optimizes the

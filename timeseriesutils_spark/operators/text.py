@@ -1595,7 +1595,10 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def gopher_rules(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Per-doc Gopher quality-rule flags — the standard LLM-corpus
     pre-filter battery, one boolean per rule plus the conjunction:
@@ -1618,6 +1621,7 @@ def gopher_rules(
     lines = F.split(F.col(text_col), r"\n")
     base = docs.select(
         id_col,
+        *keep_cols,
         F.col(text_col).alias("_t"),
         words(F.col(text_col)).alias("_w"),
         lines.alias("_l"),
@@ -1653,6 +1657,7 @@ def gopher_rules(
     )
     return base.select(
         id_col,
+        *keep_cols,
         r_words.alias("r_words"),
         r_mwl.alias("r_mwl"),
         r_alpha.alias("r_alpha"),
@@ -1665,9 +1670,13 @@ def gopher_rules(
 
 
 def gopher_rules_sql(
-    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = (),
 ) -> str:
     """DuckDB twin of :func:`gopher_rules` (per-doc flags)."""
+    keep = "".join(f"{c}, " for c in keep_cols)
     wsplit = f"string_split_regex(lower(trim({text_col})), '\\s+')"
     lsplit = f"string_split_regex({text_col}, '\\n')"
     nw = "len(_w)"
@@ -1701,7 +1710,7 @@ def gopher_rules_sql(
         f" AND {r_bullet} AND {r_ellipsis} AND {r_stop})"
     )
     return f"""
-SELECT {id_col},
+SELECT {id_col}, {keep}
   {r_words} AS r_words,
   {r_mwl} AS r_mwl,
   {r_alpha} AS r_alpha,
@@ -1711,7 +1720,7 @@ SELECT {id_col},
   {r_stop} AS r_stop,
   {allr} AS gopher_pass
 FROM (
-  SELECT {id_col}, {text_col} AS _t, {wsplit} AS _w, {lsplit} AS _l
+  SELECT {id_col}, {keep}{text_col} AS _t, {wsplit} AS _w, {lsplit} AS _l
   FROM {table}
 )
 """

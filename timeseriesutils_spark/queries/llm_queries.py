@@ -1740,14 +1740,13 @@ def q_gopher_rules(spark, sf_dir):
     from timeseriesutils_spark.operators.text import gopher_rules
 
     docs = _docs(spark, sf_dir)
-    flags = gopher_rules(docs)
+    flags = gopher_rules(docs, keep_cols=("lang",))
     rules = [
         "r_words", "r_mwl", "r_alpha", "r_symbol",
         "r_bullet", "r_ellipsis", "r_stop",
     ]
-    joined = docs.select("doc_id", "lang").join(flags, "doc_id")
     return (
-        joined.groupBy("lang")
+        flags.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             *[
@@ -1774,10 +1773,7 @@ def _sql_gopher_rules():
         f"CAST(SUM(CAST(NOT {r} AS INT)) AS BIGINT) AS viol_{r[2:]}" for r in rules
     )
     return f"""
-WITH flags AS ({gopher_rules_sql("documents")}),
-j AS (
-  SELECT d.lang, f.* FROM documents d JOIN flags f USING (doc_id)
-)
+WITH j AS ({gopher_rules_sql("documents", keep_cols=("lang",))})
 SELECT lang, COUNT(*) AS n_docs,
   {viols},
   CAST(SUM(CAST(gopher_pass AS INT)) AS BIGINT) AS n_pass,
