@@ -321,3 +321,83 @@ class TestCapPerKey:
             .filter("kept").collect()
         )
         assert a == b
+
+
+class TestAdf:
+    def test_stationary_vs_random_walk(self, spark):
+        from timeseriesutils_spark.operators.regression import adf_test
+
+        rng = np.random.RandomState(13)
+        n = 500
+        ar = np.zeros(n)
+        for t in range(1, n):
+            ar[t] = 0.5 * ar[t - 1] + rng.randn()
+        walk = rng.randn(n).cumsum()
+        rows = [("ar", t, float(ar[t] + 100)) for t in range(n)]
+        rows += [("walk", t, float(walk[t] + 100)) for t in range(n)]
+        df = spark.createDataFrame(rows, "g string, t long, y double")
+        out = {r.g: r for r in adf_test(df, "y", ["g"], ["t"], scale=4).collect()}
+        assert out["ar"].t_rho < -5.0 and out["ar"].stationary_5pct
+        assert out["walk"].t_rho > -2.86 and not out["walk"].stationary_5pct
+
+    def test_matches_numpy_tstat(self, spark):
+        from timeseriesutils_spark.operators.regression import adf_test
+
+        rng = np.random.RandomState(17)
+        n, scale = 200, 4
+        y = rng.randn(n).cumsum() + 40
+        df = spark.createDataFrame(
+            [("g", t, float(y[t])) for t in range(n)], "g string, t long, y double"
+        )
+        got = adf_test(df, "y", ["g"], ["t"], scale=scale).collect()[0]
+        q = np.floor(y * 10**scale + 0.5)
+        dy = q[2:] - q[1:-1]
+        x1 = q[1:-1]
+        x2 = q[1:-1] - q[:-2]
+        X = np.column_stack([np.ones_like(x1), x1, x2])
+        b, *_ = np.linalg.lstsq(X, dy, rcond=None)
+        resid = dy - X @ b
+        s2 = (resid @ resid) / (len(dy) - 3)
+        cov = s2 * np.linalg.inv(X.T @ X)
+        t_ref = b[1] / math.sqrt(cov[1, 1])
+        assert got.t_rho == pytest.approx(t_ref, rel=1e-6)
+        assert got.rho == pytest.approx(b[1], rel=1e-6)
+
+
+class TestMannKendall:
+    def test_monotone_and_constant(self, spark):
+        from timeseriesutils_spark.operators.regression import mann_kendall
+
+        rows = [("up", t, float(t)) for t in range(30)]
+        rows += [("flat", t, 5.0) for t in range(30)]
+        df = spark.createDataFrame(rows, "g string, t long, y double")
+        out = {r.g: r for r in mann_kendall(df, "y", ["g"], "t", scale=0).collect()}
+        assert out["up"].s_stat == 30 * 29 // 2
+        assert out["up"].z > 5.0
+        # all-tied group: S = 0, tie term kills the variance, z = 0
+        assert out["flat"].s_stat == 0
+        assert out["flat"].var_s == 0.0 and out["flat"].z == 0.0
+
+    def test_matches_numpy_mirror(self, spark):
+        from timeseriesutils_spark.operators.regression import mann_kendall
+
+        rng = np.random.RandomState(21)
+        ys = rng.randint(0, 15, size=80).astype(float)  # ties guaranteed
+        df = spark.createDataFrame(
+            [("g", t, float(y)) for t, y in enumerate(ys)],
+            "g string, t long, y double",
+        )
+        got = mann_kendall(df, "y", ["g"], "t", scale=0).collect()[0]
+        s = sum(
+            np.sign(ys[j] - ys[i])
+            for i in range(len(ys))
+            for j in range(i + 1, len(ys))
+        )
+        n = len(ys)
+        _, counts = np.unique(ys, return_counts=True)
+        tie = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5) for t in counts)
+        var_s = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        z = (s - np.sign(s)) / math.sqrt(var_s) if s != 0 else 0.0
+        assert got.s_stat == int(s)
+        assert got.var_s == pytest.approx(var_s)
+        assert got.z == pytest.approx(z, abs=1e-12)

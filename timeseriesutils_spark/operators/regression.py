@@ -616,3 +616,275 @@ SELECT {gsel}, n,
        THEN (expl_u - expl_r) * (nn - 3.0) / (ssy - expl_u) END AS f_stat
 FROM fin
 """
+
+
+def adf_test(
+    data: DataFrame,
+    y_col: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group augmented Dickey–Fuller unit-root test (lag order 1,
+    constant, no trend):
+
+        Δy_t = α + ρ·y_{t-1} + φ·Δy_{t-1} + ε,   t_ρ = ρ̂ / se(ρ̂)
+
+    A strongly negative t_ρ rejects the unit root (series is
+    mean-reverting / stationary); t_ρ near 0 means differencing is
+    needed before modeling — THE pre-flight check of classical
+    forecasting.  ``stationary_5pct`` compares t_ρ against the
+    constant-only MacKinnon 5% critical value (−2.86, n→∞ asymptote,
+    the textbook table entry).
+
+    Same execution shape as :func:`granger_lag_test` — one lag window
+    pass, ONE sufficient-statistics aggregation (x1 = y_{t-1},
+    x2 = Δy_{t-1}, target Δy_t), closed-form 2×2 solve plus
+    se(ρ̂)² = RSS·a22 / ((n−3)·det) from the same statistics.  Exact
+    quantized int64 inputs, DECIMAL sums, one shared double tree.
+
+    Returns (groups…, n, rho, t_rho, stationary_5pct); degenerate
+    groups (singular system, zero residual variance, n ≤ 3) are NULL.
+    """
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*groups).orderBy(*order)
+    m = 10**scale
+    q = F.floor(F.col(y_col) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    base = data.select(*groups, q.alias("_qy"), *order)
+    lag1 = F.lag("_qy", 1).over(w)
+    lag2 = F.lag("_qy", 2).over(w)
+    staged = base.select(
+        *groups,
+        (F.col("_qy") - lag1).alias("_dy"),   # Δy_t
+        lag1.alias("_x1"),                     # y_{t-1}
+        (lag1 - lag2).alias("_x2"),            # Δy_{t-1}
+    ).filter(
+        F.col("_dy").isNotNull()
+        & F.col("_x1").isNotNull()
+        & F.col("_x2").isNotNull()
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = staged.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_x1"))).alias("_s1"),
+        F.sum(dec(F.col("_x2"))).alias("_s2"),
+        F.sum(dec(F.col("_dy"))).alias("_sy"),
+        F.sum(dec(F.col("_x1")) * dec(F.col("_x1"))).alias("_s11"),
+        F.sum(dec(F.col("_x2")) * dec(F.col("_x2"))).alias("_s22"),
+        F.sum(dec(F.col("_x1")) * dec(F.col("_x2"))).alias("_s12"),
+        F.sum(dec(F.col("_x1")) * dec(F.col("_dy"))).alias("_s1y"),
+        F.sum(dec(F.col("_x2")) * dec(F.col("_dy"))).alias("_s2y"),
+        F.sum(dec(F.col("_dy")) * dec(F.col("_dy"))).alias("_syy"),
+    )
+    nn = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a11 = nn * d("_s11") - d("_s1") * d("_s1")
+    a12 = nn * d("_s12") - d("_s1") * d("_s2")
+    a22 = nn * d("_s22") - d("_s2") * d("_s2")
+    b1v = nn * d("_s1y") - d("_s1") * d("_sy")
+    b2v = nn * d("_s2y") - d("_s2") * d("_sy")
+    ssy = nn * d("_syy") - d("_sy") * d("_sy")
+    det = a11 * a22 - a12 * a12
+    rho = (a22 * b1v - a12 * b2v) / det
+    b2 = (a11 * b2v - a12 * b1v) / det
+    expl = rho * b1v + b2 * b2v
+    rss = ssy - expl
+    ok = (det != 0) & (F.col("n") > 3) & (rss > 0)
+    se2 = rss * a22 / ((nn - F.lit(3.0)) * det)
+    t_rho = F.when(ok & (se2 > 0), rho / F.sqrt(se2))
+    return agg.select(
+        *groups,
+        "n",
+        F.when(ok, rho).alias("rho"),
+        t_rho.alias("t_rho"),
+        F.when(ok & (se2 > 0), t_rho < F.lit(-2.86)).alias("stationary_5pct"),
+    )
+
+
+def adf_test_sql(
+    data_sql: str,
+    y_col: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`adf_test` (same statistics, same tree)."""
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    gsel = ", ".join(groups)
+    over = f"(PARTITION BY {gsel} ORDER BY {', '.join(order)})"
+    m = 10**scale
+    qq = f"CAST(FLOOR({y_col} * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH lagd AS (
+  SELECT {gsel}, _qy,
+    LAG(_qy, 1) OVER {over} AS _l1,
+    LAG(_qy, 2) OVER {over} AS _l2
+  FROM (SELECT {gsel}, {', '.join(order)}, {qq} AS _qy FROM ({data_sql}))
+),
+staged AS (
+  SELECT {gsel}, _dy, _x1, _x2 FROM (
+    SELECT {gsel}, _qy - _l1 AS _dy, _l1 AS _x1, _l1 - _l2 AS _x2 FROM lagd
+  ) WHERE _dy IS NOT NULL AND _x1 IS NOT NULL AND _x2 IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    SUM(CAST(_x1 AS HUGEINT)) AS _s1, SUM(CAST(_x2 AS HUGEINT)) AS _s2,
+    SUM(CAST(_dy AS HUGEINT)) AS _sy,
+    SUM(CAST(_x1 AS HUGEINT) * CAST(_x1 AS HUGEINT)) AS _s11,
+    SUM(CAST(_x2 AS HUGEINT) * CAST(_x2 AS HUGEINT)) AS _s22,
+    SUM(CAST(_x1 AS HUGEINT) * CAST(_x2 AS HUGEINT)) AS _s12,
+    SUM(CAST(_x1 AS HUGEINT) * CAST(_dy AS HUGEINT)) AS _s1y,
+    SUM(CAST(_x2 AS HUGEINT) * CAST(_dy AS HUGEINT)) AS _s2y,
+    SUM(CAST(_dy AS HUGEINT) * CAST(_dy AS HUGEINT)) AS _syy
+  FROM staged GROUP BY {gsel}
+),
+k AS (
+  SELECT {gsel}, n, CAST(n AS DOUBLE) AS nn,
+    CAST(n AS DOUBLE) * {s2d('_s11')} - {s2d('_s1')} * {s2d('_s1')} AS a11,
+    CAST(n AS DOUBLE) * {s2d('_s12')} - {s2d('_s1')} * {s2d('_s2')} AS a12,
+    CAST(n AS DOUBLE) * {s2d('_s22')} - {s2d('_s2')} * {s2d('_s2')} AS a22,
+    CAST(n AS DOUBLE) * {s2d('_s1y')} - {s2d('_s1')} * {s2d('_sy')} AS b1v,
+    CAST(n AS DOUBLE) * {s2d('_s2y')} - {s2d('_s2')} * {s2d('_sy')} AS b2v,
+    CAST(n AS DOUBLE) * {s2d('_syy')} - {s2d('_sy')} * {s2d('_sy')} AS ssy
+  FROM agg
+),
+sol AS (
+  SELECT {gsel}, n, nn, a11, a22, ssy, b1v, b2v,
+    a11 * a22 - a12 * a12 AS det,
+    (a22 * b1v - a12 * b2v) / (a11 * a22 - a12 * a12) AS rho,
+    (a11 * b2v - a12 * b1v) / (a11 * a22 - a12 * a12) AS b2
+  FROM k
+),
+fin AS (
+  SELECT {gsel}, n, nn, a22, det, rho,
+    ssy - (rho * b1v + b2 * b2v) AS rss,
+    (det <> 0 AND n > 3 AND (ssy - (rho * b1v + b2 * b2v)) > 0) AS ok
+  FROM sol
+),
+fin2 AS (
+  SELECT {gsel}, n, rho, ok,
+    rss * a22 / ((nn - 3.0) * det) AS se2
+  FROM fin
+)
+SELECT {gsel}, n,
+  CASE WHEN ok THEN rho END AS rho,
+  CASE WHEN ok AND se2 > 0 THEN rho / SQRT(se2) END AS t_rho,
+  CASE WHEN ok AND se2 > 0 THEN (rho / SQRT(se2)) < -2.86 END AS stationary_5pct
+FROM fin2
+"""
+
+
+def mann_kendall(
+    data: DataFrame,
+    y_col: str,
+    group_columns,
+    t_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Mann–Kendall monotonic-trend test — the
+    nonparametric companion of :func:`theilsen_slope` (same pair pass;
+    Theil–Sen answers HOW steep, Mann–Kendall answers IS there a
+    trend at all, immune to outliers and any monotone transform):
+
+        S = Σ_{i<j} sign(y_j − y_i)
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (tie term)
+        z = (S ∓ 1) / √Var(S)   (continuity-corrected, 0 when S = 0)
+
+    Exactness: S and the tie counts are exact integers (quantized
+    values compare exactly); Var(S) and z are one shared double tree.
+    O(n²/group) pairs like Theil–Sen — the verify-tier trend test for
+    dimension-sized series; at billion-row groups use the windowed
+    rank formulation instead (documented swap, same statistic).
+
+    Returns (groups…, n, s_stat, var_s, z).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(y_col) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    d = data.filter(F.col(y_col).isNotNull() & F.col(t_col).isNotNull()).select(
+        *groups, F.col(t_col).alias("_t"), q.alias("_qy")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in groups]
+    pairs = a.join(b, on).filter(F.col("a._t") < F.col("b._t"))
+    sgn = F.signum((F.col("b._qy") - F.col("a._qy")).cast("double")).cast("bigint")
+    s_df = pairs.groupBy(*[F.col(f"a.{c}").alias(c) for c in groups]).agg(
+        F.sum(sgn).alias("s_stat")
+    )
+    # tie correction: per distinct value count t, Σ t(t−1)(2t+5)
+    ties = (
+        d.groupBy(*groups, "_qy")
+        .agg(F.count(F.lit(1)).alias("_tc"))
+        .groupBy(*groups)
+        .agg(
+            F.sum("_tc").alias("n"),
+            F.sum(
+                F.col("_tc") * (F.col("_tc") - 1) * (2 * F.col("_tc") + 5)
+            ).alias("_tie"),
+        )
+    )
+    out = ties.join(s_df, on=groups, how="left")
+    nn = F.col("n").cast("double")
+    var_s = (
+        nn * (nn - 1.0) * (2.0 * nn + 5.0) - F.col("_tie").cast("double")
+    ) / F.lit(18.0)
+    s = F.coalesce(F.col("s_stat"), F.lit(0).cast("bigint"))
+    sd = s.cast("double")
+    z = F.when(
+        (var_s > 0) & (s != 0),
+        (sd - F.signum(sd)) / F.sqrt(var_s),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        *groups, "n", s.alias("s_stat"), var_s.alias("var_s"), z.alias("z")
+    )
+
+
+def mann_kendall_sql(
+    data_sql: str,
+    y_col: str,
+    group_columns,
+    t_col: str,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`mann_kendall`."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR({y_col} * {m} + 0.5) AS BIGINT)"
+    ja = ", ".join(f"a.{c}" for c in groups)
+    jon = " AND ".join(f"a.{c} = b.{c}" for c in groups)
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {t_col} AS _t, {qq} AS _qy
+  FROM ({data_sql})
+  WHERE {y_col} IS NOT NULL AND {t_col} IS NOT NULL
+),
+s AS (
+  SELECT {ja}, CAST(SUM(CAST(SIGN(CAST(b._qy - a._qy AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM d a JOIN d b ON {jon} AND a._t < b._t
+  GROUP BY {ja}
+),
+ties AS (
+  SELECT {gsel}, CAST(SUM(_tc) AS BIGINT) AS n,
+    CAST(SUM(_tc * (_tc - 1) * (2 * _tc + 5)) AS BIGINT) AS _tie
+  FROM (SELECT {gsel}, _qy, COUNT(*) AS _tc FROM d GROUP BY {gsel}, _qy)
+  GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  COALESCE(s_stat, CAST(0 AS BIGINT)) AS s_stat,
+  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+    - CAST(_tie AS DOUBLE)) / 18.0 AS var_s,
+  CASE WHEN ((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+    - CAST(_tie AS DOUBLE)) / 18.0) > 0 AND COALESCE(s_stat, 0) <> 0
+    THEN (CAST(COALESCE(s_stat, CAST(0 AS BIGINT)) AS DOUBLE)
+          - SIGN(CAST(COALESCE(s_stat, CAST(0 AS BIGINT)) AS DOUBLE)))
+         / SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (2.0 * CAST(n AS DOUBLE) + 5.0)
+    - CAST(_tie AS DOUBLE)) / 18.0)
+    ELSE 0.0 END AS z
+FROM ties LEFT JOIN s USING ({gsel})
+"""

@@ -1534,3 +1534,83 @@ def _sql_granger_lag():
 
 
 QUERIES.update({"granger_lag": Q(q_granger_lag, _sql_granger_lag())})
+
+
+def q_adf_test(spark, sf_dir):
+    """ADF(1) unit-root test per supplier daily price series
+    (operators/regression.adf_test): is the series mean-reverting or
+    does it need differencing?  One lag pass + one sufficient-stats
+    aggregation, closed-form t_rho vs the MacKinnon 5% critical
+    value."""
+    from timeseriesutils_spark.operators.regression import adf_test
+
+    return adf_test(
+        _daily_pq(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        scale=2,
+    )
+
+
+def _sql_adf_test():
+    from timeseriesutils_spark.operators.regression import adf_test_sql
+
+    return adf_test_sql(
+        _SQL_DAILY_PQ, "day_price", ["l_suppkey"], ["ship_day"], scale=2
+    )
+
+
+QUERIES.update({"adf_test": Q(q_adf_test, _sql_adf_test())})
+
+
+def _weekly_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderpriority",
+            (
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1992-01-01").cast("date"),
+                ).cast("bigint")
+                / F.lit(7)
+            )
+            .cast("bigint")
+            .alias("week"),
+        )
+        .groupBy("o_orderpriority", "week")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# `//`: DuckDB CAST(DOUBLE AS BIGINT) rounds-to-nearest where Spark's
+# double->bigint cast truncates — integer division avoids the double
+_SQL_WEEKLY_ORDERS = """
+  SELECT o_orderpriority,
+    CAST(CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) // 7 AS BIGINT) AS week,
+    COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+"""
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test of weekly order volume per
+    priority class (operators/regression.mann_kendall): the
+    nonparametric IS-there-a-trend companion to theilsen_trend's
+    HOW-steep, same weekly aggregation and pair pass, tie-corrected
+    variance, continuity-corrected z."""
+    from timeseriesutils_spark.operators.regression import mann_kendall
+
+    return mann_kendall(
+        _weekly_orders(spark, sf_dir), "n_orders", ["o_orderpriority"],
+        "week", scale=0,
+    )
+
+
+def _sql_mann_kendall():
+    from timeseriesutils_spark.operators.regression import mann_kendall_sql
+
+    return mann_kendall_sql(
+        _SQL_WEEKLY_ORDERS, "n_orders", ["o_orderpriority"], "week", scale=0
+    )
+
+
+QUERIES.update({"mann_kendall": Q(q_mann_kendall, _sql_mann_kendall())})
