@@ -384,3 +384,81 @@ def test_complete_case_null_discipline_family_law(spark, rows):
         with_nulls = op(df).collect()
         pre_filtered = op(clean(*cols)).collect()
         assert _rows_equal(with_nulls, pre_filtered), (cols, with_nulls, pre_filtered)
+
+
+@given(
+    ys=st.lists(
+        st.integers(-50, 50), min_size=5, max_size=60
+    ),
+)
+@settings(**_SETTINGS)
+def test_permutation_entropy_ordinal_invariance(spark, ys):
+    """Permutation entropy depends only on ORDINAL structure: any
+    strictly increasing transform (here x → x³, monotone over the
+    whole integer range) leaves every pattern — hence pe_norm —
+    bit-identical.  Ties map to ties, so the position tie-break is
+    exercised too."""
+    from timeseriesutils_spark.operators.complexity import permutation_entropy
+
+    rows = [("g", t, float(y)) for t, y in enumerate(ys)]
+    rows3 = [("g", t, float(y**3)) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, t long, y double")
+    df3 = spark.createDataFrame(rows3, "g string, t long, y double")
+    a = permutation_entropy(df, "y", ["g"], ["t"]).collect()
+    b = permutation_entropy(df3, "y", ["g"], ["t"]).collect()
+    assert [(r.n_triples, r.pe_norm) for r in a] == [
+        (r.n_triples, r.pe_norm) for r in b
+    ]
+
+
+@given(
+    ys=st.lists(st.integers(0, 1000), min_size=32, max_size=80),
+    a=st.integers(1, 5),
+    b=st.integers(-100, 100),
+)
+@settings(**_SETTINGS)
+def test_hurst_affine_invariance(spark, ys, a, b):
+    """H(a·y + b) == H(y) for a > 0: every level's block-mean variance
+    scales by a², shifting each ln Var_k by the same 2·ln a — the
+    centered slope is unchanged.  Integer inputs at scale=0 quantize
+    exactly, so the only wiggle is the 1e-9 ln-term quantization."""
+    from timeseriesutils_spark.operators.complexity import hurst_exponent
+
+    df = spark.createDataFrame(
+        [("g", t, float(y)) for t, y in enumerate(ys)],
+        "g string, t long, y double",
+    )
+    df2 = spark.createDataFrame(
+        [("g", t, float(a * y + b)) for t, y in enumerate(ys)],
+        "g string, t long, y double",
+    )
+    h1 = hurst_exponent(df, "y", ["g"], ["t"], scale=0).collect()[0].hurst
+    h2 = hurst_exponent(df2, "y", ["g"], ["t"], scale=0).collect()[0].hurst
+    if h1 is None or h2 is None:
+        assert (h1 is None) == (h2 is None)
+    else:
+        assert abs(h1 - h2) < 1e-8
+
+
+@given(
+    ys=st.lists(st.integers(-20, 20), min_size=3, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_mann_kendall_monotone_invariance(spark, ys):
+    """S, the tie spectrum, and therefore z are invariant under any
+    strictly increasing transform (x → x³ over signed ints): the test
+    is purely rank-based.  Exact equality — all inputs integer at
+    scale=0."""
+    from timeseriesutils_spark.operators.regression import mann_kendall
+
+    df = spark.createDataFrame(
+        [("g", t, float(y)) for t, y in enumerate(ys)],
+        "g string, t long, y double",
+    )
+    df3 = spark.createDataFrame(
+        [("g", t, float(y**3)) for t, y in enumerate(ys)],
+        "g string, t long, y double",
+    )
+    r1 = mann_kendall(df, "y", ["g"], "t", scale=0).collect()[0]
+    r3 = mann_kendall(df3, "y", ["g"], "t", scale=0).collect()[0]
+    assert (r1.n, r1.s_stat, r1.var_s, r1.z) == (r3.n, r3.s_stat, r3.var_s, r3.z)
