@@ -27,6 +27,21 @@ def test_tier_map_names_exist_and_tiers_are_known():
         assert tier(name) == "core", name
 
 
+def test_every_catalog_entry_has_a_deliberate_tier():
+    """New queries must be added to TIER_REVIEWED (choosing core-by-
+    default or an explicit TIERS entry) — tiers are never silent."""
+    from timeseriesutils_spark.queries import TIER_REVIEWED, catalog
+
+    names = set(catalog())
+    unreviewed = names - TIER_REVIEWED
+    assert not unreviewed, (
+        f"queries missing a deliberate tier decision (add to "
+        f"TIER_REVIEWED, optionally to TIERS): {sorted(unreviewed)}"
+    )
+    stale = TIER_REVIEWED - names
+    assert not stale, f"TIER_REVIEWED references removed queries: {sorted(stale)}"
+
+
 def test_every_query_has_spark_builder_and_declared_twin_policy():
     from timeseriesutils_spark.queries import catalog
 

@@ -455,6 +455,8 @@ def pinball_scores_sql(
     qnames = []
     for q, col in sorted(quantile_cols.items()):
         nm = _pinball_col_name(q)
+        if nm in qnames:
+            raise ValueError(f"duplicate pinball column for level {q}: {nm}")
         qnames.append(nm)
         loss = (
             f"CASE WHEN CAST({actual_col} AS DOUBLE) >= CAST({col} AS DOUBLE) "

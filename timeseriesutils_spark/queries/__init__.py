@@ -27,50 +27,44 @@ class Q:
 # the full set is locally gate-checked every round via
 # tools/check_oracle.py — see CORRECTNESS_LOCAL.json).
 #
-# ROUND-6 ROTATION (this round): slots 1-19 are the complete round-5
-# backlog — every query with no driver row yet (the round-5 plan
-# comment said "seventeen" but omitted id_gap_audit and
-# peak_concurrency; the r5 VERDICT corrected the list to 19, and all
-# 19 were judge-re-verified bit-exact vs DuckDB that round).  A green
-# round-6 gate takes driver-confirmed coverage to 218/223 hash-green
-# (+5 adjudicated rows-only) — every oracle-expressible query then has
-# a driver verdict.  Slots 20-23 re-check the queries whose kernels
-# the round-6 ADVICE fixes touch (pinball naming, pagerank last-round
-# checkpoint, ngram-Jaccard SQL threshold param; dtw_pattern's banded
-# orientation fix — RO by nature).  Slots 24-34 are regression
-# re-checks of round-5-touched kernels (vectorized DTW-adjacent stats,
-# portable-hash conversions, shuffle-width change).  Slots 35-50
-# re-confirm the oldest round-1 rows (unchecked by the driver since
-# round 1).  Everything after slot 50 keeps full local gate coverage
-# via tools/check_oracle.py --json.
+# ROUND-7 ROTATION (this round): slots 1-9 are the complete round-6
+# backlog — the nine operators added late in round 6, every query with
+# no driver row yet (all nine were judge-verified bit-exact vs DuckDB
+# at BOTH sf0.01 and sf0.1 that round, so risk is low).  A green
+# round-7 gate means every oracle-expressible query in the catalog has
+# a driver verdict.  Slots 10-21 re-confirm the twelve remaining rows
+# whose ONLY driver verdict is from round 1 (round 6 already rotated
+# the other fifteen r1 rows); slots 22-50 start draining the round-2
+# cohort in catalog order (29 of 32; the last three r2 rows —
+# rolling_corr, group_mode, winsorize — plus the r3 cohort are the
+# round-8 backlog).  Everything after slot 50 keeps full local gate
+# coverage via tools/check_oracle.py --json.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
-    # slots 1-19: the round-5 backlog (never driver-verified)
-    "rolling_quantile", "best_breakpoint", "id_gap_audit",
-    "theilsen_trend", "excess_incidence", "croston_demand",
-    "psi_drift_curve", "quantile_transform", "decompose_robust",
-    "peak_concurrency", "dirichlet_lm_search", "corpus_jsd",
-    "nelson_aalen", "dedup_threshold_curve", "bigram_logprob",
-    "dup_cluster_sizes", "knn_recall_curve", "langid_confusion",
-    "stream_renewal_rt",
-    # slots 20-23: round-6 ADVICE fixes touch these
-    "pinball_eval", "pagerank", "dedup_ngram_jaccard", "dtw_pattern",
-    # slots 24-35: round-5/6-touched kernel regressions (welch_ttest:
-    # round-6 degenerate-arm guards from the NULL-discipline law)
-    "simhash", "knn_ivf", "dedup_minhash_lsh", "domfreq",
-    "stream_counter_rate", "gini_index", "weighted_median",
-    "gmean_exact", "rolling_slope", "decompose_series", "lead_lag_corr",
-    "welch_ttest",
-    # slots 36-50: oldest driver rows (round 1) re-confirmed
-    "lag", "rollmean", "horizon_targets_wide", "horizon_targets_long",
-    "taylor_trailing", "taylor_centered_ew", "featurize_pipeline",
-    "train_test_arrays", "agg_pricing_summary", "agg_rollup",
-    "join_star", "asof_join", "window_rank", "topk_per_group",
-    "pivot_wide",
+    # slots 1-9: the round-6 backlog (never driver-verified)
+    "permutation_entropy", "hurst_exponent", "tech_indicators",
+    "mase_eval", "granger_lag", "adf_test", "mann_kendall",
+    "gopher_rules", "domain_caps",
+    # slots 10-21: rows whose only driver verdict is round 1
+    "dedup_exact", "hash_split", "frame_sample", "dedup_apply",
+    "dedup_components", "top_ngrams", "dedup_embedding",
+    "knn_bruteforce", "text_stats", "text_quality", "lang_id",
+    "doc_fingerprint",
+    # slots 22-50: round-2 cohort, catalog order (29 of 32)
+    "bucketed_featurize", "agg_cube", "agg_count_distinct",
+    "agg_approx_distinct", "join_semi", "join_anti",
+    "asof_forward_tol", "sort_limit", "dedup_keep_first", "set_ops",
+    "scalar_funcs", "json_extract", "array_funcs", "unpivot_long",
+    "agg_quantiles", "agg_quantiles_approx", "grouping_sets",
+    "range_frame", "range_join", "gap_fill_ffill", "interpolate",
+    "ewma", "diff_pct", "rolling_zscore", "rolling_median",
+    "scd2_history", "forecast_eval", "calendar_features",
+    "target_encode",
 )
-# ROUND-7 ROTATION PLAN: after a green round-6 gate the backlog is
-# empty — rotate the remaining never-re-checked r1/r2 rows through
-# slots in catalog-age order, oldest first, plus any query whose
-# kernel round 6 touches after this comment was written.
+# ROUND-8 ROTATION PLAN: after a green round-7 gate the never-verified
+# backlog is empty again — head slots go to (a) any operator added in
+# round 7 with no driver row, (b) any query whose kernel a round-7
+# ADVICE fix touches, then (c) the last three r2 rows (rolling_corr,
+# group_mode, winsorize) and the r3 cohort in catalog order.
 
 
 # --- catalog governance (round-6): gate tiers -----------------------------
@@ -110,6 +104,76 @@ TIERS: dict[str, str] = {
 
 def tier(name: str) -> str:
     return TIERS.get(name, "core")
+
+
+# Every catalog entry must appear here: adding a query without also
+# adding its name (and consciously choosing core-by-default vs an
+# explicit TIERS entry) fails tests/test_catalog.py — tiers are a
+# deliberate decision, not a silent default (round-6 VERDICT item 7).
+TIER_REVIEWED: frozenset[str] = frozenset((
+    "ab_test_report", "abc_analysis", "acf_features", "adf_test",
+    "agg_approx_distinct", "agg_count_distinct", "agg_cube",
+    "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
+    "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",
+    "asof_join", "attribution", "backtest_folds", "benford_audit",
+    "best_breakpoint", "bigram_logprob", "bm25_search", "boilerplate_frac",
+    "bootstrap_ci", "bpe_pair_counts", "bucketed_featurize", "build_vocab",
+    "calendar_features", "canonical_pick", "categorical_assoc",
+    "chunk_dedup", "chunk_text", "chunked_taylor", "clean_text",
+    "cohort_retention", "column_profile", "compaction_plan",
+    "constraint_audit", "corpus_jsd", "corpus_stats", "corr_matrix",
+    "counter_rate", "croston_demand", "cusum_drift", "decompose_robust",
+    "decompose_series", "decontaminate_pairs", "dedup_apply",
+    "dedup_components", "dedup_debounce", "dedup_embedding",
+    "dedup_embedding_lsh", "dedup_exact", "dedup_keep_first",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_threshold_curve",
+    "diff_pct", "dirichlet_lm_search", "doc_fingerprint", "domain_caps",
+    "domfreq", "domfreq_fft", "dtw_pattern", "dup_cluster_sizes",
+    "dup_rate_by_source", "dup_spans", "embedding_centroids",
+    "embedding_drift", "event_transitions", "ew_volatility", "ewma",
+    "excess_incidence", "fd_audit", "feature_hash", "featurize_pipeline",
+    "fifo_allocation", "fk_audit", "forecast_eval", "frame_sample", "funnel",
+    "funnel_latency", "funnel_window", "fuzzy_match", "gap_detect",
+    "gap_fill_ffill", "gini_index", "gmean_exact", "gopher_rules",
+    "granger_lag", "group_mode", "group_trend", "grouped_ols2",
+    "grouping_sets", "growth_rates", "hash_split", "heavy_hitters",
+    "histogram2d", "holt_smooth", "horizon_targets_long",
+    "horizon_targets_wide", "hurst_exponent", "id_gap_audit",
+    "incremental_dedup", "incremental_rollmean", "incremental_taylor",
+    "interpolate", "inverted_index", "item_cooccur", "join_anti",
+    "join_semi", "join_star", "json_extract", "jsonl_pack", "kaplan_meier",
+    "kmeans", "knn_bruteforce", "knn_ivf", "knn_lsh", "knn_recall_curve",
+    "lag", "lang_id", "langid_confusion", "latency_bands", "lead_lag_corr",
+    "length_histogram", "local_peaks", "mahalanobis_outliers",
+    "mann_kendall", "mase_eval", "media_features", "merge_intervals",
+    "merge_upsert", "minhash_estimate_audit", "mixture_resample",
+    "multimodal_meta", "nelson_aalen", "novelty_scores", "nowcast_triangle",
+    "ohlc_bars", "pagerank", "pca_power", "pca_project", "peak_concurrency",
+    "period_over_period", "permutation_entropy", "pii_scrub", "pinball_eval",
+    "pivot_wide", "pmi_cooccur", "psi_drift", "psi_drift_curve",
+    "quality_filter", "quantile_bin", "quantile_transform",
+    "quantize_embeddings", "range_frame", "range_join", "renewal_rt",
+    "repetition_stats", "reservoir_sample", "rfm_segments",
+    "rolling_active_users", "rolling_corr", "rolling_mad", "rolling_median",
+    "rolling_moments", "rolling_quantile", "rolling_slope", "rolling_zscore",
+    "rollmean", "sax_words", "scalar_funcs", "scd2_history",
+    "seasonal_profile", "seasonal_strength", "seasonal_zscore",
+    "semantic_dedup", "seq_pack", "sessionize", "set_ops", "shard_assign",
+    "shipping_sla", "simhash", "sink_roundtrip", "skew_report",
+    "skew_salted_agg", "skew_salted_join", "snapshot_diff", "sort_limit",
+    "state_dwell", "stickiness", "stockout_events", "stratified_sample",
+    "stream_counter_rate", "stream_cusum", "stream_dedup", "stream_join",
+    "stream_renewal_rt", "stream_session", "stream_sliding",
+    "stream_stateful", "stream_static_join", "stream_topk",
+    "stream_tumbling", "table_checksum", "target_encode",
+    "taylor_centered_ew", "taylor_trailing", "tech_indicators",
+    "temporal_join", "text_quality", "text_stats", "tf_idf",
+    "theilsen_trend", "time_rollup", "time_weighted_avg", "top_ngrams",
+    "top_paths", "topk_per_group", "train_test_arrays", "triangle_count",
+    "unigram_logprob", "unpivot_long", "value_entropy", "variant_json",
+    "weighted_median", "welch_ttest", "wilson_daily", "window_rank",
+    "winsorize", "zipf_fit", "zorder_key",
+))
 
 
 def catalog() -> dict[str, Q]:

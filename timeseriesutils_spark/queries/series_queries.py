@@ -897,9 +897,10 @@ QUERIES.update(
 
 def q_hurst_exponent(spark, sf_dir):
     """Aggregated-variance Hurst exponent per supplier price series
-    (operators/complexity.hurst_exponent): block-mean variances at
-    sizes 1/2/4/8/16 chained PAIRWISE (each shuffle half the previous
-    — geometric traffic), closed-form log-log slope -> H."""
+    (operators/complexity.hurst_exponent): single-pass block-array
+    plan — one exchange collects each series, block-mean variances at
+    sizes 1/2/4/8/16 computed with array expressions in the same
+    aggregation, closed-form log-log slope -> H."""
     from timeseriesutils_spark.operators.complexity import hurst_exponent
 
     return hurst_exponent(

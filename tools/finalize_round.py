@@ -58,11 +58,13 @@ def main() -> None:
     for f in sorted(os.listdir(REPO)):
         if any(f.startswith(g) for g in DRIVER_GLOBS):
             to_add.append(f)
-    run(["git", "add", "-A"])  # artifacts plus any doc-count syncs
-    st = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
+    # Stage ONLY the round artifacts — `git add -A` would silently
+    # sweep unrelated WIP into the finalize commit (round-6 ADVICE).
+    run(["git", "add", "--"] + [f for f in to_add if os.path.exists(os.path.join(REPO, f))])
+    st = subprocess.run(["git", "diff", "--cached", "--name-only"], cwd=REPO,
                         capture_output=True, text=True).stdout.strip()
     if not st:
-        print("finalize: tree already clean, nothing to commit")
+        print("finalize: no artifact changed, nothing to commit")
         return
     run(["git", "commit", "-m",
          "Finalize round artifacts: local gate + bench refresh\n\n"
