@@ -33,6 +33,27 @@ def main() -> None:
     from timeseriesutils_spark.session import get_spark
     from timeseriesutils_spark.sources.tables import TABLES, load_table
 
+    # Pollution guard baseline (round-6 VERDICT #2): the committed
+    # BENCH_LOCAL.json from the previous quiet run.  Any query whose
+    # fresh best-of-N exceeds 1.5x its committed same-SF entry gets ONE
+    # extra re-run (keep the min) — a real regression survives the
+    # re-run, a busy-window artifact usually does not.
+    prior_q: dict[str, float] = {}
+    prior_prod: dict[str, float] = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json")) as f:
+            prior = json.load(f)
+        if prior.get("sf") == (sf if sf is not None else prior.get("sf")):
+            prior_q = dict(prior.get("queries") or {})
+            prior_prod = dict(prior.get("production_modes") or {})
+    except Exception:
+        pass
+    try:
+        load_start = os.getloadavg()[0]
+    except OSError:
+        load_start = None
+
     spark = get_spark(app_name="tsspark-bench")
     # warmup: footer reads + a tiny job to pay JVM/codegen startup once
     for t in TABLES:
@@ -62,14 +83,20 @@ def main() -> None:
         except Exception:
             pass
         spark.catalog.clearCache()
+    def _time_once(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    pollution_reruns = 0
     timings: dict[str, float] = {}
     for name, fn in qitems:
-        best = float("inf")
-        for _ in range(max(1, runs)):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        best = min(_time_once(fn) for _ in range(max(1, runs)))
+        ref = prior_q.get(name)
+        if ref is not None and ref > 0 and best > 1.5 * ref:
+            spark.catalog.clearCache()
+            best = min(best, _time_once(fn))
+            pollution_reruns += 1
         timings[name] = round(best, 4)
         # queries that persist() intermediates (dedup family) own their
         # fork-reuse WITHIN a run; evict between queries so a 58-query
@@ -104,11 +131,12 @@ def main() -> None:
 
     for name, fn in (("simhash_prod", _prod_simhash), ("knn_ivf_prod", _prod_knn_ivf)):
         try:
-            best = float("inf")
-            for _ in range(max(1, runs)):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+            best = min(_time_once(fn) for _ in range(max(1, runs)))
+            ref = prior_prod.get(name)
+            if ref is not None and ref > 0 and best > 1.5 * ref:
+                spark.catalog.clearCache()
+                best = min(best, _time_once(fn))
+                pollution_reruns += 1
             prod[name] = round(best, 4)
         except Exception:
             prod[name] = -1.0  # visible failure marker, never kills the bench
@@ -123,6 +151,14 @@ def main() -> None:
         "production_modes": prod,
         "sf": sf,
     }
+    # Self-documenting window quality: 1-min load average at start/end
+    # plus how many >1.5x-vs-committed queries needed a pollution re-run.
+    try:
+        load_end = os.getloadavg()[0]
+    except OSError:
+        load_end = None
+    payload["loadavg"] = [load_start, load_end]
+    payload["pollution_reruns"] = pollution_reruns
     # the driver captures only a bounded TAIL of stdout: a 120-query map
     # overflows it and the artifact records "parsed": null (BENCH_r03).
     # Always write the full machine-readable map to a file, and keep the
