@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.cache import pin
 from timeseriesutils_spark.functions.exact import dlit
 from timeseriesutils_spark.operators.window_features import _as_list
 
@@ -68,16 +69,23 @@ def decompose_series(
         y.alias("_y"),
         phase.alias("_ph"),
     )
-    win = base.select(
-        "*",
-        F.sum("_y").over(frame).alias("_S"),
-        F.count("_y").over(frame).alias("_n"),
-    ).select(
-        "*",
-        F.when(
-            F.col("_n") == period,
-            F.lit(period).cast("bigint") * F.col("_y") - F.col("_S"),
-        ).alias("_dm"),
+    # pin(): the windowed frame feeds BOTH the seasonal aggregation and
+    # the final join, and Spark does not reuse the upstream exchange
+    # across the two branches (ReusedExchange=0 observed) — without the
+    # pin the whole upstream prep (scan + pre-agg + window sort) runs
+    # twice.  Caller owns eviction per functions/cache.py.
+    win = pin(
+        base.select(
+            "*",
+            F.sum("_y").over(frame).alias("_S"),
+            F.count("_y").over(frame).alias("_n"),
+        ).select(
+            "*",
+            F.when(
+                F.col("_n") == period,
+                F.lit(period).cast("bigint") * F.col("_y") - F.col("_S"),
+            ).alias("_dm"),
+        )
     )
     # per-(group, phase) exact sums of the scaled detrended values
     aggs = []
@@ -348,7 +356,10 @@ def decompose_robust(
         "trend",
         F.when(F.size("_arr") == period, _lerp_sorted(F.col("_arr"), 0.5)),
     ).drop("_arr")
-    det = tr.withColumn("_d", F.col("_y") - F.col("trend"))
+    # pin(): det feeds both the phase-median branch and the final join —
+    # same double-computation hazard as decompose_series (and what the
+    # "scanned once" contract above promises); caller owns eviction.
+    det = pin(tr.withColumn("_d", F.col("_y") - F.col("trend")))
     ph_med = (
         det.filter(F.col("_d").isNotNull())
         .groupBy(*g, "_ph")
