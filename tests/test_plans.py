@@ -473,3 +473,60 @@ def test_gopher_rules_no_python_single_scan(spark, catalog):
     plan = _plan(catalog["gopher_rules"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert len(re.findall(r"Scan parquet", plan)) == 1
+
+
+# --- round-7 nonparametric battery + spectral entropy + containment -------
+
+
+def test_ks_test_two_exchanges_no_python(spark, catalog):
+    """ks_test: one exchange collapses rows to (group, value) counts,
+    one re-clusters for the ECDF windows + final max — the merged-ECDF
+    formulation never joins the two samples."""
+    plan = _plan(catalog["ks_test"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+
+
+def test_kruskal_wallis_single_chain_no_fork(spark, catalog):
+    """kruskal_wallis is ONE forward chain: the tie correction is folded
+    into the level aggregation (Σ_lvl tl·(t²−1) = t³−t), so the count
+    pipeline is scanned once and never recomputed by a second branch."""
+    plan = _plan(catalog["kruskal_wallis"](spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"Exchange", plan)) <= 6
+
+
+def test_spearman_single_exchange_no_python(spark, catalog):
+    """spearman_corr: both rank windows and the sufficient-stats
+    aggregation share one HashPartitioning(group) exchange."""
+    plan = _plan(catalog["spearman_corr"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spectral_entropy_single_exchange_single_scan(spark, catalog):
+    """spectral_entropy shares domfreq's shape: one seq-window exchange,
+    one lineitem scan, pure expressions to the entropy output."""
+    plan = _plan(catalog["spectral_entropy"](spark, SF_DIR))
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bh_fdr_no_python(spark, catalog):
+    """bh_fdr_trend: the MK pair pass + BH windows stay JVM-side; the
+    hypothesis table the BH windows run on is m≈suppliers rows, so the
+    single-partition ordered windows are driver-scale by design."""
+    plan = _plan(catalog["bh_fdr_trend"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_containment_shares_jaccard_shape(spark, catalog):
+    """containment_dedup reuses the posting-list machinery: no
+    sort-merge self-join of the exploded shingle table (the pair list
+    comes from per-shingle posting arrays), broadcast size rejoin."""
+    plan = _plan(catalog["containment_dedup"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2

@@ -1202,3 +1202,68 @@ SELECT id_a, id_b, est_jaccard,
   est_jaccard - CAST(i AS DOUBLE) / (sz_a + sz_b - i) AS err
 FROM final
 """
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) where either doc's shingle set is ≥ threshold
+    CONTAINED in the other: max(|A∩B|/|A|, |A∩B|/|B|) ≥ t.
+
+    The asymmetric sibling of :func:`ngram_jaccard_pairs` — Jaccard
+    misses subset duplication (a tweet quoted inside an article scores
+    |A|/|B| ≈ 0 Jaccard but containment 1.0), which is the common
+    shape of train/test contamination and boilerplate wrapping in LLM
+    corpora.  Broder's containment measure over the same int64-shingle
+    posting-list machinery: one corpus scan, two narrow shuffles, no
+    self-join, hot shingles bounded by ``max_posting`` exactly as the
+    Jaccard op (same 100 TB posting-cap argument).
+
+    Returns (id_a, id_b, sz_a, sz_b, containment) — containment is the
+    max of the two directions; direction recoverable from sz_a/sz_b
+    (the smaller side is the contained one).
+    """
+    sh = hashed_shingle_docs(docs, id_col, text_col, n)
+    sized = pin(
+        sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+    )
+    posting = (
+        sized.groupBy("s")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_posting is not None:
+        posting = posting.filter(F.size("ids") <= max_posting)
+    pairs = posting.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x: F.transform(
+                        F.filter(F.col("ids"), lambda y: y > x),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    sizes = sized.select("id", "sz").dropDuplicates(["id"])
+    scored = inter.join(
+        F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))),
+        "id_a",
+    ).join(
+        F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))),
+        "id_b",
+    )
+    cont = F.col("inter").cast("double") / F.least(
+        F.col("sz_a"), F.col("sz_b")
+    ).cast("double")
+    return scored.select(
+        "id_a", "id_b", "sz_a", "sz_b", cont.alias("containment")
+    ).filter(F.col("containment") >= threshold)

@@ -291,3 +291,57 @@ def domfreq(
         out = data.groupBy().applyInPandas(featurize_group, schema=schema)
     feature_names.extend(new_names)
     return out, feature_names
+
+
+def spectral_entropy_sql_parts(
+    y: str,
+    partition_sql: str,
+    seq: str = "seq",
+    window_size: int = 8,
+    window_align: str = "trailing",
+    detrend="linear",
+    out_scale: int = 9,
+) -> tuple[list[tuple[str, str]], list[tuple[str, str]], str]:
+    """Windowed spectral entropy — the forecastability score that closes
+    the complexity triple (permutation_entropy: ordinal structure;
+    hurst_exponent: long-range memory; this: how concentrated the
+    short-window SPECTRUM is).  H = −Σ p_m ln p_m / ln(B) over the
+    positive one-sided periodogram bins p_m = psd_m / Σ psd (B = w//2
+    bins after dropping DC): 0 = pure tone (predictable), 1 = white
+    noise (nothing to forecast).
+
+    Reuses :func:`domfreq_sql_parts` — the renderer-IS-the-oracle
+    design: the identical expression text runs on Spark (selectExpr)
+    and DuckDB, so the psd doubles are bit-identical; the final
+    entropy is floor-quantized to 1e-``out_scale`` (LN is the one
+    last-ulp-risk primitive — the gmean/growth_rates convention).
+
+    Returns (re_im exprs, psd exprs, entropy expr referencing the psd
+    columns by name — render in a third SELECT stage).
+    """
+    bins, _freqs, re_im, psd = domfreq_sql_parts(
+        y,
+        partition_sql,
+        seq=seq,
+        window_size=window_size,
+        window_align=window_align,
+        detrend=detrend,
+        include_dc=False,
+    )
+    # CAST('…' AS DOUBLE) literal form: a bare decimal literal parses as
+    # DECIMAL in BOTH Spark SQL and DuckDB (decimal division would then
+    # poison the whole tree) — the domfreq coefficient convention.
+    om = f"CAST('{float(10 ** out_scale)!r}' AS DOUBLE)"
+    total = "(" + " + ".join(f"_psd{m}" for m in bins) + ")"
+    plogp = " + ".join(
+        f"CASE WHEN _psd{m} > 0 THEN (_psd{m} / {total}) * LN(_psd{m} / {total}) "
+        f"ELSE CAST('0.0' AS DOUBLE) END"
+        for m in bins
+    )
+    lnb = f"LN(CAST({len(bins)} AS DOUBLE))"
+    raw = f"(-({plogp}) / {lnb})"
+    entropy = (
+        f"CASE WHEN {total} > 0 THEN "
+        f"FLOOR({raw} * {om} + CAST('0.5' AS DOUBLE)) / {om} END"
+    )
+    return re_im, psd, entropy

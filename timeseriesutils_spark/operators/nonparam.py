@@ -1,0 +1,629 @@
+"""Nonparametric statistics battery: two-sample Kolmogorov–Smirnov,
+Kruskal–Wallis rank ANOVA, Spearman rank correlation, and
+Benjamini–Hochberg FDR control.
+
+The rank-based siblings of the parametric family in operators/stats.py
+(anova_oneway, welch_ttest) and operators/regression.py (mann_kendall):
+distribution-free tests that survive outliers, heavy tails, and any
+monotone transform of the data — the right defaults for messy
+production metrics.  Capability parity: the reference's users run these
+via scipy.stats (ks_2samp, kruskal, spearmanr) on collected frames; here
+each is one or two distributed aggregations.
+
+Scale design (100 TB answer): every op is ranks-via-window or
+count-merge — no pair joins, no driver collects.  KS and KW rank over
+(group, quantized-value) COUNTS, so the shuffled width is the number of
+DISTINCT values per group, not rows; Spearman is two rank windows plus
+one sufficient-stats aggregation; BH-FDR is two ordered windows over the
+m test rows (m = number of hypotheses, tiny by construction).
+
+Exactness: values are quantized to a fixed grid first, ranks and ECDF
+steps are exact integers, and every cross-row sum runs through
+DECIMAL(38,0) (the anova floor-in-double-domain pattern for the k-level
+reduces).  Normal-CDF p-values use the Bowling et al. logistic
+approximation (|err| < 1.4e-4 — documented engine kernel, shared
+literal text in both renderers) and are floor-quantized to 1e-9 before
+any comparison, so accept/reject decisions are bit-identical across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.functions.exact import dlit
+from timeseriesutils_spark.operators.window_features import _as_list
+
+# two-sample KS asymptotic 5% critical value c(0.05) for
+# D * sqrt(n*m/(n+m)):  c = sqrt(-ln(alpha/2)/2) = 1.3581015157406195
+_KS_CRIT_05 = 1.3581015157406195
+
+
+# --------------------------------------------------------------------------
+# two-sample Kolmogorov–Smirnov
+# --------------------------------------------------------------------------
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Two-sample KS test per group: is ``value_col`` distributed the
+    same under ``factor_col = level_a`` vs ``level_b``?  The
+    distribution-level drift test — Welch answers "same mean?", KS
+    answers "same SHAPE?" (location, spread, and tails at once).
+
+    D = max_v |F_a(v) − F_b(v)| over the merged support.  Computed on
+    per-(group, quantized value) COUNTS: one aggregation collapses rows
+    to distinct values, one window pass forms both ECDFs, and
+    |cum_a·n_b − cum_b·n_a| keeps the max EXACT in integers (divide by
+    n_a·n_b only at the end).  Integer bound: cum·n ≤ n_a·n_b < 2^63
+    for any two arms under ~3e9 rows each — beyond that, swap the
+    product columns to DECIMAL(38,0) (same plan shape).
+
+    reject_05 flags D·sqrt(n_a·n_b/(n_a+n_b)) > 1.3581 (asymptotic 5%
+    critical value), the ADF-style pinned-threshold convention.
+
+    Returns (groups…, n_a, n_b, d_stat, ks_stat, reject_05).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    lvl = F.col(factor_col)
+    d = df.filter(
+        F.col(value_col).isNotNull() & lvl.isin([level_a, level_b])
+    ).select(*groups, q.alias("_q"), (lvl == level_a).alias("_ia"))
+    per = d.groupBy(*groups, "_q").agg(
+        F.sum(F.col("_ia").cast("bigint")).alias("_ca"),
+        F.sum((~F.col("_ia")).cast("bigint")).alias("_cb"),
+    )
+    w = Window.partitionBy(*groups).orderBy("_q")
+    wg = Window.partitionBy(*groups)
+    cum = per.select(
+        *groups,
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+        F.sum("_ca").over(wg).alias("_na"),
+        F.sum("_cb").over(wg).alias("_nb"),
+    )
+    diff = F.abs(
+        F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na")
+    )
+    agg = cum.groupBy(*groups).agg(
+        F.max(diff).alias("_dnum"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    d_stat = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("_dnum").cast("double") / (na * nb),
+    )
+    ks = d_stat * F.sqrt(na * nb / (na + nb))
+    return agg.select(
+        *groups,
+        "n_a",
+        "n_b",
+        d_stat.alias("d_stat"),
+        ks.alias("ks_stat"),
+        (ks > F.lit(_KS_CRIT_05)).alias("reject_05"),
+    )
+
+
+def ks_test_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ks_test`.  Windowed/aggregate SUM(BIGINT)
+    returns HUGEINT in DuckDB — every cumulative/total is cast back."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q, ({factor_col} = '{level_a}') AS _ia
+  FROM ({data_sql})
+  WHERE {value_col} IS NOT NULL AND {factor_col} IN ('{level_a}', '{level_b}')
+),
+per AS (
+  SELECT {gsel}, _q,
+    CAST(SUM(CASE WHEN _ia THEN 1 ELSE 0 END) AS BIGINT) AS _ca,
+    CAST(SUM(CASE WHEN _ia THEN 0 ELSE 1 END) AS BIGINT) AS _cb
+  FROM d GROUP BY {gsel}, _q
+),
+cum AS (
+  SELECT {gsel},
+    CAST(SUM(_ca) OVER (PARTITION BY {gsel} ORDER BY _q) AS BIGINT) AS _cuma,
+    CAST(SUM(_cb) OVER (PARTITION BY {gsel} ORDER BY _q) AS BIGINT) AS _cumb,
+    CAST(SUM(_ca) OVER (PARTITION BY {gsel}) AS BIGINT) AS _na,
+    CAST(SUM(_cb) OVER (PARTITION BY {gsel}) AS BIGINT) AS _nb
+  FROM per
+),
+agg AS (
+  SELECT {gsel}, MAX(ABS(_cuma * _nb - _cumb * _na)) AS _dnum,
+    MAX(_na) AS n_a, MAX(_nb) AS n_b
+  FROM cum GROUP BY {gsel}
+)
+SELECT {gsel}, n_a, n_b,
+  CASE WHEN n_a > 0 AND n_b > 0
+    THEN CAST(_dnum AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END
+    AS d_stat,
+  CASE WHEN n_a > 0 AND n_b > 0
+    THEN CAST(_dnum AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      * SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) END AS ks_stat,
+  CASE WHEN n_a > 0 AND n_b > 0
+    THEN (CAST(_dnum AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      * SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))
+      > {dlit(_KS_CRIT_05)} END AS reject_05
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Kruskal–Wallis rank ANOVA
+# --------------------------------------------------------------------------
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Kruskal–Wallis H test per group: does ``factor_col`` shift the
+    DISTRIBUTION of ``value_col``?  The rank-based anova_oneway — no
+    normality assumption, immune to outliers and monotone transforms.
+
+        H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+        H_corrected = H / (1 − Σ_t (t³−t)/(N³−N))     (tie correction)
+
+    Average ranks via counts, never row-ranks: per (group, quantized
+    value) counts t_v, a window cumsum gives each value's DOUBLED
+    average rank r2_v = 2·(before_v) + t_v + 1 exactly in integers;
+    per-level rank sums R2_g = Σ t_{g,v}·r2_v stay integral (DECIMAL
+    accumulate), and the k-level reduce of R2_g²/n_g uses the anova
+    floor-in-double-domain pattern (≤ k quantized units of |H| error
+    from the floor, zero from summation order).
+
+    Returns (groups…, k_levels, n, h_stat, h_corrected, df).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, F.col(factor_col).alias("_lvl"), q.alias("_q")
+    )
+    # ONE forward chain — no plan forks, no join-back (the decompose
+    # ReusedExchange=0 lesson; count-collapsed frames are too large to
+    # pin profitably, measured 3.30 s pinned vs 2.4 s chained):
+    #   * per-(group, level, value) counts _tl (one aggregation);
+    #   * the per-VALUE total _t (all levels) via a peers-only RANGE
+    #     frame — ORDER BY _q, CURRENT ROW..CURRENT ROW sums exactly
+    #     the tie block, so no (group, value) re-aggregation exists;
+    #   * cumulative ≤-value count via the default RANGE frame (peers
+    #     included), giving the doubled average rank in exact integers;
+    #   * the tie correction folds into the level aggregation with the
+    #     exact identity Σ_lvl _tl·(t²−1) = t³−t.
+    # Both windows share HashPartitioning(groups): 1 scan, 4 exchanges.
+    plv = d.groupBy(*groups, "_lvl", "_q").agg(
+        F.count(F.lit(1)).alias("_tl")
+    )
+    wpeer = (
+        Window.partitionBy(*groups)
+        .orderBy("_q")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    wcum = Window.partitionBy(*groups).orderBy("_q")
+    ranked = plv.select(
+        *groups,
+        "_lvl",
+        "_tl",
+        F.sum("_tl").over(wpeer).alias("_t"),
+        F.sum("_tl").over(wcum).alias("_cum"),
+    ).select(
+        *groups,
+        "_lvl",
+        "_tl",
+        "_t",
+        # doubled average rank: 2*(# strictly below) + t + 1
+        (2 * (F.col("_cum") - F.col("_t")) + F.col("_t") + 1).alias("_r2"),
+    )
+    lv = ranked.groupBy(*groups, "_lvl").agg(
+        F.sum(F.col("_tl")).alias("_ng"),
+        F.sum((F.col("_tl") * F.col("_r2")).cast("decimal(38,0)")).alias("_R2"),
+        F.sum(
+            (F.col("_tl") * (F.col("_t") * F.col("_t") - 1)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_tiep"),
+    )
+    r2d = F.col("_R2").cast("string").cast("double")
+    ngd = F.col("_ng").cast("double")
+    # per-level contribution R2²/(4 n_g), floored then DECIMAL-summed
+    contrib = r2d * r2d / (F.lit(4.0) * ngd)
+    out = lv.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("k_levels"),
+        F.sum("_ng").alias("n"),
+        F.sum(
+            (contrib - contrib % F.lit(1.0)).cast("decimal(38,0)")
+        ).alias("_sr"),
+        F.sum("_tiep").alias("_tie"),
+    )
+    nn = F.col("n").cast("double")
+    sr = F.col("_sr").cast("string").cast("double")
+    h = F.lit(12.0) / (nn * (nn + 1.0)) * sr - F.lit(3.0) * (nn + 1.0)
+    tied = F.col("_tie").cast("string").cast("double")
+    corr = F.lit(1.0) - tied / (nn * nn * nn - nn)
+    hc = F.when(corr != 0, h / corr)
+    ok = (F.col("k_levels") > 1) & (F.col("n") > F.col("k_levels"))
+    return out.select(
+        *groups,
+        "k_levels",
+        "n",
+        F.when(ok, h).alias("h_stat"),
+        F.when(ok, hc).alias("h_corrected"),
+        (F.col("k_levels") - 1).alias("df"),
+    )
+
+
+def kruskal_wallis_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`kruskal_wallis`."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    contrib = f"({s2d('_R2')} * {s2d('_R2')} / (4.0 * CAST(_ng AS DOUBLE)))"
+    h = (
+        f"(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * {s2d('_sr')}"
+        f" - 3.0 * (CAST(n AS DOUBLE) + 1.0))"
+    )
+    corr = (
+        f"(1.0 - {s2d('_tie')} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        f" * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"
+    )
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {factor_col} AS _lvl, {qq} AS _q
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+plv AS (
+  SELECT {gsel}, _lvl, _q, COUNT(*) AS _tl
+  FROM d GROUP BY {gsel}, _lvl, _q
+),
+ranked AS (
+  SELECT {gsel}, _lvl, _tl,
+    CAST(SUM(_tl) OVER (PARTITION BY {gsel} ORDER BY _q
+      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS _t,
+    2 * (CAST(SUM(_tl) OVER (PARTITION BY {gsel} ORDER BY _q) AS BIGINT)
+      - CAST(SUM(_tl) OVER (PARTITION BY {gsel} ORDER BY _q
+          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT))
+      + CAST(SUM(_tl) OVER (PARTITION BY {gsel} ORDER BY _q
+          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) + 1 AS _r2
+  FROM plv
+),
+lv AS (
+  SELECT {gsel}, _lvl, CAST(SUM(_tl) AS BIGINT) AS _ng,
+    SUM(CAST(_tl * _r2 AS DECIMAL(38,0))) AS _R2,
+    SUM(CAST(_tl * (_t * _t - 1) AS DECIMAL(38,0))) AS _tiep
+  FROM ranked
+  GROUP BY {gsel}, _lvl
+),
+top AS (
+  SELECT {gsel}, COUNT(*) AS k_levels, CAST(SUM(_ng) AS BIGINT) AS n,
+    SUM(CAST({contrib} - {contrib} % 1.0 AS DECIMAL(38,0))) AS _sr,
+    SUM(_tiep) AS _tie
+  FROM lv GROUP BY {gsel}
+)
+SELECT {gsel}, k_levels, n,
+  CASE WHEN k_levels > 1 AND n > k_levels THEN {h} END AS h_stat,
+  CASE WHEN k_levels > 1 AND n > k_levels AND {corr} <> 0
+    THEN {h} / {corr} END AS h_corrected,
+  k_levels - 1 AS df
+FROM top
+"""
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation
+# --------------------------------------------------------------------------
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Spearman rank correlation ρ between two columns —
+    Pearson on average ranks: the monotone-association measure that
+    ignores outliers and nonlinearity (corr_matrix's Pearson answers
+    "linear?"; this answers "monotone?").
+
+    Average ranks via two window passes over the quantized values
+    (rank + count of equals → doubled average rank, exact integers),
+    then one sufficient-stats aggregation.  Products of doubled ranks
+    are ≤ (2n)², so Sxy ≤ 4n³ — DECIMAL(38,0) accumulators keep the
+    reduce exact to ~1e9 rows/group; the ρ formula combines the exact
+    sums in one shared double tree (string-route casts).
+
+    Returns (groups…, n, rho).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+
+    def qz(c):
+        return F.floor(F.col(c).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+            "bigint"
+        )
+
+    d = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*groups, qz(x_col).alias("_qx"), qz(y_col).alias("_qy"))
+    # doubled average rank of v among the group's values:
+    # 2*(# strictly below) + (# equal) + 1  — two RANK windows
+    wx = Window.partitionBy(*groups).orderBy("_qx")
+    wy = Window.partitionBy(*groups).orderBy("_qy")
+    ranked = d.select(
+        *groups,
+        (
+            2 * (F.rank().over(wx) - 1)
+            + F.count(F.lit(1)).over(
+                Window.partitionBy(*groups, "_qx")
+            )
+            + 1
+        ).alias("_rx"),
+        (
+            2 * (F.rank().over(wy) - 1)
+            + F.count(F.lit(1)).over(
+                Window.partitionBy(*groups, "_qy")
+            )
+            + 1
+        ).alias("_ry"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_rx"))).alias("_sx"),
+        F.sum(dec(F.col("_ry"))).alias("_sy"),
+        F.sum(dec(F.col("_rx") * F.col("_ry"))).alias("_sxy"),
+        F.sum(dec(F.col("_rx") * F.col("_rx"))).alias("_sxx"),
+        F.sum(dec(F.col("_ry") * F.col("_ry"))).alias("_syy"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+    cov = nn * s2d("_sxy") - s2d("_sx") * s2d("_sy")
+    vx = nn * s2d("_sxx") - s2d("_sx") * s2d("_sx")
+    vy = nn * s2d("_syy") - s2d("_sy") * s2d("_sy")
+    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return agg.select(*groups, "n", rho.alias("rho"))
+
+
+def spearman_corr_sql(
+    data_sql: str,
+    x_col: str,
+    y_col: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`spearman_corr`."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qx = f"CAST(FLOOR(CAST({x_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    qy = f"CAST(FLOOR(CAST({y_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    cov = f"(CAST(n AS DOUBLE) * {s2d('_sxy')} - {s2d('_sx')} * {s2d('_sy')})"
+    vx = f"(CAST(n AS DOUBLE) * {s2d('_sxx')} - {s2d('_sx')} * {s2d('_sx')})"
+    vy = f"(CAST(n AS DOUBLE) * {s2d('_syy')} - {s2d('_sy')} * {s2d('_sy')})"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qx} AS _qx, {qy} AS _qy
+  FROM ({data_sql})
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+),
+ranked AS (
+  SELECT {gsel},
+    2 * (RANK() OVER (PARTITION BY {gsel} ORDER BY _qx) - 1)
+      + CAST(COUNT(*) OVER (PARTITION BY {gsel}, _qx) AS BIGINT) + 1 AS _rx,
+    2 * (RANK() OVER (PARTITION BY {gsel} ORDER BY _qy) - 1)
+      + CAST(COUNT(*) OVER (PARTITION BY {gsel}, _qy) AS BIGINT) + 1 AS _ry
+  FROM d
+),
+agg AS (
+  SELECT {gsel}, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(_rx AS DECIMAL(38,0))) AS _sx,
+    SUM(CAST(_ry AS DECIMAL(38,0))) AS _sy,
+    SUM(CAST(_rx * _ry AS DECIMAL(38,0))) AS _sxy,
+    SUM(CAST(_rx * _rx AS DECIMAL(38,0))) AS _sxx,
+    SUM(CAST(_ry * _ry AS DECIMAL(38,0))) AS _syy
+  FROM ranked GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  CASE WHEN {vx} > 0 AND {vy} > 0
+    THEN {cov} / SQRT({vx} * {vy}) END AS rho
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Benjamini–Hochberg FDR control
+# --------------------------------------------------------------------------
+
+# Bowling et al. (2009) logistic approximation of the standard normal
+# CDF: Phi(z) ~= 1 / (1 + exp(-1.5976 z - 0.070566 z^3)), |err| < 1.4e-4.
+# Used ONLY to map z-scores to p-values for ranking/thresholding; the
+# approximation text is identical in both renderers and the result is
+# floor-quantized to 1e-9 before any comparison, so decisions are
+# bit-identical across engines.
+_PQ = 10**9
+
+
+def two_sided_p_expr(z) -> "F.Column":
+    """Two-sided normal p-value of a z-score column, quantized to 1e-9:
+    p = 2·(1 − Phi(|z|)) = 2 / (1 + exp(1.5976|z| + 0.070566|z|³))."""
+    az = F.abs(z.cast("double"))
+    praw = F.lit(2.0) / (
+        F.lit(1.0)
+        + F.exp(F.lit(1.5976) * az + F.lit(0.070566) * az * az * az)
+    )
+    return F.floor(praw * F.lit(float(_PQ)) + F.lit(0.5)) / F.lit(float(_PQ))
+
+
+def two_sided_p_sql(z_sql: str) -> str:
+    """SQL text twin of :func:`two_sided_p_expr` (same literals)."""
+    az = f"ABS(CAST({z_sql} AS DOUBLE))"
+    praw = (
+        f"(2.0 / (1.0 + EXP(1.5976 * {az}"
+        f" + 0.070566 * {az} * {az} * {az})))"
+    )
+    return f"(FLOOR({praw} * {dlit(float(_PQ))} + 0.5) / {dlit(float(_PQ))})"
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    key_columns,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control over a battery of
+    hypotheses — the meta-operator that makes the per-group test
+    families honest: run mann_kendall/welch/ks over 10k groups and 5%
+    of the "significant" flags are false by construction; BH bounds
+    the false-discovery RATE instead.
+
+        sort p ascending, rank i of m;  k* = max{i : p_i ≤ i·α/m}
+        reject hypotheses 1..k*;  q_i = min_{j ≥ i} (m·p_j / j)
+
+    Two window passes over the m hypothesis rows (m = number of tests,
+    orders of magnitude below data size — this op runs on the OUTPUT
+    of a grouped test, never on raw rows).  The threshold comparison is
+    integerized (p quantized at 1e-9 by the p-value kernel; both sides
+    scaled by m·1e20) so the step-up decision is exact.
+
+    Returns (keys…, p, rank, m, q_value, reject) ordered by p.
+    """
+    keys = _as_list(key_columns)
+    # deterministic total order: ties on p broken by the key columns
+    wr = Window.orderBy("_pq", *keys)
+    wall = Window.partitionBy()
+    d = df.filter(F.col(p_col).isNotNull()).select(
+        *keys,
+        F.col(p_col).cast("double").alias("_p"),
+        F.floor(F.col(p_col).cast("double") * F.lit(float(_PQ)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("_pq"),
+    )
+    ranked = d.select(
+        "*",
+        F.row_number().over(wr).alias("rank"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    # integer step-up test: p_i <= i*alpha/m  <=>  pq*m*1e11 <= i*alpha*1e20
+    # (alpha*1e20 exceeds int64 for alpha > ~0.09 — route via string lit)
+    athr = int(round(alpha * 10**20))
+    hit = (
+        F.col("_pq").cast("decimal(38,0)")
+        * F.col("m").cast("decimal(38,0)")
+        * F.lit(str(10**11)).cast("decimal(38,0)")
+    ) <= (
+        F.col("rank").cast("decimal(38,0)")
+        * F.lit(str(athr)).cast("decimal(38,0)")
+    )
+    flagged = ranked.select(
+        "*",
+        F.max(F.when(hit, F.col("rank")).otherwise(F.lit(0)))
+        .over(wall)
+        .alias("_kstar"),
+    )
+    # q-value: reverse running min of m*p/rank, quantized at 1e-9
+    mq = F.floor(
+        F.col("m").cast("double")
+        * F.col("_p")
+        / F.col("rank").cast("double")
+        * F.lit(float(_PQ))
+        + F.lit(0.5)
+    ).cast("bigint")
+    wrev = Window.orderBy(F.col("rank").desc())
+    out = flagged.select(
+        *[F.col(k) for k in keys],
+        F.col("_p").alias("p"),
+        "rank",
+        "m",
+        (
+            F.least(F.min(mq).over(wrev), F.lit(_PQ)).cast("double")
+            / F.lit(float(_PQ))
+        ).alias("q_value"),
+        (F.col("rank") <= F.col("_kstar")).alias("reject"),
+    )
+    return out.orderBy("rank")
+
+
+def bh_fdr_sql(
+    data_sql: str,
+    p_col: str,
+    key_columns,
+    alpha: float = 0.05,
+) -> str:
+    """DuckDB twin of :func:`bh_fdr`."""
+    keys = _as_list(key_columns)
+    ksel = ", ".join(keys)
+    athr = int(round(alpha * 10**20))
+    return f"""
+WITH d AS (
+  SELECT {ksel}, CAST({p_col} AS DOUBLE) AS _p,
+    CAST(FLOOR(CAST({p_col} AS DOUBLE) * {dlit(float(_PQ))} + 0.5) AS BIGINT) AS _pq
+  FROM ({data_sql}) WHERE {p_col} IS NOT NULL
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY _pq, {ksel}) AS rank,
+    CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM d
+),
+flagged AS (
+  SELECT *,
+    CAST(MAX(CASE WHEN CAST(_pq AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))
+          * CAST('100000000000' AS DECIMAL(38,0))
+        <= CAST(rank AS DECIMAL(38,0)) * CAST('{athr}' AS DECIMAL(38,0))
+        THEN rank ELSE 0 END) OVER () AS BIGINT) AS _kstar,
+    CAST(FLOOR(CAST(m AS DOUBLE) * _p / CAST(rank AS DOUBLE)
+        * {dlit(float(_PQ))} + 0.5) AS BIGINT) AS _mq
+  FROM ranked
+),
+out AS (
+  SELECT {ksel}, _p AS p, rank, m,
+    CAST(LEAST(CAST(MIN(_mq) OVER (ORDER BY rank DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+        {_PQ}) AS DOUBLE) / {dlit(float(_PQ))} AS q_value,
+    rank <= _kstar AS reject
+  FROM flagged
+)
+SELECT * FROM out ORDER BY rank
+"""

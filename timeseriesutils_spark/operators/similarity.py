@@ -948,8 +948,14 @@ def semantic_dedup_pairs(
     batch in, (id_a, id_b, cos) survivors out; pair rows never carry
     vectors, and no per-pair interpreted expression exists (the
     expression-join form measured 5× slower at sf0.1).  A skewed mega-
-    cluster = a big tile; k should grow with the corpus (the method's
-    own scaling rule), which also bounds tile size.
+    cluster = a big tile; **k must grow linearly with the corpus**:
+    tile cost is Σ|c|² ≈ N²/k, so fixed k is quadratic — measured
+    (BASELINE.md round-7 heavy-tail study): 10× vectors at fixed k=8
+    cost 104× (2.1 → 220.7 s); regrowing k to keep N/k constant
+    (k=80) restores linear cost.  Rule: k ≈ N / target_cluster_size
+    (the sign-LSH bits ≈ log2(N/bucket) rule's k-means form); Lloyd
+    training at large k trains on a bounded md5-ordered sample, so
+    the assignment pass, not training, carries the N·k term.
     """
     from timeseriesutils_spark.operators.kmeans import kmeans_lloyd
 

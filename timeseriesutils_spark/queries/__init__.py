@@ -60,9 +60,11 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "scd2_history", "forecast_eval", "calendar_features",
     "target_encode",
 )
-# ROUND-8 ROTATION PLAN: after a green round-7 gate the never-verified
-# backlog is empty again — head slots go to (a) any operator added in
-# round 7 with no driver row, (b) any query whose kernel a round-7
+# ROUND-8 ROTATION PLAN: head slots go to (a) the round-7 additions
+# with no driver row yet — ks_test, kruskal_wallis, spearman_corr,
+# bh_fdr_trend, spectral_entropy, containment_dedup — plus
+# decompose_series / decompose_robust (kernel pinned in round 7:
+# values unchanged, plan changed), then (b) any query a round-7
 # ADVICE fix touches, then (c) the last three r2 rows (rolling_corr,
 # group_mode, winsorize) and the r3 cohort in catalog order.
 
@@ -116,12 +118,14 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",
     "asof_join", "attribution", "backtest_folds", "benford_audit",
-    "best_breakpoint", "bigram_logprob", "bm25_search", "boilerplate_frac",
+    "best_breakpoint", "bh_fdr_trend", "bigram_logprob", "bm25_search",
+    "boilerplate_frac",
     "bootstrap_ci", "bpe_pair_counts", "bucketed_featurize", "build_vocab",
     "calendar_features", "canonical_pick", "categorical_assoc",
     "chunk_dedup", "chunk_text", "chunked_taylor", "clean_text",
     "cohort_retention", "column_profile", "compaction_plan",
-    "constraint_audit", "corpus_jsd", "corpus_stats", "corr_matrix",
+    "constraint_audit", "containment_dedup", "corpus_jsd", "corpus_stats",
+    "corr_matrix",
     "counter_rate", "croston_demand", "cusum_drift", "decompose_robust",
     "decompose_series", "decontaminate_pairs", "dedup_apply",
     "dedup_components", "dedup_debounce", "dedup_embedding",
@@ -143,6 +147,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "interpolate", "inverted_index", "item_cooccur", "join_anti",
     "join_semi", "join_star", "json_extract", "jsonl_pack", "kaplan_meier",
     "kmeans", "knn_bruteforce", "knn_ivf", "knn_lsh", "knn_recall_curve",
+    "kruskal_wallis", "ks_test",
     "lag", "lang_id", "langid_confusion", "latency_bands", "lead_lag_corr",
     "length_histogram", "local_peaks", "mahalanobis_outliers",
     "mann_kendall", "mase_eval", "media_features", "merge_intervals",
@@ -160,6 +165,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "seasonal_profile", "seasonal_strength", "seasonal_zscore",
     "semantic_dedup", "seq_pack", "sessionize", "set_ops", "shard_assign",
     "shipping_sla", "simhash", "sink_roundtrip", "skew_report",
+    "spearman_corr", "spectral_entropy",
     "skew_salted_agg", "skew_salted_join", "snapshot_diff", "sort_limit",
     "state_dwell", "stickiness", "stockout_events", "stratified_sample",
     "stream_counter_rate", "stream_cusum", "stream_dedup", "stream_join",

@@ -1614,3 +1614,161 @@ def _sql_mann_kendall():
 
 
 QUERIES.update({"mann_kendall": Q(q_mann_kendall, _sql_mann_kendall())})
+
+
+# --- round-7 nonparametric battery (operators/nonparam.py) ----------------
+
+_SQL_YEAR_RF = """
+  SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
+    l_returnflag, l_extendedprice
+  FROM lineitem
+"""
+
+
+def _year_rf(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias("ship_year"),
+        "l_returnflag",
+        "l_extendedprice",
+    )
+
+
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov per ship year: is the price
+    DISTRIBUTION under returnflag A the same as under R?
+    (operators/nonparam.ks_test) — welch_ttest compares means; this
+    catches spread/tail drift the mean misses.  Exact integer ECDF-gap
+    max over per-(year, quantized price) counts; asymptotic 5%
+    critical-value flag."""
+    from timeseriesutils_spark.operators.nonparam import ks_test
+
+    return ks_test(
+        _year_rf(spark, sf_dir), "l_extendedprice", "l_returnflag",
+        "A", "R", ["ship_year"],
+    )
+
+
+def _sql_ks_test():
+    from timeseriesutils_spark.operators.nonparam import ks_test_sql
+
+    return ks_test_sql(
+        _SQL_YEAR_RF, "l_extendedprice", "l_returnflag", "A", "R",
+        ["ship_year"],
+    )
+
+
+QUERIES.update({"ks_test": Q(q_ks_test, _sql_ks_test())})
+
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal–Wallis rank ANOVA per ship year: does returnflag shift
+    the price distribution at all?  (operators/nonparam.kruskal_wallis)
+    — the rank-based anova_oneway: same question, no normality
+    assumption, tie-corrected H."""
+    from timeseriesutils_spark.operators.nonparam import kruskal_wallis
+
+    return kruskal_wallis(
+        _year_rf(spark, sf_dir), "l_extendedprice", "l_returnflag",
+        ["ship_year"],
+    )
+
+
+def _sql_kruskal_wallis():
+    from timeseriesutils_spark.operators.nonparam import kruskal_wallis_sql
+
+    return kruskal_wallis_sql(
+        _SQL_YEAR_RF, "l_extendedprice", "l_returnflag", ["ship_year"]
+    )
+
+
+QUERIES.update({"kruskal_wallis": Q(q_kruskal_wallis, _sql_kruskal_wallis())})
+
+
+def q_spearman_corr(spark, sf_dir):
+    """Per-supplier Spearman rank correlation between quantity and
+    price (operators/nonparam.spearman_corr): the monotone-association
+    sibling of corr_matrix's Pearson — outlier-immune, transform-
+    invariant, average ranks exact in integers."""
+    from timeseriesutils_spark.operators.nonparam import spearman_corr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_corr(
+        li.select("l_suppkey", "l_quantity", "l_extendedprice"),
+        "l_quantity", "l_extendedprice", ["l_suppkey"],
+    )
+
+
+def _sql_spearman_corr():
+    from timeseriesutils_spark.operators.nonparam import spearman_corr_sql
+
+    return spearman_corr_sql(
+        "SELECT l_suppkey, l_quantity, l_extendedprice FROM lineitem",
+        "l_quantity", "l_extendedprice", ["l_suppkey"],
+    )
+
+
+QUERIES.update({"spearman_corr": Q(q_spearman_corr, _sql_spearman_corr())})
+
+
+_SQL_MONTHLY_SHIP = """
+  SELECT l_suppkey,
+    (CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS BIGINT) - 1992) * 12
+      + CAST(EXTRACT(month FROM CAST(l_shipdate AS DATE)) AS BIGINT) - 1 AS mth,
+    COUNT(*) AS n_ship
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _monthly_ship(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.select(
+            "l_suppkey",
+            (
+                (F.year(d).cast("bigint") - 1992) * 12
+                + F.month(d).cast("bigint")
+                - 1
+            ).alias("mth"),
+        )
+        .groupBy("l_suppkey", "mth")
+        .agg(F.count(F.lit(1)).alias("n_ship"))
+    )
+
+
+def q_bh_fdr_trend(spark, sf_dir):
+    """Benjamini–Hochberg FDR control over a per-supplier trend-test
+    battery (operators/nonparam.bh_fdr): Mann–Kendall z on monthly
+    shipment counts per supplier → two-sided normal p (Bowling
+    logistic kernel, 1e-9-quantized) → BH step-up at α = 0.05.  Tests
+    run per group, so ~5% of naive 'significant' flags are false by
+    construction; BH bounds the false-discovery rate — the meta-op
+    that makes every grouped test family in the engine honest."""
+    from timeseriesutils_spark.operators.nonparam import (
+        bh_fdr,
+        two_sided_p_expr,
+    )
+    from timeseriesutils_spark.operators.regression import mann_kendall
+
+    mk = mann_kendall(
+        _monthly_ship(spark, sf_dir), "n_ship", ["l_suppkey"], "mth", scale=0
+    )
+    p = mk.select("l_suppkey", two_sided_p_expr(F.col("z")).alias("p"))
+    return bh_fdr(p, "p", ["l_suppkey"], alpha=0.05)
+
+
+def _sql_bh_fdr_trend():
+    from timeseriesutils_spark.operators.nonparam import (
+        bh_fdr_sql,
+        two_sided_p_sql,
+    )
+    from timeseriesutils_spark.operators.regression import mann_kendall_sql
+
+    mk = mann_kendall_sql(_SQL_MONTHLY_SHIP, "n_ship", ["l_suppkey"], "mth",
+                          scale=0)
+    p = f"SELECT l_suppkey, {two_sided_p_sql('z')} AS p FROM ({mk})"
+    return bh_fdr_sql(p, "p", ["l_suppkey"], alpha=0.05)
+
+
+QUERIES.update({"bh_fdr_trend": Q(q_bh_fdr_trend, _sql_bh_fdr_trend())})

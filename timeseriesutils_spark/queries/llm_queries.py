@@ -1821,3 +1821,46 @@ FROM capped GROUP BY source
 
 
 QUERIES.update({"domain_caps": Q(q_domain_caps, _sql_domain_caps())})
+
+
+def q_containment_dedup(spark, sf_dir):
+    """Shingle-containment near-dup pairs (dedup.containment_pairs):
+    max(|A∩B|/|A|, |A∩B|/|B|) ≥ 0.5 — the asymmetric sibling of
+    ``dedup_ngram_jaccard`` that catches subset duplication (doc quoted
+    inside a longer doc scores ≈0 Jaccard but ≈1 containment), the
+    usual shape of train/test contamination and boilerplate wrapping.
+    Same posting-list machinery and hot-shingle cap."""
+    from timeseriesutils_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_posting=MAX_POSTING
+    )
+
+
+def _sql_containment(threshold: float = 0.5) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 3
+      THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+      ELSE [array_to_string(w, ' ')] END) AS shingles
+  FROM words
+),
+ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+ok AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {MAX_POSTING}),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN ok ON ok.s = a.s
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, sz_a, sz_b,
+  CAST(i AS DOUBLE) / LEAST(sz_a, sz_b) AS containment
+FROM inter WHERE CAST(i AS DOUBLE) / LEAST(sz_a, sz_b) >= {threshold}
+"""
+
+
+QUERIES.update({"containment_dedup": Q(q_containment_dedup, _sql_containment())})
