@@ -60,7 +60,18 @@ def main() -> None:
             to_add.append(f)
     # Stage ONLY the round artifacts — `git add -A` would silently
     # sweep unrelated WIP into the finalize commit (round-6 ADVICE).
-    run(["git", "add", "--"] + [f for f in to_add if os.path.exists(os.path.join(REPO, f))])
+    # Skip gitignored artifacts (COPYCHECK/LEAKCHECK/PROGRESS are
+    # driver-written but ignored): explicit ignored paths fail git add.
+    stage = []
+    for f in to_add:
+        if not os.path.exists(os.path.join(REPO, f)):
+            continue
+        ignored = subprocess.run(
+            ["git", "check-ignore", "-q", f], cwd=REPO
+        ).returncode == 0
+        if not ignored:
+            stage.append(f)
+    run(["git", "add", "--"] + stage)
     st = subprocess.run(["git", "diff", "--cached", "--name-only"], cwd=REPO,
                         capture_output=True, text=True).stdout.strip()
     if not st:
