@@ -1,0 +1,257 @@
+"""Tests for the round-7 inference batch: weighted interval score,
+Mann–Whitney U, log-rank, Aalen–Johansen cumulative incidence, and
+Diebold–Mariano — known hand-worked values plus the structural
+invariants that pin each estimator's semantics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.epi import wis_scores
+from timeseriesutils_spark.operators.forecast import diebold_mariano
+from timeseriesutils_spark.operators.nonparam import mann_whitney
+from timeseriesutils_spark.operators.survival import (
+    cumulative_incidence,
+    kaplan_meier,
+    logrank_test,
+)
+
+
+# --- WIS ------------------------------------------------------------------
+
+
+def _wis_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "g string, y double, f10 double, f50 double, f90 double"
+    )
+
+
+def test_wis_known_values(spark):
+    # y=10, median 8, interval [5, 12] (alpha=0.2):
+    #   dispersion = 0.1*(12-5) = 0.7 ; under = 0.5*(10-8) = 1.0 ; over = 0
+    #   wis = (0.7 + 1.0 + 0)/1.5
+    df = _wis_df(spark, [("a", 10.0, 5.0, 8.0, 12.0)])
+    out = wis_scores(df, "y", "f50", {0.2: ("f10", "f90")}, ["g"]).first()
+    assert out.dispersion == pytest.approx(0.7 / 1.5)
+    assert out.underprediction == pytest.approx(1.0 / 1.5)
+    assert out.overprediction == 0.0
+    assert out.wis == pytest.approx(1.7 / 1.5)
+
+
+def test_wis_outside_interval_penalty(spark):
+    # y=20 above u=12: under += (20-12)=8 plus median part 0.5*(20-8)=6
+    df = _wis_df(spark, [("a", 20.0, 5.0, 8.0, 12.0)])
+    out = wis_scores(df, "y", "f50", {0.2: ("f10", "f90")}, ["g"]).first()
+    assert out.underprediction == pytest.approx((8.0 + 6.0) / 1.5)
+    assert out.overprediction == 0.0
+
+
+def test_wis_decomposition_identity(spark):
+    rows = [
+        ("a", float(y), float(y - 3), float(y + d), float(y + 5))
+        for y, d in zip(range(1, 30), [-4, 0, 3, 9, -1] * 6)
+    ]
+    df = _wis_df(spark, rows)
+    out = wis_scores(df, "y", "f50", {0.2: ("f10", "f90")}, ["g"]).first()
+    assert out.wis == pytest.approx(
+        out.dispersion + out.overprediction + out.underprediction, abs=1e-12
+    )
+
+
+def test_wis_pinball_equivalence(spark):
+    # WIS with K intervals + median == (2/(K+1/2)) * mean of (K*2+1)
+    # pinball losses * (K+1/2)... use the direct known relation: for one
+    # interval {0.2: (q10,q90)} + median, WIS = (|y-m|/2 + 0.1*(u-l)
+    # + (l-y)^+ + (y-u)^+)/1.5 ; pinball: L_.1+L_.9 = 0.1(u-l)+(l-y)^+
+    # +(y-u)^+ ... check numerically vs independent pinball sums.
+    from timeseriesutils_spark.operators.epi import pinball_scores
+
+    rows = [
+        ("a", float(y), float(y - 3 + (y % 5)), float(y + (y % 3) - 1),
+         float(y + 4 - (y % 4)))
+        for y in range(1, 40)
+    ]
+    rows = [
+        (g, y, min(l, m, u), sorted((l, m, u))[1], max(l, m, u))
+        for (g, y, l, m, u) in rows
+    ]
+    df = _wis_df(spark, rows)
+    w = wis_scores(df, "y", "f50", {0.2: ("f10", "f90")}, ["g"]).first()
+    p = pinball_scores(
+        df, "y", {0.1: "f10", 0.5: "f50", 0.9: "f90"}, ["g"]
+    ).first()
+    # the three pinball means sum to exactly (K + 1/2) * WIS = 1.5 * WIS
+    total_pinball = p.pinball_10 + p.pinball_50 + p.pinball_90
+    assert total_pinball == pytest.approx(1.5 * w.wis, rel=1e-9)
+
+
+# --- Mann–Whitney ---------------------------------------------------------
+
+
+def test_mann_whitney_known_u(spark):
+    # classic: A = {1,2,3}, B = {4,5,6}: R_a = 6, U = 6 - 6 = 0
+    rows = [("g", "A", v) for v in (1.0, 2.0, 3.0)] + [
+        ("g", "B", v) for v in (4.0, 5.0, 6.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, arm string, y double")
+    out = mann_whitney(df, "y", "arm", "A", "B", ["g"]).first()
+    assert out.n_a == 3 and out.n_b == 3
+    assert out.u_stat == 0.0
+    # mu = 4.5, sigma^2 = 3*3/12*(7 - 0) = 5.25 (no ties)
+    assert out.z_stat == pytest.approx((0.0 - 4.5) / math.sqrt(5.25))
+
+
+def test_mann_whitney_symmetric_no_reject(spark):
+    # identical arms: U = n*n/2, z = 0, p = 1
+    rows = [("g", a, float(v)) for a in ("A", "B") for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, arm string, y double")
+    out = mann_whitney(df, "y", "arm", "A", "B", ["g"]).first()
+    assert out.u_stat == pytest.approx(50.0)
+    assert out.z_stat == 0.0
+    assert out.p_value == pytest.approx(1.0)
+    assert out.reject_05 is False
+
+
+def test_mann_whitney_tie_correction(spark):
+    # all values identical: sigma^2 = 0 -> NULL stats, not a crash
+    rows = [("g", a, 7.0) for a in ("A", "B") for _ in range(5)]
+    df = spark.createDataFrame(rows, "g string, arm string, y double")
+    out = mann_whitney(df, "y", "arm", "A", "B", ["g"]).first()
+    assert out.u_stat == pytest.approx(12.5)
+    assert out.z_stat is None and out.p_value is None
+
+
+# --- log-rank -------------------------------------------------------------
+
+
+def _subjects(spark, rows):
+    return spark.createDataFrame(
+        rows, "g string, arm string, t bigint, died int"
+    )
+
+
+def test_logrank_identical_arms(spark):
+    rows = [("g", a, t, 1) for a in ("A", "B") for t in (1, 2, 3, 4)]
+    out = logrank_test(
+        _subjects(spark, rows), "arm", "A", "B", "t", "died", ["g"]
+    ).first()
+    assert out.observed_a == 4
+    assert out.expected_a == pytest.approx(4.0, abs=1e-6)
+    assert out.chi2 == pytest.approx(0.0, abs=1e-6)
+
+
+def test_logrank_hand_worked(spark):
+    # A dies at 1,2 ; B dies at 3,4.  Event times: t=1 (n=4, n1=2, d=1)
+    # E1 += 0.5, V += 1*(2/4)*(2/4)*(3/3) = 0.25
+    # t=2 (n=3, n1=1, d=1): E1 += 1/3, V += (1/3)(2/3)(2/2) = 2/9
+    # t=3 (n=2, n1=0): E1 += 0 ; t=4: n=1 -> V term 0
+    # O1 = 2, E1 = 5/6, V = 0.25 + 2/9
+    rows = [("g", "A", 1, 1), ("g", "A", 2, 1), ("g", "B", 3, 1),
+            ("g", "B", 4, 1)]
+    out = logrank_test(
+        _subjects(spark, rows), "arm", "A", "B", "t", "died", ["g"]
+    ).first()
+    assert out.observed_a == 2
+    assert out.expected_a == pytest.approx(5.0 / 6.0, abs=1e-6)
+    v = 0.25 + 2.0 / 9.0
+    assert out.chi2 == pytest.approx((2 - 5.0 / 6.0) ** 2 / v, rel=1e-5)
+
+
+def test_logrank_censoring_shrinks_risk_set(spark):
+    # censored subjects leave the risk set but add no events
+    rows = [("g", "A", 1, 1), ("g", "A", 2, 0), ("g", "B", 2, 1),
+            ("g", "B", 3, 0)]
+    out = logrank_test(
+        _subjects(spark, rows), "arm", "A", "B", "t", "died", ["g"]
+    ).first()
+    # t=1: n=4, n1=2, d=1 -> E1 += 0.5 ; t=2: n=3, n1=1, d=1 -> E1 += 1/3
+    assert out.observed_a == 1
+    assert out.expected_a == pytest.approx(0.5 + 1.0 / 3.0, abs=1e-6)
+
+
+# --- cumulative incidence -------------------------------------------------
+
+
+def test_cuminc_no_competing_equals_1_minus_km(spark):
+    rows = [("g", 1, t) for t in (1, 2, 2, 3)] + [("g", 0, 4)]
+    subj = spark.createDataFrame(rows, "g string, cause int, t bigint")
+    cif = {
+        r.t: r.cuminc
+        for r in cumulative_incidence(subj, "cause", "t", ["g"]).collect()
+    }
+    km_subj = spark.createDataFrame(
+        [("g", t, 1 if c == 1 else 0) for (_, c, t) in rows],
+        "stratum string, t_day bigint, died int",
+    )
+    km = {r.t_day: r.survival for r in kaplan_meier(km_subj).collect()}
+    for t, v in cif.items():
+        assert v == pytest.approx(1.0 - km[t], abs=2e-6)
+
+
+def test_cuminc_hand_worked_competing(spark):
+    # n=4: cause1 at t=1 ; cause2 at t=2 ; cause1 at t=3 ; censored t=4
+    # t=1: S(0-)=1, inc = 1 * 1/4 = 0.25
+    # t=2: competing event, no cause-1 row; S drops to (3/4)*(2/3)=1/2
+    # t=3: S(3-) = 0.75 * (2/3) = 0.5, inc = 0.5 * 1/2 = 0.25 -> CIF 0.5
+    rows = [("g", 1, 1), ("g", 2, 2), ("g", 1, 3), ("g", 0, 4)]
+    subj = spark.createDataFrame(rows, "g string, cause int, t bigint")
+    out = {
+        r.t: r
+        for r in cumulative_incidence(subj, "cause", "t", ["g"]).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1].cuminc == pytest.approx(0.25, abs=1e-6)
+    assert out[3].cuminc == pytest.approx(0.5, abs=1e-6)
+    assert out[3].n_competing == 0 and out[1].n_competing == 0
+
+
+def test_cuminc_bounded_by_one(spark):
+    rows = [("g", 1 + (i % 2), i % 7 + 1) for i in range(40)]
+    subj = spark.createDataFrame(rows, "g string, cause int, t bigint")
+    vals = [
+        r.cuminc
+        for r in cumulative_incidence(subj, "cause", "t", ["g"]).collect()
+    ]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert vals == sorted(vals)  # monotone nondecreasing
+
+
+# --- Diebold–Mariano ------------------------------------------------------
+
+
+def _dm_df(spark, ys):
+    rows = [("g", "s", i, float(y)) for i, y in enumerate(ys)]
+    return spark.createDataFrame(rows, "g string, s string, i long, y double")
+
+
+def test_dm_constant_series_degenerate(spark):
+    # constant series: both forecasts perfect, d == 0 everywhere ->
+    # variance 0 -> NULL stats (no false significance)
+    out = diebold_mariano(
+        _dm_df(spark, [5.0] * 20), "y", ["s"], ["i"], ["g"], window=3
+    ).first()
+    assert out.mean_loss_diff == 0.0
+    assert out.dm_stat is None and out.reject_05 is None
+
+
+def test_dm_mean_beats_naive_on_alternating(spark):
+    # alternating series (with a small wobble so the loss differential
+    # is not constant): naive is maximally wrong, trailing mean is
+    # close to center -> d_t < 0 strongly, reject with negative DM
+    ys = [float((i % 2) * 10 + (i % 5)) for i in range(60)]
+    out = diebold_mariano(
+        _dm_df(spark, ys), "y", ["s"], ["i"], ["g"], window=4
+    ).first()
+    assert out.mean_loss_diff < 0
+    assert out.dm_stat < 0
+    assert out.reject_05 is True
+
+
+def test_dm_complete_case_count(spark):
+    # n = len - window (window full from index `window`; lag exists too)
+    ys = [float(i * i % 13) for i in range(25)]
+    out = diebold_mariano(
+        _dm_df(spark, ys), "y", ["s"], ["i"], ["g"], window=7
+    ).first()
+    assert out.n == 25 - 7

@@ -29,6 +29,8 @@ __all__ = [
     "nowcast_triangle_sql",
     "pinball_scores",
     "pinball_scores_sql",
+    "wis_scores",
+    "wis_scores_sql",
     "excess_incidence",
     "excess_incidence_sql",
 ]
@@ -491,6 +493,141 @@ WITH agg AS (
   GROUP BY {gsel}
 )
 SELECT {', '.join(sel)} FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# weighted interval score (WIS)
+# --------------------------------------------------------------------------
+
+
+def wis_scores(
+    forecasts: DataFrame,
+    actual_col: str,
+    median_col: str,
+    interval_cols: dict[float, tuple[str, str]],
+    group_columns,
+    scale: int = 6,
+) -> DataFrame:
+    """Weighted interval score — THE forecast-hub headline metric
+    (Bracher/Ray/Reich/Gneiting 2021), the evaluation the reference's
+    ecosystem runs on every submitted quantile forecast.  Where
+    :func:`pinball_scores` reports per-level losses, WIS is the single
+    weighted summary over a median and K central prediction intervals,
+    with the canonical additive decomposition that tells a modeler WHY
+    the score is bad:
+
+        IS_α = (u−l) + (2/α)(l−y)·1[y<l] + (2/α)(y−u)·1[y>u]
+        WIS  = ( ½|y−m| + Σ_k (α_k/2)·IS_{α_k} ) / (K + ½)
+             = dispersion + overprediction + underprediction
+
+    ``interval_cols`` maps central-interval miss-level α (e.g. 0.2 for
+    the 80 % PI) → (lower_col, upper_col).  Per row the three
+    decomposition components are formed as fixed double trees,
+    floor-quantized to 10^-scale units, and DECIMAL-accumulated (the
+    repo's exact-mean discipline) — so group means are bit-identical
+    across engines and the decomposition identity holds exactly:
+    wis = dispersion + overprediction + underprediction by construction
+    (the same three quantized sums).
+
+    One map-combinable aggregation; output one row per group:
+    (groups…, n, wis, dispersion, overprediction, underprediction).
+    """
+    g = _as_list(group_columns)
+    m = 10**scale
+    k = len(interval_cols)
+    denom_w = float(k) + 0.5
+    y = F.col(actual_col).cast("double")
+    med = F.col(median_col).cast("double")
+    # dispersion: Σ (α/2)(u−l); over: Σ (l−y)⁺ + ½(m−y)⁺; under: mirror
+    disp = None
+    over = F.when(y < med, (med - y) * F.lit(0.5)).otherwise(F.lit(0.0))
+    under = F.when(y > med, (y - med) * F.lit(0.5)).otherwise(F.lit(0.0))
+    for alpha, (lo_col, hi_col) in sorted(interval_cols.items()):
+        lo = F.col(lo_col).cast("double")
+        hi = F.col(hi_col).cast("double")
+        w = F.lit(float(alpha) / 2.0)
+        term = (hi - lo) * w
+        disp = term if disp is None else disp + term
+        over = over + F.when(y < lo, lo - y).otherwise(F.lit(0.0))
+        under = under + F.when(y > hi, y - hi).otherwise(F.lit(0.0))
+    if disp is None:
+        disp = F.lit(0.0)
+
+    def q(c):
+        return F.floor(c * F.lit(m) + F.lit(0.5)).cast("decimal(38,0)")
+
+    agg = forecasts.filter(y.isNotNull()).groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q(disp)).alias("_sd"),
+        F.sum(q(over)).alias("_so"),
+        F.sum(q(under)).alias("_su"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+    den = F.lit(float(m)) * nn * F.lit(denom_w)
+    return agg.select(
+        *g,
+        "n",
+        ((s2d("_sd") + s2d("_so") + s2d("_su")) / den).alias("wis"),
+        (s2d("_sd") / den).alias("dispersion"),
+        (s2d("_so") / den).alias("overprediction"),
+        (s2d("_su") / den).alias("underprediction"),
+    )
+
+
+def wis_scores_sql(
+    forecasts_sql: str,
+    actual_col: str,
+    median_col: str,
+    interval_cols: dict[float, tuple[str, str]],
+    group_columns,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`wis_scores`; ``forecasts_sql`` is a SELECT
+    producing groups, actual, median, and the interval bound columns."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    k = len(interval_cols)
+    denom_w = float(k) + 0.5
+    yy = f"CAST({actual_col} AS DOUBLE)"
+    mm = f"CAST({median_col} AS DOUBLE)"
+    disp_terms = []
+    over_terms = [f"CASE WHEN {yy} < {mm} THEN ({mm} - {yy}) * 0.5 ELSE 0.0 END"]
+    under_terms = [f"CASE WHEN {yy} > {mm} THEN ({yy} - {mm}) * 0.5 ELSE 0.0 END"]
+    for alpha, (lo_col, hi_col) in sorted(interval_cols.items()):
+        lo = f"CAST({lo_col} AS DOUBLE)"
+        hi = f"CAST({hi_col} AS DOUBLE)"
+        w = dlit(float(alpha) / 2.0)
+        disp_terms.append(f"({hi} - {lo}) * {w}")
+        over_terms.append(f"CASE WHEN {yy} < {lo} THEN {lo} - {yy} ELSE 0.0 END")
+        under_terms.append(f"CASE WHEN {yy} > {hi} THEN {yy} - {hi} ELSE 0.0 END")
+    disp = " + ".join(disp_terms) if disp_terms else "0.0"
+    over = " + ".join(over_terms)
+    under = " + ".join(under_terms)
+
+    def q(expr):
+        return f"CAST(FLOOR(({expr}) * {m} + 0.5) AS DECIMAL(38,0))"
+
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    den = f"({dlit(float(m))} * CAST(n AS DOUBLE) * {dlit(denom_w)})"
+    return f"""
+WITH agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    SUM({q(disp)}) AS _sd,
+    SUM({q(over)}) AS _so,
+    SUM({q(under)}) AS _su
+  FROM ({forecasts_sql})
+  WHERE {actual_col} IS NOT NULL
+  GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  ({s2d('_sd')} + {s2d('_so')} + {s2d('_su')}) / {den} AS wis,
+  {s2d('_sd')} / {den} AS dispersion,
+  {s2d('_so')} / {den} AS overprediction,
+  {s2d('_su')} / {den} AS underprediction
+FROM agg
 """
 
 

@@ -995,6 +995,154 @@ def mase_eval(
     )
 
 
+def diebold_mariano(
+    data: DataFrame,
+    column: str,
+    series_columns,
+    order_by,
+    group_columns,
+    window: int = 7,
+    scale: int = 2,
+    d_scale: int = 3,
+) -> DataFrame:
+    """Diebold–Mariano test of equal predictive accuracy — the
+    inferential companion of :func:`mase_eval`: MASE says the
+    trailing-``window``-mean forecast has a smaller error than the
+    naive walk, DM says whether that difference is STATISTICALLY
+    significant or sampling noise.
+
+    Per series (``series_columns``), the per-step loss differential
+    under squared error is
+
+        d_t = (y_t − ŷ_A,t)² − (y_t − ŷ_B,t)²,
+        ŷ_A = trailing-``window`` mean,  ŷ_B = y_{t−1} (naive)
+
+    on complete cases (full window AND lag present), and the test
+    aggregates over ``group_columns`` (cohorts of series):
+
+        DM = d̄ / √(s²_d / n)   →  two-sided p via the engine kernel
+
+    (the lag-0 variance estimator — the classic DM for one-step
+    forecasts).  d_t < 0 favors the model; reject + negative DM =
+    "the model significantly beats naive".
+
+    Exactness: y quantizes to 10^-scale ints; both errors are exact
+    integer trees (window-scaled for the mean, the mase_eval trick);
+    d_t is one fixed double tree floor-quantized to 10^-d_scale, and
+    n/Σd/Σd² accumulate in DECIMAL — so d̄, DM, and the decision are
+    bit-identical across engines.  One window pass + one
+    map-combinable aggregation.
+
+    Returns (groups…, n, mean_loss_diff, dm_stat, p_value, reject_05).
+    """
+    from timeseriesutils_spark.operators.nonparam import two_sided_p_expr
+
+    g = _as_list(group_columns)
+    w = make_window(_as_list(series_columns), _as_list(order_by))
+    m = float(10**scale)
+    md = float(10**d_scale)
+    q = F.floor(F.col(column) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    d = data.withColumn("_q", q)
+    fr = w.rowsBetween(-window, -1)
+    s = F.sum("_q").over(fr)
+    c = F.count("_q").over(fr)
+    qlag = F.lag("_q", 1).over(w)
+    wd = float(window)
+    ea = (F.lit(window).cast("bigint") * F.col("_q") - s).cast("double") / (
+        F.lit(wd) * F.lit(m)
+    )
+    eb = (F.col("_q") - qlag).cast("double") / F.lit(m)
+    dt = ea * ea - eb * eb
+    dq = F.when(
+        (c == window) & qlag.isNotNull(),
+        F.floor(dt * F.lit(md) + F.lit(0.5)),
+    ).cast("bigint")
+    staged = d.select(*g, dq.alias("_dq"))
+    d19 = F.col("_dq").cast("decimal(19,0)")
+    agg = staged.groupBy(*g).agg(
+        F.count("_dq").alias("n"),
+        F.sum(F.col("_dq").cast("decimal(38,0)")).alias("_sd"),
+        F.sum(d19 * d19).alias("_sdd"),
+    )
+    s2d = lambda col: F.col(col).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+    dbar = s2d("_sd") / nn
+    varq = s2d("_sdd") / nn - dbar * dbar
+    ok = (F.col("n") > 1) & (varq > 0)
+    dm = dbar / F.sqrt(varq / nn)
+    p = two_sided_p_expr(dm)
+    return agg.select(
+        *g,
+        "n",
+        F.when(F.col("n") > 0, dbar / F.lit(md)).alias("mean_loss_diff"),
+        F.when(ok, dm).alias("dm_stat"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def diebold_mariano_sql(
+    table_sql: str,
+    column: str,
+    series_columns,
+    order_by,
+    group_columns,
+    window: int = 7,
+    scale: int = 2,
+    d_scale: int = 3,
+) -> str:
+    """DuckDB twin of :func:`diebold_mariano` (same trees/order)."""
+    from timeseriesutils_spark.operators.nonparam import two_sided_p_sql
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    ssel = ", ".join(_as_list(series_columns))
+    osel = ", ".join(_as_list(order_by))
+    over = f"(PARTITION BY {ssel} ORDER BY {osel})"
+    fr = (
+        f"(PARTITION BY {ssel} ORDER BY {osel} "
+        f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)"
+    )
+    m = float(10**scale)
+    md = float(10**d_scale)
+    qcol = f"CAST(FLOOR({column} * {dlit(m)} + 0.5) AS BIGINT)"
+    ea = (
+        f"(CAST(CAST({window} AS BIGINT) * _q - SUM(_q) OVER {fr} AS DOUBLE)"
+        f" / ({dlit(float(window))} * {dlit(m)}))"
+    )
+    eb = f"(CAST(_q - LAG(_q, 1) OVER {over} AS DOUBLE) / {dlit(m)})"
+    dt = f"({ea} * {ea} - {eb} * {eb})"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+    dbar = f"({s2d('_sd')} / {nn})"
+    varq = f"({s2d('_sdd')} / {nn} - {dbar} * {dbar})"
+    dm = f"({dbar} / SQRT({varq} / {nn}))"
+    p = two_sided_p_sql(dm)
+    ok = f"n > 1 AND {varq} > 0"
+    return f"""
+WITH base AS (
+  SELECT {gsel}, {ssel}, {osel}, {qcol} AS _q FROM ({table_sql})
+), staged AS (
+  SELECT {gsel},
+    CASE WHEN COUNT(_q) OVER {fr} = {window}
+          AND LAG(_q, 1) OVER {over} IS NOT NULL
+         THEN CAST(FLOOR({dt} * {dlit(md)} + 0.5) AS BIGINT) END AS _dq
+  FROM base
+), agg AS (
+  SELECT {gsel}, COUNT(_dq) AS n,
+    SUM(CAST(_dq AS HUGEINT)) AS _sd,
+    SUM(CAST(_dq AS HUGEINT) * CAST(_dq AS HUGEINT)) AS _sdd
+  FROM staged GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  CASE WHEN n > 0 THEN {dbar} / {dlit(md)} END AS mean_loss_diff,
+  CASE WHEN {ok} THEN {dm} END AS dm_stat,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""
+
+
 def mase_eval_sql(
     table_sql: str,
     column: str,

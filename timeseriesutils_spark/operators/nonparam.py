@@ -351,6 +351,180 @@ FROM top
 
 
 # --------------------------------------------------------------------------
+# Mann–Whitney U (Wilcoxon rank-sum)
+# --------------------------------------------------------------------------
+
+
+def mann_whitney(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) test per group:
+    does ``factor_col = level_a`` stochastically dominate ``level_b``?
+    The rank-based welch_ttest — the A/B default when metrics are
+    skewed/heavy-tailed (revenue, latency) and the mean is the wrong
+    summary.  Complements ks_test (any-shape difference) with a
+    DIRECTIONAL location test; the two-level sibling of kruskal_wallis.
+
+        U = R_a − n_a(n_a+1)/2,  μ = n_a n_b/2
+        σ² = (n_a n_b/12)·((N+1) − Σ_t(t³−t)/(N(N−1)))   (tie-corrected)
+        z = (U − μ)/σ,  two-sided p via the engine p-value kernel
+
+    Rank machinery is the kruskal_wallis single chain — counts per
+    (group, level, quantized value), the peers-only RANGE frame for tie
+    blocks, the cumulative RANGE frame for doubled average ranks; rank
+    sums and the tie term accumulate in DECIMAL(38,0), and the z / p
+    tree combines the exact sums in one shared double expression
+    (string-route casts), so decisions are bit-identical across
+    engines.  One scan, no joins, no plan forks.
+
+    Returns (groups…, n_a, n_b, u_stat, z_stat, p_value, reject_05).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    lvl = F.col(factor_col)
+    d = df.filter(
+        F.col(value_col).isNotNull() & lvl.isin([level_a, level_b])
+    ).select(*groups, (lvl == level_a).alias("_ia"), q.alias("_q"))
+    plv = d.groupBy(*groups, "_ia", "_q").agg(F.count(F.lit(1)).alias("_tl"))
+    wpeer = (
+        Window.partitionBy(*groups)
+        .orderBy("_q")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    wcum = Window.partitionBy(*groups).orderBy("_q")
+    ranked = plv.select(
+        *groups,
+        "_ia",
+        "_tl",
+        F.sum("_tl").over(wpeer).alias("_t"),
+        F.sum("_tl").over(wcum).alias("_cum"),
+    ).select(
+        *groups,
+        "_ia",
+        "_tl",
+        "_t",
+        (2 * (F.col("_cum") - F.col("_t")) + F.col("_t") + 1).alias("_r2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.groupBy(*groups).agg(
+        F.sum(F.when(F.col("_ia"), F.col("_tl")).otherwise(F.lit(0))).alias(
+            "n_a"
+        ),
+        F.sum(F.when(~F.col("_ia"), F.col("_tl")).otherwise(F.lit(0))).alias(
+            "n_b"
+        ),
+        F.sum(
+            dec(
+                F.when(F.col("_ia"), F.col("_tl") * F.col("_r2")).otherwise(
+                    F.lit(0)
+                )
+            )
+        ).alias("_R2a"),
+        F.sum(dec(F.col("_tl") * (F.col("_t") * F.col("_t") - 1))).alias(
+            "_tie"
+        ),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    u = (s2d("_R2a") - na * (na + F.lit(1.0))) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    sig2 = (
+        na
+        * nb
+        / F.lit(12.0)
+        * ((nn + F.lit(1.0)) - s2d("_tie") / (nn * (nn - F.lit(1.0))))
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (sig2 > 0)
+    z = (u - mu) / F.sqrt(sig2)
+    p = two_sided_p_expr(z)
+    return agg.select(
+        *groups,
+        "n_a",
+        "n_b",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), u).alias("u_stat"),
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def mann_whitney_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`mann_whitney`."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    na = "CAST(n_a AS DOUBLE)"
+    nb = "CAST(n_b AS DOUBLE)"
+    nn = f"({na} + {nb})"
+    u = f"(({s2d('_R2a')} - {na} * ({na} + 1.0)) / 2.0)"
+    mu = f"({na} * {nb} / 2.0)"
+    sig2 = (
+        f"({na} * {nb} / 12.0 * (({nn} + 1.0)"
+        f" - {s2d('_tie')} / ({nn} * ({nn} - 1.0))))"
+    )
+    z = f"(({u} - {mu}) / SQRT({sig2}))"
+    p = two_sided_p_sql(z)
+    ok = f"n_a > 0 AND n_b > 0 AND {sig2} > 0"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, ({factor_col} = '{level_a}') AS _ia, {qq} AS _q
+  FROM ({data_sql})
+  WHERE {value_col} IS NOT NULL AND {factor_col} IN ('{level_a}', '{level_b}')
+),
+plv AS (
+  SELECT {gsel}, _ia, _q, COUNT(*) AS _tl
+  FROM d GROUP BY {gsel}, _ia, _q
+),
+ranked AS (
+  SELECT {gsel}, _ia, _tl,
+    CAST(SUM(_tl) OVER (PARTITION BY {gsel} ORDER BY _q
+      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS _t,
+    2 * (CAST(SUM(_tl) OVER (PARTITION BY {gsel} ORDER BY _q) AS BIGINT)
+      - CAST(SUM(_tl) OVER (PARTITION BY {gsel} ORDER BY _q
+          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT))
+      + CAST(SUM(_tl) OVER (PARTITION BY {gsel} ORDER BY _q
+          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) + 1 AS _r2
+  FROM plv
+),
+agg AS (
+  SELECT {gsel},
+    CAST(SUM(CASE WHEN _ia THEN _tl ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN _ia THEN 0 ELSE _tl END) AS BIGINT) AS n_b,
+    SUM(CAST(CASE WHEN _ia THEN _tl * _r2 ELSE 0 END AS DECIMAL(38,0))) AS _R2a,
+    SUM(CAST(_tl * (_t * _t - 1) AS DECIMAL(38,0))) AS _tie
+  FROM ranked GROUP BY {gsel}
+)
+SELECT {gsel}, n_a, n_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN {u} END AS u_stat,
+  CASE WHEN {ok} THEN {z} END AS z_stat,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Spearman rank correlation
 # --------------------------------------------------------------------------
 

@@ -40,6 +40,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.operators.nonparam import (
+    two_sided_p_expr,
+    two_sided_p_sql,
+)
+from timeseriesutils_spark.operators.window_features import _as_list
+
 _NEG_INF_Q = -(10**15)  # ln-term sentinel when survival reaches exactly 0
 
 
@@ -210,6 +216,359 @@ FROM (SELECT user_id, MIN(epoch_us(ts)) AS _first_us,
         MIN(CASE WHEN event_type = '{convert_type}' THEN epoch_us(ts) END) AS _buy_us
       FROM {events_table} GROUP BY user_id) u
 JOIN {dim_table} c ON u.user_id = c.c_custkey
+"""
+
+
+def logrank_test(
+    subjects: DataFrame,
+    arm_col: str,
+    level_a: str,
+    level_b: str,
+    duration_col: str,
+    event_col: str,
+    group_columns,
+) -> DataFrame:
+    """Two-group log-rank test per group/stratum: do the survival
+    curves of ``arm_col = level_a`` vs ``level_b`` differ?  THE
+    inferential companion of :func:`kaplan_meier` — KM draws the
+    curves, log-rank says whether the gap is signal (churn A/B tests,
+    treatment-vs-control time-to-event).
+
+    At each distinct event time t (pooled arms): with d_t total events,
+    d1_t in arm A, n_t at risk, n1_t at risk in arm A,
+
+        E1 = Σ d_t·n1_t/n_t
+        V  = Σ d_t·(n1_t/n_t)·(1−n1_t/n_t)·(n_t−d_t)/(n_t−1)
+        χ² = (O1 − E1)²/V,   O1 = Σ d1_t
+
+    p-value via the engine p-value kernel on √χ² (χ²₁ tail ≡ two-sided
+    normal tail).  One per-(group, time) aggregation + the KM risk-set
+    countdown windows (run twice in the same partition: pooled and
+    arm-A) — one scan, no joins, no plan forks.  Per-time E/V
+    increments are floor-quantized to 10⁻⁹ and DECIMAL-accumulated, so
+    the decision is bit-identical across engines.
+
+    Returns (groups…, n_a, n_b, observed_a, expected_a, chi2, p_value,
+    reject_05).
+    """
+    g = _as_list(group_columns)
+    died = F.col(event_col).cast("bigint")
+    ia = (F.col(arm_col) == F.lit(level_a)).cast("bigint")
+    d = subjects.filter(
+        F.col(arm_col).isin([level_a, level_b])
+    ).select(
+        *g,
+        F.col(duration_col).alias("_t"),
+        (died * ia).alias("_e1"),
+        ((F.lit(1) - died) * ia).alias("_x1"),
+        died.alias("_e"),
+        (F.lit(1) - died).alias("_x"),
+    )
+    agg = d.groupBy(*g, "_t").agg(
+        F.sum("_e1").alias("_d1"),
+        F.sum("_x1").alias("_c1"),
+        F.sum("_e").alias("_d"),
+        F.sum("_x").alias("_c"),
+    )
+    w_cum = (
+        Window.partitionBy(*g)
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*g)
+    r = agg.select(
+        *g,
+        "_t",
+        "_d1",
+        "_d",
+        F.sum(F.col("_d") + F.col("_c")).over(w_all).alias("_ntot"),
+        F.sum(F.col("_d1") + F.col("_c1")).over(w_all).alias("_natot"),
+        (
+            F.sum(F.col("_d") + F.col("_c")).over(w_all)
+            - F.sum(F.col("_d") + F.col("_c")).over(w_cum)
+            + F.col("_d")
+            + F.col("_c")
+        ).alias("_n"),
+        (
+            F.sum(F.col("_d1") + F.col("_c1")).over(w_all)
+            - F.sum(F.col("_d1") + F.col("_c1")).over(w_cum)
+            + F.col("_d1")
+            + F.col("_c1")
+        ).alias("_n1"),
+    ).filter(F.col("_d") > 0)
+    dd = F.col("_d").cast("double")
+    nd = F.col("_n").cast("double")
+    n1d = F.col("_n1").cast("double")
+    frac = n1d / nd
+    e1 = dd * frac
+    v = F.when(
+        F.col("_n") > 1,
+        dd * frac * (F.lit(1.0) - frac) * ((nd - dd) / (nd - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    qi = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    top = r.groupBy(*g).agg(
+        F.max("_natot").alias("n_a"),
+        (F.max("_ntot") - F.max("_natot")).alias("n_b"),
+        F.sum("_d1").alias("observed_a"),
+        F.sum(qi(e1)).alias("_se1"),
+        F.sum(qi(v)).alias("_sv"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    e1d = s2d("_se1") / F.lit(1e9)
+    vd = s2d("_sv") / F.lit(1e9)
+    diff = F.col("observed_a").cast("double") - e1d
+    chi2 = diff * diff / vd
+    ok = vd > 0
+    p = two_sided_p_expr(F.sqrt(chi2))
+    return top.select(
+        *g,
+        "n_a",
+        "n_b",
+        "observed_a",
+        e1d.alias("expected_a"),
+        F.when(ok, chi2).alias("chi2"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def logrank_test_sql(
+    subjects_sql: str,
+    arm_col: str,
+    level_a: str,
+    level_b: str,
+    duration_col: str,
+    event_col: str,
+    group_columns,
+) -> str:
+    """DuckDB twin of :func:`logrank_test`."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    win_cum = (
+        f"PARTITION BY {gsel} ORDER BY _t "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    win_all = f"PARTITION BY {gsel}"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    frac = "(CAST(_n1 AS DOUBLE) / CAST(_n AS DOUBLE))"
+    e1 = f"(CAST(_d AS DOUBLE) * {frac})"
+    v = (
+        f"CASE WHEN _n > 1 THEN CAST(_d AS DOUBLE) * {frac} * (1.0 - {frac})"
+        f" * ((CAST(_n AS DOUBLE) - CAST(_d AS DOUBLE))"
+        f" / (CAST(_n AS DOUBLE) - 1.0)) ELSE 0.0 END"
+    )
+    qi = lambda x: (  # noqa: E731
+        f"CAST(FLOOR(({x}) * 1e9 + 0.5) AS DECIMAL(38,0))"
+    )
+    e1d = f"({s2d('_se1')} / 1e9)"
+    vd = f"({s2d('_sv')} / 1e9)"
+    diff = f"(CAST(observed_a AS DOUBLE) - {e1d})"
+    chi2 = f"({diff} * {diff} / {vd})"
+    p = two_sided_p_sql(f"SQRT({chi2})")
+    return f"""
+WITH subj AS ({subjects_sql}),
+d AS (
+  SELECT {gsel}, {duration_col} AS _t,
+    CAST({event_col} AS BIGINT)
+      * CAST({arm_col} = '{level_a}' AS BIGINT) AS _e1,
+    (1 - CAST({event_col} AS BIGINT))
+      * CAST({arm_col} = '{level_a}' AS BIGINT) AS _x1,
+    CAST({event_col} AS BIGINT) AS _e,
+    1 - CAST({event_col} AS BIGINT) AS _x
+  FROM subj WHERE {arm_col} IN ('{level_a}', '{level_b}')
+),
+agg AS (
+  SELECT {gsel}, _t,
+    CAST(SUM(_e1) AS BIGINT) AS _d1, CAST(SUM(_x1) AS BIGINT) AS _c1,
+    CAST(SUM(_e) AS BIGINT) AS _d, CAST(SUM(_x) AS BIGINT) AS _c
+  FROM d GROUP BY {gsel}, _t
+),
+r AS (
+  SELECT {gsel}, _t, _d1, _d,
+    CAST(SUM(_d + _c) OVER ({win_all}) AS BIGINT) AS _ntot,
+    CAST(SUM(_d1 + _c1) OVER ({win_all}) AS BIGINT) AS _natot,
+    CAST(SUM(_d + _c) OVER ({win_all}) AS BIGINT)
+      - CAST(SUM(_d + _c) OVER ({win_cum}) AS BIGINT) + _d + _c AS _n,
+    CAST(SUM(_d1 + _c1) OVER ({win_all}) AS BIGINT)
+      - CAST(SUM(_d1 + _c1) OVER ({win_cum}) AS BIGINT) + _d1 + _c1 AS _n1
+  FROM agg
+),
+s AS (SELECT * FROM r WHERE _d > 0),
+top AS (
+  SELECT {gsel}, MAX(_natot) AS n_a, MAX(_ntot) - MAX(_natot) AS n_b,
+    CAST(SUM(_d1) AS BIGINT) AS observed_a,
+    SUM({qi(e1)}) AS _se1,
+    SUM({qi(v)}) AS _sv
+  FROM s GROUP BY {gsel}
+)
+SELECT {gsel}, n_a, n_b, observed_a,
+  {e1d} AS expected_a,
+  CASE WHEN {vd} > 0 THEN {chi2} END AS chi2,
+  CASE WHEN {vd} > 0 THEN {p} END AS p_value,
+  CASE WHEN {vd} > 0 THEN {p} < 0.05 END AS reject_05
+FROM top
+"""
+
+
+def cumulative_incidence(
+    subjects: DataFrame,
+    cause_col: str,
+    duration_col: str,
+    group_columns,
+    out_scale: int = 6,
+) -> DataFrame:
+    """Aalen–Johansen cumulative incidence under competing risks — the
+    estimator naive "1 − KM of cause 1" gets WRONG when a competing
+    event removes subjects (conversion vs churn, failure mode A vs B,
+    death vs discharge).  ``cause_col`` codes each subject's terminal
+    state: 0 = right-censored, 1 = the cause of interest, anything
+    else = a competing event.
+
+        CIF₁(t) = Σ_{u ≤ t} S(u⁻) · d₁ᵤ/nᵤ
+
+    with S the ALL-cause KM curve.  Same single-chain frame as
+    :func:`kaplan_meier`: one (group, time) aggregation, the risk-set
+    countdown window, the ln-quantized exclusive-prefix KM product for
+    S(u⁻), and per-time increments floor-quantized to 10⁻⁹ before the
+    exact-integer cumulative SUM — bit-identical across engines.
+    Curve rows step only at cause-1 event times (competing-event and
+    censoring times fold into the risk set silently, the standard AJ
+    presentation).
+
+    Returns (groups…, duration, n_risk, n_cause, n_competing,
+    n_censored, cuminc).
+    """
+    g = _as_list(group_columns)
+    cause = F.col(cause_col).cast("bigint")
+    agg = subjects.groupBy(*g, duration_col).agg(
+        F.sum((cause == 1).cast("bigint")).alias("_d1"),
+        F.sum(((cause != 0) & (cause != 1)).cast("bigint")).alias("_d2"),
+        F.sum((cause == 0).cast("bigint")).alias("_c"),
+    )
+    w_cum = (
+        Window.partitionBy(*g)
+        .orderBy(duration_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_excl = (
+        Window.partitionBy(*g)
+        .orderBy(duration_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*g)
+    leave = F.col("_d1") + F.col("_d2") + F.col("_c")
+    r = agg.withColumn(
+        "n_risk",
+        F.sum(leave).over(w_all) - F.sum(leave).over(w_cum) + leave,
+    )
+    dall = F.col("_d1") + F.col("_d2")
+    # all-cause KM ln term, quantized (the kaplan_meier discipline)
+    term_q = F.when(
+        dall == 0, F.lit(0)
+    ).when(
+        F.col("n_risk") > dall,
+        F.floor(
+            F.log((F.col("n_risk") - dall) / F.col("n_risk").cast("double"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(_NEG_INF_Q))
+    r = r.withColumn("_lq", term_q)
+    # S(t−): exp of the EXCLUSIVE prefix of quantized ln terms
+    s_prev = F.exp(
+        F.coalesce(F.sum("_lq").over(w_excl), F.lit(0)).cast("double")
+        / F.lit(1e9)
+    )
+    inc_q = F.floor(
+        s_prev
+        * (F.col("_d1").cast("double") / F.col("n_risk").cast("double"))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    r = r.withColumn("_iq", inc_q).withColumn(
+        "_ciq", F.sum("_iq").over(w_cum)
+    )
+    mult = float(10**out_scale)
+    return r.filter(F.col("_d1") > 0).select(
+        *g,
+        F.col(duration_col),
+        F.col("n_risk"),
+        F.col("_d1").alias("n_cause"),
+        F.col("_d2").alias("n_competing"),
+        F.col("_c").alias("n_censored"),
+        (
+            F.floor(
+                F.col("_ciq").cast("double") / F.lit(1e9) * F.lit(mult)
+                + F.lit(0.5)
+            )
+            / F.lit(mult)
+        ).alias("cuminc"),
+    )
+
+
+def cumulative_incidence_sql(
+    subjects_sql: str,
+    cause_col: str,
+    duration_col: str,
+    group_columns,
+    out_scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cumulative_incidence`."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    mult = 10**out_scale
+    win_cum = (
+        f"PARTITION BY {gsel} ORDER BY {duration_col} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    win_excl = (
+        f"PARTITION BY {gsel} ORDER BY {duration_col} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    )
+    win_all = f"PARTITION BY {gsel}"
+    return f"""
+WITH subj AS ({subjects_sql}),
+agg AS (
+  SELECT {gsel}, {duration_col},
+    CAST(SUM(CASE WHEN CAST({cause_col} AS BIGINT) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS _d1,
+    CAST(SUM(CASE WHEN CAST({cause_col} AS BIGINT) NOT IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS _d2,
+    CAST(SUM(CASE WHEN CAST({cause_col} AS BIGINT) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS _c
+  FROM subj GROUP BY {gsel}, {duration_col}
+),
+r AS (
+  SELECT *,
+    CAST(SUM(_d1 + _d2 + _c) OVER ({win_all}) AS BIGINT)
+      - CAST(SUM(_d1 + _d2 + _c) OVER ({win_cum}) AS BIGINT)
+      + _d1 + _d2 + _c AS n_risk
+  FROM agg
+),
+t AS (
+  SELECT *,
+    CASE WHEN _d1 + _d2 = 0 THEN 0
+      WHEN n_risk > _d1 + _d2
+      THEN CAST(FLOOR(ln((n_risk - (_d1 + _d2)) / CAST(n_risk AS DOUBLE))
+           * 1e9 + 0.5) AS BIGINT)
+      ELSE CAST({_NEG_INF_Q} AS BIGINT) END AS _lq
+  FROM r
+),
+s AS (
+  SELECT *,
+    CAST(FLOOR(exp(CAST(COALESCE(CAST(SUM(_lq) OVER ({win_excl}) AS BIGINT), 0)
+          AS DOUBLE) / 1e9)
+      * (CAST(_d1 AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e9 + 0.5)
+      AS BIGINT) AS _iq
+  FROM t
+),
+c AS (SELECT *, CAST(SUM(_iq) OVER ({win_cum}) AS BIGINT) AS _ciq FROM s)
+SELECT {gsel}, {duration_col}, n_risk, _d1 AS n_cause, _d2 AS n_competing,
+  _c AS n_censored,
+  FLOOR(CAST(_ciq AS DOUBLE) / 1e9 * {dlit(float(mult))} + 0.5)
+    / {dlit(float(mult))} AS cuminc
+FROM c WHERE _d1 > 0
 """
 
 

@@ -126,12 +126,14 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "cohort_retention", "column_profile", "compaction_plan",
     "constraint_audit", "containment_dedup", "corpus_jsd", "corpus_stats",
     "corr_matrix",
-    "counter_rate", "croston_demand", "cusum_drift", "decompose_robust",
+    "counter_rate", "croston_demand", "cumulative_incidence", "cusum_drift",
+    "decompose_robust",
     "decompose_series", "decontaminate_pairs", "dedup_apply",
     "dedup_components", "dedup_debounce", "dedup_embedding",
     "dedup_embedding_lsh", "dedup_exact", "dedup_keep_first",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_threshold_curve",
-    "diff_pct", "dirichlet_lm_search", "doc_fingerprint", "domain_caps",
+    "diebold_mariano", "diff_pct", "dirichlet_lm_search", "doc_fingerprint",
+    "domain_caps",
     "domfreq", "domfreq_fft", "dtw_pattern", "dup_cluster_sizes",
     "dup_rate_by_source", "dup_spans", "embedding_centroids",
     "embedding_drift", "event_transitions", "ew_volatility", "ewma",
@@ -149,8 +151,9 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "kmeans", "knn_bruteforce", "knn_ivf", "knn_lsh", "knn_recall_curve",
     "kruskal_wallis", "ks_test",
     "lag", "lang_id", "langid_confusion", "latency_bands", "lead_lag_corr",
-    "length_histogram", "local_peaks", "mahalanobis_outliers",
-    "mann_kendall", "mase_eval", "media_features", "merge_intervals",
+    "length_histogram", "local_peaks", "logrank_test", "mahalanobis_outliers",
+    "mann_kendall", "mann_whitney", "mase_eval", "media_features",
+    "merge_intervals",
     "merge_upsert", "minhash_estimate_audit", "mixture_resample",
     "multimodal_meta", "nelson_aalen", "novelty_scores", "nowcast_triangle",
     "ohlc_bars", "pagerank", "pca_power", "pca_project", "peak_concurrency",
@@ -177,7 +180,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "theilsen_trend", "time_rollup", "time_weighted_avg", "top_ngrams",
     "top_paths", "topk_per_group", "train_test_arrays", "triangle_count",
     "unigram_logprob", "unpivot_long", "value_entropy", "variant_json",
-    "weighted_median", "welch_ttest", "wilson_daily", "window_rank",
+    "weighted_median", "welch_ttest", "wilson_daily", "window_rank", "wis_eval",
     "winsorize", "zipf_fit", "zorder_key",
 ))
 

@@ -301,6 +301,160 @@ def _sql_kaplan_meier():
 QUERIES.update({"kaplan_meier": Q(q_kaplan_meier, _sql_kaplan_meier())})
 
 
+def _lifetime_subjects(spark, sf_dir):
+    """Per-user conversion lifetimes with BOTH an arm (market segment)
+    and a stratum (nation bucket) — the two-factor variant of
+    operators/survival.conversion_lifetimes feeding the inferential
+    survival queries (logrank_test)."""
+    from timeseriesutils_spark.sources.tables import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events")
+    customer = _lt(spark, sf_dir, "customer")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_first_us"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.unix_micros(F.col("ts").cast("timestamp")),
+            )
+        ).alias("_buy_us"),
+    )
+    hours = F.expr("(_buy_us - _first_us) div 3600000000")
+    died = F.when(hours < F.lit(72), F.lit(1)).otherwise(F.lit(0))
+    return per_user.join(
+        F.broadcast(customer), F.col("user_id") == F.col("c_custkey")
+    ).select(
+        (F.col("c_nationkey") % 5).alias("region_bucket"),
+        F.col("c_mktsegment").alias("arm"),
+        F.least(F.coalesce(hours, F.lit(72)), F.lit(72))
+        .cast("bigint")
+        .alias("t_hour"),
+        F.coalesce(died, F.lit(0)).cast("int").alias("died"),
+    )
+
+
+_SQL_LIFETIME_SUBJECTS = """
+SELECT c.c_nationkey % 5 AS region_bucket, c.c_mktsegment AS arm,
+  CAST(LEAST(COALESCE((u._buy_us - u._first_us) // 3600000000, 72), 72)
+       AS BIGINT) AS t_hour,
+  COALESCE(CASE WHEN (u._buy_us - u._first_us) // 3600000000 < 72
+                THEN 1 ELSE 0 END, 0) AS died
+FROM (SELECT user_id, MIN(epoch_us(ts)) AS _first_us,
+        MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS _buy_us
+      FROM events GROUP BY user_id) u
+JOIN customer c ON u.user_id = c.c_custkey
+"""
+
+
+def q_logrank_test(spark, sf_dir):
+    """Log-rank test per nation bucket: do BUILDING and MACHINERY
+    customers convert at different rates over the 72-hour follow-up?
+    (operators/survival.logrank_test) — the inferential companion of
+    the kaplan_meier query on the same lifetimes: O−E accumulation over
+    pooled event times, tie-corrected hypergeometric variance, χ²₁
+    p-value via the engine p-value kernel."""
+    from timeseriesutils_spark.operators.survival import logrank_test
+
+    return logrank_test(
+        _lifetime_subjects(spark, sf_dir),
+        "arm", "BUILDING", "MACHINERY", "t_hour", "died",
+        ["region_bucket"],
+    )
+
+
+def _sql_logrank_test():
+    from timeseriesutils_spark.operators.survival import logrank_test_sql
+
+    return logrank_test_sql(
+        _SQL_LIFETIME_SUBJECTS,
+        "arm", "BUILDING", "MACHINERY", "t_hour", "died",
+        ["region_bucket"],
+    )
+
+
+QUERIES.update({"logrank_test": Q(q_logrank_test, _sql_logrank_test())})
+
+
+def q_cumulative_incidence(spark, sf_dir):
+    """Aalen–Johansen cumulative incidence of conversion under the
+    competing risk of an error event (operators/survival.
+    cumulative_incidence): per market segment, each user's first
+    terminal event within 72 h is either a purchase (cause 1) or an
+    error (cause 2, the abandonment proxy); naive 1−KM overstates
+    conversion because errored users can never convert — AJ weights
+    each conversion increment by the all-cause survival S(t⁻)."""
+    from timeseriesutils_spark.operators.survival import cumulative_incidence
+    from timeseriesutils_spark.sources.tables import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events")
+    customer = _lt(spark, sf_dir, "customer")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    per_user = events.groupBy("user_id").agg(
+        F.min(us("ts")).alias("_first_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us("ts"))).alias(
+            "_buy_us"
+        ),
+        F.min(F.when(F.col("event_type") == "error", us("ts"))).alias(
+            "_err_us"
+        ),
+    )
+    buy_h = F.expr("(_buy_us - _first_us) div 3600000000")
+    err_h = F.expr("(_err_us - _first_us) div 3600000000")
+    cause = (
+        F.when(
+            buy_h.isNotNull()
+            & (buy_h < F.lit(72))
+            & (err_h.isNull() | (buy_h <= err_h)),
+            F.lit(1),
+        )
+        .when(err_h.isNotNull() & (err_h < F.lit(72)), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    subj = per_user.join(
+        F.broadcast(customer), F.col("user_id") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        cause.alias("cause"),
+        F.when(cause == 1, buy_h)
+        .when(cause == 2, err_h)
+        .otherwise(F.lit(72))
+        .cast("bigint")
+        .alias("t_hour"),
+    )
+    return cumulative_incidence(subj, "cause", "t_hour", ["segment"])
+
+
+def _sql_cumulative_incidence():
+    from timeseriesutils_spark.operators.survival import (
+        cumulative_incidence_sql,
+    )
+
+    buy_h = "((u._buy_us - u._first_us) // 3600000000)"
+    err_h = "((u._err_us - u._first_us) // 3600000000)"
+    cause = f"""CASE
+      WHEN {buy_h} IS NOT NULL AND {buy_h} < 72
+           AND ({err_h} IS NULL OR {buy_h} <= {err_h}) THEN 1
+      WHEN {err_h} IS NOT NULL AND {err_h} < 72 THEN 2
+      ELSE 0 END"""
+    subj = f"""
+SELECT c.c_mktsegment AS segment, {cause} AS cause,
+  CAST(CASE WHEN ({cause}) = 1 THEN {buy_h}
+            WHEN ({cause}) = 2 THEN {err_h}
+            ELSE 72 END AS BIGINT) AS t_hour
+FROM (SELECT user_id, MIN(epoch_us(ts)) AS _first_us,
+        MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS _buy_us,
+        MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS _err_us
+      FROM events GROUP BY user_id) u
+JOIN customer c ON u.user_id = c.c_custkey
+"""
+    return cumulative_incidence_sql(subj, "cause", "t_hour", ["segment"])
+
+
+QUERIES.update(
+    {"cumulative_incidence": Q(q_cumulative_incidence, _sql_cumulative_incidence())}
+)
+
+
 def q_item_cooccur(spark, sf_dir):
     """Item-item basket co-occurrence similarity
     (operators/cooccur.item_cooccur): top-5 'also bought' neighbors per

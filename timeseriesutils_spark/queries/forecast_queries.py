@@ -1183,6 +1183,86 @@ FROM (
 QUERIES.update({"pinball_eval": Q(q_pinball_eval, _sql_pinball_eval())})
 
 
+def q_wis_eval(spark, sf_dir):
+    """Weighted interval score (operators/epi.wis_scores): the
+    forecast-hub summary metric with its dispersion / overprediction /
+    underprediction decomposition, scored on the same
+    trailing-28-observation empirical-quantile forecaster as
+    pinball_eval (median f50, central 80 % interval [f10, f90] — miss
+    level α=0.2) over the per-supplier daily price series, aggregated
+    per supplier cohort.  Same two-window + one-aggregation plan shape
+    as pinball_eval; the decomposition identity wis = disp + over +
+    under holds exactly by construction (three quantized DECIMAL
+    sums)."""
+    from timeseriesutils_spark.operators.epi import wis_scores
+    from timeseriesutils_spark.operators.series_math import _lerp_sorted
+    from timeseriesutils_spark.queries.series_queries import _daily
+    from pyspark.sql import Window
+
+    d = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("ship_day")
+        .rowsBetween(-_PB_W, -1)
+    )
+    arr = F.sort_array(F.collect_list("day_price").over(w))
+    fc = (
+        d.select(
+            (F.col("l_suppkey") % 10).alias("cohort"),
+            F.col("day_price"),
+            arr.alias("_arr"),
+        )
+        .filter(F.size("_arr") == _PB_W)
+        .select(
+            "cohort",
+            "day_price",
+            *[
+                _lerp_sorted(F.col("_arr"), q).alias(f"f{int(q * 100):02d}")
+                for q in _PB_QS
+            ],
+        )
+    )
+    return wis_scores(
+        fc,
+        "day_price",
+        "f50",
+        {0.2: ("f10", "f90")},
+        ["cohort"],
+    )
+
+
+def _sql_wis_eval():
+    from timeseriesutils_spark.operators.epi import wis_scores_sql
+    from timeseriesutils_spark.operators.series_math import _lerp_sorted_sql
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    over = (
+        "(PARTITION BY l_suppkey ORDER BY ship_day "
+        f"ROWS BETWEEN {_PB_W} PRECEDING AND 1 PRECEDING)"
+    )
+    qcols = ", ".join(
+        f"{_lerp_sorted_sql('_arr', q)} AS f{int(q * 100):02d}" for q in _PB_QS
+    )
+    fc = f"""
+SELECT cohort, day_price, {qcols}
+FROM (
+  SELECT l_suppkey % 10 AS cohort, day_price,
+    list_sort(list(day_price) OVER {over}) AS _arr
+  FROM ({_SQL_DAILY})
+) WHERE len(_arr) = {_PB_W}
+"""
+    return wis_scores_sql(
+        fc,
+        "day_price",
+        "f50",
+        {0.2: ("f10", "f90")},
+        ["cohort"],
+    )
+
+
+QUERIES.update({"wis_eval": Q(q_wis_eval, _sql_wis_eval())})
+
+
 def q_theilsen(spark, sf_dir):
     """Theil–Sen robust trend of weekly order volume per priority class
     (operators/regression.theilsen_slope): median of all pairwise slopes
@@ -1471,6 +1551,38 @@ def _sql_mase_eval():
 QUERIES.update({"mase_eval": Q(q_mase_eval, _sql_mase_eval())})
 
 
+def q_diebold_mariano(spark, sf_dir):
+    """Diebold–Mariano equal-accuracy test per supplier cohort
+    (operators/forecast.diebold_mariano): mase_eval says the
+    trailing-7-mean forecast errs less than the naive walk — this says
+    whether the squared-error gap is SIGNIFICANT.  Per-supplier loss
+    differentials, cohort-level DM statistic, engine-kernel p-value."""
+    from timeseriesutils_spark.operators.forecast import diebold_mariano
+
+    d = _li(spark, sf_dir).withColumn(
+        "cohort", F.col("l_suppkey") % 10
+    )
+    return diebold_mariano(
+        d, "l_extendedprice", ["l_suppkey"], LI_ORDER, ["cohort"],
+        window=7, scale=2,
+    )
+
+
+def _sql_diebold_mariano():
+    from timeseriesutils_spark.operators.forecast import diebold_mariano_sql
+
+    return diebold_mariano_sql(
+        "SELECT *, l_suppkey % 10 AS cohort FROM lineitem",
+        "l_extendedprice", ["l_suppkey"], LI_ORDER_SQL.split(", "),
+        ["cohort"], window=7, scale=2,
+    )
+
+
+QUERIES.update(
+    {"diebold_mariano": Q(q_diebold_mariano, _sql_diebold_mariano())}
+)
+
+
 from timeseriesutils_spark.functions.exact import dsum_sql as _dsum_sql
 
 _SQL_DAILY_PQ = f"""
@@ -1683,6 +1795,44 @@ def _sql_kruskal_wallis():
 
 
 QUERIES.update({"kruskal_wallis": Q(q_kruskal_wallis, _sql_kruskal_wallis())})
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Mann–Whitney U per order year: do URGENT orders run larger
+    totals than LOW-priority ones?  (operators/nonparam.mann_whitney)
+    — the DIRECTIONAL two-sample rank test: welch_ttest's
+    skew/outlier-immune sibling, ks_test's located cousin.  Count-based
+    tie-corrected ranks, z via the engine p-value kernel."""
+    from timeseriesutils_spark.operators.nonparam import mann_whitney
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.year(F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("order_year"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return mann_whitney(
+        d, "o_totalprice", "o_orderpriority",
+        "1-URGENT", "5-LOW", ["order_year"],
+    )
+
+
+def _sql_mann_whitney():
+    from timeseriesutils_spark.operators.nonparam import mann_whitney_sql
+
+    d = (
+        "SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT)"
+        " AS order_year, o_orderpriority, o_totalprice FROM orders"
+    )
+    return mann_whitney_sql(
+        d, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW",
+        ["order_year"],
+    )
+
+
+QUERIES.update({"mann_whitney": Q(q_mann_whitney, _sql_mann_whitney())})
 
 
 def q_spearman_corr(spark, sf_dir):
