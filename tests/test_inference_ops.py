@@ -255,3 +255,178 @@ def test_dm_complete_case_count(spark):
         _dm_df(spark, ys), "y", ["s"], ["i"], ["g"], window=7
     ).first()
     assert out.n == 25 - 7
+
+
+# --- runs test ------------------------------------------------------------
+
+
+def _series_df(spark, ys):
+    from pyspark.sql import Row
+
+    rows = [("g", i, float(y)) for i, y in enumerate(ys)]
+    return spark.createDataFrame(rows, "g string, i long, y double")
+
+
+def test_runs_alternating_rejects_high(spark):
+    from timeseriesutils_spark.operators.nonparam import runs_test
+
+    ys = [0.0, 10.0] * 20
+    out = runs_test(_series_df(spark, ys), "y", ["g"], ["i"]).first()
+    assert out.n_runs == 40  # every step flips side
+    assert out.z_stat > 0 and out.reject_05 is True
+
+
+def test_runs_monotone_rejects_low(spark):
+    from timeseriesutils_spark.operators.nonparam import runs_test
+
+    ys = list(range(40))
+    out = runs_test(_series_df(spark, ys), "y", ["g"], ["i"]).first()
+    assert out.n_runs == 2  # below-mean block then above-mean block
+    assert out.z_stat < 0 and out.reject_05 is True
+
+
+def test_runs_constant_degenerate(spark):
+    from timeseriesutils_spark.operators.nonparam import runs_test
+
+    out = runs_test(_series_df(spark, [5.0] * 20), "y", ["g"], ["i"]).first()
+    assert out.n_above == 0  # q*n == sum exactly -> "not above"
+    assert out.z_stat is None and out.p_value is None
+
+
+def test_runs_known_moments(spark):
+    from timeseriesutils_spark.operators.nonparam import runs_test
+
+    # n1 = n2 = 3, R = 2: mu = 1 + 2*9/6 = 4, sig2 = 18*(18-6)/(36*5) = 1.2
+    ys = [0, 0, 0, 10, 10, 10]
+    out = runs_test(_series_df(spark, ys), "y", ["g"], ["i"]).first()
+    assert out.n_runs == 2 and out.n_above == 3
+    assert out.z_stat == pytest.approx((2 - 4.0) / math.sqrt(1.2))
+
+
+# --- theta forecast -------------------------------------------------------
+
+
+def _theta_mirror(ys, alpha=0.5, w=28, horizons=(1, 7, 28), m=100.0):
+    from timeseriesutils_spark.operators.forecast import theta_weights
+
+    ws, W, S1 = theta_weights(alpha, w)
+    q = [math.floor(y * m + 0.5) for y in ys]
+    n = len(q)
+    sy = float(sum(q))
+    sty = float(sum((i + 1) * v for i, v in enumerate(q)))
+    nd = float(n)
+    st = nd * (nd + 1.0) / 2.0
+    sxx = nd * (nd + 1.0) * (2.0 * nd + 1.0) / 6.0
+    b = (nd * sty - st * sy) / (nd * sxx - st * st)
+    a = (sy - b * st) / nd
+    ses = None
+    if n >= w:
+        ses = 0.0
+        for j, wt in enumerate(ws):
+            ses = ses + wt * q[n - 1 - j]
+    if ses is None:
+        return a / m, b / m, None, {}
+    lvl2 = 2.0 * ses - a * W - b * (nd * W - S1)
+    fcs = {
+        h: ((a + b * (nd + float(h))) + lvl2) * 0.5 / m for h in horizons
+    }
+    return a / m, b / m, lvl2 / m, fcs
+
+
+def test_theta_constant_series(spark):
+    from timeseriesutils_spark.operators.forecast import theta_forecast
+
+    out = theta_forecast(
+        _series_df(spark, [7.0] * 40), "y", ["g"], ["i"],
+        window_size=28, horizons=(1, 7),
+    ).first()
+    assert out.intercept == pytest.approx(7.0, abs=1e-6)
+    assert out.slope == pytest.approx(0.0, abs=1e-9)
+    # truncation residual (1-alpha)^28 ~ 3.7e-9
+    assert out.fc_1 == pytest.approx(7.0, abs=1e-5)
+    assert out.fc_7 == pytest.approx(7.0, abs=1e-5)
+
+
+def test_theta_matches_mirror(spark):
+    from timeseriesutils_spark.operators.forecast import theta_forecast
+
+    ys = [10.0 + 0.5 * i + 3.0 * ((i * 7) % 5) for i in range(45)]
+    out = theta_forecast(
+        _series_df(spark, ys), "y", ["g"], ["i"],
+        window_size=28, horizons=(1, 7, 28),
+    ).first()
+    a, b, lvl2, fcs = _theta_mirror(ys)
+    assert out.intercept == pytest.approx(a, rel=1e-12)
+    assert out.slope == pytest.approx(b, rel=1e-12)
+    assert out.theta_level == pytest.approx(lvl2, rel=1e-12)
+    for h in (1, 7, 28):
+        assert getattr(out, f"fc_{h}") == pytest.approx(fcs[h], rel=1e-12)
+
+
+def test_theta_short_group_null_forecast(spark):
+    from timeseriesutils_spark.operators.forecast import theta_forecast
+
+    out = theta_forecast(
+        _series_df(spark, [1.0, 2.0, 3.0]), "y", ["g"], ["i"],
+        window_size=28, horizons=(1,),
+    ).first()
+    assert out.n == 3
+    assert out.slope == pytest.approx(1.0, abs=1e-9)
+    assert out.fc_1 is None  # truncated filter needs a full window
+
+
+# --- DSIR -----------------------------------------------------------------
+
+
+def _dsir_docs(spark):
+    target = [
+        (i, "alpha beta gamma alpha beta", True) for i in range(10)
+    ]
+    pool_like = [
+        (100 + i, "alpha beta gamma delta", False) for i in range(5)
+    ]
+    pool_unlike = [
+        (200 + i, "zzz qqq www rrr xxx yyy", False) for i in range(5)
+    ]
+    return spark.createDataFrame(
+        target + pool_like + pool_unlike,
+        "doc_id long, text string, is_t boolean",
+    )
+
+
+def test_dsir_target_like_scores_higher(spark):
+    from timeseriesutils_spark.operators.text import dsir_weights
+
+    out = dsir_weights(
+        _dsir_docs(spark), "is_t", buckets=256, top_k=5
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    like = [by_id[100 + i].log_weight for i in range(5)]
+    unlike = [by_id[200 + i].log_weight for i in range(5)]
+    assert min(like) > max(unlike)
+    # the 5 target-like pool docs win all 5 slots
+    sel = {r.doc_id for r in out if r.selected}
+    assert sel == {100 + i for i in range(5)}
+
+
+def test_dsir_targets_never_selected(spark):
+    from timeseriesutils_spark.operators.text import dsir_weights
+
+    out = dsir_weights(
+        _dsir_docs(spark), "is_t", buckets=256, top_k=100
+    ).collect()
+    assert all(not r.selected for r in out if r.is_target)
+    # pool smaller than k: every pool doc selected
+    assert all(r.selected for r in out if not r.is_target)
+
+
+def test_dsir_top_k_exact_count(spark):
+    from timeseriesutils_spark.operators.text import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 17} tok{i % 5} tok{(i * 3) % 11}", i % 4 == 0)
+         for i in range(80)],
+        "doc_id long, text string, is_t boolean",
+    )
+    out = dsir_weights(docs, "is_t", buckets=128, top_k=12).collect()
+    assert sum(1 for r in out if r.selected) == 12

@@ -1186,3 +1186,182 @@ SELECT {gsel}, n_model, n_naive,
        THEN ({s2d('_sm')} * CAST(n_naive AS DOUBLE)) / ({dlit(float(window))} * CAST(n_model AS DOUBLE) * {s2d('_sn')}) END AS mase
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Theta-method forecast
+# --------------------------------------------------------------------------
+
+
+def theta_weights(ses_alpha: float, window_size: int):
+    """Impulse-response weights of the zero-initialized truncated SES
+    filter (w_j = α(1−α)^j) plus the two scalars the theta closed form
+    needs: W = Σ w_j and S1 = Σ j·w_j — computed once on the driver in
+    float64 and emitted as literals into BOTH expression trees (the
+    holt_weights discipline)."""
+    a = float(ses_alpha)
+    ws = [a * (1.0 - a) ** j for j in range(window_size)]
+    W = 0.0
+    S1 = 0.0
+    for j, wj in enumerate(ws):
+        W += wj
+        S1 += j * wj
+    return ws, float(W), float(S1)
+
+
+def theta_forecast(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+    ses_alpha: float = 0.5,
+    window_size: int = 30,
+    horizons: tuple[int, ...] = (1, 7, 28),
+    scale: int = 2,
+) -> DataFrame:
+    """Theta-method forecast per group (Assimakopoulos & Nikolopoulos
+    2000 — the M3-competition winner): the equal-weight combination of
+    the θ=0 line (the OLS trend, doubled long-run signal) and SES on
+    the θ=2 line (doubled short-run curvature),
+
+        ŷ_{n+h} = ½·(a + b·(n+h)) + ½·L₂,
+        L₂ = SES_n(2y_t − (a + b·t))
+
+    Holt answers "smooth level+trend"; theta is the cross-learning
+    benchmark that beat it on M3.  The SES of the θ2 line never
+    materializes z_t: by linearity L₂ = 2·SES_n(y) − a·W − b·(nW − S1)
+    with W = Σw_j, S1 = Σ j·w_j driver literals — so the whole op is
+    ONE window chain: row_number + partition-wide exact integer sums
+    (Σty via one windowed product-sum; Σt, Σt² by the closed forms
+    n(n+1)/2, n(n+1)(2n+1)/6), the truncated-SES lag combo
+    (holt_smooth's filter discipline), filter to each group's last row.
+    Single exchange, no joins, no plan forks, 100 TB-safe.
+
+    Exactness: y quantizes to 10^-scale ints, every cross-row sum is
+    exact integer, and (a, b, L₂, forecasts) are one fixed double tree
+    mirrored verbatim in SQL.  Groups shorter than ``window_size`` get
+    NULL forecasts (truncated-filter completeness, the holt rule);
+    integer bound: Σt·q ≤ n²·q — swap the product sum to DECIMAL past
+    ~1e5 rows/group at scale=2 on 1e7-unit values.
+
+    Returns (groups…, n, intercept, slope, theta_level,
+    fc_{h} per horizon).
+    """
+    from functools import reduce as _reduce
+
+    g = _as_list(group_columns)
+    order = _as_list(order_by)
+    w = make_window(g, order)
+    wall = Window.partitionBy(*g)
+    m = float(10**scale)
+    ws, W, S1 = theta_weights(ses_alpha, window_size)
+    q = F.floor(F.col(column) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    d = data.select(*g, *order, q.alias("_q")).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    terms = [
+        F.lit(wt) * (F.lag("_q", j).over(w) if j else F.col("_q"))
+        for j, wt in enumerate(ws)
+    ]
+    sesy = _reduce(lambda x, y: x + y, terms)
+    staged = d.select(
+        *g,
+        F.col("_rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("_q").over(wall).alias("_sy"),
+        F.sum(F.col("_rn") * F.col("_q")).over(wall).alias("_sty"),
+        sesy.alias("_ses"),
+    ).filter(F.col("_rn") == F.col("n"))
+    nd = F.col("n").cast("double")
+    st = nd * (nd + F.lit(1.0)) / F.lit(2.0)
+    sxx = nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0)) / F.lit(6.0)
+    sy = F.col("_sy").cast("double")
+    sty = F.col("_sty").cast("double")
+    denom = nd * sxx - st * st
+    b = (nd * sty - st * sy) / denom
+    a = (sy - b * st) / nd
+    lvl2 = (
+        F.lit(2.0) * F.col("_ses") - a * F.lit(W) - b * (nd * F.lit(W) - F.lit(S1))
+    )
+    ok = F.col("n") >= 2
+    fcs = [
+        F.when(
+            ok,
+            ((a + b * (nd + F.lit(float(h)))) + lvl2)
+            * F.lit(0.5)
+            / F.lit(m),
+        ).alias(f"fc_{h}")
+        for h in horizons
+    ]
+    return staged.select(
+        *g,
+        "n",
+        F.when(ok, a / F.lit(m)).alias("intercept"),
+        F.when(ok, b / F.lit(m)).alias("slope"),
+        F.when(ok, lvl2 / F.lit(m)).alias("theta_level"),
+        *fcs,
+    )
+
+
+def theta_forecast_sql(
+    table_sql: str,
+    column: str,
+    group_columns,
+    order_by,
+    ses_alpha: float = 0.5,
+    window_size: int = 30,
+    horizons: tuple[int, ...] = (1, 7, 28),
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`theta_forecast` (same trees/order)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    osel = ", ".join(_as_list(order_by))
+    over = f"(PARTITION BY {gsel} ORDER BY {osel})"
+    wall = f"(PARTITION BY {gsel})"
+    m = float(10**scale)
+    ws, W, S1 = theta_weights(ses_alpha, window_size)
+    qcol = f"CAST(FLOOR({column} * {dlit(m)} + 0.5) AS BIGINT)"
+    terms = [
+        f"{dlit(wt)} * " + (f"LAG(_q, {j}) OVER {over}" if j else "_q")
+        for j, wt in enumerate(ws)
+    ]
+    ses = " + ".join(terms)
+    nd = "CAST(n AS DOUBLE)"
+    st = f"({nd} * ({nd} + 1.0) / 2.0)"
+    sxx = f"({nd} * ({nd} + 1.0) * (2.0 * {nd} + 1.0) / 6.0)"
+    sy = "CAST(_sy AS DOUBLE)"
+    sty = "CAST(_sty AS DOUBLE)"
+    denom = f"({nd} * {sxx} - {st} * {st})"
+    b = f"(({nd} * {sty} - {st} * {sy}) / {denom})"
+    a = f"(({sy} - {b} * {st}) / {nd})"
+    lvl2 = (
+        f"(2.0 * _ses - {a} * {dlit(W)} - {b} * ({nd} * {dlit(W)}"
+        f" - {dlit(S1)}))"
+    )
+    fcs = ",\n  ".join(
+        f"CASE WHEN n >= 2 THEN (({a} + {b} * ({nd} + {dlit(float(h))}))"
+        f" + {lvl2}) * 0.5 / {dlit(m)} END AS fc_{h}"
+        for h in horizons
+    )
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {osel}, {qcol} AS _q,
+    ROW_NUMBER() OVER {over} AS _rn
+  FROM ({table_sql})
+),
+staged AS (
+  SELECT {gsel}, _rn,
+    CAST(COUNT(*) OVER {wall} AS BIGINT) AS n,
+    CAST(SUM(_q) OVER {wall} AS BIGINT) AS _sy,
+    CAST(SUM(_rn * _q) OVER {wall} AS BIGINT) AS _sty,
+    {ses} AS _ses
+  FROM d
+)
+SELECT {gsel}, n,
+  CASE WHEN n >= 2 THEN {a} / {dlit(m)} END AS intercept,
+  CASE WHEN n >= 2 THEN {b} / {dlit(m)} END AS slope,
+  CASE WHEN n >= 2 THEN {lvl2} / {dlit(m)} END AS theta_level,
+  {fcs}
+FROM staged WHERE _rn = n
+"""

@@ -801,3 +801,143 @@ out AS (
 )
 SELECT * FROM out ORDER BY rank
 """
+
+
+# --------------------------------------------------------------------------
+# Wald–Wolfowitz runs test
+# --------------------------------------------------------------------------
+
+
+def runs_test(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per group: is the series RANDOM around
+    its mean, or does it trend / mean-revert?  The randomness check that
+    complements mann_kendall (monotone trend) and acf_features
+    (linear autocorrelation): too FEW runs = positive persistence
+    (trending), too MANY = negative persistence (oscillation).
+
+    Each observation is dichotomized against the group mean with an
+    EXACT integer comparison (q·n > Σq — no division, no float mean),
+    rows equal to the mean count as "not above".  With n₁ above, n₂
+    not-above, and R runs:
+
+        μ_R = 1 + 2n₁n₂/N,  σ²_R = 2n₁n₂(2n₁n₂−N) / (N²(N−1))
+        z = (R − μ_R)/σ_R,  two-sided p via the engine p-value kernel
+
+    One scan: a partition-wide SUM/COUNT window for the mean test, a
+    LAG window for run boundaries (both share the partitioning), one
+    map-combinable aggregation.  Integer bound: q·n ≤ ~1e7·rows — swap
+    to DECIMAL beyond ~1e11 rows/group.
+
+    Returns (groups…, n, n_above, n_runs, z_stat, p_value, reject_05).
+    """
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    wall = Window.partitionBy(*groups)
+    word = Window.partitionBy(*groups).orderBy(*order)
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, *order, q.alias("_q")
+    )
+    signed = d.select(
+        *groups,
+        *order,
+        (
+            F.col("_q") * F.count(F.lit(1)).over(wall)
+            > F.sum("_q").over(wall)
+        ).alias("_ab"),
+    )
+    chg = (
+        F.col("_ab") != F.lag("_ab", 1).over(word)
+    ).cast("bigint")
+    staged = signed.select(
+        *groups,
+        F.col("_ab").cast("bigint").alias("_a"),
+        F.coalesce(chg, F.lit(0)).alias("_chg"),
+    )
+    agg = staged.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_a").alias("n_above"),
+        (F.sum("_chg") + 1).alias("n_runs"),
+    )
+    nn = F.col("n").cast("double")
+    n1 = F.col("n_above").cast("double")
+    n2 = nn - n1
+    two = F.lit(2.0) * n1 * n2
+    mu = F.lit(1.0) + two / nn
+    sig2 = two * (two - nn) / (nn * nn * (nn - F.lit(1.0)))
+    ok = (F.col("n") > 1) & (sig2 > 0)
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(sig2)
+    p = two_sided_p_expr(z)
+    return agg.select(
+        *groups,
+        "n",
+        "n_above",
+        "n_runs",
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def runs_test_sql(
+    data_sql: str,
+    value_col: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`runs_test`."""
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    gsel = ", ".join(groups)
+    osel = ", ".join(order)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    wall = f"(PARTITION BY {gsel})"
+    word = f"(PARTITION BY {gsel} ORDER BY {osel})"
+    nn = "CAST(n AS DOUBLE)"
+    n1 = "CAST(n_above AS DOUBLE)"
+    n2 = f"({nn} - {n1})"
+    two = f"(2.0 * {n1} * {n2})"
+    mu = f"(1.0 + {two} / {nn})"
+    sig2 = f"({two} * ({two} - {nn}) / ({nn} * {nn} * ({nn} - 1.0)))"
+    z = f"((CAST(n_runs AS DOUBLE) - {mu}) / SQRT({sig2}))"
+    p = two_sided_p_sql(z)
+    ok = f"n > 1 AND {sig2} > 0"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {osel}, {qq} AS _q
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+signed AS (
+  SELECT {gsel}, {osel},
+    _q * CAST(COUNT(*) OVER {wall} AS BIGINT)
+      > CAST(SUM(_q) OVER {wall} AS BIGINT) AS _ab
+  FROM d
+),
+staged AS (
+  SELECT {gsel}, CAST(_ab AS BIGINT) AS _a,
+    COALESCE(CAST(_ab <> LAG(_ab, 1) OVER {word} AS BIGINT), 0) AS _chg
+  FROM signed
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    CAST(SUM(_a) AS BIGINT) AS n_above,
+    CAST(SUM(_chg) AS BIGINT) + 1 AS n_runs
+  FROM staged GROUP BY {gsel}
+)
+SELECT {gsel}, n, n_above, n_runs,
+  CASE WHEN {ok} THEN {z} END AS z_stat,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""

@@ -1724,3 +1724,252 @@ FROM (
   FROM {table}
 )
 """
+
+
+# --------------------------------------------------------------------------
+# DSIR: data selection via importance resampling
+# --------------------------------------------------------------------------
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    top_k: int = 100,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score every document in a raw pool by how target-like its
+    hashed-n-gram distribution is, then Gumbel-top-k sample the pool by
+    weight — the standard recipe for picking pretraining data that
+    matches a high-quality target domain without training a classifier.
+
+    ``target_col`` is a boolean column marking the target-domain
+    exemplar docs (they fit the bag-of-hashed-ngrams model; the
+    non-target docs are the selection pool).  Features are unigrams +
+    space-joined bigrams hashed into ``buckets`` slots with the
+    engine-portable md5 hash; the per-bucket log importance ratio under
+    add-α smoothing is
+
+        λ_b = ln((c_t(b)+α)/(N_t+αB)) − ln((c_s(b)+α)/(N_s+αB))
+
+    and a doc's log weight is Σ_b c_b(x)·λ_b.  Gumbel sampling is
+    derandomized: each doc's Gumbel noise g = −ln(−ln(u)) comes from an
+    md5-derived uniform u, so selection is reproducible across engines
+    and runs.
+
+    Exactness: λ_b is a fixed double tree over exact int64 counts,
+    floor-quantized to 10⁻⁹ units; doc log-weights are exact integer
+    dot products accumulated in DECIMAL; the Gumbel key adds a
+    quantized-int noise term, so the top-k cut is an exact integer
+    comparison.
+
+    Scale (100 TB answer): the model is ONE ``buckets``-row table —
+    broadcast both into λ and into the doc-score join; the per-doc
+    aggregation is map-combinable; and the top-k threshold uses
+    orderBy().limit(k) (TakeOrderedAndProject — per-partition heaps +
+    driver merge of k rows), never a single-partition global window.
+    Docs whose text yields no features drop out (nothing to score).
+
+    Returns (doc_id, is_target, n_feats, log_weight, sample_key,
+    selected) — selected ⊆ the non-target pool, |selected| = top_k
+    (fewer if the pool is smaller; md5 keys make ties measure-zero).
+    """
+    from timeseriesutils_spark.functions.exact import dlit as _dlit
+    from timeseriesutils_spark.operators.dedup import portable_hash64
+
+    toks = docs.select(
+        F.col(id_col),
+        F.col(target_col).cast("boolean").alias("_t"),
+        words(F.col(text_col)).alias("_arr"),
+    )
+    uni = toks.select(
+        F.col(id_col), F.col("_t"), F.explode("_arr").alias("_f")
+    )
+    bi = (
+        toks.filter(F.size("_arr") >= 2)
+        .select(
+            F.col(id_col),
+            F.col("_t"),
+            F.explode(
+                F.expr(
+                    "transform(slice(_arr, 1, size(_arr) - 1), "
+                    "(x, i) -> concat(x, ' ', element_at(_arr, i + 2)))"
+                )
+            ).alias("_f"),
+        )
+    )
+    feats = uni.unionByName(bi).select(
+        F.col(id_col),
+        F.col("_t"),
+        (portable_hash64(F.col("_f")) % F.lit(buckets)).cast("int").alias(
+            "_fh"
+        ),
+    )
+    db = pin(
+        feats.groupBy(id_col, "_t", "_fh").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # model is tiny (``buckets`` rows) but feeds THREE consumers (λ, the
+    # totals, and both via the threshold branch) — pin it or the db→model
+    # aggregation runs 4× (the decompose plan-fork lesson)
+    model = pin(
+        db.groupBy("_fh").agg(
+            F.sum(F.when(F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias(
+                "_ct"
+            ),
+            F.sum(F.when(~F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias(
+                "_cs"
+            ),
+        )
+    )
+    tot = model.agg(
+        F.sum("_ct").alias("_nt"), F.sum("_cs").alias("_ns")
+    )
+    a = float(alpha)
+    ab = float(alpha * buckets)
+    lam_q = F.floor(
+        (
+            F.log(
+                (F.col("_ct").cast("double") + F.lit(a))
+                / (F.col("_nt").cast("double") + F.lit(ab))
+            )
+            - F.log(
+                (F.col("_cs").cast("double") + F.lit(a))
+                / (F.col("_ns").cast("double") + F.lit(ab))
+            )
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    lam = model.crossJoin(F.broadcast(tot)).select(
+        "_fh", lam_q.alias("_lq")
+    )
+    # scored (one row per doc) feeds both the output and the top-k
+    # threshold — pin, or the db⋈λ aggregation runs twice
+    scored = pin(
+        db.join(F.broadcast(lam), "_fh")
+        .groupBy(id_col, "_t")
+        .agg(
+            F.sum("_c").alias("n_feats"),
+            F.sum((F.col("_c") * F.col("_lq")).cast("decimal(38,0)")).alias(
+                "_sw"
+            ),
+        )
+    )
+    m60 = float(2**60)
+    h2 = portable_hash64(
+        F.concat(F.lit("dsir|"), F.col(id_col).cast("string"))
+    )
+    u = (h2.cast("double") + F.lit(0.5)) / F.lit(m60)
+    gq = F.floor(-F.log(-F.log(u)) * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    keyed = scored.withColumn(
+        "_key", F.col("_sw") + gq.cast("decimal(38,0)")
+    )
+    th = (
+        keyed.filter(~F.col("_t"))
+        .orderBy(F.col("_key").desc())
+        .limit(top_k)
+        .agg(F.min("_key").alias("_th"))
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    return keyed.crossJoin(F.broadcast(th)).select(
+        F.col(id_col),
+        F.col("_t").alias("is_target"),
+        "n_feats",
+        (s2d("_sw") / F.lit(1e9)).alias("log_weight"),
+        (s2d("_key") / F.lit(1e9)).alias("sample_key"),
+        F.when(
+            ~F.col("_t"),
+            F.coalesce(F.col("_key") >= F.col("_th"), F.lit(False)),
+        )
+        .otherwise(F.lit(False))
+        .alias("selected"),
+    )
+
+
+def dsir_weights_sql(
+    table: str = "documents",
+    target_expr: str = "lang = 'en'",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    top_k: int = 100,
+) -> str:
+    """DuckDB twin of :func:`dsir_weights` (``target_expr`` is the SQL
+    boolean marking target docs)."""
+    from timeseriesutils_spark.functions.exact import dlit as _dlit
+    from timeseriesutils_spark.operators.dedup import portable_hash64_sql
+
+    w = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    h = portable_hash64_sql("_f")
+    a = _dlit(float(alpha))
+    ab = _dlit(float(alpha * buckets))
+    lam_q = (
+        f"CAST(FLOOR((ln((CAST(_ct AS DOUBLE) + {a})"
+        f" / (CAST(_nt AS DOUBLE) + {ab}))"
+        f" - ln((CAST(_cs AS DOUBLE) + {a})"
+        f" / (CAST(_ns AS DOUBLE) + {ab}))) * 1e9 + 0.5) AS BIGINT)"
+    )
+    m60 = _dlit(float(2**60))
+    h2 = portable_hash64_sql(f"CONCAT('dsir|', CAST({id_col} AS VARCHAR))")
+    gq = (
+        f"CAST(FLOOR(-ln(-ln((CAST({h2} AS DOUBLE) + 0.5) / {m60}))"
+        f" * 1e9 + 0.5) AS BIGINT)"
+    )
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, CAST({target_expr} AS BOOLEAN) AS _t, {w} AS _arr
+  FROM {table}
+),
+uni AS (SELECT {id_col}, _t, unnest(_arr) AS _f FROM toks),
+bi AS (
+  SELECT {id_col}, _t, p[1] || ' ' || p[2] AS _f
+  FROM (
+    SELECT {id_col}, _t,
+      unnest([_arr[i:i+1] FOR i IN range(1, len(_arr))]) AS p
+    FROM toks WHERE len(_arr) >= 2
+  )
+),
+feats AS (
+  SELECT {id_col}, _t, CAST({h} % {buckets} AS INT) AS _fh
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+db AS (
+  SELECT {id_col}, _t, _fh, COUNT(*) AS _c
+  FROM feats GROUP BY {id_col}, _t, _fh
+),
+model AS (
+  SELECT _fh,
+    CAST(SUM(CASE WHEN _t THEN _c ELSE 0 END) AS BIGINT) AS _ct,
+    CAST(SUM(CASE WHEN _t THEN 0 ELSE _c END) AS BIGINT) AS _cs
+  FROM db GROUP BY _fh
+),
+tot AS (
+  SELECT CAST(SUM(_ct) AS BIGINT) AS _nt, CAST(SUM(_cs) AS BIGINT) AS _ns
+  FROM model
+),
+lam AS (SELECT _fh, {lam_q} AS _lq FROM model CROSS JOIN tot),
+scored AS (
+  SELECT db.{id_col}, db._t,
+    CAST(SUM(db._c) AS BIGINT) AS n_feats,
+    SUM(CAST(db._c * lam._lq AS DECIMAL(38,0))) AS _sw
+  FROM db JOIN lam USING (_fh)
+  GROUP BY db.{id_col}, db._t
+),
+keyed AS (
+  SELECT *, _sw + CAST({gq} AS DECIMAL(38,0)) AS _key FROM scored
+),
+th AS (
+  SELECT MIN(_key) AS _th
+  FROM (SELECT _key FROM keyed WHERE NOT _t ORDER BY _key DESC LIMIT {top_k})
+)
+SELECT {id_col}, _t AS is_target, n_feats,
+  {s2d('_sw')} / 1e9 AS log_weight,
+  {s2d('_key')} / 1e9 AS sample_key,
+  CASE WHEN NOT _t THEN COALESCE(_key >= _th, FALSE) ELSE FALSE END AS selected
+FROM keyed CROSS JOIN th
+"""

@@ -132,6 +132,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "dedup_components", "dedup_debounce", "dedup_embedding",
     "dedup_embedding_lsh", "dedup_exact", "dedup_keep_first",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_threshold_curve",
+    "dsir_select",
     "diebold_mariano", "diff_pct", "dirichlet_lm_search", "doc_fingerprint",
     "domain_caps",
     "domfreq", "domfreq_fft", "dtw_pattern", "dup_cluster_sizes",
@@ -164,7 +165,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "repetition_stats", "reservoir_sample", "rfm_segments",
     "rolling_active_users", "rolling_corr", "rolling_mad", "rolling_median",
     "rolling_moments", "rolling_quantile", "rolling_slope", "rolling_zscore",
-    "rollmean", "sax_words", "scalar_funcs", "scd2_history",
+    "rollmean", "runs_test", "sax_words", "scalar_funcs", "scd2_history",
     "seasonal_profile", "seasonal_strength", "seasonal_zscore",
     "semantic_dedup", "seq_pack", "sessionize", "set_ops", "shard_assign",
     "shipping_sla", "simhash", "sink_roundtrip", "skew_report",
@@ -177,7 +178,8 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "stream_tumbling", "table_checksum", "target_encode",
     "taylor_centered_ew", "taylor_trailing", "tech_indicators",
     "temporal_join", "text_quality", "text_stats", "tf_idf",
-    "theilsen_trend", "time_rollup", "time_weighted_avg", "top_ngrams",
+    "theilsen_trend", "theta_forecast", "time_rollup", "time_weighted_avg",
+    "top_ngrams",
     "top_paths", "topk_per_group", "train_test_arrays", "triangle_count",
     "unigram_logprob", "unpivot_long", "value_entropy", "variant_json",
     "weighted_median", "welch_ttest", "wilson_daily", "window_rank", "wis_eval",

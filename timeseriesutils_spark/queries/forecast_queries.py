@@ -1922,3 +1922,59 @@ def _sql_bh_fdr_trend():
 
 
 QUERIES.update({"bh_fdr_trend": Q(q_bh_fdr_trend, _sql_bh_fdr_trend())})
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test per supplier on the daily price series
+    (operators/nonparam.runs_test): randomness around the mean — too
+    few runs = trending, too many = oscillating; the sign-level
+    randomness check beside mann_kendall (monotone trend) and
+    acf_features (linear memory).  Exact integer mean dichotomy
+    (q·n vs Σq), engine-kernel p-value."""
+    from timeseriesutils_spark.operators.nonparam import runs_test
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    return runs_test(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"]
+    )
+
+
+def _sql_runs_test():
+    from timeseriesutils_spark.operators.nonparam import runs_test_sql
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    return runs_test_sql(
+        _SQL_DAILY, "day_price", ["l_suppkey"], ["ship_day"]
+    )
+
+
+QUERIES.update({"runs_test": Q(q_runs_test, _sql_runs_test())})
+
+
+def q_theta_forecast(spark, sf_dir):
+    """Theta-method forecast per supplier on the daily price series
+    (operators/forecast.theta_forecast): the M3-winning ½·trend-line +
+    ½·SES(θ=2) combination at horizons 1/7/28 — the cross-learning
+    benchmark beside holt_smooth and croston_demand.  One window chain
+    (exact integer OLS sums + the truncated-SES lag filter), one row
+    per supplier."""
+    from timeseriesutils_spark.operators.forecast import theta_forecast
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    return theta_forecast(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        ses_alpha=0.5, window_size=28, horizons=(1, 7, 28),
+    )
+
+
+def _sql_theta_forecast():
+    from timeseriesutils_spark.operators.forecast import theta_forecast_sql
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    return theta_forecast_sql(
+        _SQL_DAILY, "day_price", ["l_suppkey"], ["ship_day"],
+        ses_alpha=0.5, window_size=28, horizons=(1, 7, 28),
+    )
+
+
+QUERIES.update({"theta_forecast": Q(q_theta_forecast, _sql_theta_forecast())})

@@ -1864,3 +1864,34 @@ FROM inter WHERE CAST(i AS DOUBLE) / LEAST(sz_a, sz_b) >= {threshold}
 
 
 QUERIES.update({"containment_dedup": Q(q_containment_dedup, _sql_containment())})
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (operators/text.dsir_weights): English docs
+    are the target domain; every non-English doc in the pool gets a
+    hashed-unigram+bigram log importance weight under the add-1
+    smoothed target/pool bucket model, and the derandomized
+    Gumbel-top-k picks the 100 most target-like pool docs — the Xie et
+    al. 2023 pretraining-data-selection recipe with a broadcast
+    4096-row model and a TakeOrderedAndProject threshold (no global
+    window)."""
+    from timeseriesutils_spark.operators.text import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs.withColumn("_is_en", F.col("lang") == F.lit("en")),
+        "_is_en",
+        buckets=4096,
+        top_k=100,
+    )
+
+
+def _sql_dsir_select():
+    from timeseriesutils_spark.operators.text import dsir_weights_sql
+
+    return dsir_weights_sql(
+        "documents", target_expr="lang = 'en'", buckets=4096, top_k=100
+    )
+
+
+QUERIES.update({"dsir_select": Q(q_dsir_select, _sql_dsir_select())})
