@@ -430,3 +430,169 @@ def test_dsir_top_k_exact_count(spark):
     )
     out = dsir_weights(docs, "is_t", buckets=128, top_k=12).collect()
     assert sum(1 for r in out if r.selected) == 12
+
+
+# --- ROC AUC --------------------------------------------------------------
+
+
+def test_auc_perfect_separation(spark):
+    from timeseriesutils_spark.operators.nonparam import roc_auc
+
+    rows = [("g", float(v), v >= 5) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    out = roc_auc(df, "s", "y", ["g"]).first()
+    assert out.auc == pytest.approx(1.0)
+    assert out.gini == pytest.approx(1.0)
+
+
+def test_auc_random_ties_half(spark):
+    from timeseriesutils_spark.operators.nonparam import roc_auc
+
+    # constant score: every pair tied -> AUC = 0.5 by midranks
+    rows = [("g", 3.0, i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    out = roc_auc(df, "s", "y", ["g"]).first()
+    assert out.auc == pytest.approx(0.5)
+    assert out.gini == pytest.approx(0.0)
+
+
+def test_auc_hand_worked(spark):
+    from timeseriesutils_spark.operators.nonparam import roc_auc
+
+    # pos = {3, 1}, neg = {2, 0}: pairs (3>2,3>0,1>0 win; 1<2 lose)
+    # AUC = 3/4
+    rows = [("g", 3.0, True), ("g", 1.0, True),
+            ("g", 2.0, False), ("g", 0.0, False)]
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    out = roc_auc(df, "s", "y", ["g"]).first()
+    assert out.auc == pytest.approx(0.75)
+
+
+def test_auc_inverted_score(spark):
+    from timeseriesutils_spark.operators.nonparam import roc_auc
+
+    rows = [("g", float(-v), v >= 5) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    out = roc_auc(df, "s", "y", ["g"]).first()
+    assert out.auc == pytest.approx(0.0)
+
+
+# --- calibration ----------------------------------------------------------
+
+
+def test_calibration_perfectly_calibrated_bins(spark):
+    from timeseriesutils_spark.operators.forecast import calibration_curve
+
+    # p=0.25 bucket: 1 of 4 positive; p=0.75 bucket: 3 of 4 positive
+    rows = [("g", 0.25, i == 0) for i in range(4)] + [
+        ("g", 0.75, i != 0) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "g string, p double, y boolean")
+    out = {
+        r.bin: r
+        for r in calibration_curve(df, "p", "y", ["g"], bins=10).collect()
+    }
+    assert set(out) == {2, 7}
+    assert out[2].mean_pred == pytest.approx(0.25)
+    assert out[2].frac_pos == pytest.approx(0.25)
+    assert out[2].gap == pytest.approx(0.0, abs=1e-9)
+    assert out[2].ece == pytest.approx(0.0, abs=1e-9)
+    # Brier for perfectly calibrated p: mean p(1-p) = 0.1875
+    assert out[2].brier == pytest.approx(0.25 * 0.75, rel=1e-6)
+
+
+def test_calibration_top_edge_folds_into_last_bin(spark):
+    from timeseriesutils_spark.operators.forecast import calibration_curve
+
+    df = spark.createDataFrame(
+        [("g", 1.0, True), ("g", 0.95, True)], "g string, p double, y boolean"
+    )
+    out = calibration_curve(df, "p", "y", ["g"], bins=10).collect()
+    assert len(out) == 1 and out[0].bin == 9
+
+
+def test_calibration_ece_known(spark):
+    from timeseriesutils_spark.operators.forecast import calibration_curve
+
+    # one bin, p=0.8 but only 25% positive: ECE = |0.25 - 0.8| = 0.55
+    rows = [("g", 0.8, i == 0) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, p double, y boolean")
+    out = calibration_curve(df, "p", "y", ["g"], bins=10).first()
+    assert out.ece == pytest.approx(0.55, abs=1e-9)
+    # Brier = (0.2^2 + 3*0.8^2)/4
+    assert out.brier == pytest.approx((0.04 + 3 * 0.64) / 4, rel=1e-6)
+
+
+# --- Page–Hinkley ---------------------------------------------------------
+
+
+def test_page_hinkley_flat_no_alarm(spark):
+    from timeseriesutils_spark.operators.changepoint import page_hinkley
+
+    out = page_hinkley(
+        _series_df(spark, [5.0] * 30), "y", ["g"], ["i"], lam=1.0
+    ).collect()
+    assert all(r.ph == 0.0 and r.alarm is False for r in out)
+
+
+def test_page_hinkley_step_alarms(spark):
+    from timeseriesutils_spark.operators.changepoint import page_hinkley
+
+    ys = [0.0] * 20 + [10.0] * 20
+    out = page_hinkley(
+        _series_df(spark, ys), "y", ["g"], ["i"], lam=20.0
+    ).collect()
+    out.sort(key=lambda r: r.i)
+    assert not any(r.alarm for r in out[:20])
+    assert out[-1].alarm is True
+    # ph is nondecreasing during the post-step run-up at the end
+    tail = [r.ph for r in out[-5:]]
+    assert tail == sorted(tail)
+
+
+def test_page_hinkley_known_values(spark):
+    from timeseriesutils_spark.operators.changepoint import page_hinkley
+
+    # series 0, 6: running means 0, 3; terms 0, 3; U = 0, 3; min U = 0
+    out = page_hinkley(
+        _series_df(spark, [0.0, 6.0]), "y", ["g"], ["i"], lam=2.0
+    ).collect()
+    out.sort(key=lambda r: r.i)
+    assert out[0].ph == 0.0
+    assert out[1].ph == pytest.approx(3.0)
+    assert out[1].alarm is True
+
+
+# --- Cochran–Armitage -----------------------------------------------------
+
+
+def test_cochran_armitage_perfect_trend(spark):
+    from timeseriesutils_spark.operators.stats import cochran_armitage
+
+    # rate rises with score: 0/10 at t=0, 5/10 at t=1, 10/10 at t=2
+    rows = [("g", t, i < t * 5) for t in (0, 1, 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, t long, y boolean")
+    out = cochran_armitage(df, "t", "y", ["g"]).first()
+    assert out.n == 30 and out.n_success == 15
+    assert out.z_stat > 0 and out.reject_05 is True
+
+
+def test_cochran_armitage_flat_rate(spark):
+    from timeseriesutils_spark.operators.stats import cochran_armitage
+
+    rows = [("g", t, i % 2 == 0) for t in (0, 1, 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, t long, y boolean")
+    out = cochran_armitage(df, "t", "y", ["g"]).first()
+    assert out.z_stat == pytest.approx(0.0, abs=1e-9)
+    assert out.reject_05 is False
+
+
+def test_cochran_armitage_known_z(spark):
+    from timeseriesutils_spark.operators.stats import cochran_armitage
+
+    # t=0: 1/2 ; t=1: 2/2 -> N=4, R=3, St=2, Stt=2, Sty=2
+    # pbar=.75, T = 2 - .75*2 = .5, Var = .75*.25*(2 - 4/4) = 0.1875
+    rows = [("g", 0, True), ("g", 0, False), ("g", 1, True), ("g", 1, True)]
+    df = spark.createDataFrame(rows, "g string, t long, y boolean")
+    out = cochran_armitage(df, "t", "y", ["g"]).first()
+    assert out.z_stat == pytest.approx(0.5 / math.sqrt(0.1875))

@@ -281,3 +281,138 @@ SELECT {gsel}, CAST(_n AS BIGINT) AS n, _t AS break_t,
   (_cns - _cost) / {dlit(float(m * m))} AS gain
 FROM r WHERE _rn = 1
 """
+
+
+# --------------------------------------------------------------------------
+# Page–Hinkley drift test
+# --------------------------------------------------------------------------
+
+
+def page_hinkley(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    order_by,
+    delta: float = 0.0,
+    lam: float = 50.0,
+    scale: int = 2,
+) -> DataFrame:
+    """Page–Hinkley mean-INCREASE drift detector per group — the
+    self-baselining cousin of the CUSUM above: where CUSUM tests
+    against a FIXED target k, PH tracks deviation from the series' own
+    RUNNING mean, so it needs no in-control calibration (the standard
+    concept-drift monitor in streaming-ML land):
+
+        U_t  = Σ_{i≤t} (x_i − x̄_i − δ),   x̄_i = running mean
+        PH_t = U_t − min_{s≤t} U_s,        alarm when PH_t > λ
+
+    Three ordered window passes sharing one partitioning (running
+    int sum/count for x̄, then cumsum of the quantized deviation, then
+    the running min) — single exchange, whole-stage codegen.
+
+    Exactness: x quantizes to 10^-scale ints; x̄_i is one double
+    division of exact ints; the per-row deviation term is floor-
+    quantized to 10⁻⁶ value units so U and the running min are exact
+    integers and the λ comparison is integer-exact.
+
+    Returns one row per input row: (groups…, order…, value, ph,
+    alarm).
+    """
+    g = _as_list(group_columns)
+    order = _as_list(order_by)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    wcum = (
+        Window.partitionBy(*g)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        *g, *order, F.col(value_col).alias("value"), q.alias("_q")
+    )
+    xbar = F.sum("_q").over(wcum).cast("double") / (
+        F.count(F.lit(1)).over(wcum).cast("double") * F.lit(float(m))
+    )
+    term = (
+        F.col("_q").cast("double") / F.lit(float(m)) - xbar - F.lit(float(delta))
+    )
+    tq = F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    staged = d.select(*g, *order, "value", tq.alias("_tq"))
+    u = F.sum("_tq").over(wcum)
+    staged2 = staged.select(*g, *order, "value", u.alias("_u"))
+    umin = F.min("_u").over(wcum)
+    lam_q = int(round(float(lam) * 1e6))
+    ph_q = F.col("_u") - umin
+    out = staged2.select(
+        *g,
+        *order,
+        "value",
+        ph_q.alias("_phq"),
+    )
+    return out.select(
+        *g,
+        *order,
+        "value",
+        (F.col("_phq").cast("double") / F.lit(1e6)).alias("ph"),
+        (F.col("_phq") > F.lit(lam_q)).alias("alarm"),
+    )
+
+
+def page_hinkley_sql(
+    data_sql: str,
+    value_col: str,
+    group_columns,
+    order_by,
+    delta: float = 0.0,
+    lam: float = 50.0,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`page_hinkley`."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    g = _as_list(group_columns)
+    order = _as_list(order_by)
+    gsel = ", ".join(g)
+    osel = ", ".join(order)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    wcum = (
+        f"(PARTITION BY {gsel} ORDER BY {osel} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    xbar = (
+        f"(CAST(CAST(SUM(_q) OVER {wcum} AS BIGINT) AS DOUBLE)"
+        f" / (CAST(COUNT(*) OVER {wcum} AS DOUBLE) * {dlit(float(m))}))"
+    )
+    term = (
+        f"(CAST(_q AS DOUBLE) / {dlit(float(m))} - {xbar}"
+        f" - {dlit(float(delta))})"
+    )
+    lam_q = int(round(float(lam) * 1e6))
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {osel}, {value_col} AS value, {qq} AS _q
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+staged AS (
+  SELECT {gsel}, {osel}, value,
+    CAST(FLOOR({term} * 1e6 + 0.5) AS BIGINT) AS _tq
+  FROM d
+),
+staged2 AS (
+  SELECT {gsel}, {osel}, value,
+    CAST(SUM(_tq) OVER {wcum} AS BIGINT) AS _u
+  FROM staged
+),
+phq AS (
+  SELECT {gsel}, {osel}, value,
+    _u - CAST(MIN(_u) OVER {wcum} AS BIGINT) AS _phq
+  FROM staged2
+)
+SELECT {gsel}, {osel}, value,
+  CAST(_phq AS DOUBLE) / 1e6 AS ph,
+  _phq > {lam_q} AS alarm
+FROM phq
+"""

@@ -1365,3 +1365,155 @@ SELECT {gsel}, n,
   {fcs}
 FROM staged WHERE _rn = n
 """
+
+
+# --------------------------------------------------------------------------
+# probability-forecast calibration
+# --------------------------------------------------------------------------
+
+
+def calibration_curve(
+    data: DataFrame,
+    prob_col: str,
+    label_col,
+    group_columns,
+    bins: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group reliability diagram + Brier/ECE of a probability
+    forecast against a binary outcome — the calibration audit every
+    scored model needs beside roc_auc's ranking check (a model can
+    rank perfectly and still be wildly miscalibrated).
+
+    Probabilities bucket into ``bins`` equal-width bins
+    (floor(p·bins), top edge folded into the last bin); per bin the
+    curve reports mean predicted probability vs observed positive
+    rate, the Brier contribution, and the group-level expected
+    calibration error ECE = Σ_b (n_b/N)·|obs_b − pred_b| plus the
+    group Brier score ride along on every row (one partition-wide
+    window over the ≤``bins`` rows per group).
+
+    Exactness: per-row p and (p−y)² quantize to ints before DECIMAL
+    sums; bin means are single double divisions of exact sums; the ECE
+    window sums pre-quantized integers.  One aggregation + one tiny
+    window — map-combinable, 100 TB-safe.
+
+    Returns (groups…, bin, n, n_pos, mean_pred, frac_pos, gap,
+    brier_bin, ece, brier).
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list as _al
+
+    g = _al(group_columns)
+    mq = 10**scale
+    p = F.col(prob_col).cast("double")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    y = lab.cast("boolean").cast("bigint")
+    b = F.least(
+        F.floor(p * F.lit(float(bins))).cast("int"), F.lit(bins - 1)
+    )
+    pq = F.floor(p * F.lit(float(mq)) + F.lit(0.5)).cast("bigint")
+    sq = F.floor(
+        (p - y.cast("double")) * (p - y.cast("double")) * F.lit(float(mq))
+        + F.lit(0.5)
+    ).cast("bigint")
+    d = data.filter(p.isNotNull() & lab.isNotNull()).select(
+        *g, b.alias("bin"), y.alias("_y"), pq.alias("_pq"), sq.alias("_sq")
+    )
+    agg = d.groupBy(*g, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("n_pos"),
+        F.sum(F.col("_pq").cast("decimal(38,0)")).alias("_sp"),
+        F.sum(F.col("_sq").cast("decimal(38,0)")).alias("_sb"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+    mean_pred = s2d("_sp") / nn / F.lit(float(mq))
+    frac_pos = F.col("n_pos").cast("double") / nn
+    gap = frac_pos - mean_pred
+    # |gap| in exact integer units: |n_pos·mq − Σpq| (both exact ints)
+    gap_abs_q = F.abs(
+        F.col("n_pos").cast("decimal(38,0)")
+        * F.lit(mq).cast("decimal(38,0)")
+        - F.col("_sp")
+    )
+    wall = Window.partitionBy(*g)
+    ntot = F.sum("n").over(wall)
+    ece = (
+        F.sum(gap_abs_q).over(wall).cast("string").cast("double")
+        / ntot.cast("double")
+        / F.lit(float(mq))
+    )
+    brier = (
+        F.sum("_sb").over(wall).cast("string").cast("double")
+        / ntot.cast("double")
+        / F.lit(float(mq))
+    )
+    return agg.select(
+        *g,
+        "bin",
+        "n",
+        "n_pos",
+        mean_pred.alias("mean_pred"),
+        frac_pos.alias("frac_pos"),
+        gap.alias("gap"),
+        (s2d("_sb") / nn / F.lit(float(mq))).alias("brier_bin"),
+        ece.alias("ece"),
+        brier.alias("brier"),
+    )
+
+
+def calibration_curve_sql(
+    table_sql: str,
+    prob_col: str,
+    label_sql: str,
+    group_columns,
+    bins: int = 10,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`calibration_curve`."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    mq = 10**scale
+    p = f"CAST({prob_col} AS DOUBLE)"
+    y = f"CAST(CAST({label_sql} AS BOOLEAN) AS BIGINT)"
+    b = f"LEAST(CAST(FLOOR({p} * {dlit(float(bins))}) AS INT), {bins - 1})"
+    pq = f"CAST(FLOOR({p} * {dlit(float(mq))} + 0.5) AS BIGINT)"
+    sq = (
+        f"CAST(FLOOR(({p} - CAST({y} AS DOUBLE)) * ({p} - CAST({y} AS DOUBLE))"
+        f" * {dlit(float(mq))} + 0.5) AS BIGINT)"
+    )
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+    wall = f"(PARTITION BY {gsel})"
+    mean_pred = f"({s2d('_sp')} / {nn} / {dlit(float(mq))})"
+    frac_pos = f"(CAST(n_pos AS DOUBLE) / {nn})"
+    gap_abs_q = (
+        f"ABS(CAST(n_pos AS DECIMAL(38,0)) * CAST({mq} AS DECIMAL(38,0))"
+        f" - _sp)"
+    )
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {b} AS bin, {y} AS _y, {pq} AS _pq, {sq} AS _sq
+  FROM ({table_sql})
+  WHERE {prob_col} IS NOT NULL AND ({label_sql}) IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}, bin, COUNT(*) AS n,
+    CAST(SUM(_y) AS BIGINT) AS n_pos,
+    SUM(CAST(_pq AS DECIMAL(38,0))) AS _sp,
+    SUM(CAST(_sq AS DECIMAL(38,0))) AS _sb
+  FROM d GROUP BY {gsel}, bin
+)
+SELECT {gsel}, bin, n, n_pos,
+  {mean_pred} AS mean_pred,
+  {frac_pos} AS frac_pos,
+  {frac_pos} - {mean_pred} AS gap,
+  {s2d('_sb')} / {nn} / {dlit(float(mq))} AS brier_bin,
+  {s2d(f'SUM({gap_abs_q}) OVER {wall}')}
+    / CAST(CAST(SUM(n) OVER {wall} AS BIGINT) AS DOUBLE)
+    / {dlit(float(mq))} AS ece,
+  {s2d(f'SUM(_sb) OVER {wall}')}
+    / CAST(CAST(SUM(n) OVER {wall} AS BIGINT) AS DOUBLE)
+    / {dlit(float(mq))} AS brier
+FROM agg
+"""

@@ -941,3 +941,144 @@ SELECT {gsel}, n, n_above, n_runs,
   CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# ROC AUC (rank-based, ties-averaged)
+# --------------------------------------------------------------------------
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    group_columns,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group ROC AUC of a score against a binary label — THE
+    ranking-quality metric for classifiers/retrieval scores, computed
+    exactly by the rank-sum identity (never by trapezoid sweeps):
+
+        AUC = (R₊ − n₊(n₊+1)/2) / (n₊ n₋)
+
+    with R₊ the ties-AVERAGED rank sum of the positives (ties get the
+    midrank, the standard ROC convention — equivalent to counting each
+    tied pair ½).  ``label_col`` may be a column name or a boolean
+    Column expression.
+
+    Rank machinery is the mann_whitney single chain: counts per
+    (group, label, quantized score), peers-only + cumulative RANGE
+    frames for exact doubled midranks, DECIMAL rank-sum accumulation —
+    the shuffled width is DISTINCT scores per group, not rows.  One
+    scan, no joins.  gini = 2·AUC − 1 rides along.
+
+    Returns (groups…, n_pos, n_neg, auc, gini).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(score_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    d = df.filter(
+        F.col(score_col).isNotNull() & lab.isNotNull()
+    ).select(*groups, lab.cast("boolean").alias("_y"), q.alias("_q"))
+    plv = d.groupBy(*groups, "_y", "_q").agg(F.count(F.lit(1)).alias("_tl"))
+    wpeer = (
+        Window.partitionBy(*groups)
+        .orderBy("_q")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    wcum = Window.partitionBy(*groups).orderBy("_q")
+    ranked = plv.select(
+        *groups,
+        "_y",
+        "_tl",
+        F.sum("_tl").over(wpeer).alias("_t"),
+        F.sum("_tl").over(wcum).alias("_cum"),
+    ).select(
+        *groups,
+        "_y",
+        "_tl",
+        (2 * (F.col("_cum") - F.col("_t")) + F.col("_t") + 1).alias("_r2"),
+    )
+    agg = ranked.groupBy(*groups).agg(
+        F.sum(F.when(F.col("_y"), F.col("_tl")).otherwise(F.lit(0))).alias(
+            "n_pos"
+        ),
+        F.sum(F.when(~F.col("_y"), F.col("_tl")).otherwise(F.lit(0))).alias(
+            "n_neg"
+        ),
+        F.sum(
+            F.when(F.col("_y"), F.col("_tl") * F.col("_r2"))
+            .otherwise(F.lit(0))
+            .cast("decimal(38,0)")
+        ).alias("_R2p"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    np_ = F.col("n_pos").cast("double")
+    nn_ = F.col("n_neg").cast("double")
+    auc = (s2d("_R2p") / F.lit(2.0) - np_ * (np_ + F.lit(1.0)) / F.lit(2.0)) / (
+        np_ * nn_
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return agg.select(
+        *groups,
+        "n_pos",
+        "n_neg",
+        F.when(ok, auc).alias("auc"),
+        F.when(ok, F.lit(2.0) * auc - F.lit(1.0)).alias("gini"),
+    )
+
+
+def roc_auc_sql(
+    data_sql: str,
+    score_col: str,
+    label_sql: str,
+    group_columns,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`roc_auc` (``label_sql`` is the boolean
+    label expression)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({score_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    np_ = "CAST(n_pos AS DOUBLE)"
+    nn_ = "CAST(n_neg AS DOUBLE)"
+    auc = (
+        f"(({s2d('_R2p')} / 2.0 - {np_} * ({np_} + 1.0) / 2.0)"
+        f" / ({np_} * {nn_}))"
+    )
+    return f"""
+WITH d AS (
+  SELECT {gsel}, CAST({label_sql} AS BOOLEAN) AS _y, {qq} AS _q
+  FROM ({data_sql})
+  WHERE {score_col} IS NOT NULL AND ({label_sql}) IS NOT NULL
+),
+plv AS (
+  SELECT {gsel}, _y, _q, COUNT(*) AS _tl
+  FROM d GROUP BY {gsel}, _y, _q
+),
+ranked AS (
+  SELECT {gsel}, _y, _tl,
+    2 * (CAST(SUM(_tl) OVER (PARTITION BY {gsel} ORDER BY _q) AS BIGINT)
+      - CAST(SUM(_tl) OVER (PARTITION BY {gsel} ORDER BY _q
+          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT))
+      + CAST(SUM(_tl) OVER (PARTITION BY {gsel} ORDER BY _q
+          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) + 1 AS _r2
+  FROM plv
+),
+agg AS (
+  SELECT {gsel},
+    CAST(SUM(CASE WHEN _y THEN _tl ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(SUM(CASE WHEN _y THEN 0 ELSE _tl END) AS BIGINT) AS n_neg,
+    SUM(CAST(CASE WHEN _y THEN _tl * _r2 ELSE 0 END AS DECIMAL(38,0))) AS _R2p
+  FROM ranked GROUP BY {gsel}
+)
+SELECT {gsel}, n_pos, n_neg,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN {auc} END AS auc,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN 2.0 * {auc} - 1.0 END AS gini
+FROM agg
+"""

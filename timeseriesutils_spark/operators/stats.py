@@ -1433,3 +1433,117 @@ SELECT {select_cols},
   END AS {out_col}
 FROM r
 """
+
+
+# --------------------------------------------------------------------------
+# Cochran–Armitage trend test
+# --------------------------------------------------------------------------
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    success_col,
+    group_columns,
+) -> DataFrame:
+    """Cochran–Armitage test for a linear trend in proportions across
+    ORDERED categories — the dose-response test: χ² asks "are the
+    rates different at all?", this asks "do they rise (or fall)
+    MONOTONICALLY with the ordered score?" (conversion by cohort age,
+    defect rate by machine wear bucket, severity by exposure level).
+    ``score_col`` is the integer category score, ``success_col`` a
+    boolean/0-1 outcome.
+
+        T = Σ tᵢyᵢ − p̄·Σ tᵢ,   p̄ = R/N
+        Var = p̄(1−p̄)·(Σ tᵢ² − (Σ tᵢ)²/N)
+        z = T/√Var,  two-sided p via the engine p-value kernel
+
+    ONE map-combinable aggregation of five exact integer sufficient
+    statistics (N, R, Σt, Σt², Σty — DECIMAL accumulators), then a
+    fixed double tree.  No windows, no joins; the cheapest test in the
+    battery.
+
+    Returns (groups…, n, n_success, z_stat, p_value, reject_05).
+    """
+    from timeseriesutils_spark.operators.nonparam import two_sided_p_expr
+
+    g = _as_list(group_columns)
+    lab = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    )
+    t = F.col(score_col).cast("bigint")
+    y = lab.cast("boolean").cast("bigint")
+    d = df.filter(
+        F.col(score_col).isNotNull() & lab.isNotNull()
+    ).select(*g, t.alias("_t"), y.alias("_y"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = d.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("n_success"),
+        F.sum(dec(F.col("_t"))).alias("_st"),
+        F.sum(dec(F.col("_t") * F.col("_t"))).alias("_stt"),
+        F.sum(dec(F.col("_t") * F.col("_y"))).alias("_sty"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+    r = F.col("n_success").cast("double")
+    pbar = r / nn
+    tt = s2d("_st")
+    tstat = s2d("_sty") - pbar * tt
+    var = pbar * (F.lit(1.0) - pbar) * (s2d("_stt") - tt * tt / nn)
+    ok = (F.col("n") > 1) & (var > 0)
+    z = tstat / F.sqrt(var)
+    p = two_sided_p_expr(z)
+    return agg.select(
+        *g,
+        "n",
+        "n_success",
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def cochran_armitage_sql(
+    data_sql: str,
+    score_col: str,
+    success_sql: str,
+    group_columns,
+) -> str:
+    """DuckDB twin of :func:`cochran_armitage` (``success_sql`` is the
+    boolean outcome expression)."""
+    from timeseriesutils_spark.operators.nonparam import two_sided_p_sql
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+    r = "CAST(n_success AS DOUBLE)"
+    pbar = f"({r} / {nn})"
+    tt = s2d("_st")
+    tstat = f"({s2d('_sty')} - {pbar} * {tt})"
+    var = f"({pbar} * (1.0 - {pbar}) * ({s2d('_stt')} - {tt} * {tt} / {nn}))"
+    z = f"({tstat} / SQRT({var}))"
+    p = two_sided_p_sql(z)
+    ok = f"n > 1 AND {var} > 0"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, CAST({score_col} AS BIGINT) AS _t,
+    CAST(CAST({success_sql} AS BOOLEAN) AS BIGINT) AS _y
+  FROM ({data_sql})
+  WHERE {score_col} IS NOT NULL AND ({success_sql}) IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    CAST(SUM(_y) AS BIGINT) AS n_success,
+    SUM(CAST(_t AS DECIMAL(38,0))) AS _st,
+    SUM(CAST(_t * _t AS DECIMAL(38,0))) AS _stt,
+    SUM(CAST(_t * _y AS DECIMAL(38,0))) AS _sty
+  FROM d GROUP BY {gsel}
+)
+SELECT {gsel}, n, n_success,
+  CASE WHEN {ok} THEN {z} END AS z_stat,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""

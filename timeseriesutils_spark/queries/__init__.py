@@ -121,9 +121,9 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "best_breakpoint", "bh_fdr_trend", "bigram_logprob", "bm25_search",
     "boilerplate_frac",
     "bootstrap_ci", "bpe_pair_counts", "bucketed_featurize", "build_vocab",
-    "calendar_features", "canonical_pick", "categorical_assoc",
+    "calibration_curve", "calendar_features", "canonical_pick", "categorical_assoc",
     "chunk_dedup", "chunk_text", "chunked_taylor", "clean_text",
-    "cohort_retention", "column_profile", "compaction_plan",
+    "cochran_armitage", "cohort_retention", "column_profile", "compaction_plan",
     "constraint_audit", "containment_dedup", "corpus_jsd", "corpus_stats",
     "corr_matrix",
     "counter_rate", "croston_demand", "cumulative_incidence", "cusum_drift",
@@ -157,13 +157,13 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "merge_intervals",
     "merge_upsert", "minhash_estimate_audit", "mixture_resample",
     "multimodal_meta", "nelson_aalen", "novelty_scores", "nowcast_triangle",
-    "ohlc_bars", "pagerank", "pca_power", "pca_project", "peak_concurrency",
+    "ohlc_bars", "page_hinkley", "pagerank", "pca_power", "pca_project", "peak_concurrency",
     "period_over_period", "permutation_entropy", "pii_scrub", "pinball_eval",
     "pivot_wide", "pmi_cooccur", "psi_drift", "psi_drift_curve",
     "quality_filter", "quantile_bin", "quantile_transform",
     "quantize_embeddings", "range_frame", "range_join", "renewal_rt",
     "repetition_stats", "reservoir_sample", "rfm_segments",
-    "rolling_active_users", "rolling_corr", "rolling_mad", "rolling_median",
+    "roc_auc", "rolling_active_users", "rolling_corr", "rolling_mad", "rolling_median",
     "rolling_moments", "rolling_quantile", "rolling_slope", "rolling_zscore",
     "rollmean", "runs_test", "sax_words", "scalar_funcs", "scd2_history",
     "seasonal_profile", "seasonal_strength", "seasonal_zscore",

@@ -1978,3 +1978,111 @@ def _sql_theta_forecast():
 
 
 QUERIES.update({"theta_forecast": Q(q_theta_forecast, _sql_theta_forecast())})
+
+
+def q_roc_auc(spark, sf_dir):
+    """ROC AUC per ship year: how well does line-item price rank the
+    returned items?  (operators/nonparam.roc_auc) — the rank-sum AUC
+    identity on count-based midranks: classifier/score evaluation with
+    the mann_whitney machinery (AUC = U/(n₊n₋)); gini rides along."""
+    from timeseriesutils_spark.operators.nonparam import roc_auc
+
+    return roc_auc(
+        _year_rf(spark, sf_dir),
+        "l_extendedprice",
+        F.col("l_returnflag") == F.lit("R"),
+        ["ship_year"],
+    )
+
+
+def _sql_roc_auc():
+    from timeseriesutils_spark.operators.nonparam import roc_auc_sql
+
+    return roc_auc_sql(
+        _SQL_YEAR_RF, "l_extendedprice", "l_returnflag = 'R'",
+        ["ship_year"],
+    )
+
+
+QUERIES.update({"roc_auc": Q(q_roc_auc, _sql_roc_auc())})
+
+
+def q_calibration_curve(spark, sf_dir):
+    """Reliability diagram + Brier/ECE per ship year
+    (operators/forecast.calibration_curve): the 10×-scaled discount as
+    a pseudo-probability of return — per-decile predicted-vs-observed
+    rates, bin Brier contributions, and the group ECE/Brier summary on
+    every row.  roc_auc checks RANKING; this checks CALIBRATION."""
+    from timeseriesutils_spark.operators.forecast import calibration_curve
+
+    li = _li(spark, sf_dir)
+    d = li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias(
+            "ship_year"
+        ),
+        (F.col("l_discount") * 10.0).alias("p_ret"),
+        "l_returnflag",
+    )
+    return calibration_curve(
+        d, "p_ret", F.col("l_returnflag") == F.lit("R"), ["ship_year"],
+        bins=10,
+    )
+
+
+def _sql_calibration_curve():
+    from timeseriesutils_spark.operators.forecast import calibration_curve_sql
+
+    d = (
+        "SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT)"
+        " AS ship_year, l_discount * 10.0 AS p_ret, l_returnflag"
+        " FROM lineitem"
+    )
+    return calibration_curve_sql(
+        d, "p_ret", "l_returnflag = 'R'", ["ship_year"], bins=10
+    )
+
+
+QUERIES.update(
+    {"calibration_curve": Q(q_calibration_curve, _sql_calibration_curve())}
+)
+
+
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran–Armitage dose-response trend per order status
+    (operators/stats.cochran_armitage): does the URGENT-priority rate
+    trend linearly across order YEARS?  categorical_assoc's χ² asks
+    "different at all?"; this asks "monotone in the ordered score?" —
+    one five-statistic aggregation, engine-kernel p-value."""
+    from timeseriesutils_spark.operators.stats import cochran_armitage
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderstatus",
+        F.year(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("order_year"),
+        "o_orderpriority",
+    )
+    return cochran_armitage(
+        d, "order_year",
+        F.col("o_orderpriority") == F.lit("1-URGENT"),
+        ["o_orderstatus"],
+    )
+
+
+def _sql_cochran_armitage():
+    from timeseriesutils_spark.operators.stats import cochran_armitage_sql
+
+    d = (
+        "SELECT o_orderstatus, CAST(EXTRACT(year FROM"
+        " CAST(o_orderdate AS DATE)) AS BIGINT) AS order_year,"
+        " o_orderpriority FROM orders"
+    )
+    return cochran_armitage_sql(
+        d, "order_year", "o_orderpriority = '1-URGENT'", ["o_orderstatus"]
+    )
+
+
+QUERIES.update(
+    {"cochran_armitage": Q(q_cochran_armitage, _sql_cochran_armitage())}
+)

@@ -945,3 +945,29 @@ def _sql_tech_indicators():
 
 
 QUERIES.update({"tech_indicators": Q(q_tech_indicators, _sql_tech_indicators())})
+
+
+def q_page_hinkley(spark, sf_dir):
+    """Page–Hinkley mean-increase drift monitor per supplier on the
+    daily price series (operators/changepoint.page_hinkley): deviation
+    from the series' own running mean — the self-baselining
+    concept-drift detector beside cusum_drift's fixed-target form.
+    Three shared-partition window passes, integer-exact alarm."""
+    from timeseriesutils_spark.operators.changepoint import page_hinkley
+
+    return page_hinkley(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        delta=0.0, lam=5000.0,
+    )
+
+
+def _sql_page_hinkley():
+    from timeseriesutils_spark.operators.changepoint import page_hinkley_sql
+
+    return page_hinkley_sql(
+        _SQL_DAILY, "day_price", ["l_suppkey"], ["ship_day"],
+        delta=0.0, lam=5000.0,
+    )
+
+
+QUERIES.update({"page_hinkley": Q(q_page_hinkley, _sql_page_hinkley())})
