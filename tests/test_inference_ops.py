@@ -596,3 +596,136 @@ def test_cochran_armitage_known_z(spark):
     df = spark.createDataFrame(rows, "g string, t long, y boolean")
     out = cochran_armitage(df, "t", "y", ["g"]).first()
     assert out.z_stat == pytest.approx(0.5 / math.sqrt(0.1875))
+
+
+# --- Holt–Winters ---------------------------------------------------------
+
+
+def _hw_mirror(ys, alpha=0.3, beta=0.1, gamma=0.3, season=7, w=28):
+    """Direct zero-initialized recursion over the LAST w observations —
+    must equal the impulse-weight filter exactly up to float assoc."""
+    window = ys[-w:]
+    m = season
+    l = b = 0.0
+    s = [0.0] * m  # s[j] = seasonal updated j steps ago (rotating)
+    for y in window:
+        s_old = s[m - 1]
+        lp = (1 - alpha) * (l + b) + alpha * (y - s_old)
+        bp = beta * (lp - l) + (1 - beta) * b
+        sp = gamma * (y - lp) + (1 - gamma) * s_old
+        s = [sp] + s[:-1]
+        l, b = lp, bp
+    return l, b, s[m - 1]
+
+
+def test_holt_winters_matches_recursion(spark):
+    from timeseriesutils_spark.operators.forecast import holt_winters
+
+    ys = [50.0 + 10.0 * ((i % 7) - 3) + 0.2 * i for i in range(40)]
+    out = holt_winters(
+        _series_df(spark, ys), "y", ["g"], ["i"],
+        alpha=0.3, beta=0.1, gamma=0.3, season=7, window_size=28,
+    ).orderBy("i").collect()
+    l, b, snext = _hw_mirror(ys)
+    last = out[-1]
+    assert last.y_hw_level_a0p3_g0p3_m7_w28 == pytest.approx(l, rel=1e-9)
+    assert last.y_hw_trend_a0p3_g0p3_m7_w28 == pytest.approx(b, rel=1e-9)
+    assert last.y_hw_season_a0p3_g0p3_m7_w28 == pytest.approx(snext, rel=1e-9)
+    assert last.y_hw_fc_a0p3_g0p3_m7_w28 == pytest.approx(
+        l + b + snext, rel=1e-9
+    )
+    # NULL until a full window exists
+    assert out[26].y_hw_fc_a0p3_g0p3_m7_w28 is None
+    assert out[27].y_hw_fc_a0p3_g0p3_m7_w28 is not None
+
+
+def test_holt_winters_learns_pure_seasonality(spark):
+    from timeseriesutils_spark.operators.forecast import holt_winters
+
+    # strictly periodic series: the 1-step forecast should approach the
+    # true next value as gamma-truncation allows
+    pat = [10.0, 20.0, 5.0, 30.0, 15.0, 25.0, 8.0]
+    ys = pat * 10
+    out = holt_winters(
+        _series_df(spark, ys), "y", ["g"], ["i"],
+        alpha=0.3, beta=0.05, gamma=0.5, season=7, window_size=49,
+    ).orderBy("i").collect()
+    last = out[-1]  # index 69, next value would be pat[0] = 10.0
+    fc = last.y_hw_fc_a0p3_g0p5_m7_w49
+    assert fc == pytest.approx(10.0, abs=3.5)
+
+
+# --- sample entropy -------------------------------------------------------
+
+
+def _sampen_mirror(ys, m=2, r_frac=0.2, scale=0):
+    q = [math.floor(y * 10**scale + 0.5) for y in ys]
+    n = len(q)
+    sq = sum(q)
+    sqq = sum(v * v for v in q)
+    sig = math.sqrt(n * float(sqq) - float(sq) * float(sq)) / n
+    r = math.floor(r_frac * sig + 0.5)
+    B = A = 0
+    for i in range(n - m):
+        for j in range(i + 1, n - m):
+            if max(abs(q[i + k] - q[j + k]) for k in range(m)) <= r:
+                B += 1
+            if max(abs(q[i + k] - q[j + k]) for k in range(m + 1)) <= r:
+                A += 1
+    return B, A, r
+
+
+def test_sample_entropy_matches_mirror(spark):
+    from timeseriesutils_spark.operators.complexity import sample_entropy
+
+    ys = [float((i * 37) % 23 + (i % 5)) for i in range(60)]
+    out = sample_entropy(
+        _series_df(spark, ys), "y", ["g"], ["i"], m=2, r_frac=0.2, scale=0
+    ).first()
+    # python mirror counts i<j<=n-m ; engine counts i<j<=n-m (1-based
+    # i in 1..n-m-1, j in i+1..n-m) — same unordered pair set
+    q = [math.floor(y + 0.5) for y in ys]
+    n = len(q)
+    B = A = 0
+    for i in range(0, n - 2):
+        for j in range(i + 1, n - 2):
+            pass
+    B_, A_, r = _sampen_mirror(ys)
+    # recompute with the engine's exact index convention
+    B = sum(
+        1
+        for i in range(0, n - 2 - 1)
+        for j in range(i + 1, n - 2)
+        if max(abs(q[i] - q[j]), abs(q[i + 1] - q[j + 1])) <= out.r_tol
+    )
+    A = sum(
+        1
+        for i in range(0, n - 2 - 1)
+        for j in range(i + 1, n - 2)
+        if max(abs(q[i + k] - q[j + k]) for k in range(3)) <= out.r_tol
+    )
+    assert out.b_pairs == B and out.a_pairs == A
+    if A > 0 and B > 0:
+        assert out.sampen == pytest.approx(-math.log(A / B), abs=1e-8)
+
+
+def test_sample_entropy_periodic_lower_than_noise(spark):
+    from timeseriesutils_spark.operators.complexity import sample_entropy
+
+    periodic = [float(10 * (i % 4)) for i in range(80)]
+    noisy = [float((i * 7919) % 101) for i in range(80)]
+    rows = [("p", i, v) for i, v in enumerate(periodic)] + [
+        ("n", i, v) for i, v in enumerate(noisy)
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, y double")
+    out = {
+        r.g: r
+        for r in sample_entropy(
+            df, "y", ["g"], ["i"], m=2, r_frac=0.2, scale=0
+        ).collect()
+    }
+    assert out["p"].sampen is not None
+    # perfectly periodic: every m-match extends -> SampEn == 0
+    assert out["p"].sampen == pytest.approx(0.0, abs=1e-9)
+    # the aperiodic series is strictly less regular than the periodic one
+    assert out["n"].sampen is None or out["n"].sampen > out["p"].sampen

@@ -384,3 +384,182 @@ SELECT {gsel}, CAST(_B0 AS BIGINT) AS n,
   CASE WHEN {guard} THEN 1.0 + ({slope}) / 2.0 END AS hurst
 FROM {joined}
 """
+
+
+# --------------------------------------------------------------------------
+# sample entropy
+# --------------------------------------------------------------------------
+
+
+def sample_entropy(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+    m: int = 2,
+    r_frac: float = 0.2,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group sample entropy SampEn(m, r) (Richman & Moorman 2000)
+    — the regularity measure that complements permutation_entropy:
+    PE sees ordinal structure, SampEn sees amplitude-scale
+    repeatability (low = self-similar/periodic, high = irregular).
+    r = ``r_frac``·σ, the standard tolerance.
+
+        B = #{i<j ≤ n−m : max_{k<m}   |x_{i+k} − x_{j+k}| ≤ r}
+        A = #{i<j ≤ n−m : max_{k≤m}   |x_{i+k} − x_{j+k}| ≤ r}
+        SampEn = −ln(A/B)
+
+    Exactness: values quantize to 10^-scale ints; σ comes from exact
+    DECIMAL sufficient statistics and the tolerance floor-quantizes to
+    an INTEGER, so every pair comparison is exact int arithmetic — A
+    and B are bit-identical across engines; the single −ln(A/B) is
+    1e-9-floor-quantized (the one-ln rule).
+
+    Scale: one exchange assembles each group's position-ordered array
+    (hurst's array-plan discipline); the O(n²) pair count runs as a
+    nested aggregate over that array INSIDE the engine (no Python).
+    Pair counting is quadratic in series length by definition —
+    aggregate long series to a coarser grid first (the theilsen
+    O(n²)-bound convention; ~10³ points ≈ 5·10⁵ pairs/group is the
+    comfortable envelope).
+
+    Returns (groups…, n, r_tol, b_pairs, a_pairs, sampen); sampen is
+    NULL when n ≤ m+1 or A or B is 0 (undefined, not dropped).
+    """
+    g = _as_list(group_columns)
+    w = make_window(g, _as_list(order_by))
+    mq = float(10**scale)
+    q = F.floor(F.col(column) * F.lit(mq) + F.lit(0.5)).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rows = data.filter(F.col(column).isNotNull()).select(
+        *g,
+        F.row_number().over(w).alias("_p"),
+        q.alias("_s"),
+    )
+    grp = rows.groupBy(*g).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_p").alias("p"), F.col("_s").alias("s")))
+            ),
+            lambda x: x["s"],
+        ).alias("_arr"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_s"))).alias("_sq"),
+        F.sum(dec(F.col("_s") * F.col("_s"))).alias("_sqq"),
+    )
+    # integer tolerance r = floor(r_frac · σ_q + 0.5) — σ_q from exact
+    # sums, one double tree, then every pair test is pure int compare
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+    sigq = F.sqrt(nn * s2d("_sqq") - s2d("_sq") * s2d("_sq")) / nn
+    rtol = F.floor(F.lit(float(r_frac)) * sigq + F.lit(0.5)).cast("bigint")
+    grp = grp.withColumn("_r", rtol)
+
+    def pair_count(mm: int) -> str:
+        """Engine-side nested aggregate counting i<j template matches
+        of length ``mm`` (Spark SQL text)."""
+        conds = " , ".join(
+            f"abs(element_at(_arr, CAST(i + {k} AS INT))"
+            f" - element_at(_arr, CAST(j + {k} AS INT)))"
+            for k in range(mm)
+        )
+        dist = f"greatest({conds})" if mm > 1 else conds
+        return (
+            f"CASE WHEN n - {m} >= 2 THEN "
+            f"aggregate(sequence(1, n - {m} - 1), 0L, (acc, i) -> acc + "
+            f"aggregate(sequence(i + 1, n - {m}), 0L, (a2, j) -> a2 + "
+            f"IF({dist} <= _r, 1L, 0L))) ELSE 0L END"
+        )
+
+    counted = grp.select(
+        *g,
+        "n",
+        (F.col("_r").cast("double") / F.lit(mq)).alias("r_tol"),
+        F.expr(pair_count(m)).alias("b_pairs"),
+        F.expr(pair_count(m + 1)).alias("a_pairs"),
+    )
+    ok = (F.col("b_pairs") > 0) & (F.col("a_pairs") > 0)
+    se = (
+        F.floor(
+            -F.log(
+                F.col("a_pairs").cast("double") / F.col("b_pairs").cast("double")
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("bigint")
+        .cast("double")
+        / F.lit(1e9)
+    )
+    return counted.select(
+        *g, "n", "r_tol", "b_pairs", "a_pairs",
+        F.when(ok, se).alias("sampen"),
+    )
+
+
+def sample_entropy_sql(
+    table_sql: str,
+    column: str,
+    group_columns,
+    order_by,
+    m: int = 2,
+    r_frac: float = 0.2,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`sample_entropy` (list-comprehension pair
+    counts over the same quantized array; identical integer tolerance
+    tree)."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    osel = ", ".join(_as_list(order_by))
+    mq = float(10**scale)
+    qq = f"CAST(FLOOR({column} * {dlit(mq)} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+    sigq = f"(SQRT({nn} * {s2d('_sqq')} - {s2d('_sq')} * {s2d('_sq')}) / {nn})"
+    rtol = f"CAST(FLOOR({dlit(float(r_frac))} * {sigq} + 0.5) AS BIGINT)"
+
+    def pair_count(mm: int) -> str:
+        conds = ", ".join(
+            f"abs(_arr[i + {k}] - _arr[j + {k}])" for k in range(mm)
+        )
+        dist = f"greatest({conds})" if mm > 1 else conds
+        return (
+            f"CASE WHEN n - {m} >= 2 THEN CAST(len(flatten("
+            f"[[1 FOR j IN range(i + 1, n - {m} + 1) IF {dist} <= _r] "
+            f"FOR i IN range(1, n - {m})])) AS BIGINT) ELSE 0 END"
+        )
+
+    se = (
+        "CAST(FLOOR(-ln(CAST(a_pairs AS DOUBLE) / CAST(b_pairs AS DOUBLE))"
+        " * 1e9 + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH rows_ AS (
+  SELECT {gsel}, ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY {osel}) AS _p,
+    {qq} AS _s
+  FROM ({table_sql}) WHERE {column} IS NOT NULL
+),
+grp AS (
+  SELECT {gsel},
+    list(_s ORDER BY _p) AS _arr,
+    COUNT(*) AS n,
+    SUM(CAST(_s AS DECIMAL(38,0))) AS _sq,
+    SUM(CAST(_s * _s AS DECIMAL(38,0))) AS _sqq
+  FROM rows_ GROUP BY {gsel}
+),
+tol AS (SELECT *, {rtol} AS _r FROM grp),
+counted AS (
+  SELECT {gsel}, n,
+    CAST(_r AS DOUBLE) / {dlit(mq)} AS r_tol,
+    {pair_count(m)} AS b_pairs,
+    {pair_count(m + 1)} AS a_pairs
+  FROM tol
+)
+SELECT {gsel}, n, r_tol, b_pairs, a_pairs,
+  CASE WHEN b_pairs > 0 AND a_pairs > 0
+    THEN CAST({se} AS DOUBLE) / 1e9 END AS sampen
+FROM counted
+"""

@@ -1517,3 +1517,151 @@ SELECT {gsel}, bin, n, n_pos,
     / {dlit(float(mq))} AS brier
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Holt–Winters additive seasonal smoothing
+# --------------------------------------------------------------------------
+
+
+def holt_winters_weights(
+    alpha: float, beta: float, gamma: float, season: int, window_size: int
+):
+    """Impulse-response weights of the zero-initialized truncated
+    additive Holt–Winters filter: the contribution of y_{t-j} to the
+    final level, trend, and NEXT-step seasonal (the slot the h=1
+    forecast reads).  State x = [l, b, s⁰, s⁻¹, …, s⁻⁽ᵐ⁻¹⁾] (seasonals
+    by update recency); one update is linear in (x, y), so weight_j =
+    A^j·B — driver float64 literals, the holt_weights discipline.
+    """
+    import numpy as np
+
+    a, b, g = float(alpha), float(beta), float(gamma)
+    m = int(season)
+    dim = 2 + m
+
+    def step(x, y):
+        # returns the next state given state x and observation y
+        nxt = np.zeros(dim)
+        s_old = x[2 + m - 1]  # seasonal updated m steps ago = this phase
+        lp = (1 - a) * (x[0] + x[1]) + a * (y - s_old)
+        bp = b * (lp - x[0]) + (1 - b) * x[1]
+        sp = g * (y - lp) + (1 - g) * s_old
+        nxt[0] = lp
+        nxt[1] = bp
+        nxt[2] = sp
+        nxt[3 : 2 + m] = x[2 : 2 + m - 1]
+        return nxt
+
+    # A from unit states, B from unit observation (linearity)
+    A = np.zeros((dim, dim))
+    for k in range(dim):
+        e = np.zeros(dim)
+        e[k] = 1.0
+        A[:, k] = step(e, 0.0)
+    B = step(np.zeros(dim), 1.0)
+    wl, wb, ws = [], [], []
+    v = B.copy()
+    for _ in range(window_size):
+        wl.append(float(v[0]))
+        wb.append(float(v[1]))
+        # h=1 forecast reads the OLDEST slot (updated m-1 steps ago,
+        # due for phase t+1)
+        ws.append(float(v[2 + m - 1]))
+        v = A @ v
+    return wl, wb, ws
+
+
+def holt_winters(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    season: int = 7,
+    window_size: int = 28,
+) -> DataFrame:
+    """Additive Holt–Winters (triple exponential) smoothing as a
+    bounded linear filter — the seasonal member of the exponential
+    family (SES lives inside theta_forecast, Holt in holt_smooth):
+    level + trend + a rotating ``season``-slot seasonal state, with
+    ``forecast`` = level + trend + next-phase seasonal = ŷ_{t+1}.
+
+    Same design as holt_smooth: the textbook recursion is sequential,
+    but zero-initialized truncation turns each output into Σ_j w_j·y_{t−j}
+    with driver-precomputed impulse weights (holt_winters_weights) —
+    ONE window expression, single exchange, no Python, 100 TB-safe.
+    Truncation residual decays like (1−γ)^(window/season) on the
+    seasonal component — window_size ≥ 4·season recommended; the
+    filter semantics (not the textbook infinite-history recursion) are
+    the pinned engine contract, mirrored verbatim by the SQL twin.
+    NULL until a full window exists (null-lag propagation, the holt
+    edge rule).
+    """
+    from functools import reduce as _reduce
+
+    w = make_window(group_columns, order_by)
+    wl, wb, ws = holt_winters_weights(alpha, beta, gamma, season, window_size)
+
+    def combo(wts):
+        terms = [
+            F.lit(wt) * (F.lag(column, j).over(w) if j else F.col(column))
+            for j, wt in enumerate(wts)
+        ]
+        return _reduce(lambda x, y: x + y, terms)
+
+    level = combo(wl)
+    trend = combo(wb)
+    snext = combo(ws)
+    sfx = (
+        f"a{str(alpha).replace('.', 'p')}_g{str(gamma).replace('.', 'p')}"
+        f"_m{season}_w{window_size}"
+    )
+    return data.select(
+        "*",
+        level.alias(f"{column}_hw_level_{sfx}"),
+        trend.alias(f"{column}_hw_trend_{sfx}"),
+        snext.alias(f"{column}_hw_season_{sfx}"),
+        (level + trend + snext).alias(f"{column}_hw_fc_{sfx}"),
+    )
+
+
+def holt_winters_sql_columns(
+    column: str,
+    group_columns,
+    order_by,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    season: int = 7,
+    window_size: int = 28,
+) -> list[tuple[str, str]]:
+    """[(name, expr)] DuckDB twin of :func:`holt_winters` — same
+    literals, same term order, same association."""
+    over = (
+        f"(PARTITION BY {', '.join(_as_list(group_columns))} "
+        f"ORDER BY {', '.join(_as_list(order_by))})"
+    )
+    wl, wb, ws = holt_winters_weights(alpha, beta, gamma, season, window_size)
+
+    def combo(wts):
+        terms = [
+            f"CAST('{wt!r}' AS DOUBLE) * "
+            + (f"LAG({column}, {j}) OVER {over}" if j else column)
+            for j, wt in enumerate(wts)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    sfx = (
+        f"a{str(alpha).replace('.', 'p')}_g{str(gamma).replace('.', 'p')}"
+        f"_m{season}_w{window_size}"
+    )
+    lvl, trd, ssn = combo(wl), combo(wb), combo(ws)
+    return [
+        (f"{column}_hw_level_{sfx}", lvl),
+        (f"{column}_hw_trend_{sfx}", trd),
+        (f"{column}_hw_season_{sfx}", ssn),
+        (f"{column}_hw_fc_{sfx}", f"({lvl} + {trd} + {ssn})"),
+    ]

@@ -144,7 +144,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "gap_fill_ffill", "gini_index", "gmean_exact", "gopher_rules",
     "granger_lag", "group_mode", "group_trend", "grouped_ols2",
     "grouping_sets", "growth_rates", "hash_split", "heavy_hitters",
-    "histogram2d", "holt_smooth", "horizon_targets_long",
+    "histogram2d", "holt_smooth", "holt_winters", "horizon_targets_long",
     "horizon_targets_wide", "hurst_exponent", "id_gap_audit",
     "incremental_dedup", "incremental_rollmean", "incremental_taylor",
     "interpolate", "inverted_index", "item_cooccur", "join_anti",
@@ -165,7 +165,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "repetition_stats", "reservoir_sample", "rfm_segments",
     "roc_auc", "rolling_active_users", "rolling_corr", "rolling_mad", "rolling_median",
     "rolling_moments", "rolling_quantile", "rolling_slope", "rolling_zscore",
-    "rollmean", "runs_test", "sax_words", "scalar_funcs", "scd2_history",
+    "rollmean", "runs_test", "sample_entropy", "sax_words", "scalar_funcs", "scd2_history",
     "seasonal_profile", "seasonal_strength", "seasonal_zscore",
     "semantic_dedup", "seq_pack", "sessionize", "set_ops", "shard_assign",
     "shipping_sla", "simhash", "sink_roundtrip", "skew_report",

@@ -2086,3 +2086,41 @@ def _sql_cochran_armitage():
 QUERIES.update(
     {"cochran_armitage": Q(q_cochran_armitage, _sql_cochran_armitage())}
 )
+
+
+_HW_PARAMS = dict(alpha=0.3, beta=0.1, gamma=0.3, season=7, window_size=28)
+
+
+def q_holt_winters(spark, sf_dir):
+    """Additive Holt–Winters smoothing + one-step seasonal forecast on
+    the per-supplier daily price series (operators/forecast.
+    holt_winters): level + trend + rotating 7-slot seasonal state as a
+    truncated linear filter — the seasonal member of the exponential
+    family beside holt_smooth and theta_forecast.  One window
+    expression, single exchange."""
+    from timeseriesutils_spark.operators.forecast import holt_winters
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    return holt_winters(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        **_HW_PARAMS,
+    )
+
+
+def _sql_holt_winters():
+    from timeseriesutils_spark.operators.forecast import (
+        holt_winters_sql_columns,
+    )
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    cols = holt_winters_sql_columns(
+        "day_price", ["l_suppkey"], ["ship_day"], **_HW_PARAMS
+    )
+    sel = ",\n  ".join(f"{expr} AS {name}" for name, expr in cols)
+    return (
+        "SELECT l_suppkey, ship_day, day_price,\n  "
+        f"{sel}\nFROM ({_SQL_DAILY})"
+    )
+
+
+QUERIES.update({"holt_winters": Q(q_holt_winters, _sql_holt_winters())})

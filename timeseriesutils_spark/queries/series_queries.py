@@ -971,3 +971,47 @@ def _sql_page_hinkley():
 
 
 QUERIES.update({"page_hinkley": Q(q_page_hinkley, _sql_page_hinkley())})
+
+
+def q_sample_entropy(spark, sf_dir):
+    """Per-supplier sample entropy SampEn(2, 0.2σ) of the MONTHLY
+    price series (operators/complexity.sample_entropy):
+    amplitude-scale regularity beside permutation_entropy's ordinal
+    measure — exact-integer pair matching over the group's array, the
+    O(n²)-bounded coarse-grid convention (84 months ≈ 3.4k pairs)."""
+    from timeseriesutils_spark.operators.complexity import sample_entropy
+
+    d = _daily(spark, sf_dir)
+    monthly = (
+        d.select(
+            "l_suppkey",
+            (F.col("ship_day") / 30).cast("bigint").alias("month"),
+            F.floor(F.col("day_price") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("_pq"),
+        )
+        .groupBy("l_suppkey", "month")
+        .agg(F.sum("_pq").cast("double").alias("month_price"))
+    )
+    return sample_entropy(
+        monthly, "month_price", ["l_suppkey"], ["month"], m=2,
+        r_frac=0.2, scale=0,
+    )
+
+
+def _sql_sample_entropy():
+    from timeseriesutils_spark.operators.complexity import sample_entropy_sql
+
+    monthly = f"""
+SELECT l_suppkey, CAST(FLOOR(ship_day / 30) AS BIGINT) AS month,
+  CAST(CAST(SUM(CAST(FLOOR(day_price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       AS DOUBLE) AS month_price
+FROM ({_SQL_DAILY}) GROUP BY 1, 2
+"""
+    return sample_entropy_sql(
+        monthly, "month_price", ["l_suppkey"], ["month"], m=2,
+        r_frac=0.2, scale=0,
+    )
+
+
+QUERIES.update({"sample_entropy": Q(q_sample_entropy, _sql_sample_entropy())})
