@@ -729,3 +729,88 @@ def test_sample_entropy_periodic_lower_than_noise(spark):
     assert out["p"].sampen == pytest.approx(0.0, abs=1e-9)
     # the aperiodic series is strictly less regular than the periodic one
     assert out["n"].sampen is None or out["n"].sampen > out["p"].sampen
+
+
+# --- Friedman -------------------------------------------------------------
+
+
+def test_friedman_hand_worked(spark):
+    from timeseriesutils_spark.operators.nonparam import friedman_test
+
+    # 3 blocks x 3 treatments, consistent ordering A<B<C in every block:
+    # ranks 1,2,3 per block -> R = (3,6,9); chi2 = 12/(3*3*4)*(9+36+81)
+    #                                             - 3*3*4 = 42 - 36 = 6
+    rows = []
+    for blk in range(3):
+        base = blk * 100
+        rows += [("g", "A", blk, base + 1.0), ("g", "B", blk, base + 2.0),
+                 ("g", "C", blk, base + 3.0)]
+    df = spark.createDataFrame(rows, "g string, trt string, blk long, y double")
+    out = friedman_test(df, "y", "trt", "blk", ["g"]).first()
+    assert out.k_treatments == 3 and out.n_blocks == 3
+    assert out.chi2_f == pytest.approx(6.0, abs=1e-9)
+    assert out.df == 2
+
+
+def test_friedman_blocking_removes_level_shift(spark):
+    from timeseriesutils_spark.operators.nonparam import friedman_test
+
+    # huge block-level differences, no treatment effect: chi2 ~ 0
+    rows = []
+    for blk in range(6):
+        base = blk * 1000
+        # rotate which treatment is "highest" so rank sums equalize
+        vals = [1.0, 2.0, 3.0]
+        vals = vals[blk % 3:] + vals[:blk % 3]
+        for t, v in zip("ABC", vals):
+            rows.append(("g", t, blk, base + v))
+    df = spark.createDataFrame(rows, "g string, trt string, blk long, y double")
+    out = friedman_test(df, "y", "trt", "blk", ["g"]).first()
+    assert out.chi2_f == pytest.approx(0.0, abs=1e-9)
+
+
+def test_friedman_incomplete_blocks_dropped(spark):
+    from timeseriesutils_spark.operators.nonparam import friedman_test
+
+    rows = [("g", t, 0, v) for t, v in zip("ABC", (1.0, 2.0, 3.0))]
+    rows += [("g", t, 1, v) for t, v in zip("ABC", (1.0, 2.0, 3.0))]
+    rows += [("g", "A", 2, 9.0)]  # incomplete block: only one treatment
+    df = spark.createDataFrame(rows, "g string, trt string, blk long, y double")
+    out = friedman_test(df, "y", "trt", "blk", ["g"]).first()
+    assert out.n_blocks == 2  # block 2 excluded
+
+
+# --- distinct n-grams -----------------------------------------------------
+
+
+def test_distinct_ngrams_known_counts(spark):
+    from timeseriesutils_spark.operators.text import distinct_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "x"), (2, "a b c", "x")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r.n: r for r in distinct_ngrams(docs, "lang", n_max=2).collect()
+    }
+    # unigrams: a,b,a,b + a,b,c = 7 total, 3 distinct
+    assert out[1].total_ngrams == 7 and out[1].distinct_ngrams == 3
+    # bigrams: 'a b','b a','a b' + 'a b','b c' = 5 total, 3 distinct
+    assert out[2].total_ngrams == 5 and out[2].distinct_ngrams == 3
+    assert out[2].distinct_ratio == pytest.approx(3 / 5)
+
+
+def test_distinct_ngrams_template_spam_low_ratio(spark):
+    from timeseriesutils_spark.operators.text import distinct_ngrams
+
+    docs = spark.createDataFrame(
+        [(i, "buy now click here buy now", "spam") for i in range(20)]
+        + [(100 + i, f"unique text number {i} content {i * 7}", "real")
+           for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        (r.lang, r.n): r
+        for r in distinct_ngrams(docs, "lang", n_max=2).collect()
+    }
+    assert out[("spam", 2)].distinct_ratio < out[("real", 2)].distinct_ratio

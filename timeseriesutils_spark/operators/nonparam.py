@@ -1082,3 +1082,185 @@ SELECT {gsel}, n_pos, n_neg,
   CASE WHEN n_pos > 0 AND n_neg > 0 THEN 2.0 * {auc} - 1.0 END AS gini
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Friedman test (rank ANOVA for blocked designs)
+# --------------------------------------------------------------------------
+
+
+def friedman_test(
+    df: DataFrame,
+    value_col: str,
+    treatment_col: str,
+    block_col: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Friedman test per group: across ``block_col`` blocks (weeks,
+    machines, panels), does ``treatment_col`` shift the value when each
+    block is only compared WITH ITSELF?  The repeated-measures sibling
+    of kruskal_wallis — blocking removes between-block level
+    differences that would drown the treatment signal in a pooled rank
+    test.
+
+        χ²_F = [12/(n·k·(k+1))]·Σ_j R_j² − 3·n·(k+1)
+
+    with n complete blocks, k treatments, R_j the sum over blocks of
+    treatment j's WITHIN-BLOCK midrank.  Only blocks observing all k
+    treatments count (the standard complete-block rule); cell values
+    collapse to per-(block, treatment) quantized MEANS first (exact
+    integer sums, floor-quantized ratio) so unbalanced cell sizes
+    don't bias ranks.
+
+    One chain: cell aggregation → within-block midranks (two RANGE
+    frames over (group, block), the kruskal peer-window form) →
+    completeness filter → one reduce.  Midranks are exact doubled
+    integers; R_j² accumulates through the floor-in-double-domain
+    DECIMAL pattern.  df = k − 1.
+
+    Returns (groups…, k_treatments, n_blocks, chi2_f, df).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        *groups,
+        F.col(block_col).alias("_blk"),
+        F.col(treatment_col).alias("_trt"),
+        q.alias("_q"),
+    )
+    # per-cell quantized mean (exact ratio of ints, floor-quantized)
+    cell = d.groupBy(*groups, "_blk", "_trt").agg(
+        F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_c")
+    )
+    cq = F.floor(
+        F.col("_s").cast("double") / F.col("_c").cast("double") + F.lit(0.5)
+    ).cast("bigint")
+    cell = cell.select(*groups, "_blk", "_trt", cq.alias("_cq"))
+    wblk = Window.partitionBy(*groups, "_blk")
+    wpeer = (
+        Window.partitionBy(*groups, "_blk")
+        .orderBy("_cq")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    wcum = Window.partitionBy(*groups, "_blk").orderBy("_cq")
+    ranked = cell.select(
+        *groups,
+        "_blk",
+        "_trt",
+        F.count(F.lit(1)).over(wblk).alias("_kb"),
+        F.sum(F.lit(1)).over(wpeer).alias("_t"),
+        F.sum(F.lit(1)).over(wcum).alias("_cum"),
+    ).select(
+        *groups,
+        "_blk",
+        "_trt",
+        "_kb",
+        (2 * (F.col("_cum") - F.col("_t")) + F.col("_t") + 1).alias("_r2"),
+    )
+    # number of treatments per group = max cell count over blocks; only
+    # blocks with all k treatments participate
+    wg = Window.partitionBy(*groups)
+    ranked = ranked.withColumn("_k", F.max("_kb").over(wg)).filter(
+        F.col("_kb") == F.col("_k")
+    )
+    # per-treatment doubled rank sums over complete blocks
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    trt = ranked.groupBy(*groups, "_trt").agg(
+        F.max("_k").alias("_k"),
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum(dec(F.col("_r2"))).alias("_R2"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    r2d = s2d("_R2")
+    contrib = r2d * r2d / F.lit(4.0)
+    out = trt.groupBy(*groups).agg(
+        F.max("_k").alias("k_treatments"),
+        F.max("_nb").alias("n_blocks"),
+        F.sum((contrib - contrib % F.lit(1.0)).cast("decimal(38,0)")).alias(
+            "_sr"
+        ),
+    )
+    kk = F.col("k_treatments").cast("double")
+    nn = F.col("n_blocks").cast("double")
+    chi2 = (
+        F.lit(12.0) / (nn * kk * (kk + F.lit(1.0))) * s2d("_sr")
+        - F.lit(3.0) * nn * (kk + F.lit(1.0))
+    )
+    ok = (F.col("k_treatments") > 1) & (F.col("n_blocks") > 1)
+    return out.select(
+        *groups,
+        "k_treatments",
+        "n_blocks",
+        F.when(ok, chi2).alias("chi2_f"),
+        (F.col("k_treatments") - 1).alias("df"),
+    )
+
+
+def friedman_test_sql(
+    data_sql: str,
+    value_col: str,
+    treatment_col: str,
+    block_col: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`friedman_test`."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    r2d = s2d("_R2")
+    contrib = f"({r2d} * {r2d} / 4.0)"
+    kk = "CAST(k_treatments AS DOUBLE)"
+    nn = "CAST(n_blocks AS DOUBLE)"
+    chi2 = (
+        f"(12.0 / ({nn} * {kk} * ({kk} + 1.0)) * {s2d('_sr')}"
+        f" - 3.0 * {nn} * ({kk} + 1.0))"
+    )
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {block_col} AS _blk, {treatment_col} AS _trt, {qq} AS _q
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+cell AS (
+  SELECT {gsel}, _blk, _trt,
+    CAST(FLOOR(CAST(CAST(SUM(_q) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS _cq
+  FROM d GROUP BY {gsel}, _blk, _trt
+),
+ranked AS (
+  SELECT {gsel}, _blk, _trt,
+    CAST(COUNT(*) OVER (PARTITION BY {gsel}, _blk) AS BIGINT) AS _kb,
+    2 * (CAST(SUM(1) OVER (PARTITION BY {gsel}, _blk ORDER BY _cq) AS BIGINT)
+      - CAST(SUM(1) OVER (PARTITION BY {gsel}, _blk ORDER BY _cq
+          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT))
+      + CAST(SUM(1) OVER (PARTITION BY {gsel}, _blk ORDER BY _cq
+          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) + 1 AS _r2
+  FROM cell
+),
+kk_ AS (
+  SELECT *, CAST(MAX(_kb) OVER (PARTITION BY {gsel}) AS BIGINT) AS _k
+  FROM ranked
+),
+complete AS (SELECT * FROM kk_ WHERE _kb = _k),
+trt AS (
+  SELECT {gsel}, _trt, MAX(_k) AS _k, COUNT(*) AS _nb,
+    SUM(CAST(_r2 AS DECIMAL(38,0))) AS _R2
+  FROM complete GROUP BY {gsel}, _trt
+),
+top AS (
+  SELECT {gsel}, CAST(MAX(_k) AS BIGINT) AS k_treatments,
+    CAST(MAX(_nb) AS BIGINT) AS n_blocks,
+    SUM(CAST({contrib} - {contrib} % 1.0 AS DECIMAL(38,0))) AS _sr
+  FROM trt GROUP BY {gsel}
+)
+SELECT {gsel}, k_treatments, n_blocks,
+  CASE WHEN k_treatments > 1 AND n_blocks > 1 THEN {chi2} END AS chi2_f,
+  k_treatments - 1 AS df
+FROM top
+"""

@@ -1973,3 +1973,111 @@ SELECT {id_col}, _t AS is_target, n_feats,
   CASE WHEN NOT _t THEN COALESCE(_key >= _th, FALSE) ELSE FALSE END AS selected
 FROM keyed CROSS JOIN th
 """
+
+
+# --------------------------------------------------------------------------
+# distinct-n corpus diversity
+# --------------------------------------------------------------------------
+
+
+def distinct_ngrams(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_max: int = 3,
+) -> DataFrame:
+    """Distinct-n diversity profile per corpus slice (Li et al. 2016's
+    distinct-1/2 generalized): for n = 1..``n_max``, the count of
+    distinct n-grams, total n-grams, and their ratio — the standard
+    mode-collapse / template-spam indicator for a training corpus
+    (boilerplate-heavy slices show low distinct-2/3 long before exact
+    dedup fires).
+
+    One union of per-n exploded n-gram streams (space-joined tokens,
+    the dsir/bigram formation) → one groupBy(slice, n) with an EXACT
+    count-distinct.  Scale: the distinct count is the classic
+    two-level aggregation Catalyst plans for count(DISTINCT) — partial
+    per-(slice, n, gram) then merge; no row ever carries more than one
+    gram.
+
+    Returns (group, n, total_ngrams, distinct_ngrams, distinct_ratio).
+    """
+    streams = []
+    for n in range(1, n_max + 1):
+        toks = docs.select(
+            F.col(group_col).alias("_g"), words(F.col(text_col)).alias("_arr")
+        ).filter(F.size("_arr") >= n)
+        if n == 1:
+            gram = toks.select(
+                F.col("_g"), F.explode("_arr").alias("_gram")
+            )
+        else:
+            parts = " , ".join(
+                "x" if k == 0 else f"element_at(_arr, i + {k + 1})"
+                for k in range(n)
+            )
+            gram = toks.select(
+                F.col("_g"),
+                F.explode(
+                    F.expr(
+                        f"transform(slice(_arr, 1, size(_arr) - {n - 1}), "
+                        f"(x, i) -> concat_ws(' ', {parts}))"
+                    )
+                ).alias("_gram"),
+            )
+        streams.append(gram.select("_g", F.lit(n).alias("n"), "_gram"))
+    allg = streams[0]
+    for s in streams[1:]:
+        allg = allg.unionByName(s)
+    agg = allg.groupBy(F.col("_g").alias(group_col), "n").agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.countDistinct("_gram").alias("distinct_ngrams"),
+    )
+    return agg.select(
+        group_col,
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        (
+            F.col("distinct_ngrams").cast("double")
+            / F.col("total_ngrams").cast("double")
+        ).alias("distinct_ratio"),
+    )
+
+
+def distinct_ngrams_sql(
+    table: str = "documents",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_max: int = 3,
+) -> str:
+    """DuckDB twin of :func:`distinct_ngrams`."""
+    w = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    selects = []
+    for n in range(1, n_max + 1):
+        if n == 1:
+            selects.append(
+                f"SELECT {group_col} AS _g, 1 AS n, unnest({w}) AS _gram"
+                f" FROM {table} WHERE len({w}) >= 1"
+            )
+        else:
+            parts = " || ' ' || ".join(f"p[{k + 1}]" for k in range(n))
+            selects.append(
+                f"SELECT _g, {n} AS n, {parts} AS _gram FROM ("
+                f"SELECT {group_col} AS _g,"
+                f" unnest([_arr[i:i+{n - 1}] FOR i IN range(1, len(_arr) - {n - 2})]) AS p"
+                f" FROM (SELECT {group_col}, {w} AS _arr FROM {table}"
+                f" WHERE len({w}) >= {n}))"
+            )
+    un = " UNION ALL ".join(f"({s})" for s in selects)
+    return f"""
+SELECT _g AS {group_col}, n,
+  COUNT(*) AS total_ngrams,
+  COUNT(DISTINCT _gram) AS distinct_ngrams,
+  CAST(COUNT(DISTINCT _gram) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    AS distinct_ratio
+FROM ({un})
+GROUP BY _g, n
+"""

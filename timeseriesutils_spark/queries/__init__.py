@@ -132,14 +132,14 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "dedup_components", "dedup_debounce", "dedup_embedding",
     "dedup_embedding_lsh", "dedup_exact", "dedup_keep_first",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_threshold_curve",
-    "dsir_select",
+    "distinct_ngrams", "dsir_select",
     "diebold_mariano", "diff_pct", "dirichlet_lm_search", "doc_fingerprint",
     "domain_caps",
     "domfreq", "domfreq_fft", "dtw_pattern", "dup_cluster_sizes",
     "dup_rate_by_source", "dup_spans", "embedding_centroids",
     "embedding_drift", "event_transitions", "ew_volatility", "ewma",
     "excess_incidence", "fd_audit", "feature_hash", "featurize_pipeline",
-    "fifo_allocation", "fk_audit", "forecast_eval", "frame_sample", "funnel",
+    "fifo_allocation", "fk_audit", "forecast_eval", "frame_sample", "friedman_test", "funnel",
     "funnel_latency", "funnel_window", "fuzzy_match", "gap_detect",
     "gap_fill_ffill", "gini_index", "gmean_exact", "gopher_rules",
     "granger_lag", "group_mode", "group_trend", "grouped_ols2",

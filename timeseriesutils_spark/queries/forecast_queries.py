@@ -2124,3 +2124,46 @@ def _sql_holt_winters():
 
 
 QUERIES.update({"holt_winters": Q(q_holt_winters, _sql_holt_winters())})
+
+
+def q_friedman_test(spark, sf_dir):
+    """Friedman blocked rank test per order status
+    (operators/nonparam.friedman_test): across order-month blocks,
+    does priority shift order value when each month is only compared
+    with itself?  The repeated-measures sibling of kruskal_wallis —
+    blocking removes the months' level drift.  Complete-block rule,
+    within-block midranks, DECIMAL rank-square reduce."""
+    from timeseriesutils_spark.operators.nonparam import friedman_test
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+        ).cast("bigint").alias("order_month"),
+        "o_totalprice",
+    )
+    return friedman_test(
+        d, "o_totalprice", "o_orderpriority", "order_month",
+        ["o_orderstatus"],
+    )
+
+
+def _sql_friedman_test():
+    from timeseriesutils_spark.operators.nonparam import friedman_test_sql
+
+    d = (
+        "SELECT o_orderstatus, o_orderpriority,"
+        " CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 12"
+        " + EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT)"
+        " AS order_month, o_totalprice FROM orders"
+    )
+    return friedman_test_sql(
+        d, "o_totalprice", "o_orderpriority", "order_month",
+        ["o_orderstatus"],
+    )
+
+
+QUERIES.update({"friedman_test": Q(q_friedman_test, _sql_friedman_test())})

@@ -1895,3 +1895,25 @@ def _sql_dsir_select():
 
 
 QUERIES.update({"dsir_select": Q(q_dsir_select, _sql_dsir_select())})
+
+
+def q_distinct_ngrams(spark, sf_dir):
+    """Distinct-1/2/3 diversity profile per language slice
+    (operators/text.distinct_ngrams): the mode-collapse / template-spam
+    indicator — low distinct-2/3 flags boilerplate-heavy slices long
+    before exact dedup fires.  One n-gram union, exact count-distinct
+    two-level aggregation."""
+    from timeseriesutils_spark.operators.text import distinct_ngrams
+
+    return distinct_ngrams(
+        load_table(spark, sf_dir, "documents"), "lang", n_max=3
+    )
+
+
+def _sql_distinct_ngrams():
+    from timeseriesutils_spark.operators.text import distinct_ngrams_sql
+
+    return distinct_ngrams_sql("documents", "lang", n_max=3)
+
+
+QUERIES.update({"distinct_ngrams": Q(q_distinct_ngrams, _sql_distinct_ngrams())})
