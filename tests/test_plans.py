@@ -530,3 +530,87 @@ def test_containment_shares_jaccard_shape(spark, catalog):
     plan = _plan(catalog["containment_dedup"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+
+
+# --- round-7 inference / selection batch ----------------------------------
+
+
+def test_rank_family_shapes(spark, catalog):
+    """mann_whitney / roc_auc reuse the kruskal count-rank chain: one
+    scan, ≤2 exchanges (count collapse + group re-cluster), no joins,
+    no Python."""
+    for name in ("mann_whitney", "roc_auc"):
+        plan = _plan(catalog[name](spark, SF_DIR))
+        assert len(re.findall(r"Scan parquet", plan)) == 1, name
+        assert len(re.findall(r"Exchange", plan)) <= 2, name
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_single_exchange_window_chains(spark, catalog):
+    """runs_test / theta_forecast / page_hinkley / sample_entropy /
+    holt_winters are ONE window chain each: single scan, a single
+    hash exchange, no joins, no plan forks, no Python."""
+    for name in (
+        "runs_test", "theta_forecast", "page_hinkley", "sample_entropy",
+        "holt_winters",
+    ):
+        plan = _plan(catalog[name](spark, SF_DIR))
+        assert len(re.findall(r"Scan parquet", plan)) == 1, name
+        assert len(re.findall(r"Exchange", plan)) == 1, name
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_aggregate_only_tests(spark, catalog):
+    """diebold_mariano / cochran_armitage / wis_eval / calibration_curve
+    collapse to sufficient statistics in ≤2 exchanges with no joins."""
+    for name in (
+        "diebold_mariano", "cochran_armitage", "wis_eval",
+        "calibration_curve",
+    ):
+        plan = _plan(catalog[name](spark, SF_DIR))
+        assert len(re.findall(r"Scan parquet", plan)) == 1, name
+        assert len(re.findall(r"Exchange", plan)) <= 2, name
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_survival_inference_broadcast_only(spark, catalog):
+    """logrank_test / cumulative_incidence: the customer dim joins in
+    broadcast; the event aggregation + risk-set windows never
+    sort-merge."""
+    for name in ("logrank_test", "cumulative_incidence"):
+        plan = _plan(catalog[name](spark, SF_DIR))
+        assert len(re.findall(r"BroadcastHashJoin", plan)) == 1, name
+        assert "SortMergeJoin" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_pinned_single_pass(spark, catalog):
+    """dsir_select: the doc-bucket counts, the bucket model, and the
+    per-doc scores are each pinned — every heavy aggregation runs once
+    and the threshold branch reads caches; the model joins broadcast;
+    the top-k cut is TakeOrderedAndProject, never a global window."""
+    plan = _plan(catalog["dsir_select"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_friedman_no_join_no_python(spark, catalog):
+    """friedman_test: cell collapse + block-rank windows + two reduces,
+    all on one chain — no joins, no Python."""
+    plan = _plan(catalog["friedman_test"](spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_distinct_ngrams_no_python(spark, catalog):
+    """distinct_ngrams: the n-gram union feeds one two-level
+    count-distinct aggregation; everything stays JVM-side."""
+    plan = _plan(catalog["distinct_ngrams"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
