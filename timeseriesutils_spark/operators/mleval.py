@@ -1,0 +1,428 @@
+"""Model-evaluation scorecards: precision/recall threshold sweep,
+log-loss, and ranking metrics (NDCG@k, MRR, hit-rate).
+
+The supervised-eval layer beside the rank statistics in
+operators/nonparam.py (roc_auc answers "does the score ORDER the
+labels?"; pr_curve answers "what do I get at THIS cutoff?"; log_loss
+scores the probabilities themselves; ranking_metrics scores a
+retrieval/recommendation list the way search evals do).  Capability
+parity: the reference's users run these via sklearn.metrics on
+collected frames; here each is one or two distributed aggregations.
+
+Scale design (100 TB answer): pr_curve aggregates to per-(group,
+quantized-score) COUNTS first — the threshold fan-out explodes
+DISTINCT scores x |grid|, never rows.  log_loss is a single
+map-combinable aggregation.  ranking_metrics is one rank window per
+query group over top-k row_number pruning, then a count-width
+reduce per report group.  No joins against raw rows, no collects.
+
+Exactness: counts are exact integers; every per-row transcendental
+(ln in log_loss) is floor-quantized to 1e-9 and summed through
+DECIMAL(38,0) (merge-order-free); NDCG discounts 1/log2(i+1) are
+PRECOMPUTED python literals (rank i <= k), so no runtime libm call
+can diverge between engines — the per-rank products quantize to
+1e-9 ints before any cross-row sum.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.functions.exact import dlit
+from timeseriesutils_spark.operators.window_features import _as_list
+
+_Q9 = 10**9
+
+
+# --------------------------------------------------------------------------
+# precision/recall/F1 threshold sweep
+# --------------------------------------------------------------------------
+
+_DEFAULT_GRID = [i / 20.0 for i in range(1, 20)]  # 0.05 .. 0.95
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    group_columns,
+    thresholds=None,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group precision/recall/F1 at each cutoff of a literal
+    threshold grid — the operating-point picker that complements
+    roc_auc (AUC summarizes the whole ordering; shipping a filter
+    needs ONE threshold, and this table is how it gets chosen).
+
+    Rows collapse to per-(group, quantized score) counts first; the
+    grid fans out over THOSE (|distinct scores| x |grid|, never raw
+    rows), and tp/fp/fn are exact integer sums.  predicted-positive
+    is ``score >= threshold`` (grid points quantized on the same
+    1e-6 grid as the scores, so the comparison is integer-exact).
+    F1 uses the joinless identity 2tp/(2tp+fp+fn).
+
+    Returns (groups…, threshold, tp, fp, fn, precision, recall, f1).
+    """
+    groups = _as_list(group_columns)
+    grid = list(thresholds) if thresholds is not None else list(_DEFAULT_GRID)
+    m = 10**scale
+    qts = [int(math.floor(t * m + 0.5)) for t in grid]
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    q = F.floor(F.col(score_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = df.filter(
+        F.col(score_col).isNotNull() & lbl.isNotNull()
+    ).select(*groups, q.alias("_q"), lbl.cast("boolean").alias("_y"))
+    per = d.groupBy(*groups, "_q").agg(
+        F.sum(F.col("_y").cast("bigint")).alias("_pos"),
+        F.sum((~F.col("_y")).cast("bigint")).alias("_neg"),
+    )
+    fan = per.select(
+        *groups,
+        "_q",
+        "_pos",
+        "_neg",
+        F.explode(F.array(*[F.lit(t) for t in qts])).alias("_qt"),
+    )
+    hit = F.col("_q") >= F.col("_qt")
+    agg = fan.groupBy(*groups, "_qt").agg(
+        F.sum(F.when(hit, F.col("_pos")).otherwise(F.lit(0))).alias("tp"),
+        F.sum(F.when(hit, F.col("_neg")).otherwise(F.lit(0))).alias("fp"),
+        F.sum(F.when(~hit, F.col("_pos")).otherwise(F.lit(0))).alias("fn"),
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    return agg.select(
+        *groups,
+        (F.col("_qt").cast("double") / F.lit(float(m))).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") > 0, tp / (tp + fp)).alias(
+            "precision"
+        ),
+        F.when(F.col("tp") + F.col("fn") > 0, tp / (tp + fn)).alias("recall"),
+        F.when(
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.lit(2.0) * tp / (F.lit(2.0) * tp + fp + fn),
+        ).alias("f1"),
+    )
+
+
+def pr_curve_sql(
+    data_sql: str,
+    score_col: str,
+    label_sql: str,
+    group_columns,
+    thresholds=None,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pr_curve` (same grid literals)."""
+    groups = _as_list(group_columns)
+    grid = list(thresholds) if thresholds is not None else list(_DEFAULT_GRID)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qts = ", ".join(str(int(math.floor(t * m + 0.5))) for t in grid)
+    qq = f"CAST(FLOOR(CAST({score_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    tp, fp, fn = "CAST(tp AS DOUBLE)", "CAST(fp AS DOUBLE)", "CAST(fn AS DOUBLE)"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q, CAST({label_sql} AS BOOLEAN) AS _y
+  FROM ({data_sql})
+  WHERE {score_col} IS NOT NULL AND ({label_sql}) IS NOT NULL
+),
+per AS (
+  SELECT {gsel}, _q,
+    CAST(SUM(CAST(_y AS BIGINT)) AS BIGINT) AS _pos,
+    CAST(SUM(CAST(NOT _y AS BIGINT)) AS BIGINT) AS _neg
+  FROM d GROUP BY {gsel}, _q
+),
+fan AS (
+  SELECT {gsel}, _q, _pos, _neg, UNNEST([{qts}]) AS _qt FROM per
+),
+agg AS (
+  SELECT {gsel}, _qt,
+    CAST(SUM(CASE WHEN _q >= _qt THEN _pos ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN _q >= _qt THEN _neg ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN NOT _q >= _qt THEN _pos ELSE 0 END) AS BIGINT) AS fn
+  FROM fan GROUP BY {gsel}, _qt
+)
+SELECT {gsel}, CAST(_qt AS DOUBLE) / {dlit(float(m))} AS threshold,
+  tp, fp, fn,
+  CASE WHEN tp + fp > 0 THEN {tp} / ({tp} + {fp}) END AS precision,
+  CASE WHEN tp + fn > 0 THEN {tp} / ({tp} + {fn}) END AS recall,
+  CASE WHEN 2 * tp + fp + fn > 0
+    THEN 2.0 * {tp} / (2.0 * {tp} + {fp} + {fn}) END AS f1
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# log-loss (cross-entropy of predicted probabilities)
+# --------------------------------------------------------------------------
+
+
+def log_loss(
+    df: DataFrame,
+    prob_col: str,
+    label_col,
+    group_columns,
+    eps: float = 1.0e-6,
+) -> DataFrame:
+    """Per-group binary cross-entropy of predicted probabilities —
+    the proper scoring rule that punishes CONFIDENT wrongness
+    (roc_auc only sees the ordering; calibration_curve sees bins;
+    log-loss is the per-row scalar that training objectives use):
+
+        L = −mean(y·ln p + (1−y)·ln(1−p)),   p clamped to [ε, 1−ε]
+
+    Each per-row ln term is floor-quantized at 1e-9 and summed
+    through DECIMAL(38,0) — cross-engine ln can differ in final
+    ulps, so the quantize-then-integer-sum discipline is what keeps
+    the mean bit-identical.  One map-combinable aggregation.
+
+    Returns (groups…, n, log_loss).
+    """
+    groups = _as_list(group_columns)
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    p = F.col(prob_col).cast("double")
+    pc = F.least(F.greatest(p, F.lit(eps)), F.lit(1.0 - eps))
+    y = lbl.cast("boolean")
+    term = -F.when(y, F.log(pc)).otherwise(F.log(F.lit(1.0) - pc))
+    tq = F.floor(term * F.lit(float(_Q9)) + F.lit(0.5)).cast("decimal(38,0)")
+    d = df.filter(p.isNotNull() & lbl.isNotNull()).select(
+        *groups, tq.alias("_tq")
+    )
+    agg = d.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_tq").alias("_s")
+    )
+    ll = (
+        F.col("_s").cast("string").cast("double")
+        / F.col("n").cast("double")
+        / F.lit(float(_Q9))
+    )
+    return agg.select(
+        *groups, "n", F.when(F.col("n") > 0, ll).alias("log_loss")
+    )
+
+
+def log_loss_sql(
+    data_sql: str,
+    prob_col: str,
+    label_sql: str,
+    group_columns,
+    eps: float = 1.0e-6,
+) -> str:
+    """DuckDB twin of :func:`log_loss` (same clamp and quantize)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    p = f"CAST({prob_col} AS DOUBLE)"
+    pc = f"LEAST(GREATEST({p}, {dlit(eps)}), {dlit(1.0 - eps)})"
+    term = (
+        f"-(CASE WHEN CAST({label_sql} AS BOOLEAN) THEN LN({pc})"
+        f" ELSE LN(1.0 - {pc}) END)"
+    )
+    tq = f"CAST(FLOOR(({term}) * {dlit(float(_Q9))} + 0.5) AS DECIMAL(38,0))"
+    ll = (
+        f"(CAST(CAST(_s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" / {dlit(float(_Q9))})"
+    )
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {tq} AS _tq
+  FROM ({data_sql})
+  WHERE {prob_col} IS NOT NULL AND ({label_sql}) IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n, SUM(_tq) AS _s FROM d GROUP BY {gsel}
+)
+SELECT {gsel}, n, CASE WHEN n > 0 THEN {ll} END AS log_loss
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# ranking metrics: NDCG@k, MRR, hit-rate@k
+# --------------------------------------------------------------------------
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_columns,
+    report_columns,
+    score_col: str,
+    rel_col,
+    k: int = 10,
+    tie_break=None,
+) -> DataFrame:
+    """Search/recommendation list quality per report group: mean
+    NDCG@k, mean MRR, and hit-rate@k over the query groups — the
+    eval battery for bm25_search / knn rankings (roc_auc scores ONE
+    global ordering; these score MANY per-query lists the way IR
+    evals do).
+
+        DCG@k  = Σ_{i≤k} rel_i · w_i,   w_i = 1/log2(i+1)
+        NDCG@k = DCG@k / IDCG@k   (rel sorted descending)
+        MRR    = 1 / rank of first relevant   (0 if none)
+
+    The discounts w_i are PRECOMPUTED literals (i ≤ k) — no runtime
+    log can diverge across engines; each per-rank product quantizes
+    to 1e-9 ints before the cross-row DECIMAL sums, and the per-query
+    scalars re-quantize before the report-group mean (same
+    discipline).  One rank window per query group (top-k pruned),
+    one reduce per report group.  ``tie_break`` columns (default:
+    the query columns' complement is required) make the rank
+    deterministic.
+
+    Returns (report…, n_queries, mean_ndcg_at_k, mean_mrr,
+    hit_rate_at_k).
+    """
+    qcols = _as_list(query_columns)
+    rcols = _as_list(report_columns)
+    tb = _as_list(tie_break) if tie_break is not None else []
+    rel = F.col(rel_col) if isinstance(rel_col, str) else rel_col
+    w = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    wq = [int(math.floor(x * _Q9 + 0.5)) for x in w]  # 1e-9 ints
+    order = [F.col(score_col).desc()] + [F.col(c).asc() for c in tb]
+    win = Window.partitionBy(*qcols).orderBy(*order)
+    d = df.filter(F.col(score_col).isNotNull() & rel.isNotNull()).select(
+        *qcols,
+        *rcols,
+        *tb,
+        F.col(score_col).alias("_s"),
+        rel.cast("bigint").alias("_rel"),
+    )
+    ranked = d.select(
+        *qcols, *rcols, "_rel", F.row_number().over(win).alias("_rk")
+    ).filter(F.col("_rk") <= k)
+    # per-rank discount as a literal lookup: element_at needs INT
+    warr = F.array(*[F.lit(x) for x in wq])
+    dcg_t = F.col("_rel") * F.element_at(warr, F.col("_rk").cast("int"))
+    per_q = ranked.groupBy(*qcols).agg(
+        *[F.min(c).alias(c) for c in rcols],
+        F.sum(dcg_t.cast("decimal(38,0)")).alias("_dcg_q"),
+        F.sum(F.col("_rel")).alias("_nrel"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rk"))).alias("_frank"),
+        F.collect_list(F.struct(F.col("_rk"), F.col("_rel"))).alias("_rr"),
+    )
+    # ideal DCG: the _rel values sorted descending get ranks 1..k
+    rels_desc = F.reverse(
+        F.array_sort(F.transform(F.col("_rr"), lambda s: s["_rel"]))
+    )
+    idcg_t = F.transform(
+        rels_desc,
+        lambda r, i: r
+        * F.element_at(warr, (i + F.lit(1)).cast("int")),
+    )
+    idcg_q = F.aggregate(
+        idcg_t,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x.cast("decimal(38,0)"),
+    )
+    dcgd = F.col("_dcg_q").cast("string").cast("double")
+    idcgd = idcg_q.cast("string").cast("double")
+    ndcg = F.when(idcg_q > 0, dcgd / idcgd).otherwise(F.lit(0.0))
+    mrr = F.when(
+        F.col("_frank").isNotNull(),
+        F.lit(1.0) / F.col("_frank").cast("double"),
+    ).otherwise(F.lit(0.0))
+    hit = (F.col("_nrel") > 0).cast("bigint")
+    q9 = F.lit(float(_Q9))
+    scored = per_q.select(
+        *rcols,
+        F.floor(ndcg * q9 + F.lit(0.5)).cast("decimal(38,0)").alias("_nq"),
+        F.floor(mrr * q9 + F.lit(0.5)).cast("decimal(38,0)").alias("_mq"),
+        hit.alias("_hit"),
+    )
+    rep = scored.groupBy(*rcols).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("_nq").alias("_sn"),
+        F.sum("_mq").alias("_sm"),
+        F.sum("_hit").alias("_sh"),
+    )
+    nn = F.col("n_queries").cast("double")
+    return rep.select(
+        *rcols,
+        "n_queries",
+        (F.col("_sn").cast("string").cast("double") / nn / q9).alias(
+            "mean_ndcg_at_k"
+        ),
+        (F.col("_sm").cast("string").cast("double") / nn / q9).alias(
+            "mean_mrr"
+        ),
+        (F.col("_sh").cast("double") / nn).alias("hit_rate_at_k"),
+    )
+
+
+def ranking_metrics_sql(
+    data_sql: str,
+    query_columns,
+    report_columns,
+    score_col: str,
+    rel_sql: str,
+    k: int = 10,
+    tie_break=None,
+) -> str:
+    """DuckDB twin of :func:`ranking_metrics` (same discount
+    literals, same quantize points)."""
+    qcols = _as_list(query_columns)
+    rcols = _as_list(report_columns)
+    tb = _as_list(tie_break) if tie_break is not None else []
+    qsel = ", ".join(qcols)
+    rsel = ", ".join(rcols)
+    w = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    wq = ", ".join(str(int(math.floor(x * _Q9 + 0.5))) for x in w)
+    order = f"{score_col} DESC" + "".join(f", {c} ASC" for c in tb)
+    rfirst = ", ".join(f"MIN({c}) AS {c}" for c in rcols)
+    nn = "CAST(n_queries AS DOUBLE)"
+    q9 = dlit(float(_Q9))
+    return f"""
+WITH d AS (
+  SELECT {qsel}, {rsel}{", " + ", ".join(tb) if tb else ""},
+    {score_col} AS _s, CAST({rel_sql} AS BIGINT) AS _rel
+  FROM ({data_sql})
+  WHERE {score_col} IS NOT NULL AND ({rel_sql}) IS NOT NULL
+),
+ranked AS (
+  SELECT {qsel}, {rsel}, _rel,
+    ROW_NUMBER() OVER (PARTITION BY {qsel} ORDER BY {order}) AS _rk
+  FROM d QUALIFY _rk <= {k}
+),
+wt AS (SELECT [{wq}] AS _w),
+per_q AS (
+  SELECT {qsel}, {rfirst},
+    SUM(CAST(_rel * _w[_rk] AS DECIMAL(38,0))) AS _dcg_q,
+    CAST(SUM(_rel) AS BIGINT) AS _nrel,
+    MIN(CASE WHEN _rel > 0 THEN _rk END) AS _frank,
+    LIST(_rel ORDER BY _rel DESC) AS _rels
+  FROM ranked, wt GROUP BY {qsel}
+),
+scored AS (
+  SELECT {rsel},
+    CAST(FLOOR(CASE WHEN _idcg > 0
+      THEN CAST(CAST(_dcg_q AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(_idcg AS VARCHAR) AS DOUBLE) ELSE 0.0 END
+      * {q9} + 0.5) AS DECIMAL(38,0)) AS _nq,
+    CAST(FLOOR(CASE WHEN _frank IS NOT NULL
+      THEN 1.0 / CAST(_frank AS DOUBLE) ELSE 0.0 END
+      * {q9} + 0.5) AS DECIMAL(38,0)) AS _mq,
+    CAST(_nrel > 0 AS BIGINT) AS _hit
+  FROM (
+    SELECT *,
+      list_sum([_rels[i] * _w[i] FOR i IN range(1, len(_rels) + 1)])
+        AS _idcg
+    FROM per_q, wt
+  )
+)
+SELECT {rsel}, COUNT(*) AS n_queries,
+  CAST(CAST(SUM(_nq) AS VARCHAR) AS DOUBLE) / {nn} / {q9}
+    AS mean_ndcg_at_k,
+  CAST(CAST(SUM(_mq) AS VARCHAR) AS DOUBLE) / {nn} / {q9} AS mean_mrr,
+  CAST(SUM(_hit) AS DOUBLE) / {nn} AS hit_rate_at_k
+FROM scored GROUP BY {rsel}
+"""

@@ -1264,3 +1264,157 @@ SELECT {gsel}, k_treatments, n_blocks,
   k_treatments - 1 AS df
 FROM top
 """
+
+
+# --------------------------------------------------------------------------
+# Kendall's tau-b rank correlation
+# --------------------------------------------------------------------------
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Kendall's τ-b between two columns — the
+    concordance-based sibling of :func:`spearman_corr` (Spearman ranks
+    VALUES, Kendall counts PAIR ORDERINGS; τ is more robust to a few
+    wild ranks and is the correlation behind mann_kendall's S):
+
+        S  = Σ_{i<j} sign(x_j − x_i)·sign(y_j − y_i)
+        τ_b = S / √((n₀ − n₁)(n₀ − n₂)),   n₀ = n(n−1)/2,
+        n₁/n₂ = Σ_t t(t−1)/2 over x/y tie groups
+
+    S and the tie counts are EXACT integers (quantized comparisons);
+    τ_b is one shared double tree.  O(n²/group) pairs like
+    mann_kendall/theilsen — the verify-tier correlation for
+    dimension-sized series; at monster groups swap in the
+    merge-sort-inversion formulation (documented, same statistic).
+    ``order_by`` supplies the strict pair order (any total key).
+
+    Returns (groups…, n, s_stat, n_tie_x, n_tie_y, tau_b).
+    """
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    m = 10**scale
+    qx = F.floor(F.col(x_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    qy = F.floor(F.col(y_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*groups, *order, qx.alias("_qx"), qy.alias("_qy"))
+    a, b = d.alias("a"), d.alias("b")
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in groups]
+    lt = F.lit(False)
+    for c in reversed(order):
+        lt = (F.col(f"a.{c}") < F.col(f"b.{c}")) | (
+            (F.col(f"a.{c}") == F.col(f"b.{c}")) & lt
+        )
+    pairs = a.join(b, on).filter(lt)
+    sgn = (
+        F.signum((F.col("b._qx") - F.col("a._qx")).cast("double"))
+        * F.signum((F.col("b._qy") - F.col("a._qy")).cast("double"))
+    ).cast("bigint")
+    s_df = pairs.groupBy(*[F.col(f"a.{c}").alias(c) for c in groups]).agg(
+        F.sum(sgn).alias("s_stat")
+    )
+    tie = lambda col, alias: (  # noqa: E731
+        d.groupBy(*groups, col)
+        .agg(F.count(F.lit(1)).alias("_tc"))
+        .groupBy(*groups)
+        .agg(
+            F.sum("_tc").alias(f"_n{alias}"),
+            F.sum(F.col("_tc") * (F.col("_tc") - 1) / 2)
+            .cast("bigint")
+            .alias(alias),
+        )
+    )
+    tx = tie("_qx", "n_tie_x")
+    ty = tie("_qy", "n_tie_y").withColumnRenamed("_nn_tie_y", "_ny")
+    out = (
+        tx.withColumnRenamed("_nn_tie_x", "n")
+        .join(ty.select(*groups, "n_tie_y"), groups, "inner")
+        .join(s_df, groups, "left")
+    )
+    nn = F.col("n").cast("double")
+    n0 = nn * (nn - F.lit(1.0)) / F.lit(2.0)
+    n1 = F.col("n_tie_x").cast("double")
+    n2 = F.col("n_tie_y").cast("double")
+    s = F.coalesce(F.col("s_stat"), F.lit(0).cast("bigint"))
+    den = (n0 - n1) * (n0 - n2)
+    tau = s.cast("double") / F.sqrt(den)
+    return out.select(
+        *groups,
+        "n",
+        s.alias("s_stat"),
+        "n_tie_x",
+        "n_tie_y",
+        F.when(den > 0, tau).alias("tau_b"),
+    )
+
+
+def kendall_tau_sql(
+    data_sql: str,
+    x_col: str,
+    y_col: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`kendall_tau` (same double tree)."""
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    gsel = ", ".join(groups)
+    osel = ", ".join(order)
+    m = 10**scale
+    qx = f"CAST(FLOOR(CAST({x_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    qy = f"CAST(FLOOR(CAST({y_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    jon = " AND ".join(f"a.{c} = b.{c}" for c in groups)
+    lt = "FALSE"
+    for c in reversed(order):
+        lt = f"(a.{c} < b.{c} OR (a.{c} = b.{c} AND {lt}))"
+    ja = ", ".join(f"a.{c} AS {c}" for c in groups)
+    nn = "CAST(n AS DOUBLE)"
+    n0 = f"({nn} * ({nn} - 1.0) / 2.0)"
+    n1 = "CAST(n_tie_x AS DOUBLE)"
+    n2 = "CAST(n_tie_y AS DOUBLE)"
+    den = f"(({n0} - {n1}) * ({n0} - {n2}))"
+    tau = f"(CAST(COALESCE(s_stat, 0) AS DOUBLE) / SQRT({den}))"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {osel}, {qx} AS _qx, {qy} AS _qy
+  FROM ({data_sql})
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+),
+s AS (
+  SELECT {ja},
+    CAST(SUM(CAST(SIGN(CAST(b._qx - a._qx AS DOUBLE))
+      * SIGN(CAST(b._qy - a._qy AS DOUBLE)) AS BIGINT)) AS BIGINT)
+      AS s_stat
+  FROM d a JOIN d b ON {jon} AND {lt}
+  GROUP BY {ja}
+),
+tx AS (
+  SELECT {gsel}, CAST(SUM(_tc) AS BIGINT) AS n,
+    CAST(SUM(_tc * (_tc - 1) / 2) AS BIGINT) AS n_tie_x
+  FROM (SELECT {gsel}, _qx, COUNT(*) AS _tc FROM d GROUP BY {gsel}, _qx)
+  GROUP BY {gsel}
+),
+ty AS (
+  SELECT {gsel}, CAST(SUM(_tc * (_tc - 1) / 2) AS BIGINT) AS n_tie_y
+  FROM (SELECT {gsel}, _qy, COUNT(*) AS _tc FROM d GROUP BY {gsel}, _qy)
+  GROUP BY {gsel}
+)
+SELECT tx.{groups[0]}{"".join(f", tx.{c}" for c in groups[1:])}, n,
+  CAST(COALESCE(s_stat, 0) AS BIGINT) AS s_stat, n_tie_x, n_tie_y,
+  CASE WHEN {den} > 0 THEN {tau} END AS tau_b
+FROM tx
+JOIN ty ON {" AND ".join(f"tx.{c} = ty.{c}" for c in groups)}
+LEFT JOIN s ON {" AND ".join(f"tx.{c} = s.{c}" for c in groups)}
+"""

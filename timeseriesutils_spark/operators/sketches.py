@@ -29,6 +29,9 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.exact import dlit
+from timeseriesutils_spark.operators.window_features import _as_list
+
 
 def heavy_hitters(
     items: DataFrame,
@@ -101,4 +104,305 @@ tot AS (SELECT COUNT(*) AS n FROM src)
 SELECT {item_col}, COUNT(*) AS n
 FROM src GROUP BY 1
 HAVING COUNT(*) >= CEIL((SELECT n FROM tot) * {min_frac})
+"""
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (deterministic md5 rows -> exact cross-engine twin)
+# --------------------------------------------------------------------------
+
+
+def cms_estimate(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-Min sketch frequency estimates vs truth for the top-k
+    keys — the mergeable fixed-memory counter behind streaming
+    heavy-hitter dashboards, built with DETERMINISTIC md5 row hashes
+    so the sketch state (and therefore this audit) is bit-identical
+    in any engine (the portable-hash discipline that made
+    minhash/simhash exactly verifiable, dedup.py:84):
+
+        bucket_j(x) = md5(j || '|' || x) mod width,  j < depth
+        ĉ(x) = min_j counter[j][bucket_j(x)]   (ĉ ≥ c always)
+
+    Plan: rows collapse to per-key counts ONCE; the sketch is a
+    (depth × width)-cell aggregation OVER THOSE (map-combinable — at
+    100 TB each executor merges local cells, the exchange moves
+    ≤ depth·width rows); candidates come from the deterministic
+    (count DESC, key ASC) top-k (TakeOrderedAndProject — never a
+    global window); estimates broadcast-join candidates × depth
+    against the cells.  Everything is exact integers.
+
+    Returns (key, true_count, cms_count, overestimate), the audit
+    that shows collision inflation directly.
+    """
+    counts = df.filter(F.col(key_col).isNotNull()).groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("true_count"))
+    from timeseriesutils_spark.operators.dedup import portable_hash64
+
+    rows = counts.select(
+        "key",
+        "true_count",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(depth)])
+        ).alias("_j"),
+    ).select(
+        "key",
+        "true_count",
+        "_j",
+        F.pmod(
+            portable_hash64(
+                F.concat(
+                    F.col("_j").cast("string"), F.lit("|"), F.col("key")
+                )
+            ),
+            F.lit(width),
+        ).alias("_b"),
+    )
+    cells = rows.groupBy("_j", "_b").agg(
+        F.sum("true_count").alias("_cell")
+    )
+    cand = (
+        counts.orderBy(F.desc("true_count"), F.asc("key"))
+        .limit(top_k)
+        .select("key", "true_count")
+    )
+    cand_rows = cand.select(
+        "key",
+        "true_count",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("_j"),
+    ).select(
+        "key",
+        "true_count",
+        "_j",
+        F.pmod(
+            portable_hash64(
+                F.concat(F.col("_j").cast("string"), F.lit("|"), F.col("key"))
+            ),
+            F.lit(width),
+        ).alias("_b"),
+    )
+    est = (
+        cand_rows.join(F.broadcast(cells), ["_j", "_b"], "inner")
+        .groupBy("key")
+        .agg(
+            F.min("true_count").alias("true_count"),
+            F.min("_cell").alias("cms_count"),
+        )
+    )
+    return est.select(
+        "key",
+        "true_count",
+        "cms_count",
+        (F.col("cms_count") - F.col("true_count")).alias("overestimate"),
+    )
+
+
+def cms_estimate_sql(
+    data_sql: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`cms_estimate` (same md5 cells)."""
+    js = ", ".join(str(j) for j in range(depth))
+    h = (
+        "CAST(CONCAT('0x', substring(md5(CONCAT(CAST(_j AS VARCHAR),"
+        " '|', key)), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST({key_col} AS VARCHAR) AS key, COUNT(*) AS true_count
+  FROM ({data_sql}) WHERE {key_col} IS NOT NULL GROUP BY 1
+),
+rows_ AS (
+  SELECT key, true_count, UNNEST([{js}]) AS _j FROM counts
+),
+hashed AS (
+  SELECT key, true_count, _j, {h} % {width} AS _b FROM rows_
+),
+cells AS (
+  SELECT _j, _b, CAST(SUM(true_count) AS BIGINT) AS _cell
+  FROM hashed GROUP BY _j, _b
+),
+cand AS (
+  SELECT key, true_count FROM counts
+  ORDER BY true_count DESC, key ASC LIMIT {top_k}
+),
+cand_rows AS (
+  SELECT key, true_count, UNNEST([{js}]) AS _j FROM cand
+),
+cand_hashed AS (
+  SELECT key, true_count, _j, {h} % {width} AS _b FROM cand_rows
+),
+est AS (
+  SELECT key, MIN(true_count) AS true_count, MIN(_cell) AS cms_count
+  FROM cand_hashed JOIN cells USING (_j, _b)
+  GROUP BY key
+)
+SELECT key, true_count, cms_count,
+  cms_count - true_count AS overestimate
+FROM est
+"""
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (deterministic md5 registers -> exact cross-engine twin)
+# --------------------------------------------------------------------------
+
+
+def hll_estimate(
+    df: DataFrame,
+    key_col: str,
+    group_columns,
+    b: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate vs exact truth,
+    with DETERMINISTIC md5 registers — the portable-sketch sibling of
+    ``approx_count_distinct`` (Spark's HLL++ state is JVM-internal;
+    this one's register array is pure SQL over md5, so the same
+    sketch can be built, merged, and audited by ANY engine):
+
+        bucket = first 8 md5 hex bits,  v = next 60 bits
+        ρ = 61 − bitlength(v)  (position of the leading 1-bit)
+        M_j = max ρ per bucket;  E = α_m m² / Σ_j 2^(−M_j)
+
+    The harmonic sum is kept EXACT: Σ 2^(−M_j) is scaled by 2^61 into
+    integers (Σ 2^(61−M_j) ≤ m·2^61 fits DECIMAL(38,0)) — a float sum
+    of dyadic terms would be merge-order-dependent, the scaled
+    integer sum is not.  The standard small-range correction
+    (E ≤ 2.5m with empty registers → m·ln(m/V), ln quantized 1e-9)
+    applies; the estimate is floor-quantized at 1e-6 before the
+    relative-error division.  Plan: distinct (group, bucket, ρ)
+    collapse, m-row register reduce per group — the exchange carries
+    registers, never keys.
+
+    Returns (groups…, exact_distinct, hll_count, rel_error).
+    """
+    groups = _as_list(group_columns)
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    hexb = b // 4  # bucket hex chars (b must be a multiple of 4)
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, hexb), 16, 10).cast("bigint")
+    v = F.conv(F.substring(h, hexb + 1, 15), 16, 10).cast("bigint")
+    rho = F.when(F.col("_v") > 0, F.lit(61) - F.length(F.bin(F.col("_v")))).otherwise(
+        F.lit(61)
+    )
+    d = df.filter(F.col(key_col).isNotNull()).select(
+        *groups, F.col(key_col).cast("string").alias("_k"),
+        bucket.alias("_bkt"), v.alias("_v"),
+    )
+    regs = d.select(*groups, "_bkt", rho.alias("_rho")).groupBy(
+        *groups, "_bkt"
+    ).agg(F.max("_rho").alias("_m"))
+    two61 = F.lit(2305843009213693952).cast("decimal(38,0)")  # 2^61
+    per = regs.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(61) - F.col("_m")).cast("double"))
+            .cast("decimal(38,0)")
+        ).alias("_zs"),
+    )
+    exact = d.groupBy(*groups).agg(
+        F.countDistinct("_k").alias("exact_distinct")
+    )
+    out = per.join(exact, groups, "inner")
+    md = float(m)
+    nb = F.col("_nb").cast("double")
+    zeros = F.lit(md) - nb  # empty registers (M_j = 0 -> 2^61 each)
+    zs = (
+        F.col("_zs").cast("string").cast("double")
+        + zeros * F.lit(float(2305843009213693952))
+    )
+    e_raw = (
+        F.lit(alpha * md * md) * F.lit(float(2305843009213693952)) / zs
+    )
+    vz = zeros  # V = count of empty registers
+    ln_corr = F.floor(
+        F.lit(md) * F.log(F.lit(md) / vz) * F.lit(1.0e9) + F.lit(0.5)
+    ) / F.lit(1.0e9)
+    est = F.when(
+        (e_raw <= F.lit(2.5 * md)) & (vz > 0), ln_corr
+    ).otherwise(e_raw)
+    est_q = F.floor(est * F.lit(1.0e6) + F.lit(0.5)) / F.lit(1.0e6)
+    dd = F.col("exact_distinct").cast("double")
+    return out.select(
+        *groups,
+        "exact_distinct",
+        est_q.alias("hll_count"),
+        F.when(F.col("exact_distinct") > 0, (est_q - dd) / dd).alias(
+            "rel_error"
+        ),
+    )
+
+
+def hll_estimate_sql(
+    data_sql: str,
+    key_col: str,
+    group_columns,
+    b: int = 8,
+) -> str:
+    """DuckDB twin of :func:`hll_estimate` (same md5 registers)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    hexb = b // 4
+    md = float(m)
+    t61 = "2305843009213693952"
+    h = f"md5(CAST({key_col} AS VARCHAR))"
+    bucket = f"CAST(CONCAT('0x', substring({h}, 1, {hexb})) AS BIGINT)"
+    v = f"CAST(CONCAT('0x', substring({h}, {hexb + 1}, 15)) AS BIGINT)"
+    rho = "CASE WHEN _v > 0 THEN 61 - length(bin(_v)) ELSE 61 END"
+    nb = "CAST(_nb AS DOUBLE)"
+    zeros = f"({dlit(md)} - {nb})"
+    zs = (
+        f"(CAST(CAST(_zs AS VARCHAR) AS DOUBLE)"
+        f" + {zeros} * {dlit(float(2305843009213693952))})"
+    )
+    e_raw = (
+        f"({dlit(alpha * md * md)} * {dlit(float(2305843009213693952))}"
+        f" / {zs})"
+    )
+    ln_corr = (
+        f"(FLOOR({dlit(md)} * LN({dlit(md)} / {zeros}) * 1000000000.0"
+        f" + 0.5) / 1000000000.0)"
+    )
+    est = (
+        f"(CASE WHEN {e_raw} <= {dlit(2.5 * md)} AND {zeros} > 0"
+        f" THEN {ln_corr} ELSE {e_raw} END)"
+    )
+    est_q = f"(FLOOR({est} * 1000000.0 + 0.5) / 1000000.0)"
+    dd = "CAST(exact_distinct AS DOUBLE)"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, CAST({key_col} AS VARCHAR) AS _k,
+    {bucket} AS _bkt, {v} AS _v
+  FROM ({data_sql}) WHERE {key_col} IS NOT NULL
+),
+regs AS (
+  SELECT {gsel}, _bkt, MAX({rho}) AS _m
+  FROM d GROUP BY {gsel}, _bkt
+),
+per AS (
+  SELECT {gsel}, COUNT(*) AS _nb,
+    SUM(CAST(POW(2.0, CAST(61 - _m AS DOUBLE)) AS DECIMAL(38,0))) AS _zs
+  FROM regs GROUP BY {gsel}
+),
+ex AS (
+  SELECT {gsel}, COUNT(DISTINCT _k) AS exact_distinct
+  FROM d GROUP BY {gsel}
+)
+SELECT {gsel}, exact_distinct,
+  {est_q} AS hll_count,
+  CASE WHEN exact_distinct > 0 THEN ({est_q} - {dd}) / {dd} END
+    AS rel_error
+FROM per JOIN ex USING ({gsel})
 """

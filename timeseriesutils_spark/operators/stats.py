@@ -1547,3 +1547,509 @@ SELECT {gsel}, n, n_success,
   CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Jarque–Bera normality test
+# --------------------------------------------------------------------------
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Jarque–Bera normality test — the gatekeeper for every
+    z/t-flavored test in the engine (welch_ttest, diebold_mariano,
+    grouped OLS): are the residuals even CLOSE to normal, or do skew
+    and fat tails invalidate the normal-theory p-values?
+
+        S = m3/m2^1.5,  K = m4/m2² − 3,  JB = n/6·(S² + K²/4)
+        p = exp(−JB/2)          (χ²₂ survival — exact closed form)
+
+    ONE aggregation: raw power sums Σq..Σq⁴ of the quantized values,
+    exact through DECIMAL (q² stays BIGINT; q³/q⁴ are DECIMAL(19,0)
+    products so a 1e7-unit value still fits 1e28 in DECIMAL(38,0)).
+    Central moments come from the power sums in one shared double
+    tree; S and K are scale-invariant so the quantization grid
+    cancels.  p is floor-quantized at 1e-9 (engine convention).
+
+    Returns (groups…, n, skewness, kurtosis_excess, jb_stat, p_value,
+    reject_05).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, q.alias("_q"), (q * q).alias("_q2")
+    )
+    dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    agg = d.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_q").cast("decimal(38,0)")).alias("_s1"),
+        F.sum(F.col("_q2").cast("decimal(38,0)")).alias("_s2"),
+        F.sum(dec19(F.col("_q2")) * dec19(F.col("_q"))).alias("_s3"),
+        F.sum(dec19(F.col("_q2")) * dec19(F.col("_q2"))).alias("_s4"),
+    )
+    nn = F.col("n").cast("double")
+    s1 = F.col("_s1").cast("string").cast("double")
+    s2 = F.col("_s2").cast("string").cast("double")
+    s3 = F.col("_s3").cast("string").cast("double")
+    s4 = F.col("_s4").cast("string").cast("double")
+    mean = s1 / nn
+    m2 = s2 / nn - mean * mean
+    m3 = s3 / nn - F.lit(3.0) * mean * (s2 / nn) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        s4 / nn
+        - F.lit(4.0) * mean * (s3 / nn)
+        + F.lit(6.0) * mean * mean * (s2 / nn)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurtx = m4 / (m2 * m2) - F.lit(3.0)
+    jb = (nn / F.lit(6.0)) * (
+        skew * skew + (kurtx * kurtx) / F.lit(4.0)
+    )
+    praw = F.exp(-jb / F.lit(2.0))
+    p = F.floor(praw * F.lit(1.0e9) + F.lit(0.5)) / F.lit(1.0e9)
+    ok = (F.col("n") > 3) & (m2 > 0)
+    return agg.select(
+        *groups,
+        "n",
+        F.when(ok, skew).alias("skewness"),
+        F.when(ok, kurtx).alias("kurtosis_excess"),
+        F.when(ok, jb).alias("jb_stat"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def jarque_bera_sql(
+    data_sql: str,
+    value_col: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`jarque_bera` (same double tree)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = (
+        f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    )
+    vd = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+    s1, s2, s3, s4 = vd("_s1"), vd("_s2"), vd("_s3"), vd("_s4")
+    mean = f"({s1} / {nn})"
+    m2 = f"({s2} / {nn} - {mean} * {mean})"
+    m3 = (
+        f"({s3} / {nn} - 3.0 * {mean} * ({s2} / {nn})"
+        f" + 2.0 * {mean} * {mean} * {mean})"
+    )
+    m4 = (
+        f"({s4} / {nn} - 4.0 * {mean} * ({s3} / {nn})"
+        f" + 6.0 * {mean} * {mean} * ({s2} / {nn})"
+        f" - 3.0 * {mean} * {mean} * {mean} * {mean})"
+    )
+    skew = f"({m3} / ({m2} * SQRT({m2})))"
+    kurtx = f"({m4} / ({m2} * {m2}) - 3.0)"
+    jb = f"(({nn} / 6.0) * ({skew} * {skew} + ({kurtx} * {kurtx}) / 4.0))"
+    p = f"(FLOOR(EXP(-{jb} / 2.0) * 1000000000.0 + 0.5) / 1000000000.0)"
+    ok = f"n > 3 AND {m2} > 0"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q, {qq} * {qq} AS _q2
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    SUM(CAST(_q AS DECIMAL(38,0))) AS _s1,
+    SUM(CAST(_q2 AS DECIMAL(38,0))) AS _s2,
+    SUM(CAST(_q2 AS DECIMAL(19,0)) * CAST(_q AS DECIMAL(19,0))) AS _s3,
+    SUM(CAST(_q2 AS DECIMAL(19,0)) * CAST(_q2 AS DECIMAL(19,0))) AS _s4
+  FROM d GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  CASE WHEN {ok} THEN {skew} END AS skewness,
+  CASE WHEN {ok} THEN {kurtx} END AS kurtosis_excess,
+  CASE WHEN {ok} THEN {jb} END AS jb_stat,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Brown–Forsythe Levene test (variance homogeneity)
+# --------------------------------------------------------------------------
+
+
+def levene_bf(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Brown–Forsythe Levene test: do the levels of
+    ``factor_col`` have the SAME SPREAD of ``value_col``?  The
+    variance-homogeneity gate in front of anova_oneway (whose F
+    assumes equal variances) — and a drift test in its own right
+    (ks_test asks "same shape?", this asks "same dispersion?",
+    robust to location shifts by centering on the MEDIAN, the
+    Brown–Forsythe variant that survives heavy tails).
+
+        z_ij = |x_ij − med_j|,  F = anova_oneway(z) over levels
+
+    One scan: the per-level median comes from an exact interpolated
+    percentile WINDOW over the quantized values (both engines define
+    quantile_cont at (n−1)·p, so the even-n midpoint average is the
+    same exact dyadic double), doubled into exact integers
+    (z2 = |2q − 2·med| ∈ ℕ), then the anova sufficient-stats identity
+    runs per (group, level) and reduces k rows — F is scale-invariant
+    so the doubling cancels.  No joins, no second pass.
+
+    Returns (groups…, k_levels, n, f_stat, df1, df2).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = df.filter(
+        F.col(value_col).isNotNull() & F.col(factor_col).isNotNull()
+    ).select(*groups, F.col(factor_col).alias("_lvl"), q.alias("_q"))
+    wl = Window.partitionBy(*groups, "_lvl")
+    med2 = F.expr("percentile(_q, 0.5)").over(wl) * F.lit(2.0)
+    z2 = F.abs(F.col("_q") * F.lit(2) - med2.cast("bigint"))
+    zd = d.select(*groups, "_lvl", z2.alias("_z"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = zd.groupBy(*groups, "_lvl").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec(F.col("_z"))).alias("_s"),
+        F.sum(dec(F.col("_z") * F.col("_z"))).alias("_ss"),
+    )
+    sg = F.col("_s").cast("string").cast("double")
+    ng = F.col("_n").cast("double")
+    ssg = F.col("_ss").cast("string").cast("double")
+    top = per.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("k_levels"),
+        F.sum("_n").alias("n"),
+        F.sum(dec(F.col("_s"))).alias("_st"),
+        F.sum(
+            ((sg * sg / ng) - (sg * sg / ng) % F.lit(1.0)).cast("decimal(38,0)")
+        ).alias("_sb_raw"),
+        F.sum(
+            (
+                (ssg - sg * sg / ng) - (ssg - sg * sg / ng) % F.lit(1.0)
+            ).cast("decimal(38,0)")
+        ).alias("_ssw_q"),
+    )
+    nn = F.col("n").cast("double")
+    st = F.col("_st").cast("string").cast("double")
+    ssb = F.col("_sb_raw").cast("string").cast("double") - st * st / nn
+    ssw = F.col("_ssw_q").cast("string").cast("double")
+    kk = F.col("k_levels").cast("double")
+    ok = (F.col("k_levels") > 1) & (F.col("n") > F.col("k_levels")) & (ssw != 0)
+    f_stat = (ssb / (kk - F.lit(1.0))) / (ssw / (nn - kk))
+    return top.select(
+        *groups,
+        "k_levels",
+        "n",
+        F.when(ok, f_stat).alias("f_stat"),
+        (F.col("k_levels") - 1).alias("df1"),
+        (F.col("n") - F.col("k_levels")).alias("df2"),
+    )
+
+
+def levene_bf_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`levene_bf` (same double tree)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    wl = f"(PARTITION BY {gsel}, _lvl)"
+    vd = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    sg, ng, ssg = vd("_s"), "CAST(_n AS DOUBLE)", vd("_ss")
+    nn = "CAST(n AS DOUBLE)"
+    st = vd("_st")
+    ssb = f"({vd('_sb_raw')} - {st} * {st} / {nn})"
+    ssw = vd("_ssw_q")
+    kk = "CAST(k_levels AS DOUBLE)"
+    ok = f"k_levels > 1 AND n > k_levels AND {ssw} <> 0"
+    f_stat = f"(({ssb} / ({kk} - 1.0)) / ({ssw} / ({nn} - {kk})))"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {factor_col} AS _lvl, {qq} AS _q
+  FROM ({data_sql})
+  WHERE {value_col} IS NOT NULL AND {factor_col} IS NOT NULL
+),
+zd AS (
+  SELECT {gsel}, _lvl,
+    ABS(_q * 2 - CAST(quantile_cont(_q, 0.5) OVER {wl} * 2.0 AS BIGINT))
+      AS _z
+  FROM d
+),
+per AS (
+  SELECT {gsel}, _lvl, COUNT(*) AS _n,
+    SUM(CAST(_z AS DECIMAL(38,0))) AS _s,
+    SUM(CAST(_z * _z AS DECIMAL(38,0))) AS _ss
+  FROM zd GROUP BY {gsel}, _lvl
+),
+top AS (
+  SELECT {gsel}, COUNT(*) AS k_levels, CAST(SUM(_n) AS BIGINT) AS n,
+    SUM(CAST(_s AS DECIMAL(38,0))) AS _st,
+    SUM(CAST(({sg} * {sg} / {ng}) - ({sg} * {sg} / {ng}) % 1.0
+        AS DECIMAL(38,0))) AS _sb_raw,
+    SUM(CAST(({ssg} - {sg} * {sg} / {ng})
+        - ({ssg} - {sg} * {sg} / {ng}) % 1.0 AS DECIMAL(38,0))) AS _ssw_q
+  FROM per GROUP BY {gsel}
+)
+SELECT {gsel}, k_levels, n,
+  CASE WHEN {ok} THEN {f_stat} END AS f_stat,
+  k_levels - 1 AS df1,
+  n - k_levels AS df2
+FROM top
+"""
+
+
+# --------------------------------------------------------------------------
+# McNemar paired-flag test
+# --------------------------------------------------------------------------
+
+
+def mcnemar_test(
+    df: DataFrame,
+    flag_a,
+    flag_b,
+    group_columns,
+) -> DataFrame:
+    """Per-group McNemar test on PAIRED binary flags: do two detectors
+    (rules, classifiers, labelers) applied to the SAME rows disagree
+    symmetrically, or is one systematically stricter?  The paired
+    counterpart of the two-proportion z-test — only the DISCORDANT
+    pairs carry information:
+
+        b = #(a ∧ ¬b),  c = #(¬a ∧ b)
+        χ²₁ = (|b − c| − 1)² / (b + c)      (continuity-corrected)
+        p   = two-sided engine kernel on z = √χ²₁
+
+    ``flag_a`` / ``flag_b`` may be column names or boolean Column
+    expressions.  ONE map-combinable aggregation of exact integer
+    counts; the χ²/z/p chain is one shared double tree.  Rows where
+    either flag is NULL are dropped (complete-case discipline).
+
+    Returns (groups…, n, n_a_only, n_b_only, chi2_stat, p_value,
+    reject_05).
+    """
+    from timeseriesutils_spark.operators.nonparam import two_sided_p_expr
+
+    groups = _as_list(group_columns)
+    a = F.col(flag_a) if isinstance(flag_a, str) else flag_a
+    b = F.col(flag_b) if isinstance(flag_b, str) else flag_b
+    d = df.select(*groups, a.alias("_a"), b.alias("_b")).filter(
+        F.col("_a").isNotNull() & F.col("_b").isNotNull()
+    )
+    agg = d.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("_a") & ~F.col("_b")).cast("bigint")).alias("n_a_only"),
+        F.sum((~F.col("_a") & F.col("_b")).cast("bigint")).alias("n_b_only"),
+    )
+    bd = F.col("n_a_only").cast("double")
+    cd = F.col("n_b_only").cast("double")
+    num = F.greatest(F.abs(bd - cd) - F.lit(1.0), F.lit(0.0))
+    chi2 = (num * num) / (bd + cd)
+    z = F.sqrt(chi2)
+    p = two_sided_p_expr(z)
+    ok = (F.col("n_a_only") + F.col("n_b_only")) > 0
+    return agg.select(
+        *groups,
+        "n",
+        "n_a_only",
+        "n_b_only",
+        F.when(ok, chi2).alias("chi2_stat"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def mcnemar_test_sql(
+    data_sql: str,
+    flag_a_sql: str,
+    flag_b_sql: str,
+    group_columns,
+) -> str:
+    """DuckDB twin of :func:`mcnemar_test` (same double tree)."""
+    from timeseriesutils_spark.operators.nonparam import two_sided_p_sql
+
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    bd = "CAST(n_a_only AS DOUBLE)"
+    cd = "CAST(n_b_only AS DOUBLE)"
+    num = f"GREATEST(ABS({bd} - {cd}) - 1.0, 0.0)"
+    chi2 = f"(({num}) * ({num}) / ({bd} + {cd}))"
+    z = f"SQRT({chi2})"
+    p = two_sided_p_sql(z)
+    ok = "n_a_only + n_b_only > 0"
+    return f"""
+WITH d AS (
+  SELECT {gsel},
+    CAST({flag_a_sql} AS BOOLEAN) AS _a,
+    CAST({flag_b_sql} AS BOOLEAN) AS _b
+  FROM ({data_sql})
+  WHERE ({flag_a_sql}) IS NOT NULL AND ({flag_b_sql}) IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    CAST(SUM(CAST(_a AND NOT _b AS BIGINT)) AS BIGINT) AS n_a_only,
+    CAST(SUM(CAST(NOT _a AND _b AS BIGINT)) AS BIGINT) AS n_b_only
+  FROM d GROUP BY {gsel}
+)
+SELECT {gsel}, n, n_a_only, n_b_only,
+  CASE WHEN {ok} THEN {chi2} END AS chi2_stat,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa (inter-annotator agreement)
+# --------------------------------------------------------------------------
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    group_columns,
+) -> DataFrame:
+    """Per-group Cohen's kappa between two categorical labelings of
+    the SAME rows — the chance-corrected agreement score behind every
+    labeling-QA loop (human vs model labels, declared vs detected
+    language, two classifier generations):
+
+        κ = (p_o − p_e) / (1 − p_e)
+          = (N·Σ_k d_k − Σ_k r_k c_k) / (N² − Σ_k r_k c_k)
+
+    with d_k the diagonal counts, r_k/c_k the row/column marginals.
+    Exact integer sufficient statistics end to end: one (a,b) count
+    aggregation, two marginal rollups joined on the label, and the
+    κ ratio is the ONLY double (r·c sums run through DECIMAL so N up
+    to ~1e18 cannot wrap).  NULL labels drop (complete-case).
+
+    Returns (groups…, n, p_observed, p_expected, kappa).
+    """
+    groups = _as_list(group_columns)
+    d = df.filter(
+        F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull()
+    ).select(
+        *groups,
+        F.col(rater_a).cast("string").alias("_la"),
+        F.col(rater_b).cast("string").alias("_lb"),
+    )
+    cells = d.groupBy(*groups, "_la", "_lb").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    rows = cells.groupBy(*groups, F.col("_la").alias("_lbl")).agg(
+        F.sum("_c").alias("_rn")
+    )
+    cols = cells.groupBy(*groups, F.col("_lb").alias("_lbl")).agg(
+        F.sum("_c").alias("_cn")
+    )
+    marg = rows.join(cols, [*groups, "_lbl"], "full_outer").select(
+        *groups,
+        (
+            F.coalesce(F.col("_rn"), F.lit(0)).cast("decimal(19,0)")
+            * F.coalesce(F.col("_cn"), F.lit(0)).cast("decimal(19,0)")
+        ).alias("_rc"),
+    )
+    rc = marg.groupBy(*groups).agg(F.sum("_rc").alias("_src"))
+    base = cells.groupBy(*groups).agg(
+        F.sum("_c").alias("n"),
+        F.sum(F.when(F.col("_la") == F.col("_lb"), F.col("_c"))).alias("_diag"),
+    )
+    out = base.join(rc, groups, "inner")
+    nn = F.col("n").cast("double")
+    diag = F.coalesce(F.col("_diag"), F.lit(0)).cast("double")
+    src = F.col("_src").cast("string").cast("double")
+    po = diag / nn
+    pe = src / (nn * nn)
+    ok = (F.col("n") > 0) & (pe != F.lit(1.0))
+    kappa = (po - pe) / (F.lit(1.0) - pe)
+    return out.select(
+        *groups,
+        "n",
+        F.when(F.col("n") > 0, po).alias("p_observed"),
+        F.when(F.col("n") > 0, pe).alias("p_expected"),
+        F.when(ok, kappa).alias("kappa"),
+    )
+
+
+def cohens_kappa_sql(
+    data_sql: str,
+    rater_a_sql: str,
+    rater_b_sql: str,
+    group_columns,
+) -> str:
+    """DuckDB twin of :func:`cohens_kappa` (same double tree)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    nn = "CAST(n AS DOUBLE)"
+    diag = "CAST(COALESCE(_diag, 0) AS DOUBLE)"
+    src = "CAST(CAST(_src AS VARCHAR) AS DOUBLE)"
+    po = f"({diag} / {nn})"
+    pe = f"({src} / ({nn} * {nn}))"
+    kappa = f"(({po} - {pe}) / (1.0 - {pe}))"
+    return f"""
+WITH d AS (
+  SELECT {gsel},
+    CAST({rater_a_sql} AS VARCHAR) AS _la,
+    CAST({rater_b_sql} AS VARCHAR) AS _lb
+  FROM ({data_sql})
+  WHERE ({rater_a_sql}) IS NOT NULL AND ({rater_b_sql}) IS NOT NULL
+),
+cells AS (
+  SELECT {gsel}, _la, _lb, COUNT(*) AS _c
+  FROM d GROUP BY {gsel}, _la, _lb
+),
+rws AS (
+  SELECT {gsel}, _la AS _lbl, CAST(SUM(_c) AS BIGINT) AS _rn
+  FROM cells GROUP BY {gsel}, _la
+),
+cls AS (
+  SELECT {gsel}, _lb AS _lbl, CAST(SUM(_c) AS BIGINT) AS _cn
+  FROM cells GROUP BY {gsel}, _lb
+),
+marg AS (
+  SELECT COALESCE(rws.{groups[0]}, cls.{groups[0]}) AS {groups[0]},
+    {"".join(f"COALESCE(rws.{c}, cls.{c}) AS {c}, " for c in groups[1:])}
+    CAST(COALESCE(_rn, 0) AS DECIMAL(19,0))
+      * CAST(COALESCE(_cn, 0) AS DECIMAL(19,0)) AS _rc
+  FROM rws FULL OUTER JOIN cls
+    ON {" AND ".join(f"rws.{c} = cls.{c}" for c in groups)}
+      AND rws._lbl = cls._lbl
+),
+rc AS (
+  SELECT {gsel}, SUM(_rc) AS _src FROM marg GROUP BY {gsel}
+),
+base AS (
+  SELECT {gsel}, CAST(SUM(_c) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN _la = _lb THEN _c END) AS BIGINT) AS _diag
+  FROM cells GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  CASE WHEN n > 0 THEN {po} END AS p_observed,
+  CASE WHEN n > 0 THEN {pe} END AS p_expected,
+  CASE WHEN n > 0 AND {pe} <> 1.0 THEN {kappa} END AS kappa
+FROM base JOIN rc USING ({gsel})
+"""
