@@ -614,3 +614,97 @@ def test_distinct_ngrams_no_python(spark, catalog):
     plan = _plan(catalog["distinct_ngrams"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- round-8 wirings: mleval / stats appends / sketches / kendall ----------
+
+
+def test_pr_curve_count_fanout_no_join(spark, catalog):
+    """pr_curve: rows collapse to per-(group, quantized score) counts
+    BEFORE the threshold grid fans out — the explode runs over counts,
+    never raw rows; tp/fp/fn need no join (joinless F1 identity)."""
+    plan = _plan(catalog["pr_curve"](spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert len(re.findall(r"Exchange", plan)) <= 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_single_aggregation_scorecards(spark, catalog):
+    """log_loss / jarque_bera / mcnemar_test are ONE map-combinable
+    aggregation each: single scan, single exchange, no joins, no
+    Python."""
+    for name in ("log_loss", "jarque_bera", "mcnemar_test"):
+        plan = _plan(catalog[name](spark, SF_DIR))
+        assert len(re.findall(r"Scan parquet", plan)) == 1, name
+        assert len(re.findall(r"Exchange", plan)) == 1, name
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ranking_metrics_two_windows_one_exchange(spark, catalog):
+    """ranking_metrics: the system-order and ideal-order rank windows
+    share ONE exchange on the query key; the per-query reduce rides the
+    same partitioning, and only the report-group reduce re-shuffles.
+    No collect_list, no joins, no Python."""
+    plan = _plan(catalog["ranking_metrics"](spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert len(re.findall(r"Exchange", plan)) <= 2
+    assert len(re.findall(r"Window", plan)) == 2
+    assert "Join" not in plan
+    assert "collect_list" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_levene_bf_single_chain(spark, catalog):
+    """levene_bf: per-level median window + two grouped reduces on one
+    forward chain — the first reduce rides the window's partitioning,
+    so ≤2 exchanges, no joins, no Python."""
+    plan = _plan(catalog["levene_bf"](spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert len(re.findall(r"Exchange", plan)) <= 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cohens_kappa_pinned_cells(spark, catalog):
+    """cohens_kappa: the confusion-cell frame feeds three consumers
+    (row marginals, column marginals, diagonal base) — pinned, so the
+    scan+count runs once and the branches read cache; the marginal
+    joins stay on k²-row frames."""
+    plan = _plan(catalog["cohens_kappa"](spark, SF_DIR))
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kendall_tau_pinned_series(spark, catalog):
+    """kendall_tau: the quantized series is pinned (pair self-join +
+    two tie rollups all read the cache); the O(n²) pair join is the
+    documented verify-tier envelope."""
+    plan = _plan(catalog["kendall_tau"](spark, SF_DIR))
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_estimate_takeordered_broadcast(spark, catalog):
+    """cms_estimate: per-key counts pinned (cells + candidates read the
+    cache); the top-k candidate cut is TakeOrderedAndProject (never a
+    global window); estimates join the ≤ depth·width cell table
+    broadcast."""
+    plan = _plan(catalog["cms_estimate"](spark, SF_DIR))
+    assert len(re.findall(r"TakeOrderedAndProject", plan)) == 1
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 2
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 1
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_estimate_register_reduce(spark, catalog):
+    """hll_estimate: documented two-pass shape — one pass collapses to
+    (group, bucket) registers, one computes the exact distinct truth;
+    the group-level join of the two ≤|groups|-row frames broadcasts."""
+    plan = _plan(catalog["hll_estimate"](spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet", plan)) == 2
+    assert len(re.findall(r"BroadcastHashJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -46,6 +46,17 @@ def dlit(x: float) -> str:
     return r + "e0"
 
 
+def sq(value) -> str:
+    """Render a value as a single-quoted SQL string literal with
+    embedded quotes doubled (``O'BRIEN`` → ``'O''BRIEN'``) — the shared
+    quoting helper for every ``*_sql`` renderer that interpolates
+    user-supplied level/type/name values into oracle SQL.  The Spark
+    side passes the same values as Column parameters and needs no
+    escaping; without this the rendered DuckDB twin would break (or
+    become injectable) on a quote-bearing level."""
+    return "'" + str(value).replace("'", "''") + "'"
+
+
 def dsum(col: Column | str, scale: int = 6) -> Column:
     """Order-independent SUM over a double column, returned as double."""
     c = F.col(col) if isinstance(col, str) else col

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from timeseriesutils_spark.functions.exact import dlit, dsum, dsum_sql
+from timeseriesutils_spark.functions.exact import dlit, dsum, dsum_sql, sq
 
 EPOCH = "2024-01-01"  # day-index origin for cohort math (events table era)
 
@@ -170,7 +170,7 @@ def funnel_counts_sql(
     ctes = [f"s0 AS (\n  SELECT {user_col}, {type_col}, epoch_ms({ts_col}) AS ts_ms FROM {table}\n)"]
     prev_src = "s0"
     for i, s in enumerate(steps):
-        cond = f"{type_col} = '{s}'"
+        cond = f"{type_col} = {sq(s)}"
         if i > 0:
             cond += f" AND ts_ms >= t{i - 1}"
         ctes.append(
@@ -586,12 +586,12 @@ def funnel_latency_sql(
     return f"""
 WITH v AS (
   SELECT {user_col}, MIN({ts_col}) AS vt FROM {table}
-  WHERE event_type = '{first_step}' GROUP BY 1
+  WHERE event_type = {sq(first_step)} GROUP BY 1
 ),
 p AS (
   SELECT e.{user_col}, v.vt, MIN(e.{ts_col}) AS pt
   FROM {table} e JOIN v ON e.{user_col} = v.{user_col}
-  WHERE e.event_type = '{last_step}' AND e.{ts_col} >= v.vt
+  WHERE e.event_type = {sq(last_step)} AND e.{ts_col} >= v.vt
   GROUP BY 1, 2
 ),
 lat AS (
@@ -764,8 +764,8 @@ def ab_test_report_sql(
     return f"""
 WITH per_user AS (
   SELECT _u,
-    MAX(CASE WHEN _ty = '{exposure_type}' THEN 1 ELSE 0 END) AS _exp,
-    MAX(CASE WHEN _ty = '{conversion_type}' THEN 1 ELSE 0 END) AS _cv
+    MAX(CASE WHEN _ty = {sq(exposure_type)} THEN 1 ELSE 0 END) AS _exp,
+    MAX(CASE WHEN _ty = {sq(conversion_type)} THEN 1 ELSE 0 END) AS _cv
   FROM (SELECT {user_col} AS _u, {type_col} AS _ty FROM {table})
   GROUP BY _u
 ), armed AS (
@@ -860,7 +860,7 @@ def funnel_window_sql(
     ctes = [
         f"""d0 AS (
   SELECT {user_col}, {type_col} AS _et, {us} AS _us,
-    MIN(CASE WHEN {type_col} = '{steps[0]}' THEN {us} END)
+    MIN(CASE WHEN {type_col} = {sq(steps[0])} THEN {us} END)
       OVER (PARTITION BY {user_col}) AS _s0
   FROM {table}
 )"""
@@ -869,7 +869,7 @@ def funnel_window_sql(
     for i, step in enumerate(steps[1:], start=1):
         ctes.append(
             f"""d{i} AS (
-  SELECT *, MIN(CASE WHEN _et = '{step}' AND _us >= _s{i - 1}
+  SELECT *, MIN(CASE WHEN _et = {sq(step)} AND _us >= _s{i - 1}
                       AND _us <= {deadline} THEN _us END)
       OVER (PARTITION BY {user_col}) AS _s{i}
   FROM d{i - 1}
@@ -1122,11 +1122,11 @@ WITH base AS (
   SELECT CAST({ts_col} AS DATE) AS _d, {user_col} AS _u, {type_col} AS _t
   FROM {table}
 ),
-exposed AS (SELECT DISTINCT _d, _u FROM base WHERE _t = '{expose_type}'),
+exposed AS (SELECT DISTINCT _d, _u FROM base WHERE _t = {sq(expose_type)}),
 conv AS (
   SELECT DISTINCT b._d, b._u FROM base b
   JOIN exposed e ON b._d = e._d AND b._u = e._u
-  WHERE b._t = '{convert_type}'
+  WHERE b._t = {sq(convert_type)}
 ),
 ne AS (SELECT _d, COUNT(*) AS n_exposed FROM exposed GROUP BY _d),
 nc AS (SELECT _d, COUNT(*) AS n_converted FROM conv GROUP BY _d),

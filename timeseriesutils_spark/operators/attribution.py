@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from timeseriesutils_spark.functions.exact import dlit
+from timeseriesutils_spark.functions.exact import dlit, sq
 
 
 def multi_touch_attribution(
@@ -108,7 +108,7 @@ def multi_touch_attribution_sql(
     return f"""
 WITH conv AS (
   SELECT {user_col}, MIN({ts_col}) AS _conv_ts
-  FROM {table} WHERE {type_col} = '{convert_type}' GROUP BY {user_col}
+  FROM {table} WHERE {type_col} = {sq(convert_type)} GROUP BY {user_col}
 ),
 t AS (
   SELECT e.{user_col}, e.{ts_col}, e.{id_col}, e.{type_col} AS channel,

@@ -557,7 +557,14 @@ def wis_scores(
     def q(c):
         return F.floor(c * F.lit(m) + F.lit(0.5)).cast("decimal(38,0)")
 
-    agg = forecasts.filter(y.isNotNull()).groupBy(*g).agg(
+    # complete-case: a NULL median or bound would silently drop its
+    # quantized term from the DECIMAL sums while the row still counted
+    # toward n, biasing the group means (the mann_whitney/ks_test
+    # convention — ADVICE r7)
+    cc = y.isNotNull() & med.isNotNull()
+    for _, (lo_col, hi_col) in sorted(interval_cols.items()):
+        cc = cc & F.col(lo_col).isNotNull() & F.col(hi_col).isNotNull()
+    agg = forecasts.filter(cc).groupBy(*g).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(q(disp)).alias("_sd"),
         F.sum(q(over)).alias("_so"),
@@ -612,6 +619,10 @@ def wis_scores_sql(
 
     s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
     den = f"({dlit(float(m))} * CAST(n AS DOUBLE) * {dlit(denom_w)})"
+    cc = [f"{actual_col} IS NOT NULL", f"{median_col} IS NOT NULL"]
+    for _, (lo_col, hi_col) in sorted(interval_cols.items()):
+        cc += [f"{lo_col} IS NOT NULL", f"{hi_col} IS NOT NULL"]
+    where = " AND ".join(cc)
     return f"""
 WITH agg AS (
   SELECT {gsel}, COUNT(*) AS n,
@@ -619,7 +630,7 @@ WITH agg AS (
     SUM({q(over)}) AS _so,
     SUM({q(under)}) AS _su
   FROM ({forecasts_sql})
-  WHERE {actual_col} IS NOT NULL
+  WHERE {where}
   GROUP BY {gsel}
 )
 SELECT {gsel}, n,

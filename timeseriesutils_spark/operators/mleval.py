@@ -267,15 +267,20 @@ def ranking_metrics(
     evals do).
 
         DCG@k  = Σ_{i≤k} rel_i · w_i,   w_i = 1/log2(i+1)
-        NDCG@k = DCG@k / IDCG@k   (rel sorted descending)
-        MRR    = 1 / rank of first relevant   (0 if none)
+        NDCG@k = DCG@k / IDCG@k   (IDCG from ALL judged rows in the
+                 query group, rel sorted descending and truncated at k
+                 — the standard sklearn/IR ideal, so missing a relevant
+                 item outside the retrieved top-k costs NDCG)
+        MRR    = 1 / rank of first relevant in the top-k   (0 if none)
 
     The discounts w_i are PRECOMPUTED literals (i ≤ k) — no runtime
     log can diverge across engines; each per-rank product quantizes
     to 1e-9 ints before the cross-row DECIMAL sums, and the per-query
     scalars re-quantize before the report-group mean (same
-    discipline).  One rank window per query group (top-k pruned),
-    one reduce per report group.  ``tie_break`` columns (default:
+    discipline).  Two rank windows (system order + ideal order) share
+    ONE exchange on the query key; rows outside both top-k lists are
+    pruned before the reduce per report group.  ``tie_break`` columns
+    (default:
     the query columns' complement is required) make the rank
     deterministic.
 
@@ -288,7 +293,7 @@ def ranking_metrics(
     rel = F.col(rel_col) if isinstance(rel_col, str) else rel_col
     w = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
     wq = [int(math.floor(x * _Q9 + 0.5)) for x in w]  # 1e-9 ints
-    order = [F.col(score_col).desc()] + [F.col(c).asc() for c in tb]
+    order = [F.col("_s").desc()] + [F.col(c).asc() for c in tb]
     win = Window.partitionBy(*qcols).orderBy(*order)
     d = df.filter(F.col(score_col).isNotNull() & rel.isNotNull()).select(
         *qcols,
@@ -297,36 +302,48 @@ def ranking_metrics(
         F.col(score_col).alias("_s"),
         rel.cast("bigint").alias("_rel"),
     )
+    # Two ranks per row: _rk by retrieval score (the system's list) and
+    # _rv by judged relevance (the IDEAL list).  IDCG must come from ALL
+    # judged rows in the query group — computing it only over the
+    # retrieved top-k inflates NDCG whenever relevant items were missed
+    # (ADVICE r7); the standard sklearn/IR definition sorts the full
+    # judgment set.  _rv's tie order is irrelevant to the sum (equal rel
+    # values are interchangeable across rank positions), so the
+    # secondary keys only make the plan deterministic.
+    ideal = Window.partitionBy(*qcols).orderBy(
+        F.col("_rel").desc(), *order
+    )
     ranked = d.select(
-        *qcols, *rcols, "_rel", F.row_number().over(win).alias("_rk")
-    ).filter(F.col("_rk") <= k)
+        *qcols,
+        *rcols,
+        "_rel",
+        F.row_number().over(win).alias("_rk"),
+        F.row_number().over(ideal).alias("_rv"),
+    ).filter((F.col("_rk") <= k) | (F.col("_rv") <= k))
     # per-rank discount as a literal lookup: element_at needs INT
     warr = F.array(*[F.lit(x) for x in wq])
-    dcg_t = F.col("_rel") * F.element_at(warr, F.col("_rk").cast("int"))
+    in_k = F.col("_rk") <= k
+    dcg_t = F.when(
+        in_k, F.col("_rel") * F.element_at(warr, F.col("_rk").cast("int"))
+    ).otherwise(F.lit(0))
+    idcg_t = F.when(
+        F.col("_rv") <= k,
+        F.col("_rel") * F.element_at(warr, F.col("_rv").cast("int")),
+    ).otherwise(F.lit(0))
     per_q = ranked.groupBy(*qcols).agg(
         *[F.min(c).alias(c) for c in rcols],
         F.sum(dcg_t.cast("decimal(38,0)")).alias("_dcg_q"),
-        F.sum(F.col("_rel")).alias("_nrel"),
-        F.min(F.when(F.col("_rel") > 0, F.col("_rk"))).alias("_frank"),
-        F.collect_list(F.struct(F.col("_rk"), F.col("_rel"))).alias("_rr"),
-    )
-    # ideal DCG: the _rel values sorted descending get ranks 1..k
-    rels_desc = F.reverse(
-        F.array_sort(F.transform(F.col("_rr"), lambda s: s["_rel"]))
-    )
-    idcg_t = F.transform(
-        rels_desc,
-        lambda r, i: r
-        * F.element_at(warr, (i + F.lit(1)).cast("int")),
-    )
-    idcg_q = F.aggregate(
-        idcg_t,
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, x: acc + x.cast("decimal(38,0)"),
+        F.sum(idcg_t.cast("decimal(38,0)")).alias("_idcg_q"),
+        F.sum(F.when(in_k, F.col("_rel")).otherwise(F.lit(0))).alias(
+            "_nrel"
+        ),
+        F.min(F.when(in_k & (F.col("_rel") > 0), F.col("_rk"))).alias(
+            "_frank"
+        ),
     )
     dcgd = F.col("_dcg_q").cast("string").cast("double")
-    idcgd = idcg_q.cast("string").cast("double")
-    ndcg = F.when(idcg_q > 0, dcgd / idcgd).otherwise(F.lit(0.0))
+    idcgd = F.col("_idcg_q").cast("string").cast("double")
+    ndcg = F.when(F.col("_idcg_q") > 0, dcgd / idcgd).otherwise(F.lit(0.0))
     mrr = F.when(
         F.col("_frank").isNotNull(),
         F.lit(1.0) / F.col("_frank").cast("double"),
@@ -377,7 +394,7 @@ def ranking_metrics_sql(
     rsel = ", ".join(rcols)
     w = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
     wq = ", ".join(str(int(math.floor(x * _Q9 + 0.5))) for x in w)
-    order = f"{score_col} DESC" + "".join(f", {c} ASC" for c in tb)
+    order = "_s DESC" + "".join(f", {c} ASC" for c in tb)
     rfirst = ", ".join(f"MIN({c}) AS {c}" for c in rcols)
     nn = "CAST(n_queries AS DOUBLE)"
     q9 = dlit(float(_Q9))
@@ -390,34 +407,34 @@ WITH d AS (
 ),
 ranked AS (
   SELECT {qsel}, {rsel}, _rel,
-    ROW_NUMBER() OVER (PARTITION BY {qsel} ORDER BY {order}) AS _rk
-  FROM d QUALIFY _rk <= {k}
+    ROW_NUMBER() OVER (PARTITION BY {qsel} ORDER BY {order}) AS _rk,
+    ROW_NUMBER() OVER (PARTITION BY {qsel} ORDER BY _rel DESC, {order})
+      AS _rv
+  FROM d QUALIFY _rk <= {k} OR _rv <= {k}
 ),
 wt AS (SELECT [{wq}] AS _w),
 per_q AS (
   SELECT {qsel}, {rfirst},
-    SUM(CAST(_rel * _w[_rk] AS DECIMAL(38,0))) AS _dcg_q,
-    CAST(SUM(_rel) AS BIGINT) AS _nrel,
-    MIN(CASE WHEN _rel > 0 THEN _rk END) AS _frank,
-    LIST(_rel ORDER BY _rel DESC) AS _rels
+    SUM(CAST(CASE WHEN _rk <= {k} THEN _rel * _w[_rk] ELSE 0 END
+        AS DECIMAL(38,0))) AS _dcg_q,
+    SUM(CAST(CASE WHEN _rv <= {k} THEN _rel * _w[_rv] ELSE 0 END
+        AS DECIMAL(38,0))) AS _idcg_q,
+    CAST(SUM(CASE WHEN _rk <= {k} THEN _rel ELSE 0 END) AS BIGINT)
+      AS _nrel,
+    MIN(CASE WHEN _rk <= {k} AND _rel > 0 THEN _rk END) AS _frank
   FROM ranked, wt GROUP BY {qsel}
 ),
 scored AS (
   SELECT {rsel},
-    CAST(FLOOR(CASE WHEN _idcg > 0
+    CAST(FLOOR(CASE WHEN _idcg_q > 0
       THEN CAST(CAST(_dcg_q AS VARCHAR) AS DOUBLE)
-         / CAST(CAST(_idcg AS VARCHAR) AS DOUBLE) ELSE 0.0 END
+         / CAST(CAST(_idcg_q AS VARCHAR) AS DOUBLE) ELSE 0.0 END
       * {q9} + 0.5) AS DECIMAL(38,0)) AS _nq,
     CAST(FLOOR(CASE WHEN _frank IS NOT NULL
       THEN 1.0 / CAST(_frank AS DOUBLE) ELSE 0.0 END
       * {q9} + 0.5) AS DECIMAL(38,0)) AS _mq,
     CAST(_nrel > 0 AS BIGINT) AS _hit
-  FROM (
-    SELECT *,
-      list_sum([_rels[i] * _w[i] FOR i IN range(1, len(_rels) + 1)])
-        AS _idcg
-    FROM per_q, wt
-  )
+  FROM per_q
 )
 SELECT {rsel}, COUNT(*) AS n_queries,
   CAST(CAST(SUM(_nq) AS VARCHAR) AS DOUBLE) / {nn} / {q9}

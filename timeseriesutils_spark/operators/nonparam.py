@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from timeseriesutils_spark.functions.exact import dlit
+from timeseriesutils_spark.functions.exact import dlit, sq
 from timeseriesutils_spark.operators.window_features import _as_list
 
 # two-sample KS asymptotic 5% critical value c(0.05) for
@@ -136,9 +136,9 @@ def ks_test_sql(
     qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
     return f"""
 WITH d AS (
-  SELECT {gsel}, {qq} AS _q, ({factor_col} = '{level_a}') AS _ia
+  SELECT {gsel}, {qq} AS _q, ({factor_col} = {sq(level_a)}) AS _ia
   FROM ({data_sql})
-  WHERE {value_col} IS NOT NULL AND {factor_col} IN ('{level_a}', '{level_b}')
+  WHERE {value_col} IS NOT NULL AND {factor_col} IN ({sq(level_a)}, {sq(level_b)})
 ),
 per AS (
   SELECT {gsel}, _q,
@@ -488,9 +488,9 @@ def mann_whitney_sql(
     ok = f"n_a > 0 AND n_b > 0 AND {sig2} > 0"
     return f"""
 WITH d AS (
-  SELECT {gsel}, ({factor_col} = '{level_a}') AS _ia, {qq} AS _q
+  SELECT {gsel}, ({factor_col} = {sq(level_a)}) AS _ia, {qq} AS _q
   FROM ({data_sql})
-  WHERE {value_col} IS NOT NULL AND {factor_col} IN ('{level_a}', '{level_b}')
+  WHERE {value_col} IS NOT NULL AND {factor_col} IN ({sq(level_a)}, {sq(level_b)})
 ),
 plv AS (
   SELECT {gsel}, _ia, _q, COUNT(*) AS _tl
@@ -1161,12 +1161,15 @@ def friedman_test(
         "_kb",
         (2 * (F.col("_cum") - F.col("_t")) + F.col("_t") + 1).alias("_r2"),
     )
-    # number of treatments per group = max cell count over blocks; only
-    # blocks with all k treatments participate
+    # k = DISTINCT treatments in the group (not max block size: two
+    # equal-size blocks covering different treatment subsets must NOT
+    # both count as complete — ADVICE r7); a block is complete iff its
+    # cell count _kb equals k, which (cells being unique per (blk,trt))
+    # means it contains exactly the full treatment set
     wg = Window.partitionBy(*groups)
-    ranked = ranked.withColumn("_k", F.max("_kb").over(wg)).filter(
-        F.col("_kb") == F.col("_k")
-    )
+    ranked = ranked.withColumn(
+        "_k", F.size(F.collect_set("_trt").over(wg)).cast("bigint")
+    ).filter(F.col("_kb") == F.col("_k"))
     # per-treatment doubled rank sums over complete blocks
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     trt = ranked.groupBy(*groups, "_trt").agg(
@@ -1244,7 +1247,8 @@ ranked AS (
   FROM cell
 ),
 kk_ AS (
-  SELECT *, CAST(MAX(_kb) OVER (PARTITION BY {gsel}) AS BIGINT) AS _k
+  SELECT *, CAST(COUNT(DISTINCT _trt) OVER (PARTITION BY {gsel}) AS BIGINT)
+    AS _k
   FROM ranked
 ),
 complete AS (SELECT * FROM kk_ WHERE _kb = _k),
@@ -1306,9 +1310,16 @@ def kendall_tau(
     qy = F.floor(F.col(y_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
         "bigint"
     )
-    d = df.filter(
-        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
-    ).select(*groups, *order, qx.alias("_qx"), qy.alias("_qy"))
+    from timeseriesutils_spark.functions.cache import pin
+
+    # d (the quantized series, dimension-sized per the O(n²) envelope)
+    # feeds the pair self-join AND both tie rollups — pin it or three
+    # branches re-run the upstream prep (the decompose fork lesson)
+    d = pin(
+        df.filter(
+            F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+        ).select(*groups, *order, qx.alias("_qx"), qy.alias("_qy"))
+    )
     a, b = d.alias("a"), d.alias("b")
     on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in groups]
     lt = F.lit(False)
@@ -1398,7 +1409,7 @@ s AS (
       * SIGN(CAST(b._qy - a._qy AS DOUBLE)) AS BIGINT)) AS BIGINT)
       AS s_stat
   FROM d a JOIN d b ON {jon} AND {lt}
-  GROUP BY {ja}
+  GROUP BY {", ".join(f"a.{c}" for c in groups)}
 ),
 tx AS (
   SELECT {gsel}, CAST(SUM(_tc) AS BIGINT) AS n,

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseriesutils_spark.functions.cache import pin
-from timeseriesutils_spark.functions.exact import davg, davg_sql
+from timeseriesutils_spark.functions.exact import davg, davg_sql, sq
 from timeseriesutils_spark.operators.window_features import _as_list
 
 _NUMERIC_KINDS = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
@@ -453,7 +453,7 @@ def constraint_audit(
         row_checks.append((name, kind))
     one = df.agg(*agg_exprs)
     stack_args = ", ".join(
-        f"'{n}', '{k}', _v_{n}" for n, k in row_checks
+        f"{sq(n)}, {sq(k)}, _v_{n}" for n, k in row_checks
     )
     report = one.selectExpr(
         f"stack({len(row_checks)}, {stack_args}) AS "
@@ -503,7 +503,7 @@ def constraint_audit_sql(
             cols = ", ".join(c["cols"])
             v = f"COUNT(*) - COUNT(DISTINCT ({cols}))"
         elif kind == "in_set":
-            vals = ", ".join(f"'{x}'" for x in c["values"])
+            vals = ", ".join(sq(x) for x in c["values"])
             v = (
                 f"SUM(CASE WHEN {c['col']} IS NOT NULL AND {c['col']} NOT IN ({vals}) "
                 "THEN 1 ELSE 0 END)"

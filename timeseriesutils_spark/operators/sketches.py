@@ -140,9 +140,16 @@ def cms_estimate(
     Returns (key, true_count, cms_count, overestimate), the audit
     that shows collision inflation directly.
     """
-    counts = df.filter(F.col(key_col).isNotNull()).groupBy(
-        F.col(key_col).cast("string").alias("key")
-    ).agg(F.count(F.lit(1)).alias("true_count"))
+    from timeseriesutils_spark.functions.cache import pin
+
+    # per-key counts feed both the sketch cells and the top-k candidate
+    # cut — pin so the raw scan+count runs ONCE (the "rows collapse to
+    # per-key counts once" contract in the docstring)
+    counts = pin(
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
     from timeseriesutils_spark.operators.dedup import portable_hash64
 
     rows = counts.select(

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.exact import sq
+
 
 def hash_bucket(key_col, buckets: int = 100):
     """Stable bucket in [0, buckets): first 4 md5 hex digits of the
@@ -228,8 +230,8 @@ def mixture_resample_sql(
     extra = "CASE "
     for name, wt in weights.items():
         w_i, t_i = int(wt), int(round((wt - int(wt)) * buckets))
-        whole += f"WHEN {strata_col} = '{name}' THEN {w_i} "
-        extra += f"WHEN {strata_col} = '{name}' THEN {t_i} "
+        whole += f"WHEN {strata_col} = {sq(name)} THEN {w_i} "
+        extra += f"WHEN {strata_col} = {sq(name)} THEN {t_i} "
     dw, dt = int(default_weight), int(round((default_weight - int(default_weight)) * buckets))
     whole += f"ELSE {dw} END"
     extra += f"ELSE {dt} END"

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from timeseriesutils_spark.functions.exact import dlit
+from timeseriesutils_spark.functions.exact import dlit, sq
 from timeseriesutils_spark.operators.window_features import _as_list
 
 __all__ = ["mode_per_group", "mode_per_group_sql", "winsorize", "winsorize_sql"]
@@ -1116,7 +1116,7 @@ def welch_ttest_sql(
     )
     return f"""
 WITH d AS (
-  SELECT {group_col} = '{group_a}' AS _a, {x} AS _x
+  SELECT {group_col} = {sq(group_a)} AS _a, {x} AS _x
   FROM {table} WHERE {group_col} IN ('{group_a}', '{group_b}')
     AND {value_col} IS NOT NULL
 ),
@@ -1732,21 +1732,25 @@ def levene_bf(
         F.sum(dec(F.col("_z"))).alias("_s"),
         F.sum(dec(F.col("_z") * F.col("_z"))).alias("_ss"),
     )
-    sg = F.col("_s").cast("string").cast("double")
-    ng = F.col("_n").cast("double")
-    ssg = F.col("_ss").cast("string").cast("double")
+    # per-level Σz²/n floored as EXACT integer arithmetic: DECIMAL
+    # square + integral division (`div`, truncation == floor for
+    # positives).  The previous floor-in-double + cast-to-DECIMAL
+    # breaks above 2^53: Spark's double→DECIMAL cast routes through
+    # the shortest decimal repr (BigDecimal.valueOf) while DuckDB
+    # converts the exact binary value — a sum of doubled cents over
+    # ~90k rows squares past 2^53 and the two engines disagreed by a
+    # few units (caught at sf0.1, round 8).  sg² ≤ 1e30 fits
+    # DECIMAL(38,0)/HUGEINT; the quotient ≤ ~1e18 fits the BIGINT
+    # that Spark's `div` returns.
+    t_g = F.expr(
+        "(CAST(_s AS DECIMAL(19,0)) * CAST(_s AS DECIMAL(19,0))) div _n"
+    )
     top = per.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("k_levels"),
         F.sum("_n").alias("n"),
         F.sum(dec(F.col("_s"))).alias("_st"),
-        F.sum(
-            ((sg * sg / ng) - (sg * sg / ng) % F.lit(1.0)).cast("decimal(38,0)")
-        ).alias("_sb_raw"),
-        F.sum(
-            (
-                (ssg - sg * sg / ng) - (ssg - sg * sg / ng) % F.lit(1.0)
-            ).cast("decimal(38,0)")
-        ).alias("_ssw_q"),
+        F.sum(dec(t_g)).alias("_sb_raw"),
+        (F.sum(dec(F.col("_ss"))) - F.sum(dec(t_g))).alias("_ssw_q"),
     )
     nn = F.col("n").cast("double")
     st = F.col("_st").cast("string").cast("double")
@@ -1779,7 +1783,6 @@ def levene_bf_sql(
     qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
     wl = f"(PARTITION BY {gsel}, _lvl)"
     vd = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
-    sg, ng, ssg = vd("_s"), "CAST(_n AS DOUBLE)", vd("_ss")
     nn = "CAST(n AS DOUBLE)"
     st = vd("_st")
     ssb = f"({vd('_sb_raw')} - {st} * {st} / {nn})"
@@ -1806,12 +1809,17 @@ per AS (
   FROM zd GROUP BY {gsel}, _lvl
 ),
 top AS (
+  -- Σz²/n floored via exact HUGEINT integer division (the Spark side
+  -- uses DECIMAL `div`): flooring a >2^53 double then casting to
+  -- DECIMAL diverges between engines (shortest-repr vs exact-binary
+  -- conversion)
   SELECT {gsel}, COUNT(*) AS k_levels, CAST(SUM(_n) AS BIGINT) AS n,
     SUM(CAST(_s AS DECIMAL(38,0))) AS _st,
-    SUM(CAST(({sg} * {sg} / {ng}) - ({sg} * {sg} / {ng}) % 1.0
-        AS DECIMAL(38,0))) AS _sb_raw,
-    SUM(CAST(({ssg} - {sg} * {sg} / {ng})
-        - ({ssg} - {sg} * {sg} / {ng}) % 1.0 AS DECIMAL(38,0))) AS _ssw_q
+    SUM(CAST(CAST(_s AS HUGEINT) * CAST(_s AS HUGEINT)
+        // CAST(_n AS HUGEINT) AS DECIMAL(38,0))) AS _sb_raw,
+    SUM(CAST(_ss AS DECIMAL(38,0)))
+      - SUM(CAST(CAST(_s AS HUGEINT) * CAST(_s AS HUGEINT)
+          // CAST(_n AS HUGEINT) AS DECIMAL(38,0))) AS _ssw_q
   FROM per GROUP BY {gsel}
 )
 SELECT {gsel}, k_levels, n,
@@ -1957,8 +1965,13 @@ def cohens_kappa(
         F.col(rater_a).cast("string").alias("_la"),
         F.col(rater_b).cast("string").alias("_lb"),
     )
-    cells = d.groupBy(*groups, "_la", "_lb").agg(
-        F.count(F.lit(1)).alias("_c")
+    from timeseriesutils_spark.functions.cache import pin
+
+    # cells (groups × labels² rows) feeds three consumers (row
+    # marginals, column marginals, diagonal base) — pin it or each
+    # branch re-runs the full scan+count (the decompose fork lesson)
+    cells = pin(
+        d.groupBy(*groups, "_la", "_lb").agg(F.count(F.lit(1)).alias("_c"))
     )
     rows = cells.groupBy(*groups, F.col("_la").alias("_lbl")).agg(
         F.sum("_c").alias("_rn")

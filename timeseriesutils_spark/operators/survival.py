@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.exact import sq
 from timeseriesutils_spark.operators.nonparam import (
     two_sided_p_expr,
     two_sided_p_sql,
@@ -213,7 +214,7 @@ SELECT c.c_mktsegment AS stratum,
   COALESCE(CASE WHEN (u._buy_us - u._first_us) // 3600000000 < {window_hours}
                 THEN 1 ELSE 0 END, 0) AS died
 FROM (SELECT user_id, MIN(epoch_us(ts)) AS _first_us,
-        MIN(CASE WHEN event_type = '{convert_type}' THEN epoch_us(ts) END) AS _buy_us
+        MIN(CASE WHEN event_type = {sq(convert_type)} THEN epoch_us(ts) END) AS _buy_us
       FROM {events_table} GROUP BY user_id) u
 JOIN {dim_table} c ON u.user_id = c.c_custkey
 """
@@ -372,12 +373,12 @@ WITH subj AS ({subjects_sql}),
 d AS (
   SELECT {gsel}, {duration_col} AS _t,
     CAST({event_col} AS BIGINT)
-      * CAST({arm_col} = '{level_a}' AS BIGINT) AS _e1,
+      * CAST({arm_col} = {sq(level_a)} AS BIGINT) AS _e1,
     (1 - CAST({event_col} AS BIGINT))
-      * CAST({arm_col} = '{level_a}' AS BIGINT) AS _x1,
+      * CAST({arm_col} = {sq(level_a)} AS BIGINT) AS _x1,
     CAST({event_col} AS BIGINT) AS _e,
     1 - CAST({event_col} AS BIGINT) AS _x
-  FROM subj WHERE {arm_col} IN ('{level_a}', '{level_b}')
+  FROM subj WHERE {arm_col} IN ({sq(level_a)}, {sq(level_b)})
 ),
 agg AS (
   SELECT {gsel}, _t,

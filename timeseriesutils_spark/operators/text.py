@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from timeseriesutils_spark.functions.exact import sq
+
 from timeseriesutils_spark.functions.cache import pin
 
 # word-ish tokens: letter runs, digit runs, or single punctuation — a
@@ -463,9 +465,9 @@ def bm25_search_sql(
 ) -> str:
     """DuckDB twin of :func:`bm25_search` (same fixed-order summation and
     rounding)."""
-    term_list = ", ".join(f"'{t}'" for t in terms)
+    term_list = ", ".join(sq(t) for t in terms)
     contribs = " + ".join(
-        f"COALESCE(MAX(CASE WHEN word = '{t}' THEN contrib END), 0.0)" for t in terms
+        f"COALESCE(MAX(CASE WHEN word = {sq(t)} THEN contrib END), 0.0)" for t in terms
     )
     return f"""
 WITH w AS (
@@ -1333,13 +1335,13 @@ def dirichlet_lm_search_sql(
     """DuckDB twin of :func:`dirichlet_lm_search`."""
     from timeseriesutils_spark.functions.exact import dlit
 
-    term_list = ", ".join(f"'{t}'" for t in terms)
+    term_list = ", ".join(sq(t) for t in terms)
     cf_cols = ", ".join(
-        f"MAX(CASE WHEN word = '{t}' THEN cf END) AS _cf{i}"
+        f"MAX(CASE WHEN word = {sq(t)} THEN cf END) AS _cf{i}"
         for i, t in enumerate(terms)
     )
     tf_cols = ", ".join(
-        f"CAST(COALESCE(MAX(CASE WHEN word = '{t}' THEN tf END), 0) AS BIGINT) AS _tf{i}"
+        f"CAST(COALESCE(MAX(CASE WHEN word = {sq(t)} THEN tf END), 0) AS BIGINT) AS _tf{i}"
         for i, t in enumerate(terms)
     )
     contribs = " + ".join(

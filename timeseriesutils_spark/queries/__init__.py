@@ -27,45 +27,43 @@ class Q:
 # the full set is locally gate-checked every round via
 # tools/check_oracle.py — see CORRECTNESS_LOCAL.json).
 #
-# ROUND-7 ROTATION (this round, revised late-round after the second
-# operator wave): the head-50 is every query WITHOUT a driver verdict
-# — slots 1-6 the early-round-7 batch (locally green both SFs all
-# round), slots 7-22 the sixteen late-round-7 operators, slots 23-24
-# the decompose pair (values unchanged, plan pinned this round),
-# slots 25-33 the round-6 backlog (judge-verified bit-exact at both
-# SFs last round, no driver row yet) — then slots 34-45 the twelve
-# rows whose ONLY driver verdict is from round 1, and slots 46-50 the
-# first five round-2 rows in catalog order.  Everything after slot 50
-# keeps full local gate coverage via tools/check_oracle.py --json.
+# ROUND-8 ROTATION (executes the plan written at the end of round 7):
+# slots 1-10 the ten round-8 wirings (the formerly-dark operators —
+# never driver-verified), slots 11-12 the two queries whose SEMANTICS
+# a round-7 ADVICE fix changed (friedman complete-block = full
+# treatment set; wis complete-case filter), slots 13-39 the 27
+# remaining round-2-only rows in catalog order — INCLUDING
+# agg_quantiles_approx, the one catalog query with no driver verdict
+# of any kind (rows-only by design) — and slots 40-50 the head of the
+# round-3 cohort oldest-first.  Everything after slot 50 keeps full
+# local gate coverage via tools/check_oracle.py --json.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
-    # slots 1-6: early round-7 additions (never driver-verified)
-    "ks_test", "kruskal_wallis", "spearman_corr", "bh_fdr_trend",
-    "spectral_entropy", "containment_dedup",
-    # slots 7-22: late round-7 additions (never driver-verified)
-    "wis_eval", "mann_whitney", "logrank_test", "cumulative_incidence",
-    "diebold_mariano", "dsir_select", "theta_forecast", "runs_test",
-    "roc_auc", "calibration_curve", "page_hinkley", "cochran_armitage",
-    "holt_winters", "sample_entropy", "friedman_test", "distinct_ngrams",
-    # slots 23-24: kernels pinned in round 7 (values unchanged)
-    "decompose_series", "decompose_robust",
-    # slots 25-33: the round-6 backlog (judge-verified, no driver row)
-    "permutation_entropy", "hurst_exponent", "tech_indicators",
-    "mase_eval", "granger_lag", "adf_test", "mann_kendall",
-    "gopher_rules", "domain_caps",
-    # slots 34-45: rows whose only driver verdict is round 1
-    "dedup_exact", "hash_split", "frame_sample", "dedup_apply",
-    "dedup_components", "top_ngrams", "dedup_embedding",
-    "knn_bruteforce", "text_stats", "text_quality", "lang_id",
-    "doc_fingerprint",
-    # slots 46-50: round-2 cohort head, catalog order
-    "bucketed_featurize", "agg_cube", "agg_count_distinct",
-    "agg_approx_distinct", "join_semi",
+    # slots 1-10: round-8 wirings (never driver-verified)
+    "pr_curve", "log_loss", "ranking_metrics", "jarque_bera",
+    "levene_bf", "mcnemar_test", "cohens_kappa", "kendall_tau",
+    "cms_estimate", "hll_estimate",
+    # slots 11-12: semantics changed by round-7 ADVICE fixes
+    "friedman_test", "wis_eval",
+    # slots 13-39: the round-2-only cohort, catalog order
+    "join_anti", "asof_forward_tol", "sort_limit", "dedup_keep_first",
+    "set_ops", "scalar_funcs", "json_extract", "array_funcs",
+    "unpivot_long", "agg_quantiles", "agg_quantiles_approx",
+    "grouping_sets", "range_frame", "range_join", "gap_fill_ffill",
+    "interpolate", "ewma", "diff_pct", "rolling_zscore",
+    "rolling_median", "scd2_history", "forecast_eval",
+    "calendar_features", "target_encode", "rolling_corr",
+    "column_profile", "group_mode",
+    # slots 40-50: round-3 cohort head, catalog order
+    "chunked_taylor", "merge_upsert", "skew_salted_agg",
+    "skew_salted_join", "sessionize", "winsorize", "group_trend",
+    "seasonal_profile", "time_rollup", "ohlc_bars",
+    "time_weighted_avg",
 )
-# ROUND-8 ROTATION PLAN: head slots go to (a) any round-8 additions
-# and any query a round-7 ADVICE fix touches, then (b) the remaining
-# 27 round-2 rows in catalog order (join_anti .. target_encode,
-# rolling_corr, column_profile, group_mode), then (c) the round-3
-# cohort (45 rows, chunked_taylor .. stream_stateful) oldest-first.
+# ROUND-9 ROTATION PLAN: head slots go to (a) any round-9 additions
+# and any query a round-8 ADVICE fix touches, then (b) the remaining
+# 34 round-3-only rows in catalog order (gap_detect, funnel,
+# cohort_retention, boilerplate_frac .. stream_stateful), then (c)
+# the round-4 cohort (43 rows, incremental_rollmean ..) oldest-first.
 
 
 # --- catalog governance (round-6): gate tiers -----------------------------
@@ -91,6 +89,7 @@ TIERS: dict[str, str] = {
     "compaction_plan": "audit", "psi_drift": "audit",
     "psi_drift_curve": "audit", "embedding_drift": "audit",
     "minhash_estimate_audit": "audit", "dedup_threshold_curve": "audit",
+    "cms_estimate": "audit", "hll_estimate": "audit",
     "dup_cluster_sizes": "audit", "knn_recall_curve": "audit",
     "langid_confusion": "audit", "dup_rate_by_source": "audit",
     "corpus_jsd": "audit", "novelty_scores": "audit", "zipf_fit": "audit",
@@ -122,6 +121,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "bootstrap_ci", "bpe_pair_counts", "bucketed_featurize", "build_vocab",
     "calibration_curve", "calendar_features", "canonical_pick", "categorical_assoc",
     "chunk_dedup", "chunk_text", "chunked_taylor", "clean_text",
+    "cms_estimate", "cohens_kappa",
     "cochran_armitage", "cohort_retention", "column_profile", "compaction_plan",
     "constraint_audit", "containment_dedup", "corpus_jsd", "corpus_stats",
     "corr_matrix",
@@ -146,6 +146,8 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "histogram2d", "holt_smooth", "holt_winters", "horizon_targets_long",
     "horizon_targets_wide", "hurst_exponent", "id_gap_audit",
     "incremental_dedup", "incremental_rollmean", "incremental_taylor",
+    "hll_estimate", "jarque_bera", "kendall_tau", "levene_bf", "log_loss",
+    "mcnemar_test", "pr_curve", "ranking_metrics",
     "interpolate", "inverted_index", "item_cooccur", "join_anti",
     "join_semi", "join_star", "json_extract", "jsonl_pack", "kaplan_meier",
     "kmeans", "knn_bruteforce", "knn_ivf", "knn_lsh", "knn_recall_curve",

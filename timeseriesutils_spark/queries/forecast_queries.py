@@ -2167,3 +2167,241 @@ def _sql_friedman_test():
 
 
 QUERIES.update({"friedman_test": Q(q_friedman_test, _sql_friedman_test())})
+
+
+# --- round-8 wiring: the mleval/stats/sketch/nonparam appends --------------
+
+_SQL_YEAR_PRET = (
+    "SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT)"
+    " AS ship_year, l_discount * 10.0 AS p_ret,"
+    " l_returnflag = 'R' AS is_ret FROM lineitem"
+)
+
+
+def _year_pret(spark, sf_dir):
+    li = _li(spark, sf_dir)
+    return li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias(
+            "ship_year"
+        ),
+        (F.col("l_discount") * 10.0).alias("p_ret"),
+        (F.col("l_returnflag") == F.lit("R")).alias("is_ret"),
+    )
+
+
+def q_pr_curve(spark, sf_dir):
+    """Precision/recall/F1 threshold sweep per ship year on the
+    10×-discount pseudo-probability of return (operators/mleval.
+    pr_curve): roc_auc scores the whole ordering, calibration_curve the
+    probabilities — this is the table an operating point is picked
+    from.  Rows collapse to per-(year, quantized score) counts before
+    the 19-point grid fans out; tp/fp/fn are exact integers."""
+    from timeseriesutils_spark.operators.mleval import pr_curve
+
+    return pr_curve(_year_pret(spark, sf_dir), "p_ret", "is_ret",
+                    ["ship_year"])
+
+
+def _sql_pr_curve():
+    from timeseriesutils_spark.operators.mleval import pr_curve_sql
+
+    return pr_curve_sql(_SQL_YEAR_PRET, "p_ret", "is_ret", ["ship_year"])
+
+
+QUERIES.update({"pr_curve": Q(q_pr_curve, _sql_pr_curve())})
+
+
+def q_log_loss(spark, sf_dir):
+    """Binary cross-entropy per ship year of the discount
+    pseudo-probability (operators/mleval.log_loss): the proper scoring
+    rule that punishes confident wrongness — per-row ln terms
+    quantized at 1e-9 and DECIMAL-summed so the mean is bit-identical
+    across engines."""
+    from timeseriesutils_spark.operators.mleval import log_loss
+
+    return log_loss(_year_pret(spark, sf_dir), "p_ret", "is_ret",
+                    ["ship_year"])
+
+
+def _sql_log_loss():
+    from timeseriesutils_spark.operators.mleval import log_loss_sql
+
+    return log_loss_sql(_SQL_YEAR_PRET, "p_ret", "is_ret", ["ship_year"])
+
+
+QUERIES.update({"log_loss": Q(q_log_loss, _sql_log_loss())})
+
+
+def q_jarque_bera(spark, sf_dir):
+    """Jarque–Bera normality test per ship year on line-item prices
+    (operators/stats.jarque_bera): the gatekeeper for every
+    normal-theory p-value in the engine — skewness + excess kurtosis
+    from one raw-power-sum aggregation (Σq..Σq⁴ exact through
+    DECIMAL), χ²₂ survival p in closed form."""
+    from timeseriesutils_spark.operators.stats import jarque_bera
+
+    return jarque_bera(
+        _year_rf(spark, sf_dir), "l_extendedprice", ["ship_year"], scale=2
+    )
+
+
+def _sql_jarque_bera():
+    from timeseriesutils_spark.operators.stats import jarque_bera_sql
+
+    return jarque_bera_sql(
+        _SQL_YEAR_RF, "l_extendedprice", ["ship_year"], scale=2
+    )
+
+
+QUERIES.update({"jarque_bera": Q(q_jarque_bera, _sql_jarque_bera())})
+
+
+def q_levene_bf(spark, sf_dir):
+    """Brown–Forsythe Levene test per ship year: do the return-flag
+    levels have the same price SPREAD?  (operators/stats.levene_bf) —
+    the variance-homogeneity gate in front of anova_oneway, robust to
+    location via median centering; one scan, per-level exact
+    percentile window, anova reduce over |x − med| in doubled
+    integers."""
+    from timeseriesutils_spark.operators.stats import levene_bf
+
+    return levene_bf(
+        _year_rf(spark, sf_dir), "l_extendedprice", "l_returnflag",
+        ["ship_year"], scale=2,
+    )
+
+
+def _sql_levene_bf():
+    from timeseriesutils_spark.operators.stats import levene_bf_sql
+
+    return levene_bf_sql(
+        _SQL_YEAR_RF, "l_extendedprice", "l_returnflag", ["ship_year"],
+        scale=2,
+    )
+
+
+QUERIES.update({"levene_bf": Q(q_levene_bf, _sql_levene_bf())})
+
+
+def q_mcnemar_test(spark, sf_dir):
+    """McNemar paired-flag test per order status: are 'big ticket'
+    (total > 150k) and 'high priority' (URGENT/HIGH) flags on the SAME
+    orders symmetric in their disagreement?  (operators/stats.
+    mcnemar_test) — the paired two-proportion test; only discordant
+    pairs carry information, continuity-corrected χ²₁ via the engine
+    p-value kernel."""
+    from timeseriesutils_spark.operators.stats import mcnemar_test
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select("o_orderstatus", "o_totalprice", "o_orderpriority")
+    return mcnemar_test(
+        d,
+        F.col("o_totalprice") > 150000.0,
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        ["o_orderstatus"],
+    )
+
+
+def _sql_mcnemar_test():
+    from timeseriesutils_spark.operators.stats import mcnemar_test_sql
+
+    return mcnemar_test_sql(
+        "SELECT o_orderstatus, o_totalprice, o_orderpriority FROM orders",
+        "o_totalprice > 150000.0",
+        "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+        ["o_orderstatus"],
+    )
+
+
+QUERIES.update({"mcnemar_test": Q(q_mcnemar_test, _sql_mcnemar_test())})
+
+
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa per ship year between return flag and line status
+    (operators/stats.cohens_kappa): chance-corrected agreement between
+    two categorical labelings of the same rows — the labeling-QA score
+    (human vs model labels); exact integer confusion cells and
+    marginals, κ is the only double."""
+    from timeseriesutils_spark.operators.stats import cohens_kappa
+
+    li = _li(spark, sf_dir)
+    d = li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias(
+            "ship_year"
+        ),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    return cohens_kappa(d, "l_returnflag", "l_linestatus", ["ship_year"])
+
+
+def _sql_cohens_kappa():
+    from timeseriesutils_spark.operators.stats import cohens_kappa_sql
+
+    d = (
+        "SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT)"
+        " AS ship_year, l_returnflag, l_linestatus FROM lineitem"
+    )
+    return cohens_kappa_sql(d, "l_returnflag", "l_linestatus",
+                            ["ship_year"])
+
+
+QUERIES.update({"cohens_kappa": Q(q_cohens_kappa, _sql_cohens_kappa())})
+
+
+_SQL_MONTHLY_VOL_REV = """
+  SELECT l_suppkey,
+    (CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS BIGINT) - 1992) * 12
+      + CAST(EXTRACT(month FROM CAST(l_shipdate AS DATE)) AS BIGINT) - 1 AS mth,
+    CAST(COUNT(*) AS DOUBLE) AS n_ship,
+    CAST(SUM(l_extendedprice) AS DOUBLE) AS rev
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _monthly_vol_rev(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.select(
+            "l_suppkey",
+            (
+                (F.year(d).cast("bigint") - 1992) * 12
+                + F.month(d).cast("bigint")
+                - 1
+            ).alias("mth"),
+            "l_extendedprice",
+        )
+        .groupBy("l_suppkey", "mth")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_ship"),
+            F.sum("l_extendedprice").cast("double").alias("rev"),
+        )
+    )
+
+
+def q_kendall_tau(spark, sf_dir):
+    """Kendall's τ-b per supplier between monthly shipment volume and
+    monthly revenue (operators/nonparam.kendall_tau): the concordance
+    correlation — does more volume mean more revenue MONOTONICALLY?
+    Spearman ranks values; τ counts pair orderings (mann_kendall's S
+    against a second series).  Exact integer S and tie counts over the
+    ~84-month series; verify-tier O(n²) pairs per group."""
+    from timeseriesutils_spark.operators.nonparam import kendall_tau
+
+    return kendall_tau(
+        _monthly_vol_rev(spark, sf_dir), "n_ship", "rev", ["l_suppkey"],
+        ["mth"], scale=2,
+    )
+
+
+def _sql_kendall_tau():
+    from timeseriesutils_spark.operators.nonparam import kendall_tau_sql
+
+    return kendall_tau_sql(
+        _SQL_MONTHLY_VOL_REV, "n_ship", "rev", ["l_suppkey"], ["mth"],
+        scale=2,
+    )
+
+
+QUERIES.update({"kendall_tau": Q(q_kendall_tau, _sql_kendall_tau())})

@@ -1917,3 +1917,110 @@ def _sql_distinct_ngrams():
 
 
 QUERIES.update({"distinct_ngrams": Q(q_distinct_ngrams, _sql_distinct_ngrams())})
+
+
+# --- round-8 wiring: ranking eval + portable sketches ----------------------
+
+
+def q_ranking_metrics(spark, sf_dir):
+    """NDCG@5 / MRR / hit-rate@5 per ship year, treating each order as
+    a retrieval query: items ranked by price, relevance = returned
+    (operators/mleval.ranking_metrics).  The IR eval battery for
+    bm25_search / knn rankings — IDCG from ALL judged rows in the
+    query group (missing a relevant item outside the top-k costs
+    NDCG), discounts as precomputed literals, per-query scalars
+    1e-9-quantized before the report-group mean."""
+    from timeseriesutils_spark.operators.mleval import ranking_metrics
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_orderkey",
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias(
+            "ship_year"
+        ),
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("score"),
+        (F.col("l_returnflag") == F.lit("R")).cast("bigint").alias("rel"),
+    )
+    return ranking_metrics(
+        d, ["l_orderkey"], ["ship_year"], "score", "rel", k=5,
+        tie_break=["l_linenumber"],
+    )
+
+
+def _sql_ranking_metrics():
+    from timeseriesutils_spark.operators.mleval import ranking_metrics_sql
+
+    d = (
+        "SELECT l_orderkey,"
+        " CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT)"
+        " AS ship_year, l_linenumber,"
+        " CAST(l_extendedprice AS DOUBLE) AS score,"
+        " CAST(l_returnflag = 'R' AS BIGINT) AS rel FROM lineitem"
+    )
+    return ranking_metrics_sql(
+        d, ["l_orderkey"], ["ship_year"], "score", "rel", k=5,
+        tie_break=["l_linenumber"],
+    )
+
+
+QUERIES.update(
+    {"ranking_metrics": Q(q_ranking_metrics, _sql_ranking_metrics())}
+)
+
+
+def q_cms_estimate(spark, sf_dir):
+    """Count-Min sketch frequency audit over supplier keys
+    (operators/sketches.cms_estimate): deterministic md5 rows make the
+    sketch state bit-identical in any engine — estimate vs truth for
+    the top-20 suppliers shows collision inflation directly.  The
+    mergeable fixed-memory counter beside the exact heavy_hitters."""
+    from timeseriesutils_spark.operators.sketches import cms_estimate
+
+    return cms_estimate(
+        load_table(spark, sf_dir, "lineitem"), "l_suppkey",
+        depth=4, width=512, top_k=20,
+    )
+
+
+def _sql_cms_estimate():
+    from timeseriesutils_spark.operators.sketches import cms_estimate_sql
+
+    return cms_estimate_sql(
+        "SELECT * FROM lineitem", "l_suppkey", depth=4, width=512,
+        top_k=20,
+    )
+
+
+QUERIES.update({"cms_estimate": Q(q_cms_estimate, _sql_cms_estimate())})
+
+
+def q_hll_estimate(spark, sf_dir):
+    """HyperLogLog distinct-part estimate vs exact truth per ship year
+    (operators/sketches.hll_estimate): the portable-sketch sibling of
+    agg_approx_distinct — md5 registers are pure SQL, so the same
+    sketch merges identically in any engine, and the harmonic sum is
+    kept EXACT by scaling the dyadic terms to DECIMAL integers."""
+    from timeseriesutils_spark.operators.sketches import hll_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias(
+            "ship_year"
+        ),
+        "l_partkey",
+    )
+    return hll_estimate(d, "l_partkey", ["ship_year"], b=8)
+
+
+def _sql_hll_estimate():
+    from timeseriesutils_spark.operators.sketches import hll_estimate_sql
+
+    d = (
+        "SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT)"
+        " AS ship_year, l_partkey FROM lineitem"
+    )
+    return hll_estimate_sql(d, "l_partkey", ["ship_year"], b=8)
+
+
+QUERIES.update({"hll_estimate": Q(q_hll_estimate, _sql_hll_estimate())})

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from timeseriesutils_spark.functions.exact import dsum
+from timeseriesutils_spark.functions.exact import dsum, sq
 
 
 def read_events_stream(
@@ -221,10 +221,10 @@ def stream_interval_join_sql(
     return f"""
 WITH l AS (
   SELECT {key} AS k, event_id AS left_id, epoch_ms({ts_col}) AS lts
-  FROM {table} WHERE event_type = '{left_type}'
+  FROM {table} WHERE event_type = {sq(left_type)}
 ), r AS (
   SELECT {key} AS k, event_id AS right_id, epoch_ms({ts_col}) AS rts
-  FROM {table} WHERE event_type = '{right_type}'
+  FROM {table} WHERE event_type = {sq(right_type)}
 )
 SELECT l.k AS {key}, left_id, right_id, rts - lts AS gap_ms
 FROM l JOIN r ON l.k = r.k AND rts >= lts AND rts <= lts + {within_ms}
