@@ -48,3 +48,42 @@ def test_every_query_has_spark_builder_and_declared_twin_policy():
     for name, q in catalog().items():
         assert callable(q.spark), name
         assert q.sql is None or isinstance(q.sql, str), name
+
+
+def test_no_dark_twin_pair_operators():
+    """Every public operator shipping with a *_sql twin must be
+    reachable from the verification surface (catalog query, driver
+    contract, or a cataloged consumer) or named in the explicit WIP
+    allowlist — the round-7 snapshot landed 1,392 lines of dark code;
+    this makes that a red test instead of a judge finding."""
+    from timeseriesutils_spark.queries.governance import find_dark_operators
+
+    dark = find_dark_operators()
+    assert dark == [], (
+        f"twin-pair operators with no catalog/consumer reachability "
+        f"(wire a query, or add to governance.WIP_ALLOWLIST with the "
+        f"round that will): {dark}"
+    )
+
+
+def test_dark_operator_guard_fires_on_synthetic_op(tmp_path):
+    """The guard must actually detect a dark twin pair (round-8 brief:
+    'done = the finalizer fails on a synthetic dark op')."""
+    import os
+
+    from timeseriesutils_spark.queries import governance
+
+    synth = os.path.join(governance.PKG, "operators", "_synth_dark_tmp.py")
+    # module name starts with _ but the FUNCTIONS are public — the scan
+    # keys on function names, not file names
+    with open(synth, "w") as f:
+        f.write(
+            "def totally_dark_op(df):\n    return df\n\n"
+            "def totally_dark_op_sql(t):\n    return t\n"
+        )
+    try:
+        dark = governance.find_dark_operators()
+        assert "_synth_dark_tmp.py:totally_dark_op" in dark
+    finally:
+        os.remove(synth)
+    assert governance.find_dark_operators() == []

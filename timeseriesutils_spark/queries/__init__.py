@@ -154,6 +154,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "kruskal_wallis", "ks_test",
     "lag", "lang_id", "langid_confusion", "latency_bands", "lead_lag_corr",
     "length_histogram", "local_peaks", "logrank_test", "mahalanobis_outliers",
+    "mad_outliers",
     "mann_kendall", "mann_whitney", "mase_eval", "media_features",
     "merge_intervals",
     "merge_upsert", "minhash_estimate_audit", "mixture_resample",

@@ -1,0 +1,102 @@
+"""Catalog-governance checks beyond tiers: the no-dark-operator rule.
+
+Round-7 verdict: the end-of-round snapshot swept 1,392 lines of
+operator code into main with zero catalog entries, zero tests, and
+zero CORRECTNESS coverage — "implemented" and "verified" diverged.
+The rule enforced here: every PUBLIC operator that ships with a
+``*_sql`` twin (the house signal for "this is a declared-query-grade
+operator") must be REACHABLE from the verification surface —
+referenced by a queries/ module or ``__spark_entry__.py``, used by
+another operator module (expression helpers like ``portable_hash64``
+whose consumers are themselves cataloged), or named in the explicit
+WIP allowlist below.  ``tests/test_catalog.py`` asserts the dark list
+is empty on every pytest run, and ``tools/finalize_round.py`` runs the
+same check before it commits — a dark operator now fails the finalize
+instead of surviving to the judge.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+
+PKG = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(PKG)
+
+# Explicit, deliberate WIP: an operator may live here for AT MOST the
+# round it lands in; the comment must say which round wires it.
+WIP_ALLOWLIST: frozenset[str] = frozenset()
+
+
+def _module_functions(path: str) -> set[str]:
+    tree = ast.parse(open(path).read())
+    return {
+        n.name
+        for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    }
+
+
+def _names_referenced(path: str, exclude_def: str) -> set[str]:
+    """All identifiers referenced in the module OUTSIDE the body of
+    ``exclude_def`` — so a helper calling itself doesn't count as a
+    consumer, but a same-file cataloged operator calling it does."""
+    tree = ast.parse(open(path).read())
+    out: set[str] = set()
+    for node in tree.body:
+        if (
+            isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+            and node.name == exclude_def
+        ):
+            continue
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.Name):
+                out.add(sub.id)
+            elif isinstance(sub, ast.Attribute):
+                out.add(sub.attr)
+    return out
+
+
+def find_dark_operators() -> list[str]:
+    """Return ``["file.py:name", ...]`` for every unreachable public
+    twin-pair operator (empty when the governance rule holds)."""
+    op_files: list[str] = []
+    for sub in ("operators", "streaming"):
+        d = os.path.join(PKG, sub)
+        op_files += [
+            os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(".py")
+        ]
+
+    # the verification surface: the query catalog + the driver contract
+    qdir = os.path.join(PKG, "queries")
+    surface = ""
+    for f in sorted(os.listdir(qdir)):
+        if f.endswith(".py"):
+            surface += open(os.path.join(qdir, f)).read()
+    entry = os.path.join(REPO, "__spark_entry__.py")
+    if os.path.exists(entry):
+        surface += open(entry).read()
+
+    texts = {p: open(p).read() for p in op_files}
+    dark: list[str] = []
+    for path in op_files:
+        names = _module_functions(path)
+        for n in sorted(names):
+            if n.startswith("_") or n.endswith("_sql"):
+                continue
+            if f"{n}_sql" not in names:
+                continue
+            if n in WIP_ALLOWLIST:
+                continue
+            if n in surface:
+                continue
+            # expression helpers: used by another operator (same file
+            # or another module) whose own operators are
+            # catalog-reachable — self-references don't count
+            if n in _names_referenced(path, exclude_def=n):
+                continue
+            if any(n in t for p, t in texts.items() if p != path):
+                continue
+            dark.append(f"{os.path.basename(path)}:{n}")
+    return dark

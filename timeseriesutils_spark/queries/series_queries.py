@@ -1015,3 +1015,28 @@ FROM ({_SQL_DAILY}) GROUP BY 1, 2
 
 
 QUERIES.update({"sample_entropy": Q(q_sample_entropy, _sql_sample_entropy())})
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust MAD z-score outliers on the per-supplier daily price
+    series (operators/stats.mad_outliers): |x − median|/(1.4826·MAD)
+    flags spikes without the outliers inflating their own yardstick —
+    the robust sibling of rolling_zscore's mean/std chart.  Two bounded
+    per-group quantile passes broadcast back to one fact scan."""
+    from timeseriesutils_spark.operators.stats import mad_outliers
+
+    return mad_outliers(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], threshold=3.5
+    )
+
+
+def _sql_mad_outliers():
+    from timeseriesutils_spark.operators.stats import mad_outliers_sql
+
+    return mad_outliers_sql(
+        f"({_SQL_DAILY})", "day_price", ["l_suppkey"],
+        "t.l_suppkey, t.ship_day, t.day_price", threshold=3.5,
+    )
+
+
+QUERIES.update({"mad_outliers": Q(q_mad_outliers, _sql_mad_outliers())})

@@ -45,6 +45,18 @@ def run(cmd: list[str], **kw) -> None:
 
 def main() -> None:
     args = set(sys.argv[1:])
+    # no-dark-operator rule (round-7 verdict: the end-of-round snapshot
+    # swept 1,392 unwired lines into main) — fail the finalize BEFORE
+    # spending 15 min on tests/gate/bench.  pytest re-checks it too
+    # (tests/test_catalog.py), but this pre-check survives --no-test.
+    sys.path.insert(0, REPO)
+    from timeseriesutils_spark.queries.governance import find_dark_operators
+
+    dark = find_dark_operators()
+    if dark:
+        print("finalize: DARK twin-pair operators (wire a query or add "
+              f"to governance.WIP_ALLOWLIST): {dark}", file=sys.stderr)
+        sys.exit(1)
     if "--no-test" not in args:
         run([sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
