@@ -538,3 +538,51 @@ def test_mann_whitney_sql_quote_safe():
         "O'BRIEN", "SMITH", ["g"],
     )
     duckdb.sql(sql).fetchall()  # must not raise
+
+
+# --- coarse_grid ------------------------------------------------------------
+
+
+def test_coarse_grid_exact_cell_means(spark):
+    from timeseriesutils_spark.operators.complexity import coarse_grid
+
+    rows = [("g", 0, 1.0), ("g", 1, 2.0), ("g", 2, 4.0), ("g", 3, 8.0),
+            ("g", 7, 5.0)]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    out = {r.grid_pos: r.x for r in
+           coarse_grid(df, "x", "t", ["g"], factor=2).collect()}
+    # cells: {0,1} -> 1.5 ; {2,3} -> 6.0 ; {7} -> 5.0 at pos 3
+    assert out == {0: 1.5, 1: 6.0, 3: 5.0}
+
+
+def test_coarse_grid_factor_one_is_identity_for_sampen(spark):
+    from timeseriesutils_spark.operators.complexity import (
+        coarse_grid,
+        sample_entropy,
+    )
+
+    rows = [("g", i, float((i * 7) % 5) + 0.25) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    a = sample_entropy(df, "x", ["g"], ["t"]).first()
+    cg = coarse_grid(df, "x", "t", ["g"], factor=1)
+    b = sample_entropy(cg, "x", ["g"], ["grid_pos"]).first()
+    assert (a.n, a.b_pairs, a.a_pairs, a.sampen) == (
+        b.n, b.b_pairs, b.a_pairs, b.sampen
+    )
+
+
+def test_coarse_grid_shrinks_pair_count(spark):
+    from timeseriesutils_spark.operators.complexity import (
+        coarse_grid,
+        sample_entropy,
+    )
+
+    rows = [("g", i, float((i * 3) % 11)) for i in range(70)]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    full = sample_entropy(df, "x", ["g"], ["t"]).first()
+    wk = sample_entropy(
+        coarse_grid(df, "x", "t", ["g"], factor=7), "x", ["g"],
+        ["grid_pos"],
+    ).first()
+    assert wk.n == 10 and full.n == 70
+    assert wk.b_pairs < full.b_pairs / 10

@@ -563,3 +563,84 @@ SELECT {gsel}, n, r_tol, b_pairs, a_pairs,
     THEN CAST({se} AS DOUBLE) / 1e9 END AS sampen
 FROM counted
 """
+
+
+# --------------------------------------------------------------------------
+# coarse-grid pre-aggregation (the sample_entropy O(n²) envelope helper)
+# --------------------------------------------------------------------------
+
+
+def coarse_grid(
+    data: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_columns,
+    factor: int,
+    scale: int = 2,
+) -> DataFrame:
+    """Collapse an integer-ordered series onto a grid ``factor`` ticks
+    wide (grid_pos = order div factor, value = quantized cell mean) —
+    the pre-aggregation the O(n²) pair-count operators
+    (:func:`sample_entropy`, theilsen, DTW) tell users to apply before
+    feeding long series: n drops ×factor, pairs drop ×factor².
+
+    Exactness: values quantize to 10^-scale ints, the cell mean is one
+    double division of the exact integer sum rounded back onto the
+    same grid (floor(Σq/c + 0.5)/10^scale), so a downstream operator
+    re-quantizing at the same scale recovers exact integers — the
+    friedman cell-mean discipline.  One map-combinable aggregation;
+    survives any partitioning.
+
+    Returns (groups…, grid_pos, value_col) with one row per occupied
+    cell (empty cells stay absent — gappy in, gappy out).
+    """
+    g = _as_list(group_columns)
+    mq = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(mq) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    pos = F.floor(F.col(order_col).cast("bigint") / F.lit(int(factor))).cast(
+        "bigint"
+    )
+    cell = (
+        data.filter(F.col(value_col).isNotNull())
+        .select(*g, pos.alias("grid_pos"), q.alias("_q"))
+        .groupBy(*g, "grid_pos")
+        .agg(F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_c"))
+    )
+    mean_q = F.floor(
+        F.col("_s").cast("double") / F.col("_c").cast("double") + F.lit(0.5)
+    )
+    return cell.select(
+        *g, "grid_pos", (mean_q / F.lit(float(mq))).alias(value_col)
+    )
+
+
+def coarse_grid_sql(
+    data_sql: str,
+    value_col: str,
+    order_col: str,
+    group_columns,
+    factor: int,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`coarse_grid` (same quantize/mean tree)."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    mq = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {mq} + 0.5) AS BIGINT)"
+    pos = f"CAST(FLOOR(CAST({order_col} AS BIGINT) / {int(factor)}) AS BIGINT)"
+    mean_q = (
+        "FLOOR(CAST(CAST(SUM(_q) AS BIGINT) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) + 0.5)"
+    )
+    return f"""
+SELECT {gsel}, grid_pos, {mean_q} / {dlit(float(mq))} AS {value_col}
+FROM (
+  SELECT {gsel}, {pos} AS grid_pos, {qq} AS _q
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+)
+GROUP BY {gsel}, grid_pos
+"""

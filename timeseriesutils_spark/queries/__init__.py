@@ -59,11 +59,13 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "seasonal_profile", "time_rollup", "ohlc_bars",
     "time_weighted_avg",
 )
-# ROUND-9 ROTATION PLAN: head slots go to (a) any round-9 additions
-# and any query a round-8 ADVICE fix touches, then (b) the remaining
-# 34 round-3-only rows in catalog order (gap_detect, funnel,
-# cohort_retention, boilerplate_frac .. stream_stateful), then (c)
-# the round-4 cohort (43 rows, incremental_rollmean ..) oldest-first.
+# ROUND-9 ROTATION PLAN: head slots go to (a) the round-8 additions
+# with no driver row yet (mad_outliers, sampen_coarse, plus any later
+# round-8 wave) and any query a round-8 ADVICE fix touches, then
+# (b) the remaining 34 round-3-only rows in catalog order (gap_detect,
+# funnel, cohort_retention, boilerplate_frac .. stream_stateful), then
+# (c) the round-4 cohort (43 rows, incremental_rollmean ..)
+# oldest-first.
 
 
 # --- catalog governance (round-6): gate tiers -----------------------------
@@ -167,7 +169,8 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "repetition_stats", "reservoir_sample", "rfm_segments",
     "roc_auc", "rolling_active_users", "rolling_corr", "rolling_mad", "rolling_median",
     "rolling_moments", "rolling_quantile", "rolling_slope", "rolling_zscore",
-    "rollmean", "runs_test", "sample_entropy", "sax_words", "scalar_funcs", "scd2_history",
+    "rollmean", "runs_test", "sample_entropy", "sampen_coarse",
+    "sax_words", "scalar_funcs", "scd2_history",
     "seasonal_profile", "seasonal_strength", "seasonal_zscore",
     "semantic_dedup", "seq_pack", "sessionize", "set_ops", "shard_assign",
     "shipping_sla", "simhash", "sink_roundtrip", "skew_report",

@@ -1040,3 +1040,45 @@ def _sql_mad_outliers():
 
 
 QUERIES.update({"mad_outliers": Q(q_mad_outliers, _sql_mad_outliers())})
+
+
+def q_sampen_coarse(spark, sf_dir):
+    """Sample entropy on the weekly coarse grid
+    (operators/complexity.coarse_grid → sample_entropy): the documented
+    answer to SampEn's O(n²) pair envelope — collapse the daily series
+    onto a 7-day grid first (pairs drop ×49), then score regularity.
+    The helper keeps the exact-integer discipline (quantized cell
+    means land back on the same grid), so the chain stays
+    hash-verifiable end to end."""
+    from timeseriesutils_spark.operators.complexity import (
+        coarse_grid,
+        sample_entropy,
+    )
+
+    weekly = coarse_grid(
+        _daily(spark, sf_dir), "day_price", "ship_day", ["l_suppkey"],
+        factor=7, scale=2,
+    )
+    return sample_entropy(
+        weekly, "day_price", ["l_suppkey"], ["grid_pos"],
+        m=2, r_frac=0.2, scale=2,
+    )
+
+
+def _sql_sampen_coarse():
+    from timeseriesutils_spark.operators.complexity import (
+        coarse_grid_sql,
+        sample_entropy_sql,
+    )
+
+    weekly = coarse_grid_sql(
+        _SQL_DAILY, "day_price", "ship_day", ["l_suppkey"],
+        factor=7, scale=2,
+    )
+    return sample_entropy_sql(
+        f"({weekly})", "day_price", ["l_suppkey"], ["grid_pos"],
+        m=2, r_frac=0.2, scale=2,
+    )
+
+
+QUERIES.update({"sampen_coarse": Q(q_sampen_coarse, _sql_sampen_coarse())})
