@@ -432,3 +432,88 @@ SELECT {gsel}, shift, n_pairs, xcorr,
   ((ROW_NUMBER() OVER {best_over}) = 1 AND xcorr IS NOT NULL) AS is_best
 FROM scored
 """
+
+
+# --------------------------------------------------------------------------
+# Ljung–Box portmanteau test (decision layer over acf_features)
+# --------------------------------------------------------------------------
+
+
+def ljung_box_test(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+    h: int = 10,
+    scale: int = 0,
+    min_pairs: int = 2,
+) -> DataFrame:
+    """Per-group Ljung–Box white-noise test at lag order ``h``: is there
+    ANY autocorrelation left up to lag h?  The residual-diagnostic
+    gate after every forecaster in the engine (holt/theta/ARIMA-style
+    residuals should fail to reject) — :func:`acf_features` already
+    carries the running Q_k; this is its decision layer:
+
+        Q_h = n(n+2)·Σ_{j≤h} r_j²/(n−j),   Q_h ~ χ²_h under H₀
+
+    p comes from the Wilson–Hilferty χ² survival kernel
+    (nonparam.chi2_sf_expr — quantized cube root, Bowling logistic
+    tail), so accept/reject is bit-identical across engines.  Plan =
+    acf_features' single-exchange lag/aggregate chain plus a
+    lag_k = h filter.
+
+    Returns (groups…, n, q_stat, df, p_value, reject_05).
+    """
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.nonparam import chi2_sf_expr
+
+    per_lag = acf_features(
+        data, column, group_columns, order_by, max_lag=h, scale=scale,
+        min_pairs=min_pairs,
+    )
+    groups = _as_list(group_columns)
+    picked = per_lag.filter(F.col("lag_k") == h)
+    q = F.col("ljung_box_q")
+    p = chi2_sf_expr(q, F.lit(float(h)))
+    ok = q.isNotNull() & (F.col("n_pairs") >= min_pairs)
+    return picked.select(
+        *groups,
+        (F.col("n_pairs") + F.lit(h)).alias("n"),
+        F.when(ok, q).alias("q_stat"),
+        F.lit(h).alias("df"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def ljung_box_test_sql(
+    relation: str,
+    column: str,
+    group_columns,
+    order_by,
+    h: int = 10,
+    scale: int = 0,
+    min_pairs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ljung_box_test` (acf_features_sql + the
+    same kernel literals)."""
+    from timeseriesutils_spark.operators.nonparam import chi2_sf_sql
+
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    inner = acf_features_sql(
+        relation, column, group_columns, order_by, max_lag=h, scale=scale,
+        min_pairs=min_pairs,
+    )
+    p = chi2_sf_sql("ljung_box_q", str(h))
+    ok = f"ljung_box_q IS NOT NULL AND n_pairs >= {min_pairs}"
+    return f"""
+SELECT {gsel}, n_pairs + {h} AS n,
+  CASE WHEN {ok} THEN ljung_box_q END AS q_stat,
+  {h} AS df,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM ({inner})
+WHERE lag_k = {h}
+"""

@@ -1665,3 +1665,270 @@ def holt_winters_sql_columns(
         (f"{column}_hw_season_{sfx}", ssn),
         (f"{column}_hw_fc_{sfx}", f"({lvl} + {trd} + {ssn})"),
     ]
+
+
+# --------------------------------------------------------------------------
+# damped-trend Holt (Gardner–McKenzie)
+# --------------------------------------------------------------------------
+
+
+def holt_damped_weights(
+    alpha: float, beta: float, phi: float, window_size: int
+):
+    """Impulse-response weights of the zero-initialized truncated
+    DAMPED Holt filter (Gardner–McKenzie):
+
+        l_t = α·y + (1−α)(l + φb)
+        b_t = β(l_t − l) + (1−β)·φb
+
+    collapses to s_t = A·s_{t−1} + B·y_t with
+        A = [[1−α, (1−α)φ], [−αβ, φ(1−αβ)]],  B = [α, αβ]^T
+    (φ = 1 recovers :func:`holt_weights` exactly).  Driver-computed
+    literals, the taylor P-matrix discipline.
+    """
+    import numpy as np
+
+    a, b, p = float(alpha), float(beta), float(phi)
+    A = np.array(
+        [[1 - a, (1 - a) * p], [-a * b, p * (1 - a * b)]], dtype=float
+    )
+    B = np.array([a, a * b], dtype=float)
+    wl, wb = [], []
+    v = B.copy()
+    for _ in range(window_size):
+        wl.append(float(v[0]))
+        wb.append(float(v[1]))
+        v = A @ v
+    return wl, wb
+
+
+def holt_damped(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    phi: float = 0.9,
+    window_size: int = 30,
+    horizons: tuple[int, ...] = (1, 7),
+) -> DataFrame:
+    """Damped-trend Holt smoothing — the M3 workhorse that beat plain
+    Holt by refusing to extrapolate a straight line forever: the
+    h-step forecast flattens toward l + b·φ(1−φ^h)/(1−φ) instead of
+    growing without bound.  Same bounded truncated-filter plan as
+    :func:`holt_smooth` (ONE window expression, single exchange;
+    zero-init truncation decays like ((1−α)∨φ)^w); per-horizon
+    forecasts use the damped partial sums Σ_{i≤h} φ^i as literals.
+
+    Appends ``{column}_hd_level``, ``{column}_hd_trend``, and
+    ``{column}_hd_fc{h}`` per horizon.
+    """
+    from functools import reduce as _reduce
+
+    w = make_window(group_columns, order_by)
+    wl, wb = holt_damped_weights(alpha, beta, phi, window_size)
+
+    def combo(wts):
+        terms = [
+            F.lit(wt) * (F.lag(column, j).over(w) if j else F.col(column))
+            for j, wt in enumerate(wts)
+        ]
+        return _reduce(lambda x, y: x + y, terms)
+
+    level = combo(wl)
+    trend = combo(wb)
+    out = [level.alias(f"{column}_hd_level"), trend.alias(f"{column}_hd_trend")]
+    for h in horizons:
+        damp = sum(float(phi) ** i for i in range(1, h + 1))
+        out.append((level + F.lit(damp) * trend).alias(f"{column}_hd_fc{h}"))
+    return data.select("*", *out)
+
+
+def holt_damped_sql_columns(
+    column: str,
+    group_columns,
+    order_by,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    phi: float = 0.9,
+    window_size: int = 30,
+    horizons: tuple[int, ...] = (1, 7),
+) -> list[tuple[str, str]]:
+    """[(name, expr)] DuckDB twin of :func:`holt_damped` — same
+    literals, same term order, same association."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    over = (
+        f"(PARTITION BY {', '.join(_as_list(group_columns))} "
+        f"ORDER BY {', '.join(_as_list(order_by))})"
+    )
+    wl, wb = holt_damped_weights(alpha, beta, phi, window_size)
+
+    def combo(wts):
+        terms = [
+            f"CAST('{wt!r}' AS DOUBLE) * "
+            + (f"LAG({column}, {j}) OVER {over}" if j else column)
+            for j, wt in enumerate(wts)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    lvl, trd = combo(wl), combo(wb)
+    cols = [(f"{column}_hd_level", lvl), (f"{column}_hd_trend", trd)]
+    for h in horizons:
+        damp = sum(float(phi) ** i for i in range(1, h + 1))
+        cols.append(
+            (
+                f"{column}_hd_fc{h}",
+                f"({lvl} + CAST('{damp!r}' AS DOUBLE) * {trd})",
+            )
+        )
+    return cols
+
+
+# --------------------------------------------------------------------------
+# OWA forecast scorecard (M4 overall weighted average, seasonal-naive ref)
+# --------------------------------------------------------------------------
+
+
+def owa_eval(
+    df: DataFrame,
+    actual_col: str,
+    forecast_col: str,
+    group_columns,
+    order_by,
+    season: int = 7,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group OWA scorecard of ANY forecast column — the M4
+    composite that mase_eval's single metric can't see both sides of:
+
+        sMAPE  = mean 2|y−f| / (|y|+|f|)
+        MASE   = mean|y−f| / mean|y_t − y_{t−season}|
+        OWA    = ½·(sMAPE/sMAPE_snaive + MASE)
+
+    (reference forecaster = seasonal naive y_{t−season}, which by
+    construction has MASE 1 — the M4 convention with naive2 ≈
+    seasonal naive; documented deviation: no multiplicative
+    deseasonalization step).  Complete-case rows: y, f, and the
+    seasonal lag all non-null, so every mean sees the same rows.
+    Per-row ratios floor-quantize at 10^-scale and DECIMAL-sum (the
+    pinball discipline); one lag window + one aggregation.
+
+    Returns (groups…, n, smape, smape_snaive, mase, owa).
+    """
+    g = _as_list(group_columns)
+    w = make_window(g, order_by)
+    m = 10**scale
+    y = F.col(actual_col).cast("double")
+    f_ = F.col(forecast_col).cast("double")
+    ylag = F.lag(F.col(actual_col).cast("double"), season).over(w)
+    d = df.select(*g, y.alias("_y"), f_.alias("_f"), ylag.alias("_yl")).filter(
+        F.col("_y").isNotNull()
+        & F.col("_f").isNotNull()
+        & F.col("_yl").isNotNull()
+    )
+
+    def qsum(c):
+        return F.sum(
+            F.floor(c * F.lit(float(m)) + F.lit(0.5)).cast("decimal(38,0)")
+        )
+
+    yy, ff, yl = F.col("_y"), F.col("_f"), F.col("_yl")
+    sm_f = F.when(
+        F.abs(yy) + F.abs(ff) > 0,
+        F.lit(2.0) * F.abs(yy - ff) / (F.abs(yy) + F.abs(ff)),
+    ).otherwise(F.lit(0.0))
+    sm_n = F.when(
+        F.abs(yy) + F.abs(yl) > 0,
+        F.lit(2.0) * F.abs(yy - yl) / (F.abs(yy) + F.abs(yl)),
+    ).otherwise(F.lit(0.0))
+    agg = d.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        qsum(sm_f).alias("_smf"),
+        qsum(sm_n).alias("_smn"),
+        qsum(F.abs(yy - ff)).alias("_aef"),
+        qsum(F.abs(yy - yl)).alias("_aen"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+    md = F.lit(float(m))
+    smape = s2d("_smf") / md / nn
+    smape_n = s2d("_smn") / md / nn
+    mase = s2d("_aef") / s2d("_aen")
+    owa = F.lit(0.5) * (smape / smape_n + mase)
+    ok = (F.col("n") > 0) & (F.col("_aen") > 0) & (F.col("_smn") > 0)
+    return agg.select(
+        *g,
+        "n",
+        F.when(F.col("n") > 0, smape).alias("smape"),
+        F.when(F.col("n") > 0, smape_n).alias("smape_snaive"),
+        F.when(F.col("_aen") > 0, mase).alias("mase"),
+        F.when(ok, owa).alias("owa"),
+    )
+
+
+def owa_eval_sql(
+    data_sql: str,
+    actual_col: str,
+    forecast_col: str,
+    group_columns,
+    order_by,
+    season: int = 7,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`owa_eval` (same quantize points)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    osel = ", ".join(_as_list(order_by))
+    m = 10**scale
+    over = f"(PARTITION BY {gsel} ORDER BY {osel})"
+
+    def qsum(expr):
+        return (
+            f"SUM(CAST(FLOOR(({expr}) * {float(m)!r} + 0.5)"
+            f" AS DECIMAL(38,0)))"
+        )
+
+    sm_f = (
+        "CASE WHEN ABS(_y) + ABS(_f) > 0"
+        " THEN 2.0 * ABS(_y - _f) / (ABS(_y) + ABS(_f)) ELSE 0.0 END"
+    )
+    sm_n = (
+        "CASE WHEN ABS(_y) + ABS(_yl) > 0"
+        " THEN 2.0 * ABS(_y - _yl) / (ABS(_y) + ABS(_yl)) ELSE 0.0 END"
+    )
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+    md = repr(float(m))
+    smape = f"({s2d('_smf')} / {md} / {nn})"
+    smape_n = f"({s2d('_smn')} / {md} / {nn})"
+    mase = f"({s2d('_aef')} / {s2d('_aen')})"
+    owa = f"(0.5 * ({smape} / {smape_n} + {mase}))"
+    return f"""
+WITH d AS (
+  SELECT {gsel},
+    CAST({actual_col} AS DOUBLE) AS _y,
+    CAST({forecast_col} AS DOUBLE) AS _f,
+    LAG(CAST({actual_col} AS DOUBLE), {season}) OVER {over} AS _yl
+  FROM ({data_sql})
+),
+cc AS (
+  SELECT * FROM d
+  WHERE _y IS NOT NULL AND _f IS NOT NULL AND _yl IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    {qsum(sm_f)} AS _smf,
+    {qsum(sm_n)} AS _smn,
+    {qsum('ABS(_y - _f)')} AS _aef,
+    {qsum('ABS(_y - _yl)')} AS _aen
+  FROM cc GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  CASE WHEN n > 0 THEN {smape} END AS smape,
+  CASE WHEN n > 0 THEN {smape_n} END AS smape_snaive,
+  CASE WHEN _aen > 0 THEN {mase} END AS mase,
+  CASE WHEN n > 0 AND _aen > 0 AND _smn > 0 THEN {owa} END AS owa
+FROM agg
+"""

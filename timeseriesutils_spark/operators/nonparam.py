@@ -1429,3 +1429,490 @@ FROM tx
 JOIN ty ON {" AND ".join(f"tx.{c} = ty.{c}" for c in groups)}
 LEFT JOIN s ON {" AND ".join(f"tx.{c} = s.{c}" for c in groups)}
 """
+
+
+# --------------------------------------------------------------------------
+# chi-squared survival kernel (Wilson–Hilferty) — shared by every
+# chi^2_{df>1} test (ljung_box_test, bartlett_test; friedman/KW report
+# the statistic, this kernel turns it into a decision)
+# --------------------------------------------------------------------------
+
+
+def chi2_sf_expr(chi2, df) -> "F.Column":
+    """Upper-tail P(χ²_df > x) via the Wilson–Hilferty cube-root
+    normalization — the χ² sibling of :func:`two_sided_p_expr` (no
+    incomplete-gamma in either engine; WH error < ~1e-3 for df ≥ 1,
+    an approximation the decision threshold absorbs):
+
+        z = ((x/df)^⅓ − (1 − 2/(9df))) / sqrt(2/(9df))
+        sf = 1 − Φ(z) = p₂(|z|)/2 if z ≥ 0 else 1 − p₂(|z|)/2
+
+    The cube root is the one cross-engine transcendental — quantized
+    at 1e-9 before use (libm pow may differ in the last ulp); the
+    Bowling kernel inside p₂ is already quantized; the final sf is
+    re-floored at 1e-9 so accept/reject is bit-identical.
+    """
+    x = chi2.cast("double") if hasattr(chi2, "cast") else F.lit(float(chi2))
+    d = df.cast("double") if hasattr(df, "cast") else F.lit(float(df))
+    cbrt_q = (
+        F.floor(
+            F.pow(x / d, F.lit(1.0 / 3.0)) * F.lit(float(_PQ)) + F.lit(0.5)
+        )
+        / F.lit(float(_PQ))
+    )
+    z = (cbrt_q - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * d))) / F.sqrt(
+        F.lit(2.0) / (F.lit(9.0) * d)
+    )
+    p2 = two_sided_p_expr(z)
+    sf = F.when(z >= 0, p2 / F.lit(2.0)).otherwise(
+        F.lit(1.0) - p2 / F.lit(2.0)
+    )
+    return F.floor(sf * F.lit(float(_PQ)) + F.lit(0.5)) / F.lit(float(_PQ))
+
+
+def chi2_sf_sql(chi2_sql: str, df_sql: str) -> str:
+    """SQL text twin of :func:`chi2_sf_expr` (same literals, same
+    quantize points)."""
+    x = f"CAST({chi2_sql} AS DOUBLE)"
+    d = f"CAST({df_sql} AS DOUBLE)"
+    q = dlit(float(_PQ))
+    cbrt_q = f"(FLOOR(POW({x} / {d}, {dlit(1.0 / 3.0)}) * {q} + 0.5) / {q})"
+    z = (
+        f"(({cbrt_q} - (1.0 - 2.0 / (9.0 * {d})))"
+        f" / SQRT(2.0 / (9.0 * {d})))"
+    )
+    p2 = two_sided_p_sql(z)
+    sf = f"(CASE WHEN {z} >= 0 THEN {p2} / 2.0 ELSE 1.0 - {p2} / 2.0 END)"
+    return f"(FLOOR({sf} * {q} + 0.5) / {q})"
+
+
+# --------------------------------------------------------------------------
+# two-sample Cramér–von Mises
+# --------------------------------------------------------------------------
+
+# asymptotic 5% critical value of the CvM limiting distribution
+# (Anderson–Darling 1952 table: P(W² > 0.4614) = 0.05)
+_CVM_CRIT_05 = 0.4614
+
+
+def cvm_test(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises test per group — ks_test's
+    integrated sibling: KS reacts to the single LARGEST ECDF gap, CvM
+    to the SUM of squared gaps over the whole support, so it sees
+    broad mild drift KS underweights:
+
+        T = (n_a·n_b / N²) · Σ_{all N obs} (F_a(x) − F_b(x))²
+          = Σ_v t_v · d_v² / (n_a·n_b·N²),
+        d_v = cum_a(v)·n_b − cum_b(v)·n_a   (exact integers)
+
+    Same count-collapse + one-window plan as ks_test (the exchange
+    carries distinct quantized values, never rows); d_v² runs through
+    DECIMAL(19,0)² so two ~3e9-row arms cannot wrap.  reject_05 pins
+    the asymptotic 5% critical value T > 0.4614 (the ks_test
+    convention).
+
+    Returns (groups…, n_a, n_b, t_stat, reject_05).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    lvl = F.col(factor_col)
+    d = df.filter(
+        F.col(value_col).isNotNull() & lvl.isin([level_a, level_b])
+    ).select(*groups, q.alias("_q"), (lvl == level_a).alias("_ia"))
+    per = d.groupBy(*groups, "_q").agg(
+        F.sum(F.col("_ia").cast("bigint")).alias("_ca"),
+        F.sum((~F.col("_ia")).cast("bigint")).alias("_cb"),
+    )
+    w = Window.partitionBy(*groups).orderBy("_q")
+    wg = Window.partitionBy(*groups)
+    cum = per.select(
+        *groups,
+        (F.col("_ca") + F.col("_cb")).alias("_tv"),
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+        F.sum("_ca").over(wg).alias("_na"),
+        F.sum("_cb").over(wg).alias("_nb"),
+    )
+    dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    dv = F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na")
+    agg = cum.groupBy(*groups).agg(
+        F.sum(dec19(F.col("_tv")) * dec19(dv) * dec19(dv)).alias("_u"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    t = F.col("_u").cast("string").cast("double") / (na * nb * nn * nn)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        *groups,
+        "n_a",
+        "n_b",
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, t > F.lit(_CVM_CRIT_05)).alias("reject_05"),
+    )
+
+
+def cvm_test_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`cvm_test` (same integer tree)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    na, nb = "CAST(n_a AS DOUBLE)", "CAST(n_b AS DOUBLE)"
+    nn = f"({na} + {nb})"
+    t = f"(CAST(CAST(_u AS VARCHAR) AS DOUBLE) / ({na} * {nb} * {nn} * {nn}))"
+    ok = "n_a > 0 AND n_b > 0"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q, ({factor_col} = {sq(level_a)}) AS _ia
+  FROM ({data_sql})
+  WHERE {value_col} IS NOT NULL
+    AND {factor_col} IN ({sq(level_a)}, {sq(level_b)})
+),
+per AS (
+  SELECT {gsel}, _q,
+    CAST(SUM(CASE WHEN _ia THEN 1 ELSE 0 END) AS BIGINT) AS _ca,
+    CAST(SUM(CASE WHEN _ia THEN 0 ELSE 1 END) AS BIGINT) AS _cb
+  FROM d GROUP BY {gsel}, _q
+),
+cum AS (
+  SELECT {gsel}, _ca + _cb AS _tv,
+    CAST(SUM(_ca) OVER (PARTITION BY {gsel} ORDER BY _q) AS BIGINT) AS _cuma,
+    CAST(SUM(_cb) OVER (PARTITION BY {gsel} ORDER BY _q) AS BIGINT) AS _cumb,
+    CAST(SUM(_ca) OVER (PARTITION BY {gsel}) AS BIGINT) AS _na,
+    CAST(SUM(_cb) OVER (PARTITION BY {gsel}) AS BIGINT) AS _nb
+  FROM per
+),
+agg AS (
+  SELECT {gsel},
+    SUM(CAST(_tv AS HUGEINT)
+        * CAST(_cuma * _nb - _cumb * _na AS HUGEINT)
+        * CAST(_cuma * _nb - _cumb * _na AS HUGEINT)) AS _u,
+    MAX(_na) AS n_a, MAX(_nb) AS n_b
+  FROM cum GROUP BY {gsel}
+)
+SELECT {gsel}, n_a, n_b,
+  CASE WHEN {ok} THEN {t} END AS t_stat,
+  CASE WHEN {ok} THEN {t} > {dlit(_CVM_CRIT_05)} END AS reject_05
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Pettitt change-point test
+# --------------------------------------------------------------------------
+
+
+def pettitt_test(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> DataFrame:
+    """Pettitt rank-based change-point test per group: WHERE does the
+    distribution shift, and is the shift significant?  The
+    nonparametric single-change-point locator — cusum_drift tracks a
+    known baseline, best_breakpoint fits two regression lines; Pettitt
+    needs no model and survives outliers:
+
+        U_t = 2·W_t − t·(N+1),  W_t = Σ_{i≤t} rank(x_i)  (midranks)
+        K = max_t |U_t|,   p ≈ 2·exp(−6K² / (N³ + N²))
+
+    Midranks come from the doubled-rank trick (2·rank + ties − 1, exact
+    integers), so U_t = W2_t − t·(N+1) with W2_t the cumulative DOUBLED
+    rank sum — everything integer until the final exp (1e-9-quantized,
+    the one-transcendental rule).  change_pos is the earliest position
+    attaining K (deterministic tie-break).  Two windows (rank by value,
+    cumsum by time) on ONE group exchange.
+
+    Returns (groups…, n, k_stat, change_pos, p_value, reject_05).
+    """
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, *order, q.alias("_q")
+    )
+    wv = Window.partitionBy(*groups).orderBy("_q")
+    wpeer = (
+        Window.partitionBy(*groups)
+        .orderBy("_q")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    wt = Window.partitionBy(*groups).orderBy(*[F.col(c) for c in order])
+    wg = Window.partitionBy(*groups)
+    # doubled midrank: 2*min_rank + ties - 1
+    ranked = d.select(
+        *groups,
+        *order,
+        (2 * F.rank().over(wv) + F.count(F.lit(1)).over(wpeer) - 1).alias(
+            "_r2"
+        ),
+    )
+    nn = F.count(F.lit(1)).over(wg)
+    t = F.row_number().over(wt)
+    u = F.sum("_r2").over(wt) - t * (nn + F.lit(1))
+    cur = ranked.select(
+        *groups,
+        nn.alias("_n"),
+        t.alias("_t"),
+        F.abs(u).alias("_au"),
+    ).filter(F.col("_t") < F.col("_n"))  # U_N ≡ 0, not a candidate
+    k = F.max("_au").over(wg)
+    top = cur.withColumn("_k", k).filter(F.col("_au") == F.col("_k"))
+    agg = top.groupBy(*groups).agg(
+        F.max("_n").alias("n"),
+        F.max("_k").alias("k_stat"),
+        F.min("_t").alias("change_pos"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k_stat").cast("double")
+    praw = F.lit(2.0) * F.exp(
+        F.lit(-6.0) * kd * kd / (nd * nd * nd + nd * nd)
+    )
+    p = F.floor(
+        F.least(praw, F.lit(1.0)) * F.lit(float(_PQ)) + F.lit(0.5)
+    ) / F.lit(float(_PQ))
+    ok = F.col("n") > 2
+    return agg.select(
+        *groups,
+        "n",
+        "k_stat",
+        "change_pos",
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def pettitt_test_sql(
+    data_sql: str,
+    value_col: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`pettitt_test` (same integer tree)."""
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    gsel = ", ".join(groups)
+    osel = ", ".join(order)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    nd = "CAST(n AS DOUBLE)"
+    kd = "CAST(k_stat AS DOUBLE)"
+    praw = f"(2.0 * EXP(-6.0 * {kd} * {kd} / ({nd}*{nd}*{nd} + {nd}*{nd})))"
+    q9 = dlit(float(_PQ))
+    p = f"(FLOOR(LEAST({praw}, 1.0) * {q9} + 0.5) / {q9})"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {osel}, {qq} AS _q
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+ranked AS (
+  SELECT {gsel}, {osel},
+    2 * RANK() OVER (PARTITION BY {gsel} ORDER BY _q)
+      + CAST(COUNT(*) OVER (PARTITION BY {gsel} ORDER BY _q
+          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) - 1 AS _r2
+  FROM d
+),
+cur AS (
+  SELECT {gsel},
+    CAST(COUNT(*) OVER (PARTITION BY {gsel}) AS BIGINT) AS _n,
+    CAST(ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY {osel}) AS BIGINT)
+      AS _t,
+    ABS(CAST(SUM(_r2) OVER (PARTITION BY {gsel} ORDER BY {osel})
+        AS BIGINT)
+      - CAST(ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY {osel})
+          AS BIGINT)
+        * (CAST(COUNT(*) OVER (PARTITION BY {gsel}) AS BIGINT) + 1)) AS _au
+  FROM ranked
+  QUALIFY _t < _n
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, MAX(_au) OVER (PARTITION BY {gsel}) AS _k FROM cur
+  ) WHERE _au = _k
+),
+agg AS (
+  SELECT {gsel}, MAX(_n) AS n, MAX(_k) AS k_stat, MIN(_t) AS change_pos
+  FROM top GROUP BY {gsel}
+)
+SELECT {gsel}, n, k_stat, change_pos,
+  CASE WHEN n > 2 THEN {p} END AS p_value,
+  CASE WHEN n > 2 THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Cox–Stuart trend test
+# --------------------------------------------------------------------------
+
+
+def cox_stuart(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> DataFrame:
+    """Cox–Stuart sign trend test per group: pair each point in the
+    first half with its counterpart one half-length later and count
+    rises vs falls — the assumption-free trend screen (mann_kendall
+    weighs EVERY pair, O(n²); Cox–Stuart is one pass over n/2 paired
+    signs, the cheap first look):
+
+        c = ⌈n/2⌉;  S⁺ = #{x_{i+c} > x_i},  S⁻ = #{x_{i+c} < x_i}
+        z = sign(S⁺ − S⁻)·(|S⁺ − n'/2| − ½)/√(n'/4),  n' = S⁺ + S⁻
+
+    Ties drop (standard).  The series assembles into one per-group
+    position array (the sample_entropy plan shape) and the sign count
+    is an engine-side aggregate over exact quantized integers; the
+    only doubles are the closed-form z and the kernel p.
+
+    Returns (groups…, n, n_rise, n_fall, z_stat, p_value, reject_05).
+    """
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    w = Window.partitionBy(*groups).orderBy(*[F.col(c) for c in order])
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, F.row_number().over(w).alias("_p"), q.alias("_s")
+    )
+    grp = rows.groupBy(*groups).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_p").alias("p"), F.col("_s").alias("s"))
+                )
+            ),
+            lambda x: x["s"],
+        ).alias("_arr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # shift c = ceil(n/2); pairs i = 1 .. floor(n/2)
+    cnt = (
+        "aggregate(sequence(1, CAST(n div 2 AS INT)), "
+        "named_struct('up', 0L, 'dn', 0L), (acc, i) -> named_struct("
+        "'up', acc.up + IF(element_at(_arr, CAST(i + (n - n div 2) AS INT))"
+        " > element_at(_arr, CAST(i AS INT)), 1L, 0L), "
+        "'dn', acc.dn + IF(element_at(_arr, CAST(i + (n - n div 2) AS INT))"
+        " < element_at(_arr, CAST(i AS INT)), 1L, 0L)))"
+    )
+    counted = grp.select(
+        *groups,
+        "n",
+        F.expr(
+            f"CASE WHEN n >= 2 THEN {cnt} ELSE "
+            "named_struct('up', 0L, 'dn', 0L) END"
+        ).alias("_ud"),
+    ).select(
+        *groups,
+        "n",
+        F.col("_ud.up").alias("n_rise"),
+        F.col("_ud.dn").alias("n_fall"),
+    )
+    np_ = (F.col("n_rise") + F.col("n_fall")).cast("double")
+    sp = F.col("n_rise").cast("double")
+    num = F.abs(sp - np_ / F.lit(2.0)) - F.lit(0.5)
+    z = (
+        F.signum(F.col("n_rise") - F.col("n_fall")).cast("double")
+        * F.greatest(num, F.lit(0.0))
+        / F.sqrt(np_ / F.lit(4.0))
+    )
+    p = two_sided_p_expr(z)
+    ok = np_ > 0
+    return counted.select(
+        *groups,
+        "n",
+        "n_rise",
+        "n_fall",
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def cox_stuart_sql(
+    data_sql: str,
+    value_col: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`cox_stuart` (list-comprehension pair
+    signs over the same quantized array)."""
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    gsel = ", ".join(groups)
+    osel = ", ".join(order)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    up = (
+        "CAST(len(list_filter([CAST(_arr[CAST(i + (n - n // 2) AS INT)]"
+        " > _arr[CAST(i AS INT)] AS INT) FOR i IN range(1, n // 2 + 1)],"
+        " x -> x = 1)) AS BIGINT)"
+    )
+    dn = (
+        "CAST(len(list_filter([CAST(_arr[CAST(i + (n - n // 2) AS INT)]"
+        " < _arr[CAST(i AS INT)] AS INT) FOR i IN range(1, n // 2 + 1)],"
+        " x -> x = 1)) AS BIGINT)"
+    )
+    np_ = "CAST(n_rise + n_fall AS DOUBLE)"
+    sp = "CAST(n_rise AS DOUBLE)"
+    num = f"GREATEST(ABS({sp} - {np_} / 2.0) - 0.5, 0.0)"
+    z = (
+        f"(CAST(SIGN(n_rise - n_fall) AS DOUBLE) * {num}"
+        f" / SQRT({np_} / 4.0))"
+    )
+    p = two_sided_p_sql(z)
+    ok = "n_rise + n_fall > 0"
+    return f"""
+WITH grp AS (
+  SELECT {gsel}, CAST(COUNT(*) AS BIGINT) AS n,
+    list(_s ORDER BY {osel}) AS _arr
+  FROM (
+    SELECT {gsel}, {osel}, {qq} AS _s
+    FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+  ) GROUP BY {gsel}
+),
+counted AS (
+  SELECT {gsel}, n,
+    CASE WHEN n >= 2 THEN {up} ELSE 0 END AS n_rise,
+    CASE WHEN n >= 2 THEN {dn} ELSE 0 END AS n_fall
+  FROM grp
+)
+SELECT {gsel}, n, n_rise, n_fall,
+  CASE WHEN {ok} THEN {z} END AS z_stat,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM counted
+"""

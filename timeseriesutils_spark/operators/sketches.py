@@ -413,3 +413,176 @@ SELECT {gsel}, exact_distinct,
     AS rel_error
 FROM per JOIN ex USING ({gsel})
 """
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch: set-overlap estimates vs exact truth
+# --------------------------------------------------------------------------
+
+
+def kmv_overlap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set-overlap audit between groups via KMV (bottom-k)
+    sketches — the third portable-md5 sketch beside cms_estimate
+    (frequencies) and hll_estimate (cardinality): KMV answers SET
+    ALGEBRA — "how much do segment A's keys overlap segment B's?" —
+    with k·|groups| state instead of the distinct-key universe:
+
+        sketch(G)  = k smallest md5 hashes of G's distinct keys
+        union_k    = k smallest of sketch(A) ∪ sketch(B)
+        Ĵ(A,B)     = |union_k ∩ sketch(A) ∩ sketch(B)| / |union_k|
+
+    (the standard KMV Jaccard estimator; ±1/√k error).  Deterministic
+    md5 hashes make the sketch — and this audit — bit-identical in any
+    engine.  The exact truth side computes true Jaccard per pair so
+    the audit shows estimator error directly (the hll_estimate
+    pattern).
+
+    Scale: sketches reduce each group to k int64s (a window top-k over
+    per-group distinct hashes — the exchange carries distinct keys
+    once); the pair table is |G|²/2 rows of k-arrays, driver-scale for
+    the segment/source cardinalities this audits.  The exact side is
+    one distinct + one equi-join on key, the audit's verify-tier cost.
+
+    Returns (group_a, group_b, exact_jaccard, kmv_jaccard, abs_error,
+    k_used).
+    """
+    from pyspark.sql import Window
+
+    from timeseriesutils_spark.operators.dedup import portable_hash64
+
+    d = df.filter(
+        F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(key_col).cast("string").alias("_k"),
+    ).distinct()
+    hashed = d.select("_g", portable_hash64(F.col("_k")).alias("_h"))
+    w = Window.partitionBy("_g").orderBy("_h")
+    sk = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("_g")
+        .agg(F.sort_array(F.collect_list("_h")).alias("_sk"))
+    )
+    a = sk.select(F.col("_g").alias("group_a"), F.col("_sk").alias("_ska"))
+    b = sk.select(F.col("_g").alias("group_b"), F.col("_sk").alias("_skb"))
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    union_k = F.slice(
+        F.array_sort(F.array_union(F.col("_ska"), F.col("_skb"))), 1, k
+    )
+    inter = F.array_intersect(F.col("_ska"), F.col("_skb"))
+    match = F.size(F.array_intersect(union_k, inter))
+    est = match.cast("double") / F.size(union_k).cast("double")
+    kmv = pairs.select(
+        "group_a",
+        "group_b",
+        est.alias("kmv_jaccard"),
+        F.size(union_k).alias("k_used"),
+    )
+    # exact truth: |A∩B| via one self-join on key, sizes per group
+    sizes = d.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    da = d.select(F.col("_g").alias("group_a"), "_k")
+    db = d.select(F.col("_g").alias("group_b"), "_k")
+    inter_n = (
+        da.join(db, "_k")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    truth = (
+        inter_n.join(
+            F.broadcast(sizes.select(F.col("_g").alias("group_a"),
+                                     F.col("_n").alias("_na"))),
+            "group_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_g").alias("group_b"),
+                                     F.col("_n").alias("_nb"))),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            (
+                F.col("_i").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_i")).cast("double")
+            ).alias("exact_jaccard"),
+        )
+    )
+    out = truth.join(F.broadcast(kmv), ["group_a", "group_b"])
+    return out.select(
+        "group_a",
+        "group_b",
+        "exact_jaccard",
+        "kmv_jaccard",
+        F.abs(F.col("kmv_jaccard") - F.col("exact_jaccard")).alias(
+            "abs_error"
+        ),
+        "k_used",
+    )
+
+
+def kmv_overlap_sql(
+    data_sql: str,
+    key_col: str,
+    group_col: str,
+    k: int = 256,
+) -> str:
+    """DuckDB twin of :func:`kmv_overlap` (same md5 bottom-k)."""
+    h = (
+        "CAST(CONCAT('0x', substring(md5(_k), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH d AS (
+  SELECT DISTINCT CAST({group_col} AS VARCHAR) AS _g,
+    CAST({key_col} AS VARCHAR) AS _k
+  FROM ({data_sql})
+  WHERE {key_col} IS NOT NULL AND {group_col} IS NOT NULL
+),
+hashed AS (SELECT _g, {h} AS _h FROM d),
+sk AS (
+  SELECT _g, list_sort(list(_h)) AS _sk
+  FROM (
+    SELECT _g, _h,
+      ROW_NUMBER() OVER (PARTITION BY _g ORDER BY _h) AS _rn
+    FROM hashed
+  ) WHERE _rn <= {k} GROUP BY _g
+),
+pairs AS (
+  SELECT a._g AS group_a, b._g AS group_b, a._sk AS _ska, b._sk AS _skb
+  FROM sk a JOIN sk b ON a._g < b._g
+),
+est AS (
+  SELECT group_a, group_b,
+    CAST(len(list_intersect(
+        list_sort(list_distinct(list_concat(_ska, _skb)))[1:{k}],
+        list_intersect(_ska, _skb))) AS DOUBLE)
+      / CAST(len(list_sort(list_distinct(list_concat(_ska, _skb)))[1:{k}])
+             AS DOUBLE) AS kmv_jaccard,
+    CAST(len(list_sort(list_distinct(list_concat(_ska, _skb)))[1:{k}])
+         AS INT) AS k_used
+  FROM pairs
+),
+sizes AS (SELECT _g, COUNT(*) AS _n FROM d GROUP BY _g),
+inter_n AS (
+  SELECT a._g AS group_a, b._g AS group_b, COUNT(*) AS _i
+  FROM d a JOIN d b ON a._k = b._k AND a._g < b._g
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT group_a, group_b,
+    CAST(_i AS DOUBLE)
+      / CAST(na._n + nb._n - _i AS DOUBLE) AS exact_jaccard
+  FROM inter_n
+  JOIN sizes na ON na._g = group_a
+  JOIN sizes nb ON nb._g = group_b
+)
+SELECT t.group_a, t.group_b, exact_jaccard, kmv_jaccard,
+  ABS(kmv_jaccard - exact_jaccard) AS abs_error, k_used
+FROM truth t JOIN est USING (group_a, group_b)
+"""

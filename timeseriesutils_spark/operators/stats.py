@@ -2066,3 +2066,183 @@ SELECT {gsel}, n,
   CASE WHEN n > 0 AND {pe} <> 1.0 THEN {kappa} END AS kappa
 FROM base JOIN rc USING ({gsel})
 """
+
+
+# --------------------------------------------------------------------------
+# Bartlett variance-homogeneity test
+# --------------------------------------------------------------------------
+
+
+def bartlett_test(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    group_columns,
+    scale: int = 0,
+) -> DataFrame:
+    """Per-group Bartlett test: do the ``factor_col`` levels share ONE
+    variance?  The parametric (normal-theory) counterpart of
+    :func:`levene_bf` — more powerful when the data really are normal,
+    famously sensitive when they are not (run jarque_bera first; keep
+    levene_bf for heavy tails):
+
+        χ² = [(N−k)·ln S_p² − Σ_i (n_i−1)·ln S_i²] / C
+        C  = 1 + (Σ_i 1/(n_i−1) − 1/(N−k)) / (3(k−1))
+
+    Exactness: per-level variances come from the EXACT integer
+    ssn_i = n_i·Σq² − (Σq)² (DECIMAL products, the >2⁵³-safe route);
+    the pooled numerator Σ ssn_i/n_i uses exact integer division
+    (`div`, the levene_bf rule) so the cross-level sums are
+    order-free; each ln is 1e-9-floor-quantized and every cross-level
+    double term is quantized to integer units before its DECIMAL sum.
+    p comes from the Wilson–Hilferty χ² kernel (nonparam.chi2_sf).
+
+    Envelope (documented): the integer quotient ssn_i/n_i must fit
+    BIGINT — quantize coarsely for huge magnitudes (default scale=0;
+    cents-scale data at ~1e5 rows/level needs value·10^scale ≤ ~1e5).
+
+    Returns (groups…, k_levels, n, chi2_stat, df, p_value, reject_05).
+    """
+    from timeseriesutils_spark.operators.nonparam import chi2_sf_expr
+
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = df.filter(
+        F.col(value_col).isNotNull() & F.col(factor_col).isNotNull()
+    ).select(*groups, F.col(factor_col).alias("_lvl"), q.alias("_q"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    per = d.groupBy(*groups, "_lvl").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec(F.col("_q"))).alias("_s"),
+        F.sum(dec19(F.col("_q")) * dec19(F.col("_q"))).alias("_ss"),
+    )
+    # exact ssn = n·Σq² − (Σq)²; per-level variance S² = ssn/(n(n−1))
+    ssn = F.expr(
+        "CAST(_n AS DECIMAL(19,0)) * _ss"
+        " - CAST(_s AS DECIMAL(19,0)) * CAST(_s AS DECIMAL(19,0))"
+    )
+    lvl = per.filter(F.col("_n") > 1).select(
+        *groups,
+        "_n",
+        ssn.alias("_ssn"),
+        F.expr(
+            "(CAST(_n AS DECIMAL(19,0)) * _ss"
+            " - CAST(_s AS DECIMAL(19,0)) * CAST(_s AS DECIMAL(19,0)))"
+            " div _n"
+        ).alias("_ssn_div_n"),
+    )
+    nn1 = (F.col("_n") - 1).cast("double")
+    s2 = F.col("_ssn").cast("string").cast("double") / (
+        F.col("_n").cast("double") * nn1
+    )
+    ln_s2 = F.floor(F.log(s2) * F.lit(1.0e9) + F.lit(0.5)) / F.lit(1.0e9)
+    # cross-level sums: quantize each double term to integer units
+    # before the DECIMAL reduce (order-free)
+    t_ln = F.floor(nn1 * ln_s2 * F.lit(1.0e6) + F.lit(0.5))
+    t_inv = F.floor(F.lit(1.0e15) / nn1 + F.lit(0.5))
+    top = lvl.filter(s2 > 0).groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("k_levels"),
+        F.sum("_n").alias("n"),
+        F.sum(dec(F.col("_ssn_div_n"))).alias("_sp_num"),
+        F.sum(dec(t_ln)).alias("_sln"),
+        F.sum(dec(t_inv)).alias("_sinv"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k_levels").cast("double")
+    nk = nd - kd
+    sp2 = F.col("_sp_num").cast("string").cast("double") / nk
+    ln_sp2 = F.floor(F.log(sp2) * F.lit(1.0e9) + F.lit(0.5)) / F.lit(1.0e9)
+    sum_ln = F.col("_sln").cast("string").cast("double") / F.lit(1.0e6)
+    sum_inv = F.col("_sinv").cast("string").cast("double") / F.lit(1.0e15)
+    c = F.lit(1.0) + (sum_inv - F.lit(1.0) / nk) / (
+        F.lit(3.0) * (kd - F.lit(1.0))
+    )
+    chi2 = (nk * ln_sp2 - sum_ln) / c
+    chi2 = F.greatest(chi2, F.lit(0.0))
+    dfree = F.col("k_levels") - 1
+    p = chi2_sf_expr(chi2, dfree)
+    ok = (F.col("k_levels") > 1) & (sp2 > 0)
+    return top.select(
+        *groups,
+        "k_levels",
+        "n",
+        F.when(ok, chi2).alias("chi2_stat"),
+        dfree.alias("df"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def bartlett_test_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    group_columns,
+    scale: int = 0,
+) -> str:
+    """DuckDB twin of :func:`bartlett_test` (same quantize points,
+    HUGEINT integer division for the pooled numerator)."""
+    from timeseriesutils_spark.operators.nonparam import chi2_sf_sql
+
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    ssn = (
+        "(CAST(_n AS HUGEINT) * CAST(_ss AS HUGEINT)"
+        " - CAST(_s AS HUGEINT) * CAST(_s AS HUGEINT))"
+    )
+    nn1 = "CAST(_n - 1 AS DOUBLE)"
+    s2 = (
+        f"(CAST(CAST(_ssn AS VARCHAR) AS DOUBLE)"
+        f" / (CAST(_n AS DOUBLE) * {nn1}))"
+    )
+    ln_s2 = f"(FLOOR(LN({s2}) * 1000000000.0 + 0.5) / 1000000000.0)"
+    t_ln = f"FLOOR({nn1} * {ln_s2} * 1000000.0 + 0.5)"
+    t_inv = f"FLOOR(1000000000000000.0 / {nn1} + 0.5)"
+    nd = "CAST(n AS DOUBLE)"
+    kd = "CAST(k_levels AS DOUBLE)"
+    nk = f"({nd} - {kd})"
+    sp2 = f"(CAST(CAST(_sp_num AS VARCHAR) AS DOUBLE) / {nk})"
+    ln_sp2 = f"(FLOOR(LN({sp2}) * 1000000000.0 + 0.5) / 1000000000.0)"
+    sum_ln = "(CAST(CAST(_sln AS VARCHAR) AS DOUBLE) / 1000000.0)"
+    sum_inv = "(CAST(CAST(_sinv AS VARCHAR) AS DOUBLE) / 1000000000000000.0)"
+    c = f"(1.0 + ({sum_inv} - 1.0 / {nk}) / (3.0 * ({kd} - 1.0)))"
+    chi2 = f"GREATEST((({nk} * {ln_sp2} - {sum_ln}) / {c}), 0.0)"
+    p = chi2_sf_sql(chi2, "(k_levels - 1)")
+    ok = f"k_levels > 1 AND {sp2} > 0"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {factor_col} AS _lvl, {qq} AS _q
+  FROM ({data_sql})
+  WHERE {value_col} IS NOT NULL AND {factor_col} IS NOT NULL
+),
+per AS (
+  SELECT {gsel}, _lvl, COUNT(*) AS _n,
+    SUM(CAST(_q AS DECIMAL(38,0))) AS _s,
+    SUM(CAST(_q AS DECIMAL(19,0)) * CAST(_q AS DECIMAL(19,0))) AS _ss
+  FROM d GROUP BY {gsel}, _lvl
+),
+lvl AS (
+  SELECT {gsel}, _n, {ssn} AS _ssn,
+    {ssn} // CAST(_n AS HUGEINT) AS _ssn_div_n
+  FROM per WHERE _n > 1
+),
+top AS (
+  SELECT {gsel}, COUNT(*) AS k_levels, CAST(SUM(_n) AS BIGINT) AS n,
+    SUM(CAST(_ssn_div_n AS DECIMAL(38,0))) AS _sp_num,
+    SUM(CAST({t_ln} AS DECIMAL(38,0))) AS _sln,
+    SUM(CAST({t_inv} AS DECIMAL(38,0))) AS _sinv
+  FROM lvl WHERE {s2} > 0 GROUP BY {gsel}
+)
+SELECT {gsel}, k_levels, n,
+  CASE WHEN {ok} THEN {chi2} END AS chi2_stat,
+  k_levels - 1 AS df,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM top
+"""

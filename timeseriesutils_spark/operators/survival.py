@@ -677,3 +677,123 @@ SELECT {stratum_col}, {duration_col}, n_risk, _d AS n_events,
     AS cum_hazard
 FROM c
 """
+
+
+# --------------------------------------------------------------------------
+# restricted mean survival time
+# --------------------------------------------------------------------------
+
+
+def rmst(
+    subjects: DataFrame,
+    tau: int,
+    stratum_col: str = "stratum",
+    duration_col: str = "t_day",
+    event_col: str = "died",
+    out_scale: int = 6,
+) -> DataFrame:
+    """Per-stratum restricted mean survival time RMST(τ) = ∫₀^τ S(t)dt
+    — the area under the Kaplan–Meier curve up to a fixed horizon: the
+    "average survival time over the next τ units" summary that stays
+    meaningful when the median is never reached and that compares arms
+    without the proportional-hazards assumption log-rank leans on.
+
+    S is the step function from :func:`kaplan_meier` (S = 1 before the
+    first event time), so the integral is an exact rectangle sum:
+
+        RMST = Σ_i S(t_{i−1})·(t_i − t_{i−1}) + S(t_last)·(τ − t_last)
+
+    over event times t_i ≤ τ.  Exactness: the KM survival values are
+    already 10^-out_scale-quantized — the rectangle areas are integer
+    units × integer widths, DECIMAL-summed (order-free), one double
+    division at the end.  Strata whose first event time exceeds τ (or
+    with no events) have RMST ≡ τ and emit no row, matching KM's
+    events-only output contract (documented).
+
+    Returns (stratum, tau, n_events_within, rmst).
+    """
+    km = kaplan_meier(
+        subjects, stratum_col, duration_col, event_col, out_scale
+    )
+    m = 10**out_scale
+    sq = F.floor(F.col("survival") * F.lit(float(m)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    steps = km.filter(F.col(duration_col) <= tau).select(
+        F.col(stratum_col),
+        F.col(duration_col).cast("bigint").alias("_t"),
+        sq.alias("_sq"),
+        F.col("n_events"),
+    )
+    w = Window.partitionBy(stratum_col).orderBy("_t")
+    prev_t = F.lag("_t", 1, 0).over(w)
+    prev_s = F.lag("_sq", 1, m).over(w)  # S = 1 before the first event
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rect = steps.select(
+        stratum_col,
+        "_t",
+        "_sq",
+        "n_events",
+        (prev_s * (F.col("_t") - prev_t)).alias("_area_q"),
+    )
+    agg = rect.groupBy(stratum_col).agg(
+        F.sum("n_events").alias("n_events_within"),
+        F.sum(dec(F.col("_area_q"))).alias("_aq"),
+        F.max(F.struct(F.col("_t"), F.col("_sq"))).alias("_last"),
+    )
+    tail_q = F.col("_last._sq") * (F.lit(int(tau)) - F.col("_last._t"))
+    total = (
+        F.col("_aq").cast("string").cast("double")
+        + tail_q.cast("double")
+    ) / F.lit(float(m))
+    return agg.select(
+        F.col(stratum_col),
+        F.lit(int(tau)).alias("tau"),
+        F.col("n_events_within"),
+        total.alias("rmst"),
+    )
+
+
+def rmst_sql(
+    subjects_sql: str,
+    tau: int,
+    stratum_col: str = "stratum",
+    duration_col: str = "t_day",
+    event_col: str = "died",
+    out_scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`rmst` (same rectangle integers over the
+    kaplan_meier twin)."""
+    km = kaplan_meier_sql(
+        subjects_sql, stratum_col, duration_col, event_col, out_scale
+    )
+    m = 10**out_scale
+    over = f"(PARTITION BY {stratum_col} ORDER BY _t)"
+    return f"""
+WITH km AS ({km}),
+steps AS (
+  SELECT {stratum_col}, CAST({duration_col} AS BIGINT) AS _t,
+    CAST(FLOOR(survival * {float(m)!r} + 0.5) AS BIGINT) AS _sq,
+    n_events
+  FROM km WHERE {duration_col} <= {int(tau)}
+),
+rect AS (
+  SELECT {stratum_col}, _t, _sq, n_events,
+    COALESCE(LAG(_sq, 1) OVER {over}, {m})
+      * (_t - COALESCE(LAG(_t, 1) OVER {over}, 0)) AS _area_q
+  FROM steps
+),
+agg AS (
+  SELECT {stratum_col},
+    CAST(SUM(n_events) AS BIGINT) AS n_events_within,
+    SUM(CAST(_area_q AS DECIMAL(38,0))) AS _aq,
+    arg_max(_sq, _t) AS _last_sq,
+    CAST(MAX(_t) AS BIGINT) AS _last_t
+  FROM rect GROUP BY {stratum_col}
+)
+SELECT {stratum_col}, {int(tau)} AS tau, n_events_within,
+  (CAST(CAST(_aq AS VARCHAR) AS DOUBLE)
+   + CAST(_last_sq * ({int(tau)} - _last_t) AS DOUBLE))
+  / {float(m)!r} AS rmst
+FROM agg
+"""

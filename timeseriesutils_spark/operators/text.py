@@ -2083,3 +2083,247 @@ SELECT _g AS {group_col}, n,
 FROM ({un})
 GROUP BY _g, n
 """
+
+
+# --------------------------------------------------------------------------
+# intra-document line dedup (keep-first) + duplication stats
+# --------------------------------------------------------------------------
+
+
+def intradoc_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Deduplicate repeated lines WITHIN each document (keep the first
+    occurrence, preserve order) and report the duplication stats — the
+    intra-document member of the dedup family: corpus-level dedup
+    (exact/Jaccard/MinHash) removes repeated DOCUMENTS; crawled pages
+    repeat navigation chrome, cookie banners, and footers INSIDE one
+    document, and C4/Gopher-style pipelines strip them line-wise.
+
+    Pure per-row expressions, no shuffle: split on ``sep``, keep
+    element i iff its first occurrence index is i (array_position —
+    O(lines²) per doc, bounded by document size), rejoin.  The
+    keep-first rule and the separator are the pinned contract,
+    mirrored by the twin.
+
+    Returns (id, n_lines, n_unique_lines, dup_line_frac, dedup_text).
+    """
+    lines = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+    )
+    n = F.size(lines)
+    nu = F.size(F.array_distinct(lines))
+    return docs.select(
+        id_col,
+        n.alias("n_lines"),
+        nu.alias("n_unique_lines"),
+        (
+            F.lit(1.0) - nu.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+        ).alias("dup_line_frac"),
+        F.array_join(kept, sep).alias("dedup_text"),
+    )
+
+
+def intradoc_dedup_sql(
+    data_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> str:
+    """DuckDB twin of :func:`intradoc_dedup` (same keep-first rule via
+    list_position over the same split)."""
+    from timeseriesutils_spark.functions.exact import sq
+
+    s = sq(sep)
+    lines = f"string_split({text_col}, {s})"
+    kept = (
+        f"[_l[i] FOR i IN range(1, len(_l) + 1)"
+        f" IF list_position(_l, _l[i]) = i]"
+    )
+    return f"""
+SELECT {id_col},
+  CAST(len(_l) AS INT) AS n_lines,
+  CAST(len(list_distinct(_l)) AS INT) AS n_unique_lines,
+  1.0 - CAST(len(list_distinct(_l)) AS DOUBLE)
+      / CAST(GREATEST(len(_l), 1) AS DOUBLE) AS dup_line_frac,
+  array_to_string({kept}, {s}) AS dedup_text
+FROM (SELECT {id_col}, {lines} AS _l FROM ({data_sql}))
+"""
+
+
+# --------------------------------------------------------------------------
+# gibberish / encoding-noise score
+# --------------------------------------------------------------------------
+
+_CONSONANTS = "bcdfghjklmnpqrstvwxyz"
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def gibberish_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    entropy_min: float = 2.0,
+    max_letter_frac_max: float = 0.4,
+    consonant_run_max: int = 7,
+    alpha_frac_min: float = 0.5,
+) -> DataFrame:
+    """Per-document gibberish/encoding-noise signals — the
+    character-level sibling of text_quality (word shapes) and lang_id
+    (letter profiles): base64 blobs, hex dumps, mojibake, and
+    keyboard-mash survive word-level filters but have degenerate
+    CHARACTER statistics:
+
+      * ``char_entropy`` — Shannon entropy of the 26-letter histogram
+        (counts via the exact length-difference trick; each ln
+        1e-9-quantized, 26 fixed-order terms so the sum is one pinned
+        IEEE tree);
+      * ``max_letter_frac`` — most frequent letter's share;
+      * ``max_consonant_run`` — longest [b-z∖vowels]+ run (regexp in
+        the Java∩RE2 subset);
+      * ``alpha_frac`` — letters / non-space chars;
+      * ``gibberish`` — any threshold tripped (defaults tuned for
+        English-like text; thresholds are part of the contract).
+
+    Pure per-row expressions, no shuffle, no UDFs.
+
+    Returns (id, n_chars, alpha_frac, char_entropy, max_letter_frac,
+    max_consonant_run, gibberish).
+    """
+    lower = F.lower(F.col(text_col))
+    nospace = F.regexp_replace(lower, r"\s+", "")
+    counts = [
+        (F.length(nospace) - F.length(F.regexp_replace(nospace, c, "")))
+        .cast("double")
+        .alias(f"_c_{c}")
+        for c in _LETTERS
+    ]
+    base = docs.select(
+        id_col,
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.length(nospace).alias("_nz"),
+        *counts,
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.regexp_extract_all(
+                        lower, F.lit(f"[{_CONSONANTS}]+"), F.lit(0)
+                    ),
+                    lambda x: F.length(x),
+                )
+            ),
+            F.lit(0),
+        ).alias("max_consonant_run"),
+    )
+    total = None
+    for c in _LETTERS:
+        col = F.col(f"_c_{c}")
+        total = col if total is None else total + col
+    # entropy over the letter histogram, fixed 26-term order, each ln
+    # floor-quantized at 1e-9 (the one-transcendental rule)
+    ent = None
+    for c in _LETTERS:
+        pc = F.col(f"_c_{c}") / total
+        lnq = (
+            F.floor(F.log(pc) * F.lit(1.0e9) + F.lit(0.5)) / F.lit(1.0e9)
+        )
+        term = F.when(F.col(f"_c_{c}") > 0, -pc * lnq).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    ent = F.when(total > 0, ent).otherwise(F.lit(0.0))
+    maxfrac = None
+    for c in _LETTERS:
+        col = F.col(f"_c_{c}")
+        maxfrac = col if maxfrac is None else F.greatest(maxfrac, col)
+    maxfrac = F.when(total > 0, maxfrac / total).otherwise(F.lit(0.0))
+    alpha = F.when(
+        F.col("_nz") > 0, total / F.col("_nz").cast("double")
+    ).otherwise(F.lit(0.0))
+    entq = F.floor(ent * F.lit(1.0e9) + F.lit(0.5)) / F.lit(1.0e9)
+    gib = (
+        (entq < F.lit(float(entropy_min)))
+        | (maxfrac > F.lit(float(max_letter_frac_max)))
+        | (F.col("max_consonant_run") > F.lit(int(consonant_run_max)))
+        | (alpha < F.lit(float(alpha_frac_min)))
+    )
+    return base.select(
+        id_col,
+        "n_chars",
+        alpha.alias("alpha_frac"),
+        entq.alias("char_entropy"),
+        maxfrac.alias("max_letter_frac"),
+        F.col("max_consonant_run"),
+        gib.alias("gibberish"),
+    )
+
+
+def gibberish_score_sql(
+    data_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    entropy_min: float = 2.0,
+    max_letter_frac_max: float = 0.4,
+    consonant_run_max: int = 7,
+    alpha_frac_min: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`gibberish_score` (same 26 fixed-order
+    terms, same quantize points)."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    lower = f"lower({text_col})"
+    counts = ",\n    ".join(
+        f"CAST(length(_nzs) - length(replace(_nzs, '{c}', '')) AS DOUBLE)"
+        f" AS _c_{c}"
+        for c in _LETTERS
+    )
+    total = "(" + " + ".join(f"_c_{c}" for c in _LETTERS) + ")"
+    ent_terms = []
+    for c in _LETTERS:
+        pc = f"(_c_{c} / {total})"
+        lnq = f"(FLOOR(LN({pc}) * 1000000000.0 + 0.5) / 1000000000.0)"
+        ent_terms.append(
+            f"CASE WHEN _c_{c} > 0 THEN -{pc} * {lnq} ELSE 0.0 END"
+        )
+    ent = "(" + " + ".join(ent_terms) + ")"
+    entq = (
+        f"(CASE WHEN {total} > 0 THEN"
+        f" FLOOR({ent} * 1000000000.0 + 0.5) / 1000000000.0"
+        f" ELSE 0.0 END)"
+    )
+    maxc = "GREATEST(" + ", ".join(f"_c_{c}" for c in _LETTERS) + ")"
+    maxfrac = f"(CASE WHEN {total} > 0 THEN {maxc} / {total} ELSE 0.0 END)"
+    alpha = (
+        f"(CASE WHEN length(_nzs) > 0"
+        f" THEN {total} / CAST(length(_nzs) AS DOUBLE) ELSE 0.0 END)"
+    )
+    run = (
+        f"COALESCE((SELECT MAX(length(x)) FROM"
+        f" unnest(regexp_extract_all(lower({text_col}),"
+        f" '[{_CONSONANTS}]+')) AS t(x)), 0)"
+    )
+    gib = (
+        f"({entq} < {dlit(float(entropy_min))}"
+        f" OR {maxfrac} > {dlit(float(max_letter_frac_max))}"
+        f" OR max_consonant_run > {int(consonant_run_max)}"
+        f" OR {alpha} < {dlit(float(alpha_frac_min))})"
+    )
+    return f"""
+SELECT {id_col}, n_chars, {alpha} AS alpha_frac,
+  {entq} AS char_entropy,
+  {maxfrac} AS max_letter_frac,
+  max_consonant_run,
+  {gib} AS gibberish
+FROM (
+  SELECT {id_col}, CAST(length({text_col}) AS INT) AS n_chars, _nzs,
+    {counts},
+    CAST({run} AS INT) AS max_consonant_run
+  FROM (
+    SELECT {id_col}, {text_col},
+      regexp_replace({lower}, '\\s+', '', 'g') AS _nzs
+    FROM ({data_sql})
+  )
+)
+"""

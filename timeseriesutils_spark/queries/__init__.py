@@ -92,6 +92,7 @@ TIERS: dict[str, str] = {
     "psi_drift_curve": "audit", "embedding_drift": "audit",
     "minhash_estimate_audit": "audit", "dedup_threshold_curve": "audit",
     "cms_estimate": "audit", "hll_estimate": "audit",
+    "kmv_overlap": "audit",
     "dup_cluster_sizes": "audit", "knn_recall_curve": "audit",
     "langid_confusion": "audit", "dup_rate_by_source": "audit",
     "corpus_jsd": "audit", "novelty_scores": "audit", "zipf_fit": "audit",
@@ -120,12 +121,14 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "asof_join", "attribution", "backtest_folds", "benford_audit",
     "best_breakpoint", "bh_fdr_trend", "bigram_logprob", "bm25_search",
     "boilerplate_frac",
+    "bartlett_test",
     "bootstrap_ci", "bpe_pair_counts", "bucketed_featurize", "build_vocab",
     "calibration_curve", "calendar_features", "canonical_pick", "categorical_assoc",
     "chunk_dedup", "chunk_text", "chunked_taylor", "clean_text",
     "cms_estimate", "cohens_kappa",
     "cochran_armitage", "cohort_retention", "column_profile", "compaction_plan",
     "constraint_audit", "containment_dedup", "corpus_jsd", "corpus_stats",
+    "cox_stuart", "cvm_test",
     "corr_matrix",
     "counter_rate", "croston_demand", "cumulative_incidence", "cusum_drift",
     "decompose_robust",
@@ -145,9 +148,11 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "gap_fill_ffill", "gini_index", "gmean_exact", "gopher_rules",
     "granger_lag", "group_mode", "group_trend", "grouped_ols2",
     "grouping_sets", "growth_rates", "hash_split", "heavy_hitters",
-    "histogram2d", "holt_smooth", "holt_winters", "horizon_targets_long",
+    "gibberish_score",
+    "histogram2d", "holt_damped", "holt_smooth", "holt_winters", "horizon_targets_long",
     "horizon_targets_wide", "hurst_exponent", "id_gap_audit",
     "incremental_dedup", "incremental_rollmean", "incremental_taylor",
+    "intradoc_dedup", "kmv_overlap", "ljung_box",
     "hll_estimate", "jarque_bera", "kendall_tau", "levene_bf", "log_loss",
     "mcnemar_test", "pr_curve", "ranking_metrics",
     "interpolate", "inverted_index", "item_cooccur", "join_anti",
@@ -157,6 +162,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "lag", "lang_id", "langid_confusion", "latency_bands", "lead_lag_corr",
     "length_histogram", "local_peaks", "logrank_test", "mahalanobis_outliers",
     "mad_outliers",
+    "owa_eval", "pettitt_test", "rmst",
     "mann_kendall", "mann_whitney", "mase_eval", "media_features",
     "merge_intervals",
     "merge_upsert", "minhash_estimate_audit", "mixture_resample",

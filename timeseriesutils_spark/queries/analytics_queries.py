@@ -893,3 +893,30 @@ def _sql_nelson_aalen():
 
 
 QUERIES.update({"nelson_aalen": Q(q_nelson_aalen, _sql_nelson_aalen())})
+
+
+def q_rmst(spark, sf_dir):
+    """Restricted mean survival time at τ=48h per market segment
+    (operators/survival.rmst): the area under the KM conversion curve
+    — "average un-converted hours over the first two days", the
+    summary that stays meaningful when the median is never reached and
+    needs no proportional-hazards assumption.  Exact rectangle sum
+    over the quantized KM steps."""
+    from timeseriesutils_spark.operators.survival import rmst
+
+    return rmst(
+        _lifetime_subjects(spark, sf_dir), tau=48, stratum_col="arm",
+        duration_col="t_hour", event_col="died",
+    )
+
+
+def _sql_rmst():
+    from timeseriesutils_spark.operators.survival import rmst_sql
+
+    return rmst_sql(
+        _SQL_LIFETIME_SUBJECTS, tau=48, stratum_col="arm",
+        duration_col="t_hour", event_col="died",
+    )
+
+
+QUERIES.update({"rmst": Q(q_rmst, _sql_rmst())})

@@ -2405,3 +2405,216 @@ def _sql_kendall_tau():
 
 
 QUERIES.update({"kendall_tau": Q(q_kendall_tau, _sql_kendall_tau())})
+
+
+# --- round-8 second wave: classical-test + forecast additions --------------
+
+
+def q_cvm_test(spark, sf_dir):
+    """Two-sample Cramér–von Mises per ship year on the same A-vs-R
+    price frame as ks_test (operators/nonparam.cvm_test): KS reacts to
+    the single largest ECDF gap, CvM to the INTEGRATED squared gap —
+    broad mild drift that KS underweights.  Exact integer d_v² sums
+    through HUGEINT/DECIMAL; pinned asymptotic 5% threshold."""
+    from timeseriesutils_spark.operators.nonparam import cvm_test
+
+    return cvm_test(
+        _year_rf(spark, sf_dir), "l_extendedprice", "l_returnflag",
+        "A", "R", ["ship_year"],
+    )
+
+
+def _sql_cvm_test():
+    from timeseriesutils_spark.operators.nonparam import cvm_test_sql
+
+    return cvm_test_sql(
+        _SQL_YEAR_RF, "l_extendedprice", "l_returnflag", "A", "R",
+        ["ship_year"],
+    )
+
+
+QUERIES.update({"cvm_test": Q(q_cvm_test, _sql_cvm_test())})
+
+
+def q_pettitt_test(spark, sf_dir):
+    """Pettitt rank change-point per supplier on monthly shipment
+    counts (operators/nonparam.pettitt_test): WHERE does the level
+    shift, and is it significant?  cusum_drift tracks a known
+    baseline, best_breakpoint fits two lines — Pettitt needs no model:
+    doubled midranks, exact integer U_t, closed-form p."""
+    from timeseriesutils_spark.operators.nonparam import pettitt_test
+
+    return pettitt_test(
+        _monthly_ship(spark, sf_dir), "n_ship", ["l_suppkey"], ["mth"],
+        scale=0,
+    )
+
+
+def _sql_pettitt_test():
+    from timeseriesutils_spark.operators.nonparam import pettitt_test_sql
+
+    return pettitt_test_sql(
+        _SQL_MONTHLY_SHIP, "n_ship", ["l_suppkey"], ["mth"], scale=0
+    )
+
+
+QUERIES.update({"pettitt_test": Q(q_pettitt_test, _sql_pettitt_test())})
+
+
+def q_cox_stuart(spark, sf_dir):
+    """Cox–Stuart sign trend test per supplier on monthly shipment
+    counts (operators/nonparam.cox_stuart): the one-pass paired-sign
+    trend screen — mann_kendall weighs all O(n²) pairs, Cox–Stuart
+    pairs each first-half point with its second-half counterpart."""
+    from timeseriesutils_spark.operators.nonparam import cox_stuart
+
+    return cox_stuart(
+        _monthly_ship(spark, sf_dir), "n_ship", ["l_suppkey"], ["mth"],
+        scale=0,
+    )
+
+
+def _sql_cox_stuart():
+    from timeseriesutils_spark.operators.nonparam import cox_stuart_sql
+
+    return cox_stuart_sql(
+        _SQL_MONTHLY_SHIP, "n_ship", ["l_suppkey"], ["mth"], scale=0
+    )
+
+
+QUERIES.update({"cox_stuart": Q(q_cox_stuart, _sql_cox_stuart())})
+
+
+def q_bartlett_test(spark, sf_dir):
+    """Bartlett variance-homogeneity test per ship year
+    (operators/stats.bartlett_test): the normal-theory counterpart of
+    levene_bf on the same frame — more powerful under normality,
+    fragile under heavy tails (jarque_bera is the gate).  Exact
+    integer ssn = n·Σq²−(Σq)², HUGEINT/`div` pooled numerator,
+    Wilson–Hilferty χ² p."""
+    from timeseriesutils_spark.operators.stats import bartlett_test
+
+    return bartlett_test(
+        _year_rf(spark, sf_dir), "l_extendedprice", "l_returnflag",
+        ["ship_year"], scale=0,
+    )
+
+
+def _sql_bartlett_test():
+    from timeseriesutils_spark.operators.stats import bartlett_test_sql
+
+    return bartlett_test_sql(
+        _SQL_YEAR_RF, "l_extendedprice", "l_returnflag", ["ship_year"],
+        scale=0,
+    )
+
+
+QUERIES.update({"bartlett_test": Q(q_bartlett_test, _sql_bartlett_test())})
+
+
+def q_ljung_box(spark, sf_dir):
+    """Ljung–Box white-noise test at lag 7 per supplier on the daily
+    price series (operators/acf.ljung_box_test): is there ANY
+    autocorrelation left up to a week?  acf_features carries the
+    running Q; this is its decision layer via the Wilson–Hilferty χ²
+    survival kernel."""
+    from timeseriesutils_spark.operators.acf import ljung_box_test
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    return ljung_box_test(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        h=7, scale=0,
+    )
+
+
+def _sql_ljung_box():
+    from timeseriesutils_spark.operators.acf import ljung_box_test_sql
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    return ljung_box_test_sql(
+        f"({_SQL_DAILY})", "day_price", ["l_suppkey"], ["ship_day"],
+        h=7, scale=0,
+    )
+
+
+QUERIES.update({"ljung_box": Q(q_ljung_box, _sql_ljung_box())})
+
+
+_HD_PARAMS = dict(alpha=0.3, beta=0.1, phi=0.9, window_size=28,
+                  horizons=(1, 7))
+
+
+def q_holt_damped(spark, sf_dir):
+    """Damped-trend Holt per supplier on the daily price series
+    (operators/forecast.holt_damped): the M3 workhorse whose h-step
+    forecast flattens toward l + bφ(1−φ^h)/(1−φ) instead of
+    extrapolating a line forever — one truncated-filter window
+    expression, single exchange, horizons 1 and 7."""
+    from timeseriesutils_spark.operators.forecast import holt_damped
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    return holt_damped(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        **_HD_PARAMS,
+    )
+
+
+def _sql_holt_damped():
+    from timeseriesutils_spark.operators.forecast import (
+        holt_damped_sql_columns,
+    )
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    cols = holt_damped_sql_columns(
+        "day_price", ["l_suppkey"], ["ship_day"], **_HD_PARAMS
+    )
+    sel = ",\n  ".join(f"{expr} AS {name}" for name, expr in cols)
+    return (
+        "SELECT l_suppkey, ship_day, day_price,\n  "
+        f"{sel}\nFROM ({_SQL_DAILY})"
+    )
+
+
+QUERIES.update({"holt_damped": Q(q_holt_damped, _sql_holt_damped())})
+
+
+def q_owa_eval(spark, sf_dir):
+    """M4 OWA scorecard of the naive lag-1 forecaster vs the
+    seasonal-naive reference on the per-supplier daily price series
+    (operators/forecast.owa_eval): ½·(sMAPE/sMAPE_snaive + MASE) —
+    the composite that catches forecasters gaming one metric.
+    Complete-case rows, quantized per-row ratios, one lag window +
+    one aggregation."""
+    from timeseriesutils_spark.operators.forecast import owa_eval
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    d = _daily(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_suppkey").orderBy("ship_day")
+    dd = d.select(
+        "l_suppkey",
+        "ship_day",
+        "day_price",
+        F.lag("day_price", 1).over(w).alias("f_lag1"),
+    )
+    return owa_eval(
+        dd, "day_price", "f_lag1", ["l_suppkey"], ["ship_day"], season=7
+    )
+
+
+def _sql_owa_eval():
+    from timeseriesutils_spark.operators.forecast import owa_eval_sql
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    dd = (
+        "SELECT l_suppkey, ship_day, day_price,"
+        " LAG(day_price, 1) OVER (PARTITION BY l_suppkey ORDER BY ship_day)"
+        f" AS f_lag1 FROM ({_SQL_DAILY})"
+    )
+    return owa_eval_sql(
+        dd, "day_price", "f_lag1", ["l_suppkey"], ["ship_day"], season=7
+    )
+
+
+QUERIES.update({"owa_eval": Q(q_owa_eval, _sql_owa_eval())})

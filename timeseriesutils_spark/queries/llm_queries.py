@@ -2024,3 +2024,78 @@ def _sql_hll_estimate():
 
 
 QUERIES.update({"hll_estimate": Q(q_hll_estimate, _sql_hll_estimate())})
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """KMV bottom-k set-overlap audit between return-flag segments over
+    part keys (operators/sketches.kmv_overlap): the third portable-md5
+    sketch — cms counts frequencies, hll counts cardinality, KMV does
+    SET ALGEBRA (segment overlap) in k int64s per group, with the
+    exact Jaccard truth beside the estimate."""
+    from timeseriesutils_spark.operators.sketches import kmv_overlap
+
+    return kmv_overlap(
+        load_table(spark, sf_dir, "lineitem"), "l_partkey",
+        "l_returnflag", k=256,
+    )
+
+
+def _sql_kmv_overlap():
+    from timeseriesutils_spark.operators.sketches import kmv_overlap_sql
+
+    return kmv_overlap_sql(
+        "SELECT * FROM lineitem", "l_partkey", "l_returnflag", k=256
+    )
+
+
+QUERIES.update({"kmv_overlap": Q(q_kmv_overlap, _sql_kmv_overlap())})
+
+
+def q_intradoc_dedup(spark, sf_dir):
+    """Intra-document line dedup over the documents corpus
+    (operators/text.intradoc_dedup): corpus dedup removes repeated
+    DOCUMENTS; crawled pages repeat nav chrome / banners / footers
+    INSIDE one document — keep-first line dedup with duplication
+    stats, pure per-row expressions, no shuffle."""
+    from timeseriesutils_spark.operators.text import intradoc_dedup
+
+    return intradoc_dedup(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        sep=". ",
+    )
+
+
+def _sql_intradoc_dedup():
+    from timeseriesutils_spark.operators.text import intradoc_dedup_sql
+
+    return intradoc_dedup_sql("documents", "doc_id", "text", sep=". ")
+
+
+QUERIES.update(
+    {"intradoc_dedup": Q(q_intradoc_dedup, _sql_intradoc_dedup())}
+)
+
+
+def q_gibberish_score(spark, sf_dir):
+    """Character-level gibberish/encoding-noise scores over the
+    documents corpus (operators/text.gibberish_score): base64 blobs,
+    hex dumps, and mojibake survive word-level filters but have
+    degenerate CHARACTER statistics — letter-histogram entropy (exact
+    length-difference counts, 26 pinned ln terms), max-letter share,
+    longest consonant run, alpha fraction."""
+    from timeseriesutils_spark.operators.text import gibberish_score
+
+    return gibberish_score(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def _sql_gibberish_score():
+    from timeseriesutils_spark.operators.text import gibberish_score_sql
+
+    return gibberish_score_sql("documents", "doc_id", "text")
+
+
+QUERIES.update(
+    {"gibberish_score": Q(q_gibberish_score, _sql_gibberish_score())}
+)
