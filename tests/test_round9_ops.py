@@ -1,0 +1,379 @@
+"""Tests for the round-8 late-wave operators that shipped without
+coverage (VERDICT r8 item 4): ljung_box_test, holt_damped, owa_eval,
+pettitt_test, cox_stuart, cvm_test, bartlett_test, rmst, kmv_overlap,
+mad_outliers — plus regression tests for the two round-8 wrong-answer
+bugs: intradoc_dedup with a regex-metachar separator (text.py split
+treated sep as a Java regex) and gibberish_score arrow/expr engine
+parity (the 26-regexp expression form is now the twin-mirror only).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.acf import ljung_box_test
+from timeseriesutils_spark.operators.forecast import (
+    holt_damped,
+    holt_damped_weights,
+    owa_eval,
+)
+from timeseriesutils_spark.operators.nonparam import (
+    cox_stuart,
+    cvm_test,
+    pettitt_test,
+)
+from timeseriesutils_spark.operators.sketches import kmv_overlap
+from timeseriesutils_spark.operators.stats import bartlett_test, mad_outliers
+from timeseriesutils_spark.operators.survival import rmst
+from timeseriesutils_spark.operators.text import gibberish_score, intradoc_dedup
+
+
+def _q9(x: float) -> float:
+    return math.floor(x * 1e9 + 0.5) / 1e9
+
+
+def _bowling_p(z: float) -> float:
+    az = abs(z)
+    return _q9(2.0 / (1.0 + math.exp(1.5976 * az + 0.070566 * az**3)))
+
+
+# --- intradoc_dedup (round-8 wrong-answer regression) -----------------------
+
+
+def test_intradoc_dedup_metachar_separator(spark):
+    # '. ' must split on the LITERAL two-char string, not regex
+    # <any-char><space> — the round-8 bug mangled every word
+    df = spark.createDataFrame(
+        [(1, "ab cd. ef gh. ab cd")], "doc_id int, text string"
+    )
+    r = intradoc_dedup(df, sep=". ").first()
+    assert r.n_lines == 3
+    assert r.n_unique_lines == 2
+    assert r.dedup_text == "ab cd. ef gh"
+    assert r.dup_line_frac == pytest.approx(1 / 3)
+
+
+def test_intradoc_dedup_default_newline_keep_first_order(spark):
+    df = spark.createDataFrame(
+        [(1, "header\nbody A\nheader\nbody B\nheader")],
+        "doc_id int, text string",
+    )
+    r = intradoc_dedup(df).first()
+    assert r.n_lines == 5 and r.n_unique_lines == 3
+    assert r.dedup_text == "header\nbody A\nbody B"
+
+
+def test_intradoc_dedup_no_dups_roundtrip(spark):
+    text = "only one line here"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    r = intradoc_dedup(df, sep=". ").first()
+    assert r.dedup_text == text and r.dup_line_frac == 0.0
+
+
+# --- gibberish_score: engines bit-equal + hand-worked ------------------------
+
+_GIB_DOCS = [
+    (1, "aaab"),
+    (2, ""),
+    (3, "the quick brown fox jumps over the lazy dog"),
+    (4, "bcdfghjklmnp"),  # one long consonant run
+    (5, "a\t\n b  c"),  # whitespace stripped from alpha_frac base
+    (6, "1234 !!! ..."),  # no letters at all
+    (7, "zqzqzqzqzqzq"),
+]
+
+
+def test_gibberish_engines_bit_equal(spark):
+    df = spark.createDataFrame(_GIB_DOCS, "doc_id int, text string")
+    cols = ["n_chars", "alpha_frac", "char_entropy", "max_letter_frac",
+            "max_consonant_run", "gibberish"]
+    a = {r.doc_id: r for r in gibberish_score(df, engine="arrow").collect()}
+    e = {r.doc_id: r for r in gibberish_score(df, engine="expr").collect()}
+    assert set(a) == set(e) == {d for d, _ in _GIB_DOCS}
+    for d in a:
+        for c in cols:
+            assert a[d][c] == e[d][c], f"doc {d} col {c}: {a[d][c]} != {e[d][c]}"
+
+
+def test_gibberish_hand_worked(spark):
+    df = spark.createDataFrame([(1, "aaab")], "doc_id int, text string")
+    r = gibberish_score(df).first()
+    assert r.n_chars == 4
+    assert r.alpha_frac == 1.0
+    assert r.max_letter_frac == 0.75
+    assert r.max_consonant_run == 1  # the lone 'b'
+    ent = -(0.75 * _q9(math.log(0.75)) + 0.25 * _q9(math.log(0.25)))
+    assert r.char_entropy == _q9(ent)
+    # entropy 0.562 < 2.0 -> gibberish
+    assert r.gibberish is True
+
+
+def test_gibberish_empty_and_no_letters(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "123 456")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in gibberish_score(df).collect()}
+    for d in (1, 2):
+        r = out[d]
+        assert r.char_entropy == 0.0 and r.max_letter_frac == 0.0
+        assert r.alpha_frac == 0.0 and r.max_consonant_run == 0
+        assert r.gibberish is True
+
+
+def test_gibberish_consonant_run_breaks_at_doc_boundary(spark):
+    # two docs ending/starting with consonants must not merge runs in
+    # the arrow kernel's concatenated codepoint buffer
+    df = spark.createDataFrame(
+        [(1, "xyz"), (2, "bcd")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in gibberish_score(df).collect()}
+    assert out[1].max_consonant_run == 3
+    assert out[2].max_consonant_run == 3
+
+
+# --- ljung_box_test ----------------------------------------------------------
+
+
+def test_ljung_box_rejects_alternating_series(spark):
+    rows = [("a", t, 1.0 if t % 2 == 0 else -1.0) for t in range(40)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    r = ljung_box_test(df, "y", ["g"], ["t"], h=5).first()
+    assert r.df == 5
+    assert r.n == 40  # n_pairs at lag 5 (35) + h
+    assert r.q_stat > 50.0  # |r_1| ~ 1 -> Q explodes
+    assert r.reject_05 is True and r.p_value < 0.001
+
+
+def test_ljung_box_small_q_for_single_spike(spark):
+    # one outlier in an otherwise flat-ish varied series: autocorrs are
+    # small; mostly checks the plumbing end-to-end (n/df wiring)
+    vals = [1.0, 2.0, 1.5, 2.5, 1.2, 2.2, 1.8, 2.8, 1.1, 2.1,
+            1.6, 2.6, 1.3, 2.3, 1.9, 2.9, 1.4, 2.4, 1.7, 2.7]
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    r = ljung_box_test(df, "y", ["g"], ["t"], h=3).first()
+    assert r.df == 3 and r.q_stat is not None and 0.0 <= r.p_value <= 1.0
+
+
+# --- holt_damped -------------------------------------------------------------
+
+
+def test_holt_damped_constant_series_matches_weights(spark):
+    # for constant input the level/trend are c * sum(weights) exactly
+    # (tests the lag alignment, association order, and horizon damping)
+    c, w = 5.0, 20
+    rows = [("a", t, c) for t in range(60)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    out = holt_damped(df, "y", ["g"], ["t"], window_size=w, horizons=(1, 7))
+    r = out.orderBy(F.desc("t")).first()
+    wl, wb = holt_damped_weights(0.3, 0.1, 0.9, w)
+    lvl = 0.0
+    for wt in wl:
+        lvl = lvl + wt * c  # same left-to-right association
+    trd = 0.0
+    for wt in wb:
+        trd = trd + wt * c
+    assert r.y_hd_level == lvl
+    assert r.y_hd_trend == trd
+    damp1 = sum(0.9**i for i in range(1, 2))
+    assert r.y_hd_fc1 == lvl + damp1 * trd
+    # constant series: level ~ c, trend ~ 0, forecasts ~ c
+    assert abs(r.y_hd_level - c) < 0.75  # zero-init truncation tail
+    assert abs(r.y_hd_trend) < 0.2
+
+
+# --- owa_eval ----------------------------------------------------------------
+
+
+def test_owa_perfect_forecast_scores_zero(spark):
+    rows = [("a", t, float(t), float(t)) for t in range(1, 15)]
+    df = spark.createDataFrame(rows, "g string, t int, y double, f double")
+    r = owa_eval(df, "y", "f", ["g"], ["t"], season=7).first()
+    assert r.n == 7  # rows 8..14 have the seasonal lag
+    assert r.smape == 0.0 and r.mase == 0.0 and r.owa == 0.0
+    assert r.smape_snaive > 0.0
+
+
+def test_owa_snaive_forecast_scores_one(spark):
+    # forecast == the seasonal-naive reference -> sMAPE ratio 1 and
+    # MASE 1 -> OWA 1 (up to the 1e-6 per-row quantization)
+    base = [3.0, 7.0, 4.0, 9.0, 5.0, 8.0, 6.0] * 3
+    ys = [b + 0.5 * t for t, b in enumerate(base)]  # trend: y_t != y_{t-7}
+    rows = []
+    for t in range(1, 22):
+        y = ys[t - 1]
+        f = ys[t - 8] if t > 7 else y
+        rows.append(("a", t, y, f))
+    df = spark.createDataFrame(rows, "g string, t int, y double, f double")
+    r = owa_eval(df, "y", "f", ["g"], ["t"], season=7).first()
+    assert r.mase == pytest.approx(1.0, abs=1e-5)
+    assert r.owa == pytest.approx(1.0, abs=1e-5)
+
+
+# --- pettitt_test ------------------------------------------------------------
+
+
+def test_pettitt_hand_worked_change_point(spark):
+    # [1,1,1,10,10,10]: midranks 2,2,2,5,5,5 -> U = (-3,-6,-9,-6,-3)
+    # K = 9 at t = 3
+    rows = [("a", t, v) for t, v in enumerate([1.0, 1.0, 1.0, 10.0, 10.0, 10.0])]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    r = pettitt_test(df, "y", ["g"], ["t"]).first()
+    assert r.n == 6
+    assert r.k_stat == 9
+    assert r.change_pos == 3
+    expected_p = _q9(2.0 * math.exp(-6.0 * 81.0 / (216.0 + 36.0)))
+    assert r.p_value == expected_p
+    assert r.reject_05 is False  # tiny n: p ~ 0.29
+
+
+def test_pettitt_long_shift_rejects(spark):
+    vals = [1.0] * 25 + [50.0] * 25
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    r = pettitt_test(df, "y", ["g"], ["t"]).first()
+    assert r.change_pos == 25
+    assert r.reject_05 is True
+
+
+# --- cox_stuart --------------------------------------------------------------
+
+
+def test_cox_stuart_hand_worked_monotone(spark):
+    rows = [("a", t, float(t)) for t in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    r = cox_stuart(df, "y", ["g"], ["t"]).first()
+    assert (r.n, r.n_rise, r.n_fall) == (10, 5, 0)
+    z = (abs(5.0 - 2.5) - 0.5) / math.sqrt(5.0 / 4.0)
+    assert r.z_stat == pytest.approx(z)
+    assert r.p_value == _bowling_p(z)
+    assert r.reject_05 is False  # p ~ 0.074 with only 5 pairs
+
+
+def test_cox_stuart_ties_drop_and_flat_series(spark):
+    rows = [("a", t, 1.0) for t in range(1, 9)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    r = cox_stuart(df, "y", ["g"], ["t"]).first()
+    assert (r.n_rise, r.n_fall) == (0, 0)
+    assert r.z_stat is None and r.p_value is None and r.reject_05 is None
+
+
+# --- cvm_test ----------------------------------------------------------------
+
+
+def test_cvm_identical_samples_zero(spark):
+    rows = [("g", lvl, float(v)) for lvl in ("A", "B") for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, lvl string, y double")
+    r = cvm_test(df, "y", "lvl", "A", "B", ["g"]).first()
+    assert (r.n_a, r.n_b) == (10, 10)
+    assert r.t_stat == 0.0 and r.reject_05 is False
+
+
+def test_cvm_complete_separation_hand_worked(spark):
+    rows = [("g", "A", float(v)) for v in range(1, 21)]
+    rows += [("g", "B", float(v)) for v in range(101, 121)]
+    df = spark.createDataFrame(rows, "g string, lvl string, y double")
+    r = cvm_test(df, "y", "lvl", "A", "B", ["g"]).first()
+    # d_v = 20*cum_a - 20*cum_b; sum(t_v d_v^2) = 400*(sum v^2, v=1..20)
+    # + 400*(sum j^2, j=0..19) = 400*(2870+2470); T = U/(20*20*40*40)
+    assert r.t_stat == pytest.approx(400 * (2870 + 2470) / (20 * 20 * 40 * 40.0))
+    assert r.reject_05 is True
+
+
+# --- bartlett_test -----------------------------------------------------------
+
+
+def test_bartlett_equal_variances_chi2_zero(spark):
+    rows = [("g", "A", v) for v in (1.0, 2.0, 3.0)]
+    rows += [("g", "B", v) for v in (4.0, 5.0, 6.0)]
+    df = spark.createDataFrame(rows, "g string, lvl string, y double")
+    r = bartlett_test(df, "y", "lvl", ["g"]).first()
+    assert (r.k_levels, r.n, r.df) == (2, 6, 1)
+    assert r.chi2_stat == pytest.approx(0.0, abs=1e-6)
+    assert r.reject_05 is False
+
+
+def test_bartlett_unequal_variances_reject(spark):
+    rows = [("g", "A", float(v)) for v in range(10)]  # var ~ 9.17
+    rows += [("g", "B", float(100 * v)) for v in range(10)]  # var ~ 91700
+    df = spark.createDataFrame(rows, "g string, lvl string, y double")
+    r = bartlett_test(df, "y", "lvl", ["g"]).first()
+    assert r.chi2_stat > 20.0
+    assert r.reject_05 is True
+
+
+# --- rmst --------------------------------------------------------------------
+
+
+def test_rmst_hand_worked_rectangles(spark):
+    # 2 subjects, deaths at t=1 and t=2: S(1)=.5, S(2)=0
+    # RMST(3) = 1*1 + .5*1 + 0*1 = 1.5
+    df = spark.createDataFrame(
+        [("x", 1, 1), ("x", 2, 1)], "stratum string, t_day bigint, died int"
+    )
+    r = rmst(df, tau=3).first()
+    assert r.tau == 3 and r.n_events_within == 2
+    assert r.rmst == pytest.approx(1.5)
+
+
+def test_rmst_censoring_extends_tail(spark):
+    # death at t=1 (1 of 3 at risk -> S=2/3), censored at 2 and 5;
+    # RMST(6) = 1*1 + (2/3)*(6-1) = 4.3333…
+    df = spark.createDataFrame(
+        [("x", 1, 1), ("x", 2, 0), ("x", 5, 0)],
+        "stratum string, t_day bigint, died int",
+    )
+    r = rmst(df, tau=6).first()
+    assert r.n_events_within == 1
+    assert r.rmst == pytest.approx(1.0 + (2 / 3) * 5.0, abs=1e-5)
+
+
+# --- kmv_overlap -------------------------------------------------------------
+
+
+def test_kmv_exact_when_k_covers_union(spark):
+    rows = [("A", v) for v in range(1, 11)] + [("B", v) for v in range(6, 16)]
+    df = spark.createDataFrame(rows, "seg string, key int")
+    r = kmv_overlap(df, "key", "seg", k=256).first()
+    assert (r.group_a, r.group_b) == ("A", "B")
+    assert r.exact_jaccard == pytest.approx(5 / 15)
+    # k >= |union|: the sketch IS the set, estimator exact
+    assert r.kmv_jaccard == pytest.approx(r.exact_jaccard)
+    assert r.abs_error == pytest.approx(0.0)
+    assert r.k_used == 15
+
+
+def test_kmv_small_k_estimates_within_band(spark):
+    rows = [("A", v) for v in range(2000)]
+    rows += [("B", v) for v in range(1000, 3000)]
+    df = spark.createDataFrame(rows, "seg string, key int")
+    r = kmv_overlap(df, "key", "seg", k=256).first()
+    true_j = 1000 / 3000
+    assert r.exact_jaccard == pytest.approx(true_j)
+    # +-1/sqrt(k) ~ 0.0625: allow 3x
+    assert abs(r.kmv_jaccard - true_j) < 3 / math.sqrt(256)
+    assert r.k_used == 256
+
+
+# --- mad_outliers ------------------------------------------------------------
+
+
+def test_mad_outliers_hand_worked(spark):
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 4, 100)], "grp string, y double"
+    )
+    out = {r.y: r for r in mad_outliers(df, "y", ["grp"]).collect()}
+    # median 3, MAD = median(|x-3|) = median(2,1,0,1,97) = 1
+    assert out[100.0].y_robust_z == pytest.approx(97 / 1.4826)
+    assert out[100.0].y_robust_outlier == 1
+    assert out[3.0].y_robust_z == 0.0 and out[3.0].y_robust_outlier == 0
+    assert out[1.0].y_robust_outlier == 0  # 2/1.4826 ~ 1.35 < 3.5
+
+
+def test_mad_outliers_zero_mad_nulls(spark):
+    df = spark.createDataFrame(
+        [("g", 5.0), ("g", 5.0), ("g", 5.0)], "grp string, y double"
+    )
+    for r in mad_outliers(df, "y", ["grp"]).collect():
+        assert r.y_robust_z is None and r.y_robust_outlier is None
