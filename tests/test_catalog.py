@@ -89,6 +89,86 @@ def test_dark_operator_guard_fires_on_synthetic_op(tmp_path):
     assert governance.find_dark_operators() == []
 
 
+def test_dark_operator_guard_ignores_docstring_mentions(tmp_path):
+    """Reachability is AST-based, not substring: an operator whose name
+    appears only in prose ('see also …') must still be dark (round-8
+    ADVICE: substring matching silently re-opened the hole)."""
+    import os
+
+    from timeseriesutils_spark.queries import governance
+
+    synth = os.path.join(governance.PKG, "operators", "_synth_dark_tmp2.py")
+    qsynth = os.path.join(governance.PKG, "queries") + "/_synth_doc_tmp.py"
+    with open(synth, "w") as f:
+        f.write(
+            "def docstring_only_op(df):\n    return df\n\n"
+            "def docstring_only_op_sql(t):\n    return t\n"
+        )
+    with open(qsynth, "w") as f:
+        f.write('"""see also docstring_only_op — prose, not a call."""\n')
+    try:
+        dark = governance.find_dark_operators()
+        assert "_synth_dark_tmp2.py:docstring_only_op" in dark
+    finally:
+        os.remove(synth)
+        os.remove(qsynth)
+
+
+def test_ungated_query_rule(tmp_path):
+    """Every cataloged query needs a CLEAN row in the full-catalog gate
+    artifact — wiring alone let 13 unverified queries (2 broken) into
+    main in round 8.  Synthetic check: a record missing one query, or
+    carrying an error/mismatch row, is flagged; the live committed
+    artifact is checked by the finalizer before every round commit."""
+    import json
+
+    from timeseriesutils_spark.queries import catalog, governance
+
+    names = sorted(catalog())
+    clean = {n: {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None} for n in names}
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(clean))
+    assert governance.find_ungated_queries(str(p)) == []
+
+    missing = dict(clean)
+    del missing[names[0]]
+    p.write_text(json.dumps(missing))
+    assert governance.find_ungated_queries(str(p)) == [
+        f"{names[0]}: no gate row"
+    ]
+
+    bad = dict(clean)
+    bad[names[1]] = {"rows_match": True, "schema_match": True,
+                     "hash_match": False, "err": None}
+    bad[names[2]] = {"rows_match": None, "schema_match": None,
+                     "hash_match": None, "err": "oracle: parse error"}
+    bad[names[3]] = {"rows_match": None, "schema_match": None,
+                     "hash_match": None, "err": "no_oracle"}  # RO: fine
+    p.write_text(json.dumps(bad))
+    flagged = governance.find_ungated_queries(str(p))
+    assert any(f.startswith(f"{names[1]}: gate mismatch") for f in flagged)
+    assert any(f.startswith(f"{names[2]}: gate error") for f in flagged)
+    assert not any(f.startswith(names[3] + ":") for f in flagged)
+
+    assert governance.find_ungated_queries(str(tmp_path / "absent.json")) \
+        != []
+
+
+def test_committed_gate_artifact_covers_catalog():
+    """The COMMITTED CORRECTNESS_LOCAL.json must cover the live catalog
+    with clean rows — this is the red light that was missing when the
+    round-8 snapshot landed after the last gate run.  Refresh
+    incrementally with:  python tools/check_oracle.py --json-update
+    CORRECTNESS_LOCAL.json /root/testdata/sf0.01 <new-query> ..."""
+    from timeseriesutils_spark.queries.governance import find_ungated_queries
+
+    ungated = find_ungated_queries()
+    assert ungated == [], (
+        f"cataloged queries without a clean gate row: {ungated}"
+    )
+
+
 def test_survey_counts_track_the_catalog():
     """SURVEY §2.2b's intro sentence ('N queries; M
     DuckDB-oracle-checked') drifted in rounds 5-7 (judge item each

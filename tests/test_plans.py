@@ -550,7 +550,9 @@ def test_rank_family_shapes(spark, catalog):
 def test_single_exchange_window_chains(spark, catalog):
     """runs_test / theta_forecast / page_hinkley / sample_entropy /
     holt_winters are ONE window chain each: single scan, a single
-    hash exchange, no joins, no plan forks, no Python."""
+    hash exchange, no joins, no plan forks, no row-at-a-time Python
+    (sample_entropy's default engine is the vectorized Arrow
+    pair-count kernel — a MapInPandas node, not BatchEvalPython)."""
     for name in (
         "runs_test", "theta_forecast", "page_hinkley", "sample_entropy",
         "holt_winters",

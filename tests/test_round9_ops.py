@@ -132,6 +132,30 @@ def test_gibberish_consonant_run_breaks_at_doc_boundary(spark):
     assert out[2].max_consonant_run == 3
 
 
+# --- sample_entropy arrow kernel ---------------------------------------------
+
+
+def test_sample_entropy_engines_identical(spark):
+    """The blocked-numpy pair-count kernel must produce the SAME exact
+    integers as the engine-side HOF form (the DuckDB twin mirror) —
+    including the n−m < 2 degenerate and a series long enough to
+    exercise the 512-row blocking."""
+    from timeseriesutils_spark.operators.complexity import sample_entropy
+
+    rows = [("g1", i, float((i * 37) % 23 + (i % 5))) for i in range(700)]
+    rows += [("g2", i, float((i * 7919) % 101)) for i in range(150)]
+    rows += [("g3", i, 1.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, i long, y double")
+    a = {r.g: r for r in sample_entropy(df, "y", ["g"], ["i"],
+                                        engine="arrow").collect()}
+    e = {r.g: r for r in sample_entropy(df, "y", ["g"], ["i"],
+                                        engine="expr").collect()}
+    assert set(a) == set(e) == {"g1", "g2", "g3"}
+    for g in a:
+        assert tuple(a[g]) == tuple(e[g]), (g, a[g], e[g])
+    assert a["g3"].b_pairs == 0 and a["g3"].sampen is None
+
+
 # --- ljung_box_test ----------------------------------------------------------
 
 

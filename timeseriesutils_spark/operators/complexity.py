@@ -391,6 +391,61 @@ FROM {joined}
 # --------------------------------------------------------------------------
 
 
+def _sampen_pair_kernel(groups, m: int, mq: float):
+    """mapInPandas kernel for :func:`sample_entropy`: exact int64
+    Chebyshev pair counts per group row, blocked numpy broadcasting.
+
+    For each group's quantized array: W = all length-mm windows
+    starting at i ≤ n−m (mm = m and m+1 share the SAME i<j ≤ n−m
+    bounds — the Richman–Moorman convention the HOF form pins);
+    D[i,j] = max_k |W[i,k] − W[j,k]|; count strictly-upper-triangle
+    cells ≤ r.  The distance matrix is built 512 outer rows at a time
+    so peak memory is O(512·n·mm), not O(n²·mm).
+    """
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        def count_pairs(arr, mm, nm, r):
+            # windows of length mm at starts 0..nm-1 (0-indexed)
+            W = np.lib.stride_tricks.sliding_window_view(arr, mm)[:nm]
+            total = 0
+            cols = np.arange(nm)
+            for s in range(0, nm, 512):
+                e = min(s + 512, nm)
+                d = np.abs(W[s:e, None, :] - W[None, :, :]).max(axis=2)
+                upper = cols[None, :] > np.arange(s, e)[:, None]
+                total += int(((d <= r) & upper).sum())
+            return total
+
+        for pdf in batches:
+            out = {c: pdf[c].to_numpy() for c in groups}
+            ns, rts, bs, as_ = [], [], [], []
+            for arr, n, r in zip(pdf["_arr"], pdf["n"], pdf["_r"]):
+                a = np.asarray(arr, dtype=np.int64)
+                n, r = int(n), int(r)
+                nm = n - m
+                if nm >= 2:
+                    b_cnt = count_pairs(a, m, nm, r)
+                    a_cnt = count_pairs(a, m + 1, nm, r)
+                else:
+                    b_cnt = a_cnt = 0
+                ns.append(n)
+                rts.append(r / mq)
+                bs.append(b_cnt)
+                as_.append(a_cnt)
+            out.update(
+                {"n": np.array(ns, dtype=np.int64),
+                 "r_tol": np.array(rts, dtype=np.float64),
+                 "b_pairs": np.array(bs, dtype=np.int64),
+                 "a_pairs": np.array(as_, dtype=np.int64)}
+            )
+            yield pd.DataFrame(out)
+
+    return fn
+
+
 def sample_entropy(
     data: DataFrame,
     column: str,
@@ -399,6 +454,7 @@ def sample_entropy(
     m: int = 2,
     r_frac: float = 0.2,
     scale: int = 2,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Per-group sample entropy SampEn(m, r) (Richman & Moorman 2000)
     — the regularity measure that complements permutation_entropy:
@@ -413,16 +469,24 @@ def sample_entropy(
     Exactness: values quantize to 10^-scale ints; σ comes from exact
     DECIMAL sufficient statistics and the tolerance floor-quantizes to
     an INTEGER, so every pair comparison is exact int arithmetic — A
-    and B are bit-identical across engines; the single −ln(A/B) is
+    and B are bit-identical across engines (ANY correct counting
+    method yields the same integers); the single −ln(A/B) is
     1e-9-floor-quantized (the one-ln rule).
 
     Scale: one exchange assembles each group's position-ordered array
-    (hurst's array-plan discipline); the O(n²) pair count runs as a
-    nested aggregate over that array INSIDE the engine (no Python).
-    Pair counting is quadratic in series length by definition —
-    aggregate long series to a coarser grid first (the theilsen
-    O(n²)-bound convention; ~10³ points ≈ 5·10⁵ pairs/group is the
-    comfortable envelope).
+    (hurst's array-plan discipline).  ``engine='arrow'`` (default)
+    runs the O(n²) pair count as a blocked numpy Chebyshev-distance
+    kernel over that array (mapInPandas) — the round-8 nested
+    ``aggregate(sequence…)`` HOF form evaluated interpreted, one pair
+    per iterator step, and made the weekly-grid query SLOWER than the
+    monthly op it accelerates (9.6 s vs 1.4 s, VERDICT r9 item 6);
+    the vectorized kernel counts the same exact integers.
+    ``engine='expr'`` keeps that engine-side HOF form (the shape the
+    DuckDB twin mirrors); tests pin the two engines identical.  Pair
+    counting is quadratic in series length by definition — aggregate
+    long series to a coarser grid first (:func:`coarse_grid`; the
+    kernel blocks the distance matrix at 512 rows so memory stays
+    O(512·n), not O(n²)).
 
     Returns (groups…, n, r_tol, b_pairs, a_pairs, sampen); sampen is
     NULL when n ≤ m+1 or A or B is 0 (undefined, not dropped).
@@ -472,13 +536,25 @@ def sample_entropy(
             f"IF({dist} <= _r, 1L, 0L))) ELSE 0L END"
         )
 
-    counted = grp.select(
-        *g,
-        "n",
-        (F.col("_r").cast("double") / F.lit(mq)).alias("r_tol"),
-        F.expr(pair_count(m)).alias("b_pairs"),
-        F.expr(pair_count(m + 1)).alias("a_pairs"),
-    )
+    if engine == "arrow":
+        gtypes = ", ".join(
+            f"{c} {data.schema[c].dataType.simpleString()}" for c in g
+        )
+        schema = (
+            f"{gtypes}, n bigint, r_tol double,"
+            " b_pairs bigint, a_pairs bigint"
+        )
+        counted = grp.select(*g, "n", "_r", "_arr").mapInPandas(
+            _sampen_pair_kernel(g, int(m), mq), schema
+        )
+    else:
+        counted = grp.select(
+            *g,
+            "n",
+            (F.col("_r").cast("double") / F.lit(mq)).alias("r_tol"),
+            F.expr(pair_count(m)).alias("b_pairs"),
+            F.expr(pair_count(m + 1)).alias("a_pairs"),
+        )
     ok = (F.col("b_pairs") > 0) & (F.col("a_pairs") > 0)
     se = (
         F.floor(

@@ -1117,7 +1117,7 @@ def welch_ttest_sql(
     return f"""
 WITH d AS (
   SELECT {group_col} = {sq(group_a)} AS _a, {x} AS _x
-  FROM {table} WHERE {group_col} IN ('{group_a}', '{group_b}')
+  FROM {table} WHERE {group_col} IN ({sq(group_a)}, {sq(group_b)})
     AND {value_col} IS NOT NULL
 ),
 agg AS (

@@ -27,45 +27,39 @@ class Q:
 # the full set is locally gate-checked every round via
 # tools/check_oracle.py — see CORRECTNESS_LOCAL.json).
 #
-# ROUND-8 ROTATION (executes the plan written at the end of round 7):
-# slots 1-10 the ten round-8 wirings (the formerly-dark operators —
-# never driver-verified), slots 11-12 the two queries whose SEMANTICS
-# a round-7 ADVICE fix changed (friedman complete-block = full
-# treatment set; wis complete-case filter), slots 13-39 the 27
-# remaining round-2-only rows in catalog order — INCLUDING
-# agg_quantiles_approx, the one catalog query with no driver verdict
-# of any kind (rows-only by design) — and slots 40-50 the head of the
-# round-3 cohort oldest-first.  Everything after slot 50 keeps full
-# local gate coverage via tools/check_oracle.py --json.
+# ROUND-9 ROTATION (executes the plan written at the end of round 8):
+# slots 1-13 the thirteen round-8 queries with NO driver row of any
+# kind — the two fixed wrong-answer queries (intradoc_dedup,
+# gibberish_score) included, so the fixes get a driver verdict this
+# round; slots 14-47 the 34 remaining round-3-only rows in catalog
+# order; slots 48-50 the round-4 cohort head.  Everything after slot
+# 50 keeps full local gate coverage via tools/check_oracle.py --json.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
-    # slots 1-10: round-8 wirings (never driver-verified)
-    "pr_curve", "log_loss", "ranking_metrics", "jarque_bera",
-    "levene_bf", "mcnemar_test", "cohens_kappa", "kendall_tau",
-    "cms_estimate", "hll_estimate",
-    # slots 11-12: semantics changed by round-7 ADVICE fixes
-    "friedman_test", "wis_eval",
-    # slots 13-39: the round-2-only cohort, catalog order
-    "join_anti", "asof_forward_tol", "sort_limit", "dedup_keep_first",
-    "set_ops", "scalar_funcs", "json_extract", "array_funcs",
-    "unpivot_long", "agg_quantiles", "agg_quantiles_approx",
-    "grouping_sets", "range_frame", "range_join", "gap_fill_ffill",
-    "interpolate", "ewma", "diff_pct", "rolling_zscore",
-    "rolling_median", "scd2_history", "forecast_eval",
-    "calendar_features", "target_encode", "rolling_corr",
-    "column_profile", "group_mode",
-    # slots 40-50: round-3 cohort head, catalog order
-    "chunked_taylor", "merge_upsert", "skew_salted_agg",
-    "skew_salted_join", "sessionize", "winsorize", "group_trend",
-    "seasonal_profile", "time_rollup", "ohlc_bars",
-    "time_weighted_avg",
+    # slots 1-13: round-8 additions, never driver-verified (the two
+    # round-8 wrong-answer queries are fixed this round — head slots)
+    "intradoc_dedup", "gibberish_score", "mad_outliers",
+    "sampen_coarse", "cvm_test", "pettitt_test", "cox_stuart",
+    "bartlett_test", "ljung_box", "holt_damped", "owa_eval", "rmst",
+    "kmv_overlap",
+    # slots 14-47: the round-3-only cohort, catalog order
+    "gap_detect", "funnel", "cohort_retention", "boilerplate_frac",
+    "bm25_search", "chunk_text", "heavy_hitters", "media_features",
+    "unigram_logprob", "tf_idf", "clean_text", "repetition_stats",
+    "multimodal_meta", "seq_pack", "decontaminate_pairs",
+    "quantize_embeddings", "pca_project", "pii_scrub", "corpus_stats",
+    "length_histogram", "stratified_sample", "mixture_resample",
+    "reservoir_sample", "embedding_centroids", "fuzzy_match",
+    "chunk_dedup", "quality_filter", "semantic_dedup",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_dedup", "stream_join", "stream_stateful",
+    # slots 48-50: round-4 cohort head, catalog order
+    "incremental_rollmean", "incremental_taylor", "zorder_key",
 )
-# ROUND-9 ROTATION PLAN: head slots go to (a) the round-8 additions
-# with no driver row yet (mad_outliers, sampen_coarse, plus any later
-# round-8 wave) and any query a round-8 ADVICE fix touches, then
-# (b) the remaining 34 round-3-only rows in catalog order (gap_detect,
-# funnel, cohort_retention, boilerplate_frac .. stream_stateful), then
-# (c) the round-4 cohort (43 rows, incremental_rollmean ..)
-# oldest-first.
+# ROUND-10 ROTATION PLAN: head slots go to (a) any round-9 additions
+# without a driver row, then (b) the remaining round-4 cohort
+# oldest-first in catalog order (spectral_entropy, variant_json,
+# quantile_bin, dedup_minhash_lsh, simhash, knn_lsh, knn_ivf, ...),
+# then (c) the round-5 cohort.
 
 
 # --- catalog governance (round-6): gate tiers -----------------------------

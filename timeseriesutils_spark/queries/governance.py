@@ -37,6 +37,25 @@ def _module_functions(path: str) -> set[str]:
     }
 
 
+def _identifiers(path: str) -> set[str]:
+    """All identifiers actually REFERENCED in a module — Name ids,
+    Attribute attrs, and imported names — NOT raw substrings: a
+    docstring mentioning an operator ("see also foo") must not count
+    as wiring (round-8 ADVICE: plain ``n in text`` silently re-opened
+    the dark-operator hole)."""
+    tree = ast.parse(open(path).read())
+    out: set[str] = set()
+    for sub in ast.walk(tree):
+        if isinstance(sub, ast.Name):
+            out.add(sub.id)
+        elif isinstance(sub, ast.Attribute):
+            out.add(sub.attr)
+        elif isinstance(sub, (ast.Import, ast.ImportFrom)):
+            for alias in sub.names:
+                out.add(alias.name.split(".")[-1])
+    return out
+
+
 def _names_referenced(path: str, exclude_def: str) -> set[str]:
     """All identifiers referenced in the module OUTSIDE the body of
     ``exclude_def`` — so a helper calling itself doesn't count as a
@@ -68,17 +87,18 @@ def find_dark_operators() -> list[str]:
             if f.endswith(".py")
         ]
 
-    # the verification surface: the query catalog + the driver contract
+    # the verification surface: identifiers actually referenced by the
+    # query catalog + the driver contract (AST, not substrings)
     qdir = os.path.join(PKG, "queries")
-    surface = ""
+    surface: set[str] = set()
     for f in sorted(os.listdir(qdir)):
         if f.endswith(".py"):
-            surface += open(os.path.join(qdir, f)).read()
+            surface |= _identifiers(os.path.join(qdir, f))
     entry = os.path.join(REPO, "__spark_entry__.py")
     if os.path.exists(entry):
-        surface += open(entry).read()
+        surface |= _identifiers(entry)
 
-    texts = {p: open(p).read() for p in op_files}
+    idents = {p: _identifiers(p) for p in op_files}
     dark: list[str] = []
     for path in op_files:
         names = _module_functions(path)
@@ -96,7 +116,50 @@ def find_dark_operators() -> list[str]:
             # catalog-reachable — self-references don't count
             if n in _names_referenced(path, exclude_def=n):
                 continue
-            if any(n in t for p, t in texts.items() if p != path):
+            if any(n in ids for p, ids in idents.items() if p != path):
                 continue
             dark.append(f"{os.path.basename(path)}:{n}")
     return dark
+
+
+def find_ungated_queries(
+    correctness_path: str | None = None,
+) -> list[str]:
+    """Return ``["name: reason", ...]`` for every cataloged query
+    without a CLEAN row in the committed full-catalog gate artifact
+    (CORRECTNESS_LOCAL.json) — the verification-hole closer the
+    round-8 verdict asked for: the dark-operator rule checks WIRING,
+    this checks the GATE RECORD, so a query can no longer enter main
+    with zero parity evidence (13 did in round 8; two were broken).
+
+    Clean = a row exists AND err is empty-or-'no_oracle' AND no
+    explicit match flag is False.  Rows-only-by-design queries (err =
+    'no_oracle') pass — they are the documented weaker check.
+
+    Refresh incrementally while iterating:
+        python tools/check_oracle.py --json-update CORRECTNESS_LOCAL.json \\
+            /root/testdata/sf0.01 <new-query> ...
+    """
+    import json
+
+    from timeseriesutils_spark.queries import catalog
+
+    path = correctness_path or os.path.join(REPO, "CORRECTNESS_LOCAL.json")
+    if not os.path.exists(path):
+        return [f"(artifact missing: {path})"]
+    with open(path) as f:
+        record = json.load(f)
+    out: list[str] = []
+    for name in sorted(catalog()):
+        row = record.get(name)
+        if row is None:
+            out.append(f"{name}: no gate row")
+            continue
+        err = row.get("err")
+        if err not in (None, "no_oracle"):
+            out.append(f"{name}: gate error ({err})")
+            continue
+        flags = [row.get(k) for k in ("rows_match", "schema_match", "hash_match")]
+        if any(v is False for v in flags):
+            out.append(f"{name}: gate mismatch {flags}")
+    return out

@@ -86,9 +86,19 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 def main() -> int:
     argv = list(sys.argv[1:])
     json_path = None
+    json_merge = False
     if "--json" in argv:
         i = argv.index("--json")
         json_path = argv[i + 1]
+        del argv[i : i + 2]
+    if "--json-update" in argv:
+        # incremental gate-record refresh: run only the NAMED queries
+        # and merge their rows into the existing artifact — keeps the
+        # find_ungated_queries() rule livable mid-round (full sweeps
+        # stay the finalizer's job)
+        i = argv.index("--json-update")
+        json_path = argv[i + 1]
+        json_merge = True
         del argv[i : i + 2]
     tier_sel = "core"
     if "--tier" in argv:
@@ -188,6 +198,16 @@ def main() -> int:
             print(f"{name}: OK ({len(sdf)} rows, {len(sdf.columns)} cols)")
     spark.stop()
     if json_path:
+        if json_merge:
+            import os
+
+            merged = {}
+            if os.path.exists(json_path):
+                with open(json_path) as f:
+                    merged = json.load(f)
+            merged.update(report)
+            # prune rows for queries no longer in the catalog
+            report = {k: v for k, v in merged.items() if k in qs}
         with open(json_path, "w") as f:
             json.dump(report, f, indent=2)
         print(f"wrote {json_path} ({len(report)} rows)")

@@ -63,6 +63,17 @@ def main() -> None:
     gate_sf = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
     run([sys.executable, "tools/check_oracle.py", "--json",
          "CORRECTNESS_LOCAL.json", gate_sf])
+    # gate-record rule (round-8 verdict: 13 queries entered main with
+    # no CORRECTNESS row anywhere, two of them broken): after the
+    # refresh, EVERY cataloged query must have a clean row — a crashed
+    # or partial sweep fails the finalize here
+    from timeseriesutils_spark.queries.governance import find_ungated_queries
+
+    ungated = find_ungated_queries()
+    if ungated:
+        print("finalize: UNGATED catalog queries (no clean row in "
+              f"CORRECTNESS_LOCAL.json): {ungated}", file=sys.stderr)
+        sys.exit(1)
     if "--no-bench" not in args:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
         run([sys.executable, "bench.py"], env=env)
