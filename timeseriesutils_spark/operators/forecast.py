@@ -1932,3 +1932,123 @@ SELECT {gsel}, n,
   CASE WHEN n > 0 AND _aen > 0 AND _smn > 0 THEN {owa} END AS owa
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Theil's U2 forecast-accuracy ratio (naive-reference RMSE form)
+# --------------------------------------------------------------------------
+
+
+def theil_u(
+    df: DataFrame,
+    actual_col: str,
+    forecast_col: str,
+    group_columns,
+    order_by,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group Theil's U2 — the RMSE-ratio cousin of :func:`owa_eval`'s
+    MASE (mean-absolute form): U2 < 1 means the forecast beats the
+    last-value naive on SQUARED error, which punishes the occasional
+    large miss MASE averages away:
+
+        U2 = √(Σ(f_t − y_t)²) / √(Σ(y_{t−1} − y_t)²)
+
+    Complete-case rows (y, f, and the lag-1 naive all non-null) so both
+    sums see the same rows; per-row squared errors floor-quantize at
+    10^-scale and DECIMAL-sum (order-free), one double √-ratio at the
+    end.  One lag window + one map-combinable aggregation — a single
+    group-key exchange at any scale.
+
+    Returns (groups…, n, rmse_fc, rmse_naive, theil_u2).
+    """
+    g = _as_list(group_columns)
+    w = make_window(g, order_by)
+    m = 10**scale
+    y = F.col(actual_col).cast("double")
+    f_ = F.col(forecast_col).cast("double")
+    yl = F.lag(F.col(actual_col).cast("double"), 1).over(w)
+    d = df.select(*g, y.alias("_y"), f_.alias("_f"), yl.alias("_yl")).filter(
+        F.col("_y").isNotNull()
+        & F.col("_f").isNotNull()
+        & F.col("_yl").isNotNull()
+    )
+
+    def qsum(c):
+        return F.sum(
+            F.floor(c * F.lit(float(m)) + F.lit(0.5)).cast("decimal(38,0)")
+        )
+
+    yy, ff, yn = F.col("_y"), F.col("_f"), F.col("_yl")
+    agg = d.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        qsum((ff - yy) * (ff - yy)).alias("_sef"),
+        qsum((yn - yy) * (yn - yy)).alias("_sen"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+    md = F.lit(float(m))
+    rmse_f = F.sqrt(s2d("_sef") / md / nn)
+    rmse_n = F.sqrt(s2d("_sen") / md / nn)
+    return agg.select(
+        *g,
+        "n",
+        F.when(F.col("n") > 0, rmse_f).alias("rmse_fc"),
+        F.when(F.col("n") > 0, rmse_n).alias("rmse_naive"),
+        F.when((F.col("n") > 0) & (F.col("_sen") > 0), rmse_f / rmse_n).alias(
+            "theil_u2"
+        ),
+    )
+
+
+def theil_u_sql(
+    data_sql: str,
+    actual_col: str,
+    forecast_col: str,
+    group_columns,
+    order_by,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`theil_u` (same quantize points, same
+    double tree)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    osel = ", ".join(_as_list(order_by))
+    m = 10**scale
+    over = f"(PARTITION BY {gsel} ORDER BY {osel})"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+
+    def qsum(expr):
+        return (
+            f"SUM(CAST(FLOOR(({expr}) * {float(m)!r} + 0.5)"
+            " AS DECIMAL(38,0)))"
+        )
+
+    nn = "CAST(n AS DOUBLE)"
+    md = f"{float(m)!r}"
+    rmse_f = f"SQRT({s2d('_sef')} / {md} / {nn})"
+    rmse_n = f"SQRT({s2d('_sen')} / {md} / {nn})"
+    return f"""
+WITH d AS (
+  SELECT {gsel},
+    CAST({actual_col} AS DOUBLE) AS _y,
+    CAST({forecast_col} AS DOUBLE) AS _f,
+    LAG(CAST({actual_col} AS DOUBLE), 1) OVER {over} AS _yl
+  FROM ({data_sql})
+),
+cc AS (
+  SELECT * FROM d
+  WHERE _y IS NOT NULL AND _f IS NOT NULL AND _yl IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    {qsum('(_f - _y) * (_f - _y)')} AS _sef,
+    {qsum('(_yl - _y) * (_yl - _y)')} AS _sen
+  FROM cc GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  CASE WHEN n > 0 THEN {rmse_f} END AS rmse_fc,
+  CASE WHEN n > 0 THEN {rmse_n} END AS rmse_naive,
+  CASE WHEN n > 0 AND _sen > 0 THEN {rmse_f} / {rmse_n} END AS theil_u2
+FROM agg
+"""

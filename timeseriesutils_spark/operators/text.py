@@ -2477,3 +2477,182 @@ FROM (
   )
 )
 """
+
+
+# --------------------------------------------------------------------------
+# Flesch readability (vowel-group syllable heuristic)
+# --------------------------------------------------------------------------
+
+
+def flesch_readability(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Flesch reading ease + Flesch–Kincaid grade — the
+    classic surface-readability scores next to text_quality's ratio
+    signals: training-data curation uses them to bucket corpora by
+    audience level and to catch boilerplate/legalese (very low ease)
+    and word-salad (implausibly high ease).
+
+    Pinned heuristic contract (identical in the twin):
+
+      * words      = count of non-space runs ``\\S+``;
+      * sentences  = count of terminator runs ``[.!?]+`` floored at 1;
+      * syllables  = count of vowel-group runs ``[aeiouy]+`` in the
+        lowercased text (the standard cheap syllable estimate);
+      * ease  = 206.835 − 1.015·(w/s) − 84.6·(syl/w)
+      * grade = 0.39·(w/s) + 11.8·(syl/w) − 15.59
+
+    All three counts are exact integers (regexp_count in the Java∩RE2
+    subset); the two scores are fixed double trees of those integers,
+    1e-9-floor-quantized on output.  Pure per-row expressions — no
+    shuffle, scan-width cost only.
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch_ease,
+    fk_grade); scores NULL for wordless documents.
+    """
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit(r"\S+"))
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syls = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    wd = words.cast("double")
+    sd = sents.cast("double")
+    yd = syls.cast("double")
+    wps = wd / sd
+    spw = yd / wd
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    q9 = lambda c: F.floor(c * F.lit(1.0e9) + F.lit(0.5)) / F.lit(1.0e9)  # noqa: E731
+    ok = words > 0
+    return docs.select(
+        id_col,
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syls.alias("n_syllables"),
+        F.when(ok, q9(ease)).alias("flesch_ease"),
+        F.when(ok, q9(grade)).alias("fk_grade"),
+    )
+
+
+def flesch_readability_sql(
+    data_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`flesch_readability` (same counts, same
+    double tree, same quantize points)."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    w = f"len(regexp_extract_all({text_col}, '\\S+'))"
+    s = f"GREATEST(len(regexp_extract_all({text_col}, '[.!?]+')), 1)"
+    y = f"len(regexp_extract_all(lower({text_col}), '[aeiouy]+'))"
+    wps = "(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))"
+    spw = "(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"
+    ease = f"({dlit(206.835)} - {dlit(1.015)} * {wps} - {dlit(84.6)} * {spw})"
+    grade = f"({dlit(0.39)} * {wps} + {dlit(11.8)} * {spw} - {dlit(15.59)})"
+    q9 = lambda e: f"(FLOOR({e} * {dlit(1.0e9)} + 0.5) / {dlit(1.0e9)})"  # noqa: E731
+    return f"""
+SELECT {id_col}, n_words, n_sentences, n_syllables,
+  CASE WHEN n_words > 0 THEN {q9(ease)} END AS flesch_ease,
+  CASE WHEN n_words > 0 THEN {q9(grade)} END AS fk_grade
+FROM (
+  SELECT {id_col},
+    CAST({w} AS INT) AS n_words,
+    CAST({s} AS INT) AS n_sentences,
+    CAST({y} AS INT) AS n_syllables
+  FROM ({data_sql})
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Simpson lexical diversity per corpus slice
+# --------------------------------------------------------------------------
+
+
+def simpson_diversity(
+    docs: DataFrame,
+    slice_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gini–Simpson lexical diversity per corpus slice (source, lang,
+    shard…): the probability two random tokens differ,
+
+        D = 1 − Σ_i n_i(n_i−1) / (N(N−1))
+
+    — the diversity companion to zipf_fit (shape) and distinct_ngrams
+    (ratio): template spam / mode collapse shows up as LOW D even when
+    the distinct-token RATIO still looks healthy, because D weights by
+    frequency mass.  Tokens = lowercased non-space runs (pinned).
+
+    Exactness: unbiased-form products n_i(n_i−1) run through
+    DECIMAL(38,0) (Σ over a 100 TB slice cannot wrap), the final D is
+    one double division.  Plan: explode → ONE (slice, token) count
+    collapse → ONE slice rollup — two map-combinable exchanges, the
+    second over already-collapsed rows.
+
+    Returns (slice, n_tokens, n_distinct, simpson).
+    """
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda x: x != "",
+        )
+    ).alias("_tok")
+    per = (
+        docs.select(F.col(slice_col), toks)
+        .groupBy(slice_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = per.groupBy(slice_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(dec(F.col("_c")) * dec(F.col("_c") - 1)).alias("_ss"),
+    )
+    nn = F.col("n_tokens")
+    d = F.lit(1.0) - F.col("_ss").cast("string").cast("double") / (
+        nn.cast("double") * (nn - 1).cast("double")
+    )
+    return agg.select(
+        slice_col,
+        "n_tokens",
+        "n_distinct",
+        F.when(nn > 1, d).alias("simpson"),
+    )
+
+
+def simpson_diversity_sql(
+    data_sql: str,
+    slice_col: str,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`simpson_diversity` (same token contract,
+    same DECIMAL products)."""
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    d = (
+        f"(1.0 - {s2d('_ss')} / (CAST(n_tokens AS DOUBLE)"
+        " * CAST(n_tokens - 1 AS DOUBLE)))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {slice_col}, unnest(list_filter(
+    string_split_regex(lower({text_col}), '\\s+'), x -> x <> '')) AS _tok
+  FROM ({data_sql})
+),
+per AS (
+  SELECT {slice_col}, _tok, COUNT(*) AS _c FROM toks
+  GROUP BY {slice_col}, _tok
+),
+agg AS (
+  SELECT {slice_col},
+    CAST(SUM(_c) AS BIGINT) AS n_tokens,
+    COUNT(*) AS n_distinct,
+    SUM(CAST(_c AS DECIMAL(38,0)) * CAST(_c - 1 AS DECIMAL(38,0))) AS _ss
+  FROM per GROUP BY {slice_col}
+)
+SELECT {slice_col}, n_tokens, n_distinct,
+  CASE WHEN n_tokens > 1 THEN {d} END AS simpson
+FROM agg
+"""
