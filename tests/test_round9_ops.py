@@ -401,3 +401,143 @@ def test_mad_outliers_zero_mad_nulls(spark):
     )
     for r in mad_outliers(df, "y", ["grp"]).collect():
         assert r.y_robust_z is None and r.y_robust_outlier is None
+
+
+# --- round-9 additions: theil_u / pacf / ar2 / flesch / simpson --------------
+
+
+def test_theil_u_perfect_and_naive(spark):
+    from timeseriesutils_spark.operators.forecast import theil_u
+
+    ys = [float(v) for v in (3, 7, 4, 9, 5, 8, 6, 10)]
+    rows = []
+    for t, y in enumerate(ys):
+        rows.append(("a", t, y, y))            # perfect forecast
+        rows.append(("b", t, y, ys[t - 1] if t else None))  # = naive
+    df = spark.createDataFrame(rows, "g string, t int, y double, f double")
+    out = {r.g: r for r in theil_u(df, "y", "f", ["g"], ["t"]).collect()}
+    assert out["a"].theil_u2 == 0.0 and out["a"].rmse_fc == 0.0
+    # forecast == the lag-1 naive reference -> U2 exactly 1
+    assert out["b"].theil_u2 == pytest.approx(1.0)
+    assert out["b"].n == 7  # first row lacks the naive
+
+
+def test_pacf_lag1_equals_acf_and_mirror(spark):
+    from timeseriesutils_spark.operators.acf import acf_features, pacf_features
+
+    ys = [float((i * 37) % 23 + 3 * (i % 4)) for i in range(60)]
+    rows = [("a", i, v) for i, v in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, i long, y double")
+    acf = {r.lag_k: r.acf for r in
+           acf_features(df, "y", ["g"], ["i"], max_lag=4).collect()}
+    pacf = {r.lag_k: r.pacf for r in
+            pacf_features(df, "y", ["g"], ["i"], max_lag=4).collect()}
+    assert pacf[1] == acf[1]
+    # python Durbin-Levinson mirror over the engine's own r_k
+    phi = {(1, 1): acf[1]}
+    for k in range(2, 5):
+        num = acf[k] - sum(phi[(k - 1, j)] * acf[k - j] for j in range(1, k))
+        den = 1.0 - sum(phi[(k - 1, j)] * acf[j] for j in range(1, k))
+        phi[(k, k)] = num / den
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    for k in range(2, 5):
+        assert pacf[k] == pytest.approx(phi[(k, k)], abs=1e-12), k
+
+
+def test_pacf_ar1_cuts_off_after_lag1(spark):
+    # deterministic AR(1)-like decaying oscillation: |pacf_1| large,
+    # |pacf_2..| near zero relative to it
+    ys, y = [], 100.0
+    for i in range(200):
+        y = 0.8 * y + ((i * 2654435761) % 97 - 48) / 97.0
+        ys.append(y)
+    rows = [("a", i, v) for i, v in enumerate(ys)]
+    from timeseriesutils_spark.operators.acf import pacf_features
+
+    df = spark.createDataFrame(rows, "g string, i long, y double")
+    out = {r.lag_k: r.pacf for r in
+           pacf_features(df, "y", ["g"], ["i"], max_lag=4,
+                         scale=6).collect()}
+    assert out[1] > 0.7
+    for k in (2, 3, 4):
+        assert abs(out[k]) < 0.25, (k, out[k])
+
+
+def test_ar2_forecast_mirror(spark):
+    from timeseriesutils_spark.operators.forecast import ar2_forecast
+
+    ys = [float((i * 37) % 23 + 3 * (i % 4)) for i in range(80)]
+    rows = [("a", i, v) for i, v in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, i long, y double")
+    out = {r.horizon: r for r in
+           ar2_forecast(df, "y", ["g"], ["i"], horizons=(1, 2, 7),
+                        scale=2).collect()}
+    # python mirror: quantized ints, engine ACF estimator, YW, recursion
+    q = [math.floor(v * 100 + 0.5) for v in ys]
+    n = len(q)
+    sx, sxx = sum(q), sum(v * v for v in q)
+    xbar = sx / n
+    den = sxx - xbar * sx
+    r = {}
+    for k in (1, 2):
+        pairs = [(q[i], q[i - k]) for i in range(k, n)]
+        sxy = sum(a * b for a, b in pairs)
+        aa = sum(a for a, _ in pairs)
+        bb = sum(b for _, b in pairs)
+        r[k] = (sxy - xbar * (aa + bb) + len(pairs) * xbar * xbar) / den
+    d1 = 1.0 - r[1] * r[1]
+    phi1 = r[1] * (1.0 - r[2]) / d1
+    phi2 = (r[2] - r[1] * r[1]) / d1
+    mu = sx / 100.0 / n
+    v1, v2 = q[-1] / 100.0, q[-2] / 100.0
+    devs = [v2 - mu, v1 - mu]
+    fc = {}
+    for h in range(1, 8):
+        devs.append(phi1 * devs[-1] + phi2 * devs[-2])
+        fc[h] = mu + devs[-1]
+    for h in (1, 2, 7):
+        assert out[h].phi1 == pytest.approx(phi1, abs=1e-12)
+        assert out[h].forecast == pytest.approx(fc[h], abs=1e-9), h
+    assert out[1].n == 80
+
+
+def test_flesch_hand_worked(spark):
+    from timeseriesutils_spark.operators.text import flesch_readability
+
+    # "the cat sat. it ran fast!" -> 6 words, 2 sentences,
+    # vowel groups: e,a,a,i,a,a -> 6 syllables
+    df = spark.createDataFrame(
+        [(1, "the cat sat. it ran fast!"), (2, "...")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in flesch_readability(df).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+    wps, spw = 6 / 2, 6 / 6
+    assert r1.flesch_ease == pytest.approx(
+        206.835 - 1.015 * wps - 84.6 * spw, abs=1e-6
+    )
+    assert r1.fk_grade == pytest.approx(
+        0.39 * wps + 11.8 * spw - 15.59, abs=1e-6
+    )
+    # "..." -> 1 word (the dots are a \S+ run), 0 syllables
+    assert out[2].n_words == 1 and out[2].n_syllables == 0
+
+
+def test_simpson_hand_worked(spark):
+    from timeseriesutils_spark.operators.text import simpson_diversity
+
+    df = spark.createDataFrame(
+        [("s1", "a A b"), ("s1", "a"), ("s2", "x y z"), ("s3", "w w")],
+        "source string, text string",
+    )
+    out = {r.source: r for r in
+           simpson_diversity(df, "source").collect()}
+    # s1: tokens a,a,b,a (lowercased) -> N=4, sum n(n-1) = 6 -> 1-6/12
+    assert out["s1"].n_tokens == 4 and out["s1"].n_distinct == 2
+    assert out["s1"].simpson == pytest.approx(0.5)
+    # s2: all distinct -> D = 1
+    assert out["s2"].simpson == pytest.approx(1.0)
+    # s3: all same -> D = 0
+    assert out["s3"].simpson == pytest.approx(0.0)

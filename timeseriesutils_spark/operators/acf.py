@@ -517,3 +517,156 @@ SELECT {gsel}, n_pairs + {h} AS n,
 FROM ({inner})
 WHERE lag_k = {h}
 """
+
+
+# --------------------------------------------------------------------------
+# partial autocorrelation (Durbin–Levinson over the exact-sum ACF)
+# --------------------------------------------------------------------------
+
+
+def _pacf_level_exprs(max_lag: int) -> list[list[tuple[str, str]]]:
+    """Durbin–Levinson recursion as shared SQL text — one list of
+    (column, expression) batches, each batch referencing only columns
+    from earlier batches, valid verbatim in BOTH Spark SQL and DuckDB
+    (arithmetic + CASE only), so the two engines evaluate the
+    IDENTICAL double tree:
+
+        φ_{1,1} = r_1
+        φ_{k,k} = (r_k − Σ_{j<k} φ_{k−1,j}·r_{k−j})
+                / (1 − Σ_{j<k} φ_{k−1,j}·r_j)
+        φ_{k,j} = φ_{k−1,j} − φ_{k,k}·φ_{k−1,k−j}
+
+    NULL r_k (too few pairs / zero variance upstream) propagates to
+    NULL φ; a zero denominator yields NULL via the CASE guard.
+    """
+    batches: list[list[tuple[str, str]]] = [[("phi_1_1", "r1")]]
+    for k in range(2, max_lag + 1):
+        num_terms = " + ".join(
+            f"phi_{k - 1}_{j} * r{k - j}" for j in range(1, k)
+        )
+        den_terms = " + ".join(
+            f"phi_{k - 1}_{j} * r{j}" for j in range(1, k)
+        )
+        kk = (
+            f"CASE WHEN (1.0 - ({den_terms})) <> 0.0 THEN "
+            f"(r{k} - ({num_terms})) / (1.0 - ({den_terms})) END"
+        )
+        batches.append([(f"phi_{k}_{k}", kk)])
+        if k < max_lag:  # φ_{k,j<k} only feed the NEXT level
+            batches.append(
+                [
+                    (
+                        f"phi_{k}_{j}",
+                        f"phi_{k - 1}_{j} - phi_{k}_{k} * phi_{k - 1}_{k - j}",
+                    )
+                    for j in range(1, k)
+                ]
+            )
+    return batches
+
+
+def pacf_features(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+    max_lag: int = 5,
+    scale: int = 0,
+    min_pairs: int = 2,
+) -> DataFrame:
+    """Per-group partial autocorrelation at lags 1..max_lag — the AR
+    order-selection companion of :func:`acf_features`: ACF tails off
+    for AR processes, PACF CUTS off at the true order p, so the last
+    significant pacf lag is the p a modeler feeds an AR/ARIMA fit.
+
+    Built entirely on acf_features' exact-integer machinery: the
+    per-lag r_k (bit-identical across engines) pivot to one wide row
+    per group, then the Durbin–Levinson recursion runs as a fixed
+    chain of small projections (see :func:`_pacf_level_exprs` — the
+    SAME SQL text executes in Spark and DuckDB, so association order
+    is pinned without any quantization).  The pivot aggregates an
+    already-collapsed max_lag-rows-per-group frame — the added
+    exchange moves ~max_lag rows per group, nothing row-scale.
+
+    Returns one row per (group, lag): groups…, lag_k, n_pairs, pacf.
+    """
+    groups = _as_list(group_columns)
+    acf = acf_features(
+        data, column, group_columns, order_by, max_lag=max_lag,
+        scale=scale, min_pairs=min_pairs,
+    )
+    wide = acf.groupBy(*groups).agg(
+        *[
+            F.max(F.when(F.col("lag_k") == k, F.col("acf"))).alias(f"r{k}")
+            for k in range(1, max_lag + 1)
+        ],
+        *[
+            F.max(F.when(F.col("lag_k") == k, F.col("n_pairs"))).alias(
+                f"np{k}"
+            )
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    for batch in _pacf_level_exprs(max_lag):
+        wide = wide.selectExpr("*", *[f"{e} AS {n}" for n, e in batch])
+    per_lag = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("lag_k"),
+                    F.col(f"np{k}").alias("n_pairs"),
+                    F.col(f"phi_{k}_{k}").alias("pacf"),
+                )
+                for k in range(1, max_lag + 1)
+            ]
+        )
+    ).alias("_s")
+    return wide.select(*groups, per_lag).select(
+        *groups,
+        F.col("_s.lag_k").alias("lag_k"),
+        F.col("_s.n_pairs").alias("n_pairs"),
+        F.col("_s.pacf").alias("pacf"),
+    )
+
+
+def pacf_features_sql(
+    relation: str,
+    column: str,
+    group_columns,
+    order_by,
+    max_lag: int = 5,
+    scale: int = 0,
+    min_pairs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`pacf_features`: the acf_features twin,
+    the same pivot, and the same shared Durbin–Levinson SQL text."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    inner = acf_features_sql(
+        relation, column, group_columns, order_by, max_lag=max_lag,
+        scale=scale, min_pairs=min_pairs,
+    )
+    rcols = ",\n    ".join(
+        f"MAX(CASE WHEN lag_k = {k} THEN acf END) AS r{k}"
+        for k in range(1, max_lag + 1)
+    )
+    npcols = ",\n    ".join(
+        f"MAX(CASE WHEN lag_k = {k} THEN n_pairs END) AS np{k}"
+        for k in range(1, max_lag + 1)
+    )
+    ctes = [f"w0 AS (\n  SELECT {gsel},\n    {rcols},\n    {npcols}\n"
+            f"  FROM ({inner}) GROUP BY {gsel}\n)"]
+    prev = "w0"
+    for i, batch in enumerate(_pacf_level_exprs(max_lag), start=1):
+        cols = ", ".join(f"{e} AS {n}" for n, e in batch)
+        ctes.append(f"w{i} AS (SELECT *, {cols} FROM {prev})")
+        prev = f"w{i}"
+    rows = " UNION ALL ".join(
+        f"SELECT {gsel}, {k} AS lag_k, np{k} AS n_pairs,"
+        f" phi_{k}_{k} AS pacf FROM {prev}"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH {','.join(ctes)}
+{rows}
+"""

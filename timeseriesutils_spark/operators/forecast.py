@@ -2052,3 +2052,181 @@ SELECT {gsel}, n,
   CASE WHEN n > 0 AND _sen > 0 THEN {rmse_f} / {rmse_n} END AS theil_u2
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# AR(2) Yule–Walker forecast
+# --------------------------------------------------------------------------
+
+
+def ar2_forecast(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+    horizons: tuple[int, ...] = (1, 7),
+    scale: int = 0,
+    min_pairs: int = 2,
+) -> DataFrame:
+    """Per-group AR(2) fit by Yule–Walker + recursive h-step mean
+    forecasts — the autoregressive member of the forecaster family
+    (holt/theta/holt_winters are exponential-smoothing state models;
+    AR(2) is the minimal model with OSCILLATORY dynamics, which
+    smoothers cannot represent):
+
+        φ₁ = r₁(1−r₂)/(1−r₁²),   φ₂ = (r₂−r₁²)/(1−r₁²)
+        ŷ_{t+h} = μ + φ₁·(ŷ_{t+h−1}−μ) + φ₂·(ŷ_{t+h−2}−μ)
+
+    (ŷ at or before t = observed y).  r₁, r₂ come from acf_features'
+    exact-integer sums (bit-identical across engines); μ is the exact
+    quantized-sum mean; the recursion unrolls to max(horizons) as a
+    fixed double tree.  Plan: the acf aggregation + ONE extra
+    window/agg pass for (n, Σ, last two values), joined group-on-group
+    (both frames already collapsed to one row per group).
+
+    Returns (groups…, n, phi1, phi2, horizon, forecast); NULL forecast
+    where the fit is undefined (r₁ or r₂ NULL, or 1−r₁² = 0).
+    """
+    from timeseriesutils_spark.operators.acf import acf_features
+
+    g = _as_list(group_columns)
+    order = _as_list(order_by)
+    acf = acf_features(
+        data, column, g, order, max_lag=2, scale=scale,
+        min_pairs=min_pairs,
+    )
+    rw = acf.groupBy(*g).agg(
+        *[
+            F.max(F.when(F.col("lag_k") == k, F.col("acf"))).alias(f"_r{k}")
+            for k in (1, 2)
+        ]
+    )
+    m = 10**scale
+    q = F.floor(F.col(column).cast("double") * F.lit(float(m)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    wdesc = Window.partitionBy(*g).orderBy(*[F.col(c).desc() for c in order])
+    rows = data.filter(F.col(column).isNotNull()).select(
+        *g, q.alias("_q"), F.row_number().over(wdesc).alias("_rn")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    state = rows.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_q"))).alias("_sq"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_q"))).alias("_y1"),
+        F.max(F.when(F.col("_rn") == 2, F.col("_q"))).alias("_y2"),
+    )
+    j = rw.join(state, on=g, how="inner")
+    md = F.lit(float(m))
+    mu = F.col("_sq").cast("string").cast("double") / md / F.col("n").cast("double")
+    r1, r2 = F.col("_r1"), F.col("_r2")
+    den = F.lit(1.0) - r1 * r1
+    phi1 = F.when(den != 0, r1 * (F.lit(1.0) - r2) / den)
+    phi2 = F.when(den != 0, (r2 - r1 * r1) / den)
+    base = j.select(
+        *g, "n",
+        mu.alias("_mu"),
+        (F.col("_y1").cast("double") / md).alias("_v1"),
+        (F.col("_y2").cast("double") / md).alias("_v2"),
+        phi1.alias("phi1"),
+        phi2.alias("phi2"),
+    )
+    # unroll the mean recursion to max(horizons): dev_h = φ1·dev_{h−1}
+    # + φ2·dev_{h−2} with dev_0 = y_t−μ, dev_{−1} = y_{t−1}−μ
+    hmax = max(horizons)
+    devs = [F.col("_v2") - F.col("_mu"), F.col("_v1") - F.col("_mu")]
+    fcs = {}
+    for h in range(1, hmax + 1):
+        d = F.col("phi1") * devs[-1] + F.col("phi2") * devs[-2]
+        devs.append(d)
+        if h in horizons:
+            fcs[h] = F.col("_mu") + d
+    per_h = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(h).alias("horizon"), fcs[h].alias("forecast")
+                )
+                for h in sorted(fcs)
+            ]
+        )
+    ).alias("_s")
+    return base.select(*g, "n", "phi1", "phi2", per_h).select(
+        *g, "n", "phi1", "phi2",
+        F.col("_s.horizon").alias("horizon"),
+        F.col("_s.forecast").alias("forecast"),
+    )
+
+
+def ar2_forecast_sql(
+    relation: str,
+    column: str,
+    group_columns,
+    order_by,
+    horizons: tuple[int, ...] = (1, 7),
+    scale: int = 0,
+    min_pairs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ar2_forecast` (acf twin + the same
+    unrolled recursion text)."""
+    from timeseriesutils_spark.operators.acf import acf_features_sql
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    osel_desc = ", ".join(f"{c} DESC" for c in _as_list(order_by))
+    inner = acf_features_sql(
+        relation, column, g, _as_list(order_by), max_lag=2, scale=scale,
+        min_pairs=min_pairs,
+    )
+    m = 10**scale
+    md = f"{float(m)!r}"
+    qq = (
+        f"CAST(FLOOR(CAST({column} AS DOUBLE) * {md} + 0.5) AS BIGINT)"
+    )
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    mu = f"({s2d('_sq')} / {md} / CAST(n AS DOUBLE))"
+    den = "(1.0 - _r1 * _r1)"
+    phi1 = f"CASE WHEN {den} <> 0 THEN _r1 * (1.0 - _r2) / {den} END"
+    phi2 = f"CASE WHEN {den} <> 0 THEN (_r2 - _r1 * _r1) / {den} END"
+    hmax = max(horizons)
+    devs = ["(_v2 - _mu)", "(_v1 - _mu)"]
+    sel = []
+    for h in range(1, hmax + 1):
+        d = f"(phi1 * {devs[-1]} + phi2 * {devs[-2]})"
+        devs.append(d)
+        if h in horizons:
+            sel.append(
+                f"SELECT {gsel}, n, phi1, phi2, {h} AS horizon,"
+                f" (_mu + {d}) AS forecast FROM base"
+            )
+    rows = " UNION ALL ".join(sel)
+    return f"""
+WITH rw AS (
+  SELECT {gsel},
+    MAX(CASE WHEN lag_k = 1 THEN acf END) AS _r1,
+    MAX(CASE WHEN lag_k = 2 THEN acf END) AS _r2
+  FROM ({inner}) GROUP BY {gsel}
+),
+ranked AS (
+  SELECT {gsel}, {qq} AS _q,
+    ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY {osel_desc}) AS _rn
+  FROM {relation} WHERE {column} IS NOT NULL
+),
+state AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    SUM(CAST(_q AS DECIMAL(38,0))) AS _sq,
+    MAX(CASE WHEN _rn = 1 THEN _q END) AS _y1,
+    MAX(CASE WHEN _rn = 2 THEN _q END) AS _y2
+  FROM ranked GROUP BY {gsel}
+),
+base AS (
+  SELECT {gsel}, n, {mu} AS _mu,
+    CAST(_y1 AS DOUBLE) / {md} AS _v1,
+    CAST(_y2 AS DOUBLE) / {md} AS _v2,
+    {phi1} AS phi1,
+    {phi2} AS phi2
+  FROM rw JOIN state USING ({gsel})
+)
+{rows}
+ORDER BY {gsel}, horizon
+"""

@@ -90,6 +90,7 @@ TIERS: dict[str, str] = {
     "dup_cluster_sizes": "audit", "knn_recall_curve": "audit",
     "langid_confusion": "audit", "dup_rate_by_source": "audit",
     "corpus_jsd": "audit", "novelty_scores": "audit", "zipf_fit": "audit",
+    "simpson_diversity": "audit",
     "ab_test_report": "audit", "wilson_daily": "audit",
     "length_histogram": "audit", "corpus_stats": "audit",
     # composite end-to-end showcases (pieces are core-gated)
@@ -109,6 +110,10 @@ def tier(name: str) -> str:
 # deliberate decision, not a silent default (round-6 VERDICT item 7).
 TIER_REVIEWED: frozenset[str] = frozenset((
     "ab_test_report", "abc_analysis", "acf_features", "adf_test",
+    # round-9 additions (core unless noted; simpson_diversity is an
+    # audit-tier corpus dashboard like corpus_jsd/zipf_fit)
+    "pacf_features", "theil_u", "ar2_forecast", "flesch_readability",
+    "simpson_diversity",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

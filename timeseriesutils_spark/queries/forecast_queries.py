@@ -2618,3 +2618,73 @@ def _sql_owa_eval():
 
 
 QUERIES.update({"owa_eval": Q(q_owa_eval, _sql_owa_eval())})
+
+
+def q_theil_u(spark, sf_dir):
+    """Theil's U2 of the weekly-naive forecaster (lag-7) against the
+    daily-naive reference on the per-supplier daily price series
+    (operators/forecast.theil_u): the RMSE-ratio companion of
+    owa_eval's MASE — squared error punishes the occasional large
+    miss that absolute error averages away.  Complete-case rows, one
+    lag window + one map-combinable aggregation."""
+    from timeseriesutils_spark.operators.forecast import theil_u
+    from timeseriesutils_spark.queries.series_queries import _daily
+    from pyspark.sql import Window as W
+
+    d = _daily(spark, sf_dir)
+    w = W.partitionBy("l_suppkey").orderBy("ship_day")
+    dd = d.select(
+        "l_suppkey",
+        "ship_day",
+        "day_price",
+        F.lag("day_price", 7).over(w).alias("f_lag7"),
+    )
+    return theil_u(
+        dd, "day_price", "f_lag7", ["l_suppkey"], ["ship_day"], scale=6
+    )
+
+
+def _sql_theil_u():
+    from timeseriesutils_spark.operators.forecast import theil_u_sql
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    dd = (
+        "SELECT l_suppkey, ship_day, day_price,"
+        " LAG(day_price, 7) OVER (PARTITION BY l_suppkey ORDER BY ship_day)"
+        f" AS f_lag7 FROM ({_SQL_DAILY})"
+    )
+    return theil_u_sql(
+        dd, "day_price", "f_lag7", ["l_suppkey"], ["ship_day"], scale=6
+    )
+
+
+QUERIES.update({"theil_u": Q(q_theil_u, _sql_theil_u())})
+
+
+def q_ar2_forecast(spark, sf_dir):
+    """AR(2) Yule–Walker fit + 1/7-step mean forecasts per supplier on
+    the daily price series (operators/forecast.ar2_forecast): the
+    autoregressive forecaster beside the smoothing family — the
+    minimal model with oscillatory dynamics.  φs from acf_features'
+    exact-integer r₁/r₂; one extra window/agg pass for (μ, last two
+    values); group-on-group join of two collapsed frames."""
+    from timeseriesutils_spark.operators.forecast import ar2_forecast
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    return ar2_forecast(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        horizons=(1, 7), scale=2, min_pairs=2,
+    )
+
+
+def _sql_ar2_forecast():
+    from timeseriesutils_spark.operators.forecast import ar2_forecast_sql
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    return ar2_forecast_sql(
+        f"({_SQL_DAILY})", "day_price", ["l_suppkey"], ["ship_day"],
+        horizons=(1, 7), scale=2, min_pairs=2,
+    )
+
+
+QUERIES.update({"ar2_forecast": Q(q_ar2_forecast, _sql_ar2_forecast())})

@@ -2101,3 +2101,50 @@ def _sql_gibberish_score():
 QUERIES.update(
     {"gibberish_score": Q(q_gibberish_score, _sql_gibberish_score())}
 )
+
+
+def q_flesch(spark, sf_dir):
+    """Flesch reading ease + Flesch–Kincaid grade over the documents
+    corpus (operators/text.flesch_readability): surface readability
+    for audience bucketing — boilerplate/legalese scores very low,
+    word-salad implausibly high.  Exact regexp counts (Java∩RE2
+    subset), pure per-row expressions."""
+    from timeseriesutils_spark.operators.text import flesch_readability
+
+    return flesch_readability(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def _sql_flesch():
+    from timeseriesutils_spark.operators.text import flesch_readability_sql
+
+    return flesch_readability_sql("SELECT * FROM documents", "doc_id", "text")
+
+
+QUERIES.update({"flesch_readability": Q(q_flesch, _sql_flesch())})
+
+
+def q_simpson_diversity(spark, sf_dir):
+    """Gini–Simpson lexical diversity per document source
+    (operators/text.simpson_diversity): the probability two random
+    tokens differ — template spam / mode collapse shows up as low D
+    even when the distinct-token RATIO looks healthy, because D
+    weights by frequency mass.  One token count collapse + one slice
+    rollup."""
+    from timeseriesutils_spark.operators.text import simpson_diversity
+
+    return simpson_diversity(
+        load_table(spark, sf_dir, "documents"), "source", "text"
+    )
+
+
+def _sql_simpson_diversity():
+    from timeseriesutils_spark.operators.text import simpson_diversity_sql
+
+    return simpson_diversity_sql("SELECT * FROM documents", "source", "text")
+
+
+QUERIES.update(
+    {"simpson_diversity": Q(q_simpson_diversity, _sql_simpson_diversity())}
+)

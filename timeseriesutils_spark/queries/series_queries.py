@@ -1082,3 +1082,30 @@ def _sql_sampen_coarse():
 
 
 QUERIES.update({"sampen_coarse": Q(q_sampen_coarse, _sql_sampen_coarse())})
+
+
+def q_pacf(spark, sf_dir):
+    """Partial autocorrelation at lags 1..5 per supplier
+    (operators/acf.pacf_features): the AR order-selection companion of
+    acf_features — PACF cuts off at the true AR order where ACF only
+    tails off.  Durbin–Levinson over the exact-sum r_k as a fixed
+    chain of small projections (the same SQL text runs in both
+    engines); the pivot exchange moves max_lag rows per group."""
+    from timeseriesutils_spark.operators.acf import pacf_features
+
+    return pacf_features(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        max_lag=5, scale=0, min_pairs=2,
+    )
+
+
+def _sql_pacf():
+    from timeseriesutils_spark.operators.acf import pacf_features_sql
+
+    return pacf_features_sql(
+        f"({_SQL_DAILY})", "day_price", ["l_suppkey"], ["ship_day"],
+        max_lag=5, scale=0, min_pairs=2,
+    )
+
+
+QUERIES.update({"pacf_features": Q(q_pacf, _sql_pacf())})
