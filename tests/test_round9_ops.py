@@ -541,3 +541,93 @@ def test_simpson_hand_worked(spark):
     assert out["s2"].simpson == pytest.approx(1.0)
     # s3: all same -> D = 0
     assert out["s3"].simpson == pytest.approx(0.0)
+
+
+def test_classification_report_hand_worked(spark):
+    from timeseriesutils_spark.operators.mleval import classification_report
+
+    # actual:  a a a b b c ; pred: a b a b c c
+    rows = [("g", a, p) for a, p in
+            [("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"),
+             ("b", "c"), ("c", "c")]]
+    df = spark.createDataFrame(rows, "g string, actual string, pred string")
+    out = {r["class"]: r for r in
+           classification_report(df, "actual", "pred", ["g"]).collect()}
+    a = out["a"]
+    assert (a.tp, a.fp, a.fn, a.support) == (2, 0, 1, 3)
+    assert a.precision == 1.0 and a.recall == pytest.approx(2 / 3)
+    assert a.f1 == pytest.approx(4 / 5)
+    b = out["b"]
+    assert (b.tp, b.fp, b.fn) == (1, 1, 1)
+    c = out["c"]
+    assert (c.tp, c.fp, c.fn) == (1, 1, 0)
+    assert c.recall == 1.0 and c.precision == 0.5
+
+
+def test_classification_report_class_only_predicted(spark):
+    from timeseriesutils_spark.operators.mleval import classification_report
+
+    # a class that never appears in actuals still gets a row (fp only)
+    rows = [("g", "x", "x"), ("g", "x", "z")]
+    df = spark.createDataFrame(rows, "g string, actual string, pred string")
+    out = {r["class"]: r for r in
+           classification_report(df, "actual", "pred", ["g"]).collect()}
+    z = out["z"]
+    assert (z.tp, z.fp, z.fn, z.support) == (0, 1, 0, 0)
+    assert z.precision == 0.0 and z.recall is None
+
+
+def test_gains_curve_hand_worked(spark):
+    from timeseriesutils_spark.operators.mleval import gains_curve
+
+    # 10 rows, scores 10..1, positives at the top 3 scores
+    rows = [("g", float(10 - i), i < 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    out = {r.bucket: r for r in
+           gains_curve(df, "s", "y", ["g"]).collect()}
+    assert len(out) == 10
+    # decile 1 = top score row only; decile 3 captures all 3 positives
+    assert out[1].n_included == 1 and out[1].pos_included == 1
+    assert out[1].gains == pytest.approx(1 / 3)
+    assert out[1].lift == pytest.approx((1 / 3) / (1 / 10))
+    assert out[3].pos_included == 3 and out[3].gains == 1.0
+    assert out[10].n_included == 10 and out[10].gains == 1.0
+    assert out[10].lift == pytest.approx(1.0)
+
+
+def test_gains_curve_tie_blocks_whole(spark):
+    from timeseriesutils_spark.operators.mleval import gains_curve
+
+    # all rows share ONE score: no bucket below 10 may include the
+    # partial tie block -> n_included = 0 until the full block fits
+    rows = [("g", 5.0, i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    out = {r.bucket: r for r in gains_curve(df, "s", "y", ["g"]).collect()}
+    for b in range(1, 10):
+        assert out[b].n_included == 0, b
+    assert out[10].n_included == 10 and out[10].gains == 1.0
+
+
+def test_paired_ttest_hand_worked(spark):
+    from timeseriesutils_spark.operators.stats import paired_ttest
+
+    # diffs: +1 +1 +1 +3 -> mean 1.5, sd = 1, t = 1.5/(1/2) = 3
+    rows = [("g", 2.0, 1.0), ("g", 3.0, 2.0), ("g", 4.0, 3.0),
+            ("g", 6.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, a double, b double")
+    r = paired_ttest(df, "a", "b", ["g"]).first()
+    assert r.n == 4 and r.df == 3
+    assert r.mean_diff == pytest.approx(1.5)
+    assert r.sd_diff == pytest.approx(1.0)
+    assert r.t_stat == pytest.approx(3.0)
+    assert r.p_value == _bowling_p(3.0)
+
+
+def test_paired_ttest_zero_variance_nulls(spark):
+    from timeseriesutils_spark.operators.stats import paired_ttest
+
+    rows = [("g", 2.0, 1.0), ("g", 3.0, 2.0)]
+    df = spark.createDataFrame(rows, "g string, a double, b double")
+    r = paired_ttest(df, "a", "b", ["g"]).first()
+    assert r.mean_diff == pytest.approx(1.0)
+    assert r.t_stat is None and r.p_value is None  # all diffs equal

@@ -443,3 +443,314 @@ SELECT {rsel}, COUNT(*) AS n_queries,
   CAST(SUM(_hit) AS DOUBLE) / {nn} AS hit_rate_at_k
 FROM scored GROUP BY {rsel}
 """
+
+
+# --------------------------------------------------------------------------
+# multiclass classification report
+# --------------------------------------------------------------------------
+
+
+def classification_report(
+    df: DataFrame,
+    actual_col: str,
+    pred_col: str,
+    group_columns,
+) -> DataFrame:
+    """Per-(group, class) multiclass scorecard — pr_curve's sibling for
+    CLASSIFIERS (pr_curve sweeps a binary score threshold; this scores
+    hard multiclass predictions the way sklearn's classification_report
+    does): per class c,
+
+        tp = #{actual=c ∧ pred=c},  fp = #{pred=c ∧ actual≠c},
+        fn = #{actual=c ∧ pred≠c},
+        precision = tp/(tp+fp),  recall = tp/(tp+fn),
+        f1 = 2tp/(2tp+fp+fn)    (joinless form, the pr_curve identity)
+
+    Scale design: ONE count collapse on (group, actual, pred) — the
+    confusion cells, |classes|² rows per group max — then each cell
+    emits its ≤2 per-class contributions (diagonal → tp to class c;
+    off-diagonal → fn to the actual class, fp to the predicted class)
+    and ONE sum per (group, class).  Rows are never scanned twice; no
+    class enumeration pass is needed because every class appears in
+    some cell.  NULL actual/pred rows drop (complete-case).
+
+    Returns (groups…, class, support, tp, fp, fn, precision, recall,
+    f1); precision/recall NULL when their denominator is 0.
+    """
+    g = _as_list(group_columns)
+    d = df.filter(
+        F.col(actual_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(
+        *g,
+        F.col(actual_col).cast("string").alias("_a"),
+        F.col(pred_col).cast("string").alias("_p"),
+    )
+    cells = d.groupBy(*g, "_a", "_p").agg(F.count(F.lit(1)).alias("_c"))
+    diag = F.col("_a") == F.col("_p")
+    contrib = F.explode(
+        F.when(
+            diag,
+            F.array(
+                F.struct(
+                    F.col("_a").alias("cls"),
+                    F.col("_c").alias("tp"),
+                    F.lit(0).cast("bigint").alias("fp"),
+                    F.lit(0).cast("bigint").alias("fn"),
+                )
+            ),
+        ).otherwise(
+            F.array(
+                F.struct(
+                    F.col("_a").alias("cls"),
+                    F.lit(0).cast("bigint").alias("tp"),
+                    F.lit(0).cast("bigint").alias("fp"),
+                    F.col("_c").alias("fn"),
+                ),
+                F.struct(
+                    F.col("_p").alias("cls"),
+                    F.lit(0).cast("bigint").alias("tp"),
+                    F.col("_c").alias("fp"),
+                    F.lit(0).cast("bigint").alias("fn"),
+                ),
+            )
+        )
+    ).alias("_s")
+    per = cells.select(*g, contrib).select(
+        *g,
+        F.col("_s.cls").alias("class"),
+        F.col("_s.tp").alias("_tp"),
+        F.col("_s.fp").alias("_fp"),
+        F.col("_s.fn").alias("_fn"),
+    )
+    agg = per.groupBy(*g, "class").agg(
+        F.sum("_tp").alias("tp"),
+        F.sum("_fp").alias("fp"),
+        F.sum("_fn").alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    td = tp.cast("double")
+    return agg.select(
+        *g,
+        "class",
+        (tp + fn).alias("support"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp + fp > 0, td / (tp + fp).cast("double")).alias("precision"),
+        F.when(tp + fn > 0, td / (tp + fn).cast("double")).alias("recall"),
+        F.when(
+            F.lit(2) * tp + fp + fn > 0,
+            F.lit(2.0) * td / (F.lit(2) * tp + fp + fn).cast("double"),
+        ).alias("f1"),
+    )
+
+
+def classification_report_sql(
+    data_sql: str,
+    actual_col: str,
+    pred_col: str,
+    group_columns,
+) -> str:
+    """DuckDB twin of :func:`classification_report` (same cell
+    contributions via UNION ALL, same joinless F1)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    return f"""
+WITH d AS (
+  SELECT {gsel}, CAST({actual_col} AS VARCHAR) AS _a,
+    CAST({pred_col} AS VARCHAR) AS _p
+  FROM ({data_sql})
+  WHERE {actual_col} IS NOT NULL AND {pred_col} IS NOT NULL
+),
+cells AS (
+  SELECT {gsel}, _a, _p, COUNT(*) AS _c FROM d GROUP BY {gsel}, _a, _p
+),
+contrib AS (
+  SELECT {gsel}, _a AS class,
+    CASE WHEN _a = _p THEN _c ELSE 0 END AS _tp,
+    CAST(0 AS BIGINT) AS _fp,
+    CASE WHEN _a = _p THEN 0 ELSE _c END AS _fn
+  FROM cells
+  UNION ALL
+  SELECT {gsel}, _p AS class, CAST(0 AS BIGINT), _c, CAST(0 AS BIGINT)
+  FROM cells WHERE _a <> _p
+),
+agg AS (
+  SELECT {gsel}, class,
+    CAST(SUM(_tp) AS BIGINT) AS tp,
+    CAST(SUM(_fp) AS BIGINT) AS fp,
+    CAST(SUM(_fn) AS BIGINT) AS fn
+  FROM contrib GROUP BY {gsel}, class
+)
+SELECT {gsel}, class, tp + fn AS support, tp, fp, fn,
+  CASE WHEN tp + fp > 0
+    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+  CASE WHEN tp + fn > 0
+    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+  CASE WHEN 2 * tp + fp + fn > 0
+    THEN 2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+  END AS f1
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# cumulative gains / lift at decile cutoffs
+# --------------------------------------------------------------------------
+
+
+def gains_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_columns,
+    n_buckets: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Cumulative gains + lift at score-ordered decile cutoffs — the
+    campaign-targeting view of ranking quality beside roc_auc (global
+    order) and pr_curve (one threshold): "contact the top d/10 of the
+    population, capture what share of the positives?"
+
+    Deterministic tie contract (NO ntile: its tie assignment is
+    row-order-dependent and diverges across engines): scores quantize
+    to 10^-scale ints and collapse to per-(group, score) counts; a
+    score block is INCLUDED in bucket d iff the cumulative row count
+    through the block ≤ ⌈n·d/B⌉ — whole tie-blocks in or out, exact
+    integer comparisons end to end.
+
+        gains_d = cum_pos(last included block) / total_pos
+        lift_d  = gains_d / (cum_rows / n)
+
+    One count collapse + one cumulative window over collapsed rows +
+    one bucket fan-out (B literals × distinct-score rows, never raw
+    rows).
+
+    Returns (groups…, bucket, cutoff_frac, n_included, pos_included,
+    gains, lift).
+    """
+    g = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(score_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    y = F.col(label_col).cast("boolean")
+    d = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(*g, q.alias("_q"), y.cast("bigint").alias("_y"))
+    per = d.groupBy(*g, "_q").agg(
+        F.count(F.lit(1)).alias("_r"), F.sum("_y").alias("_p")
+    )
+    w = Window.partitionBy(*g).orderBy(F.col("_q").desc())
+    wg = Window.partitionBy(*g)
+    cum = per.select(
+        *g,
+        F.sum("_r").over(w).alias("_cr"),
+        F.sum("_p").over(w).alias("_cp"),
+        F.sum("_r").over(wg).alias("_n"),
+        F.sum("_p").over(wg).alias("_np"),
+    )
+    buckets = []
+    for b in range(1, n_buckets + 1):
+        # cutoff rows = ceil(n*b/B), exact integer arithmetic
+        cut = F.expr(f"CAST(-((-_n * {b}) div {n_buckets}) AS BIGINT)")
+        inc = F.col("_cr") <= cut
+        buckets.append(
+            F.struct(
+                F.lit(b).alias("bucket"),
+                F.max(F.when(inc, F.col("_cr"))).alias("n_included"),
+                F.max(F.when(inc, F.col("_cp"))).alias("pos_included"),
+            )
+        )
+    agg = cum.groupBy(*g).agg(
+        F.max("_n").alias("_n"),
+        F.max("_np").alias("_np"),
+        F.array(*buckets).alias("_bs"),
+    )
+    exploded = agg.select(
+        *g, "_n", "_np", F.explode("_bs").alias("_s")
+    ).select(
+        *g,
+        "_n",
+        "_np",
+        F.col("_s.bucket").alias("bucket"),
+        F.coalesce(F.col("_s.n_included"), F.lit(0)).alias("n_included"),
+        F.coalesce(F.col("_s.pos_included"), F.lit(0)).alias("pos_included"),
+    )
+    ni = F.col("n_included").cast("double")
+    pi = F.col("pos_included").cast("double")
+    nn = F.col("_n").cast("double")
+    np_ = F.col("_np").cast("double")
+    gains = F.when(F.col("_np") > 0, pi / np_)
+    lift = F.when(
+        (F.col("_np") > 0) & (F.col("n_included") > 0),
+        (pi / np_) / (ni / nn),
+    )
+    return exploded.select(
+        *g,
+        "bucket",
+        (F.col("bucket").cast("double") / F.lit(float(n_buckets))).alias(
+            "cutoff_frac"
+        ),
+        "n_included",
+        "pos_included",
+        gains.alias("gains"),
+        lift.alias("lift"),
+    )
+
+
+def gains_curve_sql(
+    data_sql: str,
+    score_col: str,
+    label_col: str,
+    group_columns,
+    n_buckets: int = 10,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`gains_curve` (same quantize, same
+    whole-tie-block inclusion integers)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    qq = (
+        f"CAST(FLOOR(CAST({score_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {gsel}, _n, _np, {b} AS bucket, "
+        f"COALESCE(MAX(CASE WHEN _cr <= -((-_n * {b}) // {n_buckets})"
+        f" THEN _cr END), 0) AS n_included, "
+        f"COALESCE(MAX(CASE WHEN _cr <= -((-_n * {b}) // {n_buckets})"
+        f" THEN _cp END), 0) AS pos_included "
+        f"FROM cum GROUP BY {gsel}, _n, _np"
+        for b in range(1, n_buckets + 1)
+    )
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q,
+    CAST(CAST({label_col} AS BOOLEAN) AS BIGINT) AS _y
+  FROM ({data_sql})
+  WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+),
+per AS (
+  SELECT {gsel}, _q, COUNT(*) AS _r, SUM(_y) AS _p
+  FROM d GROUP BY {gsel}, _q
+),
+cum AS (
+  SELECT {gsel},
+    CAST(SUM(_r) OVER (PARTITION BY {gsel} ORDER BY _q DESC) AS BIGINT) AS _cr,
+    CAST(SUM(_p) OVER (PARTITION BY {gsel} ORDER BY _q DESC) AS BIGINT) AS _cp,
+    CAST(SUM(_r) OVER (PARTITION BY {gsel}) AS BIGINT) AS _n,
+    CAST(SUM(_p) OVER (PARTITION BY {gsel}) AS BIGINT) AS _np
+  FROM per
+),
+b AS ({rows})
+SELECT {gsel}, bucket,
+  CAST(bucket AS DOUBLE) / {float(n_buckets)!r} AS cutoff_frac,
+  n_included, pos_included,
+  CASE WHEN _np > 0
+    THEN CAST(pos_included AS DOUBLE) / CAST(_np AS DOUBLE) END AS gains,
+  CASE WHEN _np > 0 AND n_included > 0
+    THEN (CAST(pos_included AS DOUBLE) / CAST(_np AS DOUBLE))
+       / (CAST(n_included AS DOUBLE) / CAST(_n AS DOUBLE)) END AS lift
+FROM b
+"""

@@ -2246,3 +2246,136 @@ SELECT {gsel}, k_levels, n,
   CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
 FROM top
 """
+
+
+# --------------------------------------------------------------------------
+# paired t-test
+# --------------------------------------------------------------------------
+
+
+def paired_ttest(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group paired t-test on matched observations — welch_ttest's
+    within-subject sibling (welch compares two INDEPENDENT arms; the
+    paired design differences out per-subject variation first, which
+    is why A/B-on-the-same-entities analyses use it):
+
+        d_i = a_i − b_i,   t = d̄ / (s_d / √n),   df = n − 1
+
+    Complete-case pairs (both sides non-null).  Differences quantize
+    to 10^-scale ints; (n, Σd, Σd²) run through DECIMAL — the same
+    exact-sufficient-statistics pass as welch_ttest, one
+    map-combinable aggregation.  p uses the engine-pinned normal
+    kernel (nonparam.two_sided_p_expr — documented normal
+    approximation of the t reference, adequate at the corpus sizes
+    this targets; df is emitted so a caller can apply an exact t
+    correction off-engine).
+
+    Returns (groups…, n, mean_diff, sd_diff, t_stat, df, p_value,
+    reject_05).
+    """
+    from timeseriesutils_spark.operators.nonparam import two_sided_p_expr
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    m = 10**scale
+    d_ = (
+        F.col(a_col).cast("double") - F.col(b_col).cast("double")
+    )
+    q = F.floor(d_ * F.lit(float(m)) + F.lit(0.5)).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    rows = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(*g, q.alias("_d"))
+    agg = rows.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_d"))).alias("_s"),
+        F.sum(dec19(F.col("_d")) * dec19(F.col("_d"))).alias("_ss"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    mf = F.lit(float(m))
+    nn = F.col("n").cast("double")
+    mean = s2d("_s") / mf / nn
+    # exact ssn = n·Σd² − (Σd)² in DECIMAL, variance = ssn/(n(n−1))
+    ssn = F.expr(
+        "CAST(n AS DECIMAL(19,0)) * _ss"
+        " - CAST(_s AS DECIMAL(19,0)) * CAST(_s AS DECIMAL(19,0))"
+    )
+    var = ssn.cast("string").cast("double") / (mf * mf) / (
+        nn * (nn - F.lit(1.0))
+    )
+    sd = F.sqrt(var)
+    t = mean / (sd / F.sqrt(nn))
+    p = two_sided_p_expr(t)
+    ok = (F.col("n") > 1) & (var > 0)
+    return agg.select(
+        *g,
+        "n",
+        F.when(F.col("n") > 0, mean).alias("mean_diff"),
+        F.when(ok, sd).alias("sd_diff"),
+        F.when(ok, t).alias("t_stat"),
+        (F.col("n") - 1).alias("df"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def paired_ttest_sql(
+    data_sql: str,
+    a_col: str,
+    b_col: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`paired_ttest` (same exact sums, same
+    p kernel)."""
+    from timeseriesutils_spark.operators.nonparam import two_sided_p_sql
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    mf = f"{float(m)!r}"
+    qq = (
+        f"CAST(FLOOR((CAST({a_col} AS DOUBLE) - CAST({b_col} AS DOUBLE))"
+        f" * {mf} + 0.5) AS BIGINT)"
+    )
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+    mean = f"({s2d('_s')} / {mf} / {nn})"
+    ssn = (
+        "(CAST(n AS DECIMAL(19,0)) * _ss"
+        " - CAST(_s AS DECIMAL(19,0)) * CAST(_s AS DECIMAL(19,0)))"
+    )
+    var = f"({s2d(ssn)} / ({mf} * {mf}) / ({nn} * ({nn} - 1.0)))"
+    sd = f"SQRT({var})"
+    t = f"({mean} / ({sd} / SQRT({nn})))"
+    p = two_sided_p_sql(t)
+    ok = f"(n > 1 AND {var} > 0)"
+    return f"""
+WITH rows_ AS (
+  SELECT {gsel}, {qq} AS _d
+  FROM ({data_sql})
+  WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    SUM(CAST(_d AS DECIMAL(38,0))) AS _s,
+    SUM(CAST(_d AS DECIMAL(19,0)) * CAST(_d AS DECIMAL(19,0))) AS _ss
+  FROM rows_ GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  CASE WHEN n > 0 THEN {mean} END AS mean_diff,
+  CASE WHEN {ok} THEN {sd} END AS sd_diff,
+  CASE WHEN {ok} THEN {t} END AS t_stat,
+  n - 1 AS df,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""

@@ -2688,3 +2688,113 @@ def _sql_ar2_forecast():
 
 
 QUERIES.update({"ar2_forecast": Q(q_ar2_forecast, _sql_ar2_forecast())})
+
+
+def q_classification_report(spark, sf_dir):
+    """Multiclass precision/recall/F1 per ship year for a rule-based
+    pseudo-classifier of the return flag (operators/mleval.
+    classification_report): the hard-label scorecard beside pr_curve's
+    threshold sweep — per-class tp/fp/fn from ONE confusion-cell
+    collapse, joinless F1."""
+    from timeseriesutils_spark.operators.mleval import classification_report
+
+    li = _li(spark, sf_dir)
+    pred = F.when(
+        F.col("l_linestatus") == "F",
+        F.when(F.col("l_discount") > 0.05, F.lit("R")).otherwise(F.lit("A")),
+    ).otherwise(F.lit("N"))
+    d = li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias(
+            "ship_year"
+        ),
+        F.col("l_returnflag").alias("actual"),
+        pred.alias("pred"),
+    )
+    return classification_report(d, "actual", "pred", ["ship_year"])
+
+
+def _sql_classification_report():
+    from timeseriesutils_spark.operators.mleval import (
+        classification_report_sql,
+    )
+
+    d = (
+        "SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT)"
+        " AS ship_year, l_returnflag AS actual,"
+        " CASE WHEN l_linestatus = 'F' THEN"
+        " (CASE WHEN l_discount > 0.05 THEN 'R' ELSE 'A' END)"
+        " ELSE 'N' END AS pred FROM lineitem"
+    )
+    return classification_report_sql(d, "actual", "pred", ["ship_year"])
+
+
+QUERIES.update(
+    {
+        "classification_report": Q(
+            q_classification_report, _sql_classification_report()
+        )
+    }
+)
+
+
+def q_gains_curve(spark, sf_dir):
+    """Cumulative gains + lift at decile cutoffs per ship year on the
+    10×-discount return score (operators/mleval.gains_curve): the
+    campaign-targeting view of ranking quality — deterministic
+    whole-tie-block inclusion (no ntile: its tie assignment is
+    row-order-dependent), exact integer cutoffs."""
+    from timeseriesutils_spark.operators.mleval import gains_curve
+
+    return gains_curve(
+        _year_pret(spark, sf_dir), "p_ret", "is_ret", ["ship_year"]
+    )
+
+
+def _sql_gains_curve():
+    from timeseriesutils_spark.operators.mleval import gains_curve_sql
+
+    return gains_curve_sql(_SQL_YEAR_PRET, "p_ret", "is_ret", ["ship_year"])
+
+
+QUERIES.update({"gains_curve": Q(q_gains_curve, _sql_gains_curve())})
+
+
+def q_paired_ttest(spark, sf_dir):
+    """Paired t-test per ship year: line 1 vs line 2 extended price
+    within the same order (operators/stats.paired_ttest) — the
+    within-subject counterpart of welch_ttest: differencing out the
+    per-order level isolates the line-position effect.  One self-join
+    on order key builds the pairs; exact (n, Σd, Σd²) sufficient
+    statistics."""
+    from timeseriesutils_spark.operators.stats import paired_ttest
+
+    li = _li(spark, sf_dir)
+    l1 = li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias(
+            "ship_year"
+        ),
+        F.col("l_extendedprice").alias("price_1"),
+    )
+    l2 = li.filter(F.col("l_linenumber") == 2).select(
+        "l_orderkey", F.col("l_extendedprice").alias("price_2")
+    )
+    pairs = l1.join(l2, "l_orderkey")
+    return paired_ttest(pairs, "price_1", "price_2", ["ship_year"])
+
+
+def _sql_paired_ttest():
+    from timeseriesutils_spark.operators.stats import paired_ttest_sql
+
+    pairs = (
+        "SELECT l1.l_orderkey,"
+        " CAST(EXTRACT(year FROM CAST(l1.l_shipdate AS DATE)) AS INT)"
+        " AS ship_year,"
+        " l1.l_extendedprice AS price_1, l2.l_extendedprice AS price_2"
+        " FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey"
+        " AND l1.l_linenumber = 1 AND l2.l_linenumber = 2"
+    )
+    return paired_ttest_sql(pairs, "price_1", "price_2", ["ship_year"])
+
+
+QUERIES.update({"paired_ttest": Q(q_paired_ttest, _sql_paired_ttest())})
