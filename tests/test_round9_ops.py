@@ -631,3 +631,76 @@ def test_paired_ttest_zero_variance_nulls(spark):
     r = paired_ttest(df, "a", "b", ["g"]).first()
     assert r.mean_diff == pytest.approx(1.0)
     assert r.t_stat is None and r.p_value is None  # all diffs equal
+
+
+def test_ad_test_mirror_and_semantics(spark):
+    """ad_test matches an independent python mirror of the published
+    Scholz–Stephens k=2 formulas bit-for-bit, rejects a clear shift,
+    and does not reject identical samples."""
+    from timeseriesutils_spark.operators.nonparam import ad_test
+
+    def mirror(xa, xb, scale=2):
+        m = 10**scale
+        qa = [math.floor(x * m + 0.5) for x in xa]
+        qb = [math.floor(x * m + 0.5) for x in xb]
+        na, nb, N = len(qa), len(qb), len(qa) + len(qb)
+        s, cuma, cumb = 0.0, 0, 0
+        for v in sorted(set(qa + qb)):
+            ta, tb = qa.count(v), qb.count(v)
+            cuma, cumb = cuma + ta, cumb + tb
+            B, t = cuma + cumb, ta + tb
+            if B < N:
+                d = cuma * nb - cumb * na
+                s += math.floor(t * d * d / (B * (N - B)) * 1e9 + 0.5)
+        H = 1 / na + 1 / nb
+        a2 = s / 1e9 * H / N
+        hq = [math.floor(1e15 / i + 0.5) for i in range(1, N)]
+        h = sum(hq) / 1e15
+        pre, gs, hmax = 0, 0, sum(hq)
+        for i in range(1, N - 1):
+            pre += hq[i - 1]
+            gs += math.floor((hmax - pre) / 1e15 / (N - i) * 1e9 + 0.5)
+        g = gs / 1e9
+        k = 2.0
+        a = (4 * g - 6) * (k - 1) + (10 - 6 * g) * H
+        b = (2 * g - 4) * k * k + 8 * h * k + (2 * g - 14 * h - 4) * H \
+            - 8 * h + 4 * g - 6
+        c = (6 * h + 2 * g - 2) * k * k + (4 * h - 4 * g + 6) * k \
+            + (2 * h - 6) * H + 4 * h
+        d2 = (2 * h + 6) * k * k - 4 * h * k
+        var = (a * N**3 + b * N * N + c * N + d2) / (
+            (N - 1) * (N - 2) * (N - 3)
+        )
+        return a2, math.sqrt(var)
+
+    xa = [float((i * 37) % 23) for i in range(30)]
+    xb = [float((i * 53) % 29 + 5) for i in range(25)]
+    rows = [("g", "A", v) for v in xa] + [("g", "B", v) for v in xb]
+    df = spark.createDataFrame(rows, "g string, lvl string, y double")
+    r = ad_test(df, "y", "lvl", "A", "B", ["g"]).first()
+    ma, ms = mirror(xa, xb)
+    assert r.a2_stat == ma and r.sigma_n == ms
+    assert r.t_stat == (ma - 1.0) / ms
+    assert r.reject_05 is True  # shifted by +5
+
+    same = [("g", lvl, float(v)) for lvl in ("A", "B") for v in range(1, 41)]
+    df2 = spark.createDataFrame(same, "g string, lvl string, y double")
+    r2 = ad_test(df2, "y", "lvl", "A", "B", ["g"]).first()
+    assert r2.reject_05 is False and r2.t_stat < 0  # A² below its mean
+
+
+def test_ad_vs_cvm_tail_sensitivity(spark):
+    """AD's 1/(F(1−F)) weight makes it reject a pure TAIL change that
+    CvM (flat weight) misses — the reason the operator exists."""
+    from timeseriesutils_spark.operators.nonparam import ad_test, cvm_test
+
+    # same body, B moves 12.5% of its mass to an extreme tail — enough
+    # for the 1/(F(1−F)) weight to trip, not enough for CvM's flat one
+    xa = [float(v % 50) for v in range(200)]
+    xb = [float(v % 50) for v in range(175)] + [5000.0 + i for i in range(25)]
+    rows = [("g", "A", v) for v in xa] + [("g", "B", v) for v in xb]
+    df = spark.createDataFrame(rows, "g string, lvl string, y double")
+    ad = ad_test(df, "y", "lvl", "A", "B", ["g"]).first()
+    cvm = cvm_test(df, "y", "lvl", "A", "B", ["g"]).first()
+    assert ad.reject_05 is True
+    assert cvm.reject_05 is False  # the flat-weight test misses it

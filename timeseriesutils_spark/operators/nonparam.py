@@ -1916,3 +1916,299 @@ SELECT {gsel}, n, n_rise, n_fall,
   CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
 FROM counted
 """
+
+
+# --------------------------------------------------------------------------
+# two-sample Anderson–Darling (Scholz–Stephens k=2)
+# --------------------------------------------------------------------------
+
+# 5% critical value of the standardized k-sample AD statistic at
+# m = k−1 = 1 (Scholz & Stephens 1987, Table 1 — public reference)
+_AD_CRIT_05 = 1.960
+
+# harmonic terms quantize 1/i to integer units of 1e15 so every
+# cross-i sum is EXACT integer arithmetic (order-free in any engine)
+_HQ = 10**15
+# per-value A² terms and the g double-sum quantize at 1e-9 before
+# their DECIMAL reduce (the one-transcendental-rule discipline,
+# applied here to division results)
+_ADQ = 10**9
+
+
+def ad_test(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Two-sample Anderson–Darling test per group — the tail-weighted
+    member of the ECDF family (ks_test: largest gap; cvm_test: sum of
+    squared gaps; AD: squared gaps weighted by 1/(F(1−F)), which blows
+    up in the TAILS — the test to reach for when distributional drift
+    hides in extremes).  Scholz–Stephens k-sample form at k = 2
+    (discrete/ties version, their eq. 6), using the same exact-integer
+    gap as cvm_test (d_v = cum_a·n_b − cum_b·n_a):
+
+        A² = (1/n_a + 1/n_b)/N · Σ_{v: B_v<N} t_v·d_v² / (B_v(N−B_v))
+        T  = (A² − 1) / σ_N,    reject at T ≥ 1.960 (5%, m = 1)
+
+    σ_N is the exact Scholz–Stephens variance (their eq. 4), whose
+    harmonic ingredients h = Σ_{i<N} 1/i and the double sum
+    g = Σ_{i<j<N} 1/((N−i)j) are computed from 1e15-quantized integer
+    reciprocals, so both engines sum EXACT integers (g's outer fold
+    runs over an exploded per-group index — one extra N-row frame, not
+    N², thanks to g = Σ_i (h_{N−1} − h_i)/(N−i) with h_x the integer
+    harmonic prefix).
+
+    Plan: the cvm_test count-collapse + one window, plus the harmonic
+    frame (sequence explode on the already-collapsed group row).  All
+    cross-row sums are exact integers; per-term divisions quantize at
+    1e-9 before their DECIMAL reduce.
+
+    Returns (groups…, n_a, n_b, a2_stat, sigma_n, t_stat, reject_05).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    lvl = F.col(factor_col)
+    d = df.filter(
+        F.col(value_col).isNotNull() & lvl.isin([level_a, level_b])
+    ).select(*groups, q.alias("_q"), (lvl == level_a).alias("_ia"))
+    per = d.groupBy(*groups, "_q").agg(
+        F.sum(F.col("_ia").cast("bigint")).alias("_ca"),
+        F.sum((~F.col("_ia")).cast("bigint")).alias("_cb"),
+    )
+    w = Window.partitionBy(*groups).orderBy("_q")
+    wg = Window.partitionBy(*groups)
+    cum = per.select(
+        *groups,
+        (F.col("_ca") + F.col("_cb")).alias("_tv"),
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+        F.sum("_ca").over(wg).alias("_na"),
+        F.sum("_cb").over(wg).alias("_nb"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    nn = F.col("_na") + F.col("_nb")
+    bv = F.col("_cuma") + F.col("_cumb")
+    dv = F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na")
+    # exact integer numerator t·d², VARCHAR-routed to double (>2^53
+    # safe), one division per distinct value, 1e-9-quantized
+    num = (dec19(F.col("_tv")) * dec19(dv) * dec19(dv)).cast("string").cast(
+        "double"
+    )
+    term = num / (bv * (nn - bv)).cast("double")
+    tq = F.floor(term * F.lit(float(_ADQ)) + F.lit(0.5)).cast("decimal(38,0)")
+    agg = cum.filter(bv < nn).groupBy(*groups).agg(
+        F.sum(tq).alias("_s"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )
+    # --- σ_N from integer-harmonic h and g over an exploded index ---
+    # base feeds BOTH the harmonic frame and the final join: pin() the
+    # one-row-per-group frame or the count-collapse + window upstream
+    # runs twice (the decompose_series fork lesson)
+    from timeseriesutils_spark.functions.cache import pin
+
+    hterm = "CAST(FLOOR(1e15 / CAST(i AS DOUBLE) + 0.5) AS BIGINT)"
+    base = pin(
+        agg.select(
+            *groups, "n_a", "n_b", "_s",
+            (F.col("n_a") + F.col("n_b")).alias("_n"),
+        )
+    )
+    idx = base.select(
+        *groups, "_n",
+        F.explode(F.expr("sequence(1, CAST(_n - 1 AS INT))")).alias("_i"),
+    ).select(*groups, "_n", "_i", F.expr(hterm.replace("i", "_i")).alias("_hq"))
+    wi = Window.partitionBy(*groups).orderBy("_i")
+    pref = idx.select(
+        *groups, "_n", "_i", "_hq",
+        F.sum("_hq").over(wi).alias("_hpre"),
+    )
+    # g term at i ∈ 1..N−2: (h_{N−1} − h_i)/(N − i), 1e-9-quantized
+    wgg = Window.partitionBy(*groups)
+    gterm = (
+        (F.max("_hpre").over(wgg) - F.col("_hpre")).cast("double")
+        / F.lit(float(_HQ))
+        / (F.col("_n") - F.col("_i")).cast("double")
+    )
+    gq = F.floor(gterm * F.lit(float(_ADQ)) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    harm = pref.select(
+        *groups, "_hq",
+        F.when(F.col("_i") <= F.col("_n") - 2, gq).alias("_gq"),
+    ).groupBy(*groups).agg(
+        F.sum(dec(F.col("_hq"))).alias("_hsum"),
+        F.sum("_gq").alias("_gsum"),
+    )
+    j = base.join(harm, on=groups, how="inner")
+    h_ = F.col("_hsum").cast("string").cast("double") / F.lit(float(_HQ))
+    g_ = F.col("_gsum").cast("string").cast("double") / F.lit(float(_ADQ))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nd = F.col("_n").cast("double")
+    hh = F.lit(1.0) / na + F.lit(1.0) / nb
+    k = F.lit(2.0)
+    a_ = (F.lit(4.0) * g_ - F.lit(6.0)) * (k - 1) + (
+        F.lit(10.0) - F.lit(6.0) * g_
+    ) * hh
+    b_ = (
+        (F.lit(2.0) * g_ - F.lit(4.0)) * k * k
+        + F.lit(8.0) * h_ * k
+        + (F.lit(2.0) * g_ - F.lit(14.0) * h_ - F.lit(4.0)) * hh
+        - F.lit(8.0) * h_
+        + F.lit(4.0) * g_
+        - F.lit(6.0)
+    )
+    c_ = (
+        (F.lit(6.0) * h_ + F.lit(2.0) * g_ - F.lit(2.0)) * k * k
+        + (F.lit(4.0) * h_ - F.lit(4.0) * g_ + F.lit(6.0)) * k
+        + (F.lit(2.0) * h_ - F.lit(6.0)) * hh
+        + F.lit(4.0) * h_
+    )
+    d2_ = (F.lit(2.0) * h_ + F.lit(6.0)) * k * k - F.lit(4.0) * h_ * k
+    var = (
+        a_ * nd * nd * nd + b_ * nd * nd + c_ * nd + d2_
+    ) / ((nd - 1) * (nd - 2) * (nd - 3))
+    a2v = (
+        F.col("_s").cast("string").cast("double") / F.lit(float(_ADQ))
+        * hh / nd
+    )
+    sig = F.sqrt(var)
+    t = (a2v - F.lit(1.0)) / sig
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (F.col("_n") > 3) & (
+        var > 0
+    )
+    return j.select(
+        *groups,
+        "n_a",
+        "n_b",
+        F.when(ok, a2v).alias("a2_stat"),
+        F.when(ok, sig).alias("sigma_n"),
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, t >= F.lit(_AD_CRIT_05)).alias("reject_05"),
+    )
+
+
+def ad_test_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ad_test` (same exact-integer gaps, same
+    quantized harmonic frame, same variance tree)."""
+    from timeseriesutils_spark.functions.exact import dlit, sq
+
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    adq = dlit(float(_ADQ))
+    num = (
+        "CAST(CAST(_tv AS DECIMAL(19,0)) * CAST(_dv AS DECIMAL(19,0))"
+        " * CAST(_dv AS DECIMAL(19,0)) AS VARCHAR)"
+    )
+    term = f"(CAST({num} AS DOUBLE) / CAST(_bv * (_nn - _bv) AS DOUBLE))"
+    hterm = "CAST(FLOOR(1e15 / CAST(i AS DOUBLE) + 0.5) AS BIGINT)"
+    gterm = (
+        f"((CAST(_hmax - _hpre AS DOUBLE) / {dlit(float(_HQ))})"
+        " / CAST(_n - _i AS DOUBLE))"
+    )
+    hh = "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))"
+    nd = "CAST(_n AS DOUBLE)"
+    a2 = f"({s2d('_s')} / {adq} * {hh} / {nd})"
+    h_ = f"({s2d('_hsum')} / {dlit(float(_HQ))})"
+    g_ = f"({s2d('_gsum')} / {adq})"
+    a_ = f"((4.0 * {g_} - 6.0) * 1.0 + (10.0 - 6.0 * {g_}) * {hh})"
+    b_ = (
+        f"((2.0 * {g_} - 4.0) * 4.0 + 8.0 * {h_} * 2.0"
+        f" + (2.0 * {g_} - 14.0 * {h_} - 4.0) * {hh}"
+        f" - 8.0 * {h_} + 4.0 * {g_} - 6.0)"
+    )
+    c_ = (
+        f"((6.0 * {h_} + 2.0 * {g_} - 2.0) * 4.0"
+        f" + (4.0 * {h_} - 4.0 * {g_} + 6.0) * 2.0"
+        f" + (2.0 * {h_} - 6.0) * {hh} + 4.0 * {h_})"
+    )
+    d2_ = f"((2.0 * {h_} + 6.0) * 4.0 - 4.0 * {h_} * 2.0)"
+    var = (
+        f"(({a_} * {nd} * {nd} * {nd} + {b_} * {nd} * {nd}"
+        f" + {c_} * {nd} + {d2_})"
+        f" / (({nd} - 1.0) * ({nd} - 2.0) * ({nd} - 3.0)))"
+    )
+    sig = f"SQRT({var})"
+    t = f"(({a2} - 1.0) / {sig})"
+    ok = f"(n_a > 0 AND n_b > 0 AND _n > 3 AND {var} > 0)"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q, ({factor_col} = {sq(level_a)}) AS _ia
+  FROM ({data_sql})
+  WHERE {value_col} IS NOT NULL
+    AND {factor_col} IN ({sq(level_a)}, {sq(level_b)})
+),
+per AS (
+  SELECT {gsel}, _q,
+    CAST(SUM(CASE WHEN _ia THEN 1 ELSE 0 END) AS BIGINT) AS _ca,
+    CAST(SUM(CASE WHEN _ia THEN 0 ELSE 1 END) AS BIGINT) AS _cb
+  FROM d GROUP BY {gsel}, _q
+),
+cum AS (
+  SELECT {gsel}, _ca + _cb AS _tv,
+    CAST(SUM(_ca) OVER (PARTITION BY {gsel} ORDER BY _q) AS BIGINT) AS _cuma,
+    CAST(SUM(_cb) OVER (PARTITION BY {gsel} ORDER BY _q) AS BIGINT) AS _cumb,
+    CAST(SUM(_ca) OVER (PARTITION BY {gsel}) AS BIGINT) AS _na,
+    CAST(SUM(_cb) OVER (PARTITION BY {gsel}) AS BIGINT) AS _nb
+  FROM per
+),
+gap AS (
+  SELECT {gsel}, _tv, _na, _nb, _na + _nb AS _nn,
+    _cuma + _cumb AS _bv,
+    _cuma * _nb - _cumb * _na AS _dv
+  FROM cum
+),
+agg AS (
+  SELECT {gsel},
+    SUM(CAST(FLOOR({term} * {adq} + 0.5) AS DECIMAL(38,0))) AS _s,
+    MAX(_na) AS n_a, MAX(_nb) AS n_b, MAX(_na) + MAX(_nb) AS _n
+  FROM gap WHERE _bv < _nn GROUP BY {gsel}
+),
+idx AS (
+  SELECT {gsel}, _n, UNNEST(range(1, CAST(_n AS INT))) AS _i
+  FROM agg
+),
+pref AS (
+  SELECT {gsel}, _n, _i,
+    {hterm.replace('i', '_i')} AS _hq,
+    CAST(SUM({hterm.replace('i', '_i')})
+      OVER (PARTITION BY {gsel} ORDER BY _i) AS BIGINT) AS _hpre
+  FROM idx
+),
+harm AS (
+  SELECT {gsel},
+    SUM(CAST(_hq AS DECIMAL(38,0))) AS _hsum,
+    SUM(CASE WHEN _i <= _n - 2 THEN
+      CAST(FLOOR({gterm} * {adq} + 0.5) AS DECIMAL(38,0)) END) AS _gsum
+  FROM (
+    SELECT *, MAX(_hpre) OVER (PARTITION BY {gsel}) AS _hmax FROM pref
+  ) GROUP BY {gsel}
+)
+SELECT {gsel}, n_a, n_b,
+  CASE WHEN {ok} THEN {a2} END AS a2_stat,
+  CASE WHEN {ok} THEN {sig} END AS sigma_n,
+  CASE WHEN {ok} THEN {t} END AS t_stat,
+  CASE WHEN {ok} THEN {t} >= {dlit(_AD_CRIT_05)} END AS reject_05
+FROM agg JOIN harm USING ({gsel})
+"""

@@ -114,7 +114,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     # audit-tier corpus dashboard like corpus_jsd/zipf_fit)
     "pacf_features", "theil_u", "ar2_forecast", "flesch_readability",
     "simpson_diversity", "classification_report", "gains_curve",
-    "paired_ttest",
+    "paired_ttest", "ad_test",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

@@ -2798,3 +2798,30 @@ def _sql_paired_ttest():
 
 
 QUERIES.update({"paired_ttest": Q(q_paired_ttest, _sql_paired_ttest())})
+
+
+def q_ad_test(spark, sf_dir):
+    """Two-sample Anderson–Darling per ship year on the same A-vs-R
+    price frame as ks_test/cvm_test (operators/nonparam.ad_test): the
+    TAIL-weighted ECDF test — squared gaps weighted by 1/(F(1−F)),
+    which is where price-distribution drift hides.  Scholz–Stephens
+    k=2 standardization from 1e15-quantized integer harmonics; exact
+    integer gaps; pinned 5% critical value 1.960."""
+    from timeseriesutils_spark.operators.nonparam import ad_test
+
+    return ad_test(
+        _year_rf(spark, sf_dir), "l_extendedprice", "l_returnflag",
+        "A", "R", ["ship_year"],
+    )
+
+
+def _sql_ad_test():
+    from timeseriesutils_spark.operators.nonparam import ad_test_sql
+
+    return ad_test_sql(
+        _SQL_YEAR_RF, "l_extendedprice", "l_returnflag", "A", "R",
+        ["ship_year"],
+    )
+
+
+QUERIES.update({"ad_test": Q(q_ad_test, _sql_ad_test())})
