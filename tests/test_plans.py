@@ -710,3 +710,49 @@ def test_hll_estimate_register_reduce(spark, catalog):
     assert len(re.findall(r"BroadcastHashJoin", plan)) == 1
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round9_additions_plan_shapes(spark, catalog):
+    """Round-9 operator plan pins: classification_report is one scan +
+    two hash aggregations (cells, then per-class sums) with no join;
+    gains_curve is one scan + count collapse + window (no join, no
+    ntile); theil_u is one scan, one window, one aggregation;
+    flesch_readability and simpson_diversity never join; pacf's
+    Durbin–Levinson levels are projections over the single acf
+    aggregate (no extra exchanges beyond acf's own + the pivot)."""
+    plan = _plan(catalog["classification_report"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+
+    plan = _plan(catalog["gains_curve"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+
+    plan = _plan(catalog["theil_u"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+
+    plan = _plan(catalog["flesch_readability"](spark, SF_DIR))
+    assert "Join" not in plan and "Exchange" not in plan  # pure per-row
+
+    plan = _plan(catalog["simpson_diversity"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+
+    plan = _plan(catalog["pacf_features"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+
+
+def test_ad_test_pins_its_base(spark, catalog):
+    """ad_test's one-row-per-group base feeds both the harmonic frame
+    and the final join — the pin keeps the count-collapse upstream
+    from running twice (InMemoryTableScan present, one parquet scan)."""
+    from timeseriesutils_spark.functions.cache import release_all
+
+    try:
+        plan = _plan(catalog["ad_test"](spark, SF_DIR))
+        assert len(re.findall(r"Scan parquet", plan)) == 1
+        assert "InMemoryTableScan" in plan
+    finally:
+        release_all()
