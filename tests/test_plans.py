@@ -752,7 +752,10 @@ def test_ad_test_pins_its_base(spark, catalog):
 
     try:
         plan = _plan(catalog["ad_test"](spark, SF_DIR))
-        assert len(re.findall(r"Scan parquet", plan)) == 1
-        assert "InMemoryTableScan" in plan
+        # both consumers read the pinned one-row-per-group frame (the
+        # printed plan repeats the cached subtree's lineage under each
+        # InMemoryTableScan, so counting 'Scan parquet' text would
+        # double-count — the cache hits are the real assertion)
+        assert len(re.findall(r"InMemoryTableScan", plan)) >= 2
     finally:
         release_all()
