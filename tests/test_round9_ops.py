@@ -704,3 +704,53 @@ def test_ad_vs_cvm_tail_sensitivity(spark):
     cvm = cvm_test(df, "y", "lvl", "A", "B", ["g"]).first()
     assert ad.reject_05 is True
     assert cvm.reject_05 is False  # the flat-weight test misses it
+
+
+def test_silhouette_audit_separated_clusters(spark):
+    from timeseriesutils_spark.operators.kmeans import silhouette_audit
+
+    # two tight, well-separated 2-D blobs -> mean silhouette near 1
+    rows = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)]
+    rows += [(10 + i, [100.0, 100.0 + 0.01 * i]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = silhouette_audit(df, k=2, n_iter=2).collect()
+    assert len(out) == 2 and sum(r.n for r in out) == 10
+    for r in out:
+        assert r.mean_silhouette > 0.99
+        assert r.mean_dist < 0.1
+
+
+def test_silhouette_audit_k1_null(spark):
+    from timeseriesutils_spark.operators.kmeans import silhouette_audit
+
+    rows = [(i, [float(i), 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    r = silhouette_audit(df, k=1, n_iter=1).first()
+    assert r.n == 4 and r.mean_silhouette is None
+    assert r.mean_dist > 0
+
+
+def test_chi2_gof_hand_worked(spark):
+    from timeseriesutils_spark.operators.stats import chi2_gof
+
+    # perfectly balanced 3 categories -> chi2 exactly 0
+    rows = [("g", c) for c in ("a", "b", "c") for _ in range(10)]
+    df = spark.createDataFrame(rows, "g string, cat string")
+    r = chi2_gof(df, "cat", ["g"]).first()
+    assert (r.n, r.n_categories, r.df) == (30, 3, 2)
+    assert r.chi2_stat == 0.0 and r.reject_05 is False
+
+    # skew: O = (25, 4, 1) -> chi2 = 3*(625+16+1)/30 - 30 = 34.2
+    rows2 = [("g", "a")] * 25 + [("g", "b")] * 4 + [("g", "c")]
+    df2 = spark.createDataFrame(rows2, "g string, cat string")
+    r2 = chi2_gof(df2, "cat", ["g"]).first()
+    assert r2.chi2_stat == pytest.approx(3 * 642 / 30 - 30)
+    assert r2.reject_05 is True
+
+
+def test_chi2_gof_single_category_null(spark):
+    from timeseriesutils_spark.operators.stats import chi2_gof
+
+    df = spark.createDataFrame([("g", "only")] * 5, "g string, cat string")
+    r = chi2_gof(df, "cat", ["g"]).first()
+    assert r.n_categories == 1 and r.chi2_stat is None and r.p_value is None

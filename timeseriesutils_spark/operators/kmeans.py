@@ -273,3 +273,127 @@ c{it} AS (  -- centroid update: exact sums, half-up re-round; empty keeps old
         )
         prev = f"c{it}"
     return parts, prev
+
+
+def silhouette_audit(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-cluster simplified-silhouette audit of the deterministic
+    Lloyd clustering — the cluster-QUALITY gauge next to
+    :func:`kmeans_lloyd`'s assignments (and the tuning signal for the
+    IVF coarse quantizer and SemDeDup's k ≈ N/cluster rule): per
+    vector, with a = distance to its own centroid and b = distance to
+    the nearest OTHER centroid,
+
+        s = (b − a) / max(a, b)  =  1 − a/b   (b ≥ a by argmin)
+
+    (the centroid-based "simplified silhouette" — the classic
+    all-pairs silhouette is O(n²) and carries no more signal at
+    corpus scale; public formulation, e.g. scikit-learn docs).
+
+    Exactness: squared distances to ALL k centroids are exact int64
+    (the kmeans_assign machinery); a and b come from one array_sort
+    with the (dist, j) tie-break the SQL twin's ROW_NUMBER mirrors;
+    per-row s and distance quantize at 1e-9 / 10^-scale before their
+    DECIMAL sums.  Plan: the training pass (bounded driver state) +
+    ONE projection over the corpus + one k-row aggregation — no joins
+    against raw rows.
+
+    Returns (cluster, n, mean_dist, mean_silhouette); silhouette NULL
+    at k = 1.
+    """
+    centroids = kmeans_centroids(embeddings, id_col, vec_col, k, n_iter, scale)
+    q = embeddings.select(id_col, _quantize(F.col(vec_col), scale).alias("_q"))
+    pairs = [
+        F.struct(_dist_expr("_q", c).alias("d"), F.lit(j).alias("j"))
+        for j, c in enumerate(centroids)
+    ]
+    asort = F.array_sort(F.array(*pairs))
+    mult = float(10**scale)
+    a_d = F.sqrt(asort[0]["d"].cast("double")) / F.lit(mult)
+    b_d = (
+        F.sqrt(asort[1]["d"].cast("double")) / F.lit(mult)
+        if k > 1
+        else F.lit(None).cast("double")
+    )
+    s = F.when(b_d > 0, (b_d - a_d) / b_d).otherwise(
+        F.when(b_d.isNotNull(), F.lit(0.0))
+    )
+    q9 = lambda c: F.floor(c * F.lit(1.0e9) + F.lit(0.5)).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    rows = q.select(
+        asort[0]["j"].alias("cluster"),
+        q9(a_d).alias("_aq"),
+        q9(s).alias("_sq"),
+    )
+    agg = rows.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_aq").alias("_sa"),
+        F.sum("_sq").alias("_ss"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+    return agg.select(
+        "cluster",
+        "n",
+        (s2d("_sa") / F.lit(1.0e9) / nn).alias("mean_dist"),
+        (s2d("_ss") / F.lit(1.0e9) / nn).alias("mean_silhouette"),
+    )
+
+
+def silhouette_audit_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`silhouette_audit` (the unrolled-Lloyd CTE
+    chain's final centroids, the same (dist, j) tie-break via
+    ROW_NUMBER, the same quantize points)."""
+    parts, prev = kmeans_cte_parts(table, id_col, vec_col, k, n_iter, scale)
+    mult = float(10**scale)
+    a_d = f"(SQRT(CAST(_a AS DOUBLE)) / {mult!r})"
+    b_d = f"(SQRT(CAST(_b AS DOUBLE)) / {mult!r})"
+    s = (
+        f"CASE WHEN {b_d} > 0 THEN ({b_d} - {a_d}) / {b_d}"
+        f" WHEN _b IS NOT NULL THEN 0.0 END"
+    )
+    q9 = lambda e: f"CAST(FLOOR({e} * 1000000000.0 + 0.5) AS DECIMAL(38,0))"  # noqa: E731
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    final = f"""
+df AS (
+  SELECT ql.id, {prev}.j,
+    CAST(SUM((ql.x - {prev}.c) * (ql.x - {prev}.c)) AS BIGINT) AS dist
+  FROM ql JOIN {prev} USING (pos) GROUP BY ql.id, {prev}.j
+),
+ranked AS (
+  SELECT id, j, dist,
+    ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, j) AS rn
+  FROM df
+),
+ab AS (
+  SELECT r1.id, r1.j AS cluster, r1.dist AS _a, r2.dist AS _b
+  FROM (SELECT * FROM ranked WHERE rn = 1) r1
+  LEFT JOIN (SELECT * FROM ranked WHERE rn = 2) r2 USING (id)
+),
+rows_ AS (
+  SELECT cluster, {q9(a_d)} AS _aq, {q9(s)} AS _sq FROM ab
+),
+agg AS (
+  SELECT cluster, COUNT(*) AS n, SUM(_aq) AS _sa, SUM(_sq) AS _ss
+  FROM rows_ GROUP BY cluster
+)
+SELECT CAST(cluster AS INT) AS cluster, n,
+  {s2d('_sa')} / 1000000000.0 / CAST(n AS DOUBLE) AS mean_dist,
+  {s2d('_ss')} / 1000000000.0 / CAST(n AS DOUBLE) AS mean_silhouette
+FROM agg
+"""
+    return "WITH " + ",".join(parts) + "," + final

@@ -2379,3 +2379,102 @@ SELECT {gsel}, n,
   CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# chi-square goodness-of-fit (uniformity screen)
+# --------------------------------------------------------------------------
+
+
+def chi2_gof(
+    df: DataFrame,
+    category_col: str,
+    group_columns,
+) -> DataFrame:
+    """Per-group χ² goodness-of-fit of a categorical column against the
+    UNIFORM null — the balance screen for hash splits, shard
+    assignments, and round-robin routing (benford_audit is the
+    non-uniform-null sibling with per-digit contributions;
+    categorical_assoc tests independence between TWO columns; this
+    asks one column "are your levels equally likely?"):
+
+        χ² = Σ_c (O_c − N/C)² / (N/C)  =  C·ΣO² / N − N
+
+    — the right-hand identity keeps everything EXACT: O_c and ΣO² are
+    exact integers (DECIMAL products), so χ² is one double expression
+    of exact sums with no per-category rounding.  df = C − 1; p from
+    the Wilson–Hilferty kernel (engine-pinned).  Plan: one count
+    collapse + one k-row rollup.
+
+    Returns (groups…, n, n_categories, chi2_stat, df, p_value,
+    reject_05).
+    """
+    from timeseriesutils_spark.operators.nonparam import chi2_sf_expr
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    d = df.filter(F.col(category_col).isNotNull()).select(
+        *g, F.col(category_col).cast("string").alias("_c")
+    )
+    per = d.groupBy(*g, "_c").agg(F.count(F.lit(1)).alias("_o"))
+    dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    agg = per.groupBy(*g).agg(
+        F.sum("_o").alias("n"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(dec19(F.col("_o")) * dec19(F.col("_o"))).alias("_oo"),
+    )
+    nn = F.col("n").cast("double")
+    cc = F.col("n_categories").cast("double")
+    chi2 = cc * F.col("_oo").cast("string").cast("double") / nn - nn
+    dof = (F.col("n_categories") - 1).cast("double")
+    p = chi2_sf_expr(chi2, dof)
+    ok = F.col("n_categories") > 1
+    return agg.select(
+        *g,
+        "n",
+        "n_categories",
+        F.when(ok, chi2).alias("chi2_stat"),
+        (F.col("n_categories") - 1).alias("df"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def chi2_gof_sql(
+    data_sql: str,
+    category_col: str,
+    group_columns,
+) -> str:
+    """DuckDB twin of :func:`chi2_gof` (same exact-integer identity,
+    same χ² kernel)."""
+    from timeseriesutils_spark.operators.nonparam import chi2_sf_sql
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+    chi2 = (
+        f"(CAST(n_categories AS DOUBLE) * {s2d('_oo')} / {nn} - {nn})"
+    )
+    p = chi2_sf_sql(chi2, "CAST(n_categories - 1 AS DOUBLE)")
+    return f"""
+WITH per AS (
+  SELECT {gsel}, CAST({category_col} AS VARCHAR) AS _c, COUNT(*) AS _o
+  FROM ({data_sql}) WHERE {category_col} IS NOT NULL
+  GROUP BY {gsel}, _c
+),
+agg AS (
+  SELECT {gsel},
+    CAST(SUM(_o) AS BIGINT) AS n,
+    COUNT(*) AS n_categories,
+    SUM(CAST(_o AS DECIMAL(19,0)) * CAST(_o AS DECIMAL(19,0))) AS _oo
+  FROM per GROUP BY {gsel}
+)
+SELECT {gsel}, n, n_categories,
+  CASE WHEN n_categories > 1 THEN {chi2} END AS chi2_stat,
+  n_categories - 1 AS df,
+  CASE WHEN n_categories > 1 THEN {p} END AS p_value,
+  CASE WHEN n_categories > 1 THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""

@@ -86,7 +86,8 @@ TIERS: dict[str, str] = {
     "psi_drift_curve": "audit", "embedding_drift": "audit",
     "minhash_estimate_audit": "audit", "dedup_threshold_curve": "audit",
     "cms_estimate": "audit", "hll_estimate": "audit",
-    "kmv_overlap": "audit",
+    "kmv_overlap": "audit", "silhouette_audit": "audit",
+    "chi2_gof": "audit",
     "dup_cluster_sizes": "audit", "knn_recall_curve": "audit",
     "langid_confusion": "audit", "dup_rate_by_source": "audit",
     "corpus_jsd": "audit", "novelty_scores": "audit", "zipf_fit": "audit",
@@ -114,7 +115,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     # audit-tier corpus dashboard like corpus_jsd/zipf_fit)
     "pacf_features", "theil_u", "ar2_forecast", "flesch_readability",
     "simpson_diversity", "classification_report", "gains_curve",
-    "paired_ttest", "ad_test",
+    "paired_ttest", "ad_test", "silhouette_audit", "chi2_gof",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

@@ -920,3 +920,36 @@ def _sql_rmst():
 
 
 QUERIES.update({"rmst": Q(q_rmst, _sql_rmst())})
+
+
+def q_chi2_gof(spark, sf_dir):
+    """χ² uniformity screen of the md5 hash split per return flag
+    (operators/stats.chi2_gof): are the train/val/test buckets balanced
+    within every return-flag segment?  The balance audit for hash routing —
+    exact integer C·ΣO²/N − N identity, no per-category rounding;
+    Wilson–Hilferty p."""
+    from timeseriesutils_spark.operators.dedup import portable_hash64
+    from timeseriesutils_spark.operators.stats import chi2_gof
+    from timeseriesutils_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_returnflag",
+        (portable_hash64(F.col("l_orderkey").cast("string")) % 10).alias(
+            "_b"
+        ),
+    )
+    return chi2_gof(d, "_b", ["l_returnflag"])
+
+
+def _sql_chi2_gof():
+    from timeseriesutils_spark.operators.stats import chi2_gof_sql
+
+    from timeseriesutils_spark.operators.dedup import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(l_orderkey AS VARCHAR)")
+    d = f"SELECT l_returnflag, ({h}) % 10 AS _b FROM lineitem"
+    return chi2_gof_sql(d, "_b", ["l_returnflag"])
+
+
+QUERIES.update({"chi2_gof": Q(q_chi2_gof, _sql_chi2_gof())})

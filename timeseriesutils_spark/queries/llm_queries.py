@@ -2148,3 +2148,24 @@ def _sql_simpson_diversity():
 QUERIES.update(
     {"simpson_diversity": Q(q_simpson_diversity, _sql_simpson_diversity())}
 )
+
+
+def q_silhouette(spark, sf_dir):
+    """Per-cluster simplified-silhouette audit of the deterministic
+    Lloyd clustering over the embeddings corpus
+    (operators/kmeans.silhouette_audit): the cluster-quality gauge
+    behind the IVF coarse quantizer and the SemDeDup k ≈ N/cluster
+    rule — exact int64 distances to all k centroids, one projection +
+    one k-row aggregation."""
+    from timeseriesutils_spark.operators.kmeans import silhouette_audit
+
+    return silhouette_audit(_emb(spark, sf_dir), **KMEANS_PARAMS)
+
+
+def _sql_silhouette():
+    from timeseriesutils_spark.operators.kmeans import silhouette_audit_sql
+
+    return silhouette_audit_sql(**KMEANS_PARAMS)
+
+
+QUERIES.update({"silhouette_audit": Q(q_silhouette, _sql_silhouette())})
