@@ -430,6 +430,24 @@ def _lerp_sorted(arr, q: float):
     return F.when(n > 0, base * (F.lit(1.0) - frac) + nxt * frac)
 
 
+def _lerp_sorted_const(arr, q: float, n: int):
+    """:func:`_lerp_sorted` for a frame already FILTERED to arrays of
+    exactly ``n`` elements: h = (n−1)·q and the two element indices are
+    compile-time constants, so each quantile collapses to two
+    ``element_at`` + two literal multiplies — bit-identical values by
+    construction (same IEEE h/frac the runtime tree computes), but the
+    generated code is ~10× smaller, which matters twice at bench scale:
+    the generic tree ran INTERPRETED for several invocations before C2
+    compiled it (wis_eval measured 13.4 s cold / 2.9 s warm generic vs
+    2.1 s COLD with constant indices, BASELINE.md round-9)."""
+    h = (n - 1) * q
+    lo = int(h // 1)
+    frac = h - lo
+    base = F.element_at(arr, lo + 1).cast("double")
+    nxt = F.element_at(arr, min(lo + 2, n)).cast("double")
+    return base * F.lit(1.0 - frac) + nxt * F.lit(frac)
+
+
 def _lerp_sorted_sql(arr: str, q: float) -> str:
     return (
         f"CASE WHEN len({arr}) > 0 THEN "

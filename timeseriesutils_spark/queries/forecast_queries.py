@@ -1115,7 +1115,7 @@ def q_pinball_eval(spark, sf_dir):
     pipeline (forecast construction + scoring) is two window passes and
     one map-combinable aggregation."""
     from timeseriesutils_spark.operators.epi import pinball_scores
-    from timeseriesutils_spark.operators.series_math import _lerp_sorted
+    from timeseriesutils_spark.operators.series_math import _lerp_sorted_const
     from timeseriesutils_spark.queries.series_queries import _daily
     from pyspark.sql import Window
 
@@ -1137,7 +1137,9 @@ def q_pinball_eval(spark, sf_dir):
             "cohort",
             "day_price",
             *[
-                _lerp_sorted(F.col("_arr"), q).alias(f"f{int(q * 100):02d}")
+                _lerp_sorted_const(F.col("_arr"), q, _PB_W).alias(
+                    f"f{int(q * 100):02d}"
+                )
                 for q in _PB_QS
             ],
         )
@@ -1195,7 +1197,7 @@ def q_wis_eval(spark, sf_dir):
     under holds exactly by construction (three quantized DECIMAL
     sums)."""
     from timeseriesutils_spark.operators.epi import wis_scores
-    from timeseriesutils_spark.operators.series_math import _lerp_sorted
+    from timeseriesutils_spark.operators.series_math import _lerp_sorted_const
     from timeseriesutils_spark.queries.series_queries import _daily
     from pyspark.sql import Window
 
@@ -1217,7 +1219,9 @@ def q_wis_eval(spark, sf_dir):
             "cohort",
             "day_price",
             *[
-                _lerp_sorted(F.col("_arr"), q).alias(f"f{int(q * 100):02d}")
+                _lerp_sorted_const(F.col("_arr"), q, _PB_W).alias(
+                    f"f{int(q * 100):02d}"
+                )
                 for q in _PB_QS
             ],
         )
