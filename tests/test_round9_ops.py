@@ -754,3 +754,64 @@ def test_chi2_gof_single_category_null(spark):
     df = spark.createDataFrame([("g", "only")] * 5, "g string, cat string")
     r = chi2_gof(df, "cat", ["g"]).first()
     assert r.n_categories == 1 and r.chi2_stat is None and r.p_value is None
+
+
+def test_cuped_hand_worked(spark):
+    from timeseriesutils_spark.operators.analytics import cuped_adjust
+
+    # y = 2x + arm effect: after CUPED the x-driven variance vanishes
+    rows = []
+    for i in range(1, 11):
+        rows.append(("A", 2.0 * i, float(i)))
+        rows.append(("B", 2.0 * i + 1.0, float(i)))
+    df = spark.createDataFrame(rows, "arm string, y double, x double")
+    out = {r.arm: r for r in cuped_adjust(df, "y", "x", "arm").collect()}
+    # pooled theta: y = 2x + arm-dependent constant -> cov/var = 2
+    assert out["A"].theta == pytest.approx(2.0, abs=1e-9)
+    # identical x per arm -> adjusted means equal the raw means
+    assert out["A"].mean_adj == pytest.approx(out["A"].mean_raw)
+    # adjusted lift = the true +1 effect
+    assert out["B"].mean_adj - out["A"].mean_adj == pytest.approx(1.0)
+    # y is almost perfectly predicted by x -> var_reduction near 1
+    assert out["A"].var_reduction > 0.97
+
+
+def test_cuped_zero_covariate_variance_nulls(spark):
+    from timeseriesutils_spark.operators.analytics import cuped_adjust
+
+    rows = [("A", float(i), 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "arm string, y double, x double")
+    r = cuped_adjust(df, "y", "x", "arm").first()
+    assert r.theta is None and r.mean_adj is None
+    assert r.mean_raw == pytest.approx(4.5)
+
+
+def test_ratio_metric_ci_hand_worked(spark):
+    from timeseriesutils_spark.operators.analytics import ratio_metric_ci
+
+    # constant ratio y = 3x -> ratio exactly 3, zero variance
+    rows = [("g", 3.0 * v, float(v)) for v in range(1, 9)]
+    df = spark.createDataFrame(rows, "g string, y double, x double")
+    r = ratio_metric_ci(df, "y", "x", ["g"]).first()
+    assert r.ratio == pytest.approx(3.0)
+    assert r.se == pytest.approx(0.0, abs=1e-9)
+    assert r.ci_lo == pytest.approx(3.0) and r.ci_hi == pytest.approx(3.0)
+
+
+def test_ratio_metric_ci_mirror(spark):
+    from timeseriesutils_spark.operators.analytics import ratio_metric_ci
+
+    ys = [float((i * 7) % 13 + 1) for i in range(50)]
+    xs = [float((i * 5) % 11 + 2) for i in range(50)]
+    rows = [("g", y, x) for y, x in zip(ys, xs)]
+    df = spark.createDataFrame(rows, "g string, y double, x double")
+    r = ratio_metric_ci(df, "y", "x", ["g"]).first()
+    n = 50
+    my, mx = sum(ys) / n, sum(xs) / n
+    vy = sum(y * y for y in ys) / n - my * my
+    vx = sum(x * x for x in xs) / n - mx * mx
+    cxy = sum(x * y for x, y in zip(xs, ys)) / n - mx * my
+    rr = my / mx
+    varr = (vy - 2 * rr * cxy + rr * rr * vx) / n / (mx * mx)
+    assert r.ratio == pytest.approx(rr, abs=1e-9)
+    assert r.se == pytest.approx(math.sqrt(varr), abs=1e-9)

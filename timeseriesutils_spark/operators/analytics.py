@@ -1283,3 +1283,282 @@ SELECT strftime(CAST(epoch_ms(pk._day * {day_ms}) AS DATE), '%Y-%m-%d') AS day,
   pk.peak_concurrent, tc.n_sessions_touching
 FROM pk JOIN tc ON pk._day = tc._day
 """
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced A/B metric
+# --------------------------------------------------------------------------
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    arm_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data,
+    Deng et al. 2013 — public) variance reduction for an A/B metric:
+    with a pre-experiment covariate X correlated with the metric Y,
+
+        θ      = cov(Y, X) / var(X)        (pooled across arms)
+        Ȳ_adj  = Ȳ_arm − θ·(X̄_arm − X̄)     (adjusted arm mean)
+        vr     = 1 − var(Y − θX) / var(Y)  = ρ²(Y, X)
+
+    — the industry-standard way to shrink experiment runtimes; pairs
+    with welch_ttest/ab_test_report (run the t-test on the adjusted
+    metric).  EVERYTHING derives from exact sufficient statistics:
+    per-arm (n, ΣY, ΣX) and pooled (ΣXX, ΣYY, ΣXY) of 10^-scale
+    quantized values through DECIMAL — ONE map-combinable aggregation,
+    no second pass over rows, no per-row adjusted column needed.
+
+    Returns one row per arm: (arm, n, mean_raw, mean_adj, theta,
+    var_reduction); theta/adj NULL when var(X) = 0.
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    m = 10**scale
+    qy = F.floor(F.col(metric_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    qx = F.floor(
+        F.col(covariate_col).cast("double") * F.lit(m) + F.lit(0.5)
+    ).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    d = df.filter(
+        F.col(metric_col).isNotNull()
+        & F.col(covariate_col).isNotNull()
+        & F.col(arm_col).isNotNull()
+    ).select(F.col(arm_col).alias("arm"), qy.alias("_y"), qx.alias("_x"))
+    per = d.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_x"))).alias("_sx"),
+        F.sum(dec19(F.col("_x")) * dec19(F.col("_x"))).alias("_sxx"),
+        F.sum(dec19(F.col("_y")) * dec19(F.col("_y"))).alias("_syy"),
+        F.sum(dec19(F.col("_x")) * dec19(F.col("_y"))).alias("_sxy"),
+    )
+    # pooled stats broadcast back onto the (tiny) per-arm frame via a
+    # partition-wide window — the frame is |arms| rows, nothing moves
+    wall = Window.partitionBy()
+    tot = per.select(
+        "arm", "n", "_sy", "_sx",
+        F.sum("n").over(wall).alias("_N"),
+        F.sum("_sy").over(wall).alias("_ty"),
+        F.sum("_sx").over(wall).alias("_tx"),
+        F.sum("_sxx").over(wall).alias("_txx"),
+        F.sum("_syy").over(wall).alias("_tyy"),
+        F.sum("_sxy").over(wall).alias("_txy"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    mf = F.lit(float(m))
+    nn = F.col("_N").cast("double")
+    # pooled moments in original units
+    mx = s2d("_tx") / mf / nn
+    my = s2d("_ty") / mf / nn
+    varx = s2d("_txx") / (mf * mf) / nn - mx * mx
+    vary = s2d("_tyy") / (mf * mf) / nn - my * my
+    covxy = s2d("_txy") / (mf * mf) / nn - mx * my
+    theta = F.when(varx > 0, covxy / varx)
+    na = F.col("n").cast("double")
+    mean_raw = s2d("_sy") / mf / na
+    mean_x = s2d("_sx") / mf / na
+    mean_adj = mean_raw - theta * (mean_x - mx)
+    vr = F.when((varx > 0) & (vary > 0), covxy * covxy / (varx * vary))
+    return tot.select(
+        "arm",
+        "n",
+        mean_raw.alias("mean_raw"),
+        mean_adj.alias("mean_adj"),
+        theta.alias("theta"),
+        vr.alias("var_reduction"),
+    )
+
+
+def cuped_adjust_sql(
+    data_sql: str,
+    metric_col: str,
+    covariate_col: str,
+    arm_col: str,
+    scale: int = 4,
+) -> str:
+    """DuckDB twin of :func:`cuped_adjust` (same exact sums, same
+    double tree)."""
+    m = 10**scale
+    mf = f"{float(m)!r}"
+    qy = f"CAST(FLOOR(CAST({metric_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    qx = f"CAST(FLOOR(CAST({covariate_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(_N AS DOUBLE)"
+    na = "CAST(n AS DOUBLE)"
+    mx = f"({s2d('_tx')} / {mf} / {nn})"
+    my = f"({s2d('_ty')} / {mf} / {nn})"
+    varx = f"({s2d('_txx')} / ({mf} * {mf}) / {nn} - {mx} * {mx})"
+    vary = f"({s2d('_tyy')} / ({mf} * {mf}) / {nn} - {my} * {my})"
+    covxy = f"({s2d('_txy')} / ({mf} * {mf}) / {nn} - {mx} * {my})"
+    theta = f"(CASE WHEN {varx} > 0 THEN {covxy} / {varx} END)"
+    mean_raw = f"({s2d('_sy')} / {mf} / {na})"
+    mean_x = f"({s2d('_sx')} / {mf} / {na})"
+    mean_adj = f"({mean_raw} - {theta} * ({mean_x} - {mx}))"
+    vr = (
+        f"(CASE WHEN {varx} > 0 AND {vary} > 0"
+        f" THEN {covxy} * {covxy} / ({varx} * {vary}) END)"
+    )
+    return f"""
+WITH d AS (
+  SELECT {arm_col} AS arm, {qy} AS _y, {qx} AS _x
+  FROM ({data_sql})
+  WHERE {metric_col} IS NOT NULL AND {covariate_col} IS NOT NULL
+    AND {arm_col} IS NOT NULL
+),
+per AS (
+  SELECT arm, COUNT(*) AS n,
+    SUM(CAST(_y AS DECIMAL(38,0))) AS _sy,
+    SUM(CAST(_x AS DECIMAL(38,0))) AS _sx,
+    SUM(CAST(_x AS DECIMAL(19,0)) * CAST(_x AS DECIMAL(19,0))) AS _sxx,
+    SUM(CAST(_y AS DECIMAL(19,0)) * CAST(_y AS DECIMAL(19,0))) AS _syy,
+    SUM(CAST(_x AS DECIMAL(19,0)) * CAST(_y AS DECIMAL(19,0))) AS _sxy
+  FROM d GROUP BY arm
+),
+tot AS (
+  SELECT arm, n, _sy, _sx,
+    SUM(n) OVER () AS _N,
+    SUM(_sy) OVER () AS _ty,
+    SUM(_sx) OVER () AS _tx,
+    SUM(_sxx) OVER () AS _txx,
+    SUM(_syy) OVER () AS _tyy,
+    SUM(_sxy) OVER () AS _txy
+  FROM per
+)
+SELECT arm, n,
+  {mean_raw} AS mean_raw,
+  {mean_adj} AS mean_adj,
+  {theta} AS theta,
+  {vr} AS var_reduction
+FROM tot
+"""
+
+
+# --------------------------------------------------------------------------
+# delta-method CI for a ratio metric
+# --------------------------------------------------------------------------
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    group_columns,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group delta-method 95% CI for a ratio-of-means metric
+    R = ΣY/ΣX (revenue per session, tokens per document, clicks per
+    impression) — the correct interval when the DENOMINATOR is random
+    too (a naive per-row-average CI is biased for ratio metrics; the
+    delta method is the standard fix, e.g. Deng et al. KDD'18,
+    public):
+
+        Var(R) ≈ (1/n)·(var(Y) − 2R·cov(Y,X) + R²·var(X)) / X̄²
+
+    All from ONE pass of exact quantized sufficient statistics (n, ΣY,
+    ΣX, ΣYY, ΣXX, ΣXY) through DECIMAL — map-combinable, one exchange.
+
+    Returns (groups…, n, ratio, se, ci_lo, ci_hi); NULL when X̄ = 0 or
+    n < 2.
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    m = 10**scale
+    qy = F.floor(F.col(num_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    qx = F.floor(F.col(den_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    d = df.filter(
+        F.col(num_col).isNotNull() & F.col(den_col).isNotNull()
+    ).select(*g, qy.alias("_y"), qx.alias("_x"))
+    agg = d.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_x"))).alias("_sx"),
+        F.sum(dec19(F.col("_y")) * dec19(F.col("_y"))).alias("_syy"),
+        F.sum(dec19(F.col("_x")) * dec19(F.col("_x"))).alias("_sxx"),
+        F.sum(dec19(F.col("_x")) * dec19(F.col("_y"))).alias("_sxy"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    mf = F.lit(float(m))
+    nn = F.col("n").cast("double")
+    my = s2d("_sy") / mf / nn
+    mx = s2d("_sx") / mf / nn
+    vy = s2d("_syy") / (mf * mf) / nn - my * my
+    vx = s2d("_sxx") / (mf * mf) / nn - mx * mx
+    cxy = s2d("_sxy") / (mf * mf) / nn - mx * my
+    r = my / mx
+    varr = (vy - F.lit(2.0) * r * cxy + r * r * vx) / nn / (mx * mx)
+    se = F.sqrt(F.greatest(varr, F.lit(0.0)))
+    ok = (F.col("n") > 1) & (mx != 0)
+    return agg.select(
+        *g,
+        "n",
+        F.when(mx != 0, r).alias("ratio"),
+        F.when(ok, se).alias("se"),
+        F.when(ok, r - F.lit(1.96) * se).alias("ci_lo"),
+        F.when(ok, r + F.lit(1.96) * se).alias("ci_hi"),
+    )
+
+
+def ratio_metric_ci_sql(
+    data_sql: str,
+    num_col: str,
+    den_col: str,
+    group_columns,
+    scale: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ratio_metric_ci` (same exact sums, same
+    delta-method tree)."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    mf = f"{float(m)!r}"
+    qy = f"CAST(FLOOR(CAST({num_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    qx = f"CAST(FLOOR(CAST({den_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+    my = f"({s2d('_sy')} / {mf} / {nn})"
+    mx = f"({s2d('_sx')} / {mf} / {nn})"
+    vy = f"({s2d('_syy')} / ({mf} * {mf}) / {nn} - {my} * {my})"
+    vx = f"({s2d('_sxx')} / ({mf} * {mf}) / {nn} - {mx} * {mx})"
+    cxy = f"({s2d('_sxy')} / ({mf} * {mf}) / {nn} - {mx} * {my})"
+    r = f"({my} / {mx})"
+    varr = f"(({vy} - 2.0 * {r} * {cxy} + {r} * {r} * {vx}) / {nn} / ({mx} * {mx}))"
+    se = f"SQRT(GREATEST({varr}, 0.0))"
+    ok = f"(n > 1 AND {mx} <> 0)"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qy} AS _y, {qx} AS _x
+  FROM ({data_sql})
+  WHERE {num_col} IS NOT NULL AND {den_col} IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    SUM(CAST(_y AS DECIMAL(38,0))) AS _sy,
+    SUM(CAST(_x AS DECIMAL(38,0))) AS _sx,
+    SUM(CAST(_y AS DECIMAL(19,0)) * CAST(_y AS DECIMAL(19,0))) AS _syy,
+    SUM(CAST(_x AS DECIMAL(19,0)) * CAST(_x AS DECIMAL(19,0))) AS _sxx,
+    SUM(CAST(_x AS DECIMAL(19,0)) * CAST(_y AS DECIMAL(19,0))) AS _sxy
+  FROM d GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  CASE WHEN {mx} <> 0 THEN {r} END AS ratio,
+  CASE WHEN {ok} THEN {se} END AS se,
+  CASE WHEN {ok} THEN {r} - 1.96 * {se} END AS ci_lo,
+  CASE WHEN {ok} THEN {r} + 1.96 * {se} END AS ci_hi
+FROM agg
+"""

@@ -953,3 +953,70 @@ def _sql_chi2_gof():
 
 
 QUERIES.update({"chi2_gof": Q(q_chi2_gof, _sql_chi2_gof())})
+
+
+def q_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B metric on a deterministic md5 split
+    of lineitem (operators/analytics.cuped_adjust): metric = extended
+    price, covariate = quantity (strongly correlated — exactly the
+    pre-experiment-covariate setting); θ and the adjusted arm means
+    come from ONE pass of exact sufficient statistics."""
+    from timeseriesutils_spark.operators.analytics import cuped_adjust
+    from timeseriesutils_spark.operators.dedup import portable_hash64
+    from timeseriesutils_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    arm = F.when(
+        portable_hash64(F.col("l_orderkey").cast("string")) % 2 == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    d = li.select(
+        arm.alias("arm"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_quantity").alias("x"),
+    )
+    return cuped_adjust(d, "y", "x", "arm", scale=2)
+
+
+def _sql_cuped():
+    from timeseriesutils_spark.operators.analytics import cuped_adjust_sql
+    from timeseriesutils_spark.operators.dedup import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(l_orderkey AS VARCHAR)")
+    d = (
+        f"SELECT CASE WHEN ({h}) % 2 = 0 THEN 'control' ELSE 'treatment'"
+        " END AS arm, l_extendedprice AS y, l_quantity AS x FROM lineitem"
+    )
+    return cuped_adjust_sql(d, "y", "x", "arm", scale=2)
+
+
+QUERIES.update({"cuped_adjust": Q(q_cuped, _sql_cuped())})
+
+
+def q_ratio_metric_ci(spark, sf_dir):
+    """Delta-method 95% CI for price-per-unit (Σ extendedprice / Σ
+    quantity) per return flag (operators/analytics.ratio_metric_ci):
+    the correct interval for ratio-of-means metrics where the
+    denominator is random too — one exact-sufficient-statistics
+    pass."""
+    from timeseriesutils_spark.operators.analytics import ratio_metric_ci
+    from timeseriesutils_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ratio_metric_ci(
+        li, "l_extendedprice", "l_quantity", ["l_returnflag"], scale=2
+    )
+
+
+def _sql_ratio_metric_ci():
+    from timeseriesutils_spark.operators.analytics import ratio_metric_ci_sql
+
+    return ratio_metric_ci_sql(
+        "SELECT * FROM lineitem", "l_extendedprice", "l_quantity",
+        ["l_returnflag"], scale=2,
+    )
+
+
+QUERIES.update(
+    {"ratio_metric_ci": Q(q_ratio_metric_ci, _sql_ratio_metric_ci())}
+)
