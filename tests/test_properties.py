@@ -462,3 +462,146 @@ def test_mann_kendall_monotone_invariance(spark, ys):
     r1 = mann_kendall(df, "y", ["g"], "t", scale=0).collect()[0]
     r3 = mann_kendall(df3, "y", ["g"], "t", scale=0).collect()[0]
     assert (r1.n, r1.s_stat, r1.var_s, r1.z) == (r3.n, r3.s_stat, r3.var_s, r3.z)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.floats(0.0, 1.0), st.booleans()),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_gains_curve_laws(spark, rows):
+    """For ANY scored sample: gains and n_included are non-decreasing
+    in the bucket, the last bucket includes everything, and lift·
+    (included fraction) == gains exactly."""
+    from timeseriesutils_spark.operators.mleval import gains_curve
+
+    df = spark.createDataFrame(
+        [("g", s, y) for s, y in rows], "g string, s double, y boolean"
+    )
+    out = sorted(gains_curve(df, "s", "y", ["g"]).collect(),
+                 key=lambda r: r.bucket)
+    n = len(rows)
+    npos = sum(1 for _, y in rows if y)
+    assert [r.bucket for r in out] == list(range(1, 11))
+    prev_inc, prev_g = -1, -1.0
+    for r in out:
+        assert r.n_included >= prev_inc
+        prev_inc = r.n_included
+        if npos:
+            assert r.gains is not None and r.gains >= prev_g - 1e-15
+            prev_g = r.gains
+    assert out[-1].n_included == n
+    if npos:
+        assert out[-1].pos_included == npos and out[-1].gains == 1.0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("abc")),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_classification_report_conservation(spark, rows):
+    """Σ support over classes == n rows; Σ tp == # correct; Σ fp ==
+    Σ fn == # errors (every error is one class's fn and another's fp)."""
+    from timeseriesutils_spark.operators.mleval import classification_report
+
+    df = spark.createDataFrame(
+        [("g", a, p) for a, p in rows], "g string, actual string, pred string"
+    )
+    out = classification_report(df, "actual", "pred", ["g"]).collect()
+    correct = sum(1 for a, p in rows if a == p)
+    errors = len(rows) - correct
+    assert sum(r.support for r in out) == len(rows)
+    assert sum(r.tp for r in out) == correct
+    assert sum(r.fp for r in out) == errors
+    assert sum(r.fn for r in out) == errors
+
+
+@given(
+    vals=st.lists(st.integers(0, 30), min_size=4, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_pacf_lag1_equals_acf_lag1_law(spark, vals):
+    """φ₁₁ ≡ r₁ for any series (the Durbin–Levinson base case)."""
+    from timeseriesutils_spark.operators.acf import acf_features, pacf_features
+
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, i long, y double")
+    a = {r.lag_k: r.acf for r in
+         acf_features(df, "y", ["g"], ["i"], max_lag=2).collect()}
+    p = {r.lag_k: r.pacf for r in
+         pacf_features(df, "y", ["g"], ["i"], max_lag=2).collect()}
+    assert p[1] == a[1]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x.", min_size=0, max_size=20),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_simpson_bounds_and_token_conservation(spark, texts):
+    """0 ≤ D ≤ 1 and n_tokens == the python token count for any text."""
+    from timeseriesutils_spark.operators.text import simpson_diversity
+
+    df = spark.createDataFrame(
+        [("s", t) for t in texts], "source string, text string"
+    )
+    out = simpson_diversity(df, "source").collect()
+    toks = [w for t in texts for w in t.lower().split() if w]
+    if not toks:
+        assert out == []
+        return
+    r = out[0]
+    assert r.n_tokens == len(toks)
+    assert r.n_distinct == len(set(toks))
+    if r.simpson is not None:
+        assert -1e-15 <= r.simpson <= 1.0 + 1e-15
+
+
+@given(
+    vals=st.lists(st.integers(0, 5), min_size=2, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_chi2_gof_nonnegative_and_counts(spark, vals):
+    """χ² ≥ 0 always, 0 iff perfectly balanced; n == len(vals)."""
+    from timeseriesutils_spark.operators.stats import chi2_gof
+
+    df = spark.createDataFrame(
+        [("g", str(v)) for v in vals], "g string, cat string"
+    )
+    r = chi2_gof(df, "cat", ["g"]).first()
+    assert r.n == len(vals)
+    if r.chi2_stat is not None:
+        assert r.chi2_stat >= -1e-9
+        from collections import Counter
+
+        counts = Counter(vals).values()
+        if len(set(counts)) == 1:
+            assert r.chi2_stat == pytest.approx(0.0, abs=1e-9)
+
+
+@given(
+    diffs=st.lists(st.integers(-20, 20), min_size=2, max_size=30),
+)
+@settings(**_SETTINGS)
+def test_paired_vs_welch_shift_consistency(spark, diffs):
+    """paired_ttest on (a, b) == paired_ttest on (a+c, b+c): the test
+    only sees differences (translation invariance of the pairing)."""
+    from timeseriesutils_spark.operators.stats import paired_ttest
+
+    rows1 = [("g", float(d), 0.0) for d in diffs]
+    rows2 = [("g", float(d) + 7.0, 7.0) for d in diffs]
+    df1 = spark.createDataFrame(rows1, "g string, a double, b double")
+    df2 = spark.createDataFrame(rows2, "g string, a double, b double")
+    r1 = paired_ttest(df1, "a", "b", ["g"]).first()
+    r2 = paired_ttest(df2, "a", "b", ["g"]).first()
+    assert r1.mean_diff == r2.mean_diff and r1.t_stat == r2.t_stat
