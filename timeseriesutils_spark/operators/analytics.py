@@ -1315,8 +1315,6 @@ def cuped_adjust(
     Returns one row per arm: (arm, n, mean_raw, mean_adj, theta,
     var_reduction); theta/adj NULL when var(X) = 0.
     """
-    from timeseriesutils_spark.operators.window_features import _as_list
-
     m = 10**scale
     qy = F.floor(F.col(metric_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
         "bigint"

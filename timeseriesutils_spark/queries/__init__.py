@@ -27,13 +27,15 @@ class Q:
 # the full set is locally gate-checked every round via
 # tools/check_oracle.py — see CORRECTNESS_LOCAL.json).
 #
-# ROUND-9 ROTATION (executes the plan written at the end of round 8):
-# slots 1-13 the thirteen round-8 queries with NO driver row of any
-# kind — the two fixed wrong-answer queries (intradoc_dedup,
-# gibberish_score) included, so the fixes get a driver verdict this
-# round; slots 14-47 the 34 remaining round-3-only rows in catalog
-# order; slots 48-50 the round-4 cohort head.  Everything after slot
-# 50 keeps full local gate coverage via tools/check_oracle.py --json.
+# ROUND-9 ROTATION (executes the plan written at the end of round 8,
+# extended mid-round): every query with NO driver row of any kind
+# takes a head slot — slots 1-13 the round-8 late wave (the two fixed
+# wrong-answer queries intradoc_dedup/gibberish_score first, so the
+# fixes get a driver verdict), slots 14-25 the twelve round-9
+# additions (all locally gate-green at BOTH SFs + unit-tested before
+# entering the head), slots 26-50 the round-3-only cohort head in
+# catalog order.  Everything after slot 50 keeps full local gate
+# coverage via tools/check_oracle.py --json.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # slots 1-13: round-8 additions, never driver-verified (the two
     # round-8 wrong-answer queries are fixed this round — head slots)
@@ -41,7 +43,13 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "sampen_coarse", "cvm_test", "pettitt_test", "cox_stuart",
     "bartlett_test", "ljung_box", "holt_damped", "owa_eval", "rmst",
     "kmv_overlap",
-    # slots 14-47: the round-3-only cohort, catalog order
+    # slots 14-25: round-9 additions, never driver-verified
+    "pacf_features", "theil_u", "ar2_forecast", "flesch_readability",
+    "simpson_diversity", "classification_report", "gains_curve",
+    "paired_ttest", "ad_test", "silhouette_audit", "chi2_gof",
+    "cuped_adjust",
+    # slots 26-50: the round-3-only cohort head, catalog order
+    # (ratio_metric_ci rides with the round-10 head — 26th of 13+13)
     "gap_detect", "funnel", "cohort_retention", "boilerplate_frac",
     "bm25_search", "chunk_text", "heavy_hitters", "media_features",
     "unigram_logprob", "tf_idf", "clean_text", "repetition_stats",
@@ -49,17 +57,14 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "quantize_embeddings", "pca_project", "pii_scrub", "corpus_stats",
     "length_histogram", "stratified_sample", "mixture_resample",
     "reservoir_sample", "embedding_centroids", "fuzzy_match",
-    "chunk_dedup", "quality_filter", "semantic_dedup",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_dedup", "stream_join", "stream_stateful",
-    # slots 48-50: round-4 cohort head, catalog order
-    "incremental_rollmean", "incremental_taylor", "zorder_key",
 )
-# ROUND-10 ROTATION PLAN: head slots go to (a) any round-9 additions
-# without a driver row, then (b) the remaining round-4 cohort
-# oldest-first in catalog order (spectral_entropy, variant_json,
-# quantile_bin, dedup_minhash_lsh, simhash, knn_lsh, knn_ivf, ...),
-# then (c) the round-5 cohort.
+# ROUND-10 ROTATION PLAN: head slots go to (a) ratio_metric_ci (the
+# one round-9 query that did not fit slot 50) plus any round-10
+# additions without a driver row, then (b) the remaining round-3
+# cohort (chunk_dedup, quality_filter, semantic_dedup, the stream_*
+# family), then (c) the round-4 cohort oldest-first in catalog order
+# (spectral_entropy, variant_json, quantile_bin, dedup_minhash_lsh,
+# simhash, knn_lsh, knn_ivf, ...), then (d) the round-5 cohort.
 
 
 # --- catalog governance (round-6): gate tiers -----------------------------
