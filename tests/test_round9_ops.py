@@ -815,3 +815,47 @@ def test_ratio_metric_ci_mirror(spark):
     varr = (vy - 2 * rr * cxy + rr * rr * vx) / n / (mx * mx)
     assert r.ratio == pytest.approx(rr, abs=1e-9)
     assert r.se == pytest.approx(math.sqrt(varr), abs=1e-9)
+
+
+def test_knn_pq_recovers_separated_neighbors(spark):
+    """PQ-ADC must rank same-blob vectors above cross-blob ones when
+    blobs are far apart — the approximate index's minimal contract."""
+    from timeseriesutils_spark.operators.similarity import knn_pq_portable
+
+    rows = []
+    for b in range(2):  # two blobs at 0 and 100 in 8-dim
+        for i in range(12):
+            base = 100.0 * b
+            rows.append(
+                (b * 100 + i,
+                 [base + 0.05 * ((i * 7 + d) % 5) for d in range(8)])
+            )
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = knn_pq_portable(
+        df.filter(F.col("vec_id") < 3), df, k=5, m=2, n_codes=4,
+        n_sample=24, dim=8,
+    ).collect()
+    assert len(out) == 15  # 3 queries x 5
+    for r in out:
+        assert r.vec_id < 100  # every neighbor from the query's blob
+        assert r.adc_dist < 100.0
+
+
+def test_knn_pq_adc_is_deterministic_and_ranked(spark):
+    from timeseriesutils_spark.operators.similarity import knn_pq_portable
+
+    rows = [(i, [float((i * 13 + d * 7) % 11) for d in range(8)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    a = knn_pq_portable(df.filter(F.col("vec_id") < 4), df, k=3, m=2,
+                        n_codes=4, n_sample=30, dim=8).collect()
+    b = knn_pq_portable(df.filter(F.col("vec_id") < 4), df, k=3, m=2,
+                        n_codes=4, n_sample=30, dim=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_q = {}
+    for r in sorted(a, key=lambda r: (r.query_id, r.rn)):
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        dists = [r.adc_dist for r in rs]
+        assert dists == sorted(dists)  # rank follows ADC
+        assert all(r.vec_id != q for r in rs)  # self excluded

@@ -217,61 +217,65 @@ def kmeans_cte_parts(
     k: int,
     n_iter: int,
     scale: int,
+    prefix: str = "",
 ) -> tuple[list[str], str]:
     """The unrolled-Lloyd CTE chain over relation ``source``, reusable by
-    composite twins (:func:`kmeans_lloyd_sql`, the IVF oracle).  Returns
+    composite twins (:func:`kmeans_lloyd_sql`, the IVF oracle; the PQ
+    oracle instantiates it once PER SUBSPACE via ``prefix``, which
+    namespaces every CTE so chains can coexist in one WITH).  Returns
     (cte_parts, final_centroid_cte_name); the final CTE has columns
     (j, pos, c) — centroid index, 1-based dimension, quantized int."""
     mult = float(10**scale)
+    p = prefix
     parts = [
         f"""
-q AS (
+{p}q AS (
   SELECT {id_col} AS id,
     [CAST(floor(CAST(x AS DOUBLE) * {mult!r} + 0.5) AS BIGINT) FOR x IN {vec_col}] AS q
   FROM {source}
 ),
-ql AS (
+{p}ql AS (
   SELECT id, u.pos AS pos, u.x AS x FROM (
     SELECT id, unnest([{{'pos': i, 'x': q[i]}} FOR i IN range(1, len(q) + 1)]) AS u
-    FROM q
+    FROM {p}q
   )
 ),
-c0 AS (  -- init: k lowest-id vectors, cluster index by id rank
+{p}c0 AS (  -- init: k lowest-id vectors, cluster index by id rank
   SELECT ids.j, ql.pos, ql.x AS c
   FROM (
     SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS j
-    FROM (SELECT id FROM q ORDER BY id LIMIT {k})
-  ) ids JOIN ql USING (id)
+    FROM (SELECT id FROM {p}q ORDER BY id LIMIT {k})
+  ) ids JOIN {p}ql AS ql USING (id)
 )"""
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for it in range(1, n_iter + 1):
         parts.append(
             f"""
-d{it} AS (  -- exact int64 squared distances to {prev}
+{p}d{it} AS (  -- exact int64 squared distances to {prev}
   SELECT ql.id, {prev}.j,
     CAST(SUM((ql.x - {prev}.c) * (ql.x - {prev}.c)) AS BIGINT) AS dist
-  FROM ql JOIN {prev} USING (pos) GROUP BY ql.id, {prev}.j
+  FROM {p}ql AS ql JOIN {prev} USING (pos) GROUP BY ql.id, {prev}.j
 ),
-a{it} AS (  -- argmin, ties to lower centroid index
+{p}a{it} AS (  -- argmin, ties to lower centroid index
   SELECT id, j AS cluster FROM (
     SELECT id, j, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, j) AS rn
-    FROM d{it}
+    FROM {p}d{it}
   ) WHERE rn = 1
 ),
-c{it} AS (  -- centroid update: exact sums, half-up re-round; empty keeps old
+{p}c{it} AS (  -- centroid update: exact sums, half-up re-round; empty keeps old
   SELECT {prev}.j, {prev}.pos,
     COALESCE(
       CAST(floor(CAST(u.s AS DOUBLE) / u.n + 0.5) AS BIGINT),
       {prev}.c) AS c
   FROM {prev} LEFT JOIN (
-    SELECT a{it}.cluster AS j, ql.pos,
+    SELECT {p}a{it}.cluster AS j, ql.pos,
       CAST(SUM(ql.x) AS DECIMAL(38,0)) AS s, COUNT(*) AS n
-    FROM a{it} JOIN ql USING (id) GROUP BY 1, 2
+    FROM {p}a{it} JOIN {p}ql AS ql USING (id) GROUP BY 1, 2
   ) u ON u.j = {prev}.j AND u.pos = {prev}.pos
 )"""
         )
-        prev = f"c{it}"
+        prev = f"{p}c{it}"
     return parts, prev
 
 

@@ -1100,3 +1100,218 @@ SELECT {group_col}, n_a, n_b,
   sqrt(CAST(_d2 AS DOUBLE)) / {m!r} AS l2_shift
 FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) — compressed ANN with asymmetric distances
+# --------------------------------------------------------------------------
+
+
+def knn_pq_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    n_sample: int = 256,
+    n_iter: int = 2,
+    scale: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Product-quantization KNN (Jégou et al. 2011, public) — THE
+    memory-side scale lever the IVF lists don't give: each vector
+    compresses to ``m`` sub-space code ids (here 4 × 4 bits — a
+    64-float vector becomes 4 small ints), and search scores
+    ASYMMETRIC distances (exact query subvector ↔ centroid of the
+    corpus code) via per-query lookup tables, never touching the raw
+    corpus floats.
+
+    Fully engine-reproducible, training included (the knn_ivf_portable
+    discipline): per sub-space, the codebook is deterministic
+    quantized Lloyd over the md5-ordered sample; corpus codes are
+    exact-int64 argmins (ties to lower code); the ADC score is an
+    exact int64 sum of m table lookups — the SQL twin re-derives the
+    identical codebooks, codes, and distances.
+
+    Scale shape: codebooks are m·n_codes·(dim/m) ints of driver state;
+    the corpus is ONE projection to (id, m codes); search broadcasts
+    the per-query distance tables (m·n_codes ints each) and scans the
+    CODES, not the vectors — at 100 TB the scan narrows from dim
+    floats to m bytes per row, the entire point of PQ.
+
+    Returns (query_id, vec_id, adc_dist, rn) — adc_dist in squared
+    original units (int64 quantized, /10^2·scale), rn the ADC rank.
+    """
+    from timeseriesutils_spark.operators.dedup import portable_hash64
+    from timeseriesutils_spark.operators.kmeans import (
+        _dist_expr,
+        _quantize,
+        kmeans_centroids,
+    )
+
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    sub = dim // m
+    sample = corpus.orderBy(
+        portable_hash64(F.col(id_col).cast("string")), F.col(id_col)
+    ).limit(n_sample)
+    books = []
+    for s_i in range(m):
+        s_df = sample.select(
+            id_col, F.slice(F.col(vec_col), s_i * sub + 1, sub).alias("_sv")
+        )
+        books.append(
+            kmeans_centroids(
+                s_df, id_col, "_sv", k=n_codes, n_iter=n_iter, scale=scale
+            )
+        )
+    # corpus → (id, code_0..m-1): one projection, exact argmin per book
+    qcols = [
+        _quantize(F.slice(F.col(vec_col), s_i * sub + 1, sub), scale).alias(
+            f"_q{s_i}"
+        )
+        for s_i in range(m)
+    ]
+    cq = corpus.select(id_col, *qcols)
+    code_cols = []
+    for s_i, book in enumerate(books):
+        structs = F.array(
+            *[
+                F.struct(_dist_expr(f"_q{s_i}", c).alias("d"),
+                         F.lit(j).alias("j"))
+                for j, c in enumerate(book)
+            ]
+        )
+        code_cols.append(
+            F.element_at(F.array_sort(structs), 1)["j"].alias(f"_c{s_i}")
+        )
+    codes = cq.select(id_col, *code_cols)
+    # queries → per-sub-space distance tables (m · n_codes ints each)
+    qq = queries.select(
+        F.col(id_col).alias(query_id), *qcols
+    )
+    dt_cols = [
+        F.array(
+            *[_dist_expr(f"_q{s_i}", c) for c in books[s_i]]
+        ).alias(f"_dt{s_i}")
+        for s_i in range(m)
+    ]
+    qt = qq.select(query_id, *dt_cols)
+    joined = codes.crossJoin(F.broadcast(qt))
+    adc = None
+    for s_i in range(m):
+        term = F.element_at(F.col(f"_dt{s_i}"), F.col(f"_c{s_i}") + 1)
+        adc = term if adc is None else adc + term
+    scored = joined.filter(
+        F.col(query_id) != F.col(id_col) if exclude_self else F.lit(True)
+    ).select(query_id, id_col, adc.alias("_adc"))
+    w = Window.partitionBy(query_id).orderBy(F.col("_adc"), F.col(id_col))
+    mult2 = float(10 ** (2 * scale))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            query_id,
+            id_col,
+            (F.col("_adc").cast("double") / F.lit(mult2)).alias("adc_dist"),
+            "rn",
+        )
+    )
+
+
+def knn_pq_portable_sql(
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    n_sample: int = 256,
+    n_iter: int = 2,
+    scale: int = 6,
+    dim: int = 64,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB twin of :func:`knn_pq_portable`: one prefixed
+    unrolled-Lloyd chain PER SUB-SPACE, long-form exact code
+    assignment, and the ADC sum as a UNION-ALL contribution rollup."""
+    from timeseriesutils_spark.operators.dedup import portable_hash64_sql
+    from timeseriesutils_spark.operators.kmeans import kmeans_cte_parts
+
+    sub = dim // m
+    mult = float(10**scale)
+    mult2 = float(10 ** (2 * scale))
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)")
+    ctes = [
+        f"""
+smp AS (
+  SELECT vec_id AS id, embedding FROM embeddings
+  ORDER BY {h}, vec_id
+  LIMIT {n_sample}
+)"""
+    ]
+    finals = []
+    for s_i in range(m):
+        lo, hi = s_i * sub + 1, (s_i + 1) * sub
+        parts, cfin = kmeans_cte_parts(
+            "smp", "id", f"embedding[{lo}:{hi}]", n_codes, n_iter, scale,
+            prefix=f"s{s_i}_",
+        )
+        ctes += parts
+        finals.append(cfin)
+        ctes.append(
+            f"""
+pq{s_i} AS (
+  SELECT vec_id,
+    [CAST(floor(CAST(x AS DOUBLE) * {mult!r} + 0.5) AS BIGINT)
+     FOR x IN embedding[{lo}:{hi}]] AS qv
+  FROM embeddings
+),
+pql{s_i} AS (
+  SELECT vec_id, u.pos AS pos, u.x AS x FROM (
+    SELECT vec_id,
+      unnest([{{'pos': i, 'x': qv[i]}} FOR i IN range(1, len(qv) + 1)]) AS u
+    FROM pq{s_i}
+  )
+),
+pd{s_i} AS (  -- exact distances of EVERY vector to every code
+  SELECT pql{s_i}.vec_id, {cfin}.j,
+    CAST(SUM((pql{s_i}.x - {cfin}.c) * (pql{s_i}.x - {cfin}.c)) AS BIGINT)
+      AS dist
+  FROM pql{s_i} JOIN {cfin} USING (pos)
+  GROUP BY pql{s_i}.vec_id, {cfin}.j
+),
+pc{s_i} AS (  -- corpus code: argmin, ties to lower code id
+  SELECT vec_id, j AS code FROM (
+    SELECT vec_id, j,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+    FROM pd{s_i}
+  ) WHERE rn = 1
+),
+con{s_i} AS (  -- ADC contribution: query's distance to the corpus code
+  SELECT qd.vec_id AS query_id, co.vec_id, qd.dist
+  FROM pc{s_i} co
+  JOIN (SELECT * FROM pd{s_i} WHERE {query_pred}) qd ON qd.j = co.code
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM con{s_i}" for s_i in range(m)
+    )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+allcon AS ({union}),
+adc AS (
+  SELECT query_id, vec_id, CAST(SUM(dist) AS BIGINT) AS _adc
+  FROM allcon WHERE query_id <> vec_id
+  GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id,
+  CAST(_adc AS DOUBLE) / {mult2!r} AS adc_dist,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY _adc, vec_id) AS INT) AS rn
+FROM adc QUALIFY rn <= {k}
+"""
+    )

@@ -121,7 +121,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "pacf_features", "theil_u", "ar2_forecast", "flesch_readability",
     "simpson_diversity", "classification_report", "gains_curve",
     "paired_ttest", "ad_test", "silhouette_audit", "chi2_gof",
-    "cuped_adjust", "ratio_metric_ci",
+    "cuped_adjust", "ratio_metric_ci", "knn_pq",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

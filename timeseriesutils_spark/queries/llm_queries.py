@@ -2169,3 +2169,29 @@ def _sql_silhouette():
 
 
 QUERIES.update({"silhouette_audit": Q(q_silhouette, _sql_silhouette())})
+
+
+def q_knn_pq(spark, sf_dir):
+    """Product-quantization ANN over the embeddings corpus
+    (operators/similarity.knn_pq_portable): each 64-float vector
+    compresses to 4 sub-space codes; search scores asymmetric
+    distances via per-query lookup tables over the CODES — the
+    memory-side 100 TB lever beside knn_ivf's list pruning.  Fully
+    hash-checkable: per-sub-space deterministic Lloyd codebooks from
+    the md5-ordered sample, exact int64 codes and ADC sums — the twin
+    re-derives everything, training included."""
+    from timeseriesutils_spark.operators.similarity import knn_pq_portable
+
+    emb = _emb(spark, sf_dir)
+    return knn_pq_portable(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, m=4, n_codes=16
+    )
+
+
+def _sql_knn_pq():
+    from timeseriesutils_spark.operators.similarity import knn_pq_portable_sql
+
+    return knn_pq_portable_sql(k=5, m=4, n_codes=16)
+
+
+QUERIES.update({"knn_pq": Q(q_knn_pq, _sql_knn_pq())})
