@@ -94,6 +94,7 @@ TIERS: dict[str, str] = {
     "kmv_overlap": "audit", "silhouette_audit": "audit",
     "chi2_gof": "audit",
     "dup_cluster_sizes": "audit", "knn_recall_curve": "audit",
+    "pq_recall": "audit",
     "langid_confusion": "audit", "dup_rate_by_source": "audit",
     "corpus_jsd": "audit", "novelty_scores": "audit", "zipf_fit": "audit",
     "simpson_diversity": "audit",
@@ -121,7 +122,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "pacf_features", "theil_u", "ar2_forecast", "flesch_readability",
     "simpson_diversity", "classification_report", "gains_curve",
     "paired_ttest", "ad_test", "silhouette_audit", "chi2_gof",
-    "cuped_adjust", "ratio_metric_ci", "knn_pq",
+    "cuped_adjust", "ratio_metric_ci", "knn_pq", "pq_recall",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",
