@@ -859,3 +859,50 @@ def test_knn_pq_adc_is_deterministic_and_ranked(spark):
         dists = [r.adc_dist for r in rs]
         assert dists == sorted(dists)  # rank follows ADC
         assert all(r.vec_id != q for r in rs)  # self excluded
+
+
+def test_knn_pq_engines_identical(spark):
+    """Arrow path (driver numpy Lloyd + encode kernels) must equal the
+    expression path (distributed Lloyd + HOF argmins) row for row —
+    training, codes, and ADC ranks included."""
+    from timeseriesutils_spark.operators.similarity import knn_pq_portable
+
+    rows = [(i, [float((i * 13 + d * 7) % 11) for d in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 4)
+    a = sorted(map(tuple, knn_pq_portable(
+        q, df, k=3, m=2, n_codes=4, n_sample=40, dim=8,
+        engine="arrow").collect()))
+    e = sorted(map(tuple, knn_pq_portable(
+        q, df, k=3, m=2, n_codes=4, n_sample=40, dim=8,
+        engine="expr").collect()))
+    assert a == e and len(a) == 12
+
+
+def test_pq_driver_trainer_matches_distributed(spark):
+    """_pq_train_books_driver reproduces kmeans_centroids bit-for-bit
+    on the same sample/sub-space (the arrow path's training claim)."""
+    from timeseriesutils_spark.operators.kmeans import (
+        _quantize,
+        kmeans_centroids,
+    )
+    from timeseriesutils_spark.operators.similarity import (
+        _pq_train_books_driver,
+    )
+
+    rows = [(i, [float((i * 29 + d * 3) % 17) for d in range(8)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    qrows = [
+        (r[0], list(r[1]))
+        for r in df.select("vec_id", _quantize(F.col("embedding"), 6))
+        .orderBy("vec_id").collect()
+    ]
+    books = _pq_train_books_driver(qrows, m=2, sub=4, n_codes=4, n_iter=3)
+    for s_i in range(2):
+        s_df = df.select(
+            "vec_id", F.slice(F.col("embedding"), s_i * 4 + 1, 4).alias("_sv")
+        )
+        dist = kmeans_centroids(s_df, "vec_id", "_sv", k=4, n_iter=3, scale=6)
+        assert books[s_i] == [list(map(int, c)) for c in dist], s_i

@@ -1107,6 +1107,67 @@ FROM g
 # --------------------------------------------------------------------------
 
 
+def _pq_train_books_driver(qrows, m, sub, n_codes, n_iter):
+    """Driver-side numpy Lloyd per sub-space over the (already
+    md5-ordered, id-sorted, quantized) sample — BIT-IDENTICAL to
+    ``kmeans.kmeans_centroids`` by construction: exact int64 distances,
+    argmin ties to the lower code (np.argmin takes the first minimum,
+    codes ascend), centroid update floor(float(exact Σ)/n + 0.5)
+    (python float division of an exact int == the DECIMAL→double cast
+    both engines perform), empty clusters keep their centroid.  Tests
+    pin the two trainers equal.  The sample is ≤ n_sample rows, so this
+    replaces 4·m·n_iter Spark actions with one collect."""
+    import numpy as np
+
+    Q = np.array([r[1] for r in qrows], dtype=np.int64)
+    books = []
+    for s_i in range(m):
+        X = Q[:, s_i * sub : (s_i + 1) * sub]
+        C = X[:n_codes].copy()
+        for _ in range(n_iter):
+            D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = D.argmin(axis=1)
+            for j in range(n_codes):
+                members = X[assign == j]
+                if len(members):
+                    S = members.sum(axis=0, dtype=np.int64)
+                    C[j] = np.floor(
+                        S.astype(np.float64) / len(members) + 0.5
+                    ).astype(np.int64)
+        books.append([[int(v) for v in c] for c in C])
+    return books
+
+
+def _pq_encode_kernel(id_col, m, sub, books, mult, emit_tables):
+    """mapInPandas kernel: quantize, then per sub-space either the
+    argmin CODE (corpus side) or the full distance TABLE to all codes
+    (query side) — exact int64 both ways."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = [np.array(b, dtype=np.int64) for b in books]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            Q = np.floor(V * mult + 0.5).astype(np.int64)
+            out = {id_col: pdf[id_col].to_numpy()}
+            for s_i in range(m):
+                X = Q[:, s_i * sub : (s_i + 1) * sub]
+                D = ((X[:, None, :] - C[s_i][None, :, :]) ** 2).sum(axis=2)
+                if emit_tables:
+                    out[f"_dt{s_i}"] = list(D)
+                else:
+                    out[f"_c{s_i}"] = D.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
 def knn_pq_portable(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1121,6 +1182,7 @@ def knn_pq_portable(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     exclude_self: bool = True,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Product-quantization KNN (Jégou et al. 2011, public) — THE
     memory-side scale lever the IVF lists don't give: each vector
@@ -1137,11 +1199,17 @@ def knn_pq_portable(
     exact int64 sum of m table lookups — the SQL twin re-derives the
     identical codebooks, codes, and distances.
 
-    Scale shape: codebooks are m·n_codes·(dim/m) ints of driver state;
-    the corpus is ONE projection to (id, m codes); search broadcasts
-    the per-query distance tables (m·n_codes ints each) and scans the
+    Scale shape: codebooks are m·n_codes·(dim/m) ints of driver state
+    (trained by a driver numpy Lloyd over the ≤n_sample-row md5 sample
+    — bit-identical to the distributed trainer, pinned by tests); the
+    corpus is ONE Arrow pass to (id, m codes); search broadcasts the
+    per-query distance tables (m·n_codes ints each) and scans the
     CODES, not the vectors — at 100 TB the scan narrows from dim
     floats to m bytes per row, the entire point of PQ.
+
+    ``engine='expr'`` is the pure-expression form the SQL twin mirrors
+    (m·n_codes HOF distance aggregates per row — measured ~30 s at
+    sf0.1 vs ~2 s for the Arrow kernels; kept for parity tests).
 
     Returns (query_id, vec_id, adc_dist, rn) — adc_dist in squared
     original units (int64 quantized, /10^2·scale), rn the ADC rank.
@@ -1156,51 +1224,77 @@ def knn_pq_portable(
     if dim % m != 0:
         raise ValueError("dim must be divisible by m")
     sub = dim // m
+    mult = float(10**scale)
     sample = corpus.orderBy(
         portable_hash64(F.col(id_col).cast("string")), F.col(id_col)
     ).limit(n_sample)
-    books = []
-    for s_i in range(m):
-        s_df = sample.select(
-            id_col, F.slice(F.col(vec_col), s_i * sub + 1, sub).alias("_sv")
+    if engine == "arrow":
+        qrows = [
+            (r[0], list(r[1]))
+            for r in sample.select(
+                id_col, _quantize(F.col(vec_col), scale)
+            ).orderBy(id_col).collect()
+        ]
+        books = _pq_train_books_driver(qrows, m, sub, n_codes, n_iter)
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        code_schema = f"{id_col} {id_type}, " + ", ".join(
+            f"_c{s_i} int" for s_i in range(m)
         )
-        books.append(
-            kmeans_centroids(
-                s_df, id_col, "_sv", k=n_codes, n_iter=n_iter, scale=scale
+        codes = corpus.select(id_col, F.col(vec_col).alias("_v")).mapInPandas(
+            _pq_encode_kernel(id_col, m, sub, books, mult, False),
+            code_schema,
+        )
+        table_schema = f"{query_id} {id_type}, " + ", ".join(
+            f"_dt{s_i} array<bigint>" for s_i in range(m)
+        )
+        qt = queries.select(
+            F.col(id_col).alias(query_id), F.col(vec_col).alias("_v")
+        ).mapInPandas(
+            _pq_encode_kernel(query_id, m, sub, books, mult, True),
+            table_schema,
+        )
+    else:
+        books = []
+        for s_i in range(m):
+            s_df = sample.select(
+                id_col,
+                F.slice(F.col(vec_col), s_i * sub + 1, sub).alias("_sv"),
             )
-        )
-    # corpus → (id, code_0..m-1): one projection, exact argmin per book
-    qcols = [
-        _quantize(F.slice(F.col(vec_col), s_i * sub + 1, sub), scale).alias(
-            f"_q{s_i}"
-        )
-        for s_i in range(m)
-    ]
-    cq = corpus.select(id_col, *qcols)
-    code_cols = []
-    for s_i, book in enumerate(books):
-        structs = F.array(
-            *[
-                F.struct(_dist_expr(f"_q{s_i}", c).alias("d"),
-                         F.lit(j).alias("j"))
-                for j, c in enumerate(book)
-            ]
-        )
-        code_cols.append(
-            F.element_at(F.array_sort(structs), 1)["j"].alias(f"_c{s_i}")
-        )
-    codes = cq.select(id_col, *code_cols)
-    # queries → per-sub-space distance tables (m · n_codes ints each)
-    qq = queries.select(
-        F.col(id_col).alias(query_id), *qcols
-    )
-    dt_cols = [
-        F.array(
-            *[_dist_expr(f"_q{s_i}", c) for c in books[s_i]]
-        ).alias(f"_dt{s_i}")
-        for s_i in range(m)
-    ]
-    qt = qq.select(query_id, *dt_cols)
+            books.append(
+                kmeans_centroids(
+                    s_df, id_col, "_sv", k=n_codes, n_iter=n_iter,
+                    scale=scale,
+                )
+            )
+        # corpus → (id, code_0..m-1): one projection, exact argmin/book
+        qcols = [
+            _quantize(
+                F.slice(F.col(vec_col), s_i * sub + 1, sub), scale
+            ).alias(f"_q{s_i}")
+            for s_i in range(m)
+        ]
+        cq = corpus.select(id_col, *qcols)
+        code_cols = []
+        for s_i, book in enumerate(books):
+            structs = F.array(
+                *[
+                    F.struct(_dist_expr(f"_q{s_i}", c).alias("d"),
+                             F.lit(j).alias("j"))
+                    for j, c in enumerate(book)
+                ]
+            )
+            code_cols.append(
+                F.element_at(F.array_sort(structs), 1)["j"].alias(f"_c{s_i}")
+            )
+        codes = cq.select(id_col, *code_cols)
+        qq = queries.select(F.col(id_col).alias(query_id), *qcols)
+        dt_cols = [
+            F.array(
+                *[_dist_expr(f"_q{s_i}", c) for c in books[s_i]]
+            ).alias(f"_dt{s_i}")
+            for s_i in range(m)
+        ]
+        qt = qq.select(query_id, *dt_cols)
     joined = codes.crossJoin(F.broadcast(qt))
     adc = None
     for s_i in range(m):
