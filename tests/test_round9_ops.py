@@ -81,6 +81,7 @@ _GIB_DOCS = [
     (5, "a\t\n b  c"),  # whitespace stripped from alpha_frac base
     (6, "1234 !!! ..."),  # no letters at all
     (7, "zqzqzqzqzqzq"),
+    (8, None),  # NULL text == empty text in BOTH engines (r10 ADVICE)
 ]
 
 

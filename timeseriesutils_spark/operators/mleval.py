@@ -652,8 +652,13 @@ def gains_curve(
     )
     buckets = []
     for b in range(1, n_buckets + 1):
-        # cutoff rows = ceil(n*b/B), exact integer arithmetic
-        cut = F.expr(f"CAST(-((-_n * {b}) div {n_buckets}) AS BIGINT)")
+        # cutoff rows = ceil(n*b/B), exact integer arithmetic: all terms
+        # positive, so (x + B - 1) div B == ceil(x / B) under Spark's
+        # truncate-toward-zero `div` (round-10 ADVICE: the old
+        # -((-x) div B) form computed FLOOR, contradicting the contract)
+        cut = F.expr(
+            f"CAST((_n * {b} + {n_buckets - 1}) div {n_buckets} AS BIGINT)"
+        )
         inc = F.col("_cr") <= cut
         buckets.append(
             F.struct(
@@ -717,9 +722,9 @@ def gains_curve_sql(
     )
     rows = " UNION ALL ".join(
         f"SELECT {gsel}, _n, _np, {b} AS bucket, "
-        f"COALESCE(MAX(CASE WHEN _cr <= -((-_n * {b}) // {n_buckets})"
+        f"COALESCE(MAX(CASE WHEN _cr <= (_n * {b} + {n_buckets - 1}) // {n_buckets}"
         f" THEN _cr END), 0) AS n_included, "
-        f"COALESCE(MAX(CASE WHEN _cr <= -((-_n * {b}) // {n_buckets})"
+        f"COALESCE(MAX(CASE WHEN _cr <= (_n * {b} + {n_buckets - 1}) // {n_buckets}"
         f" THEN _cp END), 0) AS pos_included "
         f"FROM cum GROUP BY {gsel}, _n, _np"
         for b in range(1, n_buckets + 1)

@@ -2023,9 +2023,17 @@ def ad_test(
             (F.col("n_a") + F.col("n_b")).alias("_n"),
         )
     )
+    # _n >= 2 guard (round-10 ADVICE): Spark sequence(1, 0) DESCENDS to
+    # [1, 0] — an i=0 harmonic row (1e15/0 = Inf) — while DuckDB's
+    # range(1, 1) is empty.  CASE-gate to NULL so explode drops the
+    # degenerate group in Spark exactly as the empty range + inner
+    # join drops it in the twin.  (Unreachable through the bv < nn
+    # filter for grouped data, but the operator is public API.)
     idx = base.select(
         *groups, "_n",
-        F.explode(F.expr("sequence(1, CAST(_n - 1 AS INT))")).alias("_i"),
+        F.explode(F.expr(
+            "CASE WHEN _n >= 2 THEN sequence(1, CAST(_n - 1 AS INT)) END"
+        )).alias("_i"),
     ).select(*groups, "_n", "_i", F.expr(hterm.replace("i", "_i")).alias("_hq"))
     wi = Window.partitionBy(*groups).orderBy("_i")
     pref = idx.select(

@@ -2344,7 +2344,11 @@ def gibberish_score(
             float(alpha_frac_min),
         )
         return docs.select(id_col, text_col).mapInPandas(kernel, schema)
-    lower = F.lower(F.col(text_col))
+    # NULL contract (round-10 ADVICE): NULL text == empty text in ALL
+    # THREE paths (the arrow kernel fillna(""), this coalesce, and the
+    # twin's innermost COALESCE) — n_chars 0, metrics 0, gibberish true
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lower = F.lower(txt)
     nospace = F.regexp_replace(lower, r"\s+", "")
     counts = [
         (F.length(nospace) - F.length(F.regexp_replace(nospace, c, "")))
@@ -2354,7 +2358,7 @@ def gibberish_score(
     ]
     base = docs.select(
         id_col,
-        F.length(F.col(text_col)).alias("n_chars"),
+        F.length(txt).alias("n_chars"),
         F.length(nospace).alias("_nz"),
         *counts,
         F.coalesce(
@@ -2473,7 +2477,10 @@ FROM (
   FROM (
     SELECT {id_col}, {text_col},
       regexp_replace({lower}, '\\s+', '', 'g') AS _nzs
-    FROM ({data_sql})
+    FROM (
+      SELECT {id_col}, COALESCE({text_col}, '') AS {text_col}
+      FROM ({data_sql})
+    )
   )
 )
 """
