@@ -27,44 +27,47 @@ class Q:
 # the full set is locally gate-checked every round via
 # tools/check_oracle.py — see CORRECTNESS_LOCAL.json).
 #
-# ROUND-9 ROTATION (executes the plan written at the end of round 8,
-# extended mid-round): every query with NO driver row of any kind
-# takes a head slot — slots 1-13 the round-8 late wave (the two fixed
-# wrong-answer queries intradoc_dedup/gibberish_score first, so the
-# fixes get a driver verdict), slots 14-25 the twelve round-9
-# additions (all locally gate-green at BOTH SFs + unit-tested before
-# entering the head), slots 26-50 the round-3-only cohort head in
-# catalog order.  Everything after slot 50 keeps full local gate
-# coverage via tools/check_oracle.py --json.
+# ROUND-10 ROTATION (executes the plan written at the end of round 9):
+# slots 1-3 the ONLY hash-capable queries never driver-verified
+# (ratio_metric_ci / knn_pq / pq_recall — added after round 9 froze
+# its rotation), then every round-10 addition (inserted here as each
+# lands, all locally gate-green at BOTH SFs + unit-tested before
+# entering the head), then the stale-row re-verification cohort: the
+# remaining round-3 cohort (chunk_dedup, quality_filter,
+# semantic_dedup, the stream_* family — last driver rows r3) and the
+# round-4 cohort head.  Everything after slot 50 keeps full local
+# gate coverage via tools/check_oracle.py --json.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
-    # slots 1-13: round-8 additions, never driver-verified (the two
-    # round-8 wrong-answer queries are fixed this round — head slots)
-    "intradoc_dedup", "gibberish_score", "mad_outliers",
-    "sampen_coarse", "cvm_test", "pettitt_test", "cox_stuart",
-    "bartlett_test", "ljung_box", "holt_damped", "owa_eval", "rmst",
-    "kmv_overlap",
-    # slots 14-25: round-9 additions, never driver-verified
-    "pacf_features", "theil_u", "ar2_forecast", "flesch_readability",
-    "simpson_diversity", "classification_report", "gains_curve",
-    "paired_ttest", "ad_test", "silhouette_audit", "chi2_gof",
-    "cuped_adjust",
-    # slots 26-50: the round-3-only cohort head, catalog order
-    # (ratio_metric_ci rides with the round-10 head — 26th of 13+13)
-    "gap_detect", "funnel", "cohort_retention", "boilerplate_frac",
-    "bm25_search", "chunk_text", "heavy_hitters", "media_features",
-    "unigram_logprob", "tf_idf", "clean_text", "repetition_stats",
-    "multimodal_meta", "seq_pack", "decontaminate_pairs",
-    "quantize_embeddings", "pca_project", "pii_scrub", "corpus_stats",
-    "length_histogram", "stratified_sample", "mixture_resample",
-    "reservoir_sample", "embedding_centroids", "fuzzy_match",
+    # slots 1-3: never driver-verified (round-9 post-rotation adds)
+    "ratio_metric_ci", "knn_pq", "pq_recall",
+    # round-10 additions (never driver-verified; uncommented here as
+    # each lands gate-green — catalog() validates these names):
+    # "knn_ivfpq", "ann_recall_ivfpq", "kalman_local_level",
+    # "stream_pq_encode", "mmr_diversify", "keyness_llr", "emd_1d",
+    # "hampel_filter", "robust_scaler", "isotonic_calibrate",
+    # "vif_audit", "dedup_band_audit",
+    # stale re-verification: round-3 cohort remainder (driver rows r3)
+    "chunk_dedup", "quality_filter", "semantic_dedup",
+    "stream_counter_rate", "stream_cusum", "stream_dedup",
+    "stream_join", "stream_renewal_rt", "stream_session",
+    "stream_sliding", "stream_stateful", "stream_static_join",
+    "stream_topk", "stream_tumbling",
+    # round-4 cohort head, catalog order (tail names below are PADDING
+    # swapped out one-for-one as round-10 additions land, keeping the
+    # head at exactly 50)
+    "spectral_entropy", "variant_json", "quantile_bin",
+    "dedup_minhash_lsh", "simhash", "knn_lsh", "knn_ivf",
+    "feature_hash", "hash_split", "shard_assign", "domain_caps",
+    "build_vocab", "bpe_pair_counts", "jsonl_pack", "sax_words",
+    "permutation_entropy", "hurst_exponent",
+    "rolling_median", "rolling_mad", "winsorize", "gini_index",
+    "weighted_median", "value_entropy", "group_mode", "ohlc_bars",
+    "interpolate", "gap_fill_ffill", "seasonal_profile", "sessionize",
+    "merge_intervals", "state_dwell", "top_paths", "event_transitions",
 )
-# ROUND-10 ROTATION PLAN: head slots go to (a) ratio_metric_ci (the
-# one round-9 query that did not fit slot 50) plus any round-10
-# additions without a driver row, then (b) the remaining round-3
-# cohort (chunk_dedup, quality_filter, semantic_dedup, the stream_*
-# family), then (c) the round-4 cohort oldest-first in catalog order
-# (spectral_entropy, variant_json, quantile_bin, dedup_minhash_lsh,
-# simhash, knn_lsh, knn_ivf, ...), then (d) the round-5 cohort.
+# ROUND-11 ROTATION PLAN: head slots go to (a) any round-11 additions,
+# then (b) whatever round-10 additions missed this head-50, then (c)
+# the rest of the round-4 cohort and the round-5 cohort oldest-first.
 
 
 # --- catalog governance (round-6): gate tiers -----------------------------
