@@ -113,3 +113,99 @@ def test_gibberish_null_contract_all_paths(spark):
     assert len(res) == 2
     for r in res:
         assert r[nc] == 0 and r[gi] is True
+
+
+# --- knn_ivfpq: IVFADC compound index (round-10 wave) ------------------------
+
+
+def _toy_emb(spark, n=60, dim=8, seed_groups=3):
+    # deterministic synthetic embeddings: three well-separated lobes so
+    # the coarse quantizer has real structure to find
+    rows = []
+    for i in range(n):
+        g = i % seed_groups
+        base = [float(g * 10)] * dim
+        vec = [base[d] + ((i * 7 + d * 3) % 5) * 0.1 for d in range(dim)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_ivfpq_arrow_equals_expr_engine(spark):
+    from timeseriesutils_spark.operators.similarity import knn_ivfpq_portable
+
+    emb = _toy_emb(spark)
+    q = emb.filter("vec_id < 4")
+    kw = dict(k=3, n_centroids=3, nprobe=2, m=2, n_codes=4, n_sample=60,
+              n_iter_coarse=2, n_iter_pq=2, dim=8)
+    a = knn_ivfpq_portable(q, emb, engine="arrow", **kw).orderBy(
+        "query_id", "rn").collect()
+    e = knn_ivfpq_portable(q, emb, engine="expr", **kw).orderBy(
+        "query_id", "rn").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in e]
+    assert len(a) == 4 * 3
+
+
+def test_ivfpq_residual_trainer_matches_distributed(spark):
+    # the driver numpy residual Lloyd must be bit-identical to
+    # kmeans_centroids over the residual frames (the knn_pq precedent)
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.kmeans import (
+        _dist_expr,
+        _quantize,
+        kmeans_centroids,
+    )
+    from timeseriesutils_spark.operators.similarity import (
+        _ivfpq_train_books_driver,
+    )
+
+    emb = _toy_emb(spark)
+    m, sub, n_codes, scale = 2, 4, 4, 6
+    cents = kmeans_centroids(emb, k=3, n_iter=2, scale=scale)
+    qrows = [
+        (r[0], list(r[1]))
+        for r in emb.select(
+            "vec_id", _quantize(F.col("embedding"), scale)
+        ).orderBy("vec_id").collect()
+    ]
+    books_np = _ivfpq_train_books_driver(qrows, cents, m, sub, n_codes, 2)
+    dist_structs = F.array(
+        *[F.struct(_dist_expr("_q", c).alias("d"), F.lit(j).alias("j"))
+          for j, c in enumerate(cents)]
+    )
+    cents_arr = "array(" + ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in c) + ")" for c in cents
+    ) + ")"
+    rs = emb.select(
+        "vec_id", _quantize(F.col("embedding"), scale).alias("_q")
+    ).select(
+        "vec_id",
+        F.element_at(F.array_sort(dist_structs), 1)["j"].alias("_lst"),
+        "_q",
+    ).select(
+        "vec_id",
+        F.expr(f"zip_with(_q, element_at({cents_arr}, _lst + 1),"
+               " (x, y) -> x - y)").alias("_r"),
+    )
+    for s_i in range(m):
+        s_df = rs.select(
+            "vec_id", F.slice(F.col("_r"), s_i * sub + 1, sub).alias("_sv")
+        )
+        dist = kmeans_centroids(s_df, "vec_id", "_sv", k=n_codes,
+                                n_iter=2, scale=0)
+        assert dist == books_np[s_i], f"sub-space {s_i} books diverge"
+
+
+def test_ivfpq_plan_joins_on_list_not_cross(spark):
+    # the IVF lever: candidates come from a _lst equi-join against a
+    # broadcast of the per-(query, probed list) tables — never a
+    # corpus-wide cross join
+    from timeseriesutils_spark.operators.similarity import knn_ivfpq_portable
+
+    emb = _toy_emb(spark)
+    q = emb.filter("vec_id < 4")
+    df = knn_ivfpq_portable(q, emb, k=3, n_centroids=3, nprobe=1, m=2,
+                            n_codes=4, n_sample=60, dim=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

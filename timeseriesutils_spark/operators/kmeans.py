@@ -224,23 +224,28 @@ def kmeans_cte_parts(
     oracle instantiates it once PER SUBSPACE via ``prefix``, which
     namespaces every CTE so chains can coexist in one WITH).  Returns
     (cte_parts, final_centroid_cte_name); the final CTE has columns
-    (j, pos, c) — centroid index, 1-based dimension, quantized int."""
+    (j, pos, c) — centroid index, 1-based dimension, quantized int.
+    Every stage is AS MATERIALIZED: DuckDB 1.0 inlines plain CTEs, so a
+    chain whose stages reference their predecessor more than once
+    re-expands EXPONENTIALLY in n_iter (the IVFADC twin at 2+2
+    iterations ran >8 min before this; materialized it is sub-second
+    — results identical, hashes unchanged)."""
     mult = float(10**scale)
     p = prefix
     parts = [
         f"""
-{p}q AS (
+{p}q AS MATERIALIZED (
   SELECT {id_col} AS id,
     [CAST(floor(CAST(x AS DOUBLE) * {mult!r} + 0.5) AS BIGINT) FOR x IN {vec_col}] AS q
   FROM {source}
 ),
-{p}ql AS (
+{p}ql AS MATERIALIZED (
   SELECT id, u.pos AS pos, u.x AS x FROM (
     SELECT id, unnest([{{'pos': i, 'x': q[i]}} FOR i IN range(1, len(q) + 1)]) AS u
     FROM {p}q
   )
 ),
-{p}c0 AS (  -- init: k lowest-id vectors, cluster index by id rank
+{p}c0 AS MATERIALIZED (  -- init: k lowest-id vectors, cluster index by id rank
   SELECT ids.j, ql.pos, ql.x AS c
   FROM (
     SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS j
@@ -252,18 +257,18 @@ def kmeans_cte_parts(
     for it in range(1, n_iter + 1):
         parts.append(
             f"""
-{p}d{it} AS (  -- exact int64 squared distances to {prev}
+{p}d{it} AS MATERIALIZED (  -- exact int64 squared distances to {prev}
   SELECT ql.id, {prev}.j,
     CAST(SUM((ql.x - {prev}.c) * (ql.x - {prev}.c)) AS BIGINT) AS dist
   FROM {p}ql AS ql JOIN {prev} USING (pos) GROUP BY ql.id, {prev}.j
 ),
-{p}a{it} AS (  -- argmin, ties to lower centroid index
+{p}a{it} AS MATERIALIZED (  -- argmin, ties to lower centroid index
   SELECT id, j AS cluster FROM (
     SELECT id, j, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, j) AS rn
     FROM {p}d{it}
   ) WHERE rn = 1
 ),
-{p}c{it} AS (  -- centroid update: exact sums, half-up re-round; empty keeps old
+{p}c{it} AS MATERIALIZED (  -- centroid update: exact sums, half-up re-round; empty keeps old
   SELECT {prev}.j, {prev}.pos,
     COALESCE(
       CAST(floor(CAST(u.s AS DOUBLE) / u.n + 0.5) AS BIGINT),

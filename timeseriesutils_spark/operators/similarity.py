@@ -1409,3 +1409,445 @@ SELECT query_id, vec_id,
 FROM adc QUALIFY rn <= {k}
 """
     )
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ compound index (IVFADC) — the 100 TB serving shape
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_train_books_driver(qrows, cents, m, sub, n_codes, n_iter):
+    """Residual PQ codebooks (Jégou et al. 2011 IVFADC, public):
+    assign each (md5-ordered, id-sorted, quantized) sample vector to
+    its nearest coarse centroid — exact int64 distances, argmin ties
+    to the lower list id — subtract, then run the same integer Lloyd
+    as :func:`_pq_train_books_driver` per sub-space on the RESIDUALS.
+    Bit-identical to the ``kmeans_cte_parts(scale=0)`` chains the SQL
+    twin unrolls (python float division of an exact int == the
+    DECIMAL→double cast; first-min argmin == (dist, j) row_number);
+    tests pin the two trainers equal."""
+    import numpy as np
+
+    C = np.array(cents, dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.int64)
+    D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    lists = D.argmin(axis=1)
+    R = Q - C[lists]
+    books = []
+    for s_i in range(m):
+        X = R[:, s_i * sub : (s_i + 1) * sub]
+        B = X[:n_codes].copy()
+        for _ in range(n_iter):
+            Db = ((X[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            assign = Db.argmin(axis=1)
+            for j in range(n_codes):
+                members = X[assign == j]
+                if len(members):
+                    S = members.sum(axis=0, dtype=np.int64)
+                    B[j] = np.floor(
+                        S.astype(np.float64) / len(members) + 0.5
+                    ).astype(np.int64)
+        books.append([[int(v) for v in c] for c in B])
+    return books
+
+
+def _ivfpq_encode_kernel(id_col, cents, m, sub, books, mult, nprobe,
+                         emit_tables):
+    """mapInPandas kernel for IVFADC: corpus side emits (id, coarse
+    list, m residual codes) in one vectorized pass; query side emits
+    one row PER PROBED LIST with the m residual distance tables for
+    that list's centroid.  All distances exact int64."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(cents, dtype=np.int64)
+        B = [np.array(b, dtype=np.int64) for b in books]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            Q = np.floor(V * mult + 0.5).astype(np.int64)
+            D = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            if not emit_tables:
+                lists = D.argmin(axis=1)
+                R = Q - C[lists]
+                out = {
+                    id_col: pdf[id_col].to_numpy(),
+                    "_lst": lists.astype(np.int32),
+                }
+                for s_i in range(m):
+                    X = R[:, s_i * sub : (s_i + 1) * sub]
+                    Db = ((X[:, None, :] - B[s_i][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    out[f"_c{s_i}"] = Db.argmin(axis=1).astype(np.int32)
+                yield pd.DataFrame(out)
+            else:
+                # stable argsort == ties to the lower list id (the SQL
+                # twin's ROW_NUMBER ... ORDER BY dist, j); query batches
+                # are small (the probe fan-out is per-query state)
+                order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+                ids, lsts = [], []
+                tabs = [[] for _ in range(m)]
+                for i in range(len(Q)):
+                    for lst in order[i]:
+                        R = Q[i] - C[lst]
+                        ids.append(pdf[id_col].iloc[i])
+                        lsts.append(int(lst))
+                        for s_i in range(m):
+                            x = R[s_i * sub : (s_i + 1) * sub]
+                            dt = ((x[None, :] - B[s_i]) ** 2).sum(axis=1)
+                            tabs[s_i].append([int(v) for v in dt])
+                out = {id_col: ids, "_lst": np.array(lsts, dtype=np.int32)}
+                for s_i in range(m):
+                    out[f"_dt{s_i}"] = tabs[s_i]
+                yield pd.DataFrame(out)
+
+    return fn
+
+
+def knn_ivfpq_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 32,
+    n_sample: int = 256,
+    n_iter_coarse: int = 2,
+    n_iter_pq: int = 2,
+    scale: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    exclude_self: bool = True,
+    engine: str = "arrow",
+) -> DataFrame:
+    """IVF + PQ compound ANN (Jégou et al. 2011 "IVFADC", public — the
+    standard billion-scale serving layout): the coarse quantizer
+    prunes WHICH corpus rows are scored (each query touches
+    nprobe/n_centroids of the data, the knn_ivf lever) and PQ
+    compresses WHAT is scored (each pruned row is m small residual
+    codes, the knn_pq lever).  Distances are asymmetric: the query's
+    exact residual against the centroid of each corpus code, per
+    probed list — residuals are taken against the probed list's coarse
+    centroid on BOTH sides, so the tables are list-specific.
+
+    Fully engine-reproducible, training included: coarse centroids
+    via the distributed quantized Lloyd (kmeans_centroids == the
+    unrolled kmeans_cte_parts chain), residual codebooks via the same
+    schedule per sub-space at scale=0 (residuals are already int64),
+    exact int64 codes/tables/ADC sums — the SQL twin re-derives the
+    identical index end to end.
+
+    Scale shape (the 100 TB answer): driver state is n_centroids·dim
+    + m·n_codes·(dim/m) ints; the corpus is ONE Arrow pass to
+    (id, list, m codes) — amortizable by writing the encoded table
+    partitioned by list; search broadcasts per-(query, probed-list)
+    tables (m·n_codes ints each) and joins them against the CODES
+    table co-partitioned on the list id, scanning m bytes per
+    candidate row instead of dim floats, for nprobe/n_centroids of
+    the rows.  ``engine='expr'`` is the expression form the twin
+    mirrors (kept for parity tests; arrow is the production plan —
+    the knn_pq precedent measured ~20× between them).
+
+    Returns (query_id, vec_id, adc_dist, rn) — adc_dist in squared
+    original units, rn the ADC rank.
+    """
+    from timeseriesutils_spark.operators.dedup import portable_hash64
+    from timeseriesutils_spark.operators.kmeans import (
+        _dist_expr,
+        _quantize,
+        kmeans_centroids,
+    )
+
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    sub = dim // m
+    mult = float(10**scale)
+    sample = corpus.orderBy(
+        portable_hash64(F.col(id_col).cast("string")), F.col(id_col)
+    ).limit(n_sample)
+    cents = kmeans_centroids(
+        sample, id_col, vec_col, k=n_centroids, n_iter=n_iter_coarse,
+        scale=scale,
+    )
+    if engine == "arrow":
+        qrows = [
+            (r[0], list(r[1]))
+            for r in sample.select(
+                id_col, _quantize(F.col(vec_col), scale)
+            ).orderBy(id_col).collect()
+        ]
+        books = _ivfpq_train_books_driver(
+            qrows, cents, m, sub, n_codes, n_iter_pq
+        )
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        code_schema = f"{id_col} {id_type}, _lst int, " + ", ".join(
+            f"_c{s_i} int" for s_i in range(m)
+        )
+        codes = corpus.select(id_col, F.col(vec_col).alias("_v")).mapInPandas(
+            _ivfpq_encode_kernel(
+                id_col, cents, m, sub, books, mult, nprobe, False
+            ),
+            code_schema,
+        )
+        table_schema = f"{query_id} {id_type}, _lst int, " + ", ".join(
+            f"_dt{s_i} array<bigint>" for s_i in range(m)
+        )
+        qt = queries.select(
+            F.col(id_col).alias(query_id), F.col(vec_col).alias("_v")
+        ).mapInPandas(
+            _ivfpq_encode_kernel(
+                query_id, cents, m, sub, books, mult, nprobe, True
+            ),
+            table_schema,
+        )
+    else:
+        cents_arr = "array(" + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in c) + ")" for c in cents
+        ) + ")"
+        dist_structs = F.array(
+            *[
+                F.struct(_dist_expr("_q", c).alias("d"), F.lit(j).alias("j"))
+                for j, c in enumerate(cents)
+            ]
+        )
+        resid = F.expr(
+            f"zip_with(_q, element_at({cents_arr}, _lst + 1),"
+            " (x, y) -> x - y)"
+        )
+        # residual sample → per-sub-space books (the distributed
+        # trainer; bit-identical to the driver numpy path, pinned)
+        rs = sample.select(
+            id_col, _quantize(F.col(vec_col), scale).alias("_q")
+        ).select(
+            id_col,
+            F.element_at(F.array_sort(dist_structs), 1)["j"].alias("_lst"),
+            "_q",
+        ).select(id_col, resid.alias("_r"))
+        books = []
+        for s_i in range(m):
+            s_df = rs.select(
+                id_col, F.slice(F.col("_r"), s_i * sub + 1, sub).alias("_sv")
+            )
+            books.append(
+                kmeans_centroids(
+                    s_df, id_col, "_sv", k=n_codes, n_iter=n_iter_pq,
+                    scale=0,
+                )
+            )
+        base = corpus.select(
+            id_col, _quantize(F.col(vec_col), scale).alias("_q")
+        ).select(
+            id_col,
+            F.element_at(F.array_sort(dist_structs), 1)["j"].alias("_lst"),
+            "_q",
+        ).select(id_col, "_lst", resid.alias("_r"))
+        code_cols = []
+        for s_i, book in enumerate(books):
+            structs = F.array(
+                *[
+                    F.struct(
+                        _dist_expr(f"slice(_r, {s_i * sub + 1}, {sub})", c)
+                        .alias("d"),
+                        F.lit(j).alias("j"),
+                    )
+                    for j, c in enumerate(book)
+                ]
+            )
+            code_cols.append(
+                F.element_at(F.array_sort(structs), 1)["j"].alias(f"_c{s_i}")
+            )
+        codes = base.select(id_col, "_lst", *code_cols)
+        qb = queries.select(
+            F.col(id_col).alias(query_id),
+            _quantize(F.col(vec_col), scale).alias("_q"),
+        ).select(
+            query_id,
+            "_q",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dist_structs), 1, nprobe),
+                    lambda s: s["j"],
+                )
+            ).alias("_lst"),
+        ).select(query_id, "_lst", resid.alias("_r"))
+        dt_cols = [
+            F.array(
+                *[
+                    _dist_expr(f"slice(_r, {s_i * sub + 1}, {sub})", c)
+                    for c in books[s_i]
+                ]
+            ).alias(f"_dt{s_i}")
+            for s_i in range(m)
+        ]
+        qt = qb.select(query_id, "_lst", *dt_cols)
+    joined = codes.join(F.broadcast(qt), on="_lst")
+    adc = None
+    for s_i in range(m):
+        term = F.element_at(F.col(f"_dt{s_i}"), F.col(f"_c{s_i}") + 1)
+        adc = term if adc is None else adc + term
+    scored = joined.filter(
+        F.col(query_id) != F.col(id_col) if exclude_self else F.lit(True)
+    ).select(query_id, id_col, adc.alias("_adc"))
+    w = Window.partitionBy(query_id).orderBy(F.col("_adc"), F.col(id_col))
+    mult2 = float(10 ** (2 * scale))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            query_id,
+            id_col,
+            (F.col("_adc").cast("double") / F.lit(mult2)).alias("adc_dist"),
+            "rn",
+        )
+    )
+
+
+def knn_ivfpq_portable_sql(
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 32,
+    n_sample: int = 256,
+    n_iter_coarse: int = 2,
+    n_iter_pq: int = 2,
+    scale: int = 6,
+    dim: int = 64,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB twin of :func:`knn_ivfpq_portable`: the coarse Lloyd
+    chain + one residual Lloyd chain per sub-space (prefix-namespaced
+    ``kmeans_cte_parts``), long-form exact coarse assignment /
+    residuals / codes, per-(query, probed-list) distance rows, and the
+    ADC as a UNION-ALL contribution rollup."""
+    from timeseriesutils_spark.operators.dedup import portable_hash64_sql
+    from timeseriesutils_spark.operators.kmeans import kmeans_cte_parts
+
+    sub = dim // m
+    mult = float(10**scale)
+    mult2 = float(10 ** (2 * scale))
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)")
+    ctes = [
+        f"""
+smp AS (
+  SELECT vec_id AS id, embedding FROM embeddings
+  ORDER BY {h}, vec_id
+  LIMIT {n_sample}
+)"""
+    ]
+    cparts, cfin = kmeans_cte_parts(
+        "smp", "id", "embedding", n_centroids, n_iter_coarse, scale,
+        prefix="cv_",
+    )
+    ctes += cparts
+    ctes.append(
+        f"""
+aq AS MATERIALIZED (  -- full corpus, quantized
+  SELECT vec_id,
+    [CAST(floor(CAST(x AS DOUBLE) * {mult!r} + 0.5) AS BIGINT)
+     FOR x IN embedding] AS qv
+  FROM embeddings
+),
+aql AS MATERIALIZED (
+  SELECT vec_id, u.pos AS pos, u.x AS x FROM (
+    SELECT vec_id,
+      unnest([{{'pos': i, 'x': qv[i]}} FOR i IN range(1, len(qv) + 1)]) AS u
+    FROM aq
+  )
+),
+ad AS MATERIALIZED (  -- exact coarse distances, every vector x every centroid
+  SELECT aql.vec_id, {cfin}.j,
+    CAST(SUM((aql.x - {cfin}.c) * (aql.x - {cfin}.c)) AS BIGINT) AS dist
+  FROM aql JOIN {cfin} USING (pos) GROUP BY aql.vec_id, {cfin}.j
+),
+aa AS MATERIALIZED (  -- coarse list assignment: argmin, ties to lower list id
+  SELECT vec_id, j AS lst FROM (
+    SELECT vec_id, j,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+rl AS MATERIALIZED (  -- residual long form for every corpus vector
+  SELECT aql.vec_id, aql.pos, aql.x - c.c AS x
+  FROM aql JOIN aa USING (vec_id)
+  JOIN {cfin} c ON c.j = aa.lst AND c.pos = aql.pos
+),
+rsmp AS MATERIALIZED (  -- the training sample's residual vectors, as arrays
+  SELECT vec_id AS id, list(x ORDER BY pos) AS rv
+  FROM rl WHERE vec_id IN (SELECT id FROM smp) GROUP BY vec_id
+),
+qp AS MATERIALIZED (  -- nprobe nearest lists per query
+  SELECT vec_id AS query_id, j AS lst FROM (
+    SELECT vec_id, j,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+    FROM ad WHERE {query_pred}
+  ) WHERE rn <= {nprobe}
+),
+qrl AS MATERIALIZED (  -- query residuals, one set per probed list
+  SELECT qp.query_id, qp.lst, aql.pos, aql.x - c.c AS x
+  FROM qp JOIN aql ON aql.vec_id = qp.query_id
+  JOIN {cfin} c ON c.j = qp.lst AND c.pos = aql.pos
+)"""
+    )
+    for s_i in range(m):
+        lo, hi = s_i * sub + 1, (s_i + 1) * sub
+        parts, bfin = kmeans_cte_parts(
+            "rsmp", "id", f"rv[{lo}:{hi}]", n_codes, n_iter_pq, 0,
+            prefix=f"s{s_i}_",
+        )
+        ctes += parts
+        ctes.append(
+            f"""
+sd{s_i} AS MATERIALIZED (  -- corpus residual distances to sub-space {s_i} codes
+  SELECT rl.vec_id, b.j,
+    CAST(SUM((rl.x - b.c) * (rl.x - b.c)) AS BIGINT) AS dist
+  FROM rl JOIN {bfin} b ON b.pos = rl.pos - {lo - 1}
+  WHERE rl.pos BETWEEN {lo} AND {hi}
+  GROUP BY rl.vec_id, b.j
+),
+sc{s_i} AS MATERIALIZED (  -- corpus code: argmin, ties to lower code id
+  SELECT vec_id, j AS code FROM (
+    SELECT vec_id, j,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+    FROM sd{s_i}
+  ) WHERE rn = 1
+),
+qd{s_i} AS MATERIALIZED (  -- query residual distance tables, per probed list
+  SELECT qrl.query_id, qrl.lst, b.j,
+    CAST(SUM((qrl.x - b.c) * (qrl.x - b.c)) AS BIGINT) AS dist
+  FROM qrl JOIN {bfin} b ON b.pos = qrl.pos - {lo - 1}
+  WHERE qrl.pos BETWEEN {lo} AND {hi}
+  GROUP BY qrl.query_id, qrl.lst, b.j
+),
+con{s_i} AS (  -- ADC contribution: table lookup at the corpus code
+  SELECT qd.query_id, sc.vec_id, qd.dist
+  FROM sc{s_i} sc
+  JOIN aa USING (vec_id)
+  JOIN qd{s_i} qd ON qd.lst = aa.lst AND qd.j = sc.code
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM con{s_i}" for s_i in range(m))
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+allcon AS ({union}),
+adc AS (
+  SELECT query_id, vec_id, CAST(SUM(dist) AS BIGINT) AS _adc
+  FROM allcon WHERE query_id <> vec_id
+  GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id,
+  CAST(_adc AS DOUBLE) / {mult2!r} AS adc_dist,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY _adc, vec_id) AS INT) AS rn
+FROM adc QUALIFY rn <= {k}
+"""
+    )

@@ -2315,3 +2315,149 @@ FROM scaffold s LEFT JOIN hits h ON s.k = h.k
 
 
 QUERIES.update({"pq_recall": Q(q_pq_recall, _sql_pq_recall())})
+
+
+def q_knn_ivfpq(spark, sf_dir):
+    """IVF + PQ compound ANN (operators/similarity.knn_ivfpq_portable,
+    Jégou 2011 IVFADC): the coarse quantizer prunes which rows are
+    scored (nprobe/n_centroids of the corpus) and PQ compresses what
+    is scored (8 residual codes per row) — the two levers knn_ivf and
+    knn_pq measure separately, composed into the standard
+    billion-scale serving layout.  Fully hash-checkable, training
+    included: coarse Lloyd + per-sub-space residual Lloyd, exact int64
+    codes / per-(query, probed-list) tables / ADC sums."""
+    from timeseriesutils_spark.operators.similarity import knn_ivfpq_portable
+
+    emb = _emb(spark, sf_dir)
+    return knn_ivfpq_portable(emb.filter(F.col("vec_id") < 10), emb)
+
+
+def _sql_knn_ivfpq():
+    from timeseriesutils_spark.operators.similarity import (
+        knn_ivfpq_portable_sql,
+    )
+
+    return knn_ivfpq_portable_sql()
+
+
+QUERIES.update({"knn_ivfpq": Q(q_knn_ivfpq, _sql_knn_ivfpq())})
+
+
+def q_ann_recall_ivfpq(spark, sf_dir):
+    """IVFADC index-quality audit: recall@k of the compound
+    IVF-prune + PQ-compress ranking against the EXACT quantized
+    squared-L2 neighbors for k ∈ {1,3,5} — the row that sits beside
+    pq_recall (compression loss alone) and knn_recall_curve (pruning
+    loss alone) and answers how much the COMPOSITION costs: unlike
+    PQ-only, IVFADC can also MISS candidates whose list was never
+    probed, so recall here ≤ pq_recall at equal code budgets."""
+    from timeseriesutils_spark.operators.kmeans import _quantize
+    from timeseriesutils_spark.operators.similarity import knn_ivfpq_portable
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    q10 = emb.filter(F.col("vec_id") < 10)
+    kmax = max(_RECALL_KS)
+    c = emb.select(
+        F.col("vec_id"), _quantize(F.col("embedding"), 6).alias("_cq")
+    )
+    qq = q10.select(
+        F.col("vec_id").alias("query_id"),
+        _quantize(F.col("embedding"), 6).alias("_qq"),
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("_qq"), F.col("_cq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_d"), F.col("vec_id"))
+    exact = (
+        c.crossJoin(F.broadcast(qq))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", d.alias("_d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= kmax)
+    )
+    approx = knn_ivfpq_portable(q10, emb, k=kmax)
+    m = exact.select(
+        "query_id", "vec_id", F.col("rn").alias("_re")
+    ).join(
+        F.broadcast(
+            approx.select("query_id", "vec_id", F.col("rn").alias("_ra"))
+        ),
+        on=["query_id", "vec_id"],
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in _RECALL_KS])).alias("k")
+    hits = (
+        m.select("_re", "_ra", ks)
+        .filter((F.col("_re") <= F.col("k")) & (F.col("_ra") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    scaffold = exact.agg(
+        F.count_distinct("query_id").alias("n_queries")
+    ).select("n_queries", ks)
+    return scaffold.join(F.broadcast(hits), on="k", how="left").select(
+        "k",
+        "n_queries",
+        F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+        (
+            F.coalesce("n_matches", F.lit(0)).cast("double")
+            / (F.col("k") * F.col("n_queries")).cast("double")
+        ).alias("recall"),
+    )
+
+
+def _sql_ann_recall_ivfpq():
+    from timeseriesutils_spark.operators.similarity import (
+        knn_ivfpq_portable_sql,
+    )
+
+    ks = ", ".join(str(k) for k in _RECALL_KS)
+    kmax = max(_RECALL_KS)
+    approx = knn_ivfpq_portable_sql(k=kmax)
+    qi = ("CAST(floor(CAST(eq.embedding[t.i] AS DOUBLE) * 1000000.0 + 0.5)"
+          " AS BIGINT)")
+    ci = ("CAST(floor(CAST(ec.embedding[t.i] AS DOUBLE) * 1000000.0 + 0.5)"
+          " AS BIGINT)")
+    return f"""
+WITH pairs AS (
+  SELECT eq.vec_id AS query_id, ec.vec_id,
+    CAST(SUM(({qi} - {ci}) * ({qi} - {ci})) AS BIGINT) AS _d
+  FROM embeddings eq JOIN embeddings ec ON eq.vec_id <> ec.vec_id,
+  range(1, 65) t(i)
+  WHERE eq.vec_id < 10
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT query_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY _d, vec_id) AS rn
+  FROM pairs QUALIFY rn <= {kmax}
+),
+approx AS ({approx}),
+m AS (
+  SELECT e.query_id, e.vec_id, e.rn AS _re, a.rn AS _ra
+  FROM exact e JOIN approx a USING (query_id, vec_id)
+),
+kk AS (SELECT UNNEST([{ks}]) AS k),
+hits AS (
+  SELECT kk.k, COUNT(*) AS n_matches
+  FROM m JOIN kk ON m._re <= kk.k AND m._ra <= kk.k
+  GROUP BY kk.k
+),
+scaffold AS (
+  SELECT kk.k, nq.n_queries
+  FROM kk CROSS JOIN
+    (SELECT COUNT(DISTINCT query_id) AS n_queries FROM exact) nq
+)
+SELECT s.k, s.n_queries,
+  CAST(COALESCE(h.n_matches, 0) AS BIGINT) AS n_matches,
+  CAST(COALESCE(h.n_matches, 0) AS DOUBLE)
+    / CAST(s.k * s.n_queries AS DOUBLE) AS recall
+FROM scaffold s LEFT JOIN hits h ON s.k = h.k
+"""
+
+
+QUERIES.update(
+    {"ann_recall_ivfpq": Q(q_ann_recall_ivfpq, _sql_ann_recall_ivfpq())}
+)

@@ -57,6 +57,25 @@ def main() -> None:
         print("finalize: DARK twin-pair operators (wire a query or add "
               f"to governance.WIP_ALLOWLIST): {dark}", file=sys.stderr)
         sys.exit(1)
+    # round-10 structural rules (VERDICT r9 items 1 & 3): every catalog
+    # query must have a SURVEY.md mention, and every never-driver-
+    # verified query must sit inside the catalog head-50 so the next
+    # driver gate sees it.  pytest re-checks both; these survive --no-test.
+    from timeseriesutils_spark.queries.governance import (
+        find_unrotated_queries,
+        find_unsurveyed_queries,
+    )
+
+    unsurveyed = find_unsurveyed_queries()
+    if unsurveyed:
+        print(f"finalize: catalog queries with no SURVEY.md row: "
+              f"{unsurveyed}", file=sys.stderr)
+        sys.exit(1)
+    unrotated = find_unrotated_queries()
+    if unrotated:
+        print("finalize: never-driver-verified queries OUTSIDE the "
+              f"catalog head-50: {unrotated}", file=sys.stderr)
+        sys.exit(1)
     if "--no-test" not in args:
         run([sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
