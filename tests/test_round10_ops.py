@@ -209,3 +209,64 @@ def test_ivfpq_plan_joins_on_list_not_cross(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# --- kalman_local_level: state-space forecaster (round-10 wave) ---------------
+
+
+def test_kalman_weights_match_sequential_numpy_filter():
+    import numpy as np
+
+    from timeseriesutils_spark.operators.forecast import kalman_weights
+
+    q, r, W = 0.1, 1.0, 20
+    wts, gains, P = kalman_weights(q, r, W)
+    # hand-rolled sequential Kalman over a random-but-fixed window must
+    # be reproduced by the impulse-weight expansion summed in the SAME
+    # order the operator uses (lag j ascending == newest first)
+    rng = [((i * 37) % 11) - 5.0 for i in range(W)]  # deterministic data
+    p0 = 1.0e7 * (q + r)
+    Pv, lvl = p0, 0.0
+    for t in range(W):
+        pp = Pv + q
+        k = pp / (pp + r)
+        lvl = lvl + k * (rng[t] - lvl)
+        Pv = (1.0 - k) * pp
+    expanded = 0.0
+    for j in range(W):
+        expanded = expanded + wts[j] * rng[W - 1 - j]
+    assert expanded == pytest.approx(lvl, rel=1e-12)
+    assert Pv == P
+    # diffuse prior renormalizes: weights sum to ~1, all positive
+    assert sum(wts) == pytest.approx(1.0, abs=1e-9)
+    assert all(w > 0 for w in wts)
+    # gains decrease monotonically toward the Riccati fixed point
+    assert all(gains[i] >= gains[i + 1] for i in range(W - 1))
+
+
+def test_kalman_local_level_operator(spark):
+    from timeseriesutils_spark.operators.forecast import (
+        kalman_local_level,
+        kalman_weights,
+    )
+
+    W = 5
+    rows = [("g", i, float(10 + (i % 3))) for i in range(8)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    out = kalman_local_level(df, "y", ["g"], ["t"], q=0.5, r=1.0,
+                             window_size=W).orderBy("t").collect()
+    wts, gains, P = kalman_weights(0.5, 1.0, W)
+    # NULL until a full window exists
+    for i in range(W - 1):
+        assert out[i]["y_kll_level_q0p5_r1p0_w5"] is None
+        assert out[i]["y_kll_fcvar_q0p5_r1p0_w5"] is None
+    for i in range(W - 1, 8):
+        ys = [r[2] for r in rows[: i + 1]]
+        want = 0.0
+        want = sum((wts[j] * ys[i - j] for j in range(W)), 0.0)
+        # same association as the operator: fold j ascending
+        acc = wts[0] * ys[i]
+        for j in range(1, W):
+            acc = acc + wts[j] * ys[i - j]
+        assert out[i]["y_kll_level_q0p5_r1p0_w5"] == acc
+        assert out[i]["y_kll_fcvar_q0p5_r1p0_w5"] == P + 0.5 + 1.0

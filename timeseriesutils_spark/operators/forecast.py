@@ -2230,3 +2230,150 @@ base AS (
 {rows}
 ORDER BY {gsel}, horizon
 """
+
+
+# --------------------------------------------------------------------------
+# Kalman local-level filter (state-space family)
+# --------------------------------------------------------------------------
+
+
+def kalman_weights(
+    q: float, r: float, window_size: int, p0: float | None = None
+) -> tuple[list[float], list[float], float]:
+    """Impulse weights of the local-level Kalman filter run over a
+    ``window_size``-observation window from a diffuse prior — the
+    holt_weights / holt_winters_weights discipline applied to the
+    state-space family (Durbin & Koopman 2012, public; local level =
+    random walk + noise):
+
+        y_t = l_t + ε_t (var r),   l_t = l_{t-1} + η_t (var q)
+        K_t = (P_{t-1}+q)/(P_{t-1}+q+r),  P_t = (1-K_t)(P_{t-1}+q)
+
+    The gain sequence is data-INdependent (the Riccati recursion sees
+    only q, r, p0), so the filtered level is a linear filter of the
+    observations; its weights are derived NUMERICALLY as the filter's
+    unit-impulse responses (the holt_winters precedent) — each w_j is
+    the float64 the sequential recursion itself would produce, so a
+    numpy reference filter pins them exactly.  The diffuse prior
+    (p0 = 1e7·(q+r) by default) makes K_1 ≈ 1: the window's oldest
+    observation is properly re-normalized instead of holt's zero-init
+    bias, and Σw_j ≈ 1 by construction.
+
+    Returns (weights old→new reversed as lag-j order j=0 newest,
+    gains, P_W) — P_W is the filtered state variance after W steps,
+    so the one-step-ahead forecast variance is P_W + q + r.
+    """
+    if window_size < 1:
+        raise ValueError("window_size must be ≥ 1")
+    if p0 is None:
+        p0 = 1.0e7 * (q + r)
+    P = float(p0)
+    gains: list[float] = []
+    for _ in range(window_size):
+        pp = P + q
+        k = pp / (pp + r)
+        gains.append(k)
+        P = (1.0 - k) * pp
+    w = [0.0] * window_size
+    for pos in range(window_size):
+        lvl = 0.0
+        for t in range(window_size):
+            y = 1.0 if t == pos else 0.0
+            lvl = lvl + gains[t] * (y - lvl)
+        w[window_size - 1 - pos] = lvl  # lag order: j=0 the newest obs
+    return w, gains, P
+
+
+def kalman_local_level(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+    q: float = 0.1,
+    r: float = 1.0,
+    window_size: int = 30,
+) -> DataFrame:
+    """Local-level (random-walk-plus-noise) Kalman filter as a bounded
+    linear filter — the classical state-space forecaster beside the
+    exponential family (holt_smooth is the β→0 steady-state cousin;
+    the Kalman form adds the PRINCIPLED warm-up: a diffuse prior
+    re-normalizes early-window weights instead of biasing toward the
+    zero init, and it ships its own forecast variance).
+
+    Contract: per row, the EXACT Kalman filter over the trailing
+    ``window_size`` observations restarted from the diffuse prior —
+    sliding-window restart is what makes the weights position-free
+    driver literals (one window expression, single exchange, pure
+    whole-stage codegen; the reference family runs the unbounded
+    sequential recursion per group — the shape that cannot
+    distribute).  Truncation residual: the weight mass beyond W lags
+    is (1-K∞)^W — geometric, ~1e-5 at the defaults.  NULL until a
+    full window exists (null-lag arithmetic, the ewma/holt guard).
+
+    Emits level (filtered state = one-step-ahead forecast of y_{t+1}),
+    fc_var (P_W + q + r, a model constant — the honest uncertainty the
+    exponential family lacks), and gain (steady K_W).
+    """
+    from functools import reduce as _reduce
+
+    w = make_window(group_columns, order_by)
+    wts, gains, P = kalman_weights(q, r, window_size)
+    terms = [
+        F.lit(wt) * (F.lag(column, j).over(w) if j else F.col(column))
+        for j, wt in enumerate(wts)
+    ]
+    level = _reduce(lambda x, y: x + y, terms)
+    sfx = (
+        f"q{str(q).replace('.', 'p')}_r{str(r).replace('.', 'p')}"
+        f"_w{window_size}"
+    )
+    return data.select(
+        "*",
+        level.alias(f"{column}_kll_level_{sfx}"),
+        F.when(level.isNotNull(), F.lit(float(P + q + r))).alias(
+            f"{column}_kll_fcvar_{sfx}"
+        ),
+        F.when(level.isNotNull(), F.lit(float(gains[-1]))).alias(
+            f"{column}_kll_gain_{sfx}"
+        ),
+    )
+
+
+def kalman_local_level_sql_columns(
+    column: str,
+    group_columns,
+    order_by,
+    q: float = 0.1,
+    r: float = 1.0,
+    window_size: int = 30,
+) -> list[tuple[str, str]]:
+    """[(name, expr)] DuckDB twin of :func:`kalman_local_level` — same
+    literals, same term order, same association."""
+    over = (
+        f"(PARTITION BY {', '.join(_as_list(group_columns))} "
+        f"ORDER BY {', '.join(_as_list(order_by))})"
+    )
+    wts, gains, P = kalman_weights(q, r, window_size)
+    terms = [
+        f"CAST('{wt!r}' AS DOUBLE) * "
+        + (f"LAG({column}, {j}) OVER {over}" if j else column)
+        for j, wt in enumerate(wts)
+    ]
+    lvl = "(" + " + ".join(terms) + ")"
+    sfx = (
+        f"q{str(q).replace('.', 'p')}_r{str(r).replace('.', 'p')}"
+        f"_w{window_size}"
+    )
+    fcv = f"CAST('{float(P + q + r)!r}' AS DOUBLE)"
+    gn = f"CAST('{float(gains[-1])!r}' AS DOUBLE)"
+    return [
+        (f"{column}_kll_level_{sfx}", lvl),
+        (
+            f"{column}_kll_fcvar_{sfx}",
+            f"(CASE WHEN {lvl} IS NOT NULL THEN {fcv} END)",
+        ),
+        (
+            f"{column}_kll_gain_{sfx}",
+            f"(CASE WHEN {lvl} IS NOT NULL THEN {gn} END)",
+        ),
+    ]

@@ -2829,3 +2829,42 @@ def _sql_ad_test():
 
 
 QUERIES.update({"ad_test": Q(q_ad_test, _sql_ad_test())})
+
+
+def q_kalman_local_level(spark, sf_dir):
+    """Local-level Kalman filter on the per-supplier daily price series
+    (operators/forecast.kalman_local_level): the classical state-space
+    forecaster beside holt_smooth — a diffuse prior renormalizes the
+    warm-up weights (no zero-init bias) and the filter ships its own
+    one-step forecast variance.  Sliding diffuse-restart contract =
+    position-free driver impulse weights = one window expression,
+    single exchange."""
+    from timeseriesutils_spark.operators.forecast import kalman_local_level
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    return kalman_local_level(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        q=0.1, r=1.0, window_size=30,
+    )
+
+
+def _sql_kalman_local_level():
+    from timeseriesutils_spark.operators.forecast import (
+        kalman_local_level_sql_columns,
+    )
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    cols = kalman_local_level_sql_columns(
+        "day_price", ["l_suppkey"], ["ship_day"], q=0.1, r=1.0,
+        window_size=30,
+    )
+    sel = ",\n  ".join(f"{expr} AS {name}" for name, expr in cols)
+    return (
+        "SELECT l_suppkey, ship_day, day_price,\n  "
+        f"{sel}\nFROM ({_SQL_DAILY})"
+    )
+
+
+QUERIES.update(
+    {"kalman_local_level": Q(q_kalman_local_level, _sql_kalman_local_level())}
+)
