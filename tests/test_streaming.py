@@ -531,3 +531,47 @@ def test_streaming_renewal_rt_drops_late_days_without_corrupting_state(
         for r in batch.join(clean.select("k", "day"), on=["k", "day"]).collect()
     }
     assert got == want and len(got) == 6
+
+
+def test_stream_pq_encode_equals_batch_encode(spark):
+    """The streaming PQ encode's drained sink equals the batch encode
+    of the full table row-for-row — codebooks frozen by the batch
+    trainer, the stream only applies them (round-10 wave)."""
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.dedup import portable_hash64
+    from timeseriesutils_spark.operators.kmeans import _quantize
+    from timeseriesutils_spark.operators.similarity import (
+        _pq_train_books_driver,
+    )
+    from timeseriesutils_spark.streaming.windows import (
+        read_embeddings_stream,
+        stream_pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sample = emb.orderBy(
+        portable_hash64(F.col("vec_id").cast("string")), F.col("vec_id")
+    ).limit(64)
+    qrows = [
+        (r[0], list(r[1]))
+        for r in sample.select(
+            "vec_id", _quantize(F.col("embedding"), 6)
+        ).orderBy("vec_id").collect()
+    ]
+    books = _pq_train_books_driver(qrows, 4, 16, 8, 2)
+
+    stream = stream_pq_encode(read_embeddings_stream(spark, SF_DIR), books)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_spq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_spq").collect()}
+
+    batch = stream_pq_encode(emb, books)  # same fn, batch frame
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) == emb.count()

@@ -1851,3 +1851,80 @@ SELECT query_id, vec_id,
 FROM adc QUALIFY rn <= {k}
 """
     )
+
+
+def pq_encode_sql(
+    m: int = 8,
+    n_codes: int = 64,
+    n_sample: int = 256,
+    n_iter: int = 3,
+    scale: int = 6,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of the PQ ENCODE step alone (the
+    streaming.stream_pq_encode oracle): the same per-sub-space Lloyd
+    chains as :func:`knn_pq_portable_sql`, stopping at the wide
+    (vec_id, code_0..code_{m-1}) code table for EVERY vector."""
+    from timeseriesutils_spark.operators.dedup import portable_hash64_sql
+    from timeseriesutils_spark.operators.kmeans import kmeans_cte_parts
+
+    sub = dim // m
+    mult = float(10**scale)
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)")
+    ctes = [
+        f"""
+smp AS (
+  SELECT vec_id AS id, embedding FROM embeddings
+  ORDER BY {h}, vec_id
+  LIMIT {n_sample}
+)"""
+    ]
+    for s_i in range(m):
+        lo, hi = s_i * sub + 1, (s_i + 1) * sub
+        parts, cfin = kmeans_cte_parts(
+            "smp", "id", f"embedding[{lo}:{hi}]", n_codes, n_iter, scale,
+            prefix=f"s{s_i}_",
+        )
+        ctes += parts
+        ctes.append(
+            f"""
+pq{s_i} AS MATERIALIZED (
+  SELECT vec_id,
+    [CAST(floor(CAST(x AS DOUBLE) * {mult!r} + 0.5) AS BIGINT)
+     FOR x IN embedding[{lo}:{hi}]] AS qv
+  FROM embeddings
+),
+pql{s_i} AS MATERIALIZED (
+  SELECT vec_id, u.pos AS pos, u.x AS x FROM (
+    SELECT vec_id,
+      unnest([{{'pos': i, 'x': qv[i]}} FOR i IN range(1, len(qv) + 1)]) AS u
+    FROM pq{s_i}
+  )
+),
+pd{s_i} AS MATERIALIZED (
+  SELECT pql{s_i}.vec_id, {cfin}.j,
+    CAST(SUM((pql{s_i}.x - {cfin}.c) * (pql{s_i}.x - {cfin}.c)) AS BIGINT)
+      AS dist
+  FROM pql{s_i} JOIN {cfin} USING (pos)
+  GROUP BY pql{s_i}.vec_id, {cfin}.j
+),
+pc{s_i} AS MATERIALIZED (
+  SELECT vec_id, j AS code FROM (
+    SELECT vec_id, j,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+    FROM pd{s_i}
+  ) WHERE rn = 1
+)"""
+        )
+    joins = " ".join(f"JOIN pc{s_i} USING (vec_id)" for s_i in range(1, m))
+    cols = ", ".join(
+        f"CAST(pc{s_i}.code AS INT) AS code_{s_i}" for s_i in range(m)
+    )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT pc0.vec_id, {cols}
+FROM pc0 {joins}
+"""
+    )

@@ -425,3 +425,68 @@ FROM base b JOIN counts c ON b.event_type = c.event_type AND b.day = c.day
 QUERIES.update(
     {"stream_renewal_rt": Q(q_stream_renewal_rt, _sql_stream_renewal_rt())}
 )
+
+
+def q_stream_pq_encode(spark, sf_dir):
+    """Streaming PQ index ingest on the REAL streaming path
+    (streaming/windows.stream_pq_encode over a file-source readStream,
+    availableNow): embeddings arrive, compress to 8 sub-space codes
+    against codebooks FROZEN by the batch trainer — one stateless
+    Arrow pass per micro-batch, no state store, no shuffle; the loop
+    that keeps a knn_pq index current for a continuously-growing
+    corpus.  The drained sink must equal the batch encode row-for-row
+    (training is batch-only by contract), which the SQL oracle
+    re-derives end to end."""
+    import uuid
+
+    from timeseriesutils_spark.operators.dedup import portable_hash64
+    from timeseriesutils_spark.operators.kmeans import _quantize
+    from timeseriesutils_spark.operators.similarity import (
+        _pq_train_books_driver,
+    )
+    from timeseriesutils_spark.streaming.windows import (
+        read_embeddings_stream,
+        stream_pq_encode,
+    )
+
+    m, n_codes, n_sample, n_iter, scale, dim = 8, 64, 256, 3, 6, 64
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = emb.orderBy(
+        portable_hash64(F.col("vec_id").cast("string")), F.col("vec_id")
+    ).limit(n_sample)
+    qrows = [
+        (r[0], list(r[1]))
+        for r in sample.select(
+            "vec_id", _quantize(F.col("embedding"), scale)
+        ).orderBy("vec_id").collect()
+    ]
+    books = _pq_train_books_driver(qrows, m, dim // m, n_codes, n_iter)
+
+    name = f"q_spq_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_pq_encode(read_embeddings_stream(spark, sf_dir), books,
+                             scale=scale)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _sql_stream_pq_encode():
+    from timeseriesutils_spark.operators.similarity import pq_encode_sql
+
+    return pq_encode_sql(m=8, n_codes=64, n_sample=256, n_iter=3)
+
+
+QUERIES.update(
+    {"stream_pq_encode": Q(q_stream_pq_encode, _sql_stream_pq_encode())}
+)

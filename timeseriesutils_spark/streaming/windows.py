@@ -609,3 +609,59 @@ def streaming_renewal_rt(
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings parquet (the continuous-
+    ingest side of the ANN family: newly arriving vectors encode
+    against a FROZEN index)."""
+    batch = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/embeddings.parque[t]")
+    )
+
+
+def stream_pq_encode(
+    vectors: DataFrame,
+    books: list[list[list[int]]],
+    scale: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming PQ encode: each arriving embedding compresses to its
+    m sub-space code ids against FROZEN codebooks — the ingest loop
+    that keeps a knn_pq index current for a continuously growing
+    corpus (train once on the bootstrap sample, encode forever; at
+    100 TB/day the encode is the only per-row work and it is one
+    stateless Arrow pass per micro-batch, no state store, no shuffle).
+
+    ``books`` are the driver-state codebooks from the batch trainer
+    (operators/similarity._pq_train_books_driver) — the point of the
+    split: a stream must NOT retrain (codes would silently re-mean),
+    so training stays a batch job and this op is pure mapInPandas,
+    valid on batch and stream frames alike.  Batch-equivalence (run
+    on the full table, equals the batch encode row-for-row) is the
+    oracle contract.
+
+    Returns (id, code_0..code_{m-1}) — exact int64 argmin codes, ties
+    to the lower code id.
+    """
+    from timeseriesutils_spark.operators.similarity import _pq_encode_kernel
+
+    m = len(books)
+    sub = len(books[0][0])
+    mult = float(10**scale)
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, " + ", ".join(
+        f"_c{s_i} int" for s_i in range(m)
+    )
+    enc = vectors.select(id_col, F.col(vec_col).alias("_v")).mapInPandas(
+        _pq_encode_kernel(id_col, m, sub, books, mult, False), schema
+    )
+    return enc.select(
+        id_col,
+        *[F.col(f"_c{s_i}").alias(f"code_{s_i}") for s_i in range(m)],
+    )
