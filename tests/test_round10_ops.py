@@ -270,3 +270,97 @@ def test_kalman_local_level_operator(spark):
             acc = acc + wts[j] * ys[i - j]
         assert out[i]["y_kll_level_q0p5_r1p0_w5"] == acc
         assert out[i]["y_kll_fcvar_q0p5_r1p0_w5"] == P + 0.5 + 1.0
+
+
+# --- round-10 fast wave: hampel, robust_scaler, emd_1d, keyness_llr ----------
+
+
+def test_hampel_filter_replaces_spike_only(spark):
+    from timeseriesutils_spark.operators.series_math import hampel_filter
+
+    vals = [10.0, 11.0, 10.0, 12.0, 100.0, 11.0, 10.0, 12.0, 11.0]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    out = {r.t: r for r in hampel_filter(
+        df, "y", ["g"], half_window=2, order_by=["t"]).collect()}
+    assert out[4].y_hampel_replaced is True
+    assert out[4].y_hampel == 11.0  # local median of [10,12,100,11,10]
+    for t in (0, 1, 2, 3, 5, 6, 7, 8):
+        assert out[t].y_hampel_replaced is False, t
+        assert out[t].y_hampel == vals[t]
+
+
+def test_hampel_filter_centered_edges_defined(spark):
+    from timeseriesutils_spark.operators.series_math import hampel_filter
+
+    rows = [("g", i, float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    out = hampel_filter(df, "y", ["g"], half_window=3,
+                        order_by=["t"]).collect()
+    assert all(r.y_hampel is not None for r in out)  # truncated edges
+
+
+def test_robust_scaler_hand_worked(spark):
+    from timeseriesutils_spark.operators.stats import robust_scaler
+
+    # values 1..5: med=3, q25=2, q75=4, iqr=2
+    rows = [("g", float(v)) for v in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = sorted(
+        robust_scaler(df, "x", ["g"]).collect(), key=lambda r: r.x
+    )
+    assert [r.x_robust for r in out] == [-1.0, -0.5, 0.0, 0.5, 1.0]
+    assert out[0].x_median == 3.0 and out[0].x_iqr == 2.0
+
+
+def test_robust_scaler_zero_iqr_null(spark):
+    from timeseriesutils_spark.operators.stats import robust_scaler
+
+    df = spark.createDataFrame(
+        [("g", 7.0)] * 5, "g string, x double"
+    )
+    out = robust_scaler(df, "x", ["g"]).collect()
+    assert all(r.x_robust is None for r in out)
+
+
+def test_emd_1d_hand_worked(spark):
+    from timeseriesutils_spark.operators.nonparam import emd_1d
+
+    # A = {0, 1}, B = {1, 2}: W1 distance = 1.0 (shift by one)... with
+    # two points each: F_a - F_b = 0.5 on [0,1) and 0.5 on [1,2) -> 1·0.5
+    # + 1·0.5 = 1.0?  Careful: F_a(0)=.5, F_b(0)=0; F_a(1)=1, F_b(1)=.5
+    # -> |gap| 0.5 over width 1 (0->1) + 0.5 over width 1 (1->2) = 1.0
+    rows = [("g", "a", 0.0), ("g", "a", 1.0), ("g", "b", 1.0),
+            ("g", "b", 2.0)]
+    df = spark.createDataFrame(rows, "g string, f string, v double")
+    r = emd_1d(df, "v", "f", "a", "b", ["g"]).first()
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.emd == pytest.approx(1.0)
+
+
+def test_emd_1d_identical_distributions_zero(spark):
+    from timeseriesutils_spark.operators.nonparam import emd_1d
+
+    rows = [("g", f, float(v)) for v in (1, 2, 3) for f in ("a", "b")]
+    df = spark.createDataFrame(rows, "g string, f string, v double")
+    assert emd_1d(df, "v", "f", "a", "b", ["g"]).first().emd == 0.0
+
+
+def test_keyness_llr_hand_worked(spark):
+    import math
+
+    from timeseriesutils_spark.operators.text import keyness_llr
+
+    # A: "x" x4 + "z" x4; B: "y" x4 + "z" x4 -> x is an A-keyword,
+    # y a B-keyword, z neutral (LLR 0)
+    rows = [(1, True, "x x x x z z z z"), (2, False, "y y y y z z z z")]
+    df = spark.createDataFrame(rows, "doc_id int, fa boolean, text string")
+    out = {r.word: r for r in keyness_llr(
+        df, "fa", min_total=1, top_k=10).collect()}
+    assert out["z"].llr == 0.0  # perfectly balanced
+    assert out["x"].side == "a" and out["y"].side == "b"
+    assert out["x"].llr == out["y"].llr > 0
+    # hand value: a=4, b=0, Ea=8*4/16=2 -> 2*4*ln(2) with quantized ln
+    lnq = math.floor(math.log(2.0) * 1e9 + 0.5) / 1e9
+    want = math.floor(2.0 * 4.0 * lnq * 1e9 + 0.5) / 1e9
+    assert out["x"].llr == want

@@ -2220,3 +2220,134 @@ SELECT {gsel}, n_a, n_b,
   CASE WHEN {ok} THEN {t} >= {dlit(_AD_CRIT_05)} END AS reject_05
 FROM agg JOIN harm USING ({gsel})
 """
+
+
+def emd_1d(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Two-sample 1-D earth mover's (Wasserstein-1) distance per group
+    — the member of the ECDF family that reports distributional drift
+    in the VALUE'S OWN UNITS (ks_test: largest gap, unitless;
+    cvm/ad_test: squared-gap statistics; EMD: the literal area between
+    the ECDFs, i.e. the average distance probability mass must move —
+    the number a drift dashboard can threshold in dollars or
+    milliseconds):
+
+        EMD = ∫ |F_a(v) − F_b(v)| dv
+            = Σ_v |cum_a·n_b − cum_b·n_a| · Δv / (n_a·n_b)
+
+    Exact-integer core (the cvm_test collapse): values quantize to
+    10^-scale ints, the gap d_v = cum_a·n_b − cum_b·n_a and the bin
+    width Δv are exact int64, each |d_v|·Δv term is int64, and the
+    cross-value sum runs in DECIMAL(38,0) (merge-order-free) before
+    ONE final double division.  One count collapse + one window.
+
+    Returns (groups…, n_a, n_b, emd).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    lvl = F.col(factor_col)
+    d = df.filter(
+        F.col(value_col).isNotNull() & lvl.isin([level_a, level_b])
+    ).select(*groups, q.alias("_q"), (lvl == level_a).alias("_ia"))
+    per = d.groupBy(*groups, "_q").agg(
+        F.sum(F.col("_ia").cast("bigint")).alias("_ca"),
+        F.sum((~F.col("_ia")).cast("bigint")).alias("_cb"),
+    )
+    w = Window.partitionBy(*groups).orderBy("_q")
+    wg = Window.partitionBy(*groups)
+    cum = per.select(
+        *groups,
+        "_q",
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+        F.sum("_ca").over(wg).alias("_na"),
+        F.sum("_cb").over(wg).alias("_nb"),
+        (F.coalesce(F.lead("_q").over(w), F.col("_q")) - F.col("_q")).alias(
+            "_dv"
+        ),
+    )
+    dv = F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na")
+    term = (F.abs(dv) * F.col("_dv")).cast("decimal(38,0)")
+    agg = cum.groupBy(*groups).agg(
+        F.sum(term).alias("_s"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )
+    denom = (
+        (F.col("n_a") * F.col("n_b")).cast("double") * F.lit(float(m))
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        *groups,
+        "n_a",
+        "n_b",
+        F.when(
+            ok, F.col("_s").cast("string").cast("double") / denom
+        ).alias("emd"),
+    )
+
+
+def emd_1d_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`emd_1d` (same exact-integer gaps, widths,
+    and DECIMAL sum)."""
+    from timeseriesutils_spark.functions.exact import dlit, sq
+
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q, ({factor_col} = {sq(level_a)}) AS _ia
+  FROM ({data_sql})
+  WHERE {value_col} IS NOT NULL
+    AND {factor_col} IN ({sq(level_a)}, {sq(level_b)})
+),
+per AS (
+  SELECT {gsel}, _q,
+    CAST(SUM(CAST(_ia AS BIGINT)) AS BIGINT) AS _ca,
+    CAST(SUM(CAST(NOT _ia AS BIGINT)) AS BIGINT) AS _cb
+  FROM d GROUP BY {gsel}, _q
+),
+cum AS (
+  SELECT {gsel}, _q,
+    CAST(SUM(_ca) OVER w AS BIGINT) AS _cuma,
+    CAST(SUM(_cb) OVER w AS BIGINT) AS _cumb,
+    CAST(SUM(_ca) OVER wg AS BIGINT) AS _na,
+    CAST(SUM(_cb) OVER wg AS BIGINT) AS _nb,
+    COALESCE(LEAD(_q) OVER w, _q) - _q AS _dv
+  FROM per
+  WINDOW w AS (PARTITION BY {gsel} ORDER BY _q),
+         wg AS (PARTITION BY {gsel})
+),
+agg AS (
+  SELECT {gsel},
+    SUM(CAST(abs(_cuma * _nb - _cumb * _na) * _dv AS DECIMAL(38,0))) AS _s,
+    MAX(_na) AS n_a, MAX(_nb) AS n_b
+  FROM cum GROUP BY {gsel}
+)
+SELECT {gsel}, n_a, n_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    CAST(CAST(_s AS VARCHAR) AS DOUBLE)
+      / (CAST(n_a * n_b AS DOUBLE) * {dlit(float(m))})
+  END AS emd
+FROM agg
+"""

@@ -1008,3 +1008,94 @@ SELECT {g}, {o}, {column},
 FROM l
 WHERE (_prev >= {thr_q} AND _q < {thr_q}) OR (_prev < {thr_q} AND _q >= {thr_q})
 """
+
+
+def hampel_filter(
+    df,
+    column: str,
+    group_columns=None,
+    half_window: int = 7,
+    order_by=None,
+    thresh: float = 3.0,
+):
+    """Hampel filter (centered rolling median/MAD outlier REPAIR — the
+    classic despiker for sensor/price series): per row, the median and
+    MAD of the CENTERED 2·half_window+1 neighborhood; points beyond
+    thresh·1.4826·MAD are replaced by the local median, everything
+    else passes through.  The repair sibling of rolling_mad (which
+    only FLAGS, trailing-window): use rolling_mad to monitor live
+    data, hampel_filter to clean a historical series before fitting.
+
+    Same plan shape as rolling_mad — one collect+sort per centered
+    window, medians via the shared sorted-array lerp, JVM HOFs only —
+    one exchange, no Python.  Edges use the truncated neighborhood
+    (the standard contract: the filter stays defined at both ends).
+
+    Appends {c}_hampel (the repaired series), {c}_hampel_replaced.
+    """
+    from timeseriesutils_spark.operators.window_features import (
+        _as_list,
+        make_window,
+    )
+
+    w = make_window(group_columns, _as_list(order_by)).rowsBetween(
+        -half_window, half_window
+    )
+    c = F.col(column)
+    tmp = df.select(
+        "*", F.sort_array(F.collect_list(c).over(w)).alias("_h_arr")
+    )
+    tmp = tmp.withColumn("_med", _lerp_sorted(F.col("_h_arr"), 0.5))
+    devs = F.array_sort(
+        F.transform(F.col("_h_arr"), lambda v: F.abs(v - F.col("_med")))
+    )
+    tmp = tmp.withColumn("_mad", _lerp_sorted(devs, 0.5))
+    bad = F.abs(c - F.col("_med")) > (
+        F.lit(float(thresh) * MAD_K) * F.col("_mad")
+    )
+    return tmp.select(
+        *df.columns,
+        F.when(bad, F.col("_med")).otherwise(c.cast("double")).alias(
+            f"{column}_hampel"
+        ),
+        bad.alias(f"{column}_hampel_replaced"),
+    )
+
+
+def hampel_filter_sql(
+    table: str,
+    select_cols: str,
+    column: str,
+    group_columns,
+    order_by,
+    half_window: int = 7,
+    thresh: float = 3.0,
+) -> str:
+    """DuckDB twin of :func:`hampel_filter` (full query text)."""
+    over = (
+        f"(PARTITION BY {', '.join(group_columns)} "
+        f"ORDER BY {', '.join(order_by)} "
+        f"ROWS BETWEEN {half_window} PRECEDING AND {half_window} FOLLOWING)"
+    )
+    med = _lerp_sorted_sql("arr", 0.5)
+    mad = _lerp_sorted_sql("darr", 0.5)
+    return f"""
+WITH a AS (
+  SELECT {select_cols}, list_sort(list({column}) OVER {over}) AS arr
+  FROM {table}
+),
+m AS (SELECT *, {med} AS _med FROM a),
+d AS (
+  SELECT *, list_sort(list_transform(arr, v -> abs(v - _med))) AS darr FROM m
+),
+f AS (
+  SELECT *,
+    abs({column} - _med) > {float(thresh) * MAD_K!r} * {mad} AS _bad
+  FROM d
+)
+SELECT {select_cols},
+  CASE WHEN _bad THEN _med ELSE CAST({column} AS DOUBLE) END
+    AS {column}_hampel,
+  _bad AS {column}_hampel_replaced
+FROM f
+"""

@@ -2478,3 +2478,79 @@ SELECT {gsel}, n, n_categories,
   CASE WHEN n_categories > 1 THEN {p} < 0.05 END AS reject_05
 FROM agg
 """
+
+
+def robust_scaler(
+    df: DataFrame,
+    column: str,
+    group_columns,
+) -> DataFrame:
+    """Median/IQR standardization (sklearn's RobustScaler contract,
+    public): ``(x − median) / (q75 − q25)`` per group — the
+    outlier-proof cousin of z-scoring for feature pipelines (one wild
+    point moves a mean/std arbitrarily; the median and IQR have 50% /
+    25% breakdown).  Exact quantile_cont bounds from one sorted
+    collect per group (the winsorize machinery), broadcast back; a
+    zero IQR (≥ half the group tied) yields NULL rather than a
+    division blow-up.
+
+    Appends {c}_robust, plus the per-group _median/_iqr columns the
+    inverse transform needs.
+    """
+    g = _as_list(group_columns)
+    bounds = df.groupBy(*g).agg(
+        F.sort_array(F.collect_list(column)).alias("_arr"),
+    )
+    arr, n = F.col("_arr"), F.size("_arr")
+    bounds = bounds.select(
+        *g,
+        F.when(n > 0, _qcont(arr, n, 0.25)).alias("_q25"),
+        F.when(n > 0, _qcont(arr, n, 0.50)).alias("_med"),
+        F.when(n > 0, _qcont(arr, n, 0.75)).alias("_q75"),
+    )
+    out = df.join(F.broadcast(bounds), on=g, how="left")
+    iqr = F.col("_q75") - F.col("_q25")
+    scaled = F.when(
+        iqr > 0, (F.col(column).cast("double") - F.col("_med")) / iqr
+    )
+    return out.select(
+        *df.columns,
+        scaled.alias(f"{column}_robust"),
+        F.col("_med").alias(f"{column}_median"),
+        iqr.alias(f"{column}_iqr"),
+    )
+
+
+def robust_scaler_sql(
+    table: str,
+    column: str,
+    group_columns,
+    select_cols: str,
+) -> str:
+    """DuckDB twin of :func:`robust_scaler` (same quantile_cont lerp
+    form, same division tree)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    q25 = _qcont_sql("_arr", "len(_arr)", 0.25)
+    med = _qcont_sql("_arr", "len(_arr)", 0.50)
+    q75 = _qcont_sql("_arr", "len(_arr)", 0.75)
+    return f"""
+WITH b AS (
+  SELECT {gsel}, list_sort(list({column})) AS _arr
+  FROM {table} GROUP BY {gsel}
+),
+q AS (
+  SELECT {gsel},
+    CASE WHEN len(_arr) > 0 THEN {q25} END AS _q25,
+    CASE WHEN len(_arr) > 0 THEN {med} END AS _med,
+    CASE WHEN len(_arr) > 0 THEN {q75} END AS _q75
+  FROM b
+)
+SELECT {select_cols},
+  CASE WHEN (_q75 - _q25) > 0
+    THEN (CAST({column} AS DOUBLE) - _med) / (_q75 - _q25) END
+    AS {column}_robust,
+  _med AS {column}_median,
+  (_q75 - _q25) AS {column}_iqr
+FROM {table} LEFT JOIN q USING ({gsel})
+"""

@@ -2663,3 +2663,119 @@ SELECT {slice_col}, n_tokens, n_distinct,
   CASE WHEN n_tokens > 1 THEN {d} END AS simpson
 FROM agg
 """
+
+
+def keyness_llr(
+    docs: DataFrame,
+    flag_col,
+    text_col: str = "text",
+    min_total: int = 5,
+    top_k: int = 200,
+) -> DataFrame:
+    """Dunning log-likelihood keyness (Dunning 1993, public) between
+    two corpus halves (``flag_col``: True side A, False side B) — the
+    "what words make this corpus different" table behind corpus
+    curation: corpus_jsd reports THAT the token distributions differ
+    in one number; keyness ranks WHICH terms drive it.
+
+        LLR_t = 2·(a·ln(a/E_a) + b·ln(b/E_b)),
+        E_a = N_A·(a+b)/N,  E_b = N_B·(a+b)/N
+
+    (zero-count sides contribute 0 by continuity; ``side`` reports the
+    overused half).  Counts are exact int64; each ln is
+    floor-quantized at 1e-9 and the per-word LLR (one fixed double
+    tree — no cross-row float sums) re-quantizes at 1e-9, so ranking
+    ties break identically cross-engine (then by word).
+
+    Scale shape: one tokenize-explode scan → word-keyed conditional
+    partial aggregation (vocabulary-sized, like corpus_jsd) → the
+    top_k via TakeOrderedAndProject, never a global sort.
+
+    Returns (word, n_a, n_b, llr, side) — top_k by LLR.
+    """
+    flag = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    w = docs.select(
+        flag.alias("_fa"), F.explode(words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    per = w.groupBy("word").agg(
+        F.sum(F.col("_fa").cast("bigint")).alias("n_a"),
+        F.sum((~F.col("_fa")).cast("bigint")).alias("n_b"),
+    )
+    # corpus totals as a broadcast 1-row reduce, NOT a global window —
+    # an empty partitionBy() would drag the whole vocabulary through
+    # one partition at scale
+    tots = per.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    tot = per.crossJoin(F.broadcast(tots))
+    q9 = F.lit(1.0e9)
+    a = F.col("n_a").cast("double")
+    b = F.col("n_b").cast("double")
+    ta = F.col("_ta").cast("double")
+    tb = F.col("_tb").cast("double")
+    n = ta + tb
+    ea = ta * (a + b) / n
+    eb = tb * (a + b) / n
+    lnq = lambda x: F.floor(F.log(x) * q9 + F.lit(0.5)) / q9  # noqa: E731
+    term_a = F.when(F.col("n_a") > 0, a * lnq(a / ea)).otherwise(F.lit(0.0))
+    term_b = F.when(F.col("n_b") > 0, b * lnq(b / eb)).otherwise(F.lit(0.0))
+    llr = F.floor(F.lit(2.0) * (term_a + term_b) * q9 + F.lit(0.5)) / q9
+    out = tot.filter(F.col("n_a") + F.col("n_b") >= min_total).select(
+        "word",
+        "n_a",
+        "n_b",
+        llr.alias("llr"),
+        F.when(a / ta > b / tb, F.lit("a")).otherwise(F.lit("b")).alias(
+            "side"
+        ),
+    )
+    return out.orderBy(F.col("llr").desc(), "word").limit(top_k)
+
+
+def keyness_llr_sql(
+    data_sql: str,
+    flag_sql: str,
+    text_col: str = "text",
+    min_total: int = 5,
+    top_k: int = 200,
+) -> str:
+    """DuckDB twin of :func:`keyness_llr` (same quantized ln trees,
+    same tie order)."""
+    return f"""
+WITH w AS (
+  SELECT ({flag_sql}) AS _fa,
+    UNNEST(string_split_regex(lower(trim({text_col})), '\\s+')) AS word
+  FROM ({data_sql})
+),
+per AS (
+  SELECT word,
+    CAST(SUM(CAST(_fa AS BIGINT)) AS BIGINT) AS n_a,
+    CAST(SUM(CAST(NOT _fa AS BIGINT)) AS BIGINT) AS n_b
+  FROM w WHERE word <> '' GROUP BY word
+),
+tot AS (
+  SELECT word, n_a, n_b,
+    CAST(SUM(n_a) OVER () AS BIGINT) AS _ta,
+    CAST(SUM(n_b) OVER () AS BIGINT) AS _tb
+  FROM per
+),
+t AS (
+  SELECT word, n_a, n_b,
+    CAST(n_a AS DOUBLE) AS a, CAST(n_b AS DOUBLE) AS b,
+    CAST(_ta AS DOUBLE) AS ta, CAST(_tb AS DOUBLE) AS tb
+  FROM tot WHERE n_a + n_b >= {min_total}
+),
+s AS (
+  SELECT word, n_a, n_b,
+    FLOOR(2.0 * (
+      (CASE WHEN n_a > 0 THEN a * (FLOOR(LN(a / (ta * (a + b) / (ta + tb)))
+        * 1000000000.0 + 0.5) / 1000000000.0) ELSE 0.0 END)
+      + (CASE WHEN n_b > 0 THEN b * (FLOOR(LN(b / (tb * (a + b) / (ta + tb)))
+        * 1000000000.0 + 0.5) / 1000000000.0) ELSE 0.0 END)
+    ) * 1000000000.0 + 0.5) / 1000000000.0 AS llr,
+    CASE WHEN a / ta > b / tb THEN 'a' ELSE 'b' END AS side
+  FROM t
+)
+SELECT word, n_a, n_b, llr, side
+FROM s ORDER BY llr DESC, word LIMIT {top_k}
+"""

@@ -2868,3 +2868,32 @@ def _sql_kalman_local_level():
 QUERIES.update(
     {"kalman_local_level": Q(q_kalman_local_level, _sql_kalman_local_level())}
 )
+
+
+def q_emd_1d(spark, sf_dir):
+    """Two-sample 1-D earth mover's distance per ship year on the
+    A-vs-R price frame (operators/nonparam.emd_1d): the ECDF-family
+    member that reports drift IN PRICE UNITS — the literal area
+    between the two ECDFs, i.e. the average dollars each unit of
+    probability mass must move (ks/cvm/ad report unitless statistics;
+    a drift dashboard thresholds THIS one in domain units).  Exact
+    int64 gap×width terms through DECIMAL; one collapse + one
+    window."""
+    from timeseriesutils_spark.operators.nonparam import emd_1d
+
+    return emd_1d(
+        _year_rf(spark, sf_dir), "l_extendedprice", "l_returnflag",
+        "A", "R", ["ship_year"],
+    )
+
+
+def _sql_emd_1d():
+    from timeseriesutils_spark.operators.nonparam import emd_1d_sql
+
+    return emd_1d_sql(
+        _SQL_YEAR_RF, "l_extendedprice", "l_returnflag", "A", "R",
+        ["ship_year"],
+    )
+
+
+QUERIES.update({"emd_1d": Q(q_emd_1d, _sql_emd_1d())})

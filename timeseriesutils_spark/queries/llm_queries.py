@@ -2461,3 +2461,24 @@ FROM scaffold s LEFT JOIN hits h ON s.k = h.k
 QUERIES.update(
     {"ann_recall_ivfpq": Q(q_ann_recall_ivfpq, _sql_ann_recall_ivfpq())}
 )
+
+
+def q_keyness_llr(spark, sf_dir):
+    """Dunning log-likelihood keyness between the English and
+    non-English corpus halves (operators/text.keyness_llr): corpus_jsd
+    says THAT the token distributions differ; this ranks WHICH terms
+    drive it — the curation table behind source mixing and contamination
+    triage.  Exact int64 counts, 1e-9-quantized per-term ln trees,
+    TakeOrderedAndProject top-k."""
+    from timeseriesutils_spark.operators.text import keyness_llr
+
+    return keyness_llr(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
+def _sql_keyness_llr():
+    from timeseriesutils_spark.operators.text import keyness_llr_sql
+
+    return keyness_llr_sql("SELECT * FROM documents", "lang = 'en'")
+
+
+QUERIES.update({"keyness_llr": Q(q_keyness_llr, _sql_keyness_llr())})

@@ -25,6 +25,8 @@ from timeseriesutils_spark.operators.series_math import (
     ew_volatility_sql_columns,
     ewma,
     ewma_sql_columns,
+    hampel_filter,
+    hampel_filter_sql,
     pct_change,
     rolling_mad,
     rolling_mad_sql,
@@ -1109,3 +1111,61 @@ def _sql_pacf():
 
 
 QUERIES.update({"pacf_features": Q(q_pacf, _sql_pacf())})
+
+
+def q_hampel_filter(spark, sf_dir):
+    """Hampel despiking of per-supplier quantity series
+    (series_math.hampel_filter): centered 15-point median/MAD window,
+    spikes beyond 3·1.4826·MAD replaced by the local median — the
+    REPAIR sibling of rolling_mad's trailing-window FLAG (clean a
+    historical series before fitting vs monitor live data)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_quantity", "l_shipdate",
+    )
+    out = hampel_filter(
+        li, "l_quantity", ["l_suppkey"], half_window=7, order_by=LI_ORDER
+    )
+    return out.drop("l_shipdate")
+
+
+def _sql_hampel_filter():
+    return hampel_filter_sql(
+        "lineitem",
+        "l_suppkey, l_orderkey, l_linenumber, l_extendedprice, l_quantity",
+        "l_quantity",
+        ["l_suppkey"],
+        LI_ORDER_SQL.split(", "),
+        half_window=7,
+    )
+
+
+def q_robust_scaler(spark, sf_dir):
+    """Median/IQR feature standardization (stats.robust_scaler) of
+    order totals per priority class — the outlier-proof z-score for
+    feature pipelines (exact quantile_cont bounds, broadcast back;
+    zero-IQR groups yield NULL instead of blowing up)."""
+    from timeseriesutils_spark.operators.stats import robust_scaler
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return robust_scaler(o, "o_totalprice", ["o_orderpriority"])
+
+
+def _sql_robust_scaler():
+    from timeseriesutils_spark.operators.stats import robust_scaler_sql
+
+    return robust_scaler_sql(
+        "(SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders)"
+        " AS o",
+        "o_totalprice",
+        ["o_orderpriority"],
+        "o_orderkey, o_orderpriority, o_totalprice",
+    )
+
+
+QUERIES.update({
+    "hampel_filter": Q(q_hampel_filter, _sql_hampel_filter()),
+    "robust_scaler": Q(q_robust_scaler, _sql_robust_scaler()),
+})
