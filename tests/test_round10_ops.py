@@ -364,3 +364,51 @@ def test_keyness_llr_hand_worked(spark):
     lnq = math.floor(math.log(2.0) * 1e9 + 0.5) / 1e9
     want = math.floor(2.0 * 4.0 * lnq * 1e9 + 0.5) / 1e9
     assert out["x"].llr == want
+
+
+# --- mmr_diversify ------------------------------------------------------------
+
+
+def test_mmr_skips_near_duplicate_of_first_pick(spark):
+    from timeseriesutils_spark.operators.similarity import mmr_diversify
+
+    # corpus: two nearly-identical vectors very close to the query, one
+    # moderately relevant but orthogonal-ish vector.  Plain top-2 takes
+    # the twin pair; MMR's second pick must be the diverse one.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),       # query
+        (1, [0.9, 0.1, 0.0, 0.0]),       # near-dup of 2
+        (2, [0.9, 0.101, 0.0, 0.0]),     # near-dup of 1 (sim ≈ 1)
+        (3, [0.8, -0.6, 0.0, 0.0]),      # diverse: rel .8, sim-to-1 .73
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    out = mmr_diversify(q, df, k=2, n_candidates=3, lam=0.5).orderBy(
+        "mmr_rank").collect()
+    assert out[0].vec_id in (1, 2)         # most relevant first
+    assert out[1].vec_id == 3              # diversity beats the twin
+    assert out[0].mmr_rank == 1 and out[1].mmr_rank == 2
+
+
+def test_mmr_lambda_one_is_plain_relevance_ranking(spark):
+    from timeseriesutils_spark.operators.similarity import (
+        knn_bruteforce,
+        mmr_diversify,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13 + d * 7) % 10) for d in range(4)])
+         for i in range(12)],
+        "vec_id int, embedding array<double>",
+    )
+    q = emb.filter("vec_id < 2")
+    got = {
+        (r.query_id, r.mmr_rank): r.vec_id
+        for r in mmr_diversify(q, emb, k=4, n_candidates=8,
+                               lam=1.0).collect()
+    }
+    want = {
+        (r.query_id, r.rn): r.vec_id
+        for r in knn_bruteforce(q, emb, k=4).collect()
+    }
+    assert got == want

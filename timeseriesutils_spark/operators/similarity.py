@@ -1928,3 +1928,234 @@ SELECT pc0.vec_id, {cols}
 FROM pc0 {joins}
 """
     )
+
+
+# --------------------------------------------------------------------------
+# maximal marginal relevance (diversified top-k)
+# --------------------------------------------------------------------------
+
+
+def mmr_diversify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998, public): pick k results that are RELEVANT to the query but
+    not redundant with each other —
+
+        next = argmax_c  λ·rel(q, c) − (1−λ)·max_{s∈S} sim(c, s)
+
+    the training-data-selection / retrieval diversifier next to plain
+    knn (which happily returns k near-duplicates; the dedup family
+    removes corpus-level dups, MMR removes RESULT-set redundancy).
+
+    Plan shape: (1) relevance = the exact quantized cosine of
+    knn_bruteforce, top-``n_candidates`` per query (window prune);
+    (2) pairwise candidate sims per query (n_candidates² per query,
+    never corpus²) — both pinned, they feed every greedy step;
+    (3) the greedy loop UNROLLED k−1 times: each step is an anti-join
+    (drop selected) + a max-sim join against the selected set + one
+    argmax window, all over per-query-bounded broadcast-sized frames.
+    The selection is deterministic: cosines are the proven exact
+    pair expressions, the score is one fixed double tree of them, and
+    ties break by id — the SQL twin re-derives the identical k picks.
+
+    Returns (query_id, vec_id, mmr_rank, rel, score) — score is the
+    MMR objective at pick time (rank 1: λ·rel, empty-set convention).
+    """
+    from timeseriesutils_spark.functions.cache import pin
+
+    qb = queries.select(
+        F.col(id_col).alias(query_id), F.col(vec_col).alias("_qv")
+    )
+    cb = corpus.select(id_col, F.col(vec_col).alias("_cv"))
+    scored = (
+        cb.crossJoin(F.broadcast(qb))
+        .filter(
+            F.col(query_id) != F.col(id_col) if exclude_self else F.lit(True)
+        )
+        .select(
+            query_id,
+            id_col,
+            cosine(F.col("_qv"), F.col("_cv")).alias("rel"),
+            "_cv",
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("rel").desc(), F.col(id_col)
+    )
+    cand = pin(
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_candidates)
+        .select(query_id, id_col, "rel", "_cv", "_rn")
+    )
+    c1 = cand.select(
+        query_id, F.col(id_col).alias("_a"), F.col("_cv").alias("_va")
+    )
+    c2 = cand.select(
+        query_id, F.col(id_col).alias("_b"), F.col("_cv").alias("_vb")
+    )
+    sims = pin(
+        c1.join(c2, on=query_id)
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            query_id, "_a", "_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("sim"),
+        )
+    )
+    lam_ = F.lit(float(lam))
+    one_m = F.lit(float(1.0 - lam))
+    selected = cand.filter(F.col("_rn") == 1).select(
+        query_id,
+        id_col,
+        F.lit(1).alias("mmr_rank"),
+        "rel",
+        (lam_ * F.col("rel")).alias("score"),
+    )
+    for t in range(2, k + 1):
+        remaining = cand.join(
+            selected.select(query_id, id_col), on=[query_id, id_col],
+            how="left_anti",
+        )
+        ms = (
+            remaining.select(query_id, id_col, "rel")
+            .join(
+                sims.withColumnRenamed("_a", id_col),
+                on=[query_id, id_col],
+            )
+            .join(
+                selected.select(
+                    query_id, F.col(id_col).alias("_b")
+                ),
+                on=[query_id, "_b"],
+            )
+            .groupBy(query_id, id_col)
+            .agg(F.max("rel").alias("rel"), F.max("sim").alias("_ms"))
+        )
+        sc = ms.select(
+            query_id,
+            id_col,
+            "rel",
+            (lam_ * F.col("rel") - one_m * F.col("_ms")).alias("score"),
+        )
+        wt = Window.partitionBy(query_id).orderBy(
+            F.col("score").desc(), F.col(id_col)
+        )
+        pick = (
+            sc.withColumn("_p", F.row_number().over(wt))
+            .filter(F.col("_p") == 1)
+            .select(
+                query_id, id_col, F.lit(t).alias("mmr_rank"), "rel", "score"
+            )
+        )
+        selected = pin(selected.unionByName(pick))
+    return selected
+
+
+def mmr_diversify_sql(
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.7,
+    dim: int = 64,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB twin of :func:`mmr_diversify`: the knn_bruteforce pair
+    cosine, one MATERIALIZED candidate/sims base each, and the greedy
+    loop unrolled as sel1..sel{k} CTE stages."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    lm = dlit(float(lam))
+    om = dlit(float(1.0 - lam))
+    dd = dim + 1
+    ctes = [
+        f"""
+qv AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       WHERE {query_pred}),
+relp AS MATERIALIZED (
+  SELECT x.query_id, y.vec_id,
+    CAST(SUM(CAST(FLOOR(CAST(x.embedding[t.i] AS DOUBLE)
+      * CAST(y.embedding[t.i] AS DOUBLE) * 1e14 + 0.5) AS BIGINT))
+      AS DOUBLE) / 1e14 AS dot,
+    CAST(SUM(CAST(FLOOR(CAST(x.embedding[t.i] AS DOUBLE)
+      * CAST(x.embedding[t.i] AS DOUBLE) * 1e14 + 0.5) AS BIGINT))
+      AS DOUBLE) / 1e14 AS qq,
+    CAST(SUM(CAST(FLOOR(CAST(y.embedding[t.i] AS DOUBLE)
+      * CAST(y.embedding[t.i] AS DOUBLE) * 1e14 + 0.5) AS BIGINT))
+      AS DOUBLE) / 1e14 AS cc
+  FROM qv x, embeddings y, range(1, {dd}) t(i)
+  WHERE y.vec_id <> x.query_id
+  GROUP BY 1, 2
+),
+cand AS MATERIALIZED (
+  SELECT query_id, vec_id, rel, _rn FROM (
+    SELECT query_id, vec_id, dot / (SQRT(qq) * SQRT(cc)) AS rel,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC, vec_id) AS _rn
+    FROM relp
+  ) WHERE _rn <= {n_candidates}
+),
+simp AS MATERIALIZED (
+  SELECT a.query_id, a.vec_id AS _a, b.vec_id AS _b,
+    (CAST(SUM(CAST(FLOOR(CAST(x.embedding[t.i] AS DOUBLE)
+       * CAST(y.embedding[t.i] AS DOUBLE) * 1e14 + 0.5) AS BIGINT))
+       AS DOUBLE) / 1e14)
+    / (SQRT(CAST(SUM(CAST(FLOOR(CAST(x.embedding[t.i] AS DOUBLE)
+       * CAST(x.embedding[t.i] AS DOUBLE) * 1e14 + 0.5) AS BIGINT))
+       AS DOUBLE) / 1e14)
+     * SQRT(CAST(SUM(CAST(FLOOR(CAST(y.embedding[t.i] AS DOUBLE)
+       * CAST(y.embedding[t.i] AS DOUBLE) * 1e14 + 0.5) AS BIGINT))
+       AS DOUBLE) / 1e14)) AS sim
+  FROM cand a
+  JOIN cand b ON b.query_id = a.query_id AND b.vec_id <> a.vec_id
+  JOIN embeddings x ON x.vec_id = a.vec_id
+  JOIN embeddings y ON y.vec_id = b.vec_id,
+  range(1, {dd}) t(i)
+  GROUP BY 1, 2, 3
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, vec_id, 1 AS mmr_rank, rel, {lm} * rel AS score
+  FROM cand WHERE _rn = 1
+)"""
+    ]
+    prev = "sel1"
+    for t in range(2, k + 1):
+        ctes.append(
+            f"""
+scor{t} AS (
+  SELECT c.query_id, c.vec_id, c.rel,
+    {lm} * c.rel - {om} * MAX(s.sim) AS score
+  FROM cand c
+  LEFT JOIN {prev} dup
+    ON dup.query_id = c.query_id AND dup.vec_id = c.vec_id
+  JOIN simp s ON s.query_id = c.query_id AND s._a = c.vec_id
+  JOIN {prev} p ON p.query_id = s.query_id AND p.vec_id = s._b
+  WHERE dup.vec_id IS NULL
+  GROUP BY c.query_id, c.vec_id, c.rel
+),
+sel{t} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT query_id, vec_id, {t} AS mmr_rank, rel, score FROM (
+    SELECT query_id, vec_id, rel, score,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, vec_id) AS _p
+    FROM scor{t}
+  ) WHERE _p = 1
+)"""
+        )
+        prev = f"sel{t}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT query_id, vec_id, CAST(mmr_rank AS INT) AS mmr_rank, rel, score
+FROM {prev}
+"""
+    )

@@ -2482,3 +2482,27 @@ def _sql_keyness_llr():
 
 
 QUERIES.update({"keyness_llr": Q(q_keyness_llr, _sql_keyness_llr())})
+
+
+def q_mmr_diversify(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-5
+    (operators/similarity.mmr_diversify, Carbonell 1998): knn returns
+    the k MOST similar results even when they are near-duplicates of
+    each other; MMR re-ranks the candidate pool so each pick is
+    relevant to the query AND novel vs the picks so far — the
+    retrieval-side diversifier beside the corpus-side dedup family.
+    Exact pair cosines, fixed score tree, id tie-breaks; the unrolled
+    greedy twin re-derives the identical picks."""
+    from timeseriesutils_spark.operators.similarity import mmr_diversify
+
+    emb = _emb(spark, sf_dir)
+    return mmr_diversify(emb.filter(F.col("vec_id") < 10), emb)
+
+
+def _sql_mmr_diversify():
+    from timeseriesutils_spark.operators.similarity import mmr_diversify_sql
+
+    return mmr_diversify_sql()
+
+
+QUERIES.update({"mmr_diversify": Q(q_mmr_diversify, _sql_mmr_diversify())})
