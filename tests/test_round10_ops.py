@@ -412,3 +412,37 @@ def test_mmr_lambda_one_is_plain_relevance_ranking(spark):
         for r in knn_bruteforce(q, emb, k=4).collect()
     }
     assert got == want
+
+
+# --- isotonic_calibrate --------------------------------------------------------
+
+
+def test_isotonic_hand_worked_pooling(spark):
+    from timeseriesutils_spark.operators.mleval import isotonic_calibrate
+
+    # rates by score: 0.0 -> 0.0, 0.5 -> 1.0, 1.0 -> 0.5 (violation:
+    # 1.0 then 0.5 must pool to 0.75 across the last two bins)
+    rows = []
+    for s, ys in ((0.0, [0, 0]), (0.5, [1, 1]), (1.0, [1, 0])):
+        rows += [("g", s, y == 1) for y in ys]
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    out = {r.score: r for r in isotonic_calibrate(
+        df, "s", "y", ["g"]).collect()}
+    assert out[0.0].calibrated == 0.0
+    assert out[0.5].calibrated == 0.75
+    assert out[1.0].calibrated == 0.75
+    assert (out[0.5].n, out[0.5].n_pos) == (2, 2)
+
+
+def test_isotonic_monotone_and_matches_sorted_rates_when_no_violation(spark):
+    from timeseriesutils_spark.operators.mleval import isotonic_calibrate
+
+    rows = []
+    for s, pos, n in ((0.1, 1, 10), (0.2, 3, 10), (0.3, 7, 10)):
+        rows += [("g", s, i < pos) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    out = sorted(isotonic_calibrate(df, "s", "y", ["g"]).collect(),
+                 key=lambda r: r.score)
+    assert [r.calibrated for r in out] == [0.1, 0.3, 0.7]  # already isotonic
+    assert all(out[i].calibrated <= out[i + 1].calibrated
+               for i in range(len(out) - 1))

@@ -759,3 +759,159 @@ SELECT {gsel}, bucket,
        / (CAST(n_included AS DOUBLE) / CAST(_n AS DOUBLE)) END AS lift
 FROM b
 """
+
+
+# --------------------------------------------------------------------------
+# isotonic calibration (PAV via the minimax identity)
+# --------------------------------------------------------------------------
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Isotonic regression of the positive rate on the score per group
+    (the PAV calibrator — sklearn's IsotonicRegression contract,
+    public): the non-parametric sibling of calibration_curve (fixed
+    deciles show calibration; the isotonic FIT is the monotone mapping
+    you actually apply to recalibrate scores).
+
+    Pool-adjacent-violators is sequential, so this uses the EXACT
+    minimax identity instead (Robertson-Wright-Dykstra 1988):
+
+        ĝ_k = max_{i≤k} min_{j≥k} (Σ_{v=i..j} pos_v) / (Σ_{v=i..j} n_v)
+
+    over score BINS: rows collapse to per-(group, quantized-score)
+    counts first, so the O(B²) pair frame is bounded by the 10^scale
+    quantization grid (B ≤ 101 at scale 2) regardless of row count —
+    the collapse is what makes the quadratic identity 100 TB-safe.
+    Each pooled average is one double division of exact int64 sums;
+    min/max selection is order-free, so the twin is bit-identical.
+
+    Plan: count collapse → cumulative window → bounded pair fan-out →
+    right-running min window (per anchor i) → max over i≤k.
+
+    Returns (groups…, score, n, n_pos, calibrated) — calibrated is
+    non-decreasing in score within each group by construction.
+    """
+    g = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(score_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    d = df.filter(
+        F.col(score_col).isNotNull() & y.isNotNull()
+    ).select(*g, q.alias("_q"), y.cast("boolean").cast("bigint").alias("_y"))
+    bins = d.groupBy(*g, "_q").agg(
+        F.count(F.lit(1)).alias("_w"), F.sum("_y").alias("_p")
+    )
+    wo = Window.partitionBy(*g).orderBy("_q")
+    cum = bins.select(
+        *g, "_q", "_w", "_p",
+        F.row_number().over(wo).alias("_rn"),
+        F.sum("_w").over(wo).alias("_cw"),
+        F.sum("_p").over(wo).alias("_cp"),
+    )
+    li = cum.select(
+        *g,
+        F.col("_rn").alias("_i"),
+        (F.col("_cw") - F.col("_w")).alias("_wi0"),
+        (F.col("_cp") - F.col("_p")).alias("_pi0"),
+    )
+    rj = cum.select(
+        *g,
+        F.col("_rn").alias("_j"),
+        F.col("_cw").alias("_wj"),
+        F.col("_cp").alias("_pj"),
+    )
+    pairs = li.join(rj, on=g).filter(F.col("_i") <= F.col("_j")).select(
+        *g, "_i", "_j",
+        (
+            (F.col("_pj") - F.col("_pi0")).cast("double")
+            / (F.col("_wj") - F.col("_wi0")).cast("double")
+        ).alias("_avg"),
+    )
+    wmin = (
+        Window.partitionBy(*g, "_i")
+        .orderBy(F.col("_j").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mins = pairs.select(
+        *g, "_i", F.col("_j").alias("_k"), F.min("_avg").over(wmin).alias("_m")
+    )
+    fit = mins.filter(F.col("_i") <= F.col("_k")).groupBy(*g, "_k").agg(
+        F.max("_m").alias("calibrated")
+    )
+    out = cum.join(
+        fit.withColumnRenamed("_k", "_rn"), on=[*g, "_rn"]
+    )
+    return out.select(
+        *g,
+        (F.col("_q").cast("double") / F.lit(float(m))).alias("score"),
+        F.col("_w").alias("n"),
+        F.col("_p").alias("n_pos"),
+        "calibrated",
+    )
+
+
+def isotonic_calibrate_sql(
+    data_sql: str,
+    score_col: str,
+    label_sql: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`isotonic_calibrate` (same minimax frame,
+    same division trees)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({score_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q,
+    CAST(CAST({label_sql} AS BOOLEAN) AS BIGINT) AS _y
+  FROM ({data_sql})
+  WHERE {score_col} IS NOT NULL AND ({label_sql}) IS NOT NULL
+),
+bins AS (
+  SELECT {gsel}, _q, COUNT(*) AS _w,
+    CAST(SUM(_y) AS BIGINT) AS _p
+  FROM d GROUP BY {gsel}, _q
+),
+cum AS MATERIALIZED (
+  SELECT {gsel}, _q, _w, _p,
+    CAST(ROW_NUMBER() OVER wo AS BIGINT) AS _rn,
+    CAST(SUM(_w) OVER wo AS BIGINT) AS _cw,
+    CAST(SUM(_p) OVER wo AS BIGINT) AS _cp
+  FROM bins
+  WINDOW wo AS (PARTITION BY {gsel} ORDER BY _q
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pairs AS (
+  SELECT a.{', a.'.join(g)}, a._rn AS _i, b._rn AS _j,
+    CAST(b._cp - (a._cp - a._p) AS DOUBLE)
+      / CAST(b._cw - (a._cw - a._w) AS DOUBLE) AS _avg
+  FROM cum a JOIN cum b
+    ON {' AND '.join(f'b.{c} = a.{c}' for c in g)} AND a._rn <= b._rn
+),
+mins AS (
+  SELECT {gsel}, _i, _j AS _k,
+    MIN(_avg) OVER (PARTITION BY {gsel}, _i ORDER BY _j DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _m
+  FROM pairs
+),
+fit AS (
+  SELECT {gsel}, _k, MAX(_m) AS calibrated
+  FROM mins WHERE _i <= _k GROUP BY {gsel}, _k
+)
+SELECT {', '.join(f'cum.{c}' for c in g)},
+  CAST(_q AS DOUBLE) / {float(m)!r} AS score,
+  _w AS n, _p AS n_pos, calibrated
+FROM cum JOIN fit
+  ON {' AND '.join(f'fit.{c} = cum.{c}' for c in g)} AND fit._k = cum._rn
+"""

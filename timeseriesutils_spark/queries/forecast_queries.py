@@ -2897,3 +2897,42 @@ def _sql_emd_1d():
 
 
 QUERIES.update({"emd_1d": Q(q_emd_1d, _sql_emd_1d())})
+
+
+def q_isotonic_calibrate(spark, sf_dir):
+    """Isotonic (PAV) recalibration of the pseudo-probability score per
+    ship year (operators/mleval.isotonic_calibrate): calibration_curve
+    SHOWS the miscalibration per decile; the isotonic fit is the
+    monotone mapping that FIXES it.  Minimax identity over quantized
+    score bins — exact int64 pooled sums, bounded O(B²) pair frame."""
+    from timeseriesutils_spark.operators.mleval import isotonic_calibrate
+
+    li = _li(spark, sf_dir)
+    d = li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias(
+            "ship_year"
+        ),
+        (F.col("l_discount") * 10.0).alias("p_ret"),
+        "l_returnflag",
+    )
+    return isotonic_calibrate(
+        d, "p_ret", F.col("l_returnflag") == F.lit("R"), ["ship_year"]
+    )
+
+
+def _sql_isotonic_calibrate():
+    from timeseriesutils_spark.operators.mleval import isotonic_calibrate_sql
+
+    d = (
+        "SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT)"
+        " AS ship_year, l_discount * 10.0 AS p_ret, l_returnflag"
+        " FROM lineitem"
+    )
+    return isotonic_calibrate_sql(
+        d, "p_ret", "l_returnflag = 'R'", ["ship_year"]
+    )
+
+
+QUERIES.update(
+    {"isotonic_calibrate": Q(q_isotonic_calibrate, _sql_isotonic_calibrate())}
+)
