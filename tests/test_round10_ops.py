@@ -446,3 +446,72 @@ def test_isotonic_monotone_and_matches_sorted_rates_when_no_violation(spark):
     assert [r.calibrated for r in out] == [0.1, 0.3, 0.7]  # already isotonic
     assert all(out[i].calibrated <= out[i + 1].calibrated
                for i in range(len(out) - 1))
+
+
+# --- vif_audit ------------------------------------------------------------------
+
+
+def test_vif_audit_collinear_feature_flags(spark):
+    from timeseriesutils_spark.operators.profile import vif_audit
+
+    # z ~ x + y with tiny noise -> near-singular R, VIF explodes for z
+    # (exact z = x + y makes det = 0 and the operator's singular guard
+    # returns NULL — also covered below)
+    rows = [(float(i % 7), float((i * 3) % 5),
+             float(i % 7 + (i * 3) % 5 + 0.05 * (i % 2)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {r.feature: r for r in vif_audit(df, ["x", "y", "z"]).collect()}
+    assert out["z"].vif > 5 and out["z"].flag_5 is True
+
+
+def test_vif_audit_exact_collinearity_null_guard(spark):
+    from timeseriesutils_spark.operators.profile import vif_audit
+
+    rows = [(float(i % 7), float((i * 3) % 5), float(i % 7 + (i * 3) % 5))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = vif_audit(df, ["x", "y", "z"]).collect()
+    assert all(r.vif is None for r in out)  # det == 0: NULL, not Inf
+
+
+def test_vif_audit_independent_features_near_one(spark):
+    import math
+
+    from timeseriesutils_spark.operators.profile import vif_audit
+
+    rows = [(float(i % 7), float((i * 5 + 3) % 11),
+             float((i * i + 1) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = vif_audit(df, ["x", "y", "z"]).collect()
+    for r in out:
+        assert 0.8 < r.vif < 2.0, r
+        assert math.isclose(r.r_squared, 1 - 1 / r.vif, rel_tol=1e-12)
+
+
+# --- dedup_band_audit -----------------------------------------------------------
+
+
+def test_band_audit_monotone_candidates_and_recall(spark):
+    from timeseriesutils_spark.operators.dedup import dedup_band_audit
+
+    # build a corpus with genuine near-dups: pairs share most tokens
+    rows = []
+    for i in range(12):
+        base = " ".join(f"tok{i}_{j}" for j in range(12))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base + " extra"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = sorted(dedup_band_audit(df, threshold=0.5).collect(),
+                 key=lambda r: r.bands)
+    # more bands (shorter rows) => more candidates, monotone
+    cands = [r.n_candidates for r in out]
+    assert cands == sorted(cands)
+    # the most permissive config catches its own truth set completely
+    most = out[-1]
+    assert most.n_truth > 0 and most.recall == 1.0
+    # theory literal sane and monotone in bands
+    ths = [r.p_catch_theory for r in out]
+    assert all(0 <= t <= 1 for t in ths) and ths == sorted(ths)
+    for r in out:
+        assert r.n_caught <= r.n_truth

@@ -1267,3 +1267,267 @@ def containment_pairs(
     return scored.select(
         "id_a", "id_b", "sz_a", "sz_b", cont.alias("containment")
     ).filter(F.col("containment") >= threshold)
+
+
+def dedup_band_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    band_configs: tuple[int, ...] = (2, 4, 8, 16),
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding tuner: re-band the SAME ``num_hashes`` portable
+    minhash minima under several (bands, rows) splits and report, per
+    config, the measured candidate volume and the measured recall of
+    true near-dups (exact Jaccard ≥ threshold) — the table that picks
+    (b, r) for dedup_minhash_lsh empirically instead of from the
+    asymptotic S-curve alone (the theoretical catch probability
+    1−(1−t^r)^b is emitted beside the measured recall so drift
+    between them is visible — it flags shingle-distribution
+    pathologies the iid model misses).
+
+    Ground truth = the MOST PERMISSIVE config's candidates (its
+    low-similarity knee sits far below ``threshold``), verified by
+    exact Jaccard — computed once, pinned, shared by every config row.
+    Signature minima are computed ONCE and re-banded per config
+    (banding is pure hashing over the k minima — the whole audit adds
+    |configs| cheap band shuffles over 24-byte rows, never re-shingles).
+
+    Returns (bands, rows_per_band, n_candidates, n_truth, n_caught,
+    recall, p_catch_theory) — one row per config.
+    """
+    rows_of = {b: num_hashes // b for b in band_configs}
+    max_b = max(band_configs)
+    sh = pin(hashed_shingle_docs(docs, id_col, text_col, n, "md5"))
+    perms = minhash_perms(num_hashes, seed)
+    hm = F.col("_h") % P31
+    sig = pin(
+        sh.select("id", F.explode("sh").alias("_h"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.min((F.lit(a) * hm + F.lit(b)) % P31).alias(f"_m{i}")
+                for i, (a, b) in enumerate(perms)
+            ]
+        )
+    )
+
+    def cand_for(bands: int) -> DataFrame:
+        rpb = rows_of[bands]
+
+        def band_bucket(b: int):
+            cols = [
+                F.col(f"_m{i}").cast("string")
+                for i in range(b * rpb, (b + 1) * rpb)
+            ]
+            return portable_hash64(F.concat_ws(":", *cols))
+
+        banded = sig.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            band_bucket(b).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", "bb.band", "bb.bucket")
+        bucketed = (
+            banded.groupBy("band", "bucket")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        return (
+            bucketed.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda x: F.transform(
+                                F.filter(F.col("ids"), lambda y: y > x),
+                                lambda y: F.struct(
+                                    x.alias("id_a"), y.alias("id_b")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.*")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
+    verify = (
+        cand_for(max_b)
+        .join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    truth = pin(
+        verify.select("id_a", "id_b", (inter / union).alias("_j"))
+        .filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b")
+    )
+    tcnt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    parts = []
+    for bands in band_configs:
+        rpb = rows_of[bands]
+        p_theory = 1.0 - (1.0 - threshold**rpb) ** bands
+        c = cand_for(bands)
+        stats = (
+            c.join(
+                truth.withColumn("_t", F.lit(1)), on=["id_a", "id_b"],
+                how="left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias(
+                    "n_caught"
+                ),
+            )
+            .select(
+                F.lit(bands).alias("bands"),
+                F.lit(rpb).alias("rows_per_band"),
+                "n_candidates",
+                "n_caught",
+                F.expr(f"CAST('{float(p_theory)!r}' AS DOUBLE)").alias(
+                    "p_catch_theory"
+                ),
+            )
+        )
+        parts.append(stats)
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    out = allc.crossJoin(F.broadcast(tcnt))
+    return out.select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_truth",
+        "n_caught",
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("n_caught").cast("double") / F.col("n_truth").cast("double"),
+        ).alias("recall"),
+        "p_catch_theory",
+    )
+
+
+def dedup_band_audit_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    band_configs: tuple[int, ...] = (2, 4, 8, 16),
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`dedup_band_audit` (same minima, buckets,
+    truth set, and theory literals)."""
+    perms = minhash_perms(num_hashes, seed)
+    h60 = portable_hash64_sql("s")
+    mins = ",\n    ".join(
+        f"MIN(({a} * (h % {P31}) + {b}) % {P31}) AS m{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    max_b = max(band_configs)
+    ctes = [
+        f"""
+words AS (
+  SELECT {id_col}, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM {table}
+),
+sg AS (
+  SELECT {id_col},
+    list_distinct(CASE WHEN len(w) >= {n}
+      THEN [array_to_string(w[i:i+{n - 1}], ' ')
+            FOR i IN range(1, len(w) - {n - 2})]
+      ELSE [array_to_string(w, ' ')] END) AS sgl
+  FROM words
+),
+ex AS MATERIALIZED (
+  SELECT {id_col}, len(sgl) AS sz, {h60} AS h
+  FROM (SELECT {id_col}, sgl, unnest(sgl) AS s FROM sg)
+),
+sig AS MATERIALIZED (
+  SELECT {id_col},
+    {mins}
+  FROM ex GROUP BY {id_col}
+)"""
+    ]
+    for bands in band_configs:
+        rpb = num_hashes // bands
+        band_selects = []
+        for b in range(bands):
+            ms = ", ".join(f"m{i}" for i in range(b * rpb, (b + 1) * rpb))
+            bucket = portable_hash64_sql(f"CONCAT_WS(':', {ms})")
+            band_selects.append(
+                f"SELECT {id_col}, {b} AS band, {bucket} AS bucket FROM sig"
+            )
+        bsql = "\n  UNION ALL\n  ".join(band_selects)
+        ctes.append(
+            f"""
+bands{bands} AS (
+  {bsql}
+),
+cand{bands} AS MATERIALIZED (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM bands{bands} a JOIN bands{bands} b
+    ON a.band = b.band AND a.bucket = b.bucket
+    AND a.{id_col} < b.{id_col}
+)"""
+        )
+    ctes.append(
+        f"""
+truth AS MATERIALIZED (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b, ea.sz AS sz_a, eb.sz AS sz_b, COUNT(*) AS i
+    FROM cand{max_b} c
+    JOIN ex ea ON ea.{id_col} = c.id_a
+    JOIN ex eb ON eb.{id_col} = c.id_b AND ea.h = eb.h
+    GROUP BY 1, 2, 3, 4
+  ) WHERE CAST(i AS DOUBLE) / (sz_a + sz_b - i) >= {threshold}
+),
+tcnt AS (SELECT COUNT(*) AS n_truth FROM truth)"""
+    )
+    unions = []
+    for bands in band_configs:
+        rpb = num_hashes // bands
+        p_theory = 1.0 - (1.0 - threshold**rpb) ** bands
+        unions.append(
+            f"""SELECT {bands} AS bands, {rpb} AS rows_per_band,
+  COUNT(*) AS n_candidates,
+  CAST(COALESCE(SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 END), 0)
+    AS BIGINT) AS n_caught,
+  CAST('{float(p_theory)!r}' AS DOUBLE) AS p_catch_theory
+FROM cand{bands} c
+LEFT JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b"""
+        )
+    body = "\nUNION ALL\n".join(unions)
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+cfg AS ({body})
+SELECT bands, rows_per_band, n_candidates, n_truth, n_caught,
+  CASE WHEN n_truth > 0
+    THEN CAST(n_caught AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall,
+  p_catch_theory
+FROM cfg CROSS JOIN tcnt
+"""
+    )

@@ -886,3 +886,150 @@ agg AS (
 SELECT _m AS period, n_a, n_b, n_bins, CAST(_sq AS DOUBLE) / 1e9 AS psi
 FROM agg
 """
+
+
+def vif_audit(
+    df: DataFrame,
+    columns: list[str],
+    scale: int = 2,
+) -> DataFrame:
+    """Variance-inflation-factor audit over a 3-feature set — the
+    multicollinearity screen a feature pipeline runs before fitting
+    (grouped_ols2's standard errors silently explode when regressors
+    are collinear; VIF_j = 1/(1−R²_j) is the per-feature number that
+    says WHICH one to drop; > 5-10 is the usual flag):
+
+        VIF_j = [R⁻¹]_jj   over the Pearson correlation matrix R
+
+    For p = 3 the inverse diagonal is closed-form in the three
+    pairwise correlations (det = 1 + 2·r₁₂r₁₃r₂₃ − r₁₂² − r₁₃² −
+    r₂₃²; VIF_1 = (1 − r₂₃²)/det, cyclically) — the SAME one-pass
+    exact sufficient statistics as corr_matrix, then one fixed double
+    tree per feature, so the twin is bit-identical.  For larger p the
+    documented scale path is this same single-pass Gram aggregation +
+    a driver-side p×p inverse (p is a feature count, never data-sized);
+    the closed form keeps the CROSS-ENGINE-verifiable contract.
+
+    Returns (feature, n, r_squared, vif, flag_5) — NULL when a
+    feature is constant or the matrix is singular.
+    """
+    if len(columns) != 3:
+        raise ValueError("vif_audit closed form takes exactly 3 columns")
+    m = 10**scale
+    q = lambda c: F.floor(F.col(c) * F.lit(m) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    notnull = reduce(
+        lambda a, b: a & b, [F.col(c).isNotNull() for c in columns]
+    )
+    d = df.filter(notnull).select(
+        *[q(c).alias(f"_q{i}") for i, c in enumerate(columns)]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(3):
+        aggs.append(F.sum(dec(F.col(f"_q{i}"))).alias(f"_s{i}"))
+        aggs.append(
+            F.sum(dec(F.col(f"_q{i}") * F.col(f"_q{i}"))).alias(f"_ss{i}")
+        )
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        aggs.append(
+            F.sum(dec(F.col(f"_q{i}") * F.col(f"_q{j}"))).alias(f"_sp{i}{j}")
+        )
+    one = d.agg(*aggs)
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+
+    def corr(i, j):
+        cov = nn * s2d(f"_sp{i}{j}") - s2d(f"_s{i}") * s2d(f"_s{j}")
+        va = nn * s2d(f"_ss{i}") - s2d(f"_s{i}") * s2d(f"_s{i}")
+        vb = nn * s2d(f"_ss{j}") - s2d(f"_s{j}") * s2d(f"_s{j}")
+        return F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb))
+
+    # chained selects, not one nested tree: det/vif reuse each r twice
+    # and each r is itself a wide tree — inlined, the single-row plan
+    # blew past janino's method limit (interpreted fallback)
+    cors = one.select(
+        "n",
+        corr(0, 1).alias("_r12"),
+        corr(0, 2).alias("_r13"),
+        corr(1, 2).alias("_r23"),
+    )
+    r12, r13, r23 = F.col("_r12"), F.col("_r13"), F.col("_r23")
+    withdet = cors.select(
+        "*",
+        (
+            F.lit(1.0)
+            + F.lit(2.0) * r12 * r13 * r23
+            - r12 * r12 - r13 * r13 - r23 * r23
+        ).alias("_det"),
+    )
+    det = F.col("_det")
+    opp = {0: r23, 1: r13, 2: r12}
+    rows = []
+    for i, c in enumerate(columns):
+        o = opp[i]
+        vif = F.when(det != 0, (F.lit(1.0) - o * o) / det)
+        rows.append(
+            F.struct(
+                F.lit(c).alias("feature"),
+                F.col("n").alias("n"),
+                (F.lit(1.0) - F.lit(1.0) / vif).alias("r_squared"),
+                vif.alias("vif"),
+                (vif > F.lit(5.0)).alias("flag_5"),
+            )
+        )
+    return withdet.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.feature", "r.n", "r.r_squared", "r.vif", "r.flag_5"
+    )
+
+
+def vif_audit_sql(
+    table: str,
+    columns: list[str],
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`vif_audit` (same Gram pass, same closed
+    form)."""
+    if len(columns) != 3:
+        raise ValueError("vif_audit closed form takes exactly 3 columns")
+    m = 10**scale
+    qq = lambda c: f"CAST(FLOOR({c} * {m} + 0.5) AS BIGINT)"  # noqa: E731
+    sel = ["COUNT(*) AS n"]
+    for i, c in enumerate(columns):
+        sel.append(f"SUM({qq(c)}) AS _s{i}")
+        sel.append(f"SUM({qq(c)} * {qq(c)}) AS _ss{i}")
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        a, b = columns[i], columns[j]
+        sel.append(f"SUM({qq(a)} * {qq(b)}) AS _sp{i}{j}")
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+
+    def corr(i, j):
+        cov = (f"(CAST(n AS DOUBLE) * {s2d(f'_sp{i}{j}')} - "
+               f"{s2d(f'_s{i}')} * {s2d(f'_s{j}')})")
+        va = (f"(CAST(n AS DOUBLE) * {s2d(f'_ss{i}')} - "
+              f"{s2d(f'_s{i}')} * {s2d(f'_s{i}')})")
+        vb = (f"(CAST(n AS DOUBLE) * {s2d(f'_ss{j}')} - "
+              f"{s2d(f'_s{j}')} * {s2d(f'_s{j}')})")
+        return (f"(CASE WHEN {va} > 0 AND {vb} > 0 "
+                f"THEN {cov} / sqrt({va} * {vb}) END)")
+
+    r12, r13, r23 = corr(0, 1), corr(0, 2), corr(1, 2)
+    det = (f"(1.0 + 2.0 * {r12} * {r13} * {r23}"
+           f" - {r12} * {r12} - {r13} * {r13} - {r23} * {r23})")
+    opp = {0: r23, 1: r13, 2: r12}
+    unions = []
+    for i, c in enumerate(columns):
+        vif = (f"(CASE WHEN {det} <> 0 "
+               f"THEN (1.0 - {opp[i]} * {opp[i]}) / {det} END)")
+        unions.append(
+            f"""SELECT '{c}' AS feature, n,
+  (1.0 - 1.0 / {vif}) AS r_squared,
+  {vif} AS vif,
+  ({vif} > 5.0) AS flag_5
+FROM agg"""
+        )
+    body = "\nUNION ALL\n".join(unions)
+    where = " AND ".join(f"{c} IS NOT NULL" for c in columns)
+    return f"""
+WITH agg AS (SELECT {', '.join(sel)} FROM {table} WHERE {where})
+{body}
+"""

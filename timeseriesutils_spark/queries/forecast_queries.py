@@ -2936,3 +2936,27 @@ def _sql_isotonic_calibrate():
 QUERIES.update(
     {"isotonic_calibrate": Q(q_isotonic_calibrate, _sql_isotonic_calibrate())}
 )
+
+
+_VIF_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def q_vif_audit(spark, sf_dir):
+    """Variance-inflation-factor multicollinearity screen over the
+    lineitem numerics (operators/profile.vif_audit): corr_matrix shows
+    the pairwise structure; VIF says which FEATURE to drop before a
+    fit (extendedprice ~ quantity·price makes OLS standard errors
+    explode silently).  Same one-pass exact Gram statistics, p=3
+    closed-form inverse diagonal."""
+    from timeseriesutils_spark.operators.profile import vif_audit
+
+    return vif_audit(load_table(spark, sf_dir, "lineitem"), _VIF_COLS)
+
+
+def _sql_vif_audit():
+    from timeseriesutils_spark.operators.profile import vif_audit_sql
+
+    return vif_audit_sql("lineitem", _VIF_COLS)
+
+
+QUERIES.update({"vif_audit": Q(q_vif_audit, _sql_vif_audit())})

@@ -2506,3 +2506,26 @@ def _sql_mmr_diversify():
 
 
 QUERIES.update({"mmr_diversify": Q(q_mmr_diversify, _sql_mmr_diversify())})
+
+
+def q_dedup_band_audit(spark, sf_dir):
+    """LSH banding tuner (operators/dedup.dedup_band_audit): the same
+    32 portable minhash minima re-banded as (2,16)/(4,8)/(8,4)/(16,2),
+    each config's measured candidate volume and true-near-dup recall
+    beside the theoretical 1−(1−t^r)^b catch probability — the
+    empirical (b, r) picker for dedup_minhash_lsh, and the drift gauge
+    between the iid S-curve and this corpus's shingle reality."""
+    from timeseriesutils_spark.operators.dedup import dedup_band_audit
+
+    return dedup_band_audit(_docs(spark, sf_dir))
+
+
+def _sql_dedup_band_audit():
+    from timeseriesutils_spark.operators.dedup import dedup_band_audit_sql
+
+    return dedup_band_audit_sql()
+
+
+QUERIES.update(
+    {"dedup_band_audit": Q(q_dedup_band_audit, _sql_dedup_band_audit())}
+)
