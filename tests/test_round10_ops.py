@@ -515,3 +515,93 @@ def test_band_audit_monotone_candidates_and_recall(spark):
     assert all(0 <= t <= 1 for t in ths) and ths == sorted(ths)
     for r in out:
         assert r.n_caught <= r.n_truth
+
+
+# --- second wave: mood, partial_corr, trimmed_mean, lorenz, qmapping ----------
+
+
+def test_mood_median_hand_worked(spark):
+    from timeseriesutils_spark.operators.nonparam import mood_median_test
+
+    # A all below pooled median, B all above -> maximal chi2, reject
+    rows = [("g", "a", float(v)) for v in (1, 2, 3, 4)]
+    rows += [("g", "b", float(v)) for v in (10, 11, 12, 13)]
+    df = spark.createDataFrame(rows, "g string, f string, v double")
+    r = mood_median_test(df, "v", "f", "a", "b", ["g"]).first()
+    # pooled lower median = 4th of 8 sorted values = 4
+    assert r.median == 4.0
+    assert (r.a_above, r.b_above) == (0, 4)
+    assert r.chi2 == pytest.approx(8.0)  # N(ad-bc)^2/prod = 8*16^2/256
+    assert r.reject_05 is True
+
+
+def test_mood_median_identical_samples_accept(spark):
+    from timeseriesutils_spark.operators.nonparam import mood_median_test
+
+    rows = [("g", f, float(v)) for v in range(10) for f in ("a", "b")]
+    df = spark.createDataFrame(rows, "g string, f string, v double")
+    r = mood_median_test(df, "v", "f", "a", "b", ["g"]).first()
+    assert r.a_above == r.b_above and r.chi2 == 0.0
+    assert r.reject_05 is False
+
+
+def test_partial_corr_confounder_vanishes(spark):
+    from timeseriesutils_spark.operators.profile import partial_corr
+
+    # x and y are both driven by z (plus tiny independent noise): the
+    # raw r_xy is strong, the partial r_xy.z collapses toward 0
+    rows = []
+    for i in range(210):
+        z = float(i % 17)
+        # independent noise digits: i mod 5 and (i div 5) mod 7
+        rows.append((z + 0.3 * (i % 5), z + 0.3 * ((i // 5) % 7), z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r.col_a, r.col_b): r for r in
+           partial_corr(df, ["x", "y", "z"]).collect()}
+    r = out[("x", "y")]
+    assert r.r_raw > 0.9
+    assert abs(r.r_partial) < 0.3
+
+
+def test_trimmed_mean_hand_worked(spark):
+    from timeseriesutils_spark.operators.stats import trimmed_mean
+
+    # 10 values incl. a wild outlier; 10% trim drops 1 from each end
+    vals = [float(v) for v in (1, 2, 3, 4, 5, 6, 7, 8, 9, 1000)]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, x double")
+    r = trimmed_mean(df, "x", ["g"], trim=0.1).first()
+    assert r.n == 10 and r.n_trimmed_each == 1
+    assert r.trimmed_mean == pytest.approx(sum(vals[1:-1]) / 8)
+
+
+def test_lorenz_curve_hand_worked(spark):
+    from timeseriesutils_spark.operators.analytics import lorenz_curve
+
+    # 10 units: nine of value 1, one of value 91 -> bottom 90% hold 9%
+    rows = [("g", 1.0)] * 9 + [("g", 91.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.bucket: r for r in lorenz_curve(df, "v", ["g"]).collect()}
+    assert out[9].cum_share == pytest.approx(0.09)
+    assert out[10].cum_share == pytest.approx(1.0)
+    assert out[9].equality_gap == pytest.approx(0.81)
+    # monotone, ends at 1
+    shares = [out[b].cum_share for b in range(1, 11)]
+    assert shares == sorted(shares)
+
+
+def test_quantile_mapping_shifts_onto_reference(spark):
+    from timeseriesutils_spark.operators.stats import quantile_mapping
+
+    # source = reference + 100: mapping must remove the shift exactly
+    # at matching quantile positions
+    rows = [("g", True, float(v)) for v in range(11)]
+    rows += [("g", False, float(v + 100)) for v in range(11)]
+    df = spark.createDataFrame(rows, "g string, ref boolean, v double")
+    out = quantile_mapping(df, "v", ["g"], "ref").collect()
+    src = sorted((r.v, r.v_mapped) for r in out if not r.ref)
+    # v=100 (p=0) -> 0 ... v=110 (p=1) -> 10
+    for i, (v, mv) in enumerate(src):
+        assert mv == pytest.approx(float(i))
+    ref = [(r.v, r.v_mapped) for r in out if r.ref]
+    assert all(v == mv for v, mv in ref)  # reference passes through

@@ -1560,3 +1560,149 @@ SELECT {gsel}, n,
   CASE WHEN {ok} THEN {r} + 1.96 * {se} END AS ci_hi
 FROM agg
 """
+
+
+def lorenz_curve(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    n_buckets: int = 10,
+    scale: int = 2,
+) -> DataFrame:
+    """Lorenz curve at population-decile cutoffs per group — the
+    concentration CURVE behind gini_index's single number ("the bottom
+    70% of customers carry what share of revenue?"): rows sort by
+    value ascending, bucket d covers the first ⌈n·d/B⌉ rows (the
+    gains_curve whole-tie-block ceil contract — no ntile, engines
+    can't disagree on tie assignment), and the curve reports the
+    cumulative VALUE share against the population share.
+
+    Exact path: quantized-value count collapse → one cumulative window
+    over collapsed rows → B-literal bucket fan-out; cumulative value
+    sums are exact int64 through DECIMAL, the share is one final
+    double division.  equality_gap = d/B − share ≥ 0 measures the
+    bow (integrates to gini/2).
+
+    Returns (groups…, bucket, pop_frac, n_included, cum_share,
+    equality_gap).
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = df.filter(F.col(value_col).isNotNull()).select(*g, q.alias("_q"))
+    per = d.groupBy(*g, "_q").agg(F.count(F.lit(1)).alias("_r"))
+    w = Window.partitionBy(*g).orderBy(F.col("_q"))
+    wg = Window.partitionBy(*g)
+    cum = per.select(
+        *g,
+        F.sum("_r").over(w).alias("_cr"),
+        F.sum((F.col("_q") * F.col("_r")).cast("decimal(38,0)")).over(w)
+        .alias("_cv"),
+        F.sum("_r").over(wg).alias("_n"),
+        F.sum((F.col("_q") * F.col("_r")).cast("decimal(38,0)")).over(wg)
+        .alias("_tv"),
+    )
+    buckets = []
+    for b in range(1, n_buckets + 1):
+        cut = F.expr(
+            f"CAST((_n * {b} + {n_buckets - 1}) div {n_buckets} AS BIGINT)"
+        )
+        inc = F.col("_cr") <= cut
+        buckets.append(
+            F.struct(
+                F.lit(b).alias("bucket"),
+                F.max(F.when(inc, F.col("_cr"))).alias("n_included"),
+                F.max(F.when(inc, F.col("_cv"))).alias("v_included"),
+            )
+        )
+    agg = cum.groupBy(*g).agg(
+        F.max("_n").alias("_n"),
+        F.max("_tv").alias("_tv"),
+        F.array(*buckets).alias("_bs"),
+    )
+    ex = agg.select(*g, "_n", "_tv", F.explode("_bs").alias("_s")).select(
+        *g,
+        "_n",
+        "_tv",
+        F.col("_s.bucket").alias("bucket"),
+        F.coalesce(F.col("_s.n_included"), F.lit(0)).alias("n_included"),
+        F.coalesce(F.col("_s.v_included"), F.lit(0).cast("decimal(38,0)"))
+        .alias("_vi"),
+    )
+    share = F.when(
+        F.col("_tv").cast("string").cast("double") != 0,
+        F.col("_vi").cast("string").cast("double")
+        / F.col("_tv").cast("string").cast("double"),
+    )
+    pf = F.col("bucket").cast("double") / F.lit(float(n_buckets))
+    return ex.select(
+        *g,
+        "bucket",
+        pf.alias("pop_frac"),
+        "n_included",
+        share.alias("cum_share"),
+        (pf - share).alias("equality_gap"),
+    )
+
+
+def lorenz_curve_sql(
+    data_sql: str,
+    value_col: str,
+    group_columns,
+    n_buckets: int = 10,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`lorenz_curve` (same ceil cutoffs, same
+    DECIMAL value sums)."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    rows = " UNION ALL ".join(
+        f"SELECT {gsel}, _n, _tv, {b} AS bucket, "
+        f"COALESCE(MAX(CASE WHEN _cr <= (_n * {b} + {n_buckets - 1})"
+        f" // {n_buckets} THEN _cr END), 0) AS n_included, "
+        f"COALESCE(MAX(CASE WHEN _cr <= (_n * {b} + {n_buckets - 1})"
+        f" // {n_buckets} THEN _cv END), 0) AS _vi "
+        f"FROM cum GROUP BY {gsel}, _n, _tv"
+        for b in range(1, n_buckets + 1)
+    )
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q FROM ({data_sql})
+  WHERE {value_col} IS NOT NULL
+),
+per AS (
+  SELECT {gsel}, _q, COUNT(*) AS _r FROM d GROUP BY {gsel}, _q
+),
+cum AS (
+  SELECT {gsel},
+    CAST(SUM(_r) OVER w AS BIGINT) AS _cr,
+    CAST(SUM(CAST(_q * _r AS DECIMAL(38,0))) OVER w AS DECIMAL(38,0))
+      AS _cv,
+    CAST(SUM(_r) OVER wg AS BIGINT) AS _n,
+    CAST(SUM(CAST(_q * _r AS DECIMAL(38,0))) OVER wg AS DECIMAL(38,0))
+      AS _tv
+  FROM per
+  WINDOW w AS (PARTITION BY {gsel} ORDER BY _q
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+   wg AS (PARTITION BY {gsel})
+),
+fan AS ({rows})
+SELECT {gsel}, bucket,
+  CAST(bucket AS DOUBLE) / {float(n_buckets)!r} AS pop_frac,
+  n_included,
+  CASE WHEN {s2d('_tv')} <> 0 THEN {s2d('_vi')} / {s2d('_tv')} END
+    AS cum_share,
+  (CAST(bucket AS DOUBLE) / {float(n_buckets)!r}
+    - CASE WHEN {s2d('_tv')} <> 0 THEN {s2d('_vi')} / {s2d('_tv')} END)
+    AS equality_gap
+FROM fan
+"""

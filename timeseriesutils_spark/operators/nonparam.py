@@ -2351,3 +2351,162 @@ SELECT {gsel}, n_a, n_b,
   END AS emd
 FROM agg
 """
+
+
+def mood_median_test(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Mood's median test per group — the blunt-but-assumption-free
+    member of the two-sample location family (mann_whitney needs
+    comparable shapes to read as a location test; Mood's only asks
+    "does each sample straddle the POOLED median the same way?", which
+    survives wild outliers and censoring at the cost of power):
+
+        M = pooled lower median;  2×2 table of (sample × above/≤ M);
+        χ² = N(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)),  p via χ²₁
+
+    Exact path: quantized-value count collapse (the ks/cvm frame), the
+    pooled median as the smallest value with 2·cum ≥ N (exact integer
+    rule, no interpolation — the classic discrete contract), exact
+    int64 cell counts, one double χ² tree, Wilson–Hilferty p (the
+    chi2_sf kernel, quantized).
+
+    Returns (groups…, n_a, n_b, median, a_above, b_above, chi2,
+    p_value, reject_05).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    lvl = F.col(factor_col)
+    d = df.filter(
+        F.col(value_col).isNotNull() & lvl.isin([level_a, level_b])
+    ).select(*groups, q.alias("_q"), (lvl == level_a).alias("_ia"))
+    per = d.groupBy(*groups, "_q").agg(
+        F.sum(F.col("_ia").cast("bigint")).alias("_ca"),
+        F.sum((~F.col("_ia")).cast("bigint")).alias("_cb"),
+    )
+    w = Window.partitionBy(*groups).orderBy("_q")
+    wg = Window.partitionBy(*groups)
+    cum = per.select(
+        *groups, "_q", "_ca", "_cb",
+        (F.sum("_ca").over(w) + F.sum("_cb").over(w)).alias("_cum"),
+        (F.sum("_ca").over(wg) + F.sum("_cb").over(wg)).alias("_nn"),
+    )
+    med = cum.filter(F.lit(2) * F.col("_cum") >= F.col("_nn")).groupBy(
+        *groups
+    ).agg(F.min("_q").alias("_med"))
+    j = per.join(med, on=groups)
+    agg = j.groupBy(*groups).agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.max("_med").alias("_medq"),
+        F.sum(F.when(F.col("_q") > F.col("_med"), F.col("_ca")).otherwise(
+            F.lit(0))).alias("a_above"),
+        F.sum(F.when(F.col("_q") > F.col("_med"), F.col("_cb")).otherwise(
+            F.lit(0))).alias("b_above"),
+    )
+    a = F.col("a_above").cast("double")
+    b = (F.col("n_a") - F.col("a_above")).cast("double")
+    c = F.col("b_above").cast("double")
+    dd = (F.col("n_b") - F.col("b_above")).cast("double")
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    denom = (a + b) * (c + dd) * (a + c) * (b + dd)
+    chi2 = F.when(
+        denom > 0, nn * (a * dd - b * c) * (a * dd - b * c) / denom
+    )
+    p = chi2_sf_expr(chi2, F.lit(1.0))
+    return agg.select(
+        *groups,
+        "n_a",
+        "n_b",
+        (F.col("_medq").cast("double") / F.lit(float(m))).alias("median"),
+        "a_above",
+        "b_above",
+        chi2.alias("chi2"),
+        p.alias("p_value"),
+        (p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def mood_median_test_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`mood_median_test` (same integer median
+    rule, same χ² tree, same WH p kernel)."""
+    from timeseriesutils_spark.functions.exact import sq
+
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    a = "CAST(a_above AS DOUBLE)"
+    b = "CAST(n_a - a_above AS DOUBLE)"
+    c = "CAST(b_above AS DOUBLE)"
+    dd = "CAST(n_b - b_above AS DOUBLE)"
+    nn = "CAST(n_a + n_b AS DOUBLE)"
+    denom = f"(({a} + {b}) * ({c} + {dd}) * ({a} + {c}) * ({b} + {dd}))"
+    chi2 = (
+        f"(CASE WHEN {denom} > 0 THEN {nn} * ({a} * {dd} - {b} * {c})"
+        f" * ({a} * {dd} - {b} * {c}) / {denom} END)"
+    )
+    p = chi2_sf_sql(chi2, "1.0")
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q, ({factor_col} = {sq(level_a)}) AS _ia
+  FROM ({data_sql})
+  WHERE {value_col} IS NOT NULL
+    AND {factor_col} IN ({sq(level_a)}, {sq(level_b)})
+),
+per AS (
+  SELECT {gsel}, _q,
+    CAST(SUM(CAST(_ia AS BIGINT)) AS BIGINT) AS _ca,
+    CAST(SUM(CAST(NOT _ia AS BIGINT)) AS BIGINT) AS _cb
+  FROM d GROUP BY {gsel}, _q
+),
+cum AS (
+  SELECT {gsel}, _q, _ca, _cb,
+    CAST(SUM(_ca + _cb) OVER w AS BIGINT) AS _cum,
+    CAST(SUM(_ca + _cb) OVER wg AS BIGINT) AS _nn
+  FROM per
+  WINDOW w AS (PARTITION BY {gsel} ORDER BY _q
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+   wg AS (PARTITION BY {gsel})
+),
+med AS (
+  SELECT {gsel}, MIN(_q) AS _med FROM cum
+  WHERE 2 * _cum >= _nn GROUP BY {gsel}
+),
+agg AS (
+  SELECT {', '.join('per.' + g for g in groups)},
+    CAST(SUM(_ca) AS BIGINT) AS n_a,
+    CAST(SUM(_cb) AS BIGINT) AS n_b,
+    MAX(_med) AS _medq,
+    CAST(SUM(CASE WHEN _q > _med THEN _ca ELSE 0 END) AS BIGINT)
+      AS a_above,
+    CAST(SUM(CASE WHEN _q > _med THEN _cb ELSE 0 END) AS BIGINT)
+      AS b_above
+  FROM per JOIN med USING ({gsel})
+  GROUP BY {', '.join('per.' + g for g in groups)}
+)
+SELECT {gsel}, n_a, n_b,
+  CAST(_medq AS DOUBLE) / {float(m)!r} AS median,
+  a_above, b_above,
+  {chi2} AS chi2,
+  {p} AS p_value,
+  ({p} < 0.05) AS reject_05
+FROM agg
+"""

@@ -1033,3 +1033,142 @@ FROM agg"""
 WITH agg AS (SELECT {', '.join(sel)} FROM {table} WHERE {where})
 {body}
 """
+
+
+def partial_corr(
+    df: DataFrame,
+    columns: list[str],
+    scale: int = 2,
+) -> DataFrame:
+    """Partial Pearson correlations over a 3-feature set — "do x and y
+    still move together once z is held fixed?" (the confounder screen
+    beside corr_matrix's raw pairs and vif_audit's inflation factors;
+    a strong r_xy that vanishes partialled on z is z's doing):
+
+        r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))
+
+    Same ONE-pass exact Gram statistics as corr_matrix/vif_audit, one
+    closed-form row per (pair | control) rotation, chained selects
+    (the janino-width lesson).  NULL when a feature is constant or a
+    control correlation is ±1.
+
+    Returns (col_a, col_b, control, n, r_raw, r_partial).
+    """
+    if len(columns) != 3:
+        raise ValueError("partial_corr closed form takes exactly 3 columns")
+    m = 10**scale
+    q = lambda c: F.floor(F.col(c) * F.lit(m) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    notnull = reduce(
+        lambda a, b: a & b, [F.col(c).isNotNull() for c in columns]
+    )
+    d = df.filter(notnull).select(
+        *[q(c).alias(f"_q{i}") for i, c in enumerate(columns)]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(3):
+        aggs.append(F.sum(dec(F.col(f"_q{i}"))).alias(f"_s{i}"))
+        aggs.append(
+            F.sum(dec(F.col(f"_q{i}") * F.col(f"_q{i}"))).alias(f"_ss{i}")
+        )
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        aggs.append(
+            F.sum(dec(F.col(f"_q{i}") * F.col(f"_q{j}"))).alias(f"_sp{i}{j}")
+        )
+    one = d.agg(*aggs)
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+
+    def corr(i, j):
+        i, j = min(i, j), max(i, j)
+        cov = nn * s2d(f"_sp{i}{j}") - s2d(f"_s{i}") * s2d(f"_s{j}")
+        va = nn * s2d(f"_ss{i}") - s2d(f"_s{i}") * s2d(f"_s{i}")
+        vb = nn * s2d(f"_ss{j}") - s2d(f"_s{j}") * s2d(f"_s{j}")
+        return F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb))
+
+    cors = one.select(
+        "n",
+        corr(0, 1).alias("_r01"),
+        corr(0, 2).alias("_r02"),
+        corr(1, 2).alias("_r12"),
+    )
+    r = {
+        (0, 1): F.col("_r01"),
+        (0, 2): F.col("_r02"),
+        (1, 2): F.col("_r12"),
+    }
+    rows = []
+    for (i, j), k in (((0, 1), 2), ((0, 2), 1), ((1, 2), 0)):
+        rxy = r[(i, j)]
+        rxz = r[tuple(sorted((i, k)))]
+        ryz = r[tuple(sorted((j, k)))]
+        den2 = (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+        part = F.when(den2 > 0, (rxy - rxz * ryz) / F.sqrt(den2))
+        rows.append(
+            F.struct(
+                F.lit(columns[i]).alias("col_a"),
+                F.lit(columns[j]).alias("col_b"),
+                F.lit(columns[k]).alias("control"),
+                F.col("n").alias("n"),
+                rxy.alias("r_raw"),
+                part.alias("r_partial"),
+            )
+        )
+    return cors.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col_a", "r.col_b", "r.control", "r.n", "r.r_raw", "r.r_partial"
+    )
+
+
+def partial_corr_sql(
+    table: str,
+    columns: list[str],
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`partial_corr`."""
+    if len(columns) != 3:
+        raise ValueError("partial_corr closed form takes exactly 3 columns")
+    m = 10**scale
+    qq = lambda c: f"CAST(FLOOR({c} * {m} + 0.5) AS BIGINT)"  # noqa: E731
+    sel = ["COUNT(*) AS n"]
+    for i, c in enumerate(columns):
+        sel.append(f"SUM({qq(c)}) AS _s{i}")
+        sel.append(f"SUM({qq(c)} * {qq(c)}) AS _ss{i}")
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        a, b = columns[i], columns[j]
+        sel.append(f"SUM({qq(a)} * {qq(b)}) AS _sp{i}{j}")
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+
+    def corr(i, j):
+        i, j = min(i, j), max(i, j)
+        cov = (f"(CAST(n AS DOUBLE) * {s2d(f'_sp{i}{j}')} - "
+               f"{s2d(f'_s{i}')} * {s2d(f'_s{j}')})")
+        va = (f"(CAST(n AS DOUBLE) * {s2d(f'_ss{i}')} - "
+              f"{s2d(f'_s{i}')} * {s2d(f'_s{i}')})")
+        vb = (f"(CAST(n AS DOUBLE) * {s2d(f'_ss{j}')} - "
+              f"{s2d(f'_s{j}')} * {s2d(f'_s{j}')})")
+        return (f"(CASE WHEN {va} > 0 AND {vb} > 0 "
+                f"THEN {cov} / sqrt({va} * {vb}) END)")
+
+    cors = (f"SELECT n, {corr(0, 1)} AS _r01, {corr(0, 2)} AS _r02, "
+            f"{corr(1, 2)} AS _r12 FROM agg")
+    rname = {(0, 1): "_r01", (0, 2): "_r02", (1, 2): "_r12"}
+    unions = []
+    for (i, j), k in (((0, 1), 2), ((0, 2), 1), ((1, 2), 0)):
+        rxy = rname[(i, j)]
+        rxz = rname[tuple(sorted((i, k)))]
+        ryz = rname[tuple(sorted((j, k)))]
+        den2 = f"((1.0 - {rxz} * {rxz}) * (1.0 - {ryz} * {ryz}))"
+        part = (f"(CASE WHEN {den2} > 0 "
+                f"THEN ({rxy} - {rxz} * {ryz}) / sqrt({den2}) END)")
+        unions.append(
+            f"""SELECT '{columns[i]}' AS col_a, '{columns[j]}' AS col_b,
+  '{columns[k]}' AS control, n, {rxy} AS r_raw, {part} AS r_partial
+FROM cors"""
+        )
+    body = "\nUNION ALL\n".join(unions)
+    where = " AND ".join(f"{c} IS NOT NULL" for c in columns)
+    return f"""
+WITH agg AS (SELECT {', '.join(sel)} FROM {table} WHERE {where}),
+cors AS ({cors})
+{body}
+"""

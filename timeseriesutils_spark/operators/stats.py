@@ -2554,3 +2554,210 @@ SELECT {select_cols},
   (_q75 - _q25) AS {column}_iqr
 FROM {table} LEFT JOIN q USING ({gsel})
 """
+
+
+def trimmed_mean(
+    df: DataFrame,
+    column: str,
+    group_columns,
+    trim: float = 0.1,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group α-trimmed mean: drop ⌊n·α⌋ observations from EACH end
+    of the sorted sample, average the rest — the robust location
+    estimate between the mean (α=0) and the median (α→0.5); the
+    standard summary when a few wild rows would drag a plain mean but
+    a median wastes too much data.
+
+    Exact path: one sorted collect per group, integer slice bounds
+    (⌊n·α⌋ via exact int arithmetic where α is a rational literal),
+    kept values quantized to int64 and summed with an ORDERED fold —
+    the mean is one final double division, identical cross-engine.
+
+    Returns (groups…, n, n_trimmed_each, trimmed_mean).
+    """
+    g = _as_list(group_columns)
+    b = df.groupBy(*g).agg(
+        F.sort_array(F.collect_list(F.col(column).cast("double"))).alias(
+            "_arr"
+        )
+    )
+    n = F.size("_arr")
+    # k = floor(n * trim) in EXACT integer arithmetic: trim is a
+    # rational literal p/q — floor(n·p / q) with integer div
+    from fractions import Fraction
+
+    fr = Fraction(trim).limit_denominator(10**6)
+    k = F.expr(f"CAST(size(_arr) * {fr.numerator} div {fr.denominator}"
+               " AS INT)")
+    mult = float(10**scale)
+    kept = F.slice(F.col("_arr"), k + 1, F.greatest(n - 2 * k, F.lit(0)))
+    qsum = F.aggregate(
+        F.transform(
+            kept,
+            lambda x: F.floor(x * F.lit(mult) + F.lit(0.5)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cnt = n - 2 * k
+    tm = F.when(
+        cnt > 0, qsum.cast("double") / cnt.cast("double") / F.lit(mult)
+    )
+    return b.select(
+        *g,
+        n.cast("bigint").alias("n"),
+        k.cast("bigint").alias("n_trimmed_each"),
+        tm.alias("trimmed_mean"),
+    )
+
+
+def trimmed_mean_sql(
+    table: str,
+    column: str,
+    group_columns,
+    trim: float = 0.1,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`trimmed_mean` (same integer bounds, same
+    quantized fold)."""
+    from fractions import Fraction
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    fr = Fraction(trim).limit_denominator(10**6)
+    mult = float(10**scale)
+    k = f"CAST(len(_arr) * {fr.numerator} // {fr.denominator} AS INT)"
+    kept = f"_arr[{k} + 1 : len(_arr) - {k}]"
+    qsum = (
+        f"CAST(list_sum(list_transform({kept},"
+        f" x -> CAST(floor(x * {mult!r} + 0.5) AS BIGINT))) AS BIGINT)"
+    )
+    cnt = f"(len(_arr) - 2 * {k})"
+    return f"""
+WITH b AS (
+  SELECT {gsel}, list_sort(list(CAST({column} AS DOUBLE))) AS _arr
+  FROM {table} WHERE {column} IS NOT NULL GROUP BY {gsel}
+)
+SELECT {gsel},
+  CAST(len(_arr) AS BIGINT) AS n,
+  CAST({k} AS BIGINT) AS n_trimmed_each,
+  CASE WHEN {cnt} > 0 THEN
+    CAST({qsum} AS DOUBLE) / CAST({cnt} AS DOUBLE) / {mult!r}
+  END AS trimmed_mean
+FROM b
+"""
+
+
+def quantile_mapping(
+    df: DataFrame,
+    column: str,
+    group_columns,
+    ref_col,
+    scale_p: int = 9,
+) -> DataFrame:
+    """Quantile mapping (CDF matching — the standard bias-correction /
+    domain-harmonization transform, public): re-express each
+    NON-reference row's value on the REFERENCE group's distribution,
+
+        mapped = F_ref⁻¹( F_src(x) )
+
+    so a systematically-shifted source (a miscalibrated sensor, a new
+    traffic mix, a different label vendor) becomes comparable to the
+    reference without assuming a parametric form.  ``ref_col`` is the
+    boolean reference-side flag; reference rows pass through unmapped.
+
+    Determinism: F_src uses mid-rank ECDF positions ((rmin+rmax)/2 − 1)
+    /(n_src − 1) from exact integer ranks (RANK + tie-block counts);
+    F_ref⁻¹ is the shared quantile_cont lerp over the reference's
+    sorted array at that variable position — every float op is one
+    fixed tree of exact-int-derived doubles.  Plan: one rank window on
+    the source side + one sorted collect of the reference per group,
+    broadcast back.
+
+    Appends {c}_mapped (reference rows: the original value).
+    """
+    g = _as_list(group_columns)
+    ref = F.col(ref_col) if isinstance(ref_col, str) else ref_col
+    src = df.filter(~ref)
+    refd = df.filter(ref)
+    arr = refd.groupBy(*g).agg(
+        F.sort_array(F.collect_list(F.col(column).cast("double"))).alias(
+            "_ra"
+        )
+    )
+    wsrc = Window.partitionBy(*g).orderBy(F.col(column))
+    tie = Window.partitionBy(*g, column)
+    ranked = src.select(
+        "*",
+        F.rank().over(wsrc).alias("_rmin"),
+        F.count(F.lit(1)).over(tie).alias("_tn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*g)).alias("_ns"),
+    )
+    ravg = F.col("_rmin").cast("double") + (
+        F.col("_tn").cast("double") - F.lit(1.0)
+    ) / F.lit(2.0)
+    p = F.when(
+        F.col("_ns") > 1,
+        (ravg - F.lit(1.0)) / (F.col("_ns").cast("double") - F.lit(1.0)),
+    ).otherwise(F.lit(0.5))
+    j = ranked.join(F.broadcast(arr), on=g, how="left")
+    nr = F.size("_ra")
+    h = (nr - 1).cast("double") * p
+    lo = F.floor(h).cast("int")
+    frac = h - lo.cast("double")
+    base = F.element_at(F.col("_ra"), lo + 1)
+    nxt = F.element_at(F.col("_ra"), F.least(lo + 2, nr))
+    mapped = F.when(nr > 0, base * (F.lit(1.0) - frac) + nxt * frac)
+    out_src = j.select(
+        *df.columns, mapped.alias(f"{column}_mapped")
+    )
+    out_ref = refd.select(
+        *df.columns, F.col(column).cast("double").alias(f"{column}_mapped")
+    )
+    return out_src.unionByName(out_ref)
+
+
+def quantile_mapping_sql(
+    table: str,
+    column: str,
+    group_columns,
+    ref_sql: str,
+    select_cols: str,
+) -> str:
+    """DuckDB twin of :func:`quantile_mapping` (same mid-rank ECDF,
+    same lerp)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    return f"""
+WITH src AS (
+  SELECT {select_cols},
+    RANK() OVER (PARTITION BY {gsel} ORDER BY {column}) AS _rmin,
+    COUNT(*) OVER (PARTITION BY {gsel}, {column}) AS _tn,
+    COUNT(*) OVER (PARTITION BY {gsel}) AS _ns
+  FROM {table} WHERE NOT ({ref_sql})
+),
+ra AS (
+  SELECT {gsel}, list_sort(list(CAST({column} AS DOUBLE))) AS _ra
+  FROM {table} WHERE ({ref_sql}) GROUP BY {gsel}
+),
+m AS (
+  SELECT src.*, _ra,
+    CASE WHEN _ns > 1 THEN
+      ((CAST(_rmin AS DOUBLE) + (CAST(_tn AS DOUBLE) - 1.0) / 2.0) - 1.0)
+        / (CAST(_ns AS DOUBLE) - 1.0)
+    ELSE 0.5 END AS _p
+  FROM src LEFT JOIN ra USING ({gsel})
+)
+SELECT {select_cols},
+  CASE WHEN len(_ra) > 0 THEN
+    _ra[CAST(FLOOR((len(_ra) - 1) * _p) AS INT) + 1]
+      * (1.0 - ((len(_ra) - 1) * _p - FLOOR((len(_ra) - 1) * _p)))
+    + _ra[LEAST(CAST(FLOOR((len(_ra) - 1) * _p) AS INT) + 2, len(_ra))]
+      * ((len(_ra) - 1) * _p - FLOOR((len(_ra) - 1) * _p))
+  END AS {column}_mapped
+FROM m
+UNION ALL
+SELECT {select_cols}, CAST({column} AS DOUBLE) AS {column}_mapped
+FROM {table} WHERE ({ref_sql})
+"""

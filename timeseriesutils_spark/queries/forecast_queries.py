@@ -2960,3 +2960,136 @@ def _sql_vif_audit():
 
 
 QUERIES.update({"vif_audit": Q(q_vif_audit, _sql_vif_audit())})
+
+
+def q_mood_median_test(spark, sf_dir):
+    """Mood's median test per ship year on the A-vs-R price frame
+    (operators/nonparam.mood_median_test): the assumption-free member
+    of the two-sample family — mann_whitney reads location only under
+    comparable shapes; Mood's just asks whether each arm straddles the
+    POOLED median alike.  Exact integer median rule + 2×2 χ² with the
+    Wilson–Hilferty p kernel."""
+    from timeseriesutils_spark.operators.nonparam import mood_median_test
+
+    return mood_median_test(
+        _year_rf(spark, sf_dir), "l_extendedprice", "l_returnflag",
+        "A", "R", ["ship_year"],
+    )
+
+
+def _sql_mood_median_test():
+    from timeseriesutils_spark.operators.nonparam import mood_median_test_sql
+
+    return mood_median_test_sql(
+        _SQL_YEAR_RF, "l_extendedprice", "l_returnflag", "A", "R",
+        ["ship_year"],
+    )
+
+
+QUERIES.update(
+    {"mood_median_test": Q(q_mood_median_test, _sql_mood_median_test())}
+)
+
+
+def q_partial_corr(spark, sf_dir):
+    """Partial correlations over the lineitem numerics
+    (operators/profile.partial_corr): does quantity still track
+    extendedprice once discount is held fixed?  The confounder screen
+    beside corr_matrix (raw pairs) and vif_audit (inflation) — same
+    one-pass exact Gram statistics, closed-form per rotation."""
+    from timeseriesutils_spark.operators.profile import partial_corr
+
+    return partial_corr(load_table(spark, sf_dir, "lineitem"), _VIF_COLS)
+
+
+def _sql_partial_corr():
+    from timeseriesutils_spark.operators.profile import partial_corr_sql
+
+    return partial_corr_sql("lineitem", _VIF_COLS)
+
+
+QUERIES.update({"partial_corr": Q(q_partial_corr, _sql_partial_corr())})
+
+
+def q_trimmed_mean(spark, sf_dir):
+    """10%-trimmed mean of order totals per priority
+    (operators/stats.trimmed_mean): the robust location summary
+    between the mean and the median — exact integer slice bounds,
+    quantized ordered fold, one double division."""
+    from timeseriesutils_spark.operators.stats import trimmed_mean
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return trimmed_mean(o, "o_totalprice", ["o_orderpriority"])
+
+
+def _sql_trimmed_mean():
+    from timeseriesutils_spark.operators.stats import trimmed_mean_sql
+
+    return trimmed_mean_sql("orders", "o_totalprice", ["o_orderpriority"])
+
+
+QUERIES.update({"trimmed_mean": Q(q_trimmed_mean, _sql_trimmed_mean())})
+
+
+def q_lorenz_curve(spark, sf_dir):
+    """Lorenz concentration curve of order value per priority class
+    (operators/analytics.lorenz_curve): gini_index's single number,
+    unrolled into the decile curve a revenue-concentration dashboard
+    plots — whole-tie-block ceil cutoffs (the gains_curve contract),
+    exact DECIMAL value sums."""
+    from timeseriesutils_spark.operators.analytics import lorenz_curve
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return lorenz_curve(o, "o_totalprice", ["o_orderpriority"])
+
+
+def _sql_lorenz_curve():
+    from timeseriesutils_spark.operators.analytics import lorenz_curve_sql
+
+    return lorenz_curve_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_totalprice", ["o_orderpriority"],
+    )
+
+
+QUERIES.update({"lorenz_curve": Q(q_lorenz_curve, _sql_lorenz_curve())})
+
+
+def q_quantile_mapping(spark, sf_dir):
+    """Quantile mapping (CDF matching) of returned-item prices onto the
+    accepted-item distribution per ship year
+    (operators/stats.quantile_mapping): the non-parametric
+    bias-correction transform — after mapping, the R arm's prices are
+    directly comparable to the A arm's without assuming a shift model.
+    Mid-rank ECDF positions from exact integer ranks, shared
+    quantile_cont lerp."""
+    from timeseriesutils_spark.operators.stats import quantile_mapping
+
+    d = _year_rf(spark, sf_dir).filter(
+        F.col("l_returnflag").isin(["A", "R"])
+    )
+    return quantile_mapping(
+        d, "l_extendedprice", ["ship_year"], F.col("l_returnflag") == "A"
+    )
+
+
+def _sql_quantile_mapping():
+    from timeseriesutils_spark.operators.stats import quantile_mapping_sql
+
+    d = (
+        f"(SELECT * FROM ({_SQL_YEAR_RF})"
+        " WHERE l_returnflag IN ('A', 'R')) AS t"
+    )
+    return quantile_mapping_sql(
+        d, "l_extendedprice", ["ship_year"], "l_returnflag = 'A'",
+        "ship_year, l_returnflag, l_extendedprice",
+    )
+
+
+QUERIES.update(
+    {"quantile_mapping": Q(q_quantile_mapping, _sql_quantile_mapping())}
+)
