@@ -605,3 +605,84 @@ def test_quantile_mapping_shifts_onto_reference(spark):
         assert mv == pytest.approx(float(i))
     ref = [(r.v, r.v_mapped) for r in out if r.ref]
     assert all(v == mv for v, mv in ref)  # reference passes through
+
+
+# --- third wave: hhi, theil, mutual_info, rrf --------------------------------
+
+
+def test_hhi_hand_worked(spark):
+    from timeseriesutils_spark.operators.analytics import hhi_concentration
+
+    rows = [("g", "s1")] * 8 + [("g", "s2")] * 2
+    df = spark.createDataFrame(rows, "g string, src string")
+    r = hhi_concentration(df, "src", ["g"]).first()
+    assert (r.n, r.n_keys) == (10, 2)
+    assert r.hhi == pytest.approx(0.64 + 0.04)
+    assert r.hhi_norm == pytest.approx((0.68 - 0.5) / 0.5)
+
+
+def test_hhi_single_key_is_one(spark):
+    from timeseriesutils_spark.operators.analytics import hhi_concentration
+
+    df = spark.createDataFrame([("g", "only")] * 5, "g string, src string")
+    r = hhi_concentration(df, "src", ["g"]).first()
+    assert r.hhi == 1.0 and r.hhi_norm == 1.0
+
+
+def test_theil_zero_for_equal_values(spark):
+    from timeseriesutils_spark.operators.analytics import theil_index
+
+    df = spark.createDataFrame([("g", 7.0)] * 6, "g string, v double")
+    r = theil_index(df, "v", ["g"]).first()
+    assert r.theil_t == 0.0 and r.n == 6 and r.mean == 7.0
+
+
+def test_theil_positive_and_drops_nonpositive(spark):
+    import math
+
+    from timeseriesutils_spark.operators.analytics import theil_index
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 1.0), ("g", 4.0), ("g", 0.0), ("g", -2.0)],
+        "g string, v double",
+    )
+    r = theil_index(df, "v", ["g"]).first()
+    assert r.n == 3 and r.n_dropped == 2
+    mu = 2.0
+    want = sum((x / mu) * math.log(x / mu) for x in (1.0, 1.0, 4.0)) / 3
+    assert r.theil_t == pytest.approx(want, abs=1e-6)
+
+
+def test_mutual_info_determined_and_independent(spark):
+    from timeseriesutils_spark.operators.profile import mutual_info
+
+    # y determined by x -> NMI = 1
+    det = spark.createDataFrame(
+        [(f"x{i % 3}", f"y{i % 3}") for i in range(30)], "a string, b string"
+    )
+    r = mutual_info(det, "a", "b").first()
+    assert r.nmi == pytest.approx(1.0, abs=1e-6)
+    # independent uniform grid -> MI = 0
+    ind = spark.createDataFrame(
+        [(f"x{i % 3}", f"y{(i // 3) % 4}") for i in range(36)],
+        "a string, b string",
+    )
+    r2 = mutual_info(ind, "a", "b").first()
+    assert abs(r2.mi) < 1e-6 and r2.k_x == 3 and r2.k_y == 4
+
+
+def test_rrf_fuse_hand_worked(spark):
+    from timeseriesutils_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id int, vec_id int, rn int"
+    )
+    b = spark.createDataFrame(
+        [(1, 12, 1), (1, 10, 2), (1, 13, 3)], "query_id int, vec_id int, rn int"
+    )
+    out = {r.vec_id: r for r in rrf_fuse([a, b], k=60, top_k=4).collect()}
+    # 10: 1/61 + 1/62; 12: 1/63 + 1/61; 11: 1/62; 13: 1/63
+    assert out[10].fused_rank == 1      # largest sum
+    assert out[12].fused_rank == 2
+    assert out[11].fused_rank == 3 and out[13].fused_rank == 4
+    assert out[10].rrf_score == pytest.approx(1 / 61 + 1 / 62, abs=1e-9)

@@ -1706,3 +1706,197 @@ SELECT {gsel}, bucket,
     AS equality_gap
 FROM fan
 """
+
+
+def hhi_concentration(
+    df: DataFrame,
+    key_col: str,
+    group_columns,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration of a categorical key per
+    group — the one-number "how dominated is this corpus/market by a
+    few sources?" gauge (1/K = perfectly even, 1 = single source;
+    the antitrust thresholds 0.15/0.25 transfer surprisingly well to
+    training-data source mixes):
+
+        HHI = Σ_k (n_k/N)²  =  (Σ_k n_k²) / N²
+
+    — the numerator is an EXACT integer (one count collapse, one
+    squared-count sum through DECIMAL), so the only float op is the
+    final division.  ``hhi_norm`` rescales to [0,1] via
+    (HHI − 1/K)/(1 − 1/K); single-key groups report 1.
+
+    Returns (groups…, n, n_keys, hhi, hhi_norm).
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    per = df.filter(F.col(key_col).isNotNull()).groupBy(*g, key_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    agg = per.groupBy(*g).agg(
+        F.sum("_c").alias("n"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("_c") * F.col("_c")).cast("decimal(38,0)")).alias("_sq"),
+    )
+    nn = F.col("n").cast("double")
+    hhi = F.col("_sq").cast("string").cast("double") / (nn * nn)
+    kk = F.col("n_keys").cast("double")
+    norm = F.when(
+        F.col("n_keys") > 1,
+        (hhi - F.lit(1.0) / kk) / (F.lit(1.0) - F.lit(1.0) / kk),
+    ).otherwise(F.lit(1.0))
+    return agg.select(*g, "n", "n_keys", hhi.alias("hhi"),
+                      norm.alias("hhi_norm"))
+
+
+def hhi_concentration_sql(
+    data_sql: str,
+    key_col: str,
+    group_columns,
+) -> str:
+    """DuckDB twin of :func:`hhi_concentration`."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    hhi = f"({s2d('_sq')} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    kk = "CAST(n_keys AS DOUBLE)"
+    return f"""
+WITH per AS (
+  SELECT {gsel}, {key_col}, COUNT(*) AS _c
+  FROM ({data_sql}) WHERE {key_col} IS NOT NULL
+  GROUP BY {gsel}, {key_col}
+),
+agg AS (
+  SELECT {gsel}, CAST(SUM(_c) AS BIGINT) AS n,
+    COUNT(*) AS n_keys,
+    CAST(SUM(CAST(_c * _c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS _sq
+  FROM per GROUP BY {gsel}
+)
+SELECT {gsel}, n, n_keys, {hhi} AS hhi,
+  CASE WHEN n_keys > 1
+    THEN ({hhi} - 1.0 / {kk}) / (1.0 - 1.0 / {kk})
+    ELSE 1.0 END AS hhi_norm
+FROM agg
+"""
+
+
+def theil_index(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Theil T inequality index per group over positive values — the
+    decomposable member of the inequality family (gini_index: rank-
+    based single number; lorenz_curve: the full curve; Theil:
+    entropy-based, and the only one whose total splits exactly into
+    within-group + between-group terms, which is why mix audits use
+    it):
+
+        T = (1/N) Σ_i (x_i/μ)·ln(x_i/μ),   μ = exact mean
+
+    Exactness: values quantize to int64 (μ is exact-sum/N in the
+    double domain, one shared tree); each row's ln is 1e-9-quantized,
+    each row TERM re-quantizes at 1e-9 and sums as exact integers —
+    the unordered-sum discipline.  Zero/negative rows are excluded
+    (ln domain), reported in ``n_dropped``.
+
+    Returns (groups…, n, n_dropped, mean, theil_t).
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *g, q.alias("_q")
+    )
+    d = base.withColumn("_pos", F.col("_q") > 0)
+    tot = d.groupBy(*g).agg(
+        F.sum(F.when(F.col("_pos"), F.col("_q")).otherwise(F.lit(0)))
+        .cast("decimal(38,0)").alias("_s"),
+        F.sum(F.col("_pos").cast("bigint")).alias("n"),
+        F.sum((~F.col("_pos")).cast("bigint")).alias("n_dropped"),
+    )
+    j = d.filter(F.col("_pos")).join(F.broadcast(tot), on=g)
+    mu = F.col("_s").cast("string").cast("double") / F.col("n").cast(
+        "double"
+    )
+    ratio = F.col("_q").cast("double") / mu
+    q9 = F.lit(1.0e9)
+    lnq = F.floor(F.log(ratio) * q9 + F.lit(0.5)) / q9
+    term = F.floor(ratio * lnq * q9 + F.lit(0.5)).cast("decimal(38,0)")
+    agg = j.groupBy(*g).agg(
+        F.max("n").alias("n"),
+        F.max("n_dropped").alias("n_dropped"),
+        F.max("_s").alias("_s"),
+        F.sum(term).alias("_t"),
+    )
+    mu2 = F.col("_s").cast("string").cast("double") / F.col("n").cast(
+        "double"
+    )
+    t = (
+        F.col("_t").cast("string").cast("double") / F.lit(1.0e9)
+        / F.col("n").cast("double")
+    )
+    return agg.select(
+        *g,
+        "n",
+        "n_dropped",
+        (mu2 / F.lit(float(m))).alias("mean"),
+        t.alias("theil_t"),
+    )
+
+
+def theil_index_sql(
+    data_sql: str,
+    value_col: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`theil_index` (same quantize points, same
+    integer term sum)."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    mu = f"({s2d('_s')} / CAST(n AS DOUBLE))"
+    ratio = f"(CAST(_q AS DOUBLE) / {mu})"
+    lnq = f"(FLOOR(LN({ratio}) * 1000000000.0 + 0.5) / 1000000000.0)"
+    term = (
+        f"CAST(FLOOR({ratio} * {lnq} * 1000000000.0 + 0.5)"
+        " AS DECIMAL(38,0))"
+    )
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q FROM ({data_sql})
+  WHERE {value_col} IS NOT NULL
+),
+tot AS (
+  SELECT {gsel},
+    CAST(SUM(CASE WHEN _q > 0 THEN _q ELSE 0 END) AS DECIMAL(38,0)) AS _s,
+    CAST(SUM(CAST(_q > 0 AS BIGINT)) AS BIGINT) AS n,
+    CAST(SUM(CAST(NOT _q > 0 AS BIGINT)) AS BIGINT) AS n_dropped
+  FROM d GROUP BY {gsel}
+),
+agg AS (
+  SELECT {gsel}, MAX(n) AS n, MAX(n_dropped) AS n_dropped,
+    MAX(_s) AS _s,
+    CAST(SUM({term}) AS DECIMAL(38,0)) AS _t
+  FROM d JOIN tot USING ({gsel})
+  WHERE _q > 0
+  GROUP BY {gsel}
+)
+SELECT {gsel}, n, n_dropped,
+  ({s2d('_s')} / CAST(n AS DOUBLE)) / {float(m)!r} AS mean,
+  {s2d('_t')} / 1000000000.0 / CAST(n AS DOUBLE) AS theil_t
+FROM agg
+"""

@@ -1172,3 +1172,132 @@ WITH agg AS (SELECT {', '.join(sel)} FROM {table} WHERE {where}),
 cors AS ({cors})
 {body}
 """
+
+
+def mutual_info(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, with
+    the normalized coefficient — the dependence/leakage screen for
+    categorical pairs (corr_matrix only sees numerics; categorical_assoc
+    reports Cramér's V from χ²; MI is the information-theoretic number
+    feature-selection and label-leakage audits threshold):
+
+        I(X;Y) = Σ_xy p_xy·ln(p_xy / (p_x·p_y)),
+        NMI = I / min(H(X), H(Y))   (0 = independent, 1 = determined)
+
+    Exactness: all cell/marginal counts are exact int64; each cell's
+    ln argument n_xy·N/(n_x·n_y) is a fixed double tree of exact ints,
+    the ln and the weighted term quantize at 1e-9 and sum as integers
+    (unordered-sum discipline); H(X), H(Y) use the same kernel.  One
+    (x,y) collapse + two marginal rollups + broadcast joins — cell
+    cardinality |X|·|Y| is the only size that matters.
+
+    Returns one row: (n, k_x, k_y, h_x, h_y, mi, nmi).
+    """
+    d = df.filter(
+        F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+    ).select(F.col(col_x).alias("_x"), F.col(col_y).alias("_y"))
+    cells = d.groupBy("_x", "_y").agg(F.count(F.lit(1)).alias("_nxy"))
+    mx = cells.groupBy("_x").agg(F.sum("_nxy").alias("_nx"))
+    my = cells.groupBy("_y").agg(F.sum("_nxy").alias("_ny"))
+    tot = cells.agg(
+        F.sum("_nxy").alias("_n"), F.count(F.lit(1)).alias("k_cells")
+    )
+    q9 = F.lit(1.0e9)
+
+    def _hterm(cnt, n):
+        p = cnt.cast("double") / n.cast("double")
+        lnq = F.floor(F.log(p) * q9 + F.lit(0.5)) / q9
+        return F.floor(-p * lnq * q9 + F.lit(0.5)).cast("decimal(38,0)")
+
+    j = (
+        cells.join(F.broadcast(mx), on="_x")
+        .join(F.broadcast(my), on="_y")
+        .crossJoin(F.broadcast(tot))
+    )
+    arg = (
+        F.col("_nxy").cast("double") * F.col("_n").cast("double")
+        / (F.col("_nx").cast("double") * F.col("_ny").cast("double"))
+    )
+    lnq = F.floor(F.log(arg) * q9 + F.lit(0.5)) / q9
+    p_xy = F.col("_nxy").cast("double") / F.col("_n").cast("double")
+    mterm = F.floor(p_xy * lnq * q9 + F.lit(0.5)).cast("decimal(38,0)")
+    mi_sum = j.agg(F.sum(mterm).alias("_mi")).crossJoin(F.broadcast(tot))
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        F.sum(_hterm(F.col("_nx"), F.col("_n"))).alias("_hx"),
+        F.count(F.lit(1)).alias("k_x"),
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        F.sum(_hterm(F.col("_ny"), F.col("_n"))).alias("_hy"),
+        F.count(F.lit(1)).alias("k_y"),
+    )
+    out = mi_sum.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    s2d = lambda c: F.col(c).cast("string").cast("double") / F.lit(1.0e9)  # noqa: E731
+    mi = s2d("_mi")
+    hmin = F.least(s2d("_hx"), s2d("_hy"))
+    return out.select(
+        F.col("_n").alias("n"),
+        "k_x",
+        "k_y",
+        s2d("_hx").alias("h_x"),
+        s2d("_hy").alias("h_y"),
+        mi.alias("mi"),
+        F.when(hmin > 0, mi / hmin).otherwise(F.lit(0.0)).alias("nmi"),
+    )
+
+
+def mutual_info_sql(
+    data_sql: str,
+    col_x: str,
+    col_y: str,
+) -> str:
+    """DuckDB twin of :func:`mutual_info` (same quantized kernels)."""
+    q9 = "1000000000.0"
+
+    def hterm(cnt, n):
+        p = f"(CAST({cnt} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        lnq = f"(FLOOR(LN({p}) * {q9} + 0.5) / {q9})"
+        return f"CAST(FLOOR(-{p} * {lnq} * {q9} + 0.5) AS DECIMAL(38,0))"
+
+    arg = ("(CAST(_nxy AS DOUBLE) * CAST(_n AS DOUBLE)"
+           " / (CAST(_nx AS DOUBLE) * CAST(_ny AS DOUBLE)))")
+    lnq = f"(FLOOR(LN({arg}) * {q9} + 0.5) / {q9})"
+    p_xy = "(CAST(_nxy AS DOUBLE) / CAST(_n AS DOUBLE))"
+    mterm = f"CAST(FLOOR({p_xy} * {lnq} * {q9} + 0.5) AS DECIMAL(38,0))"
+    s2d = lambda c: f"(CAST(CAST({c} AS VARCHAR) AS DOUBLE) / {q9})"  # noqa: E731
+    mi = s2d("_mi")
+    hmin = f"LEAST({s2d('_hx')}, {s2d('_hy')})"
+    return f"""
+WITH d AS (
+  SELECT {col_x} AS _x, {col_y} AS _y FROM ({data_sql})
+  WHERE {col_x} IS NOT NULL AND {col_y} IS NOT NULL
+),
+cells AS (SELECT _x, _y, COUNT(*) AS _nxy FROM d GROUP BY _x, _y),
+mx AS (SELECT _x, CAST(SUM(_nxy) AS BIGINT) AS _nx FROM cells GROUP BY _x),
+my AS (SELECT _y, CAST(SUM(_nxy) AS BIGINT) AS _ny FROM cells GROUP BY _y),
+tot AS (
+  SELECT CAST(SUM(_nxy) AS BIGINT) AS _n, COUNT(*) AS k_cells FROM cells
+),
+misum AS (
+  SELECT CAST(SUM({mterm}) AS DECIMAL(38,0)) AS _mi
+  FROM cells JOIN mx USING (_x) JOIN my USING (_y) CROSS JOIN tot
+),
+hx AS (
+  SELECT CAST(SUM({hterm('_nx', '_n')}) AS DECIMAL(38,0)) AS _hx,
+    COUNT(*) AS k_x
+  FROM mx CROSS JOIN tot
+),
+hy AS (
+  SELECT CAST(SUM({hterm('_ny', '_n')}) AS DECIMAL(38,0)) AS _hy,
+    COUNT(*) AS k_y
+  FROM my CROSS JOIN tot
+)
+SELECT _n AS n, k_x, k_y,
+  {s2d('_hx')} AS h_x, {s2d('_hy')} AS h_y,
+  {mi} AS mi,
+  CASE WHEN {hmin} > 0 THEN {mi} / {hmin} ELSE 0.0 END AS nmi
+FROM misum CROSS JOIN tot CROSS JOIN hx CROSS JOIN hy
+"""

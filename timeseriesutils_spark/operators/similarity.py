@@ -2159,3 +2159,98 @@ SELECT query_id, vec_id, CAST(mmr_rank AS INT) AS mmr_rank, rel, score
 FROM {prev}
 """
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    top_k: int = 10,
+    query_id: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, public) of N ranked
+    result lists — the standard hybrid-retrieval combiner (dense ANN +
+    lexical BM25, or exact + compressed indexes): items score
+
+        RRF(d) = Σ_lists 1/(k + rank_list(d))
+
+    which needs NO score calibration between lists (only ranks), the
+    reason it wins ensembling bake-offs.  Items missing from a list
+    contribute nothing for it.
+
+    Exactness: each reciprocal is a 1e-12-quantized int64 (bounded by
+    rank ≥ 1, so Σ over lists stays far inside int64); the fused order
+    sorts on the exact integer score with id tie-break — both engines
+    derive identical fusions.  One union + one (query, id) collapse +
+    one rank window over per-query-bounded frames.
+
+    Returns (query_id, vec_id, rrf_score, fused_rank) — top_k rows per
+    query.
+    """
+    q12 = 10**12
+    parts = []
+    for r in rankings:
+        parts.append(
+            r.select(
+                query_id,
+                id_col,
+                F.floor(
+                    F.lit(float(q12))
+                    / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+                    + F.lit(0.5)
+                ).cast("bigint").alias("_rr"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy(query_id, id_col).agg(F.sum("_rr").alias("_s"))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("_s").desc(), F.col(id_col)
+    )
+    return (
+        agg.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= top_k)
+        .select(
+            query_id,
+            id_col,
+            (F.col("_s").cast("double") / F.lit(float(q12))).alias(
+                "rrf_score"
+            ),
+            "fused_rank",
+        )
+    )
+
+
+def rrf_fuse_sql(
+    ranking_sqls: list[str],
+    k: int = 60,
+    top_k: int = 10,
+    query_id: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rn",
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse`; ``ranking_sqls`` are SELECTs
+    emitting (query_id, id, rank)."""
+    q12 = 10**12
+    parts = " UNION ALL ".join(
+        f"""SELECT {query_id}, {id_col},
+  CAST(FLOOR({float(q12)!r} / ({float(k)!r}
+    + CAST({rank_col} AS DOUBLE)) + 0.5) AS BIGINT) AS _rr
+FROM ({sql})"""
+        for sql in ranking_sqls
+    )
+    return f"""
+WITH u AS ({parts}),
+agg AS (
+  SELECT {query_id}, {id_col}, CAST(SUM(_rr) AS BIGINT) AS _s
+  FROM u GROUP BY {query_id}, {id_col}
+)
+SELECT {query_id}, {id_col},
+  CAST(_s AS DOUBLE) / {float(q12)!r} AS rrf_score,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY {query_id} ORDER BY _s DESC, {id_col}) AS INT)
+    AS fused_rank
+FROM agg QUALIFY fused_rank <= {top_k}
+"""

@@ -3093,3 +3093,29 @@ def _sql_quantile_mapping():
 QUERIES.update(
     {"quantile_mapping": Q(q_quantile_mapping, _sql_quantile_mapping())}
 )
+
+
+def q_theil_index(spark, sf_dir):
+    """Theil T inequality of order value per priority class
+    (operators/analytics.theil_index): the decomposable member of the
+    inequality family beside gini_index and lorenz_curve — quantized
+    exact mean, 1e-9-quantized per-row entropy terms summed as
+    integers."""
+    from timeseriesutils_spark.operators.analytics import theil_index
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return theil_index(o, "o_totalprice", ["o_orderpriority"])
+
+
+def _sql_theil_index():
+    from timeseriesutils_spark.operators.analytics import theil_index_sql
+
+    return theil_index_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_totalprice", ["o_orderpriority"],
+    )
+
+
+QUERIES.update({"theil_index": Q(q_theil_index, _sql_theil_index())})

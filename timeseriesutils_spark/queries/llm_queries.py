@@ -2529,3 +2529,80 @@ def _sql_dedup_band_audit():
 QUERIES.update(
     {"dedup_band_audit": Q(q_dedup_band_audit, _sql_dedup_band_audit())}
 )
+
+
+def q_hhi_concentration(spark, sf_dir):
+    """Source-concentration HHI of the document corpus per language
+    (operators/analytics.hhi_concentration): "is the German slice all
+    one crawl?" — the one-number dominance gauge behind domain_caps
+    and dup_rate_by_source; exact integer squared-count numerator."""
+    from timeseriesutils_spark.operators.analytics import hhi_concentration
+
+    return hhi_concentration(_docs(spark, sf_dir), "source", ["lang"])
+
+
+def _sql_hhi_concentration():
+    from timeseriesutils_spark.operators.analytics import (
+        hhi_concentration_sql,
+    )
+
+    return hhi_concentration_sql("SELECT * FROM documents", "source",
+                                 ["lang"])
+
+
+QUERIES.update(
+    {"hhi_concentration": Q(q_hhi_concentration, _sql_hhi_concentration())}
+)
+
+
+def q_mutual_info(spark, sf_dir):
+    """Mutual information between document language and source
+    (operators/profile.mutual_info): the categorical dependence /
+    label-leakage screen — if source determines lang (NMI → 1), a
+    lang-balanced sample is secretly a source-skewed one.  Exact cell
+    counts, 1e-9-quantized ln kernels, cell-bounded cost."""
+    from timeseriesutils_spark.operators.profile import mutual_info
+
+    return mutual_info(_docs(spark, sf_dir), "lang", "source")
+
+
+def _sql_mutual_info():
+    from timeseriesutils_spark.operators.profile import mutual_info_sql
+
+    return mutual_info_sql("SELECT * FROM documents", "lang", "source")
+
+
+QUERIES.update({"mutual_info": Q(q_mutual_info, _sql_mutual_info())})
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of the exact and LSH neighbor lists
+    (operators/similarity.rrf_fuse, Cormack 2009): the hybrid-retrieval
+    combiner — fuse top-10 rankings from two indexes with 1/(60+rank)
+    scores, no score calibration needed.  Exact quantized reciprocals,
+    integer fused order."""
+    from timeseriesutils_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_lsh,
+        rrf_fuse,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q10 = emb.filter(F.col("vec_id") < 10)
+    a = knn_bruteforce(q10, emb, k=10)
+    b = knn_lsh(q10, emb, k=10, bits=4, dim=64)
+    return rrf_fuse([a, b], top_k=5)
+
+
+def _sql_rrf_fusion():
+    from timeseriesutils_spark.operators.similarity import (
+        knn_lsh_sql,
+        rrf_fuse_sql,
+    )
+
+    brute = _SQL_KNN.replace("QUALIFY rn <= 5", "QUALIFY rn <= 10")
+    lsh = knn_lsh_sql(k=10, bits=4, dim=64)
+    return rrf_fuse_sql([brute, lsh], top_k=5)
+
+
+QUERIES.update({"rrf_fusion": Q(q_rrf_fusion, _sql_rrf_fusion())})
