@@ -686,3 +686,66 @@ def test_rrf_fuse_hand_worked(spark):
     assert out[12].fused_rank == 2
     assert out[11].fused_rank == 3 and out[13].fused_rank == 4
     assert out[10].rrf_score == pytest.approx(1 / 61 + 1 / 62, abs=1e-9)
+
+
+# --- fourth wave: seasonal MK, cronbach, ks-uniform ---------------------------
+
+
+def test_seasonal_mk_detects_trend_plain_mk_misses(spark):
+    from timeseriesutils_spark.operators.regression import (
+        mann_kendall,
+        seasonal_mann_kendall,
+    )
+
+    # strong seasonal cycle + small upward yearly trend
+    rows = []
+    for yr in range(6):
+        for mon in range(4):
+            rows.append(("g", yr, mon, 100.0 * mon + yr))
+    df = spark.createDataFrame(rows, "g string, yr int, mon int, v double")
+    smk = seasonal_mann_kendall(df, "v", ["g"], "yr", "mon").first()
+    assert smk.n == 24 and smk.n_seasons == 4
+    # within each season the series strictly rises: S = 4 * C(6,2) = 60
+    assert smk.s_stat == 60 and smk.z > 1.96
+    # pooled variance = 4 * one-season variance (integer pooling)
+    one = mann_kendall(
+        df.filter("mon = 0"), "v", ["g"], "yr"
+    ).first()
+    assert smk.var_s == pytest.approx(4 * one.var_s)
+
+
+def test_cronbach_alpha_parallel_items_high(spark):
+    from timeseriesutils_spark.operators.stats import cronbach_alpha
+
+    # three items = same signal + tiny idiosyncratic wiggles -> alpha ~ 1
+    rows = []
+    for i in range(60):
+        s = float(i % 9)
+        rows.append(("g", s + 0.01 * (i % 3), s + 0.01 * ((i // 3) % 3),
+                     s + 0.01 * ((i // 9) % 3)))
+    df = spark.createDataFrame(rows, "g string, a double, b double, c double")
+    r = cronbach_alpha(df, ["a", "b", "c"], ["g"], scale=4).first()
+    assert r.alpha > 0.95 and r.k_items == 3
+
+
+def test_cronbach_alpha_independent_items_low(spark):
+    from timeseriesutils_spark.operators.stats import cronbach_alpha
+
+    rows = []
+    for i in range(180):
+        rows.append(("g", float(i % 5), float((i // 5) % 6),
+                     float((i // 30) % 6)))
+    df = spark.createDataFrame(rows, "g string, a double, b double, c double")
+    r = cronbach_alpha(df, ["a", "b", "c"], ["g"], scale=4).first()
+    assert abs(r.alpha) < 0.05  # independent grid -> ~0
+
+
+def test_ks_uniform_accepts_uniform_rejects_skewed(spark):
+    from timeseriesutils_spark.operators.profile import ks_uniform_audit
+
+    uni = [("u", (i + 0.5) / 400.0) for i in range(400)]
+    skew = [("s", ((i + 0.5) / 400.0) ** 3) for i in range(400)]
+    df = spark.createDataFrame(uni + skew, "g string, u double")
+    out = {r.g: r for r in ks_uniform_audit(df, "u", ["g"]).collect()}
+    assert out["u"].reject_05 is False and out["u"].d_stat < 0.01
+    assert out["s"].reject_05 is True and out["s"].d_stat > 0.3

@@ -1301,3 +1301,110 @@ SELECT _n AS n, k_x, k_y,
   CASE WHEN {hmin} > 0 THEN {mi} / {hmin} ELSE 0.0 END AS nmi
 FROM misum CROSS JOIN tot CROSS JOIN hx CROSS JOIN hy
 """
+
+
+def ks_uniform_audit(
+    df: DataFrame,
+    u_col,
+    group_columns,
+) -> DataFrame:
+    """One-sample Kolmogorov–Smirnov test against U(0,1) per group —
+    the uniformity audit for anything that CLAIMS to be uniform: hash
+    buckets (a biased hash_split skews every downstream sample),
+    p-values under a true null, RNG-derived sampling keys.
+
+        D = max over jumps of max(cum/n − u, u − (cum−t)/n)
+        p ≈ 2·Σ_{k=1..3} (−1)^{k−1} e^{−2k²nD²}   (asymptotic tail)
+
+    Exact path: the ECDF side of every gap is exact integers over the
+    distinct-value collapse; u is the value itself (already the null
+    CDF); each exp in the 3-term Kolmogorov tail quantizes at 1e-9
+    (the exp/ln rule), so the verdict is engine-identical.
+
+    Returns (groups…, n, d_stat, p_value, reject_05).
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    u = F.col(u_col) if isinstance(u_col, str) else u_col
+    d = df.filter(u.isNotNull()).select(*g, u.cast("double").alias("_u"))
+    per = d.groupBy(*g, "_u").agg(F.count(F.lit(1)).alias("_t"))
+    w = Window.partitionBy(*g).orderBy("_u")
+    wg = Window.partitionBy(*g)
+    cum = per.select(
+        *g, "_u", "_t",
+        F.sum("_t").over(w).alias("_cum"),
+        F.sum("_t").over(wg).alias("_n"),
+    )
+    nn = F.col("_n").cast("double")
+    hi = F.col("_cum").cast("double") / nn - F.col("_u")
+    lo = F.col("_u") - (F.col("_cum") - F.col("_t")).cast("double") / nn
+    gap = F.greatest(hi, lo)
+    agg = cum.groupBy(*g).agg(
+        F.max("_n").alias("n"), F.max(gap).alias("d_stat")
+    )
+    nd2 = F.col("n").cast("double") * F.col("d_stat") * F.col("d_stat")
+    q9 = F.lit(1.0e9)
+    terms = None
+    for kk in range(1, 4):
+        e = F.floor(
+            F.exp(F.lit(-2.0 * kk * kk) * nd2) * q9 + F.lit(0.5)
+        ) / q9
+        t = e if kk % 2 == 1 else -e
+        terms = t if terms is None else terms + t
+    p = F.least(F.greatest(F.lit(2.0) * terms, F.lit(0.0)), F.lit(1.0))
+    p = F.floor(p * q9 + F.lit(0.5)) / q9
+    return agg.select(
+        *g, "n", "d_stat", p.alias("p_value"),
+        (p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def ks_uniform_audit_sql(
+    data_sql: str,
+    u_sql: str,
+    group_columns,
+) -> str:
+    """DuckDB twin of :func:`ks_uniform_audit` (same gap frame, same
+    quantized 3-term tail)."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    nd2 = "(CAST(n AS DOUBLE) * d_stat * d_stat)"
+    terms = []
+    for kk in range(1, 4):
+        e = (f"(FLOOR(EXP({-2.0 * kk * kk!r} * {nd2})"
+             " * 1000000000.0 + 0.5) / 1000000000.0)")
+        terms.append(e if kk % 2 == 1 else f"(-{e})")
+    p = f"LEAST(GREATEST(2.0 * ({' + '.join(terms)}), 0.0), 1.0)"
+    pq = f"(FLOOR({p} * 1000000000.0 + 0.5) / 1000000000.0)"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, CAST(({u_sql}) AS DOUBLE) AS _u
+  FROM ({data_sql}) WHERE ({u_sql}) IS NOT NULL
+),
+per AS (
+  SELECT {gsel}, _u, COUNT(*) AS _t FROM d GROUP BY {gsel}, _u
+),
+cum AS (
+  SELECT {gsel}, _u, _t,
+    CAST(SUM(_t) OVER w AS BIGINT) AS _cum,
+    CAST(SUM(_t) OVER wg AS BIGINT) AS _n
+  FROM per
+  WINDOW w AS (PARTITION BY {gsel} ORDER BY _u
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+   wg AS (PARTITION BY {gsel})
+),
+agg AS (
+  SELECT {gsel}, MAX(_n) AS n,
+    MAX(GREATEST(
+      CAST(_cum AS DOUBLE) / CAST(_n AS DOUBLE) - _u,
+      _u - CAST(_cum - _t AS DOUBLE) / CAST(_n AS DOUBLE)
+    )) AS d_stat
+  FROM cum GROUP BY {gsel}
+)
+SELECT {gsel}, n, d_stat, {pq} AS p_value,
+  ({pq} < 0.05) AS reject_05
+FROM agg
+"""

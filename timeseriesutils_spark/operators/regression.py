@@ -888,3 +888,152 @@ SELECT {gsel}, n,
     ELSE 0.0 END AS z
 FROM ties LEFT JOIN s USING ({gsel})
 """
+
+
+def seasonal_mann_kendall(
+    data: DataFrame,
+    y_col: str,
+    group_columns,
+    t_col: str,
+    season_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Seasonal Mann–Kendall trend test (Hirsch & Slack 1984, public)
+    per group — plain Mann–Kendall reads a 12-month cycle as noise (or
+    worse, as trend); the seasonal form compares each season only with
+    itself and POOLS the per-season statistics:
+
+        S = Σ_seasons S_season,
+        Var(S) = Σ_seasons Var(S_season),
+        z = (S ∓ 1)/√Var(S)
+
+    Exactness beyond the plain op: each season's variance NUMERATOR
+    n(n−1)(2n+5) − Σt(t−1)(2t+5) is kept as an EXACT INTEGER and the
+    cross-season pooling sums integers (a float Σ over unordered
+    seasons would be association-dependent); /18 happens once at the
+    end.  Same O(n²/season-group) pair pass as mann_kendall.
+
+    Returns (groups…, n, n_seasons, s_stat, var_s, z).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(y_col) * F.lit(m) + F.lit(0.5)).cast("bigint")
+    d = data.filter(
+        F.col(y_col).isNotNull()
+        & F.col(t_col).isNotNull()
+        & F.col(season_col).isNotNull()
+    ).select(
+        *groups, F.col(season_col).alias("_sea"), F.col(t_col).alias("_t"),
+        q.alias("_qy"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in groups] + [
+        F.col("a._sea") == F.col("b._sea")
+    ]
+    pairs = a.join(b, on).filter(F.col("a._t") < F.col("b._t"))
+    sgn = F.signum((F.col("b._qy") - F.col("a._qy")).cast("double")).cast(
+        "bigint"
+    )
+    s_df = pairs.groupBy(
+        *[F.col(f"a.{c}").alias(c) for c in groups],
+        F.col("a._sea").alias("_sea"),
+    ).agg(F.sum(sgn).alias("_s"))
+    per = (
+        d.groupBy(*groups, "_sea", "_qy")
+        .agg(F.count(F.lit(1)).alias("_tc"))
+        .groupBy(*groups, "_sea")
+        .agg(
+            F.sum("_tc").alias("_n"),
+            F.sum(
+                F.col("_tc") * (F.col("_tc") - 1) * (2 * F.col("_tc") + 5)
+            ).alias("_tie"),
+        )
+    )
+    sea = per.join(s_df, on=[*groups, "_sea"], how="left").select(
+        *groups,
+        "_n",
+        F.coalesce(F.col("_s"), F.lit(0).cast("bigint")).alias("_s"),
+        (
+            F.col("_n") * (F.col("_n") - 1) * (2 * F.col("_n") + 5)
+            - F.col("_tie")
+        ).alias("_vnum"),
+    )
+    agg = sea.groupBy(*groups).agg(
+        F.sum("_n").alias("n"),
+        F.count(F.lit(1)).alias("n_seasons"),
+        F.sum("_s").alias("s_stat"),
+        F.sum("_vnum").alias("_vnum"),
+    )
+    var_s = F.col("_vnum").cast("double") / F.lit(18.0)
+    s = F.col("s_stat")
+    sd = s.cast("double")
+    z = F.when(
+        (var_s > 0) & (s != 0), (sd - F.signum(sd)) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        *groups, "n", "n_seasons", "s_stat", var_s.alias("var_s"),
+        z.alias("z"),
+    )
+
+
+def seasonal_mann_kendall_sql(
+    data_sql: str,
+    y_col: str,
+    group_columns,
+    t_col: str,
+    season_col: str,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`seasonal_mann_kendall` (same integer
+    pooling)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR({y_col} * {m} + 0.5) AS BIGINT)"
+    ja = ", ".join(f"a.{c}" for c in groups)
+    jon = " AND ".join(
+        [f"a.{c} = b.{c}" for c in groups] + ["a._sea = b._sea"]
+    )
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {season_col} AS _sea, {t_col} AS _t, {qq} AS _qy
+  FROM ({data_sql})
+  WHERE {y_col} IS NOT NULL AND {t_col} IS NOT NULL
+    AND {season_col} IS NOT NULL
+),
+s AS (
+  SELECT {ja}, a._sea AS _sea,
+    CAST(SUM(CAST(SIGN(CAST(b._qy - a._qy AS DOUBLE)) AS BIGINT))
+      AS BIGINT) AS _s
+  FROM d a JOIN d b ON {jon} AND a._t < b._t
+  GROUP BY {ja}, a._sea
+),
+per AS (
+  SELECT {gsel}, _sea, CAST(SUM(_tc) AS BIGINT) AS _n,
+    CAST(SUM(_tc * (_tc - 1) * (2 * _tc + 5)) AS BIGINT) AS _tie
+  FROM (
+    SELECT {gsel}, _sea, _qy, COUNT(*) AS _tc
+    FROM d GROUP BY {gsel}, _sea, _qy
+  ) GROUP BY {gsel}, _sea
+),
+sea AS (
+  SELECT {gsel}, _n,
+    COALESCE(_s, CAST(0 AS BIGINT)) AS _s,
+    _n * (_n - 1) * (2 * _n + 5) - _tie AS _vnum
+  FROM per LEFT JOIN s USING ({gsel}, _sea)
+),
+agg AS (
+  SELECT {gsel}, CAST(SUM(_n) AS BIGINT) AS n,
+    COUNT(*) AS n_seasons,
+    CAST(SUM(_s) AS BIGINT) AS s_stat,
+    CAST(SUM(_vnum) AS BIGINT) AS _vnum
+  FROM sea GROUP BY {gsel}
+)
+SELECT {gsel}, n, n_seasons, s_stat,
+  CAST(_vnum AS DOUBLE) / 18.0 AS var_s,
+  CASE WHEN CAST(_vnum AS DOUBLE) / 18.0 > 0 AND s_stat <> 0
+    THEN (CAST(s_stat AS DOUBLE) - SIGN(CAST(s_stat AS DOUBLE)))
+         / SQRT(CAST(_vnum AS DOUBLE) / 18.0)
+    ELSE 0.0 END AS z
+FROM agg
+"""

@@ -2761,3 +2761,128 @@ UNION ALL
 SELECT {select_cols}, CAST({column} AS DOUBLE) AS {column}_mapped
 FROM {table} WHERE ({ref_sql})
 """
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols: list[str],
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Cronbach's α internal-consistency coefficient per group
+    (Cronbach 1951, public) — the "do these k columns measure one
+    underlying thing?" reliability number (survey scales, ensembles of
+    quality scores, multi-judge labels):
+
+        α = k/(k−1) · (1 − Σ_i var_i / var_total)
+
+    with var_total the variance of per-row item SUMS.  One pass of
+    exact sufficient statistics: items quantize to int64, Σx / Σx² per
+    item and for the row total accumulate in DECIMAL(38,0)
+    (VARCHAR-routed casts), sample variances (n−1) form one shared
+    double tree.  Complete-case rows only (the corr_matrix listwise
+    rule).
+
+    Returns (groups…, n, k_items, sum_item_var, total_var, alpha).
+    """
+    g = _as_list(group_columns)
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError("cronbach_alpha needs >= 2 item columns")
+    m = 10**scale
+    q = lambda c: F.floor(  # noqa: E731
+        F.col(c).cast("double") * F.lit(m) + F.lit(0.5)
+    ).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    notnull = None
+    for c in item_cols:
+        cond = F.col(c).isNotNull()
+        notnull = cond if notnull is None else (notnull & cond)
+    d = df.filter(notnull).select(
+        *g, *[q(c).alias(f"_q{i}") for i, c in enumerate(item_cols)]
+    )
+    tot = None
+    for i in range(k):
+        tot = F.col(f"_q{i}") if tot is None else tot + F.col(f"_q{i}")
+    d = d.withColumn("_qt", tot)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(k):
+        aggs.append(F.sum(dec(F.col(f"_q{i}"))).alias(f"_s{i}"))
+        aggs.append(
+            F.sum(dec(F.col(f"_q{i}") * F.col(f"_q{i}"))).alias(f"_ss{i}")
+        )
+    aggs.append(F.sum(dec(F.col("_qt"))).alias("_st"))
+    aggs.append(F.sum(dec(F.col("_qt") * F.col("_qt"))).alias("_sst"))
+    one = d.groupBy(*g).agg(*aggs)
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+
+    def var(s, ss):
+        return (nn * s2d(ss) - s2d(s) * s2d(s)) / (nn * (nn - 1.0))
+
+    iv = None
+    for i in range(k):
+        v = var(f"_s{i}", f"_ss{i}")
+        iv = v if iv is None else iv + v
+    tv = var("_st", "_sst")
+    mscale = float(m * m)
+    alpha = F.when(
+        (F.col("n") > 1) & (tv > 0),
+        F.lit(float(k) / (k - 1.0)) * (F.lit(1.0) - iv / tv),
+    )
+    return one.select(
+        *g,
+        "n",
+        F.lit(k).alias("k_items"),
+        (iv / F.lit(mscale)).alias("sum_item_var"),
+        (tv / F.lit(mscale)).alias("total_var"),
+        alpha.alias("alpha"),
+    )
+
+
+def cronbach_alpha_sql(
+    table: str,
+    item_cols: list[str],
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`cronbach_alpha`."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    k = len(item_cols)
+    m = 10**scale
+    qq = lambda c: (  # noqa: E731
+        f"CAST(FLOOR(CAST({c} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    )
+    qt = " + ".join(qq(c) for c in item_cols)
+    sel = ["COUNT(*) AS n"]
+    for i, c in enumerate(item_cols):
+        sel.append(f"SUM(CAST({qq(c)} AS DECIMAL(38,0))) AS _s{i}")
+        sel.append(
+            f"SUM(CAST({qq(c)} * {qq(c)} AS DECIMAL(38,0))) AS _ss{i}"
+        )
+    sel.append(f"SUM(CAST(({qt}) AS DECIMAL(38,0))) AS _st")
+    sel.append(f"SUM(CAST(({qt}) * ({qt}) AS DECIMAL(38,0))) AS _sst")
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+
+    def var(s, ss):
+        return (f"(({nn} * {s2d(ss)} - {s2d(s)} * {s2d(s)})"
+                f" / ({nn} * ({nn} - 1.0)))")
+
+    iv = "(" + " + ".join(var(f"_s{i}", f"_ss{i}") for i in range(k)) + ")"
+    tv = var("_st", "_sst")
+    mscale = float(m * m)
+    where = " AND ".join(f"{c} IS NOT NULL" for c in item_cols)
+    return f"""
+WITH agg AS (
+  SELECT {gsel}, {', '.join(sel)} FROM {table}
+  WHERE {where} GROUP BY {gsel}
+)
+SELECT {gsel}, n, {k} AS k_items,
+  {iv} / {mscale!r} AS sum_item_var,
+  {tv} / {mscale!r} AS total_var,
+  CASE WHEN n > 1 AND {tv} > 0
+    THEN {float(k) / (k - 1.0)!r} * (1.0 - {iv} / {tv}) END AS alpha
+FROM agg
+"""

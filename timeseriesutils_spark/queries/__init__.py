@@ -48,6 +48,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "vif_audit", "dedup_band_audit", "mood_median_test", "partial_corr",
     "trimmed_mean", "lorenz_curve", "quantile_mapping",
     "hhi_concentration", "theil_index", "mutual_info", "rrf_fusion",
+    "seasonal_mann_kendall", "cronbach_alpha", "ks_uniform_audit",
     # stale re-verification: round-3 cohort remainder (driver rows r3)
     "chunk_dedup", "quality_filter", "semantic_dedup",
     "stream_counter_rate", "stream_cusum", "stream_dedup",
@@ -59,8 +60,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # head at exactly 50)
     "spectral_entropy", "variant_json", "quantile_bin",
     "dedup_minhash_lsh", "simhash", "knn_lsh", "knn_ivf",
-    "feature_hash", "hash_split", "shard_assign", "domain_caps",
-    "build_vocab",
+    "feature_hash", "hash_split",
 )
 # ROUND-11 ROTATION PLAN: head slots go to (a) any round-11 additions,
 # then (b) whatever round-10 additions missed this head-50, then (c)
@@ -97,6 +97,7 @@ TIERS: dict[str, str] = {
     "pq_recall": "audit", "ann_recall_ivfpq": "audit",
     "vif_audit": "audit", "dedup_band_audit": "audit",
     "lorenz_curve": "audit", "hhi_concentration": "audit",
+    "ks_uniform_audit": "audit",
     "langid_confusion": "audit", "dup_rate_by_source": "audit",
     "corpus_jsd": "audit", "novelty_scores": "audit", "zipf_fit": "audit",
     "simpson_diversity": "audit",
@@ -132,6 +133,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "vif_audit", "dedup_band_audit", "mood_median_test", "partial_corr",
     "trimmed_mean", "lorenz_curve", "quantile_mapping",
     "hhi_concentration", "theil_index", "mutual_info", "rrf_fusion",
+    "seasonal_mann_kendall", "cronbach_alpha", "ks_uniform_audit",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

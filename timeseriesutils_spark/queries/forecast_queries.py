@@ -3119,3 +3119,117 @@ def _sql_theil_index():
 
 
 QUERIES.update({"theil_index": Q(q_theil_index, _sql_theil_index())})
+
+
+def q_seasonal_mann_kendall(spark, sf_dir):
+    """Seasonal Mann–Kendall trend test on monthly shipped quantity per
+    supplier (operators/regression.seasonal_mann_kendall, Hirsch–Slack
+    1984): each calendar month compares only with itself across years,
+    so an annual cycle cannot masquerade as (or mask) a trend — the
+    seasonal member beside mann_kendall/theilsen.  Exact-integer
+    per-season variance numerators pooled as integers."""
+    from timeseriesutils_spark.operators.regression import (
+        seasonal_mann_kendall,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    mq = li.select(
+        "l_suppkey",
+        F.year(d).cast("int").alias("yr"),
+        F.month(d).cast("int").alias("mon"),
+        "l_quantity",
+    ).groupBy("l_suppkey", "yr", "mon").agg(
+        F.sum("l_quantity").alias("qty")
+    ).filter(F.col("l_suppkey") < 20)
+    return seasonal_mann_kendall(
+        mq, "qty", ["l_suppkey"], "yr", "mon"
+    )
+
+
+def _sql_seasonal_mann_kendall():
+    from timeseriesutils_spark.operators.regression import (
+        seasonal_mann_kendall_sql,
+    )
+
+    d = (
+        "SELECT l_suppkey, yr, mon, qty FROM ("
+        "SELECT l_suppkey,"
+        " CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT) AS yr,"
+        " CAST(EXTRACT(month FROM CAST(l_shipdate AS DATE)) AS INT) AS mon,"
+        " CAST(SUM(l_quantity) AS DOUBLE) AS qty"
+        " FROM lineitem GROUP BY 1, 2, 3) WHERE l_suppkey < 20"
+    )
+    return seasonal_mann_kendall_sql(d, "qty", ["l_suppkey"], "yr", "mon")
+
+
+QUERIES.update({
+    "seasonal_mann_kendall": Q(
+        q_seasonal_mann_kendall, _sql_seasonal_mann_kendall()
+    )
+})
+
+
+def q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's α over the three lineitem rate columns per return
+    flag (operators/stats.cronbach_alpha): the internal-consistency
+    reliability coefficient — here a capability row exercising the
+    exact sufficient-statistics path (quantity/discount/tax are not a
+    psychometric scale; the number is well-defined regardless)."""
+    from timeseriesutils_spark.operators.stats import cronbach_alpha
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_tax"
+    )
+    return cronbach_alpha(
+        li, ["l_quantity", "l_discount", "l_tax"], ["l_returnflag"]
+    )
+
+
+def _sql_cronbach_alpha():
+    from timeseriesutils_spark.operators.stats import cronbach_alpha_sql
+
+    return cronbach_alpha_sql(
+        "lineitem", ["l_quantity", "l_discount", "l_tax"], ["l_returnflag"]
+    )
+
+
+QUERIES.update(
+    {"cronbach_alpha": Q(q_cronbach_alpha, _sql_cronbach_alpha())}
+)
+
+
+def q_ks_uniform_audit(spark, sf_dir):
+    """One-sample KS uniformity audit of the md5 sampling key per
+    order priority (operators/profile.ks_uniform_audit): hash_split
+    and every md5-deterministic sampler in this repo ASSUME the
+    fractional hash is U(0,1) — this is the test that checks it
+    (exact integer ECDF gaps, quantized 3-term Kolmogorov tail)."""
+    from timeseriesutils_spark.operators.dedup import portable_hash64
+    from timeseriesutils_spark.operators.profile import ks_uniform_audit
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (
+            (portable_hash64(F.col("o_orderkey").cast("string"))
+             % F.lit(1000000)).cast("double") / F.lit(1000000.0)
+        ).alias("u"),
+    )
+    return ks_uniform_audit(o, "u", ["o_orderpriority"])
+
+
+def _sql_ks_uniform_audit():
+    from timeseriesutils_spark.operators.dedup import portable_hash64_sql
+    from timeseriesutils_spark.operators.profile import ks_uniform_audit_sql
+
+    h = portable_hash64_sql("CAST(o_orderkey AS VARCHAR)")
+    d = (
+        f"SELECT o_orderpriority, CAST(({h}) % 1000000 AS DOUBLE)"
+        " / 1000000.0 AS u FROM orders"
+    )
+    return ks_uniform_audit_sql(d, "u", ["o_orderpriority"])
+
+
+QUERIES.update(
+    {"ks_uniform_audit": Q(q_ks_uniform_audit, _sql_ks_uniform_audit())}
+)
