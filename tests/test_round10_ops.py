@@ -749,3 +749,25 @@ def test_ks_uniform_accepts_uniform_rejects_skewed(spark):
     out = {r.g: r for r in ks_uniform_audit(df, "u", ["g"]).collect()}
     assert out["u"].reject_05 is False and out["u"].d_stat < 0.01
     assert out["s"].reject_05 is True and out["s"].d_stat > 0.3
+
+
+def test_driver_lloyd_matches_distributed_kmeans(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.operators.kmeans import (
+        _quantize,
+        kmeans_centroids,
+    )
+    from timeseriesutils_spark.operators.similarity import _lloyd_driver
+
+    emb = _toy_emb(spark)
+    dist = kmeans_centroids(emb, k=5, n_iter=3, scale=6)
+    qrows = [
+        list(r[1])
+        for r in emb.select(
+            "vec_id", _quantize(F.col("embedding"), 6)
+        ).orderBy("vec_id").collect()
+    ]
+    drv = _lloyd_driver(np.array(qrows, dtype=np.int64), 5, 3)
+    assert drv == dist

@@ -1416,6 +1416,29 @@ FROM adc QUALIFY rn <= {k}
 # --------------------------------------------------------------------------
 
 
+def _lloyd_driver(X, k, n_iter):
+    """Driver numpy quantized Lloyd over an (already id-sorted,
+    quantized) int64 sample — BIT-IDENTICAL to the distributed
+    ``kmeans.kmeans_centroids`` by construction (same k-lowest-id
+    init, exact int64 distances, first-min argmin = lower index,
+    floor(float64(exact Σ)/n + 0.5) update, empty keeps old); tests
+    pin the equality.  Replaces n_iter+1 Spark actions with zero."""
+    import numpy as np
+
+    C = X[:k].copy()
+    for _ in range(n_iter):
+        D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = D.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                S = members.sum(axis=0, dtype=np.int64)
+                C[j] = np.floor(
+                    S.astype(np.float64) / len(members) + 0.5
+                ).astype(np.int64)
+    return [[int(v) for v in c] for c in C]
+
+
 def _ivfpq_train_books_driver(qrows, cents, m, sub, n_codes, n_iter):
     """Residual PQ codebooks (Jégou et al. 2011 IVFADC, public):
     assign each (md5-ordered, id-sorted, quantized) sample vector to
@@ -1572,17 +1595,22 @@ def knn_ivfpq_portable(
     sample = corpus.orderBy(
         portable_hash64(F.col(id_col).cast("string")), F.col(id_col)
     ).limit(n_sample)
-    cents = kmeans_centroids(
-        sample, id_col, vec_col, k=n_centroids, n_iter=n_iter_coarse,
-        scale=scale,
-    )
     if engine == "arrow":
+        # ONE Spark action for all training state: collect the quantized
+        # sample, run the coarse Lloyd AND the residual book Lloyds in
+        # driver numpy (bit-identical to the distributed trainer —
+        # pinned by tests; the distributed form cost ~6 s of cold
+        # per-iteration actions at sf0.1, BASELINE r10 note)
+        import numpy as np
+
         qrows = [
             (r[0], list(r[1]))
             for r in sample.select(
                 id_col, _quantize(F.col(vec_col), scale)
             ).orderBy(id_col).collect()
         ]
+        X = np.array([r[1] for r in qrows], dtype=np.int64)
+        cents = _lloyd_driver(X, n_centroids, n_iter_coarse)
         books = _ivfpq_train_books_driver(
             qrows, cents, m, sub, n_codes, n_iter_pq
         )
@@ -1608,6 +1636,10 @@ def knn_ivfpq_portable(
             table_schema,
         )
     else:
+        cents = kmeans_centroids(
+            sample, id_col, vec_col, k=n_centroids, n_iter=n_iter_coarse,
+            scale=scale,
+        )
         cents_arr = "array(" + ",".join(
             "array(" + ",".join(f"{int(v)}L" for v in c) + ")" for c in cents
         ) + ")"

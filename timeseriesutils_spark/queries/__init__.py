@@ -62,9 +62,17 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh", "simhash", "knn_lsh", "knn_ivf",
     "feature_hash", "hash_split",
 )
-# ROUND-11 ROTATION PLAN: head slots go to (a) any round-11 additions,
-# then (b) whatever round-10 additions missed this head-50, then (c)
-# the rest of the round-4 cohort and the round-5 cohort oldest-first.
+# ROUND-11 ROTATION PLAN: head slots go to (a) any round-11 additions
+# (the find_unrotated_queries governance check enforces head placement
+# for anything never driver-verified), then (b) the rest of the
+# round-4 cohort in catalog order (shard_assign, domain_caps,
+# build_vocab, bpe_pair_counts, jsonl_pack, sax_words,
+# permutation_entropy, hurst_exponent, rolling_median, rolling_mad,
+# winsorize, gini_index, weighted_median, value_entropy, group_mode,
+# ohlc_bars, interpolate, gap_fill_ffill, seasonal_profile,
+# sessionize, merge_intervals, state_dwell, top_paths,
+# event_transitions — displaced by this round's 24 additions), then
+# (c) the round-5 cohort oldest-first.
 
 
 # --- catalog governance (round-6): gate tiers -----------------------------
