@@ -771,3 +771,22 @@ def test_driver_lloyd_matches_distributed_kmeans(spark):
     ]
     drv = _lloyd_driver(np.array(qrows, dtype=np.int64), 5, 3)
     assert drv == dist
+
+
+def test_binseg_finds_two_planted_shifts(spark):
+    from timeseriesutils_spark.operators.changepoint import (
+        binseg_breakpoints,
+    )
+
+    # three level regimes: 0..9 @10, 10..19 @50, 20..29 @90
+    rows = [("g", t, 10.0 + 40.0 * (t // 10)) for t in range(30)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = binseg_breakpoints(df, "v", "t", ["g"]).collect()
+    by = {(r.level, r.segment): r for r in out}
+    # level 1 finds one boundary; level 2 finds the other in one half
+    b1 = by[(1, "*")].break_t
+    assert b1 in (9, 19)
+    other = 19 if b1 == 9 else 9
+    lvl2_breaks = {r.break_t for r in out if r.level == 2}
+    assert other in lvl2_breaks
+    assert by[(1, "*")].gain > 0

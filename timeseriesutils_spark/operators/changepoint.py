@@ -416,3 +416,93 @@ SELECT {gsel}, {osel}, value,
   _phq > {lam_q} AS alarm
 FROM phq
 """
+
+
+def binseg_breakpoints(
+    data: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_columns,
+    scale: int = 2,
+    min_seg: int = 2,
+) -> DataFrame:
+    """Two-level binary segmentation per group (Scott & Knott 1974 /
+    the BinSeg scheme, public): :func:`best_breakpoint` finds THE
+    split; this recurses once — re-running the same exact closed form
+    on each half — yielding up to three ranked mean-shift breakpoints
+    (the common "regime outline" ask; deeper recursion is the same
+    composition again).
+
+    Plan: level 1 is one window pass; its one-row-per-group result
+    broadcasts back onto the data to label halves, and level 2 is the
+    SAME window pass with the half-label appended to the keys — two
+    exchanges total, no iteration driver loop, exact arithmetic
+    throughout.  Groups (or halves) shorter than 2·min_seg simply
+    produce no row at that level.
+
+    Returns (groups…, level, segment, n, break_t, cost_best,
+    cost_nosplit, gain) — segment '*' for level 1, 'L'/'R' for the
+    level-2 halves; rank by gain to decide which splits are real.
+    """
+    g = _as_list(group_columns)
+    b1 = best_breakpoint(data, value_col, time_col, g, scale, min_seg)
+    seg = data.join(
+        F.broadcast(b1.select(*g, F.col("break_t").alias("_bt"))), on=g
+    ).withColumn(
+        "_seg",
+        F.when(F.col(time_col) <= F.col("_bt"), F.lit("L")).otherwise(
+            F.lit("R")
+        ),
+    )
+    b2 = best_breakpoint(
+        seg, value_col, time_col, [*g, "_seg"], scale, min_seg
+    )
+    lvl1 = b1.select(
+        *g,
+        F.lit(1).alias("level"),
+        F.lit("*").alias("segment"),
+        "n", "break_t", "cost_best", "cost_nosplit", "gain",
+    )
+    lvl2 = b2.select(
+        *g,
+        F.lit(2).alias("level"),
+        F.col("_seg").alias("segment"),
+        "n", "break_t", "cost_best", "cost_nosplit", "gain",
+    )
+    return lvl1.unionByName(lvl2)
+
+
+def binseg_breakpoints_sql(
+    data_sql: str,
+    value_col: str,
+    time_col: str,
+    group_columns,
+    scale: int = 2,
+    min_seg: int = 2,
+) -> str:
+    """DuckDB twin of :func:`binseg_breakpoints` — the
+    best_breakpoint_sql body nested per level (outer CTEs are in scope
+    inside a CTE's own WITH, so level 2 reads the labeled halves)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    b1 = best_breakpoint_sql(
+        data_sql, value_col, time_col, g, scale, min_seg
+    )
+    b2 = best_breakpoint_sql(
+        "SELECT * FROM seg", value_col, time_col, [*g, "_seg"], scale,
+        min_seg,
+    )
+    return f"""
+WITH b1 AS ({b1}),
+seg AS (
+  SELECT d.*, CASE WHEN d.{time_col} <= b1.break_t
+    THEN 'L' ELSE 'R' END AS _seg
+  FROM ({data_sql}) d JOIN b1 USING ({gsel})
+),
+b2 AS ({b2})
+SELECT {gsel}, 1 AS level, '*' AS segment,
+  n, break_t, cost_best, cost_nosplit, gain FROM b1
+UNION ALL
+SELECT {gsel}, 2 AS level, _seg AS segment,
+  n, break_t, cost_best, cost_nosplit, gain FROM b2
+"""

@@ -49,6 +49,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "trimmed_mean", "lorenz_curve", "quantile_mapping",
     "hhi_concentration", "theil_index", "mutual_info", "rrf_fusion",
     "seasonal_mann_kendall", "cronbach_alpha", "ks_uniform_audit",
+    "binseg_breakpoints",
     # stale re-verification: round-3 cohort remainder (driver rows r3)
     "chunk_dedup", "quality_filter", "semantic_dedup",
     "stream_counter_rate", "stream_cusum", "stream_dedup",
@@ -60,7 +61,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # head at exactly 50)
     "spectral_entropy", "variant_json", "quantile_bin",
     "dedup_minhash_lsh", "simhash", "knn_lsh", "knn_ivf",
-    "feature_hash", "hash_split",
+    "feature_hash",
 )
 # ROUND-11 ROTATION PLAN: head slots go to (a) any round-11 additions
 # (the find_unrotated_queries governance check enforces head placement
@@ -142,6 +143,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "trimmed_mean", "lorenz_curve", "quantile_mapping",
     "hhi_concentration", "theil_index", "mutual_info", "rrf_fusion",
     "seasonal_mann_kendall", "cronbach_alpha", "ks_uniform_audit",
+    "binseg_breakpoints",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

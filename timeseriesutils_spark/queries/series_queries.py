@@ -1169,3 +1169,32 @@ QUERIES.update({
     "hampel_filter": Q(q_hampel_filter, _sql_hampel_filter()),
     "robust_scaler": Q(q_robust_scaler, _sql_robust_scaler()),
 })
+
+
+def q_binseg_breakpoints(spark, sf_dir):
+    """Two-level binary segmentation of the per-supplier price series
+    (operators/changepoint.binseg_breakpoints): best_breakpoint finds
+    THE split; this recurses once onto each half — up to three ranked
+    mean-shift breakpoints from two window passes, no driver loop."""
+    from timeseriesutils_spark.operators.changepoint import (
+        binseg_breakpoints,
+    )
+
+    return binseg_breakpoints(
+        _daily(spark, sf_dir), "day_price", "ship_day", ["l_suppkey"]
+    )
+
+
+def _sql_binseg_breakpoints():
+    from timeseriesutils_spark.operators.changepoint import (
+        binseg_breakpoints_sql,
+    )
+
+    return binseg_breakpoints_sql(
+        _SQL_DAILY, "day_price", "ship_day", ["l_suppkey"]
+    )
+
+
+QUERIES.update({
+    "binseg_breakpoints": Q(q_binseg_breakpoints, _sql_binseg_breakpoints())
+})
