@@ -2327,13 +2327,16 @@ def kalman_local_level(
         f"q{str(q).replace('.', 'p')}_r{str(r).replace('.', 'p')}"
         f"_w{window_size}"
     )
-    return data.select(
+    lname = f"{column}_kll_level_{sfx}"
+    # chain the gates off the NAMED level column: inlining the 30-term
+    # lag tree into all three outputs tripled the window expression
+    lvl = F.col(lname)
+    return data.select("*", level.alias(lname)).select(
         "*",
-        level.alias(f"{column}_kll_level_{sfx}"),
-        F.when(level.isNotNull(), F.lit(float(P + q + r))).alias(
+        F.when(lvl.isNotNull(), F.lit(float(P + q + r))).alias(
             f"{column}_kll_fcvar_{sfx}"
         ),
-        F.when(level.isNotNull(), F.lit(float(gains[-1]))).alias(
+        F.when(lvl.isNotNull(), F.lit(float(gains[-1]))).alias(
             f"{column}_kll_gain_{sfx}"
         ),
     )
