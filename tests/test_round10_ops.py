@@ -790,3 +790,68 @@ def test_binseg_finds_two_planted_shifts(spark):
     lvl2_breaks = {r.break_t for r in out if r.level == 2}
     assert other in lvl2_breaks
     assert by[(1, "*")].gain > 0
+
+
+# --- fifth wave: weibull_fit, cohens_d, cliffs_delta --------------------------
+
+
+def test_weibull_fit_recovers_exponential_shape(spark):
+    import math
+
+    from timeseriesutils_spark.operators.survival import weibull_fit
+
+    # exact Weibull(k=2, lambda=10) quantiles as "observed" lifetimes:
+    # t_p = 10 * (-ln(1-p))^(1/2); all events observed (no censoring)
+    n = 200
+    rows = []
+    for i in range(n):
+        p = (i + 0.5) / n
+        t = 10.0 * (-math.log(1.0 - p)) ** 0.5
+        rows.append(("g", max(1, int(round(t * 10))), 1))  # 0.1-unit grid
+    df = spark.createDataFrame(rows, "stratum string, t_day int, died int")
+    r = weibull_fit(df).first()
+    # shape recovered within plot-regression tolerance; scale in grid
+    # units (lambda = 100 tenths)
+    assert 1.7 < r.shape_k < 2.3, r
+    assert 80 < r.scale_lambda < 120, r
+    assert r.r_squared > 0.97
+
+
+def test_cohens_d_hand_worked(spark):
+    from timeseriesutils_spark.operators.stats import cohens_d
+
+    # A = {0,2} (mean 1, var 2), B = {4,6} (mean 5, var 2) -> d = -4/sqrt(2)
+    rows = [("g", "a", 0.0), ("g", "a", 2.0), ("g", "b", 4.0),
+            ("g", "b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, f string, v double")
+    r = cohens_d(df, "v", "f", "a", "b", ["g"]).first()
+    assert r.mean_diff == pytest.approx(-4.0)
+    assert r.cohens_d == pytest.approx(-4.0 / 2.0**0.5)
+    assert r.hedges_g == pytest.approx(r.cohens_d * (1 - 3 / (4 * 4 - 9)))
+
+
+def test_cliffs_delta_hand_worked(spark):
+    from timeseriesutils_spark.operators.nonparam import cliffs_delta
+
+    # A = {1,2,3}, B = {2,3,4}: gt pairs (2>?),(3>?) -> a=2:{1}, a=3:{2}
+    # => n_gt = 0+1+2? enumerate: (1,_) none; (2,2)tie,(2,3)no,(2,4)no ->
+    # gt from a=2: b=... b values {2,3,4}: 2>2 no; so gt: a=2 vs none? b<2
+    # none. a=3: b in {2} -> 1. total gt = 1... recount: a=1: b<1 none;
+    # a=2: b<2 none (b min 2); a=3: b<3 -> {2} = 1. n_gt = 1.
+    # lt: a=1: b>1 -> 3; a=2: b>2 -> {3,4} = 2; a=3: b>3 -> {4} = 1. = 6
+    rows = [("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 3.0),
+            ("g", "b", 2.0), ("g", "b", 3.0), ("g", "b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, f string, v double")
+    r = cliffs_delta(df, "v", "f", "a", "b", ["g"]).first()
+    assert (r.n_gt, r.n_lt) == (1, 6)
+    assert r.delta == pytest.approx((1 - 6) / 9)
+    assert r.magnitude == "large"
+
+
+def test_cliffs_delta_identical_is_zero(spark):
+    from timeseriesutils_spark.operators.nonparam import cliffs_delta
+
+    rows = [("g", f, float(v)) for v in (1, 2, 3) for f in ("a", "b")]
+    df = spark.createDataFrame(rows, "g string, f string, v double")
+    r = cliffs_delta(df, "v", "f", "a", "b", ["g"]).first()
+    assert r.delta == 0.0 and r.magnitude == "negligible"

@@ -2510,3 +2510,141 @@ SELECT {gsel}, n_a, n_b,
   ({p} < 0.05) AS reject_05
 FROM agg
 """
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size per group — the
+    distribution-free companion of cohens_d (d assumes comparable
+    spreads; δ only counts order):
+
+        δ = (#{a > b} − #{a < b}) / (n_a·n_b) ∈ [−1, 1]
+
+    with the conventional |δ| bands 0.147/0.33/0.474 =
+    negligible/small/medium/large (Romano 2006).  Computed EXACTLY
+    from the ks/cvm count collapse — #{a>b} = Σ_v ca_v·cum_b(v⁻) via
+    one cumulative window, never an O(n²) pair join; all counts and
+    the big products are exact integers through DECIMAL.
+
+    Returns (groups…, n_a, n_b, n_gt, n_lt, delta, magnitude).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    lvl = F.col(factor_col)
+    d = df.filter(
+        F.col(value_col).isNotNull() & lvl.isin([level_a, level_b])
+    ).select(*groups, q.alias("_q"), (lvl == level_a).alias("_ia"))
+    per = d.groupBy(*groups, "_q").agg(
+        F.sum(F.col("_ia").cast("bigint")).alias("_ca"),
+        F.sum((~F.col("_ia")).cast("bigint")).alias("_cb"),
+    )
+    w = Window.partitionBy(*groups).orderBy("_q")
+    wg = Window.partitionBy(*groups)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cum = per.select(
+        *groups, "_ca", "_cb",
+        (F.sum("_cb").over(w) - F.col("_cb")).alias("_bless"),
+        (F.sum("_cb").over(wg) - F.sum("_cb").over(w)).alias("_bmore"),
+    )
+    agg = cum.groupBy(*groups).agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.sum(dec(F.col("_ca") * F.col("_bless"))).alias("_gt"),
+        F.sum(dec(F.col("_ca") * F.col("_bmore"))).alias("_lt"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    denom = (F.col("n_a") * F.col("n_b")).cast("double")
+    delta = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (s2d("_gt") - s2d("_lt")) / denom,
+    )
+    mag = (
+        F.when(delta.isNull(), F.lit(None).cast("string"))
+        .when(F.abs(delta) < 0.147, F.lit("negligible"))
+        .when(F.abs(delta) < 0.33, F.lit("small"))
+        .when(F.abs(delta) < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return agg.select(
+        *groups,
+        "n_a",
+        "n_b",
+        F.col("_gt").cast("bigint").alias("n_gt"),
+        F.col("_lt").cast("bigint").alias("n_lt"),
+        delta.alias("delta"),
+        mag.alias("magnitude"),
+    )
+
+
+def cliffs_delta_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`cliffs_delta` (same collapse, same
+    integer products)."""
+    from timeseriesutils_spark.functions.exact import sq
+
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    delta = (f"(CASE WHEN n_a > 0 AND n_b > 0 THEN"
+             f" ({s2d('_gt')} - {s2d('_lt')})"
+             f" / CAST(n_a * n_b AS DOUBLE) END)")
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q, ({factor_col} = {sq(level_a)}) AS _ia
+  FROM ({data_sql})
+  WHERE {value_col} IS NOT NULL
+    AND {factor_col} IN ({sq(level_a)}, {sq(level_b)})
+),
+per AS (
+  SELECT {gsel}, _q,
+    CAST(SUM(CAST(_ia AS BIGINT)) AS BIGINT) AS _ca,
+    CAST(SUM(CAST(NOT _ia AS BIGINT)) AS BIGINT) AS _cb
+  FROM d GROUP BY {gsel}, _q
+),
+cum AS (
+  SELECT {gsel}, _ca, _cb,
+    CAST(SUM(_cb) OVER w - _cb AS BIGINT) AS _bless,
+    CAST(SUM(_cb) OVER wg - SUM(_cb) OVER w AS BIGINT) AS _bmore
+  FROM per
+  WINDOW w AS (PARTITION BY {gsel} ORDER BY _q
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+   wg AS (PARTITION BY {gsel})
+),
+agg AS (
+  SELECT {gsel},
+    CAST(SUM(_ca) AS BIGINT) AS n_a,
+    CAST(SUM(_cb) AS BIGINT) AS n_b,
+    CAST(SUM(CAST(_ca * _bless AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS _gt,
+    CAST(SUM(CAST(_ca * _bmore AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS _lt
+  FROM cum GROUP BY {gsel}
+)
+SELECT {gsel}, n_a, n_b,
+  CAST(_gt AS BIGINT) AS n_gt,
+  CAST(_lt AS BIGINT) AS n_lt,
+  {delta} AS delta,
+  CASE WHEN {delta} IS NULL THEN CAST(NULL AS VARCHAR)
+    WHEN ABS({delta}) < 0.147 THEN 'negligible'
+    WHEN ABS({delta}) < 0.33 THEN 'small'
+    WHEN ABS({delta}) < 0.474 THEN 'medium'
+    ELSE 'large' END AS magnitude
+FROM agg
+"""

@@ -2886,3 +2886,129 @@ SELECT {gsel}, n, {k} AS k_items,
     THEN {float(k) / (k - 1.0)!r} * (1.0 - {iv} / {tv}) END AS alpha
 FROM agg
 """
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Cohen's d standardized mean difference per group (+ Hedges' g
+    small-sample correction) — the EFFECT SIZE beside welch_ttest's
+    significance: at 100 TB everything is "significant"; d says
+    whether the difference is worth acting on (0.2/0.5/0.8 = the
+    conventional small/medium/large bands):
+
+        d = (x̄_a − x̄_b) / s_pooled,
+        s²_pooled = ((n_a−1)s²_a + (n_b−1)s²_b) / (n_a+n_b−2),
+        g = d · (1 − 3/(4(n_a+n_b) − 9))
+
+    One pass of exact quantized sufficient statistics (the welch
+    frame), one shared double tree.  Complete-case per the stats-family
+    rule.
+
+    Returns (groups…, n_a, n_b, mean_diff, cohens_d, hedges_g).
+    """
+    from timeseriesutils_spark.functions.exact import sq  # noqa: F401
+
+    g = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    lvl = F.col(factor_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d = df.filter(
+        F.col(value_col).isNotNull() & lvl.isin([level_a, level_b])
+    ).select(*g, q.alias("_q"), (lvl == level_a).alias("_ia"))
+    agg = d.groupBy(*g).agg(
+        F.sum(F.col("_ia").cast("bigint")).alias("n_a"),
+        F.sum((~F.col("_ia")).cast("bigint")).alias("n_b"),
+        F.sum(F.when(F.col("_ia"), dec(F.col("_q")))).alias("_sa"),
+        F.sum(F.when(~F.col("_ia"), dec(F.col("_q")))).alias("_sb"),
+        F.sum(F.when(F.col("_ia"), dec(F.col("_q") * F.col("_q"))))
+        .alias("_ssa"),
+        F.sum(F.when(~F.col("_ia"), dec(F.col("_q") * F.col("_q"))))
+        .alias("_ssb"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    va = (na * s2d("_ssa") - s2d("_sa") * s2d("_sa")) / (na * (na - 1.0))
+    vb = (nb * s2d("_ssb") - s2d("_sb") * s2d("_sb")) / (nb * (nb - 1.0))
+    sp2 = ((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)
+    diff = s2d("_sa") / na - s2d("_sb") / nb
+    dd = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (sp2 > 0),
+        diff / F.sqrt(sp2),
+    )
+    j = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - F.lit(9.0))
+    return agg.select(
+        *g,
+        "n_a",
+        "n_b",
+        (diff / F.lit(float(m))).alias("mean_diff"),
+        dd.alias("cohens_d"),
+        (dd * j).alias("hedges_g"),
+    )
+
+
+def cohens_d_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`cohens_d`."""
+    from timeseriesutils_spark.functions.exact import sq
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    na = "CAST(n_a AS DOUBLE)"
+    nb = "CAST(n_b AS DOUBLE)"
+    va = (f"(({na} * {s2d('_ssa')} - {s2d('_sa')} * {s2d('_sa')})"
+          f" / ({na} * ({na} - 1.0)))")
+    vb = (f"(({nb} * {s2d('_ssb')} - {s2d('_sb')} * {s2d('_sb')})"
+          f" / ({nb} * ({nb} - 1.0)))")
+    sp2 = f"((({na} - 1.0) * {va} + ({nb} - 1.0) * {vb}) / ({na} + {nb} - 2.0))"
+    diff = f"({s2d('_sa')} / {na} - {s2d('_sb')} / {nb})"
+    dd = (f"(CASE WHEN n_a > 1 AND n_b > 1 AND {sp2} > 0"
+          f" THEN {diff} / SQRT({sp2}) END)")
+    j = f"(1.0 - 3.0 / (4.0 * ({na} + {nb}) - 9.0))"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q, ({factor_col} = {sq(level_a)}) AS _ia
+  FROM ({data_sql})
+  WHERE {value_col} IS NOT NULL
+    AND {factor_col} IN ({sq(level_a)}, {sq(level_b)})
+),
+agg AS (
+  SELECT {gsel},
+    CAST(SUM(CAST(_ia AS BIGINT)) AS BIGINT) AS n_a,
+    CAST(SUM(CAST(NOT _ia AS BIGINT)) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN _ia THEN CAST(_q AS DECIMAL(38,0)) END)
+      AS DECIMAL(38,0)) AS _sa,
+    CAST(SUM(CASE WHEN NOT _ia THEN CAST(_q AS DECIMAL(38,0)) END)
+      AS DECIMAL(38,0)) AS _sb,
+    CAST(SUM(CASE WHEN _ia THEN CAST(_q * _q AS DECIMAL(38,0)) END)
+      AS DECIMAL(38,0)) AS _ssa,
+    CAST(SUM(CASE WHEN NOT _ia THEN CAST(_q * _q AS DECIMAL(38,0)) END)
+      AS DECIMAL(38,0)) AS _ssb
+  FROM d GROUP BY {gsel}
+)
+SELECT {gsel}, n_a, n_b,
+  {diff} / {float(m)!r} AS mean_diff,
+  {dd} AS cohens_d,
+  ({dd} * {j}) AS hedges_g
+FROM agg
+"""

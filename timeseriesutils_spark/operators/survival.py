@@ -797,3 +797,137 @@ SELECT {stratum_col}, {int(tau)} AS tau, n_events_within,
   / {float(m)!r} AS rmst
 FROM agg
 """
+
+
+def weibull_fit(
+    subjects: DataFrame,
+    stratum_col: str = "stratum",
+    duration_col: str = "t_day",
+    event_col: str = "died",
+    out_scale: int = 6,
+) -> DataFrame:
+    """Weibull probability-plot fit per stratum (the classic
+    linearization, public): the Kaplan–Meier curve handles censoring;
+    regressing its event-time points on
+
+        ln(−ln S(t)) = k·ln t − k·ln λ
+
+    recovers the Weibull shape ``k`` (k < 1: infant mortality /
+    improving hazard, k ≈ 1: exponential, k > 1: wear-out) and scale
+    ``λ`` (the 63.2% lifetime) — the parametric summary next to the
+    non-parametric KM/Nelson–Aalen rows, and the standard quick
+    reliability fit before an MLE.
+
+    Exact path: KM survival is already quantized; both plot
+    coordinates are 1e-9-quantized lns; every OLS sufficient statistic
+    (Σx, Σy, Σxy, Σx²) is a 1e-9-quantized per-point term summed as
+    exact integers through DECIMAL; the slope/intercept/exp(−b/k) tree
+    is one shared double form (exp re-quantized).  Points with S = 0,
+    S = 1 (after quantization) or t ≤ 0 are outside the double-log
+    domain and drop, per the standard plot convention.
+
+    Returns (stratum, n_points, shape_k, scale_lambda, r_squared).
+    """
+    km = kaplan_meier(
+        subjects, stratum_col, duration_col, event_col, out_scale
+    )
+    q9 = F.lit(1.0e9)
+    s = F.col("survival")
+    t = F.col(duration_col).cast("double")
+    pts = km.filter((s > 0) & (s < 1) & (t > 0))
+    lns = F.floor(F.log(s) * q9 + F.lit(0.5)) / q9
+    y = F.floor(F.log(-lns) * q9 + F.lit(0.5)) / q9
+    x = F.floor(F.log(t) * q9 + F.lit(0.5)) / q9
+    dec = lambda c: F.floor(c * q9 + F.lit(0.5)).cast("decimal(38,0)")  # noqa: E731
+    agg = pts.select(
+        stratum_col,
+        dec(x).alias("_x"),
+        dec(y).alias("_y"),
+        dec(x * y).alias("_xy"),
+        dec(x * x).alias("_xx"),
+        (dec(y) * dec(y)).cast("decimal(38,0)").alias("_yy2"),
+    ).groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_xy").alias("_sxy"),
+        F.sum("_xx").alias("_sxx"),
+        F.sum("_yy2").alias("_syy2"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double") / F.lit(1.0e9)  # noqa: E731
+    nn = F.col("n_points").cast("double")
+    sx, sy = s2d("_sx"), s2d("_sy")
+    sxy, sxx = s2d("_sxy"), s2d("_sxx")
+    # Σy² carries TWO 1e-9 factors (product of two quantized ints)
+    syy = (
+        F.col("_syy2").cast("string").cast("double") / F.lit(1.0e18)
+    )
+    den = nn * sxx - sx * sx
+    k = F.when(den != 0, (nn * sxy - sx * sy) / den)
+    b = (sy - k * sx) / nn
+    eq = F.floor(F.exp(-b / k) * q9 + F.lit(0.5)) / q9
+    sst = nn * syy - sy * sy
+    r2 = F.when(sst > 0, (nn * sxy - sx * sy) * (nn * sxy - sx * sy)
+                / (den * sst))
+    return agg.filter(F.col("n_points") >= 2).select(
+        stratum_col,
+        "n_points",
+        k.alias("shape_k"),
+        F.when(k > 0, eq).alias("scale_lambda"),
+        r2.alias("r_squared"),
+    )
+
+
+def weibull_fit_sql(
+    subjects_sql: str,
+    stratum_col: str = "stratum",
+    duration_col: str = "t_day",
+    event_col: str = "died",
+    out_scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`weibull_fit` (same KM twin inside, same
+    quantize points, same OLS tree)."""
+    km = kaplan_meier_sql(
+        subjects_sql, stratum_col, duration_col, event_col, out_scale
+    )
+    q9 = "1000000000.0"
+    lns = f"(FLOOR(LN(survival) * {q9} + 0.5) / {q9})"
+    y = f"(FLOOR(LN(-{lns}) * {q9} + 0.5) / {q9})"
+    x = f"(FLOOR(LN(CAST({duration_col} AS DOUBLE)) * {q9} + 0.5) / {q9})"
+    dec = lambda c: f"CAST(FLOOR({c} * {q9} + 0.5) AS DECIMAL(38,0))"  # noqa: E731
+    s2d = lambda c: f"(CAST(CAST({c} AS VARCHAR) AS DOUBLE) / {q9})"  # noqa: E731
+    nn = "CAST(n_points AS DOUBLE)"
+    sx, sy = s2d("_sx"), s2d("_sy")
+    sxy, sxx = s2d("_sxy"), s2d("_sxx")
+    syy = f"(CAST(CAST(_syy2 AS VARCHAR) AS DOUBLE) / 1e18)"
+    den = f"({nn} * {sxx} - {sx} * {sx})"
+    k = f"(CASE WHEN {den} <> 0 THEN ({nn} * {sxy} - {sx} * {sy}) / {den} END)"
+    b = f"(({sy} - {k} * {sx}) / {nn})"
+    eq = f"(FLOOR(EXP(-{b} / {k}) * {q9} + 0.5) / {q9})"
+    sst = f"({nn} * {syy} - {sy} * {sy})"
+    r2 = (f"(CASE WHEN {sst} > 0 THEN ({nn} * {sxy} - {sx} * {sy})"
+          f" * ({nn} * {sxy} - {sx} * {sy}) / ({den} * {sst}) END)")
+    return f"""
+WITH km AS ({km}),
+pts AS (
+  SELECT {stratum_col}, {dec(x)} AS _x, {dec(y)} AS _y,
+    {dec(f'({x} * {y})')} AS _xy, {dec(f'({x} * {x})')} AS _xx,
+    CAST({dec(y)} * {dec(y)} AS DECIMAL(38,0)) AS _yy2
+  FROM km
+  WHERE survival > 0 AND survival < 1 AND {duration_col} > 0
+),
+agg AS (
+  SELECT {stratum_col}, COUNT(*) AS n_points,
+    CAST(SUM(_x) AS DECIMAL(38,0)) AS _sx,
+    CAST(SUM(_y) AS DECIMAL(38,0)) AS _sy,
+    CAST(SUM(_xy) AS DECIMAL(38,0)) AS _sxy,
+    CAST(SUM(_xx) AS DECIMAL(38,0)) AS _sxx,
+    CAST(SUM(_yy2) AS DECIMAL(38,0)) AS _syy2
+  FROM pts GROUP BY {stratum_col}
+)
+SELECT {stratum_col}, n_points,
+  {k} AS shape_k,
+  CASE WHEN {k} > 0 THEN {eq} END AS scale_lambda,
+  {r2} AS r_squared
+FROM agg WHERE n_points >= 2
+"""

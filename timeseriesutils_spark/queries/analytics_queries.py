@@ -1020,3 +1020,36 @@ def _sql_ratio_metric_ci():
 QUERIES.update(
     {"ratio_metric_ci": Q(q_ratio_metric_ci, _sql_ratio_metric_ci())}
 )
+
+
+def q_weibull_fit(spark, sf_dir):
+    """Weibull probability-plot fit of the time-to-conversion curves
+    per market segment (operators/survival.weibull_fit): the
+    parametric summary over the same censored lifetimes kaplan_meier
+    charts — shape k < 1 says conversion hazard FALLS with time (act
+    early), k > 1 says it builds; λ is the 63.2% lifetime.  Quantized
+    double-log plot points, exact-integer OLS sums."""
+    from timeseriesutils_spark.operators.survival import (
+        conversion_lifetimes,
+        weibull_fit,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return weibull_fit(
+        conversion_lifetimes(events, customer), duration_col="t_hour"
+    )
+
+
+def _sql_weibull_fit():
+    from timeseriesutils_spark.operators.survival import (
+        conversion_lifetimes_sql,
+        weibull_fit_sql,
+    )
+
+    return weibull_fit_sql(
+        conversion_lifetimes_sql("events", "customer"), duration_col="t_hour"
+    )
+
+
+QUERIES.update({"weibull_fit": Q(q_weibull_fit, _sql_weibull_fit())})

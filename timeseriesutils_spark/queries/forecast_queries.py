@@ -3233,3 +3233,55 @@ def _sql_ks_uniform_audit():
 QUERIES.update(
     {"ks_uniform_audit": Q(q_ks_uniform_audit, _sql_ks_uniform_audit())}
 )
+
+
+def q_cohens_d(spark, sf_dir):
+    """Cohen's d / Hedges' g effect size per ship year on the A-vs-R
+    price frame (operators/stats.cohens_d): welch_ttest says the means
+    differ; d says by HOW MANY pooled standard deviations — the number
+    that survives 100 TB sample sizes.  One exact sufficient-stats
+    pass."""
+    from timeseriesutils_spark.operators.stats import cohens_d
+
+    return cohens_d(
+        _year_rf(spark, sf_dir), "l_extendedprice", "l_returnflag",
+        "A", "R", ["ship_year"],
+    )
+
+
+def _sql_cohens_d():
+    from timeseriesutils_spark.operators.stats import cohens_d_sql
+
+    return cohens_d_sql(
+        _SQL_YEAR_RF, "l_extendedprice", "l_returnflag", "A", "R",
+        ["ship_year"],
+    )
+
+
+QUERIES.update({"cohens_d": Q(q_cohens_d, _sql_cohens_d())})
+
+
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta ordinal effect size per ship year
+    (operators/nonparam.cliffs_delta): the distribution-free companion
+    of cohens_d — pure order counts #{a>b} vs #{a<b} from ONE
+    cumulative window over the collapsed value frame (never an O(n²)
+    pair join), with the Romano magnitude bands."""
+    from timeseriesutils_spark.operators.nonparam import cliffs_delta
+
+    return cliffs_delta(
+        _year_rf(spark, sf_dir), "l_extendedprice", "l_returnflag",
+        "A", "R", ["ship_year"],
+    )
+
+
+def _sql_cliffs_delta():
+    from timeseriesutils_spark.operators.nonparam import cliffs_delta_sql
+
+    return cliffs_delta_sql(
+        _SQL_YEAR_RF, "l_extendedprice", "l_returnflag", "A", "R",
+        ["ship_year"],
+    )
+
+
+QUERIES.update({"cliffs_delta": Q(q_cliffs_delta, _sql_cliffs_delta())})
