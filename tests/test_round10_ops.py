@@ -855,3 +855,29 @@ def test_cliffs_delta_identical_is_zero(spark):
     df = spark.createDataFrame(rows, "g string, f string, v double")
     r = cliffs_delta(df, "v", "f", "a", "b", ["g"]).first()
     assert r.delta == 0.0 and r.magnitude == "negligible"
+
+
+def test_brier_decomposition_identity_and_perfect_calibration(spark):
+    from timeseriesutils_spark.operators.mleval import brier_decomposition
+
+    # perfectly calibrated forecaster: p=0.2 bin has 20% positives,
+    # p=0.8 bin has 80% -> reliability ~ 0, brier = unc - resolution
+    rows = []
+    for i in range(10):
+        rows.append(("g", 0.2, i < 2))
+    for i in range(10):
+        rows.append(("g", 0.8, i < 8))
+    df = spark.createDataFrame(rows, "g string, p double, y boolean")
+    r = brier_decomposition(df, "p", "y", ["g"]).first()
+    assert r.n == 20 and r.n_bins == 2
+    assert r.reliability == pytest.approx(0.0, abs=1e-9)
+    obar = 0.5
+    assert r.uncertainty == pytest.approx(obar * (1 - obar))
+    # resolution: both bins deviate 0.3 from obar
+    assert r.resolution == pytest.approx(0.09, abs=1e-9)
+    assert r.brier == pytest.approx(r.reliability - r.resolution
+                                    + r.uncertainty)
+    # cross-check vs the direct mean squared error
+    mse = (2 * (0.2 - 1) ** 2 + 8 * 0.2**2
+           + 8 * (0.8 - 1) ** 2 + 2 * 0.8**2) / 20
+    assert r.brier == pytest.approx(mse, abs=1e-9)

@@ -915,3 +915,151 @@ SELECT {', '.join(f'cum.{c}' for c in g)},
 FROM cum JOIN fit
   ON {' AND '.join(f'fit.{c} = cum.{c}' for c in g)} AND fit._k = cum._rn
 """
+
+
+# --------------------------------------------------------------------------
+# Brier decomposition (Murphy 1973)
+# --------------------------------------------------------------------------
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the binned Brier score per group
+    — calibration_curve PLOTS the reliability diagram; this op turns
+    it into the three-number diagnosis forecasters act on:
+
+        brier = reliability − resolution + uncertainty
+        reliability = Σ_b n_b·(p̄_b − ō_b)²/N   (miscalibration — fixable
+                                                 by recalibrating, e.g.
+                                                 isotonic_calibrate)
+        resolution  = Σ_b n_b·(ō_b − ō)²/N      (discrimination — NOT
+                                                 fixable by relabeling)
+        uncertainty = ō·(1 − ō)                 (the data's own floor)
+
+    over quantized-probability bins (10^-scale grid — the same
+    whole-bin contract as the calibration family).  Exact path: bin
+    counts/sums are exact int64; each bin's reliability/resolution
+    term is one fixed double tree 1e-9-quantized and summed as
+    integers (unordered-sum discipline); ō comes from exact totals.
+
+    Returns (groups…, n, n_bins, reliability, resolution, uncertainty,
+    brier).
+    """
+    g = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(prob_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    d = df.filter(
+        F.col(prob_col).isNotNull() & y.isNotNull()
+    ).select(*g, q.alias("_q"), y.cast("boolean").cast("bigint").alias("_y"))
+    bins = d.groupBy(*g, "_q").agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum("_y").alias("_ob"),
+    )
+    tot = bins.groupBy(*g).agg(
+        F.sum("_nb").alias("_n"),
+        F.sum("_ob").alias("_o"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    j = bins.join(F.broadcast(tot), on=g)
+    q9 = F.lit(1.0e9)
+    nb = F.col("_nb").cast("double")
+    pb = F.col("_q").cast("double") / F.lit(float(m))
+    ob = F.col("_ob").cast("double") / nb
+    obar = F.col("_o").cast("double") / F.col("_n").cast("double")
+    relt = F.floor(nb * (pb - ob) * (pb - ob) * q9 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    rest = F.floor(nb * (ob - obar) * (ob - obar) * q9 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    agg = j.groupBy(*g).agg(
+        F.max("_n").alias("n"),
+        F.max("n_bins").alias("n_bins"),
+        F.max("_o").alias("_o"),
+        F.sum(relt).alias("_rel"),
+        F.sum(rest).alias("_res"),
+    )
+    nn = F.col("n").cast("double")
+    obar2 = F.col("_o").cast("double") / nn
+    s2d = lambda c: F.col(c).cast("string").cast("double") / F.lit(1.0e9)  # noqa: E731
+    rel = s2d("_rel") / nn
+    res = s2d("_res") / nn
+    unc = obar2 * (F.lit(1.0) - obar2)
+    return agg.select(
+        *g,
+        "n",
+        "n_bins",
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
+        (rel - res + unc).alias("brier"),
+    )
+
+
+def brier_decomposition_sql(
+    data_sql: str,
+    prob_col: str,
+    label_sql: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`brier_decomposition` (same bin grid, same
+    quantized term sums)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({prob_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    nb = "CAST(_nb AS DOUBLE)"
+    pb = f"(CAST(_q AS DOUBLE) / {float(m)!r})"
+    ob = f"(CAST(_ob AS DOUBLE) / {nb})"
+    obar = "(CAST(_o AS DOUBLE) / CAST(_n AS DOUBLE))"
+    relt = (f"CAST(FLOOR({nb} * ({pb} - {ob}) * ({pb} - {ob})"
+            " * 1000000000.0 + 0.5) AS DECIMAL(38,0))")
+    rest = (f"CAST(FLOOR({nb} * ({ob} - {obar}) * ({ob} - {obar})"
+            " * 1000000000.0 + 0.5) AS DECIMAL(38,0))")
+    s2d = lambda c: (  # noqa: E731
+        f"(CAST(CAST({c} AS VARCHAR) AS DOUBLE) / 1000000000.0)"
+    )
+    nn = "CAST(n AS DOUBLE)"
+    rel = f"({s2d('_rel')} / {nn})"
+    res = f"({s2d('_res')} / {nn})"
+    obar2 = f"(CAST(_o AS DOUBLE) / {nn})"
+    unc = f"({obar2} * (1.0 - {obar2}))"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q,
+    CAST(CAST({label_sql} AS BOOLEAN) AS BIGINT) AS _y
+  FROM ({data_sql})
+  WHERE {prob_col} IS NOT NULL AND ({label_sql}) IS NOT NULL
+),
+bins AS (
+  SELECT {gsel}, _q, COUNT(*) AS _nb, CAST(SUM(_y) AS BIGINT) AS _ob
+  FROM d GROUP BY {gsel}, _q
+),
+tot AS (
+  SELECT {gsel}, CAST(SUM(_nb) AS BIGINT) AS _n,
+    CAST(SUM(_ob) AS BIGINT) AS _o, COUNT(*) AS n_bins
+  FROM bins GROUP BY {gsel}
+),
+agg AS (
+  SELECT {gsel}, MAX(_n) AS n, MAX(n_bins) AS n_bins, MAX(_o) AS _o,
+    CAST(SUM({relt}) AS DECIMAL(38,0)) AS _rel,
+    CAST(SUM({rest}) AS DECIMAL(38,0)) AS _res
+  FROM bins JOIN tot USING ({gsel})
+  GROUP BY {gsel}
+)
+SELECT {gsel}, n, n_bins,
+  {rel} AS reliability,
+  {res} AS resolution,
+  {unc} AS uncertainty,
+  ({rel} - {res} + {unc}) AS brier
+FROM agg
+"""

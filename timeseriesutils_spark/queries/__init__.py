@@ -50,6 +50,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "hhi_concentration", "theil_index", "mutual_info", "rrf_fusion",
     "seasonal_mann_kendall", "cronbach_alpha", "ks_uniform_audit",
     "binseg_breakpoints", "weibull_fit", "cohens_d", "cliffs_delta",
+    "brier_decomposition",
     # stale re-verification: round-3 cohort remainder (driver rows r3)
     "chunk_dedup", "quality_filter", "semantic_dedup",
     "stream_counter_rate", "stream_cusum", "stream_dedup",
@@ -60,7 +61,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # swapped out one-for-one as round-10 additions land, keeping the
     # head at exactly 50)
     "spectral_entropy", "variant_json", "quantile_bin",
-    "dedup_minhash_lsh", "simhash",
+    "dedup_minhash_lsh",
 )
 # ROUND-11 ROTATION PLAN: head slots go to (a) any round-11 additions
 # (the find_unrotated_queries governance check enforces head placement
@@ -143,6 +144,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "hhi_concentration", "theil_index", "mutual_info", "rrf_fusion",
     "seasonal_mann_kendall", "cronbach_alpha", "ks_uniform_audit",
     "binseg_breakpoints", "weibull_fit", "cohens_d", "cliffs_delta",
+    "brier_decomposition",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

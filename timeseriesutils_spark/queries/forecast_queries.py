@@ -3285,3 +3285,46 @@ def _sql_cliffs_delta():
 
 
 QUERIES.update({"cliffs_delta": Q(q_cliffs_delta, _sql_cliffs_delta())})
+
+
+def q_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the pseudo-probability Brier score per
+    ship year (operators/mleval.brier_decomposition): splits the same
+    frame calibration_curve plots into reliability (fixable by
+    isotonic_calibrate), resolution (real discrimination), and the
+    base-rate uncertainty floor — the three-number diagnosis."""
+    from timeseriesutils_spark.operators.mleval import brier_decomposition
+
+    li = _li(spark, sf_dir)
+    d = li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias(
+            "ship_year"
+        ),
+        (F.col("l_discount") * 10.0).alias("p_ret"),
+        "l_returnflag",
+    )
+    return brier_decomposition(
+        d, "p_ret", F.col("l_returnflag") == F.lit("R"), ["ship_year"]
+    )
+
+
+def _sql_brier_decomposition():
+    from timeseriesutils_spark.operators.mleval import (
+        brier_decomposition_sql,
+    )
+
+    d = (
+        "SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT)"
+        " AS ship_year, l_discount * 10.0 AS p_ret, l_returnflag"
+        " FROM lineitem"
+    )
+    return brier_decomposition_sql(
+        d, "p_ret", "l_returnflag = 'R'", ["ship_year"]
+    )
+
+
+QUERIES.update({
+    "brier_decomposition": Q(
+        q_brier_decomposition, _sql_brier_decomposition()
+    )
+})
