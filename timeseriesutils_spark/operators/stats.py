@@ -2498,7 +2498,10 @@ def robust_scaler(
     inverse transform needs.
     """
     g = _as_list(group_columns)
-    bounds = df.groupBy(*g).agg(
+    # collect_list drops NULLs in Spark; the SQL twin's list() keeps
+    # them — both sides filter IS NOT NULL explicitly so the bounds
+    # see the identical sample (ADVICE r10).
+    bounds = df.filter(F.col(column).isNotNull()).groupBy(*g).agg(
         F.sort_array(F.collect_list(column)).alias("_arr"),
     )
     arr, n = F.col("_arr"), F.size("_arr")
@@ -2537,7 +2540,7 @@ def robust_scaler_sql(
     return f"""
 WITH b AS (
   SELECT {gsel}, list_sort(list({column})) AS _arr
-  FROM {table} GROUP BY {gsel}
+  FROM {table} WHERE {column} IS NOT NULL GROUP BY {gsel}
 ),
 q AS (
   SELECT {gsel},
@@ -2679,8 +2682,13 @@ def quantile_mapping(
     """
     g = _as_list(group_columns)
     ref = F.col(ref_col) if isinstance(ref_col, str) else ref_col
-    src = df.filter(~ref)
-    refd = df.filter(ref)
+    # NULL values would shift every rank (Spark windows order NULLS
+    # FIRST, DuckDB NULLS LAST) and pollute the reference array
+    # (DuckDB list() keeps NULLs) — complete-case both sides (ADVICE
+    # r10); NULL rows are dropped, matching the SQL twin.
+    nn = F.col(column).isNotNull()
+    src = df.filter(~ref & nn)
+    refd = df.filter(ref & nn)
     arr = refd.groupBy(*g).agg(
         F.sort_array(F.collect_list(F.col(column).cast("double"))).alias(
             "_ra"
@@ -2726,7 +2734,9 @@ def quantile_mapping_sql(
     select_cols: str,
 ) -> str:
     """DuckDB twin of :func:`quantile_mapping` (same mid-rank ECDF,
-    same lerp)."""
+    same lerp).  Complete-case on ``column`` in every CTE — Spark and
+    DuckDB disagree on NULL rank placement and list() NULL retention,
+    so NULL rows are excluded on both engines (ADVICE r10)."""
     g = _as_list(group_columns)
     gsel = ", ".join(g)
     return f"""
@@ -2735,11 +2745,11 @@ WITH src AS (
     RANK() OVER (PARTITION BY {gsel} ORDER BY {column}) AS _rmin,
     COUNT(*) OVER (PARTITION BY {gsel}, {column}) AS _tn,
     COUNT(*) OVER (PARTITION BY {gsel}) AS _ns
-  FROM {table} WHERE NOT ({ref_sql})
+  FROM {table} WHERE NOT ({ref_sql}) AND {column} IS NOT NULL
 ),
 ra AS (
   SELECT {gsel}, list_sort(list(CAST({column} AS DOUBLE))) AS _ra
-  FROM {table} WHERE ({ref_sql}) GROUP BY {gsel}
+  FROM {table} WHERE ({ref_sql}) AND {column} IS NOT NULL GROUP BY {gsel}
 ),
 m AS (
   SELECT src.*, _ra,
@@ -2759,7 +2769,7 @@ SELECT {select_cols},
 FROM m
 UNION ALL
 SELECT {select_cols}, CAST({column} AS DOUBLE) AS {column}_mapped
-FROM {table} WHERE ({ref_sql})
+FROM {table} WHERE ({ref_sql}) AND {column} IS NOT NULL
 """
 
 

@@ -441,7 +441,11 @@ def q_knn_bruteforce(spark, sf_dir):
     return knn_bruteforce(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
-_SQL_KNN = """
+def _sql_knn(k: int = 5) -> str:
+    """Brute-force exact-cosine top-k oracle, parameterized on k so
+    consumers (rrf_fusion's top-10 list) never do string surgery on
+    the rendered text (ADVICE r10)."""
+    return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
 pairs AS (
   SELECT q.query_id, e.vec_id,
@@ -454,8 +458,11 @@ pairs AS (
 )
 SELECT query_id, vec_id, dot / (SQRT(qq) * SQRT(cc)) AS cos,
   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC, vec_id) AS INT) AS rn
-FROM pairs QUALIFY rn <= 5
+FROM pairs QUALIFY rn <= {k}
 """
+
+
+_SQL_KNN = _sql_knn(5)
 
 
 def q_knn_lsh(spark, sf_dir):
@@ -2600,7 +2607,7 @@ def _sql_rrf_fusion():
         rrf_fuse_sql,
     )
 
-    brute = _SQL_KNN.replace("QUALIFY rn <= 5", "QUALIFY rn <= 10")
+    brute = _sql_knn(k=10)
     lsh = knn_lsh_sql(k=10, bits=4, dim=64)
     return rrf_fuse_sql([brute, lsh], top_k=5)
 
