@@ -1,0 +1,170 @@
+"""Round-11 additions: the composed corpus pipeline, the ADVICE-r10
+NULL contracts, and the parameterized knn oracle builder."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+# --- pipeline_e2e -----------------------------------------------------------
+
+
+def test_pipeline_e2e_plan_shape(spark, catalog):
+    """The composed pipeline's plan: every fork where two stage tiers
+    consume one earlier result reads a pinned frame (d2 survivors,
+    d3 survivors, the MinHash shingle frame, the decontamination
+    posting frame) — no unpinned recompute of a stage's upstream —
+    and the whole chain stays JVM-side (no Python evaluation)."""
+    df = catalog["pipeline_e2e"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 4
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline_e2e_semantics(spark, catalog):
+    """Output invariants of the assembled corpus: training side only
+    (even doc ids), epochs ≥ 1 per the mixture weights, src2 dropped,
+    shard positions dense per shard, JSONL lines non-empty."""
+    rows = catalog["pipeline_e2e"](spark, SF_DIR).collect()
+    assert rows, "pipeline produced an empty corpus"
+    assert all(r.doc_id % 2 == 0 for r in rows)
+    assert all(r.epoch >= 1 for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+    # (doc_id, epoch) unique — the resample key survives sharding
+    keys = [(r.doc_id, r.epoch) for r in rows]
+    assert len(keys) == len(set(keys))
+    # per-shard positions are 0..n-1 (the writer-layout contract)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), shard
+
+
+def test_pipeline_e2e_stage_monotone(spark):
+    """Each dedup/filter tier only shrinks the corpus: the assembled
+    doc set is a subset of the raw even-id docs, and every kept doc
+    passed the quality funnel."""
+    from timeseriesutils_spark.operators.corpus_pipeline import (
+        assemble_training_corpus,
+    )
+    from timeseriesutils_spark.operators.text import quality_score
+    from timeseriesutils_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = assemble_training_corpus(docs)
+    kept = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    raw_even = {
+        r.doc_id for r in docs.filter(F.col("doc_id") % 2 == 0).collect()
+    }
+    assert kept <= raw_even
+    qual = {
+        r.doc_id
+        for r in quality_score(docs).filter(F.col("quality") >= 0.75).collect()
+    }
+    assert kept <= qual
+
+
+# --- ADVICE r10: NULL contracts --------------------------------------------
+
+
+def _null_docs_frame(spark):
+    return spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 2, None), ("g", 3, 5.0), ("g", 4, 9.0),
+         ("g", 5, 2.0), ("h", 6, None), ("h", 7, 3.0)],
+        "grp string, id bigint, v double",
+    )
+
+
+def test_robust_scaler_null_consistency(spark):
+    """A NULL in a group must not shift the quantile bounds: both
+    engines compute q25/med/q75 over the non-NULL sample only."""
+    import duckdb
+
+    from timeseriesutils_spark.operators.stats import (
+        robust_scaler,
+        robust_scaler_sql,
+    )
+
+    df = _null_docs_frame(spark)
+    got = {
+        (r.id): (r.v_robust, r.v_median, r.v_iqr)
+        for r in robust_scaler(df, "v", ["grp"]).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sql = robust_scaler_sql("t", "v", ["grp"], "id")
+    want = {
+        int(r[0]): (r[1], r[2], r[3])
+        for r in con.sql(sql).fetchall()
+    }
+    assert got == want
+    # the non-NULL g-side sample is (1,2,5,9): median 3.5, iqr q75-q25
+    assert got[1][1] == 3.5
+
+
+def test_quantile_mapping_null_consistency(spark):
+    """NULL source or reference values must not shift ranks or the
+    reference lerp array; NULL rows are dropped on both engines."""
+    import duckdb
+
+    from timeseriesutils_spark.operators.stats import (
+        quantile_mapping,
+        quantile_mapping_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, 1.0, False), ("g", 2, None, False), ("g", 3, 5.0, False),
+         ("g", 4, 2.0, True), ("g", 5, None, True), ("g", 6, 8.0, True),
+         ("g", 7, 4.0, True)],
+        "grp string, id bigint, v double, is_ref boolean",
+    )
+    got = {
+        r.id: r.v_mapped
+        for r in quantile_mapping(df, "v", ["grp"], "is_ref").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sql = quantile_mapping_sql("t", "v", ["grp"], "is_ref", "grp, id, v, is_ref")
+    want = {r[1]: r[4] for r in con.sql(sql).fetchall()}
+    assert got == want
+    # NULL rows dropped entirely, not passed through
+    assert 2 not in got and 5 not in got
+    # ranks computed over the 2 non-NULL source rows only
+    assert len([k for k in got if k in (1, 3)]) == 2
+
+
+def test_sql_knn_parameterized():
+    """The brute-force knn oracle takes k as a real parameter — the
+    rrf top-10 list is rendered, never string-surgered."""
+    from timeseriesutils_spark.queries.llm_queries import _SQL_KNN, _sql_knn
+
+    assert "rn <= 5" in _SQL_KNN
+    assert "rn <= 10" in _sql_knn(10)
+    assert "rn <= 5" not in _sql_knn(10)
+
+
+def test_jsonl_pack_extra_cols(spark):
+    """extra_cols pass through verbatim and default () keeps the
+    legacy 4-column contract."""
+    from timeseriesutils_spark.operators.text import jsonl_pack
+
+    df = spark.createDataFrame(
+        [(1, "hello", "en", "s", 3)],
+        "doc_id bigint, text string, lang string, source string, shard int",
+    )
+    legacy = jsonl_pack(df)
+    assert legacy.columns == ["id", "line", "line_md5", "n_bytes"]
+    extra = jsonl_pack(df, extra_cols=("shard",))
+    assert extra.columns == ["id", "line", "line_md5", "n_bytes", "shard"]
+    assert extra.collect()[0].shard == 3

@@ -1,0 +1,305 @@
+"""End-to-end training-corpus assembly: the composed pipeline a real
+100 TB pretraining-data run executes, as ONE declared plan.
+
+Every stage below is an individually hash-verified operator (see the
+modules cited per stage); this module composes them
+
+    raw documents
+      → quality funnel        (text.quality_score + repetition_stats)
+      → exact dedup           (keep-first by full text)
+      → near-dup dedup        (dedup.minhash_lsh_pairs, portable mode,
+                               keep-min policy)
+      → decontamination       (dedup.ngram_jaccard_against vs the
+                               held-out eval slice)
+      → per-source cap        (splits.cap_per_key)
+      → mixture resample      (splits.mixture_resample, epoch expansion)
+      → shard assignment      (splits.shard_assign on (doc, epoch))
+      → JSONL packaging       (text.jsonl_pack)
+
+so the COMPOSITION — pin lifetimes, exchange reuse across stages, the
+shrinking survivor chain — is itself gate-checked against one composed
+DuckDB oracle (the individually-green stages say nothing about whether
+the glued plan recomputes its upstream per stage).
+
+Scale notes (the shapes that survive 1000 executors / 100 TB):
+  * Each stage tier tokenizes its OWN input exactly once — the
+    shingle/token pipelines are pinned at their fork points inside the
+    stage operators; this module adds pins only at the survivor-set
+    forks (id frames and the post-dedup corpus slice) where two later
+    stages consume one earlier result.
+  * At test scale pins are ``persist()`` (memory+disk).  At 100 TB the
+    same fork points are where a production run would checkpoint the
+    survivor corpus to parquet between tiers (each tier's output is
+    strictly smaller than its input); the PLAN is identical either way.
+  * Nothing here is all-pairs: near-dup is MinHash banding (posting
+    lists), decontamination joins 8-byte shingle hashes against the
+    (small) eval side only, the cap/shard windows partition by their
+    own keys.
+
+Reference scope note: the reference engine (/root/reference) has no
+corpus pipeline — this family is the training-data extension mandated
+by the build brief (SURVEY.md §2.2b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.functions.cache import pin
+from timeseriesutils_spark.operators.dedup import (
+    dedup_near_keep_min,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_sql,
+    ngram_jaccard_against,
+)
+from timeseriesutils_spark.operators.splits import (
+    cap_per_key,
+    cap_per_key_sql,
+    mixture_resample,
+    mixture_resample_sql,
+    shard_assign,
+    shard_assign_sql,
+)
+from timeseriesutils_spark.operators.text import (
+    jsonl_pack,
+    jsonl_pack_sql,
+    quality_score,
+    repetition_stats,
+)
+
+__all__ = ["assemble_training_corpus", "assemble_training_corpus_sql"]
+
+
+def assemble_training_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.75,
+    max_dup_gram_frac: float = 0.2,
+    neardup_threshold: float = 0.6,
+    decontam_threshold: float = 0.5,
+    max_posting: int = 128,
+    source_cap: int = 100,
+    mix_weights: dict[str, float] | None = None,
+    n_shards: int = 8,
+    seed: str = "e2e",
+) -> DataFrame:
+    """Run the full assembly; returns one row per (kept doc, epoch):
+    (doc_id, epoch, shard, shard_pos, line_md5, n_bytes).
+
+    The held-out eval slice for decontamination is the odd-``id_col``
+    half of the RAW corpus (the same even=train / odd=eval convention
+    as the standalone ``decontaminate_pairs`` query); the assembled
+    training corpus is therefore the surviving EVEN half.
+    """
+    if mix_weights is None:
+        mix_weights = {"src0": 2.5, "src1": 0.3, "src2": 0.0}
+    did = F.col(id_col)
+
+    # ── tier 1: quality funnel (per-row signals, no shuffle) ──────────
+    q = quality_score(docs, id_col, text_col)
+    r = repetition_stats(docs, id_col, text_col).select(
+        id_col, "dup_gram_frac"
+    )
+    keep_ids = (
+        q.join(r, id_col)
+        .filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("dup_gram_frac") <= max_dup_gram_frac)
+        )
+        .select(id_col)
+    )
+    d1 = docs.join(keep_ids, id_col)
+
+    # ── tier 2: exact dedup, keep-first by full text ──────────────────
+    firsts = d1.groupBy(text_col).agg(F.min(did).alias(id_col)).select(id_col)
+    # d2 feeds the MinHash stage AND the keep-min anti-join AND the
+    # decontamination train side — pin the fork (survivor slice; the
+    # production swap at 100 TB is a parquet checkpoint here)
+    d2 = pin(d1.join(firsts, id_col))
+
+    # ── tier 3: near-dup dedup (MinHash-LSH, portable hashes) ─────────
+    pairs = minhash_lsh_pairs(
+        d2,
+        id_col,
+        text_col,
+        n=3,
+        num_hashes=32,
+        bands=8,
+        threshold=neardup_threshold,
+        hash_mode="md5",
+    )
+    d3 = pin(dedup_near_keep_min(pairs, d2, id_col))
+
+    # ── tier 4: decontamination vs the held-out eval slice ────────────
+    train = d3.filter(did % 2 == 0)
+    evald = docs.filter(did % 2 == 1)
+    flagged = (
+        ngram_jaccard_against(
+            train,
+            evald,
+            id_col,
+            text_col,
+            n=3,
+            threshold=decontam_threshold,
+            max_posting=max_posting,
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    d4 = train.join(flagged, id_col, "left_anti")
+
+    # ── tier 5: per-source cap + mixture epochs ───────────────────────
+    capped = (
+        cap_per_key(d4, "source", id_col, cap=source_cap)
+        .filter(F.col("kept"))
+        .drop("kept")
+    )
+    mixed = mixture_resample(capped, id_col, "source", mix_weights)
+
+    # ── tier 6: shard on (doc, epoch) ─────────────────────────────────
+    keyed = mixed.withColumn(
+        "ekey",
+        F.concat_ws(
+            "#", did.cast("string"), F.col("epoch").cast("string")
+        ),
+    )
+    sharded = shard_assign(keyed, "ekey", n_shards=n_shards, seed=seed)
+
+    # ── tier 7: JSONL packaging ───────────────────────────────────────
+    out = jsonl_pack(
+        sharded,
+        id_col=id_col,
+        text_col=text_col,
+        meta_cols=("lang", "source", "epoch"),
+        extra_cols=("epoch", "shard", "shard_pos"),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("epoch").cast("int").alias("epoch"),
+        F.col("shard").cast("int").alias("shard"),
+        F.col("shard_pos").cast("int").alias("shard_pos"),
+        "line_md5",
+        "n_bytes",
+    )
+
+
+def assemble_training_corpus_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.75,
+    max_dup_gram_frac: float = 0.2,
+    neardup_threshold: float = 0.6,
+    decontam_threshold: float = 0.5,
+    max_posting: int = 128,
+    source_cap: int = 100,
+    mix_weights: dict[str, float] | None = None,
+    n_shards: int = 8,
+    seed: str = "e2e",
+) -> str:
+    """DuckDB twin of :func:`assemble_training_corpus` — the SAME stage
+    chain as one composed WITH pipeline (stage oracles reused verbatim
+    where they are table-parameterized builders; nested WITH for the
+    builders that render their own chains)."""
+    if mix_weights is None:
+        mix_weights = {"src0": 2.5, "src1": 0.3, "src2": 0.0}
+    minhash = minhash_lsh_pairs_sql(
+        table="d2",
+        id_col=id_col,
+        n=3,
+        num_hashes=32,
+        bands=8,
+        threshold=neardup_threshold,
+    )
+    cap = cap_per_key_sql("d4", "source", id_col, source_cap, "d4.*")
+    mix = mixture_resample_sql("capped", id_col, "source", mix_weights)
+    shard = shard_assign_sql("keyed", "ekey", n_shards, seed)
+    pack = jsonl_pack_sql(
+        "sharded",
+        id_col=id_col,
+        text_col=text_col,
+        meta_cols=("lang", "source", "epoch"),
+        extra_cols=("epoch", "shard", "shard_pos"),
+    )
+    return f"""
+WITH q AS (
+  SELECT {id_col}, (
+      (CASE WHEN LENGTH({text_col}) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.3 END)
+    + (1.0 - CAST(len(regexp_extract_all({text_col}, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+             / GREATEST(LENGTH({text_col}), 1))
+    + (CAST(len(list_distinct(string_split_regex(lower(trim({text_col})), '\\s+'))) AS DOUBLE)
+       / GREATEST(len(string_split_regex(lower(trim({text_col})), '\\s+')), 1))
+  ) / 3.0 AS quality
+  FROM {table}
+),
+r AS (
+  SELECT {id_col},
+    1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / GREATEST(len(grams), 1)
+      AS dup_gram_frac
+  FROM (
+    SELECT {id_col},
+      CASE WHEN len(ws) >= 3
+        THEN [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]
+        ELSE [array_to_string(ws, ' ')] END AS grams
+    FROM (SELECT {id_col}, string_split_regex(lower(trim({text_col})), '\\s+') AS ws
+          FROM {table})
+  )
+),
+d1 AS (
+  SELECT t.* FROM {table} t
+  JOIN q USING ({id_col}) JOIN r USING ({id_col})
+  WHERE q.quality >= {min_quality} AND r.dup_gram_frac <= {max_dup_gram_frac}
+),
+firsts AS (SELECT MIN({id_col}) AS {id_col} FROM d1 GROUP BY {text_col}),
+d2 AS (SELECT d1.* FROM d1 JOIN firsts USING ({id_col})),
+pairs AS (SELECT * FROM ({minhash}) mh),
+d3 AS (
+  SELECT * FROM d2
+  WHERE {id_col} NOT IN (SELECT id_b FROM pairs)
+),
+tsh AS (
+  SELECT {id_col},
+    list_distinct(CASE WHEN len(w) >= 3
+      THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+      ELSE [array_to_string(w, ' ')] END) AS shingles
+  FROM (SELECT {id_col}, string_split_regex(lower(trim({text_col})), '\\s+') AS w
+        FROM d3 WHERE {id_col} % 2 = 0)
+),
+esh AS (
+  SELECT {id_col},
+    list_distinct(CASE WHEN len(w) >= 3
+      THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+      ELSE [array_to_string(w, ' ')] END) AS shingles
+  FROM (SELECT {id_col}, string_split_regex(lower(trim({text_col})), '\\s+') AS w
+        FROM {table} WHERE {id_col} % 2 = 1)
+),
+ea0 AS (SELECT {id_col} AS id_a, len(shingles) AS sz_a, unnest(shingles) AS s FROM tsh),
+ea AS (SELECT * FROM ea0 WHERE s NOT IN
+       (SELECT s FROM ea0 GROUP BY s HAVING COUNT(*) > {max_posting})),
+eb AS (SELECT {id_col} AS id_b, len(shingles) AS sz_b, unnest(shingles) AS s FROM esh),
+contaminated AS (
+  SELECT DISTINCT id_a FROM (
+    SELECT id_a, id_b, sz_a, sz_b, COUNT(*) AS i
+    FROM ea JOIN eb USING (s) GROUP BY 1, 2, 3, 4
+  ) WHERE CAST(i AS DOUBLE) / (sz_a + sz_b - i) >= {decontam_threshold}
+),
+d4 AS (
+  SELECT * FROM d3
+  WHERE {id_col} % 2 = 0 AND {id_col} NOT IN (SELECT id_a FROM contaminated)
+),
+capped AS (
+  SELECT * EXCLUDE (kept) FROM ({cap}) c WHERE kept
+),
+mixed AS (SELECT * FROM ({mix}) m),
+keyed AS (
+  SELECT *, CONCAT(CAST({id_col} AS VARCHAR), '#', CAST(epoch AS VARCHAR)) AS ekey
+  FROM mixed
+),
+sharded AS (SELECT * FROM ({shard}) s),
+packed AS (SELECT * FROM ({pack}) p)
+SELECT id AS {id_col}, CAST(epoch AS INT) AS epoch, CAST(shard AS INT) AS shard,
+  CAST(shard_pos AS INT) AS shard_pos, line_md5, n_bytes
+FROM packed
+"""

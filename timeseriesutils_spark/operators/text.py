@@ -1165,6 +1165,7 @@ def jsonl_pack(
     id_col: str = "doc_id",
     text_col: str = "text",
     meta_cols: tuple[str, ...] = ("lang", "source"),
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Training-data export formatting: render each document as one
     JSONL line ``{"id": …, "text": …, "meta": {…}}`` with a content
@@ -1177,7 +1178,9 @@ def jsonl_pack(
     a hand-built line is byte-identical everywhere and therefore
     hashable.  Pure row-local projection: no shuffle, scales linearly.
 
-    Returns (id, line, line_md5, n_bytes).
+    Returns (id, line, line_md5, n_bytes) plus any ``extra_cols``
+    passed through verbatim (shard/position columns a packaging
+    pipeline carries alongside the rendered line).
     """
 
     def esc(c):
@@ -1209,6 +1212,7 @@ def jsonl_pack(
         line.alias("line"),
         F.md5(line).alias("line_md5"),
         F.length(line).cast("bigint").alias("n_bytes"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -1217,6 +1221,7 @@ def jsonl_pack_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     meta_cols: tuple[str, ...] = ("lang", "source"),
+    extra_cols: tuple[str, ...] = (),
 ) -> str:
     """DuckDB twin of :func:`jsonl_pack` (same escaper chain)."""
 
@@ -1236,9 +1241,10 @@ def jsonl_pack_sql(
         f"""'{{"id": ' || CAST({id_col} AS VARCHAR) || ', "text": "' || """
         f"""{esc(text_col)} || '", "meta": {{' || {meta} || '}}}}'"""
     )
+    extra = "".join(f", {c}" for c in extra_cols)
     return f"""
-WITH l AS (SELECT {id_col} AS id, {line} AS line FROM {table})
-SELECT id, line, md5(line) AS line_md5, CAST(LENGTH(line) AS BIGINT) AS n_bytes
+WITH l AS (SELECT {id_col} AS id, {line} AS line{extra} FROM {table})
+SELECT id, line, md5(line) AS line_md5, CAST(LENGTH(line) AS BIGINT) AS n_bytes{extra}
 FROM l
 """
 

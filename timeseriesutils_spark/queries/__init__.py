@@ -38,7 +38,10 @@ class Q:
 # round-4 cohort head.  Everything after slot 50 keeps full local
 # gate coverage via tools/check_oracle.py --json.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
-    # slots 1-3: never driver-verified (round-9 post-rotation adds)
+    # round-11 additions (never driver-verified — governance enforces
+    # head placement; swapped in one-for-one against tail padding):
+    "pipeline_e2e",
+    # slots: round-10 head re-verification carry
     "ratio_metric_ci", "knn_pq", "pq_recall",
     # round-10 additions (never driver-verified; uncommented here as
     # each lands gate-green — catalog() validates these names):
@@ -61,7 +64,6 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # swapped out one-for-one as round-10 additions land, keeping the
     # head at exactly 50)
     "spectral_entropy", "variant_json", "quantile_bin",
-    "dedup_minhash_lsh",
 )
 # ROUND-11 ROTATION PLAN: head slots go to (a) any round-11 additions
 # (the find_unrotated_queries governance check enforces head placement
@@ -145,6 +147,8 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "seasonal_mann_kendall", "cronbach_alpha", "ks_uniform_audit",
     "binseg_breakpoints", "weibull_fit", "cohens_d", "cliffs_delta",
     "brier_decomposition",
+    # round-11 additions
+    "pipeline_e2e",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

@@ -2613,3 +2613,43 @@ def _sql_rrf_fusion():
 
 
 QUERIES.update({"rrf_fusion": Q(q_rrf_fusion, _sql_rrf_fusion())})
+
+
+E2E_PARAMS = dict(
+    min_quality=QF_MIN_QUALITY,
+    max_dup_gram_frac=QF_MAX_DUP,
+    neardup_threshold=0.6,
+    decontam_threshold=0.5,
+    max_posting=MAX_POSTING,
+    source_cap=100,
+    mix_weights=MIX_WEIGHTS,
+    n_shards=8,
+    seed="e2e",
+)
+
+
+def q_pipeline_e2e(spark, sf_dir):
+    """The composed training-data pipeline a 100 TB run actually
+    executes (operators/corpus_pipeline.assemble_training_corpus):
+    quality funnel → exact dedup → MinHash near-dup dedup →
+    decontamination vs the odd-id eval slice → per-source cap →
+    mixture epochs → shard assignment → JSONL lines, gate-checked as
+    ONE plan against one composed DuckDB oracle.  Every stage is
+    individually hash-green; this query verifies the COMPOSITION —
+    pin lifetimes and survivor-chain reuse across stage tiers."""
+    from timeseriesutils_spark.operators.corpus_pipeline import (
+        assemble_training_corpus,
+    )
+
+    return assemble_training_corpus(_docs(spark, sf_dir), **E2E_PARAMS)
+
+
+def _sql_pipeline_e2e():
+    from timeseriesutils_spark.operators.corpus_pipeline import (
+        assemble_training_corpus_sql,
+    )
+
+    return assemble_training_corpus_sql("documents", **E2E_PARAMS)
+
+
+QUERIES.update({"pipeline_e2e": Q(q_pipeline_e2e, _sql_pipeline_e2e())})
