@@ -168,3 +168,112 @@ def test_jsonl_pack_extra_cols(spark):
     extra = jsonl_pack(df, extra_cols=("shard",))
     assert extra.columns == ["id", "line", "line_md5", "n_bytes", "shard"]
     assert extra.collect()[0].shard == 3
+
+
+# --- dtw_pattern exact conversion -------------------------------------------
+
+
+def test_dtw_exact_kernel_matches_loop_on_ints():
+    """The int64 min-plus kernel is bit-identical to the per-cell loop
+    spec on integer costs (unbanded), across shapes and signs."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.dtw import (
+        dtw_exact_kernel_int,
+        dtw_kernel_loop,
+    )
+
+    rng = np.random.RandomState(7)
+    for n, m in [(1, 1), (3, 7), (40, 28), (90, 28), (5, 30)]:
+        x = rng.randint(-(10**7), 10**7, size=n).astype(np.int64)
+        y = rng.randint(-(10**7), 10**7, size=m).astype(np.int64)
+        exact = dtw_exact_kernel_int(x, y)
+        ref = dtw_kernel_loop(x.astype(float), y.astype(float), band=None)
+        assert float(exact) == ref, (n, m)
+
+
+def test_dtw_exact_query_tracks_float_kernel(spark, catalog):
+    """The declared exact distances agree with the float production
+    kernel (unbanded) to quantization tolerance on real data."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.dtw import dtw_to_reference
+    from timeseriesutils_spark.queries.series_queries import (
+        _DTW_REF,
+        _period_price,
+    )
+
+    exact = {
+        r.l_suppkey: (r.n_obs, r.dtw_dist)
+        for r in catalog["dtw_pattern"](spark, SF_DIR).collect()
+    }
+    prod = {
+        r.l_suppkey: r.dtw_dist
+        for r in dtw_to_reference(
+            _period_price(spark, SF_DIR),
+            "period_price",
+            ["l_suppkey"],
+            ["ship_period"],
+            reference=_DTW_REF,
+            band=None,
+        ).collect()
+    }
+    assert set(exact) == set(prod)
+    for k, (n, d) in exact.items():
+        tol = 3e-6 * (n + len(_DTW_REF)) + 1e-9 * max(1.0, abs(d))
+        assert abs(d - prod[k]) <= tol, (k, d, prod[k])
+
+
+# --- pca_project power-deflation conversion ----------------------------------
+
+
+def test_tdiv_matches_duckdb_semantics():
+    import duckdb
+
+    from timeseriesutils_spark.operators.pca import _tdiv
+
+    con = duckdb.connect()
+    for a, b in [(-7, 2), (7, 2), (-7, -2), (7, -2), (0, 5), (-1, 3)]:
+        got = con.sql(
+            f"SELECT CAST({a} AS HUGEINT) // CAST({b} AS HUGEINT)"
+        ).fetchone()[0]
+        assert _tdiv(a, b) == int(got), (a, b)
+
+
+def test_pca_power2_tracks_eigh(spark):
+    """On a separated spectrum the power-deflation projections match
+    the driver-eigh production path on BOTH components (the existing
+    pca_power convergence contract, extended through the deflation),
+    and are bit-identical across repartitionings.  (The sf testdata
+    embeddings are near-isotropic — λ2/λ1 ≈ 1 — where NO fixed
+    -iteration power method converges; the declared query's contract
+    there is determinism, which the oracle hash pins.)"""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.pca import (
+        pca_power2_project,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(150, 6)) @ np.diag([5.0, 2.0, 1.0, 0.5, 0.3, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pw = pca_power2_project(df).toPandas().set_index("vec_id").sort_index()
+    pw2 = (
+        pca_power2_project(df.repartition(7))
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert (pw["pc1"] == pw2["pc1"]).all()
+    assert (pw["pc2"] == pw2["pc2"]).all()
+
+    eig = pca_project(df, k=2).toPandas().set_index("vec_id").sort_index()
+    np.testing.assert_allclose(
+        pw["pc1"].to_numpy(), eig["pc1"].to_numpy(), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        pw["pc2"].to_numpy(), eig["pc2"].to_numpy(), atol=5e-3
+    )

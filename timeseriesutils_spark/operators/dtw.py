@@ -300,3 +300,207 @@ def dtw_to_reference(
         .groupBy(*g)
         .applyInPandas(per_group, schema)
     )
+
+
+# --- exact (hash-capable) variant ------------------------------------------
+
+_SENT = 1 << 50  # "infinity" for the integer DP: larger than any real
+# alignment cost (≤ (n+m)·max|zq−rq| ≈ 600·6e7 ≈ 4e10) by five orders of
+# magnitude, small enough that the bounded drift on unreachable cells
+# (≤ one window cost-sum per row) can never approach int64 overflow.
+
+
+def _znorm_quantized(vq: np.ndarray, scale_z: int) -> np.ndarray:
+    """Exact per-group z-normalization of int64-quantized values,
+    re-quantized to int64 z-scores.  Every float op is one fixed tree
+    over exact-int-derived doubles — the SQL twin renders the SAME tree
+    (sums < 2^53 cast exactly; the Σx² that can exceed 2^53 routes
+    through round-to-nearest on both engines: Python float(int) here,
+    VARCHAR→DOUBLE in DuckDB — the r8 HUGEINT-cast rule)."""
+    n = len(vq)
+    s = int(vq.sum(dtype=object)) if n else 0
+    s2 = sum(int(v) * int(v) for v in vq)
+    mean = float(s) / n
+    var = (float(s2) - float(s) * float(s) / n) / n
+    std = np.sqrt(var)  # nan when rounding makes var < 0 → unscaled branch
+    zmult = float(10**scale_z)
+    xf = vq.astype(np.float64)
+    if std > 0:
+        z = (xf - mean) / std * zmult + 0.5
+    else:
+        z = (xf - mean) + 0.5
+    return np.floor(z).astype(np.int64)
+
+
+def dtw_exact_kernel_int(zq: np.ndarray, rq: np.ndarray) -> int:
+    """UNBANDED min-plus DTW over int64 sequences — exact integer
+    arithmetic, so the prefix-scan reassociation is bit-identical to
+    the per-cell loop (``dtw_kernel_loop``) and to the DuckDB
+    ``list_reduce`` fold (:func:`dtw_to_reference_exact_sql`): sums and
+    mins of integers below 2^53 are order-free."""
+    m = len(rq)
+    prev = np.full(m + 1, _SENT, dtype=np.int64)
+    prev[0] = 0
+    for xi in zq:
+        c = np.abs(xi - rq)
+        a = np.minimum(prev[1:], prev[:-1])
+        s = np.cumsum(c)
+        b = a.copy()
+        b[1:] -= s[:-1]
+        cur = np.empty(m + 1, dtype=np.int64)
+        cur[0] = _SENT
+        cur[1:] = s + np.minimum.accumulate(b)
+        prev = cur
+    return int(prev[m])
+
+
+def quantize_reference(reference, scale_z: int = 6) -> list[int]:
+    """Driver-side z-normalize + quantize of the template — the int64
+    literals BOTH engines embed (the literal-planes/permutations
+    precedent: driver float math is fine, it renders once)."""
+    ref = np.asarray(list(reference), dtype=float)
+    rs = ref.std()
+    ref = (ref - ref.mean()) / rs if rs > 0 else ref - ref.mean()
+    return [int(v) for v in np.floor(ref * 10**scale_z + 0.5).astype(np.int64)]
+
+
+def dtw_to_reference_exact(
+    data: DataFrame,
+    value_col: str,
+    group_columns,
+    order_by,
+    reference: list[float],
+    scale_in: int = 6,
+    scale_z: int = 6,
+) -> DataFrame:
+    """Hash-capable declared variant of :func:`dtw_to_reference`:
+    UNBANDED DTW over per-group z-normalized series with every float
+    collapsed to int64 before any cross-row arithmetic —
+    input quantized at ``scale_in``, z-scores re-quantized at
+    ``scale_z`` (one shared double tree for mean/std), alignment cost
+    in exact integers, one final /10^scale_z division.  The DuckDB
+    twin (:func:`dtw_to_reference_exact_sql`) folds the identical DP
+    with ``list_reduce`` — both engines produce the SAME int64, so the
+    query is hash-green (the banded float-kernel
+    :func:`dtw_to_reference` stays the production path; equivalence on
+    integer-valued costs is pinned in tests/test_dtw.py)."""
+    g = _as_list(group_columns)
+    order = _as_list(order_by)
+    rq = np.asarray(quantize_reference(reference, scale_z), dtype=np.int64)
+    m = len(rq)
+    zdiv = float(10**scale_z)
+    mult = float(10**scale_in)
+
+    fields = [data.schema[c] for c in g]
+    schema = StructType(
+        list(fields)
+        + [
+            StructField("n_obs", LongType()),
+            StructField("dtw_dist", DoubleType()),
+            StructField("dtw_per_step", DoubleType()),
+        ]
+    )
+
+    src = data.filter(F.col(value_col).isNotNull()).select(
+        *g,
+        *order,
+        F.floor(F.col(value_col).cast("double") * F.lit(mult) + F.lit(0.5))
+        .cast("bigint")
+        .alias("_vq"),
+    )
+
+    def per_group(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        vq = pdf["_vq"].to_numpy(dtype=np.int64)
+        n = len(vq)
+        zq = _znorm_quantized(vq, scale_z)
+        d_int = dtw_exact_kernel_int(zq, rq)
+        dist = float(d_int) / zdiv
+        row = dict(zip([f.name for f in fields], keys))
+        row.update(n_obs=n, dtw_dist=dist, dtw_per_step=dist / (n + m))
+        return pd.DataFrame([row])
+
+    return src.groupBy(*g).applyInPandas(per_group, schema)
+
+
+def dtw_to_reference_exact_sql(
+    table: str,
+    value_col: str,
+    group_col: str,
+    order_col: str,
+    reference: list[float],
+    scale_in: int = 6,
+    scale_z: int = 6,
+) -> str:
+    """DuckDB twin of :func:`dtw_to_reference_exact`: the min-plus DP
+    as a ``list_reduce`` fold — the accumulator is the current DP row
+    (list of int64, index 1 = the j=0 boundary), each series element is
+    a one-element list consumed per step, and the step body binds its
+    per-row cost and prefix-sum vectors with single-element
+    ``list_transform`` lambdas (DuckDB has no named step locals).
+    Integer min/plus is associativity-free, so this fold, the Spark
+    Arrow kernel, and the per-cell loop agree bit-for-bit."""
+    rq = quantize_reference(reference, scale_z)
+    m = len(rq)
+    rq_lit = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in rq) + "]"
+    mult = float(10**scale_in)
+    zdiv = float(10**scale_z)
+    init = (
+        "[CAST(0 AS BIGINT)"
+        + "".join(f", CAST({_SENT} AS BIGINT)" for _ in range(m))
+        + "]"
+    )
+    # step(acc, e): bind cl (costs), then sl (prefix sums), then emit
+    # the scanned row; acc[t+1]=prev[t], acc[t]=prev[t-1]
+    step = f"""list_transform([[abs(e[1] - r) FOR r IN {rq_lit}]], cl ->
+        list_transform([[CAST(list_sum(cl[1:k]) AS BIGINT) FOR k IN range(1, {m + 1})]], sl ->
+          list_prepend(CAST({_SENT} AS BIGINT),
+            [sl[k] + list_min([LEAST(acc[t + 1], acc[t])
+                               - CASE WHEN t = 1 THEN 0 ELSE sl[t - 1] END
+                               FOR t IN range(1, k + 1)])
+             FOR k IN range(1, {m + 1})])
+        )[1]
+      )[1]"""
+    return f"""
+WITH src AS (
+  SELECT {group_col} AS g, {order_col} AS o,
+    CAST(FLOOR(CAST({value_col} AS DOUBLE) * {mult!r} + 0.5) AS BIGINT) AS vq
+  FROM {table} WHERE {value_col} IS NOT NULL
+),
+st AS (
+  SELECT g, COUNT(*) AS n,
+    CAST(SUM(CAST(vq AS HUGEINT)) AS BIGINT) AS s,
+    SUM(CAST(vq AS HUGEINT) * vq) AS s2
+  FROM src GROUP BY g
+),
+mz AS (
+  SELECT g, n, CAST(s AS DOUBLE) / n AS mean,
+    SQRT((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS std
+  FROM st
+),
+z AS (
+  SELECT src.g, src.o,
+    CASE WHEN std > 0
+      THEN CAST(FLOOR((CAST(vq AS DOUBLE) - mean) / std * {zdiv!r} + 0.5) AS BIGINT)
+      ELSE CAST(FLOOR((CAST(vq AS DOUBLE) - mean) + 0.5) AS BIGINT)
+    END AS zq
+  FROM src JOIN mz USING (g)
+),
+arr AS (
+  SELECT g, MAX(n) AS n, list(zq ORDER BY o) AS xs
+  FROM z JOIN st USING (g) GROUP BY g
+),
+dp AS (
+  SELECT g, n,
+    list_reduce(
+      list_prepend({init}, [[x] FOR x IN xs]),
+      (acc, e) -> {step}
+    ) AS row
+  FROM arr
+)
+SELECT g AS {group_col}, CAST(n AS BIGINT) AS n_obs,
+  CAST(row[{m + 1}] AS DOUBLE) / {zdiv!r} AS dtw_dist,
+  (CAST(row[{m + 1}] AS DOUBLE) / {zdiv!r}) / (n + {m}) AS dtw_per_step
+FROM dp
+"""

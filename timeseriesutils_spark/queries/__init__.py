@@ -39,8 +39,11 @@ class Q:
 # gate coverage via tools/check_oracle.py --json.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # round-11 additions (never driver-verified — governance enforces
-    # head placement; swapped in one-for-one against tail padding):
-    "pipeline_e2e",
+    # head placement; swapped in one-for-one against tail padding) and
+    # the two ex-rows-only conversions whose NEW oracles need a driver
+    # hash row (dtw_pattern: exact int min-plus DP; pca_project:
+    # power-deflation k=2):
+    "pipeline_e2e", "dtw_pattern", "pca_project",
     # slots: round-10 head re-verification carry
     "ratio_metric_ci", "knn_pq", "pq_recall",
     # round-10 additions (never driver-verified; uncommented here as
@@ -63,7 +66,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # round-4 cohort head, catalog order (tail names below are PADDING
     # swapped out one-for-one as round-10 additions land, keeping the
     # head at exactly 50)
-    "spectral_entropy", "variant_json", "quantile_bin",
+    "spectral_entropy",
 )
 # ROUND-11 ROTATION PLAN: head slots go to (a) any round-11 additions
 # (the find_unrotated_queries governance check enforces head placement

@@ -371,12 +371,22 @@ def _simhash_portable_sql() -> str:
 
 
 def q_pca_project(spark, sf_dir):
-    """Top-2 principal-component projection (operators/pca.pca_project):
-    one exact distributed Gram pass + driver eigh + JVM-side projection.
-    Not SQL-expressible (eigendecomposition) -> rows-only."""
-    from timeseriesutils_spark.operators.pca import pca_project
+    """Top-2 principal projection via exact-integer power iteration +
+    integer Hotelling deflation (operators/pca.pca_power2_project) —
+    the k=2 PCA made hash-verifiable: one exact distributed Gram pass,
+    a fixed unrolled iteration schedule on the driver, JVM-side
+    projection; the DuckDB twin renders the identical chain.  The
+    general-k driver-eigh pca_project stays the production path
+    (agreement to iteration convergence pinned in tests)."""
+    from timeseriesutils_spark.operators.pca import pca_power2_project
 
-    return pca_project(_emb(spark, sf_dir), k=2)
+    return pca_power2_project(_emb(spark, sf_dir))
+
+
+def _sql_pca_project():
+    from timeseriesutils_spark.operators.pca import pca_power2_project_sql
+
+    return pca_power2_project_sql()
 
 
 def q_quantize_embeddings(spark, sf_dir):
@@ -939,7 +949,7 @@ QUERIES = {
     "seq_pack": Q(q_seq_pack, _SQL_SEQ_PACK),
     "decontaminate_pairs": Q(q_decontaminate_pairs, _SQL_DECONTAMINATE),
     "quantize_embeddings": Q(q_quantize_embeddings, _sql_quantize()),
-    "pca_project": Q(q_pca_project, None),  # eigendecomposition -> rows-only
+    "pca_project": Q(q_pca_project, _sql_pca_project()),
     "pca_power": Q(q_pca_power, _pca_power_sql()),
     "pii_scrub": Q(q_pii_scrub, pii_scrub_sql()),
     "corpus_stats": Q(q_corpus_stats, _SQL_CORPUS_STATS),

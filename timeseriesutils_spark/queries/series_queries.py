@@ -545,26 +545,77 @@ QUERIES.update({"sax_words": Q(q_sax, _sql_sax())})
 # structure); the op z-normalizes it before alignment
 _DTW_REF = [float(d % 7) for d in range(28)]
 
+# 28-day period grain for the declared DTW query: per-supplier series
+# of ~90 points against the 28-point template
+_DTW_DAYS_PER_PERIOD = 28
 
-def q_dtw(spark, sf_dir):
-    """Banded DTW pattern scan (operators/dtw.dtw_to_reference): each
-    supplier's z-normalized daily price series aligned to a weekly
-    sawtooth template — elastic template matching; grouped-map Arrow
-    UDF, O(n·band) per group.  Rows-only by nature (sequential DP is
-    not SQL-expressible); properties pinned in tests/test_dtw.py."""
-    from timeseriesutils_spark.operators.dtw import dtw_to_reference
 
-    return dtw_to_reference(
-        _daily(spark, sf_dir),
-        "day_price",
-        ["l_suppkey"],
-        ["ship_day"],
-        reference=_DTW_REF,
-        band=10,
+def _period_price(spark, sf_dir):
+    """Per-(supplier, 28-day period) exact price sum — the coarser
+    sibling of :func:`_daily` (same one-exchange shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    day = (
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("bigint")
+    )
+    return (
+        li.select("l_suppkey", day.alias("_day"), "l_extendedprice")
+        .select(
+            "l_suppkey",
+            F.expr(f"CAST(_day div {_DTW_DAYS_PER_PERIOD} AS BIGINT)").alias(
+                "ship_period"
+            ),
+            "l_extendedprice",
+        )
+        .repartition("l_suppkey")
+        .groupBy("l_suppkey", "ship_period")
+        .agg(dsum("l_extendedprice").alias("period_price"))
     )
 
 
-QUERIES.update({"dtw_pattern": Q(q_dtw, None)})
+_SQL_PERIOD = f"""
+  SELECT l_suppkey,
+    CAST(CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+         // {_DTW_DAYS_PER_PERIOD} AS BIGINT) AS ship_period,
+    {dsum_sql('l_extendedprice')} AS period_price
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_dtw(spark, sf_dir):
+    """Exact DTW pattern scan (operators/dtw.dtw_to_reference_exact):
+    each supplier's z-normalized 28-day-period price series aligned to
+    a sawtooth template, every float collapsed to int64 before any
+    cross-row arithmetic — the sequential-DP operator made
+    hash-verifiable (the DuckDB twin folds the identical integer
+    min-plus DP with list_reduce).  The banded float-kernel
+    dtw_to_reference remains the production path; kernel equivalence
+    is pinned in tests/test_dtw.py."""
+    from timeseriesutils_spark.operators.dtw import dtw_to_reference_exact
+
+    return dtw_to_reference_exact(
+        _period_price(spark, sf_dir),
+        "period_price",
+        ["l_suppkey"],
+        ["ship_period"],
+        reference=_DTW_REF,
+    )
+
+
+def _sql_dtw():
+    from timeseriesutils_spark.operators.dtw import dtw_to_reference_exact_sql
+
+    return dtw_to_reference_exact_sql(
+        f"({_SQL_PERIOD})",
+        "period_price",
+        "l_suppkey",
+        "ship_period",
+        reference=_DTW_REF,
+    )
+
+
+QUERIES.update({"dtw_pattern": Q(q_dtw, _sql_dtw())})
 
 
 _COUNTER_MOD = 1_000_000
