@@ -277,3 +277,65 @@ def test_pca_power2_tracks_eigh(spark):
     np.testing.assert_allclose(
         pw["pc2"].to_numpy(), eig["pc2"].to_numpy(), atol=5e-3
     )
+
+
+# --- lomb_scargle ------------------------------------------------------------
+
+
+def test_lomb_scargle_matches_numpy_reference(spark):
+    """The quantized-exact engine tracks a plain float numpy Lomb
+    implementation (Press & Rybicki / Scargle 1982 normalized form) on
+    an irregular series with a planted 7-day cycle — and the planted
+    frequency wins."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.lomb import lomb_scargle
+
+    rng = np.random.default_rng(11)
+    t = np.sort(rng.choice(np.arange(400), size=160, replace=False)).astype(
+        float
+    )
+    x = 3.0 * np.sin(2 * np.pi * t / 7.0) + rng.normal(scale=0.5, size=len(t))
+    freqs = [1.0 / 7.0, 1.0 / 28.0, 1.0 / 91.0]
+
+    def lomb_np(t, x, f):
+        w = 2 * np.pi * f
+        dx = x - x.mean()
+        s2 = x.var(ddof=1)
+        tau = np.arctan2(np.sin(2 * w * t).sum(), np.cos(2 * w * t).sum()) / (
+            2 * w
+        )
+        ct, st = np.cos(w * (t - tau)), np.sin(w * (t - tau))
+        return (
+            (dx @ ct) ** 2 / (ct @ ct) + (dx @ st) ** 2 / (st @ st)
+        ) / (2 * s2)
+
+    rows = [("g", float(ti), float(xi)) for ti, xi in zip(t, x)]
+    df = spark.createDataFrame(rows, "g string, t double, x double")
+    got = {
+        round(r.freq, 9): r.power
+        for r in lomb_scargle(df, "x", "t", ["g"], freqs).collect()
+    }
+    for f in freqs:
+        ref = lomb_np(t, x, f)
+        assert abs(got[round(f, 9)] - ref) < 1e-3 * max(1.0, ref), (f, ref)
+    # the planted weekly cycle dominates
+    assert got[round(1.0 / 7.0, 9)] > 10 * got[round(1.0 / 91.0, 9)]
+
+
+def test_lomb_scargle_null_and_rejects(spark):
+    """NULL rows are dropped (complete-case) and >5 frequencies are
+    rejected (the codegen envelope is part of the API contract)."""
+    import pytest as _pytest
+
+    from timeseriesutils_spark.operators.lomb import lomb_scargle
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 2.0), ("g", 2.0, None), ("g", None, 4.0),
+         ("g", 3.0, 5.0), ("g", 5.0, 3.0)],
+        "g string, t double, x double",
+    )
+    out = lomb_scargle(df, "x", "t", ["g"], [0.25]).collect()
+    assert out[0].n_obs == 3
+    with _pytest.raises(ValueError):
+        lomb_scargle(df, "x", "t", ["g"], [0.1] * 6)

@@ -43,7 +43,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # the two ex-rows-only conversions whose NEW oracles need a driver
     # hash row (dtw_pattern: exact int min-plus DP; pca_project:
     # power-deflation k=2):
-    "pipeline_e2e", "dtw_pattern", "pca_project",
+    "pipeline_e2e", "dtw_pattern", "pca_project", "lomb_scargle",
     # slots: round-10 head re-verification carry
     "ratio_metric_ci", "knn_pq", "pq_recall",
     # round-10 additions (never driver-verified; uncommented here as
@@ -63,10 +63,9 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "stream_join", "stream_renewal_rt", "stream_session",
     "stream_sliding", "stream_stateful", "stream_static_join",
     "stream_topk", "stream_tumbling",
-    # round-4 cohort head, catalog order (tail names below are PADDING
-    # swapped out one-for-one as round-10 additions land, keeping the
+    # round-4 cohort head, catalog order (tail names are PADDING
+    # swapped out one-for-one as round-11 additions land, keeping the
     # head at exactly 50)
-    "spectral_entropy",
 )
 # ROUND-11 ROTATION PLAN: head slots go to (a) any round-11 additions
 # (the find_unrotated_queries governance check enforces head placement
@@ -151,7 +150,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "binseg_breakpoints", "weibull_fit", "cohens_d", "cliffs_delta",
     "brier_decomposition",
     # round-11 additions
-    "pipeline_e2e",
+    "pipeline_e2e", "lomb_scargle",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

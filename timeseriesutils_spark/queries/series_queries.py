@@ -1249,3 +1249,41 @@ def _sql_binseg_breakpoints():
 QUERIES.update({
     "binseg_breakpoints": Q(q_binseg_breakpoints, _sql_binseg_breakpoints())
 })
+
+
+# 4 literal frequencies (cycles/day): weekly, lunar-monthly, quarterly,
+# yearly — the seasonal suspects for shipment series
+_LOMB_FREQS = [1.0 / 7.0, 1.0 / 28.0, 1.0 / 91.0, 1.0 / 365.0]
+
+
+def q_lomb_scargle(spark, sf_dir):
+    """Lomb–Scargle periodogram over each supplier's IRREGULAR daily
+    price series (operators/lomb.lomb_scargle): the least-squares
+    spectral power at 4 literal frequencies evaluated at the observed
+    timestamps — no gap-filling bias.  Trig terms 1e-9-quantized to
+    int64 before summation (the renderer discipline), so the twin is
+    hash-green despite libm."""
+    from timeseriesutils_spark.operators.lomb import lomb_scargle
+
+    return lomb_scargle(
+        _daily(spark, sf_dir),
+        "day_price",
+        "ship_day",
+        ["l_suppkey"],
+        freqs=_LOMB_FREQS,
+    )
+
+
+def _sql_lomb():
+    from timeseriesutils_spark.operators.lomb import lomb_scargle_sql
+
+    return lomb_scargle_sql(
+        f"({_SQL_DAILY})",
+        "day_price",
+        "ship_day",
+        ["l_suppkey"],
+        freqs=_LOMB_FREQS,
+    )
+
+
+QUERIES.update({"lomb_scargle": Q(q_lomb_scargle, _sql_lomb())})
