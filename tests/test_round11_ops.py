@@ -339,3 +339,68 @@ def test_lomb_scargle_null_and_rejects(spark):
     assert out[0].n_obs == 3
     with _pytest.raises(ValueError):
         lomb_scargle(df, "x", "t", ["g"], [0.1] * 6)
+
+
+# --- arma11_forecast ---------------------------------------------------------
+
+
+def test_arma11_matches_numpy_innovations(spark):
+    """The truncated-filter forecast tracks the exact sequential
+    innovations recursion (same MoM φ, θ) on a planted ARMA(1,1)
+    series, and the MoM fit recovers the planted parameters roughly."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.forecast import arma11_forecast
+
+    rng = np.random.default_rng(3)
+    phi_true, theta_true = 0.6, 0.4
+    n = 400
+    eps = rng.normal(size=n)
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = phi_true * y[t - 1] + eps[t] + theta_true * eps[t - 1]
+    y = y + 10.0
+    rows = [("g", t, float(round(y[t], 2))) for t in range(n)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    out = {
+        r.horizon: r
+        for r in arma11_forecast(
+            df, "y", ["g"], ["t"], horizons=(1, 7), scale=2
+        ).collect()
+    }
+    r1h = out[1]
+    assert r1h.mom_valid
+    assert abs(r1h.phi - phi_true) < 0.25
+    assert abs(r1h.theta - theta_true) < 0.35
+
+    # exact sequential innovations recursion with the FITTED params
+    yv = np.round(y, 2)
+    mu = yv.mean()
+    d = yv - mu
+    e = 0.0
+    for t in range(len(yv)):
+        f_t = (r1h.phi * d[t - 1] + r1h.theta * e) if t else 0.0
+        e = d[t] - f_t
+    fc1_seq = mu + r1h.phi * d[-1] + r1h.theta * e
+    # truncation at W=20: |theta|^20 residual
+    assert abs(out[1].forecast - fc1_seq) < 1e-3 * max(1.0, abs(fc1_seq))
+    # h-step decay through phi
+    dev1 = out[1].forecast - mu
+    assert abs((out[7].forecast - mu) - r1h.phi ** 6 * dev1) < 1e-9
+
+
+def test_arma11_ar1_fallback(spark):
+    """A pure AR(1) series (θ=0) makes the MoM quadratic degenerate
+    (r₂/r₁ = r₁ → a = 0): the op falls back to AR(1) with θ = 0 and
+    still forecasts."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.forecast import arma11_forecast
+
+    # a deterministic geometric series has r2/r1 == r1 exactly-ish
+    rows = [("g", t, float(2.0 + 0.5 ** t)) for t in range(30)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    out = arma11_forecast(df, "y", ["g"], ["t"], horizons=(1,), scale=6)
+    r = out.collect()[0]
+    assert r.forecast is not None
+    assert r.theta in (0.0,) or abs(r.theta) < 1.0

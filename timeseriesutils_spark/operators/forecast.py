@@ -2380,3 +2380,256 @@ def kalman_local_level_sql_columns(
             f"(CASE WHEN {lvl} IS NOT NULL THEN {gn} END)",
         ),
     ]
+
+
+# --------------------------------------------------------------------------
+# ARMA(1,1) — innovations form as a truncated linear filter
+# --------------------------------------------------------------------------
+
+
+def _arma11_base_exprs() -> list[tuple[str, str]]:
+    """Engine-neutral expression texts for the ARMA(1,1) fit, given
+    columns (_r1, _r2): method-of-moments φ = r₂/r₁ and the invertible
+    MA root of  θ²(r₁−φ) + θ(2r₁φ−1−φ²) + (r₁−φ) = 0  (the two roots
+    multiply to 1 — the CASE picks |θ|<1); AR(1) fallback (φ=r₁, θ=0)
+    when the MoM system is degenerate.  Every literal carries an
+    exponent marker (bare decimals parse as DECIMAL and poison double
+    trees — the r7 renderer rule)."""
+    phi_m = "CASE WHEN _r1 <> 0e0 THEN _r2 / _r1 END"
+    return [
+        ("_phi_m", phi_m),
+        ("_a", "(_r1 - _phi_m)"),
+        ("_b", "(2e0 * _r1 * _phi_m - 1e0 - _phi_m * _phi_m)"),
+        ("_disc", "(_b * _b - 4e0 * _a * _a)"),
+        ("_tp", "CASE WHEN _a <> 0e0 AND _disc > 0e0 THEN"
+                " (-_b + SQRT(_disc)) / (2e0 * _a) END"),
+        ("_tm", "CASE WHEN _a <> 0e0 AND _disc > 0e0 THEN"
+                " (-_b - SQRT(_disc)) / (2e0 * _a) END"),
+        ("_th_m", "CASE WHEN ABS(_tp) < 1e0 THEN _tp ELSE _tm END"),
+        ("mom_valid",
+         "(_phi_m IS NOT NULL AND ABS(_phi_m) < 1e0 AND _a <> 0e0"
+         " AND _disc > 0e0 AND _th_m IS NOT NULL AND ABS(_th_m) < 1e0)"),
+        ("phi", "CASE WHEN mom_valid THEN _phi_m"
+                " WHEN ABS(_r1) < 1e0 THEN _r1 END"),
+        ("theta", "CASE WHEN mom_valid THEN _th_m"
+                  " WHEN ABS(_r1) < 1e0 THEN 0e0 END"),
+    ]
+
+
+def arma11_forecast(
+    data: DataFrame,
+    column: str,
+    group_columns,
+    order_by,
+    horizons: tuple[int, ...] = (1, 7),
+    window_size: int = 20,
+    scale: int = 0,
+    min_pairs: int = 2,
+) -> DataFrame:
+    """Per-group ARMA(1,1) method-of-moments fit + h-step forecasts —
+    the moving-average member the forecaster family was missing
+    (holt/theta/holt_winters: exponential smoothers; ar2: pure AR;
+    kalman_local_level: state space.  ARMA(1,1) is the minimal model
+    mixing both error memories).
+
+    Innovations-form forecast as a TRUNCATED LINEAR FILTER (the
+    kalman/holt discipline — forecast.py:2240 region): substituting
+    the innovation recursion into ŷ_{t+1} collapses to
+
+        ŷ_{t+1} − μ = (φ+θ) Σ_{k≥0} (−θ)^k (y_{t−k} − μ)
+
+    a geometric filter with data-dependent ratio −θ, truncated at
+    ``window_size`` lags (residual mass |θ|^W, ~1e-6 at |θ|≤0.5,
+    W=20); h-step means decay through φ: ŷ_{t+h}−μ = φ^{h−1}(ŷ_{t+1}−μ).
+
+    Exactness: r₁/r₂ from acf_features' exact-integer sums; μ and the
+    last-W values from one pivoted reduce on quantized ints; the
+    (−θ)^k chain and the filter sum are NAMED chained columns — one
+    fixed association both engines share (never POWER(), whose libm
+    paths differ).  The tiny per-group frame is where all the chaining
+    happens: per-row work is one window rank, fully distributed.
+
+    Returns (groups…, n, phi, theta, mom_valid, horizon, forecast);
+    NULL forecast where even the AR(1) fallback is undefined
+    (|r₁| ≥ 1 or r₁ NULL).
+    """
+    from timeseriesutils_spark.operators.acf import acf_features
+
+    g = _as_list(group_columns)
+    order = _as_list(order_by)
+    acf = acf_features(
+        data, column, g, order, max_lag=2, scale=scale, min_pairs=min_pairs
+    )
+    rw = acf.groupBy(*g).agg(
+        *[
+            F.max(F.when(F.col("lag_k") == k, F.col("acf"))).alias(f"_r{k}")
+            for k in (1, 2)
+        ]
+    )
+    m = 10**scale
+    q = F.floor(
+        F.col(column).cast("double") * F.lit(float(m)) + F.lit(0.5)
+    ).cast("bigint")
+    wdesc = Window.partitionBy(*g).orderBy(*[F.col(c).desc() for c in order])
+    rows = data.filter(F.col(column).isNotNull()).select(
+        *g, q.alias("_q"), F.row_number().over(wdesc).alias("_rn")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    state = rows.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_q"))).alias("_sq"),
+        *[
+            F.max(F.when(F.col("_rn") == k, F.col("_q"))).alias(f"_yq{k}")
+            for k in range(1, window_size + 1)
+        ],
+    )
+    j = rw.join(state, on=g, how="inner")
+    md = repr(float(m))
+    base = j.selectExpr(
+        *g, "n", "_r1", "_r2",
+        f"(CAST(CAST(_sq AS STRING) AS DOUBLE) / {md}"
+        f" / CAST(n AS DOUBLE)) AS _mu",
+        *[
+            f"(CAST(_yq{k} AS DOUBLE) / {md}) AS _v{k}"
+            for k in range(1, window_size + 1)
+        ],
+    )
+    for name, expr in _arma11_base_exprs():
+        base = base.selectExpr("*", f"({expr}) AS {name}")
+    # (−θ)^k chain + the truncated filter, all named columns
+    base = base.selectExpr("*", "1e0 AS _t0")
+    for k in range(1, window_size):
+        base = base.selectExpr("*", f"(_t{k - 1} * (-theta)) AS _t{k}")
+    terms = [
+        f"CASE WHEN _v{k + 1} IS NOT NULL THEN"
+        f" _t{k} * (_v{k + 1} - _mu) ELSE 0e0 END"
+        for k in range(window_size)
+    ]
+    base = base.selectExpr(
+        "*", f"((phi + theta) * ({' + '.join(terms)})) AS _dev1"
+    )
+    hmax = max(horizons)
+    dev = "_dev1"
+    fcs = {}
+    for h in range(1, hmax + 1):
+        if h > 1:
+            base = base.selectExpr("*", f"(phi * {dev}) AS _dev{h}")
+            dev = f"_dev{h}"
+        if h in horizons:
+            fcs[h] = dev
+    per_h = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(h).alias("horizon"),
+                    (F.col("_mu") + F.col(fcs[h])).alias("forecast"),
+                )
+                for h in sorted(fcs)
+            ]
+        )
+    ).alias("_s")
+    return base.select(*g, "n", "phi", "theta", "mom_valid", per_h).select(
+        *g, "n", "phi", "theta", "mom_valid",
+        F.col("_s.horizon").alias("horizon"),
+        F.col("_s.forecast").alias("forecast"),
+    )
+
+
+def arma11_forecast_sql(
+    relation: str,
+    column: str,
+    group_columns,
+    order_by,
+    horizons: tuple[int, ...] = (1, 7),
+    window_size: int = 20,
+    scale: int = 0,
+    min_pairs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`arma11_forecast` — the same expression
+    texts over the same staged shape (chained CTE columns preserve the
+    association of the Spark select chain)."""
+    from timeseriesutils_spark.operators.acf import acf_features_sql
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    osel_desc = ", ".join(f"{c} DESC" for c in _as_list(order_by))
+    inner = acf_features_sql(
+        relation, column, g, _as_list(order_by), max_lag=2, scale=scale,
+        min_pairs=min_pairs,
+    )
+    m = 10**scale
+    md = repr(float(m))
+    qq = f"CAST(FLOOR(CAST({column} AS DOUBLE) * {md} + 0.5) AS BIGINT)"
+    pivots = ",\n    ".join(
+        f"MAX(CASE WHEN _rn = {k} THEN _q END) AS _yq{k}"
+        for k in range(1, window_size + 1)
+    )
+    vals = ",\n    ".join(
+        f"(CAST(_yq{k} AS DOUBLE) / {md}) AS _v{k}"
+        for k in range(1, window_size + 1)
+    )
+    fit_chain = ""
+    prev = "base0"
+    for i, (name, expr) in enumerate(_arma11_base_exprs()):
+        fit_chain += f",\nbase{i + 1} AS (SELECT *, ({expr}) AS {name} FROM {prev})"
+        prev = f"base{i + 1}"
+    tchain = f",\nt0 AS (SELECT *, 1e0 AS _t0 FROM {prev})"
+    prev = "t0"
+    for k in range(1, window_size):
+        tchain += (
+            f",\nt{k} AS (SELECT *, (_t{k - 1} * (-theta)) AS _t{k}"
+            f" FROM {prev})"
+        )
+        prev = f"t{k}"
+    terms = " + ".join(
+        f"CASE WHEN _v{k + 1} IS NOT NULL THEN"
+        f" _t{k} * (_v{k + 1} - _mu) ELSE 0e0 END"
+        for k in range(window_size)
+    )
+    dchain = (
+        f",\nd1 AS (SELECT *, ((phi + theta) * ({terms})) AS _dev1"
+        f" FROM {prev})"
+    )
+    prev, dev = "d1", "_dev1"
+    hmax = max(horizons)
+    fcs = {}
+    for h in range(1, hmax + 1):
+        if h > 1:
+            dchain += (
+                f",\nd{h} AS (SELECT *, (phi * {dev}) AS _dev{h} FROM {prev})"
+            )
+            prev, dev = f"d{h}", f"_dev{h}"
+        if h in horizons:
+            fcs[h] = dev
+    sel = " UNION ALL ".join(
+        f"SELECT {gsel}, n, phi, theta, mom_valid, {h} AS horizon,"
+        f" (_mu + {fcs[h]}) AS forecast FROM {prev}"
+        for h in sorted(fcs)
+    )
+    return f"""
+WITH rw AS (
+  SELECT {gsel},
+    MAX(CASE WHEN lag_k = 1 THEN acf END) AS _r1,
+    MAX(CASE WHEN lag_k = 2 THEN acf END) AS _r2
+  FROM ({inner}) GROUP BY {gsel}
+),
+ranked AS (
+  SELECT {gsel}, {qq} AS _q,
+    ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY {osel_desc}) AS _rn
+  FROM {relation} WHERE {column} IS NOT NULL
+),
+state AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    SUM(CAST(_q AS DECIMAL(38,0))) AS _sq,
+    {pivots}
+  FROM ranked GROUP BY {gsel}
+),
+base0 AS (
+  SELECT {gsel}, n, _r1, _r2,
+    (CAST(CAST(_sq AS VARCHAR) AS DOUBLE) / {md} / CAST(n AS DOUBLE)) AS _mu,
+    {vals}
+  FROM rw JOIN state USING ({gsel})
+){fit_chain}{tchain}{dchain}
+{sel}
+ORDER BY {gsel}, horizon
+"""

@@ -3328,3 +3328,33 @@ QUERIES.update({
         q_brier_decomposition, _sql_brier_decomposition()
     )
 })
+
+
+def q_arma11_forecast(spark, sf_dir):
+    """ARMA(1,1) method-of-moments fit + 1/7-step forecasts per
+    supplier on the daily price series (operators/forecast.
+    arma11_forecast): the moving-average member the forecaster family
+    was missing — the innovations recursion collapses to a truncated
+    geometric filter (φ+θ)Σ(−θ)^k(y_{t−k}−μ), the kalman/holt linear
+    -filter discipline with a data-dependent ratio chained through
+    named columns (never POWER)."""
+    from timeseriesutils_spark.operators.forecast import arma11_forecast
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    return arma11_forecast(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        horizons=(1, 7), scale=2, min_pairs=2,
+    )
+
+
+def _sql_arma11_forecast():
+    from timeseriesutils_spark.operators.forecast import arma11_forecast_sql
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    return arma11_forecast_sql(
+        f"({_SQL_DAILY})", "day_price", ["l_suppkey"], ["ship_day"],
+        horizons=(1, 7), scale=2, min_pairs=2,
+    )
+
+
+QUERIES.update({"arma11_forecast": Q(q_arma11_forecast, _sql_arma11_forecast())})
