@@ -129,7 +129,22 @@ def main() -> None:
             k=5, n_centroids=16, nprobe=4,
         )
 
-    for name, fn in (("simhash_prod", _prod_simhash), ("knn_ivf_prod", _prod_knn_ivf)):
+    def _prod_kendall(s, d):
+        from timeseriesutils_spark.operators.nonparam import kendall_tau
+        from timeseriesutils_spark.queries.forecast_queries import (
+            _monthly_vol_rev,
+        )
+
+        return kendall_tau(
+            _monthly_vol_rev(s, d), "n_ship", "rev", ["l_suppkey"],
+            ["mth"], scale=2, engine="arrow",
+        )
+
+    for name, fn in (
+        ("simhash_prod", _prod_simhash),
+        ("knn_ivf_prod", _prod_knn_ivf),
+        ("kendall_prod", _prod_kendall),
+    ):
         try:
             best = min(_time_once(fn) for _ in range(max(1, runs)))
             ref = prior_prod.get(name)

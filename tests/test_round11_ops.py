@@ -404,3 +404,60 @@ def test_arma11_ar1_fallback(spark):
     r = out.collect()[0]
     assert r.forecast is not None
     assert r.theta in (0.0,) or abs(r.theta) < 1.0
+
+
+# --- kendall arrow engine -----------------------------------------------------
+
+
+def test_kendall_arrow_bit_equal_to_pairs(spark):
+    """Knight's O(n log n) Arrow engine is bit-identical to the O(n²)
+    pair-join engine — exact integer S/tie counts, same τ_b tree —
+    including heavy-tie and constant-series groups."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.nonparam import kendall_tau
+
+    rng = np.random.default_rng(19)
+    rows = []
+    for g in range(6):
+        n = int(rng.integers(2, 120))
+        x = rng.integers(0, 8, size=n) * 0.5          # heavy x ties
+        y = rng.normal(size=n).round(1)                # some y ties
+        if g == 5:
+            y = np.zeros(n)                            # constant y
+        rows += [
+            (f"g{g}", t, float(x[t]), float(y[t])) for t in range(n)
+        ]
+    df = spark.createDataFrame(rows, "g string, t int, x double, y double")
+    a = {
+        r.g: (r.n, r.s_stat, r.n_tie_x, r.n_tie_y, r.tau_b)
+        for r in kendall_tau(df, "x", "y", ["g"], ["t"]).collect()
+    }
+    b = {
+        r.g: (r.n, r.s_stat, r.n_tie_x, r.n_tie_y, r.tau_b)
+        for r in kendall_tau(
+            df, "x", "y", ["g"], ["t"], engine="arrow"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_kendall_counts_match_scipy_formula():
+    """The Knight kernel agrees with the direct O(n²) sign-product sum
+    on random int series."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.nonparam import _kendall_counts_int
+
+    rng = np.random.default_rng(23)
+    for _ in range(20):
+        n = int(rng.integers(1, 60))
+        x = rng.integers(-5, 5, size=n).astype(np.int64)
+        y = rng.integers(-5, 5, size=n).astype(np.int64)
+        s_ref = sum(
+            int(np.sign(x[j] - x[i])) * int(np.sign(y[j] - y[i]))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        s, xt, yt, nn = _kendall_counts_int(x, y)
+        assert s == s_ref and nn == n

@@ -1275,6 +1275,75 @@ FROM top
 # --------------------------------------------------------------------------
 
 
+def _inversion_count(a) -> int:
+    """Strict inversions (#pairs i<j with a_i > a_j) by recursive merge
+    counting — O(n log² n) with vectorized cross-counts; exact integer
+    arithmetic, so the Arrow kendall engine is bit-identical to the
+    O(n²) pair join."""
+    import numpy as np
+
+    a = np.asarray(a)
+    if len(a) <= 1:
+        return 0
+
+    def rec(v):
+        if len(v) <= 1:
+            return v, 0
+        mid = len(v) // 2
+        l, cl = rec(v[:mid])
+        r, cr = rec(v[mid:])
+        # elements of l STRICTLY greater than each r_j
+        cross = int(
+            (len(l) - np.searchsorted(l, r, side="right")).sum()
+        )
+        return np.sort(np.concatenate([l, r]), kind="mergesort"), (
+            cl + cr + cross
+        )
+
+    return rec(a)[1]
+
+
+def _kendall_counts_int(qx, qy) -> tuple[int, int, int, int]:
+    """(s_stat, n_tie_x, n_tie_y, n) from int64 series — Knight's
+    O(n log n) formulation: sort by (x, y), count x-/y-/joint-tie
+    pairs, count strict y-inversions (within an x-tie block the y's
+    are ascending, so only cross-x pairs invert), then
+
+        S = n₀ − xtie − ytie + ntie − 2·D    (scipy's identity)
+
+    every term an exact integer."""
+    import numpy as np
+
+    n = len(qx)
+    if n == 0:
+        return 0, 0, 0, 0
+    perm = np.lexsort((qy, qx))
+    x, y = qx[perm], qy[perm]
+
+    def tie_pairs(sorted_vals) -> int:
+        _, counts = np.unique(sorted_vals, return_counts=True)
+        c = counts.astype(object)
+        return int((c * (c - 1) // 2).sum())
+
+    xtie = tie_pairs(x)
+    ytie = tie_pairs(np.sort(qy, kind="mergesort"))
+    # joint ties: run lengths of equal (x, y) in the lexsorted order
+    both = (x[1:] == x[:-1]) & (y[1:] == y[:-1])
+    ntie = 0
+    run = 1
+    for b in both:
+        if b:
+            run += 1
+        else:
+            ntie += run * (run - 1) // 2
+            run = 1
+    ntie += run * (run - 1) // 2
+    dis = _inversion_count(y)
+    n0 = n * (n - 1) // 2
+    s = n0 - xtie - ytie + ntie - 2 * dis
+    return int(s), int(xtie), int(ytie), int(n)
+
+
 def kendall_tau(
     df: DataFrame,
     x_col: str,
@@ -1282,6 +1351,7 @@ def kendall_tau(
     group_columns,
     order_by,
     scale: int = 2,
+    engine: str = "pairs",
 ) -> DataFrame:
     """Per-group Kendall's τ-b between two columns — the
     concordance-based sibling of :func:`spearman_corr` (Spearman ranks
@@ -1293,16 +1363,26 @@ def kendall_tau(
         n₁/n₂ = Σ_t t(t−1)/2 over x/y tie groups
 
     S and the tie counts are EXACT integers (quantized comparisons);
-    τ_b is one shared double tree.  O(n²/group) pairs like
-    mann_kendall/theilsen — the verify-tier correlation for
-    dimension-sized series; at monster groups swap in the
-    merge-sort-inversion formulation (documented, same statistic).
+    τ_b is one shared double tree.
+
+    ``engine``:
+      * ``'pairs'`` (default, the declared hash-green mode) — O(n²)
+        pair self-join, pure JVM expressions; the verify-tier envelope
+        for dimension-sized series.
+      * ``'arrow'`` — Knight's O(n log n) merge-sort inversion count
+        per group (``applyInPandas``); exact integer arithmetic, so it
+        is BIT-IDENTICAL to ``'pairs'`` (pinned in tests) — the
+        production engine for monster groups, benched as
+        ``kendall_prod``.
+
     ``order_by`` supplies the strict pair order (any total key).
 
     Returns (groups…, n, s_stat, n_tie_x, n_tie_y, tau_b).
     """
     groups = _as_list(group_columns)
     order = _as_list(order_by)
+    if engine == "arrow":
+        return _kendall_tau_arrow(df, x_col, y_col, groups, scale)
     m = 10**scale
     qx = F.floor(F.col(x_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
         "bigint"
@@ -1353,6 +1433,12 @@ def kendall_tau(
         .join(ty.select(*groups, "n_tie_y"), groups, "inner")
         .join(s_df, groups, "left")
     )
+    return _tau_b_select(out, groups)
+
+
+def _tau_b_select(out: DataFrame, groups) -> DataFrame:
+    """Shared τ_b double tree over (n, s_stat, n_tie_x, n_tie_y) — the
+    identical final expressions for both kendall engines."""
     nn = F.col("n").cast("double")
     n0 = nn * (nn - F.lit(1.0)) / F.lit(2.0)
     n1 = F.col("n_tie_x").cast("double")
@@ -1368,6 +1454,50 @@ def kendall_tau(
         "n_tie_y",
         F.when(den > 0, tau).alias("tau_b"),
     )
+
+
+def _kendall_tau_arrow(
+    df: DataFrame, x_col: str, y_col: str, groups: list, scale: int
+) -> DataFrame:
+    """Knight-formulation production engine (see :func:`kendall_tau`):
+    one hash exchange on the group key, per-group O(n log n) numpy
+    kernel over Arrow batches, the same τ_b tree on the way out."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    m = 10**scale
+    qx = F.floor(F.col(x_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    qy = F.floor(F.col(y_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    src = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*groups, qx.alias("_qx"), qy.alias("_qy"))
+    fields = [src.schema[c] for c in groups]
+    schema = StructType(
+        list(fields)
+        + [
+            StructField("n", LongType()),
+            StructField("s_stat", LongType()),
+            StructField("n_tie_x", LongType()),
+            StructField("n_tie_y", LongType()),
+        ]
+    )
+
+    def per_group(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        s, xtie, ytie, n = _kendall_counts_int(
+            pdf["_qx"].to_numpy(np.int64), pdf["_qy"].to_numpy(np.int64)
+        )
+        row = dict(zip([f.name for f in fields], keys))
+        row.update(n=n, s_stat=s, n_tie_x=xtie, n_tie_y=ytie)
+        return pd.DataFrame([row])
+
+    counts = src.groupBy(*groups).applyInPandas(per_group, schema)
+    return _tau_b_select(counts, groups)
 
 
 def kendall_tau_sql(
