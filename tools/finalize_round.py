@@ -31,7 +31,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ARTIFACTS = [
     "CORRECTNESS_LOCAL.json",
-    "BENCH_LOCAL.json",
+    "BENCH_FINAL.json",
 ]
 # round artifacts the driver writes (committed when present, any round)
 DRIVER_GLOBS = ["BENCH_r", "CORRECTNESS_r", "VERDICT", "ADVICE", "COPYCHECK",
@@ -96,6 +96,15 @@ def main() -> None:
     if "--no-bench" not in args:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
         run([sys.executable, "bench.py"], env=env)
+    # BENCH_LOCAL.json is gitignored (r11: the DRIVER re-runs bench.py
+    # after the final commit and its overwrite left two rounds ending
+    # with a dirty tree) — the finalizer snapshots the quiet-window map
+    # to the TRACKED BENCH_FINAL.json instead.
+    bl = os.path.join(REPO, "BENCH_LOCAL.json")
+    if os.path.exists(bl):
+        import shutil
+
+        shutil.copyfile(bl, os.path.join(REPO, "BENCH_FINAL.json"))
     to_add = list(ARTIFACTS)
     for f in sorted(os.listdir(REPO)):
         if any(f.startswith(g) for g in DRIVER_GLOBS):

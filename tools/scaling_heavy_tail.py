@@ -60,6 +60,8 @@ PART_BASE = 100_000
 ORDER_BASE = 10_000_000
 DOC_BASE = 1_000_000
 VEC_BASE = 1_000_000
+EV_BASE = 10_000_000
+USER_BASE = 1_000_000
 
 
 def build(spark, k: int, out_dir: str) -> None:
@@ -116,8 +118,28 @@ def build(spark, k: int, out_dir: str) -> None:
     )
     _write(l, "lineitem", 8 * k)
 
+    # events/customer replicate on the USER axis (r11: the survival
+    # family's growth dimension — K× more users with identical
+    # per-user event histories, so per-segment lifetime samples grow
+    # K× at constant distribution shape)
+    ev = load_table(spark, SRC, "events")
+    evr = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("_r") * EV_BASE).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("_r") * USER_BASE).alias("user_id"),
+        "event_type", "value", "props",
+    )
+    _write(evr, "events", 2 * k)
+    cust = load_table(spark, SRC, "customer")
+    other = [c for c in cust.columns if c != "c_custkey"]
+    cr = cust.crossJoin(F.broadcast(reps)).select(
+        (F.col("c_custkey") + F.col("_r") * USER_BASE).alias("c_custkey"),
+        *other,
+    )
+    _write(cr, "customer", 1)
+
     for t in TABLES:
-        if t in ("documents", "embeddings", "lineitem"):
+        if t in ("documents", "embeddings", "lineitem", "events", "customer"):
             continue
         _write(load_table(spark, SRC, t), t, 1)
 
@@ -132,7 +154,38 @@ def main() -> None:
     from timeseriesutils_spark.session import get_spark
 
     spark = get_spark(app_name="heavy-tail-scale")
-    qs = e.queries()
+    qs = dict(e.queries())
+
+    def _pq_encode_batch(s, d):
+        # stream_pq_encode's batch side (r11 curvature row): train the
+        # 8x64 codebooks on the same frozen 256-vector md5 sample the
+        # streaming query uses, then ONE Arrow encode pass over the
+        # full corpus — the per-row work every micro-batch repeats.
+        from pyspark.sql import functions as F
+
+        from timeseriesutils_spark.operators.dedup import portable_hash64
+        from timeseriesutils_spark.operators.kmeans import _quantize
+        from timeseriesutils_spark.operators.similarity import (
+            _pq_train_books_driver,
+        )
+
+        m, n_codes, n_sample, n_iter, scale, dim = 8, 64, 256, 3, 6, 64
+        emb = s.read.parquet(f"{d}/embeddings.parquet")
+        sample = emb.orderBy(
+            portable_hash64(F.col("vec_id").cast("string")), F.col("vec_id")
+        ).limit(n_sample)
+        qrows = [
+            (r[0], list(r[1]))
+            for r in sample.select(
+                "vec_id", _quantize(F.col("embedding"), scale)
+            ).orderBy("vec_id").collect()
+        ]
+        books = _pq_train_books_driver(qrows, m, dim // m, n_codes, n_iter)
+        from timeseriesutils_spark.streaming.windows import stream_pq_encode
+
+        return stream_pq_encode(emb, books, scale=scale)
+
+    qs["pq_encode_batch"] = _pq_encode_batch
     results: dict[str, dict] = {}
     for scale in (1, k):
         d = os.path.join(WORK, f"x{scale}")
