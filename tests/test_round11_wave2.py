@@ -1,0 +1,242 @@
+"""Round-11 second wave: classical-test references and fingerprint
+properties, each pinned against a plain-numpy implementation of the
+textbook formula (the ar2/holt parity discipline)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_durbin_watson_reference(spark):
+    from timeseriesutils_spark.operators.stats import durbin_watson
+
+    rng = np.random.default_rng(2)
+    y = np.cumsum(rng.normal(size=60)).round(2)  # strong positive AC
+    rows = [("g", t, float(y[t])) for t in range(len(y))]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    r = durbin_watson(df, "y", ["g"], ["t"], scale=2).collect()[0]
+    e = y - y.mean()
+    dw_ref = np.sum(np.diff(e) ** 2) / np.sum(e**2)
+    assert abs(r.dw_stat - dw_ref) < 1e-9
+    assert r.dw_stat < 1.0  # random walk → strong positive autocorr
+
+
+def test_dagostino_k2_matches_reference(spark):
+    """Against a direct numpy transcription of D'Agostino (1970) +
+    Anscombe–Glynn (1983); skewed data rejects, normal-ish doesn't."""
+    from timeseriesutils_spark.operators.stats import dagostino_k2
+
+    rng = np.random.default_rng(7)
+    norm = rng.normal(size=300).round(2)
+    skewed = np.round(rng.exponential(size=300), 2)
+    rows = [("n", float(v)) for v in norm] + [("s", float(v)) for v in skewed]
+    df = spark.createDataFrame(rows, "g string, y double")
+    out = {r.g: r for r in dagostino_k2(df, "y", ["g"], scale=2).collect()}
+
+    def k2_ref(x):
+        n = len(x)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        g1 = m3 / m2**1.5
+        g2 = m4 / m2**2
+        y = g1 * np.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+        b2 = (
+            3 * (n**2 + 27 * n - 70) * (n + 1) * (n + 3)
+            / ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+        )
+        w2 = np.sqrt(2 * (b2 - 1)) - 1
+        delta = 1 / np.sqrt(np.log(np.sqrt(w2)))
+        alpha = np.sqrt(2 / (w2 - 1))
+        z1 = delta * np.log(y / alpha + np.sqrt((y / alpha) ** 2 + 1))
+        eb = 3 * (n - 1) / (n + 1)
+        vb = 24 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+        x4 = (g2 - eb) / np.sqrt(vb)
+        beta1 = (
+            6 * (n**2 - 5 * n + 2) / ((n + 7) * (n + 9))
+            * np.sqrt(6 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+        )
+        a = 6 + 8 / beta1 * (2 / beta1 + np.sqrt(1 + 4 / beta1**2))
+        inner = (1 - 2 / a) / (1 + x4 * np.sqrt(2 / (a - 4)))
+        z2 = (1 - 2 / (9 * a) - np.cbrt(inner)) * np.sqrt(4.5 * a)
+        return z1**2 + z2**2
+
+    for g, x in (("n", norm), ("s", skewed)):
+        assert abs(out[g].k2_stat - k2_ref(x)) < 1e-6, g
+    assert out["s"].reject_05 and not out["n"].reject_05
+
+
+def test_jonckheere_reference(spark):
+    """2U and the tie-corrected z against a direct pair-count
+    implementation (Hollander & Wolfe variance)."""
+    from timeseriesutils_spark.operators.nonparam import jonckheere_terpstra
+
+    rng = np.random.default_rng(5)
+    data = []
+    samples = {}
+    for k, lvl in enumerate(["a", "b", "c"]):
+        x = np.round(rng.normal(loc=k * 0.6, size=40), 1)  # rising trend
+        samples[lvl] = x
+        data += [("g", lvl, float(v)) for v in x]
+    df = spark.createDataFrame(data, "g string, lvl string, y double")
+    r = jonckheere_terpstra(
+        df, "y", "lvl", ["a", "b", "c"], ["g"], scale=1
+    ).collect()[0]
+
+    # reference 2U
+    u2 = 0
+    lv = ["a", "b", "c"]
+    for i in range(3):
+        for j in range(i + 1, 3):
+            for xa in samples[lv[i]]:
+                for xb in samples[lv[j]]:
+                    if xa < xb:
+                        u2 += 2
+                    elif xa == xb:
+                        u2 += 1
+    assert r.u_stat2 == u2
+    allv = np.concatenate(list(samples.values()))
+    n = len(allv)
+    nks = [len(samples[k]) for k in lv]
+    _, tcnt = np.unique(allv, return_counts=True)
+    t = tcnt.astype(np.int64)
+    a_all = n * (n - 1) * (2 * n + 5)
+    a_lvl = sum(nk * (nk - 1) * (2 * nk + 5) for nk in nks)
+    a_tie = int((t * (t - 1) * (2 * t + 5)).sum())
+    term1 = (a_all - a_lvl - a_tie) / 72.0
+    b_lvl = sum(nk * (nk - 1) * (nk - 2) for nk in nks)
+    b_tie = int((t * (t - 1) * (t - 2)).sum())
+    term2 = b_lvl * b_tie / (36.0 * n * (n - 1) * (n - 2))
+    c_lvl = sum(nk * (nk - 1) for nk in nks)
+    c_tie = int((t * (t - 1)).sum())
+    term3 = c_lvl * c_tie / (8.0 * n * (n - 1))
+    var = term1 + term2 + term3
+    mean2 = (n * n - sum(nk * nk for nk in nks)) / 2.0
+    z_ref = (u2 - mean2) / (2.0 * np.sqrt(var))
+    assert abs(r.z_stat - z_ref) < 1e-9
+    assert r.z_stat > 3 and r.reject_05  # planted rising trend
+
+
+def test_page_trend_reference(spark):
+    """L against direct per-block mid-ranks; a planted monotone
+    treatment effect is detected."""
+    from timeseriesutils_spark.operators.nonparam import page_trend
+
+    rng = np.random.default_rng(9)
+    k, b = 4, 25
+    vals = {}
+    rows = []
+    for blk in range(b):
+        base = rng.normal(size=k).round(1) + 0.8 * np.arange(k)
+        vals[blk] = base
+        rows += [
+            (blk, j + 1, float(base[j])) for j in range(k)
+        ]
+    df = spark.createDataFrame(rows, "blk int, trt int, y double")
+    r = page_trend(
+        df, "y", "blk", "trt", [1, 2, 3, 4], scale=1
+    ).collect()[0]
+    # reference 2L with mid-ranks
+    l2 = 0
+    for blk in range(b):
+        x = np.round(vals[blk], 1)
+        order = np.argsort(x, kind="mergesort")
+        ranks = np.empty(k)
+        sx = x[order]
+        i = 0
+        pos = 1
+        while i < k:
+            j = i
+            while j + 1 < k and sx[j + 1] == sx[i]:
+                j += 1
+            mid = (pos + pos + (j - i)) / 2.0
+            for t in range(i, j + 1):
+                ranks[order[t]] = mid
+            pos += j - i + 1
+            i = j + 1
+        l2 += int(round(2 * sum((j + 1) * ranks[j] for j in range(k))))
+    assert r.l_stat2 == l2
+    assert r.n_blocks == b
+    assert r.reject_05  # planted monotone effect
+
+
+def test_hodges_lehmann_reference(spark):
+    from timeseriesutils_spark.operators.nonparam import hodges_lehmann
+
+    rng = np.random.default_rng(4)
+    x = np.round(rng.normal(loc=5.0, size=40), 2)
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in x], "g string, y double"
+    )
+    r = hodges_lehmann(df, "y", ["g"], scale=2).collect()[0]
+    walsh = np.array(
+        [(x[i] + x[j]) / 2.0 for i in range(len(x)) for j in range(i, len(x))]
+    )
+    assert abs(r.hl_estimate - np.median(walsh)) < 1e-9
+    assert r.n == 40
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing contract: two documents sharing a long span share a
+    fingerprint; selection density ≈ 2/(w+1); every fingerprint's
+    hash equals the gram hash at its position."""
+    from timeseriesutils_spark.operators.dedup import winnow_fingerprints
+
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d1 = "one two three " + common + " four five six seven"
+    d2 = "red green blue " + common + " yellow purple orange pink"
+    uniq = "solo words only here never repeated anywhere else at all"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, uniq)], "doc_id bigint, text string"
+    )
+    fps = winnow_fingerprints(df, n=3, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.id, set()).add(r.fp)
+    shared = by_doc[1] & by_doc[2]
+    assert shared, "shared 10-word span must share a fingerprint"
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # density: uniq doc has 10 words → 8 grams, w=4 → expect ~2-5 fps
+    assert 1 <= len(by_doc[3]) <= 6
+
+
+def test_boxcox_guerrero_prefers_log_for_multiplicative(spark):
+    """A multiplicative series (sd ∝ mean) minimizes Guerrero CV at
+    λ ≈ 0; an additive one at λ ≈ 1."""
+    from timeseriesutils_spark.operators.forecast import boxcox_guerrero
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for blk in range(12):
+        mean = 10.0 * (1.3**blk)
+        mult = mean * (1 + 0.1 * rng.normal(size=24))  # sd ∝ mean
+        add = 100.0 + blk * 5 + 3.0 * rng.normal(size=24)  # sd const
+        rows += [("mult", blk, float(round(v, 4))) for v in mult]
+        rows += [("add", blk, float(round(v, 4))) for v in add]
+    df = spark.createDataFrame(rows, "g string, blk int, y double")
+    out = {
+        r.g: r for r in boxcox_guerrero(df, "y", ["g"], ["blk"]).collect()
+    }
+    assert out["mult"].lambda_best in (-0.5, 0.0, 0.5)
+    assert abs(out["mult"].lambda_best) < 1.0
+    assert out["add"].lambda_best == 1.0
+
+
+def test_tokenizer_fertility_counts(spark):
+    from timeseriesutils_spark.operators.text import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world!", "en", "s0"), (2, "a b", "en", "s0")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    r = tokenizer_fertility(df).collect()[0]
+    # "Hello, world!" → tokens: hello , world !  = 4 ; "a b" → 2
+    assert r.n_tokens == 6 and r.n_words == 4 and r.n_docs == 2
+    assert abs(r.tokens_per_word - 1.5) < 1e-12

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from timeseriesutils_spark.functions.cache import pin
@@ -1531,3 +1531,112 @@ SELECT bands, rows_per_band, n_candidates, n_truth, n_caught,
 FROM cfg CROSS JOIN tcnt
 """
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): from each sliding window of
+    ``window`` consecutive word-``n``-gram hashes, keep the minimum
+    (rightmost on ties); the distinct kept (position, hash) pairs are
+    the document's fingerprint index.  Guarantees every match of
+    length ≥ window+n−1 grams shares a fingerprint, at expected
+    density 2/(window+1) — the LOCAL, position-aware dedup index that
+    whole-doc MinHash can't give (plagiarism spans, license blocks,
+    quoted passages).
+
+    Determinism/portability: gram hashes are the 40 low bits of
+    :func:`portable_hash64`; the rightmost-tie rule is encoded in one
+    packed int64 key (hash·2^20 + (2^20−1−pos)) whose window MIN picks
+    (min hash, max pos) lexicographically — identical in both engines.
+    Windows at the head (< window grams) winnow over what exists, so
+    short documents still fingerprint.  Positions are capped at 2^20−1
+    grams/doc (a ~5 MB document; chunk longer docs upstream).
+
+    Output: (id, gram_pos, fp) distinct — one row per kept
+    fingerprint.  Scale: per-row projection + one per-doc window, no
+    joins; the index is ~2/(window+1) of the gram stream.
+    """
+    hr = portable_hash64  # 60-bit positive
+    w = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    wc = F.col("_w")
+    grams = F.when(
+        F.size(wc) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(wc) - n),
+            lambda i: F.concat_ws(" ", F.slice(wc, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", wc)))
+    g = w.select(
+        "id",
+        F.posexplode(grams).alias("pos", "_g"),
+    ).select(
+        "id",
+        F.col("pos").cast("bigint").alias("pos"),
+        (hr(F.col("_g")) % F.lit(2**40)).alias("_hr"),
+    )
+    key = F.col("_hr") * F.lit(2**20) + (
+        F.lit(2**20 - 1) - F.col("pos")
+    )
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    sel = g.select(
+        "id", F.min(key).over(win).alias("_k")
+    ).distinct()
+    return sel.select(
+        "id",
+        (F.lit(2**20 - 1) - F.col("_k") % F.lit(2**20)).alias("gram_pos"),
+        F.expr(f"CAST(_k div {2**20} AS BIGINT)").alias("fp"),
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (same packed-key
+    window min)."""
+    h = portable_hash64_sql("_g")
+    return f"""
+WITH words AS (
+  SELECT {id_col} AS id, string_split_regex(lower(trim({text_col})), '\\s+') AS w
+  FROM {table}
+),
+grams AS (
+  SELECT id,
+    unnest(CASE WHEN len(w) >= {n}
+      THEN [{{'pos': i - 1, 'g': array_to_string(w[i:i+{n - 1}], ' ')}}
+            FOR i IN range(1, len(w) - {n - 2})]
+      ELSE [{{'pos': 0, 'g': array_to_string(w, ' ')}}] END) AS u
+  FROM words
+),
+g AS (
+  SELECT id, CAST(u.pos AS BIGINT) AS pos,
+    ({h.replace('_g', 'u.g')}) % {2**40} AS _hr
+  FROM grams
+),
+sel AS (
+  SELECT DISTINCT id,
+    MIN(_hr * {2**20} + ({2**20 - 1} - pos)) OVER (
+      PARTITION BY id ORDER BY pos
+      ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW) AS _k
+  FROM g
+)
+SELECT id, ({2**20 - 1} - _k % {2**20}) AS gram_pos,
+  CAST(_k // {2**20} AS BIGINT) AS fp
+FROM sel
+"""

@@ -2633,3 +2633,272 @@ base0 AS (
 {sel}
 ORDER BY {gsel}, horizon
 """
+
+
+# --------------------------------------------------------------------------
+# Box–Cox λ selection (Guerrero 1993)
+# --------------------------------------------------------------------------
+
+BOXCOX_LAMBDAS = (-1.0, -0.5, 0.0, 0.5, 1.0)
+
+
+def boxcox_guerrero(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    block_col,
+    lambdas: tuple[float, ...] = BOXCOX_LAMBDAS,
+    scale_in: int = 6,
+) -> DataFrame:
+    """Guerrero's (1993) Box–Cox λ selection per group: over seasonal
+    blocks b with mean m_b and sd s_b, pick the λ minimizing the
+    coefficient of variation of r_b = s_b / m_b^(1−λ) — the standard
+    variance-stabilization pre-step before any additive forecaster
+    (holt/theta/arma assume ~constant variance; a λ < 1 says the
+    series needs compression first).
+
+    Exactness: block (n, Σq, Σq²) are exact ints; ln r_b = ln s_b −
+    (1−λ)·ln m_b is floor-quantized at 1e-9 (the libm rule); r_b spans
+    orders of magnitude across λ, so each λ's CV is computed on the
+    MAX-SHIFTED exponentials es_b = ⌊exp((lr_b − max_b lr)/1e9)·1e9⌋
+    — all in (0, 1e9] (1e9 keeps the grid ~10⁷ ulps wide, the libm
+    rule; 1e15 measurably straddles rounding boundaries), CV is scale-invariant under the common
+    exp(max) factor, and the cross-block sums are exact integers
+    (Σes² through DECIMAL/HUGEINT, VARCHAR-routed to double).
+    Constant blocks (s = 0) contribute r = 0 exactly.  Ties pick the
+    SMALLER λ (fixed CASE-chain order).
+
+    Returns (groups…, n_blocks, lambda_best, cv_best, cv_λ…).
+    """
+    groups = _as_list(group_columns)
+    blocks = _as_list(block_col)
+    m = 10**scale_in
+    q = F.floor(F.col(value_col).cast("double") * F.lit(float(m)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, *blocks, q.alias("_q")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    bstats = d.groupBy(*groups, *blocks).agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum(dec(F.col("_q"))).alias("_s1"),
+        # q² must leave BIGINT BEFORE the multiply (q ~ 1e11 at price
+        # scale 6 → q² ~ 1e22 overflows int64)
+        F.sum(dec19(F.col("_q")) * dec19(F.col("_q"))).alias("_s2"),
+    )
+    nbf = F.col("_nb").cast("double")
+    md = F.lit(float(m))
+    s1 = F.col("_s1").cast("string").cast("double")
+    s2 = F.col("_s2").cast("string").cast("double")
+    mean = s1 / md / nbf
+    var = (s2 / md / md - (s1 / md) * (s1 / md) / nbf) / (nbf - 1.0)
+    sd = F.sqrt(var)
+    base = bstats.filter((F.col("_nb") >= 2)).select(
+        *groups,
+        mean.alias("_m"),
+        sd.alias("_sd"),
+    ).filter(F.col("_m") > 0)
+    cols = [F.col(c) for c in groups]
+    lr_cols = []
+    for i, lam in enumerate(lambdas):
+        lr = F.when(
+            F.col("_sd") > 0,
+            F.floor(
+                (F.log(F.col("_sd")) - F.lit(1.0 - lam) * F.log(F.col("_m")))
+                * F.lit(1.0e9)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        lr_cols.append(lr.alias(f"_lr{i}"))
+    wg = Window.partitionBy(*groups)
+    withlr = base.select(*cols, *lr_cols)
+    withmax = withlr.select(
+        *cols,
+        *[F.col(f"_lr{i}") for i in range(len(lambdas))],
+        *[
+            F.max(f"_lr{i}").over(wg).alias(f"_L{i}")
+            for i in range(len(lambdas))
+        ],
+    )
+    es_exprs = []
+    for i in range(len(lambdas)):
+        es = F.when(
+            F.col(f"_lr{i}").isNotNull(),
+            F.floor(
+                F.exp(
+                    (F.col(f"_lr{i}") - F.col(f"_L{i}")).cast("double")
+                    / F.lit(1.0e9)
+                )
+                * F.lit(1.0e9)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        es_exprs.append(es.alias(f"_es{i}"))
+    est = withmax.select(*cols, *es_exprs)
+    agg = est.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        *[F.sum(dec(F.col(f"_es{i}"))).alias(f"_se{i}") for i in range(len(lambdas))],
+        *[
+            F.sum(dec(F.col(f"_es{i}")) * dec(F.col(f"_es{i}"))).alias(
+                f"_se2{i}"
+            )
+            for i in range(len(lambdas))
+        ],
+    )
+    nn = F.col("n_blocks").cast("double")
+    cvs = []
+    for i in range(len(lambdas)):
+        se = F.col(f"_se{i}").cast("string").cast("double")
+        se2 = F.col(f"_se2{i}").cast("string").cast("double")
+        mu = se / nn
+        v = (se2 - se * se / nn) / (nn - 1.0)
+        cv = F.when((F.col("n_blocks") > 1) & (mu > 0), F.sqrt(v) / mu)
+        cvs.append(cv)
+    best = None
+    bestcv = None
+    for i, lam in enumerate(lambdas):
+        cond = cvs[i].isNotNull()
+        for j in range(len(lambdas)):
+            if j != i:
+                cond = cond & (
+                    cvs[j].isNull() | (cvs[i] <= cvs[j])
+                    if j > i
+                    else cvs[j].isNull() | (cvs[i] < cvs[j])
+                )
+        best = (
+            F.when(cond, F.lit(float(lam)))
+            if best is None
+            else best.when(cond, F.lit(float(lam)))
+        )
+        bestcv = (
+            F.when(cond, cvs[i]) if bestcv is None else bestcv.when(cond, cvs[i])
+        )
+    out_cols = [
+        cvs[i].alias(f"cv_{str(lam).replace('-', 'm').replace('.', 'p')}")
+        for i, lam in enumerate(lambdas)
+    ]
+    return agg.select(
+        *groups,
+        "n_blocks",
+        best.alias("lambda_best"),
+        bestcv.alias("cv_best"),
+        *out_cols,
+    )
+
+
+def boxcox_guerrero_sql(
+    data_sql: str,
+    value_col: str,
+    group_columns,
+    block_col,
+    lambdas: tuple[float, ...] = BOXCOX_LAMBDAS,
+    scale_in: int = 6,
+) -> str:
+    """DuckDB twin of :func:`boxcox_guerrero` (same quantized-log
+    blocks, same max-shifted exponential sums, same argmin chain)."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    groups = _as_list(group_columns)
+    blocks = _as_list(block_col)
+    gsel = ", ".join(groups)
+    bsel = ", ".join(blocks)
+    m = 10**scale_in
+    md = dlit(float(m))
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {md} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nbf = "CAST(_nb AS DOUBLE)"
+    mean = f"({s2d('_s1')} / {md} / {nbf})"
+    var = (
+        f"(({s2d('_s2')} / {md} / {md}"
+        f" - ({s2d('_s1')} / {md}) * ({s2d('_s1')} / {md}) / {nbf})"
+        f" / ({nbf} - 1.0))"
+    )
+    lrs = ",\n    ".join(
+        f"CASE WHEN _sd > 0 THEN CAST(FLOOR((LN(_sd)"
+        f" - {dlit(1.0 - lam)} * LN(_m)) * 1e9 + 0.5) AS BIGINT) END AS _lr{i}"
+        for i, lam in enumerate(lambdas)
+    )
+    ls = ",\n    ".join(
+        f"MAX(_lr{i}) OVER (PARTITION BY {gsel}) AS _L{i}"
+        for i in range(len(lambdas))
+    )
+    ess = ",\n    ".join(
+        f"CASE WHEN _lr{i} IS NOT NULL THEN CAST(FLOOR("
+        f"EXP(CAST(_lr{i} - _L{i} AS DOUBLE) / 1e9) * 1e9 + 0.5) AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END AS _es{i}"
+        for i in range(len(lambdas))
+    )
+    sums = ",\n    ".join(
+        f"SUM(CAST(_es{i} AS HUGEINT)) AS _se{i},\n    "
+        f"SUM(CAST(_es{i} AS HUGEINT) * _es{i}) AS _se2{i}"
+        for i in range(len(lambdas))
+    )
+    nn = "CAST(n_blocks AS DOUBLE)"
+
+    def cv(i: int) -> str:
+        se, se2 = s2d(f"_se{i}"), s2d(f"_se2{i}")
+        mu = f"({se} / {nn})"
+        v = f"(({se2} - {se} * {se} / {nn}) / ({nn} - 1.0))"
+        return f"(CASE WHEN n_blocks > 1 AND {mu} > 0 THEN SQRT({v}) / {mu} END)"
+
+    best_chain = "CASE "
+    bestcv_chain = "CASE "
+    for i, lam in enumerate(lambdas):
+        conds = [f"{cv(i)} IS NOT NULL"]
+        for j in range(len(lambdas)):
+            if j == i:
+                continue
+            op = "<=" if j > i else "<"
+            conds.append(f"({cv(j)} IS NULL OR {cv(i)} {op} {cv(j)})")
+        cond = " AND ".join(conds)
+        best_chain += f"WHEN {cond} THEN {dlit(float(lam))} "
+        bestcv_chain += f"WHEN {cond} THEN {cv(i)} "
+    best_chain += "END"
+    bestcv_chain += "END"
+    out_cvs = ",\n  ".join(
+        f"{cv(i)} AS cv_{str(lam).replace('-', 'm').replace('.', 'p')}"
+        for i, lam in enumerate(lambdas)
+    )
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {bsel}, {qq} AS _q
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+bstats AS (
+  SELECT {gsel}, {bsel}, COUNT(*) AS _nb,
+    SUM(CAST(_q AS HUGEINT)) AS _s1,
+    SUM(CAST(_q AS HUGEINT) * _q) AS _s2
+  FROM d GROUP BY {gsel}, {bsel}
+),
+base AS (
+  SELECT {gsel}, {mean} AS _m, SQRT({var}) AS _sd
+  FROM bstats WHERE _nb >= 2 AND {mean} > 0
+),
+withlr AS (
+  SELECT {gsel},
+    {lrs}
+  FROM base
+),
+withmax AS (
+  SELECT *,
+    {ls}
+  FROM withlr
+),
+est AS (
+  SELECT {gsel},
+    {ess}
+  FROM withmax
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n_blocks,
+    {sums}
+  FROM est GROUP BY {gsel}
+)
+SELECT {gsel}, n_blocks,
+  {best_chain} AS lambda_best,
+  {bestcv_chain} AS cv_best,
+  {out_cvs}
+FROM agg
+"""

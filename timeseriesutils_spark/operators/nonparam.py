@@ -2778,3 +2778,487 @@ SELECT {gsel}, n_a, n_b,
     ELSE 'large' END AS magnitude
 FROM agg
 """
+
+
+def hodges_lehmann(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group one-sample Hodges–Lehmann estimator (1963): the
+    median of the n(n+1)/2 Walsh averages (x_i + x_j)/2, i ≤ j — the
+    location estimate the Wilcoxon signed-rank test inverts: ~86%
+    Gaussian efficiency WITH a 29% breakdown point, the standard
+    robust center when a trimmed mean's α is arbitrary.
+
+    Exact: quantized int64 values → integer Walsh SUMS (array
+    comprehension over the sorted collect, n(n+1)/2 ints) → exact
+    sorted median via the shared quantile_cont lerp → one final /2m
+    division.  O(n²) memory per group — the same verify-tier envelope
+    as kendall's pair join (n ≈ series length, thousands at most; a
+    monster-group HL needs the O(n log n) selection algorithm,
+    documented swap).
+
+    Returns (groups…, n, hl_estimate).
+    """
+    from timeseriesutils_spark.operators.stats import _qcont
+
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    arr = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, q.alias("_q"))
+        .groupBy(*groups)
+        .agg(F.sort_array(F.collect_list("_q")).alias("_a"))
+    )
+    a = F.col("_a")
+    n = F.size(a)
+    walsh = F.sort_array(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.transform(
+                    F.sequence(i, n),
+                    lambda j: F.element_at(a, i.cast("int"))
+                    + F.element_at(a, j.cast("int")),
+                ),
+            )
+        )
+    )
+    wn = F.size(walsh)
+    med = _qcont(walsh, wn, 0.5)
+    hl = med / F.lit(2.0 * m)
+    return arr.select(
+        *groups,
+        n.cast("bigint").alias("n"),
+        F.when(n > 0, hl).alias("hl_estimate"),
+    )
+
+
+def hodges_lehmann_sql(
+    data_sql: str,
+    value_col: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`hodges_lehmann` (same Walsh comprehension,
+    same lerp median)."""
+    from timeseriesutils_spark.operators.stats import _qcont_sql
+
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    med = _qcont_sql("_w", "len(_w)", 0.5)
+    return f"""
+WITH arr AS (
+  SELECT {gsel}, list_sort(list({qq})) AS _a
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL GROUP BY {gsel}
+),
+w AS (
+  SELECT {gsel}, len(_a) AS n,
+    list_sort(flatten([[_a[i] + _a[j] FOR j IN range(i, len(_a) + 1)]
+                       FOR i IN range(1, len(_a) + 1)])) AS _w
+  FROM arr
+)
+SELECT {gsel}, CAST(n AS BIGINT) AS n,
+  CASE WHEN n > 0 THEN {med} / {float(2 * m)!r} END AS hl_estimate
+FROM w
+"""
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    value_col: str,
+    level_col: str,
+    levels: list,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Jonckheere–Terpstra ordered-alternative trend test
+    (Jonckheere 1954, Terpstra 1952; Hollander & Wolfe variance with
+    ties): does ``value_col`` INCREASE across the ordered ``levels`` of
+    ``level_col``?  The a-priori-ordered replacement for
+    kruskal–wallis — pooling every upward pairwise Mann–Whitney count:
+
+        U = Σ_{g<h} Σ (1[x_g < x_h] + ½·1[x_g = x_h])
+
+    Exactness: rows collapse to per-(group, quantized value) level
+    counts; ONE cumulative window (ROWS … 1 PRECEDING over the
+    distinct-value frame) yields every below-value count; U is summed
+    in DOUBLED integer units (2U = Σ c_h(2·cum_g + c_g), no halves);
+    the tie-corrected null mean/variance are exact integer sums of
+    n_k- and tie-multiplicity polynomials (int64-safe to ~3e5 rows per
+    group; swap the cubic sums to DECIMAL beyond — documented), and z
+    /p are one shared double tree + the engine's logistic normal
+    kernel.
+
+    Returns (groups…, n, u_stat2 (=2U), z_stat, p_value, reject_05).
+    """
+    groups = _as_list(group_columns)
+    g_n = len(levels)
+    if g_n < 2:
+        raise ValueError("jonckheere_terpstra needs >= 2 ordered levels")
+    m = 10**scale
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    lvl = None
+    for k, name in enumerate(levels):
+        cond = F.col(level_col) == F.lit(name)
+        lvl = F.when(cond, k + 1) if lvl is None else lvl.when(cond, k + 1)
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, lvl.alias("_k"), qv.alias("_qv"))
+        .filter(F.col("_k").isNotNull())
+    )
+    cnt = d.groupBy(*groups, "_qv").agg(
+        *[
+            F.sum(F.when(F.col("_k") == k + 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_c{k + 1}")
+            for k in range(g_n)
+        ]
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("_qv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cnt.select(
+        *groups,
+        "_qv",
+        *[F.col(f"_c{k + 1}") for k in range(g_n)],
+        *[
+            F.coalesce(F.sum(f"_c{k + 1}").over(w), F.lit(0).cast("bigint"))
+            .alias(f"_m{k + 1}")
+            for k in range(g_n)
+        ],
+    )
+    u2_row = None
+    for gk in range(1, g_n + 1):
+        for h in range(gk + 1, g_n + 1):
+            term = F.col(f"_c{h}") * (
+                F.lit(2) * F.col(f"_m{gk}") + F.col(f"_c{gk}")
+            )
+            u2_row = term if u2_row is None else u2_row + term
+    t = None
+    for k in range(g_n):
+        c = F.col(f"_c{k + 1}")
+        t = c if t is None else t + c
+    tie1 = t * (t - 1)
+    agg = cum.select(*groups, u2_row.alias("_u2r"), t.alias("_t"),
+                     *[F.col(f"_c{k + 1}") for k in range(g_n)]).groupBy(
+        *groups
+    ).agg(
+        F.sum("_u2r").alias("_u2"),
+        F.sum("_t").alias("n"),
+        *[F.sum(f"_c{k + 1}").alias(f"_n{k + 1}") for k in range(g_n)],
+        F.sum(F.col("_t") * (F.col("_t") - 1)).alias("_t1"),
+        F.sum(
+            F.col("_t") * (F.col("_t") - 1) * (F.col("_t") - 2)
+        ).alias("_t2"),
+        F.sum(
+            F.col("_t") * (F.col("_t") - 1) * (F.lit(2) * F.col("_t") + 5)
+        ).alias("_t3"),
+    )
+    nn = F.col("n").cast("double")
+    sum_nk2 = None
+    a_lvl = None  # Σ n_k(n_k−1)(2n_k+5)
+    b_lvl = None  # Σ n_k(n_k−1)(n_k−2)
+    c_lvl = None  # Σ n_k(n_k−1)
+    for k in range(g_n):
+        nk = F.col(f"_n{k + 1}")
+        nk2 = nk * nk
+        sum_nk2 = nk2 if sum_nk2 is None else sum_nk2 + nk2
+        av = nk * (nk - 1) * (F.lit(2) * nk + 5)
+        bv = nk * (nk - 1) * (nk - 2)
+        cv = nk * (nk - 1)
+        a_lvl = av if a_lvl is None else a_lvl + av
+        b_lvl = bv if b_lvl is None else b_lvl + bv
+        c_lvl = cv if c_lvl is None else c_lvl + cv
+    n_big = F.col("n")
+    a_all = n_big * (n_big - 1) * (F.lit(2) * n_big + 5)
+    mean2 = (nn * nn - sum_nk2.cast("double")) / F.lit(2.0)
+    term1 = (
+        a_all.cast("double") - a_lvl.cast("double")
+        - F.col("_t3").cast("double")
+    ) / F.lit(72.0)
+    term2 = (
+        b_lvl.cast("double") * F.col("_t2").cast("double")
+        / (F.lit(36.0) * nn * (nn - 1.0) * (nn - 2.0))
+    )
+    term3 = (
+        c_lvl.cast("double") * F.col("_t1").cast("double")
+        / (F.lit(8.0) * nn * (nn - 1.0))
+    )
+    var = term1 + term2 + term3
+    z = (F.col("_u2").cast("double") - mean2) / (
+        F.lit(2.0) * F.sqrt(var)
+    )
+    p = two_sided_p_expr(z)
+    ok = (F.col("n") > 2) & (var > 0)
+    return agg.select(
+        *groups,
+        "n",
+        F.col("_u2").alias("u_stat2"),
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def jonckheere_terpstra_sql(
+    data_sql: str,
+    value_col: str,
+    level_col: str,
+    levels: list,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`jonckheere_terpstra` (same doubled-U
+    window chain, same tie-polynomial sums, same z/p tree)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    g_n = len(levels)
+    m = 10**scale
+    qv = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    lvl = "CASE " + " ".join(
+        f"WHEN {level_col} = {name!r} THEN {k + 1}"
+        if isinstance(name, str)
+        else f"WHEN {level_col} = {name} THEN {k + 1}"
+        for k, name in enumerate(levels)
+    ) + " END"
+    csel = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN _k = {k + 1} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS _c{k + 1}"
+        for k in range(g_n)
+    )
+    over = (
+        f"(PARTITION BY {gsel} ORDER BY _qv"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    msel = ",\n    ".join(
+        f"COALESCE(CAST(SUM(_c{k + 1}) OVER {over} AS BIGINT), 0) AS _m{k + 1}"
+        for k in range(g_n)
+    )
+    u2 = " + ".join(
+        f"_c{h} * (2 * _m{gk} + _c{gk})"
+        for gk in range(1, g_n + 1)
+        for h in range(gk + 1, g_n + 1)
+    )
+    t = " + ".join(f"_c{k + 1}" for k in range(g_n))
+    nsel = ",\n    ".join(
+        f"CAST(SUM(_c{k + 1}) AS BIGINT) AS _n{k + 1}" for k in range(g_n)
+    )
+    nn = "CAST(n AS DOUBLE)"
+    sum_nk2 = " + ".join(f"_n{k + 1} * _n{k + 1}" for k in range(g_n))
+    a_lvl = " + ".join(
+        f"_n{k + 1} * (_n{k + 1} - 1) * (2 * _n{k + 1} + 5)"
+        for k in range(g_n)
+    )
+    b_lvl = " + ".join(
+        f"_n{k + 1} * (_n{k + 1} - 1) * (_n{k + 1} - 2)" for k in range(g_n)
+    )
+    c_lvl = " + ".join(
+        f"_n{k + 1} * (_n{k + 1} - 1)" for k in range(g_n)
+    )
+    mean2 = f"(({nn} * {nn} - CAST({sum_nk2} AS DOUBLE)) / 2.0)"
+    term1 = (
+        f"((CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE)"
+        f" - CAST({a_lvl} AS DOUBLE) - CAST(_t3 AS DOUBLE)) / 72.0)"
+    )
+    term2 = (
+        f"(CAST({b_lvl} AS DOUBLE) * CAST(_t2 AS DOUBLE)"
+        f" / (36.0 * {nn} * ({nn} - 1.0) * ({nn} - 2.0)))"
+    )
+    term3 = (
+        f"(CAST({c_lvl} AS DOUBLE) * CAST(_t1 AS DOUBLE)"
+        f" / (8.0 * {nn} * ({nn} - 1.0)))"
+    )
+    var = f"({term1} + {term2} + {term3})"
+    z = f"((CAST(_u2 AS DOUBLE) - {mean2}) / (2.0 * SQRT({var})))"
+    p = two_sided_p_sql(z)
+    ok = f"(n > 2 AND {var} > 0)"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {lvl} AS _k, {qv} AS _qv
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+cnt AS (
+  SELECT {gsel}, _qv,
+    {csel}
+  FROM d WHERE _k IS NOT NULL GROUP BY {gsel}, _qv
+),
+cum AS (
+  SELECT {gsel}, _qv, {", ".join(f"_c{k + 1}" for k in range(g_n))},
+    {msel}
+  FROM cnt
+),
+agg AS (
+  SELECT {gsel},
+    CAST(SUM({u2}) AS BIGINT) AS _u2,
+    CAST(SUM({t}) AS BIGINT) AS n,
+    {nsel},
+    CAST(SUM(({t}) * (({t}) - 1)) AS BIGINT) AS _t1,
+    CAST(SUM(({t}) * (({t}) - 1) * (({t}) - 2)) AS BIGINT) AS _t2,
+    CAST(SUM(({t}) * (({t}) - 1) * (2 * ({t}) + 5)) AS BIGINT) AS _t3
+  FROM cum GROUP BY {gsel}
+)
+SELECT {gsel}, n, _u2 AS u_stat2,
+  CASE WHEN {ok} THEN {z} END AS z_stat,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""
+
+
+def page_trend(
+    df: DataFrame,
+    value_col: str,
+    block_col: str,
+    treat_col: str,
+    treatments: list,
+    group_columns=(),
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Page trend test (Page 1963) for an ORDERED alternative
+    across k treatments in b blocks — friedman_test's directional
+    sibling (friedman asks "any difference?", Page asks "do they rise
+    in THIS order?"):
+
+        L = Σ_j j·R_j,   R_j = Σ_blocks rank of treatment j in its block
+
+    E[L] = b·k(k+1)²/4,  Var[L] = b·k²(k+1)(k²−1)/144 (tie-free null;
+    mid-ranks are used for ties — the standard approximation, which
+    only shrinks Var, i.e. the reported |z| is conservative-to-slightly
+    -liberal exactly as in the textbook treatment).
+
+    Exactness: within-block mid-ranks come from RANK + tie-peer counts
+    in DOUBLED integer units (2r = 2·rank + peers − 1); L is an exact
+    integer in the same doubled units; only complete blocks (all k
+    treatments present) count.  One window pass + two reduces.
+
+    Input must carry ONE row per (group, block, treatment).
+    Returns (groups…, n_blocks, l_stat2 (=2L), z_stat, p_value,
+    reject_05).
+    """
+    groups = _as_list(group_columns) if group_columns else []
+    k = len(treatments)
+    if k < 3:
+        raise ValueError("page_trend needs >= 3 ordered treatments")
+    m = 10**scale
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    widx = None
+    for j, name in enumerate(treatments):
+        cond = F.col(treat_col) == F.lit(name)
+        widx = F.when(cond, j + 1) if widx is None else widx.when(cond, j + 1)
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, F.col(block_col).alias("_b"), widx.alias("_j"),
+                qv.alias("_qv"))
+        .filter(F.col("_j").isNotNull())
+    )
+    # complete blocks only
+    wb = Window.partitionBy(*groups, "_b")
+    d = d.select("*", F.count(F.lit(1)).over(wb).alias("_bk")).filter(
+        F.col("_bk") == k
+    )
+    wrank = Window.partitionBy(*groups, "_b").orderBy("_qv")
+    wtie = Window.partitionBy(*groups, "_b", "_qv")
+    ranked = d.select(
+        *groups,
+        "_j",
+        (
+            F.lit(2) * F.rank().over(wrank)
+            + F.count(F.lit(1)).over(wtie)
+            - F.lit(1)
+        ).cast("bigint").alias("_r2"),
+    )
+    agg = ranked.groupBy(*groups).agg(
+        F.expr(f"CAST(COUNT(1) div {k} AS BIGINT)").alias("n_blocks"),
+        F.sum(F.col("_j").cast("bigint") * F.col("_r2")).alias("_l2"),
+    )
+    bb = F.col("n_blocks").cast("double")
+    kk = float(k)
+    mean2 = bb * F.lit(kk * (kk + 1.0) ** 2 / 2.0)  # 2·E[L]
+    var = bb * F.lit(kk * kk * (kk + 1.0) * (kk * kk - 1.0) / 144.0)
+    z = (F.col("_l2").cast("double") - mean2) / (
+        F.lit(2.0) * F.sqrt(var)
+    )
+    p = two_sided_p_expr(z)
+    ok = (F.col("n_blocks") > 1) & (var > 0)
+    return agg.select(
+        *groups,
+        "n_blocks",
+        F.col("_l2").alias("l_stat2"),
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def page_trend_sql(
+    data_sql: str,
+    value_col: str,
+    block_col: str,
+    treat_col: str,
+    treatments: list,
+    group_columns=(),
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`page_trend` (same doubled mid-ranks, same
+    null-moment tree)."""
+    groups = _as_list(group_columns) if group_columns else []
+    gsel = ", ".join(groups)
+    gcomma = f"{gsel}, " if groups else ""
+    gby = gsel if groups else "1"
+    k = len(treatments)
+    m = 10**scale
+    qv = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    widx = "CASE " + " ".join(
+        f"WHEN {treat_col} = {name!r} THEN {j + 1}"
+        if isinstance(name, str)
+        else f"WHEN {treat_col} = {name} THEN {j + 1}"
+        for j, name in enumerate(treatments)
+    ) + " END"
+    kk = float(k)
+    bb = "CAST(n_blocks AS DOUBLE)"
+    mean2 = f"({bb} * {dlit(kk * (kk + 1.0) ** 2 / 2.0)})"
+    var = f"({bb} * {dlit(kk * kk * (kk + 1.0) * (kk * kk - 1.0) / 144.0)})"
+    z = f"((CAST(_l2 AS DOUBLE) - {mean2}) / (2.0 * SQRT({var})))"
+    p = two_sided_p_sql(z)
+    ok = f"(n_blocks > 1 AND {var} > 0)"
+    sel_g = f"{gsel}, " if groups else ""
+    return f"""
+WITH d AS (
+  SELECT {gcomma}{block_col} AS _b, {widx} AS _j, {qv} AS _qv
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+cb AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY {gcomma}_b) AS _bk
+  FROM d WHERE _j IS NOT NULL
+),
+ranked AS (
+  SELECT {gcomma}_j,
+    CAST(2 * RANK() OVER (PARTITION BY {gcomma}_b ORDER BY _qv)
+         + COUNT(*) OVER (PARTITION BY {gcomma}_b, _qv) - 1 AS BIGINT) AS _r2
+  FROM cb WHERE _bk = {k}
+),
+agg AS (
+  SELECT {sel_g}CAST(COUNT(*) // {k} AS BIGINT) AS n_blocks,
+    CAST(SUM(CAST(_j AS BIGINT) * _r2) AS BIGINT) AS _l2
+  FROM ranked{(" GROUP BY " + gsel) if groups else ""}
+)
+SELECT {sel_g}n_blocks, _l2 AS l_stat2,
+  CASE WHEN {ok} THEN {z} END AS z_stat,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""

@@ -3022,3 +3022,310 @@ SELECT {gsel}, n_a, n_b,
   ({dd} * {j}) AS hedges_g
 FROM agg
 """
+
+
+def durbin_watson(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Durbin–Watson statistic (Durbin & Watson 1950) over
+    the ORDER-consecutive, mean-centered series:
+
+        DW = Σ_{t=2..n} (e_t − e_{t−1})² / Σ e_t²,  e = y − ȳ
+
+    the first-order serial-correlation check every regression-residual
+    diagnosis starts with (DW ≈ 2(1−ρ₁); < 2 positive autocorrelation,
+    > 2 negative).  Exactness: consecutive differences are
+    CENTER-INVARIANT (Δ(q−μ) = Δq), so the numerator is an exact
+    integer sum of squared quantized lags; the denominator is the
+    exact power-sum identity Σq² − (Σq)²/n — one window pass for the
+    lag, one reduce, one shared double division.
+
+    Returns (groups…, n, dw_stat, rho1_approx); NULL when n < 2 or
+    the series is constant.
+    """
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    w = Window.partitionBy(*groups).orderBy(*order)
+    # single pass: lag within the ordered window, then reduce
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, *order, q.alias("_q")
+    )
+    lagged = src.select(
+        *groups,
+        "_q",
+        (F.col("_q") - F.lag("_q").over(w)).alias("_dq"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = lagged.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_q"))).alias("_s1"),
+        F.sum(dec(F.col("_q") * F.col("_q"))).alias("_s2"),
+        F.sum(dec(F.col("_dq") * F.col("_dq"))).alias("_sd2"),
+    )
+    nn = F.col("n").cast("double")
+    s1 = F.col("_s1").cast("string").cast("double")
+    s2 = F.col("_s2").cast("string").cast("double")
+    sd2 = F.coalesce(F.col("_sd2").cast("string").cast("double"), F.lit(0.0))
+    den = s2 - s1 * s1 / nn
+    dw = sd2 / den
+    ok = (F.col("n") >= 2) & (den > 0)
+    return agg.select(
+        *groups,
+        "n",
+        F.when(ok, dw).alias("dw_stat"),
+        F.when(ok, F.lit(1.0) - dw / F.lit(2.0)).alias("rho1_approx"),
+    )
+
+
+def durbin_watson_sql(
+    data_sql: str,
+    value_col: str,
+    group_columns,
+    order_by,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`durbin_watson` (same power-sum identity,
+    same division tree)."""
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    gsel = ", ".join(groups)
+    osel = ", ".join(order)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+    den = f"({s2d('_s2')} - {s2d('_s1')} * {s2d('_s1')} / {nn})"
+    dw = f"(COALESCE({s2d('_sd2')}, 0e0) / {den})"
+    return f"""
+WITH src AS (
+  SELECT {gsel}, {qq} AS _q,
+    {qq} - LAG({qq}) OVER (PARTITION BY {gsel} ORDER BY {osel}) AS _dq
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    SUM(CAST(_q AS DECIMAL(38,0))) AS _s1,
+    SUM(CAST(_q * _q AS DECIMAL(38,0))) AS _s2,
+    SUM(CAST(_dq * _dq AS DECIMAL(38,0))) AS _sd2
+  FROM src GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  CASE WHEN n >= 2 AND {den} > 0 THEN {dw} END AS dw_stat,
+  CASE WHEN n >= 2 AND {den} > 0 THEN 1e0 - {dw} / 2e0 END AS rho1_approx
+FROM agg
+"""
+
+
+def dagostino_k2(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group D'Agostino K² omnibus normality test — the
+    finite-sample-calibrated sibling of :func:`jarque_bera` (JB's χ²
+    limit is notoriously slow to arrive; K² transforms skewness
+    (D'Agostino 1970) and kurtosis (Anscombe & Glynn 1983) to separate
+    ~N(0,1) scores first, so the omnibus is usable from n ≈ 20):
+
+        Z₁ = δ·asinh(Y/α)  (skewness transform)
+        Z₂ = cube-root Wilson–Hilferty-style kurtosis transform
+        K² = Z₁² + Z₂²,  p = exp(−K²/2)   (χ²₂ — exact closed form)
+
+    Moments come from the same exact DECIMAL power sums as
+    jarque_bera; the n-dependent constants are one shared double tree;
+    Z₁/Z₂ pass through LN/CBRT/SQRT so each is floor-quantized at 1e-9
+    BEFORE squaring (the libm rule) — K² and p are then bit-identical
+    cross-engine.
+
+    Returns (groups…, n, z_skew, z_kurt, k2_stat, p_value, reject_05);
+    NULL for n ≤ 20 or a constant series (the transform's validity
+    floor, pinned rather than extrapolated).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, q.alias("_q"), (q * q).alias("_q2")
+    )
+    dec19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    agg = d.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_q").cast("decimal(38,0)")).alias("_s1"),
+        F.sum(F.col("_q2").cast("decimal(38,0)")).alias("_s2"),
+        F.sum(dec19(F.col("_q2")) * dec19(F.col("_q"))).alias("_s3"),
+        F.sum(dec19(F.col("_q2")) * dec19(F.col("_q2"))).alias("_s4"),
+    )
+    nn = F.col("n").cast("double")
+    s1 = F.col("_s1").cast("string").cast("double")
+    s2 = F.col("_s2").cast("string").cast("double")
+    s3 = F.col("_s3").cast("string").cast("double")
+    s4 = F.col("_s4").cast("string").cast("double")
+    mean = s1 / nn
+    m2 = s2 / nn - mean * mean
+    m3 = s3 / nn - F.lit(3.0) * mean * (s2 / nn) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        s4 / nn
+        - F.lit(4.0) * mean * (s3 / nn)
+        + F.lit(6.0) * mean * mean * (s2 / nn)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2)  # RAW kurtosis (not excess) for Anscombe–Glynn
+    # --- D'Agostino (1970) skewness transform ---
+    y = g1 * F.sqrt((nn + 1.0) * (nn + 3.0) / (F.lit(6.0) * (nn - 2.0)))
+    b2 = (
+        F.lit(3.0)
+        * (nn * nn + F.lit(27.0) * nn - F.lit(70.0))
+        * (nn + 1.0)
+        * (nn + 3.0)
+        / ((nn - 2.0) * (nn + 5.0) * (nn + 7.0) * (nn + 9.0))
+    )
+    w2 = F.sqrt(F.lit(2.0) * (b2 - 1.0)) - F.lit(1.0)
+    delta = F.lit(1.0) / F.sqrt(F.log(F.sqrt(w2)))
+    alpha = F.sqrt(F.lit(2.0) / (w2 - 1.0))
+    z1raw = delta * F.log(
+        y / alpha + F.sqrt((y / alpha) * (y / alpha) + F.lit(1.0))
+    )
+    # --- Anscombe & Glynn (1983) kurtosis transform ---
+    eb = F.lit(3.0) * (nn - 1.0) / (nn + 1.0)
+    vb = (
+        F.lit(24.0) * nn * (nn - 2.0) * (nn - 3.0)
+        / ((nn + 1.0) * (nn + 1.0) * (nn + 3.0) * (nn + 5.0))
+    )
+    x = (g2 - eb) / F.sqrt(vb)
+    beta1 = (
+        F.lit(6.0) * (nn * nn - F.lit(5.0) * nn + F.lit(2.0))
+        / ((nn + 7.0) * (nn + 9.0))
+        * F.sqrt(
+            F.lit(6.0) * (nn + 3.0) * (nn + 5.0)
+            / (nn * (nn - 2.0) * (nn - 3.0))
+        )
+    )
+    a = F.lit(6.0) + F.lit(8.0) / beta1 * (
+        F.lit(2.0) / beta1
+        + F.sqrt(F.lit(1.0) + F.lit(4.0) / (beta1 * beta1))
+    )
+    inner = (F.lit(1.0) - F.lit(2.0) / a) / (
+        F.lit(1.0) + x * F.sqrt(F.lit(2.0) / (a - 4.0))
+    )
+    z2raw = (
+        (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * a) - F.cbrt(inner))
+        * F.sqrt(F.lit(4.5) * a)
+    )
+    quant = lambda c: F.floor(c * F.lit(1.0e9) + F.lit(0.5)) / F.lit(1.0e9)  # noqa: E731
+    z1 = quant(z1raw)
+    z2 = quant(z2raw)
+    k2 = z1 * z1 + z2 * z2
+    p = quant(F.exp(-k2 / F.lit(2.0)))
+    ok = (F.col("n") > 20) & (m2 > 0)
+    return agg.select(
+        *groups,
+        "n",
+        F.when(ok, z1).alias("z_skew"),
+        F.when(ok, z2).alias("z_kurt"),
+        F.when(ok, k2).alias("k2_stat"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def dagostino_k2_sql(
+    data_sql: str,
+    value_col: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`dagostino_k2` (same power sums, same
+    transform trees, same 1e-9 quantization points)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+    mean = f"({s2d('_s1')} / {nn})"
+    m2 = f"({s2d('_s2')} / {nn} - {mean} * {mean})"
+    m3 = (
+        f"({s2d('_s3')} / {nn} - 3.0 * {mean} * ({s2d('_s2')} / {nn})"
+        f" + 2.0 * {mean} * {mean} * {mean})"
+    )
+    m4 = (
+        f"({s2d('_s4')} / {nn} - 4.0 * {mean} * ({s2d('_s3')} / {nn})"
+        f" + 6.0 * {mean} * {mean} * ({s2d('_s2')} / {nn})"
+        f" - 3.0 * {mean} * {mean} * {mean} * {mean})"
+    )
+    g1 = f"({m3} / ({m2} * SQRT({m2})))"
+    g2 = f"({m4} / ({m2} * {m2}))"
+    y = f"({g1} * SQRT(({nn} + 1.0) * ({nn} + 3.0) / (6.0 * ({nn} - 2.0))))"
+    b2 = (
+        f"(3.0 * ({nn} * {nn} + 27.0 * {nn} - 70.0) * ({nn} + 1.0)"
+        f" * ({nn} + 3.0) / (({nn} - 2.0) * ({nn} + 5.0) * ({nn} + 7.0)"
+        f" * ({nn} + 9.0)))"
+    )
+    w2 = f"(SQRT(2.0 * ({b2} - 1.0)) - 1.0)"
+    delta = f"(1.0 / SQRT(LN(SQRT({w2}))))"
+    alpha = f"(SQRT(2.0 / ({w2} - 1.0)))"
+    z1raw = (
+        f"({delta} * LN({y} / {alpha}"
+        f" + SQRT(({y} / {alpha}) * ({y} / {alpha}) + 1.0)))"
+    )
+    eb = f"(3.0 * ({nn} - 1.0) / ({nn} + 1.0))"
+    vb = (
+        f"(24.0 * {nn} * ({nn} - 2.0) * ({nn} - 3.0)"
+        f" / (({nn} + 1.0) * ({nn} + 1.0) * ({nn} + 3.0) * ({nn} + 5.0)))"
+    )
+    x = f"(({g2} - {eb}) / SQRT({vb}))"
+    beta1 = (
+        f"(6.0 * ({nn} * {nn} - 5.0 * {nn} + 2.0)"
+        f" / (({nn} + 7.0) * ({nn} + 9.0))"
+        f" * SQRT(6.0 * ({nn} + 3.0) * ({nn} + 5.0)"
+        f" / ({nn} * ({nn} - 2.0) * ({nn} - 3.0))))"
+    )
+    a = (
+        f"(6.0 + 8.0 / {beta1} * (2.0 / {beta1}"
+        f" + SQRT(1.0 + 4.0 / ({beta1} * {beta1}))))"
+    )
+    inner = (
+        f"((1.0 - 2.0 / {a}) / (1.0 + {x} * SQRT(2.0 / ({a} - 4.0))))"
+    )
+    z2raw = (
+        f"((1.0 - 2.0 / (9.0 * {a}) - CBRT({inner})) * SQRT(4.5 * {a}))"
+    )
+    quant = lambda c: f"(FLOOR({c} * 1e9 + 0.5) / 1e9)"  # noqa: E731
+    z1, z2 = quant(z1raw), quant(z2raw)
+    k2 = f"({z1} * {z1} + {z2} * {z2})"
+    p = quant(f"EXP(-{k2} / 2.0)")
+    ok = f"(n > 20 AND {m2} > 0)"
+    dec19 = lambda c: f"CAST({c} AS DECIMAL(19,0))"  # noqa: E731
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q, {qq} * {qq} AS _q2
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    SUM(CAST(_q AS DECIMAL(38,0))) AS _s1,
+    SUM(CAST(_q2 AS DECIMAL(38,0))) AS _s2,
+    SUM({dec19('_q2')} * {dec19('_q')}) AS _s3,
+    SUM({dec19('_q2')} * {dec19('_q2')}) AS _s4
+  FROM d GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  CASE WHEN {ok} THEN {z1} END AS z_skew,
+  CASE WHEN {ok} THEN {z2} END AS z_kurt,
+  CASE WHEN {ok} THEN {k2} END AS k2_stat,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""

@@ -2785,3 +2785,87 @@ s AS (
 SELECT word, n_a, n_b, llr, side
 FROM s ORDER BY llr DESC, word LIMIT {top_k}
 """
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    group_columns=("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility dashboard per corpus stratum: pre-tokens per
+    word, characters per token, tokens per document — the numbers that
+    decide per-language sampling weights and sequence-packing budgets
+    in a training mix (a high-fertility language consumes its token
+    budget on fewer documents; public metric, e.g. the XLM-R / BLOOM
+    tokenizer analyses).
+
+    Pre-tokens = the engine's shared BPE-ish ``TOKEN_PATTERN`` pass;
+    words = whitespace split; all counts exact integers, ratios one
+    shared double tree.  Per-row projections + one reduce — scan-bound
+    at any corpus size.
+
+    Returns (groups…, n_docs, n_tokens, n_words, n_chars,
+    tokens_per_word, chars_per_token, tokens_per_doc).
+    """
+    g = list(group_columns) if not isinstance(group_columns, str) else [group_columns]
+    t = F.col(text_col)
+    toks = F.size(F.regexp_extract_all(F.lower(t), F.lit(TOKEN_PATTERN), 0))
+    wrds = F.size(words(t))
+    base = docs.filter(t.isNotNull()).select(
+        *g,
+        toks.cast("bigint").alias("_tk"),
+        wrds.cast("bigint").alias("_wd"),
+        F.length(t).cast("bigint").alias("_ch"),
+    )
+    agg = base.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tk").alias("n_tokens"),
+        F.sum("_wd").alias("n_words"),
+        F.sum("_ch").alias("n_chars"),
+    )
+    tk = F.col("n_tokens").cast("double")
+    wd = F.col("n_words").cast("double")
+    ch = F.col("n_chars").cast("double")
+    nd = F.col("n_docs").cast("double")
+    return agg.select(
+        *g, "n_docs", "n_tokens", "n_words", "n_chars",
+        F.when(F.col("n_words") > 0, tk / wd).alias("tokens_per_word"),
+        F.when(F.col("n_tokens") > 0, ch / tk).alias("chars_per_token"),
+        (tk / nd).alias("tokens_per_doc"),
+    )
+
+
+def tokenizer_fertility_sql(
+    table: str = "documents",
+    group_columns=("lang", "source"),
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`tokenizer_fertility`."""
+    g = list(group_columns) if not isinstance(group_columns, str) else [group_columns]
+    gsel = ", ".join(g)
+    toks = f"len(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}'))"
+    wrds = f"len(string_split_regex(trim({text_col}), '\\s+'))"
+    return f"""
+WITH base AS (
+  SELECT {gsel},
+    CAST({toks} AS BIGINT) AS _tk,
+    CAST({wrds} AS BIGINT) AS _wd,
+    CAST(LENGTH({text_col}) AS BIGINT) AS _ch
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n_docs,
+    CAST(SUM(_tk) AS BIGINT) AS n_tokens,
+    CAST(SUM(_wd) AS BIGINT) AS n_words,
+    CAST(SUM(_ch) AS BIGINT) AS n_chars
+  FROM base GROUP BY {gsel}
+)
+SELECT {gsel}, n_docs, n_tokens, n_words, n_chars,
+  CASE WHEN n_words > 0 THEN CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) END
+    AS tokens_per_word,
+  CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
+    AS chars_per_token,
+  (CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS tokens_per_doc
+FROM agg
+"""

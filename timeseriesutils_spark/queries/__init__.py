@@ -44,7 +44,9 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # hash row (dtw_pattern: exact int min-plus DP; pca_project:
     # power-deflation k=2):
     "pipeline_e2e", "dtw_pattern", "pca_project", "lomb_scargle",
-    "arma11_forecast",
+    "arma11_forecast", "durbin_watson", "dagostino_k2",
+    "tokenizer_fertility", "hodges_lehmann", "jonckheere_terpstra",
+    "page_trend", "winnow_fingerprints", "boxcox_guerrero",
     # slots: round-10 head re-verification carry
     "ratio_metric_ci", "knn_pq", "pq_recall",
     # round-10 additions (never driver-verified; uncommented here as
@@ -58,12 +60,10 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "seasonal_mann_kendall", "cronbach_alpha", "ks_uniform_audit",
     "binseg_breakpoints", "weibull_fit", "cohens_d", "cliffs_delta",
     "brier_decomposition",
-    # stale re-verification: round-3 cohort remainder (driver rows r3)
+    # stale re-verification: round-3 cohort head (driver rows r3;
+    # the displaced stream_* names move to the ROUND-12 plan below)
     "chunk_dedup", "quality_filter", "semantic_dedup",
-    "stream_counter_rate", "stream_cusum", "stream_dedup",
-    "stream_join", "stream_renewal_rt", "stream_session",
-    "stream_sliding", "stream_stateful", "stream_static_join",
-    "stream_topk",
+    "stream_counter_rate", "stream_cusum",
     # round-4 cohort head, catalog order (tail names are PADDING
     # swapped out one-for-one as round-11 additions land, keeping the
     # head at exactly 50)
@@ -151,7 +151,10 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "binseg_breakpoints", "weibull_fit", "cohens_d", "cliffs_delta",
     "brier_decomposition",
     # round-11 additions
-    "pipeline_e2e", "lomb_scargle", "arma11_forecast",
+    "pipeline_e2e", "lomb_scargle", "arma11_forecast", "durbin_watson",
+    "dagostino_k2", "tokenizer_fertility", "hodges_lehmann",
+    "jonckheere_terpstra", "page_trend", "winnow_fingerprints",
+    "boxcox_guerrero",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

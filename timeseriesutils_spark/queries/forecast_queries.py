@@ -3358,3 +3358,229 @@ def _sql_arma11_forecast():
 
 
 QUERIES.update({"arma11_forecast": Q(q_arma11_forecast, _sql_arma11_forecast())})
+
+
+def q_durbin_watson(spark, sf_dir):
+    """Durbin–Watson first-order serial-correlation statistic per
+    supplier over the daily price series (operators/stats.
+    durbin_watson): the residual-diagnosis opener — DW ≈ 2(1−ρ₁);
+    exact integer Δ² numerator (center-invariant), power-sum
+    denominator, one window pass + one reduce."""
+    from timeseriesutils_spark.operators.stats import durbin_watson
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    return durbin_watson(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        scale=2,
+    )
+
+
+def _sql_durbin_watson():
+    from timeseriesutils_spark.operators.stats import durbin_watson_sql
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    return durbin_watson_sql(
+        _SQL_DAILY, "day_price", ["l_suppkey"], ["ship_day"], scale=2
+    )
+
+
+def q_dagostino_k2(spark, sf_dir):
+    """D'Agostino K² omnibus normality test per ship year on line-item
+    prices (operators/stats.dagostino_k2): the finite-sample-calibrated
+    companion of jarque_bera — separately-normalized skewness/kurtosis
+    z-scores (D'Agostino 1970, Anscombe–Glynn 1983), exact power sums,
+    1e-9-quantized transform outputs, closed-form χ²₂ p."""
+    from timeseriesutils_spark.operators.stats import dagostino_k2
+
+    return dagostino_k2(
+        _year_rf(spark, sf_dir), "l_extendedprice", ["ship_year"], scale=2
+    )
+
+
+def _sql_dagostino_k2():
+    from timeseriesutils_spark.operators.stats import dagostino_k2_sql
+
+    return dagostino_k2_sql(
+        _SQL_YEAR_RF, "l_extendedprice", ["ship_year"], scale=2
+    )
+
+
+QUERIES.update(
+    {
+        "durbin_watson": Q(q_durbin_watson, _sql_durbin_watson()),
+        "dagostino_k2": Q(q_dagostino_k2, _sql_dagostino_k2()),
+    }
+)
+
+
+def q_hodges_lehmann(spark, sf_dir):
+    """Hodges–Lehmann robust location per supplier over monthly
+    revenue (operators/nonparam.hodges_lehmann): the median of Walsh
+    averages — the signed-rank-inverted center between the mean and
+    the median; exact integer Walsh sums + the shared lerp median."""
+    from timeseriesutils_spark.operators.nonparam import hodges_lehmann
+
+    return hodges_lehmann(
+        _monthly_vol_rev(spark, sf_dir), "rev", ["l_suppkey"], scale=2
+    )
+
+
+def _sql_hodges_lehmann():
+    from timeseriesutils_spark.operators.nonparam import hodges_lehmann_sql
+
+    return hodges_lehmann_sql(
+        _SQL_MONTHLY_VOL_REV, "rev", ["l_suppkey"], scale=2
+    )
+
+
+QUERIES.update(
+    {"hodges_lehmann": Q(q_hodges_lehmann, _sql_hodges_lehmann())}
+)
+
+
+_JT_LEVELS = ["low", "mid", "high"]
+
+
+def _year_band_qty(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_discount") < 0.03, "low")
+        .when(F.col("l_discount") < 0.07, "mid")
+        .otherwise("high")
+    )
+    return li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias(
+            "ship_year"
+        ),
+        band.alias("disc_band"),
+        "l_quantity",
+    )
+
+
+_SQL_YEAR_BAND_QTY = """
+  SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
+    CASE WHEN l_discount < 0.03e0 THEN 'low'
+         WHEN l_discount < 0.07e0 THEN 'mid' ELSE 'high' END AS disc_band,
+    l_quantity
+  FROM lineitem
+"""
+
+
+def q_jonckheere_terpstra(spark, sf_dir):
+    """Jonckheere–Terpstra ordered-trend test per ship year: does
+    quantity rise across the ORDERED discount bands low→mid→high
+    (operators/nonparam.jonckheere_terpstra)?  The a-priori-ordered
+    replacement for kruskal_wallis — pooled upward Mann–Whitney
+    counts from one cumulative window, tie-corrected normal null."""
+    from timeseriesutils_spark.operators.nonparam import jonckheere_terpstra
+
+    return jonckheere_terpstra(
+        _year_band_qty(spark, sf_dir), "l_quantity", "disc_band",
+        _JT_LEVELS, ["ship_year"], scale=2,
+    )
+
+
+def _sql_jonckheere_terpstra():
+    from timeseriesutils_spark.operators.nonparam import (
+        jonckheere_terpstra_sql,
+    )
+
+    return jonckheere_terpstra_sql(
+        _SQL_YEAR_BAND_QTY, "l_quantity", "disc_band", _JT_LEVELS,
+        ["ship_year"], scale=2,
+    )
+
+
+QUERIES.update(
+    {
+        "jonckheere_terpstra": Q(
+            q_jonckheere_terpstra, _sql_jonckheere_terpstra()
+        )
+    }
+)
+
+
+_PAGE_QUARTERS = [1, 2, 3, 4]
+
+
+def _supp_quarter_rev(spark, sf_dir):
+    """One row per (supplier block, quarter treatment): exact decimal
+    revenue sum — Page's complete-block input."""
+    from timeseriesutils_spark.functions.exact import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_suppkey",
+            F.quarter(F.col("l_shipdate").cast("date")).cast("int").alias(
+                "qtr"
+            ),
+            "l_extendedprice",
+        )
+        .groupBy("l_suppkey", "qtr")
+        .agg(dsum("l_extendedprice").alias("rev"))
+    )
+
+
+_SQL_SUPP_QUARTER_REV = f"""
+  SELECT l_suppkey,
+    CAST(EXTRACT(quarter FROM CAST(l_shipdate AS DATE)) AS INT) AS qtr,
+    {_dsum_sql('l_extendedprice')} AS rev
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_page_trend(spark, sf_dir):
+    """Page trend test across quarters (operators/nonparam.page_trend):
+    blocks = suppliers, ordered treatments = Q1→Q4 revenue — does
+    revenue rise through the year consistently across suppliers?
+    friedman_test's directional sibling; doubled integer mid-ranks,
+    complete blocks only."""
+    from timeseriesutils_spark.operators.nonparam import page_trend
+
+    return page_trend(
+        _supp_quarter_rev(spark, sf_dir), "rev", "l_suppkey", "qtr",
+        _PAGE_QUARTERS, scale=2,
+    )
+
+
+def _sql_page_trend():
+    from timeseriesutils_spark.operators.nonparam import page_trend_sql
+
+    return page_trend_sql(
+        _SQL_SUPP_QUARTER_REV, "rev", "l_suppkey", "qtr", _PAGE_QUARTERS,
+        scale=2,
+    )
+
+
+QUERIES.update({"page_trend": Q(q_page_trend, _sql_page_trend())})
+
+
+def q_boxcox_guerrero(spark, sf_dir):
+    """Guerrero Box–Cox λ per supplier over 28-day blocks of the daily
+    price series (operators/forecast.boxcox_guerrero): the
+    variance-stabilization pre-step for the additive forecaster family
+    — argmin-CV over the literal λ grid with quantized-log block
+    ratios and max-shifted exact exponential sums."""
+    from timeseriesutils_spark.operators.forecast import boxcox_guerrero
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    d = _daily(spark, sf_dir).selectExpr(
+        "*", "CAST(ship_day div 28 AS BIGINT) AS blk"
+    )
+    return boxcox_guerrero(d, "day_price", ["l_suppkey"], ["blk"])
+
+
+def _sql_boxcox_guerrero():
+    from timeseriesutils_spark.operators.forecast import boxcox_guerrero_sql
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    inner = (
+        f"SELECT *, CAST(ship_day // 28 AS BIGINT) AS blk FROM ({_SQL_DAILY})"
+    )
+    return boxcox_guerrero_sql(inner, "day_price", ["l_suppkey"], ["blk"])
+
+
+QUERIES.update(
+    {"boxcox_guerrero": Q(q_boxcox_guerrero, _sql_boxcox_guerrero())}
+)

@@ -2663,3 +2663,48 @@ def _sql_pipeline_e2e():
 
 
 QUERIES.update({"pipeline_e2e": Q(q_pipeline_e2e, _sql_pipeline_e2e())})
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer-fertility dashboard per (lang, source) stratum
+    (operators/text.tokenizer_fertility): pre-tokens per word, chars
+    per token, tokens per doc — the numbers that set per-language
+    sampling weights and packing budgets in a training mix.  Exact
+    integer counts, scan-bound."""
+    from timeseriesutils_spark.operators.text import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(spark, sf_dir))
+
+
+def _sql_tokenizer_fertility():
+    from timeseriesutils_spark.operators.text import tokenizer_fertility_sql
+
+    return tokenizer_fertility_sql("documents")
+
+
+QUERIES.update(
+    {"tokenizer_fertility": Q(q_tokenizer_fertility, _sql_tokenizer_fertility())}
+)
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprints over the corpus (operators/dedup.
+    winnow_fingerprints): windowed-min selection of 3-gram hashes,
+    rightmost ties via one packed-key window MIN — the position-aware
+    local-dedup index (plagiarism spans, license blocks) beside the
+    whole-doc MinHash family.  Guaranteed detection of shared spans
+    ≥ window+n−1 grams at ~2/(w+1) index density."""
+    from timeseriesutils_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), n=3, window=4)
+
+
+def _sql_winnow():
+    from timeseriesutils_spark.operators.dedup import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql("documents", n=3, window=4)
+
+
+QUERIES.update(
+    {"winnow_fingerprints": Q(q_winnow_fingerprints, _sql_winnow())}
+)
