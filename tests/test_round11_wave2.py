@@ -240,3 +240,61 @@ def test_tokenizer_fertility_counts(spark):
     # "Hello, world!" → tokens: hello , world !  = 4 ; "a b" → 2
     assert r.n_tokens == 6 and r.n_words == 4 and r.n_docs == 2
     assert abs(r.tokens_per_word - 1.5) < 1e-12
+
+
+def test_cox_ph_matches_reference_newton(spark):
+    """β after 3 Newton steps tracks a plain-float reference of the
+    same Breslow scheme to quantization tolerance, and a planted
+    hazard effect is recovered with the right sign/magnitude."""
+    from timeseriesutils_spark.operators.coxph import cox_ph
+
+    rng = np.random.default_rng(13)
+    n = 400
+    x = np.round(rng.uniform(0, 2, size=n), 1)
+    beta_true = 0.8
+    u = rng.uniform(size=n)
+    t = np.ceil(-np.log(u) / (0.05 * np.exp(beta_true * x))).astype(int)
+    cens = 40
+    event = (t <= cens).astype(int)
+    t = np.minimum(t, cens)
+    rows = [("g", int(t[i]), int(event[i]), float(x[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, t int, e int, x double")
+    r = cox_ph(df, "t", "e", "x", ["g"], n_steps=3).collect()[0]
+
+    def newton_ref(steps):
+        beta = 0.0
+        for _ in range(steps):
+            order = np.argsort(-t, kind="mergesort")
+            U = 0.0
+            I = 0.0
+            for ti in np.unique(t[event == 1]):
+                risk = t >= ti
+                w = np.exp(beta * x[risk])
+                s0, s1, s2 = w.sum(), (w * x[risk]).sum(), (
+                    w * x[risk] ** 2
+                ).sum()
+                ev = (t == ti) & (event == 1)
+                d = ev.sum()
+                U += x[ev].sum() - d * s1 / s0
+                I += d * (s2 / s0 - (s1 / s0) ** 2)
+            beta += U / I
+        return beta
+
+    ref3 = newton_ref(3)
+    assert abs(r.beta - ref3) < 1e-6
+    # recovered effect close to truth (sampling noise band)
+    assert 0.5 < r.beta < 1.1
+    assert r.z_stat > 3 and r.p_value < 0.01
+    assert abs(r.hazard_ratio - np.exp(r.beta)) < 1e-6
+
+
+def test_cox_ph_null_covariate(spark):
+    """A constant covariate has zero information: inference is NULL,
+    beta column NULL, not a crash or a division blow-up."""
+    from timeseriesutils_spark.operators.coxph import cox_ph
+
+    rows = [("g", i % 10 + 1, 1, 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, t int, e int, x double")
+    r = cox_ph(df, "t", "e", "x", ["g"]).collect()[0]
+    assert r.beta is None and r.se is None
+    assert r.n == 40 and r.n_events == 40

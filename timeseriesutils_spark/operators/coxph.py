@@ -1,0 +1,316 @@
+"""Cox proportional-hazards regression (single covariate, Breslow
+ties, fixed unrolled Newton schedule) — the inference layer on top of
+the engine's survival family (kaplan_meier/nelson_aalen describe ONE
+arm; logrank compares two; Cox QUANTIFIES a continuous covariate's
+effect on the hazard, the workhorse of time-to-event analysis):
+
+    h(t|x) = h₀(t)·exp(βx)
+
+β̂ maximizes the Breslow partial likelihood; with one covariate the
+Newton update is scalar,
+
+    U(β) = Σ_events (x_i − S1(t_i)/S0(t_i))
+    I(β) = Σ_events d_t·(S2/S0 − (S1/S0)²)
+    β ← β + U/I,      S_k(t) = Σ_{j: t_j ≥ t} x_j^k·exp(βx_j)
+
+run from β = 0 for a FIXED number of steps (the kmeans/binseg unrolled
+-iteration discipline — a fixed DAG both engines replay; the partial
+likelihood is concave, 3 steps give ~quadratic-convergence accuracy
+for O(1)-bounded covariates, pinned against a reference implementation
+in tests).
+
+Exactness contract: covariates quantize to int64 (callers keep x
+O(1)-bounded — standardize first; grids below assume |x| ≲ 100).
+Rows collapse to (t, xq) CELLS with counts, so exp(β·x) evaluates once
+per cell; each cell's exp output is floor-quantized at 1e-9 BEFORE the
+integer multiply by its count (the libm rule), risk-set sums are exact
+suffix sums of those integers (one cumulative window per step over the
+per-time frame), and each event-time's U/I contribution re-quantizes
+at 1e-9 before the final integer reduce.  β's update is one shared
+double tree — bit-identical cross-engine, which is what lets a
+Newton-iterated estimator be oracle-checked at all.
+
+Scale shape: the cell collapse is the only row-scale aggregation; every
+Newton step runs on the per-(group, time) frame (≤ distinct event
+times — tiny), with the β frame broadcast back.  At 100 TB the cells
+frame is the working set; int64 cell sums hold to ~10^17 mass per
+group (DECIMAL swap documented at the aggregation sites).
+
+No counterpart in the reference engine — §2.2b survival-inference
+extension (Cox 1972, public).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.functions.cache import pin
+from timeseriesutils_spark.functions.exact import dlit
+from timeseriesutils_spark.operators.nonparam import (
+    two_sided_p_expr,
+    two_sided_p_sql,
+)
+from timeseriesutils_spark.operators.window_features import _as_list
+
+__all__ = ["cox_ph", "cox_ph_sql"]
+
+
+def cox_ph(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_col: str,
+    group_columns,
+    n_steps: int = 3,
+    scale_x: int = 6,
+) -> DataFrame:
+    """See module docstring.  ``event_col``: 1 = event, 0 = censored.
+
+    Returns (groups…, n, n_events, beta, se, z_stat, p_value,
+    hazard_ratio); NULL inference where the information is 0 (constant
+    covariate or no events)."""
+    groups = _as_list(group_columns)
+    mx = 10**scale_x
+    xq = F.floor(
+        F.col(x_col).cast("double") * F.lit(float(mx)) + F.lit(0.5)
+    ).cast("bigint")
+    d = df.filter(
+        F.col(time_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & F.col(x_col).isNotNull()
+    ).select(
+        *groups,
+        F.col(time_col).cast("bigint").alias("_t"),
+        F.col(event_col).cast("int").alias("_e"),
+        xq.alias("_xq"),
+    )
+    cells = pin(
+        d.groupBy(*groups, "_t", "_xq").agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum("_e").cast("bigint").alias("_d"),
+        )
+    )
+    xf = F.col("_xq").cast("double") / F.lit(float(mx))
+    q9 = lambda c: F.floor(c * F.lit(1.0e9) + F.lit(0.5)).cast("bigint")  # noqa: E731
+
+    betas = cells.groupBy(*groups).agg(
+        F.sum("_cnt").cast("bigint").alias("n"),
+        F.sum("_d").cast("bigint").alias("n_events"),
+    ).select(*groups, "n", "n_events", F.lit(0.0).alias("beta"))
+
+    wprefix = (
+        Window.partitionBy(*groups)
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(*groups)
+
+    def eval_pass(betas_df: DataFrame) -> DataFrame:
+        """(groups, u_int, i_int) at the current β (exact-int reduce)."""
+        j = cells.join(
+            F.broadcast(betas_df.select(*groups, "beta")), on=groups
+        )
+        e = F.exp(F.col("beta") * xf)
+        w = j.select(
+            *groups,
+            "_t",
+            "_d",
+            (q9(e) * F.col("_cnt")).alias("_q0"),
+            (q9(e * xf) * F.col("_cnt")).alias("_q1"),
+            (q9(e * xf * xf) * F.col("_cnt")).alias("_q2"),
+            (F.col("_xq") * F.col("_d")).alias("_sxq"),
+        )
+        per_t = w.groupBy(*groups, "_t").agg(
+            F.sum("_q0").alias("_w0"),
+            F.sum("_q1").alias("_w1"),
+            F.sum("_q2").alias("_w2"),
+            F.sum("_d").cast("bigint").alias("_dt"),
+            F.sum("_sxq").alias("_sx"),
+        )
+        sfx = per_t.select(
+            *groups,
+            "_t",
+            "_dt",
+            "_sx",
+            (
+                F.sum("_w0").over(wall)
+                - F.coalesce(F.sum("_w0").over(wprefix), F.lit(0).cast("bigint"))
+            ).alias("_s0"),
+            (
+                F.sum("_w1").over(wall)
+                - F.coalesce(F.sum("_w1").over(wprefix), F.lit(0).cast("bigint"))
+            ).alias("_s1"),
+            (
+                F.sum("_w2").over(wall)
+                - F.coalesce(F.sum("_w2").over(wprefix), F.lit(0).cast("bigint"))
+            ).alias("_s2"),
+        ).filter(F.col("_dt") > 0)
+        s0 = F.col("_s0").cast("double")
+        s1 = F.col("_s1").cast("double")
+        s2 = F.col("_s2").cast("double")
+        dt = F.col("_dt").cast("double")
+        r1 = s1 / s0
+        u_t = F.col("_sx").cast("double") / F.lit(float(mx)) - dt * r1
+        i_t = dt * (s2 / s0 - r1 * r1)
+        contrib = sfx.select(
+            *groups, q9(u_t).alias("_uq"), q9(i_t).alias("_iq")
+        )
+        return contrib.groupBy(*groups).agg(
+            F.sum("_uq").alias("_u"), F.sum("_iq").alias("_i")
+        )
+
+    for _ in range(n_steps):
+        ui = eval_pass(betas)
+        betas = betas.join(ui, on=groups, how="left").select(
+            *groups,
+            "n",
+            "n_events",
+            F.when(
+                F.col("_i") > 0,
+                F.col("beta")
+                + (F.col("_u").cast("double") / F.lit(1.0e9))
+                / (F.col("_i").cast("double") / F.lit(1.0e9)),
+            )
+            .otherwise(F.col("beta"))
+            .alias("beta"),
+        )
+
+    fin = eval_pass(betas)
+    out = betas.join(fin, on=groups, how="left")
+    i_f = F.col("_i").cast("double") / F.lit(1.0e9)
+    ok = F.col("_i") > 0
+    se = F.lit(1.0) / F.sqrt(i_f)
+    z = F.col("beta") / se
+    p = two_sided_p_expr(z)
+    hr = F.floor(F.exp(F.col("beta")) * F.lit(1.0e9) + F.lit(0.5)) / F.lit(
+        1.0e9
+    )
+    return out.select(
+        *groups,
+        "n",
+        "n_events",
+        F.when(ok, F.col("beta")).alias("beta"),
+        F.when(ok, se).alias("se"),
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, hr).alias("hazard_ratio"),
+    )
+
+
+def cox_ph_sql(
+    data_sql: str,
+    time_col: str,
+    event_col: str,
+    x_col: str,
+    group_columns,
+    n_steps: int = 3,
+    scale_x: int = 6,
+) -> str:
+    """DuckDB twin of :func:`cox_ph` — the identical unrolled Newton
+    chain as MATERIALIZED CTE stages (the kmeans re-expansion rule)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    mx = 10**scale_x
+    mxd = dlit(float(mx))
+    xqs = (
+        f"CAST(FLOOR(CAST({x_col} AS DOUBLE) * {mxd} + 0.5) AS BIGINT)"
+    )
+    q9 = lambda c: f"CAST(FLOOR(({c}) * 1e9 + 0.5) AS BIGINT)"  # noqa: E731
+    xf = f"(CAST(_xq AS DOUBLE) / {mxd})"
+    parts = [
+        f"""
+cells AS MATERIALIZED (
+  SELECT {gsel}, CAST({time_col} AS BIGINT) AS _t, {xqs} AS _xq,
+    COUNT(*) AS _cnt, CAST(SUM(CAST({event_col} AS INT)) AS BIGINT) AS _d
+  FROM ({data_sql})
+  WHERE {time_col} IS NOT NULL AND {event_col} IS NOT NULL
+    AND {x_col} IS NOT NULL
+  GROUP BY {gsel}, CAST({time_col} AS BIGINT), {xqs}
+),
+b0 AS (
+  SELECT {gsel}, CAST(SUM(_cnt) AS BIGINT) AS n,
+    CAST(SUM(_d) AS BIGINT) AS n_events, 0e0 AS beta
+  FROM cells GROUP BY {gsel}
+)"""
+    ]
+
+    def eval_sql(k: int, bprev: str) -> str:
+        e = f"EXP(beta * {xf})"
+        over_all = f"(PARTITION BY {gsel})"
+        over_pre = (
+            f"(PARTITION BY {gsel} ORDER BY _t"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        )
+        s0 = "CAST(_s0 AS DOUBLE)"
+        s1 = "CAST(_s1 AS DOUBLE)"
+        s2 = "CAST(_s2 AS DOUBLE)"
+        dt = "CAST(_dt AS DOUBLE)"
+        r1 = f"({s1} / {s0})"
+        u_t = f"(CAST(_sx AS DOUBLE) / {mxd} - {dt} * {r1})"
+        i_t = f"({dt} * ({s2} / {s0} - {r1} * {r1}))"
+        return f"""
+w{k} AS (
+  SELECT {gsel}, _t, _d,
+    {q9(e)} * _cnt AS _q0,
+    {q9(f"{e} * {xf}")} * _cnt AS _q1,
+    {q9(f"{e} * {xf} * {xf}")} * _cnt AS _q2,
+    _xq * _d AS _sxq
+  FROM cells JOIN {bprev} USING ({gsel})
+),
+t{k} AS (
+  SELECT {gsel}, _t,
+    CAST(SUM(_q0) AS BIGINT) AS _w0, CAST(SUM(_q1) AS BIGINT) AS _w1,
+    CAST(SUM(_q2) AS BIGINT) AS _w2, CAST(SUM(_d) AS BIGINT) AS _dt,
+    CAST(SUM(_sxq) AS BIGINT) AS _sx
+  FROM w{k} GROUP BY {gsel}, _t
+),
+s{k} AS (
+  SELECT {gsel}, _t, _dt, _sx,
+    CAST(SUM(_w0) OVER {over_all} AS BIGINT)
+      - COALESCE(CAST(SUM(_w0) OVER {over_pre} AS BIGINT), 0) AS _s0,
+    CAST(SUM(_w1) OVER {over_all} AS BIGINT)
+      - COALESCE(CAST(SUM(_w1) OVER {over_pre} AS BIGINT), 0) AS _s1,
+    CAST(SUM(_w2) OVER {over_all} AS BIGINT)
+      - COALESCE(CAST(SUM(_w2) OVER {over_pre} AS BIGINT), 0) AS _s2
+  FROM t{k}
+),
+ui{k} AS (
+  SELECT {gsel},
+    CAST(SUM({q9(u_t)}) AS BIGINT) AS _u,
+    CAST(SUM({q9(i_t)}) AS BIGINT) AS _i
+  FROM s{k} WHERE _dt > 0 GROUP BY {gsel}
+)"""
+
+    bprev = "b0"
+    for k in range(1, n_steps + 1):
+        parts.append(eval_sql(k, bprev))
+        parts.append(
+            f"""
+b{k} AS MATERIALIZED (
+  SELECT b.{gsel.replace(', ', ', b.')}, b.n, b.n_events,
+    CASE WHEN ui{k}._i > 0 THEN
+      b.beta + (CAST(ui{k}._u AS DOUBLE) / 1e9)
+             / (CAST(ui{k}._i AS DOUBLE) / 1e9)
+    ELSE b.beta END AS beta
+  FROM {bprev} b LEFT JOIN ui{k} USING ({gsel})
+)"""
+        )
+        bprev = f"b{k}"
+    kf = n_steps + 1
+    parts.append(eval_sql(kf, bprev))
+    i_f = "(CAST(_i AS DOUBLE) / 1e9)"
+    se = f"(1.0 / SQRT({i_f}))"
+    z = f"(beta / {se})"
+    p = two_sided_p_sql(z)
+    hr = "(FLOOR(EXP(beta) * 1e9 + 0.5) / 1e9)"
+    body = f"""
+SELECT {gsel}, n, n_events,
+  CASE WHEN _i > 0 THEN beta END AS beta,
+  CASE WHEN _i > 0 THEN {se} END AS se,
+  CASE WHEN _i > 0 THEN {z} END AS z_stat,
+  CASE WHEN _i > 0 THEN {p} END AS p_value,
+  CASE WHEN _i > 0 THEN {hr} END AS hazard_ratio
+FROM {bprev} LEFT JOIN ui{kf} USING ({gsel})
+"""
+    return "WITH " + ",".join(parts) + body

@@ -1053,3 +1053,75 @@ def _sql_weibull_fit():
 
 
 QUERIES.update({"weibull_fit": Q(q_weibull_fit, _sql_weibull_fit())})
+
+
+def _lifetimes_with_activity(spark, sf_dir):
+    """conversion_lifetimes + an O(1)-bounded activity covariate
+    (capped event count / 10) — the Cox regression input."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_first_us"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.unix_micros(F.col("ts").cast("timestamp")),
+            )
+        ).alias("_buy_us"),
+        F.count(F.lit(1)).alias("_nev"),
+    )
+    hours = F.expr("(_buy_us - _first_us) div 3600000000")
+    died = F.when(hours < F.lit(72), F.lit(1)).otherwise(F.lit(0))
+    return per_user.join(
+        F.broadcast(customer), F.col("user_id") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("stratum"),
+        F.least(F.coalesce(hours, F.lit(72)), F.lit(72))
+        .cast("bigint")
+        .alias("t_hour"),
+        F.coalesce(died, F.lit(0)).cast("int").alias("died"),
+        (F.least(F.col("_nev"), F.lit(20)).cast("double") / F.lit(10.0)).alias(
+            "activity"
+        ),
+    )
+
+
+_SQL_LIFETIMES_ACTIVITY = """
+SELECT c.c_mktsegment AS stratum,
+  CAST(LEAST(COALESCE((u._buy_us - u._first_us) // 3600000000, 72), 72)
+       AS BIGINT) AS t_hour,
+  COALESCE(CASE WHEN (u._buy_us - u._first_us) // 3600000000 < 72
+                THEN 1 ELSE 0 END, 0) AS died,
+  (CAST(LEAST(u._nev, 20) AS DOUBLE) / 10e0) AS activity
+FROM (SELECT user_id, MIN(epoch_us(ts)) AS _first_us,
+        MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS _buy_us,
+        COUNT(*) AS _nev
+      FROM events GROUP BY user_id) u
+JOIN customer c ON u.user_id = c.c_custkey
+"""
+
+
+def q_cox_ph(spark, sf_dir):
+    """Cox proportional-hazards fit per market segment (operators/
+    coxph.cox_ph): does user activity level raise the conversion
+    hazard?  Breslow partial likelihood, 3 unrolled Newton steps from
+    β=0, exact quantized risk-set sums — the survival-INFERENCE layer
+    (KM/NA describe, logrank compares, Cox quantifies), Newton-iterated
+    yet hash-verifiable."""
+    from timeseriesutils_spark.operators.coxph import cox_ph
+
+    return cox_ph(
+        _lifetimes_with_activity(spark, sf_dir),
+        "t_hour", "died", "activity", ["stratum"],
+    )
+
+
+def _sql_cox_ph():
+    from timeseriesutils_spark.operators.coxph import cox_ph_sql
+
+    return cox_ph_sql(
+        _SQL_LIFETIMES_ACTIVITY, "t_hour", "died", "activity", ["stratum"]
+    )
+
+
+QUERIES.update({"cox_ph": Q(q_cox_ph, _sql_cox_ph())})
