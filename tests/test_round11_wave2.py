@@ -298,3 +298,64 @@ def test_cox_ph_null_covariate(spark):
     r = cox_ph(df, "t", "e", "x", ["g"]).collect()[0]
     assert r.beta is None and r.se is None
     assert r.n == 40 and r.n_events == 40
+
+
+def test_brunner_munzel_matches_reference(spark):
+    """W against a plain-float transcription of the scipy/Brunner-
+    Munzel formulation on unequal-variance arms."""
+    from timeseriesutils_spark.operators.nonparam import brunner_munzel
+
+    rng = np.random.default_rng(21)
+    xa = np.round(rng.normal(0, 1, size=50), 1)
+    xb = np.round(rng.normal(0.7, 3, size=70), 1)
+    rows = [("g", "A", float(v)) for v in xa] + [
+        ("g", "B", float(v)) for v in xb
+    ]
+    df = spark.createDataFrame(rows, "g string, arm string, y double")
+    r = brunner_munzel(df, "y", "arm", "A", "B", ["g"], scale=1).collect()[0]
+
+    def midranks(v, pool):
+        return np.array(
+            [
+                (np.sum(pool < x) + 1 + np.sum(pool <= x)) / 2.0
+                for x in v
+            ]
+        )
+
+    pool = np.concatenate([xa, xb])
+    ra = midranks(xa, pool)
+    rb = midranks(xb, pool)
+    rwa = midranks(xa, xa)
+    rwb = midranks(xb, xb)
+    n1, n2 = len(xa), len(xb)
+    sa2 = np.var(ra - rwa, ddof=1)
+    sb2 = np.var(rb - rwb, ddof=1)
+    w_ref = (
+        n1 * n2 * (rb.mean() - ra.mean())
+        / ((n1 + n2) * np.sqrt(n1 * sa2 + n2 * sb2))
+    )
+    assert abs(r.w_stat - w_ref) < 1e-9
+    p_hat_ref = (rb.mean() - (n2 + 1) / 2.0) / n1
+    assert abs(r.p_hat - p_hat_ref) < 1e-9
+
+
+def test_rouge_and_cer_known_pairs(spark):
+    from timeseriesutils_spark.operators.text import cer_pairs, rouge_n
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "the cat sat on a mat"),
+            (2, "completely different words", "nothing shared here at all"),
+            (3, "same same", "same same"),
+        ],
+        "pair bigint, cand_text string, ref_text string",
+    )
+    rg = {r.pair: r for r in rouge_n(df, "pair", "cand_text", "ref_text", n=2).collect()}
+    # pair 1: cand bigrams {the cat, cat sat, sat on, on the, the mat},
+    # ref {the cat, cat sat, sat on, on a, a mat} → 3 matches
+    assert rg[1].matches == 3 and rg[1].cand_grams == 5
+    assert rg[2].matches == 0 and rg[2].f1 == 0.0
+    assert rg[3].f1 == 1.0
+    cer = {r.pair: r for r in cer_pairs(df, "pair", "cand_text", "ref_text").collect()}
+    assert cer[3].dist == 0 and cer[3].cer == 0.0
+    assert cer[1].dist > 0 and 0 < cer[1].cer < 1

@@ -3262,3 +3262,191 @@ SELECT {sel_g}n_blocks, _l2 AS l_stat2,
   CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
 FROM agg
 """
+
+
+def brunner_munzel(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Brunner–Munzel test (Brunner & Munzel 2000; the scipy
+    formulation): the heteroscedasticity-robust replacement for
+    mann_whitney — MW's variance assumes the two distributions differ
+    only by shift; BM estimates each arm's own rank variance, testing
+    H₀: P(X<Y) + ½P(X=Y) = ½ without an equal-variance assumption.
+
+        p̂ = (R̄_b − (n_b+1)/2)/n_a
+        W = n_a·n_b·(R̄_b − R̄_a) / ((n_a+n_b)·√(n_a·S_a² + n_b·S_b²))
+        S_i² = Var of (pooled midrank − within-arm midrank)
+
+    Exactness: pooled and within-arm midranks in DOUBLED integer units
+    (2r = 2·rank + peers − 1 via one RANGE-free rank window + tie
+    windows); the variance uses the shift-cancelling difference D =
+    pooled − within midrank, so Σ(2D) and Σ(2D)² are exact integers;
+    W and p̂ are one shared double tree; the p-value uses the
+    engine's logistic normal kernel (the t_df refinement matters below
+    n ≈ 30 — documented approximation, reject_05 conservative there).
+
+    Returns (groups…, n_a, n_b, p_hat, w_stat, p_value, reject_05).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    arm = F.when(F.col(factor_col) == F.lit(level_a), 1).when(
+        F.col(factor_col) == F.lit(level_b), 2
+    )
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, arm.alias("_arm"), qv.alias("_qv"))
+        .filter(F.col("_arm").isNotNull())
+    )
+    wpool = Window.partitionBy(*groups).orderBy("_qv")
+    tpool = Window.partitionBy(*groups, "_qv")
+    warm = Window.partitionBy(*groups, "_arm").orderBy("_qv")
+    tarm = Window.partitionBy(*groups, "_arm", "_qv")
+    ranked = d.select(
+        *groups,
+        "_arm",
+        (
+            F.lit(2) * F.rank().over(wpool)
+            + F.count(F.lit(1)).over(tpool)
+            - F.lit(1)
+        ).cast("bigint").alias("_rp2"),
+        (
+            F.lit(2) * F.rank().over(warm)
+            + F.count(F.lit(1)).over(tarm)
+            - F.lit(1)
+        ).cast("bigint").alias("_rw2"),
+    )
+    d2 = (F.col("_rp2") - F.col("_rw2")).alias("_d2")
+    per_arm = ranked.select(*groups, "_arm", "_rp2", d2).groupBy(
+        *groups, "_arm"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_rp2").alias("_sr2"),
+        F.sum("_d2").alias("_sd2"),
+        F.sum(F.col("_d2") * F.col("_d2")).alias("_sdd4"),
+    )
+    a = per_arm.filter(F.col("_arm") == 1).select(
+        *groups,
+        F.col("_n").alias("n_a"),
+        F.col("_sr2").alias("_sra"),
+        F.col("_sd2").alias("_sda"),
+        F.col("_sdd4").alias("_sdda"),
+    )
+    b = per_arm.filter(F.col("_arm") == 2).select(
+        *groups,
+        F.col("_n").alias("n_b"),
+        F.col("_sr2").alias("_srb"),
+        F.col("_sd2").alias("_sdb"),
+        F.col("_sdd4").alias("_sddb"),
+    )
+    j = a.join(b, on=groups, how="inner")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    # means of doubled ranks /2
+    rma = F.col("_sra").cast("double") / na / F.lit(2.0)
+    rmb = F.col("_srb").cast("double") / nb / F.lit(2.0)
+    # S² from doubled D: (Σ(2D)² − (Σ2D)²/n)/(4(n−1))
+    sa2 = (
+        F.col("_sdda").cast("double")
+        - F.col("_sda").cast("double") * F.col("_sda").cast("double") / na
+    ) / (F.lit(4.0) * (na - 1.0))
+    sb2 = (
+        F.col("_sddb").cast("double")
+        - F.col("_sdb").cast("double") * F.col("_sdb").cast("double") / nb
+    ) / (F.lit(4.0) * (nb - 1.0))
+    p_hat = (rmb - (nb + 1.0) / F.lit(2.0)) / na
+    den = (na + nb) * F.sqrt(na * sa2 + nb * sb2)
+    w = na * nb * (rmb - rma) / den
+    p = two_sided_p_expr(w)
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (den > 0)
+    return j.select(
+        *groups,
+        "n_a",
+        "n_b",
+        F.when(ok, p_hat).alias("p_hat"),
+        F.when(ok, w).alias("w_stat"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def brunner_munzel_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`brunner_munzel` (same doubled midranks,
+    same shift-cancelled variance tree)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qv = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    na = "CAST(n_a AS DOUBLE)"
+    nb = "CAST(n_b AS DOUBLE)"
+    rma = f"(CAST(_sra AS DOUBLE) / {na} / 2.0)"
+    rmb = f"(CAST(_srb AS DOUBLE) / {nb} / 2.0)"
+    sa2 = (
+        f"((CAST(_sdda AS DOUBLE)"
+        f" - CAST(_sda AS DOUBLE) * CAST(_sda AS DOUBLE) / {na})"
+        f" / (4.0 * ({na} - 1.0)))"
+    )
+    sb2 = (
+        f"((CAST(_sddb AS DOUBLE)"
+        f" - CAST(_sdb AS DOUBLE) * CAST(_sdb AS DOUBLE) / {nb})"
+        f" / (4.0 * ({nb} - 1.0)))"
+    )
+    p_hat = f"(({rmb} - ({nb} + 1.0) / 2.0) / {na})"
+    den = f"(({na} + {nb}) * SQRT({na} * {sa2} + {nb} * {sb2}))"
+    w = f"({na} * {nb} * ({rmb} - {rma}) / {den})"
+    p = two_sided_p_sql(w)
+    ok = f"(n_a > 1 AND n_b > 1 AND {den} > 0)"
+    return f"""
+WITH d AS (
+  SELECT {gsel},
+    CASE WHEN {factor_col} = {level_a!r} THEN 1
+         WHEN {factor_col} = {level_b!r} THEN 2 END AS _arm,
+    {qv} AS _qv
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+ranked AS (
+  SELECT {gsel}, _arm,
+    CAST(2 * RANK() OVER (PARTITION BY {gsel} ORDER BY _qv)
+         + COUNT(*) OVER (PARTITION BY {gsel}, _qv) - 1 AS BIGINT) AS _rp2,
+    CAST(2 * RANK() OVER (PARTITION BY {gsel}, _arm ORDER BY _qv)
+         + COUNT(*) OVER (PARTITION BY {gsel}, _arm, _qv) - 1 AS BIGINT)
+      AS _rw2
+  FROM d WHERE _arm IS NOT NULL
+),
+per_arm AS (
+  SELECT {gsel}, _arm, COUNT(*) AS _n,
+    CAST(SUM(_rp2) AS BIGINT) AS _sr2,
+    CAST(SUM(_rp2 - _rw2) AS BIGINT) AS _sd2,
+    CAST(SUM((_rp2 - _rw2) * (_rp2 - _rw2)) AS BIGINT) AS _sdd4
+  FROM ranked GROUP BY {gsel}, _arm
+),
+j AS (
+  SELECT a.*, b._n AS n_b, b._sr2 AS _srb, b._sd2 AS _sdb,
+    b._sdd4 AS _sddb
+  FROM (SELECT {gsel}, _n AS n_a, _sr2 AS _sra, _sd2 AS _sda,
+          _sdd4 AS _sdda FROM per_arm WHERE _arm = 1) a
+  JOIN (SELECT * FROM per_arm WHERE _arm = 2) b USING ({gsel})
+)
+SELECT {gsel}, n_a, n_b,
+  CASE WHEN {ok} THEN {p_hat} END AS p_hat,
+  CASE WHEN {ok} THEN {w} END AS w_stat,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM j
+"""

@@ -2869,3 +2869,178 @@ SELECT {gsel}, n_docs, n_tokens, n_words, n_chars,
   (CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS tokens_per_doc
 FROM agg
 """
+
+
+def rouge_n(
+    df: DataFrame,
+    pair_col: str,
+    cand_col: str,
+    ref_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-N overlap per (candidate, reference) text pair (Lin 2004):
+    clipped n-gram multiset overlap — the standard summarization /
+    paraphrase-detection eval, and at corpus scale the pairwise
+    near-duplication score for aligned text columns (translation pairs,
+    OCR vs gold, model output vs reference).
+
+        matches = Σ_g min(count_cand(g), count_ref(g))
+        P = matches/|cand grams|, R = matches/|ref grams|, F1 harmonic
+
+    Distributed shape: both sides explode to (pair, gram) counts, one
+    join on (pair, gram) takes the clipped minimum, one reduce per
+    pair — never a per-row quadratic kernel; exact integer counts,
+    ratios one shared double tree.
+
+    Returns (pair, cand_grams, ref_grams, matches, precision, recall,
+    f1)."""
+
+    def grams(col):
+        w = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+
+    base = df.filter(
+        F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    ).select(F.col(pair_col).alias("pair"), grams(cand_col).alias("_cg"),
+             grams(ref_col).alias("_rg"))
+    c = base.select("pair", F.explode("_cg").alias("g")).groupBy(
+        "pair", "g"
+    ).agg(F.count(F.lit(1)).alias("_cc"))
+    r = base.select("pair", F.explode("_rg").alias("g")).groupBy(
+        "pair", "g"
+    ).agg(F.count(F.lit(1)).alias("_cr"))
+    m = c.join(r, ["pair", "g"]).groupBy("pair").agg(
+        F.sum(F.least(F.col("_cc"), F.col("_cr"))).cast("bigint").alias(
+            "matches"
+        )
+    )
+    sizes = base.select(
+        "pair",
+        F.size("_cg").cast("bigint").alias("cand_grams"),
+        F.size("_rg").cast("bigint").alias("ref_grams"),
+    )
+    out = sizes.join(m, "pair", "left").select(
+        "pair", "cand_grams", "ref_grams",
+        F.coalesce(F.col("matches"), F.lit(0).cast("bigint")).alias(
+            "matches"
+        ),
+    )
+    mt = F.col("matches").cast("double")
+    prec = F.when(F.col("cand_grams") > 0, mt / F.col("cand_grams").cast("double"))
+    rec = F.when(F.col("ref_grams") > 0, mt / F.col("ref_grams").cast("double"))
+    f1 = F.when(
+        (F.col("matches") > 0),
+        F.lit(2.0) * prec * rec / (prec + rec),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "pair", "cand_grams", "ref_grams", "matches",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )
+
+
+def rouge_n_sql(
+    data_sql: str,
+    pair_col: str,
+    cand_col: str,
+    ref_col: str,
+    n: int = 2,
+) -> str:
+    """DuckDB twin of :func:`rouge_n` (same clipped-count join)."""
+
+    def grams(col: str) -> str:
+        return (
+            f"CASE WHEN len(string_split_regex(lower(trim({col})), '\\s+')) >= {n} "
+            f"THEN [array_to_string(string_split_regex(lower(trim({col})), '\\s+')[i:i+{n - 1}], ' ') "
+            f"FOR i IN range(1, len(string_split_regex(lower(trim({col})), '\\s+')) - {n - 2})] "
+            f"ELSE [array_to_string(string_split_regex(lower(trim({col})), '\\s+'), ' ')] END"
+        )
+
+    mt = "CAST(COALESCE(matches, 0) AS DOUBLE)"
+    prec = f"CASE WHEN cand_grams > 0 THEN {mt} / CAST(cand_grams AS DOUBLE) END"
+    rec = f"CASE WHEN ref_grams > 0 THEN {mt} / CAST(ref_grams AS DOUBLE) END"
+    return f"""
+WITH base AS (
+  SELECT {pair_col} AS pair, {grams(cand_col)} AS _cg, {grams(ref_col)} AS _rg
+  FROM ({data_sql})
+  WHERE {cand_col} IS NOT NULL AND {ref_col} IS NOT NULL
+),
+c AS (SELECT pair, g, COUNT(*) AS _cc
+      FROM (SELECT pair, unnest(_cg) AS g FROM base) GROUP BY pair, g),
+r AS (SELECT pair, g, COUNT(*) AS _cr
+      FROM (SELECT pair, unnest(_rg) AS g FROM base) GROUP BY pair, g),
+m AS (
+  SELECT pair, CAST(SUM(LEAST(_cc, _cr)) AS BIGINT) AS matches
+  FROM c JOIN r USING (pair, g) GROUP BY pair
+),
+sizes AS (
+  SELECT pair, CAST(len(_cg) AS BIGINT) AS cand_grams,
+    CAST(len(_rg) AS BIGINT) AS ref_grams
+  FROM base
+)
+SELECT pair, cand_grams, ref_grams,
+  CAST(COALESCE(matches, 0) AS BIGINT) AS matches,
+  {prec} AS precision,
+  {rec} AS recall,
+  CASE WHEN COALESCE(matches, 0) > 0
+    THEN 2.0 * ({prec}) * ({rec}) / (({prec}) + ({rec}))
+    ELSE 0e0 END AS f1
+FROM sizes LEFT JOIN m USING (pair)
+"""
+
+
+def cer_pairs(
+    df: DataFrame,
+    pair_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_chars: int = 200,
+) -> DataFrame:
+    """Character error rate per (candidate, reference) pair: Levenshtein
+    distance / reference length — the OCR/ASR/transcription quality
+    metric.  Both engines' ``levenshtein`` are exact integer DPs, so
+    the score is deterministic; texts are truncated to ``max_chars``
+    (the DP is O(len²) per pair — callers with long documents compare
+    prefixes or chunk upstream; the truncation is part of the declared
+    semantics, not a silent cap).
+
+    Returns (pair, dist, ref_len, cer)."""
+    c = F.substring(F.col(cand_col), 1, max_chars)
+    r = F.substring(F.col(ref_col), 1, max_chars)
+    d = F.levenshtein(c, r).cast("bigint")
+    rl = F.length(r).cast("bigint")
+    return df.filter(
+        F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    ).select(
+        F.col(pair_col).alias("pair"),
+        d.alias("dist"),
+        rl.alias("ref_len"),
+        F.when(rl > 0, d.cast("double") / rl.cast("double")).alias("cer"),
+    )
+
+
+def cer_pairs_sql(
+    data_sql: str,
+    pair_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_chars: int = 200,
+) -> str:
+    """DuckDB twin of :func:`cer_pairs`."""
+    c = f"substring({cand_col}, 1, {max_chars})"
+    r = f"substring({ref_col}, 1, {max_chars})"
+    return f"""
+SELECT {pair_col} AS pair,
+  CAST(levenshtein({c}, {r}) AS BIGINT) AS dist,
+  CAST(LENGTH({r}) AS BIGINT) AS ref_len,
+  CASE WHEN LENGTH({r}) > 0 THEN
+    CAST(levenshtein({c}, {r}) AS DOUBLE) / CAST(LENGTH({r}) AS DOUBLE)
+  END AS cer
+FROM ({data_sql})
+WHERE {cand_col} IS NOT NULL AND {ref_col} IS NOT NULL
+"""

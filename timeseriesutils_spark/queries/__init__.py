@@ -47,6 +47,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "arma11_forecast", "durbin_watson", "dagostino_k2",
     "tokenizer_fertility", "hodges_lehmann", "jonckheere_terpstra",
     "page_trend", "winnow_fingerprints", "boxcox_guerrero", "cox_ph",
+    "brunner_munzel", "rouge_n", "cer_pairs",
     # slots: round-10 head re-verification carry
     "ratio_metric_ci", "knn_pq", "pq_recall",
     # round-10 additions (never driver-verified; uncommented here as
@@ -61,9 +62,8 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "binseg_breakpoints", "weibull_fit", "cohens_d", "cliffs_delta",
     "brier_decomposition",
     # stale re-verification: round-3 cohort head (driver rows r3;
-    # the displaced stream_* names move to the ROUND-12 plan below)
-    "chunk_dedup", "quality_filter", "semantic_dedup",
-    "stream_counter_rate",
+    # the displaced names move to the ROUND-12 plan below)
+    "chunk_dedup",
     # round-4 cohort head, catalog order (tail names are PADDING
     # swapped out one-for-one as round-11 additions land, keeping the
     # head at exactly 50)
@@ -154,7 +154,8 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "pipeline_e2e", "lomb_scargle", "arma11_forecast", "durbin_watson",
     "dagostino_k2", "tokenizer_fertility", "hodges_lehmann",
     "jonckheere_terpstra", "page_trend", "winnow_fingerprints",
-    "boxcox_guerrero", "cox_ph",
+    "boxcox_guerrero", "cox_ph", "brunner_munzel", "rouge_n",
+    "cer_pairs",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

@@ -3584,3 +3584,49 @@ def _sql_boxcox_guerrero():
 QUERIES.update(
     {"boxcox_guerrero": Q(q_boxcox_guerrero, _sql_boxcox_guerrero())}
 )
+
+
+def _year_rf_qty(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias(
+            "ship_year"
+        ),
+        "l_returnflag",
+        "l_quantity",
+    )
+
+
+_SQL_YEAR_RF_QTY = """
+  SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
+    l_returnflag, l_quantity
+  FROM lineitem
+"""
+
+
+def q_brunner_munzel(spark, sf_dir):
+    """Brunner–Munzel robust two-sample test per ship year: quantity
+    under returnflag A vs R (operators/nonparam.brunner_munzel) — the
+    heteroscedasticity-robust replacement for mann_whitney (each arm's
+    own rank variance; no equal-shape assumption).  Doubled integer
+    midranks, shift-cancelled exact variance sums."""
+    from timeseriesutils_spark.operators.nonparam import brunner_munzel
+
+    return brunner_munzel(
+        _year_rf_qty(spark, sf_dir), "l_quantity", "l_returnflag",
+        "A", "R", ["ship_year"], scale=2,
+    )
+
+
+def _sql_brunner_munzel():
+    from timeseriesutils_spark.operators.nonparam import brunner_munzel_sql
+
+    return brunner_munzel_sql(
+        _SQL_YEAR_RF_QTY, "l_quantity", "l_returnflag", "A", "R",
+        ["ship_year"], scale=2,
+    )
+
+
+QUERIES.update(
+    {"brunner_munzel": Q(q_brunner_munzel, _sql_brunner_munzel())}
+)

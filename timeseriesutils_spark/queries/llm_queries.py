@@ -2708,3 +2708,70 @@ def _sql_winnow():
 QUERIES.update(
     {"winnow_fingerprints": Q(q_winnow_fingerprints, _sql_winnow())}
 )
+
+
+def _paired_docs(spark, sf_dir):
+    """Even docs as candidates paired with the next odd doc as
+    reference (pair = doc_id div 2) — the aligned-text eval frame."""
+    docs = _docs(spark, sf_dir)
+    cand = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("CAST(doc_id div 2 AS BIGINT)").alias("pair"),
+        F.col("text").alias("cand_text"),
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.expr("CAST(doc_id div 2 AS BIGINT)").alias("pair"),
+        F.col("text").alias("ref_text"),
+    )
+    return cand.join(ref, "pair")
+
+
+_SQL_PAIRED_DOCS = """
+SELECT c.pair, c.cand_text, r.ref_text
+FROM (SELECT CAST(doc_id // 2 AS BIGINT) AS pair, text AS cand_text
+      FROM documents WHERE doc_id % 2 = 0) c
+JOIN (SELECT CAST(doc_id // 2 AS BIGINT) AS pair, text AS ref_text
+      FROM documents WHERE doc_id % 2 = 1) r USING (pair)
+"""
+
+
+def q_rouge_n(spark, sf_dir):
+    """ROUGE-2 over aligned doc pairs (operators/text.rouge_n):
+    clipped bigram multiset overlap P/R/F1 — the summarization /
+    paraphrase eval and pairwise near-dup score; distributed clipped
+    -count join, never a per-row quadratic kernel."""
+    from timeseriesutils_spark.operators.text import rouge_n
+
+    return rouge_n(_paired_docs(spark, sf_dir), "pair", "cand_text",
+                   "ref_text", n=2)
+
+
+def _sql_rouge_n():
+    from timeseriesutils_spark.operators.text import rouge_n_sql
+
+    return rouge_n_sql(_SQL_PAIRED_DOCS, "pair", "cand_text", "ref_text",
+                       n=2)
+
+
+def q_cer_pairs(spark, sf_dir):
+    """Character error rate over aligned doc pairs (operators/text.
+    cer_pairs): exact Levenshtein / reference length on 200-char
+    prefixes — the OCR/ASR transcription-quality metric."""
+    from timeseriesutils_spark.operators.text import cer_pairs
+
+    return cer_pairs(_paired_docs(spark, sf_dir), "pair", "cand_text",
+                     "ref_text", max_chars=200)
+
+
+def _sql_cer_pairs():
+    from timeseriesutils_spark.operators.text import cer_pairs_sql
+
+    return cer_pairs_sql(_SQL_PAIRED_DOCS, "pair", "cand_text", "ref_text",
+                         max_chars=200)
+
+
+QUERIES.update(
+    {
+        "rouge_n": Q(q_rouge_n, _sql_rouge_n()),
+        "cer_pairs": Q(q_cer_pairs, _sql_cer_pairs()),
+    }
+)
