@@ -68,17 +68,22 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # swapped out one-for-one as round-11 additions land, keeping the
     # head at exactly 50)
 )
-# ROUND-11 ROTATION PLAN: head slots go to (a) any round-11 additions
-# (the find_unrotated_queries governance check enforces head placement
-# for anything never driver-verified), then (b) the rest of the
-# round-4 cohort in catalog order (shard_assign, domain_caps,
-# build_vocab, bpe_pair_counts, jsonl_pack, sax_words,
-# permutation_entropy, hurst_exponent, rolling_median, rolling_mad,
-# winsorize, gini_index, weighted_median, value_entropy, group_mode,
-# ohlc_bars, interpolate, gap_fill_ffill, seasonal_profile,
-# sessionize, merge_intervals, state_dwell, top_paths,
-# event_transitions — displaced by this round's 24 additions), then
-# (c) the round-5 cohort oldest-first.
+# ROUND-12 ROTATION PLAN: head slots go to (a) any round-12 additions
+# (find_unrotated_queries enforces head placement for anything never
+# driver-verified), then (b) the stale re-verification backlog
+# displaced by round 11's 16 additions, oldest driver row first: the
+# r3 stream family (stream_counter_rate, stream_cusum, stream_dedup,
+# stream_join, stream_renewal_rt, stream_session, stream_sliding,
+# stream_stateful, stream_static_join, stream_topk, stream_tumbling)
+# and quality_filter/semantic_dedup, then (c) the round-4 cohort in
+# catalog order (spectral_entropy, variant_json, quantile_bin,
+# dedup_minhash_lsh, shard_assign, domain_caps, build_vocab,
+# bpe_pair_counts, jsonl_pack, sax_words, permutation_entropy,
+# hurst_exponent, rolling_median, rolling_mad, winsorize, gini_index,
+# weighted_median, value_entropy, group_mode, ohlc_bars, interpolate,
+# gap_fill_ffill, seasonal_profile, sessionize, merge_intervals,
+# state_dwell, top_paths, event_transitions), then (d) round-5
+# oldest-first.
 
 
 # --- catalog governance (round-6): gate tiers -----------------------------
