@@ -380,3 +380,109 @@ def test_hodges_lehmann_arrow_bit_equal(spark):
     b = {r.g: (r.n, r.hl_estimate)
          for r in hodges_lehmann(df, "y", ["g"], engine="arrow").collect()}
     assert a == b
+
+
+def test_norm_ppf_kernel_accuracy(spark):
+    """The Acklam Φ⁻¹ expression agrees with a direct numpy
+    transcription to ~1e-9 and inverts known quantiles."""
+    from timeseriesutils_spark.operators.nonparam import norm_ppf_sql_text
+
+    ps = [0.001, 0.01, 0.024, 0.025, 0.1, 0.25, 0.5, 0.75, 0.9, 0.975,
+          0.999]
+    df = spark.createDataFrame([(p,) for p in ps], "_p double")
+    got = {
+        round(r._p, 6): r.x
+        for r in df.selectExpr(
+            "_p", f"({norm_ppf_sql_text('_p')}) AS x"
+        ).collect()
+    }
+    known = {0.5: 0.0, 0.975: 1.959963985, 0.025: -1.959963985,
+             0.9: 1.281551566, 0.1: -1.281551566}
+    for p, x in known.items():
+        assert abs(got[round(p, 6)] - x) < 2e-8, p
+    # symmetry
+    assert abs(got[0.25] + got[0.75]) < 2e-9
+
+
+def test_van_der_waerden_reference(spark):
+    """T against a direct numpy implementation (midranks → Φ⁻¹ →
+    ANOVA-style ratio) with a planted location shift."""
+    from timeseriesutils_spark.operators.nonparam import van_der_waerden
+
+    rng = np.random.default_rng(29)
+    data = []
+    samples = {}
+    for i, lvl in enumerate(["a", "b", "c"]):
+        x = np.round(rng.normal(loc=i * 0.8, size=45), 1)
+        samples[lvl] = x
+        data += [("g", lvl, float(v)) for v in x]
+    df = spark.createDataFrame(data, "g string, lvl string, y double")
+    r = van_der_waerden(
+        df, "y", "lvl", ["a", "b", "c"], ["g"], scale=1
+    ).collect()[0]
+
+    # inline Acklam reference
+    def ppf_ref(p):
+        a = [-3.969683028665376e+01, 2.209460984245205e+02,
+             -2.759285104469687e+02, 1.383577518672690e+02,
+             -3.066479806614716e+01, 2.506628277459239e+00]
+        b = [-5.447609879822406e+01, 1.615858368580409e+02,
+             -1.556989798598866e+02, 6.680131188771972e+01,
+             -1.328068155288572e+01]
+        c = [-7.784894002430293e-03, -3.223964580411365e-01,
+             -2.400758277161838e+00, -2.549732539343734e+00,
+             4.374664141464968e+00, 2.938163982698783e+00]
+        dd = [7.784695709041462e-03, 3.224671290700398e-01,
+              2.445134137142996e+00, 3.754408661907416e+00]
+        pl = 0.02425
+        if p < pl:
+            q = np.sqrt(-2 * np.log(p))
+            return (((((c[0]*q+c[1])*q+c[2])*q+c[3])*q+c[4])*q+c[5]) / \
+                ((((dd[0]*q+dd[1])*q+dd[2])*q+dd[3])*q+1)
+        if p > 1 - pl:
+            q = np.sqrt(-2 * np.log(1 - p))
+            return -((((((c[0]*q+c[1])*q+c[2])*q+c[3])*q+c[4])*q+c[5]) /
+                     ((((dd[0]*q+dd[1])*q+dd[2])*q+dd[3])*q+1))
+        q = p - 0.5
+        rr = q * q
+        return (((((a[0]*rr+a[1])*rr+a[2])*rr+a[3])*rr+a[4])*rr+a[5])*q / \
+            (((((b[0]*rr+b[1])*rr+b[2])*rr+b[3])*rr+b[4])*rr+1)
+
+    allv = np.concatenate([samples[l] for l in ["a", "b", "c"]])
+    labs = np.concatenate(
+        [[l] * len(samples[l]) for l in ["a", "b", "c"]]
+    )
+    n = len(allv)
+    mid = np.array(
+        [(np.sum(allv < x) + 1 + np.sum(allv <= x)) / 2.0 for x in allv]
+    )
+    s = np.array([ppf_ref(r_ / (n + 1)) for r_ in mid])
+    num = sum(
+        len(s[labs == l]) * s[labs == l].mean() ** 2 for l in "abc"
+    )
+    t_ref = (n - 1) * num / (s**2).sum()
+    assert abs(r.t_stat - t_ref) < 1e-5
+    assert r.reject_05  # planted shift
+
+
+def test_bleu_pairs_known_values(spark):
+    from timeseriesutils_spark.operators.text import bleu_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "the cat sat on the mat"),
+            (2, "the the the the", "the cat"),
+            (3, "totally unrelated text here", "nothing matches this ref"),
+        ],
+        "pair bigint, cand_text string, ref_text string",
+    )
+    out = {r.pair: r for r in bleu_pairs(df, "pair", "cand_text",
+                                         "ref_text").collect()}
+    assert abs(out[1].bleu - 1.0) < 1e-9          # identical → 1
+    assert out[3].bleu == 0.0                      # no unigram match → 0
+    # clipping: cand "the the the the" vs ref with one "the" → p1 = 1/4
+    assert abs(out[2].p1 - 0.25) < 1e-12
+    # +1 smoothing keeps higher orders positive: geomean(.25,.25,1/3,.5)
+    # ≈ 0.32 — the documented smoothed-BLEU behavior for degenerate
+    # candidates, well under the identical-pair score
+    assert 0 <= out[2].bleu < 0.4

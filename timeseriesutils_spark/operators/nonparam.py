@@ -3507,3 +3507,266 @@ def _hodges_lehmann_arrow(
         return pd.DataFrame([row])
 
     return src.groupBy(*groups).applyInPandas(per_group, schema)
+
+
+# --------------------------------------------------------------------------
+# inverse normal CDF kernel (Acklam's rational approximation, public;
+# |relative error| < 1.15e-9 over (0,1)) — the Φ⁻¹ neither engine has,
+# unlocking normal-scores tests / qq analyses.  One engine-neutral
+# expression text (arithmetic + LN + SQRT + CASE), output quantized at
+# 1e-9 per the libm rule.
+# --------------------------------------------------------------------------
+
+_ACKLAM_A = (
+    -3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+    1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00,
+)
+_ACKLAM_B = (
+    -5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+    6.680131188771972e01, -1.328068155288572e01,
+)
+_ACKLAM_C = (
+    -7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+    -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00,
+)
+_ACKLAM_D = (
+    7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+    3.754408661907416e00,
+)
+_ACKLAM_PLOW = 0.02425
+
+
+def _horner(coeffs, var: str) -> str:
+    out = dlit(coeffs[0])
+    for c in coeffs[1:]:
+        out = f"({out} * {var} + {dlit(c)})"
+    return out
+
+
+def norm_ppf_sql_text(p: str) -> str:
+    """Engine-neutral Φ⁻¹(p) expression text (Acklam): central rational
+    in r = (p−½)², tail rationals in q = √(−2·ln p) with the symmetric
+    upper tail, floor-quantized at 1e-9.  Valid for p ∈ (0, 1); NULL
+    outside.  Run it through F.expr on Spark and verbatim in DuckDB —
+    identical doubles (the taylor renderer discipline)."""
+    plow = dlit(_ACKLAM_PLOW)
+    phigh = f"(1e0 - {plow})"
+    qc = f"(({p}) - 0.5e0)"
+    rc = f"({qc} * {qc})"
+    central = (
+        f"({_horner(_ACKLAM_A, rc)} * {qc}"
+        f" / ({_horner(_ACKLAM_B, rc)} * {rc} + 1e0))"
+    )
+    ql = f"SQRT(-2e0 * LN({p}))"
+    lower = (
+        f"({_horner(_ACKLAM_C, ql)}"
+        f" / ({_horner(_ACKLAM_D, ql)} * {ql} + 1e0))"
+    )
+    qh = f"SQRT(-2e0 * LN(1e0 - ({p})))"
+    upper = (
+        f"(-({_horner(_ACKLAM_C, qh)}"
+        f" / ({_horner(_ACKLAM_D, qh)} * {qh} + 1e0)))"
+    )
+    raw = (
+        f"CASE WHEN ({p}) > {plow} AND ({p}) < {phigh} THEN {central} "
+        f"WHEN ({p}) > 0e0 AND ({p}) <= {plow} THEN {lower} "
+        f"WHEN ({p}) >= {phigh} AND ({p}) < 1e0 THEN {upper} END"
+    )
+    return f"(FLOOR(({raw}) * 1e9 + 0.5) / 1e9)"
+
+
+def van_der_waerden(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    levels: list,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Van der Waerden normal-scores test (1952/53): the
+    k-sample location test that converts pooled midranks to normal
+    quantiles s_i = Φ⁻¹(r_i/(N+1)) before the ANOVA-style statistic —
+    kruskal_wallis's asymptotically-most-efficient sibling (full ARE 1
+    vs the F-test under normality, while keeping rank robustness):
+
+        T = (N−1)·Σ_j n_j·s̄_j² / Σ_i s_i²  ~ χ²_{k−1}
+
+    Exactness: doubled-integer midranks → one shared double p_i →
+    Φ⁻¹ through the quantized Acklam kernel → scores re-quantized to
+    int64, so every cross-row sum is exact; T is one double tree and
+    the decision uses the engine's Wilson–Hilferty χ² survival.
+
+    Returns (groups…, n, t_stat, df, p_value, reject_05).
+    """
+    groups = _as_list(group_columns)
+    k = len(levels)
+    if k < 2:
+        raise ValueError("van_der_waerden needs >= 2 levels")
+    m = 10**scale
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    lvl = None
+    for i, name in enumerate(levels):
+        cond = F.col(factor_col) == F.lit(name)
+        lvl = F.when(cond, i + 1) if lvl is None else lvl.when(cond, i + 1)
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, lvl.alias("_k"), qv.alias("_qv"))
+        .filter(F.col("_k").isNotNull())
+    )
+    wrank = Window.partitionBy(*groups).orderBy("_qv")
+    wtie = Window.partitionBy(*groups, "_qv")
+    wall = Window.partitionBy(*groups)
+    ranked = d.select(
+        *groups,
+        "_k",
+        (
+            F.lit(2) * F.rank().over(wrank)
+            + F.count(F.lit(1)).over(wtie)
+            - F.lit(1)
+        ).cast("bigint").alias("_r2"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    p_i = (
+        F.col("_r2").cast("double")
+        / (F.lit(2.0) * (F.col("_n").cast("double") + F.lit(1.0)))
+    )
+    scored = ranked.select(*groups, "_k", p_i.alias("_p")).select(
+        *groups,
+        "_k",
+        F.expr(
+            "CAST(FLOOR(("
+            + norm_ppf_sql_text("_p")
+            + ") * 1e9 + 0.5) AS BIGINT)"
+        ).alias("_sq"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # per-level sums pivot into FIXED-ORDER columns (never a float SUM
+    # across level rows — the bm25/dirichlet pivot rule): the k-term
+    # numerator is one ordered expression both engines share
+    agg = scored.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_sq")) * dec(F.col("_sq"))).alias("_ss2"),
+        *[
+            F.sum(F.when(F.col("_k") == j + 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_nj{j + 1}")
+            for j in range(k)
+        ],
+        *[
+            F.sum(F.when(F.col("_k") == j + 1, F.col("_sq"))).alias(
+                f"_ssj{j + 1}"
+            )
+            for j in range(k)
+        ],
+    )
+    num = None
+    for j in range(k):
+        nj = F.col(f"_nj{j + 1}").cast("double")
+        mean_j = (
+            F.coalesce(F.col(f"_ssj{j + 1}"), F.lit(0).cast("bigint"))
+            .cast("double")
+            / F.lit(1.0e9)
+            / nj
+        )
+        term = F.when(F.col(f"_nj{j + 1}") > 0, nj * mean_j * mean_j).otherwise(
+            F.lit(0.0)
+        )
+        num = term if num is None else num + term
+    nn = F.col("n").cast("double")
+    ss2 = (
+        F.col("_ss2").cast("string").cast("double")
+        / F.lit(1.0e9)
+        / F.lit(1.0e9)
+    )
+    t = (nn - 1.0) * num / ss2
+    p = chi2_sf_expr(t, F.lit(float(k - 1)))
+    j = agg
+    ok = (F.col("n") > k) & (ss2 > 0)
+    return j.select(
+        *groups,
+        "n",
+        F.when(ok, t).alias("t_stat"),
+        F.lit(k - 1).alias("df"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def van_der_waerden_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    levels: list,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`van_der_waerden` (same midranks, same
+    Acklam text, same sums)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    k = len(levels)
+    m = 10**scale
+    qv = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    lvl = "CASE " + " ".join(
+        f"WHEN {factor_col} = {name!r} THEN {i + 1}"
+        if isinstance(name, str)
+        else f"WHEN {factor_col} = {name} THEN {i + 1}"
+        for i, name in enumerate(levels)
+    ) + " END"
+    p_i = "(CAST(_r2 AS DOUBLE) / (2.0 * (CAST(_n AS DOUBLE) + 1.0)))"
+    sq = f"CAST(FLOOR(({norm_ppf_sql_text(p_i)}) * 1e9 + 0.5) AS BIGINT)"
+    nj_sel = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN _k = {j + 1} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS _nj{j + 1}"
+        for j in range(k)
+    )
+    ssj_sel = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN _k = {j + 1} THEN _sq END) AS BIGINT)"
+        f" AS _ssj{j + 1}"
+        for j in range(k)
+    )
+    terms = []
+    for j in range(k):
+        nj = f"CAST(_nj{j + 1} AS DOUBLE)"
+        mean_j = f"(CAST(COALESCE(_ssj{j + 1}, 0) AS DOUBLE) / 1e9 / {nj})"
+        terms.append(
+            f"CASE WHEN _nj{j + 1} > 0 THEN {nj} * {mean_j} * {mean_j}"
+            f" ELSE 0e0 END"
+        )
+    num = "(" + " + ".join(terms) + ")"
+    nn = "CAST(n AS DOUBLE)"
+    ss2 = "(CAST(CAST(_ss2 AS VARCHAR) AS DOUBLE) / 1e9 / 1e9)"
+    t = f"(({nn} - 1.0) * {num} / {ss2})"
+    p = chi2_sf_sql(t, str(float(k - 1)))
+    ok = f"(n > {k} AND {ss2} > 0)"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {lvl} AS _k, {qv} AS _qv
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+ranked AS (
+  SELECT {gsel}, _k,
+    CAST(2 * RANK() OVER (PARTITION BY {gsel} ORDER BY _qv)
+         + COUNT(*) OVER (PARTITION BY {gsel}, _qv) - 1 AS BIGINT) AS _r2,
+    COUNT(*) OVER (PARTITION BY {gsel}) AS _n
+  FROM d WHERE _k IS NOT NULL
+),
+scored AS (
+  SELECT {gsel}, _k, {sq} AS _sq FROM ranked
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    SUM(CAST(_sq AS HUGEINT) * _sq) AS _ss2,
+    {nj_sel},
+    {ssj_sel}
+  FROM scored GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  CASE WHEN {ok} THEN {t} END AS t_stat,
+  {k - 1} AS df,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""

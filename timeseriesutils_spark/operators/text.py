@@ -3044,3 +3044,197 @@ SELECT {pair_col} AS pair,
 FROM ({data_sql})
 WHERE {cand_col} IS NOT NULL AND {ref_col} IS NOT NULL
 """
+
+
+def bleu_pairs(
+    df: DataFrame,
+    pair_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Sentence-BLEU per (candidate, reference) pair (Papineni 2002,
+    with the standard +1 smoothing on orders > 1 — Lin & Och 2004):
+    geometric mean of clipped n-gram precisions × brevity penalty —
+    the MT/generation eval beside :func:`rouge_n`'s recall-oriented
+    score.
+
+        p_n = (matches_n + s_n)/(cand_n + s_n),  s_1 = 0, s_{n>1} = 1
+        BLEU = BP · exp(Σ ln p_n / N),  BP = min(1, exp(1 − |ref|/|cand|))
+
+    Exactness: match/total counts are exact integers from one clipped
+    -count join per order; ln/exp outputs are floor-quantized at 1e-9
+    (the libm rule) so the score is bit-identical cross-engine.
+
+    Scale: ``max_n`` explode+join passes over (pair, gram) counts —
+    all shuffle-light; no per-row quadratic kernels.
+
+    Returns (pair, cand_len, ref_len, p1..p{max_n}, brevity_penalty,
+    bleu)."""
+
+    def grams(col, n):
+        w = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = df.filter(
+        F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    ).select(
+        F.col(pair_col).alias("pair"),
+        F.size(F.split(F.lower(F.trim(F.col(cand_col))), r"\s+"))
+        .cast("bigint")
+        .alias("cand_len"),
+        F.size(F.split(F.lower(F.trim(F.col(ref_col))), r"\s+"))
+        .cast("bigint")
+        .alias("ref_len"),
+        *[grams(cand_col, n).alias(f"_cg{n}") for n in range(1, max_n + 1)],
+        *[grams(ref_col, n).alias(f"_rg{n}") for n in range(1, max_n + 1)],
+    )
+    from timeseriesutils_spark.functions.cache import pin
+
+    base = pin(base)  # feeds 2·max_n explodes + the final join-back
+    out = base.select(
+        "pair", "cand_len", "ref_len",
+        *[F.size(f"_cg{n}").cast("bigint").alias(f"_cn{n}")
+          for n in range(1, max_n + 1)],
+    )
+    for n in range(1, max_n + 1):
+        c = base.select("pair", F.explode(f"_cg{n}").alias("g")).groupBy(
+            "pair", "g"
+        ).agg(F.count(F.lit(1)).alias("_cc"))
+        r = base.select("pair", F.explode(f"_rg{n}").alias("g")).groupBy(
+            "pair", "g"
+        ).agg(F.count(F.lit(1)).alias("_cr"))
+        m = c.join(r, ["pair", "g"]).groupBy("pair").agg(
+            F.sum(F.least(F.col("_cc"), F.col("_cr")))
+            .cast("bigint")
+            .alias(f"_m{n}")
+        )
+        out = out.join(m, "pair", "left")
+    q9 = lambda c: F.floor(c * F.lit(1.0e9) + F.lit(0.5)) / F.lit(1.0e9)  # noqa: E731
+    ps = []
+    lnsum = None
+    for n in range(1, max_n + 1):
+        s = 0 if n == 1 else 1
+        mm = F.coalesce(F.col(f"_m{n}"), F.lit(0).cast("bigint"))
+        cn = F.col(f"_cn{n}")
+        p_n = F.when(
+            cn + F.lit(s) > 0,
+            (mm + F.lit(s)).cast("double") / (cn + F.lit(s)).cast("double"),
+        )
+        ps.append(p_n.alias(f"p{n}"))
+        lnp = q9(F.log(p_n))
+        lnsum = lnp if lnsum is None else lnsum + lnp
+    bp = q9(
+        F.least(
+            F.lit(1.0),
+            F.exp(
+                F.lit(1.0)
+                - F.col("ref_len").cast("double")
+                / F.col("cand_len").cast("double")
+            ),
+        )
+    )
+    bleu = F.when(
+        (F.col("cand_len") > 0)
+        & (F.coalesce(F.col("_m1"), F.lit(0).cast("bigint")) > 0),
+        bp * q9(F.exp(lnsum / F.lit(float(max_n)))),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "pair", "cand_len", "ref_len", *ps,
+        F.when(F.col("cand_len") > 0, bp).alias("brevity_penalty"),
+        bleu.alias("bleu"),
+    )
+
+
+def bleu_pairs_sql(
+    data_sql: str,
+    pair_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> str:
+    """DuckDB twin of :func:`bleu_pairs` (same clipped joins, same
+    quantized ln/exp tree)."""
+
+    def words(col: str) -> str:
+        return f"string_split_regex(lower(trim({col})), '\\s+')"
+
+    def grams(col: str, n: int) -> str:
+        w = words(col)
+        if n == 1:
+            return w
+        return (
+            f"CASE WHEN len({w}) >= {n} "
+            f"THEN [array_to_string({w}[i:i+{n - 1}], ' ') "
+            f"FOR i IN range(1, len({w}) - {n - 2})] "
+            f"ELSE [] END"
+        )
+
+    g_cols = ",\n    ".join(
+        f"{grams(cand_col, n)} AS _cg{n},\n    {grams(ref_col, n)} AS _rg{n}"
+        for n in range(1, max_n + 1)
+    )
+    cn_cols = ", ".join(
+        f"CAST(len(_cg{n}) AS BIGINT) AS _cn{n}" for n in range(1, max_n + 1)
+    )
+    match_ctes = []
+    joins = []
+    for n in range(1, max_n + 1):
+        match_ctes.append(
+            f"""m{n} AS (
+  SELECT pair, CAST(SUM(LEAST(_cc, _cr)) AS BIGINT) AS _m{n} FROM
+    (SELECT pair, g, COUNT(*) AS _cc
+     FROM (SELECT pair, unnest(_cg{n}) AS g FROM base) GROUP BY pair, g) c
+  JOIN
+    (SELECT pair, g, COUNT(*) AS _cr
+     FROM (SELECT pair, unnest(_rg{n}) AS g FROM base) GROUP BY pair, g) r
+  USING (pair, g) GROUP BY pair
+)"""
+        )
+        joins.append(f"LEFT JOIN m{n} USING (pair)")
+    q9 = lambda c: f"(FLOOR(({c}) * 1e9 + 0.5) / 1e9)"  # noqa: E731
+    p_sel = []
+    ln_terms = []
+    for n in range(1, max_n + 1):
+        s = 0 if n == 1 else 1
+        mm = f"COALESCE(_m{n}, 0)"
+        p_n = (
+            f"CASE WHEN _cn{n} + {s} > 0 THEN "
+            f"CAST({mm} + {s} AS DOUBLE) / CAST(_cn{n} + {s} AS DOUBLE) END"
+        )
+        p_sel.append(f"{p_n} AS p{n}")
+        ln_terms.append(q9(f"LN({p_n})"))
+    lnsum = " + ".join(ln_terms)
+    bp = q9(
+        "LEAST(1e0, EXP(1e0 - CAST(ref_len AS DOUBLE)"
+        " / CAST(cand_len AS DOUBLE)))"
+    )
+    bleu = (
+        f"CASE WHEN cand_len > 0 AND COALESCE(_m1, 0) > 0 THEN "
+        f"{bp} * {q9(f'EXP(({lnsum}) / {float(max_n)!r})')} ELSE 0e0 END"
+    )
+    return f"""
+WITH base AS (
+  SELECT {pair_col} AS pair,
+    CAST(len({words(cand_col)}) AS BIGINT) AS cand_len,
+    CAST(len({words(ref_col)}) AS BIGINT) AS ref_len,
+    {g_cols}
+  FROM ({data_sql})
+  WHERE {cand_col} IS NOT NULL AND {ref_col} IS NOT NULL
+),
+sizes AS (
+  SELECT pair, cand_len, ref_len, {cn_cols} FROM base
+),
+{",".join(match_ctes)}
+SELECT pair, cand_len, ref_len,
+  {", ".join(p_sel)},
+  CASE WHEN cand_len > 0 THEN {bp} END AS brevity_penalty,
+  {bleu} AS bleu
+FROM sizes {" ".join(joins)}
+"""

@@ -47,9 +47,10 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "arma11_forecast", "durbin_watson", "dagostino_k2",
     "tokenizer_fertility", "hodges_lehmann", "jonckheere_terpstra",
     "page_trend", "winnow_fingerprints", "boxcox_guerrero", "cox_ph",
-    "brunner_munzel", "rouge_n", "cer_pairs",
+    "brunner_munzel", "rouge_n", "cer_pairs", "bleu_pairs",
+    "van_der_waerden",
     # slots: round-10 head re-verification carry
-    "ratio_metric_ci", "knn_pq", "pq_recall",
+    "ratio_metric_ci", "knn_pq",
     # round-10 additions (never driver-verified; uncommented here as
     # each lands gate-green — catalog() validates these names):
     "knn_ivfpq", "ann_recall_ivfpq", "kalman_local_level",
@@ -61,9 +62,8 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "seasonal_mann_kendall", "cronbach_alpha", "ks_uniform_audit",
     "binseg_breakpoints", "weibull_fit", "cohens_d", "cliffs_delta",
     "brier_decomposition",
-    # stale re-verification: round-3 cohort head (driver rows r3;
-    # the displaced names move to the ROUND-12 plan below)
-    "chunk_dedup",
+    # stale re-verification backlog moved wholesale to the ROUND-12
+    # plan below (displaced by this round's 18 additions)
     # round-4 cohort head, catalog order (tail names are PADDING
     # swapped out one-for-one as round-11 additions land, keeping the
     # head at exactly 50)
@@ -160,7 +160,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "dagostino_k2", "tokenizer_fertility", "hodges_lehmann",
     "jonckheere_terpstra", "page_trend", "winnow_fingerprints",
     "boxcox_guerrero", "cox_ph", "brunner_munzel", "rouge_n",
-    "cer_pairs",
+    "cer_pairs", "bleu_pairs", "van_der_waerden",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

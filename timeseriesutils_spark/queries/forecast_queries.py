@@ -3630,3 +3630,31 @@ def _sql_brunner_munzel():
 QUERIES.update(
     {"brunner_munzel": Q(q_brunner_munzel, _sql_brunner_munzel())}
 )
+
+
+def q_van_der_waerden(spark, sf_dir):
+    """Van der Waerden normal-scores test per ship year across the
+    three return-flag arms (operators/nonparam.van_der_waerden):
+    kruskal_wallis's full-efficiency sibling — pooled midranks through
+    the quantized Acklam Φ⁻¹ kernel, exact integer score sums, χ²
+    decision via Wilson–Hilferty."""
+    from timeseriesutils_spark.operators.nonparam import van_der_waerden
+
+    return van_der_waerden(
+        _year_rf(spark, sf_dir), "l_extendedprice", "l_returnflag",
+        ["A", "N", "R"], ["ship_year"], scale=2,
+    )
+
+
+def _sql_van_der_waerden():
+    from timeseriesutils_spark.operators.nonparam import van_der_waerden_sql
+
+    return van_der_waerden_sql(
+        _SQL_YEAR_RF, "l_extendedprice", "l_returnflag", ["A", "N", "R"],
+        ["ship_year"], scale=2,
+    )
+
+
+QUERIES.update(
+    {"van_der_waerden": Q(q_van_der_waerden, _sql_van_der_waerden())}
+)

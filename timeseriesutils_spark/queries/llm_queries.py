@@ -2775,3 +2775,24 @@ QUERIES.update(
         "cer_pairs": Q(q_cer_pairs, _sql_cer_pairs()),
     }
 )
+
+
+def q_bleu_pairs(spark, sf_dir):
+    """Sentence-BLEU over aligned doc pairs (operators/text.bleu_pairs):
+    clipped 1–4-gram precisions, +1 smoothing on higher orders,
+    brevity penalty — the MT/generation eval beside rouge_n; exact
+    clipped-count joins, 1e-9-quantized ln/exp tree."""
+    from timeseriesutils_spark.operators.text import bleu_pairs
+
+    return bleu_pairs(_paired_docs(spark, sf_dir), "pair", "cand_text",
+                      "ref_text", max_n=4)
+
+
+def _sql_bleu_pairs():
+    from timeseriesutils_spark.operators.text import bleu_pairs_sql
+
+    return bleu_pairs_sql(_SQL_PAIRED_DOCS, "pair", "cand_text",
+                          "ref_text", max_n=4)
+
+
+QUERIES.update({"bleu_pairs": Q(q_bleu_pairs, _sql_bleu_pairs())})
