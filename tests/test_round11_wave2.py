@@ -486,3 +486,72 @@ def test_bleu_pairs_known_values(spark):
     # ≈ 0.32 — the documented smoothed-BLEU behavior for degenerate
     # candidates, well under the identical-pair score
     assert 0 <= out[2].bleu < 0.4
+
+
+def test_fligner_killeen_reference(spark):
+    """X² against a direct numpy implementation (median-centered
+    |dev| → midranks → Acklam scores); unequal-spread arms reject,
+    equal-spread arms don't."""
+    from timeseriesutils_spark.operators.nonparam import fligner_killeen
+
+    rng = np.random.default_rng(31)
+    rows = []
+    samples = {}
+    scales = {"a": 1.0, "b": 1.0, "c": 4.0}  # c has 4x the spread
+    for lvl, sc in scales.items():
+        x = np.round(rng.normal(0, sc, size=60), 1)
+        samples[lvl] = x
+        rows += [("g", lvl, float(v)) for v in x]
+    df = spark.createDataFrame(rows, "g string, lvl string, y double")
+    r = fligner_killeen(
+        df, "y", "lvl", ["a", "b", "c"], ["g"], scale=1
+    ).collect()[0]
+
+    def ppf_ref(p):
+        a = [-3.969683028665376e+01, 2.209460984245205e+02,
+             -2.759285104469687e+02, 1.383577518672690e+02,
+             -3.066479806614716e+01, 2.506628277459239e+00]
+        b = [-5.447609879822406e+01, 1.615858368580409e+02,
+             -1.556989798598866e+02, 6.680131188771972e+01,
+             -1.328068155288572e+01]
+        c = [-7.784894002430293e-03, -3.223964580411365e-01,
+             -2.400758277161838e+00, -2.549732539343734e+00,
+             4.374664141464968e+00, 2.938163982698783e+00]
+        dd = [7.784695709041462e-03, 3.224671290700398e-01,
+              2.445134137142996e+00, 3.754408661907416e+00]
+        pl = 0.02425
+        if p >= 1 - pl:  # upper tail (midranks near N push p here)
+            q = np.sqrt(-2 * np.log(1 - p))
+            return -((((((c[0]*q+c[1])*q+c[2])*q+c[3])*q+c[4])*q+c[5]) /
+                     ((((dd[0]*q+dd[1])*q+dd[2])*q+dd[3])*q+1))
+        q = p - 0.5
+        rr = q * q
+        return (((((a[0]*rr+a[1])*rr+a[2])*rr+a[3])*rr+a[4])*rr+a[5])*q / \
+            (((((b[0]*rr+b[1])*rr+b[2])*rr+b[3])*rr+b[4])*rr+1)
+
+    # reference deviations in exact DOUBLED integer units (float
+    # |x − med| splits true ties through representation noise — the
+    # exact bug the engine's quantization prevents)
+    devs = []
+    labs = []
+    for lvl, x in samples.items():
+        qv = np.floor(np.round(x, 1) * 10 + 0.5).astype(np.int64)
+        med = np.median(qv)
+        devs += list(np.abs(qv * 2 - int(round(med * 2))))
+        labs += [lvl] * len(x)
+    devs = np.array(devs)
+    labs = np.array(labs)
+    n = len(devs)
+    mid = np.array(
+        [(np.sum(devs < v) + 1 + np.sum(devs <= v)) / 2.0 for v in devs]
+    )
+    a_s = np.array([ppf_ref(0.5 + rr / (2 * (n + 1))) for rr in mid])
+    abar = a_s.mean()
+    var = a_s.var(ddof=1)
+    num = sum(
+        len(a_s[labs == l]) * (a_s[labs == l].mean() - abar) ** 2
+        for l in scales
+    )
+    x2_ref = num / var
+    assert abs(r.x2_stat - x2_ref) < 1e-4
+    assert r.reject_05  # planted spread difference

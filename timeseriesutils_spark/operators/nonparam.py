@@ -3770,3 +3770,246 @@ SELECT {gsel}, n,
   CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
 FROM agg
 """
+
+
+def fligner_killeen(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    levels: list,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Fligner–Killeen test (1976; Conover–Johnson–Johnson
+    1981 normal-scores form): the robust k-sample SCALE test — the
+    rank-based member beside bartlett_test (normal-theory, fragile)
+    and levene_bf (mean/median deviations): do the levels differ in
+    SPREAD?
+
+        a_i = Φ⁻¹(½ + r_i/(2(N+1))),  r_i = pooled midrank of
+              |x_i − median(level)|
+        X² = Σ_j n_j(ā_j − ā)² / Var(a)  ~ χ²_{k−1}
+
+    Exactness: per-level medians via the shared sorted-collect lerp,
+    |deviations| quantized to int64, pooled midranks in doubled
+    integer units, scores through the quantized Acklam Φ⁻¹ kernel and
+    re-quantized to int64 — every cross-row sum exact; the statistic
+    is one double tree over fixed-order per-level pivots, the decision
+    the Wilson–Hilferty χ² survival.
+
+    Returns (groups…, n, x2_stat, df, p_value, reject_05).
+    """
+    groups = _as_list(group_columns)
+    k = len(levels)
+    if k < 2:
+        raise ValueError("fligner_killeen needs >= 2 levels")
+    from timeseriesutils_spark.operators.stats import _qcont
+
+    m = 10**scale
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    lvl = None
+    for i, name in enumerate(levels):
+        cond = F.col(factor_col) == F.lit(name)
+        lvl = F.when(cond, i + 1) if lvl is None else lvl.when(cond, i + 1)
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, lvl.alias("_k"), qv.alias("_qv"))
+        .filter(F.col("_k").isNotNull())
+    )
+    med = d.groupBy(*groups, "_k").agg(
+        F.sort_array(F.collect_list("_qv")).alias("_arr")
+    )
+    med = med.select(
+        *groups, "_k",
+        _qcont(F.col("_arr"), F.size("_arr"), 0.5).alias("_med"),
+    )
+    jd = d.join(F.broadcast(med), on=[*groups, "_k"])
+    # |x − median| back on the quantized grid: median is a lerp double
+    # in q units; the abs deviation re-quantizes via floor(|.|·2+0.5)
+    # (doubled units make the .5-lerp exact: 2·med is integer-valued)
+    dev = F.floor(
+        F.abs(F.col("_qv").cast("double") - F.col("_med")) * F.lit(2.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    dd = jd.select(*groups, "_k", dev.alias("_dv"))
+    wrank = Window.partitionBy(*groups).orderBy("_dv")
+    wtie = Window.partitionBy(*groups, "_dv")
+    wall = Window.partitionBy(*groups)
+    ranked = dd.select(
+        *groups,
+        "_k",
+        (
+            F.lit(2) * F.rank().over(wrank)
+            + F.count(F.lit(1)).over(wtie)
+            - F.lit(1)
+        ).cast("bigint").alias("_r2"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    p_i = (
+        F.lit(0.5)
+        + F.col("_r2").cast("double")
+        / (F.lit(4.0) * (F.col("_n").cast("double") + F.lit(1.0)))
+    )
+    scored = ranked.select(*groups, "_k", p_i.alias("_p")).select(
+        *groups,
+        "_k",
+        F.expr(
+            "CAST(FLOOR(("
+            + norm_ppf_sql_text("_p")
+            + ") * 1e9 + 0.5) AS BIGINT)"
+        ).alias("_sq"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = scored.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_sq").alias("_st"),
+        F.sum(dec(F.col("_sq")) * dec(F.col("_sq"))).alias("_ss2"),
+        *[
+            F.sum(F.when(F.col("_k") == j + 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_nj{j + 1}")
+            for j in range(k)
+        ],
+        *[
+            F.sum(F.when(F.col("_k") == j + 1, F.col("_sq"))).alias(
+                f"_ssj{j + 1}"
+            )
+            for j in range(k)
+        ],
+    )
+    nn = F.col("n").cast("double")
+    abar = F.col("_st").cast("double") / F.lit(1.0e9) / nn
+    var = (
+        F.col("_ss2").cast("string").cast("double") / F.lit(1.0e9) / F.lit(1.0e9)
+        - nn * abar * abar
+    ) / (nn - 1.0)
+    num = None
+    for j in range(k):
+        nj = F.col(f"_nj{j + 1}").cast("double")
+        mean_j = (
+            F.coalesce(F.col(f"_ssj{j + 1}"), F.lit(0).cast("bigint"))
+            .cast("double")
+            / F.lit(1.0e9)
+            / nj
+        )
+        term = F.when(
+            F.col(f"_nj{j + 1}") > 0,
+            nj * (mean_j - abar) * (mean_j - abar),
+        ).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+    x2 = num / var
+    p = chi2_sf_expr(x2, F.lit(float(k - 1)))
+    ok = (F.col("n") > k) & (var > 0)
+    return agg.select(
+        *groups,
+        "n",
+        F.when(ok, x2).alias("x2_stat"),
+        F.lit(k - 1).alias("df"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def fligner_killeen_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    levels: list,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`fligner_killeen` (same median lerp, same
+    doubled deviations/midranks, same Acklam scores and pivots)."""
+    from timeseriesutils_spark.operators.stats import _qcont_sql
+
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    k = len(levels)
+    m = 10**scale
+    qv = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    lvl = "CASE " + " ".join(
+        f"WHEN {factor_col} = {name!r} THEN {i + 1}"
+        if isinstance(name, str)
+        else f"WHEN {factor_col} = {name} THEN {i + 1}"
+        for i, name in enumerate(levels)
+    ) + " END"
+    med = _qcont_sql("_arr", "len(_arr)", 0.5)
+    p_i = (
+        "(0.5e0 + CAST(_r2 AS DOUBLE)"
+        " / (4.0 * (CAST(_n AS DOUBLE) + 1.0)))"
+    )
+    sq = f"CAST(FLOOR(({norm_ppf_sql_text(p_i)}) * 1e9 + 0.5) AS BIGINT)"
+    nj_sel = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN _k = {j + 1} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS _nj{j + 1}"
+        for j in range(k)
+    )
+    ssj_sel = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN _k = {j + 1} THEN _sq END) AS BIGINT)"
+        f" AS _ssj{j + 1}"
+        for j in range(k)
+    )
+    nn = "CAST(n AS DOUBLE)"
+    abar = f"(CAST(_st AS DOUBLE) / 1e9 / {nn})"
+    var = (
+        f"((CAST(CAST(_ss2 AS VARCHAR) AS DOUBLE) / 1e9 / 1e9"
+        f" - {nn} * {abar} * {abar}) / ({nn} - 1.0))"
+    )
+    terms = []
+    for j in range(k):
+        nj = f"CAST(_nj{j + 1} AS DOUBLE)"
+        mean_j = f"(CAST(COALESCE(_ssj{j + 1}, 0) AS DOUBLE) / 1e9 / {nj})"
+        terms.append(
+            f"CASE WHEN _nj{j + 1} > 0 THEN"
+            f" {nj} * ({mean_j} - {abar}) * ({mean_j} - {abar})"
+            f" ELSE 0e0 END"
+        )
+    num = "(" + " + ".join(terms) + ")"
+    x2 = f"({num} / {var})"
+    p = chi2_sf_sql(x2, str(float(k - 1)))
+    ok = f"(n > {k} AND {var} > 0)"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {lvl} AS _k, {qv} AS _qv
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+med AS (
+  SELECT {gsel}, _k, {med} AS _med FROM (
+    SELECT {gsel}, _k, list_sort(list(_qv)) AS _arr
+    FROM d WHERE _k IS NOT NULL GROUP BY {gsel}, _k
+  )
+),
+dd AS (
+  SELECT d.{gsel.replace(', ', ', d.')}, d._k,
+    CAST(FLOOR(ABS(CAST(_qv AS DOUBLE) - _med) * 2e0 + 0.5) AS BIGINT)
+      AS _dv
+  FROM d JOIN med USING ({gsel}, _k)
+  WHERE d._k IS NOT NULL
+),
+ranked AS (
+  SELECT {gsel}, _k,
+    CAST(2 * RANK() OVER (PARTITION BY {gsel} ORDER BY _dv)
+         + COUNT(*) OVER (PARTITION BY {gsel}, _dv) - 1 AS BIGINT) AS _r2,
+    COUNT(*) OVER (PARTITION BY {gsel}) AS _n
+  FROM dd
+),
+scored AS (
+  SELECT {gsel}, _k, {sq} AS _sq FROM ranked
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    CAST(SUM(_sq) AS BIGINT) AS _st,
+    SUM(CAST(_sq AS HUGEINT) * _sq) AS _ss2,
+    {nj_sel},
+    {ssj_sel}
+  FROM scored GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  CASE WHEN {ok} THEN {x2} END AS x2_stat,
+  {k - 1} AS df,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""

@@ -48,9 +48,9 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "tokenizer_fertility", "hodges_lehmann", "jonckheere_terpstra",
     "page_trend", "winnow_fingerprints", "boxcox_guerrero", "cox_ph",
     "brunner_munzel", "rouge_n", "cer_pairs", "bleu_pairs",
-    "van_der_waerden",
+    "van_der_waerden", "fligner_killeen",
     # slots: round-10 head re-verification carry
-    "ratio_metric_ci", "knn_pq",
+    "ratio_metric_ci",
     # round-10 additions (never driver-verified; uncommented here as
     # each lands gate-green — catalog() validates these names):
     "knn_ivfpq", "ann_recall_ivfpq", "kalman_local_level",
@@ -160,7 +160,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "dagostino_k2", "tokenizer_fertility", "hodges_lehmann",
     "jonckheere_terpstra", "page_trend", "winnow_fingerprints",
     "boxcox_guerrero", "cox_ph", "brunner_munzel", "rouge_n",
-    "cer_pairs", "bleu_pairs", "van_der_waerden",
+    "cer_pairs", "bleu_pairs", "van_der_waerden", "fligner_killeen",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

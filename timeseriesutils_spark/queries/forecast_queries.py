@@ -3658,3 +3658,32 @@ def _sql_van_der_waerden():
 QUERIES.update(
     {"van_der_waerden": Q(q_van_der_waerden, _sql_van_der_waerden())}
 )
+
+
+def q_fligner_killeen(spark, sf_dir):
+    """Fligner–Killeen robust scale test per ship year across the
+    return-flag arms (operators/nonparam.fligner_killeen): do the arms
+    differ in SPREAD?  The rank-based member completing the scale
+    family (bartlett: normal-theory; levene_bf: deviation means) —
+    median-centered |deviations| → pooled midranks → quantized Acklam
+    normal scores → exact χ² statistic."""
+    from timeseriesutils_spark.operators.nonparam import fligner_killeen
+
+    return fligner_killeen(
+        _year_rf(spark, sf_dir), "l_extendedprice", "l_returnflag",
+        ["A", "N", "R"], ["ship_year"], scale=2,
+    )
+
+
+def _sql_fligner_killeen():
+    from timeseriesutils_spark.operators.nonparam import fligner_killeen_sql
+
+    return fligner_killeen_sql(
+        _SQL_YEAR_RF, "l_extendedprice", "l_returnflag", ["A", "N", "R"],
+        ["ship_year"], scale=2,
+    )
+
+
+QUERIES.update(
+    {"fligner_killeen": Q(q_fligner_killeen, _sql_fligner_killeen())}
+)
