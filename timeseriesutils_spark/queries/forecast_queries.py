@@ -3417,11 +3417,16 @@ def q_hodges_lehmann(spark, sf_dir):
     """Hodges–Lehmann robust location per supplier over monthly
     revenue (operators/nonparam.hodges_lehmann): the median of Walsh
     averages — the signed-rank-inverted center between the mean and
-    the median; exact integer Walsh sums + the shared lerp median."""
+    the median; exact integer Walsh sums + the shared lerp median.
+    Declared engine = the Arrow numpy-broadcast kernel (the gibberish
+    precedent: bit-identical to the expression engine on exact ints —
+    pinned in tests — and ~2× faster; the expression form remains the
+    twin mirror of the SQL oracle)."""
     from timeseriesutils_spark.operators.nonparam import hodges_lehmann
 
     return hodges_lehmann(
-        _monthly_vol_rev(spark, sf_dir), "rev", ["l_suppkey"], scale=2
+        _monthly_vol_rev(spark, sf_dir), "rev", ["l_suppkey"], scale=2,
+        engine="arrow",
     )
 
 
