@@ -1610,7 +1610,7 @@ def winnow_fingerprints_sql(
 ) -> str:
     """DuckDB twin of :func:`winnow_fingerprints` (same packed-key
     window min)."""
-    h = portable_hash64_sql("_g")
+    h = portable_hash64_sql("u.g")
     return f"""
 WITH words AS (
   SELECT {id_col} AS id, string_split_regex(lower(trim({text_col})), '\\s+') AS w
@@ -1626,7 +1626,7 @@ grams AS (
 ),
 g AS (
   SELECT id, CAST(u.pos AS BIGINT) AS pos,
-    ({h.replace('_g', 'u.g')}) % {2**40} AS _hr
+    ({h}) % {2**40} AS _hr
   FROM grams
 ),
 sel AS (
