@@ -461,3 +461,72 @@ def test_kendall_counts_match_scipy_formula():
         )
         s, xt, yt, nn = _kendall_counts_int(x, y)
         assert s == s_ref and nn == n
+
+
+# --- round-11 plan-shape pins -------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lomb_scargle_two_stage_broadcast(spark, catalog):
+    """lomb_scargle: the per-group τ statistics join back BROADCAST
+    (never a sort-merge on the fact side) and the whole chain stays
+    JVM-side."""
+    plan = _plan(catalog["lomb_scargle"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_arma11_no_python_broadcastable(spark, catalog):
+    """arma11_forecast: acf + state collapse to one row per group
+    before the fit; no Python, no quadratic joins."""
+    plan = _plan(catalog["arma11_forecast"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bleu_rouge_no_quadratic_kernel(spark, catalog):
+    """bleu/rouge: clipped-count joins over exploded grams — no
+    per-row quadratic Python kernel, no nested-loop join."""
+    for name in ("bleu_pairs", "rouge_n"):
+        plan = _plan(catalog[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_winnow_single_window_no_join(spark, catalog):
+    """winnow_fingerprints: one per-doc window over the gram stream —
+    no joins at all, pure JVM."""
+    plan = _plan(catalog["winnow_fingerprints"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_van_der_waerden_fligner_single_chain(spark, catalog):
+    """normal-scores tests: rank windows + one reduce with fixed-order
+    level pivots — no per-level join fan-out, no Python."""
+    for name in ("van_der_waerden", "fligner_killeen"):
+        plan = _plan(catalog[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_cox_ph_checkpointed_projection(spark, catalog):
+    """cox_ph: the returned frame is a pure projection over the
+    eagerly-checkpointed group-sized stats (the Newton work already
+    ran, under the narrowed shuffle width) — no joins, no windows, no
+    scans left in the final plan, and the session's shuffle width is
+    restored."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    df = catalog["cox_ph"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "ExistingRDD" in plan  # the checkpointed stats frame
+    assert "Scan parquet" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
