@@ -33,6 +33,12 @@ __all__ = [
     "wis_scores_sql",
     "excess_incidence",
     "excess_incidence_sql",
+    "crps_sample",
+    "crps_sample_sql",
+    "pit_histogram",
+    "pit_histogram_sql",
+    "wallinga_teunis",
+    "wallinga_teunis_sql",
 ]
 
 
@@ -758,4 +764,395 @@ SELECT {gsel}, _day AS {day_col}, _n AS {count_col}, expected,
   CAST(_xq AS DOUBLE) / {m}.0e0 AS excess,
   CAST(_cxq AS DOUBLE) / {m}.0e0 AS cum_excess
 FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# sample-based CRPS (continuous ranked probability score)
+# --------------------------------------------------------------------------
+
+
+def crps_sample(
+    forecasts: DataFrame,
+    actual_col: str,
+    sample_col: str,
+    m: int,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group mean CRPS of an m-member ensemble forecast — the
+    sample form of the proper score the forecast-hub quantile metrics
+    (pinball/WIS, above) approximate, completing the scoring family for
+    models that emit trajectories rather than quantiles:
+
+        CRPS(x₁..x_m; y) = (1/m)·Σᵢ|xᵢ − y| − (1/m²)·Σ_{i<j}(x₍ⱼ₎ − x₍ᵢ₎)
+
+    (Gneiting & Raftery 2007 eq. 21, sample estimator).  ``sample_col``
+    must be an ascending-sorted array of exactly ``m`` members (the
+    caller filters; the trailing-window empirical forecaster already
+    sorts).  Exactness: members and observation are floor-quantized to
+    10^-scale units, so the absolute-error sum is an exact int64 fold
+    and the pairwise spread collapses to the sorted-order identity
+    Σ_{i<j}(x₍ⱼ₎−x₍ᵢ₎) = Σᵢ(2i−1−m)·x₍ᵢ₎ — an UNROLLED fixed linear
+    combination of array slots (integer, tie-permutation invariant), no
+    pairwise join anywhere.  Per-row numerators are exact ints summed
+    in DECIMAL(38,0); each output is one double division.
+
+    Scale shape: one map-combinable aggregation over rows that each
+    carry an O(m) array — no shuffle beyond the single groupBy
+    exchange, constant memory per row; at 100 TB the cost is the scan.
+
+    Returns (groups…, n, crps, abs_term, spread_term) with
+    crps = abs_term − spread_term by construction.
+    """
+    g = _as_list(group_columns)
+    mm = int(m)
+    mq = 10**scale
+    y = F.col(actual_col).cast("double")
+    qy = F.floor(y * F.lit(mq) + F.lit(0.5)).cast("bigint")
+    qarr = F.transform(
+        F.col(sample_col),
+        lambda x: F.floor(x.cast("double") * F.lit(mq) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    rows = forecasts.filter(
+        y.isNotNull() & (F.size(F.col(sample_col)) == mm)
+    ).select(*g, qy.alias("_qy"), qarr.alias("_qa"))
+    abs_sum = F.aggregate(
+        F.col("_qa"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.abs(x - F.col("_qy")),
+    )
+    pair = None
+    for i in range(1, mm + 1):
+        c = 2 * i - 1 - mm
+        if c == 0:
+            continue
+        t = F.lit(c).cast("bigint") * F.element_at("_qa", i)
+        pair = t if pair is None else pair + t
+    q = rows.select(
+        *g,
+        abs_sum.alias("_abs"),
+        (pair if pair is not None else F.lit(0).cast("bigint")).alias("_pair"),
+    )
+    agg = q.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_abs").cast("decimal(38,0)")).alias("_sa"),
+        F.sum(F.col("_pair").cast("decimal(38,0)")).alias("_sp"),
+    )
+    nn = F.col("n").cast("double")
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    mf = float(mq)
+    abs_term = s2d("_sa") / F.lit(float(mm)) / F.lit(mf) / nn
+    spread = s2d("_sp") / F.lit(float(mm * mm)) / F.lit(mf) / nn
+    crps = (
+        (s2d("_sa") * F.lit(float(mm)) - s2d("_sp"))
+        / F.lit(float(mm * mm))
+        / F.lit(mf)
+        / nn
+    )
+    return agg.select(
+        *g,
+        "n",
+        crps.alias("crps"),
+        abs_term.alias("abs_term"),
+        spread.alias("spread_term"),
+    )
+
+
+def crps_sample_sql(
+    forecasts_sql: str,
+    actual_col: str,
+    sample_col: str,
+    m: int,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`crps_sample` (same quantization, same
+    unrolled sorted-pair identity, same DECIMAL accumulators)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    mm = int(m)
+    mq = 10**scale
+    qy = f"CAST(FLOOR(CAST({actual_col} AS DOUBLE) * {mq} + 0.5) AS BIGINT)"
+    qa = (
+        f"list_transform({sample_col}, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {mq} + 0.5) AS BIGINT))"
+    )
+    pair_terms = " + ".join(
+        f"CAST({2 * i - 1 - mm} AS BIGINT) * _qa[{i}]"
+        for i in range(1, mm + 1)
+        if 2 * i - 1 - mm != 0
+    ) or "CAST(0 AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+    mf = dlit(float(mq))
+    return f"""
+WITH rows_q AS (
+  SELECT {gsel}, {qy} AS _qy, {qa} AS _qa
+  FROM ({forecasts_sql})
+  WHERE {actual_col} IS NOT NULL AND len({sample_col}) = {mm}
+),
+t AS (
+  SELECT {gsel},
+    CAST(list_sum(list_transform(_qa, x -> abs(x - _qy))) AS BIGINT) AS _abs,
+    ({pair_terms}) AS _pair
+  FROM rows_q
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    SUM(CAST(_abs AS DECIMAL(38,0))) AS _sa,
+    SUM(CAST(_pair AS DECIMAL(38,0))) AS _sp
+  FROM t GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  ({s2d('_sa')} * {dlit(float(mm))} - {s2d('_sp')}) / {dlit(float(mm * mm))} / {mf} / {nn} AS crps,
+  {s2d('_sa')} / {dlit(float(mm))} / {mf} / {nn} AS abs_term,
+  {s2d('_sp')} / {dlit(float(mm * mm))} / {mf} / {nn} AS spread_term
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# PIT / Talagrand rank histogram
+# --------------------------------------------------------------------------
+
+
+def pit_histogram(
+    forecasts: DataFrame,
+    actual_col: str,
+    sample_col: str,
+    m: int,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Talagrand (verification-rank / PIT) histogram of an
+    m-member ensemble: the rank of each observation among its ensemble
+    members, binned 1..m+1 — flat for a calibrated forecaster, ∪-shaped
+    when under-dispersed, ∩-shaped when over-dispersed (Hamill 2001).
+    The calibration diagnostic that pairs with the CRPS level metric.
+
+    Tie handling is DETERMINISTIC (no random splitting): with
+    ``less`` = #{xᵢ < y} and ``leq`` = #{xᵢ ≤ y} on 10^-scale-quantized
+    values, rank = less + ⌊(leq − less)/2⌋ + 1 — ties split to the
+    middle, bit-identical across engines.
+
+    Scale shape: one O(m) fold per row, one groupBy(group, bin) count,
+    one window sum for the fraction — two exchanges total.
+
+    Returns (groups…, pit_bin, n_bin, frac).
+    """
+    g = _as_list(group_columns)
+    mm = int(m)
+    mq = 10**scale
+    y = F.col(actual_col).cast("double")
+    qy = F.floor(y * F.lit(mq) + F.lit(0.5)).cast("bigint")
+    qarr = F.transform(
+        F.col(sample_col),
+        lambda x: F.floor(x.cast("double") * F.lit(mq) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    rows = forecasts.filter(
+        y.isNotNull() & (F.size(F.col(sample_col)) == mm)
+    ).select(*g, qy.alias("_qy"), qarr.alias("_qa"))
+    less = F.aggregate(
+        F.col("_qa"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + (x < F.col("_qy")).cast("bigint"),
+    )
+    leq = F.aggregate(
+        F.col("_qa"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + (x <= F.col("_qy")).cast("bigint"),
+    )
+    half = F.floor((leq - less).cast("double") / F.lit(2.0)).cast("bigint")
+    binc = (less + half + F.lit(1).cast("bigint")).alias("pit_bin")
+    counted = (
+        rows.select(*g, binc)
+        .groupBy(*g, "pit_bin")
+        .agg(F.count(F.lit(1)).alias("n_bin"))
+    )
+    w = Window.partitionBy(*g)
+    return counted.select(
+        *g,
+        "pit_bin",
+        "n_bin",
+        (
+            F.col("n_bin").cast("double")
+            / F.sum("n_bin").over(w).cast("double")
+        ).alias("frac"),
+    )
+
+
+def pit_histogram_sql(
+    forecasts_sql: str,
+    actual_col: str,
+    sample_col: str,
+    m: int,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`pit_histogram` (same quantization, same
+    middle-split tie rank)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    mm = int(m)
+    mq = 10**scale
+    qy = f"CAST(FLOOR(CAST({actual_col} AS DOUBLE) * {mq} + 0.5) AS BIGINT)"
+    qa = (
+        f"list_transform({sample_col}, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {mq} + 0.5) AS BIGINT))"
+    )
+    return f"""
+WITH rows_q AS (
+  SELECT {gsel}, {qy} AS _qy, {qa} AS _qa
+  FROM ({forecasts_sql})
+  WHERE {actual_col} IS NOT NULL AND len({sample_col}) = {mm}
+),
+r AS (
+  SELECT {gsel},
+    CAST(list_sum(list_transform(_qa, x -> CASE WHEN x < _qy THEN 1 ELSE 0 END)) AS BIGINT) AS _less,
+    CAST(list_sum(list_transform(_qa, x -> CASE WHEN x <= _qy THEN 1 ELSE 0 END)) AS BIGINT) AS _leq
+  FROM rows_q
+),
+b AS (
+  SELECT {gsel},
+    _less + CAST(FLOOR(CAST(_leq - _less AS DOUBLE) / 2.0) AS BIGINT) + 1
+      AS pit_bin
+  FROM r
+),
+c AS (SELECT {gsel}, pit_bin, COUNT(*) AS n_bin FROM b GROUP BY {gsel}, pit_bin)
+SELECT {gsel}, pit_bin, n_bin,
+  CAST(n_bin AS DOUBLE)
+    / CAST(SUM(n_bin) OVER (PARTITION BY {gsel}) AS DOUBLE) AS frac
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Wallinga–Teunis case reproduction number
+# --------------------------------------------------------------------------
+
+
+def wallinga_teunis(
+    counts: DataFrame,
+    count_col: str,
+    day_col: str,
+    group_columns,
+    weights: tuple[int, ...] = (1, 2, 3, 2, 1),
+    min_count: int = 1,
+) -> DataFrame:
+    """Cohort (case) reproduction number of Wallinga & Teunis (2004) —
+    the retrospective twin of :func:`renewal_rt`: where the renewal R_t
+    asks "how infectious is today given the past", the WT R_t asks "how
+    many secondary cases did today's cases ultimately cause", looking
+    FORWARD over the generation interval:
+
+        R_t^WT = Σ_d w_d · N_{t+d} / Λ_{t+d},
+        Λ_s   = Σ_d w_d · N_{s−d}   (the renewal force of infection)
+
+    with the same integer generation-interval kernel ``weights``
+    (w = weights/Σweights; the Σweights normalizers cancel so the
+    implementation uses W_d·N_s/force_q_s directly).  Day grid densified
+    with zeros exactly as renewal_rt.  R_t^WT is NULL wherever any
+    forward day's force is zero/undefined (unattributable cases — the
+    documented deterministic policy) or the series ends within the
+    kernel horizon, and on days with fewer than ``min_count`` cases.
+
+    Scale shape: identical to renewal_rt — one spine groupBy, one
+    co-partitioned left join, ONE window pass computing both the lag
+    kernel (force) and the lead kernel (attribution); the sums are
+    fixed linear combinations in codegen.
+
+    Returns (groups…, day, n, force_q, rt_wt); rt_wt is a fixed-order
+    sum of per-day ratios (mul/div only — no libm, bit-stable).
+    """
+    g = _as_list(group_columns)
+    W = [int(x) for x in weights]
+    if not W or any(x <= 0 for x in W):
+        raise ValueError("weights must be positive integers")
+    n = F.col(count_col).cast("bigint")
+    d = counts.select(*g, F.col(day_col).alias("_day"), n.alias("_n"))
+    spine = (
+        d.groupBy(*g)
+        .agg(F.min("_day").alias("_lo"), F.max("_day").alias("_hi"))
+        .select(*g, F.explode(F.sequence("_lo", "_hi")).alias("_day"))
+    )
+    filled = spine.join(d, on=[*g, "_day"], how="left").select(
+        *g, "_day", F.coalesce("_n", F.lit(0).cast("bigint")).alias("_n")
+    )
+    w = Window.partitionBy(*g).orderBy("_day")
+    force = None
+    for s, wt in enumerate(W, start=1):
+        term = F.lit(wt).cast("bigint") * F.lag("_n", s).over(w)
+        force = term if force is None else force + term
+    ratio = F.when(
+        force.isNotNull() & (force > 0),
+        F.col("_n").cast("double") / force.cast("double"),
+    )
+    k = filled.select(
+        *g, "_day", "_n", force.alias("force_q"), ratio.alias("_ratio")
+    )
+    rt = None
+    for s, wt in enumerate(W, start=1):
+        term = F.lit(float(wt)) * F.lead("_ratio", s).over(w)
+        rt = term if rt is None else rt + term
+    rt = F.when(F.col("_n") >= min_count, rt)
+    return k.select(
+        *g,
+        F.col("_day").alias(day_col),
+        F.col("_n").alias(count_col),
+        "force_q",
+        rt.alias("rt_wt"),
+    )
+
+
+def wallinga_teunis_sql(
+    counts_sql: str,
+    count_col: str,
+    day_col: str,
+    group_columns,
+    weights: tuple[int, ...] = (1, 2, 3, 2, 1),
+    min_count: int = 1,
+) -> str:
+    """DuckDB twin of :func:`wallinga_teunis` (same grid, same kernel
+    order, same NULL policy)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    W = [int(x) for x in weights]
+    over = f"(PARTITION BY {gsel} ORDER BY _day)"
+    force = " + ".join(
+        f"CAST({wt} AS BIGINT) * LAG(_n, {s}) OVER {over}"
+        for s, wt in enumerate(W, start=1)
+    )
+    rt = " + ".join(
+        f"{dlit(float(wt))} * LEAD(_ratio, {s}) OVER {over}"
+        for s, wt in enumerate(W, start=1)
+    )
+    return f"""
+WITH src AS (
+  SELECT {gsel}, {day_col} AS _day, CAST({count_col} AS BIGINT) AS _n
+  FROM ({counts_sql})
+),
+b AS (SELECT {gsel}, MIN(_day) AS _lo, MAX(_day) AS _hi FROM src GROUP BY {gsel}),
+spine AS (SELECT {gsel}, UNNEST(generate_series(_lo, _hi)) AS _day FROM b),
+filled AS (
+  SELECT s.*, COALESCE(d._n, CAST(0 AS BIGINT)) AS _n
+  FROM spine s LEFT JOIN src d USING ({gsel}, _day)
+),
+k AS (
+  SELECT {gsel}, _day, _n, ({force}) AS force_q
+  FROM filled
+),
+r AS (
+  SELECT *, CASE WHEN force_q IS NOT NULL AND force_q > 0
+                 THEN CAST(_n AS DOUBLE) / CAST(force_q AS DOUBLE) END
+            AS _ratio
+  FROM k
+)
+SELECT {gsel}, _day AS {day_col}, _n AS {count_col}, force_q,
+  CASE WHEN _n >= {min_count} THEN ({rt}) END AS rt_wt
+FROM r
 """

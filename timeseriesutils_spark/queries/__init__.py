@@ -38,6 +38,10 @@ class Q:
 # round-4 cohort head.  Everything after slot 50 keeps full local
 # gate coverage via tools/check_oracle.py --json.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
+    # round-11 second-session wave (never driver-verified; swapped in
+    # one-for-one against the r10 re-verification padding below, which
+    # already has r10 driver rows):
+    "crps_sample", "pit_histogram", "wallinga_teunis",
     # round-11 additions (never driver-verified — governance enforces
     # head placement; swapped in one-for-one against tail padding) and
     # the two ex-rows-only conversions whose NEW oracles need a driver
@@ -60,8 +64,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "trimmed_mean", "lorenz_curve", "quantile_mapping",
     "hhi_concentration", "theil_index", "mutual_info", "rrf_fusion",
     "seasonal_mann_kendall", "cronbach_alpha", "ks_uniform_audit",
-    "binseg_breakpoints", "weibull_fit", "cohens_d", "cliffs_delta",
-    "brier_decomposition",
+    "binseg_breakpoints", "weibull_fit",
     # stale re-verification backlog moved wholesale to the ROUND-12
     # plan below (displaced by this round's 18 additions)
     # round-4 cohort head, catalog order (tail names are PADDING
@@ -156,6 +159,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "binseg_breakpoints", "weibull_fit", "cohens_d", "cliffs_delta",
     "brier_decomposition",
     # round-11 additions
+    "crps_sample", "pit_histogram", "wallinga_teunis",
     "pipeline_e2e", "lomb_scargle", "arma11_forecast", "durbin_watson",
     "dagostino_k2", "tokenizer_fertility", "hodges_lehmann",
     "jonckheere_terpstra", "page_trend", "winnow_fingerprints",

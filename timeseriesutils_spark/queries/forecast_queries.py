@@ -3692,3 +3692,135 @@ def _sql_fligner_killeen():
 QUERIES.update(
     {"fligner_killeen": Q(q_fligner_killeen, _sql_fligner_killeen())}
 )
+
+
+def _ens_forecast(spark, sf_dir):
+    """Trailing-28-observation EMPIRICAL-SAMPLE forecaster over the
+    per-supplier daily price series — the ensemble sibling of the
+    pinball/wis empirical-quantile forecaster: the 28 historical values
+    ARE the ensemble members (sorted ascending, full windows only)."""
+    from pyspark.sql import Window
+
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    d = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("ship_day")
+        .rowsBetween(-_PB_W, -1)
+    )
+    arr = F.sort_array(F.collect_list("day_price").over(w))
+    return d.select(
+        (F.col("l_suppkey") % 10).alias("cohort"),
+        F.col("day_price"),
+        arr.alias("ens"),
+    ).filter(F.size("ens") == _PB_W)
+
+
+def _sql_ens_forecast():
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    over = (
+        "(PARTITION BY l_suppkey ORDER BY ship_day "
+        f"ROWS BETWEEN {_PB_W} PRECEDING AND 1 PRECEDING)"
+    )
+    return f"""
+SELECT cohort, day_price, _arr AS ens
+FROM (
+  SELECT l_suppkey % 10 AS cohort, day_price,
+    list_sort(list(day_price) OVER {over}) AS _arr
+  FROM ({_SQL_DAILY})
+) WHERE len(_arr) = {_PB_W}
+"""
+
+
+def q_crps_sample(spark, sf_dir):
+    """Sample-form CRPS (operators/epi.crps_sample): the
+    trailing-28-member empirical ensemble scored against the realized
+    daily price, per supplier cohort — the proper-score level metric
+    for trajectory forecasters, beside pinball/WIS for quantile ones.
+    Exact int64 absolute-error fold + unrolled sorted-pair spread."""
+    from timeseriesutils_spark.operators.epi import crps_sample
+
+    return crps_sample(
+        _ens_forecast(spark, sf_dir), "day_price", "ens", _PB_W, ["cohort"]
+    )
+
+
+def _sql_crps_sample():
+    from timeseriesutils_spark.operators.epi import crps_sample_sql
+
+    return crps_sample_sql(
+        _sql_ens_forecast(), "day_price", "ens", _PB_W, ["cohort"]
+    )
+
+
+QUERIES.update({"crps_sample": Q(q_crps_sample, _sql_crps_sample())})
+
+
+def q_pit_histogram(spark, sf_dir):
+    """Talagrand verification-rank histogram (operators/epi.
+    pit_histogram) of the same 28-member empirical ensemble: where the
+    observation lands among its members, binned 1..29 per cohort —
+    the calibration diagnostic paired with crps_sample's level score.
+    Deterministic middle-split tie rank."""
+    from timeseriesutils_spark.operators.epi import pit_histogram
+
+    return pit_histogram(
+        _ens_forecast(spark, sf_dir), "day_price", "ens", _PB_W, ["cohort"]
+    )
+
+
+def _sql_pit_histogram():
+    from timeseriesutils_spark.operators.epi import pit_histogram_sql
+
+    return pit_histogram_sql(
+        _sql_ens_forecast(), "day_price", "ens", _PB_W, ["cohort"]
+    )
+
+
+QUERIES.update({"pit_histogram": Q(q_pit_histogram, _sql_pit_histogram())})
+
+
+def q_wallinga_teunis(spark, sf_dir):
+    """Wallinga–Teunis case reproduction number (operators/epi.
+    wallinga_teunis): the retrospective forward-attribution twin of
+    renewal_rt on the same daily order-count incidence series and the
+    same integer serial-interval kernel — one window pass computes
+    both the lag force and the lead attribution sum."""
+    from timeseriesutils_spark.operators.epi import wallinga_teunis
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("day"),
+        )
+        .groupBy("o_orderpriority", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return wallinga_teunis(
+        counts, "n", "day", ["o_orderpriority"], weights=_RT_WEIGHTS
+    )
+
+
+def _sql_wallinga_teunis():
+    from timeseriesutils_spark.operators.epi import wallinga_teunis_sql
+
+    counts = (
+        f"SELECT o_orderpriority, {_ORD_DAY_SQL} AS day, COUNT(*) AS n "
+        "FROM orders GROUP BY 1, 2"
+    )
+    return wallinga_teunis_sql(
+        counts, "n", "day", ["o_orderpriority"], weights=_RT_WEIGHTS
+    )
+
+
+QUERIES.update(
+    {"wallinga_teunis": Q(q_wallinga_teunis, _sql_wallinga_teunis())}
+)
