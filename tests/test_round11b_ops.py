@@ -185,3 +185,144 @@ def test_wallinga_teunis_zero_force_gap_nulls_upstream(spark):
             assert got[t] is None, t
         else:
             assert got[t] is not None and abs(got[t] - ref[t]) < 1e-12, t
+
+
+# --- energy_distance --------------------------------------------------------
+
+
+def _energy_ref(x, y):
+    cross = sum(abs(a - b) for a in x for b in y)
+    wx = sum(abs(a - b) for a in x for b in x) / 2
+    wy = sum(abs(a - b) for a in y for b in y) / 2
+    nx, ny = len(x), len(y)
+    return 2 * cross / (nx * ny) - 2 * wx / nx**2 - 2 * wy / ny**2
+
+
+def test_energy_distance_matches_brute_force_with_ties(spark):
+    from timeseriesutils_spark.operators.nonparam import energy_distance
+
+    x = [1.0, 2.0, 2.0, 3.0, 7.0, 7.0, 7.0]
+    y = [2.0, 2.0, 4.0, 7.0, 9.0]
+    rows = [("g", "A", v) for v in x] + [("g", "R", v) for v in y]
+    df = spark.createDataFrame(rows, ["g", "f", "v"])
+    out = energy_distance(df, "v", "f", "A", "R", ["g"], scale=0).collect()[0]
+    want = _energy_ref(x, y)
+    assert abs(out.e_dist - want) < 1e-12
+    assert out.e_dist >= 0
+    t = len(x) * len(y) / (len(x) + len(y)) * want
+    assert abs(out.t_stat - t) < 1e-9
+
+
+def test_energy_distance_identical_samples_is_zero(spark):
+    from timeseriesutils_spark.operators.nonparam import energy_distance
+
+    v = [3.0, 1.0, 4.0, 1.0, 5.0]
+    rows = [("g", "A", x) for x in v] + [("g", "R", x) for x in v]
+    df = spark.createDataFrame(rows, ["g", "f", "v"])
+    out = energy_distance(df, "v", "f", "A", "R", ["g"], scale=0).collect()[0]
+    assert abs(out.e_dist) < 1e-12
+
+
+# --- kpss_test --------------------------------------------------------------
+
+
+def _kpss_ref(y, L=4):
+    n = len(y)
+    ybar = sum(y) / n
+    e = [v - ybar for v in y]
+    s = 0.0
+    ss = 0.0
+    for v in e:
+        s += v
+        ss += s * s
+    g = [sum(e[t] * e[t - k] for t in range(k, n)) / n for k in range(L + 1)]
+    lrv = g[0] + 2 * sum((1 - k / (L + 1)) * g[k] for k in range(1, L + 1))
+    return ss / (n * n * lrv)
+
+
+def test_kpss_matches_direct(spark):
+    from timeseriesutils_spark.operators.regression import kpss_test
+
+    import random
+
+    rng = random.Random(7)
+    y = [10.0 + rng.random() * 4 for _ in range(60)]  # stationary noise
+    df = spark.createDataFrame(
+        [("g", t, v) for t, v in enumerate(y)], ["g", "t", "v"]
+    )
+    out = kpss_test(df, "v", ["g"], ["t"], lags=4, scale=6).collect()[0]
+    want = _kpss_ref([round(v * 1e6) / 1e6 for v in y])
+    assert abs(out.kpss_stat - want) < 1e-6
+    assert bool(out.level_stationary_5pct) is (want < 0.463)
+
+
+def test_kpss_random_walk_rejects_level_stationarity(spark):
+    from timeseriesutils_spark.operators.regression import kpss_test
+
+    import random
+
+    rng = random.Random(3)
+    y, acc = [], 0.0
+    for _ in range(120):
+        acc += rng.random() - 0.2
+        y.append(acc)
+    df = spark.createDataFrame(
+        [("g", t, v) for t, v in enumerate(y)], ["g", "t", "v"]
+    )
+    out = kpss_test(df, "v", ["g"], ["t"], lags=4, scale=6).collect()[0]
+    assert out.kpss_stat > 0.463 and bool(out.level_stationary_5pct) is False
+
+
+def test_kpss_constant_series_is_null(spark):
+    from timeseriesutils_spark.operators.regression import kpss_test
+
+    df = spark.createDataFrame(
+        [("g", t, 5.0) for t in range(20)], ["g", "t", "v"]
+    )
+    out = kpss_test(df, "v", ["g"], ["t"]).collect()[0]
+    assert out.kpss_stat is None
+
+
+# --- icc_oneway -------------------------------------------------------------
+
+
+def test_icc_oneway_matches_anova_by_hand(spark):
+    from timeseriesutils_spark.operators.stats import icc_oneway
+
+    # 3 units x ratings (unbalanced)
+    data = {"u1": [8.0, 9.0, 10.0], "u2": [1.0, 2.0], "u3": [5.0, 5.0, 6.0, 6.0]}
+    rows = [("g", u, v) for u, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "u", "v"])
+    out = icc_oneway(df, "v", "u", ["g"], scale=6).collect()[0]
+    vals = [v for vs in data.values() for v in vs]
+    N, I = len(vals), len(data)
+    S = sum(vals)
+    ssb = sum(sum(vs) ** 2 / len(vs) for vs in data.values()) - S**2 / N
+    ssw = sum(v * v for v in vals) - sum(
+        sum(vs) ** 2 / len(vs) for vs in data.values()
+    )
+    msb, msw = ssb / (I - 1), ssw / (N - I)
+    k0 = (N - sum(len(vs) ** 2 for vs in data.values()) / N) / (I - 1)
+    icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    assert out.n_units == I and out.n_obs == N
+    assert abs(out.msb - msb) < 1e-6
+    assert abs(out.msw - msw) < 1e-6
+    assert abs(out.k0 - k0) < 1e-9
+    assert abs(out.icc - icc) < 1e-6
+    assert out.icc > 0.9  # strong between-unit separation by design
+
+
+def test_icc_oneway_pure_noise_units_near_zero(spark):
+    from timeseriesutils_spark.operators.stats import icc_oneway
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        ("g", f"u{i}", rng.gauss(0.0, 1.0))
+        for i in range(40)
+        for _ in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["g", "u", "v"])
+    out = icc_oneway(df, "v", "u", ["g"], scale=6).collect()[0]
+    assert abs(out.icc) < 0.35

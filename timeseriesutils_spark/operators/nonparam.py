@@ -4013,3 +4013,179 @@ SELECT {gsel}, n,
   CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# two-sample energy distance (Székely–Rizzo E-statistic)
+# --------------------------------------------------------------------------
+
+
+def energy_distance(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group two-sample energy distance (Székely & Rizzo 2004) —
+    the OMNIBUS distributional two-sample statistic: where KS sees the
+    worst ECDF gap and mann_whitney sees location, the E-statistic is
+    zero iff the two distributions are identical and responds to ANY
+    difference (location, scale, shape):
+
+        E = 2·E|X−Y| − E|X−X′| − E|Y−Y′|
+        T = (n_a·n_b/(n_a+n_b))·E        (the test statistic)
+
+    Exactness: with 10^-scale-quantized values, every pair-distance
+    expectation collapses to the sorted-order identity
+    ΣΣ_{i<j}|z_i−z_j| = Σ_i(2i−1−n)·z_(i) — row_number windows ordered
+    by (value, arm) so every tie block is arm-contiguous: the per-arm
+    pooled partials are then tie-permutation invariant (not just their
+    total), which the a/b self-join requires because engines may
+    re-execute the ranking per branch with different tie orders.  Cross-pair mass = pooled − within_a − within_b, all exact
+    DECIMAL(38,0); E and T are one shared double tree.
+
+    Scale shape: two rank windows + one groupBy — identical to the
+    brunner_munzel plan; NO pair join at any size.
+
+    Returns (groups…, n_a, n_b, e_dist, t_stat).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    arm = F.when(F.col(factor_col) == F.lit(level_a), 1).when(
+        F.col(factor_col) == F.lit(level_b), 2
+    )
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, arm.alias("_arm"), qv.alias("_qv"))
+        .filter(F.col("_arm").isNotNull())
+    )
+    # pooled order key includes _arm: value-ties that straddle arms get a
+    # deterministic arm-contiguous block, making the PER-ARM pooled
+    # partial sums tie-invariant — required because the a/b self-join
+    # can re-execute the window (CTE inlining / DAG duplication) with a
+    # different tie permutation per execution.
+    wp = Window.partitionBy(*groups).orderBy("_qv", "_arm")
+    ww = Window.partitionBy(*groups, "_arm").orderBy("_qv")
+    cp = Window.partitionBy(*groups)
+    cw = Window.partitionBy(*groups, "_arm")
+    ranked = d.select(
+        *groups,
+        "_arm",
+        "_qv",
+        (
+            F.lit(2) * F.row_number().over(wp)
+            - F.lit(1)
+            - F.count(F.lit(1)).over(cp)
+        ).cast("bigint").alias("_cp"),
+        (
+            F.lit(2) * F.row_number().over(ww)
+            - F.lit(1)
+            - F.count(F.lit(1)).over(cw)
+        ).cast("bigint").alias("_cw"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_arm = ranked.groupBy(*groups, "_arm").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec(F.col("_cp") * F.col("_qv"))).alias("_pp"),
+        F.sum(dec(F.col("_cw") * F.col("_qv"))).alias("_ww"),
+    )
+    a = per_arm.filter(F.col("_arm") == 1).select(
+        *groups,
+        F.col("_n").alias("n_a"),
+        F.col("_pp").alias("_ppa"),
+        F.col("_ww").alias("_wwa"),
+    )
+    b = per_arm.filter(F.col("_arm") == 2).select(
+        *groups,
+        F.col("_n").alias("n_b"),
+        F.col("_pp").alias("_ppb"),
+        F.col("_ww").alias("_wwb"),
+    )
+    j = a.join(b, on=groups, how="inner")
+    cross = (
+        F.col("_ppa") + F.col("_ppb") - F.col("_wwa") - F.col("_wwb")
+    )
+    s2d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    mf = F.lit(float(m))
+    e = (
+        F.lit(2.0) * s2d(cross) / (na * nb)
+        - F.lit(2.0) * s2d(F.col("_wwa")) / (na * na)
+        - F.lit(2.0) * s2d(F.col("_wwb")) / (nb * nb)
+    ) / mf
+    t = na * nb / (na + nb) * e
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return j.select(
+        *groups,
+        "n_a",
+        "n_b",
+        F.when(ok, e).alias("e_dist"),
+        F.when(ok, t).alias("t_stat"),
+    )
+
+
+def energy_distance_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`energy_distance` (same sorted-order
+    identity, same DECIMAL cross-pair algebra)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qv = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    na = "CAST(n_a AS DOUBLE)"
+    nb = "CAST(n_b AS DOUBLE)"
+    cross = "(_ppa + _ppb - _wwa - _wwb)"
+    e = (
+        f"((2.0 * {s2d(cross)} / ({na} * {nb})"
+        f" - 2.0 * {s2d('_wwa')} / ({na} * {na})"
+        f" - 2.0 * {s2d('_wwb')} / ({nb} * {nb})) / {dlit(float(m))})"
+    )
+    t = f"({na} * {nb} / ({na} + {nb}) * {e})"
+    return f"""
+WITH d AS (
+  SELECT {gsel},
+    CASE WHEN {factor_col} = {level_a!r} THEN 1
+         WHEN {factor_col} = {level_b!r} THEN 2 END AS _arm,
+    {qv} AS _qv
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+ranked AS (
+  SELECT {gsel}, _arm, _qv,
+    CAST(2 * ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY _qv, _arm)
+         - 1 - COUNT(*) OVER (PARTITION BY {gsel}) AS BIGINT) AS _cp,
+    CAST(2 * ROW_NUMBER() OVER (PARTITION BY {gsel}, _arm ORDER BY _qv)
+         - 1 - COUNT(*) OVER (PARTITION BY {gsel}, _arm) AS BIGINT) AS _cw
+  FROM d WHERE _arm IS NOT NULL
+),
+per_arm AS (
+  SELECT {gsel}, _arm, COUNT(*) AS _n,
+    SUM(CAST(_cp * _qv AS DECIMAL(38,0))) AS _pp,
+    SUM(CAST(_cw * _qv AS DECIMAL(38,0))) AS _ww
+  FROM ranked GROUP BY {gsel}, _arm
+),
+j AS (
+  SELECT a.{gsel.replace(', ', ', a.')}, a._n AS n_a, a._pp AS _ppa,
+    a._ww AS _wwa, b._n AS n_b, b._pp AS _ppb, b._ww AS _wwb
+  FROM (SELECT * FROM per_arm WHERE _arm = 1) a
+  JOIN (SELECT * FROM per_arm WHERE _arm = 2) b USING ({gsel})
+)
+SELECT {gsel}, n_a, n_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN {e} END AS e_dist,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN {t} END AS t_stat
+FROM j
+"""

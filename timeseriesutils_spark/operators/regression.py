@@ -1037,3 +1037,186 @@ SELECT {gsel}, n, n_seasons, s_stat,
     ELSE 0.0 END AS z
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# KPSS level-stationarity test
+# --------------------------------------------------------------------------
+
+
+def kpss_test(
+    data: DataFrame,
+    y_col: str,
+    group_columns,
+    order_by,
+    lags: int = 4,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group KPSS test of LEVEL stationarity (Kwiatkowski, Phillips,
+    Schmidt & Shin 1992) — adf_test's complement with the hypotheses
+    REVERSED: KPSS's null is "stationary around a constant", so a
+    series that rejects ADF's unit-root null AND fails to reject KPSS
+    is confirmed stationary from both directions (the standard
+    two-test protocol before differencing).
+
+        η = (1/n²)·Σ_t S_t² / σ̂²_lr,  S_t = Σ_{s≤t}(y_s − ȳ)
+        σ̂²_lr = γ̂₀ + 2·Σ_{k=1..L}(1 − k/(L+1))·γ̂_k   (Bartlett/Newey–West)
+
+    Exactness: the residual is cleared of its 1/n by working with
+    E_t = n·q_t − T (q = 10^-scale-quantized y, T = Σq): partial sums
+    S′_t = Σ E_s and lagged products E_t·E_{t−k} are exact
+    DECIMAL(38,0), and the normalizers cancel to ONE integer ratio
+
+        η = A·(L+1) / (n·((L+1)·B₀ + 2·Σ_k (L+1−k)·B_k)),
+        A = Σ S′², B_k = Σ E_t·E_{t−k}
+
+    — a single double division (Bartlett weights make the denominator
+    a PSD long-run variance, so it is ≥ 0 by construction; constant
+    series → 0 → NULL).  ``level_stationary_5pct`` compares η against
+    the 0.463 asymptotic 5% critical value (the KPSS table entry for
+    the constant-only case).
+
+    Scale shape: one ordered window pass per group (count/sum/cumsum +
+    L lags all share the exchange) + one sufficient-stats aggregation.
+
+    Returns (groups…, n, kpss_stat, level_stationary_5pct).
+    """
+    from pyspark.sql import Window
+
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    L = int(lags)
+    m = 10**scale
+    w = Window.partitionBy(*groups).orderBy(*order)
+    wfull = Window.partitionBy(*groups)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q = F.floor(F.col(y_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    base = data.filter(F.col(y_col).isNotNull()).select(
+        *groups, *order, q.alias("_q")
+    )
+    nw = F.count(F.lit(1)).over(wfull)
+    tw = F.sum("_q").over(wfull)
+    staged = base.select(
+        *groups,
+        *order,
+        "_q",
+        nw.alias("_nn"),
+        tw.alias("_t"),
+        (nw * F.sum("_q").over(wcum) - F.sum(F.lit(1)).over(wcum) * tw)
+        .cast("decimal(38,0)")
+        .alias("_sp"),
+    )
+    e = (F.col("_nn") * F.col("_q") - F.col("_t")).cast("decimal(38,0)")
+    lag_cols = [
+        (
+            e
+            * (
+                F.col("_nn") * F.lag("_q", k).over(w) - F.col("_t")
+            ).cast("decimal(38,0)")
+        ).alias(f"_bk{k}")
+        for k in range(1, L + 1)
+    ]
+    rows = staged.select(
+        *groups,
+        (F.col("_sp") * F.col("_sp")).alias("_a"),
+        (e * e).alias("_b0"),
+        *lag_cols,
+    )
+    agg = rows.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_a").alias("_sa"),
+        F.sum("_b0").alias("_sb0"),
+        *[F.sum(f"_bk{k}").alias(f"_sb{k}") for k in range(1, L + 1)],
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+    den_inner = s2d("_sb0") * F.lit(float(L + 1))
+    for k in range(1, L + 1):
+        den_inner = den_inner + F.lit(2.0 * (L + 1 - k)) * s2d(f"_sb{k}")
+    stat = s2d("_sa") * F.lit(float(L + 1)) / (nn * den_inner)
+    ok = (F.col("n") > L + 1) & (den_inner > 0)
+    stat = F.when(ok, stat)
+    return agg.select(
+        *groups,
+        "n",
+        stat.alias("kpss_stat"),
+        (stat < F.lit(0.463)).alias("level_stationary_5pct"),
+    )
+
+
+def kpss_test_sql(
+    data_sql: str,
+    y_col: str,
+    group_columns,
+    order_by,
+    lags: int = 4,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`kpss_test` (same cleared-residual integer
+    algebra, same Bartlett collapse to one division)."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    gsel = ", ".join(groups)
+    osel = ", ".join(order)
+    L = int(lags)
+    m = 10**scale
+    over = f"(PARTITION BY {gsel})"
+    overo = f"(PARTITION BY {gsel} ORDER BY {osel})"
+    overc = (
+        f"(PARTITION BY {gsel} ORDER BY {osel} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    qv = f"CAST(FLOOR(CAST({y_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    bks = ",\n    ".join(
+        f"CAST(_nn * _q - _t AS HUGEINT)"
+        f" * CAST(_nn * LAG(_q, {k}) OVER {overo} - _t AS HUGEINT)"
+        f" AS _bk{k}"
+        for k in range(1, L + 1)
+    )
+    sb = ", ".join(
+        f"SUM(_bk{k}) AS _sb{k}" for k in range(1, L + 1)
+    )
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    den = f"{s2d('_sb0')} * {dlit(float(L + 1))}"
+    for k in range(1, L + 1):
+        den += f" + {dlit(2.0 * (L + 1 - k))} * {s2d(f'_sb{k}')}"
+    stat = (
+        f"({s2d('_sa')} * {dlit(float(L + 1))}"
+        f" / (CAST(n AS DOUBLE) * ({den})))"
+    )
+    ok = f"(n > {L + 1} AND ({den}) > 0)"
+    return f"""
+WITH base AS (
+  SELECT {gsel}, {osel}, {qv} AS _q
+  FROM ({data_sql}) WHERE {y_col} IS NOT NULL
+),
+staged AS (
+  SELECT {gsel}, {osel}, _q,
+    COUNT(*) OVER {over} AS _nn,
+    SUM(_q) OVER {over} AS _t,
+    CAST(COUNT(*) OVER {over} * SUM(_q) OVER {overc}
+         - SUM(1) OVER {overc} * SUM(_q) OVER {over}
+      AS BIGINT) AS _sp
+  FROM base
+),
+rows_k AS (
+  SELECT {gsel},
+    CAST(_sp AS HUGEINT) * CAST(_sp AS HUGEINT) AS _a,
+    CAST(_nn * _q - _t AS HUGEINT)
+      * CAST(_nn * _q - _t AS HUGEINT) AS _b0,
+    {bks}
+  FROM staged
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n, SUM(_a) AS _sa, SUM(_b0) AS _sb0, {sb}
+  FROM rows_k GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  CASE WHEN {ok} THEN {stat} END AS kpss_stat,
+  CASE WHEN {ok} THEN {stat} < 0.463 END AS level_stationary_5pct
+FROM agg
+"""

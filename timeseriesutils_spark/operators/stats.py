@@ -3329,3 +3329,158 @@ SELECT {gsel}, n,
   CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# one-way random-effects intraclass correlation — ICC(1,1)
+# --------------------------------------------------------------------------
+
+
+def icc_oneway(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group one-way random-effects intraclass correlation
+    ICC(1,1) (Shrout & Fleiss 1979 case 1): how much of the total
+    rating variance is BETWEEN rated units — the reliability /
+    agreement coefficient for replicate measurements (repeated lab
+    readings per sample, multiple line items per order, raters per
+    document) when raters are not crossed with units:
+
+        ICC = (MSB − MSW) / (MSB + (k₀−1)·MSW)
+        k₀  = (N − Σnᵢ²/N)/(I−1)     (the unbalanced-design ANOVA k)
+
+    Exactness: values quantized to 10^-scale units; per-unit
+    Σq, Σq², nᵢ are exact; the one cross-unit rational Σᵢ Sᵢ²/nᵢ is
+    rounded per UNIT to the nearest 1 in q² units (each unit's double
+    term is deterministic, the cross-unit sum then accumulates exact
+    DECIMAL ints so group totals are order-free; the ≤ I/2 q²-unit
+    bias is ~1e-14 relative for any real data, and Sᵢ²/nᵢ must stay
+    below ~9·10^18 — the int64 floor range — which caps Σq per unit
+    at ~3·10^9 quantized units).  MSB/MSW/k₀/ICC are one shared
+    double tree.
+
+    Scale shape: two map-combinable aggregations (unit, then group) —
+    no windows, no joins; the unit aggregation is the only row-scale
+    exchange.
+
+    Returns (groups…, n_units, n_obs, msb, msw, k0, icc).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, F.col(unit_col).alias("_u"), q.alias("_q")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_unit = rows.groupBy(*groups, "_u").agg(
+        F.count(F.lit(1)).alias("_ni"),
+        F.sum("_q").alias("_si"),
+        F.sum(dec(F.col("_q")) * dec(F.col("_q"))).alias("_qq"),
+    )
+    s2du = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    term = F.floor(
+        s2du("_si") * s2du("_si") / F.col("_ni").cast("double") + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    agg = per_unit.select(
+        *groups,
+        "_ni",
+        "_si",
+        "_qq",
+        term.alias("_term"),
+        (dec(F.col("_ni")) * dec(F.col("_ni"))).alias("_ni2"),
+    ).groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("_ni").alias("n_obs"),
+        F.sum(dec(F.col("_si"))).alias("_s"),
+        F.sum("_qq").alias("_q2"),
+        F.sum("_term").alias("_usum"),
+        F.sum("_ni2").alias("_p"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    ii = F.col("n_units").cast("double")
+    nn = F.col("n_obs").cast("double")
+    mf = F.lit(float(m))
+    u = s2d("_usum")
+    s2 = s2d("_s") * s2d("_s")
+    ssb = (u - s2 / nn) / (mf * mf)
+    ssw = (s2d("_q2") - u) / (mf * mf)
+    msb = ssb / (ii - F.lit(1.0))
+    msw = ssw / (nn - ii)
+    k0 = (nn - s2d("_p") / nn) / (ii - F.lit(1.0))
+    den = msb + (k0 - F.lit(1.0)) * msw
+    ok = (F.col("n_units") > 1) & (F.col("n_obs") > F.col("n_units"))
+    icc = F.when(ok & (den != 0), (msb - msw) / den)
+    return agg.select(
+        *groups,
+        "n_units",
+        "n_obs",
+        F.when(ok, msb).alias("msb"),
+        F.when(ok, msw).alias("msw"),
+        F.when(ok, k0).alias("k0"),
+        icc.alias("icc"),
+    )
+
+
+def icc_oneway_sql(
+    data_sql: str,
+    value_col: str,
+    unit_col: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`icc_oneway` (same per-unit quantized
+    rational, same ANOVA algebra)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qv = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2 = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    term = (
+        f"CAST(FLOOR({s2('_si')} * {s2('_si')} / CAST(_ni AS DOUBLE)"
+        f" + 0.5) AS DECIMAL(38,0))"
+    )
+    ii = "CAST(n_units AS DOUBLE)"
+    nn = "CAST(n_obs AS DOUBLE)"
+    mf = dlit(float(m))
+    u = f"{s2('_usum')}"
+    ssq = f"({s2('_s')} * {s2('_s')})"
+    ssb = f"(({u} - {ssq} / {nn}) / ({mf} * {mf}))"
+    ssw = f"(({s2('_q2')} - {u}) / ({mf} * {mf}))"
+    msb = f"({ssb} / ({ii} - 1.0))"
+    msw = f"({ssw} / ({nn} - {ii}))"
+    k0 = f"(({nn} - {s2('_p')} / {nn}) / ({ii} - 1.0))"
+    den = f"({msb} + ({k0} - 1.0) * {msw})"
+    ok = "(n_units > 1 AND n_obs > n_units)"
+    return f"""
+WITH rows_q AS (
+  SELECT {gsel}, {unit_col} AS _u, {qv} AS _q
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+per_unit AS (
+  SELECT {gsel}, _u, COUNT(*) AS _ni,
+    CAST(SUM(_q) AS BIGINT) AS _si,
+    SUM(CAST(_q AS HUGEINT) * CAST(_q AS HUGEINT)) AS _qq
+  FROM rows_q GROUP BY {gsel}, _u
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n_units,
+    CAST(SUM(_ni) AS BIGINT) AS n_obs,
+    SUM(CAST(_si AS HUGEINT)) AS _s,
+    SUM(_qq) AS _q2,
+    SUM({term}) AS _usum,
+    SUM(CAST(_ni AS HUGEINT) * CAST(_ni AS HUGEINT)) AS _p
+  FROM per_unit GROUP BY {gsel}
+)
+SELECT {gsel}, n_units, n_obs,
+  CASE WHEN {ok} THEN {msb} END AS msb,
+  CASE WHEN {ok} THEN {msw} END AS msw,
+  CASE WHEN {ok} THEN {k0} END AS k0,
+  CASE WHEN {ok} AND {den} != 0 THEN ({msb} - {msw}) / {den} END AS icc
+FROM agg
+"""

@@ -42,6 +42,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # one-for-one against the r10 re-verification padding below, which
     # already has r10 driver rows):
     "crps_sample", "pit_histogram", "wallinga_teunis",
+    "energy_distance", "kpss_test", "icc_oneway",
     # round-11 additions (never driver-verified — governance enforces
     # head placement; swapped in one-for-one against tail padding) and
     # the two ex-rows-only conversions whose NEW oracles need a driver
@@ -63,8 +64,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "vif_audit", "dedup_band_audit", "mood_median_test", "partial_corr",
     "trimmed_mean", "lorenz_curve", "quantile_mapping",
     "hhi_concentration", "theil_index", "mutual_info", "rrf_fusion",
-    "seasonal_mann_kendall", "cronbach_alpha", "ks_uniform_audit",
-    "binseg_breakpoints", "weibull_fit",
+    "seasonal_mann_kendall", "cronbach_alpha",
     # stale re-verification backlog moved wholesale to the ROUND-12
     # plan below (displaced by this round's 18 additions)
     # round-4 cohort head, catalog order (tail names are PADDING
@@ -160,6 +160,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "brier_decomposition",
     # round-11 additions
     "crps_sample", "pit_histogram", "wallinga_teunis",
+    "energy_distance", "kpss_test", "icc_oneway",
     "pipeline_e2e", "lomb_scargle", "arma11_forecast", "durbin_watson",
     "dagostino_k2", "tokenizer_fertility", "hodges_lehmann",
     "jonckheere_terpstra", "page_trend", "winnow_fingerprints",

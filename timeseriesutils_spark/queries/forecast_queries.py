@@ -3824,3 +3824,90 @@ def _sql_wallinga_teunis():
 QUERIES.update(
     {"wallinga_teunis": Q(q_wallinga_teunis, _sql_wallinga_teunis())}
 )
+
+
+def q_energy_distance(spark, sf_dir):
+    """Székely–Rizzo two-sample energy distance per ship year
+    (operators/nonparam.energy_distance): quantity under returnflag A
+    vs R — the omnibus distributional companion to ks_test (worst ECDF
+    gap) and brunner_munzel (stochastic order) on the same frame; zero
+    iff the arms are identically distributed.  Sorted-order pair
+    identity, exact DECIMAL cross-pair algebra, no pair join."""
+    from timeseriesutils_spark.operators.nonparam import energy_distance
+
+    return energy_distance(
+        _year_rf_qty(spark, sf_dir), "l_quantity", "l_returnflag",
+        "A", "R", ["ship_year"], scale=2,
+    )
+
+
+def _sql_energy_distance():
+    from timeseriesutils_spark.operators.nonparam import energy_distance_sql
+
+    return energy_distance_sql(
+        _SQL_YEAR_RF_QTY, "l_quantity", "l_returnflag", "A", "R",
+        ["ship_year"], scale=2,
+    )
+
+
+QUERIES.update(
+    {"energy_distance": Q(q_energy_distance, _sql_energy_distance())}
+)
+
+
+def q_kpss_test(spark, sf_dir):
+    """KPSS level-stationarity test per supplier daily price series
+    (operators/regression.kpss_test): adf_test's reversed-null
+    complement on the SAME series — the two-test confirmation protocol
+    (reject ADF + accept KPSS = stationary).  Cleared-residual integer
+    partial sums, Bartlett lag-4 long-run variance, one exact integer
+    ratio per group."""
+    from timeseriesutils_spark.operators.regression import kpss_test
+
+    return kpss_test(
+        _daily_pq(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        lags=4, scale=2,
+    )
+
+
+def _sql_kpss_test():
+    from timeseriesutils_spark.operators.regression import kpss_test_sql
+
+    return kpss_test_sql(
+        _SQL_DAILY_PQ, "day_price", ["l_suppkey"], ["ship_day"],
+        lags=4, scale=2,
+    )
+
+
+QUERIES.update({"kpss_test": Q(q_kpss_test, _sql_kpss_test())})
+
+
+def q_icc_oneway(spark, sf_dir):
+    """One-way random-effects intraclass correlation ICC(1,1)
+    (operators/stats.icc_oneway): line-item quantities as replicate
+    'ratings' of their order, per order cohort — how much quantity
+    variance is BETWEEN orders (Shrout–Fleiss case 1, unbalanced-k₀
+    ANOVA form).  Two map-combinable aggregations, per-unit quantized
+    rational, shared double tree."""
+    from timeseriesutils_spark.operators.stats import icc_oneway
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_orderkey") % 8).cast("bigint").alias("cohort"),
+        "l_orderkey",
+        "l_quantity",
+    )
+    return icc_oneway(d, "l_quantity", "l_orderkey", ["cohort"], scale=2)
+
+
+def _sql_icc_oneway():
+    from timeseriesutils_spark.operators.stats import icc_oneway_sql
+
+    d = (
+        "SELECT CAST(l_orderkey % 8 AS BIGINT) AS cohort, l_orderkey,"
+        " l_quantity FROM lineitem"
+    )
+    return icc_oneway_sql(d, "l_quantity", "l_orderkey", ["cohort"], scale=2)
+
+
+QUERIES.update({"icc_oneway": Q(q_icc_oneway, _sql_icc_oneway())})
