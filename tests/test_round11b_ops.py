@@ -326,3 +326,98 @@ def test_icc_oneway_pure_noise_units_near_zero(spark):
     df = spark.createDataFrame(rows, ["g", "u", "v"])
     out = icc_oneway(df, "v", "u", ["g"], scale=6).collect()[0]
     assert abs(out.icc) < 0.35
+
+
+# --- chrf_pairs -------------------------------------------------------------
+
+
+def _chrf_ref(cand, ref, max_n=4, beta=2.0):
+    import re
+    from collections import Counter
+
+    c = re.sub(r"\s+", "", cand.lower())[:200]
+    r = re.sub(r"\s+", "", ref.lower())[:200]
+    ps, rs = [], []
+    for n in range(1, max_n + 1):
+        cg = Counter(c[i:i + n] for i in range(len(c) - n + 1))
+        rg = Counter(r[i:i + n] for i in range(len(r) - n + 1))
+        m = sum((cg & rg).values())
+        ps.append(m / sum(cg.values()))
+        rs.append(m / sum(rg.values()))
+    p, q = sum(ps) / max_n, sum(rs) / max_n
+    b2 = beta * beta
+    return 0.0 if (b2 * p + q) == 0 else (1 + b2) * p * q / (b2 * p + q)
+
+
+def test_chrf_matches_direct(spark):
+    from timeseriesutils_spark.operators.text import chrf_pairs
+
+    rows = [
+        (1, "the cat sat on the mat", "the cat sat on a mat"),
+        (2, "completely different text here", "nothing shared at all xyz"),
+        (3, "identical strings match", "identical strings match"),
+    ]
+    df = spark.createDataFrame(rows, ["pair", "cand", "ref"])
+    out = {r.pair: r for r in chrf_pairs(df, "pair", "cand", "ref").collect()}
+    for pid, cand, ref in rows:
+        want = _chrf_ref(cand, ref)
+        assert abs(out[pid].chrf - want) < 1e-12, pid
+    assert abs(out[3].chrf - 1.0) < 1e-12
+
+
+def test_chrf_drops_too_short_pairs(spark):
+    from timeseriesutils_spark.operators.text import chrf_pairs
+
+    df = spark.createDataFrame(
+        [(1, "ab", "abcdef"), (2, "abcdef", "abcdef")],
+        ["pair", "cand", "ref"],
+    )
+    out = chrf_pairs(df, "pair", "cand", "ref", max_n=4).collect()
+    assert [r.pair for r in out] == [2]
+
+
+# --- wer_pairs --------------------------------------------------------------
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+            )
+    return dp[len(b)]
+
+
+def test_wer_matches_token_level_dp(spark):
+    from timeseriesutils_spark.operators.text import wer_pairs
+
+    rows = [
+        (1, "the quick brown fox", "the quick red fox"),
+        (2, "a b c d e", "a c d e f g"),
+        (3, "same same same", "same same same"),
+        (4, "one two", "three four five"),
+    ]
+    df = spark.createDataFrame(rows, ["pair", "cand", "ref"])
+    out = {r.pair: r for r in wer_pairs(df, "pair", "cand", "ref").collect()}
+    for pid, cand, ref in rows:
+        ct, rt = cand.lower().split(), ref.lower().split()
+        want = _lev(ct, rt)
+        assert out[pid].dist == want, (pid, out[pid].dist, want)
+        assert abs(out[pid].wer - want / len(rt)) < 1e-12
+    assert out[3].dist == 0
+
+
+def test_wer_truncates_to_max_tokens(spark):
+    from timeseriesutils_spark.operators.text import wer_pairs
+
+    cand = " ".join(f"w{i}" for i in range(100))
+    ref = " ".join(f"w{i}" for i in range(50)) + " " + " ".join(
+        f"x{i}" for i in range(50)
+    )
+    df = spark.createDataFrame([(1, cand, ref)], ["pair", "cand", "ref"])
+    out = wer_pairs(df, "pair", "cand", "ref", max_tokens=60).collect()[0]
+    assert out.cand_tokens == 60 and out.ref_tokens == 60
+    # first 50 tokens agree, last 10 of each differ -> dist 10
+    assert out.dist == 10

@@ -3238,3 +3238,328 @@ SELECT pair, cand_len, ref_len,
   {bleu} AS bleu
 FROM sizes {" ".join(joins)}
 """
+
+
+def chrf_pairs(
+    df: DataFrame,
+    pair_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+    beta: float = 2.0,
+    max_chars: int = 200,
+) -> DataFrame:
+    """chrF per (candidate, reference) pair (Popović 2015): character
+    n-gram F_β over whitespace-stripped text — the tokenizer-free MT /
+    generation eval that is robust to morphology and segmentation
+    differences, beside the word-level :func:`bleu_pairs` /
+    :func:`rouge_n`:
+
+        CHRP = (1/N)·Σ_n matches_n/|cand grams_n|     (macro over orders)
+        CHRR = (1/N)·Σ_n matches_n/|ref grams_n|
+        chrF_β = (1+β²)·CHRP·CHRR / (β²·CHRP + CHRR)
+
+    Pairs whose stripped text is shorter than ``max_n`` on either side
+    are dropped (every order defined — the deterministic completeness
+    rule); texts are truncated to ``max_chars`` stripped characters
+    (declared semantics, the cer_pairs precedent).  Match/total counts
+    are exact integers from one clipped-count join per order; the
+    P/R/F trees are shared doubles.
+
+    Returns (pair, chrp, chrr, chrf)."""
+    strip = lambda col: F.substring(  # noqa: E731
+        F.regexp_replace(F.lower(F.col(col)), r"\s+", ""), 1, max_chars
+    )
+    base = df.filter(
+        F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    ).select(
+        F.col(pair_col).alias("pair"),
+        strip(cand_col).alias("_c"),
+        strip(ref_col).alias("_r"),
+    ).filter(
+        (F.length("_c") >= max_n) & (F.length("_r") >= max_n)
+    )
+    from timeseriesutils_spark.functions.cache import pin
+
+    base = pin(base)  # feeds 2*max_n explodes + the size select
+    out = base.select(
+        "pair",
+        *[
+            (F.length("_c") - n + 1).cast("bigint").alias(f"_cn{n}")
+            for n in range(1, max_n + 1)
+        ],
+        *[
+            (F.length("_r") - n + 1).cast("bigint").alias(f"_rn{n}")
+            for n in range(1, max_n + 1)
+        ],
+    )
+    for n in range(1, max_n + 1):
+        # substring with a column start needs expr-form
+        c = base.select(
+            "pair",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(_c) - {n} + 1),"
+                    f" i -> substring(_c, i, {n}))"
+                )
+            ).alias("g"),
+        ).groupBy("pair", "g").agg(F.count(F.lit(1)).alias("_cc"))
+        r = base.select(
+            "pair",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(_r) - {n} + 1),"
+                    f" i -> substring(_r, i, {n}))"
+                )
+            ).alias("g"),
+        ).groupBy("pair", "g").agg(F.count(F.lit(1)).alias("_cr"))
+        m = c.join(r, ["pair", "g"]).groupBy("pair").agg(
+            F.sum(F.least(F.col("_cc"), F.col("_cr")))
+            .cast("bigint")
+            .alias(f"_m{n}")
+        )
+        out = out.join(m, "pair", "left")
+    nf = float(max_n)
+    chrp = None
+    chrr = None
+    for n in range(1, max_n + 1):
+        mm = F.coalesce(F.col(f"_m{n}"), F.lit(0).cast("bigint")).cast(
+            "double"
+        )
+        p = mm / F.col(f"_cn{n}").cast("double")
+        q = mm / F.col(f"_rn{n}").cast("double")
+        chrp = p if chrp is None else chrp + p
+        chrr = q if chrr is None else chrr + q
+    chrp = chrp / F.lit(nf)
+    chrr = chrr / F.lit(nf)
+    b2 = float(beta) * float(beta)
+    den = F.lit(b2) * chrp + chrr
+    chrf = F.when(
+        den > 0,
+        F.lit(1.0 + b2) * chrp * chrr / den,
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "pair",
+        chrp.alias("chrp"),
+        chrr.alias("chrr"),
+        chrf.alias("chrf"),
+    )
+
+
+def chrf_pairs_sql(
+    data_sql: str,
+    pair_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+    beta: float = 2.0,
+    max_chars: int = 200,
+) -> str:
+    """DuckDB twin of :func:`chrf_pairs` (same stripped-prefix grams,
+    same clipped-count joins, same macro-averaged F_β tree)."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    strip = lambda col: (  # noqa: E731
+        f"substring(regexp_replace(lower({col}), '\\s+', '', 'g'), 1, {max_chars})"
+    )
+    g = lambda src, n: (  # noqa: E731
+        f"[substring({src}, i, {n}) FOR i IN range(1, length({src}) - {n} + 2)]"
+    )
+    joins = []
+    for n in range(1, max_n + 1):
+        joins.append(f"""
+c{n} AS (SELECT pair, g, COUNT(*) AS _cc
+  FROM (SELECT pair, unnest({g('_c', n)}) AS g FROM base) GROUP BY pair, g),
+r{n} AS (SELECT pair, g, COUNT(*) AS _cr
+  FROM (SELECT pair, unnest({g('_r', n)}) AS g FROM base) GROUP BY pair, g),
+m{n} AS (SELECT pair, CAST(SUM(LEAST(_cc, _cr)) AS BIGINT) AS _m{n}
+  FROM c{n} JOIN r{n} USING (pair, g) GROUP BY pair)""")
+    sizes = ", ".join(
+        f"CAST(length(_c) - {n} + 1 AS BIGINT) AS _cn{n},"
+        f" CAST(length(_r) - {n} + 1 AS BIGINT) AS _rn{n}"
+        for n in range(1, max_n + 1)
+    )
+    left = "\n  ".join(f"LEFT JOIN m{n} USING (pair)" for n in range(1, max_n + 1))
+    pterms = " + ".join(
+        f"CAST(COALESCE(_m{n}, 0) AS DOUBLE) / CAST(_cn{n} AS DOUBLE)"
+        for n in range(1, max_n + 1)
+    )
+    rterms = " + ".join(
+        f"CAST(COALESCE(_m{n}, 0) AS DOUBLE) / CAST(_rn{n} AS DOUBLE)"
+        for n in range(1, max_n + 1)
+    )
+    nf = dlit(float(max_n))
+    b2 = float(beta) * float(beta)
+    chrp = f"(({pterms}) / {nf})"
+    chrr = f"(({rterms}) / {nf})"
+    den = f"({dlit(b2)} * {chrp} + {chrr})"
+    return f"""
+WITH base AS (
+  SELECT {pair_col} AS pair, {strip(cand_col)} AS _c, {strip(ref_col)} AS _r
+  FROM ({data_sql})
+  WHERE {cand_col} IS NOT NULL AND {ref_col} IS NOT NULL
+    AND length({strip(cand_col)}) >= {max_n}
+    AND length({strip(ref_col)}) >= {max_n}
+),
+{','.join(joins)}
+SELECT pair,
+  {chrp} AS chrp,
+  {chrr} AS chrr,
+  CASE WHEN {den} > 0
+    THEN {dlit(1.0 + b2)} * {chrp} * {chrr} / {den}
+    ELSE 0e0 END AS chrf
+FROM (SELECT pair, {sizes} FROM base) s
+  {left}
+"""
+
+
+def wer_pairs(
+    df: DataFrame,
+    pair_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_tokens: int = 60,
+) -> DataFrame:
+    """Word error rate per (candidate, reference) pair: token-level
+    Levenshtein / reference token count — the ASR/translation sibling
+    of the character-level :func:`cer_pairs`.
+
+    The token-level DP reuses the engines' native character
+    ``levenshtein`` through a per-pair TOKEN CODEBOOK: every distinct
+    token in the pair's union gets a dense rank (binary string order,
+    identical in both engines), each side is re-encoded as the string
+    of one-char codes chr(32 + rank), and char edit distance on the
+    encoded strings IS word edit distance.  Codes stay below 256
+    because Spark's chr wraps there: pairs with more than 220 distinct
+    tokens are NULLed (``wer`` only; counts still reported) — with
+    ``max_tokens`` = 60 per side the cap is unreachable, it guards
+    parameter changes.  Tokens beyond ``max_tokens`` are dropped
+    (declared truncation semantics, the cer_pairs precedent; the DP is
+    O(len²) per pair).
+
+    Scale shape: one posexplode per side, one dense_rank window over
+    (pair), two ordered string_agg group-bys, one join — all keyed on
+    pair; no quadratic blowup beyond the per-pair DP itself.
+
+    Returns (pair, cand_tokens, ref_tokens, dist, wer)."""
+    toks = lambda col: F.slice(  # noqa: E731
+        F.split(F.lower(F.trim(F.col(col))), r"\s+"), 1, max_tokens
+    )
+    base = df.filter(
+        F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    ).select(
+        F.col(pair_col).alias("pair"),
+        toks(cand_col).alias("_ct"),
+        toks(ref_col).alias("_rt"),
+    )
+    from timeseriesutils_spark.functions.cache import pin
+
+    base = pin(base)  # feeds two explodes + the size select
+    long = base.select(
+        "pair", F.lit(1).alias("_side"), F.posexplode("_ct")
+    ).unionByName(
+        base.select("pair", F.lit(2).alias("_side"), F.posexplode("_rt"))
+    )
+    w = Window.partitionBy("pair").orderBy("col")
+    coded = long.select(
+        "pair",
+        "_side",
+        "pos",
+        F.dense_rank().over(w).alias("_code"),
+    )
+    enc = coded.groupBy("pair", "_side").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("_code")))
+                ),
+                lambda s: F.char(s["_code"] + F.lit(32)),
+            ),
+            "",
+        ).alias("_enc"),
+        F.max("_code").alias("_maxcode"),
+    )
+    c = enc.filter(F.col("_side") == 1).select(
+        "pair", F.col("_enc").alias("_ec"), F.col("_maxcode").alias("_mc")
+    )
+    r = enc.filter(F.col("_side") == 2).select(
+        "pair", F.col("_enc").alias("_er"), F.col("_maxcode").alias("_mr")
+    )
+    sizes = base.select(
+        "pair",
+        F.size("_ct").cast("bigint").alias("cand_tokens"),
+        F.size("_rt").cast("bigint").alias("ref_tokens"),
+    )
+    j = sizes.join(c, "pair").join(r, "pair")
+    okcode = F.greatest(F.col("_mc"), F.col("_mr")) <= 220
+    d = F.levenshtein(F.col("_ec"), F.col("_er")).cast("bigint")
+    return j.select(
+        "pair",
+        "cand_tokens",
+        "ref_tokens",
+        F.when(okcode, d).alias("dist"),
+        F.when(
+            okcode & (F.col("ref_tokens") > 0),
+            d.cast("double") / F.col("ref_tokens").cast("double"),
+        ).alias("wer"),
+    )
+
+
+def wer_pairs_sql(
+    data_sql: str,
+    pair_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_tokens: int = 60,
+) -> str:
+    """DuckDB twin of :func:`wer_pairs` (same codebook, same ordered
+    re-encoding, same edit distance)."""
+    toks = lambda col: (  # noqa: E731
+        f"string_split_regex(lower(trim({col})), '\\s+')[1:{max_tokens}]"
+    )
+    return f"""
+WITH base AS (
+  SELECT {pair_col} AS pair, {toks(cand_col)} AS _ct, {toks(ref_col)} AS _rt
+  FROM ({data_sql})
+  WHERE {cand_col} IS NOT NULL AND {ref_col} IS NOT NULL
+),
+long AS (
+  SELECT pair, 1 AS _side, u.pos - 1 AS pos, u.col
+  FROM base, LATERAL (SELECT unnest(_ct) AS col,
+                             generate_subscripts(_ct, 1) AS pos) u
+  UNION ALL
+  SELECT pair, 2 AS _side, u.pos - 1 AS pos, u.col
+  FROM base, LATERAL (SELECT unnest(_rt) AS col,
+                             generate_subscripts(_rt, 1) AS pos) u
+),
+coded AS (
+  SELECT pair, _side, pos,
+    DENSE_RANK() OVER (PARTITION BY pair ORDER BY col) AS _code
+  FROM long
+),
+enc AS (
+  SELECT pair, _side,
+    string_agg(chr(CAST(_code + 32 AS INT)), '' ORDER BY pos) AS _enc,
+    MAX(_code) AS _maxcode
+  FROM coded GROUP BY pair, _side
+),
+sizes AS (
+  SELECT pair, CAST(len(_ct) AS BIGINT) AS cand_tokens,
+    CAST(len(_rt) AS BIGINT) AS ref_tokens
+  FROM base
+),
+j AS (
+  SELECT s.pair, s.cand_tokens, s.ref_tokens,
+    c._enc AS _ec, c._maxcode AS _mc, r._enc AS _er, r._maxcode AS _mr
+  FROM sizes s
+  JOIN (SELECT * FROM enc WHERE _side = 1) c USING (pair)
+  JOIN (SELECT * FROM enc WHERE _side = 2) r USING (pair)
+)
+SELECT pair, cand_tokens, ref_tokens,
+  CASE WHEN GREATEST(_mc, _mr) <= 220
+    THEN CAST(levenshtein(_ec, _er) AS BIGINT) END AS dist,
+  CASE WHEN GREATEST(_mc, _mr) <= 220 AND ref_tokens > 0
+    THEN CAST(levenshtein(_ec, _er) AS DOUBLE) / CAST(ref_tokens AS DOUBLE)
+  END AS wer
+FROM j
+"""

@@ -2796,3 +2796,55 @@ def _sql_bleu_pairs():
 
 
 QUERIES.update({"bleu_pairs": Q(q_bleu_pairs, _sql_bleu_pairs())})
+
+
+def q_chrf_pairs(spark, sf_dir):
+    """chrF2 over aligned doc pairs (operators/text.chrf_pairs):
+    character 1..4-gram F_beta=2 on whitespace-stripped 200-char
+    prefixes — the tokenizer-free generation eval beside bleu/rouge;
+    one clipped-count join per order, macro-averaged P/R."""
+    from timeseriesutils_spark.operators.text import chrf_pairs
+
+    return chrf_pairs(
+        _paired_docs(spark, sf_dir), "pair", "cand_text", "ref_text",
+        max_n=4, beta=2.0, max_chars=200,
+    )
+
+
+def _sql_chrf_pairs():
+    from timeseriesutils_spark.operators.text import chrf_pairs_sql
+
+    return chrf_pairs_sql(
+        _SQL_PAIRED_DOCS, "pair", "cand_text", "ref_text",
+        max_n=4, beta=2.0, max_chars=200,
+    )
+
+
+def q_wer_pairs(spark, sf_dir):
+    """Word error rate over aligned doc pairs (operators/text.
+    wer_pairs): token-level edit distance via the per-pair token
+    codebook (dense-rank codes -> one-char encoding -> native
+    levenshtein), over 60-token prefixes; the ASR/MT sibling of
+    cer_pairs."""
+    from timeseriesutils_spark.operators.text import wer_pairs
+
+    return wer_pairs(
+        _paired_docs(spark, sf_dir), "pair", "cand_text", "ref_text",
+        max_tokens=60,
+    )
+
+
+def _sql_wer_pairs():
+    from timeseriesutils_spark.operators.text import wer_pairs_sql
+
+    return wer_pairs_sql(
+        _SQL_PAIRED_DOCS, "pair", "cand_text", "ref_text", max_tokens=60,
+    )
+
+
+QUERIES.update(
+    {
+        "chrf_pairs": Q(q_chrf_pairs, _sql_chrf_pairs()),
+        "wer_pairs": Q(q_wer_pairs, _sql_wer_pairs()),
+    }
+)
