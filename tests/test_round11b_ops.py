@@ -421,3 +421,98 @@ def test_wer_truncates_to_max_tokens(spark):
     assert out.cand_tokens == 60 and out.ref_tokens == 60
     # first 50 tokens agree, last 10 of each differ -> dist 10
     assert out.dist == 10
+
+
+# --- bayes_ab ---------------------------------------------------------------
+
+
+def test_bayes_ab_symmetric_arms_is_half(spark):
+    from timeseriesutils_spark.operators.analytics import bayes_ab
+
+    rows = [("g", "ctl", i < 10) for i in range(40)] + [
+        ("g", "trt", i < 10) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["g", "arm", "s"])
+    out = bayes_ab(df, "arm", "ctl", "trt", "s", ["g"]).collect()[0]
+    assert abs(out.prob_b_beats_a - 0.5) < 1e-12  # identical posteriors
+    assert bool(out.decide_b) is False
+
+
+def test_bayes_ab_matches_numerical_integration(spark):
+    from math import lgamma
+
+    import numpy as np
+
+    from timeseriesutils_spark.operators.analytics import bayes_ab
+
+    rows = [("g", "ctl", i < 30) for i in range(100)] + [
+        ("g", "trt", i < 40) for i in range(110)
+    ]
+    df = spark.createDataFrame(rows, ["g", "arm", "s"])
+    out = bayes_ab(df, "arm", "ctl", "trt", "s", ["g"]).collect()[0]
+
+    def logbeta(a, b):
+        return lgamma(a) + lgamma(b) - lgamma(a + b)
+
+    a1, b1, a2, b2 = 31, 71, 41, 71
+    x = np.linspace(1e-9, 1 - 1e-9, 200001)
+    pdfA = np.exp((a1 - 1) * np.log(x) + (b1 - 1) * np.log(1 - x) - logbeta(a1, b1))
+    cdfA = np.cumsum(pdfA) * (x[1] - x[0])
+    pdfB = np.exp((a2 - 1) * np.log(x) + (b2 - 1) * np.log(1 - x) - logbeta(a2, b2))
+    want = float(np.sum(pdfB * cdfA) * (x[1] - x[0]))
+    assert abs(out.prob_b_beats_a - want) < 1e-4  # grid error dominates
+    assert out.n_a == 100 and out.conv_b == 40
+
+
+def test_bayes_ab_overwhelming_evidence_decides(spark):
+    from timeseriesutils_spark.operators.analytics import bayes_ab
+
+    rows = [("g", "ctl", i < 5) for i in range(200)] + [
+        ("g", "trt", i < 60) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["g", "arm", "s"])
+    out = bayes_ab(df, "arm", "ctl", "trt", "s", ["g"]).collect()[0]
+    assert out.prob_b_beats_a > 0.9999 and bool(out.decide_b) is True
+
+
+# --- qini_curve -------------------------------------------------------------
+
+
+def test_qini_perfect_uplift_model(spark):
+    """Score separates a segment where treatment causes response from
+    one where it does nothing: the top deciles capture all incremental
+    responders and the final bucket equals the overall incremental
+    count."""
+    from timeseriesutils_spark.operators.mleval import qini_curve
+
+    rows = []
+    # persuadables: score 0.9, treated respond, control never (40 t, 40 c)
+    for i in range(40):
+        rows.append(("g", 0.9, True, True))
+        rows.append(("g", 0.9, False, False))
+    # sure-nothings: score 0.1, nobody responds
+    for i in range(60):
+        rows.append(("g", 0.1, True, False))
+        rows.append(("g", 0.1, False, False))
+    df = spark.createDataFrame(rows, ["g", "score", "treated", "resp"])
+    out = {r.bucket: r for r in qini_curve(
+        df, "score", "treated", "resp", ["g"]).collect()}
+    # bucket 4 = top 80 rows = exactly the persuadable block
+    assert out[4].resp_treat == 40 and out[4].resp_ctl == 0
+    assert abs(out[4].qini - 40.0) < 1e-12
+    assert abs(out[4].uplift - 1.0) < 1e-12
+    # final bucket: whole population, uplift = 40/100
+    assert abs(out[10].qini - 40.0) < 1e-12
+    assert abs(out[10].uplift - 0.4) < 1e-12
+
+
+def test_qini_null_when_arm_missing_in_slice(spark):
+    from timeseriesutils_spark.operators.mleval import qini_curve
+
+    rows = [("g", 0.9, True, True)] * 10 + [("g", 0.1, False, False)] * 10
+    df = spark.createDataFrame(rows, ["g", "score", "treated", "resp"])
+    out = {r.bucket: r for r in qini_curve(
+        df, "score", "treated", "resp", ["g"]).collect()}
+    # top half has no control rows -> NULL uplift/qini
+    assert out[5].uplift is None and out[5].qini is None
+    assert out[10].uplift is not None

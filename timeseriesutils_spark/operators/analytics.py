@@ -1900,3 +1900,181 @@ SELECT {gsel}, n, n_dropped,
   {s2d('_t')} / 1000000000.0 / CAST(n AS DOUBLE) AS theil_t
 FROM agg
 """
+
+
+def bayes_ab(
+    df: DataFrame,
+    arm_col: str,
+    level_a: str,
+    level_b: str,
+    success_col: str,
+    group_columns,
+    prior_alpha: int = 1,
+    prior_beta: int = 1,
+    decision_threshold: float = 0.95,
+) -> DataFrame:
+    """EXACT Bayesian A/B conversion comparison: with Beta(α,β)
+    posteriors from integer success/failure counts (conjugate to the
+    Bernoulli conversions), the probability that B's true rate beats
+    A's has a closed form (Cook 2005, the standard Beta inequality):
+
+        P(p_B > p_A) = Σ_{i=0}^{α_B−1} h(i),
+        h(0) = Π_{j=0}^{β_B−1} (β_A+j)/(α_A+β_A+j),
+        h(i+1)/h(i) = (α_A+i)(β_B+i) / ((α_A+β_A+β_B+i)(i+1))
+
+    — no incomplete-beta routine, no Monte Carlo: every factor is a
+    RATIO OF INTEGERS, so the whole probability is two left folds of
+    exact rational factors (one product for h(0), one running-sum ×
+    running-product recurrence for the series).  Both engines fold in
+    the identical ascending order (Spark ``aggregate`` over
+    ``sequence``, DuckDB ``list_reduce`` — the dtw_pattern precedent),
+    and the arithmetic is mul/div only, so the result is bit-identical
+    without any quantization.
+
+    The frequentist siblings ab_test_report / wilson_daily answer
+    "is the difference significant"; this answers the decision-maker's
+    actual question "what is the probability B is better", exactly.
+
+    Scale shape: one count aggregation (map-combinable) + one
+    one-row-per-group fold whose length is α_B = successes_B + prior —
+    driver-free, join-free; the fold cost lives on |groups| rows.
+
+    Returns (groups…, n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+    expected_lift, prob_b_beats_a, decide_b).
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    pa, pb = int(prior_alpha), int(prior_beta)
+    arm = F.when(F.col(arm_col) == F.lit(level_a), 1).when(
+        F.col(arm_col) == F.lit(level_b), 2
+    )
+    s = F.col(success_col).cast("boolean").cast("bigint")
+    d = df.select(*g, arm.alias("_arm"), s.alias("_s")).filter(
+        F.col("_arm").isNotNull() & F.col("_s").isNotNull()
+    )
+    per = d.groupBy(*g).agg(
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 1, F.col("_s")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("_arm") == 2, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("_arm") == 2, F.col("_s")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    a1 = (F.col("conv_a") + F.lit(pa)).cast("double")
+    b1 = (F.col("n_a") - F.col("conv_a") + F.lit(pb)).cast("double")
+    a2 = (F.col("conv_b") + F.lit(pa)).cast("bigint")
+    b2 = (F.col("n_b") - F.col("conv_b") + F.lit(pb)).cast("bigint")
+    a2d = a2.cast("double")
+    b2d = b2.cast("double")
+    h0 = F.aggregate(
+        F.sequence(F.lit(0).cast("bigint"), b2 - 1),
+        F.lit(1.0),
+        lambda acc, j: acc
+        * ((b1 + j.cast("double")) / (a1 + b1 + j.cast("double"))),
+    )
+    # fold state [p_acc, term]; term starts at h(0)
+    fold = F.aggregate(
+        F.sequence(F.lit(0).cast("bigint"), a2 - 1),
+        F.array(F.lit(0.0), h0),
+        lambda acc, i: F.array(
+            F.element_at(acc, 1) + F.element_at(acc, 2),
+            F.element_at(acc, 2)
+            * (
+                (a1 + i.cast("double"))
+                * (b2d + i.cast("double"))
+                / (
+                    (a1 + b1 + b2d + i.cast("double"))
+                    * (F.lit(1.0) + i.cast("double"))
+                )
+            ),
+        ),
+    )
+    prob = F.element_at(fold, 1)
+    rate_a = a1 / (a1 + b1)
+    rate_b = a2d / (a2d + b2d)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    prob = F.when(ok, prob)
+    return per.select(
+        *g,
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.when(ok, rate_a).alias("rate_a"),
+        F.when(ok, rate_b).alias("rate_b"),
+        F.when(ok, rate_b - rate_a).alias("expected_lift"),
+        prob.alias("prob_b_beats_a"),
+        (prob > F.lit(float(decision_threshold))).alias("decide_b"),
+    )
+
+
+def bayes_ab_sql(
+    data_sql: str,
+    arm_col: str,
+    level_a: str,
+    level_b: str,
+    success_col: str,
+    group_columns,
+    prior_alpha: int = 1,
+    prior_beta: int = 1,
+    decision_threshold: float = 0.95,
+) -> str:
+    """DuckDB twin of :func:`bayes_ab` (same two ascending rational
+    folds; single-element-list elements, list accumulator — the
+    dtw_pattern list_reduce pattern)."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    pa, pb = int(prior_alpha), int(prior_beta)
+    a1 = "CAST(conv_a + {pa} AS DOUBLE)".format(pa=pa)
+    b1 = f"CAST(n_a - conv_a + {pb} AS DOUBLE)"
+    a2 = f"CAST(conv_b + {pa} AS BIGINT)"
+    b2 = f"CAST(n_b - conv_b + {pb} AS BIGINT)"
+    h0 = (
+        f"list_reduce(list_prepend(CAST(1.0 AS DOUBLE),"
+        f" [CAST(j AS DOUBLE) FOR j IN range(0, {b2})]),"
+        f" (acc, j) -> acc * (({b1} + j) / ({a1} + {b1} + j)))"
+    )
+    step = (
+        f"[acc[1] + acc[2],"
+        f" acc[2] * (({a1} + e[1]) * (CAST({b2} AS DOUBLE) + e[1])"
+        f" / (({a1} + {b1} + CAST({b2} AS DOUBLE) + e[1]) * (1.0 + e[1])))]"
+    )
+    fold = (
+        f"list_reduce(list_prepend([CAST(0.0 AS DOUBLE), {h0}],"
+        f" [[CAST(i AS DOUBLE)] FOR i IN range(0, {a2})]),"
+        f" (acc, e) -> {step})"
+    )
+    prob = f"({fold})[1]"
+    rate_a = f"({a1} / ({a1} + {b1}))"
+    rate_b = f"(CAST({a2} AS DOUBLE) / (CAST({a2} AS DOUBLE) + CAST({b2} AS DOUBLE)))"
+    ok = "(n_a > 0 AND n_b > 0)"
+    return f"""
+WITH d AS (
+  SELECT {gsel},
+    CASE WHEN {arm_col} = {level_a!r} THEN 1
+         WHEN {arm_col} = {level_b!r} THEN 2 END AS _arm,
+    CAST(CAST({success_col} AS BOOLEAN) AS BIGINT) AS _s
+  FROM ({data_sql})
+),
+per AS (
+  SELECT {gsel},
+    CAST(SUM(CASE WHEN _arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN _arm = 1 THEN _s ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(SUM(CASE WHEN _arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN _arm = 2 THEN _s ELSE 0 END) AS BIGINT) AS conv_b
+  FROM d WHERE _arm IS NOT NULL AND _s IS NOT NULL
+  GROUP BY {gsel}
+)
+SELECT {gsel}, n_a, conv_a, n_b, conv_b,
+  CASE WHEN {ok} THEN {rate_a} END AS rate_a,
+  CASE WHEN {ok} THEN {rate_b} END AS rate_b,
+  CASE WHEN {ok} THEN {rate_b} - {rate_a} END AS expected_lift,
+  CASE WHEN {ok} THEN {prob} END AS prob_b_beats_a,
+  CASE WHEN {ok} THEN {prob} > {decision_threshold!r} END AS decide_b
+FROM per
+"""

@@ -1063,3 +1063,189 @@ SELECT {gsel}, n, n_bins,
   ({rel} - {res} + {unc}) AS brier
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Qini / uplift curve (treatment vs control incremental response)
+# --------------------------------------------------------------------------
+
+
+def qini_curve(
+    df: DataFrame,
+    score_col: str,
+    treat_col: str,
+    label_col: str,
+    group_columns,
+    n_buckets: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Qini curve at score-ordered decile cutoffs (Radcliffe 2007) —
+    gains_curve's UPLIFT sibling: where gains asks "target the top
+    d/10, capture what share of responders", Qini asks "target the top
+    d/10, cause how many INCREMENTAL responders vs not targeting" —
+    the standard evaluation of uplift/heterogeneous-treatment models:
+
+        qini_d   = cp_t(d) − cp_c(d)·cn_t(d)/cn_c(d)
+        uplift_d = cp_t(d)/cn_t(d) − cp_c(d)/cn_c(d)
+
+    with cp/cn the cumulative responders/rows per arm through the
+    bucket cutoff.  Same deterministic whole-tie-block decile contract
+    as gains_curve (NO ntile: quantized scores collapse to per-(group,
+    score) counts, a block enters bucket d iff cumulative TOTAL rows ≤
+    ⌈n·d/B⌉ — exact integer comparisons; both arms share the cutoff,
+    as a real campaign would).  Buckets whose included slice lacks a
+    control (or treated) row report NULL.
+
+    Scale shape: identical to gains_curve — one count collapse keyed
+    on (group, score), one cumulative window over collapsed rows, one
+    B-literal fan-out.
+
+    Returns (groups…, bucket, cutoff_frac, n_treat, n_ctl, resp_treat,
+    resp_ctl, uplift, qini).
+    """
+    g = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(score_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    t = F.col(treat_col).cast("boolean").cast("bigint")
+    y = F.col(label_col).cast("boolean").cast("bigint")
+    d = df.filter(
+        F.col(score_col).isNotNull()
+        & F.col(treat_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).select(*g, q.alias("_q"), t.alias("_t"), y.alias("_y"))
+    per = d.groupBy(*g, "_q").agg(
+        F.count(F.lit(1)).alias("_r"),
+        F.sum("_t").alias("_nt"),
+        F.sum(F.col("_t") * F.col("_y")).alias("_pt"),
+        F.sum((F.lit(1) - F.col("_t")) * F.col("_y")).alias("_pc"),
+    )
+    w = Window.partitionBy(*g).orderBy(F.col("_q").desc())
+    wg = Window.partitionBy(*g)
+    cum = per.select(
+        *g,
+        F.sum("_r").over(w).alias("_cr"),
+        F.sum("_nt").over(w).alias("_cnt"),
+        F.sum("_pt").over(w).alias("_cpt"),
+        F.sum("_pc").over(w).alias("_cpc"),
+        F.sum("_r").over(wg).alias("_n"),
+    )
+    buckets = []
+    for b in range(1, n_buckets + 1):
+        cut = F.expr(
+            f"CAST((_n * {b} + {n_buckets - 1}) div {n_buckets} AS BIGINT)"
+        )
+        inc = F.col("_cr") <= cut
+        buckets.append(
+            F.struct(
+                F.lit(b).alias("bucket"),
+                F.max(F.when(inc, F.col("_cr"))).alias("_in"),
+                F.max(F.when(inc, F.col("_cnt"))).alias("_int"),
+                F.max(F.when(inc, F.col("_cpt"))).alias("_ipt"),
+                F.max(F.when(inc, F.col("_cpc"))).alias("_ipc"),
+            )
+        )
+    agg = cum.groupBy(*g).agg(
+        F.max("_n").alias("_n"), F.array(*buckets).alias("_bs")
+    )
+    z = F.lit(0).cast("bigint")
+    exploded = agg.select(*g, "_n", F.explode("_bs").alias("_s")).select(
+        *g,
+        "_n",
+        F.col("_s.bucket").alias("bucket"),
+        F.coalesce(F.col("_s._in"), z).alias("_in"),
+        F.coalesce(F.col("_s._int"), z).alias("n_treat"),
+        F.coalesce(F.col("_s._ipt"), z).alias("resp_treat"),
+        F.coalesce(F.col("_s._ipc"), z).alias("resp_ctl"),
+    )
+    n_ctl = (F.col("_in") - F.col("n_treat")).alias("n_ctl")
+    exploded = exploded.select(
+        *g, "_n", "bucket", "_in", "n_treat", n_ctl, "resp_treat", "resp_ctl"
+    )
+    ct = F.col("n_treat").cast("double")
+    cc = F.col("n_ctl").cast("double")
+    pt = F.col("resp_treat").cast("double")
+    pc = F.col("resp_ctl").cast("double")
+    ok = (F.col("n_treat") > 0) & (F.col("n_ctl") > 0)
+    uplift = F.when(ok, pt / ct - pc / cc)
+    qini = F.when(ok, pt - pc * ct / cc)
+    return exploded.select(
+        *g,
+        "bucket",
+        (F.col("bucket").cast("double") / F.lit(float(n_buckets))).alias(
+            "cutoff_frac"
+        ),
+        "n_treat",
+        "n_ctl",
+        "resp_treat",
+        "resp_ctl",
+        uplift.alias("uplift"),
+        qini.alias("qini"),
+    )
+
+
+def qini_curve_sql(
+    data_sql: str,
+    score_col: str,
+    treat_col: str,
+    label_col: str,
+    group_columns,
+    n_buckets: int = 10,
+    scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`qini_curve` (same shared-cutoff
+    whole-tie-block integers)."""
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    m = 10**scale
+    qq = f"CAST(FLOOR(CAST({score_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    rows = " UNION ALL ".join(
+        f"SELECT {gsel}, _n, {b} AS bucket, "
+        f"COALESCE(MAX(CASE WHEN _cr <= (_n * {b} + {n_buckets - 1}) // {n_buckets}"
+        f" THEN _cr END), 0) AS _in, "
+        f"COALESCE(MAX(CASE WHEN _cr <= (_n * {b} + {n_buckets - 1}) // {n_buckets}"
+        f" THEN _cnt END), 0) AS n_treat, "
+        f"COALESCE(MAX(CASE WHEN _cr <= (_n * {b} + {n_buckets - 1}) // {n_buckets}"
+        f" THEN _cpt END), 0) AS resp_treat, "
+        f"COALESCE(MAX(CASE WHEN _cr <= (_n * {b} + {n_buckets - 1}) // {n_buckets}"
+        f" THEN _cpc END), 0) AS resp_ctl "
+        f"FROM cum GROUP BY {gsel}, _n"
+        for b in range(1, n_buckets + 1)
+    )
+    ct = "CAST(n_treat AS DOUBLE)"
+    cc = "CAST(_in - n_treat AS DOUBLE)"
+    pt = "CAST(resp_treat AS DOUBLE)"
+    pc = "CAST(resp_ctl AS DOUBLE)"
+    ok = "(n_treat > 0 AND _in - n_treat > 0)"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qq} AS _q,
+    CAST(CAST({treat_col} AS BOOLEAN) AS BIGINT) AS _t,
+    CAST(CAST({label_col} AS BOOLEAN) AS BIGINT) AS _y
+  FROM ({data_sql})
+  WHERE {score_col} IS NOT NULL AND {treat_col} IS NOT NULL
+    AND {label_col} IS NOT NULL
+),
+per AS (
+  SELECT {gsel}, _q, COUNT(*) AS _r, SUM(_t) AS _nt,
+    SUM(_t * _y) AS _pt, SUM((1 - _t) * _y) AS _pc
+  FROM d GROUP BY {gsel}, _q
+),
+cum AS (
+  SELECT {gsel},
+    CAST(SUM(_r) OVER (PARTITION BY {gsel} ORDER BY _q DESC) AS BIGINT) AS _cr,
+    CAST(SUM(_nt) OVER (PARTITION BY {gsel} ORDER BY _q DESC) AS BIGINT) AS _cnt,
+    CAST(SUM(_pt) OVER (PARTITION BY {gsel} ORDER BY _q DESC) AS BIGINT) AS _cpt,
+    CAST(SUM(_pc) OVER (PARTITION BY {gsel} ORDER BY _q DESC) AS BIGINT) AS _cpc,
+    CAST(SUM(_r) OVER (PARTITION BY {gsel}) AS BIGINT) AS _n
+  FROM per
+),
+b AS ({rows})
+SELECT {gsel}, bucket,
+  CAST(bucket AS DOUBLE) / {float(n_buckets)!r} AS cutoff_frac,
+  n_treat, CAST(_in - n_treat AS BIGINT) AS n_ctl, resp_treat, resp_ctl,
+  CASE WHEN {ok} THEN {pt} / {ct} - {pc} / {cc} END AS uplift,
+  CASE WHEN {ok} THEN {pt} - {pc} * {ct} / {cc} END AS qini
+FROM b
+"""

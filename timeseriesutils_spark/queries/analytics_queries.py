@@ -1125,3 +1125,46 @@ def _sql_cox_ph():
 
 
 QUERIES.update({"cox_ph": Q(q_cox_ph, _sql_cox_ph())})
+
+
+def q_bayes_ab(spark, sf_dir):
+    """Exact Bayesian A/B decision (analytics.bayes_ab): per-user
+    purchase conversion under parity arms, per user-cohort experiment —
+    P(p_B > p_A) in closed form from two ascending rational folds
+    (Cook's Beta inequality; Beta(1,1) priors), bit-identical with no
+    quantization because the arithmetic is mul/div of integers.  The
+    decision-layer companion to ab_test_report's z-test."""
+    from timeseriesutils_spark.operators.analytics import bayes_ab
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == F.lit("purchase")).cast("int")
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 4).cast("bigint").alias("cohort"),
+        F.when((F.col("user_id") / F.lit(4)).cast("bigint") % 2 == 0, "ctl")
+        .otherwise("trt")
+        .alias("arm"),
+        F.col("converted").cast("boolean").alias("converted"),
+    )
+    return bayes_ab(
+        users, "arm", "ctl", "trt", "converted", ["cohort"]
+    )
+
+
+def _sql_bayes_ab():
+    from timeseriesutils_spark.operators.analytics import bayes_ab_sql
+
+    users = (
+        "SELECT CAST(user_id % 4 AS BIGINT) AS cohort,"
+        " CASE WHEN CAST(user_id // 4 AS BIGINT) % 2 = 0 THEN 'ctl'"
+        " ELSE 'trt' END AS arm,"
+        " CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        " AS BOOLEAN) AS converted"
+        " FROM events GROUP BY user_id"
+    )
+    return bayes_ab_sql(users, "arm", "ctl", "trt", "converted", ["cohort"])
+
+
+QUERIES.update({"bayes_ab": Q(q_bayes_ab, _sql_bayes_ab())})

@@ -3911,3 +3911,39 @@ def _sql_icc_oneway():
 
 
 QUERIES.update({"icc_oneway": Q(q_icc_oneway, _sql_icc_oneway())})
+
+
+def q_qini_curve(spark, sf_dir):
+    """Qini / uplift curve per ship year (operators/mleval.qini_curve):
+    gains_curve's uplift sibling on the same 10×-discount score —
+    order-parity lines as the 'treated' arm, return as response; how
+    many INCREMENTAL returns does targeting the top deciles isolate?
+    Shared-cutoff whole-tie-block deciles, exact integer arm
+    counters."""
+    from timeseriesutils_spark.operators.mleval import qini_curve
+
+    li = _li(spark, sf_dir)
+    d = li.select(
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias(
+            "ship_year"
+        ),
+        (F.col("l_discount") * 10.0).alias("p_ret"),
+        (F.col("l_orderkey") % 2 == 0).alias("treated"),
+        (F.col("l_returnflag") == F.lit("R")).alias("is_ret"),
+    )
+    return qini_curve(d, "p_ret", "treated", "is_ret", ["ship_year"])
+
+
+def _sql_qini_curve():
+    from timeseriesutils_spark.operators.mleval import qini_curve_sql
+
+    d = (
+        "SELECT CAST(EXTRACT(year FROM CAST(l_shipdate AS DATE)) AS INT)"
+        " AS ship_year, l_discount * 10.0 AS p_ret,"
+        " l_orderkey % 2 = 0 AS treated,"
+        " l_returnflag = 'R' AS is_ret FROM lineitem"
+    )
+    return qini_curve_sql(d, "p_ret", "treated", "is_ret", ["ship_year"])
+
+
+QUERIES.update({"qini_curve": Q(q_qini_curve, _sql_qini_curve())})
