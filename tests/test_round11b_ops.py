@@ -516,3 +516,93 @@ def test_qini_null_when_arm_missing_in_slice(spark):
     # top half has no control rows -> NULL uplift/qini
     assert out[5].uplift is None and out[5].qini is None
     assert out[10].uplift is not None
+
+
+# --- adamic_adar ------------------------------------------------------------
+
+
+def test_adamic_adar_matches_hand_graph(spark):
+    import math
+
+    from timeseriesutils_spark.operators.graph import adamic_adar
+
+    # square 1-2-3-4-1 plus hub 5 connected to all: AA(1,3) via 2,4,5
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (1, 5), (2, 5), (3, 5), (4, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {(r.src, r.dst): r for r in adamic_adar(df, top_k=50).collect()}
+    deg = {1: 3, 2: 3, 3: 3, 4: 3, 5: 4}
+
+    def q9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    def w(z):
+        return math.floor(1.0 / q9(math.log(deg[z])) * 1e9 + 0.5) / 1e9
+
+    want13 = w(2) + w(4) + w(5)
+    got = out[(1, 3)]
+    assert got.common == 3
+    assert abs(got.aa_score - want13) < 1e-9
+    assert bool(got.already_linked) is False
+    assert bool(out[(1, 2)].already_linked) is True
+
+
+def test_adamic_adar_ranks_nonedges_for_prediction(spark):
+    from timeseriesutils_spark.operators.graph import adamic_adar
+
+    # path 1-2-3: only candidate pair is (1,3) via 2
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    out = adamic_adar(df, top_k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.src, r.dst) == (1, 3) and r.common == 1
+    assert bool(r.already_linked) is False
+
+
+# --- variance_ratio ---------------------------------------------------------
+
+
+def _vr_ref(y, q=5):
+    T = len(y) - 1
+    D = y[-1] - y[0]
+    a1 = sum((T * (y[t] - y[t - 1]) - D) ** 2 for t in range(1, len(y)))
+    aq = sum(
+        (T * (y[t] - y[t - q]) - q * D) ** 2 for t in range(q, len(y))
+    )
+    return aq * (T - 1) * T / (a1 * q * (T - q + 1) * (T - q))
+
+
+def test_variance_ratio_random_walk_near_one(spark):
+    import random
+
+    from timeseriesutils_spark.operators.regression import variance_ratio
+
+    rng = random.Random(5)
+    y, acc = [], 0.0
+    for _ in range(400):
+        acc += rng.gauss(0, 1)
+        y.append(acc)
+    df = spark.createDataFrame(
+        [("g", t, v) for t, v in enumerate(y)], ["g", "t", "v"]
+    )
+    out = variance_ratio(df, "v", ["g"], ["t"], q=5, scale=6).collect()[0]
+    want = _vr_ref([round(v * 1e6) for v in y], 5)
+    assert abs(out.vr - want) < 1e-9
+    assert 0.6 < out.vr < 1.5  # random walk: VR ~ 1
+    assert bool(out.random_walk_rejected_5pct) is (abs(out.z_stat) > 1.96)
+
+
+def test_variance_ratio_mean_reversion_below_one(spark):
+    import random
+
+    from timeseriesutils_spark.operators.regression import variance_ratio
+
+    rng = random.Random(9)
+    y = [rng.gauss(0, 1) for _ in range(400)]  # iid noise: VR(5) ~ 1/5... no:
+    # iid LEVELS (not increments) -> differences are MA(1)-like with
+    # strong negative autocorrelation -> VR well below 1
+    df = spark.createDataFrame(
+        [("g", t, v) for t, v in enumerate(y)], ["g", "t", "v"]
+    )
+    out = variance_ratio(df, "v", ["g"], ["t"], q=5, scale=6).collect()[0]
+    assert out.vr < 0.6
+    assert bool(out.random_walk_rejected_5pct) is True

@@ -320,3 +320,128 @@ corners AS (
 )
 SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
 """
+
+
+def adamic_adar(
+    edges: DataFrame,
+    top_k: int = 50,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected edge list
+    (``src < dst`` convention, the triangle_count contract): for every
+    wedge-connected node pair, score the likelihood of a (future) link
+    by their common neighbors, weighting rare hubs up:
+
+        AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1 / ln(deg z)
+
+    (Adamic & Adamic 2003).  Every common neighbor has deg ≥ 2, so
+    ln(deg) > 0 except deg = 2 ... ln 2 ≈ 0.693 — no singularity.
+
+    Exactness: ln(deg) is floor-quantized at 1e-9 (the libm rule),
+    the reciprocal is re-quantized at 1e-9, and pair scores are exact
+    int64 sums of those quanta — aggregation order free; the global
+    top-k orders by the INTEGER score then (src, dst), fully
+    deterministic.
+
+    Scale shape: one degree aggregation, one wedge self-join on the
+    shared neighbor (the same sqrt(m)-bounded fan-out triangle_count
+    exploits — hub z contributes deg_z² wedges, which is why real
+    deployments pre-filter supernodes), one groupBy(pair), one
+    TakeOrderedAndProject.  ``already_linked`` marks pairs that are
+    existing edges (link PREDICTION reads the false rows).
+
+    Returns (src, dst, common, aa_score, already_linked) — top_k rows.
+    """
+    e = edges.select("src", "dst")
+    adj = pin(
+        e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionByName(
+            e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
+    )
+    deg = adj.groupBy("nbr").agg(F.count(F.lit(1)).alias("_deg"))
+    q9 = 1.0e9
+    lnq = F.floor(F.log(F.col("_deg").cast("double")) * F.lit(q9) + F.lit(0.5)) / F.lit(q9)
+    w = deg.select(
+        "nbr",
+        F.floor(F.lit(1.0) / lnq * F.lit(q9) + F.lit(0.5))
+        .cast("bigint")
+        .alias("_wq"),
+    )
+    wedges = (
+        adj.alias("a")
+        .join(adj.alias("b"), "nbr")
+        .where(F.col("a.node") < F.col("b.node"))
+        .select(
+            F.col("a.node").alias("src"),
+            F.col("b.node").alias("dst"),
+            F.col("nbr"),
+        )
+    )
+    scored = (
+        wedges.join(w, "nbr")
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum("_wq").alias("_aaq"),
+        )
+    )
+    linked = scored.join(
+        e.withColumn("_e", F.lit(True)), ["src", "dst"], "left"
+    ).select(
+        "src",
+        "dst",
+        "common",
+        "_aaq",
+        F.coalesce(F.col("_e"), F.lit(False)).alias("already_linked"),
+    )
+    out = linked.orderBy(
+        F.col("_aaq").desc(), F.col("src"), F.col("dst")
+    ).limit(top_k)
+    return out.select(
+        "src",
+        "dst",
+        "common",
+        (F.col("_aaq").cast("double") / F.lit(q9)).alias("aa_score"),
+        "already_linked",
+    )
+
+
+def adamic_adar_sql(edges_sql: str, top_k: int = 50) -> str:
+    """DuckDB twin of :func:`adamic_adar` (same double quantization,
+    same integer ordering)."""
+    return f"""
+WITH e AS (SELECT src, dst FROM ({edges_sql})),
+adj AS (
+  SELECT src AS node, dst AS nbr FROM e
+  UNION ALL
+  SELECT dst AS node, src AS nbr FROM e
+),
+deg AS (SELECT nbr, COUNT(*) AS _deg FROM adj GROUP BY nbr),
+w AS (
+  SELECT nbr,
+    CAST(FLOOR(1.0 / (FLOOR(LN(CAST(_deg AS DOUBLE)) * 1000000000.0 + 0.5)
+                      / 1000000000.0) * 1000000000.0 + 0.5) AS BIGINT) AS _wq
+  FROM deg
+),
+wedges AS (
+  SELECT a.node AS src, b.node AS dst, a.nbr
+  FROM adj a JOIN adj b USING (nbr)
+  WHERE a.node < b.node
+),
+scored AS (
+  SELECT src, dst, COUNT(*) AS common, CAST(SUM(_wq) AS BIGINT) AS _aaq
+  FROM wedges JOIN w USING (nbr)
+  GROUP BY src, dst
+),
+linked AS (
+  SELECT s.*, COALESCE(e2._e, FALSE) AS already_linked
+  FROM scored s
+  LEFT JOIN (SELECT src, dst, TRUE AS _e FROM e) e2 USING (src, dst)
+)
+SELECT src, dst, common,
+  CAST(_aaq AS DOUBLE) / 1000000000.0 AS aa_score,
+  already_linked
+FROM linked
+ORDER BY _aaq DESC, src, dst
+LIMIT {int(top_k)}
+"""

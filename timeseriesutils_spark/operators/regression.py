@@ -1220,3 +1220,186 @@ SELECT {gsel}, n,
   CASE WHEN {ok} THEN {stat} < 0.463 END AS level_stationary_5pct
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Lo–MacKinlay variance-ratio test
+# --------------------------------------------------------------------------
+
+
+def variance_ratio(
+    data: DataFrame,
+    y_col: str,
+    group_columns,
+    order_by,
+    q: int = 5,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Lo–MacKinlay variance-ratio test (1988) of the random
+    -walk hypothesis: if increments are uncorrelated, the variance of
+    q-period differences is q× the variance of 1-period differences —
+    VR < 1 flags mean reversion, VR > 1 momentum.  The third member of
+    the stationarity triage beside adf_test (unit root) and kpss_test
+    (level stationarity):
+
+        VR(q) = σ̂²_c(q) / σ̂²_a,
+        z = (VR−1)·√T / √(2(2q−1)(q−1)/(3q))   (homoscedastic form)
+
+    where σ̂²_a is the one-period increment variance (df = T−1) and
+    σ̂²_c(q) the overlapping q-period estimator normalized by
+    m = q(T−q+1)(1−q/T) — m carries the q, making σ̂²_c per-period
+    already (the classic 1/q-VR mistake is dividing again).
+
+    Exactness: with y floor-quantized and the drift μ̂ = (y_T−y_0)/T
+    cleared by multiplying every difference by T, both centered sums
+    of squares are exact integers
+
+        A₁ = Σ (T·Δy_t − D)²,  A_q = Σ (T·(y_t − y_{t−q}) − q·D)²,
+        D = y_T − y_0
+
+    and the normalizers collapse into one closed ratio of integers,
+
+        VR = A_q·(T−1)·T / (A₁·q·(T−q+1)·(T−q))
+
+    (m = q(T−q+1)(1−q/T) is Lo–MacKinlay's overlapping-window df) — a
+    single double division; z adds one √ on literal-scaled terms.
+
+    Scale shape: one ordered window pass (two lags + two boundary
+    firsts/lasts share the exchange) + one sufficient-stats
+    aggregation — the adf/kpss plan.
+
+    Returns (groups…, n, vr, z_stat, random_walk_rejected_5pct).
+    """
+    from pyspark.sql import Window
+
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    Q = int(q)
+    m = 10**scale
+    w = Window.partitionBy(*groups).orderBy(*order)
+    wfull = Window.partitionBy(*groups)
+    qv = F.floor(F.col(y_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    base = data.filter(F.col(y_col).isNotNull()).select(
+        *groups, *order, qv.alias("_q")
+    )
+    # T = n-1 increment periods; D = y_last - y_first
+    staged = base.select(
+        *groups,
+        "_q",
+        (F.count(F.lit(1)).over(wfull) - 1).alias("_T"),
+        (
+            F.last("_q").over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            - F.first("_q").over(w)
+        ).alias("_D"),
+        F.lag("_q", 1).over(w).alias("_l1"),
+        F.lag("_q", Q).over(w).alias("_lq"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    e1 = F.col("_T") * (F.col("_q") - F.col("_l1")) - F.col("_D")
+    eq = F.col("_T") * (F.col("_q") - F.col("_lq")) - F.lit(Q) * F.col("_D")
+    agg = staged.select(
+        *groups,
+        F.col("_T").alias("_t"),
+        F.when(F.col("_l1").isNotNull(), dec(e1) * dec(e1)).alias("_a1"),
+        F.when(F.col("_lq").isNotNull(), dec(eq) * dec(eq)).alias("_aq"),
+    ).groupBy(*groups).agg(
+        F.max("_t").alias("_T"),
+        F.sum("_a1").alias("_sa1"),
+        F.sum("_aq").alias("_saq"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    T = F.col("_T").cast("double")
+    vr = (
+        s2d("_saq")
+        * (T - F.lit(1.0))
+        * T
+        / (
+            s2d("_sa1")
+            * F.lit(float(Q))
+            * (T - F.lit(float(Q)) + F.lit(1.0))
+            * (T - F.lit(float(Q)))
+        )
+    )
+    phi = 2.0 * (2 * Q - 1) * (Q - 1) / (3.0 * Q)
+    z = (vr - F.lit(1.0)) * F.sqrt(T) / F.lit(phi**0.5)
+    ok = (F.col("_T") > Q + 1) & (F.col("_sa1") > 0)
+    vr = F.when(ok, vr)
+    z = F.when(ok, z)
+    return agg.select(
+        *groups,
+        (F.col("_T") + 1).alias("n"),
+        vr.alias("vr"),
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(1.96)).alias("random_walk_rejected_5pct"),
+    )
+
+
+def variance_ratio_sql(
+    data_sql: str,
+    y_col: str,
+    group_columns,
+    order_by,
+    q: int = 5,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`variance_ratio` (same cleared-drift
+    integer algebra, same closed normalizer ratio)."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    groups = _as_list(group_columns)
+    order = _as_list(order_by)
+    gsel = ", ".join(groups)
+    osel = ", ".join(order)
+    Q = int(q)
+    m = 10**scale
+    over = f"(PARTITION BY {gsel} ORDER BY {osel})"
+    overf = (
+        f"(PARTITION BY {gsel} ORDER BY {osel} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+    qv = f"CAST(FLOOR(CAST({y_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    T = "CAST(_T AS DOUBLE)"
+    vr = (
+        f"({s2d('_saq')} * ({T} - 1.0) * {T}"
+        f" / ({s2d('_sa1')} * {dlit(float(Q))}"
+        f" * ({T} - {dlit(float(Q))} + 1.0) * ({T} - {dlit(float(Q))})))"
+    )
+    phi = 2.0 * (2 * Q - 1) * (Q - 1) / (3.0 * Q)
+    z = f"(({vr} - 1.0) * SQRT({T}) / {dlit(phi**0.5)})"
+    ok = f"(_T > {Q + 1} AND _sa1 > 0)"
+    return f"""
+WITH base AS (
+  SELECT {gsel}, {osel}, {qv} AS _q
+  FROM ({data_sql}) WHERE {y_col} IS NOT NULL
+),
+staged AS (
+  SELECT {gsel}, _q,
+    COUNT(*) OVER (PARTITION BY {gsel}) - 1 AS _T,
+    LAST_VALUE(_q) OVER {overf} - FIRST_VALUE(_q) OVER {over} AS _D,
+    LAG(_q, 1) OVER {over} AS _l1,
+    LAG(_q, {Q}) OVER {over} AS _lq
+  FROM base
+),
+agg AS (
+  SELECT {gsel}, MAX(_T) AS _T,
+    SUM(CASE WHEN _l1 IS NOT NULL
+        THEN CAST(_T * (_q - _l1) - _D AS HUGEINT)
+           * CAST(_T * (_q - _l1) - _D AS HUGEINT) END) AS _sa1,
+    SUM(CASE WHEN _lq IS NOT NULL
+        THEN CAST(_T * (_q - _lq) - {Q} * _D AS HUGEINT)
+           * CAST(_T * (_q - _lq) - {Q} * _D AS HUGEINT) END) AS _saq
+  FROM staged GROUP BY {gsel}
+)
+SELECT {gsel}, CAST(_T + 1 AS BIGINT) AS n,
+  CASE WHEN {ok} THEN {vr} END AS vr,
+  CASE WHEN {ok} THEN {z} END AS z_stat,
+  CASE WHEN {ok} THEN ABS({z}) > 1.96 END AS random_walk_rejected_5pct
+FROM agg
+"""

@@ -1168,3 +1168,44 @@ def _sql_bayes_ab():
 
 
 QUERIES.update({"bayes_ab": Q(q_bayes_ab, _sql_bayes_ab())})
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction (operators/graph.adamic_adar) on the
+    supplier co-supply graph (the triangle_count edge set): score
+    wedge-connected supplier pairs by common neighbors weighted
+    1/ln(degree) — rare shared partners count more.  Quantized-ln
+    integer scores, deterministic top-50."""
+    from timeseriesutils_spark.operators.graph import adamic_adar
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") >= TRI_QTY
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    edges = (
+        ps.alias("a")
+        .join(ps.alias("b"), "p")
+        .where(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    return adamic_adar(edges, top_k=50)
+
+
+def _sql_adamic_adar():
+    from timeseriesutils_spark.operators.graph import adamic_adar_sql
+
+    edges = f"""
+  WITH ps AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+    FROM lineitem WHERE l_quantity >= {TRI_QTY}
+  )
+  SELECT DISTINCT a.s AS src, b.s AS dst
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+"""
+    return adamic_adar_sql(edges, top_k=50)
+
+
+QUERIES.update({"adamic_adar": Q(q_adamic_adar, _sql_adamic_adar())})

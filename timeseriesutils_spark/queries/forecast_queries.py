@@ -3947,3 +3947,29 @@ def _sql_qini_curve():
 
 
 QUERIES.update({"qini_curve": Q(q_qini_curve, _sql_qini_curve())})
+
+
+def q_variance_ratio(spark, sf_dir):
+    """Lo–MacKinlay variance-ratio test per supplier daily price series
+    (operators/regression.variance_ratio): the random-walk screen
+    completing the stationarity triage with adf_test and kpss_test on
+    the SAME series — VR(5) with the drift cleared into exact integer
+    sums and the overlapping-window normalizer collapsed to one integer
+    ratio."""
+    from timeseriesutils_spark.operators.regression import variance_ratio
+
+    return variance_ratio(
+        _daily_pq(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        q=5, scale=2,
+    )
+
+
+def _sql_variance_ratio():
+    from timeseriesutils_spark.operators.regression import variance_ratio_sql
+
+    return variance_ratio_sql(
+        _SQL_DAILY_PQ, "day_price", ["l_suppkey"], ["ship_day"], q=5, scale=2
+    )
+
+
+QUERIES.update({"variance_ratio": Q(q_variance_ratio, _sql_variance_ratio())})
