@@ -358,7 +358,11 @@ def adamic_adar(
             e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
         )
     )
-    deg = adj.groupBy("nbr").agg(F.count(F.lit(1)).alias("_deg"))
+    # deg-1 nodes can never be common neighbors, and 1/ln(1) is a
+    # division by zero — drop them before the weight evaluates
+    deg = adj.groupBy("nbr").agg(F.count(F.lit(1)).alias("_deg")).filter(
+        F.col("_deg") >= 2
+    )
     q9 = 1.0e9
     lnq = F.floor(F.log(F.col("_deg").cast("double")) * F.lit(q9) + F.lit(0.5)) / F.lit(q9)
     w = deg.select(
@@ -416,7 +420,9 @@ adj AS (
   UNION ALL
   SELECT dst AS node, src AS nbr FROM e
 ),
-deg AS (SELECT nbr, COUNT(*) AS _deg FROM adj GROUP BY nbr),
+deg AS (
+  SELECT nbr, COUNT(*) AS _deg FROM adj GROUP BY nbr HAVING COUNT(*) >= 2
+),
 w AS (
   SELECT nbr,
     CAST(FLOOR(1.0 / (FLOOR(LN(CAST(_deg AS DOUBLE)) * 1000000000.0 + 0.5)
