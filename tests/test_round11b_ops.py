@@ -606,3 +606,53 @@ def test_variance_ratio_mean_reversion_below_one(spark):
     out = variance_ratio(df, "v", ["g"], ["t"], q=5, scale=6).collect()[0]
     assert out.vr < 0.6
     assert bool(out.random_walk_rejected_5pct) is True
+
+
+# --- plan-shape pins for the second-session wave ----------------------------
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def _plan(spark, catalog, name):
+    return catalog[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_wave_plans_stay_jvm_side(spark, catalog):
+    """None of the second-session operators may fall back to Python
+    evaluation — folds, codebooks, and rank identities are all
+    built-in expressions."""
+    for name in (
+        "crps_sample", "pit_histogram", "wallinga_teunis", "kpss_test",
+        "icc_oneway", "energy_distance", "variance_ratio", "bayes_ab",
+        "qini_curve", "chrf_pairs", "wer_pairs", "adamic_adar",
+    ):
+        plan = _plan(spark, catalog, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_kpss_and_vr_single_exchange(spark, catalog):
+    """kpss_test and variance_ratio share the adf plan shape: the
+    ordered window pass and the sufficient-stats aggregation ride ONE
+    exchange (the _daily_pq supplier partitioning)."""
+    import re
+
+    for name in ("kpss_test", "variance_ratio"):
+        plan = _plan(spark, catalog, name)
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, name
+
+
+def test_two_arm_rank_ops_pin_per_arm(spark, catalog):
+    """energy_distance (and brunner_munzel, same fix) must read the
+    per-arm aggregate from cache in BOTH join branches — without the
+    pin the expensive rank-window pass executes twice."""
+    import re
+
+    for name in ("energy_distance", "brunner_munzel"):
+        plan = _plan(spark, catalog, name)
+        assert len(re.findall(r"InMemoryTableScan", plan)) >= 2, name

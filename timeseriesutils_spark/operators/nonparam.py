@@ -3334,13 +3334,19 @@ def brunner_munzel(
         ).cast("bigint").alias("_rw2"),
     )
     d2 = (F.col("_rp2") - F.col("_rw2")).alias("_d2")
-    per_arm = ranked.select(*groups, "_arm", "_rp2", d2).groupBy(
-        *groups, "_arm"
-    ).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("_rp2").alias("_sr2"),
-        F.sum("_d2").alias("_sd2"),
-        F.sum(F.col("_d2") * F.col("_d2")).alias("_sdd4"),
+    from timeseriesutils_spark.functions.cache import pin
+
+    # a/b arm branches read per_arm twice: pin the (groups x 2)-row
+    # aggregate so the doubled-midrank window pass runs once
+    per_arm = pin(
+        ranked.select(*groups, "_arm", "_rp2", d2).groupBy(
+            *groups, "_arm"
+        ).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_rp2").alias("_sr2"),
+            F.sum("_d2").alias("_sd2"),
+            F.sum(F.col("_d2") * F.col("_d2")).alias("_sdd4"),
+        )
     )
     a = per_arm.filter(F.col("_arm") == 1).select(
         *groups,
@@ -4089,11 +4095,17 @@ def energy_distance(
             - F.count(F.lit(1)).over(cw)
         ).cast("bigint").alias("_cw"),
     )
+    from timeseriesutils_spark.functions.cache import pin
+
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    per_arm = ranked.groupBy(*groups, "_arm").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(dec(F.col("_cp") * F.col("_qv"))).alias("_pp"),
-        F.sum(dec(F.col("_cw") * F.col("_qv"))).alias("_ww"),
+    # the a/b arm split reads per_arm twice: pin the TINY (groups x 2)
+    # aggregate so the expensive rank-window pass runs once
+    per_arm = pin(
+        ranked.groupBy(*groups, "_arm").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(dec(F.col("_cp") * F.col("_qv"))).alias("_pp"),
+            F.sum(dec(F.col("_cw") * F.col("_qv"))).alias("_ww"),
+        )
     )
     a = per_arm.filter(F.col("_arm") == 1).select(
         *groups,
