@@ -656,3 +656,154 @@ def test_two_arm_rank_ops_pin_per_arm(spark, catalog):
     for name in ("energy_distance", "brunner_munzel"):
         plan = _plan(spark, catalog, name)
         assert len(re.findall(r"InMemoryTableScan", plan)) >= 2, name
+
+
+# --- ansari_bradley ---------------------------------------------------------
+
+
+def test_ansari_bradley_matches_scipy_formulation(spark):
+    """Parity against the documented conditional-moment formulas on a
+    hand multiset (odd N, ties) — scores via midranks from both ends."""
+    from timeseriesutils_spark.operators.nonparam import ansari_bradley
+
+    xa = [1.0, 3.0, 5.0, 7.0, 9.0]        # wide
+    xb = [4.0, 5.0, 5.0, 6.0]             # narrow, with ties
+    rows = [("g", "A", v) for v in xa] + [("g", "B", v) for v in xb]
+    df = spark.createDataFrame(rows, ["g", "f", "v"])
+    out = ansari_bradley(df, "v", "f", "A", "B", ["g"], scale=0).collect()[0]
+    # hand scores: pooled sorted [1,3,4,5,5,5,6,7,9], N=9
+    # midranks: 1->1, 3->2, 4->3, 5->(4+5+6)/3=5, 6->7, 7->8, 9->9
+    # a_i = min(r, 10-r): 1,2,3,5,3,2,1 ; with 5's midrank 5 -> a=5
+    # arm B: 4->3, 5->5 (x2), 6->3  => AB = 3+5+5+3 = 16
+    assert abs(out.ab_stat - 16.0) < 1e-12
+    # moments from the realized multiset of scores
+    scores = [1.0, 2.0, 3.0, 5.0, 5.0, 5.0, 3.0, 2.0, 1.0]
+    N, nb, na = 9.0, 4.0, 5.0
+    sa, ssa = sum(scores), sum(v * v for v in scores)
+    mean = nb * sa / N
+    var = na * nb * (N * ssa - sa * sa) / (N * N * (N - 1.0))
+    want_z = (16.0 - mean) / var**0.5
+    assert abs(out.z - want_z) < 1e-9
+    # narrow sample concentrates in the middle -> AB above its mean
+    assert out.z > 0
+
+
+def test_ansari_bradley_identical_arms_z_zero_ish(spark):
+    from timeseriesutils_spark.operators.nonparam import ansari_bradley
+
+    v = [float(i) for i in range(20)]
+    rows = [("g", "A", x) for x in v] + [("g", "B", x) for x in v]
+    df = spark.createDataFrame(rows, ["g", "f", "v"])
+    out = ansari_bradley(df, "v", "f", "A", "B", ["g"], scale=0).collect()[0]
+    assert abs(out.z) < 1e-9 and bool(out.reject_05) is False
+
+
+# --- gumbel_lmom ------------------------------------------------------------
+
+
+def test_gumbel_lmom_recovers_known_parameters(spark):
+    """Sampling from Gumbel(mu=10, beta=2) via the inverse CDF on a
+    deterministic uniform grid makes the L-moment estimates land near
+    the true parameters (the grid IS the quantile function sweep)."""
+    import math
+
+    from timeseriesutils_spark.operators.forecast import gumbel_lmom
+
+    mu, beta, n = 10.0, 2.0, 400
+    xs = [
+        mu - beta * math.log(-math.log((i + 0.5) / n)) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        [("g", v) for v in xs], ["g", "v"]
+    )
+    out = gumbel_lmom(df, "v", ["g"], scale=4).collect()[0]
+    assert abs(out.mu - mu) < 0.05
+    assert abs(out.beta - beta) < 0.05
+    # return level is the quantile at 1 - 1/T
+    want_rl52 = mu - beta * math.log(-math.log(1 - 1.0 / 52))
+    assert abs(out.rl_52 - want_rl52) < 0.2
+    assert out.rl_10 < out.rl_52 < out.rl_100
+
+
+def test_gumbel_lmom_l2_is_half_mean_abs_diff(spark):
+    """l2 identity: lambda_2 = (1/2)E|X1-X2| — cross-check the rank
+    weights against the brute-force pair sum."""
+    from timeseriesutils_spark.operators.forecast import gumbel_lmom
+
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame([("g", v) for v in xs], ["g", "v"])
+    out = gumbel_lmom(df, "v", ["g"], scale=2).collect()[0]
+    n = len(xs)
+    pair = sum(abs(a - b) for i, a in enumerate(xs) for b in xs[i + 1:])
+    want_l2 = pair / (n * (n - 1))
+    assert abs(out.l2 - want_l2) < 1e-9
+
+
+# --- mmd_quad_drift ---------------------------------------------------------
+
+
+def test_mmd_identical_samples_zero(spark):
+    from timeseriesutils_spark.operators.similarity import mmd_quad_drift
+
+    vecs = [[0.1, 0.2, 0.3], [0.4, 0.5, 0.6], [-0.2, 0.0, 0.7]]
+    rows = [(1, v) for v in vecs] + [(2, v) for v in vecs]
+    df = spark.createDataFrame(rows, ["half", "embedding"])
+    out = mmd_quad_drift(df, "embedding", "half", scale=4).collect()[0]
+    assert out.mmd2 == 0.0 and out.mmd2_linear == 0.0
+
+
+def test_mmd_matches_direct_kernel_vstat(spark):
+    """Closed-form moments == direct V-statistic of k(x,y)=(1+x.y)^2
+    on quantized vectors."""
+    import itertools
+
+    from timeseriesutils_spark.operators.similarity import mmd_quad_drift
+
+    import random
+
+    rng = random.Random(2)
+    A = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(6)]
+    B = [[rng.uniform(-1, 1) + 0.3 for _ in range(4)] for _ in range(5)]
+    rows = [(1, v) for v in A] + [(2, v) for v in B]
+    df = spark.createDataFrame(rows, ["half", "embedding"])
+    out = mmd_quad_drift(df, "embedding", "half", scale=4).collect()[0]
+
+    def qz(v):
+        import math
+
+        return [math.floor(x * 1e4 + 0.5) / 1e4 for x in v]
+
+    Aq, Bq = [qz(v) for v in A], [qz(v) for v in B]
+
+    def k(x, y):
+        d = sum(a * b for a, b in zip(x, y))
+        return (1.0 + d) ** 2
+
+    kxx = sum(k(x, y) for x in Aq for y in Aq) / len(Aq) ** 2
+    kyy = sum(k(x, y) for x in Bq for y in Bq) / len(Bq) ** 2
+    kxy = sum(k(x, y) for x in Aq for y in Bq) / (len(Aq) * len(Bq))
+    want = kxx + kyy - 2 * kxy
+    assert abs(out.mmd2 - want) < 1e-9
+    assert out.mmd2 > 0
+
+
+def test_mmd_sees_covariance_rotation_centroid_misses(spark):
+    """Mean-preserving shape change: sample 2 swaps two coordinates of
+    a correlated cloud — centroids match (linear term ~0) but the
+    second-moment term fires."""
+    from timeseriesutils_spark.operators.similarity import mmd_quad_drift
+
+    import random
+
+    rng = random.Random(4)
+    A, B = [], []
+    for _ in range(80):
+        a = rng.uniform(-1, 1)
+        b = rng.uniform(-0.1, 0.1)
+        A.append([a, a, b, -b])       # corr(x1,x2) = 1
+        B.append([a, -a, b, b])       # corr flipped
+    rows = [(1, v) for v in A] + [(2, v) for v in B]
+    df = spark.createDataFrame(rows, ["half", "embedding"])
+    out = mmd_quad_drift(df, "embedding", "half", scale=4).collect()[0]
+    assert out.mmd2_linear < 0.05
+    assert out.mmd2_quad > 0.2

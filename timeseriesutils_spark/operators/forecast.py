@@ -2902,3 +2902,150 @@ SELECT {gsel}, n_blocks,
   {out_cvs}
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Gumbel extreme-value fit via L-moments
+# --------------------------------------------------------------------------
+
+# Euler–Mascheroni constant and ln 2 as exact double literals (no libm
+# in either engine's plan: every transcendental this fit needs is a
+# compile-time constant)
+_EULER_GAMMA = 0.5772156649015329
+_LN2 = 0.6931471805599453
+
+
+def gumbel_lmom(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    return_periods: tuple[int, ...] = (10, 52, 100),
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Gumbel (EV-I) fit by the method of L-moments (Hosking
+    1990) — the extreme-value layer the forecast family lacks: given
+    block maxima (weekly peak demand, daily max latency), estimate the
+    location/scale of the maxima distribution and the T-period RETURN
+    LEVELS capacity planning actually asks for ("the load exceeded
+    once a year"):
+
+        β̂ = ℓ₂/ln 2,  μ̂ = ℓ₁ − γ·β̂,
+        x_T = μ̂ − β̂·ln(−ln(1 − 1/T))
+
+    L-moments are EXACT rationals of order statistics: ℓ₁ = Σx/n and
+    ℓ₂ = 2b₁ − ℓ₁ with b₁ = Σ (r−1)·x₍ᵣ₎ / (n(n−1)) — one row_number
+    window (the weighted sum is tie-permutation invariant), integer
+    sums in DECIMAL, and every transcendental (γ, ln 2, ln(−ln(1−1/T)))
+    is a Python-literal constant, so the whole fit is libm-free and
+    bit-identical by construction.  L-moments beat maximum likelihood
+    here operationally: closed form, no iteration, robust to the short
+    block counts typical of maxima series.
+
+    Scale shape: one ordered window + one aggregation per group.
+
+    Returns (groups…, n, l1, l2, mu, beta, rl_{T} per period).
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    m = 10**scale
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    w = Window.partitionBy(*groups).orderBy("_qv")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, qv.alias("_qv")
+    )
+    ranked = d.select(
+        *groups,
+        "_qv",
+        (F.row_number().over(w) - 1).cast("bigint").alias("_r0"),
+    )
+    agg = ranked.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("_qv"))).alias("_s"),
+        F.sum(dec(F.col("_r0") * F.col("_qv"))).alias("_b1n"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nn = F.col("n").cast("double")
+    mf = F.lit(float(m))
+    l1 = s2d("_s") / nn / mf
+    b1 = s2d("_b1n") / (nn * (nn - F.lit(1.0))) / mf
+    l2 = F.lit(2.0) * b1 - l1
+    beta = l2 / F.lit(_LN2)
+    mu = l1 - F.lit(_EULER_GAMMA) * beta
+    ok = (F.col("n") > 2) & (l2 > 0)
+    import math
+
+    cols = [
+        *groups,
+        "n",
+        F.when(ok, l1).alias("l1"),
+        F.when(ok, l2).alias("l2"),
+        F.when(ok, mu).alias("mu"),
+        F.when(ok, beta).alias("beta"),
+    ]
+    for T in return_periods:
+        c_t = -math.log(-math.log(1.0 - 1.0 / float(T)))
+        cols.append(F.when(ok, mu + beta * F.lit(c_t)).alias(f"rl_{T}"))
+    return agg.select(*cols)
+
+
+def gumbel_lmom_sql(
+    data_sql: str,
+    value_col: str,
+    group_columns,
+    return_periods: tuple[int, ...] = (10, 52, 100),
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`gumbel_lmom` (same rank weights, same
+    literal transcendentals)."""
+    import math
+
+    from timeseriesutils_spark.functions.exact import dlit
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qv = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    nn = "CAST(n AS DOUBLE)"
+    mf = dlit(float(m))
+    l1 = f"({s2d('_s')} / {nn} / {mf})"
+    b1 = f"({s2d('_b1n')} / ({nn} * ({nn} - 1.0)) / {mf})"
+    l2 = f"(2.0 * {b1} - {l1})"
+    beta = f"({l2} / {dlit(_LN2)})"
+    mu = f"({l1} - {dlit(_EULER_GAMMA)} * {beta})"
+    ok = f"(n > 2 AND {l2} > 0)"
+    rls = ", ".join(
+        f"CASE WHEN {ok} THEN {mu} + {beta} * "
+        f"{dlit(-math.log(-math.log(1.0 - 1.0 / float(T))))} END AS rl_{T}"
+        for T in return_periods
+    )
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qv} AS _qv
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+ranked AS (
+  SELECT {gsel}, _qv,
+    CAST(ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY _qv) - 1
+      AS BIGINT) AS _r0
+  FROM d
+),
+agg AS (
+  SELECT {gsel}, COUNT(*) AS n,
+    SUM(CAST(_qv AS DECIMAL(38,0))) AS _s,
+    SUM(CAST(_r0 * _qv AS DECIMAL(38,0))) AS _b1n
+  FROM ranked GROUP BY {gsel}
+)
+SELECT {gsel}, n,
+  CASE WHEN {ok} THEN {l1} END AS l1,
+  CASE WHEN {ok} THEN {l2} END AS l2,
+  CASE WHEN {ok} THEN {mu} END AS mu,
+  CASE WHEN {ok} THEN {beta} END AS beta,
+  {rls}
+FROM agg
+"""

@@ -4201,3 +4201,168 @@ SELECT {gsel}, n_a, n_b,
   CASE WHEN n_a > 0 AND n_b > 0 THEN {t} END AS t_stat
 FROM j
 """
+
+
+# --------------------------------------------------------------------------
+# Ansari–Bradley scale test
+# --------------------------------------------------------------------------
+
+
+def ansari_bradley(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Ansari–Bradley two-sample SCALE test (1960) — the
+    rank-based member of the dispersion family (bartlett_test assumes
+    normality, levene_bf means-of-deviations, fligner_killeen normal
+    scores; AB is the pure-rank classic): score each pooled observation
+    by its distance from the NEAREST END of the ordering,
+
+        a_i = min(r_i, N+1−r_i)   (midranks under ties),
+        AB  = Σ_{i ∈ arm B} a_i
+
+    small-scale samples concentrate in the middle (high scores), so AB
+    far from its null mean flags a scale difference.
+
+        E[AB]   = n_b·ΣA/N,
+        Var[AB] = n_a·n_b·(N·ΣA² − (ΣA)²) / (N²·(N−1))
+
+    (the tie-robust conditional moments over the realized score
+    multiset — scipy's normal-approximation branch).
+
+    Exactness: midranks in DOUBLED integer units (2r = 2·rank+peers−1),
+    so doubled scores 2a = min(2r, 2(N+1)−2r) are exact ints; AB, ΣA,
+    ΣA² accumulate in DECIMAL; z and the engine-kernel p are one shared
+    double tree.  Same two-window count shape as brunner_munzel.
+
+    Returns (groups…, n_a, n_b, ab_stat, z, p_value, reject_05).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    arm = F.when(F.col(factor_col) == F.lit(level_a), 1).when(
+        F.col(factor_col) == F.lit(level_b), 2
+    )
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, arm.alias("_arm"), qv.alias("_qv"))
+        .filter(F.col("_arm").isNotNull())
+    )
+    wpool = Window.partitionBy(*groups).orderBy("_qv")
+    tpool = Window.partitionBy(*groups, "_qv")
+    cp = Window.partitionBy(*groups)
+    r2 = (
+        F.lit(2) * F.rank().over(wpool)
+        + F.count(F.lit(1)).over(tpool)
+        - F.lit(1)
+    ).cast("bigint")
+    nn = F.count(F.lit(1)).over(cp)
+    a2 = F.least(r2, F.lit(2) * (nn + 1) - r2)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = d.select(*groups, "_arm", a2.alias("_a2"))
+    agg = scored.groupBy(*groups).agg(
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 2, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("_arm") == 2, F.col("_a2")).otherwise(0)).alias(
+            "_ab2"
+        ),
+        F.sum(dec(F.col("_a2"))).alias("_sa2"),
+        F.sum(dec(F.col("_a2")) * dec(F.col("_a2"))).alias("_ssa4"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    N = na + nb
+    ab = F.col("_ab2").cast("double") / F.lit(2.0)
+    mean = nb * s2d("_sa2") / F.lit(2.0) / N
+    var = (
+        na
+        * nb
+        * (N * s2d("_ssa4") - s2d("_sa2") * s2d("_sa2"))
+        / (F.lit(4.0) * N * N * (N - F.lit(1.0)))
+    )
+    z = (ab - mean) / F.sqrt(var)
+    p = two_sided_p_expr(z)
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (var > 0)
+    return agg.select(
+        *groups,
+        "n_a",
+        "n_b",
+        F.when(ok, ab).alias("ab_stat"),
+        F.when(ok, z).alias("z"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def ansari_bradley_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ansari_bradley` (same doubled end-distance
+    scores, same conditional moments)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qv = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    na = "CAST(n_a AS DOUBLE)"
+    nb = "CAST(n_b AS DOUBLE)"
+    N = f"({na} + {nb})"
+    ab = "(CAST(_ab2 AS DOUBLE) / 2.0)"
+    mean = f"({nb} * {s2d('_sa2')} / 2.0 / {N})"
+    var = (
+        f"({na} * {nb} * ({N} * {s2d('_ssa4')}"
+        f" - {s2d('_sa2')} * {s2d('_sa2')})"
+        f" / (4.0 * {N} * {N} * ({N} - 1.0)))"
+    )
+    z = f"(({ab} - {mean}) / SQRT({var}))"
+    p = two_sided_p_sql(z)
+    ok = f"(n_a > 1 AND n_b > 1 AND {var} > 0)"
+    return f"""
+WITH d AS (
+  SELECT {gsel},
+    CASE WHEN {factor_col} = {level_a!r} THEN 1
+         WHEN {factor_col} = {level_b!r} THEN 2 END AS _arm,
+    {qv} AS _qv
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+scored AS (
+  SELECT {gsel}, _arm,
+    LEAST(
+      CAST(2 * RANK() OVER (PARTITION BY {gsel} ORDER BY _qv)
+           + COUNT(*) OVER (PARTITION BY {gsel}, _qv) - 1 AS BIGINT),
+      2 * (COUNT(*) OVER (PARTITION BY {gsel}) + 1)
+        - CAST(2 * RANK() OVER (PARTITION BY {gsel} ORDER BY _qv)
+               + COUNT(*) OVER (PARTITION BY {gsel}, _qv) - 1 AS BIGINT)
+    ) AS _a2
+  FROM d WHERE _arm IS NOT NULL
+),
+agg AS (
+  SELECT {gsel},
+    CAST(SUM(CASE WHEN _arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN _arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN _arm = 2 THEN _a2 ELSE 0 END) AS BIGINT) AS _ab2,
+    SUM(CAST(_a2 AS HUGEINT)) AS _sa2,
+    SUM(CAST(_a2 AS HUGEINT) * _a2) AS _ssa4
+  FROM scored GROUP BY {gsel}
+)
+SELECT {gsel}, n_a, n_b,
+  CASE WHEN {ok} THEN {ab} END AS ab_stat,
+  CASE WHEN {ok} THEN {z} END AS z,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""

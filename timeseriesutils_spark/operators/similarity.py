@@ -2286,3 +2286,202 @@ SELECT {query_id}, {id_col},
     AS fused_rank
 FROM agg QUALIFY fused_rank <= {top_k}
 """
+
+
+# --------------------------------------------------------------------------
+# quadratic-kernel MMD drift (closed-form moments, no pairwise)
+# --------------------------------------------------------------------------
+
+
+def mmd_quad_drift(
+    df: DataFrame,
+    vec_col: str,
+    sample_col: str,
+    scale: int = 4,
+    c: float = 1.0,
+) -> DataFrame:
+    """Maximum mean discrepancy between two embedding samples under the
+    degree-2 polynomial kernel k(x,y) = (c + x·y)² — the drift test
+    that sees DISTRIBUTION-SHAPE changes the centroid audit
+    (embedding_drift) is blind to (a split that preserves the mean but
+    rotates the covariance has linear-MMD 0 but quadratic-MMD > 0).
+
+    The kernel's feature map is explicit, so the V-statistic collapses
+    to CLOSED-FORM moments — no pairwise anything:
+
+        MMD² = 2c·‖μ₁−μ₂‖² + ‖M₁/n₁ − M₂/n₂‖²_F,
+        μ_s = Σx/n_s,  M_s = Σ x xᵀ / n_s
+
+    (the c² terms cancel; the first term is the linear-kernel MMD, the
+    second the second-moment Frobenius gap).  Exactness: components
+    quantized at 10^-scale; with the common denominator n₁n₂ every
+    per-dimension difference numerator n₂S₁−n₁S₂ (and per-pair
+    n₂M₁−n₁M₂) is an exact integer, their squares sum in DECIMAL, and
+    the output is one double division — aggregation order free.
+
+    Scale shape: one posexplode for the first moments, one
+    double-expansion for the d² second moments (rows × d² — the d=64
+    testdata keeps this at 4096 cells; the aggregation is
+    map-combinable so the shuffled state is 2·d² rows regardless of
+    corpus size), one broadcast of the 1-row counts.
+
+    Returns one row: (n_1, n_2, mmd2_linear, mmd2_quad, mmd2).
+    """
+    m = 10**scale
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(m) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    s = F.col(sample_col).cast("int")
+    base = df.filter(
+        F.col(vec_col).isNotNull() & s.isin(1, 2)
+    ).select(s.alias("_s"), q.alias("_q"))
+    from timeseriesutils_spark.functions.cache import pin
+
+    base = pin(base)  # feeds counts + both moment passes
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    counts = base.groupBy().agg(
+        F.sum((F.col("_s") == 1).cast("bigint")).alias("_n1"),
+        F.sum((F.col("_s") == 2).cast("bigint")).alias("_n2"),
+    )
+    firsts = base.select("_s", F.posexplode("_q").alias("_a", "_v")).groupBy(
+        "_s", "_a"
+    ).agg(F.sum("_v").alias("_sv"))
+    f1 = firsts.filter(F.col("_s") == 1).select("_a", F.col("_sv").alias("_s1"))
+    f2 = firsts.filter(F.col("_s") == 2).select("_a", F.col("_sv").alias("_s2"))
+    fj = (
+        f1.join(f2, "_a", "full")
+        .crossJoin(F.broadcast(counts))
+        .select(
+            (
+                F.col("_n2") * F.coalesce(F.col("_s1"), F.lit(0))
+                - F.col("_n1") * F.coalesce(F.col("_s2"), F.lit(0))
+            ).alias("_d")
+        )
+    )
+    sumA2 = fj.agg(F.sum(dec(F.col("_d")) * dec(F.col("_d"))).alias("_sa2"))
+    seconds = (
+        base.select("_s", "_q", F.posexplode("_q").alias("_a", "_va"))
+        .select(
+            "_s",
+            "_a",
+            F.posexplode(
+                F.transform(F.col("_q"), lambda vb: vb * F.col("_va"))
+            ).alias("_b", "_vab"),
+        )
+        .groupBy("_s", "_a", "_b")
+        .agg(F.sum(dec(F.col("_vab"))).alias("_sm"))
+    )
+    m1 = seconds.filter(F.col("_s") == 1).select(
+        "_a", "_b", F.col("_sm").alias("_m1")
+    )
+    m2 = seconds.filter(F.col("_s") == 2).select(
+        "_a", "_b", F.col("_sm").alias("_m2")
+    )
+    mj = (
+        m1.join(m2, ["_a", "_b"], "full")
+        .crossJoin(F.broadcast(counts))
+        .select(
+            (
+                F.col("_n2") * F.coalesce(F.col("_m1"), F.lit(0).cast("decimal(38,0)"))
+                - F.col("_n1") * F.coalesce(F.col("_m2"), F.lit(0).cast("decimal(38,0)"))
+            ).alias("_d")
+        )
+    )
+    sumB2 = mj.agg(F.sum(F.col("_d") * F.col("_d")).alias("_sb2"))
+    out = counts.crossJoin(F.broadcast(sumA2)).crossJoin(F.broadcast(sumB2))
+    s2d = lambda col: F.col(col).cast("string").cast("double")  # noqa: E731
+    n1 = F.col("_n1").cast("double")
+    n2 = F.col("_n2").cast("double")
+    den = n1 * n2
+    mf = F.lit(float(m))
+    lin = (
+        F.lit(2.0 * float(c))
+        * s2d("_sa2")
+        / (den * den)
+        / (mf * mf)
+    )
+    quad = s2d("_sb2") / (den * den) / (mf * mf * mf * mf)
+    ok = (F.col("_n1") > 0) & (F.col("_n2") > 0)
+    return out.select(
+        F.col("_n1").alias("n_1"),
+        F.col("_n2").alias("n_2"),
+        F.when(ok, lin).alias("mmd2_linear"),
+        F.when(ok, quad).alias("mmd2_quad"),
+        F.when(ok, lin + quad).alias("mmd2"),
+    )
+
+
+def mmd_quad_drift_sql(
+    data_sql: str,
+    vec_col: str,
+    sample_col: str,
+    scale: int = 4,
+    c: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`mmd_quad_drift` (same common-denominator
+    integer moments)."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    m = 10**scale
+    q = (
+        f"list_transform({vec_col}, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {m} + 0.5) AS BIGINT))"
+    )
+    s2d = lambda col: f"CAST(CAST({col} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    n1 = "CAST(_n1 AS DOUBLE)"
+    n2 = "CAST(_n2 AS DOUBLE)"
+    den = f"({n1} * {n2})"
+    mf = dlit(float(m))
+    lin = f"({dlit(2.0 * float(c))} * {s2d('_sa2')} / ({den} * {den}) / ({mf} * {mf}))"
+    quad = f"({s2d('_sb2')} / ({den} * {den}) / ({mf} * {mf} * {mf} * {mf}))"
+    ok = "(_n1 > 0 AND _n2 > 0)"
+    return f"""
+WITH base AS (
+  SELECT CAST({sample_col} AS INT) AS _s, {q} AS _q
+  FROM ({data_sql})
+  WHERE {vec_col} IS NOT NULL AND CAST({sample_col} AS INT) IN (1, 2)
+),
+counts AS (
+  SELECT CAST(SUM(CASE WHEN _s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS _n1,
+    CAST(SUM(CASE WHEN _s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS _n2
+  FROM base
+),
+firsts AS (
+  SELECT _s, u.a AS _a, CAST(SUM(u.v) AS BIGINT) AS _sv
+  FROM base, LATERAL (SELECT unnest(_q) AS v,
+                             generate_subscripts(_q, 1) AS a) u
+  GROUP BY _s, u.a
+),
+fj AS (
+  SELECT CAST(c._n2 * COALESCE(f1._sv, 0) - c._n1 * COALESCE(f2._sv, 0)
+    AS HUGEINT) AS _d
+  FROM (SELECT * FROM firsts WHERE _s = 1) f1
+  FULL JOIN (SELECT * FROM firsts WHERE _s = 2) f2 USING (_a)
+  CROSS JOIN counts c
+),
+sa AS (SELECT SUM(_d * _d) AS _sa2 FROM fj),
+seconds AS (
+  SELECT _s, u.a AS _a, w.b AS _b,
+    SUM(CAST(u.v AS HUGEINT) * w.v) AS _sm
+  FROM base,
+    LATERAL (SELECT unnest(_q) AS v, generate_subscripts(_q, 1) AS a) u,
+    LATERAL (SELECT unnest(_q) AS v, generate_subscripts(_q, 1) AS b) w
+  GROUP BY _s, u.a, w.b
+),
+mj AS (
+  SELECT CAST(c._n2 * COALESCE(m1._sm, 0) - c._n1 * COALESCE(m2._sm, 0)
+    AS HUGEINT) AS _d
+  FROM (SELECT * FROM seconds WHERE _s = 1) m1
+  FULL JOIN (SELECT * FROM seconds WHERE _s = 2) m2 USING (_a, _b)
+  CROSS JOIN counts c
+),
+sb AS (SELECT SUM(_d * _d) AS _sb2 FROM mj)
+SELECT _n1 AS n_1, _n2 AS n_2,
+  CASE WHEN {ok} THEN {lin} END AS mmd2_linear,
+  CASE WHEN {ok} THEN {quad} END AS mmd2_quad,
+  CASE WHEN {ok} THEN {lin} + {quad} END AS mmd2
+FROM counts, sa, sb
+"""

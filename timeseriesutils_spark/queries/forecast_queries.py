@@ -3973,3 +3973,72 @@ def _sql_variance_ratio():
 
 
 QUERIES.update({"variance_ratio": Q(q_variance_ratio, _sql_variance_ratio())})
+
+
+def q_ansari_bradley(spark, sf_dir):
+    """Ansari–Bradley rank scale test per ship year (operators/
+    nonparam.ansari_bradley): quantity dispersion under returnflag A vs
+    R — the pure-rank member of the scale family beside bartlett
+    (normal-theory), levene_bf, and fligner_killeen (normal scores),
+    on the same two-arm frame as brunner_munzel.  Doubled end-distance
+    scores, tie-robust conditional moments."""
+    from timeseriesutils_spark.operators.nonparam import ansari_bradley
+
+    return ansari_bradley(
+        _year_rf_qty(spark, sf_dir), "l_quantity", "l_returnflag",
+        "A", "R", ["ship_year"], scale=2,
+    )
+
+
+def _sql_ansari_bradley():
+    from timeseriesutils_spark.operators.nonparam import ansari_bradley_sql
+
+    return ansari_bradley_sql(
+        _SQL_YEAR_RF_QTY, "l_quantity", "l_returnflag", "A", "R",
+        ["ship_year"], scale=2,
+    )
+
+
+QUERIES.update(
+    {"ansari_bradley": Q(q_ansari_bradley, _sql_ansari_bradley())}
+)
+
+
+def q_gumbel_lmom(spark, sf_dir):
+    """Gumbel extreme-value fit over weekly peak daily revenue per
+    supplier cohort (operators/forecast.gumbel_lmom): block maxima →
+    L-moment fit → 10/52/100-week return levels — the capacity
+    -planning layer of the forecast family, libm-free by
+    construction (every transcendental is a compile-time literal)."""
+    from timeseriesutils_spark.operators.forecast import gumbel_lmom
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    d = _daily(spark, sf_dir)
+    blocks = (
+        d.select(
+            (F.col("l_suppkey") % 10).alias("cohort"),
+            (F.col("ship_day") / F.lit(7)).cast("bigint").alias("week"),
+            "day_price",
+        )
+        .groupBy("cohort", "week")
+        .agg(F.max("day_price").alias("peak"))
+    )
+    return gumbel_lmom(blocks, "peak", ["cohort"], scale=2)
+
+
+def _sql_gumbel_lmom():
+    from timeseriesutils_spark.operators.forecast import gumbel_lmom_sql
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    blocks = f"""
+SELECT cohort, week, MAX(day_price) AS peak
+FROM (
+  SELECT l_suppkey % 10 AS cohort,
+    CAST(ship_day // 7 AS BIGINT) AS week, day_price
+  FROM ({_SQL_DAILY})
+) GROUP BY cohort, week
+"""
+    return gumbel_lmom_sql(blocks, "peak", ["cohort"], scale=2)
+
+
+QUERIES.update({"gumbel_lmom": Q(q_gumbel_lmom, _sql_gumbel_lmom())})

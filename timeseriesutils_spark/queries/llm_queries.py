@@ -2848,3 +2848,32 @@ QUERIES.update(
         "wer_pairs": Q(q_wer_pairs, _sql_wer_pairs()),
     }
 )
+
+
+def q_mmd_drift(spark, sf_dir):
+    """Quadratic-kernel MMD between the two embedding half-corpora
+    (operators/similarity.mmd_quad_drift): the shape-sensitive drift
+    test beside embedding_drift's centroid audit — closed-form first/
+    second moments (no pairwise), common-denominator integer
+    numerators, one double division."""
+    from timeseriesutils_spark.operators.similarity import mmd_quad_drift
+
+    emb = _emb(spark, sf_dir)
+    d = emb.select(
+        ((F.col("vec_id") % 2) + 1).cast("int").alias("half"),
+        F.col("embedding"),
+    )
+    return mmd_quad_drift(d, "embedding", "half", scale=4)
+
+
+def _sql_mmd_drift():
+    from timeseriesutils_spark.operators.similarity import mmd_quad_drift_sql
+
+    d = (
+        "SELECT CAST((vec_id % 2) + 1 AS INT) AS half, embedding"
+        " FROM embeddings"
+    )
+    return mmd_quad_drift_sql(d, "embedding", "half", scale=4)
+
+
+QUERIES.update({"mmd_drift": Q(q_mmd_drift, _sql_mmd_drift())})
