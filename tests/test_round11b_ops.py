@@ -807,3 +807,44 @@ def test_mmd_sees_covariance_rotation_centroid_misses(spark):
     out = mmd_quad_drift(df, "embedding", "half", scale=4).collect()[0]
     assert out.mmd2_linear < 0.05
     assert out.mmd2_quad > 0.2
+
+
+# --- forecast_e2e -----------------------------------------------------------
+
+
+def test_forecast_e2e_plan_pins_the_fold_fork(spark, catalog):
+    """The train/test fork must read ONE pinned featurized frame (no
+    re-running the three-window featurize per side), and the fit joins
+    back as a broadcast."""
+    plan = _plan(spark, catalog, "forecast_e2e")
+    import re
+
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_forecast_e2e_learns_a_learnable_series(spark):
+    """On a series where the target IS a linear function of the
+    features, the fitted model's test MAE beats the naive baseline
+    (positive skill) and r2 ~ 1."""
+    from timeseriesutils_spark.operators.forecast_pipeline import (
+        backtest_forecast_pipeline,
+    )
+
+    rows = []
+    for s in range(4):
+        for t in range(120):
+            wig = ((t * 2654435761 + s) % 97) / 10.0  # breaks collinearity
+            rows.append((s, t, 50.0 + 2.0 * t + 5.0 * s + wig))
+    df = spark.createDataFrame(rows, ["l_suppkey", "ship_day", "day_price"])
+    out = backtest_forecast_pipeline(
+        df, "day_price", "ship_day", "l_suppkey",
+        cohort_modulus=2, cutoff=80,
+    ).collect()
+    assert out, "no cohorts scored"
+    for r in out:
+        assert r.n_train > 0 and r.n_test > 0
+        assert r.r2 > 0.99
+        assert r.skill > 0.5  # linear trend: OLS crushes carry-forward
+        assert r.mae < r.naive_mae

@@ -4042,3 +4042,35 @@ FROM (
 
 
 QUERIES.update({"gumbel_lmom": Q(q_gumbel_lmom, _sql_gumbel_lmom())})
+
+
+def q_forecast_e2e(spark, sf_dir):
+    """The composed reference workflow as ONE plan (operators/
+    forecast_pipeline.backtest_forecast_pipeline): per-supplier daily
+    revenue → lag-7 + rollmean-7 features (the reference featurize
+    grammar) → 7-day-ahead target → temporal fold at day 2000 →
+    per-cohort closed-form OLS on the train side → broadcast apply →
+    MAE/skill vs the lag-naive baseline on the test side.  Every stage
+    is individually hash-green; this gate-checks the composition."""
+    from timeseriesutils_spark.operators.forecast_pipeline import (
+        backtest_forecast_pipeline,
+    )
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    return backtest_forecast_pipeline(
+        _daily(spark, sf_dir), "day_price", "ship_day", "l_suppkey",
+    )
+
+
+def _sql_forecast_e2e():
+    from timeseriesutils_spark.operators.forecast_pipeline import (
+        backtest_forecast_pipeline_sql,
+    )
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    return backtest_forecast_pipeline_sql(
+        _SQL_DAILY, "day_price", "ship_day", "l_suppkey",
+    )
+
+
+QUERIES.update({"forecast_e2e": Q(q_forecast_e2e, _sql_forecast_e2e())})
