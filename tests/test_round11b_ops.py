@@ -848,3 +848,69 @@ def test_forecast_e2e_learns_a_learnable_series(spark):
         assert r.r2 > 0.99
         assert r.skill > 0.5  # linear trend: OLS crushes carry-forward
         assert r.mae < r.naive_mae
+
+
+# --- stream_crps ------------------------------------------------------------
+
+
+def test_stream_crps_cross_batch_ring_matches_batch_closed_form(
+    spark, tmp_path
+):
+    """Two parquet files -> (at least) two micro-batches: the ring state
+    must carry the last m values across the batch boundary so every
+    scored row sees its true trailing ensemble; drained totals equal
+    the direct per-row CRPS numerator sum."""
+    import math
+
+    from timeseriesutils_spark.streaming.windows import streaming_crps
+
+    m, mult = 4, 100
+    vals = [3.1, 1.2, 4.7, 1.9, 5.5, 9.2, 2.6, 6.1, 5.3, 3.8, 7.7, 2.2]
+    rows = [(1, i, float(i), v) for i, v in enumerate(vals)]
+    import pandas as pd
+
+    d1 = pd.DataFrame(rows[:7], columns=["user_id", "event_id", "ts", "value"])
+    d2 = pd.DataFrame(rows[7:], columns=["user_id", "event_id", "ts", "value"])
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    d1.to_parquet(src / "a.parquet")
+    d2.to_parquet(src / "b.parquet")
+    sdf = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, ts double, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    import uuid
+
+    name = f"t_scrps_{uuid.uuid4().hex[:6]}"
+    q = (
+        streaming_crps(
+            sdf, key_col="user_id", value_col="value",
+            order_cols=("ts", "event_id"), members=m, scale=2,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows_out = spark.sql(
+        f"SELECT * FROM {name} ORDER BY n_seen DESC LIMIT 1"
+    ).collect()
+    got = rows_out[0]
+    # direct closed form
+    qv = [math.floor(v * mult + 0.5) for v in vals]
+    snum, scored = 0, 0
+    for i in range(m, len(qv)):
+        win = sorted(qv[i - m:i])
+        y = qv[i]
+        t1 = sum(abs(x - y) for x in win)
+        pair = sum((2 * (j + 1) - 1 - m) * x for j, x in enumerate(win))
+        snum += m * t1 - pair
+        scored += 1
+    assert got.n_seen == len(vals)
+    assert got.n_scored == scored
+    assert abs(got.mean_crps - snum / (m * m * mult * scored)) < 1e-12

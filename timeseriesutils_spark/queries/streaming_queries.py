@@ -490,3 +490,99 @@ def _sql_stream_pq_encode():
 QUERIES.update(
     {"stream_pq_encode": Q(q_stream_pq_encode, _sql_stream_pq_encode())}
 )
+
+
+_SCRPS_M = 16
+_SCRPS_SCALE = 2
+
+
+def q_stream_crps(spark, sf_dir):
+    """Streaming sample-CRPS of the trailing-16 empirical ensemble on
+    the REAL streaming path (streaming/windows.streaming_crps,
+    applyInPandasWithState over a file-source readStream, availableNow):
+    per-user O(m) ring state, exact int64 score numerators folded
+    vectorized per micro-batch; the drained final state per user equals
+    the batch closed form (operators/epi.crps_sample semantics) the SQL
+    oracle checks exactly."""
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from timeseriesutils_spark.streaming.windows import (
+        read_events_stream,
+        streaming_crps,
+    )
+
+    name = f"q_scrps_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_crps(
+                read_events_stream(spark, sf_dir),
+                members=_SCRPS_M,
+                scale=_SCRPS_SCALE,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    upd = spark.sql(f"SELECT * FROM {name}")
+    w = W.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        upd.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n_seen", "n_scored", "mean_crps")
+    )
+
+
+def _sql_stream_crps():
+    m = _SCRPS_M
+    mult = 10**_SCRPS_SCALE
+    pair_terms = " + ".join(
+        f"CAST({2 * i - 1 - m} AS BIGINT) * _qa[{i}]"
+        for i in range(1, m + 1)
+        if 2 * i - 1 - m != 0
+    )
+    over = (
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {m} PRECEDING AND 1 PRECEDING)"
+    )
+    return f"""
+WITH src AS (
+  SELECT user_id, event_id, ts,
+    CAST(FLOOR(CAST(value AS DOUBLE) * {mult} + 0.5) AS BIGINT) AS _qv
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT user_id, _qv AS _qy,
+    list_sort(list(_qv) OVER {over}) AS _qa
+  FROM src
+),
+t AS (
+  SELECT user_id,
+    CAST(list_sum(list_transform(_qa, x -> abs(x - _qy))) AS BIGINT) AS _abs,
+    ({pair_terms}) AS _pair
+  FROM w WHERE len(_qa) = {m}
+),
+seen AS (SELECT user_id, COUNT(*) AS n_seen FROM src GROUP BY user_id),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_scored,
+    CAST(SUM({m} * _abs - _pair) AS BIGINT) AS _snum
+  FROM t GROUP BY user_id
+)
+SELECT s.user_id, s.n_seen,
+  CAST(COALESCE(a.n_scored, 0) AS BIGINT) AS n_scored,
+  CASE WHEN a.n_scored > 0
+    THEN CAST(_snum AS DOUBLE)
+         / CAST({m * m * mult} * a.n_scored AS DOUBLE) END AS mean_crps
+FROM seen s LEFT JOIN agg a USING (user_id)
+"""
+
+
+QUERIES.update({"stream_crps": Q(q_stream_crps, _sql_stream_crps())})
