@@ -914,3 +914,88 @@ def test_stream_crps_cross_batch_ring_matches_batch_closed_form(
     assert got.n_seen == len(vals)
     assert got.n_scored == scored
     assert abs(got.mean_crps - snum / (m * m * mult * scored)) < 1e-12
+
+
+# --- kuiper_test ------------------------------------------------------------
+
+
+def test_kuiper_dominates_ks_on_two_sided_shift(spark):
+    """A pure scale difference pushes one arm's ECDF above in the left
+    tail and below in the right: KS keeps only the larger excursion,
+    Kuiper adds both — V >= D always, strictly greater here."""
+    from timeseriesutils_spark.operators.nonparam import ks_test, kuiper_test
+
+    wide = [float(v) for v in range(0, 40)]
+    narrow = [15.0 + v / 4.0 for v in range(0, 40)]
+    rows = [("g", "A", v) for v in wide] + [("g", "R", v) for v in narrow]
+    df = spark.createDataFrame(rows, ["g", "f", "v"])
+    kp = kuiper_test(df, "v", "f", "A", "R", ["g"], scale=2).collect()[0]
+    ks = ks_test(df, "v", "f", "A", "R", ["g"], scale=2).collect()[0]
+    assert kp.v_stat > ks.d_stat + 0.1
+
+
+def test_kuiper_matches_direct_ecdf(spark):
+    from timeseriesutils_spark.operators.nonparam import kuiper_test
+
+    xa = [1.0, 2.0, 2.0, 5.0, 9.0]
+    xb = [2.0, 3.0, 7.0, 8.0]
+    rows = [("g", "A", v) for v in xa] + [("g", "R", v) for v in xb]
+    df = spark.createDataFrame(rows, ["g", "f", "v"])
+    out = kuiper_test(df, "v", "f", "A", "R", ["g"], scale=0).collect()[0]
+    support = sorted(set(xa + xb))
+    dp = max(
+        sum(1 for x in xa if x <= t) / len(xa)
+        - sum(1 for x in xb if x <= t) / len(xb)
+        for t in support
+    )
+    dm = max(
+        sum(1 for x in xb if x <= t) / len(xb)
+        - sum(1 for x in xa if x <= t) / len(xa)
+        for t in support
+    )
+    assert abs(out.v_stat - (max(dp, 0) + max(dm, 0))) < 1e-12
+
+
+# --- cucconi_test -----------------------------------------------------------
+
+
+def test_cucconi_matches_published_formulation(spark):
+    """Direct check of U/V/rho/C against the Marozzi (2009) formulas on
+    a tie-free sample."""
+    from timeseriesutils_spark.operators.nonparam import cucconi_test
+
+    import math
+
+    xa = [1.0, 4.0, 6.0, 9.0, 12.0, 15.0]
+    xb = [2.0, 3.0, 10.0, 11.0]
+    rows = [("g", "A", v) for v in xa] + [("g", "R", v) for v in xb]
+    df = spark.createDataFrame(rows, ["g", "f", "v"])
+    out = cucconi_test(df, "v", "f", "A", "R", ["g"], scale=0).collect()[0]
+    pooled = sorted(xa + xb)
+    ranks_b = [pooled.index(v) + 1 for v in xb]
+    n1, n2 = len(xa), len(xb)
+    N = n1 + n2
+    den = math.sqrt(n1 * n2 * (N + 1) * (2 * N + 1) * (8 * N + 11) / 5.0)
+    U = (6 * sum(r * r for r in ranks_b) - n2 * (N + 1) * (2 * N + 1)) / den
+    V = (
+        6 * sum((N + 1 - r) ** 2 for r in ranks_b)
+        - n2 * (N + 1) * (2 * N + 1)
+    ) / den
+    rho = 2.0 * (N * N - 4) / ((2 * N + 1) * (8 * N + 11)) - 1.0
+    C = (U * U + V * V - 2 * rho * U * V) / (2 * (1 - rho * rho))
+    assert abs(out.c_stat - C) < 1e-9
+    assert abs(out.p_value - math.exp(-C)) < 1e-8
+
+
+def test_cucconi_fires_on_scale_only_change(spark):
+    """Same median, different spread: mann_whitney-style shift tests
+    stay quiet, Cucconi rejects."""
+    from timeseriesutils_spark.operators.nonparam import cucconi_test
+
+    center = 50.0
+    wide = [center + (v - 30) * 1.5 for v in range(61)]
+    narrow = [center + (v - 30) * 0.2 for v in range(61)]
+    rows = [("g", "A", v) for v in wide] + [("g", "R", v) for v in narrow]
+    df = spark.createDataFrame(rows, ["g", "f", "v"])
+    out = cucconi_test(df, "v", "f", "A", "R", ["g"], scale=2).collect()[0]
+    assert out.p_value < 0.01 and bool(out.reject_05) is True

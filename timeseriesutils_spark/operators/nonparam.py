@@ -4366,3 +4366,301 @@ SELECT {gsel}, n_a, n_b,
   CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Kuiper two-sample test
+# --------------------------------------------------------------------------
+
+# Kuiper asymptotic 5% critical value for V*sqrt(n_e) (the circular /
+# tail-balanced analogue of the KS constant above)
+_KUIPER_CRIT_05 = 1.747
+
+
+def kuiper_test(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Two-sample Kuiper test per group: V = D⁺ + D⁻, the sum of the
+    largest ECDF exceedances in EACH direction — ks_test's rotation-
+    invariant sibling with equal sensitivity in both tails (KS's single
+    max under-weights the tail opposite its extremum; Kuiper is the
+    standard fix for cyclic quantities and tail-symmetric drift).
+
+    Same exact count-collapse machinery as ks_test: the signed gap
+    cum_a·n_b − cum_b·n_a stays integer, D⁺/D⁻ are its max/−min, and
+    the single division happens at the end.
+
+    Returns (groups…, n_a, n_b, v_stat, kuiper_stat, reject_05).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    q = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    lvl = F.col(factor_col)
+    d = df.filter(
+        F.col(value_col).isNotNull() & lvl.isin([level_a, level_b])
+    ).select(*groups, q.alias("_q"), (lvl == level_a).alias("_ia"))
+    per = d.groupBy(*groups, "_q").agg(
+        F.sum(F.col("_ia").cast("bigint")).alias("_ca"),
+        F.sum((~F.col("_ia")).cast("bigint")).alias("_cb"),
+    )
+    w = Window.partitionBy(*groups).orderBy("_q")
+    wg = Window.partitionBy(*groups)
+    gap = (
+        F.sum("_ca").over(w) * F.sum("_cb").over(wg)
+        - F.sum("_cb").over(w) * F.sum("_ca").over(wg)
+    )
+    cum = per.select(
+        *groups,
+        gap.alias("_gap"),
+        F.sum("_ca").over(wg).alias("_na"),
+        F.sum("_cb").over(wg).alias("_nb"),
+    )
+    agg = cum.groupBy(*groups).agg(
+        F.greatest(F.max("_gap"), F.lit(0).cast("bigint")).alias("_dp"),
+        F.greatest(-F.min("_gap"), F.lit(0).cast("bigint")).alias("_dm"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    v = F.when(
+        ok, (F.col("_dp") + F.col("_dm")).cast("double") / (na * nb)
+    )
+    kp = v * F.sqrt(na * nb / (na + nb))
+    return agg.select(
+        *groups,
+        "n_a",
+        "n_b",
+        v.alias("v_stat"),
+        kp.alias("kuiper_stat"),
+        (kp > F.lit(_KUIPER_CRIT_05)).alias("reject_05"),
+    )
+
+
+def kuiper_test_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`kuiper_test` (same integer signed gaps)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qv = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    na = "CAST(n_a AS DOUBLE)"
+    nb = "CAST(n_b AS DOUBLE)"
+    v = f"(CAST(_dp + _dm AS DOUBLE) / ({na} * {nb}))"
+    kp = f"({v} * SQRT({na} * {nb} / ({na} + {nb})))"
+    ok = "(n_a > 0 AND n_b > 0)"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {qv} AS _q,
+    {factor_col} = {level_a!r} AS _ia
+  FROM ({data_sql})
+  WHERE {value_col} IS NOT NULL
+    AND {factor_col} IN ({level_a!r}, {level_b!r})
+),
+per AS (
+  SELECT {gsel}, _q,
+    CAST(SUM(CASE WHEN _ia THEN 1 ELSE 0 END) AS BIGINT) AS _ca,
+    CAST(SUM(CASE WHEN _ia THEN 0 ELSE 1 END) AS BIGINT) AS _cb
+  FROM d GROUP BY {gsel}, _q
+),
+cum AS (
+  SELECT {gsel},
+    CAST(SUM(_ca) OVER (PARTITION BY {gsel} ORDER BY _q)
+         * SUM(_cb) OVER (PARTITION BY {gsel})
+         - SUM(_cb) OVER (PARTITION BY {gsel} ORDER BY _q)
+         * SUM(_ca) OVER (PARTITION BY {gsel}) AS BIGINT) AS _gap,
+    CAST(SUM(_ca) OVER (PARTITION BY {gsel}) AS BIGINT) AS _na,
+    CAST(SUM(_cb) OVER (PARTITION BY {gsel}) AS BIGINT) AS _nb
+  FROM per
+),
+agg AS (
+  SELECT {gsel},
+    GREATEST(CAST(MAX(_gap) AS BIGINT), 0) AS _dp,
+    GREATEST(CAST(-MIN(_gap) AS BIGINT), 0) AS _dm,
+    MAX(_na) AS n_a, MAX(_nb) AS n_b
+  FROM cum GROUP BY {gsel}
+)
+SELECT {gsel}, n_a, n_b,
+  CASE WHEN {ok} THEN {v} END AS v_stat,
+  CASE WHEN {ok} THEN {kp} END AS kuiper_stat,
+  CASE WHEN {ok} THEN {kp} > {_KUIPER_CRIT_05!r} END AS reject_05
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Cucconi joint location–scale test
+# --------------------------------------------------------------------------
+
+
+def cucconi_test(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Cucconi test (1968; Marozzi 2009 revival) for a JOINT
+    location–scale alternative: mann_whitney sees shift, ansari_bradley
+    sees scale — Cucconi tests both at once from squared ranks taken
+    from BOTH ends, and is the classical one-shot "did this metric
+    move or widen" screen:
+
+        U = (6·ΣR² − n_b(N+1)(2N+1)) / √(n_a·n_b(N+1)(2N+1)(8N+11)/5)
+        V = same with R → N+1−R (contrary ranks)
+        ρ = 2(N²−4)/((2N+1)(8N+11)) − 1
+        C = (U² + V² − 2ρUV) / (2(1−ρ²)),   p = exp(−C)
+
+    (the asymptotic null of C is exactly standard exponential — the
+    rare test whose p-value needs only exp).  Exactness: midranks in
+    doubled integer units make 4·ΣR² and 4·Σ(N+1−R)² exact ints; the
+    moment constants are integer products; U, V, ρ, C are one shared
+    double tree and p is exp() floor-quantized at 1e-9 (the libm rule).
+
+    Returns (groups…, n_a, n_b, c_stat, p_value, reject_05).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    arm = F.when(F.col(factor_col) == F.lit(level_a), 1).when(
+        F.col(factor_col) == F.lit(level_b), 2
+    )
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, arm.alias("_arm"), qv.alias("_qv"))
+        .filter(F.col("_arm").isNotNull())
+    )
+    wpool = Window.partitionBy(*groups).orderBy("_qv")
+    tpool = Window.partitionBy(*groups, "_qv")
+    cp = Window.partitionBy(*groups)
+    r2 = (
+        F.lit(2) * F.rank().over(wpool)
+        + F.count(F.lit(1)).over(tpool)
+        - F.lit(1)
+    ).cast("bigint")
+    nn = F.count(F.lit(1)).over(cp)
+    c2 = (F.lit(2) * (nn + 1) - r2).cast("bigint")  # doubled contrary rank
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = d.select(*groups, "_arm", r2.alias("_r2"), c2.alias("_c2"))
+    agg = scored.groupBy(*groups).agg(
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 2, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("_arm") == 2, dec(F.col("_r2")) * dec(F.col("_r2")))
+        ).alias("_sr4"),
+        F.sum(
+            F.when(F.col("_arm") == 2, dec(F.col("_c2")) * dec(F.col("_c2")))
+        ).alias("_sc4"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    N = na + nb
+    # 4·ΣR² = Σ(2R)² ; U numerator doubled by 4: 6ΣR² = 1.5·Σ(2R)²
+    den = F.sqrt(
+        na * nb * (N + 1.0) * (2.0 * N + 1.0) * (8.0 * N + 11.0) / F.lit(5.0)
+    )
+    u = (F.lit(1.5) * s2d("_sr4") - nb * (N + 1.0) * (2.0 * N + 1.0)) / den
+    vv = (F.lit(1.5) * s2d("_sc4") - nb * (N + 1.0) * (2.0 * N + 1.0)) / den
+    rho = F.lit(2.0) * (N * N - 4.0) / (
+        (2.0 * N + 1.0) * (8.0 * N + 11.0)
+    ) - F.lit(1.0)
+    cstat = (u * u + vv * vv - F.lit(2.0) * rho * u * vv) / (
+        F.lit(2.0) * (F.lit(1.0) - rho * rho)
+    )
+    pq = F.lit(1.0e9)
+    p = F.floor(F.exp(-cstat) * pq + F.lit(0.5)) / pq
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    return agg.select(
+        *groups,
+        "n_a",
+        "n_b",
+        F.when(ok, cstat).alias("c_stat"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def cucconi_test_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`cucconi_test` (same doubled squared ranks,
+    same exponential p)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qv = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    na = "CAST(n_a AS DOUBLE)"
+    nb = "CAST(n_b AS DOUBLE)"
+    N = f"({na} + {nb})"
+    den = (
+        f"SQRT({na} * {nb} * ({N} + 1.0) * (2.0 * {N} + 1.0)"
+        f" * (8.0 * {N} + 11.0) / 5.0)"
+    )
+    u = f"((1.5 * {s2d('_sr4')} - {nb} * ({N} + 1.0) * (2.0 * {N} + 1.0)) / {den})"
+    vv = f"((1.5 * {s2d('_sc4')} - {nb} * ({N} + 1.0) * (2.0 * {N} + 1.0)) / {den})"
+    rho = f"(2.0 * ({N} * {N} - 4.0) / ((2.0 * {N} + 1.0) * (8.0 * {N} + 11.0)) - 1.0)"
+    cstat = (
+        f"(({u} * {u} + {vv} * {vv} - 2.0 * {rho} * {u} * {vv})"
+        f" / (2.0 * (1.0 - {rho} * {rho})))"
+    )
+    p = f"(FLOOR(EXP(-{cstat}) * 1000000000.0 + 0.5) / 1000000000.0)"
+    ok = "(n_a > 1 AND n_b > 1)"
+    return f"""
+WITH d AS (
+  SELECT {gsel},
+    CASE WHEN {factor_col} = {level_a!r} THEN 1
+         WHEN {factor_col} = {level_b!r} THEN 2 END AS _arm,
+    {qv} AS _qv
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+ranked AS (
+  SELECT {gsel}, _arm,
+    CAST(2 * RANK() OVER (PARTITION BY {gsel} ORDER BY _qv)
+         + COUNT(*) OVER (PARTITION BY {gsel}, _qv) - 1 AS BIGINT) AS _r2,
+    CAST(2 * (COUNT(*) OVER (PARTITION BY {gsel}) + 1)
+         - (2 * RANK() OVER (PARTITION BY {gsel} ORDER BY _qv)
+            + COUNT(*) OVER (PARTITION BY {gsel}, _qv) - 1) AS BIGINT) AS _c2
+  FROM d WHERE _arm IS NOT NULL
+),
+agg AS (
+  SELECT {gsel},
+    CAST(SUM(CASE WHEN _arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN _arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    SUM(CASE WHEN _arm = 2 THEN CAST(_r2 AS HUGEINT) * _r2 END) AS _sr4,
+    SUM(CASE WHEN _arm = 2 THEN CAST(_c2 AS HUGEINT) * _c2 END) AS _sc4
+  FROM ranked GROUP BY {gsel}
+)
+SELECT {gsel}, n_a, n_b,
+  CASE WHEN {ok} THEN {cstat} END AS c_stat,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""

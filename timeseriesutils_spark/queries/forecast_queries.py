@@ -4074,3 +4074,54 @@ def _sql_forecast_e2e():
 
 
 QUERIES.update({"forecast_e2e": Q(q_forecast_e2e, _sql_forecast_e2e())})
+
+
+def q_kuiper_test(spark, sf_dir):
+    """Two-sample Kuiper test per ship year (operators/nonparam.
+    kuiper_test): quantity under returnflag A vs R — ks_test's
+    tail-balanced sibling (V = D+ + D-), same exact integer ECDF-gap
+    machinery with the signed gap kept in both directions."""
+    from timeseriesutils_spark.operators.nonparam import kuiper_test
+
+    return kuiper_test(
+        _year_rf_qty(spark, sf_dir), "l_quantity", "l_returnflag",
+        "A", "R", ["ship_year"], scale=2,
+    )
+
+
+def _sql_kuiper_test():
+    from timeseriesutils_spark.operators.nonparam import kuiper_test_sql
+
+    return kuiper_test_sql(
+        _SQL_YEAR_RF_QTY, "l_quantity", "l_returnflag", "A", "R",
+        ["ship_year"], scale=2,
+    )
+
+
+QUERIES.update({"kuiper_test": Q(q_kuiper_test, _sql_kuiper_test())})
+
+
+def q_cucconi_test(spark, sf_dir):
+    """Cucconi joint location–scale test per ship year (operators/
+    nonparam.cucconi_test): the one-shot 'did it move OR widen' screen
+    from squared midranks taken from both ends — mann_whitney ⊕
+    ansari_bradley in a single exponential-null statistic, on the same
+    two-arm frame."""
+    from timeseriesutils_spark.operators.nonparam import cucconi_test
+
+    return cucconi_test(
+        _year_rf_qty(spark, sf_dir), "l_quantity", "l_returnflag",
+        "A", "R", ["ship_year"], scale=2,
+    )
+
+
+def _sql_cucconi_test():
+    from timeseriesutils_spark.operators.nonparam import cucconi_test_sql
+
+    return cucconi_test_sql(
+        _SQL_YEAR_RF_QTY, "l_quantity", "l_returnflag", "A", "R",
+        ["ship_year"], scale=2,
+    )
+
+
+QUERIES.update({"cucconi_test": Q(q_cucconi_test, _sql_cucconi_test())})
