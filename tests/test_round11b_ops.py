@@ -999,3 +999,96 @@ def test_cucconi_fires_on_scale_only_change(spark):
     df = spark.createDataFrame(rows, ["g", "f", "v"])
     out = cucconi_test(df, "v", "f", "A", "R", ["g"], scale=2).collect()[0]
     assert out.p_value < 0.01 and bool(out.reject_05) is True
+
+
+# --- lepage_test ------------------------------------------------------------
+
+
+def test_lepage_components_match_published_formulas(spark):
+    """z_W against the tie-corrected Wilcoxon moments and z_AB against
+    the Ansari conditional moments, on a tied sample; L = z_W²+z_AB²
+    and p = exp(-L/2)."""
+    import math
+
+    from timeseriesutils_spark.operators.nonparam import lepage_test
+
+    xa = [1.0, 3.0, 5.0, 5.0, 9.0, 11.0]
+    xb = [4.0, 5.0, 6.0, 8.0]
+    rows = [("g", "A", v) for v in xa] + [("g", "R", v) for v in xb]
+    df = spark.createDataFrame(rows, ["g", "f", "v"])
+    out = lepage_test(df, "v", "f", "A", "R", ["g"], scale=0).collect()[0]
+    pooled = sorted(xa + xb)
+    N, n1, n2 = len(pooled), len(xa), len(xb)
+
+    def midrank(v):
+        lo = sum(1 for x in pooled if x < v)
+        t = sum(1 for x in pooled if x == v)
+        return lo + (t + 1) / 2.0
+
+    W = sum(midrank(v) for v in xb)
+    from collections import Counter
+
+    ties = Counter(pooled)
+    tie_term = sum(t**3 - t for t in ties.values())
+    varw = (n1 * n2 / 12.0) * ((N + 1) - tie_term / (N * (N - 1)))
+    z_w = (W - n2 * (N + 1) / 2.0) / math.sqrt(varw)
+    scores = [min(midrank(v), N + 1 - midrank(v)) for v in pooled]
+    AB = sum(min(midrank(v), N + 1 - midrank(v)) for v in xb)
+    sa, ssa = sum(scores), sum(s * s for s in scores)
+    mean_ab = n2 * sa / N
+    var_ab = n1 * n2 * (N * ssa - sa * sa) / (N * N * (N - 1))
+    z_ab = (AB - mean_ab) / math.sqrt(var_ab)
+    L = z_w * z_w + z_ab * z_ab
+    assert abs(out.z_w - z_w) < 1e-9
+    assert abs(out.z_ab - z_ab) < 1e-9
+    assert abs(out.l_stat - L) < 1e-9
+    assert abs(out.p_value - math.exp(-L / 2)) < 1e-8
+
+
+# --- tost_equivalence -------------------------------------------------------
+
+
+def test_tost_tight_arms_are_equivalent(spark):
+    from timeseriesutils_spark.operators.stats import tost_equivalence
+
+    import random
+
+    rng = random.Random(6)
+    rows = [("g", "A", 10.0 + rng.gauss(0, 0.5)) for _ in range(400)] + [
+        ("g", "R", 10.05 + rng.gauss(0, 0.5)) for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["g", "f", "v"])
+    out = tost_equivalence(
+        df, "v", "f", "A", "R", ["g"], margin=0.5, scale=4
+    ).collect()[0]
+    assert abs(out.diff) < 0.2
+    assert bool(out.equivalent_05) is True
+
+
+def test_tost_large_difference_not_equivalent(spark):
+    from timeseriesutils_spark.operators.stats import tost_equivalence
+
+    rows = [("g", "A", 10.0 + (i % 5) / 10.0) for i in range(100)] + [
+        ("g", "R", 12.0 + (i % 5) / 10.0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["g", "f", "v"])
+    out = tost_equivalence(
+        df, "v", "f", "A", "R", ["g"], margin=0.5, scale=4
+    ).collect()[0]
+    assert out.diff > 1.5
+    assert bool(out.equivalent_05) is False
+
+
+def test_tost_nonsignificant_but_not_equivalent(spark):
+    """The case TOST exists for: tiny samples — the welch difference is
+    not significant AND equivalence cannot be claimed either."""
+    from timeseriesutils_spark.operators.stats import tost_equivalence
+
+    rows = [("g", "A", v) for v in (9.0, 11.0, 10.0)] + [
+        ("g", "R", v) for v in (10.5, 12.5, 9.5)
+    ]
+    df = spark.createDataFrame(rows, ["g", "f", "v"])
+    out = tost_equivalence(
+        df, "v", "f", "A", "R", ["g"], margin=0.5, scale=4
+    ).collect()[0]
+    assert bool(out.equivalent_05) is False

@@ -4664,3 +4664,188 @@ SELECT {gsel}, n_a, n_b,
   CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Lepage joint location–scale test
+# --------------------------------------------------------------------------
+
+
+def lepage_test(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Lepage test (1971): the CLASSICAL joint location–scale
+    screen — the sum of the squared standardized Wilcoxon rank-sum
+    (location) and Ansari–Bradley (scale) statistics,
+
+        L = z_W² + z_AB²,   L ~ χ²₂ under H₀  ⇒  p = exp(−L/2)
+
+    (cucconi_test is the modern correlated-squared-ranks alternative;
+    Lepage is what the textbooks and scipy users reach for).  Both
+    component scores come from ONE doubled-midrank window pass: the
+    Wilcoxon tie correction Σ_t(t³−t) collapses to the row-level sum
+    Σ(t²−1) over peer counts, and the AB moments are the realized-score
+    conditional ones — everything an exact DECIMAL sum, z's and p one
+    shared double tree with exp() floor-quantized at 1e-9.
+
+    Returns (groups…, n_a, n_b, z_w, z_ab, l_stat, p_value, reject_05).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    arm = F.when(F.col(factor_col) == F.lit(level_a), 1).when(
+        F.col(factor_col) == F.lit(level_b), 2
+    )
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, arm.alias("_arm"), qv.alias("_qv"))
+        .filter(F.col("_arm").isNotNull())
+    )
+    wpool = Window.partitionBy(*groups).orderBy("_qv")
+    tpool = Window.partitionBy(*groups, "_qv")
+    cp = Window.partitionBy(*groups)
+    t = F.count(F.lit(1)).over(tpool)
+    r2 = (F.lit(2) * F.rank().over(wpool) + t - F.lit(1)).cast("bigint")
+    nn = F.count(F.lit(1)).over(cp)
+    a2 = F.least(r2, F.lit(2) * (nn + 1) - r2)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = d.select(
+        *groups,
+        "_arm",
+        r2.alias("_r2"),
+        a2.alias("_a2"),
+        t.cast("bigint").alias("_t"),
+    )
+    agg = scored.groupBy(*groups).agg(
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 2, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("_arm") == 2, F.col("_r2")).otherwise(0)).alias(
+            "_w2"
+        ),
+        F.sum(F.when(F.col("_arm") == 2, F.col("_a2")).otherwise(0)).alias(
+            "_ab2"
+        ),
+        F.sum(dec(F.col("_a2"))).alias("_sa2"),
+        F.sum(dec(F.col("_a2")) * dec(F.col("_a2"))).alias("_ssa4"),
+        F.sum(dec(F.col("_t") * F.col("_t") - F.lit(1))).alias("_tie"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    N = na + nb
+    # Wilcoxon on doubled ranks: E[W2] = n_b(N+1), Var[W2] = 4 Var[W]
+    varw4 = (
+        F.lit(4.0)
+        * (na * nb / F.lit(12.0))
+        * ((N + 1.0) - s2d("_tie") / (N * (N - 1.0)))
+    )
+    z_w = (F.col("_w2").cast("double") - nb * (N + 1.0)) / F.sqrt(varw4)
+    ab = F.col("_ab2").cast("double") / F.lit(2.0)
+    mean_ab = nb * s2d("_sa2") / F.lit(2.0) / N
+    var_ab = (
+        na
+        * nb
+        * (N * s2d("_ssa4") - s2d("_sa2") * s2d("_sa2"))
+        / (F.lit(4.0) * N * N * (N - F.lit(1.0)))
+    )
+    z_ab = (ab - mean_ab) / F.sqrt(var_ab)
+    l_stat = z_w * z_w + z_ab * z_ab
+    pq = F.lit(1.0e9)
+    p = F.floor(F.exp(-l_stat / F.lit(2.0)) * pq + F.lit(0.5)) / pq
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (varw4 > 0) & (var_ab > 0)
+    return agg.select(
+        *groups,
+        "n_a",
+        "n_b",
+        F.when(ok, z_w).alias("z_w"),
+        F.when(ok, z_ab).alias("z_ab"),
+        F.when(ok, l_stat).alias("l_stat"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def lepage_test_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`lepage_test` (same one-pass doubled-rank
+    scores, same χ²₂ exponential p)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qv = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    na = "CAST(n_a AS DOUBLE)"
+    nb = "CAST(n_b AS DOUBLE)"
+    N = f"({na} + {nb})"
+    varw4 = (
+        f"(4.0 * ({na} * {nb} / 12.0)"
+        f" * (({N} + 1.0) - {s2d('_tie')} / ({N} * ({N} - 1.0))))"
+    )
+    z_w = f"((CAST(_w2 AS DOUBLE) - {nb} * ({N} + 1.0)) / SQRT({varw4}))"
+    ab = "(CAST(_ab2 AS DOUBLE) / 2.0)"
+    mean_ab = f"({nb} * {s2d('_sa2')} / 2.0 / {N})"
+    var_ab = (
+        f"({na} * {nb} * ({N} * {s2d('_ssa4')}"
+        f" - {s2d('_sa2')} * {s2d('_sa2')})"
+        f" / (4.0 * {N} * {N} * ({N} - 1.0)))"
+    )
+    z_ab = f"(({ab} - {mean_ab}) / SQRT({var_ab}))"
+    l_stat = f"({z_w} * {z_w} + {z_ab} * {z_ab})"
+    p = f"(FLOOR(EXP(-{l_stat} / 2.0) * 1000000000.0 + 0.5) / 1000000000.0)"
+    ok = f"(n_a > 1 AND n_b > 1 AND {varw4} > 0 AND {var_ab} > 0)"
+    return f"""
+WITH d AS (
+  SELECT {gsel},
+    CASE WHEN {factor_col} = {level_a!r} THEN 1
+         WHEN {factor_col} = {level_b!r} THEN 2 END AS _arm,
+    {qv} AS _qv
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+scored AS (
+  SELECT {gsel}, _arm,
+    CAST(2 * RANK() OVER (PARTITION BY {gsel} ORDER BY _qv)
+         + COUNT(*) OVER (PARTITION BY {gsel}, _qv) - 1 AS BIGINT) AS _r2,
+    LEAST(
+      CAST(2 * RANK() OVER (PARTITION BY {gsel} ORDER BY _qv)
+           + COUNT(*) OVER (PARTITION BY {gsel}, _qv) - 1 AS BIGINT),
+      2 * (COUNT(*) OVER (PARTITION BY {gsel}) + 1)
+        - CAST(2 * RANK() OVER (PARTITION BY {gsel} ORDER BY _qv)
+               + COUNT(*) OVER (PARTITION BY {gsel}, _qv) - 1 AS BIGINT)
+    ) AS _a2,
+    CAST(COUNT(*) OVER (PARTITION BY {gsel}, _qv) AS BIGINT) AS _t
+  FROM d WHERE _arm IS NOT NULL
+),
+agg AS (
+  SELECT {gsel},
+    CAST(SUM(CASE WHEN _arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN _arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN _arm = 2 THEN _r2 ELSE 0 END) AS BIGINT) AS _w2,
+    CAST(SUM(CASE WHEN _arm = 2 THEN _a2 ELSE 0 END) AS BIGINT) AS _ab2,
+    SUM(CAST(_a2 AS HUGEINT)) AS _sa2,
+    SUM(CAST(_a2 AS HUGEINT) * _a2) AS _ssa4,
+    SUM(CAST(_t AS HUGEINT) * _t - 1) AS _tie
+  FROM scored GROUP BY {gsel}
+)
+SELECT {gsel}, n_a, n_b,
+  CASE WHEN {ok} THEN {z_w} END AS z_w,
+  CASE WHEN {ok} THEN {z_ab} END AS z_ab,
+  CASE WHEN {ok} THEN {l_stat} END AS l_stat,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""

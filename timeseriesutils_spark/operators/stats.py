@@ -3484,3 +3484,169 @@ SELECT {gsel}, n_units, n_obs,
   CASE WHEN {ok} AND {den} != 0 THEN ({msb} - {msw}) / {den} END AS icc
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# TOST equivalence test (two one-sided z tests)
+# --------------------------------------------------------------------------
+
+
+def tost_equivalence(
+    df: DataFrame,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    margin: float,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group TOST equivalence test (Schuirmann 1987): the
+    significance family above answers "is there a difference?" — TOST
+    answers the release-gate question "is the difference SMALLER than a
+    margin we declared irrelevant?", which a non-significant t-test
+    does NOT establish (absence of evidence ≠ evidence of absence):
+
+        H₀: |μ_b − μ_a| ≥ δ   vs   H₁: |μ_b − μ_a| < δ
+        z₁ = (Δ̂ + δ)/se,  z₂ = (δ − Δ̂)/se   (Welch se)
+        p_tost = max(P(Z > z₁), P(Z > z₂));  equivalent ⇔ p_tost < α
+
+    Exactness: Welch sufficient statistics from quantized ints (the
+    welch_ttest machinery), one-sided normal tails via the engine's
+    Bowling logistic kernel (shared literals), p floor-quantized at
+    1e-9 — decisions bit-identical across engines.  One map-combinable
+    aggregation.
+
+    Returns (groups…, n_a, n_b, diff, se, p_tost, equivalent_05).
+    """
+    groups = _as_list(group_columns)
+    m = 10**scale
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    arm = F.when(F.col(factor_col) == F.lit(level_a), 1).when(
+        F.col(factor_col) == F.lit(level_b), 2
+    )
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, arm.alias("_arm"), qv.alias("_qv"))
+        .filter(F.col("_arm").isNotNull())
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = d.groupBy(*groups).agg(
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 2, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("_arm") == 1, dec(F.col("_qv")))).alias("_sa"),
+        F.sum(F.when(F.col("_arm") == 2, dec(F.col("_qv")))).alias("_sb"),
+        F.sum(
+            F.when(F.col("_arm") == 1, dec(F.col("_qv")) * dec(F.col("_qv")))
+        ).alias("_qa"),
+        F.sum(
+            F.when(F.col("_arm") == 2, dec(F.col("_qv")) * dec(F.col("_qv")))
+        ).alias("_qb"),
+    )
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    mf = F.lit(float(m))
+    ma = s2d("_sa") / na / mf
+    mb = s2d("_sb") / nb / mf
+    va = (s2d("_qa") - s2d("_sa") * s2d("_sa") / na) / (na - 1.0) / (mf * mf)
+    vb = (s2d("_qb") - s2d("_sb") * s2d("_sb") / nb) / (nb - 1.0) / (mf * mf)
+    se = F.sqrt(va / na + vb / nb)
+    diff = mb - ma
+    delta = F.lit(float(margin))
+    z1 = (diff + delta) / se
+    z2 = (delta - diff) / se
+
+    def tail(z):
+        # P(Z > z) = 1 − Φ(z) via the Bowling logistic kernel (odd
+        # symmetry makes one formula cover both signs)
+        return F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(F.lit(1.5976) * z + F.lit(0.070566) * z * z * z)
+        )
+
+    pq = F.lit(1.0e9)
+    p = F.floor(F.greatest(tail(z1), tail(z2)) * pq + F.lit(0.5)) / pq
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se > 0)
+    return agg.select(
+        *groups,
+        "n_a",
+        "n_b",
+        F.when(ok, diff).alias("diff"),
+        F.when(ok, se).alias("se"),
+        F.when(ok, p).alias("p_tost"),
+        F.when(ok, p < F.lit(0.05)).alias("equivalent_05"),
+    )
+
+
+def tost_equivalence_sql(
+    data_sql: str,
+    value_col: str,
+    factor_col: str,
+    level_a: str,
+    level_b: str,
+    group_columns,
+    margin: float,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`tost_equivalence` (same Welch statistics,
+    same logistic tails)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    m = 10**scale
+    qv = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    na = "CAST(n_a AS DOUBLE)"
+    nb = "CAST(n_b AS DOUBLE)"
+    mf = dlit(float(m))
+    ma = f"({s2d('_sa')} / {na} / {mf})"
+    mb = f"({s2d('_sb')} / {nb} / {mf})"
+    va = (
+        f"(({s2d('_qa')} - {s2d('_sa')} * {s2d('_sa')} / {na})"
+        f" / ({na} - 1.0) / ({mf} * {mf}))"
+    )
+    vb = (
+        f"(({s2d('_qb')} - {s2d('_sb')} * {s2d('_sb')} / {nb})"
+        f" / ({nb} - 1.0) / ({mf} * {mf}))"
+    )
+    se = f"SQRT({va} / {na} + {vb} / {nb})"
+    diff = f"({mb} - {ma})"
+    delta = dlit(float(margin))
+    z1 = f"(({diff} + {delta}) / {se})"
+    z2 = f"(({delta} - {diff}) / {se})"
+    tail = lambda z: (  # noqa: E731
+        f"(1.0 / (1.0 + EXP(1.5976 * {z} + 0.070566 * {z} * {z} * {z})))"
+    )
+    p = (
+        f"(FLOOR(GREATEST({tail(z1)}, {tail(z2)}) * 1000000000.0 + 0.5)"
+        f" / 1000000000.0)"
+    )
+    ok = f"(n_a > 1 AND n_b > 1 AND {se} > 0)"
+    return f"""
+WITH d AS (
+  SELECT {gsel},
+    CASE WHEN {factor_col} = {level_a!r} THEN 1
+         WHEN {factor_col} = {level_b!r} THEN 2 END AS _arm,
+    {qv} AS _qv
+  FROM ({data_sql}) WHERE {value_col} IS NOT NULL
+),
+agg AS (
+  SELECT {gsel},
+    CAST(SUM(CASE WHEN _arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN _arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    SUM(CASE WHEN _arm = 1 THEN CAST(_qv AS HUGEINT) END) AS _sa,
+    SUM(CASE WHEN _arm = 2 THEN CAST(_qv AS HUGEINT) END) AS _sb,
+    SUM(CASE WHEN _arm = 1 THEN CAST(_qv AS HUGEINT) * _qv END) AS _qa,
+    SUM(CASE WHEN _arm = 2 THEN CAST(_qv AS HUGEINT) * _qv END) AS _qb
+  FROM d WHERE _arm IS NOT NULL
+  GROUP BY {gsel}
+)
+SELECT {gsel}, n_a, n_b,
+  CASE WHEN {ok} THEN {diff} END AS diff,
+  CASE WHEN {ok} THEN {se} END AS se,
+  CASE WHEN {ok} THEN {p} END AS p_tost,
+  CASE WHEN {ok} THEN {p} < 0.05 END AS equivalent_05
+FROM agg
+"""

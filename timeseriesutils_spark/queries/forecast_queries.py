@@ -4125,3 +4125,59 @@ def _sql_cucconi_test():
 
 
 QUERIES.update({"cucconi_test": Q(q_cucconi_test, _sql_cucconi_test())})
+
+
+def q_lepage_test(spark, sf_dir):
+    """Lepage joint location–scale test per ship year (operators/
+    nonparam.lepage_test): z_W² + z_AB² from ONE doubled-midrank pass
+    (the Wilcoxon tie term collapses to a row-level Σ(t²−1)) — the
+    classical companion to cucconi_test on the same two-arm frame."""
+    from timeseriesutils_spark.operators.nonparam import lepage_test
+
+    return lepage_test(
+        _year_rf_qty(spark, sf_dir), "l_quantity", "l_returnflag",
+        "A", "R", ["ship_year"], scale=2,
+    )
+
+
+def _sql_lepage_test():
+    from timeseriesutils_spark.operators.nonparam import lepage_test_sql
+
+    return lepage_test_sql(
+        _SQL_YEAR_RF_QTY, "l_quantity", "l_returnflag", "A", "R",
+        ["ship_year"], scale=2,
+    )
+
+
+QUERIES.update({"lepage_test": Q(q_lepage_test, _sql_lepage_test())})
+
+
+_TOST_MARGIN = 0.5
+
+
+def q_tost_equivalence(spark, sf_dir):
+    """TOST equivalence screen per ship year (operators/stats.
+    tost_equivalence): are A-flag and R-flag mean quantities equivalent
+    within ±0.5 units?  The release-gate question a non-significant
+    welch_ttest cannot answer — two one-sided Welch z tests, logistic
+    tails, 1e-9-quantized p."""
+    from timeseriesutils_spark.operators.stats import tost_equivalence
+
+    return tost_equivalence(
+        _year_rf_qty(spark, sf_dir), "l_quantity", "l_returnflag",
+        "A", "R", ["ship_year"], margin=_TOST_MARGIN, scale=2,
+    )
+
+
+def _sql_tost_equivalence():
+    from timeseriesutils_spark.operators.stats import tost_equivalence_sql
+
+    return tost_equivalence_sql(
+        _SQL_YEAR_RF_QTY, "l_quantity", "l_returnflag", "A", "R",
+        ["ship_year"], margin=_TOST_MARGIN, scale=2,
+    )
+
+
+QUERIES.update(
+    {"tost_equivalence": Q(q_tost_equivalence, _sql_tost_equivalence())}
+)
