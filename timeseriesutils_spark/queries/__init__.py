@@ -74,7 +74,8 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
 # ROUND-12 ROTATION PLAN: head slots go to (a) any round-12 additions
 # (find_unrotated_queries enforces head placement for anything never
 # driver-verified), then (b) the stale re-verification backlog
-# displaced by round 11's 16 additions, oldest driver row first: the
+# displaced by round 11's 41 additions (20 first-session + 21
+# second-session), oldest driver row first: the
 # r3 stream family (stream_counter_rate, stream_cusum, stream_dedup,
 # stream_join, stream_renewal_rt, stream_session, stream_sliding,
 # stream_stateful, stream_static_join, stream_topk, stream_tumbling)
