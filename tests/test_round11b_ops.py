@@ -630,6 +630,8 @@ def test_wave_plans_stay_jvm_side(spark, catalog):
         "crps_sample", "pit_histogram", "wallinga_teunis", "kpss_test",
         "icc_oneway", "energy_distance", "variance_ratio", "bayes_ab",
         "qini_curve", "chrf_pairs", "wer_pairs", "adamic_adar",
+        "ansari_bradley", "gumbel_lmom", "mmd_drift", "forecast_e2e",
+        "kuiper_test", "cucconi_test", "lepage_test", "tost_equivalence",
     ):
         plan = _plan(spark, catalog, name)
         assert "BatchEvalPython" not in plan, name
