@@ -333,7 +333,7 @@ def adamic_adar(
 
         AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1 / ln(deg z)
 
-    (Adamic & Adamic 2003).  Every common neighbor has deg ≥ 2, so
+    (Adamic & Adar 2003).  Every common neighbor has deg ≥ 2, so
     ln(deg) > 0 except deg = 2 ... ln 2 ≈ 0.693 — no singularity.
 
     Exactness: ln(deg) is floor-quantized at 1e-9 (the libm rule),
