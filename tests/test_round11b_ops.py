@@ -1094,3 +1094,48 @@ def test_tost_nonsignificant_but_not_equivalent(spark):
         df, "v", "f", "A", "R", ["g"], margin=0.5, scale=4
     ).collect()[0]
     assert bool(out.equivalent_05) is False
+
+
+# --- sequential_ab ----------------------------------------------------------
+
+
+def test_sequential_ab_boundary_shape_and_null_effect(spark):
+    """Identical arms: no look crosses; boundaries strictly decrease to
+    z*(K) at the final look."""
+    from timeseriesutils_spark.operators.analytics import sequential_ab
+
+    rows = []
+    for k in range(1, 6):
+        for i in range(100):
+            rows.append(("ctl", i < 20, k))
+            rows.append(("trt", i < 20, k))
+    df = spark.createDataFrame(rows, ["arm", "s", "wk"])
+    out = sorted(
+        sequential_ab(df, "arm", "ctl", "trt", "s", "wk").collect(),
+        key=lambda r: r.look,
+    )
+    bounds = [r.boundary for r in out]
+    assert all(a > b for a, b in zip(bounds, bounds[1:]))
+    assert abs(bounds[-1] - 2.04) < 1e-12
+    assert all(abs(r.z) < 1e-9 and bool(r.crossed) is False for r in out)
+    # looks accumulate: n at look k = 200k
+    assert [r.n_a + r.n_b for r in out] == [200 * k for k in range(1, 6)]
+
+
+def test_sequential_ab_strong_effect_crosses_late_not_early(spark):
+    """A moderate persistent lift: the strict early boundary holds at
+    look 1 while a later look crosses — the OBF behavior that makes
+    weekly peeking legitimate."""
+    from timeseriesutils_spark.operators.analytics import sequential_ab
+
+    rows = []
+    for k in range(1, 6):
+        for i in range(400):
+            rows.append(("ctl", i < 80, k))      # 20%
+            rows.append(("trt", i < 112, k))     # 28%
+    df = spark.createDataFrame(rows, ["arm", "s", "wk"])
+    out = {r.look: r for r in sequential_ab(
+        df, "arm", "ctl", "trt", "s", "wk").collect()}
+    assert bool(out[1].crossed) is False   # |z1| ~ 2.7 < 4.56
+    assert bool(out[5].crossed) is True    # |z5| ~ 6 > 2.04
+    assert out[5].z > 0

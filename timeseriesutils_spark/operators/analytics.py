@@ -2078,3 +2078,167 @@ SELECT {gsel}, n_a, conv_a, n_b, conv_b,
   CASE WHEN {ok} THEN {prob} > {decision_threshold!r} END AS decide_b
 FROM per
 """
+
+
+# O'Brien–Fleming-type group-sequential critical constants z*(K) for
+# two-sided alpha = 0.05 at K equally-spaced looks (the classical OBF
+# table — Pocock 1977 / O'Brien & Fleming 1979; boundary at look k is
+# z*(K)·sqrt(K/k)).  Public textbook values.
+_OBF_CONST = {2: 1.977, 3: 2.004, 4: 2.024, 5: 2.040}
+
+
+def sequential_ab(
+    df: DataFrame,
+    arm_col: str,
+    level_a: str,
+    level_b: str,
+    success_col: str,
+    look_col: str,
+    n_looks: int = 5,
+) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien–Fleming boundaries:
+    the peeking-correct way to watch an experiment — the fixed-horizon
+    z-test (ab_test_report) is only valid at ONE pre-registered look,
+    and re-testing weekly inflates false positives several-fold; OBF
+    spends almost no alpha early (boundary z*(K)·√(K/k) is very strict
+    at look 1) and converges to ~1.96 at the final look:
+
+        z_k = (p̂_b − p̂_a) / √(p̂(1−p̂)(1/n_a + 1/n_b))   (pooled, look k)
+        stop at look k  ⇔  |z_k| > z*(K)·√(K/k)
+
+    ``look_col`` is the unit's 1-based look index (e.g. the week its
+    exposure started); look k aggregates every unit with index ≤ k.
+    Exactness: per-look counts are K conditional integer sums in ONE
+    map-combinable aggregation (no per-look scans), the z tree is
+    shared doubles, and the boundaries are compile-time literals — the
+    crossed flags are bit-identical across engines.
+
+    Returns one row per look: (look, n_a, n_b, conv_a, conv_b, z,
+    boundary, crossed).
+    """
+    K = int(n_looks)
+    if K not in _OBF_CONST:
+        raise ValueError(f"n_looks must be one of {sorted(_OBF_CONST)}")
+    c = _OBF_CONST[K]
+    arm = F.when(F.col(arm_col) == F.lit(level_a), 1).when(
+        F.col(arm_col) == F.lit(level_b), 2
+    )
+    s = F.col(success_col).cast("boolean").cast("bigint")
+    lk = F.col(look_col).cast("bigint")
+    d = df.select(arm.alias("_arm"), s.alias("_s"), lk.alias("_lk")).filter(
+        F.col("_arm").isNotNull() & F.col("_s").isNotNull()
+        & F.col("_lk").isNotNull()
+    )
+    aggs = []
+    for k in range(1, K + 1):
+        ink = F.col("_lk") <= k
+        aggs += [
+            F.sum(F.when(ink & (F.col("_arm") == 1), 1).otherwise(0)).alias(
+                f"_na{k}"
+            ),
+            F.sum(F.when(ink & (F.col("_arm") == 2), 1).otherwise(0)).alias(
+                f"_nb{k}"
+            ),
+            F.sum(
+                F.when(ink & (F.col("_arm") == 1), F.col("_s")).otherwise(0)
+            ).alias(f"_ca{k}"),
+            F.sum(
+                F.when(ink & (F.col("_arm") == 2), F.col("_s")).otherwise(0)
+            ).alias(f"_cb{k}"),
+        ]
+    agg = d.groupBy().agg(*aggs)
+    looks = []
+    for k in range(1, K + 1):
+        na = F.col(f"_na{k}").cast("double")
+        nb = F.col(f"_nb{k}").cast("double")
+        ca = F.col(f"_ca{k}").cast("double")
+        cb = F.col(f"_cb{k}").cast("double")
+        p = (ca + cb) / (na + nb)
+        se = F.sqrt(p * (F.lit(1.0) - p) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+        z = (cb / nb - ca / na) / se
+        bound = F.lit(c) * F.sqrt(F.lit(float(K)) / F.lit(float(k)))
+        ok = (
+            (F.col(f"_na{k}") > 0)
+            & (F.col(f"_nb{k}") > 0)
+            & (F.col(f"_ca{k}") + F.col(f"_cb{k}") > 0)
+            & (
+                F.col(f"_ca{k}") + F.col(f"_cb{k}")
+                < F.col(f"_na{k}") + F.col(f"_nb{k}")
+            )
+        )
+        looks.append(
+            F.struct(
+                F.lit(k).cast("bigint").alias("look"),
+                F.col(f"_na{k}").alias("n_a"),
+                F.col(f"_nb{k}").alias("n_b"),
+                F.col(f"_ca{k}").alias("conv_a"),
+                F.col(f"_cb{k}").alias("conv_b"),
+                F.when(ok, z).alias("z"),
+                bound.alias("boundary"),
+                F.when(ok, F.abs(z) > bound).alias("crossed"),
+            )
+        )
+    return agg.select(F.explode(F.array(*looks)).alias("_l")).select("_l.*")
+
+
+def sequential_ab_sql(
+    data_sql: str,
+    arm_col: str,
+    level_a: str,
+    level_b: str,
+    success_col: str,
+    look_col: str,
+    n_looks: int = 5,
+) -> str:
+    """DuckDB twin of :func:`sequential_ab` (same one-pass conditional
+    sums, same literal boundaries)."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    K = int(n_looks)
+    c = _OBF_CONST[K]
+    aggs = []
+    for k in range(1, K + 1):
+        aggs += [
+            f"CAST(SUM(CASE WHEN _lk <= {k} AND _arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS _na{k}",
+            f"CAST(SUM(CASE WHEN _lk <= {k} AND _arm = 2 THEN 1 ELSE 0 END) AS BIGINT) AS _nb{k}",
+            f"CAST(SUM(CASE WHEN _lk <= {k} AND _arm = 1 THEN _s ELSE 0 END) AS BIGINT) AS _ca{k}",
+            f"CAST(SUM(CASE WHEN _lk <= {k} AND _arm = 2 THEN _s ELSE 0 END) AS BIGINT) AS _cb{k}",
+        ]
+    rows = []
+    for k in range(1, K + 1):
+        na = f"CAST(_na{k} AS DOUBLE)"
+        nb = f"CAST(_nb{k} AS DOUBLE)"
+        ca = f"CAST(_ca{k} AS DOUBLE)"
+        cb = f"CAST(_cb{k} AS DOUBLE)"
+        p = f"(({ca} + {cb}) / ({na} + {nb}))"
+        se = f"SQRT({p} * (1.0 - {p}) * (1.0 / {na} + 1.0 / {nb}))"
+        z = f"(({cb} / {nb} - {ca} / {na}) / {se})"
+        bound = f"({dlit(c)} * SQRT({dlit(float(K))} / {dlit(float(k))}))"
+        ok = (
+            f"(_na{k} > 0 AND _nb{k} > 0 AND _ca{k} + _cb{k} > 0"
+            f" AND _ca{k} + _cb{k} < _na{k} + _nb{k})"
+        )
+        rows.append(
+            f"SELECT CAST({k} AS BIGINT) AS look, _na{k} AS n_a,"
+            f" _nb{k} AS n_b, _ca{k} AS conv_a, _cb{k} AS conv_b,"
+            f" CASE WHEN {ok} THEN {z} END AS z,"
+            f" {bound} AS boundary,"
+            f" CASE WHEN {ok} THEN ABS({z}) > {bound} END AS crossed"
+            f" FROM agg"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH d AS (
+  SELECT CASE WHEN {arm_col} = {level_a!r} THEN 1
+              WHEN {arm_col} = {level_b!r} THEN 2 END AS _arm,
+    CAST(CAST({success_col} AS BOOLEAN) AS BIGINT) AS _s,
+    CAST({look_col} AS BIGINT) AS _lk
+  FROM ({data_sql})
+),
+agg AS (
+  SELECT {', '.join(aggs)}
+  FROM d
+  WHERE _arm IS NOT NULL AND _s IS NOT NULL AND _lk IS NOT NULL
+)
+{union}
+"""

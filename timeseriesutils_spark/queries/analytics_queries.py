@@ -1209,3 +1209,63 @@ def _sql_adamic_adar():
 
 
 QUERIES.update({"adamic_adar": Q(q_adamic_adar, _sql_adamic_adar())})
+
+
+def q_sequential_ab(spark, sf_dir):
+    """O'Brien–Fleming group-sequential A/B monitor (analytics.
+    sequential_ab): the peeking-correct weekly view of an event-level
+    conversion experiment — parity arms over events, purchase as the
+    success, each event entering at its week (look 1..5, later weeks
+    fold into the final look), each look's pooled z compared against
+    the strict-early OBF boundary z*(5)·sqrt(5/k).  One conditional-sum
+    aggregation covers every look."""
+    from timeseriesutils_spark.operators.analytics import sequential_ab
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("bigint")
+    base = ev.select(
+        F.col("event_id"),
+        day.alias("_d"),
+        (F.col("event_type") == F.lit("purchase")).alias("converted"),
+    )
+    g = base.crossJoin(
+        F.broadcast(base.agg(F.min("_d").alias("_d0")))
+    ).select(
+        F.when(F.col("event_id") % 2 == 0, "ctl").otherwise("trt").alias(
+            "arm"
+        ),
+        "converted",
+        F.least(
+            F.expr("(_d - _d0) div 7 + 1"), F.lit(5).cast("bigint")
+        ).cast("bigint").alias("look_week"),
+    )
+    return sequential_ab(
+        g, "arm", "ctl", "trt", "converted", "look_week", n_looks=5
+    )
+
+
+def _sql_sequential_ab():
+    from timeseriesutils_spark.operators.analytics import sequential_ab_sql
+
+    base = (
+        "SELECT event_id,"
+        " CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))"
+        " AS BIGINT) AS _d,"
+        " event_type = 'purchase' AS converted"
+        " FROM events"
+    )
+    g = (
+        f"SELECT CASE WHEN event_id % 2 = 0 THEN 'ctl' ELSE 'trt' END AS arm,"
+        f" converted,"
+        f" CAST(LEAST((_d - _d0) // 7 + 1, 5) AS BIGINT) AS look_week"
+        f" FROM ({base}) b CROSS JOIN"
+        f" (SELECT MIN(_d) AS _d0 FROM ({base})) m"
+    )
+    return sequential_ab_sql(
+        g, "arm", "ctl", "trt", "converted", "look_week", n_looks=5
+    )
+
+
+QUERIES.update({"sequential_ab": Q(q_sequential_ab, _sql_sequential_ab())})
