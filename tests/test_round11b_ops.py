@@ -1139,3 +1139,57 @@ def test_sequential_ab_strong_effect_crosses_late_not_early(spark):
     assert bool(out[1].crossed) is False   # |z1| ~ 2.7 < 4.56
     assert bool(out[5].crossed) is True    # |z5| ~ 6 > 2.04
     assert out[5].z > 0
+
+
+# --- cmh_test ---------------------------------------------------------------
+
+
+def test_cmh_matches_hand_computation(spark):
+    """Two strata with known 2x2 tables: CMH statistic, MH odds ratio,
+    and the RBG CI against the published formulas."""
+    import math
+
+    from timeseriesutils_spark.operators.analytics import cmh_test
+
+    # stratum 1: a=20 b=80 / c=10 d=90 ; stratum 2: a=30 b=20 / c=20 d=30
+    rows = []
+    rows += [("s1", "t", True)] * 20 + [("s1", "t", False)] * 80
+    rows += [("s1", "c", True)] * 10 + [("s1", "c", False)] * 90
+    rows += [("s2", "t", True)] * 30 + [("s2", "t", False)] * 20
+    rows += [("s2", "c", True)] * 20 + [("s2", "c", False)] * 30
+    df = spark.createDataFrame(rows, ["st", "arm", "y"])
+    out = cmh_test(df, "arm", "t", "c", "y", "st").collect()[0]
+    tables = [(20, 80, 10, 90), (30, 20, 20, 30)]
+    sdev = sv = sr = ss = 0.0
+    for a, b, c, d in tables:
+        n = a + b + c + d
+        sdev += a - (a + b) * (a + c) / n
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        sr += a * d / n
+        ss += b * c / n
+    cmh = (abs(sdev) - 0.5) ** 2 / sv
+    assert abs(out.cmh_stat - cmh) < 1e-6
+    assert abs(out.or_mh - sr / ss) < 1e-9
+    assert out.n_strata == 2 and out.n == 300
+    assert out.or_lo95 < out.or_mh < out.or_hi95
+    assert bool(out.reject_05) is (out.p_value < 0.05)
+
+
+def test_cmh_defuses_simpsons_paradox(spark):
+    """Arms identical WITHIN each stratum but exposure mix differs:
+    the pooled rates differ (the paradox) while CMH sees no effect."""
+    from timeseriesutils_spark.operators.analytics import cmh_test
+
+    rows = []
+    # stratum hi: 60% conversion, treatment over-represented
+    rows += [("hi", "t", i < 120) for i in range(200)]
+    rows += [("hi", "c", i < 30) for i in range(50)]
+    # stratum lo: 10% conversion, control over-represented
+    rows += [("lo", "t", i < 5) for i in range(50)]
+    rows += [("lo", "c", i < 20) for i in range(200)]
+    df = spark.createDataFrame(rows, ["st", "arm", "y"])
+    out = cmh_test(df, "arm", "t", "c", "y", "st").collect()[0]
+    # pooled rates: t = 125/250 = 50%, c = 50/250 = 20% — looks huge;
+    # within-stratum ORs are exactly 1 -> CMH must not reject
+    assert abs(out.or_mh - 1.0) < 1e-9
+    assert bool(out.reject_05) is False

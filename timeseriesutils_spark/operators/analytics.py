@@ -2242,3 +2242,237 @@ agg AS (
 )
 {union}
 """
+
+
+def cmh_test(
+    df: DataFrame,
+    arm_col: str,
+    level_a: str,
+    level_b: str,
+    success_col: str,
+    stratum_col: str,
+    term_scale: int = 9,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified 2×2 analysis: the
+    Simpson's-paradox-proof two-proportion comparison — when exposure
+    mix differs across strata (time, geography, segment), the pooled
+    z-test (ab_test_report) can reverse sign; CMH tests the common
+    effect WITHIN strata and pools only the evidence:
+
+        CMH = (|Σ(aᵢ − Eᵢ)| − ½)² / ΣVᵢ            (χ²₁, continuity-corrected)
+        Eᵢ = n₁ᵢm₁ᵢ/nᵢ,  Vᵢ = n₁ᵢn₀ᵢm₁ᵢm₀ᵢ/(nᵢ²(nᵢ−1))
+        OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)            (Mantel–Haenszel 1959)
+
+    with the Robins–Breslow–Greenland variance for the OR's CI (the
+    sparse-strata-safe estimator).  Exactness: per-stratum cell counts
+    are exact ints from ONE conditional aggregation; every per-stratum
+    rational (Eᵢ, Vᵢ, the six RBG component terms) is floor-quantized
+    at 10^-term_scale and summed in DECIMAL — cross-stratum order
+    free; the final statistic/CI tree is shared doubles, p via the
+    engine kernel, ln for the CI floor-quantized at 1e-9.
+
+    Scale shape: one groupBy(stratum) count collapse (map-combinable),
+    one stratum-level projection, one global reduce — three tiers,
+    each output rows ≤ strata.
+
+    Returns one row: (n_strata, n, cmh_stat, p_value, or_mh, or_lo95,
+    or_hi95, reject_05).
+    """
+    from timeseriesutils_spark.operators.nonparam import (
+        two_sided_p_expr,
+    )
+
+    tm = 10**term_scale
+    arm = F.when(F.col(arm_col) == F.lit(level_a), 1).when(
+        F.col(arm_col) == F.lit(level_b), 2
+    )
+    s = F.col(success_col).cast("boolean").cast("bigint")
+    d = df.select(
+        F.col(stratum_col).alias("_st"), arm.alias("_arm"), s.alias("_s")
+    ).filter(F.col("_arm").isNotNull() & F.col("_s").isNotNull())
+    per = d.groupBy("_st").agg(
+        F.sum(F.when(F.col("_arm") == 1, F.col("_s")).otherwise(0)).alias("_a"),
+        F.sum(
+            F.when(F.col("_arm") == 1, 1 - F.col("_s")).otherwise(0)
+        ).alias("_b"),
+        F.sum(F.when(F.col("_arm") == 2, F.col("_s")).otherwise(0)).alias("_c"),
+        F.sum(
+            F.when(F.col("_arm") == 2, 1 - F.col("_s")).otherwise(0)
+        ).alias("_d"),
+    )
+    a = F.col("_a").cast("double")
+    b = F.col("_b").cast("double")
+    c = F.col("_c").cast("double")
+    dd = F.col("_d").cast("double")
+    n = a + b + c + dd
+    n1 = a + b
+    n0 = c + dd
+    m1 = a + c
+    m0 = b + dd
+    q9 = lambda x: F.floor(x * F.lit(float(tm)) + F.lit(0.5)).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    # per-stratum quantized rationals (strata with n < 2 contribute 0)
+    okst = n > 1
+    terms = per.select(
+        (F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")).alias("_n"),
+        q9(F.when(okst, a - n1 * m1 / n).otherwise(F.lit(0.0))).alias("_dev"),
+        q9(
+            F.when(okst, n1 * n0 * m1 * m0 / (n * n * (n - 1.0))).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("_v"),
+        q9(F.when(okst, a * dd / n).otherwise(F.lit(0.0))).alias("_r"),
+        q9(F.when(okst, b * c / n).otherwise(F.lit(0.0))).alias("_s2"),
+        q9(
+            F.when(okst, (a + dd) / n * (a * dd / n)).otherwise(F.lit(0.0))
+        ).alias("_p1"),
+        q9(
+            F.when(
+                okst,
+                (a + dd) / n * (b * c / n) + (b + c) / n * (a * dd / n),
+            ).otherwise(F.lit(0.0))
+        ).alias("_p2"),
+        q9(
+            F.when(okst, (b + c) / n * (b * c / n)).otherwise(F.lit(0.0))
+        ).alias("_p3"),
+    )
+    agg = terms.groupBy().agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("_n").alias("n"),
+        F.sum("_dev").alias("_sdev"),
+        F.sum("_v").alias("_sv"),
+        F.sum("_r").alias("_sr"),
+        F.sum("_s2").alias("_ss"),
+        F.sum("_p1").alias("_sp1"),
+        F.sum("_p2").alias("_sp2"),
+        F.sum("_p3").alias("_sp3"),
+    )
+    s2d = lambda col: F.col(col).cast("string").cast("double")  # noqa: E731
+    tmf = F.lit(float(tm))
+    sdev = s2d("_sdev") / tmf
+    sv = s2d("_sv") / tmf
+    sr = s2d("_sr") / tmf
+    ss = s2d("_ss") / tmf
+    cmh = (F.abs(sdev) - F.lit(0.5)) * (F.abs(sdev) - F.lit(0.5)) / sv
+    z = F.sqrt(cmh)
+    p = two_sided_p_expr(z)
+    or_mh = sr / ss
+    # RBG variance of ln OR_MH
+    var_ln = (
+        s2d("_sp1") / tmf / (F.lit(2.0) * sr * sr)
+        + s2d("_sp2") / tmf / (F.lit(2.0) * sr * ss)
+        + s2d("_sp3") / tmf / (F.lit(2.0) * ss * ss)
+    )
+    pq = F.lit(1.0e9)
+    ln_or = F.floor(F.log(or_mh) * pq + F.lit(0.5)) / pq
+    half = F.lit(1.959963984540054) * F.sqrt(var_ln)
+    lo = F.exp(ln_or - half)
+    hi = F.exp(ln_or + half)
+    q9d = lambda x: F.floor(x * pq + F.lit(0.5)) / pq  # noqa: E731
+    ok = (sv > 0) & (sr > 0) & (ss > 0)
+    return agg.select(
+        "n_strata",
+        "n",
+        F.when(sv > 0, cmh).alias("cmh_stat"),
+        F.when(sv > 0, p).alias("p_value"),
+        F.when(ok, or_mh).alias("or_mh"),
+        F.when(ok & (var_ln > 0), q9d(lo)).alias("or_lo95"),
+        F.when(ok & (var_ln > 0), q9d(hi)).alias("or_hi95"),
+        F.when(sv > 0, p < F.lit(0.05)).alias("reject_05"),
+    )
+
+
+def cmh_test_sql(
+    data_sql: str,
+    arm_col: str,
+    level_a: str,
+    level_b: str,
+    success_col: str,
+    stratum_col: str,
+    term_scale: int = 9,
+) -> str:
+    """DuckDB twin of :func:`cmh_test` (same quantized per-stratum
+    rationals, same RBG tree)."""
+    from timeseriesutils_spark.functions.exact import dlit
+    from timeseriesutils_spark.operators.nonparam import two_sided_p_sql
+
+    tm = 10**term_scale
+    tmf = dlit(float(tm))
+    a, b, c, dd = (
+        "CAST(_a AS DOUBLE)",
+        "CAST(_b AS DOUBLE)",
+        "CAST(_c AS DOUBLE)",
+        "CAST(_d AS DOUBLE)",
+    )
+    n = f"({a} + {b} + {c} + {dd})"
+    n1 = f"({a} + {b})"
+    n0 = f"({c} + {dd})"
+    m1 = f"({a} + {c})"
+    m0 = f"({b} + {dd})"
+    q9 = lambda x: (  # noqa: E731
+        f"CAST(FLOOR(({x}) * {tmf} + 0.5) AS DECIMAL(38,0))"
+    )
+    okst = f"({n} > 1.0)"
+    z0 = "CAST(0.0 AS DOUBLE)"
+    s2d = lambda col: f"CAST(CAST({col} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    sdev = f"({s2d('_sdev')} / {tmf})"
+    sv = f"({s2d('_sv')} / {tmf})"
+    sr = f"({s2d('_sr')} / {tmf})"
+    ss = f"({s2d('_ss')} / {tmf})"
+    cmh = f"((ABS({sdev}) - 0.5) * (ABS({sdev}) - 0.5) / {sv})"
+    p = two_sided_p_sql(f"SQRT({cmh})")
+    or_mh = f"({sr} / {ss})"
+    var_ln = (
+        f"({s2d('_sp1')} / {tmf} / (2.0 * {sr} * {sr})"
+        f" + {s2d('_sp2')} / {tmf} / (2.0 * {sr} * {ss})"
+        f" + {s2d('_sp3')} / {tmf} / (2.0 * {ss} * {ss}))"
+    )
+    ln_or = f"(FLOOR(LN({or_mh}) * 1000000000.0 + 0.5) / 1000000000.0)"
+    half = f"({dlit(1.959963984540054)} * SQRT({var_ln}))"
+    lo = f"(FLOOR(EXP({ln_or} - {half}) * 1000000000.0 + 0.5) / 1000000000.0)"
+    hi = f"(FLOOR(EXP({ln_or} + {half}) * 1000000000.0 + 0.5) / 1000000000.0)"
+    ok = f"({sv} > 0 AND {sr} > 0 AND {ss} > 0)"
+    return f"""
+WITH d AS (
+  SELECT {stratum_col} AS _st,
+    CASE WHEN {arm_col} = {level_a!r} THEN 1
+         WHEN {arm_col} = {level_b!r} THEN 2 END AS _arm,
+    CAST(CAST({success_col} AS BOOLEAN) AS BIGINT) AS _s
+  FROM ({data_sql})
+),
+per AS (
+  SELECT _st,
+    CAST(SUM(CASE WHEN _arm = 1 THEN _s ELSE 0 END) AS BIGINT) AS _a,
+    CAST(SUM(CASE WHEN _arm = 1 THEN 1 - _s ELSE 0 END) AS BIGINT) AS _b,
+    CAST(SUM(CASE WHEN _arm = 2 THEN _s ELSE 0 END) AS BIGINT) AS _c,
+    CAST(SUM(CASE WHEN _arm = 2 THEN 1 - _s ELSE 0 END) AS BIGINT) AS _d
+  FROM d WHERE _arm IS NOT NULL AND _s IS NOT NULL
+  GROUP BY _st
+),
+terms AS (
+  SELECT (_a + _b + _c + _d) AS _n,
+    {q9(f"CASE WHEN {okst} THEN {a} - {n1} * {m1} / {n} ELSE {z0} END")} AS _dev,
+    {q9(f"CASE WHEN {okst} THEN {n1} * {n0} * {m1} * {m0} / ({n} * {n} * ({n} - 1.0)) ELSE {z0} END")} AS _v,
+    {q9(f"CASE WHEN {okst} THEN {a} * {dd} / {n} ELSE {z0} END")} AS _r,
+    {q9(f"CASE WHEN {okst} THEN {b} * {c} / {n} ELSE {z0} END")} AS _s2,
+    {q9(f"CASE WHEN {okst} THEN ({a} + {dd}) / {n} * ({a} * {dd} / {n}) ELSE {z0} END")} AS _p1,
+    {q9(f"CASE WHEN {okst} THEN ({a} + {dd}) / {n} * ({b} * {c} / {n}) + ({b} + {c}) / {n} * ({a} * {dd} / {n}) ELSE {z0} END")} AS _p2,
+    {q9(f"CASE WHEN {okst} THEN ({b} + {c}) / {n} * ({b} * {c} / {n}) ELSE {z0} END")} AS _p3
+  FROM per
+),
+agg AS (
+  SELECT COUNT(*) AS n_strata, CAST(SUM(_n) AS BIGINT) AS n,
+    SUM(_dev) AS _sdev, SUM(_v) AS _sv, SUM(_r) AS _sr, SUM(_s2) AS _ss,
+    SUM(_p1) AS _sp1, SUM(_p2) AS _sp2, SUM(_p3) AS _sp3
+  FROM terms
+)
+SELECT n_strata, n,
+  CASE WHEN {sv} > 0 THEN {cmh} END AS cmh_stat,
+  CASE WHEN {sv} > 0 THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {or_mh} END AS or_mh,
+  CASE WHEN {ok} AND {var_ln} > 0 THEN {lo} END AS or_lo95,
+  CASE WHEN {ok} AND {var_ln} > 0 THEN {hi} END AS or_hi95,
+  CASE WHEN {sv} > 0 THEN {p} < 0.05 END AS reject_05
+FROM agg
+"""

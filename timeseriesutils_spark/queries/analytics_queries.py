@@ -1269,3 +1269,41 @@ def _sql_sequential_ab():
 
 
 QUERIES.update({"sequential_ab": Q(q_sequential_ab, _sql_sequential_ab())})
+
+
+def q_cmh_test(spark, sf_dir):
+    """Cochran–Mantel–Haenszel stratified 2×2 (analytics.cmh_test):
+    URGENT vs HIGH order fill rate stratified by order year — the
+    Simpson's-paradox-proof comparison (year mix shifts confound the
+    pooled z), with the Mantel–Haenszel common odds ratio and its
+    Robins–Breslow–Greenland 95% CI.  Per-stratum quantized rationals,
+    DECIMAL cross-stratum sums."""
+    from timeseriesutils_spark.operators.analytics import cmh_test
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias(
+            "order_year"
+        ),
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_orderstatus") == F.lit("F")).alias("filled"),
+    )
+    return cmh_test(
+        d, "prio", "1-URGENT", "2-HIGH", "filled", "order_year"
+    )
+
+
+def _sql_cmh_test():
+    from timeseriesutils_spark.operators.analytics import cmh_test_sql
+
+    d = (
+        "SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT)"
+        " AS order_year, o_orderpriority AS prio,"
+        " o_orderstatus = 'F' AS filled FROM orders"
+    )
+    return cmh_test_sql(
+        d, "prio", "1-URGENT", "2-HIGH", "filled", "order_year"
+    )
+
+
+QUERIES.update({"cmh_test": Q(q_cmh_test, _sql_cmh_test())})
