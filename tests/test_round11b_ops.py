@@ -1193,3 +1193,63 @@ def test_cmh_defuses_simpsons_paradox(spark):
     # within-stratum ORs are exactly 1 -> CMH must not reject
     assert abs(out.or_mh - 1.0) < 1e-9
     assert bool(out.reject_05) is False
+
+
+# --- woolf_test -------------------------------------------------------------
+
+
+def test_woolf_matches_hand_computation(spark):
+    import math
+
+    from timeseriesutils_spark.operators.analytics import woolf_test
+
+    rows = []
+    rows += [("s1", "t", True)] * 20 + [("s1", "t", False)] * 80
+    rows += [("s1", "c", True)] * 10 + [("s1", "c", False)] * 90
+    rows += [("s2", "t", True)] * 30 + [("s2", "t", False)] * 20
+    rows += [("s2", "c", True)] * 20 + [("s2", "c", False)] * 30
+    df = spark.createDataFrame(rows, ["st", "arm", "y"])
+    out = woolf_test(df, "arm", "t", "c", "y", "st").collect()[0]
+    sw = swl = swl2 = 0.0
+    for a, b, c, d in [(20, 80, 10, 90), (30, 20, 20, 30)]:
+        a, b, c, d = a + 0.5, b + 0.5, c + 0.5, d + 0.5
+        lo = math.log(a * d / (b * c))
+        w = 1.0 / (1 / a + 1 / b + 1 / c + 1 / d)
+        sw += w
+        swl += w * lo
+        swl2 += w * lo * lo
+    x2 = swl2 - swl * swl / sw
+    assert abs(out.woolf_stat - x2) < 1e-6
+    assert out.df == 1 and out.n_strata == 2
+
+
+def test_woolf_homogeneous_strata_accept(spark):
+    """Same within-stratum OR everywhere -> homogeneity not rejected."""
+    from timeseriesutils_spark.operators.analytics import woolf_test
+
+    rows = []
+    for st, scalef in (("s1", 1), ("s2", 2), ("s3", 3)):
+        rows += [(st, "t", True)] * (40 * scalef)
+        rows += [(st, "t", False)] * (60 * scalef)
+        rows += [(st, "c", True)] * (20 * scalef)
+        rows += [(st, "c", False)] * (80 * scalef)
+    df = spark.createDataFrame(rows, ["st", "arm", "y"])
+    out = woolf_test(df, "arm", "t", "c", "y", "st").collect()[0]
+    assert out.woolf_stat < 2.0
+    assert bool(out.homogeneous_05) is True
+
+
+def test_woolf_heterogeneous_strata_reject(spark):
+    """Effect reverses direction between strata -> homogeneity
+    rejected (the case where CMH's pooled OR would be misleading)."""
+    from timeseriesutils_spark.operators.analytics import woolf_test
+
+    rows = []
+    rows += [("s1", "t", True)] * 80 + [("s1", "t", False)] * 20
+    rows += [("s1", "c", True)] * 20 + [("s1", "c", False)] * 80
+    rows += [("s2", "t", True)] * 20 + [("s2", "t", False)] * 80
+    rows += [("s2", "c", True)] * 80 + [("s2", "c", False)] * 20
+    df = spark.createDataFrame(rows, ["st", "arm", "y"])
+    out = woolf_test(df, "arm", "t", "c", "y", "st").collect()[0]
+    assert out.woolf_stat > 30
+    assert bool(out.homogeneous_05) is False

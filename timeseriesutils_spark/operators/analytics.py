@@ -2476,3 +2476,170 @@ SELECT n_strata, n,
   CASE WHEN {sv} > 0 THEN {p} < 0.05 END AS reject_05
 FROM agg
 """
+
+
+def woolf_test(
+    df: DataFrame,
+    arm_col: str,
+    level_a: str,
+    level_b: str,
+    success_col: str,
+    stratum_col: str,
+    term_scale: int = 9,
+) -> DataFrame:
+    """Woolf's test of odds-ratio homogeneity across strata (Woolf
+    1955, with the Haldane–Anscombe +½ correction): the companion
+    :func:`cmh_test` needs — CMH pools a COMMON odds ratio; Woolf asks
+    whether one common ratio is even defensible, or the effect genuinely
+    differs by stratum (in which case report per-stratum effects, not
+    the pooled one):
+
+        X² = Σ wᵢ·(ln ORᵢ − ln ŌR)²  =  Σw·ln²OR − (Σw·lnOR)²/Σw
+        wᵢ = (1/aᵢ′+1/bᵢ′+1/cᵢ′+1/dᵢ′)⁻¹,  cells′ = cells + ½
+        X² ~ χ²_{k−1}
+
+    Exactness: per-stratum ln OR and weight are floor-quantized at
+    10^-term_scale, their three products are re-quantized to DECIMAL
+    ints (cross-stratum sums order-free), the sufficient-stats
+    collapse above avoids a second pass against the pooled mean, and
+    the p-value uses the engine's Wilson–Hilferty χ² kernel.
+
+    Returns one row: (n_strata, woolf_stat, df, p_value,
+    homogeneous_05).
+    """
+    from timeseriesutils_spark.operators.nonparam import chi2_sf_expr
+
+    tm = 10**term_scale
+    tmf = F.lit(float(tm))
+    arm = F.when(F.col(arm_col) == F.lit(level_a), 1).when(
+        F.col(arm_col) == F.lit(level_b), 2
+    )
+    s = F.col(success_col).cast("boolean").cast("bigint")
+    d = df.select(
+        F.col(stratum_col).alias("_st"), arm.alias("_arm"), s.alias("_s")
+    ).filter(F.col("_arm").isNotNull() & F.col("_s").isNotNull())
+    per = d.groupBy("_st").agg(
+        F.sum(F.when(F.col("_arm") == 1, F.col("_s")).otherwise(0)).alias("_a"),
+        F.sum(
+            F.when(F.col("_arm") == 1, 1 - F.col("_s")).otherwise(0)
+        ).alias("_b"),
+        F.sum(F.when(F.col("_arm") == 2, F.col("_s")).otherwise(0)).alias("_c"),
+        F.sum(
+            F.when(F.col("_arm") == 2, 1 - F.col("_s")).otherwise(0)
+        ).alias("_d"),
+    )
+    h = lambda col: F.col(col).cast("double") + F.lit(0.5)  # noqa: E731
+    q = lambda x: F.floor(x * tmf + F.lit(0.5)) / tmf  # noqa: E731
+    lnor = q(
+        F.log(h("_a") * h("_d") / (h("_b") * h("_c")))
+    )
+    w = q(
+        F.lit(1.0)
+        / (
+            F.lit(1.0) / h("_a")
+            + F.lit(1.0) / h("_b")
+            + F.lit(1.0) / h("_c")
+            + F.lit(1.0) / h("_d")
+        )
+    )
+    qd = lambda x: F.floor(x * tmf + F.lit(0.5)).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    terms = per.select(
+        qd(w).alias("_t1"),
+        qd(w * lnor).alias("_t2"),
+        qd(w * lnor * lnor).alias("_t3"),
+    )
+    agg = terms.groupBy().agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("_t1").alias("_s1"),
+        F.sum("_t2").alias("_s2"),
+        F.sum("_t3").alias("_s3"),
+    )
+    s2d = lambda col: F.col(col).cast("string").cast("double")  # noqa: E731
+    sw = s2d("_s1") / tmf
+    swl = s2d("_s2") / tmf
+    swl2 = s2d("_s3") / tmf
+    x2 = swl2 - swl * swl / sw
+    dfree = (F.col("n_strata") - 1).cast("bigint")
+    p = chi2_sf_expr(x2, dfree)
+    ok = (F.col("n_strata") > 1) & (sw > 0)
+    return agg.select(
+        "n_strata",
+        F.when(ok, x2).alias("woolf_stat"),
+        dfree.alias("df"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p >= F.lit(0.05)).alias("homogeneous_05"),
+    )
+
+
+def woolf_test_sql(
+    data_sql: str,
+    arm_col: str,
+    level_a: str,
+    level_b: str,
+    success_col: str,
+    stratum_col: str,
+    term_scale: int = 9,
+) -> str:
+    """DuckDB twin of :func:`woolf_test` (same Haldane cells, same
+    quantize points, same WH kernel)."""
+    from timeseriesutils_spark.functions.exact import dlit
+    from timeseriesutils_spark.operators.nonparam import chi2_sf_sql
+
+    tm = 10**term_scale
+    tmf = dlit(float(tm))
+    h = lambda c: f"(CAST({c} AS DOUBLE) + 0.5)"  # noqa: E731
+    q = lambda x: f"(FLOOR(({x}) * {tmf} + 0.5) / {tmf})"  # noqa: E731
+    lnor = q(
+        f"LN({h('_a')} * {h('_d')} / ({h('_b')} * {h('_c')}))"
+    )
+    w = q(
+        f"(1.0 / (1.0 / {h('_a')} + 1.0 / {h('_b')}"
+        f" + 1.0 / {h('_c')} + 1.0 / {h('_d')}))"
+    )
+    qd = lambda x: (  # noqa: E731
+        f"CAST(FLOOR(({x}) * {tmf} + 0.5) AS DECIMAL(38,0))"
+    )
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    sw = f"({s2d('_s1')} / {tmf})"
+    swl = f"({s2d('_s2')} / {tmf})"
+    swl2 = f"({s2d('_s3')} / {tmf})"
+    x2 = f"({swl2} - {swl} * {swl} / {sw})"
+    p = chi2_sf_sql(x2, "(n_strata - 1)")
+    ok = f"(n_strata > 1 AND {sw} > 0)"
+    return f"""
+WITH d AS (
+  SELECT {stratum_col} AS _st,
+    CASE WHEN {arm_col} = {level_a!r} THEN 1
+         WHEN {arm_col} = {level_b!r} THEN 2 END AS _arm,
+    CAST(CAST({success_col} AS BOOLEAN) AS BIGINT) AS _s
+  FROM ({data_sql})
+),
+per AS (
+  SELECT _st,
+    CAST(SUM(CASE WHEN _arm = 1 THEN _s ELSE 0 END) AS BIGINT) AS _a,
+    CAST(SUM(CASE WHEN _arm = 1 THEN 1 - _s ELSE 0 END) AS BIGINT) AS _b,
+    CAST(SUM(CASE WHEN _arm = 2 THEN _s ELSE 0 END) AS BIGINT) AS _c,
+    CAST(SUM(CASE WHEN _arm = 2 THEN 1 - _s ELSE 0 END) AS BIGINT) AS _d
+  FROM d WHERE _arm IS NOT NULL AND _s IS NOT NULL
+  GROUP BY _st
+),
+terms AS (
+  SELECT {qd(w)} AS _t1,
+    {qd(f"{w} * {lnor}")} AS _t2,
+    {qd(f"{w} * {lnor} * {lnor}")} AS _t3
+  FROM per
+),
+agg AS (
+  SELECT COUNT(*) AS n_strata, SUM(_t1) AS _s1, SUM(_t2) AS _s2,
+    SUM(_t3) AS _s3
+  FROM terms
+)
+SELECT n_strata,
+  CASE WHEN {ok} THEN {x2} END AS woolf_stat,
+  CAST(n_strata - 1 AS BIGINT) AS df,
+  CASE WHEN {ok} THEN {p} END AS p_value,
+  CASE WHEN {ok} THEN {p} >= 0.05 END AS homogeneous_05
+FROM agg
+"""

@@ -1307,3 +1307,41 @@ def _sql_cmh_test():
 
 
 QUERIES.update({"cmh_test": Q(q_cmh_test, _sql_cmh_test())})
+
+
+def q_woolf_test(spark, sf_dir):
+    """Woolf odds-ratio homogeneity across order years (analytics.
+    woolf_test): the companion cmh_test needs — is a COMMON
+    URGENT-vs-HIGH fill-rate odds ratio defensible across years, or
+    does the effect differ by stratum?  Haldane +1/2 cells, quantized
+    per-stratum ln-OR/weights, sufficient-stats collapse, WH chi2
+    kernel."""
+    from timeseriesutils_spark.operators.analytics import woolf_test
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias(
+            "order_year"
+        ),
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_orderstatus") == F.lit("F")).alias("filled"),
+    )
+    return woolf_test(
+        d, "prio", "1-URGENT", "2-HIGH", "filled", "order_year"
+    )
+
+
+def _sql_woolf_test():
+    from timeseriesutils_spark.operators.analytics import woolf_test_sql
+
+    d = (
+        "SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT)"
+        " AS order_year, o_orderpriority AS prio,"
+        " o_orderstatus = 'F' AS filled FROM orders"
+    )
+    return woolf_test_sql(
+        d, "prio", "1-URGENT", "2-HIGH", "filled", "order_year"
+    )
+
+
+QUERIES.update({"woolf_test": Q(q_woolf_test, _sql_woolf_test())})
