@@ -1253,3 +1253,48 @@ def test_woolf_heterogeneous_strata_reject(spark):
     out = woolf_test(df, "arm", "t", "c", "y", "st").collect()[0]
     assert out.woolf_stat > 30
     assert bool(out.homogeneous_05) is False
+
+
+# --- fleiss_kappa -----------------------------------------------------------
+
+
+def test_fleiss_matches_textbook_example(spark):
+    """Direct check against the published formulas on a small panel
+    (3 items x 4 raters, 2 categories) plus an unbalanced item that
+    must be excluded and counted."""
+    from timeseriesutils_spark.operators.stats import fleiss_kappa
+
+    ratings = {
+        "i1": ["a", "a", "a", "b"],
+        "i2": ["a", "b", "b", "b"],
+        "i3": ["a", "a", "b", "b"],
+        "i4": ["a", "a"],  # only 2 raters -> excluded
+    }
+    rows = [("g", it, c) for it, cs in ratings.items() for c in cs]
+    df = spark.createDataFrame(rows, ["g", "item", "cat"])
+    out = fleiss_kappa(df, "item", "cat", 4, ["g"]).collect()[0]
+    inc = {k: v for k, v in ratings.items() if len(v) == 4}
+    N, n = len(inc), 4
+    ssq = sum(
+        sum(cs.count(c) ** 2 for c in set(cs)) for cs in inc.values()
+    )
+    p_bar = (ssq - N * n) / (N * n * (n - 1))
+    from collections import Counter
+
+    tot = Counter(c for cs in inc.values() for c in cs)
+    p_e = sum((v / (N * n)) ** 2 for v in tot.values())
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert out.n_items == 3 and out.n_excluded == 1
+    assert abs(out.p_bar - p_bar) < 1e-12
+    assert abs(out.p_e - p_e) < 1e-12
+    assert abs(out.kappa - kappa) < 1e-12
+
+
+def test_fleiss_perfect_agreement_is_one(spark):
+    from timeseriesutils_spark.operators.stats import fleiss_kappa
+
+    rows = [("g", f"i{k}", "a" if k % 2 else "b") for k in range(10)
+            for _ in range(3)]
+    df = spark.createDataFrame(rows, ["g", "item", "cat"])
+    out = fleiss_kappa(df, "item", "cat", 3, ["g"]).collect()[0]
+    assert abs(out.kappa - 1.0) < 1e-12 and abs(out.p_bar - 1.0) < 1e-12

@@ -3650,3 +3650,137 @@ SELECT {gsel}, n_a, n_b,
   CASE WHEN {ok} THEN {p} < 0.05 END AS equivalent_05
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Fleiss' kappa (multi-rater categorical agreement)
+# --------------------------------------------------------------------------
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    n_raters: int,
+    group_columns,
+) -> DataFrame:
+    """Per-group Fleiss' kappa (1971): chance-corrected agreement when
+    EVERY item is rated by n raters who need not be the same people —
+    the multi-rater categorical member of the agreement family
+    (cohens_kappa: two fixed raters; icc_oneway: continuous ratings;
+    cronbach_alpha: scale consistency):
+
+        P̄  = (ΣᵢΣⱼ nᵢⱼ² − N·n) / (N·n·(n−1))      (observed agreement)
+        P̄ₑ = Σⱼ (Cⱼ/(N·n))²                        (chance agreement)
+        κ  = (P̄ − P̄ₑ)/(1 − P̄ₑ)
+
+    Items without exactly ``n_raters`` ratings are EXCLUDED (the
+    balanced-panel contract Fleiss assumes; the count is reported so
+    the exclusion is visible).  Exactness: ΣΣnᵢⱼ² and the category
+    totals Cⱼ are exact integers from two map-combinable aggregations,
+    so P̄ is an exact integer ratio and P̄ₑ a ratio of exact squares —
+    κ is one shared double tree with NO quantization anywhere.
+
+    Returns (groups…, n_items, n_excluded, p_bar, p_e, kappa).
+    """
+    groups = _as_list(group_columns)
+    n = int(n_raters)
+    d = df.filter(
+        F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+    ).select(*groups, F.col(item_col).alias("_it"), F.col(category_col).alias("_cat"))
+    cell = d.groupBy(*groups, "_it", "_cat").agg(
+        F.count(F.lit(1)).alias("_nij")
+    )
+    per_item = cell.groupBy(*groups, "_it").agg(
+        F.sum("_nij").alias("_ni"),
+        F.sum(F.col("_nij") * F.col("_nij")).alias("_sq"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    items = per_item.groupBy(*groups).agg(
+        F.sum(F.when(F.col("_ni") == n, 1).otherwise(0)).alias("n_items"),
+        F.sum(F.when(F.col("_ni") != n, 1).otherwise(0)).alias("n_excluded"),
+        F.sum(F.when(F.col("_ni") == n, dec(F.col("_sq")))).alias("_ssq"),
+    )
+    # category totals over INCLUDED items only
+    keep = per_item.filter(F.col("_ni") == n).select(*groups, "_it")
+    cats = (
+        cell.join(keep, [*groups, "_it"])
+        .groupBy(*groups, "_cat")
+        .agg(F.sum("_nij").alias("_cj"))
+        .groupBy(*groups)
+        .agg(F.sum(dec(F.col("_cj")) * dec(F.col("_cj"))).alias("_scj2"))
+    )
+    j = items.join(cats, groups, "left")
+    s2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    Ni = F.col("n_items").cast("double")
+    nf = F.lit(float(n))
+    p_bar = (s2d("_ssq") - Ni * nf) / (Ni * nf * (nf - F.lit(1.0)))
+    p_e = s2d("_scj2") / (Ni * nf * Ni * nf)
+    ok = (F.col("n_items") > 1) & (p_e < 1.0)
+    kappa = F.when(ok, (p_bar - p_e) / (F.lit(1.0) - p_e))
+    return j.select(
+        *groups,
+        "n_items",
+        "n_excluded",
+        F.when(F.col("n_items") > 0, p_bar).alias("p_bar"),
+        F.when(F.col("n_items") > 0, p_e).alias("p_e"),
+        kappa.alias("kappa"),
+    )
+
+
+def fleiss_kappa_sql(
+    data_sql: str,
+    item_col: str,
+    category_col: str,
+    n_raters: int,
+    group_columns,
+) -> str:
+    """DuckDB twin of :func:`fleiss_kappa` (same exact integer
+    ratios)."""
+    groups = _as_list(group_columns)
+    gsel = ", ".join(groups)
+    n = int(n_raters)
+    s2d = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    Ni = "CAST(n_items AS DOUBLE)"
+    nf = f"{float(n)!r}"
+    p_bar = f"(({s2d('_ssq')} - {Ni} * {nf}) / ({Ni} * {nf} * ({nf} - 1.0)))"
+    p_e = f"({s2d('_scj2')} / ({Ni} * {nf} * {Ni} * {nf}))"
+    ok = f"(n_items > 1 AND {p_e} < 1.0)"
+    return f"""
+WITH d AS (
+  SELECT {gsel}, {item_col} AS _it, {category_col} AS _cat
+  FROM ({data_sql})
+  WHERE {item_col} IS NOT NULL AND {category_col} IS NOT NULL
+),
+cell AS (
+  SELECT {gsel}, _it, _cat, COUNT(*) AS _nij
+  FROM d GROUP BY {gsel}, _it, _cat
+),
+per_item AS (
+  SELECT {gsel}, _it, CAST(SUM(_nij) AS BIGINT) AS _ni,
+    CAST(SUM(_nij * _nij) AS BIGINT) AS _sq
+  FROM cell GROUP BY {gsel}, _it
+),
+items AS (
+  SELECT {gsel},
+    CAST(SUM(CASE WHEN _ni = {n} THEN 1 ELSE 0 END) AS BIGINT) AS n_items,
+    CAST(SUM(CASE WHEN _ni != {n} THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_excluded,
+    SUM(CASE WHEN _ni = {n} THEN CAST(_sq AS HUGEINT) END) AS _ssq
+  FROM per_item GROUP BY {gsel}
+),
+cats AS (
+  SELECT {gsel}, SUM(CAST(_cj AS HUGEINT) * _cj) AS _scj2
+  FROM (
+    SELECT {gsel}, _cat, CAST(SUM(_nij) AS BIGINT) AS _cj
+    FROM cell JOIN (SELECT {gsel}, _it FROM per_item WHERE _ni = {n}) k
+      USING ({gsel}, _it)
+    GROUP BY {gsel}, _cat
+  ) GROUP BY {gsel}
+)
+SELECT {gsel}, n_items, n_excluded,
+  CASE WHEN n_items > 0 THEN {p_bar} END AS p_bar,
+  CASE WHEN n_items > 0 THEN {p_e} END AS p_e,
+  CASE WHEN {ok} THEN ({p_bar} - {p_e}) / (1.0 - {p_e}) END AS kappa
+FROM items LEFT JOIN cats USING ({gsel})
+"""

@@ -47,7 +47,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "adamic_adar", "variance_ratio", "ansari_bradley", "gumbel_lmom",
     "mmd_drift", "forecast_e2e", "stream_crps", "kuiper_test",
     "cucconi_test", "lepage_test", "tost_equivalence", "sequential_ab",
-    "cmh_test", "woolf_test",
+    "cmh_test", "woolf_test", "fleiss_kappa",
     # round-11 additions (never driver-verified — governance enforces
     # head placement; swapped in one-for-one against tail padding) and
     # the two ex-rows-only conversions whose NEW oracles need a driver
@@ -64,7 +64,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # round-10 additions (never driver-verified; uncommented here as
     # each lands gate-green — catalog() validates these names):
     "knn_ivfpq", "ann_recall_ivfpq", "kalman_local_level",
-    "stream_pq_encode", "keyness_llr",
+    "stream_pq_encode",
     # stale re-verification backlog moved wholesale to the ROUND-12
     # plan below (displaced by this round's 18 additions)
     # round-4 cohort head, catalog order (tail names are PADDING
@@ -166,7 +166,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "adamic_adar", "variance_ratio", "ansari_bradley", "gumbel_lmom",
     "mmd_drift", "forecast_e2e", "stream_crps", "kuiper_test",
     "cucconi_test", "lepage_test", "tost_equivalence", "sequential_ab",
-    "cmh_test", "woolf_test",
+    "cmh_test", "woolf_test", "fleiss_kappa",
     "pipeline_e2e", "lomb_scargle", "arma11_forecast", "durbin_watson",
     "dagostino_k2", "tokenizer_fertility", "hodges_lehmann",
     "jonckheere_terpstra", "page_trend", "winnow_fingerprints",

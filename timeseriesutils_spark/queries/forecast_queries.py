@@ -4181,3 +4181,34 @@ def _sql_tost_equivalence():
 QUERIES.update(
     {"tost_equivalence": Q(q_tost_equivalence, _sql_tost_equivalence())}
 )
+
+
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa over 4-line orders (operators/stats.fleiss_kappa):
+    an order's four line items as four 'raters' assigning the order a
+    returnflag category, per order cohort — do lines of one order agree
+    on disposition beyond chance?  The multi-rater member of the
+    agreement family (cohens_kappa / icc_oneway / cronbach_alpha);
+    exact integer ratios end to end, no quantization."""
+    from timeseriesutils_spark.operators.stats import fleiss_kappa
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_orderkey") % 4).cast("bigint").alias("cohort"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    return fleiss_kappa(d, "okey", "flag", 4, ["cohort"])
+
+
+def _sql_fleiss_kappa():
+    from timeseriesutils_spark.operators.stats import fleiss_kappa_sql
+
+    d = (
+        "SELECT CAST(l_orderkey % 4 AS BIGINT) AS cohort,"
+        " l_orderkey AS okey, l_returnflag AS flag FROM lineitem"
+    )
+    return fleiss_kappa_sql(d, "okey", "flag", 4, ["cohort"])
+
+
+QUERIES.update({"fleiss_kappa": Q(q_fleiss_kappa, _sql_fleiss_kappa())})
