@@ -1946,6 +1946,10 @@ def bayes_ab(
 
     g = _as_list(group_columns)
     pa, pb = int(prior_alpha), int(prior_beta)
+    if pa < 1 or pb < 1:
+        # pa/pb = 0 with zero failures (successes) makes the fold's
+        # F.sequence(0, -1) DESCENDING, not empty -> silently wrong
+        raise ValueError("prior_alpha and prior_beta must be >= 1")
     arm = F.when(F.col(arm_col) == F.lit(level_a), 1).when(
         F.col(arm_col) == F.lit(level_b), 2
     )
@@ -2030,6 +2034,10 @@ def bayes_ab_sql(
     g = _as_list(group_columns)
     gsel = ", ".join(g)
     pa, pb = int(prior_alpha), int(prior_beta)
+    if pa < 1 or pb < 1:
+        # pa/pb = 0 with zero failures (successes) makes the fold's
+        # F.sequence(0, -1) DESCENDING, not empty -> silently wrong
+        raise ValueError("prior_alpha and prior_beta must be >= 1")
     a1 = "CAST(conv_a + {pa} AS DOUBLE)".format(pa=pa)
     b1 = f"CAST(n_a - conv_a + {pb} AS DOUBLE)"
     a2 = f"CAST(conv_b + {pa} AS BIGINT)"
@@ -2195,6 +2203,8 @@ def sequential_ab_sql(
     from timeseriesutils_spark.functions.exact import dlit
 
     K = int(n_looks)
+    if K not in _OBF_CONST:
+        raise ValueError(f"n_looks must be one of {sorted(_OBF_CONST)}")
     c = _OBF_CONST[K]
     aggs = []
     for k in range(1, K + 1):

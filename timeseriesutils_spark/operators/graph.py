@@ -351,7 +351,9 @@ def adamic_adar(
 
     Returns (src, dst, common, aa_score, already_linked) — top_k rows.
     """
-    e = edges.select("src", "dst")
+    # duplicate edges would double-count degrees and fan out the
+    # already_linked join — enforce the distinct-edge contract here
+    e = edges.select("src", "dst").distinct()
     adj = pin(
         e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
         .unionByName(
@@ -414,7 +416,7 @@ def adamic_adar_sql(edges_sql: str, top_k: int = 50) -> str:
     """DuckDB twin of :func:`adamic_adar` (same double quantization,
     same integer ordering)."""
     return f"""
-WITH e AS (SELECT src, dst FROM ({edges_sql})),
+WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
 adj AS (
   SELECT src AS node, dst AS nbr FROM e
   UNION ALL

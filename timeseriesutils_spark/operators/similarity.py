@@ -2299,6 +2299,7 @@ def mmd_quad_drift(
     sample_col: str,
     scale: int = 4,
     c: float = 1.0,
+    max_dim: int = 128,
 ) -> DataFrame:
     """Maximum mean discrepancy between two embedding samples under the
     degree-2 polynomial kernel k(x,y) = (c + x·y)² — the drift test
@@ -2325,6 +2326,13 @@ def mmd_quad_drift(
     map-combinable so the shuffled state is 2·d² rows regardless of
     corpus size), one broadcast of the 1-row counts.
 
+    Dimension budget: the second-moment expansion is d² cells per row
+    (d=64 → 4 096; d=768 → 590k) — the quadratic-kernel scope is LOW-d
+    embeddings.  For d > ``max_dim`` (default 128, ~16k cells) the plan
+    raises at execution (a JVM-side assert, no driver collect): project
+    first with :func:`timeseriesutils_spark.operators.pca.pca_project`
+    (hash-green) and run the drift test in the projected space.
+
     Returns one row: (n_1, n_2, mmd2_linear, mmd2_quad, mmd2).
     """
     m = 10**scale
@@ -2338,6 +2346,18 @@ def mmd_quad_drift(
     base = df.filter(
         F.col(vec_col).isNotNull() & s.isin(1, 2)
     ).select(s.alias("_s"), q.alias("_q"))
+    # d² explode guard: fail loudly (JVM-side, no collect) rather than
+    # build a 590k-cells-per-row plan on a d=768 column
+    base = base.where(
+        F.assert_true(
+            F.size(F.col("_q")) <= F.lit(int(max_dim)),
+            F.lit(
+                f"mmd_quad_drift: vector dim exceeds max_dim={int(max_dim)}"
+                " (d\u00b2 feature-map explode); pca_project first or"
+                " raise max_dim deliberately"
+            ),
+        ).isNull()
+    )
     from timeseriesutils_spark.functions.cache import pin
 
     base = pin(base)  # feeds counts + both moment passes

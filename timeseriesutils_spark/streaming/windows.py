@@ -349,6 +349,10 @@ def streaming_cusum(
     def fn(key, pdfs, state: GroupState):
         p, lo, hi, n = state.get if state.exists else (0, 0, 0, 0)
         for pdf in pdfs:
+            # the oracle scores WHERE value IS NOT NULL; a NaN here
+            # would make floor(...).astype(int64) undefined and corrupt
+            # the ring — drop nulls per micro-batch to match
+            pdf = pdf.dropna(subset=[value_col])
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(oc)
@@ -726,6 +730,10 @@ def streaming_crps(
             n, scored, snum = 0, 0, 0
             ring = []
         for pdf in pdfs:
+            # the oracle scores WHERE value IS NOT NULL; a NaN here
+            # would make floor(...).astype(int64) undefined and corrupt
+            # the ring — drop nulls per micro-batch to match
+            pdf = pdf.dropna(subset=[value_col])
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(oc)
