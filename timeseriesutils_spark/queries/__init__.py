@@ -27,67 +27,48 @@ class Q:
 # the full set is locally gate-checked every round via
 # tools/check_oracle.py — see CORRECTNESS_LOCAL.json).
 #
-# ROUND-10 ROTATION (executes the plan written at the end of round 9):
-# slots 1-3 the ONLY hash-capable queries never driver-verified
-# (ratio_metric_ci / knn_pq / pq_recall — added after round 9 froze
-# its rotation), then every round-10 addition (inserted here as each
-# lands, all locally gate-green at BOTH SFs + unit-tested before
-# entering the head), then the stale-row re-verification cohort: the
-# remaining round-3 cohort (chunk_dedup, quality_filter,
-# semantic_dedup, the stream_* family — last driver rows r3) and the
-# round-4 cohort head.  Everything after slot 50 keeps full local
-# gate coverage via tools/check_oracle.py --json.
+# ROUND-12 ROTATION (executes the plan written at the end of round 11,
+# corrected against the artifacts: the r11 plan's "r3 stream family /
+# quality_filter / semantic_dedup" backlog was ALREADY re-verified by
+# the round-10 gate — CORRECTNESS_r10.json carries green rows for all
+# of them — so the genuinely stalest cohorts are the 38 queries whose
+# last green driver row is r4 and the 40 whose last is r5, computed
+# from CORRECTNESS_r01..r11 directly): head slots go to (a) round-12
+# additions as each lands (find_unrotated_queries enforces head
+# placement for anything never driver-verified), then (b) the r4-stale
+# cohort in full, then (c) r5-stale padding swapped out one-for-one as
+# round-12 additions land, keeping the head at exactly 50.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
-    # round-11 second-session wave (never driver-verified; swapped in
-    # one-for-one against the r10 re-verification padding below, which
-    # already has r10 driver rows):
-    "crps_sample", "pit_histogram", "wallinga_teunis",
-    "energy_distance", "kpss_test", "icc_oneway",
-    "chrf_pairs", "wer_pairs", "bayes_ab", "qini_curve",
-    "adamic_adar", "variance_ratio", "ansari_bradley", "gumbel_lmom",
-    "mmd_drift", "forecast_e2e", "stream_crps", "kuiper_test",
-    "cucconi_test", "lepage_test", "tost_equivalence", "sequential_ab",
-    "cmh_test", "woolf_test", "fleiss_kappa",
-    # round-11 additions (never driver-verified — governance enforces
-    # head placement; swapped in one-for-one against tail padding) and
-    # the two ex-rows-only conversions whose NEW oracles need a driver
-    # hash row (dtw_pattern: exact int min-plus DP; pca_project:
-    # power-deflation k=2):
-    "pipeline_e2e", "dtw_pattern", "pca_project", "lomb_scargle",
-    "arma11_forecast", "durbin_watson", "dagostino_k2",
-    "tokenizer_fertility", "hodges_lehmann", "jonckheere_terpstra",
-    "page_trend", "winnow_fingerprints", "boxcox_guerrero", "cox_ph",
-    "brunner_munzel", "rouge_n", "cer_pairs", "bleu_pairs",
-    "van_der_waerden", "fligner_killeen",
-    # slots: round-10 head re-verification carry
-    "ratio_metric_ci",
-    # round-10 additions (never driver-verified; uncommented here as
-    # each lands gate-green — catalog() validates these names):
-    "knn_ivfpq", "ann_recall_ivfpq", "kalman_local_level",
-    "stream_pq_encode",
-    # stale re-verification backlog moved wholesale to the ROUND-12
-    # plan below (displaced by this round's 18 additions)
-    # round-4 cohort head, catalog order (tail names are PADDING
-    # swapped out one-for-one as round-11 additions land, keeping the
-    # head at exactly 50)
+    # round-12 additions (never driver-verified):
+    # r4-stale cohort (last green driver row: CORRECTNESS_r04), 38:
+    "ab_test_report", "acf_features", "backtest_folds", "benford_audit",
+    "bpe_pair_counts", "build_vocab", "categorical_assoc",
+    "compaction_plan", "cusum_drift", "dedup_embedding_lsh", "dup_spans",
+    "event_transitions", "ew_volatility", "fk_audit", "funnel_latency",
+    "holt_smooth", "incremental_dedup", "incremental_rollmean",
+    "incremental_taylor", "inverted_index", "kmeans", "knn_lsh",
+    "pca_power", "pmi_cooccur", "psi_drift", "rolling_active_users",
+    "rolling_mad", "rolling_moments", "sax_words", "seasonal_zscore",
+    "shard_assign", "sink_roundtrip", "skew_report", "table_checksum",
+    "temporal_join", "triangle_count", "value_entropy", "zorder_key",
+    # r5-stale padding (last green driver row: CORRECTNESS_r05; tail
+    # names drop one-for-one as round-12 additions take head slots):
+    "abc_analysis", "anova_oneway", "attribution", "bootstrap_ci",
+    "canonical_pick", "constraint_audit", "corr_matrix", "counter_rate",
+    "dedup_debounce", "dup_rate_by_source", "embedding_drift",
+    "fd_audit",
 )
-# ROUND-12 ROTATION PLAN: head slots go to (a) any round-12 additions
-# (find_unrotated_queries enforces head placement for anything never
-# driver-verified), then (b) the stale re-verification backlog
-# displaced by round 11's 41 additions (20 first-session + 21
-# second-session), oldest driver row first: the
-# r3 stream family (stream_counter_rate, stream_cusum, stream_dedup,
-# stream_join, stream_renewal_rt, stream_session, stream_sliding,
-# stream_stateful, stream_static_join, stream_topk, stream_tumbling)
-# and quality_filter/semantic_dedup, then (c) the round-4 cohort in
-# catalog order (spectral_entropy, variant_json, quantile_bin,
-# dedup_minhash_lsh, shard_assign, domain_caps, build_vocab,
-# bpe_pair_counts, jsonl_pack, sax_words, permutation_entropy,
-# hurst_exponent, rolling_median, rolling_mad, winsorize, gini_index,
-# weighted_median, value_entropy, group_mode, ohlc_bars, interpolate,
-# gap_fill_ffill, seasonal_profile, sessionize, merge_intervals,
-# state_dwell, top_paths, event_transitions), then (d) round-5
-# oldest-first.
+# ROUND-13 ROTATION PLAN: (a) round-13 additions, then (b) whatever is
+# stalest in CORRECTNESS_r01..r12 at that point — recompute from the
+# artifacts (the remaining r5 cohort: feature_hash, fifo_allocation,
+# funnel_window, grouped_ols2, growth_rates, histogram2d, item_cooccur,
+# jsonl_pack, kaplan_meier, latency_bands, local_peaks,
+# mahalanobis_outliers, merge_intervals, minhash_estimate_audit,
+# novelty_scores, nowcast_triangle, period_over_period, renewal_rt,
+# rfm_segments, seasonal_strength, shipping_sla, snapshot_diff,
+# state_dwell, stickiness, stockout_events, top_paths, wilson_daily,
+# zipf_fit, plus any r5-pad names displaced this round), then (c) the
+# r6 cohort.
 
 
 # --- catalog governance (round-6): gate tiers -----------------------------
