@@ -92,3 +92,90 @@ def test_streaming_crps_drops_nulls(spark, tmp_path):
     assert with_nulls["n_scored"] == clean["n_scored"]
     assert np.isfinite(with_nulls["mean_crps"])
     assert with_nulls["mean_crps"] == clean["mean_crps"]
+
+
+# --- matrix_profile -------------------------------------------------------
+
+
+def _mp_numpy(x, w, band, excl, scale):
+    """Straight-line banded matrix profile reference (STOMP identity
+    recomputed naively per pair) with the operator's quantization."""
+    mult = 10 ** scale
+    xq = np.floor(np.asarray(x, dtype="float64") * mult + 0.5).astype("int64")
+    n = len(xq)
+    out = {}
+    nsub = n - w + 1
+    for i in range(nsub):
+        best = None
+        for j in range(nsub):
+            d = abs(j - i)
+            if d <= excl or d > band:
+                continue
+            a, b = xq[i:i + w], xq[j:j + w]
+            Sa, SSa = a.sum(), (a * a).sum()
+            Sb, SSb = b.sum(), (b * b).sum()
+            da = w * SSa - Sa * Sa
+            db = w * SSb - Sb * Sb
+            if da <= 0 or db <= 0:
+                continue
+            num = w * int(a @ b) - Sa * Sb
+            corr = float(num) / (np.sqrt(float(da)) * np.sqrt(float(db)))
+            dist = np.sqrt(max(2.0 * w * (1.0 - corr), 0.0))
+            dq = int(np.floor(dist * 1e9 + 0.5))
+            if best is None or (dq, j + 1) < best:
+                best = (dq, j + 1)
+        if best is not None:
+            out[i + 1] = (best[1], best[0] / 1e9)
+    return out
+
+
+def test_matrix_profile_matches_numpy(spark):
+    from timeseriesutils_spark.operators.matrixprofile import matrix_profile
+
+    rng = np.random.default_rng(7)
+    x = np.cumsum(rng.normal(0, 1, 120)) + 50.0
+    # plant a repeated motif far apart (inside the band from one side)
+    x[30:38] = x[80:88] = np.array([1, 5, 2, 8, 3, 9, 4, 7], dtype="float64")
+    rows = [("s", int(t), float(v)) for t, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    got = {
+        r["idx"]: (r["nn_idx"], r["mp_dist"])
+        for r in matrix_profile(
+            df, "v", ["g"], ["t"], w=8, band=60, excl=4, scale=2
+        ).collect()
+    }
+    want = _mp_numpy(x, w=8, band=60, excl=4, scale=2)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], (i, got[i], want[i])
+        assert got[i][1] == pytest.approx(want[i][1], abs=2e-9)
+
+
+def test_matrix_profile_finds_planted_motif(spark):
+    from timeseriesutils_spark.operators.matrixprofile import matrix_profile
+
+    rng = np.random.default_rng(3)
+    x = np.cumsum(rng.normal(0, 5, 100)) + 200.0
+    motif = np.array([10, 80, 20, 90, 30, 70, 40, 60], dtype="float64")
+    x[10:18] = motif
+    x[40:48] = motif
+    rows = [("s", int(t), float(v)) for t, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    res = {
+        r["idx"]: (r["nn_idx"], r["mp_dist"])
+        for r in matrix_profile(
+            df, "v", ["g"], ["t"], w=8, band=40, excl=4, scale=2
+        ).collect()
+    }
+    # the two planted motif subsequences are each other's nearest
+    # neighbor at (near-)zero z-normalized distance
+    assert res[11][0] == 41 and res[41][0] == 11
+    assert res[11][1] < 1e-6 and res[41][1] < 1e-6
+
+
+def test_matrix_profile_constant_windows_drop_out(spark):
+    from timeseriesutils_spark.operators.matrixprofile import matrix_profile
+
+    rows = [("s", t, 5.0) for t in range(30)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    assert matrix_profile(df, "v", ["g"], ["t"], w=4, band=10, excl=2).count() == 0

@@ -1,0 +1,245 @@
+"""Banded matrix profile: z-normalized subsequence nearest-neighbor
+distance per series — the standard motif/discord discovery primitive
+(Yeh et al. 2016, "Matrix Profile I", STOMP formulation).  The
+reference engine has no counterpart (its featurize.py stops at window
+stats); this is the §2.2b capability row for self-join time-series
+mining, complementing dtw_pattern (template matching against a GIVEN
+pattern — here the series is mined against ITSELF).
+
+For every length-``w`` subsequence ``i`` of each series, the profile is
+the minimum z-normalized Euclidean distance to any other subsequence
+``j`` within the search band ``excl < |i-j| <= band``:
+
+    dist²(i,j) = 2w·(1 − corr(i,j)),
+    corr(i,j)  = (w·QT(i,j) − S_i·S_j) / (√(w·SS_i−S_i²)·√(w·SS_j−S_j²))
+
+where QT is the subsequence dot product and S/SS the window sum /
+sum-of-squares (the classic normalized-cross-correlation identity that
+makes STOMP O(1) per cell).  The exclusion zone ``excl`` (default w/2)
+discards trivial self-matches, exactly as in the paper; the band bound
+``band`` is the bounded-search variant — at 100 TB an unbounded profile
+is an all-pairs self-join per series, while the band caps work at
+O(n·(band−excl)) per series and loses only matches farther than
+``band`` steps away (the standard streaming/anytime compromise).
+
+Spark-first shape — NO self-join at all: for each literal lag
+``d ∈ (excl, band]`` the dot product QT(i, i+d) is a rolling sum of the
+lag-product series ``x[t]·x[t+d]`` (one ``lead`` + one windowed sum),
+the j-side window stats are ``lead(S, d)``, and the BACKWARD pair
+(i−d, i) is ``lag(dist_d, d)`` of the forward distance — so the whole
+banded profile is window expressions over ONE exchange per series,
+entirely inside whole-stage codegen.  The plan at any scale: one
+shuffle on the group key, one sort, no joins, no Python.
+
+Exactness (cross-engine): values are floor-quantized to integers at
+``10^-scale``; S/SS/QT accumulate in DECIMAL(38,0) (Spark) / HUGEINT
+(DuckDB) so every numerator ``w·QT − S_i·S_j`` and variance term
+``w·SS − S²`` is an EXACT integer, string-cast to double (correctly
+rounded in both engines); the final distance is one shared expression
+tree on those doubles, floor-quantized at 1e-9 (the libm grid rule).
+Ties in the nearest-neighbor argmin break on the smaller neighbor
+index via the two-pass LEAST(CASE...) idiom — no struct-ordering
+dependence.  Constant windows (zero variance) yield NULL distance and
+drop out of the min, as in the noise-robust MP variants.
+
+Returns one row per valid subsequence: (group..., idx, nn_idx,
+mp_dist) where idx is the 1-based subsequence start and nn_idx its
+nearest neighbor's start within the band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_Q9 = 1.0e9
+
+
+def matrix_profile(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    order_columns,
+    w: int = 8,
+    band: int = 20,
+    excl: int | None = None,
+    scale: int = 2,
+) -> DataFrame:
+    """Banded z-normalized matrix profile per series (module doc)."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    o = _as_list(order_columns)
+    m = int(w)
+    e = m // 2 if excl is None else int(excl)
+    B = int(band)
+    if not (0 <= e < B):
+        raise ValueError("need 0 <= excl < band")
+    if m < 2:
+        raise ValueError("w must be >= 2")
+    lags = list(range(e + 1, B + 1))
+    mult = 10 ** int(scale)
+
+    word = Window.partitionBy(*g).orderBy(*o)
+    base = df.select(
+        *g,
+        F.row_number().over(word).cast("bigint").alias("_i"),
+        F.floor(F.col(value_col).cast("double") * F.lit(mult) + F.lit(0.5))
+        .cast("bigint")
+        .alias("_xq"),
+    )
+    wi = Window.partitionBy(*g).orderBy("_i")
+    ws = wi.rowsBetween(0, m - 1)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    s1 = base.select(
+        "*",
+        F.sum(dec(F.col("_xq"))).over(ws).alias("_S"),
+        F.sum(dec(F.col("_xq") * F.col("_xq"))).over(ws).alias("_SS"),
+        F.count(F.lit(1)).over(ws).alias("_cnt"),
+        *[
+            (F.col("_xq") * F.lead("_xq", d).over(wi)).alias(f"_p{d}")
+            for d in lags
+        ],
+    )
+    s2 = s1.select(
+        "*",
+        *[F.sum(dec(F.col(f"_p{d}"))).over(ws).alias(f"_qt{d}") for d in lags],
+        *[F.count(F.col(f"_p{d}")).over(ws).alias(f"_cq{d}") for d in lags],
+    )
+    s3 = s2.select(
+        "*",
+        *[F.lead("_S", d).over(wi).alias(f"_Sj{d}") for d in lags],
+        *[F.lead("_SS", d).over(wi).alias(f"_SSj{d}") for d in lags],
+    )
+
+    s2d = lambda c: c.cast("string").cast("double")  # noqa: E731
+
+    def dist_q(d: int):
+        da = F.lit(m) * F.col("_SS") - F.col("_S") * F.col("_S")
+        db = F.lit(m) * F.col(f"_SSj{d}") - F.col(f"_Sj{d}") * F.col(f"_Sj{d}")
+        num = F.lit(m) * F.col(f"_qt{d}") - F.col("_S") * F.col(f"_Sj{d}")
+        corr = s2d(num) / (F.sqrt(s2d(da)) * F.sqrt(s2d(db)))
+        d2 = F.lit(2.0 * m) * (F.lit(1.0) - corr)
+        dist = F.sqrt(F.greatest(d2, F.lit(0.0)))
+        ok = (
+            (F.col(f"_cq{d}") == m)
+            & (da > F.lit(0).cast("decimal(38,0)"))
+            & (db > F.lit(0).cast("decimal(38,0)"))
+        )
+        return F.when(ok, F.floor(dist * F.lit(_Q9) + F.lit(0.5)).cast("bigint"))
+
+    s4 = s3.select("*", *[dist_q(d).alias(f"_dq{d}") for d in lags])
+    s5 = s4.select(
+        "*", *[F.lag(f"_dq{d}", d).over(wi).alias(f"_bq{d}") for d in lags]
+    )
+    cands = [F.col(f"_dq{d}") for d in lags] + [F.col(f"_bq{d}") for d in lags]
+    mp = F.least(*cands) if len(cands) > 1 else cands[0]
+    s6 = s5.select("*", mp.alias("_mp"))
+    nns = [
+        F.when(F.col(f"_dq{d}") == F.col("_mp"), F.col("_i") + F.lit(d))
+        for d in lags
+    ] + [
+        F.when(F.col(f"_bq{d}") == F.col("_mp"), F.col("_i") - F.lit(d))
+        for d in lags
+    ]
+    nn = F.least(*nns) if len(nns) > 1 else nns[0]
+    return (
+        s6.filter(F.col("_mp").isNotNull())
+        .select(
+            *g,
+            F.col("_i").alias("idx"),
+            nn.alias("nn_idx"),
+            (F.col("_mp").cast("double") / F.lit(_Q9)).alias("mp_dist"),
+        )
+    )
+
+
+def matrix_profile_sql(
+    data_sql: str,
+    value_col: str,
+    group_columns,
+    order_columns,
+    w: int = 8,
+    band: int = 20,
+    excl: int | None = None,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`matrix_profile` (same integer sufficient
+    stats via HUGEINT, same shared double tree, same LEAST argmin)."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    o = _as_list(order_columns)
+    m = int(w)
+    e = m // 2 if excl is None else int(excl)
+    B = int(band)
+    if not (0 <= e < B):
+        raise ValueError("need 0 <= excl < band")
+    lags = list(range(e + 1, B + 1))
+    mult = 10 ** int(scale)
+    gsel = ", ".join(g)
+    osel = ", ".join(o)
+
+    p_cols = ", ".join(
+        f"_xq * LEAD(_xq, {d}) OVER word AS _p{d}" for d in lags
+    )
+    qt_cols = ", ".join(
+        f"SUM(CAST(_p{d} AS HUGEINT)) OVER ws AS _qt{d}, "
+        f"COUNT(_p{d}) OVER ws AS _cq{d}"
+        for d in lags
+    )
+    sj_cols = ", ".join(
+        f"LEAD(_S, {d}) OVER word AS _Sj{d}, "
+        f"LEAD(_SS, {d}) OVER word AS _SSj{d}"
+        for d in lags
+    )
+    s2d = lambda x: f"CAST(CAST(({x}) AS VARCHAR) AS DOUBLE)"  # noqa: E731
+
+    def dist_q(d: int) -> str:
+        da = f"({m} * _SS - _S * _S)"
+        db = f"({m} * _SSj{d} - _Sj{d} * _Sj{d})"
+        num = f"({m} * _qt{d} - _S * _Sj{d})"
+        corr = f"({s2d(num)} / (SQRT({s2d(da)}) * SQRT({s2d(db)})))"
+        dist = f"SQRT(GREATEST({2.0 * m} * (1.0 - {corr}), 0.0))"
+        return (
+            f"CASE WHEN _cq{d} = {m} AND {da} > 0 AND {db} > 0 "
+            f"THEN CAST(FLOOR({dist} * 1000000000.0 + 0.5) AS BIGINT) END"
+        )
+
+    dq_cols = ", ".join(f"{dist_q(d)} AS _dq{d}" for d in lags)
+    bq_cols = ", ".join(
+        f"LAG(_dq{d}, {d}) OVER word AS _bq{d}" for d in lags
+    )
+    cands = ", ".join([f"_dq{d}" for d in lags] + [f"_bq{d}" for d in lags])
+    nns = ", ".join(
+        [f"CASE WHEN _dq{d} = _mp THEN _i + {d} END" for d in lags]
+        + [f"CASE WHEN _bq{d} = _mp THEN _i - {d} END" for d in lags]
+    )
+    word = f"(PARTITION BY {gsel} ORDER BY _i)"
+    ws = (
+        f"(PARTITION BY {gsel} ORDER BY _i "
+        f"ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)"
+    )
+    return f"""
+WITH base AS (
+  SELECT {gsel},
+    CAST(ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY {osel}) AS BIGINT) AS _i,
+    CAST(FLOOR(CAST({value_col} AS DOUBLE) * {mult} + 0.5) AS BIGINT) AS _xq
+  FROM ({data_sql})
+),
+s1 AS (
+  SELECT *, SUM(CAST(_xq AS HUGEINT)) OVER ws AS _S,
+    SUM(CAST(_xq * _xq AS HUGEINT)) OVER ws AS _SS,
+    COUNT(*) OVER ws AS _cnt, {p_cols}
+  FROM base WINDOW word AS {word}, ws AS {ws}
+),
+s2 AS (SELECT *, {qt_cols} FROM s1 WINDOW ws AS {ws}),
+s3 AS (SELECT *, {sj_cols} FROM s2 WINDOW word AS {word}),
+s4 AS (SELECT *, {dq_cols} FROM s3),
+s5 AS (SELECT *, {bq_cols} FROM s4 WINDOW word AS {word}),
+s6 AS (SELECT *, LEAST({cands}) AS _mp FROM s5)
+SELECT {gsel}, _i AS idx, LEAST({nns}) AS nn_idx,
+  CAST(_mp AS DOUBLE) / 1000000000.0 AS mp_dist
+FROM s6 WHERE _mp IS NOT NULL
+"""

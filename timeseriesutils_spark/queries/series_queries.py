@@ -1287,3 +1287,31 @@ def _sql_lomb():
 
 
 QUERIES.update({"lomb_scargle": Q(q_lomb_scargle, _sql_lomb())})
+
+
+def q_matrix_profile(spark, sf_dir):
+    """Banded z-normalized matrix profile of each supplier's daily
+    price series (operators/matrixprofile.matrix_profile): STOMP's
+    O(1)-per-cell normalized-correlation identity expressed as pure
+    window expressions — per-lag lead-products + rolling sums give the
+    QT dot products, the backward pair is a lag of the forward
+    distance — so the whole motif/discord profile runs on ONE exchange
+    per series with zero joins."""
+    from timeseriesutils_spark.operators.matrixprofile import matrix_profile
+
+    return matrix_profile(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        w=8, band=20, excl=4, scale=2,
+    )
+
+
+def _sql_matrix_profile():
+    from timeseriesutils_spark.operators.matrixprofile import matrix_profile_sql
+
+    return matrix_profile_sql(
+        f"({_SQL_DAILY})", "day_price", ["l_suppkey"], ["ship_day"],
+        w=8, band=20, excl=4, scale=2,
+    )
+
+
+QUERIES.update({"matrix_profile": Q(q_matrix_profile, _sql_matrix_profile())})
