@@ -179,3 +179,18 @@ def test_matrix_profile_constant_windows_drop_out(spark):
     rows = [("s", t, 5.0) for t in range(30)]
     df = spark.createDataFrame(rows, "g string, t int, v double")
     assert matrix_profile(df, "v", ["g"], ["t"], w=4, band=10, excl=2).count() == 0
+
+
+def test_matrix_profile_plan_single_exchange_no_joins(spark):
+    """The banded-STOMP formulation must stay pure window expressions:
+    one exchange per series, zero joins, no Python eval."""
+    import re
+
+    from timeseriesutils_spark.queries import catalog
+
+    df = catalog()["matrix_profile"].spark(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
