@@ -194,3 +194,108 @@ def test_matrix_profile_plan_single_exchange_no_joins(spark):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+# --- stl_decompose --------------------------------------------------------
+
+
+def _stl_numpy(x, P, hs, ht, scale):
+    """Straight-line reference of the quantized-weight one-iteration
+    STL: same integer stages, same division order."""
+    from timeseriesutils_spark.operators.stl import _lowpass_counts, _tricube_q
+
+    mult = 10 ** scale
+    Wq, Uq, cj = _tricube_q(hs), _tricube_q(ht), _lowpass_counts(P)
+    SW, SU = sum(Wq), sum(Uq)
+    DL = SW * 3 * P * P
+    n = len(x)
+    xq = np.floor(np.asarray(x, dtype="float64") * mult + 0.5).astype(object)
+
+    def at(arr, i):
+        return arr[i] if 0 <= i < n and arr[i] is not None else None
+
+    sn = [None] * n
+    for t in range(n):
+        terms = [at(xq, t + k * P) for k in range(-hs, hs + 1)]
+        if all(v is not None for v in terms):
+            sn[t] = sum(w * v for w, v in zip(Wq, terms))
+    seasn = [None] * n
+    for t in range(n):
+        terms = [at(np.array(sn, dtype=object), t + j) for j in range(-P, P + 1)]
+        if sn[t] is not None and all(v is not None for v in terms):
+            seasn[t] = sn[t] * 3 * P * P - sum(c * v for c, v in zip(cj, terms))
+    vn = [None if seasn[t] is None else xq[t] * DL - seasn[t] for t in range(n)]
+    trn = [None] * n
+    for t in range(n):
+        terms = [at(np.array(vn, dtype=object), t + m) for m in range(-ht, ht + 1)]
+        if all(v is not None for v in terms):
+            trn[t] = sum(u * v for u, v in zip(Uq, terms))
+    out = {}
+    for t in range(n):
+        s = None if seasn[t] is None else float(seasn[t]) / float(DL * mult)
+        tr = None if trn[t] is None else float(trn[t]) / float(DL * SU * mult)
+        out[t] = (s, tr)
+    return out
+
+
+def test_stl_decompose_matches_numpy(spark):
+    from timeseriesutils_spark.operators.stl import stl_decompose
+
+    rng = np.random.default_rng(11)
+    n, P = 120, 7
+    t = np.arange(n)
+    x = 100 + 0.5 * t + 10 * np.sin(2 * np.pi * (t % P) / P) + rng.normal(0, 1, n)
+    df = spark.createDataFrame(
+        [("s", int(i), float(v)) for i, v in enumerate(x)],
+        "g string, t int, v double",
+    )
+    got = {
+        r["t"]: (r["seasonal"], r["trend"], r["remainder"])
+        for r in stl_decompose(
+            df, "v", "t", ["g"], period=P, seasonal_h=3, trend_h=10, scale=2
+        ).collect()
+    }
+    want = _stl_numpy(x, P, 3, 10, 2)
+    assert set(got) == set(want)
+    for i in want:
+        ws, wt = want[i]
+        gs, gt, gr = got[i]
+        if ws is None:
+            assert gs is None
+        else:
+            assert gs == pytest.approx(ws, abs=1e-12)
+        if wt is None:
+            assert gt is None
+        else:
+            assert gt == pytest.approx(wt, abs=1e-12)
+        if ws is not None and wt is not None:
+            assert gr == pytest.approx(x[i] - ws - wt, abs=1e-9)
+
+
+def test_stl_decompose_recovers_planted_seasonality(spark):
+    """A clean weekly pattern + linear trend: the seasonal component
+    tracks the planted cycle and the trend tracks the line (interior
+    rows, away from the NULL edges)."""
+    from timeseriesutils_spark.operators.stl import stl_decompose
+
+    n, P = 200, 7
+    t = np.arange(n)
+    pattern = np.array([5.0, -3.0, 1.0, 4.0, -2.0, -6.0, 1.0])
+    x = 50 + 0.2 * t + pattern[t % P]
+    df = spark.createDataFrame(
+        [("s", int(i), float(v)) for i, v in enumerate(x)],
+        "g string, t int, v double",
+    )
+    rows = {
+        r["t"]: r
+        for r in stl_decompose(
+            df, "v", "t", ["g"], period=P, seasonal_h=3, trend_h=10, scale=2
+        ).collect()
+    }
+    centered = pattern - pattern.mean()
+    mid = [i for i in range(60, 140) if rows[i]["seasonal"] is not None]
+    assert len(mid) >= 70
+    for i in mid:
+        assert rows[i]["seasonal"] == pytest.approx(centered[i % P], abs=0.2)
+        assert rows[i]["trend"] == pytest.approx(50 + 0.2 * i, abs=0.5)
+        assert abs(rows[i]["remainder"]) < 0.5

@@ -1315,3 +1315,36 @@ def _sql_matrix_profile():
 
 
 QUERIES.update({"matrix_profile": Q(q_matrix_profile, _sql_matrix_profile())})
+
+
+_STL_PARAMS = dict(period=7, seasonal_h=3, trend_h=10, scale=2)
+
+
+def q_stl_decompose(spark, sf_dir):
+    """STL decomposition (operators/stl.stl_decompose) of the
+    interpolation-regularized daily supplier price series: one
+    Cleveland inner iteration — cycle-subseries tricube LOESS,
+    MA_P∘MA_P∘MA_3 low-pass, tricube trend — every smoother a
+    Σ literal-weight·lead/lag expression on ONE ordered window per
+    supplier (the taylor/holt impulse-weight discipline)."""
+    from timeseriesutils_spark.operators.stl import stl_decompose
+
+    grid = regularize(
+        _daily(spark, sf_dir), "day_price", "ship_day", ["l_suppkey"],
+        how="interp",
+    )
+    return stl_decompose(
+        grid, "day_price_interp", "ship_day", ["l_suppkey"], **_STL_PARAMS
+    )
+
+
+def _sql_stl_decompose():
+    from timeseriesutils_spark.operators.stl import stl_decompose_sql
+
+    return stl_decompose_sql(
+        f"({_SQL_INTERPOLATE})", "day_price_interp", "ship_day",
+        ["l_suppkey"], **_STL_PARAMS
+    )
+
+
+QUERIES.update({"stl_decompose": Q(q_stl_decompose, _sql_stl_decompose())})
