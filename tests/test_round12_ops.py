@@ -299,3 +299,112 @@ def test_stl_decompose_recovers_planted_seasonality(spark):
         assert rows[i]["seasonal"] == pytest.approx(centered[i % P], abs=0.2)
         assert rows[i]["trend"] == pytest.approx(50 + 0.2 * i, abs=0.5)
         assert abs(rows[i]["remainder"]) < 0.5
+
+
+# --- bpe_train ------------------------------------------------------------
+
+
+def _bpe_python(word_freqs, n_merges):
+    """Pure-Python BPE trainer (Sennrich et al. 2016), same tiebreak."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), score = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, l, r, l + r, score))
+        new = {}
+        for syms, f in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+    return merges, vocab
+
+
+def test_bpe_train_matches_pure_python(spark):
+    from timeseriesutils_spark.operators.bpe import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low newer wide wide lowest",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["merge_step"], r["lhs"], r["rhs"], r["merged"], r["score"])
+        for r in bpe_train(df, n_merges=6).orderBy("merge_step").collect()
+    ]
+    wf = {}
+    for t in texts:
+        for w in t.lower().split():
+            if len(w) >= 2:
+                wf[w] = wf.get(w, 0) + 1
+    want, _ = _bpe_python(wf, 6)
+    assert got == want
+
+
+def test_bpe_train_greedy_leftmost_rewrite(spark):
+    """'aaaa' + merge (a,a) must become [aa, aa], never [a, aa, a] —
+    and a merged tail token must not re-merge within the round."""
+    from timeseriesutils_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [("aaaa aaaa aaaa ab",)], "text string"
+    )
+    rows = bpe_train(df, n_merges=2).orderBy("merge_step").collect()
+    # round 1: (a,a) dominates, score = pairs-after-greedy semantics on
+    # counting (3 words x 3 adjacent occurrences) + ab contributes (a,b)
+    assert (rows[0]["lhs"], rows[0]["rhs"]) == ("a", "a")
+    # round 2 on [aa, aa]: the pair (aa, aa) exists => greedy rewrite
+    # produced exactly two 'aa' tokens per word
+    assert (rows[1]["lhs"], rows[1]["rhs"]) == ("aa", "aa")
+
+
+def test_bpe_train_improves_tokenizer_fertility(spark):
+    """The trained merges strictly shrink the corpus token count: mean
+    symbols per word decreases monotonically with each merge round
+    (the re-measure VERDICT r11 item 6 asks for)."""
+    from timeseriesutils_spark.operators.bpe import bpe_train
+    from timeseriesutils_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = [
+        (r["lhs"], r["rhs"], r["merged"])
+        for r in bpe_train(docs, n_merges=8).orderBy("merge_step").collect()
+    ]
+    assert len(merges) == 8
+    pdf = docs.select("text").toPandas()
+    wf = {}
+    for t in pdf["text"]:
+        for w in str(t).lower().split():
+            if len(w) >= 2:
+                wf[w] = wf.get(w, 0) + 1
+    vocab = {tuple(w): f for w, f in wf.items()}
+    last = None
+    for l, r, m in merges:
+        new = {}
+        for syms, f in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = m
+                else:
+                    out.append(x)
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+        tokens = sum(len(s) * f for s, f in vocab.items())
+        if last is not None:
+            assert tokens < last
+        last = tokens

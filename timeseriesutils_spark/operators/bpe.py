@@ -1,0 +1,170 @@
+"""Iterative byte-pair-encoding training (Sennrich et al. 2016): the
+actual tokenizer-training loop, extending the single-step scorer
+``text.bpe_pair_counts`` (which ranks only the FIRST merge candidate
+set) to N merge rounds — the missing piece of the tokenizer pipeline
+story (build_vocab → bpe_train → tokenizer_fertility).
+
+Algorithm (the paper's, on the word-frequency table):
+
+  vocab = distinct words with corpus frequencies, symbolized to chars
+  repeat N times:
+    score every adjacent symbol pair by Σ wfreq over occurrences
+    take the argmax (score DESC, then lexicographic pair — exact
+    integer scores, so the choice is engine-independent)
+    rewrite every word: greedy leftmost non-overlapping replacement of
+    (l, r) by the merged symbol l||r
+
+Returns the merge table — one row per round: (merge_step, lhs, rhs,
+merged, score) — the artifact a tokenizer ships.
+
+Spark-first shape, following the kmeans/pagerank bounded-iteration
+precedent: the corpus collapses ONCE to its vocabulary-sized
+word-frequency frame (the classic BPE preprocessing — at 100 TB the
+vocabulary is ~10⁷ rows regardless of corpus size, and this is the
+only corpus-wide pass); each round is then one map-combinable pair
+aggregation over that frame plus a ONE-ROW driver collect (the argmax
+— bounded driver state, like kmeans' k·d centroids), and the rewrite
+is a JVM higher-order ``aggregate`` fold with the chosen pair as plan
+literals.  The re-symbolized vocabulary is pinned per round, so round
+k never replays rounds 1..k-1.
+
+The greedy rewrite as a fold: state is the output symbol list; for
+each incoming symbol x, if the list ends with ``l`` and x = ``r``,
+replace the tail with ``l||r``, else append x.  This is exactly
+leftmost non-overlapping ("aaa" + (a,a) → [aa, a]) because a merged
+tail token ``l||r`` can never equal ``l`` again within the round.
+
+The DuckDB twin runs the SAME loop as chained CTEs — each round's
+argmax is a one-row CTE cross-joined into the rewrite (the pair
+reaches the ``list_reduce`` lambda as correlated columns), so the
+oracle is one self-contained SQL statement with no driver state.
+
+Exactness: scores are exact integer sums; the argmax tiebreak is total
+(score DESC, lhs, rhs); rewrites are string-exact — both engines walk
+identical vocab states round by round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_len: int = 2,
+) -> DataFrame:
+    """N-round BPE merge-table training (module doc)."""
+    from timeseriesutils_spark.functions.cache import pin
+    from timeseriesutils_spark.operators.text import words
+
+    spark = docs.sparkSession
+    cur = pin(
+        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wfreq"))
+        .filter(F.length("word") >= int(min_len))
+        .select(
+            F.regexp_extract_all(F.col("word"), F.lit("."), 0).alias("syms"),
+            "wfreq",
+        )
+    )
+    merges = []
+    for step in range(1, int(n_merges) + 1):
+        n = F.size("syms")
+        pairs = cur.select(
+            "wfreq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", 1, n - 1).alias("l"),
+                    F.slice("syms", 2, n - 1).alias("r"),
+                )
+            ).alias("p"),
+        ).select("wfreq", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("wfreq").alias("score"))
+            .orderBy(F.col("score").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, score = best[0]["l"], best[0]["r"], int(best[0]["score"])
+        merged = l + r
+        merges.append((step, l, r, merged, score))
+        fold = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        cur = pin(cur.select(fold.alias("syms"), "wfreq"))
+    schema = (
+        "merge_step int, lhs string, rhs string, merged string, score bigint"
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def bpe_train_sql(
+    table: str = "documents",
+    n_merges: int = 8,
+    min_len: int = 2,
+) -> str:
+    """DuckDB twin of :func:`bpe_train`: the same loop as chained CTEs
+    (pair counts → one-row argmax → list_reduce rewrite per round)."""
+    N = int(n_merges)
+    ctes = [
+        f"""w0 AS (
+  SELECT regexp_extract_all(word, '.') AS syms, COUNT(*) AS wfreq
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM {table})
+  WHERE len(word) >= {int(min_len)} GROUP BY 1
+)"""
+    ]
+    for k in range(1, N + 1):
+        prev = f"w{k - 1}"
+        ctes.append(
+            f"""p{k} AS (
+  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+         CAST(SUM(wfreq) AS BIGINT) AS score
+  FROM (SELECT syms, wfreq, unnest(range(1, len(syms))) AS i FROM {prev})
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""b{k} AS (
+  SELECT l, r, l || r AS m, score FROM p{k}
+  ORDER BY score DESC, l, r LIMIT 1
+)"""
+        )
+        step = (
+            "CASE WHEN len(acc) > 0 AND acc[len(acc)] = b.l AND x[1] = b.r "
+            "THEN list_slice(acc, 1, len(acc) - 1) || [b.m] "
+            "ELSE acc || x END"
+        )
+        ctes.append(
+            f"""w{k} AS (
+  SELECT list_reduce(
+           list_prepend(CAST([] AS VARCHAR[]), [[s] FOR s IN syms]),
+           (acc, x) -> {step}) AS syms, wfreq
+  FROM {prev} CROSS JOIN b{k} b
+)"""
+        )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_step, l AS lhs, r AS rhs, m AS merged, score FROM b{k}"
+        for k in range(1, N + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{rows}\n) "
+        "ORDER BY merge_step"
+    )

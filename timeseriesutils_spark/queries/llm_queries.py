@@ -2877,3 +2877,23 @@ def _sql_mmd_drift():
 
 
 QUERIES.update({"mmd_drift": Q(q_mmd_drift, _sql_mmd_drift())})
+
+
+def q_bpe_train(spark, sf_dir):
+    """Iterative BPE tokenizer training (operators/bpe.bpe_train):
+    8 merge rounds over the vocabulary-sized word-frequency frame —
+    each round one map-combinable pair aggregation + a one-row argmax
+    collect (kmeans bounded-driver-state precedent) + a JVM aggregate
+    fold rewrite; emits the merge table a tokenizer ships."""
+    from timeseriesutils_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=8)
+
+
+def _sql_bpe_train():
+    from timeseriesutils_spark.operators.bpe import bpe_train_sql
+
+    return bpe_train_sql("documents", n_merges=8)
+
+
+QUERIES.update({"bpe_train": Q(q_bpe_train, _sql_bpe_train())})
