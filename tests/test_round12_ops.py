@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 
 # --- ADVICE r11 fixes -----------------------------------------------------
@@ -408,3 +409,55 @@ def test_bpe_train_improves_tokenizer_fertility(spark):
         if last is not None:
             assert tokens < last
         last = tokens
+
+
+# --- pipeline_incremental -------------------------------------------------
+
+
+def test_incremental_minhash_pairs_equal_filtered_full(spark):
+    """minhash_lsh_pairs(new_flags=...) == full pairs restricted to
+    new-touching pairs (the banding analogue of the
+    incremental_jaccard_pairs contract)."""
+    from timeseriesutils_spark.operators.dedup import minhash_lsh_pairs
+    from timeseriesutils_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kw = dict(n=3, num_hashes=32, bands=8, threshold=0.5, hash_mode="md5")
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    W = 30
+    new_ids = docs.filter(F.col("doc_id") >= W).select("doc_id")
+    inc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", new_flags=new_ids, **kw
+        ).collect()
+    }
+    want = {k: v for k, v in full.items() if k[0] >= W or k[1] >= W}
+    assert inc == want
+    assert any(k[0] < W for k in want)  # the cut actually bites
+
+
+def test_pipeline_incremental_equals_filtered_full(spark):
+    """The composed incremental pipeline == full recompute filtered to
+    the batch, row for row (several watermarks, including one where
+    the batch is most of the corpus)."""
+    from timeseriesutils_spark.operators.corpus_pipeline import (
+        assemble_training_corpus,
+        incremental_training_corpus,
+    )
+    from timeseriesutils_spark.queries.llm_queries import E2E_PARAMS
+    from timeseriesutils_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = assemble_training_corpus(docs, **E2E_PARAMS)
+    for W in (25, 40):
+        want = sorted(
+            map(tuple, full.filter(F.col("doc_id") >= W).collect())
+        )
+        got = sorted(
+            map(tuple, incremental_training_corpus(docs, W, **E2E_PARAMS).collect())
+        )
+        assert got == want and len(got) > 0, W

@@ -68,7 +68,12 @@ from timeseriesutils_spark.operators.text import (
     repetition_stats,
 )
 
-__all__ = ["assemble_training_corpus", "assemble_training_corpus_sql"]
+__all__ = [
+    "assemble_training_corpus",
+    "assemble_training_corpus_sql",
+    "incremental_training_corpus",
+    "incremental_training_corpus_sql",
+]
 
 
 def assemble_training_corpus(
@@ -98,19 +103,7 @@ def assemble_training_corpus(
     did = F.col(id_col)
 
     # ── tier 1: quality funnel (per-row signals, no shuffle) ──────────
-    q = quality_score(docs, id_col, text_col)
-    r = repetition_stats(docs, id_col, text_col).select(
-        id_col, "dup_gram_frac"
-    )
-    keep_ids = (
-        q.join(r, id_col)
-        .filter(
-            (F.col("quality") >= min_quality)
-            & (F.col("dup_gram_frac") <= max_dup_gram_frac)
-        )
-        .select(id_col)
-    )
-    d1 = docs.join(keep_ids, id_col)
+    d1 = _funnel_survivors(docs, id_col, text_col, min_quality, max_dup_gram_frac)
 
     # ── tier 2: exact dedup, keep-first by full text ──────────────────
     firsts = d1.groupBy(text_col).agg(F.min(did).alias(id_col)).select(id_col)
@@ -150,15 +143,37 @@ def assemble_training_corpus(
     )
     d4 = train.join(flagged, id_col, "left_anti")
 
-    # ── tier 5: per-source cap + mixture epochs ───────────────────────
+    # ── tiers 5-7: cap → mixture → shard → JSONL (shared tail) ───────
+    return _tail(d4, id_col, text_col, source_cap, mix_weights, n_shards, seed)
+
+
+def _funnel_survivors(docs, id_col, text_col, min_quality, max_dup_gram_frac):
+    """Tier 1 shared by the full and incremental pipelines: per-row
+    quality + repetition signals, no shuffle beyond the signal joins."""
+    q = quality_score(docs, id_col, text_col)
+    r = repetition_stats(docs, id_col, text_col).select(
+        id_col, "dup_gram_frac"
+    )
+    keep_ids = (
+        q.join(r, id_col)
+        .filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("dup_gram_frac") <= max_dup_gram_frac)
+        )
+        .select(id_col)
+    )
+    return docs.join(keep_ids, id_col)
+
+
+def _tail(d4, id_col, text_col, source_cap, mix_weights, n_shards, seed):
+    """Tiers 5-7 shared by the full and incremental pipelines."""
+    did = F.col(id_col)
     capped = (
         cap_per_key(d4, "source", id_col, cap=source_cap)
         .filter(F.col("kept"))
         .drop("kept")
     )
     mixed = mixture_resample(capped, id_col, "source", mix_weights)
-
-    # ── tier 6: shard on (doc, epoch) ─────────────────────────────────
     keyed = mixed.withColumn(
         "ekey",
         F.concat_ws(
@@ -166,8 +181,6 @@ def assemble_training_corpus(
         ),
     )
     sharded = shard_assign(keyed, "ekey", n_shards=n_shards, seed=seed)
-
-    # ── tier 7: JSONL packaging ───────────────────────────────────────
     out = jsonl_pack(
         sharded,
         id_col=id_col,
@@ -303,3 +316,141 @@ SELECT id AS {id_col}, CAST(epoch AS INT) AS epoch, CAST(shard AS INT) AS shard,
   CAST(shard_pos AS INT) AS shard_pos, line_md5, n_bytes
 FROM packed
 """
+
+
+def incremental_training_corpus(
+    docs: DataFrame,
+    watermark: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.75,
+    max_dup_gram_frac: float = 0.2,
+    neardup_threshold: float = 0.6,
+    decontam_threshold: float = 0.5,
+    max_posting: int = 128,
+    source_cap: int = 100,
+    mix_weights: dict[str, float] | None = None,
+    n_shards: int = 8,
+    seed: str = "e2e",
+) -> DataFrame:
+    """Watermark-bounded INCREMENTAL corpus assembly: the operational
+    mode of :func:`assemble_training_corpus` at 100 TB — each ingest
+    batch (``id_col >= watermark``) is processed against the existing
+    corpus without re-pairing the corpus against itself, and the output
+    is exactly the full recompute restricted to the new batch
+    (hash-checked against that oracle).
+
+    Why this is possible stage by stage (ids are monotone with arrival,
+    so every dedup policy keeps the SMALLER id and corpus survivors are
+    never unseated by arrivals):
+
+    * quality funnel — per-row, batch only;
+    * exact dedup — a new doc survives iff its text is absent from the
+      corpus survivor slice (state lookup) and it is first in-batch;
+    * near-dup — ``minhash_lsh_pairs(new_flags=...)``: band buckets
+      untouched by the batch never explode, only new-touching pairs
+      emit; a batch doc drops iff it pairs with ANY smaller id, which
+      is always a new-touching pair;
+    * decontamination — the flag is monotone in the eval slice (EXISTS
+      against any eval doc), so batch train docs screen against the
+      full eval slice, and corpus-side flags gain only the
+      (corpus × new-eval) increment;
+    * cap / mixture / shard / pack — per-row deterministic except the
+      rank stages (cap, shard_pos), which run over the state ∪ batch
+      union so batch rows land at their full-run offsets (in
+      production the union side is the maintained state table; here a
+      single linear window pass, never a pairing).
+
+    STATE RECONSTRUCTION: the corpus-side survivor tiers (d1/d2/d3/d4)
+    are in production the PREVIOUS run's materialized outputs.  This
+    testbed is stateless, so the operator rebuilds them from the raw
+    corpus — that section is exactly the prior batch's pipeline and is
+    labeled below; the incremental savings demonstrated (and tested)
+    are the new-batch pairing cuts.
+
+    Returns the same schema as the full pipeline, batch rows only.
+    """
+    if mix_weights is None:
+        mix_weights = {"src0": 2.5, "src1": 0.3, "src2": 0.0}
+    did = F.col(id_col)
+    W = int(watermark)
+    old_raw = docs.filter(did < W)
+    new_raw = docs.filter(did >= W)
+    eval_all = docs.filter(did % 2 == 1)  # eval slice spans old + new
+
+    # ── state: the previous run's survivor tiers (see docstring) ─────
+    old_d1 = _funnel_survivors(
+        old_raw, id_col, text_col, min_quality, max_dup_gram_frac
+    )
+    old_firsts = (
+        old_d1.groupBy(text_col).agg(F.min(did).alias(id_col)).select(id_col)
+    )
+    old_d2 = pin(old_d1.join(old_firsts, id_col))
+    old_pairs = minhash_lsh_pairs(
+        old_d2, id_col, text_col, n=3, num_hashes=32, bands=8,
+        threshold=neardup_threshold, hash_mode="md5",
+    )
+    old_d3 = dedup_near_keep_min(old_pairs, old_d2, id_col)
+    old_train = old_d3.filter(did % 2 == 0)
+    old_flagged = (
+        ngram_jaccard_against(
+            old_train, eval_all, id_col, text_col, n=3,
+            threshold=decontam_threshold, max_posting=max_posting,
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    old_d4 = old_train.join(old_flagged, id_col, "left_anti")
+
+    # ── batch: the incremental path (the cuts under test) ────────────
+    new_d1 = _funnel_survivors(
+        new_raw, id_col, text_col, min_quality, max_dup_gram_frac
+    )
+    new_firsts = (
+        new_d1.groupBy(text_col).agg(F.min(did).alias(id_col)).select(id_col)
+    )
+    # keep-first in-batch, then drop any text the corpus already has
+    new_d2 = pin(
+        new_d1.join(new_firsts, id_col)
+        .join(old_d2.select(text_col), text_col, "left_anti")
+    )
+    union_d2 = old_d2.unionByName(new_d2)
+    inc_pairs = minhash_lsh_pairs(
+        union_d2, id_col, text_col, n=3, num_hashes=32, bands=8,
+        threshold=neardup_threshold, hash_mode="md5",
+        new_flags=new_d2.select(id_col),
+    )
+    new_d3 = dedup_near_keep_min(inc_pairs, new_d2, id_col)
+    new_train = new_d3.filter(did % 2 == 0)
+    new_flagged = (
+        ngram_jaccard_against(
+            new_train, eval_all, id_col, text_col, n=3,
+            threshold=decontam_threshold, max_posting=max_posting,
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    new_d4 = new_train.join(new_flagged, id_col, "left_anti")
+
+    # ── tail over state ∪ batch, batch rows out ──────────────────────
+    out = _tail(
+        old_d4.unionByName(new_d4), id_col, text_col, source_cap,
+        mix_weights, n_shards, seed,
+    )
+    return out.filter(F.col(id_col) >= W)
+
+
+def incremental_training_corpus_sql(
+    table: str = "documents",
+    watermark_sql: str = "0",
+    id_col: str = "doc_id",
+    **params,
+) -> str:
+    """Oracle for :func:`incremental_training_corpus`: BY DEFINITION the
+    full recompute (:func:`assemble_training_corpus_sql`) restricted to
+    the batch — the equivalence contract IS the oracle."""
+    full = assemble_training_corpus_sql(table=table, id_col=id_col, **params)
+    return (
+        f"SELECT * FROM ({full}) full_run "
+        f"WHERE {id_col} >= ({watermark_sql})"
+    )

@@ -233,8 +233,16 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     hash_mode: str = "xxhash64",
     seed: int = 42,
+    new_flags: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    ``new_flags`` (optional, a frame of NEW ``id_col`` values) switches
+    on the watermark-bounded incremental cuts: only band buckets
+    touching a new doc explode, and only new-touching pairs are
+    emitted — output == the full run's pairs restricted to pairs with
+    at least one new side (the incremental_jaccard_pairs contract,
+    applied to banding; equivalence pinned in tests).
 
     bands=8 × rows=4 over 32 hashes → candidate threshold s ≈ (1/8)^(1/4)
     ≈ 0.6; verification filters to true Jaccard ≥ threshold, so the band
@@ -308,28 +316,74 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    bucketed = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    cand = (
-        bucketed.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x: F.transform(
-                            F.filter(F.col("ids"), lambda y: y > x),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
+    if new_flags is None:
+        bucketed = (
+            banded.groupBy("band", "bucket")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") > 1)
         )
-        .select("p.*")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        cand = (
+            bucketed.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda x: F.transform(
+                                F.filter(F.col("ids"), lambda y: y > x),
+                                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.*")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        # watermark-bounded variant (the incremental_jaccard_pairs cuts
+        # applied to banding): buckets with no NEW member are dropped
+        # before any pair forms — an untouched bucket cannot produce a
+        # new-touching candidate — and within a surviving bucket only
+        # pairs with a new side are emitted (old x old candidates were
+        # this bucket's output in earlier batches).
+        flags = new_flags.select(
+            F.col(id_col).alias("id"), F.lit(1).alias("_nw")
+        ).distinct()
+        nbanded = banded.join(flags, "id", "left").select(
+            "id", "band", "bucket", F.coalesce("_nw", F.lit(0)).alias("_nw")
+        )
+        bucketed = (
+            nbanded.groupBy("band", "bucket")
+            .agg(
+                F.collect_list(F.struct(F.col("id"), F.col("_nw"))).alias("ids")
+            )
+            .filter(F.size("ids") > 1)
+            .filter(F.exists("ids", lambda x: x["_nw"] == 1))
+        )
+        cand = (
+            bucketed.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda x: F.transform(
+                                F.filter(
+                                    F.col("ids"),
+                                    lambda y: (y["id"] > x["id"])
+                                    & ((x["_nw"] == 1) | (y["_nw"] == 1)),
+                                ),
+                                lambda y: F.struct(
+                                    x["id"].alias("id_a"),
+                                    y["id"].alias("id_b"),
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.*")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     verify = cand.join(
         sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

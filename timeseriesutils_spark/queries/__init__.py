@@ -40,7 +40,7 @@ class Q:
 # round-12 additions land, keeping the head at exactly 50.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # round-12 additions (never driver-verified):
-    "matrix_profile", "stl_decompose", "bpe_train",
+    "matrix_profile", "stl_decompose", "bpe_train", "pipeline_incremental",
     # r4-stale cohort (last green driver row: CORRECTNESS_r04), 38:
     "ab_test_report", "acf_features", "backtest_folds", "benford_audit",
     "bpe_pair_counts", "build_vocab", "categorical_assoc",
@@ -56,7 +56,6 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # names drop one-for-one as round-12 additions take head slots):
     "abc_analysis", "anova_oneway", "attribution", "bootstrap_ci",
     "canonical_pick", "constraint_audit", "corr_matrix", "counter_rate",
-    "dedup_debounce",
 )
 # ROUND-13 ROTATION PLAN: (a) round-13 additions, then (b) whatever is
 # stalest in CORRECTNESS_r01..r12 at that point — recompute from the
@@ -154,7 +153,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "boxcox_guerrero", "cox_ph", "brunner_munzel", "rouge_n",
     "cer_pairs", "bleu_pairs", "van_der_waerden", "fligner_killeen",
     # round-12 additions
-    "matrix_profile", "stl_decompose", "bpe_train",
+    "matrix_profile", "stl_decompose", "bpe_train", "pipeline_incremental",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

@@ -2897,3 +2897,41 @@ def _sql_bpe_train():
 
 
 QUERIES.update({"bpe_train": Q(q_bpe_train, _sql_bpe_train())})
+
+
+def q_pipeline_incremental(spark, sf_dir):
+    """Watermark-bounded incremental corpus assembly
+    (operators/corpus_pipeline.incremental_training_corpus): the ingest
+    batch (top ~20% of doc ids) processed against the corpus with the
+    incremental pairing cuts — untouched MinHash buckets never explode,
+    only new-touching pairs emit, rank stages ride the state∪batch
+    union — hash-checked against the full recompute filtered past the
+    watermark (the equivalence contract IS the oracle)."""
+    from timeseriesutils_spark.operators.corpus_pipeline import (
+        incremental_training_corpus,
+    )
+
+    docs = _docs(spark, sf_dir)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    wm = int(float(max_id) * 0.8)  # floor, same IEEE product as the twin
+    return incremental_training_corpus(docs, wm, **E2E_PARAMS)
+
+
+def _sql_pipeline_incremental():
+    from timeseriesutils_spark.operators.corpus_pipeline import (
+        incremental_training_corpus_sql,
+    )
+
+    return incremental_training_corpus_sql(
+        "documents",
+        watermark_sql=(
+            "SELECT CAST(FLOOR(CAST(MAX(doc_id) AS DOUBLE) * 0.8) AS BIGINT)"
+            " FROM documents"
+        ),
+        **E2E_PARAMS,
+    )
+
+
+QUERIES.update(
+    {"pipeline_incremental": Q(q_pipeline_incremental, _sql_pipeline_incremental())}
+)
