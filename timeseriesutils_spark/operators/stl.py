@@ -231,3 +231,245 @@ SELECT {gsel}, _t AS {time_col}, _v AS value,
   _v - {seasonal} - {trend} AS remainder
 FROM s4
 """
+
+
+def seasonal_esd(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_columns,
+    period: int = 7,
+    seasonal_h: int = 3,
+    trend_h: int = 10,
+    scale: int = 2,
+    max_anomalies: int = 5,
+    thresh: float = 3.0,
+    r_scale: int = 6,
+) -> DataFrame:
+    """Seasonal anomaly detection à la S-H-ESD (Hochenbaum, Vallis &
+    Kejariwal 2017): decompose with :func:`stl_decompose`, then run the
+    ROBUST iterative extreme-deviate test on the remainder — up to
+    ``max_anomalies`` rounds per series of "flag the largest
+    |r − median| if it exceeds ``thresh`` robust z-scores, remove it,
+    re-estimate median/MAD".  (The median/MAD form is the paper's
+    robust variant of Rosner's 1983 GESD; the mean/sd original needs
+    per-n Student-t critical values — a table, not a threshold.)
+
+    Why iterative re-estimation, when mad_outliers / hampel_filter
+    already exist: a CLUSTER of anomalies inflates even the MAD enough
+    to mask its own members; GESD removes the top deviate before
+    re-testing, so each round's scale estimate excludes what's already
+    flagged (the "masking" failure mode, Rosner §1).
+
+    Exactness: remainders floor-quantize at 10^-``r_scale`` and the
+    whole test runs in INTEGER space — median as the two-middle sum
+    (med2 = 2·median over the rq-sorted actives), deviations as
+    dev = |2·rq − med2| (= 2·|r − med|), MAD as the two-middle sum of
+    sorted deviations (mad4 = 4·MAD), and the firing rule
+    |r − med| > thresh·1.4826·MAD  (thresh in sigma units via the
+    mad_outliers consistency constant) as the integer comparison
+    20000·maxdev > round(14826·thresh)·mad4.  Argmax ties break on the
+    smaller time index; both engines run the identical integer
+    recurrence, so flags, ranks, and order match exactly.  MAD = 0
+    with a positive deviation fires (infinite robust z); all-equal
+    actives stop the loop; series shrink below 3 actives stop.
+
+    Scale shape: the stl window chain (one exchange per series), then
+    the K rounds UNROLLED as relational stages — per round a ranked
+    window pass (two-middle median via ROW_NUMBER multiplicity), one
+    per-group aggregation, one broadcastable hit join — every stage
+    partitioned by the group key, survivor frame lineage-checkpointed
+    per round (the pagerank precedent: each round references its
+    predecessor ~5 times, so an un-truncated plan grows 5^K; a
+    per-element array fold was rejected too — Catalyst re-evaluates
+    lambda-embedded sorts per element, O(n²·log n)).  The DuckDB twin
+    is the same unroll as MATERIALIZED CTEs (inlining would recompute
+    the upstream chain 2^K times).
+
+    Returns flagged rows only: (group..., time, remainder, anom_rank),
+    anom_rank = 1 for the most extreme.
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    K = int(max_anomalies)
+    # |r - med| > thresh * 1.4826 * MAD (the mad_outliers consistency
+    # constant, so thresh reads in sigma units), as the integer rule
+    # 20000 * maxdev > kq * mad4 with maxdev = 2|r-med|max, mad4 = 4*MAD
+    kq = int(round(float(thresh) * 1.4826 * 10000))
+    rm = 10 ** int(r_scale)
+    dec = stl_decompose(
+        df, value_col, time_col, group_columns,
+        period=period, seasonal_h=seasonal_h, trend_h=trend_h, scale=scale,
+    )
+    base = dec.filter(F.col("remainder").isNotNull()).select(
+        *g,
+        F.col(time_col).cast("bigint").alias("_t"),
+        F.floor(F.col("remainder") * F.lit(rm) + F.lit(0.5))
+        .cast("bigint")
+        .alias("_rq"),
+    )
+    # per-round lineage checkpoint (the pagerank precedent,
+    # graph.py:166): cur(k-1) is referenced ~5 times per round, so an
+    # un-truncated logical plan grows 5^K over the stl subtree and
+    # Catalyst analysis alone takes minutes; localCheckpoint severs it
+    cur = base.select(
+        *g, "_t", "_rq", F.lit(0).cast("int").alias("_rnk")
+    ).localCheckpoint(eager=True)
+    for k in range(1, K + 1):
+        wrq = Window.partitionBy(*g).orderBy("_rq", "_t")
+        wg = Window.partitionBy(*g)
+        act = cur.filter(F.col("_rnk") == 0).select(
+            *g, "_t", "_rq",
+            F.row_number().over(wrq).alias("_rn"),
+            F.count(F.lit(1)).over(wg).alias("_n"),
+        )
+        m1 = F.floor((F.col("_n") + 1) / 2).cast("bigint")
+        m2 = F.floor((F.col("_n") + 2) / 2).cast("bigint")
+        mult = (F.col("_rn") == m1).cast("bigint") + (
+            F.col("_rn") == m2
+        ).cast("bigint")
+        med = act.groupBy(*g).agg(F.sum(F.col("_rq") * mult).alias("_med2"))
+        wdev = Window.partitionBy(*g).orderBy("_dev", "_t")
+        dev = act.join(med, g).select(
+            *g, "_t", "_n",
+            F.abs(F.col("_rq") * 2 - F.col("_med2")).alias("_dev"),
+        ).select("*", F.row_number().over(wdev).alias("_drn"))
+        dmult = (F.col("_drn") == m1).cast("bigint") + (
+            F.col("_drn") == m2
+        ).cast("bigint")
+        mad = dev.groupBy(*g).agg(
+            F.sum(F.col("_dev") * dmult).alias("_mad4"),
+            F.max("_dev").alias("_maxdev"),
+            F.max("_n").alias("_nn"),
+        )
+        hit = (
+            dev.join(mad, g)
+            .filter(
+                (F.col("_dev") == F.col("_maxdev"))
+                & (F.col("_nn") >= 3)
+                & (F.col("_maxdev") > 0)
+                & (
+                    F.col("_maxdev") * F.lit(20000)
+                    > F.lit(kq) * F.col("_mad4")
+                )
+            )
+            .groupBy(*g)
+            .agg(F.min("_t").alias("_hit_t"))
+        )
+        cur = cur.join(hit, g, "left").select(
+            *g, "_t", "_rq",
+            F.when(
+                (F.col("_rnk") == 0) & (F.col("_t") == F.col("_hit_t")),
+                F.lit(k),
+            )
+            .otherwise(F.col("_rnk"))
+            .cast("int")
+            .alias("_rnk"),
+        ).localCheckpoint(eager=True)
+    return cur.filter(F.col("_rnk") > 0).select(
+        *g,
+        F.col("_t").alias(time_col),
+        (F.col("_rq").cast("double") / F.lit(float(rm))).alias("remainder"),
+        F.col("_rnk").alias("anom_rank"),
+    )
+
+
+def seasonal_esd_sql(
+    data_sql: str,
+    value_col: str,
+    time_col: str,
+    group_columns,
+    period: int = 7,
+    seasonal_h: int = 3,
+    trend_h: int = 10,
+    scale: int = 2,
+    max_anomalies: int = 5,
+    thresh: float = 3.0,
+    r_scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`seasonal_esd`: the same integer GESD
+    recurrence with the K rounds UNROLLED as relational CTEs — per
+    round, windowed two-middle medians (ROW_NUMBER over a (value, t)
+    total order, the deterministic-tie rule), one deviation join, one
+    max/threshold gate, one rank update.  Odd-n medians count the
+    middle row twice (the multiplicity CASE) so med2/mad4 stay exactly
+    2·median / the doubled MAD sum of the Spark fold."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    K = int(max_anomalies)
+    kq = int(round(float(thresh) * 1.4826 * 10000))
+    rm = 10 ** int(r_scale)
+    stl = stl_decompose_sql(
+        data_sql, value_col, time_col, group_columns,
+        period=period, seasonal_h=seasonal_h, trend_h=trend_h, scale=scale,
+    )
+    # AS MATERIALIZED on the chain carriers: each s{k} is referenced
+    # twice (act{k} and s{k+1}); inlining would recompute the whole
+    # upstream chain per reference -- 2^K blowup over the stl subquery
+    ctes = [
+        f"""s0 AS MATERIALIZED (
+  SELECT {gsel}, CAST({time_col} AS BIGINT) AS t,
+    CAST(FLOOR(remainder * {rm} + 0.5) AS BIGINT) AS rq,
+    CAST(0 AS INT) AS rnk
+  FROM ({stl}) WHERE remainder IS NOT NULL
+)"""
+    ]
+    for k in range(1, K + 1):
+        prev = f"s{k - 1}"
+        ctes.append(
+            f"""act{k} AS MATERIALIZED (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY rq, t) AS rn,
+         COUNT(*) OVER (PARTITION BY {gsel}) AS n
+  FROM {prev} WHERE rnk = 0
+)"""
+        )
+        ctes.append(
+            f"""med{k} AS (
+  SELECT {gsel}, SUM(rq * (CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END
+                         + CASE WHEN rn = (n + 2) // 2 THEN 1 ELSE 0 END)) AS med2
+  FROM act{k} GROUP BY {gsel}
+)"""
+        )
+        ctes.append(
+            f"""dev{k} AS MATERIALIZED (
+  SELECT a.*, abs(a.rq * 2 - m.med2) AS dev,
+    ROW_NUMBER() OVER (PARTITION BY {gsel}
+                       ORDER BY abs(a.rq * 2 - m.med2), a.t) AS drn
+  FROM act{k} a JOIN med{k} m USING ({gsel})
+)"""
+        )
+        ctes.append(
+            f"""mad{k} AS (
+  SELECT {gsel},
+    SUM(dev * (CASE WHEN drn = (n + 1) // 2 THEN 1 ELSE 0 END
+             + CASE WHEN drn = (n + 2) // 2 THEN 1 ELSE 0 END)) AS mad4,
+    MAX(dev) AS maxdev, MAX(n) AS n
+  FROM dev{k} GROUP BY {gsel}
+)"""
+        )
+        ctes.append(
+            f"""hit{k} AS (
+  SELECT d.{gsel.replace(', ', ', d.')}, MIN(d.t) AS hit_t
+  FROM dev{k} d JOIN mad{k} x USING ({gsel})
+  WHERE d.dev = x.maxdev AND x.n >= 3 AND x.maxdev > 0
+    AND x.maxdev * 20000 > {kq} * x.mad4
+  GROUP BY d.{gsel.replace(', ', ', d.')}
+)"""
+        )
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT p.{gsel.replace(', ', ', p.')}, p.t, p.rq,
+    CASE WHEN h.hit_t = p.t AND p.rnk = 0 THEN {k} ELSE p.rnk END AS rnk
+  FROM {prev} p LEFT JOIN hit{k} h USING ({gsel})
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT {gsel}, t AS {time_col},
+  CAST(rq AS DOUBLE) / {float(rm)} AS remainder, rnk AS anom_rank
+FROM s{K} WHERE rnk > 0"""
+    )

@@ -1348,3 +1348,32 @@ def _sql_stl_decompose():
 
 
 QUERIES.update({"stl_decompose": Q(q_stl_decompose, _sql_stl_decompose())})
+
+
+def q_seasonal_esd(spark, sf_dir):
+    """Seasonal anomaly detection (operators/stl.seasonal_esd): robust
+    iterative GESD (S-H-ESD) on the STL remainder of the regularized
+    daily supplier series — up to 5 masking-aware anomaly rounds per
+    series, entirely as one collect + a K-step integer fold."""
+    from timeseriesutils_spark.operators.stl import seasonal_esd
+
+    grid = regularize(
+        _daily(spark, sf_dir), "day_price", "ship_day", ["l_suppkey"],
+        how="interp",
+    )
+    return seasonal_esd(
+        grid, "day_price_interp", "ship_day", ["l_suppkey"],
+        **_STL_PARAMS, max_anomalies=5, thresh=3.0,
+    )
+
+
+def _sql_seasonal_esd():
+    from timeseriesutils_spark.operators.stl import seasonal_esd_sql
+
+    return seasonal_esd_sql(
+        f"({_SQL_INTERPOLATE})", "day_price_interp", "ship_day",
+        ["l_suppkey"], **_STL_PARAMS, max_anomalies=5, thresh=3.0,
+    )
+
+
+QUERIES.update({"seasonal_esd": Q(q_seasonal_esd, _sql_seasonal_esd())})
