@@ -538,3 +538,77 @@ def test_seasonal_esd_quiet_series_flags_nothing(spark):
         ).count()
         == 0
     )
+
+
+# --- stl_robust -------------------------------------------------------------
+
+
+def test_stl_robust_downweights_spikes(spark):
+    """A big spike gets rho ~ 0, and the robust trend near the spike
+    stays close to the true line while the plain pass-1 trend is
+    pulled; the robust seasonal stays close to the planted pattern."""
+    from timeseriesutils_spark.operators.stl import stl_decompose, stl_robust
+
+    rng = np.random.default_rng(9)
+    # the robust pass's complete-window NULL edge is ~76 rows per side
+    # (pass-1 trend edge + weighted-smoother offsets compound), so use
+    # a long series with the spike far from both edges
+    n, P = 400, 7
+    t = np.arange(n)
+    pattern = np.array([5.0, -3.0, 1.0, 4.0, -2.0, -6.0, 1.0])
+    # real noise, so 6*median|r| is a meaningful band (a noise-free fit
+    # makes the band razor-thin and legitimately zero-weights any row
+    # with curvature leakage -- correct Cleveland behavior, bad fixture)
+    x = 50 + 0.2 * t + pattern[t % P] + rng.normal(0, 0.5, n)
+    x[300] += 60.0
+    rows = [("s", int(i), float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    kw = dict(period=P, seasonal_h=3, trend_h=10, scale=2)
+    rob = {r["t"]: r for r in stl_robust(df, "v", "t", ["g"], **kw).collect()}
+    plain = {
+        r["t"]: r for r in stl_decompose(df, "v", "t", ["g"], **kw).collect()
+    }
+    assert rob[300]["rho"] < 0.05  # the spike is nearly zero-weighted
+    # interior clean points (remainder defined, outside the spike's
+    # leak radius) keep high weight
+    leak = 31  # ht + hs*P
+    highs = [
+        r["rho"] for i, r in rob.items()
+        if abs(i - 300) > leak and r["remainder"] is not None
+    ]
+    assert len(highs) > 50
+    assert np.median(highs) > 0.7
+    # trend recovery in the spike neighborhood: robust beats plain
+    for i in (295, 298, 302, 305):
+        true_tr = 50 + 0.2 * i
+        if rob[i]["trend"] is not None and plain[i]["trend"] is not None:
+            assert abs(rob[i]["trend"] - true_tr) <= abs(
+                plain[i]["trend"] - true_tr
+            ) + 1e-9
+
+
+def test_stl_robust_clean_series_matches_plain_closely(spark):
+    """With no outliers (median|r| small but nonzero), rho ~ 1 and the
+    robust components track the plain pass within a small tolerance."""
+    from timeseriesutils_spark.operators.stl import stl_decompose, stl_robust
+
+    rng = np.random.default_rng(4)
+    n, P = 400, 7
+    t = np.arange(n)
+    x = 80 + 0.1 * t + 5 * np.sin(2 * np.pi * t / P) + rng.normal(0, 0.5, n)
+    df = spark.createDataFrame(
+        [("s", int(i), float(v)) for i, v in enumerate(x)],
+        "g string, t int, v double",
+    )
+    kw = dict(period=P, seasonal_h=3, trend_h=10, scale=2)
+    rob = {r["t"]: r for r in stl_robust(df, "v", "t", ["g"], **kw).collect()}
+    plain = {
+        r["t"]: r for r in stl_decompose(df, "v", "t", ["g"], **kw).collect()
+    }
+    both = [
+        i for i in rob
+        if rob[i]["trend"] is not None and plain[i]["trend"] is not None
+    ]
+    assert len(both) > 150
+    dev = [abs(rob[i]["trend"] - plain[i]["trend"]) for i in both]
+    assert np.median(dev) < 0.5

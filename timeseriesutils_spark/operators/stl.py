@@ -473,3 +473,270 @@ SELECT {gsel}, t AS {time_col},
   CAST(rq AS DOUBLE) / {float(rm)} AS remainder, rnk AS anom_rank
 FROM s{K} WHERE rnk > 0"""
     )
+
+
+def stl_robust(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_columns,
+    period: int = 7,
+    seasonal_h: int = 3,
+    trend_h: int = 10,
+    scale: int = 2,
+    r_scale: int = 6,
+) -> DataFrame:
+    """STL with ONE robustness (outer) iteration — the full Cleveland
+    1990 algorithm's outlier-resistant mode: after the
+    :func:`stl_decompose` inner pass, each point gets a bisquare
+    robustness weight from the remainder,
+
+        ρ_t = (1 − u²)²,  u = |r_t| / (6·median|r|),  ρ = 0 for u ≥ 1
+
+    (paper §3.3, the B(u) weight with h = 6·median), and the second
+    inner pass re-runs both LOESS smoothers WEIGHTED — so a spike that
+    leaked into its neighbors' fits in the plain pass (see the
+    seasonal_esd echo-flag note) is down-weighted to ρ ≈ 0 and stops
+    polluting the decomposition.
+
+    Weighted LOESS-at-center is still a ratio of window sums,
+    Σ w_k·ρ_k·x_k / Σ w_k·ρ_k — but the denominator is now
+    data-dependent, so exact single-denominator rational chaining
+    (stl_decompose's trick) is impossible across stages.  The
+    discipline instead: every stage's ratio is evaluated as ONE shared
+    double tree over exact-integer numerator/denominator and
+    floor-RE-QUANTIZED at 10^-``r_scale`` before feeding the next
+    stage (the standing libm-grid rule, applied stage-wise), so both
+    engines walk identical integer stage inputs.  All-zero weight
+    windows (an outlier cluster wider than the smoother) yield NULL;
+    a perfect pass-1 fit (median|r| = 0) sets every ρ = 1.
+
+    Detrending: pass 2 smooths (value − trend₁) cycle-subseries, per
+    the paper's step-1-of-iteration-2 (pass 1 used T⁰ = 0).
+
+    Plan shape: the stl_decompose window chain plus one per-group
+    median aggregation (two-middle ROW_NUMBER multiplicity, the
+    deterministic-tie rule) broadcast-joined back, then the same
+    lead/lag smoother chain again with weight products — still one
+    exchange per series plus one broadcastable aggregate, no Python.
+
+    Returns (group..., time, value, seasonal, trend, remainder,
+    rho) — pass-2 components and the robustness weight.
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    P = int(period)
+    hs, ht = int(seasonal_h), int(trend_h)
+    rm = 10 ** int(r_scale)
+    Wq = _tricube_q(hs)
+    Uq = _tricube_q(ht)
+    cj = _lowpass_counts(P)
+    PP = 3 * P * P
+
+    d1 = stl_decompose(
+        df, value_col, time_col, group_columns,
+        period=period, seasonal_h=seasonal_h, trend_h=trend_h, scale=scale,
+    )
+    s2d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    q6 = lambda c: F.floor(c * F.lit(rm) + F.lit(0.5)).cast("bigint")  # noqa: E731
+
+    from timeseriesutils_spark.functions.cache import pin
+
+    # base feeds the median aggregation AND the weight join -- pin the
+    # fork or the whole pass-1 window chain executes twice
+    base = pin(
+        d1.select(
+            *g,
+            F.col(time_col).alias("_t"),
+            F.col("value").alias("_v"),
+            F.col("trend").alias("_tr1"),
+            q6(F.abs(F.col("remainder"))).alias("_aq"),
+        )
+    )
+    # per-series median|r| as the two-middle sum (med2 = 2*median);
+    # NULL-remainder edge rows carry no weight vote but stay on the grid
+    wrq = Window.partitionBy(*g).orderBy("_aq", "_t")
+    wg = Window.partitionBy(*g)
+    act = base.filter(F.col("_aq").isNotNull()).select(
+        *g, "_aq",
+        F.row_number().over(wrq).alias("_rn"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+    )
+    m1 = F.floor((F.col("_n") + 1) / 2).cast("bigint")
+    m2 = F.floor((F.col("_n") + 2) / 2).cast("bigint")
+    mlt = (F.col("_rn") == m1).cast("bigint") + (F.col("_rn") == m2).cast("bigint")
+    med = act.groupBy(*g).agg(F.sum(F.col("_aq") * mlt).alias("_med2"))
+
+    u = s2d(F.col("_aq")) / (F.lit(3.0) * s2d(F.col("_med2")))  # |r|/(6*med)
+    bisq = (F.lit(1.0) - u * u) * (F.lit(1.0) - u * u)
+    rho_d = F.when(F.col("_aq").isNull(), F.lit(0.0)).otherwise(
+        F.when(F.col("_med2") == 0, F.lit(1.0)).otherwise(
+            F.when(u < F.lit(1.0), bisq).otherwise(F.lit(0.0))
+        )
+    )
+    w0 = base.join(F.broadcast(med), g).select(
+        *g, "_t", "_v",
+        q6(rho_d).alias("_pq"),
+        q6(F.col("_v") - F.col("_tr1")).alias("_dxq"),
+        q6(F.col("_v")).alias("_xq"),
+    )
+
+    wi = Window.partitionBy(*g).orderBy("_t")
+
+    def off(col, k):
+        return F.lead(col, k).over(wi) if k > 0 else (
+            F.lag(col, -k).over(wi) if k < 0 else F.col(col)
+        )
+
+    # weighted cycle-subseries smoothing on the detrended series
+    sn = None
+    sd = None
+    for i, k in enumerate(range(-hs, hs + 1)):
+        num = dec(F.lit(Wq[i]) * off("_pq", k * P)) * dec(off("_dxq", k * P))
+        den = F.lit(Wq[i]) * off("_pq", k * P)
+        sn = num if sn is None else sn + num
+        sd = den if sd is None else sd + den
+    s1 = w0.select(
+        "*",
+        q6(
+            F.when(sd > 0, s2d(sn) / s2d(sd) / F.lit(float(rm)))
+        ).alias("_srq"),
+    )
+    # low-pass (exact integer kernel) and seasonal numerator
+    ln = None
+    for i, j in enumerate(range(-P, P + 1)):
+        term = F.lit(cj[i]) * off("_srq", j)
+        ln = term if ln is None else ln + term
+    s2 = s1.select("*", (F.col("_srq") * F.lit(PP) - ln).alias("_s2n"))
+    # weighted trend on the deseasonalized series (common denom PP*rm)
+    s3 = s2.select("*", (F.col("_xq") * F.lit(PP) - F.col("_s2n")).alias("_vn"))
+    tn = None
+    td = None
+    for i, m in enumerate(range(-ht, ht + 1)):
+        num = dec(F.lit(Uq[i]) * off("_pq", m)) * dec(off("_vn", m))
+        den = F.lit(Uq[i]) * off("_pq", m)
+        tn = num if tn is None else tn + num
+        td = den if td is None else td + den
+    s4 = s3.select("*", tn.alias("_tn"), td.alias("_td"))
+
+    seasonal = s2d(F.col("_s2n")) / F.lit(float(PP * rm))
+    trend = F.when(
+        F.col("_td") > 0,
+        s2d(F.col("_tn")) / (s2d(F.col("_td")) * F.lit(float(PP * rm))),
+    )
+    return s4.select(
+        *g,
+        F.col("_t").alias(time_col),
+        F.col("_v").alias("value"),
+        seasonal.alias("seasonal"),
+        trend.alias("trend"),
+        (F.col("_v") - seasonal - trend).alias("remainder"),
+        (F.col("_pq").cast("double") / F.lit(float(rm))).alias("rho"),
+    )
+
+
+def stl_robust_sql(
+    data_sql: str,
+    value_col: str,
+    time_col: str,
+    group_columns,
+    period: int = 7,
+    seasonal_h: int = 3,
+    trend_h: int = 10,
+    scale: int = 2,
+    r_scale: int = 6,
+) -> str:
+    """DuckDB twin of :func:`stl_robust` (same stage-wise re-quantized
+    integer chain, HUGEINT weighted sums, same division order)."""
+    from timeseriesutils_spark.functions.exact import dlit
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    P = int(period)
+    hs, ht = int(seasonal_h), int(trend_h)
+    rm = 10 ** int(r_scale)
+    Wq = _tricube_q(hs)
+    Uq = _tricube_q(ht)
+    cj = _lowpass_counts(P)
+    PP = 3 * P * P
+    stl = stl_decompose_sql(
+        data_sql, value_col, time_col, group_columns,
+        period=period, seasonal_h=seasonal_h, trend_h=trend_h, scale=scale,
+    )
+    word = f"(PARTITION BY {gsel} ORDER BY _t)"
+
+    def off(col: str, k: int) -> str:
+        if k > 0:
+            return f"LEAD({col}, {k}) OVER word"
+        if k < 0:
+            return f"LAG({col}, {-k}) OVER word"
+        return col
+
+    s2d = lambda x: f"CAST(CAST(({x}) AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    q6 = lambda x: f"CAST(FLOOR(({x}) * {rm} + 0.5) AS BIGINT)"  # noqa: E731
+
+    sn = " + ".join(
+        f"CAST({Wq[i]} * {off('_pq', k * P)} AS HUGEINT) * CAST({off('_dxq', k * P)} AS HUGEINT)"
+        for i, k in enumerate(range(-hs, hs + 1))
+    )
+    sd = " + ".join(
+        f"{Wq[i]} * {off('_pq', k * P)}" for i, k in enumerate(range(-hs, hs + 1))
+    )
+    ln = " + ".join(
+        f"{cj[i]} * {off('_srq', j)}" for i, j in enumerate(range(-P, P + 1))
+    )
+    tn = " + ".join(
+        f"CAST({Uq[i]} * {off('_pq', m)} AS HUGEINT) * CAST({off('_vn', m)} AS HUGEINT)"
+        for i, m in enumerate(range(-ht, ht + 1))
+    )
+    td = " + ".join(
+        f"{Uq[i]} * {off('_pq', m)}" for i, m in enumerate(range(-ht, ht + 1))
+    )
+    u = f"({s2d('_aq')} / (3.0 * {s2d('_med2')}))"
+    bisq = f"((1.0 - {u} * {u}) * (1.0 - {u} * {u}))"
+    rho = (
+        f"CASE WHEN _aq IS NULL THEN 0.0 WHEN _med2 = 0 THEN 1.0 "
+        f"WHEN {u} < 1.0 THEN {bisq} ELSE 0.0 END"
+    )
+    seasonal = f"({s2d('_s2n')} / {dlit(float(PP * rm))})"
+    trend = (
+        f"(CASE WHEN _td > 0 THEN {s2d('_tn')} / ({s2d('_td')} * {dlit(float(PP * rm))}) END)"
+    )
+    return f"""
+WITH d1 AS MATERIALIZED (
+  SELECT {gsel}, {time_col} AS _t, value AS _v, trend AS _tr1,
+    {q6(f'abs(remainder)')} AS _aq
+  FROM ({stl})
+),
+act AS (
+  SELECT {gsel}, _aq,
+    ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY _aq, _t) AS _rn,
+    COUNT(*) OVER (PARTITION BY {gsel}) AS _n
+  FROM d1 WHERE _aq IS NOT NULL
+),
+med AS (
+  SELECT {gsel}, SUM(_aq * (CASE WHEN _rn = (_n + 1) // 2 THEN 1 ELSE 0 END
+                          + CASE WHEN _rn = (_n + 2) // 2 THEN 1 ELSE 0 END)) AS _med2
+  FROM act GROUP BY {gsel}
+),
+w0 AS (
+  SELECT {gsel}, _t, _v, {q6(rho)} AS _pq,
+    {q6('_v - _tr1')} AS _dxq, {q6('_v')} AS _xq
+  FROM d1 JOIN med USING ({gsel})
+),
+s1 AS (
+  SELECT *, {q6(f"CASE WHEN ({sd}) > 0 THEN {s2d(f'({sn})')} / {s2d(f'({sd})')} / {dlit(float(rm))} END")} AS _srq
+  FROM w0 WINDOW word AS {word}
+),
+s2 AS (SELECT *, _srq * {PP} - ({ln}) AS _s2n FROM s1 WINDOW word AS {word}),
+s3 AS (SELECT *, _xq * {PP} - _s2n AS _vn FROM s2),
+s4 AS (SELECT *, {tn} AS _tn, {td} AS _td FROM s3 WINDOW word AS {word})
+SELECT {gsel}, _t AS {time_col}, _v AS value,
+  {seasonal} AS seasonal, {trend} AS trend,
+  _v - {seasonal} - {trend} AS remainder,
+  CAST(_pq AS DOUBLE) / {dlit(float(rm))} AS rho
+FROM s4
+"""

@@ -1377,3 +1377,32 @@ def _sql_seasonal_esd():
 
 
 QUERIES.update({"seasonal_esd": Q(q_seasonal_esd, _sql_seasonal_esd())})
+
+
+def q_stl_robust(spark, sf_dir):
+    """Robust STL (operators/stl.stl_robust): the Cleveland outer
+    iteration — bisquare robustness weights from the pass-1 remainder,
+    both LOESS smoothers re-run weighted, so spikes stop polluting
+    their neighbors' fits.  Same single-exchange window chain plus one
+    broadcastable per-series median aggregate."""
+    from timeseriesutils_spark.operators.stl import stl_robust
+
+    grid = regularize(
+        _daily(spark, sf_dir), "day_price", "ship_day", ["l_suppkey"],
+        how="interp",
+    )
+    return stl_robust(
+        grid, "day_price_interp", "ship_day", ["l_suppkey"], **_STL_PARAMS
+    )
+
+
+def _sql_stl_robust():
+    from timeseriesutils_spark.operators.stl import stl_robust_sql
+
+    return stl_robust_sql(
+        f"({_SQL_INTERPOLATE})", "day_price_interp", "ship_day",
+        ["l_suppkey"], **_STL_PARAMS
+    )
+
+
+QUERIES.update({"stl_robust": Q(q_stl_robust, _sql_stl_robust())})
