@@ -612,3 +612,85 @@ def test_stl_robust_clean_series_matches_plain_closely(spark):
     assert len(both) > 150
     dev = [abs(rob[i]["trend"] - plain[i]["trend"]) for i in both]
     assert np.median(dev) < 0.5
+
+
+# --- distance_correlation ---------------------------------------------------
+
+
+def _dcor_numpy(x, y, scale):
+    mq = 10 ** scale
+    xq = np.floor(np.asarray(x) * mq + 0.5).astype("int64")
+    yq = np.floor(np.asarray(y) * mq + 0.5).astype("int64")
+    n = len(xq)
+
+    def centered(v):
+        d = np.abs(v[:, None] - v[None, :]).astype(object)
+        a = d.sum(axis=1)
+        S = a.sum()
+        return d * n * n - a[:, None] * n - a[None, :] * n + S
+
+    A, B = centered(xq), centered(yq)
+    sab = float((A * B).sum())
+    saa = float((A * A).sum())
+    sbb = float((B * B).sum())
+    den = float(n) ** 6 * mq * mq
+    dcov2, dvx, dvy = sab / den, saa / den, sbb / den
+    dcor = np.sqrt(max(dcov2 / np.sqrt(dvx * dvy), 0.0))
+    return dcov2, dvx, dvy, dcor
+
+
+def test_distance_correlation_matches_numpy(spark):
+    from timeseriesutils_spark.operators.distcorr import distance_correlation
+
+    rng = np.random.default_rng(12)
+    x = rng.normal(10, 3, 60)
+    y = 2.0 * x + rng.normal(0, 1, 60)
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(x, y)],
+        "g string, x double, y double",
+    )
+    r = distance_correlation(df, "x", "y", ["g"]).collect()[0]
+    dcov2, dvx, dvy, dcor = _dcor_numpy(x, y, 2)
+    assert r["n"] == 60
+    assert r["dcov2"] == pytest.approx(dcov2, rel=1e-12)
+    assert r["dvar_x"] == pytest.approx(dvx, rel=1e-12)
+    assert r["dvar_y"] == pytest.approx(dvy, rel=1e-12)
+    assert r["dcor"] == pytest.approx(dcor, abs=2e-9)
+
+
+def test_distance_correlation_sees_nonmonotone_dependence(spark):
+    """y = x^2 on symmetric x: pearson ~ 0, spearman ~ 0 — dcor must
+    still be decisively large; and independent noise stays small."""
+    from timeseriesutils_spark.operators.distcorr import distance_correlation
+
+    rng = np.random.default_rng(3)
+    x = np.linspace(-5, 5, 80)
+    rows = [("dep", float(a), float(a * a)) for a in x] + [
+        ("ind", float(a), float(b))
+        for a, b in zip(rng.normal(0, 5, 80), rng.normal(0, 5, 80))
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = {
+        row["g"]: row["dcor"]
+        for row in distance_correlation(df, "x", "y", ["g"]).collect()
+    }
+    assert r["dep"] > 0.4
+    assert r["ind"] < 0.25
+    # the linear correlation on the dep group really is ~0
+    assert abs(float(np.corrcoef(x, x * x)[0, 1])) < 0.05
+
+
+def test_distance_correlation_duplicate_points_kept(spark):
+    """Duplicate (x, y) observations must keep their multiplicity (a
+    groupBy-on-values implementation would collapse them)."""
+    from timeseriesutils_spark.operators.distcorr import distance_correlation
+
+    base = [(1.0, 2.0), (2.0, 4.0), (3.0, 5.0), (1.0, 2.0), (1.0, 2.0)]
+    df = spark.createDataFrame(
+        [("g", a, b) for a, b in base], "g string, x double, y double"
+    )
+    r = distance_correlation(df, "x", "y", ["g"]).collect()[0]
+    want = _dcor_numpy([a for a, _ in base], [b for _, b in base], 2)
+    assert r["n"] == 5
+    assert r["dcov2"] == pytest.approx(want[0], rel=1e-12)
+    assert r["dcor"] == pytest.approx(want[3], abs=2e-9)

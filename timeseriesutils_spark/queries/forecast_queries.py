@@ -4212,3 +4212,31 @@ def _sql_fleiss_kappa():
 
 
 QUERIES.update({"fleiss_kappa": Q(q_fleiss_kappa, _sql_fleiss_kappa())})
+
+
+def q_distance_corr(spark, sf_dir):
+    """Distance correlation (operators/distcorr.distance_correlation)
+    between monthly shipment volume and revenue per supplier — the
+    independence-characterizing dependence measure (Székely 2007) that
+    sees the nonlinear relationships pearson/spearman/kendall miss;
+    exact integer double-centering over the kendall-'pairs'
+    dimension-sized envelope."""
+    from timeseriesutils_spark.operators.distcorr import distance_correlation
+
+    return distance_correlation(
+        _monthly_vol_rev(spark, sf_dir), "n_ship", "rev", ["l_suppkey"],
+        scale=2,
+    )
+
+
+def _sql_distance_corr():
+    from timeseriesutils_spark.operators.distcorr import (
+        distance_correlation_sql,
+    )
+
+    return distance_correlation_sql(
+        f"({_SQL_MONTHLY_VOL_REV})", "n_ship", "rev", ["l_suppkey"], scale=2
+    )
+
+
+QUERIES.update({"distance_corr": Q(q_distance_corr, _sql_distance_corr())})
