@@ -694,3 +694,60 @@ def test_distance_correlation_duplicate_points_kept(spark):
     assert r["n"] == 5
     assert r["dcov2"] == pytest.approx(want[0], rel=1e-12)
     assert r["dcor"] == pytest.approx(want[3], abs=2e-9)
+
+
+# --- label_propagation ------------------------------------------------------
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA puts each clique in
+    one community (labeled by its min node id)."""
+    from timeseriesutils_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 10)], "src int, dst int")
+    rows = label_propagation(edges, n_iter=5).collect()
+    comm = {r["node"]: r["community"] for r in rows}
+    assert len({comm[n] for n in (1, 2, 3)}) == 1
+    assert len({comm[n] for n in (11, 12, 13)}) == 1
+    assert comm[1] != comm[13]
+    sizes = {r["node"]: r["community_size"] for r in rows}
+    assert sizes[1] + sizes[13] == 8
+
+
+def test_label_propagation_matches_python_rounds(spark):
+    """Exact parity with a straight-line synchronous LPA using the
+    same (count DESC, label ASC) tiebreak."""
+    from timeseriesutils_spark.operators.graph import label_propagation
+
+    rng = np.random.default_rng(8)
+    nodes = list(range(20))
+    edges = sorted(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in zip(
+                rng.integers(0, 20, 60), rng.integers(0, 20, 60)
+            )
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, n_iter=5).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {n: n for n in adj}
+    for _ in range(5):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            new[n] = min(cnt, key=lambda c: (-cnt[c], c))
+        lab = new
+    assert got == lab

@@ -453,3 +453,110 @@ FROM linked
 ORDER BY _aaq DESC, src, dst
 LIMIT {int(top_k)}
 """
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) over an undirected edge list (``src < dst``
+    distinct, the triangle_count contract): every node starts in its
+    own community and each round adopts the most frequent label among
+    its neighbors — the standard near-linear-time community baseline
+    (pagerank ranks nodes, triangle_count measures closure; this
+    PARTITIONS the graph).
+
+    Determinism (the published algorithm leaves ties to chance; this
+    implementation pins them): synchronous rounds with a fixed
+    ``n_iter``, vote argmax broken by (count DESC, label ASC), and
+    node ids as initial labels — both engines walk identical label
+    states, so the result is exact and the DuckDB twin hash-matches.
+    Synchronous LPA can oscillate on bipartite structure (the paper's
+    §3 note); a fixed round count makes that deterministic too.
+
+    Scale shape: per round one adj⋈labels hash join (adjacency pinned
+    once, labels are (node, label) pairs), one map-combinable
+    (node, label) count, one per-node argmax window over the
+    vote-distinct frame, then a lineage checkpoint (the pagerank
+    precedent — each round's labels feed two consumers next round).
+    At 100 TB scale: rounds are Pregel supersteps; nothing all-pairs.
+
+    Returns (node, community, community_size) after ``n_iter`` rounds.
+    """
+    from pyspark.sql import Window
+
+    from timeseriesutils_spark.functions.cache import pin
+
+    e = edges.select("src", "dst").distinct()
+    adj = pin(
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = adj.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    ).localCheckpoint(eager=True)
+    wv = Window.partitionBy("node").orderBy(
+        F.col("_cnt").desc(), F.col("community").asc()
+    )
+    for _ in range(int(n_iter)):
+        votes = adj.join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("community")
+            ),
+            "dst",
+        ).select(F.col("src").alias("node"), "community")
+        counts = votes.groupBy("node", "community").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        labels = (
+            counts.select(
+                "node", "community", F.row_number().over(wv).alias("_rn")
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("community").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(F.broadcast(sizes), "community").select(
+        "node", "community", "community_size"
+    )
+
+
+def label_propagation_sql(edges_sql: str, n_iter: int = 5) -> str:
+    """DuckDB twin of :func:`label_propagation` (same synchronous
+    rounds unrolled as MATERIALIZED CTEs, same tiebreak)."""
+    K = int(n_iter)
+    ctes = [
+        f"""e AS MATERIALIZED (
+  SELECT src, dst FROM (SELECT DISTINCT src, dst FROM ({edges_sql}))
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM (SELECT DISTINCT src, dst FROM ({edges_sql}))
+)""",
+        """l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS community FROM e
+)""",
+    ]
+    for k in range(1, K + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT node, community FROM (
+    SELECT e.src AS node, l.community, COUNT(*) AS _cnt,
+      ROW_NUMBER() OVER (PARTITION BY e.src
+                         ORDER BY COUNT(*) DESC, l.community ASC) AS _rn
+    FROM e JOIN l{k - 1} l ON l.node = e.dst
+    GROUP BY e.src, l.community
+  ) WHERE _rn = 1
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT l.node, l.community, s.community_size
+FROM l{K} l JOIN (
+  SELECT community, COUNT(*) AS community_size FROM l{K} GROUP BY community
+) s USING (community)"""
+    )

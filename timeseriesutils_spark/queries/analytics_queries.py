@@ -1345,3 +1345,46 @@ def _sql_woolf_test():
 
 
 QUERIES.update({"woolf_test": Q(q_woolf_test, _sql_woolf_test())})
+
+
+def q_label_propagation(spark, sf_dir):
+    """Community detection via synchronous label propagation
+    (operators/graph.label_propagation) on the supplier co-supply
+    graph (the triangle_count edge set): 5 deterministic rounds
+    (count-then-label tiebreak), Pregel-superstep shape with per-round
+    lineage checkpoints."""
+    from timeseriesutils_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") >= TRI_QTY
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    edges = (
+        ps.alias("a")
+        .join(ps.alias("b"), "p")
+        .where(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    return label_propagation(edges, n_iter=5)
+
+
+def _sql_label_propagation():
+    from timeseriesutils_spark.operators.graph import label_propagation_sql
+
+    edges = f"""
+  WITH ps AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+    FROM lineitem WHERE l_quantity >= {TRI_QTY}
+  )
+  SELECT DISTINCT a.s AS src, b.s AS dst
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+"""
+    return label_propagation_sql(edges, n_iter=5)
+
+
+QUERIES.update(
+    {"label_propagation": Q(q_label_propagation, _sql_label_propagation())}
+)
