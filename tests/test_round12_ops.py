@@ -751,3 +751,55 @@ def test_label_propagation_matches_python_rounds(spark):
             new[n] = min(cnt, key=lambda c: (-cnt[c], c))
         lab = new
     assert got == lab
+
+
+# --- did_estimator ----------------------------------------------------------
+
+
+def test_did_estimator_recovers_planted_effect(spark):
+    """Synthetic panel with a known +7 treatment effect, parallel
+    trends, and arm/period assignment matching the operator's md5
+    parity x cutover: DiD ~ 7, and the naive post-minus-pre treat
+    difference is biased by the +3 common time trend."""
+    import hashlib
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for uid in range(200):
+        treat = (
+            int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % 100
+        ) % 2
+        for day in (5, 20):  # pre: Jan 5, post: Jan 20 vs Jan-16 cutover
+            post = 1 if day >= 16 else 0
+            y = 50 + 10 * treat + 3 * post + 7 * treat * post + rng.normal(0, 1)
+            rows.append((uid, f"2024-01-{day:02d} 12:00:00", float(y)))
+    df = spark.createDataFrame(rows, "user_id bigint, ts string, value double")
+    from timeseriesutils_spark.operators.analytics import did_estimator
+
+    r = did_estimator(df, "value").collect()[0]
+    assert r["n_ctrl_pre"] > 50 and r["n_treat_post"] > 50
+    assert r["did"] == pytest.approx(7.0, abs=0.8)
+    naive = r["mean_treat_post"] - r["mean_treat_pre"]
+    assert naive == pytest.approx(10.0, abs=0.8)  # trend-contaminated
+    assert r["t_stat"] > 10  # the effect is many SEs out
+
+
+def test_did_estimator_null_effect_small_t(spark):
+    import hashlib
+
+    rng = np.random.default_rng(22)
+    rows = []
+    for uid in range(1000):
+        treat = (
+            int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % 100
+        ) % 2
+        for day in (5, 20):
+            post = 1 if day >= 16 else 0
+            y = 50 + 5 * treat + 2 * post + rng.normal(0, 1)
+            rows.append((uid, f"2024-01-{day:02d} 12:00:00", float(y)))
+    df = spark.createDataFrame(rows, "user_id bigint, ts string, value double")
+    from timeseriesutils_spark.operators.analytics import did_estimator
+
+    r = did_estimator(df, "value").collect()[0]
+    assert abs(r["did"]) < 0.5
+    assert abs(r["t_stat"]) < 3.5

@@ -2653,3 +2653,172 @@ SELECT n_strata,
   CASE WHEN {ok} THEN {p} >= 0.05 END AS homogeneous_05
 FROM agg
 """
+
+
+def did_estimator(
+    events: DataFrame,
+    value_col: str,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    cutover: str = "2024-01-16",
+    scale: int = 2,
+) -> DataFrame:
+    """Difference-in-differences treatment-effect estimate (Card &
+    Krueger 1994 design, the 2×2 OLS-equivalent closed form): users
+    are assigned to treatment by md5-bucket parity (the ab_test_report
+    convention), periods split at the ``cutover`` timestamp, and
+
+        DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+
+    with the heteroskedasticity-unpooled standard error
+
+        SE² = Σ_cells s²_c / n_c,   t = DiD / SE
+
+    — identical to the interaction coefficient (and its HC robust SE)
+    of the saturated OLS  y ~ treat·post, which is why the 2×2 needs
+    no regression machinery.  Completes the experimentation family:
+    ab_test_report is the randomized-exposure test, cuped_adjust the
+    variance-reduced one; DiD is the QUASI-experimental design for
+    cutovers that were not randomized over time.
+
+    Exactness: per-cell Σy and Σy² accumulate from 10^-scale-quantized
+    integers in DECIMAL/HUGEINT; means, the four-term DiD, cell
+    variances, SE and t are one shared double tree over those exact
+    sums (string-cast) — aggregation-order free.
+
+    Scale shape: ONE map-combinable conditional aggregation over the
+    event scan (8 sums + 4 counts), one output row — constant reduce
+    state at any volume.
+
+    Returns one row: (n_/mean_ for cc, ct, tc, tt  [treat×post],
+    did, se, t_stat).
+    """
+    from timeseriesutils_spark.operators.splits import hash_bucket
+
+    m = 10 ** int(scale)
+    treat = (hash_bucket(F.col(user_col)) % 2 == 1).cast("int")
+    post = (
+        F.col(time_col).cast("timestamp")
+        >= F.lit(cutover).cast("timestamp")
+    ).cast("int")
+    vq = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = events.filter(F.col(value_col).isNotNull()).select(
+        treat.alias("_tr"), post.alias("_po"), vq.alias("_v")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s2d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    cells = {}
+    for t in (0, 1):
+        for p in (0, 1):
+            w = ((F.col("_tr") == t) & (F.col("_po") == p)).cast("bigint")
+            k = f"{t}{p}"
+            cells[f"n{k}"] = F.sum(w)
+            cells[f"s{k}"] = F.sum(dec(F.col("_v") * w))
+            cells[f"q{k}"] = F.sum(dec(F.col("_v") * F.col("_v") * w))
+    agg = d.groupBy().agg(*[v.alias(k) for k, v in cells.items()])
+
+    md = float(m)
+
+    def mean(k):
+        return s2d(F.col(f"s{k}")) / F.col(f"n{k}").cast("double") / F.lit(md)
+
+    def var(k):  # unbiased cell variance in value units
+        n = F.col(f"n{k}").cast("double")
+        return (
+            (s2d(F.col(f"q{k}")) - s2d(F.col(f"s{k}")) * s2d(F.col(f"s{k}")) / n)
+            / (n - F.lit(1.0))
+            / F.lit(md * md)
+        )
+
+    did = (mean("11") - mean("10")) - (mean("01") - mean("00"))
+    se2 = sum(
+        var(k) / F.col(f"n{k}").cast("double") for k in ("00", "01", "10", "11")
+    )
+    ok = (
+        (F.col("n00") > 1) & (F.col("n01") > 1)
+        & (F.col("n10") > 1) & (F.col("n11") > 1)
+    )
+    se = F.sqrt(se2)
+    q9 = 1.0e9
+    qz = lambda c: F.floor(c * F.lit(q9) + F.lit(0.5)) / F.lit(q9)  # noqa: E731
+    return agg.select(
+        F.col("n00").alias("n_ctrl_pre"),
+        F.col("n01").alias("n_ctrl_post"),
+        F.col("n10").alias("n_treat_pre"),
+        F.col("n11").alias("n_treat_post"),
+        qz(mean("00")).alias("mean_ctrl_pre"),
+        qz(mean("01")).alias("mean_ctrl_post"),
+        qz(mean("10")).alias("mean_treat_pre"),
+        qz(mean("11")).alias("mean_treat_post"),
+        qz(did).alias("did"),
+        F.when(ok, qz(se)).alias("se"),
+        F.when(ok, qz(did / se)).alias("t_stat"),
+    )
+
+
+def did_estimator_sql(
+    table: str = "events",
+    value_col: str = "value",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    cutover: str = "2024-01-16",
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`did_estimator` (same md5-parity arms,
+    same exact cell sums, same double tree)."""
+    from timeseriesutils_spark.functions.exact import dlit
+
+    m = 10 ** int(scale)
+    md = dlit(float(m))
+    # hash_bucket twin (the ab_test_report oracle idiom): first 4 md5
+    # hex digits -> int, mod 100, then parity
+    treat = (
+        f"CAST(((CAST(CONCAT('0x', substring(md5(CAST({user_col} AS VARCHAR)),"
+        f" 1, 4)) AS INT) % 100) % 2) = 1 AS INT)"
+    )
+    post = f"CAST(CAST({time_col} AS TIMESTAMP) >= TIMESTAMP '{cutover}' AS INT)"
+    vq = f"CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT)"
+    aggs = []
+    for t in (0, 1):
+        for p in (0, 1):
+            k = f"{t}{p}"
+            w = f"CASE WHEN _tr = {t} AND _po = {p} THEN 1 ELSE 0 END"
+            aggs += [
+                f"CAST(SUM({w}) AS BIGINT) AS n{k}",
+                f"SUM(CAST(_v * ({w}) AS HUGEINT)) AS s{k}",
+                f"SUM(CAST(_v * _v * ({w}) AS HUGEINT)) AS q{k}",
+            ]
+    s2d = lambda x: f"CAST(CAST(({x}) AS VARCHAR) AS DOUBLE)"  # noqa: E731
+
+    def mean(k):
+        return f"({s2d(f's{k}')} / CAST(n{k} AS DOUBLE) / {md})"
+
+    def var(k):
+        n = f"CAST(n{k} AS DOUBLE)"
+        return (
+            f"(({s2d(f'q{k}')} - {s2d(f's{k}')} * {s2d(f's{k}')} / {n})"
+            f" / ({n} - 1.0) / ({md} * {md}))"
+        )
+
+    did = f"(({mean('11')} - {mean('10')}) - ({mean('01')} - {mean('00')}))"
+    se2 = " + ".join(f"({var(k)} / CAST(n{k} AS DOUBLE))" for k in ("00", "01", "10", "11"))
+    ok = "(n00 > 1 AND n01 > 1 AND n10 > 1 AND n11 > 1)"
+    se = f"SQRT({se2})"
+    qz = lambda x: f"(FLOOR(({x}) * 1000000000.0 + 0.5) / 1000000000.0)"  # noqa: E731
+    return f"""
+WITH d AS (
+  SELECT {treat} AS _tr, {post} AS _po, {vq} AS _v
+  FROM {table} WHERE {value_col} IS NOT NULL
+),
+agg AS (SELECT {', '.join(aggs)} FROM d)
+SELECT n00 AS n_ctrl_pre, n01 AS n_ctrl_post,
+  n10 AS n_treat_pre, n11 AS n_treat_post,
+  {qz(mean('00'))} AS mean_ctrl_pre, {qz(mean('01'))} AS mean_ctrl_post,
+  {qz(mean('10'))} AS mean_treat_pre, {qz(mean('11'))} AS mean_treat_post,
+  {qz(did)} AS did,
+  CASE WHEN {ok} THEN {qz(se)} END AS se,
+  CASE WHEN {ok} THEN {qz(f'{did} / {se}')} END AS t_stat
+FROM agg
+"""

@@ -1388,3 +1388,22 @@ def _sql_label_propagation():
 QUERIES.update(
     {"label_propagation": Q(q_label_propagation, _sql_label_propagation())}
 )
+
+
+def q_did_estimator(spark, sf_dir):
+    """Difference-in-differences (operators/analytics.did_estimator):
+    md5-parity treatment arms x a Jan-16 mid-range cutover on event values — the
+    quasi-experimental companion to ab_test_report/cuped_adjust; one
+    map-combinable 2x2 cell aggregation, closed-form DiD + unpooled SE."""
+    from timeseriesutils_spark.operators.analytics import did_estimator
+
+    return did_estimator(load_table(spark, sf_dir, "events"), "value")
+
+
+def _sql_did_estimator():
+    from timeseriesutils_spark.operators.analytics import did_estimator_sql
+
+    return did_estimator_sql("events", "value")
+
+
+QUERIES.update({"did_estimator": Q(q_did_estimator, _sql_did_estimator())})
