@@ -803,3 +803,58 @@ def test_did_estimator_null_effect_small_t(spark):
     r = did_estimator(df, "value").collect()[0]
     assert abs(r["did"]) < 0.5
     assert abs(r["t_stat"]) < 3.5
+
+
+# --- granger_causality ------------------------------------------------------
+
+
+def test_granger_matches_numpy_ols(spark):
+    """F statistic parity with explicit numpy least squares on the
+    quantized series."""
+    rng = np.random.default_rng(17)
+    n = 120
+    x = rng.normal(10, 2, n)
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.5 * y[t - 1] + 1.2 * x[t - 1] + rng.normal(0, 1)
+    df = spark.createDataFrame(
+        [("g", int(t), float(y[t]), float(x[t])) for t in range(n)],
+        "g string, t int, y double, x double",
+    )
+    from timeseriesutils_spark.operators.granger import granger_causality
+
+    r = granger_causality(df, "y", "x", ["g"], ["t"]).collect()[0]
+    yq = np.floor(y * 100 + 0.5)
+    xq = np.floor(x * 100 + 0.5)
+    yy, y1, x1 = yq[1:], yq[:-1], xq[:-1]
+    Zr = np.column_stack([np.ones(n - 1), y1])
+    Zu = np.column_stack([np.ones(n - 1), y1, x1])
+    rss = lambda Z: float(
+        yy @ yy - yy @ Z @ np.linalg.solve(Z.T @ Z, Z.T @ yy)
+    )
+    rss_r, rss_u = rss(Zr), rss(Zu)
+    f = (rss_r - rss_u) / (rss_u / (n - 1 - 3))
+    assert r["n"] == n - 1
+    assert r["rss_r"] == pytest.approx(rss_r / 1e4, rel=1e-6)
+    assert r["rss_u"] == pytest.approx(rss_u / 1e4, rel=1e-6)
+    assert r["f_stat"] == pytest.approx(f, rel=1e-6)
+    assert r["f_stat"] > 50  # x really does drive y
+
+
+def test_granger_null_direction_small_f(spark):
+    """y drives itself only; x is independent noise — F should be
+    small (and far below the driven case)."""
+    rng = np.random.default_rng(18)
+    n = 150
+    x = rng.normal(0, 1, n)
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.6 * y[t - 1] + rng.normal(0, 1)
+    df = spark.createDataFrame(
+        [("g", int(t), float(y[t]), float(x[t])) for t in range(n)],
+        "g string, t int, y double, x double",
+    )
+    from timeseriesutils_spark.operators.granger import granger_causality
+
+    r = granger_causality(df, "y", "x", ["g"], ["t"], scale=4).collect()[0]
+    assert r["f_stat"] < 6.0

@@ -4240,3 +4240,32 @@ def _sql_distance_corr():
 
 
 QUERIES.update({"distance_corr": Q(q_distance_corr, _sql_distance_corr())})
+
+
+def q_granger_causality(spark, sf_dir):
+    """Granger causality F-test (operators/granger.granger_causality):
+    does monthly shipment volume improve next-month revenue prediction
+    beyond revenue's own past, per supplier — the nested-model test
+    behind the granger_lag correlation screen; RSS via the
+    Schur-complement determinant identity over exact moments, both
+    engines evaluating one generated determinant expansion."""
+    from timeseriesutils_spark.operators.granger import granger_causality
+
+    return granger_causality(
+        _monthly_vol_rev(spark, sf_dir), "rev", "n_ship", ["l_suppkey"],
+        ["mth"], scale=2,
+    )
+
+
+def _sql_granger_causality():
+    from timeseriesutils_spark.operators.granger import granger_causality_sql
+
+    return granger_causality_sql(
+        f"({_SQL_MONTHLY_VOL_REV})", "rev", "n_ship", ["l_suppkey"],
+        ["mth"], scale=2,
+    )
+
+
+QUERIES.update(
+    {"granger_causality": Q(q_granger_causality, _sql_granger_causality())}
+)
