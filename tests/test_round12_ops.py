@@ -858,3 +858,27 @@ def test_granger_null_direction_small_f(spark):
 
     r = granger_causality(df, "y", "x", ["g"], ["t"], scale=4).collect()[0]
     assert r["f_stat"] < 6.0
+
+
+def test_motif_discord_finds_planted_structures(spark):
+    """Exactly periodic series + one spike: every clean window has a
+    perfect twin one period away (profile ~ 0), so the discord MUST be
+    a spike-contaminated window; the motif tiebreak picks the smallest
+    zero-distance pair."""
+    from timeseriesutils_spark.operators.matrixprofile import motif_discord
+
+    t = np.arange(120)
+    x = 100.0 + 10.0 * np.sin(2 * np.pi * t / 8.0)
+    x[95] += 500.0
+    df = spark.createDataFrame(
+        [("s", int(i), float(v)) for i, v in enumerate(x)],
+        "g string, t int, v double",
+    )
+    r = motif_discord(
+        df, "v", ["g"], ["t"], w=8, band=60, excl=4, scale=2
+    ).collect()[0]
+    assert r["motif_dist"] < 1e-6
+    assert (r["motif_nn"] - r["motif_idx"]) % 8 == 0  # a one-period twin
+    # spike at 0-based 95 = 1-based 96: contaminated windows are 89..96
+    assert 89 <= r["discord_idx"] <= 96
+    assert r["discord_dist"] > 1.0

@@ -243,3 +243,96 @@ SELECT {gsel}, _i AS idx, LEAST({nns}) AS nn_idx,
   CAST(_mp AS DOUBLE) / 1000000000.0 AS mp_dist
 FROM s6 WHERE _mp IS NOT NULL
 """
+
+
+def motif_discord(
+    df: DataFrame,
+    value_col: str,
+    group_columns,
+    order_columns,
+    w: int = 8,
+    band: int = 20,
+    excl: int | None = None,
+    scale: int = 2,
+) -> DataFrame:
+    """Motif/discord extraction from the banded matrix profile (the
+    Yeh et al. 2016 use-case the profile exists for): per series, the
+    MOTIF is the subsequence pair at the minimum profile distance (the
+    best-repeated pattern) and the DISCORD the subsequence at the
+    maximum (the most anomalous window — the profile-based anomaly
+    dual of seasonal_esd's residual test).
+
+    Ties break on the integer-quantized distance then the smaller
+    index (both engines identical).  One window pass over the profile
+    rows per series — the profile plan's single exchange is reused.
+
+    Returns one row per series: (group..., motif_idx, motif_nn,
+    motif_dist, discord_idx, discord_dist).
+    """
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    mp = matrix_profile(
+        df, value_col, group_columns, order_columns,
+        w=w, band=band, excl=excl, scale=scale,
+    )
+    dq = F.floor(F.col("mp_dist") * F.lit(_Q9) + F.lit(0.5)).cast("bigint")
+    rows = mp.select(*g, "idx", "nn_idx", dq.alias("_dq"))
+    agg = rows.groupBy(*g).agg(
+        F.min(F.struct(F.col("_dq"), F.col("idx"), F.col("nn_idx"))).alias("_mo"),
+        F.max(F.struct(F.col("_dq"), (-F.col("idx")).alias("_ni"))).alias("_di"),
+    )
+    return agg.select(
+        *g,
+        F.col("_mo.idx").alias("motif_idx"),
+        F.col("_mo.nn_idx").alias("motif_nn"),
+        (F.col("_mo._dq").cast("double") / F.lit(_Q9)).alias("motif_dist"),
+        (-F.col("_di._ni")).alias("discord_idx"),
+        (F.col("_di._dq").cast("double") / F.lit(_Q9)).alias("discord_dist"),
+    )
+
+
+def motif_discord_sql(
+    data_sql: str,
+    value_col: str,
+    group_columns,
+    order_columns,
+    w: int = 8,
+    band: int = 20,
+    excl: int | None = None,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`motif_discord` (same integer-distance
+    tiebreaks over the matrix_profile twin)."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    mp = matrix_profile_sql(
+        data_sql, value_col, group_columns, order_columns,
+        w=w, band=band, excl=excl, scale=scale,
+    )
+    return f"""
+WITH mp AS MATERIALIZED (
+  SELECT {gsel}, idx, nn_idx,
+    CAST(FLOOR(mp_dist * 1000000000.0 + 0.5) AS BIGINT) AS _dq
+  FROM ({mp})
+),
+mo AS (
+  SELECT {gsel}, idx, nn_idx, _dq,
+    ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY _dq, idx, nn_idx) AS _r
+  FROM mp
+),
+di AS (
+  SELECT {gsel}, idx, _dq,
+    ROW_NUMBER() OVER (PARTITION BY {gsel} ORDER BY _dq DESC, idx) AS _r
+  FROM mp
+)
+SELECT {gsel},
+  mo.idx AS motif_idx, mo.nn_idx AS motif_nn,
+  CAST(mo._dq AS DOUBLE) / 1000000000.0 AS motif_dist,
+  di.idx AS discord_idx,
+  CAST(di._dq AS DOUBLE) / 1000000000.0 AS discord_dist
+FROM (SELECT * FROM mo WHERE _r = 1) mo
+JOIN (SELECT * FROM di WHERE _r = 1) di USING ({gsel})
+"""

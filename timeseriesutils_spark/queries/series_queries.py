@@ -1406,3 +1406,29 @@ def _sql_stl_robust():
 
 
 QUERIES.update({"stl_robust": Q(q_stl_robust, _sql_stl_robust())})
+
+
+def q_motif_discord(spark, sf_dir):
+    """Motif + discord extraction per supplier series
+    (operators/matrixprofile.motif_discord): the best-repeated pattern
+    pair (profile minimum) and the most anomalous window (profile
+    maximum) from the banded matrix profile — Yeh 2016's headline
+    use-case, one aggregation over the profile's single-exchange plan."""
+    from timeseriesutils_spark.operators.matrixprofile import motif_discord
+
+    return motif_discord(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        w=8, band=20, excl=4, scale=2,
+    )
+
+
+def _sql_motif_discord():
+    from timeseriesutils_spark.operators.matrixprofile import motif_discord_sql
+
+    return motif_discord_sql(
+        f"({_SQL_DAILY})", "day_price", ["l_suppkey"], ["ship_day"],
+        w=8, band=20, excl=4, scale=2,
+    )
+
+
+QUERIES.update({"motif_discord": Q(q_motif_discord, _sql_motif_discord())})
