@@ -882,3 +882,52 @@ def test_motif_discord_finds_planted_structures(spark):
     # spike at 0-based 95 = 1-based 96: contaminated windows are 89..96
     assert 89 <= r["discord_idx"] <= 96
     assert r["discord_dist"] > 1.0
+
+
+# --- yuen_test --------------------------------------------------------------
+
+
+def test_yuen_matches_scipy_formulation(spark):
+    """Parity with the textbook trimmed-mean / winsorized-variance
+    computation on the quantized values."""
+    rng = np.random.default_rng(31)
+    a = rng.normal(50, 5, 60)
+    b = np.concatenate([rng.normal(53, 5, 55), [500.0] * 5])  # heavy tail
+    rows = [("A", float(v)) for v in a] + [("B", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "arm string, v double")
+    from timeseriesutils_spark.operators.stats import yuen_test
+
+    r = yuen_test(df, "v", "arm", "A", "B", trim=0.2).collect()[0]
+
+    def ref(x):
+        xq = np.sort(np.floor(np.asarray(x) * 100 + 0.5))
+        n = len(xq)
+        g = int(np.floor(n * 0.2))
+        h = n - 2 * g
+        trimmed = xq[g:n - g]
+        tmean = trimmed.sum() / h / 100.0
+        wins = np.concatenate([[xq[g]] * g, trimmed, [xq[n - g - 1]] * g])
+        s2w = wins.var(ddof=1) / 1e4
+        d = s2w * (n - 1) / (h * (h - 1))
+        return tmean, d, h
+
+    ta, da, ha = ref(a)
+    tb, db, hb = ref(b)
+    t = (ta - tb) / np.sqrt(da + db)
+    dfree = (da + db) ** 2 / (da * da / (ha - 1) + db * db / (hb - 1))
+    assert r["tmean_a"] == pytest.approx(ta, abs=2e-9)
+    assert r["tmean_b"] == pytest.approx(tb, abs=2e-9)
+    assert r["t_stat"] == pytest.approx(t, rel=1e-9)
+    assert r["df"] == pytest.approx(dfree, rel=1e-9)
+    # robustness: the outliers must not drag the trimmed mean of B
+    assert abs(r["tmean_b"] - 53) < 3
+
+
+def test_yuen_validates_trim(spark):
+    from timeseriesutils_spark.operators.stats import yuen_test, yuen_test_sql
+
+    df = spark.createDataFrame([("A", 1.0)], "arm string, v double")
+    with pytest.raises(ValueError):
+        yuen_test(df, "v", "arm", "A", "B", trim=0.5)
+    with pytest.raises(ValueError):
+        yuen_test_sql("t", "v", "arm", "A", "B", trim=0.6)

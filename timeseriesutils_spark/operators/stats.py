@@ -3784,3 +3784,239 @@ SELECT {gsel}, n_items, n_excluded,
   CASE WHEN {ok} THEN ({p_bar} - {p_e}) / (1.0 - {p_e}) END AS kappa
 FROM items LEFT JOIN cats USING ({gsel})
 """
+
+
+def yuen_test(
+    df: DataFrame,
+    value_col: str,
+    arm_col: str,
+    level_a: str,
+    level_b: str,
+    trim: float = 0.2,
+    scale: int = 2,
+) -> DataFrame:
+    """Yuen's trimmed-mean two-sample test (Yuen 1974): the robust
+    alternative to welch_ttest when tails are heavy — per arm, trim
+    g = ⌊γ·n⌋ observations from EACH end, compare 20%-trimmed means
+    with the winsorized-variance standard error:
+
+        t = (x̄t_A − x̄t_B) / √(d_A + d_B),
+        d = s²_w · (n−1) / (h·(h−1)),   h = n − 2g
+
+    (s²_w the winsorized variance: extreme values replaced by the
+    surviving order statistics, not dropped).  Fills the gap between
+    welch_ttest (means, outlier-fragile) and mann_whitney /
+    brunner_munzel (ranks only — no location scale): a trimmed MEAN
+    difference with a defensible SE.  The df (Welch–Satterthwaite on
+    h_A, h_B) is emitted for the caller's t-table lookup.
+
+    Exactness: values quantize at 10^-scale; per arm a ROW_NUMBER rank
+    over (value, ROW_NUMBER-free total order = value then an md5-free
+    stable index is unnecessary — ties are interchangeable for sums),
+    trimming and winsorizing are rank CASEs, and all sums (winsorized
+    Σ and Σ², trimmed Σ) accumulate in DECIMAL/HUGEINT; t and df are
+    one shared double tree, floor-quantized at 1e-9.
+
+    Scale shape: one exchange per arm for the rank window, one
+    map-combinable aggregation of 8 sums — no pairwise anything.
+
+    Returns one row: (n_a, n_b, h_a, h_b, tmean_a, tmean_b, diff,
+    se, t_stat, df).
+    """
+    from pyspark.sql import Window
+
+    from timeseriesutils_spark.functions.exact import dlit  # noqa: F401
+
+    m = 10 ** int(scale)
+    gamma = float(trim)
+    if not (0.0 <= gamma < 0.5):
+        raise ValueError("trim must be in [0, 0.5)")
+    vq = F.floor(F.col(value_col).cast("double") * F.lit(m) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    arm = F.when(F.col(arm_col) == F.lit(level_a), 1).when(
+        F.col(arm_col) == F.lit(level_b), 2
+    )
+    d = df.select(arm.alias("_arm"), vq.alias("_v")).filter(
+        F.col("_arm").isNotNull() & F.col("_v").isNotNull()
+    )
+    w = Window.partitionBy("_arm").orderBy("_v")
+    wn = Window.partitionBy("_arm")
+    r = d.select(
+        "_arm", "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    g = F.floor(F.col("_n") * F.lit(gamma)).cast("bigint")
+    lo = g + 1
+    hi = F.col("_n") - g
+    # winsorized value: clamp ranks outside [lo, hi] to the boundary
+    # order statistics (computed as conditional MAX/MIN aggregates)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s2d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    agg = r.groupBy("_arm").agg(
+        F.max("_n").alias("n"),
+        F.max(g).alias("g"),
+        F.max(F.when(F.col("_rn") == lo, F.col("_v"))).alias("vlo"),
+        F.max(F.when(F.col("_rn") == hi, F.col("_v"))).alias("vhi"),
+        F.sum(
+            dec(F.when((F.col("_rn") >= lo) & (F.col("_rn") <= hi), F.col("_v")).otherwise(F.lit(0)))
+        ).alias("tsum"),
+        F.sum(
+            dec(
+                F.when(F.col("_rn") < lo, F.lit(1)).otherwise(F.lit(0))
+            )
+        ).alias("nlo"),
+        F.sum(
+            dec(F.when(F.col("_rn") > hi, F.lit(1)).otherwise(F.lit(0)))
+        ).alias("nhi"),
+        F.sum(
+            dec(
+                F.when(
+                    (F.col("_rn") >= lo) & (F.col("_rn") <= hi),
+                    F.col("_v") * F.col("_v"),
+                ).otherwise(F.lit(0))
+            )
+        ).alias("qsum"),
+    )
+    # winsorized moments from the trimmed sums + boundary clamps (all
+    # exact integers): Sw = tsum + nlo*vlo + nhi*vhi, likewise squares
+    sw = F.col("tsum") + F.col("nlo") * F.col("vlo") + F.col("nhi") * F.col("vhi")
+    qw = (
+        F.col("qsum")
+        + F.col("nlo") * dec(F.col("vlo") * F.col("vlo"))
+        + F.col("nhi") * dec(F.col("vhi") * F.col("vhi"))
+    )
+    one = agg.select(
+        "_arm",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n") - 2 * F.col("g")).cast("bigint").alias("h"),
+        s2d(F.col("tsum")).alias("ts"),
+        s2d(sw).alias("sw"),
+        s2d(qw).alias("qw"),
+    )
+    a = one.filter(F.col("_arm") == 1).alias("a")
+    b = one.filter(F.col("_arm") == 2).alias("b")
+    j = a.crossJoin(F.broadcast(b))
+    md = F.lit(float(m))
+
+    def side(p):
+        n = F.col(f"{p}.n").cast("double")
+        h = F.col(f"{p}.h").cast("double")
+        tmean = F.col(f"{p}.ts") / h / md
+        s2w = (
+            (F.col(f"{p}.qw") - F.col(f"{p}.sw") * F.col(f"{p}.sw") / n)
+            / (n - F.lit(1.0))
+            / (md * md)
+        )
+        dterm = s2w * (n - F.lit(1.0)) / (h * (h - F.lit(1.0)))
+        return tmean, dterm, h
+
+    tma, da_, ha = side("a")
+    tmb, db_, hb = side("b")
+    diff = tma - tmb
+    se = F.sqrt(da_ + db_)
+    t = diff / se
+    dfree = (da_ + db_) * (da_ + db_) / (
+        da_ * da_ / (ha - F.lit(1.0)) + db_ * db_ / (hb - F.lit(1.0))
+    )
+    ok = (F.col("a.h") > 1) & (F.col("b.h") > 1) & (se > F.lit(0.0))
+    q9 = 1.0e9
+    qz = lambda c: F.floor(c * F.lit(q9) + F.lit(0.5)) / F.lit(q9)  # noqa: E731
+    return j.select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.h").alias("h_a"),
+        F.col("b.h").alias("h_b"),
+        qz(tma).alias("tmean_a"),
+        qz(tmb).alias("tmean_b"),
+        qz(diff).alias("diff"),
+        F.when(ok, qz(se)).alias("se"),
+        F.when(ok, qz(t)).alias("t_stat"),
+        F.when(ok, qz(dfree)).alias("df"),
+    )
+
+
+def yuen_test_sql(
+    table: str,
+    value_col: str,
+    arm_col: str,
+    level_a: str,
+    level_b: str,
+    trim: float = 0.2,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`yuen_test` (same rank CASEs, same exact
+    integer moments, same double tree)."""
+    from timeseriesutils_spark.functions.exact import dlit, sq
+
+    m = 10 ** int(scale)
+    gamma = float(trim)
+    if not (0.0 <= gamma < 0.5):
+        raise ValueError("trim must be in [0, 0.5)")
+    md = dlit(float(m))
+    s2d = lambda x: f"CAST(CAST(({x}) AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    qz = lambda x: f"(FLOOR(({x}) * 1000000000.0 + 0.5) / 1000000000.0)"  # noqa: E731
+
+    def side(p):
+        n = f"CAST({p}.n AS DOUBLE)"
+        h = f"CAST({p}.h AS DOUBLE)"
+        tmean = f"({s2d(f'{p}.ts')} / {h} / {md})"
+        s2w = (
+            f"(({s2d(f'{p}.qw')} - {s2d(f'{p}.sw')} * {s2d(f'{p}.sw')} / {n})"
+            f" / ({n} - 1.0) / ({md} * {md}))"
+        )
+        dterm = f"({s2w} * ({n} - 1.0) / ({h} * ({h} - 1.0)))"
+        return tmean, dterm, h
+
+    tma, da, ha = side("a")
+    tmb, db, hb = side("b")
+    diff = f"({tma} - {tmb})"
+    se = f"SQRT({da} + {db})"
+    t = f"({diff} / {se})"
+    dfree = (
+        f"((({da} + {db}) * ({da} + {db})) / "
+        f"(({da} * {da} / ({ha} - 1.0)) + ({db} * {db} / ({hb} - 1.0))))"
+    )
+    ok = "(a.h > 1 AND b.h > 1 AND " + se + " > 0.0)"
+    return f"""
+WITH d AS (
+  SELECT CASE WHEN {arm_col} = {sq(level_a)} THEN 1
+              WHEN {arm_col} = {sq(level_b)} THEN 2 END AS _arm,
+    CAST(FLOOR(CAST({value_col} AS DOUBLE) * {m} + 0.5) AS BIGINT) AS _v
+  FROM {table}
+  WHERE {value_col} IS NOT NULL
+    AND {arm_col} IN ({sq(level_a)}, {sq(level_b)})
+),
+r AS (
+  SELECT _arm, _v,
+    ROW_NUMBER() OVER (PARTITION BY _arm ORDER BY _v) AS _rn,
+    COUNT(*) OVER (PARTITION BY _arm) AS _n,
+    CAST(FLOOR(COUNT(*) OVER (PARTITION BY _arm) * {dlit(gamma)}) AS BIGINT) AS _g
+  FROM d
+),
+agg AS (
+  SELECT _arm, MAX(_n) AS n, MAX(_g) AS g,
+    MAX(CASE WHEN _rn = _g + 1 THEN _v END) AS vlo,
+    MAX(CASE WHEN _rn = _n - _g THEN _v END) AS vhi,
+    SUM(CAST(CASE WHEN _rn >= _g + 1 AND _rn <= _n - _g THEN _v ELSE 0 END AS HUGEINT)) AS tsum,
+    SUM(CAST(CASE WHEN _rn < _g + 1 THEN 1 ELSE 0 END AS HUGEINT)) AS nlo,
+    SUM(CAST(CASE WHEN _rn > _n - _g THEN 1 ELSE 0 END AS HUGEINT)) AS nhi,
+    SUM(CAST(CASE WHEN _rn >= _g + 1 AND _rn <= _n - _g THEN _v * _v ELSE 0 END AS HUGEINT)) AS qsum
+  FROM r GROUP BY _arm
+),
+one AS (
+  SELECT _arm, CAST(n AS BIGINT) AS n, CAST(n - 2 * g AS BIGINT) AS h,
+    tsum AS ts,
+    tsum + nlo * vlo + nhi * vhi AS sw,
+    qsum + nlo * CAST(vlo * vlo AS HUGEINT) + nhi * CAST(vhi * vhi AS HUGEINT) AS qw
+  FROM agg
+)
+SELECT a.n AS n_a, b.n AS n_b, a.h AS h_a, b.h AS h_b,
+  {qz(tma)} AS tmean_a, {qz(tmb)} AS tmean_b, {qz(diff)} AS diff,
+  CASE WHEN {ok} THEN {qz(se)} END AS se,
+  CASE WHEN {ok} THEN {qz(t)} END AS t_stat,
+  CASE WHEN {ok} THEN {qz(dfree)} END AS df
+FROM (SELECT * FROM one WHERE _arm = 1) a
+CROSS JOIN (SELECT * FROM one WHERE _arm = 2) b
+"""

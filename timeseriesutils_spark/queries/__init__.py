@@ -42,7 +42,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # round-12 additions (never driver-verified):
     "matrix_profile", "stl_decompose", "bpe_train", "pipeline_incremental",
     "seasonal_esd", "stl_robust", "distance_corr", "label_propagation",
-    "did_estimator", "granger_causality", "motif_discord",
+    "did_estimator", "granger_causality", "motif_discord", "yuen_test",
     # r4-stale cohort (last green driver row: CORRECTNESS_r04), 38:
     "ab_test_report", "acf_features", "backtest_folds", "benford_audit",
     "bpe_pair_counts", "build_vocab", "categorical_assoc",
@@ -56,7 +56,6 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "temporal_join", "triangle_count", "value_entropy", "zorder_key",
     # r5-stale padding (last green driver row: CORRECTNESS_r05; tail
     # names drop one-for-one as round-12 additions take head slots):
-    "abc_analysis",
 )
 # ROUND-13 ROTATION PLAN: (a) round-13 additions, then (b) whatever is
 # stalest in CORRECTNESS_r01..r12 at that point — recompute from the
@@ -156,7 +155,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     # round-12 additions
     "matrix_profile", "stl_decompose", "bpe_train", "pipeline_incremental",
     "seasonal_esd", "stl_robust", "distance_corr", "label_propagation",
-    "did_estimator", "granger_causality", "motif_discord",
+    "did_estimator", "granger_causality", "motif_discord", "yuen_test",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

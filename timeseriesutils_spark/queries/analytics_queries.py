@@ -1407,3 +1407,28 @@ def _sql_did_estimator():
 
 
 QUERIES.update({"did_estimator": Q(q_did_estimator, _sql_did_estimator())})
+
+
+def q_yuen_test(spark, sf_dir):
+    """Yuen trimmed-mean robust two-sample test (operators/stats.
+    yuen_test): 20%-trimmed order-value difference between urgent and
+    low priority with the winsorized-variance SE — the heavy-tail-safe
+    companion to welch_ttest on the same arms."""
+    from timeseriesutils_spark.operators.stats import yuen_test
+
+    return yuen_test(
+        load_table(spark, sf_dir, "orders"), "o_totalprice",
+        "o_orderpriority", "1-URGENT", "5-LOW", trim=0.2,
+    )
+
+
+def _sql_yuen_test():
+    from timeseriesutils_spark.operators.stats import yuen_test_sql
+
+    return yuen_test_sql(
+        "orders", "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW",
+        trim=0.2,
+    )
+
+
+QUERIES.update({"yuen_test": Q(q_yuen_test, _sql_yuen_test())})
