@@ -2715,8 +2715,10 @@ def did_estimator(
             w = ((F.col("_tr") == t) & (F.col("_po") == p)).cast("bigint")
             k = f"{t}{p}"
             cells[f"n{k}"] = F.sum(w)
-            cells[f"s{k}"] = F.sum(dec(F.col("_v") * w))
-            cells[f"q{k}"] = F.sum(dec(F.col("_v") * F.col("_v") * w))
+            # operand-first DECIMAL casts: a BIGINT _v*_v wraps
+            # silently past ~9.2e18 in Spark (ADVICE r12)
+            cells[f"s{k}"] = F.sum(dec(F.col("_v")) * w)
+            cells[f"q{k}"] = F.sum(dec(F.col("_v")) * dec(F.col("_v")) * w)
     agg = d.groupBy().agg(*[v.alias(k) for k, v in cells.items()])
 
     md = float(m)
@@ -2741,6 +2743,10 @@ def did_estimator(
         & (F.col("n10") > 1) & (F.col("n11") > 1)
     )
     se = F.sqrt(se2)
+    # degenerate-cell contract: an empty 2x2 cell returns NULL (not
+    # the 0/0 NaN), like the rest of the catalog (ADVICE r12)
+    okm = lambda k: F.col(f"n{k}") >= 1  # noqa: E731
+    ok_all = okm("00") & okm("01") & okm("10") & okm("11")
     q9 = 1.0e9
     qz = lambda c: F.floor(c * F.lit(q9) + F.lit(0.5)) / F.lit(q9)  # noqa: E731
     return agg.select(
@@ -2748,11 +2754,11 @@ def did_estimator(
         F.col("n01").alias("n_ctrl_post"),
         F.col("n10").alias("n_treat_pre"),
         F.col("n11").alias("n_treat_post"),
-        qz(mean("00")).alias("mean_ctrl_pre"),
-        qz(mean("01")).alias("mean_ctrl_post"),
-        qz(mean("10")).alias("mean_treat_pre"),
-        qz(mean("11")).alias("mean_treat_post"),
-        qz(did).alias("did"),
+        F.when(okm("00"), qz(mean("00"))).alias("mean_ctrl_pre"),
+        F.when(okm("01"), qz(mean("01"))).alias("mean_ctrl_post"),
+        F.when(okm("10"), qz(mean("10"))).alias("mean_treat_pre"),
+        F.when(okm("11"), qz(mean("11"))).alias("mean_treat_post"),
+        F.when(ok_all, qz(did)).alias("did"),
         F.when(ok, qz(se)).alias("se"),
         F.when(ok, qz(did / se)).alias("t_stat"),
     )
@@ -2787,8 +2793,8 @@ def did_estimator_sql(
             w = f"CASE WHEN _tr = {t} AND _po = {p} THEN 1 ELSE 0 END"
             aggs += [
                 f"CAST(SUM({w}) AS BIGINT) AS n{k}",
-                f"SUM(CAST(_v * ({w}) AS HUGEINT)) AS s{k}",
-                f"SUM(CAST(_v * _v * ({w}) AS HUGEINT)) AS q{k}",
+                f"SUM(CAST(_v AS HUGEINT) * ({w})) AS s{k}",
+                f"SUM(CAST(_v AS HUGEINT) * _v * ({w})) AS q{k}",
             ]
     s2d = lambda x: f"CAST(CAST(({x}) AS VARCHAR) AS DOUBLE)"  # noqa: E731
 
@@ -2805,6 +2811,7 @@ def did_estimator_sql(
     did = f"(({mean('11')} - {mean('10')}) - ({mean('01')} - {mean('00')}))"
     se2 = " + ".join(f"({var(k)} / CAST(n{k} AS DOUBLE))" for k in ("00", "01", "10", "11"))
     ok = "(n00 > 1 AND n01 > 1 AND n10 > 1 AND n11 > 1)"
+    ok_all = "(n00 >= 1 AND n01 >= 1 AND n10 >= 1 AND n11 >= 1)"
     se = f"SQRT({se2})"
     qz = lambda x: f"(FLOOR(({x}) * 1000000000.0 + 0.5) / 1000000000.0)"  # noqa: E731
     return f"""
@@ -2815,9 +2822,11 @@ WITH d AS (
 agg AS (SELECT {', '.join(aggs)} FROM d)
 SELECT n00 AS n_ctrl_pre, n01 AS n_ctrl_post,
   n10 AS n_treat_pre, n11 AS n_treat_post,
-  {qz(mean('00'))} AS mean_ctrl_pre, {qz(mean('01'))} AS mean_ctrl_post,
-  {qz(mean('10'))} AS mean_treat_pre, {qz(mean('11'))} AS mean_treat_post,
-  {qz(did)} AS did,
+  CASE WHEN n00 >= 1 THEN {qz(mean('00'))} END AS mean_ctrl_pre,
+  CASE WHEN n01 >= 1 THEN {qz(mean('01'))} END AS mean_ctrl_post,
+  CASE WHEN n10 >= 1 THEN {qz(mean('10'))} END AS mean_treat_pre,
+  CASE WHEN n11 >= 1 THEN {qz(mean('11'))} END AS mean_treat_post,
+  CASE WHEN {ok_all} THEN {qz(did)} END AS did,
   CASE WHEN {ok} THEN {qz(se)} END AS se,
   CASE WHEN {ok} THEN {qz(f'{did} / {se}')} END AS t_stat
 FROM agg

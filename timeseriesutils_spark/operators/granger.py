@@ -144,10 +144,13 @@ def granger_causality(
     ).filter(F.col("_y1").isNotNull() & F.col("_x1").isNotNull())
 
     def prod(a, b):
+        # cast each OPERAND to decimal before multiplying: a BIGINT
+        # product wraps silently past ~9.2e18 in Spark (DuckDB raises),
+        # so the widening must happen before the multiply (ADVICE r12)
         if a is None:
-            return F.lit(1).cast("bigint")
-        c = F.col(f"_{a}")
-        return c if b is None else c * F.col(f"_{b}")
+            return F.lit(1).cast("decimal(38,0)")
+        c = dec(F.col(f"_{a}"))
+        return c if b is None else c * dec(F.col(f"_{b}"))
 
     agg = lagged.groupBy(*g).agg(
         *[F.sum(dec(prod(a, b))).alias(name) for name, a, b in _MOMS]
@@ -209,12 +212,16 @@ def granger_causality_sql(
     s2d = lambda x: f"CAST(CAST(({x}) AS VARCHAR) AS DOUBLE)"  # noqa: E731
 
     def prod(a, b):
+        # operand-first HUGEINT cast (the Spark side widens each
+        # operand to DECIMAL before the multiply — same no-wrap window)
         if a is None:
-            return "1"
-        return f"_{a}" if b is None else f"_{a} * _{b}"
+            return "CAST(1 AS HUGEINT)"
+        if b is None:
+            return f"CAST(_{a} AS HUGEINT)"
+        return f"CAST(_{a} AS HUGEINT) * _{b}"
 
     moms = ", ".join(
-        f"SUM(CAST({prod(a, b)} AS HUGEINT)) AS {name}" for name, a, b in _MOMS
+        f"SUM({prod(a, b)}) AS {name}" for name, a, b in _MOMS
     )
     get = lambda name: (None, s2d(name))  # noqa: E731
     # reuse the shared generator; take the sql side of each pair

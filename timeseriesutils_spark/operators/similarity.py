@@ -2440,15 +2440,21 @@ def mmd_quad_drift_sql(
     sample_col: str,
     scale: int = 4,
     c: float = 1.0,
+    max_dim: int = 128,
 ) -> str:
     """DuckDB twin of :func:`mmd_quad_drift` (same common-denominator
-    integer moments)."""
+    integer moments, and the SAME d² explode guard: both engines raise
+    at execution for d > ``max_dim`` — ADVICE r12 asymmetry fix)."""
     from timeseriesutils_spark.functions.exact import dlit
 
     m = 10**scale
     q = (
+        f"CASE WHEN len({vec_col}) <= {int(max_dim)} THEN "
         f"list_transform({vec_col}, x -> "
-        f"CAST(FLOOR(CAST(x AS DOUBLE) * {m} + 0.5) AS BIGINT))"
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {m} + 0.5) AS BIGINT)) "
+        f"ELSE error('mmd_quad_drift: vector dim exceeds "
+        f"max_dim={int(max_dim)} (d2 feature-map explode); pca_project "
+        f"first or raise max_dim deliberately') END"
     )
     s2d = lambda col: f"CAST(CAST({col} AS VARCHAR) AS DOUBLE)"  # noqa: E731
     n1 = "CAST(_n1 AS DOUBLE)"

@@ -3874,8 +3874,10 @@ def yuen_test(
             dec(
                 F.when(
                     (F.col("_rn") >= lo) & (F.col("_rn") <= hi),
-                    F.col("_v") * F.col("_v"),
-                ).otherwise(F.lit(0))
+                    # operand-first DECIMAL cast: BIGINT _v*_v wraps
+                    # silently past ~9.2e18 in Spark (ADVICE r12)
+                    dec(F.col("_v")) * dec(F.col("_v")),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
             )
         ).alias("qsum"),
     )
@@ -3884,8 +3886,8 @@ def yuen_test(
     sw = F.col("tsum") + F.col("nlo") * F.col("vlo") + F.col("nhi") * F.col("vhi")
     qw = (
         F.col("qsum")
-        + F.col("nlo") * dec(F.col("vlo") * F.col("vlo"))
-        + F.col("nhi") * dec(F.col("vhi") * F.col("vhi"))
+        + F.col("nlo") * (dec(F.col("vlo")) * dec(F.col("vlo")))
+        + F.col("nhi") * (dec(F.col("vhi")) * dec(F.col("vhi")))
     )
     one = agg.select(
         "_arm",
@@ -4002,14 +4004,14 @@ agg AS (
     SUM(CAST(CASE WHEN _rn >= _g + 1 AND _rn <= _n - _g THEN _v ELSE 0 END AS HUGEINT)) AS tsum,
     SUM(CAST(CASE WHEN _rn < _g + 1 THEN 1 ELSE 0 END AS HUGEINT)) AS nlo,
     SUM(CAST(CASE WHEN _rn > _n - _g THEN 1 ELSE 0 END AS HUGEINT)) AS nhi,
-    SUM(CAST(CASE WHEN _rn >= _g + 1 AND _rn <= _n - _g THEN _v * _v ELSE 0 END AS HUGEINT)) AS qsum
+    SUM(CASE WHEN _rn >= _g + 1 AND _rn <= _n - _g THEN CAST(_v AS HUGEINT) * _v ELSE CAST(0 AS HUGEINT) END) AS qsum
   FROM r GROUP BY _arm
 ),
 one AS (
   SELECT _arm, CAST(n AS BIGINT) AS n, CAST(n - 2 * g AS BIGINT) AS h,
     tsum AS ts,
     tsum + nlo * vlo + nhi * vhi AS sw,
-    qsum + nlo * CAST(vlo * vlo AS HUGEINT) + nhi * CAST(vhi * vhi AS HUGEINT) AS qw
+    qsum + nlo * (CAST(vlo AS HUGEINT) * vlo) + nhi * (CAST(vhi AS HUGEINT) * vhi) AS qw
   FROM agg
 )
 SELECT a.n AS n_a, b.n AS n_b, a.h AS h_a, b.h AS h_b,

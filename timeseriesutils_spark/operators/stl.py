@@ -576,10 +576,17 @@ def stl_robust(
             F.when(u < F.lit(1.0), bisq).otherwise(F.lit(0.0))
         )
     )
+    # pass-1 margin rows (trend₁ NULL) carry rho = 0 — coalesce their
+    # detrended term to 0 so the zero-weight product stays 0 instead of
+    # 0·NULL = NULL poisoning every smoother window that touches an
+    # edge row (ADVICE r12: keeps the NULL margin at stl_decompose's
+    # documented complete-window margin, not hs·P + P + ht wider)
     w0 = base.join(F.broadcast(med), g).select(
         *g, "_t", "_v",
         q6(rho_d).alias("_pq"),
-        q6(F.col("_v") - F.col("_tr1")).alias("_dxq"),
+        F.coalesce(
+            q6(F.col("_v") - F.col("_tr1")), F.lit(0)
+        ).alias("_dxq"),
         q6(F.col("_v")).alias("_xq"),
     )
 
@@ -724,7 +731,7 @@ med AS (
 ),
 w0 AS (
   SELECT {gsel}, _t, _v, {q6(rho)} AS _pq,
-    {q6('_v - _tr1')} AS _dxq, {q6('_v')} AS _xq
+    COALESCE({q6('_v - _tr1')}, 0) AS _dxq, {q6('_v')} AS _xq
   FROM d1 JOIN med USING ({gsel})
 ),
 s1 AS (
