@@ -184,17 +184,42 @@ def test_matrix_profile_constant_windows_drop_out(spark):
 
 def test_matrix_profile_plan_single_exchange_no_joins(spark):
     """The banded-STOMP formulation must stay pure window expressions:
-    one exchange per series, zero joins, no Python eval."""
+    one exchange per series, zero joins, no Python eval.  (Pinned on
+    the OPERATOR plan — since round 13 the catalog query serves the
+    shared parquet-checkpointed profile, see next test.)"""
     import re
 
-    from timeseriesutils_spark.queries import catalog
+    from timeseriesutils_spark.operators.matrixprofile import matrix_profile
+    from timeseriesutils_spark.queries.series_queries import _daily
 
-    df = catalog()["matrix_profile"].spark(spark, "/root/testdata/sf0.001")
+    df = matrix_profile(
+        _daily(spark, "/root/testdata/sf0.001"), "day_price",
+        ["l_suppkey"], ["ship_day"], w=8, band=20, excl=4, scale=2,
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_matrix_profile_and_motif_discord_share_one_build(spark):
+    """Round-13 de-dup: both catalog queries must serve from ONE
+    matrix-profile build (a parquet checkpoint scan — no window chain,
+    no second 16-lag computation) and stay value-identical to the
+    direct operator output."""
+    from timeseriesutils_spark.functions import checkpoint as ck
+    from timeseriesutils_spark.queries import catalog
+
+    before = ck._SEQ["n"]
+    q1 = catalog()["matrix_profile"].spark(spark, "/root/testdata/sf0.001")
+    q2 = catalog()["motif_discord"].spark(spark, "/root/testdata/sf0.001")
+    built = ck._SEQ["n"] - before
+    assert built <= 1  # 0 if an earlier test already memoized this sf
+    # the motif query's plan reads the checkpoint: no window chain left
+    plan = q2._jdf.queryExecution().executedPlan().toString()
+    assert "_qt5" not in plan  # no per-lag QT rolling sums rebuilt
+    assert q1.count() > 0 and q2.count() > 0
 
 
 # --- stl_decompose --------------------------------------------------------

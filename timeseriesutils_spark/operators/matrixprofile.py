@@ -254,6 +254,7 @@ def motif_discord(
     band: int = 20,
     excl: int | None = None,
     scale: int = 2,
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """Motif/discord extraction from the banded matrix profile (the
     Yeh et al. 2016 use-case the profile exists for): per series, the
@@ -266,13 +267,23 @@ def motif_discord(
     index (both engines identical).  One window pass over the profile
     rows per series — the profile plan's single exchange is reused.
 
+    ``profile``: a PRECOMPUTED :func:`matrix_profile` frame (columns
+    group..., idx, nn_idx, mp_dist).  The profile is the expensive
+    part and callers that also need the profile itself should compute
+    it ONCE (e.g. via a parquet checkpoint) and pass it here — the
+    catalog does exactly that, so the ``matrix_profile`` and
+    ``motif_discord`` queries share one build (round-13 de-dup of the
+    r12 bench's #2+#4 heaviest entries).  When given, ``df``/
+    ``value_col``/``order_columns`` and the profile parameters are
+    ignored.
+
     Returns one row per series: (group..., motif_idx, motif_nn,
     motif_dist, discord_idx, discord_dist).
     """
     from timeseriesutils_spark.operators.window_features import _as_list
 
     g = _as_list(group_columns)
-    mp = matrix_profile(
+    mp = profile if profile is not None else matrix_profile(
         df, value_col, group_columns, order_columns,
         w=w, band=band, excl=excl, scale=scale,
     )
