@@ -111,6 +111,44 @@ def test_did_estimator_degenerate_cell_is_null_not_nan(spark):
         assert v is not None and not math.isnan(v), c
 
 
+# --- chunked matrix profile (monster-series mitigation) ---------------------
+
+
+def test_matrix_profile_chunked_bit_identical(spark):
+    """Chunk-parallel banded profile must equal the unchunked plan
+    bit-for-bit at any chunk size >= band + w (two-sided context
+    correctness), including chunks larger than the series."""
+    from timeseriesutils_spark.operators.matrixprofile import matrix_profile
+
+    rows = [
+        ("s", i, 10.0 + 3.0 * math.sin(i / 3.0) + (0.37 * i % 2.1))
+        for i in range(300)
+    ] + [("t", i, 5.0 + (i * i * 0.37 % 7.0)) for i in range(97)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    plain = sorted(
+        map(tuple, matrix_profile(df, "v", ["g"], ["t"], w=8, band=20, excl=4).collect())
+    )
+    assert len(plain) > 0
+    for C in (28, 64, 400):
+        chunked = sorted(
+            map(
+                tuple,
+                matrix_profile(
+                    df, "v", ["g"], ["t"], w=8, band=20, excl=4, chunk_rows=C
+                ).collect(),
+            )
+        )
+        assert chunked == plain, f"chunk_rows={C}"
+
+
+def test_matrix_profile_chunked_rejects_thin_chunks(spark):
+    from timeseriesutils_spark.operators.matrixprofile import matrix_profile
+
+    df = spark.createDataFrame([("s", 1, 1.0)], "g string, t int, v double")
+    with pytest.raises(ValueError, match="chunk_rows"):
+        matrix_profile(df, "v", ["g"], ["t"], w=8, band=20, excl=4, chunk_rows=20)
+
+
 def test_stl_robust_edge_margin_matches_stl_decompose(spark):
     """rho=0 pass-1 margin rows must not widen stl_robust's NULL margin
     past stl_decompose's complete-window margin (ADVICE r12: 0*NULL

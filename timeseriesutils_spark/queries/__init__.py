@@ -38,36 +38,50 @@ class Q:
 # placement for anything never driver-verified), then (b) the r4-stale
 # cohort in full, then (c) r5-stale padding swapped out one-for-one as
 # round-12 additions land, keeping the head at exactly 50.
+# ROUND-13 ROTATION (executes the plan written at the end of round 12,
+# recomputed from CORRECTNESS_r01..r12 directly: the full r5-stale
+# cohort is exactly 40 queries — every other query has a green driver
+# row from r6 or later): head slots go to (a) round-13 additions as
+# each lands (find_unrotated_queries enforces head placement for
+# anything never driver-verified), then (b) the r5-stale cohort in
+# full, then (c) r6-stale padding swapped out one-for-one as round-13
+# additions land, keeping the head at exactly 50.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
-    # round-12 additions (never driver-verified):
-    "matrix_profile", "stl_decompose", "bpe_train", "pipeline_incremental",
-    "seasonal_esd", "stl_robust", "distance_corr", "label_propagation",
-    "did_estimator", "granger_causality", "motif_discord", "yuen_test",
-    # r4-stale cohort (last green driver row: CORRECTNESS_r04), 38:
-    "ab_test_report", "acf_features", "backtest_folds", "benford_audit",
-    "bpe_pair_counts", "build_vocab", "categorical_assoc",
-    "compaction_plan", "cusum_drift", "dedup_embedding_lsh", "dup_spans",
-    "event_transitions", "ew_volatility", "fk_audit", "funnel_latency",
-    "holt_smooth", "incremental_dedup", "incremental_rollmean",
-    "incremental_taylor", "inverted_index", "kmeans", "knn_lsh",
-    "pca_power", "pmi_cooccur", "psi_drift", "rolling_active_users",
-    "rolling_mad", "rolling_moments", "sax_words", "seasonal_zscore",
-    "shard_assign", "sink_roundtrip", "skew_report", "table_checksum",
-    "temporal_join", "triangle_count", "value_entropy", "zorder_key",
-    # r5-stale padding (last green driver row: CORRECTNESS_r05; tail
-    # names drop one-for-one as round-12 additions take head slots):
+    # round-13 additions (never driver-verified):
+    "matrix_profile_chunked",
+    # r5-stale cohort (last green driver row: CORRECTNESS_r05), 40:
+    "abc_analysis", "anova_oneway", "attribution", "bootstrap_ci",
+    "canonical_pick", "constraint_audit", "corr_matrix", "counter_rate",
+    "dedup_debounce", "dup_rate_by_source", "embedding_drift", "fd_audit",
+    "feature_hash", "fifo_allocation", "funnel_window", "grouped_ols2",
+    "growth_rates", "histogram2d", "item_cooccur", "jsonl_pack",
+    "kaplan_meier", "latency_bands", "local_peaks", "mahalanobis_outliers",
+    "merge_intervals", "minhash_estimate_audit", "novelty_scores",
+    "nowcast_triangle", "period_over_period", "renewal_rt", "rfm_segments",
+    "seasonal_strength", "shipping_sla", "snapshot_diff", "state_dwell",
+    "stickiness", "stockout_events", "top_paths", "wilson_daily",
+    "zipf_fit",
+    # r6-stale padding (last green driver row: CORRECTNESS_r06; tail
+    # names drop one-for-one as round-13 additions take head slots):
+    "agg_pricing_summary", "agg_rollup", "asof_join", "best_breakpoint",
+    "bigram_logprob", "corpus_jsd", "croston_demand",
+    "dedup_ngram_jaccard", "dedup_threshold_curve",
 )
-# ROUND-13 ROTATION PLAN: (a) round-13 additions, then (b) whatever is
-# stalest in CORRECTNESS_r01..r12 at that point — recompute from the
-# artifacts (the remaining r5 cohort: feature_hash, fifo_allocation,
-# funnel_window, grouped_ols2, growth_rates, histogram2d, item_cooccur,
-# jsonl_pack, kaplan_meier, latency_bands, local_peaks,
-# mahalanobis_outliers, merge_intervals, minhash_estimate_audit,
-# novelty_scores, nowcast_triangle, period_over_period, renewal_rt,
-# rfm_segments, seasonal_strength, shipping_sla, snapshot_diff,
-# state_dwell, stickiness, stockout_events, top_paths, wilson_daily,
-# zipf_fit, plus any r5-pad names displaced this round), then (c) the
-# r6 cohort.
+# ROUND-14 ROTATION PLAN: (a) round-14 additions, then (b) whatever is
+# stalest in CORRECTNESS_r01..r13 at that point — recompute from the
+# artifacts (the r6 cohort, 44 queries, minus any re-verified via the
+# r13 padding slots: agg_pricing_summary, agg_rollup, asof_join,
+# best_breakpoint, bigram_logprob, corpus_jsd, croston_demand,
+# dedup_ngram_jaccard, dedup_threshold_curve, dirichlet_lm_search,
+# domfreq, dup_cluster_sizes, excess_incidence, featurize_pipeline,
+# gini_index, gmean_exact, horizon_targets_long, horizon_targets_wide,
+# id_gap_audit, join_star, knn_ivf, knn_recall_curve, lag,
+# langid_confusion, lead_lag_corr, nelson_aalen, pagerank,
+# peak_concurrency, pinball_eval, pivot_wide, psi_drift_curve,
+# quantile_transform, rolling_quantile, rolling_slope, rollmean,
+# simhash, taylor_centered_ew, taylor_trailing, theilsen_trend,
+# topk_per_group, train_test_arrays, weighted_median, welch_ttest,
+# window_rank), then (c) the r7 cohort.
 
 
 # --- catalog governance (round-6): gate tiers -----------------------------
@@ -156,6 +170,8 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "matrix_profile", "stl_decompose", "bpe_train", "pipeline_incremental",
     "seasonal_esd", "stl_robust", "distance_corr", "label_propagation",
     "did_estimator", "granger_causality", "motif_discord", "yuen_test",
+    # round-13 additions (core: operator-correctness surfaces)
+    "matrix_profile_chunked",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

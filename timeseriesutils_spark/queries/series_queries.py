@@ -1448,3 +1448,23 @@ def _sql_motif_discord():
 
 
 QUERIES.update({"motif_discord": Q(q_motif_discord, _sql_motif_discord())})
+
+
+def q_matrix_profile_chunked(spark, sf_dir):
+    """Monster-series mitigation on the gate: the banded matrix
+    profile computed CHUNK-PARALLEL (matrix_profile(chunk_rows=64) —
+    64-row chunks, two-sided context band/band+w−1, chunk id on the
+    partition key) must hash-match the SAME oracle as the unchunked
+    `matrix_profile` — the chunked_taylor precedent applied to a
+    two-sided banded window reach."""
+    from timeseriesutils_spark.operators.matrixprofile import matrix_profile
+
+    return matrix_profile(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        w=8, band=20, excl=4, scale=2, chunk_rows=64,
+    )
+
+
+QUERIES.update(
+    {"matrix_profile_chunked": Q(q_matrix_profile_chunked, _sql_matrix_profile())}
+)
