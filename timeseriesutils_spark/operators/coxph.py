@@ -225,6 +225,10 @@ def _newton_loop(betas, eval_pass, groups, n_steps):
         # materialization per step (values are deterministic doubles,
         # unchanged by materialization).  Measured 7.4 → 4.2 s alone,
         # → ~3.4 s with the narrowed loop width.
+        # Deliberately NOT the round-13 parquet tier: the payload is a
+        # handful of rows per step, so a per-step parquet round-trip
+        # costs far more than it protects (a lost executor re-runs the
+        # whole op; acceptable for a seconds-long group-sized loop).
         betas = betas.coalesce(1).localCheckpoint(eager=True)
 
     fin = eval_pass(betas)

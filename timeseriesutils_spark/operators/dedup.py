@@ -691,7 +691,12 @@ def connected_components(
     # the lineage to the materialized edge set, so every round starts
     # from a flat scan.  (localCheckpoint = executor-local blocks: no
     # lineage-based fault recovery mid-algorithm; a lost executor costs a
-    # rerun of the op, the standard trade for iterative graph loops.)
+    # rerun of the op.  Deliberately NOT the round-13 parquet tier:
+    # large-star/small-star checkpoints THREE frames per round — the
+    # highest checkpoint frequency in the repo — and the r13 A/B
+    # measured +1.3 s per CC consumer at sf0.1 (canonical_pick 1.9 →
+    # 3.3); the durable swap is one line via functions/checkpoint.py
+    # where an hours-long 100 TB component build wants it.)
     e = (
         _sym(edges)
         .filter(F.col("u") != F.col("v"))

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from timeseriesutils_spark.functions.cache import pin
+from timeseriesutils_spark.functions.checkpoint import parquet_checkpoint
 
 
 def pagerank(
@@ -114,7 +115,7 @@ def pagerank(
     # 2.8 s warm at sf0.1 (21k nodes: 32 → 8-way rounds).
     # NOTE: this mutates session-global conf for the duration of the
     # loop (restored in finally).  Safe because every round inside the
-    # loop materializes eagerly (localCheckpoint) before the restore;
+    # loop materializes eagerly (parquet checkpoint) before the restore;
     # on a session shared with CONCURRENT queries the narrowed width
     # would leak to them for the loop's duration — run pagerank on its
     # own session (or accept narrower shuffles) in that deployment.
@@ -177,7 +178,7 @@ def _pagerank_rounds(ranks, nodes, deg, e, bcast, n_iter, base_q, d_num, d_den):
         # on return, so every round's exchange must MATERIALIZE before
         # the restore — a lazily-returned final round would execute
         # under the restored (wide) setting and miss the narrowing.
-        ranks = ranks.coalesce(8).localCheckpoint(eager=True)
+        ranks = parquet_checkpoint(ranks.coalesce(8), "pagerank")
     return ranks
 
 
@@ -496,7 +497,8 @@ def label_propagation(
     )
     labels = adj.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("community")
-    ).localCheckpoint(eager=True)
+    )
+    labels = parquet_checkpoint(labels, "lpa0")
     wv = Window.partitionBy("node").orderBy(
         F.col("_cnt").desc(), F.col("community").asc()
     )
@@ -516,8 +518,8 @@ def label_propagation(
             )
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-            .localCheckpoint(eager=True)
         )
+        labels = parquet_checkpoint(labels, "lpa")
     sizes = labels.groupBy("community").agg(
         F.count(F.lit(1)).alias("community_size")
     )

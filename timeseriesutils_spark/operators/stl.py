@@ -278,8 +278,9 @@ def seasonal_esd(
     the K rounds UNROLLED as relational stages — per round a ranked
     window pass (two-middle median via ROW_NUMBER multiplicity), one
     per-group aggregation, one broadcastable hit join — every stage
-    partitioned by the group key, survivor frame lineage-checkpointed
-    per round (the pagerank precedent: each round references its
+    partitioned by the group key, survivor frame checkpointed per round
+    to the durable parquet tier (functions/checkpoint.py; the pagerank
+    precedent: each round references its
     predecessor ~5 times, so an un-truncated plan grows 5^K; a
     per-element array fold was rejected too — Catalyst re-evaluates
     lambda-embedded sorts per element, O(n²·log n)).  The DuckDB twin
@@ -312,10 +313,16 @@ def seasonal_esd(
     # per-round lineage checkpoint (the pagerank precedent,
     # graph.py:166): cur(k-1) is referenced ~5 times per round, so an
     # un-truncated logical plan grows 5^K over the stl subtree and
-    # Catalyst analysis alone takes minutes; localCheckpoint severs it
-    cur = base.select(
-        *g, "_t", "_rq", F.lit(0).cast("int").alias("_rnk")
-    ).localCheckpoint(eager=True)
+    # Catalyst analysis alone takes minutes; the checkpoint severs it.
+    # Parquet tier (round-13 default, functions/checkpoint.py): durable
+    # across executor loss at cluster scale, measured cost-neutral vs
+    # the executor-pinned localCheckpoint (BASELINE.md r13 A/B).
+    from timeseriesutils_spark.functions.checkpoint import parquet_checkpoint
+
+    cur = parquet_checkpoint(
+        base.select(*g, "_t", "_rq", F.lit(0).cast("int").alias("_rnk")),
+        "esd",
+    )
     for k in range(1, K + 1):
         wrq = Window.partitionBy(*g).orderBy("_rq", "_t")
         wg = Window.partitionBy(*g)
@@ -357,16 +364,19 @@ def seasonal_esd(
             .groupBy(*g)
             .agg(F.min("_t").alias("_hit_t"))
         )
-        cur = cur.join(hit, g, "left").select(
-            *g, "_t", "_rq",
-            F.when(
-                (F.col("_rnk") == 0) & (F.col("_t") == F.col("_hit_t")),
-                F.lit(k),
-            )
-            .otherwise(F.col("_rnk"))
-            .cast("int")
-            .alias("_rnk"),
-        ).localCheckpoint(eager=True)
+        cur = parquet_checkpoint(
+            cur.join(hit, g, "left").select(
+                *g, "_t", "_rq",
+                F.when(
+                    (F.col("_rnk") == 0) & (F.col("_t") == F.col("_hit_t")),
+                    F.lit(k),
+                )
+                .otherwise(F.col("_rnk"))
+                .cast("int")
+                .alias("_rnk"),
+            ),
+            f"esd{k}",
+        )
     return cur.filter(F.col("_rnk") > 0).select(
         *g,
         F.col("_t").alias(time_col),
