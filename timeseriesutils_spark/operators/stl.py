@@ -89,9 +89,12 @@ def stl_decompose(
     seasonal_h: int = 3,
     trend_h: int = 10,
     scale: int = 2,
+    keep: tuple = (),
 ) -> DataFrame:
     """One-iteration STL with literal quantized-LOESS weights (module
-    doc).  Returns (group..., time, value, seasonal, trend, remainder)."""
+    doc).  Returns (group..., time, value, seasonal, trend, remainder
+    [, keep...]); ``keep`` columns pass through untouched (the MSTL
+    composition carries the original value and prior seasonals)."""
     from timeseriesutils_spark.operators.window_features import _as_list
 
     g = _as_list(group_columns)
@@ -124,6 +127,7 @@ def stl_decompose(
         F.floor(F.col(value_col).cast("double") * F.lit(mult) + F.lit(0.5))
         .cast("bigint")
         .alias("_xq"),
+        *[F.col(c) for c in keep],
     )
     # 1. cycle-subseries tricube smoothing: neighbors k cycles away are
     # exactly k*P rows away on the regular grid — one window partition
@@ -162,6 +166,7 @@ def stl_decompose(
         seasonal.alias("seasonal"),
         trend.alias("trend"),
         (F.col("_v") - seasonal - trend).alias("remainder"),
+        *[F.col(c) for c in keep],
     )
 
 
@@ -174,9 +179,11 @@ def stl_decompose_sql(
     seasonal_h: int = 3,
     trend_h: int = 10,
     scale: int = 2,
+    keep: tuple = (),
 ) -> str:
     """DuckDB twin of :func:`stl_decompose` (same literal weights,
-    same integer stages via HUGEINT, same division order)."""
+    same integer stages via HUGEINT, same division order; ``keep``
+    columns pass through like the Spark side)."""
     from timeseriesutils_spark.functions.exact import dlit
     from timeseriesutils_spark.operators.window_features import _as_list
 
@@ -214,11 +221,12 @@ def stl_decompose_sql(
     s2d = lambda x: f"CAST(CAST(({x}) AS VARCHAR) AS DOUBLE)"  # noqa: E731
     seasonal = f"({s2d('_seasn')} / {dlit(float(DL * mult))})"
     trend = f"({s2d('_trn')} / {dlit(float(DL * SU * mult))})"
+    keep_base = "".join(f", {c}" for c in keep)
     return f"""
 WITH base AS (
   SELECT {gsel}, CAST({time_col} AS BIGINT) AS _t,
     CAST({value_col} AS DOUBLE) AS _v,
-    CAST(FLOOR(CAST({value_col} AS DOUBLE) * {mult} + 0.5) AS BIGINT) AS _xq
+    CAST(FLOOR(CAST({value_col} AS DOUBLE) * {mult} + 0.5) AS BIGINT) AS _xq{keep_base}
   FROM ({data_sql})
 ),
 s1 AS (SELECT *, {s_num} AS _sn FROM base WINDOW word AS {word}),
@@ -228,7 +236,7 @@ s3 AS (SELECT *, _xq * {DL} - _seasn AS _vn FROM s2),
 s4 AS (SELECT *, {t_num} AS _trn FROM s3 WINDOW word AS {word})
 SELECT {gsel}, _t AS {time_col}, _v AS value,
   {seasonal} AS seasonal, {trend} AS trend,
-  _v - {seasonal} - {trend} AS remainder
+  _v - {seasonal} - {trend} AS remainder{keep_base}
 FROM s4
 """
 
@@ -756,4 +764,128 @@ SELECT {gsel}, _t AS {time_col}, _v AS value,
   _v - {seasonal} - {trend} AS remainder,
   CAST(_pq AS DOUBLE) / {dlit(float(rm))} AS rho
 FROM s4
+"""
+
+
+def mstl_decompose(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    group_columns,
+    periods: tuple = (7, 14),
+    seasonal_h: int = 3,
+    trend_h: int = 10,
+    scale: int = 2,
+) -> DataFrame:
+    """MSTL — multi-seasonal STL (Bandara, Hyndman & Bergmeir 2021):
+    decompose a series with SEVERAL seasonal periods (e.g. daily series
+    with weekly + biweekly cycles) by iterating :func:`stl_decompose`
+    over an ascending literal period list — each pass extracts one
+    seasonal component from the previous pass's deseasonalized series,
+    the FINAL pass's trend is the trend, and the remainder subtracts
+    every component:
+
+        s₁ = STL_{P₁}(x).seasonal
+        s₂ = STL_{P₂}(x − s₁).seasonal,  T = STL_{P₂}(x − s₁).trend
+        r  = x − s₁ − s₂ − T
+
+    One refinement sweep (the paper's ``iterate=1`` default re-runs
+    each seasonal against the others' latest estimates; this is the
+    iterate=0 single forward sweep — documented, and the standard
+    cheap mode when periods are well separated).
+
+    Exactness: pass k's input x − Σs is the SAME IEEE double in both
+    engines (value double minus exact-ratio seasonals, one shared
+    tree), so pass k's 10^-scale floor-quantization lands identically;
+    from there each pass is the stl_decompose integer machinery.  NULL
+    margins compound: pass 2's complete-window margin applies on top
+    of pass 1's (rows where s₁ is NULL quantize to NULL and propagate)
+    — the documented MSTL edge cost.
+
+    Scale shape: the stl window chain twice on the SAME partition key
+    — one exchange, two sort-window sweeps, no joins (the ``keep``
+    passthrough carries the original value and s₁ through pass 2
+    instead of a join-back).
+
+    Returns (group..., time, value, seasonal_p{P1}, seasonal_p{P2},
+    trend, remainder).
+    """
+    ps = [int(p) for p in periods]
+    if len(ps) != 2:
+        raise ValueError("mstl_decompose: exactly two periods supported")
+    if ps[0] >= ps[1]:
+        raise ValueError("periods must be ascending")
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    d1 = stl_decompose(
+        df, value_col, time_col, group_columns,
+        period=ps[0], seasonal_h=seasonal_h, trend_h=trend_h, scale=scale,
+    )
+    in2 = d1.select(
+        *g,
+        F.col(time_col),
+        F.col("value").alias("_v0"),
+        F.col("seasonal").alias("_s1"),
+        (F.col("value") - F.col("seasonal")).alias("_v2"),
+    )
+    d2 = stl_decompose(
+        in2, "_v2", time_col, group_columns,
+        period=ps[1], seasonal_h=seasonal_h, trend_h=trend_h, scale=scale,
+        keep=("_v0", "_s1"),
+    )
+    return d2.select(
+        *g,
+        F.col(time_col),
+        F.col("_v0").alias("value"),
+        F.col("_s1").alias(f"seasonal_p{ps[0]}"),
+        F.col("seasonal").alias(f"seasonal_p{ps[1]}"),
+        F.col("trend"),
+        (
+            F.col("_v0") - F.col("_s1") - F.col("seasonal") - F.col("trend")
+        ).alias("remainder"),
+    )
+
+
+def mstl_decompose_sql(
+    data_sql: str,
+    value_col: str,
+    time_col: str,
+    group_columns,
+    periods: tuple = (7, 14),
+    seasonal_h: int = 3,
+    trend_h: int = 10,
+    scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`mstl_decompose` (the same two chained
+    stl_decompose twins; pass-2 input is the identical double
+    expression, so the pass-2 quantization grid lands identically)."""
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    ps = [int(p) for p in periods]
+    if len(ps) != 2:
+        raise ValueError("mstl_decompose: exactly two periods supported")
+    if ps[0] >= ps[1]:
+        raise ValueError("periods must be ascending")
+    g = _as_list(group_columns)
+    gsel = ", ".join(g)
+    stage1 = stl_decompose_sql(
+        data_sql, value_col, time_col, group_columns,
+        period=ps[0], seasonal_h=seasonal_h, trend_h=trend_h, scale=scale,
+    )
+    in2 = f"""
+SELECT {gsel}, {time_col}, value AS _v0, seasonal AS _s1,
+  value - seasonal AS _v2
+FROM ({stage1})
+"""
+    stage2 = stl_decompose_sql(
+        f"({in2})", "_v2", time_col, group_columns,
+        period=ps[1], seasonal_h=seasonal_h, trend_h=trend_h, scale=scale,
+        keep=("_v0", "_s1"),
+    )
+    return f"""
+SELECT {gsel}, {time_col}, _v0 AS value,
+  _s1 AS seasonal_p{ps[0]}, seasonal AS seasonal_p{ps[1]}, trend,
+  _v0 - _s1 - seasonal - trend AS remainder
+FROM ({stage2})
 """

@@ -4269,3 +4269,58 @@ def _sql_granger_causality():
 QUERIES.update(
     {"granger_causality": Q(q_granger_causality, _sql_granger_causality())}
 )
+
+
+_HIER_SQL = """
+SELECT o_totalprice AS val, o_orderdate AS od, n_name, r_name
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_reconcile_forecasts(spark, sf_dir):
+    """Hierarchical forecast reconciliation (operators/reconcile.
+    reconcile_forecasts): per-nation median base forecasts of daily
+    order revenue over the trailing 28 days, made coherent across the
+    nation -> region -> total hierarchy two ways — bottom-up and the
+    closed-form OLS projection S(S'S)^-1 S' via block Sherman–Morrison
+    (per-group aggregates + broadcasts, no matrix library).  The
+    reference's own domain (reichlab hubs) is location-hierarchical;
+    this is the coherence layer its forecasts assume."""
+    from timeseriesutils_spark.operators.reconcile import reconcile_forecasts
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("o_totalprice").alias("val"),
+            F.col("o_orderdate").alias("od"),
+            "n_name", "r_name",
+        )
+    )
+    return reconcile_forecasts(
+        joined, "val", "od", "n_name", "r_name", window_days=28, scale=2
+    )
+
+
+def _sql_reconcile_forecasts():
+    from timeseriesutils_spark.operators.reconcile import (
+        reconcile_forecasts_sql,
+    )
+
+    return reconcile_forecasts_sql(
+        f"({_HIER_SQL})", "val", "od", "n_name", "r_name",
+        window_days=28, scale=2,
+    )
+
+
+QUERIES.update(
+    {"reconcile_forecasts": Q(q_reconcile_forecasts, _sql_reconcile_forecasts())}
+)

@@ -1468,3 +1468,66 @@ def q_matrix_profile_chunked(spark, sf_dir):
 QUERIES.update(
     {"matrix_profile_chunked": Q(q_matrix_profile_chunked, _sql_matrix_profile())}
 )
+
+
+def q_conformal_intervals(spark, sf_dir):
+    """Split-conformal next-step prediction interval per supplier
+    (operators/conformal.conformal_intervals): trailing-mean point
+    forecasts over the daily price series, absolute-residual
+    calibration scores on every full-window row except the last, and
+    the finite-sample rank quantile ceil((n+1)(1-alpha)) — the
+    calibrated-interval producer the catalog's interval SCORERS
+    (wis_eval, pinball_eval, calibration_curve) were missing."""
+    from timeseriesutils_spark.operators.conformal import conformal_intervals
+
+    return conformal_intervals(
+        _daily(spark, sf_dir), "day_price", "ship_day", ["l_suppkey"],
+        fit_window=14, alpha_num=1, alpha_den=10, scale=2,
+    )
+
+
+def _sql_conformal_intervals():
+    from timeseriesutils_spark.operators.conformal import (
+        conformal_intervals_sql,
+    )
+
+    return conformal_intervals_sql(
+        f"({_SQL_DAILY})", "day_price", "ship_day", ["l_suppkey"],
+        fit_window=14, alpha_num=1, alpha_den=10, scale=2,
+    )
+
+
+QUERIES.update(
+    {"conformal_intervals": Q(q_conformal_intervals, _sql_conformal_intervals())}
+)
+
+
+def q_mstl_decompose(spark, sf_dir):
+    """MSTL multi-seasonal decomposition (operators/stl.mstl_decompose,
+    Bandara-Hyndman-Bergmeir 2021): weekly + biweekly seasonal
+    components extracted by iterating the literal-weight STL machinery
+    over an ascending period list on the regularized daily supplier
+    series — two window sweeps on ONE partition key, the keep
+    passthrough instead of a join-back, exact integer stages per pass."""
+    from timeseriesutils_spark.operators.stl import mstl_decompose
+
+    grid = regularize(
+        _daily(spark, sf_dir), "day_price", "ship_day", ["l_suppkey"],
+        how="interp",
+    )
+    return mstl_decompose(
+        grid, "day_price_interp", "ship_day", ["l_suppkey"],
+        periods=(7, 14), seasonal_h=3, trend_h=10, scale=2,
+    )
+
+
+def _sql_mstl_decompose():
+    from timeseriesutils_spark.operators.stl import mstl_decompose_sql
+
+    return mstl_decompose_sql(
+        f"({_SQL_INTERPOLATE})", "day_price_interp", "ship_day",
+        ["l_suppkey"], periods=(7, 14), seasonal_h=3, trend_h=10, scale=2,
+    )
+
+
+QUERIES.update({"mstl_decompose": Q(q_mstl_decompose, _sql_mstl_decompose())})
