@@ -54,3 +54,48 @@ def test_cache_scope_nested(spark):
         # inner scope released its pin; outer pin still cached
         assert _n_cached(spark)
     assert not _n_cached(spark)
+
+
+# --- round-13 parquet-checkpoint tier ---------------------------------------
+
+
+def test_parquet_checkpoint_cuts_lineage_and_preserves_rows(spark):
+    from pyspark.sql import functions as F
+
+    from timeseriesutils_spark.functions.checkpoint import parquet_checkpoint
+
+    df = spark.range(100).select("id", (F.col("id") * 2).alias("v"))
+    out = parquet_checkpoint(df, "t")
+    assert sorted(r["v"] for r in out.collect()) == sorted(
+        r["v"] for r in df.collect()
+    )
+    # lineage is cut: the plan is a scan, no Range/Project chain
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Range" not in plan
+
+
+def test_parquet_checkpoint_local_mode_env(spark, monkeypatch):
+    from timeseriesutils_spark.functions.checkpoint import parquet_checkpoint
+
+    monkeypatch.setenv("TSU_CHECKPOINT_MODE", "local")
+    df = spark.range(10)
+    out = parquet_checkpoint(df, "t")
+    # localCheckpoint path: no parquet scan in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan
+    assert out.count() == 10
+
+
+def test_checkpoint_once_memoizes_per_key(spark):
+    from timeseriesutils_spark.functions import checkpoint as ck
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(7)
+
+    a = ck.checkpoint_once("test-memo-key", build, spark)
+    b = ck.checkpoint_once("test-memo-key", build, spark)
+    assert calls["n"] == 1  # second caller served from the memo
+    assert a.count() == 7 and b.count() == 7
