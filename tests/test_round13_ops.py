@@ -351,3 +351,58 @@ def test_mstl_rejects_bad_periods(spark):
         mstl_decompose(df, "v", "t", ["g"], periods=(14, 7))
     with pytest.raises(ValueError, match="two periods"):
         mstl_decompose_sql("t", "v", "t", ["g"], periods=(7,))
+
+
+def test_reconcile_topdown_shares_and_coherence(spark):
+    """Top-down rows must be the total base split by historical revenue
+    share (numpy parity) and exactly coherent after quantize-then-sum."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.reconcile import reconcile_forecasts
+
+    got = reconcile_forecasts(_hier_data(spark), "v", "d", "b", "g").toPandas()
+    bot = got[got.level == "bottom"].sort_values("node")
+    tot = got[got.level == "total"].iloc[0]
+    grp = got[got.level == "group"]
+    # shares proportional to each node's window revenue; bottoms sum to total
+    assert abs(bot.reconciled_td.sum() - tot.reconciled_td) < 1e-9
+    assert abs(grp.reconciled_td.sum() - tot.reconciled_td) < 1e-9
+    # the total-level td approximately re-assembles the total base
+    assert abs(tot.reconciled_td - tot.base) < 1e-3
+    # every bottom share positive and below the total
+    assert (bot.reconciled_td > 0).all()
+    assert (bot.reconciled_td < tot.reconciled_td).all()
+
+
+def test_cqr_width_tracks_heteroskedasticity(spark):
+    """CQR's interval width must grow with per-group noise scale (the
+    adaptive-width property conformal_intervals lacks), and bottoms out
+    near the planted quantile spread."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.conformal import cqr_intervals
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for gi, sd in ((0, 1.0), (1, 8.0)):
+        for t in range(120):
+            rows.append((f"g{gi}", t, 50.0 + float(rng.normal(0, sd))))
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = cqr_intervals(df, "v", "t", ["g"], fit_window=20).toPandas()
+    w = {r.g: r.hi - r.lo for r in out.itertuples()}
+    assert w["g1"] > 3.0 * w["g0"]  # width scales with noise
+
+
+def test_cqr_signed_scores_can_shrink(spark):
+    """With a wide base quantile pair and tight data, the calibrated
+    adjustment is NEGATIVE (the base interval shrinks) — the property
+    that distinguishes CQR's signed score from absolute-residual
+    conformal."""
+    from timeseriesutils_spark.operators.conformal import cqr_intervals
+
+    rows = [("g", t, 100.0 + (t % 3) * 0.01) for t in range(200)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = cqr_intervals(
+        df, "v", "t", ["g"], fit_window=40, alpha_num=3, alpha_den=10
+    ).toPandas()
+    assert len(out) == 1 and float(out.q_adjust.iloc[0]) <= 0.0

@@ -7,7 +7,7 @@ reference's own domain is location-hierarchical (reichlab hub data:
 and the catalog has every forecaster and scorer but had no coherence
 layer before this.
 
-Two reconciliation projections, both emitted:
+Three reconciliation methods, all emitted:
 
   * **bottom-up** — ỹ_bottom = ŷ_bottom, aggregates re-summed from the
     bottom (P = [0 | I]).  Coherent by construction, ignores the
@@ -25,6 +25,11 @@ Two reconciliation projections, both emitted:
     so the whole projection is per-group aggregates + broadcasts —
     exact-sufficient-stats shaped, no matrix library, no driver-side
     linear algebra.
+  * **top-down** (Gross & Sohl 1990, historical proportions) —
+    ỹ_bottom_i = p_i · ŷ_total with p_i the node's share of window
+    revenue; coherent by construction, uses ONLY the total-level
+    forecast (the classic choice when bottom series are too noisy to
+    forecast individually).
 
 Base forecasts here are per-node MEDIANS of the last ``window_days``
 daily totals (two-middle ROW_NUMBER median, the house deterministic
@@ -52,8 +57,8 @@ double tree.  Nothing pairwise; the hierarchy frames are dimension-
 sized at any data volume.
 
 Returns one row per node: (level, node, base, reconciled_bu,
-reconciled_ols); level ∈ ('bottom', 'group', 'total'), node is the
-key string ('ALL' for the total row).
+reconciled_ols, reconciled_td); level ∈ ('bottom', 'group', 'total'),
+node is the key string ('ALL' for the total row).
 """
 
 from __future__ import annotations
@@ -78,7 +83,8 @@ def reconcile_forecasts(
     """Two-level hierarchical reconciliation (module doc): bottom
     nodes ``bottom_col`` inside groups ``group_col``, daily totals of
     ``value_col``, per-node median base forecasts over the trailing
-    ``window_days``, bottom-up + closed-form OLS reconciliation."""
+    ``window_days``; bottom-up + closed-form OLS + historical-share
+    top-down reconciliations."""
     m = 10 ** int(scale)
     W = int(window_days)
     if W < 1:
@@ -131,12 +137,17 @@ def reconcile_forecasts(
         daily.groupBy("_day").agg(F.sum("_dv").alias("_dv")), []
     ).withColumnRenamed("_med2", "_tmed2")
 
+    # historical per-node revenue shares for the top-down method
+    hists = daily.groupBy("_b", "_g").agg(F.sum("_dv").alias("_hs"))
+    htot = daily.groupBy().agg(F.sum("_dv").alias("_ht"))
     # v = S'yhat per bottom node: own base + its group's base + total's
     v = (
         bot.join(F.broadcast(grp), "_g")
         .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(hists), ["_b", "_g"])
+        .crossJoin(F.broadcast(htot))
         .select(
-            "_b", "_g", "_med2",
+            "_b", "_g", "_med2", "_tmed2", "_hs", "_ht",
             (F.col("_med2") + F.col("_gmed2") + F.col("_tmed2")).alias("_v"),
         )
     )
@@ -168,13 +179,21 @@ def reconcile_forecasts(
     beta = (
         s2d(F.col("_v")) - s2d(F.col("_sv")) / (F.lit(1.0) + mr)
     ) - (uv / (F.lit(1.0) + c_)) / (F.lit(1.0) + mr)
-    # quantize beta to integers BEFORE the coherent re-aggregation so
-    # group/total sums add exact integers (aggregation-order free)
-    bq = F.floor(beta * F.lit(_BQ) + F.lit(0.5)).cast("decimal(38,0)")
-    bb = j.select(
-        "_b", "_g", F.col("_med2").alias("_base2"), bq.alias("_bq")
+    # top-down (Gross–Sohl historical proportions): disaggregate the
+    # TOTAL base by each bottom's share of window revenue
+    td = F.when(
+        F.col("_ht") > 0,
+        s2d(F.col("_tmed2")) * (s2d(F.col("_hs")) / s2d(F.col("_ht"))),
     )
-    bb = pin(bb)  # feeds bottom rows + both re-aggregations
+    # quantize beta/td to integers BEFORE the coherent re-aggregation
+    # so group/total sums add exact integers (aggregation-order free)
+    bq = F.floor(beta * F.lit(_BQ) + F.lit(0.5)).cast("decimal(38,0)")
+    tdq = F.floor(td * F.lit(_BQ) + F.lit(0.5)).cast("decimal(38,0)")
+    bb = j.select(
+        "_b", "_g", F.col("_med2").alias("_base2"), bq.alias("_bq"),
+        tdq.alias("_tdq"),
+    )
+    bb = pin(bb)  # feeds bottom rows + the re-aggregations
 
     den_base = float(2 * m)  # med2 -> value units
     den_ols = float(_BQ * 2 * m)  # bq is in med2 units (2x cents)
@@ -186,9 +205,11 @@ def reconcile_forecasts(
             "reconciled_bu"
         ),
         (s2d(F.col("_bq")) / F.lit(den_ols)).alias("reconciled_ols"),
+        (s2d(F.col("_tdq")) / F.lit(den_ols)).alias("reconciled_td"),
     )
     gagg = bb.groupBy("_g").agg(
-        F.sum("_base2").alias("_sb2"), F.sum("_bq").alias("_sbq")
+        F.sum("_base2").alias("_sb2"), F.sum("_bq").alias("_sbq"),
+        F.sum("_tdq").alias("_stq"),
     )
     group_rows = gagg.join(grp, "_g").select(
         F.lit("group").alias("level"),
@@ -198,9 +219,11 @@ def reconcile_forecasts(
             "reconciled_bu"
         ),
         (s2d(F.col("_sbq")) / F.lit(den_ols)).alias("reconciled_ols"),
+        (s2d(F.col("_stq")) / F.lit(den_ols)).alias("reconciled_td"),
     )
     tagg = bb.groupBy().agg(
-        F.sum("_base2").alias("_sb2"), F.sum("_bq").alias("_sbq")
+        F.sum("_base2").alias("_sb2"), F.sum("_bq").alias("_sbq"),
+        F.sum("_tdq").alias("_stq"),
     )
     total_rows = tagg.crossJoin(F.broadcast(tot)).select(
         F.lit("total").alias("level"),
@@ -210,6 +233,7 @@ def reconcile_forecasts(
             "reconciled_bu"
         ),
         (s2d(F.col("_sbq")) / F.lit(den_ols)).alias("reconciled_ols"),
+        (s2d(F.col("_stq")) / F.lit(den_ols)).alias("reconciled_td"),
     )
     return bottom_rows.unionByName(group_rows).unionByName(total_rows)
 
@@ -243,6 +267,10 @@ def reconcile_forecasts_sql(
     beta = (
         f"(({s2d('_v')} - {s2d('_sv')} / (1.0 + {mr}))"
         f" - ({uv} / (1.0 + {c_})) / (1.0 + {mr}))"
+    )
+    td = (
+        f"(CASE WHEN _ht > 0 THEN {s2d('_tmed2')}"
+        f" * ({s2d('_hs')} / {s2d('_ht')}) END)"
     )
     return f"""
 WITH d AS (
@@ -287,10 +315,15 @@ tr AS (
   FROM td
 ),
 tot AS (SELECT {med_sql} AS _tmed2 FROM tr),
+hists AS (
+  SELECT _b, _g, CAST(SUM(_dv) AS BIGINT) AS _hs FROM daily GROUP BY _b, _g
+),
+htot AS (SELECT CAST(SUM(_dv) AS BIGINT) AS _ht FROM daily),
 v AS MATERIALIZED (
-  SELECT bot._b, bot._g, bot._med2,
+  SELECT bot._b, bot._g, bot._med2, tot._tmed2, hists._hs, htot._ht,
     bot._med2 + grp._gmed2 + tot._tmed2 AS _v
   FROM bot JOIN grp USING (_g) CROSS JOIN tot
+  JOIN hists USING (_b, _g) CROSS JOIN htot
 ),
 gstats AS (
   SELECT _g, CAST(COUNT(*) AS BIGINT) AS _m, CAST(SUM(_v) AS BIGINT) AS _sv
@@ -305,29 +338,35 @@ consts AS (
 ),
 bb AS MATERIALIZED (
   SELECT v._b, v._g, v._med2 AS _base2,
-    CAST(FLOOR({beta} * {dlit(float(_BQ))} + 0.5) AS HUGEINT) AS _bq
+    CAST(FLOOR({beta} * {dlit(float(_BQ))} + 0.5) AS HUGEINT) AS _bq,
+    CAST(FLOOR({td} * {dlit(float(_BQ))} + 0.5) AS HUGEINT) AS _tdq
   FROM v JOIN gstats USING (_g) CROSS JOIN consts
 )
 SELECT 'bottom' AS level, _b AS node,
   CAST(_base2 AS DOUBLE) / {den_base} AS base,
   CAST(_base2 AS DOUBLE) / {den_base} AS reconciled_bu,
-  {s2d('_bq')} / {den_ols} AS reconciled_ols
+  {s2d('_bq')} / {den_ols} AS reconciled_ols,
+  {s2d('_tdq')} / {den_ols} AS reconciled_td
 FROM bb
 UNION ALL
 SELECT 'group', g._g,
   CAST(g2._gmed2 AS DOUBLE) / {den_base},
   CAST(g._sb2 AS DOUBLE) / {den_base},
-  {s2d('g._sbq')} / {den_ols}
+  {s2d('g._sbq')} / {den_ols},
+  {s2d('g._stq')} / {den_ols}
 FROM (
-  SELECT _g, CAST(SUM(_base2) AS BIGINT) AS _sb2, SUM(_bq) AS _sbq
+  SELECT _g, CAST(SUM(_base2) AS BIGINT) AS _sb2, SUM(_bq) AS _sbq,
+    SUM(_tdq) AS _stq
   FROM bb GROUP BY _g
 ) g JOIN grp g2 USING (_g)
 UNION ALL
 SELECT 'total', 'ALL',
   CAST(tot._tmed2 AS DOUBLE) / {den_base},
   CAST(t._sb2 AS DOUBLE) / {den_base},
-  {s2d('t._sbq')} / {den_ols}
+  {s2d('t._sbq')} / {den_ols},
+  {s2d('t._stq')} / {den_ols}
 FROM (
-  SELECT CAST(SUM(_base2) AS BIGINT) AS _sb2, SUM(_bq) AS _sbq FROM bb
+  SELECT CAST(SUM(_base2) AS BIGINT) AS _sb2, SUM(_bq) AS _sbq,
+    SUM(_tdq) AS _stq FROM bb
 ) t CROSS JOIN tot
 """

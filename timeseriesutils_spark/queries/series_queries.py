@@ -1531,3 +1531,30 @@ def _sql_mstl_decompose():
 
 
 QUERIES.update({"mstl_decompose": Q(q_mstl_decompose, _sql_mstl_decompose())})
+
+
+def q_cqr_intervals(spark, sf_dir):
+    """Conformalized quantile regression (operators/conformal.
+    cqr_intervals, Romano 2019): adaptive-width calibrated next-step
+    intervals per supplier — trailing rank-quantile base interval,
+    signed conformity scores (can shrink a conservative base), exact
+    integer rank calibration.  The heteroskedastic upgrade of
+    conformal_intervals."""
+    from timeseriesutils_spark.operators.conformal import cqr_intervals
+
+    return cqr_intervals(
+        _daily(spark, sf_dir), "day_price", "ship_day", ["l_suppkey"],
+        fit_window=20, alpha_num=1, alpha_den=10, scale=2,
+    )
+
+
+def _sql_cqr_intervals():
+    from timeseriesutils_spark.operators.conformal import cqr_intervals_sql
+
+    return cqr_intervals_sql(
+        f"({_SQL_DAILY})", "day_price", "ship_day", ["l_suppkey"],
+        fit_window=20, alpha_num=1, alpha_den=10, scale=2,
+    )
+
+
+QUERIES.update({"cqr_intervals": Q(q_cqr_intervals, _sql_cqr_intervals())})
