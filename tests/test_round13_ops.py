@@ -406,3 +406,69 @@ def test_cqr_signed_scores_can_shrink(spark):
         df, "v", "t", ["g"], fit_window=40, alpha_num=3, alpha_den=10
     ).toPandas()
     assert len(out) == 1 and float(out.q_adjust.iloc[0]) <= 0.0
+
+
+def test_bpe_encode_matches_pure_python(spark):
+    """Per-doc token counts must equal a straight-line Python BPE
+    (train greedy argmax with the same tiebreak, then greedy leftmost
+    merge application per word)."""
+    from collections import Counter
+
+    from timeseriesutils_spark.operators.bpe import bpe_encode
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the thematic theme of the thesis"),
+        (3, "a cat and another cat sat"),
+    ]
+
+    def py_train(texts, n_merges, min_len=2):
+        vocab = Counter(
+            w for t in texts for w in t.lower().split() if len(w) >= min_len
+        )
+        words = {w: list(w) for w in vocab}
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for w, syms in words.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += vocab[w]
+            if not pairs:
+                break
+            (l, r), _ = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((l, r, l + r))
+            for w, syms in words.items():
+                out = []
+                for x in syms:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(x)
+                words[w] = out
+        return merges
+
+    def py_encode(word, merges):
+        syms = list(word)
+        for l, r, m in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = m
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    merges = py_train([t for _, t in docs], 4)
+    exp = {
+        i: sum(py_encode(w, merges) for w in t.lower().split())
+        for i, t in docs
+    }
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode(df, n_merges=4).collect()
+    }
+    assert got == exp

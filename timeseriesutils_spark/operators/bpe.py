@@ -168,3 +168,147 @@ def bpe_train_sql(
         "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{rows}\n) "
         "ORDER BY merge_step"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+    min_len: int = 2,
+) -> DataFrame:
+    """Apply a freshly-trained BPE merge table to every document — the
+    ENCODE half of the tokenizer pipeline (build_vocab → bpe_train →
+    bpe_encode → fertility on actual merged tokens, not the regex
+    proxy).  Trains exactly like :func:`bpe_train` (same argmax
+    tiebreaks, so both engines walk the same merge table), then counts
+    each document's post-merge tokens.
+
+    Spark-first shape: the encode runs on the DISTINCT-WORD vocabulary
+    (vocabulary-sized at any corpus size — the classic BPE trick), each
+    merge applied as one JVM ``aggregate`` fold with the pair as plan
+    literals; documents then join their exploded words to the encoded
+    vocab (word-keyed shuffle; broadcastable when the vocab is small)
+    and re-aggregate — so the per-corpus work is one explode + one
+    join + one map-combinable aggregation, and the O(merges · word-len)
+    fold cost is paid once per distinct word, not once per occurrence.
+
+    Exactness: all counts exact integers; fertility is one division of
+    exact integers (identical IEEE result in both engines).
+
+    Returns one row per document: (id, n_words, n_tokens, fertility);
+    documents with no words are dropped (no tokens to count).
+    """
+    from timeseriesutils_spark.functions.cache import pin
+    from timeseriesutils_spark.operators.text import words
+
+    merges = [
+        (r["lhs"], r["rhs"], r["merged"])
+        for r in bpe_train(
+            docs, text_col=text_col, n_merges=n_merges, min_len=min_len
+        ).collect()
+    ]
+    dw = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.explode(words(F.col(text_col))).alias("word"),
+    ).filter(F.length("word") >= 1)
+    vocab = dw.select("word").distinct().select(
+        "word",
+        F.regexp_extract_all(F.col("word"), F.lit("."), 0).alias("syms"),
+    )
+    def _fold(inner, l, r, merged):
+        def merge(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return F.aggregate(inner, F.array().cast("array<string>"), merge)
+
+    syms = F.col("syms")
+    for l, r, merged in merges:
+        syms = _fold(syms, l, r, merged)
+    enc = pin(vocab.select("word", F.size(syms).alias("_tc")))
+    return (
+        dw.join(enc, "word")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_tc").alias("n_tokens"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (
+                F.col("n_tokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
+def bpe_encode_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+    min_len: int = 2,
+) -> str:
+    """DuckDB twin of :func:`bpe_encode`: the bpe_train CTE chain for
+    the merge table, then an encode chain over the ALL-WORDS vocabulary
+    (one list_reduce fold per merge, the pair as correlated one-row
+    CTE columns), then the word join + per-doc aggregation."""
+    N = int(n_merges)
+    train = bpe_train_sql(table, n_merges=n_merges, min_len=min_len)
+    # reuse the training CTE chain: strip the leading WITH and the
+    # final merge-table SELECT; keep w0..wN / p..b CTEs
+    body = train[len("WITH "):]
+    ctes = [body[: body.rindex("\nSELECT * FROM (")]]
+    ctes.append(
+        f"""e0 AS (
+  SELECT word, regexp_extract_all(word, '.') AS syms
+  FROM (
+    SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+      AS word
+    FROM {table} WHERE text IS NOT NULL
+  ) WHERE len(word) >= 1
+)"""
+    )
+    step = (
+        "CASE WHEN len(acc) > 0 AND acc[len(acc)] = b.l AND x[1] = b.r "
+        "THEN list_slice(acc, 1, len(acc) - 1) || [b.m] "
+        "ELSE acc || x END"
+    )
+    for k in range(1, N + 1):
+        ctes.append(
+            f"""e{k} AS (
+  SELECT word, list_reduce(
+           list_prepend(CAST([] AS VARCHAR[]), [[s] FOR s IN syms]),
+           (acc, x) -> {step}) AS syms
+  FROM e{k - 1} CROSS JOIN b{k} b
+)"""
+    )
+    ctes.append(
+        f"""enc AS (SELECT word, len(syms) AS _tc FROM e{N}),
+dw AS (
+  SELECT {id_col} AS _id,
+    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM {table} WHERE text IS NOT NULL
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT _id AS {id_col},
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(_tc) AS BIGINT) AS n_tokens,
+  CAST(SUM(_tc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+FROM dw JOIN enc USING (word)
+WHERE len(word) >= 1
+GROUP BY _id
+"""
+    )

@@ -2935,3 +2935,23 @@ def _sql_pipeline_incremental():
 QUERIES.update(
     {"pipeline_incremental": Q(q_pipeline_incremental, _sql_pipeline_incremental())}
 )
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer ENCODE pass (operators/bpe.bpe_encode): apply the
+    8-round trained merge table to every document — per-doc post-merge
+    token counts and fertility, the measured (not regex-proxy) version
+    of tokenizer_fertility.  Encode cost is paid per DISTINCT word
+    (vocabulary-sized), then one word-keyed join back to documents."""
+    from timeseriesutils_spark.operators.bpe import bpe_encode
+
+    return bpe_encode(_docs(spark, sf_dir), n_merges=8)
+
+
+def _sql_bpe_encode():
+    from timeseriesutils_spark.operators.bpe import bpe_encode_sql
+
+    return bpe_encode_sql("documents", n_merges=8)
+
+
+QUERIES.update({"bpe_encode": Q(q_bpe_encode, _sql_bpe_encode())})
