@@ -472,3 +472,37 @@ def test_bpe_encode_matches_pure_python(spark):
         for r in bpe_encode(df, n_merges=4).collect()
     }
     assert got == exp
+
+
+def test_reconcile_wls_matches_numpy_projection(spark):
+    """The structural-WLS closed form must equal the literal
+    S(S'W^-1 S)^-1 S'W^-1 projection with W = diag(S*1)."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.reconcile import reconcile_forecasts
+
+    got = reconcile_forecasts(_hier_data(spark), "v", "d", "b", "g").toPandas()
+    bot = got[got.level == "bottom"].sort_values("node")
+    grp = got[got.level == "group"].sort_values("node")
+    tot = got[got.level == "total"]
+    nodes = list(bot.node)
+    groups = sorted(set(grp.node))
+    gi = {n: f"r{int(n[1:]) % 3}" for n in nodes}
+    S, yhat = [[1] * len(nodes)], [float(tot.base.iloc[0])]
+    for gg in groups:
+        yhat.append(float(grp[grp.node == gg].base.iloc[0]))
+        S.append([1 if gi[n] == gg else 0 for n in nodes])
+    for n in nodes:
+        yhat.append(float(bot[bot.node == n].base.iloc[0]))
+        S.append([1 if nn == n else 0 for nn in nodes])
+    S = np.array(S, float)
+    yhat = np.array(yhat)
+    Winv = np.diag(1.0 / S.sum(axis=1))
+    wls = S @ np.linalg.solve(S.T @ Winv @ S, S.T @ Winv @ yhat)
+    got_wls = (
+        [float(tot.reconciled_wls.iloc[0])]
+        + [float(grp[grp.node == gg].reconciled_wls.iloc[0]) for gg in groups]
+        + [float(bot[bot.node == n].reconciled_wls.iloc[0]) for n in nodes]
+    )
+    assert np.abs(np.array(got_wls) - wls).max() < 1e-5
+    assert abs(bot.reconciled_wls.sum() - tot.reconciled_wls.iloc[0]) < 1e-9

@@ -7,7 +7,7 @@ reference's own domain is location-hierarchical (reichlab hub data:
 and the catalog has every forecaster and scorer but had no coherence
 layer before this.
 
-Three reconciliation methods, all emitted:
+Four reconciliation methods, all emitted:
 
   * **bottom-up** — ỹ_bottom = ŷ_bottom, aggregates re-summed from the
     bottom (P = [0 | I]).  Coherent by construction, ignores the
@@ -25,6 +25,13 @@ Three reconciliation methods, all emitted:
     so the whole projection is per-group aggregates + broadcasts —
     exact-sufficient-stats shaped, no matrix library, no driver-side
     linear algebra.
+  * **structural WLS MinT** (Wickramasuriya, Athanasopoulos &
+    Hyndman 2019, W = diag(S·𝟙) — variance proportional to the number
+    of bottom series each node aggregates): the same Sherman–Morrison
+    machinery with level weights (m, m_r, 1); the algebra collapses
+    further (A⁻¹𝟙 = ½·𝟙), and every cross-group aggregate has an
+    ANALYTIC integer closed form, so no double summation crosses a
+    group boundary.
   * **top-down** (Gross & Sohl 1990, historical proportions) —
     ỹ_bottom_i = p_i · ŷ_total with p_i the node's share of window
     revenue; coherent by construction, uses ONLY the total-level
@@ -57,8 +64,8 @@ double tree.  Nothing pairwise; the hierarchy frames are dimension-
 sized at any data volume.
 
 Returns one row per node: (level, node, base, reconciled_bu,
-reconciled_ols, reconciled_td); level ∈ ('bottom', 'group', 'total'),
-node is the key string ('ALL' for the total row).
+reconciled_ols, reconciled_td, reconciled_wls); level ∈ ('bottom',
+'group', 'total'), node is the key string ('ALL' for the total row).
 """
 
 from __future__ import annotations
@@ -83,8 +90,8 @@ def reconcile_forecasts(
     """Two-level hierarchical reconciliation (module doc): bottom
     nodes ``bottom_col`` inside groups ``group_col``, daily totals of
     ``value_col``, per-node median base forecasts over the trailing
-    ``window_days``; bottom-up + closed-form OLS + historical-share
-    top-down reconciliations."""
+    ``window_days``; bottom-up + closed-form OLS + structural-WLS
+    MinT + historical-share top-down reconciliations."""
     m = 10 ** int(scale)
     W = int(window_days)
     if W < 1:
@@ -147,7 +154,7 @@ def reconcile_forecasts(
         .join(F.broadcast(hists), ["_b", "_g"])
         .crossJoin(F.broadcast(htot))
         .select(
-            "_b", "_g", "_med2", "_tmed2", "_hs", "_ht",
+            "_b", "_g", "_med2", "_gmed2", "_tmed2", "_hs", "_ht",
             (F.col("_med2") + F.col("_gmed2") + F.col("_tmed2")).alias("_v"),
         )
     )
@@ -158,6 +165,8 @@ def reconcile_forecasts(
     gstats = v.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_m"),
         F.sum("_v").alias("_sv"),
+        F.sum("_med2").alias("_svm"),
+        F.max("_gmed2").alias("_gm2"),
     )
     # float-order-fragile scalars pre-quantized with INTEGER division
     # (module doc): both engines then sum identical integers
@@ -170,6 +179,9 @@ def reconcile_forecasts(
                 f"(CAST(_sv AS DECIMAL(38,0)) * {_UVQ}) div (1 + _m)"
             )
         ).alias("_uvq"),
+        F.sum("_m").alias("_mt"),
+        F.sum("_svm").alias("_tm"),
+        F.sum("_gm2").alias("_gm"),
     )
     j = v.join(F.broadcast(gstats), "_g").crossJoin(F.broadcast(consts))
     c_ = s2d(F.col("_cq")) / F.lit(float(_CQ))
@@ -179,6 +191,27 @@ def reconcile_forecasts(
     beta = (
         s2d(F.col("_v")) - s2d(F.col("_sv")) / (F.lit(1.0) + mr)
     ) - (uv / (F.lit(1.0) + c_)) / (F.lit(1.0) + mr)
+    # structural-WLS MinT (Wickramasuriya et al. 2019, W = diag(S·1)):
+    # with level weights (mtot, m_r, 1), A = I + Σ(1/m_r)J_r gives
+    # A⁻¹𝟙 = ½·𝟙 exactly, so the Sherman–Morrison projection collapses
+    # to  β_i = (v'_i − Σ_r v'/(2m_r)) − Σv'/(6·mtot)  with
+    # v'_i = ŷ_b + ŷ_r/m_r + ŷ_tot/mtot.  Every aggregate below is an
+    # ANALYTIC closed form over exact integers (no cross-group double
+    # summation): Σ_r v' = Σ_r med2 + gmed2 + m_r·tmed2/mtot and
+    # Σv' = Σmed2 + Σgmed2 + tmed2.
+    mt = F.col("_mt").cast("double")
+    vp = (
+        s2d(F.col("_med2"))
+        + s2d(F.col("_gmed2")) / mr
+        + s2d(F.col("_tmed2")) / mt
+    )
+    svp = (
+        s2d(F.col("_svm"))
+        + s2d(F.col("_gmed2"))
+        + mr * s2d(F.col("_tmed2")) / mt
+    )
+    sv_all = s2d(F.col("_tm")) + s2d(F.col("_gm")) + s2d(F.col("_tmed2"))
+    wls = (vp - svp / (F.lit(2.0) * mr)) - sv_all / (F.lit(6.0) * mt)
     # top-down (Gross–Sohl historical proportions): disaggregate the
     # TOTAL base by each bottom's share of window revenue
     td = F.when(
@@ -189,9 +222,10 @@ def reconcile_forecasts(
     # so group/total sums add exact integers (aggregation-order free)
     bq = F.floor(beta * F.lit(_BQ) + F.lit(0.5)).cast("decimal(38,0)")
     tdq = F.floor(td * F.lit(_BQ) + F.lit(0.5)).cast("decimal(38,0)")
+    wq = F.floor(wls * F.lit(_BQ) + F.lit(0.5)).cast("decimal(38,0)")
     bb = j.select(
         "_b", "_g", F.col("_med2").alias("_base2"), bq.alias("_bq"),
-        tdq.alias("_tdq"),
+        tdq.alias("_tdq"), wq.alias("_wq"),
     )
     bb = pin(bb)  # feeds bottom rows + the re-aggregations
 
@@ -206,10 +240,11 @@ def reconcile_forecasts(
         ),
         (s2d(F.col("_bq")) / F.lit(den_ols)).alias("reconciled_ols"),
         (s2d(F.col("_tdq")) / F.lit(den_ols)).alias("reconciled_td"),
+        (s2d(F.col("_wq")) / F.lit(den_ols)).alias("reconciled_wls"),
     )
     gagg = bb.groupBy("_g").agg(
         F.sum("_base2").alias("_sb2"), F.sum("_bq").alias("_sbq"),
-        F.sum("_tdq").alias("_stq"),
+        F.sum("_tdq").alias("_stq"), F.sum("_wq").alias("_swq"),
     )
     group_rows = gagg.join(grp, "_g").select(
         F.lit("group").alias("level"),
@@ -220,10 +255,11 @@ def reconcile_forecasts(
         ),
         (s2d(F.col("_sbq")) / F.lit(den_ols)).alias("reconciled_ols"),
         (s2d(F.col("_stq")) / F.lit(den_ols)).alias("reconciled_td"),
+        (s2d(F.col("_swq")) / F.lit(den_ols)).alias("reconciled_wls"),
     )
     tagg = bb.groupBy().agg(
         F.sum("_base2").alias("_sb2"), F.sum("_bq").alias("_sbq"),
-        F.sum("_tdq").alias("_stq"),
+        F.sum("_tdq").alias("_stq"), F.sum("_wq").alias("_swq"),
     )
     total_rows = tagg.crossJoin(F.broadcast(tot)).select(
         F.lit("total").alias("level"),
@@ -234,6 +270,7 @@ def reconcile_forecasts(
         ),
         (s2d(F.col("_sbq")) / F.lit(den_ols)).alias("reconciled_ols"),
         (s2d(F.col("_stq")) / F.lit(den_ols)).alias("reconciled_td"),
+        (s2d(F.col("_swq")) / F.lit(den_ols)).alias("reconciled_wls"),
     )
     return bottom_rows.unionByName(group_rows).unionByName(total_rows)
 
@@ -271,6 +308,20 @@ def reconcile_forecasts_sql(
     td = (
         f"(CASE WHEN _ht > 0 THEN {s2d('_tmed2')}"
         f" * ({s2d('_hs')} / {s2d('_ht')}) END)"
+    )
+    mt = "CAST(_mt AS DOUBLE)"
+    vp = (
+        f"({s2d('_med2')} + {s2d('_gmed2')} / {mr}"
+        f" + {s2d('_tmed2')} / {mt})"
+    )
+    svp = (
+        f"({s2d('_svm')} + {s2d('_gmed2')}"
+        f" + {mr} * {s2d('_tmed2')} / {mt})"
+    )
+    sv_all = f"({s2d('_tm')} + {s2d('_gm')} + {s2d('_tmed2')})"
+    wls = (
+        f"(({vp} - {svp} / (2.0 * {mr}))"
+        f" - {sv_all} / (6.0 * {mt}))"
     )
     return f"""
 WITH d AS (
@@ -320,43 +371,51 @@ hists AS (
 ),
 htot AS (SELECT CAST(SUM(_dv) AS BIGINT) AS _ht FROM daily),
 v AS MATERIALIZED (
-  SELECT bot._b, bot._g, bot._med2, tot._tmed2, hists._hs, htot._ht,
+  SELECT bot._b, bot._g, bot._med2, grp._gmed2, tot._tmed2,
+    hists._hs, htot._ht,
     bot._med2 + grp._gmed2 + tot._tmed2 AS _v
   FROM bot JOIN grp USING (_g) CROSS JOIN tot
   JOIN hists USING (_b, _g) CROSS JOIN htot
 ),
 gstats AS (
-  SELECT _g, CAST(COUNT(*) AS BIGINT) AS _m, CAST(SUM(_v) AS BIGINT) AS _sv
+  SELECT _g, CAST(COUNT(*) AS BIGINT) AS _m, CAST(SUM(_v) AS BIGINT) AS _sv,
+    CAST(SUM(_med2) AS BIGINT) AS _svm, CAST(MAX(_gmed2) AS BIGINT) AS _gm2
   FROM v GROUP BY _g
 ),
 consts AS (
   SELECT CAST(SUM((_m * CAST({_CQ} AS BIGINT)) // (1 + _m)) AS BIGINT)
       AS _cq,
     CAST(SUM((CAST(_sv AS HUGEINT) * {_UVQ}) // (1 + _m)) AS HUGEINT)
-      AS _uvq
+      AS _uvq,
+    CAST(SUM(_m) AS BIGINT) AS _mt,
+    CAST(SUM(_svm) AS BIGINT) AS _tm,
+    CAST(SUM(_gm2) AS BIGINT) AS _gm
   FROM gstats
 ),
 bb AS MATERIALIZED (
   SELECT v._b, v._g, v._med2 AS _base2,
     CAST(FLOOR({beta} * {dlit(float(_BQ))} + 0.5) AS HUGEINT) AS _bq,
-    CAST(FLOOR({td} * {dlit(float(_BQ))} + 0.5) AS HUGEINT) AS _tdq
+    CAST(FLOOR({td} * {dlit(float(_BQ))} + 0.5) AS HUGEINT) AS _tdq,
+    CAST(FLOOR({wls} * {dlit(float(_BQ))} + 0.5) AS HUGEINT) AS _wq
   FROM v JOIN gstats USING (_g) CROSS JOIN consts
 )
 SELECT 'bottom' AS level, _b AS node,
   CAST(_base2 AS DOUBLE) / {den_base} AS base,
   CAST(_base2 AS DOUBLE) / {den_base} AS reconciled_bu,
   {s2d('_bq')} / {den_ols} AS reconciled_ols,
-  {s2d('_tdq')} / {den_ols} AS reconciled_td
+  {s2d('_tdq')} / {den_ols} AS reconciled_td,
+  {s2d('_wq')} / {den_ols} AS reconciled_wls
 FROM bb
 UNION ALL
 SELECT 'group', g._g,
   CAST(g2._gmed2 AS DOUBLE) / {den_base},
   CAST(g._sb2 AS DOUBLE) / {den_base},
   {s2d('g._sbq')} / {den_ols},
-  {s2d('g._stq')} / {den_ols}
+  {s2d('g._stq')} / {den_ols},
+  {s2d('g._swq')} / {den_ols}
 FROM (
   SELECT _g, CAST(SUM(_base2) AS BIGINT) AS _sb2, SUM(_bq) AS _sbq,
-    SUM(_tdq) AS _stq
+    SUM(_tdq) AS _stq, SUM(_wq) AS _swq
   FROM bb GROUP BY _g
 ) g JOIN grp g2 USING (_g)
 UNION ALL
@@ -364,9 +423,10 @@ SELECT 'total', 'ALL',
   CAST(tot._tmed2 AS DOUBLE) / {den_base},
   CAST(t._sb2 AS DOUBLE) / {den_base},
   {s2d('t._sbq')} / {den_ols},
-  {s2d('t._stq')} / {den_ols}
+  {s2d('t._stq')} / {den_ols},
+  {s2d('t._swq')} / {den_ols}
 FROM (
   SELECT CAST(SUM(_base2) AS BIGINT) AS _sb2, SUM(_bq) AS _sbq,
-    SUM(_tdq) AS _stq FROM bb
+    SUM(_tdq) AS _stq, SUM(_wq) AS _swq FROM bb
 ) t CROSS JOIN tot
 """
