@@ -506,3 +506,72 @@ def test_reconcile_wls_matches_numpy_projection(spark):
     )
     assert np.abs(np.array(got_wls) - wls).max() < 1e-5
     assert abs(bot.reconciled_wls.sum() - tot.reconciled_wls.iloc[0]) < 1e-9
+
+
+def test_streaming_conformal_multi_batch_equals_batch(spark, tmp_path):
+    """streaming_conformal's drained state across forced micro-batch
+    boundaries must equal the single-pass batch closed form — rings and
+    the residual window survive the batch cut."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    from timeseriesutils_spark.streaming.windows import streaming_conformal
+
+    rng = np.random.RandomState(2)
+    rows = []
+    for k in ("a", "b"):
+        for t in range(60):
+            rows.append((k, t, t, 50.0 + float(rng.normal(0, 4))))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "value"])
+    src = tmp_path / "src"
+    src.mkdir()
+    # split mid-stream so windows straddle the micro-batch boundary
+    pdf[pdf.ts < 25].to_parquet(src / "a.parquet")
+    pdf[pdf.ts >= 25].to_parquet(src / "b.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_conformal(
+        stream, fit_window=10, cal_window=20, scale=2
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sconf")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    upd = spark.sql("SELECT * FROM t_sconf")
+    w = W.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    got = {
+        r.user_id: (r.n_seen, r.n_cal, r.q_score, r.point_forecast, r.lo, r.hi)
+        for r in upd.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .collect()
+    }
+    # straight-line batch replication
+    Wf, K = 10, 20
+    want = {}
+    for k in ("a", "b"):
+        v = pdf[pdf.user_id == k].sort_values("ts").value.to_numpy()
+        qv = np.floor(v * 100 + 0.5).astype("int64")
+        res = [
+            abs(int(qv[i]) * Wf - int(qv[i - Wf:i].sum()))
+            for i in range(Wf, len(qv))
+        ][-K:]
+        n_eff = len(res)
+        rank = ((n_eff + 1) * 9 + 9) // 10
+        den = Wf * 100.0
+        qq = sorted(res)[rank - 1] / den if 0 < rank <= n_eff else None
+        point = int(qv[-Wf:].sum()) / den
+        want[k] = (
+            len(qv), n_eff, qq, point,
+            point - qq if qq is not None else None,
+            point + qq if qq is not None else None,
+        )
+    assert got == want

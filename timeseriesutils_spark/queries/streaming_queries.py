@@ -586,3 +586,125 @@ FROM seen s LEFT JOIN agg a USING (user_id)
 
 
 QUERIES.update({"stream_crps": Q(q_stream_crps, _sql_stream_crps())})
+
+
+_SCONF_W, _SCONF_K, _SCONF_SCALE = 14, 64, 2
+
+
+def q_stream_conformal(spark, sf_dir):
+    """Streaming split-conformal intervals on the REAL streaming path
+    (streaming/windows.streaming_conformal, applyInPandasWithState over
+    a file-source readStream, availableNow): per-user rings of the last
+    14 values + last 64 exact-integer residuals; the drained final
+    state per user — trailing-mean point forecast ± the rank-selected
+    sliding-calibration quantile — equals the batch closed form the SQL
+    oracle checks exactly.  Live calibrated uncertainty with O(W+K)
+    state per key."""
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from timeseriesutils_spark.streaming.windows import (
+        read_events_stream,
+        streaming_conformal,
+    )
+
+    name = f"q_sconf_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_conformal(
+                read_events_stream(spark, sf_dir),
+                fit_window=_SCONF_W,
+                cal_window=_SCONF_K,
+                scale=_SCONF_SCALE,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    upd = spark.sql(f"SELECT * FROM {name}")
+    w = W.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        upd.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id", "n_seen", "n_cal", "q_score",
+            "point_forecast", "lo", "hi",
+        )
+    )
+
+
+def _sql_stream_conformal():
+    W, K = _SCONF_W, _SCONF_K
+    mult = 10**_SCONF_SCALE
+    den = f"{float(W * mult)!r}"
+    over_p = (
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {W} PRECEDING AND 1 PRECEDING)"
+    )
+    over_l = (
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {W - 1} PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+WITH src AS (
+  SELECT user_id, event_id, ts,
+    CAST(FLOOR(CAST(value AS DOUBLE) * {mult} + 0.5) AS BIGINT) AS _qv
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT user_id, ts, event_id, _qv,
+    SUM(_qv) OVER {over_p} AS _sp,
+    COUNT(*) OVER {over_p} AS _cp,
+    SUM(_qv) OVER {over_l} AS _sl,
+    COUNT(*) OVER {over_l} AS _cl,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS _rd
+  FROM src
+),
+cal AS (
+  SELECT user_id, abs(_qv * {W} - _sp) AS _r,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS _k
+  FROM w WHERE _cp = {W}
+),
+lastk AS (SELECT user_id, _r FROM cal WHERE _k <= {K}),
+ranked AS (
+  SELECT user_id, _r,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _r) AS _rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS _n
+  FROM lastk
+),
+qs AS (
+  SELECT user_id, CAST(MAX(_n) AS BIGINT) AS n_cal,
+    MAX(CASE WHEN _rn = ((_n + 1) * 9 + 9) // 10 THEN _r END) AS _q
+  FROM ranked GROUP BY user_id
+),
+nxt AS (
+  SELECT user_id, CAST(_sl AS BIGINT) AS _sn
+  FROM w WHERE _rd = 1 AND _cl = {W}
+),
+seen AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+         FROM src GROUP BY user_id)
+SELECT s.user_id, s.n_seen,
+  CAST(COALESCE(q.n_cal, 0) AS BIGINT) AS n_cal,
+  CAST(q._q AS DOUBLE) / {den} AS q_score,
+  CAST(n._sn AS DOUBLE) / {den} AS point_forecast,
+  CAST(n._sn AS DOUBLE) / {den} - CAST(q._q AS DOUBLE) / {den} AS lo,
+  CAST(n._sn AS DOUBLE) / {den} + CAST(q._q AS DOUBLE) / {den} AS hi
+FROM seen s
+LEFT JOIN qs q USING (user_id)
+LEFT JOIN nxt n USING (user_id)
+"""
+
+
+QUERIES.update(
+    {"stream_conformal": Q(q_stream_conformal, _sql_stream_conformal())}
+)

@@ -772,3 +772,120 @@ def streaming_crps(
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_conformal(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple = ("ts", "event_id"),
+    fit_window: int = 14,
+    cal_window: int = 64,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    scale: int = 2,
+    watermark_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming split-conformal next-step interval (the stateful twin
+    of operators/conformal.conformal_intervals, SLIDING-calibration
+    variant): per key, each arriving observation with a full
+    ``fit_window`` of predecessors contributes the exact-integer
+    residual |W·y − Σ_prior| to a ring of the last ``cal_window``
+    scores; the emitted interval is the trailing-mean point forecast ±
+    the ⌈(n_cal+1)(1−α)⌉-th smallest ring score — live calibrated
+    uncertainty with O(W + K) state per key, the practical form for
+    drifting streams (old residuals age out of the ring).
+
+    Exactness: quantized int64 values, exact integer residuals, exact
+    integer rank selection — the drained final state equals the batch
+    closed form (last-K residuals per key, same rank), which the
+    declared query's oracle checks hash-exactly.
+
+    Ordering contract: rows sorted by ``order_cols`` within a batch,
+    batches source-ordered (the streaming_cusum contract).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    W = int(fit_window)
+    K = int(cal_window)
+    an, ad = int(alpha_num), int(alpha_den)
+    if not (0 < an < ad):
+        raise ValueError("need 0 < alpha_num < alpha_den")
+    mult = 10**scale
+    key_type = dict(events.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, n_seen bigint, n_cal bigint, "
+        "q_score double, point_forecast double, lo double, hi double"
+    )
+    state_schema = (
+        "n bigint, ncal bigint, "
+        + ", ".join(f"r{i} bigint" for i in range(W))
+        + ", "
+        + ", ".join(f"c{i} bigint" for i in range(K))
+    )
+    oc = list(order_cols)
+    den = float(W * mult)
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            st = state.get
+            n, ncal = int(st[0]), int(st[1])
+            ring = list(st[2 : 2 + W])[W - min(n, W):] if min(n, W) else []
+            cal = (
+                list(st[2 + W :])[K - min(ncal, K):] if min(ncal, K) else []
+            )
+        else:
+            n, ncal = 0, 0
+            ring, cal = [], []
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=[value_col])
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(oc)
+            q = (
+                np.floor(pdf[value_col].to_numpy(dtype="float64") * mult + 0.5)
+                .astype("int64")
+            )
+            seq = np.concatenate([np.asarray(ring, dtype="int64"), q])
+            if len(seq) > W:
+                wins = np.lib.stride_tricks.sliding_window_view(seq, W)
+                sums = wins[: len(seq) - W].sum(axis=1)
+                ys = seq[W:]
+                res = np.abs(W * ys - sums)
+                cal = (cal + res.tolist())[-K:]
+                ncal += len(res)
+            ring = (ring + q.tolist())[-W:]
+            n += len(q)
+        state.update(
+            (
+                n,
+                ncal,
+                *([0] * (W - len(ring)) + ring),
+                *([0] * (K - len(cal)) + cal),
+            )
+        )
+        n_eff = min(ncal, K)
+        rank = ((n_eff + 1) * (ad - an) + ad - 1) // ad
+        qv = sorted(cal)[rank - 1] / den if 0 < rank <= n_eff else None
+        point = sum(ring) / den if n >= W else None
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_seen": [n],
+                "n_cal": [n_eff],
+                "q_score": [qv],
+                "point_forecast": [point],
+                "lo": [point - qv if point is not None and qv is not None else None],
+                "hi": [point + qv if point is not None and qv is not None else None],
+            }
+        )
+
+    df = events
+    if watermark and watermark_col:
+        df = df.withWatermark(watermark_col, watermark)
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
