@@ -575,3 +575,44 @@ def test_streaming_conformal_multi_batch_equals_batch(spark, tmp_path):
             point + qq if qq is not None else None,
         )
     assert got == want
+
+
+def test_kn_trigram_quality_ordering(spark):
+    """KN trigram NLL must rank natural repeated-phrase text better
+    than shuffled/rare-context text, and match the DuckDB twin."""
+    import duckdb
+    import pandas as pd
+
+    from timeseriesutils_spark.operators.text import (
+        kn_trigram_logprob,
+        kn_trigram_logprob_sql,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat and the cat ran"),
+        (2, "the dog sat on the mat and the dog ran away"),
+        (3, "colorless green ideas sleep furiously tonight again"),
+        (4, "the cat sat on the mat"),
+        (5, "xx"),  # < 3 words: dropped
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    got = (
+        kn_trigram_logprob(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = (
+        con.execute(kn_trigram_logprob_sql("documents"))
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    g = {r.doc_id: r.mean_nll_kn for r in got.itertuples()}
+    assert set(g) == {1, 2, 3, 4}
+    assert g[4] < g[3]  # common phrase beats the one-off sentence
+    # probabilities are valid: every per-doc NLL positive
+    assert all(v > 0 for v in g.values())

@@ -3563,3 +3563,167 @@ SELECT pair, cand_tokens, ref_tokens,
   END AS wer
 FROM j
 """
+
+
+def kn_trigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean trigram negative log-probability under an
+    interpolated Kneser–Ney model (Kneser & Ney 1995; Chen & Goodman
+    1998 eq. 4.27) trained on the corpus itself — the LM-perplexity
+    quality filter CCNet popularized for web-scale corpus curation
+    (there a KenLM 5-gram; here the same smoothing family at order 3,
+    fully relational).  Add-one bigrams (:func:`bigram_logprob`) can't
+    tell "frequent word in a NEW context" from noise; KN's continuation
+    counts exist precisely for that distinction.
+
+    Fixed discount D = 3/4 (the literature default), interpolated:
+
+        p₃(w|u,v) = (c(uvw) − D  +  D·N₁₊(uv·)·p₂(w|v)) / c(uv·)
+        p₂(w|v)   = (N(·vw) − D  +  D·N₁₊(v··)·p_c(w)) / N(·v·)
+        p_c(w)    = |{v : c(vw) > 0}| / |{(v,w) : c(vw) > 0}|
+
+    where N(·vw) = |{u : c(uvw) > 0}| are the continuation counts.
+    Self-scoring means every doc trigram has c(uvw) ≥ 1, so the
+    max(·−D, 0) clamps never bind and every probability is one shared
+    double tree over EXACT integer counts; per-trigram −ln terms are
+    floor-quantized at 1e-9 (the single-ln rule) so the per-doc sum is
+    exact integer addition.
+
+    Scale shape: one trigram + one bigram explode feeding map-
+    combinable count tables (trigram-type-bounded — the standard
+    massive-LM-counts shape), joined back by n-gram key; no Python.
+
+    Returns (doc_id, n_trigrams, mean_nll_kn).
+    """
+    D_NUM, D_DEN = 3.0, 4.0  # D = 3/4
+    toks = docs.select(
+        F.col(id_col), words(F.col(text_col)).alias("_arr")
+    ).filter(F.size("_arr") >= 3)
+    tg = pin(
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(_arr, 1, size(_arr) - 2), "
+                    "(x, i) -> struct(x AS u, element_at(_arr, i + 2) AS v, "
+                    "element_at(_arr, i + 3) AS w))"
+                )
+            ).alias("_t"),
+        ).select(
+            F.col(id_col), F.col("_t.u"), F.col("_t.v"), F.col("_t.w")
+        )
+    )
+    c3 = pin(tg.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("_c3")))
+    ctx3 = c3.groupBy("u", "v").agg(
+        F.sum("_c3").alias("_c2ctx"), F.count(F.lit(1)).alias("_n1p3")
+    )
+    cont = pin(
+        c3.groupBy("v", "w").agg(F.count(F.lit(1)).alias("_ncvw"))
+    )
+    nctx = cont.groupBy("v").agg(
+        F.sum("_ncvw").alias("_nctxv"), F.count(F.lit(1)).alias("_n1p2v")
+    )
+    # continuation unigram from the true bigram table (not trigram
+    # contexts — the last bigram of each doc counts too)
+    bgt = (
+        docs.select(words(F.col(text_col)).alias("_arr"))
+        .filter(F.size("_arr") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(_arr, 1, size(_arr) - 1), "
+                    "(x, i) -> struct(x AS v, element_at(_arr, i + 2) AS w))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.v", "_p.w")
+        .distinct()
+    )
+    bgt = pin(bgt)
+    ncw = bgt.groupBy("w").agg(F.count(F.lit(1)).alias("_ncw"))
+    nbt = bgt.groupBy().agg(F.count(F.lit(1)).alias("_nbt"))
+
+    j = (
+        tg.join(c3, ["u", "v", "w"])
+        .join(ctx3, ["u", "v"])
+        .join(cont, ["v", "w"])
+        .join(nctx, "v")
+        .join(ncw, "w")
+        .crossJoin(F.broadcast(nbt))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    Dq = F.lit(D_NUM) / F.lit(D_DEN)
+    pc = d("_ncw") / d("_nbt")
+    p2 = ((d("_ncvw") - Dq) + Dq * d("_n1p2v") * pc) / d("_nctxv")
+    p3 = ((d("_c3") - Dq) + Dq * d("_n1p3") * p2) / d("_c2ctx")
+    term_q = F.floor(-F.log(p3) * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    return (
+        j.select(F.col(id_col), term_q.alias("_q"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_trigrams"), F.sum("_q").alias("_sq"))
+        .select(
+            id_col,
+            "n_trigrams",
+            (
+                F.col("_sq").cast("double") / F.lit(1e9) / F.col("n_trigrams")
+            ).alias("mean_nll_kn"),
+        )
+    )
+
+
+def kn_trigram_logprob_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`kn_trigram_logprob` (same exact integer
+    count tables, same shared double tree, same 1e-9 ln grid)."""
+    w = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT {id_col}, {w} AS arr FROM {table} WHERE len({w}) >= 3
+),
+tg AS MATERIALIZED (
+  SELECT {id_col}, t[1] AS u, t[2] AS v, t[3] AS w
+  FROM (
+    SELECT {id_col}, unnest([arr[i:i+2] FOR i IN range(1, len(arr) - 1)]) AS t
+    FROM toks
+  )
+),
+c3 AS MATERIALIZED (SELECT u, v, w, COUNT(*) AS _c3 FROM tg GROUP BY 1, 2, 3),
+ctx3 AS (
+  SELECT u, v, CAST(SUM(_c3) AS BIGINT) AS _c2ctx, COUNT(*) AS _n1p3
+  FROM c3 GROUP BY 1, 2
+),
+cont AS MATERIALIZED (SELECT v, w, COUNT(*) AS _ncvw FROM c3 GROUP BY 1, 2),
+nctx AS (
+  SELECT v, CAST(SUM(_ncvw) AS BIGINT) AS _nctxv, COUNT(*) AS _n1p2v
+  FROM cont GROUP BY 1
+),
+bgt AS MATERIALIZED (
+  SELECT DISTINCT p[1] AS v, p[2] AS w
+  FROM (
+    SELECT unnest([arr[i:i+1] FOR i IN range(1, len(arr))]) AS p
+    FROM (SELECT {w} AS arr FROM {table} WHERE len({w}) >= 2)
+  )
+),
+ncw AS (SELECT w, COUNT(*) AS _ncw FROM bgt GROUP BY 1),
+nbt AS (SELECT COUNT(*) AS _nbt FROM bgt),
+scored AS (
+  SELECT tg.{id_col},
+    CAST(FLOOR(-ln(
+      ((CAST(_c3 AS DOUBLE) - (3.0 / 4.0))
+       + (3.0 / 4.0) * CAST(_n1p3 AS DOUBLE)
+         * (((CAST(_ncvw AS DOUBLE) - (3.0 / 4.0))
+             + (3.0 / 4.0) * CAST(_n1p2v AS DOUBLE)
+               * (CAST(_ncw AS DOUBLE) / CAST(_nbt AS DOUBLE)))
+            / CAST(_nctxv AS DOUBLE)))
+      / CAST(_c2ctx AS DOUBLE)
+    ) * 1e9 + 0.5) AS BIGINT) AS _q
+  FROM tg JOIN c3 USING (u, v, w) JOIN ctx3 USING (u, v)
+  JOIN cont USING (v, w) JOIN nctx USING (v) JOIN ncw USING (w)
+  CROSS JOIN nbt
+)
+SELECT {id_col}, COUNT(*) AS n_trigrams,
+  CAST(CAST(SUM(_q) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*) AS mean_nll_kn
+FROM scored GROUP BY {id_col}
+"""

@@ -2972,3 +2972,25 @@ def _sql_bpe_encode():
 
 
 QUERIES.update({"bpe_encode": Q(q_bpe_encode, _sql_bpe_encode())})
+
+
+def q_kn_trigram(spark, sf_dir):
+    """Interpolated Kneser–Ney trigram perplexity scoring
+    (operators/text.kn_trigram_logprob): the CCNet-style LM quality
+    filter — per-doc mean trigram NLL under the corpus-trained KN
+    model (continuation counts, D=3/4), fully relational count tables
+    joined back by n-gram key; the smoothing family that separates
+    'frequent word in a NEW context' from noise where add-one bigrams
+    cannot."""
+    from timeseriesutils_spark.operators.text import kn_trigram_logprob
+
+    return kn_trigram_logprob(_docs(spark, sf_dir))
+
+
+def _sql_kn_trigram():
+    from timeseriesutils_spark.operators.text import kn_trigram_logprob_sql
+
+    return kn_trigram_logprob_sql("documents")
+
+
+QUERIES.update({"kn_trigram_logprob": Q(q_kn_trigram, _sql_kn_trigram())})
