@@ -616,3 +616,26 @@ def test_kn_trigram_quality_ordering(spark):
     assert g[4] < g[3]  # common phrase beats the one-off sentence
     # probabilities are valid: every per-doc NLL positive
     assert all(v > 0 for v in g.values())
+
+
+def test_nb_classifier_learns_separable_classes(spark):
+    """NB must classify clearly-separable vocabularies perfectly and
+    break argmax ties deterministically (score DESC, class ASC)."""
+    import pandas as pd
+
+    from timeseriesutils_spark.operators.text import nb_classifier
+
+    docs = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "a dog ran in the park"),
+        (3, "en", "the sun is bright today"),
+        (4, "fr", "le chat est sur le tapis"),
+        (5, "fr", "un chien court dans le parc"),
+        (6, "fr", "le soleil est brillant"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "lang", "text"])
+    )
+    out = nb_classifier(df).toPandas()
+    assert out.correct.all()
+    assert (out.margin_nats > 0).all()

@@ -3727,3 +3727,180 @@ SELECT {id_col}, COUNT(*) AS n_trigrams,
   CAST(CAST(SUM(_q) AS BIGINT) AS DOUBLE) / 1e9 / COUNT(*) AS mean_nll_kn
 FROM scored GROUP BY {id_col}
 """
+
+
+def nb_classifier(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier (the classic
+    closed-form supervised filter — the model family behind fastText-
+    style corpus quality/language classifiers when trained on bag of
+    words): train word-given-class counts on the corpus' own labels,
+    score every document, emit the argmax class — the supervised
+    companion to the heuristic ``lang_id`` (and the trainable primitive
+    ``classification_report``/``gains_curve`` can then evaluate).
+
+    Laplace-smoothed scores decompose so only SEEN (word, class) pairs
+    need a join:
+
+        score(d, k) = ln p(k) − n_d·ln(T_k + V) + Σ_{w∈d} ln(c_kw + 1)
+
+    (the unseen-pair term ln 1 = 0 vanishes).  Every ln input is an
+    exact integer, each ln lands on the 1e-9 grid, so per-(doc, class)
+    scores are EXACT INTEGER sums and the argmax (score DESC, class
+    ASC) is engine-independent — a fully deterministic trained
+    classifier with no iterative fitting.
+
+    Scale shape: one word explode; class-word counts (vocab × classes
+    bounded); the scoring join fans each doc word to ≤ n_classes rows;
+    one (doc × class) grid via a broadcast of the class table; one rank
+    window over n_classes rows per doc.
+
+    Returns (doc_id, label, predicted, correct, margin_nats) — margin
+    is the winner's lead over the runner-up in nats (0 when only one
+    class exists).
+    """
+    lnq = lambda c: F.floor(  # noqa: E731
+        F.log(c.cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("bigint")
+    base = docs.filter(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("string").alias("_y"),
+        words(F.col(text_col)).alias("_arr"),
+    ).filter(F.size("_arr") >= 1)
+    base = pin(base)
+    dw = pin(
+        base.select("_id", F.explode("_arr").alias("_w"))
+    )
+    cw = pin(
+        base.select(
+            F.col("_y").alias("_k"), F.explode("_arr").alias("_w")
+        ).groupBy("_k", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    vocab = dw.select("_w").distinct().groupBy().agg(
+        F.count(F.lit(1)).alias("_V")
+    )
+    nd = base.groupBy("_id").agg(
+        F.max("_y").alias("_y"), F.max(F.size("_arr")).alias("_nw")
+    )
+    classes = (
+        base.groupBy(F.col("_y").alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_ndk"))
+        .crossJoin(F.broadcast(base.groupBy().agg(F.count(F.lit(1)).alias("_N"))))
+        .join(
+            F.broadcast(
+                cw.groupBy("_k").agg(F.sum("_c").alias("_T"))
+            ),
+            "_k",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "_k",
+            # prior + per-word normalizer, both exact-int ln inputs
+            lnq(F.col("_ndk") / F.col("_N")).alias("_priq"),
+            lnq(F.col("_T") + F.col("_V")).alias("_nrmq"),
+        )
+    )
+    seen = (
+        dw.join(cw.withColumnRenamed("_w", "_w2"), dw._w == F.col("_w2"))
+        .groupBy("_id", "_k")
+        .agg(F.sum(lnq(F.col("_c") + 1)).alias("_sq"))
+    )
+    grid = (
+        nd.crossJoin(F.broadcast(classes))
+        .join(seen, ["_id", "_k"], "left")
+        .select(
+            "_id", "_y", "_k",
+            (
+                F.col("_priq")
+                - F.col("_nw").cast("bigint") * F.col("_nrmq")
+                + F.coalesce(F.col("_sq"), F.lit(0))
+            ).alias("_score"),
+        )
+    )
+    wr = Window.partitionBy("_id").orderBy(
+        F.col("_score").desc(), F.col("_k").asc()
+    )
+    ranked = grid.select(
+        "*",
+        F.row_number().over(wr).alias("_rn"),
+        F.lead("_score", 1).over(wr).alias("_snd"),
+    ).filter(F.col("_rn") == 1)
+    return ranked.select(
+        F.col("_id").alias(id_col),
+        F.col("_y").alias(label_col),
+        F.col("_k").alias("predicted"),
+        (F.col("_k") == F.col("_y")).alias("correct"),
+        (
+            (F.col("_score") - F.coalesce(F.col("_snd"), F.col("_score")))
+            .cast("double") / F.lit(1e9)
+        ).alias("margin_nats"),
+    )
+
+
+def nb_classifier_sql(
+    table: str = "documents",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`nb_classifier` (same exact-integer ln
+    grid, same argmax tiebreak)."""
+    w = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    lnq = lambda x: f"CAST(FLOOR(ln({x}) * 1e9 + 0.5) AS BIGINT)"  # noqa: E731
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {id_col} AS _id, CAST({label_col} AS VARCHAR) AS _y, {w} AS _arr
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND {label_col} IS NOT NULL
+    AND len({w}) >= 1
+),
+dw AS MATERIALIZED (SELECT _id, unnest(_arr) AS _w FROM base),
+cw AS MATERIALIZED (
+  SELECT _k, _w, COUNT(*) AS _c
+  FROM (SELECT _y AS _k, unnest(_arr) AS _w FROM base)
+  GROUP BY 1, 2
+),
+vocab AS (SELECT COUNT(DISTINCT _w) AS _V FROM dw),
+nd AS (SELECT _id, MAX(_y) AS _y, MAX(len(_arr)) AS _nw FROM base GROUP BY _id),
+ntot AS (SELECT COUNT(*) AS _N FROM base),
+classes AS (
+  SELECT c._k,
+    {lnq("CAST(c._ndk AS DOUBLE) / CAST(n._N AS DOUBLE)")} AS _priq,
+    {lnq("CAST(t._T + v._V AS DOUBLE)")} AS _nrmq
+  FROM (SELECT _y AS _k, COUNT(*) AS _ndk FROM base GROUP BY 1) c
+  CROSS JOIN ntot n
+  JOIN (SELECT _k, CAST(SUM(_c) AS BIGINT) AS _T FROM cw GROUP BY 1) t
+    USING (_k)
+  CROSS JOIN vocab v
+),
+seen AS (
+  SELECT dw._id, cw._k,
+    CAST(SUM({lnq("CAST(cw._c + 1 AS DOUBLE)")}) AS BIGINT) AS _sq
+  FROM dw JOIN cw ON dw._w = cw._w
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT nd._id, nd._y, cl._k,
+    cl._priq - CAST(nd._nw AS BIGINT) * cl._nrmq + COALESCE(s._sq, 0)
+      AS _score
+  FROM nd CROSS JOIN classes cl
+  LEFT JOIN seen s ON s._id = nd._id AND s._k = cl._k
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY _id ORDER BY _score DESC, _k ASC) AS _rn,
+    LEAD(_score, 1) OVER (PARTITION BY _id ORDER BY _score DESC, _k ASC)
+      AS _snd
+  FROM grid
+)
+SELECT _id AS {id_col}, _y AS {label_col}, _k AS predicted,
+  _k = _y AS correct,
+  CAST(_score - COALESCE(_snd, _score) AS DOUBLE) / 1e9 AS margin_nats
+FROM ranked WHERE _rn = 1
+"""

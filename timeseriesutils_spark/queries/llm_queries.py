@@ -2994,3 +2994,24 @@ def _sql_kn_trigram():
 
 
 QUERIES.update({"kn_trigram_logprob": Q(q_kn_trigram, _sql_kn_trigram())})
+
+
+def q_nb_classifier(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier
+    (operators/text.nb_classifier): the TRAINABLE supervised filter the
+    catalog's heuristic lang_id is not — Laplace-smoothed word-given-
+    class counts, exact-integer 1e-9-grid log scores, engine-
+    independent argmax; one word explode + class-count join + a
+    broadcast class grid."""
+    from timeseriesutils_spark.operators.text import nb_classifier
+
+    return nb_classifier(_docs(spark, sf_dir))
+
+
+def _sql_nb_classifier():
+    from timeseriesutils_spark.operators.text import nb_classifier_sql
+
+    return nb_classifier_sql("documents")
+
+
+QUERIES.update({"nb_classifier": Q(q_nb_classifier, _sql_nb_classifier())})
