@@ -639,3 +639,29 @@ def test_nb_classifier_learns_separable_classes(spark):
     out = nb_classifier(df).toPandas()
     assert out.correct.all()
     assert (out.margin_nats > 0).all()
+
+
+def test_stl_chunked_bit_identical(spark):
+    """Chunk-parallel STL must equal the unchunked plan bit-for-bit at
+    any chunk size >= R + 1 (two-sided compound reach), including
+    chunks larger than the series, and short series survive intact."""
+    from timeseriesutils_spark.operators.stl import stl_decompose
+
+    rows = []
+    for gi in range(2):
+        for t in range(300):
+            v = 100 + 0.2 * t + 8 * math.sin(2 * math.pi * t / 7)
+            rows.append((f"g{gi}", t, v + gi))
+    rows += [("short", t, float(t)) for t in range(45)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    plain = sorted(map(tuple, stl_decompose(df, "v", "t", ["g"]).collect()))
+    for C in (39, 100, 1000):
+        chunked = sorted(
+            map(
+                tuple,
+                stl_decompose(df, "v", "t", ["g"], chunk_rows=C).collect(),
+            )
+        )
+        assert chunked == plain, f"chunk_rows={C}"
+    with pytest.raises(ValueError, match="chunk_rows"):
+        stl_decompose(df, "v", "t", ["g"], chunk_rows=38)

@@ -90,11 +90,22 @@ def stl_decompose(
     trend_h: int = 10,
     scale: int = 2,
     keep: tuple = (),
+    chunk_rows: int | None = None,
 ) -> DataFrame:
     """One-iteration STL with literal quantized-LOESS weights (module
     doc).  Returns (group..., time, value, seasonal, trend, remainder
     [, keep...]); ``keep`` columns pass through untouched (the MSTL
-    composition carries the original value and prior seasonals)."""
+    composition carries the original value and prior seasonals).
+
+    ``chunk_rows``: monster-series mitigation (the matrix_profile
+    chunked precedent, two-sided reach R = hs·P + P + ht each side —
+    the seasonal smoother's ±hs·P, the low-pass ±P, the trend ±ht
+    compound): rows replicate into the ≤3 chunks whose extended frame
+    needs them, the chunk id rides the partition key with a pinned
+    partition count (AQE's size-based coalescing would fold the
+    narrow-input exchange), core rows are kept — bit-identical to the
+    unchunked plan (property-tested; the declared query hash-matches
+    the SAME oracle).  Requires ``chunk_rows >= R + 1``."""
     from timeseriesutils_spark.operators.window_features import _as_list
 
     g = _as_list(group_columns)
@@ -110,15 +121,9 @@ def stl_decompose(
     SU = sum(Uq)
     DL = SW * 3 * P * P  # seasonal-numerator denominator
 
-    wi = Window.partitionBy(*g).orderBy("_t")
     t = F.col(time_col).cast("bigint")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s2d = lambda c: c.cast("string").cast("double")  # noqa: E731
-
-    def off(col, k):
-        return F.lead(col, k).over(wi) if k > 0 else (
-            F.lag(col, -k).over(wi) if k < 0 else F.col(col)
-        )
 
     base = df.select(
         *g,
@@ -129,6 +134,38 @@ def stl_decompose(
         .alias("_xq"),
         *[F.col(c) for c in keep],
     )
+    pk = list(g)
+    R = hs * P + P + ht  # two-sided compound window reach
+    if chunk_rows is not None:
+        C = int(chunk_rows)
+        if C < R + 1:
+            raise ValueError(
+                f"chunk_rows must be >= seasonal_h*period + period"
+                f" + trend_h + 1 = {R + 1}"
+            )
+        word0 = Window.partitionBy(*g).orderBy("_t")
+        p = F.row_number().over(word0).cast("bigint") - F.lit(1)
+        base = base.select("*", p.alias("_p"))
+        k0 = F.floor(F.col("_p") / F.lit(C)).cast("bigint")
+        off0 = F.col("_p") - k0 * F.lit(C)
+        cand = F.array(
+            k0,
+            F.when((off0 <= F.lit(R - 1)) & (k0 > 0), k0 - 1),
+            F.when(off0 >= F.lit(C - R), k0 + 1),
+        )
+        base = base.select(
+            "*",
+            F.explode(F.filter(cand, lambda c: c.isNotNull())).alias("_ck"),
+        )
+        pk = [*g, "_ck"]
+        par = base.sparkSession.sparkContext.defaultParallelism
+        base = base.repartition(par, *pk)
+    wi = Window.partitionBy(*pk).orderBy("_t")
+
+    def off(col, k):
+        return F.lead(col, k).over(wi) if k > 0 else (
+            F.lag(col, -k).over(wi) if k < 0 else F.col(col)
+        )
     # 1. cycle-subseries tricube smoothing: neighbors k cycles away are
     # exactly k*P rows away on the regular grid — one window partition
     # serves every stage
@@ -159,7 +196,14 @@ def stl_decompose(
     den_t = float(DL * SU * mult)
     seasonal = s2d(F.col("_seasn")) / F.lit(den_s)
     trend = s2d(F.col("_trn")) / F.lit(den_t)
-    return s4.select(
+    out = s4
+    if chunk_rows is not None:
+        # keep each chunk's CORE rows only (context copies duplicate)
+        out = out.filter(
+            F.floor(F.col("_p") / F.lit(int(chunk_rows))).cast("bigint")
+            == F.col("_ck")
+        )
+    return out.select(
         *g,
         F.col("_t").alias(time_col),
         F.col("_v").alias("value"),

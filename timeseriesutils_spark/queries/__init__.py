@@ -50,7 +50,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # round-13 additions (never driver-verified):
     "matrix_profile_chunked", "reconcile_forecasts", "conformal_intervals",
     "mstl_decompose", "cqr_intervals", "bpe_encode", "stream_conformal",
-    "kn_trigram_logprob", "nb_classifier",
+    "kn_trigram_logprob", "nb_classifier", "stl_chunked",
     # r5-stale cohort (last green driver row: CORRECTNESS_r05), 40:
     "abc_analysis", "anova_oneway", "attribution", "bootstrap_ci",
     "canonical_pick", "constraint_audit", "corr_matrix", "counter_rate",
@@ -63,9 +63,8 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "seasonal_strength", "shipping_sla", "snapshot_diff", "state_dwell",
     "stickiness", "stockout_events", "top_paths", "wilson_daily",
     "zipf_fit",
-    # r6-stale padding (last green driver row: CORRECTNESS_r06; tail
-    # names drop one-for-one as round-13 additions take head slots):
-    "agg_pricing_summary",
+    # (r6-stale padding exhausted: the 10 round-13 additions consumed
+    # every padding slot; head = 10 additions + the 40-query r5 cohort)
 )
 # ROUND-14 ROTATION PLAN: (a) round-14 additions, then (b) whatever is
 # stalest in CORRECTNESS_r01..r13 at that point — recompute from the
@@ -173,7 +172,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     # round-13 additions (core: operator-correctness surfaces)
     "matrix_profile_chunked", "reconcile_forecasts", "conformal_intervals",
     "mstl_decompose", "cqr_intervals", "bpe_encode", "stream_conformal",
-    "kn_trigram_logprob", "nb_classifier",
+    "kn_trigram_logprob", "nb_classifier", "stl_chunked",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",
