@@ -665,3 +665,75 @@ def test_stl_chunked_bit_identical(spark):
         assert chunked == plain, f"chunk_rows={C}"
     with pytest.raises(ValueError, match="chunk_rows"):
         stl_decompose(df, "v", "t", ["g"], chunk_rows=38)
+
+
+def test_quality_logit_matches_float_irls(spark):
+    """The lockstep quantized IRLS must match a straight-line float
+    IRLS to the probability grid, and learn a separable problem."""
+    import numpy as np
+    import pandas as pd
+
+    from timeseriesutils_spark.operators.logit import quality_logit
+
+    rng = np.random.RandomState(4)
+    docs = []
+    for i in range(150):
+        en = rng.rand() < 0.5
+        n = rng.randint(5, 40)
+        base = ["the", "be", "to", "of"]
+        ws = [
+            (
+                base[rng.randint(4)]
+                if en and rng.rand() < 0.25
+                else ("w" + str(rng.randint(99)) if en else "mmmmot" + str(rng.randint(40)))
+            )
+            for _ in range(n)
+        ]
+        docs.append((i, "en" if en else "fr", " ".join(ws)))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "lang", "text"])
+    got = (
+        quality_logit(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    X, y = [], []
+    stop = ("the", "be", "to", "of", "and", "that", "have", "with")
+    for _, r in pdf.iterrows():
+        ws = r.text.lower().strip().split()
+        nw = len(ws)
+        X.append(
+            [
+                1.0,
+                np.log(1.0 + nw),
+                sum(w in stop for w in ws) / nw,
+                sum(len(w) for w in ws) / nw,
+            ]
+        )
+        y.append(1.0 if r.lang == "en" else 0.0)
+    X, y = np.array(X), np.array(y)
+    b = np.zeros(4)
+    for _ in range(4):
+        p = np.clip(1 / (1 + np.exp(-X @ b)), 1e-6, 1 - 1e-6)
+        w = p * (1 - p)
+        b = np.linalg.solve((X * w[:, None]).T @ X, X.T @ (w * (X @ b) + (y - p)))
+    pf = 1 / (1 + np.exp(-X @ b))
+    assert np.abs(got.p_hat.to_numpy() - pf).max() < 5e-4
+    assert got.correct.mean() > 0.95
+
+
+def test_quality_logit_degenerate_corpus_stays_finite(spark):
+    """A single-class or constant-feature corpus must not blow up: the
+    singular-solve guard keeps beta at the previous round's value."""
+    import pandas as pd
+
+    from timeseriesutils_spark.operators.logit import quality_logit
+
+    pdf = pd.DataFrame(
+        [(i, "en", "aa bb cc") for i in range(10)],
+        columns=["doc_id", "lang", "text"],
+    )
+    out = quality_logit(spark.createDataFrame(pdf)).toPandas()
+    assert len(out) == 10
+    assert out.p_hat.notna().all()
+    assert ((out.p_hat > 0) & (out.p_hat < 1)).all()

@@ -1,0 +1,337 @@
+"""Logistic-regression quality classifier trained by IRLS — the
+GPT-3-style trained corpus filter (Brown et al. 2020 trained a linear
+classifier over document features to select "high-quality" web text;
+CCNet, FineWeb and Dolma all ship the same shape).  The catalog's
+closed-form NB (:func:`text.nb_classifier`) is generative; this is the
+DISCRIMINATIVE trainable filter, fit by iteratively reweighted least
+squares:
+
+    per round:  η = Xβ,  p = σ(η),  W = diag(p(1−p)),
+                β ← (XᵀWX)⁻¹ Xᵀ(Wη + (y − p))
+
+with the 4×4 normal-equations solve done by CRAMER over the SAME
+generated Leibniz expansion both engines evaluate (the granger
+``_det_pair`` machinery) — no matrix library, no driver-side linear
+algebra beyond collecting four scalars per round (the kmeans/bpe
+bounded-driver-state precedent).
+
+Features (per document, all deterministic text statistics):
+    x₀ = 1 (intercept), x₁ = ln(1 + n_words), x₂ = stopword ratio,
+    x₃ = mean word length — the classic quality-signal triple.
+
+Exactness (the lockstep-round discipline): features quantize at 1e-6;
+β lives at 1e-6; per round η re-quantizes at 1e-6 and p at 1e-6
+(clamped to [1, 10⁶−1] — the standard ε-clamp, which also keeps a
+separable fit finite), so w = p_q(10⁶ − p_q) and the working response
+are EXACT integers; every moment (10 upper-triangle XᵀWX entries + 4
+RHS entries) accumulates in DECIMAL(38,0)/HUGEINT; with these grids
+the unit factors cancel exactly and
+
+    βq_j ← round( det(A with col j ← b) / det(A) )
+
+— the determinant ratio IS the next 1e-6-unit coefficient, evaluated
+as one generated double fold over string-cast exact integers.  Both
+engines walk identical integer states round by round; the oracle is
+one self-contained SQL statement (β rounds as chained one-row CTEs).
+
+Scale shape: one feature projection (scan-bound), then per round ONE
+map-combinable 14-sum aggregation over the feature frame + a 1-row
+solve — constant reduce state at any corpus size, K rounds total.
+
+Returns one row per document: (doc_id, label, p_hat, predicted,
+correct) — the fitted probability and thresholded class, ready for
+classification_report / gains_curve / calibration_curve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timeseriesutils_spark.operators.granger import _det_pair
+
+_FX = 10**6  # feature grid
+_FB = 10**6  # coefficient grid
+_FP = 10**6  # probability grid
+
+
+def _feature_cols(text_col: str):
+    """Spark columns for the quantized feature triple (built lazily —
+    HOF lambdas need an active SparkContext, so this must not run at
+    catalog-import time)."""
+    from timeseriesutils_spark.operators.text import GOPHER_STOPWORDS
+
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    nw = F.size(arr)
+    nstop = F.size(F.filter(arr, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    totlen = F.aggregate(
+        F.transform(arr, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    qx = lambda c: F.floor(c * F.lit(_FX) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    cols = [
+        F.lit(_FX).cast("bigint"),
+        qx(F.log(F.lit(1.0) + nw.cast("double"))),
+        qx(nstop.cast("double") / nw.cast("double")),
+        qx(totlen.cast("double") / nw.cast("double")),
+    ]
+    return cols, nw
+
+
+def _feature_sqls(text_col: str):
+    """DuckDB strings for the same quantized feature triple (the
+    shared-generator rule, rendered engine-side)."""
+    from timeseriesutils_spark.operators.text import GOPHER_STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    w_sql = f"string_split_regex(lower(trim({text_col})), '\\s+')"
+    nw_s = f"len({w_sql})"
+    nstop_s = f"len(list_filter({w_sql}, x -> x IN ({sw})))"
+    totlen_s = f"list_sum(list_transform({w_sql}, x -> len(x)))"
+    qx_s = lambda x: f"CAST(FLOOR(({x}) * {_FX} + 0.5) AS BIGINT)"  # noqa: E731
+    sqls = [
+        f"CAST({_FX} AS BIGINT)",
+        qx_s(f"ln(1.0 + CAST({nw_s} AS DOUBLE))"),
+        qx_s(f"CAST({nstop_s} AS DOUBLE) / CAST({nw_s} AS DOUBLE)"),
+        qx_s(f"CAST({totlen_s} AS DOUBLE) / CAST({nw_s} AS DOUBLE)"),
+    ]
+    return sqls, nw_s
+
+
+def _solve_exprs(get):
+    """β update as Cramer det ratios over a moment accessor
+    ``get(name) -> (Column, sql)`` — same generated expansion both
+    engines (granger's shared-tree rule).  Moment names: a{j}{k}
+    (j<=k), b{j}."""
+    A = [[get(f"a{min(j, k)}{max(j, k)}") for k in range(4)] for j in range(4)]
+    det_c, det_s = _det_pair(A)
+    outs = []
+    for j in range(4):
+        Aj = [
+            [get(f"b{r}") if c == j else A[r][c] for c in range(4)]
+            for r in range(4)
+        ]
+        outs.append(_det_pair(Aj))
+    return (det_c, det_s), outs
+
+
+def quality_logit(
+    docs: DataFrame,
+    label_expr=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_rounds: int = 4,
+) -> DataFrame:
+    """IRLS-trained logistic quality classifier (module doc).
+    ``label_expr``: boolean Column for the training label (default:
+    ``lang = 'en'``)."""
+    spark = docs.sparkSession
+    from timeseriesutils_spark.functions.cache import pin
+
+    y = label_expr if label_expr is not None else (F.col("lang") == "en")
+    cols, nw = _feature_cols(text_col)
+    feats = pin(
+        docs.filter(F.col(text_col).isNotNull())
+        .filter(nw >= 1)
+        .select(
+            F.col(id_col).alias("_id"),
+            y.cast("int").alias("_y"),
+            *[c.alias(f"_x{j}") for j, c in enumerate(cols)],
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s2d = lambda c: c.cast("string").cast("double")  # noqa: E731
+
+    def _etaq(beta):
+        """η re-quantized at 1e-6 from β literals (exact-int Σβq·xq)."""
+        etan = None  # Σ βq_j xq_j  (1e-12 units of η)
+        for j in range(4):
+            term = dec(F.lit(int(beta[j]))) * dec(F.col(f"_x{j}"))
+            etan = term if etan is None else etan + term
+        eta = s2d(etan) / F.lit(1.0e12)
+        return F.floor(eta * F.lit(float(_FX)) + F.lit(0.5)).cast("bigint")
+
+    def _pq_from_eq():
+        """Clamped 1e-6-grid probability from the staged _eq column."""
+        p = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-(F.col("_eq").cast("double") / F.lit(float(_FP))))
+        )
+        pq_raw = F.floor(p * F.lit(float(_FP)) + F.lit(0.5)).cast("bigint")
+        return F.greatest(F.lit(1), F.least(F.lit(_FP - 1), pq_raw))
+
+    beta = [0, 0, 0, 0]
+    for _ in range(int(n_rounds)):
+        staged = (
+            feats.select("*", _etaq(beta).alias("_eq"))
+            .select("*", _pq_from_eq().alias("_pq"))
+            .select("*", (F.col("_pq") * (F.lit(_FP) - F.col("_pq"))).alias("_w"))
+        )
+        # x1e6 (_FB): the Cramer ratio then lands directly in 1e-6
+        # coefficient units (unit algebra in the module doc)
+        num_z = (
+            dec(F.col("_w")) * dec(F.col("_eq"))
+            + dec(
+                (F.col("_y") * F.lit(_FP) - F.col("_pq")) * F.lit(_FP)
+            ) * F.lit(_FP)
+        ) * F.lit(_FB)
+        staged = staged.select("*", num_z.alias("_nz"))
+        aggs = []
+        for j in range(4):
+            for k in range(j, 4):
+                aggs.append(
+                    F.sum(
+                        dec(F.col(f"_x{j}")) * dec(F.col(f"_x{k}"))
+                        * dec(F.col("_w"))
+                    ).alias(f"a{j}{k}")
+                )
+        for j in range(4):
+            aggs.append(
+                F.sum(dec(F.col(f"_x{j}")) * F.col("_nz")).alias(f"b{j}")
+            )
+        mom = staged.groupBy().agg(*aggs)
+        # materialize the string-cast doubles ONCE, then the det folds
+        dbl = mom.select(
+            *[s2d(F.col(c)).alias(c) for c in mom.columns]
+        )
+        get = lambda name: (F.col(name), name)  # noqa: E731
+        (det_c, _), outs = _solve_exprs(get)
+        row = dbl.select(
+            det_c.alias("_d"),
+            *[o[0].alias(f"_d{j}") for j, (o) in enumerate(outs)],
+        ).collect()[0]
+        d = row["_d"]
+        if d is None or d == 0.0:
+            break  # singular: keep the previous β (degenerate corpus)
+        beta = [
+            int(__import__("math").floor(row[f"_d{j}"] / d + 0.5))
+            for j in range(4)
+        ]
+    scored = feats.select("*", _etaq(beta).alias("_eq")).select(
+        "*", _pq_from_eq().alias("_pq")
+    )
+    return scored.select(
+        F.col("_id").alias(id_col),
+        (F.col("_y") == 1).alias("label"),
+        (F.col("_pq").cast("double") / F.lit(float(_FP))).alias("p_hat"),
+        (F.col("_pq") * 2 > F.lit(_FP)).alias("predicted"),
+        ((F.col("_pq") * 2 > F.lit(_FP)) == (F.col("_y") == 1)).alias(
+            "correct"
+        ),
+    )
+
+
+def quality_logit_sql(
+    table: str = "documents",
+    label_sql: str = "lang = 'en'",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_rounds: int = 4,
+) -> str:
+    """DuckDB twin of :func:`quality_logit`: the same IRLS recurrence
+    as chained one-row β CTEs (the bpe_train precedent) — per round a
+    per-doc state stage cross-joined with β, a 14-sum HUGEINT moment
+    aggregate, and the SAME generated Cramer expansion; a singular
+    round keeps the previous β (matching the Spark early-break, which
+    then reproduces the same singular moments every later round)."""
+
+    class _S:  # sql-side stand-in so _det_pair's * and + compose text
+        def __init__(self, s):
+            self.s = s
+
+        def __mul__(self, other):
+            return _S(f"{self.s} * {other.s}")
+
+        def __add__(self, other):
+            return _S(f"{self.s} + {other.s}")
+
+        def __neg__(self):
+            return _S(f"-({self.s})")
+
+    xs, nw_s = _feature_sqls(text_col)
+    K = int(n_rounds)
+    s2d = lambda x: f"CAST(CAST(({x}) AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    feat_cols = ", ".join(f"{x} AS _x{j}" for j, x in enumerate(xs))
+    ctes = [
+        f"""f AS MATERIALIZED (
+  SELECT {id_col} AS _id, CAST(({label_sql}) AS INT) AS _y, {feat_cols}
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND {nw_s} >= 1
+)""",
+        "b0 AS (SELECT " + ", ".join(
+            f"CAST(0 AS BIGINT) AS q{j}" for j in range(4)
+        ) + ")",
+    ]
+    etan = " + ".join(
+        f"CAST(q{j} AS HUGEINT) * _x{j}" for j in range(4)
+    )
+    state = f"""
+  SELECT _y, _x0, _x1, _x2, _x3,
+    CAST(FLOOR(({s2d(f'({etan})')} / 1e12) * {_FX} + 0.5) AS BIGINT) AS _eq
+  FROM f CROSS JOIN {{prev}}"""
+    state2 = f"""
+  SELECT *,
+    GREATEST(1, LEAST({_FP - 1},
+      CAST(FLOOR((1.0 / (1.0 + exp(-(CAST(_eq AS DOUBLE) / {float(_FP)!r}))))
+           * {_FP} + 0.5) AS BIGINT))) AS _pq
+  FROM s{{k}}a"""
+    get = lambda name: (_S(name), name)  # noqa: E731
+    (det_pair, outs) = _solve_exprs(get)
+    det_s = det_pair[1]
+    moment_sums = []
+    for j in range(4):
+        for k2 in range(j, 4):
+            moment_sums.append(
+                f"SUM(CAST(_x{j} AS HUGEINT) * _x{k2} * _w) AS a{j}{k2}"
+            )
+    for j in range(4):
+        moment_sums.append(f"SUM(CAST(_x{j} AS HUGEINT) * _nz) AS b{j}")
+    mom_names = [f"a{j}{k2}" for j in range(4) for k2 in range(j, 4)] + [
+        f"b{j}" for j in range(4)
+    ]
+    dbls = ", ".join(f"{s2d(n)} AS {n}" for n in mom_names)
+    for k in range(1, K + 1):
+        prev = f"b{k - 1}"
+        ctes.append(f"s{k}a AS ({state.format(prev=prev)}\n)")
+        ctes.append(f"s{k}b AS ({state2.format(k=k)}\n)")
+        ctes.append(
+            f"""s{k} AS (
+  SELECT *, _pq * ({_FP} - _pq) AS _w,
+    (CAST(_pq * ({_FP} - _pq) AS HUGEINT) * _eq
+      + CAST((_y * {_FP} - _pq) * {_FP} AS HUGEINT) * {_FP}) * {_FB} AS _nz
+  FROM s{k}b
+)"""
+        )
+        ctes.append(
+            f"m{k} AS (SELECT {', '.join(moment_sums)} FROM s{k})"
+        )
+        ctes.append(f"md{k} AS (SELECT {dbls} FROM m{k})")
+        qs = ", ".join(
+            f"CASE WHEN d._d IS NULL OR d._d = 0.0 THEN p.q{j} "
+            f"ELSE CAST(FLOOR(d._d{j} / d._d + 0.5) AS BIGINT) END AS q{j}"
+            for j in range(4)
+        )
+        dets = ", ".join(
+            [f"({det_s}) AS _d"]
+            + [f"({outs[j][1]}) AS _d{j}" for j in range(4)]
+        )
+        ctes.append(f"d{k} AS (SELECT {dets} FROM md{k})")
+        ctes.append(f"b{k} AS (SELECT {qs} FROM d{k} d CROSS JOIN {prev} p)")
+    fin_eta = etan
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+fin AS (
+  SELECT f._id, f._y,
+    GREATEST(1, LEAST({_FP - 1},
+      CAST(FLOOR((1.0 / (1.0 + exp(-(
+        CAST(CAST(FLOOR(({s2d(f'({fin_eta})')} / 1e12) * {_FX} + 0.5)
+             AS BIGINT) AS DOUBLE) / {float(_FP)!r}))))
+        * {_FP} + 0.5) AS BIGINT))) AS _pq
+  FROM f CROSS JOIN b{K}
+)
+SELECT _id AS {id_col}, _y = 1 AS label,
+  CAST(_pq AS DOUBLE) / {float(_FP)!r} AS p_hat,
+  _pq * 2 > {_FP} AS predicted,
+  (_pq * 2 > {_FP}) = (_y = 1) AS correct
+FROM fin
+"""
+    )

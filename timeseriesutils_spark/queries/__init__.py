@@ -50,7 +50,7 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # round-13 additions (never driver-verified):
     "matrix_profile_chunked", "reconcile_forecasts", "conformal_intervals",
     "mstl_decompose", "cqr_intervals", "bpe_encode", "stream_conformal",
-    "kn_trigram_logprob", "nb_classifier", "stl_chunked",
+    "kn_trigram_logprob", "nb_classifier", "stl_chunked", "quality_logit",
     # r5-stale cohort (last green driver row: CORRECTNESS_r05), 40:
     "abc_analysis", "anova_oneway", "attribution", "bootstrap_ci",
     "canonical_pick", "constraint_audit", "corr_matrix", "counter_rate",
@@ -62,13 +62,15 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "nowcast_triangle", "period_over_period", "renewal_rt", "rfm_segments",
     "seasonal_strength", "shipping_sla", "snapshot_diff", "state_dwell",
     "stickiness", "stockout_events", "top_paths", "wilson_daily",
-    "zipf_fit",
-    # (r6-stale padding exhausted: the 10 round-13 additions consumed
-    # every padding slot; head = 10 additions + the 40-query r5 cohort)
+    # (r6-stale padding exhausted, and the 11th round-13 addition
+    # displaced the final r5 name: zipf_fit moves to the ROUND-14
+    # backlog below; head = 11 additions + 39 of the 40-query r5
+    # cohort = exactly 50)
 )
-# ROUND-14 ROTATION PLAN: (a) round-14 additions, then (b) whatever is
-# stalest in CORRECTNESS_r01..r13 at that point — recompute from the
-# artifacts (the r6 cohort, 44 queries, minus any re-verified via the
+# ROUND-14 ROTATION PLAN: (a) round-14 additions, then (b) zipf_fit
+# (the one r5-cohort name the round-13 additions displaced), then
+# (c) whatever is stalest in CORRECTNESS_r01..r13 at that point —
+# recompute from the artifacts (the r6 cohort, 44 queries, minus any re-verified via the
 # r13 padding slots: agg_pricing_summary, agg_rollup, asof_join,
 # best_breakpoint, bigram_logprob, corpus_jsd, croston_demand,
 # dedup_ngram_jaccard, dedup_threshold_curve, dirichlet_lm_search,
@@ -172,7 +174,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     # round-13 additions (core: operator-correctness surfaces)
     "matrix_profile_chunked", "reconcile_forecasts", "conformal_intervals",
     "mstl_decompose", "cqr_intervals", "bpe_encode", "stream_conformal",
-    "kn_trigram_logprob", "nb_classifier", "stl_chunked",
+    "kn_trigram_logprob", "nb_classifier", "stl_chunked", "quality_logit",
     "agg_approx_distinct", "agg_count_distinct", "agg_cube",
     "agg_pricing_summary", "agg_quantiles", "agg_quantiles_approx",
     "agg_rollup", "anova_oneway", "array_funcs", "asof_forward_tol",

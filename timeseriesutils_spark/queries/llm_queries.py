@@ -3015,3 +3015,25 @@ def _sql_nb_classifier():
 
 
 QUERIES.update({"nb_classifier": Q(q_nb_classifier, _sql_nb_classifier())})
+
+
+def q_quality_logit(spark, sf_dir):
+    """IRLS-trained logistic quality classifier
+    (operators/logit.quality_logit): the GPT-3-style DISCRIMINATIVE
+    corpus filter — 4 IRLS rounds over (intercept, ln words, stopword
+    ratio, mean word length), the 4x4 normal-equations solve by the
+    generated Cramer expansion both engines share; per-round state is
+    four collected scalars (bounded driver state), per-round corpus
+    work one map-combinable 14-sum aggregation."""
+    from timeseriesutils_spark.operators.logit import quality_logit
+
+    return quality_logit(_docs(spark, sf_dir))
+
+
+def _sql_quality_logit():
+    from timeseriesutils_spark.operators.logit import quality_logit_sql
+
+    return quality_logit_sql("documents")
+
+
+QUERIES.update({"quality_logit": Q(q_quality_logit, _sql_quality_logit())})
