@@ -1,0 +1,281 @@
+"""Round-14 tests: ADVICE-r13 regression fixes + new operators."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- ADVICE r13 fixes -------------------------------------------------------
+
+
+def test_drain_sorted_merges_out_of_order_chunks():
+    """A key's micro-batch can arrive as MULTIPLE Arrow chunks; the old
+    per-chunk sort silently assumed chunks never interleave (ADVICE
+    r13).  _drain_sorted must produce one globally-sorted frame."""
+    from timeseriesutils_spark.streaming.windows import _drain_sorted
+
+    c1 = pd.DataFrame({"ts": [5, 1], "event_id": [50, 10], "value": [5.0, 1.0]})
+    c2 = pd.DataFrame({"ts": [3, 2], "event_id": [30, 20], "value": [3.0, None]})
+    out = _drain_sorted(iter([c1, c2]), ("ts", "event_id"))
+    assert out["ts"].tolist() == [1, 2, 3, 5]
+    # dropna applied BEFORE the sort, matching the oracle's filtered src
+    out2 = _drain_sorted(iter([c1, c2]), ("ts", "event_id"), dropna_col="value")
+    assert out2["ts"].tolist() == [1, 3, 5]
+    # all-empty / all-null drains to None
+    assert _drain_sorted(iter([c1.iloc[0:0]]), ("ts",)) is None
+    allnull = pd.DataFrame({"ts": [1], "event_id": [1], "value": [None]})
+    assert _drain_sorted(iter([allnull]), ("ts",), dropna_col="value") is None
+
+
+def _write_events_with_null_user(spark, tmp_path):
+    """Events-shaped parquet: user 1 has real values, user 2 ALL-NULL."""
+    rows = (
+        [(1, i, float(i)) for i in range(20)]
+        + [(2, 100 + i, None) for i in range(5)]
+    )
+    df = spark.createDataFrame(
+        [(u, e, "2024-01-01 00:0%d:00" % (e % 10), v) for u, e, v in rows],
+        "user_id bigint, event_id bigint, ts_s string, value double",
+    ).select(
+        "user_id", "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "value",
+    )
+    path = str(tmp_path / "events_nulluser")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path, df
+
+
+def _drain(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_conformal_all_null_key_emits_no_row(spark, tmp_path):
+    """A key whose rows are ALL null-valued must not surface in the
+    output — the SQL oracle's seen CTE filters WHERE value IS NOT NULL,
+    so a streaming n_seen=0 row would have no oracle counterpart
+    (ADVICE r13)."""
+    from timeseriesutils_spark.streaming.windows import streaming_conformal
+
+    path, batch = _write_events_with_null_user(spark, tmp_path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    got = _drain(
+        spark,
+        streaming_conformal(stream, fit_window=4, cal_window=8),
+        "t_r14_sconf_null",
+    )
+    users = {r["user_id"] for r in got.collect()}
+    assert users == {1}
+
+
+def test_stream_crps_all_null_key_emits_no_row(spark, tmp_path):
+    from timeseriesutils_spark.streaming.windows import streaming_crps
+
+    path, batch = _write_events_with_null_user(spark, tmp_path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    got = _drain(
+        spark, streaming_crps(stream, members=4), "t_r14_scrps_null"
+    )
+    users = {r["user_id"] for r in got.collect()}
+    assert users == {1}
+
+
+def test_bpe_encode_sql_takes_text_col(tmp_path):
+    """bpe_encode_sql must honor a non-default text column like the
+    Spark operator's text_col (ADVICE r13: asymmetric signatures)."""
+    import duckdb
+
+    from timeseriesutils_spark.operators.bpe import bpe_encode_sql
+
+    sql = bpe_encode_sql("docs", text_col="body", n_merges=2)
+    assert "trim(body)" in sql and "trim(text)" not in sql
+    con = duckdb.connect()
+    con.register(
+        "docs",
+        pd.DataFrame(
+            {"doc_id": [1, 2], "body": ["aa ab aa", "ab ab ba"]}
+        ),
+    )
+    rows = con.execute(sql).fetchall()
+    assert len(rows) == 2 and all(r[1] == 3 for r in rows)  # n_words
+
+
+def test_quality_logit_eta_clamp_lockstep(spark):
+    """A corpus engineered to blow |η| far past the probability-clamp
+    saturation point (huge mean-word-length feature) must keep both
+    engines in lockstep — pre-clamp, Spark's DECIMAL(38,0) b-moments
+    could overflow to silent NULL while DuckDB's HUGEINT raises
+    (ADVICE r13)."""
+    import duckdb
+
+    from timeseriesutils_spark.operators.logit import (
+        _ECAP,
+        quality_logit,
+        quality_logit_sql,
+    )
+
+    assert f"LEAST(CAST({_ECAP} AS BIGINT)" in quality_logit_sql()
+    # full-IRLS separable escalation only reaches |η| > 14 after ~13
+    # rounds (measured: ~+1.1 η/round), and DuckDB's planner can't
+    # chain 13 Cramer CTEs in test time — so drive the clamp directly
+    # via a warm start: β₃ = 1.0 and mean word length ~400 put η ≈ 400
+    # on positives, 25× past the clamp, in round 1
+    rows = []
+    for i in range(8):
+        rows.append((i, "x" * (380 + 5 * i) + " " + "y" * 400, "en"))
+    for i in range(8, 16):
+        rows.append((i, "a bb c ddd e f"[: 6 + (i % 5)], "de"))
+    init = (0.0, 0.0, 0.0, 1.0)
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {
+        r["doc_id"]: (r["label"], r["p_hat"], r["predicted"], r["correct"])
+        for r in quality_logit(docs, n_rounds=2, init_beta=init).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]),
+    )
+    exp = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            quality_logit_sql(n_rounds=2, init_beta=init)
+        ).fetchall()
+    }
+    assert set(got) == set(exp)
+    for k in got:
+        assert got[k][0] == exp[k][0]
+        assert got[k][1] == pytest.approx(exp[k][1], abs=0)
+        assert got[k][2:] == exp[k][2:]
+    # the clamp's domain was actually reached: warm-started η saturates
+    # some fitted probability at a 1e-6-grid clamp end
+    assert any(v[1] in (0.000001, 0.999999) for v in got.values())
+
+
+# --- ets_select -------------------------------------------------------------
+
+
+def _ets_toy_rows():
+    import random
+
+    random.seed(7)
+    rows = []
+    for t in range(60):
+        rows.append(("A", t, 10.0 + 2.5 * t + random.gauss(0, 0.3)))
+        rows.append(("B", t, 20.0 + 8.0 * (t % 7 == 3) + random.gauss(0, 0.2)))
+        rows.append(("C", t, 5.0 + random.gauss(0, 1.0)))
+    return rows
+
+
+def test_ets_select_picks_planted_models_and_matches_oracle(spark):
+    """The AICc argmin must recover each series' planted structure
+    (trend → drift family, period-7 seasonality → seasonal family,
+    iid noise → level family) and agree with the DuckDB twin
+    bit-for-bit on every output column."""
+    import struct
+
+    import duckdb
+
+    from timeseriesutils_spark.operators.ets import ets_select, ets_select_sql
+
+    rows = _ets_toy_rows()
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    got = {
+        r["g"]: (r["model"], r["k"], r["n_obs"], r["sse"], r["aicc"], r["forecast"])
+        for r in ets_select(df, "y", ["g"], ["t"]).collect()
+    }
+    assert got["A"][0] in ("drift", "holt", "holt_damped")
+    assert got["B"][0] in ("snaive", "holt_winters")
+    assert got["C"][0] in ("mean", "ses", "naive")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g", "t", "y"]))
+    exp = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            ets_select_sql("SELECT * FROM t", "y", ["g"], ["t"])
+        ).fetchall()
+    }
+    assert set(got) == set(exp)
+    for k in got:
+        for a, b in zip(got[k], exp[k]):
+            if isinstance(a, float):
+                assert struct.pack("d", a) == struct.pack("d", b)
+            else:
+                assert a == b
+
+
+def test_ets_select_sse_matches_numpy_reference(spark):
+    """Straight-line per-group reference: recompute each candidate's
+    quantized one-step residual SSE and AICc in pure numpy from the
+    same impulse weights and confirm the selected row's numbers."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.ets import ets_candidates, ets_select
+
+    rows = [r for r in _ets_toy_rows() if r[0] == "A"]
+    y = np.array([v for _, _, v in rows])
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    got = ets_select(df, "y", ["g"], ["t"]).collect()[0]
+    q = np.floor(y * 100.0 + 0.5)
+    w = 14
+    best = None
+    n = len(q) - w
+    for name, k, wts in ets_candidates():
+        fc = np.zeros(len(q))
+        for j, wt in wts:
+            fc[w:] += wt * q[w - j : len(q) - j]
+        eq = np.floor((q[w:] - fc[w:]) * 1e4 + 0.5)
+        sse_q = float((eq * eq).sum())
+        sse = sse_q / 1e12
+        kp = k + 1.0
+        aicc = (
+            n * np.log(max(sse_q, 1.0) / (n * 1e12))
+            + 2 * kp
+            + 2 * kp * (kp + 1) / (n - kp - 1)
+        )
+        aicc_quant = np.floor(aicc * 1e6 + 0.5) / 1e6
+        if best is None or (aicc_quant, name) < best[:2]:
+            best = (aicc_quant, name, k, sse)
+    assert got["model"] == best[1]
+    assert got["k"] == best[2]
+    assert got["n_obs"] == n
+    assert got["sse"] == pytest.approx(best[3], rel=1e-12)
+    assert got["aicc"] == pytest.approx(best[0], abs=2e-6)
+    # next-step forecast: winner's weights applied to the series tail
+    _, _, wts = next(
+        c for c in ets_candidates() if c[0] == best[1]
+    )
+    fc_next = sum(wt * q[len(q) - j] for j, wt in wts) / 100.0
+    assert got["forecast"] == pytest.approx(fc_next, rel=1e-12)
+
+
+def test_ets_select_plan_single_exchange(spark):
+    """The candidate family must share ONE window chain: exactly one
+    hash exchange for the window/aggregation lineage and zero joins."""
+    rows = _ets_toy_rows()
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    from timeseriesutils_spark.operators.ets import ets_select
+
+    plan = ets_select(df, "y", ["g"], ["t"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 1, plan[:2000]
+
+
+def test_ets_select_short_groups_filtered(spark):
+    """Groups with fewer than min_obs scoreable rows emit no row."""
+    from timeseriesutils_spark.operators.ets import ets_select
+
+    rows = [("S", t, float(t)) for t in range(16)]  # 2 scoreable rows
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    assert ets_select(df, "y", ["g"], ["t"], min_obs=8).count() == 0
+    assert ets_select(df, "y", ["g"], ["t"], min_obs=2).count() == 1

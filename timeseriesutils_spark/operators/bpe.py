@@ -117,6 +117,7 @@ def bpe_train(
 
 def bpe_train_sql(
     table: str = "documents",
+    text_col: str = "text",
     n_merges: int = 8,
     min_len: int = 2,
 ) -> str:
@@ -126,7 +127,8 @@ def bpe_train_sql(
     ctes = [
         f"""w0 AS (
   SELECT regexp_extract_all(word, '.') AS syms, COUNT(*) AS wfreq
-  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM (SELECT unnest(string_split_regex(lower(trim({text_col})), '\\s+'))
+          AS word
         FROM {table})
   WHERE len(word) >= {int(min_len)} GROUP BY 1
 )"""
@@ -263,15 +265,19 @@ def bpe_encode(
 def bpe_encode_sql(
     table: str = "documents",
     id_col: str = "doc_id",
+    text_col: str = "text",
     n_merges: int = 8,
     min_len: int = 2,
 ) -> str:
     """DuckDB twin of :func:`bpe_encode`: the bpe_train CTE chain for
     the merge table, then an encode chain over the ALL-WORDS vocabulary
     (one list_reduce fold per merge, the pair as correlated one-row
-    CTE columns), then the word join + per-doc aggregation."""
+    CTE columns), then the word join + per-doc aggregation.
+    ``text_col`` mirrors the Spark operator's signature (ADVICE r13)."""
     N = int(n_merges)
-    train = bpe_train_sql(table, n_merges=n_merges, min_len=min_len)
+    train = bpe_train_sql(
+        table, text_col=text_col, n_merges=n_merges, min_len=min_len
+    )
     # reuse the training CTE chain: strip the leading WITH and the
     # final merge-table SELECT; keep w0..wN / p..b CTEs
     body = train[len("WITH "):]
@@ -280,9 +286,9 @@ def bpe_encode_sql(
         f"""e0 AS (
   SELECT word, regexp_extract_all(word, '.') AS syms
   FROM (
-    SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\\s+'))
-      AS word
-    FROM {table} WHERE text IS NOT NULL
+    SELECT DISTINCT
+      unnest(string_split_regex(lower(trim({text_col})), '\\s+')) AS word
+    FROM {table} WHERE {text_col} IS NOT NULL
   ) WHERE len(word) >= 1
 )"""
     )
@@ -304,8 +310,8 @@ def bpe_encode_sql(
         f"""enc AS (SELECT word, len(syms) AS _tc FROM e{N}),
 dw AS (
   SELECT {id_col} AS _id,
-    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
-  FROM {table} WHERE text IS NOT NULL
+    unnest(string_split_regex(lower(trim({text_col})), '\\s+')) AS word
+  FROM {table} WHERE {text_col} IS NOT NULL
 )"""
     )
     return (

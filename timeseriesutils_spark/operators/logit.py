@@ -45,6 +45,8 @@ classification_report / gains_curve / calibration_curve.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -53,6 +55,16 @@ from timeseriesutils_spark.operators.granger import _det_pair
 _FX = 10**6  # feature grid
 _FB = 10**6  # coefficient grid
 _FP = 10**6  # probability grid
+# η clamp, in 1e-6 units (ADVICE r13): beyond |η| = ln(10⁶−1) ≈ 13.82 the
+# 1e-6-grid probability clamp saturates p at 1/10⁶ (and w with it), so
+# clamping η itself at ±14 changes no non-saturated row while bounding
+# the b-moment magnitudes BOTH engines accumulate: per row
+# |x_j·_nz| ≤ 2·10⁷ · (2.5·10¹¹·1.4·10⁷ + 10¹⁸)·10⁶ ≈ 10³², giving
+# DECIMAL(38,0)/HUGEINT lockstep headroom of ≥10⁶ worst-case-saturated
+# documents and ≥10¹¹ typical ones — without the clamp a separable fit
+# could push η past the grid and overflow Spark's DECIMAL silently
+# (NULL) while DuckDB's HUGEINT raises, failing asymmetrically.
+_ECAP = 14 * _FX
 
 
 def _feature_cols(text_col: str):
@@ -120,10 +132,13 @@ def quality_logit(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_rounds: int = 4,
+    init_beta: tuple = (0.0, 0.0, 0.0, 0.0),
 ) -> DataFrame:
     """IRLS-trained logistic quality classifier (module doc).
     ``label_expr``: boolean Column for the training label (default:
-    ``lang = 'en'``)."""
+    ``lang = 'en'``).  ``init_beta``: warm-start coefficients (float
+    units; quantized to the 1e-6 grid) — for incremental refits on a
+    refreshed corpus, and the direct test surface for the η clamp."""
     spark = docs.sparkSession
     from timeseriesutils_spark.functions.cache import pin
 
@@ -148,7 +163,8 @@ def quality_logit(
             term = dec(F.lit(int(beta[j]))) * dec(F.col(f"_x{j}"))
             etan = term if etan is None else etan + term
         eta = s2d(etan) / F.lit(1.0e12)
-        return F.floor(eta * F.lit(float(_FX)) + F.lit(0.5)).cast("bigint")
+        raw = F.floor(eta * F.lit(float(_FX)) + F.lit(0.5)).cast("bigint")
+        return F.greatest(F.lit(-_ECAP), F.least(F.lit(_ECAP), raw))
 
     def _pq_from_eq():
         """Clamped 1e-6-grid probability from the staged _eq column."""
@@ -159,7 +175,7 @@ def quality_logit(
         pq_raw = F.floor(p * F.lit(float(_FP)) + F.lit(0.5)).cast("bigint")
         return F.greatest(F.lit(1), F.least(F.lit(_FP - 1), pq_raw))
 
-    beta = [0, 0, 0, 0]
+    beta = [int(math.floor(float(b) * _FB + 0.5)) for b in init_beta]
     for _ in range(int(n_rounds)):
         staged = (
             feats.select("*", _etaq(beta).alias("_eq"))
@@ -226,6 +242,7 @@ def quality_logit_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_rounds: int = 4,
+    init_beta: tuple = (0.0, 0.0, 0.0, 0.0),
 ) -> str:
     """DuckDB twin of :func:`quality_logit`: the same IRLS recurrence
     as chained one-row β CTEs (the bpe_train precedent) — per round a
@@ -258,7 +275,9 @@ def quality_logit_sql(
   WHERE {text_col} IS NOT NULL AND {nw_s} >= 1
 )""",
         "b0 AS (SELECT " + ", ".join(
-            f"CAST(0 AS BIGINT) AS q{j}" for j in range(4)
+            f"CAST({int(math.floor(float(init_beta[j]) * _FB + 0.5))} "
+            f"AS BIGINT) AS q{j}"
+            for j in range(4)
         ) + ")",
     ]
     etan = " + ".join(
@@ -266,7 +285,9 @@ def quality_logit_sql(
     )
     state = f"""
   SELECT _y, _x0, _x1, _x2, _x3,
-    CAST(FLOOR(({s2d(f'({etan})')} / 1e12) * {_FX} + 0.5) AS BIGINT) AS _eq
+    GREATEST(CAST(-{_ECAP} AS BIGINT), LEAST(CAST({_ECAP} AS BIGINT),
+      CAST(FLOOR(({s2d(f'({etan})')} / 1e12) * {_FX} + 0.5) AS BIGINT)
+    )) AS _eq
   FROM f CROSS JOIN {{prev}}"""
     state2 = f"""
   SELECT *,

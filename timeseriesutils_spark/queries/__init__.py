@@ -46,43 +46,41 @@ class Q:
 # anything never driver-verified), then (b) the r5-stale cohort in
 # full, then (c) r6-stale padding swapped out one-for-one as round-13
 # additions land, keeping the head at exactly 50.
+# ROUND-14 ROTATION (executes the plan written at the end of round 13,
+# recomputed from CORRECTNESS_r01..r13 directly — the artifact numbers
+# match the written plan exactly: zipf_fit is the sole r5 survivor and
+# the r6-stale cohort is 44 queries, now including the reference-core
+# headliners): head slots go to (a) round-14 additions as each lands
+# (find_unrotated_queries enforces head placement for anything never
+# driver-verified), then (b) zipf_fit + the r6 cohort in full (45),
+# then (c) r7-stale padding swapped out one-for-one as round-14
+# additions land, keeping the head at exactly 50.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
-    # round-13 additions (never driver-verified):
-    "matrix_profile_chunked", "reconcile_forecasts", "conformal_intervals",
-    "mstl_decompose", "cqr_intervals", "bpe_encode", "stream_conformal",
-    "kn_trigram_logprob", "nb_classifier", "stl_chunked", "quality_logit",
-    # r5-stale cohort (last green driver row: CORRECTNESS_r05), 40:
-    "abc_analysis", "anova_oneway", "attribution", "bootstrap_ci",
-    "canonical_pick", "constraint_audit", "corr_matrix", "counter_rate",
-    "dedup_debounce", "dup_rate_by_source", "embedding_drift", "fd_audit",
-    "feature_hash", "fifo_allocation", "funnel_window", "grouped_ols2",
-    "growth_rates", "histogram2d", "item_cooccur", "jsonl_pack",
-    "kaplan_meier", "latency_bands", "local_peaks", "mahalanobis_outliers",
-    "merge_intervals", "minhash_estimate_audit", "novelty_scores",
-    "nowcast_triangle", "period_over_period", "renewal_rt", "rfm_segments",
-    "seasonal_strength", "shipping_sla", "snapshot_diff", "state_dwell",
-    "stickiness", "stockout_events", "top_paths", "wilson_daily",
-    # (r6-stale padding exhausted, and the 11th round-13 addition
-    # displaced the final r5 name: zipf_fit moves to the ROUND-14
-    # backlog below; head = 11 additions + 39 of the 40-query r5
-    # cohort = exactly 50)
+    # round-14 additions (never driver-verified):
+    "ets_select",
+    # r5 survivor displaced by the 11th round-13 addition:
+    "zipf_fit",
+    # r6-stale cohort (last green driver row: CORRECTNESS_r06), 44:
+    "agg_pricing_summary", "agg_rollup", "asof_join", "best_breakpoint",
+    "bigram_logprob", "corpus_jsd", "croston_demand", "dedup_ngram_jaccard",
+    "dedup_threshold_curve", "dirichlet_lm_search", "domfreq",
+    "dup_cluster_sizes", "excess_incidence", "featurize_pipeline",
+    "gini_index", "gmean_exact", "horizon_targets_long",
+    "horizon_targets_wide", "id_gap_audit", "join_star", "knn_ivf",
+    "knn_recall_curve", "lag", "langid_confusion", "lead_lag_corr",
+    "nelson_aalen", "pagerank", "peak_concurrency", "pinball_eval",
+    "pivot_wide", "psi_drift_curve", "quantile_transform",
+    "rolling_quantile", "rolling_slope", "rollmean", "simhash",
+    "taylor_centered_ew", "taylor_trailing", "theilsen_trend",
+    "topk_per_group", "train_test_arrays", "weighted_median",
+    "welch_ttest", "window_rank",
+    # r7-stale padding (swap out one-for-one as r14 additions land), 4:
+    "adf_test", "agg_count_distinct", "agg_cube", "bh_fdr_trend",
 )
-# ROUND-14 ROTATION PLAN: (a) round-14 additions, then (b) zipf_fit
-# (the one r5-cohort name the round-13 additions displaced), then
-# (c) whatever is stalest in CORRECTNESS_r01..r13 at that point —
-# recompute from the artifacts (the r6 cohort, 44 queries, minus any re-verified via the
-# r13 padding slots: agg_pricing_summary, agg_rollup, asof_join,
-# best_breakpoint, bigram_logprob, corpus_jsd, croston_demand,
-# dedup_ngram_jaccard, dedup_threshold_curve, dirichlet_lm_search,
-# domfreq, dup_cluster_sizes, excess_incidence, featurize_pipeline,
-# gini_index, gmean_exact, horizon_targets_long, horizon_targets_wide,
-# id_gap_audit, join_star, knn_ivf, knn_recall_curve, lag,
-# langid_confusion, lead_lag_corr, nelson_aalen, pagerank,
-# peak_concurrency, pinball_eval, pivot_wide, psi_drift_curve,
-# quantile_transform, rolling_quantile, rolling_slope, rollmean,
-# simhash, taylor_centered_ew, taylor_trailing, theilsen_trend,
-# topk_per_group, train_test_arrays, weighted_median, welch_ttest,
-# window_rank), then (c) the r7 cohort.
+# ROUND-15 ROTATION PLAN: (a) round-15 additions, then (b) the
+# stalest cohort in CORRECTNESS_r01..r14 — recompute from the
+# artifacts (expected: the r7 cohort, 46 queries, minus the five
+# re-verified via the r14 padding slots above).
 
 
 # --- catalog governance (round-6): gate tiers -----------------------------
@@ -171,6 +169,8 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "matrix_profile", "stl_decompose", "bpe_train", "pipeline_incremental",
     "seasonal_esd", "stl_robust", "distance_corr", "label_propagation",
     "did_estimator", "granger_causality", "motif_discord", "yuen_test",
+    # round-14 additions (core: operator-correctness surfaces)
+    "ets_select",
     # round-13 additions (core: operator-correctness surfaces)
     "matrix_profile_chunked", "reconcile_forecasts", "conformal_intervals",
     "mstl_decompose", "cqr_intervals", "bpe_encode", "stream_conformal",

@@ -4324,3 +4324,40 @@ def _sql_reconcile_forecasts():
 QUERIES.update(
     {"reconcile_forecasts": Q(q_reconcile_forecasts, _sql_reconcile_forecasts())}
 )
+
+
+_ETS_PARAMS = dict(
+    window_size=14, season=7, alpha=0.3, beta=0.1, phi=0.9, gamma=0.2,
+    scale=2, min_obs=8,
+)
+
+
+def q_ets_select(spark, sf_dir):
+    """Automatic forecast-model selection by AICc per supplier series
+    (operators/ets.ets_select, Hyndman & Khandakar 2008 / FPP3 §7.5):
+    eight candidate one-step structures (naive, seasonal-naive, drift,
+    mean, SES, Holt, damped Holt, additive Holt–Winters — all
+    truncated-linear-filter expressions over ONE window chain) scored
+    in-sample by exact-integer SSE, penalized by AICc, per-group argmin
+    with a total tiebreak.  The "which model do I run?" step the
+    smoothing family was missing: one exchange + one aggregation, no
+    joins, 100 TB-safe."""
+    from timeseriesutils_spark.operators.ets import ets_select
+    from timeseriesutils_spark.queries.series_queries import _daily
+
+    return ets_select(
+        _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
+        **_ETS_PARAMS,
+    )
+
+
+def _sql_ets_select():
+    from timeseriesutils_spark.operators.ets import ets_select_sql
+    from timeseriesutils_spark.queries.series_queries import _SQL_DAILY
+
+    return ets_select_sql(
+        _SQL_DAILY, "day_price", ["l_suppkey"], ["ship_day"], **_ETS_PARAMS
+    )
+
+
+QUERIES.update({"ets_select": Q(q_ets_select, _sql_ets_select())})

@@ -58,6 +58,33 @@ def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataF
     return df.withWatermark(ts_col, watermark) if watermark and df.isStreaming else df
 
 
+def _drain_sorted(pdfs, order_cols, dropna_col=None):
+    """Drain a micro-batch's Arrow chunk iterator into ONE frame sorted
+    by ``order_cols`` (optionally dropping rows whose ``dropna_col`` is
+    null first, the oracle's WHERE value IS NOT NULL).
+
+    applyInPandasWithState hands each key's batch as an ITERATOR of
+    pandas chunks; sorting each chunk independently (the pre-r14 shape)
+    silently assumed a key's rows never span chunks out of order.  For
+    the ring/prefix kernels here, processing chunk-by-chunk with state
+    carry-over is algebraically identical to processing the
+    concatenated sorted sequence once, so accumulating first is the
+    strictly safer form at the cost of holding one key's micro-batch
+    rows in memory (bounded by the trigger size).  (ADVICE r13.)
+    """
+    import pandas as pd
+
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return None
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    if dropna_col is not None:
+        pdf = pdf.dropna(subset=[dropna_col])
+    if not len(pdf):
+        return None
+    return pdf.sort_values(list(order_cols))
+
+
 def tumbling_counts(
     events: DataFrame,
     ts_col: str = "ts",
@@ -348,14 +375,11 @@ def streaming_cusum(
 
     def fn(key, pdfs, state: GroupState):
         p, lo, hi, n = state.get if state.exists else (0, 0, 0, 0)
-        for pdf in pdfs:
-            # the oracle scores WHERE value IS NOT NULL; a NaN here
-            # would make floor(...).astype(int64) undefined and corrupt
-            # the ring — drop nulls per micro-batch to match
-            pdf = pdf.dropna(subset=[value_col])
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(oc)
+        # drain + sort the batch ONCE (chunk-order-safe); nulls dropped
+        # to match the oracle's WHERE value IS NOT NULL (a NaN would
+        # make floor(...).astype(int64) undefined and corrupt state)
+        pdf = _drain_sorted(pdfs, oc, dropna_col=value_col)
+        if pdf is not None:
             v = pdf[value_col].to_numpy(dtype="float64")
             q = np.floor(v * mult + 0.5).astype("int64")
             pref = p + np.cumsum(q - kq)
@@ -454,10 +478,8 @@ def streaming_counter_rate(
 
     def fn(key, pdfs, state: GroupState):
         last, inc, resets, n = state.get if state.exists else (0, 0, 0, 0)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(oc)
+        pdf = _drain_sorted(pdfs, oc)
+        if pdf is not None:
             v = pdf[value_col].to_numpy(dtype="float64")
             # same quantizer as the batch closed form / SQL twin:
             # FLOOR(v*mult + 0.5) — no abs(), else negative readings
@@ -729,14 +751,10 @@ def streaming_crps(
         else:
             n, scored, snum = 0, 0, 0
             ring = []
-        for pdf in pdfs:
-            # the oracle scores WHERE value IS NOT NULL; a NaN here
-            # would make floor(...).astype(int64) undefined and corrupt
-            # the ring — drop nulls per micro-batch to match
-            pdf = pdf.dropna(subset=[value_col])
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(oc)
+        # drain + sort the batch ONCE (chunk-order-safe, ADVICE r13);
+        # nulls dropped to match the oracle's WHERE value IS NOT NULL
+        pdf = _drain_sorted(pdfs, oc, dropna_col=value_col)
+        if pdf is not None:
             v = pdf[value_col].to_numpy(dtype="float64")
             q = np.floor(v * mult + 0.5).astype("int64")
             seq = np.concatenate([np.asarray(ring, dtype="int64"), q])
@@ -755,6 +773,11 @@ def streaming_crps(
             n += len(pdf)
         pad = [0] * (m - len(ring))
         state.update((n, scored, snum, *(pad + ring)))
+        if n == 0:
+            # a key whose rows were ALL null-valued: the oracle's seen
+            # CTE (built from src WHERE value IS NOT NULL) has no row
+            # for it, so emit nothing (ADVICE r13)
+            return
         yield pd.DataFrame(
             {
                 key_col: [key[0]],
@@ -840,11 +863,10 @@ def streaming_conformal(
         else:
             n, ncal = 0, 0
             ring, cal = [], []
-        for pdf in pdfs:
-            pdf = pdf.dropna(subset=[value_col])
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(oc)
+        # drain + sort the batch ONCE (chunk-order-safe, ADVICE r13);
+        # nulls dropped to match the oracle's WHERE value IS NOT NULL
+        pdf = _drain_sorted(pdfs, oc, dropna_col=value_col)
+        if pdf is not None:
             q = (
                 np.floor(pdf[value_col].to_numpy(dtype="float64") * mult + 0.5)
                 .astype("int64")
@@ -867,6 +889,11 @@ def streaming_conformal(
                 *([0] * (K - len(cal)) + cal),
             )
         )
+        if n == 0:
+            # a key whose rows were ALL null-valued: the oracle's seen
+            # CTE (built from src WHERE value IS NOT NULL) has no row
+            # for it, so emit nothing (ADVICE r13)
+            return
         n_eff = min(ncal, K)
         rank = ((n_eff + 1) * (ad - an) + ad - 1) // ad
         qv = sorted(cal)[rank - 1] / den if 0 < rank <= n_eff else None
