@@ -279,3 +279,157 @@ def test_ets_select_short_groups_filtered(spark):
     df = spark.createDataFrame(rows, "g string, t int, y double")
     assert ets_select(df, "y", ["g"], ["t"], min_obs=8).count() == 0
     assert ets_select(df, "y", ["g"], ["t"], min_obs=2).count() == 1
+
+
+# --- fasttext_classifier ----------------------------------------------------
+
+
+def _ft_planted_rows():
+    """Two classes distinguishable ONLY by character-bigram families
+    (random words over alphabet 'abcd' vs 'wxyz'); test docs
+    (id >= 40) use NOVEL words — lengths 9-14 vs training's 3-8, so no
+    test word ever appeared in training — drawn from the same bigram
+    distributions.  A word-memorizing classifier has zero signal on
+    the test half; subword features generalize.  (Fixed seed; the
+    words must be DIVERSE — repeats of one short unit make every doc
+    of a class the same feature point and the normal equations
+    singular.)"""
+    import random
+
+    rng = random.Random(11)
+
+    def word(alpha, n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    rows = []
+    for i in range(20):
+        rows.append(
+            (i, " ".join(word("abcd", rng.randint(3, 8)) for _ in range(6)), "aa")
+        )
+        rows.append(
+            (20 + i, " ".join(word("wxyz", rng.randint(3, 8)) for _ in range(6)), "zz")
+        )
+    for i in range(10):
+        rows.append(
+            (40 + i, " ".join(word("abcd", rng.randint(9, 14)) for _ in range(5)), "aa")
+        )
+        rows.append(
+            (50 + i, " ".join(word("wxyz", rng.randint(9, 14)) for _ in range(5)), "zz")
+        )
+    return rows
+
+
+def test_fasttext_generalizes_to_unseen_words(spark):
+    """Fit on the train half, score everything: test-half accuracy must
+    be high even though every test word is novel.  nb_classifier's
+    score for an all-unseen-words doc is prior - n·ln(T_k + V) — a
+    CONSTANT argmax across all test docs (≤ 0.5 accuracy on this
+    balanced test set), which is exactly the off-vocabulary collapse
+    the hashed subword features avoid."""
+    from timeseriesutils_spark.operators.fasttext import fasttext_classifier
+
+    rows = _ft_planted_rows()
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {
+        r["doc_id"]: r["correct"]
+        for r in fasttext_classifier(
+            docs,
+            classes=("aa", "zz"),
+            n_rounds=3,
+            fit_filter=F.col("_id") < 40,
+        ).collect()
+    }
+    test_ids = [k for k in out if k >= 40]
+    assert len(test_ids) == 20
+    acc = sum(1 for k in test_ids if out[k]) / len(test_ids)
+    assert acc >= 0.9, acc
+    # train half fits too
+    train_acc = sum(1 for k in out if k < 40 and out[k]) / 40
+    assert train_acc >= 0.9, train_acc
+
+
+def test_fasttext_matches_duckdb_twin(spark):
+    """Every output row (class pick included) must agree with the SQL
+    twin exactly — training rounds, argmax tiebreak and all."""
+    import duckdb
+
+    from timeseriesutils_spark.operators.dedup import (
+        portable_hash64,
+        portable_hash64_sql,
+    )
+    from timeseriesutils_spark.operators.fasttext import (
+        fasttext_classifier,
+        fasttext_classifier_sql,
+    )
+
+    rows = _ft_planted_rows()
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {
+        r["doc_id"]: (r["label"], r["predicted"], r["correct"], r["p_top"])
+        for r in fasttext_classifier(
+            docs,
+            classes=("aa", "zz"),
+            n_rounds=2,
+            fit_filter=portable_hash64(F.col("_id").cast("string")) % 10 < 7,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]),
+    )
+    exp = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            fasttext_classifier_sql(
+                "documents",
+                classes=("aa", "zz"),
+                n_rounds=2,
+                fit_where=(
+                    f"{portable_hash64_sql('CAST(_id AS VARCHAR)')} % 10 < 7"
+                ),
+            )
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_fasttext_one_char_words_parity(spark):
+    """1-char words must contribute NO bigrams in either engine —
+    Spark's sequence(1, 0) descends instead of being empty, so an
+    unguarded transform would emit phantom bigrams Spark-side only."""
+    import duckdb
+
+    from timeseriesutils_spark.operators.fasttext import (
+        fasttext_classifier,
+        fasttext_classifier_sql,
+    )
+
+    rows = [
+        (1, "a b c ab ab ba", "aa"),
+        (2, "z y zy yz zy", "zz"),
+        (3, "q w e", "aa"),  # only 1-char words -> no feature row
+        (4, "ab ba ab", "aa"),
+        (5, "zy yz yz", "zz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {
+        r["doc_id"]: (r["predicted"], r["p_top"])
+        for r in fasttext_classifier(
+            docs, classes=("aa", "zz"), n_rounds=1
+        ).collect()
+    }
+    assert 3 not in got  # all-1-char doc: no bigrams, no row
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    exp = {
+        r[0]: (r[2], r[4])
+        for r in con.execute(
+            fasttext_classifier_sql(
+                "documents", classes=("aa", "zz"), n_rounds=1
+            )
+        ).fetchall()
+    }
+    assert got == exp

@@ -126,6 +126,126 @@ def _solve_exprs(get):
     return (det_c, det_s), outs
 
 
+_dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+_s2d = lambda c: c.cast("string").cast("double")  # noqa: E731
+
+
+def eta_q_col(beta, cols=None):
+    """η re-quantized at 1e-6 from β literals (exact-int Σβq·xq over
+    the feature columns, default _x0.._x3), clamped at ±_ECAP."""
+    names = cols if cols is not None else [f"_x{j}" for j in range(4)]
+    etan = None  # Σ βq_j xq_j  (1e-12 units of η)
+    for j in range(4):
+        term = _dec(F.lit(int(beta[j]))) * _dec(F.col(names[j]))
+        etan = term if etan is None else etan + term
+    eta = _s2d(etan) / F.lit(1.0e12)
+    raw = F.floor(eta * F.lit(float(_FX)) + F.lit(0.5)).cast("bigint")
+    return F.greatest(F.lit(-_ECAP), F.least(F.lit(_ECAP), raw))
+
+
+def pq_from_eq_col(eq_col: str = "_eq"):
+    """Clamped 1e-6-grid probability from a staged η column."""
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.col(eq_col).cast("double") / F.lit(float(_FP))))
+    )
+    pq_raw = F.floor(p * F.lit(float(_FP)) + F.lit(0.5)).cast("bigint")
+    return F.greatest(F.lit(1), F.least(F.lit(_FP - 1), pq_raw))
+
+
+def _det_float(mat) -> float:
+    """Leibniz determinant over plain floats with EXACTLY the term
+    order and association of granger._det_pair's two arms (products
+    left-associated, sum accumulated from 0.0 like the Spark fold and
+    DuckDB's left-assoc + chain) — so a driver-side solve over the
+    collected string-cast moments is bit-identical to evaluating the
+    generated expression in either engine, without planting 24-term
+    trees in the plan."""
+    from itertools import permutations
+
+    from timeseriesutils_spark.operators.granger import _perm_sign
+
+    acc = 0.0
+    k = len(mat)
+    for p in permutations(range(k)):
+        sgn = _perm_sign(p)
+        c = mat[0][p[0]]
+        for i in range(1, k):
+            c = c * mat[i][p[i]]
+        acc = acc + (c if sgn > 0 else -c)
+    return acc
+
+
+def solve_float(m: dict) -> tuple:
+    """Cramer β solve over a {a{j}{k}/b{j}: float} moment dict — the
+    float twin of :func:`_solve_exprs` (same matrices, same det
+    shapes).  Returns (det, [det_j])."""
+    A = [
+        [m[f"a{min(j, k)}{max(j, k)}"] for k in range(4)] for j in range(4)
+    ]
+    d = _det_float(A)
+    outs = []
+    for j in range(4):
+        Aj = [
+            [m[f"b{r}"] if c == j else A[r][c] for c in range(4)]
+            for r in range(4)
+        ]
+        outs.append(_det_float(Aj))
+    return d, outs
+
+
+def irls_fit(feats: DataFrame, n_rounds: int, init_beta=(0.0,) * 4):
+    """The IRLS loop over a quantized feature frame (columns _y,
+    _x0.._x3): K rounds of one map-combinable 14-sum aggregation + a
+    1-row Cramer solve; returns the fitted β as 1e-6-grid ints.
+    Shared by quality_logit (binary) and fasttext_classifier
+    (one-vs-rest per class)."""
+    beta = [int(math.floor(float(b) * _FB + 0.5)) for b in init_beta]
+    for _ in range(int(n_rounds)):
+        staged = (
+            feats.select("*", eta_q_col(beta).alias("_eq"))
+            .select("*", pq_from_eq_col().alias("_pq"))
+            .select(
+                "*", (F.col("_pq") * (F.lit(_FP) - F.col("_pq"))).alias("_w")
+            )
+        )
+        # x1e6 (_FB): the Cramer ratio then lands directly in 1e-6
+        # coefficient units (unit algebra in the module doc)
+        num_z = (
+            _dec(F.col("_w")) * _dec(F.col("_eq"))
+            + _dec(
+                (F.col("_y") * F.lit(_FP) - F.col("_pq")) * F.lit(_FP)
+            ) * F.lit(_FP)
+        ) * F.lit(_FB)
+        staged = staged.select("*", num_z.alias("_nz"))
+        aggs = []
+        for j in range(4):
+            for k in range(j, 4):
+                aggs.append(
+                    F.sum(
+                        _dec(F.col(f"_x{j}")) * _dec(F.col(f"_x{k}"))
+                        * _dec(F.col("_w"))
+                    ).alias(f"a{j}{k}")
+                )
+        for j in range(4):
+            aggs.append(
+                F.sum(_dec(F.col(f"_x{j}")) * F.col("_nz")).alias(f"b{j}")
+            )
+        mom = staged.groupBy().agg(*aggs)
+        # collect the string-cast double moments, then solve driver-side
+        # (bit-identical to the generated det expressions — _det_float)
+        row = mom.select(
+            *[_s2d(F.col(c)).alias(c) for c in mom.columns]
+        ).collect()[0]
+        if any(row[c] is None for c in row.asDict()):
+            break  # degenerate moments: keep the previous β
+        d, outs = solve_float(row.asDict())
+        if d == 0.0:
+            break  # singular: keep the previous β (degenerate corpus)
+        beta = [int(math.floor(outs[j] / d + 0.5)) for j in range(4)]
+    return beta
+
+
 def quality_logit(
     docs: DataFrame,
     label_expr=None,
@@ -153,77 +273,9 @@ def quality_logit(
             *[c.alias(f"_x{j}") for j, c in enumerate(cols)],
         )
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    s2d = lambda c: c.cast("string").cast("double")  # noqa: E731
-
-    def _etaq(beta):
-        """η re-quantized at 1e-6 from β literals (exact-int Σβq·xq)."""
-        etan = None  # Σ βq_j xq_j  (1e-12 units of η)
-        for j in range(4):
-            term = dec(F.lit(int(beta[j]))) * dec(F.col(f"_x{j}"))
-            etan = term if etan is None else etan + term
-        eta = s2d(etan) / F.lit(1.0e12)
-        raw = F.floor(eta * F.lit(float(_FX)) + F.lit(0.5)).cast("bigint")
-        return F.greatest(F.lit(-_ECAP), F.least(F.lit(_ECAP), raw))
-
-    def _pq_from_eq():
-        """Clamped 1e-6-grid probability from the staged _eq column."""
-        p = F.lit(1.0) / (
-            F.lit(1.0)
-            + F.exp(-(F.col("_eq").cast("double") / F.lit(float(_FP))))
-        )
-        pq_raw = F.floor(p * F.lit(float(_FP)) + F.lit(0.5)).cast("bigint")
-        return F.greatest(F.lit(1), F.least(F.lit(_FP - 1), pq_raw))
-
-    beta = [int(math.floor(float(b) * _FB + 0.5)) for b in init_beta]
-    for _ in range(int(n_rounds)):
-        staged = (
-            feats.select("*", _etaq(beta).alias("_eq"))
-            .select("*", _pq_from_eq().alias("_pq"))
-            .select("*", (F.col("_pq") * (F.lit(_FP) - F.col("_pq"))).alias("_w"))
-        )
-        # x1e6 (_FB): the Cramer ratio then lands directly in 1e-6
-        # coefficient units (unit algebra in the module doc)
-        num_z = (
-            dec(F.col("_w")) * dec(F.col("_eq"))
-            + dec(
-                (F.col("_y") * F.lit(_FP) - F.col("_pq")) * F.lit(_FP)
-            ) * F.lit(_FP)
-        ) * F.lit(_FB)
-        staged = staged.select("*", num_z.alias("_nz"))
-        aggs = []
-        for j in range(4):
-            for k in range(j, 4):
-                aggs.append(
-                    F.sum(
-                        dec(F.col(f"_x{j}")) * dec(F.col(f"_x{k}"))
-                        * dec(F.col("_w"))
-                    ).alias(f"a{j}{k}")
-                )
-        for j in range(4):
-            aggs.append(
-                F.sum(dec(F.col(f"_x{j}")) * F.col("_nz")).alias(f"b{j}")
-            )
-        mom = staged.groupBy().agg(*aggs)
-        # materialize the string-cast doubles ONCE, then the det folds
-        dbl = mom.select(
-            *[s2d(F.col(c)).alias(c) for c in mom.columns]
-        )
-        get = lambda name: (F.col(name), name)  # noqa: E731
-        (det_c, _), outs = _solve_exprs(get)
-        row = dbl.select(
-            det_c.alias("_d"),
-            *[o[0].alias(f"_d{j}") for j, (o) in enumerate(outs)],
-        ).collect()[0]
-        d = row["_d"]
-        if d is None or d == 0.0:
-            break  # singular: keep the previous β (degenerate corpus)
-        beta = [
-            int(__import__("math").floor(row[f"_d{j}"] / d + 0.5))
-            for j in range(4)
-        ]
-    scored = feats.select("*", _etaq(beta).alias("_eq")).select(
-        "*", _pq_from_eq().alias("_pq")
+    beta = irls_fit(feats, n_rounds, init_beta)
+    scored = feats.select("*", eta_q_col(beta).alias("_eq")).select(
+        "*", pq_from_eq_col().alias("_pq")
     )
     return scored.select(
         F.col("_id").alias(id_col),
@@ -236,65 +288,61 @@ def quality_logit(
     )
 
 
-def quality_logit_sql(
-    table: str = "documents",
-    label_sql: str = "lang = 'en'",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_rounds: int = 4,
-    init_beta: tuple = (0.0, 0.0, 0.0, 0.0),
-) -> str:
-    """DuckDB twin of :func:`quality_logit`: the same IRLS recurrence
-    as chained one-row β CTEs (the bpe_train precedent) — per round a
+class _S:  # sql-side stand-in so _det_pair's * and + compose text
+    def __init__(self, s):
+        self.s = s
+
+    def __mul__(self, other):
+        return _S(f"{self.s} * {other.s}")
+
+    def __add__(self, other):
+        return _S(f"{self.s} + {other.s}")
+
+    def __neg__(self):
+        return _S(f"-({self.s})")
+
+
+_s2d_sql = lambda x: f"CAST(CAST(({x}) AS VARCHAR) AS DOUBLE)"  # noqa: E731
+
+# Σ βq_j·xq_j in 1e-12 η units, from a β CTE's q0..q3
+ETAN_SQL = " + ".join(f"CAST(q{j} AS HUGEINT) * _x{j}" for j in range(4))
+
+
+def irls_sql_chain(
+    pfx: str,
+    y_sql: str,
+    n_rounds: int,
+    init_beta=(0.0,) * 4,
+    feat_cte: str = "f",
+) -> tuple[list[str], str]:
+    """One IRLS chain as CTE strings over a feature CTE (``feat_cte``
+    must expose _x0.._x3 plus whatever ``y_sql`` reads): per round a
     per-doc state stage cross-joined with β, a 14-sum HUGEINT moment
-    aggregate, and the SAME generated Cramer expansion; a singular
-    round keeps the previous β (matching the Spark early-break, which
-    then reproduces the same singular moments every later round)."""
-
-    class _S:  # sql-side stand-in so _det_pair's * and + compose text
-        def __init__(self, s):
-            self.s = s
-
-        def __mul__(self, other):
-            return _S(f"{self.s} * {other.s}")
-
-        def __add__(self, other):
-            return _S(f"{self.s} + {other.s}")
-
-        def __neg__(self):
-            return _S(f"-({self.s})")
-
-    xs, nw_s = _feature_sqls(text_col)
+    aggregate, and the generated Cramer expansion; a singular round
+    keeps the previous β.  Names are prefixed with ``pfx`` so several
+    chains (one-vs-rest classes) coexist in one statement.  Returns
+    (ctes, final_beta_cte_name)."""
     K = int(n_rounds)
-    s2d = lambda x: f"CAST(CAST(({x}) AS VARCHAR) AS DOUBLE)"  # noqa: E731
-    feat_cols = ", ".join(f"{x} AS _x{j}" for j, x in enumerate(xs))
+    s2d = _s2d_sql
     ctes = [
-        f"""f AS MATERIALIZED (
-  SELECT {id_col} AS _id, CAST(({label_sql}) AS INT) AS _y, {feat_cols}
-  FROM {table}
-  WHERE {text_col} IS NOT NULL AND {nw_s} >= 1
-)""",
-        "b0 AS (SELECT " + ", ".join(
+        f"{pfx}b0 AS (SELECT " + ", ".join(
             f"CAST({int(math.floor(float(init_beta[j]) * _FB + 0.5))} "
             f"AS BIGINT) AS q{j}"
             for j in range(4)
         ) + ")",
     ]
-    etan = " + ".join(
-        f"CAST(q{j} AS HUGEINT) * _x{j}" for j in range(4)
-    )
     state = f"""
-  SELECT _y, _x0, _x1, _x2, _x3,
+  SELECT CAST(({y_sql}) AS INT) AS _y, _x0, _x1, _x2, _x3,
     GREATEST(CAST(-{_ECAP} AS BIGINT), LEAST(CAST({_ECAP} AS BIGINT),
-      CAST(FLOOR(({s2d(f'({etan})')} / 1e12) * {_FX} + 0.5) AS BIGINT)
+      CAST(FLOOR(({s2d(f'({ETAN_SQL})')} / 1e12) * {_FX} + 0.5) AS BIGINT)
     )) AS _eq
-  FROM f CROSS JOIN {{prev}}"""
+  FROM {feat_cte} CROSS JOIN {{prev}}"""
     state2 = f"""
   SELECT *,
     GREATEST(1, LEAST({_FP - 1},
       CAST(FLOOR((1.0 / (1.0 + exp(-(CAST(_eq AS DOUBLE) / {float(_FP)!r}))))
            * {_FP} + 0.5) AS BIGINT))) AS _pq
-  FROM s{{k}}a"""
+  FROM {pfx}s{{k}}a"""
     get = lambda name: (_S(name), name)  # noqa: E731
     (det_pair, outs) = _solve_exprs(get)
     det_s = det_pair[1]
@@ -311,21 +359,21 @@ def quality_logit_sql(
     ]
     dbls = ", ".join(f"{s2d(n)} AS {n}" for n in mom_names)
     for k in range(1, K + 1):
-        prev = f"b{k - 1}"
-        ctes.append(f"s{k}a AS ({state.format(prev=prev)}\n)")
-        ctes.append(f"s{k}b AS ({state2.format(k=k)}\n)")
+        prev = f"{pfx}b{k - 1}"
+        ctes.append(f"{pfx}s{k}a AS ({state.format(prev=prev)}\n)")
+        ctes.append(f"{pfx}s{k}b AS ({state2.format(k=k)}\n)")
         ctes.append(
-            f"""s{k} AS (
+            f"""{pfx}s{k} AS (
   SELECT *, _pq * ({_FP} - _pq) AS _w,
     (CAST(_pq * ({_FP} - _pq) AS HUGEINT) * _eq
       + CAST((_y * {_FP} - _pq) * {_FP} AS HUGEINT) * {_FP}) * {_FB} AS _nz
-  FROM s{k}b
+  FROM {pfx}s{k}b
 )"""
         )
         ctes.append(
-            f"m{k} AS (SELECT {', '.join(moment_sums)} FROM s{k})"
+            f"{pfx}m{k} AS (SELECT {', '.join(moment_sums)} FROM {pfx}s{k})"
         )
-        ctes.append(f"md{k} AS (SELECT {dbls} FROM m{k})")
+        ctes.append(f"{pfx}md{k} AS (SELECT {dbls} FROM {pfx}m{k})")
         qs = ", ".join(
             f"CASE WHEN d._d IS NULL OR d._d = 0.0 THEN p.q{j} "
             f"ELSE CAST(FLOOR(d._d{j} / d._d + 0.5) AS BIGINT) END AS q{j}"
@@ -335,9 +383,43 @@ def quality_logit_sql(
             [f"({det_s}) AS _d"]
             + [f"({outs[j][1]}) AS _d{j}" for j in range(4)]
         )
-        ctes.append(f"d{k} AS (SELECT {dets} FROM md{k})")
-        ctes.append(f"b{k} AS (SELECT {qs} FROM d{k} d CROSS JOIN {prev} p)")
-    fin_eta = etan
+        ctes.append(f"{pfx}d{k} AS (SELECT {dets} FROM {pfx}md{k})")
+        # MATERIALIZED: b{k} is referenced 4x by round k+1's eta chain
+        # (and the singular fallback) — without it DuckDB re-inlines the
+        # whole prior chain per reference, a 4^K planning blowup that
+        # made deep-round twins unplannable (round-12 CTE discipline)
+        ctes.append(
+            f"{pfx}b{k} AS MATERIALIZED "
+            f"(SELECT {qs} FROM {pfx}d{k} d CROSS JOIN {prev} p)"
+        )
+    return ctes, f"{pfx}b{K}"
+
+
+def quality_logit_sql(
+    table: str = "documents",
+    label_sql: str = "lang = 'en'",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_rounds: int = 4,
+    init_beta: tuple = (0.0, 0.0, 0.0, 0.0),
+) -> str:
+    """DuckDB twin of :func:`quality_logit`: the feature CTE plus one
+    :func:`irls_sql_chain` (the bpe_train chained-CTE precedent), then
+    the final scoring stage."""
+    xs, nw_s = _feature_sqls(text_col)
+    K = int(n_rounds)
+    s2d = _s2d_sql
+    feat_cols = ", ".join(f"{x} AS _x{j}" for j, x in enumerate(xs))
+    ctes = [
+        f"""f AS MATERIALIZED (
+  SELECT {id_col} AS _id, CAST(({label_sql}) AS INT) AS _y, {feat_cols}
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND {nw_s} >= 1
+)""",
+    ]
+    chain, _ = irls_sql_chain("", "_y", K, init_beta)
+    ctes.extend(chain)
+    fin_eta = ETAN_SQL
     return (
         "WITH " + ",\n".join(ctes) + f""",
 fin AS (

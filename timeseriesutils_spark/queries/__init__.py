@@ -57,7 +57,7 @@ class Q:
 # additions land, keeping the head at exactly 50.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # round-14 additions (never driver-verified):
-    "ets_select",
+    "ets_select", "fasttext_classifier",
     # r5 survivor displaced by the 11th round-13 addition:
     "zipf_fit",
     # r6-stale cohort (last green driver row: CORRECTNESS_r06), 44:
@@ -74,8 +74,8 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "taylor_centered_ew", "taylor_trailing", "theilsen_trend",
     "topk_per_group", "train_test_arrays", "weighted_median",
     "welch_ttest", "window_rank",
-    # r7-stale padding (swap out one-for-one as r14 additions land), 4:
-    "adf_test", "agg_count_distinct", "agg_cube", "bh_fdr_trend",
+    # r7-stale padding (swap out one-for-one as r14 additions land), 3:
+    "adf_test", "agg_count_distinct", "agg_cube",
 )
 # ROUND-15 ROTATION PLAN: (a) round-15 additions, then (b) the
 # stalest cohort in CORRECTNESS_r01..r14 — recompute from the
@@ -170,7 +170,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "seasonal_esd", "stl_robust", "distance_corr", "label_propagation",
     "did_estimator", "granger_causality", "motif_discord", "yuen_test",
     # round-14 additions (core: operator-correctness surfaces)
-    "ets_select",
+    "ets_select", "fasttext_classifier",
     # round-13 additions (core: operator-correctness surfaces)
     "matrix_profile_chunked", "reconcile_forecasts", "conformal_intervals",
     "mstl_decompose", "cqr_intervals", "bpe_encode", "stream_conformal",

@@ -3037,3 +3037,45 @@ def _sql_quality_logit():
 
 
 QUERIES.update({"quality_logit": Q(q_quality_logit, _sql_quality_logit())})
+
+
+_FT_CLASSES = ("de", "en", "es", "fr", "zh")
+
+
+def q_fasttext_classifier(spark, sf_dir):
+    """fastText-style hashed-subword linear classifier
+    (operators/fasttext.fasttext_classifier, Joulin 2016 / Bojanowski
+    2017 / Weinberger 2009): per-class salted signed char-bigram hash
+    slots, one-vs-rest IRLS on the 4x4 Cramer substrate with ALL
+    classes trained per round in ONE 14·C-sum aggregation, argmax
+    prediction on the integer probability grid.  Fits on a
+    deterministic md5 70% split and scores every document — the
+    held-out generalization the word-memorizing nb_classifier cannot
+    do (its score collapses to the prior on unseen vocabulary)."""
+    from timeseriesutils_spark.operators.dedup import portable_hash64
+    from timeseriesutils_spark.operators.fasttext import fasttext_classifier
+
+    split = portable_hash64(F.col("_id").cast("string")) % 10 < 7
+    return fasttext_classifier(
+        _docs(spark, sf_dir),
+        classes=_FT_CLASSES,
+        n_rounds=3,
+        fit_filter=split,
+    )
+
+
+def _sql_fasttext_classifier():
+    from timeseriesutils_spark.operators.dedup import portable_hash64_sql
+    from timeseriesutils_spark.operators.fasttext import (
+        fasttext_classifier_sql,
+    )
+
+    split = f"{portable_hash64_sql('CAST(_id AS VARCHAR)')} % 10 < 7"
+    return fasttext_classifier_sql(
+        "documents", classes=_FT_CLASSES, n_rounds=3, fit_where=split
+    )
+
+
+QUERIES.update(
+    {"fasttext_classifier": Q(q_fasttext_classifier, _sql_fasttext_classifier())}
+)
