@@ -433,3 +433,70 @@ def test_fasttext_one_char_words_parity(spark):
         ).fetchall()
     }
     assert got == exp
+
+
+# --- dup_span_exact_audit ---------------------------------------------------
+
+
+def test_dup_span_exact_audit_quantifies_granularity_miss(spark):
+    """A 6-word common span (>= L=4, < n=8) must be found EXACTLY and
+    reported as missed by the 8-window detector; a 12-word span must be
+    fully recovered.  Engines must agree row-for-row."""
+    import duckdb
+
+    from timeseriesutils_spark.operators.dupspan import (
+        dup_span_exact_audit,
+        dup_span_exact_audit_sql,
+    )
+
+    common6 = "alpha beta gamma delta epsilon zeta"
+    common12 = (
+        "one two three four five six seven eight nine ten eleven twelve"
+    )
+    rows = [
+        (1, "xx yy " + common6 + " qq ww ee rr tt", "en"),
+        (2, "aa bb cc " + common6 + " dd ff gg hh jj", "en"),
+        (3, "start " + common12 + " endx", "en"),
+        (4, "other words here " + common12 + " tail bits", "en"),
+        (5, "completely unrelated text with no duplicated span here ok", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["exact_len"],
+            r["exact_a_start"],
+            r["exact_b_start"],
+            r["detected_len"],
+            r["missed"],
+            r["recovered"],
+        )
+        for r in dup_span_exact_audit(docs).collect()
+    }
+    assert got[(1, 2)] == (6, 2, 3, 0, 6, False)
+    assert got[(3, 4)] == (12, 1, 3, 12, 0, True)
+    assert (1, 5) not in got and (2, 5) not in got
+    # exact_len >= detected_len always (a detected span IS a common span)
+    assert all(v[0] >= v[3] for v in got.values())
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    exp = {
+        (r[0], r[1]): (r[3], r[4], r[5], r[6], r[7], r[8])
+        for r in con.execute(dup_span_exact_audit_sql()).fetchall()
+    }
+    assert got == exp
+
+
+def test_dup_span_exact_audit_posting_cap_skips_hot_hashes(spark):
+    """An L-gram shared by MORE than max_posting documents must not
+    generate candidate pairs (the boilerplate-explosion guard)."""
+    from timeseriesutils_spark.operators.dupspan import dup_span_exact_audit
+
+    hot = "the same four words"
+    rows = [(i, f"doc {i} prefix " + hot, "en") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    # posting list size 10 > cap 4 -> no eligible hash -> no pairs
+    assert dup_span_exact_audit(docs, max_posting=4).count() == 0
+    # raising the cap surfaces them
+    assert dup_span_exact_audit(docs, max_posting=16).count() > 0

@@ -57,7 +57,7 @@ class Q:
 # additions land, keeping the head at exactly 50.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # round-14 additions (never driver-verified):
-    "ets_select", "fasttext_classifier",
+    "ets_select", "fasttext_classifier", "dup_span_exact_audit",
     # r5 survivor displaced by the 11th round-13 addition:
     "zipf_fit",
     # r6-stale cohort (last green driver row: CORRECTNESS_r06), 44:
@@ -74,8 +74,8 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "taylor_centered_ew", "taylor_trailing", "theilsen_trend",
     "topk_per_group", "train_test_arrays", "weighted_median",
     "welch_ttest", "window_rank",
-    # r7-stale padding (swap out one-for-one as r14 additions land), 3:
-    "adf_test", "agg_count_distinct", "agg_cube",
+    # r7-stale padding (swap out one-for-one as r14 additions land), 2:
+    "adf_test", "agg_count_distinct",
 )
 # ROUND-15 ROTATION PLAN: (a) round-15 additions, then (b) the
 # stalest cohort in CORRECTNESS_r01..r14 — recompute from the
@@ -115,6 +115,7 @@ TIERS: dict[str, str] = {
     "lorenz_curve": "audit", "hhi_concentration": "audit",
     "ks_uniform_audit": "audit",
     "langid_confusion": "audit", "dup_rate_by_source": "audit",
+    "dup_span_exact_audit": "audit",
     "corpus_jsd": "audit", "novelty_scores": "audit", "zipf_fit": "audit",
     "simpson_diversity": "audit",
     "ab_test_report": "audit", "wilson_daily": "audit",
@@ -169,8 +170,9 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     "matrix_profile", "stl_decompose", "bpe_train", "pipeline_incremental",
     "seasonal_esd", "stl_robust", "distance_corr", "label_propagation",
     "did_estimator", "granger_causality", "motif_discord", "yuen_test",
-    # round-14 additions (core: operator-correctness surfaces)
-    "ets_select", "fasttext_classifier",
+    # round-14 additions (core; dup_span_exact_audit is an audit-tier
+    # recall dashboard like minhash_estimate_audit)
+    "ets_select", "fasttext_classifier", "dup_span_exact_audit",
     # round-13 additions (core: operator-correctness surfaces)
     "matrix_profile_chunked", "reconcile_forecasts", "conformal_intervals",
     "mstl_decompose", "cqr_intervals", "bpe_encode", "stream_conformal",

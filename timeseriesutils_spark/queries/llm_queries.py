@@ -3079,3 +3079,34 @@ def _sql_fasttext_classifier():
 QUERIES.update(
     {"fasttext_classifier": Q(q_fasttext_classifier, _sql_fasttext_classifier())}
 )
+
+
+def q_dup_span_exact_audit(spark, sf_dir):
+    """Exact longest-duplicated-span recall audit for dup_spans
+    (operators/dupspan.dup_span_exact_audit, Lee et al. 2021
+    ExactSubstr): per top candidate pair, the TRUE longest common
+    word-span >= 4 (diagonal-island exact form) next to what the
+    production 8-word-window hashing can see — quantifying the [4, 8)
+    blind window, the minhash_estimate_audit pattern applied to the
+    span family.  Posting-capped candidates + top-K pairs bound every
+    quadratic stage."""
+    from timeseriesutils_spark.operators.dupspan import dup_span_exact_audit
+
+    return dup_span_exact_audit(_docs(spark, sf_dir))
+
+
+def _sql_dup_span_exact_audit():
+    from timeseriesutils_spark.operators.dupspan import (
+        dup_span_exact_audit_sql,
+    )
+
+    return dup_span_exact_audit_sql("documents")
+
+
+QUERIES.update(
+    {
+        "dup_span_exact_audit": Q(
+            q_dup_span_exact_audit, _sql_dup_span_exact_audit()
+        )
+    }
+)
