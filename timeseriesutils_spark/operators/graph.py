@@ -459,6 +459,7 @@ LIMIT {int(top_k)}
 def label_propagation(
     edges: DataFrame,
     n_iter: int = 5,
+    durable_every: int = 2,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan,
     Albert & Kumara 2007) over an undirected edge list (``src < dst``
@@ -502,7 +503,7 @@ def label_propagation(
     wv = Window.partitionBy("node").orderBy(
         F.col("_cnt").desc(), F.col("community").asc()
     )
-    for _ in range(int(n_iter)):
+    for _i in range(int(n_iter)):
         votes = adj.join(
             labels.select(
                 F.col("node").alias("dst"), F.col("community")
@@ -519,7 +520,18 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        labels = parquet_checkpoint(labels, "lpa")
+        # durable cut every SECOND round (and on the final one): the
+        # r13 every-round promotion cost +2.9 s (5 parquet write/read
+        # round-trips on a node-sized frame); alternating rounds take
+        # the executor-pinned localCheckpoint instead, so recovery
+        # replays at most ONE round from the last durable frame —
+        # still cluster-safe — at half the durability tax (measured in
+        # BASELINE.md round-14).
+        de = max(1, int(durable_every))
+        if _i % de == de - 1 or _i == int(n_iter) - 1:
+            labels = parquet_checkpoint(labels, "lpa")
+        else:
+            labels = labels.localCheckpoint(eager=True)
     sizes = labels.groupBy("community").agg(
         F.count(F.lit(1)).alias("community_size")
     )

@@ -186,6 +186,53 @@ def main() -> None:
         return stream_pq_encode(emb, books, scale=scale)
 
     qs["pq_encode_batch"] = _pq_encode_batch
+
+    def _stream_conformal_one_trigger(s, d):
+        # VERDICT r13 #3: the controlled trigger-sizing re-run.  The
+        # replica corpus writes 2*K event files, and the catalog
+        # query's default maxFilesPerTrigger=1 turns the 10x corpus
+        # into ~10x MORE micro-batches x 10x keys = ~100x per-key
+        # state visits — the attributed super-linear artifact.  Holding
+        # the micro-batch count constant (drain everything in ONE
+        # trigger, the production trigger rule for replayable
+        # backfills) isolates the true per-row cost.
+        import uuid
+
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from timeseriesutils_spark.streaming.windows import (
+            read_events_stream,
+            streaming_conformal,
+        )
+
+        name = f"q_sconf1t_{uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_conformal(
+                read_events_stream(s, d, max_files_per_trigger=10_000),
+                fit_window=14,
+                cal_window=64,
+                scale=2,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        upd = s.sql(f"SELECT * FROM {name}")
+        w = W.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+        return (
+            upd.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "user_id", "n_seen", "n_cal", "q_score",
+                "point_forecast", "lo", "hi",
+            )
+        )
+
+    qs["stream_conformal_one_trigger"] = _stream_conformal_one_trigger
     results: dict[str, dict] = {}
     for scale in (1, k):
         d = os.path.join(WORK, f"x{scale}")
