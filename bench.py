@@ -94,10 +94,23 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    from timeseriesutils_spark.functions.checkpoint import (
+        clear_memo,
+        drain_touched,
+    )
+
     pollution_reruns = 0
     timings: dict[str, float] = {}
+    memo_consumers: list[tuple[str, object]] = []
+    drain_touched()  # discard warmup-phase touches
     for name, fn in qitems:
         best = min(_time_once(fn) for _ in range(max(1, runs)))
+        # auto-detect checkpoint_once consumers: any query that touched
+        # the shared-build memo gets a memo-cleared one-shot column
+        # below (VERDICT r13 #2 — the steady-state number alone would
+        # let a regression in the shared build hide behind the memo)
+        if drain_touched():
+            memo_consumers.append((name, fn))
         ref = prior_q.get(name)
         if ref is not None and ref > 0 and best > 1.5 * ref:
             spark.catalog.clearCache()
@@ -107,6 +120,18 @@ def main() -> None:
         # queries that persist() intermediates (dedup family) own their
         # fork-reuse WITHIN a run; evict between queries so a 58-query
         # session doesn't accumulate cached blocks for its lifetime
+        spark.catalog.clearCache()
+
+    # one-shot (memo-cleared) cost for every shared-build consumer:
+    # what the query costs when IT pays the build in a fresh process
+    one_shot: dict[str, float] = {}
+    for name, fn in memo_consumers:
+        clear_memo()
+        try:
+            one_shot[name] = round(_time_once(fn), 4)
+        except Exception:
+            one_shot[name] = -1.0
+        drain_touched()
         spark.catalog.clearCache()
 
     # Portability-tax pin (BASELINE.md round-4 section): the DECLARED
@@ -182,6 +207,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "production_modes": prod,
+        "one_shot": one_shot,
         "sf": sf,
     }
     # Self-documenting window quality: 1-min load average at start/end

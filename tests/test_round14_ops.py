@@ -500,3 +500,33 @@ def test_dup_span_exact_audit_posting_cap_skips_hot_hashes(spark):
     assert dup_span_exact_audit(docs, max_posting=4).count() == 0
     # raising the cap surfaces them
     assert dup_span_exact_audit(docs, max_posting=16).count() > 0
+
+
+# --- bench cold-cost instrumentation ----------------------------------------
+
+
+def test_checkpoint_once_touch_tracking(spark, tmp_path):
+    """The bench auto-detects checkpoint_once consumers via the touch
+    log, and clear_memo forces a rebuild (the one-shot cost lever —
+    VERDICT r13 #2)."""
+    from timeseriesutils_spark.functions import checkpoint as cp
+
+    cp.drain_touched()
+    builds = {"n": 0}
+
+    def builder():
+        builds["n"] += 1
+        return spark.range(5).toDF("x")
+
+    a = cp.checkpoint_once("t_r14_memo", builder, spark)
+    assert a.count() == 5 and builds["n"] == 1
+    assert cp.drain_touched() == ["t_r14_memo"]
+    # second consumer: memo hit (no rebuild) but still TOUCHES
+    cp.checkpoint_once("t_r14_memo", builder, spark)
+    assert builds["n"] == 1
+    assert cp.drain_touched() == ["t_r14_memo"]
+    # cleared memo -> next consumer pays the build again
+    cp.clear_memo()
+    cp.checkpoint_once("t_r14_memo", builder, spark)
+    assert builds["n"] == 2
+    assert cp.drain_touched() == ["t_r14_memo"]

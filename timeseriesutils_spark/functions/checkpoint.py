@@ -78,6 +78,7 @@ def checkpoint_once(key: str, builder, spark) -> DataFrame:
     first) gets the parquet read-back.  Lets several catalog queries
     share one expensive intermediate without a cross-query persist
     (which ``cache_scope`` would evict between queries)."""
+    _TOUCHED.append(key)
     path = _MEMO.get(key)
     if path is None or not os.path.isdir(path):
         _SEQ["n"] += 1
@@ -86,3 +87,24 @@ def checkpoint_once(key: str, builder, spark) -> DataFrame:
         builder().write.mode("overwrite").parquet(path)
         _MEMO[key] = path
     return spark.read.parquet(path)
+
+
+# bench instrumentation (VERDICT r13 #2): which memo keys the current
+# query touched, so the bench can auto-detect checkpoint_once CONSUMERS
+# and publish their memo-cleared one-shot cost next to the steady-state
+# number — a regression in a shared build must never hide behind the
+# memo making later reads free.
+_TOUCHED: list[str] = []
+
+
+def drain_touched() -> list[str]:
+    """Return and clear the memo keys touched since the last drain."""
+    out = list(_TOUCHED)
+    _TOUCHED.clear()
+    return out
+
+
+def clear_memo() -> None:
+    """Forget every memoized build (files stay on scratch; the next
+    checkpoint_once caller rebuilds) — the bench's cold-cost lever."""
+    _MEMO.clear()

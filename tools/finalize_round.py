@@ -95,7 +95,46 @@ def main() -> None:
         sys.exit(1)
     if "--no-bench" not in args:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        # quiet-window gating (VERDICT r13 #8: BENCH_r13 ran at loadavg
+        # 4.3 with 71 pollution re-runs while a cleaner window existed):
+        # wait up to ~10 min for 1-min loadavg to drop below the
+        # threshold, then — if the finished map still shows a polluted
+        # window (> 30 pollution re-runs) — re-run the bench ONCE and
+        # keep the quieter map (fewer re-runs wins).
+        import json
+        import time
+
+        for _ in range(20):
+            try:
+                if os.getloadavg()[0] < 2.0:
+                    break
+            except OSError:
+                break
+            print("finalize: loadavg "
+                  f"{os.getloadavg()[0]:.1f} >= 2.0 — waiting 30 s "
+                  "for a quiet bench window", flush=True)
+            time.sleep(30)
         run([sys.executable, "bench.py"], env=env)
+        bl = os.path.join(REPO, "BENCH_LOCAL.json")
+
+        def _reruns(p):
+            try:
+                with open(p) as f:
+                    return int(json.load(f).get("pollution_reruns", 0))
+            except Exception:
+                return 0
+
+        first = _reruns(bl)
+        if first > 30:
+            print(f"finalize: polluted bench window ({first} pollution "
+                  "re-runs) — one retry", flush=True)
+            import shutil as _sh
+
+            _sh.copyfile(bl, bl + ".try1")
+            run([sys.executable, "bench.py"], env=env)
+            if _reruns(bl) > first:
+                _sh.copyfile(bl + ".try1", bl)  # first window was quieter
+            os.remove(bl + ".try1")
     # BENCH_LOCAL.json is gitignored (r11: the DRIVER re-runs bench.py
     # after the final commit and its overwrite left two rounds ending
     # with a dirty tree) — the finalizer snapshots the quiet-window map
