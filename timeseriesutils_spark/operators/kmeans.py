@@ -406,3 +406,95 @@ SELECT CAST(cluster AS INT) AS cluster, n,
 FROM agg
 """
     return "WITH " + ",".join(parts) + "," + final
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = 6,
+    per_cluster: int = 16,
+    mode: str = "uniform",
+) -> DataFrame:
+    """Cluster-balanced subset selection over the embedding space — the
+    curation step between clustering and training-set assembly in
+    SemDeDup-style pipelines (Abbas et al. 2023 sample within k-means
+    clusters) and the prototypicality data-pruning rule of Sorscher et
+    al. 2022 ("Beyond neural scaling laws": keep examples by distance
+    to their cluster centroid).  Balancing across clusters fixes the
+    long-tail starvation a global uniform sample has: every semantic
+    region contributes ``per_cluster`` examples regardless of its mass.
+
+    ``mode``:
+      * ``uniform`` — md5-deterministic per-cluster sample (the repo's
+        portable-hash sampling convention; seedless, engine-exact);
+      * ``hard``    — farthest-from-centroid first (keep hard examples,
+        the Sorscher rule for large datasets);
+      * ``easy``    — nearest-first (keep prototypes, their rule for
+        small datasets).
+
+    Scale shape: :func:`kmeans_lloyd` (bounded driver state, pinned
+    quantized corpus) + ONE rank window partitioned by cluster — the
+    argmax/argmin never leaves the executors; ties are total
+    (hash/dist, then id), so both engines pick identical subsets.
+
+    Returns the sampled rows: (id, cluster, dist_q, pick_rank).
+    """
+    from timeseriesutils_spark.operators.dedup import portable_hash64
+
+    assign = kmeans_lloyd(embeddings, id_col, vec_col, k, n_iter, scale)
+    if mode == "uniform":
+        order = [portable_hash64(F.col(id_col).cast("string")), F.col(id_col)]
+    elif mode == "hard":
+        order = [F.col("dist_q").desc(), F.col(id_col)]
+    elif mode == "easy":
+        order = [F.col("dist_q").asc(), F.col(id_col)]
+    else:
+        raise ValueError("mode must be uniform | hard | easy")
+    w = Window.partitionBy("cluster").orderBy(*order)
+    return (
+        assign.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= int(per_cluster))
+        .select(
+            id_col,
+            "cluster",
+            "dist_q",
+            F.col("pick_rank").cast("bigint").alias("pick_rank"),
+        )
+    )
+
+
+def cluster_balanced_sample_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = 6,
+    per_cluster: int = 16,
+    mode: str = "uniform",
+) -> str:
+    """DuckDB twin of :func:`cluster_balanced_sample` — the unrolled
+    Lloyd chain as a subquery plus the same total-order rank window."""
+    from timeseriesutils_spark.operators.dedup import portable_hash64_sql
+
+    km = kmeans_lloyd_sql(table, id_col, vec_col, k, n_iter, scale)
+    if mode == "uniform":
+        order = f"{portable_hash64_sql(f'CAST({id_col} AS VARCHAR)')}, {id_col}"
+    elif mode == "hard":
+        order = f"dist_q DESC, {id_col}"
+    elif mode == "easy":
+        order = f"dist_q ASC, {id_col}"
+    else:
+        raise ValueError("mode must be uniform | hard | easy")
+    return f"""
+SELECT {id_col}, cluster, dist_q, CAST(pick_rank AS BIGINT) AS pick_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+    ORDER BY {order}) AS pick_rank
+  FROM ({km})
+)
+WHERE pick_rank <= {int(per_cluster)}
+"""

@@ -3110,3 +3110,33 @@ QUERIES.update(
         )
     }
 )
+
+
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced data pruning over the embedding space
+    (operators/kmeans.cluster_balanced_sample; Sorscher 2022
+    prototypicality rule, SemDeDup-style cluster curation): Lloyd
+    k-means then keep the 16 FARTHEST-from-centroid vectors per
+    cluster (mode='hard' — the large-dataset pruning rule), exact
+    integer distances, total tiebreaks.  Every semantic region
+    contributes equally to the subset regardless of its mass."""
+    from timeseriesutils_spark.operators.kmeans import (
+        cluster_balanced_sample,
+    )
+
+    return cluster_balanced_sample(
+        _emb(spark, sf_dir), per_cluster=16, mode="hard", **KMEANS_PARAMS
+    )
+
+
+def _sql_cluster_sample():
+    from timeseriesutils_spark.operators.kmeans import (
+        cluster_balanced_sample_sql,
+    )
+
+    return cluster_balanced_sample_sql(
+        per_cluster=16, mode="hard", **KMEANS_PARAMS
+    )
+
+
+QUERIES.update({"cluster_sample": Q(q_cluster_sample, _sql_cluster_sample())})
