@@ -595,3 +595,75 @@ def test_cluster_sample_modes_and_balance(spark):
         assert hmin >= emax or len(
             [r for r in hard if r["cluster"] == cl]
         ) == len([r for r in easy if r["cluster"] == cl]) == 5
+
+
+# --- unimax_mixture ---------------------------------------------------------
+
+
+def test_unimax_water_filling_closed_form(spark):
+    """The closed form must reproduce the paper's sequential greedy:
+    skewed domains -> low-resource capped at max_epochs, high-resource
+    at the shared water level; extremes (nobody capped / everybody
+    capped) behave; engines agree exactly."""
+    import duckdb
+
+    from timeseriesutils_spark.operators.splits import (
+        unimax_mixture,
+        unimax_mixture_sql,
+    )
+
+    rows = []
+    did = 0
+    for dom, ndocs in (("small", 2), ("mid", 4), ("big", 20)):
+        for _ in range(ndocs):
+            rows.append((did, "w " * 9 + "w", dom))  # 10 tokens/doc
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+    def greedy(counts, B, E):
+        """The paper's sequential loop, as the independent reference."""
+        doms = sorted(counts, key=lambda d: (counts[d] * E, d))
+        out, R, m = {}, B, len(doms)
+        for d in doms:
+            out[d] = min(counts[d] * E, R // m)
+            R -= out[d]
+            m -= 1
+        return out
+
+    counts = {"small": 20, "mid": 40, "big": 200}
+    for bn, E in ((3, 4), (1, 1), (100, 2), (1, 100)):
+        got = {
+            r["domain"]: (r["n_tokens"], r["allocated"], r["capped"])
+            for r in unimax_mixture(
+                docs, budget_num=bn, budget_den=1, max_epochs=E
+            ).collect()
+        }
+        exp_alloc = greedy(counts, sum(counts.values()) * bn, E)
+        for d in counts:
+            assert got[d][0] == counts[d]
+            cap = counts[d] * E
+            if got[d][2]:
+                assert got[d][1] == cap
+            else:
+                # uncapped water level == greedy's equal share
+                assert got[d][1] == exp_alloc[d], (bn, E, d, got)
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(rows, columns=["doc_id", "text", "lang"]),
+        )
+        exp = {
+            r[0]: (r[1], r[3], r[5])
+            for r in con.execute(
+                unimax_mixture_sql(budget_num=bn, budget_den=1, max_epochs=E)
+            ).fetchall()
+        }
+        assert got == exp, (bn, E)
+    # budget >= sum of caps: everyone capped at full epochs
+    allc = {
+        r["domain"]: r
+        for r in unimax_mixture(
+            docs, budget_num=100, budget_den=1, max_epochs=2
+        ).collect()
+    }
+    assert all(r["capped"] and r["epochs"] == 2.0 for r in allc.values())

@@ -341,3 +341,165 @@ SELECT {select_cols},
   ) <= {cap} AS kept
 FROM {table}
 """
+
+
+def unimax_mixture(
+    docs: DataFrame,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    budget_num: int = 3,
+    budget_den: int = 1,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """UniMax budget allocation across domains (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining"): given per-domain token
+    counts c_i, a total token budget B = T·budget_num/budget_den
+    (T = corpus tokens; > T means oversampling epochs) and an epoch cap
+    E, allocate each domain min(c_i·E, fair share) — low-resource
+    domains take their full E epochs, high-resource domains split what
+    remains equally (the water level).
+
+    Closed form instead of the paper's sequential loop: with domains
+    sorted ascending by cap_i = c_i·E, the greedy loop's remaining
+    budget is B − P_{k−1} (prefix caps) and its water level is
+    invariant once a domain goes uncapped, so
+
+        capped_k  ⇔  cap_k·(N−k+1) ≤ B − P_{k−1}
+
+    is monotone and the whole allocation is ONE rank window + prefix
+    sums + one partition-wide conditional aggregate — fully relational,
+    no driver loop, exact integers.  The greedy's integer-division
+    remainder lands on the LAST r uncapped domains (simulating the
+    loop: levels floor(R/m) rise by one exactly r = (B−ΣcapsT) mod M
+    times), so the closed form reproduces the sequential allocation
+    token-for-token, not just to ±1.
+
+    Scale shape: the only corpus-sized work is the map-combinable
+    token-count aggregation; everything after runs on the domain table
+    (small by nature).  Returns one row per domain:
+    (domain, n_tokens, cap_tokens, allocated, epochs, capped).
+    """
+    from timeseriesutils_spark.operators.text import words
+
+    E = int(max_epochs)
+    bn, bd = int(budget_num), int(budget_den)
+    if E < 1 or bn < 1 or bd < 1:
+        raise ValueError("need max_epochs >= 1 and positive budget frac")
+    tok = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(domain_col).alias("domain"),
+            F.size(words(F.col(text_col))).cast("bigint").alias("_t"),
+        )
+        .groupBy("domain")
+        .agg(F.sum("_t").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(F.col("cap_tokens"), F.col("domain"))
+    w_pre = (
+        Window.partitionBy()
+        .orderBy(F.col("cap_tokens"), F.col("domain"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = tok.select(
+        "domain",
+        "n_tokens",
+        (F.col("n_tokens") * F.lit(E)).alias("cap_tokens"),
+    ).select(
+        "*",
+        F.count(F.lit(1)).over(w_all).alias("_N"),
+        F.expr(f"(sum(n_tokens) OVER () * {bn}) div {bd}").alias("_B"),
+        F.row_number().over(w_rank).alias("_k"),
+        F.coalesce(F.sum("cap_tokens").over(w_pre), F.lit(0)).alias("_P"),
+    ).select(
+        "*",
+        (
+            F.col("cap_tokens") * (F.col("_N") - F.col("_k") + 1)
+            <= F.col("_B") - F.col("_P")
+        ).alias("capped"),
+    ).select(
+        "*",
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens"))).over(w_all),
+            F.lit(0),
+        ).alias("_PC"),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).over(w_all).alias("_nc"),
+    )
+    level = F.expr("(_B - _PC) div (_N - _nc)")
+    rem = F.expr("(_B - _PC) % (_N - _nc)")
+    # uncapped rank: capped domains form a prefix in cap order, so the
+    # j-th uncapped domain is _k - _nc; the last `rem` of them get the
+    # +1 the sequential greedy's rising floor(R/m) produces
+    plus_one = (F.col("_k") - F.col("_nc")) > (
+        F.col("_N") - F.col("_nc") - rem
+    )
+    alloc = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+        level + F.when(plus_one, F.lit(1)).otherwise(F.lit(0))
+    )
+    return staged.select(
+        "domain",
+        "n_tokens",
+        "cap_tokens",
+        alloc.cast("bigint").alias("allocated"),
+        (
+            alloc.cast("double") / F.col("n_tokens").cast("double")
+        ).alias("epochs"),
+        "capped",
+    )
+
+
+def unimax_mixture_sql(
+    table: str = "documents",
+    domain_col: str = "lang",
+    text_col: str = "text",
+    budget_num: int = 3,
+    budget_den: int = 1,
+    max_epochs: int = 4,
+) -> str:
+    """DuckDB twin of :func:`unimax_mixture` — same closed form, same
+    integer arithmetic, same total tiebreak."""
+    E = int(max_epochs)
+    bn, bd = int(budget_num), int(budget_den)
+    return f"""
+WITH tok AS (
+  SELECT {domain_col} AS domain,
+    CAST(SUM(len(string_split_regex(lower(trim({text_col})), '\\s+')))
+         AS BIGINT) AS n_tokens
+  FROM {table} WHERE {text_col} IS NOT NULL
+  GROUP BY 1
+),
+staged AS (
+  SELECT domain, n_tokens, n_tokens * {E} AS cap_tokens,
+    COUNT(*) OVER () AS _N,
+    (SUM(n_tokens) OVER () * {bn}) // {bd} AS _B,
+    ROW_NUMBER() OVER (ORDER BY n_tokens * {E}, domain) AS _k,
+    COALESCE(SUM(n_tokens * {E}) OVER (ORDER BY n_tokens * {E}, domain
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _P
+  FROM tok
+),
+flagged AS (
+  SELECT *, cap_tokens * (_N - _k + 1) <= _B - _P AS capped
+  FROM staged
+),
+tot AS (
+  SELECT *,
+    COALESCE(SUM(CASE WHEN capped THEN cap_tokens END) OVER (), 0) AS _PC,
+    SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS _nc
+  FROM flagged
+),
+alloc AS (
+  SELECT *,
+    CASE WHEN capped THEN cap_tokens
+      ELSE (_B - _PC) // (_N - _nc)
+        + CASE WHEN (_k - _nc) > (_N - _nc) - ((_B - _PC) % (_N - _nc))
+          THEN 1 ELSE 0 END
+    END AS allocated
+  FROM tot
+)
+SELECT domain, n_tokens, CAST(cap_tokens AS BIGINT) AS cap_tokens,
+  CAST(allocated AS BIGINT) AS allocated,
+  CAST(allocated AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs,
+  capped
+FROM alloc
+"""

@@ -58,7 +58,7 @@ class Q:
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     # round-14 additions (never driver-verified):
     "ets_select", "fasttext_classifier", "dup_span_exact_audit",
-    "cluster_sample",
+    "cluster_sample", "unimax_mixture",
     # r5 survivor displaced by the 11th round-13 addition:
     "zipf_fit",
     # r6-stale cohort (last green driver row: CORRECTNESS_r06), 44:
@@ -75,8 +75,6 @@ DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
     "taylor_centered_ew", "taylor_trailing", "theilsen_trend",
     "topk_per_group", "train_test_arrays", "weighted_median",
     "welch_ttest", "window_rank",
-    # r7-stale padding (swap out one-for-one as r14 additions land), 1:
-    "adf_test",
 )
 # ROUND-15 ROTATION PLAN: (a) round-15 additions, then (b) the
 # stalest cohort in CORRECTNESS_r01..r14 — recompute from the
@@ -174,7 +172,7 @@ TIER_REVIEWED: frozenset[str] = frozenset((
     # round-14 additions (core; dup_span_exact_audit is an audit-tier
     # recall dashboard like minhash_estimate_audit)
     "ets_select", "fasttext_classifier", "dup_span_exact_audit",
-    "cluster_sample",
+    "cluster_sample", "unimax_mixture",
     # round-13 additions (core: operator-correctness surfaces)
     "matrix_profile_chunked", "reconcile_forecasts", "conformal_intervals",
     "mstl_decompose", "cqr_intervals", "bpe_encode", "stream_conformal",

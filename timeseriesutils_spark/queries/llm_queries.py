@@ -3140,3 +3140,26 @@ def _sql_cluster_sample():
 
 
 QUERIES.update({"cluster_sample": Q(q_cluster_sample, _sql_cluster_sample())})
+
+
+def q_unimax_mixture(spark, sf_dir):
+    """UniMax training-mixture allocation across languages
+    (operators/splits.unimax_mixture, Chung et al. 2023): token budget
+    3x the corpus under a 4-epoch cap — low-resource languages take
+    their full epochs, high-resource ones split the remaining budget
+    at the water level.  The paper's sequential greedy collapsed to a
+    closed form: one rank window + prefix sums + one partition-wide
+    conditional aggregate, exact integers throughout; the corpus-sized
+    work is a single map-combinable token count."""
+    from timeseriesutils_spark.operators.splits import unimax_mixture
+
+    return unimax_mixture(_docs(spark, sf_dir))
+
+
+def _sql_unimax_mixture():
+    from timeseriesutils_spark.operators.splits import unimax_mixture_sql
+
+    return unimax_mixture_sql("documents")
+
+
+QUERIES.update({"unimax_mixture": Q(q_unimax_mixture, _sql_unimax_mixture())})
