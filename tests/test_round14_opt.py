@@ -55,6 +55,53 @@ def test_seasonal_esd_arrow_equals_relational(spark, thresh):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.parametrize("lam", [0.3, 0.7, 1.0])
+def test_mmr_arrow_equals_relational(spark, lam):
+    """The grouped-Arrow MMR kernel reproduces the relational greedy
+    unroll pick-for-pick AND score-bit-for-bit, including clusters of
+    near-duplicate candidates (where max-sim dominates the argmax)."""
+    import numpy as np
+
+    from timeseriesutils_spark.operators.similarity import mmr_diversify
+
+    rng = np.random.default_rng(41)
+    base = rng.normal(0, 1, (6, 16))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(4):  # 4 near-copies of each of 6 prototypes
+            v = b + rng.normal(0, 0.05, 16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 3")
+
+    kw = dict(k=5, n_candidates=12, lam=lam)
+    got = sorted(map(tuple, mmr_diversify(q, df, **kw).collect()))
+    want = sorted(
+        map(tuple, mmr_diversify(q, df, engine="relational", **kw).collect())
+    )
+    assert got == want and len(got) == 15
+
+
+def test_mmr_arrow_fewer_candidates_than_k(spark):
+    """A query whose candidate pool is smaller than k stops early in
+    both engines with identical picks."""
+    from timeseriesutils_spark.operators.similarity import mmr_diversify
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter("vec_id = 0")
+    kw = dict(k=5, n_candidates=10, lam=0.6)
+    got = sorted(map(tuple, mmr_diversify(q, df, **kw).collect()))
+    want = sorted(
+        map(tuple, mmr_diversify(q, df, engine="relational", **kw).collect())
+    )
+    assert got == want and len(got) == 3
+
+
 def test_seasonal_esd_arrow_tie_on_maxdev_takes_min_t(spark):
     """Two actives at the exact same max deviation: the kernel must
     flag the smaller t, exactly like the relational MIN(t) hit rule."""

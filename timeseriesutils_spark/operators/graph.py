@@ -55,6 +55,7 @@ def pagerank(
     d_den: int = 20,
     scale: int = 10**9,
     broadcast_nodes: bool = True,
+    durable_every: int = 2,
 ) -> DataFrame:
     """Fixed-schedule integer PageRank; returns (node, rank_q, rank)
     where ``rank_q`` is the exact int64 mass and ``rank = rank_q/scale``
@@ -125,7 +126,8 @@ def pagerank(
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         ranks = _pagerank_rounds(
-            ranks, nodes, deg, e, bcast, n_iter, base_q, d_num, d_den
+            ranks, nodes, deg, e, bcast, n_iter, base_q, d_num, d_den,
+            durable_every,
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", cur_parts)
@@ -157,7 +159,11 @@ def _pagerank_one_round(ranks, nodes, deg, e, bcast, base_q, d_num, d_den):
     )
 
 
-def _pagerank_rounds(ranks, nodes, deg, e, bcast, n_iter, base_q, d_num, d_den):
+def _pagerank_rounds(
+    ranks, nodes, deg, e, bcast, n_iter, base_q, d_num, d_den,
+    durable_every=2,
+):
+    de = max(1, int(durable_every))
     for it in range(n_iter):
         ranks = _pagerank_one_round(
             ranks, nodes, deg, e, bcast, base_q, d_num, d_den
@@ -178,7 +184,16 @@ def _pagerank_rounds(ranks, nodes, deg, e, bcast, n_iter, base_q, d_num, d_den):
         # on return, so every round's exchange must MATERIALIZE before
         # the restore — a lazily-returned final round would execute
         # under the restored (wide) setting and miss the narrowing.
-        ranks = parquet_checkpoint(ranks.coalesce(8), "pagerank")
+        # Durable-tier CADENCE (round-14, the label_propagation
+        # precedent): a durable parquet frame every ``durable_every``
+        # rounds + the last; alternating rounds take the executor-pinned
+        # localCheckpoint — recovery replays at most durable_every − 1
+        # rounds from the last durable frame, still cluster-safe, at a
+        # fraction of the per-round write/read tax.
+        if it % de == de - 1 or it == int(n_iter) - 1:
+            ranks = parquet_checkpoint(ranks.coalesce(8), "pagerank")
+        else:
+            ranks = ranks.coalesce(8).localCheckpoint(eager=True)
     return ranks
 
 

@@ -1967,6 +1967,103 @@ FROM pc0 {joins}
 # --------------------------------------------------------------------------
 
 
+def _mmr_greedy_arrow(cand, query_id, id_col, k, lam):
+    """Stages (2)+(3) of :func:`mmr_diversify` as one grouped Arrow
+    pass: per query, pairwise candidate sims + the greedy k picks, in
+    exactly the relational unroll's arithmetic — ``cosine``'s
+    floor-at-1e14 int64 dot (order-independent sum, so numpy's
+    accumulation order is immaterial), the identical double score
+    tree ``λ·rel − (1−λ)·max_sim``, Spark's NaN-is-largest double
+    ordering for both the max and the argmax, ties by id.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(query_id, cand.schema[query_id].dataType),
+            StructField(id_col, cand.schema[id_col].dataType),
+            StructField("mmr_rank", IntegerType()),
+            StructField("rel", DoubleType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    lam_f, om_f = float(lam), float(1.0 - lam)
+    qf = float(_QUANT)
+    kk = int(k)
+
+    def _dot(a, b):
+        # zip_with floor(x*y*1e14 + 0.5) → int64 fold → double → /1e14
+        return float(
+            int(np.floor(a * b * qf + 0.5).astype(np.int64).sum())
+        ) / qf
+
+    def _gt(x, y):
+        # Spark double TOTAL order for max/argmax: NaN > any value
+        xn, yn = math.isnan(x), math.isnan(y)
+        if xn != yn:
+            return xn
+        if xn:
+            return False
+        return x > y
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn")
+        ids = list(pdf[id_col])
+        rels = [float(r) for r in pdf["rel"]]
+        vecs = [np.asarray(v, dtype=np.float64) for v in pdf["_cv"]]
+        n = len(ids)
+        norms = [math.sqrt(_dot(v, v)) for v in vecs]
+        picked = [False] * n
+        picked[0] = True
+        out = [(ids[0], 1, rels[0], lam_f * rels[0])]
+        maxsim: list = [None] * n  # running max sim to the selected set
+        last = 0
+        for t in range(2, kk + 1):
+            for i in range(n):
+                if picked[i]:
+                    continue
+                s = _dot(vecs[i], vecs[last]) / (norms[i] * norms[last])
+                if maxsim[i] is None or _gt(s, maxsim[i]):
+                    maxsim[i] = s
+            best = None
+            for i in range(n):
+                if picked[i]:
+                    continue
+                sc = lam_f * rels[i] - om_f * maxsim[i]
+                if (
+                    best is None
+                    or _gt(sc, best[1])
+                    or (not _gt(best[1], sc) and ids[i] < ids[best[0]])
+                ):
+                    best = (i, sc)
+            if best is None:
+                break
+            picked[best[0]] = True
+            out.append((ids[best[0]], t, rels[best[0]], best[1]))
+            last = best[0]
+        qv = pdf.iloc[0][query_id]
+        return pd.DataFrame(
+            {
+                query_id: [qv] * len(out),
+                id_col: [o[0] for o in out],
+                "mmr_rank": [o[1] for o in out],
+                "rel": [o[2] for o in out],
+                "score": [o[3] for o in out],
+            }
+        )
+
+    return cand.groupBy(query_id).applyInPandas(greedy, schema)
+
+
 def mmr_diversify(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1977,6 +2074,7 @@ def mmr_diversify(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     exclude_self: bool = True,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
     1998, public): pick k results that are RELEVANT to the query but
@@ -1988,13 +2086,19 @@ def mmr_diversify(
     knn (which happily returns k near-duplicates; the dedup family
     removes corpus-level dups, MMR removes RESULT-set redundancy).
 
-    Plan shape: (1) relevance = the exact quantized cosine of
-    knn_bruteforce, top-``n_candidates`` per query (window prune);
-    (2) pairwise candidate sims per query (n_candidates² per query,
-    never corpus²) — both pinned, they feed every greedy step;
-    (3) the greedy loop UNROLLED k−1 times: each step is an anti-join
-    (drop selected) + a max-sim join against the selected set + one
-    argmax window, all over per-query-bounded broadcast-sized frames.
+    Plan shape (round-14 optimization, guide §1.2/§4.2): (1) relevance
+    = the exact quantized cosine of knn_bruteforce, top-``n_candidates``
+    per query (window prune — ONE corpus pass, the only data-sized
+    stage); (2)+(3) the candidate pairwise sims AND the whole greedy
+    loop run per query in ONE grouped Arrow pass (``applyInPandas``):
+    the kernel replicates ``cosine``'s quantized-int dot (floor at
+    1e14, order-independent int64 sum, the identical double tree) and
+    the unrolled loop's argmax/tiebreak semantics exactly, over the
+    n_candidates-bounded frame.  The k−1-step relational unroll
+    (anti-join + max-sim join + argmax window per pick — its final
+    plan carried 836 Exchange nodes and Catalyst planning dominated
+    the runtime) is kept verbatim as ``engine="relational"``, the A/B
+    control; tests pin arrow ≡ relational pick-for-pick.
     The selection is deterministic: cosines are the proven exact
     pair expressions, the score is one fixed double tree of them, and
     ties break by id — the SQL twin re-derives the identical k picks.
@@ -2023,11 +2127,14 @@ def mmr_diversify(
     w = Window.partitionBy(query_id).orderBy(
         F.col("rel").desc(), F.col(id_col)
     )
-    cand = pin(
+    cand_base = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_candidates)
         .select(query_id, id_col, "rel", "_cv", "_rn")
     )
+    if engine == "arrow":
+        return _mmr_greedy_arrow(cand_base, query_id, id_col, k, lam)
+    cand = pin(cand_base)
     c1 = cand.select(
         query_id, F.col(id_col).alias("_a"), F.col("_cv").alias("_va")
     )
