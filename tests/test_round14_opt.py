@@ -55,6 +55,96 @@ def test_seasonal_esd_arrow_equals_relational(spark, thresh):
     assert got == want and len(got) > 0
 
 
+def _bitsame(a, b):
+    if a.dtype.kind == "f":
+        return bool(((np.isnan(a) & np.isnan(b)) | (a == b)).all())
+    return bool((a == b).all())
+
+
+def test_stl_arrow_equals_relational(spark):
+    """The grouped-Arrow STL kernel (one pass per series, hi/lo-split
+    trend numerator) is bit-identical to the relational window chain —
+    including interior NULL values, groups shorter than the compound
+    window reach, and ``keep`` passthrough columns."""
+    from timeseriesutils_spark.operators.stl import stl_decompose
+
+    rng = np.random.default_rng(14)
+    rows = []
+    for gi, n in enumerate([200, 48, 90]):  # 48 < 2*(hs*P+P+ht)
+        t = np.arange(n)
+        x = (
+            50.0 + 20 * gi
+            + 4.0 * np.sin(2 * np.pi * t / 7)
+            + rng.normal(0, 2.0, n)
+        )
+        for i, v in enumerate(x):
+            val = None if (gi == 0 and i in (70, 71)) else float(v)
+            rows.append((f"g{gi}", int(i), val, float(i) * 0.5))
+    df = spark.createDataFrame(rows, "g string, t int, v double, k double")
+
+    kw = dict(period=7, seasonal_h=3, trend_h=10, scale=2, keep=("k",))
+    a = (
+        stl_decompose(df, "v", "t", ["g"], **kw)
+        .toPandas().sort_values(["g", "t"]).reset_index(drop=True)
+    )
+    r = (
+        stl_decompose(df, "v", "t", ["g"], engine="relational", **kw)
+        .toPandas().sort_values(["g", "t"]).reset_index(drop=True)
+    )
+    assert len(a) == len(r) == sum((200, 48, 90))
+    for c in a.columns:
+        assert _bitsame(a[c].to_numpy(), r[c].to_numpy()), c
+    # NULL margins must exist (edge discipline) and not cover everything
+    assert a["trend"].isna().any() and a["trend"].notna().any()
+
+
+def test_stl_robust_split_vs_duckdb_extreme_magnitudes(spark):
+    """stl_robust's pass-2 hi/lo-split numerators (int64 partial
+    convolutions + decimal recombination) stay in exact lockstep with
+    the DuckDB twin's direct HUGEINT products — stressed with large
+    values, heavy spikes (big |v − trend₁| limbs) and negatives."""
+    import duckdb
+
+    from timeseriesutils_spark.operators.stl import (
+        stl_robust,
+        stl_robust_sql,
+    )
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for gi in range(2):
+        n = 160
+        t = np.arange(n)
+        x = (
+            (-1) ** gi * 9e4
+            + 4e4 * np.sin(2 * np.pi * t / 7)
+            + rng.normal(0, 1e3, n)
+        )
+        x[40] += 8e4  # spike: large detrended magnitude in pass 2
+        x[41] -= 7e4
+        rows.append(None)
+        rows = rows[:-1] + [
+            (gi, int(i), float(v)) for i, v in enumerate(x)
+        ]
+    df = spark.createDataFrame(rows, "g long, t long, v double")
+    got = (
+        stl_robust(df, "v", "t", ["g"])
+        .toPandas().sort_values(["g", "t"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("src", df.toPandas())
+    sql = stl_robust_sql("SELECT * FROM src", "v", "t", ["g"])
+    want = (
+        con.execute(sql).df().sort_values(["g", "t"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert _bitsame(
+            got[c].to_numpy(), want[c].to_numpy(float)
+            if want[c].dtype.kind in "fiu" else want[c].to_numpy()
+        ), c
+
+
 @pytest.mark.parametrize("lam", [0.3, 0.7, 1.0])
 def test_mmr_arrow_equals_relational(spark, lam):
     """The grouped-Arrow MMR kernel reproduces the relational greedy

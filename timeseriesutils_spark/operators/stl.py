@@ -80,6 +80,164 @@ def _lowpass_counts(period: int) -> list[int]:
     return k
 
 
+def _stl_once_np(v, P, hs, ht, mult, Wq, Uq, cj):
+    """One STL inner pass over ONE series (numpy, row-adjacency), in
+    integer lockstep with the relational window chain — returns
+    (seasonal, trend, remainder) float64 arrays with NaN at exactly the
+    relational NULL margins.
+
+    Exactness argument, stage by stage (vs the bigint/decimal chain):
+
+    * ``xq = floor(v·mult + 0.5)`` — the identical IEEE double ops,
+      then an exact int64.
+    * seasonal/low-pass sums are plain int64 arithmetic on the same
+      literal weights; the |xq| envelope under which the relational
+      bigint chain is itself exact (ANSI would raise beyond it) is
+      asserted, so silent numpy wraparound cannot occur.
+    * the trend numerator Σ Uq·vn (decimal(38) relationally, terms
+      ~1e22) splits each vn = (vn >> c)·2^c + low with
+      c = ⌊log2(2^53/ΣUq)⌋: both partial convolutions stay exact
+      int64 AND exact float64 (< 2^53), so
+      ``S_h·2^c + S_l`` — one float multiply by a power of two (exact)
+      and one addition (single rounding of an exactly-represented
+      sum) — is the CORRECTLY-ROUNDED double of the exact integer,
+      bit-identical to the relational ``decimal → string → double``
+      cast.  Series whose |vn| exceeds the split's double-exactness
+      envelope (≈2^(53+c)/ΣUq, far beyond the bigint stages' own
+      envelope for real data) take a per-element Python-int fallback
+      (exact at any magnitude, like DuckDB's HUGEINT).
+    * divisions by the literal denominators and the remainder
+      subtraction replicate the relational double tree order.
+    """
+    import numpy as np
+
+    n = v.shape[0]
+    SW = sum(Wq)
+    SU = sum(Uq)
+    PP = 3 * P * P
+    DL = SW * PP
+    valid = ~np.isnan(v)
+    xq = np.zeros(n, dtype=np.int64)
+    xq[valid] = np.floor(v[valid] * float(mult) + 0.5).astype(np.int64)
+    # relational-envelope assert: the bigint chain's worst stage is
+    # |vn| <= 3*DL*max|xq| (see stage bounds) — beyond int64 the
+    # relational form raises under ANSI; refuse rather than wrap
+    if valid.any() and int(np.abs(xq[valid]).max()) > (2**63 - 1) // (3 * DL):
+        raise ValueError("stl arrow kernel: |value| exceeds the bigint"
+                         " envelope of the relational chain")
+
+    def shift_sum(arr, ok, weights, offsets):
+        acc = np.zeros(n, dtype=np.int64)
+        allok = np.ones(n, dtype=bool)
+        for w, off in zip(weights, offsets):
+            sh = np.zeros(n, dtype=np.int64)
+            so = np.zeros(n, dtype=bool)
+            if off >= 0:
+                if off < n:
+                    sh[: n - off] = arr[off:]
+                    so[: n - off] = ok[off:]
+            else:
+                if -off < n:
+                    sh[-off:] = arr[: n + off]
+                    so[-off:] = ok[: n + off]
+            sh[~so] = 0
+            acc += int(w) * sh
+            allok &= so
+        return acc, allok
+
+    offs_s = [k * P for k in range(-hs, hs + 1)]
+    sn, ok_sn = shift_sum(xq, valid, Wq, offs_s)
+    ln, ok_ln = shift_sum(sn, ok_sn, cj, list(range(-P, P + 1)))
+    seasn = sn * PP - ln
+    ok_seasn = ok_ln  # lowpass reach contains the seasonal reach
+    vn = xq * DL - seasn
+    ok_vn = ok_seasn & valid
+
+    # trend split constant: SU * 2^c < 2^53 keeps the low half float-exact
+    c = 53 - max(1, SU).bit_length() - 1
+    offs_t = list(range(-ht, ht + 1))
+    vn_cap = ((2**53 - 1) // SU - 1) << c
+    vmax = int(np.abs(vn[ok_vn]).max()) if ok_vn.any() else 0
+    if vmax <= vn_cap:
+        bh = vn >> c
+        bl = vn - (bh << c)
+        sh_, ok_h = shift_sum(bh, ok_vn, Uq, offs_t)
+        sl_, _ = shift_sum(bl, ok_vn, Uq, offs_t)
+        ok_tr = ok_h
+        trn_f = sh_.astype(np.float64) * float(2**c) + sl_.astype(np.float64)
+    else:  # exact big-int fallback (rare): float(int) is correctly rounded
+        trn_f = np.zeros(n, dtype=np.float64)
+        ok_tr = np.zeros(n, dtype=bool)
+        vn_l = vn.tolist()
+        ok_l = ok_vn.tolist()
+        for t in range(n):
+            tot = 0
+            good = True
+            for w, off in zip(Uq, offs_t):
+                j = t + off
+                if j < 0 or j >= n or not ok_l[j]:
+                    good = False
+                    break
+                tot += int(w) * vn_l[j]
+            if good:
+                ok_tr[t] = True
+                trn_f[t] = float(tot)
+
+    seasonal = np.where(ok_seasn, seasn.astype(np.float64) / float(DL * mult),
+                        np.nan)
+    trend = np.where(ok_tr, trn_f / float(DL * SU * mult), np.nan)
+    remainder = (v - seasonal) - trend
+    seasonal[~ok_seasn] = np.nan
+    trend[~ok_tr] = np.nan
+    remainder[~(ok_seasn & ok_tr & valid)] = np.nan
+    return seasonal, trend, remainder
+
+
+def _stl_arrow(base, g, time_col, P, hs, ht, mult, keep):
+    """:func:`stl_decompose` stages 1-5 as ONE grouped Arrow pass —
+    ``applyInPandas`` per series running :func:`_stl_once_np`.  Emits
+    the same row set as the relational chain (every input row, NULL
+    components at the complete-window margins)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    Wq = _tricube_q(hs)
+    Uq = _tricube_q(ht)
+    cj = _lowpass_counts(P)
+    schema = StructType(
+        [StructField(c, base.schema[c].dataType) for c in g]
+        + [
+            StructField(time_col, base.schema["_t"].dataType),
+            StructField("value", DoubleType()),
+            StructField("seasonal", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("remainder", DoubleType()),
+        ]
+        + [StructField(c, base.schema[c].dataType) for c in keep]
+    )
+
+    def decomp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_t")
+        v = pdf["_v"].to_numpy(np.float64)
+        seasonal, trend, remainder = _stl_once_np(
+            v, P, hs, ht, mult, Wq, Uq, cj
+        )
+        # positional arrays only — a sorted pdf's index would otherwise
+        # re-align Series rows against the numpy outputs
+        out = {c: pdf[c].to_numpy() for c in g}
+        out[time_col] = pdf["_t"].to_numpy()
+        out["value"] = v
+        out["seasonal"] = seasonal
+        out["trend"] = trend
+        out["remainder"] = remainder
+        for c in keep:
+            out[c] = pdf[c].to_numpy()
+        return pd.DataFrame(out)
+
+    return base.groupBy(*g).applyInPandas(decomp, schema)
+
+
 def stl_decompose(
     df: DataFrame,
     value_col: str,
@@ -91,6 +249,7 @@ def stl_decompose(
     scale: int = 2,
     keep: tuple = (),
     chunk_rows: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """One-iteration STL with literal quantized-LOESS weights (module
     doc).  Returns (group..., time, value, seasonal, trend, remainder
@@ -124,6 +283,21 @@ def stl_decompose(
     t = F.col(time_col).cast("bigint")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s2d = lambda c: c.cast("string").cast("double")  # noqa: E731
+
+    if engine == "arrow" and chunk_rows is None:
+        # round-14 optimization (guide §1.2/§4.2): the whole window
+        # chain as one grouped Arrow pass — bit-identical to the
+        # relational chain (see _stl_once_np's exactness argument;
+        # engine="relational" is the kept A/B control and the
+        # chunk_rows scale path).  Only the columns the kernel needs
+        # cross the Python boundary (guide §4.1).
+        ab = df.select(
+            *g,
+            t.alias("_t"),
+            F.col(value_col).cast("double").alias("_v"),
+            *[F.col(c) for c in keep],
+        )
+        return _stl_arrow(ab, g, time_col, P, hs, ht, mult, keep)
 
     base = df.select(
         *g,
@@ -750,14 +924,35 @@ def stl_robust(
             F.lag(col, -k).over(wi) if k < 0 else F.col(col)
         )
 
-    # weighted cycle-subseries smoothing on the detrended series
-    sn = None
+    # weighted cycle-subseries smoothing on the detrended series.
+    # Round-14 (guide §1.2): the Σ dec(w·ρ)·dec(dx) numerator (a
+    # BigDecimal multiply per term per row — measured to dominate the
+    # pass-2 chain) is computed by the hi/lo INT64 split
+    #   dx = (dx >> 20)·2^20 + lo,   Σ A·dx = 2^20·Σ A·hi + Σ A·lo
+    # (exact integer identity), so the per-term work is int64 and ONE
+    # decimal recombination per row remains.  Envelope: |Σ A·lo| ≤
+    # ΣWq·ρmax·2^20 ≈ 4.9e18 and |Σ A·hi| ≤ ΣWq·ρmax·|dx|/2^20 —
+    # int64-safe for |v − trend₁| up to ~2e6 at r_scale 6; beyond
+    # that ANSI raises loudly (the decimal form's envelope was wider,
+    # but real data sits 5 orders of magnitude inside).
+    w0 = w0.select(
+        "*",
+        F.shiftright(F.col("_dxq"), 20).alias("_dxh"),
+        (F.col("_dxq") - F.shiftright(F.col("_dxq"), 20) * F.lit(1 << 20))
+        .alias("_dxl"),
+    )
+    snh = None
+    snl = None
     sd = None
     for i, k in enumerate(range(-hs, hs + 1)):
-        num = dec(F.lit(Wq[i]) * off("_pq", k * P)) * dec(off("_dxq", k * P))
+        a = F.lit(Wq[i]) * off("_pq", k * P)
+        th = a * off("_dxh", k * P)
+        tl = a * off("_dxl", k * P)
         den = F.lit(Wq[i]) * off("_pq", k * P)
-        sn = num if sn is None else sn + num
+        snh = th if snh is None else snh + th
+        snl = tl if snl is None else snl + tl
         sd = den if sd is None else sd + den
+    sn = dec(snh) * dec(F.lit(1 << 20)) + dec(snl)
     s1 = w0.select(
         "*",
         q6(
@@ -772,13 +967,43 @@ def stl_robust(
     s2 = s1.select("*", (F.col("_srq") * F.lit(PP) - ln).alias("_s2n"))
     # weighted trend on the deseasonalized series (common denom PP*rm)
     s3 = s2.select("*", (F.col("_xq") * F.lit(PP) - F.col("_s2n")).alias("_vn"))
-    tn = None
+    # trend numerator Σ dec(w·ρ)·dec(vn): |vn| reaches ~4e13 and
+    # A = w·ρ ~1e12, so BOTH factors split — A at 2^20 (ρ and the
+    # tricube quantum are each ≤ 1e6, so A's halves are ≤ ~1e6) and
+    # vn at 2^31.  The four partial convolutions are int64-safe by the
+    # same ΣUq·ρmax envelope arithmetic as the seasonal stage; the
+    # exact-integer recombination is THREE decimal multiplies per row
+    # instead of twenty-one:
+    #   Σ A·vn = 2^51·Σah·vh + 2^20·Σah·vl + 2^31·Σal·vh + Σal·vl
+    s3 = s3.select(
+        "*",
+        F.shiftright(F.col("_vn"), 31).alias("_vnh"),
+        (F.col("_vn") - F.shiftright(F.col("_vn"), 31) * F.lit(1 << 31))
+        .alias("_vnl"),
+    )
+    t1 = None
+    t2 = None
+    t3 = None
+    t4 = None
     td = None
     for i, m in enumerate(range(-ht, ht + 1)):
-        num = dec(F.lit(Uq[i]) * off("_pq", m)) * dec(off("_vn", m))
+        a = F.lit(Uq[i]) * off("_pq", m)
+        ah = F.shiftright(a, 20)
+        al = a - F.shiftright(a, 20) * F.lit(1 << 20)
+        vh = off("_vnh", m)
+        vl = off("_vnl", m)
         den = F.lit(Uq[i]) * off("_pq", m)
-        tn = num if tn is None else tn + num
+        t1 = ah * vh if t1 is None else t1 + ah * vh
+        t2 = ah * vl if t2 is None else t2 + ah * vl
+        t3 = al * vh if t3 is None else t3 + al * vh
+        t4 = al * vl if t4 is None else t4 + al * vl
         td = den if td is None else td + den
+    tn = (
+        dec(t1) * dec(F.lit(1 << 51))
+        + dec(t2) * dec(F.lit(1 << 20))
+        + dec(t3) * dec(F.lit(1 << 31))
+        + dec(t4)
+    )
     s4 = s3.select("*", tn.alias("_tn"), td.alias("_td"))
 
     seasonal = s2d(F.col("_s2n")) / F.lit(float(PP * rm))
