@@ -145,6 +145,41 @@ def test_stl_robust_split_vs_duckdb_extreme_magnitudes(spark):
         ), c
 
 
+def test_fasttext_irls_sql_text_equals_colapi(spark):
+    """The SQL-text-rendered joint IRLS round produces bit-identical
+    β grids to the Column-API builder it replaced (kept as the A/B
+    control), and the restructured distinct-bigram feature build feeds
+    both the same integers."""
+    from timeseriesutils_spark.operators.fasttext import (
+        _irls_fit_joint,
+        _irls_fit_joint_colapi,
+        fasttext_features,
+    )
+
+    rng = np.random.default_rng(7)
+    langs = ("aa", "bb", "cc")
+    vocab = {
+        "aa": ["der", "und", "nicht", "haus", "schnell"],
+        "bb": ["the", "and", "not", "house", "quick"],
+        "cc": ["le", "et", "pas", "maison", "vite"],
+    }
+    rows = []
+    for i in range(240):
+        lb = langs[i % 3]
+        w = rng.choice(vocab[lb], size=rng.integers(3, 9))
+        rows.append((i, lb, " ".join(w)))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    feats = fasttext_features(df, langs, "doc_id", "text", "lang")
+    feats.persist().count()
+    try:
+        got = _irls_fit_joint(feats, langs, 4)
+        want = _irls_fit_joint_colapi(feats, langs, 4)
+    finally:
+        feats.unpersist()
+    assert got == want
+    assert any(any(b) for b in got)  # a real fit, not all-zero
+
+
 @pytest.mark.parametrize("lam", [0.3, 0.7, 1.0])
 def test_mmr_arrow_equals_relational(spark, lam):
     """The grouped-Arrow MMR kernel reproduces the relational greedy

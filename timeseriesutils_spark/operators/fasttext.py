@@ -107,20 +107,42 @@ def fasttext_features(
             )
         ).alias("_bg"),
     )
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    # Round-14 (guide §2.3 "aggregate before you shuffle", §2.4): the
+    # class-salted md5 projections are evaluated once per DISTINCT
+    # bigram (a vocabulary-bounded frame, broadcast back), not 15×
+    # per bigram OCCURRENCE inside the aggregate expressions — the
+    # measured feature build was md5-dominated (probe: 10.5 s as
+    # shipped, 5.6 s of it the per-occurrence hashing).  Occurrence
+    # counts partial-aggregate map-side before the shuffle.  The sums
+    # are the identical integers: Σ_occ sign·[slot=j] =
+    # Σ_bg cnt·sign·[slot=j].
+    cnt = bg.groupBy("_id", "_lbl", "_bg").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    vproj = [F.col("_bg")]
     for i in range(len(classes)):
         # class-salted hash: each one-vs-rest task gets its own random
         # projection (Weinberger 2009 multitask hashing)
         h = portable_hash64(F.concat(F.lit(f"{i}|"), F.col("_bg")))
-        sign = (h % F.lit(_B * 2) >= F.lit(_B)).cast("bigint") * 2 - 1
-        slot = (h % F.lit(_B)).cast("int")
+        vproj.append(
+            ((h % F.lit(_B * 2) >= F.lit(_B)).cast("bigint") * 2 - 1)
+            .alias(f"_sg{i}")
+        )
+        vproj.append((h % F.lit(_B)).cast("int").alias(f"_sl{i}"))
+    vocab = bg.select("_bg").distinct().select(*vproj)
+    joined = cnt.join(F.broadcast(vocab), "_bg")
+    aggs = [F.sum("_cnt").alias("_n")]
+    for i in range(len(classes)):
         for j in range(_B):
             aggs.append(
                 F.sum(
-                    F.when(slot == F.lit(j), sign).otherwise(0)
+                    F.when(
+                        F.col(f"_sl{i}") == F.lit(j),
+                        F.col(f"_sg{i}") * F.col("_cnt"),
+                    ).otherwise(0)
                 ).alias(f"_c{i}_{j + 1}")
             )
-    per_doc = bg.groupBy("_id", "_lbl").agg(*aggs)
+    per_doc = joined.groupBy("_id", "_lbl").agg(*aggs)
     qx = lambda c: F.floor(c * F.lit(float(_FX)) + F.lit(0.5)).cast(  # noqa: E731
         "bigint"
     )
@@ -188,7 +210,103 @@ def _irls_fit_joint(
     """All classes' one-vs-rest IRLS fits driven together: per round
     ONE 14·C-sum aggregation over the (already fit-filtered) feature
     frame and ONE collected row carrying every class's Cramer solve.
-    Returns [β_i] as 1e-6-grid ints."""
+    Returns [β_i] as 1e-6-grid ints.
+
+    Round-14 (guide §7.3 — the driver, not the cluster, was the
+    bottleneck): each round's ~90 staged columns + 70 aggregates were
+    built with ~1000 py4j Column calls (~2.1 s measured per round,
+    dominating the 0.23 s of actual execution over the cached frame).
+    The round is now rendered as SQL TEXT (one ``selectExpr``/
+    ``F.expr`` round trip per expression string) producing the
+    IDENTICAL analyzed plan — β still enters as folded decimal
+    literals, which land in the codegen references array, so rounds
+    2..K also reuse the round-1 compiled stage.  The Column-API
+    builder is kept as :func:`_irls_fit_joint_colapi` (the A/B
+    control pinned by tests/test_round14_opt.py)."""
+    C = len(classes)
+    betas = [[0, 0, 0, 0] for _ in range(C)]
+    d38 = lambda s: f"CAST({s} AS DECIMAL(38,0))"  # noqa: E731
+    for _ in range(int(n_rounds)):
+        eq_exprs = []
+        for i in range(C):
+            cols = _class_cols(i)
+            etan = " + ".join(
+                f"{d38(int(betas[i][j]))} * {d38(cols[j])}"
+                for j in range(4)
+            )
+            eq_exprs.append(
+                f"GREATEST({-_ECAP}, LEAST({_ECAP}, CAST(FLOOR("
+                f"CAST(CAST(({etan}) AS STRING) AS DOUBLE) / 1.0E12"
+                f" * {float(_FX)!r}D + 0.5D) AS BIGINT))) AS _eq{i}"
+            )
+        staged = feats.selectExpr("*", *eq_exprs)
+        staged = staged.selectExpr(
+            "*",
+            *[
+                f"GREATEST(1, LEAST({_FP - 1}, CAST(FLOOR("
+                f"(1.0D / (1.0D + EXP(-(CAST(_eq{i} AS DOUBLE) /"
+                f" {float(_FP)!r}D)))) * {float(_FP)!r}D + 0.5D)"
+                f" AS BIGINT))) AS _pq{i}"
+                for i in range(C)
+            ],
+        )
+        wnz = []
+        for i, k in enumerate(classes):
+            lbl = str(k).replace("'", "''")
+            y = f"CAST((_lbl = '{lbl}') AS INT)"
+            w = f"(_pq{i} * ({_FP} - _pq{i}))"
+            wnz.append(f"{w} AS _w{i}")
+            wnz.append(
+                f"(({d38(w)} * {d38(f'_eq{i}')} + "
+                f"{d38(f'(({y} * {_FP} - _pq{i}) * {_FP})')} * {_FP})"
+                f" * {_FB}) AS _nz{i}"
+            )
+        staged = staged.selectExpr("*", *wnz)
+        aggs = []
+        for i in range(C):
+            cols = _class_cols(i)
+            for j in range(4):
+                for k2 in range(j, 4):
+                    aggs.append(
+                        F.expr(
+                            f"SUM({d38(cols[j])} * {d38(cols[k2])}"
+                            f" * {d38(f'_w{i}')})"
+                        ).alias(f"c{i}a{j}{k2}")
+                    )
+            for j in range(4):
+                aggs.append(
+                    F.expr(f"SUM({d38(cols[j])} * _nz{i})").alias(
+                        f"c{i}b{j}"
+                    )
+                )
+        mom = staged.groupBy().agg(*aggs)
+        row = mom.selectExpr(
+            *[
+                f"CAST(CAST({c} AS STRING) AS DOUBLE) AS {c}"
+                for c in mom.columns
+            ]
+        ).collect()[0].asDict()
+        names = [
+            f"a{j}{k2}" for j in range(4) for k2 in range(j, 4)
+        ] + [f"b{j}" for j in range(4)]
+        for i in range(C):
+            m = {n: row[f"c{i}{n}"] for n in names}
+            if any(v is None for v in m.values()):
+                continue  # degenerate moments: keep this class's β
+            d, outs = solve_float(m)
+            if d == 0.0:
+                continue  # singular: keep this class's previous β
+            betas[i] = [
+                int(math.floor(outs[j] / d + 0.5)) for j in range(4)
+            ]
+    return betas
+
+
+def _irls_fit_joint_colapi(
+    feats: DataFrame, classes: tuple, n_rounds: int
+) -> list[list[int]]:
+    """Column-API builder of the SAME joint IRLS round — the r13 form,
+    kept verbatim as the A/B control for :func:`_irls_fit_joint`."""
     C = len(classes)
     betas = [[0, 0, 0, 0] for _ in range(C)]
     for _ in range(int(n_rounds)):
