@@ -145,6 +145,33 @@ def test_stl_robust_split_vs_duckdb_extreme_magnitudes(spark):
         ), c
 
 
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_rouge_arrow_equals_relational(spark, n):
+    """The per-row clipped-overlap kernel matches the relational
+    explode/shuffle form bit-for-bit — including repeated grams
+    (clipping), empty-overlap pairs, and the short-text degenerate
+    branch (|words| < n)."""
+    from timeseriesutils_spark.operators.text import rouge_n
+
+    rows = [
+        (0, "the cat sat on the mat", "the cat sat on a mat"),
+        (1, "a a a b b", "a a b b b"),
+        (2, "one two three", "four five six"),
+        (3, "hi", "hi"),  # shorter than the gram order for n>1
+        (4, "x y x y x y", "y x y x y x"),
+    ]
+    df = spark.createDataFrame(rows, "pair long, c string, r string")
+    a = sorted(map(tuple, rouge_n(df, "pair", "c", "r", n=n).collect()))
+    b = sorted(
+        map(
+            tuple,
+            rouge_n(df, "pair", "c", "r", n=n, engine="relational")
+            .collect(),
+        )
+    )
+    assert a == b and len(a) == 5
+
+
 def test_fasttext_irls_sql_text_equals_colapi(spark):
     """The SQL-text-rendered joint IRLS round produces bit-identical
     β grids to the Column-API builder it replaced (kept as the A/B

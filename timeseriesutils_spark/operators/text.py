@@ -2877,6 +2877,7 @@ def rouge_n(
     cand_col: str,
     ref_col: str,
     n: int = 2,
+    engine: str = "arrow",
 ) -> DataFrame:
     """ROUGE-N overlap per (candidate, reference) text pair (Lin 2004):
     clipped n-gram multiset overlap — the standard summarization /
@@ -2909,27 +2910,103 @@ def rouge_n(
         F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
     ).select(F.col(pair_col).alias("pair"), grams(cand_col).alias("_cg"),
              grams(ref_col).alias("_rg"))
-    c = base.select("pair", F.explode("_cg").alias("g")).groupBy(
-        "pair", "g"
-    ).agg(F.count(F.lit(1)).alias("_cc"))
-    r = base.select("pair", F.explode("_rg").alias("g")).groupBy(
-        "pair", "g"
-    ).agg(F.count(F.lit(1)).alias("_cr"))
-    m = c.join(r, ["pair", "g"]).groupBy("pair").agg(
-        F.sum(F.least(F.col("_cc"), F.col("_cr"))).cast("bigint").alias(
-            "matches"
+    if engine == "arrow":
+        # Round-14 (guide §2.4 "remove shuffles outright", §4.2): both
+        # gram arrays already sit in ONE row, so the clipped multiset
+        # overlap is a per-row kernel — no explode, no (pair, gram)
+        # shuffle at all (the relational form shuffled every gram
+        # occurrence; it remains below as engine="relational", the A/B
+        # control and the oracle's shape).  Counts are exact integers
+        # (order-free Σ min), so the downstream P/R/F1 double trees are
+        # bit-identical.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import (
+            LongType,
+            StructField,
+            StructType,
         )
-    )
-    sizes = base.select(
+
+        oschema = StructType(
+            [
+                StructField("pair", df.schema[pair_col].dataType),
+                StructField("cand_grams", LongType()),
+                StructField("ref_grams", LongType()),
+                StructField("matches", LongType()),
+            ]
+        )
+
+        def clip(frames):
+            for pdf in frames:
+                cg_l = pdf["_cg"]
+                rg_l = pdf["_rg"]
+                nc = np.empty(len(pdf), dtype=np.int64)
+                nr = np.empty(len(pdf), dtype=np.int64)
+                mt = np.empty(len(pdf), dtype=np.int64)
+                for i, (cg, rg) in enumerate(zip(cg_l, rg_l)):
+                    ca = np.asarray(cg, dtype=object)
+                    ra = np.asarray(rg, dtype=object)
+                    nc[i] = ca.size
+                    nr[i] = ra.size
+                    cu, cc = np.unique(ca, return_counts=True)
+                    ru, rc = np.unique(ra, return_counts=True)
+                    common, ci, ri = np.intersect1d(
+                        cu, ru, assume_unique=True, return_indices=True
+                    )
+                    mt[i] = (
+                        int(np.minimum(cc[ci], rc[ri]).sum())
+                        if common.size
+                        else 0
+                    )
+                yield pd.DataFrame(
+                    {
+                        "pair": pdf["pair"].to_numpy(),
+                        "cand_grams": nc,
+                        "ref_grams": nr,
+                        "matches": mt,
+                    }
+                )
+
+        out = base.mapInPandas(clip, oschema)
+        mt = F.col("matches").cast("double")
+        prec = F.when(
+            F.col("cand_grams") > 0, mt / F.col("cand_grams").cast("double")
+        )
+        rec = F.when(
+            F.col("ref_grams") > 0, mt / F.col("ref_grams").cast("double")
+        )
+        f1 = F.when(
+            (F.col("matches") > 0),
+            F.lit(2.0) * prec * rec / (prec + rec),
+        ).otherwise(F.lit(0.0))
+        return out.select(
+            "pair", "cand_grams", "ref_grams", "matches",
+            prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+        )
+    # Round-14 (guide §2.3/§2.4): ONE side-tagged explode replaces the
+    # former two explodes + (pair, gram) equi-join + separate sizes
+    # join-back — the tokenization ran three times and the plan carried
+    # three exchanges plus a join.  Per (pair, gram) the conditional
+    # counts give the same clipped overlap, and the per-pair sums
+    # recover the gram totals exactly (Σ_g cc = |cand grams|), so the
+    # output integers are identical and the double P/R/F1 trees below
+    # are untouched.
+    tagged = base.select(
         "pair",
-        F.size("_cg").cast("bigint").alias("cand_grams"),
-        F.size("_rg").cast("bigint").alias("ref_grams"),
+        F.size("_cg").alias("_nc"),
+        F.posexplode(F.concat(F.col("_cg"), F.col("_rg"))),
     )
-    out = sizes.join(m, "pair", "left").select(
-        "pair", "cand_grams", "ref_grams",
-        F.coalesce(F.col("matches"), F.lit(0).cast("bigint")).alias(
-            "matches"
-        ),
+    is_c = (F.col("pos") < F.col("_nc")).cast("bigint")
+    counts = tagged.groupBy("pair", "col").agg(
+        F.sum(is_c).alias("_cc"),
+        F.sum(F.lit(1) - is_c).alias("_cr"),
+    )
+    out = counts.groupBy("pair").agg(
+        F.sum("_cc").cast("bigint").alias("cand_grams"),
+        F.sum("_cr").cast("bigint").alias("ref_grams"),
+        F.sum(F.least(F.col("_cc"), F.col("_cr")))
+        .cast("bigint")
+        .alias("matches"),
     )
     mt = F.col("matches").cast("double")
     prec = F.when(F.col("cand_grams") > 0, mt / F.col("cand_grams").cast("double"))
