@@ -282,3 +282,90 @@ def test_seasonal_esd_arrow_tie_on_maxdev_takes_min_t(spark):
         ).collect()
     }
     assert got == want and 63 in got
+
+
+def test_band_audit_onepass_equals_relational(spark):
+    """The single-explode multi-config band audit is row-identical to
+    the per-config pipelines (engine="relational"), including a config
+    with ZERO candidates (the groupBy-drops-empty-groups edge the
+    onepass form must re-materialize)."""
+    from timeseriesutils_spark.operators.dedup import dedup_band_audit
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm windowsill every day"
+    )
+    rows = []
+    # near-dup cluster: high-Jaccard pairs every config should see
+    for i in range(4):
+        rows.append((i, base + f" tail{i % 2}"))
+    # distinct documents: no pairs
+    for i in range(4, 10):
+        rows.append((i, f"document {i} has completely different words "
+                        f"plus unique token set alpha{i} beta{i} gamma{i} "
+                        f"delta{i} epsilon{i} zeta{i} eta{i} theta{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(n=3, num_hashes=32, band_configs=(2, 4, 8, 16), threshold=0.8)
+    got = sorted(map(tuple, dedup_band_audit(docs, **kw).collect()))
+    want = sorted(
+        map(tuple, dedup_band_audit(docs, engine="relational", **kw).collect())
+    )
+    assert got == want
+    assert len(got) == 4  # one row per config, zero-candidate configs included
+
+
+def test_band_audit_onepass_zero_candidate_config_row(spark):
+    """A corpus with NO near-dups at all must still yield all 4 config
+    rows with n_candidates = 0 (the relational global-agg contract)."""
+    from timeseriesutils_spark.operators.dedup import dedup_band_audit
+
+    rows = [
+        (i, f"totally unique sentence number {i} with tokens "
+            f"a{i} b{i} c{i} d{i} e{i} f{i} g{i} h{i} i{i} j{i}")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=3, num_hashes=32, band_configs=(2, 4, 8, 16), threshold=0.8)
+    got = sorted(map(tuple, dedup_band_audit(docs, **kw).collect()))
+    want = sorted(
+        map(tuple, dedup_band_audit(docs, engine="relational", **kw).collect())
+    )
+    assert got == want
+    assert len(got) == 4
+    # ≥3 configs exercise the zero-candidate (empty-group) path; the
+    # most permissive config may pick up a random 2-minima collision
+    assert sum(1 for r in got if r[2] == 0) >= 3  # n_candidates
+
+
+def test_dup_span_audit_pruned_equals_full(spark):
+    """The pruned audit (top-pair docs re-windowed instead of the full
+    corpus) is row-identical to the full-corpus form (engine="full"),
+    including pairs whose long span is invisible to the 8-word windows
+    and posting-capped hot windows."""
+    from timeseriesutils_spark.operators.dupspan import dup_span_exact_audit
+
+    shared6 = "alpha beta gamma delta epsilon zeta"  # 6-word shared span
+    shared12 = ("one two three four five six seven eight nine ten "
+                "eleven twelve")  # 12-word shared span (8-gram visible)
+    hot = "common boilerplate header line"  # appears in MANY docs
+    rows = [
+        (1, f"{shared6} filler1a filler1b filler1c filler1d"),
+        (2, f"prefix2a prefix2b {shared6} suffix2a suffix2b"),
+        (3, f"{shared12} tail3a tail3b"),
+        (4, f"head4a {shared12} tail4b"),
+    ]
+    for i in range(5, 25):
+        rows.append((i, f"{hot} unique{i}a unique{i}b unique{i}c "
+                        f"unique{i}d unique{i}e unique{i}f"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(exact_words=4, ngram_words=8, max_posting=8, top_pairs=16)
+    got = sorted(map(tuple, dup_span_exact_audit(docs, **kw).collect()))
+    want = sorted(
+        map(tuple, dup_span_exact_audit(docs, engine="full", **kw).collect())
+    )
+    assert got == want and len(got) >= 2
+    by_pair = {(r[0], r[1]): r for r in got}
+    assert (1, 2) in by_pair and by_pair[(1, 2)][3] == 6  # exact_len 6
+    assert by_pair[(1, 2)][6] == 0  # detected_len 0: invisible to 8-grams
+    assert (3, 4) in by_pair and by_pair[(3, 4)][6] >= 8  # detected

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from timeseriesutils_spark.functions.cache import pin
 from timeseriesutils_spark.operators.dedup import (
     dedup_near_keep_min,
+    hashed_shingle_docs,
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
     ngram_jaccard_against,
@@ -103,7 +104,16 @@ def assemble_training_corpus(
     did = F.col(id_col)
 
     # ── tier 1: quality funnel (per-row signals, no shuffle) ──────────
-    d1 = _funnel_survivors(docs, id_col, text_col, min_quality, max_dup_gram_frac)
+    # pinned (round-14, measured): d1 feeds firsts AND the d2 join; the
+    # pin computes the signal funnel once instead of per consumer
+    # (interleaved A/B at sf0.1: first-pass 15.5/13.1 → 11.9/10.9 s,
+    # bench best-of-2 5.70 → 5.33 s).  NOT applied to the incremental
+    # pipeline, where the same pin measured slower (its tier count
+    # already pins 7 forks and the extra cached corpus slices evict
+    # each other: bench 8.39 → 10.71 s).
+    d1 = pin(
+        _funnel_survivors(docs, id_col, text_col, min_quality, max_dup_gram_frac)
+    )
 
     # ── tier 2: exact dedup, keep-first by full text ──────────────────
     firsts = d1.groupBy(text_col).agg(F.min(did).alias(id_col)).select(id_col)
@@ -149,7 +159,19 @@ def assemble_training_corpus(
 
 def _funnel_survivors(docs, id_col, text_col, min_quality, max_dup_gram_frac):
     """Tier 1 shared by the full and incremental pipelines: per-row
-    quality + repetition signals, no shuffle beyond the signal joins."""
+    quality + repetition signals, no shuffle beyond the signal joins.
+
+    Round-14 note (measured rejection, OPTIMIZATION_r14.md): both
+    signals are pure per-row projections, so this join chain CAN be
+    fused into a zero-shuffle staged-projection filter — but the fusion
+    measured neutral standalone (3.56 vs 3.54 s at sf0.1: filter
+    pushdown inlines the tokenize split ~10× in BOTH forms, so the
+    split cost, not the joins, dominates) and WORSE composed (the
+    keep_ids exchange is the reuse point Catalyst dedups the signal
+    subtree through when d1 has two consumers; fusing removed it and
+    re-ran the signal scan per consumer: pipeline_e2e bench 4.72 →
+    6.54 s).  The join form stays.
+    """
     q = quality_score(docs, id_col, text_col)
     r = repetition_stats(docs, id_col, text_col).select(
         id_col, "dup_gram_frac"
@@ -390,12 +412,21 @@ def incremental_training_corpus(
         old_d2, id_col, text_col, n=3, num_hashes=32, bands=8,
         threshold=neardup_threshold, hash_mode="md5",
     )
-    old_d3 = dedup_near_keep_min(old_pairs, old_d2, id_col)
+    # pinned (round-14, mirroring the full pipeline's d3 pin): each d3
+    # feeds its decontamination shingle build AND the d4 anti-join —
+    # unpinned, both consumers replayed the whole keep-min chain
+    old_d3 = pin(dedup_near_keep_min(old_pairs, old_d2, id_col))
     old_train = old_d3.filter(did % 2 == 0)
+    # the eval slice is the reference side of BOTH decontamination
+    # passes — shingle it ONCE (round-14; shingling is the dominant
+    # per-row cost and the slice is half the corpus, not "tiny")
+    eval_sh = pin(hashed_shingle_docs(eval_all, id_col, text_col, 3))
     old_flagged = (
         ngram_jaccard_against(
-            old_train, eval_all, id_col, text_col, n=3,
+            hashed_shingle_docs(old_train, id_col, text_col, 3),
+            eval_sh, id_col, text_col, n=3,
             threshold=decontam_threshold, max_posting=max_posting,
+            pre_shingled=True,
         )
         .select(F.col("id_a").alias(id_col))
         .distinct()
@@ -420,12 +451,14 @@ def incremental_training_corpus(
         threshold=neardup_threshold, hash_mode="md5",
         new_flags=new_d2.select(id_col),
     )
-    new_d3 = dedup_near_keep_min(inc_pairs, new_d2, id_col)
+    new_d3 = pin(dedup_near_keep_min(inc_pairs, new_d2, id_col))
     new_train = new_d3.filter(did % 2 == 0)
     new_flagged = (
         ngram_jaccard_against(
-            new_train, eval_all, id_col, text_col, n=3,
+            hashed_shingle_docs(new_train, id_col, text_col, 3),
+            eval_sh, id_col, text_col, n=3,
             threshold=decontam_threshold, max_posting=max_posting,
+            pre_shingled=True,
         )
         .select(F.col("id_a").alias(id_col))
         .distinct()

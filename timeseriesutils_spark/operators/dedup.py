@@ -1337,6 +1337,7 @@ def dedup_band_audit(
     band_configs: tuple[int, ...] = (2, 4, 8, 16),
     threshold: float = 0.8,
     seed: int = 42,
+    engine: str = "onepass",
 ) -> DataFrame:
     """LSH banding tuner: re-band the SAME ``num_hashes`` portable
     minhash minima under several (bands, rows) splits and report, per
@@ -1354,6 +1355,15 @@ def dedup_band_audit(
     Signature minima are computed ONCE and re-banded per config
     (banding is pure hashing over the k minima — the whole audit adds
     |configs| cheap band shuffles over 24-byte rows, never re-shingles).
+
+    ``engine="onepass"`` (default, round-14): every config's band
+    structs ride ONE explode → ONE (cfg, band, bucket) grouping → ONE
+    pair dedup, and the per-config stats are a single groupBy("cfg") —
+    the truth tier reads the cfg = max(bands) slice of the same pinned
+    candidate frame instead of re-deriving it (guide §2.4: the five
+    separately-planned candidate pipelines shared every input and
+    differed only in a literal).  ``engine="relational"`` keeps the
+    per-config pipelines (A/B control; bit-identical results).
 
     Returns (bands, rows_per_band, n_candidates, n_truth, n_caught,
     recall, p_catch_theory) — one row per config.
@@ -1374,16 +1384,15 @@ def dedup_band_audit(
         )
     )
 
+    def band_bucket(b: int, rpb: int):
+        cols = [
+            F.col(f"_m{i}").cast("string")
+            for i in range(b * rpb, (b + 1) * rpb)
+        ]
+        return portable_hash64(F.concat_ws(":", *cols))
+
     def cand_for(bands: int) -> DataFrame:
         rpb = rows_of[bands]
-
-        def band_bucket(b: int):
-            cols = [
-                F.col(f"_m{i}").cast("string")
-                for i in range(b * rpb, (b + 1) * rpb)
-            ]
-            return portable_hash64(F.concat_ws(":", *cols))
-
         banded = sig.select(
             "id",
             F.explode(
@@ -1391,7 +1400,7 @@ def dedup_band_audit(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            band_bucket(b).alias("bucket"),
+                            band_bucket(b, rpb).alias("bucket"),
                         )
                         for b in range(bands)
                     ]
@@ -1421,6 +1430,135 @@ def dedup_band_audit(
             )
             .select("p.*")
             .dropDuplicates(["id_a", "id_b"])
+        )
+
+    if engine == "onepass":
+        # every config's band structs in ONE explode: (cfg, band, bucket)
+        all_structs = [
+            F.struct(
+                F.lit(bands).alias("cfg"),
+                F.lit(b).alias("band"),
+                band_bucket(b, rows_of[bands]).alias("bucket"),
+            )
+            for bands in band_configs
+            for b in range(bands)
+        ]
+        banded = sig.select(
+            "id", F.explode(F.array(*all_structs)).alias("bb")
+        ).select("id", "bb.cfg", "bb.band", "bb.bucket")
+        bucketed = (
+            banded.groupBy("cfg", "band", "bucket")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        cand = pin(
+            bucketed.select(
+                "cfg",
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda x: F.transform(
+                                F.filter(F.col("ids"), lambda y: y > x),
+                                lambda y: F.struct(
+                                    x.alias("id_a"), y.alias("id_b")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p"),
+            )
+            .select("cfg", "p.*")
+            .dropDuplicates(["cfg", "id_a", "id_b"])
+        )
+        verify = (
+            cand.filter(F.col("cfg") == max_b)
+            .select("id_a", "id_b")
+            .join(
+                sh.select(
+                    F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sh.select(
+                    F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+                ),
+                "id_b",
+            )
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        truth = pin(
+            verify.select("id_a", "id_b", (inter / union).alias("_j"))
+            .filter(F.col("_j") >= threshold)
+            .select("id_a", "id_b")
+        )
+        tcnt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        grouped = (
+            cand.join(
+                truth.withColumn("_t", F.lit(1)), on=["id_a", "id_b"],
+                how="left",
+            )
+            .groupBy("cfg")
+            .agg(
+                F.count(F.lit(1)).alias("_nc"),
+                F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias(
+                    "_ng"
+                ),
+            )
+        )
+        # a config with ZERO candidates must still emit its row (the
+        # relational form's global agg does; groupBy drops empty groups)
+        cfg_frame = docs.sparkSession.createDataFrame(
+            [(int(b),) for b in band_configs], "cfg int"
+        )
+        stats = cfg_frame.join(F.broadcast(grouped), "cfg", "left").select(
+            "cfg",
+            F.coalesce(F.col("_nc"), F.lit(0).cast("bigint")).alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("_ng"), F.lit(0).cast("bigint")).alias(
+                "n_caught"
+            ),
+        )
+        p_theory_expr = None
+        rpb_expr = None
+        for bands in band_configs:
+            rpb = rows_of[bands]
+            p_theory = 1.0 - (1.0 - threshold**rpb) ** bands
+            lit_p = F.expr(f"CAST('{float(p_theory)!r}' AS DOUBLE)")
+            cond = F.col("cfg") == bands
+            p_theory_expr = (
+                F.when(cond, lit_p)
+                if p_theory_expr is None
+                else p_theory_expr.when(cond, lit_p)
+            )
+            rpb_expr = (
+                F.when(cond, F.lit(rpb))
+                if rpb_expr is None
+                else rpb_expr.when(cond, F.lit(rpb))
+            )
+        allc = stats.select(
+            F.col("cfg").alias("bands"),
+            rpb_expr.alias("rows_per_band"),
+            "n_candidates",
+            "n_caught",
+            p_theory_expr.alias("p_catch_theory"),
+        )
+        out = allc.crossJoin(F.broadcast(tcnt))
+        return out.select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_truth",
+            "n_caught",
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_caught").cast("double")
+                / F.col("n_truth").cast("double"),
+            ).alias("recall"),
+            "p_catch_theory",
         )
 
     verify = (

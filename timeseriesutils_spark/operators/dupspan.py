@@ -183,6 +183,7 @@ def dup_span_exact_audit(
     ngram_words: int = 8,
     max_posting: int = 16,
     top_pairs: int = 64,
+    engine: str = "pruned",
 ) -> DataFrame:
     """EXACT longest-duplicated-span recall audit for :func:`dup_spans`
     (Lee et al. 2021 "Deduplicating Training Data Makes Language Models
@@ -213,12 +214,17 @@ def dup_span_exact_audit(
     exact_len, exact_a_start, exact_b_start, detected_len, missed =
     exact_len − detected_len, recovered).
     """
+    from timeseriesutils_spark.functions.cache import pin
+
     L = int(exact_words)
     n = int(ngram_words)
     if L > n:
         raise ValueError("exact_words must be <= ngram_words")
-    winL = _wins(docs, id_col, text_col, L)
-    eligible = (
+    # pinned: winL (one md5 per L-gram occurrence — the dominant
+    # per-row cost) feeds BOTH the posting-count aggregate and the
+    # eligible join; unpinned it runs twice
+    winL = pin(_wins(docs, id_col, text_col, L))
+    eligible = pin(
         winL.groupBy("h")
         .agg(F.countDistinct(id_col).alias("_nd"))
         .where((F.col("_nd") >= 2) & (F.col("_nd") <= int(max_posting)))
@@ -236,7 +242,10 @@ def dup_span_exact_audit(
         F.col("pos").alias("_pb"),
     )
     pair_hits = a.join(b, "h").where(F.col("_a") < F.col("_b"))
-    pairs = (
+    # pinned: the top-pairs frame is read three times (both hit tiers +
+    # the output join) and each read would otherwise replay the full
+    # corpus L-gram self-join (guide §2.4)
+    pairs = pin(
         pair_hits.select("_a", "_b", "h")
         .distinct()
         .groupBy("_a", "_b")
@@ -244,6 +253,19 @@ def dup_span_exact_audit(
         .orderBy(F.col("shared_lgrams").desc(), "_a", "_b")
         .limit(int(top_pairs))
     )
+    # round-14 (guide §2.3 "shuffle fewer bytes", §2.4): every stage
+    # past the pair pick concerns at most 2·top_pairs documents — both
+    # hit tiers now re-window ONLY those documents instead of the full
+    # corpus (the N-gram tier previously self-joined every 8-word
+    # window in the corpus before filtering to the ≤64 audited pairs).
+    # Identical rows by construction: hits are filtered to audited
+    # (_a,_b) pairs either way, and both pair members are audited docs.
+    pair_ids = (
+        pairs.select(F.col("_a").alias(id_col))
+        .unionByName(pairs.select(F.col("_b").alias(id_col)))
+        .distinct()
+    )
+    docs_top = docs.join(F.broadcast(pair_ids), id_col)
 
     def _longest_runs(hits, width):
         """Longest diagonal island per pair over a (pair, pa, pb) match
@@ -283,11 +305,31 @@ def dup_span_exact_audit(
         )
 
     pb = F.broadcast(pairs)
-    hitsL = pair_hits.join(pb.select("_a", "_b"), ["_a", "_b"]).select(
-        "_a", "_b", "_pa", "_pb"
-    )
+    if engine == "pruned":
+        # L-gram hits for the audited pairs, rebuilt from the
+        # ≤2·top_pairs documents; the corpus-global posting-eligibility
+        # filter is kept (it decides WHICH windows may match, and is
+        # already pinned)
+        winL_top = _wins(docs_top, id_col, text_col, L).join(eligible, "h")
+        aL = winL_top.select(
+            "h", F.col(id_col).alias("_a"), F.col("pos").alias("_pa")
+        )
+        bL = winL_top.select(
+            "h", F.col(id_col).alias("_b"), F.col("pos").alias("_pb")
+        )
+        hitsL = (
+            aL.join(bL, "h")
+            .where(F.col("_a") < F.col("_b"))
+            .join(pb.select("_a", "_b"), ["_a", "_b"])
+            .select("_a", "_b", "_pa", "_pb")
+        )
+        winN = _wins(docs_top, id_col, text_col, n)
+    else:  # engine == "full": the pre-round-14 shape (A/B control)
+        hitsL = pair_hits.join(pb.select("_a", "_b"), ["_a", "_b"]).select(
+            "_a", "_b", "_pa", "_pb"
+        )
+        winN = _wins(docs, id_col, text_col, n)
     exact = _longest_runs(hitsL, L)
-    winN = _wins(docs, id_col, text_col, n)
     an = winN.select(
         "h", F.col(id_col).alias("_a"), F.col("pos").alias("_pa")
     )
