@@ -8,6 +8,8 @@ restructured query computes exactly what it computed before.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 
@@ -369,3 +371,91 @@ def test_dup_span_audit_pruned_equals_full(spark):
     assert (1, 2) in by_pair and by_pair[(1, 2)][3] == 6  # exact_len 6
     assert by_pair[(1, 2)][6] == 0  # detected_len 0: invisible to 8-grams
     assert (3, 4) in by_pair and by_pair[(3, 4)][6] >= 8  # detected
+
+
+def test_matrix_profile_arrow_equals_relational(spark):
+    """The grouped-Arrow banded-STOMP kernel is bit-identical to the
+    relational 16-lag DECIMAL window chain (kept as
+    engine="relational") — incl. interior NULLs, a sub-w group, a
+    constant (zero-variance) group, and magnitudes past the int64
+    cumsum envelope (Python-int fallback) while still inside the
+    relational product envelope."""
+    from timeseriesutils_spark.operators.matrixprofile import matrix_profile
+
+    rng = np.random.default_rng(21)
+    rows = []
+    x = np.cumsum(rng.normal(0, 2, 150)) + 80.0
+    x[20:28] = x[90:98] = np.array([1, 9, 2, 8, 3, 7, 4, 6], float)
+    for t, v in enumerate(x):
+        rows.append(("g0", t, None if t in (55, 56) else float(v)))
+    for t in range(5):  # shorter than w: no output rows
+        rows.append(("g1", t, float(t * 2.5)))
+    for t in range(40):  # constant: zero variance drops out
+        rows.append(("g2", t, 5.0))
+    for t in range(60):  # _xq ~ 2.5e9: n·A² ≥ 2^62 → object dtype
+        rows.append(
+            ("g3", t, 2.5e7 + 9.1e5 * math.sin(t / 5.0) + t * 31.0)
+        )
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    kw = dict(w=8, band=20, excl=4, scale=2)
+    got = sorted(
+        map(tuple, matrix_profile(df, "v", ["g"], ["t"], **kw).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            matrix_profile(
+                df, "v", ["g"], ["t"], engine="relational", **kw
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    assert not any(r[0] in ("g1", "g2") for r in got)
+    # chunked arrow ≡ plain relational (cross-engine, cross-shape)
+    ch = sorted(
+        map(
+            tuple,
+            matrix_profile(
+                df, "v", ["g"], ["t"], chunk_rows=40, **kw
+            ).collect(),
+        )
+    )
+    assert ch == want
+
+
+def test_stl_chunked_arrow_equals_relational(spark):
+    """The chunked STL scale path now runs the grouped-Arrow kernel per
+    (group, chunk); it must equal the relational chunked chain (the
+    kept engine="relational" control) bit-for-bit — the extended chunk
+    frame is a standalone series to both."""
+    from timeseriesutils_spark.operators.stl import stl_decompose
+
+    rows = [
+        ("s", i, 10.0 + 3.0 * math.sin(i / 3.0) + (0.37 * i % 2.1))
+        for i in range(300)
+    ] + [("t", i, 5.0 + (i * i * 0.37 % 7.0)) for i in range(97)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    kw = dict(period=7, seasonal_h=3, trend_h=10, scale=2, chunk_rows=64)
+    got = sorted(
+        map(tuple, stl_decompose(df, "v", "t", ["g"], **kw).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            stl_decompose(
+                df, "v", "t", ["g"], engine="relational", **kw
+            ).collect(),
+        )
+    )
+
+    def eq(x, y):
+        if x is None or y is None:
+            return x is y
+        if isinstance(x, float):
+            return (math.isnan(x) and math.isnan(y)) or x == y
+        return x == y
+
+    assert len(got) == len(want) == 397
+    assert all(
+        all(eq(p, q) for p, q in zip(ra, rb)) for ra, rb in zip(got, want)
+    )

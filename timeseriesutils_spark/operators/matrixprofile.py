@@ -55,6 +55,128 @@ from pyspark.sql import functions as F
 _Q9 = 1.0e9
 
 
+def _mp_group_np(x, valid, gi, m, lags):
+    """Banded profile for ONE series frame — the relational 16-lag
+    window chain as exact integer numpy (round-14, guide §4.2).
+
+    Bit-identity argument: every S/SS/QT/da/db/num term is the same
+    exact integer the DECIMAL(38,0) chain produces (int64 numpy under
+    an asserted envelope — numpy cannot silently wrap where ANSI would
+    raise — with a Python-int object-dtype fallback beyond it); the
+    int→double conversions are correctly rounded exactly like the
+    relational ``decimal→string→double`` cast; the double tree
+    (num/(√da·√db), 2w(1−corr), √max(·,0), floor(·1e9+0.5)) is the
+    identical IEEE expression shape; gating (complete product window,
+    positive variances) and the min/argmin tiebreaks replicate the
+    LEAST semantics including NULL-skip.
+
+    Returns (keep_mask, mp, nn) positional arrays.
+    """
+    import numpy as np
+
+    n = int(x.size)
+    NMAX = np.iinfo(np.int64).max
+    mp = np.full(n, NMAX, dtype=np.int64)
+    nn = np.full(n, NMAX, dtype=np.int64)
+    if n < m:
+        return np.zeros(n, dtype=bool), mp, nn
+    A = int(np.abs(x).max()) if n else 0
+    # envelope: cumsums bounded by n·A², cross terms by 2·m²·A²
+    if A and (n * A * A >= 2**62 or (m * A) * (m * A) >= 2**62):
+        x = x.astype(object)  # Python ints: exact at any magnitude
+    xv = np.where(valid, x, 0)
+    z = np.zeros(1, dtype=xv.dtype)
+    cs = np.concatenate([z, np.cumsum(xv)])
+    cs2 = np.concatenate([z, np.cumsum(xv * xv)])
+    cv = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+    S = cs[m:] - cs[:-m]          # complete-window stats at i ≤ n−m
+    SS = cs2[m:] - cs2[:-m]
+    CNT = cv[m:] - cv[:-m]
+    da = m * SS - S * S
+    cols = []
+    for d in lags:
+        L = n - d
+        iN = L - m + 1
+        col = np.full(n, -1, dtype=np.int64)  # −1 ≡ NULL (dist_q ≥ 0)
+        if iN > 0:
+            pv = valid[:L] & valid[d:]
+            prod = np.where(pv, xv[:L] * xv[d:], 0)
+            cp = np.concatenate([z, np.cumsum(prod)])
+            cpv = np.concatenate([[0], np.cumsum(pv.astype(np.int64))])
+            QT = cp[m:] - cp[:-m]
+            CQ = cpv[m:] - cpv[:-m]
+            Si, Sj = S[:iN], S[d:d + iN]
+            dai, dbi = da[:iN], da[d:d + iN]
+            ok = (CQ == m) & (CNT[:iN] == m) & (dai > 0) & (dbi > 0)
+            num = m * QT - Si * Sj
+            numf = num.astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                corr = numf / (
+                    np.sqrt(dai.astype(np.float64))
+                    * np.sqrt(dbi.astype(np.float64))
+                )
+                d2 = (2.0 * m) * (1.0 - corr)
+                dist = np.sqrt(np.maximum(d2, 0.0))
+                q = np.floor(dist * 1.0e9 + 0.5).astype(np.int64)
+            col[:iN] = np.where(ok, q, -1)
+        cols.append(col)
+    for col, d in zip(cols, lags):
+        fwd = col >= 0
+        mp = np.minimum(mp, np.where(fwd, col, NMAX))
+        bcol = np.concatenate(
+            [np.full(min(d, n), -1, dtype=np.int64), col[: max(0, n - d)]]
+        )
+        mp = np.minimum(mp, np.where(bcol >= 0, bcol, NMAX))
+    keep = mp < NMAX
+    for col, d in zip(cols, lags):
+        hit = (col == mp) & (col >= 0)
+        nn = np.minimum(nn, np.where(hit, gi + d, NMAX))
+        bcol = np.concatenate(
+            [np.full(min(d, n), -1, dtype=np.int64), col[: max(0, n - d)]]
+        )
+        bhit = (bcol == mp) & (bcol >= 0)
+        nn = np.minimum(nn, np.where(bhit, gi - d, NMAX))
+    return keep, mp, nn
+
+
+def _mp_arrow(base, pk, m, lags):
+    """:func:`matrix_profile`'s lag chain as ONE grouped Arrow pass;
+    emits (pk…, _i, _mp, _nn) for rows with a defined profile."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField(c, base.schema[c].dataType) for c in pk]
+        + [
+            StructField("_i", LongType()),
+            StructField("_mp", LongType()),
+            StructField("_nn", LongType()),
+        ]
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_i")
+        s = pdf["_xq"]
+        if s.isna().any():
+            valid = s.notna().to_numpy()
+            xf = s.fillna(0).to_numpy(np.float64)
+            assert np.abs(xf).max() < 2**53, "null-path float envelope"
+            x = xf.astype(np.int64)
+        else:
+            x = s.to_numpy(np.int64)
+            valid = np.ones(x.size, dtype=bool)
+        gi = pdf["_i"].to_numpy(np.int64)
+        keep, mp, nn = _mp_group_np(x, valid, gi, m, lags)
+        out = {c: pdf[c].to_numpy()[keep] for c in pk}
+        out["_i"] = gi[keep]
+        out["_mp"] = mp[keep]
+        out["_nn"] = nn[keep]
+        return pd.DataFrame(out)
+
+    return base.groupBy(*pk).applyInPandas(kern, schema)
+
+
 def matrix_profile(
     df: DataFrame,
     value_col: str,
@@ -65,8 +187,17 @@ def matrix_profile(
     excl: int | None = None,
     scale: int = 2,
     chunk_rows: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Banded z-normalized matrix profile per series (module doc).
+
+    ``engine="arrow"`` (default, round-14): the 16-lag DECIMAL window
+    chain runs as ONE grouped Arrow kernel per series/chunk
+    (:func:`_mp_group_np` — exact int64/Python-int arithmetic, the
+    identical double tree and tiebreaks; bit-identity pinned in
+    tests/test_round14_opt.py and by the unchanged oracle).
+    ``engine="relational"`` keeps the window-expression chain (A/B
+    control).  The chunking machinery is engine-independent.
 
     ``chunk_rows``: monster-series mitigation (the operators/chunked.py
     precedent, adapted to a BANDED two-sided reach).  A window over
@@ -135,6 +266,20 @@ def matrix_profile(
         # window distribution, so no second exchange is added.
         par = base.sparkSession.sparkContext.defaultParallelism
         base = base.repartition(par, *pk)
+    if engine == "arrow":
+        out = _mp_arrow(base.select(*pk, "_i", "_xq"), pk, m, lags)
+        if chunk_rows is not None:
+            out = out.filter(
+                F.floor((F.col("_i") - F.lit(1)) / F.lit(int(chunk_rows)))
+                .cast("bigint")
+                == F.col("_ck")
+            )
+        return out.select(
+            *g,
+            F.col("_i").alias("idx"),
+            F.col("_nn").alias("nn_idx"),
+            (F.col("_mp").cast("double") / F.lit(_Q9)).alias("mp_dist"),
+        )
     wi = Window.partitionBy(*pk).orderBy("_i")
     ws = wi.rowsBetween(0, m - 1)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731

@@ -238,6 +238,32 @@ def _stl_arrow(base, g, time_col, P, hs, ht, mult, keep):
     return base.groupBy(*g).applyInPandas(decomp, schema)
 
 
+def _chunk_explode(base, g, C: int, R: int):
+    """Monster-series chunk replication (the matrix_profile chunked
+    precedent): each row lands in its own chunk plus, when inside the
+    two-sided reach ``R``, the adjacent chunk that needs it as context.
+    Adds ``_p`` (0-based row position per group) and ``_ck`` (chunk id)
+    and pins the partition count — AQE's size-based coalescing would
+    fold the narrow-input exchange and re-serialize the heavy stage
+    (measured in r13; see matrixprofile.py)."""
+    word0 = Window.partitionBy(*g).orderBy("_t")
+    p = F.row_number().over(word0).cast("bigint") - F.lit(1)
+    base = base.select("*", p.alias("_p"))
+    k0 = F.floor(F.col("_p") / F.lit(C)).cast("bigint")
+    off0 = F.col("_p") - k0 * F.lit(C)
+    cand = F.array(
+        k0,
+        F.when((off0 <= F.lit(R - 1)) & (k0 > 0), k0 - 1),
+        F.when(off0 >= F.lit(C - R), k0 + 1),
+    )
+    base = base.select(
+        "*",
+        F.explode(F.filter(cand, lambda c: c.isNotNull())).alias("_ck"),
+    )
+    par = base.sparkSession.sparkContext.defaultParallelism
+    return base.repartition(par, *g, "_ck")
+
+
 def stl_decompose(
     df: DataFrame,
     value_col: str,
@@ -284,20 +310,41 @@ def stl_decompose(
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s2d = lambda c: c.cast("string").cast("double")  # noqa: E731
 
-    if engine == "arrow" and chunk_rows is None:
+    R = hs * P + P + ht  # two-sided compound window reach
+    if chunk_rows is not None and int(chunk_rows) < R + 1:
+        raise ValueError(
+            f"chunk_rows must be >= seasonal_h*period + period"
+            f" + trend_h + 1 = {R + 1}"
+        )
+    if engine == "arrow":
         # round-14 optimization (guide §1.2/§4.2): the whole window
         # chain as one grouped Arrow pass — bit-identical to the
         # relational chain (see _stl_once_np's exactness argument;
-        # engine="relational" is the kept A/B control and the
-        # chunk_rows scale path).  Only the columns the kernel needs
-        # cross the Python boundary (guide §4.1).
+        # engine="relational" is the kept A/B control).  Only the
+        # columns the kernel needs cross the Python boundary (§4.1).
+        # The chunk_rows scale path reuses the kernel per (group,
+        # chunk): the extended frame IS a standalone series to every
+        # stage (row-shift convolutions), exactly as the relational
+        # chunked chain treats it.
         ab = df.select(
             *g,
             t.alias("_t"),
             F.col(value_col).cast("double").alias("_v"),
             *[F.col(c) for c in keep],
         )
-        return _stl_arrow(ab, g, time_col, P, hs, ht, mult, keep)
+        if chunk_rows is None:
+            return _stl_arrow(ab, g, time_col, P, hs, ht, mult, keep)
+        C = int(chunk_rows)
+        ab = _chunk_explode(ab, g, C, R)
+        out = _stl_arrow(
+            ab, [*g, "_ck"], time_col, P, hs, ht, mult, [*keep, "_p"]
+        )
+        return out.filter(
+            F.floor(F.col("_p") / F.lit(C)).cast("bigint") == F.col("_ck")
+        ).select(
+            *g, time_col, "value", "seasonal", "trend", "remainder",
+            *[F.col(c) for c in keep],
+        )
 
     base = df.select(
         *g,
@@ -309,31 +356,9 @@ def stl_decompose(
         *[F.col(c) for c in keep],
     )
     pk = list(g)
-    R = hs * P + P + ht  # two-sided compound window reach
     if chunk_rows is not None:
-        C = int(chunk_rows)
-        if C < R + 1:
-            raise ValueError(
-                f"chunk_rows must be >= seasonal_h*period + period"
-                f" + trend_h + 1 = {R + 1}"
-            )
-        word0 = Window.partitionBy(*g).orderBy("_t")
-        p = F.row_number().over(word0).cast("bigint") - F.lit(1)
-        base = base.select("*", p.alias("_p"))
-        k0 = F.floor(F.col("_p") / F.lit(C)).cast("bigint")
-        off0 = F.col("_p") - k0 * F.lit(C)
-        cand = F.array(
-            k0,
-            F.when((off0 <= F.lit(R - 1)) & (k0 > 0), k0 - 1),
-            F.when(off0 >= F.lit(C - R), k0 + 1),
-        )
-        base = base.select(
-            "*",
-            F.explode(F.filter(cand, lambda c: c.isNotNull())).alias("_ck"),
-        )
+        base = _chunk_explode(base, g, int(chunk_rows), R)
         pk = [*g, "_ck"]
-        par = base.sparkSession.sparkContext.defaultParallelism
-        base = base.repartition(par, *pk)
     wi = Window.partitionBy(*pk).orderBy("_t")
 
     def off(col, k):
