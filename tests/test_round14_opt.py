@@ -459,3 +459,101 @@ def test_stl_chunked_arrow_equals_relational(spark):
     assert all(
         all(eq(p, q) for p, q in zip(ra, rb)) for ra, rb in zip(got, want)
     )
+
+
+@pytest.mark.parametrize("op", ["rolling_mad", "hampel_filter"])
+def test_roll_med_mad_arrow_equals_relational(spark, op):
+    """The shared sliding median/MAD Arrow kernel matches the
+    collect_list→sort→transform HOF chain bit-for-bit — truncated edge
+    windows, interior NULLs (windows with fewer values), an all-NULL
+    stretch longer than the window (empty-window NULL row), exact
+    spike repair/flag ties, and multi-column passthrough."""
+    import timeseriesutils_spark.operators.series_math as sm
+
+    rng = np.random.default_rng(43)
+    rows = []
+    for gi in range(3):
+        n = 60
+        x = rng.normal(50.0 + gi, 5.0, n)
+        x[20] += 90.0  # spike
+        for i in range(n):
+            val = None
+            if not (gi == 1 and 30 <= i < 50):  # 20-row NULL stretch
+                if not (gi == 0 and i in (5, 6)):
+                    val = float(x[i])
+            rows.append((f"g{gi}", i, val, i * 2))
+    df = spark.createDataFrame(rows, "g string, t int, v double, k int")
+    fn = getattr(sm, op)
+    kw = (
+        dict(window_size=15)
+        if op == "rolling_mad"
+        else dict(half_window=7)
+    )
+    got = (
+        fn(df, "v", ["g"], order_by=["t"], **kw)
+        .toPandas().sort_values(["g", "t"]).reset_index(drop=True)
+    )
+    want = (
+        fn(df, "v", ["g"], order_by=["t"], engine="relational", **kw)
+        .toPandas().sort_values(["g", "t"]).reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) == 180
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if a.dtype.kind == "f":
+            assert (
+                (a.isna() == b.isna()).all()
+                and (a.dropna().to_numpy() == b.dropna().to_numpy()).all()
+            ), c
+        else:
+            assert a.equals(b), c
+    # the empty-window NULL row actually occurs (g1's NULL stretch)
+    med_col = [c for c in got.columns if "_med" in c or "hampel" in c][0]
+    assert got[med_col].isna().any()
+
+
+def test_stl_robust_arrow_equals_relational(spark):
+    """The full-robust-STL Arrow kernel (both passes + median join in
+    one grouped pass) is bit-identical to the split-relational chain
+    (kept as engine="relational") — incl. interior NULLs, planted
+    spikes (ρ = 0 rows), a constant group (med2 = 0 → every ρ = 1),
+    and a group too short to score (dropped by the median join)."""
+    from timeseriesutils_spark.operators.stl import stl_robust
+
+    rng = np.random.default_rng(47)
+    rows = []
+    for gi, n in enumerate([200, 150]):
+        t = np.arange(n)
+        x = (
+            80.0 + 30 * gi
+            + 5.0 * np.sin(2 * np.pi * t / 7)
+            + rng.normal(0, 2.0, n)
+        )
+        x[60] += 70.0  # spike: rho -> 0
+        x[61] -= 55.0
+        for i, v in enumerate(x):
+            val = None if (gi == 0 and i in (90, 91)) else float(v)
+            rows.append((f"g{gi}", int(i), val))
+    for i in range(120):  # constant series: med2 = 0, rho = 1
+        rows.append(("gc", i, 42.0))
+    for i in range(10):  # shorter than the compound reach: dropped
+        rows.append(("gs", i, float(i)))
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    a = (
+        stl_robust(df, "v", "t", ["g"])
+        .toPandas().sort_values(["g", "t"]).reset_index(drop=True)
+    )
+    r = (
+        stl_robust(df, "v", "t", ["g"], engine="relational")
+        .toPandas().sort_values(["g", "t"]).reset_index(drop=True)
+    )
+    assert len(a) == len(r) == 470  # gs dropped entirely
+    assert set(a["g"]) == {"g0", "g1", "gc"}
+    for c in a.columns:
+        assert _bitsame(a[c].to_numpy(), r[c].to_numpy()), c
+    gc = a[a["g"] == "gc"]["rho"]
+    # med2 = 0 → every SCOREABLE row gets rho 1; the compound-window
+    # margin rows (NULL pass-1 remainder) carry rho 0
+    assert (gc == 1.0).sum() > 0 and set(gc.unique()) == {0.0, 1.0}
+    assert (a["rho"].min() == 0.0)  # the spikes are downweighted

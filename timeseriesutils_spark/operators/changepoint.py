@@ -444,7 +444,13 @@ def binseg_breakpoints(
     cost_nosplit, gain) — segment '*' for level 1, 'L'/'R' for the
     level-2 halves; rank by gain to decide which splits are real.
     """
+    from timeseriesutils_spark.functions.cache import pin
+
     g = _as_list(group_columns)
+    # pinned (round-14): `data` feeds level 1 AND the level-2 half
+    # labeling — without the pin the upstream (aggregation + exchange
+    # for the daily series in the catalog query) executes twice
+    data = pin(data)
     b1 = best_breakpoint(data, value_col, time_col, g, scale, min_seg)
     seg = data.join(
         F.broadcast(b1.select(*g, F.col("break_t").alias("_bt"))), on=g

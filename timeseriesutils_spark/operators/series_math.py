@@ -464,6 +464,79 @@ def _lerp_sorted_sql(arr: str, q: float) -> str:
 MAD_K = 1.4826
 
 
+def _lerp_rows_np(sw, m, q: float):
+    """Row-wise :func:`_lerp_sorted` over a (rows, W) sorted-window
+    matrix with ``m`` valid (non-NaN, sorted-first) entries per row —
+    the identical IEEE tree: h=(m−1)·q, a[⌊h⌋]·(1−frac)+a[min(⌊h⌋+1,
+    m−1)]·frac (0-based).  Rows with m=0 are garbage; caller masks."""
+    import numpy as np
+
+    mm = np.maximum(m, 1)
+    h = (m - 1).astype(np.float64) * q
+    lo = np.floor(h).astype(np.int64)
+    frac = h - lo.astype(np.float64)
+    base = np.take_along_axis(sw, lo[:, None], 1)[:, 0]
+    nxt = np.take_along_axis(
+        sw, np.minimum(lo + 1, mm - 1)[:, None], 1
+    )[:, 0]
+    return base * (1.0 - frac) + nxt * frac
+
+
+def _roll_med_mad_arrow(df, column: str, group_columns, order_by,
+                        lo_off: int, hi_off: int):
+    """Shared grouped-Arrow kernel for :func:`rolling_mad` /
+    :func:`hampel_filter` (round-14, guide §4.2): per row of each
+    ordered series, the sorted window of non-NULL values, the
+    _lerp_sorted median, and the MAD about it — replacing the per-row
+    ``collect_list → sort_array → transform → array_sort`` HOF chain
+    with two vectorized (rows, W) numpy sorts per series.
+
+    Bit-identity: the window multiset equals collect_list's (NaN pads
+    for NULLs/edges sort last and are excluded by the per-row valid
+    count m); value picks are monotone under the decimal→double cast,
+    and the lerp/deviation arithmetic is the identical IEEE expression
+    shape.  NaN outputs convert to NULL through Arrow — exactly the
+    relational ``CASE WHEN n > 0`` empty-window NULL.
+
+    Emits every input column plus ``_med``/``_mad``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from timeseriesutils_spark.operators.window_features import _as_list
+
+    g = _as_list(group_columns)
+    order = _as_list(order_by)
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("_med", DoubleType()), StructField("_mad", DoubleType())]
+    )
+    W = hi_off - lo_off + 1
+    npad_l, npad_r = -lo_off, hi_off
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        v = pd.to_numeric(pdf[column]).to_numpy(np.float64)
+        padded = np.concatenate(
+            [np.full(npad_l, np.nan), v, np.full(npad_r, np.nan)]
+        )
+        win = np.lib.stride_tricks.sliding_window_view(padded, W)
+        sw = np.sort(win, axis=1)
+        m = (W - np.isnan(win).sum(axis=1)).astype(np.int64)
+        med = _lerp_rows_np(sw, m, 0.5)
+        devs = np.sort(np.abs(win - med[:, None]), axis=1)
+        mad = _lerp_rows_np(devs, m, 0.5)
+        empty = m == 0
+        med[empty] = np.nan
+        mad[empty] = np.nan
+        pdf["_med"] = med
+        pdf["_mad"] = mad
+        return pdf
+
+    return df.groupBy(*g).applyInPandas(kern, schema)
+
+
 def rolling_mad(
     df,
     column: str,
@@ -471,6 +544,7 @@ def rolling_mad(
     window_size: int = 15,
     order_by=None,
     thresh: float = 3.0,
+    engine: str = "arrow",
 ):
     """Robust rolling anomaly detector: per trailing window, the median
     and the Median Absolute Deviation *from that window's own median*
@@ -487,21 +561,30 @@ def rolling_mad(
     """
     from timeseriesutils_spark.operators.window_features import _as_list, make_window
 
-    w = make_window(group_columns, _as_list(order_by)).rowsBetween(
-        -(window_size - 1), Window.currentRow
-    )
     c = F.col(column)
-    tmp = df.select(
-        "*", F.sort_array(F.collect_list(c).over(w)).alias("_mad_arr")
-    )
-    tmp = tmp.withColumn("_med", _lerp_sorted(F.col("_mad_arr"), 0.5))
-    devs = F.array_sort(
-        F.transform(F.col("_mad_arr"), lambda v: F.abs(v - F.col("_med")))
-    )
-    tmp = tmp.withColumn("_mad", _lerp_sorted(devs, 0.5))
-    flag = F.abs(c - F.col("_med")) > F.lit(float(thresh) * MAD_K) * F.col("_mad")
     med_name = f"{column}_med_w{window_size}"
     mad_name = f"{column}_mad_w{window_size}"
+    if engine == "arrow" and group_columns:
+        # round-14 (guide §4.2): the per-row HOF chain as one grouped
+        # Arrow kernel; flag arithmetic stays relational on _med/_mad
+        # (engine="relational" keeps the HOF chain as the A/B control)
+        tmp = _roll_med_mad_arrow(
+            df, column, group_columns, order_by,
+            -(window_size - 1), 0,
+        )
+    else:
+        w = make_window(group_columns, _as_list(order_by)).rowsBetween(
+            -(window_size - 1), Window.currentRow
+        )
+        tmp = df.select(
+            "*", F.sort_array(F.collect_list(c).over(w)).alias("_mad_arr")
+        )
+        tmp = tmp.withColumn("_med", _lerp_sorted(F.col("_mad_arr"), 0.5))
+        devs = F.array_sort(
+            F.transform(F.col("_mad_arr"), lambda v: F.abs(v - F.col("_med")))
+        )
+        tmp = tmp.withColumn("_mad", _lerp_sorted(devs, 0.5))
+    flag = F.abs(c - F.col("_med")) > F.lit(float(thresh) * MAD_K) * F.col("_mad")
     return tmp.select(
         *df.columns,
         F.col("_med").alias(med_name),
@@ -1017,6 +1100,7 @@ def hampel_filter(
     half_window: int = 7,
     order_by=None,
     thresh: float = 3.0,
+    engine: str = "arrow",
 ):
     """Hampel filter (centered rolling median/MAD outlier REPAIR — the
     classic despiker for sensor/price series): per row, the median and
@@ -1038,18 +1122,26 @@ def hampel_filter(
         make_window,
     )
 
-    w = make_window(group_columns, _as_list(order_by)).rowsBetween(
-        -half_window, half_window
-    )
     c = F.col(column)
-    tmp = df.select(
-        "*", F.sort_array(F.collect_list(c).over(w)).alias("_h_arr")
-    )
-    tmp = tmp.withColumn("_med", _lerp_sorted(F.col("_h_arr"), 0.5))
-    devs = F.array_sort(
-        F.transform(F.col("_h_arr"), lambda v: F.abs(v - F.col("_med")))
-    )
-    tmp = tmp.withColumn("_mad", _lerp_sorted(devs, 0.5))
+    if engine == "arrow" and group_columns:
+        # round-14 (guide §4.2): shared grouped-Arrow median/MAD kernel
+        # (see _roll_med_mad_arrow); engine="relational" keeps the HOF
+        # chain as the A/B control
+        tmp = _roll_med_mad_arrow(
+            df, column, group_columns, order_by, -half_window, half_window
+        )
+    else:
+        w = make_window(group_columns, _as_list(order_by)).rowsBetween(
+            -half_window, half_window
+        )
+        tmp = df.select(
+            "*", F.sort_array(F.collect_list(c).over(w)).alias("_h_arr")
+        )
+        tmp = tmp.withColumn("_med", _lerp_sorted(F.col("_h_arr"), 0.5))
+        devs = F.array_sort(
+            F.transform(F.col("_h_arr"), lambda v: F.abs(v - F.col("_med")))
+        )
+        tmp = tmp.withColumn("_mad", _lerp_sorted(devs, 0.5))
     bad = F.abs(c - F.col("_med")) > (
         F.lit(float(thresh) * MAD_K) * F.col("_mad")
     )

@@ -238,6 +238,229 @@ def _stl_arrow(base, g, time_col, P, hs, ht, mult, keep):
     return base.groupBy(*g).applyInPandas(decomp, schema)
 
 
+def _sh_np(arr, ok, off: int):
+    """Row-shift (relational ``lead(off)``/``lag(-off)``) with validity:
+    returns (shifted values, shifted ok) — positions whose source falls
+    outside the series come back ok=False (the window-edge NULL)."""
+    import numpy as np
+
+    n = arr.shape[0]
+    sh = np.zeros(n, dtype=arr.dtype)
+    so = np.zeros(n, dtype=bool)
+    if off >= 0:
+        if off < n:
+            sh[: n - off] = arr[off:]
+            so[: n - off] = ok[off:]
+    else:
+        if -off < n:
+            sh[-off:] = arr[: n + off]
+            so[-off:] = ok[: n + off]
+    return sh, so
+
+
+def _stl_robust_np(v, P, hs, ht, mult, rm, Wq, Uq, cj):
+    """Full robust STL (both passes) over ONE series — the relational
+    pin + median-join + hi/lo-split window chain as exact numpy, in
+    integer/IEEE lockstep stage by stage:
+
+    * pass 1 is :func:`_stl_once_np` (already bit-identical);
+    * the two-middle median of |remainder₁| replicates the
+      (ROW_NUMBER, multiplicity) sum — value-determined, tie-free;
+    * ρ/​_pq/_dxq/_xq are the identical double→floor-int expressions;
+    * the weighted seasonal numerator uses the SAME dx = hi·2²⁰ + lo
+      int64 split as the relational chain (same envelope — a loud
+      ValueError replaces ANSI's loud overflow), with the decimal
+      recombination done in exact Python ints (float(int) is correctly
+      rounded, exactly like the relational decimal→string→double);
+    * the trend numerator uses the SAME A@2²⁰ × vn@2³¹ four-way split;
+    * every NULL-propagation edge (incomplete window, sd/td guards,
+      all-NULL group dropped by the inner median join) is replicated.
+
+    Returns None when the group has no scoreable |remainder₁| (the
+    relational inner join drops it), else (seasonal, trend, remainder,
+    rho) float64 arrays with NaN at exactly the relational NULLs.
+    """
+    import numpy as np
+
+    n = v.shape[0]
+    frm = float(rm)
+    PP = 3 * P * P
+    SWq = sum(Wq)
+
+    _, tr1, r1 = _stl_once_np(v, P, hs, ht, mult, Wq, Uq, cj)
+
+    aqf = np.floor(np.abs(r1) * frm + 0.5)  # NaN margins propagate
+    ok_aq = ~np.isnan(aqf)
+    if not ok_aq.any():
+        return None
+    if float(np.abs(aqf[ok_aq]).max()) >= 2**53:
+        raise ValueError("stl_robust arrow kernel: |remainder| exceeds"
+                         " the float-exact envelope")
+    srt = np.sort(aqf[ok_aq].astype(np.int64))
+    nn = srt.size
+    med2 = int(srt[(nn + 1) // 2 - 1]) + int(srt[(nn + 2) // 2 - 1])
+    if med2 == 0:
+        rho = np.where(ok_aq, 1.0, 0.0)
+    else:
+        with np.errstate(invalid="ignore"):
+            u = aqf / (3.0 * float(med2))
+            b = 1.0 - u * u
+            rho = np.where(~ok_aq, 0.0, np.where(u < 1.0, b * b, 0.0))
+    pq = np.floor(rho * frm + 0.5).astype(np.int64)
+
+    with np.errstate(invalid="ignore"):
+        dx = v - tr1
+        dxf = np.where(np.isnan(dx), 0.0, np.floor(dx * frm + 0.5))
+        xqf = np.floor(v * frm + 0.5)
+    ok_x = ~np.isnan(xqf)
+    if float(np.abs(dxf).max(initial=0.0)) >= 2**53 or float(
+        np.abs(xqf[ok_x]).max(initial=0.0)
+    ) >= 2**53:
+        raise ValueError("stl_robust arrow kernel: quantized magnitude"
+                         " exceeds the float-exact envelope")
+    dxq = dxf.astype(np.int64)
+    xq = np.where(ok_x, xqf, 0.0).astype(np.int64)
+
+    # ---- pass-2 seasonal: Σ (Wq·ρ)·dx over ±hs cycles, dx split @2^20
+    dxh = dxq >> 20
+    dxl = dxq - (dxh << 20)
+    mh = int(np.abs(dxh).max(initial=0))
+    if SWq * rm * (mh + 1) >= 2**63:
+        raise ValueError("stl_robust arrow kernel: |value - trend1|"
+                         " exceeds the int64 split envelope")
+    ones = np.ones(n, dtype=bool)
+    snh = np.zeros(n, dtype=np.int64)
+    snl = np.zeros(n, dtype=np.int64)
+    sd = np.zeros(n, dtype=np.int64)
+    ok_sn = np.ones(n, dtype=bool)
+    for i, k in enumerate(range(-hs, hs + 1)):
+        off = k * P
+        A = Wq[i] * pq
+        s1_, o1 = _sh_np(A * dxh, ones, off)
+        s2_, _ = _sh_np(A * dxl, ones, off)
+        s3_, _ = _sh_np(A, ones, off)
+        snh += s1_
+        snl += s2_
+        sd += s3_
+        ok_sn &= o1
+    sn_obj = (snh.astype(object) << 20) + snl
+    snf = np.array([float(x) for x in sn_obj], dtype=np.float64)
+    sdf = sd.astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        srq_f = np.floor(snf / sdf / frm * frm + 0.5)
+    ok_srq = ok_sn & (sd > 0)
+    srq = np.where(ok_srq, np.where(np.isfinite(srq_f), srq_f, 0.0), 0.0).astype(
+        np.int64
+    )
+
+    # ---- low-pass of the weighted seasonal (integer kernel ±P)
+    ln = np.zeros(n, dtype=np.int64)
+    ok_ln = np.ones(n, dtype=bool)
+    for i, j in enumerate(range(-P, P + 1)):
+        s_, o_ = _sh_np(np.int64(cj[i]) * srq, ok_srq, j)
+        ln += s_
+        ok_ln &= o_
+    s2n = srq * PP - ln
+    ok_s2n = ok_srq & ok_ln
+    vn = xq * PP - np.where(ok_s2n, s2n, 0)
+    ok_vn = ok_x & ok_s2n
+    if ok_vn.any() and int(np.abs(vn[ok_vn]).max()) >= 2**62:
+        raise ValueError("stl_robust arrow kernel: |vn| exceeds the"
+                         " int64 envelope")
+
+    # ---- pass-2 trend: Σ (Uq·ρ)·vn, A@2^20 × vn@2^31 four-way split
+    vn = np.where(ok_vn, vn, 0)
+    vnh = vn >> 31
+    vnl = vn - (vnh << 31)
+    t1 = np.zeros(n, dtype=np.int64)
+    t2 = np.zeros(n, dtype=np.int64)
+    t3 = np.zeros(n, dtype=np.int64)
+    t4 = np.zeros(n, dtype=np.int64)
+    td = np.zeros(n, dtype=np.int64)
+    ok_tn = np.ones(n, dtype=bool)
+    ok_td = np.ones(n, dtype=bool)
+    for i, m in enumerate(range(-ht, ht + 1)):
+        a = Uq[i] * pq
+        ah = a >> 20
+        al = a - (ah << 20)
+        p1, o1 = _sh_np(ah * vnh, ok_vn, m)
+        p2, _ = _sh_np(ah * vnl, ok_vn, m)
+        p3, _ = _sh_np(al * vnh, ok_vn, m)
+        p4, _ = _sh_np(al * vnl, ok_vn, m)
+        d_, od = _sh_np(a, ones, m)
+        t1 += p1
+        t2 += p2
+        t3 += p3
+        t4 += p4
+        td += d_
+        ok_tn &= o1
+        ok_td &= od
+    tn_obj = (
+        (t1.astype(object) << 51)
+        + (t2.astype(object) << 20)
+        + (t3.astype(object) << 31)
+        + t4
+    )
+    tnf = np.array([float(x) for x in tn_obj], dtype=np.float64)
+    tdf = td.astype(np.float64)
+    ppr = float(PP * rm)
+
+    seasonal = np.where(ok_s2n, s2n.astype(np.float64) / ppr, np.nan)
+    ok_tr = ok_tn & ok_td & (td > 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        trend = np.where(ok_tr, tnf / (tdf * ppr), np.nan)
+    seasonal[~ok_s2n] = np.nan
+    trend[~ok_tr] = np.nan
+    remainder = (v - seasonal) - trend
+    rho_out = pq.astype(np.float64) / frm
+    return seasonal, trend, remainder, rho_out
+
+
+def _stl_robust_arrow(base, g, time_col, P, hs, ht, mult, rm):
+    """:func:`stl_robust` (both passes + median join) as ONE grouped
+    Arrow pass per series running :func:`_stl_robust_np`; groups with
+    no scoreable pass-1 remainder emit no rows (the relational inner
+    median join)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    Wq = _tricube_q(hs)
+    Uq = _tricube_q(ht)
+    cj = _lowpass_counts(P)
+    schema = StructType(
+        [StructField(c, base.schema[c].dataType) for c in g]
+        + [
+            StructField(time_col, base.schema["_t"].dataType),
+            StructField("value", DoubleType()),
+            StructField("seasonal", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("remainder", DoubleType()),
+            StructField("rho", DoubleType()),
+        ]
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_t")
+        v = pdf["_v"].to_numpy(np.float64)
+        res = _stl_robust_np(v, P, hs, ht, mult, rm, Wq, Uq, cj)
+        if res is None:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in schema.fields}
+            )
+        seasonal, trend, remainder, rho = res
+        out = {c: pdf[c].to_numpy() for c in g}
+        out[time_col] = pdf["_t"].to_numpy()
+        out["value"] = v
+        out["seasonal"] = seasonal
+        out["trend"] = trend
+        out["remainder"] = remainder
+        out["rho"] = rho
+        return pd.DataFrame(out)
+
+    return base.groupBy(*g).applyInPandas(kern, schema)
+
+
 def _chunk_explode(base, g, C: int, R: int):
     """Monster-series chunk replication (the matrix_profile chunked
     precedent): each row lands in its own chunk plus, when inside the
@@ -837,6 +1060,7 @@ def stl_robust(
     trend_h: int = 10,
     scale: int = 2,
     r_scale: int = 6,
+    engine: str = "arrow",
 ) -> DataFrame:
     """STL with ONE robustness (outer) iteration — the full Cleveland
     1990 algorithm's outlier-resistant mode: after the
@@ -885,6 +1109,21 @@ def stl_robust(
     Uq = _tricube_q(ht)
     cj = _lowpass_counts(P)
     PP = 3 * P * P
+
+    if engine == "arrow":
+        # round-14 (guide §1.2/§4.2): both passes + the median join as
+        # ONE grouped Arrow pass per series (_stl_robust_np) — removes
+        # the pin materialization, the median windows/join, and the
+        # post-kernel re-exchange the split-relational pass 2 paid.
+        # engine="relational" keeps that chain as the A/B control.
+        ab = df.select(
+            *g,
+            F.col(time_col).cast("bigint").alias("_t"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        return _stl_robust_arrow(
+            ab, g, time_col, P, hs, ht, 10 ** int(scale), rm
+        )
 
     d1 = stl_decompose(
         df, value_col, time_col, group_columns,

@@ -1633,6 +1633,10 @@ def q_knn_recall_curve(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     q10 = emb.filter(F.col("vec_id") < 10)
+    # NOT pinned (round-14 measured rejection): exact has two consumers
+    # (match join + n_queries scaffold), but pinning it materializes
+    # the full windowed pair frame and defeats the WindowGroupLimit
+    # top-k pushdown — 3.47 s unpinned vs 4.83 s pinned at sf0.1
     exact = knn_bruteforce(q10, emb, k=max(_RECALL_KS))
     approx = knn_ivf_portable(
         q10, emb, k=max(_RECALL_KS), n_centroids=16, nprobe=4
