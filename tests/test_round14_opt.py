@@ -557,3 +557,80 @@ def test_stl_robust_arrow_equals_relational(spark):
     # margin rows (NULL pass-1 remainder) carry rho 0
     assert (gc == 1.0).sum() > 0 and set(gc.unique()) == {0.0, 1.0}
     assert (a["rho"].min() == 0.0)  # the spikes are downweighted
+
+
+def test_ets_sql_text_equals_colapi(spark):
+    """The SQL-text-rendered candidate projection produces bit-identical
+    ets_select output to the Column-API builder it replaced (kept as
+    engine="colapi") — same dlit literals, same left-associated sums."""
+    from timeseriesutils_spark.operators.ets import ets_select
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for gi in range(4):
+        n = 40 + 7 * gi
+        t = np.arange(n)
+        x = 30.0 + gi * 5 + 2.5 * np.sin(2 * np.pi * t / 7) + 0.3 * t
+        x += rng.normal(0, 0.8, n)
+        rows += [(f"g{gi}", int(i), float(v)) for i, v in enumerate(x)]
+    rows += [("tiny", 0, 1.0), ("tiny", 1, 2.0)]  # < min_obs: dropped
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    a = sorted(map(tuple, ets_select(df, "v", ["g"], ["t"]).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ets_select(df, "v", ["g"], ["t"], engine="colapi").collect(),
+        )
+    )
+    assert a == b and len(a) == 4
+
+
+def test_simhash_sql_text_equals_colapi(spark):
+    """The SQL-text vote/pack rendering of the portable SimHash is
+    value-identical to the Column-API builder (all-integer votes and
+    bit packs), incl. short texts that fall back to the whole-text
+    shingle."""
+    from timeseriesutils_spark.operators.dedup import simhash_docs_portable
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "hi"),  # shorter than the shingle order
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, simhash_docs_portable(docs, n=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            simhash_docs_portable(docs, n=2, engine="colapi").collect(),
+        )
+    )
+    assert a == b and len(a) == 5
+
+
+def test_hurst_sql_text_equals_colapi(spark):
+    """The SQL-text level-ladder rendering of hurst_exponent matches
+    the Column-API builder bit-for-bit — incl. a short group (NULL
+    hurst) and an incomplete tail block."""
+    from timeseriesutils_spark.operators.complexity import hurst_exponent
+
+    rng = np.random.default_rng(5)
+    rows = []
+    walk = np.cumsum(rng.normal(0, 1, 203)) + 50  # 203: ragged tail
+    rows += [("g0", i, float(v)) for i, v in enumerate(walk)]
+    noise = rng.normal(100, 3, 130)
+    rows += [("g1", i, float(v)) for i, v in enumerate(noise)]
+    rows += [("gs", i, float(i)) for i in range(9)]  # < 2 top blocks
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    a = sorted(map(tuple, hurst_exponent(df, "v", ["g"], ["t"]).collect()))
+    b = sorted(
+        map(
+            tuple,
+            hurst_exponent(
+                df, "v", ["g"], ["t"], engine="colapi"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 3

@@ -159,6 +159,7 @@ def hurst_exponent(
     order_by,
     n_levels: int = 5,
     scale: int = 2,
+    engine: str = "sql",
 ) -> DataFrame:
     """Per-group Hurst exponent by the aggregated-variance method
     (Beran 1994): aggregate the series into non-overlapping blocks of
@@ -224,28 +225,75 @@ def hurst_exponent(
         return e
 
     aggs = []
-    for k in range(n_levels):
-        s = 2**k
-        nsub = top // s
-        # complete sub-blocks of this top block: the present positions
-        # are a prefix, so sub-block j is complete iff size ≥ (j+1)·s
-        cnt = None
-        ssum = None
-        qsum = None
-        for j in range(nsub):
-            full = sz >= (j + 1) * s
-            v = subsum(k, j)
-            c1 = F.when(full, F.lit(1)).otherwise(F.lit(0))
-            sv = F.when(full, v).otherwise(F.lit(0).cast("decimal(38,0)"))
-            qv = F.when(full, v * v).otherwise(F.lit(0).cast("decimal(38,0)"))
-            cnt = c1 if cnt is None else cnt + c1
-            ssum = sv if ssum is None else ssum + sv
-            qsum = qv if qsum is None else qsum + qv
-        aggs += [
-            F.sum(cnt.cast("bigint")).alias(f"_B{k}"),
-            F.sum(dec(ssum)).alias(f"_S{k}"),
-            F.sum(dec(qsum)).alias(f"_Q{k}"),
-        ]
+    if engine == "sql":
+        # round-14 (guide §7.3, the ets/simhash precedent): the
+        # ~31-sub-block level ladder renders as SQL text — a handful
+        # of py4j round trips instead of ~700 Column calls.  Every
+        # staged quantity here is an EXACT integer (BIGINT counts,
+        # DECIMAL slice sums/squares), so association order is free
+        # and the aggregated values are identical by construction
+        # (pinned vs engine="colapi").
+        D = "DECIMAL(38,0)"
+
+        def subsum_t(k: int, j: int) -> str:
+            s = 2**k
+            return " + ".join(
+                f"CAST(element_at(_arr, {j * s + i}) AS {D})"
+                for i in range(1, s + 1)
+            )
+
+        for k in range(n_levels):
+            s = 2**k
+            nsub = top // s
+            cnt_t, ssum_t, qsum_t = [], [], []
+            for j in range(nsub):
+                full = f"size(_arr) >= {(j + 1) * s}"
+                v = f"({subsum_t(k, j)})"
+                cnt_t.append(f"(CASE WHEN {full} THEN 1 ELSE 0 END)")
+                ssum_t.append(
+                    f"(CASE WHEN {full} THEN {v} ELSE CAST(0 AS {D}) END)"
+                )
+                qsum_t.append(
+                    f"(CASE WHEN {full} THEN {v} * {v} "
+                    f"ELSE CAST(0 AS {D}) END)"
+                )
+            aggs += [
+                F.expr(
+                    f"SUM(CAST({' + '.join(cnt_t)} AS BIGINT)) AS _B{k}"
+                ),
+                F.expr(
+                    f"SUM(CAST({' + '.join(ssum_t)} AS {D})) AS _S{k}"
+                ),
+                F.expr(
+                    f"SUM(CAST({' + '.join(qsum_t)} AS {D})) AS _Q{k}"
+                ),
+            ]
+    else:
+        for k in range(n_levels):
+            s = 2**k
+            nsub = top // s
+            # complete sub-blocks of this top block: the present
+            # positions are a prefix, so sub-block j is complete iff
+            # size ≥ (j+1)·s
+            cnt = None
+            ssum = None
+            qsum = None
+            for j in range(nsub):
+                full = sz >= (j + 1) * s
+                v = subsum(k, j)
+                c1 = F.when(full, F.lit(1)).otherwise(F.lit(0))
+                sv = F.when(full, v).otherwise(F.lit(0).cast("decimal(38,0)"))
+                qv = F.when(full, v * v).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+                cnt = c1 if cnt is None else cnt + c1
+                ssum = sv if ssum is None else ssum + sv
+                qsum = qv if qsum is None else qsum + qv
+            aggs += [
+                F.sum(cnt.cast("bigint")).alias(f"_B{k}"),
+                F.sum(dec(ssum)).alias(f"_S{k}"),
+                F.sum(dec(qsum)).alias(f"_Q{k}"),
+            ]
     out = blocks.groupBy(*g).agg(*aggs)
     # Var_k of block MEANS in original units:
     #   (B·ΣS² − (ΣS)²) / (B² · (size·10^scale)²)

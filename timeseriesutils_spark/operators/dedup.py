@@ -512,7 +512,8 @@ def simhash_docs(
 
 
 def simhash_docs_portable(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2,
+    engine: str = "sql",
 ) -> DataFrame:
     """(id, sig_hi, sig_lo) 64-bit SimHash in the engine-portable mode.
 
@@ -552,6 +553,37 @@ def simhash_docs_portable(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("_lo"),
         F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("_hi"),
     )
+    if engine == "sql":
+        # round-14 (guide §7.3, the fasttext/ets precedent): the 64
+        # vote aggregates + two 32-term packs render as SQL text — a
+        # handful of py4j round trips instead of ~900 Column calls;
+        # all-integer arithmetic, so the parsed tree computes the
+        # identical values (pinned vs engine="colapi").
+        votes_t = [
+            f"SUM(CASE WHEN (shiftright({'_lo' if b < 32 else '_hi'}, "
+            f"{b % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS _v{b}"
+            for b in range(64)
+        ]
+        agg = e.groupBy("id").agg(
+            F.expr(votes_t[0]), *[F.expr(t) for t in votes_t[1:]]
+        )
+
+        def pack_t(lo_bit: int) -> str:
+            return " + ".join(
+                ["CAST(0 AS BIGINT)"]
+                + [
+                    f"(CASE WHEN _v{lo_bit + b} > 0 THEN "
+                    f"shiftleft(CAST(1 AS BIGINT), {b}) ELSE 0 END)"
+                    for b in range(32)
+                ]
+            )
+
+        return agg.selectExpr(
+            f"id AS {id_col}",
+            f"{pack_t(32)} AS sig_hi",
+            f"{pack_t(0)} AS sig_lo",
+        )
+
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("_lo" if b < 32 else "_hi"), b % 32).bitwiseAND(1) == 1, 1).otherwise(-1)

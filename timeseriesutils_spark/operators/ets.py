@@ -134,6 +134,7 @@ def ets_select(
     gamma: float = 0.2,
     scale: int = 2,
     min_obs: int = 8,
+    engine: str = "sql",
 ) -> DataFrame:
     """Per-group AICc argmin over the candidate family (module doc).
 
@@ -141,6 +142,13 @@ def ets_select(
     (groups…, model, k, n_obs, sse, aicc, forecast) — the winning
     structure, its in-sample fit, and its next-step forecast from the
     group's last row (NULL if the last row lacks a full window).
+
+    ``engine="sql"`` (round-14, the fasttext IRLS precedent): the
+    ~450-term candidate projection renders as SQL text — ONE
+    ``selectExpr`` py4j round trip instead of ~900 Column-construction
+    calls; the parsed tree is the identical expression shape (same
+    ``dlit`` double literals, same left-associated sums), pinned
+    bit-identical to ``engine="colapi"`` in tests/test_round14_opt.py.
     """
     g = _as_list(group_columns)
     order = _as_list(order_by)
@@ -158,34 +166,65 @@ def ets_select(
         .withColumn("_nrows", F.count(F.lit(1)).over(wall))
     )
 
-    def combo(weights, shift):
-        terms = [
-            F.lit(wt) * F.lag("_qd", j - shift).over(w)
-            if j - shift
-            else F.lit(wt) * F.col("_qd")
-            for j, wt in weights
-        ]
-        return _reduce(lambda x, y: x + y, terms)
-
-    # scoreable rows: a full window of true predecessors
-    valid = F.col("_rn") > F.lit(wsz)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    proj = [*g, F.col("_rn"), F.col("_nrows"), valid.alias("_ok")]
-    for name, k, wts in cands:
-        eq = F.floor(
-            (F.col("_qd") - combo(wts, 0)) * F.lit(float(_RQ)) + F.lit(0.5)
-        ).cast("bigint")
-        proj.append(F.when(valid, eq).alias(f"_e_{name}"))
-        # next-step forecast made FROM the last row (lags shift by one);
-        # complete-window guard = the last row is itself scoreable-plus-
-        # one: rn >= wsz (w-1 predecessors + current)
-        proj.append(
-            F.when(
-                (F.col("_rn") == F.col("_nrows")) & (F.col("_rn") >= wsz),
-                combo(wts, 1) / F.lit(mult),
-            ).alias(f"_f_{name}")
+    if engine == "sql":
+        from timeseriesutils_spark.functions.exact import dlit as _dl
+
+        over = (
+            f"PARTITION BY {', '.join(g)} ORDER BY {', '.join(order)}"
         )
-    staged = d.select(*proj)
+
+        def lag_txt(j: int) -> str:
+            return f"lag(_qd, {j}) OVER ({over})" if j else "_qd"
+
+        def combo_txt(weights, shift: int) -> str:
+            return " + ".join(
+                f"{_dl(wt)} * {lag_txt(j - shift)}" for j, wt in weights
+            )
+
+        proj_t = [*g, "_rn", "_nrows", f"_rn > {wsz} AS _ok"]
+        for name, k, wts in cands:
+            proj_t.append(
+                f"CASE WHEN _rn > {wsz} THEN CAST(FLOOR((_qd - "
+                f"({combo_txt(wts, 0)})) * {_dl(float(_RQ))} + {_dl(0.5)}) "
+                f"AS BIGINT) END AS _e_{name}"
+            )
+            # next-step forecast made FROM the last row (lags shift by
+            # one); complete-window guard: rn >= wsz
+            proj_t.append(
+                f"CASE WHEN _rn = _nrows AND _rn >= {wsz} THEN "
+                f"({combo_txt(wts, 1)}) / {_dl(mult)} END AS _f_{name}"
+            )
+        staged = d.selectExpr(*proj_t)
+    else:
+        def combo(weights, shift):
+            terms = [
+                F.lit(wt) * F.lag("_qd", j - shift).over(w)
+                if j - shift
+                else F.lit(wt) * F.col("_qd")
+                for j, wt in weights
+            ]
+            return _reduce(lambda x, y: x + y, terms)
+
+        # scoreable rows: a full window of true predecessors
+        valid = F.col("_rn") > F.lit(wsz)
+        proj = [*g, F.col("_rn"), F.col("_nrows"), valid.alias("_ok")]
+        for name, k, wts in cands:
+            eq = F.floor(
+                (F.col("_qd") - combo(wts, 0)) * F.lit(float(_RQ))
+                + F.lit(0.5)
+            ).cast("bigint")
+            proj.append(F.when(valid, eq).alias(f"_e_{name}"))
+            # next-step forecast made FROM the last row (lags shift by
+            # one); complete-window guard = the last row is itself
+            # scoreable-plus-one: rn >= wsz (w-1 predecessors + current)
+            proj.append(
+                F.when(
+                    (F.col("_rn") == F.col("_nrows")) & (F.col("_rn") >= wsz),
+                    combo(wts, 1) / F.lit(mult),
+                ).alias(f"_f_{name}")
+            )
+        staged = d.select(*proj)
 
     aggs = [F.sum(F.when(F.col("_ok"), 1).otherwise(0)).alias("_n")]
     for name, _, _ in cands:

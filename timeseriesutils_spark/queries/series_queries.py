@@ -1452,16 +1452,19 @@ QUERIES.update({"motif_discord": Q(q_motif_discord, _sql_motif_discord())})
 
 def q_matrix_profile_chunked(spark, sf_dir):
     """Monster-series mitigation on the gate: the banded matrix
-    profile computed CHUNK-PARALLEL (matrix_profile(chunk_rows=64) —
-    64-row chunks, two-sided context band/band+w−1, chunk id on the
-    partition key) must hash-match the SAME oracle as the unchunked
-    `matrix_profile` — the chunked_taylor precedent applied to a
-    two-sided banded window reach."""
+    profile computed CHUNK-PARALLEL (matrix_profile(chunk_rows=512) —
+    two-sided context band/band+w−1, chunk id on the partition key)
+    must hash-match the SAME oracle as the unchunked `matrix_profile`
+    — the chunked_taylor precedent applied to a two-sided banded
+    window reach.  chunk_rows follows the round-14 amortization rule
+    for the grouped-Arrow kernel: fixed per-(group, chunk) cost, so
+    the chunk must dwarf the 2·band+w context (C=64 → 3.9 s at sf0.1,
+    C=512 → 1.5 s, same bit-identical rows)."""
     from timeseriesutils_spark.operators.matrixprofile import matrix_profile
 
     return matrix_profile(
         _daily(spark, sf_dir), "day_price", ["l_suppkey"], ["ship_day"],
-        w=8, band=20, excl=4, scale=2, chunk_rows=64,
+        w=8, band=20, excl=4, scale=2, chunk_rows=512,
     )
 
 
@@ -1562,12 +1565,15 @@ QUERIES.update({"cqr_intervals": Q(q_cqr_intervals, _sql_cqr_intervals())})
 
 def q_stl_chunked(spark, sf_dir):
     """Monster-series mitigation for the STL family on the gate:
-    stl_decompose(chunk_rows=128) — two-sided context R = hs·P + P + ht
+    stl_decompose(chunk_rows=512) — two-sided context R = hs·P + P + ht
     per side, chunk id on a pinned partition key — must hash-match the
     SAME oracle as the unchunked `stl_decompose` (the
     matrix_profile_chunked precedent applied to the compound smoother
     reach; 1.8× at 2.4M rows / 25% monster, growing with series
-    length)."""
+    length).  chunk_rows follows the round-14 amortization rule: the
+    grouped-Arrow kernel pays a fixed per-(group, chunk) cost, so the
+    chunk must dwarf the 2R context (C=128 → 19.5K tiny groups + 59%
+    row inflation, 6.6 s; C=512 → 3.0 s, same bit-identical rows)."""
     from timeseriesutils_spark.operators.stl import stl_decompose
 
     grid = regularize(
@@ -1576,7 +1582,7 @@ def q_stl_chunked(spark, sf_dir):
     )
     return stl_decompose(
         grid, "day_price_interp", "ship_day", ["l_suppkey"],
-        **_STL_PARAMS, chunk_rows=128,
+        **_STL_PARAMS, chunk_rows=512,
     )
 
 
