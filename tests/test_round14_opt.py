@@ -634,3 +634,40 @@ def test_hurst_sql_text_equals_colapi(spark):
         )
     )
     assert a == b and len(a) == 3
+
+
+def test_mmd_moments_arrow_equals_relational(spark):
+    """The batch-partial moment kernel (int64 Gram matmul) matches the
+    d² posexplode chain bit-for-bit — incl. NULL vector elements
+    (SUM-skip ≡ zero-fill), ragged dimensions, and a one-sided
+    sample."""
+    from timeseriesutils_spark.operators.similarity import mmd_quad_drift
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(60):
+        v = [float(x) for x in rng.normal(0, 1, 8)]
+        if i == 7:
+            v[3] = None  # NULL element: contributes nothing
+        if i == 11:
+            v = v[:5]  # ragged dimension
+        rows.append((1 if i % 2 else 2, v))
+    df = spark.createDataFrame(rows, "half int, embedding array<double>")
+    a = sorted(
+        map(tuple, mmd_quad_drift(df, "embedding", "half", scale=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            mmd_quad_drift(
+                df, "embedding", "half", scale=4, engine="relational"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 1
+    one = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "half int, embedding array<double>"
+    )
+    a1 = mmd_quad_drift(one, "embedding", "half").collect()
+    b1 = mmd_quad_drift(one, "embedding", "half", engine="relational").collect()
+    assert [tuple(r) for r in a1] == [tuple(r) for r in b1]

@@ -2400,6 +2400,85 @@ FROM agg QUALIFY fused_rank <= {top_k}
 # --------------------------------------------------------------------------
 
 
+def _mmd_moments_arrow(base):
+    """Exact int64 moment PARTIALS per Arrow batch for
+    :func:`mmd_quad_drift`: rows (s, -1, -1, count), (s, a, -1, Σx_a)
+    and (s, a, b, Σx_a·x_b) — the Gram cells via one int64 matmul per
+    (batch, sample).  Per-element products are the identical bigint
+    products the relational ``transform`` built; the batch-sum
+    envelope is asserted (ValueError instead of a silent wrap), and
+    the caller's final combine sums the partials exactly.  NULL vector
+    elements contribute nothing, exactly like the relational SUM's
+    NULL skip."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("_s", IntegerType()),
+            StructField("_a", IntegerType()),
+            StructField("_b", IntegerType()),
+            StructField("_sm", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out_s, out_a, out_b, out_m = [], [], [], []
+            for s in (1, 2):
+                rows = pdf[pdf["_s"] == s]["_q"]
+                cnt = len(rows)
+                if cnt == 0:
+                    continue
+                out_s.append(s)
+                out_a.append(-1)
+                out_b.append(-1)
+                out_m.append(cnt)
+                lens = rows.map(len)
+                for d in sorted(set(lens)):
+                    sub = rows[lens == d]
+                    if d == 0:
+                        continue
+                    V = np.array(
+                        [np.asarray(r, dtype=np.float64) for r in sub]
+                    )
+                    V = np.where(np.isnan(V), 0.0, V)
+                    amax = float(np.abs(V).max(initial=0.0))
+                    if amax >= 2**53 or (
+                        amax * amax * len(sub) >= 2**62
+                    ):
+                        raise ValueError(
+                            "mmd_quad_drift arrow kernel: quantized"
+                            " magnitude exceeds the int64 batch"
+                            " envelope"
+                        )
+                    Vi = V.astype(np.int64)
+                    col = Vi.sum(axis=0)
+                    gram = Vi.T @ Vi
+                    out_s.extend([s] * d)
+                    out_a.extend(range(d))
+                    out_b.extend([-1] * d)
+                    out_m.extend(int(x) for x in col)
+                    aa, bb = np.meshgrid(
+                        np.arange(d), np.arange(d), indexing="ij"
+                    )
+                    out_s.extend([s] * (d * d))
+                    out_a.extend(aa.ravel().tolist())
+                    out_b.extend(bb.ravel().tolist())
+                    out_m.extend(gram.ravel().tolist())
+            yield pd.DataFrame(
+                {"_s": out_s, "_a": out_a, "_b": out_b, "_sm": out_m}
+            ).astype({"_s": "int32", "_a": "int32", "_b": "int32", "_sm": "int64"})
+
+    return base.mapInPandas(gen, schema)
+
+
 def mmd_quad_drift(
     df: DataFrame,
     vec_col: str,
@@ -2407,6 +2486,7 @@ def mmd_quad_drift(
     scale: int = 4,
     c: float = 1.0,
     max_dim: int = 128,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Maximum mean discrepancy between two embedding samples under the
     degree-2 polynomial kernel k(x,y) = (c + x·y)² — the drift test
@@ -2467,15 +2547,53 @@ def mmd_quad_drift(
     )
     from timeseriesutils_spark.functions.cache import pin
 
-    base = pin(base)  # feeds counts + both moment passes
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
-    counts = base.groupBy().agg(
-        F.sum((F.col("_s") == 1).cast("bigint")).alias("_n1"),
-        F.sum((F.col("_s") == 2).cast("bigint")).alias("_n2"),
-    )
-    firsts = base.select("_s", F.posexplode("_q").alias("_a", "_v")).groupBy(
-        "_s", "_a"
-    ).agg(F.sum("_v").alias("_sv"))
+    if engine == "arrow":
+        # round-14 (guide §4.2): the d² second-moment explode built
+        # rows·d² cells (20M rows at sf0.1) just to sum them into 2·d²
+        # cells.  One mapInPandas pass now emits exact int64 PARTIALS
+        # per Arrow batch — counts (a=-1,b=-1), first moments (b=-1),
+        # and the Gram cells via an int64 matmul (per-element products
+        # are the identical bigint products the relational transform
+        # computed; batch-sum envelope asserted, so numpy can never
+        # silently wrap) — and the final combine is the same exact
+        # integer sum (int64 partials under DECIMAL, association
+        # free).  The explode form stays as engine="relational".
+        out = pin(_mmd_moments_arrow(base))
+        # coalesce against SUM(0): a present-but-one-sided corpus gives
+        # the absent sample count 0 (the relational conditional-sum
+        # behavior) while a fully empty corpus keeps the relational
+        # all-NULL row
+        counts = out.filter(F.col("_a") == -1).groupBy().agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_s") == 1, F.col("_sm"))),
+                F.sum(F.lit(0)),
+            ).cast("bigint").alias("_n1"),
+            F.coalesce(
+                F.sum(F.when(F.col("_s") == 2, F.col("_sm"))),
+                F.sum(F.lit(0)),
+            ).cast("bigint").alias("_n2"),
+        )
+        firsts = (
+            out.filter((F.col("_a") >= 0) & (F.col("_b") == -1))
+            .groupBy("_s", "_a")
+            .agg(F.sum("_sm").alias("_sv"))
+        )
+        seconds_src = (
+            out.filter(F.col("_b") >= 0)
+            .groupBy("_s", "_a", "_b")
+            .agg(F.sum(dec(F.col("_sm"))).alias("_sm"))
+        )
+    else:
+        base = pin(base)  # feeds counts + both moment passes
+        counts = base.groupBy().agg(
+            F.sum((F.col("_s") == 1).cast("bigint")).alias("_n1"),
+            F.sum((F.col("_s") == 2).cast("bigint")).alias("_n2"),
+        )
+        firsts = base.select(
+            "_s", F.posexplode("_q").alias("_a", "_v")
+        ).groupBy("_s", "_a").agg(F.sum("_v").alias("_sv"))
+        seconds_src = None
     f1 = firsts.filter(F.col("_s") == 1).select("_a", F.col("_sv").alias("_s1"))
     f2 = firsts.filter(F.col("_s") == 2).select("_a", F.col("_sv").alias("_s2"))
     fj = (
@@ -2489,7 +2607,7 @@ def mmd_quad_drift(
         )
     )
     sumA2 = fj.agg(F.sum(dec(F.col("_d")) * dec(F.col("_d"))).alias("_sa2"))
-    seconds = (
+    seconds = seconds_src if seconds_src is not None else (
         base.select("_s", "_q", F.posexplode("_q").alias("_a", "_va"))
         .select(
             "_s",
