@@ -671,3 +671,30 @@ def test_mmd_moments_arrow_equals_relational(spark):
     a1 = mmd_quad_drift(one, "embedding", "half").collect()
     b1 = mmd_quad_drift(one, "embedding", "half", engine="relational").collect()
     assert [tuple(r) for r in a1] == [tuple(r) for r in b1]
+
+
+def test_chrf_arrow_equals_relational(spark):
+    """The per-pair Counter kernel matches the explode/clipped-count
+    joins bit-for-bit — repeated grams, zero-overlap pairs, exact
+    max_n-length texts, and a duplicate pair id whose gram multisets
+    merge across rows."""
+    from timeseriesutils_spark.operators.text import chrf_pairs
+
+    rows = [
+        (0, "The Quick  brown", "the quickbrown"),
+        (1, "aaaaab", "aaab"),
+        (2, "abcdefgh", "zyxwvuts"),
+        (3, "abcd", "abcd"),  # exactly max_n after strip
+        (4, "ab", "abcd"),  # too short: dropped
+        (5, "xxyyzz", "xyzw"),
+        (5, "zzyyxx", "zyxw"),  # duplicate pair id: counts merge
+    ]
+    df = spark.createDataFrame(rows, "pair long, c string, r string")
+    a = sorted(map(tuple, chrf_pairs(df, "pair", "c", "r").collect()))
+    b = sorted(
+        map(
+            tuple,
+            chrf_pairs(df, "pair", "c", "r", engine="relational").collect(),
+        )
+    )
+    assert a == b and len(a) == 6  # pair 4 dropped, pair 5 twice

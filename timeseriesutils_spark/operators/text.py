@@ -3325,6 +3325,7 @@ def chrf_pairs(
     max_n: int = 4,
     beta: float = 2.0,
     max_chars: int = 200,
+    engine: str = "arrow",
 ) -> DataFrame:
     """chrF per (candidate, reference) pair (Popović 2015): character
     n-gram F_β over whitespace-stripped text — the tokenizer-free MT /
@@ -3356,6 +3357,100 @@ def chrf_pairs(
     ).filter(
         (F.length("_c") >= max_n) & (F.length("_r") >= max_n)
     )
+    if engine == "arrow":
+        # round-14 (guide §4.2, the rouge_n precedent): both stripped
+        # strings sit in ONE row, so the 2·max_n explodes + per-order
+        # clipped-count joins collapse into one grouped Arrow kernel
+        # per pair — Counter multiset intersections, the identical
+        # integer counts (duplicate pair ids merge gram counts across
+        # rows exactly like the relational groupBy(pair, gram)).  The
+        # explode/join form stays as engine="relational".
+        out = _chrf_counts_arrow(base, max_n)
+    else:
+        out = _chrf_counts_relational(base, max_n)
+    nf = float(max_n)
+    chrp = None
+    chrr = None
+    for n in range(1, max_n + 1):
+        mm = F.coalesce(F.col(f"_m{n}"), F.lit(0).cast("bigint")).cast(
+            "double"
+        )
+        p = mm / F.col(f"_cn{n}").cast("double")
+        q = mm / F.col(f"_rn{n}").cast("double")
+        chrp = p if chrp is None else chrp + p
+        chrr = q if chrr is None else chrr + q
+    chrp = chrp / F.lit(nf)
+    chrr = chrr / F.lit(nf)
+    b2 = float(beta) * float(beta)
+    den = F.lit(b2) * chrp + chrr
+    chrf = F.when(
+        den > 0,
+        F.lit(1.0 + b2) * chrp * chrr / den,
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "pair",
+        chrp.alias("chrp"),
+        chrr.alias("chrr"),
+        chrf.alias("chrf"),
+    )
+
+
+def _chrf_counts_arrow(base, max_n: int):
+    """Per-pair chrF gram sizes + clipped matches as ONE grouped Arrow
+    pass: (pair, _cn1.., _rn1.., _m1..) — one output row per input
+    row (sizes are per row; matches merge the pair's gram multisets
+    across rows, the relational groupBy(pair, gram) semantics)."""
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("pair", base.schema["pair"].dataType)]
+        + [
+            StructField(f"_cn{n}", LongType())
+            for n in range(1, max_n + 1)
+        ]
+        + [
+            StructField(f"_rn{n}", LongType())
+            for n in range(1, max_n + 1)
+        ]
+        + [StructField(f"_m{n}", LongType()) for n in range(1, max_n + 1)]
+    )
+
+    def grams(s: str, n: int):
+        return Counter(s[i : i + n] for i in range(len(s) - n + 1))
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        cs = pdf["_c"].tolist()
+        rs = pdf["_r"].tolist()
+        out = {"pair": pdf["pair"].to_numpy()}
+        for n in range(1, max_n + 1):
+            out[f"_cn{n}"] = [len(s) - n + 1 for s in cs]
+            out[f"_rn{n}"] = [len(s) - n + 1 for s in rs]
+            cc: Counter = Counter()
+            cr: Counter = Counter()
+            for s in cs:
+                cc.update(grams(s, n))
+            for s in rs:
+                cr.update(grams(s, n))
+            m = sum(min(c, cr[g]) for g, c in cc.items() if g in cr)
+            out[f"_m{n}"] = [m] * len(cs)
+        return pd.DataFrame(out)
+
+    # pinned partition count: AQE's size-based coalescing folds the
+    # small text shuffle into ONE task and serializes the whole
+    # Python kernel (the r13 chunked-matrix-profile trap — measured
+    # 12.6 s coalesced vs sub-second spread); a user repartition is
+    # exempt and satisfies the groupBy distribution
+    par = base.sparkSession.sparkContext.defaultParallelism
+    return base.repartition(par, "pair").groupBy("pair").applyInPandas(
+        kern, schema
+    )
+
+
+def _chrf_counts_relational(base, max_n: int):
+    """The r13 explode/clipped-count-join chain (A/B control)."""
     from timeseriesutils_spark.functions.cache import pin
 
     base = pin(base)  # feeds 2*max_n explodes + the size select
@@ -3396,31 +3491,7 @@ def chrf_pairs(
             .alias(f"_m{n}")
         )
         out = out.join(m, "pair", "left")
-    nf = float(max_n)
-    chrp = None
-    chrr = None
-    for n in range(1, max_n + 1):
-        mm = F.coalesce(F.col(f"_m{n}"), F.lit(0).cast("bigint")).cast(
-            "double"
-        )
-        p = mm / F.col(f"_cn{n}").cast("double")
-        q = mm / F.col(f"_rn{n}").cast("double")
-        chrp = p if chrp is None else chrp + p
-        chrr = q if chrr is None else chrr + q
-    chrp = chrp / F.lit(nf)
-    chrr = chrr / F.lit(nf)
-    b2 = float(beta) * float(beta)
-    den = F.lit(b2) * chrp + chrr
-    chrf = F.when(
-        den > 0,
-        F.lit(1.0 + b2) * chrp * chrr / den,
-    ).otherwise(F.lit(0.0))
-    return out.select(
-        "pair",
-        chrp.alias("chrp"),
-        chrr.alias("chrr"),
-        chrf.alias("chrf"),
-    )
+    return out
 
 
 def chrf_pairs_sql(
