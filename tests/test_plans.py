@@ -295,12 +295,30 @@ def test_cusum_single_exchange(spark, catalog):
 
 
 def test_rolling_mad_one_window_slot(spark, catalog):
-    """The sorted window array is collected ONCE; median and MAD derive
-    from it as projections (the r3 WindowExec-slot-multiplication lesson,
-    pinned for the MAD op)."""
+    """Round-14: the catalog query serves the grouped-Arrow median/MAD
+    kernel — one exchange, one FlatMapGroupsInPandas, NO WindowExec.
+    The relational HOF chain (A/B control) keeps the r3
+    WindowExec-slot-multiplication pin: the sorted window array is
+    collected ONCE; median and MAD derive from it as projections."""
     plan = _plan(catalog["rolling_mad"](spark, SF_DIR))
-    assert len(re.findall(r"\bWindow\b", plan)) == 1
+    assert len(re.findall(r"FlatMapGroupsInPandas", plan)) == 1
+    assert len(re.findall(r"\bWindow\b", plan)) == 0
     assert len(re.findall(r"Exchange", plan)) == 1
+
+    from timeseriesutils_spark.operators.series_math import rolling_mad
+    from timeseriesutils_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    rel = _plan(
+        rolling_mad(
+            li, "l_quantity", ["l_suppkey"],
+            order_by=["l_orderkey", "l_linenumber"], engine="relational",
+        )
+    )
+    assert len(re.findall(r"\bWindow\b", rel)) == 1
+    assert len(re.findall(r"Exchange", rel)) == 1
 
 
 def test_dup_spans_no_cartesian_no_python(spark, catalog):
