@@ -518,15 +518,36 @@ def test_van_der_waerden_fligner_single_chain(spark, catalog):
 
 
 def test_cox_ph_checkpointed_projection(spark, catalog):
-    """cox_ph: the returned frame is a pure projection over the
-    eagerly-checkpointed group-sized stats (the Newton work already
-    ran, under the narrowed shuffle width) — no joins, no windows, no
-    scans left in the final plan, and the session's shuffle width is
-    restored."""
+    """cox_ph (r14 Arrow-kernel shape): all Newton rounds run inside ONE
+    FlatMapGroupsInPandas over the cells frame — no Window operators, no
+    per-step checkpoint barriers (lineage stays visible down to the
+    scans), and construction runs no eager jobs.  The relational A/B
+    control still narrows and restores the session's shuffle width."""
     before = spark.conf.get("spark.sql.shuffle.partitions")
     df = catalog["cox_ph"](spark, SF_DIR)
     plan = _plan(df)
-    assert "ExistingRDD" in plan  # the checkpointed stats frame
-    assert "Scan parquet" not in plan
-    assert "Join" not in plan and "Window" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the Newton kernel
+    assert "Scan parquet" in plan  # no eager checkpoint barrier
+    assert "ExistingRDD" not in plan
+    assert "Window" not in plan
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # relational control: eagerly-checkpointed projection + width restore
+    from timeseriesutils_spark.operators.coxph import cox_ph
+    from timeseriesutils_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .limit(400)
+        .selectExpr(
+            "l_returnflag AS g",
+            "CAST(l_linenumber AS BIGINT) AS t",
+            "CAST(l_quantity % 2 AS INT) AS e",
+            "CAST(l_discount AS DOUBLE) AS x",
+        )
+    )
+    rdf = cox_ph(li, "t", "e", "x", ["g"], engine="relational")
+    rplan = _plan(rdf)
+    assert "ExistingRDD" in rplan  # the checkpointed stats frame
+    assert "Join" not in rplan and "Window" not in rplan
     assert spark.conf.get("spark.sql.shuffle.partitions") == before

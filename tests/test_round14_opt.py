@@ -698,3 +698,58 @@ def test_chrf_arrow_equals_relational(spark):
         )
     )
     assert a == b and len(a) == 6  # pair 4 dropped, pair 5 twice
+
+
+def test_cox_ph_arrow_equals_relational(spark):
+    """The grouped-Arrow Newton kernel is bit-identical to the relational
+    4-pass unroll (kept as engine="relational") across the edges: a
+    no-event group (NULL inference via the left-join contract), a
+    constant-covariate group (I = 0 keeps beta at 0 and NULLs the
+    inference), negative covariates, tied event times, and a censored
+    mix."""
+    from timeseriesutils_spark.operators.coxph import cox_ph
+
+    rng = np.random.default_rng(14)
+    rows = []
+    # g0: ordinary mix — covariate drives the hazard, ties in t
+    for i in range(120):
+        x = float(rng.integers(0, 21)) / 10.0
+        t = int(max(1, 40 - 12 * x + rng.normal(0, 4)))
+        e = int(rng.random() < 0.8)
+        rows.append(("g0", t, e, x))
+    # g1: all censored — no event time, _u/_i NULL
+    for i in range(30):
+        rows.append(("g1", int(10 + i % 7), 0, float(i % 5) / 10.0))
+    # g2: constant covariate — information 0, beta stays 0, NULL inference
+    for i in range(40):
+        rows.append(("g2", int(5 + i % 11), int(i % 2), 0.7))
+    # g3: negative covariates
+    for i in range(80):
+        x = float(rng.integers(-10, 11)) / 10.0
+        t = int(max(1, 30 + 8 * x + rng.normal(0, 3)))
+        rows.append(("g3", t, int(rng.random() < 0.6), x))
+    df = spark.createDataFrame(rows, "g string, t int, e int, x double")
+
+    got = sorted(
+        map(tuple, cox_ph(df, "t", "e", "x", ["g"]).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            cox_ph(df, "t", "e", "x", ["g"], engine="relational").collect(),
+        )
+    )
+    assert len(got) == 4
+    for ga, gr in zip(got, want):
+        assert ga[0] == gr[0]
+        for va, vr in zip(ga[1:], gr[1:]):
+            if isinstance(va, float) and isinstance(vr, float):
+                assert (math.isnan(va) and math.isnan(vr)) or va == vr, (
+                    ga, gr,
+                )
+            else:
+                assert va == vr, (ga, gr)
+    # the no-event and constant-covariate groups NULL their inference
+    by_g = {r[0]: r for r in got}
+    assert by_g["g1"][3] is None and by_g["g2"][3] is None
+    assert by_g["g0"][3] is not None and by_g["g3"][3] is not None

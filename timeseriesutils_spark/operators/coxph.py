@@ -36,6 +36,21 @@ times — tiny), with the β frame broadcast back.  At 100 TB the cells
 frame is the working set; int64 cell sums hold to ~10^17 mass per
 group (DECIMAL swap documented at the aggregation sites).
 
+Round-14 optimization (guide §1.2/§4.2 — the seasonal_esd precedent):
+the default ``engine="arrow"`` runs ALL Newton rounds as ONE grouped
+Arrow kernel over the cells frame — the cell collapse stays the only
+row-scale stage, and the 4 broadcast-join + window + double-aggregation
+eval passes (each with an eager localCheckpoint barrier, ~16 sequential
+scheduler rounds) collapse to a single applyInPandas.  The kernel
+replays the identical integer/double recurrence: exp() evaluates via
+scalar libm (math.exp) once per DISTINCT covariate cell — the same
+last-ulp surface the DuckDB twin's EXP sees, absorbed by the q9 grid
+(the libm rule) exactly as the relational chain's JVM exp was; risk-set
+suffix sums are exact int64 (a loud ValueError replaces ANSI's loud
+overflow beyond the envelope); the u/i double tree and the β update are
+the same IEEE operation sequence.  The relational unroll is kept
+verbatim as ``engine="relational"`` (A/B control).
+
 No counterpart in the reference engine — §2.2b survival-inference
 extension (Cox 1972, public).
 """
@@ -64,6 +79,7 @@ def cox_ph(
     group_columns,
     n_steps: int = 3,
     scale_x: int = 6,
+    engine: str = "arrow",
 ) -> DataFrame:
     """See module docstring.  ``event_col``: 1 = event, 0 = censored.
 
@@ -85,12 +101,15 @@ def cox_ph(
         F.col(event_col).cast("int").alias("_e"),
         xq.alias("_xq"),
     )
-    cells = pin(
-        d.groupBy(*groups, "_t", "_xq").agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.sum("_e").cast("bigint").alias("_d"),
-        )
+    cells_raw = d.groupBy(*groups, "_t", "_xq").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("_e").cast("bigint").alias("_d"),
     )
+    if engine == "arrow":
+        return _cox_finish(
+            _cox_newton_np(cells_raw, groups, n_steps, mx), groups
+        )
+    cells = pin(cells_raw)
     xf = F.col("_xq").cast("double") / F.lit(float(mx))
     q9 = lambda c: F.floor(c * F.lit(1.0e9) + F.lit(0.5)).cast("bigint")  # noqa: E731
 
@@ -176,6 +195,13 @@ def cox_ph(
         out = _newton_loop(betas, eval_pass, groups, n_steps)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", cur_parts)
+    return _cox_finish(out, groups)
+
+
+def _cox_finish(out: DataFrame, groups) -> DataFrame:
+    """Shared inference tail over (groups…, n, n_events, beta, _u, _i) —
+    identical for both engines (se/z/p/hazard_ratio stay relational, the
+    same double tree the DuckDB twin renders)."""
     i_f = F.col("_i").cast("double") / F.lit(1.0e9)
     ok = F.col("_i") > 0
     se = F.lit(1.0) / F.sqrt(i_f)
@@ -194,6 +220,136 @@ def cox_ph(
         F.when(ok, p).alias("p_value"),
         F.when(ok, hr).alias("hazard_ratio"),
     )
+
+
+def _cox_newton_np(cells: DataFrame, groups, n_steps: int, mx: int):
+    """All Newton rounds as ONE grouped Arrow pass over the cells frame
+    (columns: groups…, _t, _xq, _cnt, _d) — the exact integer/double
+    recurrence of the relational eval_pass/_newton_loop chain, per group:
+
+    per round at the current β: e = exp(β·x) once per DISTINCT cell
+    covariate (scalar libm — the q9 grid absorbs the last ulp, the libm
+    rule), q9-quantized moments multiplied by exact integer counts,
+    risk-set sums as exact int64 suffix cumsums over the ascending
+    event-time grid, the identical u/i IEEE double tree re-quantized at
+    1e-9, and β ← β + (U/1e9)/(I/1e9) iff I > 0.  Envelope guards raise
+    a loud ValueError exactly where the relational chain's ANSI int64
+    sums would raise.  Emits (groups…, n, n_events, beta, _u, _i) — one
+    row per group; _u/_i NULL when no event time exists (the relational
+    left-join's NULL)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField(c, cells.schema[c].dataType) for c in groups]
+        + [
+            StructField("n", LongType()),
+            StructField("n_events", LongType()),
+            StructField("beta", DoubleType()),
+            StructField("_u", LongType()),
+            StructField("_i", LongType()),
+        ]
+    )
+    fmx = float(mx)
+    I63 = 2**63
+
+    def newton(pdf: pd.DataFrame) -> pd.DataFrame:
+        xq = pdf["_xq"].to_numpy(np.int64)
+        tt = pdf["_t"].to_numpy(np.int64)
+        cnt = pdf["_cnt"].to_numpy(np.int64)
+        dd = pdf["_d"].to_numpy(np.int64)
+        n = int(cnt.sum(dtype=object))
+        n_ev = int(dd.sum(dtype=object))
+        ux, inv = np.unique(xq, return_inverse=True)
+        xfu = ux.astype(np.float64) / fmx  # same IEEE cast-divide
+        ut, tinv = np.unique(tt, return_inverse=True)  # ascending _t grid
+        nt = ut.size
+        # β-independent per-t sums (exact: |xq·d| ≤ 1e8·n, |Σ| < 2^63
+        # for any realistic mass; guard anyway)
+        if len(xq) and max(abs(int(xq.max())), abs(int(xq.min()))) * max(
+            n, 1
+        ) >= I63:
+            raise ValueError("cox_ph arrow kernel: xq·d mass exceeds int64")
+        w_dt = np.zeros(nt, np.int64)
+        np.add.at(w_dt, tinv, dd)
+        w_sx = np.zeros(nt, np.int64)
+        np.add.at(w_sx, tinv, xq * dd)
+        evt = w_dt > 0
+        dtf = w_dt[evt].astype(np.float64)
+        sxf = w_sx[evt].astype(np.float64)
+
+        def eval_ui(beta: float):
+            # exp once per DISTINCT covariate cell, scalar libm
+            e_u = np.array([math.exp(v) for v in (beta * xfu)], np.float64)
+            exfu = e_u * xfu
+            q0u = np.floor(e_u * 1.0e9 + 0.5)
+            q1u = np.floor(exfu * 1.0e9 + 0.5)
+            q2u = np.floor(exfu * xfu * 1.0e9 + 0.5)
+            qmax = max(
+                float(np.abs(q0u).max()),
+                float(np.abs(q1u).max()),
+                float(np.abs(q2u).max()),
+            )
+            if not math.isfinite(qmax) or qmax * max(n, 1) >= I63:
+                # the relational chain's ANSI int64 sums raise here too
+                raise ValueError(
+                    "cox_ph arrow kernel: q9(exp) mass exceeds the int64 "
+                    "envelope (DECIMAL swap needed — see module docstring)"
+                )
+            w0 = np.zeros(nt, np.int64)
+            np.add.at(w0, tinv, q0u.astype(np.int64)[inv] * cnt)
+            w1 = np.zeros(nt, np.int64)
+            np.add.at(w1, tinv, q1u.astype(np.int64)[inv] * cnt)
+            w2 = np.zeros(nt, np.int64)
+            np.add.at(w2, tinv, q2u.astype(np.int64)[inv] * cnt)
+            # exact int64 suffix sums over the ascending _t grid — the
+            # same integers as SUM OVER (all) − SUM OVER (preceding)
+            s0 = np.cumsum(w0[::-1])[::-1][evt].astype(np.float64)
+            s1 = np.cumsum(w1[::-1])[::-1][evt].astype(np.float64)
+            s2 = np.cumsum(w2[::-1])[::-1][evt].astype(np.float64)
+            r1 = s1 / s0
+            u_t = sxf / fmx - dtf * r1
+            i_t = dtf * (s2 / s0 - r1 * r1)
+            uq = np.floor(u_t * 1.0e9 + 0.5)
+            iq = np.floor(i_t * 1.0e9 + 0.5)
+            if uq.size and (
+                float(np.abs(uq).max()) * uq.size >= I63
+                or float(np.abs(iq).max()) * iq.size >= I63
+            ):
+                raise ValueError(
+                    "cox_ph arrow kernel: u/i reduce exceeds int64"
+                )
+            return (
+                int(uq.astype(np.int64).sum()),
+                int(iq.astype(np.int64).sum()),
+            )
+
+        beta = 0.0
+        if not evt.any():
+            u_f = i_f = None  # relational left join: no contrib rows
+        else:
+            for _ in range(n_steps):
+                u, i = eval_ui(beta)
+                if i > 0:
+                    # the identical two-division double tree
+                    beta = beta + (float(u) / 1.0e9) / (float(i) / 1.0e9)
+            u_f, i_f = eval_ui(beta)
+        keys = pdf.iloc[0][list(groups)]
+        return pd.DataFrame(
+            {
+                **{c: [keys[c]] for c in groups},
+                "n": [n],
+                "n_events": [n_ev],
+                "beta": [beta],
+                "_u": pd.Series([u_f], dtype="object"),
+                "_i": pd.Series([i_f], dtype="object"),
+            }
+        )
+
+    return cells.groupBy(*groups).applyInPandas(newton, schema)
 
 
 def _newton_loop(betas, eval_pass, groups, n_steps):
