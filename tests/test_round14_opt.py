@@ -753,3 +753,44 @@ def test_cox_ph_arrow_equals_relational(spark):
     by_g = {r[0]: r for r in got}
     assert by_g["g1"][3] is None and by_g["g2"][3] is None
     assert by_g["g0"][3] is not None and by_g["g3"][3] is not None
+
+
+def test_bleu_arrow_equals_relational(spark):
+    """The per-pair BLEU Counter kernel is bit-identical to the
+    relational 8-explode/4-join chain (kept as engine="relational")
+    across: repeated grams (clipping), zero overlap, texts shorter than
+    max_n on either side (empty-gram orders), duplicate pair ids
+    (cross-row gram merging), multi-space/trim tokenization, and the
+    empty-string edge (split('') = [''])."""
+    from timeseriesutils_spark.operators.text import bleu_pairs
+
+    rows = [
+        (1, "the cat sat on the mat", "the cat sat on a mat"),
+        (2, "a a a a a", "a a b"),                    # clipping bites
+        (3, "x y z w q", "alpha beta gamma delta"),    # zero overlap
+        (4, "hi", "one two three four five"),          # cand shorter than n
+        (5, "one two three four five", "yo"),          # ref shorter than n
+        (6, "  spaced   out   text here ", "spaced out text here"),
+        (7, "", "non empty ref"),                      # split('') edge
+        (8, "dup pair first half", "dup pair ref one"),
+        (8, "dup pair second half", "dup pair ref two"),  # duplicate id
+    ]
+    df = spark.createDataFrame(rows, "pair int, cand string, ref string")
+    a = sorted(
+        map(tuple, bleu_pairs(df, "pair", "cand", "ref", max_n=4).collect())
+    )
+    r = sorted(
+        map(
+            tuple,
+            bleu_pairs(
+                df, "pair", "cand", "ref", max_n=4, engine="relational"
+            ).collect(),
+        )
+    )
+    assert len(a) == len(rows)
+    for x, y in zip(a, r):
+        for va, vr in zip(x, y):
+            if isinstance(va, float) and isinstance(vr, float):
+                assert (math.isnan(va) and math.isnan(vr)) or va == vr, (x, y)
+            else:
+                assert va == vr, (x, y)

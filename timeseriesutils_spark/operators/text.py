@@ -3129,6 +3129,7 @@ def bleu_pairs(
     cand_col: str,
     ref_col: str,
     max_n: int = 4,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Sentence-BLEU per (candidate, reference) pair (Papineni 2002,
     with the standard +1 smoothing on orders > 1 — Lin & Och 2004):
@@ -3143,11 +3144,128 @@ def bleu_pairs(
     -count join per order; ln/exp outputs are floor-quantized at 1e-9
     (the libm rule) so the score is bit-identical cross-engine.
 
-    Scale: ``max_n`` explode+join passes over (pair, gram) counts —
-    all shuffle-light; no per-row quadratic kernels.
+    Scale: one grouped Arrow pass over the pair frame (round-14, guide
+    §4.2 — the chrf_pairs/rouge_n precedent: both texts sit in ONE row
+    after the pair join, so the 2·``max_n`` explodes + per-order
+    clipped-count joins + ``max_n`` join-backs — 36 Exchange, 26 joins
+    at max_n=4, and machine-state-sensitive wall clock — collapse into
+    per-pair Counter multiset intersections over Spark-tokenized word
+    arrays; duplicate pair ids merge gram counts across rows exactly
+    like the relational groupBy(pair, gram), and a kernel match count
+    of 0 is the relational left-join NULL under the tail's COALESCE).
+    The explode/join chain stays as ``engine="relational"`` (A/B
+    control).
 
     Returns (pair, cand_len, ref_len, p1..p{max_n}, brevity_penalty,
     bleu)."""
+    toks = lambda col: F.split(F.lower(F.trim(F.col(col))), r"\s+")  # noqa: E731
+    if engine == "arrow":
+        base = df.filter(
+            F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+        ).select(
+            F.col(pair_col).alias("pair"),
+            toks(cand_col).alias("_cw"),
+            toks(ref_col).alias("_rw"),
+        )
+        out = _bleu_counts_arrow(base, max_n)
+    else:
+        out = _bleu_counts_relational(df, pair_col, cand_col, ref_col, max_n)
+    q9 = lambda c: F.floor(c * F.lit(1.0e9) + F.lit(0.5)) / F.lit(1.0e9)  # noqa: E731
+    ps = []
+    lnsum = None
+    for n in range(1, max_n + 1):
+        s = 0 if n == 1 else 1
+        mm = F.coalesce(F.col(f"_m{n}"), F.lit(0).cast("bigint"))
+        cn = F.col(f"_cn{n}")
+        p_n = F.when(
+            cn + F.lit(s) > 0,
+            (mm + F.lit(s)).cast("double") / (cn + F.lit(s)).cast("double"),
+        )
+        ps.append(p_n.alias(f"p{n}"))
+        lnp = q9(F.log(p_n))
+        lnsum = lnp if lnsum is None else lnsum + lnp
+    bp = q9(
+        F.least(
+            F.lit(1.0),
+            F.exp(
+                F.lit(1.0)
+                - F.col("ref_len").cast("double")
+                / F.col("cand_len").cast("double")
+            ),
+        )
+    )
+    bleu = F.when(
+        (F.col("cand_len") > 0)
+        & (F.coalesce(F.col("_m1"), F.lit(0).cast("bigint")) > 0),
+        bp * q9(F.exp(lnsum / F.lit(float(max_n)))),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "pair", "cand_len", "ref_len", *ps,
+        F.when(F.col("cand_len") > 0, bp).alias("brevity_penalty"),
+        bleu.alias("bleu"),
+    )
+
+
+def _bleu_counts_arrow(base, max_n: int):
+    """Per-pair BLEU gram sizes + clipped matches as ONE grouped Arrow
+    pass over (pair, _cw, _rw) token arrays: one output row per input
+    row with per-row lengths/sizes and pair-merged match counts — the
+    relational groupBy(pair, gram) semantics (the chrf_pairs kernel
+    shape).  Grams join tokens with a single space, exactly
+    concat_ws(" ", slice(w, i+1, n)); rows shorter than n contribute no
+    grams and size 0, exactly the relational empty-array branch."""
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("pair", base.schema["pair"].dataType),
+            StructField("cand_len", LongType()),
+            StructField("ref_len", LongType()),
+        ]
+        + [StructField(f"_cn{n}", LongType()) for n in range(1, max_n + 1)]
+        + [StructField(f"_m{n}", LongType()) for n in range(1, max_n + 1)]
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        cw = pdf["_cw"].tolist()
+        rw = pdf["_rw"].tolist()
+        out = {
+            "pair": pdf["pair"].to_numpy(),
+            "cand_len": [len(w) for w in cw],
+            "ref_len": [len(w) for w in rw],
+        }
+        for n in range(1, max_n + 1):
+            out[f"_cn{n}"] = [max(len(w) - n + 1, 0) for w in cw]
+            cc: Counter = Counter()
+            cr: Counter = Counter()
+            for w in cw:
+                if len(w) >= n:
+                    cc.update(
+                        " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+                    )
+            for w in rw:
+                if len(w) >= n:
+                    cr.update(
+                        " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+                    )
+            m = sum(min(c, cr[g]) for g, c in cc.items() if g in cr)
+            out[f"_m{n}"] = [m] * len(cw)
+        return pd.DataFrame(out)
+
+    # pinned partition count — the r14 small-input grouped-Python rule
+    # (chrf_pairs trap): AQE's size-based coalescing would fold the
+    # small text shuffle into ONE task and serialize the kernel
+    par = base.sparkSession.sparkContext.defaultParallelism
+    return base.repartition(par, "pair").groupBy("pair").applyInPandas(
+        kern, schema
+    )
+
+
+def _bleu_counts_relational(df, pair_col, cand_col, ref_col, max_n):
+    """The r13 explode/clipped-count-join chain (A/B control)."""
 
     def grams(col, n):
         w = F.split(F.lower(F.trim(F.col(col))), r"\s+")
@@ -3193,40 +3311,7 @@ def bleu_pairs(
             .alias(f"_m{n}")
         )
         out = out.join(m, "pair", "left")
-    q9 = lambda c: F.floor(c * F.lit(1.0e9) + F.lit(0.5)) / F.lit(1.0e9)  # noqa: E731
-    ps = []
-    lnsum = None
-    for n in range(1, max_n + 1):
-        s = 0 if n == 1 else 1
-        mm = F.coalesce(F.col(f"_m{n}"), F.lit(0).cast("bigint"))
-        cn = F.col(f"_cn{n}")
-        p_n = F.when(
-            cn + F.lit(s) > 0,
-            (mm + F.lit(s)).cast("double") / (cn + F.lit(s)).cast("double"),
-        )
-        ps.append(p_n.alias(f"p{n}"))
-        lnp = q9(F.log(p_n))
-        lnsum = lnp if lnsum is None else lnsum + lnp
-    bp = q9(
-        F.least(
-            F.lit(1.0),
-            F.exp(
-                F.lit(1.0)
-                - F.col("ref_len").cast("double")
-                / F.col("cand_len").cast("double")
-            ),
-        )
-    )
-    bleu = F.when(
-        (F.col("cand_len") > 0)
-        & (F.coalesce(F.col("_m1"), F.lit(0).cast("bigint")) > 0),
-        bp * q9(F.exp(lnsum / F.lit(float(max_n)))),
-    ).otherwise(F.lit(0.0))
-    return out.select(
-        "pair", "cand_len", "ref_len", *ps,
-        F.when(F.col("cand_len") > 0, bp).alias("brevity_penalty"),
-        bleu.alias("bleu"),
-    )
+    return out
 
 
 def bleu_pairs_sql(
