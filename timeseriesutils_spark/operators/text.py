@@ -2906,20 +2906,23 @@ def rouge_n(
             ),
         ).otherwise(F.array(F.concat_ws(" ", w)))
 
-    base = df.filter(
-        F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
-    ).select(F.col(pair_col).alias("pair"), grams(cand_col).alias("_cg"),
-             grams(ref_col).alias("_rg"))
     if engine == "arrow":
         # Round-14 (guide §2.4 "remove shuffles outright", §4.2): both
-        # gram arrays already sit in ONE row, so the clipped multiset
-        # overlap is a per-row kernel — no explode, no (pair, gram)
-        # shuffle at all (the relational form shuffled every gram
-        # occurrence; it remains below as engine="relational", the A/B
-        # control and the oracle's shape).  Counts are exact integers
-        # (order-free Σ min), so the downstream P/R/F1 double trees are
-        # bit-identical.
-        import numpy as np
+        # texts already sit in ONE row, so the clipped multiset overlap
+        # is a per-row kernel — no explode, no (pair, gram) shuffle at
+        # all (the relational form shuffled every gram occurrence; it
+        # remains below as engine="relational", the A/B control and the
+        # oracle's shape).  Second r14 pass (the bleu_pairs probe): the
+        # JVM transform/slice/concat_ws gram-ARRAY build was 3.1 s of
+        # the 3.4 s total and ran on the pair join's single output
+        # partition — the kernel now receives the plain token arrays
+        # (split only, 1× text bytes) on a pinned-width repartition and
+        # builds gram Counters itself: identical " "-joined grams,
+        # identical short-text whole-string fallback, identical exact
+        # integers (Counter ≡ np.unique counting), so the downstream
+        # P/R/F1 double trees are bit-identical.
+        from collections import Counter
+
         import pandas as pd
         from pyspark.sql.types import (
             LongType,
@@ -2927,6 +2930,14 @@ def rouge_n(
             StructType,
         )
 
+        toks = lambda c: F.split(F.lower(F.trim(F.col(c))), r"\s+")  # noqa: E731
+        base = df.filter(
+            F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+        ).select(
+            F.col(pair_col).alias("pair"),
+            toks(cand_col).alias("_cw"),
+            toks(ref_col).alias("_rw"),
+        )
         oschema = StructType(
             [
                 StructField("pair", df.schema[pair_col].dataType),
@@ -2936,38 +2947,35 @@ def rouge_n(
             ]
         )
 
+        def gcounts(w):
+            if len(w) >= n:
+                return Counter(
+                    " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+                )
+            return Counter({" ".join(w): 1})
+
         def clip(frames):
             for pdf in frames:
-                cg_l = pdf["_cg"]
-                rg_l = pdf["_rg"]
-                nc = np.empty(len(pdf), dtype=np.int64)
-                nr = np.empty(len(pdf), dtype=np.int64)
-                mt = np.empty(len(pdf), dtype=np.int64)
-                for i, (cg, rg) in enumerate(zip(cg_l, rg_l)):
-                    ca = np.asarray(cg, dtype=object)
-                    ra = np.asarray(rg, dtype=object)
-                    nc[i] = ca.size
-                    nr[i] = ra.size
-                    cu, cc = np.unique(ca, return_counts=True)
-                    ru, rc = np.unique(ra, return_counts=True)
-                    common, ci, ri = np.intersect1d(
-                        cu, ru, assume_unique=True, return_indices=True
-                    )
-                    mt[i] = (
-                        int(np.minimum(cc[ci], rc[ri]).sum())
-                        if common.size
-                        else 0
+                nc, nr, mt = [], [], []
+                for cw, rw in zip(pdf["_cw"], pdf["_rw"]):
+                    cc = gcounts(cw)
+                    rc = gcounts(rw)
+                    nc.append(sum(cc.values()))
+                    nr.append(sum(rc.values()))
+                    mt.append(
+                        sum(min(c, rc[g]) for g, c in cc.items() if g in rc)
                     )
                 yield pd.DataFrame(
                     {
                         "pair": pdf["pair"].to_numpy(),
-                        "cand_grams": nc,
-                        "ref_grams": nr,
-                        "matches": mt,
+                        "cand_grams": pd.Series(nc, dtype="int64"),
+                        "ref_grams": pd.Series(nr, dtype="int64"),
+                        "matches": pd.Series(mt, dtype="int64"),
                     }
                 )
 
-        out = base.mapInPandas(clip, oschema)
+        par = base.sparkSession.sparkContext.defaultParallelism
+        out = base.repartition(par, "pair").mapInPandas(clip, oschema)
         mt = F.col("matches").cast("double")
         prec = F.when(
             F.col("cand_grams") > 0, mt / F.col("cand_grams").cast("double")
@@ -2991,6 +2999,10 @@ def rouge_n(
     # recover the gram totals exactly (Σ_g cc = |cand grams|), so the
     # output integers are identical and the double P/R/F1 trees below
     # are untouched.
+    base = df.filter(
+        F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull()
+    ).select(F.col(pair_col).alias("pair"), grams(cand_col).alias("_cg"),
+             grams(ref_col).alias("_rg"))
     tagged = base.select(
         "pair",
         F.size("_cg").alias("_nc"),
