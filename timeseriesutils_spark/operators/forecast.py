@@ -1619,12 +1619,24 @@ def holt_winters(
         f"a{str(alpha).replace('.', 'p')}_g{str(gamma).replace('.', 'p')}"
         f"_m{season}_w{window_size}"
     )
-    return data.select(
+    # round-14 (the dagostino_k2 staging rule, guide §7.3): the fc
+    # column re-inlined all three window_size-term combos — stage them
+    # once, then fc adds the plain column references (the same three
+    # doubles in the same left-associated order, so fc is bit-identical;
+    # CollapseProject keeps the boundary because each combo alias is
+    # non-cheap and referenced twice).
+    lc = f"{column}_hw_level_{sfx}"
+    bc = f"{column}_hw_trend_{sfx}"
+    sc = f"{column}_hw_season_{sfx}"
+    staged = data.select(
         "*",
-        level.alias(f"{column}_hw_level_{sfx}"),
-        trend.alias(f"{column}_hw_trend_{sfx}"),
-        snext.alias(f"{column}_hw_season_{sfx}"),
-        (level + trend + snext).alias(f"{column}_hw_fc_{sfx}"),
+        level.alias(lc),
+        trend.alias(bc),
+        snext.alias(sc),
+    )
+    return staged.select(
+        "*",
+        (F.col(lc) + F.col(bc) + F.col(sc)).alias(f"{column}_hw_fc_{sfx}"),
     )
 
 

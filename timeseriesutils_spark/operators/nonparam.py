@@ -3906,15 +3906,27 @@ def fligner_killeen(
         ).otherwise(F.lit(0.0))
         num = term if num is None else num + term
     x2 = num / var
-    p = chi2_sf_expr(x2, F.lit(float(k - 1)))
     ok = (F.col("n") > k) & (var > 0)
-    return agg.select(
+    # round-14 (the dagostino_k2 staging rule, guide §7.3): x2 expands
+    # the k per-level mean terms and p re-expands x2 inside the
+    # Wilson–Hilferty tree — emitting all outputs from one projection
+    # duplicated that tree ~5x and the per-write Catalyst/codegen pass
+    # dominated a group-count-sized stage.  Stage at (x2, ok), then the
+    # second projection computes p over a plain column reference —
+    # identical IEEE doubles, same op sequence.
+    xstage = agg.select(
+        *groups, "n", x2.alias("_x2"), ok.alias("_ok")
+    )
+    x2c = F.col("_x2")
+    okc = F.col("_ok")
+    p = chi2_sf_expr(x2c, F.lit(float(k - 1)))
+    return xstage.select(
         *groups,
         "n",
-        F.when(ok, x2).alias("x2_stat"),
+        F.when(okc, x2c).alias("x2_stat"),
         F.lit(k - 1).alias("df"),
-        F.when(ok, p).alias("p_value"),
-        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+        F.when(okc, p).alias("p_value"),
+        F.when(okc, p < F.lit(0.05)).alias("reject_05"),
     )
 
 

@@ -3224,19 +3224,37 @@ def dagostino_k2(
         * F.sqrt(F.lit(4.5) * a)
     )
     quant = lambda c: F.floor(c * F.lit(1.0e9) + F.lit(0.5)) / F.lit(1.0e9)  # noqa: E731
-    z1 = quant(z1raw)
-    z2 = quant(z2raw)
-    k2 = z1 * z1 + z2 * z2
-    p = quant(F.exp(-k2 / F.lit(2.0)))
+    # round-14 (guide §7.3 — the driver, not the cluster, was the
+    # bottleneck): emitting all five outputs from ONE projection
+    # re-inlined the z1/z2 trees (each expanding the four moment sums)
+    # ~8x — k2 carries both, p carries k2, reject carries p — and the
+    # per-write Catalyst/codegen pass over that duplicated tree cost
+    # ~0.7 s per run at 5 output rows.  Staging at the z level computes
+    # each tree once; the second projection re-references plain columns
+    # (z1 is non-cheap and multiply-referenced, so CollapseProject
+    # leaves the stage boundary alone).  Bit-identical: the same IEEE
+    # doubles flow through the same op sequence, names notwithstanding.
     ok = (F.col("n") > 20) & (m2 > 0)
-    return agg.select(
+    zstage = agg.select(
         *groups,
         "n",
-        F.when(ok, z1).alias("z_skew"),
-        F.when(ok, z2).alias("z_kurt"),
-        F.when(ok, k2).alias("k2_stat"),
-        F.when(ok, p).alias("p_value"),
-        F.when(ok, p < F.lit(0.05)).alias("reject_05"),
+        quant(z1raw).alias("_z1"),
+        quant(z2raw).alias("_z2"),
+        ok.alias("_ok"),
+    )
+    z1 = F.col("_z1")
+    z2 = F.col("_z2")
+    okc = F.col("_ok")
+    k2 = z1 * z1 + z2 * z2
+    p = quant(F.exp(-k2 / F.lit(2.0)))
+    return zstage.select(
+        *groups,
+        "n",
+        F.when(okc, z1).alias("z_skew"),
+        F.when(okc, z2).alias("z_kurt"),
+        F.when(okc, k2).alias("k2_stat"),
+        F.when(okc, p).alias("p_value"),
+        F.when(okc, p < F.lit(0.05)).alias("reject_05"),
     )
 
 
