@@ -171,19 +171,29 @@ def _funnel_survivors(docs, id_col, text_col, min_quality, max_dup_gram_frac):
     subtree through when d1 has two consumers; fusing removed it and
     re-ran the signal scan per consumer: pipeline_e2e bench 4.72 →
     6.54 s).  The join form stays.
+
+    Round-14 second pass: the quality/dup-frac FILTER was the remaining
+    ~10× split-inliner — pushdown re-expands both signal trees inside
+    the filter, and the HOF lambdas block subexpression elimination, so
+    the tokenize split re-ran per signal reference.  Pinning the tiny
+    (id, quality, dup_gram_frac) signal frame is an optimizer barrier
+    the pushdown cannot cross: signals compute ONCE per row, the filter
+    reads cached columns.  Measured 3.2 → 0.85 s standalone with
+    identical survivors; the keep_ids reuse point is untouched (the pin
+    is upstream of it).  At 100 TB the pin is the same survivor-tier
+    materialization the module doc already prescribes.
     """
     q = quality_score(docs, id_col, text_col)
     r = repetition_stats(docs, id_col, text_col).select(
         id_col, "dup_gram_frac"
     )
-    keep_ids = (
-        q.join(r, id_col)
-        .filter(
-            (F.col("quality") >= min_quality)
-            & (F.col("dup_gram_frac") <= max_dup_gram_frac)
-        )
-        .select(id_col)
+    sig = pin(
+        q.join(r, id_col).select(id_col, "quality", "dup_gram_frac")
     )
+    keep_ids = sig.filter(
+        (F.col("quality") >= min_quality)
+        & (F.col("dup_gram_frac") <= max_dup_gram_frac)
+    ).select(id_col)
     return docs.join(keep_ids, id_col)
 
 
