@@ -411,26 +411,40 @@ def incremental_training_corpus(
     eval_all = docs.filter(did % 2 == 1)  # eval slice spans old + new
 
     # ── state: the previous run's survivor tiers (see docstring) ─────
+    # Round-14: the state tiers are eager localCheckpoints, not lazy
+    # pins.  In production they ARE the previous run's materialized
+    # tables; in the testbed the composed lazy plan carried the whole
+    # state lineage into every downstream reference — 501 Exchange
+    # nodes in the final plan, whose per-write Catalyst/AQE pass (the
+    # mmr_diversify planning lesson) plus construct-time py4j cost
+    # ~4.6 s before a row moved.  Checkpointing truncates each tier to
+    # an ExistingRDD exactly where production would read a table.
+    # Values are unchanged (deterministic lineage cut); executor-pinned
+    # durability is the testbed trade the r13 checkpoint-tier notes
+    # already cover.
     old_d1 = _funnel_survivors(
         old_raw, id_col, text_col, min_quality, max_dup_gram_frac
     )
     old_firsts = (
         old_d1.groupBy(text_col).agg(F.min(did).alias(id_col)).select(id_col)
     )
-    old_d2 = pin(old_d1.join(old_firsts, id_col))
+    old_d2 = old_d1.join(old_firsts, id_col).localCheckpoint(eager=True)
     old_pairs = minhash_lsh_pairs(
         old_d2, id_col, text_col, n=3, num_hashes=32, bands=8,
         threshold=neardup_threshold, hash_mode="md5",
     )
-    # pinned (round-14, mirroring the full pipeline's d3 pin): each d3
-    # feeds its decontamination shingle build AND the d4 anti-join —
-    # unpinned, both consumers replayed the whole keep-min chain
-    old_d3 = pin(dedup_near_keep_min(old_pairs, old_d2, id_col))
+    # each d3 feeds its decontamination shingle build AND the d4
+    # anti-join — un-cut, both consumers replayed the keep-min chain
+    old_d3 = dedup_near_keep_min(old_pairs, old_d2, id_col).localCheckpoint(
+        eager=True
+    )
     old_train = old_d3.filter(did % 2 == 0)
     # the eval slice is the reference side of BOTH decontamination
     # passes — shingle it ONCE (round-14; shingling is the dominant
     # per-row cost and the slice is half the corpus, not "tiny")
-    eval_sh = pin(hashed_shingle_docs(eval_all, id_col, text_col, 3))
+    eval_sh = hashed_shingle_docs(
+        eval_all, id_col, text_col, 3
+    ).localCheckpoint(eager=True)
     old_flagged = (
         ngram_jaccard_against(
             hashed_shingle_docs(old_train, id_col, text_col, 3),
@@ -441,7 +455,9 @@ def incremental_training_corpus(
         .select(F.col("id_a").alias(id_col))
         .distinct()
     )
-    old_d4 = old_train.join(old_flagged, id_col, "left_anti")
+    old_d4 = old_train.join(old_flagged, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
 
     # ── batch: the incremental path (the cuts under test) ────────────
     new_d1 = _funnel_survivors(
