@@ -118,9 +118,13 @@ def assemble_training_corpus(
     # ── tier 2: exact dedup, keep-first by full text ──────────────────
     firsts = d1.groupBy(text_col).agg(F.min(did).alias(id_col)).select(id_col)
     # d2 feeds the MinHash stage AND the keep-min anti-join AND the
-    # decontamination train side — pin the fork (survivor slice; the
-    # production swap at 100 TB is a parquet checkpoint here)
-    d2 = pin(d1.join(firsts, id_col))
+    # decontamination train side — an EAGER survivor-tier cut (round-14,
+    # the incremental state-tier rule: production checkpoints the
+    # survivor corpus to parquet here, so the testbed mirrors it with a
+    # localCheckpoint; a lazy pin dragged the funnel lineage into every
+    # downstream plan reference and the per-write Catalyst pass paid
+    # for it)
+    d2 = d1.join(firsts, id_col).localCheckpoint(eager=True)
 
     # ── tier 3: near-dup dedup (MinHash-LSH, portable hashes) ─────────
     pairs = minhash_lsh_pairs(
@@ -133,7 +137,7 @@ def assemble_training_corpus(
         threshold=neardup_threshold,
         hash_mode="md5",
     )
-    d3 = pin(dedup_near_keep_min(pairs, d2, id_col))
+    d3 = dedup_near_keep_min(pairs, d2, id_col).localCheckpoint(eager=True)
 
     # ── tier 4: decontamination vs the held-out eval slice ────────────
     train = d3.filter(did % 2 == 0)
