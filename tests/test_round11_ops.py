@@ -21,13 +21,17 @@ def catalog(spark):
 
 def test_pipeline_e2e_plan_shape(spark, catalog):
     """The composed pipeline's plan: every fork where two stage tiers
-    consume one earlier result reads a pinned frame (d2 survivors,
-    d3 survivors, the MinHash shingle frame, the decontamination
-    posting frame) — no unpinned recompute of a stage's upstream —
-    and the whole chain stays JVM-side (no Python evaluation)."""
+    consume one earlier result reads a CUT frame — the d2/d3 survivor
+    tiers are eager localCheckpoints (the r14 production
+    parquet-checkpoint mirror, read back as ExistingRDD scans) and the
+    remaining operator-internal forks (shingle/posting/signal frames)
+    stay pinned (InMemoryTableScan) — no unpinned recompute of a
+    stage's upstream, and the whole chain stays JVM-side (no Python
+    evaluation)."""
     df = catalog["pipeline_e2e"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert len(re.findall(r"InMemoryTableScan", plan)) >= 4
+    assert len(re.findall(r"Scan ExistingRDD", plan)) >= 2  # d2, d3
+    assert len(re.findall(r"InMemoryTableScan", plan)) >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
