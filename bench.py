@@ -201,9 +201,19 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
+    # Memo-honest total (VERDICT r14 "What's wrong" #2a): the steady
+    # total lets checkpoint_once consumers ride the shared-build memo
+    # (best-of-2 picks the memo-read run).  value_one_shot swaps each
+    # consumer's steady entry for its memo-cleared one-shot cost, so the
+    # headline comparison can never silently ride the memo.
+    total_one_shot = total
+    for name, sec in one_shot.items():
+        if sec >= 0 and name in timings:
+            total_one_shot += sec - timings[name]
     payload = {
         "metric": "headline_queries_total",
         "value": total,
+        "value_one_shot": round(total_one_shot, 4),
         "unit": "sec",
         "queries": timings,
         "production_modes": prod,
@@ -230,20 +240,35 @@ def main() -> None:
         json.dump(payload, f)
     line = json.dumps(payload)
     if len(line) > 1800:
+        # VERDICT r14 #2: the fixed headline-11 hid 381 of 392 queries
+        # from the driver's PERF comparison.  Emit the headline-11 (the
+        # round-over-round anchor — never removed or renamed) PLUS as
+        # many of the heaviest remaining queries as fit under the
+        # driver's stdout capture bound, so a regression in the heavy
+        # tail is visible round-over-round, not only in BENCH_LOCAL.
         headline = [
             "lag", "rollmean", "horizon_targets_wide", "horizon_targets_long",
             "taylor_trailing", "taylor_centered_ew", "featurize_pipeline",
             "domfreq", "domfreq_fft", "train_test_arrays", "bucketed_featurize",
         ]
-        line = json.dumps(
-            {
-                **payload,
-                "queries": {k: timings[k] for k in headline if k in timings},
-                "queries_omitted": len(timings)
-                - sum(1 for k in headline if k in timings),
-                "full_map": "BENCH_LOCAL.json",
-            }
+        heavy = sorted(
+            (k for k in timings if k not in headline),
+            key=lambda k: -timings[k],
         )
+        keep = [k for k in headline if k in timings] + heavy[:60]
+        while True:
+            sel = {k: timings[k] for k in keep}
+            line = json.dumps(
+                {
+                    **payload,
+                    "queries": sel,
+                    "queries_omitted": len(timings) - len(sel),
+                    "full_map": "BENCH_LOCAL.json",
+                }
+            )
+            if len(line) <= 1800 or len(keep) <= len(headline):
+                break
+            keep.pop()
     print(line)
     spark.stop()
 

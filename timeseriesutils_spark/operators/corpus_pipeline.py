@@ -419,7 +419,8 @@ def incremental_training_corpus(
     # checkpoints (checkpoint_once), not lazy pins.  In production they
     # ARE the previous run's materialized tables — the memo is that
     # table, keyed on the CANONICALIZED docs plan (exprId-free, so
-    # reconstructions hit; different inputs/SFs cannot collide) plus
+    # reconstructions hit) + the scan file list and named schema (so
+    # different inputs/SFs cannot collide — ADVICE r14) plus
     # every state-shaping parameter.  Two things fall out: (a) the
     # composed lazy plan no longer carries the state lineage into every
     # downstream reference (it was 501 Exchange nodes in the final
@@ -432,6 +433,7 @@ def incremental_training_corpus(
     # can never hide.  Values unchanged (deterministic lineage cut);
     # hash-green at all three SFs.
     import hashlib
+    import uuid
 
     from timeseriesutils_spark.functions.checkpoint import checkpoint_once
 
@@ -439,9 +441,23 @@ def incremental_training_corpus(
     canon = (
         docs._jdf.queryExecution().analyzed().canonicalized().toString()
     )
+    # ADVICE r14 (high): canonicalization erases exprIds, column names
+    # AND data paths — two different parquet directories with the same
+    # schema both canonicalize to 'Relation [none#…] parquet', so the
+    # plan string alone collides for any two inputs with equal schema
+    # and parameters, silently reusing the first input's state tiers.
+    # Mix in the concrete input identity: the sorted scan file list
+    # (distinct datasets have distinct files) plus the schema WITH
+    # column names.  A non-file-backed input (e.g. an in-memory test
+    # frame) has no stable content identity — disable memo reuse for it
+    # (fresh key per call) rather than risk a collision.
+    files = docs.inputFiles()
+    ident = (
+        "|".join(sorted(files)) if files else f"nofiles-{uuid.uuid4().hex}"
+    ) + "|" + docs.schema.simpleString()
     sig = hashlib.md5(
         (
-            f"{canon}|W={W}|q={min_quality}|dg={max_dup_gram_frac}"
+            f"{canon}|{ident}|W={W}|q={min_quality}|dg={max_dup_gram_frac}"
             f"|nd={neardup_threshold}|dc={decontam_threshold}"
             f"|mp={max_posting}|cols={id_col}:{text_col}"
         ).encode()

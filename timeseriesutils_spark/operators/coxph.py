@@ -310,9 +310,21 @@ def _cox_newton_np(cells: DataFrame, groups, n_steps: int, mx: int):
             s0 = np.cumsum(w0[::-1])[::-1][evt].astype(np.float64)
             s1 = np.cumsum(w1[::-1])[::-1][evt].astype(np.float64)
             s2 = np.cumsum(w2[::-1])[::-1][evt].astype(np.float64)
-            r1 = s1 / s0
-            u_t = sxf / fmx - dtf * r1
-            i_t = dtf * (s2 / s0 - r1 * r1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r1 = s1 / s0
+                u_t = sxf / fmx - dtf * r1
+                i_t = dtf * (s2 / s0 - r1 * r1)
+            # ADVICE r14: if every q9(exp) in a suffix risk set quantizes
+            # to 0 (β·x < ~-21), s0 = 0 makes u_t/i_t NaN or Inf; the
+            # envelope compare below is False for NaN, so without this
+            # check the int64 cast would silently produce INT64_MIN
+            # garbage.  Raise loudly — the relational chain's ANSI
+            # double→long cast raises on non-finite values here too.
+            if not (np.isfinite(u_t).all() and np.isfinite(i_t).all()):
+                raise ValueError(
+                    "cox_ph arrow kernel: zero risk-set mass (q9(exp) "
+                    "underflow) made u/i non-finite"
+                )
             uq = np.floor(u_t * 1.0e9 + 0.5)
             iq = np.floor(i_t * 1.0e9 + 0.5)
             if uq.size and (

@@ -46,40 +46,39 @@ class Q:
 # anything never driver-verified), then (b) the r5-stale cohort in
 # full, then (c) r6-stale padding swapped out one-for-one as round-13
 # additions land, keeping the head at exactly 50.
-# ROUND-14 ROTATION (executes the plan written at the end of round 13,
-# recomputed from CORRECTNESS_r01..r13 directly — the artifact numbers
-# match the written plan exactly: zipf_fit is the sole r5 survivor and
-# the r6-stale cohort is 44 queries, now including the reference-core
-# headliners): head slots go to (a) round-14 additions as each lands
-# (find_unrotated_queries enforces head placement for anything never
-# driver-verified), then (b) zipf_fit + the r6 cohort in full (45),
-# then (c) r7-stale padding swapped out one-for-one as round-14
-# additions land, keeping the head at exactly 50.
+# ROUND-14 ROTATION: see git history — superseded by the round-15
+# rotation below (the r14 head-50 all went green in CORRECTNESS_r14).
+# ROUND-15 ROTATION (executes the plan written at the end of round 14,
+# recomputed from CORRECTNESS_r01..r14 directly — the artifact numbers
+# match the written plan exactly: the r7-stale cohort is 46 queries,
+# every other query has a green driver row from r8 or later): round 15
+# is an optimization round with NO catalog additions, so head slots go
+# to (a) the r7-stale cohort in full (46), then (b) the first 4 of the
+# 49-query r8-stale cohort in name order as padding, keeping the head
+# at exactly 50.
 DRIVER_SLOT_PRIORITY: tuple[str, ...] = (
-    # round-14 additions (never driver-verified):
-    "ets_select", "fasttext_classifier", "dup_span_exact_audit",
-    "cluster_sample", "unimax_mixture",
-    # r5 survivor displaced by the 11th round-13 addition:
-    "zipf_fit",
-    # r6-stale cohort (last green driver row: CORRECTNESS_r06), 44:
-    "agg_pricing_summary", "agg_rollup", "asof_join", "best_breakpoint",
-    "bigram_logprob", "corpus_jsd", "croston_demand", "dedup_ngram_jaccard",
-    "dedup_threshold_curve", "dirichlet_lm_search", "domfreq",
-    "dup_cluster_sizes", "excess_incidence", "featurize_pipeline",
-    "gini_index", "gmean_exact", "horizon_targets_long",
-    "horizon_targets_wide", "id_gap_audit", "join_star", "knn_ivf",
-    "knn_recall_curve", "lag", "langid_confusion", "lead_lag_corr",
-    "nelson_aalen", "pagerank", "peak_concurrency", "pinball_eval",
-    "pivot_wide", "psi_drift_curve", "quantile_transform",
-    "rolling_quantile", "rolling_slope", "rollmean", "simhash",
-    "taylor_centered_ew", "taylor_trailing", "theilsen_trend",
-    "topk_per_group", "train_test_arrays", "weighted_median",
-    "welch_ttest", "window_rank",
+    # r7-stale cohort (last green driver row: CORRECTNESS_r07), 46:
+    "adf_test", "agg_count_distinct", "agg_cube", "bh_fdr_trend",
+    "bucketed_featurize", "calibration_curve", "cochran_armitage",
+    "containment_dedup", "cumulative_incidence", "decompose_robust",
+    "decompose_series", "dedup_apply", "dedup_components",
+    "dedup_embedding", "dedup_exact", "diebold_mariano",
+    "distinct_ngrams", "doc_fingerprint", "domain_caps", "dsir_select",
+    "frame_sample", "gopher_rules", "granger_lag", "hash_split",
+    "holt_winters", "hurst_exponent", "join_semi", "knn_bruteforce",
+    "kruskal_wallis", "ks_test", "lang_id", "logrank_test",
+    "mann_kendall", "mann_whitney", "mase_eval", "page_hinkley",
+    "permutation_entropy", "roc_auc", "runs_test", "sample_entropy",
+    "spearman_corr", "tech_indicators", "text_quality", "text_stats",
+    "theta_forecast", "top_ngrams",
+    # r8-stale padding (first 4 of 49 in name order):
+    "agg_quantiles", "array_funcs", "asof_forward_tol",
+    "calendar_features",
 )
-# ROUND-15 ROTATION PLAN: (a) round-15 additions, then (b) the
-# stalest cohort in CORRECTNESS_r01..r14 — recompute from the
-# artifacts (expected: the r7 cohort, 46 queries, minus the five
-# re-verified via the r14 padding slots above).
+# ROUND-16 ROTATION PLAN: (a) round-16 additions, then (b) the
+# stalest cohort in CORRECTNESS_r01..r15 — recompute from the
+# artifacts (expected: the remaining 45 of the r8 cohort, then
+# r9-stale padding).
 
 
 # --- catalog governance (round-6): gate tiers -----------------------------
